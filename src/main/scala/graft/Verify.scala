@@ -17,9 +17,20 @@ object Verify {
     GraftSession.configure(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Presentation normalization for the DuckDB compare (BASELINE.md):
+        // session-TZ is UTC, so casting LTZ timestamps to NTZ keeps the
+        // digits and writes tz-naive parquet like the oracle produces.
+        val df = fn(spark, sfDir)
+        val cols = df.schema.fields.map { f =>
+          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+          val c = col("`" + f.name.replace("`", "``") + "`")
+          if (f.dataType == TimestampType) c.cast(TimestampNTZType).as(f.name) else c
+        }
+        df.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,334 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.functions.{Geo, GraftFunctions}
+import graft.sources.FileCollection
+
+/** The structured JSON query DSL compiler — semantics re-expressed from
+  * the reference's `beacon-core/src/query/ (mod, compiler, filter, from)`
+  * onto DataFrame operations. Application order matches the reference
+  * compiler (compiler.rs): scan → project(select) → filter(s) → sort →
+  * distinct_on → offset/limit.
+  *
+  * Pinned behaviors (reference inline tests; FIXTURES.md §5):
+  *  - JSON numbers coerce to the filtered column's type so pushdown and
+  *    pruning are not defeated by a Float64 cast; out-of-range falls back
+  *    to the double literal; fractional bounds TRUNCATE into integer
+  *    columns (1.5 → 1, -1.5 → -1).
+  *  - Timestamp-looking strings (ISO local datetime) become timestamp
+  *    literals in comparison predicates.
+  *  - `and: []` ≡ true, `or: []` ≡ false.
+  *  - Sort is nulls-last in both directions (SortExpr::new(_, _, false)).
+  *  - Legacy aliases: `filters` array (ANDed), `min`/`max`/`low`/`high`
+  *    for between, `skip_fill_values`/`skip_missing` for is_not_null,
+  *    `for_query_parameter` for column, `query_parameters` for select.
+  */
+object JsonQuery {
+
+  final class DslException(msg: String) extends IllegalArgumentException(msg)
+
+  def compile(
+      spark: SparkSession,
+      json: String,
+      tableResolver: String => DataFrame = null): DataFrame = {
+    val ast = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => throw new DslException(s"query body must be an object, got $other")
+    }
+    compileAst(spark, ast,
+      Option(tableResolver).getOrElse((n: String) => spark.table(n)))
+  }
+
+  def compileAst(
+      spark: SparkSession,
+      body: JObject,
+      tableResolver: String => DataFrame): DataFrame = {
+    val fields = body.obj.toMap
+
+    // ---- from
+    var df = fields.get("from") match {
+      case Some(JString(name)) => tableResolver(name)
+      case Some(o: JObject)    => fromFormat(spark, o)
+      case Some(other) => throw new DslException(s"bad from: $other")
+      case None => tableResolver("default")
+    }
+
+    // ---- select (alias: query_parameters)
+    val selects = fields.get("select").orElse(fields.get("query_parameters")) match {
+      case Some(JArray(items)) => items
+      case None => throw new DslException("query requires a select list")
+      case Some(other) => throw new DslException(s"bad select: $other")
+    }
+    if (selects.nonEmpty)
+      df = df.select(selects.map(selectItem): _*)
+
+    // ---- filter / filters (legacy list = AND); literal coercion runs
+    // against the POST-projection schema (the reference parses filters
+    // against builder.schema() after .project — compiler.rs:47-57)
+    val projSchema = df.schema
+    fields.get("filter").foreach { f => df = df.filter(filterExpr(f, projSchema)) }
+    fields.get("filters").foreach {
+      case JArray(fs) => fs.foreach { f => df = df.filter(filterExpr(f, projSchema)) }
+      case JNothing   => ()
+      case other => throw new DslException(s"bad filters: $other")
+    }
+
+    // ---- sort_by
+    val sortCols = fields.get("sort_by") match {
+      case Some(JArray(items)) => items.map(sortItem)
+      case None => Seq.empty
+      case Some(other) => throw new DslException(s"bad sort_by: $other")
+    }
+    if (sortCols.nonEmpty) df = df.orderBy(sortCols: _*)
+
+    // ---- distinct {on, select}
+    fields.get("distinct").foreach {
+      case JObject(d) =>
+        val dm = d.toMap
+        val on = dm.get("on") match {
+          case Some(JArray(items)) => items.map(selectItem)
+          case _ => throw new DslException("distinct requires on: [...]")
+        }
+        val sel = dm.get("select") match {
+          case Some(JArray(items)) => items.map(selectItem)
+          case _ => throw new DslException("distinct requires select: [...]")
+        }
+        // DISTINCT ON: first row per `on` group under the query's sort
+        // (row_number window — partition-parallel, no driver collect)
+        import org.apache.spark.sql.expressions.Window
+        val orderCols: Seq[Column] = if (sortCols.nonEmpty) sortCols else Seq(lit(1))
+        val w = Window.partitionBy(on: _*).orderBy(orderCols: _*)
+        df = df.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .select(sel: _*)
+        if (sortCols.nonEmpty) df = df.orderBy(sortCols: _*)
+      case other => throw new DslException(s"bad distinct: $other")
+    }
+
+    // ---- offset / limit (builder.limit(offset, limit))
+    fields.get("offset").collect { case JInt(n) => df = df.offset(n.toInt) }
+    fields.get("limit").collect { case JInt(n) => df = df.limit(n.toInt) }
+    df
+  }
+
+  // ------------------------------------------------------------- from
+
+  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "odv", "tiff", "zarr", "bbf")
+
+  private def fromFormat(spark: SparkSession, o: JObject): DataFrame = {
+    val m = o.obj.toMap
+    val fmtKey = m.keys.find(formatKeys.contains).getOrElse(
+      throw new DslException(s"unknown from format in ${m.keys.mkString(",")}"))
+    val spec = m(fmtKey) match {
+      case JObject(s) => s.toMap
+      case other => throw new DslException(s"bad $fmtKey spec: $other")
+    }
+    val paths = spec.get("paths") match {
+      case Some(JArray(ps)) => ps.collect { case JString(p) => p }
+      case Some(JString(p)) => Seq(p)
+      case _ => throw new DslException(s"$fmtKey requires paths")
+    }
+    fmtKey match {
+      case "parquet" => FileCollection.parquet(spark, paths: _*)
+      case "csv" =>
+        val delim = spec.get("delimiter").collect { case JString(d) => d }.getOrElse(",")
+        FileCollection.csv(spark, paths, Map("delimiter" -> delim))
+      case other => throw new DslException(s"format '$other' reader not available")
+    }
+  }
+
+  // ----------------------------------------------------------- select
+
+  /** Select item → Column (reference Select::to_expr). Function names
+    * resolve against the session FunctionRegistry via call_function, so
+    * engine functions (st_within_point, try_arrow_cast, …) and all Spark
+    * builtins are addressable. */
+  def selectItem(v: JValue): Column = v match {
+    case JString(name) => col(quote(name))
+    case JObject(o) =>
+      val m = o.toMap
+      val alias = m.get("alias").collect { case JString(a) => a }
+      val base =
+        if (m.contains("column") || m.contains("column_name"))
+          col(quote(str(m.getOrElse("column", m("column_name")), "column")))
+        else if (m.contains("function")) {
+          val fn = str(m("function"), "function")
+          val args = m.get("args") match {
+            case Some(JArray(as)) => as.map(selectItem)
+            case None => Seq.empty
+            case Some(other) => throw new DslException(s"bad args: $other")
+          }
+          call_function(fn, args: _*)
+        } else if (m.contains("value")) literal(m("value"))
+        else throw new DslException(s"bad select item: $v")
+      alias.map(base.as).getOrElse(base)
+    case other => throw new DslException(s"bad select item: $other")
+  }
+
+  private def literal(v: JValue): Column = v match {
+    case JString(s)  => lit(s)
+    case JInt(n)     => lit(n.toDouble)  // DSL numbers are f64 (reference Literal::Number)
+    case JLong(n)    => lit(n.toDouble)
+    case JDouble(d)  => lit(d)
+    case JDecimal(d) => lit(d.toDouble)
+    case JBool(b)    => lit(b)
+    case JNull       => lit(null)
+    case other => throw new DslException(s"bad literal: $other")
+  }
+
+  // ----------------------------------------------------------- filter
+
+  def filterExpr(v: JValue, schema: StructType): Column = v match {
+    case JObject(o) =>
+      val m = o.toMap
+      def column: String =
+        str(m.getOrElse("column", m.getOrElse("for_query_parameter",
+          throw new DslException(s"filter needs column: $v"))), "column")
+
+      if (m.contains("and"))
+        m("and") match {
+          case JArray(fs) => fs.map(filterExpr(_, schema)).foldLeft(lit(true))(_ && _)
+          case other => throw new DslException(s"bad and: $other")
+        }
+      else if (m.contains("or"))
+        m("or") match {
+          case JArray(fs) => fs.map(filterExpr(_, schema)).foldLeft(lit(false))(_ || _)
+          case other => throw new DslException(s"bad or: $other")
+        }
+      else if (m.contains("is_not_null") || m.contains("skip_fill_values") || m.contains("skip_missing")) {
+        val payload = m.getOrElse("is_not_null",
+          m.getOrElse("skip_fill_values", m("skip_missing")))
+        col(quote(payloadColumn(payload))).isNotNull
+      }
+      else if (m.contains("is_null"))
+        col(quote(payloadColumn(m("is_null")))).isNull
+      else if (m.contains("geometry")) {
+        val lonCol = str(m.getOrElse("longitude_column",
+          m.getOrElse("longitude_query_parameter",
+            throw new DslException("geojson filter needs longitude_column"))), "longitude_column")
+        val latCol = str(m.getOrElse("latitude_column",
+          m.getOrElse("latitude_query_parameter",
+            throw new DslException("geojson filter needs latitude_column"))), "latitude_column")
+        val wkt = Geo.geoJsonToWkt(JsonMethods.compact(JsonMethods.render(m("geometry"))))
+        GraftFunctions.st_within_point(lit(wkt), col(quote(lonCol)), col(quote(latCol)))
+      }
+      // between first (untagged order in the reference): both bounds
+      // present, with min/max/low/high as legacy aliases
+      else if (Seq("gt_eq", "min", "low").exists(m.contains) &&
+               Seq("lt_eq", "max", "high").exists(m.contains)) {
+        val lo = m(Seq("gt_eq", "min", "low").find(m.contains).get)
+        val hi = m(Seq("lt_eq", "max", "high").find(m.contains).get)
+        val c = col(quote(column))
+        c >= comparisonLit(lo, column, schema) && c <= comparisonLit(hi, column, schema)
+      }
+      else if (m.contains("eq"))    col(quote(column)) === comparisonLit(m("eq"), column, schema)
+      else if (m.contains("neq"))   col(quote(column)) =!= comparisonLit(m("neq"), column, schema)
+      else if (m.contains("gt"))    col(quote(column)) > comparisonLit(m("gt"), column, schema)
+      else if (m.contains("gt_eq")) col(quote(column)) >= comparisonLit(m("gt_eq"), column, schema)
+      else if (m.contains("lt"))    col(quote(column)) < comparisonLit(m("lt"), column, schema)
+      else if (m.contains("lt_eq")) col(quote(column)) <= comparisonLit(m("lt_eq"), column, schema)
+      else throw new DslException(s"unrecognized filter: $v")
+    case other => throw new DslException(s"bad filter: $other")
+  }
+
+  private def payloadColumn(v: JValue): String = v match {
+    case JString(c) => c
+    case JObject(o) => o.toMap.get("column")
+      .orElse(o.toMap.get("for_query_parameter"))
+      .collect { case JString(c) => c }
+      .getOrElse(throw new DslException(s"bad null-check payload: $v"))
+    case other => throw new DslException(s"bad null-check payload: $other")
+  }
+
+  /** Comparison literal with the reference's coercion rules. */
+  private def comparisonLit(v: JValue, column: String, schema: StructType): Column = {
+    val colType = schema.fields.find(_.name == column).map(_.dataType)
+    v match {
+      case JString(s) =>
+        parseLocalDateTime(s) match {
+          case Some(ts) => lit(ts)
+          case None     => lit(s)
+        }
+      case JBool(b) => lit(b)
+      case JNull    => lit(null)
+      case n: JValue =>
+        val d = n match {
+          case JInt(i)     => i.toDouble
+          case JLong(l)    => l.toDouble
+          case JDouble(dd) => dd
+          case JDecimal(b) => b.toDouble
+          case other => throw new DslException(s"bad comparison value: $other")
+        }
+        coerceNumber(d, colType)
+    }
+  }
+
+  /** try_coerce_number_to_schema (filter/mod.rs:92-108): narrow the f64
+    * to the column type when it fits (truncating fractions into integer
+    * columns — pinned); otherwise keep the double literal. */
+  def coerceNumber(d: Double, colType: Option[DataType]): Column = colType match {
+    case Some(t) if SuperTypeIntegral(t) =>
+      val trunc = d.toLong  // toward zero, like num::cast
+      val fits = t match {
+        case ByteType    => trunc >= Byte.MinValue && trunc <= Byte.MaxValue
+        case ShortType   => trunc >= Short.MinValue && trunc <= Short.MaxValue
+        case IntegerType => trunc >= Int.MinValue && trunc <= Int.MaxValue
+        case _           => d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble
+      }
+      if (!d.isFinite || !fits) lit(d)
+      else t match {
+        case ByteType    => lit(trunc.toByte)
+        case ShortType   => lit(trunc.toShort)
+        case IntegerType => lit(trunc.toInt)
+        case _           => lit(trunc)
+      }
+    case Some(FloatType) if d.isFinite &&
+        (d == 0.0 || (math.abs(d) >= Float.MinPositiveValue && math.abs(d) <= Float.MaxValue)) =>
+      lit(d.toFloat)
+    case _ => lit(d)
+  }
+
+  private object SuperTypeIntegral {
+    def apply(t: DataType): Boolean = graft.core.SuperType.isIntegral(t)
+  }
+
+  /** ISO local datetime (what serde's NaiveDateTime accepts): "T" or " "
+    * separator, optional fractional seconds. */
+  private[dsl] def parseLocalDateTime(s: String): Option[java.sql.Timestamp] = {
+    val re = """^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})(\.\d+)?$""".r
+    s match {
+      case re(y, mo, da, h, mi, se, frac) =>
+        try {
+          val ldt = java.time.LocalDateTime.of(
+            y.toInt, mo.toInt, da.toInt, h.toInt, mi.toInt, se.toInt,
+            Option(frac).map(f => (f.toDouble * 1e9).round.toInt).getOrElse(0))
+          Some(java.sql.Timestamp.valueOf(ldt))
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+  }
+
+  // ----------------------------------------------------------- sort
+
+  private def sortItem(v: JValue): Column = v match {
+    case JObject(o) => o.toMap.toList match {
+      case (k, JString(c)) :: Nil if k.equalsIgnoreCase("asc")  => col(quote(c)).asc_nulls_last
+      case (k, JString(c)) :: Nil if k.equalsIgnoreCase("desc") => col(quote(c)).desc_nulls_last
+      case _ => throw new DslException(s"bad sort item: $v")
+    }
+    case JString(c) => col(quote(c)).asc_nulls_last
+    case other => throw new DslException(s"bad sort item: $other")
+  }
+
+  private def str(v: JValue, what: String): String = v match {
+    case JString(s) => s
+    case other => throw new DslException(s"bad $what: $other")
+  }
+
+  private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
+}

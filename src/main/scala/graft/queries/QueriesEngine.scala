@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.dsl.JsonQuery
+import graft.functions.VocabRegistry
+import graft.sql.{GraftSql, Summarize}
+
+/** Engine-feature coverage for the correctness gate: JSON DSL pipeline,
+  * SUMMARIZE, UNION ALL BY NAME, geo predicate, vocabulary mapping,
+  * coalesce_label — each expressed through the engine's own surface
+  * (not plain DataFrame code) and oracled in ANSI SQL.
+  */
+object QueriesEngine {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- the JSON DSL path end-to-end (select/filter-tree/sort/offset/limit)
+    "q_dsl_pipeline" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val q = s"""{"select": ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+                   "filter": {"and": [{"column": "l_quantity", "gt": 45},
+                                      {"column": "l_extendedprice", "lt": 60000}]},
+                   "sort_by": [{"Desc": "l_extendedprice"}, {"Asc": "l_orderkey"}, {"Asc": "l_linenumber"}],
+                   "from": {"parquet": {"paths": ["$dir/lineitem.parquet"]}},
+                   "offset": 10, "limit": 200}"""
+      JsonQuery.compile(s, q)
+    },
+
+    // ---- DSL between + timestamp-string literal + distinct_on
+    "q_dsl_distinct_on" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val q = s"""{"select": ["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"],
+                   "filter": {"column": "o_orderdate", "gt_eq": "1993-01-01T00:00:00",
+                              "lt_eq": "1997-12-31T23:59:59"},
+                   "sort_by": [{"Desc": "o_orderdate"}, {"Desc": "o_orderkey"}],
+                   "distinct": {"on": ["o_custkey"],
+                                "select": ["o_custkey", "o_orderkey", "o_totalprice"]},
+                   "from": {"parquet": {"paths": ["$dir/orders.parquet"]}}}"""
+      JsonQuery.compile(s, q).orderBy(col("o_custkey"))
+    },
+
+    // ---- SUMMARIZE (single-pass profile); avg/std rounded for the
+    //      cross-engine gate (different-but-both-correct summation orders)
+    "q_summarize_lineitem" -> { (s, dir) =>
+      GraftSession.configure(s)
+      Summarize.summarize(Tables.load(s, dir, "lineitem"))
+        .withColumn("avg", round(col("avg"), 4))
+        .withColumn("std", round(col("std"), 4))
+        .withColumn("null_percentage", round(col("null_percentage"), 4))
+        .orderBy("column_name")
+    },
+
+    // ---- UNION ALL BY NAME through the SQL front door
+    "q_union_by_name" -> { (s, dir) =>
+      GraftSession.configure(s)
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_ubn")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("o_ubn")
+      GraftSql.sql(s,
+        """SELECT l_orderkey AS k, l_linenumber AS line, l_quantity AS qty FROM li_ubn
+           UNION ALL BY NAME
+           SELECT o_orderkey AS k, o_totalprice AS price FROM o_ubn""")
+        .orderBy(col("k").asc, col("line").asc_nulls_first, col("price").asc_nulls_first)
+    },
+
+    // ---- geo: point-in-triangle over derived coordinates
+    "q_geo_within" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      val wkt = "POLYGON ((0 0, 10 0, 10 50, 0 0))"
+      Tables.load(s, dir, "lineitem")
+        .filter(graft.functions.GraftFunctions.st_within_point(
+          lit(wkt), $"l_discount" * 100, $"l_quantity"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_inside"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- coalesce_label over nullable branches
+    "q_coalesce_label" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      Tables.load(s, dir, "orders")
+        .select($"o_orderkey",
+          expr("""coalesce_label(
+                    CASE WHEN o_orderstatus = 'O' THEN o_totalprice END, 'open',
+                    CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, 'finished',
+                    o_totalprice, 'other')""").as("status_label"))
+        .orderBy($"o_orderkey")
+    },
+
+    // ---- data-driven vocabulary mapping
+    "q_map_vocab" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      VocabRegistry.register("return_flags",
+        Map("A" -> "accepted", "N" -> "none", "R" -> "returned"))
+      Tables.load(s, dir, "lineitem")
+        .groupBy(graft.functions.GraftFunctions.map_vocab("return_flags", $"l_returnflag")
+          .as("flag_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"flag_label")
+    },
+  )
+
+  private val summarizeOracle: String = {
+    // (name, duckdb expr, spark simpleString type, numeric, orderable)
+    val cols = Seq(
+      ("l_orderkey", "bigint", true), ("l_partkey", "bigint", true),
+      ("l_suppkey", "bigint", true), ("l_linenumber", "int", true),
+      ("l_quantity", "double", true), ("l_extendedprice", "double", true),
+      ("l_discount", "double", true), ("l_tax", "double", true),
+      ("l_returnflag", "string", false), ("l_linestatus", "string", false),
+      ("l_shipdate", "timestamp_ntz", false))
+    val aggs = "CAST(count(*) AS BIGINT) AS __n" +: cols.zipWithIndex.flatMap {
+      case ((c, _, numeric), i) =>
+        val avg = if (numeric) s"round(avg(CAST($c AS DOUBLE)), 4)" else "CAST(NULL AS DOUBLE)"
+        val std = if (numeric) s"round(stddev(CAST($c AS DOUBLE)), 4)" else "CAST(NULL AS DOUBLE)"
+        Seq(
+          s"CAST(min($c) AS VARCHAR) AS c${i}_min",
+          s"CAST(max($c) AS VARCHAR) AS c${i}_max",
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS c${i}_uniq",
+          s"$avg AS c${i}_avg", s"$std AS c${i}_std",
+          s"CAST(count($c) AS BIGINT) AS c${i}_cnt")
+    }
+    val branches = cols.zipWithIndex.map { case ((c, t, _), i) =>
+      s"""SELECT '$c' AS column_name, '$t' AS column_type,
+          c${i}_min AS "min", c${i}_max AS "max", c${i}_uniq AS "distinct",
+          c${i}_avg AS "avg", c${i}_std AS "std", c${i}_cnt AS "count",
+          round(CASE WHEN __n = 0 THEN 0 ELSE (__n - c${i}_cnt) * 100.0 / __n END, 4) AS null_percentage
+          FROM __agg"""
+    }
+    s"""WITH __agg AS (SELECT ${aggs.mkString(", ")} FROM lineitem)
+        SELECT * FROM (${branches.mkString(" UNION ALL ")}) ORDER BY column_name"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dsl_pipeline" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity > 45 AND l_extendedprice < 60000
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+         LIMIT 200 OFFSET 10""",
+    "q_dsl_distinct_on" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
+             AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59')
+         WHERE rn = 1 ORDER BY o_custkey""",
+    "q_summarize_lineitem" -> summarizeOracle,
+    "q_union_by_name" ->
+      """SELECT k, line, qty, price FROM (
+           SELECT l_orderkey AS k, l_linenumber AS line, l_quantity AS qty,
+                  CAST(NULL AS DOUBLE) AS price FROM lineitem
+           UNION ALL
+           SELECT o_orderkey AS k, CAST(NULL AS INTEGER) AS line,
+                  CAST(NULL AS DOUBLE) AS qty, o_totalprice AS price FROM orders)
+         ORDER BY k ASC, line ASC NULLS FIRST, price ASC NULLS FIRST""",
+    "q_geo_within" ->
+      """SELECT l_returnflag, count(*) AS n_inside FROM lineitem
+         WHERE l_discount * 100 >= 0 AND l_discount * 100 <= 10
+           AND l_quantity >= 0 AND l_quantity <= 5 * (l_discount * 100)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_coalesce_label" ->
+      """SELECT o_orderkey,
+         CASE WHEN (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NOT NULL THEN 'open'
+              WHEN (CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) IS NOT NULL THEN 'finished'
+              WHEN o_totalprice IS NOT NULL THEN 'other' END AS status_label
+         FROM orders ORDER BY o_orderkey""",
+    "q_map_vocab" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+                WHEN 'R' THEN 'returned' END AS flag_label, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY flag_label""",
+  )
+}

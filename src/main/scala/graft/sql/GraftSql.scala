@@ -1,0 +1,94 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.UnionByName
+
+/** The engine's SQL front door: standard SQL passes straight to Catalyst
+  * (`spark.sql`), while the engine's statement extensions are recognized
+  * by a lightweight sidecar recognizer — the same two-token-peek approach
+  * the reference parser uses (beacon-core/src/parser/beacon_parser.rs:33-117)
+  * rather than a full custom grammar.
+  *
+  * Round-1 statements:
+  *  - `SUMMARIZE <table>` / `SUMMARIZE (<query>)` → [[Summarize]]
+  *  - `<query> UNION ALL BY NAME <query>` (n-ary) → supercast union
+  *    (union_by_name.rs semantics; sql/union-by-name.md)
+  * Everything else → Catalyst.
+  */
+object GraftSql {
+
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val trimmed = text.trim.stripSuffix(";")
+    val upper = trimmed.toUpperCase
+    if (upper.startsWith("SUMMARIZE")) {
+      val src = trimmed.substring("SUMMARIZE".length).trim
+      val df =
+        if (src.startsWith("(") && src.endsWith(")"))
+          spark.sql(src.substring(1, src.length - 1))
+        else spark.table(src)
+      Summarize.summarize(df)
+    } else {
+      splitUnionByName(trimmed) match {
+        case parts if parts.length > 1 =>
+          UnionByName(parts.map(p => spark.sql(stripParens(p))))
+        case _ => spark.sql(trimmed)
+      }
+    }
+  }
+
+  /** Split at top-level `UNION ALL BY NAME` boundaries (outside quotes and
+    * parens, case-insensitive). */
+  private[sql] def splitUnionByName(s: String): Seq[String] = {
+    val marker = "UNION ALL BY NAME"
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var i = 0
+    var start = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false; i += 1 }
+      else if (inDouble) { if (c == '"') inDouble = false; i += 1 }
+      else c match {
+        case '\'' => inSingle = true; i += 1
+        case '"'  => inDouble = true; i += 1
+        case '('  => depth += 1; i += 1
+        case ')'  => depth -= 1; i += 1
+        case _ if depth == 0 && i + marker.length <= s.length &&
+            s.regionMatches(true, i, marker, 0, marker.length) &&
+            wordBoundary(s, i, marker.length) =>
+          out += s.substring(start, i).trim
+          i += marker.length
+          start = i
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start).trim
+    out.toSeq
+  }
+
+  private def wordBoundary(s: String, at: Int, len: Int): Boolean = {
+    val before = at == 0 || !Character.isLetterOrDigit(s.charAt(at - 1))
+    val after = at + len >= s.length || !Character.isLetterOrDigit(s.charAt(at + len))
+    before && after
+  }
+
+  private def stripParens(s: String): String = {
+    val t = s.trim
+    // strip one level only when the parens wrap the whole expression
+    if (t.startsWith("(") && t.endsWith(")")) {
+      var depth = 0
+      var wraps = true
+      for (i <- 0 until t.length - 1) {
+        t.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) wraps = false
+          case _ =>
+        }
+      }
+      if (wraps) t.substring(1, t.length - 1) else t
+    } else t
+  }
+}

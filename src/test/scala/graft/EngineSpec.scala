@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SuperType, UnionByName}
+import graft.dsl.JsonQuery
+import graft.sources.FileCollection
+import graft.sql.{GraftSql, Summarize}
+
+/** End-to-end engine tests over a shared local session. */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  lazy val sf = "/root/testdata/sf0.001"
+  lazy val tmp: String = java.nio.file.Files.createTempDirectory("graft-test").toString
+
+  // ---------------------------------------------------------- union by name
+
+  test("unionByName supercast: FIXTURES §5 heterogeneous files") {
+    import spark.implicits._
+    val a = Seq((1.0f, 10, 30.5)).toDF("temperature", "depth", "salinity")
+    val b = Seq((2.5d, 20L)).toDF("temperature", "depth")
+    val u = UnionByName(Seq(a, b))
+    assert(u.schema("temperature").dataType == DoubleType)
+    assert(u.schema("depth").dataType == LongType)
+    assert(u.schema("salinity").dataType == DoubleType)
+    val rows = u.orderBy("depth").collect()
+    assert(rows.length == 2)
+    assert(rows(1).isNullAt(2), "missing column NULL-fills")
+    assert(rows(0).getDouble(0) == 1.0)
+  }
+
+  test("FileCollection groups conflicting schemas and supercasts") {
+    import spark.implicits._
+    val d1 = s"$tmp/fc/a.parquet"
+    val d2 = s"$tmp/fc/b.parquet"
+    Seq((1.0f, 10, 30.5)).toDF("temperature", "depth", "salinity")
+      .write.mode("overwrite").parquet(d1)
+    Seq((2.5d, 20L)).toDF("temperature", "depth")
+      .write.mode("overwrite").parquet(d2)
+    val df = FileCollection.read(spark, "parquet", Seq(s"$tmp/fc/*.parquet"))
+    assert(df.schema("temperature").dataType == DoubleType)
+    assert(df.schema("depth").dataType == LongType)
+    assert(df.count() == 2)
+    // filters must still push into both branches
+    assert(df.filter(col("depth") > 15).count() == 1)
+  }
+
+  test("FileCollection single-schema fast path is one native scan") {
+    val df = FileCollection.parquet(spark, s"$sf/lineitem.parquet")
+    assert(df.count() == 6000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"homogeneous scan must not union:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- JSON DSL
+
+  test("DSL minimum end-to-end slice (SURVEY §7.1.4)") {
+    val q = s"""{"select": ["l_orderkey", "l_extendedprice"],
+                 "filters": [{"column": "l_quantity", "gt": 45}],
+                 "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}},
+                 "limit": 10}"""
+    // filter references a non-selected column; Spark resolves missing
+    // attributes through the projection, so the canonical slice just works
+    assert(JsonQuery.compile(spark, q).collect().length == 10)
+  }
+
+  test("DSL select/filter/sort/limit over parquet") {
+    val q = s"""{"select": ["l_orderkey", "l_quantity", "l_extendedprice"],
+                 "filter": {"and": [{"column": "l_quantity", "gt": 45},
+                                    {"column": "l_extendedprice", "lt": 50000}]},
+                 "sort_by": [{"Desc": "l_extendedprice"}],
+                 "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}},
+                 "offset": 2, "limit": 5}"""
+    val rows = JsonQuery.compile(spark, q).collect()
+    assert(rows.length == 5)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sorted.reverse))
+    assert(rows.forall(_.getDouble(1) > 45))
+  }
+
+  test("DSL literal coercion: fractional bound truncates into integer column") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("depth")
+    df.createOrReplaceTempView("coerce_t")
+    val q = """{"select": ["depth"], "filter": {"column": "depth", "gt_eq": 1.5},
+               "from": "coerce_t"}"""
+    // 1.5 truncates to 1 (pinned): depth >= 1 keeps all three rows
+    assert(JsonQuery.compile(spark, q).count() == 3)
+  }
+
+  test("DSL number out of range falls back to double literal") {
+    import spark.implicits._
+    Seq(1.toByte).toDF("b").createOrReplaceTempView("coerce_b")
+    val q = """{"select": ["b"], "filter": {"column": "b", "lt": 1e18}, "from": "coerce_b"}"""
+    assert(JsonQuery.compile(spark, q).count() == 1)
+  }
+
+  test("DSL and:[] is true, or:[] is false") {
+    import spark.implicits._
+    Seq(1, 2).toDF("x").createOrReplaceTempView("empty_comb")
+    val qAnd = """{"select": ["x"], "filter": {"and": []}, "from": "empty_comb"}"""
+    val qOr  = """{"select": ["x"], "filter": {"or": []}, "from": "empty_comb"}"""
+    assert(JsonQuery.compile(spark, qAnd).count() == 2)
+    assert(JsonQuery.compile(spark, qOr).count() == 0)
+  }
+
+  test("DSL timestamp strings become timestamp literals") {
+    val q = s"""{"select": ["o_orderkey", "o_orderdate"],
+                 "filter": {"column": "o_orderdate", "gt_eq": "1995-06-01T00:00:00"},
+                 "from": {"parquet": {"paths": ["$sf/orders.parquet"]}}}"""
+    val n = JsonQuery.compile(spark, q).count()
+    assert(n > 0 && n < 1500)
+  }
+
+  test("DSL function call resolves engine + builtin functions") {
+    val q = s"""{"select": [{"function": "upper", "args": ["o_orderstatus"], "alias": "s"},
+                            {"function": "graft_version", "args": [], "alias": "v"}],
+                 "from": {"parquet": {"paths": ["$sf/orders.parquet"]}},
+                 "limit": 1}"""
+    val row = JsonQuery.compile(spark, q).collect()(0)
+    assert(row.getString(1) == functions.GraftFunctions.version)
+  }
+
+  test("DSL distinct-on picks first row per key under sort") {
+    val q = s"""{"select": ["o_custkey", "o_orderkey", "o_totalprice"],
+                 "sort_by": [{"Desc": "o_totalprice"}],
+                 "distinct": {"on": ["o_custkey"],
+                              "select": ["o_custkey", "o_orderkey", "o_totalprice"]},
+                 "from": {"parquet": {"paths": ["$sf/orders.parquet"]}}}"""
+    val rows = JsonQuery.compile(spark, q).collect()
+    val custs = rows.map(_.getLong(0))
+    assert(custs.distinct.length == custs.length, "one row per customer")
+  }
+
+  test("DSL geojson polygon filter") {
+    import spark.implicits._
+    Seq((0.5, 0.5), (5.0, 5.0), (20.0, 20.0)).toDF("lon", "lat")
+      .createOrReplaceTempView("geo_t")
+    val q = """{"select": ["lon", "lat"],
+               "filter": {"longitude_column": "lon", "latitude_column": "lat",
+                          "geometry": {"type": "Polygon",
+                            "coordinates": [[[0,0],[10,0],[10,10],[0,10],[0,0]]]}},
+               "from": "geo_t"}"""
+    assert(JsonQuery.compile(spark, q).count() == 2)
+  }
+
+  // ------------------------------------------------------------- SQL front door
+
+  test("SUMMARIZE over a table") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_s")
+    val rows = GraftSql.sql(spark, "SUMMARIZE nation_s").collect()
+    assert(rows.length == 3) // n_nationkey, n_name, n_regionkey
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("n_nationkey").getString(2) == "0")   // min
+    assert(byName("n_nationkey").getString(3) == "24")  // max
+    assert(byName("n_nationkey").getLong(4) == 25)      // distinct
+    assert(byName("n_name").getAs[Any]("avg") == null)  // non-numeric
+    assert(rows.forall(_.getAs[Double]("null_percentage") == 0.0))
+  }
+
+  test("SUMMARIZE (query) form") {
+    val rows = GraftSql.sql(spark,
+      "SUMMARIZE (SELECT n_nationkey FROM nation_s WHERE n_nationkey < 10)").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(7) == 10) // count column
+  }
+
+  test("UNION ALL BY NAME widens and null-fills across SQL") {
+    import spark.implicits._
+    Seq((1, 1.5f)).toDF("a", "b").createOrReplaceTempView("ubn_x")
+    Seq((2L, "s")).toDF("a", "c").createOrReplaceTempView("ubn_y")
+    val df = GraftSql.sql(spark,
+      "SELECT a, b FROM ubn_x UNION ALL BY NAME SELECT a, c FROM ubn_y")
+    assert(df.schema("a").dataType == LongType)
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 2)
+  }
+
+  test("plain SQL passes through to Catalyst") {
+    assert(GraftSql.sql(spark, "SELECT 1 AS one").collect()(0).getInt(0) == 1)
+  }
+
+  // ------------------------------------------------------------- functions
+
+  test("st_within_point / coalesce_label / try_arrow_cast / map_units via SQL") {
+    val r = spark.sql(
+      """SELECT st_within_point('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', 5.0D, 5.0D) AS in_poly,
+                coalesce_label(NULL, 'a', 1, 'b') AS label,
+                try_arrow_cast('12', 'Int32') AS ok_cast,
+                try_arrow_cast('xx', 'Int32') AS bad_cast,
+                map_units('degC', 'K', 20.0D) AS kelvin,
+                pressure_to_depth_teos_10(1000.0D, 30.0D) AS depth,
+                cast_int8_as_char(65L) AS ch
+      """).collect()(0)
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "b")
+    assert(r.getInt(2) == 12)
+    assert(r.isNullAt(3))
+    assert(math.abs(r.getDouble(4) - 293.15) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 990.0) < 10.0) // ~990 m at 1000 dbar
+    assert(r.getString(6) == "A")
+  }
+
+  test("map_vocab resolves registered vocabulary at plan time") {
+    functions.VocabRegistry.register("test_vocab", Map("SH" -> "Ship", "BU" -> "Buoy"))
+    val r = spark.sql("SELECT map_vocab('test_vocab', 'SH') AS v, map_vocab('test_vocab', 'XX') AS missing")
+      .collect()(0)
+    assert(r.getString(0) == "Ship")
+    assert(r.isNullAt(1))
+  }
+}
