@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.QueriesCore.queries ++
-    graft.queries.QueriesEngine.queries
+    graft.queries.QueriesEngine.queries ++
+    graft.queries.QueriesData.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.QueriesCore.oracles ++
-    graft.queries.QueriesEngine.oracles
+    graft.queries.QueriesEngine.oracles ++
+    graft.queries.QueriesData.oracles
 }

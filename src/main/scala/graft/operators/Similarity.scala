@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the corpus stays partitioned; queries are the small
+  * side and broadcast. Brute force is a map-side cross join (no
+  * shuffle of the corpus) followed by a per-query top-k window on the
+  * (tiny) scored pairs. The LSH variant buckets both sides on
+  * random-hyperplane sign bands so only same-bucket pairs are scored —
+  * at 100 TB the bucket join replaces the broadcast product entirely.
+  */
+object Similarity {
+
+  /** dot product in double precision (left fold — deterministic order) */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * `queries` must be small (it is broadcast); self-matches excluded. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /** All pairs with cosine ≥ τ (embedding near-dup detection). Exact;
+    * use [[lshCandidatePairs]] + this on candidates at scale. */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_v"))
+    a.crossJoin(broadcast(b))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  // ------------------------------------------------------------- LSH
+
+  /** Deterministic pseudo-random ±1 hyperplane component for
+    * (plane, dim): parity of a 64-bit avalanche hash of the index pair.
+    * Rademacher planes are a valid random-projection family and need no
+    * stored model — every executor derives the same planes from
+    * (seed, plane, dim). */
+  private def planeComponent(plane: Int, dim: Column, seed: Long): Column = {
+    val h = xxhash64(lit(seed), lit(plane), dim)
+    when(h.bitwiseAND(1) === 0, 1.0).otherwise(-1.0)
+  }
+
+  /** Sign-bit signature of `nPlanes` random hyperplanes, grouped into
+    * bands of `bandBits` bits. Band width tunes the similarity target:
+    * wide bands (8+) for near-duplicates (cos ≥ ~0.9), narrow bands
+    * (2-4) when candidates at moderate similarity are wanted — the
+    * match probability per band is (1 - θ/π)^bandBits. */
+  def lshBands(vec: Column, nPlanes: Int, seed: Long, bandBits: Int = 8): Column = {
+    require(nPlanes % bandBits == 0, "bandBits must divide nPlanes")
+    val bits: Seq[Column] = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeComponent(p, i, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, 1L).otherwise(0L)
+    }
+    val bands = (0 until nPlanes / bandBits).map { b =>
+      (0 until bandBits).map(i => bits(b * bandBits + i) * (1L << i)).reduce(_ + _)
+    }
+    array(bands.map(_.cast(LongType)): _*)
+  }
+
+  /** Candidate pairs sharing ≥1 LSH band bucket. */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 16, seed: Long = 42L, bandBits: Int = 8): DataFrame = {
+    val banded = df.select(col(idCol),
+        posexplode(lshBands(col(vecCol), nPlanes, seed, bandBits)).as(Seq("band", "key")))
+    val a = banded.toDF("a_id", "band", "key")
+    val b = banded.toDF("b_id", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** Approximate top-k: LSH candidates re-ranked exactly. Falls back to
+    * fewer than k neighbors when buckets are sparse — the standard
+    * recall/latency trade. */
+  def annTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 16, seed: Long = 42L, bandBits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val cands = lshCandidatePairs(corpus, idCol, vecCol, nPlanes, seed, bandBits)
+    // score both directions so every id gets neighbors
+    val sym = cands.union(cands.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val scored = sym
+      .join(vecs.toDF("a_id", "a_v"), "a_id")
+      .join(vecs.toDF("b_id", "b_v"), "b_id")
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        cosine(col("a_v"), col("b_v")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

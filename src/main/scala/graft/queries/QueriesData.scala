@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftSession, Tables}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operator coverage (builder brief): text
+  * analysis, dedup family, similarity search, as-of join, multimodal
+  * plumbing. Oracle SQL replays the exact same pipelines in DuckDB
+  * (portable md5 hash family, identical expression shapes so doubles
+  * come out bit-identical); xxhash64-based operators (simhash, LSH
+  * planes) have no DuckDB equivalent and get rows-only checks.
+  */
+object QueriesData {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis profile (tokens, ratios, langid, fingerprint)
+    "q_text_profile" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val t = $"text"
+      d.select(
+        $"doc_id",
+        TextOps.tokenCount(t).as("n_tokens"),
+        TextOps.charCount(t).as("n_chars_c"),
+        TextOps.punctRatio(t).as("punct_ratio"),
+        TextOps.stopwordRatio(t).as("stopword_ratio"),
+        TextOps.meanTokenLength(t).as("mean_token_len"),
+        TextOps.langId(t).as("lang_pred"),
+        TextOps.fingerprint(t).as("fp"),
+        TextOps.qualityScore(t).as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- language distribution: predicted vs labeled
+    "q_lang_confusion" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .groupBy($"lang", TextOps.langId($"text").as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"lang_pred")
+    },
+
+    // ---- exact dedup groups
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("fp"))
+    },
+
+    // ---- minhash signatures (md5 family, k=8, word-3-gram shingles)
+    "q_dedup_minhash_sigs" -> { (s, dir) =>
+      Dedup.minhashSignatures(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- LSH candidate pairs (4 bands × 2 rows)
+    "q_dedup_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashCandidates(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("a_doc_id"), col("b_doc_id"))
+    },
+
+    // ---- exact n-gram jaccard over shingle-sharing pairs
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("a_doc_id"), col("b_doc_id"))
+    },
+
+    // ---- brute-force cosine top-5 for 10 query vectors
+    "q_embedding_knn" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val scored = Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      // rank on the rounded score so ranking and display agree across engines
+      import org.apache.spark.sql.expressions.Window
+      val base = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"))
+        .crossJoin(broadcast(emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("__qv"))))
+        .filter($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id",
+          round(Similarity.cosine($"__qv", $"__cv"), 6).as("cos"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+      base.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter($"rk" <= 5)
+        .select($"query_id", $"rk", $"neighbor_id", $"cos")
+        .orderBy($"query_id", $"rk")
+    },
+
+    // ---- embedding near-duplicate pairs (cosine ≥ 0.3)
+    "q_embedding_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", minCos = -1.0)
+        .select($"a_id", $"b_id", round($"cos", 6).as("cos"))
+        .filter($"cos" >= 0.3)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- as-of join: latest order at or before each event, per user
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts".cast(TimestampNTZType).as("ts"))
+      val ord = Tables.load(s, dir, "orders")
+      AsOfJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTiebreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"))
+        .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+        .orderBy($"event_id")
+    },
+
+    // ---- xxhash64-based sketches: no portable oracle → rows-only checks
+    "q_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashCandidates(Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxDist = 16)
+        .orderBy(col("a_doc_id"), col("b_doc_id"))
+    },
+    "q_ann_lsh_topk" -> { (s, dir) =>
+      Similarity.annTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nPlanes = 16)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    "q_multimodal_decode" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.embedMedia(Multimodal.decodeImages(media, "payload"), "payload")
+        .select(col("media_id"), col("decoded_width"), col("decoded_height"),
+          round(col("mean_luma"), 6).as("mean_luma"),
+          round(element_at(col("media_embedding"), 1).cast(DoubleType), 6).as("emb_0"))
+        .orderBy(col("media_id"))
+    },
+    "q_multimodal_frames" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, "payload", "media_id", n = 3)
+        .select(col("media_id"), col("frame_idx"), hex(col("frame_payload")).as("frame_hex"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val stop12 = "['the','a','an','and','or','of','to','in','is','on','for','with']"
+
+  /** shared CTE text: tokens + shingles over documents */
+  private val tokCte =
+    raw"""toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(trim(text), '\s+'), s -> len(s) > 0) AS tk,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), s -> len(s) > 0) AS tkl
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                       i -> concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)],
+                                           tk[CAST(i + 2 AS INT)])) END AS sh
+      FROM toks)"""
+
+  private def mh(j: Int) =
+    s"list_aggregate(list_transform(sh, s -> md5('$j:' || s)), 'min') AS mh$j"
+
+  private val langPredSql =
+    raw"""CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+          WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+          WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+          WHEN fr >= es AND fr > 0 THEN 'fr'
+          WHEN es > 0 THEN 'es'
+          ELSE 'unknown' END"""
+
+  private val hitsCte =
+    raw"""hits AS (
+      SELECT doc_id, lang, text, tk, tkl,
+        len(list_filter(tkl, s -> list_contains(['the','and','of','is','a'], s))) AS en,
+        len(list_filter(tkl, s -> list_contains(['der','die','und','das','ist'], s))) AS de,
+        len(list_filter(tkl, s -> list_contains(['le','la','et','les','est'], s))) AS fr,
+        len(list_filter(tkl, s -> list_contains(['el','los','y','las','es'], s))) AS es
+      FROM toks)"""
+
+  /** 64-dim double-precision cosine with the engine's exact expression
+    * shape (left-fold dot, sqrt-of-sumsq norms). */
+  private val cosSql =
+    """list_sum(list_transform(range(1, 65), i ->
+         CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(range(1, 65), i ->
+            CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, 65), i ->
+            CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))))"""
+
+  val oracles: Map[String, String] = Map(
+    "q_text_profile" ->
+      raw"""WITH $tokCte, $hitsCte
+        SELECT doc_id,
+          CAST(len(tk) AS INTEGER) AS n_tokens,
+          CAST(length(text) AS INTEGER) AS n_chars_c,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS INTEGER) END AS punct_ratio,
+          CASE WHEN len(tkl) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(tkl, s -> list_contains($stop12, s))) AS DOUBLE)
+                    / CAST(len(tkl) AS INTEGER) END AS stopword_ratio,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk, s -> length(s))) AS DOUBLE)
+                    / CAST(len(tk) AS INTEGER) END AS mean_token_len,
+          $langPredSql AS lang_pred,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          greatest(0.0, least(1.0,
+            least(CAST(len(tk) AS INTEGER) / 50.0, 1.0) * 0.4
+            + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS INTEGER) END) * 5.0) * 0.3
+            + (1.0 - abs((CASE WHEN len(tkl) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(tkl, s -> list_contains($stop12, s))) AS DOUBLE)
+                     / CAST(len(tkl) AS INTEGER) END) - 0.4)) * 0.3)) AS quality
+        FROM hits ORDER BY doc_id""",
+    "q_lang_confusion" ->
+      raw"""WITH $tokCte, $hitsCte
+        SELECT lang, $langPredSql AS lang_pred, count(*) AS n
+        FROM hits GROUP BY 1, 2 ORDER BY lang, lang_pred""",
+    "q_dedup_exact" ->
+      raw"""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          min(doc_id) AS kept_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY fp""",
+    "q_dedup_minhash_sigs" ->
+      raw"""WITH $tokCte
+        SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")}
+        FROM sh ORDER BY doc_id""",
+    "q_dedup_minhash_pairs" ->
+      raw"""WITH $tokCte,
+        sig AS (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM sh),
+        bands AS (
+          SELECT doc_id, 0 AS band, mh0 || mh1 AS s FROM sig UNION ALL
+          SELECT doc_id, 1, mh2 || mh3 FROM sig UNION ALL
+          SELECT doc_id, 2, mh4 || mh5 FROM sig UNION ALL
+          SELECT doc_id, 3, mh6 || mh7 FROM sig)
+        SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
+        WHERE a.doc_id < b.doc_id
+        ORDER BY a_doc_id, b_doc_id""",
+    "q_ngram_jaccard" ->
+      raw"""WITH $tokCte,
+        ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS n_common
+          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.a_doc_id, i.b_doc_id,
+               CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a_doc_id
+        JOIN sizes sb ON sb.doc_id = i.b_doc_id
+        ORDER BY a_doc_id, b_doc_id""",
+    "q_embedding_knn" ->
+      s"""WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round($cosSql, 6) AS cos
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored)
+        SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q_embedding_neardup" ->
+      s"""SELECT q.vec_id AS a_id, c.vec_id AS b_id, round($cosSql, 6) AS cos
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < c.vec_id AND round($cosSql, 6) >= 0.3
+          ORDER BY a_id, b_id""",
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        cand AS (
+          SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM ev e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.t)
+        SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
+        FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
+        ORDER BY ev.event_id""",
+  )
+}

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  lazy val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------ text ops
+
+  test("tokens / counts / ratios on crafted text") {
+    import spark.implicits._
+    val df = Seq(
+      ("the quick brown fox, the lazy dog!!", 1L),
+      ("", 2L),
+      ("   ", 3L),
+      ("single", 4L)).toDF("text", "id")
+    val out = df.select($"id",
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.punctRatio($"text").as("p"),
+      TextOps.stopwordRatio($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 7)
+    assert(out(2L).getInt(1) == 0)
+    assert(out(3L).getInt(1) == 0)
+    assert(out(4L).getInt(1) == 1)
+    assert(out(1L).getDouble(2) > 0)   // has , and !!
+    assert(math.abs(out(1L).getDouble(3) - 2.0 / 7.0) < 1e-12) // 'the' twice
+    assert(out(2L).getDouble(3) == 0.0)
+  }
+
+  test("langid: CJK wins, markers pick language, no markers → unknown") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("le chat et la souris est ici", "fr"),
+      ("el gato y los perros es aqui", "es"),
+      ("你好 世界", "zh"),
+      ("zzz qqq www", "unknown")).toDF("text", "expected")
+    val got = df.select(TextOps.langId($"text"), $"expected").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("shingles: n-grams and short-text fallback") {
+    import spark.implicits._
+    val rows = Seq("a b c d", "a b").toDF("text")
+      .select(TextOps.shingles($"text", 3).as("sh")).collect()
+    assert(rows(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](0) == Seq("a b"))
+  }
+
+  // -------------------------------------------------------------- dedup
+
+  test("exact dedup keeps the lowest id per normalized text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 3L)))
+    val groups = Dedup.exactGroups(df, "text", "doc_id")
+      .filter($"n_copies" > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("kept_id") == 1L)
+  }
+
+  test("minhash LSH: identical docs always pair, disjoint docs never pair") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), "exact dup must share every band")
+    assert(!pairs.exists(p => p._2 == 3L), "disjoint shingle sets must not pair")
+  }
+
+  test("simhash: identical text → distance 0; unrelated text → large distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark engine shuffles data across partitions"),
+      (2L, "spark engine shuffles data across partitions"),
+      (3L, "completely unrelated words about gardening tulips"))
+      .toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 10)
+  }
+
+  test("ngram jaccard: exact overlap fraction") {
+    import spark.implicits._
+    // shingles(4 tokens, n=3) = 2 shingles; docs share exactly one
+    val df = Seq((1L, "a b c d"), (2L, "a b c x")).toDF("doc_id", "text")
+    val rows = Dedup.ngramJaccardPairs(df, "text", "doc_id").collect()
+    assert(rows.length == 1)
+    assert(math.abs(rows(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  test("ANN LSH recalls true near-duplicates") {
+    import spark.implicits._
+    // synthesize genuine near-dups: base vectors + tiny perturbations
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val perturbed = bases.map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    val df = (bases ++ perturbed).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val cands = Similarity.lshCandidatePairs(df, "vec_id", "embedding",
+      nPlanes = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = (0 until 40).map(i => (i.toLong, i + 1000L))
+    val recall = truePairs.count(cands.contains).toDouble / truePairs.size
+    assert(recall >= 0.9, s"near-dup recall $recall")
+    // and buckets must prune: far fewer candidates than the 3160 possible pairs
+    assert(cands.size < 1500, s"LSH produced ${cands.size} candidates (no pruning)")
+  }
+
+  test("brute-force top-k is k rows per query, self excluded, descending") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 4).collect()
+    assert(res.length == 12)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val cos = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.sameElements(cos.sorted.reverse))
+      assert(!rows.exists(r => r.getLong(2) == r.getLong(0)))
+    }
+  }
+
+  // -------------------------------------------------------------- as-of
+
+  test("as-of join picks latest right row at or before left time, ties by max key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L), (4L, 99L, 100L))
+      .toDF("event_id", "uid", "t")
+    val right = Seq(
+      (10L, 100L, 1L, 5.0),   // exactly at t=100 → visible to event 1
+      (10L, 100L, 2L, 6.0),   // tie on time → keep key 2
+      (10L, 200L, 3L, 7.0))
+      .toDF("k", "rt", "rk", "rv")
+    val out = AsOfJoin(left, right, "uid", "k", "t", "rt", "rk", Seq("rk", "rv"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("rk") == 2L)   // t=100: tie → max key
+    assert(out(1).getAs[Long]("rk") == 3L)   // t=205: latest is 200
+    assert(out(2).isNullAt(out(2).fieldIndex("rk")))  // t=50: nothing yet
+    assert(out(3).isNullAt(out(3).fieldIndex("rk")))  // unknown key
+  }
+
+  // --------------------------------------------------------- multimodal
+
+  test("multimodal pipeline: deterministic decode, embed, frame sample") {
+    import spark.implicits._
+    val docs = Seq((1L, "payload one"), (2L, "payload two")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+
+    def snap() = Multimodal.decodeImages(media, "payload").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("decoded_width"),
+        r.getAs[Int]("decoded_height"), r.getAs[Double]("mean_luma"))).sortBy(_._1)
+    val dec = snap()
+    assert(dec.length == 2)
+    assert(snap().sameElements(dec), "deterministic")
+
+    val emb = Multimodal.embedMedia(media, "payload", dim = 16)
+    val v = emb.select($"media_embedding").collect()(0).getSeq[Float](0)
+    assert(v.length == 16)
+
+    val frames = Multimodal.sampleFrames(media, "payload", "media_id", n = 3)
+    assert(frames.count() == 6)
+    assert(frames.select("frame_payload").collect()
+      .map(_.getAs[Array[Byte]](0).length).forall(_ == 16)) // md5 digests
+  }
+}
