@@ -73,8 +73,12 @@ object Dedup {
       struct(lit(b).as("band"),
         concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("sig"))
     }
+    // persist the banded relation: it feeds both join sides, and without
+    // it Catalyst's projection collapse re-derives all k minhashes per
+    // band per side (~8x the hashing work)
     val exploded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist()
     val a = exploded.toDF(s"a_$idCol", "band", "sig")
     val b = exploded.toDF(s"b_$idCol", "band", "sig")
     a.join(b, Seq("band", "sig"))
@@ -87,16 +91,8 @@ object Dedup {
 
   /** 64-bit SimHash over tokens: per-bit sign of the sum of ±1 token
     * votes, token hash = xxhash64. Row-local (no shuffle). */
-  def simhash(text: Column): Column = {
-    val tokHashes = transform(TextOps.tokens(lower(text)), t => xxhash64(t))
-    // per-bit ±1 vote folds (static shift amounts keep codegen simple),
-    // then assemble the sign bits into one long
-    (0 until 64).map { i =>
-      val vote = aggregate(tokHashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-      when(vote > 0, lit(1L << i)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.VectorExprs.simhash64(TextOps.tokens(lower(text)))
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -105,7 +101,7 @@ object Dedup {
     * bands (a pair within distance d ≤ 3 shares at least one of 4 bands). */
   def simhashCandidates(
       df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sh")).persist()
     val banded = sigs.select(col(idCol), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -128,8 +124,11 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    // the exploded shingle relation feeds three plan branches (sizes +
+    // both join sides); persist so shingling runs once, not three times
     val sh = df.select(col(idCol),
         explode(array_distinct(TextOps.shingles(col(textCol), shingleN))).as("sh"))
+      .persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.toDF(s"a_$idCol", "sh")
     val b = sh.toDF(s"b_$idCol", "sh")

@@ -15,16 +15,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** dot product in double precision (left fold — deterministic order) */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot product in double precision (left-to-right — deterministic
+    * order); native codegen expression, see [[graft.functions.VectorExprs]] */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.vec_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+  def norm(a: Column): Column = graft.functions.VectorExprs.vec_norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.vec_cosine(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force).
     * `queries` must be small (it is broadcast); self-matches excluded. */
@@ -32,13 +29,16 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms are computed once per row on each side, not once per pair
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -51,45 +51,29 @@ object Similarity {
     * use [[lshCandidatePairs]] + this on candidates at scale. */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
-    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_v"))
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("a_v"),
+      norm(col(vecCol)).as("a_n"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_v"),
+      norm(col(vecCol)).as("b_n"))
     a.crossJoin(broadcast(b))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
   // ------------------------------------------------------------- LSH
 
-  /** Deterministic pseudo-random ±1 hyperplane component for
-    * (plane, dim): parity of a 64-bit avalanche hash of the index pair.
-    * Rademacher planes are a valid random-projection family and need no
-    * stored model — every executor derives the same planes from
-    * (seed, plane, dim). */
-  private def planeComponent(plane: Int, dim: Column, seed: Long): Column = {
-    val h = xxhash64(lit(seed), lit(plane), dim)
-    when(h.bitwiseAND(1) === 0, 1.0).otherwise(-1.0)
-  }
-
-  /** Sign-bit signature of `nPlanes` random hyperplanes, grouped into
-    * bands of `bandBits` bits. Band width tunes the similarity target:
-    * wide bands (8+) for near-duplicates (cos ≥ ~0.9), narrow bands
-    * (2-4) when candidates at moderate similarity are wanted — the
-    * match probability per band is (1 - θ/π)^bandBits. */
-  def lshBands(vec: Column, nPlanes: Int, seed: Long, bandBits: Int = 8): Column = {
-    require(nPlanes % bandBits == 0, "bandBits must divide nPlanes")
-    val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeComponent(p, i, seed)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, 1L).otherwise(0L)
-    }
-    val bands = (0 until nPlanes / bandBits).map { b =>
-      (0 until bandBits).map(i => bits(b * bandBits + i) * (1L << i)).reduce(_ + _)
-    }
-    array(bands.map(_.cast(LongType)): _*)
-  }
+  /** Sign-bit signature of `nPlanes` Rademacher hyperplanes (plane
+    * components = parity of a seeded avalanche hash of (plane, dim) —
+    * derived identically on every executor, no stored model), grouped
+    * into bands of `bandBits` bits. Band width tunes the similarity
+    * target: wide bands (8+) for near-duplicates (cos ≥ ~0.9), narrow
+    * bands (2-4) for moderate similarity — match probability per band
+    * is (1 - θ/π)^bandBits. Native one-pass expression
+    * ([[graft.functions.VectorExprs.LshBands]]). */
+  def lshBands(vec: Column, nPlanes: Int, seed: Long, bandBits: Int = 8): Column =
+    graft.functions.VectorExprs.lsh_bands(vec, nPlanes, seed, bandBits)
 
   /** Candidate pairs sharing ≥1 LSH band bucket. */
   def lshCandidatePairs(

@@ -76,12 +76,14 @@ object QueriesData {
         emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
       // rank on the rounded score so ranking and display agree across engines
       import org.apache.spark.sql.expressions.Window
-      val base = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"))
+      val base = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"),
+          Similarity.norm($"embedding").as("__cn"))
         .crossJoin(broadcast(emb.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), $"embedding".as("__qv"))))
+          .select($"vec_id".as("query_id"), $"embedding".as("__qv"),
+            Similarity.norm($"embedding").as("__qn"))))
         .filter($"neighbor_id" =!= $"query_id")
         .select($"query_id", $"neighbor_id",
-          round(Similarity.cosine($"__qv", $"__cv"), 6).as("cos"))
+          round((Similarity.dot($"__qv", $"__cv") / ($"__qn" * $"__cn")), 6).as("cos"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
       base.withColumn("rk", row_number().over(w).cast(LongType))
         .filter($"rk" <= 5)
