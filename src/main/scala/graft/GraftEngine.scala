@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.GraftCatalog
+import graft.dsl.JsonQuery
+import graft.sql.{GraftSql, Statements}
+
+/** The embedded engine facade (SURVEY §7.1 step 1; ≈ the reference's
+  * `Runtime` as used by the Python bindings): one object exposing the
+  * SQL front door (standard SQL + engine statements), the JSON query
+  * DSL, and the persisted catalog over a warehouse directory.
+  *
+  * {{{
+  * val engine = GraftEngine(spark, "/data/warehouse")
+  * engine.sql("CREATE EXTERNAL TABLE obs STORED AS parquet LOCATION '/data/obs/POSIX-glob.parquet'")
+  * engine.sql("SUMMARIZE obs")
+  * engine.jsonQuery("""{"select": ["temperature"], "from": "obs", "limit": 10}""")
+  * }}}
+  */
+class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
+
+  /** SQL entry point: engine statements → catalog; SUMMARIZE /
+    * UNION ALL BY NAME → rewrites; everything else → Catalyst. */
+  def sql(text: String): DataFrame =
+    Statements.tryExecute(spark, catalog, text)
+      .getOrElse(GraftSql.sql(spark, text))
+
+  /** Structured JSON query (reference JSON DSL). Named tables resolve
+    * through the session catalog (where this engine registers its
+    * tables as temp views). */
+  def jsonQuery(json: String): DataFrame = JsonQuery.compile(spark, json)
+
+  /** Re-register every persisted table definition (restart path). */
+  def restore(): Unit = catalog.restore()
+}
+
+object GraftEngine {
+  def apply(spark: SparkSession, warehouse: String): GraftEngine = {
+    GraftSession.configure(spark)
+    new GraftEngine(spark, new GraftCatalog(spark, warehouse))
+  }
+}

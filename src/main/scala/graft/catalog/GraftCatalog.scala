@@ -1,0 +1,231 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.sources.FileCollection
+
+/** The engine catalog: JSON-persisted table definitions over a
+  * warehouse directory — the Spark re-expression of the reference's
+  * persisted schema provider (table definitions as serialized JSON,
+  * beacon-datafusion-ext/src/table_ext.rs; rebuild-on-restart in
+  * dependency order, runtime.rs:1185-1223).
+  *
+  * Table kinds:
+  *  - external: a [[FileCollection]] over glob paths; REFRESH re-lists
+  *    files and re-infers the super-typed schema.
+  *  - managed: parquet data under `<warehouse>/<name>`; CTAS / INSERT
+  *    INTO / DELETE / UPDATE supported (copy-on-write, see below).
+  *  - view: SQL text, re-planned on registration.
+  *  - materialized view: SQL text + parquet materialization under the
+  *    warehouse; REFRESH recomputes (statement_plan/materialized_view.rs).
+  *
+  * DELETE/UPDATE are copy-on-write rewrites of the whole table — the
+  * semantics pinned by the reference (statement_plan/lower.rs:109-227):
+  * DELETE keeps rows where the predicate is NOT true (null-safe), and
+  * UPDATE is a CASE-WHEN projection; the rewritten data atomically
+  * replaces the table directory. At cluster scale this is the same
+  * full-rewrite model; partition-pruned rewrites would be the next
+  * refinement.
+  */
+class GraftCatalog(val spark: SparkSession, val warehouse: String) {
+
+  import GraftCatalog._
+
+  private val catalogDir: Path = Paths.get(warehouse, "_catalog")
+  Files.createDirectories(catalogDir)
+
+  // ------------------------------------------------------------ define
+
+  def createExternalTable(
+      name: String, format: String, paths: Seq[String],
+      options: Map[String, String] = Map.empty): Unit = {
+    val d = TableDef(name, "external", format = Some(format), paths = paths,
+      options = options)
+    persist(d)
+    register(d)
+  }
+
+  def createView(name: String, sql: String): Unit = {
+    val d = TableDef(name, "view", sql = Some(sql))
+    persist(d)
+    register(d)
+  }
+
+  def createMaterializedView(name: String, sql: String): Unit = {
+    val d = TableDef(name, "mview", sql = Some(sql))
+    materialize(d)
+    persist(d)
+    register(d)
+  }
+
+  /** CTAS into a managed parquet table. */
+  def createManagedTable(name: String, data: DataFrame): Unit = {
+    val d = TableDef(name, "managed")
+    data.write.mode(SaveMode.Overwrite).parquet(dataDir(name).toString)
+    persist(d)
+    register(d)
+  }
+
+  def insertInto(name: String, data: DataFrame, overwrite: Boolean = false): Unit = {
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    data.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .parquet(dataDir(name).toString)
+    register(load(name).get)
+  }
+
+  /** DELETE FROM name WHERE predicate — keeps rows where the predicate
+    * is NOT true (a NULL predicate keeps the row, matching the
+    * reference's keep-NOT-p filter). */
+  def delete(name: String, predicateSql: String): Long = {
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    val df = spark.read.parquet(dataDir(name).toString)
+    val kept = df.filter(!coalesce(expr(predicateSql), lit(false)))
+    val removed = df.count() - kept.count()
+    rewrite(name, kept)
+    removed
+  }
+
+  /** UPDATE name SET col = expr, ... WHERE predicate — CASE-WHEN
+    * projection over every row. */
+  def update(name: String, assignments: Seq[(String, String)], predicateSql: Option[String]): Unit = {
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    val df = spark.read.parquet(dataDir(name).toString)
+    val pred = predicateSql.map(expr).getOrElse(lit(true))
+    val byName = assignments.toMap
+    val cols = df.schema.fieldNames.map { f =>
+      byName.get(f) match {
+        case Some(e) => when(coalesce(pred, lit(false)), expr(e).cast(df.schema(f).dataType))
+          .otherwise(col(quote(f))).as(f)
+        case None => col(quote(f))
+      }
+    }
+    rewrite(name, df.select(cols.toIndexedSeq: _*))
+  }
+
+  def refresh(name: String): Unit = {
+    val d = load(name).getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
+    if (d.kind == "mview") materialize(d)
+    register(d)  // external: re-lists + re-infers; view: re-plans
+  }
+
+  def drop(name: String): Unit = {
+    Files.deleteIfExists(defPath(name))
+    spark.catalog.dropTempView(name)
+    val dd = dataDir(name)
+    if (Files.exists(dd)) deleteRecursively(dd)
+  }
+
+  def tables(): Seq[TableDef] =
+    Files.list(catalogDir).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .map(p => parseDef(Files.readString(p)))
+      .toSeq.sortBy(_.name)
+
+  /** Restore every persisted definition into the session (dependency
+    * order: data tables first, then views, then materialized views —
+    * view SQL may reference the others). */
+  def restore(): Unit = {
+    val defs = tables()
+    val order = Map("external" -> 0, "managed" -> 0, "view" -> 1, "mview" -> 2)
+    defs.sortBy(d => order.getOrElse(d.kind, 3)).foreach(register)
+  }
+
+  // ----------------------------------------------------------- internal
+
+  private def register(d: TableDef): Unit = d.kind match {
+    case "external" =>
+      FileCollection.read(spark, d.format.get, d.paths, d.options)
+        .createOrReplaceTempView(d.name)
+    case "managed" =>
+      spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
+    case "view" =>
+      spark.sql(d.sql.get).createOrReplaceTempView(d.name)
+    case "mview" =>
+      spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
+    case other => throw new IllegalStateException(s"unknown table kind $other")
+  }
+
+  private def materialize(d: TableDef): Unit =
+    spark.sql(d.sql.get).write.mode(SaveMode.Overwrite).parquet(dataDir(d.name).toString)
+
+  /** copy-on-write swap: write to a temp dir, then move into place. */
+  private def rewrite(name: String, data: DataFrame): Unit = {
+    val tmp = Paths.get(warehouse, s".${name}__rewrite")
+    if (Files.exists(tmp)) deleteRecursively(tmp)
+    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val live = dataDir(name)
+    val trash = Paths.get(warehouse, s".${name}__old")
+    if (Files.exists(trash)) deleteRecursively(trash)
+    if (Files.exists(live)) Files.move(live, trash, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(trash)
+    register(load(name).get)
+  }
+
+  private def dataDir(name: String): Path = Paths.get(warehouse, name)
+  private def defPath(name: String): Path = catalogDir.resolve(s"$name.json")
+
+  private def kindOf(name: String): Option[String] = load(name).map(_.kind)
+
+  private def load(name: String): Option[TableDef] = {
+    val p = defPath(name)
+    if (Files.exists(p)) Some(parseDef(Files.readString(p))) else None
+  }
+
+  private def persist(d: TableDef): Unit =
+    Files.writeString(defPath(d.name), renderDef(d))
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  private def quote(n: String): String = "`" + n.replace("`", "``") + "`"
+}
+
+object GraftCatalog {
+
+  /** A persisted table definition (≈ table_ext.rs typetag-serde JSON). */
+  final case class TableDef(
+      name: String,
+      kind: String,                       // external | managed | view | mview
+      format: Option[String] = None,
+      paths: Seq[String] = Seq.empty,
+      options: Map[String, String] = Map.empty,
+      sql: Option[String] = None)
+
+  private[catalog] def renderDef(d: TableDef): String = {
+    val fields: List[(String, JValue)] = List(
+      "name" -> JString(d.name),
+      "kind" -> JString(d.kind)) ++
+      d.format.map("format" -> JString(_)).toList ++
+      (if (d.paths.nonEmpty) List("paths" -> JArray(d.paths.map(JString(_)).toList)) else Nil) ++
+      (if (d.options.nonEmpty)
+        List("options" -> JObject(d.options.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+      else Nil) ++
+      d.sql.map("sql" -> JString(_)).toList
+    JsonMethods.pretty(JsonMethods.render(JObject(fields)))
+  }
+
+  private[catalog] def parseDef(json: String): TableDef = {
+    val m = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+    def str(k: String): Option[String] = m.get(k).collect { case JString(s) => s }
+    TableDef(
+      name = str("name").getOrElse(throw new IllegalArgumentException("definition missing name")),
+      kind = str("kind").getOrElse("external"),
+      format = str("format"),
+      paths = m.get("paths").collect { case JArray(xs) => xs.collect { case JString(s) => s } }
+        .getOrElse(Seq.empty),
+      options = m.get("options").collect {
+        case JObject(o) => o.collect { case (k, JString(v)) => k -> v }.toMap
+      }.getOrElse(Map.empty),
+      sql = str("sql"))
+  }
+}

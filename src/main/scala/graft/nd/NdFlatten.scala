@@ -1,0 +1,192 @@
+package graft.nd
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** The arrays→tables flattening rule (reference
+  * docs/2.0.0-rc2/arrays-to-tables.md:13-24; broadcast stride engine
+  * beacon-datafusion-ext/src/nd/broadcast.rs):
+  *
+  *  1. The grid = dimensions of the largest-volume variable (or the
+  *     explicit `dimensions` argument). Row count = product of grid
+  *     dimension sizes; rows enumerate the grid in C-order (last dim
+  *     cycles fastest).
+  *  2. Full-grid variables map element-for-element; lower-rank
+  *     variables broadcast by stride arithmetic (their value repeats
+  *     across the dims they lack); scalars are constant columns.
+  *  3. Variables with any dimension outside the grid are dropped
+  *     ("excluded variables").
+  *  4. Attribute columns: `<variable>.<attribute>` per variable
+  *     attribute and `.<attribute>` per global attribute — constant
+  *     strings.
+  *
+  * CF decoding (cf-decoding.md; applied per variable before flattening):
+  *  - `units` containing " since " → timestamp column (µs — the
+  *    reference keeps ns; documented divergence, SURVEY §7.3),
+  *    proleptic Gregorian only.
+  *  - `scale_factor` / `add_offset` → value*scale+offset as double.
+  *  - `_FillValue` → NULL. `missing_value`/`valid_min`/`valid_max`
+  *    are deliberately ignored (pinned reference behavior).
+  *
+  * Distribution: rows are generated partition-parallel from row-index
+  * ranges; variable arrays travel as a Spark broadcast. That is the
+  * right shape for in-memory datasets and small-file scans; for
+  * 100 TB containers the same stride math runs inside a DSv2 reader
+  * where partition = chunk and only chunk-local slabs load (SURVEY
+  * §7.1 step 7) — the rule below is that reader's core.
+  */
+object NdFlatten {
+
+  final case class DecodedVar(
+      name: String,
+      dims: Seq[String],
+      tpe: DataType,                    // DoubleType or TimestampNTZType
+      data: Array[Double],              // NaN = null after fill handling
+      fill: Option[Double],
+      timeBase: Option[(Long, Long)])   // (epochMicros of base, microsPerUnit)
+
+  /** Flatten with the default grid (largest-volume variable). */
+  def flatten(spark: SparkSession, ds: NdDataset, partitions: Int = 0): DataFrame =
+    flatten(spark, ds, None, partitions)
+
+  def flatten(spark: SparkSession, ds: NdDataset, dimensions: Option[Seq[String]],
+      partitions: Int): DataFrame = {
+    val grid: Seq[String] = dimensions.getOrElse {
+      val largest = ds.variables.maxBy(v => (ds.volume(v), -ds.variables.indexOf(v)))
+      largest.dims
+    }
+    require(grid.nonEmpty, "grid selection produced no dimensions")
+    val gridSizes = grid.map(ds.dimSize)
+    val rowCount = gridSizes.map(_.toLong).product
+
+    // keep only variables whose dims all lie inside the grid
+    val kept = ds.variables.filter(_.dims.forall(grid.contains))
+    val decoded = kept.map(decode)
+
+    // stride of each grid dim in C-order row index
+    val gridStrides = new Array[Long](grid.length)
+    var acc = 1L
+    for (i <- grid.indices.reverse) {
+      gridStrides(i) = acc
+      acc *= gridSizes(i)
+    }
+    // per variable: for each of ITS dims (in its own order), the grid
+    // position and its own C-order stride
+    val varPlans: Seq[(DecodedVar, Array[(Int, Long)])] = decoded.map { v =>
+      var vAcc = 1L
+      val plan = new Array[(Int, Long)](v.dims.length)
+      for (i <- v.dims.indices.reverse) {
+        plan(i) = (grid.indexOf(v.dims(i)), vAcc)
+        vAcc *= ds.dimSize(v.dims(i))
+      }
+      (v, plan)
+    }
+
+    val dataCols = decoded.map(v => StructField(v.name, v.tpe, nullable = true))
+    val attrCols =
+      kept.flatMap(v => v.attrs.keys.map(a => StructField(s"${v.name}.$a", StringType))) ++
+        ds.globalAttrs.keys.map(a => StructField(s".$a", StringType))
+    val schema = StructType(dataCols ++ attrCols)
+    val attrVals: Seq[String] =
+      kept.flatMap(v => v.attrs.values.toSeq) ++ ds.globalAttrs.values.toSeq
+
+    val nParts = if (partitions > 0) partitions
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (rowCount / 65536 + 1).toInt))
+    val bc = spark.sparkContext.broadcast(varPlans.toArray)
+    val bcStrides = spark.sparkContext.broadcast(gridStrides)
+    val bcSizes = spark.sparkContext.broadcast(gridSizes.toArray)
+
+    val enc = RowEncoder.encoderFor(schema)
+    import spark.implicits._
+    spark.range(0, rowCount, 1, nParts).as[Long].mapPartitions { it =>
+      val plans = bc.value
+      val strides = bcStrides.value
+      val sizes = bcSizes.value
+      val nGrid = strides.length
+      val idx = new Array[Long](nGrid)
+      it.map { r =>
+        var i = 0
+        while (i < nGrid) {
+          idx(i) = (r / strides(i)) % sizes(i)
+          i += 1
+        }
+        val vals = new Array[Any](plans.length + attrVals.length)
+        var vi = 0
+        while (vi < plans.length) {
+          val (v, plan) = plans(vi)
+          var flat = 0L
+          var d = 0
+          while (d < plan.length) {
+            flat += idx(plan(d)._1) * plan(d)._2
+            d += 1
+          }
+          vals(vi) = decodeValue(v, v.data(flat.toInt))
+          vi += 1
+        }
+        var ai = 0
+        while (ai < attrVals.length) {
+          vals(plans.length + ai) = attrVals(ai)
+          ai += 1
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }(enc).toDF()
+  }
+
+  // ------------------------------------------------------ CF decoding
+
+  private val sinceRe = """(?i)^\s*(\w+)\s+since\s+(.+?)\s*$""".r
+
+  private[nd] def decode(v: NdVariable): DecodedVar = {
+    val fill = v.attrs.get("_FillValue").map(_.toDouble)
+    val timeBase = v.attrs.get("units").flatMap {
+      case sinceRe(unit, base) =>
+        unitMicros(unit).map(m => (parseBaseMicros(base), m))
+      case _ => None
+    }
+    val scale = v.attrs.get("scale_factor").map(_.toDouble)
+    val offset = v.attrs.get("add_offset").map(_.toDouble)
+    val scaled =
+      if (scale.isDefined || offset.isDefined)
+        v.data.map(x => x * scale.getOrElse(1.0) + offset.getOrElse(0.0))
+      else v.data
+    // fill check happens against the RAW value, before scale/offset
+    val withFill = fill match {
+      case Some(f) => v.data.zip(scaled).map { case (raw, x) => if (raw == f) Double.NaN else x }
+      case None => scaled
+    }
+    val tpe = if (timeBase.isDefined) TimestampNTZType else DoubleType
+    DecodedVar(v.name, v.dims, tpe, withFill, fill, timeBase)
+  }
+
+  private def decodeValue(v: DecodedVar, x: Double): Any =
+    if (x.isNaN) null
+    else v.timeBase match {
+      case Some((baseMicros, perUnit)) =>
+        java.time.LocalDateTime.ofEpochSecond(0, 0, java.time.ZoneOffset.UTC)
+          .plusNanos((baseMicros + (x * perUnit).toLong) * 1000L)
+      case None => x
+    }
+
+  private[nd] def unitMicros(unit: String): Option[Long] = unit.toLowerCase match {
+    case "day" | "days" | "d"                      => Some(86400L * 1000000L)
+    case "hour" | "hours" | "h" | "hr" | "hrs"     => Some(3600L * 1000000L)
+    case "minute" | "minutes" | "min" | "mins"     => Some(60L * 1000000L)
+    case "second" | "seconds" | "sec" | "secs" | "s" => Some(1000000L)
+    case "millisecond" | "milliseconds" | "ms"     => Some(1000L)
+    case "microsecond" | "microseconds" | "us"     => Some(1L)
+    case _ => None
+  }
+
+  /** "1950-01-01", "1950-01-01 00:00:00", or with 'T' — proleptic
+    * Gregorian, UTC. */
+  private[nd] def parseBaseMicros(base: String): Long = {
+    val norm = base.trim.replace("T", " ")
+    val withTime = if (norm.contains(" ")) norm else s"$norm 00:00:00"
+    val ldt = java.time.LocalDateTime.parse(withTime.replace(" ", "T"))
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
+}

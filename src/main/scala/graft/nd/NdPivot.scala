@@ -1,0 +1,83 @@
+package graft.nd
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table → grid pivot: the core of the reference's `ndnetcdf` output
+  * (query/output.rs:205-221): chosen columns become output dimensions,
+  * remaining numeric columns become variables on the dense grid built
+  * from the distinct dimension values.
+  *
+  * Two-pass, Spark-idiomatic replacement for the reference's
+  * UniqueValuesExec side channel (unique_values.rs): pass 1 collects
+  * the distinct values per dimension column (sorted ascending — these
+  * become the coordinate variables and are small by construction);
+  * pass 2 maps every row to its C-order grid slot. Cells the table
+  * doesn't cover stay NaN (→ _FillValue on write); duplicate coverage
+  * keeps the last value by row order of the collected result.
+  *
+  * The gather in pass 2 runs distributed; only the (dims + values)
+  * pairs collect to the driver, sized by the grid — the same bound the
+  * reference accepts for its NetCDF writer (single-file writers are
+  * inherently driver-side, SURVEY §7.3.6).
+  */
+object NdPivot {
+
+  def pivot(df: DataFrame, dimCols: Seq[String]): NdDataset = {
+    require(dimCols.nonEmpty, "ndnetcdf needs at least one dimension column")
+    val varCols = df.schema.fields
+      .filterNot(f => dimCols.contains(f.name))
+      .filter(f => f.dataType.isInstanceOf[NumericType])
+      .map(_.name).toSeq
+    require(varCols.nonEmpty, "no numeric variable columns to pivot")
+
+    // pass 1: distinct coordinate values per dimension (sorted)
+    val coords: Seq[Array[Double]] = dimCols.map { d =>
+      df.select(col(d).cast(DoubleType)).distinct()
+        .orderBy(col(d)).collect().map(_.getDouble(0))
+    }
+    val sizes = coords.map(_.length)
+    val n = sizes.map(_.toLong).product
+    require(n < Int.MaxValue, s"grid too large to materialize: $n cells")
+
+    // pass 2: row → C-order slot; gather executes distributed, only the
+    // slot/value pairs land on the driver
+    val strides = new Array[Long](dimCols.length)
+    var acc = 1L
+    for (i <- dimCols.indices.reverse) { strides(i) = acc; acc *= sizes(i) }
+    val coordIndex: Seq[Map[Double, Int]] =
+      coords.map(_.zipWithIndex.toMap)
+
+    val slotExpr = dimCols.zipWithIndex.map { case (d, i) =>
+      val m = coordIndex(i)
+      val idxUdf = udf((v: Double) => m.getOrElse(v, -1))
+      idxUdf(col(d).cast(DoubleType)) * strides(i)
+    }.reduce(_ + _)
+
+    val gathered = df
+      .select(slotExpr.cast(LongType).as("__slot") +:
+        varCols.map(c => col(c).cast(DoubleType).as(c)): _*)
+      .collect()
+
+    val arrays = varCols.map(_ => Array.fill(n.toInt)(Double.NaN))
+    gathered.foreach { row =>
+      val slot = row.getLong(0)
+      if (slot >= 0) {
+        var i = 0
+        while (i < varCols.length) {
+          if (!row.isNullAt(i + 1)) arrays(i)(slot.toInt) = row.getDouble(i + 1)
+          i += 1
+        }
+      }
+    }
+
+    val dimDefs = dimCols.zip(sizes)
+    val coordVars = dimCols.zip(coords).map { case (d, c) => NdVariable(d, Seq(d), c) }
+    val dataVars = varCols.zip(arrays).map { case (name, data) =>
+      NdVariable(name, dimCols, data,
+        attrs = Map("_FillValue" -> "NaN"))
+    }
+    NdDataset(dimDefs, coordVars ++ dataVars)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine statement layer + catalog lifecycle (SURVEY §2.11):
+  * external tables, views, materialized views, CTAS, INSERT,
+  * copy-on-write DELETE/UPDATE, REFRESH, restart restore. */
+class CatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  lazy val wh: String = java.nio.file.Files.createTempDirectory("graft-wh").toString
+  lazy val engine: GraftEngine = GraftEngine(spark, wh)
+  val sf = "/root/testdata/sf0.001"
+
+  test("CREATE EXTERNAL TABLE over a glob + query it") {
+    engine.sql(s"CREATE EXTERNAL TABLE ext_nation STORED AS parquet LOCATION '$sf/nation.parquet'")
+    assert(engine.sql("SELECT count(*) AS n FROM ext_nation").collect()(0).getLong(0) == 25)
+  }
+
+  test("CREATE VIEW over the external table") {
+    engine.sql("CREATE VIEW big_nations AS SELECT * FROM ext_nation WHERE n_regionkey = 1")
+    assert(engine.sql("SELECT count(*) AS n FROM big_nations").collect()(0).getLong(0) == 5)
+  }
+
+  test("CTAS managed table + INSERT INTO + INSERT OVERWRITE") {
+    engine.sql("CREATE TABLE managed_n AS SELECT n_nationkey, n_name FROM ext_nation WHERE n_nationkey < 5")
+    assert(engine.sql("SELECT count(*) FROM managed_n").collect()(0).getLong(0) == 5)
+    engine.sql("INSERT INTO managed_n SELECT n_nationkey, n_name FROM ext_nation WHERE n_nationkey >= 20")
+    assert(engine.sql("SELECT count(*) FROM managed_n").collect()(0).getLong(0) == 10)
+    engine.sql("INSERT OVERWRITE managed_n SELECT n_nationkey, n_name FROM ext_nation WHERE n_nationkey = 0")
+    assert(engine.sql("SELECT count(*) FROM managed_n").collect()(0).getLong(0) == 1)
+  }
+
+  test("DELETE keeps rows where the predicate is not true (null-safe)") {
+    engine.sql("CREATE TABLE del_t AS SELECT * FROM VALUES (1, 10), (2, NULL), (3, 30) AS t(id, v)")
+    val res = engine.sql("DELETE FROM del_t WHERE v > 15").collect()(0).getString(0)
+    assert(res.contains("deleted 1 rows"))
+    // NULL predicate row (id=2) survives — pinned copy-on-write semantics
+    val kept = engine.sql("SELECT id FROM del_t ORDER BY id").collect().map(_.getInt(0))
+    assert(kept.sameElements(Array(1, 2)))
+  }
+
+  test("UPDATE applies CASE-WHEN only to matching rows") {
+    engine.sql("CREATE TABLE upd_t AS SELECT * FROM VALUES (1, 10.0D), (2, 20.0D) AS t(id, v)")
+    engine.sql("UPDATE upd_t SET v = v * 2 WHERE id = 2")
+    val rows = engine.sql("SELECT id, v FROM upd_t ORDER BY id").collect()
+    assert(rows(0).getDouble(1) == 10.0)
+    assert(rows(1).getDouble(1) == 40.0)
+  }
+
+  test("materialized view persists results and REFRESH recomputes") {
+    engine.sql("CREATE TABLE mv_src AS SELECT * FROM VALUES (1), (2) AS t(x)")
+    engine.sql("CREATE MATERIALIZED VIEW mv1 AS SELECT count(*) AS n FROM mv_src")
+    assert(engine.sql("SELECT n FROM mv1").collect()(0).getLong(0) == 2)
+    engine.sql("INSERT INTO mv_src SELECT 3")
+    // stale until refresh (materialized!)
+    assert(engine.sql("SELECT n FROM mv1").collect()(0).getLong(0) == 2)
+    engine.sql("REFRESH mv1")
+    assert(engine.sql("SELECT n FROM mv1").collect()(0).getLong(0) == 3)
+  }
+
+  test("SHOW GRAFT TABLES lists definitions; DROP removes them") {
+    val names = engine.sql("SHOW GRAFT TABLES").collect().map(_.getString(0)).toSet
+    assert(names.contains("ext_nation") && names.contains("mv1"))
+    engine.sql("DROP TABLE upd_t")
+    val after = engine.sql("SHOW GRAFT TABLES").collect().map(_.getString(0)).toSet
+    assert(!after.contains("upd_t"))
+  }
+
+  test("restore() re-registers everything after a 'restart'") {
+    // simulate restart: wipe temp views, then restore from persisted JSON
+    spark.catalog.dropTempView("ext_nation")
+    spark.catalog.dropTempView("big_nations")
+    spark.catalog.dropTempView("mv1")
+    val engine2 = GraftEngine(spark, wh)
+    engine2.restore()
+    assert(engine2.sql("SELECT count(*) FROM ext_nation").collect()(0).getLong(0) == 25)
+    assert(engine2.sql("SELECT count(*) FROM big_nations").collect()(0).getLong(0) == 5)
+    assert(engine2.sql("SELECT n FROM mv1").collect()(0).getLong(0) == 3)
+  }
+
+  test("engine statements fall through to Catalyst for standard SQL") {
+    assert(engine.sql("SELECT 40 + 2 AS a").collect()(0).getInt(0) == 42)
+    assert(engine.sql("SUMMARIZE ext_nation").collect().length == 3)
+  }
+}

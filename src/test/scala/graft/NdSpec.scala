@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.nd._
+
+/** Golden tests for the arrays→tables rule (FIXTURES.md §3 worked
+  * example) and CF decoding (FIXTURES.md §4). */
+class NdSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+
+  /** The FIXTURES §3 dataset: time=2, lat=3, lon=4; sst(time,lat,lon). */
+  def demoSst: NdDataset = NdDataset(
+    dims = Seq("time" -> 2, "lat" -> 3, "lon" -> 4),
+    variables = Seq(
+      NdVariable("time", Seq("time"), Array(1704067200.0, 1704153600.0),
+        attrs = Map("units" -> "seconds since 1970-01-01")),
+      NdVariable("lat", Seq("lat"), Array(50.0, 51.0, 52.0)),
+      NdVariable("lon", Seq("lon"), Array(-4.0, -3.0, -2.0, -1.0)),
+      NdVariable("sst", Seq("time", "lat", "lon"),
+        (1 to 24).map(_.toDouble).toArray,
+        attrs = Map("units" -> "degree_Celsius"))),
+    globalAttrs = Map("title" -> "Demo SST"))
+
+  test("24-row flattening in C-order: lon cycles fastest, time slowest") {
+    val df = NdFlatten.flatten(spark, demoSst)
+    val rows = df.collect()
+    assert(rows.length == 24)
+    // every variable attribute becomes a column (incl. time.units,
+    // added here to exercise CF decoding on top of the FIXTURES example)
+    assert(df.columns.toSeq ==
+      Seq("time", "lat", "lon", "sst", "time.units", "sst.units", ".title"))
+
+    // row 0: first of everything; sst = 1
+    val r0 = rows(0)
+    assert(r0.getAs[Double]("lat") == 50.0)
+    assert(r0.getAs[Double]("lon") == -4.0)
+    assert(r0.getAs[Double]("sst") == 1.0)
+    // lon cycles every row: row 1 advances lon only
+    assert(rows(1).getAs[Double]("lon") == -3.0)
+    assert(rows(1).getAs[Double]("lat") == 50.0)
+    assert(rows(1).getAs[Double]("sst") == 2.0)
+    // lat advances every 4 rows
+    assert(rows(4).getAs[Double]("lat") == 51.0)
+    assert(rows(4).getAs[Double]("lon") == -4.0)
+    // time advances every 12 rows
+    assert(rows(12).getAs[Double]("lat") == 50.0)
+    assert(rows(12).getAs[Double]("sst") == 13.0)
+    // attribute columns are constant
+    assert(rows.forall(_.getAs[String]("sst.units") == "degree_Celsius"))
+    assert(rows.forall(_.getAs[String](".title") == "Demo SST"))
+  }
+
+  test("CF time decodes to timestamps (seconds since epoch)") {
+    val df = NdFlatten.flatten(spark, demoSst)
+    assert(df.schema("time").dataType == TimestampNTZType)
+    val t0 = df.collect()(0).getAs[java.time.LocalDateTime]("time")
+    assert(t0 == java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0))
+    val t23 = df.collect()(23).getAs[java.time.LocalDateTime]("time")
+    assert(t23 == java.time.LocalDateTime.of(2024, 1, 2, 0, 0, 0))
+  }
+
+  test("CF time: days since a base date") {
+    val ds = NdDataset(
+      dims = Seq("t" -> 2),
+      variables = Seq(NdVariable("t", Seq("t"), Array(0.0, 365.25),
+        attrs = Map("units" -> "days since 1950-01-01"))))
+    val rows = NdFlatten.flatten(spark, ds).collect()
+    assert(rows(0).getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(1950, 1, 1, 0, 0, 0))
+    assert(rows(1).getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(1951, 1, 1, 6, 0, 0))  // .25 day = 6h
+  }
+
+  test("scale_factor/add_offset apply; _FillValue nulls; others ignored") {
+    val ds = NdDataset(
+      dims = Seq("x" -> 4),
+      variables = Seq(NdVariable("v", Seq("x"), Array(1.0, 2.0, -999.0, 4.0),
+        attrs = Map("scale_factor" -> "0.5", "add_offset" -> "10",
+          "_FillValue" -> "-999", "missing_value" -> "4",
+          "valid_max" -> "1.5"))))
+    val vals = NdFlatten.flatten(spark, ds).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(vals(0).contains(10.5))
+    assert(vals(1).contains(11.0))
+    assert(vals(2).isEmpty, "_FillValue row must be NULL")
+    assert(vals(3).contains(12.0), "missing_value/valid_max are ignored (pinned)")
+  }
+
+  test("explicit dimensions argument selects the grid and drops outside vars") {
+    val df = NdFlatten.flatten(spark, demoSst, Some(Seq("lat", "lon")), 0)
+    assert(df.count() == 12)
+    // time (dims outside grid? time has dim 'time' ∉ {lat,lon}) dropped;
+    // sst needs 'time' too → dropped; lat/lon kept
+    assert(df.columns.toSeq == Seq("lat", "lon", ".title"))
+  }
+
+  test("scalar and lower-rank variables broadcast onto the grid") {
+    val ds = NdDataset(
+      dims = Seq("a" -> 2, "b" -> 3),
+      variables = Seq(
+        NdVariable("grid", Seq("a", "b"), (1 to 6).map(_.toDouble).toArray),
+        NdVariable("per_a", Seq("a"), Array(10.0, 20.0)),
+        NdVariable("per_b", Seq("b"), Array(7.0, 8.0, 9.0)),
+        NdVariable("scalarv", Seq(), Array(99.0))))
+    val rows = NdFlatten.flatten(spark, ds).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Double]("per_a")).toSeq == Seq(10, 10, 10, 20, 20, 20))
+    assert(rows.map(_.getAs[Double]("per_b")).toSeq == Seq(7, 8, 9, 7, 8, 9))
+    assert(rows.forall(_.getAs[Double]("scalarv") == 99.0))
+  }
+
+  test("pivot (ndnetcdf two-pass) round-trips through flatten") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 10.0, 100.0), (1.0, 20.0, 200.0),
+      (2.0, 10.0, 300.0), (2.0, 20.0, 400.0))
+      .toDF("t", "depth", "temp")
+    val nd = NdPivot.pivot(df, Seq("t", "depth"))
+    assert(nd.dims == Seq("t" -> 2, "depth" -> 2))
+    val flat = NdFlatten.flatten(spark, nd)
+      .select("t", "depth", "temp").orderBy("t", "depth").collect()
+    assert(flat.map(_.getDouble(2)).toSeq == Seq(100.0, 200.0, 300.0, 400.0))
+  }
+
+  test("pivot leaves uncovered cells as NULL after flatten") {
+    import spark.implicits._
+    val df = Seq((1.0, 10.0, 100.0), (2.0, 20.0, 400.0)).toDF("t", "depth", "temp")
+    val nd = NdPivot.pivot(df, Seq("t", "depth"))
+    val flat = NdFlatten.flatten(spark, nd).orderBy("t", "depth").collect()
+    assert(flat.length == 4)
+    assert(flat.count(_.isNullAt(2)) == 2)
+  }
+}
