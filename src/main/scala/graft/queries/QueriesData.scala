@@ -136,6 +136,24 @@ object QueriesData {
           round(element_at(col("media_embedding"), 1).cast(DoubleType), 6).as("emb_0"))
         .orderBy(col("media_id"))
     },
+    // ---- streaming: windowed stream aggregation replayed over the
+    //      events drop must equal the batch oracle exactly
+    "q_stream_daily" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-gate").toString
+      Tables.load(s, dir, "events").write.mode("overwrite").parquet(staged)
+      val stream = graft.streaming.EventStreams.readEventStream(s, staged)
+      val agg = graft.streaming.EventStreams.windowedCounts(stream, "1 day", "1 day")
+      val qn = "stream_daily_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, agg, qn)
+      q.stop()
+      s.table(qn).select(
+          $"window_start".cast(TimestampNTZType).as("day"),
+          $"event_type", $"n", round($"total_value", 4).as("total_value"))
+        .orderBy($"day", $"event_type")
+    },
+
     "q_multimodal_frames" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -276,6 +294,10 @@ object QueriesData {
           FROM embeddings q, embeddings c
           WHERE q.vec_id < c.vec_id AND round($cosSql, 6) >= 0.3
           ORDER BY a_id, b_id""",
+    "q_stream_daily" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         event_type, count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
         cand AS (

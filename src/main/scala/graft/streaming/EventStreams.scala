@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over an event stream — capability the
+  * reference engine does not have at all (SURVEY §2.12: no watermarks,
+  * no stream windows, no stateful ops); this module is part of the
+  * engine's beyond-reference surface, built Spark-first:
+  * `readStream → transforms → writeStream`, watermarked event-time
+  * windows, and `flatMapGroupsWithState` sessionization.
+  *
+  * Scale notes: every operator here is keyed-state streaming — state
+  * lives in the state store partitioned by key, so a 1000-executor
+  * cluster shards sessions/windows horizontally; watermarks bound state
+  * size by evicting windows/sessions older than the lateness horizon.
+  */
+object EventStreams {
+
+  /** The events schema as the stream sees it (ts normalized to µs). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet drops. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a lateness
+    * watermark: the canonical streaming aggregation. */
+  def windowedCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window event rate. */
+  def slidingRate(events: DataFrame, window: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  // --------------------------------------------------- sessionization
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization with explicit state: a session closes
+    * when a later event for the same user arrives more than `gapMs`
+    * after the previous one. Custom state machine via
+    * flatMapGroupsWithState — the pattern the reference has no
+    * equivalent for.
+    *
+    * `idleFlush = true` additionally registers a processing-time
+    * timeout per user so sessions of users that go silent still emit;
+    * leave it off for replay/backfill runs (a timeout-bearing query
+    * schedules continuous micro-batches, so drain-style drivers like
+    * processAllAvailable never settle). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      idleFlush: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleFlush) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleFlush) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run a streaming aggregation to completion over the data already in
+    * `dir` (test/batch-replay harness: memory sink + processAllAvailable). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Streaming operators driven synchronously: a parquet drop of the
+  * events table plays through file-source streams into memory sinks,
+  * and the windowed results must equal the equivalent batch query. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  lazy val streamDir: String = {
+    // stage the events table as the stream input (ts normalized to µs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts over the stream equal the batch aggregation") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val agg = EventStreams.windowedCounts(stream, "1 day", "1 day")
+    val q = EventStreams.runToMemory(spark, agg, "win_counts")
+    try {
+      val streamed = spark.table("win_counts")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("event_type"), col("n"))
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding windows produce overlapping buckets") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(spark,
+      EventStreams.slidingRate(stream, "2 days", "1 day", "1 day"), "slide_rate")
+    try {
+      val n = spark.table("slide_rate").count()
+      val days = spark.table("slide_rate")
+        .select(countDistinct(col("window_start"))).collect()(0).getLong(0)
+      assert(n == days)
+      assert(n > 1)
+    } finally q.stop()
+  }
+
+  test("gap sessionization: a later-batch event past the gap closes the session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      // batch 1: user 1 has two events 10s apart (one session)
+      input.addData(
+        EventStreams.Event(1, ts(0), 1L, "click", 1.0),
+        EventStreams.Event(2, ts(10), 1L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0, "session still open")
+      // batch 2: an event 10 minutes later closes the first session
+      input.addData(EventStreams.Event(3, ts(600), 1L, "click", 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[Int]("n_events") == 2)
+      assert(closed(0).getAs[Double]("total_value") == 3.0)
+      assert(closed(0).getAs[java.sql.Timestamp]("session_end") == ts(10))
+    } finally q.stop()
+  }
+}
