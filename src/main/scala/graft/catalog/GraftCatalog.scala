@@ -140,8 +140,12 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   private def register(d: TableDef): Unit = d.kind match {
     case "external" =>
-      FileCollection.read(spark, d.format.get, d.paths, d.options)
-        .createOrReplaceTempView(d.name)
+      val df = d.format.get match {
+        case "arrow" => graft.sources.ArrowSource.read(spark, d.paths)
+        case "odv"   => graft.sources.OdvSource.read(spark, d.paths)
+        case fmt     => FileCollection.read(spark, fmt, d.paths, d.options)
+      }
+      df.createOrReplaceTempView(d.name)
     case "managed" =>
       spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
     case "view" =>

@@ -138,6 +138,8 @@ object JsonQuery {
       case "csv" =>
         val delim = spec.get("delimiter").collect { case JString(d) => d }.getOrElse(",")
         FileCollection.csv(spark, paths, Map("delimiter" -> delim))
+      case "arrow" => graft.sources.ArrowSource.read(spark, paths)
+      case "odv"   => graft.sources.OdvSource.read(spark, paths)
       case other => throw new DslException(s"format '$other' reader not available")
     }
   }
