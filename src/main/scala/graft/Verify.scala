@@ -17,6 +17,9 @@ object Verify {
     GraftSession.configure(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // sweep caches so one operator's persist can't pressure the next query
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       try {
         // Presentation normalization for the DuckDB compare (BASELINE.md):
         // session-TZ is UTC, so casting LTZ timestamps to NTZ keeps the

@@ -1,0 +1,333 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass native text analysis kernels.
+  *
+  * Round-1 verdict measured the higher-order-function formulation of the
+  * text operators (split + per-language lambda filters, interpreted per
+  * row) at 90-102× the DuckDB oracle. These expressions compute the same
+  * values in one or two tight scans of the string per row and generate
+  * plain Java calls, so the surrounding projection stays inside
+  * WholeStageCodegen and identical sub-expressions are eliminated once
+  * per row instead of re-derived per derived column.
+  *
+  * Numeric/byte contract: bit-identical to the HOF formulation (and so
+  * to the DuckDB oracle SQL): tokenization is maximal runs of
+  * non-`[ \t\n\x0B\f\r]` (Java regex `\s`), lowercasing is Spark's
+  * `lower` (UTF8String.toLowerCase), lengths are codepoint counts
+  * (Spark `length`), punctuation is ASCII `\p{Punct}`, minhash is
+  * lexicographic-min of hex md5 digests.
+  */
+object TextExprs {
+
+  private val WS = " \t\n\f\r"
+  @inline private def isWs(c: Char): Boolean = WS.indexOf(c) >= 0
+  @inline private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') || (c >= '[' && c <= '`') ||
+      (c >= '{' && c <= '~')
+
+  // ------------------------------------------------------ static kernels
+  // (top-level object => static forwarders, callable from generated Java)
+
+  /** token array; lowered via UTF8String.toLowerCase when asked */
+  def tokensKernel(s: UTF8String, lower: Boolean): ArrayData = {
+    val str = (if (lower) s.toLowerCase else s).toString
+    val out = new java.util.ArrayList[UTF8String](16)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) out.add(UTF8String.fromString(str.substring(start, i)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private val langMarkers: Array[Array[String]] = Array(
+    Array("the", "and", "of", "is", "a"),
+    Array("der", "die", "und", "das", "ist"),
+    Array("le", "la", "et", "les", "est"),
+    Array("el", "los", "y", "las", "es"))
+
+  private val stop12: Array[String] = Array(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+
+  /** two scans: original text (tokens, punct, chars, cjk) + lowered text
+    * (stopword + language-marker hits). Field order pinned by
+    * [[TextStats.schema]]. */
+  def statsKernel(s: UTF8String): InternalRow = {
+    val str = s.toString
+    var nTokens = 0
+    var sumTokLen = 0L
+    var punct = 0
+    var hasCjk = false
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if (isPunct(c)) punct += 1
+      if (c >= '一' && c <= '鿿') hasCjk = true
+      i += 1
+    }
+    val nChars = str.codePointCount(0, n)
+    i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) {
+        nTokens += 1
+        sumTokLen += str.codePointCount(start, i)
+      }
+    }
+    val low = s.toLowerCase.toString
+    var nTokensL = 0
+    var nStop = 0
+    val hits = new Array[Int](4)
+    i = 0
+    val m = low.length
+    while (i < m) {
+      while (i < m && isWs(low.charAt(i))) i += 1
+      val start = i
+      while (i < m && !isWs(low.charAt(i))) i += 1
+      if (i > start) {
+        nTokensL += 1
+        val len = i - start
+        var k = 0
+        while (k < stop12.length) {
+          if (stop12(k).length == len && low.startsWith(stop12(k), start)) { nStop += 1; k = stop12.length }
+          else k += 1
+        }
+        var g = 0
+        while (g < 4) {
+          val ws = langMarkers(g)
+          var j = 0
+          while (j < ws.length) {
+            if (ws(j).length == len && low.startsWith(ws(j), start)) { hits(g) += 1; j = ws.length }
+            else j += 1
+          }
+          g += 1
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      nTokens, nTokensL, sumTokLen, nStop, punct, nChars,
+      hits(0), hits(1), hits(2), hits(3), hasCjk))
+  }
+
+  /** word n-gram shingles; < n tokens → single whole-text shingle
+    * (tokens joined by one space — matches concat_ws of the HOF path) */
+  def shinglesKernel(s: UTF8String, n: Int): ArrayData = {
+    val toks = {
+      val str = s.toString
+      val out = new java.util.ArrayList[String](16)
+      var i = 0
+      val len = str.length
+      while (i < len) {
+        while (i < len && isWs(str.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(str.charAt(i))) i += 1
+        if (i > start) out.add(str.substring(start, i))
+      }
+      out
+    }
+    val cnt = toks.size
+    if (cnt < n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < cnt) { if (i > 0) sb.append(' '); sb.append(toks.get(i)); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.fromString(sb.toString)))
+    } else {
+      val out = new Array[Any](cnt - n + 1)
+      var i = 0
+      while (i <= cnt - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks.get(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xF).toByte
+      out(2 * i + 1) = HEX(d(i) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** unsigned lexicographic compare == hex-string compare */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xFF; val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** k minhashes over a shingle array: out(j) = min over shingles of
+    * hex(md5(j + ":" + shingle)); null element when the array is empty
+    * (matches array_min over an empty transform). */
+  def minhashKernel(shingles: ArrayData, k: Int): ArrayData = {
+    val md = md5Local.get()
+    val nSh = shingles.numElements()
+    val mins = new Array[Array[Byte]](k)
+    var j = 0
+    while (j < k) {
+      val prefix = (j.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < nSh) {
+        md.reset()
+        md.update(prefix)
+        md.update(shingles.getUTF8String(i).getBytes)
+        val d = md.digest()
+        if (mins(j) == null || lessThan(d, mins(j))) mins(j) = d
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](k)
+    j = 0
+    while (j < k) { out(j) = if (mins(j) == null) null else toHex(mins(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit simhash over tokens with an md5 token-hash family (lower 64
+    * bits of the digest, big-endian bytes 8..15) — engine-portable: the
+    * DuckDB oracle replays it via md5_number_lower. */
+  def simhashMd5Kernel(tokens: ArrayData): Long = {
+    val md = md5Local.get()
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      md.reset()
+      val d = md.digest(tokens.getUTF8String(t).getBytes)
+      // DuckDB md5_number_lower = little-endian long over digest bytes 8..15
+      var h = 0L
+      var i = 15
+      while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // -------------------------------------------------------- expressions
+
+  case class Tokens(child: Expression, lower: Boolean) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_tokens"
+    override def nullSafeEval(a: Any): Any =
+      tokensKernel(a.asInstanceOf[UTF8String], lower)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.tokensKernel($c, $lower);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  object TextStats {
+    val schema: StructType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_tokens_l", IntegerType, nullable = false),
+      StructField("sum_tok_len", LongType, nullable = false),
+      StructField("n_stop", IntegerType, nullable = false),
+      StructField("punct", IntegerType, nullable = false),
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("hits_en", IntegerType, nullable = false),
+      StructField("hits_de", IntegerType, nullable = false),
+      StructField("hits_fr", IntegerType, nullable = false),
+      StructField("hits_es", IntegerType, nullable = false),
+      StructField("has_cjk", BooleanType, nullable = false)))
+  }
+
+  case class TextStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = TextStats.schema
+    override def prettyName: String = "graft_text_stats"
+    override def nullSafeEval(a: Any): Any = statsKernel(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.statsKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_shingles"
+    override def nullSafeEval(a: Any): Any =
+      shinglesKernel(a.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.shinglesKernel($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class MinHashMd5(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "graft_minhash_md5"
+    override def nullSafeEval(a: Any): Any =
+      minhashKernel(a.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.minhashKernel($c, $k);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class SimHashMd5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash_md5"
+    override def nullSafeEval(a: Any): Any =
+      simhashMd5Kernel(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.simhashMd5Kernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ------------------------------------------------- Column-level API
+
+  def tokens(text: Column, lower: Boolean = false): Column =
+    ColumnBridge.column(Tokens(ColumnBridge.expression(text), lower))
+
+  def text_stats(text: Column): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
+
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def minhash_md5(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashMd5(ColumnBridge.expression(shingles), k))
+
+  def simhash_md5(tokens: Column): Column =
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(tokens)))
+}
