@@ -34,43 +34,54 @@ object Multimodal {
 
   /** STUB decoder: deterministic pseudo-decode derived from payload
     * bytes. Replace with a real codec (e.g. TwelveMonkeys/JavaCV) —
-    * only this object changes; the pipeline shape stays. */
+    * only this object changes; the pipeline shape stays.
+    *
+    * All fakes are md5-derived so the DuckDB oracle can replay them
+    * (`md5_number_lower` = little-endian u64 of digest bytes 8..16,
+    * matching [[md5Lower64]]), turning the multimodal gate queries from
+    * rows-only checks into full hash-matched ones. */
   object FakeCodec {
+    private def digest(parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(md.update)
+      md.digest()
+    }
+
+    /** little-endian long over md5 digest bytes 8..15 (DuckDB
+      * md5_number_lower); treat as unsigned via remainderUnsigned. */
+    def md5Lower64(parts: Array[Byte]*): Long = {
+      val d = digest(parts: _*)
+      var h = 0L
+      var i = 15
+      while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+      h
+    }
+
     /** "decode" → (width, height, meanLuma): stable function of bytes */
     def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val w = 16 + math.abs(h % 1024)
-      val ht = 16 + math.abs((h / 1024) % 1024)
-      val luma = (math.abs(h.toLong) % 256).toDouble / 255.0
+      val h = md5Lower64(payload)
+      val w = 16 + java.lang.Long.remainderUnsigned(h, 1024L).toInt
+      val ht = 16 + java.lang.Long.remainderUnsigned(h >>> 10, 1024L).toInt
+      val luma = java.lang.Long.remainderUnsigned(h >>> 20, 256L).toDouble / 255.0
       (w, ht, luma)
     }
 
     /** "resize": new payload is a stable digest of (payload, w, h) */
-    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(payload)
-      md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
-      md.digest()
-    }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      digest(payload,
+        java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
 
     /** "frame sample": n digests standing in for n sampled frames */
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
-      (0 until n).map { i =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.update(payload)
-        md.update(i.toByte)
-        md.digest()
-      }
+      (0 until n).map(i => digest(payload, s"f$i".getBytes("UTF-8")))
 
     /** "feature extraction": fixed-size float vector from the bytes */
     def embed(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
-      var h = 1125899906842597L
-      payload.foreach { b => h = h * 31 + b }
       var i = 0
       while (i < dim) {
-        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-        out(i) = (h % 1000).toFloat / 1000.0f
+        val h = md5Lower64(payload, s"e$i".getBytes("UTF-8"))
+        out(i) = java.lang.Long.remainderUnsigned(h, 1000L).toFloat / 1000.0f
         i += 1
       }
       out

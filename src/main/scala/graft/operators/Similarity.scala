@@ -75,6 +75,19 @@ object Similarity {
   def lshBands(vec: Column, nPlanes: Int, seed: Long, bandBits: Int = 8): Column =
     graft.functions.VectorExprs.lsh_bands(vec, nPlanes, seed, bandBits)
 
+  /** The derived Rademacher plane matrix, exactly as [[lshBands]]
+    * derives it per element on the executors. Exposed so the DuckDB
+    * oracle can replay the candidate generation from literal plane
+    * values (the signature is then bit-identical: ±1 products are
+    * exact in double, and both engines sum left-to-right). */
+  def planeMatrix(nPlanes: Int, dims: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dims) { (p, i) =>
+      var h = graft.functions.VectorExprs.XxHashHelper.hashLong(seed, 42L)
+      h = graft.functions.VectorExprs.XxHashHelper.hashLong(p.toLong, h)
+      h = graft.functions.VectorExprs.XxHashHelper.hashLong(i.toLong, h)
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+
   /** Candidate pairs sharing ≥1 LSH band bucket. */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, vecCol: String,
@@ -94,17 +107,22 @@ object Similarity {
     * recall/latency trade. */
   def annTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 16, seed: Long = 42L, bandBits: Int = 4): DataFrame = {
+      k: Int, nPlanes: Int = 16, seed: Long = 42L, bandBits: Int = 4,
+      roundCos: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = corpus.select(col(idCol), col(vecCol))
     val cands = lshCandidatePairs(corpus, idCol, vecCol, nPlanes, seed, bandBits)
     // score both directions so every id gets neighbors
     val sym = cands.union(cands.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val rawCos = cosine(col("a_v"), col("b_v"))
+    // rank on the rounded score when asked so ranking and display agree
+    // across engines (the oracle replays the same rounding)
+    val cosExpr = if (roundCos >= 0) round(rawCos, roundCos) else rawCos
     val scored = sym
       .join(vecs.toDF("a_id", "a_v"), "a_id")
       .join(vecs.toDF("b_id", "b_v"), "b_id")
       .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
-        cosine(col("a_v"), col("b_v")).as("cos"))
+        cosExpr.as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -91,12 +91,22 @@ object QueriesData {
         .orderBy($"query_id", $"rk")
     },
 
-    // ---- embedding near-duplicate pairs (cosine ≥ 0.3)
+    // ---- embedding near-duplicate pairs: LSH candidates + exact rerank.
+    // Round 1 ran an all-pairs crossJoin(broadcast(corpus)) here — an
+    // O(n²) scale-killer; the banded self-join shuffles O(n·bands) rows
+    // and the oracle replays the identical candidate set from literal
+    // plane values, so this is still fully hash-matched.
     "q_embedding_neardup" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", minCos = -1.0)
-        .select($"a_id", $"b_id", round($"cos", 6).as("cos"))
+      val cands = Similarity.lshCandidatePairs(emb, "vec_id", "embedding",
+        nPlanes = 16, seed = 42L, bandBits = 4)
+      val vecs = emb.select($"vec_id", $"embedding")
+      cands
+        .join(vecs.toDF("a_id", "a_v"), "a_id")
+        .join(vecs.toDF("b_id", "b_v"), "b_id")
+        .select($"a_id", $"b_id",
+          round(Similarity.cosine($"a_v", $"b_v"), 6).as("cos"))
         .filter($"cos" >= 0.3)
         .orderBy($"a_id", $"b_id")
     },
@@ -116,15 +126,20 @@ object QueriesData {
         .orderBy($"event_id")
     },
 
-    // ---- xxhash64-based sketches: no portable oracle → rows-only checks
+    // ---- md5-family sketches, candidates replayed by the oracle.
+    // maxDist=3 honors the 4×16-bit banding recall guarantee (a pair
+    // within Hamming d shares a band iff d ≤ 3) — round 1 asked for 16
+    // and silently under-recalled.
     "q_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashCandidates(Tables.load(s, dir, "documents"), "text", "doc_id",
-        maxDist = 16)
+        maxDist = 3)
         .orderBy(col("a_doc_id"), col("b_doc_id"))
     },
     "q_ann_lsh_topk" -> { (s, dir) =>
       Similarity.annTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 5, nPlanes = 16)
+        k = 5, nPlanes = 16, roundCos = 6)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rk").cast(LongType).as("rk"))
         .orderBy(col("query_id"), col("rk"))
     },
     "q_multimodal_decode" -> { (s, dir) =>
@@ -212,7 +227,98 @@ object QueriesData {
         * sqrt(list_sum(list_transform(range(1, 65), i ->
             CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))))"""
 
+  /** literal ±1 plane matrix (16 planes × 64 dims, seed 42) — the same
+    * values [[graft.functions.VectorExprs.LshBands]] derives on the
+    * executors, so the oracle replays the exact candidate set. */
+  private val planesSql: String = {
+    val m = graft.operators.Similarity.planeMatrix(16, 64, 42L)
+    m.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+  }
+
+  /** CTEs: sign signatures → 4-bit band keys → distinct candidate pairs */
+  private val lshCandCtes: String =
+    s"""planes AS (SELECT $planesSql AS m),
+      sigs AS (SELECT e.vec_id, e.embedding,
+        list_transform(range(0, 16), p -> CASE WHEN list_sum(list_transform(range(1, 65), i ->
+          CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * m[CAST(p AS INT) + 1][CAST(i AS INT)])) >= 0
+          THEN 1 ELSE 0 END) AS s
+        FROM embeddings e, planes),
+      bands AS (SELECT vec_id, band,
+          s[CAST(band*4+1 AS INT)] + s[CAST(band*4+2 AS INT)]*2
+          + s[CAST(band*4+3 AS INT)]*4 + s[CAST(band*4+4 AS INT)]*8 AS key
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) bd),
+      cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id)"""
+
+  /** simhash replay: md5_number_lower token hashes → 64 bit votes →
+    * 4×16-bit band keys (the full 64-bit signature never needs a signed
+    * BIGINT round-trip; hamming = Σ bit_count over band xors) */
+  private val simhashCtes: String =
+    raw"""stoks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), s -> len(s) > 0) AS tkl
+      FROM documents),
+    th AS (SELECT doc_id, unnest(tkl) AS t FROM stoks),
+    bits AS (SELECT doc_id, b,
+        CASE WHEN sum(CASE WHEN (md5_number_lower(t) >> CAST(b AS INT)) & 1 = 1
+                           THEN 1 ELSE -1 END) > 0
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM th, (SELECT unnest(range(0, 64)) AS b) rb GROUP BY doc_id, b),
+    rawkeys AS (SELECT doc_id,
+        sum(CASE WHEN b BETWEEN 0 AND 15 THEN bit << CAST(b AS INT) ELSE 0 END) AS k0,
+        sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit << CAST(b - 16 AS INT) ELSE 0 END) AS k1,
+        sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit << CAST(b - 32 AS INT) ELSE 0 END) AS k2,
+        sum(CASE WHEN b BETWEEN 48 AND 63 THEN bit << CAST(b - 48 AS INT) ELSE 0 END) AS k3
+      FROM bits GROUP BY doc_id),
+    skeys AS (SELECT d.doc_id, coalesce(k.k0, 0) AS k0, coalesce(k.k1, 0) AS k1,
+        coalesce(k.k2, 0) AS k2, coalesce(k.k3, 0) AS k3
+      FROM documents d LEFT JOIN rawkeys k ON k.doc_id = d.doc_id),
+    sbanded AS (
+      SELECT doc_id, 0 AS band, k0 AS key, k0, k1, k2, k3 FROM skeys UNION ALL
+      SELECT doc_id, 1, k1, k0, k1, k2, k3 FROM skeys UNION ALL
+      SELECT doc_id, 2, k2, k0, k1, k2, k3 FROM skeys UNION ALL
+      SELECT doc_id, 3, k3, k0, k1, k2, k3 FROM skeys)"""
+
   val oracles: Map[String, String] = Map(
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCtes
+        SELECT a_doc_id, b_doc_id, CAST(dist AS INTEGER) AS dist FROM (
+          SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+            bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
+            + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS dist
+          FROM sbanded a JOIN sbanded b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id)
+        WHERE dist <= 3 ORDER BY a_doc_id, b_doc_id""",
+    "q_ann_lsh_topk" ->
+      s"""WITH $lshCandCtes,
+        sym AS (SELECT a_id AS query_id, b_id AS neighbor_id FROM cand
+                UNION ALL SELECT b_id, a_id FROM cand),
+        scored AS (SELECT s.query_id, s.neighbor_id, round($cosSql, 6) AS cos
+          FROM sym s JOIN embeddings q ON q.vec_id = s.query_id
+                     JOIN embeddings c ON c.vec_id = s.neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // md5 over VARCHAR hashes its UTF-8 bytes == the binary payload
+    // (payload is the UTF-8 encoding of text)
+    "q_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS p FROM documents)
+        SELECT media_id,
+          CAST(16 + md5_number_lower(p) % 1024 AS INTEGER) AS decoded_width,
+          CAST(16 + (md5_number_lower(p) >> 10) % 1024 AS INTEGER) AS decoded_height,
+          round(((md5_number_lower(p) >> 20) % 256) / 255.0, 6) AS mean_luma,
+          round(CAST(CAST(md5_number_lower(p || 'e0') % 1000 AS FLOAT) / CAST(1000.0 AS FLOAT) AS DOUBLE), 6) AS emb_0
+        FROM m ORDER BY media_id""",
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS p FROM documents)
+        SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+               upper(md5(p || 'f' || i)) AS frame_hex
+        FROM m, (SELECT unnest(range(0, 3)) AS i) r
+        ORDER BY media_id, frame_idx""",
     "q_text_profile" ->
       raw"""WITH $tokCte, $hitsCte
         SELECT doc_id,
@@ -290,9 +396,11 @@ object QueriesData {
         SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos
         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
     "q_embedding_neardup" ->
-      s"""SELECT q.vec_id AS a_id, c.vec_id AS b_id, round($cosSql, 6) AS cos
-          FROM embeddings q, embeddings c
-          WHERE q.vec_id < c.vec_id AND round($cosSql, 6) >= 0.3
+      s"""WITH $lshCandCtes
+          SELECT cd.a_id, cd.b_id, round($cosSql, 6) AS cos
+          FROM cand cd JOIN embeddings q ON q.vec_id = cd.a_id
+                       JOIN embeddings c ON c.vec_id = cd.b_id
+          WHERE round($cosSql, 6) >= 0.3
           ORDER BY a_id, b_id""",
     "q_stream_daily" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

@@ -124,6 +124,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cands.size < 1500, s"LSH produced ${cands.size} candidates (no pruning)")
   }
 
+  test("near-dup gate plan has no cross join: LSH bucket join only") {
+    import spark.implicits._
+    val df = graft.queries.QueriesData.queries("q_embedding_neardup")(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), "all-pairs cross product in plan")
+    assert(!physical.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+    // exact/rounded rerank still keeps only genuinely similar pairs
+    assert(df.collect().forall(_.getAs[Double]("cos") >= 0.3))
+  }
+
+  test("native text kernels match the composed HOF formulation bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "der die und das ist hier\tmit tabs\nund newlines",
+      "  le la et   les est  ", "一二三 chinese 文本", "", "x",
+      "punct!!! lots, of; punct??? (here) [too] {braces}",
+      "MixedCase TOKENS With Digits123 and-hyphens")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val hofTokens = filter(split(trim($"text"), "\\s+"), t => length(t) > 0)
+    val hof = docs.select($"id",
+      size(hofTokens).as("n"),
+      when(size(hofTokens) === 0, 0.0).otherwise(
+        aggregate(hofTokens, lit(0L), (a, t) => a + length(t)).cast(DoubleType)
+          / size(hofTokens)).as("mtl"),
+      (length($"text") - length(regexp_replace($"text", "[\\p{Punct}]", ""))).as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getInt(3))).toMap
+    val nat = docs.select($"id",
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.meanTokenLength($"text").as("mtl"),
+      graft.functions.TextExprs.text_stats($"text").getField("punct").as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(nat == hof)
+    // shingles: native == HOF shape
+    val hofSh = docs.select($"id", when(size(hofTokens) < 3, array(concat_ws(" ", hofTokens)))
+      .otherwise(transform(sequence(lit(0), size(hofTokens) - 3),
+        i => concat_ws(" ", slice(hofTokens, i + 1, lit(3))))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val natSh = docs.select($"id", TextOps.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(natSh == hofSh)
+    // minhash: native == per-j md5 min
+    val sh = TextOps.shingles($"text", 3)
+    val hofMh = docs.select($"id", Dedup.minhashExpr(sh, 0).as("m0"),
+      Dedup.minhashExpr(sh, 7).as("m7"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val natMh = docs.select($"id",
+      graft.functions.TextExprs.minhash_md5(sh, 8).as("mh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1).head, r.getSeq[String](1).last)).toMap
+    assert(natMh == hofMh)
+  }
+
+  test("hot-bucket caps bound candidate pair counts") {
+    import spark.implicits._
+    // 30 identical docs: uncapped LSH yields 435 pairs; cap 10 bounds it
+    val dup = (0 until 30).map(i => (i.toLong, "same exact text in every single document here"))
+    val df = (dup :+ (99L, "an entirely different outlier document")).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(df, "text", "doc_id").count()
+    val capped = Dedup.minhashCandidates(df, "text", "doc_id", maxBucket = 10).count()
+    assert(uncapped == 435L)
+    assert(capped == 0L, "over-cap buckets must be dropped entirely")
+    val jacUncapped = Dedup.ngramJaccardPairs(df, "text", "doc_id").count()
+    val jacCapped = Dedup.ngramJaccardPairs(df, "text", "doc_id", maxDocFreq = 10).count()
+    assert(jacUncapped == 435L && jacCapped == 0L)
+  }
+
   test("brute-force top-k is k rows per query, self excluded, descending") {
     import spark.implicits._
     val emb = Tables.load(spark, sf, "embeddings")
