@@ -86,9 +86,16 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     require(kindOf(name).contains("managed"), s"$name is not a managed table")
     val df = spark.read.parquet(dataDir(name).toString)
     val kept = df.filter(!coalesce(expr(predicateSql), lit(false)))
-    val removed = df.count() - kept.count()
-    rewrite(name, kept)
-    removed
+    // removed-row count without extra scans: rows-before from parquet
+    // footers (metadata-only), kept rows counted by an accumulator
+    // riding the rewrite job itself
+    val before = df.count() // metadata-only count: no data columns read
+    val acc = spark.sparkContext.longAccumulator(s"graft.delete.$name")
+    val counted = kept.toDF().mapPartitions { it =>
+      it.map { r => acc.add(1L); r }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(kept.schema))
+    rewrite(name, counted)
+    before - acc.value
   }
 
   /** UPDATE name SET col = expr, ... WHERE predicate — CASE-WHEN

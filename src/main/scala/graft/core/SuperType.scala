@@ -102,10 +102,59 @@ object SuperType {
     case _ => err(l, r)
   }
 
+  /** Scan-merge lattice — the multi-file schema merge the reference
+    * applies when unifying per-file schemas into one listing table
+    * (beacon-common/src/super_typing.rs), which is *wider* than the
+    * UNION ALL BY NAME coercion rule above:
+    *  - Utf8 absorbs any scalar (a string file column merged with a
+    *    numeric one reads as string),
+    *  - Boolean × numeric → the numeric type,
+    *  - integral × Float32/Float64 → Float64 (NOT the float's width:
+    *    Int64 → Float32 would corrupt integers above 2^24).
+    * Everything else falls through to [[superType]]. Keep [[superType]]
+    * for UNION ALL BY NAME; sources use this one. */
+  def superTypeScan(l: DataType, r: DataType): DataType = (l, r) match {
+    case (a, b) if a == b => a
+    case (NullType, o) => o
+    case (o, NullType) => o
+    // Utf8 absorbs scalars
+    case (StringType, o) if isScalar(o) => StringType
+    case (o, StringType) if isScalar(o) => StringType
+    // Boolean × numeric → numeric
+    case (BooleanType, o) if isNumeric(o) => o
+    case (o, BooleanType) if isNumeric(o) => o
+    // integral × float → double (lossless for 64-bit ints up to 2^53;
+    // the reference widens to Float64 for the same reason)
+    case (a, FloatType | DoubleType) if isIntegral(a) => DoubleType
+    case (FloatType | DoubleType, b) if isIntegral(b) => DoubleType
+    case (ArrayType(e1, n1), ArrayType(e2, n2)) =>
+      ArrayType(superTypeScan(e1, e2), n1 || n2)
+    case _ => superType(l, r)
+  }
+
+  private def isNumeric(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def isScalar(t: DataType): Boolean = t match {
+    case _: NumericType | BooleanType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   /** Merge N schemas: first-appearance column order (order of names from
     * the first input they appear in), per-column supertype fold, nullable
     * if any input lacks the column or has it nullable. */
-  def superTypeSchema(schemas: Seq[StructType]): StructType = {
+  def superTypeSchema(schemas: Seq[StructType]): StructType =
+    mergeSchemas(schemas, superType)
+
+  /** [[superTypeSchema]] under the scan-merge lattice (multi-file scans). */
+  def superTypeSchemaScan(schemas: Seq[StructType]): StructType =
+    mergeSchemas(schemas, superTypeScan)
+
+  private def mergeSchemas(
+      schemas: Seq[StructType], lub: (DataType, DataType) => DataType): StructType = {
     require(schemas.nonEmpty, "superTypeSchema of no schemas")
     val ordered = scala.collection.mutable.LinkedHashSet.empty[String]
     schemas.foreach(_.fieldNames.foreach(ordered.add))
@@ -115,7 +164,7 @@ object SuperType {
       schemas.foreach { s =>
         s.fields.find(_.name == name) match {
           case Some(f) =>
-            tpe = superType(tpe, f.dataType)
+            tpe = lub(tpe, f.dataType)
             nullable ||= f.nullable
           case None =>
             nullable = true

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   * become the coordinate variables and are small by construction);
   * pass 2 maps every row to its C-order grid slot. Cells the table
   * doesn't cover stay NaN (→ _FillValue on write); duplicate coverage
-  * keeps the last value by row order of the collected result.
+  * resolves to the max value per cell (deterministic — collect order
+  * is partition-dependent, so "last write wins" would not be).
   *
   * The gather in pass 2 runs distributed; only the (dims + values)
   * pairs collect to the driver, sized by the grid — the same bound the
@@ -32,10 +33,17 @@ object NdPivot {
       .map(_.name).toSeq
     require(varCols.nonEmpty, "no numeric variable columns to pivot")
 
-    // pass 1: distinct coordinate values per dimension (sorted)
+    // pass 1: distinct coordinate values per dimension (sorted). NULL
+    // coordinates are rejected explicitly — a null has no grid slot, and
+    // letting it through would NPE deep in the gather.
     val coords: Seq[Array[Double]] = dimCols.map { d =>
-      df.select(col(d).cast(DoubleType)).distinct()
-        .orderBy(col(d)).collect().map(_.getDouble(0))
+      val rows = df.select(col(d).cast(DoubleType)).distinct()
+        .orderBy(col(d)).collect()
+      if (rows.exists(_.isNullAt(0)))
+        throw new IllegalArgumentException(
+          s"ndnetcdf dimension column '$d' contains NULL values; " +
+            "filter them out or choose a complete column")
+      rows.map(_.getDouble(0))
     }
     val sizes = coords.map(_.length)
     val n = sizes.map(_.toLong).product
@@ -55,9 +63,15 @@ object NdPivot {
       idxUdf(col(d).cast(DoubleType)) * strides(i)
     }.reduce(_ + _)
 
+    // duplicate grid coverage resolves deterministically (max per cell)
+    // — collect() order is partition-dependent, so "last row wins" would
+    // be nondeterministic across runs
     val gathered = df
       .select(slotExpr.cast(LongType).as("__slot") +:
         varCols.map(c => col(c).cast(DoubleType).as(c)): _*)
+      .groupBy(col("__slot"))
+      .agg(varCols.map(c => max(col(c)).as(c)).head,
+        varCols.map(c => max(col(c)).as(c)).tail: _*)
       .collect()
 
     val arrays = varCols.map(_ => Array.fill(n.toInt)(Double.NaN))

@@ -87,7 +87,7 @@ object ArrowSource {
     val files = FileCollection.expandGlobs(spark, paths)
     require(files.nonEmpty, s"no files match: ${paths.mkString(",")}")
     val schemas = files.map(f => f -> schemaOf(f))
-    val merged = SuperType.superTypeSchema(schemas.map(_._2))
+    val merged = SuperType.superTypeSchemaScan(schemas.map(_._2))
     val bySchema = schemas.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     val parts = bySchema.toSeq.map { case (schema, groupFiles) =>
       UnionByName.project(readGroup(spark, schema, groupFiles), merged)
@@ -102,26 +102,46 @@ object ArrowSource {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Executor-side: stream batches from one file. */
+  /** Executor-side: stream batches from one file lazily — one record
+    * batch resides in memory at a time, so a multi-GB IPC file never
+    * materializes in the task (resources close on exhaustion and, for
+    * partially-consumed iterators, on task completion). */
   private def readFileRows(path0: String, schema: StructType): Iterator[Row] = {
     val path = localPath(path0)
     val alloc = new RootAllocator()
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     val reader = new ArrowFileReader(ch, alloc)
     val root = reader.getVectorSchemaRoot
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    try {
-      while (reader.loadNextBatch()) {
-        val n = root.getRowCount
-        val vectors = schema.fields.map(f => root.getVector(f.name))
-        var i = 0
-        while (i < n) {
-          out += Row.fromSeq(vectors.toSeq.map(v => readValue(v, i)))
-          i += 1
+    var closed = false
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      reader.close(); ch.close(); alloc.close()
+    }
+    // a limit/take can drop the iterator mid-file: clean up at task end
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+    new Iterator[Row] {
+      private var vectors: Array[FieldVector] = _
+      private var batchRows = 0
+      private var i = 0
+      private def advance(): Boolean = {
+        if (closed) return false
+        while (i >= batchRows) {
+          if (!reader.loadNextBatch()) { closeAll(); return false }
+          batchRows = root.getRowCount
+          vectors = schema.fields.map(f => root.getVector(f.name))
+          i = 0
         }
+        true
       }
-    } finally { reader.close(); ch.close(); alloc.close() }
-    out.iterator
+      override def hasNext: Boolean = advance()
+      override def next(): Row = {
+        if (!advance()) throw new NoSuchElementException("end of arrow file")
+        val row = Row.fromSeq(vectors.toIndexedSeq.map(v => readValue(v, i)))
+        i += 1
+        row
+      }
+    }
   }
 
   private def readValue(v: FieldVector, i: Int): Any = {

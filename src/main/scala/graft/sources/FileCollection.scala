@@ -39,7 +39,7 @@ object FileCollection {
       val (schema, groupFiles) = bySchema.head
       load(spark, format, schema, groupFiles, options)
     } else {
-      val merged = SuperType.superTypeSchema(bySchema.keys.toSeq)
+      val merged = SuperType.superTypeSchemaScan(bySchema.keys.toSeq)
       val parts = bySchema.toSeq.map { case (schema, groupFiles) =>
         UnionByName.project(load(spark, format, schema, groupFiles, options), merged)
       }

@@ -116,7 +116,7 @@ object OdvSource {
     val files = FileCollection.expandGlobs(spark, paths)
     require(files.nonEmpty, s"no files match: ${paths.mkString(",")}")
     val parsed = files.map(f => f -> readSchema(f))
-    val merged = SuperType.superTypeSchema(parsed.map(_._2.schema))
+    val merged = SuperType.superTypeSchemaScan(parsed.map(_._2.schema))
     val parts = parsed.map { case (f, odv) =>
       UnionByName.project(readFile(spark, f, odv), merged)
     }

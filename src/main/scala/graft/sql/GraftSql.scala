@@ -21,7 +21,21 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame = {
     val trimmed = text.trim.stripSuffix(";")
     val upper = trimmed.toUpperCase
-    if (upper.startsWith("SUMMARIZE")) {
+    if (upper.startsWith("EXPLAIN ")) {
+      // graft-rewritten statements (SUMMARIZE / UNION ALL BY NAME) have
+      // no Catalyst SQL text, so native EXPLAIN can't see them: build
+      // the frame and return its formatted plan. Plain SQL falls
+      // through to Catalyst's own EXPLAIN.
+      val inner = trimmed.substring("EXPLAIN".length).trim
+      val innerUpper = inner.toUpperCase
+      if (innerUpper.startsWith("SUMMARIZE") || splitUnionByName(inner).length > 1) {
+        import spark.implicits._
+        val plan = sql(spark, inner).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        return Seq(plan).toDF("plan")
+      }
+      spark.sql(trimmed)
+    } else if (upper.startsWith("SUMMARIZE")) {
       val src = trimmed.substring("SUMMARIZE".length).trim
       val df =
         if (src.startsWith("(") && src.endsWith(")"))

@@ -9,61 +9,93 @@ import graft.catalog.GraftCatalog
   * "peek a few tokens, else hand to the standard planner" strategy the
   * reference uses; the query payloads inside (AS <query>, INSERT
   * source, predicates, SET expressions) are full Catalyst SQL.
+  *
+  * Identifiers accept bare words, backtick quoting and double quoting
+  * (the reference runs ident-normalization off, i.e. case-sensitive
+  * quoted names — beacon_parser.rs round-trip tests pin quoting).
+  * UPDATE/DELETE locate their WHERE with the quote/paren-aware scanner,
+  * not a lazy regex, so a SET expression containing the word `where`
+  * inside a string literal parses correctly.
   */
 object Statements {
 
+  private val Id = """(\w+|`(?:[^`]|``)+`|"(?:[^"]|"")+")"""
+
   private val reExternal =
-    """(?is)^CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+(.+?)\s*$""".r
+    ("""(?is)^CREATE\s+EXTERNAL\s+TABLE\s+""" + Id +
+      """\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+(.+?)\s*$""").r
   private val reMView =
-    """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$""".r
+    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+""" + Id + """\s+AS\s+(.+)$""").r
   private val reView =
-    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)$""".r
+    ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+""" + Id + """\s+AS\s+(.+)$""").r
   private val reCtas =
-    """(?is)^CREATE\s+TABLE\s+(\w+)\s+AS\s+(.+)$""".r
+    ("""(?is)^CREATE\s+TABLE\s+""" + Id + """\s+AS\s+(.+)$""").r
   private val reRefresh =
-    """(?is)^REFRESH\s+(?:TABLE\s+)?(\w+)\s*$""".r
+    ("""(?is)^REFRESH\s+(?:TABLE\s+)?""" + Id + """\s*$""").r
   private val reDrop =
-    """(?is)^DROP\s+(?:TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    ("""(?is)^DROP\s+(?:TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(?:IF\s+EXISTS\s+)?""" + Id + """\s*$""").r
   private val reInsert =
-    """(?is)^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(.+)$""".r
+    ("""(?is)^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + Id + """\s+(.+)$""").r
   private val reDelete =
-    """(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?\s*$""".r
+    ("""(?is)^DELETE\s+FROM\s+""" + Id + """\s*(.*)$""").r
   private val reUpdate =
-    """(?is)^UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$""".r
+    ("""(?is)^UPDATE\s+""" + Id + """\s+SET\s+(.+)$""").r
   private val reShowTables =
     """(?is)^SHOW\s+GRAFT\s+TABLES\s*$""".r
+
+  /** strip one level of backtick / double quoting (doubled quotes unescape) */
+  private[sql] def unquote(id: String): String =
+    if (id.length >= 2 && id.head == '`' && id.last == '`')
+      id.substring(1, id.length - 1).replace("``", "`")
+    else if (id.length >= 2 && id.head == '"' && id.last == '"')
+      id.substring(1, id.length - 1).replace("\"\"", "\"")
+    else id
 
   /** Try to run `text` as a catalog statement; None = not one of ours. */
   def tryExecute(spark: SparkSession, catalog: GraftCatalog, text: String): Option[DataFrame] = {
     val t = text.trim.stripSuffix(";")
     t match {
-      case reExternal(name, fmt, locs) =>
+      case reExternal(name0, fmt, locs) =>
+        val name = unquote(name0)
         catalog.createExternalTable(name, fmt.toLowerCase, parsePaths(locs))
         Some(status(spark, s"created external table $name"))
-      case reMView(name, sql) =>
+      case reMView(name0, sql) =>
+        val name = unquote(name0)
         catalog.createMaterializedView(name, sql.trim)
         Some(status(spark, s"created materialized view $name"))
-      case reView(name, sql) =>
+      case reView(name0, sql) =>
+        val name = unquote(name0)
         catalog.createView(name, sql.trim)
         Some(status(spark, s"created view $name"))
-      case reCtas(name, sql) =>
+      case reCtas(name0, sql) =>
+        val name = unquote(name0)
         catalog.createManagedTable(name, spark.sql(sql.trim))
         Some(status(spark, s"created table $name"))
-      case reRefresh(name) =>
+      case reRefresh(name0) =>
+        val name = unquote(name0)
         catalog.refresh(name)
         Some(status(spark, s"refreshed $name"))
-      case reDrop(name) =>
+      case reDrop(name0) =>
+        val name = unquote(name0)
         catalog.drop(name)
         Some(status(spark, s"dropped $name"))
-      case reInsert(mode, name, src) =>
+      case reInsert(mode, name0, src) =>
+        val name = unquote(name0)
         catalog.insertInto(name, spark.sql(src.trim),
           overwrite = mode.equalsIgnoreCase("OVERWRITE"))
         Some(status(spark, s"inserted into $name"))
-      case reDelete(name, pred) =>
-        val n = catalog.delete(name, Option(pred).map(_.trim).getOrElse("true"))
+      case reDelete(name0, rest) =>
+        val name = unquote(name0)
+        val pred = parseWhereTail(rest).getOrElse("true")
+        val n = catalog.delete(name, pred)
         Some(status(spark, s"deleted $n rows from $name"))
-      case reUpdate(name, sets, pred) =>
-        catalog.update(name, parseAssignments(sets), Option(pred).map(_.trim))
+      case reUpdate(name0, rest) =>
+        val name = unquote(name0)
+        val (sets, pred) = splitAtTopLevelWhere(rest) match {
+          case Some((s, p)) => (s, Some(p))
+          case None         => (rest, None)
+        }
+        catalog.update(name, parseAssignments(sets), pred.map(_.trim))
         Some(status(spark, s"updated $name"))
       case reShowTables() =>
         import spark.implicits._
@@ -72,6 +104,45 @@ object Statements {
           .toDF("name", "kind", "format", "paths"))
       case _ => None
     }
+  }
+
+  /** remainder after `DELETE FROM t`: empty, or `WHERE <pred>` */
+  private def parseWhereTail(rest: String): Option[String] = {
+    val r = rest.trim
+    if (r.isEmpty) None
+    else if (r.length > 5 && r.substring(0, 5).equalsIgnoreCase("WHERE") &&
+      !Character.isLetterOrDigit(r.charAt(5)))
+      Some(r.substring(5).trim)
+    else throw new IllegalArgumentException(s"expected WHERE clause, got: $r")
+  }
+
+  /** find the first WHERE at top level (outside quotes/backticks/parens)
+    * and split around it */
+  private[sql] def splitAtTopLevelWhere(s: String): Option[(String, String)] = {
+    var depth = 0
+    var inS = false; var inD = false; var inB = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inS = true
+        case '"'  => inD = true
+        case '`'  => inB = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ if depth == 0 && i + 5 <= s.length &&
+            s.regionMatches(true, i, "WHERE", 0, 5) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + 5 == s.length || !Character.isLetterOrDigit(s.charAt(i + 5))) =>
+          return Some((s.substring(0, i).trim, s.substring(i + 5).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    None
   }
 
   /** LOCATION 'a' [, 'b' ...] — single-quoted paths. */

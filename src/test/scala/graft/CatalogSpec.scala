@@ -84,4 +84,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(engine.sql("SELECT 40 + 2 AS a").collect()(0).getInt(0) == 42)
     assert(engine.sql("SUMMARIZE ext_nation").collect().length == 3)
   }
+
+  test("quoted identifiers in statements (case preserved)") {
+    // session runs case-sensitive (reference: ident normalization off);
+    // backtick/double-quote forms must parse and keep the exact case
+    engine.sql("CREATE TABLE `QuotedCase` AS SELECT 7 AS v")
+    assert(engine.sql("SELECT v FROM `QuotedCase`").collect()(0).getInt(0) == 7)
+    engine.sql("""REFRESH "QuotedCase"""")
+    engine.sql("""DROP TABLE `QuotedCase`""")
+    val names = engine.sql("SHOW GRAFT TABLES").collect().map(_.getString(0)).toSet
+    assert(!names.contains("QuotedCase"))
+  }
+
+  test("UPDATE with 'where' inside a string literal parses correctly") {
+    engine.sql("CREATE TABLE upd_lit AS SELECT * FROM VALUES (1, 'a'), (2, 'b') t(id, s)")
+    engine.sql("UPDATE upd_lit SET s = 'fixed where broken' WHERE id = 1")
+    val rows = engine.sql("SELECT id, s FROM upd_lit ORDER BY id").collect()
+    assert(rows(0).getString(1) == "fixed where broken")
+    assert(rows(1).getString(1) == "b")
+    // DELETE reports the removed-row count without extra scans
+    val st = engine.sql("DELETE FROM upd_lit WHERE s = 'b'").collect()(0).getString(0)
+    assert(st.contains("deleted 1 rows"))
+    engine.sql("DROP TABLE upd_lit")
+  }
+
+  test("EXPLAIN over graft-rewritten statements returns a formatted plan") {
+    val plan = engine.sql("EXPLAIN SUMMARIZE ext_nation").collect()(0).getString(0)
+    assert(plan.contains("Physical Plan"))
+    // native EXPLAIN still reaches Catalyst untouched
+    assert(engine.sql("EXPLAIN SELECT 1").collect().nonEmpty)
+  }
 }

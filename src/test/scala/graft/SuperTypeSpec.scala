@@ -114,4 +114,23 @@ class SuperTypeSpec extends AnyFunSuite {
     val typeSets = perms.map(_.fields.map(f => (f.name, f.dataType, f.nullable)).toSet)
     assert(typeSets.distinct.size == 1)
   }
+
+  // scan-merge lattice (super_typing.rs): wider than the union rule
+  test("scan lattice: Utf8 absorbs scalars, bool x numeric, int x float -> double") {
+    import SuperType.superTypeScan
+    assert(superTypeScan(StringType, LongType) == StringType)
+    assert(superTypeScan(DoubleType, StringType) == StringType)
+    assert(superTypeScan(StringType, BooleanType) == StringType)
+    assert(superTypeScan(BooleanType, IntegerType) == IntegerType)
+    assert(superTypeScan(FloatType, BooleanType) == FloatType)
+    // Int64 x Float32 must widen to Double in a scan merge — Float32
+    // would corrupt integers above 2^24 (ADVICE r1)
+    assert(superTypeScan(LongType, FloatType) == DoubleType)
+    assert(superTypeScan(FloatType, IntegerType) == DoubleType)
+    // union rule intentionally differs (keeps float width)
+    assert(SuperType.superType(LongType, FloatType) == FloatType)
+    // fall-through to the shared rules
+    assert(superTypeScan(IntegerType, LongType) == LongType)
+    assert(superTypeScan(FloatType, DoubleType) == DoubleType)
+  }
 }
