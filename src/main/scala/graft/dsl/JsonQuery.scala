@@ -140,6 +140,18 @@ object JsonQuery {
         FileCollection.csv(spark, paths, Map("delimiter" -> delim))
       case "arrow" => graft.sources.ArrowSource.read(spark, paths)
       case "odv"   => graft.sources.OdvSource.read(spark, paths)
+      case "netcdf" =>
+        val dims = spec.get("dimensions") match {
+          case Some(JArray(ds)) => Some(ds.collect { case JString(d) => d })
+          case _ => None
+        }
+        graft.sources.netcdf.NetcdfSource.read(spark, paths, dims)
+      case "zarr" =>
+        val dims = spec.get("dimensions") match {
+          case Some(JArray(ds)) => Some(ds.collect { case JString(d) => d })
+          case _ => None
+        }
+        graft.sources.zarr.ZarrSource.read(spark, paths, dims)
       case other => throw new DslException(s"format '$other' reader not available")
     }
   }

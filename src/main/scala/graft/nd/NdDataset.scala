@@ -14,8 +14,12 @@ package graft.nd
 final case class NdVariable(
     name: String,
     dims: Seq[String],                 // ordered, each must be a dataset dim
-    data: Array[Double],               // flat, C-order over `dims`
-    attrs: Map[String, String] = Map.empty)
+    data: Array[Double],               // flat, C-order over `dims` (null for string vars)
+    attrs: Map[String, String] = Map.empty,
+    sdata: Array[String] = null) {     // string variables (decoded char matrices)
+  def isString: Boolean = sdata != null
+  def length: Int = if (isString) sdata.length else data.length
+}
 
 final case class NdDataset(
     dims: Seq[(String, Int)],          // ordered named dimensions
@@ -37,7 +41,7 @@ final case class NdDataset(
   require(variables.nonEmpty, "an ND dataset needs at least one variable")
   variables.foreach { v =>
     val expect = v.dims.map(d => dimSize(d).toLong).product
-    require(v.data.length == expect,
-      s"variable ${v.name}: data length ${v.data.length} != dim product $expect")
+    require(v.length == expect,
+      s"variable ${v.name}: data length ${v.length} != dim product $expect")
   }
 }

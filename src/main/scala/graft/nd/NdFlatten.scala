@@ -42,17 +42,24 @@ object NdFlatten {
   final case class DecodedVar(
       name: String,
       dims: Seq[String],
-      tpe: DataType,                    // DoubleType or TimestampNTZType
+      tpe: DataType,                    // Double, TimestampNTZ or String
       data: Array[Double],              // NaN = null after fill handling
       fill: Option[Double],
-      timeBase: Option[(Long, Long)])   // (epochMicros of base, microsPerUnit)
+      timeBase: Option[(Long, Long)],   // (epochMicros of base, microsPerUnit)
+      sdata: Array[String] = null)      // string variables pass through
 
-  /** Flatten with the default grid (largest-volume variable). */
-  def flatten(spark: SparkSession, ds: NdDataset, partitions: Int = 0): DataFrame =
-    flatten(spark, ds, None, partitions)
+  /** Everything needed to turn row indexes into rows — shared by the
+    * Spark range-partitioned path and the per-task local path used by
+    * the file readers (partition = file). */
+  final case class FlattenPlan(
+      schema: StructType,
+      rowCount: Long,
+      varPlans: Array[(DecodedVar, Array[(Int, Long)])],
+      gridStrides: Array[Long],
+      gridSizes: Array[Int],
+      attrVals: Array[String]) extends Serializable
 
-  def flatten(spark: SparkSession, ds: NdDataset, dimensions: Option[Seq[String]],
-      partitions: Int): DataFrame = {
+  def plan(ds: NdDataset, dimensions: Option[Seq[String]]): FlattenPlan = {
     val grid: Seq[String] = dimensions.getOrElse {
       val largest = ds.variables.maxBy(v => (ds.volume(v), -ds.variables.indexOf(v)))
       largest.dims
@@ -92,47 +99,68 @@ object NdFlatten {
     val attrVals: Seq[String] =
       kept.flatMap(v => v.attrs.values.toSeq) ++ ds.globalAttrs.values.toSeq
 
+    FlattenPlan(schema, rowCount, varPlans.toArray, gridStrides,
+      gridSizes.toArray, attrVals.toArray)
+  }
+
+  /** One row of the flattened table from its C-order row index. */
+  def rowAt(p: FlattenPlan, r: Long, idx: Array[Long]): Row = {
+    val nGrid = p.gridStrides.length
+    var i = 0
+    while (i < nGrid) {
+      idx(i) = (r / p.gridStrides(i)) % p.gridSizes(i)
+      i += 1
+    }
+    val plans = p.varPlans
+    val vals = new Array[Any](plans.length + p.attrVals.length)
+    var vi = 0
+    while (vi < plans.length) {
+      val (v, plan) = plans(vi)
+      var flat = 0L
+      var d = 0
+      while (d < plan.length) {
+        flat += idx(plan(d)._1) * plan(d)._2
+        d += 1
+      }
+      vals(vi) =
+        if (v.sdata != null) v.sdata(flat.toInt)
+        else decodeValue(v, v.data(flat.toInt))
+      vi += 1
+    }
+    var ai = 0
+    while (ai < p.attrVals.length) {
+      vals(plans.length + ai) = p.attrVals(ai)
+      ai += 1
+    }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+  }
+
+  /** Local (no Spark) flattened rows — the per-task path of the file
+    * readers: each task parses its file and streams rows. */
+  def localRows(ds: NdDataset, dimensions: Option[Seq[String]] = None): (StructType, Iterator[Row]) = {
+    val p = plan(ds, dimensions)
+    val idx = new Array[Long](p.gridStrides.length)
+    (p.schema, (0L until p.rowCount).iterator.map(r => rowAt(p, r, idx)))
+  }
+
+  /** Flatten with the default grid (largest-volume variable). */
+  def flatten(spark: SparkSession, ds: NdDataset, partitions: Int = 0): DataFrame =
+    flatten(spark, ds, None, partitions)
+
+  def flatten(spark: SparkSession, ds: NdDataset, dimensions: Option[Seq[String]],
+      partitions: Int): DataFrame = {
+    val p = plan(ds, dimensions)
     val nParts = if (partitions > 0) partitions
       else math.max(1, math.min(spark.sparkContext.defaultParallelism,
-        (rowCount / 65536 + 1).toInt))
-    val bc = spark.sparkContext.broadcast(varPlans.toArray)
-    val bcStrides = spark.sparkContext.broadcast(gridStrides)
-    val bcSizes = spark.sparkContext.broadcast(gridSizes.toArray)
+        (p.rowCount / 65536 + 1).toInt))
+    val bc = spark.sparkContext.broadcast(p)
 
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(p.schema)
     import spark.implicits._
-    spark.range(0, rowCount, 1, nParts).as[Long].mapPartitions { it =>
-      val plans = bc.value
-      val strides = bcStrides.value
-      val sizes = bcSizes.value
-      val nGrid = strides.length
-      val idx = new Array[Long](nGrid)
-      it.map { r =>
-        var i = 0
-        while (i < nGrid) {
-          idx(i) = (r / strides(i)) % sizes(i)
-          i += 1
-        }
-        val vals = new Array[Any](plans.length + attrVals.length)
-        var vi = 0
-        while (vi < plans.length) {
-          val (v, plan) = plans(vi)
-          var flat = 0L
-          var d = 0
-          while (d < plan.length) {
-            flat += idx(plan(d)._1) * plan(d)._2
-            d += 1
-          }
-          vals(vi) = decodeValue(v, v.data(flat.toInt))
-          vi += 1
-        }
-        var ai = 0
-        while (ai < attrVals.length) {
-          vals(plans.length + ai) = attrVals(ai)
-          ai += 1
-        }
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
-      }
+    spark.range(0, p.rowCount, 1, nParts).as[Long].mapPartitions { it =>
+      val plan = bc.value
+      val idx = new Array[Long](plan.gridStrides.length)
+      it.map(r => rowAt(plan, r, idx))
     }(enc).toDF()
   }
 
@@ -140,8 +168,26 @@ object NdFlatten {
 
   private val sinceRe = """(?i)^\s*(\w+)\s+since\s+(.+?)\s*$""".r
 
+  /** tolerant _FillValue parse: plain number, NaN, or (zarr) base64 of
+    * the raw little-endian float/double bytes */
+  def parseFill(s: String): Option[Double] = {
+    scala.util.Try(s.toDouble).toOption.orElse {
+      scala.util.Try {
+        val bytes = java.util.Base64.getDecoder.decode(s)
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bytes.length match {
+          case 8 => bb.getDouble()
+          case 4 => bb.getFloat().toDouble
+          case _ => throw new IllegalArgumentException(s)
+        }
+      }.toOption
+    }
+  }
+
   private[nd] def decode(v: NdVariable): DecodedVar = {
-    val fill = v.attrs.get("_FillValue").map(_.toDouble)
+    if (v.isString)
+      return DecodedVar(v.name, v.dims, StringType, null, None, None, v.sdata)
+    val fill = v.attrs.get("_FillValue").flatMap(parseFill)
     val timeBase = v.attrs.get("units").flatMap {
       case sinceRe(unit, base) =>
         unitMicros(unit).map(m => (parseBaseMicros(base), m))
@@ -181,10 +227,12 @@ object NdFlatten {
     case _ => None
   }
 
-  /** "1950-01-01", "1950-01-01 00:00:00", or with 'T' — proleptic
-    * Gregorian, UTC. */
-  private[nd] def parseBaseMicros(base: String): Long = {
-    val norm = base.trim.replace("T", " ")
+  /** "1950-01-01", "1950-01-01 00:00:00", optional 'T' separator and a
+    * trailing UTC/Z/+00:00 zone designator — proleptic Gregorian, UTC. */
+  def parseBaseMicros(base: String): Long = {
+    var norm = base.trim
+      .replaceAll("(?i)\\s*(UTC|GMT|Z|\\+0+:?0*)\\s*$", "")
+      .trim.replace("T", " ")
     val withTime = if (norm.contains(" ")) norm else s"$norm 00:00:00"
     val ldt = java.time.LocalDateTime.parse(withTime.replace(" ", "T"))
     ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L

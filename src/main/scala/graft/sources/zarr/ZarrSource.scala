@@ -1,0 +1,230 @@
+package graft.sources.zarr
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{SuperType, UnionByName}
+import graft.nd.NdFlatten
+
+/** `read_zarr` — Zarr v3 DataSourceV2 with chunk-grid pruning.
+  *
+  * Scale design (the reference's ND pushdown re-expressed Spark-first,
+  * SURVEY §4.1): partition = one chunk of the grid-defining array, so
+  * a 100 TB store fans out as tens of thousands of independent chunk
+  * reads with no shuffle; predicates on 1-D coordinate axes prune
+  * whole chunks at planning time from driver-side coordinate min/max
+  * (≈ beacon-nd-array/src/arrow/pushdown.rs:7-50 candidate rules) —
+  * Spark still re-applies every filter after the scan, so pruning is
+  * strictly an I/O optimization, never a correctness risk. Column
+  * pruning drops unread variables entirely (a chunk of an unreferenced
+  * variable is never opened).
+  */
+class ZarrTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZarrScanPlanner.schema(ZarrScanPlanner.specOf(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ZarrTable(ZarrScanPlanner.specOf(new CaseInsensitiveStringMap(properties)), schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final case class ZarrSpec(path: String, dimensions: Option[Seq[String]])
+
+class ZarrTable(spec: ZarrSpec, schema0: StructType) extends Table with SupportsRead {
+  override def name(): String = s"zarr(${spec.path})"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(spec, schema0)
+}
+
+class ZarrScanBuilder(spec: ZarrSpec, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters
+    filters // every filter is re-evaluated by Spark: pruning-only pushdown
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (requiredSchema.nonEmpty) required = requiredSchema
+  }
+  override def build(): Scan = new ZarrScan(spec, required, pushed)
+}
+
+class ZarrScan(spec: ZarrSpec, required: StructType, filters: Array[sources.Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ZarrScanPlanner.partitions(spec, filters)
+      .map(r => ZarrPartition(spec, r, required): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory
+}
+
+final case class ZarrPartition(spec: ZarrSpec, region: Seq[(String, Long, Long)],
+    required: StructType) extends InputPartition
+
+class ZarrReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val zp = p.asInstanceOf[ZarrPartition]
+    new ZarrPartitionReader(zp)
+  }
+}
+
+class ZarrPartitionReader(p: ZarrPartition) extends PartitionReader[InternalRow] {
+  private val rows: Iterator[InternalRow] = {
+    val store = ZarrStore.open(p.spec.path)
+    val gridDims = p.region.map(_._1)
+    val requiredNames = p.required.fieldNames.toSet
+    // keep a variable if its column or any of its attribute columns is needed
+    val kept = store.arrays.filter { a =>
+      requiredNames.contains(a.name) ||
+        a.attrs.keys.exists(k => requiredNames.contains(s"${a.name}.$k"))
+    }
+    val sub = store.copy(arrays = if (kept.nonEmpty) kept else store.arrays.take(1))
+    val ds = ZarrStore.regionDataset(sub, p.region)
+    val (schema, it) = NdFlatten.localRows(ds, Some(gridDims))
+    val srcIdx = p.required.fields.map(f => schema.fieldIndex(f.name))
+    val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      RowEncoder.encoderFor(p.required)).createSerializer()
+    it.map { row =>
+      val vals = srcIdx.map(row.get(_))
+      ser(Row.fromSeq(vals.toIndexedSeq)).copy()
+    }
+  }
+  private var cur: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+/** driver-side planning: grid selection, schema, chunk regions, pruning */
+object ZarrScanPlanner {
+
+  def specOf(options: CaseInsensitiveStringMap): ZarrSpec = {
+    val path = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("zarr: 'path' option required"))
+    val dims = Option(options.get("dimensions")).map(_.split(",").toSeq.map(_.trim))
+    ZarrSpec(path, dims)
+  }
+
+  /** grid = explicit dims or dims of the largest array */
+  def gridOf(store: ZarrStore.Store, dimensions: Option[Seq[String]]): Seq[String] =
+    dimensions.getOrElse {
+      val largest = store.arrays.maxBy(a => a.shape.product)
+      largest.dims
+    }
+
+  def schema(spec: ZarrSpec): StructType = {
+    val store = ZarrStore.open(spec.path)
+    val grid = gridOf(store, spec.dimensions)
+    // one-cell region: exact flatten schema without reading real data
+    val region = grid.map(d => (d, 0L, 1L))
+    val ds = ZarrStore.regionDataset(store, region)
+    NdFlatten.plan(ds, Some(grid)).schema
+  }
+
+  def partitions(spec: ZarrSpec, filters: Array[sources.Filter]): Seq[Seq[(String, Long, Long)]] = {
+    val store = ZarrStore.open(spec.path)
+    val grid = gridOf(store, spec.dimensions)
+    val sizes = store.dimSizes.toMap
+    val gridArray = store.arrays.find(_.dims == grid)
+      .getOrElse(store.arrays.maxBy(_.shape.product))
+    val chunk = grid.zipWithIndex.map { case (d, i) =>
+      if (gridArray.dims.lift(i).contains(d)) gridArray.chunkShape(i)
+      else sizes(d)
+    }
+    // coordinate axes usable for pruning: 1-D arrays named like their dim,
+    // not CF-time-encoded (filter literals arrive in decoded units)
+    val coords: Map[String, ZarrStore.ZarrArray] = store.arrays
+      .filter(a => a.dims.length == 1 && a.dims.head == a.name &&
+        !a.attrs.get("units").exists(_.contains(" since ")))
+      .map(a => a.name -> a).toMap
+    val conds = splitConds(filters)
+
+    val regionsPerDim: Seq[Seq[(String, Long, Long)]] = grid.zipWithIndex.map { case (d, i) =>
+      val size = sizes(d).toLong
+      val cs = chunk(i).toLong
+      val slices = (0L until size by cs).map(s => (d, s, math.min(s + cs, size)))
+      coords.get(d) match {
+        case Some(coordVar) if conds.contains(d) =>
+          slices.filter { case (_, s, e) =>
+            val vals = ZarrStore.readRegion(coordVar, Array(s), Array(e))
+            val mn = vals.min
+            val mx = vals.max
+            conds(d).forall(c => c.satisfiable(mn, mx))
+          }
+        case _ => slices
+      }
+    }
+    // cartesian product of per-dim slices = chunk regions
+    regionsPerDim.foldLeft(Seq(Seq.empty[(String, Long, Long)])) { (acc, dimSlices) =>
+      acc.flatMap(prefix => dimSlices.map(prefix :+ _))
+    }
+  }
+
+  final case class Cond(op: String, v: Double) {
+    def satisfiable(mn: Double, mx: Double): Boolean = op match {
+      case "eq"  => v >= mn && v <= mx
+      case "gt"  => mx > v
+      case "gte" => mx >= v
+      case "lt"  => mn < v
+      case "lte" => mn <= v
+      case _     => true
+    }
+  }
+
+  private def splitConds(filters: Array[sources.Filter]): Map[String, Seq[Cond]] = {
+    val out = scala.collection.mutable.Map.empty[String, List[Cond]].withDefaultValue(Nil)
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def add(attr: String, op: String, v: Any): Unit =
+      num(v).foreach(d => out(attr) = Cond(op, d) :: out(attr))
+    def walk(f: sources.Filter): Unit = f match {
+      case sources.And(l, r) => walk(l); walk(r)
+      case sources.EqualTo(a, v) => add(a, "eq", v)
+      case sources.GreaterThan(a, v) => add(a, "gt", v)
+      case sources.GreaterThanOrEqual(a, v) => add(a, "gte", v)
+      case sources.LessThan(a, v) => add(a, "lt", v)
+      case sources.LessThanOrEqual(a, v) => add(a, "lte", v)
+      case _ => // Or / IsNotNull / unsupported: no pruning
+    }
+    filters.foreach(walk)
+    out.toMap
+  }
+}
+
+/** facade mirroring the other sources (multi-store supercast merge) */
+object ZarrSource {
+  def read(spark: SparkSession, paths: Seq[String],
+      dimensions: Option[Seq[String]] = None): DataFrame = {
+    require(paths.nonEmpty, "zarr: no paths")
+    val frames = paths.map { p =>
+      var r = spark.read.format("graft.sources.zarr.ZarrTableProvider").option("path", p)
+      dimensions.foreach(ds => r = r.option("dimensions", ds.mkString(",")))
+      r.load()
+    }
+    if (frames.length == 1) frames.head
+    else {
+      val merged = SuperType.superTypeSchemaScan(frames.map(_.schema))
+      frames.map(UnionByName.project(_, merged)).reduce(_ union _)
+    }
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.nd.NdFlatten
+import graft.sources.hdf5.Hdf5Reader
+import graft.sources.netcdf.{NetcdfClassic, NetcdfSource, NetcdfWriter}
+import graft.sources.zarr.{ZarrScanPlanner, ZarrSpec, ZarrStore}
+
+/** ND container formats: NetCDF classic, NetCDF-4/HDF5, Zarr v3.
+  *
+  * The strongest check here is cross-format: the reference ships the
+  * SAME dataset as `gridded-example.nc` (HDF5 container, deflate) and
+  * `gridded-example.zarr` (Zarr v3, zstd). The two readers share no
+  * container code — only the ND model — so byte-identical grids from
+  * both is strong evidence against a common decode bug.
+  */
+class FormatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+
+  val refNc = "/root/reference/beacon-db/beacon-file-formats/beacon-arrow-netcdf/test_files/gridded-example.nc"
+  val refZarr = "/root/reference/test-datasets/gridded-example.zarr"
+  val refProf = "/root/reference/test-datasets/test_file.nc"
+
+  // ------------------------------------------------- classic round trip
+
+  test("netcdf classic: flat write → read round-trips values, types, nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 1.5, java.time.LocalDateTime.of(2020, 1, 2, 3, 4, 5, 123456000)),
+      (2L, "beta", -2.25, java.time.LocalDateTime.of(1999, 12, 31, 23, 59, 59, 0)),
+      (3L, null.asInstanceOf[String], Double.NaN, java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0, 0)))
+      .toDF("id", "name", "value", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nc").resolve("flat.nc").toString
+    NetcdfWriter.writeFlat(df, tmp)
+    assert(NetcdfClassic.isClassic(tmp))
+    val back = NetcdfSource.readFile(spark, tmp)
+      .select($"id", $"name", $"value", $"ts").orderBy($"id").collect()
+    assert(back.length == 3)
+    assert(back.map(_.getDouble(0)).sameElements(Array(1.0, 2.0, 3.0)))
+    assert(back.map(_.getString(1)).sameElements(Array("alpha", "beta", "")))
+    assert(back(0).getDouble(2) == 1.5 && back(1).getDouble(2) == -2.25)
+    assert(back(2).isNullAt(2), "NaN double writes as fill → NULL")
+    // µs-exact timestamps (microseconds-since-epoch written as double)
+    assert(back(0).getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.of(2020, 1, 2, 3, 4, 5, 123456000))
+    assert(back(1).getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.of(1999, 12, 31, 23, 59, 59, 0))
+  }
+
+  test("netcdf classic: ndnetcdf (pivot) write → read round-trips the grid") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 0.0, 3.0), (1.0, 1.0, 4.0))
+      .toDF("x", "y", "v")
+    val ds = graft.nd.NdPivot.pivot(df, Seq("x", "y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nc").resolve("grid.nc").toString
+    NetcdfWriter.writeNd(ds, tmp)
+    val back = NetcdfClassic.readDataset(tmp)
+    assert(back.dims.map(_._2) == Seq(2, 2))
+    assert(back.variable("v").data.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(back.variable("x").data.toSeq == Seq(0.0, 1.0))
+  }
+
+  // ------------------------------------------- HDF5 vs Zarr cross-check
+
+  test("gridded-example: HDF5 and Zarr v3 readers agree bit-for-bit") {
+    val nc = Hdf5Reader.readDataset(refNc)
+    val zr = ZarrStore.readDataset(refZarr)
+    // same dims (order may differ)
+    assert(nc.dims.toMap == zr.dims.toMap)
+    for (name <- Seq("lat", "lon", "time", "analysed_sst", "analysis_error",
+        "sea_ice_fraction", "mask")) {
+      val a = nc.variable(name)
+      val b = zr.variable(name)
+      assert(a.dims == b.dims, s"$name dims")
+      assert(java.util.Arrays.equals(a.data, b.data), s"$name values differ")
+      // CF-relevant attrs agree wherever both containers carry them
+      // (the zarr conversion added a base64-NaN _FillValue on the
+      // coordinate axes that the .nc never had — metadata, not data)
+      for (k <- Seq("scale_factor", "add_offset", "_FillValue", "units")
+           if a.attrs.contains(k) && b.attrs.contains(k)) {
+        // compare as the CF decoder sees them: numeric fills numerically,
+        // units-since via the parsed epoch ("…1981-01-01" ≡ "…1981-01-01 00:00:00")
+        def norm(s: String): Any =
+          graft.nd.NdFlatten.parseFill(s).getOrElse {
+            if (s.contains(" since "))
+              graft.nd.NdFlatten.parseBaseMicros(s.split(" since ")(1))
+            else s
+          }
+        assert(norm(a.attrs(k)) == norm(b.attrs(k)), s"$name.$k")
+      }
+    }
+    // pinned golden values (independent of either container: the zarr
+    // metadata documents valid ranges; positions from the CF grid)
+    val lat = nc.variable("lat").data
+    assert(lat.length == 1208 && math.abs(lat(0) - 38.75416564941406) < 1e-12)
+    val lon = nc.variable("lon").data
+    assert(lon.length == 1920 && math.abs(lon(0) - 26.379167556762695) < 1e-12)
+    // time = 1014940800 s since 1981-01-01 → 2013-02-28T12:00 UTC region
+    assert(nc.variable("time").data.head == 1.0149408e9)
+  }
+
+  test("read_netcdf flattens an HDF5 profile file (char matrices → strings)") {
+    import spark.implicits._
+    val df = NetcdfSource.readFile(spark, refProf, dimensions = Some(Seq("N_PROF")))
+    val rows = df.select($"LATITUDE", $"LONGITUDE", $"PLATFORM_NUMBER")
+      .orderBy($"LATITUDE").collect()
+    assert(rows.length == 8)
+    assert(math.abs(rows.head.getDouble(0) - 55.5833) < 1e-4)
+    assert(rows.map(_.getString(2)).exists(_.trim == "Finngrundet"))
+    // attribute columns surface verbatim
+    assert(df.columns.contains("LATITUDE.units"))
+  }
+
+  test("read_netcdf CF-decodes the gridded file through the flatten rule") {
+    import spark.implicits._
+    // time axis as the grid → 1 row, time decoded via 'seconds since 1981-01-01'
+    val df = NetcdfSource.readFile(spark, refNc, dimensions = Some(Seq("time")))
+    val r = df.select($"time").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[java.time.LocalDateTime](0) ==
+      java.time.LocalDateTime.of(1981, 1, 1, 0, 0).plusSeconds(1014940800L))
+  }
+
+  // --------------------------------------------------- Zarr DSv2 scan
+
+  test("zarr DSv2: full scan matches store row count; values CF-decode") {
+    import spark.implicits._
+    val df = graft.sources.zarr.ZarrSource.read(spark, Seq(refZarr))
+    assert(df.count() == 1L * 1208 * 1920)
+    // scale/offset → kelvin; fill → NULL
+    val some = df.select($"lat", $"lon", $"analysed_sst")
+      .filter($"analysed_sst".isNotNull).limit(5).collect()
+    assert(some.nonEmpty)
+    assert(some.forall(r => r.getDouble(2) > 250 && r.getDouble(2) < 320))
+  }
+
+  test("zarr DSv2: coordinate predicates prune chunk partitions") {
+    val spec = ZarrSpec(refZarr, None)
+    val all = ZarrScanPlanner.partitions(spec, Array.empty)
+    // lat chunks: 1208/302 = 4; lon chunks: 1920/960 = 2 → 8 regions
+    assert(all.length == 8)
+    val pruned = ZarrScanPlanner.partitions(spec,
+      Array(org.apache.spark.sql.sources.LessThan("lat", 39.5)))
+    assert(pruned.length == 2, s"expected 2 regions after lat pruning, got ${pruned.length}")
+    val both = ZarrScanPlanner.partitions(spec,
+      Array(org.apache.spark.sql.sources.LessThan("lat", 39.5),
+        org.apache.spark.sql.sources.GreaterThan("lon", 40.0)))
+    assert(both.length == 1)
+    // and the pruned scan still answers correctly end-to-end
+    import spark.implicits._
+    val df = graft.sources.zarr.ZarrSource.read(spark, Seq(refZarr))
+      .filter($"lat" < 39.5 && $"lon" > 40.0)
+    val full = df.count()
+    // every surviving row satisfies the predicate (Spark re-applies filters)
+    assert(full > 0)
+    assert(df.select(min($"lat"), max($"lat"), min($"lon")).collect().forall { r =>
+      r.getDouble(1) < 39.5 && r.getDouble(2) > 40.0
+    })
+  }
+}
