@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.QueriesCore.queries ++
     graft.queries.QueriesEngine.queries ++
-    graft.queries.QueriesData.queries
+    graft.queries.QueriesData.queries ++
+    graft.queries.QueriesFormats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.QueriesCore.oracles ++
     graft.queries.QueriesEngine.oracles ++
-    graft.queries.QueriesData.oracles
+    graft.queries.QueriesData.oracles ++
+    graft.queries.QueriesFormats.oracles
 }

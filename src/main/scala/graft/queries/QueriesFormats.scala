@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftSession, Tables}
+import graft.sources.netcdf.{NetcdfSource, NetcdfWriter}
+
+/** Gate queries for the ND format layer (SURVEY §2.1 read_netcdf /
+  * read_hdf5 / read_zarr + §2.2 netcdf writer).
+  *
+  *  - q_netcdf_roundtrip is fully non-circular: the events table is
+  *    aggregated, written to a NetCDF classic file by [[NetcdfWriter]],
+  *    read back by the classic parser, and the DuckDB oracle recomputes
+  *    the aggregate from the original parquet.
+  *  - q_netcdf_profile / q_zarr_gridded read the reference's own
+  *    fixtures (an HDF5/NetCDF-4 profile file and a Zarr v3 store) and
+  *    compare against committed parquet equivalents; their independence
+  *    argument lives in FormatsSpec (bit-for-bit cross-container
+  *    agreement between the two disjoint parsers).
+  */
+object QueriesFormats {
+
+  val refProf = "/root/reference/test-datasets/test_file.nc"
+  val refZarr = "/root/reference/test-datasets/gridded-example.zarr"
+  private val fixtures = "/root/repo/src/test/resources/fixtures"
+
+  /** flattened Argo-style profile file over the (N_PROF, N_LEVELS) grid */
+  def netcdfProfile(spark: SparkSession): DataFrame = {
+    GraftSession.configure(spark)
+    NetcdfSource.readFile(spark, refProf,
+      dimensions = Some(Seq("N_PROF", "N_LEVELS")))
+      .select(col("JULD").cast(TimestampNTZType).as("juld"),
+        round(col("LATITUDE"), 6).as("lat"),
+        round(col("LONGITUDE"), 6).as("lon"),
+        round(col("TEMP"), 6).as("temp"),
+        round(col("PSAL"), 6).as("psal"),
+        round(col("DEPH"), 6).as("deph"),
+        col("PLATFORM_NUMBER").as("platform"),
+        col("DC_REFERENCE").as("dc_ref"))
+      .orderBy("lat", "lon", "deph", "temp")
+  }
+
+  /** pruned Zarr v3 scan of the gridded SST store (2 of 8 chunk regions) */
+  def zarrGridded(spark: SparkSession): DataFrame = {
+    GraftSession.configure(spark)
+    graft.sources.zarr.ZarrSource.read(spark, Seq(refZarr))
+      .filter(col("lat") >= 43.0 && col("lat") <= 43.3) // open Black Sea band
+      .select(round(col("lat"), 6).as("lat"),
+        round(col("lon"), 6).as("lon"),
+        round(col("analysed_sst"), 6).as("sst"),
+        col("mask").cast(IntegerType).as("mask"))
+      .orderBy("lat", "lon")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_netcdf_roundtrip" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ncgate")
+        .resolve("daily.nc").toString
+      NetcdfWriter.writeFlat(daily, tmp)
+      NetcdfSource.readFile(s, tmp)
+        .select(col("day"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("day", "event_type")
+    },
+    "q_netcdf_profile" -> { (s, _) => netcdfProfile(s) },
+    "q_zarr_gridded" -> { (s, _) => zarrGridded(s) },
+  )
+
+  val oracles: Map[String, String] = Map(
+    // n comes back as DOUBLE (classic netcdf has no 64-bit int; documented)
+    "q_netcdf_roundtrip" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           event_type, CAST(count(*) AS DOUBLE) AS n,
+           round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q_netcdf_profile" ->
+      s"SELECT * FROM read_parquet('$fixtures/netcdf_profile/*.parquet') ORDER BY lat, lon, deph, temp",
+    "q_zarr_gridded" ->
+      s"SELECT * FROM read_parquet('$fixtures/zarr_gridded_slice/*.parquet') ORDER BY lat, lon",
+  )
+}
