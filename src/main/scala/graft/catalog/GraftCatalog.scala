@@ -51,6 +51,55 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     register(d)
   }
 
+  // ---- ALTER TABLE (managed): copy-on-write schema evolution, the
+  // same rewrite stance as DELETE/UPDATE (reference lower.rs:71-107)
+
+  def alterAddColumn(name: String, column: String, sqlType: String): Unit = {
+    requireManaged(name)
+    val df = spark.read.parquet(dataDir(name).toString)
+    rewrite(name, df.withColumn(column,
+      lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(sqlType))))
+  }
+
+  def alterDropColumn(name: String, column: String): Unit = {
+    requireManaged(name)
+    val df = spark.read.parquet(dataDir(name).toString)
+    require(df.columns.contains(column), s"no column $column in $name")
+    rewrite(name, df.drop(column))
+  }
+
+  def alterRenameColumn(name: String, from: String, to: String): Unit = {
+    requireManaged(name)
+    val df = spark.read.parquet(dataDir(name).toString)
+    require(df.columns.contains(from), s"no column $from in $name")
+    rewrite(name, df.withColumnRenamed(from, to))
+  }
+
+  private def requireManaged(name: String): Unit =
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+
+  /** ANALYZE FILES: collect the per-file min/max/null registry for an
+    * external table into `<warehouse>/_stats/<name>` (reference
+    * file_stats.rs; internals/file-statistics.md). Queries through the
+    * JSON DSL can then prune files before the scan. */
+  def analyzeFiles(name: String): Long = {
+    val d = definition(name).filter(_.kind == "external").getOrElse(
+      throw new IllegalArgumentException(s"$name is not an external table"))
+    val files = graft.sources.FileCollection.expandGlobs(spark, d.paths)
+    val stats = graft.stats.FileStats.collect(
+      spark, d.format.getOrElse("parquet"), files, d.options)
+    graft.stats.FileStats.write(stats, statsDir(name))
+    files.length.toLong
+  }
+
+  def statsDir(name: String): String =
+    Paths.get(warehouse, "_stats", name).toString
+
+  def fileStats(name: String): DataFrame =
+    graft.stats.FileStats.load(spark, statsDir(name))
+
+  private def definition(name: String): Option[TableDef] = load(name)
+
   def createView(name: String, sql: String): Unit = {
     val d = TableDef(name, "view", sql = Some(sql))
     persist(d)

@@ -50,10 +50,11 @@ object JsonQuery {
       tableResolver: String => DataFrame): DataFrame = {
     val fields = body.obj.toMap
 
-    // ---- from
+    // ---- from (file-stats pruning consults the query's own filter
+    // tree BEFORE the scan's file list is built — see FileStats)
     var df = fields.get("from") match {
       case Some(JString(name)) => tableResolver(name)
-      case Some(o: JObject)    => fromFormat(spark, o)
+      case Some(o: JObject)    => fromFormat(spark, o, pruneConds(fields))
       case Some(other) => throw new DslException(s"bad from: $other")
       case None => tableResolver("default")
     }
@@ -120,7 +121,44 @@ object JsonQuery {
 
   private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "odv", "tiff", "zarr", "bbf")
 
-  private def fromFormat(spark: SparkSession, o: JObject): DataFrame = {
+  /** best-effort pruning conditions: AND-reachable comparison leaves of
+    * the filter tree (OR subtrees contribute nothing — conservative) */
+  private def pruneConds(fields: Map[String, JValue]): Seq[graft.stats.FileStats.Cond] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[graft.stats.FileStats.Cond]
+    def condOf(column: String, op: String, v: JValue): Unit = v match {
+      case JInt(n)     => out += graft.stats.FileStats.Cond(column, op, Some(n.toDouble), None)
+      case JLong(n)    => out += graft.stats.FileStats.Cond(column, op, Some(n.toDouble), None)
+      case JDouble(d)  => out += graft.stats.FileStats.Cond(column, op, Some(d), None)
+      case JDecimal(d) => out += graft.stats.FileStats.Cond(column, op, Some(d.toDouble), None)
+      case JString(s)  => out += graft.stats.FileStats.Cond(column, op, None, Some(s))
+      case _ => ()
+    }
+    def walk(v: JValue): Unit = v match {
+      case JObject(o) =>
+        val m = o.toMap
+        def column: Option[String] =
+          m.get("column").orElse(m.get("for_query_parameter"))
+            .collect { case JString(c) => c }
+        if (m.contains("and")) m("and") match {
+          case JArray(fs) => fs.foreach(walk)
+          case _ => ()
+        }
+        else column.foreach { c =>
+          Seq("eq" -> "eq", "gt" -> "gt", "gt_eq" -> "gte", "min" -> "gte",
+            "low" -> "gte", "lt" -> "lt", "lt_eq" -> "lte", "max" -> "lte",
+            "high" -> "lte").foreach { case (key, op) =>
+            m.get(key).foreach(condOf(c, op, _))
+          }
+        }
+      case _ => ()
+    }
+    fields.get("filter").foreach(walk)
+    fields.get("filters").foreach { case JArray(fs) => fs.foreach(walk); case _ => () }
+    out.toSeq
+  }
+
+  private def fromFormat(spark: SparkSession, o: JObject,
+      conds: Seq[graft.stats.FileStats.Cond] = Seq.empty): DataFrame = {
     val m = o.obj.toMap
     val fmtKey = m.keys.find(formatKeys.contains).getOrElse(
       throw new DslException(s"unknown from format in ${m.keys.mkString(",")}"))
@@ -128,11 +166,18 @@ object JsonQuery {
       case JObject(s) => s.toMap
       case other => throw new DslException(s"bad $fmtKey spec: $other")
     }
-    val paths = spec.get("paths") match {
+    val paths0 = spec.get("paths") match {
       case Some(JArray(ps)) => ps.collect { case JString(p) => p }
       case Some(JString(p)) => Seq(p)
       case _ => throw new DslException(s"$fmtKey requires paths")
     }
+    // stats registry next to the data: prune the file list up front
+    val paths = spec.get("stats").collect { case JString(statsDir) =>
+      val files = FileCollection.expandGlobs(spark, paths0)
+      graft.stats.FileStats.pruneFiles(spark, statsDir, files, conds)
+    }.getOrElse(paths0)
+    if (paths.isEmpty)
+      return spark.emptyDataFrame
     fmtKey match {
       case "parquet" => FileCollection.parquet(spark, paths: _*)
       case "csv" =>

@@ -1,0 +1,108 @@
+package graft.sql
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File egress + dataset introspection statements (SURVEY §2.1/§2.2):
+  * `COPY … TO`, `LIST DATASETS`, `DESCRIBE FORMAT` — the engine-side
+  * halves of the reference's output wrapper (query/output.rs), dataset
+  * listing UDTF (list_datasets.rs) and `<fmt>_schema` UDTFs
+  * (schema_function.rs).
+  */
+object Outputs {
+
+  /** COPY … TO '<path>' [FORMAT fmt]; format inferred from the
+    * extension when not given. Multi-file formats (parquet/csv) write
+    * distributed; single-file formats (arrow IPC, netcdf) stream from
+    * the driver with bounded memory. */
+  def copyTo(df: DataFrame, path: String, format: Option[String]): Long = {
+    val fmt = format.getOrElse {
+      path.toLowerCase match {
+        case p if p.endsWith(".csv") => "csv"
+        case p if p.endsWith(".nc") => "netcdf"
+        case p if p.endsWith(".arrow") || p.endsWith(".feather") || p.endsWith(".ipc") => "arrow"
+        case _ => "parquet"
+      }
+    }
+    val n = spark(df).sparkContext.longAccumulator("graft.copy.rows")
+    val counted = {
+      import org.apache.spark.sql.catalyst.encoders.RowEncoder
+      df.mapPartitions { it => it.map { r => n.add(1); r } }(
+        RowEncoder.encoderFor(df.schema))
+    }
+    fmt match {
+      case "parquet" => counted.write.mode("overwrite").parquet(path)
+      case "csv" => counted.write.mode("overwrite").option("header", "true").csv(path)
+      case "arrow" => graft.sources.ArrowSource.writeSingleFile(counted, path)
+      case "netcdf" => graft.sources.netcdf.NetcdfWriter.writeFlat(counted, path)
+      case other => throw new IllegalArgumentException(s"COPY TO format '$other' unsupported")
+    }
+    n.value
+  }
+
+  /** classify every file/store under a root by format (extension +
+    * magic bytes; a directory with zarr.json is a zarr store) */
+  def listDatasets(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootPath = Paths.get(root)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def classify(p: java.nio.file.Path): Option[String] = {
+      val name = p.getFileName.toString.toLowerCase
+      if (Files.isDirectory(p)) {
+        if (Files.exists(p.resolve("zarr.json"))) Some("zarr") else None
+      } else if (name.endsWith(".parquet")) Some("parquet")
+      else if (name.endsWith(".csv")) Some("csv")
+      else if (name.endsWith(".arrow") || name.endsWith(".feather")) Some("arrow")
+      else if (name.endsWith(".txt") || name.endsWith(".odv")) Some("odv")
+      else if (name.endsWith(".nc") || name.endsWith(".nc4") || name.endsWith(".cdf") ||
+        name.endsWith(".h5") || name.endsWith(".hdf5")) {
+        // magic: classic CDF vs HDF5 container
+        val in = Files.newInputStream(p)
+        val head = in.readNBytes(4); in.close()
+        if (head.length >= 4 && head(0) == 'C' && head(1) == 'D' && head(2) == 'F') Some("netcdf")
+        else if (head.length >= 4 && (head(0) & 0xFF) == 0x89 && head(1) == 'H') Some("netcdf")
+        else None
+      } else None
+    }
+    def walk(p: java.nio.file.Path): Unit = {
+      classify(p) match {
+        case Some(fmt) =>
+          val size =
+            if (Files.isDirectory(p))
+              Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+                .map(Files.size).sum
+            else Files.size(p)
+          out += ((p.toString, fmt, size))
+        case None if Files.isDirectory(p) =>
+          Files.list(p).iterator().asScala.toSeq.sorted.foreach(walk)
+        case None => ()
+      }
+    }
+    walk(rootPath)
+    out.toSeq.toDF("path", "format", "size_bytes")
+  }
+
+  /** `<fmt>_schema` UDTF equivalent: the merged scan schema of a glob,
+    * one row per column, without reading data */
+  def describeFormat(spark: SparkSession, format: String, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val df = format match {
+      case "parquet" => graft.sources.FileCollection.parquet(spark, paths: _*)
+      case "csv" => graft.sources.FileCollection.csv(spark, paths, Map.empty)
+      case "arrow" => graft.sources.ArrowSource.read(spark, paths)
+      case "odv" => graft.sources.OdvSource.read(spark, paths)
+      case "netcdf" => graft.sources.netcdf.NetcdfSource.read(spark, paths)
+      case "zarr" => graft.sources.zarr.ZarrSource.read(spark, paths)
+      case other => throw new IllegalArgumentException(s"DESCRIBE FORMAT '$other' unsupported")
+    }
+    df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("column_name", "data_type", "nullable")
+  }
+
+  private def spark(df: DataFrame): SparkSession = df.sparkSession
+}

@@ -42,6 +42,22 @@ object Statements {
     ("""(?is)^UPDATE\s+""" + Id + """\s+SET\s+(.+)$""").r
   private val reShowTables =
     """(?is)^SHOW\s+GRAFT\s+TABLES\s*$""".r
+  private val reAnalyze =
+    ("""(?is)^ANALYZE\s+FILES\s+(?:FOR\s+)?""" + Id + """\s*$""").r
+  private val reShowStats =
+    ("""(?is)^SHOW\s+FILE\s+STATISTICS\s+(?:FOR\s+)?""" + Id + """\s*$""").r
+  private val reCopy =
+    """(?is)^COPY\s+(.+?)\s+TO\s+'((?:[^']|'')+)'(?:\s+FORMAT\s+(\w+))?\s*$""".r
+  private val reAlterAdd =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Id + """\s+ADD\s+COLUMN\s+""" + Id + """\s+([\w()\d,\s]+?)\s*$""").r
+  private val reAlterDrop =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Id + """\s+DROP\s+COLUMN\s+""" + Id + """\s*$""").r
+  private val reAlterRename =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Id + """\s+RENAME\s+COLUMN\s+""" + Id + """\s+TO\s+""" + Id + """\s*$""").r
+  private val reListDatasets =
+    """(?is)^LIST\s+DATASETS\s+'((?:[^']|'')+)'\s*$""".r
+  private val reDescribeFormat =
+    """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
 
   /** strip one level of backtick / double quoting (doubled quotes unescape) */
   private[sql] def unquote(id: String): String =
@@ -97,6 +113,33 @@ object Statements {
         }
         catalog.update(name, parseAssignments(sets), pred.map(_.trim))
         Some(status(spark, s"updated $name"))
+      case reCopy(src, path0, fmt) =>
+        val path = path0.replace("''", "'")
+        val df =
+          if (src.trim.startsWith("(") && src.trim.endsWith(")"))
+            spark.sql(src.trim.stripPrefix("(").stripSuffix(")"))
+          else spark.table(unquote(src.trim))
+        val n = Outputs.copyTo(df, path, Option(fmt).map(_.toLowerCase))
+        Some(status(spark, s"copied $n rows to $path"))
+      case reAlterAdd(name0, col0, tpe) =>
+        catalog.alterAddColumn(unquote(name0), unquote(col0), tpe.trim)
+        Some(status(spark, s"added column ${unquote(col0)}"))
+      case reAlterDrop(name0, col0) =>
+        catalog.alterDropColumn(unquote(name0), unquote(col0))
+        Some(status(spark, s"dropped column ${unquote(col0)}"))
+      case reAlterRename(name0, from0, to0) =>
+        catalog.alterRenameColumn(unquote(name0), unquote(from0), unquote(to0))
+        Some(status(spark, s"renamed column ${unquote(from0)} to ${unquote(to0)}"))
+      case reListDatasets(root) =>
+        Some(Outputs.listDatasets(spark, root.replace("''", "'")))
+      case reDescribeFormat(fmt, locs) =>
+        Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
+      case reAnalyze(name0) =>
+        val name = unquote(name0)
+        val n = catalog.analyzeFiles(name)
+        Some(status(spark, s"analyzed $n files of $name"))
+      case reShowStats(name0) =>
+        Some(catalog.fileStats(unquote(name0)))
       case reShowTables() =>
         import spark.implicits._
         Some(catalog.tables()

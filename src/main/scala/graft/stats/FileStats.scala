@@ -1,0 +1,142 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics + scan pruning — the engine's version of
+  * the reference's file-statistics service (beacon-core/src/
+  * file_stats.rs; docs internals/file-statistics.md): a background /
+  * on-demand pass records per-file per-column min/max + row/null
+  * counts; scans consult the registry and skip files whose range
+  * cannot satisfy the predicate. This is what makes a million-file
+  * archive queryable: a selective query opens ~the files that matter,
+  * not the archive.
+  *
+  * Spark-first shape: collection is ONE distributed aggregation
+  * grouped by `input_file_name()` (no per-file driver loop), the
+  * registry is a plain parquet table under the warehouse, and pruning
+  * is a driver-side filter over the (tiny) registry before the scan's
+  * file list is built — the same planInputPartitions-time decision a
+  * DSv2 FileIndex would make, without private Spark APIs.
+  */
+object FileStats {
+
+  /** long-format registry: one row per (file, column) */
+  val registrySchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("min_num", DoubleType, nullable = true),
+    StructField("max_num", DoubleType, nullable = true),
+    StructField("min_str", StringType, nullable = true),
+    StructField("max_str", StringType, nullable = true),
+    StructField("n_nulls", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+
+  /** one distributed pass over all files: min/max/nulls per column,
+    * grouped by source file */
+  def collect(spark: SparkSession, format: String, files: Seq[String],
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val df = spark.read.format(format).options(options).load(files: _*)
+    val cols = df.schema.fields
+    val perFile = df.withColumn("__file", input_file_name())
+      .groupBy(col("__file"))
+      .agg(count(lit(1)).as("__n"),
+        cols.flatMap { f =>
+          val c = col("`" + f.name.replace("`", "``") + "`")
+          val numeric = f.dataType.isInstanceOf[NumericType] ||
+            f.dataType == DateType || f.dataType == TimestampType ||
+            f.dataType == TimestampNTZType || f.dataType == BooleanType
+          Seq(
+            (if (numeric) min(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+              .as(s"__min_num_${f.name}"),
+            (if (numeric) max(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+              .as(s"__max_num_${f.name}"),
+            (if (f.dataType == StringType) min(c) else lit(null).cast(StringType))
+              .as(s"__min_str_${f.name}"),
+            (if (f.dataType == StringType) max(c) else lit(null).cast(StringType))
+              .as(s"__max_str_${f.name}"),
+            sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
+        }.toIndexedSeq: _*)
+    // unpivot to long format
+    val entries = cols.map { f =>
+      struct(lit(f.name).as("column"),
+        col(s"`__min_num_${f.name}`").as("min_num"),
+        col(s"`__max_num_${f.name}`").as("max_num"),
+        col(s"`__min_str_${f.name}`").as("min_str"),
+        col(s"`__max_str_${f.name}`").as("max_str"),
+        col(s"`__nulls_${f.name}`").as("n_nulls"))
+    }
+    perFile.select(col("__file").as("file"), col("__n").as("n_rows"),
+        explode(array(entries.toIndexedSeq: _*)).as("e"))
+      .select(col("file"), col("e.column").as("column"),
+        col("e.min_num"), col("e.max_num"), col("e.min_str"), col("e.max_str"),
+        col("e.n_nulls"), col("n_rows"))
+  }
+
+  def write(stats: DataFrame, dir: String): Unit =
+    stats.coalesce(1).write.mode("overwrite").parquet(dir)
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(registrySchema).parquet(dir)
+
+  /** a pruning condition on one column (numeric or lexicographic) */
+  final case class Cond(column: String, op: String, num: Option[Double], str: Option[String]) {
+    def satisfiable(minN: Option[Double], maxN: Option[Double],
+        minS: Option[String], maxS: Option[String], nRows: Long, nNulls: Long): Boolean = {
+      def test[T](mn: T, mx: T, v: T)(implicit ord: Ordering[T]): Boolean = op match {
+        case "eq"  => ord.lteq(mn, v) && ord.lteq(v, mx)
+        case "gt"  => ord.gt(mx, v)
+        case "gte" => ord.gteq(mx, v)
+        case "lt"  => ord.lt(mn, v)
+        case "lte" => ord.lteq(mn, v)
+        case _     => true
+      }
+      (num, minN, maxN) match {
+        case (Some(v), Some(mn), Some(mx)) => test(mn, mx, v)
+        case _ =>
+          (str, minS, maxS) match {
+            case (Some(v), Some(mn), Some(mx)) => test(mn, mx, v)
+            // all-NULL column (no min/max recorded): only IS NOT NULL-ish
+            // conds could prune; value conds can't match any row, but we
+            // stay conservative and keep the file
+            case _ => true
+          }
+      }
+    }
+  }
+
+  /** URI-vs-path normalization (input_file_name yields file:///…) */
+  private def norm(p: String): String = {
+    val s = p.stripPrefix("file:")
+    if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
+  }
+
+  /** files whose recorded ranges can satisfy every condition (files
+    * absent from the registry are kept — pruning is never lossy) */
+  def pruneFiles(spark: SparkSession, statsDir: String, files: Seq[String],
+      conds: Seq[Cond]): Seq[String] = {
+    if (conds.isEmpty) return files
+    val stats = load(spark, statsDir)
+      .filter(col("column").isin(conds.map(_.column).distinct: _*))
+      .collect()
+      .groupBy(r => norm(r.getString(0)))
+    files.filter { f =>
+      stats.get(norm(f)) match {
+        case None => true // unknown file: keep
+        case Some(rows) =>
+          conds.forall { c =>
+            rows.find(_.getString(1) == c.column) match {
+              case None => true
+              case Some(r) =>
+                c.satisfiable(
+                  if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+                  if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+                  Option(r.getString(4)), Option(r.getString(5)),
+                  r.getLong(7), r.getLong(6))
+            }
+          }
+      }
+    }
+  }
+}

@@ -108,6 +108,68 @@ class CatalogSpec extends AnyFunSuite {
     engine.sql("DROP TABLE upd_lit")
   }
 
+  test("ANALYZE FILES + JSON-DSL stats pruning skips non-matching files") {
+    import spark.implicits._
+    // four files with disjoint key ranges
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    (0 until 4).foreach { i =>
+      (i * 100 until (i + 1) * 100).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$dir/part$i")
+    }
+    engine.sql(s"CREATE EXTERNAL TABLE stats_t STORED AS parquet LOCATION '$dir/part*/*.parquet'")
+    val st = engine.sql("ANALYZE FILES FOR stats_t").collect()(0).getString(0)
+    assert(st.contains("analyzed 4 files"))
+    val reg = engine.sql("SHOW FILE STATISTICS FOR stats_t")
+    assert(reg.count() == 8) // 4 files × 2 columns
+    // a selective DSL query must open only the one matching file
+    val statsDir = engine.catalog.statsDir("stats_t")
+    val q = s"""{"select": ["k", "v"],
+      "filters": [{"column": "k", "gt_eq": 250, "lt_eq": 260}],
+      "from": {"parquet": {"paths": ["$dir/part*/*.parquet"], "stats": "$statsDir"}}}"""
+    val df = engine.jsonQuery(q)
+    assert(df.count() == 11)
+    val opened = df.inputFiles.toSeq
+    assert(opened.length == 1, s"expected 1 file after pruning, got ${opened.length}")
+    assert(opened.head.contains("part2"))
+    // unknown predicate columns / no stats → no pruning, still correct
+    val qAll = s"""{"select": ["k"], "filters": [{"column": "v", "eq": "v5"}],
+      "from": {"parquet": {"paths": ["$dir/part*/*.parquet"], "stats": "$statsDir"}}}"""
+    assert(engine.jsonQuery(qAll).count() == 1)
+    engine.sql("DROP TABLE stats_t")
+  }
+
+  test("ALTER TABLE add/drop/rename columns (copy-on-write)") {
+    engine.sql("CREATE TABLE alter_t AS SELECT * FROM VALUES (1, 'a'), (2, 'b') t(id, s)")
+    engine.sql("ALTER TABLE alter_t ADD COLUMN score double")
+    assert(engine.sql("SELECT score FROM alter_t").collect().forall(_.isNullAt(0)))
+    engine.sql("ALTER TABLE alter_t RENAME COLUMN s TO label")
+    assert(engine.sql("SELECT label FROM alter_t WHERE id = 1").collect()(0).getString(0) == "a")
+    engine.sql("ALTER TABLE alter_t DROP COLUMN score")
+    assert(!engine.sql("SELECT * FROM alter_t").columns.contains("score"))
+    engine.sql("DROP TABLE alter_t")
+  }
+
+  test("COPY TO writes parquet/csv/netcdf and reports row counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    val st = engine.sql(s"COPY (SELECT n_nationkey, n_name FROM ext_nation) TO '$dir/nat_pq' FORMAT parquet")
+      .collect()(0).getString(0)
+    assert(st.contains("copied 25 rows"))
+    assert(spark.read.parquet(s"$dir/nat_pq").count() == 25)
+    engine.sql(s"COPY ext_nation TO '$dir/nat.nc'")
+    assert(graft.sources.netcdf.NetcdfSource.readFile(spark, s"$dir/nat.nc").count() == 25)
+  }
+
+  test("LIST DATASETS classifies files; DESCRIBE FORMAT returns the scan schema") {
+    val rows = engine.sql("LIST DATASETS '/root/reference/test-datasets'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows.exists(_._1.endsWith("gridded-example.zarr")))
+    assert(rows.values.toSet.contains("zarr"))
+    assert(rows.exists { case (p, f) => p.endsWith("test_file.nc") && f == "netcdf" })
+    val sch = engine.sql(
+      "DESCRIBE FORMAT parquet '/root/testdata/sf0.001/nation.parquet'").collect()
+    assert(sch.map(_.getString(0)).toSet == Set("n_nationkey", "n_name", "n_regionkey"))
+  }
+
   test("EXPLAIN over graft-rewritten statements returns a formatted plan") {
     val plan = engine.sql("EXPLAIN SUMMARIZE ext_nation").collect()(0).getString(0)
     assert(plan.contains("Physical Plan"))
