@@ -197,9 +197,11 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def register(d: TableDef): Unit = d.kind match {
     case "external" =>
       val df = d.format.get match {
-        case "arrow" => graft.sources.ArrowSource.read(spark, d.paths)
-        case "odv"   => graft.sources.OdvSource.read(spark, d.paths)
-        case fmt     => FileCollection.read(spark, fmt, d.paths, d.options)
+        case "arrow"           => graft.sources.ArrowSource.read(spark, d.paths)
+        case "odv"             => graft.sources.OdvSource.read(spark, d.paths)
+        case "netcdf" | "hdf5" => graft.sources.netcdf.NetcdfSource.read(spark, d.paths)
+        case "zarr"            => graft.sources.zarr.ZarrSource.read(spark, d.paths)
+        case fmt               => FileCollection.read(spark, fmt, d.paths, d.options)
       }
       df.createOrReplaceTempView(d.name)
     case "managed" =>

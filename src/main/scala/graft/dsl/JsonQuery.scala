@@ -114,12 +114,27 @@ object JsonQuery {
     // ---- offset / limit (builder.limit(offset, limit))
     fields.get("offset").collect { case JInt(n) => df = df.offset(n.toInt) }
     fields.get("limit").collect { case JInt(n) => df = df.limit(n.toInt) }
+
+    // ---- output (reference: wrap the plan in COPY TO — output.rs):
+    // {"output": {"format": "...", "path": "..."}} writes the result and
+    // returns a one-row receipt frame
+    fields.get("output").foreach {
+      case JObject(o) =>
+        val om = o.toMap
+        val path = om.get("path").collect { case JString(p) => p }
+          .getOrElse(throw new DslException("output requires path"))
+        val fmt = om.get("format").collect { case JString(f) => f.toLowerCase }
+        val n = graft.sql.Outputs.copyTo(df, path, fmt)
+        import spark.implicits._
+        df = Seq((path, n)).toDF("path", "rows")
+      case other => throw new DslException(s"bad output: $other")
+    }
     df
   }
 
   // ------------------------------------------------------------- from
 
-  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "odv", "tiff", "zarr", "bbf")
+  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "bbf")
 
   /** best-effort pruning conditions: AND-reachable comparison leaves of
     * the filter tree (OR subtrees contribute nothing — conservative) */
@@ -185,7 +200,7 @@ object JsonQuery {
         FileCollection.csv(spark, paths, Map("delimiter" -> delim))
       case "arrow" => graft.sources.ArrowSource.read(spark, paths)
       case "odv"   => graft.sources.OdvSource.read(spark, paths)
-      case "netcdf" =>
+      case "netcdf" | "hdf5" => // NetCDF-4 IS an HDF5 container: shared reader
         val dims = spec.get("dimensions") match {
           case Some(JArray(ds)) => Some(ds.collect { case JString(d) => d })
           case _ => None

@@ -24,6 +24,7 @@ object Outputs {
       path.toLowerCase match {
         case p if p.endsWith(".csv") => "csv"
         case p if p.endsWith(".nc") => "netcdf"
+        case p if p.endsWith(".odv") => "odv"
         case p if p.endsWith(".arrow") || p.endsWith(".feather") || p.endsWith(".ipc") => "arrow"
         case _ => "parquet"
       }
@@ -39,6 +40,7 @@ object Outputs {
       case "csv" => counted.write.mode("overwrite").option("header", "true").csv(path)
       case "arrow" => graft.sources.ArrowSource.writeSingleFile(counted, path)
       case "netcdf" => graft.sources.netcdf.NetcdfWriter.writeFlat(counted, path)
+      case "odv" => graft.sources.OdvWriter.write(counted, path)
       case other => throw new IllegalArgumentException(s"COPY TO format '$other' unsupported")
     }
     n.value

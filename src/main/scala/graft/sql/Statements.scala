@@ -56,6 +56,8 @@ object Statements {
     ("""(?is)^ALTER\s+TABLE\s+""" + Id + """\s+RENAME\s+COLUMN\s+""" + Id + """\s+TO\s+""" + Id + """\s*$""").r
   private val reListDatasets =
     """(?is)^LIST\s+DATASETS\s+'((?:[^']|'')+)'\s*$""".r
+  private val reRunCrawler =
+    """(?is)^RUN\s+CRAWLER\s+'((?:[^']|'')+)'\s*$""".r
   private val reDescribeFormat =
     """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
 
@@ -132,6 +134,8 @@ object Statements {
         Some(status(spark, s"renamed column ${unquote(from0)} to ${unquote(to0)}"))
       case reListDatasets(root) =>
         Some(Outputs.listDatasets(spark, root.replace("''", "'")))
+      case reRunCrawler(root) =>
+        Some(graft.catalog.Crawler.run(spark, catalog, root.replace("''", "'")))
       case reDescribeFormat(fmt, locs) =>
         Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
       case reAnalyze(name0) =>

@@ -170,6 +170,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(sch.map(_.getString(0)).toSet == Set("n_nationkey", "n_name", "n_regionkey"))
   }
 
+  test("RUN CRAWLER discovers and registers datasets by (dir, format)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/obs2020"))
+    import spark.implicits._
+    Seq((1, "x"), (2, "y")).toDF("id", "s").write.parquet(s"$dir/obs2020/data.parquet")
+    val reg = engine.sql(s"RUN CRAWLER '$dir'").collect()
+    assert(reg.nonEmpty)
+    val names = reg.map(_.getString(0))
+    assert(names.exists(_.contains("data") || names.contains("obs2020")), names.mkString(","))
+    val t = names.head
+    assert(engine.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 2)
+    engine.sql(s"DROP TABLE $t")
+  }
+
+  test("ODV writer round-trips through the ODV reader") {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 42L, 3.5, java.time.LocalDateTime.of(2021, 6, 1, 12, 0)),
+      ("c2", 7L, -0.25, java.time.LocalDateTime.of(2021, 6, 2, 0, 30)))
+      .toDF("Cruise", "depth", "temp", "time_ISO8601")
+    val path = java.nio.file.Files.createTempDirectory("graft-odv").resolve("out.txt").toString
+    graft.sources.OdvWriter.write(df, path)
+    val back = graft.sources.OdvSource.read(spark, Seq(path)).orderBy("Cruise").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[Long]("depth") == 42L)
+    assert(back(0).getAs[Double]("temp") == 3.5)
+    assert(back(0).getAs[java.time.LocalDateTime]("time_ISO8601") ==
+      java.time.LocalDateTime.of(2021, 6, 1, 12, 0))
+  }
+
+  test("JSON-DSL output clause writes the result and returns a receipt") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dslout").toString
+    val receipt = engine.jsonQuery(s"""{"select": ["n_name"], "from": "ext_nation",
+      "output": {"format": "csv", "path": "$dir/names"}}""").collect()(0)
+    assert(receipt.getLong(1) == 25)
+    assert(spark.read.option("header", "true").csv(s"$dir/names").count() == 25)
+  }
+
   test("EXPLAIN over graft-rewritten statements returns a formatted plan") {
     val plan = engine.sql("EXPLAIN SUMMARIZE ext_nation").collect()(0).getString(0)
     assert(plan.contains("Physical Plan"))

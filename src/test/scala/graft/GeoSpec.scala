@@ -77,4 +77,37 @@ class GeoSpec extends AnyFunSuite {
     assert(contains(g, 0, 0))
     assert(!contains(g, 9, 9))
   }
+
+  test("WKB codec: point/polygon/multipolygon decode to parseable WKT") {
+    import graft.sources.GeoParquet
+    val pt = GeoParquet.pointWkb(3.5, -7.25)
+    assert(GeoParquet.wkbToWkt(pt) == "POINT (3.5 -7.25)")
+    // hand-built little-endian WKB polygon (unit square)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + 5 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(3); bb.putInt(1); bb.putInt(5)
+    Seq((0, 0), (10, 0), (10, 10), (0, 10), (0, 0)).foreach { case (x, y) =>
+      bb.putDouble(x); bb.putDouble(y)
+    }
+    val wkt = GeoParquet.wkbToWkt(bb.array())
+    val g = parseWkt(wkt)
+    assert(contains(g, 5, 5) && !contains(g, 15, 5))
+  }
+
+  test("geoparquet write → read: point geometry + WKT bridge to geo functions") {
+    val spark = GraftSession.build("local[2]", 2)
+    import spark.implicits._
+    val df = Seq((1L, 5.0, 5.0), (2L, 50.0, 50.0)).toDF("id", "lon", "lat")
+    val dir = java.nio.file.Files.createTempDirectory("graft-geopq").resolve("pts").toString
+    graft.sources.GeoParquet.write(df, dir, "lon", "lat")
+    val back = graft.sources.GeoParquet.read(spark, Seq(dir))
+    assert(back.columns.contains("geometry") && back.columns.contains("geometry_wkt"))
+    val inSquare = back.filter(
+      graft.functions.GraftFunctions.st_within_point(
+        org.apache.spark.sql.functions.lit(square), $"lon", $"lat"))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(inSquare == Set(1L))
+    assert(back.filter($"id" === 1).select($"geometry_wkt").collect()(0)
+      .getString(0) == "POINT (5.0 5.0)")
+  }
 }
