@@ -46,6 +46,18 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming deduplication — the stream-native half of the dedup
+    * family ([[graft.operators.Dedup]]): exact duplicate suppression on
+    * a key (e.g. content fingerprint) with watermark-bounded state, so
+    * a continuous ingestion pipeline holds per-key state only for the
+    * lateness horizon instead of forever — the property that keeps a
+    * 100 TB/day ingest's state store bounded. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Sliding-window event rate. */
   def slidingRate(events: DataFrame, window: String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =

@@ -205,6 +205,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: deterministic centroids, bounded probes, high recall on clustered data") {
+    import spark.implicits._
+    // 3 well-separated clusters of 60 vectors each
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.fill(16)(5.0f), Array.fill(16)(-5.0f),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0f else -5.0f))
+    val vecs = (0 until 180).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f)).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val m1 = IvfIndex.train(df, "embedding", k = 3, seed = 7)
+    val m2 = IvfIndex.train(df, "embedding", k = 3, seed = 7)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq, "deterministic")
+    // assignments must recover the 3 clusters
+    val cells = IvfIndex.assign(df, "embedding", m1)
+      .select($"vec_id", $"__cell").collect()
+      .groupBy(r => r.getLong(0) % 3).map { case (g, rs) => g -> rs.map(_.getInt(1)).distinct }
+    assert(cells.values.forall(_.length == 1), "each true cluster maps to one cell")
+    // ANN vs brute force: same top-3 within a cluster-heavy corpus
+    val queries = df.filter($"vec_id" < 6)
+    val ann = IvfIndex.topK(df, queries, "vec_id", "embedding", m1, k = 3, nProbe = 1)
+      .select($"query_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.map { case (q, ns) => (ann.getOrElse(q, Set.empty) & ns).size.toDouble / ns.size }
+    assert(recall.sum / recall.size >= 0.9, s"IVF recall ${recall.sum / recall.size}")
+  }
+
+  test("salted join spreads a hot key across salt partitions with identical results") {
+    import spark.implicits._
+    // hot key: 0 appears 1000x on the large side
+    val large = ((0 until 1000).map(_ => (0L, "h")) ++ (1 to 50).map(i => (i.toLong, "t")))
+      .toDF("k", "tag")
+    val small = (0L to 50L).map(k => (k, s"dim$k")).toDF("k", "dim")
+    val salted = SkewTools.saltedJoin(large, small, "k", salt = 8)
+    val plain = large.join(small, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().orderBy("k").collect().toSeq ==
+      plain.groupBy("k").count().orderBy("k").collect().toSeq)
+  }
+
   // -------------------------------------------------------------- as-of
 
   test("as-of join picks latest right row at or before left time, ties by max key") {

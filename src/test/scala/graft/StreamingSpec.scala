@@ -52,6 +52,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate keys within the watermark") {
+    // duplicate the drop: every event appears twice in the stream input
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    val deduped = EventStreams.dedupStream(stream, Seq("event_id"), "1 day")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val got = spark.table("dedup_out").count()
+      assert(got == ev.count(), s"expected ${ev.count()} unique events, got $got")
+    } finally q.stop()
+  }
+
   test("gap sessionization: a later-batch event past the gap closes the session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
