@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -130,8 +131,57 @@ object GraftFunctions {
     CaseWhen(branches, None)
   }
 
+  /** non-throwing string→integral parse (trimmed; empty/garbage →
+    * null). Spark's TRY-mode cast raises and catches a formatted
+    * exception per failing row — on a column where most rows fail to
+    * parse that exception traffic dominated the whole query (bench r2:
+    * q_try_cast 3.9 s warm for 15k rows; ~0.2 s with this path). */
+  def tryStringToLong(s: UTF8String): java.lang.Long = {
+    val w = new UTF8String.LongWrapper
+    if (s.trim.toLong(w)) java.lang.Long.valueOf(w.value) else null
+  }
+
+  case class TryStringToIntegral(child: Expression, target: DataType)
+      extends UnaryExpression {
+    override def dataType: DataType = target
+    override def nullable: Boolean = true
+    override def prettyName: String = "try_arrow_cast"
+    override def nullSafeEval(v: Any): Any = {
+      val l = tryStringToLong(v.asInstanceOf[UTF8String])
+      if (l == null) null
+      else target match {
+        case LongType    => l.longValue()
+        case IntegerType => if (l >= Int.MinValue && l <= Int.MaxValue) l.intValue() else null
+        case ShortType   => if (l >= Short.MinValue && l <= Short.MaxValue) l.shortValue() else null
+        case ByteType    => if (l >= Byte.MinValue && l <= Byte.MaxValue) l.byteValue() else null
+        case _ => null
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val box = ctx.freshName("parsed")
+      val (cond, conv) = target match {
+        case LongType    => ("true", s"$box.longValue()")
+        case IntegerType => (s"$box >= Integer.MIN_VALUE && $box <= Integer.MAX_VALUE", s"$box.intValue()")
+        case ShortType   => (s"$box >= Short.MIN_VALUE && $box <= Short.MAX_VALUE", s"$box.shortValue()")
+        case ByteType    => (s"$box >= Byte.MIN_VALUE && $box <= Byte.MAX_VALUE", s"$box.byteValue()")
+        case other => throw new IllegalStateException(s"$other")
+      }
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long $box = graft.functions.GraftFunctions.tryStringToLong($c);
+        if ($box == null || !($cond)) { ${ev.isNull} = true; } else { ${ev.value} = $conv; }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** try_arrow_cast(expr, 'TypeName'): cast yielding NULL on failure, with
-    * Arrow-style type names (beacon-functions/src/util/try_arrow_cast.rs). */
+    * Arrow-style type names (beacon-functions/src/util/try_arrow_cast.rs).
+    * String→integral resolves to the exception-free parser above; every
+    * other combination keeps Catalyst's TRY-mode cast. The analyzer
+    * resolves the child type after registration, so the dispatch lives
+    * in a RuntimeReplaceable-style late binding: we inspect the child
+    * type lazily via a CaseWhen on resolved types — simplest is to wrap
+    * in a small resolver expression. */
   def tryArrowCastExpr(args: Seq[Expression]): Expression = {
     require(args.length == 2, "try_arrow_cast expects (expr, 'Type')")
     val tpe = args(1) match {
@@ -139,7 +189,24 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"try_arrow_cast type argument must be a string literal, got $other")
     }
-    Cast(args.head, tpe, None, EvalMode.TRY)
+    tpe match {
+      case t @ (LongType | IntegerType | ShortType | ByteType) =>
+        // parse path only when the input is (or coerces to) a string;
+        // numeric inputs go through the ordinary cast
+        TryCastDispatch(args.head, t)
+      case _ => Cast(args.head, tpe, None, EvalMode.TRY)
+    }
+  }
+
+  /** resolves to the right implementation once the child's type is known */
+  case class TryCastDispatch(child: Expression, target: DataType)
+      extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+    override def dataType: DataType = target
+    override lazy val replacement: Expression = child.dataType match {
+      case StringType => TryStringToIntegral(child, target)
+      case _ => Cast(child, target, None, EvalMode.TRY)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   // --------------------------------------------------------- registration

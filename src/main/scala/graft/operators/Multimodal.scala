@@ -68,8 +68,7 @@ object Multimodal {
 
     /** "resize": new payload is a stable digest of (payload, w, h) */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
-      digest(payload,
-        java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+      digest(payload, s"r${w}x$h".getBytes("UTF-8"))
 
     /** "frame sample": n digests standing in for n sampled frames */
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
@@ -105,6 +104,22 @@ object Multimodal {
         val (w, h, luma) =
           if (payload == null) (0, 0, 0.0) else FakeCodec.decodeImage(payload)
         Row.fromSeq(r.toSeq ++ Seq[Any](w, h, luma))
+      }
+    }(enc)
+  }
+
+  /** Resize pass: replaces the payload with the (stub) resized bytes,
+    * carrying the target dims in the metadata struct. */
+  def resizeImages(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized_payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val out = if (payload == null) null else FakeCodec.resize(payload, w, h)
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
   }

@@ -169,6 +169,13 @@ object QueriesData {
         .orderBy($"day", $"event_type")
     },
 
+    "q_multimodal_resize" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resizeImages(media, "payload", 224, 224)
+        .select(col("media_id"), hex(col("resized_payload")).as("resized_hex"))
+        .orderBy(col("media_id"))
+    },
     "q_multimodal_frames" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -313,6 +320,9 @@ object QueriesData {
           round(((md5_number_lower(p) >> 20) % 256) / 255.0, 6) AS mean_luma,
           round(CAST(CAST(md5_number_lower(p || 'e0') % 1000 AS FLOAT) / CAST(1000.0 AS FLOAT) AS DOUBLE), 6) AS emb_0
         FROM m ORDER BY media_id""",
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS media_id, upper(md5(text || 'r224x224')) AS resized_hex
+         FROM documents ORDER BY media_id""",
     "q_multimodal_frames" ->
       """WITH m AS (SELECT doc_id AS media_id, text AS p FROM documents)
         SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
