@@ -38,7 +38,8 @@ final case class NdDataset(
   def volume(v: NdVariable): Long =
     v.dims.map(d => dimSize(d).toLong).product
 
-  require(variables.nonEmpty, "an ND dataset needs at least one variable")
+  // zero variables is legal: a fully column-pruned scan (count(*)
+  // shape) still has a row count — the product of the grid dims
   variables.foreach { v =>
     val expect = v.dims.map(d => dimSize(d).toLong).product
     require(v.length == expect,

@@ -86,7 +86,11 @@ object Hdf5Reader {
 
   // ------------------------------------------------------- entry point
 
-  def readDataset(path: String): NdDataset = {
+  def readDataset(path: String): NdDataset = readDataset(path, _ => true)
+
+  /** `keep` skips the (expensive) data decode of unselected variables;
+    * structure and attributes still parse so dimensions resolve. */
+  def readDataset(path: String, keep: String => Boolean): NdDataset = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val mapped = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
@@ -95,7 +99,7 @@ object Hdf5Reader {
       val rootAttrs = mutable.LinkedHashMap.empty[String, AttrVal]
       val datasets = mutable.ArrayBuffer.empty[Dataset]
       walkGroup(h5, rootAddr, "", datasets, rootAttrs, depth = 0)
-      toNd(h5, datasets.toSeq, rootAttrs.toMap)
+      toNd(h5, datasets.toSeq, rootAttrs.toMap, keep)
     } finally ch.close()
   }
 
@@ -965,7 +969,8 @@ object Hdf5Reader {
   private val hiddenAttrs = Set("CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
     "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties")
 
-  private def toNd(h5: H5, datasets: Seq[Dataset], rootAttrs: Map[String, AttrVal]): NdDataset = {
+  private def toNd(h5: H5, datasets: Seq[Dataset], rootAttrs: Map[String, AttrVal],
+      keep: String => Boolean = _ => true): NdDataset = {
     val dimScales = datasets.filter(_.attrs.get("CLASS").exists(_.render == "DIMENSION_SCALE"))
     val byAddr = dimScales.map(d => d.addr -> d).toMap
     val dims: Seq[(String, Int)] = dimScales.map(d => d.name -> d.dims.headOption.getOrElse(1L).toInt)
@@ -985,7 +990,10 @@ object Hdf5Reader {
       }
 
     val extraDims = mutable.LinkedHashMap.empty[String, Int]
-    val vars = datasets.filter(d => !byAddr.contains(d.addr) || !isPhony(d)).map { d =>
+    val vars = datasets
+      .filter(d => !byAddr.contains(d.addr) || !isPhony(d))
+      .filter(d => keep(d.name))
+      .map { d =>
       val attrs = d.attrs.view.filterKeys(k => !hiddenAttrs.contains(k))
         .map { case (k, v) => k -> v.render }.toMap
       val axes0 = axisNames(d)

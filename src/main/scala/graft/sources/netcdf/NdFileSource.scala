@@ -1,0 +1,110 @@
+package graft.sources.netcdf
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.nd.NdFlatten
+
+/** DataSourceV2 over NetCDF/HDF5 containers: partition = file, column
+  * pruning drops variables the query never references BEFORE their
+  * bytes decode (the `keep` hook in both container parsers) — for wide
+  * scientific files, unread variables are most of the decode cost.
+  * The grid is resolved once on the driver and shipped explicitly, so
+  * pruning can never change grid selection.
+  *
+  * (The Zarr DSv2 additionally prunes chunks; classic/HDF5 archives
+  * are shaped as many modest files, so file-level parallelism + var
+  * pruning is the matching design — SURVEY §2.1.)
+  */
+class NdFileTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NdFileSource.schema(NdFileSource.specOf(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new NdFileTable(NdFileSource.specOf(new CaseInsensitiveStringMap(properties)), schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final case class NdFileSpec(files: Seq[String], grid: Seq[String])
+
+class NdFileTable(spec: NdFileSpec, schema0: StructType) extends Table with SupportsRead {
+  override def name(): String = s"netcdf(${spec.files.take(2).mkString(",")}…)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NdFileScanBuilder(spec, schema0)
+}
+
+class NdFileScanBuilder(spec: NdFileSpec, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.nonEmpty) required = requiredSchema
+  override def build(): Scan = new NdFileScan(spec, required)
+}
+
+class NdFileScan(spec: NdFileSpec, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    spec.files.map(f => NdFilePartition(f, spec.grid, required): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new NdFileReaderFactory
+}
+
+final case class NdFilePartition(file: String, grid: Seq[String],
+    required: StructType) extends InputPartition
+
+class NdFileReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new NdFilePartitionReader(p.asInstanceOf[NdFilePartition])
+}
+
+class NdFilePartitionReader(p: NdFilePartition) extends PartitionReader[InternalRow] {
+  private val rows: Iterator[InternalRow] = {
+    val requiredNames = p.required.fieldNames.toSet
+    // keep a variable when its column, or one of its attribute columns,
+    // is required; everything else never decodes
+    def keep(v: String): Boolean =
+      requiredNames.contains(v) || requiredNames.exists(_.startsWith(v + "."))
+    // zero kept variables (count(*) shape) is fine: the row count is
+    // the product of the grid dims, no data decodes at all
+    val ds = NetcdfSource.readContainer(p.file, keep)
+    val (schema, it) = NdFlatten.localRows(ds, Some(p.grid))
+    val srcIdx = p.required.fields.map(f => schema.fieldIndex(f.name))
+    val ser = ExpressionEncoder(RowEncoder.encoderFor(p.required)).createSerializer()
+    it.map { row =>
+      val vals = srcIdx.map(row.get(_))
+      ser(Row.fromSeq(vals.toIndexedSeq)).copy()
+    }
+  }
+  private var cur: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+object NdFileSource {
+  val SEP = ""
+
+  def specOf(options: CaseInsensitiveStringMap): NdFileSpec = {
+    val files = Option(options.get("files"))
+      .getOrElse(throw new IllegalArgumentException("ndfile: 'files' option required"))
+      .split(SEP).toSeq.filter(_.nonEmpty)
+    val grid = Option(options.get("grid"))
+      .getOrElse(throw new IllegalArgumentException("ndfile: 'grid' option required"))
+      .split(",").toSeq.map(_.trim)
+    NdFileSpec(files, grid)
+  }
+
+  def schema(spec: NdFileSpec): StructType =
+    NdFlatten.plan(NetcdfSource.readContainer(spec.files.head), Some(spec.grid)).schema
+}

@@ -169,8 +169,11 @@ object NetcdfClassic {
 
   /** Parse a classic file into the format-agnostic ND model. Char
     * variables decode to strings over their leading dims (last dim =
-    * string length). */
-  def readDataset(path: String): NdDataset = {
+    * string length). `keep` skips the data read (not the header parse)
+    * of unselected variables — the DSv2 column-pruning hook. */
+  def readDataset(path: String): NdDataset = readDataset(path, _ => true)
+
+  def readDataset(path: String, keep: String => Boolean): NdDataset = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val size = ch.size()
@@ -185,7 +188,7 @@ object NetcdfClassic {
 
       val rs = recSize(f.dims, f.vars)
 
-      val variables = f.vars.map { v =>
+      val variables = f.vars.filter(v => keep(v.name)).map { v =>
         val isRec = v.dimIds.headOption.exists(f.dims(_).isRecord)
         val attrs = v.attrs.map(a => a.name -> attrString(a)).toMap
         if (v.ncType == NC_CHAR) {

@@ -25,11 +25,12 @@ object NetcdfSource {
 
   private def localPath(p: String): String = p.stripPrefix("file:")
 
-  /** parse one container into the ND model (format-dispatched) */
-  def readContainer(path0: String): graft.nd.NdDataset = {
+  /** parse one container into the ND model (format-dispatched); `keep`
+    * skips data decode of unselected variables (DSv2 column pruning) */
+  def readContainer(path0: String, keep: String => Boolean = _ => true): graft.nd.NdDataset = {
     val path = localPath(path0)
-    if (NetcdfClassic.isClassic(path)) NetcdfClassic.readDataset(path)
-    else graft.sources.hdf5.Hdf5Reader.readDataset(path)
+    if (NetcdfClassic.isClassic(path)) NetcdfClassic.readDataset(path, keep)
+    else graft.sources.hdf5.Hdf5Reader.readDataset(path, keep)
   }
 
   def schemaOf(path: String, dimensions: Option[Seq[String]]): StructType =
@@ -48,16 +49,23 @@ object NetcdfSource {
     parts.reduce(_ union _)
   }
 
+  /** one schema group reads through the column-pruning DSv2 (partition
+    * = file, unselected variables never decode). The grid resolves on
+    * the driver from the group's first file so executor-side pruning
+    * can't change grid selection. */
   private def readGroup(spark: SparkSession, schema: StructType,
       files: Seq[String], dimensions: Option[Seq[String]]): DataFrame = {
-    val dims = dimensions
-    val rdd = spark.sparkContext
-      .parallelize(files, math.max(1, files.length))
-      .flatMap { f =>
-        val ds = readContainer(f)
-        NdFlatten.localRows(ds, dims)._2
-      }
-    spark.createDataFrame(rdd, schema)
+    val grid = dimensions.getOrElse {
+      val ds = readContainer(files.head)
+      val largest = ds.variables.maxBy(v => (ds.volume(v), -ds.variables.indexOf(v)))
+      largest.dims
+    }
+    spark.read
+      .format(classOf[NdFileTableProvider].getName)
+      .option("files", files.mkString(NdFileSource.SEP))
+      .option("grid", grid.mkString(","))
+      .schema(schema)
+      .load()
   }
 
   /** single-file convenience (tests, DSL) */

@@ -125,6 +125,23 @@ class FormatsSpec extends AnyFunSuite {
       java.time.LocalDateTime.of(1981, 1, 1, 0, 0).plusSeconds(1014940800L))
   }
 
+  test("netcdf DSv2: column pruning reaches the container decode") {
+    import spark.implicits._
+    // only LATITUDE requested → other variables must not decode
+    val df = NetcdfSource.readFile(spark, refProf, dimensions = Some(Seq("N_PROF")))
+      .select($"LATITUDE")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") || plan.contains("netcdf"), plan.take(300))
+    assert(df.collect().length == 8)
+    // count(*) with zero kept variables still knows the grid row count
+    val n = NetcdfSource.readFile(spark, refProf, dimensions = Some(Seq("N_PROF", "N_LEVELS")))
+      .count()
+    assert(n == 48)
+    // decode-level pruning: a keep predicate skips variable data loads
+    val pruned = NetcdfSource.readContainer(refProf, Set("LATITUDE").contains _)
+    assert(pruned.variables.map(_.name) == Seq("LATITUDE"))
+  }
+
   // --------------------------------------------------- Zarr DSv2 scan
 
   test("zarr DSv2: full scan matches store row count; values CF-decode") {
