@@ -70,6 +70,20 @@ object QueriesFormats {
     },
     "q_netcdf_profile" -> { (s, _) => netcdfProfile(s) },
     "q_zarr_gridded" -> { (s, _) => zarrGridded(s) },
+    // ODV writer+reader round trip, oracle recomputes from source parquet
+    "q_odv_roundtrip" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("time_ISO8601"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-odvgate")
+        .resolve("daily.txt").toString
+      graft.sources.OdvWriter.write(daily, tmp)
+      graft.sources.OdvSource.read(s, Seq(tmp))
+        .select(col("time_ISO8601"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("time_ISO8601", "event_type")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -83,5 +97,9 @@ object QueriesFormats {
       s"SELECT * FROM read_parquet('$fixtures/netcdf_profile/*.parquet') ORDER BY lat, lon, deph, temp",
     "q_zarr_gridded" ->
       s"SELECT * FROM read_parquet('$fixtures/zarr_gridded_slice/*.parquet') ORDER BY lat, lon",
+    "q_odv_roundtrip" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS "time_ISO8601",
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY "time_ISO8601", event_type""",
   )
 }
