@@ -51,6 +51,18 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     register(d)
   }
 
+  // ---- crawler definitions (reference crawler/definition.rs):
+  // persisted (name → prefix); RUN executes one discovery pass
+
+  def createCrawler(name: String, prefix: String): Unit =
+    persist(TableDef(name, "crawler", paths = Seq(prefix)))
+
+  def crawlers(): Seq[TableDef] = tables().filter(_.kind == "crawler")
+
+  def crawlerPrefix(name: String): String =
+    load(name).filter(_.kind == "crawler").map(_.paths.head)
+      .getOrElse(throw new IllegalArgumentException(s"no crawler $name"))
+
   // ---- ALTER TABLE (managed): copy-on-write schema evolution, the
   // same rewrite stance as DELETE/UPDATE (reference lower.rs:71-107)
 
@@ -210,6 +222,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       spark.sql(d.sql.get).createOrReplaceTempView(d.name)
     case "mview" =>
       spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
+    case "crawler" => // definitions only run on demand (RUN CRAWLER)
     case other => throw new IllegalStateException(s"unknown table kind $other")
   }
 

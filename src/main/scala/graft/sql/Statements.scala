@@ -58,6 +58,14 @@ object Statements {
     """(?is)^LIST\s+DATASETS\s+'((?:[^']|'')+)'\s*$""".r
   private val reRunCrawler =
     """(?is)^RUN\s+CRAWLER\s+'((?:[^']|'')+)'\s*$""".r
+  private val reCreateCrawler =
+    ("""(?is)^CREATE\s+CRAWLER\s+""" + Id + """\s+ON\s+'((?:[^']|'')+)'\s*$""").r
+  private val reRunNamedCrawler =
+    ("""(?is)^RUN\s+CRAWLER\s+""" + Id + """\s*$""").r
+  private val reDropCrawler =
+    ("""(?is)^DROP\s+CRAWLER\s+""" + Id + """\s*$""").r
+  private val reShowCrawlers =
+    """(?is)^SHOW\s+CRAWLERS\s*$""".r
   private val reDescribeFormat =
     """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
 
@@ -136,6 +144,20 @@ object Statements {
         Some(Outputs.listDatasets(spark, root.replace("''", "'")))
       case reRunCrawler(root) =>
         Some(graft.catalog.Crawler.run(spark, catalog, root.replace("''", "'")))
+      case reCreateCrawler(name0, prefix) =>
+        val name = unquote(name0)
+        catalog.createCrawler(name, prefix.replace("''", "'"))
+        Some(status(spark, s"created crawler $name"))
+      case reRunNamedCrawler(name0) =>
+        val name = unquote(name0)
+        Some(graft.catalog.Crawler.run(spark, catalog, catalog.crawlerPrefix(name)))
+      case reDropCrawler(name0) =>
+        catalog.drop(unquote(name0))
+        Some(status(spark, s"dropped crawler ${unquote(name0)}"))
+      case reShowCrawlers() =>
+        import spark.implicits._
+        Some(catalog.crawlers().map(d => (d.name, d.paths.mkString(",")))
+          .toDF("name", "prefix"))
       case reDescribeFormat(fmt, locs) =>
         Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
       case reAnalyze(name0) =>

@@ -184,6 +184,23 @@ class CatalogSpec extends AnyFunSuite {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("CREATE/RUN/SHOW/DROP CRAWLER lifecycle with persisted definitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl2").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/sensors"))
+    import spark.implicits._
+    Seq((1, 2.5)).toDF("id", "v").write.parquet(s"$dir/sensors/a.parquet")
+    engine.sql(s"CREATE CRAWLER cr1 ON '$dir'")
+    val listed = engine.sql("SHOW CRAWLERS").collect().map(_.getString(0))
+    assert(listed.contains("cr1"))
+    val reg = engine.sql("RUN CRAWLER cr1").collect()
+    assert(reg.nonEmpty)
+    val t = reg.head.getString(0)
+    assert(engine.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 1)
+    engine.sql("DROP CRAWLER cr1")
+    assert(!engine.sql("SHOW CRAWLERS").collect().map(_.getString(0)).contains("cr1"))
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("ODV writer round-trips through the ODV reader") {
     import spark.implicits._
     val df = Seq(
