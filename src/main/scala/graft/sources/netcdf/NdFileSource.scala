@@ -45,18 +45,27 @@ class NdFileTable(spec: NdFileSpec, schema0: StructType) extends Table with Supp
 }
 
 class NdFileScanBuilder(spec: NdFileSpec, fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (requiredSchema.nonEmpty) required = requiredSchema
-  override def build(): Scan = new NdFileScan(spec, required)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters // pruning-only: Spark re-applies every filter after the scan
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new NdFileScan(spec, required, pushed)
 }
 
-class NdFileScan(spec: NdFileSpec, required: StructType) extends Scan with Batch {
+class NdFileScan(spec: NdFileSpec, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    spec.files.map(f => NdFilePartition(f, spec.grid, required): InputPartition).toArray
+    NdFileSource.pruneFiles(spec, filters)
+      .map(f => NdFilePartition(f, spec.grid, required): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = new NdFileReaderFactory
 }
 
@@ -107,4 +116,56 @@ object NdFileSource {
 
   def schema(spec: NdFileSpec): StructType =
     NdFlatten.plan(NetcdfSource.readContainer(spec.files.head), Some(spec.grid)).schema
+
+  /** file-level predicate pruning — the archive story ("query a
+    * million files, open the few that matter"): for predicates on grid
+    * coordinate axes, each file's (tiny) 1-D coordinate variables are
+    * decoded at planning time — the keep hook skips everything else —
+    * and files whose coordinate range cannot satisfy the conjunction
+    * are dropped before any task launches. Conservative: files keep on
+    * any doubt, CF-time axes are excluded (filter literals arrive
+    * decoded), and Spark re-applies all filters post-scan. */
+  def pruneFiles(spec: NdFileSpec,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    val conds = scala.collection.mutable.Map.empty[String, List[(String, Double)]]
+      .withDefaultValue(Nil)
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue()); case _ => None
+    }
+    def walk(f: Filter): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, v) => num(v).foreach(d => conds(a) = ("eq", d) :: conds(a))
+      case GreaterThan(a, v) => num(v).foreach(d => conds(a) = ("gt", d) :: conds(a))
+      case GreaterThanOrEqual(a, v) => num(v).foreach(d => conds(a) = ("gte", d) :: conds(a))
+      case LessThan(a, v) => num(v).foreach(d => conds(a) = ("lt", d) :: conds(a))
+      case LessThanOrEqual(a, v) => num(v).foreach(d => conds(a) = ("lte", d) :: conds(a))
+      case _ => ()
+    }
+    filters.foreach(walk)
+    val coordNames = spec.grid.toSet.intersect(conds.keySet)
+    if (coordNames.isEmpty) return spec.files
+    spec.files.filter { f =>
+      try {
+        val ds = NetcdfSource.readContainer(f, coordNames.contains _)
+        coordNames.forall { c =>
+          ds.variables.find(v => v.name == c && !v.isString && v.dims == Seq(c)) match {
+            case Some(v) if v.data.nonEmpty &&
+                !v.attrs.get("units").exists(_.contains(" since ")) =>
+              val mn = v.data.min
+              val mx = v.data.max
+              conds(c).forall {
+                case ("eq", d)  => d >= mn && d <= mx
+                case ("gt", d)  => mx > d
+                case ("gte", d) => mx >= d
+                case ("lt", d)  => mn < d
+                case ("lte", d) => mn <= d
+                case _ => true
+              }
+            case _ => true // not a plain numeric coord axis: keep
+          }
+        }
+      } catch { case _: Throwable => true } // unreadable here: let the task report it
+    }
+  }
 }

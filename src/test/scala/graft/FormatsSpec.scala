@@ -142,6 +142,34 @@ class FormatsSpec extends AnyFunSuite {
     assert(pruned.variables.map(_.name) == Seq("LATITUDE"))
   }
 
+  test("netcdf DSv2: coordinate predicates prune whole files at planning") {
+    import graft.nd.{NdDataset, NdVariable}
+    import graft.sources.netcdf.{NdFileSpec, NdFileSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ncprune")
+    // four files covering disjoint x ranges [0,10), [10,20), …
+    val files = (0 until 4).map { i =>
+      val xs = Array.tabulate(10)(j => (i * 10 + j).toDouble)
+      val ds = NdDataset(Seq("x" -> 10), Seq(
+        NdVariable("x", Seq("x"), xs),
+        NdVariable("v", Seq("x"), xs.map(_ * 2))))
+      val p = dir.resolve(s"part$i.nc").toString
+      NetcdfWriter.writeNd(ds, p)
+      p
+    }
+    val spec = NdFileSpec(files, Seq("x"))
+    import org.apache.spark.sql.sources._
+    assert(NdFileSource.pruneFiles(spec, Array.empty).length == 4)
+    val pruned = NdFileSource.pruneFiles(spec,
+      Array(GreaterThanOrEqual("x", 25.0), LessThan("x", 31.0)))
+    assert(pruned.length == 2, s"expected files 2,3 to survive, got $pruned")
+    // end-to-end through the reader: filter answers stay exact
+    import spark.implicits._
+    val df = NetcdfSource.read(spark, files, dimensions = Some(Seq("x")))
+      .filter($"x" >= 25.0 && $"x" < 31.0)
+    assert(df.count() == 6)
+    assert(df.rdd.getNumPartitions <= 2, "pruned files must not become partitions")
+  }
+
   // --------------------------------------------------- Zarr DSv2 scan
 
   test("zarr DSv2: full scan matches store row count; values CF-decode") {
