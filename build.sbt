@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 executor threads inside ONE JVM; at 8g their sort/
+  // shuffle buffers push the old gen into GC thrash midway through a
+  // bench sweep (measured: 97s vs 61s total at sf0.1). 28g on the
+  // 128 GiB box restores per-executor headroom a real cluster would have.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

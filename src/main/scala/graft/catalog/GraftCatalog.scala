@@ -151,12 +151,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // footers (metadata-only), kept rows counted by an accumulator
     // riding the rewrite job itself
     val before = df.count() // metadata-only count: no data columns read
-    val acc = spark.sparkContext.longAccumulator(s"graft.delete.$name")
-    val counted = kept.toDF().mapPartitions { it =>
-      it.map { r => acc.add(1L); r }
-    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(kept.schema))
-    rewrite(name, counted)
-    before - acc.value
+    // kept-row count via observe(): observation metrics are applied
+    // exactly once per action (task retries / speculative attempts do
+    // not double-count, unlike accumulators in transformations)
+    val obs = new org.apache.spark.sql.Observation(s"graft.delete.$name")
+    rewrite(name, kept.observe(obs,
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("kept")))
+    before - obs.get("kept").asInstanceOf[Long]
   }
 
   /** UPDATE name SET col = expr, ... WHERE predicate — CASE-WHEN

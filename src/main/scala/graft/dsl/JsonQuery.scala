@@ -191,8 +191,17 @@ object JsonQuery {
       val files = FileCollection.expandGlobs(spark, paths0)
       graft.stats.FileStats.pruneFiles(spark, statsDir, files, conds)
     }.getOrElse(paths0)
+    // When stats pruning removes every file, later select/filter clauses
+    // must still resolve: return an empty frame with the format's real
+    // scan schema (built over the un-pruned list, limit 0 → no data read)
+    // instead of a zero-column emptyDataFrame.
     if (paths.isEmpty)
-      return spark.emptyDataFrame
+      return readFormat(spark, fmtKey, spec, paths0).limit(0)
+    readFormat(spark, fmtKey, spec, paths)
+  }
+
+  private def readFormat(spark: SparkSession, fmtKey: String,
+      spec: Map[String, JValue], paths: Seq[String]): DataFrame =
     fmtKey match {
       case "parquet" => FileCollection.parquet(spark, paths: _*)
       case "csv" =>
@@ -214,7 +223,6 @@ object JsonQuery {
         graft.sources.zarr.ZarrSource.read(spark, paths, dims)
       case other => throw new DslException(s"format '$other' reader not available")
     }
-  }
 
   // ----------------------------------------------------------- select
 

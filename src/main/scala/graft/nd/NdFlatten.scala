@@ -184,6 +184,36 @@ object NdFlatten {
     }
   }
 
+  /** Planning-time pruning stats for a raw coordinate slab: min/max in
+    * the SAME units the flattened rows (and therefore filter literals)
+    * carry — scale_factor/add_offset applied, _FillValue and NaN
+    * elements excluded. None when the axis is CF-time encoded (filter
+    * literals arrive as timestamps, not raw numbers) or when no
+    * comparable value remains — callers must keep the chunk/file then. */
+  def pruneStats(attrs: Map[String, String], raw: Array[Double]): Option[(Double, Double)] = {
+    if (attrs.get("units").exists(_.contains(" since "))) return None
+    val fill = attrs.get("_FillValue").flatMap(parseFill)
+    val scale = attrs.get("scale_factor").map(_.toDouble).getOrElse(1.0)
+    val offset = attrs.get("add_offset").map(_.toDouble).getOrElse(0.0)
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var any = false
+    var i = 0
+    while (i < raw.length) {
+      val r = raw(i)
+      if (!r.isNaN && !fill.contains(r)) {
+        val v = r * scale + offset
+        if (!v.isNaN) {
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          any = true
+        }
+      }
+      i += 1
+    }
+    if (any) Some((mn, mx)) else None
+  }
+
   private[nd] def decode(v: NdVariable): DecodedVar = {
     if (v.isString)
       return DecodedVar(v.name, v.dims, StringType, null, None, None, v.sdata)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, FileWriter}
+import java.io.BufferedWriter
 
 import scala.jdk.CollectionConverters._
 
@@ -34,7 +34,11 @@ object OdvWriter {
 
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
-    val w = new BufferedWriter(new FileWriter(path))
+    // explicit UTF-8: FileWriter would use the platform charset, which
+    // corrupts non-ASCII labels/units on non-UTF-8 JVMs while the ODV
+    // reader always decodes UTF-8 (round-trip contract)
+    val w: BufferedWriter = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
     try {
       w.write("//ODV Spreadsheet V4.6\n")
       w.write("//<Creator>graft</Creator>\n")

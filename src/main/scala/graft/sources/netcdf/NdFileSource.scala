@@ -150,17 +150,21 @@ object NdFileSource {
         val ds = NetcdfSource.readContainer(f, coordNames.contains _)
         coordNames.forall { c =>
           ds.variables.find(v => v.name == c && !v.isString && v.dims == Seq(c)) match {
-            case Some(v) if v.data.nonEmpty &&
-                !v.attrs.get("units").exists(_.contains(" since ")) =>
-              val mn = v.data.min
-              val mx = v.data.max
-              conds(c).forall {
-                case ("eq", d)  => d >= mn && d <= mx
-                case ("gt", d)  => mx > d
-                case ("gte", d) => mx >= d
-                case ("lt", d)  => mn < d
-                case ("lte", d) => mn <= d
-                case _ => true
+            case Some(v) if v.data.nonEmpty =>
+              // min/max in CF-DECODED units (scale/offset, fill/NaN
+              // excluded, time axes skipped) — the units the filter
+              // literals carry; raw packed values would mis-prune
+              graft.nd.NdFlatten.pruneStats(v.attrs, v.data) match {
+                case Some((mn, mx)) =>
+                  conds(c).forall {
+                    case ("eq", d)  => d >= mn && d <= mx
+                    case ("gt", d)  => mx > d
+                    case ("gte", d) => mx >= d
+                    case ("lt", d)  => mn < d
+                    case ("lte", d) => mn <= d
+                    case _ => true
+                  }
+                case None => true // time axis / all-fill: keep
               }
             case _ => true // not a plain numeric coord axis: keep
           }

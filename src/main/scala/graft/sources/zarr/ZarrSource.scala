@@ -149,11 +149,12 @@ object ZarrScanPlanner {
       if (gridArray.dims.lift(i).contains(d)) gridArray.chunkShape(i)
       else sizes(d)
     }
-    // coordinate axes usable for pruning: 1-D arrays named like their dim,
-    // not CF-time-encoded (filter literals arrive in decoded units)
+    // coordinate axes usable for pruning: 1-D arrays named like their
+    // dim. Min/max comparisons go through NdFlatten.pruneStats so they
+    // happen in CF-DECODED units (scale/offset applied, fill/NaN
+    // excluded, CF-time axes skipped) — the units filter literals carry.
     val coords: Map[String, ZarrStore.ZarrArray] = store.arrays
-      .filter(a => a.dims.length == 1 && a.dims.head == a.name &&
-        !a.attrs.get("units").exists(_.contains(" since ")))
+      .filter(a => a.dims.length == 1 && a.dims.head == a.name)
       .map(a => a.name -> a).toMap
     val conds = splitConds(filters)
 
@@ -165,9 +166,10 @@ object ZarrScanPlanner {
         case Some(coordVar) if conds.contains(d) =>
           slices.filter { case (_, s, e) =>
             val vals = ZarrStore.readRegion(coordVar, Array(s), Array(e))
-            val mn = vals.min
-            val mx = vals.max
-            conds(d).forall(c => c.satisfiable(mn, mx))
+            graft.nd.NdFlatten.pruneStats(coordVar.attrs, vals) match {
+              case Some((mn, mx)) => conds(d).forall(c => c.satisfiable(mn, mx))
+              case None => true // time axis / no comparable values: keep
+            }
           }
         case _ => slices
       }

@@ -29,21 +29,36 @@ object Outputs {
         case _ => "parquet"
       }
     }
-    val n = spark(df).sparkContext.longAccumulator("graft.copy.rows")
-    val counted = {
-      import org.apache.spark.sql.catalyst.encoders.RowEncoder
-      df.mapPartitions { it => it.map { r => n.add(1); r } }(
-        RowEncoder.encoderFor(df.schema))
-    }
     fmt match {
-      case "parquet" => counted.write.mode("overwrite").parquet(path)
-      case "csv" => counted.write.mode("overwrite").option("header", "true").csv(path)
-      case "arrow" => graft.sources.ArrowSource.writeSingleFile(counted, path)
-      case "netcdf" => graft.sources.netcdf.NetcdfWriter.writeFlat(counted, path)
-      case "odv" => graft.sources.OdvWriter.write(counted, path)
+      case "parquet" | "csv" =>
+        // distributed write: row receipt via observe() — observation
+        // metrics apply exactly once per action, so task retries and
+        // speculative attempts can't skew the count (accumulators can)
+        val obs = new org.apache.spark.sql.Observation("graft.copy.rows")
+        val counted = df.observe(obs,
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+        if (fmt == "parquet") counted.write.mode("overwrite").parquet(path)
+        else counted.write.mode("overwrite").option("header", "true").csv(path)
+        obs.get("rows").asInstanceOf[Long]
+      case "arrow" | "netcdf" | "odv" =>
+        // single-file formats stream every row through the driver via
+        // toLocalIterator; count rows as they arrive at the driver —
+        // each row is delivered exactly once regardless of task retries
+        val n = spark(df).sparkContext.longAccumulator("graft.copy.rows")
+        val counted = {
+          import org.apache.spark.sql.catalyst.encoders.RowEncoder
+          df.mapPartitions { it => it.map { r => n.add(1); r } }(
+            RowEncoder.encoderFor(df.schema))
+        }
+        fmt match {
+          case "arrow" => graft.sources.ArrowSource.writeSingleFile(counted, path)
+          case "netcdf" => graft.sources.netcdf.NetcdfWriter.writeFlat(counted, path)
+          case _ => graft.sources.OdvWriter.write(counted, path)
+        }
+        n.value
       case other => throw new IllegalArgumentException(s"COPY TO format '$other' unsupported")
     }
-    n.value
   }
 
   /** classify every file/store under a root by format (extension +

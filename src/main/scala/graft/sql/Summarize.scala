@@ -31,6 +31,22 @@ object Summarize {
     case _ => false
   })
 
+  /** N-way multi-`countDistinct` in one Aggregate makes Spark plan an
+    * Expand: every input row is replicated once per distinct group
+    * (17× for lineitem) and the whole multiple shuffles. For simple
+    * scan-shaped sources it is much cheaper — locally ~2× and at scale
+    * shuffle-free — to run one non-distinct pass plus one tiny
+    * per-column distinct-count job (parquet column pruning means each
+    * job reads exactly one column; jobs run concurrently). Complex
+    * sources (joins/aggs/windows upstream) keep the single-pass form so
+    * the upstream plan is not re-executed per column. */
+  private def cheapToRescan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: Aggregate | _: Join | _: Window | _: Union | _: Distinct => ()
+    }.isEmpty
+  }
+
   def summarize(df: DataFrame): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "SUMMARIZE requires a source with at least one column")
@@ -41,15 +57,36 @@ object Summarize {
 
     def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
+    // distinct counts: concurrent one-column jobs when re-scanning the
+    // source is cheap; otherwise folded into the single aggregation pass
+    val splitDistinct = cheapToRescan(df)
+    val distinctOf: Map[Int, Long] =
+      if (!splitDistinct) Map.empty
+      else {
+        import scala.concurrent._
+        import scala.concurrent.duration._
+        import ExecutionContext.Implicits.global
+        val jobs = fields.zipWithIndex.collect {
+          case (f, i) if isOrderable(f.dataType) => Future {
+            i -> df.select(q(f.name)).agg(countDistinct(q(f.name))).collect()(0).getLong(0)
+          }
+        }
+        Await.result(Future.sequence(jobs.toSeq), 60.minutes).toMap
+      }
+
     val aggs: Seq[Column] = count(lit(1)).cast(LongType).as("__n") +:
       fields.zipWithIndex.flatMap { case (f, i) =>
         val c = q(f.name)
         val orderable = isOrderable(f.dataType)
         val numeric = isNumeric(f.dataType)
+        val uniq =
+          if (!orderable) nullI
+          else if (splitDistinct) lit(distinctOf(i)).cast(LongType)
+          else countDistinct(c).cast(LongType)
         Seq(
           (if (orderable) min(c).cast(StringType) else nullV).as(s"c${i}_min"),
           (if (orderable) max(c).cast(StringType) else nullV).as(s"c${i}_max"),
-          (if (orderable) countDistinct(c).cast(LongType) else nullI).as(s"c${i}_uniq"),
+          uniq.as(s"c${i}_uniq"),
           (if (numeric) avg(c.cast(DoubleType)) else nullD).as(s"c${i}_avg"),
           (if (numeric) stddev(c.cast(DoubleType)) else nullD).as(s"c${i}_std"),
           count(c).cast(LongType).as(s"c${i}_cnt"))

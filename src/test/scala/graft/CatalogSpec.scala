@@ -135,6 +135,14 @@ class CatalogSpec extends AnyFunSuite {
     val qAll = s"""{"select": ["k"], "filters": [{"column": "v", "eq": "v5"}],
       "from": {"parquet": {"paths": ["$dir/part*/*.parquet"], "stats": "$statsDir"}}}"""
     assert(engine.jsonQuery(qAll).count() == 1)
+    // a predicate matching NO file still resolves select/filter columns
+    // against the scan schema and returns an empty result (ADVICE r2)
+    val qNone = s"""{"select": ["k", "v"],
+      "filters": [{"column": "k", "gt": 99999}],
+      "from": {"parquet": {"paths": ["$dir/part*/*.parquet"], "stats": "$statsDir"}}}"""
+    val none = engine.jsonQuery(qNone)
+    assert(none.columns.toSeq == Seq("k", "v"))
+    assert(none.count() == 0)
     engine.sql("DROP TABLE stats_t")
   }
 

@@ -134,4 +134,28 @@ class NdSpec extends AnyFunSuite {
     assert(flat.length == 4)
     assert(flat.count(_.isNullAt(2)) == 2)
   }
+
+  test("pruneStats: planning min/max is in CF-decoded units (ADVICE r2)") {
+    // packed axis: raw shorts 100..400, scale 0.1, offset 5 → 15.0..45.0
+    val packed = NdFlatten.pruneStats(
+      Map("scale_factor" -> "0.1", "add_offset" -> "5"),
+      Array(100.0, 200.0, 300.0, 400.0))
+    assert(packed.contains((15.0, 45.0)))
+    // _FillValue elements must not poison min/max (plain and NaN fills)
+    assert(NdFlatten.pruneStats(Map("_FillValue" -> "-9999"),
+      Array(-9999.0, 3.0, 7.0)).contains((3.0, 7.0)))
+    assert(NdFlatten.pruneStats(Map.empty,
+      Array(Double.NaN, 3.0, 7.0)).contains((3.0, 7.0)))
+    // base64 little-endian double NaN fill (zarr v3 style) + all-fill slab
+    val b64NaN = java.util.Base64.getEncoder.encodeToString {
+      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(Double.NaN); bb.array()
+    }
+    assert(NdFlatten.pruneStats(Map("_FillValue" -> b64NaN),
+      Array(Double.NaN, 1.5)).contains((1.5, 1.5)))
+    assert(NdFlatten.pruneStats(Map.empty, Array(Double.NaN, Double.NaN)).isEmpty)
+    // CF-time axes are never pruned on raw numbers
+    assert(NdFlatten.pruneStats(
+      Map("units" -> "days since 1950-01-01"), Array(1.0, 2.0)).isEmpty)
+  }
 }
