@@ -214,6 +214,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case "odv"             => graft.sources.OdvSource.read(spark, d.paths)
         case "netcdf" | "hdf5" => graft.sources.netcdf.NetcdfSource.read(spark, d.paths)
         case "zarr"            => graft.sources.zarr.ZarrSource.read(spark, d.paths)
+        case "delta"           => graft.sources.delta.DeltaSource.read(
+          spark, d.paths.head, d.options.get("versionAsOf"))
+        case "iceberg"         => graft.sources.iceberg.IcebergSource.read(
+          spark, d.paths.head, d.options.get("versionAsOf"))
         case fmt               => FileCollection.read(spark, fmt, d.paths, d.options)
       }
       df.createOrReplaceTempView(d.name)

@@ -134,7 +134,7 @@ object JsonQuery {
 
   // ------------------------------------------------------------- from
 
-  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "bbf")
+  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "bbf", "delta", "iceberg")
 
   /** best-effort pruning conditions: AND-reachable comparison leaves of
     * the filter tree (OR subtrees contribute nothing — conservative) */
@@ -221,8 +221,24 @@ object JsonQuery {
           case _ => None
         }
         graft.sources.zarr.ZarrSource.read(spark, paths, dims)
+      case "delta" => // read_delta(location [, version_or_ts]): one table dir
+        require(paths.size == 1, "delta takes exactly one table location")
+        graft.sources.delta.DeltaSource.read(spark, paths.head, travelSpec(spec))
+      case "iceberg" =>
+        require(paths.size == 1, "iceberg takes exactly one table location")
+        graft.sources.iceberg.IcebergSource.read(spark, paths.head, travelSpec(spec))
       case other => throw new DslException(s"format '$other' reader not available")
     }
+
+  /** optional time travel: integer version or RFC-3339 timestamp */
+  private def travelSpec(spec: Map[String, JValue]): Option[String] =
+    spec.get("version_or_timestamp").orElse(spec.get("version")).orElse(spec.get("timestamp"))
+      .map {
+        case JString(s)  => s
+        case JInt(n)     => n.toString
+        case JLong(n)    => n.toString
+        case other => throw new DslException(s"bad version_or_timestamp: $other")
+      }
 
   // ----------------------------------------------------------- select
 

@@ -54,7 +54,63 @@ object QueriesFormats {
       .orderBy("lat", "lon")
   }
 
+  /** events → daily aggregate used by the table-format round trips */
+  private def dailyAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+
+  private val dailyAggSql =
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       FROM events %s GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Delta tx-log round trip: append → DELETE WHERE → checkpoint, then
+    // read latest through the JSON DSL (checkpoint replay + from.delta
+    // wiring) and version 0 via time travel; oracle recomputes both
+    // snapshots from the source parquet (non-circular).
+    "q_delta_snapshot" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import graft.sources.delta.DeltaSource
+      val daily = dailyAgg(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-deltagate")
+        .resolve("t").toString
+      DeltaSource.Writer.append(daily, tmp)                          // v0
+      DeltaSource.Writer.deleteWhere(s, tmp, "event_type = 'click'") // v1
+      DeltaSource.Writer.checkpoint(s, tmp)                          // ckpt @1
+      val cols = Seq("day", "event_type", "n", "total_value", "snap")
+      val latest = graft.dsl.JsonQuery.compile(s,
+        s"""{"select": ["day", "event_type", "n", "total_value"],
+             "from": {"delta": {"paths": ["$tmp"]}}}""")
+        .withColumn("snap", lit("latest")).select(cols.map(col): _*)
+      val v0 = DeltaSource.read(s, tmp, Some("0"))
+        .withColumn("snap", lit("v0")).select(cols.map(col): _*)
+      latest.unionAll(v0).orderBy("snap", "day", "event_type")
+    },
+    // Iceberg round trip: two appended snapshots, read latest through
+    // the DSL and snapshot 1 via time travel; oracle recomputes from
+    // the source parquet. (The reference fixture's metadata — written
+    // by iceberg-rust — is decoded in IcebergSpec; its data files are
+    // not shipped, so the data gate rides our own Writer.)
+    "q_iceberg_snapshot" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import graft.sources.iceberg.IcebergSource
+      val daily = dailyAgg(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-iceberggate")
+        .resolve("t").toString
+      IcebergSource.Writer.append(s, daily.filter(col("event_type") =!= "click"), tmp) // snap 1
+      IcebergSource.Writer.append(s, daily.filter(col("event_type") === "click"), tmp) // snap 2
+      val cols = Seq("day", "event_type", "n", "total_value", "snap")
+      val latest = graft.dsl.JsonQuery.compile(s,
+        s"""{"select": ["day", "event_type", "n", "total_value"],
+             "from": {"iceberg": {"paths": ["$tmp"]}}}""")
+        .withColumn("snap", lit("latest")).select(cols.map(col): _*)
+      val snap1 = IcebergSource.read(s, tmp, Some("1"))
+        .withColumn("snap", lit("s1")).select(cols.map(col): _*)
+      latest.unionAll(snap1).orderBy("snap", "day", "event_type")
+    },
     "q_netcdf_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
       val daily = Tables.load(s, dir, "events")
@@ -87,6 +143,18 @@ object QueriesFormats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_delta_snapshot" ->
+      s"""SELECT * FROM (
+            SELECT 'latest' AS snap, q.* FROM (${dailyAggSql.format("WHERE event_type <> 'click'")}) q
+            UNION ALL
+            SELECT 'v0' AS snap, q.* FROM (${dailyAggSql.format("")}) q
+          ) ORDER BY snap, day, event_type""",
+    "q_iceberg_snapshot" ->
+      s"""SELECT * FROM (
+            SELECT 'latest' AS snap, q.* FROM (${dailyAggSql.format("")}) q
+            UNION ALL
+            SELECT 's1' AS snap, q.* FROM (${dailyAggSql.format("WHERE event_type <> 'click'")}) q
+          ) ORDER BY snap, day, event_type""",
     // n comes back as DOUBLE (classic netcdf has no 64-bit int; documented)
     "q_netcdf_roundtrip" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

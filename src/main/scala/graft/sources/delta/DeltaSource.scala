@@ -90,6 +90,11 @@ object DeltaSource {
 
   def resolveVersion(tablePath: String, travel: Option[String]): Long = {
     val (commits, _) = listLog(Paths.get(tablePath))
+    resolveVersionFrom(tablePath, commits, travel)
+  }
+
+  private def resolveVersionFrom(
+      tablePath: String, commits: Seq[(Long, Path)], travel: Option[String]): Long = {
     require(commits.nonEmpty, s"empty Delta log at $tablePath")
     travel match {
       case None => commits.last._1
@@ -108,7 +113,7 @@ object DeltaSource {
   def snapshot(spark: SparkSession, tablePath: String, travel: Option[String] = None): Snapshot = {
     val table = Paths.get(tablePath)
     val (commits, checkpoints) = listLog(table)
-    val version = resolveVersion(tablePath, travel)
+    val version = resolveVersionFrom(tablePath, commits, travel)
 
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
@@ -136,14 +141,17 @@ object DeltaSource {
           Some(r.getStruct(s.fieldIndex(f))) else None
       rows.foreach { r =>
         struct(r, "metaData").foreach { m =>
+          // Row collection getters hand back mutable wrappers: convert
           applyMeta(m.getAs[String]("schemaString"),
-            Option(m.getAs[Seq[String]]("partitionColumns")).getOrElse(Seq.empty))
+            Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+              .map(_.toSeq).getOrElse(Seq.empty))
         }
         struct(r, "add").foreach { a =>
           reject("deletionVectors",
             a.schema.fieldNames.contains("deletionVector") && !a.isNullAt(a.fieldIndex("deletionVector")))
           applyAdd(a.getAs[String]("path"),
-            Option(a.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty))
+            Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+              .map(_.toMap).getOrElse(Map.empty))
         }
         struct(r, "remove").foreach(rm => applyRemove(rm.getAs[String]("path")))
       }
@@ -307,6 +315,22 @@ object DeltaSource {
       v
     }
 
+    /** INSERT OVERWRITE: replace the table contents — removes every
+      * current file and adds the new data in one commit */
+    def overwrite(spark: SparkSession, df: DataFrame, tablePath: String,
+        partitionColumns: Seq[String] = Seq.empty): Long = {
+      val table = Paths.get(tablePath)
+      Files.createDirectories(table)
+      val v = nextVersion(table)
+      val removes =
+        if (v == 0L) Seq.empty
+        else DeltaSource.snapshot(spark, tablePath).files.map(f => removeAction(f.path))
+      val adds = stage(df, table, partitionColumns).map { case (p, pv) => addAction(p, pv) }
+      val meta = metaActions(df, partitionColumns) // overwrite may change the schema
+      writeCommit(table, v, infoAction("WRITE") +: (meta ++ removes ++ adds))
+      v
+    }
+
     /** logical DELETE WHERE: rewrite kept rows into new files, remove
       * every current file — one atomic commit */
     def deleteWhere(spark: SparkSession, tablePath: String, predicateSql: String): Long = {
@@ -341,7 +365,9 @@ object DeltaSource {
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
-      val v = nextVersion(table) - 1
+      // the checkpoint names the version it snapshots — NOT nextVersion-1,
+      // which would mislabel it if a writer committed after `snap` was read
+      val v = snap.version
       Files.move(part, table.resolve(logDir).resolve(f"$v%020d.checkpoint.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       deleteRec(tmp)

@@ -23,7 +23,8 @@ object Statements {
 
   private val reExternal =
     ("""(?is)^CREATE\s+EXTERNAL\s+TABLE\s+""" + Id +
-      """\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+(.+?)\s*$""").r
+      """\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+(.+?)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'((?:[^']|'')+)')?\s*$""").r
   private val reMView =
     ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+""" + Id + """\s+AS\s+(.+)$""").r
   private val reView =
@@ -42,6 +43,8 @@ object Statements {
     ("""(?is)^UPDATE\s+""" + Id + """\s+SET\s+(.+)$""").r
   private val reShowTables =
     """(?is)^SHOW\s+GRAFT\s+TABLES\s*$""".r
+  private val reShowFunctions =
+    """(?is)^SHOW\s+GRAFT\s+FUNCTIONS\s*$""".r
   private val reAnalyze =
     ("""(?is)^ANALYZE\s+FILES\s+(?:FOR\s+)?""" + Id + """\s*$""").r
   private val reShowStats =
@@ -81,9 +84,11 @@ object Statements {
   def tryExecute(spark: SparkSession, catalog: GraftCatalog, text: String): Option[DataFrame] = {
     val t = text.trim.stripSuffix(";")
     t match {
-      case reExternal(name0, fmt, locs) =>
+      case reExternal(name0, fmt, locs, ver, ts) =>
         val name = unquote(name0)
-        catalog.createExternalTable(name, fmt.toLowerCase, parsePaths(locs))
+        val travel = Option(ver).orElse(Option(ts).map(_.replace("''", "'")))
+        catalog.createExternalTable(name, fmt.toLowerCase, parsePaths(locs),
+          travel.map(v => Map("versionAsOf" -> v)).getOrElse(Map.empty))
         Some(status(spark, s"created external table $name"))
       case reMView(name0, sql) =>
         val name = unquote(name0)
@@ -166,6 +171,13 @@ object Statements {
         Some(status(spark, s"analyzed $n files of $name"))
       case reShowStats(name0) =>
         Some(catalog.fileStats(unquote(name0)))
+      case reShowFunctions() =>
+        // the reference's function catalog (runtime.rs:419-426): every
+        // session-resolvable function incl. the engine's registered ones
+        import spark.implicits._
+        Some(spark.catalog.listFunctions()
+          .map(f => (f.name, Option(f.description).getOrElse(""), f.isTemporary))
+          .toDF("name", "description", "is_temporary"))
       case reShowTables() =>
         import spark.implicits._
         Some(catalog.tables()

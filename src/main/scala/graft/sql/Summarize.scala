@@ -65,13 +65,18 @@ object Summarize {
       else {
         import scala.concurrent._
         import scala.concurrent.duration._
-        import ExecutionContext.Implicits.global
-        val jobs = fields.zipWithIndex.collect {
-          case (f, i) if isOrderable(f.dataType) => Future {
-            i -> df.select(q(f.name)).agg(countDistinct(q(f.name))).collect()(0).getLong(0)
+        // bounded pool: a 200-column table must not flood the scheduler
+        // with 200 concurrent Spark jobs
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          val jobs = fields.zipWithIndex.collect {
+            case (f, i) if isOrderable(f.dataType) => Future {
+              i -> df.select(q(f.name)).agg(countDistinct(q(f.name))).collect()(0).getLong(0)
+            }
           }
-        }
-        Await.result(Future.sequence(jobs.toSeq), 60.minutes).toMap
+          Await.result(Future.sequence(jobs.toSeq), 60.minutes).toMap
+        } finally pool.shutdown()
       }
 
     val aggs: Seq[Column] = count(lit(1)).cast(LongType).as("__n") +:
