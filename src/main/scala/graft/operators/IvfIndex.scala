@@ -62,6 +62,45 @@ object IvfIndex {
     Model(centroids)
   }
 
+  /** Fully replayable training mode (the oracle-gated configuration):
+    * the sample is the first `sampleSize` rows by id (deterministic
+    * across engines, still bounded driver memory), init is the first k
+    * vectors, and every centroid update is rounded to 6 decimals — so
+    * an independent engine unrolling the same Lloyd's iterations in SQL
+    * reproduces the centroids bit-for-bit (floating sum-order noise is
+    * ~1e-16 relative and cannot move a 6-decimal rounding except on a
+    * measure-zero boundary). Same contract as the LSH plane replay. */
+  def trainReplayable(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5, sampleSize: Int = 50000): Model = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize).collect()
+      .map(r => toDoubles(r.getSeq[Float](1)))
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    var centroids = sample.take(k)
+    require(centroids.map(_.toSeq).distinct.length == k,
+      "first k vectors are not distinct; replayable init needs distinct leads")
+    val dim = centroids.head.length
+    def r6(x: Double): Double = // decimal-string rounding — what SQL round() does
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(s => r6(s / counts(c)))
+      }
+      it += 1
+    }
+    Model(centroids)
+  }
+
   private def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -97,19 +136,22 @@ object IvfIndex {
   def assign(corpus: DataFrame, vecCol: String, m: Model): DataFrame =
     corpus.withColumn("__cell", cellUdf(m)(col(vecCol)))
 
-  /** top-k per query, probing nProbe cells; exact cosine rerank */
+  /** top-k per query, probing nProbe cells; exact cosine rerank.
+    * `roundCos > 0` rounds the score BEFORE ranking so ranking and
+    * display agree across engines (the oracle-gate configuration). */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      m: Model, k: Int, nProbe: Int = 2): DataFrame = {
+      m: Model, k: Int, nProbe: Int = 2, roundCos: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assign(corpus, vecCol, m)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cell"))
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         explode(probeUdf(m, nProbe)(col(vecCol))).as("__cell"))
+    val rawCos = Similarity.cosine(col("__qv"), col("__cv"))
     val scored = probed.join(assigned, "__cell") // co-partitioned on cell
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Similarity.cosine(col("__qv"), col("__cv")).as("cos"))
+        (if (roundCos > 0) round(rawCos, roundCos) else rawCos).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

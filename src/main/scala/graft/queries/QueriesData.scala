@@ -62,9 +62,31 @@ object QueriesData {
         .orderBy(col("a_doc_id"), col("b_doc_id"))
     },
 
+    // ---- capped LSH pairs: the recommended production configuration.
+    // maxBucket bounds a degenerate band bucket's pair fan-out (f²/2) —
+    // at 100 TB a boilerplate signature otherwise dominates the output.
+    // The cap bites at this sf (buckets of 3 exist; cap = 2) and the
+    // oracle replays it with a window count, so the capped semantics
+    // are hash-matched, not just the uncapped path.
+    "q_dedup_minhash_pairs_capped" -> { (s, dir) =>
+      Dedup.minhashCandidates(Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxBucket = 2)
+        .orderBy(col("a_doc_id"), col("b_doc_id"))
+    },
+
     // ---- exact n-gram jaccard over shingle-sharing pairs
     "q_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("a_doc_id"), col("b_doc_id"))
+    },
+
+    // ---- capped variant: shingles in more than maxDocFreq docs leave
+    // the join (a shingle in f docs contributes f² pairs); sizes are
+    // computed on the same filtered relation so the Jaccard denominator
+    // stays consistent. Cap = 3 bites at this sf (docfreq reaches 7).
+    "q_ngram_jaccard_capped" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxDocFreq = 3)
         .orderBy(col("a_doc_id"), col("b_doc_id"))
     },
 
@@ -140,6 +162,20 @@ object QueriesData {
         k = 5, nPlanes = 16, roundCos = 6)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rk").cast(LongType).as("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+    // ---- IVF ANN: replayable k-means (deterministic sample order,
+    // 6-decimal centroid rounding per iteration) trains on the driver;
+    // the oracle unrolls the identical Lloyd's iterations in SQL, so
+    // centroids, cell assignment, probe set and rerank all hash-match.
+    "q_ivf_topk" -> { (s, dir) =>
+      import graft.operators.IvfIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val m = IvfIndex.trainReplayable(emb, "vec_id", "embedding", k = 4, iters = 5)
+      IvfIndex.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", m,
+        k = 5, nProbe = 2, roundCos = 6)
+        .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+          col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rk"))
     },
     "q_multimodal_decode" -> { (s, dir) =>
@@ -287,7 +323,53 @@ object QueriesData {
       SELECT doc_id, 2, k2, k0, k1, k2, k3 FROM skeys UNION ALL
       SELECT doc_id, 3, k3, k0, k1, k2, k3 FROM skeys)"""
 
+  /** SQL replay of [[graft.operators.IvfIndex.trainReplayable]] + topK:
+    * Lloyd's unrolled as one CTE pair per iteration over the long-form
+    * (vec_id, dim, x) relation; assignment/probe tie-breaks mirror the
+    * engine (distance asc, centroid index asc). */
+  private def ivfOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
+      sampleSize: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH samp AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleSize),
+      long0 AS (SELECT vec_id, CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM samp, (SELECT unnest(range(1, 65)) AS i) ii),
+      alll AS (SELECT vec_id, CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
+      cent0 AS (SELECT vec_id AS c, dim, x FROM long0 WHERE vec_id < $k)"""
+    for (t <- 0 until iters) sb ++= s""",
+      d$t AS (SELECT l.vec_id, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
+        FROM long0 l JOIN cent$t c USING (dim) GROUP BY 1, 2),
+      a$t AS (SELECT vec_id, c AS cell FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+          FROM d$t) WHERE rn = 1),
+      n$t AS (SELECT a.cell AS c, l.dim, round(avg(l.x), 6) AS x
+        FROM a$t a JOIN long0 l USING (vec_id) GROUP BY 1, 2),
+      cent${t + 1} AS (SELECT o.c, o.dim, coalesce(n.x, o.x) AS x
+        FROM cent$t o LEFT JOIN n$t n ON n.c = o.c AND n.dim = o.dim)"""
+    sb ++= s""",
+      fd AS (SELECT l.vec_id, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
+        FROM alll l JOIN cent$iters c USING (dim) GROUP BY 1, 2),
+      fasg AS (SELECT vec_id, c AS cell FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+          FROM fd) WHERE rn = 1),
+      qprobe AS (SELECT vec_id AS query_id, c AS cell FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+          FROM fd WHERE vec_id < 10) WHERE rn <= $nProbe),
+      cands AS (SELECT p.query_id, f.vec_id AS neighbor_id
+        FROM qprobe p JOIN fasg f ON f.cell = p.cell WHERE f.vec_id <> p.query_id),
+      scored AS (SELECT s.query_id, s.neighbor_id, round($cosSql, 6) AS cos
+        FROM cands s JOIN embeddings q ON q.vec_id = s.query_id
+                     JOIN embeddings c ON c.vec_id = s.neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos
+      FROM ranked WHERE rk <= $topK ORDER BY query_id, rk"""
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ivf_topk" -> ivfOracle(k = 4, iters = 5, nProbe = 2, topK = 5, sampleSize = 50000),
     "q_simhash_pairs" ->
       s"""WITH $simhashCtes
         SELECT a_doc_id, b_doc_id, CAST(dist AS INTEGER) AS dist FROM (
@@ -377,6 +459,39 @@ object QueriesData {
         SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
         FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
         WHERE a.doc_id < b.doc_id
+        ORDER BY a_doc_id, b_doc_id""",
+    "q_dedup_minhash_pairs_capped" ->
+      raw"""WITH $tokCte,
+        sig AS (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM sh),
+        bands0 AS (
+          SELECT doc_id, 0 AS band, mh0 || mh1 AS s FROM sig UNION ALL
+          SELECT doc_id, 1, mh2 || mh3 FROM sig UNION ALL
+          SELECT doc_id, 2, mh4 || mh5 FROM sig UNION ALL
+          SELECT doc_id, 3, mh6 || mh7 FROM sig),
+        bands AS (SELECT doc_id, band, s FROM (
+            SELECT doc_id, band, s, count(*) OVER (PARTITION BY band, s) AS bn
+            FROM bands0)
+          WHERE bn <= 2)
+        SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
+        WHERE a.doc_id < b.doc_id
+        ORDER BY a_doc_id, b_doc_id""",
+    "q_ngram_jaccard_capped" ->
+      raw"""WITH $tokCte,
+        ds0 AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+        ds AS (SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ds0)
+          WHERE df <= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS n_common
+          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.a_doc_id, i.b_doc_id,
+               CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a_doc_id
+        JOIN sizes sb ON sb.doc_id = i.b_doc_id
         ORDER BY a_doc_id, b_doc_id""",
     "q_ngram_jaccard" ->
       raw"""WITH $tokCte,
