@@ -2,9 +2,7 @@ package graft.sources.netcdf
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -65,12 +63,13 @@ class NdFileScan(spec: NdFileSpec, required: StructType,
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     NdFileSource.pruneFiles(spec, filters)
-      .map(f => NdFilePartition(f, spec.grid, required): InputPartition).toArray
+      .map(f => NdFilePartition(f, spec.grid, required, filters): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = new NdFileReaderFactory
 }
 
 final case class NdFilePartition(file: String, grid: Seq[String],
-    required: StructType) extends InputPartition
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends InputPartition
 
 class NdFileReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -80,20 +79,18 @@ class NdFileReaderFactory extends PartitionReaderFactory {
 class NdFilePartitionReader(p: NdFilePartition) extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
     val requiredNames = p.required.fieldNames.toSet
+    // mask coordinates must decode even when unselected
+    val maskCols = graft.nd.NdEmit.maskColumns(p.filters, p.grid)
     // keep a variable when its column, or one of its attribute columns,
     // is required; everything else never decodes
     def keep(v: String): Boolean =
-      requiredNames.contains(v) || requiredNames.exists(_.startsWith(v + "."))
+      requiredNames.contains(v) || maskCols.contains(v) ||
+        requiredNames.exists(_.startsWith(v + "."))
     // zero kept variables (count(*) shape) is fine: the row count is
     // the product of the grid dims, no data decodes at all
     val ds = NetcdfSource.readContainer(p.file, keep)
-    val (schema, it) = NdFlatten.localRows(ds, Some(p.grid))
-    val srcIdx = p.required.fields.map(f => schema.fieldIndex(f.name))
-    val ser = ExpressionEncoder(RowEncoder.encoderFor(p.required)).createSerializer()
-    it.map { row =>
-      val vals = srcIdx.map(row.get(_))
-      ser(Row.fromSeq(vals.toIndexedSeq)).copy()
-    }
+    // unboxed emit + in-flatten row masking (NdEmit)
+    graft.nd.NdEmit.internalRows(ds, p.grid, p.required, p.filters)
   }
   private var cur: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }

@@ -4,9 +4,8 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -72,12 +71,12 @@ class ZarrScan(spec: ZarrSpec, required: StructType, filters: Array[sources.Filt
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     ZarrScanPlanner.partitions(spec, filters)
-      .map(r => ZarrPartition(spec, r, required): InputPartition).toArray
+      .map(r => ZarrPartition(spec, r, required, filters): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = new ZarrReaderFactory
 }
 
 final case class ZarrPartition(spec: ZarrSpec, region: Seq[(String, Long, Long)],
-    required: StructType) extends InputPartition
+    required: StructType, filters: Array[sources.Filter]) extends InputPartition
 
 class ZarrReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -91,21 +90,17 @@ class ZarrPartitionReader(p: ZarrPartition) extends PartitionReader[InternalRow]
     val store = ZarrStore.open(p.spec.path)
     val gridDims = p.region.map(_._1)
     val requiredNames = p.required.fieldNames.toSet
+    // mask coordinates must decode even when unselected
+    val maskCols = graft.nd.NdEmit.maskColumns(p.filters, gridDims)
     // keep a variable if its column or any of its attribute columns is needed
     val kept = store.arrays.filter { a =>
-      requiredNames.contains(a.name) ||
+      requiredNames.contains(a.name) || maskCols.contains(a.name) ||
         a.attrs.keys.exists(k => requiredNames.contains(s"${a.name}.$k"))
     }
     val sub = store.copy(arrays = if (kept.nonEmpty) kept else store.arrays.take(1))
     val ds = ZarrStore.regionDataset(sub, p.region)
-    val (schema, it) = NdFlatten.localRows(ds, Some(gridDims))
-    val srcIdx = p.required.fields.map(f => schema.fieldIndex(f.name))
-    val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
-      RowEncoder.encoderFor(p.required)).createSerializer()
-    it.map { row =>
-      val vals = srcIdx.map(row.get(_))
-      ser(Row.fromSeq(vals.toIndexedSeq)).copy()
-    }
+    // unboxed emit + in-flatten row masking (NdEmit)
+    graft.nd.NdEmit.internalRows(ds, gridDims, p.required, p.filters)
   }
   private var cur: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }

@@ -135,6 +135,50 @@ class NdSpec extends AnyFunSuite {
     assert(flat.count(_.isNullAt(2)) == 2)
   }
 
+  test("NdEmit: row masking decodes only surviving rows; values match the boxed path") {
+    import org.apache.spark.sql.sources
+    val schema = NdFlatten.plan(demoSst, None).schema
+    // lat ∈ [51, 52] keeps 2 of 3 lat indices → 16 of 24 rows EMITTED
+    // (rows-decoded ≈ rows-surviving, not 24 then post-filtered)
+    val filters: Array[sources.Filter] = Array(
+      sources.GreaterThanOrEqual("lat", 51.0), sources.LessThanOrEqual("lat", 52.0))
+    val it = NdEmit.internalRows(demoSst, Seq("time", "lat", "lon"), schema, filters)
+    val emitted = it.map(_.copy()).toVector
+    assert(emitted.length == 16)
+    // agree with the boxed reference path under the same predicate
+    val latIdx = schema.fieldIndex("lat")
+    val sstIdx = schema.fieldIndex("sst")
+    val boxed = NdFlatten.localRows(demoSst, None)._2
+      .filter(r => r.getAs[Double](latIdx) >= 51.0).toVector
+    assert(emitted.map(_.getDouble(sstIdx)) == boxed.map(_.getAs[Double](sstIdx)))
+    assert(emitted.forall(r => r.getDouble(latIdx) >= 51.0))
+    // CF time column surfaces as epoch micros in the unsafe row
+    val tIdx = schema.fieldIndex("time")
+    assert(emitted.head.getLong(tIdx) == 1704067200L * 1000000L)
+    // constant attribute columns ride along
+    assert(emitted.head.getUTF8String(schema.fieldIndex("sst.units")).toString == "degree_Celsius")
+  }
+
+  test("NdEmit: masking an unselected coordinate still filters (projection-independent)") {
+    import org.apache.spark.sql.sources
+    val full = NdFlatten.plan(demoSst, None).schema
+    val required = StructType(Seq(full("sst"))) // lat NOT selected
+    val filters: Array[sources.Filter] = Array(sources.EqualTo("lat", 51.0))
+    assert(NdEmit.maskColumns(filters, Seq("time", "lat", "lon")) == Set("lat"))
+    val rows = NdEmit.internalRows(demoSst, Seq("time", "lat", "lon"), required, filters)
+      .map(_.getDouble(0)).toVector
+    assert(rows == Vector(5.0, 6.0, 7.0, 8.0, 17.0, 18.0, 19.0, 20.0))
+  }
+
+  test("NdEmit: OR-subtree predicates contribute no mask (conservative)") {
+    import org.apache.spark.sql.sources
+    val filters: Array[sources.Filter] = Array(
+      sources.Or(sources.EqualTo("lat", 51.0), sources.EqualTo("lon", -4.0)))
+    val schema = NdFlatten.plan(demoSst, None).schema
+    val n = NdEmit.internalRows(demoSst, Seq("time", "lat", "lon"), schema, filters).size
+    assert(n == 24) // all rows emitted; Spark's post-filter decides
+  }
+
   test("pruneStats: planning min/max is in CF-decoded units (ADVICE r2)") {
     // packed axis: raw shorts 100..400, scale 0.1, offset 5 → 15.0..45.0
     val packed = NdFlatten.pruneStats(
