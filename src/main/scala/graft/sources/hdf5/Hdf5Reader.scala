@@ -90,7 +90,15 @@ object Hdf5Reader {
 
   /** `keep` skips the (expensive) data decode of unselected variables;
     * structure and attributes still parse so dimensions resolve. */
-  def readDataset(path: String, keep: String => Boolean): NdDataset = {
+  def readDataset(path: String, keep: String => Boolean): NdDataset =
+    readDataset(path, keep, None)
+
+  /** `rowRange = Some((dim, start, end))` restricts the read to rows
+    * [start,end) of that dimension: axis-0 carriers read only the
+    * intersecting chunks / contiguous byte range; deeper carriers
+    * decode fully and slice. The returned `dim` size is end-start. */
+  def readDataset(path: String, keep: String => Boolean,
+      rowRange: Option[(String, Int, Int)]): NdDataset = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val mapped = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
@@ -99,7 +107,26 @@ object Hdf5Reader {
       val rootAttrs = mutable.LinkedHashMap.empty[String, AttrVal]
       val datasets = mutable.ArrayBuffer.empty[Dataset]
       walkGroup(h5, rootAddr, "", datasets, rootAttrs, depth = 0)
-      toNd(h5, datasets.toSeq, rootAttrs.toMap, keep)
+      toNd(h5, datasets.toSeq, rootAttrs.toMap, keep, rowRange)
+    } finally ch.close()
+  }
+
+  /** planning metadata: chunk shape of the largest chunked dataset
+    * whose rank matches `rank` (None = nothing chunked at that rank).
+    * Metadata walk only — no data decode. */
+  def chunkDimsOf(path: String, rank: Int): Option[Array[Int]] = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val mapped = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+      mapped.order(ByteOrder.LITTLE_ENDIAN)
+      val (h5, rootAddr) = readSuperblock(mapped)
+      val rootAttrs = mutable.LinkedHashMap.empty[String, AttrVal]
+      val datasets = mutable.ArrayBuffer.empty[Dataset]
+      walkGroup(h5, rootAddr, "", datasets, rootAttrs, depth = 0)
+      datasets.filter(d => d.layoutClass == 2 && d.dims.length == rank &&
+          d.chunkDims.length > rank)
+        .sortBy(d => -d.dims.product)
+        .headOption.map(_.chunkDims.dropRight(1))
     } finally ch.close()
   }
 
@@ -805,9 +832,18 @@ object Hdf5Reader {
   // ------------------------------------------------------ data reading
 
   /** raw (unfiltered) bytes of a dataset, fill-extended */
-  def readRaw(h5: H5, d: Dataset): Array[Byte] = {
+  def readRaw(h5: H5, d: Dataset): Array[Byte] =
+    readRawRows(h5, d, 0, 0L, d.dims.headOption.getOrElse(1L))
+
+  /** raw bytes of indices [s0,e0) along `axis`: chunked layouts visit
+    * only intersecting chunks (any axis); contiguous/compact layouts
+    * read only the byte range when axis = 0 (a leading-axis slice of
+    * C-order data is contiguous), else read fully and slice. */
+  def readRawRows(h5: H5, d: Dataset, axis: Int, s0: Long, e0: Long): Array[Byte] = {
     val elemSize = d.dtype.size
-    val total = (d.dims.product * elemSize).toInt
+    val regionDims = d.dims.clone()
+    if (regionDims.nonEmpty) regionDims(axis) = e0 - s0
+    val total = (regionDims.product * elemSize).toInt
     val out = new Array[Byte](math.max(total, 0))
     d.fill.foreach { f =>
       if (f.length == elemSize && f.exists(_ != 0)) {
@@ -815,28 +851,66 @@ object Hdf5Reader {
         while (i + elemSize <= out.length) { System.arraycopy(f, 0, out, i, elemSize); i += elemSize }
       }
     }
+    val inner = d.dims.drop(axis + 1).product max 1L
+    val skipBytes = s0 * inner * elemSize // valid when axis = 0
     d.layoutClass match {
       case 0 =>
-        System.arraycopy(d.compact, 0, out, 0, math.min(d.compact.length, out.length))
+        if (axis == 0 || d.dims.isEmpty) {
+          if (skipBytes < d.compact.length)
+            System.arraycopy(d.compact, skipBytes.toInt, out, 0,
+              math.min(d.compact.length - skipBytes, out.length.toLong).toInt)
+        } else sliceBytesInto(d.compact, out, d.dims, axis, s0, e0, elemSize)
       case 1 =>
         if (d.contigAddr != UNDEF && d.contigSize > 0) {
-          val b = h5.at(d.contigAddr)
-          b.get(out, 0, math.min(d.contigSize, total.toLong).toInt)
+          if (axis == 0 || d.dims.isEmpty) {
+            if (d.contigSize > skipBytes) {
+              val b = h5.at(d.contigAddr + skipBytes)
+              b.get(out, 0, math.min(d.contigSize - skipBytes, total.toLong).toInt)
+            }
+          } else {
+            val fullTotal = (d.dims.product * elemSize).toInt
+            val tmp = new Array[Byte](fullTotal)
+            val b = h5.at(d.contigAddr)
+            b.get(tmp, 0, math.min(d.contigSize, fullTotal.toLong).toInt)
+            sliceBytesInto(tmp, out, d.dims, axis, s0, e0, elemSize)
+          }
         }
       case 2 =>
-        readChunks(h5, d, out)
+        readChunks(h5, d, out, axis, s0, e0)
       case -1 => // no layout → empty
       case other => throw new IllegalArgumentException(s"layout $other")
     }
     out
   }
 
-  private def readChunks(h5: H5, d: Dataset, out: Array[Byte]): Unit = {
+  /** C-order byte slice of [s0,e0) along `axis` out of a full array */
+  private def sliceBytesInto(src: Array[Byte], dst: Array[Byte], dims: Array[Long],
+      axis: Int, s0: Long, e0: Long, elemSize: Int): Unit = {
+    val outer = dims.take(axis).product max 1L
+    val inner = (dims.drop(axis + 1).product max 1L) * elemSize
+    val block = ((e0 - s0) * inner).toInt
+    var o = 0L
+    var w = 0
+    while (o < outer) {
+      val from = ((o * dims(axis) + s0) * inner).toInt
+      if (from >= 0 && from + block <= src.length && w + block <= dst.length)
+        System.arraycopy(src, from, dst, w, block)
+      w += block
+      o += 1
+    }
+  }
+
+  private def readChunks(h5: H5, d: Dataset, out: Array[Byte],
+      axis: Int, s0: Long, e0: Long): Unit = {
     if (d.chunkBtree == UNDEF) return
     val elemSize = d.dtype.size
     val rank = d.dims.length
     // chunkDims has rank+1 entries, last = element size
     val cdims = d.chunkDims.dropRight(1).map(_.toLong)
+    // output array covers [s0,e0) along `axis`: shift placement by -s0
+    // and clip; chunks entirely outside the window never load/inflate
+    val regionDims = d.dims.clone()
+    if (rank > 0) regionDims(axis) = e0 - s0
 
     def walk(addr: Long): Unit = {
       val b = h5.at(addr)
@@ -858,11 +932,18 @@ object Hdf5Reader {
           walk(child)
           b.position(save)
         } else {
-          val raw = new Array[Byte](chunkBytes)
-          val cb = h5.at(child)
-          cb.get(raw)
-          val data = applyFilters(raw, d.filters, mask, elemSize)
-          placeChunk(out, data, d.dims, cdims, offs.dropRight(1), elemSize)
+          val coffs = offs.dropRight(1)
+          val overlaps = rank == 0 ||
+            (coffs(axis) < e0 && coffs(axis) + cdims(axis) > s0)
+          if (overlaps) {
+            val raw = new Array[Byte](chunkBytes)
+            val cb = h5.at(child)
+            cb.get(raw)
+            val data = applyFilters(raw, d.filters, mask, elemSize)
+            val shifted = coffs.clone()
+            if (rank > 0) shifted(axis) -= s0
+            placeChunk(out, data, regionDims, cdims, shifted, elemSize)
+          }
         }
         i += 1
       }
@@ -909,13 +990,18 @@ object Hdf5Reader {
     raw
   }
 
-  /** copy one chunk into the C-order full array with edge clipping */
+  /** copy one chunk into the C-order target array with edge clipping.
+    * `coffs` may be negative on axis 0 (region reads shift placement by
+    * the window start): leading rows/cells outside the target skip. */
   private def placeChunk(out: Array[Byte], chunk: Array[Byte], dims: Array[Long],
       cdims: Array[Long], coffs: Array[Long], elemSize: Int): Unit = {
     val rank = dims.length
     if (rank == 0) { System.arraycopy(chunk, 0, out, 0, math.min(chunk.length, out.length)); return }
-    // iterate over rows of the chunk's last dimension
-    val copyLen = math.min(cdims(rank - 1), dims(rank - 1) - coffs(rank - 1)).toInt
+    // iterate over rows of the chunk's last dimension; a negative last-dim
+    // offset (rank-1 region) clips the row head via `lead`
+    val lead = math.max(0L, -coffs(rank - 1))
+    val copyLen = math.min(cdims(rank - 1) - lead,
+      dims(rank - 1) - (coffs(rank - 1) + lead)).toInt
     if (copyLen <= 0) return
     val outerDims = cdims.dropRight(1)
     val nOuter = outerDims.product
@@ -946,7 +1032,7 @@ object Hdf5Reader {
       k = rank - 2
       while (k >= 0) {
         val gi = coffs(k) + idx(k)
-        if (gi >= dims(k)) dstIdxOk = false
+        if (gi < 0 || gi >= dims(k)) dstIdxOk = false
         src += idx(k) * mulSrc
         dst += gi * mulDst
         mulSrc *= cdims(k)
@@ -954,8 +1040,8 @@ object Hdf5Reader {
         k -= 1
       }
       if (dstIdxOk) {
-        val srcByte = (src + 0) * elemSize
-        val dstByte = (dst + coffs(rank - 1)) * elemSize
+        val srcByte = (src + lead) * elemSize
+        val dstByte = (dst + coffs(rank - 1) + lead) * elemSize
         if (dstByte >= 0 && dstByte + copyLen * elemSize <= out.length &&
             srcByte + copyLen * elemSize <= chunk.length)
           System.arraycopy(chunk, srcByte.toInt, out, dstByte.toInt, copyLen * elemSize)
@@ -970,7 +1056,9 @@ object Hdf5Reader {
     "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties")
 
   private def toNd(h5: H5, datasets: Seq[Dataset], rootAttrs: Map[String, AttrVal],
-      keep: String => Boolean = _ => true): NdDataset = {
+      keep: String => Boolean = _ => true,
+      rowRange: Option[(String, Int, Int)] = None): NdDataset = {
+    val (rdim, rstart, rend) = rowRange.getOrElse((null: String, 0, 0))
     val dimScales = datasets.filter(_.attrs.get("CLASS").exists(_.render == "DIMENSION_SCALE"))
     val byAddr = dimScales.map(d => d.addr -> d).toMap
     val dims: Seq[(String, Int)] = dimScales.map(d => d.name -> d.dims.headOption.getOrElse(1L).toInt)
@@ -1000,26 +1088,41 @@ object Hdf5Reader {
       axes0.zip(d.dims).foreach { case (n, s) =>
         if (!dims.exists(_._1 == n)) extraDims.getOrElseUpdate(n, s.toInt)
       }
-      val raw = readRaw(h5, d)
-      if (d.dtype.clazz == 3) {
+      // carriers of the split dim read only their index window along it
+      // (chunked: only intersecting chunks load; the netcdf char-matrix
+      // string-length axis is never treated as a data axis)
+      val axisIdx =
+        if (rdim == null) -1
+        else {
+          val i = axes0.indexOf(rdim)
+          if (i >= 0 && d.dtype.clazz == 3 && d.dtype.size == 1 &&
+              i == d.dims.length - 1 && d.dims.length > 0) -1
+          else i
+        }
+      val raw =
+        if (axisIdx >= 0) readRawRows(h5, d, axisIdx, rstart.toLong, rend.toLong)
+        else readRaw(h5, d)
+      val dimsEff = d.dims.clone()
+      if (axisIdx >= 0 && dimsEff.nonEmpty) dimsEff(axisIdx) = (rend - rstart).toLong
+      val decoded: NdVariable = if (d.dtype.clazz == 3) {
         // char/fixed-string data → strings; element size > 1 = string per cell,
         // element size 1 = netcdf char matrix: last dim is the string length
         if (d.dtype.size > 1 || d.dims.isEmpty) {
-          val n = math.max(1, d.dims.product).toInt
+          val n = math.max(1, dimsEff.product).toInt
           val w = d.dtype.size
           val out = Array.tabulate(n)(i =>
             cString(java.util.Arrays.copyOfRange(raw, i * w, (i + 1) * w)))
           NdVariable(d.name, axes0, null, attrs, out)
         } else {
-          val strLen = d.dims.last.toInt
+          val strLen = dimsEff.last.toInt
           val outerDims = axes0.dropRight(1)
-          val n = d.dims.dropRight(1).product.toInt
+          val n = dimsEff.dropRight(1).product.toInt
           val out = Array.tabulate(math.max(n, 0))(i =>
             cString(java.util.Arrays.copyOfRange(raw, i * strLen, (i + 1) * strLen)))
           NdVariable(d.name, outerDims, null, attrs, out)
         }
       } else {
-        val n = d.dims.product.toInt
+        val n = dimsEff.product.toInt
         val bb = ByteBuffer.wrap(raw).order(
           if (d.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
         val out = new Array[Double](n)
@@ -1027,8 +1130,14 @@ object Hdf5Reader {
         while (i < n) { out(i) = readNumAt(bb, d.dtype); i += 1 }
         NdVariable(d.name, axes0, out, attrs)
       }
+      if (rdim != null && axisIdx < 0 && decoded.dims.contains(rdim))
+        graft.nd.NdSlice.sliceAxis(decoded,
+          axes0.zip(d.dims.map(_.toInt)).toMap, rdim, rstart, rend)
+      else decoded
     }
-    val allDims = dims ++ extraDims.toSeq
+    val allDims = (dims ++ extraDims.toSeq).map { case (n, s) =>
+      n -> (if (n == rdim) rend - rstart else s)
+    }
     NdDataset(allDims, vars,
       rootAttrs.view.filterKeys(k => !hiddenAttrs.contains(k))
         .map { case (k, v) => k -> v.render }.toMap)

@@ -173,7 +173,16 @@ object NetcdfClassic {
     * of unselected variables — the DSv2 column-pruning hook. */
   def readDataset(path: String): NdDataset = readDataset(path, _ => true)
 
-  def readDataset(path: String, keep: String => Boolean): NdDataset = {
+  def readDataset(path: String, keep: String => Boolean): NdDataset =
+    readDataset(path, keep, None)
+
+  /** `rowRange = Some((dim, start, end))` restricts the read to rows
+    * [start,end) of that dimension: variables carrying it as axis 0
+    * (incl. all record variables) read only those rows' bytes; carriers
+    * at a deeper axis decode fully and slice; non-carriers pass
+    * through. The returned dataset's `dim` size is end-start. */
+  def readDataset(path: String, keep: String => Boolean,
+      rowRange: Option[(String, Int, Int)]): NdDataset = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val size = ch.size()
@@ -181,53 +190,70 @@ object NetcdfClassic {
       buf.order(java.nio.ByteOrder.BIG_ENDIAN)
       val f = parseHeader(buf, size)
 
-      val dimSizes: Seq[(String, Int)] = f.dims.map { d =>
+      val fullSizes: Seq[(String, Int)] = f.dims.map { d =>
         d.name -> (if (d.isRecord) f.numrecs.toInt else d.size0)
       }
-      def sizeOf(id: Int): Int = dimSizes(id)._2
+      val fullMap = fullSizes.toMap
+      val (rdim, rstart, rend) = rowRange.getOrElse((null: String, 0, 0))
+      val dimSizes = fullSizes.map { case (n, s) =>
+        n -> (if (n == rdim) rend - rstart else s)
+      }
+      def fullSizeOf(id: Int): Int = fullSizes(id)._2
+      def dimName(id: Int): String = fullSizes(id)._1
 
       val rs = recSize(f.dims, f.vars)
 
       val variables = f.vars.filter(v => keep(v.name)).map { v =>
         val isRec = v.dimIds.headOption.exists(f.dims(_).isRecord)
         val attrs = v.attrs.map(a => a.name -> attrString(a)).toMap
-        if (v.ncType == NC_CHAR) {
+        val firstIsRange = rdim != null && v.dimIds.headOption.exists(dimName(_) == rdim)
+        // axis-0 row window (full range when not the split axis)
+        val n0 = v.dimIds.headOption.map(fullSizeOf).getOrElse(1)
+        val (s0, e0) = if (firstIsRange) (rstart, rend) else (0, n0)
+        val decoded: NdVariable = if (v.ncType == NC_CHAR) {
           // char matrix → strings over leading dims; scalar char var → 1 string
-          val strLen = if (v.dimIds.nonEmpty) sizeOf(v.dimIds.last) else 1
+          val strLen = if (v.dimIds.nonEmpty) fullSizeOf(v.dimIds.last) else 1
           val outDims = if (v.dimIds.nonEmpty) v.dimIds.dropRight(1) else Seq.empty
-          val n = outDims.map(sizeOf(_).toLong).product.toInt
-      val out = new Array[String](n)
+          val outStride = outDims.drop(1).map(fullSizeOf(_).toLong).product max 1L
+          val (i0, i1) =
+            if (outDims.isEmpty) (0L, 1L)
+            else (s0 * outStride, e0 * outStride)
+          val out = new Array[String]((i1 - i0).toInt)
           val bytes = new Array[Byte](strLen)
-          var i = 0
-          while (i < n) {
-            seekElem(buf, f, v, isRec, rs, i.toLong * strLen)
+          var i = i0
+          while (i < i1) {
+            seekElem(buf, f, v, isRec, rs, i * strLen)
             buf.get(bytes)
             var end = bytes.length
             while (end > 0 && (bytes(end - 1) == 0 || bytes(end - 1) == ' ')) end -= 1
-            out(i) = new String(bytes, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+            out((i - i0).toInt) = new String(bytes, 0, end, java.nio.charset.StandardCharsets.UTF_8)
             i += 1
           }
-          NdVariable(v.name, outDims.map(d => dimSizes(d)._1), null, attrs, out)
+          NdVariable(v.name, outDims.map(dimName), null, attrs, out)
         } else {
-          val n = v.dimIds.map(sizeOf(_).toLong).product.toInt
-          val out = new Array[Double](n)
+          val rowStride = v.dimIds.drop(1).map(fullSizeOf(_).toLong).product max 1L
+          val n = ((e0 - s0) * rowStride).toInt
+          val out = new Array[Double](math.max(n, 0))
           if (isRec) {
-            val perRec = (n / math.max(1, sizeOf(v.dimIds.head))).toInt
-            var r = 0
-            val nr = sizeOf(v.dimIds.head)
-            while (r < nr) {
+            val perRec = rowStride.toInt
+            var r = s0
+            while (r < e0) {
               buf.position((v.begin + r * rs).toInt)
               var j = 0
-              while (j < perRec) { out(r * perRec + j) = readNum(buf, v.ncType); j += 1 }
+              while (j < perRec) { out((r - s0) * perRec + j) = readNum(buf, v.ncType); j += 1 }
               r += 1
             }
           } else {
-            buf.position(v.begin.toInt)
+            buf.position((v.begin + s0 * rowStride * typeSize(v.ncType)).toInt)
             var i = 0
             while (i < n) { out(i) = readNum(buf, v.ncType); i += 1 }
           }
-          NdVariable(v.name, v.dimIds.map(d => dimSizes(d)._1), out, attrs)
+          NdVariable(v.name, v.dimIds.map(dimName), out, attrs)
         }
+        // split axis at a deeper position: decode happened full, slice now
+        if (rdim != null && !firstIsRange && decoded.dims.contains(rdim))
+          graft.nd.NdSlice.sliceAxis(decoded, fullMap, rdim, rstart, rend)
+        else decoded
       }
       NdDataset(dimSizes, variables, f.globalAttrs.map(a => a.name -> attrString(a)).toMap)
     } finally ch.close()

@@ -26,12 +26,26 @@ object NetcdfSource {
   private def localPath(p: String): String = p.stripPrefix("file:")
 
   /** parse one container into the ND model (format-dispatched); `keep`
-    * skips data decode of unselected variables (DSv2 column pruning) */
-  def readContainer(path0: String, keep: String => Boolean = _ => true): graft.nd.NdDataset = {
+    * skips data decode of unselected variables (DSv2 column pruning);
+    * `rowRange` restricts the read to rows [start,end) of one dimension
+    * (intra-file chunk-split partitions) */
+  def readContainer(path0: String, keep: String => Boolean = _ => true,
+      rowRange: Option[(String, Int, Int)] = None): graft.nd.NdDataset = {
     val path = localPath(path0)
-    if (NetcdfClassic.isClassic(path)) NetcdfClassic.readDataset(path, keep)
-    else graft.sources.hdf5.Hdf5Reader.readDataset(path, keep)
+    if (NetcdfClassic.isClassic(path)) NetcdfClassic.readDataset(path, keep, rowRange)
+    else graft.sources.hdf5.Hdf5Reader.readDataset(path, keep, rowRange)
   }
+
+  /** chunk shape at the container level: HDF5 chunked layouts report
+    * their chunk dims (split alignment); classic files are
+    * record-striped → None */
+  def chunkDimsOf(path0: String, rank: Int): Option[Array[Int]] = {
+    val path = localPath(path0)
+    if (NetcdfClassic.isClassic(path)) None
+    else graft.sources.hdf5.Hdf5Reader.chunkDimsOf(path, rank)
+  }
+
+  def isClassicFile(path0: String): Boolean = NetcdfClassic.isClassic(localPath(path0))
 
   def schemaOf(path: String, dimensions: Option[Seq[String]]): StructType =
     NdFlatten.plan(readContainer(path), dimensions).schema

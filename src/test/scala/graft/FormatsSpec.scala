@@ -206,4 +206,70 @@ class FormatsSpec extends AnyFunSuite {
       r.getDouble(1) < 39.5 && r.getDouble(2) > 40.0
     })
   }
+
+  // -------------------------------------- intra-file chunk-split reads
+
+  /** DSv2 read with an explicit split_cells override */
+  private def ndRead(files: Seq[String], grid: Seq[String], splitCells: Long) = {
+    val schema = graft.sources.netcdf.NdFileSource.schema(
+      graft.sources.netcdf.NdFileSpec(files, grid))
+    spark.read
+      .format(classOf[graft.sources.netcdf.NdFileTableProvider].getName)
+      .option("files", files.mkString(graft.sources.netcdf.NdFileSource.SEP))
+      .option("grid", grid.mkString(","))
+      .option("split_cells", splitCells.toString)
+      .schema(schema)
+      .load()
+  }
+
+  test("hdf5 chunk-split: one partition per chunk range, identical rows") {
+    import spark.implicits._
+    val grid = Seq("time", "lat", "lon")
+    // time=1 is degenerate → the split axis is lat (chunk rows 302)
+    val split = ndRead(Seq(refNc), grid, splitCells = 400000)
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected >1 partition, got ${split.rdd.getNumPartitions}")
+    val whole = ndRead(Seq(refNc), grid, splitCells = Long.MaxValue)
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.count() == 1L * 1208 * 1920)
+    // aggregate fingerprints agree between split and unsplit reads
+    // (sums compared with a relative tolerance: partitioning changes
+    // float addition order by a few ulps, not values)
+    def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.agg(sum($"analysed_sst"), count($"analysed_sst"), sum($"lat"), sum($"lon"))
+        .collect()(0).toSeq
+    fp(split).zip(fp(whole)).foreach {
+      case (a: Double, b: Double) => assert(math.abs(a - b) <= 1e-10 * math.abs(b))
+      case (a, b) => assert(a == b)
+    }
+    // exact agreement on a value-order-insensitive check: per-row join
+    val sm = split.filter($"lat" < 39.0).select($"lat", $"lon", $"analysed_sst")
+    val wm = whole.filter($"lat" < 39.0).select($"lat", $"lon", $"analysed_sst")
+    assert(sm.exceptAll(wm).count() == 0 && wm.exceptAll(sm).count() == 0)
+  }
+
+  test("hdf5 chunk-split: coordinate predicates prune split ranges") {
+    import spark.implicits._
+    val grid = Seq("time", "lat", "lon")
+    val all = ndRead(Seq(refNc), grid, splitCells = 400000)
+    val n = all.rdd.getNumPartitions
+    val banded = all.filter($"lat" >= 43.0 && $"lat" <= 43.3)
+    assert(banded.rdd.getNumPartitions < n,
+      s"expected <$n partitions after lat pruning, got ${banded.rdd.getNumPartitions}")
+    assert(banded.count() == 69120) // same slice the zarr gate pins
+  }
+
+  test("classic record-split: record variables stripe across partitions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split")
+      .resolve("recs.nc").toString
+    val df0 = spark.range(0, 200).select(
+      $"id".cast("double").as("x"), ($"id" * 2).cast("double").as("y"))
+    NetcdfWriter.writeFlat(df0, tmp)
+    val grid = Seq("obs") // writeFlat's record dimension
+    val split = ndRead(Seq(tmp), grid, splitCells = 50)
+    assert(split.rdd.getNumPartitions == 4)
+    assert(split.select(sum($"x"), sum($"y")).collect()(0).toSeq ==
+      Seq(199.0 * 200 / 2, 199.0 * 200))
+  }
 }
