@@ -41,6 +41,27 @@ object QueriesEngine {
       JsonQuery.compile(s, q).orderBy(col("o_custkey"))
     },
 
+    // ---- the DDL/catalog surface end-to-end through GraftEngine.sql:
+    // external registration → CTAS → INSERT INTO → copy-on-write DELETE
+    // and UPDATE → SELECT; the oracle recomputes the surviving rows
+    // from the source parquet (DELETE keeps NOT-true, UPDATE is the
+    // CASE-WHEN projection — the reference lower.rs semantics)
+    "q_ddl_lifecycle" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-ddlgate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE ddl_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      eng.sql("""CREATE TABLE ddl_live AS
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM ddl_orders WHERE o_orderkey % 3 = 0""")
+      eng.sql("""INSERT INTO ddl_live
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM ddl_orders WHERE o_orderkey % 3 = 1""")
+      eng.sql("DELETE FROM ddl_live WHERE o_totalprice < 50000")
+      eng.sql("UPDATE ddl_live SET o_orderstatus = 'X' WHERE o_custkey % 10 = 0")
+      eng.sql("SELECT * FROM ddl_live").orderBy(col("o_orderkey"))
+    },
+
     // ---- SUMMARIZE (single-pass profile); avg/std rounded for the
     //      cross-engine gate (different-but-both-correct summation orders)
     "q_summarize_lineitem" -> { (s, dir) =>
@@ -136,6 +157,13 @@ object QueriesEngine {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ddl_lifecycle" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN o_custkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice
+         FROM orders
+         WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice < 50000)
+         ORDER BY o_orderkey""",
     "q_dsl_pipeline" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity > 45 AND l_extendedprice < 60000
