@@ -209,7 +209,9 @@ object JsonQuery {
         FileCollection.csv(spark, paths, Map("delimiter" -> delim))
       case "arrow" => graft.sources.ArrowSource.read(spark, paths)
       case "odv"   => graft.sources.OdvSource.read(spark, paths)
-      case "netcdf" | "hdf5" => // NetCDF-4 IS an HDF5 container: shared reader
+      case "netcdf" | "hdf5" | "tiff" => // one ND container scan path:
+        // NetCDF-4 IS an HDF5 container; TIFF/GeoTIFF flattens through
+        // the same arrays→tables rule (magic-byte dispatch inside)
         val dims = spec.get("dimensions") match {
           case Some(JArray(ds)) => Some(ds.collect { case JString(d) => d })
           case _ => None

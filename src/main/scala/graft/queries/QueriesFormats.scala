@@ -24,6 +24,8 @@ object QueriesFormats {
 
   val refProf = "/root/reference/test-datasets/test_file.nc"
   val refZarr = "/root/reference/test-datasets/gridded-example.zarr"
+  val refTiffLzw = "/root/reference/beacon-db/beacon-file-formats/" +
+    "beacon-arrow-tiff/test-files/synthetic_lzw_stripped_f32.tif"
   private val fixtures = "/root/repo/src/test/resources/fixtures"
 
   /** flattened Argo-style profile file over the (N_PROF, N_LEVELS) grid */
@@ -125,6 +127,20 @@ object QueriesFormats {
         .orderBy("day", "event_type")
     },
     "q_netcdf_profile" -> { (s, _) => netcdfProfile(s) },
+    // GeoTIFF raster through the DSL (from.tiff → LZW strip decode →
+    // arrays→tables flatten → geo axes). The oracle parquet is decoded
+    // by an INDEPENDENT from-scratch python implementation
+    // (tools/tiff_fixture.py) — tags, LZW and axis math shared with
+    // nothing in the Scala reader.
+    "q_tiff_raster" -> { (s, _) =>
+      GraftSession.configure(s)
+      graft.dsl.JsonQuery.compile(s,
+        s"""{"select": [{"column": "geo.lat", "alias": "lat"},
+                        {"column": "geo.lon", "alias": "lon"},
+                        {"column": "band.0", "alias": "band0"}],
+             "sort_by": [{"Asc": "lat"}, {"Asc": "lon"}],
+             "from": {"tiff": {"paths": ["$refTiffLzw"]}}}""")
+    },
     "q_zarr_gridded" -> { (s, _) => zarrGridded(s) },
     // ODV writer+reader round trip, oracle recomputes from source parquet
     "q_odv_roundtrip" -> { (s, dir) =>
@@ -163,6 +179,8 @@ object QueriesFormats {
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q_netcdf_profile" ->
       s"SELECT * FROM read_parquet('$fixtures/netcdf_profile/*.parquet') ORDER BY lat, lon, deph, temp",
+    "q_tiff_raster" ->
+      s"SELECT lat, lon, band0 FROM read_parquet('$fixtures/tiff_lzw/*.parquet') ORDER BY lat, lon",
     "q_zarr_gridded" ->
       s"SELECT * FROM read_parquet('$fixtures/zarr_gridded_slice/*.parquet') ORDER BY lat, lon",
     "q_odv_roundtrip" ->

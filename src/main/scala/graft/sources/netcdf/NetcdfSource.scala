@@ -33,6 +33,8 @@ object NetcdfSource {
       rowRange: Option[(String, Int, Int)] = None): graft.nd.NdDataset = {
     val path = localPath(path0)
     if (NetcdfClassic.isClassic(path)) NetcdfClassic.readDataset(path, keep, rowRange)
+    else if (graft.sources.tiff.TiffReader.isTiff(path))
+      graft.sources.tiff.TiffReader.readDataset(path, keep, rowRange)
     else graft.sources.hdf5.Hdf5Reader.readDataset(path, keep, rowRange)
   }
 
@@ -42,6 +44,8 @@ object NetcdfSource {
   def chunkDimsOf(path0: String, rank: Int): Option[Array[Int]] = {
     val path = localPath(path0)
     if (NetcdfClassic.isClassic(path)) None
+    else if (graft.sources.tiff.TiffReader.isTiff(path))
+      graft.sources.tiff.TiffReader.stripRows(path).map(r => Array(r, Int.MaxValue))
     else graft.sources.hdf5.Hdf5Reader.chunkDimsOf(path, rank)
   }
 
