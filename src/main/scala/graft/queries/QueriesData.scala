@@ -192,8 +192,7 @@ object QueriesData {
     "q_stream_daily" -> { (s, dir) =>
       import s.implicits._
       GraftSession.configure(s)
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream-gate").toString
-      Tables.load(s, dir, "events").write.mode("overwrite").parquet(staged)
+      val staged = stageEventsOnce(s, dir)
       val stream = graft.streaming.EventStreams.readEventStream(s, staged)
       val agg = graft.streaming.EventStreams.windowedCounts(stream, "1 day", "1 day")
       val qn = "stream_daily_gate"
@@ -220,6 +219,18 @@ object QueriesData {
         .orderBy(col("media_id"), col("frame_idx"))
     },
   )
+
+  /** events staged as a streaming-source directory ONCE per sf dir and
+    * process (VERDICT r3 Wrong #4: re-staging every invocation made the
+    * gate measure the harness); the Spark _SUCCESS marker gates reuse */
+  private def stageEventsOnce(s: SparkSession, dir: String): String = {
+    val key = Integer.toHexString(dir.hashCode)
+    val staged = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-stream-stage-$key")
+    if (!new java.io.File(staged, "_SUCCESS").exists())
+      Tables.load(s, dir, "events").write.mode("overwrite").parquet(staged.toString)
+    staged.toString
+  }
 
   // ---------------------------------------------------------------- oracles
 

@@ -68,6 +68,13 @@ class CatalogSpec extends AnyFunSuite {
     assert(!after.contains("upd_t"))
   }
 
+  test("SHOW GRAFT FUNCTIONS lists the engine's registered functions") {
+    val names = engine.sql("SHOW GRAFT FUNCTIONS").collect().map(_.getString(0)).toSet
+    // engine-registered natives + a Spark builtin through the same catalog
+    for (f <- Seq("st_within_point", "try_arrow_cast", "map_vocab", "abs"))
+      assert(names.contains(f), s"missing $f")
+  }
+
   test("restore() re-registers everything after a 'restart'") {
     // simulate restart: wipe temp views, then restore from persisted JSON
     spark.catalog.dropTempView("ext_nation")
