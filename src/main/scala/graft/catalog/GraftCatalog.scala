@@ -218,6 +218,16 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           spark, d.paths.head, d.options.get("versionAsOf"))
         case "iceberg"         => graft.sources.iceberg.IcebergSource.read(
           spark, d.paths.head, d.options.get("versionAsOf"))
+        // SQL-database federation (reference beacon-sql-databases):
+        // STORED AS JDBC/POSTGRES/MYSQL LOCATION '<jdbc-url>' OPTIONS
+        // (dbtable 'schema.table', ...) registers a remote table through
+        // Spark's JDBC source — projection/filter (and with DSv2,
+        // aggregate) pushdown to the source database comes from Spark
+        case "jdbc" | "postgres" | "mysql" =>
+          spark.read.format("jdbc")
+            .option("url", d.paths.head)
+            .options(d.options.view.filterKeys(_ != "versionAsOf").toMap)
+            .load()
         case fmt               => FileCollection.read(spark, fmt, d.paths, d.options)
       }
       df.createOrReplaceTempView(d.name)

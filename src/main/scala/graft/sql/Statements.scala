@@ -24,7 +24,8 @@ object Statements {
   private val reExternal =
     ("""(?is)^CREATE\s+EXTERNAL\s+TABLE\s+""" + Id +
       """\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+(.+?)""" +
-      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'((?:[^']|'')+)')?\s*$""").r
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'((?:[^']|'')+)')?""" +
+      """(?:\s+OPTIONS\s*\((.+?)\))?\s*$""").r
   private val reMView =
     ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+""" + Id + """\s+AS\s+(.+)$""").r
   private val reView =
@@ -84,11 +85,12 @@ object Statements {
   def tryExecute(spark: SparkSession, catalog: GraftCatalog, text: String): Option[DataFrame] = {
     val t = text.trim.stripSuffix(";")
     t match {
-      case reExternal(name0, fmt, locs, ver, ts) =>
+      case reExternal(name0, fmt, locs, ver, ts, opts) =>
         val name = unquote(name0)
         val travel = Option(ver).orElse(Option(ts).map(_.replace("''", "'")))
-        catalog.createExternalTable(name, fmt.toLowerCase, parsePaths(locs),
-          travel.map(v => Map("versionAsOf" -> v)).getOrElse(Map.empty))
+        val options = Option(opts).map(parseOptions).getOrElse(Map.empty) ++
+          travel.map("versionAsOf" -> _)
+        catalog.createExternalTable(name, fmt.toLowerCase, parsePaths(locs), options)
         Some(status(spark, s"created external table $name"))
       case reMView(name0, sql) =>
         val name = unquote(name0)
@@ -229,6 +231,12 @@ object Statements {
   /** LOCATION 'a' [, 'b' ...] — single-quoted paths. */
   private[sql] def parsePaths(locs: String): Seq[String] =
     "'((?:[^']|'')*)'".r.findAllMatchIn(locs).map(_.group(1).replace("''", "'")).toSeq
+
+  /** OPTIONS (key 'value', "key" 'value', ...) */
+  private[sql] def parseOptions(s: String): Map[String, String] =
+    ("""(\w+|"(?:[^"]|"")+")\s+'((?:[^']|'')*)'""").r.findAllMatchIn(s).map { m =>
+      unquote(m.group(1)) -> m.group(2).replace("''", "'")
+    }.toMap
 
   /** SET a = expr, b = expr — split on top-level commas (quotes and
     * parens respected), then on the first `=`. */

@@ -75,6 +75,40 @@ class CatalogSpec extends AnyFunSuite {
       assert(names.contains(f), s"missing $f")
   }
 
+  test("STORED AS JDBC federates a SQL-database table (embedded Derby)") {
+    // a real external database: in-memory Derby via plain JDBC
+    val url = "jdbc:derby:memory:graftfed;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    val st = c.createStatement()
+    st.execute("CREATE TABLE obs (id INT, station VARCHAR(16), temp DOUBLE)")
+    st.execute("INSERT INTO obs VALUES (1,'aa',11.5),(2,'bb',12.5),(3,'aa',13.0)")
+    st.close(); c.close()
+    engine.sql(
+      "CREATE EXTERNAL TABLE fed_obs STORED AS JDBC LOCATION " +
+        s"'$url' OPTIONS (dbtable 'APP.OBS')")
+    // Derby surfaces uppercase identifiers; the engine is case-sensitive
+    // like the reference (ident-normalization off)
+    val rows = engine.sql(
+      "SELECT STATION, count(*) AS n, sum(TEMP) AS t FROM fed_obs GROUP BY STATION ORDER BY STATION")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("aa", 2L, 24.5), ("bb", 1L, 12.5)))
+    // predicate pushdown reaches the JDBC relation
+    val plan = engine.sql("SELECT ID FROM fed_obs WHERE TEMP > 12")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("TEMP"))
+    // joins against local tables work (the federation use case)
+    import spark.implicits._
+    Seq((1, "x"), (3, "y")).toDF("id", "tag").createOrReplaceTempView("local_tags")
+    assert(engine.sql(
+      "SELECT count(*) FROM fed_obs f JOIN local_tags t ON f.ID = t.id")
+      .collect()(0).getLong(0) == 2)
+    // persisted + restorable like every other definition
+    spark.catalog.dropTempView("fed_obs")
+    engine.restore()
+    assert(spark.table("fed_obs").count() == 3)
+  }
+
   test("restore() re-registers everything after a 'restart'") {
     // simulate restart: wipe temp views, then restore from persisted JSON
     spark.catalog.dropTempView("ext_nation")
