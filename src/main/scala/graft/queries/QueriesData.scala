@@ -181,7 +181,9 @@ object QueriesData {
     "q_multimodal_decode" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
-      Multimodal.embedMedia(Multimodal.decodeImages(media, "payload"), "payload")
+      Multimodal.embedMedia(
+        Multimodal.decodeImages(media, "payload", Multimodal.FakeCodec),
+        "payload", codec = Multimodal.FakeCodec)
         .select(col("media_id"), col("decoded_width"), col("decoded_height"),
           round(col("mean_luma"), 6).as("mean_luma"),
           round(element_at(col("media_embedding"), 1).cast(DoubleType), 6).as("emb_0"))
@@ -207,14 +209,14 @@ object QueriesData {
     "q_multimodal_resize" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
-      Multimodal.resizeImages(media, "payload", 224, 224)
+      Multimodal.resizeImages(media, "payload", 224, 224, Multimodal.FakeCodec)
         .select(col("media_id"), hex(col("resized_payload")).as("resized_hex"))
         .orderBy(col("media_id"))
     },
     "q_multimodal_frames" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
-      Multimodal.sampleFrames(media, "payload", "media_id", n = 3)
+      Multimodal.sampleFrames(media, "payload", "media_id", n = 3, Multimodal.FakeCodec)
         .select(col("media_id"), col("frame_idx"), hex(col("frame_payload")).as("frame_hex"))
         .orderBy(col("media_id"), col("frame_idx"))
     },

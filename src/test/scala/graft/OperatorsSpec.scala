@@ -278,14 +278,14 @@ class OperatorsSpec extends AnyFunSuite {
     val media = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
 
-    def snap() = Multimodal.decodeImages(media, "payload").collect()
+    def snap() = Multimodal.decodeImages(media, "payload", Multimodal.FakeCodec).collect()
       .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("decoded_width"),
         r.getAs[Int]("decoded_height"), r.getAs[Double]("mean_luma"))).sortBy(_._1)
     val dec = snap()
     assert(dec.length == 2)
     assert(snap().sameElements(dec), "deterministic")
 
-    val emb = Multimodal.embedMedia(media, "payload", dim = 16)
+    val emb = Multimodal.embedMedia(media, "payload", dim = 16, Multimodal.FakeCodec)
     val v = emb.select($"media_embedding").collect()(0).getSeq[Float](0)
     assert(v.length == 16)
 
@@ -293,5 +293,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.count() == 6)
     assert(frames.select("frame_payload").collect()
       .map(_.getAs[Array[Byte]](0).length).forall(_ == 16)) // md5 digests
+  }
+
+  test("multimodal: REAL image decode/resize/embed over the JDK codec") {
+    import spark.implicits._
+    // a 40×20 PNG: left half black, right half white → mean luma ≈ 0.5
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, png(40, 20)), (2L, png(64, 32))).toDF("media_id", "payload")
+
+    // decode: true dimensions + true luminance (ImageIoCodec is default)
+    val dec = Multimodal.decodeImages(media, "payload")
+      .orderBy($"media_id").collect()
+    assert(dec(0).getAs[Int]("decoded_width") == 40 &&
+      dec(0).getAs[Int]("decoded_height") == 20)
+    assert(dec(1).getAs[Int]("decoded_width") == 64)
+    assert(math.abs(dec(0).getAs[Double]("mean_luma") - 0.5) < 0.02)
+
+    // resize: output payload is a real PNG at the target size
+    val rs = Multimodal.resizeImages(media, "payload", 16, 16)
+      .orderBy($"media_id").collect()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs(0).getAs[Array[Byte]]("resized_payload")))
+    assert(back.getWidth == 16 && back.getHeight == 16)
+
+    // embed: 16-dim (4×4 grid) intensity vector — left cells dark, right light
+    val emb = Multimodal.embedMedia(media, "payload", dim = 16)
+      .orderBy($"media_id").collect()(0).getSeq[Float](
+        media.schema.length) // appended column
+    assert(emb.length == 16)
+    for (r <- 0 until 4) {
+      assert(emb(r * 4) < 0.25f, s"left cell row $r should be dark")
+      assert(emb(r * 4 + 3) > 0.75f, s"right cell row $r should be light")
+    }
+
+    // video frame sampling has no JDK codec: explicit rejection
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(media, "payload", "media_id", n = 2,
+        Multimodal.ImageIoCodec).collect()
+    }
+    assert(e.getCause.getMessage.contains("frame sampling"))
   }
 }
