@@ -142,6 +142,46 @@ object QueriesFormats {
              "from": {"tiff": {"paths": ["$refTiffLzw"]}}}""")
     },
     "q_zarr_gridded" -> { (s, _) => zarrGridded(s) },
+    // CSV egress (COPY TO semantics: header, distributed) → inference
+    // read-back; oracle recomputes from the source parquet
+    "q_csv_roundtrip" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csvgate")
+        .resolve("daily.csv").toString
+      graft.sql.Outputs.copyTo(dailyAgg(s, dir), tmp, Some("csv"))
+      graft.sources.FileCollection.csv(s, Seq(tmp), Map.empty)
+        .select(col("day").cast(TimestampNTZType).as("day"),
+          col("event_type").cast(StringType).as("event_type"),
+          col("n").cast(LongType).as("n"),
+          col("total_value").cast(DoubleType).as("total_value"))
+        .orderBy("day", "event_type")
+    },
+    // Arrow IPC single-file writer → batch-streaming reader round trip
+    "q_arrow_roundtrip" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-arrowgate")
+        .resolve("daily.arrow").toString
+      graft.sql.Outputs.copyTo(dailyAgg(s, dir), tmp, Some("arrow"))
+      graft.sources.ArrowSource.read(s, Seq(tmp))
+        .select(col("day"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("day", "event_type")
+    },
+    // GeoParquet: lon/lat → WKB point geometry → read-back → WKT; the
+    // oracle rebuilds the WKT text from the same source coordinates
+    "q_geoparquet_roundtrip" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val pts = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_discount" * 100).cast(IntegerType).as("lon"),
+          $"l_quantity".cast(IntegerType).as("lat"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-geogate")
+        .resolve("pts.parquet").toString
+      graft.sources.GeoParquet.write(pts, tmp, "lon", "lat")
+      graft.sources.GeoParquet.read(s, Seq(tmp))
+        .select($"l_orderkey", $"l_linenumber", $"geometry_wkt")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
     // ODV writer+reader round trip, oracle recomputes from source parquet
     "q_odv_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
@@ -181,6 +221,17 @@ object QueriesFormats {
       s"SELECT * FROM read_parquet('$fixtures/netcdf_profile/*.parquet') ORDER BY lat, lon, deph, temp",
     "q_tiff_raster" ->
       s"SELECT lat, lon, band0 FROM read_parquet('$fixtures/tiff_lzw/*.parquet') ORDER BY lat, lon",
+    "q_csv_roundtrip" ->
+      s"""SELECT * FROM (${dailyAggSql.format("")}) ORDER BY day, event_type""",
+    "q_arrow_roundtrip" ->
+      s"""SELECT * FROM (${dailyAggSql.format("")}) ORDER BY day, event_type""",
+    // WKT text matches the engine's renderer: integral doubles print ".0"
+    "q_geoparquet_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+           'POINT (' || CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)
+             || '.0 ' || CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.0)'
+             AS geometry_wkt
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_zarr_gridded" ->
       s"SELECT * FROM read_parquet('$fixtures/zarr_gridded_slice/*.parquet') ORDER BY lat, lon",
     "q_odv_roundtrip" ->
