@@ -182,6 +182,25 @@ object QueriesFormats {
         .select($"l_orderkey", $"l_linenumber", $"geometry_wkt")
         .orderBy($"l_orderkey", $"l_linenumber")
     },
+    // ndnetcdf: table → dense (day × hour) grid → .nc → flatten back;
+    // uncovered cells surface as NULL (_FillValue). Oracle rebuilds the
+    // dense grid with a cross join + left join.
+    "q_ndnetcdf_grid" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val hourly = Tables.load(s, dir, "events").groupBy(
+          floor(unix_timestamp($"ts") / 86400).cast(DoubleType).as("d"),
+          hour($"ts").cast(DoubleType).as("h"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          round(sum($"value"), 4).as("total_value"))
+      val ds = graft.nd.NdPivot.pivot(hourly, Seq("d", "h"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ndgate")
+        .resolve("grid.nc").toString
+      NetcdfWriter.writeNd(ds, tmp)
+      NetcdfSource.readFile(s, tmp)
+        .select(col("d"), col("h"), col("n"), col("total_value"))
+        .orderBy("d", "h")
+    },
     // ODV writer+reader round trip, oracle recomputes from source parquet
     "q_odv_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
@@ -221,6 +240,16 @@ object QueriesFormats {
       s"SELECT * FROM read_parquet('$fixtures/netcdf_profile/*.parquet') ORDER BY lat, lon, deph, temp",
     "q_tiff_raster" ->
       s"SELECT lat, lon, band0 FROM read_parquet('$fixtures/tiff_lzw/*.parquet') ORDER BY lat, lon",
+    "q_ndnetcdf_grid" ->
+      """WITH ev AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS DOUBLE) AS d,
+                CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS h, value FROM events),
+        agg AS (SELECT d, h, CAST(count(*) AS DOUBLE) AS n,
+                round(sum(value), 4) AS total_value FROM ev GROUP BY 1, 2),
+        grid AS (SELECT dd.d, hh.h FROM (SELECT DISTINCT d FROM ev) dd,
+                 (SELECT DISTINCT h FROM ev) hh)
+        SELECT g.d, g.h, a.n, a.total_value
+        FROM grid g LEFT JOIN agg a ON a.d = g.d AND a.h = g.h
+        ORDER BY g.d, g.h""",
     "q_csv_roundtrip" ->
       s"""SELECT * FROM (${dailyAggSql.format("")}) ORDER BY day, event_type""",
     "q_arrow_roundtrip" ->
