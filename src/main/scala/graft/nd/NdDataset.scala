@@ -39,10 +39,12 @@ final case class NdDataset(
     v.dims.map(d => dimSize(d).toLong).product
 
   // zero variables is legal: a fully column-pruned scan (count(*)
-  // shape) still has a row count — the product of the grid dims
+  // shape) still has a row count — the product of the grid dims.
+  // zero-LENGTH variables are the metadata-only parse (schema/grid
+  // planning never touches data) — legal unless the dims say empty too.
   variables.foreach { v =>
     val expect = v.dims.map(d => dimSize(d).toLong).product
-    require(v.length == expect,
+    require(v.length == expect || v.length == 0,
       s"variable ${v.name}: data length ${v.length} != dim product $expect")
   }
 }

@@ -98,7 +98,16 @@ object Hdf5Reader {
     * intersecting chunks / contiguous byte range; deeper carriers
     * decode fully and slice. The returned `dim` size is end-start. */
   def readDataset(path: String, keep: String => Boolean,
-      rowRange: Option[(String, Int, Int)]): NdDataset = {
+      rowRange: Option[(String, Int, Int)]): NdDataset =
+    readDataset(path, keep, rowRange, metaOnly = false)
+
+  /** metadata-only parse: variables carry dims/type/attrs with EMPTY
+    * data — exact schema + grid selection without touching data bytes */
+  def readMeta(path: String): NdDataset =
+    readDataset(path, _ => true, None, metaOnly = true)
+
+  private def readDataset(path: String, keep: String => Boolean,
+      rowRange: Option[(String, Int, Int)], metaOnly: Boolean): NdDataset = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val mapped = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
@@ -107,7 +116,7 @@ object Hdf5Reader {
       val rootAttrs = mutable.LinkedHashMap.empty[String, AttrVal]
       val datasets = mutable.ArrayBuffer.empty[Dataset]
       walkGroup(h5, rootAddr, "", datasets, rootAttrs, depth = 0)
-      toNd(h5, datasets.toSeq, rootAttrs.toMap, keep, rowRange)
+      toNd(h5, datasets.toSeq, rootAttrs.toMap, keep, rowRange, metaOnly)
     } finally ch.close()
   }
 
@@ -1057,7 +1066,8 @@ object Hdf5Reader {
 
   private def toNd(h5: H5, datasets: Seq[Dataset], rootAttrs: Map[String, AttrVal],
       keep: String => Boolean = _ => true,
-      rowRange: Option[(String, Int, Int)] = None): NdDataset = {
+      rowRange: Option[(String, Int, Int)] = None,
+      metaOnly: Boolean = false): NdDataset = {
     val (rdim, rstart, rend) = rowRange.getOrElse((null: String, 0, 0))
     val dimScales = datasets.filter(_.attrs.get("CLASS").exists(_.render == "DIMENSION_SCALE"))
     val byAddr = dimScales.map(d => d.addr -> d).toMap
@@ -1100,11 +1110,18 @@ object Hdf5Reader {
           else i
         }
       val raw =
-        if (axisIdx >= 0) readRawRows(h5, d, axisIdx, rstart.toLong, rend.toLong)
+        if (metaOnly) Array.empty[Byte]
+        else if (axisIdx >= 0) readRawRows(h5, d, axisIdx, rstart.toLong, rend.toLong)
         else readRaw(h5, d)
       val dimsEff = d.dims.clone()
       if (axisIdx >= 0 && dimsEff.nonEmpty) dimsEff(axisIdx) = (rend - rstart).toLong
-      val decoded: NdVariable = if (d.dtype.clazz == 3) {
+      val decoded: NdVariable = if (metaOnly) {
+        if (d.dtype.clazz == 3) {
+          val outDims =
+            if (d.dtype.size > 1 || d.dims.isEmpty) axes0 else axes0.dropRight(1)
+          NdVariable(d.name, outDims, null, attrs, Array.empty[String])
+        } else NdVariable(d.name, axes0, Array.empty[Double], attrs)
+      } else if (d.dtype.clazz == 3) {
         // char/fixed-string data → strings; element size > 1 = string per cell,
         // element size 1 = netcdf char matrix: last dim is the string length
         if (d.dtype.size > 1 || d.dims.isEmpty) {

@@ -135,7 +135,7 @@ object NdFileSource {
       splitCells: Long): Seq[Option[(String, Int, Int)]] = {
     val whole = Seq(None)
     try {
-      val header = NetcdfSource.readContainer(file, _ => false) // header only
+      val header = NetcdfSource.readContainerMeta(file)
       val sizes = header.dims.toMap
       if (!grid.forall(sizes.contains)) return whole
       val totalCells = grid.map(sizes(_).toLong).product
@@ -194,8 +194,8 @@ object NdFileSource {
     }
   }
 
-  def schema(spec: NdFileSpec): StructType =
-    NdFlatten.plan(NetcdfSource.readContainer(spec.files.head), Some(spec.grid)).schema
+  def schema(spec: NdFileSpec): StructType = // metadata-only: no data decode
+    NdFlatten.plan(NetcdfSource.readContainerMeta(spec.files.head), Some(spec.grid)).schema
 
   /** file-level predicate pruning — the archive story ("query a
     * million files, open the few that matter"): for predicates on grid

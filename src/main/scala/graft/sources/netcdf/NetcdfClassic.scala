@@ -181,8 +181,17 @@ object NetcdfClassic {
     * (incl. all record variables) read only those rows' bytes; carriers
     * at a deeper axis decode fully and slice; non-carriers pass
     * through. The returned dataset's `dim` size is end-start. */
+  /** metadata-only parse: variables carry dims/type/attrs with EMPTY
+    * data — exact schema + grid selection without reading data bytes */
+  def readMeta(path: String): NdDataset =
+    readDataset(path, _ => true, None, metaOnly = true)
+
   def readDataset(path: String, keep: String => Boolean,
-      rowRange: Option[(String, Int, Int)]): NdDataset = {
+      rowRange: Option[(String, Int, Int)]): NdDataset =
+    readDataset(path, keep, rowRange, metaOnly = false)
+
+  private def readDataset(path: String, keep: String => Boolean,
+      rowRange: Option[(String, Int, Int)], metaOnly: Boolean): NdDataset = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val size = ch.size()
@@ -210,7 +219,12 @@ object NetcdfClassic {
         // axis-0 row window (full range when not the split axis)
         val n0 = v.dimIds.headOption.map(fullSizeOf).getOrElse(1)
         val (s0, e0) = if (firstIsRange) (rstart, rend) else (0, n0)
-        val decoded: NdVariable = if (v.ncType == NC_CHAR) {
+        val decoded: NdVariable = if (metaOnly) {
+          if (v.ncType == NC_CHAR) {
+            val outDims = if (v.dimIds.nonEmpty) v.dimIds.dropRight(1) else Seq.empty
+            NdVariable(v.name, outDims.map(dimName), null, attrs, Array.empty[String])
+          } else NdVariable(v.name, v.dimIds.map(dimName), Array.empty[Double], attrs)
+        } else if (v.ncType == NC_CHAR) {
           // char matrix → strings over leading dims; scalar char var → 1 string
           val strLen = if (v.dimIds.nonEmpty) fullSizeOf(v.dimIds.last) else 1
           val outDims = if (v.dimIds.nonEmpty) v.dimIds.dropRight(1) else Seq.empty

@@ -51,8 +51,22 @@ object NetcdfSource {
 
   def isClassicFile(path0: String): Boolean = NetcdfClassic.isClassic(localPath(path0))
 
+  /** metadata-only parse: every variable present with its dims, type
+    * and attributes but EMPTY data — schema inference and grid
+    * selection on a 50 GB granule cost the header bytes, not the file */
+  def readContainerMeta(path0: String): graft.nd.NdDataset = {
+    val path = localPath(path0)
+    if (NetcdfClassic.isClassic(path)) NetcdfClassic.readMeta(path)
+    else if (graft.sources.tiff.TiffReader.isTiff(path))
+      graft.sources.tiff.TiffReader.readMeta(path)
+    else graft.sources.hdf5.Hdf5Reader.readMeta(path)
+  }
+
+  /** Flattened schema without decoding any data (metadata-only parse;
+    * schema and default-grid selection depend only on variable shapes,
+    * types and attributes). */
   def schemaOf(path: String, dimensions: Option[Seq[String]]): StructType =
-    NdFlatten.plan(readContainer(path), dimensions).schema
+    NdFlatten.plan(readContainerMeta(path), dimensions).schema
 
   def read(spark: SparkSession, paths: Seq[String],
       dimensions: Option[Seq[String]] = None): DataFrame = {
@@ -74,7 +88,7 @@ object NetcdfSource {
   private def readGroup(spark: SparkSession, schema: StructType,
       files: Seq[String], dimensions: Option[Seq[String]]): DataFrame = {
     val grid = dimensions.getOrElse {
-      val ds = readContainer(files.head)
+      val ds = readContainerMeta(files.head) // grid needs shapes, not data
       val largest = ds.variables.maxBy(v => (ds.volume(v), -ds.variables.indexOf(v)))
       largest.dims
     }

@@ -140,8 +140,18 @@ object TiffReader {
   def readDataset(path: String, keep: String => Boolean): NdDataset =
     readDataset(path, keep, None)
 
+  /** metadata-only parse: band variables carry dims/attrs with EMPTY
+    * data (geo axes and scalar metadata are header-derived and cheap,
+    * so they stay real) */
+  def readMeta(path: String): NdDataset =
+    readDataset(path, _ => true, None, metaOnly = true)
+
   def readDataset(path: String, keep: String => Boolean,
-      rowRange: Option[(String, Int, Int)]): NdDataset = {
+      rowRange: Option[(String, Int, Int)]): NdDataset =
+    readDataset(path, keep, rowRange, metaOnly = false)
+
+  private def readDataset(path: String, keep: String => Boolean,
+      rowRange: Option[(String, Int, Int)], metaOnly: Boolean): NdDataset = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
@@ -169,7 +179,8 @@ object TiffReader {
 
       // ---- pixel decode → per-band doubles over the y window
       val bandData: Array[Array[Double]] =
-        if (keepAnyBand(keep, spp)) decodeBands(buf, ifd, width, height, spp, bits,
+        if (metaOnly) Array.fill(spp)(Array.empty[Double])
+        else if (keepAnyBand(keep, spp)) decodeBands(buf, ifd, width, height, spp, bits,
           compression, predictor, sampleFormat, tiled, y0, y1)
         else Array.fill(spp)(null)
 
