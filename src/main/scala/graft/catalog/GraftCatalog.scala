@@ -190,11 +190,14 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (Files.exists(dd)) deleteRecursively(dd)
   }
 
-  def tables(): Seq[TableDef] =
-    Files.list(catalogDir).iterator().asScala
+  def tables(): Seq[TableDef] = {
+    val s = Files.list(catalogDir)
+    try s.iterator().asScala
       .filter(_.toString.endsWith(".json"))
       .map(p => parseDef(Files.readString(p)))
       .toSeq.sortBy(_.name)
+    finally s.close()
+  }
 
   /** Restore every persisted definition into the session (dependency
     * order: data tables first, then views, then materialized views —
@@ -214,10 +217,14 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case "odv"             => graft.sources.OdvSource.read(spark, d.paths)
         case "netcdf" | "hdf5" | "tiff" => graft.sources.netcdf.NetcdfSource.read(spark, d.paths)
         case "zarr"            => graft.sources.zarr.ZarrSource.read(spark, d.paths)
-        case "delta"           => graft.sources.delta.DeltaSource.read(
-          spark, d.paths.head, d.options.get("versionAsOf"))
-        case "iceberg"         => graft.sources.iceberg.IcebergSource.read(
-          spark, d.paths.head, d.options.get("versionAsOf"))
+        case "delta"           =>
+          require(d.paths.size == 1, "delta takes exactly one table location")
+          graft.sources.delta.DeltaSource.read(
+            spark, d.paths.head, d.options.get("versionAsOf"))
+        case "iceberg"         =>
+          require(d.paths.size == 1, "iceberg takes exactly one table location")
+          graft.sources.iceberg.IcebergSource.read(
+            spark, d.paths.head, d.options.get("versionAsOf"))
         // SQL-database federation (reference beacon-sql-databases):
         // STORED AS JDBC/POSTGRES/MYSQL LOCATION '<jdbc-url>' OPTIONS
         // (dbtable 'schema.table', ...) registers a remote table through
@@ -272,8 +279,11 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     Files.writeString(defPath(d.name), renderDef(d))
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toVector.foreach(deleteRecursively)
+      finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 

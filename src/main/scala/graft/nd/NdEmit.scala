@@ -73,6 +73,14 @@ object NdEmit {
       val i = p.schema.fieldIndex(f.name)
       if (i < varCount) i else -(i - varCount) - 1
     }
+    // a metadata-only (empty-data) variable must never reach the emit
+    // path: fail loudly here, not as an index error deep in a task
+    if (p.rowCount > 0) srcs.filter(_ >= 0).foreach { vi =>
+      val v = p.varPlans(vi)._1
+      val len = if (v.sdata != null) v.sdata.length else v.data.length
+      require(len > 0,
+        s"variable ${v.name} has no decoded data (metadata-only parse leaked into a scan)")
+    }
 
     // per-dimension index masks from decoded 1-D coordinate axes
     val conds = comparisonConds(filters)

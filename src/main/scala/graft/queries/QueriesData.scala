@@ -226,7 +226,13 @@ object QueriesData {
     * process (VERDICT r3 Wrong #4: re-staging every invocation made the
     * gate measure the harness); the Spark _SUCCESS marker gates reuse */
   private def stageEventsOnce(s: SparkSession, dir: String): String = {
-    val key = Integer.toHexString(dir.hashCode)
+    // key = path + source mtime/size: regenerated source data restages,
+    // and two sf dirs can't collide on a 32-bit path hash alone
+    val src = new java.io.File(dir, "events.parquet")
+    val key = java.lang.Long.toHexString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+        .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL)))
     val staged = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-stream-stage-$key")
     if (!new java.io.File(staged, "_SUCCESS").exists())

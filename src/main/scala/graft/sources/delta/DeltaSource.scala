@@ -49,6 +49,13 @@ object DeltaSource {
       files: Seq[AddFile])
 
   private val logDir = "_delta_log"
+
+  /** Files.list with a closed stream (a leaked DirectoryStream costs an
+    * fd until finalization) */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
   private val commitRe = """(\d{20})\.json""".r
   private val checkpointRe = """(\d{20})\.checkpoint\.parquet""".r
 
@@ -57,7 +64,7 @@ object DeltaSource {
   private def listLog(table: Path): (Seq[(Long, Path)], Seq[(Long, Path)]) = {
     val dir = table.resolve(logDir)
     require(Files.isDirectory(dir), s"not a Delta table (no $logDir): $table")
-    val entries = Files.list(dir).iterator().asScala.toSeq
+    val entries = listDir(dir)
     val commits = entries.flatMap { p =>
       p.getFileName.toString match {
         case commitRe(v) => Some(v.toLong -> p)
@@ -244,7 +251,7 @@ object DeltaSource {
     private def nextVersion(table: Path): Long = {
       val dir = table.resolve(logDir)
       if (!Files.isDirectory(dir)) { Files.createDirectories(dir); return 0L }
-      val vs = Files.list(dir).iterator().asScala.toSeq.flatMap(p =>
+      val vs = listDir(dir).flatMap(p =>
         p.getFileName.toString match { case commitRe(v) => Some(v.toLong); case _ => None })
       if (vs.isEmpty) 0L else vs.max + 1
     }
@@ -363,7 +370,7 @@ object DeltaSource {
           $"_pcols".as("partitionColumns"))).as("metaData"))
       val tmp = Files.createTempDirectory(table, ".ckpt")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
+      val part = listDir(tmp)
         .find(_.toString.endsWith(".parquet")).get
       // the checkpoint names the version it snapshots — NOT nextVersion-1,
       // which would mislabel it if a writer committed after `snap` was read

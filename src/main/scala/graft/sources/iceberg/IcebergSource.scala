@@ -48,6 +48,13 @@ object IcebergSource {
 
   // -------------------------------------------------------- metadata
 
+  /** Files.list with a closed stream (a leaked DirectoryStream costs an
+    * fd until finalization) */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   private[iceberg] def metadataDir(table: String): Path = Paths.get(table, "metadata")
 
   /** version-hint.text when present, else highest `*.metadata.json`
@@ -59,16 +66,25 @@ object IcebergSource {
     if (Files.exists(hint)) {
       val v = Files.readString(hint).trim
       val candidates = Seq(dir.resolve(s"v$v.metadata.json")) ++
-        Files.list(dir).iterator().asScala.filter(
-          _.getFileName.toString.matches(s"0*$v-.*\\.metadata\\.json")).toSeq
+        listDir(dir).filter(
+          _.getFileName.toString.matches(s"0*$v-.*\\.metadata\\.json"))
       candidates.find(Files.exists(_)).getOrElse(
         throw new IllegalArgumentException(s"version-hint $v has no metadata file in $dir"))
     } else {
-      Files.list(dir).iterator().asScala
+      listDir(dir)
         .filter(_.getFileName.toString.endsWith(".metadata.json"))
-        .toSeq.sortBy(_.getFileName.toString).lastOption
+        .sortBy(_.getFileName.toString).lastOption
         .getOrElse(throw new IllegalArgumentException(s"no metadata files in $dir"))
     }
+  }
+
+  /** metadata version from either supported naming: %05d-uuid or vN */
+  private def versionOfMetadataFile(p: Path): Option[Int] = {
+    val n = p.getFileName.toString
+    val digits =
+      if (n.startsWith("v")) n.drop(1).takeWhile(_.isDigit)
+      else n.takeWhile(_.isDigit)
+    if (digits.nonEmpty) Some(digits.toInt) else None
   }
 
   def snapshot(tableLocation: String, travel: Option[String] = None): Snapshot = {
@@ -332,7 +348,7 @@ object IcebergSource {
       Files.createDirectories(dataDir)
 
       val prior: Option[(JValue, Snapshot)] =
-        if (Files.list(metaDir).iterator().asScala.exists(
+        if (listDir(metaDir).exists(
           _.getFileName.toString.endsWith(".metadata.json"))) {
           val m = JsonMethods.parse(Files.readString(resolveMetadataFile(tableLocation)))
           Some(m -> IcebergSource.snapshot(tableLocation))
@@ -342,16 +358,16 @@ object IcebergSource {
       val version = prior.map { case (m, _) =>
         (m \ "last-metadata-version") match {
           case JInt(v) => v.toInt + 1
-          case _ => // recover the version from the resolved file name
-            resolveMetadataFile(tableLocation).getFileName.toString
-              .takeWhile(_ != '-').toInt + 1
+          case _ => // recover from the file name (%05d-uuid or vN forms)
+            versionOfMetadataFile(resolveMetadataFile(tableLocation))
+              .getOrElse(0) + 1
         }
       }.getOrElse(0)
 
       // ---- stage data files
       val tmp = Files.createTempDirectory(table, ".stage")
       df.write.mode("overwrite").parquet(tmp.toString)
-      val staged = Files.list(tmp).iterator().asScala
+      val staged = listDir(tmp)
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toVector
       val dataFiles = staged.map { p =>
         val dest = dataDir.resolve(

@@ -34,7 +34,8 @@ object TiffReader {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       val b = ByteBuffer.allocate(4)
-      ch.read(b); b.flip()
+      if (ch.read(b) < 4) return false // too short for any magic
+      b.flip()
       val a0 = b.get(); val a1 = b.get(); val a2 = b.get(); val a3 = b.get()
       (a0 == 'I' && a1 == 'I' && a2 == 42 && a3 == 0) ||
         (a0 == 'M' && a1 == 'M' && a2 == 0 && a3 == 42)
@@ -84,16 +85,19 @@ object TiffReader {
       }
     }
 
-    def doubles(tag: Int): Option[Array[Double]] = entries.get(tag).map { e =>
-      val b = valuesBuf(e)
-      Array.tabulate(e.count) { _ =>
-        e.typ match {
-          case 11 => b.getFloat().toDouble
-          case 12 => b.getDouble()
-          case 5 => { val n = b.getInt() & 0xFFFFFFFFL; val d = b.getInt() & 0xFFFFFFFFL
-            if (d == 0) 0.0 else n.toDouble / d }
-          case _ => longs(tag).get.head.toDouble // integral fallback
-        }
+    def doubles(tag: Int): Option[Array[Double]] = entries.get(tag).flatMap { e =>
+      e.typ match {
+        case 11 | 12 | 5 =>
+          val b = valuesBuf(e)
+          Some(Array.tabulate(e.count) { _ =>
+            e.typ match {
+              case 11 => b.getFloat().toDouble
+              case 12 => b.getDouble()
+              case _ => val n = b.getInt() & 0xFFFFFFFFL; val d = b.getInt() & 0xFFFFFFFFL
+                if (d == 0) 0.0 else n.toDouble / d
+            }
+          })
+        case _ => longs(tag).map(_.map(_.toDouble)) // integral tag: element-wise
       }
     }
 
@@ -170,12 +174,19 @@ object TiffReader {
       require(predictor != 3, "floating-point predictor (3) not supported")
       val tiled = ifd.has(322)
 
-      // y window (strip-aligned decode); full range when absent
+      // y windows decode strip-aligned; an x window decodes fully and
+      // slices below (strips are row-major — no column-aligned chunks);
+      // any other dim name is a planner bug, not silently-full output
+      rowRange.foreach { case (d, _, _) =>
+        require(d == "y" || d == "x", s"TIFF region on unknown dimension '$d'")
+      }
       val (y0, y1) = rowRange match {
         case Some(("y", s, e)) => (s, e)
         case _ => (0, height)
       }
       val winRows = y1 - y0
+      val xWindow = rowRange.collect { case ("x", s, e) => (s, e) }
+      val winCols = xWindow.map { case (s, e) => e - s }.getOrElse(width)
 
       // ---- pixel decode → per-band doubles over the y window
       val bandData: Array[Array[Double]] =
@@ -229,21 +240,29 @@ object TiffReader {
       ifd.ascii(42112).foreach(v => str("geo.gdal_metadata", v))
 
       val bandAttrs = nodata.map(n => Map("_FillValue" -> n)).getOrElse(Map.empty)
+      val fullX = Map("y" -> winRows, "x" -> width)
       val bands = (0 until spp).flatMap { b =>
         val name = s"band.$b"
-        if (keep(name) && bandData(b) != null)
-          Some(NdVariable(name, Seq("y", "x"), bandData(b), bandAttrs))
-        else None
+        if (keep(name) && bandData(b) != null) {
+          val v = NdVariable(name, Seq("y", "x"), bandData(b), bandAttrs)
+          Some(xWindow match {
+            case Some((s, e)) if v.data.nonEmpty =>
+              graft.nd.NdSlice.sliceAxis(v, fullX, "x", s, e)
+            case _ => v
+          })
+        } else None
       }
       val geoVars = axes.toSeq.flatMap { case (lons, lats) =>
         val latsW = java.util.Arrays.copyOfRange(lats, y0, y1)
+        val lonsW = xWindow.map { case (s, e) => java.util.Arrays.copyOfRange(lons, s, e) }
+          .getOrElse(lons)
         Seq(
           if (keep("geo.lat")) Some(NdVariable("geo.lat", Seq("y"), latsW, Map.empty)) else None,
-          if (keep("geo.lon")) Some(NdVariable("geo.lon", Seq("x"), lons, Map.empty)) else None
+          if (keep("geo.lon")) Some(NdVariable("geo.lon", Seq("x"), lonsW, Map.empty)) else None
         ).flatten
       }
 
-      NdDataset(Seq("y" -> winRows, "x" -> width),
+      NdDataset(Seq("y" -> winRows, "x" -> winCols),
         bands ++ geoVars ++ scalars.toSeq, Map.empty)
     } finally ch.close()
   }
