@@ -17,8 +17,17 @@ object Outputs {
 
   /** COPY … TO '<path>' [FORMAT fmt]; format inferred from the
     * extension when not given. Multi-file formats (parquet/csv) write
-    * distributed; single-file formats (arrow IPC, netcdf) stream from
-    * the driver with bounded memory. */
+    * distributed; single-file formats (arrow IPC, netcdf, odv) stream
+    * from the driver with bounded memory.
+    *
+    * Deterministic egress order (the reference's ordered-union
+    * guarantee, `ordered_union.rs`): the single-file writers consume
+    * `toLocalIterator`, which yields partitions in order — so a sorted
+    * plan egresses in exactly its sort order. Distributed parquet/csv
+    * writes keep sort order WITHIN each part file (Spark's contract);
+    * a reader that needs one global order should either COPY TO a
+    * single-file format or re-sort, same trade the reference makes at
+    * its multi-stream boundaries. */
   def copyTo(df: DataFrame, path: String, format: Option[String]): Long = {
     val fmt = format.getOrElse {
       path.toLowerCase match {

@@ -67,6 +67,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
 
+  /** Stream-static enrichment: join each event against a (small)
+    * dimension table. The static side is broadcast so the stream never
+    * shuffles — the standard dimension-join shape for a continuous
+    * ingest (at 100 TB/day the stream side must stay map-only; a big
+    * static side would instead pre-bucket both sides). */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+
   // --------------------------------------------------- sessionization
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -39,6 +39,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a broadcast dimension with no stream shuffle") {
+    import spark.implicits._
+    val dim = Seq(("click", "interaction"), ("view", "interaction"),
+      ("purchase", "conversion")).toDF("etype", "category")
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val enriched = EventStreams.enrich(stream, dim, "event_type", "etype")
+      .groupBy($"category").agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+      val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .join(broadcast(dim), $"event_type" === $"etype", "left")
+        .groupBy($"category").agg(count(lit(1)).as("n"))
+        .collect().map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+      assert(got == batch)
+      assert(got.contains("conversion") && got.contains("NULL")) // signup/error unmatched
+    } finally q.stop()
+  }
+
   test("sliding windows produce overlapping buckets") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(spark,
