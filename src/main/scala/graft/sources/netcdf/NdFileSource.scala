@@ -63,9 +63,8 @@ class NdFileScan(spec: NdFileSpec, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    NdFileSource.pruneFiles(spec, filters).flatMap { f =>
-      NdFileSource.pruneSplits(f, spec.grid,
-          NdFileSource.splitRanges(f, spec.grid, spec.splitCells), filters)
+    spec.files.flatMap { f =>
+      NdFileSource.planFile(f, spec.grid, spec.splitCells, filters)
         .map(r => NdFilePartition(f, spec.grid, required, filters, r): InputPartition)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory = new NdFileReaderFactory
@@ -122,6 +121,58 @@ object NdFileSource {
     * enough that per-task overhead amortizes, small enough that one
     * 50 GB granule fans out across a cluster instead of one task */
   val DefaultSplitCells: Long = 2L * 1024 * 1024
+
+  /** Per-file planning with ONE metadata parse and AT MOST ONE
+    * coordinate decode: file-level predicate pruning (empty result =
+    * file dropped), intra-file split ranges, and per-range coordinate
+    * pruning — the consolidated form of [[pruneFiles]] +
+    * [[splitRanges]] + [[pruneSplits]] (which remain for direct use).
+    * At a million files the planning cost per file is the header walk
+    * plus, only under coordinate predicates, the 1-D axis decode. */
+  def planFile(file: String, grid: Seq[String], splitCells: Long,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[Option[(String, Int, Int)]] = {
+    val conds = graft.nd.NdEmit.comparisonConds(filters)
+    val coordNames = grid.toSet.intersect(conds.keySet)
+    val coords: Map[String, graft.nd.NdVariable] =
+      if (coordNames.isEmpty) Map.empty
+      else try {
+        NetcdfSource.readContainer(file, coordNames.contains _)
+          .variables.filter(v => coordNames.contains(v.name) &&
+            !v.isString && v.dims == Seq(v.name))
+          .map(v => v.name -> v).toMap
+      } catch { case _: Throwable => return Seq(None) } // unreadable: task reports it
+    def satisfies(c: String, stats: Option[(Double, Double)]): Boolean = stats match {
+      case Some((mn, mx)) => conds(c).forall {
+        case ("eq", d)  => d >= mn && d <= mx
+        case ("gt", d)  => mx > d
+        case ("gte", d) => mx >= d
+        case ("lt", d)  => mn < d
+        case ("lte", d) => mn <= d
+        case _ => true
+      }
+      case None => true // time axis / all-fill: keep
+    }
+    val fileOk = coordNames.forall { c =>
+      coords.get(c) match {
+        case Some(v) if v.data.nonEmpty =>
+          satisfies(c, graft.nd.NdFlatten.pruneStats(v.attrs, v.data))
+        case _ => true // not a plain numeric coord axis here: keep
+      }
+    }
+    if (!fileOk) return Seq.empty
+    val splits = splitRanges(file, grid, splitCells)
+    val dim = splits.collectFirst { case Some((d, _, _)) => d }.getOrElse(return splits)
+    coords.get(dim) match {
+      case Some(v) if v.data.nonEmpty =>
+        splits.filter {
+          case Some((_, s, e)) => satisfies(dim,
+            graft.nd.NdFlatten.pruneStats(v.attrs,
+              java.util.Arrays.copyOfRange(v.data, s, e)))
+          case None => true
+        }
+      case _ => splits
+    }
+  }
 
   /** Intra-file partition split along a grid dimension (VERDICT r3
     * Missing #3: one 50 GB granule must not be one task). The split
