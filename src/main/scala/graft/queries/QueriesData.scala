@@ -235,8 +235,24 @@ object QueriesData {
         .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL)))
     val staged = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-stream-stage-$key")
-    if (!new java.io.File(staged, "_SUCCESS").exists())
-      Tables.load(s, dir, "events").write.mode("overwrite").parquet(staged.toString)
+    if (!new java.io.File(staged, "_SUCCESS").exists()) {
+      // write to a process-unique dir and atomically rename into place so
+      // two concurrent drivers (Bench + Verify on one sf dir) can't race
+      // check-then-write or observe a half-written directory
+      val tmp = new java.io.File(staged.getParentFile,
+        s"${staged.getName}.tmp-${java.lang.ProcessHandle.current().pid()}")
+      Tables.load(s, dir, "events").write.mode("overwrite").parquet(tmp.toString)
+      try {
+        java.nio.file.Files.move(tmp.toPath, staged.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          // another process won the race; its complete copy serves everyone
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      }
+    }
     staged.toString
   }
 

@@ -57,8 +57,9 @@ object IcebergSource {
 
   private[iceberg] def metadataDir(table: String): Path = Paths.get(table, "metadata")
 
-  /** version-hint.text when present, else highest `*.metadata.json`
-    * (zero-padded version prefixes make lexicographic max correct) */
+  /** version-hint.text when present, else highest `*.metadata.json` by
+    * numeric version (the vN naming is not zero-padded, so a raw
+    * lexicographic sort would put v10 before v9; filename breaks ties) */
   private[iceberg] def resolveMetadataFile(table: String): Path = {
     val dir = metadataDir(table)
     require(Files.isDirectory(dir), s"not an Iceberg table (no metadata dir): $table")
@@ -73,7 +74,8 @@ object IcebergSource {
     } else {
       listDir(dir)
         .filter(_.getFileName.toString.endsWith(".metadata.json"))
-        .sortBy(_.getFileName.toString).lastOption
+        .sortBy(p => (versionOfMetadataFile(p).getOrElse(-1), p.getFileName.toString))
+        .lastOption
         .getOrElse(throw new IllegalArgumentException(s"no metadata files in $dir"))
     }
   }
@@ -95,8 +97,9 @@ object IcebergSource {
       case JString(l) => l
       case _ => tableLocation
     }
+    // exact-or-child match only: /data/t must not capture /data/t_backup/…
     def relocate(p: String): String =
-      if (p.startsWith(declaredLocation))
+      if (p == declaredLocation || p.startsWith(declaredLocation + "/"))
         Paths.get(tableLocation, p.stripPrefix(declaredLocation)).toString
       else p
 

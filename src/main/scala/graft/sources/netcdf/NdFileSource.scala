@@ -140,7 +140,7 @@ object NdFileSource {
           .variables.filter(v => coordNames.contains(v.name) &&
             !v.isString && v.dims == Seq(v.name))
           .map(v => v.name -> v).toMap
-      } catch { case _: Throwable => return Seq(None) } // unreadable: task reports it
+      } catch { case scala.util.control.NonFatal(_) => return Seq(None) } // unreadable: task reports it
     def satisfies(c: String, stats: Option[(Double, Double)]): Boolean = stats match {
       case Some((mn, mx)) => conds(c).forall {
         case ("eq", d)  => d >= mn && d <= mx
@@ -206,7 +206,7 @@ object NdFileSource {
       if (target >= n0) return whole
       (0L until n0 by target)
         .map(s => Some((dim, s.toInt, math.min(s + target, n0).toInt)))
-    } catch { case _: Throwable => whole } // unreadable here: task reports it
+    } catch { case scala.util.control.NonFatal(_) => whole } // unreadable here: task reports it
   }
 
   /** per-range coordinate pruning along the split dimension — the same
@@ -222,7 +222,7 @@ object NdFileSource {
     val coord = try {
       NetcdfSource.readContainer(file, _ == dim).variables
         .find(v => v.name == dim && !v.isString && v.dims == Seq(dim))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
     coord match {
       case Some(v) =>
         splits.filter {
@@ -300,7 +300,7 @@ object NdFileSource {
             case _ => true // not a plain numeric coord axis: keep
           }
         }
-      } catch { case _: Throwable => true } // unreadable here: let the task report it
+      } catch { case scala.util.control.NonFatal(_) => true } // unreadable here: let the task report it
     }
   }
 }

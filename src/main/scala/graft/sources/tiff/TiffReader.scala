@@ -165,10 +165,18 @@ object TiffReader {
       val height = ifd.long1(257).toInt
       require(width > 0 && height > 0, s"bad TIFF dimensions ${width}x$height")
       val spp = math.max(1, ifd.long1(277, 1)).toInt
-      val bits = ifd.longs(258).map(_.head.toInt).getOrElse(8)
+      // heterogeneous per-sample layouts are rejected, not decoded at
+      // band 0's layout (the file contract is "rejected, not guessed")
+      def uniform(tag: Int, what: String, default: Int): Int =
+        ifd.longs(tag).map { vs =>
+          require(vs.distinct.size == 1,
+            s"per-sample $what differs across bands (${vs.mkString(",")}); not supported")
+          vs.head.toInt
+        }.getOrElse(default)
+      val bits = uniform(258, "BitsPerSample", 8)
       val compression = ifd.long1(259, 1).toInt
       val predictor = ifd.long1(317, 1).toInt
-      val sampleFormat = ifd.longs(339).map(_.head.toInt).getOrElse(1)
+      val sampleFormat = uniform(339, "SampleFormat", 1)
       val planar = ifd.long1(284, 1).toInt
       require(planar == 1, s"planar configuration $planar not supported (chunky only)")
       require(predictor != 3, "floating-point predictor (3) not supported")
