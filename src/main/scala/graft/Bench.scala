@@ -62,9 +62,25 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    // decider pass (VERDICT r5 Wrong #1): interleaving is not enough when
+    // a contention window spans the whole sweep — both samples of a query
+    // can still be poisoned together. Any query whose samples disagree by
+    // >3× (and isn't sub-100ms, where ratios are scheduler jitter) gets a
+    // third run after the sweep; the reported time is the min of all runs.
     val results = queries.indices.map { i =>
-      val times = samples.map(_(i))
-      (queries(i)._1, times.map(_._1), times.forall(_._2))
+      val base = samples.map(_(i))
+      val ok = base.forall(_._2)
+      val ts = base.map(_._1)
+      val noisy = ok && ts.size >= 2 && ts.min > 0.1 && ts.max / ts.min > 3.0
+      val all = if (noisy) {
+        sweepCaches()
+        val t0 = System.nanoTime()
+        val ok3 = try {
+          queries(i)._2(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
+        if (ok3) ts :+ (System.nanoTime() - t0) / 1e9 else ts
+      } else ts
+      (queries(i)._1, all, ok)
     }
     sweepCaches()
     // a failed query must not masquerade as a fast success: its time is

@@ -47,18 +47,21 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
-  /** All pairs with cosine ≥ τ (embedding near-dup detection). Exact;
-    * use [[lshCandidatePairs]] + this on candidates at scale. */
+  /** All pairs with cosine ≥ τ (embedding near-dup detection), built as
+    * LSH band candidates re-ranked exactly — a banded self-join, never a
+    * cross join, so it scales with bucket sizes rather than n². Recall
+    * is governed by the band parameters (per-band match probability
+    * (1 − θ/π)^bandBits); widen `nPlanes`/narrow `bandBits` for higher
+    * recall at lower thresholds. */
   def cosineNearDupPairs(
-      df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("a_v"),
-      norm(col(vecCol)).as("a_n"))
-    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_v"),
-      norm(col(vecCol)).as("b_n"))
-    a.crossJoin(broadcast(b))
-      .filter(col("a_id") < col("b_id"))
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      nPlanes: Int = 16, seed: Long = 42L, bandBits: Int = 8): DataFrame = {
+    val vecs = df.select(col(idCol), col(vecCol))
+    lshCandidatePairs(df, idCol, vecCol, nPlanes, seed, bandBits)
+      .join(vecs.toDF("a_id", "a_v"), "a_id")
+      .join(vecs.toDF("b_id", "b_v"), "b_id")
       .select(col("a_id"), col("b_id"),
-        (dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos"))
+        cosine(col("a_v"), col("b_v")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 

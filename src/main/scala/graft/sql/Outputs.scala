@@ -52,20 +52,17 @@ object Outputs {
         obs.get("rows").asInstanceOf[Long]
       case "arrow" | "netcdf" | "odv" =>
         // single-file formats stream every row through the driver via
-        // toLocalIterator; count rows as they arrive at the driver —
-        // each row is delivered exactly once regardless of task retries
-        val n = spark(df).sparkContext.longAccumulator("graft.copy.rows")
-        val counted = {
-          import org.apache.spark.sql.catalyst.encoders.RowEncoder
-          df.mapPartitions { it => it.map { r => n.add(1); r } }(
-            RowEncoder.encoderFor(df.schema))
-        }
+        // toLocalIterator; the receipt rides the same observe() metric as
+        // the distributed branch (no extra encode pass over the stream —
+        // the observation completes when toLocalIterator drains the plan)
+        val obs = new org.apache.spark.sql.Observation("graft.copy.rows")
+        val counted = df.observe(obs, count(lit(1)).as("rows"))
         fmt match {
           case "arrow" => graft.sources.ArrowSource.writeSingleFile(counted, path)
           case "netcdf" => graft.sources.netcdf.NetcdfWriter.writeFlat(counted, path)
           case _ => graft.sources.OdvWriter.write(counted, path)
         }
-        n.value
+        obs.get("rows").asInstanceOf[Long]
       case other => throw new IllegalArgumentException(s"COPY TO format '$other' unsupported")
     }
   }

@@ -124,6 +124,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cands.size < 1500, s"LSH produced ${cands.size} candidates (no pruning)")
   }
 
+  test("cosineNearDupPairs: banded join (no cross join), finds the planted dup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val rows = Seq(
+      (1L, base.toSeq),
+      (2L, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq)) ++
+      (3L to 30L).map(i => (i, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.95)
+    val physical = pairs.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), "all-pairs cross product in plan")
+    assert(!physical.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"planted near-dup not found: $got")
+    assert(got.forall { case (a, b) => a < b })
+  }
+
   test("near-dup gate plan has no cross join: LSH bucket join only") {
     import spark.implicits._
     val df = graft.queries.QueriesData.queries("q_embedding_neardup")(spark, sf)
