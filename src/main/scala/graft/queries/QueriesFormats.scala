@@ -113,6 +113,31 @@ object QueriesFormats {
         .withColumn("snap", lit("s1")).select(cols.map(col): _*)
       latest.unionAll(snap1).orderBy("snap", "day", "event_type")
     },
+    // Iceberg v2 merge-on-read: append → position-delete (click rows,
+    // via a real (file_path, pos) delete file) → equality-delete (view
+    // rows, on the event_type column) → RE-append the view rows. The
+    // latest read must drop click, keep exactly one copy of view
+    // (sequence semantics: the re-append post-dates the equality
+    // delete), and time travel to snapshot 3 shows the fully-deleted
+    // state. Oracle recomputes both from the source parquet.
+    "q_iceberg_deletes" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import graft.sources.iceberg.IcebergSource
+      import s.implicits._
+      val daily = dailyAgg(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-icedelgate")
+        .resolve("t").toString
+      IcebergSource.Writer.append(s, daily, tmp)                             // snap 1
+      IcebergSource.Writer.deleteWhere(s, tmp, "event_type = 'click'")       // snap 2 (pos)
+      IcebergSource.Writer.equalityDelete(s, tmp, Seq("view").toDF("event_type")) // snap 3 (eq)
+      IcebergSource.Writer.append(s, daily.filter($"event_type" === "view"), tmp) // snap 4
+      val cols = Seq("day", "event_type", "n", "total_value", "snap")
+      val latest = IcebergSource.read(s, tmp)
+        .withColumn("snap", lit("latest")).select(cols.map(col): _*)
+      val s3 = IcebergSource.read(s, tmp, Some("3"))
+        .withColumn("snap", lit("s3")).select(cols.map(col): _*)
+      latest.unionAll(s3).orderBy("snap", "day", "event_type")
+    },
     "q_netcdf_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
       val daily = Tables.load(s, dir, "events")
@@ -229,6 +254,12 @@ object QueriesFormats {
             SELECT 'latest' AS snap, q.* FROM (${dailyAggSql.format("")}) q
             UNION ALL
             SELECT 's1' AS snap, q.* FROM (${dailyAggSql.format("WHERE event_type <> 'click'")}) q
+          ) ORDER BY snap, day, event_type""",
+    "q_iceberg_deletes" ->
+      s"""SELECT * FROM (
+            SELECT 'latest' AS snap, q.* FROM (${dailyAggSql.format("WHERE event_type <> 'click'")}) q
+            UNION ALL
+            SELECT 's3' AS snap, q.* FROM (${dailyAggSql.format("WHERE event_type NOT IN ('click', 'view')")}) q
           ) ORDER BY snap, day, event_type""",
     // n comes back as DOUBLE (classic netcdf has no 64-bit int; documented)
     "q_netcdf_roundtrip" ->

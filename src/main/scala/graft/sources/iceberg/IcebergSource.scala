@@ -10,6 +10,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types._
 
 /** Apache Iceberg read support without the connector jar: a pure-JVM
@@ -33,18 +34,38 @@ import org.apache.spark.sql.types._
   * Unlike Delta/Hive layouts, Iceberg data files carry the partition
   * columns as real columns, so the scan needs no per-partition literal
   * branches: one native parquet relation over the snapshot's file set.
-  * Row-level deletes (position/equality delete files) are detected and
-  * rejected, not silently ignored.
+  *
+  * Row-level deletes (Iceberg v2 merge-on-read, as the reference reads
+  * via iceberg-rust — beacon-iceberg/src/provider.rs) are applied as
+  * distributed anti-joins over the scan:
+  *  - position deletes (content=1): `(file_path, pos)` rows anti-joined
+  *    against `(_metadata.file_path, _metadata.row_index)`;
+  *  - equality deletes (content=2): the delete file's rows anti-joined
+  *    null-safely on the `equality_ids` columns, restricted to data
+  *    files with a data sequence number STRICTLY below the delete's —
+  *    rows appended after the delete survive, per spec.
+  * Both scale as shuffles keyed by the join columns; nothing is
+  * collected to the driver and the per-file lookup (one row per data
+  * file) is the only broadcast.
   */
 object IcebergSource {
 
-  final case class DataFileEntry(path: String, format: String, recordCount: Long)
+  /** `path` is the relocated (actual) location; `declaredPath` the raw
+    * manifest string — position-delete files reference the latter. */
+  final case class DataFileEntry(
+      path: String, format: String, recordCount: Long,
+      declaredPath: String = "", sequenceNumber: Long = 0L)
+  /** content: 1 = position deletes, 2 = equality deletes */
+  final case class DeleteFileEntry(
+      path: String, format: String, content: Int,
+      sequenceNumber: Long, equalityCols: Seq[String])
   final case class Snapshot(
       snapshotId: Long,
       sequenceNumber: Long,
       timestampMs: Long,
       schema: StructType,
-      files: Seq[DataFileEntry])
+      files: Seq[DataFileEntry],
+      deletes: Seq[DeleteFileEntry] = Nil)
 
   // -------------------------------------------------------- metadata
 
@@ -155,46 +176,124 @@ object IcebergSource {
       }
     }
     val schema = structFromIceberg(schemaJson)
+    // top-level field-id → name, for resolving equality_ids to columns
+    val fieldNameById: Map[Int, String] = (schemaJson \ "fields") match {
+      case JArray(fs) => fs.collect {
+        case o: JObject =>
+          val id = (o \ "id") match {
+            case JInt(n) => n.toInt
+            case JLong(n) => n.toInt
+            case _ => -1
+          }
+          val name = (o \ "name") match { case JString(s) => s; case _ => "" }
+          id -> name
+      }.filter { case (id, n) => id >= 0 && n.nonEmpty }.toMap
+      case _ => Map.empty
+    }
 
-    // ---- manifest list → manifests → live data files
+    // ---- manifest list → manifests → live data + delete files
     val manifestList = (chosen \ "manifest-list") match {
       case JString(p) => relocate(p)
       case _ => throw new IllegalArgumentException("snapshot has no manifest-list")
     }
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
+    val deletes = scala.collection.mutable.ArrayBuffer.empty[DeleteFileEntry]
     readAvro(manifestList).foreach { mf =>
       val manifestPath = relocate(str(mf, "manifest_path"))
       val manifestContent = intField(mf, "content", 0) // 0 data, 1 deletes
+      val manifestSeq = longField(mf, "sequence_number", 0L)
       readAvro(manifestPath).foreach { entry =>
         val status = intField(entry, "status", 0) // 0 existing, 1 added, 2 deleted
         if (status != 2) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           require(df != null, s"manifest entry without data_file in $manifestPath")
-          val fileContent = intField(df, "content", manifestContent)
-          require(fileContent == 0,
-            s"Iceberg row-level deletes not supported by this reader (delete file ${str(df, "file_path")})")
-          files += DataFileEntry(
-            relocate(str(df, "file_path")),
-            str(df, "file_format").toLowerCase,
-            longField(df, "record_count", 0L))
+          // a null entry sequence number inherits the manifest's (spec v2
+          // metadata-inheritance rule for added entries)
+          val entrySeq = longField(entry, "sequence_number", manifestSeq)
+          val fileContent = intField(df, "content", if (manifestContent == 1) 1 else 0)
+          val declared = str(df, "file_path")
+          val fmt = str(df, "file_format").toLowerCase
+          if (fileContent == 0)
+            files += DataFileEntry(relocate(declared), fmt,
+              longField(df, "record_count", 0L), declared, entrySeq)
+          else {
+            val eqCols = intListField(df, "equality_ids").map { id =>
+              fieldNameById.getOrElse(id, throw new IllegalArgumentException(
+                s"equality delete references unknown field id $id"))
+            }
+            require(fileContent != 2 || eqCols.nonEmpty,
+              s"equality delete file without equality_ids: $declared")
+            deletes += DeleteFileEntry(relocate(declared), fmt, fileContent, entrySeq, eqCols)
+          }
         }
       }
     }
     Snapshot(snapId, longField1(chosen \ "sequence-number", 0L),
-      jlong(chosen \ "timestamp-ms"), schema, files.toSeq)
+      jlong(chosen \ "timestamp-ms"), schema, files.toSeq, deletes.toSeq)
   }
 
   // ------------------------------------------------------------ read
 
   def read(spark: SparkSession, tableLocation: String, travel: Option[String] = None): DataFrame = {
     val snap = snapshot(tableLocation, travel)
-    snap.files.foreach(f => require(f.format == "parquet",
-      s"unsupported Iceberg data file format: ${f.format}"))
+    (snap.files.map(f => (f.path, f.format)) ++ snap.deletes.map(d => (d.path, d.format)))
+      .foreach { case (p, f) =>
+        require(f == "parquet", s"unsupported Iceberg file format: $f ($p)")
+      }
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else
+    else if (snap.deletes.isEmpty)
       spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+    else
+      applyDeletes(spark, snap)
   }
+
+  /** Merge-on-read: the data scan minus the snapshot's delete files.
+    * Shapes as two (or three) anti-joins, each a shuffle keyed by its
+    * join columns — no driver materialization, delete sets stay
+    * distributed. The only broadcast is the one-row-per-data-file
+    * lookup mapping scan URIs to declared paths + sequence numbers. */
+  private def applyDeletes(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val outCols = snap.schema.fieldNames.map(col).toSeq
+    val base = spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+      .withColumn("__gf_uri", col("_metadata.file_path"))
+      .withColumn("__gf_pos", col("_metadata.row_index"))
+    val lookup = spark.createDataFrame(snap.files.map(f =>
+        (scanUri(f.path), f.declaredPath, f.sequenceNumber)))
+      .toDF("__gf_uri", "__gf_decl", "__gf_seq")
+    var cur = base.join(broadcast(lookup), Seq("__gf_uri"), "left")
+
+    // position deletes: (file_path, pos) → (declared path, row_index).
+    // File paths are unique (never reused across snapshots), so the
+    // path+pos join needs no sequence-number restriction.
+    val posDeletes = snap.deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      val pd = spark.read.parquet(posDeletes.map(_.path): _*)
+        .select(col("file_path").as("__gf_decl"), col("pos").as("__gf_pos"))
+      cur = cur.join(pd, Seq("__gf_decl", "__gf_pos"), "left_anti")
+    }
+
+    // equality deletes: null-safe match on the equality columns, applied
+    // only to rows whose data sequence number is STRICTLY below the
+    // delete's — rows (re-)appended after the delete survive.
+    snap.deletes.filter(_.content == 2)
+      .groupBy(d => (d.sequenceNumber, d.equalityCols)).toSeq
+      .sortBy(_._1._1)
+      .foreach { case ((dseq, eqCols), dfs) =>
+        val eq = spark.read.parquet(dfs.map(_.path): _*)
+          .select(eqCols.map(c => col(c).as(s"__gf_eq_$c")): _*)
+          .distinct()
+        val cond = eqCols.map(c => cur(c) <=> eq(s"__gf_eq_$c")).reduce(_ && _) &&
+          cur("__gf_seq") < lit(dseq)
+        cur = cur.join(eq, cond, "left_anti")
+      }
+    cur.select(outCols: _*)
+  }
+
+  /** the URI rendering Spark's `_metadata.file_path` uses for local
+    * files — `file:/abs/path`, java.io.File.toURI form (NOT nio's
+    * `file:///abs/path`) */
+  private def scanUri(p: String): String = new java.io.File(p).toURI.toString
 
   // ------------------------------------------------------------ avro
 
@@ -215,6 +314,10 @@ object IcebergSource {
   private def longField(r: GenericRecord, name: String, dflt: Long): Long =
     if (r.getSchema.getField(name) == null || r.get(name) == null) dflt
     else r.get(name).asInstanceOf[Number].longValue()
+  private def intListField(r: GenericRecord, name: String): Seq[Int] =
+    if (r.getSchema.getField(name) == null || r.get(name) == null) Nil
+    else r.get(name).asInstanceOf[java.util.List[_]].asScala.toSeq
+      .map(_.asInstanceOf[Number].intValue())
   private def longField1(v: JValue, dflt: Long): Long = v match {
     case JInt(n) => n.toLong
     case JLong(n) => n
@@ -288,11 +391,15 @@ object IcebergSource {
   // ----------------------------------------------------------- write
 
   /** Minimal Iceberg v2 writer — enough spec to produce real tables for
-    * round-trip tests and gate fixtures: unpartitioned appends with one
-    * manifest per snapshot. Data files are written by Spark's parquet
-    * writer; record counts come from the parquet footers (no extra job).
-    * Snapshot ids are sequential for deterministic fixtures. */
+    * round-trip tests and gate fixtures: unpartitioned appends plus
+    * position/equality delete commits, one manifest per snapshot. Data
+    * files are written by Spark's parquet writer; record counts come
+    * from the parquet footers (no extra job). Snapshot ids are
+    * sequential for deterministic fixtures. */
   object Writer {
+
+    private final case class NewFile(
+        path: String, content: Int, recordCount: Long, equalityIds: Seq[Int])
 
     private val manifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_entry","fields":[
@@ -306,7 +413,8 @@ object IcebergSource {
         |{"name":"file_format","type":"string"},
         |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
         |{"name":"record_count","type":"long"},
-        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
 
     private val manifestFileSchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
@@ -342,13 +450,81 @@ object IcebergSource {
       try r.getRecordCount finally r.close()
     }
 
+    /** stage `df` as parquet and move the part files into data/ with the
+      * given name prefix; returns (path, rowCount) per file */
+    private def stageParquet(spark: SparkSession, df: DataFrame, table: Path,
+        prefix: String): Seq[(String, Long)] = {
+      val dataDir = table.resolve("data")
+      Files.createDirectories(dataDir)
+      val tmp = Files.createTempDirectory(table, ".stage")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val staged = listDir(tmp)
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toVector
+      val out = staged.map { p =>
+        val dest = dataDir.resolve(
+          s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}-${p.getFileName}")
+        Files.move(p, dest)
+        (dest.toString, parquetRowCount(spark, dest.toString))
+      }
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      out
+    }
+
     /** append `df` as a new snapshot; returns the new snapshot id */
     def append(spark: SparkSession, df: DataFrame, tableLocation: String): Long = {
+      val files = stageParquet(spark, df, Paths.get(tableLocation), "data")
+      commit(spark, tableLocation, df.schema,
+        files.map { case (p, n) => NewFile(p, 0, n, Nil) }, "append")
+    }
+
+    /** Commit a position-delete snapshot removing the current rows that
+      * match `predicate`. The delete file is built distributed — scan →
+      * filter → broadcast-join the per-file lookup — and written sorted
+      * by (file_path, pos) as the spec asks. */
+    def deleteWhere(spark: SparkSession, tableLocation: String, predicate: String): Long = {
+      val snap = IcebergSource.snapshot(tableLocation)
+      require(snap.files.nonEmpty, s"nothing to delete from: $tableLocation")
+      val lookup = spark.createDataFrame(snap.files.map(f =>
+          (scanUri(f.path), f.declaredPath)))
+        .toDF("__gf_uri", "file_path")
+      val pd = spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+        .withColumn("__gf_uri", col("_metadata.file_path"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .filter(predicate)
+        .join(broadcast(lookup), Seq("__gf_uri"))
+        .select(col("file_path"), col("pos"))
+        .sort("file_path", "pos")
+      val files = stageParquet(spark, pd, Paths.get(tableLocation), "delete-pos")
+      commit(spark, tableLocation, snap.schema,
+        files.map { case (p, n) => NewFile(p, 1, n, Nil) }, "delete")
+    }
+
+    /** Commit an equality-delete snapshot: any existing row matching one
+      * of `values`' rows on all of its columns is deleted; rows appended
+      * afterwards are untouched (sequence-number semantics). */
+    def equalityDelete(spark: SparkSession, tableLocation: String, values: DataFrame): Long = {
+      val snap = IcebergSource.snapshot(tableLocation)
+      val ids = values.columns.toSeq.map { c =>
+        val i = snap.schema.fieldIndex(c) // field ids are ordinal+1 (see commit)
+        i + 1
+      }
+      val files = stageParquet(spark, values, Paths.get(tableLocation), "delete-eq")
+      commit(spark, tableLocation, snap.schema,
+        files.map { case (p, n) => NewFile(p, 2, n, ids) }, "delete")
+    }
+
+    /** shared commit: one manifest for the new files, manifest list =
+      * prior snapshot's manifests + the new one, new metadata json */
+    private def commit(spark: SparkSession, tableLocation: String, schema: StructType,
+        newFiles: Seq[NewFile], operation: String): Long = {
       val table = Paths.get(tableLocation)
       val metaDir = metadataDir(tableLocation)
-      val dataDir = table.resolve("data")
       Files.createDirectories(metaDir)
-      Files.createDirectories(dataDir)
+      require(newFiles.nonEmpty, "empty commit")
+      val isDelete = newFiles.exists(_.content != 0)
+      require(newFiles.forall(f => (f.content != 0) == isDelete),
+        "mixed data+delete commit not supported")
 
       val prior: Option[(JValue, Snapshot)] =
         if (listDir(metaDir).exists(
@@ -367,32 +543,20 @@ object IcebergSource {
         }
       }.getOrElse(0)
 
-      // ---- stage data files
-      val tmp = Files.createTempDirectory(table, ".stage")
-      df.write.mode("overwrite").parquet(tmp.toString)
-      val staged = listDir(tmp)
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toVector
-      val dataFiles = staged.map { p =>
-        val dest = dataDir.resolve(
-          s"data-${java.util.UUID.randomUUID().toString.take(8)}-${p.getFileName}")
-        Files.move(p, dest)
-        DataFileEntry(dest.toString, "parquet", parquetRowCount(spark, dest.toString))
-      }
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-
       // ---- manifest for this snapshot
       val manifestPath = metaDir.resolve(s"manifest-$snapId-m0.avro")
-      val entries = dataFiles.map { f =>
+      val entries = newFiles.map { f =>
         val dfr = new GenericData.Record(
           manifestEntrySchema.getField("data_file").schema())
-        dfr.put("content", 0)
+        dfr.put("content", f.content)
         dfr.put("file_path", f.path)
         dfr.put("file_format", "PARQUET")
         dfr.put("partition", new GenericData.Record(
           dfr.getSchema.getField("partition").schema()))
         dfr.put("record_count", f.recordCount)
         dfr.put("file_size_in_bytes", Files.size(Paths.get(f.path)))
+        if (f.equalityIds.nonEmpty)
+          dfr.put("equality_ids", f.equalityIds.map(Integer.valueOf).asJava)
         val e = new GenericData.Record(manifestEntrySchema)
         e.put("status", 1) // added
         e.put("snapshot_id", snapId)
@@ -402,7 +566,7 @@ object IcebergSource {
         e
       }
       val manifestLen = writeAvro(manifestPath, manifestEntrySchema, entries,
-        Map("format-version" -> "2", "content" -> "data"))
+        Map("format-version" -> "2", "content" -> (if (isDelete) "deletes" else "data")))
 
       // ---- manifest list: prior snapshot's manifests + the new one
       val priorManifests: Seq[GenericRecord] = prior.map { case (m, s) =>
@@ -423,14 +587,14 @@ object IcebergSource {
       mf.put("manifest_path", manifestPath.toString)
       mf.put("manifest_length", manifestLen)
       mf.put("partition_spec_id", 0)
-      mf.put("content", 0)
+      mf.put("content", if (isDelete) 1 else 0)
       mf.put("sequence_number", seq)
       mf.put("min_sequence_number", seq)
       mf.put("added_snapshot_id", snapId)
-      mf.put("added_files_count", dataFiles.size)
+      mf.put("added_files_count", newFiles.size)
       mf.put("existing_files_count", 0)
       mf.put("deleted_files_count", 0)
-      mf.put("added_rows_count", dataFiles.map(_.recordCount).sum)
+      mf.put("added_rows_count", newFiles.map(_.recordCount).sum)
       mf.put("existing_rows_count", 0L)
       mf.put("deleted_rows_count", 0L)
       // re-emit prior manifest-file records under our schema by name
@@ -451,9 +615,10 @@ object IcebergSource {
         Map("format-version" -> "2", "snapshot-id" -> snapId.toString,
           "sequence-number" -> seq.toString))
 
-      // ---- metadata json
+      // ---- metadata json (field ids are ordinal+1 — equalityDelete
+      // relies on this when resolving columns to ids)
       val now = java.lang.System.currentTimeMillis()
-      val schemaFields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val schemaFields = schema.fields.zipWithIndex.map { case (f, i) =>
         JObject("id" -> JInt(i + 1), "name" -> JString(f.name),
           "required" -> JBool(false), "type" -> JString(icebergTypeOf(f.dataType)))
       }.toList
@@ -463,7 +628,7 @@ object IcebergSource {
         "timestamp-ms" -> JLong(now),
         "schema-id" -> JInt(0),
         "manifest-list" -> JString(listPath.toString),
-        "summary" -> JObject("operation" -> JString("append")))
+        "summary" -> JObject("operation" -> JString(operation)))
       val priorSnaps = prior.map { case (m, _) =>
         (m \ "snapshots") match { case JArray(xs) => xs; case _ => Nil }
       }.getOrElse(Nil)
@@ -478,7 +643,7 @@ object IcebergSource {
         "location" -> JString(table.toString),
         "last-sequence-number" -> JLong(seq),
         "last-updated-ms" -> JLong(now),
-        "last-column-id" -> JInt(df.schema.size),
+        "last-column-id" -> JInt(schema.size),
         "last-metadata-version" -> JInt(version),
         "schemas" -> JArray(List(JObject(
           "schema-id" -> JInt(0), "type" -> JString("struct"),

@@ -184,6 +184,47 @@ class TableFormatsSpec extends AnyFunSuite {
     assert(first.files.length == 1)
   }
 
+  test("iceberg: position deletes remove exactly the matched (file, pos) rows") {
+    import spark.implicits._
+    val t = freshDir("iceberg")
+    val df = (1L to 10L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "k")
+    IcebergSource.Writer.append(spark, df, t)
+    IcebergSource.Writer.deleteWhere(spark, t, "id IN (2, 5, 9)")
+    val snap = IcebergSource.snapshot(t)
+    assert(snap.deletes.nonEmpty && snap.deletes.forall(_.content == 1))
+    assert(IcebergSource.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L))
+    // travel back before the delete: all rows
+    assert(IcebergSource.read(spark, t, Some("1")).count() == 10)
+  }
+
+  test("iceberg: equality deletes apply only to data files older than the delete") {
+    import spark.implicits._
+    val t = freshDir("iceberg")
+    IcebergSource.Writer.append(spark,
+      Seq((1L, "keep"), (2L, "drop"), (3L, "drop"), (4L, "keep")).toDF("id", "k"), t)
+    IcebergSource.Writer.equalityDelete(spark, t, Seq("drop").toDF("k"))
+    // re-append a 'drop' row AFTER the delete: sequence semantics keep it
+    IcebergSource.Writer.append(spark, Seq((5L, "drop")).toDF("id", "k"), t)
+    val got = IcebergSource.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "keep"), (4L, "keep"), (5L, "drop")))
+    val snap = IcebergSource.snapshot(t)
+    assert(snap.deletes.exists(d => d.content == 2 && d.equalityCols == Seq("k")))
+  }
+
+  test("iceberg: position + equality deletes compose in one table") {
+    import spark.implicits._
+    val t = freshDir("iceberg")
+    IcebergSource.Writer.append(spark,
+      (1L to 8L).map(i => (i, s"g${i % 3}")).toDF("id", "k"), t)
+    IcebergSource.Writer.deleteWhere(spark, t, "id = 7")
+    IcebergSource.Writer.equalityDelete(spark, t, Seq("g0").toDF("k"))
+    val got = IcebergSource.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    // g0 = ids 3,6 (and 7 already position-deleted, 8 ≡ g2)
+    assert(got == Seq(1L, 2L, 4L, 5L, 8L))
+  }
+
   test("iceberg: reachable through DSL and SQL statement") {
     import spark.implicits._
     val t = freshDir("iceberg")
