@@ -113,6 +113,29 @@ object QueriesFormats {
         .withColumn("snap", lit("s1")).select(cols.map(col): _*)
       latest.unionAll(snap1).orderBy("snap", "day", "event_type")
     },
+    // Delta deletion vectors (writer-v7 merge-on-read): append → DV
+    // DELETE of click rows (roaring-bitmap deletion_vector_*.bin, no
+    // data-file rewrite) → checkpoint → read latest through the DSL
+    // (checkpoint + DV replay) and v0 via time travel. Oracle recomputes
+    // both states from the source parquet.
+    "q_delta_dv" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import graft.sources.delta.DeltaSource
+      val daily = dailyAgg(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-deltadvgate")
+        .resolve("t").toString
+      DeltaSource.Writer.append(daily, tmp)                            // v0
+      DeltaSource.Writer.dvDeleteWhere(s, tmp, "event_type = 'click'") // v1 (DV)
+      DeltaSource.Writer.checkpoint(s, tmp)                            // ckpt @1
+      val cols = Seq("day", "event_type", "n", "total_value", "snap")
+      val latest = graft.dsl.JsonQuery.compile(s,
+        s"""{"select": ["day", "event_type", "n", "total_value"],
+             "from": {"delta": {"paths": ["$tmp"]}}}""")
+        .withColumn("snap", lit("latest")).select(cols.map(col): _*)
+      val v0 = DeltaSource.read(s, tmp, Some("0"))
+        .withColumn("snap", lit("v0")).select(cols.map(col): _*)
+      latest.unionAll(v0).orderBy("snap", "day", "event_type")
+    },
     // Iceberg v2 merge-on-read: append → position-delete (click rows,
     // via a real (file_path, pos) delete file) → equality-delete (view
     // rows, on the event_type column) → RE-append the view rows. The
@@ -254,6 +277,12 @@ object QueriesFormats {
             SELECT 'latest' AS snap, q.* FROM (${dailyAggSql.format("")}) q
             UNION ALL
             SELECT 's1' AS snap, q.* FROM (${dailyAggSql.format("WHERE event_type <> 'click'")}) q
+          ) ORDER BY snap, day, event_type""",
+    "q_delta_dv" ->
+      s"""SELECT * FROM (
+            SELECT 'latest' AS snap, q.* FROM (${dailyAggSql.format("WHERE event_type <> 'click'")}) q
+            UNION ALL
+            SELECT 'v0' AS snap, q.* FROM (${dailyAggSql.format("")}) q
           ) ORDER BY snap, day, event_type""",
     "q_iceberg_deletes" ->
       s"""SELECT * FROM (
