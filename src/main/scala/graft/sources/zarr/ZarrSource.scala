@@ -87,7 +87,8 @@ class ZarrReaderFactory extends PartitionReaderFactory {
 
 class ZarrPartitionReader(p: ZarrPartition) extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
-    val store = ZarrStore.open(p.spec.path)
+    // cached: N chunk tasks on one executor parse store metadata once
+    val store = ZarrStore.openCached(p.spec.path)
     val gridDims = p.region.map(_._1)
     val requiredNames = p.required.fieldNames.toSet
     // mask coordinates must decode even when unselected
@@ -126,7 +127,7 @@ object ZarrScanPlanner {
     }
 
   def schema(spec: ZarrSpec): StructType = {
-    val store = ZarrStore.open(spec.path)
+    val store = ZarrStore.openCached(spec.path)
     val grid = gridOf(store, spec.dimensions)
     // one-cell region: exact flatten schema without reading real data
     val region = grid.map(d => (d, 0L, 1L))
@@ -134,8 +135,8 @@ object ZarrScanPlanner {
     NdFlatten.plan(ds, Some(grid)).schema
   }
 
-  def partitions(spec: ZarrSpec, filters: Array[sources.Filter]): Seq[Seq[(String, Long, Long)]] = {
-    val store = ZarrStore.open(spec.path)
+  def partitions(spec: ZarrSpec, filters: Array[sources.Filter]): Iterator[Seq[(String, Long, Long)]] = {
+    val store = ZarrStore.openCached(spec.path)
     val grid = gridOf(store, spec.dimensions)
     val sizes = store.dimSizes.toMap
     val gridArray = store.arrays.find(_.dims == grid)
@@ -169,11 +170,20 @@ object ZarrScanPlanner {
         case _ => slices
       }
     }
-    // cartesian product of per-dim slices = chunk regions
-    regionsPerDim.foldLeft(Seq(Seq.empty[(String, Long, Long)])) { (acc, dimSlices) =>
-      acc.flatMap(prefix => dimSlices.map(prefix :+ _))
-    }
+    regionProduct(regionsPerDim)
   }
+
+  /** Lazy cartesian product of per-dim (already pruned) slices. The
+    * per-dim lists are tiny (shape/chunk entries each); the PRODUCT is
+    * what explodes — a 100×100×100-chunk store has 1M regions — so it is
+    * enumerated as an iterator and never materialized here. The only
+    * O(#regions) allocation left is the InputPartition array Spark's
+    * Batch contract itself requires, and that is post-pruning. */
+  def regionProduct(dims: Seq[Seq[(String, Long, Long)]])
+      : Iterator[Seq[(String, Long, Long)]] =
+    dims.foldLeft(Iterator.single(Vector.empty[(String, Long, Long)]: Seq[(String, Long, Long)])) {
+      (acc, dimSlices) => acc.flatMap(prefix => dimSlices.iterator.map(prefix :+ _))
+    }
 
   final case class Cond(op: String, v: Double) {
     def satisfiable(mn: Double, mx: Double): Boolean = op match {

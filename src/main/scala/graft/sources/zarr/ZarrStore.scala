@@ -61,7 +61,28 @@ object ZarrStore {
 
   // --------------------------------------------------------- metadata
 
+  /** Per-JVM store-metadata cache: N chunk tasks scheduled on one
+    * executor parse zarr.json (+ every array's zarr.json) once, not once
+    * per task. Keyed by (path, root zarr.json mtime) so a rewritten
+    * store is re-parsed, never served stale. */
+  private val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Store]()
+  /** observable for specs: number of full metadata parses performed */
+  val metadataParses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def openCached(path0: String): Store = {
+    val root = Paths.get(path0.stripPrefix("file:"))
+    val mtime =
+      try Files.getLastModifiedTime(root.resolve("zarr.json")).toMillis
+      catch { case _: java.io.IOException => -1L }
+    // bounded: metadata is small, but a long-lived executor visiting many
+    // (or rewritten) stores must not accumulate entries forever
+    if (storeCache.size > 64) storeCache.clear()
+    storeCache.computeIfAbsent((root.toString, mtime), _ => open(path0))
+  }
+
   def open(path0: String): Store = {
+    metadataParses.incrementAndGet()
     val root = Paths.get(path0.stripPrefix("file:"))
     val meta = parseJson(root.resolve("zarr.json"))
     (meta \ "node_type") match {

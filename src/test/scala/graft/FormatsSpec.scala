@@ -207,6 +207,34 @@ class FormatsSpec extends AnyFunSuite {
     })
   }
 
+  test("zarr planning: region product is lazy — a 1M-region grid never materializes") {
+    // 100×100×100 chunk slices per dim = 1e6 regions; taking 5 must not
+    // build the product (an eager fold would allocate all million)
+    val dims = Seq("t", "y", "x").map(d =>
+      (0L until 100L).map(i => (d, i * 10, i * 10 + 10)))
+    val it = ZarrScanPlanner.regionProduct(dims)
+    val first = it.take(5).toSeq
+    assert(first.length == 5)
+    assert(first.head == Seq(("t", 0L, 10L), ("y", 0L, 10L), ("x", 0L, 10L)))
+    // iterator order is row-major: the 5th region advances only x
+    assert(first(4) == Seq(("t", 0L, 10L), ("y", 0L, 10L), ("x", 40L, 50L)))
+    // and a truly enormous (1e12) product can still be constructed + sampled
+    val huge = Seq("a", "b", "c", "d", "e", "f").map(d =>
+      (0L until 100L).map(i => (d, i, i + 1)))
+    assert(ZarrScanPlanner.regionProduct(huge).take(3).size == 3)
+  }
+
+  test("zarr store metadata is parsed once per JVM across chunk tasks") {
+    import spark.implicits._
+    ZarrStore.metadataParses.set(0)
+    val df = graft.sources.zarr.ZarrSource.read(spark, Seq(refZarr))
+    assert(df.count() == 1L * 1208 * 1920) // 8 chunk tasks on local[*]
+    val parses = ZarrStore.metadataParses.get()
+    // one parse total (planner + every reader task share the cache);
+    // allow one extra for a schema-inference call on a cold cache
+    assert(parses <= 2, s"store metadata parsed $parses times for one scan")
+  }
+
   // -------------------------------------- intra-file chunk-split reads
 
   /** DSv2 read with an explicit split_cells override */
