@@ -134,7 +134,7 @@ object JsonQuery {
 
   // ------------------------------------------------------------- from
 
-  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "bbf", "delta", "iceberg")
+  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "bbf", "delta", "iceberg")
 
   /** best-effort pruning conditions: AND-reachable comparison leaves of
     * the filter tree (OR subtrees contribute nothing — conservative) */
@@ -223,6 +223,10 @@ object JsonQuery {
           case _ => None
         }
         graft.sources.zarr.ZarrSource.read(spark, paths, dims)
+      case "atlas" => // read_atlas(store [, dataset]): one store dir
+        require(paths.size == 1, "atlas takes exactly one store location")
+        val dataset = spec.get("dataset").collect { case JString(d) => d }
+        graft.sources.atlas.AtlasSource.read(spark, paths.head, dataset)
       case "delta" => // read_delta(location [, version_or_ts]): one table dir
         require(paths.size == 1, "delta takes exactly one table location")
         graft.sources.delta.DeltaSource.read(spark, paths.head, travelSpec(spec))

@@ -175,6 +175,30 @@ object QueriesFormats {
         .orderBy("day", "event_type")
     },
     "q_netcdf_profile" -> { (s, _) => netcdfProfile(s) },
+    // Atlas store round trip: per-event-type hourly grids written as two
+    // named datasets (dataset attribute = event_type, surfacing as a
+    // rank-0 column), read back through the DSL as the supercast union
+    // of datasets. Uncovered cells are NULL; the oracle rebuilds each
+    // dataset's dense grid from the source parquet.
+    "q_atlas_gridded" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-atlasgate")
+      Seq("click", "view").foreach { et =>
+        val hourly = Tables.load(s, dir, "events").filter($"event_type" === et)
+          .groupBy(floor(unix_timestamp($"ts") / 86400).cast(DoubleType).as("d"),
+            hour($"ts").cast(DoubleType).as("h"))
+          .agg(count(lit(1)).cast(DoubleType).as("n"),
+            round(sum($"value"), 4).as("total_value"))
+        graft.sources.atlas.AtlasStore.Writer.writeDataset(
+          root, et, graft.nd.NdPivot.pivot(hourly, Seq("d", "h")),
+          attrs = Map("event_type" -> et))
+      }
+      graft.dsl.JsonQuery.compile(s,
+        s"""{"select": ["event_type", "d", "h", "n", "total_value"],
+             "from": {"atlas": {"paths": ["$root"]}}}""")
+        .orderBy("event_type", "d", "h")
+    },
     // GeoTIFF raster through the DSL (from.tiff → LZW strip decode →
     // arrays→tables flatten → geo axes). The oracle parquet is decoded
     // by an INDEPENDENT from-scratch python implementation
@@ -298,6 +322,20 @@ object QueriesFormats {
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q_netcdf_profile" ->
       s"SELECT * FROM read_parquet('$fixtures/netcdf_profile/*.parquet') ORDER BY lat, lon, deph, temp",
+    // per-event-type dense grid: distinct d × distinct h WITHIN each type
+    "q_atlas_gridded" ->
+      """WITH ev AS (SELECT event_type,
+                CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS DOUBLE) AS d,
+                CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS h, value
+              FROM events WHERE event_type IN ('click', 'view')),
+        agg AS (SELECT event_type, d, h, CAST(count(*) AS DOUBLE) AS n,
+                round(sum(value), 4) AS total_value FROM ev GROUP BY 1, 2, 3),
+        grid AS (SELECT dd.event_type, dd.d, hh.h
+                 FROM (SELECT DISTINCT event_type, d FROM ev) dd
+                 JOIN (SELECT DISTINCT event_type, h FROM ev) hh USING (event_type))
+        SELECT g.event_type, g.d, g.h, a.n, a.total_value
+        FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.d = g.d AND a.h = g.h
+        ORDER BY g.event_type, g.d, g.h""",
     "q_tiff_raster" ->
       s"SELECT lat, lon, band0 FROM read_parquet('$fixtures/tiff_lzw/*.parquet') ORDER BY lat, lon",
     "q_ndnetcdf_grid" ->

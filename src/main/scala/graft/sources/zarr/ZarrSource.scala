@@ -196,7 +196,7 @@ object ZarrScanPlanner {
     }
   }
 
-  private def splitConds(filters: Array[sources.Filter]): Map[String, Seq[Cond]] = {
+  private[sources] def splitConds(filters: Array[sources.Filter]): Map[String, Seq[Cond]] = {
     val out = scala.collection.mutable.Map.empty[String, List[Cond]].withDefaultValue(Nil)
     def num(v: Any): Option[Double] = v match {
       case n: Number => Some(n.doubleValue())

@@ -76,7 +76,9 @@ object Outputs {
     def classify(p: java.nio.file.Path): Option[String] = {
       val name = p.getFileName.toString.toLowerCase
       if (Files.isDirectory(p)) {
-        if (Files.exists(p.resolve("zarr.json"))) Some("zarr") else None
+        if (Files.exists(p.resolve("zarr.json"))) Some("zarr")
+        else if (Files.exists(p.resolve("atlas.json"))) Some("atlas")
+        else None
       } else if (name.endsWith(".parquet")) Some("parquet")
       else if (name.endsWith(".csv")) Some("csv")
       else if (name.endsWith(".arrow") || name.endsWith(".feather")) Some("arrow")
@@ -120,6 +122,7 @@ object Outputs {
       case "odv" => graft.sources.OdvSource.read(spark, paths)
       case "netcdf" => graft.sources.netcdf.NetcdfSource.read(spark, paths)
       case "zarr" => graft.sources.zarr.ZarrSource.read(spark, paths)
+      case "atlas" => graft.sources.atlas.AtlasSource.read(spark, paths.head)
       case other => throw new IllegalArgumentException(s"DESCRIBE FORMAT '$other' unsupported")
     }
     df.schema.fields.toSeq
