@@ -26,6 +26,8 @@ object QueriesFormats {
   val refZarr = "/root/reference/test-datasets/gridded-example.zarr"
   val refTiffLzw = "/root/reference/beacon-db/beacon-file-formats/" +
     "beacon-arrow-tiff/test-files/synthetic_lzw_stripped_f32.tif"
+  val refCompound = "/root/reference/beacon-db/beacon-file-formats/" +
+    "beacon-arrow-hdf5/test_files/compound.h5"
   private val fixtures = "/root/repo/src/test/resources/fixtures"
 
   /** flattened Argo-style profile file over the (N_PROF, N_LEVELS) grid */
@@ -175,6 +177,22 @@ object QueriesFormats {
         .orderBy("day", "event_type")
     },
     "q_netcdf_profile" -> { (s, _) => netcdfProfile(s) },
+    // Plain (non-netcdf) HDF5 with a compound dataset, through the DSL:
+    // each modelled member becomes a `{dataset}/{member}` column over the
+    // dataset's dims (the vlen member is skipped). Oracle = the member
+    // values the REFERENCE's own tests pin for this file
+    // (beacon-arrow-hdf5/tests/backend_parity.rs:234-252).
+    "q_hdf5_compound" -> { (s, _) =>
+      GraftSession.configure(s)
+      graft.dsl.JsonQuery.compile(s,
+        s"""{"select": [{"column": "measurements/station", "alias": "station"},
+                        {"column": "measurements/depth", "alias": "depth"},
+                        {"column": "measurements/temp", "alias": "temp"},
+                        {"column": "measurements/label", "alias": "label"},
+                        {"column": "index", "alias": "idx"}],
+             "sort_by": [{"Asc": "station"}],
+             "from": {"hdf5": {"paths": ["$refCompound"]}}}""")
+    },
     // Atlas store round trip: per-event-type hourly grids written as two
     // named datasets (dataset attribute = event_type, surfacing as a
     // rank-0 column), read back through the DSL as the supercast union
@@ -322,6 +340,13 @@ object QueriesFormats {
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q_netcdf_profile" ->
       s"SELECT * FROM read_parquet('$fixtures/netcdf_profile/*.parquet') ORDER BY lat, lon, deph, temp",
+    "q_hdf5_compound" ->
+      """SELECT CAST(station AS DOUBLE) AS station, CAST(depth AS DOUBLE) AS depth,
+           CAST(temp AS DOUBLE) AS temp, label, CAST(idx AS DOUBLE) AS idx
+         FROM (VALUES (1, 0, 12.5, 'alpha', 0), (2, 10, 11.25, 'beta', 1),
+                      (3, 20, 10.0, 'gamma', 2), (4, 30, 9.75, 'delta', 3))
+           AS t(station, depth, temp, label, idx)
+         ORDER BY station""",
     // per-event-type dense grid: distinct d × distinct h WITHIN each type
     "q_atlas_gridded" ->
       """WITH ev AS (SELECT event_type,

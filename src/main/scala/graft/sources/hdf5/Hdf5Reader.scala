@@ -59,7 +59,8 @@ object Hdf5Reader {
   // ------------------------------------------------------------ model
 
   final case class Datatype(clazz: Int, size: Int, littleEndian: Boolean,
-      signed: Boolean, base: Option[Datatype])
+      signed: Boolean, base: Option[Datatype],
+      members: Seq[(String, Int, Datatype)] = Nil) // compound: (name, byte offset, type)
   final case class Filter(id: Int, values: Seq[Int])
   final case class Dataset(
       name: String,
@@ -461,24 +462,71 @@ object Hdf5Reader {
     else (0 until rank).map(_ => h5.length(b)).toArray
   }
 
-  private def parseDatatype(data: ByteBuffer): Datatype = {
-    val b = data
+  /** CONSUMING parse: leaves the buffer positioned after this datatype's
+    * header + properties, so compound members (which pack their member
+    * datatypes back to back) parse sequentially. Property sizes per the
+    * format spec's datatype message, v1-v3. */
+  private def parseDatatype(b: ByteBuffer): Datatype = {
     val cv = b.get() & 0xFF
     val clazz = cv & 0x0F
+    val ver = math.max(1, cv >>> 4)
     val b0 = b.get() & 0xFF
-    b.get(); b.get()
+    val b1 = b.get() & 0xFF
+    b.get()
     val size = b.getInt()
+    def skip(n: Int): Unit = b.position(b.position() + n)
     clazz match {
-      case 0 => Datatype(0, size, (b0 & 1) == 0, (b0 & 0x08) != 0, None) // fixed
-      case 1 => Datatype(1, size, (b0 & 1) == 0, signed = true, None)    // float
-      case 4 => Datatype(0, size, (b0 & 1) == 0, signed = false, None)   // bitfield ≈ unsigned
-      case 3 => Datatype(3, size, littleEndian = true, signed = false, None) // string
-      case 7 => Datatype(7, size, littleEndian = true, signed = false, None) // reference
+      case 0 => val t = Datatype(0, size, (b0 & 1) == 0, (b0 & 0x08) != 0, None); skip(4); t // fixed
+      case 1 => val t = Datatype(1, size, (b0 & 1) == 0, signed = true, None); skip(12); t   // float
+      case 2 => skip(2); Datatype(2, size, (b0 & 1) == 0, signed = true, None)               // time
+      case 3 => Datatype(3, size, littleEndian = true, signed = false, None)                 // string
+      case 4 => val t = Datatype(0, size, (b0 & 1) == 0, signed = false, None); skip(4); t   // bitfield ≈ unsigned
+      case 5 => skip(b0); Datatype(5, size, littleEndian = true, signed = false, None)       // opaque (tag)
+      case 7 => Datatype(7, size, littleEndian = true, signed = false, None)                 // reference
       case 9 => // vlen: the base datatype message follows the properties
-        val base = parseDatatype(b.duplicate().order(ByteOrder.LITTLE_ENDIAN))
+        val base = parseDatatype(b)
         Datatype(9, size, littleEndian = true, signed = false, Some(base))
-      case other => Datatype(clazz, size, littleEndian = true, signed = false, None)
+      case 6 => // compound: members = (name, byte offset, member datatype)
+        val n = b0 | (b1 << 8)
+        val members = (0 until n).map { _ =>
+          val name = nullTermName(b, pad8 = ver <= 2)
+          val offset = ver match {
+            case 1 | 2 => b.getInt()
+            case _ => // v3: offset stored in min bytes needed for `size`
+              val nb = if (size < 256) 1 else if (size < 65536) 2
+                else if (size < (1 << 24)) 3 else 4
+              readN(b, nb).toInt
+          }
+          if (ver == 1) skip(28) // dimensionality + perm + reserved + 4 dim sizes
+          (name, offset, parseDatatype(b))
+        }
+        Datatype(6, size, littleEndian = true, signed = false, None, members)
+      case 8 => // enum: base type + named values (consumed, surfaced as base)
+        val base = parseDatatype(b)
+        val n = b0 | (b1 << 8)
+        (0 until n).foreach(_ => nullTermName(b, pad8 = ver <= 2))
+        skip(n * base.size)
+        Datatype(8, size, base.littleEndian, base.signed, Some(base))
+      case 10 => // array: dims + base type
+        val nd = b.get() & 0xFF
+        if (ver <= 2) { skip(3); skip(nd * 8) } else skip(nd * 4)
+        val base = parseDatatype(b)
+        Datatype(10, size, base.littleEndian, base.signed, Some(base))
+      case other => Datatype(other, size, littleEndian = true, signed = false, None)
     }
+  }
+
+  /** null-terminated name; v1/v2 datatype members pad to 8-byte multiples */
+  private def nullTermName(b: ByteBuffer, pad8: Boolean): String = {
+    val bytes = mutable.ArrayBuffer.empty[Byte]
+    var c = b.get()
+    var len = 1
+    while (c != 0) { bytes += c; c = b.get(); len += 1 }
+    if (pad8) {
+      val total = (len + 7) / 8 * 8
+      b.position(b.position() + (total - len))
+    }
+    new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   private def parseFill(data: ByteBuffer): Option[Array[Byte]] = {
@@ -1087,11 +1135,25 @@ object Hdf5Reader {
           d.dims.toIndexedSeq.zipWithIndex.map { case (s, i) => s"phony_dim_$i" }
       }
 
+    // a compound member the model can read: fixed-width numeric or string
+    def readableMember(t: Datatype): Boolean =
+      (t.clazz == 0 && Set(1, 2, 4, 8).contains(t.size)) ||
+        (t.clazz == 1 && (t.size == 4 || t.size == 8)) ||
+        (t.clazz == 3 && t.size > 0)
+    // columns a dataset contributes (compound: one per modelled member +
+    // one per dataset attribute; vlen/nested members are SKIPPED, the
+    // reference's stance — beacon-arrow-hdf5/src/reader/mod.rs:37-39)
+    def keepsAny(d: Dataset): Boolean =
+      if (d.dtype.clazz == 6)
+        d.dtype.members.exists { case (m, _, t) => readableMember(t) && keep(s"${d.name}/$m") } ||
+          d.attrs.keys.exists(k => keep(s"${d.name}.$k"))
+      else keep(d.name)
+
     val extraDims = mutable.LinkedHashMap.empty[String, Int]
     val vars = datasets
       .filter(d => !byAddr.contains(d.addr) || !isPhony(d))
-      .filter(d => keep(d.name))
-      .map { d =>
+      .filter(keepsAny)
+      .flatMap { d =>
       val attrs = d.attrs.view.filterKeys(k => !hiddenAttrs.contains(k))
         .map { case (k, v) => k -> v.render }.toMap
       val axes0 = axisNames(d)
@@ -1115,6 +1177,47 @@ object Hdf5Reader {
         else readRaw(h5, d)
       val dimsEff = d.dims.clone()
       if (axisIdx >= 0 && dimsEff.nonEmpty) dimsEff(axisIdx) = (rend - rstart).toLong
+      def finish(v: NdVariable): NdVariable =
+        if (rdim != null && axisIdx < 0 && v.dims.contains(rdim))
+          graft.nd.NdSlice.sliceAxis(v,
+            axes0.zip(d.dims.map(_.toInt)).toMap, rdim, rstart, rend)
+        else v
+      // compound dataset → one column per modelled member, named
+      // `{dataset}/{member}` over the dataset's own dims; the dataset's
+      // attributes become rank-0 `{dataset}.{attr}` columns; the compound
+      // itself is NOT a column (reference reader/open.rs compound tests)
+      if (d.dtype.clazz == 6) {
+        val recSize = d.dtype.size
+        val n = math.max(dimsEff.product.toInt, 0)
+        val memberVars = d.dtype.members
+          .filter { case (m, _, t) => readableMember(t) && keep(s"${d.name}/$m") }
+          .map { case (m, moff, t) =>
+            val col = s"${d.name}/$m"
+            val v: NdVariable =
+              if (metaOnly) {
+                if (t.clazz == 3) NdVariable(col, axes0, null, Map.empty, Array.empty[String])
+                else NdVariable(col, axes0, Array.empty[Double], Map.empty)
+              } else if (t.clazz == 3) {
+                val out = Array.tabulate(n)(i => cString(
+                  java.util.Arrays.copyOfRange(raw, i * recSize + moff, i * recSize + moff + t.size)))
+                NdVariable(col, axes0, null, Map.empty, out)
+              } else {
+                val bb = ByteBuffer.wrap(raw).order(
+                  if (t.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+                val out = new Array[Double](n)
+                var i = 0
+                while (i < n) { bb.position(i * recSize + moff); out(i) = readNumAt(bb, t); i += 1 }
+                NdVariable(col, axes0, out, Map.empty)
+              }
+            finish(v)
+          }
+        val attrVars = attrs.toSeq.sortBy(_._1).collect {
+          case (k, value) if keep(s"${d.name}.$k") =>
+            NdVariable(s"${d.name}.$k", Seq.empty, null, Map.empty, Array(value))
+        }
+        memberVars ++ attrVars
+      } else if (!keep(d.name)) Nil
+      else Seq {
       val decoded: NdVariable = if (metaOnly) {
         if (d.dtype.clazz == 3) {
           val outDims =
@@ -1147,10 +1250,8 @@ object Hdf5Reader {
         while (i < n) { out(i) = readNumAt(bb, d.dtype); i += 1 }
         NdVariable(d.name, axes0, out, attrs)
       }
-      if (rdim != null && axisIdx < 0 && decoded.dims.contains(rdim))
-        graft.nd.NdSlice.sliceAxis(decoded,
-          axes0.zip(d.dims.map(_.toInt)).toMap, rdim, rstart, rend)
-      else decoded
+      finish(decoded)
+      }
     }
     val allDims = (dims ++ extraDims.toSeq).map { case (n, s) =>
       n -> (if (n == rdim) rend - rstart else s)

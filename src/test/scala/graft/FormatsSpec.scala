@@ -207,6 +207,33 @@ class FormatsSpec extends AnyFunSuite {
     })
   }
 
+  test("hdf5 compound dataset expands into one column per modelled member") {
+    // plain (non-netcdf) HDF5 from the reference: dataset `measurements`
+    // is compound {station i32, depth f32, temp f64, label fixed-string,
+    // note vlen}; expected values are pinned by the reference's own
+    // tests (beacon-arrow-hdf5/tests/backend_parity.rs:234-252,
+    // src/reader/open.rs:313-368)
+    val f = "/root/reference/beacon-db/beacon-file-formats/beacon-arrow-hdf5/test_files/compound.h5"
+    val nd = Hdf5Reader.readDataset(f)
+    def v(n: String) = nd.variables.find(_.name == n).getOrElse(
+      fail(s"missing $n in ${nd.variables.map(_.name)}"))
+    assert(v("measurements/station").data.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(v("measurements/depth").data.toSeq == Seq(0.0, 10.0, 20.0, 30.0))
+    assert(v("measurements/temp").data.toSeq == Seq(12.5, 11.25, 10.0, 9.75))
+    assert(v("measurements/label").sdata.toSeq == Seq("alpha", "beta", "gamma", "delta"))
+    // the vlen member is skipped; the compound itself is not a column
+    assert(!nd.variables.exists(_.name == "measurements/note"))
+    assert(!nd.variables.exists(_.name == "measurements"))
+    // members share the dataset's shape/axes with ordinary variables
+    assert(v("measurements/station").dims == v("measurements/label").dims)
+    // dataset attribute rides as a rank-0 dotted column
+    assert(nd.variables.exists(_.name == "measurements.description"))
+    // and the flattened table reads end-to-end
+    val (schema, rows) = NdFlatten.localRows(nd)
+    assert(rows.size == 4)
+    assert(schema.fieldNames.contains("measurements/station"))
+  }
+
   test("zarr planning: region product is lazy — a 1M-region grid never materializes") {
     // 100×100×100 chunk slices per dim = 1e6 regions; taking 5 must not
     // build the product (an eager fold would allocate all million)
