@@ -244,7 +244,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     case "managed" =>
       spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
     case "view" =>
-      spark.sql(d.sql.get).createOrReplaceTempView(d.name)
+      // LATE-BINDING: a SQL-defined temp view stores the PARSED plan and
+      // re-analyzes per query (spark.sql.legacy.storeAnalyzedPlanForView
+      // defaults false), so the view tracks source mutations — a
+      // DataFrame.createOrReplaceTempView would freeze the base table's
+      // file listing at registration time and serve stale rows after an
+      // INSERT/DELETE/UPDATE on the base.
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${quote(d.name)} AS ${d.sql.get}")
     case "mview" =>
       spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
     case "crawler" => // definitions only run on demand (RUN CRAWLER)

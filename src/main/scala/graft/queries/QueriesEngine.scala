@@ -62,6 +62,37 @@ object QueriesEngine {
       eng.sql("SELECT * FROM ddl_live").orderBy(col("o_orderkey"))
     },
 
+    // ---- views + materialized views end-to-end: a VIEW tracks source
+    // mutations live, a MATERIALIZED VIEW serves its frozen snapshot
+    // until REFRESH. The INSERT lands between materialization and
+    // refresh; `stale_rows` (the MV's row count BEFORE refresh, captured
+    // as a literal) pins that the MV really was frozen — the oracle
+    // recomputes it from the F-only seed.
+    "q_view_mv_lifecycle" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvgate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE mv_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      eng.sql("""CREATE TABLE mv_base AS
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM mv_orders WHERE o_orderstatus = 'F'""")
+      val q = """SELECT o_custkey, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+                 FROM mv_base GROUP BY o_custkey"""
+      eng.sql(s"CREATE VIEW mv_view AS $q")
+      eng.sql(s"CREATE MATERIALIZED VIEW mv_mat AS $q")
+      eng.sql("""INSERT INTO mv_base
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM mv_orders WHERE o_orderstatus = 'O'""")
+      val staleRows = eng.sql("SELECT * FROM mv_mat").count()
+      eng.sql("REFRESH mv_mat")
+      val live = eng.sql("SELECT * FROM mv_view").withColumn("src", lit("view"))
+      val refreshed = eng.sql("SELECT * FROM mv_mat").withColumn("src", lit("mv"))
+      live.unionAll(refreshed)
+        .withColumn("stale_rows", lit(staleRows))
+        .orderBy(col("src"), col("o_custkey"))
+    },
+
     // ---- SUMMARIZE (single-pass profile); avg/std rounded for the
     //      cross-engine gate (different-but-both-correct summation orders)
     "q_summarize_lineitem" -> { (s, dir) =>
@@ -164,6 +195,18 @@ object QueriesEngine {
          FROM orders
          WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice < 50000)
          ORDER BY o_orderkey""",
+    "q_view_mv_lifecycle" ->
+      """WITH agg AS (SELECT o_custkey, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                      FROM orders WHERE o_orderstatus IN ('F', 'O')
+                      GROUP BY o_custkey),
+           stale AS (SELECT count(*) AS stale_rows FROM
+                       (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+         SELECT u.*, stale.stale_rows FROM (
+           SELECT 'view' AS src, * FROM agg
+           UNION ALL
+           SELECT 'mv' AS src, * FROM agg) u, stale
+         ORDER BY src, o_custkey""",
     "q_dsl_pipeline" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity > 45 AND l_extendedprice < 60000
