@@ -220,6 +220,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case "atlas"           =>
           require(d.paths.size == 1, "atlas takes exactly one store location")
           graft.sources.atlas.AtlasSource.read(spark, d.paths.head, d.options.get("dataset"))
+        case "icechunk"        =>
+          require(d.paths.size == 1, "icechunk takes exactly one repository location")
+          graft.sources.icechunk.IcechunkSource.read(spark, d.paths.head,
+            d.options.get("branch"), d.options.get("tag"), d.options.get("snapshot"))
         case "delta"           =>
           require(d.paths.size == 1, "delta takes exactly one table location")
           graft.sources.delta.DeltaSource.read(

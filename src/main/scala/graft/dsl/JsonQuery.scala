@@ -134,7 +134,7 @@ object JsonQuery {
 
   // ------------------------------------------------------------- from
 
-  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "bbf", "delta", "iceberg")
+  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg")
 
   /** best-effort pruning conditions: AND-reachable comparison leaves of
     * the filter tree (OR subtrees contribute nothing — conservative) */
@@ -223,6 +223,11 @@ object JsonQuery {
           case _ => None
         }
         graft.sources.zarr.ZarrSource.read(spark, paths, dims)
+      case "icechunk" => // read_icechunk(repo [, branch|tag|snapshot])
+        require(paths.size == 1, "icechunk takes exactly one repository location")
+        def opt(k: String) = spec.get(k).collect { case JString(s) => s }
+        graft.sources.icechunk.IcechunkSource.read(spark, paths.head,
+          opt("branch"), opt("tag"), opt("snapshot"))
       case "atlas" => // read_atlas(store [, dataset]): one store dir
         require(paths.size == 1, "atlas takes exactly one store location")
         val dataset = spec.get("dataset").collect { case JString(d) => d }

@@ -163,6 +163,40 @@ object QueriesFormats {
         .withColumn("snap", lit("s3")).select(cols.map(col): _*)
       latest.unionAll(s3).orderBy("snap", "day", "event_type")
     },
+    // Icechunk versioned-Zarr round trip: commit 1 = click-only hourly
+    // grid (tagged), commit 2 = all-events grid on the same branch. The
+    // main tip reads commit 2 through the DSL; the tag still serves
+    // commit 1 AFTER the second commit landed (fixed-version contract,
+    // reference beacon-icechunk/src/repository.rs). Oracle rebuilds both
+    // dense grids from the source parquet.
+    "q_icechunk_versions" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      import graft.sources.icechunk.{IcechunkSource, IcechunkStore}
+      val root = java.nio.file.Files.createTempDirectory("graft-icechunkgate")
+      def hourly(onlyClicks: Boolean) = {
+        val base = Tables.load(s, dir, "events")
+        val f = if (onlyClicks) base.filter($"event_type" === "click") else base
+        f.groupBy(floor(unix_timestamp($"ts") / 86400).cast(DoubleType).as("d"),
+            hour($"ts").cast(DoubleType).as("h"))
+          .agg(count(lit(1)).cast(DoubleType).as("n"),
+            round(sum($"value"), 4).as("total_value"))
+      }
+      val s1 = IcechunkStore.Writer.commit(root,
+        graft.nd.NdPivot.pivot(hourly(onlyClicks = true), Seq("d", "h")), message = "clicks")
+      IcechunkStore.Writer.tag(root, "clicks", s1)
+      IcechunkStore.Writer.commit(root,
+        graft.nd.NdPivot.pivot(hourly(onlyClicks = false), Seq("d", "h")), message = "all")
+      val cols = Seq("d", "h", "n", "total_value", "snap")
+      val tip = graft.dsl.JsonQuery.compile(s,
+        s"""{"select": ["d", "h", "n", "total_value"],
+             "from": {"icechunk": {"paths": ["$root"]}}}""")
+        .withColumn("snap", lit("main")).select(cols.map(col): _*)
+      val tagged = IcechunkSource.read(s, root.toString, tag = Some("clicks"))
+        .select((Seq("d", "h", "n", "total_value").map(col) :+
+          lit("clicks").as("snap")): _*)
+      tip.unionAll(tagged).orderBy("snap", "d", "h")
+    },
     "q_netcdf_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
       val daily = Tables.load(s, dir, "events")
@@ -332,6 +366,27 @@ object QueriesFormats {
             UNION ALL
             SELECT 's3' AS snap, q.* FROM (${dailyAggSql.format("WHERE event_type NOT IN ('click', 'view')")}) q
           ) ORDER BY snap, day, event_type""",
+    // per-snapshot dense grids: all-events for the tip, click-only for the tag
+    "q_icechunk_versions" ->
+      """WITH ev AS (SELECT event_type,
+                CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS DOUBLE) AS d,
+                CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS h, value FROM events),
+        a_agg AS (SELECT d, h, CAST(count(*) AS DOUBLE) AS n,
+                  round(sum(value), 4) AS total_value FROM ev GROUP BY 1, 2),
+        a_grid AS (SELECT dd.d, hh.h FROM (SELECT DISTINCT d FROM ev) dd,
+                   (SELECT DISTINCT h FROM ev) hh),
+        c_ev AS (SELECT * FROM ev WHERE event_type = 'click'),
+        c_agg AS (SELECT d, h, CAST(count(*) AS DOUBLE) AS n,
+                  round(sum(value), 4) AS total_value FROM c_ev GROUP BY 1, 2),
+        c_grid AS (SELECT dd.d, hh.h FROM (SELECT DISTINCT d FROM c_ev) dd,
+                   (SELECT DISTINCT h FROM c_ev) hh)
+        SELECT * FROM (
+          SELECT 'main' AS snap, g.d, g.h, a.n, a.total_value
+          FROM a_grid g LEFT JOIN a_agg a ON a.d = g.d AND a.h = g.h
+          UNION ALL
+          SELECT 'clicks' AS snap, g.d, g.h, a.n, a.total_value
+          FROM c_grid g LEFT JOIN c_agg a ON a.d = g.d AND a.h = g.h)
+        ORDER BY snap, d, h""",
     // n comes back as DOUBLE (classic netcdf has no 64-bit int; documented)
     "q_netcdf_roundtrip" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

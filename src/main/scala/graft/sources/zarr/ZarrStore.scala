@@ -107,7 +107,7 @@ object ZarrStore {
   private def parseJson(p: Path): JValue =
     JsonMethods.parse(new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
 
-  private def parseArray(name: String, dir: Path, m: JValue): ZarrArray = {
+  private[sources] def parseArray(name: String, dir: Path, m: JValue): ZarrArray = {
     require((m \ "zarr_format") == JInt(3), s"$name: only zarr v3 supported")
     val shape = (m \ "shape").asInstanceOf[JArray].arr.map(jLong).toArray
     val dtype = (m \ "data_type") match {
@@ -229,7 +229,14 @@ object ZarrStore {
     val n = a.chunkShape.map(_.toLong).product.toInt
     val p = a.dir.resolve(chunkKey(a, idx))
     if (!Files.exists(p)) return Array.fill(n)(a.fillValue)
-    var bytes = Files.readAllBytes(p)
+    decodeChunkBytes(a, Files.readAllBytes(p))
+  }
+
+  /** codec pipeline only: encoded chunk payload → doubles. Shared with
+    * stores that fetch chunk bytes elsewhere (icechunk repositories). */
+  def decodeChunkBytes(a: ZarrArray, bytes0: Array[Byte]): Array[Double] = {
+    val n = a.chunkShape.map(_.toLong).product.toInt
+    var bytes = bytes0
     var endian: ByteOrder = ByteOrder.LITTLE_ENDIAN
     // codecs apply in reverse on read
     a.codecs.reverse.foreach { case (cname, conf) =>
@@ -359,7 +366,7 @@ object ZarrStore {
     out
   }
 
-  private def copyOverlap(chunk: Array[Double], cshape: Array[Int], cidx: Array[Int],
+  private[sources] def copyOverlap(chunk: Array[Double], cshape: Array[Int], cidx: Array[Int],
       out: Array[Double], rdims: Array[Int], start: Array[Long], end: Array[Long]): Unit = {
     val rank = cshape.length
     // overlap box in global coords
