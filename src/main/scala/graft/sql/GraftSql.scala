@@ -21,7 +21,13 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame = {
     val trimmed = text.trim.stripSuffix(";")
     val upper = trimmed.toUpperCase
-    if (upper.startsWith("EXPLAIN ")) {
+    if (upper.startsWith("EXPLAIN ANALYZE ")) {
+      // the reference's explain_analyze_query (beacon-core/src/
+      // runtime.rs:466-506): EXECUTE the plan to completion — through the
+      // noop sink, so nothing lands on the driver — then report the
+      // physical plan with each node's recorded runtime metrics.
+      explainAnalyze(spark, trimmed.substring("EXPLAIN ANALYZE".length).trim)
+    } else if (upper.startsWith("EXPLAIN ")) {
       // graft-rewritten statements (SUMMARIZE / UNION ALL BY NAME) have
       // no Catalyst SQL text, so native EXPLAIN can't see them: build
       // the frame and return its formatted plan. Plain SQL falls
@@ -49,6 +55,33 @@ object GraftSql {
         case _ => spark.sql(trimmed)
       }
     }
+  }
+
+  /** One row per executed physical node: (node_id, depth, node, metrics).
+    * Metrics are Spark's per-node SQLMetrics (rows output, scan/shuffle
+    * bytes, spill, time), read AFTER the run so every value is final —
+    * the per-node half of the reference's `query_metrics` surface. */
+  private def explainAnalyze(spark: SparkSession, inner: String): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark.implicits._
+    val df = sql(spark, inner)
+    // run the df's OWN QueryExecution (a sink write would plan a fresh
+    // one and leave these nodes' metrics at zero); foreach on the
+    // InternalRow RDD drains every partition executor-side
+    df.queryExecution.toRdd.foreach(_ => ())
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
+    def walk(p: SparkPlan, depth: Int): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth) // final AQE plan
+      case q: QueryStageExec => walk(q.plan, depth)
+      case _ =>
+        val metrics = p.metrics.toSeq.sortBy(_._1)
+          .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+        out += ((out.size, depth, p.nodeName, metrics))
+        p.children.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    out.toSeq.toDF("node_id", "depth", "node", "metrics")
   }
 
   /** Split at top-level `UNION ALL BY NAME` boundaries (outside quotes and

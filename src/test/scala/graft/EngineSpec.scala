@@ -212,4 +212,18 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getString(0) == "Ship")
     assert(r.isNullAt(1))
   }
+
+  test("EXPLAIN ANALYZE runs the plan and reports per-node runtime metrics") {
+    import spark.implicits._
+    (1L to 100L).map(i => (i, i % 7)).toDF("k", "g").createOrReplaceTempView("ea_t")
+    val rows = graft.sql.GraftSql.sql(spark,
+      "EXPLAIN ANALYZE SELECT g, count(*) AS n FROM ea_t WHERE k > 10 GROUP BY g")
+      .collect()
+    assert(rows.length > 2, "expected one row per physical node")
+    assert(rows.map(_.getAs[String]("node")).exists(_.contains("Aggregate")))
+    // metrics carry EXECUTED values: some aggregate node output 7 groups
+    val metricRows = rows.map(_.getAs[String]("metrics"))
+    assert(metricRows.exists(_.contains("numOutputRows=7")),
+      s"no node recorded the 7 output groups: ${metricRows.mkString(" | ")}")
+  }
 }

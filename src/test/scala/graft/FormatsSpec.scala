@@ -234,6 +234,18 @@ class FormatsSpec extends AnyFunSuite {
     assert(schema.fieldNames.contains("measurements/station"))
   }
 
+  test("hdf5 nested groups flatten to path-named columns (reference parity fixture)") {
+    // backend_parity.rs:220-228 pins 3 stations × 4 samples = 12 rows with
+    // group-path column names
+    val f = "/root/reference/beacon-db/beacon-file-formats/beacon-arrow-hdf5/test_files/nested-groups.h5"
+    val nd = Hdf5Reader.readDataset(f)
+    val names = nd.variables.map(_.name)
+    assert(names.contains("observations/temperature"))
+    assert(names.contains("observations/qc/flag"))
+    val (_, rows) = NdFlatten.localRows(nd)
+    assert(rows.size == 12)
+  }
+
   test("zarr planning: region product is lazy — a 1M-region grid never materializes") {
     // 100×100×100 chunk slices per dim = 1e6 regions; taking 5 must not
     // build the product (an eager fold would allocate all million)
