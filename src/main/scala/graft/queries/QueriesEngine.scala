@@ -62,6 +62,75 @@ object QueriesEngine {
       eng.sql("SELECT * FROM ddl_live").orderBy(col("o_orderkey"))
     },
 
+    // ---- ANALYZE FILES + DSL stats pruning end-to-end: orders staged
+    // into 4 disjoint key-range files, per-file min/max collected, then
+    // a selective DSL query answers through the pruned scan (the
+    // 1-of-4-files-opened pin lives in CatalogSpec; this gates the
+    // ANSWER of the pruned path against the oracle).
+    "q_stats_pruned_scan" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-statsgate")
+      val wh = java.nio.file.Files.createTempDirectory("graft-statswh").toString
+      val orders = Tables.load(s, dir, "orders")
+      (0 until 4).foreach { i =>
+        orders.filter($"o_orderkey" % 4 === i)
+          .coalesce(1).write.mode("overwrite").parquet(root.resolve(s"part$i").toString)
+      }
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE pruned_orders STORED AS parquet LOCATION '$root/part*/*.parquet'")
+      eng.sql("ANALYZE FILES FOR pruned_orders")
+      val statsDir = eng.catalog.statsDir("pruned_orders")
+      eng.jsonQuery(
+        s"""{"select": ["o_orderkey", "o_custkey", "o_totalprice"],
+             "filters": [{"column": "o_totalprice", "gt": 400000.0}],
+             "from": {"parquet": {"paths": ["$root/part*/*.parquet"], "stats": "$statsDir"}}}""")
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- crawler discovery end-to-end: stage per-event-type parquet
+    // directories, CREATE + RUN CRAWLER (discover → classify → one
+    // external table per (dir, format)), then aggregate through the
+    // crawled registrations. Oracle recomputes from the source parquet.
+    "q_crawler_discovery" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-crawlgate")
+      val wh = java.nio.file.Files.createTempDirectory("graft-crawlwh").toString
+      Seq("click", "view").foreach { et =>
+        Tables.load(s, dir, "events").filter($"event_type" === et)
+          .write.mode("overwrite").parquet(root.resolve(et + "_events").toString)
+      }
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE CRAWLER ev_crawler ON '$root'")
+      eng.sql("RUN CRAWLER ev_crawler")
+      eng.sql("""SELECT 'click' AS et, count(*) AS n, round(sum(value), 4) AS total
+                 FROM click_events""")
+        .unionAll(eng.sql(
+          """SELECT 'view' AS et, count(*) AS n, round(sum(value), 4) AS total
+             FROM view_events"""))
+        .orderBy(col("et"))
+    },
+
+    // ---- ALTER TABLE copy-on-write schema evolution end-to-end:
+    // ADD COLUMN (null-filled) → UPDATE fills it → RENAME COLUMN →
+    // DROP COLUMN → SELECT. Oracle recomputes the surviving projection
+    // from the source parquet.
+    "q_alter_table" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-altergate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE alt_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      eng.sql("""CREATE TABLE alt_live AS
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM alt_orders WHERE o_orderkey % 5 = 0""")
+      eng.sql("ALTER TABLE alt_live ADD COLUMN price_band STRING")
+      eng.sql("UPDATE alt_live SET price_band = CASE WHEN o_totalprice >= 150000 THEN 'high' ELSE 'low' END WHERE true")
+      eng.sql("ALTER TABLE alt_live RENAME COLUMN price_band TO band")
+      eng.sql("ALTER TABLE alt_live DROP COLUMN o_orderstatus")
+      eng.sql("SELECT * FROM alt_live").orderBy(col("o_orderkey"))
+    },
+
     // ---- views + materialized views end-to-end: a VIEW tracks source
     // mutations live, a MATERIALIZED VIEW serves its frozen snapshot
     // until REFRESH. The INSERT lands between materialization and
@@ -194,6 +263,23 @@ object QueriesEngine {
            o_totalprice
          FROM orders
          WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice < 50000)
+         ORDER BY o_orderkey""",
+    "q_stats_pruned_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_totalprice > 400000.0
+         ORDER BY o_orderkey""",
+    "q_crawler_discovery" ->
+      """SELECT et, n, total FROM (
+           SELECT 'click' AS et, count(*) AS n, round(sum(value), 4) AS total
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT 'view' AS et, count(*) AS n, round(sum(value), 4) AS total
+           FROM events WHERE event_type = 'view')
+         ORDER BY et""",
+    "q_alter_table" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_totalprice >= 150000 THEN 'high' ELSE 'low' END AS band
+         FROM orders WHERE o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
     "q_view_mv_lifecycle" ->
       """WITH agg AS (SELECT o_custkey, count(*) AS n,

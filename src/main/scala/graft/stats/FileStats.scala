@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,13 +44,18 @@ object FileStats {
       .agg(count(lit(1)).as("__n"),
         cols.flatMap { f =>
           val c = col("`" + f.name.replace("`", "``") + "`")
-          val numeric = f.dataType.isInstanceOf[NumericType] ||
-            f.dataType == DateType || f.dataType == TimestampType ||
-            f.dataType == TimestampNTZType || f.dataType == BooleanType
+          // numeric stats as double; temporal types go through epoch
+          // seconds (TIMESTAMP_NTZ/DATE have no direct double cast)
+          val numExpr: Column =
+            if (f.dataType.isInstanceOf[NumericType] || f.dataType == BooleanType ||
+              f.dataType == TimestampType) c.cast(DoubleType)
+            else if (f.dataType == TimestampNTZType || f.dataType == DateType)
+              c.cast(TimestampType).cast(DoubleType)
+            else null
           Seq(
-            (if (numeric) min(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+            (if (numExpr != null) min(numExpr) else lit(null).cast(DoubleType))
               .as(s"__min_num_${f.name}"),
-            (if (numeric) max(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+            (if (numExpr != null) max(numExpr) else lit(null).cast(DoubleType))
               .as(s"__max_num_${f.name}"),
             (if (f.dataType == StringType) min(c) else lit(null).cast(StringType))
               .as(s"__min_str_${f.name}"),

@@ -282,6 +282,15 @@ class TableFormatsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 4L, 5L, 8L))
   }
 
+  test("merge-on-read gate plans: anti-joins, never nested loops or cartesian products") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q_iceberg_deletes", "q_delta_dv")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
   test("iceberg: reachable through DSL and SQL statement") {
     import spark.implicits._
     val t = freshDir("iceberg")
