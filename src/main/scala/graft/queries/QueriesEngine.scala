@@ -62,6 +62,21 @@ object QueriesEngine {
       eng.sql("SELECT * FROM ddl_live").orderBy(col("o_orderkey"))
     },
 
+    // ---- domain UDFs through SQL text: the TEOS-10 pressure→depth
+    // approximation (pure arithmetic — the oracle replays the identical
+    // polynomial) and cast_int8_as_char. map_units stays spec-only: its
+    // conversion table is engine data, not SQL-replayable.
+    "q_domain_funcs" -> { (s, dir) =>
+      GraftSession.configure(s)
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_domain")
+      GraftSql.sql(s,
+        """SELECT l_orderkey, l_linenumber,
+             round(pressure_to_depth_teos_10(l_extendedprice / 10.0, l_quantity), 6) AS depth,
+             cast_int8_as_char(65 + CAST(l_quantity AS BIGINT) % 26) AS ch
+           FROM li_domain""")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // ---- ANALYZE FILES + DSL stats pruning end-to-end: orders staged
     // into 4 disjoint key-range files, per-file min/max collected, then
     // a selective DSL query answers through the pruned scan (the
@@ -264,6 +279,16 @@ object QueriesEngine {
          FROM orders
          WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice < 50000)
          ORDER BY o_orderkey""",
+    "q_domain_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(((((-1.82e-15 * p + 2.279e-10) * p - 2.2512e-5) * p + 9.72659) * p) /
+             ((9.780318 * (1.0 + (5.2788e-3 + 2.36e-5 * s2) * s2)) + 1.092e-6 * p), 6) AS depth,
+           chr(CAST(65 + CAST(l_quantity AS BIGINT) % 26 AS INT)) AS ch
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                 l_extendedprice / 10.0 AS p,
+                 sin(radians(l_quantity)) * sin(radians(l_quantity)) AS s2
+               FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber""",
     "q_stats_pruned_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders WHERE o_totalprice > 400000.0
