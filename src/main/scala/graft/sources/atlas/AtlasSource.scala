@@ -144,10 +144,31 @@ object AtlasScanPlanner {
     val chunk = grid.zipWithIndex.map { case (d, i) =>
       if (gridArray.dims.lift(i).contains(d)) gridArray.chunks(i) else sizes(d)
     }
+    // chunk-level pruning on 1-D coordinate arrays named like their dim
+    // (same rule as the Zarr planner — the reference's atlas bridge
+    // shares beacon-nd-array's pushdown engine with zarr): comparisons
+    // run in CF-decoded units via NdFlatten.pruneStats, fail-open.
+    val conds = ZarrScanPlanner.splitConds(filters)
+    val coords: Map[String, AtlasStore.AtlasArray] = ds.arrays
+      .filter(a => a.dims.length == 1 && a.dims.head == a.name && !a.isString)
+      .map(a => a.name -> a).toMap
     val regionsPerDim = grid.zipWithIndex.map { case (d, i) =>
       val size = sizes(d).toLong
       val cs = chunk(i).toLong
-      (0L until size by cs).map(s => (d, s, math.min(s + cs, size)))
+      val slices = (0L until size by cs).map(s => (d, s, math.min(s + cs, size)))
+      coords.get(d) match {
+        case Some(coordVar) if conds.contains(d) =>
+          slices.filter { case (_, s, e) =>
+            val (vals, _) = AtlasStore.readRegion(
+              AtlasStore.openCached(spec.path).root, spec.dataset, coordVar,
+              Array(s), Array(e))
+            graft.nd.NdFlatten.pruneStats(coordVar.attrsWithFill, vals) match {
+              case Some((mn, mx)) => conds(d).forall(_.satisfiable(mn, mx))
+              case None => true
+            }
+          }
+        case _ => slices
+      }
     }
     ZarrScanPlanner.regionProduct(regionsPerDim)
   }

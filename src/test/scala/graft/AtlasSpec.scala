@@ -116,6 +116,26 @@ class AtlasSpec extends AnyFunSuite {
     assert(AtlasStore.chunkReads.get() <= 8, "column pruning failed to skip array chunks")
   }
 
+  test("atlas: coordinate predicates prune chunk regions within a dataset") {
+    val root = freshStore()
+    // y is a 1-D coordinate (named like its dim), 16 cells in 4 chunks
+    AtlasStore.Writer.writeDataset(root, "grid",
+      NdDataset(Seq("y" -> 16, "x" -> 2), Seq(
+        NdVariable("y", Seq("y"), Array.tabulate(16)(_.toDouble)),
+        NdVariable("v", Seq("y", "x"), Array.tabulate(32)(_.toDouble)))),
+      chunkSizes = Map("y" -> 4, "x" -> 2))
+    val all = AtlasScanPlanner.partitions(Spec(root.toString, "grid", None), Array.empty)
+    assert(all.size == 4)
+    // y >= 12 can only live in the last y-chunk
+    val pruned = AtlasScanPlanner.partitions(Spec(root.toString, "grid", None),
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("y", 12.0)))
+    assert(pruned.size == 1, s"expected 1 region after coord pruning")
+    // and the pruned scan still answers correctly end-to-end
+    val got = AtlasSource.read(spark, root.toString, Some("grid"))
+      .filter(col("y") >= 12.0).count()
+    assert(got == 8) // 4 rows of y × 2 of x
+  }
+
   test("atlas: string arrays round-trip with nulls") {
     val root = freshStore()
     AtlasStore.Writer.writeDataset(root, "s",
