@@ -78,6 +78,7 @@ object Outputs {
       if (Files.isDirectory(p)) {
         if (Files.exists(p.resolve("zarr.json"))) Some("zarr")
         else if (Files.exists(p.resolve("atlas.json"))) Some("atlas")
+        else if (graft.sources.icechunk.IcechunkStore.isRepository(p.toString)) Some("icechunk")
         else None
       } else if (name.endsWith(".parquet")) Some("parquet")
       else if (name.endsWith(".csv")) Some("csv")
@@ -123,6 +124,7 @@ object Outputs {
       case "netcdf" => graft.sources.netcdf.NetcdfSource.read(spark, paths)
       case "zarr" => graft.sources.zarr.ZarrSource.read(spark, paths)
       case "atlas" => graft.sources.atlas.AtlasSource.read(spark, paths.head)
+      case "icechunk" => graft.sources.icechunk.IcechunkSource.read(spark, paths.head)
       case other => throw new IllegalArgumentException(s"DESCRIBE FORMAT '$other' unsupported")
     }
     df.schema.fields.toSeq
