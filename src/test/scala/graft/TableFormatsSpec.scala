@@ -143,6 +143,46 @@ class TableFormatsSpec extends AnyFunSuite {
     assert(DeltaSource.read(spark, t).count() == 89)
   }
 
+  test("delta: inline ('i') and absolute-path ('p') deletion vectors decode") {
+    import graft.sources.delta.{DeletionVectors => DV}
+    import spark.implicits._
+    val t = freshDir("delta")
+    DeltaSource.Writer.append((1L to 20L).toDF("id"), t)
+    val snap0 = DeltaSource.snapshot(spark, t)
+    val rel = snap0.files.head.path
+    // inline: the z85 payload IS the roaring bitmap (rows 0,1,2)
+    val inline = DV.z85Encode {
+      val data = DV.encodeBitmap(Array(0L, 1L, 2L))
+      java.util.Arrays.copyOf(data, (data.length + 3) / 4 * 4) // 4-byte align
+    }
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    java.nio.file.Files.write(log.resolve(f"${1L}%020d.json"),
+      (s"""{"add":{"path":"$rel","partitionValues":{},"size":0,"modificationTime":0,""" +
+        s""""dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline",""" +
+        s""""offset":0,"sizeInBytes":${DV.encodeBitmap(Array(0L, 1L, 2L)).length},"cardinality":3}}}""")
+        .getBytes("UTF-8"))
+    assert(DeltaSource.read(spark, t).count() == 17)
+    // absolute path: same bitmap via a DV file named by full path
+    val descs = DV.writeFile(java.nio.file.Paths.get(t), Seq(rel -> Array(0L, 1L)))
+    val (_, d) = descs.head
+    // resolve the file the "u" descriptor names, then reference it as "p"
+    val uuidFile = java.nio.file.Files.list(java.nio.file.Paths.get(t)).iterator()
+    val dvFile = {
+      var f: java.nio.file.Path = null
+      while (uuidFile.hasNext) {
+        val p = uuidFile.next()
+        if (p.getFileName.toString.startsWith("deletion_vector_")) f = p
+      }
+      f
+    }
+    java.nio.file.Files.write(log.resolve(f"${2L}%020d.json"),
+      (s"""{"add":{"path":"$rel","partitionValues":{},"size":0,"modificationTime":0,""" +
+        s""""dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dvFile",""" +
+        s""""offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":2}}}""")
+        .getBytes("UTF-8"))
+    assert(DeltaSource.read(spark, t).count() == 18)
+  }
+
   test("delta: DVs survive a checkpoint") {
     import spark.implicits._
     val t = freshDir("delta")
