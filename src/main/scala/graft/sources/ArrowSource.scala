@@ -170,7 +170,8 @@ object ArrowSource {
 
   /** Single IPC file from the driver (bounded memory: row iterator,
     * batched flushes). */
-  def writeSingleFile(df: DataFrame, path: String, batchSize: Int = 4096): Unit = {
+  /** @return number of rows written (the COPY TO row receipt) */
+  def writeSingleFile(df: DataFrame, path: String, batchSize: Int = 4096): Long = {
     val schema = df.schema
     val aschema = new ASchema(schema.fields.map(f => sparkToArrow(f.name, f.dataType)).toList.asJava)
     val alloc = new RootAllocator()
@@ -195,12 +196,15 @@ object ArrowSource {
         writer.writeBatch()
         buf.clear()
       }
+      var n = 0L
       it.foreach { row =>
         buf += row
+        n += 1
         if (buf.length >= batchSize) flush()
       }
       flush()
       writer.end()
+      n
     } finally { writer.close(); ch.close(); root.close(); alloc.close() }
   }
 

@@ -32,7 +32,8 @@ object OdvWriter {
       s"odv writer: unsupported column type ${other.simpleString}")
   }
 
-  def write(df: DataFrame, path: String): Unit = {
+  /** @return number of rows written (the COPY TO row receipt) */
+  def write(df: DataFrame, path: String): Long = {
     val schema = df.schema
     // explicit UTF-8: FileWriter would use the platform charset, which
     // corrupts non-ASCII labels/units on non-UTF-8 JVMs while the ODV
@@ -50,6 +51,7 @@ object OdvWriter {
       }
       w.write(schema.fieldNames.mkString("\t"))
       w.write("\n")
+      var n = 0L
       df.toLocalIterator().asScala.foreach { row =>
         val cells = schema.fields.zipWithIndex.map { case (f, i) =>
           if (row.isNullAt(i)) ""
@@ -66,7 +68,9 @@ object OdvWriter {
         }
         w.write(cells.mkString("\t"))
         w.write("\n")
+        n += 1
       }
+      n
     } finally w.close()
   }
 }

@@ -88,7 +88,8 @@ object NetcdfWriter {
 
   /** Flat record-oriented file: every column a variable on one record
     * dimension. */
-  def writeFlat(df: DataFrame, path: String, recordDim: String = "obs"): Unit = {
+  /** @return number of records written (the COPY TO row receipt) */
+  def writeFlat(df: DataFrame, path: String, recordDim: String = "obs"): Long = {
     val schema = df.schema
     // one aggregate pass for string column widths (projection-pruned scan)
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
@@ -170,6 +171,7 @@ object NetcdfWriter {
       val nb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.BIG_ENDIAN)
       nb.putInt(n.toInt); nb.flip()
       ch.write(nb, 4)
+      n
     } finally ch.close()
   }
 

@@ -35,6 +35,7 @@ object Outputs {
         case p if p.endsWith(".nc") => "netcdf"
         case p if p.endsWith(".odv") => "odv"
         case p if p.endsWith(".arrow") || p.endsWith(".feather") || p.endsWith(".ipc") => "arrow"
+        case p if p.endsWith(".bbf") => "bbf"
         case _ => "parquet"
       }
     }
@@ -50,19 +51,23 @@ object Outputs {
         if (fmt == "parquet") counted.write.mode("overwrite").parquet(path)
         else counted.write.mode("overwrite").option("header", "true").csv(path)
         obs.get("rows").asInstanceOf[Long]
-      case "arrow" | "netcdf" | "odv" =>
+      case "arrow" | "netcdf" | "odv" | "bbf" =>
         // single-file formats stream every row through the driver via
-        // toLocalIterator; the receipt rides the same observe() metric as
-        // the distributed branch (no extra encode pass over the stream —
-        // the observation completes when toLocalIterator drains the plan)
-        val obs = new org.apache.spark.sql.Observation("graft.copy.rows")
-        val counted = df.observe(obs, count(lit(1)).as("rows"))
+        // toLocalIterator; the receipt is the writer's own row count —
+        // exact by construction (each row passes the driver once), and
+        // with no extra encode pass. An observe() metric is NOT safe
+        // here: toLocalIterator runs one job per partition and the
+        // observation finalizes after the first job, so it under-counts
+        // whenever the plan has more than one partition.
         fmt match {
-          case "arrow" => graft.sources.ArrowSource.writeSingleFile(counted, path)
-          case "netcdf" => graft.sources.netcdf.NetcdfWriter.writeFlat(counted, path)
-          case _ => graft.sources.OdvWriter.write(counted, path)
+          case "arrow" => graft.sources.ArrowSource.writeSingleFile(df, path)
+          case "netcdf" => graft.sources.netcdf.NetcdfWriter.writeFlat(df, path)
+          case "bbf" =>
+            // multi-entry container, one entry named 'data' (the
+            // reference toolbox's create-from-table shape)
+            graft.sources.bbf.BbfStore.Writer.write(Paths.get(path), Seq("data" -> df))
+          case _ => graft.sources.OdvWriter.write(df, path)
         }
-        obs.get("rows").asInstanceOf[Long]
       case other => throw new IllegalArgumentException(s"COPY TO format '$other' unsupported")
     }
   }
@@ -80,7 +85,9 @@ object Outputs {
         else if (Files.exists(p.resolve("atlas.json"))) Some("atlas")
         else if (graft.sources.icechunk.IcechunkStore.isRepository(p.toString)) Some("icechunk")
         else None
-      } else if (name.endsWith(".parquet")) Some("parquet")
+      } else if (name.endsWith(".bbf") && graft.sources.bbf.BbfStore.isBbf(p.toString))
+        Some("bbf")
+      else if (name.endsWith(".parquet")) Some("parquet")
       else if (name.endsWith(".csv")) Some("csv")
       else if (name.endsWith(".arrow") || name.endsWith(".feather")) Some("arrow")
       else if (name.endsWith(".txt") || name.endsWith(".odv")) Some("odv")
@@ -125,6 +132,7 @@ object Outputs {
       case "zarr" => graft.sources.zarr.ZarrSource.read(spark, paths)
       case "atlas" => graft.sources.atlas.AtlasSource.read(spark, paths.head)
       case "icechunk" => graft.sources.icechunk.IcechunkSource.read(spark, paths.head)
+      case "bbf" => graft.sources.bbf.BbfSource.read(spark, paths)
       case other => throw new IllegalArgumentException(s"DESCRIBE FORMAT '$other' unsupported")
     }
     df.schema.fields.toSeq

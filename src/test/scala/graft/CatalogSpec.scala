@@ -204,7 +204,10 @@ class CatalogSpec extends AnyFunSuite {
       .collect()(0).getString(0)
     assert(st.contains("copied 25 rows"))
     assert(spark.read.parquet(s"$dir/nat_pq").count() == 25)
-    engine.sql(s"COPY ext_nation TO '$dir/nat.nc'")
+    // single-file branch: the receipt must be the full row count even
+    // though toLocalIterator drains the plan one partition-job at a time
+    val ncSt = engine.sql(s"COPY ext_nation TO '$dir/nat.nc'").collect()(0).getString(0)
+    assert(ncSt.contains("copied 25 rows"))
     assert(graft.sources.netcdf.NetcdfSource.readFile(spark, s"$dir/nat.nc").count() == 25)
   }
 
