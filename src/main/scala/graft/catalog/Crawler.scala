@@ -37,5 +37,5 @@ object Crawler {
   }
 
   private def sanitize(s: String): String =
-    s.replaceAll("\\.(zarr|parquet|csv|nc|arrow)$", "").replaceAll("[^A-Za-z0-9_]", "_")
+    s.replaceAll("\\.(zarr|parquet|csv|nc|arrow|bbf)$", "").replaceAll("[^A-Za-z0-9_]", "_")
 }

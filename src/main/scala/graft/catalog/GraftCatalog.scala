@@ -217,6 +217,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case "odv"             => graft.sources.OdvSource.read(spark, d.paths)
         case "netcdf" | "hdf5" | "tiff" => graft.sources.netcdf.NetcdfSource.read(spark, d.paths)
         case "zarr"            => graft.sources.zarr.ZarrSource.read(spark, d.paths)
+        case "bbf"             =>
+          graft.sources.bbf.BbfSource.read(spark, d.paths, d.options.get("entry"))
         case "atlas"           =>
           require(d.paths.size == 1, "atlas takes exactly one store location")
           graft.sources.atlas.AtlasSource.read(spark, d.paths.head, d.options.get("dataset"))

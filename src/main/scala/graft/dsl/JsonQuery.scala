@@ -228,6 +228,9 @@ object JsonQuery {
         def opt(k: String) = spec.get(k).collect { case JString(s) => s }
         graft.sources.icechunk.IcechunkSource.read(spark, paths.head,
           opt("branch"), opt("tag"), opt("snapshot"))
+      case "bbf" => // read_bbf(files [, entry]): multi-entry binary containers
+        val entry = spec.get("entry").collect { case JString(e) => e }
+        graft.sources.bbf.BbfSource.read(spark, paths, entry)
       case "atlas" => // read_atlas(store [, dataset]): one store dir
         require(paths.size == 1, "atlas takes exactly one store location")
         val dataset = spec.get("dataset").collect { case JString(d) => d }

@@ -251,6 +251,39 @@ object QueriesFormats {
              "from": {"atlas": {"paths": ["$root"]}}}""")
         .orderBy("event_type", "d", "h")
     },
+    // BBF container round trip: per-event-type daily aggregates written
+    // as three entries of one .bbf file (the 'click' entry carries an
+    // extra max_value column), read back through the DSL as the
+    // supercast union of entries with a pushed numeric filter (block
+    // statistics pruning is I/O-only; DuckDB replays the filter). The
+    // oracle recomputes everything from the source parquet.
+    "q_bbf_scan" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-bbfgate")
+        .resolve("events.bbf")
+      val ev = Tables.load(s, dir, "events")
+      def daily(et: String, extra: Boolean) = {
+        val base = ev.filter($"event_type" === et)
+          .groupBy(date_trunc("day", $"ts").cast(TimestampNTZType).as("day"))
+        val agged =
+          if (extra) base.agg(count(lit(1)).as("n"),
+            round(sum($"value"), 4).as("total_value"),
+            round(max($"value"), 4).as("max_value"))
+          else base.agg(count(lit(1)).as("n"),
+            round(sum($"value"), 4).as("total_value"))
+        agged.withColumn("event_type", lit(et)).orderBy("day")
+      }
+      graft.sources.bbf.BbfStore.Writer.write(path, Seq(
+        "click" -> daily("click", extra = true),
+        "view" -> daily("view", extra = false),
+        "purchase" -> daily("purchase", extra = false)), blockRows = 8)
+      graft.dsl.JsonQuery.compile(s,
+        s"""{"select": ["event_type", "day", "n", "total_value", "max_value"],
+             "filters": [{"for_query_parameter": "n", "gt_eq": 3}],
+             "from": {"bbf": {"paths": ["$path"]}}}""")
+        .orderBy("event_type", "day")
+    },
     // GeoTIFF raster through the DSL (from.tiff → LZW strip decode →
     // arrays→tables flatten → geo axes). The oracle parquet is decoded
     // by an INDEPENDENT from-scratch python implementation
@@ -416,6 +449,18 @@ object QueriesFormats {
         SELECT g.event_type, g.d, g.h, a.n, a.total_value
         FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.d = g.d AND a.h = g.h
         ORDER BY g.event_type, g.d, g.h""",
+    // entry union: max_value exists only in the 'click' entry → NULL
+    // elsewhere; the DSL's n >= 3 filter replays as HAVING
+    "q_bbf_scan" ->
+      """WITH d AS (SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             count(*) AS n, round(sum(value), 4) AS total_value,
+             round(max(value), 4) AS max_value
+           FROM events WHERE event_type IN ('click', 'view', 'purchase')
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT event_type, day, n, total_value,
+          CASE WHEN event_type = 'click' THEN max_value END AS max_value
+        FROM d ORDER BY event_type, day""",
     "q_tiff_raster" ->
       s"SELECT lat, lon, band0 FROM read_parquet('$fixtures/tiff_lzw/*.parquet') ORDER BY lat, lon",
     "q_ndnetcdf_grid" ->

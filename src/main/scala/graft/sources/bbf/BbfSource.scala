@@ -1,0 +1,244 @@
+package graft.sources.bbf
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{SuperType, UnionByName}
+
+/** `read_bbf` DataSourceV2: one table per (file, entry), partition = one
+  * BLOCK — a large entry scans as independent block tasks with no
+  * shuffle, and the per-block column statistics feed container pruning
+  * exactly as the reference's pruning index feeds DataFusion's
+  * PruningPredicate (beacon-arrow-bbf/src/datafusion/opener.rs
+  * BBFPruningStatistics): every uncertain path fails open, Spark
+  * re-applies all filters post-scan, so pruning is an I/O optimization
+  * only. Column pruning reads only the projected column chunks (the
+  * chunk offsets make each column independently seekable).
+  */
+class BbfTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spec = BbfScanPlanner.specOf(options)
+    BbfStore.openCached(spec.path).entry(spec.entry).sparkSchema
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new BbfTable(BbfScanPlanner.specOf(new CaseInsensitiveStringMap(properties)), schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final case class BbfSpec(path: String, entry: String)
+
+class BbfTable(spec: BbfSpec, schema0: StructType) extends Table with SupportsRead {
+  override def name(): String = s"bbf(${spec.path}#${spec.entry})"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BbfScanBuilder(spec, schema0)
+}
+
+class BbfScanBuilder(spec: BbfSpec, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters
+    filters // pruning-only pushdown: Spark re-evaluates every filter
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (requiredSchema.nonEmpty) required = requiredSchema
+  }
+  override def build(): Scan = new BbfScan(spec, required, pushed)
+}
+
+class BbfScan(spec: BbfSpec, required: StructType, filters: Array[sources.Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    BbfScanPlanner.partitions(spec, filters)
+      .map(bi => BbfPartition(spec, bi, required): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new BbfReaderFactory
+}
+
+final case class BbfPartition(spec: BbfSpec, blockIndex: Int, required: StructType)
+    extends InputPartition
+
+class BbfReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new BbfPartitionReader(p.asInstanceOf[BbfPartition])
+}
+
+class BbfPartitionReader(p: BbfPartition) extends PartitionReader[InternalRow] {
+  private val rows: Iterator[InternalRow] = {
+    val entry = BbfStore.openCached(p.spec.path).entry(p.spec.entry)
+    val block = entry.blocks(p.blockIndex)
+    val dtypes = entry.schema.toMap
+    val nCols = p.required.length
+    // decode only the projected columns; a projected column the entry
+    // lacks (supercast union across entries) is all-null
+    val cols: Array[BbfStore.ColData] = p.required.fields.map { f =>
+      block.columns.get(f.name) match {
+        case Some(chunk) => BbfStore.readChunk(p.spec.path, dtypes(f.name), block.rows, chunk)
+        case None => null
+      }
+    }
+    val n = block.rows
+    new Iterator[InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i < n
+      override def next(): InternalRow = {
+        val out = new GenericInternalRow(nCols)
+        var c = 0
+        while (c < nCols) {
+          val cd = cols(c)
+          if (cd == null || !cd.valid(i)) out.setNullAt(c)
+          else p.required.fields(c).dataType match {
+            case IntegerType | DateType => out.setInt(c, cd.ints(i))
+            case LongType | TimestampNTZType | TimestampType => out.setLong(c, cd.longs(i))
+            case DoubleType => out.setDouble(c, cd.doubles(i))
+            case BooleanType => out.setBoolean(c, cd.bools(i))
+            case StringType => out.update(c, UTF8String.fromString(cd.strs(i)))
+            case other => throw new IllegalArgumentException(s"bbf read type $other")
+          }
+          c += 1
+        }
+        i += 1
+        out
+      }
+    }
+  }
+  private var cur: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+/** driver-side planning: block enumeration + statistics pruning */
+object BbfScanPlanner {
+
+  def specOf(options: CaseInsensitiveStringMap): BbfSpec = {
+    val path = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("bbf: 'path' option required"))
+    val entry = Option(options.get("entry"))
+      .getOrElse(throw new IllegalArgumentException("bbf: 'entry' option required"))
+    BbfSpec(path, entry)
+  }
+
+  def partitions(spec: BbfSpec, filters: Array[sources.Filter]): Seq[Int] = {
+    val entry = BbfStore.openCached(spec.path).entry(spec.entry)
+    val dtypes = entry.schema.toMap
+    entry.blocks.indices.filter(bi => couldMatch(entry.blocks(bi), dtypes, filters))
+  }
+
+  /** one pushed comparison vs one block's stored column statistics;
+    * fail-open on every uncertainty. Comparisons over (min, max) of
+    * NON-NULL values are safe because NULL never satisfies one. */
+  private def couldMatch(block: BbfStore.Block, dtypes: Map[String, String],
+      filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => satisfiable(block, dtypes, f))
+
+  private def satisfiable(block: BbfStore.Block, dtypes: Map[String, String],
+      f: sources.Filter): Boolean = f match {
+    case sources.And(l, r) => satisfiable(block, dtypes, l) && satisfiable(block, dtypes, r)
+    case sources.Or(l, r) => satisfiable(block, dtypes, l) || satisfiable(block, dtypes, r)
+    case sources.EqualTo(c, v) => cmp(block, dtypes, c, v, "eq")
+    case sources.GreaterThan(c, v) => cmp(block, dtypes, c, v, "gt")
+    case sources.GreaterThanOrEqual(c, v) => cmp(block, dtypes, c, v, "gte")
+    case sources.LessThan(c, v) => cmp(block, dtypes, c, v, "lt")
+    case sources.LessThanOrEqual(c, v) => cmp(block, dtypes, c, v, "lte")
+    case sources.In(c, vs) => vs.isEmpty || vs.exists(v => cmp(block, dtypes, c, v, "eq"))
+    case sources.IsNotNull(c) =>
+      // a block whose column is all-null can't satisfy IS NOT NULL
+      block.columns.get(c) match {
+        case Some(chunk) => chunk.stats.nullCount < block.rows
+        case None => true // no chunk metadata: fail open
+      }
+    case sources.IsNull(c) =>
+      block.columns.get(c) match {
+        case Some(chunk) => chunk.stats.nullCount > 0
+        case None => true
+      }
+    case _ => true
+  }
+
+  /** compare literal v against the block's (min, max) under `op` */
+  private def cmp(block: BbfStore.Block, dtypes: Map[String, String],
+      c: String, v: Any, op: String): Boolean =
+    block.columns.get(c) match {
+      case None => true // no chunk metadata for the column: fail open
+      case Some(chunk) =>
+        val st = chunk.stats
+        if (st.nullCount == block.rows) false // all-null block: no comparison matches
+        else (v, dtypes.get(c)) match {
+          case (n: Number, Some(dt)) if dt != "string" =>
+            (st.numMin, st.numMax) match {
+              case (Some(mn), Some(mx)) => rangeOk(op, n.doubleValue(), mn, mx)
+              case _ => true
+            }
+          case (s: String, Some("string")) =>
+            (st.strMin, st.strMax) match {
+              case (Some(mn), Some(mx)) => rangeOkStr(op, s, mn, mx)
+              case _ => true
+            }
+          case _ => true // type mismatch / timestamp literals / unknown: fail open
+        }
+    }
+
+  private def rangeOk(op: String, v: Double, mn: Double, mx: Double): Boolean = op match {
+    case "eq"  => v >= mn && v <= mx
+    case "gt"  => mx > v
+    case "gte" => mx >= v
+    case "lt"  => mn < v
+    case "lte" => mn <= v
+    case _     => true
+  }
+  private def rangeOkStr(op: String, v: String, mn: String, mx: String): Boolean = op match {
+    case "eq"  => v.compareTo(mn) >= 0 && v.compareTo(mx) <= 0
+    case "gt"  => mx.compareTo(v) > 0
+    case "gte" => mx.compareTo(v) >= 0
+    case "lt"  => mn.compareTo(v) < 0
+    case "lte" => mn.compareTo(v) <= 0
+    case _     => true
+  }
+}
+
+/** facade mirroring the other sources */
+object BbfSource {
+
+  /** all entries of all files (or one named entry) as the supercast
+    * union — the reference's table-schema adaptation: a column an entry
+    * lacks comes back as NULL (opener.rs batch-adapter contract) */
+  def read(spark: SparkSession, paths: Seq[String], entry: Option[String] = None): DataFrame = {
+    require(paths.nonEmpty, "bbf: at least one path required")
+    val perEntry: Seq[(String, String, StructType)] = paths.flatMap { p =>
+      val footer = BbfStore.openCached(p)
+      val names = entry.map(Seq(_)).getOrElse(footer.entries.map(_.name))
+      names.map(n => (p, n, footer.entry(n).sparkSchema))
+    }
+    require(perEntry.nonEmpty, s"bbf: no entries in ${paths.mkString(",")}")
+    val merged = SuperType.superTypeSchemaScan(perEntry.map(_._3))
+    val frames = perEntry.map { case (p, n, _) =>
+      val df = spark.read.format("graft.sources.bbf.BbfTableProvider")
+        .option("path", p).option("entry", n).load()
+      UnionByName.project(df, merged)
+    }
+    frames.reduce(_ union _)
+  }
+
+  /** entry inventory of one file (LIST DATASETS / DESCRIBE FORMAT) */
+  def entries(path: String): Seq[(String, Long, StructType)] =
+    BbfStore.openCached(path).entries.map(e => (e.name, e.rows, e.sparkSchema))
+}

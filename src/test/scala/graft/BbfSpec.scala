@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.bbf.{BbfScanPlanner, BbfSource, BbfSpec => Spec, BbfStore}
+
+/** read_bbf: multi-entry binary container with per-block column
+  * statistics pruning (semantics per the reference's bbf bridge,
+  * beacon-arrow-bbf/src/datafusion/opener.rs: entries adapt onto the
+  * merged table schema with absent columns null, and the pruning index
+  * skips containers without reading them, failing open on uncertainty;
+  * the byte layout is graft-designed — the beacon-binary-format crate
+  * is external to the reference tree). */
+class BbfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+
+  private def freshFile(name: String = "t.bbf"): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-bbf").resolve(name)
+
+  test("bbf: all column types round-trip with nulls across blocks") {
+    import spark.implicits._
+    val path = freshFile()
+    val df = spark.range(0, 10).toDF("id").select(
+      $"id".cast(IntegerType).as("i32"),
+      $"id".cast(LongType).as("i64"),
+      ($"id" * 1.5).as("f64"),
+      ($"id" % 2 === 0).as("flag"),
+      concat(lit("row-"), $"id").as("s"),
+      expr("make_timestamp_ntz(2024, 3, 1, id + 2, 0, 0)").as("ts"),
+      to_date(lit("2024-03-01")).as("d"))
+      .withColumn("s", when($"i32" === 3, lit(null)).otherwise($"s"))
+      .withColumn("f64", when($"i32" === 4, lit(null)).otherwise($"f64"))
+    BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 4)
+    val entry = BbfStore.open(path.toString).entry("data")
+    assert(entry.blocks.map(_.rows) == Seq(4, 4, 2), "10 rows at blockRows=4")
+    val back = BbfSource.read(spark, Seq(path.toString)).orderBy("i32").collect()
+    assert(back.length == 10)
+    val r3 = back(3); val r5 = back(5)
+    assert(r3.isNullAt(r3.fieldIndex("s")))
+    assert(back(4).isNullAt(back(4).fieldIndex("f64")))
+    assert(r5.getString(r5.fieldIndex("s")) == "row-5")
+    assert(r5.getLong(r5.fieldIndex("i64")) == 5L)
+    assert(r5.getDouble(r5.fieldIndex("f64")) == 7.5)
+    assert(r5.getBoolean(r5.fieldIndex("flag")) == false)
+    assert(r5.getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.of(2024, 3, 1, 7, 0, 0))
+    assert(String.valueOf(r5.getAs[Any]("d")) == "2024-03-01")
+  }
+
+  test("bbf: multi-entry scan is the supercast union; absent columns are null") {
+    import spark.implicits._
+    val path = freshFile()
+    val a = Seq((1, "x", 10.0), (2, "y", 20.0)).toDF("k", "tag", "v")
+    // entry b: k is int64 (widens the merged k to int64), no 'tag', extra 'w'
+    val b = Seq((3L, 1.5, true), (4L, 2.5, false)).toDF("k", "w", "flag")
+    BbfStore.Writer.write(path, Seq("a" -> a, "b" -> b))
+    val all = BbfSource.read(spark, Seq(path.toString))
+    assert(all.schema("k").dataType == LongType)
+    assert(all.count() == 4)
+    val rows = all.orderBy("k").collect()
+    assert(rows(0).getString(rows(0).fieldIndex("tag")) == "x")
+    assert(rows(2).isNullAt(rows(2).fieldIndex("tag")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("w")))
+    assert(rows(2).getDouble(rows(2).fieldIndex("w")) == 1.5)
+    // single-entry read sees only that entry's native schema
+    val justA = BbfSource.read(spark, Seq(path.toString), Some("a"))
+    assert(justA.schema.fieldNames.toSeq == Seq("k", "tag", "v"))
+    assert(justA.count() == 2)
+  }
+
+  test("bbf: numeric block statistics prune partitions and skip chunk reads") {
+    import spark.implicits._
+    val path = freshFile()
+    // 40 sorted rows, blockRows=10 → 4 blocks with disjoint [min,max]
+    val df = spark.range(0, 40).toDF("id")
+      .select($"id".cast(IntegerType).as("k"), ($"id" * 2.0).as("v"))
+      .coalesce(1).orderBy("k")
+    BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 10)
+    val spec = Spec(path.toString, "data")
+    import org.apache.spark.sql.sources
+    assert(BbfScanPlanner.partitions(spec, Array.empty).size == 4)
+    // k >= 35 lives only in the last block
+    assert(BbfScanPlanner.partitions(spec,
+      Array(sources.GreaterThanOrEqual("k", 35))) == Seq(3))
+    // v < 20 (doubles) lives only in the first block
+    assert(BbfScanPlanner.partitions(spec,
+      Array(sources.LessThan("v", 20.0))) == Seq(0))
+    // AND of both is unsatisfiable everywhere
+    assert(BbfScanPlanner.partitions(spec,
+      Array(sources.GreaterThanOrEqual("k", 35), sources.LessThan("v", 20.0))).isEmpty)
+    // end-to-end: the pruned blocks' chunks never open
+    val before = BbfStore.chunkReads.get()
+    val got = BbfSource.read(spark, Seq(path.toString))
+      .filter($"k" >= 35).agg(sum($"v")).collect()(0).getDouble(0)
+    assert(got == (35 until 40).map(_ * 2.0).sum)
+    val reads = BbfStore.chunkReads.get() - before
+    assert(reads <= 2, s"one block × (k,v) chunks expected, got $reads")
+  }
+
+  test("bbf: string statistics prune; uncertainty fails open") {
+    import spark.implicits._
+    val path = freshFile()
+    val df = Seq("apple", "apricot", "banana", "cherry", "damson", "elder")
+      .toDF("fruit").coalesce(1).orderBy("fruit")
+    BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 2)
+    val spec = Spec(path.toString, "data")
+    import org.apache.spark.sql.sources
+    assert(BbfScanPlanner.partitions(spec, Array.empty).size == 3)
+    assert(BbfScanPlanner.partitions(spec,
+      Array(sources.EqualTo("fruit", "banana"))) == Seq(1))
+    assert(BbfScanPlanner.partitions(spec,
+      Array(sources.GreaterThan("fruit", "cherry"))) == Seq(2))
+    // unknown operator shape: every block kept (fail open)
+    assert(BbfScanPlanner.partitions(spec,
+      Array(sources.StringContains("fruit", "an"))).size == 3)
+    // correctness unaffected by pruning
+    assert(BbfSource.read(spark, Seq(path.toString))
+      .filter($"fruit" === "banana").count() == 1)
+  }
+
+  test("bbf: all-null blocks prune under IS NOT NULL and comparisons") {
+    import spark.implicits._
+    val path = freshFile()
+    val df = spark.range(0, 6).toDF("id").select(
+      $"id".cast(IntegerType).as("k"),
+      when($"id" < 3, $"id" * 1.0).otherwise(lit(null)).as("v"))
+      .coalesce(1).orderBy("k")
+    BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 3)
+    val spec = Spec(path.toString, "data")
+    import org.apache.spark.sql.sources
+    assert(BbfScanPlanner.partitions(spec, Array(sources.IsNotNull("v"))) == Seq(0))
+    assert(BbfScanPlanner.partitions(spec, Array(sources.GreaterThan("v", -1.0))) == Seq(0))
+    assert(BbfScanPlanner.partitions(spec, Array(sources.IsNull("v"))) == Seq(1))
+  }
+
+  test("bbf: column pruning reads only projected chunks") {
+    import spark.implicits._
+    val path = freshFile()
+    val df = spark.range(0, 20).toDF("id").select(
+      $"id".cast(IntegerType).as("a"), ($"id" * 1.0).as("b"),
+      concat(lit("s"), $"id").as("c"))
+    BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 20)
+    val before = BbfStore.chunkReads.get()
+    assert(BbfSource.read(spark, Seq(path.toString)).select("b")
+      .agg(sum($"b")).collect()(0).getDouble(0) == (0 until 20).map(_ * 1.0).sum)
+    assert(BbfStore.chunkReads.get() - before == 1,
+      "only column b's single chunk should be read")
+  }
+
+  test("bbf: COPY TO egress, LIST DATASETS classification, DSL read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbf-ls")
+    val path = dir.resolve("daily.bbf").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s")
+    val receipt = graft.sql.Outputs.copyTo(df, path, None) // inferred from .bbf
+    assert(receipt == 3L)
+    val listed = graft.sql.Outputs.listDatasets(spark, dir.toString).collect()
+    assert(listed.exists(r => r.getString(0) == path && r.getString(1) == "bbf"))
+    val viaDsl = graft.dsl.JsonQuery.compile(spark,
+      s"""{"select": ["k", "s"], "from": {"bbf": {"paths": ["$path"], "entry": "data"}},
+           "sort_by": [{"Asc": "k"}]}""").collect()
+    assert(viaDsl.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    val desc = graft.sql.Outputs.describeFormat(spark, "bbf", Seq(path)).collect()
+    assert(desc.map(_.getString(0)).toSet == Set("k", "s"))
+  }
+
+  test("bbf: corrupt or non-bbf files are rejected, not guessed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbf-bad")
+    val notBbf = dir.resolve("x.bbf")
+    java.nio.file.Files.write(notBbf, Array.fill(64)(7.toByte))
+    assert(!BbfStore.isBbf(notBbf.toString))
+    val e = intercept[IllegalArgumentException](BbfStore.open(notBbf.toString))
+    assert(e.getMessage.contains("bad magic"))
+    // truncated trailer
+    val path = freshFile()
+    import spark.implicits._
+    BbfStore.Writer.write(path, Seq("data" -> Seq(1, 2).toDF("k")))
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val cut = dir.resolve("cut.bbf")
+    java.nio.file.Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length - 3))
+    intercept[IllegalArgumentException](BbfStore.open(cut.toString))
+  }
+}
