@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
   * Two codecs ship behind one [[MediaCodec]] seam:
   *  - [[ImageIoCodec]] (the default) does REAL image work with the
   *    JDK's built-in `javax.imageio` (PNG/JPEG/BMP/GIF decode, bilinear
-  *    resize re-encoded as PNG, 8×8-grid grayscale embedding) — no
+  *    resize re-encoded as PNG, 8×8-grid grayscale embedding, and
+  *    animated-GIF frame sampling with progressive compositing) — no
   *    external libraries needed;
   *  - [[FakeCodec]] derives md5-deterministic pseudo-decodes so the
   *    DuckDB oracle can replay the gate pipelines hash-for-hash (a real
-  *    decode is not expressible in SQL). Video frame sampling has no
-  *    JDK codec and stays stub-only (ImageIoCodec rejects it).
+  *    decode is not expressible in SQL). True video containers
+  *    (mp4/webm) have no JDK codec: ImageIoCodec rejects them rather
+  *    than guessing.
   */
 object Multimodal {
 
@@ -94,10 +96,83 @@ object Multimodal {
       out
     }
 
-    override def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
-      throw new UnsupportedOperationException(
-        "video frame sampling needs an external codec (none in the JDK); " +
-          "use FakeCodec for pipeline-shape tests")
+    /** REAL frame sampling for the one multi-frame container the JDK
+      * can decode: animated GIF. Frames composite progressively onto
+      * the logical screen (GIF frames are often partial patches at an
+      * (left, top) offset; disposal none/doNotDispose accumulate,
+      * restoreToBackgroundColor clears the patch rect) and `n` evenly
+      * spaced snapshots re-encode as PNG. Still images yield their one
+      * frame; mp4/webm/avi have no JDK codec and are REJECTED, not
+      * guessed. */
+    override def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      require(n > 0, "sampleFrames: n must be positive")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) {
+        iis.close()
+        throw new UnsupportedOperationException(
+          "frame sampling needs a JDK-decodable container (animated GIF); " +
+            "mp4/webm need an external codec — use FakeCodec for pipeline-shape tests")
+      }
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val total = math.max(reader.getNumImages(true), 1)
+        val wanted: Seq[Int] =
+          if (n >= total) 0 until total
+          else (0 until n).map(i => (i.toLong * total / n).toInt)
+        val wantedSet = wanted.toSet
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+        var canvas: java.awt.image.BufferedImage = null
+        var i = 0
+        val last = wanted.max
+        while (i <= last) {
+          val frame = reader.read(i)
+          val (ox, oy, disposal) = gifFrameGeometry(reader, i)
+          if (canvas == null)
+            canvas = new java.awt.image.BufferedImage(
+              math.max(frame.getWidth + ox, frame.getWidth),
+              math.max(frame.getHeight + oy, frame.getHeight),
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          val g2 = canvas.createGraphics()
+          try g2.drawImage(frame, ox, oy, null) finally g2.dispose()
+          if (wantedSet.contains(i)) {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(canvas, "png", bos)
+            out += ((i, bos.toByteArray))
+          }
+          if (disposal == "restoreToBackgroundColor") {
+            val g3 = canvas.createGraphics()
+            try {
+              g3.setComposite(java.awt.AlphaComposite.Clear)
+              g3.fillRect(ox, oy, frame.getWidth, frame.getHeight)
+            } finally g3.dispose()
+          }
+          i += 1
+        }
+        // wanted indices may repeat when total < n never happens (n>=total
+        // returns each once); emit in sampled order
+        wanted.map(idx => out.find(_._1 == idx).get._2)
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    /** (leftOffset, topOffset, disposalMethod) of one GIF frame; any
+      * non-GIF or unreadable metadata falls back to a full-frame paste */
+    private def gifFrameGeometry(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
+      try {
+        val tree = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+        def attr(tag: String, a: String): Option[String] = {
+          val nodes = tree.getElementsByTagName(tag)
+          if (nodes.getLength == 0) None
+          else Option(nodes.item(0).asInstanceOf[org.w3c.dom.Element].getAttribute(a))
+            .filter(_.nonEmpty)
+        }
+        (attr("ImageDescriptor", "imageLeftPosition").map(_.toInt).getOrElse(0),
+          attr("ImageDescriptor", "imageTopPosition").map(_.toInt).getOrElse(0),
+          attr("GraphicControlExtension", "disposalMethod").getOrElse("none"))
+      } catch { case scala.util.control.NonFatal(_) => (0, 0, "none") }
   }
 
   /** metadata struct carried beside every media payload */

@@ -352,11 +352,56 @@ class OperatorsSpec extends AnyFunSuite {
       assert(emb(r * 4 + 3) > 0.75f, s"right cell row $r should be light")
     }
 
-    // video frame sampling has no JDK codec: explicit rejection
+    // a still image yields its one frame; undecodable bytes (true video
+    // containers: no JDK codec) are rejected, not guessed
+    val still = Multimodal.sampleFrames(media, "payload", "media_id", n = 2,
+      Multimodal.ImageIoCodec).collect()
+    assert(still.length == 2, "one frame per still image")
+    val junk = Seq((9L, Array.fill[Byte](64)(7))).toDF("media_id", "payload")
     val e = intercept[org.apache.spark.SparkException] {
-      Multimodal.sampleFrames(media, "payload", "media_id", n = 2,
+      Multimodal.sampleFrames(junk, "payload", "media_id", n = 2,
         Multimodal.ImageIoCodec).collect()
     }
     assert(e.getCause.getMessage.contains("frame sampling"))
+  }
+
+  test("multimodal: REAL animated-GIF frame sampling (JDK codec)") {
+    import spark.implicits._
+    // 6 solid full-frame frames; sampling 3 → frames 0, 2, 4
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF, 0x000000, 0x00FFFF)
+    def gif(cs: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      cs.foreach { c =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close()
+      bos.toByteArray
+    }
+    val media = Seq((1L, gif(colors, 8, 8))).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, "payload", "media_id", n = 3,
+      Multimodal.ImageIoCodec).orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    val expected = Seq(colors(0), colors(2), colors(4))
+    frames.zip(expected).foreach { case (r, want) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_payload")))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+      val got = img.getRGB(4, 4) & 0xFFFFFF
+      def ch(v: Int, s: Int) = (v >> s) & 0xFF
+      Seq(16, 8, 0).foreach(s =>
+        assert(math.abs(ch(got, s) - ch(want, s)) <= 8,
+          s"frame color $got vs $want at shift $s"))
+    }
+    // n >= frame count returns every frame once
+    val all = Multimodal.sampleFrames(media, "payload", "media_id", n = 99,
+      Multimodal.ImageIoCodec).collect()
+    assert(all.length == 6)
   }
 }
