@@ -15,20 +15,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.{SuperType, UnionByName}
 
-/** `read_bbf` DataSourceV2: one table per (file, entry), partition = one
-  * BLOCK — a large entry scans as independent block tasks with no
-  * shuffle, and the per-block column statistics feed container pruning
-  * exactly as the reference's pruning index feeds DataFusion's
-  * PruningPredicate (beacon-arrow-bbf/src/datafusion/opener.rs
-  * BBFPruningStatistics): every uncertain path fails open, Spark
-  * re-applies all filters post-scan, so pruning is an I/O optimization
-  * only. Column pruning reads only the projected column chunks (the
-  * chunk offsets make each column independently seekable).
+/** `read_bbf` DataSourceV2: ONE scan node per distinct entry schema —
+  * not per file — whose partitions span every (file, entry, block)
+  * triple sharing that schema. A 10k-file collection therefore plans as
+  * a handful of scans unioned once (one per schema shape), and a large
+  * entry scans as independent block tasks with no shuffle. The
+  * per-block column statistics feed container pruning exactly as the
+  * reference's pruning index feeds DataFusion's PruningPredicate
+  * (beacon-arrow-bbf/src/datafusion/opener.rs BBFPruningStatistics):
+  * every uncertain path fails open, Spark re-applies all filters
+  * post-scan, so pruning is an I/O optimization only. Column pruning
+  * reads only the projected column chunks (the chunk offsets make each
+  * column independently seekable).
   */
 class BbfTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spec = BbfScanPlanner.specOf(options)
-    BbfStore.openCached(spec.path).entry(spec.entry).sparkSchema
+    val m = spec.members.head
+    BbfStore.openCached(m._1).entry(m._2).sparkSchema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -36,10 +40,14 @@ class BbfTableProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-final case class BbfSpec(path: String, entry: String)
+/** members: (file path, entry name) pairs, all with the SAME schema */
+final case class BbfSpec(members: Seq[(String, String)])
 
 class BbfTable(spec: BbfSpec, schema0: StructType) extends Table with SupportsRead {
-  override def name(): String = s"bbf(${spec.path}#${spec.entry})"
+  override def name(): String = {
+    val m = spec.members
+    s"bbf(${m.head._1}#${m.head._2}${if (m.size > 1) s" +${m.size - 1}" else ""})"
+  }
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -69,12 +77,12 @@ class BbfScan(spec: BbfSpec, required: StructType, filters: Array[sources.Filter
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     BbfScanPlanner.partitions(spec, filters)
-      .map(bi => BbfPartition(spec, bi, required): InputPartition).toArray
+      .map { case (p, e, bi) => BbfPartition(p, e, bi, required): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory = new BbfReaderFactory
 }
 
-final case class BbfPartition(spec: BbfSpec, blockIndex: Int, required: StructType)
-    extends InputPartition
+final case class BbfPartition(path: String, entry: String, blockIndex: Int,
+    required: StructType) extends InputPartition
 
 class BbfReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -83,7 +91,7 @@ class BbfReaderFactory extends PartitionReaderFactory {
 
 class BbfPartitionReader(p: BbfPartition) extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
-    val entry = BbfStore.openCached(p.spec.path).entry(p.spec.entry)
+    val entry = BbfStore.openCached(p.path).entry(p.entry)
     val block = entry.blocks(p.blockIndex)
     val dtypes = entry.schema.toMap
     val nCols = p.required.length
@@ -91,7 +99,7 @@ class BbfPartitionReader(p: BbfPartition) extends PartitionReader[InternalRow] {
     // lacks (supercast union across entries) is all-null
     val cols: Array[BbfStore.ColData] = p.required.fields.map { f =>
       block.columns.get(f.name) match {
-        case Some(chunk) => BbfStore.readChunk(p.spec.path, dtypes(f.name), block.rows, chunk)
+        case Some(chunk) => BbfStore.readChunk(p.path, dtypes(f.name), block.rows, chunk)
         case None => null
       }
     }
@@ -129,19 +137,40 @@ class BbfPartitionReader(p: BbfPartition) extends PartitionReader[InternalRow] {
 /** driver-side planning: block enumeration + statistics pruning */
 object BbfScanPlanner {
 
+  /** members travel as a JSON array option (paths may contain commas) */
+  def membersOption(members: Seq[(String, String)]): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      org.json4s.JArray(members.toList.map { case (p, e) =>
+        org.json4s.JObject("path" -> org.json4s.JString(p),
+          "entry" -> org.json4s.JString(e)) })))
+
   def specOf(options: CaseInsensitiveStringMap): BbfSpec = {
-    val path = Option(options.get("path"))
-      .getOrElse(throw new IllegalArgumentException("bbf: 'path' option required"))
-    val entry = Option(options.get("entry"))
-      .getOrElse(throw new IllegalArgumentException("bbf: 'entry' option required"))
-    BbfSpec(path, entry)
+    val raw = Option(options.get("members"))
+      .getOrElse(throw new IllegalArgumentException("bbf: 'members' option required"))
+    val members = org.json4s.jackson.JsonMethods.parse(raw) match {
+      case org.json4s.JArray(ms) => ms.map { m =>
+        val org.json4s.JString(p) = (m \ "path"): @unchecked
+        val org.json4s.JString(e) = (m \ "entry"): @unchecked
+        (p, e)
+      }
+      case other => throw new IllegalArgumentException(s"bbf: bad members option: $other")
+    }
+    require(members.nonEmpty, "bbf: at least one (path, entry) member required")
+    BbfSpec(members)
   }
 
-  def partitions(spec: BbfSpec, filters: Array[sources.Filter]): Seq[Int] = {
-    val entry = BbfStore.openCached(spec.path).entry(spec.entry)
-    val dtypes = entry.schema.toMap
-    entry.blocks.indices.filter(bi => couldMatch(entry.blocks(bi), dtypes, filters))
-  }
+  /** every (path, entry, blockIdx) surviving statistics pruning —
+    * lazily, so a million-block collection plans without building
+    * intermediate per-file lists beyond the kept partitions */
+  def partitions(spec: BbfSpec, filters: Array[sources.Filter])
+      : Iterator[(String, String, Int)] =
+    spec.members.iterator.flatMap { case (p, e) =>
+      val entry = BbfStore.openCached(p).entry(e)
+      val dtypes = entry.schema.toMap
+      entry.blocks.indices.iterator
+        .filter(bi => couldMatch(entry.blocks(bi), dtypes, filters))
+        .map(bi => (p, e, bi))
+    }
 
   /** one pushed comparison vs one block's stored column statistics;
     * fail-open on every uncertainty. Comparisons over (min, max) of
@@ -220,7 +249,10 @@ object BbfSource {
 
   /** all entries of all files (or one named entry) as the supercast
     * union — the reference's table-schema adaptation: a column an entry
-    * lacks comes back as NULL (opener.rs batch-adapter contract) */
+    * lacks comes back as NULL (opener.rs batch-adapter contract). The
+    * plan unions one scan PER DISTINCT ENTRY SCHEMA (each spanning all
+    * its (file, entry) members), so a collection of thousands of files
+    * with a handful of schema shapes stays a handful of scan nodes. */
   def read(spark: SparkSession, paths: Seq[String], entry: Option[String] = None): DataFrame = {
     require(paths.nonEmpty, "bbf: at least one path required")
     val perEntry: Seq[(String, String, StructType)] = paths.flatMap { p =>
@@ -230,9 +262,12 @@ object BbfSource {
     }
     require(perEntry.nonEmpty, s"bbf: no entries in ${paths.mkString(",")}")
     val merged = SuperType.superTypeSchemaScan(perEntry.map(_._3))
-    val frames = perEntry.map { case (p, n, _) =>
+    val groups: Seq[Seq[(String, String, StructType)]] =
+      perEntry.groupBy(_._3).toSeq.sortBy(_._2.head._1).map(_._2)
+    val frames = groups.map { g =>
       val df = spark.read.format("graft.sources.bbf.BbfTableProvider")
-        .option("path", p).option("entry", n).load()
+        .option("members", BbfScanPlanner.membersOption(g.map(m => (m._1, m._2))))
+        .load()
       UnionByName.project(df, merged)
     }
     frames.reduce(_ union _)

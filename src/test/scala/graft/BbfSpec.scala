@@ -80,18 +80,17 @@ class BbfSpec extends AnyFunSuite {
       .select($"id".cast(IntegerType).as("k"), ($"id" * 2.0).as("v"))
       .coalesce(1).orderBy("k")
     BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 10)
-    val spec = Spec(path.toString, "data")
+    val spec = Spec(Seq(path.toString -> "data"))
     import org.apache.spark.sql.sources
-    assert(BbfScanPlanner.partitions(spec, Array.empty).size == 4)
+    def blocks(fs: sources.Filter*): Seq[Int] =
+      BbfScanPlanner.partitions(spec, fs.toArray).map(_._3).toSeq
+    assert(blocks().size == 4)
     // k >= 35 lives only in the last block
-    assert(BbfScanPlanner.partitions(spec,
-      Array(sources.GreaterThanOrEqual("k", 35))) == Seq(3))
+    assert(blocks(sources.GreaterThanOrEqual("k", 35)) == Seq(3))
     // v < 20 (doubles) lives only in the first block
-    assert(BbfScanPlanner.partitions(spec,
-      Array(sources.LessThan("v", 20.0))) == Seq(0))
+    assert(blocks(sources.LessThan("v", 20.0)) == Seq(0))
     // AND of both is unsatisfiable everywhere
-    assert(BbfScanPlanner.partitions(spec,
-      Array(sources.GreaterThanOrEqual("k", 35), sources.LessThan("v", 20.0))).isEmpty)
+    assert(blocks(sources.GreaterThanOrEqual("k", 35), sources.LessThan("v", 20.0)).isEmpty)
     // end-to-end: the pruned blocks' chunks never open
     val before = BbfStore.chunkReads.get()
     val got = BbfSource.read(spark, Seq(path.toString))
@@ -107,16 +106,15 @@ class BbfSpec extends AnyFunSuite {
     val df = Seq("apple", "apricot", "banana", "cherry", "damson", "elder")
       .toDF("fruit").coalesce(1).orderBy("fruit")
     BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 2)
-    val spec = Spec(path.toString, "data")
+    val spec = Spec(Seq(path.toString -> "data"))
     import org.apache.spark.sql.sources
-    assert(BbfScanPlanner.partitions(spec, Array.empty).size == 3)
-    assert(BbfScanPlanner.partitions(spec,
-      Array(sources.EqualTo("fruit", "banana"))) == Seq(1))
-    assert(BbfScanPlanner.partitions(spec,
-      Array(sources.GreaterThan("fruit", "cherry"))) == Seq(2))
+    def blocks(fs: sources.Filter*): Seq[Int] =
+      BbfScanPlanner.partitions(spec, fs.toArray).map(_._3).toSeq
+    assert(blocks().size == 3)
+    assert(blocks(sources.EqualTo("fruit", "banana")) == Seq(1))
+    assert(blocks(sources.GreaterThan("fruit", "cherry")) == Seq(2))
     // unknown operator shape: every block kept (fail open)
-    assert(BbfScanPlanner.partitions(spec,
-      Array(sources.StringContains("fruit", "an"))).size == 3)
+    assert(blocks(sources.StringContains("fruit", "an")).size == 3)
     // correctness unaffected by pruning
     assert(BbfSource.read(spark, Seq(path.toString))
       .filter($"fruit" === "banana").count() == 1)
@@ -130,11 +128,35 @@ class BbfSpec extends AnyFunSuite {
       when($"id" < 3, $"id" * 1.0).otherwise(lit(null)).as("v"))
       .coalesce(1).orderBy("k")
     BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 3)
-    val spec = Spec(path.toString, "data")
+    val spec = Spec(Seq(path.toString -> "data"))
     import org.apache.spark.sql.sources
-    assert(BbfScanPlanner.partitions(spec, Array(sources.IsNotNull("v"))) == Seq(0))
-    assert(BbfScanPlanner.partitions(spec, Array(sources.GreaterThan("v", -1.0))) == Seq(0))
-    assert(BbfScanPlanner.partitions(spec, Array(sources.IsNull("v"))) == Seq(1))
+    def blocks(fs: sources.Filter*): Seq[Int] =
+      BbfScanPlanner.partitions(spec, fs.toArray).map(_._3).toSeq
+    assert(blocks(sources.IsNotNull("v")) == Seq(0))
+    assert(blocks(sources.GreaterThan("v", -1.0)) == Seq(0))
+    assert(blocks(sources.IsNull("v")) == Seq(1))
+  }
+
+  test("bbf: a many-file collection plans one scan per distinct schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbf-many")
+    // 6 files × 2 entries of schema A, plus one file with schema B
+    (0 until 6).foreach { i =>
+      BbfStore.Writer.write(dir.resolve(s"part$i.bbf"), Seq(
+        "x" -> Seq((i, i * 1.0)).toDF("k", "v"),
+        "y" -> Seq((i + 100, i * 2.0)).toDF("k", "v")))
+    }
+    BbfStore.Writer.write(dir.resolve("other.bbf"),
+      Seq("z" -> Seq(("tag", 1L)).toDF("name", "cnt")))
+    val paths = (0 until 6).map(i => dir.resolve(s"part$i.bbf").toString) :+
+      dir.resolve("other.bbf").toString
+    val df = BbfSource.read(spark, paths)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.size == 2, s"13 (file, entry) members must fold into 2 scans, got ${scans.size}")
+    assert(df.count() == 13)
+    assert(df.filter($"k" === 103).count() == 1)
   }
 
   test("bbf: column pruning reads only projected chunks") {
