@@ -25,12 +25,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** per-partition codec seam: decode/resize/embed/frame-sample */
+  /** per-partition codec seam: decode/resize/embed/frame-sample/audio */
   trait MediaCodec extends Serializable {
     def decodeImage(payload: Array[Byte]): (Int, Int, Double)
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     def embed(payload: Array[Byte], dim: Int): Array[Float]
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** (sampleRateHz, channels, durationMs, rms of normalized samples) */
+    def decodeAudio(payload: Array[Byte]): (Double, Int, Long, Double)
   }
 
   /** Real image codec over the JDK's javax.imageio — headless-safe
@@ -157,6 +159,61 @@ object Multimodal {
       } finally { reader.dispose(); iis.close() }
     }
 
+    /** REAL audio decode over the JDK's javax.sound.sampled codecs
+      * (WAV/AU/AIFF): stream is converted to 16-bit signed PCM and RMS
+      * computed over normalized samples in one bounded-buffer pass —
+      * no full in-memory expansion of the decoded audio. mp3/ogg/flac
+      * have no JDK codec and are rejected, not guessed. */
+    override def decodeAudio(payload: Array[Byte]): (Double, Int, Long, Double) = {
+      val raw =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new UnsupportedOperationException(
+              "payload is not a JDK-decodable audio container (wav/au/aiff); " +
+                "mp3/ogg need an external codec", e)
+        }
+      try {
+        val srcFmt = raw.getFormat
+        val sampleRate = srcFmt.getSampleRate.toDouble
+        val channels = srcFmt.getChannels
+        val frames = raw.getFrameLength
+        val durationMs =
+          if (frames >= 0 && srcFmt.getFrameRate > 0)
+            (frames * 1000.0 / srcFmt.getFrameRate).toLong
+          else -1L
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          srcFmt.getSampleRate, 16, channels, 2 * channels, srcFmt.getSampleRate, false)
+        val pcm =
+          if (srcFmt.matches(pcmFmt)) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, raw)
+        val buf = new Array[Byte](1 << 16)
+        var sumSq = 0.0
+        var n = 0L
+        var read = pcm.read(buf)
+        var carry = -1 // low byte of a sample split across reads
+        while (read > 0) {
+          var i = 0
+          if (carry >= 0 && read >= 1) {
+            val s = ((buf(0) << 8) | carry).toShort
+            sumSq += (s / 32768.0) * (s / 32768.0); n += 1
+            carry = -1; i = 1
+          }
+          while (i + 1 < read) {
+            val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+            sumSq += (s / 32768.0) * (s / 32768.0)
+            n += 1
+            i += 2
+          }
+          if (i < read) carry = buf(i) & 0xFF
+          read = pcm.read(buf)
+        }
+        (sampleRate, channels, durationMs, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+      } finally raw.close()
+    }
+
     /** (leftOffset, topOffset, disposalMethod) of one GIF frame; any
       * non-GIF or unreadable metadata falls back to a full-frame paste */
     private def gifFrameGeometry(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
@@ -228,6 +285,16 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
       (0 until n).map(i => digest(payload, s"f$i".getBytes("UTF-8")))
 
+    /** "audio decode": md5-stable (sample_rate, channels, duration, rms) */
+    def decodeAudio(payload: Array[Byte]): (Double, Int, Long, Double) = {
+      val h = md5Lower64(payload)
+      val rate = 8000.0 + java.lang.Long.remainderUnsigned(h, 40000L).toDouble
+      val ch = 1 + java.lang.Long.remainderUnsigned(h >>> 16, 2L).toInt
+      val dur = java.lang.Long.remainderUnsigned(h >>> 18, 600000L)
+      val rms = java.lang.Long.remainderUnsigned(h >>> 24, 1000L).toDouble / 1000.0
+      (rate, ch, dur, rms)
+    }
+
     /** "feature extraction": fixed-size float vector from the bytes */
     def embed(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -292,6 +359,27 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val emb = if (payload == null) Array.empty[Float] else codec.embed(payload, dim)
         Row.fromSeq(r.toSeq :+ emb.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Audio decode pass: adds (sample_rate, channels, duration_ms,
+    * rms). Partition-batched like the image passes. */
+  def decodeAudio(df: DataFrame, payloadCol: String,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", DoubleType),
+      StructField("channels", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("rms", DoubleType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val (rate, ch, dur, rms) =
+          if (payload == null) (0.0, 0, 0L, 0.0) else codec.decodeAudio(payload)
+        Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, dur, rms))
       }
     }(enc)
   }

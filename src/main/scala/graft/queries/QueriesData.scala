@@ -206,6 +206,14 @@ object QueriesData {
         .orderBy($"day", $"event_type")
     },
 
+    "q_multimodal_audio" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeAudio(media, "payload", Multimodal.FakeCodec)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("duration_ms"), round(col("rms"), 6).as("rms"))
+        .orderBy(col("media_id"))
+    },
     "q_multimodal_resize" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -436,6 +444,14 @@ object QueriesData {
           CAST(16 + (md5_number_lower(p) >> 10) % 1024 AS INTEGER) AS decoded_height,
           round(((md5_number_lower(p) >> 20) % 256) / 255.0, 6) AS mean_luma,
           round(CAST(CAST(md5_number_lower(p || 'e0') % 1000 AS FLOAT) / CAST(1000.0 AS FLOAT) AS DOUBLE), 6) AS emb_0
+        FROM m ORDER BY media_id""",
+    "q_multimodal_audio" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS p FROM documents)
+        SELECT media_id,
+          CAST(8000 + md5_number_lower(p) % 40000 AS DOUBLE) AS sample_rate,
+          CAST(1 + (md5_number_lower(p) >> 16) % 2 AS INTEGER) AS channels,
+          CAST((md5_number_lower(p) >> 18) % 600000 AS BIGINT) AS duration_ms,
+          round(((md5_number_lower(p) >> 24) % 1000) / 1000.0, 6) AS rms
         FROM m ORDER BY media_id""",
     "q_multimodal_resize" ->
       """SELECT doc_id AS media_id, upper(md5(text || 'r224x224')) AS resized_hex

@@ -404,4 +404,37 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.ImageIoCodec).collect()
     assert(all.length == 6)
   }
+
+  test("multimodal: REAL WAV audio decode (JDK codec)") {
+    import spark.implicits._
+    // 16-bit mono 8 kHz sine, amplitude 0.5, 2000 frames = 250 ms;
+    // RMS of a sine of amplitude a is a/sqrt(2) ≈ 0.35355
+    def wav(frames: Int, rate: Float, amp: Double): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until frames)
+        bb.putShort((amp * 32767 * math.sin(2 * math.Pi * 440 * i / rate)).toShort)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, wav(2000, 8000f, 0.5))).toDF("media_id", "payload")
+    val r = Multimodal.decodeAudio(media, "payload").collect()(0)
+    assert(r.getAs[Double]("sample_rate") == 8000.0)
+    assert(r.getAs[Int]("channels") == 1)
+    assert(r.getAs[Long]("duration_ms") == 250L)
+    assert(math.abs(r.getAs[Double]("rms") - 0.5 / math.sqrt(2)) < 0.005)
+    // non-audio bytes are rejected, not guessed
+    val junk = Seq((2L, Array.fill[Byte](64)(3))).toDF("media_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(junk, "payload").collect()
+    }
+    assert(e.getCause.getMessage.contains("audio"))
+  }
 }
