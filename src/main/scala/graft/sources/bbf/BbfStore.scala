@@ -41,7 +41,10 @@ import org.json4s.jackson.JsonMethods
   * A column chunk is a validity bitmap (LSB-first, 1 = non-null,
   * ceil(rows/8) bytes) followed by the values: fixed-width little-endian
   * for numeric/bool/timestamp/date (null slots written as zero), and
-  * int32-length-prefixed UTF-8 for strings (null = length -1).
+  * int32-length-prefixed UTF-8 for strings (null = length -1). Chunks
+  * are DEFLATE-compressed when that shrinks them (footer `codec` field:
+  * "deflate" | "raw" per chunk) — per-chunk codecs keep every chunk
+  * independently seekable and decompressible on its own executor.
   */
 object BbfStore {
 
@@ -91,7 +94,9 @@ object BbfStore {
   final case class ColStats(
       numMin: Option[Double], numMax: Option[Double],
       strMin: Option[String], strMax: Option[String], nullCount: Long)
-  final case class ColChunk(offset: Long, length: Long, stats: ColStats)
+  /** codec: "raw" | "deflate"; rawLength = decompressed byte length */
+  final case class ColChunk(offset: Long, length: Long, stats: ColStats,
+      codec: String = "raw", rawLength: Long = -1L)
   final case class Block(rows: Int, columns: Map[String, ColChunk])
   final case class Entry(name: String, schema: Seq[(String, String)], rows: Long,
       blocks: Seq[Block]) {
@@ -179,9 +184,13 @@ object BbfStore {
             }
             val cols = (b \ "columns") match {
               case JObject(cs) => cs.map { case (cn, c) =>
+                val codec = jstrOpt(c \ "codec").getOrElse("raw")
+                require(codec == "raw" || codec == "deflate",
+                  s"bbf chunk codec '$codec' unsupported in $p")
                 cn -> ColChunk(jlong(c \ "offset"), jlong(c \ "length"), ColStats(
                   jdoubleOpt(c \ "min"), jdoubleOpt(c \ "max"),
-                  jstrOpt(c \ "min"), jstrOpt(c \ "max"), jlong(c \ "null_count")))
+                  jstrOpt(c \ "min"), jstrOpt(c \ "max"), jlong(c \ "null_count")),
+                  codec, jlongOpt(c \ "raw_length").getOrElse(-1L))
               }.toMap
               case _ => Map.empty[String, ColChunk]
             }
@@ -200,6 +209,11 @@ object BbfStore {
     case JLong(n) => n
     case JDouble(x) => x.toLong
     case _ => 0L
+  }
+  private def jlongOpt(v: JValue): Option[Long] = v match {
+    case JInt(n) => Some(n.toLong)
+    case JLong(n) => Some(n)
+    case _ => None
   }
   private def jdoubleOpt(v: JValue): Option[Double] = v match {
     case JDouble(x) => Some(x)
@@ -225,12 +239,15 @@ object BbfStore {
     chunkReads.incrementAndGet()
     val p = Paths.get(path.stripPrefix("file:"))
     val ch = java.nio.channels.FileChannel.open(p)
-    val bytes =
+    val stored =
       try {
         val bb = ByteBuffer.allocate(chunk.length.toInt)
         ch.read(bb, chunk.offset)
-        bb.flip(); bb.order(ByteOrder.LITTLE_ENDIAN); bb
+        bb.array()
       } finally ch.close()
+    val bytes = ByteBuffer.wrap(
+      if (chunk.codec == "deflate") inflate(stored, chunk.rawLength.toInt) else stored)
+      .order(ByteOrder.LITTLE_ENDIAN)
     val bitmapLen = (rows + 7) / 8
     val bitmap = new Array[Byte](bitmapLen)
     bytes.get(bitmap)
@@ -268,6 +285,28 @@ object BbfStore {
     ColData(valid, ints, longs, doubles, bools, strs)
   }
 
+  private def inflate(data: Array[Byte], rawLen: Int): Array[Byte] = {
+    require(rawLen >= 0, "bbf deflate chunk missing raw_length")
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](rawLen)
+    var off = 0
+    while (off < rawLen && !inf.finished()) off += inf.inflate(out, off, rawLen - off)
+    inf.end()
+    require(off == rawLen, s"bbf deflate chunk truncated: got $off of $rawLen bytes")
+    out
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 4))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
   // -------------------------------------------------------------- write
 
   /** Fixture/egress writer (driver-side, single file — the COPY TO
@@ -295,9 +334,14 @@ object BbfStore {
         val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](blockRows)
         def flush(): Unit = if (buf.nonEmpty) {
           val cols = schema.zipWithIndex.map { case ((cn, dt), ci) =>
-            val (bytes, stats) = encodeColumn(buf, ci, types(ci), dt)
+            val (raw, stats) = encodeColumn(buf, ci, types(ci), dt)
+            // per-chunk deflate, kept only when it actually shrinks
+            val packed = deflate(raw)
+            val (bytes, codec, rawLen) =
+              if (packed.length < raw.length) (packed, "deflate", raw.length.toLong)
+              else (raw, "raw", -1L)
             val at = emit(bytes)
-            cn -> ColChunk(at, bytes.length.toLong, stats)
+            cn -> ColChunk(at, bytes.length.toLong, stats, codec, rawLen)
           }.toMap
           blocks += Block(buf.length, cols)
           buf.clear()
@@ -427,9 +471,12 @@ object BbfStore {
                     else
                       c.stats.numMin.map(x => "min" -> (JDouble(x): JValue)).toList ++
                         c.stats.numMax.map(x => "max" -> (JDouble(x): JValue)).toList
+                  val codecFields: List[(String, JValue)] =
+                    if (c.codec == "raw") Nil
+                    else List("codec" -> JString(c.codec), "raw_length" -> JLong(c.rawLength))
                   cn -> JObject(List[(String, JValue)](
                     "offset" -> JLong(c.offset), "length" -> JLong(c.length),
-                    "null_count" -> JLong(c.stats.nullCount)) ++ statFields)
+                    "null_count" -> JLong(c.stats.nullCount)) ++ codecFields ++ statFields)
                 }))
             })): JValue)
         }))

@@ -190,6 +190,29 @@ class BbfSpec extends AnyFunSuite {
     assert(desc.map(_.getString(0)).toSet == Set("k", "s"))
   }
 
+  test("bbf: repetitive chunks deflate on disk and round-trip exactly") {
+    import spark.implicits._
+    val path = freshFile()
+    // highly repetitive strings + constant doubles: deflate must bite
+    val df = spark.range(0, 2000).toDF("id").select(
+      lit("the same long repetitive payload string to compress away").as("s"),
+      lit(42.0).as("v"),
+      $"id".cast(IntegerType).as("k"))
+    BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 2000)
+    val entry = BbfStore.open(path.toString).entry("data")
+    val chunks = entry.blocks.head.columns
+    assert(chunks("s").codec == "deflate" && chunks("v").codec == "deflate",
+      s"repetitive chunks should deflate, got ${chunks.view.mapValues(_.codec).toMap}")
+    // raw payload would be ≥ 61 bytes/row for s alone; the file must be
+    // far smaller than the uncompressed row estimate
+    assert(java.nio.file.Files.size(path) < 2000L * 30)
+    val back = BbfSource.read(spark, Seq(path.toString))
+    assert(back.count() == 2000)
+    assert(back.filter($"s" =!= "the same long repetitive payload string to compress away")
+      .count() == 0)
+    assert(back.agg(sum($"v")).collect()(0).getDouble(0) == 2000 * 42.0)
+  }
+
   test("bbf: corrupt or non-bbf files are rejected, not guessed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bbf-bad")
     val notBbf = dir.resolve("x.bbf")
