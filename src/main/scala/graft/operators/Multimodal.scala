@@ -33,6 +33,8 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
     /** (sampleRateHz, channels, durationMs, rms of normalized samples) */
     def decodeAudio(payload: Array[Byte]): (Double, Int, Long, Double)
+    /** fixed-size audio feature vector (filter-bank amplitudes) */
+    def embedAudio(payload: Array[Byte], dim: Int): Array[Float]
   }
 
   /** Real image codec over the JDK's javax.imageio — headless-safe
@@ -214,6 +216,90 @@ object Multimodal {
       } finally raw.close()
     }
 
+    /** REAL audio embedding: a `dim`-bin log-spaced Goertzel filter
+      * bank (100 Hz → 0.9·Nyquist, capped at 8 kHz) over the mono mix —
+      * O(dim) state per sample, so the clip streams without buffering.
+      * Bin k holds the estimated sine AMPLITUDE at its frequency
+      * (|Goertzel| normalized by n/2), the standard tone-detection
+      * normalization. */
+    override def embedAudio(payload: Array[Byte], dim: Int): Array[Float] = {
+      require(dim > 0, "embedAudio: dim must be positive")
+      val raw =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new UnsupportedOperationException(
+              "payload is not a JDK-decodable audio container (wav/au/aiff)", e)
+        }
+      try {
+        val srcFmt = raw.getFormat
+        val rate = srcFmt.getSampleRate.toDouble
+        val channels = srcFmt.getChannels
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          srcFmt.getSampleRate, 16, channels, 2 * channels, srcFmt.getSampleRate, false)
+        val pcm =
+          if (srcFmt.matches(pcmFmt)) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, raw)
+        val fLo = 100.0
+        val fHi = math.max(fLo + 1, math.min(8000.0, rate / 2 * 0.9))
+        val coef = Array.tabulate(dim) { i =>
+          val f = fLo * math.pow(fHi / fLo, i / math.max(1.0, dim - 1.0))
+          2.0 * math.cos(2.0 * math.Pi * f / rate)
+        }
+        val s1 = new Array[Double](dim)
+        val s2 = new Array[Double](dim)
+        var n = 0L
+        val frameBytes = 2 * channels
+        val buf = new Array[Byte]((1 << 16) - ((1 << 16) % frameBytes))
+        var read = pcm.read(buf)
+        var rem = 0 // bytes carried between reads (partial frame)
+        val carry = new Array[Byte](frameBytes)
+        while (read > 0) {
+          var off = 0
+          if (rem > 0) {
+            val need = frameBytes - rem
+            if (read >= need) {
+              System.arraycopy(buf, 0, carry, rem, need)
+              step(carry, 0, channels, coef, s1, s2); n += 1
+              off = need; rem = 0
+            } else { System.arraycopy(buf, 0, carry, rem, read); rem += read; off = read }
+          }
+          while (off + frameBytes <= read) {
+            step(buf, off, channels, coef, s1, s2); n += 1
+            off += frameBytes
+          }
+          if (off < read) { System.arraycopy(buf, off, carry, 0, read - off); rem = read - off }
+          read = pcm.read(buf)
+        }
+        val norm = math.max(n / 2.0, 1.0)
+        Array.tabulate(dim) { k =>
+          val e = s1(k) * s1(k) + s2(k) * s2(k) - coef(k) * s1(k) * s2(k)
+          (math.sqrt(math.max(e, 0.0)) / norm).toFloat
+        }
+      } finally raw.close()
+    }
+
+    /** one Goertzel update over the mono mix of a 16-bit LE frame */
+    private def step(b: Array[Byte], off: Int, channels: Int,
+        coef: Array[Double], s1: Array[Double], s2: Array[Double]): Unit = {
+      var sum = 0.0
+      var c = 0
+      while (c < channels) {
+        val i = off + 2 * c
+        sum += ((b(i + 1) << 8) | (b(i) & 0xFF)).toShort / 32768.0
+        c += 1
+      }
+      val x = sum / channels
+      var k = 0
+      while (k < coef.length) {
+        val s0 = x + coef(k) * s1(k) - s2(k)
+        s2(k) = s1(k); s1(k) = s0
+        k += 1
+      }
+    }
+
     /** (leftOffset, topOffset, disposalMethod) of one GIF frame; any
       * non-GIF or unreadable metadata falls back to a full-frame paste */
     private def gifFrameGeometry(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
@@ -284,6 +370,18 @@ object Multimodal {
     /** "frame sample": n digests standing in for n sampled frames */
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
       (0 until n).map(i => digest(payload, s"f$i".getBytes("UTF-8")))
+
+    /** "audio embedding": md5-stable per-bin values (salt a$i) */
+    def embedAudio(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val h = md5Lower64(payload, s"a$i".getBytes("UTF-8"))
+        out(i) = java.lang.Long.remainderUnsigned(h, 1000L).toFloat / 1000.0f
+        i += 1
+      }
+      out
+    }
 
     /** "audio decode": md5-stable (sample_rate, channels, duration, rms) */
     def decodeAudio(payload: Array[Byte]): (Double, Int, Long, Double) = {
@@ -380,6 +478,22 @@ object Multimodal {
         val (rate, ch, dur, rms) =
           if (payload == null) (0.0, 0, 0L, 0.0) else codec.decodeAudio(payload)
         Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, dur, rms))
+      }
+    }(enc)
+  }
+
+  /** Audio embedding pass: filter-bank feature vector per payload. */
+  def embedAudioMedia(df: DataFrame, payloadCol: String, dim: Int = 32,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("audio_embedding", ArrayType(FloatType, containsNull = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val emb = if (payload == null) Array.empty[Float] else codec.embedAudio(payload, dim)
+        Row.fromSeq(r.toSeq :+ emb.toSeq)
       }
     }(enc)
   }

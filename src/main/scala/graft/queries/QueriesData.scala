@@ -209,9 +209,12 @@ object QueriesData {
     "q_multimodal_audio" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
-      Multimodal.decodeAudio(media, "payload", Multimodal.FakeCodec)
+      Multimodal.embedAudioMedia(
+        Multimodal.decodeAudio(media, "payload", Multimodal.FakeCodec),
+        "payload", codec = Multimodal.FakeCodec)
         .select(col("media_id"), col("sample_rate"), col("channels"),
-          col("duration_ms"), round(col("rms"), 6).as("rms"))
+          col("duration_ms"), round(col("rms"), 6).as("rms"),
+          round(element_at(col("audio_embedding"), 1).cast(DoubleType), 6).as("aemb_0"))
         .orderBy(col("media_id"))
     },
     "q_multimodal_resize" -> { (s, dir) =>
@@ -451,7 +454,8 @@ object QueriesData {
           CAST(8000 + md5_number_lower(p) % 40000 AS DOUBLE) AS sample_rate,
           CAST(1 + (md5_number_lower(p) >> 16) % 2 AS INTEGER) AS channels,
           CAST((md5_number_lower(p) >> 18) % 600000 AS BIGINT) AS duration_ms,
-          round(((md5_number_lower(p) >> 24) % 1000) / 1000.0, 6) AS rms
+          round(((md5_number_lower(p) >> 24) % 1000) / 1000.0, 6) AS rms,
+          round(CAST(CAST(md5_number_lower(p || 'a0') % 1000 AS FLOAT) / CAST(1000.0 AS FLOAT) AS DOUBLE), 6) AS aemb_0
         FROM m ORDER BY media_id""",
     "q_multimodal_resize" ->
       """SELECT doc_id AS media_id, upper(md5(text || 'r224x224')) AS resized_hex

@@ -75,6 +75,22 @@ class CatalogSpec extends AnyFunSuite {
       assert(names.contains(f), s"missing $f")
   }
 
+  test("STORED AS BBF external table registers, restores and filters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbf-ddl")
+    val f = dir.resolve("obs.bbf")
+    graft.sources.bbf.BbfStore.Writer.write(f, Seq(
+      "a" -> Seq((1, "x", 11.5), (2, "y", 12.5)).toDF("id", "station", "temp"),
+      "b" -> Seq((3, "z")).toDF("id", "station"))) // no temp column
+    engine.sql(s"CREATE EXTERNAL TABLE bbf_obs STORED AS BBF LOCATION '$f'")
+    val rows = engine.sql("SELECT id, station, temp FROM bbf_obs ORDER BY id").collect()
+    assert(rows.length == 3)
+    assert(rows(2).isNullAt(2), "entry b has no temp column → null")
+    assert(engine.sql("SELECT count(*) AS n FROM bbf_obs WHERE temp > 12")
+      .collect()(0).getLong(0) == 1L)
+    engine.sql("DROP TABLE bbf_obs")
+  }
+
   test("STORED AS JDBC federates a SQL-database table (embedded Derby)") {
     // a real external database: in-memory Derby via plain JDBC
     val url = "jdbc:derby:memory:graftfed;create=true"

@@ -436,5 +436,18 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.decodeAudio(junk, "payload").collect()
     }
     assert(e.getCause.getMessage.contains("audio"))
+
+    // REAL filter-bank embedding: the 440 Hz tone dominates its bin
+    val emb = Multimodal.embedAudioMedia(media, "payload", dim = 24)
+      .collect()(0).getSeq[Float](2)
+    assert(emb.length == 24)
+    val rate = 8000.0; val fLo = 100.0; val fHi = math.min(8000.0, rate / 2 * 0.9)
+    val freqs = Array.tabulate(24)(i => fLo * math.pow(fHi / fLo, i / 23.0))
+    val nearest = freqs.indices.minBy(i => math.abs(freqs(i) - 440.0))
+    assert(emb.indexOf(emb.max) == nearest,
+      s"440 Hz energy should land in bin $nearest (${freqs(nearest)} Hz)")
+    val sortedAmps = emb.sorted
+    assert(emb.max > 5 * sortedAmps(emb.length / 2),
+      "tone bin must dominate the median bin")
   }
 }
