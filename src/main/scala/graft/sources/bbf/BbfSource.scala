@@ -211,19 +211,37 @@ object BbfScanPlanner {
       case Some(chunk) =>
         val st = chunk.stats
         if (st.nullCount == block.rows) false // all-null block: no comparison matches
-        else (v, dtypes.get(c)) match {
-          case (n: Number, Some(dt)) if dt != "string" =>
+        else (numericLiteral(v, dtypes.get(c)), v, dtypes.get(c)) match {
+          case (Some(x), _, _) =>
             (st.numMin, st.numMax) match {
-              case (Some(mn), Some(mx)) => rangeOk(op, n.doubleValue(), mn, mx)
+              case (Some(mn), Some(mx)) => rangeOk(op, x, mn, mx)
               case _ => true
             }
-          case (s: String, Some("string")) =>
+          case (None, s: String, Some("string")) =>
             (st.strMin, st.strMax) match {
               case (Some(mn), Some(mx)) => rangeOkStr(op, s, mn, mx)
               case _ => true
             }
-          case _ => true // type mismatch / timestamp literals / unknown: fail open
+          case _ => true // type mismatch / unknown literal shape: fail open
         }
+    }
+
+  /** pushed literal → the stored stats' numeric domain (timestamps in
+    * micros, dates in epoch days — the writer's encoding); None when the
+    * literal doesn't map onto the column's numeric stats */
+  private def numericLiteral(v: Any, dtype: Option[String]): Option[Double] =
+    (v, dtype) match {
+      case (n: Number, Some(dt)) if dt != "string" => Some(n.doubleValue())
+      case (ts: java.sql.Timestamp, Some("timestamp")) =>
+        Some((Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L).toDouble)
+      case (ins: java.time.Instant, Some("timestamp")) =>
+        Some((ins.getEpochSecond * 1000000L + ins.getNano / 1000L).toDouble)
+      case (ldt: java.time.LocalDateTime, Some("timestamp")) =>
+        Some((ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L).toDouble)
+      case (d: java.sql.Date, Some("date")) => Some(d.toLocalDate.toEpochDay.toDouble)
+      case (d: java.time.LocalDate, Some("date")) => Some(d.toEpochDay.toDouble)
+      case _ => None
     }
 
   private def rangeOk(op: String, v: Double, mn: Double, mx: Double): Boolean = op match {

@@ -159,6 +159,30 @@ class BbfSpec extends AnyFunSuite {
     assert(df.filter($"k" === 103).count() == 1)
   }
 
+  test("bbf: timestamp and date literals prune blocks in stats units") {
+    import spark.implicits._
+    val path = freshFile()
+    // 12 hourly rows on 2024-03-01..03, blockRows=4 → 3 disjoint blocks
+    val df = spark.range(0, 12).toDF("id").select(
+      expr("make_timestamp_ntz(2024, 3, 1 + CAST(id / 4 AS INT), CAST(id % 4 AS INT), 0, 0)").as("ts"),
+      expr("make_date(2024, 3, 1 + CAST(id / 4 AS INT))").as("d"),
+      $"id".cast(IntegerType).as("k")).coalesce(1).orderBy("k")
+    BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 4)
+    val spec = Spec(Seq(path.toString -> "data"))
+    import org.apache.spark.sql.sources
+    def blocks(fs: sources.Filter*): Seq[Int] =
+      BbfScanPlanner.partitions(spec, fs.toArray).map(_._3).toSeq
+    // day 3 lives only in block 2 — LocalDateTime literal (TimestampNTZ pushdown shape)
+    assert(blocks(sources.GreaterThanOrEqual("ts",
+      java.time.LocalDateTime.of(2024, 3, 3, 0, 0))) == Seq(2))
+    // date literal, both java.time and java.sql shapes
+    assert(blocks(sources.EqualTo("d", java.time.LocalDate.of(2024, 3, 2))) == Seq(1))
+    assert(blocks(sources.LessThan("d", java.sql.Date.valueOf("2024-03-02"))) == Seq(0))
+    // end-to-end correctness with the filter applied post-scan too
+    assert(BbfSource.read(spark, Seq(path.toString))
+      .filter($"ts" >= "2024-03-03").count() == 4)
+  }
+
   test("bbf: column pruning reads only projected chunks") {
     import spark.implicits._
     val path = freshFile()
