@@ -38,6 +38,9 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
 object GraftEngine {
   def apply(spark: SparkSession, warehouse: String): GraftEngine = {
     GraftSession.configure(spark)
+    // the reference records every completed query into its persisted
+    // query_metrics table (query_metrics_store.rs); listener-driven here
+    graft.sql.QueryMetrics.install(spark, warehouse)
     new GraftEngine(spark, new GraftCatalog(spark, warehouse))
   }
 }

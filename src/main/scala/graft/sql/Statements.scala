@@ -70,6 +70,8 @@ object Statements {
     ("""(?is)^DROP\s+CRAWLER\s+""" + Id + """\s*$""").r
   private val reShowCrawlers =
     """(?is)^SHOW\s+CRAWLERS\s*$""".r
+  private val reShowQueryMetrics =
+    """(?is)^SHOW\s+QUERY\s+METRICS\s*$""".r
   private val reDescribeFormat =
     """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
 
@@ -165,6 +167,10 @@ object Statements {
         import spark.implicits._
         Some(catalog.crawlers().map(d => (d.name, d.paths.mkString(",")))
           .toDF("name", "prefix"))
+      case reShowQueryMetrics() =>
+        // the reference's queryable `query_metrics` system table
+        // (query_metrics_store.rs): persisted per-action rows
+        Some(QueryMetrics.show(spark, catalog.warehouse))
       case reDescribeFormat(fmt, locs) =>
         Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
       case reAnalyze(name0) =>

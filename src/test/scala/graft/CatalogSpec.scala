@@ -75,6 +75,33 @@ class CatalogSpec extends AnyFunSuite {
       assert(names.contains(f), s"missing $f")
   }
 
+  test("SHOW QUERY METRICS records completed actions and survives restart") {
+    // run a query to completion so the listener fires at least once
+    assert(engine.sql("SELECT count(*) AS n FROM ext_nation").collect()(0).getLong(0) == 25)
+    // listener delivery is asynchronous; poll until the row lands
+    var rows = engine.sql("SHOW QUERY METRICS").collect()
+    val deadline = System.currentTimeMillis() + 30000
+    while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      rows = engine.sql("SHOW QUERY METRICS").collect()
+    }
+    assert(rows.nonEmpty, "at least one recorded action")
+    val r = rows.head
+    assert(r.schema.fieldNames.toSeq == Seq("query_id", "finished_at", "action",
+      "query", "execution_time_ms", "result_rows", "node_metrics"))
+    assert(rows.exists(_.getAs[String]("action") == "collect"))
+    assert(rows.forall(_.getAs[Long]("execution_time_ms") >= -1))
+    assert(rows.exists(_.getAs[String]("node_metrics").contains("numOutputRows")))
+    // rows are files under the warehouse → a fresh engine still sees them
+    val engine2 = new GraftEngine2Probe(spark, wh)
+    assert(engine2.showMetrics().count() >= rows.length.toLong)
+  }
+
+  /** restart probe: read the persisted metrics with no shared state */
+  private class GraftEngine2Probe(s: SparkSession, warehouse: String) {
+    def showMetrics() = graft.sql.QueryMetrics.show(s, warehouse)
+  }
+
   test("STORED AS BBF external table registers, restores and filters") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bbf-ddl")
