@@ -109,13 +109,24 @@ object BbfStore {
         s"bbf entry '$name' not in $path (have ${entries.map(_.name).mkString(",")})"))
   }
 
+  /** positional read that loops until `dst` is full (FileChannel.read
+    * may return short counts) */
+  private def readFully(ch: java.nio.channels.FileChannel, dst: ByteBuffer, at: Long): Unit = {
+    var pos = at
+    while (dst.hasRemaining) {
+      val n = ch.read(dst, pos)
+      require(n > 0, s"bbf read past end of file at offset $pos")
+      pos += n
+    }
+  }
+
   def isBbf(path: String): Boolean = {
     val p = Paths.get(path.stripPrefix("file:"))
     if (!Files.isRegularFile(p) || Files.size(p) < 26) return false
     val ch = java.nio.channels.FileChannel.open(p)
     try {
       val head = ByteBuffer.allocate(6)
-      ch.read(head, 0)
+      readFully(ch, head, 0)
       java.util.Arrays.equals(head.array(), HeaderMagic)
     } finally ch.close()
   }
@@ -146,10 +157,10 @@ object BbfStore {
     val ch = java.nio.channels.FileChannel.open(p)
     try {
       val head = ByteBuffer.allocate(6)
-      ch.read(head, 0)
+      readFully(ch, head, 0)
       require(java.util.Arrays.equals(head.array(), HeaderMagic), s"not a bbf file (bad magic): $p")
       val tail = ByteBuffer.allocate(14).order(ByteOrder.LITTLE_ENDIAN)
-      ch.read(tail, size - 14)
+      readFully(ch, tail, size - 14)
       tail.flip()
       val footerLen = tail.getLong
       val trailer = new Array[Byte](6)
@@ -157,7 +168,7 @@ object BbfStore {
       require(java.util.Arrays.equals(trailer, TrailerMagic), s"bbf trailer magic missing: $p")
       require(footerLen > 0 && footerLen <= size - 20, s"bbf footer length corrupt: $p")
       val fb = ByteBuffer.allocate(footerLen.toInt)
-      ch.read(fb, size - 14 - footerLen)
+      readFully(ch, fb, size - 14 - footerLen)
       Footer(p.toString, parseFooter(new String(fb.array(), StandardCharsets.UTF_8), p))
     } finally ch.close()
   }
@@ -242,7 +253,7 @@ object BbfStore {
     val stored =
       try {
         val bb = ByteBuffer.allocate(chunk.length.toInt)
-        ch.read(bb, chunk.offset)
+        readFully(ch, bb, chunk.offset)
         bb.array()
       } finally ch.close()
     val bytes = ByteBuffer.wrap(

@@ -78,29 +78,6 @@ object Outputs {
     import spark.implicits._
     val rootPath = Paths.get(root)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    def classify(p: java.nio.file.Path): Option[String] = {
-      val name = p.getFileName.toString.toLowerCase
-      if (Files.isDirectory(p)) {
-        if (Files.exists(p.resolve("zarr.json"))) Some("zarr")
-        else if (Files.exists(p.resolve("atlas.json"))) Some("atlas")
-        else if (graft.sources.icechunk.IcechunkStore.isRepository(p.toString)) Some("icechunk")
-        else None
-      } else if (name.endsWith(".bbf") && graft.sources.bbf.BbfStore.isBbf(p.toString))
-        Some("bbf")
-      else if (name.endsWith(".parquet")) Some("parquet")
-      else if (name.endsWith(".csv")) Some("csv")
-      else if (name.endsWith(".arrow") || name.endsWith(".feather")) Some("arrow")
-      else if (name.endsWith(".txt") || name.endsWith(".odv")) Some("odv")
-      else if (name.endsWith(".nc") || name.endsWith(".nc4") || name.endsWith(".cdf") ||
-        name.endsWith(".h5") || name.endsWith(".hdf5")) {
-        // magic: classic CDF vs HDF5 container
-        val in = Files.newInputStream(p)
-        val head = in.readNBytes(4); in.close()
-        if (head.length >= 4 && head(0) == 'C' && head(1) == 'D' && head(2) == 'F') Some("netcdf")
-        else if (head.length >= 4 && (head(0) & 0xFF) == 0x89 && head(1) == 'H') Some("netcdf")
-        else None
-      } else None
-    }
     def walk(p: java.nio.file.Path): Unit = {
       classify(p) match {
         case Some(fmt) =>
@@ -118,6 +95,60 @@ object Outputs {
     walk(rootPath)
     out.toSeq.toDF("path", "format", "size_bytes")
   }
+
+  private def classify(p: java.nio.file.Path): Option[String] = {
+    val name = p.getFileName.toString.toLowerCase
+    if (Files.isDirectory(p)) {
+      if (Files.exists(p.resolve("zarr.json"))) Some("zarr")
+      else if (Files.exists(p.resolve("atlas.json"))) Some("atlas")
+      else if (graft.sources.icechunk.IcechunkStore.isRepository(p.toString)) Some("icechunk")
+      else if (Files.isDirectory(p.resolve("_delta_log"))) Some("delta")
+      else if (Files.isDirectory(p.resolve("metadata")) && {
+        val it = Files.list(p.resolve("metadata"))
+        try it.iterator().asScala.exists(_.getFileName.toString.endsWith(".metadata.json"))
+        finally it.close()
+      }) Some("iceberg")
+      else None
+    } else if (name.endsWith(".bbf") && graft.sources.bbf.BbfStore.isBbf(p.toString))
+      Some("bbf")
+    else if (name.endsWith(".parquet")) Some("parquet")
+    else if (name.endsWith(".csv")) Some("csv")
+    else if (name.endsWith(".arrow") || name.endsWith(".feather")) Some("arrow")
+    else if (name.endsWith(".txt") || name.endsWith(".odv")) Some("odv")
+    else if (name.endsWith(".nc") || name.endsWith(".nc4") || name.endsWith(".cdf") ||
+      name.endsWith(".h5") || name.endsWith(".hdf5") || name.endsWith(".tif") ||
+      name.endsWith(".tiff")) {
+      // magic: classic CDF vs HDF5 container vs TIFF
+      val in = Files.newInputStream(p)
+      val head = in.readNBytes(4); in.close()
+      if (head.length >= 4 && head(0) == 'C' && head(1) == 'D' && head(2) == 'F') Some("netcdf")
+      else if (head.length >= 4 && (head(0) & 0xFF) == 0x89 && head(1) == 'H') Some("netcdf")
+      else if (head.length >= 4 && ((head(0) == 'I' && head(1) == 'I') ||
+        (head(0) == 'M' && head(1) == 'M'))) Some("tiff")
+      else None
+    } else None
+  }
+
+  /** classify one path by marker/extension/magic (the listDatasets rule) */
+  def classifyPath(path: String): Option[String] =
+    classify(Paths.get(path.stripPrefix("file:")))
+
+  /** read one classified dataset through the matching engine source */
+  def readClassified(spark: SparkSession, format: String, path: String): DataFrame =
+    format match {
+      case "parquet" => graft.sources.FileCollection.parquet(spark, path)
+      case "csv" => graft.sources.FileCollection.csv(spark, Seq(path), Map.empty)
+      case "arrow" => graft.sources.ArrowSource.read(spark, Seq(path))
+      case "odv" => graft.sources.OdvSource.read(spark, Seq(path))
+      case "netcdf" | "hdf5" | "tiff" => graft.sources.netcdf.NetcdfSource.read(spark, Seq(path))
+      case "zarr" => graft.sources.zarr.ZarrSource.read(spark, Seq(path))
+      case "atlas" => graft.sources.atlas.AtlasSource.read(spark, path)
+      case "icechunk" => graft.sources.icechunk.IcechunkSource.read(spark, path)
+      case "bbf" => graft.sources.bbf.BbfSource.read(spark, Seq(path))
+      case "delta" => graft.sources.delta.DeltaSource.read(spark, path)
+      case "iceberg" => graft.sources.iceberg.IcebergSource.read(spark, path)
+      case other => throw new IllegalArgumentException(s"unreadable format '$other'")
+    }
 
   /** `<fmt>_schema` UDTF equivalent: the merged scan schema of a glob,
     * one row per column, without reading data */

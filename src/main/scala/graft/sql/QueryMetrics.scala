@@ -67,11 +67,16 @@ object QueryMetrics {
       "node_metrics" -> JString(JsonMethods.compact(JsonMethods.render(nodeMetrics)))) ++
       error.map(e => "error" -> (JString(oneLine(e, 500)): JValue)).toList)
     val line = JsonMethods.compact(JsonMethods.render(row)) + "\n"
-    // one file per JVM keeps appends atomic without cross-process locks
+    // one file per JVM keeps cross-process appends separate; the lock
+    // serializes same-JVM listeners (two sessions on one warehouse)
     val f = dir.resolve(s"metrics-$pidSuffix.jsonl")
-    Files.write(f, line.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    appendLock.synchronized {
+      Files.write(f, line.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
   }
+
+  private val appendLock = new Object
 
   private lazy val pidSuffix: String =
     java.lang.ProcessHandle.current().pid().toString

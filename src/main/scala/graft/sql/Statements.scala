@@ -72,6 +72,10 @@ object Statements {
     """(?is)^SHOW\s+CRAWLERS\s*$""".r
   private val reShowQueryMetrics =
     """(?is)^SHOW\s+QUERY\s+METRICS\s*$""".r
+  private val reDescribeStatistics =
+    """(?is)^DESCRIBE\s+STATISTICS\s+'((?:[^']|'')+)'\s*$""".r
+  private val reShowStatsCache =
+    """(?is)^SHOW\s+STATISTICS\s+CACHE\s*$""".r
   private val reDescribeFormat =
     """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
 
@@ -171,6 +175,12 @@ object Statements {
         // the reference's queryable `query_metrics` system table
         // (query_metrics_store.rs): persisted per-action rows
         Some(QueryMetrics.show(spark, catalog.warehouse))
+      case reDescribeStatistics(path) =>
+        // the reference's view_dataset_statistics(path) table function
+        Some(graft.stats.DatasetStatistics.describe(spark, path.replace("''", "'")))
+      case reShowStatsCache() =>
+        // the reference's view_statistics_cache() table function
+        Some(graft.stats.DatasetStatistics.showCache(spark))
       case reDescribeFormat(fmt, locs) =>
         Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
       case reAnalyze(name0) =>

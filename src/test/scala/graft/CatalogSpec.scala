@@ -102,6 +102,28 @@ class CatalogSpec extends AnyFunSuite {
     def showMetrics() = graft.sql.QueryMetrics.show(s, warehouse)
   }
 
+  test("DESCRIBE STATISTICS computes per-column min/max once and caches by (size, mtime)") {
+    val nc = "/root/reference/test-datasets/test_file.nc"
+    val before = graft.stats.DatasetStatistics.computations.get()
+    val rows = engine.sql(s"DESCRIBE STATISTICS '$nc'").collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(rows.contains("LATITUDE") && rows.contains("TEMP"))
+    val (latMin, latMax) = rows("LATITUDE")
+    assert(latMin != null && latMax != null && latMin.toDouble <= latMax.toDouble)
+    assert(graft.stats.DatasetStatistics.computations.get() == before + 1)
+    // unchanged file → cache hit, no recomputation
+    engine.sql(s"DESCRIBE STATISTICS '$nc'").collect()
+    assert(graft.stats.DatasetStatistics.computations.get() == before + 1)
+    // the cache view lists the file's columns as valid entries
+    val cacheRows = engine.sql("SHOW STATISTICS CACHE").collect()
+      .filter(_.getString(0).endsWith("test_file.nc"))
+    assert(cacheRows.nonEmpty && cacheRows.forall(_.getBoolean(2)))
+    // a parquet file goes through the same door
+    val pq = engine.sql(s"DESCRIBE STATISTICS '$sf/nation.parquet'").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(pq("n_nationkey") == "0")
+  }
+
   test("STORED AS BBF external table registers, restores and filters") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bbf-ddl")
