@@ -82,13 +82,16 @@ object Outputs {
       classify(p) match {
         case Some(fmt) =>
           val size =
-            if (Files.isDirectory(p))
-              Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
-                .map(Files.size).sum
-            else Files.size(p)
+            if (Files.isDirectory(p)) {
+              val s = Files.walk(p)
+              try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+              finally s.close()
+            } else Files.size(p)
           out += ((p.toString, fmt, size))
         case None if Files.isDirectory(p) =>
-          Files.list(p).iterator().asScala.toSeq.sorted.foreach(walk)
+          val s = Files.list(p)
+          val children = try s.iterator().asScala.toSeq.sorted finally s.close()
+          children.foreach(walk)
         case None => ()
       }
     }

@@ -55,14 +55,17 @@ object DatasetStatistics {
     // a store directory fingerprints as the sum over its regular files
     if (Files.isDirectory(p)) {
       var size = 0L; var mtime = 0L
-      val it = Files.walk(p).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (Files.isRegularFile(f)) {
-          size += Files.size(f)
-          mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+      val stream = Files.walk(p)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f)) {
+            size += Files.size(f)
+            mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+          }
         }
-      }
+      } finally stream.close()
       (size, mtime)
     } else (Files.size(p), Files.getLastModifiedTime(p).toMillis)
   }
