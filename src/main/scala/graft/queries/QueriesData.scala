@@ -134,6 +134,19 @@ object QueriesData {
     },
 
     // ---- as-of join: latest order at or before each event, per user
+    // Morton (Z-order) key — the layout rewrite behind the reference's
+    // "~34% faster on Morton-sorted data" claim (benchmarks/README.md):
+    // plain shift/mask column arithmetic, replayed bit-for-bit by the
+    // DuckDB oracle. Fixed quantization bounds are part of the key.
+    "q_zorder_key" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val key = graft.operators.ZOrder.mortonKey(Seq(
+        graft.operators.ZOrder.Dim("l_quantity", 0.0, 64.0),
+        graft.operators.ZOrder.Dim("l_discount", 0.0, 0.11)))
+      li.select($"l_orderkey", $"l_linenumber", key.as("zkey"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
     "q_asof_join" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
@@ -586,6 +599,19 @@ object QueriesData {
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
          event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    // the mask-spread sequence replayed literally (0x00FF00FF,
+    // 0x0F0F0F0F, 0x33333333, 0x55555555), x in even bits, y odd
+    "q_zorder_key" ->
+      """WITH q AS (SELECT l_orderkey, l_linenumber,
+            CAST(least(greatest(floor((CAST(l_quantity AS DOUBLE) - 0.0) / CAST(64.0 AS DOUBLE) * 65536.0), 0.0), 65535.0) AS BIGINT) AS qx,
+            CAST(least(greatest(floor((CAST(l_discount AS DOUBLE) - 0.0) / CAST(0.11 AS DOUBLE) * 65536.0), 0.0), 65535.0) AS BIGINT) AS qy
+          FROM lineitem),
+        s1 AS (SELECT *, (qx | (qx << 8)) & 16711935 AS x1, (qy | (qy << 8)) & 16711935 AS y1 FROM q),
+        s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        SELECT l_orderkey, l_linenumber, x4 | (y4 << 1) AS zkey
+        FROM s4 ORDER BY l_orderkey, l_linenumber""",
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
         cand AS (

@@ -405,6 +405,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.length == 6)
   }
 
+  test("z-order: bit interleave pins and spatial locality of the layout") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    // interleave pins on tiny quantized values: x even bits, y odd
+    val pins = spark.range(1).select(
+      ZOrder.zkey2(lit(1L), lit(0L)).as("a"),
+      ZOrder.zkey2(lit(0L), lit(1L)).as("b"),
+      ZOrder.zkey2(lit(3L), lit(3L)).as("c"),
+      ZOrder.zkey2(lit(65535L), lit(65535L)).as("d")).collect()(0)
+    assert(pins.getLong(0) == 1L && pins.getLong(1) == 2L && pins.getLong(2) == 15L)
+    assert(pins.getLong(3) == 0xFFFFFFFFL)
+    // 3-D stride layout: dim i owns bits i, i+3, …
+    val p3 = spark.range(1).select(
+      ZOrder.zkeyN(Seq(lit(1L), lit(1L), lit(1L))).as("a"),
+      ZOrder.zkeyN(Seq(lit(2L), lit(0L), lit(0L))).as("b")).collect()(0)
+    assert(p3.getLong(0) == 7L) // 0b111
+    assert(p3.getLong(1) == 8L) // bit 1 of dim 0 → position 3
+
+    // locality: a 64×64 grid z-ordered into 16 range partitions → each
+    // partition covers a compact box, and a corner box query intersects
+    // only a few partitions (the reference's Morton-sort claim)
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).cast("double").as("x"),
+      (col("id") / 64).cast("double").as("y"))
+    val z = ZOrder.zorderBy(grid, Seq("x", "y"), 16,
+      bounds = Map("x" -> (0.0, 64.0), "y" -> (0.0, 64.0)))
+    val boxes = z.withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("p").agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(boxes.length == 16)
+    // query box [0,16)² — on a row-major sort every partition would
+    // intersect; on the z-order layout only a corner few do
+    val hits = boxes.count { case (x0, x1, y0, y1) =>
+      x0 < 16 && x1 >= 0 && y0 < 16 && y1 >= 0 }
+    assert(hits <= 6, s"corner box should hit few z-order partitions, hit $hits")
+    // every row survives the rewrite
+    assert(z.count() == 4096)
+  }
+
   test("multimodal: REAL WAV audio decode (JDK codec)") {
     import spark.implicits._
     // 16-bit mono 8 kHz sine, amplitude 0.5, 2000 frames = 250 ms;
