@@ -445,6 +445,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(z.count() == 4096)
   }
 
+  test("z-order layout + file statistics reproduce the reference's pruning claim") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).cast("double").as("x"),
+      (col("id") / 64).cast("double").as("y"),
+      col("id").as("payload"))
+    val bounds = Map("x" -> (0.0, 64.0), "y" -> (0.0, 64.0))
+    ZOrder.zorderBy(grid, Seq("x", "y"), 16, bounds)
+      .write.parquet(s"$dir/sorted")
+    grid.repartition(16).write.parquet(s"$dir/random")
+    def prunedCount(sub: String): Int = {
+      val files = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      val stats = graft.stats.FileStats.collect(spark, "parquet", files)
+      graft.stats.FileStats.write(stats, s"$dir/$sub-stats")
+      val conds = Seq(
+        graft.stats.FileStats.Cond("x", "lt", Some(16.0), None),
+        graft.stats.FileStats.Cond("y", "lt", Some(16.0), None))
+      graft.stats.FileStats.pruneFiles(spark, s"$dir/$sub-stats", files, conds).size
+    }
+    val sortedOpens = prunedCount("sorted")
+    val randomOpens = prunedCount("random")
+    // the reference's Morton-sort benchmark claim, reproduced with our
+    // own statistics machinery: the box query opens a fraction of the
+    // z-ordered files but (nearly) all of the randomly-laid-out ones
+    assert(sortedOpens <= 6, s"z-ordered layout should open few files, opened $sortedOpens")
+    assert(randomOpens >= 14, s"random layout should open nearly all, opened $randomOpens")
+  }
+
   test("multimodal: REAL WAV audio decode (JDK codec)") {
     import spark.implicits._
     // 16-bit mono 8 kHz sine, amplitude 0.5, 2000 frames = 250 ms;
