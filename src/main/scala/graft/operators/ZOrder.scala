@@ -74,13 +74,22 @@ object ZOrder {
     * cover a compact N-dimensional box. */
   def zorderBy(df: DataFrame, columns: Seq[String], numPartitions: Int,
       bounds: Map[String, (Double, Double)] = Map.empty): DataFrame = {
-    val dims = columns.map { c =>
-      bounds.get(c) match {
-        case Some((mn, mx)) => Dim(c, mn, mx)
-        case None =>
-          val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).collect()(0)
-          Dim(c, r.getDouble(0), r.getDouble(1))
+    val missing = columns.filterNot(bounds.contains)
+    val computed: Map[String, (Double, Double)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        // ONE aggregate job for every unbounded column — a second scan
+        // per column would read the table N times at cluster scale
+        val aggs = missing.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"__mn_$c"),
+          max(col(c)).cast("double").as(s"__mx_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        missing.map(c => c ->
+          (r.getAs[Double](s"__mn_$c"), r.getAs[Double](s"__mx_$c"))).toMap
       }
+    val dims = columns.map { c =>
+      val (mn, mx) = bounds.getOrElse(c, computed(c))
+      Dim(c, mn, mx)
     }
     val key = mortonKey(dims)
     df.withColumn("__zkey", key)

@@ -45,6 +45,7 @@ object DatasetStatistics {
     val hit = Option(cache.get(p.toString)).filter(e => e.size == size && e.mtime == mtime)
     val stats = hit.map(_.stats).getOrElse {
       val computed = compute(spark, p.toString)
+      if (cache.size > 256) cache.clear() // bounded like the source caches
       cache.put(p.toString, Entry(size, mtime, computed))
       computed
     }
