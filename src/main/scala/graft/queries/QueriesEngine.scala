@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.{GraftSession, Tables}
 import graft.dsl.JsonQuery
 import graft.functions.VocabRegistry
@@ -60,6 +61,67 @@ object QueriesEngine {
       eng.sql("DELETE FROM ddl_live WHERE o_totalprice < 50000")
       eng.sql("UPDATE ddl_live SET o_orderstatus = 'X' WHERE o_custkey % 10 = 0")
       eng.sql("SELECT * FROM ddl_live").orderBy(col("o_orderkey"))
+    },
+
+    // ---- LIST DATASETS end-to-end: four single-file formats written
+    // by our own writers into one directory, classified by marker/
+    // extension/magic; the oracle pins the classification table.
+    "q_list_datasets" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-lsgate")
+      val df = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".cast(IntegerType).as("k"),
+          $"n_name".as("name")).orderBy("k")
+      graft.sql.Outputs.copyTo(df, root.resolve("d.arrow").toString, None)
+      graft.sql.Outputs.copyTo(df, root.resolve("d.bbf").toString, None)
+      graft.sql.Outputs.copyTo(df, root.resolve("d.nc").toString, None)
+      graft.sql.Outputs.copyTo(df, root.resolve("d.odv").toString, None)
+      graft.sql.Outputs.listDatasets(s, root.toString)
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"), col("format"))
+        .orderBy("name")
+    },
+
+    // ---- DESCRIBE FORMAT end-to-end over a bbf file carrying every
+    // storable dtype; the oracle pins the dtype → Spark type mapping.
+    "q_describe_format" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val f = java.nio.file.Files.createTempDirectory("graft-descgate").resolve("t.bbf")
+      val df = Tables.load(s, dir, "events").limit(10).select(
+        col("event_id").cast(IntegerType).as("c_int32"),
+        col("user_id").cast(LongType).as("c_int64"),
+        col("value").cast(DoubleType).as("c_float64"),
+        (col("value") > 0.5).as("c_bool"),
+        col("event_type").as("c_string"),
+        col("ts").cast(TimestampNTZType).as("c_timestamp"),
+        col("ts").cast(DateType).as("c_date"))
+      graft.sources.bbf.BbfStore.Writer.write(f, Seq("data" -> df))
+      graft.sql.Outputs.describeFormat(s, "bbf", Seq(f.toString))
+        .orderBy("column_name")
+    },
+
+    // ---- SQL-database federation end-to-end: a real external database
+    // (embedded Derby over plain JDBC) with deterministic rows,
+    // registered via STORED AS JDBC, aggregated through Spark's JDBC
+    // source (filter/projection pushdown); oracle replays the rows.
+    "q_jdbc_federation" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val url = "jdbc:derby:memory:graftfedgate;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      val st = c.createStatement()
+      try st.execute("DROP TABLE gate_obs") catch { case _: java.sql.SQLException => () }
+      st.execute("CREATE TABLE gate_obs (id INT, station VARCHAR(16), temp DOUBLE)")
+      st.execute("INSERT INTO gate_obs VALUES (1,'aa',11.5),(2,'bb',12.5)," +
+        "(3,'aa',13.0),(4,'cc',9.25),(5,'bb',10.75)")
+      st.close(); c.close()
+      val wh = java.nio.file.Files.createTempDirectory("graft-fedwh").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql("CREATE EXTERNAL TABLE fed_gate_obs STORED AS JDBC LOCATION " +
+        s"'$url' OPTIONS (dbtable 'APP.GATE_OBS')")
+      eng.sql("""SELECT STATION AS station, count(*) AS n,
+          round(sum(TEMP), 4) AS total_temp
+        FROM fed_gate_obs WHERE TEMP > 10 GROUP BY STATION ORDER BY station""")
     },
 
     // ---- domain UDFs through SQL text: the TEOS-10 pressure→depth
@@ -272,6 +334,25 @@ object QueriesEngine {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_list_datasets" ->
+      """SELECT * FROM (VALUES ('d.arrow', 'arrow'), ('d.bbf', 'bbf'),
+           ('d.nc', 'netcdf'), ('d.odv', 'odv')) AS t(name, format)
+         ORDER BY name""",
+    // the bbf dtype → Spark type lattice, pinned publicly
+    "q_describe_format" ->
+      """SELECT * FROM (VALUES
+           ('c_bool', 'boolean', true), ('c_date', 'date', true),
+           ('c_float64', 'double', true), ('c_int32', 'int', true),
+           ('c_int64', 'bigint', true), ('c_string', 'string', true),
+           ('c_timestamp', 'timestamp_ntz', true))
+           AS t(column_name, data_type, nullable)
+         ORDER BY column_name""",
+    "q_jdbc_federation" ->
+      """SELECT station, count(*) AS n,
+           round(sum(CAST(temp AS DOUBLE)), 4) AS total_temp
+         FROM (VALUES (1,'aa',11.5),(2,'bb',12.5),(3,'aa',13.0),
+                      (4,'cc',9.25),(5,'bb',10.75)) AS t(id, station, temp)
+         WHERE temp > 10 GROUP BY station ORDER BY station""",
     "q_ddl_lifecycle" ->
       """SELECT o_orderkey, o_custkey,
            CASE WHEN o_custkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
