@@ -237,6 +237,37 @@ class BbfSpec extends AnyFunSuite {
     assert(back.agg(sum($"v")).collect()(0).getDouble(0) == 2000 * 42.0)
   }
 
+  test("bbf: OR filters keep the union of satisfiable blocks") {
+    import spark.implicits._
+    val path = freshFile()
+    val df = spark.range(0, 30).toDF("id")
+      .select($"id".cast(IntegerType).as("k")).coalesce(1).orderBy("k")
+    BbfStore.Writer.write(path, Seq("data" -> df), blockRows = 10)
+    val spec = Spec(Seq(path.toString -> "data"))
+    import org.apache.spark.sql.sources
+    val kept = BbfScanPlanner.partitions(spec, Array(
+      sources.Or(sources.LessThan("k", 5), sources.GreaterThan("k", 25)))).map(_._3).toSeq
+    assert(kept == Seq(0, 2), "OR keeps first and last block, prunes the middle")
+    // Not / unknown operators fail open
+    assert(BbfScanPlanner.partitions(spec, Array(
+      sources.Not(sources.EqualTo("k", 1)))).size == 3)
+  }
+
+  test("bbf: unsupported column types and unknown entries fail loudly") {
+    import spark.implicits._
+    val path = freshFile()
+    val bad = Seq((1, Seq(1.0, 2.0))).toDF("k", "vec")
+    val e = intercept[IllegalArgumentException] {
+      BbfStore.Writer.write(path, Seq("data" -> bad))
+    }
+    assert(e.getMessage.contains("cannot store column type"))
+    BbfStore.Writer.write(path, Seq("data" -> Seq(1, 2).toDF("k")))
+    val e2 = intercept[IllegalArgumentException] {
+      BbfSource.read(spark, Seq(path.toString), Some("nope")).collect()
+    }
+    assert(e2.getMessage.contains("'nope' not in"))
+  }
+
   test("bbf: corrupt or non-bbf files are rejected, not guessed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bbf-bad")
     val notBbf = dir.resolve("x.bbf")
