@@ -87,6 +87,69 @@ final case class BbfPartition(path: String, entry: String, blockIndex: Int,
 class BbfReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new BbfPartitionReader(p.asInstanceOf[BbfPartition])
+
+  // one block = one ColumnarBatch: the decoded column arrays copy
+  // straight into OnHeapColumnVectors, so scans feed WholeStageCodegen
+  // through ColumnarToRow exactly like Spark's vectorized parquet path
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createColumnarReader(p0: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = p0.asInstanceOf[BbfPartition]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var served = false
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        if (served) return false
+        served = true
+        batch = BbfColumnar.readBlock(p)
+        true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
+    }
+  }
+}
+
+private[bbf] object BbfColumnar {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  def readBlock(p: BbfPartition): ColumnarBatch = {
+    val entry = BbfStore.openCached(p.path).entry(p.entry)
+    val block = entry.blocks(p.blockIndex)
+    val dtypes = entry.schema.toMap
+    val n = block.rows
+    val vectors: Array[ColumnVector] = p.required.fields.map { f =>
+      val v = new OnHeapColumnVector(n, f.dataType)
+      block.columns.get(f.name) match {
+        case None => v.putNulls(0, n) // column absent from this entry
+        case Some(chunk) =>
+          val cd = BbfStore.readChunk(p.path, dtypes(f.name), n, chunk)
+          var i = 0
+          f.dataType match {
+            case IntegerType | DateType =>
+              while (i < n) { if (cd.valid(i)) v.putInt(i, cd.ints(i)) else v.putNull(i); i += 1 }
+            case LongType | TimestampNTZType | TimestampType =>
+              while (i < n) { if (cd.valid(i)) v.putLong(i, cd.longs(i)) else v.putNull(i); i += 1 }
+            case DoubleType =>
+              while (i < n) { if (cd.valid(i)) v.putDouble(i, cd.doubles(i)) else v.putNull(i); i += 1 }
+            case BooleanType =>
+              while (i < n) { if (cd.valid(i)) v.putBoolean(i, cd.bools(i)) else v.putNull(i); i += 1 }
+            case StringType =>
+              while (i < n) {
+                if (cd.valid(i)) {
+                  val b = cd.strs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  v.putByteArray(i, b, 0, b.length)
+                } else v.putNull(i)
+                i += 1
+              }
+            case other => throw new IllegalArgumentException(s"bbf columnar type $other")
+          }
+      }
+      v: ColumnVector
+    }
+    new ColumnarBatch(vectors, n)
+  }
 }
 
 class BbfPartitionReader(p: BbfPartition) extends PartitionReader[InternalRow] {

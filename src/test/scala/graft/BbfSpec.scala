@@ -237,6 +237,18 @@ class BbfSpec extends AnyFunSuite {
     assert(back.agg(sum($"v")).collect()(0).getDouble(0) == 2000 * 42.0)
   }
 
+  test("bbf: scans read columnar (vectorized) into WholeStageCodegen") {
+    import spark.implicits._
+    val path = freshFile()
+    BbfStore.Writer.write(path,
+      Seq("data" -> spark.range(0, 100).toDF("id").select($"id".cast(IntegerType).as("k"))))
+    val df = BbfSource.read(spark, Seq(path.toString))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"bbf scan should surface ColumnarBatches, plan was:\n$plan")
+    assert(df.agg(sum($"k")).collect()(0).getLong(0) == (0 until 100).sum.toLong)
+  }
+
   test("bbf: OR filters keep the union of satisfiable blocks") {
     import spark.implicits._
     val path = freshFile()
