@@ -26,22 +26,27 @@ object QueryMetrics {
 
   private val SubDir = "_query_metrics"
 
-  /** one listener per (session, warehouse); guarded by session conf */
-  private val ConfKey = "graft.queryMetrics.warehouse"
+  /** ONE listener per session; it records into the CURRENT warehouse —
+    * the one of the most recently constructed engine. An embedded
+    * process runs one engine (the reference's one-runtime-per-process
+    * shape); per-warehouse listeners would accumulate one file append
+    * per action per engine ever constructed in the session. */
+  private val ConfKey = "graft.queryMetrics.installed"
+  private val current = new java.util.concurrent.atomic.AtomicReference[String]()
 
   def install(spark: SparkSession, warehouse: String): Unit = synchronized {
-    val installed = spark.conf.getOption(ConfKey)
-    if (installed.contains(warehouse)) return
-    spark.conf.set(ConfKey, warehouse)
-    spark.listenerManager.register(new Listener(warehouse))
+    current.set(warehouse)
+    if (spark.conf.getOption(ConfKey).contains("true")) return
+    spark.conf.set(ConfKey, "true")
+    spark.listenerManager.register(new Listener)
   }
 
-  private final class Listener(warehouse: String) extends QueryExecutionListener {
+  private final class Listener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      try append(warehouse, funcName, qe, durationNs, error = None)
+      try Option(current.get).foreach(append(_, funcName, qe, durationNs, error = None))
       catch { case scala.util.control.NonFatal(_) => () } // metrics never fail the query
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
-      try append(warehouse, funcName, qe, -1L, error = Some(e.toString))
+      try Option(current.get).foreach(append(_, funcName, qe, -1L, error = Some(e.toString)))
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
