@@ -51,15 +51,27 @@ object NetcdfSource {
 
   def isClassicFile(path0: String): Boolean = NetcdfClassic.isClassic(localPath(path0))
 
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), graft.nd.NdDataset]()
+
   /** metadata-only parse: every variable present with its dims, type
     * and attributes but EMPTY data — schema inference and grid
-    * selection on a 50 GB granule cost the header bytes, not the file */
+    * selection on a 50 GB granule cost the header bytes, not the file.
+    * Cached per (path, mtime) per JVM: one query's planning touches a
+    * file's header from schema inference, file pruning and split
+    * planning, and at a million files each extra walk is a listing-cost
+    * pass (the reference's NETCDF_USE_READER_CACHE stance). */
   def readContainerMeta(path0: String): graft.nd.NdDataset = {
     val path = localPath(path0)
-    if (NetcdfClassic.isClassic(path)) NetcdfClassic.readMeta(path)
-    else if (graft.sources.tiff.TiffReader.isTiff(path))
-      graft.sources.tiff.TiffReader.readMeta(path)
-    else graft.sources.hdf5.Hdf5Reader.readMeta(path)
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+      catch { case _: java.io.IOException => -1L }
+    if (metaCache.size > 1024) metaCache.clear()
+    metaCache.computeIfAbsent((path, mtime), _ =>
+      if (NetcdfClassic.isClassic(path)) NetcdfClassic.readMeta(path)
+      else if (graft.sources.tiff.TiffReader.isTiff(path))
+        graft.sources.tiff.TiffReader.readMeta(path)
+      else graft.sources.hdf5.Hdf5Reader.readMeta(path))
   }
 
   /** Flattened schema without decoding any data (metadata-only parse;
