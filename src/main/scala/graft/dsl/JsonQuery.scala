@@ -344,6 +344,16 @@ object JsonQuery {
       else if (m.contains("gt_eq")) col(quote(column)) >= comparisonLit(m("gt_eq"), column, schema)
       else if (m.contains("lt"))    col(quote(column)) < comparisonLit(m("lt"), column, schema)
       else if (m.contains("lt_eq")) col(quote(column)) <= comparisonLit(m("lt_eq"), column, schema)
+      // one-sided range (docs api/querying/json.md: {"column": "time",
+      // "min": "2025-01-01"} with no max, and the mirror case)
+      else if (Seq("min", "low").exists(m.contains)) {
+        val lo = m(Seq("min", "low").find(m.contains).get)
+        col(quote(column)) >= comparisonLit(lo, column, schema)
+      }
+      else if (Seq("max", "high").exists(m.contains)) {
+        val hi = m(Seq("max", "high").find(m.contains).get)
+        col(quote(column)) <= comparisonLit(hi, column, schema)
+      }
       else throw new DslException(s"unrecognized filter: $v")
     case other => throw new DslException(s"bad filter: $other")
   }

@@ -68,6 +68,21 @@ class EngineSpec extends AnyFunSuite {
     assert(JsonQuery.compile(spark, q).collect().length == 10)
   }
 
+  test("DSL one-sided min/max filters (docs: min without max is valid)") {
+    def n(filter: String): Long = JsonQuery.compile(spark,
+      s"""{"select": ["l_orderkey"], "filters": [$filter],
+           "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}}}""").count()
+    val total = n("""{"column": "l_quantity", "min": 0}""")
+    assert(n("""{"column": "l_quantity", "min": 45}""") ==
+      n("""{"column": "l_quantity", "gt_eq": 45}"""))
+    assert(n("""{"column": "l_quantity", "max": 5}""") ==
+      n("""{"column": "l_quantity", "lt_eq": 5}"""))
+    assert(n("""{"column": "l_quantity", "min": 45}""") < total)
+    // legacy aliases low/high behave identically
+    assert(n("""{"for_query_parameter": "l_quantity", "low": 45}""") ==
+      n("""{"column": "l_quantity", "min": 45}"""))
+  }
+
   test("DSL select/filter/sort/limit over parquet") {
     val q = s"""{"select": ["l_orderkey", "l_quantity", "l_extendedprice"],
                  "filter": {"and": [{"column": "l_quantity", "gt": 45},
