@@ -339,7 +339,10 @@ object JsonQuery {
         c >= comparisonLit(lo, column, schema) && c <= comparisonLit(hi, column, schema)
       }
       else if (m.contains("eq"))    col(quote(column)) === comparisonLit(m("eq"), column, schema)
-      else if (m.contains("neq"))   col(quote(column)) =!= comparisonLit(m("neq"), column, schema)
+      else if (Seq("neq", "not_eq", "not_equal").exists(m.contains)) {
+        val v0 = m(Seq("neq", "not_eq", "not_equal").find(m.contains).get)
+        col(quote(column)) =!= comparisonLit(v0, column, schema)
+      }
       else if (m.contains("gt"))    col(quote(column)) > comparisonLit(m("gt"), column, schema)
       else if (m.contains("gt_eq")) col(quote(column)) >= comparisonLit(m("gt_eq"), column, schema)
       else if (m.contains("lt"))    col(quote(column)) < comparisonLit(m("lt"), column, schema)

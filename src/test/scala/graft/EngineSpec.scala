@@ -81,6 +81,11 @@ class EngineSpec extends AnyFunSuite {
     // legacy aliases low/high behave identically
     assert(n("""{"for_query_parameter": "l_quantity", "low": 45}""") ==
       n("""{"column": "l_quantity", "min": 45}"""))
+    // neq aliases (docs: not_eq, not_equal)
+    assert(n("""{"column": "l_linenumber", "not_eq": 1}""") ==
+      n("""{"column": "l_linenumber", "neq": 1}"""))
+    assert(n("""{"column": "l_linenumber", "not_equal": 1}""") ==
+      n("""{"column": "l_linenumber", "neq": 1}"""))
   }
 
   test("DSL select/filter/sort/limit over parquet") {
