@@ -123,9 +123,66 @@ object JsonQuery {
         val om = o.toMap
         val path = om.get("path").collect { case JString(p) => p }
           .getOrElse(throw new DslException("output requires path"))
-        val fmt = om.get("format").collect { case JString(f) => f.toLowerCase }
-        val n = graft.sql.Outputs.copyTo(df, path, fmt)
         import spark.implicits._
+        val n: Long = om.get("format") match {
+          // simple formats: csv | parquet | netcdf | odv | bbf |
+          // ipc (alias: arrow) — docs api/querying/index.md
+          case None | Some(JString(_)) =>
+            val fmt = om.get("format").collect {
+              case JString(f) => if (f.equalsIgnoreCase("ipc")) "arrow" else f.toLowerCase
+            }
+            graft.sql.Outputs.copyTo(df, path, fmt)
+          // structured formats: {"format": {"geoparquet"|"nd_netcdf"|"odv": {…}}}
+          case Some(JObject(fo)) =>
+            def str(v: JValue, what: String): String = v match {
+              case JString(s) => s
+              case JObject(co) => co.toMap.get("column_name") match {
+                case Some(JString(s)) => s
+                case _ => throw new DslException(s"output $what needs a column name")
+              }
+              case _ => throw new DslException(s"output $what needs a column name")
+            }
+            fo.toMap.toList match {
+              case ("geoparquet", JObject(go)) :: Nil =>
+                val gm = go.toMap
+                val lon = gm.get("longitude_column").map(str(_, "geoparquet")).getOrElse("longitude")
+                val lat = gm.get("latitude_column").map(str(_, "geoparquet")).getOrElse("latitude")
+                require(df.columns.contains(lon) && df.columns.contains(lat),
+                  s"geoparquet output needs columns $lon, $lat")
+                val obs = new org.apache.spark.sql.Observation("graft.dsl.rows")
+                val counted = df.observe(obs,
+                  org.apache.spark.sql.functions.count(
+                    org.apache.spark.sql.functions.lit(1)).as("rows"))
+                graft.sources.GeoParquet.write(counted, path, lon, lat)
+                obs.get("rows").asInstanceOf[Long] // distributed write: one action
+              case ("nd_netcdf", JObject(no)) :: Nil =>
+                val dims = no.toMap.get("dimension_columns") match {
+                  case Some(JArray(ds)) => ds.collect { case JString(d) => d }
+                  case _ => throw new DslException("nd_netcdf output needs dimension_columns")
+                }
+                val nd = graft.nd.NdPivot.pivot(df, dims)
+                graft.sources.netcdf.NetcdfWriter.writeNd(nd, path)
+                nd.dims.map(_._2.toLong).product // grid cells written
+              case ("odv", JObject(oo)) :: Nil =>
+                // column-role options: validate the referenced columns
+                // exist; the writer derives labels/types from the schema
+                val omap = oo.toMap
+                val refCols = omap.collect {
+                  case (k, v) if k.endsWith("_column") => str(v, "odv")
+                  case ("key_column", JString(s)) => s
+                }.toSeq ++ (omap.get("data_columns") match {
+                  case Some(JArray(cs)) => cs.map(str(_, "odv"))
+                  case _ => Nil
+                })
+                refCols.foreach(c => require(df.columns.contains(c),
+                  s"odv output references missing column $c"))
+                graft.sources.OdvWriter.write(df, path)
+              case (other, _) :: Nil =>
+                throw new DslException(s"output format '$other' unsupported")
+              case _ => throw new DslException("output format object needs exactly one key")
+            }
+          case Some(other) => throw new DslException(s"bad output format: $other")
+        }
         df = Seq((path, n)).toDF("path", "rows")
       case other => throw new DslException(s"bad output: $other")
     }

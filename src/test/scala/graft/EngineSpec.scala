@@ -88,6 +88,51 @@ class EngineSpec extends AnyFunSuite {
       n("""{"column": "l_linenumber", "neq": 1}"""))
   }
 
+  test("DSL structured output formats: geoparquet, nd_netcdf, odv object") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dslout")
+    // geoparquet with explicit lon/lat role columns
+    val gq = s"""{"select": [{"column": "l_quantity", "alias": "lat"},
+                             {"column": "l_linenumber", "alias": "lon"},
+                             "l_orderkey"],
+                  "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}},
+                  "limit": 50,
+                  "output": {"path": "$dir/pts.parquet",
+                    "format": {"geoparquet": {"longitude_column": "lon",
+                                              "latitude_column": "lat"}}}}"""
+    val r1 = JsonQuery.compile(spark, gq).collect()(0)
+    assert(r1.getLong(1) == 50)
+    assert(graft.sources.GeoParquet.read(spark, Seq(s"$dir/pts.parquet"))
+      .columns.contains("geometry_wkt"))
+    // nd_netcdf with dimension_columns
+    val nd = s"""{"select": [{"column": "l_linenumber", "alias": "ln"},
+                             {"column": "l_quantity", "alias": "qty"},
+                             {"column": "l_extendedprice", "alias": "price"}],
+                  "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}},
+                  "limit": 20,
+                  "output": {"path": "$dir/grid.nc",
+                    "format": {"nd_netcdf": {"dimension_columns": ["ln", "qty"]}}}}"""
+    assert(JsonQuery.compile(spark, nd).collect()(0).getLong(1) > 0)
+    assert(graft.sources.netcdf.NetcdfSource.readFile(spark, s"$dir/grid.nc").count() > 0)
+    // odv with column-role options (validated against the result schema)
+    val odv = s"""{"select": [{"column": "l_orderkey", "alias": "cruise"},
+                              {"column": "l_quantity", "alias": "depth"}],
+                   "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}},
+                   "limit": 10,
+                   "output": {"path": "$dir/o.odv",
+                     "format": {"odv": {"key_column": "cruise",
+                       "depth_column": {"column_name": "depth"},
+                       "data_columns": [{"column_name": "depth"}]}}}}"""
+    assert(JsonQuery.compile(spark, odv).collect()(0).getLong(1) == 10)
+    // a missing role column fails loudly
+    val bad = odv.replace(""""key_column": "cruise"""", """"key_column": "nope"""")
+    intercept[IllegalArgumentException](JsonQuery.compile(spark, bad).collect())
+    // ipc alias routes to the arrow writer
+    val ipc = s"""{"select": ["l_orderkey"], "limit": 5,
+                   "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}},
+                   "output": {"path": "$dir/x.arrow", "format": "ipc"}}"""
+    assert(JsonQuery.compile(spark, ipc).collect()(0).getLong(1) == 5)
+  }
+
   test("DSL select/filter/sort/limit over parquet") {
     val q = s"""{"select": ["l_orderkey", "l_quantity", "l_extendedprice"],
                  "filter": {"and": [{"column": "l_quantity", "gt": 45},
