@@ -31,6 +31,11 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     * tables as temp views). */
   def jsonQuery(json: String): DataFrame = JsonQuery.compile(spark, json)
 
+  /** Analyze a JSON query without executing it and return the result
+    * schema (the reference's `/api/query/validate` endpoint). */
+  def validateJsonQuery(json: String): org.apache.spark.sql.types.StructType =
+    JsonQuery.validate(spark, json)
+
   /** Re-register every persisted table definition (restart path). */
   def restore(): Unit = catalog.restore()
 }

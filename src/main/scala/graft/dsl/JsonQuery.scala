@@ -44,6 +44,33 @@ object JsonQuery {
       Option(tableResolver).getOrElse((n: String) => spark.table(n)))
   }
 
+  /** The reference's `/api/query/validate`: fully analyze the query —
+    * parse, resolve tables/files, type-check every expression — WITHOUT
+    * executing anything, and return the result schema. The output
+    * clause is validated for shape (path + known format) but its write
+    * is skipped, so validate never touches the filesystem. Errors
+    * surface as [[DslException]] / analysis exceptions. */
+  def validate(spark: SparkSession, json: String,
+      tableResolver: String => DataFrame = null): org.apache.spark.sql.types.StructType = {
+    val ast = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => throw new DslException(s"query body must be an object, got $other")
+    }
+    val noOutput = JObject(ast.obj.filterNot(_._1 == "output"))
+    ast.obj.toMap.get("output").foreach {
+      case JObject(o) =>
+        val om = o.toMap
+        if (!om.contains("path")) throw new DslException("output requires path")
+        om.get("format").foreach {
+          case JString(_) | JObject(_) => ()
+          case other => throw new DslException(s"bad output format: $other")
+        }
+      case other => throw new DslException(s"bad output: $other")
+    }
+    compileAst(spark, noOutput,
+      Option(tableResolver).getOrElse((n: String) => spark.table(n))).schema
+  }
+
   def compileAst(
       spark: SparkSession,
       body: JObject,

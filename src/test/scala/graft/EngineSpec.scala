@@ -88,6 +88,31 @@ class EngineSpec extends AnyFunSuite {
       n("""{"column": "l_linenumber", "neq": 1}"""))
   }
 
+  test("DSL validate: full analysis, no execution, no file writes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-validate")
+    val q = s"""{"select": ["l_orderkey", {"column": "l_quantity", "alias": "qty"}],
+                 "filters": [{"column": "l_quantity", "min": 10}],
+                 "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}},
+                 "output": {"path": "$dir/out.csv", "format": "csv"}}"""
+    val schema = JsonQuery.validate(spark, q)
+    assert(schema.fieldNames.toSeq == Seq("l_orderkey", "qty"))
+    // the output file was NOT written
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out.csv")))
+    // a bad column is an analysis error at validate time
+    intercept[Exception] {
+      JsonQuery.validate(spark,
+        s"""{"select": ["no_such_column"],
+             "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}}}""")
+    }
+    // a malformed output clause fails even though the write is skipped
+    intercept[IllegalArgumentException] {
+      JsonQuery.validate(spark,
+        s"""{"select": ["l_orderkey"],
+             "from": {"parquet": {"paths": ["$sf/lineitem.parquet"]}},
+             "output": {"format": "csv"}}""")
+    }
+  }
+
   test("DSL structured output formats: geoparquet, nd_netcdf, odv object") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dslout")
     // geoparquet with explicit lon/lat role columns
