@@ -334,8 +334,11 @@ object BbfSource {
     * plan unions one scan PER DISTINCT ENTRY SCHEMA (each spanning all
     * its (file, entry) members), so a collection of thousands of files
     * with a handful of schema shapes stays a handful of scan nodes. */
-  def read(spark: SparkSession, paths: Seq[String], entry: Option[String] = None): DataFrame = {
-    require(paths.nonEmpty, "bbf: at least one path required")
+  def read(spark: SparkSession, paths0: Seq[String], entry: Option[String] = None): DataFrame = {
+    require(paths0.nonEmpty, "bbf: at least one path required")
+    // glob expansion (docs formats/bbf.md: read_bbf('bbf/**/*.bbf'))
+    val paths = graft.sources.FileCollection.expandGlobs(spark, paths0)
+    require(paths.nonEmpty, s"bbf: no files match ${paths0.mkString(",")}")
     val perEntry: Seq[(String, String, StructType)] = paths.flatMap { p =>
       val footer = BbfStore.openCached(p)
       val names = entry.map(Seq(_)).getOrElse(footer.entries.map(_.name))

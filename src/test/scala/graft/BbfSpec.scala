@@ -280,6 +280,17 @@ class BbfSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("'nope' not in"))
   }
 
+  test("bbf: glob paths expand (docs: read_bbf('bbf/**/*.bbf'))") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbf-glob")
+    java.nio.file.Files.createDirectories(dir.resolve("sub"))
+    BbfStore.Writer.write(dir.resolve("a.bbf"), Seq("d" -> Seq(1).toDF("k")))
+    BbfStore.Writer.write(dir.resolve("sub/b.bbf"), Seq("d" -> Seq(2).toDF("k")))
+    assert(BbfSource.read(spark, Seq(s"$dir/*.bbf")).count() == 1)
+    assert(BbfSource.read(spark, Seq(s"$dir/*/*.bbf")).count() == 1)
+    assert(BbfSource.read(spark, Seq(s"$dir/*.bbf", s"$dir/*/*.bbf")).count() == 2)
+  }
+
   test("bbf: corrupt or non-bbf files are rejected, not guessed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bbf-bad")
     val notBbf = dir.resolve("x.bbf")
