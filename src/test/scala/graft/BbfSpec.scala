@@ -280,6 +280,19 @@ class BbfSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("'nope' not in"))
   }
 
+  test("bbf: an empty entry round-trips as zero rows with intact schema") {
+    import spark.implicits._
+    val path = freshFile()
+    val empty = Seq((1, "x")).toDF("k", "s").filter($"k" > 99)
+    BbfStore.Writer.write(path, Seq("data" -> empty, "full" -> Seq((2, "y")).toDF("k", "s")))
+    val entry = BbfStore.open(path.toString).entry("data")
+    assert(entry.rows == 0 && entry.blocks.isEmpty)
+    assert(entry.sparkSchema.fieldNames.toSeq == Seq("k", "s"))
+    val justEmpty = BbfSource.read(spark, Seq(path.toString), Some("data"))
+    assert(justEmpty.count() == 0)
+    assert(BbfSource.read(spark, Seq(path.toString)).count() == 1)
+  }
+
   test("bbf: glob paths expand (docs: read_bbf('bbf/**/*.bbf'))") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bbf-glob")

@@ -122,6 +122,28 @@ class CatalogSpec extends AnyFunSuite {
     val pq = engine.sql(s"DESCRIBE STATISTICS '$sf/nation.parquet'").collect()
       .map(r => r.getString(0) -> r.getString(2)).toMap
     assert(pq("n_nationkey") == "0")
+    // a DIRECTORY store (zarr) fingerprints over its files and computes
+    val zarr = engine.sql(
+      "DESCRIBE STATISTICS '/root/reference/test-datasets/gridded-example.zarr'")
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(zarr.contains("lat"))
+    val (zmin, zmax) = zarr("lat")
+    assert(zmin != null && zmax != null && zmin.toDouble < zmax.toDouble)
+  }
+
+  test("query metrics record failing actions with the error") {
+    import org.apache.spark.sql.functions._
+    intercept[Exception] {
+      spark.range(10).select(expr("assert_true(id < 5)")).collect()
+    }
+    var rows = Array.empty[org.apache.spark.sql.Row]
+    val deadline = System.currentTimeMillis() + 30000
+    while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      rows = engine.sql("SHOW QUERY METRICS").collect()
+        .filter(r => r.getAs[Long]("execution_time_ms") == -1L)
+    }
+    assert(rows.nonEmpty, "the failed action should be recorded with -1 duration")
   }
 
   test("STORED AS BBF external table registers, restores and filters") {
