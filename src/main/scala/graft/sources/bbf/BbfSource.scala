@@ -341,8 +341,14 @@ object BbfSource {
     require(paths.nonEmpty, s"bbf: no files match ${paths0.mkString(",")}")
     val perEntry: Seq[(String, String, StructType)] = paths.flatMap { p =>
       val footer = BbfStore.openCached(p)
-      val names = entry.map(Seq(_)).getOrElse(footer.entries.map(_.name))
-      names.map(n => (p, n, footer.entry(n).sparkSchema))
+      entry match {
+        case Some(n) =>
+          val e = footer.entry(n)
+          require(!e.deleted, s"bbf entry '$n' in $p is logically deleted")
+          Seq((p, n, e.sparkSchema))
+        case None => // scans skip logically deleted entries
+          footer.entries.filterNot(_.deleted).map(e => (p, e.name, e.sparkSchema))
+      }
     }
     require(perEntry.nonEmpty, s"bbf: no entries in ${paths.mkString(",")}")
     val merged = SuperType.superTypeSchemaScan(perEntry.map(_._3))

@@ -99,7 +99,7 @@ object BbfStore {
       codec: String = "raw", rawLength: Long = -1L)
   final case class Block(rows: Int, columns: Map[String, ColChunk])
   final case class Entry(name: String, schema: Seq[(String, String)], rows: Long,
-      blocks: Seq[Block]) {
+      blocks: Seq[Block], deleted: Boolean = false) {
     def sparkSchema: StructType =
       StructType(schema.map { case (n, dt) => StructField(n, sparkType(dt), nullable = true) })
   }
@@ -209,7 +209,8 @@ object BbfStore {
           }
           case _ => Nil
         }
-        Entry(name, schema, blocks.map(_.rows.toLong).sum, blocks)
+        val deleted = (e \ "deleted") match { case JBool(b) => b; case _ => false }
+        Entry(name, schema, blocks.map(_.rows.toLong).sum, blocks, deleted)
       }
       case _ => throw new IllegalArgumentException(s"bbf footer has no entries object: $p")
     }
@@ -316,6 +317,36 @@ object BbfStore {
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
     out.toByteArray
+  }
+
+  /** In-place footer rewrite (the reference toolbox's FooterUpdater,
+    * beacon-binary-format-toolbox/src/update/update_schema.rs): the
+    * data section is immutable; the footer is truncated and rewritten
+    * with the transformed entry metadata. Logical entry deletes and
+    * reinterpret-safe datatype updates go through here. */
+  def rewriteFooter(path0: java.nio.file.Path, transform: Seq[Entry] => Seq[Entry]): Unit = {
+    val footer = open(path0.toString)
+    val size = Files.size(path0)
+    val ch = java.nio.channels.FileChannel.open(path0,
+      java.nio.file.StandardOpenOption.READ, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val tail = ByteBuffer.allocate(14).order(ByteOrder.LITTLE_ENDIAN)
+      readFully(ch, tail, size - 14)
+      tail.flip()
+      val footerLen = tail.getLong
+      val footerStart = size - 14 - footerLen
+      val newFooter = Writer.renderFooter(transform(footer.entries))
+        .getBytes(StandardCharsets.UTF_8)
+      ch.truncate(footerStart)
+      ch.position(footerStart)
+      val out = ByteBuffer.allocate(newFooter.length + 14).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(newFooter)
+      out.putLong(newFooter.length.toLong)
+      out.put(TrailerMagic)
+      out.flip()
+      while (out.hasRemaining) ch.write(out)
+    } finally ch.close()
+    footerCache.clear() // mtime granularity can hide same-ms rewrites
   }
 
   // -------------------------------------------------------------- write
@@ -462,14 +493,15 @@ object BbfStore {
       (full.toByteArray, stats)
     }
 
-    private def renderFooter(entries: Seq[Entry]): String = {
+    private[bbf] def renderFooter(entries: Seq[Entry]): String = {
       val json = JObject(
         "bbf_format_version" -> JInt(1),
         "entries" -> JObject(entries.toList.map { e =>
-          e.name -> (JObject(
+          e.name -> (JObject(List[(String, JValue)](
             "schema" -> JArray(e.schema.toList.map { case (n, dt) =>
               JObject("name" -> JString(n), "dtype" -> JString(dt)) }),
-            "rows" -> JLong(e.rows),
+            "rows" -> JLong(e.rows)) ++
+            (if (e.deleted) List("deleted" -> (JBool(true): JValue)) else Nil) ++ List(
             "blocks" -> JArray(e.blocks.toList.map { b =>
               JObject(
                 "rows" -> JInt(b.rows),
@@ -489,7 +521,7 @@ object BbfStore {
                     "offset" -> JLong(c.offset), "length" -> JLong(c.length),
                     "null_count" -> JLong(c.stats.nullCount)) ++ codecFields ++ statFields)
                 }))
-            })): JValue)
+            }))): JValue)
         }))
       JsonMethods.compact(JsonMethods.render(json))
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.bbf.{BbfScanPlanner, BbfSource, BbfSpec => Spec, BbfStore}
+import graft.sources.bbf.{BbfScanPlanner, BbfSource, BbfSpec => Spec, BbfStore, BbfTools}
 
 /** read_bbf: multi-entry binary container with per-block column
   * statistics pruning (semantics per the reference's bbf bridge,
@@ -302,6 +302,75 @@ class BbfSpec extends AnyFunSuite {
     assert(BbfSource.read(spark, Seq(s"$dir/*.bbf")).count() == 1)
     assert(BbfSource.read(spark, Seq(s"$dir/*/*.bbf")).count() == 1)
     assert(BbfSource.read(spark, Seq(s"$dir/*.bbf", s"$dir/*/*.bbf")).count() == 2)
+  }
+
+  test("bbf toolbox: create from a mixed collection, list, pruning index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bbftools")
+    // a parquet, a csv and an arrow input file
+    Seq((1, "a"), (2, "b")).toDF("k", "s").coalesce(1)
+      .write.parquet(dir.resolve("pq").toString)
+    val pqFile = new java.io.File(dir.resolve("pq").toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val pqRenamed = dir.resolve("obs_a.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(pqFile), pqRenamed)
+    java.nio.file.Files.writeString(dir.resolve("obs_b.csv"), "k,s\n3,c\n4,d\n5,e\n")
+    graft.sources.ArrowSource.writeSingleFile(
+      Seq((6, "f")).toDF("k", "s"), dir.resolve("obs_c.arrow").toString)
+    val out = dir.resolve("all.bbf")
+    val n = BbfTools.create(spark,
+      Seq(s"$dir/*.parquet", s"$dir/*.csv", s"$dir/*.arrow"), out)
+    assert(n == 6)
+    val listed = BbfTools.listEntries(spark, out.toString).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(listed == Map("obs_a.parquet" -> 2L, "obs_b.csv" -> 3L, "obs_c.arrow" -> 1L))
+    // regex filter (toolbox datasets_regex)
+    assert(BbfTools.listEntries(spark, out.toString, Some("csv$")).count() == 1)
+    // the pruning index exposes per-(entry, block, column) statistics
+    val idx = BbfTools.pruningIndex(spark, out.toString).collect()
+    val kRow = idx.find(r => r.getString(0) == "obs_b.csv" && r.getString(2) == "k").get
+    assert(kRow.getString(5) == "3.0" && kRow.getString(6) == "5.0")
+    // the union scan sees all six rows (supercast across entries)
+    assert(BbfSource.read(spark, Seq(out.toString)).count() == 6)
+    // unreadable inputs: fail fast by default, skip with the flag
+    java.nio.file.Files.writeString(dir.resolve("bad.arrow"), "not arrow")
+    intercept[IllegalArgumentException] {
+      BbfTools.create(spark, Seq(s"$dir/*.arrow"), dir.resolve("x.bbf"))
+    }
+    assert(BbfTools.create(spark, Seq(s"$dir/*.arrow"),
+      dir.resolve("y.bbf"), skipOnError = true) == 1)
+  }
+
+  test("bbf toolbox: logical entry delete and reinterpret-safe datatype update") {
+    import spark.implicits._
+    val path = freshFile()
+    // epoch_day mis-typed as int32 — THE update_schema use case
+    BbfStore.Writer.write(path, Seq(
+      "a" -> Seq((1, 19789), (2, 19790)).toDF("k", "epoch_day"),
+      "b" -> Seq((3, 19791)).toDF("k", "epoch_day")))
+    // logical delete: data untouched, scans skip, explicit access rejects
+    BbfTools.deleteEntry(path, "b")
+    assert(BbfSource.read(spark, Seq(path.toString)).count() == 2)
+    assert(BbfTools.listEntries(spark, path.toString).collect()
+      .find(_.getString(0) == "b").get.getBoolean(3))
+    val e = intercept[IllegalArgumentException] {
+      BbfSource.read(spark, Seq(path.toString), Some("b")).collect()
+    }
+    assert(e.getMessage.contains("logically deleted"))
+    BbfTools.undeleteEntry(path, "b")
+    assert(BbfSource.read(spark, Seq(path.toString)).count() == 3)
+    // int32 → date reinterprets the same 4 bytes as epoch days
+    BbfTools.updateDatatype(path, "epoch_day", "date")
+    val back = BbfSource.read(spark, Seq(path.toString)).orderBy("k").collect()
+    assert(back(0).schema("epoch_day").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(String.valueOf(back(0).getAs[Any]("epoch_day")) ==
+      java.time.LocalDate.ofEpochDay(19789).toString)
+    // width-changing updates are rejected, not guessed
+    val e2 = intercept[IllegalArgumentException] {
+      BbfTools.updateDatatype(path, "k", "int64")
+    }
+    assert(e2.getMessage.contains("not reinterpretation-safe"))
   }
 
   test("bbf: corrupt or non-bbf files are rejected, not guessed") {
