@@ -24,7 +24,11 @@ import org.json4s.jackson.JsonMethods
   *    uncertainty (opener.rs BBFPruningStatistics); here a container is
   *    one BLOCK (row-group) so pruning is finer than per-entry;
   *  - batches stream in bounded row slices (opener.rs
-  *    split_record_batch) — a block is the slice unit.
+  *    split_record_batch) — a block is the slice unit;
+  *  - entries can be LOGICALLY DELETED (footer flag, data untouched —
+  *    the reference reader's entries_logical_deletes surface) and a
+  *    column's declared dtype can be updated in place via footer
+  *    rewrite ([[BbfTools]], the toolbox analog).
   *
   * The byte layout is graft-designed (the reference's beacon-binary-format
   * crate is external and not part of the tree):
