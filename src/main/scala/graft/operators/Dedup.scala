@@ -181,4 +181,43 @@ object Dedup {
           (col("a_sz") + col("b_sz") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  // --------------------------------------------------------- clusters
+
+  /** Connected components over an undirected duplicate-pair list — the
+    * step after LSH that turns pairs into KEEP/DROP groups (cluster_id
+    * = min member id, the canonical keeper). Min-label propagation:
+    * each round is one shuffle join (edge → neighbor label) + one
+    * aggregate, labels only decrease, and convergence is detected with
+    * a count of changed rows; `localCheckpoint` cuts lineage so the
+    * iteration count never grows the plan. Rounds are bounded by the
+    * component diameter — tiny for dedup clusters; `maxIter` is a
+    * safety stop, and hitting it throws rather than returning a
+    * half-converged labeling. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min("cluster_id").as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(labels("id"),
+          least(labels("cluster_id"),
+            coalesce(col("nmin"), labels("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels = updated
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

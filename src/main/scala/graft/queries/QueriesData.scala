@@ -62,6 +62,18 @@ object QueriesData {
         .orderBy(col("a_doc_id"), col("b_doc_id"))
     },
 
+    // ---- pairs → clusters: connected components by min-label
+    // propagation (cluster_id = min member id = the canonical keeper).
+    // The oracle computes the identical transitive closure with a
+    // recursive CTE over the same replayed LSH pairs.
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashCandidates(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+      Dedup.connectedComponents(pairs, "a_doc_id", "b_doc_id")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // ---- capped LSH pairs: the recommended production configuration.
     // maxBucket bounds a degenerate band bucket's pair fan-out (f²/2) —
     // at 100 TB a boilerplate signature otherwise dominates the output.
@@ -528,6 +540,26 @@ object QueriesData {
         FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
         WHERE a.doc_id < b.doc_id
         ORDER BY a_doc_id, b_doc_id""",
+    "q_dedup_clusters" ->
+      raw"""WITH RECURSIVE $tokCte,
+        sig AS (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM sh),
+        bands AS (
+          SELECT doc_id, 0 AS band, mh0 || mh1 AS s FROM sig UNION ALL
+          SELECT doc_id, 1, mh2 || mh3 FROM sig UNION ALL
+          SELECT doc_id, 2, mh4 || mh5 FROM sig UNION ALL
+          SELECT doc_id, 3, mh6 || mh7 FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
+          WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id)
+        SELECT id AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id""",
     "q_dedup_minhash_pairs_capped" ->
       raw"""WITH $tokCte,
         sig AS (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM sh),

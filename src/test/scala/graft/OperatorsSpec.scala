@@ -405,6 +405,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.length == 6)
   }
 
+  test("connected components: chains merge, separate clusters stay apart") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // chain 1-2-3-4 plus isolated pair 8-9 plus a cycle 5-6-7-5
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
+    // deterministic on repeat
+    assert(Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+  }
+
   test("z-order: bit interleave pins and spatial locality of the layout") {
     import spark.implicits._
     import graft.operators.ZOrder
