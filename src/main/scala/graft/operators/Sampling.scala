@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: the split a
+  * row lands in is a pure function of (key, salt) — stable across runs,
+  * executor counts and data layout, unlike `randomSplit`, so train/val/
+  * test membership never drifts between pipeline runs and a row can be
+  * re-derived to its split at any time.
+  *
+  * Bit contract (the engine's md5 family): bucket = the LOW 48 BITS of
+  * `md5_number_lower(key || salt)` (little-endian u64 over digest bytes
+  * 8..15) modulo `buckets` — replayed verbatim by the DuckDB oracle, and
+  * computed here with built-in codegen'd functions only (md5 + string
+  * slicing + conv), no UDF.
+  */
+object Sampling {
+
+  /** hash bucket in [0, buckets): low 48 bits of md5_number_lower */
+  def hashBucket(key: Column, salt: String, buckets: Int = 10000): Column = {
+    require(buckets > 0, "buckets must be positive")
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    // little-endian: least significant byte is digest byte 8 = hex 17-18
+    val le48 = concat(
+      substring(h, 27, 2), substring(h, 25, 2), substring(h, 23, 2),
+      substring(h, 21, 2), substring(h, 19, 2), substring(h, 17, 2))
+    conv(le48, 16, 10).cast("long") % buckets
+  }
+
+  /** Adds a `split` column assigning each row to one named fraction
+    * (cumulative bucket ranges over 10000 buckets). Fractions must sum
+    * to 1 (±1e-9); every row lands in exactly one split. */
+  def assignSplits(df: DataFrame, keyCol: String, salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val b = hashBucket(col(keyCol), salt)
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    // last bound snaps to 10000 so rounding can't drop bucket 9999
+    val snapped = bounds.init :+ 10000L
+    val expr = splits.map(_._1).zip(snapped).foldRight(lit(null).cast("string")) {
+      case ((name, hi), rest) => when(b < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -62,6 +62,18 @@ object QueriesData {
         .orderBy(col("a_doc_id"), col("b_doc_id"))
     },
 
+    // ---- deterministic train/val/test split: membership is a pure
+    // function of (key, salt) — the md5-family bit contract (low 48
+    // bits of md5_number_lower) replayed verbatim by the oracle.
+    "q_hash_split" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.Sampling.assignSplits(ev, "event_id", "split-v1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy("split")
+    },
+
     // ---- pairs → clusters: connected components by min-label
     // propagation (cluster_id = min member id = the canonical keeper).
     // The oracle computes the identical transitive closure with a
@@ -540,6 +552,17 @@ object QueriesData {
         FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
         WHERE a.doc_id < b.doc_id
         ORDER BY a_doc_id, b_doc_id""",
+    // low 48 bits via % 2^48 (unsigned), buckets of 10000: train <8000,
+    // val <9000, test otherwise — the assignSplits cumulative ranges
+    "q_hash_split" ->
+      """WITH b AS (SELECT
+           (md5_number_lower(CAST(event_id AS VARCHAR) || 'split-v1')
+              % 281474976710656) % 10000 AS bk, value
+         FROM events)
+        SELECT CASE WHEN bk < 8000 THEN 'train'
+                    WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
+          count(*) AS n, round(sum(value), 4) AS total_value
+        FROM b GROUP BY 1 ORDER BY split""",
     "q_dedup_clusters" ->
       raw"""WITH RECURSIVE $tokCte,
         sig AS (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM sh),

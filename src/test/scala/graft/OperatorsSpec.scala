@@ -405,6 +405,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.length == 6)
   }
 
+  test("hash split: deterministic, exhaustive, close to requested fractions") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = spark.range(0, 10000).toDF("id")
+    val a = Sampling.assignSplits(df, "id", "s1", Seq("train" -> 0.8, "test" -> 0.2))
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000, "every row lands in exactly one split")
+    assert(math.abs(counts("train") - 8000) < 300, s"train ≈ 80%, got ${counts("train")}")
+    // identical assignment on re-run (pure function of key + salt)
+    val b = Sampling.assignSplits(df, "id", "s1", Seq("train" -> 0.8, "test" -> 0.2))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // a different salt reshuffles membership
+    val c = Sampling.assignSplits(df, "id", "s2", Seq("train" -> 0.8, "test" -> 0.2))
+    assert(a.except(c).count() > 0)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(df, "id", "s1", Seq("train" -> 0.5))
+    }
+  }
+
   test("connected components: chains merge, separate clusters stay apart") {
     import spark.implicits._
     import graft.operators.Dedup
