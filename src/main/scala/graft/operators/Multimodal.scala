@@ -155,8 +155,7 @@ object Multimodal {
           }
           i += 1
         }
-        // wanted indices may repeat when total < n never happens (n>=total
-        // returns each once); emit in sampled order
+        // emit in sampled order (wanted is strictly increasing)
         wanted.map(idx => out.find(_._1 == idx).get._2)
       } finally { reader.dispose(); iis.close() }
     }
