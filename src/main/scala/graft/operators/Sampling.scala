@@ -28,6 +28,33 @@ object Sampling {
     conv(le48, 16, 10).cast("long") % buckets
   }
 
+  /** Epoch-deterministic global shuffle: rows sort by the hash of
+    * (key, epoch), so every run of the same epoch yields the identical
+    * order — reproducible training-data order, re-derivable per row —
+    * while different epochs decorrelate. One range-partitioned sort,
+    * the plan any distributed shuffle needs. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    df.orderBy(hashBucket(col(keyCol), s"epoch-$epoch", 1 << 30), col(keyCol))
+
+  /** Sequence packing: assign rows to token-budgeted batches by a scan
+    * over a deterministic order — batch_id = floor(exclusive running
+    * token sum / budget), the standard parallel packing approximation
+    * (a row straddling a boundary belongs to the batch where it
+    * starts, so batches can overshoot by at most one row's tokens; the
+    * exact bin-packing variant is inherently sequential). One window
+    * cumsum over the whole frame — at cluster scale, partition the
+    * window by a shard column first. */
+  def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inclusive = sum(col(tokenCol)).over(w)
+    df.withColumn("batch_id",
+      floor((inclusive - col(tokenCol)) / lit(budget)).cast("long"))
+  }
+
   /** Adds a `split` column assigning each row to one named fraction
     * (cumulative bucket ranges over 10000 buckets). Fractions must sum
     * to 1 (±1e-9); every row lands in exactly one split. */

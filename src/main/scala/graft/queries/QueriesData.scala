@@ -74,6 +74,16 @@ object QueriesData {
         .orderBy("split")
     },
 
+    // ---- sequence packing: token-budgeted batch assignment by a scan
+    // over doc order (batch_id = floor(exclusive cumsum / budget)); the
+    // oracle replays the identical window arithmetic.
+    "q_pack_sequences" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+      graft.operators.Sampling.packSequences(docs, "n_chars", "doc_id", budget = 4096)
+        .orderBy("doc_id")
+    },
+
     // ---- pairs → clusters: connected components by min-label
     // propagation (cluster_id = min member id = the canonical keeper).
     // The oracle computes the identical transitive closure with a
@@ -552,6 +562,12 @@ object QueriesData {
         FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
         WHERE a.doc_id < b.doc_id
         ORDER BY a_doc_id, b_doc_id""",
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents)
+        SELECT doc_id, n_chars,
+          CAST(floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                      - n_chars) / 4096.0) AS BIGINT) AS batch_id
+        FROM d ORDER BY doc_id""",
     // low 48 bits via % 2^48 (unsigned), buckets of 10000: train <8000,
     // val <9000, test otherwise — the assignSplits cumulative ranges
     "q_hash_split" ->

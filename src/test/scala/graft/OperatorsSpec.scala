@@ -426,6 +426,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic shuffle and sequence packing") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = spark.range(0, 500).toDF("id")
+    val e1 = Sampling.deterministicShuffle(df, "id", epoch = 1).collect().map(_.getLong(0))
+    val e1b = Sampling.deterministicShuffle(df, "id", epoch = 1).collect().map(_.getLong(0))
+    val e2 = Sampling.deterministicShuffle(df, "id", epoch = 2).collect().map(_.getLong(0))
+    assert(e1.sameElements(e1b), "same epoch → identical order")
+    assert(!e1.sameElements(e2), "different epoch → different order")
+    assert(e1.sorted.sameElements(0L until 500L), "a permutation, nothing lost")
+
+    // packing: budget 10, docs of 4 tokens each → 3 docs per batch
+    // (batch 0 holds exclusive-cumsum 0,4,8 — the straddler at 8 stays)
+    val docs = spark.range(0, 9).toDF("id").withColumn("toks", lit(4L))
+    val packed = graft.operators.Sampling.packSequences(docs, "toks", "id", budget = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("batch_id")).toMap
+    assert(packed == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L))
+  }
+
   test("connected components: chains merge, separate clusters stay apart") {
     import spark.implicits._
     import graft.operators.Dedup
