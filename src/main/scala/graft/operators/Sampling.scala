@@ -41,15 +41,21 @@ object Sampling {
     * token sum / budget), the standard parallel packing approximation
     * (a row straddling a boundary belongs to the batch where it
     * starts, so batches can overshoot by at most one row's tokens; the
-    * exact bin-packing variant is inherently sequential). One window
-    * cumsum over the whole frame — at cluster scale, partition the
-    * window by a shard column first. */
+    * exact bin-packing variant is inherently sequential).
+    *
+    * `shardCol` is the 100 TB path: the window partitions by shard so
+    * every shard packs in parallel and batch_id is (shard-local);
+    * without it the cumsum is one global window — fine for a bounded
+    * frame, a single-task bottleneck at scale. */
   def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, shardCol: Option[String] = None): DataFrame = {
     require(budget > 0, "token budget must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = shardCol match {
+      case Some(sc) => Window.partitionBy(col(sc)).orderBy(col(orderCol))
+      case None => Window.orderBy(col(orderCol))
+    }
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inclusive = sum(col(tokenCol)).over(w)
     df.withColumn("batch_id",
       floor((inclusive - col(tokenCol)) / lit(budget)).cast("long"))

@@ -444,6 +444,19 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("batch_id")).toMap
     assert(packed == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
       5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L))
+
+    // sharded packing: each shard packs independently in parallel
+    val sharded = docs.withColumn("shard", col("id") % 3)
+    val p2 = graft.operators.Sampling.packSequences(
+      sharded, "toks", "id", budget = 8, shardCol = Some("shard"))
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("id")) ->
+        r.getAs[Long]("batch_id")).toMap
+    // 3 docs per shard, 4 tokens each, budget 8 → exclusive cumsums
+    // 0,4,8 → batches 0,0,1 within every shard
+    (0L until 3L).foreach { sh =>
+      val ids = (0L until 9L).filter(_ % 3 == sh).sorted
+      assert(p2((sh, ids(0))) == 0L && p2((sh, ids(1))) == 0L && p2((sh, ids(2))) == 1L)
+    }
   }
 
   test("connected components: chains merge, separate clusters stay apart") {
