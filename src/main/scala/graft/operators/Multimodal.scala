@@ -136,9 +136,20 @@ object Multimodal {
           val (ox, oy, disposal) = gifFrameGeometry(reader, i)
           if (canvas == null)
             canvas = new java.awt.image.BufferedImage(
-              math.max(frame.getWidth + ox, frame.getWidth),
-              math.max(frame.getHeight + oy, frame.getHeight),
+              frame.getWidth + ox, frame.getHeight + oy,
               java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          else if (ox + frame.getWidth > canvas.getWidth ||
+              oy + frame.getHeight > canvas.getHeight) {
+            // a later frame exceeds the logical screen we inferred from
+            // the first: grow the canvas instead of clipping silently
+            val grown = new java.awt.image.BufferedImage(
+              math.max(canvas.getWidth, ox + frame.getWidth),
+              math.max(canvas.getHeight, oy + frame.getHeight),
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val gg = grown.createGraphics()
+            try gg.drawImage(canvas, 0, 0, null) finally gg.dispose()
+            canvas = grown
+          }
           val g2 = canvas.createGraphics()
           try g2.drawImage(frame, ox, oy, null) finally g2.dispose()
           if (wantedSet.contains(i)) {
