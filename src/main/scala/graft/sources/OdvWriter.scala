@@ -32,14 +32,24 @@ object OdvWriter {
       s"odv writer: unsupported column type ${other.simpleString}")
   }
 
-  /** @return number of rows written (the COPY TO row receipt) */
+  /** @return number of rows written (the COPY TO row receipt).
+    * A `.zip` target wraps the spreadsheet in a ZIP archive holding one
+    * `data.txt` entry — the reference's ODV responses are always ZIP
+    * collections (docs api/querying/index.md §ODV). */
   def write(df: DataFrame, path: String): Long = {
     val schema = df.schema
     // explicit UTF-8: FileWriter would use the platform charset, which
     // corrupts non-ASCII labels/units on non-UTF-8 JVMs while the ODV
     // reader always decodes UTF-8 (round-trip contract)
-    val w: BufferedWriter = java.nio.file.Files.newBufferedWriter(
-      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    val w: BufferedWriter =
+      if (path.toLowerCase.endsWith(".zip")) {
+        val zos = new java.util.zip.ZipOutputStream(
+          java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+        zos.putNextEntry(new java.util.zip.ZipEntry("data.txt"))
+        new BufferedWriter(new java.io.OutputStreamWriter(
+          zos, java.nio.charset.StandardCharsets.UTF_8))
+      } else java.nio.file.Files.newBufferedWriter(
+        java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
     try {
       w.write("//ODV Spreadsheet V4.6\n")
       w.write("//<Creator>graft</Creator>\n")

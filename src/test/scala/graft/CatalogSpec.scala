@@ -354,6 +354,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(back(0).getAs[Double]("temp") == 3.5)
     assert(back(0).getAs[java.time.LocalDateTime]("time_ISO8601") ==
       java.time.LocalDateTime.of(2021, 6, 1, 12, 0))
+
+    // a .zip target wraps the spreadsheet in a ZIP archive (the
+    // reference's ODV responses are always ZIP collections)
+    val zipPath = java.nio.file.Files.createTempDirectory("graft-odvz")
+      .resolve("out.zip").toString
+    assert(graft.sources.OdvWriter.write(df, zipPath) == 2L)
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try {
+      val entry = zf.getEntry("data.txt")
+      assert(entry != null, "zip must hold a data.txt entry")
+      val head = new String(zf.getInputStream(entry).readNBytes(24),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(head.startsWith("//ODV Spreadsheet"))
+    } finally zf.close()
   }
 
   test("JSON-DSL output clause writes the result and returns a receipt") {
