@@ -16,6 +16,20 @@ class SourcesSpec extends AnyFunSuite {
   val odvFixture =
     "/root/reference/beacon-db/beacon-file-formats/beacon-arrow-odv/test-data/test_file.txt"
 
+  test("arrow scans read columnar (zero-copy ArrowColumnVector batches)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-arrowcol")
+    val path = s"$tmp/c.arrow"
+    ArrowSource.writeSingleFile(
+      spark.range(0, 1000).toDF("id").select($"id", ($"id" * 1.5).as("v")), path)
+    val df = ArrowSource.read(spark, Seq(path))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"arrow scan should surface ColumnarBatches, plan was:\n$plan")
+    assert(df.agg(org.apache.spark.sql.functions.sum($"v")).collect()(0).getDouble(0) ==
+      (0 until 1000).map(_ * 1.5).sum)
+  }
+
   test("arrow IPC round-trip preserves types, values and nulls") {
     import spark.implicits._
     val df = Seq(
