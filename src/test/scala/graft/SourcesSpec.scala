@@ -30,6 +30,23 @@ class SourcesSpec extends AnyFunSuite {
       (0 until 1000).map(_ * 1.5).sum)
   }
 
+  test("arrow DSv2: projection prunes the scan's read schema") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-arrowprune")
+    val path = s"$tmp/p.arrow"
+    ArrowSource.writeSingleFile(
+      spark.range(0, 10).toDF("id").select($"id", ($"id" * 2).as("b"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("s"), $"id").as("c")), path)
+    val df = ArrowSource.read(spark, Seq(path)).select("b")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.nonEmpty && scans.head.output.map(_.name) == Seq("b"),
+      s"scan should read only 'b', got ${scans.map(_.output.map(_.name))}")
+    assert(df.collect().map(_.getLong(0)).sorted.sameElements((0 until 10).map(_ * 2L)))
+  }
+
   test("arrow IPC round-trip preserves types, values and nulls") {
     import spark.implicits._
     val df = Seq(
