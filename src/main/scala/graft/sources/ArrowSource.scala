@@ -35,7 +35,8 @@ object ArrowSource {
   /** glob expansion yields scheme-qualified URIs; arrow-vector needs a
     * local filesystem path (non-local stores would go through a Hadoop
     * input stream wrapper here) */
-  private def localPath(p: String): String = p.stripPrefix("file:")
+  /** remote granules localize to the executor cache; `file:` strips */
+  private def localPath(p: String): String = graft.sources.io.ByteStore.localize(p)
 
   /** Supported lattice: the scalar types the engine's tables use. */
   private def arrowToSpark(f: AField): DataType = f.getType match {
@@ -263,8 +264,7 @@ class ArrowReaderFactory extends org.apache.spark.sql.connector.read.PartitionRe
     new PartitionReader[ColumnarBatch] {
       import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector}
       private val alloc = new RootAllocator()
-      private val ch = FileChannel.open(
-        Paths.get(p.file.stripPrefix("file:")), StandardOpenOption.READ)
+      private val ch = graft.sources.io.ByteStore.openLocalChannel(p.file)
       private val reader = new ArrowFileReader(ch, alloc)
       private val root = reader.getVectorSchemaRoot
       private var batch: ColumnarBatch = _

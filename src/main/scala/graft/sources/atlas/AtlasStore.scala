@@ -10,6 +10,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.nd.{NdDataset, NdVariable}
+import graft.sources.io.ByteStore
 
 /** `read_atlas` — Beacon's cloud-optimized array store, re-expressed on
   * the shared ND flatten core.
@@ -53,14 +54,15 @@ object AtlasStore {
       attrs: Map[String, String]) {
     def array(n: String): Option[AtlasArray] = arrays.find(_.name == n)
   }
-  final case class Store(root: Path, datasets: Seq[Dataset]) {
+  final case class Store(root: String, datasets: Seq[Dataset]) {
     def dataset(n: String): Dataset = datasets.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"atlas dataset '$n' not in store $root (have ${datasets.map(_.name).mkString(",")})"))
   }
 
   def isAtlas(path: String): Boolean =
-    Files.isDirectory(Paths.get(path)) && Files.exists(Paths.get(path, "atlas.json"))
+    ByteStore.isDirectory(path) &&
+      ByteStore.exists(ByteStore.resolve(path, "atlas.json"))
 
   // --------------------------------------------------------- metadata
 
@@ -74,20 +76,18 @@ object AtlasStore {
   /** per-JVM metadata cache, keyed by (path, marker mtime) — same
     * executor-side stance as [[graft.sources.zarr.ZarrStore.openCached]] */
   def openCached(path0: String): Store = {
-    val root = Paths.get(path0.stripPrefix("file:"))
-    val mtime =
-      try Files.getLastModifiedTime(root.resolve("atlas.json")).toMillis
-      catch { case _: java.io.IOException => -1L }
+    val root = ByteStore.toLocal(path0)
+    val mtime = ByteStore.mtime(ByteStore.resolve(root, "atlas.json"))
     if (storeCache.size > 64) storeCache.clear()
-    storeCache.computeIfAbsent((root.toString, mtime), _ => open(path0))
+    storeCache.computeIfAbsent((root, mtime), _ => open(path0))
   }
 
   def open(path0: String): Store = {
     metadataParses.incrementAndGet()
-    val root = Paths.get(path0.stripPrefix("file:"))
-    val marker = root.resolve("atlas.json")
-    require(Files.exists(marker), s"not an atlas store (no atlas.json): $root")
-    val meta = JsonMethods.parse(Files.readString(marker))
+    val root = ByteStore.toLocal(path0)
+    val marker = ByteStore.resolve(root, "atlas.json")
+    require(ByteStore.exists(marker), s"not an atlas store (no atlas.json): $root")
+    val meta = JsonMethods.parse(ByteStore.readString(marker))
     val datasets = (meta \ "datasets") match {
       case JObject(ds) => ds.map { case (name, d) => parseDataset(name, d) }
       case _ => throw new IllegalArgumentException(s"atlas.json has no datasets object: $marker")
@@ -173,19 +173,19 @@ object AtlasStore {
     case other => throw new IllegalArgumentException(s"atlas dtype '$other' unsupported")
   }
 
-  private def chunkFile(root: Path, ds: String, a: AtlasArray, cidx: Array[Int]): Path =
-    root.resolve(ds).resolve(a.name).resolve("c" + cidx.mkString(".") + ".af")
+  private def chunkFile(root: String, ds: String, a: AtlasArray, cidx: Array[Int]): String =
+    ByteStore.resolve(root, s"$ds/${a.name}/c" + cidx.mkString(".") + ".af")
 
   private def fillOf(a: AtlasArray): Double =
     a.fill.map(f => if (f == "NaN") Double.NaN else f.toDouble).getOrElse(Double.NaN)
 
   /** one chunk, numeric: decode to double (missing file → fill) */
-  private def readChunkNum(root: Path, ds: String, a: AtlasArray, cidx: Array[Int]): Array[Double] = {
+  private def readChunkNum(root: String, ds: String, a: AtlasArray, cidx: Array[Int]): Array[Double] = {
     val n = a.chunks.product
     val f = chunkFile(root, ds, a, cidx)
-    if (!Files.exists(f)) return Array.fill(n)(fillOf(a))
+    if (!ByteStore.exists(f)) return Array.fill(n)(fillOf(a))
     chunkReads.incrementAndGet()
-    val buf = ByteBuffer.wrap(Files.readAllBytes(f)).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.wrap(ByteStore.readAll(f)).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
     var i = 0
     a.dtype match {
@@ -201,12 +201,12 @@ object AtlasStore {
   }
 
   /** one chunk, string: int32-LE length-prefixed UTF-8, -1 = NULL */
-  private def readChunkStr(root: Path, ds: String, a: AtlasArray, cidx: Array[Int]): Array[String] = {
+  private def readChunkStr(root: String, ds: String, a: AtlasArray, cidx: Array[Int]): Array[String] = {
     val n = a.chunks.product
     val f = chunkFile(root, ds, a, cidx)
-    if (!Files.exists(f)) return new Array[String](n)
+    if (!ByteStore.exists(f)) return new Array[String](n)
     chunkReads.incrementAndGet()
-    val buf = ByteBuffer.wrap(Files.readAllBytes(f)).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.wrap(ByteStore.readAll(f)).order(ByteOrder.LITTLE_ENDIAN)
     Array.fill(n) {
       val len = buf.getInt
       if (len < 0) null
@@ -220,7 +220,7 @@ object AtlasStore {
 
   /** region [start, end) per array dim, assembled from chunk files
     * (odometer over overlapping chunks — same walk as the Zarr reader) */
-  def readRegion(root: Path, ds: String, a: AtlasArray,
+  def readRegion(root: String, ds: String, a: AtlasArray,
       start: Array[Long], end: Array[Long]): (Array[Double], Array[String]) = {
     val rank = a.shape.length
     require(start.length == rank && end.length == rank)
@@ -440,7 +440,7 @@ object AtlasStore {
         i += 1
       }
       val bytes = java.util.Arrays.copyOf(out.array(), out.position())
-      Files.write(chunkFile(root, ds, a, cidx), bytes)
+      Files.write(Paths.get(chunkFile(root.toString, ds, a, cidx)), bytes)
     }
 
     private def mergeMarker(root: Path, ds: Dataset): Unit = {

@@ -125,14 +125,10 @@ object BbfStore {
   }
 
   def isBbf(path: String): Boolean = {
-    val p = Paths.get(path.stripPrefix("file:"))
-    if (!Files.isRegularFile(p) || Files.size(p) < 26) return false
-    val ch = java.nio.channels.FileChannel.open(p)
-    try {
-      val head = ByteBuffer.allocate(6)
-      readFully(ch, head, 0)
-      java.util.Arrays.equals(head.array(), HeaderMagic)
-    } finally ch.close()
+    import graft.sources.io.ByteStore
+    if (!ByteStore.exists(path) || ByteStore.isDirectory(path) ||
+      ByteStore.size(path) < 26) return false
+    java.util.Arrays.equals(ByteStore.readRange(path, 0, 6), HeaderMagic)
   }
 
   /** observables for specs: footer parses / block column-chunk reads */
@@ -145,36 +141,31 @@ object BbfStore {
   /** per-JVM footer cache keyed by (path, mtime) — executors touching N
     * blocks of one file parse its footer once (the Zarr/atlas stance) */
   def openCached(path0: String): Footer = {
-    val p = Paths.get(path0.stripPrefix("file:"))
-    val mtime =
-      try Files.getLastModifiedTime(p).toMillis
-      catch { case _: java.io.IOException => -1L }
+    val key = graft.sources.io.ByteStore.toLocal(path0)
+    val mtime = graft.sources.io.ByteStore.mtime(path0)
     if (footerCache.size > 64) footerCache.clear()
-    footerCache.computeIfAbsent((p.toString, mtime), _ => open(path0))
+    footerCache.computeIfAbsent((key, mtime), _ => open(path0))
   }
 
   def open(path0: String): Footer = {
     footerParses.incrementAndGet()
-    val p = Paths.get(path0.stripPrefix("file:"))
-    val size = Files.size(p)
+    import graft.sources.io.ByteStore
+    // positioned range reads only (head magic, 14-byte tail, footer):
+    // a remote object store serves a footer parse in three GETs
+    val p = Paths.get(ByteStore.toLocal(path0))
+    val size = ByteStore.size(path0)
     require(size >= 26, s"not a bbf file (too small): $p")
-    val ch = java.nio.channels.FileChannel.open(p)
-    try {
-      val head = ByteBuffer.allocate(6)
-      readFully(ch, head, 0)
-      require(java.util.Arrays.equals(head.array(), HeaderMagic), s"not a bbf file (bad magic): $p")
-      val tail = ByteBuffer.allocate(14).order(ByteOrder.LITTLE_ENDIAN)
-      readFully(ch, tail, size - 14)
-      tail.flip()
-      val footerLen = tail.getLong
-      val trailer = new Array[Byte](6)
-      tail.get(trailer)
-      require(java.util.Arrays.equals(trailer, TrailerMagic), s"bbf trailer magic missing: $p")
-      require(footerLen > 0 && footerLen <= size - 20, s"bbf footer length corrupt: $p")
-      val fb = ByteBuffer.allocate(footerLen.toInt)
-      readFully(ch, fb, size - 14 - footerLen)
-      Footer(p.toString, parseFooter(new String(fb.array(), StandardCharsets.UTF_8), p))
-    } finally ch.close()
+    require(java.util.Arrays.equals(ByteStore.readRange(path0, 0, 6), HeaderMagic),
+      s"not a bbf file (bad magic): $p")
+    val tail = ByteBuffer.wrap(ByteStore.readRange(path0, size - 14, 14))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val footerLen = tail.getLong
+    val trailer = new Array[Byte](6)
+    tail.get(trailer)
+    require(java.util.Arrays.equals(trailer, TrailerMagic), s"bbf trailer magic missing: $p")
+    require(footerLen > 0 && footerLen <= size - 20, s"bbf footer length corrupt: $p")
+    val fb = ByteStore.readRange(path0, size - 14 - footerLen, footerLen.toInt)
+    Footer(p.toString, parseFooter(new String(fb, StandardCharsets.UTF_8), p))
   }
 
   private def parseFooter(json: String, p: Path): Seq[Entry] = {
@@ -253,14 +244,8 @@ object BbfStore {
   /** read + decode one column chunk of one block */
   def readChunk(path: String, dtype: String, rows: Int, chunk: ColChunk): ColData = {
     chunkReads.incrementAndGet()
-    val p = Paths.get(path.stripPrefix("file:"))
-    val ch = java.nio.channels.FileChannel.open(p)
-    val stored =
-      try {
-        val bb = ByteBuffer.allocate(chunk.length.toInt)
-        readFully(ch, bb, chunk.offset)
-        bb.array()
-      } finally ch.close()
+    // one positioned range read per column chunk (remote-capable)
+    val stored = graft.sources.io.ByteStore.readRange(path, chunk.offset, chunk.length.toInt)
     val bytes = ByteBuffer.wrap(
       if (chunk.codec == "deflate") inflate(stored, chunk.rawLength.toInt) else stored)
       .order(ByteOrder.LITTLE_ENDIAN)

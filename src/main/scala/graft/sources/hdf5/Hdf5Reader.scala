@@ -109,7 +109,7 @@ object Hdf5Reader {
 
   private def readDataset(path: String, keep: String => Boolean,
       rowRange: Option[(String, Int, Int)], metaOnly: Boolean): NdDataset = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = graft.sources.io.ByteStore.openLocalChannel(path)
     try {
       val mapped = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
       mapped.order(ByteOrder.LITTLE_ENDIAN)
@@ -125,7 +125,7 @@ object Hdf5Reader {
     * whose rank matches `rank` (None = nothing chunked at that rank).
     * Metadata walk only — no data decode. */
   def chunkDimsOf(path: String, rank: Int): Option[Array[Int]] = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = graft.sources.io.ByteStore.openLocalChannel(path)
     try {
       val mapped = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
       mapped.order(ByteOrder.LITTLE_ENDIAN)

@@ -9,6 +9,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.nd.{NdDataset, NdVariable}
+import graft.sources.io.ByteStore
 import graft.sources.zarr.ZarrStore
 
 /** `read_icechunk` — versioned Zarr: a repository whose METADATA lives
@@ -43,7 +44,7 @@ object IcechunkStore {
 
   final case class ChunkRef(id: String, offset: Long, length: Long)
   final case class Node(array: ZarrStore.ZarrArray, chunks: Map[String, ChunkRef])
-  final case class Repo(root: Path, snapshotId: String, parentId: Option[String],
+  final case class Repo(root: String, snapshotId: String, parentId: Option[String],
       nodes: Seq[Node], attrs: Map[String, String]) {
     def node(n: String): Node = nodes.find(_.array.name == n).getOrElse(
       throw new IllegalArgumentException(s"icechunk node '$n' not in snapshot $snapshotId"))
@@ -72,10 +73,9 @@ object IcechunkStore {
         .orElse(snapshot.map("snapshot:" + _)).getOrElse("branch:main")
   }
 
-  def isRepository(path: String): Boolean = {
-    val root = Paths.get(path)
-    Files.isDirectory(root.resolve("refs")) && Files.isDirectory(root.resolve("snapshots"))
-  }
+  def isRepository(path: String): Boolean =
+    ByteStore.isDirectory(ByteStore.resolve(path, "refs")) &&
+      ByteStore.isDirectory(ByteStore.resolve(path, "snapshots"))
 
   // --------------------------------------------------- crockford base32
 
@@ -117,30 +117,27 @@ object IcechunkStore {
 
   // ----------------------------------------------------------- resolve
 
-  private def listDir(dir: Path): Seq[Path] = {
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    try s.iterator().asScala.toVector finally s.close()
-  }
+  private def listDir(dir: String): Seq[String] =
+    if (!ByteStore.isDirectory(dir)) Nil else ByteStore.list(dir)
 
   /** a version selector → the snapshot id it names right now */
-  def resolve(root: Path, v: Version): String = {
-    def refSnapshot(p: Path): String =
-      (JsonMethods.parse(Files.readString(p)) \ "snapshot") match {
+  def resolve(root: String, v: Version): String = {
+    def refSnapshot(p: String): String =
+      (JsonMethods.parse(ByteStore.readString(p)) \ "snapshot") match {
         case JString(s) => s
         case other => throw new IllegalArgumentException(s"bad ref file $p: $other")
       }
     v match {
       case Version(_, _, Some(id)) => id
       case Version(_, Some(tag), _) =>
-        val p = root.resolve("refs").resolve(s"tag.$tag").resolve("ref.json")
-        require(Files.exists(p), s"icechunk tag '$tag' not found at $root")
+        val p = ByteStore.resolve(root, s"refs/tag.$tag/ref.json")
+        require(ByteStore.exists(p), s"icechunk tag '$tag' not found at $root")
         refSnapshot(p)
       case _ =>
         val branch = v.branch.getOrElse("main")
-        val dir = root.resolve("refs").resolve(s"branch.$branch")
-        val tip = listDir(dir).filter(_.getFileName.toString.endsWith(".json"))
-          .sortBy(_.getFileName.toString).headOption // first = newest generation
+        val dir = ByteStore.resolve(root, s"refs/branch.$branch")
+        val tip = listDir(dir).filter(_.endsWith(".json"))
+          .sortBy(ByteStore.fileName).headOption // first = newest generation
           .getOrElse(throw new IllegalArgumentException(
             s"icechunk branch '$branch' not found at $root"))
         refSnapshot(tip)
@@ -156,13 +153,13 @@ object IcechunkStore {
   /** per-JVM cache keyed by (root, RESOLVED snapshot id): ref resolution
     * re-lists (branch tips move), the immutable snapshot parse does not */
   def openCached(path: String, v: Version = Version()): Repo = {
-    val root = Paths.get(path)
+    val root = ByteStore.toLocal(path)
     val snapId = resolve(root, v)
     if (repoCache.size > 64) repoCache.clear()
-    repoCache.computeIfAbsent((root.toString, snapId), _ => open(root, snapId))
+    repoCache.computeIfAbsent((root, snapId), _ => open(root, snapId))
   }
 
-  def open(root: Path, snapshotId: String): Repo = {
+  def open(root: String, snapshotId: String): Repo = {
     metadataParses.incrementAndGet()
     val snap = readSnapshotJson(root, snapshotId)
     val parent = (snap \ "parent_id") match { case JString(p) => Some(p); case _ => None }
@@ -175,8 +172,8 @@ object IcechunkStore {
         val JString(name) = (n \ "name"): @unchecked
         val arr = ZarrStore.parseArray(name, root, n \ "zarr")
         val JString(manifestId) = (n \ "manifest"): @unchecked
-        val mf = JsonMethods.parse(Files.readString(
-          root.resolve("manifests").resolve(manifestId)))
+        val mf = JsonMethods.parse(ByteStore.readString(
+          ByteStore.resolve(root, s"manifests/$manifestId")))
         val chunks = (mf \ "chunks" \ name) match {
           case JObject(cs) => cs.map { case (key, r) =>
             val JString(cid) = (r \ "id"): @unchecked
@@ -194,10 +191,10 @@ object IcechunkStore {
     Repo(root, snapshotId, parent, nodes, attrs)
   }
 
-  private def readSnapshotJson(root: Path, id: String): JValue = {
-    val p = root.resolve("snapshots").resolve(id)
-    require(Files.exists(p), s"icechunk snapshot $id not found at $root")
-    JsonMethods.parse(Files.readString(p))
+  private def readSnapshotJson(root: String, id: String): JValue = {
+    val p = ByteStore.resolve(root, s"snapshots/$id")
+    require(ByteStore.exists(p), s"icechunk snapshot $id not found at $root")
+    JsonMethods.parse(ByteStore.readString(p))
   }
 
   // -------------------------------------------------------------- read
@@ -207,15 +204,9 @@ object IcechunkStore {
     node.chunks.get(idx.mkString(".")) match {
       case None => Array.fill(n)(node.array.fillValue)
       case Some(ref) =>
-        val ch = java.nio.channels.FileChannel.open(
-          repo.root.resolve("chunks").resolve(ref.id),
-          java.nio.file.StandardOpenOption.READ)
-        val bytes = try {
-          val buf = java.nio.ByteBuffer.allocate(ref.length.toInt)
-          ch.position(ref.offset)
-          while (buf.hasRemaining && ch.read(buf) >= 0) {}
-          buf.array()
-        } finally ch.close()
+        // positioned range read of the chunk object (remote-capable)
+        val bytes = ByteStore.readRange(
+          ByteStore.resolve(repo.root, s"chunks/${ref.id}"), ref.offset, ref.length.toInt)
         ZarrStore.decodeChunkBytes(node.array, bytes)
     }
   }
@@ -349,10 +340,10 @@ object IcechunkStore {
         JsonMethods.compact(JsonMethods.render(manifest)).getBytes(StandardCharsets.UTF_8))
 
       val branchDir = root.resolve("refs").resolve(s"branch.$branch")
-      val gens = listDir(branchDir).map(p => seqGen(p.getFileName.toString))
+      val gens = listDir(branchDir.toString).map(p => seqGen(ByteStore.fileName(p)))
       val parent: Option[String] =
         if (gens.isEmpty) None
-        else Some(resolve(root, Version(branch = Some(branch))))
+        else Some(resolve(root.toString, Version(branch = Some(branch))))
       val snap = JObject(
         "id" -> JString(snapId),
         "parent_id" -> parent.map(JString(_): JValue).getOrElse(JNull),

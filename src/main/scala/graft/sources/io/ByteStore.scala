@@ -1,0 +1,196 @@
+package graft.sources.io
+
+import java.io.FileNotFoundException
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Storage seam for the pure-JVM readers (netcdf/hdf5/zarr/tiff/atlas/
+  * icechunk/bbf/arrow/odv/delta/iceberg): every byte access dispatches on
+  * the path's scheme.
+  *
+  *  - plain and `file:` paths (`/data/x.nc`, `file:/data/x.nc`) →
+  *    `java.nio` exactly as before (the local fast path: zero new copies,
+  *    mmap-able),
+  *  - URI paths (`hdfs://…`, `s3a://…`) → Hadoop `FileSystem`, so the
+  *    custom readers accept any scheme the cluster's Hadoop configuration
+  *    knows, same as Spark's native parquet scan.
+  *
+  * Monolithic single-file formats whose parsers walk an mmap (HDF5, TIFF,
+  * classic NetCDF, BBF, Arrow IPC) call [[localize]]: identity for plain
+  * paths, a per-JVM content-cached download for remote ones — each
+  * executor fetches a granule once per (path, mtime, size), then parses at
+  * local-disk speed. Chunk-granular stores (zarr/atlas/icechunk) and the
+  * table-format metadata readers (delta/iceberg) instead read remote
+  * objects directly ([[readAll]]/[[list]]) — no whole-store downloads.
+  *
+  * The Hadoop `Configuration` is taken from the active `SparkSession` on
+  * the driver; executors construct a default `Configuration()` (loads
+  * core-site.xml from the executor classpath, the standard cluster
+  * deployment). `FileSystem.get` instances are cached by Hadoop itself.
+  *
+  * `file:/` URIs are a LOCAL path in URI clothing (Spark's DSv2 file
+  * listings report them constantly), so they take the `java.nio` fast
+  * path — never a cache copy. The Hadoop branch is spec-covered by a
+  * `RawLocalFileSystem` subclass registered under a test scheme.
+  */
+object ByteStore {
+
+  /** true when the path carries a non-`file:` URI scheme (`s3a://…`);
+    * single letters are excluded so Windows-style `C:/x` is not a scheme */
+  def hasScheme(path: String): Boolean =
+    path.indexOf(':') match {
+      case -1 => false
+      case i  =>
+        i >= 2 && path.substring(0, i).matches("[A-Za-z][A-Za-z0-9+.-]+") &&
+          !path.startsWith("file:")
+    }
+
+  /** plain local path for a plain-or-`file:`-URI input */
+  def toLocal(path: String): String =
+    if (path.startsWith("file://")) {
+      val rest = path.substring("file://".length)
+      val slash = rest.indexOf('/')
+      if (slash <= 0) rest // "file:///x" → "/x"; "file://x" (no authority path) → x
+      else rest.substring(slash) // "file://localhost/x" → "/x"
+    } else if (path.startsWith("file:")) path.substring("file:".length)
+    else path
+
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fs(path: String): (FileSystem, HPath) = {
+    val hp = new HPath(path)
+    (hp.getFileSystem(hadoopConf), hp)
+  }
+
+  // ----------------------------------------------------------- queries
+
+  def exists(path: String): Boolean =
+    if (hasScheme(path)) { val (f, p) = fs(path); f.exists(p) }
+    else Files.exists(Paths.get(toLocal(path)))
+
+  def isDirectory(path: String): Boolean =
+    if (hasScheme(path)) {
+      val (f, p) = fs(path)
+      try f.getFileStatus(p).isDirectory catch { case _: FileNotFoundException => false }
+    } else Files.isDirectory(Paths.get(toLocal(path)))
+
+  def size(path: String): Long =
+    if (hasScheme(path)) { val (f, p) = fs(path); f.getFileStatus(p).getLen }
+    else Files.size(Paths.get(toLocal(path)))
+
+  def mtime(path: String): Long =
+    if (hasScheme(path)) {
+      val (f, p) = fs(path)
+      try f.getFileStatus(p).getModificationTime catch { case _: FileNotFoundException => -1L }
+    } else {
+      try Files.getLastModifiedTime(Paths.get(toLocal(path))).toMillis
+      catch { case _: java.io.IOException => -1L }
+    }
+
+  /** immediate children as full paths (sorted by name for determinism) */
+  def list(path: String): Seq[String] =
+    if (hasScheme(path)) {
+      val (f, p) = fs(path)
+      f.listStatus(p).map(_.getPath.toString).toSeq.sorted
+    } else {
+      val s = Files.list(Paths.get(toLocal(path)))
+      try s.iterator().asScala.map(_.toString).toSeq.sorted finally s.close()
+    }
+
+  /** child file name relative to its directory (both API shapes produce
+    * full paths from [[list]]; name extraction is scheme-safe) */
+  def fileName(path: String): String =
+    path.stripSuffix("/").substring(path.stripSuffix("/").lastIndexOf('/') + 1)
+
+  def resolve(dir: String, child: String): String =
+    if (dir.endsWith("/")) dir + child else dir + "/" + child
+
+  // ------------------------------------------------------------- reads
+
+  def readAll(path: String): Array[Byte] =
+    if (hasScheme(path)) {
+      val (f, p) = fs(path)
+      val st = f.getFileStatus(p)
+      val out = new Array[Byte](st.getLen.toInt)
+      val in = f.open(p)
+      try in.readFully(0L, out) finally in.close()
+      out
+    } else Files.readAllBytes(Paths.get(toLocal(path)))
+
+  def readString(path: String): String =
+    new String(readAll(path), StandardCharsets.UTF_8)
+
+  /** positioned range read without fetching the whole object */
+  def readRange(path: String, offset: Long, len: Int): Array[Byte] =
+    if (hasScheme(path)) {
+      val (f, p) = fs(path)
+      val out = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(offset, out) finally in.close()
+      out
+    } else {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(toLocal(path)), java.nio.file.StandardOpenOption.READ)
+      try {
+        val bb = java.nio.ByteBuffer.allocate(len)
+        ch.position(offset)
+        while (bb.hasRemaining && ch.read(bb) >= 0) {}
+        require(!bb.hasRemaining, s"short read at $offset+$len of $path")
+        bb.array()
+      } finally ch.close()
+    }
+
+  /** read channel over [[localize]]d bytes — the one-line seam for the
+    * monolithic mmap-walking parsers (HDF5/TIFF/classic NetCDF/BBF/Arrow) */
+  def openLocalChannel(path: String): java.nio.channels.FileChannel =
+    java.nio.channels.FileChannel.open(
+      Paths.get(localize(path)), java.nio.file.StandardOpenOption.READ)
+
+  // ---------------------------------------------------------- localize
+
+  private val cacheDir: Path =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft-bytestore-cache")
+  /** in-flight download coordination within this JVM (the rename below
+    * makes cross-JVM races safe; this just avoids duplicate fetches) */
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** observable for specs: completed cache downloads in this JVM */
+  val cacheDownloads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A local filesystem path holding this granule's bytes: the path
+    * itself when plain, else a per-JVM cached copy keyed by
+    * (path, mtime, size) — re-fetched when the remote object changes,
+    * shared by every task on the executor. Atomic rename publication, so
+    * concurrent JVMs sharing a tmpdir never see a half-written file. */
+  def localize(path: String): String = {
+    if (!hasScheme(path)) return toLocal(path)
+    val (f, p) = fs(path)
+    val st = f.getFileStatus(p)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$path|${st.getModificationTime}|${st.getLen}".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val dst = cacheDir.resolve(key)
+    if (Files.exists(dst)) return dst.toString
+    val lock = inFlight.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!Files.exists(dst)) {
+        Files.createDirectories(cacheDir)
+        val tmp = Files.createTempFile(cacheDir, key, ".part")
+        val in = f.open(p)
+        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        cacheDownloads.incrementAndGet()
+      }
+    }
+    inFlight.remove(key)
+    dst.toString
+  }
+}

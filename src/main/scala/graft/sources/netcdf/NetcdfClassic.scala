@@ -47,14 +47,11 @@ object NetcdfClassic {
       globalAttrs: Seq[NcAttr], vars: Seq[NcVar])
 
   def isClassic(path: String): Boolean = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-    try {
-      val b = ByteBuffer.allocate(4)
-      ch.read(b)
-      b.flip()
-      b.get() == 'C'.toByte && b.get() == 'D'.toByte && b.get() == 'F'.toByte &&
-        { val v = b.get(); v == 1 || v == 2 }
-    } finally ch.close()
+    // 4-byte range probe: never localizes a remote granule just to sniff
+    if (graft.sources.io.ByteStore.size(path) < 4) return false
+    val b = graft.sources.io.ByteStore.readRange(path, 0, 4)
+    b(0) == 'C'.toByte && b(1) == 'D'.toByte && b(2) == 'F'.toByte &&
+      (b(3) == 1 || b(3) == 2)
   }
 
   // ------------------------------------------------------------ header
@@ -192,7 +189,7 @@ object NetcdfClassic {
 
   private def readDataset(path: String, keep: String => Boolean,
       rowRange: Option[(String, Int, Int)], metaOnly: Boolean): NdDataset = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = graft.sources.io.ByteStore.openLocalChannel(path)
     try {
       val size = ch.size()
       val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, size)

@@ -23,7 +23,9 @@ import graft.sources.FileCollection
   */
 object NetcdfSource {
 
-  private def localPath(p: String): String = p.stripPrefix("file:")
+  /** normalize `file:` URIs; remote schemes pass through to the
+    * ByteStore-routed container readers untouched */
+  private def localPath(p: String): String = graft.sources.io.ByteStore.toLocal(p)
 
   /** parse one container into the ND model (format-dispatched); `keep`
     * skips data decode of unselected variables (DSv2 column pruning);
@@ -63,9 +65,7 @@ object NetcdfSource {
     * pass (the reference's NETCDF_USE_READER_CACHE stance). */
   def readContainerMeta(path0: String): graft.nd.NdDataset = {
     val path = localPath(path0)
-    val mtime =
-      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
-      catch { case _: java.io.IOException => -1L }
+    val mtime = graft.sources.io.ByteStore.mtime(path)
     if (metaCache.size > 1024) metaCache.clear()
     metaCache.computeIfAbsent((path, mtime), _ =>
       if (NetcdfClassic.isClassic(path)) NetcdfClassic.readMeta(path)

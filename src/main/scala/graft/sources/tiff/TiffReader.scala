@@ -31,15 +31,11 @@ import graft.nd.{NdDataset, NdVariable}
 object TiffReader {
 
   def isTiff(path: String): Boolean = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-    try {
-      val b = ByteBuffer.allocate(4)
-      if (ch.read(b) < 4) return false // too short for any magic
-      b.flip()
-      val a0 = b.get(); val a1 = b.get(); val a2 = b.get(); val a3 = b.get()
-      (a0 == 'I' && a1 == 'I' && a2 == 42 && a3 == 0) ||
-        (a0 == 'M' && a1 == 'M' && a2 == 0 && a3 == 42)
-    } finally ch.close()
+    // 4-byte range probe: never localizes a remote granule just to sniff
+    if (graft.sources.io.ByteStore.size(path) < 4) return false
+    val b = graft.sources.io.ByteStore.readRange(path, 0, 4)
+    (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)
   }
 
   // ------------------------------------------------------------- tags
@@ -156,7 +152,7 @@ object TiffReader {
 
   private def readDataset(path: String, keep: String => Boolean,
       rowRange: Option[(String, Int, Int)], metaOnly: Boolean): NdDataset = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = graft.sources.io.ByteStore.openLocalChannel(path)
     try {
       val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
       val ifd = readIfd(buf)
@@ -280,7 +276,7 @@ object TiffReader {
 
   /** strip rows (the natural split alignment); None for tiled files */
   def stripRows(path: String): Option[Int] = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = graft.sources.io.ByteStore.openLocalChannel(path)
     try {
       val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
       val ifd = readIfd(buf)

@@ -1,7 +1,7 @@
 package graft.sources.zarr
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Path, Paths}
+import graft.sources.io.ByteStore
 
 import scala.jdk.CollectionConverters._
 
@@ -28,7 +28,7 @@ object ZarrStore {
 
   final case class ZarrArray(
       name: String,
-      dir: Path,
+      dir: String,
       shape: Array[Long],
       dtype: String,
       chunkShape: Array[Int],
@@ -39,7 +39,7 @@ object ZarrStore {
       dims: Seq[String],
       attrs: Map[String, String])
 
-  final case class Store(root: Path, arrays: Seq[ZarrArray],
+  final case class Store(root: String, arrays: Seq[ZarrArray],
       globalAttrs: Map[String, String]) {
     /** name → size for every named dimension (consistency-checked) */
     def dimSizes: Seq[(String, Int)] = {
@@ -57,7 +57,8 @@ object ZarrStore {
   }
 
   def isZarr(path: String): Boolean =
-    Files.isDirectory(Paths.get(path)) && Files.exists(Paths.get(path, "zarr.json"))
+    ByteStore.isDirectory(path) &&
+      ByteStore.exists(ByteStore.resolve(path, "zarr.json"))
 
   // --------------------------------------------------------- metadata
 
@@ -71,43 +72,42 @@ object ZarrStore {
   val metadataParses = new java.util.concurrent.atomic.AtomicLong(0)
 
   def openCached(path0: String): Store = {
-    val root = Paths.get(path0.stripPrefix("file:"))
-    val mtime =
-      try Files.getLastModifiedTime(root.resolve("zarr.json")).toMillis
-      catch { case _: java.io.IOException => -1L }
+    val root = ByteStore.toLocal(path0)
+    val mtime = ByteStore.mtime(ByteStore.resolve(root, "zarr.json"))
     // bounded: metadata is small, but a long-lived executor visiting many
     // (or rewritten) stores must not accumulate entries forever
     if (storeCache.size > 64) storeCache.clear()
-    storeCache.computeIfAbsent((root.toString, mtime), _ => open(path0))
+    storeCache.computeIfAbsent((root, mtime), _ => open(path0))
   }
 
   def open(path0: String): Store = {
     metadataParses.incrementAndGet()
-    val root = Paths.get(path0.stripPrefix("file:"))
-    val meta = parseJson(root.resolve("zarr.json"))
+    val root = ByteStore.toLocal(path0)
+    val meta = parseJson(ByteStore.resolve(root, "zarr.json"))
     (meta \ "node_type") match {
       case JString("array") =>
-        Store(root, Seq(parseArray(root.getFileName.toString, root, meta)),
+        Store(root, Seq(parseArray(ByteStore.fileName(root), root, meta)),
           attrMap(meta \ "attributes"))
       case JString("group") =>
-        val arrays = Files.list(root).iterator().asScala.toSeq.sorted
-          .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("zarr.json")))
+        val arrays = ByteStore.list(root)
+          .filter(p => ByteStore.isDirectory(p) &&
+            ByteStore.exists(ByteStore.resolve(p, "zarr.json")))
           .map { dir =>
-            val am = parseJson(dir.resolve("zarr.json"))
+            val am = parseJson(ByteStore.resolve(dir, "zarr.json"))
             (dir, am)
           }
           .collect { case (dir, am) if (am \ "node_type") == JString("array") =>
-            parseArray(dir.getFileName.toString, dir, am)
+            parseArray(ByteStore.fileName(dir), dir, am)
           }
         Store(root, arrays, attrMap(meta \ "attributes"))
       case other => throw new IllegalArgumentException(s"zarr.json node_type: $other")
     }
   }
 
-  private def parseJson(p: Path): JValue =
-    JsonMethods.parse(new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+  private def parseJson(p: String): JValue =
+    JsonMethods.parse(ByteStore.readString(p))
 
-  private[sources] def parseArray(name: String, dir: Path, m: JValue): ZarrArray = {
+  private[sources] def parseArray(name: String, dir: String, m: JValue): ZarrArray = {
     require((m \ "zarr_format") == JInt(3), s"$name: only zarr v3 supported")
     val shape = (m \ "shape").asInstanceOf[JArray].arr.map(jLong).toArray
     val dtype = (m \ "data_type") match {
@@ -227,9 +227,9 @@ object ZarrStore {
   /** decode one chunk into doubles (fill-valued when the file is absent) */
   def readChunk(a: ZarrArray, idx: Array[Int]): Array[Double] = {
     val n = a.chunkShape.map(_.toLong).product.toInt
-    val p = a.dir.resolve(chunkKey(a, idx))
-    if (!Files.exists(p)) return Array.fill(n)(a.fillValue)
-    decodeChunkBytes(a, Files.readAllBytes(p))
+    val p = ByteStore.resolve(a.dir, chunkKey(a, idx))
+    if (!ByteStore.exists(p)) return Array.fill(n)(a.fillValue)
+    decodeChunkBytes(a, ByteStore.readAll(p))
   }
 
   /** codec pipeline only: encoded chunk payload → doubles. Shared with

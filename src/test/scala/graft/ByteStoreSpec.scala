@@ -1,0 +1,116 @@
+package graft
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.RawLocalFileSystem
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.io.ByteStore
+
+/** A real Hadoop FileSystem registered under a test scheme: every
+  * `mockfs:/…` access goes down ByteStore's REMOTE branch (listStatus,
+  * positioned FSDataInputStream reads, localize cache) while the bytes
+  * live on local disk — the standard Hadoop-FS testing pattern. */
+class MockFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("mockfs:///")
+}
+
+/** The storage seam: scheme dispatch, positioned remote reads, the
+  * executor localize cache, and the custom readers end-to-end over a
+  * Hadoop scheme (the 100 TB deployment shape: object store behind a
+  * Hadoop connector, not POSIX). */
+class ByteStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.build("local[4]", 4)
+    s.sparkContext.hadoopConfiguration.set("fs.mockfs.impl", classOf[MockFs].getName)
+    s
+  }
+
+  private def viaMock(path: String): String = { spark; s"mockfs:$path" }
+
+  test("scheme detection: plain and file: are local, mockfs/s3a are not") {
+    assert(!ByteStore.hasScheme("/data/x.nc"))
+    assert(!ByteStore.hasScheme("file:/data/x.nc"))
+    assert(!ByteStore.hasScheme("file:///data/x.nc"))
+    assert(!ByteStore.hasScheme("C:/windows/style"))
+    assert(ByteStore.hasScheme("s3a://bucket/key"))
+    assert(ByteStore.hasScheme("mockfs:/tmp/x"))
+    assert(ByteStore.toLocal("file:/a/b") == "/a/b")
+    assert(ByteStore.toLocal("file:///a/b") == "/a/b")
+    assert(ByteStore.toLocal("file://localhost/a/b") == "/a/b")
+    assert(ByteStore.toLocal("/a/b") == "/a/b")
+  }
+
+  test("remote branch: exists/size/list/readAll/readRange agree with java.nio") {
+    val dir = Files.createTempDirectory("graft-bytestore")
+    val f = dir.resolve("payload.bin")
+    val bytes = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    Files.write(f, bytes)
+    val m = viaMock(f.toString)
+    assert(ByteStore.exists(m))
+    assert(!ByteStore.exists(viaMock(s"$dir/nope")))
+    assert(ByteStore.isDirectory(viaMock(dir.toString)))
+    assert(ByteStore.size(m) == 1000L)
+    assert(ByteStore.readAll(m).toSeq == bytes.toSeq)
+    assert(ByteStore.readRange(m, 100, 16).toSeq == bytes.slice(100, 116).toSeq)
+    assert(ByteStore.list(viaMock(dir.toString)).map(ByteStore.fileName) == Seq("payload.bin"))
+  }
+
+  test("localize: one download per (path, mtime, size); mtime change re-fetches") {
+    val dir = Files.createTempDirectory("graft-bytestore-loc")
+    val f = dir.resolve("granule.dat")
+    Files.write(f, "first contents".getBytes(StandardCharsets.UTF_8))
+    val m = viaMock(f.toString)
+    val before = ByteStore.cacheDownloads.get()
+    val l1 = ByteStore.localize(m)
+    val l2 = ByteStore.localize(m)
+    assert(l1 == l2 && l1 != f.toString, "remote granule must map to a cache copy")
+    assert(ByteStore.cacheDownloads.get() == before + 1, "second localize must hit the cache")
+    assert(Files.readString(Paths.get(l1)) == "first contents")
+    // a rewritten remote object (new mtime/size) must not serve stale bytes
+    Files.write(f, "second contents!".getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+    val l3 = ByteStore.localize(m)
+    assert(l3 != l1 && Files.readString(Paths.get(l3)) == "second contents!")
+    // plain local paths are identity — never copied
+    assert(ByteStore.localize(f.toString) == f.toString)
+  }
+
+  test("zarr store reads over a Hadoop scheme match the local read") {
+    val store = "/root/reference/test-datasets/gridded-example.zarr"
+    val local = graft.sources.zarr.ZarrStore.readDataset(store)
+    val remote = graft.sources.zarr.ZarrStore.readDataset(viaMock(store))
+    assert(remote.dims == local.dims)
+    assert(remote.variables.map(_.name) == local.variables.map(_.name))
+    val lv = local.variables.maxBy(_.data.length)
+    val rv = remote.variables.find(_.name == lv.name).get
+    assert(java.util.Arrays.equals(rv.data, lv.data))
+  }
+
+  test("netcdf-4 (HDF5) container reads over a Hadoop scheme match the local read") {
+    val nc = "/root/reference/test-datasets/test_file.nc"
+    val local = graft.sources.netcdf.NetcdfSource.readContainer(nc)
+    val remote = graft.sources.netcdf.NetcdfSource.readContainer(viaMock(nc))
+    assert(remote.dims == local.dims)
+    val lv = local.variables.maxBy(v => if (v.data == null) 0 else v.data.length)
+    val rv = remote.variables.find(_.name == lv.name).get
+    assert(java.util.Arrays.equals(rv.data, lv.data))
+  }
+
+  test("bbf footer + chunk positioned reads work over a Hadoop scheme") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bytestore-bbf")
+    val p = s"$dir/t.bbf"
+    graft.sources.bbf.BbfStore.Writer.write(
+      Paths.get(p), Seq("e1" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s")))
+    val rows = graft.sources.bbf.BbfSource.read(spark, Seq(viaMock(p)))
+      .orderBy("k").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+  }
+}

@@ -27,9 +27,9 @@ class IcechunkSpec extends AnyFunSuite {
     val s2 = IcechunkStore.Writer.commit(root, grid(10.0), message = "v2")
     assert(s1 != s2)
     // resolution: main → s2, tag/snapshot → s1
-    assert(IcechunkStore.resolve(root, Version()) == s2)
-    assert(IcechunkStore.resolve(root, Version(tag = Some("first"))) == s1)
-    assert(IcechunkStore.resolve(root, Version(snapshot = Some(s1))) == s1)
+    assert(IcechunkStore.resolve(root.toString, Version()) == s2)
+    assert(IcechunkStore.resolve(root.toString, Version(tag = Some("first"))) == s1)
+    assert(IcechunkStore.resolve(root.toString, Version(snapshot = Some(s1))) == s1)
     // parent chain records history
     assert(IcechunkStore.openCached(root.toString, Version()).parentId.contains(s1))
     // reads: tip sees v2 data, the tag still serves v1 after the commit
