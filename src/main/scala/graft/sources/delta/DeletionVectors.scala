@@ -198,18 +198,18 @@ object DeletionVectors {
     case "i" => decodeBitmap(z85Decode(d.pathOrInlineDv))
     case "u" | "p" =>
       val file =
-        if (d.storageType == "p") java.nio.file.Paths.get(d.pathOrInlineDv)
+        if (d.storageType == "p") d.pathOrInlineDv
         else {
           // pathOrInlineDv = <optional prefix><20-char z85 uuid>
           val z = d.pathOrInlineDv.takeRight(20)
           val prefix = d.pathOrInlineDv.dropRight(20)
           val b = ByteBuffer.wrap(z85Decode(z))
           val uuid = new java.util.UUID(b.getLong, b.getLong)
-          val dir = if (prefix.isEmpty) java.nio.file.Paths.get(tablePath)
-            else java.nio.file.Paths.get(tablePath, prefix.stripSuffix("/"))
-          dir.resolve(s"deletion_vector_$uuid.bin")
+          val dir = if (prefix.isEmpty) tablePath
+            else graft.sources.io.ByteStore.resolve(tablePath, prefix.stripSuffix("/"))
+          graft.sources.io.ByteStore.resolve(dir, s"deletion_vector_$uuid.bin")
         }
-      val all = Files.readAllBytes(file)
+      val all = graft.sources.io.ByteStore.readAll(file)
       val buf = ByteBuffer.wrap(all).order(ByteOrder.BIG_ENDIAN)
       buf.position(d.offset)
       val size = buf.getInt

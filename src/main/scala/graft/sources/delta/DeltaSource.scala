@@ -61,29 +61,28 @@ object DeltaSource {
 
   private val logDir = "_delta_log"
 
-  /** Files.list with a closed stream (a leaked DirectoryStream costs an
-    * fd until finalization) */
-  private def listDir(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toVector finally s.close()
-  }
+  // log access goes through ByteStore: a Delta table on any
+  // Hadoop-configured scheme (s3a://, hdfs://) replays the same way
+  private def listDir(dir: String): Seq[String] =
+    graft.sources.io.ByteStore.list(dir)
   private val commitRe = """(\d{20})\.json""".r
   private val checkpointRe = """(\d{20})\.checkpoint\.parquet""".r
 
   // ------------------------------------------------------------- log
 
-  private def listLog(table: Path): (Seq[(Long, Path)], Seq[(Long, Path)]) = {
-    val dir = table.resolve(logDir)
-    require(Files.isDirectory(dir), s"not a Delta table (no $logDir): $table")
+  private def listLog(table: String): (Seq[(Long, String)], Seq[(Long, String)]) = {
+    val dir = graft.sources.io.ByteStore.resolve(table, logDir)
+    require(graft.sources.io.ByteStore.isDirectory(dir),
+      s"not a Delta table (no $logDir): $table")
     val entries = listDir(dir)
     val commits = entries.flatMap { p =>
-      p.getFileName.toString match {
+      graft.sources.io.ByteStore.fileName(p) match {
         case commitRe(v) => Some(v.toLong -> p)
         case _ => None
       }
     }.sortBy(_._1)
     val checkpoints = entries.flatMap { p =>
-      p.getFileName.toString match {
+      graft.sources.io.ByteStore.fileName(p) match {
         case checkpointRe(v) => Some(v.toLong -> p)
         case _ => None
       }
@@ -93,8 +92,9 @@ object DeltaSource {
 
   /** commit timestamp for time travel: commitInfo.timestamp when the
     * commit carries one, else the log file's modification time */
-  private def commitMillis(v: Long, p: Path): Long = {
-    val fromInfo = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.iterator
+  private def commitMillis(v: Long, p: String): Long = {
+    val fromInfo = graft.sources.io.ByteStore.readString(p)
+      .split('\n').iterator.filter(_.trim.nonEmpty)
       .map(JsonMethods.parse(_))
       .collectFirst(Function.unlift { j =>
         (j \ "commitInfo" \ "timestamp") match {
@@ -103,16 +103,16 @@ object DeltaSource {
           case _ => None
         }
       })
-    fromInfo.getOrElse(Files.getLastModifiedTime(p).toMillis)
+    fromInfo.getOrElse(graft.sources.io.ByteStore.mtime(p))
   }
 
   def resolveVersion(tablePath: String, travel: Option[String]): Long = {
-    val (commits, _) = listLog(Paths.get(tablePath))
+    val (commits, _) = listLog(tablePath)
     resolveVersionFrom(tablePath, commits, travel)
   }
 
   private def resolveVersionFrom(
-      tablePath: String, commits: Seq[(Long, Path)], travel: Option[String]): Long = {
+      tablePath: String, commits: Seq[(Long, String)], travel: Option[String]): Long = {
     require(commits.nonEmpty, s"empty Delta log at $tablePath")
     travel match {
       case None => commits.last._1
@@ -129,8 +129,7 @@ object DeltaSource {
   }
 
   def snapshot(spark: SparkSession, tablePath: String, travel: Option[String] = None): Snapshot = {
-    val table = Paths.get(tablePath)
-    val (commits, checkpoints) = listLog(table)
+    val (commits, checkpoints) = listLog(tablePath)
     val version = resolveVersionFrom(tablePath, commits, travel)
 
     var schema: StructType = null
@@ -155,7 +154,7 @@ object DeltaSource {
     cp.foreach { case (_, p) =>
       // a checkpoint is parquet rows of the same actions; driver-side
       // via Spark's reader (bounded by file count, not data size)
-      val rows = spark.read.parquet(p.toString).collect()
+      val rows = spark.read.parquet(p).collect()
       val s = if (rows.isEmpty) new StructType() else rows.head.schema
       def struct(r: org.apache.spark.sql.Row, f: String): Option[org.apache.spark.sql.Row] =
         if (s.fieldNames.contains(f) && !r.isNullAt(s.fieldIndex(f)))
@@ -196,7 +195,8 @@ object DeltaSource {
     // replay JSON commits after the checkpoint
     val from = cp.map(_._1).getOrElse(-1L)
     commits.filter { case (v, _) => v > from && v <= version }.foreach { case (_, p) =>
-      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.filter(_.trim.nonEmpty).foreach { line =>
+      graft.sources.io.ByteStore.readString(p)
+        .split('\n').iterator.filter(_.trim.nonEmpty).foreach { line =>
         val j = JsonMethods.parse(line)
         (j \ "metaData") match {
           case m: JObject =>
@@ -266,6 +266,8 @@ object DeltaSource {
     def abs(p: String): String = {
       val decoded = java.net.URLDecoder.decode(p, "UTF-8")
       if (decoded.startsWith("/") || decoded.contains("://")) decoded
+      else if (graft.sources.io.ByteStore.hasScheme(tablePath))
+        graft.sources.io.ByteStore.resolve(tablePath, decoded)
       else Paths.get(tablePath).resolve(decoded).toString
     }
 
@@ -303,10 +305,14 @@ object DeltaSource {
       // union anti-joins them away on (file, position).
       import spark.implicits._
       val dvEntries = snap.files.collect { case AddFile(p, _, Some(d)) =>
-        (new java.io.File(abs(p)).toURI.toString, // Spark's file:/ scan-URI form
-          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)
+        // Spark's _metadata.file_path form: file:/ URI locally, the
+        // scheme URI as-is for remote tables
+        val uri = if (graft.sources.io.ByteStore.hasScheme(abs(p))) abs(p)
+          else new java.io.File(abs(p)).toURI.toString
+        (uri, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)
       }
-      val tableAbs = Paths.get(tablePath).toAbsolutePath.toString
+      val tableAbs = if (graft.sources.io.ByteStore.hasScheme(tablePath)) tablePath
+        else Paths.get(tablePath).toAbsolutePath.toString
       val dvRows = spark.createDataset(dvEntries)
         .flatMap { case (uri, st, poi, off, size, card) =>
           DeletionVectors.deletedRows(tableAbs,
@@ -327,8 +333,9 @@ object DeltaSource {
     private def nextVersion(table: Path): Long = {
       val dir = table.resolve(logDir)
       if (!Files.isDirectory(dir)) { Files.createDirectories(dir); return 0L }
-      val vs = listDir(dir).flatMap(p =>
-        p.getFileName.toString match { case commitRe(v) => Some(v.toLong); case _ => None })
+      val vs = listDir(dir.toString).flatMap(p =>
+        graft.sources.io.ByteStore.fileName(p) match {
+          case commitRe(v) => Some(v.toLong); case _ => None })
       if (vs.isEmpty) 0L else vs.max + 1
     }
 
@@ -526,8 +533,8 @@ object DeltaSource {
           $"_pcols".as("partitionColumns"), confJ.as("configuration"))).as("metaData"))
       val tmp = Files.createTempDirectory(table, ".ckpt")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = listDir(tmp)
-        .find(_.toString.endsWith(".parquet")).get
+      val part = Paths.get(listDir(tmp.toString)
+        .find(_.endsWith(".parquet")).get)
       // the checkpoint names the version it snapshots — NOT nextVersion-1,
       // which would mislabel it if a writer committed after `snap` was read
       val v = snap.version

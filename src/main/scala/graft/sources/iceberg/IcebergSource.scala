@@ -69,41 +69,41 @@ object IcebergSource {
 
   // -------------------------------------------------------- metadata
 
-  /** Files.list with a closed stream (a leaked DirectoryStream costs an
-    * fd until finalization) */
-  private def listDir(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toVector finally s.close()
-  }
+  // metadata access goes through ByteStore: an Iceberg table on any
+  // Hadoop-configured scheme (s3a://, hdfs://) resolves the same way
+  private def listDir(dir: String): Seq[String] =
+    graft.sources.io.ByteStore.list(dir)
 
-  private[iceberg] def metadataDir(table: String): Path = Paths.get(table, "metadata")
+  private[iceberg] def metadataDir(table: String): String =
+    graft.sources.io.ByteStore.resolve(table, "metadata")
 
   /** version-hint.text when present, else highest `*.metadata.json` by
     * numeric version (the vN naming is not zero-padded, so a raw
     * lexicographic sort would put v10 before v9; filename breaks ties) */
-  private[iceberg] def resolveMetadataFile(table: String): Path = {
+  private[iceberg] def resolveMetadataFile(table: String): String = {
+    import graft.sources.io.ByteStore
     val dir = metadataDir(table)
-    require(Files.isDirectory(dir), s"not an Iceberg table (no metadata dir): $table")
-    val hint = dir.resolve("version-hint.text")
-    if (Files.exists(hint)) {
-      val v = Files.readString(hint).trim
-      val candidates = Seq(dir.resolve(s"v$v.metadata.json")) ++
+    require(ByteStore.isDirectory(dir), s"not an Iceberg table (no metadata dir): $table")
+    val hint = ByteStore.resolve(dir, "version-hint.text")
+    if (ByteStore.exists(hint)) {
+      val v = ByteStore.readString(hint).trim
+      val candidates = Seq(ByteStore.resolve(dir, s"v$v.metadata.json")) ++
         listDir(dir).filter(
-          _.getFileName.toString.matches(s"0*$v-.*\\.metadata\\.json"))
-      candidates.find(Files.exists(_)).getOrElse(
+          ByteStore.fileName(_).matches(s"0*$v-.*\\.metadata\\.json"))
+      candidates.find(ByteStore.exists(_)).getOrElse(
         throw new IllegalArgumentException(s"version-hint $v has no metadata file in $dir"))
     } else {
       listDir(dir)
-        .filter(_.getFileName.toString.endsWith(".metadata.json"))
-        .sortBy(p => (versionOfMetadataFile(p).getOrElse(-1), p.getFileName.toString))
+        .filter(_.endsWith(".metadata.json"))
+        .sortBy(p => (versionOfMetadataFile(p).getOrElse(-1), ByteStore.fileName(p)))
         .lastOption
         .getOrElse(throw new IllegalArgumentException(s"no metadata files in $dir"))
     }
   }
 
   /** metadata version from either supported naming: %05d-uuid or vN */
-  private def versionOfMetadataFile(p: Path): Option[Int] = {
-    val n = p.getFileName.toString
+  private def versionOfMetadataFile(p: String): Option[Int] = {
+    val n = graft.sources.io.ByteStore.fileName(p)
     val digits =
       if (n.startsWith("v")) n.drop(1).takeWhile(_.isDigit)
       else n.takeWhile(_.isDigit)
@@ -112,7 +112,7 @@ object IcebergSource {
 
   def snapshot(tableLocation: String, travel: Option[String] = None): Snapshot = {
     val metaPath = resolveMetadataFile(tableLocation)
-    val meta = JsonMethods.parse(Files.readString(metaPath))
+    val meta = JsonMethods.parse(graft.sources.io.ByteStore.readString(metaPath))
 
     val declaredLocation = (meta \ "location") match {
       case JString(l) => l
@@ -121,7 +121,8 @@ object IcebergSource {
     // exact-or-child match only: /data/t must not capture /data/t_backup/…
     def relocate(p: String): String =
       if (p == declaredLocation || p.startsWith(declaredLocation + "/"))
-        Paths.get(tableLocation, p.stripPrefix(declaredLocation)).toString
+        graft.sources.io.ByteStore.resolve(
+          tableLocation, p.stripPrefix(declaredLocation).stripPrefix("/"))
       else p
 
     // ---- snapshot selection: none → current, digits → snapshot-id,
@@ -293,13 +294,18 @@ object IcebergSource {
   /** the URI rendering Spark's `_metadata.file_path` uses for local
     * files — `file:/abs/path`, java.io.File.toURI form (NOT nio's
     * `file:///abs/path`) */
-  private def scanUri(p: String): String = new java.io.File(p).toURI.toString
+  private def scanUri(p: String): String =
+    if (graft.sources.io.ByteStore.hasScheme(p)) p
+    else new java.io.File(p).toURI.toString
 
   // ------------------------------------------------------------ avro
 
   private def readAvro(path: String): Seq[GenericRecord] = {
-    val r = new DataFileReader[GenericRecord](
-      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    // manifests are small metadata objects: one remote readAll each
+    val r = DataFileReader.openReader(
+      new org.apache.avro.file.SeekableByteArrayInput(
+        graft.sources.io.ByteStore.readAll(path)),
+      new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.toVector finally r.close()
   }
 
@@ -458,7 +464,8 @@ object IcebergSource {
       Files.createDirectories(dataDir)
       val tmp = Files.createTempDirectory(table, ".stage")
       df.write.mode("overwrite").parquet(tmp.toString)
-      val staged = listDir(tmp)
+      val staged = listDir(tmp.toString)
+        .map(Paths.get(_))
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toVector
       val out = staged.map { p =>
         val dest = dataDir.resolve(
@@ -519,7 +526,7 @@ object IcebergSource {
     private def commit(spark: SparkSession, tableLocation: String, schema: StructType,
         newFiles: Seq[NewFile], operation: String): Long = {
       val table = Paths.get(tableLocation)
-      val metaDir = metadataDir(tableLocation)
+      val metaDir = Paths.get(metadataDir(tableLocation))
       Files.createDirectories(metaDir)
       require(newFiles.nonEmpty, "empty commit")
       val isDelete = newFiles.exists(_.content != 0)
@@ -527,9 +534,9 @@ object IcebergSource {
         "mixed data+delete commit not supported")
 
       val prior: Option[(JValue, Snapshot)] =
-        if (listDir(metaDir).exists(
-          _.getFileName.toString.endsWith(".metadata.json"))) {
-          val m = JsonMethods.parse(Files.readString(resolveMetadataFile(tableLocation)))
+        if (listDir(metaDir.toString).exists(_.endsWith(".metadata.json"))) {
+          val m = JsonMethods.parse(
+            graft.sources.io.ByteStore.readString(resolveMetadataFile(tableLocation)))
           Some(m -> IcebergSource.snapshot(tableLocation))
         } else None
       val snapId = prior.map(_._2.snapshotId + 1).getOrElse(1L)

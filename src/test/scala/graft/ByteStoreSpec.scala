@@ -102,6 +102,28 @@ class ByteStoreSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rv.data, lv.data))
   }
 
+  test("delta log replay + DV anti-join over a Hadoop scheme") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-bytestore-delta").resolve("t").toString
+    graft.sources.delta.DeltaSource.Writer.append(
+      (1L to 10L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "k"), t)
+    graft.sources.delta.DeltaSource.Writer.dvDeleteWhere(spark, t, "k = 'even'")
+    val rows = graft.sources.delta.DeltaSource.read(spark, viaMock(t))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
+  test("iceberg metadata + manifest resolution over a Hadoop scheme") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-bytestore-ice").resolve("t").toString
+    graft.sources.iceberg.IcebergSource.Writer.append(
+      spark, (1L to 10L).map(i => (i, s"v$i")).toDF("id", "k"), t)
+    graft.sources.iceberg.IcebergSource.Writer.deleteWhere(spark, t, "id IN (2, 5)")
+    val rows = graft.sources.iceberg.IcebergSource.read(spark, viaMock(t))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 3L, 4L, 6L, 7L, 8L, 9L, 10L))
+  }
+
   test("bbf footer + chunk positioned reads work over a Hadoop scheme") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-bytestore-bbf")
