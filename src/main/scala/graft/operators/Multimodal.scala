@@ -100,24 +100,34 @@ object Multimodal {
       out
     }
 
-    /** REAL frame sampling for the one multi-frame container the JDK
-      * can decode: animated GIF. Frames composite progressively onto
-      * the logical screen (GIF frames are often partial patches at an
-      * (left, top) offset; disposal none/doNotDispose accumulate,
-      * restoreToBackgroundColor clears the patch rect) and `n` evenly
-      * spaced snapshots re-encode as PNG. Still images yield their one
-      * frame; mp4/webm/avi have no JDK codec and are REJECTED, not
-      * guessed. */
+    /** REAL frame sampling. Two container families:
+      *  - MP4/MOV (ISO BMFF): DEMUXED, not decoded — [[Mp4Demux]] walks
+      *    the `stbl` sample tables and returns `n` evenly spaced sync
+      *    samples as their ENCODED access units (the JDK has no video
+      *    codec; a training pipeline's GPU decode stage takes it from
+      *    there).
+      *  - animated GIF, the one multi-frame container the JDK can
+      *    decode: frames composite progressively onto the logical
+      *    screen (GIF frames are often partial patches at an
+      *    (left, top) offset; disposal none/doNotDispose accumulate,
+      *    restoreToBackgroundColor clears the patch rect) and `n`
+      *    evenly spaced snapshots re-encode as PNG. Still images yield
+      *    their one frame.
+      * webm/avi have neither a JDK codec nor this demuxer and are
+      * REJECTED, not guessed. */
     override def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
       require(n > 0, "sampleFrames: n must be positive")
+      if (Mp4Demux.isMp4(payload))
+        return Mp4Demux.sampleKeyframes(payload, n).map(_._2)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) {
         iis.close()
         throw new UnsupportedOperationException(
-          "frame sampling needs a JDK-decodable container (animated GIF); " +
-            "mp4/webm need an external codec — use FakeCodec for pipeline-shape tests")
+          "frame sampling needs MP4 (demuxed) or a JDK-decodable container " +
+            "(animated GIF); webm/avi need an external codec — use FakeCodec " +
+            "for pipeline-shape tests")
       }
       val reader = readers.next()
       reader.setInput(iis)
