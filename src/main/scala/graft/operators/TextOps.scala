@@ -117,6 +117,37 @@ object TextOps {
     * docs shorter than n tokens fall back to a single whole-text shingle */
   def shingles(text: Column, n: Int): Column = TextExprs.word_shingles(text, n)
 
+  /** Sliding-window document chunking (the embedding/RAG ingest shape):
+    * chunk `i` covers whitespace tokens `[i·stride, i·stride + size)`
+    * where `stride = size − overlap`, so consecutive chunks share
+    * `overlap` tokens and every token lands in at least one chunk;
+    * `nChunks = max(1, ⌈(n − overlap) / stride⌉)` (an empty or
+    * shorter-than-size document still yields its one chunk). One output
+    * row per chunk: (id, chunk_idx, chunk_text, n_chunk_tokens).
+    *
+    * Built entirely from codegen'd built-ins (split/sequence/explode/
+    * slice/array_join) — a row-local map pass with no shuffle, so a
+    * 100 TB corpus chunks at scan speed; the per-doc token array is
+    * bounded by the document, never materialized across rows. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(overlapTokens >= 0 && chunkTokens > overlapTokens,
+      s"chunkDocuments: need chunkTokens > overlapTokens >= 0, got ($chunkTokens, $overlapTokens)")
+    val stride = chunkTokens - overlapTokens
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nc", greatest(lit(1),
+        ceil((col("__n") - lit(overlapTokens)).cast(DoubleType) / stride).cast(IntegerType)))
+    withToks
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        greatest(least(lit(chunkTokens), col("__n") - col("chunk_idx") * stride), lit(0))
+          .as("n_chunk_tokens"))
+  }
+
   /** Standard per-document profile used by the gate queries. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

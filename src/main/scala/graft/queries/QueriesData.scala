@@ -84,6 +84,16 @@ object QueriesData {
         .orderBy("doc_id")
     },
 
+    // ---- sliding-window document chunking (embedding/RAG ingest):
+    // chunk i = tokens [i·48, i·48+64), 16-token overlap; the oracle
+    // replays the identical token slicing and window arithmetic.
+    "q_chunk_documents" -> { (s, dir) =>
+      graft.operators.TextOps.chunkDocuments(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---- pairs → clusters: connected components by min-label
     // propagation (cluster_id = min member id = the canonical keeper).
     // The oracle computes the identical transitive closure with a
@@ -568,6 +578,21 @@ object QueriesData {
           CAST(floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                       - n_chars) / 4096.0) AS BIGINT) AS batch_id
         FROM d ORDER BY doc_id""",
+    // chunk=64, overlap=16 → stride 48; same token contract as toks
+    "q_chunk_documents" ->
+      raw"""WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             s -> len(s) > 0) AS tk
+          FROM documents),
+        m AS (SELECT doc_id, tk, len(tk) AS n,
+                GREATEST(1, CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT)) AS nc
+              FROM d),
+        e AS (SELECT doc_id, tk, n, unnest(range(nc)) AS i FROM m)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          array_to_string(tk[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+          CAST(GREATEST(LEAST(64, n - i*48), 0) AS INT) AS n_chunk_tokens
+        FROM e ORDER BY doc_id, chunk_idx""",
     // low 48 bits via % 2^48 (unsigned), buckets of 10000: train <8000,
     // val <9000, test otherwise — the assignSplits cumulative ranges
     "q_hash_split" ->

@@ -590,4 +590,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(emb.max > 5 * sortedAmps(emb.length / 2),
       "tone bin must dominate the median bin")
   }
+
+  test("document chunking: sliding window, overlap, short and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, 3 chunks @ size4/ov2
+      (2L, "one two three"),                          // shorter than a chunk
+      (3L, ""),                                       // empty → its one empty chunk
+      (4L, (1 to 6).map(i => s"w$i").mkString(" "))   // n−ov exactly 2 strides
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps
+      .chunkDocuments(docs, "text", "doc_id", chunkTokens = 4, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: ceil((10-2)/2)=4 chunks, stride 2, each shares 2 tokens
+    assert(out.filter(_._1 == 1L).map(x => (x._2, x._3, x._4)).toSeq == Seq(
+      (0, "t1 t2 t3 t4", 4), (1, "t3 t4 t5 t6", 4),
+      (2, "t5 t6 t7 t8", 4), (3, "t7 t8 t9 t10", 4)))
+    // doc 2: one partial chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "one two three", 3)))
+    // doc 3: empty text still yields its one (empty) chunk
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0)))
+    // doc 4: 6 tokens → ceil(4/2)=2 chunks; the last is full
+    assert(out.filter(_._1 == 4L).map(x => (x._2, x._3)).toSeq == Seq(
+      (0, "w1 w2 w3 w4"), (1, "w3 w4 w5 w6")))
+    // every token of doc 1 appears in at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert((1 to 10).forall(i => covered.contains(s"t$i")))
+  }
 }
