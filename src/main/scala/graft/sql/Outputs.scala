@@ -99,20 +99,25 @@ object Outputs {
     out.toSeq.toDF("path", "format", "size_bytes")
   }
 
-  private def classify(p: java.nio.file.Path): Option[String] = {
-    val name = p.getFileName.toString.toLowerCase
-    if (Files.isDirectory(p)) {
-      if (Files.exists(p.resolve("zarr.json"))) Some("zarr")
-      else if (Files.exists(p.resolve("atlas.json"))) Some("atlas")
-      else if (graft.sources.icechunk.IcechunkStore.isRepository(p.toString)) Some("icechunk")
-      else if (Files.isDirectory(p.resolve("_delta_log"))) Some("delta")
-      else if (Files.isDirectory(p.resolve("metadata")) && {
-        val it = Files.list(p.resolve("metadata"))
-        try it.iterator().asScala.exists(_.getFileName.toString.endsWith(".metadata.json"))
-        finally it.close()
-      }) Some("iceberg")
+  private def classify(p: java.nio.file.Path): Option[String] =
+    classifyPath(p.toString)
+
+  /** classify one path by marker/extension/magic (the listDatasets
+    * rule); ByteStore-routed, so remote scheme URIs classify the same */
+  def classifyPath(path0: String): Option[String] = {
+    import graft.sources.io.ByteStore
+    val path = ByteStore.toLocal(path0)
+    val name = ByteStore.fileName(path).toLowerCase
+    if (ByteStore.isDirectory(path)) {
+      if (ByteStore.exists(ByteStore.resolve(path, "zarr.json"))) Some("zarr")
+      else if (ByteStore.exists(ByteStore.resolve(path, "atlas.json"))) Some("atlas")
+      else if (graft.sources.icechunk.IcechunkStore.isRepository(path)) Some("icechunk")
+      else if (ByteStore.isDirectory(ByteStore.resolve(path, "_delta_log"))) Some("delta")
+      else if (ByteStore.isDirectory(ByteStore.resolve(path, "metadata")) &&
+        ByteStore.list(ByteStore.resolve(path, "metadata"))
+          .exists(_.endsWith(".metadata.json"))) Some("iceberg")
       else None
-    } else if (name.endsWith(".bbf") && graft.sources.bbf.BbfStore.isBbf(p.toString))
+    } else if (name.endsWith(".bbf") && graft.sources.bbf.BbfStore.isBbf(path))
       Some("bbf")
     else if (name.endsWith(".parquet")) Some("parquet")
     else if (name.endsWith(".csv")) Some("csv")
@@ -122,19 +127,17 @@ object Outputs {
       name.endsWith(".h5") || name.endsWith(".hdf5") || name.endsWith(".tif") ||
       name.endsWith(".tiff")) {
       // magic: classic CDF vs HDF5 container vs TIFF
-      val in = Files.newInputStream(p)
-      val head = in.readNBytes(4); in.close()
-      if (head.length >= 4 && head(0) == 'C' && head(1) == 'D' && head(2) == 'F') Some("netcdf")
-      else if (head.length >= 4 && (head(0) & 0xFF) == 0x89 && head(1) == 'H') Some("netcdf")
-      else if (head.length >= 4 && ((head(0) == 'I' && head(1) == 'I') ||
-        (head(0) == 'M' && head(1) == 'M'))) Some("tiff")
-      else None
+      if (ByteStore.size(path) < 4) None
+      else {
+        val head = ByteStore.readRange(path, 0, 4)
+        if (head(0) == 'C' && head(1) == 'D' && head(2) == 'F') Some("netcdf")
+        else if ((head(0) & 0xFF) == 0x89 && head(1) == 'H') Some("netcdf")
+        else if ((head(0) == 'I' && head(1) == 'I') ||
+          (head(0) == 'M' && head(1) == 'M')) Some("tiff")
+        else None
+      }
     } else None
   }
-
-  /** classify one path by marker/extension/magic (the listDatasets rule) */
-  def classifyPath(path: String): Option[String] =
-    classify(Paths.get(path.stripPrefix("file:")))
 
   /** read one classified dataset through the matching engine source */
   def readClassified(spark: SparkSession, format: String, path: String): DataFrame =

@@ -39,7 +39,7 @@ object DatasetStatistics {
   }
 
   def describe(spark: SparkSession, path: String): DataFrame = {
-    val p = Paths.get(path.stripPrefix("file:"))
+    val p = Paths.get(graft.sources.io.ByteStore.toLocal(path))
     require(Files.exists(p), s"DESCRIBE STATISTICS: no such path: $p")
     val (size, mtime) = fingerprint(p)
     val hit = Option(cache.get(p.toString)).filter(e => e.size == size && e.mtime == mtime)

@@ -102,6 +102,17 @@ class ByteStoreSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rv.data, lv.data))
   }
 
+  test("dataset classification (LIST DATASETS rule) over a Hadoop scheme") {
+    val dir = Files.createTempDirectory("graft-bytestore-cls")
+    Files.createDirectories(dir.resolve("z"))
+    Files.writeString(dir.resolve("z/zarr.json"), "{}")
+    Files.write(dir.resolve("t.tif"),
+      Array[Byte]('I', 'I', 42, 0) ++ new Array[Byte](8))
+    assert(graft.sql.Outputs.classifyPath(viaMock(s"$dir/z")) == Some("zarr"))
+    assert(graft.sql.Outputs.classifyPath(viaMock(s"$dir/t.tif")) == Some("tiff"))
+    assert(graft.sql.Outputs.classifyPath(viaMock(s"$dir")) == None)
+  }
+
   test("delta log replay + DV anti-join over a Hadoop scheme") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft-bytestore-delta").resolve("t").toString
