@@ -87,8 +87,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     rewrite(name, df.withColumnRenamed(from, to))
   }
 
-  private def requireManaged(name: String): Unit =
+  private def requireManaged(name: String): Unit = {
     require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    requireUnbucketed(name, "ALTER TABLE")
+  }
 
   /** ANALYZE FILES: collect the per-file min/max/null registry for an
     * external table into `<warehouse>/_stats/<name>` (reference
@@ -126,18 +128,54 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   /** CTAS into a managed parquet table. */
-  def createManagedTable(name: String, data: DataFrame): Unit = {
-    val d = TableDef(name, "managed")
-    data.write.mode(SaveMode.Overwrite).parquet(dataDir(name).toString)
-    persist(d)
-    register(d)
+  def createManagedTable(name: String, data: DataFrame,
+      buckets: Option[(Seq[String], Int)] = None): Unit = buckets match {
+    case None =>
+      val d = TableDef(name, "managed")
+      data.write.mode(SaveMode.Overwrite).parquet(dataDir(name).toString)
+      persist(d)
+      register(d)
+    case Some((cols, n)) =>
+      // BUCKETED managed table: data lands hash-partitioned AND sorted
+      // by the bucket columns, and the session catalog carries the
+      // bucket spec — so equi-joins and aggregations between
+      // co-bucketed tables run with NO shuffle exchange (the 100 TB
+      // join-co-location path). Registered as a session-catalog table,
+      // not a temp view: only catalog tables carry bucket metadata.
+      require(cols.nonEmpty && n > 0, "CLUSTERED BY needs columns and a positive bucket count")
+      val d = TableDef(name, "managed",
+        options = Map("bucket_cols" -> cols.mkString(","), "bucket_n" -> n.toString))
+      spark.catalog.dropTempView(name) // a temp view would shadow the table
+      spark.sql(s"DROP TABLE IF EXISTS ${quote(name)}")
+      data.write.mode(SaveMode.Overwrite)
+        .bucketBy(n, cols.head, cols.tail: _*)
+        .sortBy(cols.head, cols.tail: _*)
+        .option("path", dataDir(name).toString)
+        .format("parquet")
+        .saveAsTable(name)
+      persist(d)
   }
+
+  private def bucketSpec(d: TableDef): Option[(Seq[String], Int)] =
+    d.options.get("bucket_cols").map(cs =>
+      (cs.split(",").toSeq, d.options("bucket_n").toInt))
 
   def insertInto(name: String, data: DataFrame, overwrite: Boolean = false): Unit = {
     require(kindOf(name).contains("managed"), s"$name is not a managed table")
-    data.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
-      .parquet(dataDir(name).toString)
-    register(load(name).get)
+    val d = load(name).get
+    bucketSpec(d) match {
+      case Some((cols, n)) =>
+        if (overwrite) createManagedTable(name, data, Some((cols, n)))
+        else data.write.mode(SaveMode.Append)
+          .bucketBy(n, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .format("parquet")
+          .saveAsTable(name) // append keeps (and validates) the bucket spec
+      case None =>
+        data.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+          .parquet(dataDir(name).toString)
+        register(d)
+    }
   }
 
   /** DELETE FROM name WHERE predicate — keeps rows where the predicate
@@ -145,6 +183,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * reference's keep-NOT-p filter). */
   def delete(name: String, predicateSql: String): Long = {
     require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    requireUnbucketed(name, "DELETE")
     val df = spark.read.parquet(dataDir(name).toString)
     val kept = df.filter(!coalesce(expr(predicateSql), lit(false)))
     // removed-row count without extra scans: rows-before from parquet
@@ -164,6 +203,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * projection over every row. */
   def update(name: String, assignments: Seq[(String, String)], predicateSql: Option[String]): Unit = {
     require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    requireUnbucketed(name, "UPDATE")
     val df = spark.read.parquet(dataDir(name).toString)
     val pred = predicateSql.map(expr).getOrElse(lit(true))
     val byName = assignments.toMap
@@ -184,11 +224,20 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   def drop(name: String): Unit = {
+    val wasBucketed = load(name).exists(bucketSpec(_).isDefined)
     Files.deleteIfExists(defPath(name))
     spark.catalog.dropTempView(name)
+    if (wasBucketed) spark.sql(s"DROP TABLE IF EXISTS ${quote(name)}")
     val dd = dataDir(name)
     if (Files.exists(dd)) deleteRecursively(dd)
   }
+
+  /** the copy-on-write rewrites emit plain parquet, which would silently
+    * drop the bucket layout — rejected, not guessed */
+  private def requireUnbucketed(name: String, op: String): Unit =
+    require(load(name).forall(bucketSpec(_).isEmpty),
+      s"$op on bucketed table $name is not supported: the copy-on-write " +
+        "rewrite would drop the bucket layout (recreate the table instead)")
 
   def tables(): Seq[TableDef] = {
     val s = Files.list(catalogDir)
@@ -247,8 +296,22 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case fmt               => FileCollection.read(spark, fmt, d.paths, d.options)
       }
       df.createOrReplaceTempView(d.name)
-    case "managed" =>
-      spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
+    case "managed" => bucketSpec(d) match {
+      case None =>
+        spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
+      case Some((cols, n)) =>
+        // restart path: recreate the session-catalog entry (bucket spec
+        // included) over the existing data directory
+        spark.catalog.dropTempView(d.name)
+        if (!spark.catalog.tableExists(d.name)) {
+          val schema = spark.read.parquet(dataDir(d.name).toString).schema
+          spark.sql(
+            s"CREATE TABLE ${quote(d.name)} (${schema.toDDL}) USING PARQUET " +
+              s"CLUSTERED BY (${cols.map(quote).mkString(", ")}) " +
+              s"SORTED BY (${cols.map(quote).mkString(", ")}) INTO $n BUCKETS " +
+              s"LOCATION '${dataDir(d.name)}'")
+        }
+    }
     case "view" =>
       // LATE-BINDING: a SQL-defined temp view stores the PARSED plan and
       // re-analyzes per query (spark.sql.legacy.storeAnalyzedPlanForView

@@ -34,8 +34,35 @@ import graft.core.{SuperType, UnionByName}
   * (spark.read.text → typed rows), so a many-file ODV archive scales
   * like any text scan. Multi-file schemas merge via the supercast
   * lattice.
+  *
+  * Compressed spreadsheets (`.zst` / `.gz`, the reference's
+  * `test_file.txt.zst` shape) decompress transparently: the header
+  * parse streams the decoder; the data scan reads a decompressed copy
+  * cached per (path, mtime, size) beside the ByteStore download cache.
   */
 object OdvSource {
+
+  /** transparent container decompression + remote access */
+  private def decodedStream(path: String): java.io.InputStream = {
+    val raw = graft.sources.io.ByteStore.openStream(path)
+    if (path.endsWith(".zst")) new com.github.luben.zstd.ZstdInputStream(raw)
+    else if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+    else raw
+  }
+
+  /** path for the partition-parallel text scan: compressed files
+    * materialize their decoded bytes once per JVM; plain paths (any
+    * scheme) go straight to spark.read.text */
+  private def scanPath(path: String): String =
+    if (path.endsWith(".zst"))
+      graft.sources.io.ByteStore.localizeTransformed(path, "un-zst") { (in, out) =>
+        new com.github.luben.zstd.ZstdInputStream(in).transferTo(out)
+      }
+    else if (path.endsWith(".gz"))
+      graft.sources.io.ByteStore.localizeTransformed(path, "un-gz") { (in, out) =>
+        new java.util.zip.GZIPInputStream(in).transferTo(out)
+      }
+    else path
 
   private val metaVarRe =
     """(?s)^//<(?:MetaVariable|DataVariable)>.*?label="([^"]+)".*?value_type="([^"]+)".*""".r
@@ -59,8 +86,8 @@ object OdvSource {
 
   /** Parse the `//` header + header row of one file (driver-side). */
   def readSchema(path0: String): OdvSchema = {
-    val path = path0.stripPrefix("file:")
-    val src = Source.fromFile(path, "UTF-8")
+    val path = graft.sources.io.ByteStore.toLocal(path0)
+    val src = Source.fromInputStream(decodedStream(path), "UTF-8")
     try {
       val lines = src.getLines()
       var declared = scala.collection.mutable.LinkedHashMap[String, StructField](
@@ -128,7 +155,7 @@ object OdvSource {
     val header = odv.header
     val enc = RowEncoder.encoderFor(schema)
     import spark.implicits._
-    spark.read.textFile(path)
+    spark.read.textFile(scanPath(path))
       .filter(line => !line.startsWith("//") && line != header && line.nonEmpty)
       .mapPartitions { lines =>
         lines.map { line =>

@@ -164,17 +164,29 @@ object ByteStore {
   /** observable for specs: completed cache downloads in this JVM */
   val cacheDownloads = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** buffered read stream over any scheme (caller closes) */
+  def openStream(path: String): java.io.InputStream =
+    if (hasScheme(path)) { val (f, p) = fs(path); f.open(p) }
+    else new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(toLocal(path))))
+
   /** A local filesystem path holding this granule's bytes: the path
     * itself when plain, else a per-JVM cached copy keyed by
     * (path, mtime, size) — re-fetched when the remote object changes,
     * shared by every task on the executor. Atomic rename publication, so
     * concurrent JVMs sharing a tmpdir never see a half-written file. */
-  def localize(path: String): String = {
-    if (!hasScheme(path)) return toLocal(path)
-    val (f, p) = fs(path)
-    val st = f.getFileStatus(p)
+  def localize(path: String): String =
+    if (!hasScheme(path)) toLocal(path)
+    else localizeTransformed(path, "raw")((in, out) => in.transferTo(out))
+
+  /** [[localize]] with a byte transform (container decompression): the
+    * cache entry is the TRANSFORMED bytes, keyed by
+    * (path, mtime, size, tag) — applied even for local paths, since the
+    * caller wants the decoded form on disk. Same atomic publication. */
+  def localizeTransformed(path: String, tag: String)(
+      transform: (java.io.InputStream, java.io.OutputStream) => Unit): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$path|${st.getModificationTime}|${st.getLen}".getBytes(StandardCharsets.UTF_8))
+      .digest(s"$path|${mtime(path)}|${size(path)}|$tag".getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val dst = cacheDir.resolve(key)
     if (Files.exists(dst)) return dst.toString
@@ -183,8 +195,10 @@ object ByteStore {
       if (!Files.exists(dst)) {
         Files.createDirectories(cacheDir)
         val tmp = Files.createTempFile(cacheDir, key, ".part")
-        val in = f.open(p)
-        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+        val in = openStream(path)
+        val out = new java.io.BufferedOutputStream(
+          Files.newOutputStream(tmp))
+        try transform(in, out) finally { out.close(); in.close() }
         Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
         cacheDownloads.incrementAndGet()

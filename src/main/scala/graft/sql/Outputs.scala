@@ -102,6 +102,10 @@ object Outputs {
   private def classify(p: java.nio.file.Path): Option[String] =
     classifyPath(p.toString)
 
+  /** `.zst`/`.gz` wrappers are transparent for text formats (odv, csv) */
+  private def stripCompressed(name: String): String =
+    name.stripSuffix(".zst").stripSuffix(".gz")
+
   /** classify one path by marker/extension/magic (the listDatasets
     * rule); ByteStore-routed, so remote scheme URIs classify the same */
   def classifyPath(path0: String): Option[String] = {
@@ -120,9 +124,10 @@ object Outputs {
     } else if (name.endsWith(".bbf") && graft.sources.bbf.BbfStore.isBbf(path))
       Some("bbf")
     else if (name.endsWith(".parquet")) Some("parquet")
-    else if (name.endsWith(".csv")) Some("csv")
+    else if (stripCompressed(name).endsWith(".csv")) Some("csv")
     else if (name.endsWith(".arrow") || name.endsWith(".feather")) Some("arrow")
-    else if (name.endsWith(".txt") || name.endsWith(".odv")) Some("odv")
+    else if (stripCompressed(name).endsWith(".txt") ||
+      stripCompressed(name).endsWith(".odv")) Some("odv")
     else if (name.endsWith(".nc") || name.endsWith(".nc4") || name.endsWith(".cdf") ||
       name.endsWith(".h5") || name.endsWith(".hdf5") || name.endsWith(".tif") ||
       name.endsWith(".tiff")) {

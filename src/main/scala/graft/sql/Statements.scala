@@ -31,7 +31,9 @@ object Statements {
   private val reView =
     ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+""" + Id + """\s+AS\s+(.+)$""").r
   private val reCtas =
-    ("""(?is)^CREATE\s+TABLE\s+""" + Id + """\s+AS\s+(.+)$""").r
+    ("""(?is)^CREATE\s+TABLE\s+""" + Id +
+      """(?:\s+CLUSTERED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS)?""" +
+      """\s+AS\s+(.+)$""").r
   private val reRefresh =
     ("""(?is)^REFRESH\s+(?:TABLE\s+)?""" + Id + """\s*$""").r
   private val reDrop =
@@ -106,9 +108,11 @@ object Statements {
         val name = unquote(name0)
         catalog.createView(name, sql.trim)
         Some(status(spark, s"created view $name"))
-      case reCtas(name0, sql) =>
+      case reCtas(name0, bucketCols, bucketN, sql) =>
         val name = unquote(name0)
-        catalog.createManagedTable(name, spark.sql(sql.trim))
+        val buckets = Option(bucketCols).map(cs =>
+          (cs.split(",").map(c => unquote(c.trim)).toSeq, bucketN.toInt))
+        catalog.createManagedTable(name, spark.sql(sql.trim), buckets)
         Some(status(spark, s"created table $name"))
       case reRefresh(name0) =>
         val name = unquote(name0)

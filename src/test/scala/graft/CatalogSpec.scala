@@ -384,4 +384,54 @@ class CatalogSpec extends AnyFunSuite {
     // native EXPLAIN still reaches Catalyst untouched
     assert(engine.sql("EXPLAIN SELECT 1").collect().nonEmpty)
   }
+
+  test("bucketed CTAS: co-bucketed join runs with no shuffle exchange") {
+    engine.sql("CREATE TABLE bkt_orders CLUSTERED BY (o_custkey) INTO 8 BUCKETS AS " +
+      s"SELECT * FROM parquet.`$sf/orders.parquet`")
+    engine.sql("CREATE TABLE bkt_cust CLUSTERED BY (c_custkey) INTO 8 BUCKETS AS " +
+      s"SELECT * FROM parquet.`$sf/customer.parquet`")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // join AND aggregate on the bucket key: the bucketed scans satisfy
+      // the required distribution end-to-end, so the whole plan runs
+      // with zero exchanges
+      val joined = engine.sql(
+        "SELECT c_custkey, count(*) AS n FROM bkt_orders JOIN bkt_cust " +
+          "ON o_custkey = c_custkey GROUP BY c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle, got:\n$plan")
+      assert(joined.count() > 0)
+      // contrast: the same join against an unbucketed scan DOES shuffle
+      val mixed = engine.sql(
+        s"SELECT count(*) FROM bkt_orders JOIN parquet.`$sf/customer.parquet` " +
+          "ON o_custkey = c_custkey")
+      assert(mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed tables survive restart and reject copy-on-write rewrites") {
+    // simulate restart: the session-catalog entry is gone, the persisted
+    // TableDef + data remain; restore() recreates the bucketed table
+    spark.sql("DROP TABLE IF EXISTS bkt_cust")
+    GraftEngine(spark, wh).restore()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = engine.sql(
+        "SELECT count(*) AS n FROM bkt_orders JOIN bkt_cust ON o_custkey = c_custkey")
+      // the single-partition collect of count(*) is not a join shuffle
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+      assert(joined.collect()(0).getLong(0) > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the CoW rewrites would silently drop the bucket layout — rejected
+    val e = intercept[IllegalArgumentException] {
+      engine.sql("DELETE FROM bkt_cust WHERE c_custkey = 1")
+    }
+    assert(e.getMessage.contains("bucket"))
+    engine.sql("DROP TABLE bkt_orders")
+    engine.sql("DROP TABLE bkt_cust")
+  }
 }

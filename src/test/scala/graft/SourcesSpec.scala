@@ -105,6 +105,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(s.fieldNames.contains("SAMPLE_qc"))
   }
 
+  test("ODV: .zst spreadsheets decompress transparently (reference fixture)") {
+    val zst = "/root/reference/test-datasets/test_file.txt.zst"
+    val plain = "/root/reference/test-datasets/test_file.txt"
+    val a = OdvSource.read(spark, Seq(zst))
+    val b = OdvSource.read(spark, Seq(plain))
+    assert(a.schema == b.schema)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("ODV: data rows parse with NULL empties and typed values") {
     val df = OdvSource.read(spark, Seq(odvFixture))
     assert(df.count() > 0)
