@@ -32,6 +32,11 @@ object GraftSession {
     // µs parquet timestamps (default INT96 reads back as ns and breaks
     // schema comparison against the µs oracle)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // parquet field-id column resolution: only engages for requested
+    // schemas that carry `parquet.field.id` metadata (Delta column
+    // mapping mode `id`); plain scans are unaffected
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     functions.GraftFunctions.registerAll(spark)
     spark
   }

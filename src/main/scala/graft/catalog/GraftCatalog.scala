@@ -75,6 +75,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   def alterDropColumn(name: String, column: String): Unit = {
     requireManaged(name)
+    require(!load(name).exists(partitionCols(_).contains(column)),
+      s"cannot drop partition column $column of $name")
     val df = spark.read.parquet(dataDir(name).toString)
     require(df.columns.contains(column), s"no column $column in $name")
     rewrite(name, df.drop(column))
@@ -82,6 +84,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   def alterRenameColumn(name: String, from: String, to: String): Unit = {
     requireManaged(name)
+    require(!load(name).exists(partitionCols(_).contains(from)),
+      s"cannot rename partition column $from of $name")
     val df = spark.read.parquet(dataDir(name).toString)
     require(df.columns.contains(from), s"no column $from in $name")
     rewrite(name, df.withColumnRenamed(from, to))
@@ -129,10 +133,23 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   /** CTAS into a managed parquet table. */
   def createManagedTable(name: String, data: DataFrame,
-      buckets: Option[(Seq[String], Int)] = None): Unit = buckets match {
-    case None =>
+      buckets: Option[(Seq[String], Int)] = None,
+      partitions: Seq[String] = Seq.empty): Unit = buckets match {
+    case None if partitions.isEmpty =>
       val d = TableDef(name, "managed")
       data.write.mode(SaveMode.Overwrite).parquet(dataDir(name).toString)
+      persist(d)
+      register(d)
+    case None =>
+      // PARTITIONED managed table: hive-style directory layout, so a
+      // partition-column predicate prunes whole directories before the
+      // scan (PartitionFilters in the plan). Partition columns surface
+      // last in the read-back schema (Spark partition discovery order).
+      val d = TableDef(name, "managed",
+        options = Map("partition_cols" -> partitions.mkString(",")))
+      data.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitions: _*)
+        .parquet(dataDir(name).toString)
       persist(d)
       register(d)
     case Some((cols, n)) =>
@@ -147,14 +164,19 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         options = Map("bucket_cols" -> cols.mkString(","), "bucket_n" -> n.toString))
       spark.catalog.dropTempView(name) // a temp view would shadow the table
       spark.sql(s"DROP TABLE IF EXISTS ${quote(name)}")
-      data.write.mode(SaveMode.Overwrite)
+      val w0 = data.write.mode(SaveMode.Overwrite)
+      val w = (if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0)
         .bucketBy(n, cols.head, cols.tail: _*)
         .sortBy(cols.head, cols.tail: _*)
         .option("path", dataDir(name).toString)
         .format("parquet")
-        .saveAsTable(name)
-      persist(d)
+      w.saveAsTable(name)
+      persist(if (partitions.nonEmpty)
+        d.copy(options = d.options + ("partition_cols" -> partitions.mkString(","))) else d)
   }
+
+  private def partitionCols(d: TableDef): Seq[String] =
+    d.options.get("partition_cols").map(_.split(",").toSeq).getOrElse(Seq.empty)
 
   private def bucketSpec(d: TableDef): Option[(Seq[String], Int)] =
     d.options.get("bucket_cols").map(cs =>
@@ -172,7 +194,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           .format("parquet")
           .saveAsTable(name) // append keeps (and validates) the bucket spec
       case None =>
-        data.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+        val w = data.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+        (if (partitionCols(d).nonEmpty) w.partitionBy(partitionCols(d): _*) else w)
           .parquet(dataDir(name).toString)
         register(d)
     }
@@ -329,11 +352,14 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def materialize(d: TableDef): Unit =
     spark.sql(d.sql.get).write.mode(SaveMode.Overwrite).parquet(dataDir(d.name).toString)
 
-  /** copy-on-write swap: write to a temp dir, then move into place. */
+  /** copy-on-write swap: write to a temp dir, then move into place
+    * (a partitioned table's directory layout is preserved). */
   private def rewrite(name: String, data: DataFrame): Unit = {
     val tmp = Paths.get(warehouse, s".${name}__rewrite")
     if (Files.exists(tmp)) deleteRecursively(tmp)
-    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val pcols = load(name).map(partitionCols).getOrElse(Seq.empty)
+    val w = data.write.mode(SaveMode.Overwrite)
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp.toString)
     val live = dataDir(name)
     val trash = Paths.get(warehouse, s".${name}__old")
     if (Files.exists(trash)) deleteRecursively(trash)

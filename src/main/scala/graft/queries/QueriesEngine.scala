@@ -214,6 +214,30 @@ object QueriesEngine {
     // refresh; `stale_rows` (the MV's row count BEFORE refresh, captured
     // as a literal) pins that the MV really was frozen — the oracle
     // recomputes it from the F-only seed.
+    // ---- partitioned + bucketed managed tables through the SQL front
+    // door: PARTITIONED BY prunes directories, CLUSTERED BY co-locates
+    // the join (zero-exchange, plan-pinned in spec); the oracle replays
+    // the data outcome (CoW delete + partition-filtered co-bucketed
+    // join) in plain SQL.
+    "q_partitioned_bucketed_ddl" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-pbgate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE pb_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      eng.sql(s"CREATE EXTERNAL TABLE pb_cust STORED AS parquet LOCATION '$dir/customer.parquet'")
+      eng.sql("""CREATE TABLE pb_part PARTITIONED BY (o_orderpriority) AS
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM pb_orders""")
+      eng.sql("DELETE FROM pb_part WHERE o_totalprice < 50000")
+      eng.sql("""CREATE TABLE pb_bkt CLUSTERED BY (c_custkey) INTO 8 BUCKETS AS
+        SELECT c_custkey, c_mktsegment FROM pb_cust""")
+      eng.sql("""SELECT o_orderpriority, c_mktsegment, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+        FROM pb_part JOIN pb_bkt ON o_custkey = c_custkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority, c_mktsegment""")
+        .orderBy("o_orderpriority", "c_mktsegment")
+    },
+
     "q_view_mv_lifecycle" -> { (s, dir) =>
       GraftSession.configure(s)
       val wh = java.nio.file.Files.createTempDirectory("graft-mvgate").toString
@@ -387,6 +411,14 @@ object QueriesEngine {
            CASE WHEN o_totalprice >= 150000 THEN 'high' ELSE 'low' END AS band
          FROM orders WHERE o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
+    "q_partitioned_bucketed_ddl" ->
+      """SELECT o_orderpriority, c_mktsegment, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice >= 50000
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY o_orderpriority, c_mktsegment
+         ORDER BY o_orderpriority, c_mktsegment""",
     "q_view_mv_lifecycle" ->
       """WITH agg AS (SELECT o_custkey, count(*) AS n,
                         round(sum(o_totalprice), 2) AS total

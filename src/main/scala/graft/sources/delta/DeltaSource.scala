@@ -138,8 +138,8 @@ object DeltaSource {
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
     def applyMeta(schemaString: String, partitionColumns: Seq[String], mode: String): Unit = {
-      require(mode == "none" || mode == "name",
-        s"Delta column mapping mode '$mode' not supported by this reader (only 'name')")
+      require(mode == "none" || mode == "name" || mode == "id",
+        s"Delta column mapping mode '$mode' not supported by this reader (none/name/id)")
       schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
       partCols = partitionColumns
       mappingMode = mode
@@ -249,18 +249,29 @@ object DeltaSource {
 
   def read(spark: SparkSession, tablePath: String, travel: Option[String] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, travel)
-    // column mapping 'name': scan under each field's physical name, then
-    // rename back to the logical name (partitionValues keys and data
-    // file columns both use physical names)
+    // column mapping: scan under each field's physical name, rename
+    // back to the logical name (partitionValues keys and data file
+    // columns both use physical names). Mode 'id' additionally stamps
+    // `parquet.field.id` on the requested schema, so Spark's parquet
+    // reader resolves columns BY FIELD ID (fieldId.read.enabled in
+    // GraftSession) — files whose physical names predate a rename still
+    // bind correctly, the id-mode contract.
+    val mapped = snap.columnMappingMode == "name" || snap.columnMappingMode == "id"
     def physName(f: StructField): String =
-      if (snap.columnMappingMode == "name" &&
-        f.metadata.contains("delta.columnMapping.physicalName"))
+      if (mapped && f.metadata.contains("delta.columnMapping.physicalName"))
         f.metadata.getString("delta.columnMapping.physicalName")
       else f.name
+    def scanField(f: StructField): StructField = {
+      val md =
+        if (snap.columnMappingMode == "id" && f.metadata.contains("delta.columnMapping.id"))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id")).build()
+        else org.apache.spark.sql.types.Metadata.empty
+      StructField(physName(f), f.dataType, nullable = true, md)
+    }
     val physByLogical = snap.dataSchema.fields.map(f => f.name -> physName(f)).toMap
     val dataFields = snap.dataSchema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
-    val dataSchema = StructType(dataFields.map(f =>
-      StructField(physName(f), f.dataType, nullable = true)))
+    val dataSchema = StructType(dataFields.map(scanField))
     val outCols = snap.dataSchema.fields.toSeq.map(f => col(physByLogical(f.name)).as(f.name))
 
     def abs(p: String): String = {
@@ -468,11 +479,14 @@ object DeltaSource {
       v
     }
 
-    /** append under column mapping mode `name`: data files carry the
-      * physical names, the schemaString carries the logical→physical
-      * metadata — the shape mapping-enabled writers produce */
+    /** append under column mapping mode `name` or `id`: data files
+      * carry the physical names (with parquet field ids under `id` —
+      * fieldId.write.enabled stamps them from the metadata), the
+      * schemaString carries the logical→physical metadata — the shape
+      * mapping-enabled writers produce */
     def appendWithColumnMapping(df: DataFrame, tablePath: String,
-        physicalNames: Map[String, String]): Long = {
+        physicalNames: Map[String, String], mode: String = "name"): Long = {
+      require(mode == "name" || mode == "id", s"column mapping mode $mode")
       val table = Paths.get(tablePath)
       Files.createDirectories(table)
       val v = nextVersion(table)
@@ -483,14 +497,19 @@ object DeltaSource {
             physicalNames.getOrElse(f.name, f.name))
           .putLong("delta.columnMapping.id", i + 1L).build())
       })
-      val physical = df.select(df.schema.fieldNames.map(n =>
-        col(n).as(physicalNames.getOrElse(n, n))): _*)
+      val physical = df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+        val c = col(f.name).as(physicalNames.getOrElse(f.name, f.name))
+        if (mode == "id")
+          c.as(physicalNames.getOrElse(f.name, f.name),
+            new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+        else c
+      }: _*)
       val adds = stage(physical, table, Seq.empty).map { case (p, pv) => addAction(p, pv) }
       val meta = Seq(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
         s"""{"metaData":{"id":"graft-${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},""" +
           s""""schemaString":${jstr(mapped.json)},"partitionColumns":[],""" +
-          s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${df.schema.size}"}}}""")
+          s""""configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"${df.schema.size}"}}}""")
       writeCommit(table, v, infoAction("WRITE") +: (meta ++ adds))
       v
     }

@@ -63,7 +63,19 @@ object ByteStore {
   private def hadoopConf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+      .getOrElse {
+        // executor side: no SparkSession, but SparkEnv carries the app
+        // conf — overlay spark.hadoop.* so s3a credentials/endpoints set
+        // on the session reach executor-side reads (the same overlay
+        // Spark applies for its own scans)
+        val c = new Configuration()
+        Option(org.apache.spark.SparkEnv.get).foreach { env =>
+          env.conf.getAllWithPrefix("spark.hadoop.").foreach {
+            case (k, v) => c.set(k, v)
+          }
+        }
+        c
+      }
 
   private def fs(path: String): (FileSystem, HPath) = {
     val hp = new HPath(path)

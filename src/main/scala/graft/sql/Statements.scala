@@ -32,6 +32,7 @@ object Statements {
     ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+""" + Id + """\s+AS\s+(.+)$""").r
   private val reCtas =
     ("""(?is)^CREATE\s+TABLE\s+""" + Id +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+CLUSTERED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS)?""" +
       """\s+AS\s+(.+)$""").r
   private val reRefresh =
@@ -108,11 +109,13 @@ object Statements {
         val name = unquote(name0)
         catalog.createView(name, sql.trim)
         Some(status(spark, s"created view $name"))
-      case reCtas(name0, bucketCols, bucketN, sql) =>
+      case reCtas(name0, partCols, bucketCols, bucketN, sql) =>
         val name = unquote(name0)
         val buckets = Option(bucketCols).map(cs =>
           (cs.split(",").map(c => unquote(c.trim)).toSeq, bucketN.toInt))
-        catalog.createManagedTable(name, spark.sql(sql.trim), buckets)
+        val partitions = Option(partCols).toSeq
+          .flatMap(_.split(",").map(c => unquote(c.trim)).toSeq)
+        catalog.createManagedTable(name, spark.sql(sql.trim), buckets, partitions)
         Some(status(spark, s"created table $name"))
       case reRefresh(name0) =>
         val name = unquote(name0)

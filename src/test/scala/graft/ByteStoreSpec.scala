@@ -92,6 +92,15 @@ class ByteStoreSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rv.data, lv.data))
   }
 
+  test("zarr DSv2 scan (partitions, pruning, decode) over a Hadoop scheme") {
+    val store = "/root/reference/test-datasets/gridded-example.zarr"
+    val local = graft.sources.zarr.ZarrSource.read(spark, Seq(store))
+    val remote = graft.sources.zarr.ZarrSource.read(spark, Seq(viaMock(store)))
+    assert(remote.schema == local.schema)
+    assert(remote.count() == local.count())
+    assert(remote.exceptAll(local).isEmpty && local.exceptAll(remote).isEmpty)
+  }
+
   test("netcdf-4 (HDF5) container reads over a Hadoop scheme match the local read") {
     val nc = "/root/reference/test-datasets/test_file.nc"
     val local = graft.sources.netcdf.NetcdfSource.readContainer(nc)

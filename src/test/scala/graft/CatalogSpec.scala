@@ -385,6 +385,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(engine.sql("EXPLAIN SELECT 1").collect().nonEmpty)
   }
 
+  test("partitioned CTAS: partition predicates prune directories before the scan") {
+    engine.sql("CREATE TABLE part_orders PARTITIONED BY (o_orderpriority) AS " +
+      s"SELECT o_orderkey, o_totalprice, o_orderpriority FROM parquet.`$sf/orders.parquet`")
+    val pruned = engine.sql(
+      "SELECT count(*) AS n FROM part_orders WHERE o_orderpriority = '1-URGENT'")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"expected partition filters, got:\n$plan")
+    // behavioral pin: only the matching partition's files are touched
+    import org.apache.spark.sql.functions.input_file_name
+    val files = engine.sql(
+      "SELECT * FROM part_orders WHERE o_orderpriority = '1-URGENT'")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("o_orderpriority=1-URGENT")))
+    // DELETE/UPDATE keep the hive layout (rewrite partitions by the same cols)
+    engine.sql("DELETE FROM part_orders WHERE o_totalprice < 1000")
+    val dirs = new java.io.File(s"$wh/part_orders").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("o_orderpriority=")), "layout must survive CoW")
+    assert(engine.sql("SELECT count(*) FROM part_orders").collect()(0).getLong(0) > 0)
+    // partition columns are protected from destructive ALTER
+    val e = intercept[IllegalArgumentException] {
+      engine.sql("ALTER TABLE part_orders DROP COLUMN o_orderpriority")
+    }
+    assert(e.getMessage.contains("partition column"))
+    engine.sql("DROP TABLE part_orders")
+  }
+
   test("bucketed CTAS: co-bucketed join runs with no shuffle exchange") {
     engine.sql("CREATE TABLE bkt_orders CLUSTERED BY (o_custkey) INTO 8 BUCKETS AS " +
       s"SELECT * FROM parquet.`$sf/orders.parquet`")

@@ -99,10 +99,10 @@ class TableFormatsSpec extends AnyFunSuite {
     val t = freshDir("delta")
     DeltaSource.Writer.append(Seq((1L, "a")).toDF("id", "k"), t)
     val log = java.nio.file.Paths.get(t, "_delta_log")
-    // column mapping mode 'id' (parquet field-id resolution) stays rejected
+    // an unknown column mapping mode is rejected, not guessed
     java.nio.file.Files.write(log.resolve(f"${1L}%020d.json"),
       ("""{"metaData":{"id":"m","schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
-        """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""")
+        """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"bogus"}}}""")
         .getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](DeltaSource.read(spark, t).collect())
     assert(e2.getMessage.contains("column mapping"))
@@ -210,6 +210,36 @@ class TableFormatsSpec extends AnyFunSuite {
     val raw = spark.read.parquet(
       java.nio.file.Paths.get(t).resolve(snap.files.head.path).toString)
     assert(raw.schema.fieldNames.toSet == Set("col-a7f2", "col-9c1d"))
+  }
+
+  test("delta: column mapping mode 'id' binds by parquet field id across renames") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = freshDir("delta")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "label")
+    DeltaSource.Writer.appendWithColumnMapping(df, t,
+      Map("id" -> "c1", "label" -> "c2"), mode = "id")
+    assert(DeltaSource.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    // simulate a column-mapping RENAME: a new metaData commit changes the
+    // physical names while keeping the field ids; the existing parquet
+    // files still carry c1/c2 — id mode must bind by field id, which
+    // name-mode lookup could not
+    def fld(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val renamed = StructType(Seq(
+      fld("id", LongType, "renamed-c1", 1L), fld("label", StringType, "renamed-c2", 2L)))
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(renamed.json)).drop(1).dropRight(1) // keep inner escaping
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"metaData":{"id":"m2","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaJson","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"}}}""").getBytes("UTF-8"))
+    assert(DeltaSource.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
   test("delta: reachable through DSL, SQL statement and catalog restore") {
