@@ -20,8 +20,14 @@ import java.nio.charset.StandardCharsets
   *
   * Sampled frames are the ENCODED payloads (e.g. AVC/HEVC access units
   * in the `stsd`-declared parameter-set context) — decodable bytes for a
-  * real decoder, deterministic and inspectable for tests. Fragmented MP4
-  * (`moof`) is rejected loudly, not guessed.
+  * real decoder, deterministic and inspectable for tests.
+  *
+  * FRAGMENTED MP4 (CMAF/DASH: `moov` with empty `stbl` + `mvex/trex`
+  * defaults, then `[moof][mdat]` fragments) is demuxed too: `tfhd`
+  * per-fragment defaults, `tfdt` base decode times, `trun` per-sample
+  * sizes/durations/flags, sample offsets from `base_data_offset` or the
+  * default-base-is-moof rule, keyframes from the
+  * `sample_is_non_sync_sample` flag bit.
   */
 object Mp4Demux {
 
@@ -31,16 +37,16 @@ object Mp4Demux {
   /** one encoded video sample: byte range + decode time + keyframe flag */
   final case class Sample(index: Int, offset: Long, size: Int, timeMs: Long, sync: Boolean)
 
-  /** `ftyp` (or streaming-style `moov`-first) magic at the first box */
+  /** `ftyp`/`styp` (or streaming-style `moov`-first) magic at the first box */
   def isMp4(payload: Array[Byte]): Boolean =
     payload.length >= 12 && {
       val t = new String(payload, 4, 4, StandardCharsets.US_ASCII)
-      t == "ftyp" || t == "moov"
+      t == "ftyp" || t == "styp" || t == "moov"
     }
 
   // -------------------------------------------------------- box walking
 
-  private final case class Box(typ: String, payloadStart: Long, payloadEnd: Long)
+  private final case class Box(typ: String, start: Long, payloadStart: Long, payloadEnd: Long)
 
   /** children of [start, end): MP4 boxes are (size, fourcc, payload) */
   private def children(buf: ByteBuffer, start: Long, end: Long): Seq[Box] = {
@@ -56,7 +62,7 @@ object Mp4Demux {
         } else if (size32 == 0L) (pos + 8, end) // to end of enclosing box
         else (pos + 8, pos + size32)
       require(boxEnd <= end && boxEnd > pos, s"mp4: box '$typ' overruns its container")
-      out += Box(typ, payloadStart, boxEnd)
+      out += Box(typ, pos, payloadStart, boxEnd)
       pos = boxEnd
     }
     out.toSeq
@@ -105,13 +111,123 @@ object Mp4Demux {
   private def videoTrack(payload: Array[Byte]): Option[(VideoInfo, IndexedSeq[Sample])] = {
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
     val top = children(buf, 0L, payload.length.toLong)
-    require(!top.exists(_.typ == "moof"),
-      "mp4: fragmented (moof) containers are not supported — flatten first")
     val moov = top.find(_.typ == "moov").getOrElse(
       throw new IllegalArgumentException("mp4: no moov box (not an ISO BMFF file?)"))
-    children(buf, moov.payloadStart, moov.payloadEnd).filter(_.typ == "trak")
-      .flatMap { trak => parseTrack(buf, trak) }
-      .headOption
+    val moofs = top.filter(_.typ == "moof")
+    val traks = children(buf, moov.payloadStart, moov.payloadEnd).filter(_.typ == "trak")
+    if (moofs.isEmpty) traks.flatMap(parseTrack(buf, _)).headOption
+    else traks.flatMap(parseFragmented(buf, moov, moofs, _)).headOption
+  }
+
+  // ------------------------------------------------ fragmented (moof)
+
+  /** fragments of the first video track: moov carries the static info
+    * (+ `trex` defaults), each `moof/traf` carries `tfhd` overrides,
+    * a `tfdt` base decode time and `trun` sample runs */
+  private def parseFragmented(buf: ByteBuffer, moov: Box, moofs: Seq[Box],
+      trak: Box): Option[(VideoInfo, IndexedSeq[Sample])] = {
+    val mdia = child(buf, trak, "mdia").getOrElse(return None)
+    val hdlr = child(buf, mdia, "hdlr").getOrElse(return None)
+    if (fourcc(buf, hdlr.payloadStart + 8) != "vide") return None
+    val tkhd = child(buf, trak, "tkhd").getOrElse(return None)
+    val tkhdV = buf.get(tkhd.payloadStart.toInt) & 0xFF
+    val trackId = buf.getInt((tkhd.payloadStart + (if (tkhdV == 1) 20 else 12)).toInt)
+
+    val mdhd = child(buf, mdia, "mdhd").getOrElse(return None)
+    val mdhdV = buf.get(mdhd.payloadStart.toInt) & 0xFF
+    val timescale =
+      if (mdhdV == 1) buf.getInt((mdhd.payloadStart + 20).toInt) & 0xFFFFFFFFL
+      else buf.getInt((mdhd.payloadStart + 12).toInt) & 0xFFFFFFFFL
+    require(timescale > 0, "mp4: mdhd timescale must be positive")
+
+    val stbl = child(buf, mdia, "minf").flatMap(child(buf, _, "stbl"))
+    val (codec, width, height) = stbl.flatMap(child(buf, _, "stsd")).map { stsd =>
+      children(buf, stsd.payloadStart + 8, stsd.payloadEnd).headOption match {
+        case Some(e) if e.payloadEnd - e.payloadStart >= 28 =>
+          (e.typ, buf.getShort((e.payloadStart + 24).toInt) & 0xFFFF,
+            buf.getShort((e.payloadStart + 26).toInt) & 0xFFFF)
+        case Some(e) => (e.typ, 0, 0)
+        case None => ("????", 0, 0)
+      }
+    }.getOrElse(("????", 0, 0))
+
+    // mvex/trex defaults for this track (fields after vf(4), track_ID(4),
+    // default_sample_description_index(4))
+    val trex = child(buf, moov, "mvex").toSeq
+      .flatMap(m => children(buf, m.payloadStart, m.payloadEnd))
+      .find(b => b.typ == "trex" && buf.getInt((b.payloadStart + 4).toInt) == trackId)
+    val trexDur = trex.map(b => buf.getInt((b.payloadStart + 12).toInt)).getOrElse(0)
+    val trexSize = trex.map(b => buf.getInt((b.payloadStart + 16).toInt)).getOrElse(0)
+    val trexFlags = trex.map(b => buf.getInt((b.payloadStart + 20).toInt)).getOrElse(0)
+
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    var t = 0L
+    moofs.foreach { moof =>
+      children(buf, moof.payloadStart, moof.payloadEnd).filter(_.typ == "traf").foreach { traf =>
+        val tfhd = child(buf, traf, "tfhd").getOrElse(
+          throw new IllegalArgumentException("mp4: traf without tfhd"))
+        val tfFlags = buf.getInt(tfhd.payloadStart.toInt) & 0xFFFFFF
+        if (buf.getInt((tfhd.payloadStart + 4).toInt) == trackId) {
+          var p = tfhd.payloadStart + 8
+          val baseOffset: Option[Long] =
+            if ((tfFlags & 0x01) != 0) { val v = buf.getLong(p.toInt); p += 8; Some(v) }
+            else None
+          if ((tfFlags & 0x02) != 0) p += 4 // sample_description_index
+          val defDur =
+            if ((tfFlags & 0x08) != 0) { val v = buf.getInt(p.toInt); p += 4; v } else trexDur
+          val defSize =
+            if ((tfFlags & 0x10) != 0) { val v = buf.getInt(p.toInt); p += 4; v } else trexSize
+          val defFlags =
+            if ((tfFlags & 0x20) != 0) { val v = buf.getInt(p.toInt); p += 4; v } else trexFlags
+          // base: explicit offset, else the moof's first byte (covers the
+          // default-base-is-moof flag AND the first-traf fallback)
+          val base = baseOffset.getOrElse(moof.start)
+          child(buf, traf, "tfdt").foreach { tfdt =>
+            val v = buf.get(tfdt.payloadStart.toInt) & 0xFF
+            t = if (v == 1) buf.getLong((tfdt.payloadStart + 4).toInt)
+                else buf.getInt((tfdt.payloadStart + 4).toInt) & 0xFFFFFFFFL
+          }
+          var runOff: Long = -1L // continue after the previous run when absent
+          children(buf, traf.payloadStart, traf.payloadEnd).filter(_.typ == "trun").foreach { trun =>
+            val trFlags = buf.getInt(trun.payloadStart.toInt) & 0xFFFFFF
+            val n = buf.getInt((trun.payloadStart + 4).toInt)
+            var q = trun.payloadStart + 8
+            val dataOff: Option[Int] =
+              if ((trFlags & 0x01) != 0) { val v = buf.getInt(q.toInt); q += 4; Some(v) }
+              else None
+            val firstFlags: Option[Int] =
+              if ((trFlags & 0x04) != 0) { val v = buf.getInt(q.toInt); q += 4; Some(v) }
+              else None
+            var off = dataOff.map(base + _).getOrElse(if (runOff >= 0) runOff else base)
+            var i = 0
+            while (i < n) {
+              val dur =
+                if ((trFlags & 0x100) != 0) { val v = buf.getInt(q.toInt); q += 4; v }
+                else defDur
+              val size =
+                if ((trFlags & 0x200) != 0) { val v = buf.getInt(q.toInt); q += 4; v }
+                else defSize
+              val sFlags =
+                if ((trFlags & 0x400) != 0) { val v = buf.getInt(q.toInt); q += 4; v }
+                else if (i == 0 && firstFlags.isDefined) firstFlags.get
+                else defFlags
+              if ((trFlags & 0x800) != 0) q += 4 // composition time offset
+              require(size > 0, "mp4: fragment sample without a size (no trun/tfhd/trex default)")
+              samples += Sample(samples.size, off, size, t * 1000L / timescale,
+                (sFlags & 0x10000) == 0) // !sample_is_non_sync_sample
+              off += size
+              t += dur
+              i += 1
+            }
+            runOff = off
+          }
+        }
+      }
+    }
+    if (samples.isEmpty) return None
+    val info = VideoInfo(codec, timescale, t * 1000L / timescale, width, height,
+      samples.size, samples.count(_.sync))
+    Some((info, samples.toIndexedSeq))
   }
 
   private def parseTrack(buf: ByteBuffer, trak: Box): Option[(VideoInfo, IndexedSeq[Sample])] = {
@@ -149,13 +265,35 @@ object Mp4Demux {
       }
     }.getOrElse(("????", 0, 0))
 
-    // stsz: version+flags(4), sample_size(4), sample_count(4)[, sizes]
-    val stsz = child(buf, stbl, "stsz").getOrElse(return None)
-    val uniformSize = buf.getInt((stsz.payloadStart + 4).toInt)
-    val sampleCount = buf.getInt((stsz.payloadStart + 8).toInt)
-    val sizes: Int => Int =
-      if (uniformSize != 0) _ => uniformSize
-      else i => buf.getInt((stsz.payloadStart + 12 + 4L * i).toInt)
+    // stsz: version+flags(4), sample_size(4), sample_count(4)[, sizes];
+    // stz2: version+flags(4), reserved(3)+field_size(1), sample_count(4),
+    // packed 4/8/16-bit sizes
+    val (sampleCount, sizes): (Int, Int => Int) =
+      child(buf, stbl, "stsz") match {
+        case Some(stsz) =>
+          val uniformSize = buf.getInt((stsz.payloadStart + 4).toInt)
+          val n = buf.getInt((stsz.payloadStart + 8).toInt)
+          (n,
+            if (uniformSize != 0) (_: Int) => uniformSize
+            else (i: Int) => buf.getInt((stsz.payloadStart + 12 + 4L * i).toInt))
+        case None =>
+          val stz2 = child(buf, stbl, "stz2").getOrElse(return None)
+          val fieldSize = buf.get((stz2.payloadStart + 7).toInt) & 0xFF
+          val n = buf.getInt((stz2.payloadStart + 8).toInt)
+          val base = stz2.payloadStart + 12
+          val f: Int => Int = fieldSize match {
+            case 4 =>
+              i => {
+                val b = buf.get((base + i / 2).toInt) & 0xFF
+                if (i % 2 == 0) b >> 4 else b & 0x0F
+              }
+            case 8 => i => buf.get((base + i).toInt) & 0xFF
+            case 16 => i => buf.getShort((base + 2L * i).toInt) & 0xFFFF
+            case other =>
+              throw new IllegalArgumentException(s"mp4: stz2 field_size $other")
+          }
+          (n, f)
+      }
 
     // stco/co64 chunk offsets
     val chunkOffsets: IndexedSeq[Long] =

@@ -112,12 +112,107 @@ class Mp4DemuxSpec extends AnyFunSuite {
     assert(e.getMessage.contains("webm"))
   }
 
-  test("fragmented (moof) containers reject loudly") {
-    val frag = box("ftyp", "isom".getBytes(StandardCharsets.US_ASCII), be32(0)) ++
-      box("moof", Array.empty[Byte]) ++ box("moov", Array.empty[Byte])
-    val e = intercept[IllegalArgumentException] {
-      Mp4Demux.videoSamples(frag)
+  test("stz2 compact sample sizes decode (16-bit field)") {
+    val sizes = Seq(10, 11, 12)
+    val sampleBytes = sizes.zipWithIndex.map { case (n, i) => Array.fill[Byte](n)(i.toByte) }
+    val ftyp = box("ftyp", "isom".getBytes(StandardCharsets.US_ASCII), be32(0))
+    val mdat = box("mdat", sampleBytes.flatten.toArray)
+    val chunkStart = ftyp.length + 8
+    val stbl = box("stbl",
+      box("stsd", be32(0), be32(0)),
+      box("stts", be32(0), be32(1), be32(3), be32(50)),
+      box("stz2", be32(0), be32(16) /* reserved(3)+field_size=16 */, be32(3),
+        sizes.flatMap(be16).toArray),
+      box("stsc", be32(0), be32(1), be32(1), be32(3), be32(1)),
+      box("stco", be32(0), be32(1), be32(chunkStart)))
+    val fixture = ftyp ++ mdat ++ box("moov", box("trak", box("mdia",
+      box("mdhd", be32(0), be32(0), be32(0), be32(1000), be32(150)),
+      box("hdlr", be32(0), be32(0),
+        "vide".getBytes(StandardCharsets.US_ASCII), new Array[Byte](12)),
+      box("minf", stbl))))
+    val samples = Mp4Demux.videoSamples(fixture)
+    assert(samples.map(_.size) == sizes)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val bytes = fixture.slice(s.offset.toInt, s.offset.toInt + s.size)
+      assert(bytes.forall(_ == i.toByte), s"stz2 sample $i mislocated")
     }
-    assert(e.getMessage.contains("moof"))
+  }
+
+  // -------------------------------------------- fragmented (CMAF/DASH)
+
+  /** moov with EMPTY stbl + mvex/trex, then [moof][mdat] fragments:
+    * 2 fragments × 3 samples, per-sample sizes/flags in trun, duration
+    * from tfhd default, base decode times from tfdt (with a deliberate
+    * gap so tfdt is provably honored over duration accumulation) */
+  private lazy val fragmented: Array[Byte] = {
+    val ftyp = box("ftyp",
+      "cmfc".getBytes(StandardCharsets.US_ASCII), be32(0),
+      "iso6".getBytes(StandardCharsets.US_ASCII))
+    val stsdEntry = {
+      val body = new ByteArrayOutputStream()
+      body.write(new Array[Byte](24))
+      body.write(be16(320)); body.write(be16(180))
+      body.write(new Array[Byte](42))
+      box("avc1", body.toByteArray)
+    }
+    val stbl = box("stbl",
+      box("stsd", be32(0), be32(1), stsdEntry),
+      box("stts", be32(0), be32(0)),
+      box("stsc", be32(0), be32(0)),
+      box("stsz", be32(0), be32(0), be32(0)),
+      box("stco", be32(0), be32(0)))
+    val trak = box("trak",
+      box("tkhd", be32(0), be32(0), be32(0), be32(7) /* track_ID */,
+        new Array[Byte](4), be32(0), new Array[Byte](60)),
+      box("mdia",
+        box("mdhd", be32(0), be32(0), be32(0), be32(1000), be32(0)),
+        box("hdlr", be32(0), be32(0),
+          "vide".getBytes(StandardCharsets.US_ASCII), new Array[Byte](12)),
+        box("minf", stbl)))
+    val mvex = box("mvex",
+      box("trex", be32(0), be32(7), be32(1), be32(0), be32(0), be32(0)))
+    val moov = box("moov", trak, mvex)
+
+    def fragment(seq: Int, baseTimeMs: Long, fills: Seq[(Int, Byte, Boolean)]): Array[Byte] = {
+      def buildMoof(dataOffset: Int): Array[Byte] = {
+        val mfhd = box("mfhd", be32(0), be32(seq))
+        // tfhd flags: 0x020008 = default-base-is-moof | default-sample-duration
+        val tfhd = box("tfhd", be32(0x020008), be32(7), be32(40))
+        val tfdt = box("tfdt", be32(0), be32(baseTimeMs.toInt))
+        // trun flags: 0x000601 = data-offset | sample-size | sample-flags
+        val trun = box("trun", be32(0x000601), be32(fills.size), be32(dataOffset),
+          fills.flatMap { case (len, _, sync) =>
+            be32(len) ++ be32(if (sync) 0 else 0x10000)
+          }.toArray)
+        box("moof", mfhd, box("traf", tfhd, tfdt, trun))
+      }
+      val moofLen = buildMoof(0).length
+      val mdat = box("mdat", fills.flatMap { case (len, b, _) =>
+        Array.fill[Byte](len)(b).toSeq
+      }.toArray)
+      buildMoof(moofLen + 8) ++ mdat // offset → first mdat payload byte
+    }
+    ftyp ++ moov ++
+      fragment(1, 0L, Seq((11, 1.toByte, true), (12, 2.toByte, false), (13, 3.toByte, false))) ++
+      fragment(2, 1000L, Seq((14, 4.toByte, true), (15, 5.toByte, false), (16, 6.toByte, false)))
+  }
+
+  test("fragmented mp4: trun/tfhd/tfdt sample tables resolve across fragments") {
+    assert(Mp4Demux.isMp4(fragmented))
+    val info = Mp4Demux.videoInfo(fragmented).get
+    assert(info.codec == "avc1" && info.width == 320 && info.height == 180)
+    assert(info.sampleCount == 6 && info.syncSampleCount == 2)
+    assert(info.durationMs == 1120L) // tfdt 1000 + 3×40
+    val samples = Mp4Demux.videoSamples(fragmented)
+    assert(samples.map(_.timeMs) == Seq(0L, 40L, 80L, 1000L, 1040L, 1080L))
+    assert(samples.filter(_.sync).map(_.index) == Seq(0, 3))
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val bytes = fragmented.slice(s.offset.toInt, s.offset.toInt + s.size)
+      assert(bytes.length == 11 + i && bytes.forall(_ == (i + 1).toByte),
+        s"fragmented sample $i mislocated")
+    }
+    val kf = Mp4Demux.sampleKeyframes(fragmented, 2)
+    assert(kf.map(_._1) == Seq(0L, 1000L))
+    assert(kf(1)._2.forall(_ == 4.toByte))
   }
 }
