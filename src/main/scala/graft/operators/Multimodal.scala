@@ -101,9 +101,10 @@ object Multimodal {
     }
 
     /** REAL frame sampling. Two container families:
-      *  - MP4/MOV (ISO BMFF): DEMUXED, not decoded — [[Mp4Demux]] walks
-      *    the `stbl` sample tables and returns `n` evenly spaced sync
-      *    samples as their ENCODED access units (the JDK has no video
+      *  - MP4/MOV (ISO BMFF, flat or fragmented) and Matroska/WebM:
+      *    DEMUXED, not decoded — [[Mp4Demux]]/[[MkvDemux]] walk the
+      *    container sample tables and return `n` evenly spaced
+      *    keyframes as their ENCODED access units (the JDK has no video
       *    codec; a training pipeline's GPU decode stage takes it from
       *    there).
       *  - animated GIF, the one multi-frame container the JDK can
@@ -113,21 +114,22 @@ object Multimodal {
       *    restoreToBackgroundColor clears the patch rect) and `n`
       *    evenly spaced snapshots re-encode as PNG. Still images yield
       *    their one frame.
-      * webm/avi have neither a JDK codec nor this demuxer and are
-      * REJECTED, not guessed. */
+      * avi and unrecognized containers are REJECTED, not guessed. */
     override def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
       require(n > 0, "sampleFrames: n must be positive")
       if (Mp4Demux.isMp4(payload))
         return Mp4Demux.sampleKeyframes(payload, n).map(_._2)
+      if (MkvDemux.isMkv(payload))
+        return MkvDemux.sampleKeyframes(payload, n).map(_._2)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) {
         iis.close()
         throw new UnsupportedOperationException(
-          "frame sampling needs MP4 (demuxed) or a JDK-decodable container " +
-            "(animated GIF); webm/avi need an external codec — use FakeCodec " +
-            "for pipeline-shape tests")
+          "frame sampling needs MP4/WebM (demuxed) or a JDK-decodable " +
+            "container (animated GIF); avi needs an external codec — use " +
+            "FakeCodec for pipeline-shape tests")
       }
       val reader = readers.next()
       reader.setInput(iis)
