@@ -206,7 +206,9 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * reference's keep-NOT-p filter). */
   def delete(name: String, predicateSql: String): Long = {
     require(kindOf(name).contains("managed"), s"$name is not a managed table")
-    requireUnbucketed(name, "DELETE")
+    load(name).filter(bucketSpec(_).isDefined).foreach { d =>
+      return deleteBucketed(d, predicateSql)
+    }
     val df = spark.read.parquet(dataDir(name).toString)
     val kept = df.filter(!coalesce(expr(predicateSql), lit(false)))
     // removed-row count without extra scans: rows-before from parquet
@@ -226,7 +228,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * projection over every row. */
   def update(name: String, assignments: Seq[(String, String)], predicateSql: Option[String]): Unit = {
     require(kindOf(name).contains("managed"), s"$name is not a managed table")
-    requireUnbucketed(name, "UPDATE")
+    load(name).filter(bucketSpec(_).isDefined).foreach { d =>
+      updateBucketed(d, assignments, predicateSql)
+      return
+    }
     val df = spark.read.parquet(dataDir(name).toString)
     val pred = predicateSql.map(expr).getOrElse(lit(true))
     val byName = assignments.toMap
@@ -255,8 +260,49 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (Files.exists(dd)) deleteRecursively(dd)
   }
 
-  /** the copy-on-write rewrites emit plain parquet, which would silently
-    * drop the bucket layout — rejected, not guessed */
+  /** CoW on a BUCKETED table preserves the layout: surviving rows
+    * stage to plain parquet (a bucketed table cannot overwrite the path
+    * it is being read from), then the bucketed table is recreated from
+    * the staging copy — layout, catalog entry and zero-shuffle joins
+    * all intact afterwards. */
+  private def deleteBucketed(d: TableDef, predicateSql: String): Long = {
+    val df = spark.table(d.name)
+    val before = df.count()
+    val kept = df.filter(!coalesce(expr(predicateSql), lit(false)))
+    val after = cowRecreateBucketed(d, kept)
+    before - after
+  }
+
+  private def updateBucketed(d: TableDef,
+      assignments: Seq[(String, String)], predicateSql: Option[String]): Unit = {
+    val df = spark.table(d.name)
+    val pred = predicateSql.map(expr).getOrElse(lit(true))
+    val byName = assignments.toMap
+    val cols = df.schema.fieldNames.map { f =>
+      byName.get(f) match {
+        case Some(e) => when(coalesce(pred, lit(false)), expr(e).cast(df.schema(f).dataType))
+          .otherwise(col(quote(f))).as(f)
+        case None => col(quote(f))
+      }
+    }
+    cowRecreateBucketed(d, df.select(cols.toIndexedSeq: _*))
+  }
+
+  /** stage → recreate; returns the staged row count */
+  private def cowRecreateBucketed(d: TableDef, data: DataFrame): Long = {
+    val (cols, n) = bucketSpec(d).get
+    val tmp = Paths.get(warehouse, s".${d.name}__cow")
+    if (Files.exists(tmp)) deleteRecursively(tmp)
+    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val staged = spark.read.parquet(tmp.toString)
+    val count = staged.count()
+    createManagedTable(d.name, staged, Some((cols, n)), partitionCols(d))
+    deleteRecursively(tmp)
+    count
+  }
+
+  /** ALTER's rewrites emit plain parquet, which would silently drop the
+    * bucket layout — rejected, not guessed */
   private def requireUnbucketed(name: String, op: String): Unit =
     require(load(name).forall(bucketSpec(_).isEmpty),
       s"$op on bucketed table $name is not supported: the copy-on-write " +

@@ -453,9 +453,25 @@ class CatalogSpec extends AnyFunSuite {
       assert(!joined.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
       assert(joined.collect()(0).getLong(0) > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    // the CoW rewrites would silently drop the bucket layout — rejected
+    // CoW DELETE preserves the bucket layout (stage → recreate): the
+    // co-bucketed join stays exchange-free afterwards
+    val beforeN = engine.sql("SELECT count(*) FROM bkt_cust").collect()(0).getLong(0)
+    val res = engine.sql("DELETE FROM bkt_cust WHERE c_custkey % 2 = 0")
+      .collect()(0).getString(0)
+    val afterN = engine.sql("SELECT count(*) FROM bkt_cust").collect()(0).getLong(0)
+    assert(afterN < beforeN && res.contains(s"deleted ${beforeN - afterN} rows"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j2 = engine.sql(
+        "SELECT c_custkey, count(*) AS n FROM bkt_orders JOIN bkt_cust " +
+          "ON o_custkey = c_custkey GROUP BY c_custkey")
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket layout must survive the CoW delete")
+      assert(j2.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // ALTER's rewrite would drop the layout — still rejected
     val e = intercept[IllegalArgumentException] {
-      engine.sql("DELETE FROM bkt_cust WHERE c_custkey = 1")
+      engine.sql("ALTER TABLE bkt_cust DROP COLUMN c_mktsegment")
     }
     assert(e.getMessage.contains("bucket"))
     engine.sql("DROP TABLE bkt_orders")
