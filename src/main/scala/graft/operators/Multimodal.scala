@@ -101,8 +101,9 @@ object Multimodal {
     }
 
     /** REAL frame sampling. Two container families:
-      *  - MP4/MOV (ISO BMFF, flat or fragmented) and Matroska/WebM:
-      *    DEMUXED, not decoded — [[Mp4Demux]]/[[MkvDemux]] walk the
+      *  - MP4/MOV (ISO BMFF, flat or fragmented), Matroska/WebM and
+      *    AVI: DEMUXED, not decoded —
+      *    [[Mp4Demux]]/[[MkvDemux]]/[[AviDemux]] walk the
       *    container sample tables and return `n` evenly spaced
       *    keyframes as their ENCODED access units (the JDK has no video
       *    codec; a training pipeline's GPU decode stage takes it from
@@ -114,22 +115,24 @@ object Multimodal {
       *    restoreToBackgroundColor clears the patch rect) and `n`
       *    evenly spaced snapshots re-encode as PNG. Still images yield
       *    their one frame.
-      * avi and unrecognized containers are REJECTED, not guessed. */
+      * unrecognized containers are REJECTED, not guessed. */
     override def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
       require(n > 0, "sampleFrames: n must be positive")
       if (Mp4Demux.isMp4(payload))
         return Mp4Demux.sampleKeyframes(payload, n).map(_._2)
       if (MkvDemux.isMkv(payload))
         return MkvDemux.sampleKeyframes(payload, n).map(_._2)
+      if (AviDemux.isAvi(payload))
+        return AviDemux.sampleKeyframes(payload, n).map(_._2)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) {
         iis.close()
         throw new UnsupportedOperationException(
-          "frame sampling needs MP4/WebM (demuxed) or a JDK-decodable " +
-            "container (animated GIF); avi needs an external codec — use " +
-            "FakeCodec for pipeline-shape tests")
+          "frame sampling needs a demuxable video container (MP4/WebM/AVI) " +
+            "or a JDK-decodable one (animated GIF) — use FakeCodec for " +
+            "pipeline-shape tests")
       }
       val reader = readers.next()
       reader.setInput(iis)

@@ -109,7 +109,7 @@ class Mp4DemuxSpec extends AnyFunSuite {
     val e = intercept[UnsupportedOperationException] {
       Multimodal.ImageIoCodec.sampleFrames(junk, 2)
     }
-    assert(e.getMessage.contains("avi"))
+    assert(e.getMessage.contains("demuxable"))
   }
 
   test("stz2 compact sample sizes decode (16-bit field)") {
