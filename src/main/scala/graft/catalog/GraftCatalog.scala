@@ -187,8 +187,15 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val d = load(name).get
     bucketSpec(d) match {
       case Some((cols, n)) =>
-        if (overwrite) createManagedTable(name, data, Some((cols, n)))
-        else data.write.mode(SaveMode.Append)
+        // INSERT is positional: align incoming column names to the table
+        // schema, else the bucket columns would be resolved by the source
+        // expressions' generated names
+        val target = spark.table(name).schema
+        require(data.schema.length == target.length,
+          s"INSERT INTO $name: ${data.schema.length} columns for ${target.length}")
+        val aligned = data.toDF(target.fieldNames.toIndexedSeq: _*)
+        if (overwrite) createManagedTable(name, aligned, Some((cols, n)), partitionCols(d))
+        else aligned.write.mode(SaveMode.Append)
           .bucketBy(n, cols.head, cols.tail: _*)
           .sortBy(cols.head, cols.tail: _*)
           .format("parquet")

@@ -398,6 +398,11 @@ class CatalogSpec extends AnyFunSuite {
       "SELECT * FROM part_orders WHERE o_orderpriority = '1-URGENT'")
       .select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.nonEmpty && files.forall(_.contains("o_orderpriority=1-URGENT")))
+    // INSERT INTO appends through the same partition layout
+    val nBefore = engine.sql("SELECT count(*) FROM part_orders").collect()(0).getLong(0)
+    engine.sql("INSERT INTO part_orders SELECT o_orderkey + 10000000, o_custkey, " +
+      s"o_totalprice, o_orderpriority FROM parquet.`$sf/orders.parquet` LIMIT 10")
+    assert(engine.sql("SELECT count(*) FROM part_orders").collect()(0).getLong(0) == nBefore + 10)
     // DELETE/UPDATE keep the hive layout (rewrite partitions by the same cols)
     engine.sql("DELETE FROM part_orders WHERE o_totalprice < 1000")
     val dirs = new java.io.File(s"$wh/part_orders").listFiles()
@@ -453,6 +458,11 @@ class CatalogSpec extends AnyFunSuite {
       assert(!joined.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
       assert(joined.collect()(0).getLong(0) > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // INSERT INTO appends through (and validates) the bucket spec
+    val cBefore = engine.sql("SELECT count(*) FROM bkt_cust").collect()(0).getLong(0)
+    engine.sql("INSERT INTO bkt_cust SELECT c_custkey + 9000000, c_name, " +
+      "c_nationkey, c_acctbal, c_mktsegment FROM bkt_cust LIMIT 5")
+    assert(engine.sql("SELECT count(*) FROM bkt_cust").collect()(0).getLong(0) == cBefore + 5)
     // CoW DELETE preserves the bucket layout (stage → recreate): the
     // co-bucketed join stays exchange-free afterwards
     val beforeN = engine.sql("SELECT count(*) FROM bkt_cust").collect()(0).getLong(0)
