@@ -27,12 +27,13 @@ import org.apache.spark.sql.types._
   *  - `add` puts a file, `remove` deletes it, `metaData` replaces the
   *    schema/partitioning (schemaString IS Spark StructType JSON).
   *
-  * The scan itself is one Spark parquet relation per distinct partition
-  * tuple, with the partition values injected as literal columns and the
-  * branches unioned. Filters on partition columns constant-fold per
-  * branch and the optimizer drops dead branches entirely — real
-  * partition pruning with no custom FileIndex. Data-column predicates
-  * and projection push into the parquet scan as usual.
+  * The scan is ONE parquet relation over a [[graft.sources.io.ManifestFileIndex]]
+  * built from the snapshot's add actions: partition values live in the
+  * index (typed, decoded once per distinct tuple), so the plan is O(1) in
+  * partition count and partition predicates prune in-memory against the
+  * log — no directory listing, no per-partition plan branches.
+  * Data-column predicates and projection push into the parquet scan as
+  * usual.
   *
   * At 100 TB the log (not the data) is the driver-side cost: the active
   * set is O(file count) driver memory, same stance as delta-rs.
@@ -51,7 +52,8 @@ object DeltaSource {
 
   final case class AddFile(
       path: String, partitionValues: Map[String, String],
-      deletionVector: Option[DeletionVectors.Descriptor] = None)
+      deletionVector: Option[DeletionVectors.Descriptor] = None,
+      size: Long = 0L, modificationTime: Long = 0L)
   final case class Snapshot(
       version: Long,
       dataSchema: StructType,
@@ -145,8 +147,8 @@ object DeltaSource {
       mappingMode = mode
     }
     def applyAdd(path: String, pv: Map[String, String],
-        dv: Option[DeletionVectors.Descriptor]): Unit =
-      active(path) = AddFile(path, pv, dv)
+        dv: Option[DeletionVectors.Descriptor], size: Long, modTime: Long): Unit =
+      active(path) = AddFile(path, pv, dv, size, modTime)
     def applyRemove(path: String): Unit = active.remove(path)
 
     // newest checkpoint at or before the target version
@@ -184,9 +186,12 @@ object DeltaSource {
                 d.getAs[Number]("sizeInBytes").intValue,
                 d.getAs[Number]("cardinality").longValue))
             } else None
+          def num(f: String): Long =
+            if (a.schema.fieldNames.contains(f) && !a.isNullAt(a.fieldIndex(f)))
+              a.getAs[Number](f).longValue else 0L
           applyAdd(a.getAs[String]("path"),
             Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
-              .map(_.toMap).getOrElse(Map.empty), dv)
+              .map(_.toMap).getOrElse(Map.empty), dv, num("size"), num("modificationTime"))
         }
         struct(r, "remove").foreach(rm => applyRemove(rm.getAs[String]("path")))
       }
@@ -230,7 +235,10 @@ object DeltaSource {
               case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
               case _ => Map.empty[String, String]
             }
-            applyAdd(path, pv, dv)
+            def num(f: String): Long = (a \ f) match {
+              case JInt(v) => v.toLong; case JLong(v) => v; case _ => 0L
+            }
+            applyAdd(path, pv, dv, num("size"), num("modificationTime"))
           case _ =>
         }
         (j \ "remove") match {
@@ -289,25 +297,47 @@ object DeltaSource {
 
     val hasDv = snap.files.exists(_.deletionVector.isDefined)
 
-    // one branch per distinct partition tuple: partition values become
-    // literal columns, so partition predicates constant-fold per branch
-    // and pruned branches vanish from the physical plan
-    val groups = snap.files.groupBy(_.partitionValues).toSeq
-    val branches = groups.map { case (pv, files) =>
-      val base0 = spark.read.schema(dataSchema).parquet(files.map(f => abs(f.path)): _*)
-      val base = if (hasDv)
-        base0.withColumn("__gf_uri", col("_metadata.file_path"))
-          .withColumn("__gf_pos", col("_metadata.row_index"))
-      else base0
-      val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
-        val dt = snap.dataSchema(c).dataType
-        val v = pv.get(physByLogical(c)).orElse(pv.get(c)).orNull
-        df.withColumn(physByLogical(c), (if (v == null) lit(null) else lit(v)).cast(dt))
-      }
-      withParts.select(outCols ++
-        (if (hasDv) Seq(col("__gf_uri"), col("__gf_pos")) else Nil): _*)
+    // ONE parquet relation over a manifest FileIndex: the plan is O(1) in
+    // partition count (a 10k-partition table is still a single scan node),
+    // and partition predicates prune in-memory against the log's
+    // partitionValues via ManifestFileIndex.listFiles — the listing-table
+    // shape the reference builds for Delta
+    // (beacon-datafusion-ext/src/listing_factory.rs). Partition values are
+    // decoded once per distinct tuple; sizes come from the add actions
+    // (Spark splits tasks by FileStatus.getLen) with a stat() fallback for
+    // logs that omitted them.
+    val partSchema = StructType(snap.partitionColumns.map { c =>
+      val f = snap.dataSchema(c)
+      StructField(physByLogical(c), f.dataType, nullable = true)
+    })
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    def pv0(m: Map[String, String], c: String): String =
+      m.get(physByLogical(c)).orElse(m.get(c)).orNull
+    val entries = snap.files.map { f =>
+      val p0 = abs(f.path)
+      // qualify local paths: _metadata.file_path reflects the FileStatus
+      // path verbatim, and the DV anti-join matches on that URI
+      val p = if (graft.sources.io.ByteStore.hasScheme(p0)) p0
+        else new java.io.File(p0).toURI.toString
+      val size = if (f.size > 0) f.size else graft.sources.io.ByteStore.size(p0)
+      // keys in partitionValues use physical names under column mapping;
+      // normalize to the partition schema's (physical) field names
+      val pv = snap.partitionColumns.map { c =>
+        physByLogical(c) -> pv0(f.partitionValues, c)
+      }.toMap
+      (pv, graft.sources.io.ManifestFileIndex.Entry(p, size, f.modificationTime))
     }
-    val unioned = branches.reduce(_ unionAll _)
+    val index = new graft.sources.io.ManifestFileIndex(
+      new org.apache.hadoop.fs.Path(tablePath), partSchema,
+      graft.sources.io.ManifestFileIndex.group(partSchema, entries, tz))
+    val base0 = org.apache.spark.sql.graft.RelationBridge
+      .parquetRelation(spark, index, partSchema, dataSchema)
+    val base = if (hasDv)
+      base0.withColumn("__gf_uri", col("_metadata.file_path"))
+        .withColumn("__gf_pos", col("_metadata.row_index"))
+    else base0
+    val unioned = base.select(outCols ++
+      (if (hasDv) Seq(col("__gf_uri"), col("__gf_pos")) else Nil): _*)
     if (!hasDv) unioned
     else {
       // deletion vectors: descriptors are tiny and ship to the executors,
@@ -315,7 +345,7 @@ object DeltaSource {
       // delete rows — one task per DV, no driver materialization — and the
       // union anti-joins them away on (file, position).
       import spark.implicits._
-      val dvEntries = snap.files.collect { case AddFile(p, _, Some(d)) =>
+      val dvEntries = snap.files.collect { case AddFile(p, _, Some(d), _, _) =>
         // Spark's _metadata.file_path form: file:/ URI locally, the
         // scheme URI as-is for remote tables
         val uri = if (graft.sources.io.ByteStore.hasScheme(abs(p))) abs(p)
@@ -364,9 +394,9 @@ object DeltaSource {
         s""""partitionColumns":[${partitionColumns.map(jstr).mkString(",")}],"configuration":{}}}""")
 
     /** stage `df` as parquet data files under the table dir; returns
-      * (relative path, partitionValues) per written file */
+      * (relative path, partitionValues, size) per written file */
     private def stage(df: DataFrame, table: Path,
-        partitionColumns: Seq[String]): Seq[(String, Map[String, String])] = {
+        partitionColumns: Seq[String]): Seq[(String, Map[String, String], Long)] = {
       val tmp = Files.createTempDirectory(table, ".stage")
       val w = df.write.mode("overwrite")
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
@@ -384,8 +414,9 @@ object DeltaSource {
         }.toMap
         val flatName = s"part-${java.util.UUID.randomUUID().toString.take(8)}-${p.getFileName}"
         val dest = table.resolve(flatName)
+        val size = Files.size(p)
         Files.move(p, dest)
-        flatName -> pv
+        (flatName, pv, size)
       }
       deleteRec(tmp)
       out
@@ -397,14 +428,14 @@ object DeltaSource {
     }
 
     private def addAction(path: String, pv: Map[String, String],
-        dv: Option[DeletionVectors.Descriptor] = None): String = {
+        size: Long, dv: Option[DeletionVectors.Descriptor] = None): String = {
       val pvj = pv.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
       val dvj = dv.map { d =>
         s""","deletionVector":{"storageType":${jstr(d.storageType)},""" +
           s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)},"offset":${d.offset},""" +
           s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
       }.getOrElse("")
-      s"""{"add":{"path":${jstr(path)},"partitionValues":$pvj,"size":0,""" +
+      s"""{"add":{"path":${jstr(path)},"partitionValues":$pvj,"size":$size,""" +
         s""""modificationTime":${System.currentTimeMillis()},"dataChange":true$dvj}}"""
     }
     private def removeAction(path: String): String =
@@ -416,7 +447,7 @@ object DeltaSource {
       val table = Paths.get(tablePath)
       Files.createDirectories(table)
       val v = nextVersion(table)
-      val adds = stage(df, table, partitionColumns).map { case (p, pv) => addAction(p, pv) }
+      val adds = stage(df, table, partitionColumns).map { case (p, pv, sz) => addAction(p, pv, sz) }
       val meta = if (v == 0L) metaActions(df, partitionColumns) else Seq.empty
       writeCommit(table, v, infoAction("WRITE") +: (meta ++ adds))
       v
@@ -432,7 +463,7 @@ object DeltaSource {
       val removes =
         if (v == 0L) Seq.empty
         else DeltaSource.snapshot(spark, tablePath).files.map(f => removeAction(f.path))
-      val adds = stage(df, table, partitionColumns).map { case (p, pv) => addAction(p, pv) }
+      val adds = stage(df, table, partitionColumns).map { case (p, pv, sz) => addAction(p, pv, sz) }
       val meta = metaActions(df, partitionColumns) // overwrite may change the schema
       writeCommit(table, v, infoAction("WRITE") +: (meta ++ removes ++ adds))
       v
@@ -462,7 +493,7 @@ object DeltaSource {
         .map(r => (r.getString(0), r.getLong(1)))
       // merge with any DV already on the file (compounding deletes)
       val priorRows: Map[String, Array[Long]] = snap.files.collect {
-        case AddFile(p, _, Some(d)) =>
+        case AddFile(p, _, Some(d), _, _) =>
           p -> DeletionVectors.deletedRows(table.toAbsolutePath.toString, d)
       }.toMap
       val perFile = hit.groupBy(h => uriToRel(h._1)).map { case (rel, hs) =>
@@ -472,7 +503,7 @@ object DeltaSource {
       val descs = DeletionVectors.writeFile(table, perFile).toMap
       val byPath = snap.files.map(f => f.path -> f).toMap
       val adds = descs.toSeq.sortBy(_._1).map { case (rel, d) =>
-        addAction(rel, byPath(rel).partitionValues, Some(d))
+        addAction(rel, byPath(rel).partitionValues, byPath(rel).size, Some(d))
       }
       val v = nextVersion(table)
       writeCommit(table, v, infoAction("DELETE") +: adds)
@@ -504,7 +535,7 @@ object DeltaSource {
             new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
         else c
       }: _*)
-      val adds = stage(physical, table, Seq.empty).map { case (p, pv) => addAction(p, pv) }
+      val adds = stage(physical, table, Seq.empty).map { case (p, pv, sz) => addAction(p, pv, sz) }
       val meta = Seq(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
         s"""{"metaData":{"id":"graft-${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},""" +
@@ -521,7 +552,7 @@ object DeltaSource {
       val snap = DeltaSource.snapshot(spark, tablePath)
       val kept = DeltaSource.read(spark, tablePath)
         .filter(!coalesce(expr(predicateSql), lit(false)))
-      val adds = stage(kept, table, snap.partitionColumns).map { case (p, pv) => addAction(p, pv) }
+      val adds = stage(kept, table, snap.partitionColumns).map { case (p, pv, sz) => addAction(p, pv, sz) }
       val removes = snap.files.map(f => removeAction(f.path))
       val v = nextVersion(table)
       writeCommit(table, v, infoAction("DELETE") +: (removes ++ adds))
@@ -535,16 +566,16 @@ object DeltaSource {
       val snap = DeltaSource.snapshot(spark, tablePath)
       val meta = (null: String, null: Map[String, String],
         snap.dataSchema.json, snap.partitionColumns,
-        null: DeletionVectors.Descriptor)
+        null: DeletionVectors.Descriptor, 0L)
       val rows = snap.files.map(f =>
         (f.path, f.partitionValues, null: String, null: Seq[String],
-          f.deletionVector.orNull)) :+ meta
+          f.deletionVector.orNull, f.size)) :+ meta
       val confJ = typedLit(Map(
         "delta.columnMapping.mode" -> snap.columnMappingMode))
-      val df = rows.toDF("_path", "_pv", "_schema", "_pcols", "_dv").select(
+      val df = rows.toDF("_path", "_pv", "_schema", "_pcols", "_dv", "_size").select(
         when($"_path".isNotNull, struct(
           $"_path".as("path"), $"_pv".as("partitionValues"),
-          lit(0L).as("size"), lit(System.currentTimeMillis()).as("modificationTime"),
+          $"_size".as("size"), lit(System.currentTimeMillis()).as("modificationTime"),
           lit(true).as("dataChange"),
           $"_dv".as("deletionVector"))).as("add"),
         when($"_schema".isNotNull, struct(

@@ -94,6 +94,36 @@ class TableFormatsSpec extends AnyFunSuite {
     assert(scans.length == 1)
   }
 
+  test("delta: 1000-partition table plans as ONE relation and prunes to matched files") {
+    import spark.implicits._
+    val t = freshDir("delta-manyparts")
+    // one REAL partition (p=7) written through the writer...
+    DeltaSource.Writer.append(Seq((7L, 7)).toDF("id", "p"), t, partitionColumns = Seq("p"))
+    // ...plus 999 partitions that exist only in the log. Planning never
+    // opens data files and pruning to p=7 never reads these, so synthetic
+    // add actions are enough to prove the scan is O(1) in partition count.
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    val adds = (0 until 1000).filterNot(_ == 7).map { i =>
+      s"""{"add":{"path":"fake-$i.parquet","partitionValues":{"p":"$i"},""" +
+        s""""size":1024,"modificationTime":0,"dataChange":true}}"""
+    }
+    java.nio.file.Files.write(log.resolve(f"${1L}%020d.json"),
+      adds.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val df = DeltaSource.read(spark, t)
+    // plan is one leaf relation — not a per-partition Union fan
+    assert(df.queryExecution.optimizedPlan.collectLeaves().length == 1)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty)
+    // partition pruning happens in the manifest: only p=7's real file is read
+    val q = df.filter($"p" === 7)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value == 1L)
+  }
+
   test("delta: unsupported protocol features are rejected, not ignored") {
     import spark.implicits._
     val t = freshDir("delta")
