@@ -185,15 +185,17 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def insertInto(name: String, data: DataFrame, overwrite: Boolean = false): Unit = {
     require(kindOf(name).contains("managed"), s"$name is not a managed table")
     val d = load(name).get
+    // INSERT is positional on EVERY managed path: align incoming column
+    // names to the table's visible schema (and reject arity mismatches),
+    // else an append with differently-named source expressions would land
+    // a mixed-schema directory — and on the bucketed path the bucket
+    // columns would resolve against generated names
+    val target = spark.table(name).schema
+    require(data.schema.length == target.length,
+      s"INSERT INTO $name: ${data.schema.length} columns for ${target.length}")
+    val aligned = data.toDF(target.fieldNames.toIndexedSeq: _*)
     bucketSpec(d) match {
       case Some((cols, n)) =>
-        // INSERT is positional: align incoming column names to the table
-        // schema, else the bucket columns would be resolved by the source
-        // expressions' generated names
-        val target = spark.table(name).schema
-        require(data.schema.length == target.length,
-          s"INSERT INTO $name: ${data.schema.length} columns for ${target.length}")
-        val aligned = data.toDF(target.fieldNames.toIndexedSeq: _*)
         if (overwrite) createManagedTable(name, aligned, Some((cols, n)), partitionCols(d))
         else aligned.write.mode(SaveMode.Append)
           .bucketBy(n, cols.head, cols.tail: _*)
@@ -201,7 +203,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           .format("parquet")
           .saveAsTable(name) // append keeps (and validates) the bucket spec
       case None =>
-        val w = data.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+        val w = aligned.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
         (if (partitionCols(d).nonEmpty) w.partitionBy(partitionCols(d): _*) else w)
           .parquet(dataDir(name).toString)
         register(d)
@@ -377,15 +379,27 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
       case Some((cols, n)) =>
         // restart path: recreate the session-catalog entry (bucket spec
-        // included) over the existing data directory
+        // AND partition spec) over the existing data directory. Partition
+        // values live only in the hive-style directory names, so the
+        // restart DDL must declare PARTITIONED BY (else the partition
+        // columns would be read as data columns over files that don't
+        // contain them) and recover the partition metadata.
         spark.catalog.dropTempView(d.name)
         if (!spark.catalog.tableExists(d.name)) {
+          val pcols = partitionCols(d)
+          // partition discovery types the partition columns and puts
+          // them last — exactly the layout the DDL needs
           val schema = spark.read.parquet(dataDir(d.name).toString).schema
+          val partClause = if (pcols.isEmpty) ""
+            else s"PARTITIONED BY (${pcols.map(quote).mkString(", ")}) "
           spark.sql(
             s"CREATE TABLE ${quote(d.name)} (${schema.toDDL}) USING PARQUET " +
+              partClause +
               s"CLUSTERED BY (${cols.map(quote).mkString(", ")}) " +
               s"SORTED BY (${cols.map(quote).mkString(", ")}) INTO $n BUCKETS " +
               s"LOCATION '${dataDir(d.name)}'")
+          if (pcols.nonEmpty)
+            spark.sql(s"MSCK REPAIR TABLE ${quote(d.name)}")
         }
     }
     case "view" =>

@@ -132,8 +132,13 @@ object AviDemux {
       val nEntries = ((idx.payloadEnd - idx.payloadStart) / 16).toInt
       if (nEntries > 0) {
         val firstOff = buf.getInt((idx.payloadStart + 8).toInt) & 0xFFFFFFFFL
+        // the movi-relative probe must itself stay in bounds: an
+        // absolute-offset AVI whose headers are a large fraction of the
+        // file can push moviFourccAt + firstOff past the buffer — treat
+        // out-of-range as absolute rather than throwing
         val relative =
           firstOff + 8 <= payload.length &&
+            moviFourccAt + firstOff + 4 <= payload.length &&
             fourcc(buf, moviFourccAt + firstOff) == fourcc(buf, idx.payloadStart)
         var i = 0
         while (i < nEntries) {

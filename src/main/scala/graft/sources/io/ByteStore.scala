@@ -131,6 +131,10 @@ object ByteStore {
     if (hasScheme(path)) {
       val (f, p) = fs(path)
       val st = f.getFileStatus(p)
+      // the int cast below would wrap for >= 2 GiB objects — fail loudly
+      // instead of NegativeArraySizeException / silent truncation
+      require(st.getLen <= Int.MaxValue,
+        s"file too large for readAll (${st.getLen} bytes): $path")
       val out = new Array[Byte](st.getLen.toInt)
       val in = f.open(p)
       try in.readFully(0L, out) finally in.close()

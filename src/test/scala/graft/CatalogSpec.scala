@@ -398,11 +398,17 @@ class CatalogSpec extends AnyFunSuite {
       "SELECT * FROM part_orders WHERE o_orderpriority = '1-URGENT'")
       .select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.nonEmpty && files.forall(_.contains("o_orderpriority=1-URGENT")))
-    // INSERT INTO appends through the same partition layout
+    // INSERT INTO appends through the same partition layout — positionally
     val nBefore = engine.sql("SELECT count(*) FROM part_orders").collect()(0).getLong(0)
-    engine.sql("INSERT INTO part_orders SELECT o_orderkey + 10000000, o_custkey, " +
+    engine.sql("INSERT INTO part_orders SELECT o_orderkey + 10000000, " +
       s"o_totalprice, o_orderpriority FROM parquet.`$sf/orders.parquet` LIMIT 10")
     assert(engine.sql("SELECT count(*) FROM part_orders").collect()(0).getLong(0) == nBefore + 10)
+    // arity mismatches are rejected, not silently appended as mixed schemas
+    val mismatch = intercept[IllegalArgumentException] {
+      engine.sql("INSERT INTO part_orders SELECT o_orderkey, o_custkey, " +
+        s"o_totalprice, o_orderpriority FROM parquet.`$sf/orders.parquet` LIMIT 1")
+    }
+    assert(mismatch.getMessage.contains("4 columns for 3"))
     // DELETE/UPDATE keep the hive layout (rewrite partitions by the same cols)
     engine.sql("DELETE FROM part_orders WHERE o_totalprice < 1000")
     val dirs = new java.io.File(s"$wh/part_orders").listFiles()
@@ -442,6 +448,21 @@ class CatalogSpec extends AnyFunSuite {
           "ON o_custkey = c_custkey")
       assert(mixed.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned+bucketed tables survive restart with partition values intact") {
+    engine.sql("CREATE TABLE pb_t PARTITIONED BY (p) CLUSTERED BY (k) INTO 4 BUCKETS AS " +
+      "SELECT * FROM VALUES (1, 'x', 'a'), (2, 'y', 'b'), (3, 'z', 'a') AS t(k, v, p)")
+    // simulate restart: session-catalog entry gone, TableDef + data remain
+    spark.sql("DROP TABLE IF EXISTS pb_t")
+    GraftEngine(spark, wh).restore()
+    // partition values live only in directory names — the restart DDL must
+    // declare PARTITIONED BY or these read back as nulls over the data files
+    val rows = engine.sql("SELECT k, p FROM pb_t ORDER BY k").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "a")))
+    assert(engine.sql("SELECT count(*) FROM pb_t WHERE p = 'a'").collect()(0).getLong(0) == 2)
+    engine.sql("DROP TABLE pb_t")
   }
 
   test("bucketed tables survive restart and reject copy-on-write rewrites") {
