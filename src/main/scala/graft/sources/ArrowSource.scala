@@ -114,10 +114,11 @@ object ArrowSource {
     val aschema = new ASchema(schema.fields.map(f => sparkToArrow(f.name, f.dataType)).toList.asJava)
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(aschema, alloc)
-    val ch = FileChannel.open(Paths.get(path),
+    val (local, publish) = graft.sources.io.ByteStore.stageOut(path)
+    val ch = FileChannel.open(local,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     val writer = new ArrowFileWriter(root, null, ch)
-    try {
+    val written = try {
       writer.start()
       val it = df.toLocalIterator().asScala
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -144,6 +145,8 @@ object ArrowSource {
       writer.end()
       n
     } finally { writer.close(); ch.close(); root.close(); alloc.close() }
+    publish()
+    written
   }
 
   private def writeValue(v: FieldVector, i: Int, value: Any, t: DataType): Unit = {

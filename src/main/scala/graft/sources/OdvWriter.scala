@@ -38,19 +38,22 @@ object OdvWriter {
     * collections (docs api/querying/index.md §ODV). */
   def write(df: DataFrame, path: String): Long = {
     val schema = df.schema
+    // staged egress: write locally, publish to the target scheme
+    // (ZIP detection keys off the TARGET name, not the temp file)
+    val (local, publish) = graft.sources.io.ByteStore.stageOut(path)
     // explicit UTF-8: FileWriter would use the platform charset, which
     // corrupts non-ASCII labels/units on non-UTF-8 JVMs while the ODV
     // reader always decodes UTF-8 (round-trip contract)
     val w: BufferedWriter =
       if (path.toLowerCase.endsWith(".zip")) {
         val zos = new java.util.zip.ZipOutputStream(
-          java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+          java.nio.file.Files.newOutputStream(local))
         zos.putNextEntry(new java.util.zip.ZipEntry("data.txt"))
         new BufferedWriter(new java.io.OutputStreamWriter(
           zos, java.nio.charset.StandardCharsets.UTF_8))
       } else java.nio.file.Files.newBufferedWriter(
-        java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
-    try {
+        local, java.nio.charset.StandardCharsets.UTF_8)
+    val written = try {
       w.write("//ODV Spreadsheet V4.6\n")
       w.write("//<Creator>graft</Creator>\n")
       schema.fields.foreach { f =>
@@ -82,5 +85,7 @@ object OdvWriter {
       }
       n
     } finally w.close()
+    publish()
+    written
   }
 }

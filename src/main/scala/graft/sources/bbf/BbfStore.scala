@@ -346,6 +346,15 @@ object BbfStore {
     * `blockRows`-row blocks with per-block column statistics. */
   object Writer {
 
+    /** String-target egress: stage locally, publish to any Hadoop
+      * scheme (the remote COPY TO path) */
+    def write(target: String, entries: Seq[(String, DataFrame)]): Long = {
+      val (local, publish) = graft.sources.io.ByteStore.stageOut(target)
+      val n = write(local, entries)
+      publish()
+      n
+    }
+
     /** @return total rows written across entries (the COPY TO receipt) */
     def write(path: Path, entries: Seq[(String, DataFrame)], blockRows: Int = 65536): Long = {
       require(entries.nonEmpty, "bbf: at least one entry required")

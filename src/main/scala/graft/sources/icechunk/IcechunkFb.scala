@@ -1,0 +1,191 @@
+package graft.sources.icechunk
+
+import java.nio.charset.StandardCharsets
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Icechunk snapshot/manifest PAYLOAD codec: zstd-compressed FlatBuffers,
+  * per the icechunk spec's serialization ("metadata files are flatbuffers,
+  * zstd-compressed"), hand-walked via [[FlatBuf]].
+  *
+  * Table schema (slot ids pinned HERE — this is the wire contract graft
+  * writes and reads; it follows the icechunk spec's object model: a
+  * snapshot holds nodes with their zarr metadata and manifest pointers, a
+  * manifest holds chunk-coordinate → (chunk object, offset, length) refs):
+  *
+  * {{{
+  * table Snapshot   { 0 id:string; 1 parent_id:string; 2 message:string;
+  *                    3 flushed_at:int64; 4 attributes:[Attr];
+  *                    5 nodes:[Node] }
+  * table Attr       { 0 key:string; 1 value:string }
+  * table Node       { 0 name:string; 1 manifest_id:string;
+  *                    2 zarr_metadata:[ubyte]  // zarr v3 array JSON }
+  * table Manifest   { 0 id:string; 1 refs:[ChunkRef] }
+  * table ChunkRef   { 0 node:string; 1 key:string; 2 chunk_id:string;
+  *                    3 offset:int64; 4 length:int64 }
+  * }}}
+  *
+  * COMPATIBILITY NOTE: the exact slot numbering of the icechunk
+  * library's own `.fbs` is not reproducible in this offline environment
+  * (no schema file, no library to generate fixtures), so repos written by
+  * the real library are not guaranteed to decode — the wire FORMAT is
+  * spec-exact, the field table is graft's. Legacy graft JSON payloads
+  * (round ≤6 fixtures) still read via content sniffing: a zstd frame
+  * magic (0x28B52FFD) selects the flatbuffers path, anything else parses
+  * as JSON.
+  */
+object IcechunkFb {
+
+  private val ZstdMagic = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte)
+
+  def isZstd(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == ZstdMagic(0) && bytes(1) == ZstdMagic(1) &&
+      bytes(2) == ZstdMagic(2) && bytes(3) == ZstdMagic(3)
+
+  private def zstd(bytes: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(bytes, 3)
+  private def unzstd(bytes: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  // ---------------------------------------------------------- snapshot
+
+  /** snapshot JValue (the store's object model) → zstd(flatbuffers) */
+  def encodeSnapshot(snap: JValue): Array[Byte] = {
+    val b = new FlatBuf.Builder
+    val nodes = (snap \ "nodes") match {
+      case JArray(ns) => ns.map { n =>
+        val JString(name) = (n \ "name"): @unchecked
+        val JString(mid) = (n \ "manifest"): @unchecked
+        val zarrBytes = JsonMethods.compact(JsonMethods.render(n \ "zarr"))
+          .getBytes(StandardCharsets.UTF_8)
+        val nameOff = b.string(name)
+        val midOff = b.string(mid)
+        val zarrOff = b.byteVector(zarrBytes)
+        b.startTable()
+        b.slotUOffset(0, nameOff)
+        b.slotUOffset(1, midOff)
+        b.slotUOffset(2, zarrOff)
+        b.endTable()
+      }
+      case _ => Nil
+    }
+    val nodesVec = b.offsetVector(nodes)
+    val attrs = (snap \ "attributes") match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) =>
+        val kOff = b.string(k); val vOff = b.string(v)
+        b.startTable(); b.slotUOffset(0, kOff); b.slotUOffset(1, vOff); b.endTable()
+      }
+      case _ => Nil
+    }
+    val attrsVec = b.offsetVector(attrs)
+    val JString(id) = (snap \ "id"): @unchecked
+    val idOff = b.string(id)
+    val parentOff = (snap \ "parent_id") match {
+      case JString(p) => Some(b.string(p)); case _ => None
+    }
+    val msgOff = (snap \ "message") match {
+      case JString(m) => Some(b.string(m)); case _ => None
+    }
+    b.startTable()
+    b.slotUOffset(0, idOff)
+    parentOff.foreach(b.slotUOffset(1, _))
+    msgOff.foreach(b.slotUOffset(2, _))
+    b.slotI64(3, System.currentTimeMillis())
+    b.slotUOffset(4, attrsVec)
+    b.slotUOffset(5, nodesVec)
+    zstd(b.finish(b.endTable()))
+  }
+
+  /** payload bytes (zstd+flatbuffers or legacy JSON) → snapshot JValue */
+  def decodeSnapshot(bytes: Array[Byte]): JValue =
+    if (!isZstd(bytes)) JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+    else {
+      val t = FlatBuf.root(unzstd(bytes))
+      val nodes = t.vector(5).map { v =>
+        (0 until v.length).toList.map { i =>
+          val n = v.tableAt(i)
+          JObject(
+            "name" -> JString(n.str(0).get),
+            "manifest" -> JString(n.str(1).get),
+            "zarr" -> n.vector(2).map(z =>
+              JsonMethods.parse(new String(z.bytes, StandardCharsets.UTF_8)))
+              .getOrElse(JNothing))
+        }
+      }.getOrElse(Nil)
+      val attrs = t.vector(4).map { v =>
+        (0 until v.length).toList.map { i =>
+          val a = v.tableAt(i)
+          a.str(0).get -> (JString(a.str(1).getOrElse("")): JValue)
+        }
+      }.getOrElse(Nil)
+      JObject(
+        "id" -> JString(t.str(0).get),
+        "parent_id" -> t.str(1).map(JString(_): JValue).getOrElse(JNull),
+        "message" -> JString(t.str(2).getOrElse("")),
+        "flushed_at" -> JLong(t.i64(3)),
+        "attributes" -> JObject(attrs),
+        "nodes" -> JArray(nodes))
+    }
+
+  // ---------------------------------------------------------- manifest
+
+  /** manifest JValue {"id", "chunks": {node: {key: {id,offset,length}}}}
+    * → zstd(flatbuffers), flattened to one ChunkRef row per (node, key) */
+  def encodeManifest(mf: JValue): Array[Byte] = {
+    val b = new FlatBuf.Builder
+    val refs = (mf \ "chunks") match {
+      case JObject(byNode) => byNode.flatMap { case (node, ks) =>
+        ks match {
+          case JObject(entries) => entries.map { case (key, r) =>
+            val JString(cid) = (r \ "id"): @unchecked
+            def lng(f: String): Long = (r \ f) match {
+              case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L
+            }
+            val nodeOff = b.string(node)
+            val keyOff = b.string(key)
+            val cidOff = b.string(cid)
+            b.startTable()
+            b.slotUOffset(0, nodeOff)
+            b.slotUOffset(1, keyOff)
+            b.slotUOffset(2, cidOff)
+            b.slotI64(3, lng("offset"))
+            b.slotI64(4, lng("length"))
+            b.endTable()
+          }
+          case _ => Nil
+        }
+      }
+      case _ => Nil
+    }
+    val refsVec = b.offsetVector(refs)
+    val JString(id) = (mf \ "id"): @unchecked
+    val idOff = b.string(id)
+    b.startTable()
+    b.slotUOffset(0, idOff)
+    b.slotUOffset(1, refsVec)
+    zstd(b.finish(b.endTable()))
+  }
+
+  def decodeManifest(bytes: Array[Byte]): JValue =
+    if (!isZstd(bytes)) JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+    else {
+      val t = FlatBuf.root(unzstd(bytes))
+      val rows = t.vector(1).map { v =>
+        (0 until v.length).toList.map { i =>
+          val r = v.tableAt(i)
+          (r.str(0).get, r.str(1).get, r.str(2).get, r.i64(3), r.i64(4))
+        }
+      }.getOrElse(Nil)
+      val byNode = rows.groupBy(_._1).toList.sortBy(_._1).map { case (node, es) =>
+        node -> (JObject(es.map { case (_, key, cid, off, len) =>
+          key -> (JObject("id" -> JString(cid),
+            "offset" -> JLong(off), "length" -> JLong(len)): JValue)
+        }): JValue)
+      }
+      JObject("id" -> JString(t.str(0).get), "chunks" -> JObject(byNode))
+    }
+}

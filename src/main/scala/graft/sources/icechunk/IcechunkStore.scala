@@ -33,12 +33,10 @@ import graft.sources.zarr.ZarrStore
   *  - `chunks/<id>` — codec-encoded chunk payloads (the Zarr codec
   *    pipeline, [[ZarrStore.decodeChunkBytes]], applies on read).
   *
-  * DOCUMENTED SIMPLIFICATION: real icechunk serializes snapshots and
-  * manifests as zstd-compressed flatbuffers; with no flatbuffers schema
-  * available offline, this implementation writes the same objects as
-  * JSON. The layout, id scheme, ref resolution and chunk indirection
-  * are per spec, and a flatbuffers payload decoder would slot behind
-  * [[readSnapshotJson]] without touching anything above it.
+  * Snapshot and manifest payloads are zstd-compressed FlatBuffers
+  * (hand-rolled wire format, [[FlatBuf]]; table schema + the remaining
+  * compatibility caveat documented in [[IcechunkFb]]), with legacy JSON
+  * payloads still readable via content sniffing.
   */
 object IcechunkStore {
 
@@ -172,7 +170,7 @@ object IcechunkStore {
         val JString(name) = (n \ "name"): @unchecked
         val arr = ZarrStore.parseArray(name, root, n \ "zarr")
         val JString(manifestId) = (n \ "manifest"): @unchecked
-        val mf = JsonMethods.parse(ByteStore.readString(
+        val mf = IcechunkFb.decodeManifest(ByteStore.readAll(
           ByteStore.resolve(root, s"manifests/$manifestId")))
         val chunks = (mf \ "chunks" \ name) match {
           case JObject(cs) => cs.map { case (key, r) =>
@@ -194,7 +192,7 @@ object IcechunkStore {
   private def readSnapshotJson(root: String, id: String): JValue = {
     val p = ByteStore.resolve(root, s"snapshots/$id")
     require(ByteStore.exists(p), s"icechunk snapshot $id not found at $root")
-    JsonMethods.parse(ByteStore.readString(p))
+    IcechunkFb.decodeSnapshot(ByteStore.readAll(p))
   }
 
   // -------------------------------------------------------------- read
@@ -337,7 +335,7 @@ object IcechunkStore {
           })
         }))
       Files.write(root.resolve("manifests").resolve(manifestId),
-        JsonMethods.compact(JsonMethods.render(manifest)).getBytes(StandardCharsets.UTF_8))
+        IcechunkFb.encodeManifest(manifest))
 
       val branchDir = root.resolve("refs").resolve(s"branch.$branch")
       val gens = listDir(branchDir.toString).map(p => seqGen(ByteStore.fileName(p)))
@@ -353,7 +351,7 @@ object IcechunkStore {
         }),
         "nodes" -> JArray(nodesJson.toList))
       Files.write(root.resolve("snapshots").resolve(snapId),
-        JsonMethods.compact(JsonMethods.render(snap)).getBytes(StandardCharsets.UTF_8))
+        IcechunkFb.encodeSnapshot(snap))
 
       Files.createDirectories(branchDir)
       val gen = if (gens.isEmpty) 0L else gens.max + 1

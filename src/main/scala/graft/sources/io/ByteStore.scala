@@ -170,6 +170,28 @@ object ByteStore {
     java.nio.channels.FileChannel.open(
       Paths.get(localize(path)), java.nio.file.StandardOpenOption.READ)
 
+  /** Staged single-file egress — [[localize]] in reverse: a LOCAL path
+    * for the writer to produce, plus a publish() that streams the
+    * finished file to `target` when it names a remote scheme (no-op for
+    * local targets, so the local path IS the target). The reference
+    * routes every file output through its object store
+    * (beacon-core/src/query/output.rs:52-83; COPY path rewrite
+    * statement_plan/lower.rs:243-245). */
+  def stageOut(target: String): (Path, () => Unit) =
+    if (!hasScheme(target)) {
+      val p = Paths.get(toLocal(target))
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      (p, () => ())
+    } else {
+      val tmp = Files.createTempFile("graft-egress", ".out")
+      (tmp, () => {
+        val (f, hp) = fs(target)
+        val out = f.create(hp, true)
+        try Files.copy(tmp, out) finally out.close()
+        Files.deleteIfExists(tmp): Unit
+      })
+    }
+
   // ---------------------------------------------------------- localize
 
   private val cacheDir: Path =

@@ -135,9 +135,10 @@ object NetcdfWriter {
       })
     require(finalHeader.length == header.length, "header size must be stable")
 
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
+    val (local, publish) = graft.sources.io.ByteStore.stageOut(path)
+    val ch = FileChannel.open(local, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-    try {
+    val written = try {
       val out = new DataOutputStream(new BufferedOutputStream(
         java.nio.channels.Channels.newOutputStream(ch), 1 << 16))
       out.write(finalHeader)
@@ -173,6 +174,8 @@ object NetcdfWriter {
       ch.write(nb, 4)
       n
     } finally ch.close()
+    publish()
+    written
   }
 
   /** Multi-dimensional file from an [[NdDataset]] (ndnetcdf output):
@@ -199,7 +202,8 @@ object NetcdfWriter {
     val begins = vars.map { v => val b = off; off += v.vsize; b }
     val header = buildHeader(0, dims, gattrs,
       vars.zip(begins).map { case (v, b) => v.copy(begin = b) })
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
+    val (local, publish) = graft.sources.io.ByteStore.stageOut(path)
+    val ch = FileChannel.open(local, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
       val out = new DataOutputStream(new BufferedOutputStream(
@@ -212,6 +216,7 @@ object NetcdfWriter {
       }
       out.flush()
     } finally ch.close()
+    publish()
   }
 
   // --------------------------------------------------- header building

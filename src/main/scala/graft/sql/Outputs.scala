@@ -65,7 +65,7 @@ object Outputs {
           case "bbf" =>
             // multi-entry container, one entry named 'data' (the
             // reference toolbox's create-from-table shape)
-            graft.sources.bbf.BbfStore.Writer.write(Paths.get(path), Seq("data" -> df))
+            graft.sources.bbf.BbfStore.Writer.write(path, Seq("data" -> df))
           case _ => graft.sources.OdvWriter.write(df, path)
         }
       case other => throw new IllegalArgumentException(s"COPY TO format '$other' unsupported")

@@ -155,4 +155,32 @@ class ByteStoreSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
     assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
   }
+
+  test("single-file writers publish to a remote scheme and read back bit-equal") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bytestore-egress")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "k", "v")
+
+    // arrow IPC
+    val arrowT = viaMock(s"$dir/out.arrow")
+    assert(graft.sources.ArrowSource.writeSingleFile(df, arrowT) == 3L)
+    assert(graft.sources.ArrowSource.read(spark, Seq(arrowT))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    // netcdf classic (flat records)
+    val ncT = viaMock(s"$dir/out.nc")
+    assert(graft.sources.netcdf.NetcdfWriter.writeFlat(df, ncT) == 3L)
+    assert(graft.sources.netcdf.NetcdfSource.read(spark, Seq(ncT)).count() == 3L)
+
+    // odv ascii (+ the .zip collection shape)
+    val odvT = viaMock(s"$dir/out.txt")
+    assert(graft.sources.OdvWriter.write(df, odvT) == 3L)
+    assert(graft.sources.OdvSource.read(spark, Seq(odvT)).count() == 3L)
+    assert(graft.sources.OdvWriter.write(df, viaMock(s"$dir/out.zip")) == 3L)
+
+    // bbf container
+    val bbfT = viaMock(s"$dir/out.bbf")
+    assert(graft.sources.bbf.BbfStore.Writer.write(bbfT, Seq("data" -> df)) == 3L)
+    assert(graft.sources.bbf.BbfSource.read(spark, Seq(bbfT)).count() == 3L)
+  }
 }

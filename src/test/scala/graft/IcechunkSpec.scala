@@ -20,6 +20,84 @@ class IcechunkSpec extends AnyFunSuite {
       NdVariable("x", Seq("x"), Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0)),
       NdVariable("v", Seq("y", "x"), Array.tabulate(24)(_ * scale))))
 
+  test("flatbuffers wire format: minimal table matches the hand-computed byte layout") {
+    import graft.sources.icechunk.FlatBuf
+    val b = new FlatBuf.Builder
+    b.startTable(); b.slotI32(0, 42); val t = b.endTable()
+    val bytes = b.finish(t)
+    // hand-derived from the published wire spec: [root uoffset=12][pad]
+    // [vtable: size=6, table_size=8, slot0@+4][table: soffset=6][field: 42]
+    assert(bytes.toSeq == Seq[Byte](0x0C, 0, 0, 0, 0, 0, 6, 0, 8, 0, 4, 0,
+      6, 0, 0, 0, 0x2A, 0, 0, 0))
+    val rt = FlatBuf.root(bytes)
+    assert(rt.i32(0) == 42)
+    assert(rt.i32(1, -7) == -7) // absent slot falls back to the default
+  }
+
+  test("flatbuffers: strings, vectors, structs-of-tables, i64 slots round-trip") {
+    import graft.sources.icechunk.FlatBuf
+    val b = new FlatBuf.Builder
+    val inner = (1 to 3).map { i =>
+      val s = b.string(s"node-$i")
+      b.startTable(); b.slotUOffset(0, s); b.slotI64(1, i * 1000000007L); b.endTable()
+    }
+    val vec = b.offsetVector(inner)
+    val name = b.string("räksmörgås") // multi-byte UTF-8
+    val payload = b.byteVector(Array[Byte](9, 8, 7))
+    b.startTable()
+    b.slotUOffset(0, name)
+    b.slotUOffset(1, vec)
+    b.slotUOffset(2, payload)
+    b.slotF64(3, math.Pi)
+    b.slotBool(4, true)
+    val root = b.endTable()
+    val t = FlatBuf.root(b.finish(root))
+    assert(t.str(0).contains("räksmörgås"))
+    val v = t.vector(1).get
+    assert(v.length == 3)
+    assert((0 until 3).map(i => v.tableAt(i).str(0).get) ==
+      Seq("node-1", "node-2", "node-3"))
+    assert(v.tableAt(2).i64(1) == 3 * 1000000007L)
+    assert(t.vector(2).get.bytes.toSeq == Seq[Byte](9, 8, 7))
+    assert(t.f64(3) == math.Pi)
+    assert(t.bool(4))
+    assert(t.str(9).isEmpty && t.vector(9).isEmpty) // out-of-vtable slots
+  }
+
+  test("icechunk payloads: zstd+flatbuffers snapshot/manifest round-trip; JSON sniffs as legacy") {
+    import graft.sources.icechunk.IcechunkFb
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val snap = JObject(
+      "id" -> JString("SNAP0123456789ABCDEF"),
+      "parent_id" -> JNull,
+      "message" -> JString("first commit"),
+      "attributes" -> JObject("title" -> JString("demo")),
+      "nodes" -> JArray(List(JObject(
+        "name" -> JString("v"),
+        "manifest" -> JString("MANI0123456789ABCDEF"),
+        "zarr" -> JObject("zarr_format" -> JInt(3), "shape" -> JArray(List(JInt(4))))))))
+    val enc = IcechunkFb.encodeSnapshot(snap)
+    assert(IcechunkFb.isZstd(enc), "snapshot payload must be a zstd frame")
+    val dec = IcechunkFb.decodeSnapshot(enc)
+    assert((dec \ "id") == JString("SNAP0123456789ABCDEF"))
+    assert((dec \ "parent_id") == JNull)
+    assert((dec \ "message") == JString("first commit"))
+    assert((dec \ "attributes" \ "title") == JString("demo"))
+    assert((dec \ "nodes" \\ "name") == JString("v"))
+    assert((dec \ "nodes")(0) \ "zarr" \ "zarr_format" == JInt(3))
+    val mf = JObject("id" -> JString("M1"), "chunks" -> JObject(
+      "v" -> JObject(
+        "0.0" -> JObject("id" -> JString("C1"), "offset" -> JLong(0L), "length" -> JLong(64L)),
+        "0.1" -> JObject("id" -> JString("C2"), "offset" -> JLong(64L), "length" -> JLong(64L)))))
+    val mdec = IcechunkFb.decodeManifest(IcechunkFb.encodeManifest(mf))
+    assert((mdec \ "chunks" \ "v" \ "0.1" \ "offset") == JLong(64L))
+    assert((mdec \ "chunks" \ "v" \ "0.0" \ "length") == JLong(64L))
+    // legacy JSON payloads (round ≤6 repos) still parse via sniffing
+    val legacy = JsonMethods.compact(JsonMethods.render(snap)).getBytes("UTF-8")
+    assert((IcechunkFb.decodeSnapshot(legacy) \ "id") == JString("SNAP0123456789ABCDEF"))
+  }
+
   test("icechunk: branch tip moves with commits; snapshot/tag stay fixed") {
     val root = java.nio.file.Files.createTempDirectory("graft-icechunk")
     val s1 = IcechunkStore.Writer.commit(root, grid(1.0), message = "v1")
