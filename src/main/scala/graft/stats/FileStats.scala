@@ -117,31 +117,72 @@ object FileStats {
     if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
   }
 
+  /** [[norm]] as a codegen'd Column (same contract, evaluated on
+    * executors so the registry never leaves the cluster un-aggregated) */
+  private def normCol(c: Column): Column = {
+    val stripped = regexp_replace(c, lit("^file:"), lit(""))
+    when(stripped.startsWith("//"), regexp_replace(stripped, lit("^/+"), lit("/")))
+      .otherwise(stripped)
+  }
+
+  /** registry row (one file×column's recorded range) provably cannot
+    * satisfy `c` — the Column-space negation of [[Cond.satisfiable]]:
+    * numeric range applies first, string range only when numeric stats
+    * are absent, missing stats never prune */
+  private def unsatCol(c: Cond): Column = {
+    def neg[T](mn: Column, mx: Column, v: T): Column = c.op match {
+      case "eq"  => lit(v) < mn || lit(v) > mx
+      case "gt"  => mx <= lit(v)
+      case "gte" => mx < lit(v)
+      case "lt"  => mn >= lit(v)
+      case "lte" => mn > lit(v)
+      case _     => lit(false)
+    }
+    val numeric = c.num match {
+      case Some(v) => col("min_num").isNotNull && col("max_num").isNotNull &&
+        neg(col("min_num"), col("max_num"), v)
+      case None => lit(false)
+    }
+    val string = c.str match {
+      case Some(v) => (col("min_num").isNull || col("max_num").isNull ||
+        c.num.isEmpty) && col("min_str").isNotNull && col("max_str").isNotNull &&
+        neg(col("min_str"), col("max_str"), v)
+      case None => lit(false)
+    }
+    col("column") === c.column && (numeric || string)
+  }
+
+  /** Distributed verdict: the (normalized) candidate files the registry
+    * proves CANNOT satisfy `conds`. The registry is semi-joined to the
+    * candidate set and the per-file any-condition-unsatisfiable verdict
+    * is aggregated on executors — only dropped file NAMES reach the
+    * driver (≤ candidate count; the registry itself, rows ∝ files ×
+    * columns, never does). This is what survives the reference's own
+    * motivating scale: a 1M-file archive (docs internals/
+    * file-statistics.md) plans a selective query without a
+    * million-row collect. */
+  private[graft] def droppedFiles(spark: SparkSession, statsDir: String,
+      files: Seq[String], conds: Seq[Cond]): DataFrame = {
+    import spark.implicits._
+    val cand = files.map(norm).toDF("cand_file")
+    val candJ = if (files.size <= 100000) broadcast(cand) else cand
+    load(spark, statsDir)
+      .filter(col("column").isin(conds.map(_.column).distinct: _*))
+      .withColumn("nfile", normCol(col("file")))
+      .join(candJ, col("nfile") === col("cand_file"), "left_semi")
+      .groupBy(col("nfile"))
+      .agg(max(conds.map(unsatCol).reduce(_ || _)).as("drop"))
+      .filter(col("drop"))
+      .select(col("nfile"))
+  }
+
   /** files whose recorded ranges can satisfy every condition (files
     * absent from the registry are kept — pruning is never lossy) */
   def pruneFiles(spark: SparkSession, statsDir: String, files: Seq[String],
       conds: Seq[Cond]): Seq[String] = {
     if (conds.isEmpty) return files
-    val stats = load(spark, statsDir)
-      .filter(col("column").isin(conds.map(_.column).distinct: _*))
-      .collect()
-      .groupBy(r => norm(r.getString(0)))
-    files.filter { f =>
-      stats.get(norm(f)) match {
-        case None => true // unknown file: keep
-        case Some(rows) =>
-          conds.forall { c =>
-            rows.find(_.getString(1) == c.column) match {
-              case None => true
-              case Some(r) =>
-                c.satisfiable(
-                  if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-                  if (r.isNullAt(3)) None else Some(r.getDouble(3)),
-                  Option(r.getString(4)), Option(r.getString(5)),
-                  r.getLong(7), r.getLong(6))
-            }
-          }
-      }
-    }
+    val dropped = droppedFiles(spark, statsDir, files, conds)
+      .collect().map(_.getString(0)).toSet
+    files.filterNot(f => dropped(norm(f)))
   }
 }

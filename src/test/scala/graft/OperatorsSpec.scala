@@ -545,6 +545,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(randomOpens >= 14, s"random layout should open nearly all, opened $randomOpens")
   }
 
+  test("file-stats pruning is distributed: only dropped names reach the driver") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-dist")
+    // 40 single-row-group files, file i holds ids [100i, 100i+100) and a
+    // label deterministically derived from the range
+    val files = (0 until 40).map { i =>
+      val p = s"$dir/part-$i.parquet"
+      spark.range(i * 100L, i * 100L + 100)
+        .select(col("id"), concat(lit("k"), format_string("%03d", (col("id") / 100).cast("int"))).as("label"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
+      new java.io.File(s"$dir/f$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val stats = graft.stats.FileStats.collect(spark, "parquet", files)
+    graft.stats.FileStats.write(stats, s"$dir/stats")
+    val conds = Seq(
+      graft.stats.FileStats.Cond("id", "lt", Some(500.0), None),   // keeps files 0..4
+      graft.stats.FileStats.Cond("label", "lte", None, Some("k003"))) // keeps 0..3
+    // +1 file unknown to the registry — pruning is never lossy
+    val unknown = files :+ s"$dir/not-analyzed.parquet"
+    val kept = graft.stats.FileStats.pruneFiles(spark, s"$dir/stats", unknown, conds)
+    assert(kept.toSet == (files.take(4).toSet + s"$dir/not-analyzed.parquet"),
+      s"expected files 0..3 + unknown, got ${kept.size}")
+    // the driver-side transfer is the DROPPED NAMES ONLY: one column,
+    // one row per dropped file — not the registry's files×columns rows
+    val verdict = graft.stats.FileStats.droppedFiles(spark, s"$dir/stats", unknown, conds)
+    assert(verdict.schema.fields.map(_.name).toSeq == Seq("nfile"))
+    assert(verdict.count() == 36)
+  }
+
   test("multimodal: REAL WAV audio decode (JDK codec)") {
     import spark.implicits._
     // 16-bit mono 8 kHz sine, amplitude 0.5, 2000 frames = 250 ms;
