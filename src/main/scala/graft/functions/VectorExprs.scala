@@ -191,6 +191,69 @@ object VectorExprs {
       org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, seed)
   }
 
+  /** arg-min-distance centroid assignment for the IVF index: the
+    * centroid matrix (bounded: k × dims doubles, driver-fit by
+    * construction) rides along as a codegen reference object, so the
+    * map-only assign pass stays in WholeStageCodegen with no per-row
+    * Seq[Float] boxing. Ties break to the lowest index (same contract
+    * as the trainer's assignment loop). */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_centroid"
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val f = elemIsFloat(child)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        val n = math.min(x.numElements(), cv.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val v = (if (f) x.getFloat(i).toDouble else x.getDouble(i)) - cv(i)
+          d += v * v
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (elemIsFloat(child)) "getFloat" else "getDouble"
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val v = ctx.freshName("v")
+        val cv = ctx.freshName("cv")
+        val bestD = ctx.freshName("bestD")
+        s"""
+          int ${ev.value}_best = 0;
+          double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $cs.length; $c++) {
+            double[] $cv = $cs[$c];
+            int $n = java.lang.Math.min($a.numElements(), $cv.length);
+            double $d = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $v = (double) $a.$get($i) - $cv[$i];
+              $d += $v * $v;
+            }
+            if ($d < $bestD) { $bestD = $d; ${ev.value}_best = $c; }
+          }
+          ${ev.value} = ${ev.value}_best;
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ------------------------------------------------- Column-level API
 
   def vec_dot(a: Column, b: Column): Column =
@@ -207,4 +270,7 @@ object VectorExprs {
 
   def lsh_bands(vec: Column, nPlanes: Int, seed: Long, bandBits: Int): Column =
     ColumnBridge.column(LshBands(ColumnBridge.expression(vec), nPlanes, seed, bandBits))
+
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
 }

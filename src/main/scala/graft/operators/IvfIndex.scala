@@ -116,9 +116,8 @@ object IvfIndex {
     best
   }
 
-  private def cellUdf(m: Model) =
-    udf((v: Seq[Float]) => nearest(m.centroids, toDoubles(v)))
-
+  // probe stays a udf: it runs on the (small, broadcast-side) query
+  // set only; the corpus-wide assign pass is the codegen'd expression
   private def probeUdf(m: Model, nProbe: Int) =
     udf((v: Seq[Float]) => {
       val dv = toDoubles(v)
@@ -131,10 +130,11 @@ object IvfIndex {
         .sortBy(_._2).take(nProbe).map(_._1)
     })
 
-  /** corpus + `__cell` assignment column (map-only; model broadcasts
-    * inside the udf closure) */
+  /** corpus + `__cell` assignment column (map-only; the centroid
+    * matrix rides as a codegen reference object — no per-row boxing) */
   def assign(corpus: DataFrame, vecCol: String, m: Model): DataFrame =
-    corpus.withColumn("__cell", cellUdf(m)(col(vecCol)))
+    corpus.withColumn("__cell",
+      graft.functions.VectorExprs.nearest_centroid(col(vecCol), m.centroids))
 
   /** top-k per query, probing nProbe cells; exact cosine rerank.
     * `roundCos > 0` rounds the score BEFORE ranking so ranking and

@@ -71,12 +71,11 @@ object GeoParquet {
 
   // ---------------------------------------------------------- columns
 
-  private val wkbToWktUdf = udf((wkb: Array[Byte]) =>
-    if (wkb == null) null else wkbToWkt(wkb))
-  private val pointWkbUdf = udf((lon: Double, lat: Double) => pointWkb(lon, lat))
-
-  def stWkbAsWkt(c: Column): Column = wkbToWktUdf(c)
-  def stPointWkb(lon: Column, lat: Column): Column = pointWkbUdf(lon, lat)
+  // codegen'd expressions (functions/GeoExprs.scala) — no per-row
+  // ScalaUDF SerDe on the geoparquet read or egress paths
+  def stWkbAsWkt(c: Column): Column = graft.functions.GeoExprs.st_wkb_as_wkt(c)
+  def stPointWkb(lon: Column, lat: Column): Column =
+    graft.functions.GeoExprs.st_point_wkb(lon, lat)
 
   // ------------------------------------------------------- read/write
 

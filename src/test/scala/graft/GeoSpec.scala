@@ -109,5 +109,24 @@ class GeoSpec extends AnyFunSuite {
     assert(inSquare == Set(1L))
     assert(back.filter($"id" === 1).select($"geometry_wkt").collect()(0)
       .getString(0) == "POINT (5.0 5.0)")
+    // WKB encode/decode are native expressions: codegen'd, no per-row
+    // ScalaUDF SerDe on either the read or the egress projection
+    val readPlan = back.queryExecution.executedPlan.toString
+    assert(!readPlan.contains("ScalaUDF") && !readPlan.toLowerCase.contains("batchevalpython"),
+      s"geoparquet read path must not evaluate a UDF:\n$readPlan")
+    val egress = spark.range(100)
+      .select(graft.sources.GeoParquet.stPointWkb(
+        $"id".cast("double"), ($"id" * 2).cast("double")).as("geometry"))
+    val egressPlan = egress.queryExecution.executedPlan.toString
+    assert(!egressPlan.contains("ScalaUDF"), s"WKB encode must codegen:\n$egressPlan")
+    // "*(n)" marks a WholeStageCodegen stage in the plan string
+    assert(egressPlan.contains("*(1) Project [st_point_wkb"),
+      s"encode projection stays in codegen:\n$egressPlan")
+    // null propagation matches the UDF contract
+    val nulls = Seq((Some(1.0), Some(2.0)), (None, Some(2.0))).toDF("lon", "lat")
+      .select(graft.sources.GeoParquet.stPointWkb($"lon", $"lat").as("g"))
+      .withColumn("wkt", graft.sources.GeoParquet.stWkbAsWkt($"g")).collect()
+    assert(nulls(0).getString(1) == "POINT (1.0 2.0)")
+    assert(nulls(1).isNullAt(0) && nulls(1).isNullAt(1))
   }
 }

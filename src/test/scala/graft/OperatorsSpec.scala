@@ -253,6 +253,11 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recall = exact.map { case (q, ns) => (ann.getOrElse(q, Set.empty) & ns).size.toDouble / ns.size }
     assert(recall.sum / recall.size >= 0.9, s"IVF recall ${recall.sum / recall.size}")
+    // the corpus-wide assign pass is a codegen'd expression, not a UDF:
+    // no per-row Seq[Float] boxing on the map-only tag stage
+    val assignPlan = IvfIndex.assign(df, "embedding", m1)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("ScalaUDF"), s"IVF assign must codegen:\n$assignPlan")
   }
 
   test("salted join spreads a hot key across salt partitions with identical results") {
