@@ -42,6 +42,23 @@ object QueriesEngine {
       JsonQuery.compile(s, q).orderBy(col("o_custkey"))
     },
 
+    // ---- named + default table resolution: `from: "name"` resolves
+    // through the session catalog (the reference's default_table /
+    // named dataset binding); an absent `from` binds the table
+    // registered as "default"
+    "q_dsl_named_table" -> { (s, dir) =>
+      GraftSession.configure(s)
+      s.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("dsl_nation")
+      s.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("default")
+      val named = JsonQuery.compile(s,
+        """{"select": ["n_regionkey", "n_name"],
+            "filter": {"column": "n_regionkey", "lt_eq": 2},
+            "from": "dsl_nation"}""")
+      val dflt = JsonQuery.compile(s, """{"select": ["r_regionkey", "r_name"]}""")
+      named.join(dflt, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name")).orderBy(col("n_name"))
+    },
+
     // ---- the DDL/catalog surface end-to-end through GraftEngine.sql:
     // external registration → CTAS → INSERT INTO → copy-on-write DELETE
     // and UPDATE → SELECT; the oracle recomputes the surviving rows
@@ -436,6 +453,9 @@ object QueriesEngine {
          FROM lineitem WHERE l_quantity > 45 AND l_extendedprice < 60000
          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
          LIMIT 200 OFFSET 10""",
+    "q_dsl_named_table" ->
+      """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+         WHERE n_regionkey <= 2 ORDER BY n_name""",
     "q_dsl_distinct_on" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
