@@ -144,13 +144,52 @@ object ByteStore {
   def readString(path: String): String =
     new String(readAll(path), StandardCharsets.UTF_8)
 
+  /** Per-THREAD LRU of open remote input streams for [[readRange]].
+    * A zarr/atlas/icechunk scan issues one range read per chunk; with
+    * open-per-call an object store charges a connection setup + GET
+    * handshake per CHUNK. Task threads re-read the same granule many
+    * times in a row, so a small per-thread cache makes opens ∝ distinct
+    * files per task instead — and thread confinement means positioned
+    * reads never contend on a shared stream (Hadoop only guarantees
+    * PositionedReadable thread-safety per implementation). Capacity 8:
+    * chunk scans walk files one or two at a time; eviction closes. */
+  private val handleCap = 8
+  private val handles: ThreadLocal[java.util.LinkedHashMap[String, org.apache.hadoop.fs.FSDataInputStream]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, org.apache.hadoop.fs.FSDataInputStream](
+        handleCap, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, org.apache.hadoop.fs.FSDataInputStream]): Boolean = {
+          val evict = size() > handleCap
+          if (evict) { try e.getValue.close() catch { case _: java.io.IOException => () } }
+          evict
+        }
+      })
+
+  private def openCached(path: String): org.apache.hadoop.fs.FSDataInputStream = {
+    val m = handles.get()
+    var in = m.get(path)
+    if (in == null) {
+      val (f, p) = fs(path)
+      in = f.open(p)
+      m.put(path, in)
+    }
+    in
+  }
+
   /** positioned range read without fetching the whole object */
   def readRange(path: String, offset: Long, len: Int): Array[Byte] =
     if (hasScheme(path)) {
-      val (f, p) = fs(path)
       val out = new Array[Byte](len)
-      val in = f.open(p)
-      try in.readFully(offset, out) finally in.close()
+      try openCached(path).readFully(offset, out)
+      catch { case _: java.io.IOException =>
+        // stale handle (object replaced/expired connection): reopen once
+        handles.get().remove(path) match {
+          case null => ()
+          case s => try s.close() catch { case _: java.io.IOException => () }
+        }
+        openCached(path).readFully(offset, out)
+      }
       out
     } else {
       val ch = java.nio.channels.FileChannel.open(

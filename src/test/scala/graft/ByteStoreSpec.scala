@@ -18,6 +18,20 @@ class MockFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("mockfs:///")
 }
 
+/** [[MockFs]] that counts open() calls — pins the readRange handle
+  * cache: opens ∝ distinct files, not ∝ range reads */
+class CountingFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("countfs:///")
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFs.opens.incrementAndGet()
+    super.open(p, bufferSize)
+  }
+}
+object CountingFs {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** The storage seam: scheme dispatch, positioned remote reads, the
   * executor localize cache, and the custom readers end-to-end over a
   * Hadoop scheme (the 100 TB deployment shape: object store behind a
@@ -182,5 +196,25 @@ class ByteStoreSpec extends AnyFunSuite {
     val bbfT = viaMock(s"$dir/out.bbf")
     assert(graft.sources.bbf.BbfStore.Writer.write(bbfT, Seq("data" -> df)) == 3L)
     assert(graft.sources.bbf.BbfSource.read(spark, Seq(bbfT)).count() == 3L)
+  }
+
+  test("readRange reuses open handles: opens scale with files, not chunks") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingFs].getName)
+    val dir = Files.createTempDirectory("graft-handle-reuse")
+    val fileBytes = (0 until 3).map { i =>
+      val bytes = Array.tabulate[Byte](4096)(j => ((i * 31 + j) % 251).toByte)
+      Files.write(dir.resolve(s"granule-$i.bin"), bytes)
+      bytes
+    }
+    CountingFs.opens.set(0)
+    // a chunk-store scan shape: many range reads per granule, round-robin
+    for (round <- 0 until 16; i <- 0 until 3) {
+      val got = ByteStore.readRange(s"countfs:$dir/granule-$i.bin", round * 256L, 256)
+      assert(got.toSeq == fileBytes(i).slice(round * 256, round * 256 + 256).toSeq)
+    }
+    // 48 positioned reads, 3 distinct files → exactly 3 opens
+    assert(CountingFs.opens.get() == 3,
+      s"expected one open per file, saw ${CountingFs.opens.get()}")
   }
 }
