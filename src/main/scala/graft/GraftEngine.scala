@@ -46,6 +46,14 @@ object GraftEngine {
     // the reference records every completed query into its persisted
     // query_metrics table (query_metrics_store.rs); listener-driven here
     graft.sql.QueryMetrics.install(spark, warehouse)
-    new GraftEngine(spark, new GraftCatalog(spark, warehouse))
+    val catalog = new GraftCatalog(spark, warehouse)
+    // secondary-index file pruning (CREATE INDEX): one rule instance
+    // per session; the registry keeps the newest catalog per warehouse
+    graft.plans.IndexPruneRule.register(catalog)
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.IndexPruneRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.IndexPruneRule
+    new GraftEngine(spark, catalog)
   }
 }

@@ -116,6 +116,85 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def fileStats(name: String): DataFrame =
     graft.stats.FileStats.load(spark, statsDir(name))
 
+  // ---- secondary indexes (reference managed-tables.md §CREATE INDEX;
+  // structures + pruning semantics in [[Indexes]], plan integration in
+  // [[graft.plans.IndexPruneRule]])
+
+  def createIndex(table: String, idxName: String, column: String, kind: String): Unit = {
+    require(Indexes.kinds(kind),
+      s"unknown index type '$kind' (btree, bitmap, inverted)")
+    val d = load(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table: $table"))
+    val (format, files, opts) = indexableFiles(d)
+    require(files.nonEmpty, s"no files to index in $table")
+    Indexes.build(spark, kind, format, files, opts, column,
+      indexDataDir(table, idxName))
+    persist(d.copy(options = d.options + (s"index.$idxName" -> s"$column:$kind")))
+    refreshIndexRoots()
+  }
+
+  def dropIndex(table: String, idxName: String): Unit = {
+    val d = load(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table: $table"))
+    require(d.options.contains(s"index.$idxName"), s"no index $idxName on $table")
+    persist(d.copy(options = d.options - s"index.$idxName"))
+    deleteRecursively(Paths.get(indexDataDir(table, idxName)))
+    refreshIndexRoots()
+  }
+
+  def indexes(table: String): Seq[Indexes.IndexDef] =
+    load(table).toSeq.flatMap(_.options.collect {
+      case (k, v) if k.startsWith("index.") =>
+        val Array(c, kind) = v.split(":", 2)
+        Indexes.IndexDef(k.stripPrefix("index."), c, kind)
+    }).sortBy(_.name)
+
+  def indexDataDir(table: String, idx: String): String =
+    Paths.get(warehouse, "_indexes", table, idx).toString
+
+  /** the files an index build covers: a managed table's parquet data,
+    * or an external table over a Spark-native file format */
+  private def indexableFiles(d: TableDef): (String, Seq[String], Map[String, String]) =
+    d.kind match {
+      case "managed" =>
+        require(bucketSpec(d).isEmpty && partitionCols(d).isEmpty,
+          s"CREATE INDEX on bucketed/partitioned table ${d.name} is not " +
+            "supported: those layouts carry their own pruning")
+        ("parquet", listParquet(dataDir(d.name)), Map.empty)
+      case "external" =>
+        val fmt = d.format.getOrElse("parquet")
+        require(Set("parquet", "csv", "json", "orc")(fmt),
+          s"CREATE INDEX needs a Spark-native file format, not $fmt")
+        (fmt, FileCollection.expandGlobs(spark, d.paths), d.options)
+      case other =>
+        throw new IllegalArgumentException(s"cannot index $other ${d.name}")
+    }
+
+  private def listParquet(dir: Path): Seq[String] = {
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(_.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  /** normalized scan-root → table, for the optimizer rule's O(1) miss */
+  @volatile private var indexRoots: Map[String, String] = Map.empty
+
+  private def refreshIndexRoots(): Unit =
+    indexRoots = tables()
+      .filter(_.options.keys.exists(_.startsWith("index.")))
+      .flatMap { d =>
+        val roots =
+          if (d.kind == "managed") Seq(dataDir(d.name).toString) else d.paths
+        roots.map(r => Indexes.norm(r) -> d.name)
+      }.toMap
+
+  def indexedTableAt(root: String): Option[String] = indexRoots.get(root)
+
+  refreshIndexRoots() // restart path: persisted index defs prune again
+
   private def definition(name: String): Option[TableDef] = load(name)
 
   def createView(name: String, sql: String): Unit = {
@@ -267,6 +346,9 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (wasBucketed) spark.sql(s"DROP TABLE IF EXISTS ${quote(name)}")
     val dd = dataDir(name)
     if (Files.exists(dd)) deleteRecursively(dd)
+    val idx = Paths.get(warehouse, "_indexes", name)
+    if (Files.exists(idx)) deleteRecursively(idx)
+    refreshIndexRoots()
   }
 
   /** CoW on a BUCKETED table preserves the layout: surviving rows

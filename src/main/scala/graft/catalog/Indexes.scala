@@ -1,0 +1,135 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.stats.FileStats
+
+/** Scalar secondary indexes over a table's files — the engine's version
+  * of the reference's managed-table indexes (docs sql/managed-tables.md
+  * §CREATE INDEX: btree / bitmap / inverted over Lance). Re-expressed
+  * for Spark's scan model: each index is a small parquet structure
+  * keyed by FILE, and query planning consults it to shrink the scan's
+  * file list before tasks exist (the [[graft.plans.IndexPruneRule]]
+  * optimizer rule). At the reference's motivating scale a selective
+  * query over a million-file table plans ~the files that matter.
+  *
+  *  - `btree`  — per-file min/max ranges ([[FileStats]] registry):
+  *    prunes `=`, `<`, `<=`, `>`, `>=`, BETWEEN.
+  *  - `bitmap` — per-file DISTINCT value sets (few-distinct columns;
+  *    the build fails loudly past `bitmapCap` distinct values per file):
+  *    prunes equality exactly, including values inside a btree range.
+  *  - `inverted` — per-file token postings (maximal alphanumeric runs,
+  *    case-preserved): prunes `contains(col, 'term')` and
+  *    `LIKE '%term%'` for token-shaped terms. Sound because an
+  *    alphanumeric substring always lies within one maximal
+  *    alphanumeric token.
+  *
+  * All verdicts are computed distributed and only dropped file NAMES
+  * reach the driver (same contract as [[FileStats.pruneFiles]]).
+  * Indexes are conservative by construction: a file absent from the
+  * index (added or rewritten after the build) is always kept, so a
+  * stale index can never lose rows — rebuild with CREATE INDEX to
+  * regain pruning after copy-on-write rewrites.
+  */
+object Indexes {
+
+  final case class IndexDef(name: String, column: String, kind: String)
+
+  val kinds = Set("btree", "bitmap", "inverted")
+
+  /** distinct-values-per-file ceiling for bitmap builds — past this the
+    * column isn't few-distinct and the build refuses (use btree) */
+  val bitmapCap = 4096
+
+  /** same URI-vs-path normalization as the stats registry */
+  def norm(p: String): String = {
+    val s = p.stripPrefix("file:")
+    if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
+  }
+
+  // ------------------------------------------------------------- build
+
+  /** one distributed pass; writes the index structure under `dir` */
+  def build(spark: SparkSession, kind: String, format: String,
+      files: Seq[String], options: Map[String, String],
+      column: String, dir: String): Unit = kind match {
+    case "btree" =>
+      // single-column stats pass (input_file_name survives projection)
+      val df = spark.read.format(format).options(options).load(files: _*)
+      FileStats.write(
+        FileStats.collectFrom(df.select(col(quote(column)))), s"$dir/stats")
+    case "bitmap" =>
+      val df = spark.read.format(format).options(options).load(files: _*)
+      val postings = df
+        .select(input_file_name().as("file"),
+          col(quote(column)).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .distinct()
+      // loud few-distinct contract, checked distributed
+      val worst = postings.groupBy("file").count()
+        .agg(max(col("count"))).collect()(0)
+      val worstN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(worstN <= bitmapCap,
+        s"bitmap index on $column: $worstN distinct values in one file " +
+          s"(cap $bitmapCap) — use btree for high-cardinality columns")
+      postings.coalesce(1).write.mode("overwrite").parquet(s"$dir/postings")
+      indexedFileList(df).coalesce(1).write.mode("overwrite").parquet(s"$dir/files")
+    case "inverted" =>
+      val df = spark.read.format(format).options(options).load(files: _*)
+      df.select(input_file_name().as("file"),
+          explode(split(col(quote(column)).cast("string"),
+            "[^A-Za-z0-9]+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .distinct()
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      indexedFileList(df).coalesce(1).write.mode("overwrite").parquet(s"$dir/files")
+    case other => throw new IllegalArgumentException(
+      s"unknown index type '$other' (btree, bitmap, inverted)")
+  }
+
+  /** the files covered by this build — posting absence is only
+    * meaningful for files the build actually saw */
+  private def indexedFileList(df: DataFrame): DataFrame =
+    df.select(input_file_name().as("file")).distinct()
+
+  // ------------------------------------------------------------- prune
+
+  /** a single-column predicate extracted from a query plan */
+  sealed trait IndexCond { def column: String }
+  final case class RangeCond(column: String, op: String,
+      num: Option[Double], str: Option[String]) extends IndexCond
+  final case class EqCond(column: String, value: String) extends IndexCond
+  final case class TokenCond(column: String, term: String) extends IndexCond
+
+  /** normalized names of candidate files the index PROVES cannot match
+    * `cond` — distributed, names-only collect; unknown files survive */
+  def droppedFiles(spark: SparkSession, dir: String, kind: String,
+      files: Seq[String], cond: IndexCond): Set[String] = kind match {
+    case "btree" =>
+      val rc = cond.asInstanceOf[RangeCond]
+      val all = files
+      val kept = FileStats.pruneFiles(spark, s"$dir/stats", all,
+        Seq(FileStats.Cond(rc.column, rc.op, rc.num, rc.str)))
+      (all.map(norm).toSet -- kept.map(norm).toSet)
+    case "bitmap" =>
+      val v = cond.asInstanceOf[EqCond].value
+      val matching = spark.read.parquet(s"$dir/postings")
+        .filter(col("v") === v).select(col("file"))
+      collectNames(spark, dir, matching)
+    case "inverted" =>
+      val t = cond.asInstanceOf[TokenCond].term
+      val matching = spark.read.parquet(s"$dir/postings")
+        .filter(instr(col("token"), t) > 0).select(col("file"))
+      collectNames(spark, dir, matching)
+  }
+
+  /** indexed-files EXCEPT files-with-a-matching-posting, normalized */
+  private def collectNames(spark: SparkSession, dir: String,
+      matching: DataFrame): Set[String] =
+    spark.read.parquet(s"$dir/files")
+      .except(matching)
+      .collect().map(r => norm(r.getString(0))).toSet
+
+  private def quote(n: String): String = "`" + n.replace("`", "``") + "`"
+}

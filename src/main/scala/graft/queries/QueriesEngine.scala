@@ -80,6 +80,31 @@ object QueriesEngine {
       eng.sql("SELECT * FROM ddl_live").orderBy(col("o_orderkey"))
     },
 
+    // ---- CREATE INDEX end-to-end (reference managed-tables.md):
+    // multi-file managed table → btree + bitmap indexes → a filtered
+    // query planned through the index-pruning rule; the oracle replays
+    // the same predicate over the source — identical rows proves the
+    // pruned scan loses nothing
+    "q_create_index" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-idxgate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE idxg_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      eng.sql("""CREATE TABLE idxg AS
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM idxg_orders WHERE o_orderkey % 4 = 0""")
+      (1 until 4).foreach { k =>
+        eng.sql(s"""INSERT INTO idxg
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM idxg_orders WHERE o_orderkey % 4 = $k""")
+      }
+      eng.sql("CREATE INDEX ON idxg (o_totalprice) USING btree")
+      eng.sql("CREATE INDEX status_idx ON idxg (o_orderstatus) USING bitmap")
+      eng.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM idxg
+        WHERE o_totalprice > 150000 AND o_orderstatus = 'F'""")
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- LIST DATASETS end-to-end: four single-file formats written
     // by our own writers into one directory, classified by marker/
     // extension/magic; the oracle pins the classification table.
@@ -453,6 +478,10 @@ object QueriesEngine {
          FROM lineitem WHERE l_quantity > 45 AND l_extendedprice < 60000
          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
          LIMIT 200 OFFSET 10""",
+    "q_create_index" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+         ORDER BY o_orderkey""",
     "q_dsl_named_table" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
          WHERE n_regionkey <= 2 ORDER BY n_name""",

@@ -81,6 +81,13 @@ object Statements {
     """(?is)^SHOW\s+STATISTICS\s+CACHE\s*$""".r
   private val reDescribeFormat =
     """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
+  private val reCreateIndex =
+    ("""(?is)^CREATE\s+INDEX\s+(?:""" + Id + """\s+)?ON\s+""" + Id +
+      """\s*\(\s*""" + Id + """\s*\)(?:\s+USING\s+(\w+))?\s*$""").r
+  private val reShowIndexes =
+    ("""(?is)^SHOW\s+INDEXES\s+ON\s+""" + Id + """\s*$""").r
+  private val reDropIndex =
+    ("""(?is)^DROP\s+INDEX\s+""" + Id + """\s+ON\s+""" + Id + """\s*$""").r
 
   /** strip one level of backtick / double quoting (doubled quotes unescape) */
   private[sql] def unquote(id: String): String =
@@ -190,6 +197,21 @@ object Statements {
         Some(graft.stats.DatasetStatistics.showCache(spark))
       case reDescribeFormat(fmt, locs) =>
         Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
+      case reCreateIndex(idx0, tbl0, col0, using) =>
+        val tbl = unquote(tbl0); val column = unquote(col0)
+        val kind = Option(using).map(_.toLowerCase).getOrElse("btree")
+        // unnamed indexes get the reference's <column>_idx convention
+        val idx = Option(idx0).map(unquote).getOrElse(s"${column}_idx")
+        catalog.createIndex(tbl, idx, column, kind)
+        Some(status(spark, s"created $kind index $idx on $tbl($column)"))
+      case reShowIndexes(tbl0) =>
+        import spark.implicits._
+        Some(catalog.indexes(unquote(tbl0))
+          .map(d => (d.name, d.column, d.kind))
+          .toDF("name", "column", "type"))
+      case reDropIndex(idx0, tbl0) =>
+        catalog.dropIndex(unquote(tbl0), unquote(idx0))
+        Some(status(spark, s"dropped index ${unquote(idx0)}"))
       case reAnalyze(name0) =>
         val name = unquote(name0)
         val n = catalog.analyzeFiles(name)

@@ -36,8 +36,12 @@ object FileStats {
   /** one distributed pass over all files: min/max/nulls per column,
     * grouped by source file */
   def collect(spark: SparkSession, format: String, files: Seq[String],
-      options: Map[String, String] = Map.empty): DataFrame = {
-    val df = spark.read.format(format).options(options).load(files: _*)
+      options: Map[String, String] = Map.empty): DataFrame =
+    collectFrom(spark.read.format(format).options(options).load(files: _*))
+
+  /** [[collect]] over an existing frame — callers project first to
+    * stat a column subset (e.g. a single-column btree index build) */
+  def collectFrom(df: DataFrame): DataFrame = {
     val cols = df.schema.fields
     val perFile = df.withColumn("__file", input_file_name())
       .groupBy(col("__file"))

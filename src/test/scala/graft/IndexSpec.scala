@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CREATE INDEX family (reference managed-tables.md §CREATE INDEX):
+  * btree / bitmap / inverted structures, the SHOW/DROP statements, and
+  * the optimizer rule that shrinks scan file lists — correctness AND
+  * plan shape (scanned-file counts) are pinned. */
+class IndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  lazy val wh: String = java.nio.file.Files.createTempDirectory("graft-idx-wh").toString
+  lazy val engine: GraftEngine = GraftEngine(spark, wh)
+
+  /** leaf files actually planned for the query's scan */
+  private def scannedFiles(sql: String): Int = {
+    val scans = engine.sql(sql).queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length
+    }
+    assert(scans.nonEmpty, "expected a file scan in the plan")
+    scans.sum
+  }
+
+  private def count(sql: String): Long =
+    engine.sql(sql).collect()(0).getLong(0)
+
+  test("build: 8-file table, one index of each kind") {
+    // 8 exact files (CTAS + 7 single-file appends): file i holds ids
+    // [1000i, 1000(i+1)), cat = i, text tokens distinct per file
+    def slice(i: Int) = spark.range(i * 1000L, (i + 1) * 1000L).select(
+      col("id"),
+      lit(i).as("cat"),
+      lit(s"alpha beta tok$i").as("text")).coalesce(1)
+    engine.catalog.createManagedTable("idx_t", slice(0))
+    (1 until 8).foreach(i => engine.catalog.insertInto("idx_t", slice(i)))
+    engine.sql("CREATE INDEX ON idx_t (id) USING btree")
+    engine.sql("CREATE INDEX cat_idx ON idx_t (cat) USING bitmap")
+    engine.sql("CREATE INDEX txt_idx ON idx_t (text) USING inverted")
+    val shown = engine.sql("SHOW INDEXES ON idx_t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(shown == Set(
+      ("id_idx", "id", "btree"),
+      ("cat_idx", "cat", "bitmap"),
+      ("txt_idx", "text", "inverted")))
+  }
+
+  test("btree prunes ranges; results identical") {
+    assert(count("SELECT count(*) FROM idx_t WHERE id < 1000") == 1000L)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE id < 1000") == 1)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE id >= 6000") == 2)
+    assert(count("SELECT count(*) FROM idx_t WHERE id BETWEEN 2500 AND 3499") == 1000L)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE id BETWEEN 2500 AND 3499") == 2)
+  }
+
+  test("bitmap prunes equality; inverted prunes contains/LIKE") {
+    assert(count("SELECT count(*) FROM idx_t WHERE cat = 3") == 1000L)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE cat = 3") == 1)
+    assert(count("SELECT count(*) FROM idx_t WHERE text LIKE '%tok5%'") == 1000L)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE text LIKE '%tok5%'") == 1)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE contains(text, 'tok7')") == 1)
+    // every file holds 'alpha' — nothing prunes, nothing breaks
+    assert(scannedFiles("SELECT * FROM idx_t WHERE text LIKE '%alpha%'") == 8)
+    // non-token-shaped pattern: conservatively unpruned
+    assert(scannedFiles("SELECT * FROM idx_t WHERE text LIKE '%alpha beta%'") == 8)
+  }
+
+  test("conjunctions combine indexes; untouched filters never over-prune") {
+    assert(count("SELECT count(*) FROM idx_t WHERE id < 2000 AND cat = 0") == 1000L)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE id < 2000 AND cat = 0") == 1)
+    // OR is not a conjunct — no pruning, correct rows
+    assert(count("SELECT count(*) FROM idx_t WHERE id < 500 OR cat = 7") == 1500L)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE id < 500 OR cat = 7") == 8)
+  }
+
+  test("stale index is conservative: un-indexed files always survive") {
+    engine.sql("INSERT INTO idx_t SELECT id + 8000, 99, 'omega tok99' FROM idx_t WHERE id < 100")
+    // new file is unknown to every index: kept by all of them
+    assert(count("SELECT count(*) FROM idx_t WHERE cat = 99") == 100L)
+    assert(count("SELECT count(*) FROM idx_t WHERE id >= 8000") == 100L)
+    assert(count("SELECT count(*) FROM idx_t WHERE text LIKE '%tok99%'") == 100L)
+    // old files still prune; the unknown file rides along
+    assert(scannedFiles("SELECT * FROM idx_t WHERE cat = 3") == 2)
+    // rebuild restores exact pruning
+    engine.sql("CREATE INDEX cat_idx ON idx_t (cat) USING bitmap")
+    assert(scannedFiles("SELECT * FROM idx_t WHERE cat = 3") == 1)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE cat = 99") == 1)
+  }
+
+  test("restart: persisted index definitions prune in a fresh engine") {
+    val e2 = GraftEngine(spark, wh)
+    e2.restore()
+    val scans = e2.sql("SELECT * FROM idx_t WHERE cat = 99")
+      .queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length
+      }.sum
+    assert(scans == 1)
+    assert(e2.sql("SELECT count(*) FROM idx_t WHERE cat = 99").collect()(0).getLong(0) == 100L)
+  }
+
+  test("DROP INDEX removes pruning for that column only") {
+    engine.sql("DROP INDEX id_idx ON idx_t")
+    assert(engine.sql("SHOW INDEXES ON idx_t").count() == 2)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE id < 1000") == 9)
+    assert(count("SELECT count(*) FROM idx_t WHERE id < 1000") == 1000L)
+    assert(scannedFiles("SELECT * FROM idx_t WHERE cat = 3") == 1)
+  }
+
+  test("bitmap refuses high-cardinality columns, loudly") {
+    val wide = spark.range(0, 20000).select(col("id"), col("id").cast("string").as("s"))
+    engine.catalog.createManagedTable("idx_wide", wide.repartition(2))
+    val e = intercept[IllegalArgumentException] {
+      engine.sql("CREATE INDEX ON idx_wide (s) USING bitmap")
+    }
+    assert(e.getMessage.contains("btree"))
+  }
+}
