@@ -348,6 +348,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (Files.exists(dd)) deleteRecursively(dd)
     val idx = Paths.get(warehouse, "_indexes", name)
     if (Files.exists(idx)) deleteRecursively(idx)
+    TableExtensions.dropAll(warehouse, name) // sidecar dies with the table
     refreshIndexRoots()
   }
 

@@ -81,6 +81,13 @@ object Statements {
     """(?is)^SHOW\s+STATISTICS\s+CACHE\s*$""".r
   private val reDescribeFormat =
     """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
+  private val reSetExtension =
+    ("""(?is)^SET\s+EXTENSION\s+'((?:[^']|'')+)'\s+FOR\s+""" + Id +
+      """\s+TO\s+'((?:[^']|'')+)'\s*$""").r
+  private val reDropExtension =
+    ("""(?is)^DROP\s+EXTENSION\s+'((?:[^']|'')+)'\s+FOR\s+""" + Id + """\s*$""").r
+  private val reShowExtensions =
+    ("""(?is)^SHOW\s+EXTENSIONS\s+FOR\s+""" + Id + """\s*$""").r
   private val reCreateIndex =
     ("""(?is)^CREATE\s+INDEX\s+(?:""" + Id + """\s+)?ON\s+""" + Id +
       """\s*\(\s*""" + Id + """\s*\)(?:\s+USING\s+(\w+))?\s*$""").r
@@ -197,6 +204,19 @@ object Statements {
         Some(graft.stats.DatasetStatistics.showCache(spark))
       case reDescribeFormat(fmt, locs) =>
         Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
+      case reSetExtension(kind, tbl0, json) =>
+        val tbl = unquote(tbl0)
+        graft.catalog.TableExtensions.set(catalog.warehouse, tbl,
+          kind.replace("''", "'"), json.replace("''", "'"), spark.table(tbl).schema)
+        Some(status(spark, s"set extension $kind for $tbl"))
+      case reDropExtension(kind, tbl0) =>
+        graft.catalog.TableExtensions.drop(
+          catalog.warehouse, unquote(tbl0), kind.replace("''", "'"))
+        Some(status(spark, s"dropped extension $kind"))
+      case reShowExtensions(tbl0) =>
+        import spark.implicits._
+        Some(Seq(graft.catalog.TableExtensions.show(catalog.warehouse, unquote(tbl0)))
+          .toDF("extensions"))
       case reCreateIndex(idx0, tbl0, col0, using) =>
         val tbl = unquote(tbl0); val column = unquote(col0)
         val kind = Option(using).map(_.toLowerCase).getOrElse("btree")
