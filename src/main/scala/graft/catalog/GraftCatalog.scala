@@ -195,6 +195,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   refreshIndexRoots() // restart path: persisted index defs prune again
 
+  /** scoped object-store credentials (CREATE SECRET); constructing the
+    * catalog re-applies persisted secrets to the session's Hadoop conf */
+  val secrets = new Secrets(spark, warehouse)
+
   private def definition(name: String): Option[TableDef] = load(name)
 
   def createView(name: String, sql: String): Unit = {

@@ -81,6 +81,14 @@ object Statements {
     """(?is)^SHOW\s+STATISTICS\s+CACHE\s*$""".r
   private val reDescribeFormat =
     """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
+  private val Named = """('(?:[^']|'')+'|\w+)""" // quoted-string or bare name
+  private val reCreateSecret =
+    ("""(?is)^CREATE\s+(?:(PERSISTENT|TEMPORARY)\s+)?SECRET\s+""" + Named +
+      """\s*\((.+)\)\s*$""").r
+  private val reDropSecret =
+    ("""(?is)^DROP\s+SECRET\s+(?:(IF\s+EXISTS)\s+)?""" + Named + """\s*$""").r
+  private val reShowSecrets =
+    """(?is)^SHOW\s+SECRETS\s*$""".r
   private val reSetExtension =
     ("""(?is)^SET\s+EXTENSION\s+'((?:[^']|'')+)'\s+FOR\s+""" + Id +
       """\s+TO\s+'((?:[^']|'')+)'\s*$""").r
@@ -95,6 +103,12 @@ object Statements {
     ("""(?is)^SHOW\s+INDEXES\s+ON\s+""" + Id + """\s*$""").r
   private val reDropIndex =
     ("""(?is)^DROP\s+INDEX\s+""" + Id + """\s+ON\s+""" + Id + """\s*$""").r
+
+  /** a [[Named]] capture: single-quoted string (unescaped) or bare word */
+  private def unquoteName(n: String): String =
+    if (n.length >= 2 && n.head == '\'' && n.last == '\'')
+      n.substring(1, n.length - 1).replace("''", "'")
+    else n
 
   /** strip one level of backtick / double quoting (doubled quotes unescape) */
   private[sql] def unquote(id: String): String =
@@ -204,6 +218,36 @@ object Statements {
         Some(graft.stats.DatasetStatistics.showCache(spark))
       case reDescribeFormat(fmt, locs) =>
         Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
+      case reCreateSecret(persistence, name0, params) =>
+        val name = unquoteName(name0)
+        var tpe: Option[String] = None
+        var scope: Option[String] = None
+        val opts = scala.collection.mutable.Map.empty[String, String]
+        splitTopLevel(params, ',').foreach { p =>
+          val typeRe = """(?is)^TYPE\s+(\w+)$""".r
+          val kvRe = """(?is)^(\w+)\s+'((?:[^']|'')*)'$""".r
+          p match {
+            case typeRe(t) => tpe = Some(t)
+            case kvRe(k, v) =>
+              val value = v.replace("''", "'")
+              if (k.equalsIgnoreCase("SCOPE")) scope = Some(value)
+              else opts(k.toLowerCase) = value
+            case other => throw new IllegalArgumentException(
+              s"bad secret parameter: $other")
+          }
+        }
+        catalog.secrets.create(name,
+          tpe.getOrElse(throw new IllegalArgumentException("secret needs TYPE")),
+          scope, opts.toMap,
+          persistent = Option(persistence).exists(_.equalsIgnoreCase("PERSISTENT")))
+        Some(status(spark, s"created secret $name"))
+      case reDropSecret(ifExists, name0) =>
+        catalog.secrets.drop(unquoteName(name0), ifExists = ifExists != null)
+        Some(status(spark, s"dropped secret ${unquoteName(name0)}"))
+      case reShowSecrets() =>
+        import spark.implicits._
+        Some(catalog.secrets.list()
+          .toDF("name", "type", "scope", "persistent", "option_keys"))
       case reSetExtension(kind, tbl0, json) =>
         val tbl = unquote(tbl0)
         graft.catalog.TableExtensions.set(catalog.warehouse, tbl,
