@@ -21,10 +21,40 @@ import graft.sql.{GraftSql, Statements}
 class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
 
   /** SQL entry point: engine statements → catalog; SUMMARIZE /
-    * UNION ALL BY NAME → rewrites; everything else → Catalyst. */
+    * UNION ALL BY NAME → rewrites; everything else → Catalyst.
+    * Runs as the system identity (super-user) — the embedded default. */
   def sql(text: String): DataFrame =
     Statements.tryExecute(spark, catalog, text)
       .getOrElse(GraftSql.sql(spark, text))
+
+  /** [[sql]] under an identity (the reference's authorization
+    * lifecycle, runtime.rs:94-155): engine statements and standard
+    * DDL/DML require super-user (validate_query_plan's gate), reads
+    * are checked scan-by-scan against the caller's roles — deny-wins,
+    * default-deny — before anything executes. */
+  def sqlAs(identity: graft.auth.Auth.AuthIdentity, text: String): DataFrame = {
+    if (identity.isSuperUser) return sql(text)
+    if (Statements.recognizes(text))
+      throw new graft.auth.Authz.PermissionDenied(
+        s"permission denied: engine statements require super-user (user ${identity.name})")
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val isCommand = parsed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
+      // unresolved DDL parses to *Statement nodes before analysis
+      case p => p.nodeName.endsWith("Statement")
+    }
+    if (isCommand)
+      throw new graft.auth.Authz.PermissionDenied(
+        s"permission denied: DDL/DML requires super-user (user ${identity.name})")
+    val df = GraftSql.sql(spark, text)
+    graft.auth.Authz.authorizeRead(catalog, catalog.auth, identity, df)
+    df
+  }
+
+  /** name+password → identity via the warehouse auth directory */
+  def authenticate(user: String, password: String): Option[graft.auth.Auth.AuthIdentity] =
+    catalog.auth.authenticate(user, password)
 
   /** Structured JSON query (reference JSON DSL). Named tables resolve
     * through the session catalog (where this engine registers its

@@ -199,6 +199,9 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * catalog re-applies persisted secrets to the session's Hadoop conf */
   val secrets = new Secrets(spark, warehouse)
 
+  /** RBAC directory (CREATE USER/ROLE, GRANT/DENY/REVOKE) */
+  lazy val auth = new graft.auth.AuthStore(warehouse)
+
   private def definition(name: String): Option[TableDef] = load(name)
 
   def createView(name: String, sql: String): Unit = {

@@ -82,6 +82,29 @@ object Statements {
   private val reDescribeFormat =
     """(?is)^DESCRIBE\s+FORMAT\s+(\w+)\s+(.+?)\s*$""".r
   private val Named = """('(?:[^']|'')+'|\w+)""" // quoted-string or bare name
+  private val reCreateUser =
+    ("""(?is)^CREATE\s+USER\s+""" + Named +
+      """(?:\s+WITH\s+PASSWORD\s+'((?:[^']|'')*)')?\s*$""").r
+  private val reDropUser =
+    ("""(?is)^DROP\s+USER\s+""" + Named + """\s*$""").r
+  private val reCreateRole =
+    ("""(?is)^CREATE\s+ROLE\s+""" + Named + """\s*$""").r
+  private val reDropRole =
+    ("""(?is)^DROP\s+ROLE\s+""" + Named + """\s*$""").r
+  private val reGrantRoleUser =
+    ("""(?is)^GRANT\s+ROLE\s+""" + Named + """\s+TO\s+(?:USER\s+)?""" + Named + """\s*$""").r
+  private val reRevokeRoleUser =
+    ("""(?is)^REVOKE\s+ROLE\s+""" + Named + """\s+FROM\s+(?:USER\s+)?""" + Named + """\s*$""").r
+  private val reGrantPriv =
+    ("""(?is)^(GRANT|DENY)\s+(\w+)(?:\s+ON\s+(?:TABLE\s+""" + Id +
+      """|PATH\s+'((?:[^']|'')+)'|(ALL)))?\s+TO\s+ROLE\s+""" + Named + """\s*$""").r
+  private val reRevokePriv =
+    ("""(?is)^REVOKE\s+(\w+)(?:\s+ON\s+(?:TABLE\s+""" + Id +
+      """|PATH\s+'((?:[^']|'')+)'|(ALL)))?\s+FROM\s+ROLE\s+""" + Named + """\s*$""").r
+  private val reShowRoles =
+    """(?is)^SHOW\s+ROLES\s*$""".r
+  private val reShowUsers =
+    """(?is)^SHOW\s+USERS\s*$""".r
   private val reCreateSecret =
     ("""(?is)^CREATE\s+(?:(PERSISTENT|TEMPORARY)\s+)?SECRET\s+""" + Named +
       """\s*\((.+)\)\s*$""").r
@@ -103,6 +126,37 @@ object Statements {
     ("""(?is)^SHOW\s+INDEXES\s+ON\s+""" + Id + """\s*$""").r
   private val reDropIndex =
     ("""(?is)^DROP\s+INDEX\s+""" + Id + """\s+ON\s+""" + Id + """\s*$""").r
+
+  /** GRANT/DENY/REVOKE target triple → an auth rule */
+  private def privRule(priv: String, tbl0: String, path0: String,
+      all: String): graft.auth.Auth.Rule = {
+    val (tt, tv) =
+      if (tbl0 != null) ("table", unquote(tbl0))
+      else if (path0 != null) ("path", path0.replace("''", "'"))
+      else if (all != null) ("all", "")
+      else ("none", "")
+    graft.auth.Auth.Rule(priv.toUpperCase, tt, tv)
+  }
+
+  /** true when `text` is one of the engine's own statements (used by
+    * the authorization gate: statements are super-user-only) */
+  def recognizes(text: String): Boolean = {
+    val t = text.trim.stripSuffix(";")
+    statementRes.exists(_.findFirstIn(t).isDefined)
+  }
+
+  private lazy val statementRes = Seq(
+    reExternal, reMView, reView, reCtas, reRefresh, reDrop, reInsert,
+    reDelete, reUpdate, reShowTables, reShowFunctions, reAnalyze,
+    reShowStats, reCopy, reAlterAdd, reAlterDrop, reAlterRename,
+    reListDatasets, reRunCrawler, reCreateCrawler, reRunNamedCrawler,
+    reDropCrawler, reShowCrawlers, reShowQueryMetrics,
+    reDescribeStatistics, reShowStatsCache, reDescribeFormat,
+    reCreateIndex, reShowIndexes, reDropIndex, reSetExtension,
+    reDropExtension, reShowExtensions, reCreateSecret, reDropSecret,
+    reShowSecrets, reCreateUser, reDropUser, reCreateRole, reDropRole,
+    reGrantRoleUser, reRevokeRoleUser, reGrantPriv, reRevokePriv,
+    reShowRoles, reShowUsers)
 
   /** a [[Named]] capture: single-quoted string (unescaped) or bare word */
   private def unquoteName(n: String): String =
@@ -218,6 +272,44 @@ object Statements {
         Some(graft.stats.DatasetStatistics.showCache(spark))
       case reDescribeFormat(fmt, locs) =>
         Some(Outputs.describeFormat(spark, fmt.toLowerCase, parsePaths(locs)))
+      case reCreateUser(name0, password) =>
+        catalog.auth.createUser(unquoteName(name0),
+          Option(password).map(_.replace("''", "'")))
+        Some(status(spark, s"created user ${unquoteName(name0)}"))
+      case reDropUser(name0) =>
+        catalog.auth.dropUser(unquoteName(name0))
+        Some(status(spark, s"dropped user ${unquoteName(name0)}"))
+      case reCreateRole(name0) =>
+        catalog.auth.createRole(unquoteName(name0))
+        Some(status(spark, s"created role ${unquoteName(name0)}"))
+      case reDropRole(name0) =>
+        catalog.auth.dropRole(unquoteName(name0))
+        Some(status(spark, s"dropped role ${unquoteName(name0)}"))
+      case reGrantRoleUser(role0, user0) =>
+        catalog.auth.grantRoleToUser(unquoteName(role0), unquoteName(user0))
+        Some(status(spark, s"granted role ${unquoteName(role0)}"))
+      case reRevokeRoleUser(role0, user0) =>
+        catalog.auth.revokeRoleFromUser(unquoteName(role0), unquoteName(user0))
+        Some(status(spark, s"revoked role ${unquoteName(role0)}"))
+      case reGrantPriv(verb, priv, tbl0, path0, all, role0) =>
+        catalog.auth.addRule(unquoteName(role0),
+          privRule(priv, tbl0, path0, all),
+          deny = verb.equalsIgnoreCase("DENY"))
+        Some(status(spark, s"${verb.toLowerCase} ${priv.toUpperCase} recorded"))
+      case reRevokePriv(priv, tbl0, path0, all, role0) =>
+        catalog.auth.removeRule(unquoteName(role0), privRule(priv, tbl0, path0, all))
+        Some(status(spark, s"revoked ${priv.toUpperCase}"))
+      case reShowRoles() =>
+        import spark.implicits._
+        Some(catalog.auth.listRoles().flatMap { r =>
+          r.grants.toSeq.map(g => (r.name, "grant", g.privilege, g.targetType, g.targetValue)) ++
+            r.denies.toSeq.map(d => (r.name, "deny", d.privilege, d.targetType, d.targetValue))
+        }.sortBy(x => (x._1, x._2, x._3, x._4, x._5))
+          .toDF("role", "kind", "privilege", "target_type", "target_value"))
+      case reShowUsers() =>
+        import spark.implicits._
+        Some(catalog.auth.listUsers().map(u => (u.name, u.roles.mkString(",")))
+          .toDF("name", "roles"))
       case reCreateSecret(persistence, name0, params) =>
         val name = unquoteName(name0)
         var tpe: Option[String] = None
