@@ -27,6 +27,12 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     Statements.tryExecute(spark, catalog, text)
       .getOrElse(GraftSql.sql(spark, text))
 
+  /** [[sql]] with `$1..$n` bind parameters (the reference's embedded
+    * `with_param_values` path) — values bind as typed literals at
+    * analysis, never by string splicing. Plain queries only. */
+  def sql(text: String, params: Seq[Any]): DataFrame =
+    GraftSql.sql(spark, text, params)
+
   /** [[sql]] under an identity (the reference's authorization
     * lifecycle, runtime.rs:94-155): engine statements and standard
     * DDL/DML require super-user (validate_query_plan's gate), reads

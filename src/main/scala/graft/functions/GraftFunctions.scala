@@ -233,6 +233,18 @@ object GraftFunctions {
     // reference-compatible alias (util/beacon_version.rs)
     r.createOrReplaceTempFunction("beacon_version",
       _ => Literal(UTF8String.fromString(version), StringType), "built-in")
+    // ns-precision bridge (SURVEY §7.3 item 4): Spark timestamps stop
+    // at µs, so `nanosAsLong` surfaces parquet ns columns as raw Long.
+    // These make them usable without precision surprises: floor-to-µs
+    // timestamp + the exact sub-µs remainder (floor semantics via Pmod
+    // keep pre-epoch instants correct, where truncating div would not).
+    r.createOrReplaceTempFunction("ns_to_timestamp", es => {
+      val ns = Cast(es.head, LongType)
+      MicrosToTimestamp(IntegralDivide(
+        Subtract(ns, Pmod(ns, Literal(1000L))), Literal(1000L)))
+    }, "built-in")
+    r.createOrReplaceTempFunction("ns_submicros", es =>
+      Pmod(Cast(es.head, LongType), Literal(1000L)), "built-in")
   }
 
   // ------------------------------------------------- Column-level API

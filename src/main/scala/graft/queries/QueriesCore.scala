@@ -248,6 +248,20 @@ object QueriesCore {
         .orderBy($"day", $"event_type")
     },
 
+    // ---- ns-precision bridge: the RAW parquet ns column (a Long under
+    // nanosAsLong) made usable through the registered SQL surface. The
+    // oracle replays the µs timestamp; the sub-µs remainder is
+    // spec-pinned instead, because DuckDB's parquet scan TRUNCATES ns
+    // to µs and cannot see it — the Long-based read is the
+    // higher-fidelity path (SURVEY §7.3 item 4)
+    "q_ns_timestamps" -> { (s, dir) =>
+      graft.GraftSession.configure(s)
+      s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("ns_events")
+      s.sql("""SELECT event_id, ns_to_timestamp(ts) AS ts_us
+               FROM ns_events WHERE event_id < 2000""")
+        .orderBy(col("event_id"))
+    },
+
     // ---- HAVING (post-aggregation filter)
     "q_having" -> { (s, dir) =>
       import s.implicits._
@@ -372,6 +386,9 @@ object QueriesCore {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q_ns_timestamps" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_us
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "q_having" ->
       """SELECT l_partkey, sum(l_quantity) AS total_qty, count(*) AS n
          FROM lineitem GROUP BY l_partkey

@@ -18,6 +18,38 @@ import graft.core.UnionByName
   */
 object GraftSql {
 
+  /** Positional bind parameters — the reference's `$1..$n` embedded
+    * API (`plan.with_param_values`, runtime.rs:107-116). `$N` markers
+    * are rewritten (quote-aware, so a literal `'$1'` survives) to
+    * Spark named parameters and bound via parameterized `spark.sql`,
+    * which substitutes them as typed literals during analysis — never
+    * string splicing, so values cannot inject SQL. Markers may repeat
+    * and appear in any order; params are 1-based. */
+  def sql(spark: SparkSession, text: String, params: Seq[Any]): DataFrame = {
+    val sb = new StringBuilder
+    var inS = false; var inB = false
+    var i = 0
+    val t = text
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (inS) { if (c == '\'') inS = false; sb.append(c); i += 1 }
+      else if (inB) { if (c == '`') inB = false; sb.append(c); i += 1 }
+      else if (c == '\'') { inS = true; sb.append(c); i += 1 }
+      else if (c == '`') { inB = true; sb.append(c); i += 1 }
+      else if (c == '$' && i + 1 < t.length && t.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < t.length && t.charAt(j).isDigit) j += 1
+        val n = t.substring(i + 1, j).toInt
+        require(n >= 1 && n <= params.length,
+          s"bind parameter $$$n out of range (got ${params.length} params)")
+        sb.append(s":graft_p$n")
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    spark.sql(sb.toString,
+      params.zipWithIndex.map { case (v, ix) => s"graft_p${ix + 1}" -> v }.toMap)
+  }
+
   def sql(spark: SparkSession, text: String): DataFrame = {
     val trimmed = text.trim.stripSuffix(";")
     val upper = trimmed.toUpperCase

@@ -316,4 +316,46 @@ class EngineSpec extends AnyFunSuite {
     assert(metricRows.exists(_.contains("numOutputRows=7")),
       s"no node recorded the 7 output groups: ${metricRows.mkString(" | ")}")
   }
+
+  test("$1..$n bind parameters: typed binding, repeats, quote immunity, injection-proof") {
+    import spark.implicits._
+    (1L to 20L).map(i => (i, s"name$i")).toDF("id", "name")
+      .createOrReplaceTempView("bp_t")
+    // order + repeats: $2 before $1, $1 twice
+    val rows = graft.sql.GraftSql.sql(spark,
+      "SELECT id FROM bp_t WHERE id BETWEEN $2 AND $1 OR id = $1 ORDER BY id",
+      Seq(7L, 3L)).collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(3L, 4L, 5L, 6L, 7L))
+    // a literal '$1' inside quotes is data, not a marker
+    assert(graft.sql.GraftSql.sql(spark,
+      "SELECT count(*) FROM bp_t WHERE name = '$1' OR id = $1", Seq(5L))
+      .collect()(0).getLong(0) == 1L)
+    // values bind as literals — a malicious string cannot widen the query
+    assert(graft.sql.GraftSql.sql(spark,
+      "SELECT count(*) FROM bp_t WHERE name = $1",
+      Seq("x' OR '1'='1")).collect()(0).getLong(0) == 0L)
+    // out-of-range marker fails loudly
+    assert(intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark, "SELECT $3", Seq(1, 2))
+    }.getMessage.contains("$3"))
+  }
+
+  test("ns bridge: floor-to-µs timestamp + exact sub-µs remainder, incl. pre-epoch") {
+    GraftSession.configure(spark)
+    import spark.implicits._
+    // 2024-01-01T00:00:07.179575175 ns; a pre-epoch instant; exact µs
+    Seq(1704067207179575175L, -1L, 1000L).toDF("ns").createOrReplaceTempView("ns_fix")
+    val byNs = spark.sql(
+      """SELECT ns, CAST(ns_to_timestamp(ns) AS STRING) AS ts, ns_submicros(ns) AS sub
+         FROM ns_fix""").collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byNs(1704067207179575175L) == ("2024-01-01 00:00:07.179575", 175L))
+    // floor semantics: -1 ns lies in the µs AT -1µs with 999ns remainder
+    assert(byNs(-1L) == ("1969-12-31 23:59:59.999999", 999L))
+    assert(byNs(1000L) == ("1970-01-01 00:00:00.000001", 0L))
+    // round-trip identity: µs*1000 + sub == ns, for every fixture value
+    assert(spark.sql(
+      """SELECT count(*) FROM ns_fix
+         WHERE unix_micros(ns_to_timestamp(ns)) * 1000 + ns_submicros(ns) != ns""")
+      .collect()(0).getLong(0) == 0L)
+  }
 }
