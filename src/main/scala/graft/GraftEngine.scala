@@ -62,6 +62,16 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
   def authenticate(user: String, password: String): Option[graft.auth.Auth.AuthIdentity] =
     catalog.auth.authenticate(user, password)
 
+  /** catalog names the identity may SELECT (the reference's
+    * `Runtime::visible_tables` — regular callers enumerate the catalog
+    * through this, never information_schema) */
+  def visibleTables(identity: graft.auth.Auth.AuthIdentity): Seq[String] = {
+    val all = catalog.tables().filterNot(_.kind == "crawler").map(_.name).sorted
+    if (identity.isSuperUser) all
+    else all.filter(n => catalog.auth.isAllowed(
+      identity.roles, "SELECT", graft.auth.Auth.Target.Table(n)))
+  }
+
   /** Structured JSON query (reference JSON DSL). Named tables resolve
     * through the session catalog (where this engine registers its
     * tables as temp views). */

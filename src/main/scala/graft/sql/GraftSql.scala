@@ -59,6 +59,14 @@ object GraftSql {
       // noop sink, so nothing lands on the driver — then report the
       // physical plan with each node's recorded runtime metrics.
       explainAnalyze(spark, trimmed.substring("EXPLAIN ANALYZE".length).trim)
+    } else if (upper.startsWith("EXPLAIN FORMAT JSON ")) {
+      // the reference's explain endpoint returns the LOGICAL plan as a
+      // machine-readable JSON document (display_pg_json,
+      // runtime.rs:444-463); Spark's TreeNode serialization is the
+      // engine-native equivalent — one node object per plan operator
+      import spark.implicits._
+      val inner = trimmed.substring("EXPLAIN FORMAT JSON".length).trim
+      return Seq(sql(spark, inner).queryExecution.optimizedPlan.toJSON).toDF("plan")
     } else if (upper.startsWith("EXPLAIN ")) {
       // graft-rewritten statements (SUMMARIZE / UNION ALL BY NAME) have
       // no Catalyst SQL text, so native EXPLAIN can't see them: build

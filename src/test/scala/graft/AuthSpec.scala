@@ -112,6 +112,15 @@ class AuthSpec extends AnyFunSuite {
     assert(users.length == 3 && users.forall(_.length == 2)) // name+roles only
   }
 
+  test("visible_tables: the catalog filtered by the caller's grants") {
+    val alice = engine.catalog.auth.identityOf("alice")
+    assert(engine.visibleTables(alice) == Seq("auth_nation"))
+    val admin = engine.catalog.auth.identityOf("bob") // global ALL from prior test
+    assert(engine.visibleTables(admin).toSet.contains("auth_region"))
+    val nobody = Auth.AuthIdentity("ghost", Seq.empty, isSuperUser = false)
+    assert(engine.visibleTables(nobody).isEmpty)
+  }
+
   test("authentication + directory persistence across engines") {
     assert(engine.authenticate("alice", "wonder").map(_.name).contains("alice"))
     assert(engine.authenticate("alice", "nope").isEmpty)

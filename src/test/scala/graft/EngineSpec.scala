@@ -340,6 +340,20 @@ class EngineSpec extends AnyFunSuite {
     }.getMessage.contains("$3"))
   }
 
+  test("EXPLAIN FORMAT JSON returns the optimized logical plan as JSON nodes") {
+    import spark.implicits._
+    (1 to 10).map(i => (i, i * 2)).toDF("a", "b").createOrReplaceTempView("ej_t")
+    val plan = graft.sql.GraftSql.sql(spark,
+      "EXPLAIN FORMAT JSON SELECT a, sum(b) AS s FROM ej_t WHERE a > 3 GROUP BY a")
+      .collect()(0).getString(0)
+    val parsed = org.json4s.jackson.JsonMethods.parse(plan)
+    val classes = (parsed \\ "class").children.collect {
+      case org.json4s.JString(s) => s }
+    assert(classes.exists(_.contains("Aggregate")), s"no Aggregate node in: $classes")
+    // local fixture folds to LocalRelation under Aggregate — ≥2 nodes total
+    assert(classes.size >= 2, s"expected a multi-node plan, got: $classes")
+  }
+
   test("ns bridge: floor-to-µs timestamp + exact sub-µs remainder, incl. pre-epoch") {
     GraftSession.configure(spark)
     import spark.implicits._
