@@ -131,6 +131,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       indexDataDir(table, idxName))
     persist(d.copy(options = d.options + (s"index.$idxName" -> s"$column:$kind")))
     refreshIndexRoots()
+    // several catalog instances can front one warehouse (restart tests,
+    // multiple engines); the acting one must own the rule registry entry
+    // or the optimizer would consult a stale root map
+    graft.plans.IndexPruneRule.register(this)
   }
 
   def dropIndex(table: String, idxName: String): Unit = {
@@ -140,6 +144,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     persist(d.copy(options = d.options - s"index.$idxName"))
     deleteRecursively(Paths.get(indexDataDir(table, idxName)))
     refreshIndexRoots()
+    graft.plans.IndexPruneRule.register(this)
   }
 
   def indexes(table: String): Seq[Indexes.IndexDef] =
@@ -179,7 +184,11 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     finally s.close()
   }
 
-  /** normalized scan-root → table, for the optimizer rule's O(1) miss */
+  /** normalized scan-root → table, for the optimizer rule's O(1) miss.
+    * Managed tables map by data directory; external tables map by their
+    * configured paths AND the expanded per-file paths, because a
+    * glob-defined external registers as a multi-root scan (one root per
+    * matched file) and the rule resolves each root. */
   @volatile private var indexRoots: Map[String, String] = Map.empty
 
   private def refreshIndexRoots(): Unit =
@@ -187,7 +196,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .filter(_.options.keys.exists(_.startsWith("index.")))
       .flatMap { d =>
         val roots =
-          if (d.kind == "managed") Seq(dataDir(d.name).toString) else d.paths
+          if (d.kind == "managed") Seq(dataDir(d.name).toString)
+          else d.paths ++ (
+            try FileCollection.expandGlobs(spark, d.paths)
+            catch { case scala.util.control.NonFatal(_) => Seq.empty })
         roots.map(r => Indexes.norm(r) -> d.name)
       }.toMap
 

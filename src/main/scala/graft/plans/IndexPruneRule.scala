@@ -63,12 +63,16 @@ class IndexPruneRule extends Rule[LogicalPlan] {
       }
   }
 
-  /** the indexed table whose data directory is this scan's root */
+  /** the indexed table owning this scan: single root = a managed data
+    * directory (or one external path); multiple roots = a glob-defined
+    * external table, matched only when EVERY root belongs to the same
+    * table (a scan mixing sources is never index-pruned) */
   private def indexedTableFor(fs: HadoopFsRelation)
       : Option[(GraftCatalog, String)] = {
     val roots = fs.location.rootPaths.map(p => Indexes.norm(p.toString))
-    if (roots.size != 1) None
-    else IndexPruneRule.lookup(roots.head)
+    roots.headOption.flatMap(IndexPruneRule.lookup).filter { case (c, t) =>
+      roots.forall(r => c.indexedTableAt(r).contains(t))
+    }
   }
 
   private def droppedByIndexes(catalog: GraftCatalog, table: String,

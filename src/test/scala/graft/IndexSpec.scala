@@ -108,6 +108,26 @@ class IndexSpec extends AnyFunSuite {
     assert(scannedFiles("SELECT * FROM idx_t WHERE cat = 3") == 1)
   }
 
+  test("glob-defined EXTERNAL tables prune too (multi-root scan resolution)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-ext")
+    (0 until 6).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).selectExpr("id AS v")
+        .coalesce(1).write.parquet(s"$dir/f$i")
+    }
+    // flatten the part files into one glob-addressable directory
+    val flat = java.nio.file.Files.createDirectory(dir.resolve("flat"))
+    (0 until 6).foreach { i =>
+      val part = new java.io.File(s"$dir/f$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, flat.resolve(s"g$i.parquet"))
+    }
+    engine.sql(s"CREATE EXTERNAL TABLE idx_ext STORED AS parquet LOCATION '$flat/*.parquet'")
+    engine.sql("CREATE INDEX ON idx_ext (v) USING btree")
+    assert(count("SELECT count(*) FROM idx_ext WHERE v < 100") == 100L)
+    assert(scannedFiles("SELECT * FROM idx_ext WHERE v < 100") == 1)
+    assert(scannedFiles("SELECT * FROM idx_ext WHERE v >= 400") == 2)
+  }
+
   test("bitmap refuses high-cardinality columns, loudly") {
     val wide = spark.range(0, 20000).select(col("id"), col("id").cast("string").as("s"))
     engine.catalog.createManagedTable("idx_wide", wide.repartition(2))
