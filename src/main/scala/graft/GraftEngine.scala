@@ -43,6 +43,28 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     if (Statements.recognizes(text))
       throw new graft.auth.Authz.PermissionDenied(
         s"permission denied: engine statements require super-user (user ${identity.name})")
+    val trimmed = text.trim.stripSuffix(";")
+    // graft rewrites have no Catalyst SQL text (the parser below would
+    // reject them) AND SUMMARIZE executes a scan while building — so
+    // authorize their SOURCE frames first, then build through the
+    // normal path
+    if (trimmed.toUpperCase.startsWith("SUMMARIZE")) {
+      val src = trimmed.substring("SUMMARIZE".length).trim
+      val inner =
+        if (src.startsWith("(") && src.endsWith(")"))
+          spark.sql(src.substring(1, src.length - 1))
+        else spark.table(src)
+      graft.auth.Authz.authorizeRead(catalog, catalog.auth, identity, inner)
+      return GraftSql.sql(spark, trimmed)
+    }
+    val unionParts = GraftSql.splitUnionByName(trimmed)
+    if (unionParts.length > 1) {
+      unionParts.foreach { p =>
+        graft.auth.Authz.authorizeRead(catalog, catalog.auth, identity,
+          spark.sql(GraftSql.stripParens(p)))
+      }
+      return GraftSql.sql(spark, trimmed)
+    }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
     val isCommand = parsed.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Command => true

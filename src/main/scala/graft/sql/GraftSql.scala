@@ -126,7 +126,7 @@ object GraftSql {
 
   /** Split at top-level `UNION ALL BY NAME` boundaries (outside quotes and
     * parens, case-insensitive). */
-  private[sql] def splitUnionByName(s: String): Seq[String] = {
+  private[graft] def splitUnionByName(s: String): Seq[String] = {
     val marker = "UNION ALL BY NAME"
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
@@ -162,7 +162,7 @@ object GraftSql {
     before && after
   }
 
-  private def stripParens(s: String): String = {
+  private[graft] def stripParens(s: String): String = {
     val t = s.trim
     // strip one level only when the parens wrap the whole expression
     if (t.startsWith("(") && t.endsWith(")")) {

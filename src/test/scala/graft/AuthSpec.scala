@@ -112,6 +112,22 @@ class AuthSpec extends AnyFunSuite {
     assert(users.length == 3 && users.forall(_.length == 2)) // name+roles only
   }
 
+  test("graft rewrites (SUMMARIZE / UNION ALL BY NAME) authorize their sources") {
+    val alice = engine.catalog.auth.identityOf("alice") // SELECT on auth_nation only
+    assert(engine.sqlAs(alice, "SUMMARIZE auth_nation").count() > 0)
+    intercept[PermissionDenied] { engine.sqlAs(alice, "SUMMARIZE auth_region") }
+    assert(engine.sqlAs(alice,
+      """SELECT n_name AS name FROM auth_nation
+         UNION ALL BY NAME
+         SELECT n_nationkey AS k, n_name AS name FROM auth_nation""").count() == 50)
+    intercept[PermissionDenied] {
+      engine.sqlAs(alice,
+        """SELECT n_name AS name FROM auth_nation
+           UNION ALL BY NAME
+           SELECT r_name AS name FROM auth_region""")
+    }
+  }
+
   test("visible_tables: the catalog filtered by the caller's grants") {
     val alice = engine.catalog.auth.identityOf("alice")
     assert(engine.visibleTables(alice) == Seq("auth_nation"))
