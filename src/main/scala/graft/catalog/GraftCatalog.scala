@@ -54,14 +54,17 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   // ---- crawler definitions (reference crawler/definition.rs):
   // persisted (name → prefix); RUN executes one discovery pass
 
-  def createCrawler(name: String, prefix: String): Unit =
-    persist(TableDef(name, "crawler", paths = Seq(prefix)))
+  def createCrawler(name: String, prefix: String,
+      options: Map[String, String] = Map.empty): Unit =
+    persist(TableDef(name, "crawler", paths = Seq(prefix), options = options))
 
   def crawlers(): Seq[TableDef] = tables().filter(_.kind == "crawler")
 
-  def crawlerPrefix(name: String): String =
-    load(name).filter(_.kind == "crawler").map(_.paths.head)
+  def crawlerDef(name: String): TableDef =
+    load(name).filter(_.kind == "crawler")
       .getOrElse(throw new IllegalArgumentException(s"no crawler $name"))
+
+  def crawlerPrefix(name: String): String = crawlerDef(name).paths.head
 
   // ---- ALTER TABLE (managed): copy-on-write schema evolution, the
   // same rewrite stance as DELETE/UPDATE (reference lower.rs:71-107)
@@ -473,6 +476,14 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             .option("url", d.paths.head)
             .options(d.options.view.filterKeys(_ != "versionAsOf").toMap)
             .load()
+        // a Hive-partitioned root (crawler partition detection):
+        // Spark's own partition discovery surfaces the key=value
+        // columns and prunes on them — FileCollection's file expansion
+        // would lose both
+        case fmt if d.options.get("hive_partitioned").contains("true") =>
+          spark.read.format(fmt)
+            .options(d.options.view.filterKeys(_ != "hive_partitioned").toMap)
+            .load(d.paths: _*)
         case fmt               => FileCollection.read(spark, fmt, d.paths, d.options)
       }
       df.createOrReplaceTempView(d.name)

@@ -66,7 +66,8 @@ object Statements {
   private val reRunCrawler =
     """(?is)^RUN\s+CRAWLER\s+'((?:[^']|'')+)'\s*$""".r
   private val reCreateCrawler =
-    ("""(?is)^CREATE\s+CRAWLER\s+""" + Id + """\s+ON\s+'((?:[^']|'')+)'\s*$""").r
+    ("""(?is)^CREATE\s+CRAWLER\s+""" + Id + """\s+ON\s+'((?:[^']|'')+)'""" +
+      """(?:\s+WITH\s*\((.+?)\))?\s*$""").r
   private val reRunNamedCrawler =
     ("""(?is)^RUN\s+CRAWLER\s+""" + Id + """\s*$""").r
   private val reDropCrawler =
@@ -246,13 +247,14 @@ object Statements {
         Some(Outputs.listDatasets(spark, root.replace("''", "'")))
       case reRunCrawler(root) =>
         Some(graft.catalog.Crawler.run(spark, catalog, root.replace("''", "'")))
-      case reCreateCrawler(name0, prefix) =>
+      case reCreateCrawler(name0, prefix, opts) =>
         val name = unquote(name0)
-        catalog.createCrawler(name, prefix.replace("''", "'"))
+        catalog.createCrawler(name, prefix.replace("''", "'"),
+          Option(opts).map(parseOptions).getOrElse(Map.empty))
         Some(status(spark, s"created crawler $name"))
       case reRunNamedCrawler(name0) =>
-        val name = unquote(name0)
-        Some(graft.catalog.Crawler.run(spark, catalog, catalog.crawlerPrefix(name)))
+        val d = catalog.crawlerDef(unquote(name0))
+        Some(graft.catalog.Crawler.run(spark, catalog, d.paths.head, d.options))
       case reDropCrawler(name0) =>
         catalog.drop(unquote(name0))
         Some(status(spark, s"dropped crawler ${unquote(name0)}"))

@@ -340,6 +340,35 @@ class CatalogSpec extends AnyFunSuite {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("crawler WITH options: partition detection, format filter, table prefix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl3").toString
+    import spark.implicits._
+    // a Hive-partitioned dataset: two date= leaves under one root
+    Seq((1, "a")).toDF("id", "s").write
+      .parquet(s"$dir/readings/date=2024-01-01/")
+    Seq((2, "b"), (3, "c")).toDF("id", "s").write
+      .parquet(s"$dir/readings/date=2024-01-02/")
+    // a CSV neighbor the format filter must exclude
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/notes.csv"), "a,b\n1,2\n")
+    engine.sql(s"""CREATE CRAWLER cr_opts ON '$dir' WITH
+      (format_filter 'parquet', detect_partitions 'true', table_prefix 'crawl_')""")
+    val reg = engine.sql("RUN CRAWLER cr_opts").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(reg.map(_._1).forall(_.startsWith("crawl_")), reg.mkString(","))
+    assert(!reg.exists(_._2 == "csv"), s"csv must be filtered out: $reg")
+    // the partitioned group registered ONCE, at its root, with the
+    // partition column discovered and usable
+    assert(reg.count(_._1 == "crawl_readings") == 1, reg.mkString(","))
+    // partition discovery TYPES the column (date=… → DateType)
+    val t = engine.sql(
+      "SELECT CAST(date AS STRING) AS d, count(*) AS n FROM crawl_readings GROUP BY date")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(t == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L))
+    engine.sql("DROP CRAWLER cr_opts")
+    engine.sql("DROP TABLE crawl_readings")
+  }
+
   test("ODV writer round-trips through the ODV reader") {
     import spark.implicits._
     val df = Seq(
