@@ -69,10 +69,30 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     val isCommand = parsed.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
       case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
-      // unresolved DDL parses to *Statement nodes before analysis
-      case p => p.nodeName.endsWith("Statement")
+      // INSERT OVERWRITE DIRECTORY parses to InsertIntoDir — a plain
+      // UnaryNode, not a Command (ADVICE r7 high: arbitrary-path write)
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => true
+      // unresolved DDL parses to *Statement nodes before analysis; be
+      // denylist-generous on anything write-shaped by name
+      case p => p.nodeName.endsWith("Statement") ||
+        p.nodeName.startsWith("Insert") || p.nodeName.startsWith("WriteTo") ||
+        p.nodeName.startsWith("Merge") || p.nodeName.startsWith("Delete") ||
+        p.nodeName.startsWith("Update")
     }
     if (isCommand)
+      throw new graft.auth.Authz.PermissionDenied(
+        s"permission denied: DDL/DML requires super-user (user ${identity.name})")
+    // defense-in-depth: analyze WITHOUT constructing a Dataset (Dataset
+    // construction eagerly executes command plans) and reject anything
+    // that analyzes to a command or write — catches shapes the parse-
+    // time denylist misses, including CTE-wrapped writes
+    val analyzed = spark.sessionState.executePlan(parsed).analyzed
+    val analyzedWrite = analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => true
+      case p => p.nodeName.contains("Command") || p.nodeName.startsWith("WriteTo")
+    }
+    if (analyzedWrite)
       throw new graft.auth.Authz.PermissionDenied(
         s"permission denied: DDL/DML requires super-user (user ${identity.name})")
     val df = GraftSql.sql(spark, text)

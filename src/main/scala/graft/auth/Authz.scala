@@ -35,12 +35,27 @@ object Authz {
 
   /** one target per scan: catalog-table name (subtree skipped — its
     * internals are covered by the table grant) or raw scan paths;
-    * an unrecognizable relation denies by construction */
+    * an unrecognizable relation denies by construction.
+    *
+    * An alias is only a table BOUNDARY when the plan beneath it is the
+    * table's registered plan — aliases are user-controlled, so
+    * `FROM denied_t AS granted_t` must NOT authorize as granted_t
+    * (ADVICE r7 high). On mismatch the walk continues into the child
+    * and the real scans are authorized. */
   private[auth] def scanTargets(catalog: GraftCatalog, plan: LogicalPlan): Seq[Target] = {
     val tableNames = catalog.tables().map(_.name).toSet
+    // registered definition per candidate table (canonicalized, memoized);
+    // unresolvable → None → never a boundary (deny-safe)
+    val defs = scala.collection.mutable.Map.empty[String, Option[LogicalPlan]]
+    def defPlan(n: String): Option[LogicalPlan] = defs.getOrElseUpdate(n,
+      try catalog.spark.table(n).queryExecution.analyzed match {
+        case SubqueryAlias(_, child) => Some(child.canonicalized)
+        case p => Some(p.canonicalized)
+      } catch { case scala.util.control.NonFatal(_) => None })
     val out = scala.collection.mutable.ListBuffer.empty[Target]
     def walk(p: LogicalPlan): Unit = p match {
-      case s: SubqueryAlias if tableNames(s.alias) =>
+      case s: SubqueryAlias if tableNames(s.alias) &&
+          defPlan(s.alias).contains(s.child.canonicalized) =>
         out += Target.Table(s.alias)
       case lr: LogicalRelation =>
         lr.catalogTable match {

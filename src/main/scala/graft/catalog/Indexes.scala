@@ -28,9 +28,11 @@ import graft.stats.FileStats
   * All verdicts are computed distributed and only dropped file NAMES
   * reach the driver (same contract as [[FileStats.pruneFiles]]).
   * Indexes are conservative by construction: a file absent from the
-  * index (added or rewritten after the build) is always kept, so a
-  * stale index can never lose rows — rebuild with CREATE INDEX to
-  * regain pruning after copy-on-write rewrites.
+  * index (added or renamed after the build) is always kept, and a file
+  * whose live (size, mtime) no longer matches the build's `filemeta`
+  * record (overwritten IN PLACE — easy on external tables) is treated
+  * as unknown and also kept, so a stale index can never lose rows —
+  * rebuild with CREATE INDEX to regain pruning after rewrites.
   */
 object Indexes {
 
@@ -48,10 +50,39 @@ object Indexes {
     if (s.startsWith("//")) s.replaceFirst("^/+", "/") else s
   }
 
+  /** live identity of a scanned file — a file overwritten IN PLACE since
+    * the build (same path, new bytes) carries stale index entries and
+    * must never be pruned */
+  final case class FileMeta(path: String, size: Long, mtime: Long)
+
+  /** (size, mtime) per file, one listStatus per parent directory so the
+    * build pays O(dirs) RPCs, not O(files) */
+  def fileMeta(spark: SparkSession, files: Seq[String]): Seq[FileMeta] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.groupBy(f => new org.apache.hadoop.fs.Path(f).getParent).toSeq
+      .flatMap { case (parent, members) =>
+        val fsys = parent.getFileSystem(conf)
+        val wanted = members.map(norm).toSet
+        fsys.listStatus(parent).toSeq
+          .filter(st => wanted(norm(st.getPath.toString)))
+          .map(st => FileMeta(norm(st.getPath.toString),
+            st.getLen, st.getModificationTime))
+      }
+  }
+
   // ------------------------------------------------------------- build
 
   /** one distributed pass; writes the index structure under `dir` */
   def build(spark: SparkSession, kind: String, format: String,
+      files: Seq[String], options: Map[String, String],
+      column: String, dir: String): Unit = {
+    // validity registry: pruning later requires the live (size, mtime)
+    // to match what the build saw (ADVICE r7 — in-place overwrites)
+    writeMeta(spark, files, dir)
+    buildStructure(spark, kind, format, files, options, column, dir)
+  }
+
+  private def buildStructure(spark: SparkSession, kind: String, format: String,
       files: Seq[String], options: Map[String, String],
       column: String, dir: String): Unit = kind match {
     case "btree" =>
@@ -103,8 +134,17 @@ object Indexes {
   final case class TokenCond(column: String, term: String) extends IndexCond
 
   /** normalized names of candidate files the index PROVES cannot match
-    * `cond` — distributed, names-only collect; unknown files survive */
+    * `cond` — distributed, names-only collect; unknown files survive,
+    * and so does any file whose live (size, mtime) no longer matches
+    * the build's record (overwritten in place → index entries stale) */
   def droppedFiles(spark: SparkSession, dir: String, kind: String,
+      current: Seq[FileMeta], cond: IndexCond): Set[String] = {
+    val files = current.map(_.path)
+    droppedByStructure(spark, dir, kind, files, cond)
+      .intersect(validNames(spark, dir, current))
+  }
+
+  private def droppedByStructure(spark: SparkSession, dir: String, kind: String,
       files: Seq[String], cond: IndexCond): Set[String] = kind match {
     case "btree" =>
       val rc = cond.asInstanceOf[RangeCond]
@@ -130,6 +170,32 @@ object Indexes {
     spark.read.parquet(s"$dir/files")
       .except(matching)
       .collect().map(r => norm(r.getString(0))).toSet
+
+  // --------------------------------------------------------- validity
+
+  private def writeMeta(spark: SparkSession, files: Seq[String],
+      dir: String): Unit = {
+    import spark.implicits._
+    fileMeta(spark, files).map(m => (m.path, m.size, m.mtime))
+      .toDF("file", "size", "mtime")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/filemeta")
+  }
+
+  /** candidate files whose live identity matches the build's record —
+    * only these may be dropped. An index built before this registry
+    * existed keeps its legacy (path-only) semantics. Names+16 bytes per
+    * file on the driver — same residency contract as the names-only
+    * verdict collects. */
+  private def validNames(spark: SparkSession, dir: String,
+      current: Seq[FileMeta]): Set[String] = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$dir/filemeta")
+    val fsys = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(metaDir)) return current.map(m => norm(m.path)).toSet
+    val recorded = spark.read.parquet(metaDir.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    current.filter(m => recorded.get(norm(m.path)).contains((m.size, m.mtime)))
+      .map(m => norm(m.path)).toSet
+  }
 
   private def quote(n: String): String = "`" + n.replace("`", "``") + "`"
 }

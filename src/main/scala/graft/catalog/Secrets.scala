@@ -54,9 +54,15 @@ class Secrets(spark: SparkSession, warehouse: String) {
     val sc = scope.getOrElse(defaultScope(tpe))
     val s = Secret(name, tpe, sc,
       options.map { case (k, v) => k.toLowerCase -> v }, persistent)
-    store.put(name, s)
-    apply(s)
-    if (persistent) persist()
+    val old = store.put(name, s)
+    if (old != null) {
+      // replacing: the old secret's scope/options may map to hadoop keys
+      // the new one doesn't cover — unset them, then re-apply every
+      // remaining secret (same repair drop() performs)
+      unapply(old)
+      store.values.asScala.foreach(apply)
+    } else apply(s)
+    if (persistent || (old != null && old.persistent)) persist()
   }
 
   def drop(name: String, ifExists: Boolean): Unit = {

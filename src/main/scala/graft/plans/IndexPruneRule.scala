@@ -89,13 +89,17 @@ class IndexPruneRule extends Rule[LogicalPlan] {
         if (!applies) Set.empty[String]
         else Indexes.droppedFiles(catalog.spark,
           catalog.indexDataDir(table, idx.name), idx.kind,
-          lrInputFiles(lr), c)
+          lrFileMeta(lr), c)
       }
     }.toSet
   }
 
-  private def lrInputFiles(lr: LogicalRelation): Seq[String] =
-    lr.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
+  /** live (path, size, mtime) from the scan's own cached listing — the
+    * identity check that vetoes pruning files overwritten since build */
+  private def lrFileMeta(lr: LogicalRelation): Seq[Indexes.FileMeta] =
+    lr.relation.asInstanceOf[HadoopFsRelation].location.listFiles(Nil, Nil)
+      .flatMap(_.files.map(f => Indexes.FileMeta(
+        f.getPath.toString, f.getLen, f.getModificationTime)))
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

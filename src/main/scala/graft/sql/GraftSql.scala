@@ -34,6 +34,18 @@ object GraftSql {
       val c = t.charAt(i)
       if (inS) { if (c == '\'') inS = false; sb.append(c); i += 1 }
       else if (inB) { if (c == '`') inB = false; sb.append(c); i += 1 }
+      else if (c == '-' && i + 1 < t.length && t.charAt(i + 1) == '-') {
+        // line comment: copy verbatim — an apostrophe in `-- don't`
+        // must not flip the in-string state
+        val nl = t.indexOf('\n', i)
+        val end = if (nl < 0) t.length else nl + 1
+        sb.append(t.substring(i, end)); i = end
+      }
+      else if (c == '/' && i + 1 < t.length && t.charAt(i + 1) == '*') {
+        val close = t.indexOf("*/", i + 2)
+        val end = if (close < 0) t.length else close + 2
+        sb.append(t.substring(i, end)); i = end
+      }
       else if (c == '\'') { inS = true; sb.append(c); i += 1 }
       else if (c == '`') { inB = true; sb.append(c); i += 1 }
       else if (c == '$' && i + 1 < t.length && t.charAt(i + 1).isDigit) {

@@ -155,4 +155,40 @@ class AuthSpec extends AnyFunSuite {
       e2.sqlAs(e2.catalog.auth.identityOf("alice"), "SELECT 1 FROM auth_region")
     }
   }
+
+  test("alias spoofing cannot launder a denied scan (ADVICE r8)") {
+    val alice = engine.catalog.auth.identityOf("alice") // SELECT on auth_nation only
+    // denied table aliased to a granted name: the boundary check sees the
+    // plan underneath is NOT auth_nation's and authorizes the real scan
+    intercept[PermissionDenied] {
+      engine.sqlAs(alice, "SELECT * FROM auth_region AS auth_nation").collect()
+    }
+    intercept[PermissionDenied] {
+      engine.sqlAs(alice,
+        "SELECT * FROM (SELECT * FROM auth_region) AS auth_nation").collect()
+    }
+    // legit: the granted table under ANY alias — even another table's name
+    assert(engine.sqlAs(alice,
+      "SELECT count(*) FROM auth_nation AS x").collect()(0).getLong(0) == 25)
+    assert(engine.sqlAs(alice,
+      "SELECT count(*) FROM auth_nation AS auth_region").collect()(0).getLong(0) == 25)
+  }
+
+  test("INSERT OVERWRITE DIRECTORY denied for non-super-users (ADVICE r8)") {
+    engine.sql("CREATE USER mallory")
+    val m = engine.catalog.auth.identityOf("mallory")
+    val tgt = java.nio.file.Files.createTempDirectory("graft-auth-iod")
+    intercept[PermissionDenied] {
+      engine.sqlAs(m,
+        s"INSERT OVERWRITE DIRECTORY '$tgt/out' USING parquet SELECT 1 AS x")
+    }
+    assert(!java.nio.file.Files.exists(tgt.resolve("out")),
+      "the write must be rejected before execution, not after")
+    // CTE-wrapped writes are caught by the analyzed-plan re-check
+    intercept[PermissionDenied] {
+      engine.sqlAs(m, s"WITH c AS (SELECT 1 AS x) " +
+        s"INSERT OVERWRITE DIRECTORY '$tgt/out2' USING parquet SELECT * FROM c")
+    }
+    assert(!java.nio.file.Files.exists(tgt.resolve("out2")))
+  }
 }

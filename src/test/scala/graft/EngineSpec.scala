@@ -338,6 +338,15 @@ class EngineSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       graft.sql.GraftSql.sql(spark, "SELECT $3", Seq(1, 2))
     }.getMessage.contains("$3"))
+    // an apostrophe inside a comment must not flip the in-string state
+    // and swallow later markers (ADVICE r8)
+    val c = graft.sql.GraftSql.sql(spark,
+      "-- don't trip the tracker\nSELECT $1 AS v /* it's fine */, $2 AS w",
+      Seq(7, "x")).collect()(0)
+    assert(c.getInt(0) == 7 && c.getString(1) == "x")
+    // and a marker-looking token inside a comment is not a marker
+    assert(graft.sql.GraftSql.sql(spark,
+      "SELECT $1 AS v -- $9 is commentary\n", Seq(5)).collect()(0).getInt(0) == 5)
   }
 
   test("EXPLAIN FORMAT JSON returns the optimized logical plan as JSON nodes") {

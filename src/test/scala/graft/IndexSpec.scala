@@ -128,6 +128,39 @@ class IndexSpec extends AnyFunSuite {
     assert(scannedFiles("SELECT * FROM idx_ext WHERE v >= 400") == 2)
   }
 
+  test("in-place overwrite: mismatched (size, mtime) vetoes pruning (ADVICE r8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-ow")
+    def writeFile(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-idx-ow-tmp")
+      spark.range(lo, hi).selectExpr("id AS v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeFile(0, 100, "a.parquet")
+    writeFile(100, 200, "b.parquet")
+    writeFile(200, 300, "c.parquet")
+    engine.sql(s"CREATE EXTERNAL TABLE idx_ow STORED AS parquet LOCATION '$dir/*.parquet'")
+    engine.sql("CREATE INDEX ON idx_ow (v) USING btree")
+    assert(scannedFiles("SELECT * FROM idx_ow WHERE v >= 200") == 1)
+    // overwrite a.parquet IN PLACE: same path, new range [200, 300)
+    writeFile(200, 300, "a.parquet")
+    spark.catalog.refreshTable("idx_ow") // standard Spark contract after external rewrite
+    // the index's record for a.parquet says [0,100) — without the
+    // (size, mtime) validity check it would be wrongly pruned here
+    assert(count("SELECT count(*) FROM idx_ow WHERE v >= 200") == 200L)
+    assert(scannedFiles("SELECT * FROM idx_ow WHERE v >= 200") == 2)
+    // untouched files still prune (c drops); the rewritten file is
+    // permanently unknown until rebuild, so it rides along with b
+    assert(scannedFiles("SELECT * FROM idx_ow WHERE v BETWEEN 100 AND 199") == 2)
+    // rebuild restores exact pruning over the new contents
+    engine.sql("CREATE INDEX v_idx ON idx_ow (v) USING btree")
+    assert(scannedFiles("SELECT * FROM idx_ow WHERE v BETWEEN 100 AND 199") == 1)
+    assert(scannedFiles("SELECT * FROM idx_ow WHERE v >= 200") == 2)
+  }
+
   test("bitmap refuses high-cardinality columns, loudly") {
     val wide = spark.range(0, 20000).select(col("id"), col("id").cast("string").as("s"))
     engine.catalog.createManagedTable("idx_wide", wide.repartition(2))

@@ -78,4 +78,15 @@ class SecretsSpec extends AnyFunSuite {
       engine.sql("CREATE SECRET bad (TYPE FTP, KEY_ID 'x')")
     }.getMessage.contains("TYPE"))
   }
+
+  test("replacing a secret unsets the old scope's keys (ADVICE r8)") {
+    engine.sql("""CREATE SECRET mover (TYPE S3, KEY_ID 'M1', SECRET 'S1',
+      SCOPE 's3a://old-bucket')""")
+    assert(conf("fs.s3a.bucket.old-bucket.access.key") == "M1")
+    engine.sql("""CREATE SECRET mover (TYPE S3, KEY_ID 'M2', SECRET 'S2',
+      SCOPE 's3a://new-bucket')""")
+    assert(conf("fs.s3a.bucket.old-bucket.access.key") == null,
+      "the replaced secret's keys must be unset")
+    assert(conf("fs.s3a.bucket.new-bucket.access.key") == "M2")
+  }
 }
