@@ -69,6 +69,20 @@ object Authz {
               out += Target.Table(s"<unresolvable relation ${other.getClass.getSimpleName}>")
           }
         }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        // ATTACH mounts (and any other V2 scan): file-backed tables are
+        // authorized by their paths, everything else is default-deny
+        val unwrapped = v2.table match {
+          case ro: graft.catalog.Attachments.ReadOnlyTable => ro.underlying
+          case t => t
+        }
+        unwrapped match {
+          case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+            ft.fileIndex.rootPaths.foreach(rp =>
+              out += Target.Path(norm(rp.toString)))
+          case t =>
+            out += Target.Table(s"<v2 relation ${t.name}>")
+        }
       case other =>
         other.children.foreach(walk)
         other.expressions.foreach(_.foreach {

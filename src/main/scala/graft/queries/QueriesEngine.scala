@@ -105,6 +105,24 @@ object QueriesEngine {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- ATTACH end-to-end: a second (peer) warehouse mounted as a
+    // foreign V2 catalog; the aggregate resolves through the attached
+    // three-part name with DSv2 pushdown, and the oracle replays it
+    // over the same parquet the peer serves.
+    "q_attach_catalog" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val peerWh = java.nio.file.Files.createTempDirectory("graft-attpeer").toString
+      val peer = graft.GraftEngine(s, peerWh)
+      peer.sql(s"CREATE EXTERNAL TABLE attg_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      val wh = java.nio.file.Files.createTempDirectory("graft-attloc").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"ATTACH '$peerWh' AS attgate")
+      eng.sql("""SELECT o_orderpriority, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+        FROM attgate.public.attg_orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
     // ---- LIST DATASETS end-to-end: four single-file formats written
     // by our own writers into one directory, classified by marker/
     // extension/magic; the oracle pins the classification table.
@@ -482,6 +500,10 @@ object QueriesEngine {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
          ORDER BY o_orderkey""",
+    "q_attach_catalog" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_dsl_named_table" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
          WHERE n_regionkey <= 2 ORDER BY n_name""",

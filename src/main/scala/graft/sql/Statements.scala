@@ -127,6 +127,13 @@ object Statements {
     ("""(?is)^SHOW\s+INDEXES\s+ON\s+""" + Id + """\s*$""").r
   private val reDropIndex =
     ("""(?is)^DROP\s+INDEX\s+""" + Id + """\s+ON\s+""" + Id + """\s*$""").r
+  private val reAttach =
+    ("""(?is)^ATTACH\s+'((?:[^']|'')+)'\s+AS\s+""" + Named +
+      """(?:\s+WITH\s*\((.+?)\))?\s*$""").r
+  private val reDetach =
+    ("""(?is)^DETACH\s+""" + Named + """\s*$""").r
+  private val reShowAttachments =
+    """(?is)^SHOW\s+ATTACHMENTS\s*$""".r
 
   /** GRANT/DENY/REVOKE target triple → an auth rule */
   private def privRule(priv: String, tbl0: String, path0: String,
@@ -157,7 +164,7 @@ object Statements {
     reDropExtension, reShowExtensions, reCreateSecret, reDropSecret,
     reShowSecrets, reCreateUser, reDropUser, reCreateRole, reDropRole,
     reGrantRoleUser, reRevokeRoleUser, reGrantPriv, reRevokePriv,
-    reShowRoles, reShowUsers)
+    reShowRoles, reShowUsers, reAttach, reDetach, reShowAttachments)
 
   /** a [[Named]] capture: single-quoted string (unescaped) or bare word */
   private def unquoteName(n: String): String =
@@ -370,6 +377,20 @@ object Statements {
       case reDropIndex(idx0, tbl0) =>
         catalog.dropIndex(unquote(tbl0), unquote(idx0))
         Some(status(spark, s"dropped index ${unquote(idx0)}"))
+      case reAttach(url0, name0, opts) =>
+        val name = unquoteName(name0)
+        graft.catalog.Attachments.attach(spark, name, url0.replace("''", "'"),
+          Option(opts).map(parseAttachOptions).getOrElse(Map.empty))
+        Some(status(spark, s"attached $name"))
+      case reDetach(name0) =>
+        graft.catalog.Attachments.detach(spark, unquoteName(name0))
+        Some(status(spark, s"detached ${unquoteName(name0)}"))
+      case reShowAttachments() =>
+        import spark.implicits._
+        Some(graft.catalog.Attachments.list().map(a =>
+          (a.name, a.url, a.kind, a.listing.keys.toSeq.sorted.mkString(","),
+            a.shownOptions.map { case (k, v) => s"$k=$v" }.mkString(",")))
+          .toDF("name", "url", "kind", "schemas", "options"))
       case reAnalyze(name0) =>
         val name = unquote(name0)
         val n = catalog.analyzeFiles(name)
@@ -439,6 +460,18 @@ object Statements {
   private[sql] def parseOptions(s: String): Map[String, String] =
     ("""(\w+|"(?:[^"]|"")+")\s+'((?:[^']|'')*)'""").r.findAllMatchIn(s).map { m =>
       unquote(m.group(1)) -> m.group(2).replace("''", "'")
+    }.toMap
+
+  /** ATTACH's WITH list additionally admits the reference's
+    * single-quoted keys: WITH ('token' 't', tls 'true') */
+  private[sql] def parseAttachOptions(s: String): Map[String, String] =
+    splitTopLevel(s, ',').map { p =>
+      val kv = """(?is)^('(?:[^']|'')+'|\w+|"(?:[^"]|"")+")\s+'((?:[^']|'')*)'$""".r
+      p.trim match {
+        case kv(k, v) => unquoteName(unquote(k)) -> v.replace("''", "'")
+        case other => throw new IllegalArgumentException(
+          s"bad ATTACH option: $other")
+      }
     }.toMap
 
   /** SET a = expr, b = expr — split on top-level commas (quotes and
