@@ -108,12 +108,28 @@ object Indexes {
       indexedFileList(df).coalesce(1).write.mode("overwrite").parquet(s"$dir/files")
     case "inverted" =>
       val df = spark.read.format(format).options(options).load(files: _*)
+      // range-partitioned + sorted by token: an exact-token probe then
+      // reads only the part-files whose [min,max] token range covers the
+      // term (VERDICT r7 hardening #2) — the substring fallback still
+      // scans, but whole-token matches are bounded at any corpus size
       df.select(input_file_name().as("file"),
           explode(split(col(quote(column)).cast("string"),
             "[^A-Za-z0-9]+")).as("token"))
         .filter(length(col("token")) > 0)
         .distinct()
+        // explicit N: AQE would coalesce the unspecified form to one
+        // partition on small builds, collapsing the range layout the
+        // exact probe depends on; the session's shuffle-partition conf
+        // is the scale knob
+        .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+          col("token"))
+        .sortWithinPartitions("token")
         .write.mode("overwrite").parquet(s"$dir/postings")
+      // per-part-file token ranges, tiny (one row per postings file)
+      spark.read.parquet(s"$dir/postings")
+        .groupBy(input_file_name().as("part"))
+        .agg(min("token").as("min_token"), max("token").as("max_token"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/tokenranges")
       indexedFileList(df).coalesce(1).write.mode("overwrite").parquet(s"$dir/files")
     case other => throw new IllegalArgumentException(
       s"unknown index type '$other' (btree, bitmap, inverted)")
@@ -131,7 +147,10 @@ object Indexes {
   final case class RangeCond(column: String, op: String,
       num: Option[Double], str: Option[String]) extends IndexCond
   final case class EqCond(column: String, value: String) extends IndexCond
+  /** substring containment (contains / LIKE '%term%') — postings scan */
   final case class TokenCond(column: String, term: String) extends IndexCond
+  /** whole-token match (token_match) — exact, range-bounded lookup */
+  final case class TokenEqCond(column: String, term: String) extends IndexCond
 
   /** normalized names of candidate files the index PROVES cannot match
     * `cond` — distributed, names-only collect; unknown files survive,
@@ -157,11 +176,48 @@ object Indexes {
       val matching = spark.read.parquet(s"$dir/postings")
         .filter(col("v") === v).select(col("file"))
       collectNames(spark, dir, matching)
-    case "inverted" =>
-      val t = cond.asInstanceOf[TokenCond].term
-      val matching = spark.read.parquet(s"$dir/postings")
-        .filter(instr(col("token"), t) > 0).select(col("file"))
-      collectNames(spark, dir, matching)
+    case "inverted" => cond match {
+      case TokenCond(_, t) =>
+        // substring semantics: any token CONTAINING t matches, which no
+        // sort order can bound — full postings scan, the documented
+        // fallback
+        val matching = spark.read.parquet(s"$dir/postings")
+          .filter(instr(col("token"), t) > 0).select(col("file"))
+        collectNames(spark, dir, matching)
+      case TokenEqCond(_, t) =>
+        // exact token: only the postings part-files whose token range
+        // covers t can hold a match
+        val (candidates, _) = invertedProbeFootprint(spark, dir, t)
+        val matching =
+          if (candidates.isEmpty)
+            spark.emptyDataFrame.withColumn("file", lit("")).limit(0)
+          else spark.read.parquet(candidates: _*)
+            .filter(col("token") === t).select(col("file"))
+        collectNames(spark, dir, matching)
+      case other => throw new IllegalStateException(s"inverted: $other")
+    }
+  }
+
+  /** (candidate postings part-files for an exact probe of `term`, total
+    * part-file count) — the bounded-read contract, spec-observable. A
+    * pre-r8 index without `tokenranges` returns all parts (legacy
+    * unbounded exact scan, still correct). Comparison uses UTF8String
+    * binary order, matching Spark's min/max on strings. */
+  def invertedProbeFootprint(spark: SparkSession, dir: String,
+      term: String): (Seq[String], Int) = {
+    val trPath = new org.apache.hadoop.fs.Path(s"$dir/tokenranges")
+    val fsys = trPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+    if (!fsys.exists(trPath)) {
+      val all = spark.read.parquet(s"$dir/postings").inputFiles.toSeq
+      return (all, all.length)
+    }
+    val rows = spark.read.parquet(trPath.toString).collect()
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val cands = rows.filter(r =>
+      u(r.getString(1)).compareTo(t) <= 0 && t.compareTo(u(r.getString(2))) <= 0)
+      .map(_.getString(0)).toSeq
+    (cands, rows.length)
   }
 
   /** indexed-files EXCEPT files-with-a-matching-posting, normalized */

@@ -245,6 +245,9 @@ object GraftFunctions {
     }, "built-in")
     r.createOrReplaceTempFunction("ns_submicros", es =>
       Pmod(Cast(es.head, LongType), Literal(1000L)), "built-in")
+    // whole-token text match — the indexable full-text predicate
+    r.createOrReplaceTempFunction("token_match", es =>
+      TextExprs.TokenMatch(es(0), es(1)), "built-in")
   }
 
   // ------------------------------------------------- Column-level API

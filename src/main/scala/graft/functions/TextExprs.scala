@@ -243,6 +243,26 @@ object TextExprs {
     out
   }
 
+  /** true iff `term` equals one MAXIMAL ASCII-alphanumeric token of `s`
+    * — the same `[^A-Za-z0-9]+` tokenization the inverted index builds
+    * with ([[graft.catalog.Indexes]]), so an exact postings lookup can
+    * serve this predicate (the reference's full-text MATCH shape) */
+  def tokenMatchKernel(s: UTF8String, term: UTF8String): Boolean = {
+    val str = s.toString; val t = term.toString
+    if (t.isEmpty) return false
+    @inline def alnum(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    var i = 0; val n = str.length
+    while (i < n) {
+      while (i < n && !alnum(str.charAt(i))) i += 1
+      var j = i
+      while (j < n && alnum(str.charAt(j))) j += 1
+      if (j - i == t.length && str.regionMatches(i, t, 0, t.length)) return true
+      i = j
+    }
+    false
+  }
+
   // -------------------------------------------------------- expressions
 
   case class Tokens(child: Expression, lower: Boolean) extends UnaryExpression {
@@ -301,6 +321,21 @@ object TextExprs {
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.functions.TextExprs.minhashKernel($c, $k);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** whole-token text match (`token_match(col, 'term')`): index-serviceable
+    * exactly — [[graft.plans.IndexPruneRule]] routes it through the sorted
+    * postings' bounded exact-token lookup, unlike substring `contains` */
+  case class TokenMatch(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "token_match"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      tokenMatchKernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.TextExprs.tokenMatchKernel($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
   }
 
   case class SimHashMd5(child: Expression) extends UnaryExpression {

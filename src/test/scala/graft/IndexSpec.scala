@@ -161,6 +161,50 @@ class IndexSpec extends AnyFunSuite {
     assert(scannedFiles("SELECT * FROM idx_ow WHERE v >= 200") == 2)
   }
 
+  test("identical predicates memoize the distributed verdict (r8)") {
+    import graft.plans.IndexPruneRule
+    def plan(sql: String): Unit = { engine.sql(sql).queryExecution.optimizedPlan; () }
+    plan("SELECT * FROM idx_t WHERE cat = 5") // first sight may compute
+    val warm = IndexPruneRule.verdictComputations.get
+    plan("SELECT * FROM idx_t WHERE cat = 5")
+    plan("SELECT * FROM idx_t WHERE cat = 5")
+    assert(IndexPruneRule.verdictComputations.get == warm,
+      "re-planning an identical predicate must not re-run the verdict job")
+    // the cached verdict still prunes to one file
+    assert(scannedFiles("SELECT * FROM idx_t WHERE cat = 5") == 1)
+    // a plan with two eligible Filter nodes on the same predicate
+    // computes at most once
+    val b2 = IndexPruneRule.verdictComputations.get
+    plan("SELECT * FROM idx_t WHERE cat = 6 UNION ALL SELECT * FROM idx_t WHERE cat = 6")
+    assert(IndexPruneRule.verdictComputations.get <= b2 + 1)
+    // a genuinely new predicate does compute
+    val b3 = IndexPruneRule.verdictComputations.get
+    plan("SELECT * FROM idx_t WHERE cat = 7")
+    assert(IndexPruneRule.verdictComputations.get == b3 + 1)
+  }
+
+  test("token_match exact probe is range-bounded over sorted postings (r8)") {
+    def slice(i: Int) = spark.range(0, 100)
+      .selectExpr(s"id + ${i * 100} AS n")
+      .selectExpr("n AS id", "format_string('w%03d', n) AS words").coalesce(1)
+    engine.catalog.createManagedTable("idx_inv", slice(0))
+    (1 until 4).foreach(i => engine.catalog.insertInto("idx_inv", slice(i)))
+    engine.sql("CREATE INDEX ON idx_inv (words) USING inverted")
+    // whole-token match: exact semantics, prunes to the one file
+    assert(count("SELECT count(*) FROM idx_inv WHERE token_match(words, 'w250')") == 1L)
+    assert(scannedFiles("SELECT * FROM idx_inv WHERE token_match(words, 'w250')") == 1)
+    // and it never matches substrings (unlike contains)
+    assert(count("SELECT count(*) FROM idx_inv WHERE token_match(words, 'w25')") == 0L)
+    assert(count("SELECT count(*) FROM idx_inv WHERE contains(words, 'w25')") == 10L)
+    assert(scannedFiles("SELECT * FROM idx_inv WHERE contains(words, 'w25')") == 1)
+    // bounded-read contract: the exact probe consults only the postings
+    // part-files whose token range covers the term
+    val dir = engine.catalog.indexDataDir("idx_inv", "words_idx")
+    val (cands, total) = graft.catalog.Indexes.invertedProbeFootprint(spark, dir, "w250")
+    assert(total >= 2 && cands.length < total,
+      s"expected a bounded probe, got ${cands.length} of $total postings parts")
+  }
+
   test("bitmap refuses high-cardinality columns, loudly") {
     val wide = spark.range(0, 20000).select(col("id"), col("id").cast("string").as("s"))
     engine.catalog.createManagedTable("idx_wide", wide.repartition(2))
