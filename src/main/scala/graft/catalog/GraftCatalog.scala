@@ -55,8 +55,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   // persisted (name → prefix); RUN executes one discovery pass
 
   def createCrawler(name: String, prefix: String,
-      options: Map[String, String] = Map.empty): Unit =
+      options: Map[String, String] = Map.empty): Unit = {
+    // validate the schedule BEFORE persisting, so a bad duration fails
+    // the CREATE loudly instead of arming a broken timer
+    CrawlerScheduler.effectiveScheduleSecs(this, options)
     persist(TableDef(name, "crawler", paths = Seq(prefix), options = options))
+    CrawlerScheduler.start(this, name, options)
+  }
 
   def crawlers(): Seq[TableDef] = tables().filter(_.kind == "crawler")
 
@@ -362,6 +367,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   def drop(name: String): Unit = {
+    if (load(name).exists(_.kind == "crawler"))
+      CrawlerScheduler.stop(warehouse, name) // triggers die with the definition
     val wasBucketed = load(name).exists(bucketSpec(_).isDefined)
     Files.deleteIfExists(defPath(name))
     spark.catalog.dropTempView(name)
@@ -525,7 +532,11 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${quote(d.name)} AS ${d.sql.get}")
     case "mview" =>
       spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
-    case "crawler" => // definitions only run on demand (RUN CRAWLER)
+    case "crawler" =>
+      // restart restores background triggers (manager.rs init: "Load
+      // persisted crawlers and start their triggers"); unscheduled
+      // definitions stay on-demand (RUN CRAWLER)
+      CrawlerScheduler.start(this, d.name, d.options)
     case other => throw new IllegalStateException(s"unknown table kind $other")
   }
 

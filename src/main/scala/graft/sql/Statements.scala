@@ -260,15 +260,22 @@ object Statements {
           Option(opts).map(parseOptions).getOrElse(Map.empty))
         Some(status(spark, s"created crawler $name"))
       case reRunNamedCrawler(name0) =>
-        val d = catalog.crawlerDef(unquote(name0))
-        Some(graft.catalog.Crawler.run(spark, catalog, d.paths.head, d.options))
+        // serialized with the background timer — a manual trigger never
+        // races a scheduled one (manager.rs:44 run_lock contract)
+        Some(graft.catalog.CrawlerScheduler.runSerialized(catalog, unquote(name0)))
       case reDropCrawler(name0) =>
         catalog.drop(unquote(name0))
         Some(status(spark, s"dropped crawler ${unquote(name0)}"))
       case reShowCrawlers() =>
         import spark.implicits._
-        Some(catalog.crawlers().map(d => (d.name, d.paths.mkString(",")))
-          .toDF("name", "prefix"))
+        Some(catalog.crawlers().map { d =>
+          val sched = graft.catalog.CrawlerScheduler
+            .scheduleOf(catalog.warehouse, d.name)
+            .orElse(graft.catalog.CrawlerScheduler
+              .effectiveScheduleSecs(catalog, d.options))
+          (d.name, d.paths.mkString(","), sched,
+            graft.catalog.CrawlerScheduler.completedPasses(catalog.warehouse, d.name))
+        }.toDF("name", "prefix", "schedule_secs", "runs"))
       case reShowQueryMetrics() =>
         // the reference's queryable `query_metrics` system table
         // (query_metrics_store.rs): persisted per-action rows

@@ -369,6 +369,60 @@ class CatalogSpec extends AnyFunSuite {
     engine.sql("DROP TABLE crawl_readings")
   }
 
+  test("scheduled crawler: `schedule` WITH option drives background passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-sched").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ticks"))
+    import spark.implicits._
+    Seq((1, "t")).toDF("id", "s").write.parquet(s"$dir/ticks/a.parquet")
+    engine.sql(s"CREATE CRAWLER cr_sched ON '$dir' WITH (schedule '1s')")
+    // SHOW CRAWLERS surfaces the effective schedule
+    val row = engine.sql("SHOW CRAWLERS").collect()
+      .find(_.getString(0) == "cr_sched").get
+    assert(row.getLong(2) == 1L, s"schedule_secs: $row")
+    // first tick is consumed (manager.rs spawn_scheduled) — then the
+    // timer runs discovery passes on its own
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (graft.catalog.CrawlerScheduler.completedPasses(wh, "cr_sched") < 2 &&
+        System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(graft.catalog.CrawlerScheduler.completedPasses(wh, "cr_sched") >= 2,
+      "expected >=2 scheduled discovery passes within 15s")
+    // the scheduled passes registered the table without a manual RUN
+    // (dir `ticks/a.parquet` groups by its leaf directory → table `a`)
+    assert(engine.sql("SELECT count(*) FROM a").collect()(0).getLong(0) == 1)
+    // manual triggers serialize with scheduled ones: hammer RUN CRAWLER
+    // from several threads while the timer fires; the high-water mark of
+    // concurrently executing passes must stay 1 (manager.rs run_lock)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => engine.sql("RUN CRAWLER cr_sched").collect())
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(graft.catalog.CrawlerScheduler.maxConcurrent(wh, "cr_sched") == 1,
+      "scheduled + manual crawler runs must never overlap")
+    // DROP stops the timer: passes stop advancing
+    engine.sql("DROP CRAWLER cr_sched")
+    val after = graft.catalog.CrawlerScheduler.completedPasses(wh, "cr_sched")
+    Thread.sleep(2500)
+    assert(graft.catalog.CrawlerScheduler.completedPasses(wh, "cr_sched") == after,
+      "DROP CRAWLER must cancel the background trigger")
+    engine.sql("DROP TABLE a")
+  }
+
+  test("event_driven crawler falls back to the default poll interval") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-ev").toString
+    // not currently event-driven: runs at the default poll interval so
+    // the definition is not silently inert (manager.rs fallback)
+    engine.sql(s"CREATE CRAWLER cr_ev ON '$dir' WITH (event_driven 'true')")
+    val row = engine.sql("SHOW CRAWLERS").collect()
+      .find(_.getString(0) == "cr_ev").get
+    assert(row.getLong(2) == 900L, s"default poll interval: $row")
+    // bad schedule fails the CREATE loudly
+    val err = intercept[Exception](
+      engine.sql(s"CREATE CRAWLER cr_bad ON '$dir' WITH (schedule 'soon')"))
+    assert(err.getMessage.contains("invalid schedule"), err.getMessage)
+    engine.sql("DROP CRAWLER cr_ev")
+  }
+
   test("ODV writer round-trips through the ODV reader") {
     import spark.implicits._
     val df = Seq(
