@@ -1,7 +1,10 @@
 package graft.nd
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** Table → grid pivot: the core of the reference's `ndnetcdf` output
@@ -54,13 +57,13 @@ object NdPivot {
     val strides = new Array[Long](dimCols.length)
     var acc = 1L
     for (i <- dimCols.indices.reverse) { strides(i) = acc; acc *= sizes(i) }
-    val coordIndex: Seq[Map[Double, Int]] =
-      coords.map(_.zipWithIndex.toMap)
 
+    // coordinate → slot index is a codegen binary search over the sorted
+    // coordinate array (a codegen reference object) — no per-row udf
+    // boxing, and the whole gather projection stays in WholeStageCodegen
     val slotExpr = dimCols.zipWithIndex.map { case (d, i) =>
-      val m = coordIndex(i)
-      val idxUdf = udf((v: Double) => m.getOrElse(v, -1))
-      idxUdf(col(d).cast(DoubleType)) * strides(i)
+      ColumnBridge.column(SortedIndexOf(
+        ColumnBridge.expression(col(d).cast(DoubleType)), coords(i))) * strides(i)
     }.reduce(_ + _)
 
     // duplicate grid coverage resolves deterministically (max per cell)
@@ -93,5 +96,32 @@ object NdPivot {
         attrs = Map("_FillValue" -> "NaN"))
     }
     NdDataset(dimDefs, coordVars ++ dataVars)
+  }
+
+  /** Index of `child` in the sorted distinct coordinate array, -1 when
+    * absent — `java.util.Arrays.binarySearch` on a codegen reference
+    * object: O(log n) per row at any dimension cardinality, and (unlike
+    * the ScalaUDF it replaces) it keeps the pivot's gather projection
+    * inside WholeStageCodegen. */
+  private[graft] case class SortedIndexOf(child: Expression, sorted: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_index_of"
+    override def nullSafeEval(v: Any): Any = {
+      val i = java.util.Arrays.binarySearch(sorted, v.asInstanceOf[Double])
+      if (i >= 0) i else -1
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val arr = ctx.addReferenceObj("sortedCoords", sorted, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val i = ctx.freshName("i")
+        s"""
+          int $i = java.util.Arrays.binarySearch($arr, $v);
+          ${ev.value} = $i >= 0 ? $i : -1;
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
   }
 }

@@ -126,6 +126,28 @@ class NdSpec extends AnyFunSuite {
     assert(flat.map(_.getDouble(2)).toSeq == Seq(100.0, 200.0, 300.0, 400.0))
   }
 
+  test("pivot slot lookup is a codegen binary search, not a ScalaUDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val lookup = ColumnBridge.column(NdPivot.SortedIndexOf(
+      ColumnBridge.expression($"v"), Array(1.0, 3.0, 7.0)))
+    // repartition keeps the projection out of ConvertToLocalRelation's
+    // constant folding so the codegen path actually executes
+    val df = Seq(Some(1.0), Some(3.0), Some(7.0), Some(5.0), None)
+      .toDF("v").repartition(1).select($"v", lookup.as("i"))
+    // found → sorted position; absent → -1; null propagates
+    val got = df.collect().map { r =>
+      (if (r.isNullAt(0)) null else r.getDouble(0),
+       if (r.isNullAt(1)) null else r.getInt(1))
+    }.toSet
+    assert(got == Set((1.0, 0), (3.0, 1), (7.0, 2), (5.0, -1), (null, null)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // `*(n)` is the WholeStageCodegen marker in plan strings (AQE keeps
+    // the star but not the literal node name)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("pivot leaves uncovered cells as NULL after flatten") {
     import spark.implicits._
     val df = Seq((1.0, 10.0, 100.0), (2.0, 20.0, 400.0)).toDF("t", "depth", "temp")
