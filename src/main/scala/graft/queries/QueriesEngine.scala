@@ -123,6 +123,27 @@ object QueriesEngine {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     },
 
+    // ---- SET EXTENSION preset end-to-end: a preset document
+    // registered on a parquet-backed table compiles to one WHERE
+    // clause (presetWhereSql — the reference's PresetOp::as_sql apply
+    // path, runtime.rs:841-907); the oracle replays the identical
+    // predicate over the same parquet.
+    "q_extension_preset" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-extgate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE extg_li STORED AS parquet LOCATION '$dir/lineitem.parquet'")
+      eng.sql("""SET EXTENSION 'preset' FOR extg_li TO
+        '{"presets":[{"name":"returned_bulk","filters":[
+           {"column":"l_returnflag","op":"=","value":"R"},
+           {"column":"l_quantity","op":"between","value":[30,50]},
+           {"column":"l_linestatus","op":"in","value":["F","O"]}]}]}'""")
+      val where = graft.catalog.TableExtensions
+        .presetWhereSql(wh, "extg_li", "returned_bulk")
+      eng.sql(s"""SELECT l_orderkey, l_linenumber, l_quantity, l_linestatus
+        FROM extg_li WHERE $where ORDER BY l_orderkey, l_linenumber""")
+    },
+
     // ---- LIST DATASETS end-to-end: four single-file formats written
     // by our own writers into one directory, classified by marker/
     // extension/magic; the oracle pins the classification table.
@@ -504,6 +525,11 @@ object QueriesEngine {
       """SELECT o_orderpriority, count(*) AS n,
            round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_extension_preset" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_linestatus FROM lineitem
+         WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 50
+           AND l_linestatus IN ('F', 'O')
+         ORDER BY l_orderkey, l_linenumber""",
     "q_dsl_named_table" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
          WHERE n_regionkey <= 2 ORDER BY n_name""",
