@@ -194,6 +194,37 @@ object Dedup {
     * component diameter — tiny for dedup clusters; `maxIter` is a
     * safety stop, and hitting it throws rather than returning a
     * half-converged labeling. */
+  /** Benchmark decontamination: per training document, how many of its
+    * distinct word n-grams appear ANYWHERE in the benchmark split —
+    * the n-gram-overlap contamination check used when assembling
+    * training corpora (the 13-gram test of GPT-3 appendix C / PaLM,
+    * re-cut for this engine's whitespace shingles). `isBenchmark`
+    * splits the input; every non-benchmark doc comes back with its
+    * distinct-shingle count, overlap count, and overlap fraction.
+    *
+    * Shape at 100 TB: benchmark suites are tiny (eval sets, not
+    * corpora), so the distinct benchmark-shingle set BROADCASTS and
+    * the corpus side never shuffles for the probe — one map-side
+    * semi-join pass plus the per-doc count aggregation. */
+  def decontaminate(df: DataFrame, textCol: String, idCol: String,
+      isBenchmark: Column, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), isBenchmark.as("__bench"),
+        explode(array_distinct(TextExprs.word_shingles(col(textCol), shingleN)))
+          .as("__s"))
+    val bench = sh.filter(col("__bench")).select(col("__s")).distinct()
+    val train = sh.filter(!col("__bench"))
+    val sizes = train.groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"))
+    val hits = train.join(broadcast(bench), "__s")
+      .groupBy(col(idCol)).agg(count(lit(1)).cast(LongType).as("__h"))
+    sizes.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        col("n_shingles"),
+        round(coalesce(col("__h"), lit(0L)).cast(DoubleType) / col("n_shingles"), 6)
+          .as("contaminated_frac"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

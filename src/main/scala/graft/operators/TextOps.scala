@@ -148,6 +148,49 @@ object TextOps {
           .as("n_chunk_tokens"))
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * "Scaling Language Models", table A1's repetition filters re-cut
+    * for whitespace tokens): distinct-token ratio, duplicate n-gram
+    * fraction, and the character share of the single most frequent
+    * n-gram (ties break deterministically: count desc, gram length
+    * desc, gram asc — the same ORDER BY the oracle replays).
+    *
+    * Shape at 100 TB: the per-doc scalars are row-local (one map-only
+    * pass over the corpus); only the top-gram rank needs a shuffle,
+    * keyed on (doc, gram) — bounded by tokens-per-doc, never corpus-
+    * wide. */
+  def repetitionProfile(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val grams = TextExprs.word_shingles(col(textCol), shingleN)
+    val scalars = df.select(col(idCol),
+      length(trim(col(textCol))).as("__chars"),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(array_distinct(toks)).as("__n_distinct_toks"),
+      size(grams).as("__n_grams"),
+      size(array_distinct(grams)).as("__n_distinct_grams"))
+    val gramCounts = df
+      .select(col(idCol), explode(grams).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__c").desc, length(col("__g")).desc, col("__g").asc)
+    val top = gramCounts
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__g").as("top_gram"), col("__c"))
+    scalars.join(top, Seq(idCol))
+      .select(col(idCol),
+        col("n_tokens"),
+        round(col("__n_distinct_toks").cast(DoubleType) / col("n_tokens"), 6)
+          .as("distinct_token_ratio"),
+        round((col("__n_grams") - col("__n_distinct_grams")).cast(DoubleType) /
+          col("__n_grams"), 6).as("dup_gram_frac"),
+        col("top_gram"),
+        round(col("__c") * length(col("top_gram")).cast(DoubleType) / col("__chars"), 6)
+          .as("top_gram_frac"))
+  }
+
   /** Standard per-document profile used by the gate queries. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

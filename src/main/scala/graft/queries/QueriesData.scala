@@ -124,6 +124,22 @@ object QueriesData {
         .orderBy(col("a_doc_id"), col("b_doc_id"))
     },
 
+    // ---- Gopher-style repetition signals: distinct-token ratio,
+    // duplicate-gram fraction, top-gram character share
+    "q_repetition_profile" -> { (s, dir) =>
+      TextOps.repetitionProfile(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- benchmark decontamination: doc_id % 97 = 0 plays the held-out
+    // benchmark split; every training doc reports its distinct-shingle
+    // overlap with the benchmark's union shingle set
+    "q_decontaminate" -> { (s, dir) =>
+      Dedup.decontaminate(Tables.load(s, dir, "documents"), "text", "doc_id",
+        isBenchmark = col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- capped variant: shingles in more than maxDocFreq docs leave
     // the join (a shingle in f docs contributes f² pairs); sizes are
     // computed on the same filtered relation so the Jaccard denominator
@@ -671,6 +687,40 @@ object QueriesData {
         JOIN sizes sa ON sa.doc_id = i.a_doc_id
         JOIN sizes sb ON sb.doc_id = i.b_doc_id
         ORDER BY a_doc_id, b_doc_id""",
+    "q_repetition_profile" ->
+      raw"""WITH $tokCte,
+        scal AS (
+          SELECT t.doc_id, len(trim(t.text)) AS chars,
+                 len(t.tk) AS n_tokens, len(list_distinct(t.tk)) AS n_dt,
+                 len(s.sh) AS n_grams, len(list_distinct(s.sh)) AS n_dg
+          FROM toks t JOIN sh s ON t.doc_id = s.doc_id),
+        grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        topg AS (
+          SELECT doc_id, g, c,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY c DESC, len(g) DESC, g ASC) AS rk
+          FROM gc)
+        SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               round(CAST(s.n_dt AS DOUBLE) / s.n_tokens, 6) AS distinct_token_ratio,
+               round(CAST(s.n_grams - s.n_dg AS DOUBLE) / s.n_grams, 6) AS dup_gram_frac,
+               t.g AS top_gram,
+               round(CAST(t.c * len(t.g) AS DOUBLE) / s.chars, 6) AS top_gram_frac
+        FROM scal s JOIN topg t ON t.doc_id = s.doc_id AND t.rk = 1
+        ORDER BY s.doc_id""",
+    "q_decontaminate" ->
+      raw"""WITH $tokCte,
+        ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+        bench AS (SELECT DISTINCT s FROM ds WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, s FROM ds WHERE doc_id % 97 <> 0),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1),
+        hits AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM tr JOIN bench ON tr.s = bench.s GROUP BY 1)
+        SELECT z.doc_id, coalesce(h.n_hits, 0) AS n_hits, z.n_shingles,
+               round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / z.n_shingles, 6)
+                 AS contaminated_frac
+        FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
+        ORDER BY z.doc_id""",
     "q_embedding_knn" ->
       s"""WITH scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
