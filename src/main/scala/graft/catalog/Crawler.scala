@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * discovery, crawler/discovery.rs, run synchronously): list a prefix,
   * classify files by format, group into candidate tables (one per
   * (directory, format)), register each group as an external table.
-  * Scheduling is the caller's concern (cron/Airflow/streaming trigger)
-  * — the engine exposes the single deterministic pass.
+  * One deterministic pass; background scheduling (the reference's
+  * manager.rs timers) lives in [[CrawlerScheduler]].
   *
   * Options (the reference's CrawlerDefinition fields,
   * crawler/definition.rs:39-58):
