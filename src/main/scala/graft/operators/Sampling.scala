@@ -80,4 +80,56 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic stratified sampling: each stratum keeps its own
+    * fraction of rows, decided per row by the same (key, salt) hash
+    * contract as [[assignSplits]] — membership is stable across runs
+    * and cluster sizes, and re-derivable per row (no `sampleBy`, whose
+    * Bernoulli draw depends on partition layout). Strata absent from
+    * `rates` keep `defaultRate`. Map-only: a filter over codegen'd
+    * hash arithmetic, no shuffle at any corpus size. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      salt: String, rates: Seq[(String, Double)],
+      defaultRate: Double = 0.0): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0 && r <= 1 },
+      "rates must be in [0, 1]")
+    require(defaultRate >= 0 && defaultRate <= 1, "defaultRate must be in [0, 1]")
+    val b = hashBucket(col(keyCol), salt)
+    val threshold = rates.foldRight(lit(math.round(defaultRate * 10000).toDouble)) {
+      case ((stratum, r), rest) =>
+        when(col(strataCol) === stratum, lit(math.round(r * 10000).toDouble))
+          .otherwise(rest)
+    }
+    df.filter(b < threshold)
+  }
+
+  /** Temperature-based mixture sampling (the multilingual/source
+    * rebalancing pass of XLM-R-style pipelines): group g keeps rate
+    * (n_min / n_g)^(1-alpha), so the smallest group keeps everything
+    * and larger groups are downsampled toward a flat mixture as
+    * alpha → 0 (alpha = 1 keeps everything). Membership is per-row
+    * deterministic via the same (key, salt) md5 bit contract as
+    * [[assignSplits]].
+    *
+    * Fully distributed: one small per-group count aggregate joined
+    * back by broadcast — no driver collect, group cardinality
+    * unbounded. alpha = 0.5 computes via `sqrt` (correctly rounded
+    * IEEE, so the oracle's replay is bit-identical); other alphas use
+    * `pow` (1-ulp, still deterministic per engine — `floor` to integer
+    * thresholds makes a cross-engine ulp disagreement matter only at
+    * exact-integer boundaries, which only arise at ratio 1 where both
+    * engines are exact). */
+  def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
+      salt: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("grp_n"))
+    val minDf = counts.agg(min(col("grp_n")).as("min_n"))
+    val ratio = col("min_n").cast("double") / col("grp_n").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val thr = counts.crossJoin(broadcast(minDf))
+      .select(col(groupCol), floor(lit(10000.0) * rate).as("keep_thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), salt) < col("keep_thr"))
+      .drop("keep_thr")
+  }
 }

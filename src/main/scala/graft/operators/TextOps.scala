@@ -191,6 +191,106 @@ object TextOps {
           .as("top_gram_frac"))
   }
 
+  /** PII patterns shared by [[piiProfile]] and its oracle: restricted
+    * to the Java-regex ∩ RE2 subset (no backreferences, no lookaround)
+    * so DuckDB replays them byte-identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2} \\d{3}-\\d{4}"
+
+  /** PII detection + redaction per document — the scrub pass a training
+    * corpus runs before anything else sees the text: count emails, IPv4
+    * addresses and phone numbers, and emit the text with each match
+    * replaced by a type tag. Row-local (map-only at any corpus size);
+    * counts and the redaction chain use only codegen'd regexp built-ins.
+    * Redaction order is fixed (email → ip → phone) so overlapping
+    * matches resolve deterministically. */
+  def piiProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** CCNet-style unigram language-model quality score: the corpus's own
+    * unigram distribution scores every document by mean negative token
+    * log-probability (higher = more surprising/noisier — the cheap
+    * perplexity stand-in that fronts model-based filtering when no
+    * external LM is loaded). Two shuffles at any corpus size: one
+    * groupBy to build the vocabulary counts, one token→count join +
+    * per-doc aggregate; the corpus total rides along as a broadcast
+    * single-row aggregate, never a driver collect. Tokenless documents
+    * score 0 with n_tokens 0 (left join keeps them). */
+  def lmQualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextExprs.tokens(col(textCol), lower = true)).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t"))
+    val scored = toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-avg(log(col("c").cast(DoubleType) / col("t").cast(DoubleType))))
+          .as("s"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("s"), lit(0.0)), 4).as("lm_score"))
+  }
+
+  /** BM25 keyword retrieval over the corpus for a literal query-term
+    * set — the curation/search primitive (k1 = 1.2, b = 0.75, the
+    * Robertson/Sparck-Jones idf with the +1 floor so idf never goes
+    * negative). The exploded-token stream is filtered to the query
+    * terms BEFORE any shuffle, so the heavy aggregations run over
+    * |matching postings|, not the corpus; N and avgdl are exact-integer
+    * aggregates (long sum / count — no order-dependent double sum)
+    * broadcast alongside. Ranking uses the 6-decimal-rounded score
+    * (ties → doc id) so rank agrees across engines regardless of
+    * sub-ulp float differences. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextExprs.tokens(col(textCol), lower = true)).as("tok"))
+    val docLen = df.select(col(idCol).as("doc_id"),
+      size(TextExprs.tokens(col(textCol), lower = true)).cast("long").as("dl"))
+    val corpus = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = log((col("n_docs").cast(DoubleType) - col("dfc") + 0.5) /
+      (col("dfc").cast(DoubleType) + 0.5) + 1.0)
+    // association mirrors the oracle SQL exactly: (b * dl) / avgdl, then
+    // (1 - b) + that, then k1 * (...) — double rounding is per-op, so the
+    // op tree must match for bit-equal replays
+    val w = idf * (col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+      (col("tf").cast(DoubleType) +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / avgdl))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc_id")).agg(sum(w).as("s"))
+    import org.apache.spark.sql.expressions.Window
+    // top-k FIRST (TakeOrderedAndProject: per-partition heaps, no global
+    // sort) so the rank-assigning window runs over ≤ k rows, not every
+    // matching document
+    scored.orderBy(round(col("s"), 6).desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(round(col("s"), 6).desc, col("doc_id"))))
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        round(col("s"), 4).as("bm25"))
+  }
+
   /** Standard per-document profile used by the gate queries. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -304,18 +304,116 @@ object QueriesData {
         .select(col("media_id"), col("frame_idx"), hex(col("frame_payload")).as("frame_hex"))
         .orderBy(col("media_id"), col("frame_idx"))
     },
+
+    // ---- deterministic stratified sampling: per-language keep rates
+    // decided row-locally by the md5 bit contract; the gate returns the
+    // surviving rows themselves so per-row membership (not just counts)
+    // is hash-matched against the oracle's replay.
+    "q_stratified_sample" -> { (s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.load(s, dir, "documents"), "lang", "doc_id", "strat-v1",
+        Seq("en" -> 0.25, "zh" -> 0.6, "de" -> 1.0), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- PII scrub pass: counts + redaction over documents seeded
+    // with deterministic synthetic PII (the corpus has none); the
+    // oracle rebuilds the identical seeded text and replays the same
+    // RE2-safe regexes, so counts AND the redacted bytes (via md5)
+    // are bit-matched.
+    "q_pii_profile" -> { (s, dir) =>
+      val seeded = Tables.load(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 200, lit(".17")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call +1 555-0147")).otherwise(lit("")))
+        .as("text"))
+      TextOps.piiProfile(seeded, "text", "doc_id")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- temperature mixture sampling: per-language keep rate
+    // (n_min/n_lang)^0.5 (alpha = 0.5 → sqrt, correctly-rounded IEEE on
+    // both engines), membership by the md5 bit contract; rows compared,
+    // not counts
+    "q_temperature_mix" -> { (s, dir) =>
+      graft.operators.Sampling.temperatureSample(
+        Tables.load(s, dir, "documents"), "lang", "doc_id", "temp-v1", alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- unigram LM quality score: the corpus's own unigram
+    // distribution scores every doc by mean negative token logprob
+    "q_lm_quality" -> { (s, dir) =>
+      TextOps.lmQualityScore(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- BM25 keyword retrieval: top-25 docs for a 3-term query,
+    // ranked on the 6-decimal-rounded score (ties → doc id)
+    "q_bm25_topk" -> { (s, dir) =>
+      TextOps.bm25TopK(Tables.load(s, dir, "documents"), "text", "doc_id",
+        queryTerms = Seq("spark", "window", "join"), k = 25)
+        .orderBy(col("rk"))
+    },
+
+    // ---- streaming exact-dedup: running (keeper, n_copies) state per
+    // content digest over a multi-file document drop (2 files per
+    // micro-batch, so state is genuinely maintained ACROSS batches);
+    // the staged drop re-ingests every doc_id % 10 == 0 doc under a
+    // shifted id, and the batch oracle over the same union must match
+    // exactly — the min-keeper contract is micro-batch-split-invariant.
+    "q_stream_dedup" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val staged = stageDocsOnce(s, dir)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val agg = graft.streaming.EventStreams.streamingDocDedup(stream, "text", "doc_id")
+      val qn = "stream_dedup_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, agg, qn)
+      q.stop()
+      s.table(qn).orderBy(col("digest"))
+    },
   )
 
   /** events staged as a streaming-source directory ONCE per sf dir and
     * process (VERDICT r3 Wrong #4: re-staging every invocation made the
     * gate measure the harness); the Spark _SUCCESS marker gates reuse */
-  private def stageEventsOnce(s: SparkSession, dir: String): String = {
+  private def stageEventsOnce(s: SparkSession, dir: String): String =
+    stageTableOnce(s, dir, "events", repartition = None)
+
+  /** documents restaged as a multi-file drop so the file-source stream
+    * actually runs several micro-batches (maxFilesPerTrigger splits on
+    * file boundaries); every doc_id % 10 == 0 doc re-enters under a
+    * shifted id so the streaming dedup's copy-count/keeper contract is
+    * actually exercised (the synthetic corpus has no exact dupes). */
+  private def stageDocsOnce(s: SparkSession, dir: String): String =
+    stageTableOnce(s, dir, "documents", repartition = Some(8),
+      variant = "dup10", transform = d => d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)))
+
+  private def stageTableOnce(s: SparkSession, dir: String, table: String,
+      repartition: Option[Int], variant: String = "",
+      transform: DataFrame => DataFrame = identity): String = {
     // key = path + source mtime/size: regenerated source data restages,
     // and two sf dirs can't collide on a 32-bit path hash alone
-    val src = new java.io.File(dir, "events.parquet")
+    val src = new java.io.File(dir, s"$table.parquet")
     val key = java.lang.Long.toHexString(
       java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+        .digest(s"$dir:$table:$variant:${src.lastModified}:${src.length}".getBytes("UTF-8"))
         .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL)))
     val staged = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-stream-stage-$key")
@@ -325,7 +423,9 @@ object QueriesData {
       // check-then-write or observe a half-written directory
       val tmp = new java.io.File(staged.getParentFile,
         s"${staged.getName}.tmp-${java.lang.ProcessHandle.current().pid()}")
-      Tables.load(s, dir, "events").write.mode("overwrite").parquet(tmp.toString)
+      val base = transform(Tables.load(s, dir, table))
+      repartition.fold(base)(base.repartition(_))
+        .write.mode("overwrite").parquet(tmp.toString)
       try {
         java.nio.file.Files.move(tmp.toPath, staged.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -769,5 +869,97 @@ object QueriesData {
         SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
         FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
         ORDER BY ev.event_id""",
+    // per-stratum keep thresholds over the same low-48-bit bucket as
+    // q_hash_split; rows themselves are compared, not counts
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || 'strat-v1')
+                  % 281474976710656) % 10000
+           < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 6000
+                       WHEN 'de' THEN 10000 ELSE 1000 END
+         ORDER BY doc_id""",
+    // identical seeded text + the same RE2-subset regexes (no
+    // lookaround/backrefs) replayed with DuckDB's global regexp_replace
+    "q_pii_profile" ->
+      raw"""WITH seeded AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0
+                 THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0
+                 THEN ' from 10.0.' || (doc_id % 200) || '.17' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-0147' ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+          CAST(len(regexp_extract_all(text, '\+\d{1,2} \d{3}-\d{4}')) AS INT) AS n_phones,
+          md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\+\d{1,2} \d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+        FROM seeded ORDER BY doc_id""",
+    // per-group sqrt keep rates over exact long counts; same low-48-bit
+    // bucket contract
+    "q_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         r AS (SELECT lang,
+                 floor(10000.0 * sqrt((SELECT min(c) FROM n) / CAST(c AS DOUBLE))) AS thr
+               FROM n)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE (md5_number_lower(CAST(d.doc_id AS VARCHAR) || 'temp-v1')
+                  % 281474976710656) % 10000 < thr
+         ORDER BY d.doc_id""",
+    // corpus unigram logprobs replayed: same tokenization as tokCte's
+    // lowered tokens; round(,4) absorbs summation-order float noise
+    "q_lm_quality" ->
+      raw"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT sum(c) AS t FROM cnt),
+        scored AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 -avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))) AS s
+          FROM toks JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+               round(coalesce(s.s, 0.0), 4) AS lm_score
+        FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id""",
+    // BM25 (k1=1.2, b=0.75, +1-floored idf) over the same lowered
+    // tokens; N/avgdl from exact long aggregates; rank on round(s,6)
+    "q_bm25_topk" ->
+      raw"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+          FROM documents),
+        dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        corpus AS (SELECT count(*) AS n_docs, sum(coalesce(dl, 0)) AS sum_dl
+                   FROM documents d LEFT JOIN dlen USING (doc_id)),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+               WHERE tok IN ('spark', 'window', 'join') GROUP BY 1, 2),
+        dfq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY 1),
+        scored AS (
+          SELECT doc_id, sum(
+            ln((CAST(n_docs AS DOUBLE) - dfc + 0.5) / (CAST(dfc AS DOUBLE) + 0.5) + 1.0)
+            * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+                0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+          FROM tf JOIN dfq USING (tok) JOIN dlen USING (doc_id) CROSS JOIN corpus
+          GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rk, s
+          FROM scored)
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, round(s, 4) AS bm25
+        FROM ranked WHERE rk <= 25 ORDER BY rk""",
+    // the staged streaming drop = documents plus every doc_id % 10 == 0
+    // doc re-ingested under a shifted id; batch replay of the same union
+    "q_stream_dedup" ->
+      """WITH ingest AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT md5(text) AS digest, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+         FROM ingest GROUP BY 1 ORDER BY digest""",
   )
 }

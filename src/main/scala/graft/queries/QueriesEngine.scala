@@ -144,6 +144,41 @@ object QueriesEngine {
         FROM extg_li WHERE $where ORDER BY l_orderkey, l_linenumber""")
     },
 
+    // ---- RBAC end-to-end: users/roles/grants, then a join run
+    // through sqlAs — the authorized path must return exactly what the
+    // oracle computes over the same parquet (authorization mustn't
+    // perturb results). Default-deny and the r7 alias-spoof bypass are
+    // asserted inside the gate (a regression makes the gate error).
+    "q_rbac_read" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-rbacgate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE rbac_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      eng.sql(s"CREATE EXTERNAL TABLE rbac_customer STORED AS parquet LOCATION '$dir/customer.parquet'")
+      eng.sql(s"CREATE EXTERNAL TABLE rbac_lineitem STORED AS parquet LOCATION '$dir/lineitem.parquet'")
+      eng.sql("CREATE USER analyst WITH PASSWORD 'pw'")
+      eng.sql("CREATE ROLE order_readers")
+      eng.sql("GRANT SELECT ON TABLE rbac_orders TO ROLE order_readers")
+      eng.sql("GRANT SELECT ON TABLE rbac_customer TO ROLE order_readers")
+      eng.sql("GRANT ROLE order_readers TO USER analyst")
+      val analyst = eng.catalog.auth.identityOf("analyst")
+      val denied =
+        try { eng.sqlAs(analyst, "SELECT count(*) FROM rbac_lineitem").collect(); false }
+        catch { case _: Exception => true }
+      require(denied, "default-deny must reject the ungranted scan")
+      val spoofed =
+        try {
+          eng.sqlAs(analyst,
+            "SELECT count(*) FROM rbac_lineitem AS rbac_orders").collect(); false
+        } catch { case _: Exception => true }
+      require(spoofed, "an alias equal to a granted table must not bypass authz")
+      eng.sqlAs(analyst, """SELECT o_orderstatus, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+        FROM rbac_orders JOIN rbac_customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderstatus""").orderBy(col("o_orderstatus"))
+    },
+
     // ---- LIST DATASETS end-to-end: four single-file formats written
     // by our own writers into one directory, classified by marker/
     // extension/magic; the oracle pins the classification table.
@@ -530,6 +565,11 @@ object QueriesEngine {
          WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 50
            AND l_linestatus IN ('F', 'O')
          ORDER BY l_orderkey, l_linenumber""",
+    "q_rbac_read" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_dsl_named_table" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
          WHERE n_regionkey <= 2 ORDER BY n_name""",

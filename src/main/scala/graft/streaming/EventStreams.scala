@@ -58,6 +58,22 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming exact-dedup of a continuous document ingest: running
+    * (keeper, copy-count) state per content digest, maintained
+    * incrementally across micro-batches — the streaming half of
+    * [[graft.operators.Dedup]]'s exact dedup, same canonical-keeper
+    * contract (min id). Unlike `dropDuplicates` (whose surviving row
+    * depends on arrival order) the min-aggregation is deterministic
+    * under any micro-batch split, so the result is oracle-replayable.
+    * State is one small row per DISTINCT digest (16-byte key + two
+    * counters) — the same footprint the batch dedup's shuffle carries,
+    * held in the state store instead. */
+  def streamingDocDedup(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("digest"))
+      .agg(min(col(idCol)).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Sliding-window event rate. */
   def slidingRate(events: DataFrame, window: String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =

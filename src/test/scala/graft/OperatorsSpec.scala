@@ -431,6 +431,104 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: per-stratum rates, default rate, deterministic") {
+    import spark.implicits._
+    val df = spark.range(0, 9000).toDF("id")
+      .withColumn("grp",
+        when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val s1 = Sampling.stratifiedSample(df, "grp", "id", "s1",
+      Seq("a" -> 0.5, "b" -> 0.1))
+    val counts = s1.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 1500) < 150, s"a ≈ 50% of 3000, got ${counts.get("a")}")
+    assert(math.abs(counts("b") - 300) < 120, s"b ≈ 10% of 3000, got ${counts.get("b")}")
+    assert(!counts.contains("c"), "defaultRate 0 drops unlisted strata")
+    // defaultRate keeps unlisted strata at their own rate
+    val s2 = Sampling.stratifiedSample(df, "grp", "id", "s1",
+      Seq("a" -> 0.5), defaultRate = 1.0)
+    val c2 = s2.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2("b") == 3000 && c2("c") == 3000, "defaultRate 1.0 keeps everything unlisted")
+    // pure function of (key, salt): identical on re-run
+    val s1b = Sampling.stratifiedSample(df, "grp", "id", "s1",
+      Seq("a" -> 0.5, "b" -> 0.1))
+    assert(s1.except(s1b).count() == 0 && s1b.except(s1).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, "grp", "id", "s1", Seq("a" -> 1.5))
+    }
+  }
+
+  test("temperature sampling: smallest group keeps all, larger downsample by sqrt") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, if (i < 3200) "big" else "small"))
+      .toDF("id", "g")
+    val out = Sampling.temperatureSample(df, "g", "id", "t1", alpha = 0.5)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") == 800, "smallest group keeps 100%")
+    // big keeps ~sqrt(800/3200) = 50% of 3200
+    assert(math.abs(counts("big") - 1600) < 160, s"big ≈ 1600, got ${counts("big")}")
+    // pure function of (key, salt): identical on re-run
+    val out2 = Sampling.temperatureSample(df, "g", "id", "t1", alpha = 0.5)
+    assert(out.except(out2).count() == 0 && out2.except(out).count() == 0)
+    // alpha = 1 keeps the natural mixture
+    assert(Sampling.temperatureSample(df, "g", "id", "t1", alpha = 1.0).count() == 4000)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "g", "id", "t1", alpha = 0.0)
+    }
+  }
+
+  test("unigram LM quality: rare tokens score higher, tokenless docs score 0") {
+    import spark.implicits._
+    val df = Seq((1L, "common common common common"), (2L, "common rare"), (3L, ""))
+      .toDF("doc_id", "text")
+    // corpus counts: common = 5, rare = 1, total = 6
+    val out = TextOps.lmQualityScore(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4 && out(1).getLong(1) == 2 && out(2).getLong(1) == 0)
+    val s1 = out(0).getDouble(2)
+    val s2 = out(1).getDouble(2)
+    assert(math.abs(s1 - 0.1823) < 1e-9, s"-ln(5/6) rounds to 0.1823, got $s1")
+    assert(math.abs(s2 - 0.987) < 1e-9, s"-(ln(5/6)+ln(1/6))/2 rounds to 0.987, got $s2")
+    assert(s2 > s1, "the doc containing the rare token is more surprising")
+    assert(out(2).getDouble(2) == 0.0)
+  }
+
+  test("bm25: only matching docs rank, multi-term doc first, scores descend") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple banana banana"),
+      (2L, "banana banana banana"),
+      (3L, "apple cherry"),
+      (4L, "durian durian")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(df, "text", "doc_id", Seq("apple", "banana"), k = 3)
+      .collect()
+    assert(out.length == 3, "doc without query terms never appears")
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val byRank = out.sortBy(_.getLong(1))
+    val scores = byRank.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted.reverse), "rank order = score order")
+    assert(byRank.head.getLong(0) == 1L, "the doc holding BOTH terms ranks first")
+  }
+
+  test("pii profile: counts and ordered redaction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith@corp.example.org now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +1 555-0147 re 172.16.3.9 or a@b.io"),
+      (4L, "clean text, no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiProfile(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 0 && out(0).getInt(3) == 0)
+    assert(out(0).getString(4) == "mail <EMAIL> now")
+    assert(out(1).getInt(2) == 2)
+    assert(out(1).getString(4) == "host <IP> and <IP> up")
+    assert(out(2).getInt(1) == 1 && out(2).getInt(2) == 1 && out(2).getInt(3) == 1)
+    assert(out(2).getString(4) == "call <PHONE> re <IP> or <EMAIL>")
+    assert(out(3).getInt(1) == 0 && out(3).getInt(2) == 0 && out(3).getInt(3) == 0)
+    assert(out(3).getString(4) == "clean text, no identifiers at all")
+  }
+
   test("deterministic shuffle and sequence packing") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -92,6 +92,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming doc dedup maintains keeper/copy-count state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-docdedup-stream").toString
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    // several files + maxFilesPerTrigger=1 → the copies of "alpha" can
+    // arrive in different micro-batches; state must carry across them
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = EventStreams.streamingDocDedup(stream, "text", "doc_id")
+    val q = EventStreams.runToMemory(spark, agg, "docdedup_out")
+    try {
+      val got = spark.table("docdedup_out")
+        .select("digest", "keeper_doc_id", "n_copies").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = docs.groupBy(md5($"text".cast("binary")).as("digest"))
+        .agg(min($"doc_id").as("k"), count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"streamed state != batch replay: $got vs $want")
+      assert(got.exists(_._3 == 2L), "a duplicated text counts both copies")
+    } finally q.stop()
+  }
+
   test("gap sessionization: a later-batch event past the gap closes the session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
