@@ -263,6 +263,18 @@ object TextExprs {
     false
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer): combining
+    * sequences compose to their canonical precomposed form (e +
+    * U+0301 → é), the canonical first step of a corpus scrub. Fast
+    * path: `Normalizer.isNormalized` is a cheap scan and almost all
+    * real text is already NFC, so the common case allocates nothing. */
+  def nfcKernel(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   // -------------------------------------------------------- expressions
 
   case class Tokens(child: Expression, lower: Boolean) extends UnaryExpression {
@@ -338,6 +350,16 @@ object TextExprs {
       copy(left = l, right = r)
   }
 
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc_normalize"
+    override def nullSafeEval(a: Any): Any = nfcKernel(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.nfcKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class SimHashMd5(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash_md5"
@@ -365,4 +387,7 @@ object TextExprs {
 
   def simhash_md5(tokens: Column): Column =
     ColumnBridge.column(SimHashMd5(ColumnBridge.expression(tokens)))
+
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

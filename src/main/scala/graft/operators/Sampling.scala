@@ -103,6 +103,54 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Deterministic per-group cap — the per-domain cap of crawl
+    * curation: at most `n` rows survive per group, selected by the
+    * (key, salt) hash order (ties → key), so the SAME rows survive on
+    * every run regardless of cluster size or layout. One shuffle on
+    * the group key; the per-group sort is bounded by group size, and a
+    * pathological mega-group is exactly the case the cap exists for —
+    * its output is still ≤ n. (At extreme skew a two-phase variant —
+    * per-partition pre-cap to n before the shuffle — composes for
+    * free: capPerGroup is idempotent and the pre-cap only discards
+    * rows the global pass would discard anyway when partitions are
+    * hash-disjoint on key.) */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      salt: String, n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol), salt, 1 << 30), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Mixture materialization — replicate each source to its target
+    * epoch count (the "wiki ×3.3, web ×1.0" step that turns mixture
+    * WEIGHTS into an actual training stream): a row with weight w
+    * appears floor(w) times plus one more iff its (key, salt) bucket
+    * falls under frac(w), so the group's expected multiplicity is
+    * exactly w and every copy is re-derivable per row. Emits an
+    * `epoch` column (0 .. copies-1); weight 0 drops the group.
+    * Map-only: a codegen'd CASE + sequence/explode, no shuffle. */
+  def materializeMixture(df: DataFrame, groupCol: String, keyCol: String,
+      salt: String, weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.forall(_._2 >= 0) && defaultWeight >= 0,
+      "weights must be non-negative")
+    def cases(f: Double => Long): Column =
+      weights.foldRight(lit(f(defaultWeight))) { case ((g, wt), rest) =>
+        when(col(groupCol) === g, lit(f(wt))).otherwise(rest)
+      }
+    val whole = cases(w => math.floor(w).toLong)
+    val fracThr = cases(w => math.round((w - math.floor(w)) * 10000))
+    val copies = whole +
+      when(hashBucket(col(keyCol), salt) < fracThr, 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Temperature-based mixture sampling (the multilingual/source
     * rebalancing pass of XLM-R-style pipelines): group g keeps rate
     * (n_min / n_g)^(1-alpha), so the smallest group keeps everything

@@ -291,6 +291,62 @@ object TextOps {
         round(col("s"), 4).as("bm25"))
   }
 
+  /** Canonical text normalization — the first pass of a corpus scrub:
+    * Unicode NFC (codegen kernel, [[TextExprs.nfc_normalize]]), then
+    * whitespace runs collapse to one space, then the remaining C0/DEL
+    * control characters are stripped, then edge spaces trim. Row-local
+    * and fully codegen'd (a 100 TB corpus is a map-only pass).
+    *
+    * The character classes are written out explicitly (no `\s`) because
+    * Java regex and RE2 disagree on `\s` (`\x0B`): with literal classes
+    * the DuckDB oracle replays the identical bytes. */
+  def normalizeText(text: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    val ctl = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+    trim(regexp_replace(
+      regexp_replace(TextExprs.nfc_normalize(text), ws, " "), ctl, ""))
+  }
+
+  /** Global paragraph-level deduplication (the MassiveText/Gopher
+    * scrub shape): every document is split into paragraphs, each
+    * DISTINCT paragraph keeps exactly its first occurrence in corpus
+    * order — lexicographic min (doc, position) — and documents are
+    * reassembled from their surviving paragraphs in original order.
+    * This is what removes boilerplate ("subscribe to our newsletter",
+    * cookie banners) that exact whole-doc dedup can never touch.
+    *
+    * Scale shape: paragraphs shuffle once by content digest for the
+    * keeper aggregate (map-side partial min shrinks heavy boilerplate
+    * before the wire), the digest join back is AQE-skew-splittable,
+    * and reassembly is one groupBy(doc) whose state is bounded by
+    * document size. Nothing touches the driver.
+    *
+    * Output: (doc_id, text, n_kept, n_dropped) — one row per input
+    * document; a document losing every paragraph yields empty text. */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), sepRe, -1)).as(Seq("pos", "para")))
+    val occ = paras
+      .withColumn("pdig", md5(col("para").cast("binary")))
+      .withColumn("occ", struct(col("doc_id"), col("pos")))
+    val keepers = occ.groupBy(col("pdig")).agg(min(col("occ")).as("keeper"))
+    val kept = occ.join(keepers, "pdig").filter(col("occ") === col("keeper"))
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("para")))),
+        e => e.getField("para")), sep).as("text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), sepRe, -1)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Standard per-document profile used by the gate queries. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -386,6 +386,66 @@ object QueriesData {
       q.stop()
       s.table(qn).orderBy(col("digest"))
     },
+
+    // ---- paragraph-level dedup: boilerplate paragraphs are seeded
+    // deterministically (the corpus is single-paragraph), each distinct
+    // paragraph keeps its first (doc, pos) occurrence corpus-wide, docs
+    // reassemble in order; text compared via md5 plus kept/dropped tallies
+    "q_paragraph_dedup" -> { (s, dir) =>
+      val boiler = array(
+        lit("Subscribe to our newsletter for updates."),
+        lit("All rights reserved."),
+        lit("Click here to read more."),
+        lit("Share this article on social media."))
+      val seeded = Tables.load(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"), lit("\n\n"),
+        element_at(boiler, (col("doc_id") % 4 + 1).cast("int")),
+        when(col("doc_id") % 6 === 0,
+          lit("\n\nCookie policy: this site uses cookies.")).otherwise(lit("")))
+        .as("text"))
+      TextOps.dedupParagraphs(seeded, "text", "doc_id")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic per-domain cap: at most 7 docs survive per
+    // source, chosen by the md5 bit contract's hash order; surviving
+    // rows themselves are compared (membership, not counts)
+    "q_domain_cap" -> { (s, dir) =>
+      graft.operators.Sampling.capPerGroup(
+        Tables.load(s, dir, "documents"), "source", "doc_id", "cap-v1", 7)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- mixture materialization: per-source epoch replication
+    // (src0 ×2.5, src1 ×0.25, src2 ×0, rest ×1); every copy's epoch id
+    // replayed row-for-row by the oracle's range() expansion
+    "q_mixture_epochs" -> { (s, dir) =>
+      graft.operators.Sampling.materializeMixture(
+        Tables.load(s, dir, "documents"), "source", "doc_id", "mix-v1",
+        Seq("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0), defaultWeight = 1.0)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
+    // ---- canonical text normalization: NFC (codegen kernel) +
+    // whitespace collapse + control strip + trim over text seeded with
+    // combining sequences, tabs, VT and BEL; the oracle replays
+    // nfc_normalize + the same explicit-class regexes → md5-compared
+    "q_text_normalize" -> { (s, dir) =>
+      val seeded = Tables.load(s, dir, "documents").select(col("doc_id"), concat(
+        lit("  \tcafé "), col("text"),
+        when(col("doc_id") % 2 === 0, lit("\n\nÅ end\u0007"))
+          .otherwise(lit(" plain\u000B.")))
+        .as("text"))
+      val norm = TextOps.normalizeText(col("text"))
+      seeded.select(col("doc_id"),
+          md5(norm.cast("binary")).as("norm_md5"),
+          length(norm).cast("long").as("norm_chars"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** events staged as a streaming-source directory ONCE per sf dir and
@@ -961,5 +1021,73 @@ object QueriesData {
          SELECT md5(text) AS digest, min(doc_id) AS keeper_doc_id,
            count(*) AS n_copies
          FROM ingest GROUP BY 1 ORDER BY digest""",
+    // same seeded boilerplate; keeper = min (doc, pos) per distinct
+    // paragraph (encoded as doc*1e6+pos — gate docs have ≤ 3 paragraphs);
+    // docs reassemble via ordered string_agg
+    "q_paragraph_dedup" ->
+      """WITH seeded AS (
+           SELECT doc_id, text || chr(10) || chr(10) ||
+             CASE doc_id % 4 WHEN 0 THEN 'Subscribe to our newsletter for updates.'
+                             WHEN 1 THEN 'All rights reserved.'
+                             WHEN 2 THEN 'Click here to read more.'
+                             ELSE 'Share this article on social media.' END ||
+             CASE WHEN doc_id % 6 = 0
+                  THEN chr(10) || chr(10) || 'Cookie policy: this site uses cookies.'
+                  ELSE '' END AS text
+           FROM documents),
+         p AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras FROM seeded),
+         e AS (SELECT doc_id, unnest(list_zip(paras, range(1, len(paras) + 1))) AS z FROM p),
+         q AS (SELECT doc_id, z[1] AS para, CAST(z[2] AS BIGINT) - 1 AS pos FROM e),
+         k AS (SELECT para, min(doc_id * 1000000 + pos) AS keeper FROM q GROUP BY 1),
+         kept AS (SELECT q.doc_id, q.pos, q.para FROM q JOIN k USING (para)
+                  WHERE q.doc_id * 1000000 + q.pos = k.keeper),
+         reb AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+                        count(*) AS n_kept
+                 FROM kept GROUP BY doc_id),
+         base AS (SELECT doc_id, CAST(len(string_split(text, chr(10) || chr(10))) AS BIGINT) AS n_paras
+                  FROM seeded)
+         SELECT b.doc_id, md5(coalesce(r.text, '')) AS text_md5,
+                coalesce(r.n_kept, 0) AS n_kept,
+                b.n_paras - coalesce(r.n_kept, 0) AS n_dropped
+         FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id""",
+    // at most 7 per source by the md5 bit contract's order (low 48 bits
+    // % 2^30, ties → doc_id); membership compared row-for-row
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             ORDER BY (md5_number_lower(CAST(doc_id AS VARCHAR) || 'cap-v1')
+                         % 281474976710656) % 1073741824, doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 7 ORDER BY doc_id""",
+    // copies = floor(w) + (bucket < frac(w)*10000); epochs expand via
+    // the scalar range() list — row-for-row replay of every copy
+    "q_mixture_epochs" ->
+      """WITH c AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0 ELSE 1 END
+             + CASE WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || 'mix-v1')
+                            % 281474976710656) % 10000
+                      < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500 ELSE 0 END
+                    THEN 1 ELSE 0 END AS copies
+           FROM documents)
+         SELECT * FROM (
+           SELECT doc_id, source, unnest(range(0, copies)) AS epoch
+           FROM c WHERE copies > 0) x
+         ORDER BY doc_id, epoch""",
+    // same decomposed seeds; nfc_normalize + the identical explicit
+    // character classes (no \s — Java and RE2 disagree on \x0B)
+    "q_text_normalize" ->
+      raw"""WITH seeded AS (
+           SELECT doc_id, '  ' || chr(9) || 'cafe' || chr(769) || ' ' || text ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN chr(10) || chr(10) || 'A' || chr(778) || ' end' || chr(7)
+                  ELSE ' plain' || chr(11) || '.' END AS text
+           FROM documents),
+         norm AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             '[ \t\n\x0B\f\r]+', ' ', 'g'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS n
+           FROM seeded)
+         SELECT doc_id, md5(n) AS norm_md5, CAST(length(n) AS BIGINT) AS norm_chars
+         FROM norm ORDER BY doc_id""",
   )
 }

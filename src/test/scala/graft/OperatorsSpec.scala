@@ -529,6 +529,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3).getString(4) == "clean text, no identifiers at all")
   }
 
+  test("paragraph dedup: first occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\n\nshared boiler\n\nunique two"),
+      (2L, "shared boiler\n\nonly mine"),
+      (3L, "shared boiler"),
+      (4L, "only mine\n\nfresh tail")).toDF("doc_id", "text")
+    val out = TextOps.dedupParagraphs(df, "text", "doc_id").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1 owns the first occurrence of every one of its paragraphs
+    assert(out(0) == ((1L, "unique one\n\nshared boiler\n\nunique two", 3L, 0L)))
+    // doc 2 loses the boiler (doc 1, pos 1 beat it) but keeps "only mine"
+    assert(out(1) == ((2L, "only mine", 1L, 1L)))
+    // doc 3 loses everything → empty text, all paragraphs dropped
+    assert(out(2) == ((3L, "", 0L, 1L)))
+    // doc 4 loses "only mine" to doc 2 (doc 2, pos 1 < doc 4, pos 0)
+    assert(out(3) == ((4L, "fresh tail", 1L, 1L)))
+  }
+
+  test("per-group cap: at most n survive, deterministic membership") {
+    import spark.implicits._
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("grp", concat(lit("d"), col("id") % 7))
+    val capped = Sampling.capPerGroup(df, "grp", "id", "cap-s", 50)
+    val counts = capped.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(counts.length == 7 && counts.forall(_ == 50L))
+    // groups under the cap pass through whole
+    val small = Sampling.capPerGroup(df, "grp", "id", "cap-s", 1000)
+    assert(small.count() == 3000)
+    // survivors are a pure function of (key, salt)
+    val again = Sampling.capPerGroup(df, "grp", "id", "cap-s", 50)
+    assert(capped.except(again).count() == 0 && again.except(capped).count() == 0)
+  }
+
+  test("mixture materialization: epoch counts hit floor/frac split, weight 0 drops") {
+    import spark.implicits._
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("src", when(col("id") < 1000, "a")
+        .when(col("id") < 2000, "b").otherwise("c"))
+    val out = Sampling.materializeMixture(df, "src", "id", "mix-s",
+      Seq("a" -> 2.5, "b" -> 0.0), defaultWeight = 1.0)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("b"), "weight 0 drops the group")
+    assert(counts("c") == 1000, "default weight 1 keeps one copy")
+    assert(math.abs(counts("a") - 2500) < 200, s"a ≈ 2500 copies, got ${counts("a")}")
+    // every row appears with contiguous epochs 0..copies-1
+    val epochs = out.filter($"src" === "a").groupBy("id")
+      .agg(count(lit(1)).as("n"), max($"epoch").as("mx"), min($"epoch").as("mn"))
+    assert(epochs.filter($"mn" =!= 0 || $"mx" =!= $"n" - 1).count() == 0)
+    // copies per row is 2 or 3 for weight 2.5
+    assert(epochs.filter($"n" < 2 || $"n" > 3).count() == 0)
+  }
+
+  test("text normalize: NFC composes, whitespace collapses, controls strip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  cafe" + "\u0301" + "   \t du jour\r\n"), // decomposed e + acute
+      (2L, "A" + "\u030A" + "\u0007" + "ring"),          // decomposed A + ring, BEL
+      (3L, "already clean")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.normalizeText($"text").as("n"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "caf" + "\u00E9" + " du jour", s"got ${out(0)}")
+    assert(out(0).length == 12, "precomposed: one char for the accent")
+    assert(out(1) == "\u00C5" + "ring", s"got ${out(1)}")
+    assert(out(2) == "already clean")
+  }
+
   test("deterministic shuffle and sequence packing") {
     import spark.implicits._
     import graft.operators.Sampling
