@@ -275,6 +275,63 @@ object TextExprs {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** BPE-encode a text: whitespace-tokenize (optionally lowered), space-
+    * join each token's characters, apply the merge table in rank order —
+    * each merge is a LITERAL left-to-right non-overlapping replace of
+    * "l r" with "lr", the same semantics as SQL `replace` so the oracle
+    * replays bytes — and join encoded words with " | " (a separator no
+    * merge pattern can span, so merges never cross word boundaries).
+    * Returns (encoded text, total symbol count). */
+  def bpeEncodeKernel(s: UTF8String, patterns: Array[String],
+      repls: Array[String], lower: Boolean): InternalRow = {
+    val toks = tokensKernel(s, lower)
+    val sb = new java.lang.StringBuilder
+    var nSyms = 0
+    var w = 0
+    val nw = toks.numElements()
+    while (w < nw) {
+      val word = toks.getUTF8String(w).toString
+      val spaced = new java.lang.StringBuilder(word.length * 2)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        if (i > 0) spaced.append(' ')
+        spaced.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      var enc = spaced.toString
+      var m = 0
+      while (m < patterns.length) {
+        enc = enc.replace(patterns(m), repls(m))
+        m += 1
+      }
+      var spaces = 0
+      var j = 0
+      while (j < enc.length) { if (enc.charAt(j) == ' ') spaces += 1; j += 1 }
+      nSyms += spaces + 1
+      if (w > 0) sb.append(" | ")
+      sb.append(enc)
+      w += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), nSyms))
+  }
+
+  /** one BPE merge applied to a symbol array: adjacent (l, r) fuse to
+    * l+r, scanning left to right non-overlapping — the array form of
+    * the string replace [[bpeEncodeKernel]] performs, used by the
+    * trainer between pair-count rounds */
+  def bpeMergeKernel(arr: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i) == l && arr.getUTF8String(i + 1) == r) {
+        out.add(UTF8String.concat(l, r)); i += 2
+      } else { out.add(arr.getUTF8String(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // -------------------------------------------------------- expressions
 
   case class Tokens(child: Expression, lower: Boolean) extends UnaryExpression {
@@ -350,6 +407,50 @@ object TextExprs {
       copy(left = l, right = r)
   }
 
+  object BpeEncode {
+    val schema: StructType = StructType(Seq(
+      StructField("enc", StringType, nullable = false),
+      StructField("n_syms", IntegerType, nullable = false)))
+  }
+
+  /** whole-text BPE encode against a fixed merge table; the table rides
+    * along as codegen reference objects so the pass stays map-only
+    * inside WholeStageCodegen */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+      lower: Boolean) extends UnaryExpression {
+    private val patterns: Array[String] = merges.map { case (l, r) => s"$l $r" }.toArray
+    private val repls: Array[String] = merges.map { case (l, r) => l + r }.toArray
+    override def dataType: DataType = BpeEncode.schema
+    override def prettyName: String = "graft_bpe_encode"
+    override def nullSafeEval(a: Any): Any =
+      bpeEncodeKernel(a.asInstanceOf[UTF8String], patterns, repls, lower)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val p = ctx.addReferenceObj("bpePatterns", patterns, "java.lang.String[]")
+      val r = ctx.addReferenceObj("bpeRepls", repls, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.bpeEncodeKernel($c, $p, $r, $lower);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** one trainer merge round over the symbol-array column */
+  case class BpeMergeApply(child: Expression, left: String, right: String)
+      extends UnaryExpression {
+    private val l = UTF8String.fromString(left)
+    private val r = UTF8String.fromString(right)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_merge"
+    override def nullSafeEval(a: Any): Any =
+      bpeMergeKernel(a.asInstanceOf[ArrayData], l, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("bpeLeft", l, "org.apache.spark.unsafe.types.UTF8String")
+      val rRef = ctx.addReferenceObj("bpeRight", r, "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.bpeMergeKernel($c, $lRef, $rRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class NfcNormalize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_nfc_normalize"
@@ -390,4 +491,11 @@ object TextExprs {
 
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  def bpe_encode(text: Column, merges: Seq[(String, String)],
+      lower: Boolean = true): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges, lower))
+
+  def bpe_merge(syms: Column, left: String, right: String): Column =
+    ColumnBridge.column(BpeMergeApply(ColumnBridge.expression(syms), left, right))
 }

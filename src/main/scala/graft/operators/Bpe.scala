@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextExprs
+
+/** Distributed byte-pair-encoding primitives — the tokenizer-training
+  * half of a training-data pipeline (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units").
+  *
+  * The trainer runs over the DISTINCT-WORD table (word, count), the
+  * classical BPE formulation: at 100 TB of text the distinct-word table
+  * is orders of magnitude smaller than the corpus (≈10⁸ rows at web
+  * scale) and is the only thing the iterative rounds touch — the corpus
+  * itself is read exactly once to build it. Each round is one shuffle
+  * (pair-count aggregate with map-side partial sums) plus a map-only
+  * merge pass; the per-round driver traffic is a single argmax row.
+  * `localCheckpoint` between rounds keeps the plan flat (round r would
+  * otherwise stack r merge projections).
+  *
+  * Encoding against a FIXED merge table ([[encode]]) is the map-only
+  * hot path: one codegen kernel call per row
+  * ([[TextExprs.BpeEncode]]), no shuffle at any corpus size.
+  *
+  * Determinism contract (oracle-replayable): pair ranking is
+  * (count DESC, left ASC, right ASC); a merge is a literal
+  * left-to-right non-overlapping replace, the same semantics as SQL
+  * `replace`, so DuckDB replays encoded bytes exactly.
+  */
+object Bpe {
+
+  /** distinct-word symbol table: (cnt, syms) where syms starts as the
+    * word's characters. The `transform` lambda runs once per DISTINCT
+    * word, not per corpus row. */
+  def wordTable(df: DataFrame, textCol: String, lower: Boolean = true): DataFrame =
+    df.select(explode(TextExprs.tokens(col(textCol), lower)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+
+  /** adjacent-pair statistics over a (cnt, syms) table: one shuffle,
+    * partial aggregation shrinks heavy pairs before the wire */
+  def pairStats(words: DataFrame): DataFrame =
+    words.select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l_sym"), col("p.r").as("r_sym"))
+      .agg(sum(col("cnt")).as("pair_count"))
+
+  /** Learn `nMerges` merges: each round takes the argmax pair
+    * (count DESC, then lexicographic — fully deterministic), fuses it
+    * across the word table with the codegen merge kernel, and
+    * re-counts. Stops early when no pair reaches `minCount`. Returns
+    * the merge table (rank, left, right, pair_count) — the artifact a
+    * tokenizer ships. */
+  def trainMerges(df: DataFrame, textCol: String, nMerges: Int,
+      lower: Boolean = true, minCount: Long = 2L): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = df.sparkSession
+    var words = wordTable(df, textCol, lower).localCheckpoint()
+    val acc = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val top = pairStats(words)
+        .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        acc += ((rank, l, r, c))
+        words = words.withColumn("syms", TextExprs.bpe_merge(col("syms"), l, r))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    acc.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Encode every document against a fixed merge table: map-only, one
+    * codegen kernel call per row. Output: (doc_id, bpe_text — symbols
+    * space-joined, words joined by " | " —, n_bpe_tokens). */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], lower: Boolean = true): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextExprs.bpe_encode(col(textCol), merges, lower).as("e"))
+      .select(col("doc_id"), col("e.enc").as("bpe_text"),
+        col("e.n_syms").cast("long").as("n_bpe_tokens"))
+}

@@ -430,6 +430,28 @@ object QueriesData {
         .orderBy(col("doc_id"), col("epoch"))
     },
 
+    // ---- BPE trainer round-0 statistics: weighted adjacent character
+    // pairs over the distinct-word table, ranked (count desc, pair asc)
+    // — the argmax the first merge fuses, replayed by a substr explode
+    "q_bpe_pairs" -> { (s, dir) =>
+      graft.operators.Bpe.pairStats(
+        graft.operators.Bpe.wordTable(Tables.load(s, dir, "documents"), "text"))
+        .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
+        .limit(20)
+    },
+
+    // ---- BPE encode against a literal merge table: the deterministic
+    // replace-chain contract means DuckDB replays the encoded bytes
+    "q_bpe_encode" -> { (s, dir) =>
+      val merges = Seq("e" -> "r", "t" -> "h", "th" -> "e",
+        "i" -> "n", "a" -> "n", "an" -> "d")
+      graft.operators.Bpe.encode(
+        Tables.load(s, dir, "documents"), "text", "doc_id", merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(col("bpe_text").cast("binary")).as("bpe_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -1074,6 +1096,35 @@ object QueriesData {
            SELECT doc_id, source, unnest(range(0, copies)) AS epoch
            FROM c WHERE copies > 0) x
          ORDER BY doc_id, epoch""",
+    // same lowered tokens → distinct words → weighted substr pairs;
+    // hugeint sum cast back to the engine's long
+    "q_bpe_pairs" ->
+      raw"""WITH toks AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+         pairs AS (SELECT substr(w, i, 1) AS l_sym, substr(w, i + 1, 1) AS r_sym, cnt
+                   FROM words, unnest(range(1, len(w))) t(i)),
+         agg AS (SELECT l_sym, r_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+                 FROM pairs GROUP BY 1, 2)
+         SELECT l_sym, r_sym, pair_count FROM agg
+         ORDER BY pair_count DESC, l_sym, r_sym LIMIT 20""",
+    // the identical rank-ordered replace chain per word ('|' separators
+    // keep merges inside word boundaries), then symbol tally + md5
+    "q_bpe_encode" ->
+      raw"""WITH enc AS (
+           SELECT doc_id, list_transform(
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
+             w -> replace(replace(replace(replace(replace(replace(
+                    trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+                    'e r', 'er'), 't h', 'th'), 'th e', 'the'),
+                    'i n', 'in'), 'a n', 'an'), 'an d', 'and')) AS ws
+           FROM documents)
+         SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(ws, e -> len(string_split(e, ' ')))), 0) AS BIGINT) AS n_bpe_tokens,
+           md5(array_to_string(ws, ' | ')) AS bpe_md5
+         FROM enc ORDER BY doc_id""",
     // same decomposed seeds; nfc_normalize + the identical explicit
     // character classes (no \s — Java and RE2 disagree on \x0B)
     "q_text_normalize" ->

@@ -597,6 +597,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2) == "already clean")
   }
 
+  test("bpe trainer: learns argmax merges with deterministic tiebreak") {
+    import spark.implicits._
+    // distinct words: low×3 lower×2 newest×4 widest×1 (Sennrich's corpus)
+    val df = Seq(
+      "low low low newest newest",
+      "lower lower newest newest widest").toDF("text")
+    val merges = Bpe.trainMerges(df, "text", nMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 0: w-e appears in lower(2) + newest(4) = 6, the max
+    assert(merges(0) == ((0, "w", "e", 6L)), s"got ${merges(0)}")
+    // round 1: l-o (5) ties s-t (5); lexicographic tiebreak → l-o
+    assert(merges(1) == ((1, "l", "o", 5L)), s"got ${merges(1)}")
+    assert(merges(2) == ((2, "s", "t", 5L)), s"got ${merges(2)}")
+    // minCount stops a dry corpus early
+    val few = Bpe.trainMerges(Seq("a b").toDF("text"), "text",
+      nMerges = 5, minCount = 2L)
+    assert(few.count() == 0, "single-occurrence pairs must not merge")
+  }
+
+  test("bpe encode: merge chain, word boundaries, symbol counts") {
+    import spark.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val df = Seq((1L, "the cat"), (2L, "thy theme"), (3L, "")).toDF("doc_id", "text")
+    val out = Bpe.encode(df, "text", "doc_id", merges).orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // "the" fuses fully; "cat" stays chars; '|' keeps words apart
+    assert(out(0) == (("the | c a t", 4L)), s"got ${out(0)}")
+    // "thy" takes only the t-h merge; "theme" fuses "the" then e m e
+    assert(out(1) == (("th y | the m e", 5L)), s"got ${out(1)}")
+    assert(out(2) == (("", 0L)))
+    // trained merges round-trip into the encoder
+    val trained = Bpe.trainMerges(
+      Seq("low low low newest newest", "lower lower newest newest widest").toDF("text"),
+      "text", nMerges = 2).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encode(Seq((1L, "lowest")).toDF("doc_id", "text"),
+      "text", "doc_id", trained).collect()(0).getString(1)
+    // merges (w,e) then (l,o): "lowest" → l o we s t → lo we s t
+    assert(enc == "lo we s t", s"got $enc")
+  }
+
   test("deterministic shuffle and sequence packing") {
     import spark.implicits._
     import graft.operators.Sampling
