@@ -248,16 +248,21 @@ object QueriesCore {
         .orderBy($"day", $"event_type")
     },
 
-    // ---- ns-precision bridge: the RAW parquet ns column (a Long under
-    // nanosAsLong) made usable through the registered SQL surface. The
-    // oracle replays the µs timestamp; the sub-µs remainder is
-    // spec-pinned instead, because DuckDB's parquet scan TRUNCATES ns
-    // to µs and cannot see it — the Long-based read is the
-    // higher-fidelity path (SURVEY §7.3 item 4)
+    // ---- ns-precision bridge: ingest clients hand the engine raw
+    // epoch-ns Longs (the reference's native time unit); the registered
+    // SQL surface turns them back into engine µs timestamps without
+    // precision surprises. The gate derives the ns Longs from the table
+    // (whatever physical flavor the generator wrote — see
+    // [[graft.Tables.normalize]]) so the bridge round-trip is exercised
+    // end-to-end; the sub-µs remainder path (ns_submicros, floor
+    // semantics for pre-epoch instants) is spec-pinned because DuckDB's
+    // parquet scan truncates ns and cannot see it (SURVEY §7.3 item 4)
     "q_ns_timestamps" -> { (s, dir) =>
       graft.GraftSession.configure(s)
-      s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("ns_events")
-      s.sql("""SELECT event_id, ns_to_timestamp(ts) AS ts_us
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("ts_ns"))
+        .createOrReplaceTempView("ns_events")
+      s.sql("""SELECT event_id, ns_to_timestamp(ts_ns) AS ts_us
                FROM ns_events WHERE event_id < 2000""")
         .orderBy(col("event_id"))
     },
