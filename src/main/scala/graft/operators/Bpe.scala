@@ -79,6 +79,37 @@ object Bpe {
     acc.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** The vocabulary artifact a trained tokenizer ships: base symbols
+    * (every distinct character of the corpus's words) followed by the
+    * merge products, with stable ids — characters take 0..C-1 in
+    * lexicographic order, merge `rank` takes C+rank. Output:
+    * (token_id, symbol, kind ∈ {char, merge}).
+    *
+    * The distinct-character set is tiny (≤ alphabet size — thousands
+    * of rows even for CJK corpora) so the ranking window over it is
+    * driver-scale by construction; the corpus pass that feeds it is
+    * the same one-shuffle distinct the word table uses. */
+  def vocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], lower: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val chars = df
+      .select(explode(TextExprs.tokens(col(textCol), lower)).as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("symbol"))
+      .distinct()
+    // bounded set (distinct characters): a global rank here is safe
+    val ranked = chars.withColumn("token_id",
+      (row_number().over(Window.orderBy(col("symbol"))) - 1).cast("long"))
+      .select(col("token_id"), col("symbol"), lit("char").as("kind"))
+    val nChars = chars.count()
+    import spark.implicits._
+    val mergeRows = merges.zipWithIndex
+      .map { case ((l, r), i) => (nChars + i, l + r, "merge") }
+      .toDF("token_id", "symbol", "kind")
+    ranked.unionByName(mergeRows)
+  }
+
   /** Encode every document against a fixed merge table: map-only, one
     * codegen kernel call per row. Output: (doc_id, bpe_text — symbols
     * space-joined, words joined by " | " —, n_bpe_tokens). */

@@ -225,6 +225,51 @@ object Dedup {
           .as("contaminated_frac"))
   }
 
+  /** Span-level benchmark contamination — the exact-substring idea
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better") at shingle granularity: for every (train doc,
+    * benchmark doc) pair sharing shingles, the longest run of
+    * CONSECUTIVE shared shingle positions. A run of r shingles of
+    * width n is r+n−1 tokens of verbatim quotation —
+    * [[decontaminate]]'s set overlap asks "how much is shared", this
+    * asks "how long a quote", which is what benchmark-leak audits
+    * act on.
+    *
+    * Mechanics: positioned shingles join on content; inside a
+    * (train, bench, pt−pb) diagonal a consecutive run has constant
+    * pt − row_number (the islands trick), so one window + two
+    * aggregations find every maximal run. The benchmark side
+    * broadcasts (a held-out split is small by construction); the
+    * shingle equi-join is the only shuffle; windows run over matched
+    * positions only, a vanishing fraction of the corpus.
+    *
+    * Output: (train_id, bench_id, max_run, span_tokens) for pairs
+    * with max_run ≥ minRun. */
+  def contaminationSpans(df: DataFrame, textCol: String, idCol: String,
+      isBenchmark: Column, shingleN: Int = 3, minRun: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).as("__id"), isBenchmark.as("__bench"),
+      posexplode(TextExprs.word_shingles(col(textCol), shingleN)).as(Seq("__p", "__s")))
+    val bench = sh.filter(col("__bench"))
+      .select(col("__id").as("bench_id"), col("__p").as("__pb"), col("__s"))
+    val train = sh.filter(!col("__bench"))
+      .select(col("__id").as("train_id"), col("__p").as("__pt"), col("__s"))
+    val matched = train.join(broadcast(bench), "__s")
+      .select(col("train_id"), col("bench_id"), col("__pt"),
+        (col("__pt") - col("__pb")).as("__diag"))
+    val w = Window.partitionBy(col("train_id"), col("bench_id"), col("__diag"))
+      .orderBy(col("__pt"))
+    matched
+      .withColumn("__isl", col("__pt") - row_number().over(w))
+      .groupBy(col("train_id"), col("bench_id"), col("__diag"), col("__isl"))
+      .agg(count(lit(1)).cast(LongType).as("__run"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(max(col("__run")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+      .select(col("train_id"), col("bench_id"), col("max_run"),
+        (col("max_run") + (shingleN - 1)).as("span_tokens"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

@@ -65,6 +65,45 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication at cluster scale. K-means cells bound the pairwise
+    * work; within each cell a row is DROPPED iff some lower-id row in
+    * the same cell has cosine ≥ `tau` to it — the paper's
+    * non-iterative max-similarity formulation (it thresholds each
+    * item's max similarity against the other items on one side of a
+    * fixed ordering), fully deterministic given the cell assignment.
+    * Returns every input row as (id, cell, is_kept).
+    *
+    * Scale: one map-only assign pass (the centroid matrix rides as a
+    * codegen reference object, [[graft.operators.IvfIndex.assign]]),
+    * then ONE shuffle on the cell key for the self-join; per-cell work
+    * is O(|cell|²) with |cell| ≈ corpus/k — k tunes the quadratic
+    * term, and a skewed cell can additionally be split by re-running
+    * with a larger k. Nothing is globally pairwise and nothing lands
+    * on the driver.
+    *
+    * `roundCos ≥ 0` rounds the similarity BEFORE thresholding so an
+    * independent engine replaying the comparison agrees at the
+    * boundary (the oracle-gate configuration). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      m: IvfIndex.Model, tau: Double, roundCos: Int = -1): DataFrame = {
+    val assigned = IvfIndex.assign(corpus, vecCol, m)
+      .select(col(idCol), col(vecCol), col("__cell"))
+    val a = assigned.toDF("a_id", "a_v", "__cell")
+    val b = assigned.toDF("b_id", "b_v", "__cell")
+    val rawCos = cosine(col("a_v"), col("b_v"))
+    val cosExpr = if (roundCos >= 0) round(rawCos, roundCos) else rawCos
+    val dropped = a.join(b, Seq("__cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosExpr >= tau)
+      .select(col("b_id").as("__drop_id"))
+      .distinct()
+    assigned
+      .join(dropped, assigned(idCol) === dropped("__drop_id"), "left")
+      .select(col(idCol), col("__cell").cast(IntegerType).as("cell"),
+        col("__drop_id").isNull.as("is_kept"))
+  }
+
   // ------------------------------------------------------------- LSH
 
   /** Sign-bit signature of `nPlanes` Rademacher hyperplanes (plane

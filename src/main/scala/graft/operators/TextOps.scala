@@ -347,6 +347,93 @@ object TextOps {
         (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** C4-style line-and-document cleaning (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning…", §2.2 — the public C4 rules).
+    * Line level: keep a line iff it ends in terminal punctuation
+    * (`.`/`!`/`?`/`"`), has ≥ 3 whitespace words, and contains none of
+    * {`javascript` (any case), `lorem ipsum` (any case), `{`}. Document
+    * level: the cleaned document passes iff it retains ≥ 5 sentences
+    * (terminal-punctuation runs as the sentence proxy) and kept any
+    * text at all.
+    *
+    * Row-local, built-ins only, RE2-safe patterns (explicit whitespace
+    * classes, no `\s`) — the DuckDB oracle replays the identical bytes,
+    * and a 100 TB corpus is a map-only pass with no shuffle.
+    *
+    * Output: (doc_id, text · cleaned, n_lines_kept, n_lines_dropped,
+    * doc_pass). */
+  def c4Clean(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val ws = "[ \\t\\x0B\\f\\r]+"
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") &&
+      size(filter(split(l, ws, -1), t => length(t) > 0)) >= 3 &&
+      !lower(l).contains("javascript") &&
+      !lower(l).contains("lorem ipsum") &&
+      !l.contains("{")
+    val kept = filter(lines, keepLine)
+    val cleaned = array_join(kept, "\n")
+    // sentence proxy: runs of terminal punctuation in the KEPT text
+    // (split on the runs; the fragment count minus one counts them)
+    val nSentences = size(split(cleaned, "[.!?]+", -1)) - 1
+    df.select(col(idCol).as("doc_id"),
+        cleaned.as("text"),
+        size(kept).cast(LongType).as("n_lines_kept"),
+        (size(lines) - size(kept)).cast(LongType).as("n_lines_dropped"),
+        (nSentences >= 5 && length(cleaned) > 0).as("doc_pass"))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", Appendix A — the public MassiveText
+    * filter battery). Per document, on whitespace words and `\n` lines:
+    *   - word count in [minWords, maxWords]            (rule_words)
+    *   - mean word length in [3, 10]                   (rule_mean_len)
+    *   - symbol-to-word ratio (`#` or `...`) ≤ 0.1     (rule_symbols)
+    *   - ≤ 90% of lines start with a bullet (`-`/`*`/`•`) (rule_bullets)
+    *   - ≤ 30% of lines end with an ellipsis (`...`/`…`)  (rule_ellipsis)
+    *   - ≥ 80% of words contain a letter               (rule_alpha)
+    *   - ≥ 2 distinct stopwords of a 12-word list      (rule_stopwords)
+    * `pass` is their conjunction. Row-local built-ins only; the same
+    * arithmetic replays in the oracle. Thresholds are the paper's. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    val words = filter(split(col(textCol), ws, -1), t => length(t) > 0)
+    val nWords = size(words)
+    val lines = filter(split(col(textCol), "\n", -1), l => length(l) > 0)
+    val nLines = size(lines)
+    val meanLen = when(nWords === 0, 0.0)
+      .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast(DoubleType) / nWords)
+    val nSymbolWords = size(filter(words,
+      w => w.contains("#") || w.contains("...")))
+    val nBullet = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+    val nEllipsis = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…")))
+    val nAlphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val nStop = size(filter(
+      array(defaultStopwords.map(lit): _*),
+      s => array_contains(transform(words, w => lower(w)), s)))
+    // mean ships UNROUNDED: it is one IEEE division of exact integers,
+    // bit-identical across engines, while round() semantics at exact
+    // halves differ (HALF_UP vs half-away)
+    df.select(col(idCol).as("doc_id"),
+        nWords.cast(LongType).as("n_words"),
+        meanLen.as("mean_word_len"),
+        (nWords >= minWords && nWords <= maxWords).as("rule_words"),
+        (meanLen >= 3.0 && meanLen <= 10.0).as("rule_mean_len"),
+        (nSymbolWords <= nWords * 0.1).as("rule_symbols"),
+        (nLines === 0 || nBullet <= nLines * 0.9).as("rule_bullets"),
+        (nLines === 0 || nEllipsis <= nLines * 0.3).as("rule_ellipsis"),
+        (nWords === 0 || nAlphaWords >= nWords * 0.8).as("rule_alpha"),
+        (nStop >= 2).as("rule_stopwords"))
+      .withColumn("pass",
+        col("rule_words") && col("rule_mean_len") && col("rule_symbols") &&
+        col("rule_bullets") && col("rule_ellipsis") && col("rule_alpha") &&
+        col("rule_stopwords"))
+  }
+
   /** Standard per-document profile used by the gate queries. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

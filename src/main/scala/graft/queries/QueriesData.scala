@@ -140,6 +140,16 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- span-level contamination: longest consecutive shared-shingle
+    // run per (train, benchmark) pair — diagonal islands over the
+    // positioned-shingle join; a run of r 3-shingles = r+2 verbatim
+    // tokens
+    "q_contamination_spans" -> { (s, dir) =>
+      Dedup.contaminationSpans(Tables.load(s, dir, "documents"), "text", "doc_id",
+        isBenchmark = col("doc_id") % 97 === 0, minRun = 2)
+        .orderBy(col("train_id"), col("bench_id"))
+    },
+
     // ---- capped variant: shingles in more than maxDocFreq docs leave
     // the join (a shingle in f docs contributes f² pairs); sizes are
     // computed on the same filtered relation so the Jaccard denominator
@@ -250,6 +260,18 @@ object QueriesData {
         .select(col("query_id"), col("rk").cast(LongType).as("rk"),
           col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rk"))
+    },
+    // ---- SemDeDup (Abbas et al. 2023): k-means cells bound the
+    // pairwise work; within a cell a row is dropped iff a lower-id row
+    // sits at cosine ≥ τ. Bounded slice: at scale k grows with n (cells
+    // stay ~constant-sized); a fixed-k full-corpus run would measure
+    // quadratic cell blowup, not the operator.
+    "q_semdedup" -> { (s, dir) =>
+      import graft.operators.{IvfIndex, Similarity}
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 2500)
+      val m = IvfIndex.trainReplayable(emb, "vec_id", "embedding", k = 4, iters = 5)
+      Similarity.semDedup(emb, "vec_id", "embedding", m, tau = 0.5, roundCos = 6)
+        .orderBy(col("vec_id"))
     },
     "q_multimodal_decode" -> { (s, dir) =>
       val media = Multimodal.syntheticMediaTable(
@@ -452,6 +474,36 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BPE vocabulary artifact: base characters (lexicographic ids)
+    // + merge products (C+rank) — what a trained tokenizer ships
+    "q_bpe_vocab" -> { (s, dir) =>
+      val merges = Seq("e" -> "r", "t" -> "h", "th" -> "e",
+        "i" -> "n", "a" -> "n", "an" -> "d")
+      graft.operators.Bpe.vocab(
+        Tables.load(s, dir, "documents"), "text", merges)
+        .orderBy(col("token_id"))
+    },
+
+    // ---- C4 line+document cleaning (Raffel et al. 2020 §2.2): the
+    // public rules, byte-replayable — terminal punctuation, ≥3 words,
+    // javascript / lorem ipsum / '{' blocklist, ≥5-sentence doc gate
+    "q_c4_clean" -> { (s, dir) =>
+      graft.operators.TextOps.c4Clean(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("clean_md5"),
+          col("n_lines_kept"), col("n_lines_dropped"), col("doc_pass"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Gopher quality battery (Rae et al. 2021 App. A): per-rule
+    // verdicts over exact integer counts; minWords lowered to 20 so the
+    // synthetic corpus splits on it
+    "q_gopher_rules" -> { (s, dir) =>
+      graft.operators.TextOps.gopherRules(
+        Tables.load(s, dir, "documents"), "text", "doc_id", minWords = 20)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -628,14 +680,20 @@ object QueriesData {
     * Lloyd's unrolled as one CTE pair per iteration over the long-form
     * (vec_id, dim, x) relation; assignment/probe tie-breaks mirror the
     * engine (distance asc, centroid index asc). */
-  private def ivfOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
-      sampleSize: Int): String = {
+  /** Replayable IVF training + final assignment as a WITH body: unrolls
+    * `iters` Lloyd's rounds over the first-`sampleSize`-by-id sample
+    * (the [[graft.operators.IvfIndex.trainReplayable]] contract) and
+    * ends with `fd` (every vector's distance to every final centroid)
+    * and `fasg` (every vector's cell). Shared by the IVF top-k and
+    * SemDeDup oracles. */
+  private def ivfAssignCtes(k: Int, iters: Int, sampleSize: Int,
+      base: String = "embeddings"): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH samp AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleSize),
+    sb ++= s"""samp AS (SELECT * FROM $base ORDER BY vec_id LIMIT $sampleSize),
       long0 AS (SELECT vec_id, CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
         FROM samp, (SELECT unnest(range(1, 65)) AS i) ii),
       alll AS (SELECT vec_id, CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
+        FROM $base, (SELECT unnest(range(1, 65)) AS i) ii),
       cent0 AS (SELECT vec_id AS c, dim, x FROM long0 WHERE vec_id < $k)"""
     for (t <- 0 until iters) sb ++= s""",
       d$t AS (SELECT l.vec_id, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
@@ -652,7 +710,33 @@ object QueriesData {
         FROM alll l JOIN cent$iters c USING (dim) GROUP BY 1, 2),
       fasg AS (SELECT vec_id, c AS cell FROM (
           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
-          FROM fd) WHERE rn = 1),
+          FROM fd) WHERE rn = 1)"""
+    sb.toString
+  }
+
+  /** SemDeDup replay: the shared IVF assignment, then a within-cell
+    * lower-id-drops-higher-id threshold join — the identical
+    * non-iterative contract [[graft.operators.Similarity.semDedup]]
+    * computes, over the same bounded slice. */
+  private def semDedupOracle(k: Int, iters: Int, sampleSize: Int,
+      tau: Double, maxId: Long): String =
+    s"""WITH ${ivfAssignCtes(k, iters, sampleSize,
+        base = s"(SELECT * FROM embeddings WHERE vec_id < $maxId)")},
+      dropped AS (SELECT DISTINCT b.vec_id AS drop_id
+        FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings q ON q.vec_id = a.vec_id
+        JOIN embeddings c ON c.vec_id = b.vec_id
+        WHERE round($cosSql, 6) >= $tau)
+      SELECT f.vec_id, CAST(f.cell AS INTEGER) AS cell,
+             (d.drop_id IS NULL) AS is_kept
+      FROM fasg f LEFT JOIN dropped d ON d.drop_id = f.vec_id
+      ORDER BY f.vec_id"""
+
+  private def ivfOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
+      sampleSize: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${ivfAssignCtes(k, iters, sampleSize)}"
+    sb ++= s""",
       qprobe AS (SELECT vec_id AS query_id, c AS cell FROM (
           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
           FROM fd WHERE vec_id < 10) WHERE rn <= $nProbe),
@@ -671,6 +755,8 @@ object QueriesData {
 
   val oracles: Map[String, String] = Map(
     "q_ivf_topk" -> ivfOracle(k = 4, iters = 5, nProbe = 2, topK = 5, sampleSize = 50000),
+    "q_semdedup" -> semDedupOracle(k = 4, iters = 5, sampleSize = 50000,
+      tau = 0.5, maxId = 2500L),
     "q_simhash_pairs" ->
       s"""WITH $simhashCtes
         SELECT a_doc_id, b_doc_id, CAST(dist AS INTEGER) AS dist FROM (
@@ -903,6 +989,25 @@ object QueriesData {
                  AS contaminated_frac
         FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
         ORDER BY z.doc_id""",
+    // positioned shingles (1-based list index − 1 = the engine's
+    // 0-based posexplode), diagonal islands via pt − row_number
+    "q_contamination_spans" ->
+      raw"""WITH $tokCte,
+        pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, sh[CAST(i AS INT)] AS s
+                FROM sh, unnest(range(1, len(sh) + 1)) t(i)),
+        bench AS (SELECT doc_id AS bench_id, p AS pb, s FROM pos WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id AS train_id, p AS pt, s FROM pos WHERE doc_id % 97 <> 0),
+        m AS (SELECT train_id, bench_id, pt, pt - pb AS diag
+              FROM tr JOIN bench USING (s)),
+        isl AS (SELECT train_id, bench_id, diag,
+                  pt - row_number() OVER (PARTITION BY train_id, bench_id, diag ORDER BY pt) AS island
+                FROM m),
+        runs AS (SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS run
+                 FROM isl GROUP BY train_id, bench_id, diag, island),
+        mx AS (SELECT train_id, bench_id, max(run) AS max_run
+               FROM runs GROUP BY 1, 2)
+        SELECT train_id, bench_id, max_run, max_run + 2 AS span_tokens
+        FROM mx WHERE max_run >= 2 ORDER BY train_id, bench_id""",
     "q_embedding_knn" ->
       s"""WITH scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1125,6 +1230,79 @@ object QueriesData {
            CAST(coalesce(list_sum(list_transform(ws, e -> len(string_split(e, ' ')))), 0) AS BIGINT) AS n_bpe_tokens,
            md5(array_to_string(ws, ' | ')) AS bpe_md5
          FROM enc ORDER BY doc_id""",
+    // same lowered tokenization; distinct chars ranked binary-lexicographic
+    // (both engines collate UTF-8 bytes), merges take C+rank
+    "q_bpe_vocab" ->
+      raw"""WITH toks AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         chars AS (SELECT DISTINCT substr(w, i, 1) AS symbol
+                   FROM toks, unnest(range(1, len(w) + 1)) t(i)),
+         ranked AS (SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS token_id,
+                           symbol, 'char' AS kind FROM chars),
+         c AS (SELECT count(*) AS n FROM chars),
+         mg AS (SELECT CAST(c.n + v.rk AS BIGINT) AS token_id, v.s AS symbol, 'merge' AS kind
+                FROM c, (VALUES (0, 'er'), (1, 'th'), (2, 'the'),
+                                (3, 'in'), (4, 'an'), (5, 'and')) AS v(rk, s))
+         SELECT token_id, symbol, kind
+         FROM (SELECT * FROM ranked UNION ALL SELECT * FROM mg)
+         ORDER BY token_id""",
+    // the C4 §2.2 line rules verbatim: terminal punctuation, ≥3
+    // whitespace words, javascript/lorem ipsum/'{' blocklist; doc gate
+    // = ≥5 terminal-punctuation runs in the kept text
+    "q_c4_clean" ->
+      raw"""WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         k AS (SELECT doc_id, len(ls) AS n_lines,
+             list_filter(ls, x ->
+               regexp_matches(x, '[.!?"]$$')
+               AND len(list_filter(string_split_regex(x, '[ \t\x0B\f\r]+'), t -> len(t) > 0)) >= 3
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(x, '{')) AS kept
+           FROM l),
+         c AS (SELECT doc_id, n_lines, len(kept) AS n_kept,
+                      coalesce(array_to_string(kept, chr(10)), '') AS cleaned FROM k)
+         SELECT doc_id, md5(cleaned) AS clean_md5,
+           CAST(n_kept AS BIGINT) AS n_lines_kept,
+           CAST(n_lines - n_kept AS BIGINT) AS n_lines_dropped,
+           (len(string_split_regex(cleaned, '[.!?]+')) - 1 >= 5
+            AND length(cleaned) > 0) AS doc_pass
+         FROM c ORDER BY doc_id""",
+    // the Gopher App. A battery on exact integer counts; mean ships
+    // unrounded (one IEEE division — bit-identical across engines)
+    "q_gopher_rules" ->
+      raw"""WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> len(t) > 0) AS words,
+             list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines
+           FROM documents),
+         m AS (SELECT doc_id, len(words) AS n_words, len(lines) AS n_lines,
+             CASE WHEN len(words) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
+             END AS mean_len,
+             len(list_filter(words, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+             len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bul,
+             len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ell,
+             len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(['the','a','an','and','or','of','to','in','is','on','for','with'],
+                 s -> list_contains(list_transform(words, x -> lower(x)), s))) AS n_stop
+           FROM w)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_len AS mean_word_len,
+           (n_words >= 20 AND n_words <= 100000) AS rule_words,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS rule_mean_len,
+           (n_sym <= n_words * 0.1) AS rule_symbols,
+           (n_lines = 0 OR n_bul <= n_lines * 0.9) AS rule_bullets,
+           (n_lines = 0 OR n_ell <= n_lines * 0.3) AS rule_ellipsis,
+           (n_words = 0 OR n_alpha >= n_words * 0.8) AS rule_alpha,
+           (n_stop >= 2) AS rule_stopwords,
+           ((n_words >= 20 AND n_words <= 100000)
+            AND (mean_len >= 3.0 AND mean_len <= 10.0)
+            AND (n_sym <= n_words * 0.1)
+            AND (n_lines = 0 OR n_bul <= n_lines * 0.9)
+            AND (n_lines = 0 OR n_ell <= n_lines * 0.3)
+            AND (n_words = 0 OR n_alpha >= n_words * 0.8)
+            AND (n_stop >= 2)) AS pass
+         FROM m ORDER BY doc_id""",
     // same decomposed seeds; nfc_normalize + the identical explicit
     // character classes (no \s — Java and RE2 disagree on \x0B)
     "q_text_normalize" ->

@@ -862,4 +862,111 @@ class OperatorsSpec extends AnyFunSuite {
     val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
     assert((1 to 10).forall(i => covered.contains(s"t$i")))
   }
+
+  test("contaminationSpans: diagonal islands find the longest verbatim quote") {
+    import spark.implicits._
+    val df = Seq(
+      (97L, "alpha beta gamma delta epsilon zeta eta theta"), // benchmark
+      (1L, "xx yy alpha beta gamma delta epsilon qq rr"), // 5-token quote
+      (2L, "alpha beta gamma zz delta epsilon zeta ww"),  // two 1-shingle hits
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val isB = col("doc_id") === 97
+    val strict = Dedup.contaminationSpans(df, "text", "doc_id", isB, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 quotes 5 tokens = a run of 3 consecutive 3-shingles
+    assert(strict.toSeq == Seq((1L, 97L, 3L, 5L)))
+    val loose = Dedup.contaminationSpans(df, "text", "doc_id", isB, minRun = 1)
+      .orderBy("train_id").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // doc 2's two isolated shared shingles never fuse (broken diagonal)
+    assert(loose.toSeq == Seq((1L, 3L, 5L), (2L, 1L, 3L)))
+  }
+
+  test("c4Clean: line rules and the 5-sentence document gate") {
+    import spark.implicits._
+    val goodLine = "This line is a perfectly fine sentence."
+    val doc1 = Seq(
+      goodLine,
+      "no terminal punctuation here",       // dropped: no [.!?"]
+      "Too short.",                         // dropped: < 3 words
+      "Please enable JavaScript to view.",  // dropped: javascript
+      "Lorem Ipsum dolor sit amet.",        // dropped: lorem ipsum
+      "if (x) { return y; }.",              // dropped: '{'
+      "Quoted lines can end like this\"").mkString("\n")
+    val doc2 = (1 to 6).map(i => s"Sentence number $i is here.").mkString("\n")
+    val df = Seq((1L, doc1), (2L, doc2), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.c4Clean(df, "text", "doc_id").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out(0)._2 == goodLine + "\n" + "Quoted lines can end like this\"")
+    assert((out(0)._3, out(0)._4) == ((2L, 5L)))
+    assert(!out(0)._5, "2 kept sentences < 5 → doc fails")
+    assert(out(1) == ((2L, doc2, 6L, 0L, true)), "6 clean sentences pass")
+    assert(out(2) == ((3L, "", 0L, 1L, false)), "empty doc: 1 line, 0 kept")
+  }
+
+  test("gopherRules: each rule trips on its own pathology") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over the lazy dog and then " * 5).trim
+    val df = Seq(
+      (1L, good),                                    // passes all
+      (2L, "the of too few words here"),             // rule_words (6 < 20)
+      (3L, ("the of " + "## ## ## ## " * 10).trim),  // symbol ratio > 0.1
+      (4L, (1 to 25).map(i => s"- bullet $i the of").mkString("\n")), // bullets
+      (5L, ("aa " * 30 + "the of").trim)             // mean len < 3
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, "text", "doc_id", minWords = 20)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getBoolean(row(0).fieldIndex("pass")), "good doc passes")
+    assert(!row(1).getBoolean(row(1).fieldIndex("rule_words")))
+    assert(!row(2).getBoolean(row(2).fieldIndex("rule_symbols")))
+    assert(!row(3).getBoolean(row(3).fieldIndex("rule_bullets")),
+      "25/25 bullet lines > 90%")
+    assert(!row(4).getBoolean(row(4).fieldIndex("rule_mean_len")))
+    // every failing doc fails overall
+    (1 to 4).foreach(i => assert(!row(i).getBoolean(row(i).fieldIndex("pass"))))
+  }
+
+  test("bpe vocab: chars take lexicographic ids, merges take C+rank") {
+    import spark.implicits._
+    val df = Seq("cab cab bad").toDF("text")
+    val v = Bpe.vocab(df, "text", Seq("a" -> "b", "c" -> "ab"))
+      .orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // distinct chars {a,b,c,d} sorted; then merges ab, cab
+    assert(v.toSeq == Seq(
+      (0L, "a", "char"), (1L, "b", "char"), (2L, "c", "char"), (3L, "d", "char"),
+      (4L, "ab", "merge"), (5L, "cab", "merge")))
+  }
+
+  test("semDedup: within-cell lower-id wins; cross-cell twins both survive") {
+    import spark.implicits._
+    // two well-separated cells on the axes; explicit model (no training)
+    val m = IvfIndex.Model(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cell 0, keeper
+      (2L, Array(1.0f, 0.01f)),   // cell 0, cos≈1 vs 1 → dropped
+      (3L, Array(0.9f, 0.3f)),    // cell 0, cos .948 vs 1 → kept at τ=.99
+      (4L, Array(0.0f, 1.0f)),    // cell 1, keeper
+      (5L, Array(0.01f, 1.0f)),   // cell 1, cos≈1 vs 4 → dropped
+      (6L, Array(0.7f, 0.72f))    // cell 1; near-parallel to 3 but OTHER cell → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding", m, tau = 0.99)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, true), (2L, 0, false), (3L, 0, true),
+      (4L, 1, true), (5L, 1, false), (6L, 1, true)))
+    // drop-if-similar-to-ANY-lower-id (non-iterative): 2 drops even
+    // though its nearest lower id (1) is itself a keeper; a row similar
+    // only to a DROPPED lower id still drops — pin that contract
+    val chain = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.045f)),
+      (3L, Array(0.996f, 0.09f))).toDF("vec_id", "embedding")
+    val chainOut = Similarity.semDedup(chain, "vec_id", "embedding",
+        m, tau = 0.998).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    // cos(1,2)≈0.999 ≥ τ → 2 drops; cos(1,3)≈0.9959 < τ but
+    // cos(2,3)≈0.999 ≥ τ → 3 drops because of the dropped 2
+    assert(chainOut.toSeq == Seq((1L, true), (2L, false), (3L, false)))
+  }
 }
