@@ -119,4 +119,26 @@ object Bpe {
         TextExprs.bpe_encode(col(textCol), merges, lower).as("e"))
       .select(col("doc_id"), col("e.enc").as("bpe_text"),
         col("e.n_syms").cast("long").as("n_bpe_tokens"))
+
+  /** text → token ids, the pipeline's terminal artifact: [[encode]]'s
+    * symbol stream mapped through the [[vocab]] ids. The vocab is
+    * driver-bounded by construction (alphabet + merge count) and rides
+    * as a literal map expression, so the pass stays map-only at any
+    * corpus size. Symbols outside the vocab (characters unseen at
+    * vocab-build time) take id −1, the UNK convention. (The textual
+    * " | " word separator is filtered by literal match; a corpus whose
+    * ALPHABET contains '|' would need an out-of-band separator.) */
+  def encodeIds(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], vocabIds: Map[String, Long],
+      lower: Boolean = true): DataFrame = {
+    val mapExpr = map(vocabIds.toSeq.sortBy(_._1)
+      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+    encode(df, textCol, idCol, merges, lower)
+      .withColumn("token_ids",
+        transform(
+          filter(split(col("bpe_text"), " ", -1),
+            s => length(s) > 0 && s =!= lit("|")),
+          s => coalesce(element_at(mapExpr, s), lit(-1L))))
+      .select(col("doc_id"), col("token_ids"), col("n_bpe_tokens"))
+  }
 }

@@ -484,6 +484,22 @@ object QueriesData {
         .orderBy(col("token_id"))
     },
 
+    // ---- text → token ids end-to-end: encode's symbol stream mapped
+    // through the vocab artifact's ids; -1 is UNK (never hit here — the
+    // vocab is built from the same corpus)
+    "q_bpe_token_ids" -> { (s, dir) =>
+      val merges = Seq("e" -> "r", "t" -> "h", "th" -> "e",
+        "i" -> "n", "a" -> "n", "an" -> "d")
+      val docs = Tables.load(s, dir, "documents")
+      val vocabIds = graft.operators.Bpe.vocab(docs, "text", merges).collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap
+      graft.operators.Bpe.encodeIds(docs, "text", "doc_id", merges, vocabIds)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- C4 line+document cleaning (Raffel et al. 2020 §2.2): the
     // public rules, byte-replayable — terminal punctuation, ≥3 words,
     // javascript / lorem ipsum / '{' blocklist, ≥5-sentence doc gate
@@ -1248,6 +1264,39 @@ object QueriesData {
          SELECT token_id, symbol, kind
          FROM (SELECT * FROM ranked UNION ALL SELECT * FROM mg)
          ORDER BY token_id""",
+    // vocab map lookup returns a list in DuckDB ([1] indexes it); the
+    // flattened per-word symbol stream equals the engine's '|'-filtered
+    // split of the textual encoding
+    "q_bpe_token_ids" ->
+      raw"""WITH toks AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         chars AS (SELECT DISTINCT substr(w, i, 1) AS symbol
+                   FROM toks, unnest(range(1, len(w) + 1)) t(i)),
+         ranked AS (SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS token_id,
+                           symbol FROM chars),
+         cc AS (SELECT count(*) AS n FROM chars),
+         mg AS (SELECT CAST(cc.n + v.rk AS BIGINT) AS token_id, v.s AS symbol
+                FROM cc, (VALUES (0, 'er'), (1, 'th'), (2, 'the'),
+                                 (3, 'in'), (4, 'an'), (5, 'and')) AS v(rk, s)),
+         vocab AS (SELECT token_id, symbol FROM ranked UNION ALL SELECT token_id, symbol FROM mg),
+         vm AS (SELECT map(list(symbol ORDER BY token_id), list(token_id ORDER BY token_id)) AS m
+                FROM vocab),
+         enc AS (
+           SELECT doc_id, list_transform(
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
+             w -> replace(replace(replace(replace(replace(replace(
+                    trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+                    'e r', 'er'), 't h', 'th'), 'th e', 'the'),
+                    'i n', 'in'), 'a n', 'an'), 'an d', 'and')) AS ws
+           FROM documents)
+         SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(ws, e -> len(string_split(e, ' ')))), 0) AS BIGINT) AS n_bpe_tokens,
+           md5(coalesce(array_to_string(list_transform(
+               list_filter(flatten(list_transform(ws, w -> string_split(w, ' '))), s -> len(s) > 0),
+               s -> CAST(coalesce(vm.m[s][1], -1) AS VARCHAR)), ' '), '')) AS ids_md5
+         FROM enc, vm ORDER BY doc_id""",
     // the C4 §2.2 line rules verbatim: terminal punctuation, ≥3
     // whitespace words, javascript/lorem ipsum/'{' blocklist; doc gate
     // = ≥5 terminal-punctuation runs in the kept text

@@ -938,6 +938,24 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "ab", "merge"), (5L, "cab", "merge")))
   }
 
+  test("bpe encodeIds: symbol stream maps to vocab ids; unknown chars → -1") {
+    import spark.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val corpus = Seq((1L, "the cat")).toDF("doc_id", "text")
+    val vocabIds = Bpe.vocab(corpus, "text", merges).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    // chars a,c,e,h,t → 0..4; merges th=5, the=6
+    assert(vocabIds == Map("a" -> 0L, "c" -> 1L, "e" -> 2L, "h" -> 3L,
+      "t" -> 4L, "th" -> 5L, "the" -> 6L))
+    val out = Bpe.encodeIds(corpus, "text", "doc_id", merges, vocabIds).collect()(0)
+    // "the | c a t" → [the, c, a, t] → [6, 1, 0, 4]
+    assert(out.getSeq[Long](1) == Seq(6L, 1L, 0L, 4L))
+    assert(out.getLong(2) == 4L)
+    val unk = Bpe.encodeIds(Seq((9L, "zz")).toDF("doc_id", "text"),
+      "text", "doc_id", merges, vocabIds).collect()(0)
+    assert(unk.getSeq[Long](1) == Seq(-1L, -1L), "unseen chars take UNK")
+  }
+
   test("semDedup: within-cell lower-id wins; cross-cell twins both survive") {
     import spark.implicits._
     // two well-separated cells on the axes; explicit model (no training)
