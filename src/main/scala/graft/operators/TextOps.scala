@@ -205,17 +205,22 @@ object TextOps {
     * counts and the redaction chain use only codegen'd regexp built-ins.
     * Redaction order is fixed (email → ip → phone) so overlapping
     * matches resolve deterministically. */
+  /** the redaction chain as a pure expression (fixed order — email,
+    * then IP, then phone — for overlap determinism) */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   def piiProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
       size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
       size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("redacted"))
+      piiRedact(t).as("redacted"))
   }
 
   /** CCNet-style unigram language-model quality score: the corpus's own
@@ -362,25 +367,36 @@ object TextOps {
     *
     * Output: (doc_id, text · cleaned, n_lines_kept, n_lines_dropped,
     * doc_pass). */
+  /** the C4 line predicate, shared by [[c4Clean]] and the curation
+    * pipeline DSL */
+  private def c4KeepLine(l: Column): Column = {
+    val ws = "[ \\t\\x0B\\f\\r]+"
+    l.rlike("[.!?\"]$") &&
+    size(filter(split(l, ws, -1), t => length(t) > 0)) >= 3 &&
+    !lower(l).contains("javascript") &&
+    !lower(l).contains("lorem ipsum") &&
+    !l.contains("{")
+  }
+
+  /** text with only its C4-surviving lines, as a pure expression */
+  def c4CleanedText(text: Column): Column =
+    array_join(filter(split(text, "\n", -1), c4KeepLine _), "\n")
+
+  /** the C4 document gate over already-cleaned text: ≥ 5 sentences
+    * (terminal-punctuation runs — split on the runs; fragment count
+    * minus one counts them) and non-empty */
+  def c4DocPass(cleaned: Column): Column =
+    (size(split(cleaned, "[.!?]+", -1)) - 1 >= 5) && length(cleaned) > 0
+
   def c4Clean(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val lines = split(col(textCol), "\n", -1)
-    val ws = "[ \\t\\x0B\\f\\r]+"
-    val keepLine = (l: Column) =>
-      l.rlike("[.!?\"]$") &&
-      size(filter(split(l, ws, -1), t => length(t) > 0)) >= 3 &&
-      !lower(l).contains("javascript") &&
-      !lower(l).contains("lorem ipsum") &&
-      !l.contains("{")
-    val kept = filter(lines, keepLine)
+    val kept = filter(lines, c4KeepLine _)
     val cleaned = array_join(kept, "\n")
-    // sentence proxy: runs of terminal punctuation in the KEPT text
-    // (split on the runs; the fragment count minus one counts them)
-    val nSentences = size(split(cleaned, "[.!?]+", -1)) - 1
     df.select(col(idCol).as("doc_id"),
         cleaned.as("text"),
         size(kept).cast(LongType).as("n_lines_kept"),
         (size(lines) - size(kept)).cast(LongType).as("n_lines_dropped"),
-        (nSentences >= 5 && length(cleaned) > 0).as("doc_pass"))
+        c4DocPass(cleaned).as("doc_pass"))
   }
 
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
@@ -395,12 +411,17 @@ object TextOps {
     *   - ≥ 2 distinct stopwords of a 12-word list      (rule_stopwords)
     * `pass` is their conjunction. Row-local built-ins only; the same
     * arithmetic replays in the oracle. Thresholds are the paper's. */
-  def gopherRules(df: DataFrame, textCol: String, idCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+  private final case class GopherParts(nWords: Column, meanLen: Column,
+      words: Column, lines: Column, rules: Seq[(String, Column)]) {
+    def pass: Column = rules.map(_._2).reduce(_ && _)
+  }
+
+  private def gopherParts(text: Column, minWords: Int,
+      maxWords: Int): GopherParts = {
     val ws = "[ \\t\\n\\x0B\\f\\r]+"
-    val words = filter(split(col(textCol), ws, -1), t => length(t) > 0)
+    val words = filter(split(text, ws, -1), t => length(t) > 0)
     val nWords = size(words)
-    val lines = filter(split(col(textCol), "\n", -1), l => length(l) > 0)
+    val lines = filter(split(text, "\n", -1), l => length(l) > 0)
     val nLines = size(lines)
     val meanLen = when(nWords === 0, 0.0)
       .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
@@ -415,23 +436,33 @@ object TextOps {
     val nStop = size(filter(
       array(defaultStopwords.map(lit): _*),
       s => array_contains(transform(words, w => lower(w)), s)))
+    GopherParts(nWords, meanLen, words, lines, Seq(
+      "rule_words" -> (nWords >= minWords && nWords <= maxWords),
+      "rule_mean_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "rule_symbols" -> (nSymbolWords <= nWords * 0.1),
+      "rule_bullets" -> (nLines === 0 || nBullet <= nLines * 0.9),
+      "rule_ellipsis" -> (nLines === 0 || nEllipsis <= nLines * 0.3),
+      "rule_alpha" -> (nWords === 0 || nAlphaWords >= nWords * 0.8),
+      "rule_stopwords" -> (nStop >= 2)))
+  }
+
+  /** the battery's conjunction as a pure predicate, for filter stages */
+  def gopherPass(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column =
+    gopherParts(text, minWords, maxWords).pass
+
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val p = gopherParts(col(textCol), minWords, maxWords)
     // mean ships UNROUNDED: it is one IEEE division of exact integers,
     // bit-identical across engines, while round() semantics at exact
     // halves differ (HALF_UP vs half-away)
-    df.select(col(idCol).as("doc_id"),
-        nWords.cast(LongType).as("n_words"),
-        meanLen.as("mean_word_len"),
-        (nWords >= minWords && nWords <= maxWords).as("rule_words"),
-        (meanLen >= 3.0 && meanLen <= 10.0).as("rule_mean_len"),
-        (nSymbolWords <= nWords * 0.1).as("rule_symbols"),
-        (nLines === 0 || nBullet <= nLines * 0.9).as("rule_bullets"),
-        (nLines === 0 || nEllipsis <= nLines * 0.3).as("rule_ellipsis"),
-        (nWords === 0 || nAlphaWords >= nWords * 0.8).as("rule_alpha"),
-        (nStop >= 2).as("rule_stopwords"))
+    df.select(Seq(col(idCol).as("doc_id"),
+        p.nWords.cast(LongType).as("n_words"),
+        p.meanLen.as("mean_word_len")) ++
+      p.rules.map { case (n, c) => c.as(n) }: _*)
       .withColumn("pass",
-        col("rule_words") && col("rule_mean_len") && col("rule_symbols") &&
-        col("rule_bullets") && col("rule_ellipsis") && col("rule_alpha") &&
-        col("rule_stopwords"))
+        p.rules.map(r => col(r._1)).reduce(_ && _))
   }
 
   /** Standard per-document profile used by the gate queries. */

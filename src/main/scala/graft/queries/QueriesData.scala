@@ -520,6 +520,24 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- declarative curation pipeline: the JSON-DSL surface over the
+    // training-data operators — five composed stages, one oracle chain.
+    // c4_clean precedes normalize because normalization collapses the
+    // newlines the line rules read.
+    "q_curate_pipeline" -> { (s, dir) =>
+      val spec = """{"stages": [
+        {"op": "c4_clean", "require_pass": false},
+        {"op": "normalize"},
+        {"op": "pii_redact"},
+        {"op": "dedup_exact"},
+        {"op": "cap_per_group", "group": "source", "salt": "cap-v1", "cap": 7}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(Tables.load(s, dir, "documents"), spec)
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -1297,6 +1315,43 @@ object QueriesData {
                list_filter(flatten(list_transform(ws, w -> string_split(w, ' '))), s -> len(s) > 0),
                s -> CAST(coalesce(vm.m[s][1], -1) AS VARCHAR)), ' '), '')) AS ids_md5
          FROM enc, vm ORDER BY doc_id""",
+    // each pipeline stage replayed as one CTE, chained in stage order;
+    // dedup partitions on the fingerprint contract, the cap on the
+    // md5 low-48-bit bucket contract
+    "q_curate_pipeline" ->
+      raw"""WITH c4 AS (
+          SELECT doc_id, source,
+            coalesce(array_to_string(list_filter(string_split(text, chr(10)), x ->
+              regexp_matches(x, '[.!?"]$$')
+              AND len(list_filter(string_split_regex(x, '[ \t\x0B\f\r]+'), t -> len(t) > 0)) >= 3
+              AND NOT contains(lower(x), 'javascript')
+              AND NOT contains(lower(x), 'lorem ipsum')
+              AND NOT contains(x, '{')), chr(10)), '') AS text
+          FROM documents),
+        norm AS (SELECT doc_id, source,
+            trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              '[ \t\n\x0B\f\r]+', ' ', 'g'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS text
+          FROM c4),
+        pii AS (SELECT doc_id, source,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '\+\d{1,2} \d{3}-\d{4}', '<PHONE>', 'g') AS text
+          FROM norm),
+        ded AS (SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+              row_number() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+            FROM pii) t WHERE rn = 1),
+        cap AS (SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+              row_number() OVER (PARTITION BY source ORDER BY
+                (md5_number_lower(CAST(doc_id AS VARCHAR) || 'cap-v1')
+                   % 281474976710656) % 1073741824, doc_id) AS rn
+            FROM ded) t WHERE rn <= 7)
+        SELECT doc_id, source, md5(text) AS text_md5
+        FROM cap ORDER BY doc_id""",
     // the C4 §2.2 line rules verbatim: terminal punctuation, ≥3
     // whitespace words, javascript/lorem ipsum/'{' blocklist; doc gate
     // = ≥5 terminal-punctuation runs in the kept text

@@ -381,4 +381,39 @@ class EngineSpec extends AnyFunSuite {
          WHERE unix_micros(ns_to_timestamp(ns)) * 1000 + ns_submicros(ns) != ns""")
       .collect()(0).getLong(0) == 0L)
   }
+
+  test("curate pipeline DSL: stages compose in order and preserve passengers") {
+    import spark.implicits._
+    import graft.dsl.CuratePipeline
+    val docs = Seq(
+      (1L, "Good line number one stays.\nbad line\nMail a@b.com please today.", "web"),
+      (2L, "Good line number one stays.\nbad line\nMail a@b.com please today.", "web"),
+      (3L, "Another document entirely here.", "wiki")).toDF("doc_id", "text", "source")
+    val out = CuratePipeline.compile(docs,
+      """{"stages": [
+        {"op": "c4_clean", "require_pass": false},
+        {"op": "normalize"},
+        {"op": "pii_redact"},
+        {"op": "dedup_exact"},
+        {"op": "cap_per_group", "group": "source", "salt": "s1", "cap": 5}
+      ]}""").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // docs 1 and 2 are byte-identical after cleaning → dedup keeps 1;
+    // the source passenger column survives every stage
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    assert(out(0)._3 == "web" && out(1)._3 == "wiki")
+    // c4 dropped 'bad line', normalize collapsed the newline, pii
+    // redacted the address
+    assert(out(0)._2 ==
+      "Good line number one stays. Mail <EMAIL> please today.")
+    // require_pass gates short docs out entirely
+    assert(CuratePipeline.compile(docs,
+      """{"stages": [{"op": "c4_clean"}]}""").count() == 0,
+      "3 sentences < 5 → every doc fails the C4 doc gate")
+    // unknown op raises the DSL error
+    val e = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(docs, """{"stages": [{"op": "nope"}]}""")
+    }
+    assert(e.getMessage.contains("unknown curate op"))
+  }
 }
