@@ -21,6 +21,13 @@ object Statements {
 
   private val Id = """(\w+|`(?:[^`]|``)+`|"(?:[^"]|"")+")"""
 
+  /** CURATE TABLE target FROM source USING '<json stages>' — the
+    * curation-pipeline DSL ([[graft.dsl.CuratePipeline]]) materialized
+    * through the managed catalog, CTAS-style */
+  private val reCurate =
+    ("""(?is)^CURATE\s+TABLE\s+""" + Id + """\s+FROM\s+""" + Id +
+      """\s+USING\s+'((?:[^']|'')+)'\s*$""").r
+
   private val reExternal =
     ("""(?is)^CREATE\s+EXTERNAL\s+TABLE\s+""" + Id +
       """\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+(.+?)""" +
@@ -164,7 +171,8 @@ object Statements {
     reDropExtension, reShowExtensions, reCreateSecret, reDropSecret,
     reShowSecrets, reCreateUser, reDropUser, reCreateRole, reDropRole,
     reGrantRoleUser, reRevokeRoleUser, reGrantPriv, reRevokePriv,
-    reShowRoles, reShowUsers, reAttach, reDetach, reShowAttachments)
+    reShowRoles, reShowUsers, reAttach, reDetach, reShowAttachments,
+    reCurate)
 
   /** a [[Named]] capture: single-quoted string (unescaped) or bare word */
   private def unquoteName(n: String): String =
@@ -199,6 +207,13 @@ object Statements {
         val name = unquote(name0)
         catalog.createView(name, sql.trim)
         Some(status(spark, s"created view $name"))
+      case reCurate(name0, src0, json) =>
+        val name = unquote(name0)
+        val src = unquote(src0)
+        val out = graft.dsl.CuratePipeline.compile(
+          spark.table(src), json.replace("''", "'"))
+        catalog.createManagedTable(name, out, None, Nil)
+        Some(status(spark, s"curated $src into $name"))
       case reCtas(name0, partCols, bucketCols, bucketN, sql) =>
         val name = unquote(name0)
         val buckets = Option(bucketCols).map(cs =>

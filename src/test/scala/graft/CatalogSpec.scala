@@ -591,4 +591,29 @@ class CatalogSpec extends AnyFunSuite {
     engine.sql("DROP TABLE bkt_orders")
     engine.sql("DROP TABLE bkt_cust")
   }
+
+  test("CURATE TABLE materializes the pipeline DSL through the catalog") {
+    import spark.implicits._
+    Seq(
+      (1L, "One good clean sentence right here.\nbad line", "web"),
+      (2L, "One good clean sentence right here.\nbad line", "web"),
+      (3L, "A different document with an address a@b.com in it.", "wiki"))
+      .toDF("doc_id", "text", "source")
+      .createOrReplaceTempView("curate_src")
+    engine.sql(
+      """CURATE TABLE curated FROM curate_src USING
+        '{"stages": [
+          {"op": "c4_clean", "require_pass": false},
+          {"op": "pii_redact"},
+          {"op": "dedup_exact"}]}'""")
+    val rows = engine.sql("SELECT doc_id, text, source FROM curated ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // dup doc 2 deduplicated away; pii redacted; passengers survive
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L))
+    assert(rows(1)._2 == "A different document with an address <EMAIL> in it.")
+    assert(rows(1)._3 == "wiki")
+    // the statement is super-user-gated like every other DDL
+    assert(graft.sql.Statements.recognizes("CURATE TABLE t FROM s USING '{}'"))
+    engine.sql("DROP TABLE curated")
+  }
 }
