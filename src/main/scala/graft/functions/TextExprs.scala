@@ -345,6 +345,189 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  // Gopher-battery whitespace: the [ \t\n\x0B\f\r] class the rule
+  // formulation (and its oracle) uses — one char wider than WS (\x0B)
+  @inline private def isGws(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** One pass computing every Gopher-rule counter (Rae et al. 2021 App.
+    * A; see [[graft.operators.TextOps.gopherRules]] for the rule
+    * semantics these feed). The r1 lesson applied again: the
+    * higher-order-function formulation re-split the text once per rule
+    * column (~10 interpreted scans/row, measured 12× DuckDB's wall
+    * time); this kernel computes identical values in one scan. */
+  def gopherStatsKernel(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val n = str.length
+    var nWords = 0
+    var nSym = 0
+    var nAlpha = 0
+    var sumWordLen = 0L
+    val stopSeen = new Array[Boolean](stop12.length)
+    var i = 0
+    while (i < n) {
+      while (i < n && isGws(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isGws(str.charAt(i))) i += 1
+      if (i > start) {
+        nWords += 1
+        sumWordLen += str.codePointCount(start, i)
+        var j = start
+        var hasSym = false
+        var hasAlpha = false
+        while (j < i) {
+          val c = str.charAt(j)
+          if (c == '#') hasSym = true
+          else if (c == '.' && j + 2 < i &&
+            str.charAt(j + 1) == '.' && str.charAt(j + 2) == '.') hasSym = true
+          else if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+          j += 1
+        }
+        if (hasSym) nSym += 1
+        if (hasAlpha) nAlpha += 1
+        val wlen = i - start
+        var k = 0
+        while (k < stop12.length) {
+          val sw = stop12(k)
+          if (!stopSeen(k) && sw.length == wlen) {
+            var p = 0
+            var ok = true
+            while (ok && p < wlen) {
+              if (Character.toLowerCase(str.charAt(start + p)) != sw.charAt(p)) ok = false
+              p += 1
+            }
+            if (ok) stopSeen(k) = true
+          }
+          k += 1
+        }
+      }
+    }
+    var nLines = 0
+    var nBullet = 0
+    var nEllLine = 0
+    var ls = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == '\n') {
+        if (i > ls) { // non-empty line (spaces count, like length(l) > 0)
+          nLines += 1
+          val c0 = str.charAt(ls)
+          if (c0 == '-' || c0 == '*' || c0 == '•') nBullet += 1
+          val last = str.charAt(i - 1)
+          if (last == '…' ||
+              (i - ls >= 3 && last == '.' &&
+               str.charAt(i - 2) == '.' && str.charAt(i - 3) == '.')) nEllLine += 1
+        }
+        ls = i + 1
+      }
+      i += 1
+    }
+    var nStop = 0
+    var k = 0
+    while (k < stopSeen.length) { if (stopSeen(k)) nStop += 1; k += 1 }
+    new GenericInternalRow(Array[Any](
+      nWords, sumWordLen, nSym, nLines, nBullet, nEllLine, nAlpha, nStop))
+  }
+
+  /** the document's DISTINCT word characters (insertion order; ws
+    * excluded) — one pass, so the corpus-wide vocab distinct explodes
+    * ~alphabet-size rows per doc instead of one per character */
+  def distinctCharsKernel(s: UTF8String, lower: Boolean): ArrayData = {
+    val str = (if (lower) s.toLowerCase else s).toString
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if (!isGws(c)) {
+        val cp = str.codePointAt(i)
+        seen.add(new String(Character.toChars(cp)))
+        i += Character.charCount(cp)
+      } else i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** BPE symbol stream → vocab ids (−1 = UNK): one hash lookup per
+    * symbol against a reference-object HashMap, replacing the linear
+    * scan a literal-map `element_at` performs per symbol */
+  def bpeIdsKernel(enc: UTF8String,
+      vocab: java.util.HashMap[String, java.lang.Long]): ArrayData = {
+    val str = enc.toString
+    val out = new java.util.ArrayList[AnyRef](32)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && str.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val sym = str.substring(start, i)
+        if (sym != "|") {
+          val id = vocab.get(sym)
+          out.add(java.lang.Long.valueOf(if (id == null) -1L else id.longValue()))
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class DistinctChars(child: Expression, lower: Boolean) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_distinct_chars"
+    override def nullSafeEval(a: Any): Any =
+      distinctCharsKernel(a.asInstanceOf[UTF8String], lower)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.distinctCharsKernel($c, $lower);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class BpeIds(child: Expression, vocab: Map[String, Long])
+      extends UnaryExpression {
+    private val table: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+      vocab.foreach { case (s, i) => m.put(s, java.lang.Long.valueOf(i)) }
+      m
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_bpe_ids"
+    override def nullSafeEval(a: Any): Any =
+      bpeIdsKernel(a.asInstanceOf[UTF8String], table)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val t = ctx.addReferenceObj("bpeVocab", table, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.bpeIdsKernel($c, $t);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  object GopherStats {
+    val schema: StructType = StructType(Seq(
+      StructField("n_words", IntegerType, nullable = false),
+      StructField("sum_word_len", LongType, nullable = false),
+      StructField("n_symbol_words", IntegerType, nullable = false),
+      StructField("n_lines", IntegerType, nullable = false),
+      StructField("n_bullet_lines", IntegerType, nullable = false),
+      StructField("n_ellipsis_lines", IntegerType, nullable = false),
+      StructField("n_alpha_words", IntegerType, nullable = false),
+      StructField("n_stop_distinct", IntegerType, nullable = false)))
+  }
+
+  case class GopherStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = GopherStats.schema
+    override def prettyName: String = "graft_gopher_stats"
+    override def nullSafeEval(a: Any): Any = gopherStatsKernel(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.gopherStatsKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   object TextStats {
     val schema: StructType = StructType(Seq(
       StructField("n_tokens", IntegerType, nullable = false),
@@ -479,6 +662,15 @@ object TextExprs {
 
   def text_stats(text: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
+
+  def gopher_stats(text: Column): Column =
+    ColumnBridge.column(GopherStats(ColumnBridge.expression(text)))
+
+  def distinct_chars(text: Column, lower: Boolean = true): Column =
+    ColumnBridge.column(DistinctChars(ColumnBridge.expression(text), lower))
+
+  def bpe_ids(enc: Column, vocab: Map[String, Long]): Column =
+    ColumnBridge.column(BpeIds(ColumnBridge.expression(enc), vocab))
 
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))

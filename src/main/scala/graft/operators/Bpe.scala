@@ -93,10 +93,10 @@ object Bpe {
       merges: Seq[(String, String)], lower: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
+    // per-doc distinct chars via one kernel pass: the corpus-wide
+    // distinct explodes ~alphabet-size rows per doc, not one per char
     val chars = df
-      .select(explode(TextExprs.tokens(col(textCol), lower)).as("w"))
-      .select(explode(expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("symbol"))
+      .select(explode(TextExprs.distinct_chars(col(textCol), lower)).as("symbol"))
       .distinct()
     // bounded set (distinct characters): a global rank here is safe
     val ranked = chars.withColumn("token_id",
@@ -130,15 +130,10 @@ object Bpe {
     * ALPHABET contains '|' would need an out-of-band separator.) */
   def encodeIds(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)], vocabIds: Map[String, Long],
-      lower: Boolean = true): DataFrame = {
-    val mapExpr = map(vocabIds.toSeq.sortBy(_._1)
-      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+      lower: Boolean = true): DataFrame =
+    // one hash lookup per symbol (reference-object HashMap) — a literal
+    // map's element_at is a linear scan per symbol, vocab-size× slower
     encode(df, textCol, idCol, merges, lower)
-      .withColumn("token_ids",
-        transform(
-          filter(split(col("bpe_text"), " ", -1),
-            s => length(s) > 0 && s =!= lit("|")),
-          s => coalesce(element_at(mapExpr, s), lit(-1L))))
+      .withColumn("token_ids", TextExprs.bpe_ids(col("bpe_text"), vocabIds))
       .select(col("doc_id"), col("token_ids"), col("n_bpe_tokens"))
-  }
 }

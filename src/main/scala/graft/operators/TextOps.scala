@@ -412,38 +412,30 @@ object TextOps {
     * `pass` is their conjunction. Row-local built-ins only; the same
     * arithmetic replays in the oracle. Thresholds are the paper's. */
   private final case class GopherParts(nWords: Column, meanLen: Column,
-      words: Column, lines: Column, rules: Seq[(String, Column)]) {
+      rules: Seq[(String, Column)]) {
     def pass: Column = rules.map(_._2).reduce(_ && _)
   }
 
+  /** all counters come from ONE single-pass codegen kernel
+    * ([[TextExprs.GopherStats]]) — the HOF formulation re-split the
+    * text once per rule column and measured 12× DuckDB's wall time;
+    * within a projection Spark's subexpression elimination evaluates
+    * the kernel once per row no matter how many rules read it */
   private def gopherParts(text: Column, minWords: Int,
       maxWords: Int): GopherParts = {
-    val ws = "[ \\t\\n\\x0B\\f\\r]+"
-    val words = filter(split(text, ws, -1), t => length(t) > 0)
-    val nWords = size(words)
-    val lines = filter(split(text, "\n", -1), l => length(l) > 0)
-    val nLines = size(lines)
+    val st = TextExprs.gopher_stats(text)
+    val nWords = st.getField("n_words")
+    val nLines = st.getField("n_lines")
     val meanLen = when(nWords === 0, 0.0)
-      .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
-        .cast(DoubleType) / nWords)
-    val nSymbolWords = size(filter(words,
-      w => w.contains("#") || w.contains("...")))
-    val nBullet = size(filter(lines,
-      l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
-    val nEllipsis = size(filter(lines,
-      l => l.endsWith("...") || l.endsWith("…")))
-    val nAlphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
-    val nStop = size(filter(
-      array(defaultStopwords.map(lit): _*),
-      s => array_contains(transform(words, w => lower(w)), s)))
-    GopherParts(nWords, meanLen, words, lines, Seq(
+      .otherwise(st.getField("sum_word_len").cast(DoubleType) / nWords)
+    GopherParts(nWords, meanLen, Seq(
       "rule_words" -> (nWords >= minWords && nWords <= maxWords),
       "rule_mean_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
-      "rule_symbols" -> (nSymbolWords <= nWords * 0.1),
-      "rule_bullets" -> (nLines === 0 || nBullet <= nLines * 0.9),
-      "rule_ellipsis" -> (nLines === 0 || nEllipsis <= nLines * 0.3),
-      "rule_alpha" -> (nWords === 0 || nAlphaWords >= nWords * 0.8),
-      "rule_stopwords" -> (nStop >= 2)))
+      "rule_symbols" -> (st.getField("n_symbol_words") <= nWords * 0.1),
+      "rule_bullets" -> (nLines === 0 || st.getField("n_bullet_lines") <= nLines * 0.9),
+      "rule_ellipsis" -> (nLines === 0 || st.getField("n_ellipsis_lines") <= nLines * 0.3),
+      "rule_alpha" -> (nWords === 0 || st.getField("n_alpha_words") >= nWords * 0.8),
+      "rule_stopwords" -> (st.getField("n_stop_distinct") >= 2)))
   }
 
   /** the battery's conjunction as a pure predicate, for filter stages */
