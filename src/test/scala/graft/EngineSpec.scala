@@ -415,5 +415,12 @@ class EngineSpec extends AnyFunSuite {
       CuratePipeline.compile(docs, """{"stages": [{"op": "nope"}]}""")
     }
     assert(e.getMessage.contains("unknown curate op"))
+    // gopher_filter stage: the word-count rule gates the short docs out
+    val long = ("the quick brown fox jumps over the lazy dog and then " * 5).trim
+    val mixed = Seq((1L, long), (2L, "too short of a doc")).toDF("doc_id", "text")
+    val kept = CuratePipeline.compile(mixed,
+      """{"stages": [{"op": "gopher_filter", "min_words": 20}]}""")
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L))
   }
 }
