@@ -218,7 +218,7 @@ object JsonQuery {
 
   // ------------------------------------------------------------- from
 
-  private val formatKeys = Set("csv", "parquet", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg")
+  private val formatKeys = Set("csv", "parquet", "jsonl", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg")
 
   /** best-effort pruning conditions: AND-reachable comparison leaves of
     * the filter tree (OR subtrees contribute nothing — conservative) */
@@ -291,6 +291,7 @@ object JsonQuery {
       case "csv" =>
         val delim = spec.get("delimiter").collect { case JString(d) => d }.getOrElse(",")
         FileCollection.csv(spark, paths, Map("delimiter" -> delim))
+      case "jsonl" => spark.read.json(paths: _*)
       case "arrow" => graft.sources.ArrowSource.read(spark, paths)
       case "odv"   => graft.sources.OdvSource.read(spark, paths)
       case "netcdf" | "hdf5" | "tiff" => // one ND container scan path:

@@ -313,6 +313,21 @@ object QueriesFormats {
           col("total_value").cast(DoubleType).as("total_value"))
         .orderBy("day", "event_type")
     },
+    // JSONL (one JSON object per line — the training-corpus interchange
+    // format) egress → read-back round trip; timestamps travel as
+    // ISO strings, re-typed on the read side like the csv gate
+    "q_jsonl_roundtrip" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonlgate")
+        .resolve("daily.jsonl").toString
+      graft.sql.Outputs.copyTo(dailyAgg(s, dir), tmp, Some("jsonl"))
+      graft.sql.Outputs.readClassified(s, "jsonl", tmp)
+        .select(col("day").cast(TimestampNTZType).as("day"),
+          col("event_type").cast(StringType).as("event_type"),
+          col("n").cast(LongType).as("n"),
+          col("total_value").cast(DoubleType).as("total_value"))
+        .orderBy("day", "event_type")
+    },
     // Arrow IPC single-file writer → batch-streaming reader round trip
     "q_arrow_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
@@ -474,6 +489,8 @@ object QueriesFormats {
         FROM grid g LEFT JOIN agg a ON a.d = g.d AND a.h = g.h
         ORDER BY g.d, g.h""",
     "q_csv_roundtrip" ->
+      s"""SELECT * FROM (${dailyAggSql.format("")}) ORDER BY day, event_type""",
+    "q_jsonl_roundtrip" ->
       s"""SELECT * FROM (${dailyAggSql.format("")}) ORDER BY day, event_type""",
     "q_arrow_roundtrip" ->
       s"""SELECT * FROM (${dailyAggSql.format("")}) ORDER BY day, event_type""",

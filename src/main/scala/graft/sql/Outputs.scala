@@ -32,6 +32,7 @@ object Outputs {
     val fmt = format.getOrElse {
       path.toLowerCase match {
         case p if p.endsWith(".csv") => "csv"
+        case p if p.endsWith(".jsonl") || p.endsWith(".ndjson") || p.endsWith(".json") => "jsonl"
         case p if p.endsWith(".nc") => "netcdf"
         case p if p.endsWith(".odv") => "odv"
         case p if p.endsWith(".arrow") || p.endsWith(".feather") || p.endsWith(".ipc") => "arrow"
@@ -40,7 +41,7 @@ object Outputs {
       }
     }
     fmt match {
-      case "parquet" | "csv" =>
+      case "parquet" | "csv" | "jsonl" | "json" =>
         // distributed write: row receipt via observe() — observation
         // metrics apply exactly once per action, so task retries and
         // speculative attempts can't skew the count (accumulators can)
@@ -49,6 +50,10 @@ object Outputs {
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("rows"))
         if (fmt == "parquet") counted.write.mode("overwrite").parquet(path)
+        // jsonl = Spark's native json sink (one JSON object per line) —
+        // the training-corpus interchange format
+        else if (fmt == "jsonl" || fmt == "json")
+          counted.write.mode("overwrite").json(path)
         else counted.write.mode("overwrite").option("header", "true").csv(path)
         obs.get("rows").asInstanceOf[Long]
       case "arrow" | "netcdf" | "odv" | "bbf" =>
@@ -125,6 +130,8 @@ object Outputs {
       Some("bbf")
     else if (name.endsWith(".parquet")) Some("parquet")
     else if (stripCompressed(name).endsWith(".csv")) Some("csv")
+    else if (stripCompressed(name).endsWith(".jsonl") ||
+      stripCompressed(name).endsWith(".ndjson")) Some("jsonl")
     else if (name.endsWith(".arrow") || name.endsWith(".feather")) Some("arrow")
     else if (stripCompressed(name).endsWith(".txt") ||
       stripCompressed(name).endsWith(".odv")) Some("odv")
@@ -149,6 +156,7 @@ object Outputs {
     format match {
       case "parquet" => graft.sources.FileCollection.parquet(spark, path)
       case "csv" => graft.sources.FileCollection.csv(spark, Seq(path), Map.empty)
+      case "jsonl" => spark.read.json(path)
       case "arrow" => graft.sources.ArrowSource.read(spark, Seq(path))
       case "odv" => graft.sources.OdvSource.read(spark, Seq(path))
       case "netcdf" | "hdf5" | "tiff" => graft.sources.netcdf.NetcdfSource.read(spark, Seq(path))
