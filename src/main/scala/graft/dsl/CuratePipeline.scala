@@ -20,16 +20,46 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *   {"op": "normalize"},
   *   {"op": "gopher_filter", "min_words": 20},
   *   {"op": "pii_redact"},
+  *   {"op": "dedup_paragraphs"},
   *   {"op": "dedup_exact"},
-  *   {"op": "cap_per_group", "group": "source", "salt": "v1", "cap": 7}
+  *   {"op": "minhash_neardup", "bands": 4, "max_bucket": 50},
+  *   {"op": "decontaminate", "benchmark_col": "is_bench", "max_frac": 0.05},
+  *   {"op": "lm_quality_filter", "max_score": 9.0},
+  *   {"op": "stratified_sample", "strata": "lang", "salt": "v1",
+  *    "rates": {"en": 0.5}, "default_rate": 0.1},
+  *   {"op": "temperature_sample", "group": "lang", "salt": "v1", "alpha": 0.5},
+  *   {"op": "cap_per_group", "group": "source", "salt": "v1", "cap": 7},
+  *   {"op": "mixture", "group": "source", "salt": "v1",
+  *    "weights": {"wiki": 2.5}, "default_weight": 1.0}
   * ]}
   * }}}
   *
-  * Scale: the map-only stages (normalize, c4_clean, gopher_filter,
-  * pii_redact) fuse into one projection pass over the scan; dedup and
-  * the cap each cost their one documented shuffle. Stage order is the
-  * caller's policy — e.g. c4_clean before normalize, because
-  * normalization collapses the newlines the line rules read.
+  * Scale (per-stage shuffle budget, the documented costs of the
+  * operators each stage delegates to):
+  *  - map-only, fuse into one projection pass over the scan:
+  *    `normalize`, `c4_clean`, `gopher_filter`, `pii_redact`,
+  *    `stratified_sample` (codegen hash filter), `mixture` (hash CASE
+  *    + sequence/explode).
+  *  - one shuffle: `dedup_exact` (fingerprint window),
+  *    `cap_per_group` (group window), `temperature_sample` (per-group
+  *    count, joined back by broadcast).
+  *  - bounded multi-shuffle: `dedup_paragraphs` (digest keeper agg +
+  *    join-back + per-doc reassembly), `lm_quality_filter` (tf
+  *    pre-aggregate, vocab counts, score join — corpus-relative, so
+  *    the score is computed over the CURRENT stage input),
+  *    `decontaminate` (benchmark shingle set broadcasts; corpus side
+  *    is one map-side probe + per-doc count), `minhash_neardup`
+  *    (banded LSH self-join — never all-pairs — + min-label
+  *    propagation rounds bounded by cluster diameter).
+  *
+  * Every stage preserves the (id, text, passenger) row shape and the
+  * input column order; `mixture` additionally APPENDS an `epoch`
+  * column and replicates rows, so it belongs at the end of a chain
+  * (stages after it still compose — ids are simply no longer unique).
+  * Stage order is the caller's policy — e.g. c4_clean before
+  * normalize, because normalization collapses the newlines the line
+  * rules read; dedup before sampling so survivors don't depend on
+  * which duplicate the sampler kept.
   */
 object CuratePipeline {
   import JsonQuery.DslException

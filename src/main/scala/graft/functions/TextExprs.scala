@@ -377,7 +377,9 @@ object TextExprs {
         var hasAlpha = false
         while (j < i) {
           val c = str.charAt(j)
-          if (c == '#') hasSym = true
+          // symbol words: '#', '...' (literal), or '…' (U+2026) — the
+          // paper's rule names both ellipsis spellings
+          if (c == '#' || c == '…') hasSym = true
           else if (c == '.' && j + 2 < i &&
             str.charAt(j + 1) == '.' && str.charAt(j + 2) == '.') hasSym = true
           else if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
@@ -431,7 +433,12 @@ object TextExprs {
 
   /** the document's DISTINCT word characters (insertion order; ws
     * excluded) — one pass, so the corpus-wide vocab distinct explodes
-    * ~alphabet-size rows per doc instead of one per character */
+    * ~alphabet-size rows per doc instead of one per character.
+    *
+    * Whitespace class is [[isWs]] — the SAME class [[tokensKernel]]
+    * uses (and the `\s+` the vocab oracle splits on, which RE2 defines
+    * as `[ \t\n\f\r]`): a character is in the vocab iff encode can emit
+    * it, so `\x0B` is a word character in all three places. */
   def distinctCharsKernel(s: UTF8String, lower: Boolean): ArrayData = {
     val str = (if (lower) s.toLowerCase else s).toString
     val seen = new java.util.LinkedHashSet[String]()
@@ -439,7 +446,7 @@ object TextExprs {
     val n = str.length
     while (i < n) {
       val c = str.charAt(i)
-      if (!isGws(c)) {
+      if (!isWs(c)) {
         val cp = str.codePointAt(i)
         seen.add(new String(Character.toChars(cp)))
         i += Character.charCount(cp)

@@ -95,9 +95,13 @@ object Bpe {
     val spark = df.sparkSession
     // per-doc distinct chars via one kernel pass: the corpus-wide
     // distinct explodes ~alphabet-size rows per doc, not one per char
+    // materialize the distinct set once (driver-scale by construction:
+    // ≤ alphabet size) — the ranked projection AND the count below both
+    // read the checkpoint, so the corpus is scanned exactly once
     val chars = df
       .select(explode(TextExprs.distinct_chars(col(textCol), lower)).as("symbol"))
       .distinct()
+      .localCheckpoint()
     // bounded set (distinct characters): a global rank here is safe
     val ranked = chars.withColumn("token_id",
       (row_number().over(Window.orderBy(col("symbol"))) - 1).cast("long"))

@@ -227,21 +227,29 @@ object TextOps {
     * unigram distribution scores every document by mean negative token
     * log-probability (higher = more surprising/noisier — the cheap
     * perplexity stand-in that fronts model-based filtering when no
-    * external LM is loaded). Two shuffles at any corpus size: one
-    * groupBy to build the vocabulary counts, one token→count join +
-    * per-doc aggregate; the corpus total rides along as a broadcast
-    * single-row aggregate, never a driver collect. Tokenless documents
-    * score 0 with n_tokens 0 (left join keeps them). */
+    * external LM is loaded). The raw token stream is pre-aggregated to
+    * (doc_id, tok, tf) BEFORE the vocab join — the join input shrinks
+    * by the term-frequency factor and stop-word keys lose their skew
+    * (one row per (doc, token) however often the token repeats); the
+    * per-doc mean is then tf-weighted, the same sum. Shuffles: the
+    * (doc_id, tok) pre-aggregate (map-side combined), the vocab
+    * groupBy over tf rows, the tf→count join + per-doc aggregate; the
+    * corpus total rides along as a broadcast single-row aggregate,
+    * never a driver collect. Tokenless documents score 0 with
+    * n_tokens 0 (left join keeps them). */
   def lmQualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextExprs.tokens(col(textCol), lower = true)).as("tok"))
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextExprs.tokens(col(textCol), lower = true)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
     val total = counts.agg(sum(col("c")).as("t"))
-    val scored = toks.join(counts, "tok")
+    val scored = tf.join(counts, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        (-avg(log(col("c").cast(DoubleType) / col("t").cast(DoubleType))))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (-(sum(col("tf").cast(DoubleType) *
+              log(col("c").cast(DoubleType) / col("t").cast(DoubleType))) /
+            sum(col("tf")).cast(DoubleType)))
           .as("s"))
     df.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
@@ -352,14 +360,22 @@ object TextOps {
         (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
-  /** C4-style line-and-document cleaning (Raffel et al. 2020, "Exploring
-    * the Limits of Transfer Learning…", §2.2 — the public C4 rules).
+  /** C4-style line-and-document cleaning (after Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning…", §2.2).
     * Line level: keep a line iff it ends in terminal punctuation
     * (`.`/`!`/`?`/`"`), has ≥ 3 whitespace words, and contains none of
     * {`javascript` (any case), `lorem ipsum` (any case), `{`}. Document
     * level: the cleaned document passes iff it retains ≥ 5 sentences
     * (terminal-punctuation runs as the sentence proxy) and kept any
     * text at all.
+    *
+    * Deliberate deviations from the paper: §2.2 discards the whole
+    * PAGE on `lorem ipsum` or `{` (curly brace = code smell) — here
+    * both are line-level drops, which is less destructive on mixed
+    * prose/code documents and composes with the line rules in one
+    * pass; and the paper's "three sentences" page gate is applied as
+    * the ≥5-sentence doc gate below. Engine and oracle implement the
+    * same (deviating) semantics.
     *
     * Row-local, built-ins only, RE2-safe patterns (explicit whitespace
     * classes, no `\s`) — the DuckDB oracle replays the identical bytes,
@@ -371,7 +387,10 @@ object TextOps {
     * pipeline DSL */
   private def c4KeepLine(l: Column): Column = {
     val ws = "[ \\t\\x0B\\f\\r]+"
-    l.rlike("[.!?\"]$") &&
+    // \z (end of input), NOT $: Java's $ also matches before a final
+    // line terminator (\r, U+0085, U+2028/29) while the oracle's RE2 $
+    // is end-of-string only — a CRLF corpus would diverge under $
+    l.rlike("[.!?\"]\\z") &&
     size(filter(split(l, ws, -1), t => length(t) > 0)) >= 3 &&
     !lower(l).contains("javascript") &&
     !lower(l).contains("lorem ipsum") &&

@@ -211,17 +211,21 @@ object IndexPruneRule {
   /** times a verdict was actually computed (spec observability) */
   private[graft] val verdictComputations = new java.util.concurrent.atomic.AtomicLong
 
-  private val verdictCache =
-    new java.util.concurrent.ConcurrentHashMap[Any, Set[String]]()
+  private val verdictCache: java.util.Map[Any, Set[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Any, Set[String]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Any, Set[String]]): Boolean = size > 256
+      })
 
-  /** bounded, coarse eviction: verdicts are name sets, and a stale
-    * entry can never be served (the key carries the index build version
-    * and a digest of the candidate files' identities) */
+  /** bounded LRU eviction (access-order LinkedHashMap): verdicts are
+    * name sets, and a stale entry can never be served (the key carries
+    * the index build version and a digest of the candidate files'
+    * identities) — eviction only re-computes, never corrupts */
   private[plans] def cachedVerdict(key: Any)(compute: => Set[String]): Set[String] = {
     val hit = verdictCache.get(key)
     if (hit != null) return hit
     val v = { verdictComputations.incrementAndGet(); compute }
-    if (verdictCache.size > 256) verdictCache.clear()
     verdictCache.put(key, v)
     v
   }

@@ -1384,7 +1384,7 @@ object QueriesData {
              CASE WHEN len(words) = 0 THEN 0.0
                   ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
              END AS mean_len,
-             len(list_filter(words, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+             len(list_filter(words, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…'))) AS n_sym,
              len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bul,
              len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ell,
              len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,

@@ -493,6 +493,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2).getDouble(2) == 0.0)
   }
 
+  test("lm quality: vocab join consumes the (doc_id, tok, tf) pre-aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TextOps.lmQualityScore(df, "text", "doc_id")
+      .queryExecution.optimizedPlan
+    val tokJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "tok")) => j
+    }
+    assert(tokJoins.nonEmpty, "expected the tok-keyed vocab join in the plan")
+    // the join's probe side must be the (doc_id, tok) aggregate — NOT
+    // the raw exploded token stream (the pre-r9 shape, which shipped
+    // one join row per token OCCURRENCE and skewed on stop words)
+    assert(tokJoins.exists(_.left.collectFirst {
+      case a: Aggregate
+        if a.groupingExpressions.flatMap(_.references.map(_.name))
+          .toSet == Set("doc_id", "tok") => a
+    }.nonEmpty), "join input must be the tf pre-aggregate")
+  }
+
   test("bm25: only matching docs rank, multi-term doc first, scores descend") {
     import spark.implicits._
     val df = Seq(
