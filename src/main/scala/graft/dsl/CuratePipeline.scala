@@ -100,6 +100,64 @@ object CuratePipeline {
             case n if n > 0 => n
             case _ => throw new DslException("cap_per_group needs a positive 'cap'")
           })
+      case "dedup_paragraphs" =>
+        // rebuild each doc's text from its surviving paragraphs, then
+        // graft the new text back onto the full row (inner join: the
+        // operator emits exactly one row per input doc)
+        val sep = strOr(st, "sep", "\n\n")
+        val rebuilt = TextOps.dedupParagraphs(df, textCol, idCol, sep)
+          .select(col("doc_id").as(idCol), col("text").as("__curate_text"))
+        df.join(rebuilt, Seq(idCol))
+          .withColumn(textCol, col("__curate_text"))
+          .select(df.columns.map(col): _*)
+      case "minhash_neardup" =>
+        // sigs → banded LSH candidates → connected components → each
+        // cluster keeps its min-id member; non-keepers anti-join away.
+        // Never all-pairs: candidates come from the band buckets, and
+        // max_bucket caps degenerate boilerplate buckets.
+        val pairs = Dedup.minhashCandidates(df, textCol, idCol,
+          shingleN = int(st, "shingle_n", 3), k = int(st, "k", 8),
+          bands = int(st, "bands", 4), maxBucket = int(st, "max_bucket", 0))
+        val losers = Dedup.connectedComponents(pairs, s"a_$idCol", s"b_$idCol")
+          .filter(col("cluster_id") =!= col("id"))
+          .select(col("id").as(idCol))
+        df.join(losers, Seq(idCol), "left_anti")
+      case "decontaminate" =>
+        // benchmark rows leave the stream entirely; train docs whose
+        // distinct-shingle overlap with the benchmark set exceeds
+        // max_frac leave with them. The benchmark shingle set
+        // broadcasts (eval splits are small by construction).
+        val bench = col(str(st, "benchmark_col"))
+        val maxFrac = dbl(st, "max_frac", 0.0)
+        val stats = Dedup.decontaminate(df, textCol, idCol, bench,
+          shingleN = int(st, "shingle_n", 3))
+        val tainted = stats.filter(col("contaminated_frac") > maxFrac)
+          .select(col(idCol))
+        df.filter(!bench).join(tainted, Seq(idCol), "left_anti")
+      case "lm_quality_filter" =>
+        // corpus-RELATIVE: the unigram LM is fit on the current stage
+        // input, so a doc's score depends on what earlier stages kept.
+        // Keep docs with rounded lm_score ≤ max_score (lower = less
+        // surprising) and ≥ min_tokens tokens.
+        val maxScore = dbl(st, "max_score", Double.NaN)
+        if (maxScore.isNaN)
+          throw new DslException("lm_quality_filter needs a numeric 'max_score'")
+        val minTokens = int(st, "min_tokens", 1)
+        val keep = TextOps.lmQualityScore(df, textCol, idCol)
+          .filter(col("lm_score") <= maxScore && col("n_tokens") >= minTokens)
+          .select(col("doc_id").as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case "stratified_sample" =>
+        Sampling.stratifiedSample(df, str(st, "strata"), idCol,
+          str(st, "salt"), rateMap(st, "rates"),
+          defaultRate = dbl(st, "default_rate", 0.0))
+      case "temperature_sample" =>
+        Sampling.temperatureSample(df, str(st, "group"), idCol,
+          str(st, "salt"), alpha = dbl(st, "alpha", 0.5))
+      case "mixture" =>
+        Sampling.materializeMixture(df, str(st, "group"), idCol,
+          str(st, "salt"), rateMap(st, "weights"),
+          defaultWeight = dbl(st, "default_weight", 1.0))
       case other =>
         throw new DslException(s"unknown curate op '$other'")
     }
@@ -121,5 +179,36 @@ object CuratePipeline {
       case JBool(b) => b
       case JNothing => default
       case other => throw new DslException(s"'$field' must be a boolean, got $other")
+    }
+
+  private def strOr(st: JValue, field: String, default: String): String =
+    st \ field match {
+      case JString(s) => s
+      case JNothing => default
+      case other => throw new DslException(s"'$field' must be a string, got $other")
+    }
+
+  private def dbl(st: JValue, field: String, default: Double): Double =
+    st \ field match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case JNothing => default
+      case other => throw new DslException(s"'$field' must be numeric, got $other")
+    }
+
+  /** `{"en": 0.5, "zh": 1.0}` → ordered (stratum, rate) pairs; JSON
+    * object order is preserved, so the compiled CASE chain is stable */
+  private def rateMap(st: JValue, field: String): Seq[(String, Double)] =
+    st \ field match {
+      case JObject(fields) => fields.map {
+        case JField(k, JDouble(d)) => k -> d
+        case JField(k, JInt(i)) => k -> i.toDouble
+        case JField(k, JDecimal(d)) => k -> d.toDouble
+        case JField(k, other) =>
+          throw new DslException(s"'$field.$k' must be numeric, got $other")
+      }
+      case JNothing => throw new DslException(s"stage needs object '$field': $st")
+      case other => throw new DslException(s"'$field' must be an object, got $other")
     }
 }

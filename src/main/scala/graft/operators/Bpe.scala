@@ -48,35 +48,108 @@ object Bpe {
       .groupBy(col("p.l").as("l_sym"), col("p.r").as("r_sym"))
       .agg(sum(col("cnt")).as("pair_count"))
 
-  /** Learn `nMerges` merges: each round takes the argmax pair
-    * (count DESC, then lexicographic — fully deterministic), fuses it
-    * across the word table with the codegen merge kernel, and
-    * re-counts. Stops early when no pair reaches `minCount`. Returns
-    * the merge table (rank, left, right, pair_count) — the artifact a
-    * tokenizer ships. */
+  /** Learn `nMerges` merges: deterministic argmax training — pair
+    * ranking is (count DESC, then lexicographic), stops early when no
+    * pair reaches `minCount`. Returns the merge table
+    * (rank, left, right, pair_count) — the artifact a tokenizer ships.
+    *
+    * `batch > 1` fuses up to `batch` merges per Spark round and is
+    * EXACTLY equivalent to batch = 1 (same merges, same order, same
+    * recorded counts), by construction: a batch is the maximal ranked
+    * prefix of pairwise symbol-disjoint pairs such that every member
+    * after the first strictly outranks every pair that shares a symbol
+    * with the batch ("the barrier"). Disjointness makes members'
+    * counts invariant under each other's merges; the barrier covers
+    * the two ways a non-member could overtake a later member in the
+    * sequential replay — a shared-symbol pair that keeps its count, or
+    * a pair newly created next to a merge product, whose count is
+    * bounded by the shared-symbol pair it consumed. A pre-existing
+    * symbol equal to a merge product breaks that bound (its old and
+    * new counts add), so a batch whose product collides with a live
+    * symbol is truncated to the argmax alone. Per round the batch
+    * costs one pair-count shuffle, one small barrier aggregate, and
+    * ONE fused merge projection — a 32k-merge production vocab trains
+    * in ~nMerges/batch rounds on a disjoint-rich corpus instead of
+    * 32k sequential jobs. */
   def trainMerges(df: DataFrame, textCol: String, nMerges: Int,
-      lower: Boolean = true, minCount: Long = 2L): DataFrame = {
+      lower: Boolean = true, minCount: Long = 2L, batch: Int = 1): DataFrame =
+    trainMergesCounted(df, textCol, nMerges, lower, minCount, batch)._1
+
+  /** [[trainMerges]] plus the number of Spark rounds executed (the
+    * count batching exists to cut — observable for specs). */
+  def trainMergesCounted(df: DataFrame, textCol: String, nMerges: Int,
+      lower: Boolean = true, minCount: Long = 2L,
+      batch: Int = 1): (DataFrame, Int) = {
     require(nMerges > 0, "nMerges must be positive")
+    require(batch >= 1, "batch must be >= 1")
     val spark = df.sparkSession
     var words = wordTable(df, textCol, lower).localCheckpoint()
     val acc = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var rank = 0
+    var rounds = 0
     var done = false
     while (rank < nMerges && !done) {
-      val top = pairStats(words)
+      val b = math.min(batch, nMerges - rank)
+      // checkpoint only when the barrier aggregate will re-read stats
+      val stats =
+        if (b == 1) pairStats(words) else pairStats(words).localCheckpoint()
+      val topK = stats
         .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+        .limit(math.max(4 * b, 8)).collect()
+      rounds += 1
+      if (topK.isEmpty || topK(0).getLong(2) < minCount) done = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        acc += ((rank, l, r, c))
-        words = words.withColumn("syms", TextExprs.bpe_merge(col("syms"), l, r))
-          .localCheckpoint()
-        rank += 1
+        // greedy ranked-order selection of symbol-disjoint pairs
+        val selected = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        val products = scala.collection.mutable.ListBuffer.empty[String]
+        var stop = false
+        val it = topK.iterator
+        while (!stop && selected.size < b && it.hasNext) {
+          val row = it.next()
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (c < minCount) stop = true
+          else if (!used(l) && !used(r) && !used(l + r)) {
+            selected += ((l, r, c))
+            used ++= Seq(l, r, l + r)
+            products += (l + r)
+          }
+        }
+        // barrier: members after the argmax must STRICTLY outrank every
+        // pair sharing a symbol with the batch (those pairs, and the
+        // product-adjacent pairs they bound, are the only counts the
+        // sequential replay could see move up between picks)
+        val kept =
+          if (selected.size <= 1) selected.toList
+          else {
+            val usedSeq = used.toList
+            val isSelected = selected.map(p =>
+              col("l_sym") === p._1 && col("r_sym") === p._2).reduce(_ || _)
+            val touches = col("l_sym").isin(usedSeq: _*) ||
+              col("r_sym").isin(usedSeq: _*)
+            val prodTouch = col("l_sym").isin(products.toList: _*) ||
+              col("r_sym").isin(products.toList: _*)
+            val bar = stats.filter(touches && !isSelected)
+              .agg(max(col("pair_count")).as("m"),
+                max(when(prodTouch, col("pair_count"))).as("pm"))
+              .collect()(0)
+            val maxShared = if (bar.isNullAt(0)) Long.MinValue else bar.getLong(0)
+            val productCollision = !bar.isNullAt(1)
+            if (productCollision) selected.toList.take(1)
+            else selected.head :: selected.toList.tail.takeWhile(_._3 > maxShared)
+          }
+        // ONE fused projection applies the whole batch (rank order —
+        // disjointness makes the order immaterial, the chain keeps it
+        // byte-equal to the sequential replay)
+        val newSyms = kept.foldLeft(col("syms")) { case (c0, (l, r, _)) =>
+          TextExprs.bpe_merge(c0, l, r)
+        }
+        words = words.withColumn("syms", newSyms).localCheckpoint()
+        kept.foreach { case (l, r, c) => acc += ((rank, l, r, c)); rank += 1 }
       }
     }
     import spark.implicits._
-    acc.toSeq.toDF("rank", "left", "right", "pair_count")
+    (acc.toSeq.toDF("rank", "left", "right", "pair_count"), rounds)
   }
 
   /** The vocabulary artifact a trained tokenizer ships: base symbols

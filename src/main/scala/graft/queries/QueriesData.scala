@@ -538,6 +538,38 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- curation pipeline v2: the r8 operators as composable DSL
+    // stages — paragraph dedup (seeded boilerplate), corpus-relative
+    // LM-quality filter, stratified sampling, mixture materialization;
+    // the oracle replays the chain as one CTE per stage. Every stage
+    // changes the row set (500 → 301 → ~180 → ~190 at sf0.01).
+    "q_curate_pipeline_v2" -> { (s, dir) =>
+      val boiler = array(
+        lit("Subscribe to our newsletter for updates."),
+        lit("All rights reserved."),
+        lit("Click here to read more."),
+        lit("Share this article on social media."))
+      val seeded = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), concat(
+          col("text"), lit("\n\n"),
+          element_at(boiler, (col("doc_id") % 4 + 1).cast("int")),
+          when(col("doc_id") % 6 === 0,
+            lit("\n\nCookie policy: this site uses cookies.")).otherwise(lit("")))
+          .as("text"))
+      val spec = """{"stages": [
+        {"op": "dedup_paragraphs"},
+        {"op": "lm_quality_filter", "max_score": 3.404},
+        {"op": "stratified_sample", "strata": "lang", "salt": "strat-v2",
+         "rates": {"en": 0.7, "zh": 0.9}, "default_rate": 0.4},
+        {"op": "mixture", "group": "source", "salt": "mix-v2",
+         "weights": {"src0": 2.5, "src1": 0.5}, "default_weight": 1.0}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(seeded, spec)
+        .select(col("doc_id"), col("lang"), col("source"), col("epoch"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -1352,6 +1384,55 @@ object QueriesData {
             FROM ded) t WHERE rn <= 7)
         SELECT doc_id, source, md5(text) AS text_md5
         FROM cap ORDER BY doc_id""",
+    // v2 chain, one CTE per stage: seeded boilerplate → paragraph
+    // dedup (first-occurrence keeper, reassembly in position order) →
+    // corpus-relative unigram-LM filter (round(s,4) ≤ 3.404, ≥1 token)
+    // → stratified lang sampling (md5 bit contract) → mixture epochs
+    "q_curate_pipeline_v2" ->
+      raw"""WITH seeded AS (
+           SELECT doc_id, lang, source, text || chr(10) || chr(10) ||
+             CASE doc_id % 4 WHEN 0 THEN 'Subscribe to our newsletter for updates.'
+                             WHEN 1 THEN 'All rights reserved.'
+                             WHEN 2 THEN 'Click here to read more.'
+                             ELSE 'Share this article on social media.' END ||
+             CASE WHEN doc_id % 6 = 0
+                  THEN chr(10) || chr(10) || 'Cookie policy: this site uses cookies.'
+                  ELSE '' END AS text
+           FROM documents),
+         p AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras FROM seeded),
+         e AS (SELECT doc_id, unnest(list_zip(paras, range(1, len(paras) + 1))) AS z FROM p),
+         q AS (SELECT doc_id, z[1] AS para, CAST(z[2] AS BIGINT) - 1 AS pos FROM e),
+         k AS (SELECT para, min(doc_id * 1000000 + pos) AS keeper FROM q GROUP BY 1),
+         kept AS (SELECT q.doc_id, q.pos, q.para FROM q JOIN k USING (para)
+                  WHERE q.doc_id * 1000000 + q.pos = k.keeper),
+         reb AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+                 FROM kept GROUP BY doc_id),
+         dd AS (SELECT s.doc_id, s.lang, s.source, coalesce(r.text, '') AS text
+                FROM seeded s LEFT JOIN reb r USING (doc_id)),
+         toks AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok FROM dd),
+         cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT sum(c) AS t FROM cnt),
+         scored AS (SELECT doc_id, count(*) AS n_tokens,
+                round(-avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS s
+           FROM toks JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id),
+         lmk AS (SELECT dd.* FROM dd JOIN scored USING (doc_id)
+                 WHERE scored.s <= 3.404 AND scored.n_tokens >= 1),
+         strat AS (SELECT * FROM lmk
+           WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || 'strat-v2')
+                    % 281474976710656) % 10000
+             < CASE lang WHEN 'en' THEN 7000 WHEN 'zh' THEN 9000 ELSE 4000 END),
+         c AS (SELECT doc_id, lang, source, text,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+             + CASE WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || 'mix-v2')
+                            % 281474976710656) % 10000
+                      < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 5000 ELSE 0 END
+                    THEN 1 ELSE 0 END AS copies
+           FROM strat)
+         SELECT doc_id, lang, source, epoch, md5(text) AS text_md5 FROM (
+           SELECT doc_id, lang, source, text, unnest(range(0, copies)) AS epoch
+           FROM c WHERE copies > 0) x
+         ORDER BY doc_id, epoch""",
     // the C4 §2.2 line rules verbatim: terminal punctuation, ≥3
     // whitespace words, javascript/lorem ipsum/'{' blocklist; doc gate
     // = ≥5 terminal-punctuation runs in the kept text

@@ -423,4 +423,97 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(kept.toSeq == Seq(1L))
   }
+
+  test("curate DSL v2 stages: dedup/decontaminate/quality/sampling compose") {
+    import spark.implicits._
+    import graft.dsl.CuratePipeline
+    // dedup_paragraphs: shared boilerplate leaves every doc but its
+    // first; passengers and column order survive the text rebuild
+    val para = Seq(
+      (1L, "Unique alpha text.\n\nShared boilerplate line.", "web"),
+      (2L, "Unique beta text.\n\nShared boilerplate line.", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val dd = CuratePipeline.compile(para,
+      """{"stages": [{"op": "dedup_paragraphs"}]}""")
+    assert(dd.columns.toSeq == Seq("doc_id", "text", "source"))
+    val byId = dd.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(1L)._1 == "Unique alpha text.\n\nShared boilerplate line.")
+    assert(byId(2L)._1 == "Unique beta text.", "doc 2 loses the shared paragraph")
+    assert(byId(2L)._2 == "wiki", "passenger survives")
+
+    // minhash_neardup: duplicate text collapses to the min-id keeper,
+    // the distinct doc is untouched
+    val near = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again", "a"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again", "b"),
+      (12L, "completely different content about spark partitions and shuffles", "c"))
+      .toDF("doc_id", "text", "source")
+    val nd = CuratePipeline.compile(near,
+      """{"stages": [{"op": "minhash_neardup"}]}""")
+      .collect().map(_.getLong(0)).sorted
+    assert(nd.toSeq == Seq(10L, 12L), "11 is the non-keeper duplicate")
+
+    // decontaminate: benchmark rows leave; a train doc quoting the
+    // benchmark above max_frac leaves with them
+    val decon = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta", true),
+      (21L, "alpha beta gamma delta epsilon zeta", false),
+      (22L, "nothing in common with the held out split here", false))
+      .toDF("doc_id", "text", "is_bench")
+    val dk = CuratePipeline.compile(decon,
+      """{"stages": [{"op": "decontaminate", "benchmark_col": "is_bench",
+                      "max_frac": 0.5}]}""")
+      .collect().map(_.getLong(0)).sorted
+    assert(dk.toSeq == Seq(22L), "bench row and fully-contaminated train row leave")
+
+    // lm_quality_filter: common-token doc scores low and stays; the doc
+    // holding the corpus's rare tokens scores high and leaves
+    val lm = Seq(
+      (30L, "common common common common common common"),
+      (31L, "common rarest outlier zzz")).toDF("doc_id", "text")
+    val lk = CuratePipeline.compile(lm,
+      """{"stages": [{"op": "lm_quality_filter", "max_score": 0.5}]}""")
+      .collect().map(_.getLong(0))
+    assert(lk.toSeq == Seq(30L))
+    val e1 = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(lm, """{"stages": [{"op": "lm_quality_filter"}]}""")
+    }
+    assert(e1.getMessage.contains("max_score"))
+
+    // stratified_sample / mixture reject malformed rate maps
+    val e2 = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(lm,
+        """{"stages": [{"op": "stratified_sample", "strata": "lang", "salt": "s"}]}""")
+    }
+    assert(e2.getMessage.contains("rates"))
+    val e3 = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(lm,
+        """{"stages": [{"op": "mixture", "group": "g", "salt": "s",
+                        "weights": {"a": "lots"}}]}""")
+    }
+    assert(e3.getMessage.contains("weights.a"))
+
+    // mixture: appends epoch and replicates by the weight contract
+    val mix = (0L until 40L).map(i => (i, s"doc $i", if (i < 20) "dbl" else "one"))
+      .toDF("doc_id", "text", "source")
+    val mx = CuratePipeline.compile(mix,
+      """{"stages": [{"op": "mixture", "group": "source", "salt": "m1",
+                      "weights": {"dbl": 2.0}}]}""")
+    assert(mx.columns.toSeq == Seq("doc_id", "text", "source", "epoch"))
+    val perSrc = mx.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc("dbl") == 40L, "integer weight 2 → exactly two epochs each")
+    assert(perSrc("one") == 20L, "default weight 1 → one epoch each")
+
+    // temperature_sample: smallest group keeps everything
+    val temp = (0L until 300L).map(i => (i, s"doc $i", if (i < 250) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    val tk = CuratePipeline.compile(temp,
+      """{"stages": [{"op": "temperature_sample", "group": "source",
+                      "salt": "t1", "alpha": 0.5}]}""")
+    val tCounts = tk.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tCounts("small") == 50L, "smallest group keeps 100%")
+    assert(tCounts("big") < 250L, "larger group downsamples")
+  }
 }

@@ -637,6 +637,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(few.count() == 0, "single-occurrence pairs must not merge")
   }
 
+  test("bpe trainer batching: identical merges to batch=1, fewer rounds") {
+    import spark.implicits._
+    val df = Seq(
+      "low low low newest newest",
+      "lower lower newest newest widest").toDF("text")
+    def table(m: org.apache.spark.sql.DataFrame) =
+      m.orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val (m1, r1) = Bpe.trainMergesCounted(df, "text", nMerges = 8, batch = 1)
+    val (m4, r4) = Bpe.trainMergesCounted(df, "text", nMerges = 8, batch = 4)
+    assert(table(m4) == table(m1),
+      "batched training must replay the sequential merges exactly")
+    assert(r1 == 8, "batch=1 is one round per merge")
+    assert(r4 < r1, s"batching must cut rounds, got $r4 vs $r1")
+    // a corpus engineered so the barrier must fire: after merging the
+    // argmax (a,b), the pair (x, ab) — created by that merge — outranks
+    // the disjoint runner-up (c,d), so (c,d) may NOT ride in the batch
+    val tricky = Seq(
+      Seq.fill(100)("xab").mkString(" "),
+      Seq.fill(99)("cd").mkString(" ")).toDF("text")
+    val (mt1, _) = Bpe.trainMergesCounted(tricky, "text", nMerges = 3, batch = 1)
+    val (mt4, _) = Bpe.trainMergesCounted(tricky, "text", nMerges = 3, batch = 4)
+    assert(table(mt4) == table(mt1),
+      "barrier keeps batched training exact when merge products rerank")
+    assert(table(mt1).map(t => (t._2, t._3)) ==
+      Seq(("a", "b"), ("x", "ab"), ("c", "d")),
+      "sequential ground truth: the merge product overtakes (c,d)")
+  }
+
   test("bpe encode: merge chain, word boundaries, symbol counts") {
     import spark.implicits._
     val merges = Seq("t" -> "h", "th" -> "e")
