@@ -218,9 +218,14 @@ object NdFlatten {
     if (v.isString)
       return DecodedVar(v.name, v.dims, StringType, null, None, None, v.sdata)
     val fill = v.attrs.get("_FillValue").flatMap(parseFill)
+    // CF `calendar` scopes the BASE-date parse (offsets are uniform
+    // unit counts in every supported calendar, so only the date→instant
+    // conversion differs); unsupported calendars reject loudly rather
+    // than decoding proleptic-Gregorian-wrong
+    val calendar = v.attrs.get("calendar").map(_.trim.toLowerCase).getOrElse("standard")
     val timeBase = v.attrs.get("units").flatMap {
       case sinceRe(unit, base) =>
-        unitMicros(unit).map(m => (parseBaseMicros(base), m))
+        unitMicros(unit).map(m => (parseBaseMicros(base, calendar), m))
       case _ => None
     }
     val scale = v.attrs.get("scale_factor").map(_.toDouble)
@@ -258,13 +263,50 @@ object NdFlatten {
   }
 
   /** "1950-01-01", "1950-01-01 00:00:00", optional 'T' separator and a
-    * trailing UTC/Z/+00:00 zone designator — proleptic Gregorian, UTC. */
-  def parseBaseMicros(base: String): Long = {
+    * trailing UTC/Z/+00:00 zone designator, UTC.
+    *
+    * `calendar` is the CF attribute (case-folded): standard/gregorian/
+    * proleptic_gregorian parse proleptic Gregorian (the pre-1582
+    * standard-calendar cutover is out of scope, matching the
+    * reference's Gregorian+Julian support, cf-decoding.md:16-43);
+    * `julian` interprets the base DATE under Julian leap rules and
+    * maps it to the equivalent instant (e.g. julian 1858-11-05 =
+    * gregorian 1858-11-17). Non-instant calendars (360_day, noleap,
+    * all_leap, none) cannot map to timestamps and reject loudly. */
+  def parseBaseMicros(base: String, calendar: String = "standard"): Long = {
     var norm = base.trim
       .replaceAll("(?i)\\s*(UTC|GMT|Z|\\+0+:?0*)\\s*$", "")
       .trim.replace("T", " ")
     val withTime = if (norm.contains(" ")) norm else s"$norm 00:00:00"
-    val ldt = java.time.LocalDateTime.parse(withTime.replace(" ", "T"))
-    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    calendar match {
+      case "standard" | "gregorian" | "proleptic_gregorian" | "" =>
+        val ldt = java.time.LocalDateTime.parse(withTime.replace(" ", "T"))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      case "julian" =>
+        val Array(datePart, timePart) = withTime.split(" ", 2)
+        val neg = datePart.startsWith("-")
+        val ds = (if (neg) datePart.substring(1) else datePart).split("-")
+        require(ds.length == 3, s"unparseable julian base date '$datePart'")
+        val y = ds(0).toInt * (if (neg) -1 else 1)
+        val m = ds(1).toInt
+        val d = ds(2).toInt
+        require(m >= 1 && m <= 12 && d >= 1 && d <= 31,
+          s"unparseable julian base date '$datePart'")
+        // Julian-calendar date → Julian Day Number (Fliegel/Van Flandern
+        // form for the Julian calendar), then to the 1970-01-01 epoch
+        // (Gregorian JDN 2440588)
+        val a = (14 - m) / 12
+        val y2 = y + 4800 - a
+        val m2 = m + 12 * a - 3
+        val jdn = d.toLong + (153L * m2 + 2) / 5 + 365L * y2 + y2 / 4 - 32083L
+        val lt = java.time.LocalTime.parse(timePart)
+        (jdn - 2440588L) * 86400000000L + lt.toNanoOfDay / 1000L
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported CF calendar '$other': supported calendars are " +
+            "standard/gregorian/proleptic_gregorian and julian; " +
+            "360_day/noleap/all_leap grids have no timestamp equivalent — " +
+            "drop or rename the 'units … since' attribute to read the raw numbers")
+    }
   }
 }

@@ -42,6 +42,12 @@ object FlatBuf {
     new Table(buf, buf.getInt(0))
   }
 
+  /** the spec's optional 4-byte file identifier (bytes 4..8, right after
+    * the root uoffset) — None when the buffer is too short to carry one */
+  def identifier(bytes: Array[Byte]): Option[String] =
+    if (bytes.length < 8) None
+    else Some(new String(bytes, 4, 4, java.nio.charset.StandardCharsets.US_ASCII))
+
   /** table accessor: field lookup by slot id through the vtable */
   final class Table(val buf: ByteBuffer, val pos: Int) {
     private val vtable = pos - buf.getInt(pos) // soffset
@@ -262,9 +268,21 @@ object FlatBuf {
       tableEnd
     }
 
-    def finish(rootEndOff: Int): Array[Byte] = {
-      grow(4 + maxAlign)
-      while ((used + 4) % maxAlign != 0) { head -= 1; buf(head) = 0 }
+    /** `ident`, when given, must be exactly 4 ASCII bytes — written at
+      * the spec's file-identifier position (right after the root
+      * uoffset), so readers can sniff the schema before walking */
+    def finish(rootEndOff: Int, ident: String = null): Array[Byte] = {
+      val identBytes =
+        if (ident == null) null
+        else {
+          val b = ident.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          require(b.length == 4, s"file identifier must be 4 bytes: '$ident'")
+          b
+        }
+      val header = if (identBytes == null) 4 else 8
+      grow(header + maxAlign)
+      while ((used + header) % maxAlign != 0) { head -= 1; buf(head) = 0 }
+      if (identBytes != null) rawBytes(identBytes)
       put32(used + 4 - rootEndOff)
       java.util.Arrays.copyOfRange(buf, head, buf.length)
     }

@@ -29,15 +29,38 @@ import org.json4s.jackson.JsonMethods
   * COMPATIBILITY NOTE: the exact slot numbering of the icechunk
   * library's own `.fbs` is not reproducible in this offline environment
   * (no schema file, no library to generate fixtures), so repos written by
-  * the real library are not guaranteed to decode — the wire FORMAT is
-  * spec-exact, the field table is graft's. Legacy graft JSON payloads
-  * (round ≤6 fixtures) still read via content sniffing: a zstd frame
-  * magic (0x28B52FFD) selects the flatbuffers path, anything else parses
-  * as JSON.
+  * the real library CANNOT decode here — and must not decode silently
+  * wrong. Graft payloads therefore carry the spec's 4-byte file
+  * identifier (`GFS1` snapshots, `GFM1` manifests) right after the root
+  * uoffset; a zstd flatbuffers payload WITHOUT the expected identifier
+  * (a real-icechunk repo, or any foreign flatbuffer) is rejected loudly
+  * with the observed identifier in the message, never field-walked.
+  * Legacy graft JSON payloads (round ≤6 fixtures) still read via content
+  * sniffing: a zstd frame magic (0x28B52FFD) selects the flatbuffers
+  * path, anything else parses as JSON.
   */
 object IcechunkFb {
 
+  /** file identifiers: graft snapshot / graft manifest, layout v1 */
+  val SnapshotIdent = "GFS1"
+  val ManifestIdent = "GFM1"
+
   private val ZstdMagic = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte)
+
+  /** loud schema gate: foreign flatbuffers (e.g. repos written by the
+    * real icechunk library, whose slot numbering this codec does not
+    * know) stop HERE with a diagnosable message instead of decoding
+    * shifted fields */
+  private def requireIdent(raw: Array[Byte], expected: String, kind: String): Unit = {
+    val got = FlatBuf.identifier(raw)
+    if (!got.contains(expected))
+      throw new IllegalArgumentException(
+        s"icechunk $kind payload is a zstd flatbuffer but not a graft-written " +
+          s"one (file identifier ${got.map(i => s"'$i'").getOrElse("absent")}, " +
+          s"expected '$expected'): refusing to decode a foreign layout — " +
+          "repos written by the real icechunk library use a different " +
+          "(unpublished-offline) slot numbering")
+  }
 
   def isZstd(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && bytes(0) == ZstdMagic(0) && bytes(1) == ZstdMagic(1) &&
@@ -97,14 +120,16 @@ object IcechunkFb {
     b.slotI64(3, System.currentTimeMillis())
     b.slotUOffset(4, attrsVec)
     b.slotUOffset(5, nodesVec)
-    zstd(b.finish(b.endTable()))
+    zstd(b.finish(b.endTable(), SnapshotIdent))
   }
 
   /** payload bytes (zstd+flatbuffers or legacy JSON) → snapshot JValue */
   def decodeSnapshot(bytes: Array[Byte]): JValue =
     if (!isZstd(bytes)) JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
     else {
-      val t = FlatBuf.root(unzstd(bytes))
+      val raw = unzstd(bytes)
+      requireIdent(raw, SnapshotIdent, "snapshot")
+      val t = FlatBuf.root(raw)
       val nodes = t.vector(5).map { v =>
         (0 until v.length).toList.map { i =>
           val n = v.tableAt(i)
@@ -167,13 +192,15 @@ object IcechunkFb {
     b.startTable()
     b.slotUOffset(0, idOff)
     b.slotUOffset(1, refsVec)
-    zstd(b.finish(b.endTable()))
+    zstd(b.finish(b.endTable(), ManifestIdent))
   }
 
   def decodeManifest(bytes: Array[Byte]): JValue =
     if (!isZstd(bytes)) JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
     else {
-      val t = FlatBuf.root(unzstd(bytes))
+      val raw = unzstd(bytes)
+      requireIdent(raw, ManifestIdent, "manifest")
+      val t = FlatBuf.root(raw)
       val rows = t.vector(1).map { v =>
         (0 until v.length).toList.map { i =>
           val r = v.tableAt(i)

@@ -98,6 +98,42 @@ class IcechunkSpec extends AnyFunSuite {
     assert((IcechunkFb.decodeSnapshot(legacy) \ "id") == JString("SNAP0123456789ABCDEF"))
   }
 
+  test("icechunk payloads: foreign flatbuffers layouts reject loudly") {
+    import graft.sources.icechunk.{FlatBuf, IcechunkFb}
+    // a structurally valid flatbuffer with a DIFFERENT schema identity —
+    // what a repo written by the real icechunk library looks like to
+    // this codec (its slot numbering is unknown here, so decoding it
+    // must stop at the identifier gate, never field-walk)
+    def foreign(ident: String): Array[Byte] = {
+      val b = new FlatBuf.Builder
+      val s = b.string("not-a-graft-snapshot")
+      b.startTable(); b.slotUOffset(0, s); val root = b.endTable()
+      com.github.luben.zstd.Zstd.compress(b.finish(root, ident), 3)
+    }
+    val e1 = intercept[IllegalArgumentException](
+      IcechunkFb.decodeSnapshot(foreign("ICEx")))
+    assert(e1.getMessage.contains("foreign layout") &&
+      e1.getMessage.contains("'ICEx'") && e1.getMessage.contains("'GFS1'"),
+      s"message must name observed and expected identifiers: ${e1.getMessage}")
+    // identifier-less buffers (finish without ident) reject too
+    def identless(): Array[Byte] = {
+      val b = new FlatBuf.Builder
+      val s = b.string("x")
+      b.startTable(); b.slotUOffset(0, s); val root = b.endTable()
+      com.github.luben.zstd.Zstd.compress(b.finish(root), 3)
+    }
+    val e2 = intercept[IllegalArgumentException](
+      IcechunkFb.decodeManifest(identless()))
+    assert(e2.getMessage.contains("expected 'GFM1'"))
+    // a snapshot fed to the manifest decoder is also a schema mismatch
+    val snapBytes = IcechunkFb.encodeSnapshot(
+      org.json4s.JObject("id" -> org.json4s.JString("S"),
+        "nodes" -> org.json4s.JArray(Nil)))
+    val e3 = intercept[IllegalArgumentException](
+      IcechunkFb.decodeManifest(snapBytes))
+    assert(e3.getMessage.contains("'GFS1'") && e3.getMessage.contains("'GFM1'"))
+  }
+
   test("icechunk: branch tip moves with commits; snapshot/tag stay fixed") {
     val root = java.nio.file.Files.createTempDirectory("graft-icechunk")
     val s1 = IcechunkStore.Writer.commit(root, grid(1.0), message = "v1")

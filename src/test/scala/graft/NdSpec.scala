@@ -75,6 +75,67 @@ class NdSpec extends AnyFunSuite {
       java.time.LocalDateTime.of(1951, 1, 1, 6, 0, 0))  // .25 day = 6h
   }
 
+  test("CF calendar: julian base dates shift to their Gregorian instant") {
+    // julian 1858-11-05 00:00 = gregorian 1858-11-17 00:00 (12-day gap
+    // in the 19th century); offsets stay uniform day counts
+    val ds = NdDataset(
+      dims = Seq("t" -> 3),
+      variables = Seq(NdVariable("t", Seq("t"), Array(0.0, 1.0, 365.0),
+        attrs = Map("units" -> "days since 1858-11-05",
+          "calendar" -> "julian"))))
+    val rows = NdFlatten.flatten(spark, ds).collect()
+    assert(rows(0).getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(1858, 11, 17, 0, 0, 0))
+    assert(rows(1).getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(1858, 11, 18, 0, 0, 0))
+    assert(rows(2).getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(1859, 11, 17, 0, 0, 0))
+    // julian leap rule: 1900 IS a leap year in the julian calendar, so
+    // julian 1900-03-01 sits one day later than the proleptic-Gregorian
+    // parse would put it (gregorian equivalent 1900-03-14)
+    val leap = NdDataset(
+      dims = Seq("t" -> 1),
+      variables = Seq(NdVariable("t", Seq("t"), Array(0.0),
+        attrs = Map("units" -> "days since 1900-03-01",
+          "calendar" -> "julian"))))
+    assert(NdFlatten.flatten(spark, leap).collect()(0)
+      .getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(1900, 3, 14, 0, 0, 0))
+    // explicit gregorian aliases keep the existing behavior
+    for (cal <- Seq("standard", "gregorian", "proleptic_gregorian")) {
+      val g = NdDataset(
+        dims = Seq("t" -> 1),
+        variables = Seq(NdVariable("t", Seq("t"), Array(0.0),
+          attrs = Map("units" -> "days since 1950-01-01", "calendar" -> cal))))
+      assert(NdFlatten.flatten(spark, g).collect()(0)
+        .getAs[java.time.LocalDateTime]("t") ==
+        java.time.LocalDateTime.of(1950, 1, 1, 0, 0, 0), s"calendar=$cal")
+    }
+    // golden .nc round-trip: the calendar attribute survives the file
+    // format and drives the decode on read-back
+    import graft.sources.netcdf.{NetcdfClassic, NetcdfWriter}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-julian")
+      .resolve("julian.nc").toString
+    NetcdfWriter.writeNd(ds, tmp)
+    val back = NdFlatten.flatten(spark, NetcdfClassic.readDataset(tmp)).collect()
+    assert(back(0).getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(1858, 11, 17, 0, 0, 0),
+      "julian decode must survive a real .nc write → read round-trip")
+  }
+
+  test("CF calendar: non-instant calendars reject loudly") {
+    for (cal <- Seq("360_day", "noleap", "365_day", "all_leap", "none")) {
+      val ds = NdDataset(
+        dims = Seq("t" -> 1),
+        variables = Seq(NdVariable("t", Seq("t"), Array(0.0),
+          attrs = Map("units" -> "days since 2000-01-01", "calendar" -> cal))))
+      val e = intercept[IllegalArgumentException](
+        NdFlatten.flatten(spark, ds).collect())
+      assert(e.getMessage.contains(s"unsupported CF calendar '$cal'"),
+        s"calendar=$cal must reject, got: ${e.getMessage}")
+    }
+  }
+
   test("scale_factor/add_offset apply; _FillValue nulls; others ignored") {
     val ds = NdDataset(
       dims = Seq("x" -> 4),
