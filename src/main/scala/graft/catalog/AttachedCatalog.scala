@@ -32,8 +32,9 @@ class AttachedCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catName
 
   private def att: Attachments.Attachment =
-    Attachments.get(catName).getOrElse(throw new IllegalStateException(
-      s"catalog '$catName' is not attached (was it DETACHed?)"))
+    Attachments.get(org.apache.spark.sql.SparkSession.active, catName)
+      .getOrElse(throw new IllegalStateException(
+        s"catalog '$catName' is not attached (was it DETACHed?)"))
 
   private def schemaOf(ident: Identifier): String = ident.namespace() match {
     case Array() => "public"

@@ -103,7 +103,19 @@ object Attachments {
       listing: Map[String, Seq[String]],
       tableCache: ConcurrentHashMap[String, Table])
 
-  private val registry = new ConcurrentHashMap[String, Attachment]()
+  // SESSION-scoped registry: keyed by the owning SparkSession (weak, so
+  // a dropped session releases its attachments), then by name — two
+  // engines in one JVM attaching the same name no longer cross-mount.
+  // [[AttachedCatalog]] resolves through SparkSession.active, which is
+  // the session executing the lookup.
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Attachment]]()
+
+  private def sessionMap(spark: SparkSession): ConcurrentHashMap[String, Attachment] =
+    registry.synchronized {
+      registry.computeIfAbsent(spark,
+        _ => new ConcurrentHashMap[String, Attachment]())
+    }
 
   private val redactedKeys = Set("token", "password", "secret", "key", "key_id")
 
@@ -124,7 +136,7 @@ object Attachments {
       case _: JdbcEndpoint => "jdbc"
       case _ => "peer"
     }, shown, instance, listing, new ConcurrentHashMap[String, Table]())
-    registry.put(name, att)
+    sessionMap(spark).put(name, att)
     // the V2 catalog seat: name.schema.table now resolves through
     // Spark's CatalogManager into AttachedCatalog (which consults this
     // registry per lookup, so DETACH/re-ATTACH bite despite the
@@ -134,14 +146,16 @@ object Attachments {
   }
 
   def detach(spark: SparkSession, name: String): Unit = {
-    if (registry.remove(name) == null)
+    if (sessionMap(spark).remove(name) == null)
       throw new IllegalArgumentException(s"no attachment '$name'")
     spark.conf.unset(s"spark.sql.catalog.$name")
   }
 
-  def get(name: String): Option[Attachment] = Option(registry.get(name))
+  def get(spark: SparkSession, name: String): Option[Attachment] =
+    Option(sessionMap(spark).get(name))
 
-  def list(): Seq[Attachment] = registry.values.asScala.toSeq.sortBy(_.name)
+  def list(spark: SparkSession): Seq[Attachment] =
+    sessionMap(spark).values.asScala.toSeq.sortBy(_.name)
 
   // --------------------------------------------------- embedded peer
 

@@ -51,4 +51,78 @@ object GeoExprs {
 
   def st_wkb_as_wkt(wkb: Column): Column =
     ColumnBridge.column(WkbToWkt(ColumnBridge.expression(wkb)))
+
+  // ------------------------------------------------------- ST_* suite
+  // Planar geometry over WKT (POINT/POLYGON/MULTIPOLYGON) — the
+  // minimum viable slice of the reference's geodatafusion suite
+  // (beacon-functions/src/lib.rs:32). Codegen'd: one static call per
+  // row, WKT parse LRU-cached per executor ([[Geo.parseWktCached]]),
+  // so a repeated literal geometry parses once and the per-row work is
+  // pure arithmetic.
+
+  /** st_distance(wktA, wktB) → minimum planar distance (0 on overlap) */
+  case class StDistance(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_distance"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.stDistance(a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Geo.stDistance($a.toString(), $b.toString());")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  /** st_area(wkt) → shoelace polygon area (holes subtracted; points 0) */
+  case class StArea(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_area"
+    override def nullSafeEval(a: Any): Any =
+      Geo.stArea(a.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Geo.stArea($a.toString());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_intersects(wktA, wktB) → boundary-inclusive intersection */
+  case class StIntersects(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_intersects"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.stIntersects(a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Geo.stIntersects($a.toString(), $b.toString());")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  /** st_contains(wktA, wktB) → boundary-inclusive containment of b in a */
+  case class StContains(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_contains"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.stContains(a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Geo.stContains($a.toString(), $b.toString());")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  def st_distance(a: Column, b: Column): Column =
+    ColumnBridge.column(StDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def st_area(a: Column): Column =
+    ColumnBridge.column(StArea(ColumnBridge.expression(a)))
+  def st_intersects(a: Column, b: Column): Column =
+    ColumnBridge.column(StIntersects(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def st_contains(a: Column, b: Column): Column =
+    ColumnBridge.column(StContains(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -206,4 +206,203 @@ object Geo {
       g
     }
   }
+
+  // ------------------------------------------------------ ST_* suite
+  // Planar (Cartesian) semantics over the same POINT/POLYGON/
+  // MULTIPOLYGON subset — the minimum viable slice of the reference's
+  // geodatafusion registration (beacon-functions/src/lib.rs:32).
+
+  /** shoelace area: |outer| − Σ|holes| per polygon, summed across a
+    * multipolygon; points have zero area */
+  def area(g: Geom): Double = g match {
+    case PointGeom(_, _) => 0.0
+    case PolygonGeom(p) => polyArea(p)
+    case MultiPolygonGeom(ps) => ps.map(polyArea).sum
+  }
+  private def polyArea(p: Polygon): Double =
+    math.max(0.0, ringAreaAbs(p.outer) - p.holes.map(ringAreaAbs).sum)
+  private def ringAreaAbs(r: Ring): Double = {
+    var s = 0.0
+    var i = 0
+    var j = r.size - 1
+    while (i < r.size) {
+      s += (r.xs(j) + r.xs(i)) * (r.ys(j) - r.ys(i))
+      j = i
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  private def rings(g: Geom): Seq[Ring] = g match {
+    case PointGeom(_, _) => Nil
+    case PolygonGeom(p) => p.outer +: p.holes
+    case MultiPolygonGeom(ps) => ps.flatMap(p => p.outer +: p.holes)
+  }
+  private def vertices(g: Geom): Seq[(Double, Double)] = g match {
+    case PointGeom(x, y) => Seq((x, y))
+    case _ => rings(g).flatMap(r => r.xs.indices.map(i => (r.xs(i), r.ys(i))))
+  }
+
+  @inline private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Double = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+  @inline private def onSeg(ax: Double, ay: Double, bx: Double, by: Double,
+      px: Double, py: Double): Boolean =
+    orient(ax, ay, bx, by, px, py) == 0.0 &&
+      px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+      py >= math.min(ay, by) && py <= math.max(ay, by)
+
+  /** segment intersection, touching/collinear-overlap INCLUDED */
+  private def segsIntersect(x1: Double, y1: Double, x2: Double, y2: Double,
+      x3: Double, y3: Double, x4: Double, y4: Double): Boolean = {
+    val d1 = orient(x3, y3, x4, y4, x1, y1)
+    val d2 = orient(x3, y3, x4, y4, x2, y2)
+    val d3 = orient(x1, y1, x2, y2, x3, y3)
+    val d4 = orient(x1, y1, x2, y2, x4, y4)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+    else onSeg(x3, y3, x4, y4, x1, y1) || onSeg(x3, y3, x4, y4, x2, y2) ||
+      onSeg(x1, y1, x2, y2, x3, y3) || onSeg(x1, y1, x2, y2, x4, y4)
+  }
+
+  /** strict interior crossing only (touching excluded) — the test
+    * polygon-in-polygon containment needs */
+  private def segsCrossProperly(x1: Double, y1: Double, x2: Double, y2: Double,
+      x3: Double, y3: Double, x4: Double, y4: Double): Boolean = {
+    val d1 = orient(x3, y3, x4, y4, x1, y1)
+    val d2 = orient(x3, y3, x4, y4, x2, y2)
+    val d3 = orient(x1, y1, x2, y2, x3, y3)
+    val d4 = orient(x1, y1, x2, y2, x4, y4)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  private def ringPairTest(a: Ring, b: Ring,
+      test: (Double, Double, Double, Double, Double, Double, Double, Double) => Boolean): Boolean = {
+    var i = 0
+    var pi = a.size - 1
+    while (i < a.size) {
+      var j = 0
+      var pj = b.size - 1
+      while (j < b.size) {
+        if (test(a.xs(pi), a.ys(pi), a.xs(i), a.ys(i),
+          b.xs(pj), b.ys(pj), b.xs(j), b.ys(j))) return true
+        pj = j
+        j += 1
+      }
+      pi = i
+      i += 1
+    }
+    false
+  }
+
+  /** boundary-inclusive intersection test: shared area, shared edge or
+    * a single shared boundary point all count (the DE-9IM "intersects"
+    * convention) */
+  def intersects(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (PointGeom(x, y), _) => contains(b, x, y)
+    case (_, PointGeom(x, y)) => contains(a, x, y)
+    case _ =>
+      vertices(a).exists { case (x, y) => contains(b, x, y) } ||
+        vertices(b).exists { case (x, y) => contains(a, x, y) } ||
+        rings(a).exists(ra => rings(b).exists(rb =>
+          ringPairTest(ra, rb, segsIntersect)))
+  }
+
+  private def holeRings(g: Geom): Seq[Ring] = g match {
+    case PointGeom(_, _) => Nil
+    case PolygonGeom(p) => p.holes
+    case MultiPolygonGeom(ps) => ps.flatMap(_.holes)
+  }
+
+  private def onBoundary(g: Geom, x: Double, y: Double): Boolean =
+    rings(g).exists(onRingBoundary(_, x, y))
+
+  /** boundary-inclusive containment: every vertex of `b` inside (or on
+    * the boundary of) `a`, no PROPER edge crossing, and no hole of `a`
+    * poking into `b`'s interior (probed at hole vertices and edge
+    * midpoints — a hole overlapping `b` non-degenerately puts one of
+    * those strictly inside `b`, or trips the proper-crossing test).
+    * Exact for the polygon subset this engine parses up to degenerate
+    * tangential contacts. */
+  def containsGeom(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (_, PointGeom(x, y)) => contains(a, x, y)
+    case (PointGeom(_, _), _) => false
+    case _ =>
+      def strictlyInB(x: Double, y: Double): Boolean =
+        contains(b, x, y) && !onBoundary(b, x, y)
+      vertices(b).forall { case (x, y) => contains(a, x, y) } &&
+        !rings(a).exists(ra => rings(b).exists(rb =>
+          ringPairTest(ra, rb, segsCrossProperly))) &&
+        !holeRings(a).exists { h =>
+          h.xs.indices.exists { i =>
+            val j = if (i == 0) h.size - 1 else i - 1
+            strictlyInB(h.xs(i), h.ys(i)) ||
+              strictlyInB((h.xs(i) + h.xs(j)) / 2, (h.ys(i) + h.ys(j)) / 2)
+          }
+        }
+  }
+
+  @inline private def pointSegDist(px: Double, py: Double,
+      x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val dx = x2 - x1
+    val dy = y2 - y1
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / len2))
+    val cx = x1 + t * dx
+    val cy = y1 + t * dy
+    // sqrt(dx²+dy²), not hypot: for exact-integer inputs both engines'
+    // correctly-rounded sqrt agrees bit-for-bit; hypot may differ by 1
+    // ulp from the oracle's sqrt formulation
+    val ex = px - cx
+    val ey = py - cy
+    math.sqrt(ex * ex + ey * ey)
+  }
+
+  private def pointGeomDist(px: Double, py: Double, g: Geom): Double = g match {
+    case PointGeom(x, y) =>
+      val dx = px - x
+      val dy = py - y
+      math.sqrt(dx * dx + dy * dy)
+    case _ =>
+      if (contains(g, px, py)) 0.0
+      else rings(g).foldLeft(Double.PositiveInfinity) { (mn, r) =>
+        var m = mn
+        var i = 0
+        var j = r.size - 1
+        while (i < r.size) {
+          val d = pointSegDist(px, py, r.xs(j), r.ys(j), r.xs(i), r.ys(i))
+          if (d < m) m = d
+          j = i
+          i += 1
+        }
+        m
+      }
+  }
+
+  /** minimum planar distance; 0 when the geometries intersect. For the
+    * polygon subset the closest pair is always (vertex, edge) in one
+    * direction or the other, so the double vertex sweep is exact. */
+  def distance(a: Geom, b: Geom): Double = {
+    if (intersects(a, b)) return 0.0
+    var mn = Double.PositiveInfinity
+    vertices(a).foreach { case (x, y) =>
+      val d = pointGeomDist(x, y, b); if (d < mn) mn = d
+    }
+    vertices(b).foreach { case (x, y) =>
+      val d = pointGeomDist(x, y, a); if (d < mn) mn = d
+    }
+    mn
+  }
+
+  // string-in entry points for the codegen expressions (one cached
+  // parse per distinct WKT per executor)
+  def stDistance(a: String, b: String): Double =
+    distance(parseWktCached(a), parseWktCached(b))
+  def stArea(a: String): Double = area(parseWktCached(a))
+  def stIntersects(a: String, b: String): Boolean =
+    intersects(parseWktCached(a), parseWktCached(b))
+  def stContains(a: String, b: String): Boolean =
+    containsGeom(parseWktCached(a), parseWktCached(b))
 }

@@ -219,6 +219,14 @@ object GraftFunctions {
       es => StWithinPoint(es(0), es(1), es(2)), "built-in")
     r.createOrReplaceTempFunction("st_geojson_as_wkt",
       es => StGeoJsonAsWkt(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_distance",
+      es => GeoExprs.StDistance(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("st_area",
+      es => GeoExprs.StArea(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_intersects",
+      es => GeoExprs.StIntersects(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("st_contains",
+      es => GeoExprs.StContains(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("pressure_to_depth_teos_10",
       es => PressureToDepthTeos10(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("map_units",

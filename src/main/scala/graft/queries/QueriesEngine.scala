@@ -415,6 +415,37 @@ object QueriesEngine {
         .orderBy($"l_returnflag")
     },
 
+    // ---- ST_* suite: per-row point + rectangle geometries built from
+    // data columns as WKT strings (integer coordinates so both engines
+    // format identically); the oracle replays the distance/area/
+    // intersect/contain semantics as raw arithmetic over the same
+    // columns — a genuine cross-check of the WKT parse + geometry math
+    "q_geo_suite" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      val x = round($"l_discount" * 100).cast("int")
+      val y = $"l_quantity".cast("int")
+      val w = ($"l_linenumber" % 3 + 1).cast("int")
+      def i(c: org.apache.spark.sql.Column) = c.cast("string")
+      val pointWkt = concat(lit("POINT ("), i(x), lit(" "), i(y), lit(")"))
+      val rectWkt = concat(lit("POLYGON (("),
+        i(x - w), lit(" "), i(y - w), lit(", "),
+        i(x + w), lit(" "), i(y - w), lit(", "),
+        i(x + w), lit(" "), i(y + w), lit(", "),
+        i(x - w), lit(" "), i(y + w), lit(", "),
+        i(x - w), lit(" "), i(y - w), lit("))"))
+      val zone = lit("POLYGON ((0 0, 10 0, 10 25, 0 25, 0 0))")
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          round(GeoExprs.st_distance(pointWkt, lit("POINT (5 25)")), 6)
+            .as("dist_center"),
+          GeoExprs.st_area(rectWkt).as("rect_area"),
+          GeoExprs.st_intersects(rectWkt, zone).as("hits_zone"),
+          GeoExprs.st_contains(zone, pointWkt).as("in_zone"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
     // ---- coalesce_label over nullable branches
     "q_coalesce_label" -> { (s, dir) =>
       import s.implicits._
@@ -596,6 +627,23 @@ object QueriesEngine {
          WHERE l_discount * 100 >= 0 AND l_discount * 100 <= 10
            AND l_quantity >= 0 AND l_quantity <= 5 * (l_discount * 100)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // point/rect geometry semantics as raw arithmetic: Euclidean
+    // distance (sqrt over exact-integer squares — correctly rounded on
+    // both engines), box area, interval-overlap intersection
+    // (boundary touch counts), boundary-inclusive containment
+    "q_geo_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(sqrt(CAST((x - 5) * (x - 5) + (y - 25) * (y - 25) AS DOUBLE)), 6)
+             AS dist_center,
+           CAST(4 * w * w AS DOUBLE) AS rect_area,
+           (x - w <= 10 AND x + w >= 0 AND y - w <= 25 AND y + w >= 0) AS hits_zone,
+           (x >= 0 AND x <= 10 AND y >= 0 AND y <= 25) AS in_zone
+         FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_discount * 100) AS INT) AS x,
+                 CAST(l_quantity AS INT) AS y,
+                 CAST(l_linenumber % 3 + 1 AS INT) AS w
+               FROM lineitem) t
+         ORDER BY l_orderkey, l_linenumber""",
     "q_coalesce_label" ->
       """SELECT o_orderkey,
          CASE WHEN (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NOT NULL THEN 'open'

@@ -409,7 +409,7 @@ object Statements {
         Some(status(spark, s"detached ${unquoteName(name0)}"))
       case reShowAttachments() =>
         import spark.implicits._
-        Some(graft.catalog.Attachments.list().map(a =>
+        Some(graft.catalog.Attachments.list(spark).map(a =>
           (a.name, a.url, a.kind, a.listing.keys.toSeq.sorted.mkString(","),
             a.shownOptions.map { case (k, v) => s"$k=$v" }.mkString(",")))
           .toDF("name", "url", "kind", "schemas", "options"))

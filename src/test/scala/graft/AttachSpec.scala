@@ -74,6 +74,36 @@ class AttachSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { engine.sql("DETACH peer3") }
   }
 
+  test("attachments are session-scoped: same name in two sessions cannot cross-mount") {
+    val (pw1, peer1) = peerWarehouse()
+    peer1.catalog.createManagedTable("scoped_t", spark.range(0, 5).toDF("v"))
+    val (pw2, peer2) = peerWarehouse()
+    peer2.catalog.createManagedTable("scoped_t", spark.range(0, 9).toDF("v"))
+    val s2 = spark.newSession()
+    val e2 = GraftEngine(s2,
+      java.nio.file.Files.createTempDirectory("graft-att-wh2").toString)
+    engine.sql(s"ATTACH '$pw1' AS dual")
+    e2.sql(s"ATTACH '$pw2' AS dual")
+    // same mount name, two sessions, two different peers — each session
+    // resolves through ITS registry entry (pre-r9 the process-global
+    // name key meant last-attach-wins across sessions)
+    assert(engine.sql("SELECT count(*) FROM dual.public.scoped_t")
+      .collect()(0).getLong(0) == 5)
+    assert(e2.sql("SELECT count(*) FROM dual.public.scoped_t")
+      .collect()(0).getLong(0) == 9)
+    // SHOW ATTACHMENTS is per-session too
+    assert(engine.sql("SHOW ATTACHMENTS").collect()
+      .filter(_.getString(0) == "dual").map(_.getString(1)).toSeq == Seq(pw1))
+    // DETACH in one session leaves the other's mount intact
+    e2.sql("DETACH dual")
+    intercept[Exception] {
+      e2.sql("SELECT count(*) FROM dual.public.scoped_t").collect()
+    }
+    assert(engine.sql("SELECT count(*) FROM dual.public.scoped_t")
+      .collect()(0).getLong(0) == 5)
+    engine.sql("DETACH dual")
+  }
+
   test("SHOW ATTACHMENTS lists mounts and redacts credential values") {
     val (pw, peer) = peerWarehouse()
     peer.sql("CREATE USER fed WITH PASSWORD 'hunter2'")

@@ -129,4 +129,65 @@ class GeoSpec extends AnyFunSuite {
     assert(nulls(0).getString(1) == "POINT (1.0 2.0)")
     assert(nulls(1).isNullAt(0) && nulls(1).isNullAt(1))
   }
+
+  test("ST_* suite: area/distance/intersects/contains over the WKT subset") {
+    import graft.functions.Geo
+    def g(w: String) = Geo.parseWkt(w)
+    val sq = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val holed = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    val mp = g("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 10, 13 10, 13 14, 10 14, 10 10)))")
+    // area: shoelace, holes subtract, multipolygon sums
+    assert(Geo.area(sq) == 100.0)
+    assert(Geo.area(holed) == 96.0)
+    assert(Geo.area(mp) == 4.0 + 12.0)
+    assert(Geo.area(g("POINT (3 4)")) == 0.0)
+    // distance: point-point, point-polygon (inside = 0, outside = edge
+    // distance), polygon-polygon (separated boxes: 3-4-5 corner gap)
+    assert(Geo.distance(g("POINT (0 0)"), g("POINT (3 4)")) == 5.0)
+    assert(Geo.distance(g("POINT (5 5)"), sq) == 0.0)
+    assert(Geo.distance(g("POINT (13 10)"), sq) == 3.0)
+    val far = g("POLYGON ((13 14, 20 14, 20 20, 13 20, 13 14))")
+    assert(Geo.distance(sq, far) == 5.0, "closest corners (10,10)-(13,14)")
+    // intersects: overlap, touching edge, touching corner, disjoint;
+    // the cross shape (no vertex containment either way) must hit the
+    // edge-crossing branch
+    assert(Geo.intersects(sq, g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")))
+    assert(Geo.intersects(sq, g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")), "shared edge")
+    assert(Geo.intersects(sq, g("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))")), "corner touch")
+    assert(!Geo.intersects(sq, far))
+    val wide = g("POLYGON ((-5 4, 15 4, 15 6, -5 6, -5 4))")
+    assert(Geo.intersects(sq, wide), "cross overlap with no contained vertices")
+    // contains: boundary-inclusive; hole interior excluded, polygon in
+    // polygon, straddling fails via proper crossing
+    assert(Geo.containsGeom(sq, g("POINT (0 0)")), "boundary point counts")
+    assert(!Geo.containsGeom(holed, g("POINT (3 3)")), "hole interior excluded")
+    assert(Geo.containsGeom(sq, g("POLYGON ((1 1, 9 1, 9 9, 1 9, 1 1))")))
+    assert(!Geo.containsGeom(sq, wide), "straddling polygon is not contained")
+    assert(!Geo.containsGeom(holed, g("POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")),
+      "polygon overlapping a hole is not contained")
+    // SQL registration + codegen (no CodegenFallback in the plan)
+    val spark = GraftSession.build("local[2]", 2)
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT st_distance('POINT (0 0)', 'POINT (3 4)') AS d,
+                st_area('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS a,
+                st_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (1 1)') AS i,
+                st_contains('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (5 5)') AS c
+      """).collect()(0)
+    assert(row.getDouble(0) == 5.0 && row.getDouble(1) == 16.0)
+    assert(row.getBoolean(2) && !row.getBoolean(3))
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold
+    // a LocalRelation projection at plan time and hide the codegen
+    val plan = spark.range(2)
+      .select(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("POINT ("),
+        $"id".cast("string"),
+        org.apache.spark.sql.functions.lit(" 1)")).as("a"))
+      .select(graft.functions.GeoExprs.st_distance(
+        $"a", org.apache.spark.sql.functions.lit("POINT (3 5)")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [st_distance"),
+      s"st_distance must stay inside WholeStageCodegen:\n$plan")
+  }
 }
