@@ -76,27 +76,27 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   def alterAddColumn(name: String, column: String, sqlType: String): Unit = {
     requireManaged(name)
-    val df = spark.read.parquet(dataDir(name).toString)
+    val df = managedRead(name)
     rewrite(name, df.withColumn(column,
-      lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(sqlType))))
+      lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(sqlType))), "alter")
   }
 
   def alterDropColumn(name: String, column: String): Unit = {
     requireManaged(name)
     require(!load(name).exists(partitionCols(_).contains(column)),
       s"cannot drop partition column $column of $name")
-    val df = spark.read.parquet(dataDir(name).toString)
+    val df = managedRead(name)
     require(df.columns.contains(column), s"no column $column in $name")
-    rewrite(name, df.drop(column))
+    rewrite(name, df.drop(column), "alter")
   }
 
   def alterRenameColumn(name: String, from: String, to: String): Unit = {
     requireManaged(name)
     require(!load(name).exists(partitionCols(_).contains(from)),
       s"cannot rename partition column $from of $name")
-    val df = spark.read.parquet(dataDir(name).toString)
+    val df = managedRead(name)
     require(df.columns.contains(from), s"no column $from in $name")
-    rewrite(name, df.withColumnRenamed(from, to))
+    rewrite(name, df.withColumnRenamed(from, to), "alter")
   }
 
   private def requireManaged(name: String): Unit = {
@@ -173,7 +173,12 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         require(bucketSpec(d).isEmpty && partitionCols(d).isEmpty,
           s"CREATE INDEX on bucketed/partitioned table ${d.name} is not " +
             "supported: those layouts carry their own pruning")
-        ("parquet", listParquet(dataDir(d.name)), Map.empty)
+        // index only the CURRENT version's commit dirs — files retained
+        // for time travel must not leak stale rows into index verdicts
+        val dirs = TableVersions.latest(warehouse, d.name)
+          .map(e => TableVersions.dataDirs(warehouse, d.name, e).map(Paths.get(_)))
+          .getOrElse(Seq(dataDir(d.name)))
+        ("parquet", dirs.flatMap(listParquet), Map.empty)
       case "external" =>
         val fmt = d.format.getOrElse("parquet")
         require(Set("parquet", "csv", "json", "orc")(fmt),
@@ -204,7 +209,9 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .filter(_.options.keys.exists(_.startsWith("index.")))
       .flatMap { d =>
         val roots =
-          if (d.kind == "managed") Seq(dataDir(d.name).toString)
+          if (d.kind == "managed")
+            dataDir(d.name).toString +: TableVersions.latest(warehouse, d.name)
+              .map(e => TableVersions.dataDirs(warehouse, d.name, e)).getOrElse(Seq.empty)
           else d.paths ++ (
             try FileCollection.expandGlobs(spark, d.paths)
             catch { case scala.util.control.NonFatal(_) => Seq.empty })
@@ -237,25 +244,29 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     register(d)
   }
 
-  /** CTAS into a managed parquet table. */
+  /** CTAS into a managed parquet table. Plain (non-bucketed) managed
+    * tables are VERSIONED: the data lands in an immutable commit
+    * directory and a [[TableVersions]] manifest publishes it — CTAS over
+    * an existing name keeps the old versions readable via time travel. */
   def createManagedTable(name: String, data: DataFrame,
       buckets: Option[(Seq[String], Int)] = None,
       partitions: Seq[String] = Seq.empty): Unit = buckets match {
-    case None if partitions.isEmpty =>
-      val d = TableDef(name, "managed")
-      data.write.mode(SaveMode.Overwrite).parquet(dataDir(name).toString)
-      persist(d)
-      register(d)
     case None =>
-      // PARTITIONED managed table: hive-style directory layout, so a
-      // partition-column predicate prunes whole directories before the
-      // scan (PartitionFilters in the plan). Partition columns surface
-      // last in the read-back schema (Spark partition discovery order).
+      // PARTITIONED managed table: hive-style directory layout inside
+      // the commit dir, so a partition-column predicate prunes whole
+      // directories before the scan (PartitionFilters in the plan).
+      // Partition columns surface last in the read-back schema (Spark
+      // partition discovery order).
       val d = TableDef(name, "managed",
-        options = Map("partition_cols" -> partitions.mkString(",")))
-      data.write.mode(SaveMode.Overwrite)
-        .partitionBy(partitions: _*)
-        .parquet(dataDir(name).toString)
+        options = if (partitions.isEmpty) Map.empty
+          else Map("partition_cols" -> partitions.mkString(",")))
+      val replacing = TableVersions.latest(warehouse, name).isDefined
+      val cdir = TableVersions.nextCommitDir(warehouse, name)
+      val w = data.write.mode(SaveMode.Overwrite)
+      (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w)
+        .parquet(dataDir(name).resolve(cdir).toString)
+      TableVersions.commit(warehouse, name,
+        if (replacing) "replace" else "create", Seq(cdir))
       persist(d)
       register(d)
     case Some((cols, n)) =>
@@ -266,6 +277,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // join-co-location path). Registered as a session-catalog table,
       // not a temp view: only catalog tables carry bucket metadata.
       require(cols.nonEmpty && n > 0, "CLUSTERED BY needs columns and a positive bucket count")
+      TableVersions.dropAll(warehouse, name) // bucketed layout is unversioned
       val d = TableDef(name, "managed",
         options = Map("bucket_cols" -> cols.mkString(","), "bucket_n" -> n.toString))
       spark.catalog.dropTempView(name) // a temp view would shadow the table
@@ -309,11 +321,99 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           .format("parquet")
           .saveAsTable(name) // append keeps (and validates) the bucket spec
       case None =>
-        val w = aligned.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+        // append = new commit dir + manifest referencing old dirs + new
+        // one; existing data is neither copied nor touched. Overwrite =
+        // manifest referencing only the new commit (old versions stay
+        // time-travel-readable until VACUUM).
+        ensureVersioned(name)
+        val cdir = TableVersions.nextCommitDir(warehouse, name)
+        val w = aligned.write.mode(SaveMode.Overwrite)
         (if (partitionCols(d).nonEmpty) w.partitionBy(partitionCols(d): _*) else w)
-          .parquet(dataDir(name).toString)
+          .parquet(dataDir(name).resolve(cdir).toString)
+        val prev = if (overwrite) Seq.empty
+          else TableVersions.latest(warehouse, name).map(_.dirs).getOrElse(Seq.empty)
+        TableVersions.commit(warehouse, name,
+          if (overwrite) "insert_overwrite" else "insert", prev :+ cdir)
         register(d)
     }
+  }
+
+  /** adopt a legacy (pre-versioning) managed data directory: move its
+    * loose content into commit dir #1 and publish it as version 1 */
+  private def ensureVersioned(name: String): Unit = {
+    if (TableVersions.latest(warehouse, name).isDefined) return
+    val dd = dataDir(name)
+    if (!Files.exists(dd)) return
+    val entries = {
+      val s = Files.list(dd)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    val cdir = TableVersions.nextCommitDir(warehouse, name)
+    val target = dd.resolve(cdir)
+    Files.createDirectories(target)
+    entries.foreach(e => Files.move(e, target.resolve(e.getFileName)))
+    TableVersions.commit(warehouse, name, "import", Seq(cdir))
+  }
+
+  /** current-version read of a plain managed table */
+  private def managedRead(name: String): DataFrame =
+    TableVersions.latest(warehouse, name) match {
+      case Some(e) => versionRead(name, e)
+      case None => spark.read.parquet(dataDir(name).toString)
+    }
+
+  /** read one published version. Unpartitioned commits scan as one
+    * multi-root relation (one scan node); partitioned commits must scan
+    * per-root and union — Spark's partition discovery refuses sibling
+    * roots (CONFLICTING_DIRECTORY_STRUCTURES) — which costs nothing:
+    * each branch keeps its own PartitionFilters pruning and the union
+    * is a no-exchange concatenation. */
+  private def versionRead(name: String, e: TableVersions.Entry): DataFrame = {
+    val dirs = TableVersions.dataDirs(warehouse, name, e)
+    if (load(name).exists(partitionCols(_).nonEmpty) && dirs.size > 1)
+      dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    else spark.read.parquet(dirs: _*)
+  }
+
+  // ---- time travel over the version log (SURVEY §2 managed storage;
+  // the reference's Lance versioned commits — beacon-lance/src/io.rs:207)
+
+  def history(name: String): Seq[TableVersions.Entry] = {
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    TableVersions.list(warehouse, name)
+  }
+
+  /** read the table as of `version` (a published manifest not yet
+    * VACUUMed away) */
+  def tableAt(name: String, version: Long): DataFrame = {
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    val e = TableVersions.get(warehouse, name, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name has no version $version (published: " +
+          s"${TableVersions.list(warehouse, name).map(_.version).mkString(",")})"))
+    versionRead(name, e)
+  }
+
+  /** RESTORE: publish a new version whose manifest references the
+    * restored version's commit dirs — metadata-only, no data copied */
+  def restoreVersion(name: String, version: Long): Unit = {
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    requireUnbucketed(name, "RESTORE")
+    val e = TableVersions.get(warehouse, name, version).getOrElse(
+      throw new IllegalArgumentException(s"$name has no version $version"))
+    e.dirs.foreach { dir =>
+      require(Files.exists(dataDir(name).resolve(dir)),
+        s"version $version of $name was VACUUMed (missing commit $dir)")
+    }
+    TableVersions.commit(warehouse, name, s"restore:v$version", e.dirs)
+    register(load(name).get)
+  }
+
+  /** drop manifests older than the newest `retainLast` plus their
+    * now-unreferenced commit dirs; returns (versionsRemoved, dirsRemoved) */
+  def vacuumTable(name: String, retainLast: Int): (Int, Int) = {
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    TableVersions.vacuum(warehouse, name, retainLast)
   }
 
   /** DELETE FROM name WHERE predicate — keeps rows where the predicate
@@ -324,7 +424,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     load(name).filter(bucketSpec(_).isDefined).foreach { d =>
       return deleteBucketed(d, predicateSql)
     }
-    val df = spark.read.parquet(dataDir(name).toString)
+    val df = managedRead(name)
     val kept = df.filter(!coalesce(expr(predicateSql), lit(false)))
     // removed-row count without extra scans: rows-before from parquet
     // footers (metadata-only), kept rows counted by an accumulator
@@ -335,7 +435,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // not double-count, unlike accumulators in transformations)
     val obs = new org.apache.spark.sql.Observation(s"graft.delete.$name")
     rewrite(name, kept.observe(obs,
-      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("kept")))
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("kept")),
+      "delete")
     before - obs.get("kept").asInstanceOf[Long]
   }
 
@@ -347,7 +448,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       updateBucketed(d, assignments, predicateSql)
       return
     }
-    val df = spark.read.parquet(dataDir(name).toString)
+    val df = managedRead(name)
     val pred = predicateSql.map(expr).getOrElse(lit(true))
     val byName = assignments.toMap
     val cols = df.schema.fieldNames.map { f =>
@@ -357,7 +458,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case None => col(quote(f))
       }
     }
-    rewrite(name, df.select(cols.toIndexedSeq: _*))
+    rewrite(name, df.select(cols.toIndexedSeq: _*), "update")
   }
 
   def refresh(name: String): Unit = {
@@ -377,6 +478,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (Files.exists(dd)) deleteRecursively(dd)
     val idx = Paths.get(warehouse, "_indexes", name)
     if (Files.exists(idx)) deleteRecursively(idx)
+    TableVersions.dropAll(warehouse, name) // version log dies with the table
     TableExtensions.dropAll(warehouse, name) // sidecar dies with the table
     refreshIndexRoots()
   }
@@ -496,7 +598,9 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       df.createOrReplaceTempView(d.name)
     case "managed" => bucketSpec(d) match {
       case None =>
-        spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
+        // current version = the latest manifest's commit dirs; a legacy
+        // (pre-versioning) directory reads as before until first mutation
+        managedRead(d.name).createOrReplaceTempView(d.name)
       case Some((cols, n)) =>
         // restart path: recreate the session-catalog entry (bucket spec
         // AND partition spec) over the existing data directory. Partition
@@ -543,20 +647,19 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def materialize(d: TableDef): Unit =
     spark.sql(d.sql.get).write.mode(SaveMode.Overwrite).parquet(dataDir(d.name).toString)
 
-  /** copy-on-write swap: write to a temp dir, then move into place
-    * (a partitioned table's directory layout is preserved). */
-  private def rewrite(name: String, data: DataFrame): Unit = {
-    val tmp = Paths.get(warehouse, s".${name}__rewrite")
-    if (Files.exists(tmp)) deleteRecursively(tmp)
+  /** copy-on-write commit: the rewritten data lands in a fresh commit
+    * directory (a partitioned table's hive layout is preserved inside
+    * it) and a new manifest publishes it — prior versions stay readable
+    * via time travel until VACUUM. The manifest write is the commit
+    * point: no rename of data, object-store-safe. */
+  private def rewrite(name: String, data: DataFrame, operation: String): Unit = {
+    ensureVersioned(name)
+    val cdir = TableVersions.nextCommitDir(warehouse, name)
     val pcols = load(name).map(partitionCols).getOrElse(Seq.empty)
     val w = data.write.mode(SaveMode.Overwrite)
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp.toString)
-    val live = dataDir(name)
-    val trash = Paths.get(warehouse, s".${name}__old")
-    if (Files.exists(trash)) deleteRecursively(trash)
-    if (Files.exists(live)) Files.move(live, trash, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(trash)
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(dataDir(name).resolve(cdir).toString)
+    TableVersions.commit(warehouse, name, operation, Seq(cdir))
     register(load(name).get)
   }
 

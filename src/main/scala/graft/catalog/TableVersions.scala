@@ -1,0 +1,151 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Version log for managed tables — the Spark re-expression of the
+  * reference's Lance-backed versioned commits (beacon-lance/src/io.rs:207
+  * "Replace all rows: a new dataset version containing only the streamed
+  * rows"; provider.rs:213 reopen-to-latest). Lance keeps a manifest per
+  * dataset version listing immutable data fragments; graft keeps a JSON
+  * manifest per table version listing immutable COMMIT DIRECTORIES under
+  * the table's data directory.
+  *
+  * Layout:
+  * {{{
+  *   <warehouse>/<table>/c000000001/           immutable parquet commit
+  *   <warehouse>/<table>/c000000002/
+  *   <warehouse>/_versions/<table>/v000000001.json
+  *   <warehouse>/_versions/<table>/v000000002.json
+  * }}}
+  *
+  * Every mutation writes NEW files into a NEW commit directory and then
+  * publishes a new manifest — data files are never rewritten in place and
+  * never renamed, which is exactly the object-store-safe commit protocol
+  * (S3 has no atomic rename; a single small manifest PUT is the commit
+  * point). Reads resolve the manifest to a list of directories and hand
+  * them to one parquet scan, so pushdown/pruning behave as on any
+  * multi-root parquet relation:
+  *  - CREATE / INSERT OVERWRITE / DELETE / UPDATE / ALTER → manifest
+  *    references only the freshly-written commit,
+  *  - INSERT INTO (append) → manifest = previous dirs + new commit
+  *    (append never copies or links existing data),
+  *  - RESTORE → manifest = the restored version's dirs (metadata-only),
+  *  - VACUUM → drops old manifests and any commit directory no retained
+  *    manifest references.
+  */
+object TableVersions {
+
+  /** one published table version */
+  final case class Entry(
+      version: Long,
+      operation: String,
+      tsMs: Long,
+      dirs: Seq[String]) // commit dir names, relative to the table data dir
+
+  private def versionsDir(warehouse: String, table: String): Path =
+    Paths.get(warehouse, "_versions", table)
+
+  private def manifestPath(warehouse: String, table: String, v: Long): Path =
+    versionsDir(warehouse, table).resolve(f"v$v%09d.json")
+
+  def list(warehouse: String, table: String): Seq[Entry] = {
+    val d = versionsDir(warehouse, table)
+    if (!Files.exists(d)) return Seq.empty
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{9}\\.json"))
+      .map(p => parse(Files.readString(p)))
+      .toSeq.sortBy(_.version)
+    finally s.close()
+  }
+
+  def latest(warehouse: String, table: String): Option[Entry] =
+    list(warehouse, table).lastOption
+
+  def get(warehouse: String, table: String, version: Long): Option[Entry] = {
+    val p = manifestPath(warehouse, table, version)
+    if (Files.exists(p)) Some(parse(Files.readString(p))) else None
+  }
+
+  /** absolute paths of a version's commit directories */
+  def dataDirs(warehouse: String, table: String, e: Entry): Seq[String] =
+    e.dirs.map(d => Paths.get(warehouse, table, d).toString)
+
+  /** allocate the next commit directory name (not created on disk —
+    * the parquet write creates it) */
+  def nextCommitDir(warehouse: String, table: String): String = {
+    val used = list(warehouse, table).flatMap(_.dirs)
+      .map(_.stripPrefix("c").toLong)
+    f"c${(used.maxOption.getOrElse(0L)) + 1}%09d"
+  }
+
+  /** publish the next version; returns the entry written */
+  def commit(warehouse: String, table: String, operation: String,
+      dirs: Seq[String]): Entry = {
+    val v = latest(warehouse, table).map(_.version).getOrElse(0L) + 1
+    val e = Entry(v, operation, System.currentTimeMillis(), dirs)
+    Files.createDirectories(versionsDir(warehouse, table))
+    Files.writeString(manifestPath(warehouse, table, v), render(e))
+    e
+  }
+
+  /** drop manifests older than the newest `retainLast` and every commit
+    * directory no retained manifest references; returns
+    * (manifestsRemoved, commitDirsRemoved). The current version is
+    * always retained. */
+  def vacuum(warehouse: String, table: String, retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, "VACUUM must retain at least the current version")
+    val all = list(warehouse, table)
+    if (all.isEmpty) return (0, 0)
+    val (dropped, kept) = all.splitAt(math.max(0, all.size - retainLast))
+    val keepDirs = kept.flatMap(_.dirs).toSet
+    val deadDirs = dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
+    deadDirs.foreach { d =>
+      deleteRecursively(Paths.get(warehouse, table, d))
+    }
+    dropped.foreach(e => Files.deleteIfExists(manifestPath(warehouse, table, e.version)))
+    (dropped.size, deadDirs.size)
+  }
+
+  /** remove the whole version log (DROP TABLE) */
+  def dropAll(warehouse: String, table: String): Unit = {
+    val d = versionsDir(warehouse, table)
+    if (Files.exists(d)) deleteRecursively(d)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toVector.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  private def render(e: Entry): String =
+    JsonMethods.pretty(JsonMethods.render(JObject(List(
+      "version" -> JLong(e.version),
+      "operation" -> JString(e.operation),
+      "ts_ms" -> JLong(e.tsMs),
+      "dirs" -> JArray(e.dirs.map(JString(_)).toList)))))
+
+  private def parse(json: String): Entry = {
+    val m = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+    def long(k: String): Long = m(k) match {
+      case JLong(v) => v
+      case JInt(v) => v.toLong
+      case other => throw new IllegalArgumentException(s"bad $k: $other")
+    }
+    Entry(
+      version = long("version"),
+      operation = m.get("operation").collect { case JString(s) => s }.getOrElse(""),
+      tsMs = long("ts_ms"),
+      dirs = m.get("dirs").collect {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+      }.getOrElse(Seq.empty))
+  }
+}

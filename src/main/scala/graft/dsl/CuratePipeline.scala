@@ -22,6 +22,7 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *   {"op": "pii_redact"},
   *   {"op": "dedup_paragraphs"},
   *   {"op": "dedup_exact"},
+  *   {"op": "dedup_substrings", "shingle_n": 3, "min_docs": 2},
   *   {"op": "minhash_neardup", "bands": 4, "max_bucket": 50},
   *   {"op": "decontaminate", "benchmark_col": "is_bench", "max_frac": 0.05},
   *   {"op": "lm_quality_filter", "max_score": 9.0},
@@ -94,6 +95,14 @@ object CuratePipeline {
         df.withColumn(textCol, TextOps.piiRedact(col(textCol)))
       case "dedup_exact" =>
         Dedup.exact(df, textCol, idCol)
+      case "dedup_substrings" =>
+        // corpus-self exact-substring cuts (Lee et al.): every token
+        // span duplicated across ≥ min_docs documents is removed from
+        // ALL copies — symmetric, so the result is partitioning-
+        // independent. Costs one doc-frequency shuffle + one join-back.
+        Dedup.dedupSubstrings(df, textCol, idCol,
+          shingleN = int(st, "shingle_n", 3),
+          minDocs = int(st, "min_docs", 2))
       case "cap_per_group" =>
         Sampling.capPerGroup(df, str(st, "group"), idCol,
           str(st, "salt"), int(st, "cap", -1) match {

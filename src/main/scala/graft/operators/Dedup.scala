@@ -270,6 +270,73 @@ object Dedup {
         (col("max_run") + (shingleN - 1)).as("span_tokens"))
   }
 
+  /** Corpus-self exact-substring duplication (Lee et al. 2021
+    * ExactSubstr, re-cut at whitespace-shingle granularity): every
+    * MAXIMAL span of consecutive shingle positions whose shingle occurs
+    * in at least `minDocs` distinct documents. A run of r n-shingles is
+    * r+n−1 tokens verbatim-duplicated somewhere else in the corpus —
+    * the signal ExactSubstr cuts at 50 tokens; here the span length is
+    * reported and the cut threshold is the caller's.
+    *
+    * Shape at 100 TB: the doc-frequency pass is ONE shuffle keyed on
+    * shingle content with map-side partial aggregation; positions
+    * rejoin the frequent-shingle set on the same key (an AQE-skew-
+    * splittable equi-join — no all-pairs anywhere); the island windows
+    * run per-document over DUPLICATED positions only, a small fraction
+    * of the corpus. A production deployment would pre-hash shingles to
+    * 64 bits to shrink the shuffle width (collision-tolerant for
+    * dedup); the string key is kept here so the DuckDB oracle can
+    * replay the join exactly.
+    *
+    * Output: (doc_id, span_start, span_shingles, span_tokens) per
+    * maximal duplicated span. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol),
+      posexplode(TextExprs.word_shingles(col(textCol), shingleN)).as(Seq("__p", "__s")))
+    val dupes = sh.groupBy(col("__s"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__s"))
+    val hit = sh.join(dupes, "__s")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    hit
+      .withColumn("__isl", col("__p") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__p")).cast(LongType).as("span_start"),
+        count(lit(1)).cast(LongType).as("span_shingles"))
+      .select(col(idCol), col("span_start"), col("span_shingles"),
+        (col("span_shingles") + (shingleN - 1)).as("span_tokens"))
+  }
+
+  /** Cut every duplicated span found by [[repeatedSpans]] out of the
+    * text (symmetric removal — ALL copies go, which is deterministic
+    * under any partitioning; keep-one-copy would depend on visit
+    * order). Documents with no duplicated span pass through VERBATIM;
+    * documents with cuts are re-joined from surviving tokens with
+    * single spaces (whitespace normalizes — the price of token-level
+    * surgery). Spans extend `shingleN−1` tokens past their last
+    * shingle start, exactly the tokens the final shingle covers. */
+  def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(df, textCol, idCol, shingleN, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_tokens"))).as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__drop",
+        when(col("__spans").isNull, array().cast("array<bigint>"))
+          .otherwise(flatten(transform(col("__spans"),
+            s => sequence(s("span_start"),
+              s("span_start") + s("span_tokens") - 1)))))
+      .withColumn(textCol,
+        when(size(col("__drop")) === 0, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(TextExprs.tokens(col(textCol)),
+              (_, i) => !array_contains(col("__drop"), i.cast(LongType))))))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

@@ -150,6 +150,24 @@ object QueriesData {
         .orderBy(col("train_id"), col("bench_id"))
     },
 
+    // ---- corpus-self exact-substring duplication (Lee et al. 2021):
+    // maximal consecutive runs of shingles occurring in ≥2 distinct
+    // docs — the doc-frequency pass is one shuffle, islands run over
+    // duplicated positions only
+    "q_repeated_spans" -> { (s, dir) =>
+      Dedup.repeatedSpans(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ---- ...and the destructive form: every duplicated span cut from
+    // every copy (symmetric, partitioning-independent); untouched docs
+    // pass through verbatim — gate compares md5 digests of the results
+    "q_substring_dedup" -> { (s, dir) =>
+      Dedup.dedupSubstrings(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- capped variant: shingles in more than maxDocFreq docs leave
     // the join (a shingle in f docs contributes f² pairs); sizes are
     // computed on the same filtered relation so the Jaccard denominator
@@ -1074,6 +1092,51 @@ object QueriesData {
                FROM runs GROUP BY 1, 2)
         SELECT train_id, bench_id, max_run, max_run + 2 AS span_tokens
         FROM mx WHERE max_run >= 2 ORDER BY train_id, bench_id""",
+    // corpus-self duplicated spans: same positioned shingles, doc-freq
+    // ≥ 2 instead of the benchmark split, islands per doc
+    "q_repeated_spans" ->
+      raw"""WITH $tokCte,
+        pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, sh[CAST(i AS INT)] AS s
+                FROM sh, unnest(range(1, len(sh) + 1)) t(i)),
+        freq AS (SELECT s FROM pos GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        hit AS (SELECT doc_id, p FROM pos JOIN freq USING (s)),
+        isl AS (SELECT doc_id, p,
+                  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+                FROM hit),
+        sp AS (SELECT doc_id, min(p) AS span_start,
+                 CAST(count(*) AS BIGINT) AS span_shingles
+               FROM isl GROUP BY doc_id, g)
+        SELECT doc_id, span_start, span_shingles, span_shingles + 2 AS span_tokens
+        FROM sp ORDER BY doc_id, span_start""",
+    // destructive form: spans widen by the shingle tail (n−1 tokens),
+    // token indices in any span drop, untouched docs stay verbatim
+    "q_substring_dedup" ->
+      raw"""WITH $tokCte,
+        pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, sh[CAST(i AS INT)] AS s
+                FROM sh, unnest(range(1, len(sh) + 1)) t(i)),
+        freq AS (SELECT s FROM pos GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        hit AS (SELECT doc_id, p FROM pos JOIN freq USING (s)),
+        isl AS (SELECT doc_id, p,
+                  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+                FROM hit),
+        sp AS (SELECT doc_id, min(p) AS span_start,
+                 CAST(count(*) + 2 AS BIGINT) AS span_tokens
+               FROM isl GROUP BY doc_id, g),
+        dropped AS (SELECT doc_id, p2
+                    FROM sp, unnest(range(span_start, span_start + span_tokens)) u(p2)),
+        dl AS (SELECT doc_id, list(p2) AS dl FROM dropped GROUP BY doc_id),
+        clean AS (
+          SELECT t.doc_id,
+            CASE WHEN d.dl IS NULL THEN t.text
+                 -- array_to_string of an EMPTY list is NULL in DuckDB;
+                 -- Spark's concat_ws gives '' — align on ''
+                 ELSE coalesce(array_to_string(
+                   list_where(t.tk,
+                     list_transform(range(1, len(t.tk) + 1),
+                       i -> NOT list_contains(d.dl, CAST(i - 1 AS BIGINT)))), ' '), '')
+            END AS text
+          FROM toks t LEFT JOIN dl d USING (doc_id))
+        SELECT doc_id, md5(text) AS text_md5 FROM clean ORDER BY doc_id""",
     "q_embedding_knn" ->
       s"""WITH scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

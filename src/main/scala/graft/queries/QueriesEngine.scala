@@ -354,6 +354,33 @@ object QueriesEngine {
         .orderBy("o_orderpriority", "c_mktsegment")
     },
 
+    // ---- versioned managed storage end-to-end (the Lance versioned-
+    // commits analog, beacon-lance/src/io.rs:207): CTAS → INSERT →
+    // DELETE → RESTORE each publish an immutable manifest; the gate
+    // reads versions 1-3 via time travel plus the restored current
+    // state, and the oracle recomputes all four states from the source
+    // parquet — identical rows proves no version leaks or loses data.
+    "q_time_travel" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-ttgate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE tt_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      eng.sql("""CREATE TABLE tt_live AS
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM tt_orders WHERE o_orderkey % 4 = 0""")
+      eng.sql("""INSERT INTO tt_live
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM tt_orders WHERE o_orderkey % 4 = 1""")
+      eng.sql("DELETE FROM tt_live WHERE o_totalprice < 100000")
+      eng.sql("RESTORE TABLE tt_live VERSION AS OF 1")
+      val v1 = eng.catalog.tableAt("tt_live", 1).withColumn("v", lit(1))
+      val v2 = eng.catalog.tableAt("tt_live", 2).withColumn("v", lit(2))
+      val v3 = eng.catalog.tableAt("tt_live", 3).withColumn("v", lit(3))
+      val cur = eng.sql("SELECT * FROM tt_live").withColumn("v", lit(4))
+      v1.unionAll(v2).unionAll(v3).unionAll(cur)
+        .orderBy(col("v"), col("o_orderkey"))
+    },
+
     "q_view_mv_lifecycle" -> { (s, dir) =>
       GraftSession.configure(s)
       val wh = java.nio.file.Files.createTempDirectory("graft-mvgate").toString
@@ -566,6 +593,18 @@ object QueriesEngine {
            AND o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY o_orderpriority, c_mktsegment
          ORDER BY o_orderpriority, c_mktsegment""",
+    "q_time_travel" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 4 = 0),
+           v2 AS (SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+           v3 AS (SELECT * FROM v2 WHERE NOT (o_totalprice < 100000))
+         SELECT * FROM (
+           SELECT *, 1 AS v FROM v1
+           UNION ALL SELECT *, 2 AS v FROM v2
+           UNION ALL SELECT *, 3 AS v FROM v3
+           UNION ALL SELECT *, 4 AS v FROM v1)
+         ORDER BY v, o_orderkey""",
     "q_view_mv_lifecycle" ->
       """WITH agg AS (SELECT o_custkey, count(*) AS n,
                         round(sum(o_totalprice), 2) AS total

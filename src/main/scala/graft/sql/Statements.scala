@@ -134,6 +134,12 @@ object Statements {
     ("""(?is)^SHOW\s+INDEXES\s+ON\s+""" + Id + """\s*$""").r
   private val reDropIndex =
     ("""(?is)^DROP\s+INDEX\s+""" + Id + """\s+ON\s+""" + Id + """\s*$""").r
+  private val reShowHistory =
+    ("""(?is)^SHOW\s+HISTORY\s+(?:FOR\s+)?""" + Id + """\s*$""").r
+  private val reRestore =
+    ("""(?is)^RESTORE\s+TABLE\s+""" + Id + """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*$""").r
+  private val reVacuum =
+    ("""(?is)^VACUUM\s+""" + Id + """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$""").r
   private val reAttach =
     ("""(?is)^ATTACH\s+'((?:[^']|'')+)'\s+AS\s+""" + Named +
       """(?:\s+WITH\s*\((.+?)\))?\s*$""").r
@@ -172,7 +178,7 @@ object Statements {
     reShowSecrets, reCreateUser, reDropUser, reCreateRole, reDropRole,
     reGrantRoleUser, reRevokeRoleUser, reGrantPriv, reRevokePriv,
     reShowRoles, reShowUsers, reAttach, reDetach, reShowAttachments,
-    reCurate)
+    reCurate, reShowHistory, reRestore, reVacuum)
 
   /** a [[Named]] capture: single-quoted string (unescaped) or bare word */
   private def unquoteName(n: String): String =
@@ -399,6 +405,21 @@ object Statements {
       case reDropIndex(idx0, tbl0) =>
         catalog.dropIndex(unquote(tbl0), unquote(idx0))
         Some(status(spark, s"dropped index ${unquote(idx0)}"))
+      case reShowHistory(name0) =>
+        import spark.implicits._
+        Some(catalog.history(unquote(name0))
+          .map(e => (e.version, e.operation,
+            new java.sql.Timestamp(e.tsMs).toString, e.dirs.size))
+          .toDF("version", "operation", "timestamp", "n_commits"))
+      case reRestore(name0, v) =>
+        val name = unquote(name0)
+        catalog.restoreVersion(name, v.toLong)
+        Some(status(spark, s"restored $name to version $v"))
+      case reVacuum(name0, retain) =>
+        val name = unquote(name0)
+        val keep = Option(retain).map(_.toInt).getOrElse(1)
+        val (vs, ds) = catalog.vacuumTable(name, keep)
+        Some(status(spark, s"vacuumed $name: removed $vs versions, $ds commits"))
       case reAttach(url0, name0, opts) =>
         val name = unquoteName(name0)
         graft.catalog.Attachments.attach(spark, name, url0.replace("''", "'"),

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.TableVersions
+
+/** Versioned managed storage (the Lance-versioned-commits analog,
+  * beacon-lance/src/io.rs:207): every mutation of a plain managed table
+  * publishes an immutable manifest; SHOW HISTORY / tableAt / RESTORE /
+  * VACUUM operate over the log. */
+class VersioningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  lazy val wh: String = java.nio.file.Files.createTempDirectory("graft-verwh").toString
+  lazy val engine: GraftEngine = GraftEngine(spark, wh)
+  val sf = "/root/testdata/sf0.001"
+
+  test("CTAS/INSERT/DELETE publish versions; time travel reads each") {
+    engine.sql(s"CREATE EXTERNAL TABLE ver_nation STORED AS parquet LOCATION '$sf/nation.parquet'")
+    engine.sql("CREATE TABLE ver_t AS SELECT n_nationkey, n_name FROM ver_nation WHERE n_nationkey < 10")
+    engine.sql("INSERT INTO ver_t SELECT n_nationkey, n_name FROM ver_nation WHERE n_nationkey >= 20")
+    engine.sql("DELETE FROM ver_t WHERE n_nationkey % 2 = 0")
+
+    val h = engine.catalog.history("ver_t")
+    assert(h.map(e => (e.version, e.operation)) ==
+      Seq((1L, "create"), (2L, "insert"), (3L, "delete")))
+    // append shares commit dirs with the prior version — no data copied
+    assert(h(1).dirs.take(1) == h(0).dirs && h(1).dirs.size == 2)
+
+    assert(engine.catalog.tableAt("ver_t", 1).count() == 10)
+    assert(engine.catalog.tableAt("ver_t", 2).count() == 15)
+    assert(engine.catalog.tableAt("ver_t", 3).count() == 7)
+    assert(engine.sql("SELECT count(*) FROM ver_t").collect()(0).getLong(0) == 7)
+  }
+
+  test("SHOW HISTORY / RESTORE statements") {
+    val rows = engine.sql("SHOW HISTORY FOR ver_t").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "create"), (2L, "insert"), (3L, "delete")))
+    engine.sql("RESTORE TABLE ver_t VERSION AS OF 2")
+    assert(engine.sql("SELECT count(*) FROM ver_t").collect()(0).getLong(0) == 15)
+    val h = engine.catalog.history("ver_t")
+    assert(h.last.operation == "restore:v2")
+    // restore is metadata-only: it references version 2's commit dirs
+    assert(h.last.dirs == h(1).dirs)
+  }
+
+  test("INSERT OVERWRITE starts a fresh commit set") {
+    engine.sql("INSERT OVERWRITE ver_t SELECT n_nationkey, n_name FROM ver_nation WHERE n_nationkey = 0")
+    val h = engine.catalog.history("ver_t")
+    assert(h.last.operation == "insert_overwrite" && h.last.dirs.size == 1)
+    assert(engine.sql("SELECT count(*) FROM ver_t").collect()(0).getLong(0) == 1)
+    // the overwritten-away versions still read until VACUUM
+    assert(engine.catalog.tableAt("ver_t", 3).count() == 7)
+  }
+
+  test("VACUUM drops old manifests and unreferenced commits; current survives") {
+    val before = TableVersions.list(wh, "ver_t").size
+    engine.sql("VACUUM ver_t RETAIN 1 VERSIONS")
+    val h = TableVersions.list(wh, "ver_t")
+    assert(h.size == 1 && h.head.operation == "insert_overwrite")
+    assert(before > 1)
+    assert(engine.sql("SELECT count(*) FROM ver_t").collect()(0).getLong(0) == 1)
+    val gone = intercept[IllegalArgumentException] {
+      engine.catalog.tableAt("ver_t", 1)
+    }
+    assert(gone.getMessage.contains("no version 1"))
+    // vacuumed commit dirs are physically gone
+    val dd = java.nio.file.Paths.get(wh, "ver_t")
+    val left = java.nio.file.Files.list(dd).iterator()
+    var dirs = List.empty[String]
+    while (left.hasNext) dirs ::= left.next().getFileName.toString
+    assert(dirs.count(_.startsWith("c")) == 1)
+  }
+
+  test("RESTORE to a vacuumed version fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      engine.sql("RESTORE TABLE ver_t VERSION AS OF 2")
+    }
+    assert(e.getMessage.contains("no version 2"))
+  }
+
+  test("partitioned managed tables version across multi-root commits") {
+    engine.sql(s"CREATE EXTERNAL TABLE ver_orders STORED AS parquet LOCATION '$sf/orders.parquet'")
+    engine.sql("""CREATE TABLE ver_p PARTITIONED BY (o_orderstatus) AS
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM ver_orders WHERE o_orderkey % 2 = 0""")
+    engine.sql("""INSERT INTO ver_p
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM ver_orders WHERE o_orderkey % 2 = 1""")
+    val full = engine.sql("SELECT count(*) FROM ver_orders").collect()(0).getLong(0)
+    // current version reads across two commit roots, partition column intact
+    assert(engine.sql("SELECT count(*) FROM ver_p").collect()(0).getLong(0) == full)
+    val st = engine.sql(
+      "SELECT count(DISTINCT o_orderstatus) FROM ver_p").collect()(0).getLong(0)
+    assert(st == 3)
+    // partition pruning still works over the multi-root relation
+    val v1 = engine.catalog.tableAt("ver_p", 1)
+    assert(v1.count() < full && v1.columns.contains("o_orderstatus"))
+  }
+
+  test("ALTER publishes a version; old version keeps the old schema") {
+    engine.sql("CREATE TABLE ver_a AS SELECT n_nationkey, n_name FROM ver_nation WHERE n_nationkey < 5")
+    engine.sql("ALTER TABLE ver_a ADD COLUMN note STRING")
+    val h = engine.catalog.history("ver_a")
+    assert(h.map(_.operation) == Seq("create", "alter"))
+    assert(!engine.catalog.tableAt("ver_a", 1).columns.contains("note"))
+    assert(engine.sql("SELECT * FROM ver_a").columns.contains("note"))
+  }
+
+  test("legacy (pre-versioning) data dir imports on first mutation") {
+    import spark.implicits._
+    val dd = java.nio.file.Paths.get(wh, "leg_t")
+    Seq((1, "a"), (2, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(dd.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(wh, "_catalog", "leg_t.json"),
+      """{"name": "leg_t", "kind": "managed"}""")
+    val eng2 = GraftEngine(spark, wh)
+    eng2.restore() // restart: registers the legacy read
+    assert(eng2.sql("SELECT count(*) FROM leg_t").collect()(0).getLong(0) == 2)
+    eng2.sql("INSERT INTO leg_t SELECT 3, 'c'")
+    val h = eng2.catalog.history("leg_t")
+    assert(h.map(_.operation) == Seq("import", "insert"))
+    assert(eng2.sql("SELECT count(*) FROM leg_t").collect()(0).getLong(0) == 3)
+    assert(eng2.catalog.tableAt("leg_t", 1).count() == 2)
+  }
+
+  test("DROP removes the version log") {
+    engine.sql("DROP TABLE ver_a")
+    assert(TableVersions.list(wh, "ver_a").isEmpty)
+  }
+}
