@@ -269,6 +269,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         if (replacing) "replace" else "create", Seq(cdir))
       persist(d)
       register(d)
+      refreshIndexRoots() // CTAS-over-existing moves the current commit dir
     case Some((cols, n)) =>
       // BUCKETED managed table: data lands hash-partitioned AND sorted
       // by the bucket columns, and the session catalog carries the
@@ -335,6 +336,9 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         TableVersions.commit(warehouse, name,
           if (overwrite) "insert_overwrite" else "insert", prev :+ cdir)
         register(d)
+        // the new commit dir is a new scan root; the prune rule's
+        // root→table map must learn it or indexed scans stop resolving
+        refreshIndexRoots()
     }
   }
 
@@ -407,6 +411,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     TableVersions.commit(warehouse, name, s"restore:v$version", e.dirs)
     register(load(name).get)
+    refreshIndexRoots() // the restored dirs become the scan roots again
   }
 
   /** drop manifests older than the newest `retainLast` plus their
@@ -661,6 +666,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .parquet(dataDir(name).resolve(cdir).toString)
     TableVersions.commit(warehouse, name, operation, Seq(cdir))
     register(load(name).get)
+    refreshIndexRoots() // CoW moved the table onto a fresh commit dir
   }
 
   private def dataDir(name: String): Path = Paths.get(warehouse, name)

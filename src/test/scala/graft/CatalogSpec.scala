@@ -492,9 +492,14 @@ class CatalogSpec extends AnyFunSuite {
         s"o_totalprice, o_orderpriority FROM parquet.`$sf/orders.parquet` LIMIT 1")
     }
     assert(mismatch.getMessage.contains("4 columns for 3"))
-    // DELETE/UPDATE keep the hive layout (rewrite partitions by the same cols)
+    // DELETE/UPDATE keep the hive layout (rewrite partitions by the same
+    // cols) — inside the CURRENT commit dir now that managed tables are
+    // versioned
     engine.sql("DELETE FROM part_orders WHERE o_totalprice < 1000")
-    val dirs = new java.io.File(s"$wh/part_orders").listFiles()
+    val current = graft.catalog.TableVersions.latest(wh, "part_orders")
+      .getOrElse(fail("versioned table must have a manifest"))
+    val dirs = graft.catalog.TableVersions.dataDirs(wh, "part_orders", current)
+      .flatMap(d => new java.io.File(d).listFiles().toSeq)
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.exists(_.startsWith("o_orderpriority=")), "layout must survive CoW")
     assert(engine.sql("SELECT count(*) FROM part_orders").collect()(0).getLong(0) > 0)
