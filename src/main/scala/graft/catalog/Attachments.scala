@@ -31,8 +31,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * JDBC) limits/aggregates reach the foreign side through the builtin
   * scan builders; nothing is re-implemented.
   *
-  * The wire seam is [[RemoteInstance]]. Two embedded implementations
-  * stand where the reference dials Flight SQL:
+  * The wire seam is [[RemoteInstance]]. Three implementations stand
+  * where the reference dials Flight SQL:
+  *   - a RUNNING remote instance (`graft://host:port`, served by
+  *     [[graft.remote.RemoteServer]]): token/basic handshake, snapshot
+  *     listing, and a DSv2 scan that ships required columns + filters
+  *     + limit to the remote and streams Arrow IPC back
+  *     ([[graft.remote.NetworkPeer]] — the live-wire transport; same
+  *     contract as Flight SQL, plain-TCP framing because the gRPC
+  *     client jars are not on the fixed classpath);
   *   - a peer graft WAREHOUSE directory (`graft://<dir>` or a plain
   *     path): enumerated from its persisted table definitions, each
   *     table served by the builtin DSv2 file tables over the peer's own
@@ -41,9 +48,6 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the strongest form of pushdown available;
   *   - a JDBC endpoint (`jdbc:*`): schemas/tables from driver metadata,
   *     each table a builtin [[JDBCTable]] (Spark's JDBC pushdown).
-  * A Flight SQL transport would be a third [[RemoteInstance]] — the
-  * listing/loadTable contract is exactly the reference's
-  * GetTables/fetch_schema split.
   *
   * Like the reference, the listing is a SNAPSHOT taken at attach time
   * (re-ATTACH to pick up new tables), `information_schema` is never
@@ -124,8 +128,13 @@ object Attachments {
     val credential = credentialFrom(options)
     val instance: RemoteInstance =
       if (url.startsWith("jdbc:")) new JdbcEndpoint(url, options)
-      else new EmbeddedPeer(spark,
-        url.stripPrefix("graft://").stripPrefix("graft:"), credential)
+      else graft.remote.NetworkPeer.parseUrl(url) match {
+        // `graft://host:port` — a RUNNING remote instance over the
+        // graft wire (the reference's Flight SQL transport seat)
+        case Some((host, port)) => new graft.remote.NetworkPeer(host, port, credential)
+        case None => new EmbeddedPeer(spark,
+          url.stripPrefix("graft://").stripPrefix("graft:"), credential)
+      }
     val listing = instance.listing()
       .map { case (s, ts) => s -> ts.sorted }
       .filter { case (s, _) => !s.equalsIgnoreCase("information_schema") }
@@ -134,6 +143,7 @@ object Attachments {
     }
     val att = Attachment(name, url, instance match {
       case _: JdbcEndpoint => "jdbc"
+      case _: graft.remote.NetworkPeer => "remote"
       case _ => "peer"
     }, shown, instance, listing, new ConcurrentHashMap[String, Table]())
     sessionMap(spark).put(name, att)
@@ -210,8 +220,14 @@ object Attachments {
           .NoSuchTableException(Identifier.of(Array(schema), table)))
       d.kind match {
         case "managed" =>
-          fileTable(spark, table, "parquet",
-            Seq(java.nio.file.Paths.get(warehouse, table).toString), Map.empty)
+          // versioned managed tables keep their data in commit dirs —
+          // mount the CURRENT version's dirs (the attach-time snapshot
+          // stance extends to the version: re-ATTACH to see later
+          // commits); legacy pre-versioning dirs read at the root
+          val dirs = TableVersions.latest(warehouse, table)
+            .map(e => TableVersions.dataDirs(warehouse, table, e))
+            .getOrElse(Seq(java.nio.file.Paths.get(warehouse, table).toString))
+          fileTable(spark, table, "parquet", dirs, Map.empty)
         case "external" =>
           d.format.getOrElse("parquet") match {
             case f @ ("parquet" | "csv" | "json" | "orc") =>

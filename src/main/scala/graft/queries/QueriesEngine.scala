@@ -123,6 +123,36 @@ object QueriesEngine {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     },
 
+    // ---- ATTACH over the network wire: a peer engine SERVED by a
+    // RemoteServer (TCP + Arrow IPC streaming — the reference's Flight
+    // SQL transport seat), mounted via graft://host:port with a
+    // basic-credential handshake. The filter pushes across the wire
+    // (RemoteScan ships it to the server's plan); the aggregate runs
+    // client-side over the returned stream; the oracle replays the
+    // whole query over the same parquet the server reads.
+    "q_attach_remote" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val peerWh = java.nio.file.Files.createTempDirectory("graft-remwh").toString
+      val peer = graft.GraftEngine(s, peerWh)
+      peer.sql(s"CREATE EXTERNAL TABLE remg_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      peer.sql("CREATE USER rem_reader WITH PASSWORD 'remote-pw'")
+      peer.sql("CREATE ROLE rem_readers")
+      peer.sql("GRANT SELECT ON TABLE remg_orders TO ROLE rem_readers")
+      peer.sql("GRANT ROLE rem_readers TO USER rem_reader")
+      // daemon acceptor/handler threads: the server outlives this gate
+      // builder so the returned (lazy) DataFrame can stream later
+      val server = new graft.remote.RemoteServer(s, peerWh)
+      val wh = java.nio.file.Files.createTempDirectory("graft-remloc").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS remgate " +
+        "WITH (username 'rem_reader', password 'remote-pw')")
+      eng.sql("""SELECT o_orderstatus, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+        FROM remgate.public.remg_orders
+        WHERE o_totalprice > 50000.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+
     // ---- SET EXTENSION preset end-to-end: a preset document
     // registered on a parquet-backed table compiles to one WHERE
     // clause (presetWhereSql — the reference's PresetOp::as_sql apply
@@ -630,6 +660,10 @@ object QueriesEngine {
       """SELECT o_orderpriority, count(*) AS n,
            round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_attach_remote" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_totalprice > 50000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_extension_preset" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_linestatus FROM lineitem
          WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 50

@@ -1,0 +1,201 @@
+package graft.remote
+
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.JsonDSL._
+
+import graft.auth.Auth
+import graft.sources.ArrowSource
+
+/** The serving half of a network ATTACH: one graft engine exposed to
+  * remote peers over [[RemoteWire]] (reference surface: the Flight SQL
+  * service a Beacon instance runs, beacon-server/src/flight_sql/
+  * service.rs — handshake issues a bearer token, catalog calls answer
+  * GetTables/schema, DoGet streams Arrow record batches; remote/
+  * connection.rs validates the credential combinations client-side).
+  *
+  * The engine lives on an ISOLATED `spark.newSession()` — same
+  * SparkContext (executors, memory), separate temp-view/conf state —
+  * so a server embedded next to a local engine in one JVM (the test
+  * topology) cannot collide with the local catalog, and in the real
+  * topology (one server process per instance) nothing changes.
+  *
+  * Authentication mirrors the reference's two paths: username/password
+  * handshake → a fresh session bearer token (Flight's handshake
+  * contract), or a pre-issued token ([[issueToken]] — the admin's
+  * out-of-band PAT). Every subsequent authorization reuses the
+  * engine's own RBAC: listings are filtered to the identity's SELECT
+  * grants, scans re-check the single table they touch, and the
+  * arbitrary-SQL op goes through `sqlAs` so the full deny-wins /
+  * default-deny / DDL-requires-super lifecycle applies unchanged.
+  *
+  * Scale shape: one scan request = one Arrow stream produced by a
+  * distributed Spark job on the server (`toLocalIterator` drains
+  * partitions incrementally — bounded memory), matching the
+  * reference's single-stream DoGet. Fan-out across MANY tables/scans
+  * parallelizes client-side (each executor task dials its own
+  * connection).
+  */
+final class RemoteServer(spark: SparkSession, warehouse: String,
+    port: Int = 0, allowAnonymous: Boolean = false) {
+
+  private val session = spark.newSession()
+  private val engine = graft.GraftEngine(session, warehouse)
+  engine.restore()
+
+  private val server = new ServerSocket(port)
+  def boundPort: Int = server.getLocalPort
+
+  // token -> username; tokens live for the server's lifetime (the
+  // reference's session tokens die with the connection's session)
+  private val tokens = new ConcurrentHashMap[String, String]()
+  @volatile private var running = true
+
+  private def daemon(r: Runnable): Thread = {
+    val t = new Thread(r); t.setDaemon(true); t
+  }
+  private val pool = Executors.newCachedThreadPool(daemon(_))
+
+  /** admin path: mint a bearer token for a user without their password
+    * (the reference's out-of-band PAT issuance — server-side only) */
+  def issueToken(username: String): String = {
+    val t = java.util.UUID.randomUUID().toString
+    tokens.put(t, username)
+    t
+  }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case NonFatal(_) => }
+    pool.shutdownNow()
+  }
+
+  private val acceptor = daemon { () =>
+    while (running) {
+      try {
+        val sock = server.accept()
+        pool.submit(daemon(() => handle(sock)))
+      } catch { case NonFatal(_) => /* closed during stop() */ }
+    }
+  }
+  acceptor.start()
+
+  // ---------------------------------------------------------- handler
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val identity = handshake(in, out) match {
+        case Some(id) => id
+        case None => return // rejection already written
+      }
+      val req = RemoteWire.readFrame(in)
+      RemoteWire.str(req, "op") match {
+        case Some("list_tables") =>
+          val names = engine.visibleTables(identity)
+          RemoteWire.writeFrame(out,
+            ("ok" -> true) ~ ("schemas" -> JObject("public" -> JArray(
+              names.map(JString(_)).toList))))
+        case Some("get_schema") =>
+          val df = authorizedTable(identity, req)
+          RemoteWire.writeFrame(out, ("ok" -> true) ~ ("schema" -> df.schema.json))
+        case Some("scan") =>
+          val df0 = authorizedTable(identity, req)
+          val filtered = (req \ "filters") match {
+            case JArray(fs) if fs.nonEmpty =>
+              df0.where(fs.map(RemoteWire.filterFromJson).reduce(_ && _))
+            case _ => df0
+          }
+          val projected = (req \ "columns") match {
+            case JArray(cs) if cs.nonEmpty =>
+              filtered.select(cs.collect { case JString(c) => c }
+                .map(org.apache.spark.sql.functions.col): _*)
+            case _ => filtered
+          }
+          val limited = (req \ "limit") match {
+            case JLong(n) => projected.limit(n.toInt)
+            case JInt(n)  => projected.limit(n.toInt)
+            case _        => projected
+          }
+          streamResult(out, limited)
+        case Some("sql") =>
+          val sql = RemoteWire.str(req, "sql").getOrElse(
+            throw new IllegalArgumentException("sql op needs 'sql'"))
+          streamResult(out, engine.sqlAs(identity, sql))
+        case other =>
+          throw new IllegalArgumentException(s"unknown op: $other")
+      }
+    } catch {
+      case NonFatal(e) =>
+        try RemoteWire.writeFrame(sock.getOutputStream,
+          ("ok" -> false) ~ ("error" -> s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        catch { case NonFatal(_) => }
+    } finally {
+      try sock.close() catch { case NonFatal(_) => }
+    }
+  }
+
+  /** first frame of every connection; writes the rejection itself so
+    * the caller can just return */
+  private def handshake(in: java.io.InputStream,
+      out: java.io.OutputStream): Option[Auth.AuthIdentity] = {
+    val hs = RemoteWire.readFrame(in)
+    require(RemoteWire.str(hs, "op").contains("handshake"), "expected handshake")
+    val result: Either[String, (Auth.AuthIdentity, Option[String])] =
+      (RemoteWire.str(hs, "token"), RemoteWire.str(hs, "username"),
+          RemoteWire.str(hs, "password")) match {
+        case (Some(t), _, _) =>
+          Option(tokens.get(t)) match {
+            case Some(user) => Right((engine.catalog.auth.identityOf(user), None))
+            case None => Left("invalid or expired token")
+          }
+        case (None, Some(u), Some(p)) =>
+          engine.authenticate(u, p) match {
+            case Some(id) => Right((id, Some(issueToken(u))))
+            case None => Left(s"authentication failed for user '$u'")
+          }
+        case (None, None, None) if allowAnonymous =>
+          Right((Auth.AuthIdentity.system, None))
+        case _ => Left("handshake requires a token or username/password")
+      }
+    result match {
+      case Right((id, fresh)) =>
+        RemoteWire.writeFrame(out,
+          ("ok" -> true) ~ ("token" -> fresh.map(JString(_)).getOrElse(JNothing: JValue)))
+        Some(id)
+      case Left(msg) =>
+        RemoteWire.writeFrame(out, ("ok" -> false) ~ ("error" -> msg))
+        None
+    }
+  }
+
+  /** resolve + authorize the one table a metadata/scan op touches:
+    * must be a cataloged (non-crawler) table AND SELECT-granted */
+  private def authorizedTable(identity: Auth.AuthIdentity, req: JValue): DataFrame = {
+    val name = RemoteWire.str(req, "table").getOrElse(
+      throw new IllegalArgumentException("op needs 'table'"))
+    val known = engine.catalog.tables().exists(t => t.name == name && t.kind != "crawler")
+    if (!known)
+      throw new IllegalArgumentException(s"no such table: $name")
+    val allowed = identity.isSuperUser || engine.catalog.auth.isAllowed(
+      identity.roles, "SELECT", Auth.Target.Table(name))
+    if (!allowed)
+      throw new graft.auth.Authz.PermissionDenied(
+        s"remote permission denied: SELECT on TABLE $name")
+    session.table(name)
+  }
+
+  private def streamResult(out: java.io.OutputStream, df: DataFrame): Unit = {
+    RemoteWire.writeFrame(out,
+      ("ok" -> true) ~ ("stream" -> true) ~ ("schema" -> df.schema.json))
+    ArrowSource.writeIpcStream(df, out)
+    out.flush()
+  }
+}

@@ -38,8 +38,9 @@ object ArrowSource {
   /** remote granules localize to the executor cache; `file:` strips */
   private def localPath(p: String): String = graft.sources.io.ByteStore.localize(p)
 
-  /** Supported lattice: the scalar types the engine's tables use. */
-  private def arrowToSpark(f: AField): DataType = f.getType match {
+  /** Supported lattice: the scalar types the engine's tables use, plus
+    * lists of them (the embedding columns) and day dates. */
+  private[graft] def arrowToSpark(f: AField): DataType = f.getType match {
     case t: ArrowType.Int if t.getBitWidth == 64 => LongType
     case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
     case t: ArrowType.Int if t.getBitWidth == 16 => ShortType
@@ -50,25 +51,34 @@ object ArrowSource {
     case _: ArrowType.Bool                       => BooleanType
     case _: ArrowType.Timestamp                  => TimestampNTZType
     case _: ArrowType.Binary                     => BinaryType
+    case d: ArrowType.Date if d.getUnit == org.apache.arrow.vector.types.DateUnit.DAY => DateType
+    case _: ArrowType.List =>
+      ArrayType(arrowToSpark(f.getChildren.get(0)), containsNull = true)
     case other => throw new IllegalArgumentException(s"unsupported arrow type: $other")
   }
 
-  private def sparkToArrow(name: String, t: DataType): AField = {
-    val at: ArrowType = t match {
-      case LongType         => new ArrowType.Int(64, true)
-      case IntegerType      => new ArrowType.Int(32, true)
-      case ShortType        => new ArrowType.Int(16, true)
-      case ByteType         => new ArrowType.Int(8, true)
-      case DoubleType       => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case FloatType        => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case StringType       => new ArrowType.Utf8()
-      case BooleanType      => ArrowType.Bool.INSTANCE
-      case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
-      case TimestampType    => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
-      case BinaryType       => new ArrowType.Binary()
-      case other => throw new IllegalArgumentException(s"unsupported spark type for arrow: $other")
-    }
-    AField.nullable(name, at)
+  private[graft] def sparkToArrow(name: String, t: DataType): AField = t match {
+    case ArrayType(et, _) =>
+      new AField(name,
+        org.apache.arrow.vector.types.pojo.FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.Collections.singletonList(sparkToArrow("element", et)))
+    case _ =>
+      val at: ArrowType = t match {
+        case LongType         => new ArrowType.Int(64, true)
+        case IntegerType      => new ArrowType.Int(32, true)
+        case ShortType        => new ArrowType.Int(16, true)
+        case ByteType         => new ArrowType.Int(8, true)
+        case DoubleType       => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case FloatType        => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case StringType       => new ArrowType.Utf8()
+        case BooleanType      => ArrowType.Bool.INSTANCE
+        case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+        case TimestampType    => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+        case BinaryType       => new ArrowType.Binary()
+        case DateType         => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+        case other => throw new IllegalArgumentException(s"unsupported spark type for arrow: $other")
+      }
+      AField.nullable(name, at)
   }
 
   def schemaOf(path0: String): StructType = {
@@ -149,10 +159,53 @@ object ArrowSource {
     written
   }
 
+  /** Single IPC STREAM (not file) onto an already-open byte sink — the
+    * remote transport's result framing ([[graft.remote.RemoteServer]]):
+    * same bounded-memory row loop as [[writeSingleFile]], but the
+    * stream format is socket-friendly (self-delimiting, end-of-stream
+    * marker, no footer seek). Caller owns the output stream. */
+  private[graft] def writeIpcStream(df: DataFrame, out: java.io.OutputStream,
+      batchSize: Int = 4096): Long = {
+    val schema = df.schema
+    val aschema = new ASchema(schema.fields.map(f => sparkToArrow(f.name, f.dataType)).toList.asJava)
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(aschema, alloc)
+    val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
+      java.nio.channels.Channels.newChannel(out))
+    try {
+      writer.start()
+      val it = df.toLocalIterator().asScala
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def flush(): Unit = if (buf.nonEmpty) {
+        root.allocateNew()
+        var i = 0
+        buf.foreach { row =>
+          schema.fields.zipWithIndex.foreach { case (f, c) =>
+            writeValue(root.getVector(c), i, if (row.isNullAt(c)) null else row.get(c), f.dataType)
+          }
+          i += 1
+        }
+        root.setRowCount(buf.length)
+        writer.writeBatch()
+        buf.clear()
+      }
+      var n = 0L
+      it.foreach { row =>
+        buf += row
+        n += 1
+        if (buf.length >= batchSize) flush()
+      }
+      flush()
+      writer.end()
+      n
+    } finally { writer.close(); root.close(); alloc.close() }
+  }
+
   private def writeValue(v: FieldVector, i: Int, value: Any, t: DataType): Unit = {
     if (value == null) v match {
       case x: BaseFixedWidthVector    => x.setNull(i)
       case x: BaseVariableWidthVector => x.setNull(i)
+      case x: org.apache.arrow.vector.complex.ListVector => x.setNull(i)
       case other => throw new IllegalArgumentException(
         s"cannot set null on ${other.getClass.getSimpleName}")
     }
@@ -176,6 +229,29 @@ object ArrowSource {
         }
         x.setSafe(i, inst.getEpochSecond * 1000000L + inst.getNano / 1000)
       case x: VarBinaryVector => x.setSafe(i, value.asInstanceOf[Array[Byte]])
+      case x: DateDayVector =>
+        val days = value match {
+          case d: java.sql.Date       => d.toLocalDate.toEpochDay.toInt
+          case ld: java.time.LocalDate => ld.toEpochDay.toInt
+        }
+        x.setSafe(i, days)
+      case x: org.apache.arrow.vector.complex.ListVector =>
+        val et = t.asInstanceOf[ArrayType].elementType
+        val elems: Seq[Any] = value match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case a: Array[_]                => a.toSeq
+          case other => throw new IllegalArgumentException(
+            s"unsupported array value: ${other.getClass.getSimpleName}")
+        }
+        val start = x.startNewValue(i)
+        val child = x.getDataVector.asInstanceOf[FieldVector]
+        var j = 0
+        elems.foreach { e =>
+          require(e != null, "null array elements are not supported in arrow egress")
+          writeValue(child, start + j, e, et)
+          j += 1
+        }
+        x.endValue(i, elems.length)
       case other => throw new IllegalArgumentException(
         s"unsupported arrow vector: ${other.getClass.getSimpleName}")
     }
