@@ -113,11 +113,15 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
               df0.where(fs.map(RemoteWire.filterFromJson).reduce(_ && _))
             case _ => df0
           }
+          val aggregated = (req \ "aggregate") match {
+            case JObject(_) => applyAggregate(filtered, req \ "aggregate")
+            case _ => filtered
+          }
           val projected = (req \ "columns") match {
             case JArray(cs) if cs.nonEmpty =>
-              filtered.select(cs.collect { case JString(c) => c }
+              aggregated.select(cs.collect { case JString(c) => c }
                 .map(org.apache.spark.sql.functions.col): _*)
-            case _ => filtered
+            case _ => aggregated
           }
           val limited = (req \ "limit") match {
             case JLong(n) => projected.limit(n.toInt)
@@ -190,6 +194,46 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
       throw new graft.auth.Authz.PermissionDenied(
         s"remote permission denied: SELECT on TABLE $name")
     session.table(name)
+  }
+
+  /** pushed-down GROUP BY: the client's Aggregation crosses the wire
+    * as {group:[cols], aggs:[{fn,col,distinct,type}]} — a closed
+    * vocabulary, same no-splicing stance as the filter algebra. The
+    * server computes the COMPLETE aggregate (the scan's single stream
+    * is the whole result, so complete is final) and casts each value
+    * to the type the client declared in its read schema. */
+  private def applyAggregate(df: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val groups = (spec \ "group") match {
+      case JArray(gs) => gs.collect { case JString(g) => g }
+      case _ => Nil
+    }
+    val aggs = (spec \ "aggs") match {
+      case JArray(as) => as.zipWithIndex.map { case (a, i) =>
+        val fn = RemoteWire.str(a, "fn").getOrElse(
+          throw new IllegalArgumentException(s"agg needs fn: $a"))
+        val c = RemoteWire.str(a, "col").getOrElse("")
+        val distinct = (a \ "distinct") == JBool(true)
+        val t = RemoteWire.str(a, "type").getOrElse(
+          throw new IllegalArgumentException(s"agg needs type: $a"))
+        val expr = (fn, distinct) match {
+          case ("count_star", _)  => count(lit(1))
+          case ("count", false)   => count(col(c))
+          case ("count", true)    => count_distinct(col(c))
+          case ("sum", false)     => sum(col(c))
+          case ("sum", true)      => sum_distinct(col(c))
+          case ("avg", _)         => avg(col(c))
+          case ("min", _)         => min(col(c))
+          case ("max", _)         => max(col(c))
+          case other => throw new IllegalArgumentException(s"bad agg fn: $other")
+        }
+        expr.cast(t).as(s"a$i")
+      }
+      case _ => Nil
+    }
+    require(groups.nonEmpty || aggs.nonEmpty, "empty aggregate spec")
+    if (aggs.isEmpty) df.select(groups.map(col): _*).distinct() // pushed DISTINCT
+    else df.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def streamResult(out: java.io.OutputStream, df: DataFrame): Unit = {

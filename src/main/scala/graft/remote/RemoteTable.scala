@@ -5,9 +5,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.ipc.ArrowStreamReader
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expression, FieldReference, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 import org.json4s._
@@ -45,12 +47,15 @@ final class RemoteTable(host: String, port: Int, credential: Credential,
 final class RemoteScanBuilder(host: String, port: Int, credential: Credential,
     sessionToken: Option[String], table: String, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedJson: List[JValue] = Nil
   private var limit: Option[Int] = None
+  private var aggJson: Option[JValue] = None
+  private var aggSchema: Option[StructType] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -66,14 +71,84 @@ final class RemoteScanBuilder(host: String, port: Int, credential: Credential,
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  // ---- GROUP BY across the wire (the reference pushes the largest
+  // sub-plan to the remote; group-by is the piece that matters at
+  // scale — only one row per group crosses the network). Complete
+  // pushdown only: the single-stream scan IS the whole remote result,
+  // so the server's full aggregate is final — Spark drops its own
+  // Aggregate node above the scan.
+
+  private def colOf(e: Expression): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  private def fieldType(c: String): Option[DataType] =
+    fullSchema.fields.find(_.name == c).map(_.dataType)
+
+  /** translate if every piece is expressible: plain-column groups and
+    * count/count(*)/sum/min/max/avg over plain columns */
+  private def translate(agg: Aggregation)
+      : Option[(Seq[String], Seq[(String, String, Boolean, DataType)])] = {
+    val groups = agg.groupByExpressions.toSeq.map(colOf)
+    if (groups.exists(_.isEmpty)) return None
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def numeric(t: DataType): Boolean = integral(t) ||
+      t == FloatType || t == DoubleType
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count_star", "", false, LongType))
+      case c: Count =>
+        colOf(c.column).map(col => ("count", col, c.isDistinct, LongType))
+      case s: Sum => for {
+        col <- colOf(s.column); t <- fieldType(col) if numeric(t)
+      } yield ("sum", col, s.isDistinct, if (integral(t)) LongType else DoubleType)
+      case a: Avg => for {
+        col <- colOf(a.column); t <- fieldType(col) if numeric(t) && !a.isDistinct
+      } yield ("avg", col, false, DoubleType)
+      case m: Min => for { col <- colOf(m.column); t <- fieldType(col) }
+        yield ("min", col, false, t)
+      case m: Max => for { col <- colOf(m.column); t <- fieldType(col) }
+        yield ("max", col, false, t)
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) None
+    else Some((groups.flatten, aggs.flatten))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = translate(agg) match {
+    case Some((groups, aggs)) =>
+      aggJson = Some(JObject(
+        "group" -> JArray(groups.map(JString(_)).toList),
+        "aggs" -> JArray(aggs.map { case (fn, col, distinct, t) =>
+          JObject("fn" -> JString(fn), "col" -> JString(col),
+            "distinct" -> JBool(distinct), "type" -> JString(t.catalogString))
+        }.toList)))
+      // output = group cols (their types) then agg values, positionally
+      // — the convention V2ScanRelationPushDown rewrites against
+      aggSchema = Some(StructType(
+        groups.map(g => StructField(g, fieldType(g).get)) ++
+          aggs.zipWithIndex.map { case ((fn, col, _, t), i) =>
+            StructField(s"${fn}_${if (col.isEmpty) "star" else col}_$i", t)
+          }))
+      true
+    case None => false
+  }
+
   override def build(): Scan = new RemoteScan(host, port, credential,
-    sessionToken, table, fullSchema, required, pushed, pushedJson, limit)
+    sessionToken, table, fullSchema, aggSchema.getOrElse(required),
+    pushed, pushedJson, limit, aggJson)
 }
 
 final class RemoteScan(host: String, port: Int, credential: Credential,
     sessionToken: Option[String], table: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter], pushedJson: List[JValue],
-    limit: Option[Int]) extends Scan with Batch {
+    limit: Option[Int], aggJson: Option[JValue]) extends Scan with Batch {
 
   // count(*)-style scans prune to zero columns; the wire still needs a
   // stream that carries row counts, so request the narrowest column
@@ -86,12 +161,16 @@ final class RemoteScan(host: String, port: Int, credential: Credential,
   override def toBatch: Batch = this
   override def description(): String =
     s"RemoteScan($host:$port/$table) PushedFilters: [${pushed.mkString(", ")}]" +
-      limit.map(l => s" PushedLimit: $l").getOrElse("")
+      limit.map(l => s" PushedLimit: $l").getOrElse("") +
+      aggJson.map(a => s" PushedAggregation: ${JsonMethods.compact(JsonMethods.render(a))}")
+        .getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val req: JValue = ("op" -> "scan") ~ ("table" -> table) ~
-      ("columns" -> JArray(wireColumns.map(JString(_)).toList)) ~
+      ("columns" -> (if (aggJson.isDefined) JNothing
+        else JArray(wireColumns.map(JString(_)).toList))) ~
       ("filters" -> JArray(pushedJson)) ~
+      ("aggregate" -> aggJson.getOrElse(JNothing: JValue)) ~
       ("limit" -> limit.map(JInt(_)).getOrElse(JNothing: JValue))
     Array(RemoteScanPartition(host, port,
       credential match {

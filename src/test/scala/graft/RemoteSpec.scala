@@ -82,6 +82,43 @@ class RemoteSpec extends AnyFunSuite {
     assert(lim.count() == 7)
   }
 
+  test("group-by aggregates push complete across the wire") {
+    val df = engine.sql("""SELECT o_orderstatus, count(*) AS n,
+        sum(o_totalprice) AS total, avg(o_totalprice) AS mean,
+        min(o_orderkey) AS lo, max(o_orderkey) AS hi
+      FROM wire.public.r_orders GROUP BY o_orderstatus""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"aggregate must appear pushed in the scan description:\n$plan")
+    // COMPLETE pushdown: no HashAggregate above the remote scan — only
+    // one row per group crossed the wire
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must drop the client-side aggregate:\n$plan")
+    val viaWire = df.collect().map(r => (r.getString(0), r.getLong(1),
+      math.round(r.getDouble(2)), math.round(r.getDouble(3)))).sortBy(_._1).toSeq
+    val local = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum("o_totalprice").as("t"),
+        org.apache.spark.sql.functions.avg("o_totalprice").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2)), math.round(r.getDouble(3)))).sortBy(_._1).toSeq
+    assert(viaWire == local)
+    // DISTINCT pushes as a group-only aggregate
+    val d = engine.sql("SELECT DISTINCT o_orderstatus FROM wire.public.r_orders")
+    assert(d.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(d.collect().map(_.getString(0)).sorted.toSeq ==
+      spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderstatus").distinct().collect().map(_.getString(0)).sorted.toSeq)
+    // an inexpressible aggregate (expression argument) still answers,
+    // un-pushed, with the aggregate running client-side
+    val c = engine.sql("SELECT sum(o_totalprice * 2.0) AS s2 FROM wire.public.r_orders")
+    assert(c.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("sum(o_totalprice * 2.0)").collect()(0).getDouble(0)
+    assert(math.abs(c.collect()(0).getDouble(0) - expect) < 1e-6 * math.abs(expect))
+  }
+
   test("count(*) prunes to a zero-column wire scan and still counts") {
     val n = engine.sql("SELECT count(*) FROM wire.public.r_orders")
       .collect()(0).getLong(0)
