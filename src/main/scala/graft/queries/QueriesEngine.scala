@@ -481,9 +481,13 @@ object QueriesEngine {
       import s.implicits._
       GraftSession.configure(s)
       import graft.functions.GeoExprs
-      val x = round($"l_discount" * 100).cast("int")
-      val y = $"l_quantity".cast("int")
-      val w = ($"l_linenumber" % 3 + 1).cast("int")
+      // sort FIRST on the narrow key columns, project the geometry
+      // after: the range partitioner's sampling pass then reads cheap
+      // ints instead of re-evaluating the WKT construction, and each
+      // geometry expression runs exactly once per row post-shuffle
+      val x = $"x"
+      val y = $"y"
+      val w = $"w"
       def i(c: org.apache.spark.sql.Column) = c.cast("string")
       val pointWkt = concat(lit("POINT ("), i(x), lit(" "), i(y), lit(")"))
       val rectWkt = concat(lit("POLYGON (("),
@@ -495,12 +499,16 @@ object QueriesEngine {
       val zone = lit("POLYGON ((0 0, 10 0, 10 25, 0 25, 0 0))")
       Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber",
+          round($"l_discount" * 100).cast("int").as("x"),
+          $"l_quantity".cast("int").as("y"),
+          ($"l_linenumber" % 3 + 1).cast("int").as("w"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .select($"l_orderkey", $"l_linenumber",
           round(GeoExprs.st_distance(pointWkt, lit("POINT (5 25)")), 6)
             .as("dist_center"),
           GeoExprs.st_area(rectWkt).as("rect_area"),
           GeoExprs.st_intersects(rectWkt, zone).as("hits_zone"),
           GeoExprs.st_contains(zone, pointWkt).as("in_zone"))
-        .orderBy($"l_orderkey", $"l_linenumber")
     },
 
     // ---- coalesce_label over nullable branches
