@@ -51,7 +51,9 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *    `decontaminate` (benchmark shingle set broadcasts; corpus side
   *    is one map-side probe + per-doc count), `minhash_neardup`
   *    (banded LSH self-join — never all-pairs — + min-label
-  *    propagation rounds bounded by cluster diameter).
+  *    propagation rounds bounded by cluster diameter),
+  *    `perplexity_filter` (two count shuffles for the bigram LM +
+  *    tf-pre-aggregated scoring joins; counts prune at min_count).
   *
   * Every stage preserves the (id, text, passenger) row shape and the
   * input column order; `mixture` additionally APPENDS an `epoch`
@@ -156,6 +158,18 @@ object CuratePipeline {
           .filter(col("lm_score") <= maxScore && col("n_tokens") >= minTokens)
           .select(col("doc_id").as(idCol))
         df.join(keep, Seq(idCol), "left_semi")
+      case "perplexity_filter" =>
+        // corpus-RELATIVE like lm_quality_filter, but model-based: a
+        // stupid-backoff bigram LM fit on the current stage input
+        // (Brants et al. 2007 — the CCNet-style quality gate). Keep
+        // docs with min_ppl < ppl ≤ max_ppl.
+        val maxPpl = dbl(st, "max_ppl", Double.NaN)
+        if (maxPpl.isNaN)
+          throw new DslException("perplexity_filter needs a numeric 'max_ppl'")
+        graft.operators.NgramLm.perplexityFilter(df, textCol, idCol,
+          maxPpl = maxPpl, minPpl = dbl(st, "min_ppl", 0.0),
+          alpha = dbl(st, "alpha", 0.4),
+          minCount = int(st, "min_count", 1).toLong)
       case "stratified_sample" =>
         Sampling.stratifiedSample(df, str(st, "strata"), idCol,
           str(st, "salt"), rateMap(st, "rates"),

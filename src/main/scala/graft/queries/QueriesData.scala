@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{GraftSession, Tables}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, NgramLm, Similarity, TextOps}
 
 /** Training-data pipeline operator coverage (builder brief): text
   * analysis, dedup family, similarity search, as-of join, multimodal
@@ -394,6 +394,16 @@ object QueriesData {
     // distribution scores every doc by mean negative token logprob
     "q_lm_quality" -> { (s, dir) =>
       TextOps.lmQualityScore(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- stupid-backoff bigram LM perplexity (Brants et al. 2007;
+    // the CCNet-style model-based quality gate): self-trained counts,
+    // α=0.4 backoff, +1-floored unigrams, document ppl = 10^(−avg
+    // log10 S). Row-local gram construction (no per-doc window), two
+    // count shuffles, tf-pre-aggregated scoring joins.
+    "q_ngram_ppl" -> { (s, dir) =>
+      NgramLm.perplexity(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))
     },
 
@@ -1241,6 +1251,42 @@ object QueriesData {
         SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
                round(coalesce(s.s, 0.0), 4) AS lm_score
         FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id""",
+    // stupid backoff replayed as SQL: lag() builds the bigram context
+    // (the engine builds it row-locally — same pairs), CASE mirrors the
+    // seen-context / α-backoff / document-start rule exactly
+    "q_ngram_ppl" ->
+      raw"""WITH base AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
+          FROM documents),
+        toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+                 FROM base WHERE len(l) > 0),
+        pairs AS (SELECT doc_id, pos, tok AS w,
+                    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                  FROM toks),
+        c1 AS (SELECT tok AS g, count(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT sum(c) AS n FROM c1),
+        c2 AS (SELECT prev || ' ' || w AS g, count(*) AS c FROM pairs
+               WHERE prev IS NOT NULL GROUP BY 1),
+        scores AS (
+          SELECT p.doc_id,
+            CASE WHEN p.prev IS NOT NULL AND c2.c IS NOT NULL
+                   THEN CAST(c2.c AS DOUBLE) / c1p.c
+                 WHEN p.prev IS NOT NULL
+                   THEN 0.4 * CAST(coalesce(c1w.c, 1) AS DOUBLE) / n
+                 ELSE CAST(coalesce(c1w.c, 1) AS DOUBLE) / n END AS s
+          FROM pairs p
+          LEFT JOIN c2 ON c2.g = p.prev || ' ' || p.w
+          LEFT JOIN c1 c1p ON c1p.g = p.prev
+          LEFT JOIN c1 c1w ON c1w.g = p.w
+          CROSS JOIN tot),
+        scored AS (SELECT doc_id, count(*) AS n_tokens,
+                     round(pow(10, -avg(log10(s))), 4) AS ppl
+                   FROM scores GROUP BY 1)
+        SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+               coalesce(s.ppl, 0.0) AS ppl
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id""",
     // BM25 (k1=1.2, b=0.75, +1-floored idf) over the same lowered
     // tokens; N/avgdl from exact long aggregates; rank on round(s,6)
     "q_bm25_topk" ->

@@ -493,6 +493,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2).getDouble(2) == 0.0)
   }
 
+  test("stupid-backoff bigram perplexity: hand-computed fixture") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    // corpus: one doc "a b a b c". c1: a=2 b=2 c=1, N=5;
+    // c2: "a b"=2, "b a"=1, "b c"=1.
+    // scores: start a → 2/5; b|a → 2/2; a|b → 1/2; b|a → 1; c|b → 1/2
+    // avg log10 = (log .4 + 0 + log .5 + 0 + log .5)/5 = −0.2
+    // ppl = 10^0.2 = 1.5849
+    val df = Seq((1L, "a b a b c"), (2L, "")).toDF("doc_id", "text")
+    val out = NgramLm.perplexity(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5 && math.abs(out(0).getDouble(2) - 1.5849) < 1e-9,
+      s"expected ppl 1.5849, got ${out(0).getDouble(2)}")
+    assert(out(1).getLong(1) == 0 && out(1).getDouble(2) == 0.0)
+    // an unseen-context doc backs off with the α penalty: "c a" has no
+    // bigram → S(a|c) = 0.4·(2/5); S(c) = 1/5
+    val out2 = NgramLm.perplexity(Seq((9L, "c a")).toDF("doc_id", "text"),
+      "text", "doc_id", train = Some(df)).collect()
+    val expected = math.pow(10,
+      -(math.log10(1.0 / 5) + math.log10(0.4 * 2.0 / 5)) / 2)
+    assert(math.abs(out2(0).getDouble(2) -
+      math.rint(expected * 10000) / 10000) < 1e-9)
+    // min_count pruning drops singleton grams from the model
+    val pruned = NgramLm.perplexity(df, "text", "doc_id", minCount = 2)
+      .orderBy("doc_id").collect()
+    // c pruned from c1, "b c"/"b a" pruned from c2: c|b backs off to
+    // the +1 floor 0.4·1/4 (N is the PRUNED mass 2+2)
+    assert(pruned(0).getDouble(2) > out(0).getDouble(2),
+      "pruning the tail must make the doc more surprising")
+  }
+
+  test("perplexity filter keeps the fluent band; DSL stage wires through") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    val df = Seq((1L, "the cat sat", "a"), (2L, "the cat sat", "a"),
+      (3L, "zx qv wk", "b"), (4L, "the cat sat", "a")).toDF("doc_id", "text", "src")
+    val scored = NgramLm.perplexity(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the repeated sentence is fluent (low ppl); the junk doc is not
+    assert(scored(3L) > scored(1L))
+    val kept = NgramLm.perplexityFilter(df, "text", "doc_id",
+      maxPpl = scored(1L) + 0.001).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+    // through the curation DSL
+    val piped = graft.dsl.CuratePipeline.compile(df,
+      s"""{"stages": [{"op": "perplexity_filter", "max_ppl": ${scored(1L) + 0.001}}]}""")
+    assert(piped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+  }
+
   test("lm quality: vocab join consumes the (doc_id, tok, tf) pre-aggregate") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
