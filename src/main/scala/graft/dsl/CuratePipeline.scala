@@ -169,7 +169,8 @@ object CuratePipeline {
         graft.operators.NgramLm.perplexityFilter(df, textCol, idCol,
           maxPpl = maxPpl, minPpl = dbl(st, "min_ppl", 0.0),
           alpha = dbl(st, "alpha", 0.4),
-          minCount = int(st, "min_count", 1).toLong)
+          minCount = int(st, "min_count", 1).toLong,
+          order = int(st, "order", 2))
       case "stratified_sample" =>
         Sampling.stratifiedSample(df, str(st, "strata"), idCol,
           str(st, "salt"), rateMap(st, "rates"),

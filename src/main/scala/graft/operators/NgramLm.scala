@@ -14,7 +14,8 @@ import graft.functions.TextExprs
   * the model-based quality gate real curation pipelines run between
   * the heuristic battery (C4/Gopher) and dedup.
   *
-  * Scoring rule (bigram model, the shipped order):
+  * Scoring rule (order 2; order 3 adds one more backoff level,
+  * S(w|u v) = c3(u v w)/c2(u v) else α·S(w|v)):
   *   - context seen:    S(w|v)   = c2(v w) / c1(v)
   *   - context unseen:  S(w|v)   = α · c1(w)⁺ / N        (α = 0.4)
   *   - document start:  S(w)     = c1(w)⁺ / N            (no α — the
@@ -45,15 +46,20 @@ object NgramLm {
 
   /** (doc_id, n_tokens, ppl) for every row of `df`; `train` defaults
     * to scoring corpus itself (the self-scored fluency baseline).
+    * `order` = 2 (bigram) or 3 (trigram with two-level backoff:
+    * c3/c2 → α·(c2/c1) → α²-free unigram chain, each α charged only
+    * when an EXISTING longer context was backed off).
     * Deterministic; empty documents score ppl 0.0 with 0 tokens. */
   def perplexity(df: DataFrame, textCol: String, idCol: String,
       train: Option[DataFrame] = None, trainTextCol: Option[String] = None,
-      alpha: Double = 0.4, minCount: Long = 1): DataFrame = {
+      alpha: Double = 0.4, minCount: Long = 1, order: Int = 2): DataFrame = {
+    require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
 
     val trainDf = train.getOrElse(df)
     val trainText = trainTextCol.getOrElse(textCol)
 
-    // ---- training counts: one row-local explode, two count shuffles
+    // ---- training counts: one row-local explode, one count shuffle
+    // per gram order, all pruned at minCount before any join
     val trainToks = trainDf
       .select(TextExprs.tokens(col(trainText), lower = true).as("l"))
       .where(size(col("l")) > 0)
@@ -61,41 +67,65 @@ object NgramLm {
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount)
     val n = c1.agg(sum(col("c")).as("n")) // one row
-    val c2 = trainToks
-      .select(explode(bigramPairs(col("l"))).as("t"))
+    val trainPairs = trainToks.select(explode(gramStructs(col("l"))).as("t"))
+    val c2 = trainPairs
       .where(col("t.prev").isNotNull)
       .select(concat_ws(" ", col("t.prev"), col("t.w")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount)
+    val c3 = if (order < 3) null else trainPairs
+      .where(col("t.prev2").isNotNull)
+      .select(concat_ws(" ", col("t.prev2"), col("t.prev"), col("t.w")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
 
-    // ---- scoring stream, pre-aggregated to (doc, v, w, tf)
+    // ---- scoring stream, pre-aggregated to (doc, context, w, tf)
     val pairs = df
       .select(col(idCol).as("doc_id"),
         TextExprs.tokens(col(textCol), lower = true).as("l"))
       .where(size(col("l")) > 0)
-      .select(col("doc_id"), explode(bigramPairs(col("l"))).as("t"))
-      .groupBy(col("doc_id"), col("t.w").as("w"), col("t.prev").as("prev"))
+      .select(col("doc_id"), explode(gramStructs(col("l"))).as("t"))
+      .groupBy(col("doc_id"), col("t.w").as("w"), col("t.prev").as("prev"),
+        col("t.prev2").as("prev2"))
       .agg(count(lit(1)).as("tf"))
 
-    val s = // per-position backoff probability
-      when(col("prev").isNotNull && col("c2c").isNotNull,
+    val sUnigram = coalesce(col("c1w"), lit(1L)).cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val sBigram = // value of the bigram chain GIVEN prev exists
+      when(col("c2c").isNotNull,
         col("c2c").cast(DoubleType) / col("c1prev").cast(DoubleType))
-        .when(col("prev").isNotNull,
-          lit(alpha) * coalesce(col("c1w"), lit(1L)).cast(DoubleType) /
-            col("n").cast(DoubleType))
-        .otherwise(coalesce(col("c1w"), lit(1L)).cast(DoubleType) /
-          col("n").cast(DoubleType))
+        .otherwise(lit(alpha) * sUnigram)
+    val s = // per-position backoff probability
+      if (order == 2)
+        when(col("prev").isNotNull, sBigram).otherwise(sUnigram)
+      else
+        when(col("prev2").isNotNull && col("c3c").isNotNull,
+          col("c3c").cast(DoubleType) / col("c2p").cast(DoubleType))
+          .when(col("prev2").isNotNull, lit(alpha) * sBigram)
+          .when(col("prev").isNotNull, sBigram)
+          .otherwise(sUnigram)
 
     val c2r = c2.select(col("g").as("g2"), col("c").as("c2c"))
     val c1p = c1.select(col("g").as("gp"), col("c").as("c1prev"))
     val c1w = c1.select(col("g").as("gw"), col("c").as("c1w"))
-    val scored = pairs
+    val joined2 = pairs
       .join(c2r, concat_ws(" ", col("prev"), col("w")) === col("g2"), "left")
       .drop("g2")
       .join(c1p, col("prev") === col("gp"), "left")
       .drop("gp")
       .join(c1w, col("w") === col("gw"), "left")
       .drop("gw")
+    val joined = if (order < 3) joined2 else {
+      val c3r = c3.select(col("g").as("g3"), col("c").as("c3c"))
+      val c2p = c2.select(col("g").as("gpp"), col("c").as("c2p"))
+      joined2
+        .join(c3r,
+          concat_ws(" ", col("prev2"), col("prev"), col("w")) === col("g3"), "left")
+        .drop("g3")
+        .join(c2p, concat_ws(" ", col("prev2"), col("prev")) === col("gpp"), "left")
+        .drop("gpp")
+    }
+    val scored = joined
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
@@ -114,19 +144,22 @@ object NgramLm {
   def perplexityFilter(df: DataFrame, textCol: String, idCol: String,
       maxPpl: Double, minPpl: Double = 0.0,
       train: Option[DataFrame] = None, alpha: Double = 0.4,
-      minCount: Long = 1): DataFrame = {
-    val scoredDf = perplexity(df, textCol, idCol, train, None, alpha, minCount)
+      minCount: Long = 1, order: Int = 2): DataFrame = {
+    val scoredDf = perplexity(df, textCol, idCol, train, None, alpha,
+      minCount, order)
       .where(col("ppl") > minPpl && col("ppl") <= maxPpl)
       .select(col("doc_id"))
     df.join(scoredDf, df(idCol) === scoredDf("doc_id"), "left_semi")
   }
 
-  /** row-local (w, prev) structs for every token position — built in
-    * ONE projection and exploded once, so the token array is never
-    * duplicated per output row and no per-doc window shuffle exists.
-    * prev is null at position 0 (document start). */
-  private def bigramPairs(l: Column): Column =
+  /** row-local (w, prev, prev2) structs for every token position —
+    * built in ONE projection and exploded once, so the token array is
+    * never duplicated per output row and no per-doc window shuffle
+    * exists. prev/prev2 are null where the document hasn't started
+    * yet (positions 0 and 1). */
+  private def gramStructs(l: Column): Column =
     transform(sequence(lit(1), size(l)),
       i => struct(element_at(l, i).as("w"),
-        when(i > 1, element_at(l, i - 1)).as("prev")))
+        when(i > 1, element_at(l, i - 1)).as("prev"),
+        when(i > 2, element_at(l, i - 2)).as("prev2")))
 }

@@ -523,6 +523,40 @@ class OperatorsSpec extends AnyFunSuite {
       "pruning the tail must make the doc more surprising")
   }
 
+  test("trigram stupid backoff: two-level chain, α charged per backed-off level") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    // train "x y z x y w": c1 x2 y2 z1 w1 N=6; c2 "x y"2 "y z"1 "z x"1
+    // "x y w"? no — pairs: (x y)(y z)(z x)(x y)(y w) → "x y"2 "y z"1
+    // "z x"1 "y w"1; c3: "x y z"1 "y z x"1 "z x y"1 "x y w"1
+    val train = Seq((1L, "x y z x y w")).toDF("doc_id", "text")
+    // score "w y z": pos1 S(w)=1/6; pos2 S(y|w): "w y" unseen →
+    // α·c1(y)/N = .4·2/6; pos3 S(z|w y): "w y z" unseen → α·S(z|y) =
+    // α·(c2("y z")/c1(y)) = .4·(1/2) = .2
+    val doc = Seq((9L, "w y z")).toDF("doc_id", "text")
+    val out3 = NgramLm.perplexity(doc, "text", "doc_id",
+      train = Some(train), order = 3).collect()(0).getDouble(2)
+    val exp3 = math.pow(10, -(math.log10(1.0 / 6) +
+      math.log10(0.4 * 2.0 / 6) + math.log10(0.2)) / 3)
+    assert(math.abs(out3 - math.rint(exp3 * 10000) / 10000) < 1e-9,
+      s"expected $exp3, got $out3")
+    // the bigram model scores pos3 by the UNPENALIZED seen bigram
+    // "y z" → .5, so order=2 rates the doc less surprising
+    val out2 = NgramLm.perplexity(doc, "text", "doc_id",
+      train = Some(train), order = 2).collect()(0).getDouble(2)
+    val exp2 = math.pow(10, -(math.log10(1.0 / 6) +
+      math.log10(0.4 * 2.0 / 6) + math.log10(0.5)) / 3)
+    assert(math.abs(out2 - math.rint(exp2 * 10000) / 10000) < 1e-9)
+    assert(out2 < out3)
+    // a seen trigram scores by the full c3/c2 ratio: "x y z" →
+    // (2/6)·(c2("x y")/c1(x)=2/2)·(c3("x y z")/c2("x y")=1/2)
+    val seen = NgramLm.perplexity(Seq((8L, "x y z")).toDF("doc_id", "text"),
+      "text", "doc_id", train = Some(train), order = 3).collect()(0).getDouble(2)
+    val expSeen = math.pow(10,
+      -(math.log10(2.0 / 6) + math.log10(1.0) + math.log10(0.5)) / 3)
+    assert(math.abs(seen - math.rint(expSeen * 10000) / 10000) < 1e-9)
+  }
+
   test("perplexity filter keeps the fluent band; DSL stage wires through") {
     import spark.implicits._
     import graft.operators.NgramLm
