@@ -114,6 +114,71 @@ object GeoExprs {
       copy(l, r)
   }
 
+  /** st_x/st_y(wkt) → POINT coordinate; kernel yields NaN for
+    * non-points, surfaced as SQL NULL via [[nanAsNull]] */
+  case class StX(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_x"
+    override def nullSafeEval(a: Any): Any =
+      Geo.stX(a.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Geo.stX($a.toString());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class StY(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_y"
+    override def nullSafeEval(a: Any): Any =
+      Geo.stY(a.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Geo.stY($a.toString());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_npoints(wkt) → vertex count (closing vertices included) */
+  case class StNPoints(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "st_npoints"
+    override def nullSafeEval(a: Any): Any =
+      Geo.stNPoints(a.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Geo.stNPoints($a.toString());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_perimeter(wkt) → total ring length; 0 for points */
+  case class StPerimeter(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_perimeter"
+    override def nullSafeEval(a: Any): Any =
+      Geo.stPerimeter(a.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Geo.stPerimeter($a.toString());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_centroid(wkt) → area-weighted centroid as WKT POINT */
+  case class StCentroid(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_centroid"
+    override def nullSafeEval(a: Any): Any =
+      UTF8String.fromString(Geo.stCentroid(a.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stCentroid($a.toString()));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** NaN sentinel → SQL NULL (st_x/st_y of a non-point) */
+  private[functions] def nanAsNull(e: Expression): Expression =
+    NaNvl(e, Literal(null, DoubleType))
+
   def st_distance(a: Column, b: Column): Column =
     ColumnBridge.column(StDistance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -125,4 +190,14 @@ object GeoExprs {
   def st_contains(a: Column, b: Column): Column =
     ColumnBridge.column(StContains(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def st_x(a: Column): Column =
+    ColumnBridge.column(nanAsNull(StX(ColumnBridge.expression(a))))
+  def st_y(a: Column): Column =
+    ColumnBridge.column(nanAsNull(StY(ColumnBridge.expression(a))))
+  def st_npoints(a: Column): Column =
+    ColumnBridge.column(StNPoints(ColumnBridge.expression(a)))
+  def st_perimeter(a: Column): Column =
+    ColumnBridge.column(StPerimeter(ColumnBridge.expression(a)))
+  def st_centroid(a: Column): Column =
+    ColumnBridge.column(StCentroid(ColumnBridge.expression(a)))
 }

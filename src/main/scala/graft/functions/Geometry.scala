@@ -396,6 +396,100 @@ object Geo {
     mn
   }
 
+  /** ST_X/ST_Y: the coordinate of a POINT; NaN for non-points (the
+    * expression layer surfaces NaN as SQL NULL, PostGIS raises) */
+  def pointX(g: Geom): Double = g match {
+    case PointGeom(x, _) => x
+    case _ => Double.NaN
+  }
+  def pointY(g: Geom): Double = g match {
+    case PointGeom(_, y) => y
+    case _ => Double.NaN
+  }
+
+  /** ST_NPoints: vertex count incl. the closing vertex of each ring */
+  def nPoints(g: Geom): Int = g match {
+    case PointGeom(_, _) => 1
+    case PolygonGeom(p) => p.outer.size + p.holes.map(_.size).sum
+    case MultiPolygonGeom(ps) =>
+      ps.map(p => p.outer.size + p.holes.map(_.size).sum).sum
+  }
+
+  /** ST_Perimeter: total ring length (outer + holes); points 0 */
+  def perimeter(g: Geom): Double = g match {
+    case PointGeom(_, _) => 0.0
+    case PolygonGeom(p) => (p.outer +: p.holes).map(ringLength).sum
+    case MultiPolygonGeom(ps) =>
+      ps.flatMap(p => p.outer +: p.holes).map(ringLength).sum
+  }
+  private def ringLength(r: Ring): Double = {
+    var s = 0.0
+    var i = 1
+    while (i < r.size) {
+      val dx = r.xs(i) - r.xs(i - 1)
+      val dy = r.ys(i) - r.ys(i - 1)
+      s += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    s
+  }
+
+  /** ST_Centroid as WKT: points are their own centroid; polygons use
+    * the area-weighted (shoelace) centroid of the outer ring minus
+    * holes; multipolygons area-weight across members. Degenerate
+    * (zero-area) polygons fall back to the vertex mean. */
+  def centroidWkt(g: Geom): String = {
+    val (cx, cy) = centroid(g)
+    s"POINT (${fmt(cx)} ${fmt(cy)})"
+  }
+  def centroid(g: Geom): (Double, Double) = g match {
+    case PointGeom(x, y) => (x, y)
+    case PolygonGeom(p) => polyCentroid(Seq(p))
+    case MultiPolygonGeom(ps) => polyCentroid(ps)
+  }
+  private def polyCentroid(ps: Seq[Polygon]): (Double, Double) = {
+    // signed shoelace accumulation: holes (listed in either winding)
+    // subtract because we normalize each ring's contribution sign
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    ps.foreach { p =>
+      val (ra, rx, ry) = ringCentroidAcc(p.outer)
+      a += ra; cx += rx; cy += ry
+      p.holes.foreach { h =>
+        val (ha, hx, hy) = ringCentroidAcc(h)
+        a -= ha; cx -= hx; cy -= hy
+      }
+    }
+    if (math.abs(a) < 1e-12) {
+      // degenerate: mean of distinct vertices of the outer rings
+      var n = 0; var sx = 0.0; var sy = 0.0
+      ps.foreach { p =>
+        var i = 0
+        while (i < p.outer.size - 1) { // skip the closing vertex
+          sx += p.outer.xs(i); sy += p.outer.ys(i); n += 1; i += 1
+        }
+      }
+      (sx / math.max(n, 1), sy / math.max(n, 1))
+    } else (cx / (3.0 * a), cy / (3.0 * a))
+  }
+  /** (|area|·sign-normalized, 6·area-weighted cx, cy) for one ring */
+  private def ringCentroidAcc(r: Ring): (Double, Double, Double) = {
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    var j = r.size - 1
+    while (i < r.size) {
+      val cross = r.xs(j) * r.ys(i) - r.xs(i) * r.ys(j)
+      a += cross
+      cx += (r.xs(j) + r.xs(i)) * cross
+      cy += (r.ys(j) + r.ys(i)) * cross
+      j = i
+      i += 1
+    }
+    // normalize so every ring contributes positively (holes subtract
+    // at the call site regardless of stored winding)
+    val half = a / 2.0
+    if (half < 0) (-half, -cx / 2.0, -cy / 2.0) else (half, cx / 2.0, cy / 2.0)
+  }
+
   // string-in entry points for the codegen expressions (one cached
   // parse per distinct WKT per executor)
   def stDistance(a: String, b: String): Double =
@@ -405,4 +499,9 @@ object Geo {
     intersects(parseWktCached(a), parseWktCached(b))
   def stContains(a: String, b: String): Boolean =
     containsGeom(parseWktCached(a), parseWktCached(b))
+  def stX(a: String): Double = pointX(parseWktCached(a))
+  def stY(a: String): Double = pointY(parseWktCached(a))
+  def stNPoints(a: String): Int = nPoints(parseWktCached(a))
+  def stPerimeter(a: String): Double = perimeter(parseWktCached(a))
+  def stCentroid(a: String): String = centroidWkt(parseWktCached(a))
 }

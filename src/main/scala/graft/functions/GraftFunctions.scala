@@ -227,6 +227,16 @@ object GraftFunctions {
       es => GeoExprs.StIntersects(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("st_contains",
       es => GeoExprs.StContains(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("st_x",
+      es => GeoExprs.nanAsNull(GeoExprs.StX(es.head)), "built-in")
+    r.createOrReplaceTempFunction("st_y",
+      es => GeoExprs.nanAsNull(GeoExprs.StY(es.head)), "built-in")
+    r.createOrReplaceTempFunction("st_npoints",
+      es => GeoExprs.StNPoints(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_perimeter",
+      es => GeoExprs.StPerimeter(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_centroid",
+      es => GeoExprs.StCentroid(es.head), "built-in")
     r.createOrReplaceTempFunction("pressure_to_depth_teos_10",
       es => PressureToDepthTeos10(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("map_units",

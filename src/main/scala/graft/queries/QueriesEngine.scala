@@ -477,6 +477,37 @@ object QueriesEngine {
     // format identically); the oracle replays the distance/area/
     // intersect/contain semantics as raw arithmetic over the same
     // columns — a genuine cross-check of the WKT parse + geometry math
+    // ---- ST_* accessors/measures (r9 widening of the suite):
+    // st_x/st_y (NULL for non-points), st_npoints, st_perimeter,
+    // st_centroid — same synthetic shapes, arithmetic-replay oracle
+    "q_geo_suite2" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      val x = $"x"; val y = $"y"; val w = $"w"
+      def i(c: org.apache.spark.sql.Column) = c.cast("string")
+      val pointWkt = concat(lit("POINT ("), i(x), lit(" "), i(y), lit(")"))
+      val rectWkt = concat(lit("POLYGON (("),
+        i(x - w), lit(" "), i(y - w), lit(", "),
+        i(x + w), lit(" "), i(y - w), lit(", "),
+        i(x + w), lit(" "), i(y + w), lit(", "),
+        i(x - w), lit(" "), i(y + w), lit(", "),
+        i(x - w), lit(" "), i(y - w), lit("))"))
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_discount" * 100).cast("int").as("x"),
+          $"l_quantity".cast("int").as("y"),
+          ($"l_linenumber" % 3 + 1).cast("int").as("w"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .select($"l_orderkey", $"l_linenumber",
+          GeoExprs.st_x(pointWkt).as("px"),
+          GeoExprs.st_y(pointWkt).as("py"),
+          GeoExprs.st_x(rectWkt).as("rect_x_is_null"),
+          GeoExprs.st_npoints(rectWkt).as("np"),
+          round(GeoExprs.st_perimeter(rectWkt), 6).as("perim"),
+          GeoExprs.st_centroid(rectWkt).as("centroid"))
+    },
+
     "q_geo_suite" -> { (s, dir) =>
       import s.implicits._
       GraftSession.configure(s)
@@ -712,6 +743,19 @@ object QueriesEngine {
     // distance (sqrt over exact-integer squares — correctly rounded on
     // both engines), box area, interval-overlap intersection
     // (boundary touch counts), boundary-inclusive containment
+    "q_geo_suite2" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(x AS DOUBLE) AS px, CAST(y AS DOUBLE) AS py,
+           CAST(NULL AS DOUBLE) AS rect_x_is_null,
+           5 AS np,
+           round(CAST(8 * w AS DOUBLE), 6) AS perim,
+           'POINT (' || x || ' ' || y || ')' AS centroid
+         FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_discount * 100) AS INT) AS x,
+                 CAST(l_quantity AS INT) AS y,
+                 CAST(l_linenumber % 3 + 1 AS INT) AS w
+               FROM lineitem) t
+         ORDER BY l_orderkey, l_linenumber""",
     "q_geo_suite" ->
       """SELECT l_orderkey, l_linenumber,
            round(sqrt(CAST((x - 5) * (x - 5) + (y - 25) * (y - 25) AS DOUBLE)), 6)

@@ -190,4 +190,34 @@ class GeoSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [st_distance"),
       s"st_distance must stay inside WholeStageCodegen:\n$plan")
   }
+
+  test("ST_* accessors/measures: x/y/npoints/perimeter/centroid (r9)") {
+    val spark = GraftSession.build("local[2]", 2)
+    graft.functions.GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT st_x('POINT (3 4)') AS px, st_y('POINT (3 4)') AS py,
+                st_x('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS nx,
+                st_npoints('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS np,
+                st_perimeter('POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))') AS pm,
+                st_centroid('POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))') AS ct,
+                st_centroid('POINT (7 9)') AS pct
+      """).collect()(0)
+    assert(row.getDouble(0) == 3.0 && row.getDouble(1) == 4.0)
+    assert(row.isNullAt(2), "st_x of a polygon must be NULL")
+    assert(row.getInt(3) == 5)
+    assert(row.getDouble(4) == 14.0)
+    assert(row.getString(5) == "POINT (2 1)")
+    assert(row.getString(6) == "POINT (7 9)")
+    // a polygon with a hole: centroid shifts away from the hole;
+    // perimeter counts both rings; npoints counts both rings
+    val holed = spark.sql(
+      """SELECT st_centroid('POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (4 2, 5 2, 5 3, 4 3, 4 2))') AS c,
+                st_perimeter('POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (4 2, 5 2, 5 3, 4 3, 4 2))') AS pm,
+                st_npoints('POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (4 2, 5 2, 5 3, 4 3, 4 2))') AS np
+      """).collect()(0)
+    // exact: (36*3 - 1*4.5)/35 = 103.5/35, (36*3 - 1*2.5)/35 = 105.5/35
+    val cx = 103.5 / 35; val cy = 105.5 / 35
+    assert(holed.getString(0) == s"POINT ($cx $cy)", holed.getString(0))
+    assert(holed.getDouble(1) == 28.0 && holed.getInt(2) == 10)
+  }
 }
