@@ -414,6 +414,49 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     refreshIndexRoots() // the restored dirs become the scan roots again
   }
 
+  /** OPTIMIZE: rewrite the CURRENT version into one compacted commit —
+    * the small-file compaction a long-lived table needs (every append
+    * adds a commit dir; at 100 TB scan cost is dominated by file count
+    * and task-schedule overhead long before data volume). Output file
+    * count targets `targetBytes` per file from the current version's
+    * actual bytes. With `zorder` columns, rows are range-partitioned
+    * and sorted on the Morton key ([[graft.operators.ZOrder.zorderBy]])
+    * so each output file's min/max stats cover a compact N-D box and
+    * stats-based pruning bites on every z-ordered dimension. Published
+    * as a normal version — time travel to the pre-optimize layout
+    * keeps working until VACUUM. Returns (filesBefore, filesAfter). */
+  def optimizeTable(name: String, zorder: Seq[String] = Seq.empty,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(kindOf(name).contains("managed"), s"$name is not a managed table")
+    requireUnbucketed(name, "OPTIMIZE")
+    ensureVersioned(name)
+    val e = TableVersions.latest(warehouse, name).getOrElse(
+      throw new IllegalArgumentException(s"$name has no data to optimize"))
+    val pcols = load(name).map(partitionCols).getOrElse(Seq.empty)
+    require(zorder.isEmpty || pcols.isEmpty,
+      s"OPTIMIZE ... ZORDER BY is not supported on partitioned table $name: " +
+        "hive partitioning already owns the directory layout")
+    val files = TableVersions.dataDirs(warehouse, name, e)
+      .flatMap(d => listParquet(Paths.get(d)))
+    val before = files.size
+    val bytes = files.map(f => Files.size(Paths.get(f))).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = managedRead(name)
+    val data =
+      if (zorder.nonEmpty) graft.operators.ZOrder.zorderBy(df, zorder, nOut)
+      else df.repartition(nOut)
+    val cdir = TableVersions.nextCommitDir(warehouse, name)
+    val w = data.write.mode(SaveMode.Overwrite)
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(dataDir(name).resolve(cdir).toString)
+    TableVersions.commit(warehouse, name,
+      if (zorder.nonEmpty) s"optimize:zorder(${zorder.mkString(",")})"
+      else "optimize", Seq(cdir))
+    register(load(name).get)
+    refreshIndexRoots()
+    (before, listParquet(dataDir(name).resolve(cdir)).size)
+  }
+
   /** drop manifests older than the newest `retainLast` plus their
     * now-unreferenced commit dirs; returns (versionsRemoved, dirsRemoved) */
   def vacuumTable(name: String, retainLast: Int): (Int, Int) = {

@@ -123,6 +123,27 @@ object QueriesEngine {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     },
 
+    // ---- OPTIMIZE end-to-end: append-fragmented versioned table,
+    // compacted + z-ordered through the statement; content must be
+    // IDENTICAL to the logical union the oracle replays (layout
+    // rewrites may never change results), and the scan benefits from
+    // tight per-file min/max boxes on the z-ordered columns.
+    "q_optimize_table" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-optgate").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"CREATE EXTERNAL TABLE optg_li STORED AS parquet LOCATION '$dir/lineitem.parquet'")
+      eng.sql("""CREATE TABLE optg_t AS SELECT l_orderkey, l_partkey,
+        l_quantity, l_extendedprice FROM optg_li""")
+      eng.sql("""INSERT INTO optg_t SELECT l_orderkey + 10000000, l_partkey,
+        l_quantity, l_extendedprice FROM optg_li WHERE l_linenumber = 1""")
+      eng.sql("OPTIMIZE optg_t ZORDER BY (l_orderkey, l_partkey)")
+      eng.sql("""SELECT l_partkey, count(*) AS n,
+          round(sum(l_extendedprice), 2) AS rev
+        FROM optg_t WHERE l_orderkey < 1000000
+        GROUP BY l_partkey ORDER BY l_partkey""")
+    },
+
     // ---- ATTACH over the network wire: a peer engine SERVED by a
     // RemoteServer (TCP + Arrow IPC streaming — the reference's Flight
     // SQL transport seat), mounted via graft://host:port with a
@@ -699,6 +720,15 @@ object QueriesEngine {
       """SELECT o_orderpriority, count(*) AS n,
            round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_optimize_table" ->
+      """WITH t AS (
+           SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey + 10000000, l_partkey, l_quantity, l_extendedprice
+           FROM lineitem WHERE l_linenumber = 1)
+         SELECT l_partkey, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+         FROM t WHERE l_orderkey < 1000000
+         GROUP BY l_partkey ORDER BY l_partkey""",
     "q_attach_remote" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders WHERE o_totalprice > 50000.0

