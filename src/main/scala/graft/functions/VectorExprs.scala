@@ -254,6 +254,159 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** Product-quantization encode (Jégou et al. 2011): the vector's m
+    * equal slices each arg-min against their own subspace codebook →
+    * array<int> of m codes. The [m][k][subDim] codebook rides as ONE
+    * codegen reference object; the corpus-wide encode pass is the hot
+    * map, so it stays in WholeStageCodegen. Ties → lowest code (the
+    * trainer's contract). */
+  case class PqEncode(child: Expression, sub: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+    private def subDim: Int = sub(0)(0).length
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val f = elemIsFloat(child)
+      val out = new Array[Int](sub.length)
+      var s = 0
+      while (s < sub.length) {
+        val off = s * subDim
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < sub(s).length) {
+          val cv = sub(s)(c)
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val v = (if (f) x.getFloat(off + i).toDouble
+              else x.getDouble(off + i)) - cv(i)
+            d += v * v
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (elemIsFloat(child)) "getFloat" else "getDouble"
+      val cb = ctx.addReferenceObj("pqCodebook", sub, "double[][][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out")
+        val s = ctx.freshName("s")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val v = ctx.freshName("v")
+        val cv = ctx.freshName("cv")
+        val off = ctx.freshName("off")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        val sd = ctx.freshName("sd")
+        s"""
+          int[] $out = new int[$cb.length];
+          int $sd = $cb[0][0].length;
+          for (int $s = 0; $s < $cb.length; $s++) {
+            int $off = $s * $sd;
+            int $best = 0;
+            double $bestD = Double.MAX_VALUE;
+            for (int $c = 0; $c < $cb[$s].length; $c++) {
+              double[] $cv = $cb[$s][$c];
+              double $d = 0.0;
+              for (int $i = 0; $i < $sd; $i++) {
+                double $v = (double) $a.$get($off + $i) - $cv[$i];
+                $d += $v * $v;
+              }
+              if ($d < $bestD) { $bestD = $d; $best = $c; }
+            }
+            $out[$s] = $best;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** query-side ADC lookup table: lut[s·k + c] = ‖q_s − codebook[s][c]‖²
+    * — evaluated once per QUERY (the bounded broadcast side), so a
+    * fallback eval is fine. */
+  case class PqLut(child: Expression, sub: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "pq_lut"
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val f = elemIsFloat(child)
+      val m = sub.length
+      val k = sub(0).length
+      val subDim = sub(0)(0).length
+      val out = new Array[Double](m * k)
+      var s = 0
+      while (s < m) {
+        val off = s * subDim
+        var c = 0
+        while (c < k) {
+          val cv = sub(s)(c)
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val v = (if (f) x.getFloat(off + i).toDouble
+              else x.getDouble(off + i)) - cv(i)
+            d += v * v
+            i += 1
+          }
+          out(s * k + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** the ADC inner loop: Σ_s lut[s·k + code[s]] — evaluated per
+    * (query, corpus-row) pair, the hot path of a PQ scan; codegen'd so
+    * the compressed linear scan stays in WholeStageCodegen. */
+  case class AdcSum(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "adc_sum"
+    override def nullSafeEval(code: Any, lut: Any): Any = {
+      val cd = code.asInstanceOf[ArrayData]
+      val lt = lut.asInstanceOf[ArrayData]
+      var d = 0.0
+      var s = 0
+      while (s < cd.numElements()) {
+        d += lt.getDouble(s * k + cd.getInt(s))
+        s += 1
+      }
+      d
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (code, lut) => {
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        s"""
+          double $d = 0.0;
+          for (int $s = 0; $s < $code.numElements(); $s++) {
+            $d += $lut.getDouble($s * $k + $code.getInt($s));
+          }
+          ${ev.value} = $d;
+        """
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------- Column-level API
 
   def vec_dot(a: Column, b: Column): Column =
@@ -273,4 +426,14 @@ object VectorExprs {
 
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  def pq_encode(vec: Column, sub: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), sub))
+
+  def pq_lut(vec: Column, sub: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(vec), sub))
+
+  def adc_sum(code: Column, lut: Column, k: Int): Column =
+    ColumnBridge.column(AdcSum(
+      ColumnBridge.expression(code), ColumnBridge.expression(lut), k))
 }

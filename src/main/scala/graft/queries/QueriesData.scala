@@ -279,6 +279,22 @@ object QueriesData {
           col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rk"))
     },
+    // ---- product quantization (Jégou et al. 2011): per-subspace
+    // replayable codebooks, map-only codegen encode, ADC top-k over
+    // the code scan (queries broadcast with precomputed LUTs). The
+    // memory-bounded billion-vector path next to IVF and LSH.
+    "q_pq_topk" -> { (s, dir) =>
+      import graft.operators.PqIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val mdl = PqIndex.trainReplayable(emb, "vec_id", "embedding",
+        m = 4, k = 4, iters = 3)
+      PqIndex.adcTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", mdl, topK = 5)
+        .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+          col("neighbor_id"), col("d"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- SemDeDup (Abbas et al. 2023): k-means cells bound the
     // pairwise work; within a cell a row is dropped iff a lower-id row
     // sits at cosine ≥ τ. Bounded slice: at scale k grows with n (cells
@@ -847,7 +863,61 @@ object QueriesData {
     sb.toString
   }
 
+  /** PQ replay: per-subspace Lloyd's unrolled exactly like
+    * [[ivfAssignCtes]] but keyed (sub, sdim); codes by final argmin;
+    * ADC = per-(query,sub,cell) distance joined to the code table and
+    * summed per (query, neighbor). dim=64 hardwired like the IVF CTEs. */
+  private def pqOracle(m: Int, k: Int, iters: Int, sampleSize: Int,
+      topK: Int): String = {
+    val subDim = 64 / m
+    val sb = new StringBuilder
+    sb ++= s"""WITH samp AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleSize),
+      long0 AS (SELECT vec_id, CAST((i - 1) // $subDim AS INT) AS sub,
+          CAST((i - 1) % $subDim AS INT) AS sdim,
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM samp, (SELECT unnest(range(1, 65)) AS i) ii),
+      alll AS (SELECT vec_id, CAST((i - 1) // $subDim AS INT) AS sub,
+          CAST((i - 1) % $subDim AS INT) AS sdim,
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
+      cent0 AS (SELECT sub, vec_id AS c, sdim, x FROM long0 WHERE vec_id < $k)"""
+    for (t <- 0 until iters) sb ++= s""",
+      d$t AS (SELECT l.vec_id, l.sub, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
+        FROM long0 l JOIN cent$t c ON c.sub = l.sub AND c.sdim = l.sdim
+        GROUP BY 1, 2, 3),
+      a$t AS (SELECT vec_id, sub, c AS cell FROM (
+          SELECT vec_id, sub, c, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+          FROM d$t) WHERE rn = 1),
+      n$t AS (SELECT a.sub, a.cell AS c, l.sdim, round(avg(l.x), 6) AS x
+        FROM a$t a JOIN long0 l ON l.vec_id = a.vec_id AND l.sub = a.sub
+        GROUP BY 1, 2, 3),
+      cent${t + 1} AS (SELECT o.sub, o.c, o.sdim, coalesce(n.x, o.x) AS x
+        FROM cent$t o LEFT JOIN n$t n
+          ON n.sub = o.sub AND n.c = o.c AND n.sdim = o.sdim)"""
+    sb ++= s""",
+      fd AS (SELECT l.vec_id, l.sub, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
+        FROM alll l JOIN cent$iters c ON c.sub = l.sub AND c.sdim = l.sdim
+        GROUP BY 1, 2, 3),
+      codes AS (SELECT vec_id, sub, c AS cell FROM (
+          SELECT vec_id, sub, c, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+          FROM fd) WHERE rn = 1),
+      lut AS (SELECT vec_id AS query_id, sub, c, d FROM fd WHERE vec_id < 10),
+      adc AS (SELECT l.query_id, f.vec_id AS neighbor_id, round(sum(l.d), 6) AS d
+        FROM codes f JOIN lut l ON l.sub = f.sub AND l.c = f.cell
+        WHERE f.vec_id <> l.query_id
+        GROUP BY 1, 2),
+      ranked AS (SELECT query_id, neighbor_id, d, row_number() OVER (
+          PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rk
+        FROM adc)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, d
+      FROM ranked WHERE rk <= $topK ORDER BY query_id, rk"""
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pq_topk" -> pqOracle(m = 4, k = 4, iters = 3, sampleSize = 50000, topK = 5),
     "q_ivf_topk" -> ivfOracle(k = 4, iters = 5, nProbe = 2, topK = 5, sampleSize = 50000),
     "q_semdedup" -> semDedupOracle(k = 4, iters = 5, sampleSize = 50000,
       tau = 0.5, maxId = 2500L),

@@ -493,6 +493,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2).getDouble(2) == 0.0)
   }
 
+  test("product quantization: codes bounded, ADC scan broadcasts queries") {
+    import graft.operators.PqIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mdl = PqIndex.trainReplayable(emb, "vec_id", "embedding",
+      m = 4, k = 4, iters = 2, sampleSize = 100)
+    assert(mdl.m == 4 && mdl.k == 4 && mdl.subDim == 16)
+    // every code in [0, k); m codes per row
+    val codes = PqIndex.encode(emb, "embedding", mdl)
+      .select(org.apache.spark.sql.functions.col("__pq")).collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 4)))
+    val top = PqIndex.adcTopK(emb, emb.filter("vec_id < 3"),
+      "vec_id", "embedding", mdl, topK = 3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"queries must broadcast:\n$plan")
+    val rows = top.collect() // (query_id, neighbor_id, d, rk)
+    // 3 queries × 3 ranks, self excluded, distances ascend per query
+    assert(rows.length == 9)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ds.sameElements(ds.sorted))
+    }
+  }
+
   test("stupid-backoff bigram perplexity: hand-computed fixture") {
     import spark.implicits._
     import graft.operators.NgramLm
