@@ -118,7 +118,7 @@ object IvfIndex {
 
   // probe stays a udf: it runs on the (small, broadcast-side) query
   // set only; the corpus-wide assign pass is the codegen'd expression
-  private def probeUdf(m: Model, nProbe: Int) =
+  private[operators] def probeUdf(m: Model, nProbe: Int) =
     udf((v: Seq[Float]) => {
       val dv = toDoubles(v)
       m.centroids.indices

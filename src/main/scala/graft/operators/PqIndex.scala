@@ -99,6 +99,31 @@ object PqIndex {
   def encode(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
     corpus.withColumn("__pq", VectorExprs.pq_encode(col(vecCol), model.sub))
 
+  /** IVF-PQ (the production composition): corpus rows carry an IVF
+    * cell ([[IvfIndex.assign]]) AND a PQ code; queries probe their
+    * `nProbe` nearest cells and ADC-score only the codes inside them
+    * — candidate volume ~nProbe/k of the corpus, candidate WIDTH m
+    * bytes. This is the architecture that serves billion-vector
+    * search from RAM. Returns (query_id, neighbor_id, d, rk). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, ivf: IvfIndex.Model, pq: Model, topK: Int,
+      nProbe: Int = 2, roundDist: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = encode(IvfIndex.assign(corpus, vecCol, ivf), vecCol, pq)
+      .select(col(idCol).as("neighbor_id"), col("__cell"), col("__pq"))
+    val probed = queries.select(col(idCol).as("query_id"),
+      explode(IvfIndex.probeUdf(ivf, nProbe)(col(vecCol))).as("__cell"),
+      VectorExprs.pq_lut(col(vecCol), pq.sub).as("__lut"))
+    val rawD = VectorExprs.adc_sum(col("__pq"), col("__lut"), pq.k)
+    val scored = coded.join(broadcast(probed), "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (if (roundDist > 0) round(rawD, roundDist) else rawD).as("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+  }
+
   /** ADC top-k: approximate squared-L2 rank over the code scan.
     * `roundDist > 0` rounds BEFORE ranking (the oracle-gate config).
     * Returns (query_id, rk, neighbor_id, d). */

@@ -295,6 +295,22 @@ object QueriesData {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ---- IVF-PQ composition: cells bound WHICH rows are scored,
+    // codes bound HOW WIDE each candidate is — probe nProbe cells,
+    // ADC-score only their codes. The oracle unrolls BOTH trainings.
+    "q_ivfpq_topk" -> { (s, dir) =>
+      import graft.operators.{IvfIndex, PqIndex}
+      val emb = Tables.load(s, dir, "embeddings")
+      val ivf = IvfIndex.trainReplayable(emb, "vec_id", "embedding", k = 4, iters = 5)
+      val pq = PqIndex.trainReplayable(emb, "vec_id", "embedding",
+        m = 4, k = 4, iters = 3)
+      PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", ivf, pq, topK = 5, nProbe = 2)
+        .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+          col("neighbor_id"), col("d"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- SemDeDup (Abbas et al. 2023): k-means cells bound the
     // pairwise work; within a cell a row is dropped iff a lower-id row
     // sits at cosine ≥ τ. Bounded slice: at scale k grows with n (cells
@@ -867,45 +883,53 @@ object QueriesData {
     * [[ivfAssignCtes]] but keyed (sub, sdim); codes by final argmin;
     * ADC = per-(query,sub,cell) distance joined to the code table and
     * summed per (query, neighbor). dim=64 hardwired like the IVF CTEs. */
-  private def pqOracle(m: Int, k: Int, iters: Int, sampleSize: Int,
-      topK: Int): String = {
+  /** the PQ half as p-prefixed CTEs (no WITH) so it composes next to
+    * [[ivfAssignCtes]]'s names in one statement; exposes pcodes
+    * (vec_id, sub, cell) and plut (query_id, sub, c, d) */
+  private def pqCtes(m: Int, k: Int, iters: Int, sampleSize: Int): String = {
     val subDim = 64 / m
     val sb = new StringBuilder
-    sb ++= s"""WITH samp AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleSize),
-      long0 AS (SELECT vec_id, CAST((i - 1) // $subDim AS INT) AS sub,
+    sb ++= s"""psamp AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleSize),
+      plong AS (SELECT vec_id, CAST((i - 1) // $subDim AS INT) AS sub,
           CAST((i - 1) % $subDim AS INT) AS sdim,
           CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-        FROM samp, (SELECT unnest(range(1, 65)) AS i) ii),
-      alll AS (SELECT vec_id, CAST((i - 1) // $subDim AS INT) AS sub,
+        FROM psamp, (SELECT unnest(range(1, 65)) AS i) ii),
+      palll AS (SELECT vec_id, CAST((i - 1) // $subDim AS INT) AS sub,
           CAST((i - 1) % $subDim AS INT) AS sdim,
           CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
         FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
-      cent0 AS (SELECT sub, vec_id AS c, sdim, x FROM long0 WHERE vec_id < $k)"""
+      pcent0 AS (SELECT sub, vec_id AS c, sdim, x FROM plong WHERE vec_id < $k)"""
     for (t <- 0 until iters) sb ++= s""",
-      d$t AS (SELECT l.vec_id, l.sub, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
-        FROM long0 l JOIN cent$t c ON c.sub = l.sub AND c.sdim = l.sdim
+      pd$t AS (SELECT l.vec_id, l.sub, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
+        FROM plong l JOIN pcent$t c ON c.sub = l.sub AND c.sdim = l.sdim
         GROUP BY 1, 2, 3),
-      a$t AS (SELECT vec_id, sub, c AS cell FROM (
+      pa$t AS (SELECT vec_id, sub, c AS cell FROM (
           SELECT vec_id, sub, c, row_number() OVER (
             PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
-          FROM d$t) WHERE rn = 1),
-      n$t AS (SELECT a.sub, a.cell AS c, l.sdim, round(avg(l.x), 6) AS x
-        FROM a$t a JOIN long0 l ON l.vec_id = a.vec_id AND l.sub = a.sub
+          FROM pd$t) WHERE rn = 1),
+      pn$t AS (SELECT a.sub, a.cell AS c, l.sdim, round(avg(l.x), 6) AS x
+        FROM pa$t a JOIN plong l ON l.vec_id = a.vec_id AND l.sub = a.sub
         GROUP BY 1, 2, 3),
-      cent${t + 1} AS (SELECT o.sub, o.c, o.sdim, coalesce(n.x, o.x) AS x
-        FROM cent$t o LEFT JOIN n$t n
+      pcent${t + 1} AS (SELECT o.sub, o.c, o.sdim, coalesce(n.x, o.x) AS x
+        FROM pcent$t o LEFT JOIN pn$t n
           ON n.sub = o.sub AND n.c = o.c AND n.sdim = o.sdim)"""
     sb ++= s""",
-      fd AS (SELECT l.vec_id, l.sub, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
-        FROM alll l JOIN cent$iters c ON c.sub = l.sub AND c.sdim = l.sdim
+      pfd AS (SELECT l.vec_id, l.sub, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
+        FROM palll l JOIN pcent$iters c ON c.sub = l.sub AND c.sdim = l.sdim
         GROUP BY 1, 2, 3),
-      codes AS (SELECT vec_id, sub, c AS cell FROM (
+      pcodes AS (SELECT vec_id, sub, c AS cell FROM (
           SELECT vec_id, sub, c, row_number() OVER (
             PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
-          FROM fd) WHERE rn = 1),
-      lut AS (SELECT vec_id AS query_id, sub, c, d FROM fd WHERE vec_id < 10),
+          FROM pfd) WHERE rn = 1),
+      plut AS (SELECT vec_id AS query_id, sub, c, d FROM pfd WHERE vec_id < 10)"""
+    sb.toString
+  }
+
+  private def pqOracle(m: Int, k: Int, iters: Int, sampleSize: Int,
+      topK: Int): String =
+    s"""WITH ${pqCtes(m, k, iters, sampleSize)},
       adc AS (SELECT l.query_id, f.vec_id AS neighbor_id, round(sum(l.d), 6) AS d
-        FROM codes f JOIN lut l ON l.sub = f.sub AND l.c = f.cell
+        FROM pcodes f JOIN plut l ON l.sub = f.sub AND l.c = f.cell
         WHERE f.vec_id <> l.query_id
         GROUP BY 1, 2),
       ranked AS (SELECT query_id, neighbor_id, d, row_number() OVER (
@@ -913,11 +937,36 @@ object QueriesData {
         FROM adc)
       SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, d
       FROM ranked WHERE rk <= $topK ORDER BY query_id, rk"""
-    sb.toString
-  }
+
+  /** IVF-PQ replay: the IVF chain restricts candidates (qprobe × fasg),
+    * the PQ chain scores them (pcodes × plut) */
+  private def ivfPqOracle(ivfK: Int, ivfIters: Int, nProbe: Int,
+      m: Int, k: Int, iters: Int, sampleSize: Int, topK: Int): String =
+    s"""WITH ${ivfAssignCtes(ivfK, ivfIters, sampleSize)},
+      qprobe AS (SELECT vec_id AS query_id, c AS cell FROM (
+          SELECT vec_id, c, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+          FROM fd WHERE vec_id < 10) WHERE rn <= $nProbe),
+      ${pqCtes(m, k, iters, sampleSize)},
+      cand AS (SELECT p.query_id, f.vec_id AS neighbor_id
+        FROM qprobe p JOIN fasg f ON f.cell = p.cell
+        WHERE f.vec_id <> p.query_id),
+      adc AS (SELECT c.query_id, c.neighbor_id, round(sum(l.d), 6) AS d
+        FROM cand c
+        JOIN pcodes pc ON pc.vec_id = c.neighbor_id
+        JOIN plut l ON l.query_id = c.query_id
+          AND l.sub = pc.sub AND l.c = pc.cell
+        GROUP BY 1, 2),
+      ranked AS (SELECT query_id, neighbor_id, d, row_number() OVER (
+          PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rk
+        FROM adc)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, d
+      FROM ranked WHERE rk <= $topK ORDER BY query_id, rk"""
 
   val oracles: Map[String, String] = Map(
     "q_pq_topk" -> pqOracle(m = 4, k = 4, iters = 3, sampleSize = 50000, topK = 5),
+    "q_ivfpq_topk" -> ivfPqOracle(ivfK = 4, ivfIters = 5, nProbe = 2,
+      m = 4, k = 4, iters = 3, sampleSize = 50000, topK = 5),
     "q_ivf_topk" -> ivfOracle(k = 4, iters = 5, nProbe = 2, topK = 5, sampleSize = 50000),
     "q_semdedup" -> semDedupOracle(k = 4, iters = 5, sampleSize = 50000,
       tau = 0.5, maxId = 2500L),
