@@ -183,6 +183,43 @@ object Statements {
     reShowRoles, reShowUsers, reAttach, reDetach, reShowAttachments,
     reCurate, reShowHistory, reRestore, reVacuum, reOptimize)
 
+  private val reVersionRef =
+    """([A-Za-z_][A-Za-z0-9_]*|`(?:[^`]|``)+`)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** rewrite `<table> VERSION AS OF <n>` references (outside string
+    * literals) to views over [[GraftCatalog.tableAt]] */
+  private def rewriteVersionRefs(spark: SparkSession, catalog: GraftCatalog,
+      t: String): String = {
+    // split into alternating outside/inside-string spans ('' escaped)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    var i = 0
+    var start = 0
+    var inStr = false
+    while (i < t.length) {
+      if (t.charAt(i) == '\'') {
+        if (inStr && i + 1 < t.length && t.charAt(i + 1) == '\'') i += 1
+        else {
+          spans += ((t.substring(start, i + (if (inStr) 1 else 0)), inStr))
+          start = i + (if (inStr) 1 else 0)
+          inStr = !inStr
+        }
+      }
+      i += 1
+    }
+    spans += ((t.substring(start), inStr))
+    spans.map {
+      case (s, true) => s // string literal: verbatim
+      case (s, false) =>
+        reVersionRef.replaceAllIn(s, m => {
+          val name = unquote(m.group(1))
+          val v = m.group(2).toLong
+          val view = s"${name}__v$v"
+          catalog.tableAt(name, v).createOrReplaceTempView(view)
+          java.util.regex.Matcher.quoteReplacement(view)
+        })
+    }.mkString
+  }
+
   /** a [[Named]] capture: single-quoted string (unescaped) or bare word */
   private def unquoteName(n: String): String =
     if (n.length >= 2 && n.head == '\'' && n.last == '\'')
@@ -200,6 +237,19 @@ object Statements {
   /** Try to run `text` as a catalog statement; None = not one of ours. */
   def tryExecute(spark: SparkSession, catalog: GraftCatalog, text: String): Option[DataFrame] = {
     val t = text.trim.stripSuffix(";")
+    // SELECT … FROM <managed> VERSION AS OF <n>: the time-travel read
+    // surface over the version log (catalog.tableAt). Each reference is
+    // rewritten to a registered view of that version's commit dirs —
+    // rewriting only OUTSIDE single-quoted literals, so a string
+    // containing the phrase is untouched.
+    locally {
+      val u = t.toUpperCase
+      if ((u.startsWith("SELECT") || u.startsWith("WITH")) &&
+          u.contains("VERSION AS OF")) {
+        val rewritten = rewriteVersionRefs(spark, catalog, t)
+        if (rewritten != t) return Some(GraftSql.sql(spark, rewritten))
+      }
+    }
     t match {
       case reExternal(name0, fmt, locs, ver, ts, opts) =>
         val name = unquote(name0)

@@ -130,6 +130,33 @@ class VersioningSpec extends AnyFunSuite {
     assert(TableVersions.list(wh, "ver_a").isEmpty)
   }
 
+  test("SELECT ... VERSION AS OF reads a published version through SQL (r9)") {
+    engine.sql("CREATE TABLE ver_sql AS SELECT n_nationkey, n_name FROM ver_nation WHERE n_nationkey < 10")
+    engine.sql("INSERT INTO ver_sql SELECT n_nationkey, n_name FROM ver_nation WHERE n_nationkey >= 20")
+    engine.sql("DELETE FROM ver_sql WHERE n_nationkey % 2 = 0")
+    // v1 create (10 rows), v2 insert (15), v3 delete (7)
+    assert(engine.sql("SELECT count(*) FROM ver_sql VERSION AS OF 1")
+      .collect()(0).getLong(0) == 10)
+    assert(engine.sql("SELECT count(*) FROM ver_sql VERSION AS OF 2")
+      .collect()(0).getLong(0) == 15)
+    // two versions of the SAME table join against each other
+    val gone = engine.sql(
+      """SELECT count(*) FROM ver_sql VERSION AS OF 2 a
+         LEFT ANTI JOIN ver_sql VERSION AS OF 3 b ON a.n_nationkey = b.n_nationkey""")
+      .collect()(0).getLong(0)
+    assert(gone == 8, s"15 - 7 = 8 rows deleted, got $gone")
+    // the phrase inside a string literal is untouched
+    val lit = engine.sql("SELECT 'x VERSION AS OF 1' AS s FROM ver_sql LIMIT 1")
+      .collect()(0).getString(0)
+    assert(lit == "x VERSION AS OF 1")
+    // unknown version fails loudly
+    val e = intercept[Exception] {
+      engine.sql("SELECT * FROM ver_sql VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("no version 99"))
+    engine.sql("DROP TABLE ver_sql")
+  }
+
   test("OPTIMIZE compacts the current version; z-order clusters files (r9)") {
     val sfBig = "/root/testdata/sf0.01"
     engine.sql(s"CREATE EXTERNAL TABLE opt_li STORED AS parquet LOCATION '$sfBig/lineitem.parquet'")
