@@ -197,6 +197,43 @@ class RemoteSpec extends AnyFunSuite {
     } finally s2.stop()
   }
 
+  test("raw wire: the sql op streams arrow and runs under sqlAs") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import graft.remote.RemoteWire
+    def call(op: JValue): (JValue, java.io.InputStream, java.net.Socket) = {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      RemoteWire.writeFrame(out, ("op" -> "handshake") ~
+        ("username" -> "remote_reader") ~ ("password" -> "wire-pw"))
+      assert((RemoteWire.readFrame(in) \ "ok") == JBool(true))
+      RemoteWire.writeFrame(out, op)
+      (RemoteWire.readFrame(in), in, sock)
+    }
+    // a read query streams back as one arrow IPC stream
+    val (resp, in, sock) = call(("op" -> "sql") ~
+      ("sql" -> "SELECT count(*) AS n FROM r_nation"))
+    assert((resp \ "ok") == JBool(true))
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+    assert(reader.loadNextBatch())
+    val n = reader.getVectorSchemaRoot.getVector("n")
+      .asInstanceOf[org.apache.arrow.vector.BigIntVector].get(0)
+    assert(n == 25)
+    reader.close(); sock.close(); alloc.close()
+    // the identity is NOT super-user: DDL is rejected by sqlAs
+    val (deny, _, s2) = call(("op" -> "sql") ~ ("sql" -> "DROP TABLE r_nation"))
+    assert((deny \ "ok") == JBool(false))
+    assert(RemoteWire.str(deny, "error").get.contains("permission denied"))
+    s2.close()
+    // and an ungranted scan through sql is denied too
+    val (deny2, _, s3) = call(("op" -> "sql") ~
+      ("sql" -> "SELECT count(*) FROM r_lineitem"))
+    assert((deny2 \ "ok") == JBool(false))
+    s3.close()
+  }
+
   test("DETACH cuts the mount; the server itself stays up") {
     engine.sql("DETACH wire")
     intercept[Exception] {
