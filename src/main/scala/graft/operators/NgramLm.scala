@@ -139,6 +139,33 @@ object NgramLm {
         round(coalesce(pow(lit(10.0), -col("avg_log")), lit(0.0)), 4).as("ppl"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): weight each raw
+    * document by the log-likelihood ratio between a TARGET-domain LM
+    * and the RAW-corpus LM — here the two stupid-backoff models this
+    * file already builds, so weight = log₁₀ ppl_raw − log₁₀ ppl_target
+    * (positive ⇒ the doc looks more like the target domain than like
+    * the background). Resampling composes downstream with the
+    * deterministic samplers ([[Sampling]]): rank or threshold on
+    * `weight`. Both scoring passes share the shapes and costs of
+    * [[perplexity]]; empty docs carry weight 0. */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+      target: DataFrame, targetTextCol: Option[String] = None,
+      alpha: Double = 0.4, minCount: Long = 1, order: Int = 2): DataFrame = {
+    val pT = perplexity(df, textCol, idCol, Some(target),
+      targetTextCol, alpha, minCount, order)
+      .select(col("doc_id"), col("n_tokens"), col("ppl").as("ppl_target"))
+    val pR = perplexity(df, textCol, idCol, None, None, alpha, minCount, order)
+      .select(col("doc_id"), col("ppl").as("ppl_raw"))
+    pT.join(pR, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        // + 0.0 folds IEEE −0.0 (a tiny negative ratio rounded down)
+        // into the +0.0 the oracle prints
+        (round(when(col("n_tokens") > 0,
+          log10(col("ppl_raw")) - log10(col("ppl_target")))
+          .otherwise(lit(0.0)), 4) + lit(0.0)).as("weight"))
+  }
+
   /** keep rows whose perplexity is within (minPpl, maxPpl] — CCNet
     * buckets by LM score; empty docs (ppl 0) fall below every band */
   def perplexityFilter(df: DataFrame, textCol: String, idCol: String,

@@ -439,6 +439,17 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- DSIR importance weights (Xie et al. 2023): log-likelihood
+    // ratio between the lang='en' target LM and the raw-corpus LM,
+    // both the stupid-backoff models above — positive weight ⇒ doc
+    // looks more target-like; resampling composes with the samplers
+    "q_dsir_weights" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      NgramLm.dsirWeights(docs, "text", "doc_id",
+        target = docs.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- BM25 keyword retrieval: top-25 docs for a 3-term query,
     // ranked on the 6-decimal-rounded score (ties → doc id)
     "q_bm25_topk" -> { (s, dir) =>
@@ -883,6 +894,48 @@ object QueriesData {
     * [[ivfAssignCtes]] but keyed (sub, sdim); codes by final argmin;
     * ADC = per-(query,sub,cell) distance joined to the code table and
     * summed per (query, neighbor). dim=64 hardwired like the IVF CTEs. */
+  /** stupid-backoff bigram scoring as a prefixable CTE chain (no WITH):
+    * counts from `trainFrom`, scores over `scoreFrom`; exposes
+    * `${p}scored (doc_id, n_tokens, ppl)` */
+  private def pplCtes(p: String, trainFrom: String, scoreFrom: String): String =
+    raw"""${p}tbase AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
+        FROM $trainFrom),
+      ${p}ttoks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+               FROM ${p}tbase WHERE len(l) > 0),
+      ${p}tpairs AS (SELECT doc_id, pos, tok AS w,
+                  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM ${p}ttoks),
+      ${p}c1 AS (SELECT tok AS g, count(*) AS c FROM ${p}ttoks GROUP BY 1),
+      ${p}tot AS (SELECT sum(c) AS n FROM ${p}c1),
+      ${p}c2 AS (SELECT prev || ' ' || w AS g, count(*) AS c FROM ${p}tpairs
+             WHERE prev IS NOT NULL GROUP BY 1),
+      ${p}sbase AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
+        FROM $scoreFrom),
+      ${p}stoks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+               FROM ${p}sbase WHERE len(l) > 0),
+      ${p}spairs AS (SELECT doc_id, pos, tok AS w,
+                  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM ${p}stoks),
+      ${p}scores AS (
+        SELECT p.doc_id,
+          CASE WHEN p.prev IS NOT NULL AND c2.c IS NOT NULL
+                 THEN CAST(c2.c AS DOUBLE) / c1p.c
+               WHEN p.prev IS NOT NULL
+                 THEN 0.4 * CAST(coalesce(c1w.c, 1) AS DOUBLE) / n
+               ELSE CAST(coalesce(c1w.c, 1) AS DOUBLE) / n END AS s
+        FROM ${p}spairs p
+        LEFT JOIN ${p}c2 c2 ON c2.g = p.prev || ' ' || p.w
+        LEFT JOIN ${p}c1 c1p ON c1p.g = p.prev
+        LEFT JOIN ${p}c1 c1w ON c1w.g = p.w
+        CROSS JOIN ${p}tot),
+      ${p}scored AS (SELECT doc_id, count(*) AS n_tokens,
+                   round(pow(10, -avg(log10(s))), 4) AS ppl
+                 FROM ${p}scores GROUP BY 1)"""
+
   /** the PQ half as p-prefixed CTEs (no WITH) so it composes next to
     * [[ivfAssignCtes]]'s names in one statement; exposes pcodes
     * (vec_id, sub, cell) and plut (query_id, sub, c, d) */
@@ -1374,38 +1427,28 @@ object QueriesData {
     // (the engine builds it row-locally — same pairs), CASE mirrors the
     // seen-context / α-backoff / document-start rule exactly
     "q_ngram_ppl" ->
-      raw"""WITH base AS (
-          SELECT doc_id, list_filter(
-            string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
-          FROM documents),
-        toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
-                 FROM base WHERE len(l) > 0),
-        pairs AS (SELECT doc_id, pos, tok AS w,
-                    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-                  FROM toks),
-        c1 AS (SELECT tok AS g, count(*) AS c FROM toks GROUP BY 1),
-        tot AS (SELECT sum(c) AS n FROM c1),
-        c2 AS (SELECT prev || ' ' || w AS g, count(*) AS c FROM pairs
-               WHERE prev IS NOT NULL GROUP BY 1),
-        scores AS (
-          SELECT p.doc_id,
-            CASE WHEN p.prev IS NOT NULL AND c2.c IS NOT NULL
-                   THEN CAST(c2.c AS DOUBLE) / c1p.c
-                 WHEN p.prev IS NOT NULL
-                   THEN 0.4 * CAST(coalesce(c1w.c, 1) AS DOUBLE) / n
-                 ELSE CAST(coalesce(c1w.c, 1) AS DOUBLE) / n END AS s
-          FROM pairs p
-          LEFT JOIN c2 ON c2.g = p.prev || ' ' || p.w
-          LEFT JOIN c1 c1p ON c1p.g = p.prev
-          LEFT JOIN c1 c1w ON c1w.g = p.w
-          CROSS JOIN tot),
-        scored AS (SELECT doc_id, count(*) AS n_tokens,
-                     round(pow(10, -avg(log10(s))), 4) AS ppl
-                   FROM scores GROUP BY 1)
+      s"""WITH ${pplCtes("", "documents", "documents")}
         SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
                coalesce(s.ppl, 0.0) AS ppl
         FROM documents d LEFT JOIN scored s USING (doc_id)
         ORDER BY d.doc_id""",
+    // DSIR (Xie et al. 2023): two stupid-backoff chains — the t-model
+    // trained on the lang='en' target slice, the r-model on the whole
+    // corpus — weight = log10 ppl_raw − log10 ppl_target
+    "q_dsir_weights" ->
+      s"""WITH ${pplCtes("t", "(SELECT * FROM documents WHERE lang = 'en')",
+            "documents")},
+        ${pplCtes("r", "documents", "documents")},
+        tall AS (SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.ppl, 0.0) AS ppl
+                 FROM documents d LEFT JOIN tscored s USING (doc_id)),
+        rall AS (SELECT d.doc_id, coalesce(s.ppl, 0.0) AS ppl
+                 FROM documents d LEFT JOIN rscored s USING (doc_id))
+        SELECT t.doc_id, t.n_tokens,
+               round(CASE WHEN t.n_tokens > 0
+                 THEN log10(r.ppl) - log10(t.ppl) ELSE 0.0 END, 4) + 0.0 AS weight
+        FROM tall t JOIN rall r USING (doc_id)
+        ORDER BY t.doc_id""",
     // BM25 (k1=1.2, b=0.75, +1-floored idf) over the same lowered
     // tokens; N/avgdl from exact long aggregates; rank on round(s,6)
     "q_bm25_topk" ->

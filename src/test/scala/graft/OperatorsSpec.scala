@@ -602,6 +602,29 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(1L, 2L, 4L))
   }
 
+  test("DSIR weights: target-like docs score positive, background negative") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    // target domain: cooking; background dominated by junk, so the
+    // raw LM spreads its mass away from cooking tokens
+    val docs = Seq(
+      (1L, "stir the sauce then stir the pot", "en"),
+      (2L, "stir the sauce slowly", "en"),
+      (3L, "qq ww ee rr tt yy", "xx"),
+      (5L, "zz xx cc vv bb nn", "xx"),
+      (6L, "aa ss dd ff gg hh", "xx"),
+      (7L, "uu ii oo pp jj kk", "xx"),
+      (4L, "stir the sauce", "xx")).toDF("doc_id", "text", "lang")
+    val w = NgramLm.dsirWeights(docs, "text", "doc_id",
+      target = docs.filter($"lang" === "en"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 4 speaks the target's language: more probable under the
+    // target LM than under the junk-diluted background
+    assert(w(4L) > 0, s"target-like doc must weigh positive, got ${w(4L)}")
+    assert(w(3L) < 0, s"background junk must weigh negative, got ${w(3L)}")
+    assert(w(3L) < w(4L))
+  }
+
   test("lm quality: vocab join consumes the (doc_id, tok, tf) pre-aggregate") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
