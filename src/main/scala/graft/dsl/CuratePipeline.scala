@@ -171,6 +171,21 @@ object CuratePipeline {
           alpha = dbl(st, "alpha", 0.4),
           minCount = int(st, "min_count", 1).toLong,
           order = int(st, "order", 2))
+      case "dsir_filter" =>
+        // model-based DOMAIN selection (Xie et al. 2023): weight each
+        // doc by the target-vs-raw LM likelihood ratio and keep docs
+        // at or above min_weight. The target slice is a SQL predicate
+        // over the stage input (e.g. "lang = 'en'"); corpus-relative
+        // like the other model-based stages.
+        val targetWhere = str(st, "target_where")
+        val keep = graft.operators.NgramLm.dsirWeights(df, textCol, idCol,
+          target = df.filter(expr(targetWhere)),
+          alpha = dbl(st, "alpha", 0.4),
+          minCount = int(st, "min_count", 1).toLong,
+          order = int(st, "order", 2))
+          .filter(col("weight") >= dbl(st, "min_weight", 0.0))
+          .select(col("doc_id").as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
       case "stratified_sample" =>
         Sampling.stratifiedSample(df, str(st, "strata"), idCol,
           str(st, "salt"), rateMap(st, "rates"),

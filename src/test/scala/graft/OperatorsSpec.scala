@@ -623,6 +623,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w(4L) > 0, s"target-like doc must weigh positive, got ${w(4L)}")
     assert(w(3L) < 0, s"background junk must weigh negative, got ${w(3L)}")
     assert(w(3L) < w(4L))
+    // through the curation DSL: keep only target-like docs
+    val piped = graft.dsl.CuratePipeline.compile(docs,
+      """{"stages": [{"op": "dsir_filter", "target_where": "lang = 'en'",
+          "min_weight": 0.0}]}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(piped.contains(4L) && !piped.contains(3L))
   }
 
   test("lm quality: vocab join consumes the (doc_id, tok, tf) pre-aggregate") {
