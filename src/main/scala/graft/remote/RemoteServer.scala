@@ -117,11 +117,29 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             case JObject(_) => applyAggregate(filtered, req \ "aggregate")
             case _ => filtered
           }
+          // pushed ORDER BY applies BEFORE the projection: the sort
+          // column need not be among the requested columns
+          val sorted = (req \ "orderby") match {
+            case JArray(os) if os.nonEmpty =>
+              import org.apache.spark.sql.functions.col
+              val cols = os.map { o =>
+                val c = col(RemoteWire.str(o, "col").getOrElse(
+                  throw new IllegalArgumentException(s"orderby needs col: $o")))
+                ((o \ "asc") == JBool(true), (o \ "nullsFirst") == JBool(true)) match {
+                  case (true, true)   => c.asc_nulls_first
+                  case (true, false)  => c.asc_nulls_last
+                  case (false, true)  => c.desc_nulls_first
+                  case (false, false) => c.desc_nulls_last
+                }
+              }
+              aggregated.orderBy(cols: _*)
+            case _ => aggregated
+          }
           val projected = (req \ "columns") match {
             case JArray(cs) if cs.nonEmpty =>
-              aggregated.select(cs.collect { case JString(c) => c }
+              sorted.select(cs.collect { case JString(c) => c }
                 .map(org.apache.spark.sql.functions.col): _*)
-            case _ => aggregated
+            case _ => sorted
           }
           val limited = (req \ "limit") match {
             case JLong(n) => projected.limit(n.toInt)

@@ -48,12 +48,13 @@ final class RemoteScanBuilder(host: String, port: Int, credential: Credential,
     sessionToken: Option[String], table: String, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedJson: List[JValue] = Nil
   private var limit: Option[Int] = None
+  private var topNJson: Option[JValue] = None
   private var aggJson: Option[JValue] = None
   private var aggSchema: Option[StructType] = None
 
@@ -70,6 +71,34 @@ final class RemoteScanBuilder(host: String, port: Int, credential: Credential,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  // ---- ORDER BY … LIMIT n across the wire: the server sorts and cuts
+  // to n, so only n rows cross the network. Partial-push contract:
+  // Spark keeps its own TakeOrdered over the ≤n returned rows (cheap,
+  // and immune to any stream-order assumption).
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val cols = orders.toSeq.map { o =>
+      o.expression() match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          Some(JObject(
+            "col" -> JString(f.fieldNames()(0)),
+            "asc" -> JBool(o.direction() == SortDirection.ASCENDING),
+            "nullsFirst" -> JBool(o.nullOrdering() == NullOrdering.NULLS_FIRST)))
+        case _ => None
+      }
+    }
+    if (cols.exists(_.isEmpty)) false
+    else {
+      topNJson = Some(JObject("orderby" -> JArray(cols.flatten.toList),
+        "limit" -> JInt(l)))
+      limit = Some(l)
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   // ---- GROUP BY across the wire (the reference pushes the largest
   // sub-plan to the remote; group-by is the piece that matters at
@@ -142,13 +171,14 @@ final class RemoteScanBuilder(host: String, port: Int, credential: Credential,
 
   override def build(): Scan = new RemoteScan(host, port, credential,
     sessionToken, table, fullSchema, aggSchema.getOrElse(required),
-    pushed, pushedJson, limit, aggJson)
+    pushed, pushedJson, limit, topNJson, aggJson)
 }
 
 final class RemoteScan(host: String, port: Int, credential: Credential,
     sessionToken: Option[String], table: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter], pushedJson: List[JValue],
-    limit: Option[Int], aggJson: Option[JValue]) extends Scan with Batch {
+    limit: Option[Int], topNJson: Option[JValue], aggJson: Option[JValue])
+    extends Scan with Batch {
 
   // count(*)-style scans prune to zero columns; the wire still needs a
   // stream that carries row counts, so request the narrowest column
@@ -162,6 +192,8 @@ final class RemoteScan(host: String, port: Int, credential: Credential,
   override def description(): String =
     s"RemoteScan($host:$port/$table) PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(l => s" PushedLimit: $l").getOrElse("") +
+      topNJson.map(t => s" PushedTopN: ${JsonMethods.compact(JsonMethods.render(t))}")
+        .getOrElse("") +
       aggJson.map(a => s" PushedAggregation: ${JsonMethods.compact(JsonMethods.render(a))}")
         .getOrElse("")
 
@@ -171,6 +203,7 @@ final class RemoteScan(host: String, port: Int, credential: Credential,
         else JArray(wireColumns.map(JString(_)).toList))) ~
       ("filters" -> JArray(pushedJson)) ~
       ("aggregate" -> aggJson.getOrElse(JNothing: JValue)) ~
+      ("orderby" -> topNJson.map(_ \ "orderby").getOrElse(JNothing: JValue)) ~
       ("limit" -> limit.map(JInt(_)).getOrElse(JNothing: JValue))
     Array(RemoteScanPartition(host, port,
       credential match {

@@ -119,6 +119,20 @@ class RemoteSpec extends AnyFunSuite {
     assert(math.abs(c.collect()(0).getDouble(0) - expect) < 1e-6 * math.abs(expect))
   }
 
+  test("ORDER BY ... LIMIT pushes as TopN: only n rows cross the wire") {
+    // the sort column is NOT in the projection — the server sorts
+    // before projecting
+    val df = engine.sql("SELECT o_orderkey FROM wire.public.r_orders " +
+      "ORDER BY o_totalprice DESC LIMIT 5")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN"), s"expected a pushed TopN:\n$plan")
+    val viaWire = df.collect().map(_.get(0).toString).toSeq
+    val local = spark.read.parquet(s"$sf/orders.parquet")
+      .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc)
+      .limit(5).select("o_orderkey").collect().map(_.get(0).toString).toSeq
+    assert(viaWire == local)
+  }
+
   test("count(*) prunes to a zero-column wire scan and still counts") {
     val n = engine.sql("SELECT count(*) FROM wire.public.r_orders")
       .collect()(0).getLong(0)
