@@ -641,6 +641,23 @@ object QueriesData {
         .orderBy(col("doc_id"), col("epoch"))
     },
 
+    // ---- curation pipeline v3: the MODEL-BASED stages chained — a
+    // stupid-backoff perplexity band, DSIR target-domain selection
+    // (both corpus-relative: each model trains on what the previous
+    // stage kept), then exact dedup. Oracle = three prefixed LM CTE
+    // chains feeding stage-by-stage CTEs.
+    "q_curate_pipeline_v3" -> { (s, dir) =>
+      val spec = """{"stages": [
+        {"op": "perplexity_filter", "max_ppl": 30.5},
+        {"op": "dsir_filter", "target_where": "lang = 'en'", "min_weight": -0.01},
+        {"op": "dedup_exact"}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(Tables.load(s, dir, "documents"), spec)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -1704,6 +1721,27 @@ object QueriesData {
            SELECT doc_id, lang, source, text, unnest(range(0, copies)) AS epoch
            FROM c WHERE copies > 0) x
          ORDER BY doc_id, epoch""",
+    // v3: perplexity band over the raw corpus, then DSIR over the
+    // band's survivors (both models retrain on the stage input — the
+    // corpus-relative contract), then fingerprint dedup
+    "q_curate_pipeline_v3" ->
+      raw"""WITH ${pplCtes("f", "documents", "documents")},
+         s1 AS (SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
+                JOIN fscored s USING (doc_id)
+                WHERE s.ppl > 0 AND s.ppl <= 30.5),
+         ${pplCtes("t", "(SELECT * FROM s1 WHERE lang = 'en')", "s1")},
+         ${pplCtes("r", "s1", "s1")},
+         wts AS (SELECT t.doc_id,
+                   round(log10(r.ppl) - log10(t.ppl), 4) + 0.0 AS weight
+                 FROM tscored t JOIN rscored r USING (doc_id)),
+         s2 AS (SELECT s1.* FROM s1 JOIN wts USING (doc_id)
+                WHERE weight >= -0.01),
+         s3 AS (SELECT doc_id, lang, source, text FROM (
+             SELECT doc_id, lang, source, text, row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1)
+         SELECT doc_id, lang, source, md5(text) AS text_md5 FROM s3
+         ORDER BY doc_id""",
     // the C4 §2.2 line rules verbatim: terminal punctuation, ≥3
     // whitespace words, javascript/lorem ipsum/'{' blocklist; doc gate
     // = ≥5 terminal-punctuation runs in the kept text
