@@ -29,14 +29,19 @@ import graft.functions.TextExprs
   *   - gram construction is ROW-LOCAL (struct arrays built inside one
   *     projection, then one explode) — no per-doc window, no shuffle
   *     before the count aggregations;
-  *   - counts cost one shuffle each (c1, c2), pruned by `minCount`
-  *     BEFORE any join — a pruned LM is bounded by vocabulary, not by
-  *     corpus, so the scoring joins broadcast in practice (AQE decides;
-  *     un-pruned counts degrade to shuffle joins, never to all-pairs);
-  *   - scoring pre-aggregates to (doc, v, w, tf) so repeated bigrams
-  *     join once and the average is tf-weighted (the ADVICE-r8
+  *   - counts cost one shuffle each (c1, c2[, c3]), pruned by
+  *     `minCount` BEFORE any join — a pruned LM is bounded by
+  *     vocabulary, not by corpus, so the scoring joins broadcast in
+  *     practice (AQE decides; un-pruned counts degrade to shuffle
+  *     joins, never to all-pairs);
+  *   - scoring pre-aggregates to (doc, context, w, tf) so repeated
+  *     grams join once and the average is tf-weighted (the ADVICE-r8
   *     lm-quality shuffle-diet pattern);
-  *   - N crosses as a one-row broadcast.
+  *   - N crosses as a one-row broadcast;
+  *   - [[dsirWeights]] scores BOTH its models over ONE pair stream
+  *     (one tokenize+explode+pre-aggregate pass, both count sets
+  *     joined onto it, one final aggregate) — never two scoring
+  *     passes over the corpus.
   *
   * Tokenization is the engine-wide contract: lowered `\s+` splits
   * ([[TextExprs.tokens]] ≡ DuckDB `string_split_regex(lower(trim(t)),
@@ -44,22 +49,12 @@ import graft.functions.TextExprs
   */
 object NgramLm {
 
-  /** (doc_id, n_tokens, ppl) for every row of `df`; `train` defaults
-    * to scoring corpus itself (the self-scored fluency baseline).
-    * `order` = 2 (bigram) or 3 (trigram with two-level backoff:
-    * c3/c2 → α·(c2/c1) → α²-free unigram chain, each α charged only
-    * when an EXISTING longer context was backed off).
-    * Deterministic; empty documents score ppl 0.0 with 0 tokens. */
-  def perplexity(df: DataFrame, textCol: String, idCol: String,
-      train: Option[DataFrame] = None, trainTextCol: Option[String] = None,
-      alpha: Double = 0.4, minCount: Long = 1, order: Int = 2): DataFrame = {
-    require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
+  /** pruned gram-count tables of one model; c3 is null for order 2 */
+  private final case class Counts(
+      c1: DataFrame, c2: DataFrame, c3: DataFrame, n: DataFrame)
 
-    val trainDf = train.getOrElse(df)
-    val trainText = trainTextCol.getOrElse(textCol)
-
-    // ---- training counts: one row-local explode, one count shuffle
-    // per gram order, all pruned at minCount before any join
+  private def trainCounts(trainDf: DataFrame, trainText: String,
+      minCount: Long, order: Int): Counts = {
     val trainToks = trainDf
       .select(TextExprs.tokens(col(trainText), lower = true).as("l"))
       .where(size(col("l")) > 0)
@@ -78,10 +73,12 @@ object NgramLm {
       .select(concat_ws(" ", col("t.prev2"), col("t.prev"), col("t.w")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount)
+    Counts(c1, c2, c3, n)
+  }
 
-    // ---- scoring stream, pre-aggregated to (doc, context, w, tf)
-    val pairs = df
-      .select(col(idCol).as("doc_id"),
+  /** the (doc, context, w, tf) pre-aggregated scoring stream */
+  private def scorePairs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         TextExprs.tokens(col(textCol), lower = true).as("l"))
       .where(size(col("l")) > 0)
       .select(col("doc_id"), explode(gramStructs(col("l"))).as("t"))
@@ -89,54 +86,77 @@ object NgramLm {
         col("t.prev2").as("prev2"))
       .agg(count(lit(1)).as("tf"))
 
-    val sUnigram = coalesce(col("c1w"), lit(1L)).cast(DoubleType) /
-      col("n").cast(DoubleType)
-    val sBigram = // value of the bigram chain GIVEN prev exists
-      when(col("c2c").isNotNull,
-        col("c2c").cast(DoubleType) / col("c1prev").cast(DoubleType))
-        .otherwise(lit(alpha) * sUnigram)
-    val s = // per-position backoff probability
-      if (order == 2)
-        when(col("prev").isNotNull, sBigram).otherwise(sUnigram)
-      else
-        when(col("prev2").isNotNull && col("c3c").isNotNull,
-          col("c3c").cast(DoubleType) / col("c2p").cast(DoubleType))
-          .when(col("prev2").isNotNull, lit(alpha) * sBigram)
-          .when(col("prev").isNotNull, sBigram)
-          .otherwise(sUnigram)
-
-    val c2r = c2.select(col("g").as("g2"), col("c").as("c2c"))
-    val c1p = c1.select(col("g").as("gp"), col("c").as("c1prev"))
-    val c1w = c1.select(col("g").as("gw"), col("c").as("c1w"))
+  /** left-join one model's count columns onto the pair stream, every
+    * joined column suffixed `sfx` so two models can ride one stream */
+  private def joinCounts(pairs: DataFrame, m: Counts, order: Int,
+      sfx: String): DataFrame = {
+    val c2r = m.c2.select(col("g").as(s"g2$sfx"), col("c").as(s"c2c$sfx"))
+    val c1p = m.c1.select(col("g").as(s"gp$sfx"), col("c").as(s"c1prev$sfx"))
+    val c1w = m.c1.select(col("g").as(s"gw$sfx"), col("c").as(s"c1w$sfx"))
     val joined2 = pairs
-      .join(c2r, concat_ws(" ", col("prev"), col("w")) === col("g2"), "left")
-      .drop("g2")
-      .join(c1p, col("prev") === col("gp"), "left")
-      .drop("gp")
-      .join(c1w, col("w") === col("gw"), "left")
-      .drop("gw")
+      .join(c2r, concat_ws(" ", col("prev"), col("w")) === col(s"g2$sfx"), "left")
+      .drop(s"g2$sfx")
+      .join(c1p, col("prev") === col(s"gp$sfx"), "left")
+      .drop(s"gp$sfx")
+      .join(c1w, col("w") === col(s"gw$sfx"), "left")
+      .drop(s"gw$sfx")
     val joined = if (order < 3) joined2 else {
-      val c3r = c3.select(col("g").as("g3"), col("c").as("c3c"))
-      val c2p = c2.select(col("g").as("gpp"), col("c").as("c2p"))
+      val c3r = m.c3.select(col("g").as(s"g3$sfx"), col("c").as(s"c3c$sfx"))
+      val c2p = m.c2.select(col("g").as(s"gpp$sfx"), col("c").as(s"c2p$sfx"))
       joined2
-        .join(c3r,
-          concat_ws(" ", col("prev2"), col("prev"), col("w")) === col("g3"), "left")
-        .drop("g3")
-        .join(c2p, concat_ws(" ", col("prev2"), col("prev")) === col("gpp"), "left")
-        .drop("gpp")
+        .join(c3r, concat_ws(" ", col("prev2"), col("prev"), col("w"))
+          === col(s"g3$sfx"), "left")
+        .drop(s"g3$sfx")
+        .join(c2p, concat_ws(" ", col("prev2"), col("prev"))
+          === col(s"gpp$sfx"), "left")
+        .drop(s"gpp$sfx")
     }
-    val scored = joined
-      .crossJoin(broadcast(n))
+    joined.crossJoin(broadcast(m.n.select(col("n").as(s"n$sfx"))))
+  }
+
+  /** the per-position backoff probability from `sfx`-suffixed columns */
+  private def sCol(alpha: Double, order: Int, sfx: String): Column = {
+    val sUnigram = coalesce(col(s"c1w$sfx"), lit(1L)).cast(DoubleType) /
+      col(s"n$sfx").cast(DoubleType)
+    val sBigram = // value of the bigram chain GIVEN prev exists
+      when(col(s"c2c$sfx").isNotNull,
+        col(s"c2c$sfx").cast(DoubleType) / col(s"c1prev$sfx").cast(DoubleType))
+        .otherwise(lit(alpha) * sUnigram)
+    if (order == 2)
+      when(col("prev").isNotNull, sBigram).otherwise(sUnigram)
+    else
+      when(col("prev2").isNotNull && col(s"c3c$sfx").isNotNull,
+        col(s"c3c$sfx").cast(DoubleType) / col(s"c2p$sfx").cast(DoubleType))
+        .when(col("prev2").isNotNull, lit(alpha) * sBigram)
+        .when(col("prev").isNotNull, sBigram)
+        .otherwise(sUnigram)
+  }
+
+  private def rounded4Ppl(avgLog: Column): Column =
+    round(pow(lit(10.0), -avgLog), 4)
+
+  /** (doc_id, n_tokens, ppl) for every row of `df`; `train` defaults
+    * to scoring corpus itself (the self-scored fluency baseline).
+    * `order` = 2 (bigram) or 3 (trigram with two-level backoff:
+    * c3/c2 → α·(c2/c1) → α²-free unigram chain, each α charged only
+    * when an EXISTING longer context was backed off).
+    * Deterministic; empty documents score ppl 0.0 with 0 tokens. */
+  def perplexity(df: DataFrame, textCol: String, idCol: String,
+      train: Option[DataFrame] = None, trainTextCol: Option[String] = None,
+      alpha: Double = 0.4, minCount: Long = 1, order: Int = 2): DataFrame = {
+    require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
+    val m = trainCounts(train.getOrElse(df), trainTextCol.getOrElse(textCol),
+      minCount, order)
+    val scored = joinCounts(scorePairs(df, textCol, idCol), m, order, "")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
-        (sum(col("tf").cast(DoubleType) * log10(s)) /
+        (sum(col("tf").cast(DoubleType) * log10(sCol(alpha, order, ""))) /
           sum(col("tf")).cast(DoubleType)).as("avg_log"))
-
     df.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round(coalesce(pow(lit(10.0), -col("avg_log")), lit(0.0)), 4).as("ppl"))
+        coalesce(rounded4Ppl(col("avg_log")), lit(0.0)).as("ppl"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
@@ -145,24 +165,35 @@ object NgramLm {
     * and the RAW-corpus LM — here the two stupid-backoff models this
     * file already builds, so weight = log₁₀ ppl_raw − log₁₀ ppl_target
     * (positive ⇒ the doc looks more like the target domain than like
-    * the background). Resampling composes downstream with the
-    * deterministic samplers ([[Sampling]]): rank or threshold on
-    * `weight`. Both scoring passes share the shapes and costs of
-    * [[perplexity]]; empty docs carry weight 0. */
+    * the background; both ppls 4-rounded first, so the weights equal
+    * exactly what thresholding the two [[perplexity]] outputs would
+    * give). Resampling composes downstream with the deterministic
+    * samplers ([[Sampling]]): rank or threshold on `weight`. ONE
+    * tokenize/explode/pre-aggregate pass scores both models; empty
+    * docs carry weight 0. */
   def dsirWeights(df: DataFrame, textCol: String, idCol: String,
       target: DataFrame, targetTextCol: Option[String] = None,
       alpha: Double = 0.4, minCount: Long = 1, order: Int = 2): DataFrame = {
-    val pT = perplexity(df, textCol, idCol, Some(target),
-      targetTextCol, alpha, minCount, order)
-      .select(col("doc_id"), col("n_tokens"), col("ppl").as("ppl_target"))
-    val pR = perplexity(df, textCol, idCol, None, None, alpha, minCount, order)
-      .select(col("doc_id"), col("ppl").as("ppl_raw"))
-    pT.join(pR, "doc_id")
-      .select(col("doc_id"), col("n_tokens"),
+    require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
+    val mT = trainCounts(target, targetTextCol.getOrElse(textCol), minCount, order)
+    val mR = trainCounts(df, textCol, minCount, order)
+    val pairs = scorePairs(df, textCol, idCol)
+    val scored = joinCounts(joinCounts(pairs, mT, order, "_t"), mR, order, "_r")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("tf").cast(DoubleType) * log10(sCol(alpha, order, "_t"))) /
+          sum(col("tf")).cast(DoubleType)).as("avg_log_t"),
+        (sum(col("tf").cast(DoubleType) * log10(sCol(alpha, order, "_r"))) /
+          sum(col("tf")).cast(DoubleType)).as("avg_log_r"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         // + 0.0 folds IEEE −0.0 (a tiny negative ratio rounded down)
         // into the +0.0 the oracle prints
-        (round(when(col("n_tokens") > 0,
-          log10(col("ppl_raw")) - log10(col("ppl_target")))
+        (round(when(col("n_tokens").isNotNull,
+          log10(rounded4Ppl(col("avg_log_r"))) -
+            log10(rounded4Ppl(col("avg_log_t"))))
           .otherwise(lit(0.0)), 4) + lit(0.0)).as("weight"))
   }
 
