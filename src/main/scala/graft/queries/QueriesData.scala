@@ -480,6 +480,30 @@ object QueriesData {
       s.table(qn).orderBy(col("digest"))
     },
 
+    // ---- streaming NEAR-dup: the same multi-file ingest (every 10th
+    // doc re-arrives as an exact copy), LSH-banded keyed state, one
+    // candidate row per bucket collision with the exact equal-component
+    // count; the ≥6/8 verdict is a stateless filter over the sink.
+    // 2 files/trigger forces state to live ACROSS micro-batches.
+    "q_stream_neardup" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val staged = stageDocsOnce(s, dir)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val cands = graft.streaming.EventStreams.streamingNearDupCandidates(
+        stream, "text", "doc_id")
+      val qn = "stream_neardup_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, cands, qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      q.stop()
+      s.table(qn).where(col("n_eq") >= 6).distinct()
+        .orderBy(col("a_doc_id"), col("b_doc_id"))
+    },
+
     // ---- paragraph-level dedup: boilerplate paragraphs are seeded
     // deterministically (the corpus is single-paragraph), each distinct
     // paragraph keeps its first (doc, pos) occurrence corpus-wide, docs
@@ -1502,6 +1526,45 @@ object QueriesData {
          SELECT md5(text) AS digest, min(doc_id) AS keeper_doc_id,
            count(*) AS n_copies
          FROM ingest GROUP BY 1 ORDER BY digest""",
+    // streaming near-dup replay: sigs + bands over the SAME union
+    // ingest, candidate pairs from band-bucket collisions, n_eq =
+    // component-wise signature agreement, thresholded at 6/8
+    "q_stream_neardup" ->
+      raw"""WITH ingest AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         itoks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), s -> len(s) > 0) AS tk
+           FROM ingest),
+         ish AS (SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                       i -> concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)],
+                                           tk[CAST(i + 2 AS INT)])) END AS sh
+           FROM itoks),
+         isig AS (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM ish),
+         ibands AS (
+           SELECT doc_id, 0 AS band, mh0 || mh1 AS s FROM isig UNION ALL
+           SELECT doc_id, 1, mh2 || mh3 FROM isig UNION ALL
+           SELECT doc_id, 2, mh4 || mh5 FROM isig UNION ALL
+           SELECT doc_id, 3, mh6 || mh7 FROM isig),
+         icand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+           FROM ibands a JOIN ibands b ON a.band = b.band AND a.s = b.s
+           WHERE a.doc_id < b.doc_id),
+         ineq AS (SELECT c.a_doc_id, c.b_doc_id,
+             (CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END +
+              CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END +
+              CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END +
+              CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END +
+              CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END +
+              CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END +
+              CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END +
+              CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END) AS n_eq
+           FROM icand c JOIN isig x ON x.doc_id = c.a_doc_id
+                        JOIN isig y ON y.doc_id = c.b_doc_id)
+         SELECT a_doc_id, b_doc_id, CAST(n_eq AS INT) AS n_eq
+         FROM ineq WHERE n_eq >= 6 ORDER BY a_doc_id, b_doc_id""",
     // same seeded boilerplate; keeper = min (doc, pos) per distinct
     // paragraph (encoded as doc*1e6+pos — gate docs have ≤ 3 paragraphs);
     // docs reassemble via ordered string_agg

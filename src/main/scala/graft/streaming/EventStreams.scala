@@ -74,6 +74,73 @@ object EventStreams {
       .agg(min(col(idCol)).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Streaming NEAR-duplicate candidates over a continuous document
+    * ingest — the streaming twin of [[graft.operators.Dedup]]'s
+    * MinHash+LSH path, same signature family (3-shingles, k md5
+    * minhashes, k/bands-row bands): each arriving document's band
+    * keys route it to keyed buckets; per-bucket state holds the
+    * (id, signature) rows seen so far, and every arrival emits one
+    * candidate row per stored neighbor with the EXACT count of equal
+    * signature components (threshold downstream — the verdict is a
+    * stateless aggregate over this candidate stream).
+    *
+    * Micro-batch-split invariant: a pair (a, b) is emitted exactly
+    * once per shared bucket, when the later of the two processes —
+    * whether the earlier one sits in state or earlier in the same
+    * batch — so any trigger split yields the same DISTINCT pair set.
+    * State per bucket is capped at `maxBucket` rows (the streaming
+    * twin of the batch hot-bucket cap: a boilerplate band key would
+    * otherwise accumulate unbounded state AND quadratic emission);
+    * docs arriving after a bucket is full miss candidates from that
+    * bucket only — the same approximation the batch cap makes. */
+  def streamingNearDupCandidates(docs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      docs, textCol, idCol, shingleN, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((b * rows until (b + 1) * rows).map(j => col(s"mh$j")): _*).as("key"))
+    }
+    val exploded = sigs
+      .select(col(idCol).cast("long").as("doc_id"),
+        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(
+        concat(col("bk.band").cast("string"), lit("|"), col("bk.key")).as("bucket"),
+        col("doc_id"), col("sig"))
+      .as[(String, Long, Seq[String])]
+    exploded.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Seq[String])], (Long, Long, Int)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[List[(Long, Seq[String])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          // id order inside the batch keeps emission deterministic
+          it.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, osig) =>
+                var nEq = 0
+                var j = 0
+                while (j < sig.length) {
+                  if (sig(j) == osig(j)) nEq += 1
+                  j += 1
+                }
+                out += (if (oid < id) (oid, id, nEq) else (id, oid, nEq))
+              }
+              if (seen.size < maxBucket) seen = (id, sig) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("a_doc_id", "b_doc_id", "n_eq")
+  }
+
   /** Sliding-window event rate. */
   def slidingRate(events: DataFrame, window: String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =

@@ -118,6 +118,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates are micro-batch-split invariant (r9)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (0L, base),                       // original
+      (1L, base),                       // exact copy → n_eq = 8
+      (2L, base + " tail1 tail2"),      // near copy → high overlap
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")   // unrelated
+    ).toDF("doc_id", "text")
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    def run(nFiles: Int, trigger: Int): Set[(Long, Long, Int)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-neardup-stream").toString
+      docs.repartition(nFiles).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", trigger).parquet(dir)
+      val cands = EventStreams.streamingNearDupCandidates(stream, "text", "doc_id")
+      val qn = s"neardup_out_${nFiles}_$trigger"
+      val q = EventStreams.runToMemory(spark, cands, qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      try spark.table(qn).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      finally q.stop()
+    }
+    val oneShot = run(1, 4)     // everything in one micro-batch
+    val split = run(4, 1)       // one file per micro-batch
+    assert(oneShot == split,
+      s"candidate set must not depend on the trigger split: $oneShot vs $split")
+    // the exact copy collides in every band with all components equal
+    assert(oneShot.contains((0L, 1L, 8)))
+    // the near copy shares most shingles with both originals
+    assert(oneShot.exists(p => p._1 == 0L && p._2 == 2L))
+    // the unrelated doc collides with nobody
+    assert(!oneShot.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("gap sessionization: a later-batch event past the gap closes the session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
