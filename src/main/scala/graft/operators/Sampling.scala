@@ -61,6 +61,45 @@ object Sampling {
       floor((inclusive - col(tokenCol)) / lit(budget)).cast("long"))
   }
 
+  /** Pack per-document token-id ARRAYS into fixed-length training
+    * sequences — the trainer-feed layout: documents concatenate in
+    * `orderCol` order and the stream cuts every `seqLen` tokens, so a
+    * sequence may span document boundaries exactly like GPT-style
+    * pretraining packing (the final sequence runs short; the trainer's
+    * collator pads). Returns (seq_id, n_tokens, input_ids).
+    *
+    * Scale: document offsets come from ONE exclusive prefix-sum window
+    * ([[packSequences]]'s stance — `shardCol` partitions it so shards
+    * pack in parallel with shard-local seq ids; without it the cumsum
+    * is a single global window, fine for a bounded frame), then the
+    * exploded id stream shuffles once on seq_id and each sequence
+    * reassembles via array_sort over (slot, id) structs — no
+    * collect_list ordering assumption. */
+  def packTokenIds(df: DataFrame, idsCol: String, orderCol: String,
+      seqLen: Int, shardCol: Option[String] = None): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = shardCol match {
+      case Some(sc) => Window.partitionBy(col(sc)).orderBy(col(orderCol))
+      case None => Window.orderBy(col(orderCol))
+    }
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = df.withColumn("__off",
+      coalesce(sum(size(col(idsCol)).cast("long")).over(w), lit(0L)))
+    val shardKeep = shardCol.map(col).toSeq
+    val exploded = withOff
+      .select(shardKeep ++ Seq(col("__off"),
+        posexplode(col(idsCol)).as(Seq("__i", "__id"))): _*)
+      .select(shardKeep ++ Seq(
+        floor((col("__off") + col("__i")) / lit(seqLen)).cast("long").as("seq_id"),
+        ((col("__off") + col("__i")) % lit(seqLen)).cast("int").as("__slot"),
+        col("__id")): _*)
+    exploded.groupBy(shardKeep :+ col("seq_id"): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(struct(col("__slot"), col("__id")))),
+          s => s.getField("__id")).as("input_ids"))
+  }
+
   /** Adds a `split` column assigning each row to one named fraction
     * (cumulative bucket ranges over 10000 buckets). Fractions must sum
     * to 1 (±1e-9); every row lands in exactly one split. */

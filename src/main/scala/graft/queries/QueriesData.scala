@@ -77,6 +77,24 @@ object QueriesData {
     // ---- sequence packing: token-budgeted batch assignment by a scan
     // over doc order (batch_id = floor(exclusive cumsum / budget)); the
     // oracle replays the identical window arithmetic.
+    // ---- token-level sequence packing: BPE ids concatenated in doc
+    // order, cut every 64 tokens (sequences cross doc boundaries —
+    // GPT-style pretraining packing); md5 over the space-joined ids
+    "q_pack_token_ids" -> { (s, dir) =>
+      val merges = Seq("e" -> "r", "t" -> "h", "th" -> "e",
+        "i" -> "n", "a" -> "n", "an" -> "d")
+      val docs = Tables.load(s, dir, "documents")
+      val vocabIds = graft.operators.Bpe.vocab(docs, "text", merges).collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap
+      val ids = graft.operators.Bpe.encodeIds(docs, "text", "doc_id", merges, vocabIds)
+        .select(col("doc_id"), col("token_ids"))
+      graft.operators.Sampling.packTokenIds(ids, "token_ids", "doc_id", seqLen = 64)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    },
+
     "q_pack_sequences" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).as("n_chars"))
@@ -935,6 +953,40 @@ object QueriesData {
     * [[ivfAssignCtes]] but keyed (sub, sdim); codes by final argmin;
     * ADC = per-(query,sub,cell) distance joined to the code table and
     * summed per (query, neighbor). dim=64 hardwired like the IVF CTEs. */
+  /** the BPE id-encoding replay (6 fixed merges over lowered \s+
+    * words) as a CTE chain ending in `docids (doc_id, ids)` — shared
+    * by the per-doc id gate and the token-packing gate */
+  private val bpeIdsCtes: String =
+    raw"""toks2 AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         chars AS (SELECT DISTINCT substr(w, i, 1) AS symbol
+                   FROM toks2, unnest(range(1, len(w) + 1)) t(i)),
+         ranked AS (SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS token_id,
+                           symbol FROM chars),
+         cc AS (SELECT count(*) AS n FROM chars),
+         mg AS (SELECT CAST(cc.n + v.rk AS BIGINT) AS token_id, v.s AS symbol
+                FROM cc, (VALUES (0, 'er'), (1, 'th'), (2, 'the'),
+                                 (3, 'in'), (4, 'an'), (5, 'and')) AS v(rk, s)),
+         vocab AS (SELECT token_id, symbol FROM ranked UNION ALL SELECT token_id, symbol FROM mg),
+         vm AS (SELECT map(list(symbol ORDER BY token_id), list(token_id ORDER BY token_id)) AS m
+                FROM vocab),
+         enc AS (
+           SELECT doc_id, list_transform(
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
+             w -> replace(replace(replace(replace(replace(replace(
+                    trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+                    'e r', 'er'), 't h', 'th'), 'th e', 'the'),
+                    'i n', 'in'), 'a n', 'an'), 'an d', 'and')) AS ws
+           FROM documents),
+         docids AS (
+           SELECT doc_id, list_transform(
+             list_filter(flatten(list_transform(ws, w -> string_split(w, ' '))),
+               s -> len(s) > 0),
+             s -> coalesce(vm.m[s][1], -1)) AS ids
+           FROM enc, vm)"""
+
   /** stupid-backoff bigram scoring as a prefixable CTE chain (no WITH):
     * counts from `trainFrom`, scores over `scoreFrom`; exposes
     * `${p}scored (doc_id, n_tokens, ppl)` */
@@ -1669,35 +1721,30 @@ object QueriesData {
     // flattened per-word symbol stream equals the engine's '|'-filtered
     // split of the textual encoding
     "q_bpe_token_ids" ->
-      raw"""WITH toks AS (
-           SELECT unnest(list_filter(
-             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
-           FROM documents),
-         chars AS (SELECT DISTINCT substr(w, i, 1) AS symbol
-                   FROM toks, unnest(range(1, len(w) + 1)) t(i)),
-         ranked AS (SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS token_id,
-                           symbol FROM chars),
-         cc AS (SELECT count(*) AS n FROM chars),
-         mg AS (SELECT CAST(cc.n + v.rk AS BIGINT) AS token_id, v.s AS symbol
-                FROM cc, (VALUES (0, 'er'), (1, 'th'), (2, 'the'),
-                                 (3, 'in'), (4, 'an'), (5, 'and')) AS v(rk, s)),
-         vocab AS (SELECT token_id, symbol FROM ranked UNION ALL SELECT token_id, symbol FROM mg),
-         vm AS (SELECT map(list(symbol ORDER BY token_id), list(token_id ORDER BY token_id)) AS m
-                FROM vocab),
-         enc AS (
-           SELECT doc_id, list_transform(
-             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
-             w -> replace(replace(replace(replace(replace(replace(
-                    trim(regexp_replace(w, '(.)', '\1 ', 'g')),
-                    'e r', 'er'), 't h', 'th'), 'th e', 'the'),
-                    'i n', 'in'), 'a n', 'an'), 'an d', 'and')) AS ws
-           FROM documents)
+      s"""WITH $bpeIdsCtes
          SELECT doc_id,
-           CAST(coalesce(list_sum(list_transform(ws, e -> len(string_split(e, ' ')))), 0) AS BIGINT) AS n_bpe_tokens,
-           md5(coalesce(array_to_string(list_transform(
-               list_filter(flatten(list_transform(ws, w -> string_split(w, ' '))), s -> len(s) > 0),
-               s -> CAST(coalesce(vm.m[s][1], -1) AS VARCHAR)), ' '), '')) AS ids_md5
-         FROM enc, vm ORDER BY doc_id""",
+           CAST(len(ids) AS BIGINT) AS n_bpe_tokens,
+           md5(coalesce(array_to_string(
+             list_transform(ids, s -> CAST(s AS VARCHAR)), ' '), '')) AS ids_md5
+         FROM docids ORDER BY doc_id""",
+    // token packing over the same per-doc id lists: exclusive prefix
+    // offsets, global position // 64 = sequence, ordered reassembly
+    "q_pack_token_ids" ->
+      s"""WITH $bpeIdsCtes,
+         offs AS (SELECT doc_id, ids,
+             coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM docids),
+         ex AS (SELECT off + generate_subscripts(ids, 1) - 1 AS gpos,
+                       unnest(ids) AS id
+                FROM offs),
+         pk AS (SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+                       gpos % 64 AS slot, id FROM ex),
+         sq AS (SELECT seq_id, count(*) AS n_tokens,
+                  md5(array_to_string(
+                    list(CAST(id AS VARCHAR) ORDER BY slot), ' ')) AS ids_md5
+                FROM pk GROUP BY 1)
+         SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
     // each pipeline stage replayed as one CTE, chained in stage order;
     // dedup partitions on the fingerprint contract, the cap on the
     // md5 low-48-bit bucket contract

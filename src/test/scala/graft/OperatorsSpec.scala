@@ -493,6 +493,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2).getDouble(2) == 0.0)
   }
 
+  test("token packing: sequences cross doc boundaries; shards pack independently") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // docs of 3, 4, 2 tokens; seqLen 4 → seqs [1,2,3,4] [5,6,7,8] [9]
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L, 6L, 7L)), (3L, Seq(8L, 9L)))
+      .toDF("doc_id", "ids")
+    val out = Sampling.packTokenIds(df, "ids", "doc_id", seqLen = 4)
+      .orderBy("seq_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getSeq[Long](2)).toSeq ==
+      Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L), Seq(9L)))
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 4L, 1L))
+    // sharded: each shard packs from position 0 with its own seq ids
+    val sharded = Seq(
+      ("a", 1L, Seq(1L, 2L, 3L)), ("a", 2L, Seq(4L, 5L)),
+      ("b", 1L, Seq(6L, 7L, 8L, 9L, 10L)))
+      .toDF("shard", "doc_id", "ids")
+    val so = Sampling.packTokenIds(sharded, "ids", "doc_id", seqLen = 4,
+      shardCol = Some("shard")).orderBy("shard", "seq_id").collect()
+    assert(so.map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](3))).toSeq ==
+      Seq(("a", 0L, Seq(1L, 2L, 3L, 4L)), ("a", 1L, Seq(5L)),
+        ("b", 0L, Seq(6L, 7L, 8L, 9L)), ("b", 1L, Seq(10L))))
+  }
+
   test("product quantization: codes bounded, ADC scan broadcasts queries") {
     import graft.operators.PqIndex
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
