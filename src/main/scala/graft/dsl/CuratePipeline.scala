@@ -73,8 +73,29 @@ object CuratePipeline {
       case JArray(xs) => xs
       case _ => throw new DslException("curate body must have a 'stages' array")
     }
-    stages.foldLeft(df)((cur, st) => applyStage(cur, st, textCol, idCol))
+    stages.foldLeft(df) { (cur, st) =>
+      // stage-boundary materialization: model-based and multi-consumer
+      // stages read their input several times (an LM trains on it,
+      // scores it, and the verdict semi-joins back); checkpointing the
+      // input truncates the re-computation of everything upstream —
+      // the production stance of writing intermediates between
+      // pipeline phases. Opt-out with {"materialize": false}.
+      val in =
+        if (bool(st, "materialize", default = materializeByDefault(st)))
+          cur.localCheckpoint()
+        else cur
+      applyStage(in, st, textCol, idCol)
+    }
   }
+
+  /** stages whose operators consume their input more than once */
+  private def materializeByDefault(st: JValue): Boolean =
+    (st \ "op") match {
+      case JString(op) => Set("lm_quality_filter", "perplexity_filter",
+        "dsir_filter", "minhash_neardup", "decontaminate",
+        "dedup_substrings")(op)
+      case _ => false
+    }
 
   private def applyStage(df: DataFrame, st: JValue,
       textCol: String, idCol: String): DataFrame = {

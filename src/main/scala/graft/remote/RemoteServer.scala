@@ -142,8 +142,9 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             case _ => sorted
           }
           val limited = (req \ "limit") match {
-            case JLong(n) => projected.limit(n.toInt)
-            case JInt(n)  => projected.limit(n.toInt)
+            // clamp: a BigInt wider than Int must not wrap negative
+            case JLong(n) => projected.limit(math.min(n, Int.MaxValue).toInt)
+            case JInt(n)  => projected.limit(n.min(Int.MaxValue).toInt)
             case _        => projected
           }
           streamResult(out, limited)
