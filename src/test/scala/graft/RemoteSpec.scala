@@ -119,6 +119,22 @@ class RemoteSpec extends AnyFunSuite {
     assert(math.abs(c.collect()(0).getDouble(0) - expect) < 1e-6 * math.abs(expect))
   }
 
+  test("IN-lists and null predicates push; DESCRIBE resolves the remote schema") {
+    val df = engine.sql("SELECT count(*) FROM wire.public.r_orders " +
+      "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_custkey IS NOT NULL")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(o_orderpriority") && plan.contains("IsNotNull"),
+      s"IN and IS NOT NULL must push:\n$plan")
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .where("o_orderpriority IN ('1-URGENT','2-HIGH') AND o_custkey IS NOT NULL")
+      .count()
+    assert(df.collect()(0).getLong(0) == expected && expected > 0)
+    // DESCRIBE goes through loadTable/get_schema
+    val cols = engine.sql("DESCRIBE TABLE wire.public.r_orders").collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+    assert(cols.contains("o_orderkey") && cols.contains("o_totalprice"))
+  }
+
   test("ORDER BY ... LIMIT pushes as TopN: only n rows cross the wire") {
     // the sort column is NOT in the projection — the server sorts
     // before projecting
