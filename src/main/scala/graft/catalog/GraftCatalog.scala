@@ -444,6 +444,11 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val df = managedRead(name)
     val data =
       if (zorder.nonEmpty) graft.operators.ZOrder.zorderBy(df, zorder, nOut)
+      // partitioned: cluster rows by their hive partition so each
+      // directory is written by ONE task (one file per partition dir —
+      // plain repartition(n) would scatter every partition across all
+      // n tasks and MULTIPLY the file count)
+      else if (pcols.nonEmpty) df.repartition(nOut, pcols.map(col): _*)
       else df.repartition(nOut)
     val cdir = TableVersions.nextCommitDir(warehouse, name)
     val w = data.write.mode(SaveMode.Overwrite)

@@ -83,9 +83,13 @@ object TableVersions {
     f"c${(used.maxOption.getOrElse(0L)) + 1}%09d"
   }
 
-  /** publish the next version; returns the entry written */
+  /** publish the next version; returns the entry written. Serialized
+    * per JVM: two same-process writers can't both read version v and
+    * publish v+1 twice (cross-process coordination is the object
+    * store's conditional-put problem, out of scope here — same stance
+    * as the reference's single-writer Lance datasets). */
   def commit(warehouse: String, table: String, operation: String,
-      dirs: Seq[String]): Entry = {
+      dirs: Seq[String]): Entry = synchronized {
     val v = latest(warehouse, table).map(_.version).getOrElse(0L) + 1
     val e = Entry(v, operation, System.currentTimeMillis(), dirs)
     Files.createDirectories(versionsDir(warehouse, table))

@@ -213,7 +213,8 @@ object Statements {
         reVersionRef.replaceAllIn(s, m => {
           val name = unquote(m.group(1))
           val v = m.group(2).toLong
-          val view = s"${name}__v$v"
+          // reserved prefix: can't shadow a user table/view by accident
+          val view = s"__graft_tt_${name}_v$v"
           catalog.tableAt(name, v).createOrReplaceTempView(view)
           java.util.regex.Matcher.quoteReplacement(view)
         })

@@ -203,5 +203,29 @@ class VersioningSpec extends AnyFunSuite {
       engine.sql("OPTIMIZE nonexistent_t_xyz")
     }
     assert(err.getMessage.contains("not a managed table"))
+
+    // partitioned: compaction clusters by the hive partition, so each
+    // partition dir ends up with ONE file (plain repartition would
+    // scatter every partition across all output tasks)
+    engine.sql("""CREATE TABLE opt_part PARTITIONED BY (l_returnflag) AS
+      SELECT l_orderkey, l_quantity, l_returnflag FROM opt_li""")
+    (1 to 3).foreach { i =>
+      engine.sql(s"INSERT INTO opt_part SELECT l_orderkey + ${i}0000000, " +
+        s"l_quantity, l_returnflag FROM opt_li WHERE l_linenumber = $i")
+    }
+    val nBefore = engine.sql("SELECT count(*) FROM opt_part").collect()(0).getLong(0)
+    engine.sql("OPTIMIZE opt_part")
+    assert(engine.sql("SELECT count(*) FROM opt_part").collect()(0).getLong(0) == nBefore)
+    val commit = TableVersions.dataDirs(wh, "opt_part",
+      engine.catalog.history("opt_part").last).head
+    val perDir = new java.io.File(commit).listFiles().filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perDir.nonEmpty && perDir.forall(_._2 == 1),
+      s"each partition dir must hold one compacted file: ${perDir.toSeq}")
+    // and ZORDER on a partitioned table rejects loudly
+    val zerr = intercept[Exception] {
+      engine.sql("OPTIMIZE opt_part ZORDER BY (l_orderkey)")
+    }
+    assert(zerr.getMessage.contains("not supported on partitioned"))
   }
 }
