@@ -90,10 +90,12 @@ object Sampling {
     val exploded = withOff
       .select(shardKeep ++ Seq(col("__off"),
         posexplode(col(idsCol)).as(Seq("__i", "__id"))): _*)
-      .select(shardKeep ++ Seq(
-        floor((col("__off") + col("__i")) / lit(seqLen)).cast("long").as("seq_id"),
-        ((col("__off") + col("__i")) % lit(seqLen)).cast("int").as("__slot"),
-        col("__id")): _*)
+      // `div` = exact integer division (floor(a/b) on doubles would
+      // drift past 2^53 global tokens — a real number at corpus scale)
+      .selectExpr(shardCol.toSeq ++ Seq(
+        s"CAST((__off + __i) div $seqLen AS BIGINT) AS seq_id",
+        s"CAST((__off + __i) % $seqLen AS INT) AS __slot",
+        "__id"): _*)
     exploded.groupBy(shardKeep :+ col("seq_id"): _*)
       .agg(count(lit(1)).as("n_tokens"),
         transform(array_sort(collect_list(struct(col("__slot"), col("__id")))),

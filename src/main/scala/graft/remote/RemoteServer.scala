@@ -174,7 +174,11 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     val result: Either[String, (Auth.AuthIdentity, Option[String])] =
       (RemoteWire.str(hs, "token"), RemoteWire.str(hs, "username"),
           RemoteWire.str(hs, "password")) match {
-        case (Some(t), _, _) =>
+        // the reference's connection.rs combination rule, enforced on
+        // BOTH ends: a token next to basic credentials is ambiguous
+        case (Some(_), Some(_), _) | (Some(_), _, Some(_)) =>
+          Left("provide either a token or a username/password, not both")
+        case (Some(t), None, None) =>
           Option(tokens.get(t)) match {
             case Some(user) => Right((engine.catalog.auth.identityOf(user), None))
             case None => Left("invalid or expired token")

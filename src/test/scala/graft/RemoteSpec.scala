@@ -201,6 +201,22 @@ class RemoteSpec extends AnyFunSuite {
         "WITH (username 'remote_reader', password 'wrong')")
     }
     assert(e.getMessage.contains("authentication failed"))
+    // server-side combination rule: token next to basic is ambiguous
+    // (the client refuses to build it, so speak the wire directly)
+    locally {
+      import org.json4s._
+      import org.json4s.JsonDSL._
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        graft.remote.RemoteWire.writeFrame(out, ("op" -> "handshake") ~
+          ("token" -> "t") ~ ("username" -> "u") ~ ("password" -> "p"))
+        val resp = graft.remote.RemoteWire.readFrame(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        assert((resp \ "ok") == JBool(false))
+        assert(graft.remote.RemoteWire.str(resp, "error").get.contains("not both"))
+      } finally sock.close()
+    }
     val anon = intercept[Exception] {
       engine.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS wireanon")
     }
