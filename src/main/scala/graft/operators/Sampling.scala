@@ -76,7 +76,8 @@ object Sampling {
     * reassembles via array_sort over (slot, id) structs — no
     * collect_list ordering assumption. */
   def packTokenIds(df: DataFrame, idsCol: String, orderCol: String,
-      seqLen: Int, shardCol: Option[String] = None): DataFrame = {
+      seqLen: Int, shardCol: Option[String] = None,
+      eosId: Option[Long] = None): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     import org.apache.spark.sql.expressions.Window
     val base = shardCol match {
@@ -84,7 +85,15 @@ object Sampling {
       case None => Window.orderBy(col(orderCol))
     }
     val w = base.rowsBetween(Window.unboundedPreceding, -1)
-    val withOff = df.withColumn("__off",
+    // eosId appends the document separator BEFORE packing (standard
+    // pretraining practice: the model learns boundaries from the EOS);
+    // empty documents still contribute their separator
+    val src = eosId match {
+      case Some(e) => df.withColumn(idsCol,
+        concat(col(idsCol), array(lit(e).cast("long"))))
+      case None => df
+    }
+    val withOff = src.withColumn("__off",
       coalesce(sum(size(col(idsCol)).cast("long")).over(w), lit(0L)))
     val shardKeep = shardCol.map(col).toSeq
     val exploded = withOff

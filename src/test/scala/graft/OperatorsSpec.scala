@@ -516,6 +516,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(so.map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](3))).toSeq ==
       Seq(("a", 0L, Seq(1L, 2L, 3L, 4L)), ("a", 1L, Seq(5L)),
         ("b", 0L, Seq(6L, 7L, 8L, 9L)), ("b", 1L, Seq(10L))))
+    // EOS separators: each doc gains its boundary token before packing
+    val eos = Sampling.packTokenIds(df, "ids", "doc_id", seqLen = 4,
+      eosId = Some(99L)).orderBy("seq_id").collect()
+    // streams: 1 2 3 99 | 4 5 6 7 | 99 8 9 99
+    assert(eos.map(_.getSeq[Long](2)).toSeq ==
+      Seq(Seq(1L, 2L, 3L, 99L), Seq(4L, 5L, 6L, 7L), Seq(99L, 8L, 9L, 99L)))
   }
 
   test("product quantization: codes bounded, ADC scan broadcasts queries") {
