@@ -457,6 +457,15 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- trigram order of the same model: two-level backoff, α per
+    // backed-off level, document starts score by their longest
+    // EXISTING context without penalty
+    "q_ngram_ppl3" -> { (s, dir) =>
+      NgramLm.perplexity(Tables.load(s, dir, "documents"), "text", "doc_id",
+        order = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- DSIR importance weights (Xie et al. 2023): log-likelihood
     // ratio between the lang='en' target LM and the raw-corpus LM,
     // both the stupid-backoff models above — positive weight ⇒ doc
@@ -987,10 +996,37 @@ object QueriesData {
              s -> coalesce(vm.m[s][1], -1)) AS ids
            FROM enc, vm)"""
 
-  /** stupid-backoff bigram scoring as a prefixable CTE chain (no WITH):
+  /** stupid-backoff scoring as a prefixable CTE chain (no WITH):
     * counts from `trainFrom`, scores over `scoreFrom`; exposes
-    * `${p}scored (doc_id, n_tokens, ppl)` */
-  private def pplCtes(p: String, trainFrom: String, scoreFrom: String): String =
+    * `${p}scored (doc_id, n_tokens, ppl)`. order 3 adds the trigram
+    * level: c3/c2 when the trigram context hits, α·(bigram chain)
+    * when an existing trigram context misses. */
+  private def pplCtes(p: String, trainFrom: String, scoreFrom: String,
+      order: Int = 2): String = {
+    val bigramValue =
+      """CASE WHEN c2.c IS NOT NULL THEN CAST(c2.c AS DOUBLE) / c1p.c
+              ELSE 0.4 * CAST(coalesce(c1w.c, 1) AS DOUBLE) / n END"""
+    val sExpr =
+      if (order == 2)
+        s"""CASE WHEN p.prev IS NOT NULL THEN $bigramValue
+                 ELSE CAST(coalesce(c1w.c, 1) AS DOUBLE) / n END"""
+      else
+        s"""CASE WHEN p.prev2 IS NOT NULL AND c3.c IS NOT NULL
+                   THEN CAST(c3.c AS DOUBLE) / c2pp.c
+                 WHEN p.prev2 IS NOT NULL THEN 0.4 * ($bigramValue)
+                 WHEN p.prev IS NOT NULL THEN $bigramValue
+                 ELSE CAST(coalesce(c1w.c, 1) AS DOUBLE) / n END"""
+    val prev2Col = if (order < 3) "" else
+      s""",
+                  lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2"""
+    val c3Cte = if (order < 3) "" else
+      s""",
+      ${p}c3 AS (SELECT prev2 || ' ' || prev || ' ' || w AS g, count(*) AS c
+             FROM ${p}tpairs WHERE prev2 IS NOT NULL GROUP BY 1)"""
+    val c3Joins = if (order < 3) "" else
+      s"""
+        LEFT JOIN ${p}c3 c3 ON c3.g = p.prev2 || ' ' || p.prev || ' ' || p.w
+        LEFT JOIN ${p}c2 c2pp ON c2pp.g = p.prev2 || ' ' || p.prev"""
     raw"""${p}tbase AS (
         SELECT doc_id, list_filter(
           string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
@@ -998,12 +1034,12 @@ object QueriesData {
       ${p}ttoks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
                FROM ${p}tbase WHERE len(l) > 0),
       ${p}tpairs AS (SELECT doc_id, pos, tok AS w,
-                  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev$prev2Col
                 FROM ${p}ttoks),
       ${p}c1 AS (SELECT tok AS g, count(*) AS c FROM ${p}ttoks GROUP BY 1),
       ${p}tot AS (SELECT sum(c) AS n FROM ${p}c1),
       ${p}c2 AS (SELECT prev || ' ' || w AS g, count(*) AS c FROM ${p}tpairs
-             WHERE prev IS NOT NULL GROUP BY 1),
+             WHERE prev IS NOT NULL GROUP BY 1)$c3Cte,
       ${p}sbase AS (
         SELECT doc_id, list_filter(
           string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
@@ -1011,23 +1047,19 @@ object QueriesData {
       ${p}stoks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
                FROM ${p}sbase WHERE len(l) > 0),
       ${p}spairs AS (SELECT doc_id, pos, tok AS w,
-                  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev$prev2Col
                 FROM ${p}stoks),
       ${p}scores AS (
-        SELECT p.doc_id,
-          CASE WHEN p.prev IS NOT NULL AND c2.c IS NOT NULL
-                 THEN CAST(c2.c AS DOUBLE) / c1p.c
-               WHEN p.prev IS NOT NULL
-                 THEN 0.4 * CAST(coalesce(c1w.c, 1) AS DOUBLE) / n
-               ELSE CAST(coalesce(c1w.c, 1) AS DOUBLE) / n END AS s
+        SELECT p.doc_id, $sExpr AS s
         FROM ${p}spairs p
         LEFT JOIN ${p}c2 c2 ON c2.g = p.prev || ' ' || p.w
         LEFT JOIN ${p}c1 c1p ON c1p.g = p.prev
-        LEFT JOIN ${p}c1 c1w ON c1w.g = p.w
+        LEFT JOIN ${p}c1 c1w ON c1w.g = p.w$c3Joins
         CROSS JOIN ${p}tot),
       ${p}scored AS (SELECT doc_id, count(*) AS n_tokens,
                    round(pow(10, -avg(log10(s))), 4) AS ppl
                  FROM ${p}scores GROUP BY 1)"""
+  }
 
   /** the PQ half as p-prefixed CTEs (no WITH) so it composes next to
     * [[ivfAssignCtes]]'s names in one statement; exposes pcodes
@@ -1521,6 +1553,12 @@ object QueriesData {
     // seen-context / α-backoff / document-start rule exactly
     "q_ngram_ppl" ->
       s"""WITH ${pplCtes("", "documents", "documents")}
+        SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+               coalesce(s.ppl, 0.0) AS ppl
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id""",
+    "q_ngram_ppl3" ->
+      s"""WITH ${pplCtes("", "documents", "documents", order = 3)}
         SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
                coalesce(s.ppl, 0.0) AS ppl
         FROM documents d LEFT JOIN scored s USING (doc_id)
