@@ -142,6 +142,12 @@ object GraftEngine {
         _.isInstanceOf[graft.plans.IndexPruneRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new graft.plans.IndexPruneRule
+    // same-peer equi-joins over an ATTACHed network peer run ON the
+    // peer (one RemoteScan, join output crosses the wire)
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.RemoteJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.RemoteJoinRule
     new GraftEngine(spark, catalog)
   }
 }

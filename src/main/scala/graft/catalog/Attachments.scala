@@ -130,8 +130,12 @@ object Attachments {
       if (url.startsWith("jdbc:")) new JdbcEndpoint(url, options)
       else graft.remote.NetworkPeer.parseUrl(url) match {
         // `graft://host:port` — a RUNNING remote instance over the
-        // graft wire (the reference's Flight SQL transport seat)
-        case Some((host, port)) => new graft.remote.NetworkPeer(host, port, credential)
+        // graft wire (the reference's Flight SQL transport seat);
+        // 'tls' 'true' (+ optional truststore) wraps it in TLS, and
+        // 'scan_parallelism' 'N' fans a single scan over N streams
+        case Some((host, port)) => new graft.remote.NetworkPeer(host, port,
+          credential, graft.remote.NetworkPeer.tlsFrom(options),
+          graft.remote.NetworkPeer.parallelismFrom(options))
         case None => new EmbeddedPeer(spark,
           url.stripPrefix("graft://").stripPrefix("graft:"), credential)
       }

@@ -85,13 +85,20 @@ object Sampling {
       case None => Window.orderBy(col(orderCol))
     }
     val w = base.rowsBetween(Window.unboundedPreceding, -1)
+    // a NULL id array must behave as empty: legacy sizeOfNull makes
+    // size(null) = -1 (which would silently shift every later sequence
+    // boundary) and concat(null, eos) stays null (dropping the
+    // separator) — coalesce first so neither can happen
+    val elemType = df.schema(idsCol).dataType
+    val nonNull = df.withColumn(idsCol,
+      coalesce(col(idsCol), array().cast(elemType)))
     // eosId appends the document separator BEFORE packing (standard
     // pretraining practice: the model learns boundaries from the EOS);
     // empty documents still contribute their separator
     val src = eosId match {
-      case Some(e) => df.withColumn(idsCol,
+      case Some(e) => nonNull.withColumn(idsCol,
         concat(col(idsCol), array(lit(e).cast("long"))))
-      case None => df
+      case None => nonNull
     }
     val withOff = src.withColumn("__off",
       coalesce(sum(size(col(idsCol)).cast("long")).over(w), lit(0L)))

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V2ScanRelationPushDown}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.remote.{RemoteJoinSpec, RemoteScan, RemoteTable}
+
+/** Same-peer JOIN pushdown over the ATTACH wire: an equi-join of two
+  * tables mounted from ONE remote peer runs ON the peer instead of
+  * pulling both tables across the network and joining client-side —
+  * the reference's "largest sub-plan pushed to the remote" for its
+  * dominant case (docs/docs/2.0.0-rc2/sql/remote-tables.md:41-42,
+  * beacon-datafusion-ext/src/remote/executor.rs).
+  *
+  * Seat: `spark.experimental.extraOptimizations` runs AFTER
+  * V2ScanRelationPushDown, so each side arrives as an already-built
+  * [[DataSourceV2ScanRelation]] holding a [[RemoteScan]] (per-side
+  * pushed filters/columns consumed). The rewrite merges both sides
+  * into ONE [[RemoteTable]] carrying a [[RemoteJoinSpec]] plus both
+  * sides' wire filters, then re-invokes V2ScanRelationPushDown on the
+  * result so everything ABOVE the join (remaining filters, column
+  * pruning, aggregates, TopN) pushes into the joined relation too —
+  * only the final output streams back.
+  *
+  * Fires only when provably equivalent:
+  *  - both sides are plain remote scans (optionally under
+  *    attribute-only Projects / residual Filters) on the SAME target
+  *    with the SAME credential; neither already a join, neither with a
+  *    pushed limit/TopN/aggregate of its own (a limit under a join is
+  *    order-sensitive — bail);
+  *  - the condition is a conjunction of left-attr = right-attr
+  *    equalities (the wire's closed join vocabulary);
+  *  - column names across both sides are distinct (the wire addresses
+  *    columns by name);
+  *  - side predicates commute with the join: both sides hoist above an
+  *    INNER join; for LEFT OUTER any right-side predicate (residual or
+  *    already pushed on the wire) changes null-extension — bail.
+  * Everything else is left to the normal two-scan client-side join —
+  * narrower, never wrong.
+  */
+class RemoteJoinRule extends Rule[LogicalPlan] {
+
+  /** one join side: its scan relation, the remote seat, residual
+    * (client-side) filters to hoist, and the subtree's visible output */
+  private case class Side(scan: RemoteScan, table: RemoteTable,
+      filters: Seq[Expression], output: Seq[AttributeReference])
+
+  private def remoteLeaf(p: LogicalPlan): Option[(DataSourceV2ScanRelation, RemoteScan, RemoteTable)] =
+    p match {
+      case sr: DataSourceV2ScanRelation =>
+        val t = sr.relation.table match {
+          // attached mounts wrap tables read-only; unwrap to the seat
+          case ro: graft.catalog.Attachments.ReadOnlyTable => ro.underlying
+          case other => other
+        }
+        (sr.scan, t) match {
+          case (rs: RemoteScan, rt: RemoteTable) if rt.join.isEmpty &&
+              rs.limit.isEmpty && rs.topNJson.isEmpty && rs.aggJson.isEmpty =>
+            Some((sr, rs, rt))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def attrsOnly(exprs: Seq[NamedExpression]): Option[Seq[AttributeReference]] = {
+    val as = exprs.map { case a: AttributeReference => Some(a); case _ => None }
+    if (as.forall(_.isDefined)) Some(as.flatten) else None
+  }
+
+  /** unwrap attribute-only Project / Filter layers over a remote scan */
+  private def extract(p: LogicalPlan): Option[Side] = p match {
+    case Project(projList, child) =>
+      for {
+        attrs <- attrsOnly(projList)
+        s <- extract(child)
+      } yield s.copy(output = attrs)
+    case Filter(cond, child) =>
+      extract(child).map(s =>
+        s.copy(filters = splitConjuncts(cond) ++ s.filters))
+    case _ => remoteLeaf(p).map { case (sr, rs, rt) =>
+      Side(rs, rt, Nil, sr.output)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** condition → (leftCol, rightCol) name pairs, or None if any
+    * conjunct is not a plain cross-side attribute equality */
+  private def equiPairs(cond: Expression, leftOut: Seq[AttributeReference],
+      rightOut: Seq[AttributeReference]): Option[Seq[(String, String)]] = {
+    val leftIds = leftOut.map(_.exprId).toSet
+    val rightIds = rightOut.map(_.exprId).toSet
+    val pairs = splitConjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leftIds.contains(a.exprId) && rightIds.contains(b.exprId) =>
+        Some((a.name, b.name))
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if rightIds.contains(a.exprId) && leftIds.contains(b.exprId) =>
+        Some((b.name, a.name))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    var fired = false
+    val joined = plan.transformUp {
+      case j @ Join(left, right, joinType @ (Inner | LeftOuter), Some(cond), hint)
+          if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+        val rewritten = for {
+          ls <- extract(left)
+          rs <- extract(right)
+          // same peer, same identity: the server authorizes both tables
+          // under ONE credential, so mixing attachments must not merge
+          if ls.table.target == rs.table.target &&
+            ls.table.credential == rs.table.credential &&
+            ls.table.sessionToken == rs.table.sessionToken
+          on <- equiPairs(cond, ls.output, rs.output)
+          if on.nonEmpty
+          // the wire addresses columns by name: both sides' names must
+          // stay unambiguous in the joined frame
+          names = (ls.output ++ rs.output).map(_.name)
+          if names.distinct.length == names.length
+          // LEFT OUTER: a right-side RESIDUAL predicate can neither
+          // hoist (changes null-extension) nor cross the wire
+          // (inexpressible) — bail; right-side WIRE filters ride the
+          // join spec and re-apply pre-join, placement preserved
+          if joinType == Inner || rs.filters.isEmpty
+        } yield {
+          val joinTypeName = if (joinType == Inner) "inner" else "left"
+          // join output nullability: left outer null-extends the right
+          val outAttrs = ls.output ++ (if (joinType == LeftOuter)
+            rs.output.map(_.withNullability(true)) else rs.output)
+          val schema = StructType(outAttrs.map(a =>
+            StructField(a.name, a.dataType, a.nullable, a.metadata)))
+          val joinedTable = new RemoteTable(ls.table.target, ls.table.credential,
+            ls.table.sessionToken, ls.table.table, schema,
+            ls.table.parallelism,
+            // right-side wire filters ride the join spec (pre-join
+            // placement — exact for LEFT OUTER, equivalent for INNER);
+            // left-side ones re-apply to the joined frame, where the
+            // server's own Catalyst pushes them back below the join
+            Some(RemoteJoinSpec(rs.table.table, on, joinTypeName,
+              rs.scan.pushedJson)),
+            ls.scan.pushedJson)
+          val rel = new DataSourceV2Relation(joinedTable, outAttrs, None, None,
+            CaseInsensitiveStringMap.empty(), None)
+          // residual side filters hoist above the joined relation;
+          // the re-run pushdown re-attempts them across the wire
+          val hoisted = ls.filters ++ (if (joinType == Inner) rs.filters else Nil)
+          val base: LogicalPlan =
+            if (hoisted.isEmpty) rel
+            else Filter(hoisted.reduce(And), rel)
+          fired = true
+          // preserve the Join node's exact output order
+          if (base.output == j.output) base else Project(j.output, base)
+        }
+        rewritten.getOrElse(j)
+    }
+    // the merged relation is a fresh DataSourceV2Relation created after
+    // the optimizer's own pushdown batch already ran — re-invoke it so
+    // filters/pruning/aggregates/TopN above the join push into the
+    // joined scan (idempotent: already-built ScanRelations don't match)
+    if (fired) V2ScanRelationPushDown(joined) else joined
+  }
+}

@@ -174,6 +174,47 @@ object QueriesEngine {
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     },
 
+    // ---- same-peer JOIN over the ATTACH wire: the equi-join of two
+    // tables mounted from ONE RemoteServer collapses to a single
+    // RemoteScan carrying a join spec (the reference runs same-remote
+    // joins ON the remote — remote-tables.md:41); the aggregate then
+    // pushes into the JOINED relation, so one row per group crosses
+    // the network. Plan pins enforced inside the gate; the oracle
+    // replays the join + aggregate over the same parquet.
+    "q_attach_remote_join" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val peerWh = java.nio.file.Files.createTempDirectory("graft-remjwh").toString
+      val peer = graft.GraftEngine(s, peerWh)
+      peer.sql(s"CREATE EXTERNAL TABLE remj_orders STORED AS parquet LOCATION '$dir/orders.parquet'")
+      peer.sql(s"CREATE EXTERNAL TABLE remj_customer STORED AS parquet LOCATION '$dir/customer.parquet'")
+      peer.sql("CREATE USER remj_reader WITH PASSWORD 'remj-pw'")
+      peer.sql("CREATE ROLE remj_readers")
+      peer.sql("GRANT SELECT ON TABLE remj_orders TO ROLE remj_readers")
+      peer.sql("GRANT SELECT ON TABLE remj_customer TO ROLE remj_readers")
+      peer.sql("GRANT ROLE remj_readers TO USER remj_reader")
+      val server = new graft.remote.RemoteServer(s, peerWh)
+      val wh = java.nio.file.Files.createTempDirectory("graft-remjloc").toString
+      val eng = graft.GraftEngine(s, wh)
+      eng.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS remjoin " +
+        "WITH (username 'remj_reader', password 'remj-pw')")
+      val df = eng.sql("""SELECT c_mktsegment, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+        FROM remjoin.public.remj_orders JOIN remjoin.public.remj_customer
+          ON o_custkey = c_custkey
+        WHERE o_totalprice > 50000.0
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      // plan pins: ONE remote relation carrying the join (wire rows ≈
+      // join output), no client-side Join, aggregate pushed with it
+      val lp = df.queryExecution.optimizedPlan.toString
+      require(lp.contains("⋈"),
+        s"same-peer join must collapse into the remote relation:\n$lp")
+      require(lp.sliding("RelationV2".length).count(_ == "RelationV2") == 1,
+        s"exactly one remote relation expected:\n$lp")
+      require(!lp.contains("Join "),
+        s"no client-side join may remain:\n$lp")
+      df
+    },
+
     // ---- SET EXTENSION preset end-to-end: a preset document
     // registered on a parquet-backed table compiles to one WHERE
     // clause (presetWhereSql — the reference's PresetOp::as_sql apply
@@ -733,6 +774,11 @@ object QueriesEngine {
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders WHERE o_totalprice > 50000.0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_attach_remote_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 50000.0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_extension_preset" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_linestatus FROM lineitem
          WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 50

@@ -1,7 +1,5 @@
 package graft.remote
 
-import java.net.Socket
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -23,14 +21,23 @@ import graft.catalog.Attachments.{Anonymous, Basic, Bearer, Credential}
   * Credential lifecycle matches connection.rs: a bearer token rides
   * every connection's handshake as-is; username/password handshakes
   * once and the returned session token is cached and reused (the
-  * PBKDF2 check happens once, not per request). Executor tasks carry
-  * the same credential the driver validated at attach time — each scan
-  * task dials its own connection, so a multi-scan query parallelizes
-  * client-side while each single scan is one stream (the transport's
-  * nature, same as Flight DoGet).
+  * PBKDF2 check happens once, not per request). Executor scan tasks
+  * carry the SESSION TOKEN (password only as a fallback for a token
+  * that outlived a server restart) — each scan task dials its own
+  * connection, so a multi-scan query parallelizes client-side, and
+  * with `scan_parallelism` > 1 a single scan fans out over N hash-mod
+  * range tickets (the multi-endpoint shape Flight allows).
+  *
+  * `tls` on the attach options wraps every connection in JDK TLS
+  * (the reference's ATTACH `tls` option, beacon_parser.rs:465);
+  * `truststore`/`truststore_password` pin a private CA.
   */
-final class NetworkPeer(host: String, port: Int, credential: Credential)
+final class NetworkPeer(host: String, port: Int, credential: Credential,
+    tls: Option[RemoteWire.TlsClientConfig] = None,
+    scanParallelism: Int = 1)
     extends Attachments.RemoteInstance {
+
+  private val target = WireTarget(host, port, tls)
 
   // session token from a basic handshake, reused across requests
   @volatile private var sessionToken: Option[String] = credential match {
@@ -54,9 +61,8 @@ final class NetworkPeer(host: String, port: Int, credential: Credential)
     * credentials available, re-handshakes once with the password */
   private def request[A](op: JValue)(read: (JValue, java.io.InputStream) => A): A = {
     def once(hs: JValue): Either[String, A] = {
-      val sock = new Socket(host, port)
+      val sock = RemoteWire.connect(host, port, tls)
       try {
-        sock.setTcpNoDelay(true)
         val in = new java.io.BufferedInputStream(sock.getInputStream)
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         RemoteWire.writeFrame(out, hs)
@@ -107,7 +113,8 @@ final class NetworkPeer(host: String, port: Int, credential: Credential)
         throw new RuntimeException("remote get_schema returned no schema"))
     }
     val structType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new RemoteTable(host, port, credential, sessionToken, table, structType)
+    new RemoteTable(target, credential, sessionToken, table, structType,
+      scanParallelism)
   }
 }
 
@@ -125,4 +132,22 @@ object NetworkPeer {
         Some((h, p.toInt))
       case _ => None
     }
+
+  /** TLS client settings from ATTACH options (the reference parses
+    * `tls` — beacon_parser.rs:465); absent/false = plaintext */
+  def tlsFrom(options: Map[String, String]): Option[RemoteWire.TlsClientConfig] = {
+    val o = options.map { case (k, v) => k.toLowerCase -> v }
+    if (o.get("tls").exists(_.equalsIgnoreCase("true")))
+      Some(RemoteWire.TlsClientConfig(
+        o.get("truststore"), o.get("truststore_password")))
+    else None
+  }
+
+  def parallelismFrom(options: Map[String, String]): Int = {
+    val n = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("scan_parallelism") => v.toInt
+    }.getOrElse(1)
+    require(n >= 1 && n <= 64, s"scan_parallelism out of range: $n")
+    n
+  }
 }

@@ -42,18 +42,50 @@ import graft.sources.ArrowSource
   * connection).
   */
 final class RemoteServer(spark: SparkSession, warehouse: String,
-    port: Int = 0, allowAnonymous: Boolean = false) {
+    port: Int = 0, allowAnonymous: Boolean = false,
+    tokenTtlMs: Long = 60L * 60 * 1000,
+    tlsKeystore: Option[(String, String)] = None) {
 
   private val session = spark.newSession()
   private val engine = graft.GraftEngine(session, warehouse)
   engine.restore()
 
-  private val server = new ServerSocket(port)
+  // `tlsKeystore` = (path, password) of a JKS/PKCS12 keystore holding
+  // the server identity: every accepted connection is then TLS — the
+  // handshake's credentials and the result stream ride encrypted (the
+  // reference's ATTACH `tls` option, beacon_parser.rs:465). A
+  // plaintext client against a TLS server fails its first frame read.
+  private val server: ServerSocket = tlsKeystore match {
+    case None => new ServerSocket(port)
+    case Some((path, password)) =>
+      val ks = java.security.KeyStore.getInstance(
+        if (path.endsWith(".jks")) "JKS" else "PKCS12")
+      val ksIn = new java.io.FileInputStream(path)
+      try ks.load(ksIn, password.toCharArray) finally ksIn.close()
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, password.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx.getServerSocketFactory.createServerSocket(port)
+  }
   def boundPort: Int = server.getLocalPort
 
-  // token -> username; tokens live for the server's lifetime (the
-  // reference's session tokens die with the connection's session)
-  private val tokens = new ConcurrentHashMap[String, String]()
+  // token -> (username, expiresAt). Tokens are TTL'd (the reference's
+  // Flight tokens expire; an unbounded lifetime map would grow with
+  // every basic handshake on a long-lived server) and revoked lazily:
+  // expired entries fail lookup and are swept opportunistically.
+  private final case class TokenInfo(user: String, expiresAt: Long)
+  private val tokens = new ConcurrentHashMap[String, TokenInfo]()
+  // one live token per user, reused across handshakes — executor scan
+  // tasks re-handshaking must not each mint a fresh entry
+  private val userTokens = new ConcurrentHashMap[String, String]()
+  // observable cost of the password path: each increment is one PBKDF2
+  // derivation (specs pin that executor scans reuse the session token
+  // instead of re-running it per task)
+  private val pbkdf2Checks = new java.util.concurrent.atomic.AtomicLong(0)
+  def pbkdf2Count: Long = pbkdf2Checks.get
+  def liveTokenCount: Int = { sweepExpired(); tokens.size }
   @volatile private var running = true
 
   private def daemon(r: Runnable): Thread = {
@@ -61,12 +93,47 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
   }
   private val pool = Executors.newCachedThreadPool(daemon(_))
 
+  private def now(): Long = System.currentTimeMillis()
+
+  private def sweepExpired(): Unit = {
+    val t = now()
+    val it = tokens.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.expiresAt <= t) {
+        userTokens.remove(e.getValue.user, e.getKey)
+        it.remove()
+      }
+    }
+  }
+
+  private def lookupToken(t: String): Option[String] =
+    Option(tokens.get(t)) match {
+      case Some(info) if info.expiresAt > now() => Some(info.user)
+      case Some(info) =>
+        tokens.remove(t); userTokens.remove(info.user, t); None
+      case None => None
+    }
+
   /** admin path: mint a bearer token for a user without their password
     * (the reference's out-of-band PAT issuance — server-side only) */
   def issueToken(username: String): String = {
+    sweepExpired()
     val t = java.util.UUID.randomUUID().toString
-    tokens.put(t, username)
+    tokens.put(t, TokenInfo(username, now() + tokenTtlMs))
     t
+  }
+
+  /** token for a basic handshake: reuse the user's live token so N
+    * handshakes (e.g. one per executor scan task) hold ONE entry */
+  private def sessionTokenFor(username: String): String = {
+    Option(userTokens.get(username))
+      .filter(t => lookupToken(t).contains(username))
+      .getOrElse {
+        val t = issueToken(username)
+        userTokens.put(username, t)
+        t
+      }
   }
 
   def stop(): Unit = {
@@ -107,7 +174,16 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           val df = authorizedTable(identity, req)
           RemoteWire.writeFrame(out, ("ok" -> true) ~ ("schema" -> df.schema.json))
         case Some("scan") =>
-          val df0 = authorizedTable(identity, req)
+          val base = authorizedTable(identity, req)
+          // same-peer join pushed across the wire: the server joins the
+          // SECOND authorized table before anything else applies, so
+          // filters/aggregates/TopN below all see the joined frame and
+          // only the join OUTPUT crosses the network (the reference
+          // runs same-remote joins ON the remote — remote-tables.md:41)
+          val df0 = (req \ "join") match {
+            case j: JObject => applyJoin(identity, base, j)
+            case _ => base
+          }
           val filtered = (req \ "filters") match {
             case JArray(fs) if fs.nonEmpty =>
               df0.where(fs.map(RemoteWire.filterFromJson).reduce(_ && _))
@@ -147,7 +223,24 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             case JInt(n)  => projected.limit(n.min(Int.MaxValue).toInt)
             case _        => projected
           }
-          streamResult(out, limited)
+          // parallel-stream ticket: part i of n holds the rows whose
+          // projected-row hash ≡ i (mod n) — deterministic, disjoint,
+          // union = the whole scan. Only plain scans split (an
+          // aggregate/TopN/limit is complete only as one stream); the
+          // client enforces the same rule before asking.
+          val ticketed = (intField(req, "part"), intField(req, "parts")) match {
+            case (Some(part), Some(parts)) =>
+              require(parts >= 2 && part >= 0 && part < parts,
+                s"bad split ticket $part/$parts")
+              require((req \ "aggregate") == JNothing &&
+                (req \ "orderby") == JNothing && (req \ "limit") == JNothing,
+                "split tickets apply only to plain scans")
+              import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+              limited.where(pmod(xxhash64(limited.columns.map(col): _*),
+                lit(parts.toLong)) === lit(part.toLong))
+            case _ => limited
+          }
+          streamResult(out, ticketed)
         case Some("sql") =>
           val sql = RemoteWire.str(req, "sql").getOrElse(
             throw new IllegalArgumentException("sql op needs 'sql'"))
@@ -179,13 +272,14 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
         case (Some(_), Some(_), _) | (Some(_), _, Some(_)) =>
           Left("provide either a token or a username/password, not both")
         case (Some(t), None, None) =>
-          Option(tokens.get(t)) match {
+          lookupToken(t) match {
             case Some(user) => Right((engine.catalog.auth.identityOf(user), None))
             case None => Left("invalid or expired token")
           }
         case (None, Some(u), Some(p)) =>
+          pbkdf2Checks.incrementAndGet()
           engine.authenticate(u, p) match {
-            case Some(id) => Right((id, Some(issueToken(u))))
+            case Some(id) => Right((id, Some(sessionTokenFor(u))))
             case None => Left(s"authentication failed for user '$u'")
           }
         case (None, None, None) if allowAnonymous =>
@@ -205,9 +299,12 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
 
   /** resolve + authorize the one table a metadata/scan op touches:
     * must be a cataloged (non-crawler) table AND SELECT-granted */
-  private def authorizedTable(identity: Auth.AuthIdentity, req: JValue): DataFrame = {
-    val name = RemoteWire.str(req, "table").getOrElse(
-      throw new IllegalArgumentException("op needs 'table'"))
+  private def authorizedTable(identity: Auth.AuthIdentity, req: JValue): DataFrame =
+    authorizedTableByName(identity, RemoteWire.str(req, "table").getOrElse(
+      throw new IllegalArgumentException("op needs 'table'")))
+
+  private def authorizedTableByName(identity: Auth.AuthIdentity,
+      name: String): DataFrame = {
     val known = engine.catalog.tables().exists(t => t.name == name && t.kind != "crawler")
     if (!known)
       throw new IllegalArgumentException(s"no such table: $name")
@@ -217,6 +314,46 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
       throw new graft.auth.Authz.PermissionDenied(
         s"remote permission denied: SELECT on TABLE $name")
     session.table(name)
+  }
+
+  private def intField(j: JValue, field: String): Option[Int] = (j \ field) match {
+    case JInt(n)  => Some(n.intValue)
+    case JLong(n) => Some(n.toInt)
+    case _        => None
+  }
+
+  /** pushed same-peer equi-join — closed vocabulary ({table2, on
+    * pairs, type}), no SQL text; the SECOND table is authorized with
+    * exactly the same rule as the first, so a join can never read a
+    * table the identity's scan grants don't cover */
+  private def applyJoin(identity: Auth.AuthIdentity, left: DataFrame,
+      spec: JValue): DataFrame = {
+    val t2 = RemoteWire.str(spec, "table2").getOrElse(
+      throw new IllegalArgumentException("join needs 'table2'"))
+    val right = authorizedTableByName(identity, t2)
+    val joinType = RemoteWire.str(spec, "type").getOrElse("inner") match {
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case other => throw new IllegalArgumentException(s"bad join type: $other")
+    }
+    val on = (spec \ "on") match {
+      case JArray(pairs) if pairs.nonEmpty => pairs.map {
+        case JArray(List(JString(l), JString(r))) => (l, r)
+        case other => throw new IllegalArgumentException(s"bad join pair: $other")
+      }
+      case _ => throw new IllegalArgumentException("join needs non-empty 'on'")
+    }
+    // right-side filters apply BEFORE the join (left-outer
+    // null-extension must see the filtered right side, exactly as the
+    // client plan placed them)
+    val right2 = (spec \ "filters2") match {
+      case JArray(fs) if fs.nonEmpty =>
+        right.where(fs.map(RemoteWire.filterFromJson).reduce(_ && _))
+      case _ => right
+    }
+    val cond = on.map { case (l, r) => left.col(l) === right2.col(r) }
+      .reduce(_ && _)
+    left.join(right2, cond, joinType)
   }
 
   /** pushed-down GROUP BY: the client's Aggregation crosses the wire
@@ -259,10 +396,18 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     else df.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Header frame, Arrow IPC stream, then a completion RECEIPT frame
+    * after the Arrow end-of-stream marker. The receipt is what lets the
+    * client trust EOS: if the Spark job feeding the stream dies midway,
+    * [[ArrowSource.writeIpcStream]] skips the EOS marker (the client's
+    * Arrow reader fails on the truncated stream) — and a clean EOS with
+    * no `{ok,rows}` receipt behind it is likewise treated as a failure,
+    * so a partial result can never masquerade as a short success. */
   private def streamResult(out: java.io.OutputStream, df: DataFrame): Unit = {
     RemoteWire.writeFrame(out,
       ("ok" -> true) ~ ("stream" -> true) ~ ("schema" -> df.schema.json))
-    ArrowSource.writeIpcStream(df, out)
+    val rows = ArrowSource.writeIpcStream(df, out)
+    RemoteWire.writeFrame(out, ("ok" -> true) ~ ("rows" -> rows))
     out.flush()
   }
 }

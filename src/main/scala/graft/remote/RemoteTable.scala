@@ -18,6 +18,34 @@ import org.json4s.jackson.JsonMethods
 
 import graft.catalog.Attachments.{Basic, Bearer, Credential}
 
+/** where a remote scan dials: host/port plus the TLS client settings
+  * (serializable — every executor task opens its own connection) */
+final case class WireTarget(host: String, port: Int,
+    tls: Option[RemoteWire.TlsClientConfig]) extends Serializable {
+  def address: String = s"$host:$port"
+}
+
+/** a same-peer equi-join pushed across the wire as part of the scan
+  * request (the reference runs a join of two tables on one remote ON
+  * the remote — docs/docs/2.0.0-rc2/sql/remote-tables.md:41-42,
+  * beacon-datafusion-ext/src/remote/executor.rs "largest sub-plan");
+  * closed vocabulary like the filter algebra: table name + column
+  * pairs + join type, never SQL text. `rightFilters` apply to the
+  * right table BEFORE the join — the placement that keeps a left
+  * outer join's null-extension exactly as the client plan had it. */
+final case class RemoteJoinSpec(rightTable: String,
+    on: Seq[(String, String)], joinType: String,
+    rightFilters: List[JValue] = Nil) extends Serializable {
+  def toJson: JValue = JObject(
+    List(
+      "table2" -> JString(rightTable),
+      "on" -> (JArray(on.map { case (l, r) =>
+        JArray(List(JString(l), JString(r))) }.toList): JValue),
+      "type" -> JString(joinType)) ++
+    (if (rightFilters.nonEmpty)
+      List("filters2" -> (JArray(rightFilters): JValue)) else Nil))
+}
+
 /** DSv2 seat of one table on an ATTACHed network peer: the scan ships
   * required columns, serializable filters ([[RemoteWire]] algebra) and
   * any pushed limit to the server, which plans them into ITS scan —
@@ -31,21 +59,33 @@ import graft.catalog.Attachments.{Basic, Bearer, Credential}
   * directly as [[ArrowColumnVector]]s (zero value conversion, same
   * stance as the arrow file source) and feed WholeStageCodegen through
   * ColumnarToRow.
+  *
+  * `join` set = this relation IS a same-peer join (placed by
+  * [[RemoteJoinRule]]): the server joins both authorized tables and
+  * everything pushed (filters/columns/aggregates/TopN) applies to the
+  * joined frame — only the join OUTPUT crosses the network.
   */
-final class RemoteTable(host: String, port: Int, credential: Credential,
-    sessionToken: Option[String], table: String, fullSchema: StructType)
-    extends Table with SupportsRead {
+final class RemoteTable(val target: WireTarget, val credential: Credential,
+    val sessionToken: Option[String], val table: String, fullSchema: StructType,
+    val parallelism: Int = 1, val join: Option[RemoteJoinSpec] = None,
+    val baseFilters: List[JValue] = Nil) extends Table with SupportsRead {
 
-  override def name(): String = s"remote($host:$port/$table)"
+  override def name(): String = join match {
+    case Some(j) => s"remote(${target.address}/$table⋈${j.rightTable})"
+    case None => s"remote(${target.address}/$table)"
+  }
   override def schema(): StructType = fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RemoteScanBuilder(host, port, credential, sessionToken, table, fullSchema)
+    new RemoteScanBuilder(target, credential, sessionToken, table, fullSchema,
+      parallelism, join, baseFilters)
 }
 
-final class RemoteScanBuilder(host: String, port: Int, credential: Credential,
-    sessionToken: Option[String], table: String, fullSchema: StructType)
+final class RemoteScanBuilder(target: WireTarget, credential: Credential,
+    sessionToken: Option[String], table: String, fullSchema: StructType,
+    parallelism: Int, join: Option[RemoteJoinSpec],
+    baseFilters: List[JValue] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -169,15 +209,17 @@ final class RemoteScanBuilder(host: String, port: Int, credential: Credential,
     case None => false
   }
 
-  override def build(): Scan = new RemoteScan(host, port, credential,
+  override def build(): Scan = new RemoteScan(target, credential,
     sessionToken, table, fullSchema, aggSchema.getOrElse(required),
-    pushed, pushedJson, limit, topNJson, aggJson)
+    pushed, baseFilters ++ pushedJson, limit, topNJson, aggJson,
+    parallelism, join)
 }
 
-final class RemoteScan(host: String, port: Int, credential: Credential,
+final class RemoteScan(target: WireTarget, credential: Credential,
     sessionToken: Option[String], table: String, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter], pushedJson: List[JValue],
-    limit: Option[Int], topNJson: Option[JValue], aggJson: Option[JValue])
+    required: StructType, val pushed: Array[Filter], val pushedJson: List[JValue],
+    val limit: Option[Int], val topNJson: Option[JValue], val aggJson: Option[JValue],
+    parallelism: Int, join: Option[RemoteJoinSpec])
     extends Scan with Batch {
 
   // count(*)-style scans prune to zero columns; the wire still needs a
@@ -190,7 +232,10 @@ final class RemoteScan(host: String, port: Int, credential: Credential,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"RemoteScan($host:$port/$table) PushedFilters: [${pushed.mkString(", ")}]" +
+    s"RemoteScan(${target.address}/$table" +
+      join.map(j => s"⋈${j.rightTable} on ${j.on.map { case (l, r) => s"$l=$r" }
+        .mkString(",")}").getOrElse("") +
+      s") PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(l => s" PushedLimit: $l").getOrElse("") +
       topNJson.map(t => s" PushedTopN: ${JsonMethods.compact(JsonMethods.render(t))}")
         .getOrElse("") +
@@ -198,21 +243,43 @@ final class RemoteScan(host: String, port: Int, credential: Credential,
         .getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val req: JValue = ("op" -> "scan") ~ ("table" -> table) ~
-      ("columns" -> (if (aggJson.isDefined) JNothing
-        else JArray(wireColumns.map(JString(_)).toList))) ~
-      ("filters" -> JArray(pushedJson)) ~
-      ("aggregate" -> aggJson.getOrElse(JNothing: JValue)) ~
-      ("orderby" -> topNJson.map(_ \ "orderby").getOrElse(JNothing: JValue)) ~
-      ("limit" -> limit.map(JInt(_)).getOrElse(JNothing: JValue))
-    Array(RemoteScanPartition(host, port,
+    // auth for executor tasks: prefer the session token obtained at
+    // attach time — shipping raw Basic credentials to every task both
+    // spreads a long-lived secret and re-runs the server's PBKDF2 per
+    // task; the password rides only as a FALLBACK, used when a cached
+    // token outlives a server restart (same retry shape as NetworkPeer)
+    val (auth, fallback): (Map[String, String], Map[String, String]) =
       credential match {
-        case Basic(u, p) => Map("username" -> u, "password" -> p)
-        case Bearer(t)   => Map("token" -> t)
-        case _           => sessionToken.map("token" -> _).toMap
-      },
-      JsonMethods.compact(JsonMethods.render(req)),
-      emitColumns = required.fields.nonEmpty))
+        case Bearer(t) => (Map("token" -> t), Map.empty)
+        case Basic(u, p) => sessionToken match {
+          case Some(t) => (Map("token" -> t), Map("username" -> u, "password" -> p))
+          case None    => (Map("username" -> u, "password" -> p), Map.empty)
+        }
+        case _ => (sessionToken.map("token" -> _).toMap, Map.empty)
+      }
+    // parallel streams: N hash-mod range tickets, each redeemed as one
+    // independent stream (the multi-endpoint shape Flight allows).
+    // Only for plain scans — a pushed aggregate/TopN/limit is complete
+    // only as a single stream.
+    val nParts =
+      if (parallelism > 1 && aggJson.isEmpty && topNJson.isEmpty && limit.isEmpty)
+        parallelism
+      else 1
+    (0 until nParts).map { part =>
+      val req: JValue = ("op" -> "scan") ~ ("table" -> table) ~
+        ("join" -> join.map(_.toJson).getOrElse(JNothing: JValue)) ~
+        ("columns" -> (if (aggJson.isDefined) JNothing
+          else JArray(wireColumns.map(JString(_)).toList))) ~
+        ("filters" -> JArray(pushedJson)) ~
+        ("aggregate" -> aggJson.getOrElse(JNothing: JValue)) ~
+        ("orderby" -> topNJson.map(_ \ "orderby").getOrElse(JNothing: JValue)) ~
+        ("limit" -> limit.map(JInt(_)).getOrElse(JNothing: JValue)) ~
+        ("part" -> (if (nParts > 1) JInt(part) else JNothing: JValue)) ~
+        ("parts" -> (if (nParts > 1) JInt(nParts) else JNothing: JValue))
+      RemoteScanPartition(target, auth, fallback,
+        JsonMethods.compact(JsonMethods.render(req)),
+        emitColumns = required.fields.nonEmpty): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -220,8 +287,9 @@ final class RemoteScan(host: String, port: Int, credential: Credential,
 }
 
 /** everything an executor task needs to dial the scan itself */
-final case class RemoteScanPartition(host: String, port: Int,
-    auth: Map[String, String], requestJson: String, emitColumns: Boolean)
+final case class RemoteScanPartition(target: WireTarget,
+    auth: Map[String, String], fallbackAuth: Map[String, String],
+    requestJson: String, emitColumns: Boolean)
     extends InputPartition
 
 final class RemoteReaderFactory extends PartitionReaderFactory {
@@ -233,32 +301,83 @@ final class RemoteReaderFactory extends PartitionReaderFactory {
   override def createColumnarReader(p0: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = p0.asInstanceOf[RemoteScanPartition]
     new PartitionReader[ColumnarBatch] {
-      private val sock = new java.net.Socket(p.host, p.port)
-      sock.setTcpNoDelay(true)
-      private val in = new java.io.BufferedInputStream(sock.getInputStream)
-      private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      private var sock: java.net.Socket = _
+      private var in: java.io.BufferedInputStream = _
       private val alloc = new RootAllocator()
       private var reader: ArrowStreamReader = _
       private var batch: ColumnarBatch = _
+      private var rowsSeen = 0L
+      private var receiptVerified = false
 
-      locally {
+      /** one handshake + scan request on a fresh connection;
+        * Left(handshake error) is retryable with the fallback */
+      private def dial(auth: Map[String, String]): Either[String, Unit] = {
+        sock = RemoteWire.connect(p.target.host, p.target.port, p.target.tls)
+        in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         val hs: JValue = JObject(("op" -> JString("handshake")) ::
-          p.auth.toList.map { case (k, v) => k -> (JString(v): JValue) })
+          auth.toList.map { case (k, v) => k -> (JString(v): JValue) })
         RemoteWire.writeFrame(out, hs)
         val hsResp = RemoteWire.readFrame(in)
-        if (!(hsResp \ "ok").equals(JBool(true)))
-          throw new SecurityException("remote handshake failed: " +
-            RemoteWire.str(hsResp, "error").getOrElse("rejected"))
+        if (!(hsResp \ "ok").equals(JBool(true))) {
+          try sock.close() catch { case scala.util.control.NonFatal(_) => }
+          return Left(RemoteWire.str(hsResp, "error").getOrElse("rejected"))
+        }
         RemoteWire.writeFrame(out, JsonMethods.parse(p.requestJson))
         val resp = RemoteWire.readFrame(in)
         if (!(resp \ "ok").equals(JBool(true)))
           throw new RuntimeException("remote scan failed: " +
             RemoteWire.str(resp, "error").getOrElse("unknown"))
         reader = new ArrowStreamReader(in, alloc)
+        Right(())
+      }
+
+      locally {
+        dial(p.auth) match {
+          case Right(()) => ()
+          case Left(err) if p.fallbackAuth.nonEmpty =>
+            // cached session token outlived a server restart: one
+            // retry with the basic credentials (NetworkPeer's shape)
+            dial(p.fallbackAuth) match {
+              case Right(()) => ()
+              case Left(e2) =>
+                throw new SecurityException(s"remote handshake failed: $e2")
+            }
+          case Left(err) =>
+            throw new SecurityException(s"remote handshake failed: $err")
+        }
       }
 
       override def next(): Boolean = {
-        if (!reader.loadNextBatch()) return false
+        if (!reader.loadNextBatch()) {
+          // the Arrow EOS marker alone is not success: require the
+          // server's completion receipt behind it, so a job that died
+          // mid-stream (no EOS → reader already failed) or a stream
+          // cut exactly at EOS (no receipt) can't pass as a short
+          // result
+          if (!receiptVerified) {
+            val receipt = try RemoteWire.readFrame(in) catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new java.io.IOException(
+                  "remote stream ended without a completion receipt " +
+                    "(truncated result)", e)
+            }
+            if (!(receipt \ "ok").equals(JBool(true)))
+              throw new java.io.IOException("remote scan failed mid-stream: " +
+                RemoteWire.str(receipt, "error").getOrElse("unknown"))
+            val expected = (receipt \ "rows") match {
+              case JLong(n) => n
+              case JInt(n)  => n.longValue
+              case _        => -1L
+            }
+            if (expected >= 0 && expected != rowsSeen)
+              throw new java.io.IOException(
+                s"remote stream row-count mismatch: receipt says $expected, " +
+                  s"stream carried $rowsSeen")
+            receiptVerified = true
+          }
+          return false
+        }
         val root = reader.getVectorSchemaRoot
         val vectors: Array[ColumnVector] =
           if (p.emitColumns)
@@ -266,12 +385,13 @@ final class RemoteReaderFactory extends PartitionReaderFactory {
               .map(v => new ArrowColumnVector(v): ColumnVector).toArray
           else Array.empty
         batch = new ColumnarBatch(vectors, root.getRowCount)
+        rowsSeen += root.getRowCount
         true
       }
       override def get(): ColumnarBatch = batch
       override def close(): Unit = {
         if (reader != null) reader.close()
-        sock.close()
+        if (sock != null) sock.close()
         alloc.close()
       }
     }

@@ -33,6 +33,46 @@ object RemoteWire {
     * frames are small — a huge length prefix means a corrupt peer */
   private val MaxFrame = 16 * 1024 * 1024
 
+  /** Client TLS settings for the wire (the reference's ATTACH parses a
+    * `tls` option — beacon-core/src/parser/beacon_parser.rs:465,
+    * remote/connection.rs): presence = TLS on. With no truststore the
+    * JDK default trust anchors apply (public CAs); a custom truststore
+    * (JKS/PKCS12 path + password) pins a private CA — the test topology
+    * uses a self-signed keystore as both server identity and client
+    * trust. Serializable: executor scan tasks dial their own
+    * connections. */
+  final case class TlsClientConfig(truststore: Option[String],
+      truststorePassword: Option[String]) extends Serializable
+
+  /** dial the wire: plain TCP, or TLS with default/pinned trust */
+  def connect(host: String, port: Int, tls: Option[TlsClientConfig]): java.net.Socket = {
+    val sock = tls match {
+      case None => new java.net.Socket(host, port)
+      case Some(cfg) =>
+        val factory = cfg.truststore match {
+          case None => javax.net.ssl.SSLSocketFactory.getDefault
+            .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+          case Some(path) =>
+            val ks = java.security.KeyStore.getInstance(
+              if (path.endsWith(".jks")) "JKS" else "PKCS12")
+            val in = new java.io.FileInputStream(path)
+            try ks.load(in, cfg.truststorePassword.getOrElse("").toCharArray)
+            finally in.close()
+            val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+              javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+            tmf.init(ks)
+            val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+            ctx.init(null, tmf.getTrustManagers, null)
+            ctx.getSocketFactory
+        }
+        val s = factory.createSocket(host, port).asInstanceOf[javax.net.ssl.SSLSocket]
+        s.startHandshake()
+        s
+    }
+    sock.setTcpNoDelay(true)
+    sock
+  }
+
   def writeFrame(out: OutputStream, json: JValue): Unit = {
     val bytes = JsonMethods.compact(JsonMethods.render(json))
       .getBytes(StandardCharsets.UTF_8)

@@ -163,15 +163,31 @@ object ArrowSource {
     * remote transport's result framing ([[graft.remote.RemoteServer]]):
     * same bounded-memory row loop as [[writeSingleFile]], but the
     * stream format is socket-friendly (self-delimiting, end-of-stream
-    * marker, no footer seek). Caller owns the output stream. */
+    * marker, no footer seek). Caller owns the output stream.
+    *
+    * Failure contract: if the Spark job feeding `toLocalIterator`
+    * throws mid-stream, the Arrow end-of-stream marker is NOT written
+    * (writer.end/close are skipped), so a reader can never mistake a
+    * truncated result for a clean short one — it fails on the cut
+    * stream instead. On success the EOS marker is written and the row
+    * count returned, which the server frames as a trailing completion
+    * receipt the client verifies. */
   private[graft] def writeIpcStream(df: DataFrame, out: java.io.OutputStream,
       batchSize: Int = 4096): Long = {
     val schema = df.schema
     val aschema = new ASchema(schema.fields.map(f => sparkToArrow(f.name, f.dataType)).toList.asJava)
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(aschema, alloc)
+    // the caller owns `out` (and writes a completion receipt after the
+    // Arrow bytes) — the writer must not close the socket under it
+    val noClose = new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = out.flush()
+    }
     val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
-      java.nio.channels.Channels.newChannel(out))
+      java.nio.channels.Channels.newChannel(noClose))
+    var failed = false
     try {
       writer.start()
       val it = df.toLocalIterator().asScala
@@ -198,7 +214,15 @@ object ArrowSource {
       flush()
       writer.end()
       n
-    } finally { writer.close(); root.close(); alloc.close() }
+    } catch {
+      case t: Throwable => failed = true; throw t
+    } finally {
+      // on failure, closing the writer would append the EOS marker to a
+      // half-written stream — leave the stream visibly truncated instead
+      if (!failed) writer.close()
+      try root.close() catch { case scala.util.control.NonFatal(_) => }
+      try alloc.close() catch { case _: Throwable => /* outstanding buffers on failure */ }
+    }
   }
 
   private def writeValue(v: FieldVector, i: Int, value: Any, t: DataType): Unit = {

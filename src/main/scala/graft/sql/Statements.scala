@@ -184,31 +184,49 @@ object Statements {
     reCurate, reShowHistory, reRestore, reVacuum, reOptimize)
 
   private val reVersionRef =
-    """([A-Za-z_][A-Za-z0-9_]*|`(?:[^`]|``)+`)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    """(?i)([A-Za-z_][A-Za-z0-9_]*|`(?:[^`]|``)+`)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
 
   /** rewrite `<table> VERSION AS OF <n>` references (outside string
-    * literals) to views over [[GraftCatalog.tableAt]] */
+    * literals AND comments — same protected spans as the bind scanner,
+    * [[GraftSql.sql]]: an apostrophe inside `-- don't` must not flip
+    * string state, and the phrase inside a comment stays verbatim) to
+    * views over [[GraftCatalog.tableAt]] */
   private def rewriteVersionRefs(spark: SparkSession, catalog: GraftCatalog,
       t: String): String = {
-    // split into alternating outside/inside-string spans ('' escaped)
+    // split into alternating rewritable/protected spans; protected =
+    // 'strings' ('' escapes), -- line comments, /* block comments */
     val spans = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     var i = 0
     var start = 0
-    var inStr = false
-    while (i < t.length) {
-      if (t.charAt(i) == '\'') {
-        if (inStr && i + 1 < t.length && t.charAt(i + 1) == '\'') i += 1
-        else {
-          spans += ((t.substring(start, i + (if (inStr) 1 else 0)), inStr))
-          start = i + (if (inStr) 1 else 0)
-          inStr = !inStr
-        }
-      }
-      i += 1
+    def protect(endExclusive: Int): Unit = {
+      spans += ((t.substring(start, i), false))
+      spans += ((t.substring(i, endExclusive), true))
+      i = endExclusive
+      start = endExclusive
     }
-    spans += ((t.substring(start), inStr))
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        var open = true
+        while (j < t.length && open) {
+          if (t.charAt(j) == '\'') {
+            if (j + 1 < t.length && t.charAt(j + 1) == '\'') j += 2
+            else { open = false; j += 1 }
+          } else j += 1
+        }
+        protect(j)
+      } else if (c == '-' && i + 1 < t.length && t.charAt(i + 1) == '-') {
+        val nl = t.indexOf('\n', i)
+        protect(if (nl < 0) t.length else nl + 1)
+      } else if (c == '/' && i + 1 < t.length && t.charAt(i + 1) == '*') {
+        val close = t.indexOf("*/", i + 2)
+        protect(if (close < 0) t.length else close + 2)
+      } else i += 1
+    }
+    spans += ((t.substring(start), false))
     spans.map {
-      case (s, true) => s // string literal: verbatim
+      case (s, true) => s // string literal or comment: verbatim
       case (s, false) =>
         reVersionRef.replaceAllIn(s, m => {
           val name = unquote(m.group(1))

@@ -1,0 +1,382 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.remote.{RemoteServer, RemoteWire, WireTarget}
+
+/** Round-10 remote-wire hardening: completion receipts (a truncated
+  * stream can never pass as a short success), executor session-token
+  * reuse (one PBKDF2 per attach, not per scan task), token TTL,
+  * parallel scan streams, TLS, and same-peer JOIN pushdown. */
+class Remote2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  val sf = "/root/testdata/sf0.001"
+
+  private def servedWarehouse(): (String, RemoteServer) = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-r2-wh").toString
+    val eng = GraftEngine(spark, wh)
+    eng.sql(s"CREATE EXTERNAL TABLE j_nation STORED AS parquet LOCATION '$sf/nation.parquet'")
+    eng.sql(s"CREATE EXTERNAL TABLE j_orders STORED AS parquet LOCATION '$sf/orders.parquet'")
+    eng.sql(s"CREATE EXTERNAL TABLE j_customer STORED AS parquet LOCATION '$sf/customer.parquet'")
+    eng.sql("CREATE USER joiner WITH PASSWORD 'join-pw'")
+    eng.sql("CREATE ROLE join_readers")
+    eng.sql("GRANT SELECT ON TABLE j_nation TO ROLE join_readers")
+    eng.sql("GRANT SELECT ON TABLE j_orders TO ROLE join_readers")
+    eng.sql("GRANT SELECT ON TABLE j_customer TO ROLE join_readers")
+    eng.sql("GRANT ROLE join_readers TO USER joiner")
+    (wh, new RemoteServer(spark, wh))
+  }
+
+  lazy val (wh, server) = servedWarehouse()
+  lazy val engine: GraftEngine = {
+    val lw = java.nio.file.Files.createTempDirectory("graft-r2-local").toString
+    GraftEngine(spark, lw)
+  }
+
+  private def attachMain(): Unit =
+    if (graft.catalog.Attachments.get(spark, "jwire").isEmpty)
+      engine.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS jwire " +
+        "WITH (username 'joiner', password 'join-pw')")
+
+  private def countOccurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  // ------------------------------------------------ completion receipt
+
+  test("a clean Arrow EOS without a completion receipt fails the scan") {
+    // fake server: valid handshake + scan header + a well-formed EMPTY
+    // arrow stream WITH its EOS marker — but no receipt frame. Before
+    // the receipt contract this read as a successful empty result.
+    val srv = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      val sock = srv.accept()
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      import org.json4s.JsonDSL._
+      RemoteWire.readFrame(in) // handshake
+      RemoteWire.writeFrame(out, ("ok" -> true))
+      RemoteWire.readFrame(in) // scan request
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+      RemoteWire.writeFrame(out,
+        ("ok" -> true) ~ ("stream" -> true) ~ ("schema" -> schema.json))
+      // empty single-column arrow stream, properly ended
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val aschema = new org.apache.arrow.vector.types.pojo.Schema(
+        java.util.List.of(org.apache.arrow.vector.types.pojo.Field.nullable("x",
+          new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true))))
+      val root = org.apache.arrow.vector.VectorSchemaRoot.create(aschema, alloc)
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(out))
+      w.start(); w.end()
+      out.flush()
+      sock.close(); root.close(); alloc.close()
+    })
+    t.setDaemon(true); t.start()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    val part = graft.remote.RemoteScanPartition(
+      WireTarget("localhost", srv.getLocalPort, None),
+      Map.empty, Map.empty, """{"op":"scan","table":"t"}""",
+      emitColumns = true)
+    val reader = new graft.remote.RemoteReaderFactory().createColumnarReader(part)
+    val e = intercept[java.io.IOException] {
+      while (reader.next()) ()
+    }
+    assert(e.getMessage.contains("completion receipt"),
+      s"EOS without receipt must fail loudly, got: ${e.getMessage}")
+    reader.close(); srv.close()
+  }
+
+  test("a server-side failure mid-stream fails the scan, never a short success") {
+    // external table whose file disappears after attach: the server's
+    // feeding job throws, the EOS marker is never written, and the
+    // client errors instead of returning zero rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-vanish")
+    val fp = dir.resolve("part.parquet")
+    spark.read.parquet(s"$sf/nation.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(fp.toString)
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-vanish-wh").toString
+    val eng2 = GraftEngine(spark, wh2)
+    eng2.sql(s"CREATE EXTERNAL TABLE vanish STORED AS parquet LOCATION '$fp'")
+    val s2 = new RemoteServer(spark, wh2, allowAnonymous = true)
+    try {
+      engine.sql(s"ATTACH 'graft://localhost:${s2.boundPort}' AS vwire")
+      // delete the data files under the table
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      val e = intercept[Exception] {
+        engine.sql("SELECT * FROM vwire.public.vanish").collect()
+      }
+      assert(e != null) // loud failure, not an empty result
+      engine.sql("DETACH vwire")
+    } finally s2.stop()
+  }
+
+  // ------------------------------------- token lifecycle + PBKDF2 diet
+
+  test("executor scan tasks reuse the session token: one PBKDF2 total") {
+    attachMain()
+    val before = server.pbkdf2Count
+    assert(before >= 1, "the attach handshake itself runs the KDF once")
+    // several scans: every task handshakes with the cached token
+    (1 to 3).foreach { _ =>
+      engine.sql("SELECT count(*) FROM jwire.public.j_nation").collect()
+    }
+    assert(server.pbkdf2Count == before,
+      "scan tasks must ride the session token, not re-run the KDF")
+    assert(server.liveTokenCount <= 2,
+      "token map must not grow with scan traffic")
+    // and the partitions themselves carry no password
+    val peer = new graft.remote.NetworkPeer("localhost", server.boundPort,
+      graft.catalog.Attachments.Basic("joiner", "join-pw"))
+    peer.listing() // handshake → session token cached
+    val table = peer.loadTable(spark, "public", "j_nation")
+      .asInstanceOf[graft.remote.RemoteTable]
+    val scan = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of())).build()
+    val parts = scan.toBatch.planInputPartitions()
+    parts.foreach { p =>
+      val sp = p.asInstanceOf[graft.remote.RemoteScanPartition]
+      assert(sp.auth.contains("token") && !sp.auth.contains("password"),
+        "primary auth must be the session token")
+      assert(sp.fallbackAuth.contains("password"),
+        "basic credentials ride only as the restart fallback")
+    }
+  }
+
+  test("tokens expire: a TTL'd token is rejected and swept") {
+    val whT = java.nio.file.Files.createTempDirectory("graft-ttl-wh").toString
+    val engT = GraftEngine(spark, whT)
+    engT.sql("CREATE USER ttl_user WITH PASSWORD 'ttl-pw'")
+    val sT = new RemoteServer(spark, whT, tokenTtlMs = 150)
+    try {
+      val tok = sT.issueToken("ttl_user")
+      assert(sT.liveTokenCount == 1)
+      Thread.sleep(300)
+      // expired: handshake rejected, entry swept
+      val sock = new java.net.Socket("localhost", sT.boundPort)
+      try {
+        import org.json4s._
+        import org.json4s.JsonDSL._
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        RemoteWire.writeFrame(out, ("op" -> "handshake") ~ ("token" -> tok))
+        val resp = RemoteWire.readFrame(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        assert((resp \ "ok") == JBool(false))
+        assert(RemoteWire.str(resp, "error").get.contains("expired"))
+      } finally sock.close()
+      assert(sT.liveTokenCount == 0, "expired tokens must be swept")
+    } finally sT.stop()
+  }
+
+  // ------------------------------------------- parallel scan streams
+
+  test("scan_parallelism fans one scan over N disjoint streams, union bit-equal") {
+    engine.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS jpar " +
+      "WITH (username 'joiner', password 'join-pw', scan_parallelism '3')")
+    val df = engine.sql(
+      "SELECT o_orderkey, o_totalprice FROM jpar.public.j_orders")
+    assert(df.rdd.getNumPartitions == 3,
+      "a plain scan must fan out over the requested streams")
+    val viaSplit = df.collect().map(_.toString).sorted.toSeq
+    val local = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_totalprice")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSplit == local, "split union must be bit-equal to the table")
+    // pushed aggregate: complete only as a single stream — no split
+    val agg = engine.sql(
+      "SELECT o_orderstatus, count(*) FROM jpar.public.j_orders GROUP BY 1")
+    assert(agg.rdd.getNumPartitions == 1,
+      "aggregate pushdown must stay single-stream")
+    // pushed limit: single stream too
+    val lim = engine.sql("SELECT o_orderkey FROM jpar.public.j_orders LIMIT 5")
+    assert(lim.rdd.getNumPartitions == 1)
+    assert(lim.count() == 5)
+    engine.sql("DETACH jpar")
+  }
+
+  // --------------------------------------------------------------- TLS
+
+  test("tls: handshake over TLS works; plaintext client is rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ks = dir.resolve("server.p12").toString
+    val cert = dir.resolve("server.crt").toString
+    val ts = dir.resolve("trust.p12").toString
+    def keytool(args: String*): Unit = {
+      val pb = new ProcessBuilder((Seq("keytool") ++ args): _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val outText = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"keytool failed: $outText")
+    }
+    keytool("-genkeypair", "-alias", "graft", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "30", "-keystore", ks,
+      "-storetype", "PKCS12", "-storepass", "changeit",
+      "-dname", "CN=localhost")
+    keytool("-exportcert", "-alias", "graft", "-keystore", ks,
+      "-storetype", "PKCS12", "-storepass", "changeit", "-file", cert)
+    keytool("-importcert", "-alias", "graft", "-file", cert,
+      "-keystore", ts, "-storetype", "PKCS12", "-storepass", "changeit",
+      "-noprompt")
+    val whS = java.nio.file.Files.createTempDirectory("graft-tls-wh").toString
+    val engS = GraftEngine(spark, whS)
+    engS.sql(s"CREATE EXTERNAL TABLE tls_region STORED AS parquet LOCATION '$sf/region.parquet'")
+    val sTls = new RemoteServer(spark, whS, allowAnonymous = true,
+      tlsKeystore = Some((ks, "changeit")))
+    try {
+      engine.sql(s"ATTACH 'graft://localhost:${sTls.boundPort}' AS tlswire " +
+        s"WITH (tls 'true', truststore '$ts', truststore_password 'changeit')")
+      assert(engine.sql("SELECT count(*) FROM tlswire.public.tls_region")
+        .collect()(0).getLong(0) == 5)
+      engine.sql("DETACH tlswire")
+      // a plaintext client against the TLS server must fail, not hang
+      // or silently succeed
+      val e = intercept[Exception] {
+        engine.sql(s"ATTACH 'graft://localhost:${sTls.boundPort}' AS plainbad")
+      }
+      assert(e != null)
+    } finally sTls.stop()
+  }
+
+  // -------------------------------------- same-peer JOIN pushdown
+
+  test("same-peer equi-join runs ON the peer: one RemoteScan, join output crosses") {
+    attachMain()
+    val df = engine.sql(
+      """SELECT c_name, o_orderkey, o_totalprice
+         FROM jwire.public.j_orders JOIN jwire.public.j_customer
+           ON o_custkey = c_custkey
+         WHERE o_totalprice > 150000.0""")
+    val lplan = df.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(lplan, "remote(") == 1,
+      s"the join must collapse to ONE remote relation:\n$lplan")
+    assert(lplan.contains("⋈"), s"relation must show the join:\n$lplan")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no client-side join may remain:\n$plan")
+    val viaWire = df.collect().map(_.toString).sorted.toSeq
+    val local = {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .where("o_totalprice > 150000.0")
+        .selectExpr("c_name", "o_orderkey", "o_totalprice")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(viaWire == local && viaWire.nonEmpty)
+  }
+
+  test("aggregate above a pushed join pushes too: one row per group crosses") {
+    attachMain()
+    val df = engine.sql(
+      """SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS total
+         FROM jwire.public.j_orders JOIN jwire.public.j_customer
+           ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""")
+    val lplan = df.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(lplan, "remote(") == 1, s"one relation:\n$lplan")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"the aggregate must push into the joined scan:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must drop the client aggregate:\n$plan")
+    val viaWire = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    val local = {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"),
+          org.apache.spark.sql.functions.sum("o_totalprice").as("t"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2))))
+        .sortBy(_._1).toSeq
+    }
+    assert(viaWire == local && viaWire.nonEmpty)
+  }
+
+  test("left join pushes; a right-side filter makes it bail to two scans") {
+    attachMain()
+    val lj = engine.sql(
+      """SELECT c_name, o_orderkey
+         FROM jwire.public.j_customer LEFT JOIN jwire.public.j_orders
+           ON c_custkey = o_custkey""")
+    val ljPlan = lj.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(ljPlan, "RelationV2") == 1 && ljPlan.contains("⋈"),
+      s"left join must push as one relation:\n$ljPlan")
+    val viaWire = lj.collect().map(_.toString).sorted.toSeq
+    val local = {
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .selectExpr("c_name", "o_orderkey")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(viaWire == local && viaWire.nonEmpty)
+    // a filter ABOVE the left join commutes (post-join placement is
+    // its original placement): still merges, and values match
+    val above = engine.sql(
+      """SELECT c_name, o_orderkey
+         FROM jwire.public.j_customer LEFT JOIN jwire.public.j_orders
+           ON c_custkey = o_custkey
+         WHERE o_totalprice > 100000.0 OR o_totalprice IS NULL""")
+    assert(above.queryExecution.optimizedPlan.toString.contains("⋈"))
+    val aboveWire = above.collect().map(_.toString).sorted.toSeq
+    val aboveLocal = {
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .where("o_totalprice > 100000.0 OR o_totalprice IS NULL")
+        .selectExpr("c_name", "o_orderkey")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(aboveWire == aboveLocal && aboveWire.nonEmpty)
+    // a right-side RESIDUAL predicate BELOW a LEFT join (inexpressible
+    // on the wire, not commutable past the join): bail — two scans,
+    // client-side join, still correct
+    val bail = engine.sql(
+      """SELECT c_name, o_orderkey
+         FROM jwire.public.j_customer LEFT JOIN
+           (SELECT * FROM jwire.public.j_orders WHERE o_orderpriority RLIKE 'URGENT$') o
+           ON c_custkey = o_custkey""")
+    val bailPlan = bail.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(bailPlan, "RelationV2") == 2 && !bailPlan.contains("⋈"),
+      s"right-side residual predicate must keep the join client-side:\n$bailPlan")
+    val bailWire = bail.collect().map(_.toString).sorted.toSeq
+    val bailLocal = {
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet").where("o_orderpriority RLIKE 'URGENT$'")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .selectExpr("c_name", "o_orderkey")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(bailWire == bailLocal && bailWire.nonEmpty)
+  }
+
+  test("joins across two DIFFERENT attachments never merge") {
+    attachMain()
+    // same server attached twice = two credentialed mounts; the rule
+    // requires one attachment identity, so this stays two scans
+    val tok = server.issueToken("joiner")
+    engine.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS jother " +
+      s"WITH (token '$tok')")
+    val df = engine.sql(
+      """SELECT c_name, o_orderkey
+         FROM jwire.public.j_orders JOIN jother.public.j_customer
+           ON o_custkey = c_custkey""")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(plan, "RelationV2") == 2 && !plan.contains("⋈"),
+      s"different attachments must not merge into one scan:\n$plan")
+    assert(df.count() > 0)
+    engine.sql("DETACH jother")
+  }
+}
