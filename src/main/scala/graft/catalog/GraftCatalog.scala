@@ -331,10 +331,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         val w = aligned.write.mode(SaveMode.Overwrite)
         (if (partitionCols(d).nonEmpty) w.partitionBy(partitionCols(d): _*) else w)
           .parquet(dataDir(name).resolve(cdir).toString)
-        val prev = if (overwrite) Seq.empty
-          else TableVersions.latest(warehouse, name).map(_.dirs).getOrElse(Seq.empty)
-        TableVersions.commit(warehouse, name,
-          if (overwrite) "insert_overwrite" else "insert", prev :+ cdir)
+        // append publishes via commitAppend so the previous dir list is
+        // re-read inside the commit lock (a concurrent append committed
+        // during our parquet write must not be dropped)
+        if (overwrite)
+          TableVersions.commit(warehouse, name, "insert_overwrite", Seq(cdir))
+        else
+          TableVersions.commitAppend(warehouse, name, "insert", Seq(cdir))
         register(d)
         // the new commit dir is a new scan root; the prune rule's
         // root→table map must learn it or indexed scans stop resolving

@@ -75,26 +75,61 @@ object TableVersions {
   def dataDirs(warehouse: String, table: String, e: Entry): Seq[String] =
     e.dirs.map(d => Paths.get(warehouse, table, d).toString)
 
-  /** allocate the next commit directory name (not created on disk —
-    * the parquet write creates it) */
-  def nextCommitDir(warehouse: String, table: String): String = {
+  // commit dirs ALLOCATED but not yet published: writers call
+  // nextCommitDir, spend seconds-to-minutes writing parquet into it,
+  // then commit — so allocation must reserve the name under the same
+  // lock commit uses, or two concurrent same-JVM writers would both
+  // read max=c4, both write into c5, and the loser's data files would
+  // land in a directory the winner's manifest references. Keyed by
+  // (normalized warehouse, table); a reservation abandoned by a failed
+  // write merely skips a number.
+  private val inFlight = scala.collection.mutable.Set.empty[(String, String, String)]
+
+  private def whKey(warehouse: String): String =
+    Paths.get(warehouse).toAbsolutePath.normalize.toString
+
+  /** atomically allocate-and-reserve the next commit directory name
+    * (not created on disk — the parquet write creates it); the
+    * reservation is released when a commit publishes the dir */
+  def nextCommitDir(warehouse: String, table: String): String = synchronized {
+    val key = whKey(warehouse)
     val used = list(warehouse, table).flatMap(_.dirs)
       .map(_.stripPrefix("c").toLong)
-    f"c${(used.maxOption.getOrElse(0L)) + 1}%09d"
+    val reserved = inFlight.collect {
+      case (w, t, d) if w == key && t == table => d.stripPrefix("c").toLong
+    }
+    val next = f"c${(used ++ reserved).maxOption.getOrElse(0L) + 1}%09d"
+    inFlight += ((key, table, next))
+    next
   }
 
   /** publish the next version; returns the entry written. Serialized
-    * per JVM: two same-process writers can't both read version v and
-    * publish v+1 twice (cross-process coordination is the object
-    * store's conditional-put problem, out of scope here — same stance
-    * as the reference's single-writer Lance datasets). */
+    * per JVM — and commit-dir allocation shares this lock (see
+    * [[nextCommitDir]]), so two same-process writers can neither
+    * publish the same version twice nor write into the same commit dir
+    * (cross-process coordination is the object store's conditional-put
+    * problem, out of scope here — same stance as the reference's
+    * single-writer Lance datasets). */
   def commit(warehouse: String, table: String, operation: String,
       dirs: Seq[String]): Entry = synchronized {
     val v = latest(warehouse, table).map(_.version).getOrElse(0L) + 1
     val e = Entry(v, operation, System.currentTimeMillis(), dirs)
     Files.createDirectories(versionsDir(warehouse, table))
     Files.writeString(manifestPath(warehouse, table, v), render(e))
+    val key = whKey(warehouse)
+    dirs.foreach(d => inFlight.remove((key, table, d)))
     e
+  }
+
+  /** append-publish: new version = the LATEST version's dirs plus
+    * `newDirs`, with the latest re-read INSIDE the commit lock — a
+    * writer that computed "previous dirs" before its (long) parquet
+    * write would otherwise drop a concurrent append's commit from the
+    * manifest (lost update). */
+  def commitAppend(warehouse: String, table: String, operation: String,
+      newDirs: Seq[String]): Entry = synchronized {
+    val prev = latest(warehouse, table).map(_.dirs).getOrElse(Seq.empty)
+    commit(warehouse, table, operation, prev ++ newDirs)
   }
 
   /** drop manifests older than the newest `retainLast` and every commit

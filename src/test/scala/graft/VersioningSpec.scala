@@ -228,4 +228,58 @@ class VersioningSpec extends AnyFunSuite {
     }
     assert(zerr.getMessage.contains("not supported on partitioned"))
   }
+
+  test("concurrent same-JVM writers get disjoint commit dirs (r10)") {
+    engine.sql("CREATE TABLE ver_race AS SELECT n_nationkey, n_name FROM ver_nation WHERE n_nationkey < 5")
+    // two threads INSERT INTO the same table at once: allocation is a
+    // reservation under the commit lock, so the loser cannot write its
+    // parquet into a directory the winner's manifest references
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try engine.sql(
+          s"INSERT INTO ver_race SELECT n_nationkey + ${100 * (i + 1)}, n_name " +
+            "FROM ver_nation WHERE n_nationkey < 3")
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent inserts must both succeed: ${errs.peek()}")
+    val h = engine.catalog.history("ver_race")
+    assert(h.size == 3, s"create + two inserts expected: ${h.map(_.operation)}")
+    // each insert's FRESH dir (the one not in its predecessor) is unique
+    val freshDirs = h.sliding(2).map { case Seq(prev, cur) =>
+      (cur.dirs.toSet -- prev.dirs.toSet).toSeq
+    }.toSeq
+    assert(freshDirs.forall(_.size == 1), s"one fresh dir per insert: $freshDirs")
+    assert(freshDirs.flatten.distinct.size == 2,
+      s"concurrent inserts must land in DISJOINT commit dirs: $freshDirs")
+    // and the final table holds base + both inserts
+    assert(engine.sql("SELECT count(*) FROM ver_race").collect()(0).getLong(0)
+      == 5 + 3 + 3)
+    engine.sql("DROP TABLE ver_race")
+  }
+
+  test("VERSION AS OF: case-insensitive keywords, comments untouched (r10)") {
+    engine.sql("CREATE TABLE ver_ci AS SELECT n_nationkey FROM ver_nation WHERE n_nationkey < 10")
+    engine.sql("INSERT INTO ver_ci SELECT n_nationkey FROM ver_nation WHERE n_nationkey >= 20")
+    // lowercase keywords must rewrite exactly like uppercase
+    assert(engine.sql("select count(*) from ver_ci version as of 1")
+      .collect()(0).getLong(0) == 10)
+    // the phrase inside comments stays verbatim (the commented table
+    // name must NOT be registered/rewritten): the live reference still
+    // rewrites, the comment text survives analysis untouched
+    assert(engine.sql(
+      """select count(*) -- not this: ver_ci VERSION AS OF 99
+         from ver_ci version as of 1""").collect()(0).getLong(0) == 10)
+    assert(engine.sql(
+      """select /* ver_ci VERSION AS OF 99 */ count(*)
+         from ver_ci VERSION AS OF 2""").collect()(0).getLong(0) == 15)
+    // an apostrophe inside a comment must not flip string state
+    assert(engine.sql(
+      """select count(*) -- don't trip the scanner
+         from ver_ci VERSION AS OF 1""").collect()(0).getLong(0) == 10)
+    engine.sql("DROP TABLE ver_ci")
+  }
 }
