@@ -217,7 +217,8 @@ class AuthStore(warehouse: String) {
 
   // ------------------------------------------------------------ at rest
 
-  private def file: Path = Paths.get(warehouse, "_auth", "auth.json")
+  private def file: String = graft.sources.io.ByteStore.resolve(
+    graft.sources.io.ByteStore.resolve(warehouse, "_auth"), "auth.json")
 
   private def persist(): Unit = {
     def rule(r: Rule): JValue = JObject(List(
@@ -233,13 +234,13 @@ class AuthStore(warehouse: String) {
         "name" -> JString(u.name),
         "password_hash" -> u.passwordHash.map(JString(_): JValue).getOrElse(JNull),
         "roles" -> JArray(u.roles.toList.map(JString(_)))))))))
-    Files.createDirectories(file.getParent)
-    Files.writeString(file, JsonMethods.pretty(JsonMethods.render(doc)))
+    graft.sources.io.ByteStore.writeString(file,
+      JsonMethods.pretty(JsonMethods.render(doc)))
   }
 
   private def load(): Unit = {
-    if (!Files.exists(file)) return
-    val doc = JsonMethods.parse(Files.readString(file))
+    if (!graft.sources.io.ByteStore.exists(file)) return
+    val doc = JsonMethods.parse(graft.sources.io.ByteStore.readString(file))
     def rule(v: JValue): Rule = Rule(
       (v \ "privilege").asInstanceOf[JString].s,
       (v \ "target_type").asInstanceOf[JString].s,

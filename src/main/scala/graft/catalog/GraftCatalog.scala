@@ -1,14 +1,12 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.sources.FileCollection
+import graft.sources.io.ByteStore
 
 /** The engine catalog: JSON-persisted table definitions over a
   * warehouse directory — the Spark re-expression of the reference's
@@ -37,8 +35,12 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   import GraftCatalog._
 
-  private val catalogDir: Path = Paths.get(warehouse, "_catalog")
-  Files.createDirectories(catalogDir)
+  // all metadata I/O (definitions, version manifests, stats, indexes)
+  // rides the ByteStore seam — a warehouse on any Hadoop scheme
+  // (`hdfs://`, `s3a://`) works end-to-end, same as the data files
+  // (which Spark's own parquet reader/writer already handle by scheme)
+  private val catalogDir: String = ByteStore.resolve(warehouse, "_catalog")
+  ByteStore.createDirectories(catalogDir)
 
   // ------------------------------------------------------------ define
 
@@ -119,7 +121,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   def statsDir(name: String): String =
-    Paths.get(warehouse, "_stats", name).toString
+    ByteStore.resolve(ByteStore.resolve(warehouse, "_stats"), name)
 
   def fileStats(name: String): DataFrame =
     graft.stats.FileStats.load(spark, statsDir(name))
@@ -150,7 +152,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       throw new IllegalArgumentException(s"unknown table: $table"))
     require(d.options.contains(s"index.$idxName"), s"no index $idxName on $table")
     persist(d.copy(options = d.options - s"index.$idxName"))
-    deleteRecursively(Paths.get(indexDataDir(table, idxName)))
+    ByteStore.deleteRecursively(indexDataDir(table, idxName))
     refreshIndexRoots()
     graft.plans.IndexPruneRule.register(this)
   }
@@ -163,7 +165,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }).sortBy(_.name)
 
   def indexDataDir(table: String, idx: String): String =
-    Paths.get(warehouse, "_indexes", table, idx).toString
+    ByteStore.resolve(ByteStore.resolve(
+      ByteStore.resolve(warehouse, "_indexes"), table), idx)
 
   /** the files an index build covers: a managed table's parquet data,
     * or an external table over a Spark-native file format */
@@ -176,7 +179,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         // index only the CURRENT version's commit dirs — files retained
         // for time travel must not leak stale rows into index verdicts
         val dirs = TableVersions.latest(warehouse, d.name)
-          .map(e => TableVersions.dataDirs(warehouse, d.name, e).map(Paths.get(_)))
+          .map(e => TableVersions.dataDirs(warehouse, d.name, e))
           .getOrElse(Seq(dataDir(d.name)))
         ("parquet", dirs.flatMap(listParquet), Map.empty)
       case "external" =>
@@ -188,14 +191,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         throw new IllegalArgumentException(s"cannot index $other ${d.name}")
     }
 
-  private def listParquet(dir: Path): Seq[String] = {
-    if (!Files.exists(dir)) return Seq.empty
-    val s = Files.walk(dir)
-    try s.iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(_.toString).toSeq.sorted
-    finally s.close()
-  }
+  private def listParquet(dir: String): Seq[String] =
+    ByteStore.walkFiles(dir).filter(_.endsWith(".parquet"))
 
   /** normalized scan-root → table, for the optimizer rule's O(1) miss.
     * Managed tables map by data directory; external tables map by their
@@ -210,7 +207,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .flatMap { d =>
         val roots =
           if (d.kind == "managed")
-            dataDir(d.name).toString +: TableVersions.latest(warehouse, d.name)
+            dataDir(d.name) +: TableVersions.latest(warehouse, d.name)
               .map(e => TableVersions.dataDirs(warehouse, d.name, e)).getOrElse(Seq.empty)
           else d.paths ++ (
             try FileCollection.expandGlobs(spark, d.paths)
@@ -264,7 +261,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val cdir = TableVersions.nextCommitDir(warehouse, name)
       val w = data.write.mode(SaveMode.Overwrite)
       (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w)
-        .parquet(dataDir(name).resolve(cdir).toString)
+        .parquet(ByteStore.resolve(dataDir(name), cdir))
       TableVersions.commit(warehouse, name,
         if (replacing) "replace" else "create", Seq(cdir))
       persist(d)
@@ -287,7 +284,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val w = (if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0)
         .bucketBy(n, cols.head, cols.tail: _*)
         .sortBy(cols.head, cols.tail: _*)
-        .option("path", dataDir(name).toString)
+        .option("path", dataDir(name))
         .format("parquet")
       w.saveAsTable(name)
       persist(if (partitions.nonEmpty)
@@ -330,7 +327,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         val cdir = TableVersions.nextCommitDir(warehouse, name)
         val w = aligned.write.mode(SaveMode.Overwrite)
         (if (partitionCols(d).nonEmpty) w.partitionBy(partitionCols(d): _*) else w)
-          .parquet(dataDir(name).resolve(cdir).toString)
+          .parquet(ByteStore.resolve(dataDir(name), cdir))
         // append publishes via commitAppend so the previous dir list is
         // re-read inside the commit lock (a concurrent append committed
         // during our parquet write must not be dropped)
@@ -350,15 +347,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def ensureVersioned(name: String): Unit = {
     if (TableVersions.latest(warehouse, name).isDefined) return
     val dd = dataDir(name)
-    if (!Files.exists(dd)) return
-    val entries = {
-      val s = Files.list(dd)
-      try s.iterator().asScala.toVector finally s.close()
-    }
+    if (!ByteStore.exists(dd)) return
+    val entries = ByteStore.list(dd)
     val cdir = TableVersions.nextCommitDir(warehouse, name)
-    val target = dd.resolve(cdir)
-    Files.createDirectories(target)
-    entries.foreach(e => Files.move(e, target.resolve(e.getFileName)))
+    val target = ByteStore.resolve(dd, cdir)
+    ByteStore.createDirectories(target)
+    entries.foreach(e => ByteStore.move(e,
+      ByteStore.resolve(target, ByteStore.fileName(e))))
     TableVersions.commit(warehouse, name, "import", Seq(cdir))
   }
 
@@ -366,7 +361,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def managedRead(name: String): DataFrame =
     TableVersions.latest(warehouse, name) match {
       case Some(e) => versionRead(name, e)
-      case None => spark.read.parquet(dataDir(name).toString)
+      case None => spark.read.parquet(dataDir(name))
     }
 
   /** read one published version. Unpartitioned commits scan as one
@@ -409,7 +404,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val e = TableVersions.get(warehouse, name, version).getOrElse(
       throw new IllegalArgumentException(s"$name has no version $version"))
     e.dirs.foreach { dir =>
-      require(Files.exists(dataDir(name).resolve(dir)),
+      require(ByteStore.exists(ByteStore.resolve(dataDir(name), dir)),
         s"version $version of $name was VACUUMed (missing commit $dir)")
     }
     TableVersions.commit(warehouse, name, s"restore:v$version", e.dirs)
@@ -440,9 +435,9 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       s"OPTIMIZE ... ZORDER BY is not supported on partitioned table $name: " +
         "hive partitioning already owns the directory layout")
     val files = TableVersions.dataDirs(warehouse, name, e)
-      .flatMap(d => listParquet(Paths.get(d)))
+      .flatMap(listParquet)
     val before = files.size
-    val bytes = files.map(f => Files.size(Paths.get(f))).sum
+    val bytes = files.map(ByteStore.size).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = managedRead(name)
     val data =
@@ -456,13 +451,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val cdir = TableVersions.nextCommitDir(warehouse, name)
     val w = data.write.mode(SaveMode.Overwrite)
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(dataDir(name).resolve(cdir).toString)
+      .parquet(ByteStore.resolve(dataDir(name), cdir))
     TableVersions.commit(warehouse, name,
       if (zorder.nonEmpty) s"optimize:zorder(${zorder.mkString(",")})"
       else "optimize", Seq(cdir))
     register(load(name).get)
     refreshIndexRoots()
-    (before, listParquet(dataDir(name).resolve(cdir)).size)
+    (before, listParquet(ByteStore.resolve(dataDir(name), cdir)).size)
   }
 
   /** drop manifests older than the newest `retainLast` plus their
@@ -527,13 +522,12 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (load(name).exists(_.kind == "crawler"))
       CrawlerScheduler.stop(warehouse, name) // triggers die with the definition
     val wasBucketed = load(name).exists(bucketSpec(_).isDefined)
-    Files.deleteIfExists(defPath(name))
+    ByteStore.deleteIfExists(defPath(name))
     spark.catalog.dropTempView(name)
     if (wasBucketed) spark.sql(s"DROP TABLE IF EXISTS ${quote(name)}")
-    val dd = dataDir(name)
-    if (Files.exists(dd)) deleteRecursively(dd)
-    val idx = Paths.get(warehouse, "_indexes", name)
-    if (Files.exists(idx)) deleteRecursively(idx)
+    ByteStore.deleteRecursively(dataDir(name))
+    ByteStore.deleteRecursively(
+      ByteStore.resolve(ByteStore.resolve(warehouse, "_indexes"), name))
     TableVersions.dropAll(warehouse, name) // version log dies with the table
     TableExtensions.dropAll(warehouse, name) // sidecar dies with the table
     refreshIndexRoots()
@@ -570,13 +564,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   /** stage → recreate; returns the staged row count */
   private def cowRecreateBucketed(d: TableDef, data: DataFrame): Long = {
     val (cols, n) = bucketSpec(d).get
-    val tmp = Paths.get(warehouse, s".${d.name}__cow")
-    if (Files.exists(tmp)) deleteRecursively(tmp)
-    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val staged = spark.read.parquet(tmp.toString)
+    val tmp = ByteStore.resolve(warehouse, s".${d.name}__cow")
+    ByteStore.deleteRecursively(tmp)
+    data.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val staged = spark.read.parquet(tmp)
     val count = staged.count()
     createManagedTable(d.name, staged, Some((cols, n)), partitionCols(d))
-    deleteRecursively(tmp)
+    ByteStore.deleteRecursively(tmp)
     count
   }
 
@@ -587,14 +581,11 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       s"$op on bucketed table $name is not supported: the copy-on-write " +
         "rewrite would drop the bucket layout (recreate the table instead)")
 
-  def tables(): Seq[TableDef] = {
-    val s = Files.list(catalogDir)
-    try s.iterator().asScala
-      .filter(_.toString.endsWith(".json"))
-      .map(p => parseDef(Files.readString(p)))
-      .toSeq.sortBy(_.name)
-    finally s.close()
-  }
+  def tables(): Seq[TableDef] =
+    ByteStore.list(catalogDir)
+      .filter(_.endsWith(".json"))
+      .map(p => parseDef(ByteStore.readString(p)))
+      .sortBy(_.name)
 
   /** Restore every persisted definition into the session (dependency
     * order: data tables first, then views, then materialized views —
@@ -669,7 +660,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           val pcols = partitionCols(d)
           // partition discovery types the partition columns and puts
           // them last — exactly the layout the DDL needs
-          val schema = spark.read.parquet(dataDir(d.name).toString).schema
+          val schema = spark.read.parquet(dataDir(d.name)).schema
           val partClause = if (pcols.isEmpty) ""
             else s"PARTITIONED BY (${pcols.map(quote).mkString(", ")}) "
           spark.sql(
@@ -691,7 +682,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // INSERT/DELETE/UPDATE on the base.
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${quote(d.name)} AS ${d.sql.get}")
     case "mview" =>
-      spark.read.parquet(dataDir(d.name).toString).createOrReplaceTempView(d.name)
+      spark.read.parquet(dataDir(d.name)).createOrReplaceTempView(d.name)
     case "crawler" =>
       // restart restores background triggers (manager.rs init: "Load
       // persisted crawlers and start their triggers"); unscheduled
@@ -701,7 +692,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   private def materialize(d: TableDef): Unit =
-    spark.sql(d.sql.get).write.mode(SaveMode.Overwrite).parquet(dataDir(d.name).toString)
+    spark.sql(d.sql.get).write.mode(SaveMode.Overwrite).parquet(dataDir(d.name))
 
   /** copy-on-write commit: the rewritten data lands in a fresh commit
     * directory (a partitioned table's hive layout is preserved inside
@@ -714,33 +705,25 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val pcols = load(name).map(partitionCols).getOrElse(Seq.empty)
     val w = data.write.mode(SaveMode.Overwrite)
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(dataDir(name).resolve(cdir).toString)
+      .parquet(ByteStore.resolve(dataDir(name), cdir))
     TableVersions.commit(warehouse, name, operation, Seq(cdir))
     register(load(name).get)
     refreshIndexRoots() // CoW moved the table onto a fresh commit dir
   }
 
-  private def dataDir(name: String): Path = Paths.get(warehouse, name)
-  private def defPath(name: String): Path = catalogDir.resolve(s"$name.json")
+  private def dataDir(name: String): String = ByteStore.resolve(warehouse, name)
+  private def defPath(name: String): String =
+    ByteStore.resolve(catalogDir, s"$name.json")
 
   private def kindOf(name: String): Option[String] = load(name).map(_.kind)
 
   private def load(name: String): Option[TableDef] = {
     val p = defPath(name)
-    if (Files.exists(p)) Some(parseDef(Files.readString(p))) else None
+    if (ByteStore.exists(p)) Some(parseDef(ByteStore.readString(p))) else None
   }
 
   private def persist(d: TableDef): Unit =
-    Files.writeString(defPath(d.name), renderDef(d))
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.toVector.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
+    ByteStore.writeString(defPath(d.name), renderDef(d))
 
   private def quote(n: String): String = "`" + n.replace("`", "``") + "`"
 }

@@ -133,7 +133,8 @@ class Secrets(spark: SparkSession, warehouse: String) {
 
   // -------------------------------------------------------- at rest
 
-  private def dir: Path = Paths.get(warehouse, "_secrets")
+  private def dir: String =
+    graft.sources.io.ByteStore.resolve(warehouse, "_secrets")
 
   private def persist(): Unit = {
     val doc = JArray(store.values.asScala.filter(_.persistent).toList
@@ -145,16 +146,19 @@ class Secrets(spark: SparkSession, warehouse: String) {
             case (k, v) => k -> (JString(v): JValue)
           })))
       })
-    Files.createDirectories(dir)
+    import graft.sources.io.ByteStore
+    ByteStore.createDirectories(dir)
     val plain = JsonMethods.compact(JsonMethods.render(doc))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    Files.write(dir.resolve("secrets.enc"), Crypto.encrypt(keyBytes(), plain))
+    ByteStore.writeAll(ByteStore.resolve(dir, "secrets.enc"),
+      Crypto.encrypt(keyBytes(), plain))
   }
 
   private def load(): Seq[Secret] = {
-    val f = dir.resolve("secrets.enc")
-    if (!Files.exists(f)) return Seq.empty
-    val plain = Crypto.decrypt(keyBytes(), Files.readAllBytes(f))
+    import graft.sources.io.ByteStore
+    val f = ByteStore.resolve(dir, "secrets.enc")
+    if (!ByteStore.exists(f)) return Seq.empty
+    val plain = Crypto.decrypt(keyBytes(), ByteStore.readAll(f))
     JsonMethods.parse(new String(plain, java.nio.charset.StandardCharsets.UTF_8)) match {
       case JArray(xs) => xs.collect { case o: JObject =>
         val m = o.obj.toMap
@@ -169,18 +173,22 @@ class Secrets(spark: SparkSession, warehouse: String) {
     }
   }
 
-  /** warehouse-local 256-bit key, created on first use, 0600 */
+  /** warehouse-local 256-bit key, created on first use (0600 where the
+    * store is a POSIX filesystem; object stores rely on bucket ACLs) */
   private def keyBytes(): Array[Byte] = {
-    Files.createDirectories(dir)
-    val kf = dir.resolve(".key")
-    if (!Files.exists(kf)) {
+    import graft.sources.io.ByteStore
+    ByteStore.createDirectories(dir)
+    val kf = ByteStore.resolve(dir, ".key")
+    if (!ByteStore.exists(kf)) {
       val k = new Array[Byte](32)
       new java.security.SecureRandom().nextBytes(k)
-      Files.write(kf, k)
-      try Files.setPosixFilePermissions(kf, PosixFilePermissions.fromString("rw-------"))
-      catch { case _: UnsupportedOperationException => () } // non-POSIX FS
+      ByteStore.writeAll(kf, k)
+      if (!ByteStore.hasScheme(kf))
+        try Files.setPosixFilePermissions(Paths.get(ByteStore.toLocal(kf)),
+          PosixFilePermissions.fromString("rw-------"))
+        catch { case _: UnsupportedOperationException => () } // non-POSIX FS
     }
-    Files.readAllBytes(kf)
+    ByteStore.readAll(kf)
   }
 }
 

@@ -29,14 +29,16 @@ object TableExtensions {
   val kinds = Set("mcp", "preset")
   private val presetOps = Set("=", "!=", "<", "<=", ">", ">=", "between", "in")
 
-  def sidecar(warehouse: String, table: String): Path =
-    Paths.get(warehouse, "_extensions", s"$table.json")
+  def sidecar(warehouse: String, table: String): String =
+    graft.sources.io.ByteStore.resolve(
+      graft.sources.io.ByteStore.resolve(warehouse, "_extensions"), s"$table.json")
 
   /** current document (empty object when none set) */
   def load(warehouse: String, table: String): JObject = {
+    import graft.sources.io.ByteStore
     val p = sidecar(warehouse, table)
-    if (!Files.exists(p)) JObject(Nil)
-    else JsonMethods.parse(Files.readString(p)) match {
+    if (!ByteStore.exists(p)) JObject(Nil)
+    else JsonMethods.parse(ByteStore.readString(p)) match {
       case o: JObject => o
       case other => throw new IllegalStateException(s"bad extensions sidecar: $other")
     }
@@ -55,23 +57,23 @@ object TableExtensions {
     }
     val doc = JObject(load(warehouse, table).obj.filterNot(_._1 == k) :+ (k -> (payload: JValue)))
     validate(doc, schema)
-    val p = sidecar(warehouse, table)
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, JsonMethods.pretty(JsonMethods.render(doc)))
+    graft.sources.io.ByteStore.writeString(sidecar(warehouse, table),
+      JsonMethods.pretty(JsonMethods.render(doc)))
   }
 
   /** remove one kind; an empty document deletes the sidecar */
   def drop(warehouse: String, table: String, kind: String): Unit = {
     val k = kind.toLowerCase
     require(kinds(k), s"unknown extension kind '$kind'; expected one of: mcp, preset")
+    import graft.sources.io.ByteStore
     val remaining = load(warehouse, table).obj.filterNot(_._1 == k)
     val p = sidecar(warehouse, table)
-    if (remaining.isEmpty) { Files.deleteIfExists(p): Unit }
-    else Files.writeString(p, JsonMethods.pretty(JsonMethods.render(JObject(remaining))))
+    if (remaining.isEmpty) { ByteStore.deleteIfExists(p): Unit }
+    else ByteStore.writeString(p, JsonMethods.pretty(JsonMethods.render(JObject(remaining))))
   }
 
   def dropAll(warehouse: String, table: String): Unit = {
-    Files.deleteIfExists(sidecar(warehouse, table)): Unit
+    graft.sources.io.ByteStore.deleteIfExists(sidecar(warehouse, table)): Unit
   }
 
   /** the SHOW EXTENSIONS payload: the whole document as one JSON string */

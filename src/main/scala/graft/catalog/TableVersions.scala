@@ -1,10 +1,9 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-
 import org.json4s._
 import org.json4s.jackson.JsonMethods
+
+import graft.sources.io.ByteStore
 
 /** Version log for managed tables — the Spark re-expression of the
   * reference's Lance-backed versioned commits (beacon-lance/src/io.rs:207
@@ -36,6 +35,10 @@ import org.json4s.jackson.JsonMethods
   *  - RESTORE → manifest = the restored version's dirs (metadata-only),
   *  - VACUUM → drops old manifests and any commit directory no retained
   *    manifest references.
+  *
+  * All manifest I/O rides [[ByteStore]], so the warehouse can live on
+  * any Hadoop scheme (`hdfs://`, `s3a://`) as well as local disk — the
+  * same seam every custom reader already uses.
   */
 object TableVersions {
 
@@ -46,21 +49,19 @@ object TableVersions {
       tsMs: Long,
       dirs: Seq[String]) // commit dir names, relative to the table data dir
 
-  private def versionsDir(warehouse: String, table: String): Path =
-    Paths.get(warehouse, "_versions", table)
+  private def versionsDir(warehouse: String, table: String): String =
+    ByteStore.resolve(ByteStore.resolve(warehouse, "_versions"), table)
 
-  private def manifestPath(warehouse: String, table: String, v: Long): Path =
-    versionsDir(warehouse, table).resolve(f"v$v%09d.json")
+  private def manifestPath(warehouse: String, table: String, v: Long): String =
+    ByteStore.resolve(versionsDir(warehouse, table), f"v$v%09d.json")
 
   def list(warehouse: String, table: String): Seq[Entry] = {
     val d = versionsDir(warehouse, table)
-    if (!Files.exists(d)) return Seq.empty
-    val s = Files.list(d)
-    try s.iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d{9}\\.json"))
-      .map(p => parse(Files.readString(p)))
-      .toSeq.sortBy(_.version)
-    finally s.close()
+    if (!ByteStore.exists(d)) return Seq.empty
+    ByteStore.list(d)
+      .filter(p => ByteStore.fileName(p).matches("v\\d{9}\\.json"))
+      .map(p => parse(ByteStore.readString(p)))
+      .sortBy(_.version)
   }
 
   def latest(warehouse: String, table: String): Option[Entry] =
@@ -68,12 +69,12 @@ object TableVersions {
 
   def get(warehouse: String, table: String, version: Long): Option[Entry] = {
     val p = manifestPath(warehouse, table, version)
-    if (Files.exists(p)) Some(parse(Files.readString(p))) else None
+    if (ByteStore.exists(p)) Some(parse(ByteStore.readString(p))) else None
   }
 
   /** absolute paths of a version's commit directories */
   def dataDirs(warehouse: String, table: String, e: Entry): Seq[String] =
-    e.dirs.map(d => Paths.get(warehouse, table, d).toString)
+    e.dirs.map(d => ByteStore.resolve(ByteStore.resolve(warehouse, table), d))
 
   // commit dirs ALLOCATED but not yet published: writers call
   // nextCommitDir, spend seconds-to-minutes writing parquet into it,
@@ -86,7 +87,9 @@ object TableVersions {
   private val inFlight = scala.collection.mutable.Set.empty[(String, String, String)]
 
   private def whKey(warehouse: String): String =
-    Paths.get(warehouse).toAbsolutePath.normalize.toString
+    if (ByteStore.hasScheme(warehouse)) warehouse.stripSuffix("/")
+    else java.nio.file.Paths.get(ByteStore.toLocal(warehouse))
+      .toAbsolutePath.normalize.toString
 
   /** atomically allocate-and-reserve the next commit directory name
     * (not created on disk — the parquet write creates it); the
@@ -114,8 +117,8 @@ object TableVersions {
       dirs: Seq[String]): Entry = synchronized {
     val v = latest(warehouse, table).map(_.version).getOrElse(0L) + 1
     val e = Entry(v, operation, System.currentTimeMillis(), dirs)
-    Files.createDirectories(versionsDir(warehouse, table))
-    Files.writeString(manifestPath(warehouse, table, v), render(e))
+    ByteStore.createDirectories(versionsDir(warehouse, table))
+    ByteStore.writeString(manifestPath(warehouse, table, v), render(e))
     val key = whKey(warehouse)
     dirs.foreach(d => inFlight.remove((key, table, d)))
     e
@@ -144,26 +147,17 @@ object TableVersions {
     val keepDirs = kept.flatMap(_.dirs).toSet
     val deadDirs = dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
     deadDirs.foreach { d =>
-      deleteRecursively(Paths.get(warehouse, table, d))
+      ByteStore.deleteRecursively(
+        ByteStore.resolve(ByteStore.resolve(warehouse, table), d))
     }
-    dropped.foreach(e => Files.deleteIfExists(manifestPath(warehouse, table, e.version)))
+    dropped.foreach(e =>
+      ByteStore.deleteIfExists(manifestPath(warehouse, table, e.version)))
     (dropped.size, deadDirs.size)
   }
 
   /** remove the whole version log (DROP TABLE) */
-  def dropAll(warehouse: String, table: String): Unit = {
-    val d = versionsDir(warehouse, table)
-    if (Files.exists(d)) deleteRecursively(d)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.toVector.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  def dropAll(warehouse: String, table: String): Unit =
+    ByteStore.deleteRecursively(versionsDir(warehouse, table))
 
   private def render(e: Entry): String =
     JsonMethods.pretty(JsonMethods.render(JObject(List(

@@ -180,10 +180,11 @@ object ArrowSource {
     val root = VectorSchemaRoot.create(aschema, alloc)
     // the caller owns `out` (and writes a completion receipt after the
     // Arrow bytes) — the writer must not close the socket under it
-    val noClose = new java.io.FilterOutputStream(out) {
+    val underlying = out
+    val noClose = new java.io.FilterOutputStream(underlying) {
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        out.write(b, off, len)
-      override def close(): Unit = out.flush()
+        underlying.write(b, off, len)
+      override def close(): Unit = underlying.flush()
     }
     val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
       java.nio.channels.Channels.newChannel(noClose))

@@ -125,6 +125,87 @@ object ByteStore {
   def resolve(dir: String, child: String): String =
     if (dir.endsWith("/")) dir + child else dir + "/" + child
 
+  // ------------------------------------------------ writes / management
+  // (the catalog + version-log seam: manifests and table definitions go
+  // through these, so a `hdfs://`/`s3a://` warehouse works end-to-end —
+  // every write is whole-object create-or-replace, no appends, matching
+  // the no-rename object-store commit protocol)
+
+  def writeString(path: String, content: String): Unit =
+    writeAll(path, content.getBytes(StandardCharsets.UTF_8))
+
+  def writeAll(path: String, bytes: Array[Byte]): Unit =
+    if (hasScheme(path)) {
+      val (f, p) = fs(path)
+      val out = f.create(p, true)
+      try out.write(bytes) finally out.close()
+    } else {
+      val p = Paths.get(toLocal(path))
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.write(p, bytes): Unit
+    }
+
+  /** mkdir -p; a no-op concept on object stores (Hadoop mkdirs is cheap
+    * and some connectors materialize a marker — either is fine) */
+  def createDirectories(path: String): Unit =
+    if (hasScheme(path)) { val (f, p) = fs(path); f.mkdirs(p): Unit }
+    else Files.createDirectories(Paths.get(toLocal(path))): Unit
+
+  def deleteIfExists(path: String): Boolean =
+    if (hasScheme(path)) { val (f, p) = fs(path); f.delete(p, false) }
+    else Files.deleteIfExists(Paths.get(toLocal(path)))
+
+  def deleteRecursively(path: String): Unit =
+    if (hasScheme(path)) {
+      val (f, p) = fs(path)
+      if (f.exists(p)) { f.delete(p, true): Unit }
+    } else {
+      def rec(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().asScala.toVector.foreach(rec) finally s.close()
+        }
+        Files.deleteIfExists(p): Unit
+      }
+      rec(Paths.get(toLocal(path)))
+    }
+
+  def move(src: String, dst: String): Unit =
+    if (hasScheme(src) || hasScheme(dst)) {
+      require(hasScheme(src) && hasScheme(dst),
+        s"move must stay within one store: $src -> $dst")
+      val (f, sp) = fs(src)
+      require(f.rename(sp, new HPath(dst)), s"rename failed: $src -> $dst")
+    } else
+      Files.move(Paths.get(toLocal(src)), Paths.get(toLocal(dst))): Unit
+
+  /** recursive REGULAR-file listing under a directory (sorted) */
+  def walkFiles(path: String): Seq[String] =
+    if (hasScheme(path)) {
+      val (f, p) = fs(path)
+      if (!f.exists(p)) Seq.empty
+      else {
+        // manual listStatus recursion rather than listFiles(recursive):
+        // the latter builds LocatedFileStatus, which some FileSystem
+        // implementations make eagerly load permissions
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        def rec(st: org.apache.hadoop.fs.FileStatus): Unit =
+          if (st.isDirectory) f.listStatus(st.getPath).foreach(rec)
+          else out += st.getPath.toString
+        rec(f.getFileStatus(p))
+        out.toSeq.sorted
+      }
+    } else {
+      val root = Paths.get(toLocal(path))
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val s = Files.walk(root)
+        try s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(_.toString).toSeq.sorted
+        finally s.close()
+      }
+    }
+
   // ------------------------------------------------------------- reads
 
   def readAll(path: String): Array[Byte] =
@@ -160,7 +241,7 @@ object ByteStore {
         handleCap, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, org.apache.hadoop.fs.FSDataInputStream]): Boolean = {
-          val evict = size() > handleCap
+          val evict = this.size() > handleCap
           if (evict) { try e.getValue.close() catch { case _: java.io.IOException => () } }
           evict
         }

@@ -52,8 +52,9 @@ object QueryMetrics {
 
   private def append(warehouse: String, funcName: String, qe: QueryExecution,
       durationNs: Long, error: Option[String]): Unit = {
-    val dir = Paths.get(warehouse, SubDir)
-    Files.createDirectories(dir)
+    val remote = graft.sources.io.ByteStore.hasScheme(warehouse)
+    val dir = Paths.get(warehouse, SubDir) // only dereferenced when local
+    if (!remote) Files.createDirectories(dir)
     val resultRows = qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
     val nodeMetrics = JObject(
       qe.executedPlan.collect {
@@ -72,16 +73,27 @@ object QueryMetrics {
       "node_metrics" -> JString(JsonMethods.compact(JsonMethods.render(nodeMetrics)))) ++
       error.map(e => "error" -> (JString(oneLine(e, 500)): JValue)).toList)
     val line = JsonMethods.compact(JsonMethods.render(row)) + "\n"
-    // one file per JVM keeps cross-process appends separate; the lock
-    // serializes same-JVM listeners (two sessions on one warehouse)
-    val f = dir.resolve(s"metrics-$pidSuffix.jsonl")
-    appendLock.synchronized {
-      Files.write(f, line.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    if (remote) {
+      // object stores don't append: one small immutable object per
+      // recorded query (pid+seq names keep writers collision-free);
+      // show() unions every .jsonl object, so the surface is unchanged
+      graft.sources.io.ByteStore.writeString(
+        graft.sources.io.ByteStore.resolve(
+          graft.sources.io.ByteStore.resolve(warehouse, SubDir),
+          s"metrics-$pidSuffix-${seq.incrementAndGet()}.jsonl"), line)
+    } else {
+      // one file per JVM keeps cross-process appends separate; the lock
+      // serializes same-JVM listeners (two sessions on one warehouse)
+      val f = dir.resolve(s"metrics-$pidSuffix.jsonl")
+      appendLock.synchronized {
+        Files.write(f, line.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
     }
   }
 
   private val appendLock = new Object
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private lazy val pidSuffix: String =
     java.lang.ProcessHandle.current().pid().toString
@@ -94,15 +106,14 @@ object QueryMetrics {
   /** `SHOW QUERY METRICS`: the persisted rows, newest first */
   def show(spark: SparkSession, warehouse: String): DataFrame = {
     import spark.implicits._
-    val dir = Paths.get(warehouse, SubDir)
+    import graft.sources.io.ByteStore
+    val dir = ByteStore.resolve(warehouse, SubDir)
     val rows = scala.collection.mutable.ArrayBuffer.empty[
       (String, java.sql.Timestamp, String, String, Long, Long, String)]
-    if (Files.isDirectory(dir)) {
-      val files = Files.list(dir).iterator()
-      while (files.hasNext) {
-        val f: Path = files.next()
-        if (f.getFileName.toString.endsWith(".jsonl"))
-          Files.readAllLines(f, StandardCharsets.UTF_8).forEach { line =>
+    if (ByteStore.isDirectory(dir)) {
+      ByteStore.list(dir).foreach { f =>
+        if (f.endsWith(".jsonl"))
+          ByteStore.readString(f).split("\n", -1).foreach { line =>
             if (line.nonEmpty)
               try {
                 val j = JsonMethods.parse(line)

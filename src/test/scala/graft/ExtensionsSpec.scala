@@ -86,10 +86,10 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("DROP TABLE removes the sidecar") {
-    assert(java.nio.file.Files.exists(
+    assert(graft.sources.io.ByteStore.exists(
       graft.catalog.TableExtensions.sidecar(wh, "ext")))
     engine.sql("DROP TABLE ext")
-    assert(!java.nio.file.Files.exists(
+    assert(!graft.sources.io.ByteStore.exists(
       graft.catalog.TableExtensions.sidecar(wh, "ext")))
   }
 }
