@@ -93,7 +93,7 @@ object CuratePipeline {
     (st \ "op") match {
       case JString(op) => Set("lm_quality_filter", "perplexity_filter",
         "dsir_filter", "minhash_neardup", "decontaminate",
-        "dedup_substrings")(op)
+        "dedup_substrings", "tokenize")(op)
       case _ => false
     }
 
@@ -218,6 +218,48 @@ object CuratePipeline {
         Sampling.materializeMixture(df, str(st, "group"), idCol,
           str(st, "salt"), rateMap(st, "weights"),
           defaultWeight = dbl(st, "default_weight", 1.0))
+      case "tokenize" =>
+        // text → BPE token ids against a fixed merge table (inline
+        // `merges` pairs or a merges.txt-style artifact at
+        // `merges_path` — the trained-vocab handoff): APPENDS
+        // token_ids + n_bpe_tokens to the row. The id vocabulary is
+        // corpus-relative (characters ranked over the CURRENT stage
+        // input + merges, like the other model-based stages); encode
+        // itself is a map-only codegen pass, and the vocab rides as a
+        // driver-bounded broadcast literal (alphabet + merge count).
+        val merges = mergesOf(st)
+        val lower = bool(st, "lower", default = true)
+        val vocabIds = graft.operators.Bpe.vocab(df, textCol, merges, lower)
+          .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+        val ids = graft.operators.Bpe
+          .encodeIds(df, textCol, idCol, merges, vocabIds, lower)
+          .select(col("doc_id").as(idCol), col("token_ids"), col("n_bpe_tokens"))
+        df.join(ids, Seq(idCol))
+      case "pack" =>
+        // terminal trainer-feed stage: concatenate token_ids in idCol
+        // order and cut every seq_len tokens (sequences cross document
+        // boundaries, GPT-style). Output rows are SEQUENCES
+        // (seq_id, n_tokens, input_ids), not documents — put it last.
+        // `shard` packs shard-locally in parallel (the 100 TB path);
+        // `eos_id` appends the document separator before packing.
+        if (!df.columns.contains("token_ids"))
+          throw new DslException(
+            "pack needs a 'token_ids' column — put a tokenize stage before it")
+        val seqLen = int(st, "seq_len", -1) match {
+          case n if n > 0 => n
+          case _ => throw new DslException("pack needs a positive 'seq_len'")
+        }
+        val shard = st \ "shard" match {
+          case JString(s) => Some(s)
+          case JNothing => None
+          case other => throw new DslException(s"'shard' must be a string, got $other")
+        }
+        val eos = st \ "eos_id" match {
+          case JInt(i) => Some(i.toLong)
+          case JNothing => None
+          case other => throw new DslException(s"'eos_id' must be an integer, got $other")
+        }
+        Sampling.packTokenIds(df, "token_ids", idCol, seqLen, shard, eos)
       case other =>
         throw new DslException(s"unknown curate op '$other'")
     }
@@ -227,6 +269,33 @@ object CuratePipeline {
     case JString(s) => s
     case _ => throw new DslException(s"stage needs string '$field': $st")
   }
+
+  /** tokenize's merge table: inline `"merges": [["e","r"], …]`, or
+    * `"merges_path"` naming a merges.txt-style artifact (one
+    * whitespace-separated pair per line, `#` comments) read through
+    * the ByteStore seam so vocab artifacts can live on the object
+    * store next to the data */
+  private def mergesOf(st: JValue): Seq[(String, String)] =
+    (st \ "merges", st \ "merges_path") match {
+      case (JArray(xs), JNothing) => xs.map {
+        case JArray(List(JString(l), JString(r))) => (l, r)
+        case other =>
+          throw new DslException(s"each merge must be a [left, right] pair: $other")
+      }
+      case (JNothing, JString(path)) =>
+        graft.sources.io.ByteStore.readString(path)
+          .split("\n").map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+          .map(l => l.split("\\s+") match {
+            case Array(a, b) => (a, b)
+            case _ => throw new DslException(s"bad merges line: '$l'")
+          })
+      case (JNothing, JNothing) =>
+        throw new DslException(
+          "tokenize needs 'merges' (array of pairs) or 'merges_path'")
+      case _ =>
+        throw new DslException("tokenize takes 'merges' or 'merges_path', not both")
+    }
 
   private def int(st: JValue, field: String, default: Int): Int = st \ field match {
     case JInt(i) => i.toInt

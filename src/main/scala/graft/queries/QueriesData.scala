@@ -709,6 +709,28 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- curation pipeline v4: the TRAINER-FEED tail — a filter
+    // stage (per-source cap by the md5 bit contract) feeding
+    // `tokenize` (BPE ids against a fixed merge table; the id
+    // vocabulary is corpus-relative, ranked over what the cap kept)
+    // and the terminal `pack` (sequences of 64, crossing doc
+    // boundaries). Oracle = cap CTE → the shared BPE-replay CTEs over
+    // the capped set → the packing window replay.
+    "q_curate_pipeline_v4" -> { (s, dir) =>
+      val spec = """{"stages": [
+        {"op": "cap_per_group", "group": "source", "salt": "cap-v1", "cap": 7},
+        {"op": "tokenize", "merges": [["e","r"],["t","h"],["th","e"],
+                                      ["i","n"],["a","n"],["an","d"]]},
+        {"op": "pack", "seq_len": 64}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(
+          Tables.load(s, dir, "documents").select("doc_id", "source", "text"), spec)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -964,12 +986,14 @@ object QueriesData {
     * summed per (query, neighbor). dim=64 hardwired like the IVF CTEs. */
   /** the BPE id-encoding replay (6 fixed merges over lowered \s+
     * words) as a CTE chain ending in `docids (doc_id, ids)` — shared
-    * by the per-doc id gate and the token-packing gate */
-  private val bpeIdsCtes: String =
+    * by the per-doc id gate, the token-packing gate and the curation
+    * v4 chain (which runs it over a FILTERED source CTE, so the
+    * corpus-relative char vocabulary ranks over what the filter kept) */
+  private def bpeIdsCtesOver(src: String): String =
     raw"""toks2 AS (
            SELECT unnest(list_filter(
              string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
-           FROM documents),
+           FROM $src),
          chars AS (SELECT DISTINCT substr(w, i, 1) AS symbol
                    FROM toks2, unnest(range(1, len(w) + 1)) t(i)),
          ranked AS (SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS token_id,
@@ -988,13 +1012,32 @@ object QueriesData {
                     trim(regexp_replace(w, '(.)', '\1 ', 'g')),
                     'e r', 'er'), 't h', 'th'), 'th e', 'the'),
                     'i n', 'in'), 'a n', 'an'), 'an d', 'and')) AS ws
-           FROM documents),
+           FROM $src),
          docids AS (
            SELECT doc_id, list_transform(
              list_filter(flatten(list_transform(ws, w -> string_split(w, ' '))),
                s -> len(s) > 0),
              s -> coalesce(vm.m[s][1], -1)) AS ids
            FROM enc, vm)"""
+
+  private val bpeIdsCtes: String = bpeIdsCtesOver("documents")
+
+  /** the token-packing window replay over `docids` (seqLen 64) —
+    * shared by q_pack_token_ids and the curation v4 oracle */
+  private val packCtes: String =
+    """offs AS (SELECT doc_id, ids,
+             coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM docids),
+         ex AS (SELECT off + generate_subscripts(ids, 1) - 1 AS gpos,
+                       unnest(ids) AS id
+                FROM offs),
+         pk AS (SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+                       gpos % 64 AS slot, id FROM ex),
+         sq AS (SELECT seq_id, count(*) AS n_tokens,
+                  md5(array_to_string(
+                    list(CAST(id AS VARCHAR) ORDER BY slot), ' ')) AS ids_md5
+                FROM pk GROUP BY 1)"""
 
   /** stupid-backoff scoring as a prefixable CTE chain (no WITH):
     * counts from `trainFrom`, scores over `scoreFrom`; exposes
@@ -1769,19 +1812,7 @@ object QueriesData {
     // offsets, global position // 64 = sequence, ordered reassembly
     "q_pack_token_ids" ->
       s"""WITH $bpeIdsCtes,
-         offs AS (SELECT doc_id, ids,
-             coalesce(sum(len(ids)) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-           FROM docids),
-         ex AS (SELECT off + generate_subscripts(ids, 1) - 1 AS gpos,
-                       unnest(ids) AS id
-                FROM offs),
-         pk AS (SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
-                       gpos % 64 AS slot, id FROM ex),
-         sq AS (SELECT seq_id, count(*) AS n_tokens,
-                  md5(array_to_string(
-                    list(CAST(id AS VARCHAR) ORDER BY slot), ' ')) AS ids_md5
-                FROM pk GROUP BY 1)
+         $packCtes
          SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
     // each pipeline stage replayed as one CTE, chained in stage order;
     // dedup partitions on the fingerprint contract, the cap on the
@@ -1890,6 +1921,19 @@ object QueriesData {
                ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1)
          SELECT doc_id, lang, source, md5(text) AS text_md5 FROM s3
          ORDER BY doc_id""",
+    // v4 trainer-feed tail: the per-source cap CTE (md5 bit contract),
+    // then the SHARED BPE-replay CTEs over the capped set (the char
+    // vocabulary ranks over what the cap kept — corpus-relative), then
+    // the shared packing window replay
+    "q_curate_pipeline_v4" ->
+      s"""WITH cap AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (PARTITION BY source
+               ORDER BY (md5_number_lower(CAST(doc_id AS VARCHAR) || 'cap-v1')
+                           % 281474976710656) % 1073741824, doc_id) AS rn
+             FROM documents) t WHERE rn <= 7),
+         ${bpeIdsCtesOver("cap")},
+         $packCtes
+         SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
     // the C4 §2.2 line rules verbatim: terminal punctuation, ≥3
     // whitespace words, javascript/lorem ipsum/'{' blocklist; doc gate
     // = ≥5 terminal-punctuation runs in the kept text

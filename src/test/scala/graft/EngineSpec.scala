@@ -516,4 +516,64 @@ class EngineSpec extends AnyFunSuite {
     assert(tCounts("small") == 50L, "smallest group keeps 100%")
     assert(tCounts("big") < 250L, "larger group downsamples")
   }
+
+  test("curate DSL v4 stages: tokenize + pack materialize trainer sequences (r10)") {
+    import spark.implicits._
+    import graft.dsl.CuratePipeline
+    def longs(r: org.apache.spark.sql.Row, field: String): List[Long] =
+      r.get(r.fieldIndex(field)) match {
+        case s: scala.collection.Seq[_] => s.iterator.map(_.asInstanceOf[Long]).toList
+        case other => fail(s"expected a seq at $field, got $other")
+      }
+    val docs = Seq(
+      (1L, "the inner thread and the other end"),
+      (2L, "another band in the ander"),
+      (3L, "hand it in then and there")).toDF("doc_id", "text")
+    val merges = """[["e","r"],["t","h"],["th","e"],["i","n"],["a","n"],["an","d"]]"""
+    // tokenize APPENDS token_ids/n_bpe_tokens; rows stay documents
+    val tok = CuratePipeline.compile(docs,
+      s"""{"stages": [{"op": "tokenize", "merges": $merges}]}""")
+    assert(tok.columns.toSeq == Seq("doc_id", "text", "token_ids", "n_bpe_tokens"))
+    assert(tok.count() == 3)
+    val perDoc = tok.orderBy("doc_id").collect()
+      .map(longs(_, "token_ids"))
+    // note: the literal replace-chain contract can merge across symbol
+    // boundaries ("o th er" + 'th e'→'the' yields "o ther"), and such
+    // out-of-vocab symbols take the UNK id −1 — the oracle replays the
+    // identical chain, so engine and oracle agree on the full stream
+    assert(perDoc.forall(_.nonEmpty))
+    assert(perDoc.flatten.count(_ >= 0) > perDoc.flatten.length / 2,
+      "most symbols resolve in the corpus-built vocab")
+    // pack cuts the concatenated stream every seq_len tokens
+    val packed = CuratePipeline.compile(docs,
+      s"""{"stages": [{"op": "tokenize", "merges": $merges},
+                      {"op": "pack", "seq_len": 10}]}""")
+      .orderBy("seq_id").collect()
+    val total = perDoc.map(_.size).sum
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum == total)
+    assert(packed.init.forall(_.getAs[Long]("n_tokens") == 10L),
+      "all but the tail sequence are full")
+    assert(longs(packed.head, "input_ids") == perDoc.flatten.take(10).toList,
+      "sequence 0 = the first 10 tokens of the doc-ordered stream")
+    // merges_path: the same table as a merges.txt-style artifact
+    val mf = java.nio.file.Files.createTempFile("graft-merges", ".txt")
+    java.nio.file.Files.writeString(mf,
+      "# merges v1\ne r\nt h\nth e\ni n\na n\nan d\n")
+    val viaPath = CuratePipeline.compile(docs,
+      s"""{"stages": [{"op": "tokenize", "merges_path": "$mf"},
+                      {"op": "pack", "seq_len": 10}]}""")
+      .orderBy("seq_id").collect()
+    assert(viaPath.map(longs(_, "input_ids").mkString(" ")).toSeq ==
+      packed.map(longs(_, "input_ids").mkString(" ")).toSeq,
+      "a path-referenced vocab artifact must encode identically")
+    // error shapes
+    val noIds = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(docs, """{"stages": [{"op": "pack", "seq_len": 8}]}""")
+    }
+    assert(noIds.getMessage.contains("tokenize stage before"))
+    val noMerges = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(docs, """{"stages": [{"op": "tokenize"}]}""")
+    }
+    assert(noMerges.getMessage.contains("merges"))
+  }
 }
