@@ -122,6 +122,10 @@ object Attachments {
     }
 
   private val redactedKeys = Set("token", "password", "secret", "key", "key_id")
+  private def redacted(k: String): Boolean = {
+    val l = k.toLowerCase
+    redactedKeys(l) || l.endsWith("_password") || l.endsWith("_secret")
+  }
 
   def attach(spark: SparkSession, name: String, url: String,
       options: Map[String, String]): Attachment = {
@@ -143,7 +147,7 @@ object Attachments {
       .map { case (s, ts) => s -> ts.sorted }
       .filter { case (s, _) => !s.equalsIgnoreCase("information_schema") }
     val shown = options.toSeq.sortBy(_._1).map { case (k, v) =>
-      k -> (if (redactedKeys(k.toLowerCase)) "<redacted>" else v)
+      k -> (if (redacted(k)) "<redacted>" else v)
     }
     val att = Attachment(name, url, instance match {
       case _: JdbcEndpoint => "jdbc"
