@@ -447,6 +447,17 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- multinomial Naive Bayes classification (r10): the
+    // fastText-style quality/domain classifier stand-in — trained on
+    // the corpus's own lang labels, classifying every doc; Laplace +1,
+    // vocab-ignored OOV, argmax on the 6-decimal-rounded score with
+    // label tiebreak (the exactly-replayable decision contract)
+    "q_nb_classify" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.NbClassifier.classify(docs, "text", "lang", docs, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- stupid-backoff bigram LM perplexity (Brants et al. 2007;
     // the CCNet-style model-based quality gate): self-trained counts,
     // α=0.4 backoff, +1-floored unigrams, document ppl = 10^(−avg
@@ -1591,6 +1602,52 @@ object QueriesData {
         SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
                round(coalesce(s.s, 0.0), 4) AS lm_score
         FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id""",
+    // the NB model replayed count-for-count: (label, token) counts,
+    // Laplace +1 over vocab V, prior ln(docs_c/N), argmax on
+    // round(s,6) with label tiebreak; round(,4) on the reported score
+    "q_nb_classify" ->
+      raw"""WITH ttoks AS (
+          SELECT lang AS c, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+          FROM documents),
+        cl AS (SELECT c, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT tok FROM cl),
+        vs AS (SELECT count(*) AS v FROM vocab),
+        ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS ctok FROM cl GROUP BY 1),
+        pr AS (SELECT lang AS c, count(*) AS cdocs FROM documents GROUP BY 1),
+        n AS (SELECT count(*) AS nd FROM documents),
+        classes AS (SELECT pr.c,
+            ln(CAST(cdocs AS DOUBLE) / CAST(nd AS DOUBLE)) AS prior,
+            coalesce(ctok, 0) AS ctok
+          FROM pr CROSS JOIN n LEFT JOIN ct ON pr.c = ct.c),
+        dtf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+            FROM documents) GROUP BY 1, 2),
+        dtv AS (SELECT * FROM dtf WHERE tok IN (SELECT tok FROM vocab)),
+        fan AS (SELECT d.doc_id, cls.c, cls.prior, cls.ctok, d.tf,
+                  coalesce(cl.cnt, 0) AS cnt
+                FROM dtv d CROSS JOIN classes cls
+                LEFT JOIN cl ON cl.c = cls.c AND cl.tok = d.tok),
+        sc AS (SELECT doc_id, c, any_value(prior) AS prior,
+                 any_value(ctok) AS ctok,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 sum(CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) + 1.0)) AS num
+               FROM fan GROUP BY 1, 2),
+        sc2 AS (SELECT doc_id, c, n_tokens,
+                  prior + num - CAST(n_tokens AS DOUBLE)
+                    * ln(CAST(ctok AS DOUBLE) + CAST(v AS DOUBLE)) AS s
+                FROM sc CROSS JOIN vs),
+        best AS (SELECT doc_id, c AS pred, round(s, 4) AS score, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY round(s, 6) DESC, c ASC) AS rn FROM sc2) WHERE rn = 1),
+        fb AS (SELECT c AS fc, round(prior, 4) AS fs FROM classes
+               ORDER BY round(prior, 6) DESC, c ASC LIMIT 1)
+        SELECT d.doc_id, coalesce(b.pred, fb.fc) AS pred,
+               coalesce(b.score, fb.fs) AS score,
+               coalesce(b.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN best b USING (doc_id) CROSS JOIN fb
+        ORDER BY d.doc_id""",
     // stupid backoff replayed as SQL: lag() builds the bigram context
     // (the engine builds it row-locally — same pairs), CASE mirrors the
     // seen-context / α-backoff / document-start rule exactly

@@ -1205,4 +1205,40 @@ class OperatorsSpec extends AnyFunSuite {
     // cos(2,3)≈0.999 ≥ τ → 3 drops because of the dropped 2
     assert(chainOut.toSeq == Seq((1L, true), (2L, false), (3L, false)))
   }
+
+  test("naive bayes classifier: hand-computed posteriors, OOV ignore, prior fallback (r10)") {
+    import spark.implicits._
+    // training: two classes with disjoint-ish vocab
+    // class a: tokens {cat:3, fish:1}, 2 docs; class b: {dog:3, bone:1}, 2 docs
+    val labeled = Seq(
+      ("cat cat fish", "a"), ("cat", "a"),
+      ("dog dog bone", "b"), ("dog", "b")).toDF("text", "label")
+    // V = 4 (cat, fish, dog, bone); ctok_a = 4, ctok_b = 4; priors ln(1/2)
+    val docs = Seq(
+      (1L, "cat fish"),        // a: ln.5+ln(4/8)+ln(2/8); b: ln.5+2·ln(1/8) → a
+      (2L, "dog dog"),          // b by a mile
+      (3L, "cat zebra dog dog"),// zebra is OOV → ignored; dogs outvote cat → b
+      (4L, "zebra quagga"),     // all OOV → prior fallback (tie → label 'a')
+      (5L, "")                  // empty → same fallback
+    ).toDF("doc_id", "text")
+    val out = NbClassifier.classify(labeled, "text", "label", docs, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "a"), (5L, "a")))
+    // doc 1 hand-check: prior ln(.5) + ln((3+1)/(4+4)) + ln((1+1)/(4+4))
+    val expected1 = math.log(0.5) + math.log(4.0 / 8) + math.log(2.0 / 8)
+    assert(math.abs(out(0)._3 - expected1) < 1e-3, s"got ${out(0)._3}")
+    // OOV tokens don't count toward n_tokens
+    assert(out(2)._4 == 3L, "zebra is out-of-vocabulary")
+    // fallback docs report the prior as the score, zero scored tokens
+    assert(out(3)._4 == 0L && out(4)._4 == 0L)
+    assert(math.abs(out(3)._3 - math.log(0.5)) < 1e-3)
+    // minCount prunes rare (token, class) counts out of the model AND
+    // the vocabulary: fish/bone disappear at minCount=2, so doc 1
+    // scores on 'cat' alone
+    val pruned = NbClassifier.classify(labeled, "text", "label", docs, "doc_id",
+      minCount = 2L).orderBy("doc_id").collect()
+    assert(pruned(0).getString(1) == "a" && pruned(0).getLong(3) == 1L)
+  }
 }
