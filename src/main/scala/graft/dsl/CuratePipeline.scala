@@ -31,7 +31,9 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *   {"op": "temperature_sample", "group": "lang", "salt": "v1", "alpha": 0.5},
   *   {"op": "cap_per_group", "group": "source", "salt": "v1", "cap": 7},
   *   {"op": "mixture", "group": "source", "salt": "v1",
-  *    "weights": {"wiki": 2.5}, "default_weight": 1.0}
+  *    "weights": {"wiki": 2.5}, "default_weight": 1.0},
+  *   {"op": "tokenize", "merges": [["e","r"], ["t","h"]]},
+  *   {"op": "pack", "seq_len": 2048, "eos_id": 0, "shard": "source"}
   * ]}
   * }}}
   *
@@ -59,6 +61,13 @@ import graft.operators.{Dedup, Sampling, TextOps}
   * input column order; `mixture` additionally APPENDS an `epoch`
   * column and replicates rows, so it belongs at the end of a chain
   * (stages after it still compose — ids are simply no longer unique).
+  * Two stages change shape on purpose, the trainer-feed tail:
+  * `tokenize` appends `token_ids`/`n_bpe_tokens` (map-only encode
+  * against a fixed merge table — inline or a merges.txt artifact via
+  * `merges_path`; corpus-relative vocab, one bounded collect), and the
+  * TERMINAL `pack` replaces documents with fixed-length sequences
+  * (one prefix-sum window — or shard-local with `shard` — plus the
+  * one seq_id shuffle).
   * Stage order is the caller's policy — e.g. c4_clean before
   * normalize, because normalization collapses the newlines the line
   * rules read; dedup before sampling so survivors don't depend on

@@ -28,18 +28,21 @@ import graft.remote.{RemoteJoinSpec, RemoteScan, RemoteTable}
   * only the final output streams back.
   *
   * Fires only when provably equivalent:
-  *  - both sides are plain remote scans (optionally under
-  *    attribute-only Projects / residual Filters) on the SAME target
-  *    with the SAME credential; neither already a join, neither with a
-  *    pushed limit/TopN/aggregate of its own (a limit under a join is
-  *    order-sensitive — bail);
+  *  - both sides are remote scans (optionally under attribute-only
+  *    Projects / residual Filters) on the SAME target with the SAME
+  *    credential; the LEFT side may itself be an already-merged join
+  *    chain (N-way joins fold left-to-right — the spec list grows by
+  *    one per merge), the RIGHT side must be a plain table; neither
+  *    with a pushed limit/TopN/aggregate of its own (a limit under a
+  *    join is order-sensitive — bail);
   *  - the condition is a conjunction of left-attr = right-attr
   *    equalities (the wire's closed join vocabulary);
   *  - column names across both sides are distinct (the wire addresses
   *    columns by name);
   *  - side predicates commute with the join: both sides hoist above an
-  *    INNER join; for LEFT OUTER any right-side predicate (residual or
-  *    already pushed on the wire) changes null-extension — bail.
+  *    INNER join; for LEFT OUTER a right-side RESIDUAL predicate
+  *    changes null-extension — bail (right-side WIRE filters ride the
+  *    spec and re-apply pre-join, placement preserved).
   * Everything else is left to the normal two-scan client-side join —
   * narrower, never wrong.
   */
@@ -50,7 +53,12 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
   private case class Side(scan: RemoteScan, table: RemoteTable,
       filters: Seq[Expression], output: Seq[AttributeReference])
 
-  private def remoteLeaf(p: LogicalPlan): Option[(DataSourceV2ScanRelation, RemoteScan, RemoteTable)] =
+  /** a remote scan usable as a join side. `allowJoined` = the LEFT
+    * side of a merge may itself be an already-merged join chain (the
+    * fold accumulates left-to-right; the right side must be a plain
+    * table — that is what the wire's closed spec names). */
+  private def remoteLeaf(p: LogicalPlan, allowJoined: Boolean)
+      : Option[(DataSourceV2ScanRelation, RemoteScan, RemoteTable)] =
     p match {
       case sr: DataSourceV2ScanRelation =>
         val t = sr.relation.table match {
@@ -59,8 +67,9 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
           case other => other
         }
         (sr.scan, t) match {
-          case (rs: RemoteScan, rt: RemoteTable) if rt.join.isEmpty &&
-              rs.limit.isEmpty && rs.topNJson.isEmpty && rs.aggJson.isEmpty =>
+          case (rs: RemoteScan, rt: RemoteTable)
+              if (allowJoined || rt.joins.isEmpty) &&
+                rs.limit.isEmpty && rs.topNJson.isEmpty && rs.aggJson.isEmpty =>
             Some((sr, rs, rt))
           case _ => None
         }
@@ -73,16 +82,16 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
   }
 
   /** unwrap attribute-only Project / Filter layers over a remote scan */
-  private def extract(p: LogicalPlan): Option[Side] = p match {
+  private def extract(p: LogicalPlan, allowJoined: Boolean): Option[Side] = p match {
     case Project(projList, child) =>
       for {
         attrs <- attrsOnly(projList)
-        s <- extract(child)
+        s <- extract(child, allowJoined)
       } yield s.copy(output = attrs)
     case Filter(cond, child) =>
-      extract(child).map(s =>
+      extract(child, allowJoined).map(s =>
         s.copy(filters = splitConjuncts(cond) ++ s.filters))
-    case _ => remoteLeaf(p).map { case (sr, rs, rt) =>
+    case _ => remoteLeaf(p, allowJoined).map { case (sr, rs, rt) =>
       Side(rs, rt, Nil, sr.output)
     }
   }
@@ -116,8 +125,10 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
       case j @ Join(left, right, joinType @ (Inner | LeftOuter), Some(cond), hint)
           if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
         val rewritten = for {
-          ls <- extract(left)
-          rs <- extract(right)
+          // left may itself be a merged chain (N-way joins fold
+          // left-to-right); right must be a plain remote table
+          ls <- extract(left, allowJoined = true)
+          rs <- extract(right, allowJoined = false)
           // same peer, same identity: the server authorizes both tables
           // under ONE credential, so mixing attachments must not merge
           if ls.table.target == rs.table.target &&
@@ -147,9 +158,11 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
             // right-side wire filters ride the join spec (pre-join
             // placement — exact for LEFT OUTER, equivalent for INNER);
             // left-side ones re-apply to the joined frame, where the
-            // server's own Catalyst pushes them back below the join
-            Some(RemoteJoinSpec(rs.table.table, on, joinTypeName,
-              rs.scan.pushedJson)),
+            // server's own Catalyst pushes them back below the join.
+            // ls.scan.pushedJson already folds a merged left side's
+            // accumulated baseFilters, so chains lose nothing.
+            ls.table.joins :+ RemoteJoinSpec(rs.table.table, on, joinTypeName,
+              rs.scan.pushedJson),
             ls.scan.pushedJson)
           val rel = new DataSourceV2Relation(joinedTable, outAttrs, None, None,
             CaseInsensitiveStringMap.empty(), None)

@@ -175,14 +175,20 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           RemoteWire.writeFrame(out, ("ok" -> true) ~ ("schema" -> df.schema.json))
         case Some("scan") =>
           val base = authorizedTable(identity, req)
-          // same-peer join pushed across the wire: the server joins the
-          // SECOND authorized table before anything else applies, so
-          // filters/aggregates/TopN below all see the joined frame and
-          // only the join OUTPUT crosses the network (the reference
-          // runs same-remote joins ON the remote — remote-tables.md:41)
-          val df0 = (req \ "join") match {
-            case j: JObject => applyJoin(identity, base, j)
-            case _ => base
+          // same-peer joins pushed across the wire: the server joins
+          // each additional authorized table (left-to-right fold — an
+          // N-way chain arrives as N-1 specs) before anything else
+          // applies, so filters/aggregates/TopN below all see the
+          // joined frame and only the join OUTPUT crosses the network
+          // (the reference runs same-remote joins ON the remote —
+          // remote-tables.md:41)
+          val df0 = (req \ "joins") match {
+            case JArray(specs) =>
+              specs.foldLeft(base)((acc, j) => applyJoin(identity, acc, j))
+            case _ => (req \ "join") match { // single-spec legacy shape
+              case j: JObject => applyJoin(identity, base, j)
+              case _ => base
+            }
           }
           val filtered = (req \ "filters") match {
             case JArray(fs) if fs.nonEmpty =>

@@ -60,31 +60,31 @@ final case class RemoteJoinSpec(rightTable: String,
   * stance as the arrow file source) and feed WholeStageCodegen through
   * ColumnarToRow.
   *
-  * `join` set = this relation IS a same-peer join (placed by
-  * [[RemoteJoinRule]]): the server joins both authorized tables and
-  * everything pushed (filters/columns/aggregates/TopN) applies to the
-  * joined frame — only the join OUTPUT crosses the network.
+  * `joins` non-empty = this relation IS a same-peer join chain
+  * (placed by [[graft.plans.RemoteJoinRule]], one spec per merged
+  * join, folded left-to-right server-side): the server joins every
+  * authorized table and everything pushed (filters/columns/
+  * aggregates/TopN) applies to the joined frame — only the join
+  * OUTPUT crosses the network.
   */
 final class RemoteTable(val target: WireTarget, val credential: Credential,
     val sessionToken: Option[String], val table: String, fullSchema: StructType,
-    val parallelism: Int = 1, val join: Option[RemoteJoinSpec] = None,
+    val parallelism: Int = 1, val joins: List[RemoteJoinSpec] = Nil,
     val baseFilters: List[JValue] = Nil) extends Table with SupportsRead {
 
-  override def name(): String = join match {
-    case Some(j) => s"remote(${target.address}/$table⋈${j.rightTable})"
-    case None => s"remote(${target.address}/$table)"
-  }
+  override def name(): String =
+    s"remote(${target.address}/$table${joins.map("⋈" + _.rightTable).mkString})"
   override def schema(): StructType = fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RemoteScanBuilder(target, credential, sessionToken, table, fullSchema,
-      parallelism, join, baseFilters)
+      parallelism, joins, baseFilters)
 }
 
 final class RemoteScanBuilder(target: WireTarget, credential: Credential,
     sessionToken: Option[String], table: String, fullSchema: StructType,
-    parallelism: Int, join: Option[RemoteJoinSpec],
+    parallelism: Int, joins: List[RemoteJoinSpec],
     baseFilters: List[JValue] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
@@ -212,14 +212,14 @@ final class RemoteScanBuilder(target: WireTarget, credential: Credential,
   override def build(): Scan = new RemoteScan(target, credential,
     sessionToken, table, fullSchema, aggSchema.getOrElse(required),
     pushed, baseFilters ++ pushedJson, limit, topNJson, aggJson,
-    parallelism, join)
+    parallelism, joins)
 }
 
 final class RemoteScan(target: WireTarget, credential: Credential,
     sessionToken: Option[String], table: String, fullSchema: StructType,
     required: StructType, val pushed: Array[Filter], val pushedJson: List[JValue],
     val limit: Option[Int], val topNJson: Option[JValue], val aggJson: Option[JValue],
-    parallelism: Int, join: Option[RemoteJoinSpec])
+    parallelism: Int, joins: List[RemoteJoinSpec])
     extends Scan with Batch {
 
   // count(*)-style scans prune to zero columns; the wire still needs a
@@ -233,8 +233,8 @@ final class RemoteScan(target: WireTarget, credential: Credential,
   override def toBatch: Batch = this
   override def description(): String =
     s"RemoteScan(${target.address}/$table" +
-      join.map(j => s"⋈${j.rightTable} on ${j.on.map { case (l, r) => s"$l=$r" }
-        .mkString(",")}").getOrElse("") +
+      joins.map(j => s"⋈${j.rightTable} on ${j.on.map { case (l, r) => s"$l=$r" }
+        .mkString(",")}").mkString +
       s") PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(l => s" PushedLimit: $l").getOrElse("") +
       topNJson.map(t => s" PushedTopN: ${JsonMethods.compact(JsonMethods.render(t))}")
@@ -267,7 +267,8 @@ final class RemoteScan(target: WireTarget, credential: Credential,
       else 1
     (0 until nParts).map { part =>
       val req: JValue = ("op" -> "scan") ~ ("table" -> table) ~
-        ("join" -> join.map(_.toJson).getOrElse(JNothing: JValue)) ~
+        ("joins" -> (if (joins.isEmpty) JNothing: JValue
+          else JArray(joins.map(_.toJson)))) ~
         ("columns" -> (if (aggJson.isDefined) JNothing
           else JArray(wireColumns.map(JString(_)).toList))) ~
         ("filters" -> JArray(pushedJson)) ~

@@ -362,6 +362,55 @@ class Remote2Spec extends AnyFunSuite {
     assert(bailWire == bailLocal && bailWire.nonEmpty)
   }
 
+  test("three-way same-peer join chain folds into ONE remote scan (r10)") {
+    attachMain()
+    val df = engine.sql(
+      """SELECT n_name, c_name, o_orderkey
+         FROM jwire.public.j_orders
+         JOIN jwire.public.j_customer ON o_custkey = c_custkey
+         JOIN jwire.public.j_nation ON c_nationkey = n_nationkey
+         WHERE o_totalprice > 200000.0""")
+    val lplan = df.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(lplan, "RelationV2") == 1 &&
+      countOccurrences(lplan, "⋈") == 2,
+      s"three tables must fold into one chained relation:\n$lplan")
+    val viaWire = df.collect().map(_.toString).sorted.toSeq
+    val local = {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .where("o_totalprice > 200000.0")
+        .selectExpr("n_name", "c_name", "o_orderkey")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(viaWire == local && viaWire.nonEmpty)
+    // and an aggregate above the chain still pushes: one row per
+    // nation crosses the wire for a 3-table join
+    val agg = engine.sql(
+      """SELECT n_name, count(*) AS n
+         FROM jwire.public.j_orders
+         JOIN jwire.public.j_customer ON o_custkey = c_custkey
+         JOIN jwire.public.j_nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""")
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("PushedAggregation") && !aggPlan.contains("HashAggregate"),
+      s"aggregate must push into the chained join scan:\n$aggPlan")
+    val aggWire = agg.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val aggLocal = {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    assert(aggWire == aggLocal && aggWire.nonEmpty)
+  }
+
   test("joins across two DIFFERENT attachments never merge") {
     attachMain()
     // same server attached twice = two credentialed mounts; the rule
