@@ -133,13 +133,22 @@ object Dedup {
     * degenerate hot buckets as in [[minhashCandidates]]. */
   def simhashCandidates(
       df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3,
-      maxBucket: Int = 0): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sh"))
-    val banded = sigs.select(col(idCol), col("sh"),
+      maxBucket: Int = 0): DataFrame =
+    hashCandidates(df.select(col(idCol), simhash(col(textCol)).as("sh")),
+      idCol, "sh", maxDist, maxBucket)
+
+  /** Banded near-dup pairs over ANY precomputed 64-bit sketch column —
+    * the shared engine under [[simhashCandidates]] and the image dHash
+    * path ([[Multimodal.imageHashes]]): 16-bit band buckets (pigeonhole
+    * recall: a pair within distance d shares a band iff d ≤ 3),
+    * hot-bucket caps, exact Hamming verify on the candidates. */
+  def hashCandidates(sigs: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val banded = sigs.select(col(idCol), col(hashCol).as("__sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("sh"), col("bk.band"), col("bk.key"))
+          shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("__sh"), col("bk.band"), col("bk.key"))
     val capped = capBuckets(banded, Seq("band", "key"), maxBucket)
     val a = capped.toDF(s"a_$idCol", "a_sh", "band", "key")
     val b = capped.toDF(s"b_$idCol", "b_sh", "band", "key")

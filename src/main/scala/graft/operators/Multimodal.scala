@@ -31,6 +31,9 @@ object Multimodal {
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     def embed(payload: Array[Byte], dim: Int): Array[Float]
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** 64-bit perceptual hash for image near-dup (dHash for real
+      * codecs; the md5-family surrogate for the replayable stub) */
+    def imageHash(payload: Array[Byte]): Long
     /** (sampleRateHz, channels, durationMs, rms of normalized samples) */
     def decodeAudio(payload: Array[Byte]): (Double, Int, Long, Double)
     /** fixed-size audio feature vector (filter-bank amplitudes) */
@@ -82,6 +85,38 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(dst, "png", bos)
       bos.toByteArray
+    }
+
+    /** REAL 64-bit dHash (difference hash): bilinear-downscale to 9×8
+      * grayscale, bit (r, c) = gray(r, c) < gray(r, c+1), packed
+      * row-major MSB-first. Robust to re-encoding/resizing/small edits
+      * (those flip few bits), discriminative across distinct images
+      * (~32-bit Hamming expected) — the standard image near-dup
+      * fingerprint. */
+    override def imageHash(payload: Array[Byte]): Long = {
+      val src = readImage(payload)
+      val dst = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g2 = dst.createGraphics()
+      try {
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(src, 0, 0, 9, 8, null)
+      } finally g2.dispose()
+      val raster = dst.getRaster
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          h = (h << 1) |
+            (if (raster.getSample(c, r, 0) < raster.getSample(c + 1, r, 0)) 1L
+             else 0L)
+          c += 1
+        }
+        r += 1
+      }
+      h
     }
 
     /** k×k grayscale cell means (k = ⌈√dim⌉), row-major, in [0,1] — a
@@ -392,6 +427,11 @@ object Multimodal {
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       digest(payload, s"r${w}x$h".getBytes("UTF-8"))
 
+    /** "perceptual hash": the md5-family 64-bit surrogate — exactly
+      * DuckDB's md5_number_lower(payload) cast to BIGINT, so the
+      * banded near-dup machinery over it replays in oracle SQL */
+    def imageHash(payload: Array[Byte]): Long = md5Lower64(payload)
+
     /** "frame sample": n digests standing in for n sampled frames */
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
       (0 until n).map(i => digest(payload, s"f$i".getBytes("UTF-8")))
@@ -540,6 +580,24 @@ object Multimodal {
         else codec.sampleFrames(payload, n).iterator.zipWithIndex.map {
           case (frame, i) => Row(r.get(iIdx), i, frame)
         }
+      }
+    }(enc)
+  }
+
+  /** Perceptual-hash pass: adds `image_hash` (the codec's 64-bit
+    * dHash) — map-only like every decode pass; feed the result to
+    * [[Dedup.hashCandidates]] for banded image near-dup. */
+  def imageHashes(df: DataFrame, payloadCol: String,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("image_hash", LongType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val h = if (payload == null) 0L else codec.imageHash(payload)
+        Row.fromSeq(r.toSeq :+ h)
       }
     }(enc)
   }

@@ -352,6 +352,31 @@ object QueriesData {
           round(element_at(col("media_embedding"), 1).cast(DoubleType), 6).as("emb_0"))
         .orderBy(col("media_id"))
     },
+    // ---- image near-dup (r10): perceptual-hash dedup over the media
+    // table. The REAL path is ImageIoCodec's 9×8 dHash (spec'd on
+    // generated PNGs — small edits flip few bits); the gate runs the
+    // replayable md5-surrogate hash so the BANDED pair machinery
+    // (16-bit buckets, pigeonhole recall for dist ≤ 3, exact Hamming
+    // verify) replays in oracle SQL. Near-dup copies are seeded by
+    // XORing a 2-bit pattern onto the hash — the deterministic
+    // stand-in for a re-encoded image; exact copies seed dist 0.
+    "q_image_neardup" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val hashes = Multimodal.imageHashes(media, "payload", Multimodal.FakeCodec)
+        .select(col("media_id"), col("image_hash"))
+      val seeded = hashes
+        .unionByName(hashes.filter(col("media_id") % 5 === 0)
+          .select((col("media_id") + 1000000L).as("media_id"),
+            col("image_hash").bitwiseXOR(lit(0x40002L)).as("image_hash")))
+        .unionByName(hashes.filter(col("media_id") % 7 === 0)
+          .select((col("media_id") + 2000000L).as("media_id"),
+            col("image_hash")))
+      graft.operators.Dedup.hashCandidates(seeded, "media_id", "image_hash",
+          maxDist = 3)
+        .orderBy(col("a_media_id"), col("b_media_id"))
+    },
+
     // ---- streaming: windowed stream aggregation replayed over the
     //      events drop must equal the batch oracle exactly
     "q_stream_daily" -> { (s, dir) =>
@@ -1234,6 +1259,30 @@ object QueriesData {
           round(((md5_number_lower(p) >> 20) % 256) / 255.0, 6) AS mean_luma,
           round(CAST(CAST(md5_number_lower(p || 'e0') % 1000 AS FLOAT) / CAST(1000.0 AS FLOAT) AS DOUBLE), 6) AS emb_0
         FROM m ORDER BY media_id""",
+    // the md5-surrogate hash (two's-complement of md5_number_lower),
+    // the seeded copies, the 16-bit band buckets and the Hamming
+    // verify replayed bit-for-bit
+    "q_image_neardup" ->
+      """WITH u AS (SELECT doc_id AS media_id, md5_number_lower(text) AS uh FROM documents),
+        h AS (SELECT media_id, CAST(CASE WHEN uh >= 9223372036854775808
+                THEN CAST(uh AS HUGEINT) - 18446744073709551616
+                ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS hsh FROM u),
+        seeded AS (
+          SELECT media_id, hsh FROM h
+          UNION ALL SELECT media_id + 1000000, xor(hsh, 262146) FROM h
+            WHERE media_id % 5 = 0
+          UNION ALL SELECT media_id + 2000000, hsh FROM h
+            WHERE media_id % 7 = 0),
+        banded AS (SELECT media_id, hsh, b AS band, (hsh >> (b * 16)) & 65535 AS key
+                   FROM seeded, unnest([0, 1, 2, 3]) t(b)),
+        pairs AS (SELECT DISTINCT a.media_id AS a_media_id,
+                    b.media_id AS b_media_id,
+                    CAST(bit_count(xor(a.hsh, b.hsh)) AS INTEGER) AS dist
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.key = b.key
+                  WHERE a.media_id < b.media_id)
+        SELECT a_media_id, b_media_id, dist FROM pairs
+        WHERE dist <= 3 ORDER BY a_media_id, b_media_id""",
     "q_multimodal_audio" ->
       """WITH m AS (SELECT doc_id AS media_id, text AS p FROM documents)
         SELECT media_id,

@@ -1206,6 +1206,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chainOut.toSeq == Seq((1L, true), (2L, false), (3L, false)))
   }
 
+  test("image dHash: small edits flip few bits, distinct images many; banded pairs find the near-dup (r10)") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    // horizontal gradient, a lightly-edited copy, and its mirror image
+    val base = png((x, _) => gray(x * 4))
+    val edited = png((x, y) =>
+      if (x < 4 && y < 4) gray(255) else gray(x * 4)) // tiny corner blotch
+    val mirrored = png((x, _) => gray((63 - x) * 4))
+    val h = Multimodal.ImageIoCodec.imageHash _
+    val dist = (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b)
+    assert(dist(h(base), h(edited)) <= 8,
+      s"a small edit must flip few bits, got ${dist(h(base), h(edited))}")
+    assert(dist(h(base), h(mirrored)) >= 20,
+      s"a mirrored gradient must be far, got ${dist(h(base), h(mirrored))}")
+    // re-encoding through the codec's own resize is hash-stable-ish
+    val reencoded = Multimodal.ImageIoCodec.resize(base, 48, 48)
+    assert(dist(h(base), h(reencoded)) <= 8,
+      "resize + re-encode must stay within the near-dup band")
+    // end-to-end: imageHashes + banded candidates find base≈edited,
+    // and exclude the mirror
+    val media = Seq((1L, base), (2L, edited), (3L, mirrored))
+      .toDF("media_id", "payload")
+    val hashes = Multimodal.imageHashes(media, "payload")
+      .select(col("media_id"), col("image_hash"))
+    val pairs = Dedup.hashCandidates(hashes, "media_id", "image_hash",
+        maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the near-dup pair must surface")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "the mirror is not a near-dup")
+  }
+
   test("naive bayes classifier: hand-computed posteriors, OOV ignore, prior fallback (r10)") {
     import spark.implicits._
     // training: two classes with disjoint-ish vocab
