@@ -102,7 +102,7 @@ object CuratePipeline {
     (st \ "op") match {
       case JString(op) => Set("lm_quality_filter", "perplexity_filter",
         "dsir_filter", "minhash_neardup", "decontaminate",
-        "dedup_substrings", "tokenize")(op)
+        "dedup_substrings", "tokenize", "nb_class_filter")(op)
       case _ => false
     }
 
@@ -227,6 +227,25 @@ object CuratePipeline {
         Sampling.materializeMixture(df, str(st, "group"), idCol,
           str(st, "salt"), rateMap(st, "weights"),
           defaultWeight = dbl(st, "default_weight", 1.0))
+      case "nb_class_filter" =>
+        // model-based CLASS gate (the GPT-3-style quality-filter
+        // shape, classifier = multinomial NB): train on the stage
+        // input's own labels (`label_col`), classify every row, keep
+        // rows whose PREDICTED class is in `keep` — corpus-relative
+        // like the other model-based stages. One (label, token) count
+        // shuffle to train, a tf pre-aggregate × broadcast classes to
+        // score, one semi-join back.
+        val labelCol = str(st, "label_col")
+        val keep = (st \ "keep") match {
+          case JArray(xs) if xs.nonEmpty => xs.collect { case JString(x) => x }
+          case _ => throw new DslException(
+            "nb_class_filter needs a non-empty 'keep' array")
+        }
+        val preds = graft.operators.NbClassifier.classify(df, textCol, labelCol,
+          df, idCol, minCount = int(st, "min_count", 1).toLong)
+        val keepIds = preds.filter(col("pred").isInCollection(keep))
+          .select(col("doc_id").as(idCol))
+        df.join(keepIds, Seq(idCol), "left_semi")
       case "tokenize" =>
         // text → BPE token ids against a fixed merge table (inline
         // `merges` pairs or a merges.txt-style artifact at

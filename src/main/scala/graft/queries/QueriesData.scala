@@ -767,6 +767,22 @@ object QueriesData {
         .orderBy(col("seq_id"))
     },
 
+    // ---- curation pipeline v5 (r10): the classifier gate — NB
+    // trained on the corpus's own lang labels keeps rows PREDICTED
+    // 'en' (the GPT-3-style model-based quality filter shape), then
+    // exact dedup over the survivors. Oracle = the shared NB CTE
+    // chain + prediction filter + fingerprint dedup.
+    "q_curate_pipeline_v5" -> { (s, dir) =>
+      val spec = """{"stages": [
+        {"op": "nb_class_filter", "label_col": "lang", "keep": ["en"]},
+        {"op": "dedup_exact"}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(Tables.load(s, dir, "documents"), spec)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -1057,6 +1073,49 @@ object QueriesData {
            FROM enc, vm)"""
 
   private val bpeIdsCtes: String = bpeIdsCtesOver("documents")
+
+  /** the multinomial-NB replay (train on `src`.`labelCol`, score every
+    * `src` row) as a CTE chain ending in `best (doc_id, pred, score,
+    * n_tokens)` + `fb (fc, fs)` — shared by the classify gate and the
+    * curation nb_class_filter chain */
+  private def nbCtes(src: String, labelCol: String): String =
+    raw"""ttoks AS (
+          SELECT $labelCol AS c, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+          FROM $src),
+        nbcl AS (SELECT c, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        nbvocab AS (SELECT DISTINCT tok FROM nbcl),
+        vs AS (SELECT count(*) AS v FROM nbvocab),
+        ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS ctok FROM nbcl GROUP BY 1),
+        pr AS (SELECT $labelCol AS c, count(*) AS cdocs FROM $src GROUP BY 1),
+        nn AS (SELECT count(*) AS nd FROM $src),
+        classes AS (SELECT pr.c,
+            ln(CAST(cdocs AS DOUBLE) / CAST(nd AS DOUBLE)) AS prior,
+            coalesce(ctok, 0) AS ctok
+          FROM pr CROSS JOIN nn LEFT JOIN ct ON pr.c = ct.c),
+        dtf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+            FROM $src) GROUP BY 1, 2),
+        dtv AS (SELECT * FROM dtf WHERE tok IN (SELECT tok FROM nbvocab)),
+        fan AS (SELECT d.doc_id, cls.c, cls.prior, cls.ctok, d.tf,
+                  coalesce(nbcl.cnt, 0) AS cnt
+                FROM dtv d CROSS JOIN classes cls
+                LEFT JOIN nbcl ON nbcl.c = cls.c AND nbcl.tok = d.tok),
+        sc AS (SELECT doc_id, c, any_value(prior) AS prior,
+                 any_value(ctok) AS ctok,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 sum(CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) + 1.0)) AS num
+               FROM fan GROUP BY 1, 2),
+        sc2 AS (SELECT doc_id, c, n_tokens,
+                  prior + num - CAST(n_tokens AS DOUBLE)
+                    * ln(CAST(ctok AS DOUBLE) + CAST(v AS DOUBLE)) AS s
+                FROM sc CROSS JOIN vs),
+        best AS (SELECT doc_id, c AS pred, round(s, 4) AS score, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY round(s, 6) DESC, c ASC) AS rn FROM sc2) WHERE rn = 1),
+        fb AS (SELECT c AS fc, round(prior, 4) AS fs FROM classes
+               ORDER BY round(prior, 6) DESC, c ASC LIMIT 1)"""
 
   /** the token-packing window replay over `docids` (seqLen 64) —
     * shared by q_pack_token_ids and the curation v4 oracle */
@@ -1655,43 +1714,7 @@ object QueriesData {
     // Laplace +1 over vocab V, prior ln(docs_c/N), argmax on
     // round(s,6) with label tiebreak; round(,4) on the reported score
     "q_nb_classify" ->
-      raw"""WITH ttoks AS (
-          SELECT lang AS c, unnest(list_filter(
-            string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
-          FROM documents),
-        cl AS (SELECT c, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
-        vocab AS (SELECT DISTINCT tok FROM cl),
-        vs AS (SELECT count(*) AS v FROM vocab),
-        ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS ctok FROM cl GROUP BY 1),
-        pr AS (SELECT lang AS c, count(*) AS cdocs FROM documents GROUP BY 1),
-        n AS (SELECT count(*) AS nd FROM documents),
-        classes AS (SELECT pr.c,
-            ln(CAST(cdocs AS DOUBLE) / CAST(nd AS DOUBLE)) AS prior,
-            coalesce(ctok, 0) AS ctok
-          FROM pr CROSS JOIN n LEFT JOIN ct ON pr.c = ct.c),
-        dtf AS (SELECT doc_id, tok, count(*) AS tf FROM (
-            SELECT doc_id, unnest(list_filter(
-              string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
-            FROM documents) GROUP BY 1, 2),
-        dtv AS (SELECT * FROM dtf WHERE tok IN (SELECT tok FROM vocab)),
-        fan AS (SELECT d.doc_id, cls.c, cls.prior, cls.ctok, d.tf,
-                  coalesce(cl.cnt, 0) AS cnt
-                FROM dtv d CROSS JOIN classes cls
-                LEFT JOIN cl ON cl.c = cls.c AND cl.tok = d.tok),
-        sc AS (SELECT doc_id, c, any_value(prior) AS prior,
-                 any_value(ctok) AS ctok,
-                 CAST(sum(tf) AS BIGINT) AS n_tokens,
-                 sum(CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) + 1.0)) AS num
-               FROM fan GROUP BY 1, 2),
-        sc2 AS (SELECT doc_id, c, n_tokens,
-                  prior + num - CAST(n_tokens AS DOUBLE)
-                    * ln(CAST(ctok AS DOUBLE) + CAST(v AS DOUBLE)) AS s
-                FROM sc CROSS JOIN vs),
-        best AS (SELECT doc_id, c AS pred, round(s, 4) AS score, n_tokens FROM (
-            SELECT *, row_number() OVER (PARTITION BY doc_id
-              ORDER BY round(s, 6) DESC, c ASC) AS rn FROM sc2) WHERE rn = 1),
-        fb AS (SELECT c AS fc, round(prior, 4) AS fs FROM classes
-               ORDER BY round(prior, 6) DESC, c ASC LIMIT 1)
+      s"""WITH ${nbCtes("documents", "lang")}
         SELECT d.doc_id, coalesce(b.pred, fb.fc) AS pred,
                coalesce(b.score, fb.fs) AS score,
                coalesce(b.n_tokens, 0) AS n_tokens
@@ -2040,6 +2063,21 @@ object QueriesData {
          ${bpeIdsCtesOver("cap")},
          $packCtes
          SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
+    // v5: the shared NB chain decides membership (predicted 'en',
+    // fallback class for zero-vocab docs), then fingerprint dedup
+    "q_curate_pipeline_v5" ->
+      s"""WITH ${nbCtes("documents", "lang")},
+         keepids AS (SELECT dd.doc_id FROM documents dd
+                     LEFT JOIN best b USING (doc_id) CROSS JOIN fb
+                     WHERE coalesce(b.pred, fb.fc) = 'en'),
+         s1 AS (SELECT d.doc_id, d.lang, d.source, d.text
+                FROM documents d JOIN keepids USING (doc_id)),
+         s2 AS (SELECT doc_id, lang, source, text FROM (
+             SELECT doc_id, lang, source, text, row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn FROM s1) WHERE rn = 1)
+         SELECT doc_id, lang, source, md5(text) AS text_md5 FROM s2
+         ORDER BY doc_id""",
     // the C4 §2.2 line rules verbatim: terminal punctuation, ≥3
     // whitespace words, javascript/lorem ipsum/'{' blocklist; doc gate
     // = ≥5 terminal-punctuation runs in the kept text
