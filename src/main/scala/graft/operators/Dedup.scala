@@ -160,6 +160,27 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Near-dup pairs by SHARED-FINGERPRINT count — the exact-match
+    * sibling of [[hashCandidates]] for multi-fingerprint media (e.g.
+    * sampled video frames, [[Multimodal.videoFingerprints]]): ids
+    * sharing ≥ `minShared` distinct fingerprints pair up. One join on
+    * the fingerprint (never all-pairs); `maxFreq > 0` drops
+    * fingerprints present in more than that many ids before the join —
+    * the hot-bucket cap for boilerplate frames (intros, test cards). */
+  def sharedFingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
+      minShared: Long = 1L, maxFreq: Int = 0): DataFrame = {
+    val fps = capBuckets(
+      df.select(col(idCol), col(fpCol).as("__fp")).distinct(),
+      Seq("__fp"), maxFreq)
+    val a = fps.toDF(s"a_$idCol", "__fp")
+    val b = fps.toDF(s"b_$idCol", "__fp")
+    a.join(b, Seq("__fp"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .groupBy(col(s"a_$idCol"), col(s"b_$idCol"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ----------------------------------------------------- n-gram jaccard
 
   /** Exact word-n-gram Jaccard for every id pair that shares at least

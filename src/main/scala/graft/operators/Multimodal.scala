@@ -602,6 +602,39 @@ object Multimodal {
     }(enc)
   }
 
+  /** Sampled-frame fingerprint pass for video near-dup: one row per
+    * (video, sampled frame) with a 64-bit fingerprint of the ENCODED
+    * frame bytes — demux-only, no decode, so it's EXACT matching at
+    * the access-unit level (re-muxed/copied streams match; re-encoded
+    * ones need the GPU perceptual stage downstream). The fingerprint
+    * is the md5-family low-64 of the frame's lowercase-hex bytes, so
+    * the stub codec's digest frames replay in oracle SQL as
+    * `md5_number_lower(md5(payload || 'f<i>'))`. Feed the result to
+    * [[graft.operators.Dedup.sharedFingerprintPairs]]. */
+  def videoFingerprints(df: DataFrame, payloadCol: String, idCol: String,
+      n: Int, codec: MediaCodec = ImageIoCodec): DataFrame = {
+    require(n > 0, "sample at least one frame")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_fp", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        if (payload == null) Iterator.empty
+        else codec.sampleFrames(payload, n).iterator.zipWithIndex.map {
+          case (frame, i) =>
+            val hex = frame.map("%02x".format(_)).mkString
+            Row(r.get(iIdx), i,
+              FakeCodec.md5Lower64(hex.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+    }(enc)
+  }
+
   /** Test fixture: derive a deterministic media table from any table's
     * string column (bytes = UTF-8 of the text). */
   def syntheticMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -377,6 +377,32 @@ object QueriesData {
         .orderBy(col("a_media_id"), col("b_media_id"))
     },
 
+    // ---- video near-dup by sampled-frame fingerprints (r10):
+    // demux-only exact matching at the encoded-access-unit level
+    // (re-muxed/copied streams match; re-encoded ones are the GPU
+    // perceptual stage's job). Seeds: full copies (4 shared frames)
+    // and hybrids stitched from two donors (2 shared with each);
+    // pairs = ids sharing ≥2 distinct fingerprints.
+    "q_video_neardup" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val fr = Multimodal.videoFingerprints(media, "payload", "media_id",
+        n = 4, Multimodal.FakeCodec)
+      val copies = fr.filter(col("media_id") % 6 === 0)
+        .select((col("media_id") + 1000000L).as("media_id"),
+          col("frame_idx"), col("frame_fp"))
+      val hybridA = fr.filter(col("media_id") % 9 === 0 && col("frame_idx") < 2)
+        .select((col("media_id") + 2000000L).as("media_id"),
+          col("frame_idx"), col("frame_fp"))
+      val hybridB = fr.filter((col("media_id") - 1) % 9 === 0 && col("frame_idx") >= 2)
+        .select((col("media_id") - 1 + 2000000L).as("media_id"),
+          col("frame_idx"), col("frame_fp"))
+      val seeded = fr.unionByName(copies).unionByName(hybridA).unionByName(hybridB)
+      graft.operators.Dedup.sharedFingerprintPairs(seeded, "media_id",
+          "frame_fp", minShared = 2)
+        .orderBy(col("a_media_id"), col("b_media_id"))
+    },
+
     // ---- streaming: windowed stream aggregation replayed over the
     //      events drop must equal the batch oracle exactly
     "q_stream_daily" -> { (s, dir) =>
@@ -1342,6 +1368,32 @@ object QueriesData {
                   WHERE a.media_id < b.media_id)
         SELECT a_media_id, b_media_id, dist FROM pairs
         WHERE dist <= 3 ORDER BY a_media_id, b_media_id""",
+    // the stub's digest frames replay as md5(p || 'f<i>') hex, whose
+    // md5_number_lower (two's-complemented) is the engine fingerprint;
+    // seeds + the shared-count join replayed row-for-row
+    "q_video_neardup" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS p FROM documents),
+        fru AS (SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+                  md5_number_lower(md5(p || 'f' || CAST(i AS VARCHAR))) AS ufp
+                FROM m, unnest([0, 1, 2, 3]) t(i)),
+        fr AS (SELECT media_id, frame_idx,
+                 CAST(CASE WHEN ufp >= 9223372036854775808
+                   THEN CAST(ufp AS HUGEINT) - 18446744073709551616
+                   ELSE CAST(ufp AS HUGEINT) END AS BIGINT) AS fp FROM fru),
+        seeded AS (SELECT * FROM fr
+          UNION ALL SELECT media_id + 1000000, frame_idx, fp FROM fr
+            WHERE media_id % 6 = 0
+          UNION ALL SELECT media_id + 2000000, frame_idx, fp FROM fr
+            WHERE media_id % 9 = 0 AND frame_idx < 2
+          UNION ALL SELECT media_id - 1 + 2000000, frame_idx, fp FROM fr
+            WHERE (media_id - 1) % 9 = 0 AND frame_idx >= 2),
+        d AS (SELECT DISTINCT media_id, fp FROM seeded),
+        pairs AS (SELECT a.media_id AS a_media_id, b.media_id AS b_media_id,
+                    count(*) AS n_shared
+                  FROM d a JOIN d b ON a.fp = b.fp
+                  WHERE a.media_id < b.media_id GROUP BY 1, 2)
+        SELECT a_media_id, b_media_id, CAST(n_shared AS BIGINT) AS n_shared
+        FROM pairs WHERE n_shared >= 2 ORDER BY a_media_id, b_media_id""",
     "q_multimodal_audio" ->
       """WITH m AS (SELECT doc_id AS media_id, text AS p FROM documents)
         SELECT media_id,

@@ -215,4 +215,32 @@ class Mp4DemuxSpec extends AnyFunSuite {
     assert(kf.map(_._1) == Seq(0L, 1000L))
     assert(kf(1)._2.forall(_ == 4.toByte))
   }
+
+  test("videoFingerprints: real MP4 demux feeds frame fingerprints; copies pair (r10)") {
+    val spark = GraftSession.build("local[4]", 4)
+    import spark.implicits._
+    // a re-muxed copy (identical samples) and a distinct stream (the
+    // same layout with different frame payload bytes)
+    val variant: Array[Byte] = {
+      val sizes = (0 until 10).map(10 + _)
+      val swap = fixture.clone()
+      // rewrite the mdat payload in place: fill sample i with i+100
+      var off = fixture.indexOfSlice("mdat".getBytes(StandardCharsets.US_ASCII)) + 4
+      (0 until 10).foreach { i =>
+        java.util.Arrays.fill(swap, off, off + sizes(i), (i + 100).toByte)
+        off += sizes(i)
+      }
+      swap
+    }
+    val media = Seq((1L, fixture), (2L, fixture.clone()), (3L, variant))
+      .toDF("media_id", "payload")
+    val fps = Multimodal.videoFingerprints(media, "payload", "media_id", n = 3)
+    // 3 sync samples per stream, deterministic fingerprints
+    assert(fps.count() == 9)
+    val pairs = graft.operators.Dedup.sharedFingerprintPairs(
+        fps, "media_id", "frame_fp", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L)),
+      s"the copy shares all 3 keyframes; the variant shares none: $pairs")
+  }
 }
