@@ -775,22 +775,24 @@ object QueriesData {
     // stage (per-source cap by the md5 bit contract) feeding
     // `tokenize` (BPE ids against a fixed merge table; the id
     // vocabulary is corpus-relative, ranked over what the cap kept)
-    // and the terminal `pack` (sequences of 64, crossing doc
-    // boundaries). Oracle = cap CTE → the shared BPE-replay CTEs over
-    // the capped set → the packing window replay.
+    // and the terminal `pack` with SHARD-LOCAL packing (`shard:
+    // source` — the 100 TB path: each shard packs in parallel with
+    // shard-local sequence ids, no global window). Oracle = cap CTE →
+    // the shared BPE-replay CTEs over the capped set → the packing
+    // window replay PARTITIONED BY source.
     "q_curate_pipeline_v4" -> { (s, dir) =>
       val spec = """{"stages": [
         {"op": "cap_per_group", "group": "source", "salt": "cap-v1", "cap": 7},
         {"op": "tokenize", "merges": [["e","r"],["t","h"],["th","e"],
                                       ["i","n"],["a","n"],["an","d"]]},
-        {"op": "pack", "seq_len": 64}
+        {"op": "pack", "seq_len": 64, "shard": "source"}
       ]}"""
       graft.dsl.CuratePipeline.compile(
           Tables.load(s, dir, "documents").select("doc_id", "source", "text"), spec)
-        .select(col("seq_id"), col("n_tokens"),
+        .select(col("source"), col("seq_id"), col("n_tokens"),
           md5(array_join(transform(col("input_ids"), i => i.cast("string")), " ")
             .cast("binary")).as("ids_md5"))
-        .orderBy(col("seq_id"))
+        .orderBy(col("source"), col("seq_id"))
     },
 
     // ---- curation pipeline v5 (r10): the classifier gate — NB
@@ -2107,14 +2109,29 @@ object QueriesData {
     // vocabulary ranks over what the cap kept — corpus-relative), then
     // the shared packing window replay
     "q_curate_pipeline_v4" ->
-      s"""WITH cap AS (SELECT doc_id, text FROM (
-             SELECT doc_id, text, row_number() OVER (PARTITION BY source
+      s"""WITH cap AS (SELECT doc_id, source, text FROM (
+             SELECT doc_id, source, text, row_number() OVER (PARTITION BY source
                ORDER BY (md5_number_lower(CAST(doc_id AS VARCHAR) || 'cap-v1')
                            % 281474976710656) % 1073741824, doc_id) AS rn
              FROM documents) t WHERE rn <= 7),
          ${bpeIdsCtesOver("cap")},
-         $packCtes
-         SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
+         withsrc AS (SELECT d.doc_id, c.source, d.ids
+                     FROM docids d JOIN cap c USING (doc_id)),
+         offs AS (SELECT doc_id, source, ids,
+             coalesce(sum(len(ids)) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM withsrc),
+         ex AS (SELECT source, off + generate_subscripts(ids, 1) - 1 AS gpos,
+                       unnest(ids) AS id
+                FROM offs),
+         pk AS (SELECT source, CAST(gpos // 64 AS BIGINT) AS seq_id,
+                       gpos % 64 AS slot, id FROM ex),
+         sq AS (SELECT source, seq_id, count(*) AS n_tokens,
+                  md5(array_to_string(
+                    list(CAST(id AS VARCHAR) ORDER BY slot), ' ')) AS ids_md5
+                FROM pk GROUP BY 1, 2)
+         SELECT source, seq_id, n_tokens, ids_md5 FROM sq
+         ORDER BY source, seq_id""",
     // v5: the shared NB chain decides membership (predicted 'en',
     // fallback class for zero-vocab docs), then fingerprint dedup
     "q_curate_pipeline_v5" ->

@@ -92,6 +92,55 @@ class Remote2Spec extends AnyFunSuite {
     reader.close(); srv.close()
   }
 
+  test("a receipt whose row count disagrees with the stream fails the scan") {
+    // fake server: one-row arrow stream, clean EOS, then a receipt
+    // claiming 2 rows — the cross-check must reject it
+    val srv = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      val sock = srv.accept()
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      import org.json4s.JsonDSL._
+      RemoteWire.readFrame(in)
+      RemoteWire.writeFrame(out, ("ok" -> true))
+      RemoteWire.readFrame(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+      RemoteWire.writeFrame(out,
+        ("ok" -> true) ~ ("stream" -> true) ~ ("schema" -> schema.json))
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val aschema = new org.apache.arrow.vector.types.pojo.Schema(
+        java.util.List.of(org.apache.arrow.vector.types.pojo.Field.nullable("x",
+          new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true))))
+      val root = org.apache.arrow.vector.VectorSchemaRoot.create(aschema, alloc)
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(out))
+      w.start()
+      root.allocateNew()
+      root.getVector("x").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        .setSafe(0, 42L)
+      root.setRowCount(1)
+      w.writeBatch()
+      w.end()
+      RemoteWire.writeFrame(out, ("ok" -> true) ~ ("rows" -> 2L)) // lies
+      out.flush()
+      sock.close(); root.close(); alloc.close()
+    })
+    t.setDaemon(true); t.start()
+    val part = graft.remote.RemoteScanPartition(
+      WireTarget("localhost", srv.getLocalPort, None),
+      Map.empty, Map.empty, """{"op":"scan","table":"t"}""",
+      emitColumns = true)
+    val reader = new graft.remote.RemoteReaderFactory().createColumnarReader(part)
+    val e = intercept[java.io.IOException] {
+      while (reader.next()) ()
+    }
+    assert(e.getMessage.contains("row-count mismatch"),
+      s"a lying receipt must fail the scan, got: ${e.getMessage}")
+    reader.close(); srv.close()
+  }
+
   test("a server-side failure mid-stream fails the scan, never a short success") {
     // external table whose file disappears after attach: the server's
     // feeding job throws, the EOS marker is never written, and the
