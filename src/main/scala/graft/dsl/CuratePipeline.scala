@@ -237,7 +237,13 @@ object CuratePipeline {
         // score, one semi-join back.
         val labelCol = str(st, "label_col")
         val keep = (st \ "keep") match {
-          case JArray(xs) if xs.nonEmpty => xs.collect { case JString(x) => x }
+          case JArray(xs) if xs.nonEmpty => xs.map {
+            case JString(x) => x
+            // a silently-dropped non-string entry would empty the
+            // corpus (isInCollection(Nil) keeps nothing) — reject it
+            case other => throw new DslException(
+              s"'keep' entries must be strings, got $other")
+          }
           case _ => throw new DslException(
             "nb_class_filter needs a non-empty 'keep' array")
         }

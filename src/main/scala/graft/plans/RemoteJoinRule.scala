@@ -101,6 +101,19 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** a side's residual filters may reference columns the Project above
+    * them pruned away (canonical post-pushdown shape: Project over
+    * Filter over scan) — the merged relation must OUTPUT those
+    * columns, or the hoisted filter becomes unbindable; the final
+    * Project(j.output, …) trims them back after filtering */
+  private def widen(s: Side): Side = {
+    val have = s.output.map(_.exprId).toSet
+    val missing = s.filters.flatMap(_.references)
+      .collect { case a: AttributeReference if !have.contains(a.exprId) => a }
+      .groupBy(_.exprId).values.map(_.head).toSeq
+    if (missing.isEmpty) s else s.copy(output = s.output ++ missing)
+  }
+
   /** condition → (leftCol, rightCol) name pairs, or None if any
     * conjunct is not a plain cross-side attribute equality */
   private def equiPairs(cond: Expression, leftOut: Seq[AttributeReference],
@@ -127,8 +140,12 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
         val rewritten = for {
           // left may itself be a merged chain (N-way joins fold
           // left-to-right); right must be a plain remote table
-          ls <- extract(left, allowJoined = true)
-          rs <- extract(right, allowJoined = false)
+          ls0 <- extract(left, allowJoined = true)
+          rs0 <- extract(right, allowJoined = false)
+          // residual-filter references must survive into the merged
+          // relation's output or hoisting them is unbindable
+          ls = widen(ls0)
+          rs = widen(rs0)
           // same peer, same identity: the server authorizes both tables
           // under ONE credential, so mixing attachments must not merge
           if ls.table.target == rs.table.target &&
@@ -136,9 +153,12 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
             ls.table.sessionToken == rs.table.sessionToken
           on <- equiPairs(cond, ls.output, rs.output)
           if on.nonEmpty
-          // the wire addresses columns by name: both sides' names must
-          // stay unambiguous in the joined frame
-          names = (ls.output ++ rs.output).map(_.name)
+          // the wire addresses columns by name and the SERVER joins the
+          // FULL tables — so unambiguity must hold over every
+          // participating table's whole schema (this also rejects
+          // same-peer self-joins, whose names all collide), not just
+          // the pruned client outputs
+          names = ls.table.participantColumns ++ rs.table.participantColumns
           if names.distinct.length == names.length
           // LEFT OUTER: a right-side RESIDUAL predicate can neither
           // hoist (changes null-extension) nor cross the wire
@@ -163,7 +183,8 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
             // accumulated baseFilters, so chains lose nothing.
             ls.table.joins :+ RemoteJoinSpec(rs.table.table, on, joinTypeName,
               rs.scan.pushedJson),
-            ls.scan.pushedJson)
+            ls.scan.pushedJson,
+            Some(ls.table.participantColumns ++ rs.table.participantColumns))
           val rel = new DataSourceV2Relation(joinedTable, outAttrs, None, None,
             CaseInsensitiveStringMap.empty(), None)
           // residual side filters hoist above the joined relation;

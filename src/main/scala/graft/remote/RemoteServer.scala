@@ -242,8 +242,25 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
                 (req \ "orderby") == JNothing && (req \ "limit") == JNothing,
                 "split tickets apply only to plain scans")
               import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-              limited.where(pmod(xxhash64(limited.columns.map(col): _*),
-                lit(parts.toLong)) === lit(part.toLong))
+              // hash only HASHABLE columns (xxhash64 rejects maps) —
+              // still a valid disjoint partition of the rows, every
+              // ticket applies the identical function; a schema with
+              // no hashable column degenerates to ticket 0 carrying
+              // everything (correct union, just unbalanced)
+              def hashable(t: org.apache.spark.sql.types.DataType): Boolean =
+                t match {
+                  case _: org.apache.spark.sql.types.MapType => false
+                  case s: org.apache.spark.sql.types.StructType =>
+                    s.fields.forall(f => hashable(f.dataType))
+                  case a: org.apache.spark.sql.types.ArrayType =>
+                    hashable(a.elementType)
+                  case _ => true
+                }
+              val hashCols = limited.schema.fields
+                .filter(f => hashable(f.dataType)).map(f => limited(f.name))
+              val ticketKey =
+                if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols: _*)
+              limited.where(pmod(ticketKey, lit(parts.toLong)) === lit(part.toLong))
             case _ => limited
           }
           streamResult(out, ticketed)

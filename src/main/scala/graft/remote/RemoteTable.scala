@@ -70,7 +70,16 @@ final case class RemoteJoinSpec(rightTable: String,
 final class RemoteTable(val target: WireTarget, val credential: Credential,
     val sessionToken: Option[String], val table: String, fullSchema: StructType,
     val parallelism: Int = 1, val joins: List[RemoteJoinSpec] = Nil,
-    val baseFilters: List[JValue] = Nil) extends Table with SupportsRead {
+    val baseFilters: List[JValue] = Nil,
+    allNames: Option[Seq[String]] = None) extends Table with SupportsRead {
+
+  /** FULL column-name inventory of every participating table — the
+    * server joins whole tables, so join-merge collision checks must
+    * run over these, not over pruned client outputs. For a plain
+    * table this is its schema; a merged relation carries the union
+    * its builder recorded. */
+  def participantColumns: Seq[String] =
+    allNames.getOrElse(fullSchema.fieldNames.toSeq)
 
   override def name(): String =
     s"remote(${target.address}/$table${joins.map("⋈" + _.rightTable).mkString})"

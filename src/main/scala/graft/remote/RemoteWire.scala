@@ -56,7 +56,11 @@ object RemoteWire {
             val ks = java.security.KeyStore.getInstance(
               if (path.endsWith(".jks")) "JKS" else "PKCS12")
             val in = new java.io.FileInputStream(path)
-            try ks.load(in, cfg.truststorePassword.getOrElse("").toCharArray)
+            // null password = skip the integrity check (standard for
+            // truststores, whose store password only gates integrity;
+            // an empty string would FORCE the check and reject any
+            // store with a real password)
+            try ks.load(in, cfg.truststorePassword.map(_.toCharArray).orNull)
             finally in.close()
             val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
               javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
@@ -66,6 +70,13 @@ object RemoteWire {
             ctx.getSocketFactory
         }
         val s = factory.createSocket(host, port).asInstanceOf[javax.net.ssl.SSLSocket]
+        // hostname verification: without endpoint identification ANY
+        // CA-trusted certificate would authenticate any host, and the
+        // handshake would hand a MITM the credentials (the dNSName
+        // SAN / CN must match the host we dialed)
+        val params = s.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(params)
         s.startHandshake()
         s
     }

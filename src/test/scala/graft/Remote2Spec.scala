@@ -20,11 +20,17 @@ class Remote2Spec extends AnyFunSuite {
     eng.sql(s"CREATE EXTERNAL TABLE j_nation STORED AS parquet LOCATION '$sf/nation.parquet'")
     eng.sql(s"CREATE EXTERNAL TABLE j_orders STORED AS parquet LOCATION '$sf/orders.parquet'")
     eng.sql(s"CREATE EXTERNAL TABLE j_customer STORED AS parquet LOCATION '$sf/customer.parquet'")
+    // two tables sharing a HIDDEN column name ('note'): a join of them
+    // must never merge, even when neither projects the collision
+    eng.sql("CREATE TABLE j_dup1 AS SELECT n_nationkey AS id, n_name AS note FROM j_nation")
+    eng.sql("CREATE TABLE j_dup2 AS SELECT n_nationkey AS cid, n_name AS note FROM j_nation")
     eng.sql("CREATE USER joiner WITH PASSWORD 'join-pw'")
     eng.sql("CREATE ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_nation TO ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_orders TO ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_customer TO ROLE join_readers")
+    eng.sql("GRANT SELECT ON TABLE j_dup1 TO ROLE join_readers")
+    eng.sql("GRANT SELECT ON TABLE j_dup2 TO ROLE join_readers")
     eng.sql("GRANT ROLE join_readers TO USER joiner")
     (wh, new RemoteServer(spark, wh))
   }
@@ -268,7 +274,7 @@ class Remote2Spec extends AnyFunSuite {
     keytool("-genkeypair", "-alias", "graft", "-keyalg", "RSA",
       "-keysize", "2048", "-validity", "30", "-keystore", ks,
       "-storetype", "PKCS12", "-storepass", "changeit",
-      "-dname", "CN=localhost")
+      "-dname", "CN=localhost", "-ext", "SAN=dns:localhost")
     keytool("-exportcert", "-alias", "graft", "-keystore", ks,
       "-storetype", "PKCS12", "-storepass", "changeit", "-file", cert)
     keytool("-importcert", "-alias", "graft", "-file", cert,
@@ -458,6 +464,49 @@ class Remote2Spec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
     }
     assert(aggWire == aggLocal && aggWire.nonEmpty)
+  }
+
+  test("residual filter on a pruned column still merges and binds (r10 review fix)") {
+    attachMain()
+    // RLIKE is not wire-expressible → residual filter on a column the
+    // projection drops; the merged relation must WIDEN to carry it
+    val df = engine.sql(
+      """SELECT o_orderkey, c_name
+         FROM jwire.public.j_orders JOIN jwire.public.j_customer
+           ON o_custkey = c_custkey
+         WHERE o_orderpriority RLIKE 'URGENT$'""")
+    assert(df.queryExecution.optimizedPlan.toString.contains("⋈"),
+      "the join must still merge with a widened output")
+    val viaWire = df.collect().map(_.toString).sorted.toSeq
+    val local = {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .where("o_orderpriority RLIKE 'URGENT$'")
+        .selectExpr("o_orderkey", "c_name")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(viaWire == local && viaWire.nonEmpty)
+  }
+
+  test("hidden column-name collisions and self-joins never merge (r10 review fix)") {
+    attachMain()
+    // j_dup1/j_dup2 both carry 'note'; neither projects it — the
+    // server would join the FULL tables, so the rule must bail
+    val dup = engine.sql(
+      """SELECT id, cid FROM jwire.public.j_dup1 JOIN jwire.public.j_dup2
+           ON id = cid""")
+    val dupPlan = dup.queryExecution.optimizedPlan.toString
+    assert(!dupPlan.contains("⋈"),
+      s"hidden name collision must keep the join client-side:\n$dupPlan")
+    assert(dup.count() == 25)
+    // same-peer self-join: every name collides — client-side, correct
+    val self = engine.sql(
+      """SELECT a.o_orderkey FROM jwire.public.j_orders a
+         JOIN jwire.public.j_orders b ON a.o_orderkey = b.o_orderkey""")
+    assert(!self.queryExecution.optimizedPlan.toString.contains("⋈"))
+    assert(self.count() ==
+      spark.read.parquet(s"$sf/orders.parquet").count())
   }
 
   test("joins across two DIFFERENT attachments never merge") {
