@@ -37,9 +37,12 @@ import graft.sources.ArrowSource
   * Scale shape: one scan request = one Arrow stream produced by a
   * distributed Spark job on the server (`toLocalIterator` drains
   * partitions incrementally — bounded memory), matching the
-  * reference's single-stream DoGet. Fan-out across MANY tables/scans
-  * parallelizes client-side (each executor task dials its own
-  * connection).
+  * reference's single-stream DoGet; a client may instead redeem N
+  * hash-mod range tickets (`part`/`parts`) to fan ONE plain scan over
+  * N parallel streams. Fan-out across MANY tables/scans parallelizes
+  * client-side (each executor task dials its own connection), and
+  * same-peer join chains arrive as one request whose fold runs here —
+  * only the join output crosses back.
   */
 final class RemoteServer(spark: SparkSession, warehouse: String,
     port: Int = 0, allowAnonymous: Boolean = false,

@@ -16,16 +16,22 @@ import org.json4s.jackson.JsonMethods
   *
   * Offline substitution, documented: Flight SQL rides gRPC, whose JVM
   * client jars are not on the fixed classpath, so graft speaks the same
-  * CONTRACT over a plain TCP socket — length-prefixed JSON control
-  * frames for handshake/listing/schema, and the standard Arrow IPC
-  * STREAM format (the exact byte format Flight DoGet carries) for
-  * results. One request per connection; every connection opens with a
-  * handshake frame, exactly like Flight's handshake-then-call flow.
+  * CONTRACT over a plain TCP socket (or TLS — [[TlsClientConfig]]) —
+  * length-prefixed JSON control frames for handshake/listing/schema,
+  * the standard Arrow IPC STREAM format (the exact byte format Flight
+  * DoGet carries) for results, and a trailing `{ok, rows}` COMPLETION
+  * RECEIPT after the Arrow end-of-stream marker that the client
+  * verifies before trusting end-of-data. One request per connection;
+  * every connection opens with a handshake frame, exactly like
+  * Flight's handshake-then-call flow.
   *
-  * Pushed filters cross the wire as a closed JSON algebra (below), not
-  * as SQL text — the server reconstructs `Column` predicates from the
-  * tree, so there is no string-splicing surface and nothing a client
-  * sends can reference tables beyond the one its scan authorized.
+  * Everything pushed crosses as CLOSED vocabularies, never SQL text —
+  * filters as the JSON algebra below, same-peer joins as
+  * `joins: [{table2, on, type, filters2}]` (each table re-authorized
+  * server-side), aggregates/TopN/limit as their own typed fields, and
+  * parallel-scan range tickets as `part`/`parts` — so there is no
+  * string-splicing surface and nothing a client sends can reference
+  * tables beyond what its identity's grants authorize.
   */
 object RemoteWire {
 
