@@ -177,7 +177,28 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           val df = authorizedTable(identity, req)
           RemoteWire.writeFrame(out, ("ok" -> true) ~ ("schema" -> df.schema.json))
         case Some("scan") =>
-          val base = authorizedTable(identity, req)
+          // range tickets (part/parts): for a plain scan of an
+          // unbucketed, unpartitioned MANAGED table, a ticket is a
+          // FILE subset (index mod parts over the current version's
+          // sorted parquet files) — each ticket reads only its files,
+          // so the N parallel streams cost ~1× total server work; any
+          // other shape falls back to the hash-mod row filter below
+          // (each ticket re-scans but stays disjoint by construction).
+          val ticket = (intField(req, "part"), intField(req, "parts")) match {
+            case (Some(p), Some(n)) =>
+              require(n >= 2 && p >= 0 && p < n, s"bad split ticket $p/$n")
+              require((req \ "aggregate") == JNothing &&
+                (req \ "orderby") == JNothing && (req \ "limit") == JNothing,
+                "split tickets apply only to plain scans")
+              Some((p, n))
+            case _ => None
+          }
+          val noJoin = (req \ "joins") == JNothing && (req \ "join") == JNothing
+          val fileSplit: Option[DataFrame] = ticket match {
+            case Some((p, n)) if noJoin => fileSplitBase(identity, req, p, n)
+            case _ => None
+          }
+          val base = fileSplit.getOrElse(authorizedTable(identity, req))
           // same-peer joins pushed across the wire: the server joins
           // each additional authorized table (left-to-right fold — an
           // N-way chain arrives as N-1 specs) before anything else
@@ -232,18 +253,12 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             case JInt(n)  => projected.limit(n.min(Int.MaxValue).toInt)
             case _        => projected
           }
-          // parallel-stream ticket: part i of n holds the rows whose
+          // hash-mod FALLBACK ticket: part i of n holds the rows whose
           // projected-row hash ≡ i (mod n) — deterministic, disjoint,
-          // union = the whole scan. Only plain scans split (an
-          // aggregate/TopN/limit is complete only as one stream); the
-          // client enforces the same rule before asking.
-          val ticketed = (intField(req, "part"), intField(req, "parts")) match {
-            case (Some(part), Some(parts)) =>
-              require(parts >= 2 && part >= 0 && part < parts,
-                s"bad split ticket $part/$parts")
-              require((req \ "aggregate") == JNothing &&
-                (req \ "orderby") == JNothing && (req \ "limit") == JNothing,
-                "split tickets apply only to plain scans")
+          // union = the whole scan; skipped when the file-split base
+          // above already carved the ticket out of the file list.
+          val ticketed = (if (fileSplit.isDefined) None else ticket) match {
+            case Some((part, parts)) =>
               import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
               // hash only HASHABLE columns (xxhash64 rejects maps) —
               // still a valid disjoint partition of the rows, every
@@ -346,6 +361,40 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     case JInt(n)  => Some(n.intValue)
     case JLong(n) => Some(n.toInt)
     case _        => None
+  }
+
+  /** observable for specs: scans served by file-granular tickets */
+  private val fileSplitServed = new java.util.concurrent.atomic.AtomicLong(0)
+  def fileSplitCount: Long = fileSplitServed.get
+
+  /** file-granular ticket base: the current version of a plain
+    * (unbucketed, unpartitioned) managed table reads only the files
+    * with index ≡ part (mod parts) over the SORTED file list — each
+    * file is read by exactly one ticket, so N streams cost one scan
+    * total. None = not that shape; the caller falls back to the
+    * hash-mod row filter. RBAC runs through the same single-table
+    * authorization as every other scan. */
+  private def fileSplitBase(identity: Auth.AuthIdentity, req: JValue,
+      part: Int, parts: Int): Option[DataFrame] = {
+    val name = RemoteWire.str(req, "table").getOrElse(
+      throw new IllegalArgumentException("op needs 'table'"))
+    val whole = authorizedTableByName(identity, name) // RBAC + existence
+    val d = engine.catalog.tables().find(_.name == name).getOrElse(return None)
+    if (d.kind != "managed" || d.options.contains("bucket_cols") ||
+        d.options.contains("partition_cols")) return None
+    val e = graft.catalog.TableVersions.latest(warehouse, name)
+      .getOrElse(return None)
+    val files = graft.catalog.TableVersions.dataDirs(warehouse, name, e)
+      .flatMap(dir => graft.sources.io.ByteStore.walkFiles(dir)
+        .filter(_.endsWith(".parquet")))
+      .sorted
+    if (files.isEmpty) return None
+    fileSplitServed.incrementAndGet()
+    val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
+    // a ticket with no files still answers: an empty frame in the
+    // table's schema (more tickets than files)
+    if (mine.isEmpty) Some(whole.limit(0))
+    else Some(session.read.schema(whole.schema).parquet(mine: _*))
   }
 
   /** pushed same-peer equi-join — closed vocabulary ({table2, on

@@ -24,6 +24,11 @@ class Remote2Spec extends AnyFunSuite {
     // must never merge, even when neither projects the collision
     eng.sql("CREATE TABLE j_dup1 AS SELECT n_nationkey AS id, n_name AS note FROM j_nation")
     eng.sql("CREATE TABLE j_dup2 AS SELECT n_nationkey AS cid, n_name AS note FROM j_nation")
+    // a multi-commit managed table: file-granular split tickets carve
+    // its current version's parquet files
+    eng.sql("CREATE TABLE j_managed AS SELECT n_nationkey AS k, n_name AS v FROM j_nation")
+    eng.sql("INSERT INTO j_managed SELECT n_nationkey + 100, n_name FROM j_nation")
+    eng.sql("INSERT INTO j_managed SELECT n_nationkey + 200, n_name FROM j_nation")
     eng.sql("CREATE USER joiner WITH PASSWORD 'join-pw'")
     eng.sql("CREATE ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_nation TO ROLE join_readers")
@@ -31,6 +36,7 @@ class Remote2Spec extends AnyFunSuite {
     eng.sql("GRANT SELECT ON TABLE j_customer TO ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_dup1 TO ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_dup2 TO ROLE join_readers")
+    eng.sql("GRANT SELECT ON TABLE j_managed TO ROLE join_readers")
     eng.sql("GRANT ROLE join_readers TO USER joiner")
     (wh, new RemoteServer(spark, wh))
   }
@@ -254,6 +260,18 @@ class Remote2Spec extends AnyFunSuite {
     val lim = engine.sql("SELECT o_orderkey FROM jpar.public.j_orders LIMIT 5")
     assert(lim.rdd.getNumPartitions == 1)
     assert(lim.count() == 5)
+    // MANAGED tables split at FILE granularity: each ticket reads only
+    // its files (N streams ≈ one scan of server work), union bit-equal
+    val before = server.fileSplitCount
+    val man = engine.sql("SELECT k, v FROM jpar.public.j_managed")
+    assert(man.rdd.getNumPartitions == 3)
+    val viaTickets = man.collect().map(_.toString).sorted.toSeq
+    attachMain()
+    val whole = engine.sql("SELECT k, v FROM jwire.public.j_managed")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaTickets == whole && viaTickets.size == 75)
+    assert(server.fileSplitCount > before,
+      "managed-table tickets must take the file-split path")
     engine.sql("DETACH jpar")
   }
 
