@@ -77,6 +77,54 @@ object QueriesCore {
         .orderBy($"r_name", $"n_name")
     },
 
+    // ---- TPC-H Q5 analog (r10): the six-table star with the
+    // supplier⋈customer NATION CORRELATION (local-supplier revenue) —
+    // dims broadcast, the fact table never shuffles for the dim joins;
+    // decimal-exact revenue so the oracle replays bit-for-bit
+    "q_tpch_q5" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(su), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(c),
+          $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA" &&
+          $"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice".cast(DecimalType(18, 2)) *
+               (lit(1) - $"l_discount".cast(DecimalType(18, 2)))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // ---- TPC-H Q14 analog (r10): promo revenue share — lineitem ⋈
+    // part (dim broadcast) with a ship-date window, conditional
+    // decimal sums, one-division ratio
+    "q_tpch_q14" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val rev = ($"l_extendedprice".cast(DecimalType(18, 2)) *
+        (lit(1) - $"l_discount".cast(DecimalType(18, 2))))
+      li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .filter($"l_shipdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .agg(
+          round(lit(100.0) *
+            sum(when($"p_type" === "PROMO", rev).otherwise(lit(0))).cast(DoubleType) /
+            sum(rev).cast(DoubleType), 6).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    },
+
     // ---- §2.4 left join + null handling
     "q_join_left_order_counts" -> { (s, dir) =>
       import s.implicits._
@@ -292,6 +340,33 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.05
          ORDER BY l_orderkey, l_linenumber""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+           AS promo_share,
+           count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""",
     "q_join_revenue_by_nation" ->
       """SELECT r_name, n_name,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
