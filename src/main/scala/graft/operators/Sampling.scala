@@ -118,6 +118,30 @@ object Sampling {
           s => s.getField("__id")).as("input_ids"))
   }
 
+  /** Deterministic TOKEN-BUDGET subset — "give me ~N tokens of this
+    * corpus, reproducibly": rows order by the (key, salt) md5 bit
+    * contract (cluster-size-stable, re-derivable — the same order
+    * every run, decorrelated from ingest order), and a row is kept
+    * while the EXCLUSIVE prefix sum of `tokenCol` stays under
+    * `budget`, so the subset overshoots by at most one document. The
+    * hash ties on the raw key so the order is total. One prefix-sum
+    * window (the [[packSequences]] stance — `shardCol` makes it
+    * shard-local with a per-shard budget at 100 TB); emits
+    * (input row, keep) so callers can filter or audit. */
+  def tokenBudgetSample(df: DataFrame, tokenCol: String, keyCol: String,
+      salt: String, budget: Long, shardCol: Option[String] = None): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = hashBucket(col(keyCol), salt, buckets = 1 << 30)
+    val base = shardCol match {
+      case Some(sc) => Window.partitionBy(col(sc)).orderBy(h, col(keyCol))
+      case None => Window.orderBy(h, col(keyCol))
+    }
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("keep",
+      coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)) < budget)
+  }
+
   /** Adds a `split` column assigning each row to one named fraction
     * (cumulative bucket ranges over 10000 buckets). Fractions must sum
     * to 1 (±1e-9); every row lands in exactly one split. */

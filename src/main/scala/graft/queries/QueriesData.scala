@@ -95,6 +95,19 @@ object QueriesData {
         .orderBy(col("seq_id"))
     },
 
+    // ---- deterministic token-budget subset (r10): rows order by the
+    // md5 bit contract and keep while the exclusive token prefix-sum
+    // stays under budget — "a reproducible ~30k-token slice"; the
+    // oracle replays the hash order and the window arithmetic
+    "q_token_budget" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.TextExprs.tokens(col("text"), lower = true))
+          .cast("long").as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetSample(docs, "n_tokens", "doc_id",
+          "budget-v1", budget = 30000L)
+        .orderBy(col("doc_id"))
+    },
+
     "q_pack_sequences" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).as("n_chars"))
@@ -1991,6 +2004,20 @@ object QueriesData {
            md5(coalesce(array_to_string(
              list_transform(ids, s -> CAST(s AS VARCHAR)), ' '), '')) AS ids_md5
          FROM docids ORDER BY doc_id""",
+    // the hash order (md5 low-48 % 2^30, ties → doc_id) and the
+    // exclusive prefix-sum keep rule replayed verbatim
+    "q_token_budget" ->
+      raw"""WITH d AS (SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+            (md5_number_lower(CAST(doc_id AS VARCHAR) || 'budget-v1')
+               % 281474976710656) % 1073741824 AS hb
+          FROM documents),
+        k AS (SELECT doc_id, n_tokens,
+            coalesce(sum(n_tokens) OVER (ORDER BY hb, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 30000 AS keep
+          FROM d)
+        SELECT doc_id, n_tokens, keep FROM k ORDER BY doc_id""",
     // token packing over the same per-doc id lists: exclusive prefix
     // offsets, global position // 64 = sequence, ordered reassembly
     "q_pack_token_ids" ->
