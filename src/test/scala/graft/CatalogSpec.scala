@@ -621,4 +621,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(graft.sql.Statements.recognizes("CURATE TABLE t FROM s USING '{}'"))
     engine.sql("DROP TABLE curated")
   }
+
+  test("CURATE TABLE materializes trainer sequences through tokenize+pack (r10)") {
+    import spark.implicits._
+    Seq(
+      (1L, "the thread and the end"),
+      (2L, "band in the sand"),
+      (3L, "hand it in then")).toDF("doc_id", "text")
+      .createOrReplaceTempView("curate_tok_src")
+    engine.sql(
+      """CURATE TABLE curated_seqs FROM curate_tok_src USING
+        '{"stages": [
+          {"op": "tokenize", "merges": [["t","h"],["th","e"],["a","n"],["an","d"]]},
+          {"op": "pack", "seq_len": 8}]}'""")
+    // the materialized table IS sequences, not documents — the
+    // trainer-feed handoff persisted through the managed catalog
+    val seqs = engine.sql(
+      "SELECT seq_id, n_tokens, size(input_ids) AS w FROM curated_seqs ORDER BY seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(seqs.nonEmpty)
+    assert(seqs.init.forall(s => s._2 == 8L && s._3 == 8),
+      "all but the tail sequence are full")
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong),
+      "sequence ids are dense from 0")
+    engine.sql("DROP TABLE curated_seqs")
+  }
 }
