@@ -76,6 +76,14 @@ object TableVersions {
   def dataDirs(warehouse: String, table: String, e: Entry): Seq[String] =
     e.dirs.map(d => ByteStore.resolve(ByteStore.resolve(warehouse, table), d))
 
+  /** the version's parquet files, SORTED — the one shared definition
+    * of "this version's file inventory" (remote split tickets carve
+    * it, so every consumer must list identically) */
+  def parquetFiles(warehouse: String, table: String, e: Entry): Seq[String] =
+    dataDirs(warehouse, table, e)
+      .flatMap(dir => ByteStore.walkFiles(dir).filter(_.endsWith(".parquet")))
+      .sorted
+
   // commit dirs ALLOCATED but not yet published: writers call
   // nextCommitDir, spend seconds-to-minutes writing parquet into it,
   // then commit — so allocation must reserve the name under the same

@@ -176,6 +176,17 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
         case Some("get_schema") =>
           val df = authorizedTable(identity, req)
           RemoteWire.writeFrame(out, ("ok" -> true) ~ ("schema" -> df.schema.json))
+        case Some("table_version") =>
+          // split-ticket version pinning: the client resolves the
+          // table's current version ONCE at plan time and embeds it in
+          // every ticket, so the N tickets of one scan carve the SAME
+          // immutable file list even if a commit lands mid-scan
+          authorizedTable(identity, req) // RBAC + existence
+          val name = RemoteWire.str(req, "table").get
+          val v = graft.catalog.TableVersions.latest(warehouse, name)
+            .map(_.version)
+          RemoteWire.writeFrame(out, ("ok" -> true) ~
+            ("version" -> v.map(JLong(_)).getOrElse(JNothing: JValue)))
         case Some("scan") =>
           // range tickets (part/parts): for a plain scan of an
           // unbucketed, unpartitioned MANAGED table, a ticket is a
@@ -367,32 +378,46 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
   private val fileSplitServed = new java.util.concurrent.atomic.AtomicLong(0)
   def fileSplitCount: Long = fileSplitServed.get
 
-  /** file-granular ticket base: the current version of a plain
-    * (unbucketed, unpartitioned) managed table reads only the files
-    * with index ≡ part (mod parts) over the SORTED file list — each
-    * file is read by exactly one ticket, so N streams cost one scan
-    * total. None = not that shape; the caller falls back to the
-    * hash-mod row filter. RBAC runs through the same single-table
-    * authorization as every other scan. */
+  /** file-granular ticket base: a plain (unbucketed, unpartitioned)
+    * managed table reads only the files with index ≡ part (mod parts)
+    * over the SORTED file list of the VERSION the client pinned at
+    * plan time — each file is read by exactly one ticket and every
+    * ticket carves the same immutable list (a commit landing mid-scan
+    * cannot shift indices or split the scan across versions), so N
+    * streams cost one scan total. None = not that shape (or no pinned
+    * version — older client); the caller falls back to the hash-mod
+    * row filter. RBAC mirrors the single-table authorization every
+    * other scan runs. */
   private def fileSplitBase(identity: Auth.AuthIdentity, req: JValue,
       part: Int, parts: Int): Option[DataFrame] = {
+    val version = (req \ "version") match {
+      case JInt(v)  => v.longValue
+      case JLong(v) => v
+      case _        => return None
+    }
     val name = RemoteWire.str(req, "table").getOrElse(
       throw new IllegalArgumentException("op needs 'table'"))
-    val whole = authorizedTableByName(identity, name) // RBAC + existence
-    val d = engine.catalog.tables().find(_.name == name).getOrElse(return None)
+    // one catalog parse: existence + RBAC + shape off the same listing
+    val d = engine.catalog.tables()
+      .find(t => t.name == name && t.kind != "crawler").getOrElse(
+        throw new IllegalArgumentException(s"no such table: $name"))
+    val allowed = identity.isSuperUser || engine.catalog.auth.isAllowed(
+      identity.roles, "SELECT", Auth.Target.Table(name))
+    if (!allowed)
+      throw new graft.auth.Authz.PermissionDenied(
+        s"remote permission denied: SELECT on TABLE $name")
     if (d.kind != "managed" || d.options.contains("bucket_cols") ||
         d.options.contains("partition_cols")) return None
-    val e = graft.catalog.TableVersions.latest(warehouse, name)
-      .getOrElse(return None)
-    val files = graft.catalog.TableVersions.dataDirs(warehouse, name, e)
-      .flatMap(dir => graft.sources.io.ByteStore.walkFiles(dir)
-        .filter(_.endsWith(".parquet")))
-      .sorted
+    val e = graft.catalog.TableVersions.get(warehouse, name, version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pinned version $version of $name is gone (VACUUMed mid-scan?)"))
+    val files = graft.catalog.TableVersions.parquetFiles(warehouse, name, e)
     if (files.isEmpty) return None
     fileSplitServed.incrementAndGet()
     val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
     // a ticket with no files still answers: an empty frame in the
     // table's schema (more tickets than files)
+    val whole = session.table(name)
     if (mine.isEmpty) Some(whole.limit(0))
     else Some(session.read.schema(whole.schema).parquet(mine: _*))
   }

@@ -274,8 +274,16 @@ final class RemoteScan(target: WireTarget, credential: Credential,
       if (parallelism > 1 && aggJson.isEmpty && topNJson.isEmpty && limit.isEmpty)
         parallelism
       else 1
+    // version pinning for file-granular tickets: resolve the managed
+    // table's current version ONCE here, so every ticket carves the
+    // same immutable file list even if a commit lands mid-scan; a
+    // non-versioned table (or an older server) answers none and the
+    // server falls back to hash-mod tickets
+    val pinnedVersion: Option[Long] =
+      if (nParts > 1 && joins.isEmpty) fetchTableVersion(auth, fallback) else None
     (0 until nParts).map { part =>
       val req: JValue = ("op" -> "scan") ~ ("table" -> table) ~
+        ("version" -> pinnedVersion.map(JLong(_)).getOrElse(JNothing: JValue)) ~
         ("joins" -> (if (joins.isEmpty) JNothing: JValue
           else JArray(joins.map(_.toJson)))) ~
         ("columns" -> (if (aggJson.isDefined) JNothing
@@ -290,6 +298,35 @@ final class RemoteScan(target: WireTarget, credential: Credential,
         JsonMethods.compact(JsonMethods.render(req)),
         emitColumns = required.fields.nonEmpty): InputPartition
     }.toArray
+  }
+
+  /** one control round-trip: the table's current version (None for
+    * non-versioned tables, handshake-rejected tokens after exhausting
+    * the fallback, or a server without the op) */
+  private def fetchTableVersion(auth: Map[String, String],
+      fallback: Map[String, String]): Option[Long] = {
+    def once(creds: Map[String, String]): Option[Option[Long]] = {
+      val sock = RemoteWire.connect(target.host, target.port, target.tls)
+      try {
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        RemoteWire.writeFrame(out, JObject(("op" -> JString("handshake")) ::
+          creds.toList.map { case (k, v) => k -> (JString(v): JValue) }))
+        if (!(RemoteWire.readFrame(in) \ "ok").equals(JBool(true))) return None
+        RemoteWire.writeFrame(out,
+          ("op" -> "table_version") ~ ("table" -> table))
+        val resp = RemoteWire.readFrame(in)
+        if (!(resp \ "ok").equals(JBool(true))) return Some(None)
+        Some((resp \ "version") match {
+          case JInt(v)  => Some(v.longValue)
+          case JLong(v) => Some(v)
+          case _        => None
+        })
+      } finally sock.close()
+    }
+    try once(auth).orElse(if (fallback.nonEmpty) once(fallback) else None)
+      .getOrElse(None)
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
