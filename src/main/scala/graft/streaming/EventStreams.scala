@@ -141,6 +141,51 @@ object EventStreams {
       .toDF("a_doc_id", "b_doc_id", "n_eq")
   }
 
+  /** Streaming 64-bit-sketch near-dup — the streaming twin of
+    * [[graft.operators.Dedup.hashCandidates]] (image dHash / simhash):
+    * each arrival routes to its four 16-bit band buckets; per-bucket
+    * state holds the (id, hash) rows seen so far (capped at
+    * `maxBucket`, the batch hot-bucket cap's streaming twin), and the
+    * arrival emits one candidate per stored neighbor with the EXACT
+    * Hamming distance — so the downstream verdict (`dist ≤ k` after a
+    * cross-bucket distinct) is a stateless filter over the sink.
+    * Emission is micro-batch-split invariant: a pair's candidate row
+    * is produced exactly when the later id arrives, whatever batch
+    * that is. */
+  def streamingHashNearDup(hashes: DataFrame, idCol: String,
+      hashCol: String, maxBucket: Int = 1024): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val exploded = hashes
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          concat(lit(s"$b|"),
+            shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).cast("string"))): _*))
+          .as("bucket"))
+      .as[(Long, Long, String)]
+    exploded.groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          // id order inside the batch keeps emission deterministic
+          it.toSeq.sortBy(_._1).foreach { case (id, h, _) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, oh) =>
+                val d = java.lang.Long.bitCount(h ^ oh)
+                out += (if (oid < id) (oid, id, d) else (id, oid, d))
+              }
+              if (seen.size < maxBucket) seen = (id, h) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("a_id", "b_id", "dist")
+  }
+
   /** Sliding-window event rate. */
   def slidingRate(events: DataFrame, window: String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =

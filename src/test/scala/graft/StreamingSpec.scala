@@ -154,6 +154,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(!oneShot.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("streaming hash near-dup matches the batch banding and is split invariant (r10)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructType}
+    // 64-bit sketches: 2 is hamming-2 from 1; 3 shares no band with 1
+    val rows = Seq(
+      (1L, 0x1234567890abcdefL),
+      (2L, 0x1234567890abcdefL ^ 0x40002L), // bands 2,3 still match
+      (3L, 0x0f0f0f0f0f0f0f0fL))
+    val df = rows.toDF("media_id", "image_hash")
+    val schema = new StructType().add("media_id", LongType).add("image_hash", LongType)
+    def run(nFiles: Int, trigger: Int): Set[(Long, Long, Int)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-hashdup-stream").toString
+      df.repartition(nFiles).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", trigger).parquet(dir)
+      val cands = EventStreams.streamingHashNearDup(stream, "media_id", "image_hash")
+      val qn = s"hashdup_out_${nFiles}_$trigger"
+      val q = EventStreams.runToMemory(spark, cands, qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      try spark.table(qn).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      finally q.stop()
+    }
+    val oneShot = run(1, 3)
+    val split = run(3, 1)
+    assert(oneShot == split,
+      s"candidates must not depend on the trigger split: $oneShot vs $split")
+    assert(oneShot.contains((1L, 2L, 2)), s"the hamming-2 pair must surface: $oneShot")
+    // verdict = stateless filter over the sink, equal to the batch op
+    val batch = graft.operators.Dedup.hashCandidates(
+        df, "media_id", "image_hash", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oneShot.filter(_._3 <= 3) == batch,
+      s"streaming verdicts must equal the batch banding: $oneShot vs $batch")
+  }
+
   test("gap sessionization: a later-batch event past the gap closes the session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
