@@ -97,6 +97,36 @@ object CuratePipeline {
     }
   }
 
+  /** Per-stage audit: run the pipeline stage by stage and report each
+    * stage's surviving row count — the "what did each stage drop"
+    * table every production curation run records. Each stage output is
+    * checkpointed (it is read twice: counted AND fed forward), so the
+    * report costs one count job per stage over already-materialized
+    * rows, not a recomputation of the chain per stage. Returns
+    * (stage, op, rows_out) with stage 0 = the input. */
+  def report(df: DataFrame, json: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stages = JsonMethods.parse(json) \ "stages" match {
+      case JArray(xs) => xs
+      case _ => throw new DslException("curate body must have a 'stages' array")
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val in0 = df.localCheckpoint()
+    rows += ((0, "input", in0.count()))
+    stages.foldLeft(in0) { (cur, st) =>
+      val op = st \ "op" match {
+        case JString(s) => s
+        case _ => throw new DslException(s"stage missing string 'op': $st")
+      }
+      val out = applyStage(cur, st, textCol, idCol).localCheckpoint()
+      rows += ((rows.size, op, out.count()))
+      out
+    }
+    rows.toSeq.toDF("stage", "op", "rows_out")
+  }
+
   /** stages whose operators consume their input more than once */
   private def materializeByDefault(st: JValue): Boolean =
     (st \ "op") match {

@@ -735,6 +735,22 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- per-stage curation report (r10): the same v1 chain audited —
+    // one (stage, op, rows_out) row per stage; the oracle counts each
+    // stage CTE
+    "q_curate_report" -> { (s, dir) =>
+      val spec = """{"stages": [
+        {"op": "c4_clean", "require_pass": false},
+        {"op": "normalize"},
+        {"op": "pii_redact"},
+        {"op": "dedup_exact"},
+        {"op": "cap_per_group", "group": "source", "salt": "cap-v1", "cap": 7}
+      ]}"""
+      graft.dsl.CuratePipeline.report(
+          Tables.load(s, dir, "documents").select("doc_id", "source", "text"), spec)
+        .orderBy(col("stage"))
+    },
+
     // ---- curation pipeline v2: the r8 operators as composable DSL
     // stages — paragraph dedup (seeded boilerplate), corpus-relative
     // LM-quality filter, stratified sampling, mixture materialization;
@@ -1114,6 +1130,42 @@ object QueriesData {
            FROM enc, vm)"""
 
   private val bpeIdsCtes: String = bpeIdsCtesOver("documents")
+
+  /** the v1 curation chain (c4_clean → normalize → pii_redact →
+    * dedup_exact → cap_per_group) as one CTE per stage, ending in
+    * `cap` — shared by the pipeline gate and the per-stage report */
+  private val curateV1Ctes: String =
+    raw"""c4 AS (
+          SELECT doc_id, source,
+            coalesce(array_to_string(list_filter(string_split(text, chr(10)), x ->
+              regexp_matches(x, '[.!?"]$$')
+              AND len(list_filter(string_split_regex(x, '[ \t\x0B\f\r]+'), t -> len(t) > 0)) >= 3
+              AND NOT contains(lower(x), 'javascript')
+              AND NOT contains(lower(x), 'lorem ipsum')
+              AND NOT contains(x, '{')), chr(10)), '') AS text
+          FROM documents),
+        norm AS (SELECT doc_id, source,
+            trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              '[ \t\n\x0B\f\r]+', ' ', 'g'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS text
+          FROM c4),
+        pii AS (SELECT doc_id, source,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '\+\d{1,2} \d{3}-\d{4}', '<PHONE>', 'g') AS text
+          FROM norm),
+        ded AS (SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+              row_number() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+            FROM pii) t WHERE rn = 1),
+        cap AS (SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+              row_number() OVER (PARTITION BY source ORDER BY
+                (md5_number_lower(CAST(doc_id AS VARCHAR) || 'cap-v1')
+                   % 281474976710656) % 1073741824, doc_id) AS rn
+            FROM ded) t WHERE rn <= 7)"""
 
   /** the multinomial-NB replay (train on `src`.`labelCol`, score every
     * `src` row) as a CTE chain ending in `best (doc_id, pred, score,
@@ -2028,39 +2080,20 @@ object QueriesData {
     // dedup partitions on the fingerprint contract, the cap on the
     // md5 low-48-bit bucket contract
     "q_curate_pipeline" ->
-      raw"""WITH c4 AS (
-          SELECT doc_id, source,
-            coalesce(array_to_string(list_filter(string_split(text, chr(10)), x ->
-              regexp_matches(x, '[.!?"]$$')
-              AND len(list_filter(string_split_regex(x, '[ \t\x0B\f\r]+'), t -> len(t) > 0)) >= 3
-              AND NOT contains(lower(x), 'javascript')
-              AND NOT contains(lower(x), 'lorem ipsum')
-              AND NOT contains(x, '{')), chr(10)), '') AS text
-          FROM documents),
-        norm AS (SELECT doc_id, source,
-            trim(regexp_replace(regexp_replace(nfc_normalize(text),
-              '[ \t\n\x0B\f\r]+', ' ', 'g'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS text
-          FROM c4),
-        pii AS (SELECT doc_id, source,
-            regexp_replace(regexp_replace(regexp_replace(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-              '\+\d{1,2} \d{3}-\d{4}', '<PHONE>', 'g') AS text
-          FROM norm),
-        ded AS (SELECT doc_id, source, text FROM (
-            SELECT doc_id, source, text,
-              row_number() OVER (
-                PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-                ORDER BY doc_id) AS rn
-            FROM pii) t WHERE rn = 1),
-        cap AS (SELECT doc_id, source, text FROM (
-            SELECT doc_id, source, text,
-              row_number() OVER (PARTITION BY source ORDER BY
-                (md5_number_lower(CAST(doc_id AS VARCHAR) || 'cap-v1')
-                   % 281474976710656) % 1073741824, doc_id) AS rn
-            FROM ded) t WHERE rn <= 7)
+      s"""WITH $curateV1Ctes
         SELECT doc_id, source, md5(text) AS text_md5
         FROM cap ORDER BY doc_id""",
+    // the same stage CTEs counted: the per-stage audit table
+    "q_curate_report" ->
+      s"""WITH $curateV1Ctes
+        SELECT * FROM (
+          SELECT 0 AS stage, 'input' AS op, count(*) AS rows_out FROM documents
+          UNION ALL SELECT 1, 'c4_clean', count(*) FROM c4
+          UNION ALL SELECT 2, 'normalize', count(*) FROM norm
+          UNION ALL SELECT 3, 'pii_redact', count(*) FROM pii
+          UNION ALL SELECT 4, 'dedup_exact', count(*) FROM ded
+          UNION ALL SELECT 5, 'cap_per_group', count(*) FROM cap)
+        ORDER BY stage""",
     // v2 chain, one CTE per stage: seeded boilerplate → paragraph
     // dedup (first-occurrence keeper, reassembly in position order) →
     // corpus-relative unigram-LM filter (round(s,4) ≤ 3.404, ≥1 token)
