@@ -99,11 +99,16 @@ object CuratePipeline {
 
   /** Per-stage audit: run the pipeline stage by stage and report each
     * stage's surviving row count — the "what did each stage drop"
-    * table every production curation run records. Each stage output is
-    * checkpointed (it is read twice: counted AND fed forward), so the
-    * report costs one count job per stage over already-materialized
-    * rows, not a recomputation of the chain per stage. Returns
-    * (stage, op, rows_out) with stage 0 = the input. */
+    * table every production curation run records. STATEFUL stage
+    * outputs are checkpointed (read twice: counted AND fed forward);
+    * map-only stages are counted off the last checkpoint without one
+    * (re-running a fused projection is cheaper than materializing it),
+    * and a stage's explicit `"materialize": false` is honored like
+    * [[compile]]. Retention note: local checkpoints accumulate for
+    * the session (Spark offers no safe mid-plan release) at
+    * MEMORY_AND_DISK — one surviving-corpus copy per STATEFUL stage,
+    * spilling to disk; audit very long chains in sections if that
+    * bounds matter. Returns (stage, op, rows_out), stage 0 = input. */
   def report(df: DataFrame, json: String,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
@@ -112,6 +117,8 @@ object CuratePipeline {
       case JArray(xs) => xs
       case _ => throw new DslException("curate body must have a 'stages' array")
     }
+    val mapOnly = Set("normalize", "c4_clean", "gopher_filter", "pii_redact",
+      "stratified_sample")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     val in0 = df.localCheckpoint()
     rows += ((0, "input", in0.count()))
@@ -120,7 +127,10 @@ object CuratePipeline {
         case JString(s) => s
         case _ => throw new DslException(s"stage missing string 'op': $st")
       }
-      val out = applyStage(cur, st, textCol, idCol).localCheckpoint()
+      val staged = applyStage(cur, st, textCol, idCol)
+      val out =
+        if (bool(st, "materialize", default = !mapOnly(op))) staged.localCheckpoint()
+        else staged
       rows += ((rows.size, op, out.count()))
       out
     }

@@ -205,11 +205,15 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             case _ => None
           }
           val noJoin = (req \ "joins") == JNothing && (req \ "join") == JNothing
-          val fileSplit: Option[DataFrame] = ticket match {
+          val pinned: Option[(DataFrame, Boolean)] = ticket match {
             case Some((p, n)) if noJoin => fileSplitBase(identity, req, p, n)
             case _ => None
           }
-          val base = fileSplit.getOrElse(authorizedTable(identity, req))
+          val base = pinned.map(_._1).getOrElse(authorizedTable(identity, req))
+          // true = the file subset already IS the ticket; false = the
+          // hash-mod filter below still carves it (over the pinned
+          // snapshot when one was resolved)
+          val ticketCarved = pinned.exists(_._2)
           // same-peer joins pushed across the wire: the server joins
           // each additional authorized table (left-to-right fold — an
           // N-way chain arrives as N-1 specs) before anything else
@@ -268,7 +272,7 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           // projected-row hash ≡ i (mod n) — deterministic, disjoint,
           // union = the whole scan; skipped when the file-split base
           // above already carved the ticket out of the file list.
-          val ticketed = (if (fileSplit.isDefined) None else ticket) match {
+          val ticketed = (if (ticketCarved) None else ticket) match {
             case Some((part, parts)) =>
               import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
               // hash only HASHABLE columns (xxhash64 rejects maps) —
@@ -355,16 +359,25 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     authorizedTableByName(identity, RemoteWire.str(req, "table").getOrElse(
       throw new IllegalArgumentException("op needs 'table'")))
 
-  private def authorizedTableByName(identity: Auth.AuthIdentity,
-      name: String): DataFrame = {
-    val known = engine.catalog.tables().exists(t => t.name == name && t.kind != "crawler")
-    if (!known)
-      throw new IllegalArgumentException(s"no such table: $name")
+  /** THE security gate every table access shares (scan, schema, join
+    * sides, split tickets): existence, non-crawler, SELECT grant —
+    * one definition so an authorization change cannot miss a path */
+  private def authorizedDef(identity: Auth.AuthIdentity,
+      name: String): graft.catalog.GraftCatalog.TableDef = {
+    val d = engine.catalog.tables()
+      .find(t => t.name == name && t.kind != "crawler").getOrElse(
+        throw new IllegalArgumentException(s"no such table: $name"))
     val allowed = identity.isSuperUser || engine.catalog.auth.isAllowed(
       identity.roles, "SELECT", Auth.Target.Table(name))
     if (!allowed)
       throw new graft.auth.Authz.PermissionDenied(
         s"remote permission denied: SELECT on TABLE $name")
+    d
+  }
+
+  private def authorizedTableByName(identity: Auth.AuthIdentity,
+      name: String): DataFrame = {
+    authorizedDef(identity, name)
     session.table(name)
   }
 
@@ -378,18 +391,24 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
   private val fileSplitServed = new java.util.concurrent.atomic.AtomicLong(0)
   def fileSplitCount: Long = fileSplitServed.get
 
-  /** file-granular ticket base: a plain (unbucketed, unpartitioned)
-    * managed table reads only the files with index ≡ part (mod parts)
-    * over the SORTED file list of the VERSION the client pinned at
-    * plan time — each file is read by exactly one ticket and every
-    * ticket carves the same immutable list (a commit landing mid-scan
-    * cannot shift indices or split the scan across versions), so N
-    * streams cost one scan total. None = not that shape (or no pinned
-    * version — older client); the caller falls back to the hash-mod
-    * row filter. RBAC mirrors the single-table authorization every
-    * other scan runs. */
+  /** version-pinned ticket base. When the client pinned a version at
+    * plan time, EVERY ticket of the scan serves that immutable
+    * version, whatever shape the table is:
+    *  - plain (unbucketed, unpartitioned) managed: (df, true) — the
+    *    ticket is carved as the FILE subset index ≡ part (mod parts)
+    *    of the version's sorted parquet list (each file read by
+    *    exactly one ticket, N streams ≈ one scan of server work); the
+    *    schema comes from the version's OWN files, so a mid-scan
+    *    schema-changing commit cannot null out columns;
+    *  - any other managed shape: (tableAt(version), false) — the
+    *    caller's hash-mod filter still carves the ticket, but over
+    *    the SAME snapshot for every ticket, so a commit landing
+    *    mid-scan cannot make the union a cross-version mixture.
+    * None = no pin (older client / non-versioned table) — the caller
+    * hash-mod filters the live relation, the documented
+    * approximation. */
   private def fileSplitBase(identity: Auth.AuthIdentity, req: JValue,
-      part: Int, parts: Int): Option[DataFrame] = {
+      part: Int, parts: Int): Option[(DataFrame, Boolean)] = {
     val version = (req \ "version") match {
       case JInt(v)  => v.longValue
       case JLong(v) => v
@@ -397,29 +416,23 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     }
     val name = RemoteWire.str(req, "table").getOrElse(
       throw new IllegalArgumentException("op needs 'table'"))
-    // one catalog parse: existence + RBAC + shape off the same listing
-    val d = engine.catalog.tables()
-      .find(t => t.name == name && t.kind != "crawler").getOrElse(
-        throw new IllegalArgumentException(s"no such table: $name"))
-    val allowed = identity.isSuperUser || engine.catalog.auth.isAllowed(
-      identity.roles, "SELECT", Auth.Target.Table(name))
-    if (!allowed)
-      throw new graft.auth.Authz.PermissionDenied(
-        s"remote permission denied: SELECT on TABLE $name")
-    if (d.kind != "managed" || d.options.contains("bucket_cols") ||
-        d.options.contains("partition_cols")) return None
+    val d = authorizedDef(identity, name)
+    if (d.kind != "managed") return None
     val e = graft.catalog.TableVersions.get(warehouse, name, version)
       .getOrElse(throw new IllegalArgumentException(
         s"pinned version $version of $name is gone (VACUUMed mid-scan?)"))
+    if (d.options.contains("bucket_cols") || d.options.contains("partition_cols"))
+      return Some((engine.catalog.tableAt(name, version), false))
     val files = graft.catalog.TableVersions.parquetFiles(warehouse, name, e)
-    if (files.isEmpty) return None
+    if (files.isEmpty)
+      return Some((engine.catalog.tableAt(name, version), false))
     fileSplitServed.incrementAndGet()
     val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
     // a ticket with no files still answers: an empty frame in the
-    // table's schema (more tickets than files)
-    val whole = session.table(name)
-    if (mine.isEmpty) Some(whole.limit(0))
-    else Some(session.read.schema(whole.schema).parquet(mine: _*))
+    // PINNED version's schema (more tickets than files)
+    if (mine.isEmpty)
+      Some((session.read.parquet(files.head).limit(0), true))
+    else Some((session.read.parquet(mine: _*), true))
   }
 
   /** pushed same-peer equi-join — closed vocabulary ({table2, on

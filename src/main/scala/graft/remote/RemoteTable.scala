@@ -324,9 +324,23 @@ final class RemoteScan(target: WireTarget, credential: Credential,
         })
       } finally sock.close()
     }
-    try once(auth).orElse(if (fallback.nonEmpty) once(fallback) else None)
-      .getOrElse(None)
-    catch { case scala.util.control.NonFatal(_) => None }
+    try {
+      val v = once(auth).orElse(if (fallback.nonEmpty) once(fallback) else None)
+        .getOrElse(None)
+      if (v.isEmpty)
+        // visible downgrade: unpinned tickets fall back to the live
+        // hash-mod path (correct for a quiescent table, N× server
+        // re-scan, and a mid-scan commit becomes observable)
+        System.err.println(s"[graft-remote] no version pin for '$table' " +
+          s"on ${target.address}: split scan proceeds unpinned (hash-mod)")
+      v
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft-remote] version-pin lookup failed for " +
+          s"'$table' on ${target.address} (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}): split scan proceeds unpinned (hash-mod)")
+        None
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -145,13 +145,19 @@ object EventStreams {
     * [[graft.operators.Dedup.hashCandidates]] (image dHash / simhash):
     * each arrival routes to its four 16-bit band buckets; per-bucket
     * state holds the (id, hash) rows seen so far (capped at
-    * `maxBucket`, the batch hot-bucket cap's streaming twin), and the
-    * arrival emits one candidate per stored neighbor with the EXACT
-    * Hamming distance — so the downstream verdict (`dist ≤ k` after a
-    * cross-bucket distinct) is a stateless filter over the sink.
-    * Emission is micro-batch-split invariant: a pair's candidate row
-    * is produced exactly when the later id arrives, whatever batch
-    * that is. */
+    * `maxBucket`), and the arrival emits one candidate per stored
+    * neighbor with the EXACT Hamming distance — so the downstream
+    * verdict (`dist ≤ k` after a cross-bucket distinct) is a
+    * stateless filter over the sink, equal to the batch banding while
+    * no bucket hits the cap. The cap is an APPROXIMATION with
+    * different semantics from the batch one (same stance as
+    * [[streamingNearDupCandidates]]): the batch cap drops a hot
+    * bucket entirely, the streaming cap keeps its first `maxBucket`
+    * arrivals and keeps matching against them — so past the cap the
+    * two paths diverge and emission is no longer split-order
+    * independent. Below the cap, emission is micro-batch-split
+    * invariant: a pair's candidate row is produced exactly when the
+    * later id arrives, whatever batch that is. */
   def streamingHashNearDup(hashes: DataFrame, idCol: String,
       hashCol: String, maxBucket: Int = 1024): DataFrame = {
     val spark = hashes.sparkSession

@@ -275,6 +275,61 @@ class Remote2Spec extends AnyFunSuite {
     engine.sql("DETACH jpar")
   }
 
+  test("version-pinned tickets survive a mid-scan commit; a vacuumed pin fails loudly (r10)") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    // a dedicated peer so the mid-scan INSERT can't disturb the shared
+    // fixture
+    val whP = java.nio.file.Files.createTempDirectory("graft-pin-wh").toString
+    val engP = GraftEngine(spark, whP)
+    engP.sql(s"CREATE EXTERNAL TABLE pin_src STORED AS parquet LOCATION '$sf/nation.parquet'")
+    engP.sql("CREATE TABLE pin_t AS SELECT n_nationkey AS k, n_name AS v FROM pin_src")
+    engP.sql("INSERT INTO pin_t SELECT n_nationkey + 100, n_name FROM pin_src")
+    val sP = new RemoteServer(spark, whP, allowAnonymous = true)
+    try {
+      def scanTicket(version: Long, part: Int, parts: Int): Either[String, Long] = {
+        val sock = new java.net.Socket("localhost", sP.boundPort)
+        try {
+          val in = new java.io.BufferedInputStream(sock.getInputStream)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+          RemoteWire.writeFrame(out, ("op" -> "handshake"))
+          assert((RemoteWire.readFrame(in) \ "ok") == JBool(true))
+          RemoteWire.writeFrame(out, ("op" -> "scan") ~ ("table" -> "pin_t") ~
+            ("version" -> version) ~ ("part" -> part) ~ ("parts" -> parts) ~
+            ("columns" -> JArray(List(JString("k")))))
+          val resp = RemoteWire.readFrame(in)
+          if ((resp \ "ok") != JBool(true))
+            return Left(RemoteWire.str(resp, "error").getOrElse("unknown"))
+          val alloc = new org.apache.arrow.memory.RootAllocator()
+          val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+          var n = 0L
+          while (reader.loadNextBatch()) n += reader.getVectorSchemaRoot.getRowCount
+          reader.close(); alloc.close()
+          Right(n)
+        } finally sock.close()
+      }
+      val pinned = graft.catalog.TableVersions.latest(whP, "pin_t").get.version
+      // redeem ticket 0, COMMIT, then redeem tickets 1..2 of the SAME
+      // pin: the union must be exactly the pinned version's 50 rows —
+      // the mid-scan commit shifts nothing
+      val t0 = scanTicket(pinned, 0, 3).toOption.get
+      engP.sql("INSERT INTO pin_t SELECT n_nationkey + 200, n_name FROM pin_src")
+      val t1 = scanTicket(pinned, 1, 3).toOption.get
+      val t2 = scanTicket(pinned, 2, 3).toOption.get
+      assert(t0 + t1 + t2 == 50L,
+        s"pinned tickets must union to the pinned version: $t0 + $t1 + $t2")
+      // and the new current version reads 75 through its own pin
+      val v2 = graft.catalog.TableVersions.latest(whP, "pin_t").get.version
+      val u = (0 until 3).map(p => scanTicket(v2, p, 3).toOption.get).sum
+      assert(u == 75L)
+      // a VACUUMed pin fails loudly instead of serving wrong files
+      engP.sql("VACUUM pin_t RETAIN 1 VERSIONS")
+      val gone = scanTicket(pinned, 0, 3)
+      assert(gone.isLeft && gone.swap.toOption.get.contains("gone"),
+        s"a vacuumed pin must error: $gone")
+    } finally sP.stop()
+  }
+
   // --------------------------------------------------------------- TLS
 
   test("tls: handshake over TLS works; plaintext client is rejected") {
