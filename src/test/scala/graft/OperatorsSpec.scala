@@ -1246,6 +1246,39 @@ class OperatorsSpec extends AnyFunSuite {
       "the mirror is not a near-dup")
   }
 
+  test("tokenBudgetSample: budget boundary, determinism, shard-local budgets (r10)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, 10L, if (i <= 10) "a" else "b"))
+      .toDF("doc_id", "n_tokens", "shard")
+    // global: exactly budget/10 docs keep (every doc is 10 tokens)
+    val kept = Sampling.tokenBudgetSample(docs, "n_tokens", "doc_id", "s1", 70L)
+      .filter(col("keep")).count()
+    assert(kept == 7L, s"7 × 10 tokens fill the 70 budget, got $kept")
+    // deterministic: the same salt keeps the same ids across runs and
+    // partitionings
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.tokenBudgetSample(df, "n_tokens", "doc_id", "s1", 70L)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(docs) == ids(docs.repartition(7)))
+    // a different salt picks a different (equally sized) subset
+    val other = Sampling.tokenBudgetSample(docs, "n_tokens", "doc_id", "s2", 70L)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(other.size == 7 && other != ids(docs))
+    // shard-local: each shard fills its OWN budget
+    val sharded = Sampling.tokenBudgetSample(docs, "n_tokens", "doc_id", "s1",
+        30L, shardCol = Some("shard"))
+      .filter(col("keep")).groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sharded == Map("a" -> 3L, "b" -> 3L),
+      s"each shard fills its own 30-token budget: $sharded")
+    // overshoot contract: an oversized doc straddling the boundary
+    // still keeps (exclusive prefix sum decides)
+    val fat = Seq((1L, 60L), (2L, 60L)).toDF("doc_id", "n_tokens")
+    val fatKeep = Sampling.tokenBudgetSample(fat, "n_tokens", "doc_id", "s1", 70L)
+      .filter(col("keep")).count()
+    assert(fatKeep == 2L, "the second doc's exclusive prefix (60) < 70 → keeps")
+  }
+
   test("naive bayes classifier: hand-computed posteriors, OOV ignore, prior fallback (r10)") {
     import spark.implicits._
     // training: two classes with disjoint-ish vocab
