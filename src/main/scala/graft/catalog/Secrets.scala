@@ -173,12 +173,29 @@ class Secrets(spark: SparkSession, warehouse: String) {
     }
   }
 
-  /** warehouse-local 256-bit key, created on first use (0600 where the
-    * store is a POSIX filesystem; object stores rely on bucket ACLs) */
+  /** 256-bit secrets key. Preference order:
+    *  1. externally supplied — `GRAFT_SECRETS_KEY` env var or system
+    *     property (64 hex chars); never touches the store, so on an
+    *     object-store warehouse bucket readers see only ciphertext;
+    *  2. warehouse-local `.key`, created on first use (0600 where the
+    *     store is a POSIX filesystem). On a SCHEMED (s3a/hdfs/...)
+    *     warehouse a store-local key sits beside the ciphertext —
+    *     encryption degrades to obfuscation — so that path requires
+    *     an explicit `GRAFT_SECRETS_ALLOW_STORE_KEY=true` opt-in. */
   private def keyBytes(): Array[Byte] = {
     import graft.sources.io.ByteStore
+    externalKey() match {
+      case Some(k) => return k
+      case None => ()
+    }
     ByteStore.createDirectories(dir)
     val kf = ByteStore.resolve(dir, ".key")
+    if (ByteStore.hasScheme(kf) && !storeKeyOptIn)
+      throw new IllegalStateException(
+        "persistent secrets on a schemed warehouse need an external key: " +
+          "set GRAFT_SECRETS_KEY (64 hex chars) so the key never lands in " +
+          "the same store as the ciphertext, or explicitly opt in to a " +
+          "store-local key with GRAFT_SECRETS_ALLOW_STORE_KEY=true")
     if (!ByteStore.exists(kf)) {
       val k = new Array[Byte](32)
       new java.security.SecureRandom().nextBytes(k)
@@ -190,6 +207,19 @@ class Secrets(spark: SparkSession, warehouse: String) {
     }
     ByteStore.readAll(kf)
   }
+
+  private def setting(name: String): Option[String] =
+    sys.props.get(name).orElse(sys.env.get(name)).map(_.trim).filter(_.nonEmpty)
+
+  private def storeKeyOptIn: Boolean =
+    setting("GRAFT_SECRETS_ALLOW_STORE_KEY").exists(_.equalsIgnoreCase("true"))
+
+  private def externalKey(): Option[Array[Byte]] =
+    setting("GRAFT_SECRETS_KEY").map { hex =>
+      require(hex.length == 64 && hex.forall(c => Character.digit(c, 16) >= 0),
+        "GRAFT_SECRETS_KEY must be 64 hex characters (256-bit key)")
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
 }
 
 object Secrets {

@@ -157,8 +157,11 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
           // FULL tables — so unambiguity must hold over every
           // participating table's whole schema (this also rejects
           // same-peer self-joins, whose names all collide), not just
-          // the pruned client outputs
-          names = ls.table.participantColumns ++ rs.table.participantColumns
+          // the pruned client outputs; Spark resolves names
+          // case-insensitively by default, so `ID` vs `id` is a
+          // collision too — compare case-folded
+          names = (ls.table.participantColumns ++
+            rs.table.participantColumns).map(_.toLowerCase(java.util.Locale.ROOT))
           if names.distinct.length == names.length
           // LEFT OUTER: a right-side RESIDUAL predicate can neither
           // hoist (changes null-extension) nor cross the wire

@@ -145,7 +145,9 @@ object NetworkPeer {
 
   def parallelismFrom(options: Map[String, String]): Int = {
     val n = options.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("scan_parallelism") => v.toInt
+      case (k, v) if k.equalsIgnoreCase("scan_parallelism") =>
+        v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"scan_parallelism must be an integer 1..64, got '$v'"))
     }.getOrElse(1)
     require(n >= 1 && n <= 64, s"scan_parallelism out of range: $n")
     n

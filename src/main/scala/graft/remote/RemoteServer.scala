@@ -428,11 +428,18 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
       return Some((engine.catalog.tableAt(name, version), false))
     fileSplitServed.incrementAndGet()
     val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
+    // every ticket resolves the SAME schema — the super-type of the
+    // full pinned file list — so a version whose commits carry
+    // heterogeneous schemas can't make one ticket miss a column
+    // another ticket serves (footer-only pass, cheap)
+    val pinnedSchema =
+      session.read.option("mergeSchema", "true").parquet(files: _*).schema
     // a ticket with no files still answers: an empty frame in the
     // PINNED version's schema (more tickets than files)
     if (mine.isEmpty)
-      Some((session.read.parquet(files.head).limit(0), true))
-    else Some((session.read.parquet(mine: _*), true))
+      Some((session.createDataFrame(
+        session.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinnedSchema), true))
+    else Some((session.read.schema(pinnedSchema).parquet(mine: _*), true))
   }
 
   /** pushed same-peer equi-join — closed vocabulary ({table2, on

@@ -79,6 +79,54 @@ class SecretsSpec extends AnyFunSuite {
     }.getMessage.contains("TYPE"))
   }
 
+  test("schemed warehouse refuses a store-local key without opt-in (ADVICE r10)") {
+    spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl", classOf[MockFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-sec-schemed").toString
+    val sec = new graft.catalog.Secrets(spark, s"mockfs:$base")
+    sys.props.remove("GRAFT_SECRETS_KEY"); sys.props.remove("GRAFT_SECRETS_ALLOW_STORE_KEY")
+    val ex = intercept[IllegalStateException] {
+      sec.create("k1", "s3", Some("s3a://b1"),
+        Map("key_id" -> "AK1", "secret" -> "S1"), persistent = true)
+    }
+    assert(ex.getMessage.contains("GRAFT_SECRETS_KEY"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "_secrets", ".key")),
+      "no plaintext key may land beside the ciphertext")
+  }
+
+  test("external GRAFT_SECRETS_KEY encrypts on a schemed warehouse with no key in the store") {
+    spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl", classOf[MockFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-sec-extkey").toString
+    sys.props("GRAFT_SECRETS_KEY") = "ab" * 32
+    try {
+      val sec = new graft.catalog.Secrets(spark, s"mockfs:$base")
+      sec.create("k2", "s3", Some("s3a://b2"),
+        Map("key_id" -> "AK2", "secret" -> "S2"), persistent = true)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(base, "_secrets", "secrets.enc")))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "_secrets", ".key")),
+        "external key must never be written to the store")
+      // fresh instance decrypts with the same external key
+      val sec2 = new graft.catalog.Secrets(spark, s"mockfs:$base")
+      assert(sec2.list().exists(_._1 == "k2"))
+      // wrong-length key rejected loudly
+      sys.props("GRAFT_SECRETS_KEY") = "abcd"
+      intercept[IllegalArgumentException] { new graft.catalog.Secrets(spark, s"mockfs:$base").create(
+        "k3", "s3", None, Map("key_id" -> "x"), persistent = true) }
+    } finally sys.props.remove("GRAFT_SECRETS_KEY")
+  }
+
+  test("GRAFT_SECRETS_ALLOW_STORE_KEY=true opts back in to a store-local key") {
+    spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl", classOf[MockFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft-sec-optin").toString
+    sys.props("GRAFT_SECRETS_ALLOW_STORE_KEY") = "true"
+    try {
+      val sec = new graft.catalog.Secrets(spark, s"mockfs:$base")
+      sec.create("k4", "s3", Some("s3a://b4"),
+        Map("key_id" -> "AK4", "secret" -> "S4"), persistent = true)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(base, "_secrets", ".key")))
+      assert(new graft.catalog.Secrets(spark, s"mockfs:$base").list().exists(_._1 == "k4"))
+    } finally sys.props.remove("GRAFT_SECRETS_ALLOW_STORE_KEY")
+  }
+
   test("replacing a secret unsets the old scope's keys (ADVICE r8)") {
     engine.sql("""CREATE SECRET mover (TYPE S3, KEY_ID 'M1', SECRET 'S1',
       SCOPE 's3a://old-bucket')""")
