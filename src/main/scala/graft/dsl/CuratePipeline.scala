@@ -46,6 +46,12 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *  - one shuffle: `dedup_exact` (fingerprint window),
   *    `cap_per_group` (group window), `temperature_sample` (per-group
   *    count, joined back by broadcast).
+  *  - one shuffle + semi-join back: `repetition_filter` (per-doc
+  *    scalars are map-only; the top-gram rank shuffles on (doc,
+  *    gram), bounded by tokens-per-doc), `token_budget` (one
+  *    prefix-sum window — shard-local with `shard`, the 100 TB
+  *    path), `hash_neardup` (banded 16-bit Hamming self-join, never
+  *    all-pairs, + min-label propagation).
   *  - bounded multi-shuffle: `dedup_paragraphs` (digest keeper agg +
   *    join-back + per-doc reassembly), `lm_quality_filter` (tf
   *    pre-aggregate, vocab counts, score join — corpus-relative, so
@@ -55,7 +61,10 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *    (banded LSH self-join — never all-pairs — + min-label
   *    propagation rounds bounded by cluster diameter),
   *    `perplexity_filter` (two count shuffles for the bigram LM +
-  *    tf-pre-aggregated scoring joins; counts prune at min_count).
+  *    tf-pre-aggregated scoring joins; counts prune at min_count),
+  *    `semdedup` (map-only cell assign against a broadcast codebook,
+  *    ONE shuffle on the cell key for the within-cell threshold
+  *    join — k tunes the quadratic per-cell term).
   *
   * Every stage preserves the (id, text, passenger) row shape and the
   * input column order; `mixture` additionally APPENDS an `epoch`
@@ -142,7 +151,8 @@ object CuratePipeline {
     (st \ "op") match {
       case JString(op) => Set("lm_quality_filter", "perplexity_filter",
         "dsir_filter", "minhash_neardup", "decontaminate",
-        "dedup_substrings", "tokenize", "nb_class_filter")(op)
+        "dedup_substrings", "tokenize", "nb_class_filter",
+        "repetition_filter", "token_budget", "semdedup", "hash_neardup")(op)
       case _ => false
     }
 
@@ -256,6 +266,73 @@ object CuratePipeline {
           .filter(col("weight") >= dbl(st, "min_weight", 0.0))
           .select(col("doc_id").as(idCol))
         df.join(keep, Seq(idCol), "left_semi")
+      case "repetition_filter" =>
+        // Gopher repetition gate (Rae et al. 2021 App. A1 re-cut for
+        // whitespace tokens): drop docs whose duplicate-gram fraction
+        // or top-gram character share exceed the caps, or whose
+        // distinct-token ratio falls below the floor. Thresholds
+        // compare the profile's round(,6) values so an independent
+        // replay agrees at the boundary. Docs the profile can't
+        // assess (no shingles — empty/whitespace text) are dropped:
+        // a repetition gate that can't measure a doc shouldn't pass
+        // it, and the inner profile join encodes exactly that.
+        val prof = TextOps.repetitionProfile(df, textCol, idCol,
+          shingleN = int(st, "shingle_n", 3))
+        val keep = prof.filter(
+            col("dup_gram_frac") <= dbl(st, "max_dup_gram_frac", 1.0) &&
+            col("top_gram_frac") <= dbl(st, "max_top_gram_frac", 1.0) &&
+            col("distinct_token_ratio") >= dbl(st, "min_distinct_ratio", 0.0))
+          .select(col(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case "token_budget" =>
+        // reproducible ~budget-token subset (the data-mix sizing
+        // step): rows order by the md5-bit contract on (id, salt) and
+        // keep while the exclusive whitespace-token prefix-sum stays
+        // under budget (overshoot ≤ 1 doc). `shard` makes the window
+        // shard-local — the 100 TB path: per-shard budgets, no global
+        // window.
+        val salt = str(st, "salt")
+        val budget = lng(st, "budget")
+        val shard = strOpt(st, "shard")
+        val baseCols = col(idCol) +: shard.map(col).toSeq
+        val counts = df.select(baseCols :+
+          size(graft.functions.TextExprs.tokens(col(textCol), lower = true))
+            .cast("long").as("__n_tokens"): _*)
+        val keep = Sampling.tokenBudgetSample(counts, "__n_tokens", idCol,
+            salt, budget, shard)
+          .filter(col("keep")).select(col(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case "semdedup" =>
+        // SemDeDup (Abbas et al. 2023) over an embedding column the
+        // table already carries (`vec_col`): k-means cells bound the
+        // pairwise work; within a cell a row drops iff a lower-id row
+        // sits at cosine ≥ tau. Corpus-relative (the replayable
+        // k-means trains on the stage input); round_cos ≥ 0 rounds
+        // before thresholding so replays agree at the boundary.
+        val vecCol = str(st, "vec_col")
+        val m = graft.operators.IvfIndex.trainReplayable(df, idCol, vecCol,
+          k = int(st, "k", 256), iters = int(st, "iters", 5),
+          sampleSize = int(st, "sample_size", 50000))
+        val kept = graft.operators.Similarity.semDedup(df, idCol, vecCol, m,
+            tau = dbl(st, "tau", 0.9), roundCos = int(st, "round_cos", 6))
+          .filter(col("is_kept")).select(col(idCol))
+        df.join(kept, Seq(idCol), "left_semi")
+      case "hash_neardup" =>
+        // near-dup removal over a PRECOMPUTED 64-bit perceptual hash
+        // column (`hash_col` — image dHash, audio sketch, simhash):
+        // banded Hamming candidates (16-bit bands, pigeonhole recall
+        // for dist ≤ max_dist ≤ 3) → connected components → each
+        // cluster keeps its min-id member. This is how the multimodal
+        // near-dup paths reach CURATE TABLE: a decode/hash stage
+        // upstream materializes the hash, this stage dedups on it.
+        val hashCol = str(st, "hash_col")
+        val pairs = Dedup.hashCandidates(df.select(col(idCol), col(hashCol)),
+          idCol, hashCol, maxDist = int(st, "max_dist", 3),
+          maxBucket = int(st, "max_bucket", 0))
+        val losers = Dedup.connectedComponents(pairs, s"a_$idCol", s"b_$idCol")
+          .filter(col("cluster_id") =!= col("id"))
+          .select(col("id").as(idCol))
+        df.join(losers, Seq(idCol), "left_anti")
       case "stratified_sample" =>
         Sampling.stratifiedSample(df, str(st, "strata"), idCol,
           str(st, "salt"), rateMap(st, "rates"),
@@ -376,6 +453,19 @@ object CuratePipeline {
     case JNothing => default
     case other => throw new DslException(s"'$field' must be an integer, got $other")
   }
+
+  private def lng(st: JValue, field: String): Long = st \ field match {
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case other => throw new DslException(s"stage needs integer '$field', got $other")
+  }
+
+  private def strOpt(st: JValue, field: String): Option[String] =
+    st \ field match {
+      case JString(s) => Some(s)
+      case JNothing => None
+      case other => throw new DslException(s"'$field' must be a string, got $other")
+    }
 
   private def bool(st: JValue, field: String, default: Boolean): Boolean =
     st \ field match {

@@ -179,16 +179,20 @@ object TextOps {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col(idCol), col("__g").as("top_gram"), col("__c"))
+    // zero denominators (empty/whitespace docs) yield NULL ratios —
+    // DuckDB's x/0 semantics, so replays agree — instead of an ANSI
+    // DIVIDE_BY_ZERO; a NULL ratio then fails any threshold filter
+    def safe(d: Column): Column = when(d =!= 0, d)
     scalars.join(top, Seq(idCol))
       .select(col(idCol),
         col("n_tokens"),
-        round(col("__n_distinct_toks").cast(DoubleType) / col("n_tokens"), 6)
+        round(col("__n_distinct_toks").cast(DoubleType) / safe(col("n_tokens")), 6)
           .as("distinct_token_ratio"),
         round((col("__n_grams") - col("__n_distinct_grams")).cast(DoubleType) /
-          col("__n_grams"), 6).as("dup_gram_frac"),
+          safe(col("__n_grams")), 6).as("dup_gram_frac"),
         col("top_gram"),
-        round(col("__c") * length(col("top_gram")).cast(DoubleType) / col("__chars"), 6)
-          .as("top_gram_frac"))
+        round(col("__c") * length(col("top_gram")).cast(DoubleType) /
+          safe(col("__chars")), 6).as("top_gram_frac"))
   }
 
   /** PII patterns shared by [[piiProfile]] and its oracle: restricted

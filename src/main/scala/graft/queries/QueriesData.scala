@@ -840,6 +840,76 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- FineWeb-style end-to-end recipe (r11): the full production
+    // curation shape as ONE pipeline — line cleanup → normalize →
+    // gopher battery → repetition gate → exact dedup → minhash
+    // near-dup clusters → benchmark decontamination → NB class gate →
+    // token-budget subset → BPE tokenize → shard-local pack. Eleven
+    // stages, each replayed as its own oracle CTE. Seeds: every doc
+    // gains sentence structure (the synthetic corpus has no terminal
+    // punctuation, so c4's line rules would otherwise empty it), a
+    // non-sentence boilerplate line c4 must drop, doc_id%13 exact
+    // dupes, doc_id%17 near-dupes (one revision token differs), and
+    // doc_id%97 plays the held-out benchmark split.
+    "q_curate_fineweb" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.compile(fineWebSeed(s, dir), fineWebSpec)
+        .select(col("source"), col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("ids_md5"))
+        .orderBy(col("source"), col("seq_id"))
+    },
+
+    // ---- ...and the same recipe audited: one (stage, op, rows_out)
+    // row per stage — the curation run's survival funnel
+    "q_curate_fineweb_report" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.report(fineWebSeed(s, dir), fineWebSpec)
+        .orderBy(col("stage"))
+    },
+
+    // ---- SemDeDup as a CURATE stage (r11): the embedding-aware
+    // dedup reachable from the pipeline DSL — k-means cells bound the
+    // pairwise work, a row drops iff a lower-id cell-mate sits at
+    // cosine ≥ tau; the stage keeps survivors only (vs q_semdedup's
+    // full is_kept report)
+    "q_curate_semdedup" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 2500)
+      val spec = """{"stages": [
+        {"op": "semdedup", "vec_col": "embedding", "k": 4, "iters": 5,
+         "tau": 0.5, "round_cos": 6}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(emb, spec, textCol = "embedding",
+          idCol = "vec_id")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- hash near-dup as a CURATE stage (r11): how the multimodal
+    // near-dup paths reach CURATE TABLE — a decode/hash stage
+    // upstream materializes a 64-bit perceptual hash; this stage
+    // drops banded-Hamming cluster non-keepers. Same seeded corpus
+    // as q_image_neardup (md5-surrogate hashes, XOR near-dups, exact
+    // copies), so the replay contract carries over.
+    "q_curate_hash_neardup" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val hashes = Multimodal.imageHashes(media, "payload", Multimodal.FakeCodec)
+        .select(col("media_id"), col("image_hash"))
+      val seeded = hashes
+        .unionByName(hashes.filter(col("media_id") % 5 === 0)
+          .select((col("media_id") + 1000000L).as("media_id"),
+            col("image_hash").bitwiseXOR(lit(0x40002L)).as("image_hash")))
+        .unionByName(hashes.filter(col("media_id") % 7 === 0)
+          .select((col("media_id") + 2000000L).as("media_id"),
+            col("image_hash")))
+      val spec = """{"stages": [
+        {"op": "hash_neardup", "hash_col": "image_hash", "max_dist": 3}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(seeded, spec, textCol = "image_hash",
+          idCol = "media_id")
+        .select(col("media_id"), col("image_hash"))
+        .orderBy(col("media_id"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -1166,6 +1236,219 @@ object QueriesData {
                 (md5_number_lower(CAST(doc_id AS VARCHAR) || 'cap-v1')
                    % 281474976710656) % 1073741824, doc_id) AS rn
             FROM ded) t WHERE rn <= 7)"""
+
+  /** the FineWeb-recipe seed: sentence structure + a non-sentence
+    * boilerplate line + %13 exact dupes + %17 near-dupes + %97
+    * benchmark split — shared by the gate and its report twin */
+  private def fineWebSeed(s: SparkSession, dir: String): DataFrame = {
+    val boiler = array(FwBoiler.map(lit): _*)
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"),
+      (col("doc_id") % 97 === 0).as("is_bench"),
+      concat(
+        when(col("doc_id") % 13 === 0, lit(FwMirror))
+          .when(col("doc_id") % 17 === 0, concat(lit(FwEngine),
+            lit(" Revision note number "), col("doc_id").cast("string"),
+            lit(" applies.")))
+          .otherwise(concat(col("text"), lit("."))),
+        lit("\nSubscribe now\n"),
+        element_at(boiler, (col("doc_id") % 4 + 1).cast("int"))).as("text"))
+  }
+
+  private val FwMirror = "Welcome to the archived mirror of this page hosted " +
+    "here for posterity by the site team so that readers keep access to the " +
+    "original body text after the move."
+  private val FwEngine = "This page describes the storage engine layout in " +
+    "careful detail covering the row format the column format the page cache " +
+    "the write ahead log and the compaction loop with worked examples for " +
+    "every case."
+  private val FwBoiler = Seq(
+    "The quick brown fox jumps over the lazy dog today.",
+    "All rights are reserved by the original author of this page.",
+    "Please share this article with all of your friends online.",
+    "This content is provided for informational purposes only to readers.")
+
+  private val fineWebSpec = """{"stages": [
+    {"op": "c4_clean", "require_pass": false},
+    {"op": "normalize"},
+    {"op": "gopher_filter", "min_words": 25},
+    {"op": "repetition_filter", "max_dup_gram_frac": 0.02,
+     "max_top_gram_frac": 0.15, "min_distinct_ratio": 0.42},
+    {"op": "dedup_exact"},
+    {"op": "minhash_neardup"},
+    {"op": "decontaminate", "benchmark_col": "is_bench", "max_frac": 0.3},
+    {"op": "nb_class_filter", "label_col": "lang", "keep": ["en"]},
+    {"op": "token_budget", "salt": "fw-v1", "budget": 300, "shard": "source"},
+    {"op": "tokenize", "merges": [["e","r"],["t","h"],["th","e"],
+                                  ["i","n"],["a","n"],["an","d"]]},
+    {"op": "pack", "seq_len": 64, "shard": "source"}
+  ]}"""
+
+  /** the 11-stage FineWeb chain, one CTE per stage (MATERIALIZED on
+    * the hubs — the chain is deep enough that DuckDB's CTE inlining
+    * otherwise recomputes the md5 towers many times over). Ends with
+    * `tb` (token-budget survivors) and `sq` (packed sequences);
+    * intermediate stage heads: c4, norm, gkept, rkept, ded, mnd,
+    * dec, nbk. */
+  private val fineWebCtes: String = {
+    val boilerCase = s"""CASE doc_id % 4
+      WHEN 0 THEN '${FwBoiler(0)}' WHEN 1 THEN '${FwBoiler(1)}'
+      WHEN 2 THEN '${FwBoiler(2)}' ELSE '${FwBoiler(3)}' END"""
+    raw"""fw0 AS MATERIALIZED (SELECT doc_id, lang, source,
+        (doc_id % 97 = 0) AS is_bench,
+        CASE WHEN doc_id % 13 = 0 THEN '$FwMirror'
+             WHEN doc_id % 17 = 0 THEN '$FwEngine'
+               || ' Revision note number ' || CAST(doc_id AS VARCHAR) || ' applies.'
+             ELSE text || '.' END
+        || chr(10) || 'Subscribe now' || chr(10) || $boilerCase AS text
+      FROM documents),
+    c4 AS (SELECT doc_id, lang, source, is_bench,
+        coalesce(array_to_string(list_filter(string_split(text, chr(10)), x ->
+          regexp_matches(x, '[.!?"]$$')
+          AND len(list_filter(string_split_regex(x, '[ \t\x0B\f\r]+'), t -> len(t) > 0)) >= 3
+          AND NOT contains(lower(x), 'javascript')
+          AND NOT contains(lower(x), 'lorem ipsum')
+          AND NOT contains(x, '{')), chr(10)), '') AS text
+      FROM fw0),
+    norm AS MATERIALIZED (SELECT doc_id, lang, source, is_bench,
+        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          '[ \t\n\x0B\f\r]+', ' ', 'g'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS text
+      FROM c4),
+    gw AS (SELECT doc_id,
+        list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> len(t) > 0) AS words,
+        list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines
+      FROM norm),
+    gm AS (SELECT doc_id, len(words) AS n_words, len(lines) AS n_lines,
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words) END AS mean_len,
+        len(list_filter(words, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…'))) AS n_sym,
+        len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bul,
+        len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ell,
+        len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        len(list_filter($stop12,
+            s -> list_contains(list_transform(words, x -> lower(x)), s))) AS n_stop
+      FROM gw),
+    gk AS (SELECT doc_id FROM gm WHERE
+        (n_words >= 25 AND n_words <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND (n_sym <= n_words * 0.1)
+        AND (n_lines = 0 OR n_bul <= n_lines * 0.9)
+        AND (n_lines = 0 OR n_ell <= n_lines * 0.3)
+        AND (n_words = 0 OR n_alpha >= n_words * 0.8)
+        AND (n_stop >= 2)),
+    gkept AS MATERIALIZED (SELECT n.* FROM norm n JOIN gk USING (doc_id)),
+    rtoks AS (SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\s+'), s -> len(s) > 0) AS tk
+      FROM gkept),
+    rsh AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                  i -> concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)],
+                                      tk[CAST(i + 2 AS INT)])) END AS sh
+      FROM rtoks),
+    rscal AS (SELECT t.doc_id, len(trim(t.text)) AS chars,
+           len(t.tk) AS n_tokens, len(list_distinct(t.tk)) AS n_dt,
+           len(s.sh) AS n_grams, len(list_distinct(s.sh)) AS n_dg
+      FROM rtoks t JOIN rsh s ON t.doc_id = s.doc_id),
+    rgrams AS (SELECT doc_id, unnest(sh) AS g FROM rsh),
+    rgc AS (SELECT doc_id, g, count(*) AS c FROM rgrams GROUP BY 1, 2),
+    rtopg AS (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+          ORDER BY c DESC, len(g) DESC, g ASC) AS rk FROM rgc),
+    rprof AS (SELECT s.doc_id,
+        round(CAST(s.n_dt AS DOUBLE) / s.n_tokens, 6) AS distinct_token_ratio,
+        round(CAST(s.n_grams - s.n_dg AS DOUBLE) / s.n_grams, 6) AS dup_gram_frac,
+        round(CAST(t.c * len(t.g) AS DOUBLE) / s.chars, 6) AS top_gram_frac
+      FROM rscal s JOIN rtopg t ON t.doc_id = s.doc_id AND t.rk = 1),
+    rkeep AS (SELECT doc_id FROM rprof
+      WHERE dup_gram_frac <= 0.02 AND top_gram_frac <= 0.15
+        AND distinct_token_ratio >= 0.42),
+    rkept AS MATERIALIZED (SELECT g.* FROM gkept g JOIN rkeep USING (doc_id)),
+    ded AS MATERIALIZED (SELECT doc_id, lang, source, is_bench, text FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn FROM rkept) t WHERE rn = 1),
+    mtoks AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'), s -> len(s) > 0) AS tk
+      FROM ded),
+    msh AS (SELECT doc_id,
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                  i -> concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)],
+                                      tk[CAST(i + 2 AS INT)])) END AS sh
+      FROM mtoks),
+    msig AS MATERIALIZED (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM msh),
+    mbands AS (
+      SELECT doc_id, 0 AS band, mh0 || mh1 AS s FROM msig UNION ALL
+      SELECT doc_id, 1, mh2 || mh3 FROM msig UNION ALL
+      SELECT doc_id, 2, mh4 || mh5 FROM msig UNION ALL
+      SELECT doc_id, 3, mh6 || mh7 FROM msig),
+    mpairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM mbands a JOIN mbands b ON a.band = b.band AND a.s = b.s
+      WHERE a.doc_id < b.doc_id),
+    medges AS (SELECT a AS src, b AS dst FROM mpairs
+               UNION SELECT b, a FROM mpairs),
+    mreach(id, r) AS (
+      SELECT DISTINCT src, src FROM medges
+      UNION
+      SELECT e.dst, r.r FROM medges e JOIN mreach r ON e.src = r.id),
+    mclus AS (SELECT id, min(r) AS cluster_id FROM mreach GROUP BY id),
+    mnd AS MATERIALIZED (SELECT d.* FROM ded d LEFT JOIN mclus c ON d.doc_id = c.id
+            WHERE c.id IS NULL OR c.cluster_id = d.doc_id),
+    dtk AS (SELECT doc_id, is_bench,
+        list_filter(string_split_regex(trim(text), '\s+'), s -> len(s) > 0) AS tk
+      FROM mnd),
+    dsh AS (SELECT doc_id, is_bench,
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                  i -> concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i + 1 AS INT)],
+                                      tk[CAST(i + 2 AS INT)])) END AS sh
+      FROM dtk),
+    dds AS MATERIALIZED (SELECT doc_id, is_bench, unnest(list_distinct(sh)) AS s
+      FROM dsh),
+    dbench AS (SELECT DISTINCT s FROM dds WHERE is_bench),
+    dtr AS (SELECT doc_id, s FROM dds WHERE NOT is_bench),
+    dsizes AS (SELECT doc_id, count(*) AS n FROM dtr GROUP BY 1),
+    dhits AS (SELECT dtr.doc_id, count(*) AS h
+              FROM dtr JOIN dbench USING (s) GROUP BY 1),
+    dfrac AS (SELECT z.doc_id,
+        round(CAST(coalesce(h.h, 0) AS DOUBLE) / z.n, 6) AS f
+      FROM dsizes z LEFT JOIN dhits h USING (doc_id)),
+    dec AS MATERIALIZED (SELECT m.* FROM mnd m JOIN dfrac USING (doc_id)
+            WHERE NOT m.is_bench AND dfrac.f <= 0.3),
+    ${nbCtes("dec", "lang")},
+    nbkeep AS (SELECT dd.doc_id FROM dec dd
+               LEFT JOIN best b USING (doc_id) CROSS JOIN fb
+               WHERE coalesce(b.pred, fb.fc) = 'en'),
+    nbk AS MATERIALIZED (SELECT d.* FROM dec d JOIN nbkeep USING (doc_id)),
+    tbtok AS (SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS n_toks,
+        (md5_number_lower(CAST(doc_id AS VARCHAR) || 'fw-v1')
+           % 281474976710656) % 1073741824 AS hb
+      FROM nbk),
+    tbkeep AS (SELECT doc_id FROM (
+        SELECT doc_id, coalesce(sum(n_toks) OVER (PARTITION BY source
+          ORDER BY hb, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM tbtok) t WHERE off < 300),
+    tb AS MATERIALIZED (SELECT n.* FROM nbk n JOIN tbkeep USING (doc_id)),
+    ${bpeIdsCtesOver("tb")},
+    fwsrc AS (SELECT d.doc_id, c.source, d.ids
+              FROM docids d JOIN tb c USING (doc_id)),
+    fwoffs AS (SELECT doc_id, source, ids,
+        coalesce(sum(len(ids)) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM fwsrc),
+    fwex AS (SELECT source, off + generate_subscripts(ids, 1) - 1 AS gpos,
+                    unnest(ids) AS id
+             FROM fwoffs),
+    fwpk AS (SELECT source, CAST(gpos // 64 AS BIGINT) AS seq_id,
+                    gpos % 64 AS slot, id FROM fwex),
+    sq AS (SELECT source, seq_id, count(*) AS n_tokens,
+             md5(array_to_string(
+               list(CAST(id AS VARCHAR) ORDER BY slot), ' ')) AS ids_md5
+           FROM fwpk GROUP BY 1, 2)"""
+  }
 
   /** the multinomial-NB replay (train on `src`.`labelCol`, score every
     * `src` row) as a CTE chain ending in `best (doc_id, pred, score,
@@ -2207,6 +2490,77 @@ object QueriesData {
                ORDER BY doc_id) AS rn FROM s1) WHERE rn = 1)
          SELECT doc_id, lang, source, md5(text) AS text_md5 FROM s2
          ORDER BY doc_id""",
+    // the full 11-stage FineWeb recipe, one CTE per stage (seed →
+    // c4 → normalize → gopher → repetition → exact dedup → minhash
+    // CC → decontaminate → NB gate → token budget → BPE → shard pack)
+    "q_curate_fineweb" ->
+      s"""WITH RECURSIVE $fineWebCtes
+        SELECT source, seq_id, n_tokens, ids_md5 FROM sq
+        ORDER BY source, seq_id""",
+    // the same stage CTEs counted: the curation survival funnel
+    "q_curate_fineweb_report" ->
+      s"""WITH RECURSIVE $fineWebCtes
+        SELECT * FROM (
+          SELECT 0 AS stage, 'input' AS op, count(*) AS rows_out FROM fw0
+          UNION ALL SELECT 1, 'c4_clean', count(*) FROM c4
+          UNION ALL SELECT 2, 'normalize', count(*) FROM norm
+          UNION ALL SELECT 3, 'gopher_filter', count(*) FROM gkept
+          UNION ALL SELECT 4, 'repetition_filter', count(*) FROM rkept
+          UNION ALL SELECT 5, 'dedup_exact', count(*) FROM ded
+          UNION ALL SELECT 6, 'minhash_neardup', count(*) FROM mnd
+          UNION ALL SELECT 7, 'decontaminate', count(*) FROM dec
+          UNION ALL SELECT 8, 'nb_class_filter', count(*) FROM nbk
+          UNION ALL SELECT 9, 'token_budget', count(*) FROM tb
+          UNION ALL SELECT 10, 'tokenize', count(*) FROM tb
+          UNION ALL SELECT 11, 'pack', count(*) FROM sq)
+        ORDER BY stage""",
+    // the semdedup stage = q_semdedup's IVF-assignment + within-cell
+    // threshold-join replay, filtered to survivors (+ label join-back)
+    "q_curate_semdedup" ->
+      s"""WITH ${ivfAssignCtes(4, 5, 50000,
+          base = "(SELECT * FROM embeddings WHERE vec_id < 2500)")},
+        dropped AS (SELECT DISTINCT b.vec_id AS drop_id
+          FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          JOIN embeddings q ON q.vec_id = a.vec_id
+          JOIN embeddings c ON c.vec_id = b.vec_id
+          WHERE round($cosSql, 6) >= 0.5)
+        SELECT f.vec_id, e.label
+        FROM fasg f JOIN embeddings e ON e.vec_id = f.vec_id
+        LEFT JOIN dropped d ON d.drop_id = f.vec_id
+        WHERE d.drop_id IS NULL
+        ORDER BY f.vec_id""",
+    // the hash_neardup stage = q_image_neardup's banded pairs + the
+    // connected-components closure; survivors keep their cluster min
+    "q_curate_hash_neardup" ->
+      """WITH RECURSIVE
+        u AS (SELECT doc_id AS media_id, md5_number_lower(text) AS uh FROM documents),
+        h AS (SELECT media_id, CAST(CASE WHEN uh >= 9223372036854775808
+                THEN CAST(uh AS HUGEINT) - 18446744073709551616
+                ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS hsh FROM u),
+        seeded AS (
+          SELECT media_id, hsh FROM h
+          UNION ALL SELECT media_id + 1000000, xor(hsh, 262146) FROM h
+            WHERE media_id % 5 = 0
+          UNION ALL SELECT media_id + 2000000, hsh FROM h
+            WHERE media_id % 7 = 0),
+        banded AS (SELECT media_id, hsh, b AS band, (hsh >> (b * 16)) & 65535 AS key
+                   FROM seeded, unnest([0, 1, 2, 3]) t(b)),
+        pairs AS (SELECT a, b FROM (
+            SELECT DISTINCT a.media_id AS a, b.media_id AS b,
+              CAST(bit_count(xor(a.hsh, b.hsh)) AS INTEGER) AS dist
+            FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+            WHERE a.media_id < b.media_id) WHERE dist <= 3),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id),
+        clus AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT s.media_id, s.hsh AS image_hash
+        FROM seeded s LEFT JOIN clus c ON s.media_id = c.id
+        WHERE c.id IS NULL OR c.cluster_id = s.media_id
+        ORDER BY s.media_id""",
     // the C4 §2.2 line rules verbatim: terminal punctuation, ≥3
     // whitespace words, javascript/lorem ipsum/'{' blocklist; doc gate
     // = ≥5 terminal-punctuation runs in the kept text

@@ -1314,4 +1314,65 @@ class OperatorsSpec extends AnyFunSuite {
       minCount = 2L).orderBy("doc_id").collect()
     assert(pruned(0).getString(1) == "a" && pruned(0).getLong(3) == 1L)
   }
+
+  test("curate repetition_filter: repetitive and unassessable docs drop, varied stay") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val kept = graft.dsl.CuratePipeline.compile(docs,
+        """{"stages": [{"op": "repetition_filter", "max_dup_gram_frac": 0.5,
+            "min_distinct_ratio": 0.5}]}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 fails both caps (1 distinct token, all grams dup); 3 has no
+    // shingles so the gate can't assess it → dropped by contract
+    assert(kept == Set(1L))
+  }
+
+  test("curate token_budget: stage keep set equals the operator's keep set") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l"),
+      (4L, "m n o p")).toDF("doc_id", "text")
+    val staged = graft.dsl.CuratePipeline.compile(docs,
+        """{"stages": [{"op": "token_budget", "salt": "s1", "budget": 8}]}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val counts = docs.select(col("doc_id"),
+      size(graft.functions.TextExprs.tokens(col("text"), lower = true))
+        .cast("long").as("n"))
+    val direct = Sampling.tokenBudgetSample(counts, "n", "doc_id", "s1", 8L)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(staged == direct && staged.size == 2,
+      s"budget 8 over 4-token docs keeps exactly 2 (got $staged vs $direct)")
+    // row shape preserved: original columns, no helper columns
+    assert(graft.dsl.CuratePipeline.compile(docs,
+      """{"stages": [{"op": "token_budget", "salt": "s1", "budget": 8}]}""")
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("curate hash_neardup: near pair keeps min id, far hash untouched") {
+    import spark.implicits._
+    val rows = Seq((10L, 0x0123456789abcdefL), (11L, 0x0123456789abcdeeL),
+      (12L, 0x7edcba9876543210L)).toDF("media_id", "image_hash")
+    val kept = graft.dsl.CuratePipeline.compile(rows,
+        """{"stages": [{"op": "hash_neardup", "hash_col": "image_hash",
+            "max_dist": 3}]}""",
+        textCol = "image_hash", idCol = "media_id")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L))
+  }
+
+  test("curate semdedup: duplicate embedding drops the higher id") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.001f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = graft.dsl.CuratePipeline.compile(rows,
+        """{"stages": [{"op": "semdedup", "vec_col": "embedding", "k": 2,
+            "iters": 3, "tau": 0.9, "round_cos": 6}]}""",
+        textCol = "embedding", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"3 sits at cos≈1 to 1 in the same cell: $kept")
+  }
 }
