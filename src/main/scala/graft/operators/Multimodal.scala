@@ -34,6 +34,10 @@ object Multimodal {
     /** 64-bit perceptual hash for image near-dup (dHash for real
       * codecs; the md5-family surrogate for the replayable stub) */
     def imageHash(payload: Array[Byte]): Long
+    /** 64-bit perceptual hash for audio near-dup (adjacent-bin
+      * difference sketch of the filter-bank embedding for real
+      * codecs; the md5-family surrogate for the replayable stub) */
+    def audioHash(payload: Array[Byte]): Long
     /** (sampleRateHz, channels, durationMs, rms of normalized samples) */
     def decodeAudio(payload: Array[Byte]): (Double, Int, Long, Double)
     /** fixed-size audio feature vector (filter-bank amplitudes) */
@@ -115,6 +119,24 @@ object Multimodal {
           c += 1
         }
         r += 1
+      }
+      h
+    }
+
+    /** REAL 64-bit audio sketch — the dHash idea transposed to the
+      * frequency axis: 65-bin log-spaced Goertzel filter bank
+      * ([[embedAudio]]), bit k = amp(k) < amp(k+1), packed MSB-first.
+      * Adjacent-bin DIFFERENCES are amplitude-ratio invariant, so
+      * volume changes and re-encodings flip few bits while a
+      * different tone/spectrum flips many — the same robustness
+      * contract as the image dHash. */
+    override def audioHash(payload: Array[Byte]): Long = {
+      val amps = embedAudio(payload, 65)
+      var h = 0L
+      var k = 0
+      while (k < 64) {
+        h = (h << 1) | (if (amps(k) < amps(k + 1)) 1L else 0L)
+        k += 1
       }
       h
     }
@@ -432,6 +454,11 @@ object Multimodal {
       * banded near-dup machinery over it replays in oracle SQL */
     def imageHash(payload: Array[Byte]): Long = md5Lower64(payload)
 
+    /** "audio perceptual hash": md5-family surrogate over (payload,
+      * 'ah') — DuckDB's md5_number_lower(p || 'ah') cast to BIGINT */
+    def audioHash(payload: Array[Byte]): Long =
+      md5Lower64(payload, "ah".getBytes("UTF-8"))
+
     /** "frame sample": n digests standing in for n sampled frames */
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
       (0 until n).map(i => digest(payload, s"f$i".getBytes("UTF-8")))
@@ -597,6 +624,25 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
         val h = if (payload == null) 0L else codec.imageHash(payload)
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** Audio-hash pass: adds `audio_hash` (the codec's 64-bit
+    * adjacent-bin spectral sketch) — map-only like every decode
+    * pass; feed the result to [[Dedup.hashCandidates]] for banded
+    * audio near-dup. */
+  def audioHashes(df: DataFrame, payloadCol: String,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("audio_hash", LongType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val h = if (payload == null) 0L else codec.audioHash(payload)
         Row.fromSeq(r.toSeq :+ h)
       }
     }(enc)

@@ -390,6 +390,31 @@ object QueriesData {
         .orderBy(col("a_media_id"), col("b_media_id"))
     },
 
+    // ---- audio near-dup (r11): spectral-sketch dedup over the media
+    // table — the image near-dup's frequency-axis twin. The REAL path
+    // is ImageIoCodec's 65-bin Goertzel adjacent-difference sketch
+    // (spec'd on generated WAVs — a re-encoded copy of the same tone
+    // mix flips few bits, a different mix flips many); the gate runs
+    // the replayable md5-surrogate so the banded pair machinery
+    // replays in oracle SQL. Near-dup copies seed by XORing a 2-bit
+    // pattern (a slightly re-encoded clip); exact copies seed dist 0.
+    "q_audio_neardup" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val hashes = Multimodal.audioHashes(media, "payload", Multimodal.FakeCodec)
+        .select(col("media_id"), col("audio_hash"))
+      val seeded = hashes
+        .unionByName(hashes.filter(col("media_id") % 6 === 0)
+          .select((col("media_id") + 1000000L).as("media_id"),
+            col("audio_hash").bitwiseXOR(lit(0x810L)).as("audio_hash")))
+        .unionByName(hashes.filter(col("media_id") % 8 === 0)
+          .select((col("media_id") + 2000000L).as("media_id"),
+            col("audio_hash")))
+      graft.operators.Dedup.hashCandidates(seeded, "media_id", "audio_hash",
+          maxDist = 3)
+        .orderBy(col("a_media_id"), col("b_media_id"))
+    },
+
     // ---- video near-dup by sampled-frame fingerprints (r10):
     // demux-only exact matching at the encoded-access-unit level
     // (re-muxed/copied streams match; re-encoded ones are the GPU
@@ -1708,6 +1733,30 @@ object QueriesData {
             WHERE media_id % 5 = 0
           UNION ALL SELECT media_id + 2000000, hsh FROM h
             WHERE media_id % 7 = 0),
+        banded AS (SELECT media_id, hsh, b AS band, (hsh >> (b * 16)) & 65535 AS key
+                   FROM seeded, unnest([0, 1, 2, 3]) t(b)),
+        pairs AS (SELECT DISTINCT a.media_id AS a_media_id,
+                    b.media_id AS b_media_id,
+                    CAST(bit_count(xor(a.hsh, b.hsh)) AS INTEGER) AS dist
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.key = b.key
+                  WHERE a.media_id < b.media_id)
+        SELECT a_media_id, b_media_id, dist FROM pairs
+        WHERE dist <= 3 ORDER BY a_media_id, b_media_id""",
+    // the audio surrogate replays as md5_number_lower(p || 'ah')
+    // (two's-complemented); seeds + banded Hamming pairs row-for-row
+    "q_audio_neardup" ->
+      """WITH u AS (SELECT doc_id AS media_id,
+              md5_number_lower(text || 'ah') AS uh FROM documents),
+        h AS (SELECT media_id, CAST(CASE WHEN uh >= 9223372036854775808
+                THEN CAST(uh AS HUGEINT) - 18446744073709551616
+                ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS hsh FROM u),
+        seeded AS (
+          SELECT media_id, hsh FROM h
+          UNION ALL SELECT media_id + 1000000, xor(hsh, 2064) FROM h
+            WHERE media_id % 6 = 0
+          UNION ALL SELECT media_id + 2000000, hsh FROM h
+            WHERE media_id % 8 = 0),
         banded AS (SELECT media_id, hsh, b AS band, (hsh >> (b * 16)) & 65535 AS key
                    FROM seeded, unnest([0, 1, 2, 3]) t(b)),
         pairs AS (SELECT DISTINCT a.media_id AS a_media_id,

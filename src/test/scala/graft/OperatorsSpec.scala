@@ -1052,6 +1052,52 @@ class OperatorsSpec extends AnyFunSuite {
       "tone bin must dominate the median bin")
   }
 
+  test("multimodal: REAL WAV audio near-dup sketch (adjacent-bin Goertzel dHash)") {
+    import spark.implicits._
+    // two-tone mixes so the spectrum has structure across bins
+    def wav(rate: Float, amp: Double, f1: Double, f2: Double): Array[Byte] = {
+      val frames = 4000
+      val pcm = new Array[Byte](frames * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until frames)
+        bb.putShort((amp * 16000 * (math.sin(2 * math.Pi * f1 * i / rate) +
+          0.6 * math.sin(2 * math.Pi * f2 * i / rate))).toShort)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val codec = Multimodal.ImageIoCodec
+    val original = codec.audioHash(wav(8000f, 0.9, 440, 1200))
+    val quieter  = codec.audioHash(wav(8000f, 0.45, 440, 1200)) // volume change
+    val otherMix = codec.audioHash(wav(8000f, 0.9, 700, 2500))  // different tones
+    assert(dist(original, quieter) <= 8,
+      s"a volume-scaled copy must flip few bits (${dist(original, quieter)})")
+    assert(dist(original, otherMix) >= 12,
+      s"a different tone mix must flip many bits (${dist(original, otherMix)})")
+    // end-to-end through the hash pass + banded candidate machinery:
+    // copy pair surfaces, the different mix doesn't
+    val media = Seq(
+      (1L, wav(8000f, 0.9, 440, 1200)),
+      (2L, wav(8000f, 0.45, 440, 1200)),
+      (3L, wav(8000f, 0.9, 700, 2500))).toDF("media_id", "payload")
+    val hashes = Multimodal.audioHashes(media, "payload", codec)
+      .select(col("media_id"), col("audio_hash"))
+    val pairs = Dedup.hashCandidates(hashes, "media_id", "audio_hash",
+        maxDist = 8)
+      .select("a_media_id", "b_media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"copy pair must surface: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the different mix must not pair: $pairs")
+  }
+
   test("document chunking: sliding window, overlap, short and empty docs") {
     import spark.implicits._
     val docs = Seq(
