@@ -118,6 +118,33 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
       case None => None
     }
 
+  // plan-time FILE-LIST snapshots for EXTERNAL tables: split tickets
+  // need an immutable file list, and an external dir has no commit
+  // log to pin — so `table_version` takes a sorted listing at plan
+  // time, parks it under a TTL'd snapshot id, and every ticket of the
+  // scan redeems the SAME id (a file added mid-scan is invisible to
+  // every ticket; a file deleted mid-scan fails the read loudly
+  // rather than silently shrinking one ticket).
+  private final case class ScanSnapshot(table: String, files: Seq[String],
+      expiresAt: Long)
+  private val snapshots = new ConcurrentHashMap[String, ScanSnapshot]()
+  def liveSnapshotCount: Int = { sweepSnapshots(); snapshots.size }
+
+  private def sweepSnapshots(): Unit = {
+    val t = now()
+    val it = snapshots.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.expiresAt <= t) it.remove()
+  }
+
+  /** the pinnable parquet file list of an EXTERNAL parquet table
+    * (empty for every other shape — the caller then answers no pin) */
+  private def externalParquetFiles(
+      d: graft.catalog.GraftCatalog.TableDef): Seq[String] =
+    if (d.kind != "external" || !d.format.exists(_.equalsIgnoreCase("parquet")))
+      Seq.empty
+    else d.paths.flatMap(p => graft.sources.io.ByteStore.walkFiles(p)
+      .filter(_.endsWith(".parquet"))).sorted
+
   /** admin path: mint a bearer token for a user without their password
     * (the reference's out-of-band PAT issuance — server-side only) */
   def issueToken(username: String): String = {
@@ -185,8 +212,24 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           val name = RemoteWire.str(req, "table").get
           val v = graft.catalog.TableVersions.latest(warehouse, name)
             .map(_.version)
+          // external parquet tables have no commit log — pin a
+          // TTL'd file-list snapshot instead (same plan-once,
+          // redeem-per-ticket shape as the managed version pin)
+          val snap: Option[String] =
+            if (v.isDefined) None
+            else {
+              val files = externalParquetFiles(authorizedDef(identity, name))
+              if (files.isEmpty) None
+              else {
+                sweepSnapshots()
+                val id = java.util.UUID.randomUUID().toString
+                snapshots.put(id, ScanSnapshot(name, files, now() + tokenTtlMs))
+                Some(id)
+              }
+            }
           RemoteWire.writeFrame(out, ("ok" -> true) ~
-            ("version" -> v.map(JLong(_)).getOrElse(JNothing: JValue)))
+            ("version" -> v.map(JLong(_)).getOrElse(JNothing: JValue)) ~
+            ("snapshot" -> snap.map(JString(_)).getOrElse(JNothing: JValue)))
         case Some("scan") =>
           // range tickets (part/parts): for a plain scan of an
           // unbucketed, unpartitioned MANAGED table, a ticket is a
@@ -409,13 +452,29 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     * approximation. */
   private def fileSplitBase(identity: Auth.AuthIdentity, req: JValue,
       part: Int, parts: Int): Option[(DataFrame, Boolean)] = {
+    val name = RemoteWire.str(req, "table").getOrElse(
+      throw new IllegalArgumentException("op needs 'table'"))
+    // EXTERNAL table: redeem the plan-time file-list snapshot — the
+    // ticket serves exactly the files the plan saw, whatever has
+    // landed in the directory since
+    (req \ "snapshot") match {
+      case JString(id) =>
+        val d = authorizedDef(identity, name)
+        val snap = Option(snapshots.get(id)).filter(_.expiresAt > now())
+          .getOrElse(throw new IllegalArgumentException(
+            s"pinned scan snapshot of $name is gone (expired mid-scan?)"))
+        require(snap.table == name,
+          s"scan snapshot was taken for '${snap.table}', not '$name'")
+        require(d.kind == "external", s"$name is no longer external")
+        fileSplitServed.incrementAndGet()
+        return Some((fileSubsetFrame(snap.files, part, parts), true))
+      case _ => ()
+    }
     val version = (req \ "version") match {
       case JInt(v)  => v.longValue
       case JLong(v) => v
       case _        => return None
     }
-    val name = RemoteWire.str(req, "table").getOrElse(
-      throw new IllegalArgumentException("op needs 'table'"))
     val d = authorizedDef(identity, name)
     if (d.kind != "managed") return None
     val e = graft.catalog.TableVersions.get(warehouse, name, version)
@@ -427,19 +486,24 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     if (files.isEmpty)
       return Some((engine.catalog.tableAt(name, version), false))
     fileSplitServed.incrementAndGet()
+    Some((fileSubsetFrame(files, part, parts), true))
+  }
+
+  /** ticket `part` of `parts` over a pinned file list: index ≡ part
+    * (mod parts). Every ticket resolves the SAME schema — the
+    * super-type of the FULL pinned list (footer-only pass, cheap) —
+    * so heterogeneous per-file schemas can't make one ticket miss a
+    * column another serves; a ticket with no files still answers an
+    * empty frame in that schema (more tickets than files). */
+  private def fileSubsetFrame(files: Seq[String], part: Int,
+      parts: Int): DataFrame = {
     val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
-    // every ticket resolves the SAME schema — the super-type of the
-    // full pinned file list — so a version whose commits carry
-    // heterogeneous schemas can't make one ticket miss a column
-    // another ticket serves (footer-only pass, cheap)
     val pinnedSchema =
       session.read.option("mergeSchema", "true").parquet(files: _*).schema
-    // a ticket with no files still answers: an empty frame in the
-    // PINNED version's schema (more tickets than files)
     if (mine.isEmpty)
-      Some((session.createDataFrame(
-        session.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinnedSchema), true))
-    else Some((session.read.schema(pinnedSchema).parquet(mine: _*), true))
+      session.createDataFrame(
+        session.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinnedSchema)
+    else session.read.schema(pinnedSchema).parquet(mine: _*)
   }
 
   /** pushed same-peer equi-join — closed vocabulary ({table2, on

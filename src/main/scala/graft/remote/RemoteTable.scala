@@ -275,15 +275,19 @@ final class RemoteScan(target: WireTarget, credential: Credential,
         parallelism
       else 1
     // version pinning for file-granular tickets: resolve the managed
-    // table's current version ONCE here, so every ticket carves the
-    // same immutable file list even if a commit lands mid-scan; a
-    // non-versioned table (or an older server) answers none and the
+    // table's current version — or, for an external parquet table,
+    // a server-minted file-list snapshot id — ONCE here, so every
+    // ticket carves the same immutable file list even if a commit
+    // (or a new file in the external dir) lands mid-scan; a
+    // non-pinnable table (or an older server) answers none and the
     // server falls back to hash-mod tickets
-    val pinnedVersion: Option[Long] =
-      if (nParts > 1 && joins.isEmpty) fetchTableVersion(auth, fallback) else None
+    val (pinnedVersion, pinnedSnapshot): (Option[Long], Option[String]) =
+      if (nParts > 1 && joins.isEmpty) fetchScanPin(auth, fallback)
+      else (None, None)
     (0 until nParts).map { part =>
       val req: JValue = ("op" -> "scan") ~ ("table" -> table) ~
         ("version" -> pinnedVersion.map(JLong(_)).getOrElse(JNothing: JValue)) ~
+        ("snapshot" -> pinnedSnapshot.map(JString(_)).getOrElse(JNothing: JValue)) ~
         ("joins" -> (if (joins.isEmpty) JNothing: JValue
           else JArray(joins.map(_.toJson)))) ~
         ("columns" -> (if (aggJson.isDefined) JNothing
@@ -300,12 +304,14 @@ final class RemoteScan(target: WireTarget, credential: Credential,
     }.toArray
   }
 
-  /** one control round-trip: the table's current version (None for
-    * non-versioned tables, handshake-rejected tokens after exhausting
-    * the fallback, or a server without the op) */
-  private def fetchTableVersion(auth: Map[String, String],
-      fallback: Map[String, String]): Option[Long] = {
-    def once(creds: Map[String, String]): Option[Option[Long]] = {
+  /** one control round-trip: the table's current version (managed) or
+    * file-list snapshot id (external parquet) — (None, None) for
+    * non-pinnable tables, handshake-rejected tokens after exhausting
+    * the fallback, or a server without the op */
+  private def fetchScanPin(auth: Map[String, String],
+      fallback: Map[String, String]): (Option[Long], Option[String]) = {
+    val none: (Option[Long], Option[String]) = (None, None)
+    def once(creds: Map[String, String]): Option[(Option[Long], Option[String])] = {
       val sock = RemoteWire.connect(target.host, target.port, target.tls)
       try {
         val in = new java.io.BufferedInputStream(sock.getInputStream)
@@ -316,30 +322,35 @@ final class RemoteScan(target: WireTarget, credential: Credential,
         RemoteWire.writeFrame(out,
           ("op" -> "table_version") ~ ("table" -> table))
         val resp = RemoteWire.readFrame(in)
-        if (!(resp \ "ok").equals(JBool(true))) return Some(None)
-        Some((resp \ "version") match {
-          case JInt(v)  => Some(v.longValue)
-          case JLong(v) => Some(v)
+        if (!(resp \ "ok").equals(JBool(true))) return Some(none)
+        val v = (resp \ "version") match {
+          case JInt(x)  => Some(x.longValue)
+          case JLong(x) => Some(x)
           case _        => None
-        })
+        }
+        val s = (resp \ "snapshot") match {
+          case JString(id) => Some(id)
+          case _           => None
+        }
+        Some((v, s))
       } finally sock.close()
     }
     try {
-      val v = once(auth).orElse(if (fallback.nonEmpty) once(fallback) else None)
-        .getOrElse(None)
-      if (v.isEmpty)
+      val pin = once(auth).orElse(if (fallback.nonEmpty) once(fallback) else None)
+        .getOrElse(none)
+      if (pin == none)
         // visible downgrade: unpinned tickets fall back to the live
         // hash-mod path (correct for a quiescent table, N× server
         // re-scan, and a mid-scan commit becomes observable)
-        System.err.println(s"[graft-remote] no version pin for '$table' " +
+        System.err.println(s"[graft-remote] no scan pin for '$table' " +
           s"on ${target.address}: split scan proceeds unpinned (hash-mod)")
-      v
+      pin
     } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[graft-remote] version-pin lookup failed for " +
+        System.err.println(s"[graft-remote] scan-pin lookup failed for " +
           s"'$table' on ${target.address} (${e.getClass.getSimpleName}: " +
           s"${e.getMessage}): split scan proceeds unpinned (hash-mod)")
-        None
+        none
     }
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.remote.{RemoteServer, RemoteWire, WireTarget}
@@ -328,6 +329,84 @@ class Remote2Spec extends AnyFunSuite {
       assert(gone.isLeft && gone.swap.toOption.get.contains("gone"),
         s"a vacuumed pin must error: $gone")
     } finally sP.stop()
+  }
+
+  test("external tables pin a file-list snapshot: a file added mid-scan is invisible (r11)") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    // an external DIRECTORY of several parquet files the server can
+    // split at file granularity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext-snap").toString
+    spark.read.parquet(s"$sf/nation.parquet").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val whE = java.nio.file.Files.createTempDirectory("graft-snap-wh").toString
+    val engE = GraftEngine(spark, whE)
+    engE.sql(s"CREATE EXTERNAL TABLE ext_t STORED AS parquet LOCATION '$dir'")
+    val sE = new RemoteServer(spark, whE, allowAnonymous = true)
+    try {
+      def withConn[A](f: (java.io.BufferedInputStream,
+          java.io.BufferedOutputStream) => A): A = {
+        val sock = new java.net.Socket("localhost", sE.boundPort)
+        try {
+          val in = new java.io.BufferedInputStream(sock.getInputStream)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+          RemoteWire.writeFrame(out, ("op" -> "handshake"))
+          assert((RemoteWire.readFrame(in) \ "ok") == JBool(true))
+          f(in, out)
+        } finally sock.close()
+      }
+      def snapshotId(): String = withConn { (in, out) =>
+        RemoteWire.writeFrame(out,
+          ("op" -> "table_version") ~ ("table" -> "ext_t"))
+        val resp = RemoteWire.readFrame(in)
+        assert((resp \ "ok") == JBool(true))
+        assert((resp \ "version") == JNothing,
+          "an external table has no commit-log version")
+        RemoteWire.str(resp, "snapshot").getOrElse(
+          fail(s"external parquet table must answer a snapshot id: $resp"))
+      }
+      def ticket(snap: String, part: Int, parts: Int): Either[String, Long] =
+        withConn { (in, out) =>
+          RemoteWire.writeFrame(out, ("op" -> "scan") ~ ("table" -> "ext_t") ~
+            ("snapshot" -> snap) ~ ("part" -> part) ~ ("parts" -> parts) ~
+            ("columns" -> JArray(List(JString("n_nationkey")))))
+          val resp = RemoteWire.readFrame(in)
+          if ((resp \ "ok") != JBool(true))
+            Left(RemoteWire.str(resp, "error").getOrElse("unknown"))
+          else {
+            val alloc = new org.apache.arrow.memory.RootAllocator()
+            val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+            var n = 0L
+            while (reader.loadNextBatch()) n += reader.getVectorSchemaRoot.getRowCount
+            reader.close(); alloc.close()
+            Right(n)
+          }
+        }
+      val snap = snapshotId()
+      val before = sE.fileSplitCount
+      // redeem ticket 0, ADD A FILE to the directory, then redeem the
+      // rest of the SAME snapshot: the union must equal the pinned
+      // listing's 25 rows — the new file is invisible to every ticket
+      val t0 = ticket(snap, 0, 3).toOption.get
+      spark.read.parquet(s"$sf/nation.parquet")
+        .withColumn("n_nationkey", col("n_nationkey") + lit(100))
+        .coalesce(1).write.mode("append").parquet(dir)
+      val t1 = ticket(snap, 1, 3).toOption.get
+      val t2 = ticket(snap, 2, 3).toOption.get
+      assert(t0 + t1 + t2 == 25L,
+        s"pinned snapshot tickets must union to the plan-time listing: $t0+$t1+$t2")
+      assert(sE.fileSplitCount >= before + 3,
+        "external snapshot tickets must take the file-split path")
+      // a FRESH pin sees the appended file
+      val snap2 = snapshotId()
+      assert(snap2 != snap)
+      val u = (0 until 3).map(p => ticket(snap2, p, 3).toOption.get).sum
+      assert(u == 50L, s"a fresh snapshot must see the new file: $u")
+      // a foreign/expired snapshot id fails loudly, never serves live
+      val bad = ticket("no-such-snapshot", 0, 3)
+      assert(bad.isLeft && bad.swap.toOption.get.contains("gone"),
+        s"an unknown snapshot must error: $bad")
+    } finally sE.stop()
   }
 
   // --------------------------------------------------------------- TLS
