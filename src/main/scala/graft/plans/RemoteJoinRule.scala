@@ -32,9 +32,13 @@ import graft.remote.{RemoteJoinSpec, RemoteScan, RemoteTable}
   *    Projects / residual Filters) on the SAME target with the SAME
   *    credential; the LEFT side may itself be an already-merged join
   *    chain (N-way joins fold left-to-right — the spec list grows by
-  *    one per merge), the RIGHT side must be a plain table; neither
-  *    with a pushed limit/TopN/aggregate of its own (a limit under a
-  *    join is order-sensitive — bail);
+  *    one per merge), and the RIGHT side may be a plain table or —
+  *    for a bushy (A⋈B)⋈(C⋈D) shape — an already-merged chain, when
+  *    the top join is INNER and its condition lands on the right
+  *    chain's BASE table (the fold re-sequences the chain after the
+  *    top spec, which only an inner-on-base top commutes with);
+  *    neither side with a pushed limit/TopN/aggregate of its own (a
+  *    limit under a join is order-sensitive — bail);
   *  - the condition is a conjunction of left-attr = right-attr
   *    equalities (the wire's closed join vocabulary);
   *  - column names across both sides are distinct (the wire addresses
@@ -139,9 +143,11 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
           if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
         val rewritten = for {
           // left may itself be a merged chain (N-way joins fold
-          // left-to-right); right must be a plain remote table
+          // left-to-right); right may be a plain table OR — for a
+          // bushy (A⋈B)⋈(C⋈D) shape — an already-merged chain,
+          // guarded below
           ls0 <- extract(left, allowJoined = true)
-          rs0 <- extract(right, allowJoined = false)
+          rs0 <- extract(right, allowJoined = true)
           // residual-filter references must survive into the merged
           // relation's output or hoisting them is unbindable
           ls = widen(ls0)
@@ -153,6 +159,16 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
             ls.table.sessionToken == rs.table.sessionToken
           on <- equiPairs(cond, ls.output, rs.output)
           if on.nonEmpty
+          // bushy merge (right side is itself a chain): the fold
+          // inserts the top spec BEFORE the right chain's own specs,
+          // so (1) the top condition must land entirely on the right
+          // chain's BASE table (the wire addresses a spec's right
+          // columns on table2 alone), and (2) the top join must be
+          // INNER — a left-outer over a chained right does not
+          // commute with re-sequencing the chain's null-extension
+          if rs.table.joins.isEmpty ||
+            (joinType == Inner &&
+              on.forall { case (_, r) => rs.table.baseColumns.contains(r) })
           // the wire addresses columns by name and the SERVER joins the
           // FULL tables — so unambiguity must hold over every
           // participating table's whole schema (this also rejects
@@ -175,6 +191,12 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
             rs.output.map(_.withNullability(true)) else rs.output)
           val schema = StructType(outAttrs.map(a =>
             StructField(a.name, a.dataType, a.nullable, a.metadata)))
+          // a bushy right chain's accumulated filters reference ANY of
+          // its tables, so they can't ride the base-table spec — they
+          // re-apply to the final joined frame instead (exact: the
+          // top join is INNER in the bushy case, and an inner join
+          // commutes with right-operand selection)
+          val bushy = rs.table.joins.nonEmpty
           val joinedTable = new RemoteTable(ls.table.target, ls.table.credential,
             ls.table.sessionToken, ls.table.table, schema,
             ls.table.parallelism,
@@ -183,11 +205,15 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
             // left-side ones re-apply to the joined frame, where the
             // server's own Catalyst pushes them back below the join.
             // ls.scan.pushedJson already folds a merged left side's
-            // accumulated baseFilters, so chains lose nothing.
-            ls.table.joins :+ RemoteJoinSpec(rs.table.table, on, joinTypeName,
-              rs.scan.pushedJson),
-            ls.scan.pushedJson,
-            Some(ls.table.participantColumns ++ rs.table.participantColumns))
+            // accumulated baseFilters, so chains lose nothing. A
+            // bushy right contributes its base spec (carrying the
+            // TOP join's condition) followed by its own spec list —
+            // the wire contract already folds left-to-right.
+            ls.table.joins ++ (RemoteJoinSpec(rs.table.table, on, joinTypeName,
+              if (bushy) Nil else rs.scan.pushedJson) :: rs.table.joins),
+            ls.scan.pushedJson ++ (if (bushy) rs.scan.pushedJson else Nil),
+            Some(ls.table.participantColumns ++ rs.table.participantColumns),
+            Some(ls.table.baseColumns))
           val rel = new DataSourceV2Relation(joinedTable, outAttrs, None, None,
             CaseInsensitiveStringMap.empty(), None)
           // residual side filters hoist above the joined relation;

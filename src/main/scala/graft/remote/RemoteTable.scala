@@ -71,7 +71,8 @@ final class RemoteTable(val target: WireTarget, val credential: Credential,
     val sessionToken: Option[String], val table: String, fullSchema: StructType,
     val parallelism: Int = 1, val joins: List[RemoteJoinSpec] = Nil,
     val baseFilters: List[JValue] = Nil,
-    allNames: Option[Seq[String]] = None) extends Table with SupportsRead {
+    allNames: Option[Seq[String]] = None,
+    baseNames: Option[Seq[String]] = None) extends Table with SupportsRead {
 
   /** FULL column-name inventory of every participating table — the
     * server joins whole tables, so join-merge collision checks must
@@ -80,6 +81,14 @@ final class RemoteTable(val target: WireTarget, val credential: Credential,
     * its builder recorded. */
   def participantColumns: Seq[String] =
     allNames.getOrElse(fullSchema.fieldNames.toSeq)
+
+  /** column names of the chain's BASE (leftmost) table — the schema
+    * itself for a plain table; a merged relation preserves its
+    * builder's record. The join-merge rule needs this to place a
+    * bushy top join: its condition must land on the right chain's
+    * base, because that spec folds before the chain's own specs. */
+  def baseColumns: Seq[String] =
+    baseNames.getOrElse(fullSchema.fieldNames.toSeq)
 
   override def name(): String =
     s"remote(${target.address}/$table${joins.map("⋈" + _.rightTable).mkString})"

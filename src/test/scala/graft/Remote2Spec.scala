@@ -661,6 +661,60 @@ class Remote2Spec extends AnyFunSuite {
       spark.read.parquet(s"$sf/orders.parquet").count())
   }
 
+  test("bushy same-peer shape (A⋈B)⋈(C⋈D) collapses into ONE remote scan (r11)") {
+    attachMain()
+    val df = engine.sql(
+      """SELECT c_name, o_orderkey, n_name, note
+         FROM (SELECT c_custkey, c_nationkey, c_name, o_orderkey
+               FROM jwire.public.j_customer
+               JOIN jwire.public.j_orders ON c_custkey = o_custkey) co
+         JOIN (SELECT n_nationkey, n_name, note
+               FROM jwire.public.j_nation
+               JOIN jwire.public.j_dup1 ON n_nationkey = id) nd
+           ON c_nationkey = n_nationkey""")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(plan, "RelationV2") == 1 &&
+      countOccurrences(plan, "⋈") == 3,
+      s"four tables must fold into one chained relation:\n$plan")
+    val viaWire = df.collect().map(_.toString).sorted.toSeq
+    val local = {
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      val d = n.select(col("n_nationkey").as("id"), col("n_name").as("note"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(n.join(d, n("n_nationkey") === d("id")),
+          c("c_nationkey") === n("n_nationkey"))
+        .selectExpr("c_name", "o_orderkey", "n_name", "note")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(viaWire == local && viaWire.nonEmpty,
+      s"bushy wire result must match local (${viaWire.size}/${local.size})")
+    // a LEFT OUTER top over a chained right must NOT merge the chain
+    // (null-extension does not commute with re-sequencing): partial
+    // merge only, never a wrong answer
+    val outer = engine.sql(
+      """SELECT c_name, n_name, note
+         FROM jwire.public.j_customer
+         LEFT JOIN (SELECT n_nationkey, n_name, note
+                    FROM jwire.public.j_nation
+                    JOIN jwire.public.j_dup1 ON n_nationkey = id) nd
+           ON c_nationkey = n_nationkey""")
+    val outerPlan = outer.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(outerPlan, "RelationV2") == 2,
+      s"left-outer over a chained right must stay two scans:\n$outerPlan")
+    val outerLocal = {
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      val d = n.select(col("n_nationkey").as("id"), col("n_name").as("note"))
+      c.join(n.join(d, n("n_nationkey") === d("id")),
+          c("c_nationkey") === n("n_nationkey"), "left_outer")
+        .selectExpr("c_name", "n_name", "note")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(outer.collect().map(_.toString).sorted.toSeq == outerLocal)
+  }
+
   test("joins across two DIFFERENT attachments never merge") {
     attachMain()
     // same server attached twice = two credentialed mounts; the rule
