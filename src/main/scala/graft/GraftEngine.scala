@@ -100,6 +100,51 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     df
   }
 
+  /** [[sqlAs]] with `$1..$n` bind parameters — the wire's prepared-
+    * statement path (the reference's Flight prepared statements,
+    * beacon-server/src/flight_sql/service.rs). Plain queries only:
+    * engine statements and anything command-shaped are rejected for
+    * non-super-users BEFORE the parameterized Dataset is built (the
+    * markers rewrite to named parameters first, so the parse-time
+    * denylist sees the same tree the execution binds). Values bind
+    * as typed literals at analysis — never string splicing, so a
+    * parameter value cannot inject SQL. */
+  def sqlAs(identity: graft.auth.Auth.AuthIdentity, text: String,
+      params: Seq[Any]): DataFrame = {
+    if (params.isEmpty) return sqlAs(identity, text)
+    if (identity.isSuperUser) return sql(text, params)
+    if (Statements.recognizes(text))
+      throw new graft.auth.Authz.PermissionDenied(
+        s"permission denied: engine statements require super-user (user ${identity.name})")
+    val named = GraftSql.rewriteMarkers(text, params.length)
+    val parsed = spark.sessionState.sqlParser.parsePlan(named)
+    val isCommand = parsed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => true
+      case p => p.nodeName.endsWith("Statement") ||
+        p.nodeName.startsWith("Insert") || p.nodeName.startsWith("WriteTo") ||
+        p.nodeName.startsWith("Merge") || p.nodeName.startsWith("Delete") ||
+        p.nodeName.startsWith("Update")
+    }
+    if (isCommand)
+      throw new graft.auth.Authz.PermissionDenied(
+        s"permission denied: DDL/DML requires super-user (user ${identity.name})")
+    val df = GraftSql.sql(spark, text, params)
+    // defense-in-depth: a shape the parse denylist missed but that
+    // analyzes to a write is still rejected before any action runs
+    val analyzedWrite = df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => true
+      case p => p.nodeName.contains("Command") || p.nodeName.startsWith("WriteTo")
+    }
+    if (analyzedWrite)
+      throw new graft.auth.Authz.PermissionDenied(
+        s"permission denied: DDL/DML requires super-user (user ${identity.name})")
+    graft.auth.Authz.authorizeRead(catalog, catalog.auth, identity, df)
+    df
+  }
+
   /** name+password → identity via the warehouse auth directory */
   def authenticate(user: String, password: String): Option[graft.auth.Auth.AuthIdentity] =
     catalog.auth.authenticate(user, password)

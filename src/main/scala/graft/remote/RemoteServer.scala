@@ -136,6 +136,29 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     while (it.hasNext) if (it.next().getValue.expiresAt <= t) it.remove()
   }
 
+  /** wire bind-parameter value: scalar JSON maps to its natural type;
+    * temporal values arrive TAGGED — `{"t": "timestamp", "v":
+    * "2024-01-01T12:00:00Z"}` (instant) or `{"t": "date", "v":
+    * "2024-01-01"}` — because JSON has no temporal scalar and a bare
+    * string must stay a string */
+  private def wireParam(j: JValue): Any = j match {
+    case JString(s)  => s
+    case JInt(i)     => i.longValue
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d.bigDecimal
+    case JBool(b)    => b
+    case JNull       => null
+    case o: JObject => (RemoteWire.str(o, "t"), RemoteWire.str(o, "v")) match {
+      case (Some("timestamp"), Some(v))     => java.time.Instant.parse(v)
+      case (Some("timestamp_ntz"), Some(v)) => java.time.LocalDateTime.parse(v)
+      case (Some("date"), Some(v))          => java.time.LocalDate.parse(v)
+      case _ => throw new IllegalArgumentException(
+        s"bad typed param (want {t: timestamp|timestamp_ntz|date, v: ...}): $o")
+    }
+    case other => throw new IllegalArgumentException(s"bad param: $other")
+  }
+
   /** the pinnable parquet file list of an EXTERNAL parquet table
     * (empty for every other shape — the caller then answers no pin) */
   private def externalParquetFiles(
@@ -343,7 +366,17 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
         case Some("sql") =>
           val sql = RemoteWire.str(req, "sql").getOrElse(
             throw new IllegalArgumentException("sql op needs 'sql'"))
-          streamResult(out, engine.sqlAs(identity, sql))
+          // `$1..$n` bind parameters as TYPED JSON literals (closed
+          // vocabulary, same no-splicing stance as the filter
+          // algebra): values bind through the engine's parameterized
+          // path, so a quote in a string value is data, not SQL
+          val params: Seq[Any] = (req \ "params") match {
+            case JArray(ps) => ps.map(wireParam)
+            case JNothing   => Nil
+            case other => throw new IllegalArgumentException(
+              s"'params' must be an array, got $other")
+          }
+          streamResult(out, engine.sqlAs(identity, sql, params))
         case other =>
           throw new IllegalArgumentException(s"unknown op: $other")
       }

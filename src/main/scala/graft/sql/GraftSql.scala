@@ -25,7 +25,15 @@ object GraftSql {
     * which substitutes them as typed literals during analysis — never
     * string splicing, so values cannot inject SQL. Markers may repeat
     * and appear in any order; params are 1-based. */
-  def sql(spark: SparkSession, text: String, params: Seq[Any]): DataFrame = {
+  def sql(spark: SparkSession, text: String, params: Seq[Any]): DataFrame =
+    spark.sql(rewriteMarkers(text, params.length),
+      params.zipWithIndex.map { case (v, ix) => s"graft_p${ix + 1}" -> v }.toMap)
+
+  /** `$N` markers → `:graft_pN` named parameters (quote- and
+    * comment-aware); exposed so callers that must PARSE the bound
+    * text before execution (the wire's sqlAs params path) rewrite it
+    * identically */
+  def rewriteMarkers(text: String, nParams: Int): String = {
     val sb = new StringBuilder
     var inS = false; var inB = false
     var i = 0
@@ -52,14 +60,13 @@ object GraftSql {
         var j = i + 1
         while (j < t.length && t.charAt(j).isDigit) j += 1
         val n = t.substring(i + 1, j).toInt
-        require(n >= 1 && n <= params.length,
-          s"bind parameter $$$n out of range (got ${params.length} params)")
+        require(n >= 1 && n <= nParams,
+          s"bind parameter $$$n out of range (got $nParams params)")
         sb.append(s":graft_p$n")
         i = j
       } else { sb.append(c); i += 1 }
     }
-    spark.sql(sb.toString,
-      params.zipWithIndex.map { case (v, ix) => s"graft_p${ix + 1}" -> v }.toMap)
+    sb.toString
   }
 
   def sql(spark: SparkSession, text: String): DataFrame = {

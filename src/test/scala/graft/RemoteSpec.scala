@@ -280,6 +280,72 @@ class RemoteSpec extends AnyFunSuite {
     s3.close()
   }
 
+  test("raw wire: sql op binds $n params as typed literals; quotes are data (r11)") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import graft.remote.RemoteWire
+    def call(op: JValue): (JValue, java.io.InputStream, java.net.Socket) = {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      RemoteWire.writeFrame(out, ("op" -> "handshake") ~
+        ("username" -> "remote_reader") ~ ("password" -> "wire-pw"))
+      assert((RemoteWire.readFrame(in) \ "ok") == JBool(true))
+      RemoteWire.writeFrame(out, op)
+      (RemoteWire.readFrame(in), in, sock)
+    }
+    def longResult(op: JValue): Either[String, Long] = {
+      val (resp, in, sock) = call(op)
+      try {
+        if ((resp \ "ok") != JBool(true))
+          Left(RemoteWire.str(resp, "error").getOrElse("unknown"))
+        else {
+          val alloc = new org.apache.arrow.memory.RootAllocator()
+          val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+          assert(reader.loadNextBatch())
+          val v = reader.getVectorSchemaRoot.getVector(0)
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector].get(0)
+          reader.close(); alloc.close()
+          Right(v)
+        }
+      } finally sock.close()
+    }
+    // string + int params, markers repeated/out of order
+    val n = longResult(("op" -> "sql") ~
+      ("sql" -> ("SELECT count(*) AS n FROM r_nation " +
+        "WHERE n_name = $2 OR n_nationkey < $1")) ~
+      ("params" -> JArray(List(JInt(3), JString("FRANCE")))))
+    val local = spark.read.parquet(s"$sf/nation.parquet")
+      .where("n_name = 'FRANCE' OR n_nationkey < 3").count()
+    assert(n == Right(local) && local > 0)
+    // timestamp param against the NTZ order date
+    val cut = "1997-06-01T00:00:00"
+    val nOrders = longResult(("op" -> "sql") ~
+      ("sql" -> "SELECT count(*) AS n FROM r_orders WHERE o_orderdate < $1") ~
+      ("params" -> JArray(List(
+        ("t" -> "timestamp_ntz") ~ ("v" -> cut)))))
+    val localOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .where(s"o_orderdate < TIMESTAMP_NTZ '1997-06-01 00:00:00'").count()
+    assert(nOrders == Right(localOrders) && localOrders > 0,
+      s"$nOrders vs $localOrders")
+    // a quote-injection attempt stays DATA: no rows match the weird
+    // name, and nothing errors or escapes the literal
+    val inj = longResult(("op" -> "sql") ~
+      ("sql" -> "SELECT count(*) AS n FROM r_nation WHERE n_name = $1") ~
+      ("params" -> JArray(List(JString("' OR '1'='1")))))
+    assert(inj == Right(0L), s"injection text must bind as a literal: $inj")
+    // DDL through the params path is still denied for non-super-users
+    val deny = longResult(("op" -> "sql") ~
+      ("sql" -> "DROP TABLE r_nation") ~
+      ("params" -> JArray(List(JString("x")))))
+    assert(deny.isLeft && deny.swap.toOption.get.contains("permission denied"))
+    // an out-of-range marker fails loudly
+    val oor = longResult(("op" -> "sql") ~
+      ("sql" -> "SELECT count(*) AS n FROM r_nation WHERE n_nationkey = $3") ~
+      ("params" -> JArray(List(JInt(1)))))
+    assert(oor.isLeft && oor.swap.toOption.get.contains("out of range"))
+  }
+
   test("DETACH cuts the mount; the server itself stays up") {
     engine.sql("DETACH wire")
     intercept[Exception] {
