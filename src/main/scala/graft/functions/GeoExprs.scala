@@ -175,6 +175,74 @@ object GeoExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** st_dwithin(wktA, wktB, dist) → within planar distance (the
+    * cheap form of buffered intersection: distance ≤ r without
+    * materializing the buffer) */
+  case class StDwithin(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_dwithin"
+    override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+      Geo.stDwithin(a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString, d.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, d) =>
+        s"${ev.value} = graft.functions.Geo.stDwithin($a.toString(), $b.toString(), $d);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression): Expression = copy(a, b, c)
+  }
+
+  /** st_envelope(wkt) → bounding box as WKT (POINT when degenerate) */
+  case class StEnvelope(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_envelope"
+    override def nullSafeEval(a: Any): Any =
+      UTF8String.fromString(Geo.stEnvelope(a.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stEnvelope($a.toString()));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_buffer(pointWkt, radius, segs) → inscribed segs-gon of the
+    * radius circle as WKT POLYGON */
+  case class StBuffer(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_buffer"
+    override def nullSafeEval(a: Any, r: Any, s: Any): Any =
+      UTF8String.fromString(Geo.stBuffer(a.asInstanceOf[UTF8String].toString,
+        r.asInstanceOf[Double], s.asInstanceOf[Int]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, r, s) =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stBuffer($a.toString(), $r, $s));")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression): Expression = copy(a, b, c)
+  }
+
+  /** envelope bound accessors (st_xmin/st_xmax/st_ymin/st_ymax) */
+  case class StBound(child: Expression, which: Int) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String =
+      Seq("st_xmin", "st_xmax", "st_ymin", "st_ymax")(which)
+    override def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String].toString
+      which match {
+        case 0 => Geo.stXmin(s); case 1 => Geo.stXmax(s)
+        case 2 => Geo.stYmin(s); case _ => Geo.stYmax(s)
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = Seq("stXmin", "stXmax", "stYmin", "stYmax")(which)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Geo.$fn($a.toString());")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** NaN sentinel → SQL NULL (st_x/st_y of a non-point) */
   private[functions] def nanAsNull(e: Expression): Expression =
     NaNvl(e, Literal(null, DoubleType))
@@ -200,4 +268,42 @@ object GeoExprs {
     ColumnBridge.column(StPerimeter(ColumnBridge.expression(a)))
   def st_centroid(a: Column): Column =
     ColumnBridge.column(StCentroid(ColumnBridge.expression(a)))
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    ColumnBridge.column(StDwithin(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), ColumnBridge.expression(d)))
+  def st_envelope(a: Column): Column =
+    ColumnBridge.column(StEnvelope(ColumnBridge.expression(a)))
+  def st_buffer(a: Column, r: Column, segs: Column): Column =
+    ColumnBridge.column(StBuffer(ColumnBridge.expression(a),
+      ColumnBridge.expression(r), ColumnBridge.expression(segs)))
+  def st_xmin(a: Column): Column =
+    ColumnBridge.column(StBound(ColumnBridge.expression(a), 0))
+  def st_xmax(a: Column): Column =
+    ColumnBridge.column(StBound(ColumnBridge.expression(a), 1))
+  def st_ymin(a: Column): Column =
+    ColumnBridge.column(StBound(ColumnBridge.expression(a), 2))
+  def st_ymax(a: Column): Column =
+    ColumnBridge.column(StBound(ColumnBridge.expression(a), 3))
+
+  /** ST_Extent-style AGGREGATE: the bounding box of every input
+    * geometry as WKT, composed from the codegen'd bound kernels +
+    * native min/max — map-side partials, one 4-double row per group
+    * crosses the shuffle (the only distributed shape a box union
+    * needs; a true polygon union is the GPU/postprocess stage's job).
+    * Formatting matches [[Geo.envelopeWkt]]: integral bounds print
+    * as integers, a point-degenerate box prints as POINT. */
+  def st_extent(wkt: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val x0 = min(st_xmin(wkt)); val x1 = max(st_xmax(wkt))
+    val y0 = min(st_ymin(wkt)); val y1 = max(st_ymax(wkt))
+    def f(c: Column) =
+      when(c === c.cast("long").cast("double"), c.cast("long").cast("string"))
+        .otherwise(c.cast("string"))
+    when(x0 === x1 && y0 === y1,
+        concat(lit("POINT ("), f(x0), lit(" "), f(y0), lit(")")))
+      .otherwise(concat(lit("POLYGON (("),
+        f(x0), lit(" "), f(y0), lit(", "), f(x1), lit(" "), f(y0), lit(", "),
+        f(x1), lit(" "), f(y1), lit(", "), f(x0), lit(" "), f(y1), lit(", "),
+        f(x0), lit(" "), f(y0), lit("))")))
+  }
 }

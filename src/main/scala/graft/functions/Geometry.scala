@@ -490,6 +490,66 @@ object Geo {
     if (half < 0) (-half, -cx / 2.0, -cy / 2.0) else (half, cx / 2.0, cy / 2.0)
   }
 
+  // -------------------------------------- envelope / dwithin / buffer
+
+  /** (xmin, xmax, ymin, ymax); polygon bounds come from outer rings
+    * (holes cannot extend the envelope) */
+  def boundsOf(g: Geom): (Double, Double, Double, Double) = g match {
+    case PointGeom(x, y) => (x, x, y, y)
+    case PolygonGeom(p) => ringBounds(Seq(p.outer))
+    case MultiPolygonGeom(ps) => ringBounds(ps.map(_.outer))
+  }
+
+  private def ringBounds(rings: Seq[Ring]): (Double, Double, Double, Double) = {
+    var x0 = Double.PositiveInfinity; var x1 = Double.NegativeInfinity
+    var y0 = Double.PositiveInfinity; var y1 = Double.NegativeInfinity
+    rings.foreach { r =>
+      var i = 0
+      while (i < r.size) {
+        if (r.xs(i) < x0) x0 = r.xs(i); if (r.xs(i) > x1) x1 = r.xs(i)
+        if (r.ys(i) < y0) y0 = r.ys(i); if (r.ys(i) > y1) y1 = r.ys(i)
+        i += 1
+      }
+    }
+    (x0, x1, y0, y1)
+  }
+
+  /** ST_Envelope: the axis-aligned bounding box as WKT — a POINT for
+    * a point-degenerate box (PostGIS behavior), else the CCW box
+    * polygon (a degenerate line-shaped box stays a zero-area POLYGON;
+    * this slice has no LINESTRING type) */
+  def envelopeWkt(g: Geom): String = {
+    val (x0, x1, y0, y1) = boundsOf(g)
+    if (x0 == x1 && y0 == y1) s"POINT (${fmt(x0)} ${fmt(y0)})"
+    else s"POLYGON ((${fmt(x0)} ${fmt(y0)}, ${fmt(x1)} ${fmt(y0)}, " +
+      s"${fmt(x1)} ${fmt(y1)}, ${fmt(x0)} ${fmt(y1)}, ${fmt(x0)} ${fmt(y0)}))"
+  }
+
+  /** ST_Buffer on a POINT: the inscribed `segs`-gon of the radius-`r`
+    * circle, vertices at angle 2πi/segs starting on the +x axis —
+    * the deterministic fixed-segment shape an independent replay can
+    * reconstruct. Non-points throw (this slice buffers points only —
+    * the observation-radius use case). */
+  def bufferWkt(g: Geom, r: Double, segs: Int): String = {
+    require(r > 0, s"st_buffer radius must be positive: $r")
+    require(segs >= 4, s"st_buffer needs at least 4 segments: $segs")
+    val (cx, cy) = g match {
+      case PointGeom(x, y) => (x, y)
+      case other => throw new IllegalArgumentException(
+        s"st_buffer supports POINT geometries, got ${other.getClass.getSimpleName}")
+    }
+    val sb = new StringBuilder("POLYGON ((")
+    var i = 0
+    while (i <= segs) { // closing vertex repeats i = 0
+      val a = 2.0 * math.Pi * (i % segs) / segs
+      if (i > 0) sb.append(", ")
+      sb.append(fmt(cx + r * math.cos(a))).append(' ')
+        .append(fmt(cy + r * math.sin(a)))
+      i += 1
+    }
+    sb.append("))").toString
+  }
+
   // string-in entry points for the codegen expressions (one cached
   // parse per distinct WKT per executor)
   def stDistance(a: String, b: String): Double =
@@ -504,4 +564,13 @@ object Geo {
   def stNPoints(a: String): Int = nPoints(parseWktCached(a))
   def stPerimeter(a: String): Double = perimeter(parseWktCached(a))
   def stCentroid(a: String): String = centroidWkt(parseWktCached(a))
+  def stDwithin(a: String, b: String, d: Double): Boolean =
+    distance(parseWktCached(a), parseWktCached(b)) <= d
+  def stEnvelope(a: String): String = envelopeWkt(parseWktCached(a))
+  def stBuffer(a: String, r: Double, segs: Int): String =
+    bufferWkt(parseWktCached(a), r, segs)
+  def stXmin(a: String): Double = boundsOf(parseWktCached(a))._1
+  def stXmax(a: String): Double = boundsOf(parseWktCached(a))._2
+  def stYmin(a: String): Double = boundsOf(parseWktCached(a))._3
+  def stYmax(a: String): Double = boundsOf(parseWktCached(a))._4
 }

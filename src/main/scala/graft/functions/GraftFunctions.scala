@@ -237,6 +237,21 @@ object GraftFunctions {
       es => GeoExprs.StPerimeter(es.head), "built-in")
     r.createOrReplaceTempFunction("st_centroid",
       es => GeoExprs.StCentroid(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_dwithin",
+      es => GeoExprs.StDwithin(es(0), es(1), Cast(es(2), DoubleType)), "built-in")
+    r.createOrReplaceTempFunction("st_envelope",
+      es => GeoExprs.StEnvelope(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_buffer",
+      es => GeoExprs.StBuffer(es(0), Cast(es(1), DoubleType),
+        Cast(if (es.length > 2) es(2) else Literal(16), IntegerType)), "built-in")
+    r.createOrReplaceTempFunction("st_xmin",
+      es => GeoExprs.StBound(es.head, 0), "built-in")
+    r.createOrReplaceTempFunction("st_xmax",
+      es => GeoExprs.StBound(es.head, 1), "built-in")
+    r.createOrReplaceTempFunction("st_ymin",
+      es => GeoExprs.StBound(es.head, 2), "built-in")
+    r.createOrReplaceTempFunction("st_ymax",
+      es => GeoExprs.StBound(es.head, 3), "built-in")
     r.createOrReplaceTempFunction("pressure_to_depth_teos_10",
       es => PressureToDepthTeos10(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("map_units",

@@ -570,6 +570,61 @@ object QueriesEngine {
           GeoExprs.st_centroid(rectWkt).as("centroid"))
     },
 
+    // ---- ST_* widening (r11): st_dwithin (distance ≤ r without
+    // materializing a buffer), st_envelope (bbox WKT), st_buffer
+    // (16-gon circle around a point), plus the bound accessors the
+    // extent aggregate composes from. All codegen expressions; the
+    // oracle replays the arithmetic (sqrt is correctly-rounded IEEE,
+    // buffer area/perimeter replay against the closed-form constants
+    // through round(,6)).
+    "q_geo_suite3" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      val x = $"x"; val y = $"y"; val w = $"w"
+      def i(c: org.apache.spark.sql.Column) = c.cast("string")
+      val pointWkt = concat(lit("POINT ("), i(x), lit(" "), i(y), lit(")"))
+      val rectWkt = concat(lit("POLYGON (("),
+        i(x - w), lit(" "), i(y - w), lit(", "),
+        i(x + w), lit(" "), i(y - w), lit(", "),
+        i(x + w), lit(" "), i(y + w), lit(", "),
+        i(x - w), lit(" "), i(y + w), lit(", "),
+        i(x - w), lit(" "), i(y - w), lit("))"))
+      val buf = GeoExprs.st_buffer(pointWkt, w.cast("double"), lit(16))
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_discount" * 100).cast("int").as("x"),
+          $"l_quantity".cast("int").as("y"),
+          ($"l_linenumber" % 3 + 1).cast("int").as("w"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .select($"l_orderkey", $"l_linenumber",
+          GeoExprs.st_dwithin(pointWkt, lit("POINT (5 25)"), lit(10.0))
+            .as("near_center"),
+          GeoExprs.st_envelope(rectWkt).as("env"),
+          GeoExprs.st_envelope(pointWkt).as("env_pt"),
+          GeoExprs.st_npoints(buf).as("buf_np"),
+          round(GeoExprs.st_area(buf), 6).as("buf_area"),
+          round(GeoExprs.st_perimeter(buf), 6).as("buf_perim"))
+    },
+
+    // ---- ST_Extent aggregate: per-group bounding box of the points,
+    // map-side min/max partials — one 4-double row per group shuffles
+    "q_geo_extent" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      val pointWkt = concat(lit("POINT ("),
+        $"x".cast("string"), lit(" "), $"y".cast("string"), lit(")"))
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag",
+          round($"l_discount" * 100).cast("int").as("x"),
+          $"l_quantity".cast("int").as("y"))
+        .groupBy($"l_returnflag")
+        .agg(GeoExprs.st_extent(pointWkt).as("extent"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
     "q_geo_suite" -> { (s, dir) =>
       import s.implicits._
       GraftSession.configure(s)
@@ -832,6 +887,42 @@ object QueriesEngine {
                  CAST(l_linenumber % 3 + 1 AS INT) AS w
                FROM lineitem) t
          ORDER BY l_orderkey, l_linenumber""",
+    // dwithin replays the exact sqrt comparison; envelope strings
+    // rebuild from the int corners; buffer area/perimeter replay the
+    // closed forms (n/2)·sin(2π/n)·r² and 2n·r·sin(π/n) as Scala-
+    // computed double literals through the same round(,6)
+    "q_geo_suite3" -> {
+      val areaC = 8.0 * math.sin(math.Pi / 8)    // n=16: (n/2)·sin(2π/n)
+      val perimC = 32.0 * math.sin(math.Pi / 16) // n=16: 2n·sin(π/n)
+      s"""SELECT l_orderkey, l_linenumber,
+           (sqrt(CAST((x - 5) * (x - 5) + (y - 25) * (y - 25) AS DOUBLE)) <= 10.0)
+             AS near_center,
+           'POLYGON ((' || (x-w) || ' ' || (y-w) || ', ' || (x+w) || ' ' || (y-w)
+             || ', ' || (x+w) || ' ' || (y+w) || ', ' || (x-w) || ' ' || (y+w)
+             || ', ' || (x-w) || ' ' || (y-w) || '))' AS env,
+           'POINT (' || x || ' ' || y || ')' AS env_pt,
+           17 AS buf_np,
+           round(CAST($areaC AS DOUBLE) * w * w, 6) AS buf_area,
+           round(CAST($perimC AS DOUBLE) * w, 6) AS buf_perim
+         FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_discount * 100) AS INT) AS x,
+                 CAST(l_quantity AS INT) AS y,
+                 CAST(l_linenumber % 3 + 1 AS INT) AS w
+               FROM lineitem) t
+         ORDER BY l_orderkey, l_linenumber"""
+    },
+    "q_geo_extent" ->
+      """SELECT l_returnflag,
+           'POLYGON ((' || min(x) || ' ' || min(y) || ', ' || max(x) || ' ' || min(y)
+             || ', ' || max(x) || ' ' || max(y) || ', ' || min(x) || ' ' || max(y)
+             || ', ' || min(x) || ' ' || min(y) || '))' AS extent,
+           count(*) AS n
+         FROM (SELECT l_returnflag,
+                 CAST(round(l_discount * 100) AS INT) AS x,
+                 CAST(l_quantity AS INT) AS y
+               FROM lineitem) t
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "q_geo_suite" ->
       """SELECT l_orderkey, l_linenumber,
            round(sqrt(CAST((x - 5) * (x - 5) + (y - 25) * (y - 25) AS DOUBLE)), 6)

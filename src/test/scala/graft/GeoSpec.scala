@@ -220,4 +220,50 @@ class GeoSpec extends AnyFunSuite {
     assert(holed.getString(0) == s"POINT ($cx $cy)", holed.getString(0))
     assert(holed.getDouble(1) == 28.0 && holed.getInt(2) == 10)
   }
+
+  test("ST_* widening: dwithin/envelope/buffer/bounds/extent (r11)") {
+    val spark = GraftSession.build("local[2]", 2)
+    graft.functions.GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT st_dwithin('POINT (0 0)', 'POINT (3 4)', 5.0) AS inr,
+                st_dwithin('POINT (0 0)', 'POINT (3 4)', 4.9) AS outr,
+                st_dwithin('POINT (1 1)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 0.0) AS inpoly,
+                st_envelope('POLYGON ((1 1, 5 1, 3 7, 1 1))') AS env,
+                st_envelope('POINT (2 3)') AS envp,
+                st_npoints(st_buffer('POINT (0 0)', 2.0, 8)) AS bnp,
+                st_xmin('POLYGON ((1 1, 5 1, 3 7, 1 1))') AS x0,
+                st_xmax('POLYGON ((1 1, 5 1, 3 7, 1 1))') AS x1,
+                st_ymax('MULTIPOLYGON (((0 0, 1 0, 1 9, 0 9, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))') AS y1
+      """).collect()(0)
+    assert(row.getBoolean(0) && !row.getBoolean(1))
+    assert(row.getBoolean(2), "distance 0 inside the polygon")
+    assert(row.getString(3) == "POLYGON ((1 1, 5 1, 5 7, 1 7, 1 1))")
+    assert(row.getString(4) == "POINT (2 3)", "degenerate envelope is the point")
+    assert(row.getInt(5) == 9)
+    assert(row.getDouble(6) == 1.0 && row.getDouble(7) == 5.0 && row.getDouble(8) == 9.0)
+    // buffer: inscribed octagon of r=2 — area 2·√2·r², vertices on circle
+    val a = spark.sql("SELECT st_area(st_buffer('POINT (10 20)', 2.0, 8)) AS a")
+      .collect()(0).getDouble(0)
+    assert(math.abs(a - 2 * math.sqrt(2) * 4) < 1e-9, s"octagon area: $a")
+    // non-point buffer rejects loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT st_buffer('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', 1.0, 8)")
+        .collect()
+    }
+    assert(e.getMessage.contains("POINT") ||
+      e.getCause.getMessage.contains("POINT"))
+    // st_extent aggregate: bounding box per group, partial-aggregable
+    import spark.implicits._
+    val df = Seq((1, 0, 0), (1, 4, 2), (1, 2, 9), (2, 5, 5)).toDF("g", "x", "y")
+      .select($"g", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("POINT ("), $"x".cast("string"),
+        org.apache.spark.sql.functions.lit(" "), $"y".cast("string"),
+        org.apache.spark.sql.functions.lit(")")).as("pt"))
+    val ext = df.groupBy($"g")
+      .agg(graft.functions.GeoExprs.st_extent($"pt").as("extent"))
+      .orderBy($"g").collect()
+    assert(ext(0).getString(1) == "POLYGON ((0 0, 4 0, 4 9, 0 9, 0 0))")
+    assert(ext(1).getString(1) == "POINT (5 5)",
+      "a one-point group degenerates to the point")
+  }
 }
