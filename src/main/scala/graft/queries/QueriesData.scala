@@ -631,6 +631,40 @@ object QueriesData {
         .orderBy(col("a_doc_id"), col("b_doc_id"))
     },
 
+    // ---- streaming HASH near-dup (r11): the q_image_neardup corpus
+    // through the 64-bit-sketch twin — md5-surrogate hashes computed
+    // IN-STREAM, exact re-arrivals (%10 re-entry) land dist-0 pairs,
+    // %7 ids re-enter XOR'd by 2 bits (a re-encoded copy); banded
+    // keyed state emits a candidate when the later id arrives, and
+    // the pair SET is micro-batch-split invariant below the cap.
+    // 2 files/trigger forces state to live across micro-batches.
+    "q_stream_hash_neardup" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val staged = stageDocsOnce(s, dir)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val hashes = Multimodal.imageHashes(
+          stream.select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
+          "payload", Multimodal.FakeCodec)
+        .select(col("doc_id"), col("image_hash"))
+      val seeded = hashes.unionByName(
+        hashes.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("image_hash").bitwiseXOR(lit(0x40002L)).as("image_hash")))
+      val cands = graft.streaming.EventStreams.streamingHashNearDup(
+        seeded, "doc_id", "image_hash")
+      val qn = "stream_hash_neardup_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, cands, qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      q.stop()
+      s.table(qn).where(col("dist") <= 3).distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // ---- paragraph-level dedup: boilerplate paragraphs are seeded
     // deterministically (the corpus is single-paragraph), each distinct
     // paragraph keeps its first (doc, pos) occurrence corpus-wide, docs
@@ -1743,6 +1777,32 @@ object QueriesData {
                   WHERE a.media_id < b.media_id)
         SELECT a_media_id, b_media_id, dist FROM pairs
         WHERE dist <= 3 ORDER BY a_media_id, b_media_id""",
+    // streaming hash near-dup: the ingest (with %10 exact re-entries)
+    // plus the in-stream %7 XOR seeds, banded 16-bit buckets, pair =
+    // same-bucket collision with exact Hamming distance ≤ 3 — the
+    // batch q_image_neardup replay over the streamed corpus
+    "q_stream_hash_neardup" ->
+      """WITH u AS (
+          SELECT doc_id, md5_number_lower(text) AS uh FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, md5_number_lower(text) FROM documents
+          WHERE doc_id % 10 = 0),
+        h AS (SELECT doc_id, CAST(CASE WHEN uh >= 9223372036854775808
+                THEN CAST(uh AS HUGEINT) - 18446744073709551616
+                ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS hsh FROM u),
+        seeded AS (
+          SELECT doc_id, hsh FROM h
+          UNION ALL SELECT doc_id + 2000000, xor(hsh, 262146) FROM h
+            WHERE doc_id % 7 = 0),
+        banded AS (SELECT doc_id, hsh, b AS band, (hsh >> (b * 16)) & 65535 AS key
+                   FROM seeded, unnest([0, 1, 2, 3]) t(b)),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    CAST(bit_count(xor(a.hsh, b.hsh)) AS INTEGER) AS dist
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.key = b.key
+                  WHERE a.doc_id < b.doc_id)
+        SELECT a_id, b_id, dist FROM pairs
+        WHERE dist <= 3 ORDER BY a_id, b_id""",
     // the audio surrogate replays as md5_number_lower(p || 'ah')
     // (two's-complemented); seeds + banded Hamming pairs row-for-row
     "q_audio_neardup" ->
