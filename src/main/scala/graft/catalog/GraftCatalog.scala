@@ -258,12 +258,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         options = if (partitions.isEmpty) Map.empty
           else Map("partition_cols" -> partitions.mkString(",")))
       val replacing = TableVersions.latest(warehouse, name).isDefined
-      val cdir = TableVersions.nextCommitDir(warehouse, name)
-      val w = data.write.mode(SaveMode.Overwrite)
-      (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w)
-        .parquet(ByteStore.resolve(dataDir(name), cdir))
-      TableVersions.commit(warehouse, name,
-        if (replacing) "replace" else "create", Seq(cdir))
+      TableVersions.withCommitDir(warehouse, name) { cdir =>
+        val w = data.write.mode(SaveMode.Overwrite)
+        (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w)
+          .parquet(ByteStore.resolve(dataDir(name), cdir))
+        TableVersions.commit(warehouse, name,
+          if (replacing) "replace" else "create", Seq(cdir))
+      }
       persist(d)
       register(d)
       refreshIndexRoots() // CTAS-over-existing moves the current commit dir
@@ -324,17 +325,18 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         // manifest referencing only the new commit (old versions stay
         // time-travel-readable until VACUUM).
         ensureVersioned(name)
-        val cdir = TableVersions.nextCommitDir(warehouse, name)
-        val w = aligned.write.mode(SaveMode.Overwrite)
-        (if (partitionCols(d).nonEmpty) w.partitionBy(partitionCols(d): _*) else w)
-          .parquet(ByteStore.resolve(dataDir(name), cdir))
-        // append publishes via commitAppend so the previous dir list is
-        // re-read inside the commit lock (a concurrent append committed
-        // during our parquet write must not be dropped)
-        if (overwrite)
-          TableVersions.commit(warehouse, name, "insert_overwrite", Seq(cdir))
-        else
-          TableVersions.commitAppend(warehouse, name, "insert", Seq(cdir))
+        TableVersions.withCommitDir(warehouse, name) { cdir =>
+          val w = aligned.write.mode(SaveMode.Overwrite)
+          (if (partitionCols(d).nonEmpty) w.partitionBy(partitionCols(d): _*) else w)
+            .parquet(ByteStore.resolve(dataDir(name), cdir))
+          // append publishes via commitAppend so the previous dir list
+          // is re-read inside the commit lock (a concurrent append
+          // committed during our parquet write must not be dropped)
+          if (overwrite)
+            TableVersions.commit(warehouse, name, "insert_overwrite", Seq(cdir))
+          else
+            TableVersions.commitAppend(warehouse, name, "insert", Seq(cdir))
+        }
         register(d)
         // the new commit dir is a new scan root; the prune rule's
         // root→table map must learn it or indexed scans stop resolving
@@ -349,12 +351,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val dd = dataDir(name)
     if (!ByteStore.exists(dd)) return
     val entries = ByteStore.list(dd)
-    val cdir = TableVersions.nextCommitDir(warehouse, name)
-    val target = ByteStore.resolve(dd, cdir)
-    ByteStore.createDirectories(target)
-    entries.foreach(e => ByteStore.move(e,
-      ByteStore.resolve(target, ByteStore.fileName(e))))
-    TableVersions.commit(warehouse, name, "import", Seq(cdir))
+    TableVersions.withCommitDir(warehouse, name) { cdir =>
+      val target = ByteStore.resolve(dd, cdir)
+      ByteStore.createDirectories(target)
+      entries.foreach(e => ByteStore.move(e,
+        ByteStore.resolve(target, ByteStore.fileName(e))))
+      TableVersions.commit(warehouse, name, "import", Seq(cdir))
+    }
   }
 
   /** current-version read of a plain managed table */
@@ -448,13 +451,15 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // n tasks and MULTIPLY the file count)
       else if (pcols.nonEmpty) df.repartition(nOut, pcols.map(col): _*)
       else df.repartition(nOut)
-    val cdir = TableVersions.nextCommitDir(warehouse, name)
-    val w = data.write.mode(SaveMode.Overwrite)
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(ByteStore.resolve(dataDir(name), cdir))
-    TableVersions.commit(warehouse, name,
-      if (zorder.nonEmpty) s"optimize:zorder(${zorder.mkString(",")})"
-      else "optimize", Seq(cdir))
+    val cdir = TableVersions.withCommitDir(warehouse, name) { cdir =>
+      val w = data.write.mode(SaveMode.Overwrite)
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+        .parquet(ByteStore.resolve(dataDir(name), cdir))
+      TableVersions.commit(warehouse, name,
+        if (zorder.nonEmpty) s"optimize:zorder(${zorder.mkString(",")})"
+        else "optimize", Seq(cdir))
+      cdir
+    }
     register(load(name).get)
     refreshIndexRoots()
     (before, listParquet(ByteStore.resolve(dataDir(name), cdir)).size)
@@ -701,12 +706,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * point: no rename of data, object-store-safe. */
   private def rewrite(name: String, data: DataFrame, operation: String): Unit = {
     ensureVersioned(name)
-    val cdir = TableVersions.nextCommitDir(warehouse, name)
     val pcols = load(name).map(partitionCols).getOrElse(Seq.empty)
-    val w = data.write.mode(SaveMode.Overwrite)
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(ByteStore.resolve(dataDir(name), cdir))
-    TableVersions.commit(warehouse, name, operation, Seq(cdir))
+    TableVersions.withCommitDir(warehouse, name) { cdir =>
+      val w = data.write.mode(SaveMode.Overwrite)
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+        .parquet(ByteStore.resolve(dataDir(name), cdir))
+      TableVersions.commit(warehouse, name, operation, Seq(cdir))
+    }
     register(load(name).get)
     refreshIndexRoots() // CoW moved the table onto a fresh commit dir
   }

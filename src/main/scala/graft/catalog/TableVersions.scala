@@ -114,6 +114,31 @@ object TableVersions {
     next
   }
 
+  /** drop a reservation whose write failed — without this an abandoned
+    * reservation stays in [[inFlight]] forever, permanently skipping a
+    * commit number and leaking one entry per failed write on a
+    * long-lived engine */
+  def releaseCommitDir(warehouse: String, table: String, dir: String): Unit =
+    synchronized { inFlight.remove((whKey(warehouse), table, dir)): Unit }
+
+  /** observable for specs: live reservations of one table */
+  def inFlightCount(warehouse: String, table: String): Int = synchronized {
+    val key = whKey(warehouse)
+    inFlight.count { case (w, t, _) => w == key && t == table }
+  }
+
+  /** allocate a commit dir, run the write/publish block with it, and
+    * RELEASE the reservation if the block throws (a successful commit
+    * releases it by publishing). Every writer goes through this so a
+    * failed parquet write cannot leak its reservation. */
+  def withCommitDir[A](warehouse: String, table: String)(f: String => A): A = {
+    val d = nextCommitDir(warehouse, table)
+    try f(d)
+    catch {
+      case e: Throwable => releaseCommitDir(warehouse, table, d); throw e
+    }
+  }
+
   /** publish the next version; returns the entry written. Serialized
     * per JVM — and commit-dir allocation shares this lock (see
     * [[nextCommitDir]]), so two same-process writers can neither

@@ -54,15 +54,20 @@ object NbClassifier {
       .localCheckpoint() // read by vocab, totals AND the scoring join
     // vocabulary = distinct tokens across the (pruned) model
     val vocab = cl.select(col("tok")).distinct()
-    val vocabSize = vocab.count()
+    // vocab size and corpus size stay PLAN NODES (one-row frames that
+    // broadcast into the scoring joins) instead of driver actions —
+    // classify() issues no job beyond the model checkpoint itself
+    val vocabSizeDf = cl.agg(countDistinct(col("tok")).as("__v"))
     // per-class token totals + doc priors (each a handful of rows)
     val classTotals = cl.groupBy(col("__c")).agg(sum(col("cnt")).as("ctok"))
     val priors = labeled.groupBy(col(labelCol).as("__c"))
       .agg(count(lit(1)).as("cdocs"))
-    val nDocs = labeled.count()
+    val nDocsDf = priors.agg(sum(col("cdocs")).as("__nd"))
     val classes = priors.join(classTotals, Seq("__c"), "left")
+      .crossJoin(broadcast(nDocsDf))
       .select(col("__c"),
-        log(col("cdocs").cast(DoubleType) / lit(nDocs.toDouble)).as("prior"),
+        log(col("cdocs").cast(DoubleType) / col("__nd").cast(DoubleType))
+          .as("prior"),
         // a class with an empty (fully pruned) token table still scores:
         // every token takes the 1/(0 + V) floor
         coalesce(col("ctok"), lit(0L)).as("ctok"))
@@ -81,9 +86,10 @@ object NbClassifier {
         sum(col("tf")).as("n_tokens"),
         sum(col("tf").cast(DoubleType) *
           log(col("cnt").cast(DoubleType) + 1.0)).as("num"))
+      .crossJoin(broadcast(vocabSizeDf))
       .withColumn("s", col("prior") + col("num") -
         col("n_tokens").cast(DoubleType) *
-          log(col("ctok").cast(DoubleType) + lit(vocabSize.toDouble)))
+          log(col("ctok").cast(DoubleType) + col("__v").cast(DoubleType)))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(round(col("s"), 6).desc, col("__c").asc)

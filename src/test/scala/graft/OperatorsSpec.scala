@@ -1361,6 +1361,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned(0).getString(1) == "a" && pruned(0).getLong(3) == 1L)
   }
 
+  test("NbClassifier: classify issues at most 2 jobs before the scoring plan (r11)") {
+    import spark.implicits._
+    val labeled = Seq((1L, "a b a", "x"), (2L, "b c", "y"), (3L, "a c a", "x"))
+      .toDF("doc_id", "text", "label")
+    val docs = labeled.select($"doc_id", $"text")
+    val sc = spark.sparkContext
+    sc.setJobGroup("nb-diet", "nb action diet probe")
+    try {
+      val preds = NbClassifier.classify(labeled, "text", "label", docs, "doc_id")
+      // the status store fills from the async listener bus — settle
+      var tries = 0
+      def jobs() = sc.statusTracker.getJobIdsForGroup("nb-diet").length
+      while (jobs() < 1 && tries < 50) { Thread.sleep(100); tries += 1 }
+      Thread.sleep(300)
+      val n = jobs()
+      assert(n >= 1 && n <= 2,
+        s"classify() must cost only the model checkpoint (≤2 jobs), ran $n")
+      // and the plan still answers correctly (vocab size / nDocs now
+      // ride as broadcast one-row frames, not driver constants)
+      val out = preds.orderBy("doc_id").collect()
+      assert(out.map(_.getString(1)).toSeq == Seq("x", "y", "x"))
+    } finally sc.clearJobGroup()
+  }
+
   test("curate repetition_filter: repetitive and unassessable docs drop, varied stay") {
     import spark.implicits._
     val docs = Seq(

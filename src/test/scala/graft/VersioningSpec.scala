@@ -282,4 +282,33 @@ class VersioningSpec extends AnyFunSuite {
          from ver_ci VERSION AS OF 1""").collect()(0).getLong(0) == 10)
     engine.sql("DROP TABLE ver_ci")
   }
+
+  test("a failed write releases its commit-dir reservation (r11)") {
+    engine.sql(s"CREATE EXTERNAL TABLE ver_res_src STORED AS parquet LOCATION '$sf/nation.parquet'")
+    engine.sql("CREATE TABLE ver_res AS SELECT n_nationkey AS k FROM ver_res_src")
+    assert(TableVersions.inFlightCount(wh, "ver_res") == 0,
+      "a successful commit publishes (and releases) its reservation")
+    // a write that throws mid-parquet: the reservation must not leak
+    intercept[Exception] {
+      engine.sql(
+        "INSERT INTO ver_res SELECT CAST(raise_error('boom') AS BIGINT) FROM ver_res_src")
+    }
+    assert(TableVersions.inFlightCount(wh, "ver_res") == 0,
+      "a failed write must release its reservation")
+    // and the NEXT writer reuses the number the failure abandoned
+    val before = TableVersions.latest(wh, "ver_res").get
+    engine.sql("INSERT INTO ver_res SELECT n_nationkey + 100 FROM ver_res_src")
+    val after = TableVersions.latest(wh, "ver_res").get
+    assert(after.version == before.version + 1)
+    val dirNums = after.dirs.map(_.stripPrefix("c").toLong).sorted
+    assert(dirNums == dirNums.indices.map(_ + 1L),
+      s"abandoned numbers must be reusable, got dirs ${after.dirs}")
+    // raw API: release makes the number immediately reusable
+    val d1 = TableVersions.nextCommitDir(wh, "ver_res")
+    TableVersions.releaseCommitDir(wh, "ver_res", d1)
+    val d2 = TableVersions.nextCommitDir(wh, "ver_res")
+    assert(d1 == d2)
+    TableVersions.releaseCommitDir(wh, "ver_res", d2)
+    engine.sql("DROP TABLE ver_res")
+  }
 }
