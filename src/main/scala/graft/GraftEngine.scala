@@ -66,6 +66,22 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
       return GraftSql.sql(spark, trimmed)
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    assertNotCommandParsed(parsed, identity)
+    // defense-in-depth: analyze WITHOUT constructing a Dataset (Dataset
+    // construction eagerly executes command plans) and reject anything
+    // that analyzes to a command or write — catches shapes the parse-
+    // time denylist misses, including CTE-wrapped writes
+    assertNotAnalyzedWrite(
+      spark.sessionState.executePlan(parsed).analyzed, identity)
+    val df = GraftSql.sql(spark, text)
+    graft.auth.Authz.authorizeRead(catalog, catalog.auth, identity, df)
+    df
+  }
+
+  /** parse-time command denylist shared by both sqlAs paths */
+  private def assertNotCommandParsed(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      identity: graft.auth.Auth.AuthIdentity): Unit = {
     val isCommand = parsed.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
       case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
@@ -82,11 +98,12 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     if (isCommand)
       throw new graft.auth.Authz.PermissionDenied(
         s"permission denied: DDL/DML requires super-user (user ${identity.name})")
-    // defense-in-depth: analyze WITHOUT constructing a Dataset (Dataset
-    // construction eagerly executes command plans) and reject anything
-    // that analyzes to a command or write — catches shapes the parse-
-    // time denylist misses, including CTE-wrapped writes
-    val analyzed = spark.sessionState.executePlan(parsed).analyzed
+  }
+
+  /** analysis-time write denylist shared by both sqlAs paths */
+  private def assertNotAnalyzedWrite(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      identity: graft.auth.Auth.AuthIdentity): Unit = {
     val analyzedWrite = analyzed.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
       case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => true
@@ -95,9 +112,6 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     if (analyzedWrite)
       throw new graft.auth.Authz.PermissionDenied(
         s"permission denied: DDL/DML requires super-user (user ${identity.name})")
-    val df = GraftSql.sql(spark, text)
-    graft.auth.Authz.authorizeRead(catalog, catalog.auth, identity, df)
-    df
   }
 
   /** [[sqlAs]] with `$1..$n` bind parameters — the wire's prepared-
@@ -118,29 +132,20 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
         s"permission denied: engine statements require super-user (user ${identity.name})")
     val named = GraftSql.rewriteMarkers(text, params.length)
     val parsed = spark.sessionState.sqlParser.parsePlan(named)
-    val isCommand = parsed.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => true
-      case p => p.nodeName.endsWith("Statement") ||
-        p.nodeName.startsWith("Insert") || p.nodeName.startsWith("WriteTo") ||
-        p.nodeName.startsWith("Merge") || p.nodeName.startsWith("Delete") ||
-        p.nodeName.startsWith("Update")
-    }
-    if (isCommand)
-      throw new graft.auth.Authz.PermissionDenied(
-        s"permission denied: DDL/DML requires super-user (user ${identity.name})")
+    assertNotCommandParsed(parsed, identity)
+    // defense-in-depth WITHOUT constructing a Dataset (which eagerly
+    // executes command plans): bind the parameters at the catalyst
+    // level and analyze — a command shape the parse denylist missed
+    // is rejected BEFORE anything can execute
+    val bound = org.apache.spark.sql.catalyst.analysis.NameParameterizedQuery(
+      parsed, params.zipWithIndex.map { case (v, ix) =>
+        s"graft_p${ix + 1}" ->
+          (org.apache.spark.sql.catalyst.expressions.Literal(v):
+            org.apache.spark.sql.catalyst.expressions.Expression)
+      }.toMap)
+    assertNotAnalyzedWrite(
+      spark.sessionState.executePlan(bound).analyzed, identity)
     val df = GraftSql.sql(spark, text, params)
-    // defense-in-depth: a shape the parse denylist missed but that
-    // analyzes to a write is still rejected before any action runs
-    val analyzedWrite = df.queryExecution.analyzed.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => true
-      case p => p.nodeName.contains("Command") || p.nodeName.startsWith("WriteTo")
-    }
-    if (analyzedWrite)
-      throw new graft.auth.Authz.PermissionDenied(
-        s"permission denied: DDL/DML requires super-user (user ${identity.name})")
     graft.auth.Authz.authorizeRead(catalog, catalog.auth, identity, df)
     df
   }

@@ -190,13 +190,17 @@ class Secrets(spark: SparkSession, warehouse: String) {
     }
     ByteStore.createDirectories(dir)
     val kf = ByteStore.resolve(dir, ".key")
-    if (ByteStore.hasScheme(kf) && !storeKeyOptIn)
-      throw new IllegalStateException(
-        "persistent secrets on a schemed warehouse need an external key: " +
-          "set GRAFT_SECRETS_KEY (64 hex chars) so the key never lands in " +
-          "the same store as the ciphertext, or explicitly opt in to a " +
-          "store-local key with GRAFT_SECRETS_ALLOW_STORE_KEY=true")
     if (!ByteStore.exists(kf)) {
+      // the guard applies to CREATING a new key only: refusing to read
+      // a key that already sits in the store would brick an existing
+      // warehouse on upgrade without adding any security (that
+      // exposure already happened — rotate via GRAFT_SECRETS_KEY)
+      if (ByteStore.hasScheme(kf) && !storeKeyOptIn)
+        throw new IllegalStateException(
+          "persistent secrets on a schemed warehouse need an external key: " +
+            "set GRAFT_SECRETS_KEY (64 hex chars) so the key never lands in " +
+            "the same store as the ciphertext, or explicitly opt in to a " +
+            "store-local key with GRAFT_SECRETS_ALLOW_STORE_KEY=true")
       val k = new Array[Byte](32)
       new java.security.SecureRandom().nextBytes(k)
       ByteStore.writeAll(kf, k)

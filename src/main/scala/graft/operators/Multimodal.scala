@@ -611,42 +611,37 @@ object Multimodal {
     }(enc)
   }
 
-  /** Perceptual-hash pass: adds `image_hash` (the codec's 64-bit
-    * dHash) — map-only like every decode pass; feed the result to
-    * [[Dedup.hashCandidates]] for banded image near-dup. */
-  def imageHashes(df: DataFrame, payloadCol: String,
-      codec: MediaCodec = ImageIoCodec): DataFrame = {
+  /** shared map-only 64-bit perceptual-hash pass: appends `outCol`
+    * computed by `hash` over the payload bytes (null payload → 0L) */
+  private def hashPass(df: DataFrame, payloadCol: String, outCol: String,
+      hash: Array[Byte] => Long): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
-      StructField("image_hash", LongType))
+      StructField(outCol, LongType))
     val enc = RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val h = if (payload == null) 0L else codec.imageHash(payload)
+        val h = if (payload == null) 0L else hash(payload)
         Row.fromSeq(r.toSeq :+ h)
       }
     }(enc)
   }
+
+  /** Perceptual-hash pass: adds `image_hash` (the codec's 64-bit
+    * dHash) — map-only like every decode pass; feed the result to
+    * [[Dedup.hashCandidates]] for banded image near-dup. */
+  def imageHashes(df: DataFrame, payloadCol: String,
+      codec: MediaCodec = ImageIoCodec): DataFrame =
+    hashPass(df, payloadCol, "image_hash", codec.imageHash)
 
   /** Audio-hash pass: adds `audio_hash` (the codec's 64-bit
     * adjacent-bin spectral sketch) — map-only like every decode
     * pass; feed the result to [[Dedup.hashCandidates]] for banded
     * audio near-dup. */
   def audioHashes(df: DataFrame, payloadCol: String,
-      codec: MediaCodec = ImageIoCodec): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField("audio_hash", LongType))
-    val enc = RowEncoder.encoderFor(outSchema)
-    val idx = df.schema.fieldIndex(payloadCol)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]](idx)
-        val h = if (payload == null) 0L else codec.audioHash(payload)
-        Row.fromSeq(r.toSeq :+ h)
-      }
-    }(enc)
-  }
+      codec: MediaCodec = ImageIoCodec): DataFrame =
+    hashPass(df, payloadCol, "audio_hash", codec.audioHash)
 
   /** Sampled-frame fingerprint pass for video near-dup: one row per
     * (video, sampled frame) with a 64-bit fingerprint of the ENCODED

@@ -143,7 +143,10 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     * string must stay a string */
   private def wireParam(j: JValue): Any = j match {
     case JString(s)  => s
-    case JInt(i)     => i.longValue
+    case JInt(i)     =>
+      // a BigInt wider than Long must fail loudly, not wrap negative
+      if (i.isValidLong) i.longValue
+      else throw new IllegalArgumentException(s"integer param out of range: $i")
     case JLong(l)    => l
     case JDouble(d)  => d
     case JDecimal(d) => d.bigDecimal
@@ -163,7 +166,12 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     * (empty for every other shape — the caller then answers no pin) */
   private def externalParquetFiles(
       d: graft.catalog.GraftCatalog.TableDef): Seq[String] =
-    if (d.kind != "external" || !d.format.exists(_.equalsIgnoreCase("parquet")))
+    if (d.kind != "external" || !d.format.exists(_.equalsIgnoreCase("parquet")) ||
+        // a hive-partitioned layout's partition COLUMNS live in the
+        // directory names — reading raw file paths would lose them,
+        // so these tables answer no pin (hash-mod fallback)
+        d.options.contains("hive_partitioned") ||
+        d.options.contains("partition_cols"))
       Seq.empty
     else d.paths.flatMap(p => graft.sources.io.ByteStore.walkFiles(p)
       .filter(_.endsWith(".parquet"))).sorted
@@ -500,7 +508,7 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           s"scan snapshot was taken for '${snap.table}', not '$name'")
         require(d.kind == "external", s"$name is no longer external")
         fileSplitServed.incrementAndGet()
-        return Some((fileSubsetFrame(snap.files, part, parts), true))
+        return Some((fileSubsetFrame(id, snap.files, part, parts), true))
       case _ => ()
     }
     val version = (req \ "version") match {
@@ -519,20 +527,27 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     if (files.isEmpty)
       return Some((engine.catalog.tableAt(name, version), false))
     fileSplitServed.incrementAndGet()
-    Some((fileSubsetFrame(files, part, parts), true))
+    Some((fileSubsetFrame(s"$name@$version", files, part, parts), true))
   }
+
+  // memoized pinned-list schemas: a pin's file list is immutable, so
+  // the merged-footer schema is resolved ONCE per pin — not re-inferred
+  // by every ticket (an O(all footers) pass × parts otherwise)
+  private val pinnedSchemas =
+    new ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   /** ticket `part` of `parts` over a pinned file list: index ≡ part
     * (mod parts). Every ticket resolves the SAME schema — the
-    * super-type of the FULL pinned list (footer-only pass, cheap) —
-    * so heterogeneous per-file schemas can't make one ticket miss a
+    * super-type of the FULL pinned list, memoized per pin key — so
+    * heterogeneous per-file schemas can't make one ticket miss a
     * column another serves; a ticket with no files still answers an
     * empty frame in that schema (more tickets than files). */
-  private def fileSubsetFrame(files: Seq[String], part: Int,
+  private def fileSubsetFrame(pinKey: String, files: Seq[String], part: Int,
       parts: Int): DataFrame = {
     val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
-    val pinnedSchema =
-      session.read.option("mergeSchema", "true").parquet(files: _*).schema
+    if (pinnedSchemas.size > 512) pinnedSchemas.clear() // bounded, re-derivable
+    val pinnedSchema = pinnedSchemas.computeIfAbsent(pinKey, _ =>
+      session.read.option("mergeSchema", "true").parquet(files: _*).schema)
     if (mine.isEmpty)
       session.createDataFrame(
         session.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinnedSchema)

@@ -35,13 +35,16 @@ object GraftSql {
     * identically */
   def rewriteMarkers(text: String, nParams: Int): String = {
     val sb = new StringBuilder
-    var inS = false; var inB = false
+    var inS = false; var inB = false; var inD = false
     var i = 0
     val t = text
     while (i < t.length) {
       val c = t.charAt(i)
       if (inS) { if (c == '\'') inS = false; sb.append(c); i += 1 }
       else if (inB) { if (c == '`') inB = false; sb.append(c); i += 1 }
+      // Spark's default config reads "..." as a STRING literal — a $N
+      // inside one is data, not a marker
+      else if (inD) { if (c == '"') inD = false; sb.append(c); i += 1 }
       else if (c == '-' && i + 1 < t.length && t.charAt(i + 1) == '-') {
         // line comment: copy verbatim — an apostrophe in `-- don't`
         // must not flip the in-string state
@@ -56,6 +59,7 @@ object GraftSql {
       }
       else if (c == '\'') { inS = true; sb.append(c); i += 1 }
       else if (c == '`') { inB = true; sb.append(c); i += 1 }
+      else if (c == '"') { inD = true; sb.append(c); i += 1 }
       else if (c == '$' && i + 1 < t.length && t.charAt(i + 1).isDigit) {
         var j = i + 1
         while (j < t.length && t.charAt(j).isDigit) j += 1

@@ -347,6 +347,12 @@ class EngineSpec extends AnyFunSuite {
     // and a marker-looking token inside a comment is not a marker
     assert(graft.sql.GraftSql.sql(spark,
       "SELECT $1 AS v -- $9 is commentary\n", Seq(5)).collect()(0).getInt(0) == 5)
+    // a DOUBLE-quoted Spark string literal is data too: "$1" must not
+    // rewrite (and "$5" must not trip the range check) — r11 review
+    val dq = graft.sql.GraftSql.sql(spark,
+      """SELECT count(*) FROM bp_t WHERE name = "costs $5 each" OR id = $1""",
+      Seq(5L)).collect()(0).getLong(0)
+    assert(dq == 1L, "a $N inside double quotes must stay literal text")
   }
 
   test("EXPLAIN FORMAT JSON returns the optimized logical plan as JSON nodes") {
