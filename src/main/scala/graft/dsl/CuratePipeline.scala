@@ -127,7 +127,7 @@ object CuratePipeline {
       case _ => throw new DslException("curate body must have a 'stages' array")
     }
     val mapOnly = Set("normalize", "c4_clean", "gopher_filter", "pii_redact",
-      "stratified_sample")
+      "stratified_sample", "image_hash", "audio_hash")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     val in0 = df.localCheckpoint()
     rows += ((0, "input", in0.count()))
@@ -317,6 +317,23 @@ object CuratePipeline {
             tau = dbl(st, "tau", 0.9), roundCos = int(st, "round_cos", 6))
           .filter(col("is_kept")).select(col(idCol))
         df.join(kept, Seq(idCol), "left_semi")
+      case "image_hash" | "audio_hash" =>
+        // map-only decode→hash pass over a BINARY payload column:
+        // appends image_hash / audio_hash so a downstream
+        // `hash_neardup` stage dedups a media table end-to-end inside
+        // one CURATE pipeline. `codec: "fake"` selects the replayable
+        // md5-surrogate stub (gates/offline); default is the real
+        // JDK codec (PNG dHash / Goertzel spectral sketch).
+        val payloadCol = str(st, "payload_col")
+        val codec = strOr(st, "codec", "real") match {
+          case "real" => graft.operators.Multimodal.ImageIoCodec
+          case "fake" => graft.operators.Multimodal.FakeCodec
+          case other => throw new DslException(
+            s"codec must be 'real' or 'fake', got '$other'")
+        }
+        if (op == "image_hash")
+          graft.operators.Multimodal.imageHashes(df, payloadCol, codec)
+        else graft.operators.Multimodal.audioHashes(df, payloadCol, codec)
       case "hash_neardup" =>
         // near-dup removal over a PRECOMPUTED 64-bit perceptual hash
         // column (`hash_col` — image dHash, audio sketch, simhash):

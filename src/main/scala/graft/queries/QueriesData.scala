@@ -969,6 +969,27 @@ object QueriesData {
         .orderBy(col("media_id"))
     },
 
+    // ---- media curation end-to-end (r11): decode→hash→dedup INSIDE
+    // one CURATE pipeline — the image_hash stage (surrogate codec for
+    // the gate; the real PNG dHash is spec'd) appends the 64-bit hash,
+    // hash_neardup drops banded-cluster non-keepers. Exact-copy seeds
+    // (%7 payload duplicates) land dist-0 clusters.
+    "q_curate_media" -> { (s, dir) =>
+      val media = Multimodal.syntheticMediaTable(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("payload"))
+      val seeded = media.unionByName(media.filter(col("media_id") % 7 === 0)
+        .select((col("media_id") + 2000000L).as("media_id"), col("payload")))
+      val spec = """{"stages": [
+        {"op": "image_hash", "payload_col": "payload", "codec": "fake"},
+        {"op": "hash_neardup", "hash_col": "image_hash", "max_dist": 3}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(seeded, spec, textCol = "payload",
+          idCol = "media_id")
+        .select(col("media_id"), col("image_hash"))
+        .orderBy(col("media_id"))
+    },
+
     // ---- canonical text normalization: NFC (codegen kernel) +
     // whitespace collapse + control strip + trim over text seeded with
     // combining sequences, tabs, VT and BEL; the oracle replays
@@ -1803,6 +1824,36 @@ object QueriesData {
                   WHERE a.doc_id < b.doc_id)
         SELECT a_id, b_id, dist FROM pairs
         WHERE dist <= 3 ORDER BY a_id, b_id""",
+    // media curation: surrogate hash + exact-copy seeds + banded CC,
+    // survivors keep their cluster min
+    "q_curate_media" ->
+      """WITH RECURSIVE
+        u AS (SELECT doc_id AS media_id, md5_number_lower(text) AS uh FROM documents),
+        h AS (SELECT media_id, CAST(CASE WHEN uh >= 9223372036854775808
+                THEN CAST(uh AS HUGEINT) - 18446744073709551616
+                ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS hsh FROM u),
+        seeded AS (
+          SELECT media_id, hsh FROM h
+          UNION ALL SELECT media_id + 2000000, hsh FROM h
+            WHERE media_id % 7 = 0),
+        banded AS (SELECT media_id, hsh, b AS band, (hsh >> (b * 16)) & 65535 AS key
+                   FROM seeded, unnest([0, 1, 2, 3]) t(b)),
+        pairs AS (SELECT a, b FROM (
+            SELECT DISTINCT a.media_id AS a, b.media_id AS b,
+              CAST(bit_count(xor(a.hsh, b.hsh)) AS INTEGER) AS dist
+            FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+            WHERE a.media_id < b.media_id) WHERE dist <= 3),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id),
+        clus AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT s.media_id, s.hsh AS image_hash
+        FROM seeded s LEFT JOIN clus c ON s.media_id = c.id
+        WHERE c.id IS NULL OR c.cluster_id = s.media_id
+        ORDER BY s.media_id""",
     // the audio surrogate replays as md5_number_lower(p || 'ah')
     // (two's-complemented); seeds + banded Hamming pairs row-for-row
     "q_audio_neardup" ->
