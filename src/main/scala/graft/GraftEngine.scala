@@ -78,6 +78,20 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     df
   }
 
+  /** prepare-time validation for the wire's prepared statements:
+    * markers rewrite (up to 99 positional params) and the text must
+    * parse to a non-command shape for this identity — nothing
+    * executes, and reads are NOT authorized here (execute re-runs the
+    * full sqlAs lifecycle against live grants). Plain Catalyst
+    * queries only: engine rewrites (SUMMARIZE, UNION ALL BY NAME)
+    * aren't preparable. */
+  def assertPreparableAs(identity: graft.auth.Auth.AuthIdentity,
+      text: String): Unit = {
+    val named = GraftSql.rewriteMarkers(text, 99)
+    assertNotCommandParsed(
+      spark.sessionState.sqlParser.parsePlan(named), identity)
+  }
+
   /** parse-time command denylist shared by both sqlAs paths */
   private def assertNotCommandParsed(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

@@ -136,6 +136,21 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     while (it.hasNext) if (it.next().getValue.expiresAt <= t) it.remove()
   }
 
+  // prepared statements: handle → (identity, sql text, TTL). Nothing
+  // executes at prepare; execute_prepared re-runs the full sqlAs
+  // lifecycle with the bound params, so grants revoked between
+  // prepare and execute still deny.
+  private final case class PreparedStmt(user: String, sql: String,
+      expiresAt: Long)
+  private val prepared = new ConcurrentHashMap[String, PreparedStmt]()
+  def livePreparedCount: Int = { sweepPrepared(); prepared.size }
+
+  private def sweepPrepared(): Unit = {
+    val t = now()
+    val it = prepared.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.expiresAt <= t) it.remove()
+  }
+
   /** wire bind-parameter value: scalar JSON maps to its natural type;
     * temporal values arrive TAGGED — `{"t": "timestamp", "v":
     * "2024-01-01T12:00:00Z"}` (instant) or `{"t": "date", "v":
@@ -385,6 +400,50 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
               s"'params' must be an array, got $other")
           }
           streamResult(out, engine.sqlAs(identity, sql, params))
+        case Some("prepare") =>
+          // prepared statements (the reference's Flight SQL
+          // CreatePreparedStatement: handle + TTL —
+          // beacon-server/src/flight_sql/service.rs): the statement
+          // TEXT parks server-side under a handle; nothing executes at
+          // prepare, but a statement the identity could never run
+          // fails HERE (early error, the Flight contract). Handles are
+          // identity-bound: another user's execute is rejected.
+          val sql = RemoteWire.str(req, "sql").getOrElse(
+            throw new IllegalArgumentException("prepare needs 'sql'"))
+          if (!identity.isSuperUser) {
+            if (graft.sql.Statements.recognizes(sql))
+              throw new graft.auth.Authz.PermissionDenied(
+                "permission denied: engine statements require super-user " +
+                  s"(user ${identity.name})")
+            // parse with markers rewritten so `$n` text parses; 99
+            // params = an upper bound for range-checking the markers
+            engine.assertPreparableAs(identity, sql)
+          }
+          sweepPrepared()
+          val h = java.util.UUID.randomUUID().toString
+          prepared.put(h, PreparedStmt(identity.name, sql, now() + tokenTtlMs))
+          RemoteWire.writeFrame(out, ("ok" -> true) ~ ("handle" -> h) ~
+            ("ttl_ms" -> JLong(tokenTtlMs)))
+        case Some("execute_prepared") =>
+          val h = RemoteWire.str(req, "handle").getOrElse(
+            throw new IllegalArgumentException("execute_prepared needs 'handle'"))
+          val p = Option(prepared.get(h)).filter(_.expiresAt > now())
+            .getOrElse(throw new IllegalArgumentException(
+              "prepared statement is gone (closed or expired)"))
+          require(p.user == identity.name,
+            "prepared statement belongs to a different identity")
+          val params: Seq[Any] = (req \ "params") match {
+            case JArray(ps) => ps.map(wireParam)
+            case JNothing   => Nil
+            case other => throw new IllegalArgumentException(
+              s"'params' must be an array, got $other")
+          }
+          streamResult(out, engine.sqlAs(identity, p.sql, params))
+        case Some("close_prepared") =>
+          val h = RemoteWire.str(req, "handle").getOrElse(
+            throw new IllegalArgumentException("close_prepared needs 'handle'"))
+          prepared.remove(h)
+          RemoteWire.writeFrame(out, ("ok" -> true))
         case other =>
           throw new IllegalArgumentException(s"unknown op: $other")
       }

@@ -346,6 +346,64 @@ class RemoteSpec extends AnyFunSuite {
     assert(oor.isLeft && oor.swap.toOption.get.contains("out of range"))
   }
 
+  test("raw wire: prepared statements — handle + TTL, rebind, close, identity-bound (r11)") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import graft.remote.RemoteWire
+    def call(op: JValue, user: String = "remote_reader",
+        pw: String = "wire-pw"): (JValue, java.io.InputStream, java.net.Socket) = {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      RemoteWire.writeFrame(out, ("op" -> "handshake") ~
+        ("username" -> user) ~ ("password" -> pw))
+      assert((RemoteWire.readFrame(in) \ "ok") == JBool(true))
+      RemoteWire.writeFrame(out, op)
+      (RemoteWire.readFrame(in), in, sock)
+    }
+    def longResult(op: JValue): Either[String, Long] = {
+      val (resp, in, sock) = call(op)
+      try {
+        if ((resp \ "ok") != JBool(true))
+          Left(RemoteWire.str(resp, "error").getOrElse("unknown"))
+        else {
+          val alloc = new org.apache.arrow.memory.RootAllocator()
+          val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+          assert(reader.loadNextBatch())
+          val v = reader.getVectorSchemaRoot.getVector(0)
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector].get(0)
+          reader.close(); alloc.close()
+          Right(v)
+        }
+      } finally sock.close()
+    }
+    // prepare parks the text and answers a handle + ttl
+    val (prep, _, s1) = call(("op" -> "prepare") ~
+      ("sql" -> "SELECT count(*) AS n FROM r_nation WHERE n_nationkey < $1"))
+    s1.close()
+    assert((prep \ "ok") == JBool(true), s"prepare failed: $prep")
+    val handle = RemoteWire.str(prep, "handle").get
+    assert((prep \ "ttl_ms") != JNothing)
+    // execute twice with different bindings — one prepare, N executes
+    assert(longResult(("op" -> "execute_prepared") ~ ("handle" -> handle) ~
+      ("params" -> JArray(List(JInt(5))))) == Right(5L))
+    assert(longResult(("op" -> "execute_prepared") ~ ("handle" -> handle) ~
+      ("params" -> JArray(List(JInt(10))))) == Right(10L))
+    assert(server.livePreparedCount == 1)
+    // close releases the handle; execute after close fails loudly
+    val (cl, _, s2) = call(("op" -> "close_prepared") ~ ("handle" -> handle))
+    s2.close()
+    assert((cl \ "ok") == JBool(true) && server.livePreparedCount == 0)
+    val gone = longResult(("op" -> "execute_prepared") ~ ("handle" -> handle) ~
+      ("params" -> JArray(List(JInt(5)))))
+    assert(gone.isLeft && gone.swap.toOption.get.contains("gone"))
+    // a statement the identity could never run fails AT PREPARE
+    val (bad, _, s3) = call(("op" -> "prepare") ~ ("sql" -> "DROP TABLE r_nation"))
+    s3.close()
+    assert((bad \ "ok") == JBool(false))
+    assert(RemoteWire.str(bad, "error").get.contains("permission denied"))
+  }
+
   test("DETACH cuts the mount; the server itself stays up") {
     engine.sql("DETACH wire")
     intercept[Exception] {
