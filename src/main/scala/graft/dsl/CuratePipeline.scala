@@ -386,6 +386,20 @@ object CuratePipeline {
         val keepIds = preds.filter(col("pred").isInCollection(keep))
           .select(col("doc_id").as(idCol))
         df.join(keepIds, Seq(idCol), "left_semi")
+      case "chunk" =>
+        // shape-changing RAG-ingest stage: each doc becomes its
+        // sliding-window chunks — text := chunk_text, and chunk_idx /
+        // n_chunk_tokens APPEND (ids are no longer unique, like
+        // `mixture`); passenger columns replicate per chunk. Row-local
+        // map pass, no shuffle — a 100 TB corpus chunks at scan speed.
+        val chunks = TextOps.chunkDocuments(df, textCol, idCol,
+            chunkTokens = int(st, "chunk_tokens", 512),
+            overlapTokens = int(st, "overlap_tokens", 0))
+          .withColumnRenamed("chunk_text", "__chunk_text")
+        df.join(chunks, Seq(idCol))
+          .withColumn(textCol, col("__chunk_text"))
+          .select(df.columns.map(col) :+ col("chunk_idx")
+            :+ col("n_chunk_tokens"): _*)
       case "tokenize" =>
         // text → BPE token ids against a fixed merge table (inline
         // `merges` pairs or a merges.txt-style artifact at

@@ -969,6 +969,23 @@ object QueriesData {
         .orderBy(col("media_id"))
     },
 
+    // ---- RAG-ingest curation (r11): the shape-changing `chunk` stage
+    // chained after a quality gate — docs that pass Gopher become
+    // sliding-window chunks (64 tokens, 16 overlap), passengers
+    // replicate per chunk; row-local, no shuffle
+    "q_curate_chunk" -> { (s, dir) =>
+      val spec = """{"stages": [
+        {"op": "gopher_filter", "min_words": 25},
+        {"op": "chunk", "chunk_tokens": 64, "overlap_tokens": 16}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(
+          Tables.load(s, dir, "documents").select("doc_id", "source", "text"), spec)
+        .select(col("doc_id"), col("source"), col("chunk_idx"),
+          md5(col("text").cast("binary")).as("chunk_md5"),
+          col("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // ---- media curation end-to-end (r11): decode→hash→dedup INSIDE
     // one CURATE pipeline — the image_hash stage (surrogate codec for
     // the gate; the real PNG dHash is spec'd) appends the 64-bit hash,
@@ -1824,6 +1841,44 @@ object QueriesData {
                   WHERE a.doc_id < b.doc_id)
         SELECT a_id, b_id, dist FROM pairs
         WHERE dist <= 3 ORDER BY a_id, b_id""",
+    // chunk stage: the gopher battery (min 25) gates, then the
+    // q_chunk_documents token-slicing replay over the survivors
+    "q_curate_chunk" ->
+      raw"""WITH gw AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> len(t) > 0) AS words,
+            list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines
+          FROM documents),
+        gm AS (SELECT doc_id, len(words) AS n_words, len(lines) AS n_lines,
+            CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words) END AS mean_len,
+            len(list_filter(words, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…'))) AS n_sym,
+            len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bul,
+            len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ell,
+            len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+            len(list_filter(['the','a','an','and','or','of','to','in','is','on','for','with'],
+                s -> list_contains(list_transform(words, x -> lower(x)), s))) AS n_stop
+          FROM gw),
+        gk AS (SELECT doc_id FROM gm WHERE
+            (n_words >= 25 AND n_words <= 100000)
+            AND (mean_len >= 3.0 AND mean_len <= 10.0)
+            AND (n_sym <= n_words * 0.1)
+            AND (n_lines = 0 OR n_bul <= n_lines * 0.9)
+            AND (n_lines = 0 OR n_ell <= n_lines * 0.3)
+            AND (n_words = 0 OR n_alpha >= n_words * 0.8)
+            AND (n_stop >= 2)),
+        gkept AS (SELECT d.doc_id, d.source, d.text
+                  FROM documents d JOIN gk USING (doc_id)),
+        cd AS (SELECT doc_id, source,
+            list_filter(string_split_regex(trim(text), '\s+'), s -> len(s) > 0) AS tk
+          FROM gkept),
+        cm AS (SELECT doc_id, source, tk, len(tk) AS n,
+            GREATEST(1, CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT)) AS nc
+          FROM cd),
+        ce AS (SELECT doc_id, source, tk, n, unnest(range(nc)) AS i FROM cm)
+        SELECT doc_id, source, CAST(i AS INT) AS chunk_idx,
+          md5(array_to_string(tk[i*48 + 1 : i*48 + 64], ' ')) AS chunk_md5,
+          CAST(GREATEST(LEAST(64, n - i*48), 0) AS INT) AS n_chunk_tokens
+        FROM ce ORDER BY doc_id, chunk_idx""",
     // media curation: surrogate hash + exact-copy seeds + banded CC,
     // survivors keep their cluster min
     "q_curate_media" ->
