@@ -32,6 +32,14 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *   {"op": "cap_per_group", "group": "source", "salt": "v1", "cap": 7},
   *   {"op": "mixture", "group": "source", "salt": "v1",
   *    "weights": {"wiki": 2.5}, "default_weight": 1.0},
+  *   {"op": "repetition_filter", "max_dup_gram_frac": 0.2,
+  *    "max_top_gram_frac": 0.2, "min_distinct_ratio": 0.3},
+  *   {"op": "token_budget", "salt": "v1", "budget": 1000000000,
+  *    "shard": "source"},
+  *   {"op": "semdedup", "vec_col": "embedding", "k": 256, "tau": 0.9},
+  *   {"op": "image_hash", "payload_col": "payload"},
+  *   {"op": "hash_neardup", "hash_col": "image_hash", "max_dist": 3},
+  *   {"op": "chunk", "chunk_tokens": 512, "overlap_tokens": 64},
   *   {"op": "tokenize", "merges": [["e","r"], ["t","h"]]},
   *   {"op": "pack", "seq_len": 2048, "eos_id": 0, "shard": "source"}
   * ]}
@@ -80,7 +88,10 @@ import graft.operators.{Dedup, Sampling, TextOps}
   * Stage order is the caller's policy — e.g. c4_clean before
   * normalize, because normalization collapses the newlines the line
   * rules read; dedup before sampling so survivors don't depend on
-  * which duplicate the sampler kept.
+  * which duplicate the sampler kept. Id-keyed stages (`dedup_exact`,
+  * the semi-join filters) assume UNIQUE ids — place them BEFORE the
+  * replicating stages (`mixture`, `chunk`), whose output ids repeat
+  * (a dedup keeper among equal ids would otherwise be tie-ambiguous).
   */
 object CuratePipeline {
   import JsonQuery.DslException

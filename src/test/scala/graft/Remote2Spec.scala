@@ -690,6 +690,37 @@ class Remote2Spec extends AnyFunSuite {
     }
     assert(viaWire == local && viaWire.nonEmpty,
       s"bushy wire result must match local (${viaWire.size}/${local.size})")
+    // a FILTERED right chain still merges: the chain's accumulated
+    // wire filters re-apply to the final joined frame (exact for the
+    // inner top join), so the filtered-bushy result matches local
+    val filtered = engine.sql(
+      """SELECT c_name, n_name, note
+         FROM (SELECT c_custkey, c_nationkey, c_name, o_orderkey
+               FROM jwire.public.j_customer
+               JOIN jwire.public.j_orders ON c_custkey = o_custkey) co
+         JOIN (SELECT n_nationkey, n_name, note
+               FROM jwire.public.j_nation
+               JOIN jwire.public.j_dup1 ON n_nationkey = id
+               WHERE id < 10) nd
+           ON c_nationkey = n_nationkey
+         WHERE o_orderkey < 3000""")
+    val fPlan = filtered.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(fPlan, "RelationV2") == 1,
+      s"a filtered right chain must still merge:\n$fPlan")
+    val fLocal = {
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      val d = n.select(col("n_nationkey").as("id"), col("n_name").as("note"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(n.join(d, n("n_nationkey") === d("id")).where(d("id") < 10),
+          c("c_nationkey") === n("n_nationkey"))
+        .where(o("o_orderkey") < 3000)
+        .selectExpr("c_name", "n_name", "note")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(filtered.collect().map(_.toString).sorted.toSeq == fLocal &&
+      fLocal.nonEmpty, "filtered bushy result must match local")
     // a LEFT OUTER top over a chained right must NOT merge the chain
     // (null-extension does not commute with re-sequencing): partial
     // merge only, never a wrong answer
