@@ -222,6 +222,22 @@ object GeoExprs {
         c: Expression): Expression = copy(a, b, c)
   }
 
+  /** st_intersection_area(subject, convexClip) → overlap area via
+    * Sutherland–Hodgman clipping + shoelace */
+  case class StIntersectionArea(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_intersection_area"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.stIntersectionArea(a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Geo.stIntersectionArea($a.toString(), $b.toString());")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** envelope bound accessors (st_xmin/st_xmax/st_ymin/st_ymax) */
   case class StBound(child: Expression, which: Int) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -276,6 +292,9 @@ object GeoExprs {
   def st_buffer(a: Column, r: Column, segs: Column): Column =
     ColumnBridge.column(StBuffer(ColumnBridge.expression(a),
       ColumnBridge.expression(r), ColumnBridge.expression(segs)))
+  def st_intersection_area(a: Column, b: Column): Column =
+    ColumnBridge.column(StIntersectionArea(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def st_xmin(a: Column): Column =
     ColumnBridge.column(StBound(ColumnBridge.expression(a), 0))
   def st_xmax(a: Column): Column =

@@ -550,6 +550,122 @@ object Geo {
     sb.append("))").toString
   }
 
+  // ------------------------------------------- polygon intersection
+
+  /** Sutherland–Hodgman: clip `subject` (any simple ring) against a
+    * CONVEX `clip` ring. Returns the clipped vertex list (unclosed;
+    * empty = no overlap). Works in doubles with exact line-segment
+    * parameter arithmetic — deterministic, no epsilon. */
+  def clipRing(subject: Ring, clip: Ring): Array[(Double, Double)] = {
+    // orientation of the clip ring (signed area) decides inside-ness
+    var a2 = 0.0
+    var i = 0; var j = clip.size - 1
+    while (i < clip.size) {
+      a2 += clip.xs(j) * clip.ys(i) - clip.xs(i) * clip.ys(j)
+      j = i; i += 1
+    }
+    val ccw = a2 > 0
+    def inside(ex: Double, ey: Double, fx: Double, fy: Double,
+        px: Double, py: Double): Boolean = {
+      val cross = (fx - ex) * (py - ey) - (fy - ey) * (px - ex)
+      if (ccw) cross >= 0 else cross <= 0
+    }
+    var out = {
+      // drop the closing duplicate if present
+      val n = subject.size
+      val m = if (n > 1 && subject.xs(0) == subject.xs(n - 1) &&
+        subject.ys(0) == subject.ys(n - 1)) n - 1 else n
+      Array.tabulate(m)(k => (subject.xs(k), subject.ys(k)))
+    }
+    val cn = clip.size
+    val cm = if (cn > 1 && clip.xs(0) == clip.xs(cn - 1) &&
+      clip.ys(0) == clip.ys(cn - 1)) cn - 1 else cn
+    var e = 0
+    while (e < cm && out.nonEmpty) {
+      val (ex, ey) = (clip.xs(e), clip.ys(e))
+      val (fx, fy) = (clip.xs((e + 1) % cm), clip.ys((e + 1) % cm))
+      val in2 = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      var k = 0
+      while (k < out.length) {
+        val (sx, sy) = out((k + out.length - 1) % out.length)
+        val (px, py) = out(k)
+        val sIn = inside(ex, ey, fx, fy, sx, sy)
+        val pIn = inside(ex, ey, fx, fy, px, py)
+        def intersect(): (Double, Double) = {
+          val dcx = fx - ex; val dcy = fy - ey
+          val dpx = px - sx; val dpy = py - sy
+          val denom = dcx * dpy - dcy * dpx
+          val t = (dcx * (sy - ey) - dcy * (sx - ex)) / -denom
+          (sx + t * dpx, sy + t * dpy)
+        }
+        if (pIn) { if (!sIn) in2 += intersect(); in2 += ((px, py)) }
+        else if (sIn) in2 += intersect()
+        k += 1
+      }
+      out = in2.toArray
+      e += 1
+    }
+    out
+  }
+
+  /** ST_Intersection AREA of two polygons — the overlap measure
+    * spatial dedup/coverage work needs, without a WKT geometry-
+    * collection type. The CLIP side (b) must be convex (Sutherland–
+    * Hodgman's contract); the subject may be any simple polygon.
+    * Holes on the subject clip independently and subtract. Points and
+    * degenerate overlaps yield 0. */
+  def intersectionArea(a: Geom, b: Geom): Double = {
+    def shoelace(pts: Array[(Double, Double)]): Double = {
+      if (pts.length < 3) return 0.0
+      var s = 0.0
+      var i = 0; var j = pts.length - 1
+      while (i < pts.length) {
+        s += pts(j)._1 * pts(i)._2 - pts(i)._1 * pts(j)._2
+        j = i; i += 1
+      }
+      math.abs(s) / 2.0
+    }
+    def convex(r: Ring): Boolean = {
+      val n = if (r.size > 1 && r.xs(0) == r.xs(r.size - 1) &&
+        r.ys(0) == r.ys(r.size - 1)) r.size - 1 else r.size
+      if (n < 3) return false
+      var sign = 0
+      var i = 0
+      while (i < n) {
+        val (x0, y0) = (r.xs(i), r.ys(i))
+        val (x1, y1) = (r.xs((i + 1) % n), r.ys((i + 1) % n))
+        val (x2, y2) = (r.xs((i + 2) % n), r.ys((i + 2) % n))
+        val cross = (x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1)
+        if (cross != 0) {
+          val s = if (cross > 0) 1 else -1
+          if (sign == 0) sign = s else if (sign != s) return false
+        }
+        i += 1
+      }
+      true
+    }
+    val clipPolys: Seq[Polygon] = b match {
+      case PolygonGeom(p) => Seq(p)
+      case MultiPolygonGeom(ps) => ps
+      case _: PointGeom => return 0.0
+    }
+    val subjPolys: Seq[Polygon] = a match {
+      case PolygonGeom(p) => Seq(p)
+      case MultiPolygonGeom(ps) => ps
+      case _: PointGeom => return 0.0
+    }
+    clipPolys.map { cp =>
+      require(cp.holes.isEmpty && convex(cp.outer),
+        "st_intersection_area: the second geometry must be a convex " +
+          "polygon without holes (Sutherland–Hodgman clip contract)")
+      subjPolys.map { sp =>
+        val outer = shoelace(clipRing(sp.outer, cp.outer))
+        val holes = sp.holes.map(h => shoelace(clipRing(h, cp.outer))).sum
+        outer - holes
+      }.sum
+    }.sum
+  }
+
   // string-in entry points for the codegen expressions (one cached
   // parse per distinct WKT per executor)
   def stDistance(a: String, b: String): Double =
@@ -569,6 +685,8 @@ object Geo {
   def stEnvelope(a: String): String = envelopeWkt(parseWktCached(a))
   def stBuffer(a: String, r: Double, segs: Int): String =
     bufferWkt(parseWktCached(a), r, segs)
+  def stIntersectionArea(a: String, b: String): Double =
+    intersectionArea(parseWktCached(a), parseWktCached(b))
   def stXmin(a: String): Double = boundsOf(parseWktCached(a))._1
   def stXmax(a: String): Double = boundsOf(parseWktCached(a))._2
   def stYmin(a: String): Double = boundsOf(parseWktCached(a))._3

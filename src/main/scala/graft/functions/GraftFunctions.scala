@@ -244,6 +244,8 @@ object GraftFunctions {
     r.createOrReplaceTempFunction("st_buffer",
       es => GeoExprs.StBuffer(es(0), Cast(es(1), DoubleType),
         Cast(if (es.length > 2) es(2) else Literal(16), IntegerType)), "built-in")
+    r.createOrReplaceTempFunction("st_intersection_area",
+      es => GeoExprs.StIntersectionArea(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("st_xmin",
       es => GeoExprs.StBound(es.head, 0), "built-in")
     r.createOrReplaceTempFunction("st_xmax",

@@ -607,6 +607,36 @@ object QueriesEngine {
           round(GeoExprs.st_perimeter(buf), 6).as("buf_perim"))
     },
 
+    // ---- real polygon intersection: Sutherland–Hodgman clipping +
+    // shoelace (st_intersection_area). The gate's rects are axis-
+    // aligned so the oracle replays the closed form exactly — the
+    // engine still runs the full general clipping path (the spec
+    // covers rotated/triangular convex clips); overlap area is the
+    // spatial-coverage measure dedup/join work needs.
+    "q_geo_intersect" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      val x = $"x"; val y = $"y"; val w = $"w"
+      def i(c: org.apache.spark.sql.Column) = c.cast("string")
+      val rectWkt = concat(lit("POLYGON (("),
+        i(x - w), lit(" "), i(y - w), lit(", "),
+        i(x + w), lit(" "), i(y - w), lit(", "),
+        i(x + w), lit(" "), i(y + w), lit(", "),
+        i(x - w), lit(" "), i(y + w), lit(", "),
+        i(x - w), lit(" "), i(y - w), lit("))"))
+      val zone = lit("POLYGON ((0 0, 10 0, 10 25, 0 25, 0 0))")
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_discount" * 100).cast("int").as("x"),
+          $"l_quantity".cast("int").as("y"),
+          ($"l_linenumber" % 3 + 1).cast("int").as("w"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .select($"l_orderkey", $"l_linenumber",
+          round(GeoExprs.st_intersection_area(rectWkt, zone), 6)
+            .as("zone_overlap"))
+    },
+
     // ---- ST_Extent aggregate: per-group bounding box of the points,
     // map-side min/max partials — one 4-double row per group shuffles
     "q_geo_extent" -> { (s, dir) =>
@@ -911,6 +941,20 @@ object QueriesEngine {
                FROM lineitem) t
          ORDER BY l_orderkey, l_linenumber"""
     },
+    // axis-aligned rect ∩ rect closed form: overlap = clamp(min highs −
+    // max lows) per axis, product — exact integer arithmetic
+    "q_geo_intersect" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(CAST(
+             GREATEST(0, LEAST(x + w, 10) - GREATEST(x - w, 0)) *
+             GREATEST(0, LEAST(y + w, 25) - GREATEST(y - w, 0)) AS DOUBLE), 6)
+             AS zone_overlap
+         FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_discount * 100) AS INT) AS x,
+                 CAST(l_quantity AS INT) AS y,
+                 CAST(l_linenumber % 3 + 1 AS INT) AS w
+               FROM lineitem) t
+         ORDER BY l_orderkey, l_linenumber""",
     "q_geo_extent" ->
       """SELECT l_returnflag,
            'POLYGON ((' || min(x) || ' ' || min(y) || ', ' || max(x) || ' ' || min(y)

@@ -266,4 +266,34 @@ class GeoSpec extends AnyFunSuite {
     assert(ext(1).getString(1) == "POINT (5 5)",
       "a one-point group degenerates to the point")
   }
+
+  test("st_intersection_area: Sutherland–Hodgman clipping (r11)") {
+    val spark = GraftSession.build("local[2]", 2)
+    graft.functions.GraftFunctions.registerAll(spark)
+    def area(a: String, b: String): Double = spark.sql(
+      s"SELECT st_intersection_area('$a', '$b') AS v").collect()(0).getDouble(0)
+    val sq = (x0: Int, y0: Int, x1: Int, y1: Int) =>
+      s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+    // overlapping unit squares, half offset → quarter overlap
+    assert(area(sq(0, 0, 1, 1), "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+      == 0.25)
+    // triangle clip fully inside the subject square → the triangle's area
+    assert(area(sq(0, 0, 2, 2), "POLYGON ((0 0, 2 0, 0 2, 0 0))") == 2.0)
+    // rotated diamond clip inside a square → the diamond's area (8)
+    assert(area(sq(0, 0, 4, 4), "POLYGON ((2 0, 4 2, 2 4, 0 2, 2 0))") == 8.0)
+    // subject HOLE subtracts from the overlap: donut 0..4 with hole
+    // 1..3, clipped by 0..2 → 4 − 1
+    assert(area("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))",
+      sq(0, 0, 2, 2)) == 3.0)
+    // disjoint → 0; clip winding (CW vs CCW) must not matter
+    assert(area(sq(0, 0, 1, 1), sq(5, 5, 6, 6)) == 0.0)
+    assert(area(sq(0, 0, 2, 2), "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))") == 4.0)
+    // a NON-convex clip violates the Sutherland–Hodgman contract: loud
+    val e = intercept[Exception] {
+      spark.sql("""SELECT st_intersection_area(
+        'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+        'POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4, 0 0))')""").collect()
+    }
+    assert(e.getMessage.contains("convex") || e.getCause.getMessage.contains("convex"))
+  }
 }
