@@ -580,12 +580,38 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     val e = graft.catalog.TableVersions.get(warehouse, name, version)
       .getOrElse(throw new IllegalArgumentException(
         s"pinned version $version of $name is gone (VACUUMed mid-scan?)"))
-    if (d.options.contains("bucket_cols") || d.options.contains("partition_cols"))
+    // bucketed tables live in the session catalog (no commit-dir
+    // inventory to carve) — pinned hash-mod is the honest fallback
+    if (d.options.contains("bucket_cols"))
       return Some((engine.catalog.tableAt(name, version), false))
     val files = graft.catalog.TableVersions.parquetFiles(warehouse, name, e)
     if (files.isEmpty)
       return Some((engine.catalog.tableAt(name, version), false))
     fileSplitServed.incrementAndGet()
+    // PARTITIONED managed tables: the partition columns live in the
+    // hive dir names UNDER each commit dir, so a raw file-path read
+    // would lose them — read each ticket's files grouped by commit
+    // dir with that dir as basePath (Spark re-derives the partition
+    // values from the path segments below it), under the version's
+    // authoritative schema, and union the groups. Still one file per
+    // ticket of server work; the union is a metadata concat.
+    if (d.options.contains("partition_cols")) {
+      val schema = engine.catalog.tableAt(name, version).schema
+      val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
+      if (mine.isEmpty)
+        return Some((session.createDataFrame(
+          session.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), true))
+      val dirs = graft.catalog.TableVersions.dataDirs(warehouse, name, e)
+      val grouped = mine.groupBy(f =>
+        dirs.find(dd => f.startsWith(dd + "/") || f.startsWith(dd)).getOrElse(
+          throw new IllegalStateException(s"file $f outside every commit dir")))
+      val frames = grouped.toSeq.sortBy(_._1).map { case (cdir, fs) =>
+        session.read.schema(schema).option("basePath", cdir).parquet(fs: _*)
+          .select(schema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+      }
+      return Some((frames.reduce(_ unionByName _), true))
+    }
     Some((fileSubsetFrame(s"$name@$version", files, part, parts), true))
   }
 

@@ -30,6 +30,12 @@ class Remote2Spec extends AnyFunSuite {
     eng.sql("CREATE TABLE j_managed AS SELECT n_nationkey AS k, n_name AS v FROM j_nation")
     eng.sql("INSERT INTO j_managed SELECT n_nationkey + 100, n_name FROM j_nation")
     eng.sql("INSERT INTO j_managed SELECT n_nationkey + 200, n_name FROM j_nation")
+    // a PARTITIONED multi-commit managed table: split tickets must
+    // recover the dir-encoded partition column via per-commit basePath
+    eng.sql("CREATE TABLE j_part PARTITIONED BY (p) AS " +
+      "SELECT n_nationkey AS k, n_name AS v, n_nationkey % 3 AS p FROM j_nation")
+    eng.sql("INSERT INTO j_part SELECT n_nationkey + 100, n_name, " +
+      "n_nationkey % 3 FROM j_nation")
     eng.sql("CREATE USER joiner WITH PASSWORD 'join-pw'")
     eng.sql("CREATE ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_nation TO ROLE join_readers")
@@ -38,6 +44,7 @@ class Remote2Spec extends AnyFunSuite {
     eng.sql("GRANT SELECT ON TABLE j_dup1 TO ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_dup2 TO ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_managed TO ROLE join_readers")
+    eng.sql("GRANT SELECT ON TABLE j_part TO ROLE join_readers")
     eng.sql("GRANT ROLE join_readers TO USER joiner")
     (wh, new RemoteServer(spark, wh))
   }
@@ -273,6 +280,21 @@ class Remote2Spec extends AnyFunSuite {
     assert(viaTickets == whole && viaTickets.size == 75)
     assert(server.fileSplitCount > before,
       "managed-table tickets must take the file-split path")
+    // PARTITIONED managed tables split at file granularity too (r11):
+    // per-commit-dir basePath reads recover the dir-encoded partition
+    // column, union bit-equal to the whole table
+    val beforeP = server.fileSplitCount
+    val pt = engine.sql("SELECT k, v, p FROM jpar.public.j_part")
+    assert(pt.rdd.getNumPartitions == 3)
+    val viaP = pt.collect().map(_.toString).sorted.toSeq
+    attachMain()
+    val wholeP = engine.sql("SELECT k, v, p FROM jwire.public.j_part")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaP == wholeP && viaP.size == 50,
+      s"partitioned split union must carry the partition column (${viaP.size})")
+    assert(viaP.exists(_.contains("2")), "partition values must survive")
+    assert(server.fileSplitCount > beforeP,
+      "partitioned-table tickets must take the file-split path")
     engine.sql("DETACH jpar")
   }
 
