@@ -181,12 +181,7 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     * (empty for every other shape — the caller then answers no pin) */
   private def externalParquetFiles(
       d: graft.catalog.GraftCatalog.TableDef): Seq[String] =
-    if (d.kind != "external" || !d.format.exists(_.equalsIgnoreCase("parquet")) ||
-        // a hive-partitioned layout's partition COLUMNS live in the
-        // directory names — reading raw file paths would lose them,
-        // so these tables answer no pin (hash-mod fallback)
-        d.options.contains("hive_partitioned") ||
-        d.options.contains("partition_cols"))
+    if (d.kind != "external" || !d.format.exists(_.equalsIgnoreCase("parquet")))
       Seq.empty
     else d.paths.flatMap(p => graft.sources.io.ByteStore.walkFiles(p)
       .filter(_.endsWith(".parquet"))).sorted
@@ -567,6 +562,30 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           s"scan snapshot was taken for '${snap.table}', not '$name'")
         require(d.kind == "external", s"$name is no longer external")
         fileSplitServed.incrementAndGet()
+        // hive-partitioned externals: partition columns live in the
+        // key=value dir names — group the ticket's files by their
+        // registered root and read with that root as basePath (the
+        // registered table's schema is authoritative), like the
+        // partitioned-managed path
+        if (d.options.get("hive_partitioned").contains("true")) {
+          val schema = session.table(name).schema
+          val mine = snap.files.zipWithIndex
+            .collect { case (f, i) if i % parts == part => f }
+          if (mine.isEmpty)
+            return Some((session.createDataFrame(
+              session.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+              true))
+          val grouped = mine.groupBy(f =>
+            d.paths.find(p => f.startsWith(p + "/") || f.startsWith(p))
+              .getOrElse(throw new IllegalStateException(
+                s"file $f outside every registered root")))
+          val frames = grouped.toSeq.sortBy(_._1).map { case (root, fs) =>
+            session.read.schema(schema).option("basePath", root).parquet(fs: _*)
+              .select(schema.fieldNames.toIndexedSeq
+                .map(org.apache.spark.sql.functions.col): _*)
+          }
+          return Some((frames.reduce(_ unionByName _), true))
+        }
         return Some((fileSubsetFrame(id, snap.files, part, parts), true))
       case _ => ()
     }

@@ -431,6 +431,35 @@ class Remote2Spec extends AnyFunSuite {
     } finally sE.stop()
   }
 
+  test("hive-partitioned EXTERNAL tables split at file granularity with basePath (r11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hive-ext").toString
+    spark.read.parquet(s"$sf/nation.parquet")
+      .selectExpr("n_nationkey AS k", "n_name AS v", "n_nationkey % 3 AS p")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val whH = java.nio.file.Files.createTempDirectory("graft-hive-wh").toString
+    val engH = GraftEngine(spark, whH)
+    engH.sql("CREATE EXTERNAL TABLE hive_t STORED AS parquet " +
+      s"LOCATION '$dir' OPTIONS (hive_partitioned 'true')")
+    val sH = new RemoteServer(spark, whH, allowAnonymous = true)
+    try {
+      val lw = java.nio.file.Files.createTempDirectory("graft-hive-local").toString
+      val engL = GraftEngine(spark, lw)
+      engL.sql(s"ATTACH 'graft://localhost:${sH.boundPort}' AS hsplit " +
+        "WITH (scan_parallelism '3')")
+      val before = sH.fileSplitCount
+      val df = engL.sql("SELECT k, v, p FROM hsplit.public.hive_t")
+      assert(df.rdd.getNumPartitions == 3)
+      val viaSplit = df.collect().map(_.toString).sorted.toSeq
+      val local = spark.read.parquet(dir).selectExpr("k", "v", "p")
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaSplit == local && viaSplit.size == 25,
+        "hive-external split union must carry the dir-encoded partition column")
+      assert(sH.fileSplitCount >= before + 3,
+        "hive-external tickets must take the file-split path")
+      engL.sql("DETACH hsplit")
+    } finally sH.stop()
+  }
+
   // --------------------------------------------------------------- TLS
 
   test("tls: handshake over TLS works; plaintext client is rejected") {
