@@ -401,14 +401,29 @@ object CuratePipeline {
         // shape-changing RAG-ingest stage: each doc becomes its
         // sliding-window chunks — text := chunk_text, and chunk_idx /
         // n_chunk_tokens APPEND (ids are no longer unique, like
-        // `mixture`); passenger columns replicate per chunk. Row-local
-        // map pass, no shuffle — a 100 TB corpus chunks at scan speed.
-        val chunks = TextOps.chunkDocuments(df, textCol, idCol,
-            chunkTokens = int(st, "chunk_tokens", 512),
-            overlapTokens = int(st, "overlap_tokens", 0))
-          .withColumnRenamed("chunk_text", "__chunk_text")
-        df.join(chunks, Seq(idCol))
-          .withColumn(textCol, col("__chunk_text"))
+        // `mixture`); passenger columns replicate per chunk IN PLACE
+        // (explode on the row itself, no id join — a join would both
+        // shuffle and cross-product duplicate ids). Row-local map
+        // pass: a 100 TB corpus chunks at scan speed. The expressions
+        // mirror [[TextOps.chunkDocuments]] exactly.
+        val chunkTokens = int(st, "chunk_tokens", 512)
+        val overlapTokens = int(st, "overlap_tokens", 0)
+        require(overlapTokens >= 0 && chunkTokens > overlapTokens,
+          s"chunk: need chunk_tokens > overlap_tokens >= 0, " +
+            s"got ($chunkTokens, $overlapTokens)")
+        val stride = chunkTokens - overlapTokens
+        df.withColumn("__toks", graft.functions.TextExprs.tokens(col(textCol)))
+          .withColumn("__n", size(col("__toks")))
+          .withColumn("__nc", greatest(lit(1),
+            ceil((col("__n") - lit(overlapTokens)).cast("double") / stride)
+              .cast("int")))
+          .withColumn("chunk_idx", explode(sequence(lit(0), col("__nc") - 1)))
+          .withColumn(textCol, array_join(
+            slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)),
+            " "))
+          .withColumn("n_chunk_tokens",
+            greatest(least(lit(chunkTokens), col("__n") - col("chunk_idx") * stride),
+              lit(0)))
           .select(df.columns.map(col) :+ col("chunk_idx")
             :+ col("n_chunk_tokens"): _*)
       case "tokenize" =>

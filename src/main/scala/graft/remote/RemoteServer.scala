@@ -415,6 +415,11 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             engine.assertPreparableAs(identity, sql)
           }
           sweepPrepared()
+          // bounded: the map holds caller-supplied text for the full
+          // TTL — without a cap a prepare loop accumulates heap until
+          // expiry
+          require(prepared.size < 1024,
+            "too many live prepared statements; close some or let them expire")
           val h = java.util.UUID.randomUUID().toString
           prepared.put(h, PreparedStmt(identity.name, sql, now() + tokenTtlMs))
           RemoteWire.writeFrame(out, ("ok" -> true) ~ ("handle" -> h) ~
@@ -437,7 +442,13 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
         case Some("close_prepared") =>
           val h = RemoteWire.str(req, "handle").getOrElse(
             throw new IllegalArgumentException("close_prepared needs 'handle'"))
-          prepared.remove(h)
+          // identity-bound like execute: another user who learned the
+          // handle string must not be able to destroy it
+          Option(prepared.get(h)).foreach { p =>
+            require(p.user == identity.name,
+              "prepared statement belongs to a different identity")
+            prepared.remove(h)
+          }
           RemoteWire.writeFrame(out, ("ok" -> true))
         case other =>
           throw new IllegalArgumentException(s"unknown op: $other")
@@ -567,25 +578,9 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
         // registered root and read with that root as basePath (the
         // registered table's schema is authoritative), like the
         // partitioned-managed path
-        if (d.options.get("hive_partitioned").contains("true")) {
-          val schema = session.table(name).schema
-          val mine = snap.files.zipWithIndex
-            .collect { case (f, i) if i % parts == part => f }
-          if (mine.isEmpty)
-            return Some((session.createDataFrame(
-              session.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-              true))
-          val grouped = mine.groupBy(f =>
-            d.paths.find(p => f.startsWith(p + "/") || f.startsWith(p))
-              .getOrElse(throw new IllegalStateException(
-                s"file $f outside every registered root")))
-          val frames = grouped.toSeq.sortBy(_._1).map { case (root, fs) =>
-            session.read.schema(schema).option("basePath", root).parquet(fs: _*)
-              .select(schema.fieldNames.toIndexedSeq
-                .map(org.apache.spark.sql.functions.col): _*)
-          }
-          return Some((frames.reduce(_ unionByName _), true))
-        }
+        if (d.options.get("hive_partitioned").contains("true"))
+          return Some((groupedBasePathFrame(session.table(name).schema,
+            snap.files, d.paths, part, parts), true))
         return Some((fileSubsetFrame(id, snap.files, part, parts), true))
       case _ => ()
     }
@@ -616,22 +611,39 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     // ticket of server work; the union is a metadata concat.
     if (d.options.contains("partition_cols")) {
       val schema = engine.catalog.tableAt(name, version).schema
-      val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
-      if (mine.isEmpty)
-        return Some((session.createDataFrame(
-          session.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), true))
       val dirs = graft.catalog.TableVersions.dataDirs(warehouse, name, e)
-      val grouped = mine.groupBy(f =>
-        dirs.find(dd => f.startsWith(dd + "/") || f.startsWith(dd)).getOrElse(
-          throw new IllegalStateException(s"file $f outside every commit dir")))
-      val frames = grouped.toSeq.sortBy(_._1).map { case (cdir, fs) =>
-        session.read.schema(schema).option("basePath", cdir).parquet(fs: _*)
-          .select(schema.fieldNames.toIndexedSeq
-            .map(org.apache.spark.sql.functions.col): _*)
-      }
-      return Some((frames.reduce(_ unionByName _), true))
+      return Some((groupedBasePathFrame(schema, files, dirs, part, parts), true))
     }
-    Some((fileSubsetFrame(s"$name@$version", files, part, parts), true))
+    // the memo key carries the version's commit timestamp: a table
+    // dropped and recreated restarts its version numbers, and a bare
+    // name@version key would then serve the OLD incarnation's schema
+    Some((fileSubsetFrame(s"$name@$version@${e.tsMs}", files, part, parts), true))
+  }
+
+  /** ticket `part` of `parts` over a pinned file list whose partition
+    * columns live in hive dir names: group the ticket's files by
+    * their owning root (commit dir / registered root — boundary-exact
+    * prefix match) and read each group with that root as `basePath`
+    * under the authoritative schema, so Spark re-derives the
+    * dir-encoded partition values; groups union as a metadata concat.
+    * Shared by the partitioned-managed and hive-external ticket
+    * paths. */
+  private def groupedBasePathFrame(
+      schema: org.apache.spark.sql.types.StructType, files: Seq[String],
+      roots: Seq[String], part: Int, parts: Int): DataFrame = {
+    val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
+    if (mine.isEmpty)
+      return session.createDataFrame(
+        session.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val grouped = mine.groupBy { f =>
+      roots.find(r => f.startsWith(r.stripSuffix("/") + "/")).getOrElse(
+        throw new IllegalStateException(s"file $f outside every root"))
+    }
+    grouped.toSeq.sortBy(_._1).map { case (root, fs) =>
+      session.read.schema(schema).option("basePath", root).parquet(fs: _*)
+        .select(schema.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+    }.reduce(_ unionByName _)
   }
 
   // memoized pinned-list schemas: a pin's file list is immutable, so

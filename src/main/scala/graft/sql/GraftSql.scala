@@ -40,7 +40,13 @@ object GraftSql {
     val t = text
     while (i < t.length) {
       val c = t.charAt(i)
-      if (inS) { if (c == '\'') inS = false; sb.append(c); i += 1 }
+      // Spark's default (escapedStringLiterals=false) processes
+      // backslash escapes inside string literals — a \' or \" must
+      // not flip the in-string state
+      if ((inS || inD) && c == '\\' && i + 1 < t.length) {
+        sb.append(c).append(t.charAt(i + 1)); i += 2
+      }
+      else if (inS) { if (c == '\'') inS = false; sb.append(c); i += 1 }
       else if (inB) { if (c == '`') inB = false; sb.append(c); i += 1 }
       // Spark's default config reads "..." as a STRING literal — a $N
       // inside one is data, not a marker

@@ -353,6 +353,12 @@ class EngineSpec extends AnyFunSuite {
       """SELECT count(*) FROM bp_t WHERE name = "costs $5 each" OR id = $1""",
       Seq(5L)).collect()(0).getLong(0)
     assert(dq == 1L, "a $N inside double quotes must stay literal text")
+    // a BACKSLASH-escaped quote inside a literal must not flip the
+    // in-string state and expose the rest of the literal to the
+    // marker scanner (r11 review)
+    val esc = graft.sql.GraftSql.sql(spark,
+      "SELECT 'it\\'s $9 total' AS v, $1 AS w", Seq(3)).collect()(0)
+    assert(esc.getString(0) == "it's $9 total" && esc.getInt(1) == 3)
   }
 
   test("EXPLAIN FORMAT JSON returns the optimized logical plan as JSON nodes") {
