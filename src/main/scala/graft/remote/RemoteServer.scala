@@ -186,6 +186,21 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     else d.paths.flatMap(p => graft.sources.io.ByteStore.walkFiles(p)
       .filter(_.endsWith(".parquet"))).sorted
 
+  /** a BUCKETED managed table's data location (session catalog — the
+    * bucketed layout is unversioned, so its pin is a file-list
+    * snapshot like an external's) */
+  private def bucketedLocation(name: String): String = {
+    val loc = session.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location.toString
+    // the catalog answers a URI; ByteStore walks local paths bare —
+    // normalize so prefix matching agrees
+    if (loc.startsWith("file:")) graft.sources.io.ByteStore.toLocal(loc) else loc
+  }
+
+  private def bucketedParquetFiles(name: String): Seq[String] =
+    graft.sources.io.ByteStore.walkFiles(bucketedLocation(name))
+      .filter(_.endsWith(".parquet")).sorted
+
   /** admin path: mint a bearer token for a user without their password
     * (the reference's out-of-band PAT issuance — server-side only) */
   def issueToken(username: String): String = {
@@ -253,13 +268,19 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           val name = RemoteWire.str(req, "table").get
           val v = graft.catalog.TableVersions.latest(warehouse, name)
             .map(_.version)
-          // external parquet tables have no commit log — pin a
-          // TTL'd file-list snapshot instead (same plan-once,
-          // redeem-per-ticket shape as the managed version pin)
+          // external parquet tables and BUCKETED managed tables have
+          // no commit log — pin a TTL'd file-list snapshot instead
+          // (same plan-once, redeem-per-ticket shape as the managed
+          // version pin)
           val snap: Option[String] =
             if (v.isDefined) None
             else {
-              val files = externalParquetFiles(authorizedDef(identity, name))
+              val d = authorizedDef(identity, name)
+              val files =
+                if (d.kind == "external") externalParquetFiles(d)
+                else if (d.kind == "managed" && d.options.contains("bucket_cols"))
+                  bucketedParquetFiles(name)
+                else Seq.empty
               if (files.isEmpty) None
               else {
                 sweepSnapshots()
@@ -571,16 +592,21 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             s"pinned scan snapshot of $name is gone (expired mid-scan?)"))
         require(snap.table == name,
           s"scan snapshot was taken for '${snap.table}', not '$name'")
-        require(d.kind == "external", s"$name is no longer external")
+        require(d.kind == "external" || d.options.contains("bucket_cols"),
+          s"$name no longer matches its snapshot's shape")
         fileSplitServed.incrementAndGet()
-        // hive-partitioned externals: partition columns live in the
-        // key=value dir names — group the ticket's files by their
-        // registered root and read with that root as basePath (the
-        // registered table's schema is authoritative), like the
-        // partitioned-managed path
+        // hive dir layouts (hive-partitioned externals; partitioned+
+        // bucketed managed): partition columns live in the key=value
+        // dir names — group the ticket's files by their root and read
+        // with that root as basePath (the registered table's schema is
+        // authoritative), like the partitioned-managed path
         if (d.options.get("hive_partitioned").contains("true"))
           return Some((groupedBasePathFrame(session.table(name).schema,
             snap.files, d.paths, part, parts), true))
+        if (d.options.contains("bucket_cols") &&
+            d.options.contains("partition_cols"))
+          return Some((groupedBasePathFrame(session.table(name).schema,
+            snap.files, Seq(bucketedLocation(name)), part, parts), true))
         return Some((fileSubsetFrame(id, snap.files, part, parts), true))
       case _ => ()
     }
@@ -594,8 +620,9 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
     val e = graft.catalog.TableVersions.get(warehouse, name, version)
       .getOrElse(throw new IllegalArgumentException(
         s"pinned version $version of $name is gone (VACUUMed mid-scan?)"))
-    // bucketed tables live in the session catalog (no commit-dir
-    // inventory to carve) — pinned hash-mod is the honest fallback
+    // bucketed tables are unversioned (their pin is a file-list
+    // SNAPSHOT, handled above) — a version against one means a stale
+    // log; serve the pinned frame with hash-mod, defensively
     if (d.options.contains("bucket_cols"))
       return Some((engine.catalog.tableAt(name, version), false))
     val files = graft.catalog.TableVersions.parquetFiles(warehouse, name, e)

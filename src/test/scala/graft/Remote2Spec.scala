@@ -431,6 +431,40 @@ class Remote2Spec extends AnyFunSuite {
     } finally sE.stop()
   }
 
+  test("BUCKETED (and partitioned+bucketed) managed tables split via file-list snapshots (r11)") {
+    val whB = java.nio.file.Files.createTempDirectory("graft-bkt-wh").toString
+    val engB = GraftEngine(spark, whB)
+    engB.sql(s"CREATE EXTERNAL TABLE bkt_src STORED AS parquet LOCATION '$sf/nation.parquet'")
+    engB.sql("CREATE TABLE bkt_t CLUSTERED BY (k) INTO 4 BUCKETS AS " +
+      "SELECT n_nationkey AS k, n_name AS v FROM bkt_src")
+    engB.sql("CREATE TABLE pbkt_t PARTITIONED BY (p) CLUSTERED BY (k) INTO 2 BUCKETS AS " +
+      "SELECT n_nationkey AS k, n_name AS v, n_nationkey % 3 AS p FROM bkt_src")
+    val sB = new RemoteServer(spark, whB, allowAnonymous = true)
+    try {
+      val lw = java.nio.file.Files.createTempDirectory("graft-bkt-local").toString
+      val engL = GraftEngine(spark, lw)
+      engL.sql(s"ATTACH 'graft://localhost:${sB.boundPort}' AS bsplit " +
+        "WITH (scan_parallelism '3')")
+      val before = sB.fileSplitCount
+      // bucketed: plain file subset (bucket ids live in file names,
+      // nothing dir-encoded) — union bit-equal
+      val bt = engL.sql("SELECT k, v FROM bsplit.public.bkt_t")
+      assert(bt.rdd.getNumPartitions == 3)
+      assert(bt.collect().map(_.toString).sorted.toSeq ==
+        spark.read.parquet(s"$sf/nation.parquet")
+          .selectExpr("n_nationkey AS k", "n_name AS v")
+          .collect().map(_.toString).sorted.toSeq)
+      // partitioned+bucketed: basePath recovers the partition column
+      val pbt = engL.sql("SELECT k, v, p FROM bsplit.public.pbkt_t")
+      val viaPbt = pbt.collect().map(_.toString).sorted.toSeq
+      assert(viaPbt.size == 25 && viaPbt.exists(_.endsWith(",2]")),
+        s"partition values must survive the bucketed split (${viaPbt.take(2)})")
+      assert(sB.fileSplitCount > before,
+        "bucketed tickets must take the file-split path")
+      engL.sql("DETACH bsplit")
+    } finally sB.stop()
+  }
+
   test("hive-partitioned EXTERNAL tables split at file granularity with basePath (r11)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hive-ext").toString
     spark.read.parquet(s"$sf/nation.parquet")
