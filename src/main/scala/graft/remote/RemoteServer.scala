@@ -125,8 +125,8 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
   // scan redeems the SAME id (a file added mid-scan is invisible to
   // every ticket; a file deleted mid-scan fails the read loudly
   // rather than silently shrinking one ticket).
-  private final case class ScanSnapshot(table: String, files: Seq[String],
-      expiresAt: Long)
+  private final case class ScanSnapshot(table: String, shape: String,
+      files: Seq[String], expiresAt: Long)
   private val snapshots = new ConcurrentHashMap[String, ScanSnapshot]()
   def liveSnapshotCount: Int = { sweepSnapshots(); snapshots.size }
 
@@ -179,27 +179,43 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
 
   /** the pinnable parquet file list of an EXTERNAL parquet table
     * (empty for every other shape — the caller then answers no pin) */
+  /** committed parquet leaves under one root: hidden segments
+    * (`_temporary` staging, `.`-prefixed markers) are SKIPPED — an
+    * in-flight write's staged part files must never enter a pinned
+    * file list (a ticket would read uncommitted rows, or crash after
+    * the commit renames them away) */
+  private def parquetLeaves(root: String): Seq[String] = {
+    val prefix = root.stripSuffix("/") + "/"
+    graft.sources.io.ByteStore.walkFiles(root).filter { f =>
+      f.endsWith(".parquet") &&
+        !f.stripPrefix(prefix).split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+    }
+  }
+
   private def externalParquetFiles(
       d: graft.catalog.GraftCatalog.TableDef): Seq[String] =
     if (d.kind != "external" || !d.format.exists(_.equalsIgnoreCase("parquet")))
       Seq.empty
-    else d.paths.flatMap(p => graft.sources.io.ByteStore.walkFiles(p)
-      .filter(_.endsWith(".parquet"))).sorted
+    else d.paths.flatMap(parquetLeaves).sorted
 
   /** a BUCKETED managed table's data location (session catalog — the
     * bucketed layout is unversioned, so its pin is a file-list
-    * snapshot like an external's) */
+    * snapshot like an external's). The catalog answers a URI (percent-
+    * encoded); ByteStore walks decoded paths — convert via the URI
+    * API, not string surgery. */
   private def bucketedLocation(name: String): String = {
-    val loc = session.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(name)).location.toString
-    // the catalog answers a URI; ByteStore walks local paths bare —
-    // normalize so prefix matching agrees
-    if (loc.startsWith("file:")) graft.sources.io.ByteStore.toLocal(loc) else loc
+    val uri = session.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location
+    uri.getScheme match {
+      case null   => uri.getPath
+      case "file" => java.nio.file.Paths.get(uri).toString
+      case _      => uri.toString
+    }
   }
 
   private def bucketedParquetFiles(name: String): Seq[String] =
-    graft.sources.io.ByteStore.walkFiles(bucketedLocation(name))
-      .filter(_.endsWith(".parquet")).sorted
+    parquetLeaves(bucketedLocation(name)) // walkFiles is already sorted
 
   /** admin path: mint a bearer token for a user without their password
     * (the reference's out-of-band PAT issuance — server-side only) */
@@ -276,16 +292,17 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             if (v.isDefined) None
             else {
               val d = authorizedDef(identity, name)
-              val files =
-                if (d.kind == "external") externalParquetFiles(d)
+              val (shape, files) =
+                if (d.kind == "external") ("external", externalParquetFiles(d))
                 else if (d.kind == "managed" && d.options.contains("bucket_cols"))
-                  bucketedParquetFiles(name)
-                else Seq.empty
+                  ("bucketed", bucketedParquetFiles(name))
+                else ("other", Seq.empty[String])
               if (files.isEmpty) None
               else {
                 sweepSnapshots()
                 val id = java.util.UUID.randomUUID().toString
-                snapshots.put(id, ScanSnapshot(name, files, now() + tokenTtlMs))
+                snapshots.put(id,
+                  ScanSnapshot(name, shape, files, now() + tokenTtlMs))
                 Some(id)
               }
             }
@@ -592,8 +609,16 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
             s"pinned scan snapshot of $name is gone (expired mid-scan?)"))
         require(snap.table == name,
           s"scan snapshot was taken for '${snap.table}', not '$name'")
-        require(d.kind == "external" || d.options.contains("bucket_cols"),
-          s"$name no longer matches its snapshot's shape")
+        // a DDL swap mid-scan (drop + recreate as a different shape)
+        // must fail loudly, never serve the OLD incarnation's files
+        val shapeNow =
+          if (d.kind == "external") "external"
+          else if (d.kind == "managed" && d.options.contains("bucket_cols"))
+            "bucketed"
+          else "other"
+        require(snap.shape == shapeNow,
+          s"$name changed shape since the scan was planned " +
+            s"(was ${snap.shape}, now $shapeNow)")
         fileSplitServed.incrementAndGet()
         // hive dir layouts (hive-partitioned externals; partitioned+
         // bucketed managed): partition columns live in the key=value
