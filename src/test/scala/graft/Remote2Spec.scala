@@ -465,6 +465,72 @@ class Remote2Spec extends AnyFunSuite {
     } finally sB.stop()
   }
 
+  test("snapshot hygiene: staged files excluded; DDL shape swap fails loudly (r11 review)") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-hyg").toString
+    spark.read.parquet(s"$sf/nation.parquet").coalesce(2)
+      .write.mode("overwrite").parquet(dir)
+    // a staged in-flight write must never enter a pinned listing
+    val tmp = java.nio.file.Paths.get(dir, "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.copy(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      tmp.resolve("part-staged.parquet"))
+    val whS = java.nio.file.Files.createTempDirectory("graft-hyg-wh").toString
+    val engS = GraftEngine(spark, whS)
+    engS.sql(s"CREATE EXTERNAL TABLE hyg_t STORED AS parquet LOCATION '$dir'")
+    val sS = new RemoteServer(spark, whS, allowAnonymous = true)
+    try {
+      def withConn[A](f: (java.io.BufferedInputStream,
+          java.io.BufferedOutputStream) => A): A = {
+        val sock = new java.net.Socket("localhost", sS.boundPort)
+        try {
+          val in = new java.io.BufferedInputStream(sock.getInputStream)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+          RemoteWire.writeFrame(out, ("op" -> "handshake"))
+          assert((RemoteWire.readFrame(in) \ "ok") == JBool(true))
+          f(in, out)
+        } finally sock.close()
+      }
+      def snapshotId(): String = withConn { (in, out) =>
+        RemoteWire.writeFrame(out,
+          ("op" -> "table_version") ~ ("table" -> "hyg_t"))
+        RemoteWire.str(RemoteWire.readFrame(in), "snapshot").get
+      }
+      def ticketCount(snap: String, part: Int, parts: Int): Either[String, Long] =
+        withConn { (in, out) =>
+          RemoteWire.writeFrame(out, ("op" -> "scan") ~ ("table" -> "hyg_t") ~
+            ("snapshot" -> snap) ~ ("part" -> part) ~ ("parts" -> parts) ~
+            ("columns" -> JArray(List(JString("n_nationkey")))))
+          val resp = RemoteWire.readFrame(in)
+          if ((resp \ "ok") != JBool(true))
+            Left(RemoteWire.str(resp, "error").getOrElse("unknown"))
+          else {
+            val alloc = new org.apache.arrow.memory.RootAllocator()
+            val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+            var n = 0L
+            while (reader.loadNextBatch()) n += reader.getVectorSchemaRoot.getRowCount
+            reader.close(); alloc.close()
+            Right(n)
+          }
+        }
+      val snap = snapshotId()
+      // the staged copy is invisible: union = exactly the committed 25
+      val u = (0 until 2).map(p => ticketCount(snap, p, 2).toOption.get).sum
+      assert(u == 25L, s"staged _temporary files must not be pinned: $u")
+      // DDL swap mid-scan: drop + recreate under another shape — the
+      // old snapshot must fail loudly, never serve the old files
+      engS.sql("DROP TABLE hyg_t")
+      engS.sql("CREATE TABLE hyg_t CLUSTERED BY (k) INTO 2 BUCKETS AS " +
+        s"SELECT n_nationkey AS k FROM parquet.`$sf/nation.parquet`")
+      val swapped = ticketCount(snap, 0, 2)
+      assert(swapped.isLeft && swapped.swap.toOption.get.contains("shape"),
+        s"a shape-swapped snapshot must error: $swapped")
+    } finally sS.stop()
+  }
+
   test("hive-partitioned EXTERNAL tables split at file granularity with basePath (r11)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hive-ext").toString
     spark.read.parquet(s"$sf/nation.parquet")

@@ -402,6 +402,30 @@ class RemoteSpec extends AnyFunSuite {
     s3.close()
     assert((bad \ "ok") == JBool(false))
     assert(RemoteWire.str(bad, "error").get.contains("permission denied"))
+    // handles are identity-bound on CLOSE too: another user's close
+    // must not destroy them (r11 review)
+    val (p2, _, s4) = call(("op" -> "prepare") ~
+      ("sql" -> "SELECT count(*) AS n FROM r_nation"))
+    s4.close()
+    val h2 = RemoteWire.str(p2, "handle").get
+    val tok = server.issueToken("other_user")
+    val sockO = new java.net.Socket("localhost", server.boundPort)
+    try {
+      val inO = new java.io.BufferedInputStream(sockO.getInputStream)
+      val outO = new java.io.BufferedOutputStream(sockO.getOutputStream)
+      RemoteWire.writeFrame(outO, ("op" -> "handshake") ~ ("token" -> tok))
+      assert((RemoteWire.readFrame(inO) \ "ok") == JBool(true))
+      RemoteWire.writeFrame(outO, ("op" -> "close_prepared") ~ ("handle" -> h2))
+      val deny = RemoteWire.readFrame(inO)
+      assert((deny \ "ok") == JBool(false) &&
+        RemoteWire.str(deny, "error").get.contains("identity"))
+    } finally sockO.close()
+    // the owner still executes (the handle survived), then closes it
+    assert(longResult(("op" -> "execute_prepared") ~ ("handle" -> h2) ~
+      ("params" -> JArray(Nil))) == Right(25L))
+    val (cl2, _, s5) = call(("op" -> "close_prepared") ~ ("handle" -> h2))
+    s5.close()
+    assert((cl2 \ "ok") == JBool(true))
   }
 
   test("DETACH cuts the mount; the server itself stays up") {
