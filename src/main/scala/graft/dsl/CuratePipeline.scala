@@ -16,6 +16,7 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *
   * {{{
   * {"stages": [
+  *   {"op": "html_extract", "min_words": 5, "min_text_ratio": 0.25},
   *   {"op": "c4_clean", "require_pass": false},
   *   {"op": "normalize"},
   *   {"op": "gopher_filter", "min_words": 20},
@@ -48,7 +49,7 @@ import graft.operators.{Dedup, Sampling, TextOps}
   * Scale (per-stage shuffle budget, the documented costs of the
   * operators each stage delegates to):
   *  - map-only, fuse into one projection pass over the scan:
-  *    `normalize`, `c4_clean`, `gopher_filter`, `pii_redact`,
+  *    `html_extract`, `normalize`, `c4_clean`, `gopher_filter`, `pii_redact`,
   *    `stratified_sample` (codegen hash filter), `mixture` (hash CASE
   *    + sequence/explode).
   *  - one shuffle: `dedup_exact` (fingerprint window),
@@ -137,8 +138,8 @@ object CuratePipeline {
       case JArray(xs) => xs
       case _ => throw new DslException("curate body must have a 'stages' array")
     }
-    val mapOnly = Set("normalize", "c4_clean", "gopher_filter", "pii_redact",
-      "stratified_sample", "image_hash", "audio_hash")
+    val mapOnly = Set("html_extract", "normalize", "c4_clean", "gopher_filter",
+      "pii_redact", "stratified_sample", "image_hash", "audio_hash")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     val in0 = df.localCheckpoint()
     rows += ((0, "input", in0.count()))
@@ -174,6 +175,14 @@ object CuratePipeline {
       case _ => throw new DslException(s"stage missing string 'op': $st")
     }
     op match {
+      case "html_extract" =>
+        // crawl-archive front door: raw HTML in textCol → main-content
+        // text (tag strip + jusText-style block heuristic). Map-only;
+        // pairs with a WARC scan upstream so CURATE TABLE covers
+        // crawl-archive → trainer-sequences end-to-end.
+        df.withColumn(textCol, TextOps.htmlExtractText(col(textCol),
+          minWords = int(st, "min_words", 5),
+          minTextRatio = dbl(st, "min_text_ratio", 0.25)))
       case "normalize" =>
         df.withColumn(textCol, TextOps.normalizeText(col(textCol)))
       case "c4_clean" =>

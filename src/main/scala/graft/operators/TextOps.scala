@@ -324,6 +324,63 @@ object TextOps {
       regexp_replace(TextExprs.nfc_normalize(text), ws, " "), ctl, ""))
   }
 
+  /** HTML → main-content text: the extraction step between a crawl
+    * archive ([[graft.sources.WarcSource]]) and the text pipeline —
+    * tag stripping plus a jusText/trafilatura-style block heuristic
+    * (Pomikálek 2011; Barbaresi 2021). The document splits into blocks
+    * at block-level tag boundaries; a block survives when it reads
+    * like prose: ≥ `minWords` words, at least one stopword of the
+    * 12-word list, anchor density ≤ 1 link per 3 words, and a
+    * text-to-markup ratio ≥ `minTextRatio` (boilerplate nav/footer
+    * blocks are short, link-dense, and markup-heavy). Surviving
+    * blocks re-join with `\n` — ready for `c4_clean`'s line rules.
+    *
+    * Row-local, built-ins only, RE2-safe patterns (explicit whitespace
+    * classes, no `\s`, no backreferences — `<script>`/`<style>` strip
+    * in separate passes for exactly that reason): the DuckDB oracle
+    * replays the identical bytes, and a 100 TB crawl is a map-only
+    * pass with no shuffle. */
+  def htmlExtractText(html: Column, minWords: Int = 5,
+      minTextRatio: Double = 0.25): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    // longer names strictly before their prefixes (header|head, pre|p,
+    // thead/tbody/table|th|tr|td, figcaption|figure) so leftmost-first
+    // alternation picks the full tag in both Java regex and RE2
+    val blockRe = "(?i)</?(?:blockquote|figcaption|section|article|header|" +
+      "footer|aside|thead|tbody|table|title|figure|html|head|body|form|" +
+      "main|pre|nav|div|ul|ol|li|h1|h2|h3|h4|h5|h6|br|hr|tr|th|td|p)" +
+      "(?:[ \\t\\n\\x0B\\f\\r/][^>]*)?>"
+    val deScripted = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, "(?is)<script[^>]*>.*?</script[^>]*>", " "),
+        "(?is)<style[^>]*>.*?</style[^>]*>", " "),
+      "(?s)<!--.*?-->", " ")
+    val sw = array(defaultStopwords.map(lit): _*)
+    val scored = transform(split(deScripted, blockRe, -1), b => {
+      val nLinks = size(split(b, "(?i)<a[ \\t\\n\\x0B\\f\\r>]", -1)) - 1
+      // strip inline tags to a SPACE (unstyled words must not fuse),
+      // then decode the common entities — '&amp;' strictly last
+      val text = trim(regexp_replace(
+        replaceEntities(regexp_replace(b, "<[^>]*>", " ")), ws, " "))
+      val words = filter(split(text, ws, -1), t => length(t) > 0)
+      val nWords = size(words)
+      val nStop = size(filter(words, w => array_contains(sw, lower(w))))
+      val keep = nWords >= minWords && nStop >= 1 &&
+        nLinks * 3 <= nWords &&
+        length(text).cast(DoubleType) >= length(b) * lit(minTextRatio)
+      struct(text.as("t"), keep.as("k"))
+    })
+    array_join(
+      transform(filter(scored, s => s.getField("k")), s => s.getField("t")),
+      "\n")
+  }
+
+  private def replaceEntities(c: Column): Column = {
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    decoded.foldLeft(c) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
+  }
+
   /** Global paragraph-level deduplication (the MassiveText/Gopher
     * scrub shape): every document is split into paragraphs, each
     * DISTINCT paragraph keeps exactly its first occurrence in corpus

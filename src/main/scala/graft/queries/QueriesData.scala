@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{GraftSession, Tables}
@@ -969,6 +969,35 @@ object QueriesData {
         .orderBy(col("media_id"))
     },
 
+    // ---- HTML main-content extraction (r12): the crawl-archive →
+    // text step — tag strip + jusText-style block heuristic over an
+    // adversarial wrap (script with a bare '<', comment hiding a fake
+    // <p>, link-dense nav, entity-bearing no-stopword footer). The
+    // oracle rebuilds the identical HTML bytes and replays the
+    // extraction block by block.
+    "q_html_extract" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.htmlExtractText(docHtml(col("doc_id"), col("text"))).as("t"))
+        .select(col("doc_id"),
+          md5(col("t").cast("binary")).as("text_md5"),
+          length(col("t")).cast(LongType).as("n_chars"),
+          size(split(col("t"), "\n", -1)).cast(LongType).as("n_lines"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- FineWeb recipe v2 (r12): the same 11 stages behind an
+    // html_extract front door — CURATE TABLE now covers crawl-archive
+    // HTML → trainer sequences end-to-end. Twelve stages, all
+    // replayed (the extraction as its own CTE chain ahead of v1's).
+    "q_curate_fineweb_v2" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.compile(fineWebHtmlSeed(s, dir), fineWebSpecV2)
+        .select(col("source"), col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("ids_md5"))
+        .orderBy(col("source"), col("seq_id"))
+    },
+
     // ---- RAG-ingest curation (r11): the shape-changing `chunk` stage
     // chained after a quality gate — docs that pass Gopher become
     // sliding-window chunks (64 tokens, 16 overlap), passengers
@@ -1334,6 +1363,77 @@ object QueriesData {
                    % 281474976710656) % 1073741824, doc_id) AS rn
             FROM ded) t WHERE rn <= 7)"""
 
+  /** Adversarial HTML wrap of a document: script with a bare `<`,
+    * style with a comment inside, a comment containing a fake `<p>`,
+    * a link-dense nav, a no-stopword footer with an entity, and each
+    * text line as its own `<p>` block. Shared by q_html_extract,
+    * q_warc_scan (the fixture payload) and the fineweb v2 seed; the
+    * SQL twin below builds the identical bytes in DuckDB. */
+  private[queries] def docHtml(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>Doc "), docId.cast("string"),
+    lit("</title><style type=\"text/css\">body { color: #222; } /* x < y */" +
+      "</style><script>if (x < 3) { track(\"a&b\"); }</script></head>\n" +
+      "<body>\n" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/about\">About</a>" +
+      " | <a href=\"/contact\">Contact us</a></div>\n<h1>Doc "),
+    docId.cast("string"),
+    lit(" of the archive</h1>\n<!-- note: <p>not a block</p> -->\n<p>"),
+    replace(text, lit("\n"), lit("</p>\n<p>")),
+    lit("</p>\n<div class=\"share\">Please <a href=\"/share\">share</a>" +
+      " <a href=\"/like\">like</a> <a href=\"/sub\">subscribe</a></div>\n" +
+      "<footer>Copyright &amp; all rights reserved</footer>\n</body></html>"))
+
+  /** [[docHtml]] as a DuckDB expression over (doc_id, `textExpr`) */
+  private[queries] def docHtmlSql(textExpr: String): String =
+    raw"""'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      || '</title><style type="text/css">body { color: #222; } /* x < y */'
+      || '</style><script>if (x < 3) { track("a&b"); }</script></head>' || chr(10)
+      || '<body>' || chr(10)
+      || '<div class="nav"><a href="/">Home</a> | <a href="/about">About</a>'
+      || ' | <a href="/contact">Contact us</a></div>' || chr(10)
+      || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || ' of the archive</h1>' || chr(10)
+      || '<!-- note: <p>not a block</p> -->' || chr(10)
+      || '<p>' || replace($textExpr, chr(10), '</p>' || chr(10) || '<p>') || '</p>' || chr(10)
+      || '<div class="share">Please <a href="/share">share</a>'
+      || ' <a href="/like">like</a> <a href="/sub">subscribe</a></div>' || chr(10)
+      || '<footer>Copyright &amp; all rights reserved</footer>' || chr(10) || '</body></html>'"""
+
+  /** [[graft.operators.TextOps.htmlExtractText]] replayed as CTEs over
+    * `src(doc_id, …, html)` → `outName(doc_id, <passengers>, text)`;
+    * stage defaults (min_words 5, min_text_ratio 0.25). `passengers`
+    * rides `s.`-qualified with a trailing comma, or empty. */
+  private[queries] def htmlExtractCtes(src: String, outName: String,
+      passengers: String): String =
+    raw"""hxs AS (SELECT doc_id, string_split_regex(
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+        '(?i)</?(?:blockquote|figcaption|section|article|header|footer|aside|thead|tbody|table|title|figure|html|head|body|form|main|pre|nav|div|ul|ol|li|h1|h2|h3|h4|h5|h6|br|hr|tr|th|td|p)(?:[ \t\n\x0B\f\r/][^>]*)?>') AS bs
+      FROM $src),
+    hxb AS (SELECT doc_id, generate_subscripts(bs, 1) AS i, unnest(bs) AS b FROM hxs),
+    hxm AS (SELECT doc_id, i, len(b) AS rawlen,
+        len(string_split_regex(b, '(?i)<a[ \t\n\x0B\f\r>]')) - 1 AS nlinks,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(b, '<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
+      FROM hxb),
+    hxw AS (SELECT doc_id, i, t, nlinks, rawlen,
+        list_filter(string_split_regex(t, '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS words
+      FROM hxm),
+    hxk AS (SELECT doc_id, i, t FROM hxw
+      WHERE len(words) >= 5
+        AND len(list_filter(words, x -> list_contains($stop12, lower(x)))) >= 1
+        AND nlinks * 3 <= len(words)
+        AND len(t) >= rawlen * 0.25),
+    $outName AS MATERIALIZED (SELECT s.doc_id, $passengers
+        coalesce(x.text, '') AS text
+      FROM $src s LEFT JOIN (SELECT doc_id, string_agg(t, chr(10) ORDER BY i) AS text
+        FROM hxk GROUP BY doc_id) x USING (doc_id))"""
+
   /** the FineWeb-recipe seed: sentence structure + a non-sentence
     * boilerplate line + %13 exact dupes + %17 near-dupes + %97
     * benchmark split — shared by the gate and its report twin */
@@ -1387,18 +1487,34 @@ object QueriesData {
     * `tb` (token-budget survivors) and `sq` (packed sequences);
     * intermediate stage heads: c4, norm, gkept, rkept, ded, mnd,
     * dec, nbk. */
-  private val fineWebCtes: String = {
+  /** the raw (pre-extraction) FineWeb seed text, as a SQL expression
+    * over a `documents` row — shared by the v1 seed CTE and the v2
+    * HTML wrap */
+  private val fwSeedTextSql: String = {
     val boilerCase = s"""CASE doc_id % 4
       WHEN 0 THEN '${FwBoiler(0)}' WHEN 1 THEN '${FwBoiler(1)}'
       WHEN 2 THEN '${FwBoiler(2)}' ELSE '${FwBoiler(3)}' END"""
-    raw"""fw0 AS MATERIALIZED (SELECT doc_id, lang, source,
-        (doc_id % 97 = 0) AS is_bench,
-        CASE WHEN doc_id % 13 = 0 THEN '$FwMirror'
+    raw"""CASE WHEN doc_id % 13 = 0 THEN '$FwMirror'
              WHEN doc_id % 17 = 0 THEN '$FwEngine'
                || ' Revision note number ' || CAST(doc_id AS VARCHAR) || ' applies.'
              ELSE text || '.' END
-        || chr(10) || 'Subscribe now' || chr(10) || $boilerCase AS text
-      FROM documents),
+        || chr(10) || 'Subscribe now' || chr(10) || $boilerCase"""
+  }
+
+  /** the v2 recipe: the same 11 stages behind an `html_extract` front
+    * door — the crawl-archive → trainer-sequences shape */
+  private val fineWebSpecV2 =
+    """{"stages": [{"op": "html_extract"},""" + fineWebSpec.drop("""{"stages": [""".length)
+
+  /** v2 seed: the v1 seed text wrapped in adversarial HTML */
+  private def fineWebHtmlSeed(s: SparkSession, dir: String): DataFrame =
+    fineWebSeed(s, dir).withColumn("text", docHtml(col("doc_id"), col("text")))
+
+  /** the 11 post-seed stage CTEs, over whatever `seedCte` defines as
+    * `fw0 (doc_id, lang, source, is_bench, text)` — v1 seeds clean
+    * text, v2 seeds HTML and prepends the extraction replay */
+  private def fineWebCtesFrom(seedCte: String): String = {
+    raw"""$seedCte,
     c4 AS (SELECT doc_id, lang, source, is_bench,
         coalesce(array_to_string(list_filter(string_split(text, chr(10)), x ->
           regexp_matches(x, '[.!?"]$$')
@@ -1546,6 +1662,11 @@ object QueriesData {
                list(CAST(id AS VARCHAR) ORDER BY slot), ' ')) AS ids_md5
            FROM fwpk GROUP BY 1, 2)"""
   }
+
+  private val fineWebCtes: String = fineWebCtesFrom(
+    raw"""fw0 AS MATERIALIZED (SELECT doc_id, lang, source,
+        (doc_id % 97 = 0) AS is_bench, $fwSeedTextSql AS text
+      FROM documents)""")
 
   /** the multinomial-NB replay (train on `src`.`labelCol`, score every
     * `src` row) as a CTE chain ending in `best (doc_id, pred, score,
@@ -2729,6 +2850,25 @@ object QueriesData {
           UNION ALL SELECT 10, 'tokenize', count(*) FROM tb
           UNION ALL SELECT 11, 'pack', count(*) FROM sq)
         ORDER BY stage""",
+    // HTML wrap + block-by-block extraction replay (identical bytes)
+    "q_html_extract" ->
+      s"""WITH h AS (SELECT doc_id, ${docHtmlSql("text")} AS html FROM documents),
+        ${htmlExtractCtes("h", "hx", "")}
+        SELECT doc_id, md5(text) AS text_md5,
+          CAST(len(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+        FROM hx ORDER BY doc_id""",
+    // the 12-stage v2 recipe: html-wrapped seed → extraction CTEs →
+    // the shared 11-stage chain
+    "q_curate_fineweb_v2" ->
+      s"""WITH RECURSIVE ${fineWebCtesFrom(
+          raw"""fwraw AS MATERIALIZED (SELECT doc_id, lang, source,
+              (doc_id % 97 = 0) AS is_bench,
+              ${docHtmlSql(s"($fwSeedTextSql)")} AS html
+            FROM documents),
+          ${htmlExtractCtes("fwraw", "fw0", "s.lang, s.source, s.is_bench,")}""")}
+        SELECT source, seq_id, n_tokens, ids_md5 FROM sq
+        ORDER BY source, seq_id""",
     // the semdedup stage = q_semdedup's IVF-assignment + within-cell
     // threshold-join replay, filtered to survivors (+ label join-back)
     "q_curate_semdedup" ->

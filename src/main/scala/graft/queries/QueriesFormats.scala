@@ -373,6 +373,27 @@ object QueriesFormats {
         .select(col("d"), col("h"), col("n"), col("total_value"))
         .orderBy("d", "h")
     },
+    // WARC round trip (r12): documents → adversarial HTML pages →
+    // distributed 2-file WARC archive (warcinfo + HTTP response
+    // records) → record-offset-SPLIT read-back (64 KiB splits force
+    // the mid-file boundary scan at gate scale). The oracle recomputes
+    // every record field + body md5 from the source parquet.
+    "q_warc_scan" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        QueriesData.docHtml(col("doc_id"), col("text")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcgate").toString
+      graft.sources.WarcSource.Writer.write(pages, tmp, "uri", "html", files = 2)
+      graft.sources.WarcSource.read(s, Seq(tmp), splitBytes = 64 * 1024)
+        .select(col("warc_type"),
+          coalesce(col("target_uri"), lit("-")).as("uri"),
+          col("warc_date"), col("http_status"), col("http_content_type"),
+          length(col("body").cast(StringType)).cast(LongType).as("body_chars"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("warc_type", "uri")
+    },
     // ODV writer+reader round trip, oracle recomputes from source parquet
     "q_odv_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
@@ -503,6 +524,29 @@ object QueriesFormats {
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_zarr_gridded" ->
       s"SELECT * FROM read_parquet('$fixtures/zarr_gridded_slice/*.parquet') ORDER BY lat, lon",
+    // response rows recompute the HTML payload; warcinfo rows are the
+    // writer's fixed warc-fields block, one per part file
+    "q_warc_scan" ->
+      s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
+            FROM documents),
+        resp AS (SELECT 'response' AS warc_type,
+            'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+            CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS warc_date,
+            200 AS http_status,
+            'text/html; charset=utf-8' AS http_content_type,
+            CAST(len(html) AS BIGINT) AS body_chars,
+            md5(html) AS body_md5
+          FROM h),
+        info AS (SELECT 'warcinfo' AS warc_type, '-' AS uri,
+            CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS warc_date,
+            CAST(NULL AS INTEGER) AS http_status,
+            CAST(NULL AS VARCHAR) AS http_content_type,
+            CAST(len(wf) AS BIGINT) AS body_chars, md5(wf) AS body_md5
+          FROM (SELECT 'software: graft' || chr(13) || chr(10)
+                  || 'format: WARC file version 1.1' || chr(13) || chr(10) AS wf)
+          CROSS JOIN range(2))
+        SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM info)
+        ORDER BY warc_type, uri""",
     "q_odv_roundtrip" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS "time_ISO8601",
            event_type, count(*) AS n, round(sum(value), 4) AS total_value

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+import graft.sources.WarcSource
+
+/** read_warc: ISO 28500 record framing, HTTP payload parsing,
+  * record-offset splits (split-count invariance + boundary-scan
+  * false-magic resilience), gzip streams, and the html_extract
+  * front-door heuristic the records feed. */
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-warc").toString
+
+  private def pages(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (s"http://t.example/$i",
+      s"<html><body><p>Doc number $i body text with the usual words in it.</p></body></html>"))
+      .toDF("uri", "html")
+  }
+
+  test("warc: write → read round trip surfaces record + http fields") {
+    val dir = tmpDir()
+    val written = WarcSource.Writer.write(pages(20), dir, "uri", "html", files = 2)
+    assert(written == 20)
+    val df = WarcSource.read(spark, Seq(dir)).cache()
+    assert(df.filter(col("warc_type") === "warcinfo").count() == 2)
+    val resp = df.filter(col("warc_type") === "response")
+    assert(resp.count() == 20)
+    val r = resp.filter(col("target_uri") === "http://t.example/7").head()
+    assert(r.getAs[Int]("http_status") == 200)
+    assert(r.getAs[String]("http_content_type").startsWith("text/html"))
+    assert(r.getAs[String]("record_id") == "<urn:graft:response:http://t.example/7>")
+    assert(r.getAs[java.time.LocalDateTime]("warc_date") ==
+      java.time.LocalDateTime.of(2026, 1, 1, 0, 0))
+    val body = new String(r.getAs[Array[Byte]]("body"), UTF_8)
+    assert(body.contains("Doc number 7 body text"))
+    assert(!body.contains("HTTP/1.1")) // headers stripped from body
+    // content_length covers the FULL http block (headers + body)
+    assert(r.getAs[Long]("content_length") > body.length)
+    df.unpersist()
+  }
+
+  test("warc: record offsets point at real record starts") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(5), dir, "uri", "html", files = 1)
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    WarcSource.read(spark, Seq(dir)).select("record_offset").collect().foreach { r =>
+      val off = r.getLong(0).toInt
+      assert(new String(bytes, off, 8, UTF_8) == "WARC/1.1",
+        s"offset $off is not a record start")
+    }
+  }
+
+  test("warc: split reads are split-count invariant") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(200), dir, "uri", "html", files = 1)
+    def ids(splitBytes: Long) =
+      WarcSource.read(spark, Seq(dir), splitBytes)
+        .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    val whole = ids(Long.MaxValue >> 1)
+    assert(whole.size == 201) // 200 responses + 1 warcinfo
+    assert(ids(4 * 1024) == whole)   // many mid-file boundary scans
+    assert(ids(777) == whole)        // unaligned odd-sized splits
+  }
+
+  test("warc: a payload embedding a fake record boundary cannot fool the scan") {
+    val s = spark
+    import s.implicits._
+    // payload contains CRLFCRLF + WARC/1. magic followed by garbage that
+    // fails a record parse — the boundary scan must skip it and find the
+    // real next record under every split size
+    val evil = "preamble\r\n\r\nWARC/1.0\r\nnot a header line\r\n\r\nmore text " +
+      "and the usual words keep going here"
+    val df = (0 until 50).map(i => (s"http://t.example/evil/$i", evil + s" #$i"))
+      .toDF("uri", "html")
+    val dir = tmpDir()
+    WarcSource.Writer.write(df, dir, "uri", "html", files = 1)
+    def uris(splitBytes: Long) =
+      WarcSource.read(spark, Seq(dir), splitBytes)
+        .filter(col("warc_type") === "response")
+        .select("target_uri").collect().map(_.getString(0)).sorted.toSeq
+    val whole = uris(Long.MaxValue >> 1)
+    assert(whole.size == 50)
+    assert(uris(300) == whole)
+    assert(uris(128) == whole)
+  }
+
+  test("warc: gzip archives stream whole-file (concatenated-member safe)") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(15), dir, "uri", "html", files = 3, gzip = true)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".warc.gz")) == 3)
+    val df = WarcSource.read(spark, Seq(dir))
+    assert(df.filter(col("warc_type") === "response").count() == 15)
+    assert(df.filter(col("warc_type") === "warcinfo").count() == 3)
+    val body = new String(df.filter(col("target_uri") === "http://t.example/3")
+      .head().getAs[Array[Byte]]("body"), UTF_8)
+    assert(body.contains("Doc number 3"))
+  }
+
+  test("warc: non-http records keep their raw block as body") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(1), dir, "uri", "html", files = 1)
+    val info = WarcSource.read(spark, Seq(dir))
+      .filter(col("warc_type") === "warcinfo").head()
+    assert(info.isNullAt(info.fieldIndex("http_status")))
+    assert(new String(info.getAs[Array[Byte]]("body"), UTF_8)
+      .startsWith("software: graft"))
+  }
+
+  // ------------------------------------------------------ html_extract
+
+  private def extract(html: String, minWords: Int = 5,
+      ratio: Double = 0.25): String = {
+    val s = spark
+    import s.implicits._
+    Seq(html).toDF("h")
+      .select(TextOps.htmlExtractText(col("h"), minWords, ratio)).head().getString(0)
+  }
+
+  test("html_extract: strips script/style/comments, keeps prose blocks") {
+    val html = """<html><head><title>T</title>
+      |<style>p { color: red; } /* a < b */</style>
+      |<script>if (x < 3) { emit("<p>fake</p>"); }</script></head>
+      |<body><!-- hidden <p>also fake</p> -->
+      |<p>This is the real body of the page with plenty of words.</p>
+      |<div class="nav"><a href="/">Home</a> <a href="/x">About</a></div>
+      |</body></html>""".stripMargin
+    assert(extract(html) ==
+      "This is the real body of the page with plenty of words.")
+  }
+
+  test("html_extract: inline tags do not fuse words; entities decode") {
+    val html = "<p>The <b>bold</b>word and the entity &amp; plus &lt;tag&gt; " +
+      "and &quot;quotes&quot; in a sentence.</p>"
+    assert(extract(html) ==
+      "The bold word and the entity & plus <tag> and \"quotes\" in a sentence.")
+  }
+
+  test("html_extract: block heuristics drop short, link-dense and no-stopword blocks") {
+    val html =
+      "<p>Too short.</p>" + // < 5 words
+      "<p>The main paragraph has many ordinary words to keep around.</p>" +
+      "<div><a href=\"/a\">one</a> <a href=\"/b\">two</a> <a href=\"/c\">three</a>" +
+      " of the links</div>" + // 3 links vs 6 words → dropped
+      "<footer>Copyright rights reserved everyone everywhere</footer>" // no stopword
+    assert(extract(html) ==
+      "The main paragraph has many ordinary words to keep around.")
+  }
+
+  test("html_extract: prefix tags split correctly (pre vs p, header vs head)") {
+    val html = "<header>The site header with a few words in it</header>" +
+      "<pre>The preformatted block is kept with all of its words</pre>" +
+      "<p>The paragraph block also survives with plenty of words.</p>"
+    assert(extract(html) ==
+      "The site header with a few words in it\n" +
+      "The preformatted block is kept with all of its words\n" +
+      "The paragraph block also survives with plenty of words.")
+  }
+
+  test("html_extract: empty and tag-only inputs yield empty text") {
+    assert(extract("") == "")
+    assert(extract("<html><body><br/><hr></body></html>") == "")
+  }
+
+  test("html_extract: text-to-markup ratio drops markup-heavy blocks") {
+    // enough words and a stopword, but buried in inline markup
+    val html = "<p><span class=\"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa\">the</span>" +
+      "<span class=\"bbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb\">tiny</span>" +
+      "<span class=\"cccccccccccccccccccccccccccccccccccccc\">words</span>" +
+      "<span class=\"dddddddddddddddddddddddddddddddddddddd\">hide</span>" +
+      "<span class=\"eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee\">here</span></p>" +
+      "<p>The normal paragraph with the usual prose words stays in.</p>"
+    assert(extract(html) ==
+      "The normal paragraph with the usual prose words stays in.")
+  }
+}
