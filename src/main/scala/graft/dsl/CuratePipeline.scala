@@ -37,6 +37,7 @@ import graft.operators.{Dedup, Sampling, TextOps}
   *    "max_top_gram_frac": 0.2, "min_distinct_ratio": 0.3},
   *   {"op": "token_budget", "salt": "v1", "budget": 1000000000,
   *    "shard": "source"},
+  *   {"op": "embed_text", "salt": "v1", "dim": 64},
   *   {"op": "semdedup", "vec_col": "embedding", "k": 256, "tau": 0.9},
   *   {"op": "image_hash", "payload_col": "payload"},
   *   {"op": "hash_neardup", "hash_col": "image_hash", "max_dist": 3},
@@ -139,7 +140,8 @@ object CuratePipeline {
       case _ => throw new DslException("curate body must have a 'stages' array")
     }
     val mapOnly = Set("html_extract", "normalize", "c4_clean", "gopher_filter",
-      "pii_redact", "stratified_sample", "image_hash", "audio_hash")
+      "pii_redact", "stratified_sample", "image_hash", "audio_hash",
+      "embed_text")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     val in0 = df.localCheckpoint()
     rows += ((0, "input", in0.count()))
@@ -322,6 +324,14 @@ object CuratePipeline {
             salt, budget, shard)
           .filter(col("keep")).select(col(idCol))
         df.join(keep, Seq(idCol), "left_semi")
+      case "embed_text" =>
+        // deterministic signed-feature-hashing embedder (map-only,
+        // md5-replayable): appends `out_col` so a downstream `semdedup`
+        // works on tables that carry no vector column — the
+        // self-contained semantic-dedup path
+        df.withColumn(strOr(st, "out_col", "embedding"),
+          graft.functions.TextExprs.embed_text(col(textCol),
+            str(st, "salt"), int(st, "dim", 64)))
       case "semdedup" =>
         // SemDeDup (Abbas et al. 2023) over an embedding column the
         // table already carries (`vec_col`): k-means cells bound the

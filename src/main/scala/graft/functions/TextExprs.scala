@@ -243,6 +243,50 @@ object TextExprs {
     out
   }
 
+  /** Deterministic text embedding by SIGNED FEATURE HASHING (Weinberger
+    * et al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
+    * each lowered whitespace token lands in dimension
+    * `low48(md5(token||salt)) % d` with sign `±1` from the next hash
+    * bit, and the count vector L2-normalizes. Map-only and exactly
+    * replayable in SQL via the engine's md5_number_lower contract —
+    * every accumulation is an exact small-integer sum, so the normalized
+    * doubles (and their float casts) are bit-identical no matter the
+    * summation order. Zero-token text → the zero vector. This is what
+    * makes SemDeDup self-contained on tables with no vector column. */
+  def embedKernel(s: UTF8String, salt: UTF8String, d: Int): ArrayData = {
+    val toks = tokensKernel(s, lower = true)
+    val md = md5Local.get()
+    val saltBytes = salt.getBytes
+    val acc = new Array[Double](d)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      md.reset()
+      md.update(toks.getUTF8String(t).getBytes)
+      md.update(saltBytes)
+      val dg = md.digest()
+      // DuckDB md5_number_lower = little-endian u64 over digest bytes 8..15
+      var h = 0L
+      var i = 15
+      while (i >= 8) { h = (h << 8) | (dg(i) & 0xFFL); i -= 1 }
+      val low48 = h & 0xFFFFFFFFFFFFL
+      acc((low48 % d).toInt) += (if (((low48 / d) % 2L) == 0L) -1.0 else 1.0)
+      t += 1
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < d) { ss += acc(i) * acc(i); i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](d)
+    i = 0
+    while (i < d) {
+      out(i) = java.lang.Float.valueOf(
+        if (norm > 0) (acc(i) / norm).toFloat else 0.0f)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** true iff `term` equals one MAXIMAL ASCII-alphanumeric token of `s`
     * — the same `[^A-Za-z0-9]+` tokenization the inverted index builds
     * with ([[graft.catalog.Indexes]]), so an exact postings lookup can
@@ -342,6 +386,23 @@ object TextExprs {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.functions.TextExprs.tokensKernel($c, $lower);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class EmbedText(child: Expression, salt: String, d: Int)
+      extends UnaryExpression {
+    require(d > 0, "embed_text dimension must be positive")
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def prettyName: String = "graft_embed_text"
+    private lazy val saltU = UTF8String.fromString(salt)
+    override def nullSafeEval(a: Any): Any =
+      embedKernel(a.asInstanceOf[UTF8String], saltU, d)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val saltRef = ctx.addReferenceObj("embedSalt", saltU,
+        classOf[UTF8String].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.embedKernel($c, $saltRef, $d);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -681,6 +742,9 @@ object TextExprs {
 
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def embed_text(text: Column, salt: String, d: Int): Column =
+    ColumnBridge.column(EmbedText(ColumnBridge.expression(text), salt, d))
 
   def minhash_md5(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashMd5(ColumnBridge.expression(shingles), k))

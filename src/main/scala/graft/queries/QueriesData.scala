@@ -998,6 +998,25 @@ object QueriesData {
         .orderBy(col("source"), col("seq_id"))
     },
 
+    // ---- self-contained semantic dedup (r12): embed_text (signed
+    // feature hashing, md5-replayable) chained into semdedup — the
+    // semantic-dedup path with NO external vector column. e1 pins the
+    // first embedding dim so the vectors themselves are oracle-checked,
+    // not just the survivor set.
+    "q_curate_embed_semdedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val spec = """{"stages": [
+        {"op": "embed_text", "salt": "emb-v1", "dim": 16},
+        {"op": "semdedup", "vec_col": "embedding", "k": 4, "iters": 3,
+         "tau": 0.96, "round_cos": 6}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(docs, spec)
+        .select(col("doc_id"), col("lang"),
+          round(element_at(col("embedding"), 1).cast(DoubleType), 6).as("e1"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- RAG-ingest curation (r11): the shape-changing `chunk` stage
     // chained after a quality gate — docs that pass Gopher become
     // sliding-window chunks (64 tokens, 16 overlap), passengers
@@ -1147,13 +1166,15 @@ object QueriesData {
 
   /** 64-dim double-precision cosine with the engine's exact expression
     * shape (left-fold dot, sqrt-of-sumsq norms). */
-  private val cosSql =
-    """list_sum(list_transform(range(1, 65), i ->
+  private def cosSqlDim(dim: Int): String =
+    s"""list_sum(list_transform(range(1, ${dim + 1}), i ->
          CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
-       / (sqrt(list_sum(list_transform(range(1, 65), i ->
+       / (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i ->
             CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE))))
-        * sqrt(list_sum(list_transform(range(1, 65), i ->
+        * sqrt(list_sum(list_transform(range(1, ${dim + 1}), i ->
             CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))))"""
+
+  private val cosSql = cosSqlDim(64)
 
   /** literal ±1 plane matrix (16 planes × 64 dims, seed 42) — the same
     * values [[graft.functions.VectorExprs.LshBands]] derives on the
@@ -1219,13 +1240,13 @@ object QueriesData {
     * and `fasg` (every vector's cell). Shared by the IVF top-k and
     * SemDeDup oracles. */
   private def ivfAssignCtes(k: Int, iters: Int, sampleSize: Int,
-      base: String = "embeddings"): String = {
+      base: String = "embeddings", dim: Int = 64): String = {
     val sb = new StringBuilder
     sb ++= s"""samp AS (SELECT * FROM $base ORDER BY vec_id LIMIT $sampleSize),
       long0 AS (SELECT vec_id, CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-        FROM samp, (SELECT unnest(range(1, 65)) AS i) ii),
+        FROM samp, (SELECT unnest(range(1, ${dim + 1})) AS i) ii),
       alll AS (SELECT vec_id, CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-        FROM $base, (SELECT unnest(range(1, 65)) AS i) ii),
+        FROM $base, (SELECT unnest(range(1, ${dim + 1})) AS i) ii),
       cent0 AS (SELECT vec_id AS c, dim, x FROM long0 WHERE vec_id < $k)"""
     for (t <- 0 until iters) sb ++= s""",
       d$t AS (SELECT l.vec_id, c.c, sum((l.x - c.x) * (l.x - c.x)) AS d
@@ -1362,6 +1383,30 @@ object QueriesData {
                 (md5_number_lower(CAST(doc_id AS VARCHAR) || 'cap-v1')
                    % 281474976710656) % 1073741824, doc_id) AS rn
             FROM ded) t WHERE rn <= 7)"""
+
+  /** [[graft.functions.TextExprs.embedKernel]] replayed as CTEs over
+    * `src(doc_id, …, text)` → `emb(vec_id, embedding)`: token →
+    * md5-bucketed signed count → L2-normalized REAL list. Every sum is
+    * an exact small integer, so the doubles (and float casts) come out
+    * bit-identical regardless of summation order. */
+  private def embedCtes(src: String, salt: String, dim: Int): String =
+    raw"""etok AS (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS t
+        FROM $src),
+      ehash AS (SELECT doc_id,
+          (md5_number_lower(t || '$salt') % 281474976710656) AS h FROM etok),
+      ebs AS (SELECT doc_id, CAST(h % $dim AS INT) AS bucket,
+          CASE WHEN (h // $dim) % 2 = 0 THEN -1.0 ELSE 1.0 END AS s FROM ehash),
+      esum AS (SELECT doc_id, bucket, sum(s) AS v FROM ebs GROUP BY 1, 2),
+      edense AS (SELECT d.doc_id, CAST(dd.b AS INT) AS b, coalesce(e.v, 0.0) AS v
+        FROM (SELECT DISTINCT doc_id FROM $src) d
+        CROSS JOIN (SELECT unnest(range(0, $dim)) AS b) dd
+        LEFT JOIN esum e ON e.doc_id = d.doc_id AND e.bucket = dd.b),
+      enorm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM edense GROUP BY 1),
+      emb AS MATERIALIZED (SELECT d.doc_id AS vec_id,
+          list(CAST(CASE WHEN n.nrm > 0 THEN d.v / n.nrm ELSE 0.0 END AS REAL)
+            ORDER BY d.b) AS embedding
+        FROM edense d JOIN enorm n USING (doc_id) GROUP BY 1)"""
 
   /** Adversarial HTML wrap of a document: script with a bare `<`,
     * style with a comment inside, a comment containing a fake `<p>`,
@@ -2869,6 +2914,23 @@ object QueriesData {
           ${htmlExtractCtes("fwraw", "fw0", "s.lang, s.source, s.is_bench,")}""")}
         SELECT source, seq_id, n_tokens, ids_md5 FROM sq
         ORDER BY source, seq_id""",
+    // embed replay (exact-integer sums → bit-identical floats) feeding
+    // the IVF-assignment + within-cell threshold-join semdedup replay
+    "q_curate_embed_semdedup" ->
+      s"""WITH src AS (SELECT doc_id, lang, source, text FROM documents),
+        ${embedCtes("src", "emb-v1", 16)},
+        ${ivfAssignCtes(4, 3, 50000, base = "emb", dim = 16)},
+        dropped AS (SELECT DISTINCT b.vec_id AS drop_id
+          FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          JOIN emb q ON q.vec_id = a.vec_id
+          JOIN emb c ON c.vec_id = b.vec_id
+          WHERE round(${cosSqlDim(16)}, 6) >= 0.96)
+        SELECT s.doc_id, s.lang,
+          round(CAST(e.embedding[1] AS DOUBLE), 6) AS e1
+        FROM src s JOIN emb e ON e.vec_id = s.doc_id
+        LEFT JOIN dropped d ON d.drop_id = s.doc_id
+        WHERE d.drop_id IS NULL
+        ORDER BY s.doc_id""",
     // the semdedup stage = q_semdedup's IVF-assignment + within-cell
     // threshold-join replay, filtered to survivors (+ label join-back)
     "q_curate_semdedup" ->

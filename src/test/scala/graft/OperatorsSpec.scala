@@ -1445,4 +1445,41 @@ class OperatorsSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L), s"3 sits at cos≈1 to 1 in the same cell: $kept")
   }
+
+  test("embed_text: unit-norm, word-order invariant, salt/dim sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def embed(texts: Seq[String], salt: String, dim: Int): Seq[Seq[Float]] =
+      texts.toDF("t")
+        .select(graft.functions.TextExprs.embed_text(col("t"), salt, dim))
+        .collect().toSeq
+        .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
+    val Seq(a, b, c, empty) = embed(Seq(
+      "the quick brown fox", "fox brown QUICK the", "a wholly different doc", ""),
+      "s1", 16)
+    assert(a.size == 16)
+    assert(math.abs(a.map(x => x.toDouble * x).sum - 1.0) < 1e-6, "unit L2 norm")
+    assert(a == b, "bag-of-words: order and case must not matter")
+    assert(a != c, "different text, different vector")
+    assert(empty.forall(_ == 0.0f), "empty text embeds to the zero vector")
+    val Seq(a2) = embed(Seq("the quick brown fox"), "s2", 16)
+    assert(a != a2, "salt changes the projection")
+    assert(embed(Seq("the quick brown fox"), "s1", 32).head.size == 32)
+  }
+
+  test("curate embed_text: appends the vector column semdedup consumes") {
+    import spark.implicits._
+    // duplicate carries the HIGHER id: k-means' replayable init needs
+    // the first k lead vectors distinct
+    val rows = Seq((1L, "alpha beta gamma"),
+      (2L, "unrelated totally other words here"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = graft.dsl.CuratePipeline.compile(rows,
+      """{"stages": [{"op": "embed_text", "salt": "v1", "dim": 8},
+          {"op": "semdedup", "vec_col": "embedding", "k": 2, "iters": 2,
+           "tau": 0.99, "round_cos": 6}]}""")
+    assert(out.columns.contains("embedding"))
+    // identical text → identical vectors → cos 1 ≥ tau → higher id drops
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
 }
