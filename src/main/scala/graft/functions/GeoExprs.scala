@@ -238,6 +238,28 @@ object GeoExprs {
       copy(l, r)
   }
 
+  /** st_union / st_intersection (r12): general polygon booleans via
+    * Greiner–Hormann — concave × concave, multi-component results as
+    * MULTIPOLYGON, canonical vertex order. `which` = true for union. */
+  case class StBoolean(left: Expression, right: Expression, union: Boolean)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = if (union) "st_union" else "st_intersection"
+    override def nullSafeEval(a: Any, b: Any): Any = UTF8String.fromString(
+      if (union) Geo.stUnion(a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString)
+      else Geo.stIntersection(a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (union) "stUnion" else "stIntersection"
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.$fn($a.toString(), $b.toString()));")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** envelope bound accessors (st_xmin/st_xmax/st_ymin/st_ymax) */
   case class StBound(child: Expression, which: Int) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -295,6 +317,12 @@ object GeoExprs {
   def st_intersection_area(a: Column, b: Column): Column =
     ColumnBridge.column(StIntersectionArea(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def st_union(a: Column, b: Column): Column =
+    ColumnBridge.column(StBoolean(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), union = true))
+  def st_intersection(a: Column, b: Column): Column =
+    ColumnBridge.column(StBoolean(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), union = false))
   def st_xmin(a: Column): Column =
     ColumnBridge.column(StBound(ColumnBridge.expression(a), 0))
   def st_xmax(a: Column): Column =

@@ -655,16 +655,305 @@ object Geo {
       case _: PointGeom => return 0.0
     }
     clipPolys.map { cp =>
-      require(cp.holes.isEmpty && convex(cp.outer),
-        "st_intersection_area: the second geometry must be a convex " +
-          "polygon without holes (Sutherland–Hodgman clip contract)")
-      subjPolys.map { sp =>
-        val outer = shoelace(clipRing(sp.outer, cp.outer))
-        val holes = sp.holes.map(h => shoelace(clipRing(h, cp.outer))).sum
-        outer - holes
-      }.sum
+      require(cp.holes.isEmpty,
+        "st_intersection_area: the second geometry must have no holes")
+      if (convex(cp.outer)) {
+        // convex clip: Sutherland–Hodgman, the exact original path
+        subjPolys.map { sp =>
+          val outer = shoelace(clipRing(sp.outer, cp.outer))
+          val holes = sp.holes.map(h => shoelace(clipRing(h, cp.outer))).sum
+          outer - holes
+        }.sum
+      } else {
+        // CONCAVE clip (r12): the general Greiner–Hormann path —
+        // subject rings (outer minus holes) clip independently
+        subjPolys.map { sp =>
+          val outer = ghRingIntersectionArea(sp.outer, cp.outer)
+          val holes = sp.holes.map(h => ghRingIntersectionArea(h, cp.outer)).sum
+          outer - holes
+        }.sum
+      }
     }.sum
   }
+
+  /** intersection area of two simple rings via the general clipper */
+  private def ghRingIntersectionArea(sr: Ring, cr: Ring): Double = {
+    val what = "st_intersection_area"
+    val s = openCcw(Polygon(sr, Nil), what)
+    val c = openCcw(Polygon(cr, Nil), what)
+    val crossings = ghCrossings(s, c, what)
+    if (crossings.isEmpty) {
+      if (polygonContains(Polygon(cr, Nil), s(0)._1, s(0)._2))
+        math.abs(signedArea(s))
+      else if (polygonContains(Polygon(sr, Nil), c(0)._1, c(0)._2))
+        math.abs(signedArea(c))
+      else 0.0
+    } else {
+      val (sh, _) = ghBuildMarked(s, c, Polygon(sr, Nil), Polygon(cr, Nil), crossings)
+      // components of Jordan-domain intersections are simply connected:
+      // every traced ring is an outer, the signed areas just sum
+      ghTrace(sh, union = false).map(signedArea).sum
+    }
+  }
+
+  // ------------------------------------- general polygon booleans
+  // Greiner–Hormann clipping (Greiner & Hormann 1998, "Efficient
+  // clipping of arbitrary polygons", ACM TOG 17(2)) — concave ×
+  // concave intersection and union, multi-component results included.
+  // Contract: both inputs are SIMPLE polygons without holes in general
+  // position — a vertex lying exactly on the other ring's edge, or
+  // collinear overlapping edges, raise a named error rather than
+  // guessing (the perturbation-free algorithm's documented limit).
+
+  private final class GhNode(val x: Double, val y: Double) {
+    var next: GhNode = _
+    var prev: GhNode = _
+    var twin: GhNode = _
+    var isIx = false    // intersection node
+    var entry = false   // entering the other polygon when crossed
+    var visited = false
+  }
+
+  /** open CCW vertex list of a no-hole polygon ring */
+  private def openCcw(p: Polygon, what: String): Array[(Double, Double)] = {
+    require(p.holes.isEmpty, s"$what: polygons with holes are not supported")
+    val r = p.outer
+    val n0 = r.size
+    val n = if (n0 > 1 && r.xs(0) == r.xs(n0 - 1) && r.ys(0) == r.ys(n0 - 1))
+      n0 - 1 else n0
+    require(n >= 3, s"$what: degenerate ring")
+    var a2 = 0.0
+    var i = 0; var j = n - 1
+    while (i < n) {
+      a2 += r.xs(j) * r.ys(i) - r.xs(i) * r.ys(j)
+      j = i; i += 1
+    }
+    val pts = Array.tabulate(n)(k => (r.xs(k), r.ys(k)))
+    if (a2 >= 0) pts else pts.reverse
+  }
+
+  /** all proper pairwise edge crossings, as (subjEdge, t, clipEdge, u,
+    * x, y); endpoint/collinear touches fail loudly */
+  private def ghCrossings(s: Array[(Double, Double)], c: Array[(Double, Double)],
+      what: String): Seq[(Int, Double, Int, Double, Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Int, Double, Double, Double)]
+    var i = 0
+    while (i < s.length) {
+      val (p1x, p1y) = s(i); val (p2x, p2y) = s((i + 1) % s.length)
+      var j = 0
+      while (j < c.length) {
+        val (q1x, q1y) = c(j); val (q2x, q2y) = c((j + 1) % c.length)
+        val d1x = p2x - p1x; val d1y = p2y - p1y
+        val d2x = q2x - q1x; val d2y = q2y - q1y
+        val denom = d1x * d2y - d1y * d2x
+        if (denom != 0) {
+          val t = ((q1x - p1x) * d2y - (q1y - p1y) * d2x) / denom
+          val u = ((q1x - p1x) * d1y - (q1y - p1y) * d1x) / denom
+          if (t > 0 && t < 1 && u > 0 && u < 1)
+            out += ((i, t, j, u, p1x + t * d1x, p1y + t * d1y))
+          else if ((t == 0 || t == 1) && u >= 0 && u <= 1)
+            throw new IllegalArgumentException(
+              s"$what: vertex-on-edge touch at (${p1x + t * d1x}, ${p1y + t * d1y}) — general-position inputs required")
+          else if ((u == 0 || u == 1) && t >= 0 && t <= 1)
+            throw new IllegalArgumentException(
+              s"$what: vertex-on-edge touch at (${q1x + u * d2x}, ${q1y + u * d2y}) — general-position inputs required")
+        } else {
+          // parallel: reject only collinear OVERLAP (distinct parallels are fine)
+          val cross1 = (q1x - p1x) * d1y - (q1y - p1y) * d1x
+          if (cross1 == 0) {
+            val lo1 = math.min(p1x, p2x); val hi1 = math.max(p1x, p2x)
+            val lo2 = math.min(q1x, q2x); val hi2 = math.max(q1x, q2x)
+            val loy1 = math.min(p1y, p2y); val hiy1 = math.max(p1y, p2y)
+            val loy2 = math.min(q1y, q2y); val hiy2 = math.max(q1y, q2y)
+            if (math.max(lo1, lo2) < math.min(hi1, hi2) ||
+                math.max(loy1, loy2) < math.min(hiy1, hiy2))
+              throw new IllegalArgumentException(
+                s"$what: collinear overlapping edges — general-position inputs required")
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** build both circular lists with intersection twins linked */
+  private def ghBuild(s: Array[(Double, Double)], c: Array[(Double, Double)],
+      crossings: Seq[(Int, Double, Int, Double, Double, Double)]): (GhNode, GhNode) = {
+    def ring(pts: Array[(Double, Double)],
+        inserts: Map[Int, Seq[(Double, GhNode)]]): GhNode = {
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[GhNode]
+      var i = 0
+      while (i < pts.length) {
+        nodes += new GhNode(pts(i)._1, pts(i)._2)
+        inserts.getOrElse(i, Nil).sortBy(_._1).foreach { case (_, n) => nodes += n }
+        i += 1
+      }
+      var k = 0
+      while (k < nodes.length) {
+        nodes(k).next = nodes((k + 1) % nodes.length)
+        nodes(k).prev = nodes((k + nodes.length - 1) % nodes.length)
+        k += 1
+      }
+      nodes.head
+    }
+    val pairs = crossings.map { case (i, t, j, u, x, y) =>
+      val a = new GhNode(x, y); a.isIx = true
+      val b = new GhNode(x, y); b.isIx = true
+      a.twin = b; b.twin = a
+      (i, t, a, j, u, b)
+    }
+    val sHead = ring(s, pairs.groupBy(_._1).map { case (i, xs) =>
+      i -> xs.map(p => (p._2, p._3)) })
+    val cHead = ring(c, pairs.groupBy(_._4).map { case (j, xs) =>
+      j -> xs.map(p => (p._5, p._6)) })
+    (sHead, cHead)
+  }
+
+  /** build + entry-mark both lists in one step */
+  private def ghBuildMarked(s: Array[(Double, Double)], c: Array[(Double, Double)],
+      pa: Polygon, pb: Polygon,
+      crossings: Seq[(Int, Double, Int, Double, Double, Double)]): (GhNode, GhNode) = {
+    val (sHead, cHead) = ghBuild(s, c, crossings)
+    ghMarkEntries(sHead, pb)
+    ghMarkEntries(cHead, pa)
+    (sHead, cHead)
+  }
+
+  /** mark entry/exit: walking the list, intersections alternate
+    * starting from whether the list's head lies inside `other` */
+  private def ghMarkEntries(head: GhNode, other: Polygon): Unit = {
+    var inside = polygonContains(other, head.x, head.y)
+    var cur = head
+    do {
+      if (cur.isIx) { cur.entry = !inside; inside = !inside }
+      cur = cur.next
+    } while (cur ne head)
+  }
+
+  private def ghCollect(head: GhNode): Seq[GhNode] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GhNode]
+    var cur = head
+    do { if (cur.isIx) out += cur; cur = cur.next } while (cur ne head)
+    out.toSeq
+  }
+
+  /** trace result rings; `union` flips the traversal direction rule */
+  private def ghTrace(sHead: GhNode, union: Boolean): Seq[Array[(Double, Double)]] = {
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[(Double, Double)]]
+    ghCollect(sHead).foreach { start =>
+      if (!start.visited) {
+        val ring = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        var cur = start
+        ring += ((cur.x, cur.y))
+        do {
+          cur.visited = true
+          if (cur.twin != null) cur.twin.visited = true
+          val forward = if (union) !cur.entry else cur.entry
+          if (forward) {
+            do { cur = cur.next; ring += ((cur.x, cur.y)) } while (!cur.isIx)
+          } else {
+            do { cur = cur.prev; ring += ((cur.x, cur.y)) } while (!cur.isIx)
+          }
+          cur = cur.twin
+        } while ((cur ne start) && (cur.twin ne start))
+        ring.remove(ring.length - 1) // the closing intersection repeats
+        // union traverses both lists BACKWARD along the exterior, so its
+        // raw rings come out with reversed orientation — normalize here
+        // so outers are CCW-positive for both operations
+        rings += (if (union) ring.reverse.toArray else ring.toArray)
+      }
+    }
+    rings.toSeq
+  }
+
+  private def signedArea(pts: Array[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0; var j = pts.length - 1
+    while (i < pts.length) {
+      s += pts(j)._1 * pts(i)._2 - pts(i)._1 * pts(j)._2
+      j = i; i += 1
+    }
+    s / 2.0
+  }
+
+  /** canonical: rotate to lexicographically smallest vertex; outers
+    * CCW, holes CW */
+  private def canonRing(pts0: Array[(Double, Double)], ccw: Boolean): Array[(Double, Double)] = {
+    val pts = if ((signedArea(pts0) > 0) == ccw) pts0 else pts0.reverse
+    var best = 0
+    var i = 1
+    while (i < pts.length) {
+      if (pts(i)._1 < pts(best)._1 ||
+        (pts(i)._1 == pts(best)._1 && pts(i)._2 < pts(best)._2)) best = i
+      i += 1
+    }
+    Array.tabulate(pts.length)(k => pts((best + k) % pts.length))
+  }
+
+  /** result rings → WKT. Trace orientation cannot distinguish holes
+    * (a union's hole ring traces with the same handedness as its
+    * outers), so classification is by CONTAINMENT DEPTH: a ring whose
+    * lead vertex sits inside an odd number of other rings is a hole of
+    * the outer that contains it. */
+  private def ghToWkt(rings0: Seq[Array[(Double, Double)]]): String = {
+    val rings = rings0.filter(r => r.length >= 3 && signedArea(r) != 0)
+    if (rings.isEmpty) return "POLYGON EMPTY"
+    def containsPt(outer: Array[(Double, Double)], x: Double, y: Double): Boolean =
+      ringContains(Ring(outer.map(_._1), outer.map(_._2)), x, y)
+    val depth = rings.map(r =>
+      rings.count(o => (o ne r) && containsPt(o, r(0)._1, r(0)._2)))
+    val outers = rings.zip(depth).collect { case (r, d) if d % 2 == 0 =>
+      canonRing(r, ccw = true) }.sortBy(r => (r(0)._1, r(0)._2))
+    val holes = rings.zip(depth).collect { case (r, d) if d % 2 == 1 =>
+      canonRing(r, ccw = false) }
+    val polys = outers.map { o =>
+      (o, holes.filter(h => containsPt(o, h(0)._1, h(0)._2)))
+    }
+    def ringStr(r: Array[(Double, Double)]): String =
+      "(" + (r :+ r(0)).map { case (x, y) => fmt(x) + " " + fmt(y) }
+        .mkString(", ") + ")"
+    def polyStr(p: (Array[(Double, Double)], Seq[Array[(Double, Double)]])): String =
+      "(" + (p._1 +: p._2).map(ringStr).mkString(", ") + ")"
+    if (polys.length == 1) "POLYGON " + polyStr(polys.head)
+    else "MULTIPOLYGON (" + polys.map(polyStr).mkString(", ") + ")"
+  }
+
+  private def polyWkt(p: Array[(Double, Double)]): String =
+    ghToWkt(Seq(canonRing(p, ccw = true)))
+
+  /** st_intersection / st_union over two simple no-hole polygons */
+  private def ghBoolean(a: Geom, b: Geom, union: Boolean): String = {
+    val what = if (union) "st_union" else "st_intersection"
+    val (pa, pb) = (a, b) match {
+      case (PolygonGeom(x), PolygonGeom(y)) => (x, y)
+      case _ => throw new IllegalArgumentException(
+        s"$what expects two POLYGON geometries")
+    }
+    val s = openCcw(pa, what)
+    val c = openCcw(pb, what)
+    val crossings = ghCrossings(s, c, what)
+    if (crossings.isEmpty) {
+      val sInC = polygonContains(pb, s(0)._1, s(0)._2)
+      val cInS = polygonContains(pa, c(0)._1, c(0)._2)
+      return (union, sInC, cInS) match {
+        case (false, true, _) => polyWkt(s)           // a ⊂ b
+        case (false, _, true) => polyWkt(c)           // b ⊂ a
+        case (false, _, _)    => "POLYGON EMPTY"      // disjoint
+        case (true, true, _)  => polyWkt(c)
+        case (true, _, true)  => polyWkt(s)
+        case (true, _, _)     =>                      // disjoint union
+          val rs = Seq(canonRing(s, ccw = true), canonRing(c, ccw = true))
+          ghToWkt(rs)
+      }
+    }
+    val (sHead, _) = ghBuildMarked(s, c, pa, pb, crossings)
+    ghToWkt(ghTrace(sHead, union))
+  }
+
+  def unionWkt(a: Geom, b: Geom): String = ghBoolean(a, b, union = true)
+  def intersectionWkt(a: Geom, b: Geom): String = ghBoolean(a, b, union = false)
 
   // string-in entry points for the codegen expressions (one cached
   // parse per distinct WKT per executor)
@@ -687,6 +976,10 @@ object Geo {
     bufferWkt(parseWktCached(a), r, segs)
   def stIntersectionArea(a: String, b: String): Double =
     intersectionArea(parseWktCached(a), parseWktCached(b))
+  def stUnion(a: String, b: String): String =
+    unionWkt(parseWktCached(a), parseWktCached(b))
+  def stIntersection(a: String, b: String): String =
+    intersectionWkt(parseWktCached(a), parseWktCached(b))
   def stXmin(a: String): Double = boundsOf(parseWktCached(a))._1
   def stXmax(a: String): Double = boundsOf(parseWktCached(a))._2
   def stYmin(a: String): Double = boundsOf(parseWktCached(a))._3

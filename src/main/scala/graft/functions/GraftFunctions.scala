@@ -246,6 +246,10 @@ object GraftFunctions {
         Cast(if (es.length > 2) es(2) else Literal(16), IntegerType)), "built-in")
     r.createOrReplaceTempFunction("st_intersection_area",
       es => GeoExprs.StIntersectionArea(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("st_union",
+      es => GeoExprs.StBoolean(es(0), es(1), union = true), "built-in")
+    r.createOrReplaceTempFunction("st_intersection",
+      es => GeoExprs.StBoolean(es(0), es(1), union = false), "built-in")
     r.createOrReplaceTempFunction("st_xmin",
       es => GeoExprs.StBound(es.head, 0), "built-in")
     r.createOrReplaceTempFunction("st_xmax",

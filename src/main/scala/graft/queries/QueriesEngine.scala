@@ -637,6 +637,51 @@ object QueriesEngine {
             .as("zone_overlap"))
     },
 
+    // ---- general polygon booleans (r12): Greiner–Hormann st_union /
+    // st_intersection over per-row parametric fixtures — square ×
+    // rotated diamond (closed forms: ∩ = 2(a+1)²−4, ∪ = 4a²+4) and a
+    // CONCAVE scaled U-shape × slab (∩ = s² as TWO components, ∪ =
+    // 8.5s² — and st_intersection_area now takes the concave clip
+    // path). round(,6) absorbs the crossing-parameter float dust.
+    "q_geo_boolean" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def i(c: org.apache.spark.sql.Column) = c.cast("int").cast("string")
+      val a = $"a"; val sc = $"sc"
+      val sq = concat(lit("POLYGON ((0 0, "), i(a * 2), lit(" 0, "),
+        i(a * 2), lit(" "), i(a * 2), lit(", 0 "), i(a * 2), lit(", 0 0))"))
+      val di = concat(lit("POLYGON (("), i(a), lit(" -1, "),
+        i(a * 2 + 1), lit(" "), i(a), lit(", "),
+        i(a), lit(" "), i(a * 2 + 1), lit(", -1 "), i(a), lit(", "),
+        i(a), lit(" -1))"))
+      val u = concat(lit("POLYGON ((0 0, "), i(sc * 3), lit(" 0, "),
+        i(sc * 3), lit(" "), i(sc * 3), lit(", "),
+        i(sc * 2), lit(" "), i(sc * 3), lit(", "),
+        i(sc * 2), lit(" "), i(sc), lit(", "),
+        i(sc), lit(" "), i(sc), lit(", "),
+        i(sc), lit(" "), i(sc * 3), lit(", 0 "), i(sc * 3), lit(", 0 0))"))
+      val top = (sc.cast("double") * 2.5).cast("string")
+      val slab = concat(lit("POLYGON (("), i(-sc), lit(" "), i(sc * 2), lit(", "),
+        i(sc * 4), lit(" "), i(sc * 2), lit(", "),
+        i(sc * 4), lit(" "), top, lit(", "),
+        i(-sc), lit(" "), top, lit(", "),
+        i(-sc), lit(" "), i(sc * 2), lit("))"))
+      val ix = GeoExprs.st_intersection(u, slab)
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          ($"n_nationkey" % 4 + 2).cast("int").as("a"),
+          ($"n_nationkey" % 3 + 1).cast("int").as("sc"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_area(GeoExprs.st_intersection(sq, di)), 6).as("ia"),
+          round(GeoExprs.st_area(GeoExprs.st_union(sq, di)), 6).as("ua"),
+          round(GeoExprs.st_intersection_area(slab, u), 6).as("cia"),
+          round(GeoExprs.st_area(GeoExprs.st_union(u, slab)), 6).as("uua"),
+          GeoExprs.st_npoints(ix).cast(LongType).as("ix_npoints"),
+          (size(split(ix, "\\)\\), \\(\\(", -1))).cast(LongType).as("ix_parts"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- ST_Extent aggregate: per-group bounding box of the points,
     // map-side min/max partials — one 4-double row per group shuffles
     "q_geo_extent" -> { (s, dir) =>
@@ -955,6 +1000,21 @@ object QueriesEngine {
                  CAST(l_linenumber % 3 + 1 AS INT) AS w
                FROM lineitem) t
          ORDER BY l_orderkey, l_linenumber""",
+    // boolean closed forms: square × diamond overhang-cut algebra,
+    // scaled-U × slab component counting
+    "q_geo_boolean" ->
+      """SELECT n_nationkey,
+           round(CAST(2 * (a + 1) * (a + 1) - 4 AS DOUBLE), 6) AS ia,
+           round(CAST(4 * a * a + 4 AS DOUBLE), 6) AS ua,
+           round(CAST(sc * sc AS DOUBLE), 6) AS cia,
+           round(CAST(8.5 * sc * sc AS DOUBLE), 6) AS uua,
+           CAST(10 AS BIGINT) AS ix_npoints,
+           CAST(2 AS BIGINT) AS ix_parts
+         FROM (SELECT n_nationkey,
+                 CAST(n_nationkey % 4 + 2 AS INT) AS a,
+                 CAST(n_nationkey % 3 + 1 AS INT) AS sc
+               FROM nation) t
+         ORDER BY n_nationkey""",
     "q_geo_extent" ->
       """SELECT l_returnflag,
            'POLYGON ((' || min(x) || ' ' || min(y) || ', ' || max(x) || ' ' || min(y)

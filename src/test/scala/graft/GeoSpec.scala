@@ -288,12 +288,62 @@ class GeoSpec extends AnyFunSuite {
     // disjoint → 0; clip winding (CW vs CCW) must not matter
     assert(area(sq(0, 0, 1, 1), sq(5, 5, 6, 6)) == 0.0)
     assert(area(sq(0, 0, 2, 2), "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))") == 4.0)
-    // a NON-convex clip violates the Sutherland–Hodgman contract: loud
-    val e = intercept[Exception] {
-      spark.sql("""SELECT st_intersection_area(
-        'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
-        'POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4, 0 0))')""").collect()
+    // a NON-convex clip takes the general Greiner–Hormann path (r12):
+    // a contained concave dart measures its own area
+    assert(area(sq(0, 0, 4, 4),
+      "POLYGON ((0.5 0.5, 3.5 0.5, 2 1.5, 3.5 3.5, 0.5 3.5, 0.5 0.5))") == 6.75)
+    // ...and a crossing concave clip: U-shape ∩ horizontal slab = the
+    // two prong cuts, 2 × (1 × 0.6); crossing points carry float error
+    assert(math.abs(area("POLYGON ((-1 2, 4 2, 4 2.6, -1 2.6, -1 2))",
+      "POLYGON ((0 0, 3 0, 3 3, 2 3, 2 1, 1 1, 1 3, 0 3, 0 0))") - 1.2) < 1e-9)
+  }
+
+  val uShape = "POLYGON ((0 0, 3 0, 3 3, 2 3, 2 1, 1 1, 1 3, 0 3, 0 0))"
+  val slab = "POLYGON ((-1 2, 4 2, 4 2.6, -1 2.6, -1 2))"
+
+  test("st_union / st_intersection: Greiner–Hormann booleans (r12)") {
+    // square ∩/∪ rotated diamond: octagon overlap, closed forms
+    val sq04 = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val diamond = "POLYGON ((2 -1, 5 2, 2 5, -1 2, 2 -1))"
+    val ix = stIntersection(sq04, diamond)
+    val un = stUnion(sq04, diamond)
+    assert(stArea(ix) == 14.0, s"octagon area: $ix")
+    assert(stArea(un) == 20.0, s"16 + 18 − 14: $un")
+
+    // concave U ∩ slab → TWO components, canonical multipolygon WKT
+    assert(stIntersection(uShape, slab) ==
+      "MULTIPOLYGON (((0 2, 1 2, 1 2.6, 0 2.6, 0 2)), " +
+        "((2 2, 3 2, 3 2.6, 2 2.6, 2 2)))")
+    assert(math.abs(stArea(stUnion(uShape, slab)) - 8.8) < 1e-9) // 7 + 3 − 1.2
+
+    // argument order must not matter for the areas
+    assert(math.abs(stArea(stIntersection(slab, uShape)) - 1.2) < 1e-9)
+    assert(math.abs(stArea(stUnion(slab, uShape)) - 8.8) < 1e-9)
+
+    // containment and disjoint fast paths
+    val small = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    val far = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"
+    assert(stIntersection(sq04, small) == "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(stUnion(sq04, small) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(stIntersection(sq04, far) == "POLYGON EMPTY")
+    assert(stUnion(sq04, far) ==
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 10, 11 10, 11 11, 10 11, 10 10)))")
+
+    // union that CLOSES a ring: C-shape + capping bar → outer with a hole
+    val cShape = "POLYGON ((0 0, 5 0, 5 2, 1 2, 1 3, 5 3, 5 5, 0 5, 0 0))"
+    val cap = "POLYGON ((4.5 1, 5.5 1, 5.5 4, 4.5 4, 4.5 1))"
+    val u = stUnion(cShape, cap)
+    assert(u.startsWith("POLYGON ((") && u.contains("), ("),
+      s"one outer + one hole ring: $u")
+    assert(stArea(u) == 23.0) // 21 + 3 − 1 overlap
+
+    // degenerate inputs stay loud, not silently wrong
+    val shared = intercept[IllegalArgumentException] {
+      stUnion(sq04, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))") // shared edge
     }
-    assert(e.getMessage.contains("convex") || e.getCause.getMessage.contains("convex"))
+    assert(shared.getMessage.contains("general-position"))
+    // CW winding normalizes before clipping
+    assert(stArea(stIntersection(
+      "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))", diamond)) == 14.0)
   }
 }
