@@ -92,6 +92,29 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
       spark.sessionState.sqlParser.parsePlan(named), identity)
   }
 
+  /** Result schema of a preparable statement WITHOUT executing it —
+    * the Flight CreatePreparedStatement contract (the reference runs
+    * the query at prepare to answer the schema,
+    * beacon-server/src/flight_sql/service.rs:40-130; here analysis
+    * alone answers it). `$n` markers bind as untyped NULLs, so a
+    * column that IS a bare parameter analyzes as void — every other
+    * column carries its real type. For non-super-users this path also
+    * runs both denylist guards, subsuming [[assertPreparableAs]]. */
+  def prepareSchemaAs(identity: graft.auth.Auth.AuthIdentity,
+      text: String): org.apache.spark.sql.types.StructType = {
+    val named = GraftSql.rewriteMarkers(text, 99)
+    val parsed = spark.sessionState.sqlParser.parsePlan(named)
+    if (!identity.isSuperUser) assertNotCommandParsed(parsed, identity)
+    val bound = org.apache.spark.sql.catalyst.analysis.NameParameterizedQuery(
+      parsed, (1 to 99).map(ix => s"graft_p$ix" ->
+        (org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.NullType):
+          org.apache.spark.sql.catalyst.expressions.Expression)).toMap)
+    val analyzed = spark.sessionState.executePlan(bound).analyzed
+    if (!identity.isSuperUser) assertNotAnalyzedWrite(analyzed, identity)
+    analyzed.schema
+  }
+
   /** parse-time command denylist shared by both sqlAs paths */
   private def assertNotCommandParsed(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

@@ -153,10 +153,15 @@ class RemoteJoinRule extends Rule[LogicalPlan] {
           ls = widen(ls0)
           rs = widen(rs0)
           // same peer, same identity: the server authorizes both tables
-          // under ONE credential, so mixing attachments must not merge
+          // under ONE credential, so differing credentials must not
+          // merge. The check keys on (target, credential) — NOT the
+          // attachment instance's session token (r12): two ATTACHes of
+          // one physical peer under one identity are the same source
+          // (the reference's federation rule keys on the source), and
+          // the merged scan's token-expiry path already re-auths with
+          // the shared credential if the chosen session token died
           if ls.table.target == rs.table.target &&
-            ls.table.credential == rs.table.credential &&
-            ls.table.sessionToken == rs.table.sessionToken
+            ls.table.credential == rs.table.credential
           on <- equiPairs(cond, ls.output, rs.output)
           if on.nonEmpty
           // bushy merge (right side is itself a chain): the fold

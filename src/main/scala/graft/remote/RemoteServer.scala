@@ -300,10 +300,36 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
               if (files.isEmpty) None
               else {
                 sweepSnapshots()
-                val id = java.util.UUID.randomUUID().toString
-                snapshots.put(id,
-                  ScanSnapshot(name, shape, files, now() + tokenTtlMs))
-                Some(id)
+                // reuse a live snapshot of the identical list (a client
+                // planning loop must not accumulate server heap), with
+                // a fresh TTL window for the new scan; cap the rest
+                // like the prepared-statement map
+                val t0 = now()
+                val reuse = {
+                  val it = snapshots.entrySet().iterator()
+                  var found: Option[String] = None
+                  while (found.isEmpty && it.hasNext) {
+                    val e = it.next()
+                    val s0 = e.getValue
+                    if (s0.table == name && s0.shape == shape &&
+                        s0.expiresAt > t0 && s0.files == files)
+                      found = Some(e.getKey)
+                  }
+                  found
+                }
+                reuse match {
+                  case Some(id) =>
+                    snapshots.computeIfPresent(id,
+                      (_, s0) => s0.copy(expiresAt = now() + tokenTtlMs))
+                    Some(id)
+                  case None =>
+                    require(snapshots.size < 4096,
+                      "too many live scan snapshots; retry after in-flight scans drain")
+                    val id = java.util.UUID.randomUUID().toString
+                    snapshots.put(id,
+                      ScanSnapshot(name, shape, files, now() + tokenTtlMs))
+                    Some(id)
+                }
               }
             }
           RemoteWire.writeFrame(out, ("ok" -> true) ~
@@ -443,25 +469,49 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
           // identity-bound: another user's execute is rejected.
           val sql = RemoteWire.str(req, "sql").getOrElse(
             throw new IllegalArgumentException("prepare needs 'sql'"))
-          if (!identity.isSuperUser) {
-            if (graft.sql.Statements.recognizes(sql))
-              throw new graft.auth.Authz.PermissionDenied(
-                "permission denied: engine statements require super-user " +
-                  s"(user ${identity.name})")
-            // parse with markers rewritten so `$n` text parses; 99
-            // params = an upper bound for range-checking the markers
-            engine.assertPreparableAs(identity, sql)
-          }
+          // the Flight CreatePreparedStatement contract (r12): prepare
+          // answers the RESULT SCHEMA so clients can plan decoding
+          // before execute — analysis only, nothing runs. For regular
+          // users the schema path doubles as the denylist guard (parse
+          // with markers rewritten so `$n` text parses; a statement the
+          // identity could never run fails HERE, the early-error
+          // contract); a super-user's engine statements (non-Spark
+          // syntax) park schema-less, permissive as before.
+          val schemaOpt: Option[org.apache.spark.sql.types.StructType] =
+            if (!identity.isSuperUser) {
+              if (graft.sql.Statements.recognizes(sql))
+                throw new graft.auth.Authz.PermissionDenied(
+                  "permission denied: engine statements require super-user " +
+                    s"(user ${identity.name})")
+              Some(engine.prepareSchemaAs(identity, sql))
+            } else if (graft.sql.Statements.recognizes(sql)) None
+            else scala.util.Try(engine.prepareSchemaAs(identity, sql)).toOption
           sweepPrepared()
           // bounded: the map holds caller-supplied text for the full
           // TTL — without a cap a prepare loop accumulates heap until
-          // expiry
+          // expiry. Capped per identity too: one user filling the
+          // global bound must not block every OTHER user's prepare.
+          val mine = {
+            val it = prepared.values().iterator()
+            var n = 0
+            while (it.hasNext) { if (it.next().user == identity.name) n += 1 }
+            n
+          }
+          require(mine < 64,
+            s"too many live prepared statements for ${identity.name} " +
+              "(max 64); close some or let them expire")
           require(prepared.size < 1024,
             "too many live prepared statements; close some or let them expire")
           val h = java.util.UUID.randomUUID().toString
           prepared.put(h, PreparedStmt(identity.name, sql, now() + tokenTtlMs))
+          val schemaJson: JValue = schemaOpt match {
+            case Some(st) => JArray(st.fields.toList.map(f =>
+              ("name" -> f.name) ~ ("type" -> f.dataType.catalogString) ~
+                ("nullable" -> f.nullable)))
+            case None => JNothing
+          }
           RemoteWire.writeFrame(out, ("ok" -> true) ~ ("handle" -> h) ~
-            ("ttl_ms" -> JLong(tokenTtlMs)))
+            ("ttl_ms" -> JLong(tokenTtlMs)) ~ ("schema" -> schemaJson))
         case Some("execute_prepared") =>
           val h = RemoteWire.str(req, "handle").getOrElse(
             throw new IllegalArgumentException("execute_prepared needs 'handle'"))
@@ -607,6 +657,12 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
         val snap = Option(snapshots.get(id)).filter(_.expiresAt > now())
           .getOrElse(throw new IllegalArgumentException(
             s"pinned scan snapshot of $name is gone (expired mid-scan?)"))
+        // each redemption refreshes the TTL: a long-queued parallel
+        // scan keeps its snapshot alive by USING it, while an abandoned
+        // snapshot (planned, never redeemed) still sweeps at the
+        // original deadline
+        snapshots.computeIfPresent(id,
+          (_, s0) => s0.copy(expiresAt = now() + tokenTtlMs))
         require(snap.table == name,
           s"scan snapshot was taken for '${snap.table}', not '$name'")
         // a DDL swap mid-scan (drop + recreate as a different shape)
@@ -700,9 +756,30 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
 
   // memoized pinned-list schemas: a pin's file list is immutable, so
   // the merged-footer schema is resolved ONCE per pin — not re-inferred
-  // by every ticket (an O(all footers) pass × parts otherwise)
+  // by every ticket (an O(all footers) pass × parts otherwise).
+  // Access-order LRU capped at 512: inserting the 513th pin evicts
+  // exactly the least-recently-USED entry, so live scans' memos
+  // survive a burst of new pins (the old clear()-at-512 dropped every
+  // live memo at once — a thundering herd of footer re-reads)
   private val pinnedSchemas =
-    new ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType])
+          : Boolean = size > 512
+    }
+
+  private def pinnedSchemaFor(pinKey: String,
+      files: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val hit = pinnedSchemas.synchronized(Option(pinnedSchemas.get(pinKey)))
+    hit.getOrElse {
+      // infer OUTSIDE the lock (a footer pass can take seconds; a
+      // racing duplicate inference is deterministic and harmless)
+      val s = session.read.option("mergeSchema", "true").parquet(files: _*).schema
+      pinnedSchemas.synchronized(pinnedSchemas.put(pinKey, s))
+      s
+    }
+  }
 
   /** ticket `part` of `parts` over a pinned file list: index ≡ part
     * (mod parts). Every ticket resolves the SAME schema — the
@@ -713,9 +790,7 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
   private def fileSubsetFrame(pinKey: String, files: Seq[String], part: Int,
       parts: Int): DataFrame = {
     val mine = files.zipWithIndex.collect { case (f, i) if i % parts == part => f }
-    if (pinnedSchemas.size > 512) pinnedSchemas.clear() // bounded, re-derivable
-    val pinnedSchema = pinnedSchemas.computeIfAbsent(pinKey, _ =>
-      session.read.option("mergeSchema", "true").parquet(files: _*).schema)
+    val pinnedSchema = pinnedSchemaFor(pinKey, files)
     if (mine.isEmpty)
       session.createDataFrame(
         session.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinnedSchema)

@@ -46,6 +46,10 @@ class Remote2Spec extends AnyFunSuite {
     eng.sql("GRANT SELECT ON TABLE j_managed TO ROLE join_readers")
     eng.sql("GRANT SELECT ON TABLE j_part TO ROLE join_readers")
     eng.sql("GRANT ROLE join_readers TO USER joiner")
+    // a SECOND identity with the same grants: attachments under
+    // different identities must never merge (r12)
+    eng.sql("CREATE USER joiner2 WITH PASSWORD 'join-pw2'")
+    eng.sql("GRANT ROLE join_readers TO USER joiner2")
     (wh, new RemoteServer(spark, wh))
   }
 
@@ -897,10 +901,12 @@ class Remote2Spec extends AnyFunSuite {
     assert(outer.collect().map(_.toString).sorted.toSeq == outerLocal)
   }
 
-  test("joins across two DIFFERENT attachments never merge") {
+  test("joins across attachments with DIFFERENT credentials never merge") {
     attachMain()
-    // same server attached twice = two credentialed mounts; the rule
-    // requires one attachment identity, so this stays two scans
+    // same server attached twice, but under a DIFFERENT credential
+    // object (bearer token vs basic): the rule keys on (target,
+    // credential), so this stays two scans — the server would
+    // otherwise authorize both tables under one identity's grants
     val tok = server.issueToken("joiner")
     engine.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS jother " +
       s"WITH (token '$tok')")
@@ -910,8 +916,124 @@ class Remote2Spec extends AnyFunSuite {
            ON o_custkey = c_custkey""")
     val plan = df.queryExecution.optimizedPlan.toString
     assert(countOccurrences(plan, "RelationV2") == 2 && !plan.contains("⋈"),
-      s"different attachments must not merge into one scan:\n$plan")
+      s"different credentials must not merge into one scan:\n$plan")
     assert(df.count() > 0)
     engine.sql("DETACH jother")
+  }
+
+  test("two attachments of ONE peer under ONE identity merge to one scan (r12)") {
+    attachMain()
+    // ATTACH a; ATTACH b of the same physical peer with the SAME basic
+    // credential: the same-peer rule keys on (target, credential) — not
+    // the attachment instance — so the cross-mount join folds to ONE
+    // remote scan (the reference's federation rule keys on the source)
+    if (graft.catalog.Attachments.get(spark, "jwire2").isEmpty)
+      engine.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS jwire2 " +
+        "WITH (username 'joiner', password 'join-pw')")
+    val df = engine.sql(
+      """SELECT c_name, o_orderkey, o_totalprice
+         FROM jwire.public.j_orders JOIN jwire2.public.j_customer
+           ON o_custkey = c_custkey
+         WHERE o_totalprice > 150000.0""")
+    val lplan = df.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(lplan, "remote(") == 1,
+      s"same peer + same credential must merge across attachments:\n$lplan")
+    val viaWire = df.collect().map(_.toString).sorted.toSeq
+    val local = {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .where("o_totalprice > 150000.0")
+        .selectExpr("c_name", "o_orderkey", "o_totalprice")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(viaWire == local && viaWire.nonEmpty)
+    // a DIFFERENT user's attachment (even with identical grants) is a
+    // different credential: no merge
+    if (graft.catalog.Attachments.get(spark, "jwire3").isEmpty)
+      engine.sql(s"ATTACH 'graft://localhost:${server.boundPort}' AS jwire3 " +
+        "WITH (username 'joiner2', password 'join-pw2')")
+    val df2 = engine.sql(
+      """SELECT c_name, o_orderkey
+         FROM jwire.public.j_orders JOIN jwire3.public.j_customer
+           ON o_custkey = c_custkey""")
+    val plan2 = df2.queryExecution.optimizedPlan.toString
+    assert(countOccurrences(plan2, "RelationV2") == 2 && !plan2.contains("⋈"),
+      s"different users must not merge:\n$plan2")
+    assert(df2.count() > 0)
+    engine.sql("DETACH jwire2")
+    engine.sql("DETACH jwire3")
+  }
+
+  test("scan snapshots: identical lists reuse one id; redemptions refresh the TTL (r12)") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-ttl").toString
+    spark.read.parquet(s"$sf/nation.parquet").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val whR = java.nio.file.Files.createTempDirectory("graft-snapttl-wh").toString
+    val engR = GraftEngine(spark, whR)
+    engR.sql(s"CREATE EXTERNAL TABLE snap_t STORED AS parquet LOCATION '$dir'")
+    val sR = new RemoteServer(spark, whR, allowAnonymous = true, tokenTtlMs = 800)
+    try {
+      def withConn[A](f: (java.io.BufferedInputStream,
+          java.io.BufferedOutputStream) => A): A = {
+        val sock = new java.net.Socket("localhost", sR.boundPort)
+        try {
+          val in = new java.io.BufferedInputStream(sock.getInputStream)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+          RemoteWire.writeFrame(out, ("op" -> "handshake"))
+          assert((RemoteWire.readFrame(in) \ "ok") == JBool(true))
+          f(in, out)
+        } finally sock.close()
+      }
+      def snapshotId(): String = withConn { (in, out) =>
+        RemoteWire.writeFrame(out,
+          ("op" -> "table_version") ~ ("table" -> "snap_t"))
+        val resp = RemoteWire.readFrame(in)
+        assert((resp \ "ok") == JBool(true))
+        RemoteWire.str(resp, "snapshot").getOrElse(
+          fail(s"external parquet table must answer a snapshot id: $resp"))
+      }
+      def ticket(snap: String, part: Int, parts: Int): Either[String, Long] =
+        withConn { (in, out) =>
+          RemoteWire.writeFrame(out, ("op" -> "scan") ~ ("table" -> "snap_t") ~
+            ("snapshot" -> snap) ~ ("part" -> part) ~ ("parts" -> parts) ~
+            ("columns" -> JArray(List(JString("n_nationkey")))))
+          val resp = RemoteWire.readFrame(in)
+          if ((resp \ "ok") != JBool(true))
+            Left(RemoteWire.str(resp, "error").getOrElse("unknown"))
+          else {
+            val alloc = new org.apache.arrow.memory.RootAllocator()
+            val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+            var n = 0L
+            while (reader.loadNextBatch()) n += reader.getVectorSchemaRoot.getRowCount
+            reader.close(); alloc.close()
+            Right(n)
+          }
+        }
+      // an identical live file list REUSES the snapshot (a planning
+      // loop must not accumulate server heap)
+      val a = snapshotId()
+      assert(snapshotId() == a, "identical file lists must reuse the live snapshot")
+      assert(sR.liveSnapshotCount == 1)
+      // redemptions refresh the TTL: 3 × 500 ms of redemptions outlive
+      // the 800 ms deadline a never-redeemed snapshot dies at
+      Thread.sleep(500); assert(ticket(a, 0, 2).isRight, "first redemption")
+      Thread.sleep(500); assert(ticket(a, 1, 2).isRight,
+        "1000 ms in: alive only because the first redemption refreshed")
+      Thread.sleep(500); assert(ticket(a, 0, 2).isRight,
+        "1500 ms in: every redemption extends the window")
+      // an ABANDONED snapshot still sweeps at its own deadline: change
+      // the list to mint a fresh id, never redeem it
+      spark.read.parquet(s"$sf/nation.parquet").coalesce(1)
+        .write.mode("append").parquet(dir)
+      val b = snapshotId()
+      assert(b != a, "a changed file list is a new snapshot")
+      Thread.sleep(1000)
+      val dead = ticket(b, 0, 2)
+      assert(dead.isLeft && dead.swap.toOption.get.contains("gone"),
+        s"an unredeemed snapshot must expire at its deadline: $dead")
+    } finally sR.stop()
   }
 }

@@ -428,6 +428,76 @@ class RemoteSpec extends AnyFunSuite {
     assert((cl2 \ "ok") == JBool(true))
   }
 
+  test("prepare answers the analyzed result schema; per-identity cap (r12)") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import graft.remote.RemoteWire
+    def call(op: JValue): (JValue, java.io.InputStream, java.net.Socket) = {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      RemoteWire.writeFrame(out, ("op" -> "handshake") ~
+        ("username" -> "remote_reader") ~ ("password" -> "wire-pw"))
+      assert((RemoteWire.readFrame(in) \ "ok") == JBool(true))
+      RemoteWire.writeFrame(out, op)
+      (RemoteWire.readFrame(in), in, sock)
+    }
+    // the Flight CreatePreparedStatement contract: prepare answers the
+    // RESULT SCHEMA without executing, so clients can plan decoding
+    val (prep, _, s1) = call(("op" -> "prepare") ~
+      ("sql" -> "SELECT n_nationkey, n_name FROM r_nation WHERE n_nationkey < $1"))
+    s1.close()
+    assert((prep \ "ok") == JBool(true), s"prepare failed: $prep")
+    val h = RemoteWire.str(prep, "handle").get
+    val fields = (prep \ "schema") match {
+      case JArray(fs) => fs.map(f =>
+        (RemoteWire.str(f, "name").get, RemoteWire.str(f, "type").get))
+      case other => fail(s"prepare must answer a schema array: $other")
+    }
+    assert(fields == List("n_nationkey" -> "int", "n_name" -> "string"),
+      s"analyzed schema: $fields")
+    // ...and it matches what execute_prepared actually streams
+    val (ex, in2, s2) = call(("op" -> "execute_prepared") ~ ("handle" -> h) ~
+      ("params" -> JArray(List(JInt(5)))))
+    assert((ex \ "ok") == JBool(true))
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in2, alloc)
+    assert(reader.loadNextBatch())
+    val streamed = reader.getVectorSchemaRoot.getSchema.getFields
+    assert(streamed.size == 2 && streamed.get(0).getName == "n_nationkey" &&
+      streamed.get(1).getName == "n_name",
+      s"stream schema must match prepare's answer: $streamed")
+    reader.close(); alloc.close(); s2.close()
+    val (cl0, _, sc0) = call(("op" -> "close_prepared") ~ ("handle" -> h))
+    sc0.close(); assert((cl0 \ "ok") == JBool(true))
+    // DDL still fails AT prepare (schema path keeps the guards)
+    val (bad, _, s3) = call(("op" -> "prepare") ~
+      ("sql" -> "DROP TABLE r_nation"))
+    s3.close()
+    assert((bad \ "ok") == JBool(false) &&
+      RemoteWire.str(bad, "error").get.contains("permission denied"))
+    // per-identity cap: one user stops at 64 live handles with a named
+    // error — the global 1024 stays for everyone together
+    val handles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var denied: Option[String] = None
+    var i = 0
+    while (denied.isEmpty && i < 70) {
+      val (p, _, s) = call(("op" -> "prepare") ~
+        ("sql" -> s"SELECT count(*) AS n FROM r_nation WHERE n_nationkey < ${i % 7}"))
+      s.close()
+      if ((p \ "ok") == JBool(true)) handles += RemoteWire.str(p, "handle").get
+      else denied = RemoteWire.str(p, "error")
+      i += 1
+    }
+    assert(denied.exists(_.contains("max 64")),
+      s"the 65th live prepare for one identity must fail: $denied")
+    handles.foreach { hh =>
+      val (_, _, s) = call(("op" -> "close_prepared") ~ ("handle" -> hh))
+      s.close()
+    }
+    assert(server.livePreparedCount == 0)
+  }
+
   test("DETACH cuts the mount; the server itself stays up") {
     engine.sql("DETACH wire")
     intercept[Exception] {
