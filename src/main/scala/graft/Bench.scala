@@ -94,7 +94,24 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => ts.min }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
+    // north-star visibility (r12): the FineWeb recipe's PER-STAGE wall
+    // times ride along once per sweep, so a regression in one stage
+    // shows by name instead of hiding in the recipe's aggregate
+    val fwStages: Option[String] =
+      if (results.exists { case (k, _, ok) => k == "q_curate_fineweb" && ok })
+        try {
+          sweepCaches()
+          val ts = graft.queries.QueriesData.fineWebStageTimings(spark, sfDir)
+          Some(ts.map { case (k, v) =>
+            "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+          }.mkString("{", ",", "}"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] fineweb stage timings failed: ${e.getMessage}")
+          None
+        }
+      else None
+    val fwField = fwStages.map(s => s""","fineweb_stages":$s""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed$fwField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,7 +87,7 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     * aren't preparable. */
   def assertPreparableAs(identity: graft.auth.Auth.AuthIdentity,
       text: String): Unit = {
-    val named = GraftSql.rewriteMarkers(text, 99)
+    val named = GraftSql.rewriteMarkers(spark, text, 99)
     assertNotCommandParsed(
       spark.sessionState.sqlParser.parsePlan(named), identity)
   }
@@ -102,7 +102,7 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     * runs both denylist guards, subsuming [[assertPreparableAs]]. */
   def prepareSchemaAs(identity: graft.auth.Auth.AuthIdentity,
       text: String): org.apache.spark.sql.types.StructType = {
-    val named = GraftSql.rewriteMarkers(text, 99)
+    val named = GraftSql.rewriteMarkers(spark, text, 99)
     val parsed = spark.sessionState.sqlParser.parsePlan(named)
     if (!identity.isSuperUser) assertNotCommandParsed(parsed, identity)
     val bound = org.apache.spark.sql.catalyst.analysis.NameParameterizedQuery(
@@ -167,7 +167,7 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
     if (Statements.recognizes(text))
       throw new graft.auth.Authz.PermissionDenied(
         s"permission denied: engine statements require super-user (user ${identity.name})")
-    val named = GraftSql.rewriteMarkers(text, params.length)
+    val named = GraftSql.rewriteMarkers(spark, text, params.length)
     val parsed = spark.sessionState.sqlParser.parsePlan(named)
     assertNotCommandParsed(parsed, identity)
     // defense-in-depth WITHOUT constructing a Dataset (which eagerly

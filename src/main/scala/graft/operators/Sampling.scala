@@ -36,6 +36,26 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
     df.orderBy(hashBucket(col(keyCol), s"epoch-$epoch", 1 << 30), col(keyCol))
 
+  /** Above this many rows, a GLOBAL (unsharded) prefix-sum window in
+    * [[packSequences]] / [[packTokenIds]] / [[tokenBudgetSample]]
+    * raises a named error instead of silently single-tasking the whole
+    * corpus — at 100 TB the shard column is the design, not an option.
+    * The guard is a `row_number` over the same window (one extra
+    * function in the same pass, no extra shuffle), so it costs nothing
+    * and fires at execution time with the actual row count. */
+  val GlobalWindowMaxRows: Long = 10000000L
+
+  /** value := expr, unless this is an UNSHARDED window whose row count
+    * exceeds the cap — then raise the named error */
+  private def shardGuarded(expr: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+      sharded: Boolean, maxRows: Long, fn: String): Column =
+    if (sharded) expr
+    // branch types coerce: raise_error is NullType, the common type is
+    // expr's own — no explicit cast needed
+    else when(row_number().over(w) > maxRows,
+      raise_error(lit(s"$fn: global window exceeds $maxRows rows; " +
+        "pass shardCol to shard the window (the 100 TB path)"))).otherwise(expr)
+
   /** Sequence packing: assign rows to token-budgeted batches by a scan
     * over a deterministic order — batch_id = floor(exclusive running
     * token sum / budget), the standard parallel packing approximation
@@ -48,7 +68,8 @@ object Sampling {
     * without it the cumsum is one global window — fine for a bounded
     * frame, a single-task bottleneck at scale. */
   def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
-      budget: Long, shardCol: Option[String] = None): DataFrame = {
+      budget: Long, shardCol: Option[String] = None,
+      maxGlobalRows: Long = GlobalWindowMaxRows): DataFrame = {
     require(budget > 0, "token budget must be positive")
     import org.apache.spark.sql.expressions.Window
     val base = shardCol match {
@@ -57,8 +78,9 @@ object Sampling {
     }
     val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inclusive = sum(col(tokenCol)).over(w)
-    df.withColumn("batch_id",
-      floor((inclusive - col(tokenCol)) / lit(budget)).cast("long"))
+    df.withColumn("batch_id", shardGuarded(
+      floor((inclusive - col(tokenCol)) / lit(budget)).cast("long"),
+      base, shardCol.isDefined, maxGlobalRows, "packSequences"))
   }
 
   /** Pack per-document token-id ARRAYS into fixed-length training
@@ -77,7 +99,8 @@ object Sampling {
     * collect_list ordering assumption. */
   def packTokenIds(df: DataFrame, idsCol: String, orderCol: String,
       seqLen: Int, shardCol: Option[String] = None,
-      eosId: Option[Long] = None): DataFrame = {
+      eosId: Option[Long] = None,
+      maxGlobalRows: Long = GlobalWindowMaxRows): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     import org.apache.spark.sql.expressions.Window
     val base = shardCol match {
@@ -100,8 +123,9 @@ object Sampling {
         concat(col(idsCol), array(lit(e).cast("long"))))
       case None => nonNull
     }
-    val withOff = src.withColumn("__off",
-      coalesce(sum(size(col(idsCol)).cast("long")).over(w), lit(0L)))
+    val withOff = src.withColumn("__off", shardGuarded(
+      coalesce(sum(size(col(idsCol)).cast("long")).over(w), lit(0L)),
+      base, shardCol.isDefined, maxGlobalRows, "packTokenIds"))
     val shardKeep = shardCol.map(col).toSeq
     val exploded = withOff
       .select(shardKeep ++ Seq(col("__off"),
@@ -129,7 +153,8 @@ object Sampling {
     * shard-local with a per-shard budget at 100 TB); emits
     * (input row, keep) so callers can filter or audit. */
   def tokenBudgetSample(df: DataFrame, tokenCol: String, keyCol: String,
-      salt: String, budget: Long, shardCol: Option[String] = None): DataFrame = {
+      salt: String, budget: Long, shardCol: Option[String] = None,
+      maxGlobalRows: Long = GlobalWindowMaxRows): DataFrame = {
     require(budget > 0, "token budget must be positive")
     import org.apache.spark.sql.expressions.Window
     val h = hashBucket(col(keyCol), salt, buckets = 1 << 30)
@@ -138,8 +163,9 @@ object Sampling {
       case None => Window.orderBy(h, col(keyCol))
     }
     val w = base.rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("keep",
-      coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)) < budget)
+    df.withColumn("keep", shardGuarded(
+      coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)) < budget,
+      base, shardCol.isDefined, maxGlobalRows, "tokenBudgetSample"))
   }
 
   /** Adds a `split` column assigning each row to one named fraction

@@ -1555,6 +1555,38 @@ object QueriesData {
   private def fineWebHtmlSeed(s: SparkSession, dir: String): DataFrame =
     fineWebSeed(s, dir).withColumn("text", docHtml(col("doc_id"), col("text")))
 
+  /** Per-stage wall timings of the FineWeb recipe for [[graft.Bench]]
+    * (the north-star path must regress visibly per-stage, not only via
+    * the aggregate): stage k's time = cumulative time of the (k+1)-
+    * stage prefix minus the k-stage prefix, each prefix materialized
+    * through the noop sink. One pass; negative deltas (run noise)
+    * clamp to 0. */
+  private[graft] def fineWebStageTimings(s: SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val stages = (JsonMethods.parse(fineWebSpec) \ "stages") match {
+      case JArray(xs) => xs
+      case other => throw new IllegalStateException(s"bad fineWebSpec: $other")
+    }
+    var prev = 0.0
+    stages.zipWithIndex.map { case (st, i) =>
+      val op = (st \ "op") match {
+        case JString(o) => o
+        case other => throw new IllegalStateException(s"stage without op: $other")
+      }
+      val spec = JsonMethods.compact(
+        JObject("stages" -> JArray(stages.take(i + 1))))
+      val t0 = System.nanoTime()
+      graft.dsl.CuratePipeline.compile(fineWebSeed(s, dir), spec)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      val delta = math.max(0.0, t - prev)
+      prev = t
+      (op, delta)
+    }
+  }
+
   /** the 11 post-seed stage CTEs, over whatever `seedCte` defines as
     * `fw0 (doc_id, lang, source, is_bench, text)` — v1 seeds clean
     * text, v2 seeds HTML and prepends the extraction replay */

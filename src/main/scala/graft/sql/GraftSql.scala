@@ -26,8 +26,20 @@ object GraftSql {
     * string splicing, so values cannot inject SQL. Markers may repeat
     * and appear in any order; params are 1-based. */
   def sql(spark: SparkSession, text: String, params: Seq[Any]): DataFrame =
-    spark.sql(rewriteMarkers(text, params.length),
+    spark.sql(rewriteMarkers(spark, text, params.length),
       params.zipWithIndex.map { case (v, ix) => s"graft_p${ix + 1}" -> v }.toMap)
+
+  /** [[rewriteMarkers]] with the session in hand — the seam where a
+    * lexer-config-dependent scan WOULD branch. Verified empirically
+    * against Spark 4's parser (EngineSpec pins it): quote BOUNDARIES
+    * are grammar-level and config-independent — the ANTLR lexer
+    * consumes `\'` (and `\"`) as escape pairs even under
+    * `spark.sql.parser.escapedStringLiterals=true` and
+    * `spark.sql.ansi.doubleQuotedIdentifiers=true`; those confs only
+    * change how a token's CONTENT is interpreted, never where it
+    * ends. So one scanner serves every session configuration. */
+  def rewriteMarkers(spark: SparkSession, text: String, nParams: Int): String =
+    rewriteMarkers(text, nParams)
 
   /** `$N` markers → `:graft_pN` named parameters (quote- and
     * comment-aware); exposed so callers that must PARSE the bound
@@ -40,9 +52,9 @@ object GraftSql {
     val t = text
     while (i < t.length) {
       val c = t.charAt(i)
-      // Spark's default (escapedStringLiterals=false) processes
-      // backslash escapes inside string literals — a \' or \" must
-      // not flip the in-string state
+      // backslash pairs inside quoted spans are GRAMMAR-level escapes
+      // in Spark's lexer (config-independent — see the overload above):
+      // a \' or \" must not flip the in-quote state
       if ((inS || inD) && c == '\\' && i + 1 < t.length) {
         sb.append(c).append(t.charAt(i + 1)); i += 2
       }

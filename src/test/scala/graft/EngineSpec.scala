@@ -588,4 +588,32 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(noMerges.getMessage.contains("merges"))
   }
+
+  test("rewriteMarkers boundary scan matches the lexer under BOTH legacy confs (r12)") {
+    import graft.sql.GraftSql
+    // The premise the scanner rests on, PINNED empirically: Spark's
+    // ANTLR lexer consumes backslash-quote pairs at the GRAMMAR level,
+    // so quote boundaries are config-independent — the two legacy
+    // confs change token interpretation, never where a token ends.
+    // If a future Spark changes this, these two probes flip and the
+    // scanner must learn to branch.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    intercept[Exception] { s2.sql("SELECT '\\' AS x") } // \' still escapes
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    intercept[Exception] { s3.sql("SELECT 1 AS \"x\\\", 2 AS y") } // \" too
+    // ...therefore ONE scan serves both: $1 inside a backslash-escaped
+    // string stays data, and markers after a closed span rewrite —
+    // identically under every session
+    assert(!GraftSql.rewriteMarkers(s2, "SELECT '\\' , $1 '", 1)
+      .contains(":graft_p1"))
+    assert(GraftSql.rewriteMarkers(s3, "SELECT 'a' , $1", 1)
+      .endsWith(":graft_p1"))
+    // and the params path executes correctly under the ANSI-ident conf
+    assert(GraftSql.sql(s3, "SELECT $1 AS \"q\"", Seq("v"))
+      .collect()(0).getString(0) == "v")
+    s2.conf.unset("spark.sql.parser.escapedStringLiterals")
+    s3.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+  }
 }

@@ -1446,6 +1446,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L), s"3 sits at cos≈1 to 1 in the same cell: $kept")
   }
 
+  test("shard guard: global windows past the row cap fail with the named error (r12)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1 to 200).map(i => (i.toLong, 5L, Seq(1L, 2L), s"s${i % 4}"))
+      .toDF("id", "n", "ids", "shard")
+    def msgOf(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // under the cap the global window is allowed (bounded frames)
+    assert(Sampling.tokenBudgetSample(df, "n", "id", "v1", 100L, None,
+      maxGlobalRows = 500).count() == 200)
+    // over the cap, UNSHARDED: the named error points at the shard arg
+    val e1 = intercept[Exception] {
+      Sampling.tokenBudgetSample(df, "n", "id", "v1", 100L, None,
+        maxGlobalRows = 100).collect()
+    }
+    assert(msgOf(e1).contains("pass shardCol"), msgOf(e1))
+    // the SHARDED form at the same size sails through (the 100 TB path)
+    assert(Sampling.tokenBudgetSample(df, "n", "id", "v1", 100L, Some("shard"),
+      maxGlobalRows = 100).count() == 200)
+    // packTokenIds and packSequences guard identically, by name
+    val e2 = intercept[Exception] {
+      Sampling.packTokenIds(df, "ids", "id", 4, None, None,
+        maxGlobalRows = 100).collect()
+    }
+    assert(msgOf(e2).contains("packTokenIds"), msgOf(e2))
+    val e3 = intercept[Exception] {
+      Sampling.packSequences(df, "n", "id", 50L, None,
+        maxGlobalRows = 100).collect()
+    }
+    assert(msgOf(e3).contains("packSequences"), msgOf(e3))
+    assert(Sampling.packSequences(df, "n", "id", 50L, Some("shard"),
+      maxGlobalRows = 100).count() == 200)
+  }
+
   test("embed_text: unit-norm, word-order invariant, salt/dim sensitive") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
