@@ -88,78 +88,124 @@ object WarcSource {
       contentType: Option[String], contentLength: Long, block: Array[Byte])
 
   /** One scan task: parses every record starting in [start, end) of
-    * `path`. Single-threaded per task; holds the one-byte pushback the
+    * `path`, STREAMED — a record decodes only when the consumer pulls
+    * it (a 128 MB split of HTML bodies must not sit in task heap as a
+    * materialized buffer). The stream closes on exhaustion and on task
+    * completion (a `limit` that stops early must not leak the handle).
+    * Single-threaded per task; holds the one-byte pushback the
     * record-trailer read needs. */
   private final class SplitReader(path: String, start: Long, end: Long,
-      gzip: Boolean) {
+      gzip: Boolean) extends Iterator[Row] {
+
+    private var readFrom: Long = 0L
+    private var pos: Long = 0L     // bytes consumed past `readFrom`
+    private var pending: Int = -1  // one-byte pushback
+    private var in: InputStream = _
+    private var closed = false
+
+    // firstPrefix = the part of the version line the boundary scan
+    // already consumed; Some(_) also marks "this alignment is not
+    // yet parse-validated" for the rescan-on-false-magic path
+    private var firstPrefix: Option[String] = None
+    private var recordStart: Long = start
+    private var primed = false
+    private var done = false
+    private var nextRow: Row = _
+
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+
+    def rows(): Iterator[Row] = this
+
+    /** (re)open the byte stream at absolute offset `from` */
+    private def open(from: Long): Unit = {
+      if (in != null) in.close()
+      val raw = graft.sources.io.ByteStore.openStream(path)
+      val base =
+        if (gzip) new java.util.zip.GZIPInputStream(raw, 64 * 1024)
+        else {
+          var toSkip = from
+          while (toSkip > 0) {
+            val n = raw.skip(toSkip)
+            if (n <= 0) throw new EOFException(
+              s"warc: cannot seek to $from in $path")
+            toSkip -= n
+          }
+          raw
+        }
+      readFrom = from
+      pos = 0L
+      pending = -1
+      in = new BufferedInputStream(base, 64 * 1024)
+    }
 
     // a record starting AT `start` is announced by a CRLFCRLF that ends
     // there — read from 4 bytes early so the boundary scan sees the full
     // magic for every record this split owns (earliest alignable start
     // is then exactly `start`; earlier records stay with the prior split)
-    private val readFrom: Long =
-      if (gzip || start == 0) start else math.max(0L, start - 4)
-    private var pos: Long = 0L     // bytes consumed past `readFrom`
-    private var pending: Int = -1  // one-byte pushback
-    private var in: InputStream = _
+    private def prime(): Unit = {
+      primed = true
+      open(if (gzip || start == 0) start else math.max(0L, start - 4))
+      if (start != 0 && !gzip) scanToBoundary() match {
+        case Some(pfx) =>
+          firstPrefix = Some(pfx)
+          recordStart = readFrom + consumedPos() - pfx.length
+        case None => finish() // no record starts in this range
+      }
+    }
 
-    def rows(): Iterator[Row] = {
-      val raw = graft.sources.io.ByteStore.openStream(path)
-      val base =
-        if (gzip) new java.util.zip.GZIPInputStream(raw, 64 * 1024)
-        else {
-          var toSkip = readFrom
-          while (toSkip > 0) {
-            val n = raw.skip(toSkip)
-            if (n <= 0) throw new EOFException(
-              s"warc: cannot seek to $readFrom in $path")
-            toSkip -= n
+    private def finish(): Unit = { done = true; close() }
+
+    private def close(): Unit =
+      if (!closed) { closed = true; if (in != null) in.close() }
+
+    override def hasNext: Boolean = {
+      if (!primed) prime()
+      while (!done && nextRow == null && recordStart < end) advance()
+      if (!done && nextRow == null) finish() // next record is the peer split's
+      nextRow != null
+    }
+
+    override def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException(s"warc: exhausted $path")
+      val r = nextRow
+      nextRow = null
+      r
+    }
+
+    private def advance(): Unit = {
+      val attempt =
+        try Right(parseRecord(firstPrefix))
+        catch {
+          // a CRLFCRLF+WARC/1. byte run inside an archived payload:
+          // not a record — resume the boundary scan
+          case e @ (_: IllegalArgumentException | _: EOFException |
+                    _: NumberFormatException)
+              if firstPrefix.isDefined => Left(e)
+        }
+      attempt match {
+        case Right(Some(p)) =>
+          nextRow = buildRow(path, recordStart, p)
+          firstPrefix = None
+          recordStart = readFrom + consumedPos()
+        case Right(None) => finish()
+        case Left(_) =>
+          // false magic: the speculative parse may have CONSUMED real
+          // records past it (a bogus Content-Length reads arbitrarily
+          // far), so rescanning from the current position would drop
+          // them — REOPEN just past the false boundary instead. From
+          // `recordStart - 3` the same 11-byte magic cannot re-match
+          // (its first byte is out of window), so the scan strictly
+          // advances; this path is !gzip by construction (only split
+          // alignment speculates), so the seek is a plain skip.
+          open(math.max(0L, recordStart - 3))
+          scanToBoundary() match {
+            case Some(pfx) =>
+              firstPrefix = Some(pfx)
+              recordStart = readFrom + consumedPos() - pfx.length
+            case None => finish()
           }
-          raw
-        }
-      in = new BufferedInputStream(base, 64 * 1024)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      try {
-        // firstPrefix = the part of the version line the boundary scan
-        // already consumed; Some(_) also marks "this alignment is not
-        // yet parse-validated" for the rescan-on-false-magic path
-        var firstPrefix: Option[String] = None
-        var recordStart = start
-        var more = true
-        if (start != 0 && !gzip) scanToBoundary() match {
-          case Some(pfx) =>
-            firstPrefix = Some(pfx)
-            recordStart = readFrom + consumedPos() - pfx.length
-          case None => more = false // no record starts in this range
-        }
-        while (more && recordStart < end) {
-          val attempt =
-            try Right(parseRecord(firstPrefix))
-            catch {
-              // a CRLFCRLF+WARC/1. byte run inside an archived payload:
-              // not a record — resume the boundary scan
-              case e @ (_: IllegalArgumentException | _: EOFException |
-                        _: NumberFormatException)
-                  if firstPrefix.isDefined => Left(e)
-            }
-          attempt match {
-            case Right(Some(p)) =>
-              out += buildRow(path, recordStart, p)
-              firstPrefix = None
-              recordStart = readFrom + consumedPos()
-            case Right(None) => more = false
-            case Left(_) =>
-              pending = -1
-              scanToBoundary() match {
-                case Some(pfx) =>
-                  firstPrefix = Some(pfx)
-                  recordStart = readFrom + consumedPos() - pfx.length
-                case None => more = false
-              }
-          }
-        }
-        out.iterator
-      } finally in.close()
+      }
     }
 
     /** bytes consumed so far, net of the pushback byte */

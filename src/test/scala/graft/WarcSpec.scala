@@ -96,6 +96,39 @@ class WarcSpec extends AnyFunSuite {
     assert(uris(128) == whole)
   }
 
+  test("warc: a fake boundary with a huge Content-Length cannot swallow records") {
+    val s = spark
+    import s.implicits._
+    // the hostile variant: the embedded fake record PARSES as headers
+    // and its bogus Content-Length makes the speculative alignment
+    // parse consume far past real records before failing at EOF — the
+    // rescan must REOPEN just past the false magic (resuming from the
+    // consumed position would silently drop every record in between)
+    val evil = "preamble\r\n\r\nWARC/1.0\r\nContent-Type: fake\r\n" +
+      "Content-Length: 500000\r\n\r\nmore text and the usual words"
+    val df = (0 until 50).map(i => (s"http://t.example/evil2/$i", evil + s" #$i"))
+      .toDF("uri", "html")
+    val dir = tmpDir()
+    WarcSource.Writer.write(df, dir, "uri", "html", files = 1)
+    def uris(splitBytes: Long) =
+      WarcSource.read(spark, Seq(dir), splitBytes)
+        .filter(col("warc_type") === "response")
+        .select("target_uri").collect().map(_.getString(0)).sorted.toSeq
+    val whole = uris(Long.MaxValue >> 1)
+    assert(whole.size == 50)
+    assert(uris(300) == whole)
+    assert(uris(128) == whole)
+  }
+
+  test("warc: reads stream lazily — an early stop leaves no partial rows") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(100), dir, "uri", "html", files = 1)
+    // limit() abandons the iterator mid-split: the task-completion
+    // listener closes the stream, and re-reading still sees everything
+    assert(WarcSource.read(spark, Seq(dir)).limit(3).count() == 3)
+    assert(WarcSource.read(spark, Seq(dir)).count() == 101)
+  }
+
   test("warc: gzip archives stream whole-file (concatenated-member safe)") {
     val dir = tmpDir()
     WarcSource.Writer.write(pages(15), dir, "uri", "html", files = 3, gzip = true)
