@@ -139,9 +139,9 @@ object CuratePipeline {
       case JArray(xs) => xs
       case _ => throw new DslException("curate body must have a 'stages' array")
     }
-    val mapOnly = Set("html_extract", "normalize", "c4_clean", "gopher_filter",
-      "pii_redact", "stratified_sample", "image_hash", "audio_hash",
-      "embed_text")
+    val mapOnly = Set("url_filter", "html_extract", "normalize", "c4_clean",
+      "gopher_filter", "pii_redact", "stratified_sample", "image_hash",
+      "audio_hash", "embed_text")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     val in0 = df.localCheckpoint()
     rows += ((0, "input", in0.count()))
@@ -177,6 +177,22 @@ object CuratePipeline {
       case _ => throw new DslException(s"stage missing string 'op': $st")
     }
     op match {
+      case "url_filter" =>
+        // crawl-frontier hygiene AHEAD of the html_extract front door:
+        // normalize the URL column (fragment/tracker/default-port
+        // strip) and drop rows by scheme, host blocklist (exact or
+        // subdomain), or lowercased-URL regex (the C4 badword-in-URL
+        // rule). Map-only; chain dedup_exact over the normalized
+        // column for frontier dedup.
+        val uc = strOr(st, "url_col", "url")
+        val base =
+          if (bool(st, "normalize", default = true))
+            df.withColumn(uc, TextOps.urlNormalize(col(uc)))
+          else df
+        base.filter(TextOps.urlPass(col(uc),
+          allowSchemes = strSeq(st, "allow_schemes", Seq("http", "https")),
+          blockHosts = strSeq(st, "block_hosts", Nil),
+          blockPatterns = strSeq(st, "block_patterns", Nil)))
       case "html_extract" =>
         // crawl-archive front door: raw HTML in textCol → main-content
         // text (tag strip + jusText-style block heuristic). Map-only;
@@ -555,6 +571,17 @@ object CuratePipeline {
       case JString(s) => s
       case JNothing => default
       case other => throw new DslException(s"'$field' must be a string, got $other")
+    }
+
+  private def strSeq(st: JValue, field: String, default: Seq[String]): Seq[String] =
+    st \ field match {
+      case JArray(xs) => xs.map {
+        case JString(s) => s
+        case other =>
+          throw new DslException(s"'$field' entries must be strings, got $other")
+      }
+      case JNothing => default
+      case other => throw new DslException(s"'$field' must be a string array, got $other")
     }
 
   private def dbl(st: JValue, field: String, default: Double): Double =

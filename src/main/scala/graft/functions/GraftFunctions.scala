@@ -287,6 +287,44 @@ object GraftFunctions {
     // whole-token text match — the indexable full-text predicate
     r.createOrReplaceTempFunction("token_match", es =>
       TextExprs.TokenMatch(es(0), es(1)), "built-in")
+    // crawl-frontier URL hygiene: SQL-text templates over built-ins,
+    // parsed per resolution and spliced over the argument — the
+    // analyzer resolves the nested calls to fixpoint (a Column
+    // converted with ColumnBridge would ride as an OPAQUE node whose
+    // inner functions never resolve). Formulation is identical to
+    // graft.operators.TextOps' Column API, which documents the rules.
+    def urlTpl(tpl: String): Seq[Expression] => Expression = es =>
+      spark.sessionState.sqlParser.parseExpression(tpl).transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts == Seq("__u") => es.head
+      }
+    r.createOrReplaceTempFunction("url_normalize", urlTpl(UrlSql.normalize), "built-in")
+    r.createOrReplaceTempFunction("url_host", urlTpl(UrlSql.host), "built-in")
+    r.createOrReplaceTempFunction("url_scheme", urlTpl(UrlSql.scheme), "built-in")
+  }
+
+  /** the url functions as Spark-SQL text over `__u` (see registerAll) */
+  private object UrlSql {
+    private val t = "regexp_replace(trim(__u), '#.*', '')"
+    val scheme: String =
+      s"lower(regexp_extract($t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    private val rest = s"regexp_replace($t, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    private val rawhp = s"regexp_extract($rest, '^([^/?]*)', 1)"
+    private val hostport = s"lower($rawhp)"
+    val host: String = s"regexp_replace($hostport, ':[0-9]+$$', '')"
+    private val nhost =
+      s"CASE WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '') " +
+        s"WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '') " +
+        s"ELSE $hostport END"
+    private val tail = s"substring($rest, length($rawhp) + 1, length($rest))"
+    private val path = s"regexp_extract($tail, '^([^?]*)', 1)"
+    private val q2 =
+      s"array_join(filter(split(substring($tail, length($path) + 2, length($tail)), '&', -1), " +
+        s"p -> p != '' AND NOT (p rlike '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$$)')), '&')"
+    val normalize: String =
+      s"concat(CASE WHEN $scheme = '' THEN '' ELSE concat($scheme, '://') END, $nhost, " +
+        s"CASE WHEN $path = '/' AND $q2 = '' THEN '' ELSE $path END, " +
+        s"CASE WHEN $q2 = '' THEN '' ELSE concat('?', $q2) END)"
   }
 
   // ------------------------------------------------- Column-level API

@@ -537,6 +537,80 @@ object TextOps {
         p.rules.map(r => col(r._1)).reduce(_ && _))
   }
 
+  // ---------------------------------------------------------------- urls
+  // Crawl-frontier URL hygiene (the step between a WARC scan's
+  // `target_uri` and everything downstream): C4/RefinedWeb-style
+  // pipelines normalize URLs, drop blocked hosts/patterns, and dedup
+  // the frontier BEFORE fetch-side work. All row-local codegen
+  // built-ins with RE2-safe patterns, so the DuckDB oracle replays
+  // identical bytes and a 100 TB frontier is a map-only pass.
+
+  private val urlSchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  /** query params dropped by normalization: click/campaign trackers
+    * (utm_*, gclid, fbclid, msclkid) that fragment frontier dedup */
+  private val urlTrackRe = "^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)"
+
+  /** lowercased scheme, '' when the URL carries none */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(trim(url), urlSchemeRe, 1))
+
+  /** lowercased host without port — the grouping key for domain caps /
+    * per-site mixing ([[Sampling.capPerGroup]]) */
+  def urlHost(url: Column): Column = {
+    val rest = regexp_replace(regexp_replace(trim(url), "#.*", ""),
+      urlSchemeRe, "")
+    lower(regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), ":[0-9]+$", ""))
+  }
+
+  /** Canonical URL: fragment stripped; scheme and host lowercased;
+    * default ports (`:80` http, `:443` https) stripped; tracking
+    * params removed from the query (other params keep their order);
+    * a bare `/` path with no query drops. Two URLs that fetch the
+    * same page under these rules normalize to one string, so exact
+    * dedup on the result IS frontier dedup. */
+  def urlNormalize(url: Column): Column = {
+    val t = regexp_replace(trim(url), "#.*", "")
+    val scheme = lower(regexp_extract(t, urlSchemeRe, 1))
+    val rest = regexp_replace(t, urlSchemeRe, "")
+    // offsets use the RAW extract's length: lower() may change length
+    // outside ASCII (Turkish dotted I), and the tail must cut where
+    // the original hostport ended
+    val rawHostport = regexp_extract(rest, "^([^/?]*)", 1)
+    val hostport = lower(rawHostport)
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val tail = rest.substr(length(rawHostport) + lit(1), length(rest))
+    val path = regexp_extract(tail, "^([^?]*)", 1)
+    val query = tail.substr(length(path) + lit(2), length(tail))
+    val kept = filter(split(query, "&", -1),
+      p => p =!= "" && !p.rlike(urlTrackRe))
+    val q2 = array_join(kept, "&")
+    concat(
+      when(scheme === "", lit("")).otherwise(concat(scheme, lit("://"))),
+      host,
+      when(path === "/" && q2 === "", lit("")).otherwise(path),
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
+  /** true iff `url` survives the frontier gate: scheme allowed (empty
+    * `allowSchemes` skips the check), host not on the blocklist (exact
+    * or dot-suffix subdomain match), and no blocklist pattern matches
+    * the lowercased URL (the C4 badword-in-URL rule shape). */
+  def urlPass(url: Column, allowSchemes: Seq[String] = Seq("http", "https"),
+      blockHosts: Seq[String] = Nil, blockPatterns: Seq[String] = Nil): Column = {
+    val host = urlHost(url)
+    val schemeOk =
+      if (allowSchemes.isEmpty) lit(true)
+      else urlScheme(url).isin(allowSchemes.map(_.toLowerCase): _*)
+    val hostBlocked = blockHosts.map(_.toLowerCase)
+      .map(h => host === h || host.endsWith("." + h))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val patBlocked = blockPatterns.map(p => lower(url).rlike(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    schemeOk && !hostBlocked && !patBlocked
+  }
+
   /** Standard per-document profile used by the gate queries. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -986,6 +986,63 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- URL canonicalization (r12): the crawl-frontier step between
+    // a WARC scan's target_uri and html_extract — fragment strip,
+    // scheme/host lowercase, default-port strip, tracking-param
+    // removal, bare-/ drop. Adversarial seeds cover every rule plus a
+    // non-default port and a schemeless URL; the oracle replays the
+    // identical byte transforms.
+    "q_url_normalize" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), docUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"),
+          TextOps.urlNormalize(col("url")).as("url_norm"),
+          TextOps.urlHost(col("url")).as("host"),
+          TextOps.urlScheme(col("url")).as("scheme"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- frontier curation (r12): url_filter (normalize + scheme
+    // gate + host blocklist incl. subdomains + badword-in-URL regex)
+    // chained into dedup_exact OVER THE URL COLUMN — frontier dedup as
+    // one two-stage CURATE pipeline. Tracking-decorated +1M variants
+    // normalize onto their originals and dedup away; the all-identical
+    // %8=7 cluster keeps exactly its min doc_id.
+    "q_curate_url_filter" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id").cast("string")
+      val base = when(col("doc_id") % 8 === 0,
+          concat(lit("https://ads.example.com/banner/"), d))
+        .when(col("doc_id") % 8 === 1,
+          concat(lit("https://Track.ads.example.com/pix/"), d))
+        .when(col("doc_id") % 8 === 2,
+          concat(lit("http://games.example.com/casino/page-"), d))
+        .when(col("doc_id") % 8 === 3,
+          concat(lit("ftp://archive.example.io/data/"), d))
+        .when(col("doc_id") % 8 === 4,
+          concat(lit("HTTP://Shop.Example.COM:80/item/"), d,
+            lit("?utm_source=x&ref="), d, lit("#top")))
+        .when(col("doc_id") % 8 === 5,
+          concat(lit("https://news.example.org/story-"), d))
+        .when(col("doc_id") % 8 === 6,
+          concat(lit("docs.example.net/guide/"), d))
+        .otherwise(lit("https://WWW.Example.com:443/"))
+      val seed = docs.select(col("doc_id"), base.as("url"))
+        .unionByName(docs.filter(col("doc_id") % 8 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("https://News.example.org:443/story-"), d,
+              lit("?utm_campaign=z#frag")).as("url")))
+      val spec = """{"stages": [
+        {"op": "url_filter", "block_hosts": ["ads.example.com"],
+         "block_patterns": ["casino"]},
+        {"op": "dedup_exact"}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(seed, spec, textCol = "url",
+          idCol = "doc_id")
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- FineWeb recipe v2 (r12): the same 11 stages behind an
     // html_extract front door — CURATE TABLE now covers crawl-archive
     // HTML → trainer sequences end-to-end. Twelve stages, all
@@ -1442,6 +1499,68 @@ object QueriesData {
       || '<div class="share">Please <a href="/share">share</a>'
       || ' <a href="/like">like</a> <a href="/sub">subscribe</a></div>' || chr(10)
       || '<footer>Copyright &amp; all rights reserved</footer>' || chr(10) || '</body></html>'"""
+
+  /** Adversarial URL seed per document: default ports under mixed-case
+    * schemes/hosts, tracking params before/between/after real ones,
+    * fragments, a schemeless URL, and a non-default port on a non-http
+    * scheme. The SQL twin below builds the identical bytes in DuckDB. */
+  private[queries] def docUrl(docId: Column): Column = {
+    val d = docId.cast("string")
+    when(docId % 6 === 0, concat(lit("HTTP://Example.COM:80/path/to/page-"), d,
+        lit("?utm_source=news&id="), d, lit("&utm_medium=email#frag")))
+      .when(docId % 6 === 1,
+        concat(lit("https://WWW.News.org:443/?gclid=abc"), d, lit("&q=term")))
+      .when(docId % 6 === 2,
+        concat(lit("http://cdn.example.com/item/"), d, lit(".html#sec-2")))
+      .when(docId % 6 === 3, concat(lit("files.example.net/plain/"), d))
+      .when(docId % 6 === 4,
+        concat(lit("FTP://Archive.example.io:2121/data/"), d))
+      .otherwise(concat(lit("https://Shop.example.com/p?fbclid=x"), d,
+        lit("&a=1&msclkid=y&b=2")))
+  }
+
+  /** [[docUrl]] as a DuckDB expression over doc_id */
+  private[queries] val docUrlSql: String =
+    raw"""CASE CAST(doc_id % 6 AS INTEGER)
+      WHEN 0 THEN 'HTTP://Example.COM:80/path/to/page-' || CAST(doc_id AS VARCHAR)
+        || '?utm_source=news&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=email#frag'
+      WHEN 1 THEN 'https://WWW.News.org:443/?gclid=abc' || CAST(doc_id AS VARCHAR) || '&q=term'
+      WHEN 2 THEN 'http://cdn.example.com/item/' || CAST(doc_id AS VARCHAR) || '.html#sec-2'
+      WHEN 3 THEN 'files.example.net/plain/' || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN 'FTP://Archive.example.io:2121/data/' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://Shop.example.com/p?fbclid=x' || CAST(doc_id AS VARCHAR) || '&a=1&msclkid=y&b=2'
+      END"""
+
+  /** [[graft.operators.TextOps.urlNormalize]] (plus urlHost/urlScheme)
+    * replayed as CTEs over `src(doc_id, url)` → `outName(doc_id, url,
+    * host, scheme)` with `url` normalized; offsets use the raw
+    * hostport length, mirroring the Spark column exactly. */
+  private[queries] def urlNormCtes(src: String, outName: String): String =
+    raw"""u1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS t FROM $src),
+      u2 AS (SELECT doc_id, t,
+          lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u1),
+      u3 AS (SELECT doc_id, scheme, rest,
+          regexp_extract(rest, '^([^/?]*)', 1) AS rawhp FROM u2),
+      u4 AS (SELECT doc_id, scheme, lower(rawhp) AS hostport,
+          CASE WHEN scheme = 'http' THEN regexp_replace(lower(rawhp), ':80${"$"}', '')
+               WHEN scheme = 'https' THEN regexp_replace(lower(rawhp), ':443${"$"}', '')
+               ELSE lower(rawhp) END AS nhost,
+          substr(rest, len(rawhp) + 1) AS tail FROM u3),
+      u5 AS (SELECT doc_id, scheme, hostport, nhost, tail,
+          regexp_extract(tail, '^([^?]*)', 1) AS path FROM u4),
+      u6 AS (SELECT doc_id, scheme, hostport, nhost, path,
+          -- coalesce: array_to_string([]) is NULL in DuckDB where
+          -- Spark's array_join([]) is '' — the seam this CTE mirrors
+          coalesce(array_to_string(list_filter(string_split(substr(tail, len(path) + 2), '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|${"$"})')), '&'), '') AS q2 FROM u5),
+      $outName AS (SELECT doc_id,
+          CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END || nhost ||
+          CASE WHEN path = '/' AND q2 = '' THEN '' ELSE path END ||
+          CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url,
+          regexp_replace(hostport, ':[0-9]+${"$"}', '') AS host,
+          scheme FROM u6)"""
 
   /** [[graft.operators.TextOps.htmlExtractText]] replayed as CTEs over
     * `src(doc_id, …, html)` → `outName(doc_id, <passengers>, text)`;
@@ -2927,6 +3046,46 @@ object QueriesData {
           UNION ALL SELECT 10, 'tokenize', count(*) FROM tb
           UNION ALL SELECT 11, 'pack', count(*) FROM sq)
         ORDER BY stage""",
+    // URL seed + the normalize/host/scheme CTE replay (identical bytes)
+    "q_url_normalize" ->
+      s"""WITH seed AS (SELECT doc_id, $docUrlSql AS url FROM documents),
+        ${urlNormCtes("seed", "un")}
+        SELECT doc_id, url AS url_norm, host, scheme FROM un
+        ORDER BY doc_id""",
+    // frontier seed (+tracking-decorated variants) → normalize CTEs →
+    // scheme/host/pattern gate → first-id-per-url dedup. Partitioning
+    // by the normalized url matches Dedup.exact's fingerprint classes:
+    // every normalized seed is already lowercase and whitespace-free.
+    "q_curate_url_filter" ->
+      s"""WITH seed AS (
+          SELECT doc_id, CASE CAST(doc_id % 8 AS INTEGER)
+            WHEN 0 THEN 'https://ads.example.com/banner/' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN 'https://Track.ads.example.com/pix/' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN 'http://games.example.com/casino/page-' || CAST(doc_id AS VARCHAR)
+            WHEN 3 THEN 'ftp://archive.example.io/data/' || CAST(doc_id AS VARCHAR)
+            WHEN 4 THEN 'HTTP://Shop.Example.COM:80/item/' || CAST(doc_id AS VARCHAR)
+              || '?utm_source=x&ref=' || CAST(doc_id AS VARCHAR) || '#top'
+            WHEN 5 THEN 'https://news.example.org/story-' || CAST(doc_id AS VARCHAR)
+            WHEN 6 THEN 'docs.example.net/guide/' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://WWW.Example.com:443/' END AS url
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'https://News.example.org:443/story-' || CAST(doc_id AS VARCHAR)
+              || '?utm_campaign=z#frag'
+          FROM documents WHERE doc_id % 8 = 5),
+        ${urlNormCtes("seed", "un")},
+        f AS (SELECT doc_id, url FROM un
+          WHERE scheme IN ('http', 'https')
+            AND NOT (host = 'ads.example.com'
+              OR ends_with(host, '.ads.example.com'))
+            AND NOT regexp_matches(lower(url), 'casino')),
+        ded AS (SELECT doc_id, url FROM (
+            SELECT doc_id, url,
+              row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rn
+            FROM f)
+          WHERE rn = 1)
+        SELECT doc_id, url FROM ded ORDER BY doc_id""",
     // HTML wrap + block-by-block extraction replay (identical bytes)
     "q_html_extract" ->
       s"""WITH h AS (SELECT doc_id, ${docHtmlSql("text")} AS html FROM documents),

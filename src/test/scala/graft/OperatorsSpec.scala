@@ -1517,4 +1517,63 @@ class OperatorsSpec extends AnyFunSuite {
     // identical text → identical vectors → cos 1 ≥ tau → higher id drops
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  // ------------------------------------------------------------- urls
+
+  private def norm1(u: String): String = {
+    import spark.implicits._
+    Seq(u).toDF("u")
+      .select(graft.operators.TextOps.urlNormalize(col("u"))).head().getString(0)
+  }
+
+  test("url_normalize: rules the gate seeds don't isolate (r12)") {
+    // empty query after tracker strip drops the '?', bare '/' stays
+    // when a query survives, '?' with nothing after it drops
+    assert(norm1("https://A.com/x?utm_source=1") == "https://a.com/x")
+    assert(norm1("https://a.com/?q=1") == "https://a.com/?q=1")
+    assert(norm1("https://a.com/x?") == "https://a.com/x")
+    // default port strips only under its own scheme
+    assert(norm1("http://a.com:443/x") == "http://a.com:443/x")
+    assert(norm1("https://a.com:80/x") == "https://a.com:80/x")
+    // tracker params drop wherever they sit; survivors keep order
+    assert(norm1("http://a.com/x?b=2&utm_x=0&a=1") == "http://a.com/x?b=2&a=1")
+    // path case is significant, host case is not
+    assert(norm1("HTTP://A.com/Path") == "http://a.com/Path")
+    // a valueless tracker and a prefix-named non-tracker
+    assert(norm1("http://a.com/x?gclid&gclid2=keep") == "http://a.com/x?gclid2=keep")
+    // null in → null out
+    import spark.implicits._
+    assert(Seq[Option[String]](None).toDF("u")
+      .select(graft.operators.TextOps.urlNormalize(col("u"))).head().isNullAt(0))
+    // the SQL registrations resolve and agree with the Column API
+    assert(spark.sql(
+      "SELECT url_normalize('HTTP://A.com:80/x?utm_a=1'), " +
+        "url_host('https://B.org:8443/p'), url_scheme('FTP://c.io/d')")
+      .head() == org.apache.spark.sql.Row("http://a.com/x", "b.org", "ftp"))
+  }
+
+  test("url_filter stage: scheme allow-list, subdomain blocks, normalize=false (r12)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://ok.example.com/a"),
+      (2L, "https://ads.net/x"),            // blocked host, exact
+      (3L, "https://sub.ads.net/x"),        // blocked host, subdomain
+    (4L, "https://badsads.net/x"),        // NOT blocked: suffix needs the dot
+      (5L, "ftp://files.example.com/x"),     // scheme
+      (6L, "https://ok.example.com/casino")) // pattern
+      .toDF("doc_id", "url")
+    val spec = """{"stages": [{"op": "url_filter",
+      "block_hosts": ["ads.net"], "block_patterns": ["casino"]}]}"""
+    val kept = graft.dsl.CuratePipeline.compile(rows, spec, textCol = "url",
+        idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    // allow_schemes override admits ftp; normalize=false keeps bytes
+    val spec2 = """{"stages": [{"op": "url_filter", "normalize": false,
+      "allow_schemes": ["ftp"]}]}"""
+    val out2 = graft.dsl.CuratePipeline.compile(rows, spec2, textCol = "url",
+        idCol = "doc_id").select("doc_id", "url").collect()
+    assert(out2.map(_.getLong(0)).toSet == Set(5L))
+    assert(out2.head.getString(1) == "ftp://files.example.com/x")
+  }
 }
