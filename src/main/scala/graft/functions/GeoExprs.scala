@@ -238,6 +238,37 @@ object GeoExprs {
       copy(l, r)
   }
 
+  /** st_convex_hull(wkt) → monotone-chain hull as WKT POLYGON (POINT
+    * when the input is a single point) */
+  case class StConvexHull(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_convex_hull"
+    override def nullSafeEval(a: Any): Any =
+      UTF8String.fromString(Geo.stConvexHull(a.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stConvexHull($a.toString()));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_simplify(wkt, tol) → Douglas–Peucker two-anchor ring
+    * simplification as WKT */
+  case class StSimplify(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_simplify"
+    override def nullSafeEval(a: Any, t: Any): Any =
+      UTF8String.fromString(Geo.stSimplify(a.asInstanceOf[UTF8String].toString,
+        t.asInstanceOf[Double]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, t) =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stSimplify($a.toString(), $t));")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** st_union / st_intersection (r12): general polygon booleans via
     * Greiner–Hormann — concave × concave, multi-component results as
     * MULTIPOLYGON, canonical vertex order. `which` = true for union. */
@@ -323,6 +354,11 @@ object GeoExprs {
   def st_intersection(a: Column, b: Column): Column =
     ColumnBridge.column(StBoolean(
       ColumnBridge.expression(a), ColumnBridge.expression(b), union = false))
+  def st_convex_hull(a: Column): Column =
+    ColumnBridge.column(StConvexHull(ColumnBridge.expression(a)))
+  def st_simplify(a: Column, tol: Column): Column =
+    ColumnBridge.column(StSimplify(ColumnBridge.expression(a),
+      ColumnBridge.expression(tol.cast(org.apache.spark.sql.types.DoubleType))))
   def st_xmin(a: Column): Column =
     ColumnBridge.column(StBound(ColumnBridge.expression(a), 0))
   def st_xmax(a: Column): Column =

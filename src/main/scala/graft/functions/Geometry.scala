@@ -955,6 +955,125 @@ object Geo {
   def unionWkt(a: Geom, b: Geom): String = ghBoolean(a, b, union = true)
   def intersectionWkt(a: Geom, b: Geom): String = ghBoolean(a, b, union = false)
 
+  // ------------------------------------------- hull & simplification
+
+  /** open vertex list of a ring (closing duplicate dropped) */
+  private def openRing(r: Ring): Array[(Double, Double)] = {
+    val n0 = r.size
+    val n = if (n0 > 1 && r.xs(0) == r.xs(n0 - 1) && r.ys(0) == r.ys(n0 - 1))
+      n0 - 1 else n0
+    Array.tabulate(n)(k => (r.xs(k), r.ys(k)))
+  }
+
+  /** ST_ConvexHull: hull of every vertex (Andrew's monotone chain,
+    * strict turns — collinear mid-edge points drop). Holes never
+    * contribute (they lie inside their outer). POINT for a single
+    * distinct point; an all-collinear vertex set rejects loudly (the
+    * hull would be a LINESTRING, outside the geometry model). */
+  def convexHullWkt(g: Geom): String = {
+    val pts: Array[(Double, Double)] = (g match {
+      case PointGeom(x, y) => Array((x, y))
+      case PolygonGeom(p) => openRing(p.outer)
+      case MultiPolygonGeom(ps) => ps.toArray.flatMap(p => openRing(p.outer))
+    }).distinct
+    if (pts.length == 1)
+      return s"POINT (${fmt(pts(0)._1)} ${fmt(pts(0)._2)})"
+    val s = pts.sortBy(p => (p._1, p._2))
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def chain(seq: IndexedSeq[(Double, Double)]) = {
+      val st = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      seq.foreach { p =>
+        while (st.length >= 2 && cross(st(st.length - 2), st(st.length - 1), p) <= 0)
+          st.remove(st.length - 1)
+        st += p
+      }
+      st
+    }
+    val hull = (chain(s).dropRight(1) ++ chain(s.reverse).dropRight(1)).toArray
+    require(hull.length >= 3,
+      "st_convex_hull: degenerate (collinear) input")
+    polyWkt(hull)
+  }
+
+  /** ST_Simplify: Douglas–Peucker with the standard two-anchor ring
+    * form — each ring anchors at its lead vertex and the vertex
+    * farthest from it, then DP runs over the two open halves (a single
+    * anchor's chords cross the interior and retain spurious points).
+    * `tol` = max perpendicular deviation a removed vertex may have
+    * from its local chord. A ring left with fewer than 3 distinct
+    * vertices drops — a dropped outer drops its polygon (POLYGON
+    * EMPTY when none remain), a dropped hole just disappears. */
+  def simplifyWkt(g: Geom, tol: Double): String = {
+    require(tol >= 0, "st_simplify: tolerance must be non-negative")
+    g match {
+      case PointGeom(x, y) => s"POINT (${fmt(x)} ${fmt(y)})"
+      case PolygonGeom(p) => simplifiedToWkt(simplifyPolygon(p, tol).toSeq)
+      case MultiPolygonGeom(ps) =>
+        simplifiedToWkt(ps.flatMap(simplifyPolygon(_, tol)))
+    }
+  }
+
+  private def simplifyPolygon(p: Polygon, tol: Double)
+      : Option[(Array[(Double, Double)], Seq[Array[(Double, Double)]])] =
+    simplifyRing(openRing(p.outer), tol).map { o =>
+      (o, p.holes.flatMap(h => simplifyRing(openRing(h), tol)))
+    }
+
+  private def simplifyRing(pts: Array[(Double, Double)],
+      tol: Double): Option[Array[(Double, Double)]] = {
+    if (pts.distinct.length < 3) return None
+    // second anchor: farthest vertex from the lead
+    var far = 1; var fd = -1.0
+    var i = 1
+    while (i < pts.length) {
+      val dx = pts(i)._1 - pts(0)._1; val dy = pts(i)._2 - pts(0)._2
+      val d = dx * dx + dy * dy
+      if (d > fd) { fd = d; far = i }
+      i += 1
+    }
+    val keep = Array.fill(pts.length)(false)
+    keep(0) = true; keep(far) = true
+    def lineDist(p: (Double, Double), a: (Double, Double), b: (Double, Double)): Double = {
+      val bx = b._1 - a._1; val by = b._2 - a._2
+      val len = math.sqrt(bx * bx + by * by)
+      if (len == 0) math.hypot(p._1 - a._1, p._2 - a._2)
+      else math.abs(bx * (p._2 - a._2) - by * (p._1 - a._1)) / len
+    }
+    // dp over chain indices lo..hi in ring order (hi may wrap past n)
+    def at(k: Int) = pts(k % pts.length)
+    def dp(lo: Int, hi: Int): Unit = {
+      if (hi <= lo + 1) return
+      var best = -1; var bd = -1.0
+      var k = lo + 1
+      while (k < hi) {
+        val d = lineDist(at(k), at(lo), at(hi))
+        if (d > bd) { bd = d; best = k }
+        k += 1
+      }
+      if (bd > tol) { keep(best % pts.length) = true; dp(lo, best); dp(best, hi) }
+    }
+    dp(0, far)
+    dp(far, pts.length) // wraps back to the lead anchor
+    val kept = pts.indices.filter(keep).map(pts).toArray
+    if (kept.distinct.length >= 3) Some(kept) else None
+  }
+
+  /** rings with explicit outer/hole structure → WKT (outers CCW,
+    * holes CW, canonical lead vertex) */
+  private def simplifiedToWkt(
+      polys: Seq[(Array[(Double, Double)], Seq[Array[(Double, Double)]])]): String = {
+    if (polys.isEmpty) return "POLYGON EMPTY"
+    def ringStr(r: Array[(Double, Double)]): String =
+      "(" + (r :+ r(0)).map { case (x, y) => fmt(x) + " " + fmt(y) }
+        .mkString(", ") + ")"
+    def polyStr(p: (Array[(Double, Double)], Seq[Array[(Double, Double)]])): String =
+      "(" + (canonRing(p._1, ccw = true) +: p._2.map(canonRing(_, ccw = false)))
+        .map(ringStr).mkString(", ") + ")"
+    if (polys.length == 1) "POLYGON " + polyStr(polys.head)
+    else "MULTIPOLYGON (" + polys.map(polyStr).mkString(", ") + ")"
+  }
+
   // string-in entry points for the codegen expressions (one cached
   // parse per distinct WKT per executor)
   def stDistance(a: String, b: String): Double =
@@ -980,6 +1099,9 @@ object Geo {
     unionWkt(parseWktCached(a), parseWktCached(b))
   def stIntersection(a: String, b: String): String =
     intersectionWkt(parseWktCached(a), parseWktCached(b))
+  def stConvexHull(a: String): String = convexHullWkt(parseWktCached(a))
+  def stSimplify(a: String, tol: Double): String =
+    simplifyWkt(parseWktCached(a), tol)
   def stXmin(a: String): Double = boundsOf(parseWktCached(a))._1
   def stXmax(a: String): Double = boundsOf(parseWktCached(a))._2
   def stYmin(a: String): Double = boundsOf(parseWktCached(a))._3

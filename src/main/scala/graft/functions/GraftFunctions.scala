@@ -250,6 +250,10 @@ object GraftFunctions {
       es => GeoExprs.StBoolean(es(0), es(1), union = true), "built-in")
     r.createOrReplaceTempFunction("st_intersection",
       es => GeoExprs.StBoolean(es(0), es(1), union = false), "built-in")
+    r.createOrReplaceTempFunction("st_convex_hull",
+      es => GeoExprs.StConvexHull(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_simplify",
+      es => GeoExprs.StSimplify(es(0), Cast(es(1), DoubleType)), "built-in")
     r.createOrReplaceTempFunction("st_xmin",
       es => GeoExprs.StBound(es.head, 0), "built-in")
     r.createOrReplaceTempFunction("st_xmax",

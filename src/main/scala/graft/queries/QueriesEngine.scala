@@ -682,6 +682,55 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- hull + simplification (r12): st_convex_hull (monotone
+    // chain) over the concave U — hull is the enclosing square, byte-
+    // compared as WKT plus closed-form area/npoints — and st_simplify
+    // (two-anchor Douglas–Peucker) over a scale-proportional fixture
+    // (collinear edge midpoint, 0.25s bump under the 0.5s tolerance, a
+    // 3s spike above it): the kept-corner set is scale-invariant, so
+    // npoints and the simplified area are CASE closed forms.
+    "q_geo_suite4" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def i(c: org.apache.spark.sql.Column) = c.cast("int").cast("string")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val sc = $"sc"; val t = $"t"
+      val u = concat(lit("POLYGON (("), i(t), lit(" "), i(t), lit(", "),
+        i(sc * 3 + t), lit(" "), i(t), lit(", "),
+        i(sc * 3 + t), lit(" "), i(sc * 3 + t), lit(", "),
+        i(sc * 2 + t), lit(" "), i(sc * 3 + t), lit(", "),
+        i(sc * 2 + t), lit(" "), i(sc + t), lit(", "),
+        i(sc + t), lit(" "), i(sc + t), lit(", "),
+        i(sc + t), lit(" "), i(sc * 3 + t), lit(", "),
+        i(t), lit(" "), i(sc * 3 + t), lit(", "),
+        i(t), lit(" "), i(t), lit("))"))
+      val sd = sc.cast("double")
+      val simp = concat(lit("POLYGON (("),
+        d(t), lit(" "), d(t), lit(", "),
+        d(sd + t), lit(" "), d(sd * 0.25 + t), lit(", "),
+        d(sd * 4 + t), lit(" "), d(t), lit(", "),
+        d(sd * 4 + t), lit(" "), d(sd + t), lit(", "),
+        d(sd * 4 + t), lit(" "), d(sd * 2 + t), lit(", "),
+        d(sd * 2.5 + t), lit(" "), d(sd * 2 + t), lit(", "),
+        d(sd * 2 + t), lit(" "), d(sd * 5 + t), lit(", "),
+        d(sd * 1.5 + t), lit(" "), d(sd * 2 + t), lit(", "),
+        d(t), lit(" "), d(sd * 2 + t), lit(", "),
+        d(t), lit(" "), d(t), lit("))"))
+      val simplified = GeoExprs.st_simplify(simp, sd * 0.5)
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          ($"n_nationkey" % 3 + 1).cast("int").as("sc"),
+          $"n_nationkey".cast("int").as("t"))
+        .select($"n_nationkey",
+          GeoExprs.st_convex_hull(u).as("hull_wkt"),
+          round(GeoExprs.st_area(GeoExprs.st_convex_hull(u)), 6).as("hull_area"),
+          GeoExprs.st_npoints(GeoExprs.st_convex_hull(u)).cast(LongType).as("hull_np"),
+          GeoExprs.st_npoints(simplified).cast(LongType).as("simp_np"),
+          round(GeoExprs.st_area(simplified), 6).as("simp_area"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- ST_Extent aggregate: per-group bounding box of the points,
     // map-side min/max partials — one 4-double row per group shuffles
     "q_geo_extent" -> { (s, dir) =>
@@ -1014,6 +1063,24 @@ object QueriesEngine {
                  CAST(n_nationkey % 4 + 2 AS INT) AS a,
                  CAST(n_nationkey % 3 + 1 AS INT) AS sc
                FROM nation) t
+         ORDER BY n_nationkey""",
+    // hull = the U's enclosing square (WKT byte-compared, closed-form
+    // area/npoints); simplify keeps the scale-invariant corner set
+    "q_geo_suite4" ->
+      """SELECT n_nationkey,
+           'POLYGON ((' || t || ' ' || t || ', '
+             || (3 * sc + t) || ' ' || t || ', '
+             || (3 * sc + t) || ' ' || (3 * sc + t) || ', '
+             || t || ' ' || (3 * sc + t) || ', '
+             || t || ' ' || t || '))' AS hull_wkt,
+           round(CAST(9 * sc * sc AS DOUBLE), 6) AS hull_area,
+           CAST(5 AS BIGINT) AS hull_np,
+           CAST(8 AS BIGINT) AS simp_np,
+           round(CAST(9.5 * sc * sc AS DOUBLE), 6) AS simp_area
+         FROM (SELECT n_nationkey,
+                 CAST(n_nationkey % 3 + 1 AS INT) AS sc,
+                 CAST(n_nationkey AS INT) AS t
+               FROM nation) q
          ORDER BY n_nationkey""",
     "q_geo_extent" ->
       """SELECT l_returnflag,

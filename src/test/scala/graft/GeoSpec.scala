@@ -346,4 +346,55 @@ class GeoSpec extends AnyFunSuite {
     assert(stArea(stIntersection(
       "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))", diamond)) == 14.0)
   }
+
+  test("st_convex_hull: concave, multipolygon, collinear and point inputs (r12)") {
+    // concave U → its enclosing square; collinear edge midpoints drop
+    assert(stConvexHull(
+      "POLYGON ((0 0, 2 0, 3 0, 3 3, 2 3, 2 1, 1 1, 1 3, 0 3, 0 0))") ==
+      "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))")
+    // hull spans a multipolygon's components; holes contribute nothing
+    assert(stConvexHull(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((4 0, 5 0, 5 1, 4 1, 4 0)))") ==
+      "POLYGON ((0 0, 5 0, 5 1, 0 1, 0 0))")
+    assert(stConvexHull(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))") ==
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // rotated triangle unchanged (already convex)
+    assert(stConvexHull("POLYGON ((2 0, 4 3, 0 2, 2 0))") ==
+      "POLYGON ((0 2, 2 0, 4 3, 0 2))")
+    assert(stConvexHull("POINT (3 4)") == "POINT (3 4)")
+    val deg = intercept[IllegalArgumentException] {
+      // all vertices on one line — the hull would be a LINESTRING
+      stConvexHull("POLYGON ((0 0, 1 1, 2 2, 0 0))")
+    }
+    assert(deg.getMessage.contains("degenerate"))
+  }
+
+  test("st_simplify: bumps under tol drop, spikes stay, rings can vanish (r12)") {
+    // collinear midpoint + 0.2 bump drop at tol 0.5; the true corners stay
+    assert(stSimplify(
+      "POLYGON ((0 0, 1 0.2, 2 0, 4 0, 4 2, 0 2, 0 0))", 0.5) ==
+      "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+    // a 3-unit spike survives the same tolerance
+    assert(stSimplify(
+      "POLYGON ((0 0, 4 0, 4 2, 2.5 2, 2 5, 1.5 2, 0 2, 0 0))", 0.5) ==
+      "POLYGON ((0 0, 4 0, 4 2, 2.5 2, 2 5, 1.5 2, 0 2, 0 0))")
+    // tol 0 keeps every non-collinear vertex
+    assert(stSimplify("POLYGON ((0 0, 1 0.2, 2 0, 2 2, 0 2, 0 0))", 0.0) ==
+      "POLYGON ((0 0, 1 0.2, 2 0, 2 2, 0 2, 0 0))")
+    // a hole below tolerance disappears; the outer stays
+    assert(stSimplify(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+        "(5 5, 5.2 5, 5.2 5.2, 5 5.2, 5 5))", 0.5) ==
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // an outer collapsing under tolerance → POLYGON EMPTY
+    assert(stSimplify("POLYGON ((0 0, 0.2 0.1, 0.4 0, 0.2 0.05, 0 0))", 0.5) ==
+      "POLYGON EMPTY")
+    // multipolygon: one component survives, one collapses
+    assert(stSimplify(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+        "((8 8, 8.2 8.1, 8.4 8, 8.2 8.05, 8 8)))", 0.5) ==
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(stSimplify("POINT (1 2)", 0.5) == "POINT (1 2)")
+  }
 }
