@@ -218,7 +218,7 @@ object JsonQuery {
 
   // ------------------------------------------------------------- from
 
-  private val formatKeys = Set("csv", "parquet", "jsonl", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg")
+  private val formatKeys = Set("csv", "parquet", "jsonl", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg", "warc")
 
   /** best-effort pruning conditions: AND-reachable comparison leaves of
     * the filter tree (OR subtrees contribute nothing — conservative) */
@@ -313,6 +313,14 @@ object JsonQuery {
         def opt(k: String) = spec.get(k).collect { case JString(s) => s }
         graft.sources.icechunk.IcechunkSource.read(spark, paths.head,
           opt("branch"), opt("tag"), opt("snapshot"))
+      case "warc" => // read_warc(files [, split_bytes]): crawl archives
+        val split = spec.get("split_bytes") match {
+          case Some(JInt(n)) => n.toLong
+          case Some(JLong(n)) => n
+          case None => graft.sources.WarcSource.DefaultSplitBytes
+          case other => throw new DslException(s"bad split_bytes: $other")
+        }
+        graft.sources.WarcSource.read(spark, paths, split)
       case "bbf" => // read_bbf(files [, entry]): multi-entry binary containers
         val entry = spec.get("entry").collect { case JString(e) => e }
         graft.sources.bbf.BbfSource.read(spark, paths, entry)

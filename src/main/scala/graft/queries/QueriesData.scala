@@ -1055,6 +1055,43 @@ object QueriesData {
         .orderBy(col("source"), col("seq_id"))
     },
 
+    // ---- FineWeb recipe v3 (r12): the COMPLETE crawl shape as one
+    // run — the seed pages write to a real 2-file WARC archive, read
+    // back through the record-offset-split scanner, re-key by crawl id
+    // (doc_id parsed from target_uri; lang/source re-attached by a
+    // metadata join — the realistic crawl-side pattern), then
+    // url_filter (an ad-host shard of the frontier drops whole) →
+    // html_extract → the 11-stage chain. The oracle replays from the
+    // source parquet minus the blocked %9 shard: the WARC round trip
+    // is byte-identical (q_warc_scan pins it), so the remaining
+    // pipeline is exactly v2's CTE chain over the filtered seed.
+    "q_curate_fineweb_v3" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val d = col("doc_id").cast("string")
+      val uri = when(col("doc_id") % 9 === 0,
+          concat(lit("https://ads.example.com/banner/"), d))
+        .otherwise(concat(lit("https://Corpus.example.org:443/doc/"), d,
+          lit("?utm_source=crawl")))
+      val pages = fineWebHtmlSeed(s, dir).select(uri.as("uri"),
+        col("text").as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fw3").toString
+      graft.sources.WarcSource.Writer.write(pages, tmp, "uri", "html", files = 2)
+      val recs = graft.sources.WarcSource.read(s, Seq(tmp), splitBytes = 64 * 1024)
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri").as("url"),
+          col("body").cast(StringType).as("text"),
+          regexp_extract(col("target_uri"), "/([0-9]+)", 1)
+            .cast(LongType).as("doc_id"))
+      val meta = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 97 === 0).as("is_bench"))
+      graft.dsl.CuratePipeline.compile(recs.join(meta, "doc_id"), fineWebSpecV3)
+        .select(col("source"), col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("ids_md5"))
+        .orderBy(col("source"), col("seq_id"))
+    },
+
     // ---- self-contained semantic dedup (r12): embed_text (signed
     // feature hashing, md5-replayable) chained into semdedup — the
     // semantic-dedup path with NO external vector column. e1 pins the
@@ -1673,6 +1710,12 @@ object QueriesData {
   /** v2 seed: the v1 seed text wrapped in adversarial HTML */
   private def fineWebHtmlSeed(s: SparkSession, dir: String): DataFrame =
     fineWebSeed(s, dir).withColumn("text", docHtml(col("doc_id"), col("text")))
+
+  /** the v3 recipe: url_filter ahead of v2's 12 stages — the full
+    * crawl shape (frontier gate → extraction → curation) */
+  private val fineWebSpecV3 =
+    """{"stages": [{"op": "url_filter", "block_hosts": ["ads.example.com"]},""" +
+      fineWebSpecV2.drop("""{"stages": [""".length)
 
   /** Per-stage wall timings of the FineWeb recipe for [[graft.Bench]]
     * (the north-star path must regress visibly per-stage, not only via
@@ -3102,6 +3145,18 @@ object QueriesData {
               (doc_id % 97 = 0) AS is_bench,
               ${docHtmlSql(s"($fwSeedTextSql)")} AS html
             FROM documents),
+          ${htmlExtractCtes("fwraw", "fw0", "s.lang, s.source, s.is_bench,")}""")}
+        SELECT source, seq_id, n_tokens, ids_md5 FROM sq
+        ORDER BY source, seq_id""",
+    // v3 = v2's chain over the frontier survivors: the WARC round trip
+    // is byte-identical (q_warc_scan) and the %9 ad-host shard drops
+    // at url_filter, so the replay is the v2 CTEs minus that shard
+    "q_curate_fineweb_v3" ->
+      s"""WITH RECURSIVE ${fineWebCtesFrom(
+          raw"""fwraw AS MATERIALIZED (SELECT doc_id, lang, source,
+              (doc_id % 97 = 0) AS is_bench,
+              ${docHtmlSql(s"($fwSeedTextSql)")} AS html
+            FROM documents WHERE doc_id % 9 <> 0),
           ${htmlExtractCtes("fwraw", "fw0", "s.lang, s.source, s.is_bench,")}""")}
         SELECT source, seq_id, n_tokens, ids_md5 FROM sq
         ORDER BY source, seq_id""",

@@ -141,6 +141,17 @@ class WarcSpec extends AnyFunSuite {
     assert(body.contains("Doc number 3"))
   }
 
+  test("warc: the JSON DSL from clause reaches read_warc (r12)") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(12), dir, "uri", "html", files = 1)
+    val q = s"""{"select": ["target_uri", "warc_type", "http_status"],
+                 "filter": {"column": "warc_type", "eq": "response"},
+                 "from": {"warc": {"paths": ["$dir"], "split_bytes": 4096}}}"""
+    val rows = graft.dsl.JsonQuery.compile(spark, q).collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.getAs[Int]("http_status") == 200))
+  }
+
   test("warc: non-http records keep their raw block as body") {
     val dir = tmpDir()
     WarcSource.Writer.write(pages(1), dir, "uri", "html", files = 1)
