@@ -394,6 +394,28 @@ object QueriesFormats {
           md5(col("body")).as("body_md5"))
         .orderBy("warc_type", "uri")
     },
+    // WARC gz-member round trip (r12): same archive content as
+    // q_warc_scan but in the standard crawl layout — one gzip member
+    // per record — read back through COMPRESSED-OFFSET member splits
+    // (16 KiB splits force the raw magic scan + parse-validated member
+    // alignment on every task). Same oracle shape as q_warc_scan.
+    "q_warc_gz" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        QueriesData.docHtml(col("doc_id"), col("text")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcgz").toString
+      graft.sources.WarcSource.Writer.write(pages, tmp, "uri", "html",
+        files = 2, gzip = true)
+      graft.sources.WarcSource.read(s, Seq(tmp), splitBytes = 16 * 1024)
+        .select(col("warc_type"),
+          coalesce(col("target_uri"), lit("-")).as("uri"),
+          col("warc_date"), col("http_status"), col("http_content_type"),
+          length(col("body").cast(StringType)).cast(LongType).as("body_chars"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("warc_type", "uri")
+    },
     // ODV writer+reader round trip, oracle recomputes from source parquet
     "q_odv_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
@@ -525,8 +547,19 @@ object QueriesFormats {
     "q_zarr_gridded" ->
       s"SELECT * FROM read_parquet('$fixtures/zarr_gridded_slice/*.parquet') ORDER BY lat, lon",
     // response rows recompute the HTML payload; warcinfo rows are the
-    // writer's fixed warc-fields block, one per part file
-    "q_warc_scan" ->
+    // writer's fixed warc-fields block, one per part file; the gz
+    // gate reads the SAME logical archive (member layout is a pure
+    // encoding change the round trip must erase), so one oracle
+    // serves both
+    "q_warc_scan" -> warcOracle,
+    "q_warc_gz" -> warcOracle,
+    "q_odv_roundtrip" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS "time_ISO8601",
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY "time_ISO8601", event_type""",
+  )
+
+  private lazy val warcOracle: String =
       s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
             FROM documents),
         resp AS (SELECT 'response' AS warc_type,
@@ -546,10 +579,5 @@ object QueriesFormats {
                   || 'format: WARC file version 1.1' || chr(13) || chr(10) AS wf)
           CROSS JOIN range(2))
         SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM info)
-        ORDER BY warc_type, uri""",
-    "q_odv_roundtrip" ->
-      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS "time_ISO8601",
-           event_type, count(*) AS n, round(sum(value), 4) AS total_value
-         FROM events GROUP BY 1, 2 ORDER BY "time_ISO8601", event_type""",
-  )
+        ORDER BY warc_type, uri"""
 }

@@ -129,7 +129,7 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcSource.read(spark, Seq(dir)).count() == 101)
   }
 
-  test("warc: gzip archives stream whole-file (concatenated-member safe)") {
+  test("warc: gzip archives read back whole (concatenated-member safe)") {
     val dir = tmpDir()
     WarcSource.Writer.write(pages(15), dir, "uri", "html", files = 3, gzip = true)
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".warc.gz")) == 3)
@@ -139,6 +139,83 @@ class WarcSpec extends AnyFunSuite {
     val body = new String(df.filter(col("target_uri") === "http://t.example/3")
       .head().getAs[Array[Byte]]("body"), UTF_8)
     assert(body.contains("Doc number 3"))
+  }
+
+  test("warc.gz: writer emits one gzip member per record at real member offsets (r12)") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(10), dir, "uri", "html", files = 1, gzip = true)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val offs = WarcSource.read(spark, Seq(dir))
+      .select("record_offset").collect().map(_.getLong(0)).sorted
+    // 10 responses + 1 warcinfo, each its own member → 11 distinct offsets,
+    // the first at byte 0, every one pointing at the RFC 1952 magic
+    assert(offs.length == 11 && offs.distinct.length == 11)
+    assert(offs.head == 0L)
+    offs.foreach { o =>
+      assert((bytes(o.toInt) & 0xff) == 0x1f && (bytes(o.toInt + 1) & 0xff) == 0x8b
+        && (bytes(o.toInt + 2) & 0xff) == 0x08, s"offset $o is not a member start")
+    }
+  }
+
+  test("warc.gz: member-split reads are split-count invariant (r12)") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(200), dir, "uri", "html", files = 1, gzip = true)
+    def ids(splitBytes: Long) =
+      WarcSource.read(spark, Seq(dir), splitBytes)
+        .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    val whole = ids(Long.MaxValue >> 1)
+    assert(whole.size == 201) // 200 responses + 1 warcinfo
+    assert(ids(4 * 1024) == whole) // many mid-file member scans
+    assert(ids(777) == whole)      // unaligned odd-sized splits
+  }
+
+  test("warc.gz: garbage with a fake member magic between members cannot fool the scan (r12)") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(6), dir, "uri", "html", files = 1, gzip = true)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val clean = java.nio.file.Files.readAllBytes(file.toPath)
+    // splice junk carrying the 1f 8b 08 magic between the first two
+    // members: its "member" fails the header/deflate parse and the
+    // scan must recover every real record after it
+    val offs = WarcSource.read(spark, Seq(dir))
+      .select("record_offset").collect().map(_.getLong(0)).sorted
+    val cut = offs(1).toInt // end of the first member
+    val junk = Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08, 0x07,
+      0x41, 0x42, 0x43, 0x44, 0x45, 0x1f.toByte, 0x8b.toByte, 0x08, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x66.toByte)
+    val evil = clean.take(cut) ++ junk ++ clean.drop(cut)
+    val dir2 = tmpDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, "evil.warc.gz"), evil)
+    def uris(splitBytes: Long) =
+      WarcSource.read(spark, Seq(dir2), splitBytes)
+        .filter(col("warc_type") === "response")
+        .select("target_uri").collect().map(_.getString(0)).sorted.toSeq
+    assert(uris(Long.MaxValue >> 1).size == 6)
+    assert(uris(400) == uris(Long.MaxValue >> 1))
+  }
+
+  test("warc.gz: legacy single-member whole-file archives still read (r12)") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(8), dir, "uri", "html", files = 1)
+    val plain = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc")).head
+    val dir2 = tmpDir()
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir2, "legacy.warc.gz")))
+    out.write(java.nio.file.Files.readAllBytes(plain.toPath)); out.close()
+    val df = WarcSource.read(spark, Seq(dir2))
+    assert(df.filter(col("warc_type") === "response").count() == 8)
+    // every record shares the one member's offset: 0
+    assert(df.select("record_offset").collect().forall(_.getLong(0) == 0L))
+    // and a split read of the single-member file yields the same rows
+    // (mid-member splits find no member start and emit nothing)
+    val split = WarcSource.read(spark, Seq(dir2), 512)
+    assert(split.filter(col("warc_type") === "response").count() == 8)
   }
 
   test("warc: the JSON DSL from clause reaches read_warc (r12)") {
