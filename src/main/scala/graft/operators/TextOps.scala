@@ -537,6 +537,50 @@ object TextOps {
         p.rules.map(r => col(r._1)).reduce(_ && _))
   }
 
+  // --------------------------------------------------------------- links
+
+  /** Outlink targets of an HTML page, resolved against `baseUrl` —
+    * the edge extractor of the crawl link graph ([[LinkGraph]]): every
+    * `<a … href="…">` (either quote style, any attribute order, any
+    * tag case) yields its target, fragment-stripped, then resolved:
+    *
+    *  - absolute `http(s)://…` passes through; any OTHER explicit
+    *    scheme (`javascript:`, `mailto:`, `ftp://`, `data:`) drops —
+    *    those are not crawlable page links;
+    *  - protocol-relative `//authority/…` gets the base scheme;
+    *  - rooted `/path` gets the base `scheme://authority` (authority
+    *    keeps its case and port — resolution must not rewrite it);
+    *  - relative `path` resolves against the base path's directory.
+    *
+    * Empty hrefs drop; duplicates keep document order (downstream edge
+    * weights count them). Row-local codegen built-ins, RE2-safe
+    * patterns, replayable in SQL — a 100 TB crawl is a map-only pass. */
+  def htmlLinks(html: Column, baseUrl: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    val hrefRe = s"(?i)<a$ws[^>]*href$ws*=$ws*[\"']([^\"'>]*)[\"']"
+    val anyScheme = "^[A-Za-z][A-Za-z0-9+.-]*:"
+    val t = regexp_replace(trim(baseUrl), "#.*", "")
+    val scheme = lower(regexp_extract(t, urlSchemeRe, 1))
+    val rest = regexp_replace(t, urlSchemeRe, "")
+    val authority = regexp_extract(rest, "^([^/?]*)", 1)
+    val root = concat(scheme, lit("://"), authority)
+    val basePath = regexp_extract(rest, "^[^/?]*(/[^?]*)", 1)
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val resolved = transform(regexp_extract_all(html, lit(hrefRe), lit(1)), h0 => {
+      val h = regexp_replace(h0, "#.*", "")
+      val hScheme = lower(regexp_extract(h, urlSchemeRe, 1))
+      when(h === "", lit(""))
+        .when(hScheme === "http" || hScheme === "https", h)
+        .when(hScheme =!= "", lit(""))     // non-web hierarchical scheme
+        .when(h.rlike(anyScheme), lit("")) // opaque scheme: mailto:, javascript:
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(root, h))
+        .otherwise(concat(root, baseDir, h))
+    })
+    filter(resolved, l => l =!= "")
+  }
+
   // ---------------------------------------------------------------- urls
   // Crawl-frontier URL hygiene (the step between a WARC scan's
   // `target_uri` and everything downstream): C4/RefinedWeb-style

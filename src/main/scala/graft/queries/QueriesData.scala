@@ -1002,6 +1002,41 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- link graph (r12): outlink extraction resolved against the
+    // page URL, then a host-level PageRank — the crawl-frontier
+    // quality-weighting step. q_html_links pins every resolution class
+    // against a CLOSED-FORM oracle (independent derivation from
+    // doc_id, not a replay); q_host_rank runs hostEdges → 5 power
+    // iterations against the same unrolled rounds in SQL.
+    "q_html_links" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), linkBase(col("doc_id")).as("url"),
+          linkHtml(col("doc_id")).as("html"))
+        .select(col("doc_id"),
+          posexplode(TextOps.htmlLinks(col("html"), col("url"))))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("col").as("link"))
+        .orderBy("doc_id", "pos")
+    },
+
+    "q_host_rank" -> { (s, dir) =>
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("url"),
+        concat(
+          lit("<a href=\"http://h"), ((col("doc_id") * 2 + 1) % 7).cast("string"),
+          lit(".example/x\">a</a>"),
+          lit("<a href=\"http://h"), ((col("doc_id") * 3 + 2) % 7).cast("string"),
+          lit(".example/y\">b</a>"),
+          lit("<a href='//h"), (col("doc_id") % 3).cast("string"),
+          lit(".example/z'>c</a>"),
+          lit("<a href=\"/self\">self</a>")).as("html"))
+      val edges = graft.operators.LinkGraph.hostEdges(pages, "url", "html")
+      graft.operators.LinkGraph.pageRank(edges, "src_host", "dst_host",
+          iterations = 5)
+        .orderBy("node")
+    },
+
     // ---- frontier curation (r12): url_filter (normalize + scheme
     // gate + host blocklist incl. subdomains + badword-in-URL regex)
     // chained into dedup_exact OVER THE URL COLUMN — frontier dedup as
@@ -1567,6 +1602,49 @@ object QueriesData {
       WHEN 4 THEN 'FTP://Archive.example.io:2121/data/' || CAST(doc_id AS VARCHAR)
       ELSE 'https://Shop.example.com/p?fbclid=x' || CAST(doc_id AS VARCHAR) || '&a=1&msclkid=y&b=2'
       END"""
+
+  /** Adversarial outlink fixture for q_html_links: a base URL whose
+    * resolution inputs are all non-trivial (mixed-case authority that
+    * must survive as-is, non-default port, a directory-bearing path,
+    * a query and a fragment), and a page whose anchors cover every
+    * resolution class: absolute, protocol-relative (uppercase tag,
+    * single quotes), rooted with fragment, path-relative, plus four
+    * that must DROP (mailto:, javascript:, a non-web ftp://, an empty
+    * href) and a duplicate that must stay. The oracle derives the
+    * expected links CLOSED-FORM from doc_id — an independent
+    * derivation, not a replay of the extraction expressions. */
+  private[queries] def linkBase(docId: Column): Column = concat(
+    lit("https://Host"), (docId % 5).cast("string"),
+    lit(".Example.org:8443/sec/"), docId.cast("string"),
+    lit("/page.html?x=1#top"))
+
+  private[queries] def linkHtml(docId: Column): Column = {
+    val d = docId.cast("string")
+    concat(
+      lit("<div><a href=\"http://other.example.com/abs/"), d, lit("\">one</a> "),
+      lit("<A HREF='//cdn.example.net/lib/"), d, lit(".js'>two</A> "),
+      lit("<a class=\"c\" href=\"/rooted/r"), d, lit(".html#frag\">three</a> "),
+      lit("<a href=\"sibling-"), d, lit(".html\">four</a> "),
+      lit("<a href=\"mailto:team@example.com\">m</a> "),
+      lit("<a href=\"javascript:void(0)\">j</a> "),
+      lit("<a href=\"ftp://files.example.net/f\">f</a> "),
+      lit("<a href=\"\">e</a> "),
+      lit("<a href=\"http://other.example.com/abs/"), d, lit("\">one again</a></div>"))
+  }
+
+  /** one PageRank power-iteration as a DuckDB CTE: `cur` from `prev`
+    * over `edges(src, dst)` / `deg(src, out_deg)` / `nodes(node)` /
+    * `nn(n)`, rounding to 9 decimals exactly like
+    * [[graft.operators.LinkGraph.pageRank]] does per iteration */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT nodes.node,
+        round(CAST(0.15 AS DOUBLE) / nn.n
+          + CAST(0.85 AS DOUBLE) * coalesce(m.mass, 0), 9) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN (
+        SELECT edges.dst, sum($prev.rank / deg.out_deg) AS mass
+        FROM edges JOIN $prev ON $prev.node = edges.src
+        JOIN deg ON deg.src = edges.src
+        GROUP BY edges.dst) m ON m.dst = nodes.node)"""
 
   /** [[graft.operators.TextOps.urlNormalize]] (plus urlHost/urlScheme)
     * replayed as CTEs over `src(doc_id, url)` → `outName(doc_id, url,
@@ -3095,6 +3173,53 @@ object QueriesData {
         ${urlNormCtes("seed", "un")}
         SELECT doc_id, url AS url_norm, host, scheme FROM un
         ORDER BY doc_id""",
+    // expected outlinks derived CLOSED-FORM from doc_id: the five
+    // surviving anchors in document order (absolute, protocol-relative
+    // + base scheme, rooted + authority, relative + base dir, and the
+    // duplicate absolute); the four droppers never appear
+    "q_html_links" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS k,
+            CAST(doc_id AS VARCHAR) AS i FROM documents),
+        exp AS (
+          SELECT doc_id, 0 AS pos,
+            'http://other.example.com/abs/' || i AS link FROM d
+          UNION ALL SELECT doc_id, 1,
+            'https://cdn.example.net/lib/' || i || '.js' FROM d
+          UNION ALL SELECT doc_id, 2,
+            'https://Host' || k || '.Example.org:8443/rooted/r' || i || '.html' FROM d
+          UNION ALL SELECT doc_id, 3,
+            'https://Host' || k || '.Example.org:8443/sec/' || i || '/sibling-'
+              || i || '.html' FROM d
+          UNION ALL SELECT doc_id, 4,
+            'http://other.example.com/abs/' || i FROM d)
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, link FROM exp
+        ORDER BY doc_id, pos""",
+    // host edges rebuilt closed-form (self-links excluded, parallel
+    // links collapsed), then the same 5 rounded power iterations
+    "q_host_rank" ->
+      s"""WITH pages AS (SELECT doc_id,
+            'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS src
+          FROM documents),
+        links AS (
+          SELECT src, 'h' || CAST((doc_id * 2 + 1) % 7 AS VARCHAR)
+            || '.example' AS dst FROM pages
+          UNION ALL SELECT src, 'h' || CAST((doc_id * 3 + 2) % 7 AS VARCHAR)
+            || '.example' FROM pages
+          UNION ALL SELECT src, 'h' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example' FROM pages),
+        edges AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank
+          FROM nodes CROSS JOIN nn),
+        ${prIterSql("r0", "r1")},
+        ${prIterSql("r1", "r2")},
+        ${prIterSql("r2", "r3")},
+        ${prIterSql("r3", "r4")},
+        ${prIterSql("r4", "r5")}
+        SELECT node, rank FROM r5 ORDER BY node""",
     // frontier seed (+tracking-decorated variants) → normalize CTEs →
     // scheme/host/pattern gate → first-id-per-url dedup. Partitioning
     // by the normalized url matches Dedup.exact's fingerprint classes:
