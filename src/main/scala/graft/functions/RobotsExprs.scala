@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt (RFC 9309) group selection + rule matching as a native
+  * codegen kernel — the fetch-permission step between URL-frontier
+  * curation and the crawl itself. One call parses one robots body and
+  * answers one (agent, path) decision; the DataFrame-level join shapes
+  * live in [[graft.operators.Robots]].
+  *
+  * Contract (the parts of RFC 9309 §2 that affect decisions):
+  *  - lines split on `\r?\n`; `#` starts a comment; keys are
+  *    case-insensitive; unknown keys (sitemap, crawl-delay) ignored;
+  *  - consecutive `user-agent` lines open ONE group; a `user-agent`
+  *    line after rule lines starts a new group; rules before any
+  *    `user-agent` line are ignored;
+  *  - group selection is case-insensitive on the product token (a
+  *    group value is cut at `/` — version tags don't participate):
+  *    the group(s) with the LONGEST token that prefixes the crawler's
+  *    token apply; all groups tied at that length merge; `*` groups
+  *    apply only when no named group matches; no applicable group →
+  *    allowed;
+  *  - rule paths are implicit prefixes with `*` wildcards and a `$`
+  *    end anchor (a `$` anywhere else is literal); empty paths are
+  *    inert; among matching rules the LONGEST pattern (octet length,
+  *    wildcards counted) wins and a length tie resolves to allow;
+  *    no matching rule → allowed.
+  */
+object RobotsExprs {
+
+  /** `robots_allows(body, agent, path)` — true iff `agent` may fetch
+    * `path` under `body`. Null body (host without robots.txt) is
+    * allowed by convention at the operator layer, null-rejecting here. */
+  case class RobotsAllows(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "robots_allows"
+    override def nullSafeEval(body: Any, agent: Any, path: Any): Any =
+      allowsKernel(body.asInstanceOf[UTF8String],
+        agent.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, a, p) =>
+        s"${ev.value} = graft.functions.RobotsExprs.allowsKernel($b, $a, $p);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  def robots_allows(body: Column, agent: Column, path: Column): Column =
+    ColumnBridge.column(RobotsAllows(ColumnBridge.expression(body),
+      ColumnBridge.expression(agent), ColumnBridge.expression(path)))
+
+  // ---------------------------------------------------------- kernel
+
+  def allowsKernel(body: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
+    allows(body.toString, agent.toString, path.toString)
+
+  def allows(body: String, agent: String, path: String): Boolean = {
+    val rules = applicableRules(body, agent)
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rules.length) {
+      val (allow, p) = rules(i)
+      if (p.nonEmpty && pathMatch(p, path)) {
+        if (p.length > bestLen || (p.length == bestLen && allow)) {
+          bestLen = p.length
+          bestAllow = allow
+        }
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  /** merged rule list of the group(s) RFC 9309 selects for `agent` */
+  private def applicableRules(body: String,
+      agent: String): Array[(Boolean, String)] = {
+    val token = agent.toLowerCase(java.util.Locale.ROOT)
+    // (matchLen, rules): matchLen -1 = no match, 0 = star, >0 = named
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+    var curAgents = List.empty[String]
+    var curRules: scala.collection.mutable.ArrayBuffer[(Boolean, String)] = null
+    var inHeader = false
+    def closeGroup(): Unit = if (curRules != null) {
+      var len = -1
+      curAgents.foreach { a =>
+        if (a == "*") { if (len < 0) len = 0 }
+        else if (token.startsWith(a) && a.length > len) len = a.length
+      }
+      // a star alongside a longer named match keeps the named length;
+      // a named non-match alongside star keeps star (0)
+      groups += ((len, curRules))
+      curAgents = Nil
+      curRules = null
+    }
+    body.split("\r\n|\n|\r", -1).foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inHeader) { closeGroup(); inHeader = true }
+              val slash = value.indexOf('/')
+              val tok = (if (slash >= 0) value.substring(0, slash) else value)
+                .trim.toLowerCase(java.util.Locale.ROOT)
+              if (tok.nonEmpty) curAgents ::= tok
+            case "allow" | "disallow" =>
+              inHeader = false
+              if (curAgents.nonEmpty) {
+                if (curRules == null)
+                  curRules = scala.collection.mutable.ArrayBuffer.empty
+                curRules += ((key == "allow", value))
+              }
+            // sitemap / crawl-delay / unknown: non-group records — they
+            // neither open nor break a group (consecutive user-agent
+            // lines separated only by them still share one group)
+            case _ => ()
+          }
+        }
+      }
+    }
+    // a trailing group whose agents never saw a rule line still counts
+    // as an (empty-ruled) group for selection purposes
+    if (curAgents.nonEmpty && curRules == null)
+      curRules = scala.collection.mutable.ArrayBuffer.empty
+    closeGroup()
+    val best = groups.foldLeft(-1)((m, g) => math.max(m, g._1))
+    if (best < 0) Array.empty
+    else if (best == 0) groups.filter(_._1 == 0).flatMap(_._2).toArray
+    else groups.filter(_._1 == best).flatMap(_._2).toArray
+  }
+
+  /** implicit-prefix match with `*` wildcards and a terminal `$`
+    * anchor (literal elsewhere) — greedy leftmost segment placement */
+  private[functions] def pathMatch(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = p.split("\\*", -1)
+    if (segs.length == 1)
+      return if (anchored) path == segs(0) else path.startsWith(segs(0))
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    var i = 1
+    while (i < segs.length - 1) {
+      val idx = path.indexOf(segs(i), pos)
+      if (idx < 0) return false
+      pos = idx + segs(i).length
+      i += 1
+    }
+    val last = segs(segs.length - 1)
+    if (anchored) path.endsWith(last) && path.length - last.length >= pos
+    else path.indexOf(last, pos) >= 0
+  }
+}

@@ -1037,6 +1037,37 @@ object QueriesData {
         .orderBy("node")
     },
 
+    // ---- robots politeness (r12): RFC 9309 group selection + rule
+    // matching over a per-host robots table left-joined into the
+    // frontier. Bodies cover longest-match allow-over-disallow, a
+    // crawler-specific deny-all group shadowing a permissive star
+    // group, a wildcard+anchor rule, a group for a DIFFERENT crawler
+    // (inert), and a missing-robots host. The oracle states expected
+    // fetchability CLOSED-FORM per doc_id — independent of the parser.
+    "q_robots_frontier" -> { (s, dir) =>
+      import s.implicits._
+      val path = {
+        val d = col("doc_id").cast("string")
+        when(col("doc_id") % 4 === 0, concat(lit("/private/pub-"), d))
+          .when(col("doc_id") % 4 === 1, concat(lit("/private/sec-"), d))
+          .when(col("doc_id") % 4 === 2, concat(lit("/doc-"), d, lit(".pdf")))
+          .otherwise(concat(lit("/page-"), d))
+      }
+      val frontier = Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") % 5).cast("string"),
+          lit(".example"), path).as("url"))
+      val robots = Seq(
+        ("h1.example", "User-agent: *\nDisallow: /private/\nAllow: /private/pub"),
+        ("h2.example", "User-agent: graftbot\nDisallow: /\nUser-agent: *\nAllow: /"),
+        ("h3.example", "User-agent: *\nDisallow: /*.pdf$"),
+        ("h4.example", "User-agent: other\nDisallow: /"))
+        .toDF("host", "body")
+      graft.operators.Robots.filterFrontier(frontier, "url",
+          robots, "host", "body", agent = "graftbot")
+        .orderBy("doc_id")
+    },
+
     // ---- frontier curation (r12): url_filter (normalize + scheme
     // gate + host blocklist incl. subdomains + badword-in-URL regex)
     // chained into dedup_exact OVER THE URL COLUMN — frontier dedup as
@@ -3194,6 +3225,24 @@ object QueriesData {
             'http://other.example.com/abs/' || i FROM d)
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, link FROM exp
         ORDER BY doc_id, pos""",
+    // fetchability stated closed-form: h0 has no robots (allowed),
+    // h1 blocks /private/ except the /private/pub allow, h2 denies
+    // graftbot everything, h3 denies *.pdf, h4's group is for another
+    // crawler (inert)
+    "q_robots_frontier" ->
+      """WITH f AS (SELECT doc_id,
+            'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example' ||
+            CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN '/private/pub-' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/private/sec-' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf'
+              ELSE '/page-' || CAST(doc_id AS VARCHAR) END AS url
+          FROM documents)
+        SELECT doc_id, url FROM f
+        WHERE doc_id % 5 <> 2
+          AND NOT (doc_id % 5 = 1 AND doc_id % 4 = 1)
+          AND NOT (doc_id % 5 = 3 AND doc_id % 4 = 2)
+        ORDER BY doc_id""",
     // host edges rebuilt closed-form (self-links excluded, parallel
     // links collapsed), then the same 5 rounded power iterations
     "q_host_rank" ->

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RobotsExprs.allows
+import graft.operators.Robots
+
+/** RFC 9309 decision semantics: group selection, longest-match rule
+  * precedence, wildcards/anchors, parser tolerances — plus the
+  * frontier-join operator. Kernel cases run on the JVM directly (the
+  * expression is a thin codegen wrapper, exercised via the DataFrame
+  * tests and the q_robots_frontier gate). */
+class RobotsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+
+  test("robots: longest match wins; allow beats disallow on ties") {
+    val body = "User-agent: *\nDisallow: /private/\nAllow: /private/pub"
+    assert(allows(body, "bot", "/private/pub-1.html"))
+    assert(!allows(body, "bot", "/private/secret"))
+    assert(allows(body, "bot", "/open"))
+    // exact tie: /p vs /p → allow wins
+    val tie = "User-agent: *\nDisallow: /p\nAllow: /p"
+    assert(allows(tie, "bot", "/page"))
+  }
+
+  test("robots: the most specific user-agent group wins; star is the fallback") {
+    val body = "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /"
+    assert(!allows(body, "graftbot", "/x"))
+    assert(!allows(body, "GraftBot-News", "/x")) // token-prefix match
+    assert(allows(body, "otherbot", "/x"))
+    // longer named group beats shorter named group
+    val two = "User-agent: graft\nAllow: /\nUser-agent: graftbot\nDisallow: /"
+    assert(!allows(two, "graftbot", "/x"))
+    assert(allows(two, "graftish", "/x"))
+  }
+
+  test("robots: a matching group with no rules allows everything (star not consulted)") {
+    val body = "User-agent: *\nDisallow: /\n\nUser-agent: graftbot"
+    assert(allows(body, "graftbot", "/x"))
+    assert(!allows(body, "other", "/x"))
+  }
+
+  test("robots: same-agent groups merge; rules before any group are ignored") {
+    val merged = "User-agent: a\nDisallow: /one\nUser-agent: b\nAllow: /\n" +
+      "User-agent: a\nDisallow: /two"
+    assert(!allows(merged, "a", "/one"))
+    assert(!allows(merged, "a", "/two"))
+    assert(allows(merged, "a", "/three"))
+    assert(allows("Disallow: /\nUser-agent: *\nAllow: /", "bot", "/x"))
+  }
+
+  test("robots: wildcards, end anchor, literal mid-$, empty disallow") {
+    val wild = "User-agent: *\nDisallow: /*.pdf$"
+    assert(!allows(wild, "bot", "/docs/file.pdf"))
+    assert(allows(wild, "bot", "/docs/file.pdf.html"))
+    assert(allows(wild, "bot", "/docs/pdf"))
+    val mid = "User-agent: *\nDisallow: /a$b"
+    assert(!allows(mid, "bot", "/a$b/c")) // $ not terminal → literal prefix
+    assert(allows(mid, "bot", "/ab"))
+    val multi = "User-agent: *\nDisallow: /a*b*c"
+    assert(!allows(multi, "bot", "/a-x-b-y-c-z"))
+    assert(allows(multi, "bot", "/a-x-c-b"))
+    assert(allows("User-agent: *\nDisallow:", "bot", "/anything"))
+  }
+
+  test("robots: parser tolerances — CRLF, comments, key case, versioned agents, non-group lines") {
+    val body = "# header comment\r\nUSER-AGENT: GraftBot/2.1 # trailing\r\n" +
+      "Sitemap: http://x.example/s.xml\r\nCrawl-delay: 10\r\n" +
+      "DISALLOW: /blocked\r\n"
+    assert(!allows(body, "graftbot", "/blocked/page"))
+    assert(allows(body, "graftbot", "/fine"))
+    // unknown records between user-agent lines do not split the group
+    val split = "User-agent: a\nSitemap: http://x/s\nUser-agent: b\nDisallow: /x"
+    assert(!allows(split, "a", "/x"))
+    assert(!allows(split, "b", "/x"))
+  }
+
+  test("robots: filterFrontier keeps missing-robots hosts and drops denied paths") {
+    val s = spark
+    import s.implicits._
+    val frontier = Seq(
+      (1L, "http://a.example/private/secret"),
+      (2L, "http://a.example/private/pub-ok"),
+      (3L, "http://a.example/open"),
+      (4L, "http://norobots.example/anything"),
+      (5L, "http://b.example")) // authority-only → path "/"
+      .toDF("id", "url")
+    val robots = Seq(
+      ("a.example", "User-agent: *\nDisallow: /private/\nAllow: /private/pub"),
+      ("b.example", "User-agent: *\nDisallow: /"))
+      .toDF("host", "body")
+    val kept = Robots.filterFrontier(frontier, "url", robots, "host", "body",
+        agent = "graftbot")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("robots: query strings participate in matching") {
+    val s = spark
+    import s.implicits._
+    val body = "User-agent: *\nDisallow: /search?*q="
+    val df = Seq(("http://a.example/search?lang=en&q=x", body),
+      ("http://a.example/search?lang=en", body)).toDF("url", "b")
+    val out = df.filter(Robots.allows(col("b"), lit("bot"), Robots.urlPath(col("url"))))
+      .select("url").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("http://a.example/search?lang=en"))
+  }
+}
