@@ -193,6 +193,17 @@ object CuratePipeline {
           allowSchemes = strSeq(st, "allow_schemes", Seq("http", "https")),
           blockHosts = strSeq(st, "block_hosts", Nil),
           blockPatterns = strSeq(st, "block_patterns", Nil)))
+      case "robots_filter" =>
+        // crawl-frontier politeness inside the pipeline: left-join a
+        // per-host robots.txt table (RFC 9309 bodies, one row per
+        // host) on the URL column's host and keep rows the configured
+        // agent may fetch; hosts without a robots row pass. The robots
+        // table is a catalog/temp table named by `robots_table`.
+        val uc = strOr(st, "url_col", "url")
+        val robots = df.sparkSession.table(str(st, "robots_table"))
+        graft.operators.Robots.filterFrontier(df, uc, robots,
+          strOr(st, "host_col", "host"), strOr(st, "body_col", "body"),
+          strOr(st, "agent", "*"))
       case "html_extract" =>
         // crawl-archive front door: raw HTML in textCol → main-content
         // text (tag strip + jusText-style block heuristic). Map-only;

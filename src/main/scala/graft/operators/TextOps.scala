@@ -381,6 +381,56 @@ object TextOps {
     decoded.foldLeft(c) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
   }
 
+  // ------------------------------------------------------ html metadata
+  // Page metadata a curation pipeline reads before (or instead of)
+  // full extraction: the title (dedup keys, quality features), named
+  // meta values (description/keywords/robots), and the declared
+  // language (a prior for langId). All row-local codegen built-ins,
+  // RE2-safe, '' when absent — replayable in SQL and map-only at scale.
+
+  /** first `<title>` content: entities decoded, whitespace collapsed */
+  def htmlTitle(html: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    trim(regexp_replace(replaceEntities(
+      regexp_extract(html, "(?i)<title[^>]*>([^<]*)", 1)), ws, " "))
+  }
+
+  /** content of `<meta name="name" content="…">` — either attribute
+    * order, either quote style, name matched case-insensitively;
+    * entities decoded; '' when absent */
+  def htmlMeta(html: Column, name: String): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    val n = java.util.regex.Pattern.quote(name)
+    val nameFirst =
+      s"""(?i)<meta$ws[^>]*name$ws*=$ws*["']$n["'][^>]*content$ws*=$ws*["']([^"'>]*)["']"""
+    val contentFirst =
+      s"""(?i)<meta$ws[^>]*content$ws*=$ws*["']([^"'>]*)["'][^>]*name$ws*=$ws*["']$n["']"""
+    val v1 = regexp_extract(html, nameFirst, 1)
+    trim(replaceEntities(
+      when(v1 =!= "", v1).otherwise(regexp_extract(html, contentFirst, 1))))
+  }
+
+  /** `lang` attribute of the `<html>` tag, lowercased; '' when absent */
+  def htmlLang(html: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    lower(regexp_extract(html,
+      s"""(?i)<html$ws[^>]*lang$ws*=$ws*["']([^"'>]*)["']""", 1))
+  }
+
+  /** sitemap `<loc>` URLs in document order — both `urlset` page lists
+    * and `sitemapindex` child-sitemap lists carry their URLs in `loc`
+    * elements; values trim and entity-decode (`&amp;` is how sitemaps
+    * escape `&`). The frontier-seeding counterpart of [[htmlLinks]]. */
+  def sitemapUrls(xml: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]*"
+    transform(
+      regexp_extract_all(xml, lit(s"(?i)<loc$ws>([^<]*)</loc"), lit(1)),
+      // Spark's trim() strips only spaces; sitemap locs routinely wrap
+      // with newlines/tabs, so strip the full whitespace class
+      u => replaceEntities(
+        regexp_replace(u, "^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$", "")))
+  }
+
   /** Global paragraph-level deduplication (the MassiveText/Gopher
     * scrub shape): every document is split into paragraphs, each
     * DISTINCT paragraph keeps exactly its first occurrence in corpus

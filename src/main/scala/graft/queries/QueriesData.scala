@@ -1019,6 +1019,33 @@ object QueriesData {
         .orderBy("doc_id", "pos")
     },
 
+    // ---- page metadata (r12): title / named meta (both attribute
+    // orders and quote styles) / html-lang / sitemap loc extraction,
+    // all against a CLOSED-FORM oracle. The title rides on the shared
+    // docHtml wrap; the head fixture carries a reversed-order
+    // single-quoted keywords meta and an entity-bearing description.
+    "q_html_meta" -> { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val metaHtml = concat(
+        lit("<!DOCTYPE html><html LANG=\"EN-us\"><head><meta charset=\"utf-8\">" +
+          "<meta name=\"description\" content=\"Doc "), d,
+        lit(" &amp; friends\"><meta content='kw-"), d,
+        lit(",misc' name='keywords'></head><body></body></html>"))
+      val sitemapXml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> http://s.example/p/"), d,
+        lit("?a=1&amp;b=2 </loc></url><url><loc>http://s.example/q/"), d,
+        lit("</loc></url></urlset>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.htmlTitle(docHtml(col("doc_id"), col("text"))).as("title"),
+          TextOps.htmlMeta(metaHtml, "description").as("meta_desc"),
+          TextOps.htmlMeta(metaHtml, "keywords").as("meta_kw"),
+          TextOps.htmlMeta(metaHtml, "robots").as("meta_absent"),
+          TextOps.htmlLang(metaHtml).as("lang"),
+          array_join(TextOps.sitemapUrls(sitemapXml), "|").as("sitemap_urls"))
+        .orderBy("doc_id")
+    },
+
     "q_host_rank" -> { (s, dir) =>
       val pages = Tables.load(s, dir, "documents").select(
         concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
@@ -1066,6 +1093,48 @@ object QueriesData {
       graft.operators.Robots.filterFrontier(frontier, "url",
           robots, "host", "body", agent = "graftbot")
         .orderBy("doc_id")
+    },
+
+    // ---- crawl frontier round (r12 capstone): ONE full crawler
+    // iteration chaining the whole frontier stack — outlink extraction
+    // (mailto: drops), url normalization (tracking params collapse),
+    // url_filter (ad-host drops), robots politeness (/private/ drops),
+    // frontier dedup, and an anti-join against the visited set. The
+    // oracle restates the surviving frontier closed-form from doc_id
+    // arithmetic — it never parses HTML or robots bodies.
+    "q_crawl_frontier_round" -> { (s, dir) =>
+      import s.implicits._
+      val d = col("doc_id").cast("string")
+      val pages = Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") % 4).cast("string"),
+          lit(".example/p/"), d).as("url"),
+        concat(
+          lit("<a href=\"http://h"), ((col("doc_id") + 1) % 4).cast("string"),
+          lit(".example/art/"), (col("doc_id") % 10).cast("string"),
+          lit("?utm_source=x\">n</a>"),
+          lit("<a href='also-"), (col("doc_id") % 10).cast("string"),
+          lit(".html'>r</a>"),
+          lit("<a href=\"http://ads.example/x\">ad</a>"),
+          lit("<a href=\"http://h"), ((col("doc_id") + 2) % 4).cast("string"),
+          lit(".example/private/z-"), (col("doc_id") % 5).cast("string"),
+          lit("\">p</a>"),
+          lit("<a href=\"/p/"), ((col("doc_id") * 7 + 1) % 500).cast("string"),
+          lit("\">v</a>"),
+          lit("<a href=\"mailto:x@y.z\">m</a>")).as("html"))
+      val robotsBody = "User-agent: *\nDisallow: /private/"
+      val robots = Seq("h0.example", "h1.example", "h2.example", "h3.example")
+        .map((_, robotsBody)).toDF("host", "body")
+      val visited = pages.select(TextOps.urlNormalize(col("url")).as("url"))
+      val links = pages
+        .select(explode(TextOps.htmlLinks(col("html"), col("url"))).as("raw"))
+        .select(TextOps.urlNormalize(col("raw")).as("url"))
+        .filter(TextOps.urlPass(col("url"), blockHosts = Seq("ads.example")))
+      graft.operators.Robots
+        .filterFrontier(links, "url", robots, "host", "body", agent = "graftbot")
+        .distinct()
+        .join(visited, Seq("url"), "left_anti")
+        .orderBy("url")
     },
 
     // ---- frontier curation (r12): url_filter (normalize + scheme
@@ -3225,6 +3294,30 @@ object QueriesData {
             'http://other.example.com/abs/' || i FROM d)
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, link FROM exp
         ORDER BY doc_id, pos""",
+    // the surviving frontier restated from doc_id arithmetic: art
+    // links (tracking param normalized away), same-host relative
+    // links, and visited-page links that DON'T hit a real visited id;
+    // ad-host, /private/ and mailto: links never appear
+    "q_crawl_frontier_round" ->
+      """WITH cand AS (
+          SELECT 'http://h' || CAST((doc_id + 1) % 4 AS VARCHAR)
+            || '.example/art/' || CAST(doc_id % 10 AS VARCHAR) AS url
+          FROM documents
+          UNION
+          SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
+            || '.example/p/also-' || CAST(doc_id % 10 AS VARCHAR) || '.html'
+          FROM documents
+          UNION
+          SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
+            || '.example/p/' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR)
+          FROM documents),
+        visited AS (
+          SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
+            || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents)
+        SELECT url FROM cand
+        WHERE url NOT IN (SELECT url FROM visited)
+        ORDER BY url""",
     // fetchability stated closed-form: h0 has no robots (allowed),
     // h1 blocks /private/ except the /private/pub allow, h2 denies
     // graftbot everything, h3 denies *.pdf, h4's group is for another
@@ -3243,6 +3336,18 @@ object QueriesData {
           AND NOT (doc_id % 5 = 1 AND doc_id % 4 = 1)
           AND NOT (doc_id % 5 = 3 AND doc_id % 4 = 2)
         ORDER BY doc_id""",
+    // every metadata value stated closed-form from doc_id; the absent
+    // meta answers ''
+    "q_html_meta" ->
+      """SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS meta_desc,
+           'kw-' || CAST(doc_id AS VARCHAR) || ',misc' AS meta_kw,
+           '' AS meta_absent,
+           'en-us' AS lang,
+           'http://s.example/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2|'
+             || 'http://s.example/q/' || CAST(doc_id AS VARCHAR) AS sitemap_urls
+         FROM documents ORDER BY doc_id""",
     // host edges rebuilt closed-form (self-links excluded, parallel
     // links collapsed), then the same 5 rounded power iterations
     "q_host_rank" ->

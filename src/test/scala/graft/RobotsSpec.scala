@@ -98,6 +98,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("robots: the robots_filter CURATE stage joins its table and keeps fetchable rows") {
+    val s = spark
+    import s.implicits._
+    Seq(("a.example", "User-agent: graftbot\nDisallow: /x\nUser-agent: *\nAllow: /"))
+      .toDF("host", "body").createOrReplaceTempView("robots_tbl_spec")
+    val rows = Seq(
+      (1L, "http://a.example/x/1"),  // denied for graftbot
+      (2L, "http://a.example/ok"),
+      (3L, "http://norobots.example/x/1")) // no robots row → pass
+      .toDF("doc_id", "url")
+    val spec = """{"stages": [{"op": "robots_filter",
+      "robots_table": "robots_tbl_spec", "agent": "graftbot"}]}"""
+    val kept = graft.dsl.CuratePipeline.compile(rows, spec, idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("robots: query strings participate in matching") {
     val s = spark
     import s.implicits._
