@@ -305,6 +305,7 @@ object GraftFunctions {
     r.createOrReplaceTempFunction("url_normalize", urlTpl(UrlSql.normalize), "built-in")
     r.createOrReplaceTempFunction("url_host", urlTpl(UrlSql.host), "built-in")
     r.createOrReplaceTempFunction("url_scheme", urlTpl(UrlSql.scheme), "built-in")
+    r.createOrReplaceTempFunction("url_surt", urlTpl(UrlSql.surt), "built-in")
   }
 
   /** the url functions as Spark-SQL text over `__u` (see registerAll) */
@@ -329,6 +330,19 @@ object GraftFunctions {
       s"concat(CASE WHEN $scheme = '' THEN '' ELSE concat($scheme, '://') END, $nhost, " +
         s"CASE WHEN $path = '/' AND $q2 = '' THEN '' ELSE $path END, " +
         s"CASE WHEN $q2 = '' THEN '' ELSE concat('?', $q2) END)"
+    // SURT over the normalized url; the inner url_normalize(__u) call
+    // resolves through this same registry at analysis fixpoint, so the
+    // template stays small instead of inlining `normalize` five times
+    private val sRest =
+      "regexp_replace(url_normalize(__u), '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    private val sHp = s"regexp_extract($sRest, '^([^/?]*)', 1)"
+    private val sTail = s"substring($sRest, length($sHp) + 1, length($sRest))"
+    val surt: String =
+      s"concat(array_join(reverse(split(regexp_replace(regexp_replace($sHp, " +
+        s"':[0-9]+$$', ''), '^www\\\\.', ''), '\\\\.')), ','), " +
+        s"regexp_extract($sHp, '(:[0-9]+)$$', 1), ')', " +
+        s"CASE WHEN substring($sTail, 1, 1) = '/' THEN $sTail " +
+        s"ELSE concat('/', $sTail) END)"
   }
 
   // ------------------------------------------------- Column-level API

@@ -687,6 +687,28 @@ object TextOps {
       when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
   }
 
+  /** SURT (Sort-friendly URI Reordering Transform) key of the
+    * NORMALIZED url — the sort/join key crawl indexes use (wayback /
+    * Common Crawl CDX): host labels reversed and comma-joined (one
+    * leading `www.` stripped), a non-default port kept after the host,
+    * `)`, then the path+query (always `/`-rooted, `)/` when empty).
+    * `http://www.Example.com:80/a?utm_x=1&b=2` → `com,example)/a?b=2`.
+    * URLs of one page sort adjacent and one host's pages form one
+    * contiguous key range — range-partition on this key and a 100 TB
+    * index co-locates per-host work with zero extra shuffles. */
+  def urlSurt(url: Column): Column = {
+    val rest = regexp_replace(urlNormalize(url), urlSchemeRe, "")
+    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
+    val host = regexp_replace(hostport, ":[0-9]+$", "")
+    val port = regexp_extract(hostport, "(:[0-9]+)$", 1)
+    val bare = regexp_replace(host, "^www\\.", "")
+    val tail = rest.substr(length(hostport) + lit(1), length(rest))
+    concat(
+      array_join(reverse(split(bare, "\\.")), ","), port, lit(")"),
+      when(substring(tail, 1, 1) === "/", tail)
+        .otherwise(concat(lit("/"), tail)))
+  }
+
   /** true iff `url` survives the frontier gate: scheme allowed (empty
     * `allowSchemes` skips the check), host not on the blocklist (exact
     * or dot-suffix subdomain match), and no blocklist pattern matches

@@ -1002,6 +1002,24 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- SURT keys (r12): the sort/join key crawl indexes use —
+    // reversed host labels, www-strip, non-default port kept, )/tail.
+    // `surt` exercises the Column API, `surt_sql` the SQL registration
+    // (whose template resolves a NESTED url_normalize call at analysis
+    // fixpoint); both must answer the same closed form. `surt_bare`
+    // pins the empty-tail `)/ ` rule.
+    "q_url_surt" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), docUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"),
+          TextOps.urlSurt(col("url")).as("surt"),
+          expr("url_surt(url)").as("surt_sql"),
+          TextOps.urlSurt(
+            concat(lit("https://Bare.Example.org#sec-"),
+              col("doc_id").cast("string"))).as("surt_bare"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- link graph (r12): outlink extraction resolved against the
     // page URL, then a host-level PageRank — the crawl-frontier
     // quality-weighting step. q_html_links pins every resolution class
@@ -3294,6 +3312,31 @@ object QueriesData {
             'http://other.example.com/abs/' || i FROM d)
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, link FROM exp
         ORDER BY doc_id, pos""",
+    // every SURT key stated closed-form from the docUrl classes:
+    // tracking params drop, www. strips, the ftp non-default port
+    // keeps, the schemeless host reverses too, the bare host answers )/
+    "q_url_surt" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INTEGER)
+             WHEN 0 THEN 'com,example)/path/to/page-' || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'org,news)/?q=term'
+             WHEN 2 THEN 'com,example,cdn)/item/' || CAST(doc_id AS VARCHAR) || '.html'
+             WHEN 3 THEN 'net,example,files)/plain/' || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'io,example,archive:2121)/data/' || CAST(doc_id AS VARCHAR)
+             ELSE 'com,example,shop)/p?a=1&b=2'
+           END AS surt,
+           CASE CAST(doc_id % 6 AS INTEGER)
+             WHEN 0 THEN 'com,example)/path/to/page-' || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'org,news)/?q=term'
+             WHEN 2 THEN 'com,example,cdn)/item/' || CAST(doc_id AS VARCHAR) || '.html'
+             WHEN 3 THEN 'net,example,files)/plain/' || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'io,example,archive:2121)/data/' || CAST(doc_id AS VARCHAR)
+             ELSE 'com,example,shop)/p?a=1&b=2'
+           END AS surt_sql,
+           'org,example,bare)/' AS surt_bare
+         FROM documents ORDER BY doc_id""",
     // the surviving frontier restated from doc_id arithmetic: art
     // links (tracking param normalized away), same-host relative
     // links, and visited-page links that DON'T hit a real visited id;

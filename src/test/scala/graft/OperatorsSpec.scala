@@ -1552,6 +1552,27 @@ class OperatorsSpec extends AnyFunSuite {
       .head() == org.apache.spark.sql.Row("http://a.com/x", "b.org", "ftp"))
   }
 
+  test("url_surt: edge shapes the gate seeds don't isolate (r12)") {
+    import spark.implicits._
+    def surt1(u: String): String = Seq(u).toDF("u")
+      .select(graft.operators.TextOps.urlSurt(col("u"))).head().getString(0)
+    // single-label host reverses to itself; bare host answers )/
+    assert(surt1("http://localhost:8080/x") == "localhost:8080)/x")
+    assert(surt1("https://Example.COM") == "com,example)/")
+    // exactly one leading www. strips — www2 and interior www keep
+    assert(surt1("http://www.www.a.com/p") == "com,a,www)/p")
+    assert(surt1("http://www2.a.com/p") == "com,a,www2)/p")
+    // IPv4 hosts reverse by octet (documented: labels are labels)
+    assert(surt1("http://10.0.0.1/p") == "1,0,0,10)/p")
+    // no-path query keeps the tail /-rooted
+    assert(surt1("http://a.com?x=1") == "com,a)/?x=1")
+    // normalization runs first: trackers drop, default port strips
+    assert(surt1("HTTP://WWW.A.com:80/P?utm_s=1&k=2") == "com,a)/P?k=2")
+    // SQL registration resolves its nested url_normalize and agrees
+    assert(spark.sql("SELECT url_surt('HTTP://WWW.A.com:80/P?utm_s=1&k=2')")
+      .head().getString(0) == "com,a)/P?k=2")
+  }
+
   test("url_filter stage: scheme allow-list, subdomain blocks, normalize=false (r12)") {
     import spark.implicits._
     val rows = Seq(
