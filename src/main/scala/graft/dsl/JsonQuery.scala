@@ -218,7 +218,7 @@ object JsonQuery {
 
   // ------------------------------------------------------------- from
 
-  private val formatKeys = Set("csv", "parquet", "jsonl", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg", "warc")
+  private val formatKeys = Set("csv", "parquet", "jsonl", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg", "warc", "cdx")
 
   /** best-effort pruning conditions: AND-reachable comparison leaves of
     * the filter tree (OR subtrees contribute nothing — conservative) */
@@ -321,6 +321,8 @@ object JsonQuery {
           case other => throw new DslException(s"bad split_bytes: $other")
         }
         graft.sources.WarcSource.read(spark, paths, split)
+      case "cdx" => // read_cdx(files): CDXJ crawl-index lines
+        graft.sources.CdxSource.read(spark, paths)
       case "bbf" => // read_bbf(files [, entry]): multi-entry binary containers
         val entry = spec.get("entry").collect { case JString(e) => e }
         graft.sources.bbf.BbfSource.read(spark, paths, entry)

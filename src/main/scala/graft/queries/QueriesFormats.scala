@@ -416,6 +416,59 @@ object QueriesFormats {
           md5(col("body")).as("body_md5"))
         .orderBy("warc_type", "uri")
     },
+    // CDX index round trip (r12): pages → gz WARC archive → scan →
+    // CdxSource.index (map-only) → CDXJ egress (range-partitioned
+    // sorted runs) → splittable text read-back. The oracle restates
+    // every index field closed-form — surt, capture ts, mime, status,
+    // payload digest, and the WARC record length INCLUDING its HTTP
+    // head (77 framing bytes + the Content-Length digits). offset and
+    // filename are real but not closed-form (partition assignment);
+    // q_cdx_fetch proves them by USING them.
+    "q_cdx_scan" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        QueriesData.docHtml(col("doc_id"), col("text")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdxgate").toString
+      graft.sources.WarcSource.Writer.write(pages, s"$tmp/warc", "uri", "html",
+        files = 2, gzip = true)
+      val idx = graft.sources.CdxSource.index(
+        graft.sources.WarcSource.read(s, Seq(s"$tmp/warc")))
+      graft.sources.CdxSource.write(idx, s"$tmp/cdx", files = 2)
+      graft.sources.CdxSource.read(s, Seq(s"$tmp/cdx"))
+        .select(col("surt"), col("ts"), col("url"), col("mime"),
+          col("status"), col("digest"), col("length"))
+        .orderBy("url")
+    },
+    // CDX-driven random-access fetch (r12): the index round trip's
+    // offsets/filenames FEED WarcSource.fetch — a filtered subset of
+    // records pulls back by ranged reads of their gzip members, never
+    // a full archive scan. Matching bodies prove the stored compressed
+    // offsets are byte-exact through the CDXJ text round trip.
+    "q_cdx_fetch" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        QueriesData.docHtml(col("doc_id"), col("text")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdxfetch").toString
+      graft.sources.WarcSource.Writer.write(pages, s"$tmp/warc", "uri", "html",
+        files = 2, gzip = true)
+      graft.sources.CdxSource.write(graft.sources.CdxSource.index(
+        graft.sources.WarcSource.read(s, Seq(s"$tmp/warc"))), s"$tmp/cdx",
+        files = 2)
+      val wanted = graft.sources.CdxSource.read(s, Seq(s"$tmp/cdx"))
+        .filter(regexp_extract(col("url"), "([0-9]+)$", 1)
+          .cast(LongType) % 7 === 3)
+        .select(concat(lit(s"$tmp/warc/"), col("filename")).as("warc_file"),
+          col("offset").as("record_offset"))
+      graft.sources.WarcSource.fetch(wanted)
+        .select(col("target_uri").as("uri"), col("http_status"),
+          length(col("body").cast(StringType)).cast(LongType).as("body_chars"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("uri")
+    },
     // ODV writer+reader round trip, oracle recomputes from source parquet
     "q_odv_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
@@ -553,6 +606,25 @@ object QueriesFormats {
     // serves both
     "q_warc_scan" -> warcOracle,
     "q_warc_gz" -> warcOracle,
+    // every index field closed-form; length = the HTTP head's 77
+    // framing bytes + the Content-Length value's digits + the payload
+    "q_cdx_scan" ->
+      s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
+            FROM documents)
+        SELECT 'example,corpus)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+          '20260101000000' AS ts,
+          'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          'text/html' AS mime, 200 AS status, md5(html) AS digest,
+          CAST(77 + len(CAST(octet_length(encode(html)) AS VARCHAR))
+            + octet_length(encode(html)) AS BIGINT) AS length
+        FROM h ORDER BY url""",
+    "q_cdx_fetch" ->
+      s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
+            FROM documents WHERE doc_id % 7 = 3)
+        SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          200 AS http_status, CAST(len(html) AS BIGINT) AS body_chars,
+          md5(html) AS body_md5
+        FROM h ORDER BY uri""",
     "q_odv_roundtrip" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS "time_ISO8601",
            event_type, count(*) AS n, round(sum(value), 4) AS total_value

@@ -92,6 +92,54 @@ object WarcSource {
       }(enc).toDF()
   }
 
+  /** Random-access record fetch — the CDX→WARC join. `index` carries
+    * one row per wanted record: an archive path and the record's byte
+    * offset (plain files: the record's start; `.warc.gz`: the record's
+    * gzip-member start in the COMPRESSED file — exactly what
+    * [[CdxSource.index]] stores). Each fetch is one ranged read: open,
+    * seek to the offset, parse one record (gz: inflate the one member)
+    * — the object-store ranged-GET model, so a 100 TB archive serves a
+    * filtered fetch reading only the requested byte ranges. Requests
+    * range-partition by (path, offset) and sort within tasks, so a
+    * local run walks each file forward (page-cache friendly) and a big
+    * file's fetches still spread across tasks. A wrong offset fails
+    * loudly (the bytes there don't parse as a record start). Gz fetch
+    * requires the Annex-C one-record-per-member layout ([[Writer]]'s
+    * `gzip = true`, the standard crawl shape): a legacy whole-file
+    * member gives every record the same member-0 offset, which can
+    * only address the member's FIRST record. */
+  def fetch(index: DataFrame, pathCol: String = "warc_file",
+      offsetCol: String = "record_offset"): DataFrame = {
+    val enc = RowEncoder.encoderFor(schema)
+    import org.apache.spark.sql.functions.col
+    index.select(col(pathCol).cast(StringType).as("p"),
+        col(offsetCol).cast(LongType).as("o"))
+      .repartitionByRange(col("p"), col("o"))
+      .sortWithinPartitions("p", "o")
+      .mapPartitions(_.map(r => fetchOne(r.getString(0), r.getLong(1))))(enc)
+      .toDF()
+  }
+
+  private def fetchOne(path: String, offset: Long): Row = {
+    val raw = graft.sources.io.ByteStore.openStream(path)
+    try {
+      var toSkip = offset
+      while (toSkip > 0) {
+        val n = raw.skip(toSkip)
+        if (n <= 0) throw new EOFException(s"warc: cannot seek to $offset in $path")
+        toSkip -= n
+      }
+      val buffered = new BufferedInputStream(raw, 64 * 1024)
+      val in =
+        if (path.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(buffered, 64 * 1024)
+        else buffered
+      val p = new RecordParser(in, path).parseRecord(None).getOrElse(
+        throw new EOFException(s"warc: no record at offset $offset of $path"))
+      buildRow(path, offset, p)
+    } finally raw.close()
+  }
+
   // ---------------------------------------------------------- parsing
 
   private final case class Parsed(warcType: String, recordId: String,

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CdxSource, WarcSource}
+
+class CdxSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-cdx").toString
+
+  test("cdx: written files are sorted, non-overlapping key ranges") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 100).map { i =>
+      (f"com,h${i % 7}%d)/p/$i%03d", "20260101000000",
+        s"http://h${i % 7}.com/p/$i", "text/html", 200, s"d$i", 10L + i,
+        i * 100L, "part-00000.warc.gz")
+    }.toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+      "offset", "filename")
+    val dir = tmpDir()
+    assert(CdxSource.write(rows, dir, files = 3) == 100)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".cdx"))
+      .sortBy(_.getName)
+    assert(files.length == 3)
+    // each file internally sorted; file ranges don't overlap
+    val perFile = files.map { f =>
+      val keys = java.nio.file.Files.readAllLines(f.toPath).toArray(Array.empty[String])
+        .filter(_.nonEmpty).map(_.split(" ", 3).take(2).mkString(" ")).toSeq
+      assert(keys == keys.sorted, s"${f.getName} not sorted")
+      keys
+    }.filter(_.nonEmpty)
+    perFile.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a.last <= b.head, "file ranges overlap")
+      case _ =>
+    }
+    // read-back sees every row with fields intact
+    val back = CdxSource.read(spark, Seq(dir))
+    assert(back.count() == 100)
+    val one = back.filter(col("url") === "http://h3.com/p/3").head()
+    assert(one.getAs[String]("surt") == "com,h3)/p/003")
+    assert(one.getAs[Int]("status") == 200)
+    assert(one.getAs[Long]("offset") == 300L)
+  }
+
+  test("cdx: blank lines skip; a malformed JSON block yields null fields, not a failure") {
+    val dir = tmpDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "mixed.cdx"),
+      ("com,a)/x 20260101000000 {\"url\":\"http://a.com/x\",\"status\":200,\"offset\":5}\n" +
+        "\n" +
+        "com,b)/y 20260101000001 not-json-at-all\n").getBytes(UTF_8))
+    val rows = CdxSource.read(spark, Seq(dir)).orderBy("surt").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("url") == "http://a.com/x")
+    assert(rows(0).getAs[Long]("offset") == 5L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("mime"))) // absent field
+    assert(rows(1).getAs[String]("surt") == "com,b)/y")  // key still parses
+    assert(rows(1).isNullAt(rows(1).fieldIndex("url")))  // block nulls out
+  }
+
+  test("cdx: index derives surt/ts/mime/digest from a warc scan; DSL format reads it") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(("http://T.example:80/a?utm_x=1&k=2", "<p>hello body</p>"))
+      .toDF("uri", "html")
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages, s"$dir/warc", "uri", "html", files = 1, gzip = true)
+    val idx = CdxSource.index(WarcSource.read(spark, Seq(s"$dir/warc")))
+    val r = idx.head()
+    assert(r.getAs[String]("surt") == "example,t)/a?k=2") // normalized first
+    assert(r.getAs[String]("ts") == "20260101000000")
+    assert(r.getAs[String]("mime") == "text/html")        // params stripped
+    assert(r.getAs[String]("filename") == "part-00000.warc.gz")
+    CdxSource.write(idx, s"$dir/cdx")
+    val viaDsl = graft.dsl.JsonQuery.compile(spark,
+      s"""{"from": {"cdx": {"paths": ["$dir/cdx"]}},
+           "select": ["surt", "url", "offset"]}""")
+    assert(viaDsl.head().getAs[String]("surt") == "example,t)/a?k=2")
+  }
+}

@@ -218,6 +218,44 @@ class WarcSpec extends AnyFunSuite {
     assert(split.filter(col("warc_type") === "response").count() == 8)
   }
 
+  test("warc: fetch at stored offsets reproduces each record exactly (r12)") {
+    // both layouts: plain records and gz members; fetch every record a
+    // full scan reports and compare the whole row
+    for (gz <- Seq(false, true)) {
+      val dir = tmpDir()
+      WarcSource.Writer.write(pages(30), dir, "uri", "html", files = 2, gzip = gz)
+      val scanned = WarcSource.read(spark, Seq(dir))
+        .select("warc_file", "record_offset", "record_id", "http_status", "body")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.get(3), Option(r.getAs[Array[Byte]]("body")).map(new String(_, UTF_8))))
+        .sortBy(t => (t._1, t._2))
+      val s = spark
+      import s.implicits._
+      val req = scanned.map(t => (t._1, t._2)).toSeq.toDF("warc_file", "record_offset")
+      val fetched = WarcSource.fetch(req)
+        .select("warc_file", "record_offset", "record_id", "http_status", "body")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.get(3), Option(r.getAs[Array[Byte]]("body")).map(new String(_, UTF_8))))
+        .sortBy(t => (t._1, t._2))
+      assert(fetched.toSeq == scanned.toSeq, s"gz=$gz")
+    }
+  }
+
+  test("warc: fetch at a wrong offset fails loudly, never returns a wrong record (r12)") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(3), dir, "uri", "html", files = 1)
+    val s = spark
+    import s.implicits._
+    val bad = Seq((new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc")).head.toString, 7L))
+      .toDF("warc_file", "record_offset")
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcSource.fetch(bad).collect()
+    }
+    assert(e.getMessage.contains("bad version line")
+      || Option(e.getCause).exists(_.getMessage.contains("bad version line")))
+  }
+
   test("warc: the JSON DSL from clause reaches read_warc (r12)") {
     val dir = tmpDir()
     WarcSource.Writer.write(pages(12), dir, "uri", "html", files = 1)
