@@ -1155,6 +1155,54 @@ object QueriesData {
         .orderBy("url")
     },
 
+    // ---- frontier scheduling (r12): the step after politeness —
+    // fetch_slot (md5 host bucket: one host → one fetcher, stable
+    // across runs) and fetch_wave (≤ perWave URLs per host per round,
+    // priority first). The oracle replays the rank window and the md5
+    // bucket contract verbatim.
+    "q_frontier_schedule" -> { (s, dir) =>
+      val d = col("doc_id")
+      val urls = Tables.load(s, dir, "documents").select(
+        d,
+        concat(lit("http://h"), (d % 5).cast("string"),
+          lit(".crawl.example/p/"), d.cast("string")).as("url"),
+        (d % 3).cast("int").as("priority"))
+      graft.operators.Frontier.schedule(urls, "url", perWave = 7,
+          fetchers = 4, priorityCol = Some("priority"))
+        .select(d, col("url"), col("host"),
+          col("fetch_slot"), col("fetch_wave"))
+        .orderBy("doc_id")
+    },
+
+    // ---- sitemap-seeded frontier (r12): sitemap <loc> extraction as
+    // the seed source, chained through normalize → scheme/host gate →
+    // robots politeness → frontier dedup. Survivors restated
+    // closed-form (the oracle never parses XML or robots bodies).
+    "q_sitemap_frontier" -> { (s, dir) =>
+      import s.implicits._
+      val d = col("doc_id").cast("string")
+      val k = (col("doc_id") % 3).cast("string")
+      val sitemaps = Tables.load(s, dir, "documents").select(
+        concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc>http://S"), k,
+          lit(".example/page/"), d, lit("?utm_source=x</loc></url>"),
+          lit("<url><loc>\n  http://s"), k, lit(".example/private/"),
+          (col("doc_id") % 5).cast("string"), lit(" </loc></url>"),
+          lit("<url><loc>http://s"), k, lit(".example/page/"),
+          (col("doc_id") % 100).cast("string"),
+          lit("</loc></url></urlset>")).as("xml"))
+      val robots = Seq("s0.example", "s1.example", "s2.example")
+        .map((_, "User-agent: *\nDisallow: /private/")).toDF("host", "body")
+      val seeds = sitemaps
+        .select(explode(TextOps.sitemapUrls(col("xml"))).as("raw"))
+        .select(TextOps.urlNormalize(col("raw")).as("url"))
+        .filter(TextOps.urlPass(col("url")))
+      graft.operators.Robots
+        .filterFrontier(seeds, "url", robots, "host", "body", agent = "graftbot")
+        .distinct()
+        .orderBy("url")
+    },
+
     // ---- frontier curation (r12): url_filter (normalize + scheme
     // gate + host blocklist incl. subdomains + badword-in-URL regex)
     // chained into dedup_exact OVER THE URL COLUMN — frontier dedup as
@@ -3337,6 +3385,34 @@ object QueriesData {
            END AS surt_sql,
            'org,example,bare)/' AS surt_bare
          FROM documents ORDER BY doc_id""",
+    // the rank window + md5 bucket contract replayed verbatim
+    "q_frontier_schedule" ->
+      """WITH u AS (SELECT doc_id,
+            'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.crawl.example/p/'
+              || CAST(doc_id AS VARCHAR) AS url,
+            CAST(doc_id % 3 AS INTEGER) AS priority,
+            'h' || CAST(doc_id % 5 AS VARCHAR) || '.crawl.example' AS host
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY priority DESC, url ASC) AS rk FROM u)
+        SELECT doc_id, url, host,
+          CAST((md5_number_lower(host || 'fetch-v1') % 281474976710656) % 4
+            AS INTEGER) AS fetch_slot,
+          CAST((rk - 1) // 7 AS INTEGER) AS fetch_wave
+        FROM r ORDER BY doc_id""",
+    // survivors closed-form: the page locs (tracking param and upper
+    // case normalized away, the %100 variant deduped in), /private/
+    // locs never appear
+    "q_sitemap_frontier" ->
+      """SELECT DISTINCT url FROM (
+          SELECT 'http://s' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+          UNION
+          SELECT 'http://s' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example/page/' || CAST(doc_id % 100 AS VARCHAR)
+          FROM documents)
+        ORDER BY url""",
     // the surviving frontier restated from doc_id arithmetic: art
     // links (tracking param normalized away), same-host relative
     // links, and visited-page links that DON'T hit a real visited id;

@@ -115,6 +115,42 @@ class RobotsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("frontier schedule: per-host serialization, wave caps, priority order (r12)") {
+    val s = spark
+    import s.implicits._
+    val urls = (0 until 40).map(i =>
+      (s"http://h${i % 3}.example/p/$i", i % 4)).toDF("url", "priority")
+    val out = graft.operators.Frontier
+      .schedule(urls, "url", perWave = 5, fetchers = 8,
+        priorityCol = Some("priority"))
+      .select("url", "priority", "host", "fetch_slot", "fetch_wave")
+      .collect()
+    // one host → exactly one slot; slots in range
+    val slotsByHost = out.groupBy(_.getAs[String]("host"))
+      .view.mapValues(_.map(_.getAs[Int]("fetch_slot")).toSet).toMap
+    assert(slotsByHost.values.forall(_.size == 1))
+    assert(out.forall(r => (0 until 8).contains(r.getAs[Int]("fetch_slot"))))
+    // ≤ perWave URLs of one host per wave; waves dense from 0
+    out.groupBy(r => (r.getAs[String]("host"), r.getAs[Int]("fetch_wave")))
+      .foreach { case (_, rs) => assert(rs.length <= 5) }
+    val waves = out.filter(_.getAs[String]("host") == "h0.example")
+      .map(_.getAs[Int]("fetch_wave")).sorted.toSeq
+    assert(waves.distinct == (0 to waves.max).toSeq)
+    // within a host, no lower-priority URL fetches a strictly earlier
+    // wave than a higher-priority one
+    out.groupBy(_.getAs[String]("host")).values.foreach { rs =>
+      for (a <- rs; b <- rs
+           if a.getAs[Int]("priority") > b.getAs[Int]("priority"))
+        assert(a.getAs[Int]("fetch_wave") <= b.getAs[Int]("fetch_wave"))
+    }
+    // deterministic: a second run assigns identical columns
+    val again = graft.operators.Frontier
+      .schedule(urls, "url", perWave = 5, fetchers = 8,
+        priorityCol = Some("priority"))
+      .select("url", "priority", "host", "fetch_slot", "fetch_wave").collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("robots: query strings participate in matching") {
     val s = spark
     import s.implicits._
