@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch perceptron — a GRADIENT-trained linear classifier that is
+  * still exactly replayable in oracle SQL, complementing the
+  * counts-based [[NbClassifier]]: every quantity is a 64-bit integer
+  * (features are counts, labels are ±1, updates are sums of
+  * label-signed feature vectors), so there is no float to drift
+  * between engines and the unrolled training rounds replay bit-exactly
+  * as CTEs.
+  *
+  * Training (fixed `iters` full-batch rounds, the distributed form of
+  * Rosenblatt's rule):
+  *  - margin(d)  = y_d · (w_t · x_d)        with x_d = [1, features...]
+  *  - w_{t+1}    = w_t + Σ_{margin ≤ 0} y_d · x_d
+  * The whole loop is ONE lazy plan: each round is a map-side-combined
+  * elementwise sum (one tiny shuffle to a (k+1)-row frame) and the
+  * weights re-enter the next round as a broadcast one-row frame —
+  * never a driver-side `collect`, so the training data can be any
+  * size. Each round re-scans the input: callers training more than a
+  * couple of rounds over an expensive upstream should cache/checkpoint
+  * the feature frame first.
+  *
+  * Integer overflow bound (caller's contract, checked loudly at score
+  * time): |w_j| grows at most `iters · Σ_d |x_dj|`, and scores by
+  * `max_j |w_j| · Σ_j x_dj`; with count features (≤ ~10^4) and labeled
+  * slices (≤ ~10^7 rows — labeled data is small by construction) both
+  * sit far inside Long range.
+  */
+object Perceptron {
+
+  /** the engine's x_d: bias 1 prepended to the raw count features */
+  private def withBias(features: Column): Column =
+    concat(array(lit(1L)), features)
+
+  /** Train on `df`'s `featuresCol` (array<long> of exactly `k` count
+    * features, WITHOUT bias — it is prepended here) against `labelCol`
+    * (boolean: true → +1, false → −1). Returns a ONE-ROW frame
+    * `{w: array<long>}` of k+1 weights (bias first); an empty training
+    * slice trains the zero vector (every score 0, every pred false) —
+    * deterministic, never an empty frame that would vanish joins. */
+  def train(df: DataFrame, featuresCol: String, labelCol: String,
+      iters: Int, k: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val y = when(col(labelCol), 1L).otherwise(-1L)
+    // a row with the wrong arity fails the round loudly — silently
+    // skipping it (null margin) would train a different model
+    val xb = withBias(col(featuresCol).cast("array<long>"))
+    val checked = when(size(xb) === k + 1, xb).otherwise(raise_error(
+      concat(lit(s"perceptron: features arity "), (size(xb) - 1).cast("string"),
+        lit(s" != $k"))))
+    val feats = df.select(y.as("y"), checked.as("x"))
+    var w: DataFrame = spark.range(1)
+      .select(array(Seq.fill(k + 1)(lit(0L)): _*).as("w"))
+    val zeros = array(Seq.fill(k + 1)(lit(0L)): _*)
+    for (_ <- 1 to iters) {
+      // one broadcast join per round, and the carried weights re-enter
+      // through that SAME join (w referenced once — referencing the
+      // previous round twice would double the plan per round and blow
+      // up exponentially in `iters`): each row explodes into
+      // (i, w_i, contribution_i), the new weight is
+      // first(w_i) + Σ contributions, map-side combined
+      val dot = aggregate(zip_with(col("w"), col("x"), _ * _),
+        lit(0L), _ + _)
+      val contrib = when(col("y") * dot <= 0, col("y")).otherwise(lit(0L))
+      val arr = feats.crossJoin(broadcast(w))
+        .select(posexplode(zip_with(col("w"), col("x"),
+          (wj, xj) => struct(wj.as("wj"), (contrib * xj).as("d"))))
+          .as(Seq("i", "s")))
+        .groupBy("i")
+        .agg((first(col("s.wj")) + sum(col("s.d"))).as("wi"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("wi")))),
+          s => s.getField("wi")).as("w"))
+      // an empty training slice leaves the fold empty: stay at 0⃗ so
+      // the result is always one row of k+1 weights, never a vanishing
+      // join input
+      w = arr.select(
+        when(size(col("w")) === k + 1, col("w")).otherwise(zeros).as("w"))
+    }
+    w
+  }
+
+  /** Score every row of `df`: adds `score` (w · [1, features]) and
+    * `pred` (score > 0). `w` is [[train]]'s one-row frame, broadcast.
+    * An arity mismatch between the weights and a row's features fails
+    * loudly (null score) rather than silently truncating. */
+  def score(df: DataFrame, featuresCol: String, w: DataFrame): DataFrame = {
+    val x = withBias(col(featuresCol).cast("array<long>"))
+    val dot = aggregate(zip_with(col("w"), x, _ * _), lit(0L), _ + _)
+    df.crossJoin(broadcast(w))
+      .withColumn("score", when(size(col("w")) === size(x), dot))
+      .drop("w")
+      .withColumn("pred", col("score") > 0)
+  }
+}

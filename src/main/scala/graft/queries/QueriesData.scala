@@ -547,6 +547,28 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- batch perceptron (r12): the GRADIENT-trained counterpart of
+    // q_nb_classify — all-integer Rosenblatt rounds, so 5 full-batch
+    // updates replay bit-exactly as unrolled oracle CTEs. Features are
+    // character/substring counts; training slice = even doc_ids; the
+    // learned weights score EVERY doc (the train-on-slice,
+    // score-the-corpus shape).
+    "q_perceptron_quality" -> { (s, dir) =>
+      val t = col("text")
+      def cnt(sub: String): Column =
+        (length(t) - length(replace(t, lit(sub), lit("")))).cast(LongType)
+      val feats = Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        array(length(t).cast(LongType), cnt(" "), cnt("."), cnt(" the "))
+          .as("x"),
+        (cnt(" the ") >= 10).as("label"))
+      val w = graft.operators.Perceptron.train(
+        feats.filter(col("doc_id") % 2 === 0), "x", "label", iters = 5, k = 4)
+      graft.operators.Perceptron.score(feats, "x", w)
+        .select(col("doc_id"), col("score"), col("pred"), col("label"))
+        .orderBy("doc_id")
+    },
+
     // ---- stupid-backoff bigram LM perplexity (Brants et al. 2007;
     // the CCNet-style model-based quality gate): self-trained counts,
     // α=0.4 backoff, +1-floored unigrams, document ppl = 10^(−avg
@@ -1737,6 +1759,39 @@ object QueriesData {
       || '<div class="share">Please <a href="/share">share</a>'
       || ' <a href="/like">like</a> <a href="/sub">subscribe</a></div>' || chr(10)
       || '<footer>Copyright &amp; all rights reserved</footer>' || chr(10) || '</body></html>'"""
+
+  /** q_perceptron_quality's oracle: 5 Rosenblatt rounds unrolled as
+    * all-integer CTEs — each round folds the misclassified rows'
+    * label-signed feature sums into the weights, bit-exactly the
+    * engine's update rule. */
+  private val perceptronOracle: String = {
+    val fs = Seq("f1", "f2", "f3", "f4")
+    val marg = s"l.y * (w.b + ${fs.map(c => s"w.$c * l.$c").mkString(" + ")})"
+    def round(prev: String, cur: String): String =
+      s"$cur AS (SELECT w.b + COALESCE(SUM(CASE WHEN $marg <= 0 THEN l.y END), 0) AS b, " +
+        fs.map(c =>
+          s"w.$c + COALESCE(SUM(CASE WHEN $marg <= 0 THEN l.y * l.$c END), 0) AS $c")
+          .mkString(", ") +
+        s" FROM $prev w CROSS JOIN l GROUP BY w.b, ${fs.map("w." + _).mkString(", ")})"
+    val rounds = (1 to 5).map(i => round(s"w${i - 1}", s"w$i")).mkString(",\n        ")
+    val dot = s"w.b + ${fs.map(c => s"w.$c * f.$c").mkString(" + ")}"
+    s"""WITH f AS (SELECT doc_id,
+          CAST(len(text) AS BIGINT) AS f1,
+          CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS f2,
+          CAST(len(text) - len(replace(text, '.', '')) AS BIGINT) AS f3,
+          CAST(len(text) - len(replace(text, ' the ', '')) AS BIGINT) AS f4
+        FROM documents),
+        l AS (SELECT doc_id, f1, f2, f3, f4,
+            CASE WHEN f4 >= 10 THEN 1 ELSE -1 END AS y
+          FROM f WHERE doc_id % 2 = 0),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS f1,
+          CAST(0 AS BIGINT) AS f2, CAST(0 AS BIGINT) AS f3,
+          CAST(0 AS BIGINT) AS f4),
+        $rounds
+        SELECT f.doc_id, CAST($dot AS BIGINT) AS score, ($dot) > 0 AS pred,
+          f.f4 >= 10 AS label
+        FROM f CROSS JOIN w5 w ORDER BY f.doc_id"""
+  }
 
   /** Adversarial URL seed per document: default ports under mixed-case
     * schemes/hosts, tracking params before/between/after real ones,
@@ -2932,6 +2987,7 @@ object QueriesData {
                round(coalesce(s.s, 0.0), 4) AS lm_score
         FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id""",
     // the NB model replayed count-for-count: (label, token) counts,
+    "q_perceptron_quality" -> perceptronOracle,
     // Laplace +1 over vocab V, prior ln(docs_c/N), argmax on
     // round(s,6) with label tiebreak; round(,4) on the reported score
     "q_nb_classify" ->

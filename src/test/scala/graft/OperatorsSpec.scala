@@ -1552,6 +1552,41 @@ class OperatorsSpec extends AnyFunSuite {
       .head() == org.apache.spark.sql.Row("http://a.com/x", "b.org", "ftp"))
   }
 
+  test("perceptron: separable data converges; empty slice trains zeros; bad arity is loud (r12)") {
+    import spark.implicits._
+    import graft.operators.Perceptron
+    // linearly separable: label = (f1 > f2)
+    val rows = (0 until 60).map { i =>
+      val a = i % 10; val b = (i * 7) % 10
+      (i.toLong, Array(a.toLong, b.toLong), a > b)
+    }.toDF("id", "x", "label")
+    val w = Perceptron.train(rows, "x", "label", iters = 20, k = 2)
+    val scored = Perceptron.score(rows, "x", w)
+      .select("label", "pred").collect()
+    val acc = scored.count(r => r.getBoolean(0) == r.getBoolean(1)).toDouble / scored.length
+    assert(acc > 0.9, s"separable data should converge, got $acc")
+    // weights are integers reachable by the update rule (bias + 2 dims)
+    val wArr = w.head().getSeq[Long](0)
+    assert(wArr.length == 3)
+    // empty training slice → zero vector, every score 0, pred false
+    val w0 = Perceptron.train(rows.filter(col("id") < 0), "x", "label",
+      iters = 3, k = 2)
+    assert(w0.head().getSeq[Long](0) == Seq(0L, 0L, 0L))
+    val z = Perceptron.score(rows, "x", w0).select("score", "pred").collect()
+    assert(z.forall(r => r.getLong(0) == 0L && !r.getBoolean(1)))
+    // wrong arity fails the training round loudly
+    val e = intercept[Exception] {
+      Perceptron.train(rows, "x", "label", iters = 1, k = 5).collect()
+    }
+    assert(e.getMessage.contains("perceptron")
+      || Option(e.getCause).exists(_.getMessage.contains("perceptron")))
+    // score with mismatched weights answers null score, not truncation
+    val s5 = Perceptron.score(rows,
+      "x", spark.range(1).select(array((0 to 5).map(_ => lit(1L)): _*).as("w")))
+      .select("score").collect()
+    assert(s5.forall(_.isNullAt(0)))
+  }
+
   test("url_surt: edge shapes the gate seeds don't isolate (r12)") {
     import spark.implicits._
     def surt1(u: String): String = Seq(u).toDF("u")
