@@ -166,7 +166,8 @@ object CuratePipeline {
       case JString(op) => Set("lm_quality_filter", "perplexity_filter",
         "dsir_filter", "minhash_neardup", "decontaminate",
         "dedup_substrings", "tokenize", "nb_class_filter",
-        "repetition_filter", "token_budget", "semdedup", "hash_neardup")(op)
+        "perceptron_filter", "repetition_filter", "token_budget",
+        "semdedup", "hash_neardup")(op)
       case _ => false
     }
 
@@ -443,6 +444,46 @@ object CuratePipeline {
         val keepIds = preds.filter(col("pred").isInCollection(keep))
           .select(col("doc_id").as(idCol))
         df.join(keepIds, Seq(idCol), "left_semi")
+      case "perceptron_filter" =>
+        // model-based gate, gradient flavor ([[Perceptron]]): train an
+        // all-integer batch perceptron on the rows whose `label_col`
+        // is NON-NULL (the label-a-slice, filter-the-corpus shape)
+        // over the named count-feature columns, score every row, keep
+        // by predicted sign ("keep": "positive" default / "negative").
+        // Training = `iters` tiny elementwise-sum shuffles over the
+        // labeled slice; scoring = map-only with broadcast weights.
+        val labelCol = str(st, "label_col")
+        val featCols = strSeq(st, "feature_cols", Nil)
+        if (featCols.isEmpty) throw new DslException(
+          "perceptron_filter needs a non-empty 'feature_cols' array")
+        val keepPred = strOr(st, "keep", "positive") match {
+          case "positive" => true
+          case "negative" => false
+          case other => throw new DslException(
+            s"perceptron_filter 'keep' must be positive|negative, got $other")
+        }
+        val withX = df.withColumn("__px",
+          array(featCols.map(c => col(c).cast("long")): _*))
+        val w = graft.operators.Perceptron.train(
+          withX.filter(col(labelCol).isNotNull), "__px", labelCol,
+          iters = int(st, "iters", 5), k = featCols.size)
+        graft.operators.Perceptron.score(withX, "__px", w)
+          .filter(col("pred") === keepPred)
+          .drop("__px", "score", "pred")
+      case "frontier_schedule" =>
+        // polite fetch assignment ([[Frontier.schedule]]): appends
+        // host / fetch_slot / fetch_wave — one host one fetcher, at
+        // most per_wave URLs per host per round, priority first. One
+        // rank-window shuffle.
+        graft.operators.Frontier.schedule(df,
+          strOr(st, "url_col", "url"),
+          perWave = int(st, "per_wave", 100),
+          fetchers = int(st, "fetchers", 64),
+          priorityCol = (st \ "priority_col") match {
+            case JString(c) => Some(c)
+            case _ => None
+          },
+          salt = strOr(st, "salt", "fetch-v1"))
       case "chunk" =>
         // shape-changing RAG-ingest stage: each doc becomes its
         // sliding-window chunks — text := chunk_text, and chunk_idx /

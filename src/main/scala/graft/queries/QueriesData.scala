@@ -548,7 +548,7 @@ object QueriesData {
     },
 
     // ---- batch perceptron (r12): the GRADIENT-trained counterpart of
-    // q_nb_classify — all-integer Rosenblatt rounds, so 5 full-batch
+    // q_nb_classify — all-integer Rosenblatt rounds, so 20 full-batch
     // updates replay bit-exactly as unrolled oracle CTEs. Features are
     // character/substring counts; training slice = even doc_ids; the
     // learned weights score EVERY doc (the train-on-slice,
@@ -559,11 +559,10 @@ object QueriesData {
         (length(t) - length(replace(t, lit(sub), lit("")))).cast(LongType)
       val feats = Tables.load(s, dir, "documents").select(
         col("doc_id"),
-        array(length(t).cast(LongType), cnt(" "), cnt("."), cnt(" the "))
-          .as("x"),
+        array(cnt("."), cnt(" the ")).as("x"),
         (cnt(" the ") >= 10).as("label"))
       val w = graft.operators.Perceptron.train(
-        feats.filter(col("doc_id") % 2 === 0), "x", "label", iters = 5, k = 4)
+        feats.filter(col("doc_id") % 2 === 0), "x", "label", iters = 20, k = 2)
       graft.operators.Perceptron.score(feats, "x", w)
         .select(col("doc_id"), col("score"), col("pred"), col("label"))
         .orderBy("doc_id")
@@ -1225,6 +1224,46 @@ object QueriesData {
         .orderBy("url")
     },
 
+    // ---- CURATE frontier chain (r12): url_filter (normalize +
+    // ad-host drop) into frontier_schedule — hygiene and politeness
+    // scheduling as TWO PIPELINE STAGES. Oracle replays the surviving
+    // hosts closed-form + the rank window + md5 bucket contract.
+    "q_curate_frontier" -> { (s, dir) =>
+      val d = col("doc_id")
+      val urls = Tables.load(s, dir, "documents").select(
+        d,
+        concat(lit("http://H"), (d % 5).cast("string"),
+          lit(".Example.net/p/"), d.cast("string"),
+          lit("?utm_m=x")).as("url"),
+        (d % 3).cast("int").as("prio"))
+      graft.dsl.CuratePipeline.compile(urls, """{"stages": [
+          {"op": "url_filter", "block_hosts": ["h4.example.net"]},
+          {"op": "frontier_schedule", "per_wave": 3, "fetchers": 4,
+           "priority_col": "prio"}]}""", idCol = "doc_id")
+        .select(d, col("url"), col("host"),
+          col("fetch_slot"), col("fetch_wave"))
+        .orderBy("doc_id")
+    },
+
+    // ---- CURATE perceptron gate (r12): label HALF the corpus (even
+    // doc_ids), train the all-integer perceptron inside the pipeline,
+    // keep predicted-positive rows — the label-a-slice,
+    // filter-the-corpus shape, gradient flavor. Same unrolled-round
+    // oracle as q_perceptron_quality, filtered by the learned sign.
+    "q_curate_perceptron" -> { (s, dir) =>
+      val t = col("text")
+      def cnt(sub: String): Column =
+        (length(t) - length(replace(t, lit(sub), lit("")))).cast(LongType)
+      val feats = Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        cnt(".").as("f3"), cnt(" the ").as("f4"),
+        when(col("doc_id") % 2 === 0, cnt(" the ") >= 10).as("qlabel"))
+      graft.dsl.CuratePipeline.compile(feats, """{"stages": [
+          {"op": "perceptron_filter", "label_col": "qlabel",
+           "feature_cols": ["f3", "f4"], "iters": 20}]}""")
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // ---- frontier curation (r12): url_filter (normalize + scheme
     // gate + host blocklist incl. subdomains + badword-in-URL regex)
     // chained into dedup_exact OVER THE URL COLUMN — frontier dedup as
@@ -1760,12 +1799,14 @@ object QueriesData {
       || ' <a href="/like">like</a> <a href="/sub">subscribe</a></div>' || chr(10)
       || '<footer>Copyright &amp; all rights reserved</footer>' || chr(10) || '</body></html>'"""
 
-  /** q_perceptron_quality's oracle: 5 Rosenblatt rounds unrolled as
+  /** q_perceptron_quality's oracle: 20 Rosenblatt rounds unrolled as
     * all-integer CTEs — each round folds the misclassified rows'
     * label-signed feature sums into the weights, bit-exactly the
-    * engine's update rule. */
-  private val perceptronOracle: String = {
-    val fs = Seq("f1", "f2", "f3", "f4")
+    * engine's update rule. Features (f3 = '.' count, f4 = 5×' the '
+    * count) against label f4 ≥ 10 CONVERGE inside 20 rounds at gate
+    * scale — the trained filter separates, it doesn't keep-all. */
+  private def perceptronSql(fin: String => String): String = {
+    val fs = Seq("f3", "f4")
     val marg = s"l.y * (w.b + ${fs.map(c => s"w.$c * l.$c").mkString(" + ")})"
     def round(prev: String, cur: String): String =
       s"$cur AS (SELECT w.b + COALESCE(SUM(CASE WHEN $marg <= 0 THEN l.y END), 0) AS b, " +
@@ -1773,7 +1814,7 @@ object QueriesData {
           s"w.$c + COALESCE(SUM(CASE WHEN $marg <= 0 THEN l.y * l.$c END), 0) AS $c")
           .mkString(", ") +
         s" FROM $prev w CROSS JOIN l GROUP BY w.b, ${fs.map("w." + _).mkString(", ")})"
-    val rounds = (1 to 5).map(i => round(s"w${i - 1}", s"w$i")).mkString(",\n        ")
+    val rounds = (1 to 20).map(i => round(s"w${i - 1}", s"w$i")).mkString(",\n        ")
     val dot = s"w.b + ${fs.map(c => s"w.$c * f.$c").mkString(" + ")}"
     s"""WITH f AS (SELECT doc_id,
           CAST(len(text) AS BIGINT) AS f1,
@@ -1781,17 +1822,24 @@ object QueriesData {
           CAST(len(text) - len(replace(text, '.', '')) AS BIGINT) AS f3,
           CAST(len(text) - len(replace(text, ' the ', '')) AS BIGINT) AS f4
         FROM documents),
-        l AS (SELECT doc_id, f1, f2, f3, f4,
+        l AS (SELECT doc_id, f3, f4,
             CASE WHEN f4 >= 10 THEN 1 ELSE -1 END AS y
           FROM f WHERE doc_id % 2 = 0),
-        w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS f1,
-          CAST(0 AS BIGINT) AS f2, CAST(0 AS BIGINT) AS f3,
-          CAST(0 AS BIGINT) AS f4),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS b,
+          CAST(0 AS BIGINT) AS f3, CAST(0 AS BIGINT) AS f4),
         $rounds
-        SELECT f.doc_id, CAST($dot AS BIGINT) AS score, ($dot) > 0 AS pred,
-          f.f4 >= 10 AS label
-        FROM f CROSS JOIN w5 w ORDER BY f.doc_id"""
+        ${fin(dot)}"""
   }
+
+  private val perceptronOracle: String = perceptronSql(dot =>
+    s"""SELECT f.doc_id, CAST($dot AS BIGINT) AS score, ($dot) > 0 AS pred,
+          f.f4 >= 10 AS label
+        FROM f CROSS JOIN w20 w ORDER BY f.doc_id""")
+
+  /** the same trained weights, keeping predicted-positive rows only */
+  private val curatePerceptronOracle: String = perceptronSql(dot =>
+    s"""SELECT f.doc_id FROM f CROSS JOIN w20 w
+        WHERE ($dot) > 0 ORDER BY f.doc_id""")
 
   /** Adversarial URL seed per document: default ports under mixed-case
     * schemes/hosts, tracking params before/between/after real ones,
@@ -2988,6 +3036,23 @@ object QueriesData {
         FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id""",
     // the NB model replayed count-for-count: (label, token) counts,
     "q_perceptron_quality" -> perceptronOracle,
+    "q_curate_perceptron" -> curatePerceptronOracle,
+    // surviving hosts closed-form (h4 blocked, tracking param
+    // normalized away) + the rank window + md5 bucket replayed
+    "q_curate_frontier" ->
+      """WITH u AS (SELECT doc_id,
+            'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.net/p/'
+              || CAST(doc_id AS VARCHAR) AS url,
+            CAST(doc_id % 3 AS INTEGER) AS prio,
+            'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.net' AS host
+          FROM documents WHERE doc_id % 5 <> 4),
+        r AS (SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY prio DESC, url ASC) AS rk FROM u)
+        SELECT doc_id, url, host,
+          CAST((md5_number_lower(host || 'fetch-v1') % 281474976710656) % 4
+            AS INTEGER) AS fetch_slot,
+          CAST((rk - 1) // 3 AS INTEGER) AS fetch_wave
+        FROM r ORDER BY doc_id""",
     // Laplace +1 over vocab V, prior ln(docs_c/N), argmax on
     // round(s,6) with label tiebreak; round(,4) on the reported score
     "q_nb_classify" ->
