@@ -72,5 +72,6 @@ object Crawler {
   }
 
   private def sanitize(s: String): String =
-    s.replaceAll("\\.(zarr|parquet|csv|nc|arrow|bbf)$", "").replaceAll("[^A-Za-z0-9_]", "_")
+    s.replaceAll("\\.(zarr|parquet|csv|nc|arrow|bbf|warc|cdx)$", "")
+      .replaceAll("[^A-Za-z0-9_]", "_")
 }

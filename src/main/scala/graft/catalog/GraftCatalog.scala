@@ -608,6 +608,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val df = d.format.get match {
         case "arrow"           => graft.sources.ArrowSource.read(spark, d.paths)
         case "odv"             => graft.sources.OdvSource.read(spark, d.paths)
+        case "warc"            => graft.sources.WarcSource.read(spark, d.paths)
+        case "cdx"             => graft.sources.CdxSource.read(spark, d.paths)
         case "netcdf" | "hdf5" | "tiff" => graft.sources.netcdf.NetcdfSource.read(spark, d.paths)
         case "zarr"            => graft.sources.zarr.ZarrSource.read(spark, d.paths)
         case "bbf"             =>

@@ -416,6 +416,29 @@ object QueriesFormats {
           md5(col("body")).as("body_md5"))
         .orderBy("warc_type", "uri")
     },
+    // WET round trip (r12): the extraction-egress shape — html_extract
+    // output written as WARC `conversion` records (block = the UTF-8
+    // text itself, no HTTP message) in the gz member layout, read back
+    // through member splits. The oracle replays the extraction CTEs
+    // over the source parquet; matching md5s prove the conversion
+    // block framing is byte-transparent.
+    "q_wet_roundtrip" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        graft.operators.TextOps.htmlExtractText(
+          QueriesData.docHtml(col("doc_id"), col("text"))).as("wet"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wetgate").toString
+      graft.sources.WarcSource.Writer.write(pages, tmp, "uri", "wet",
+        files = 2, gzip = true, recordType = "conversion")
+      graft.sources.WarcSource.read(s, Seq(tmp), splitBytes = 32 * 1024)
+        .filter(col("warc_type") === "conversion")
+        .select(col("target_uri").as("uri"), col("content_type"),
+          md5(col("body")).as("body_md5"),
+          length(col("body").cast(StringType)).cast(LongType).as("body_chars"))
+        .orderBy("uri")
+    },
     // CDX index round trip (r12): pages → gz WARC archive → scan →
     // CdxSource.index (map-only) → CDXJ egress (range-partitioned
     // sorted runs) → splittable text read-back. The oracle restates
@@ -606,6 +629,15 @@ object QueriesFormats {
     // serves both
     "q_warc_scan" -> warcOracle,
     "q_warc_gz" -> warcOracle,
+    // the extraction CTEs replayed over the source parquet
+    "q_wet_roundtrip" ->
+      s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
+            FROM documents),
+        ${QueriesData.htmlExtractCtes("h", "hx", "")}
+        SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          'text/plain' AS content_type, md5(text) AS body_md5,
+          CAST(len(text) AS BIGINT) AS body_chars
+        FROM hx ORDER BY uri""",
     // every index field closed-form; length = the HTTP head's 77
     // framing bytes + the Content-Length value's digits + the payload
     "q_cdx_scan" ->

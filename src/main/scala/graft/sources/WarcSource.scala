@@ -723,13 +723,20 @@ object WarcSource {
     * (WARC/1.1 Annex C), which is what makes the compressed archive
     * record-splittable on read. WARC-Date is a fixed literal
     * (deterministic fixtures; a crawl writer would stamp the fetch
-    * time). @return rows written. */
+    * time). `recordType = "conversion"` writes the WET shape instead —
+    * extracted-text records whose block IS the UTF-8 payload
+    * (`Content-Type: text/plain`, no HTTP message), the standard
+    * extraction-egress companion of a response archive.
+    * @return rows written. */
   object Writer {
     val FixedDate = "2026-01-01T00:00:00Z"
 
     def write(df: DataFrame, dir: String, uriCol: String, payloadCol: String,
         files: Int = 2, gzip: Boolean = false,
-        httpContentType: String = "text/html; charset=utf-8"): Long = {
+        httpContentType: String = "text/html; charset=utf-8",
+        recordType: String = "response"): Long = {
+      require(recordType == "response" || recordType == "conversion",
+        s"warc writer records response|conversion, got $recordType")
       graft.sources.io.ByteStore.createDirectories(dir)
       val spark = df.sparkSession
       val rows = spark.sparkContext.longAccumulator("warc_rows")
@@ -760,15 +767,24 @@ object WarcSource {
             it.foreach { r =>
               val uri = r.getString(0)
               val payload = r.getString(1).getBytes(UTF_8)
-              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
-                s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
-              val block = http ++ payload
-              emit(Seq(
-                "WARC-Type" -> "response",
-                "WARC-Date" -> FixedDate,
-                "WARC-Record-ID" -> s"<urn:graft:response:$uri>",
-                "WARC-Target-URI" -> uri,
-                "Content-Type" -> "application/http; msgtype=response"), block)
+              if (recordType == "conversion")
+                emit(Seq(
+                  "WARC-Type" -> "conversion",
+                  "WARC-Date" -> FixedDate,
+                  "WARC-Record-ID" -> s"<urn:graft:conversion:$uri>",
+                  "WARC-Target-URI" -> uri,
+                  "Content-Type" -> "text/plain"), payload)
+              else {
+                val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
+                  s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
+                val block = http ++ payload
+                emit(Seq(
+                  "WARC-Type" -> "response",
+                  "WARC-Date" -> FixedDate,
+                  "WARC-Record-ID" -> s"<urn:graft:response:$uri>",
+                  "WARC-Target-URI" -> uri,
+                  "Content-Type" -> "application/http; msgtype=response"), block)
+              }
               rows.add(1)
             }
           } finally { out.close(); publish() }

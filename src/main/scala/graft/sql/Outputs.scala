@@ -128,6 +128,19 @@ object Outputs {
       else None
     } else if (name.endsWith(".bbf") && graft.sources.bbf.BbfStore.isBbf(path))
       Some("bbf")
+    else if (name.endsWith(".warc") || name.endsWith(".warc.gz")) {
+      // magic-validated: plain archives open with the version line,
+      // compressed ones with the RFC 1952 member magic
+      if (ByteStore.size(path) < 7) None
+      else {
+        val head = ByteStore.readRange(path, 0, 7)
+        val plain = new String(head, java.nio.charset.StandardCharsets.US_ASCII)
+          .startsWith("WARC/1.")
+        val gz = (head(0) & 0xFF) == 0x1f && (head(1) & 0xFF) == 0x8b
+        if (plain || gz) Some("warc") else None
+      }
+    }
+    else if (name.endsWith(".cdx")) Some("cdx")
     else if (name.endsWith(".parquet")) Some("parquet")
     else if (stripCompressed(name).endsWith(".csv")) Some("csv")
     else if (stripCompressed(name).endsWith(".jsonl") ||
@@ -159,6 +172,8 @@ object Outputs {
       case "jsonl" => spark.read.json(path)
       case "arrow" => graft.sources.ArrowSource.read(spark, Seq(path))
       case "odv" => graft.sources.OdvSource.read(spark, Seq(path))
+      case "warc" => graft.sources.WarcSource.read(spark, Seq(path))
+      case "cdx" => graft.sources.CdxSource.read(spark, Seq(path))
       case "netcdf" | "hdf5" | "tiff" => graft.sources.netcdf.NetcdfSource.read(spark, Seq(path))
       case "zarr" => graft.sources.zarr.ZarrSource.read(spark, Seq(path))
       case "atlas" => graft.sources.atlas.AtlasSource.read(spark, path)

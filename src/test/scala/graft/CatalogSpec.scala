@@ -369,6 +369,29 @@ class CatalogSpec extends AnyFunSuite {
     engine.sql("DROP TABLE crawl_readings")
   }
 
+  test("crawler discovers warc archives and cdx indexes as external tables (r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-warc").toString
+    import spark.implicits._
+    val pages = Seq(("http://c.example/1", "<p>one one one</p>"),
+      ("http://c.example/2", "<p>two two two</p>")).toDF("uri", "html")
+    graft.sources.WarcSource.Writer.write(pages, s"$dir/archive", "uri", "html",
+      files = 1, gzip = true)
+    graft.sources.CdxSource.write(graft.sources.CdxSource.index(
+      graft.sources.WarcSource.read(spark, Seq(s"$dir/archive"))), s"$dir/index")
+    engine.sql(s"CREATE CRAWLER cr_warc ON '$dir'")
+    val reg = engine.sql("RUN CRAWLER cr_warc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(reg.get("archive").contains("warc"), reg.toString)
+    assert(reg.get("index").contains("cdx"), reg.toString)
+    // both registered tables are queryable through the catalog
+    assert(engine.sql(
+      "SELECT count(*) FROM archive WHERE warc_type = 'response'")
+      .head().getLong(0) == 2)
+    assert(engine.sql("SELECT count(*) FROM index").head().getLong(0) == 2)
+    engine.sql("DROP CRAWLER cr_warc")
+    engine.sql("DROP TABLE archive"); engine.sql("DROP TABLE index")
+  }
+
   test("scheduled crawler: `schedule` WITH option drives background passes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crawl-sched").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ticks"))

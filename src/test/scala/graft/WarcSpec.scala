@@ -267,6 +267,26 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("http_status") == 200))
   }
 
+  test("warc: conversion records write the WET shape — raw text block, no HTTP message (r12)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    WarcSource.Writer.write(
+      Seq(("http://t.example/w", "extracted text\nsecond line")).toDF("uri", "txt"),
+      dir, "uri", "txt", files = 1, gzip = true, recordType = "conversion")
+    val r = WarcSource.read(spark, Seq(dir))
+      .filter(col("warc_type") === "conversion").head()
+    assert(r.getAs[String]("content_type") == "text/plain")
+    assert(r.isNullAt(r.fieldIndex("http_status"))) // no HTTP message
+    assert(new String(r.getAs[Array[Byte]]("body"), UTF_8)
+      == "extracted text\nsecond line") // block IS the payload
+    val e = intercept[IllegalArgumentException] {
+      WarcSource.Writer.write(Seq(("u", "t")).toDF("uri", "txt"),
+        dir, "uri", "txt", recordType = "request")
+    }
+    assert(e.getMessage.contains("response|conversion"))
+  }
+
   test("warc: non-http records keep their raw block as body") {
     val dir = tmpDir()
     WarcSource.Writer.write(pages(1), dir, "uri", "html", files = 1)
