@@ -492,6 +492,38 @@ object QueriesFormats {
           md5(col("body")).as("body_md5"))
         .orderBy("uri")
     },
+    // Index-driven selective curation (r12 capstone): a SURT KEY RANGE
+    // over the CDX index picks the records (the crawl-index idiom —
+    // sorted keys make "this host/prefix" a contiguous range), fetch
+    // pulls ONLY those records' byte ranges, html_extract runs on the
+    // fetched bodies — the archive itself is never scanned after
+    // indexing. Oracle = the extraction CTEs over the same id range.
+    "q_cdx_curate" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        QueriesData.docHtml(col("doc_id"), col("text")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdxcur").toString
+      graft.sources.WarcSource.Writer.write(pages, s"$tmp/warc", "uri", "html",
+        files = 2, gzip = true)
+      graft.sources.CdxSource.write(graft.sources.CdxSource.index(
+        graft.sources.WarcSource.read(s, Seq(s"$tmp/warc"))), s"$tmp/cdx",
+        files = 2)
+      val wanted = graft.sources.CdxSource.read(s, Seq(s"$tmp/cdx"))
+        .filter(col("surt") >= "example,corpus)/doc/2"
+          && col("surt") < "example,corpus)/doc/3")
+        .select(concat(lit(s"$tmp/warc/"), col("filename")).as("warc_file"),
+          col("offset").as("record_offset"))
+      val fetched = graft.sources.WarcSource.fetch(wanted)
+        .select(col("target_uri").as("uri"),
+          col("body").cast(StringType).as("text"))
+      graft.dsl.CuratePipeline.compile(fetched,
+          """{"stages": [{"op": "html_extract"}]}""", idCol = "uri")
+        .select(col("uri"), md5(col("text")).as("text_md5"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy("uri")
+    },
     // ODV writer+reader round trip, oracle recomputes from source parquet
     "q_odv_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
@@ -629,6 +661,14 @@ object QueriesFormats {
     // serves both
     "q_warc_scan" -> warcOracle,
     "q_warc_gz" -> warcOracle,
+    // the id range a surt key range selects, then the extraction CTEs
+    "q_cdx_curate" ->
+      s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
+            FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '2%'),
+        ${QueriesData.htmlExtractCtes("h", "hx", "")}
+        SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          md5(text) AS text_md5, CAST(len(text) AS BIGINT) AS n_chars
+        FROM hx ORDER BY uri""",
     // the extraction CTEs replayed over the source parquet
     "q_wet_roundtrip" ->
       s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
