@@ -55,10 +55,54 @@ object RobotsExprs {
     ColumnBridge.column(RobotsAllows(ColumnBridge.expression(body),
       ColumnBridge.expression(agent), ColumnBridge.expression(path)))
 
+  /** `robots_crawl_delay(body, agent)` — the `Crawl-delay` (de facto,
+    * not RFC 9309; widely honored) of the group selected for `agent`
+    * by the SAME selection rule as [[RobotsAllows]], in seconds; null
+    * when the selected group carries none (or no group applies). When
+    * same-length groups merge, the SMALLEST of their delays wins (the
+    * polite reading). Feeds per-host wave pacing
+    * ([[graft.operators.Frontier.schedule]]'s per_wave). */
+  case class RobotsCrawlDelay(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "robots_crawl_delay"
+    override def nullSafeEval(body: Any, agent: Any): Any = {
+      val d = crawlDelayKernel(body.asInstanceOf[UTF8String],
+        agent.asInstanceOf[UTF8String])
+      if (d == null) null else d.doubleValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, a) => s"""
+        java.lang.Double ${ev.value}_d =
+          graft.functions.RobotsExprs.crawlDelayKernel($b, $a);
+        if (${ev.value}_d == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_d.doubleValue(); }""")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  def robots_crawl_delay(body: Column, agent: Column): Column =
+    ColumnBridge.column(RobotsCrawlDelay(ColumnBridge.expression(body),
+      ColumnBridge.expression(agent)))
+
   // ---------------------------------------------------------- kernel
 
   def allowsKernel(body: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
     allows(body.toString, agent.toString, path.toString)
+
+  def crawlDelayKernel(body: UTF8String, agent: UTF8String): java.lang.Double =
+    if (body == null || agent == null) null
+    else crawlDelay(body.toString, agent.toString)
+
+  /** smallest Crawl-delay among the selected group(s); null if none */
+  def crawlDelay(body: String, agent: String): java.lang.Double = {
+    var best: java.lang.Double = null
+    selectedGroups(body, agent).foreach { g =>
+      if (g.delay != null && (best == null || g.delay < best)) best = g.delay
+    }
+    best
+  }
 
   def allows(body: String, agent: String, path: String): Boolean = {
     val rules = applicableRules(body, agent)
@@ -78,15 +122,24 @@ object RobotsExprs {
     bestAllow
   }
 
+  private final case class Group(len: Int,
+      rules: scala.collection.mutable.ArrayBuffer[(Boolean, String)],
+      delay: java.lang.Double)
+
   /** merged rule list of the group(s) RFC 9309 selects for `agent` */
   private def applicableRules(body: String,
-      agent: String): Array[(Boolean, String)] = {
+      agent: String): Array[(Boolean, String)] =
+    selectedGroups(body, agent).flatMap(_.rules).toArray
+
+  /** the group(s) whose agent match ties at the best length */
+  private def selectedGroups(body: String,
+      agent: String): Seq[Group] = {
     val token = agent.toLowerCase(java.util.Locale.ROOT)
-    // (matchLen, rules): matchLen -1 = no match, 0 = star, >0 = named
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+    // matchLen -1 = no match, 0 = star, >0 = named
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var curAgents = List.empty[String]
     var curRules: scala.collection.mutable.ArrayBuffer[(Boolean, String)] = null
+    var curDelay: java.lang.Double = null
     var inHeader = false
     def closeGroup(): Unit = if (curRules != null) {
       var len = -1
@@ -96,9 +149,10 @@ object RobotsExprs {
       }
       // a star alongside a longer named match keeps the named length;
       // a named non-match alongside star keeps star (0)
-      groups += ((len, curRules))
+      groups += Group(len, curRules, curDelay)
       curAgents = Nil
       curRules = null
+      curDelay = null
     }
     body.split("\r\n|\n|\r", -1).foreach { raw =>
       val hash = raw.indexOf('#')
@@ -122,9 +176,18 @@ object RobotsExprs {
                   curRules = scala.collection.mutable.ArrayBuffer.empty
                 curRules += ((key == "allow", value))
               }
-            // sitemap / crawl-delay / unknown: non-group records — they
-            // neither open nor break a group (consecutive user-agent
-            // lines separated only by them still share one group)
+            case "crawl-delay" =>
+              // a VALUE-carrying non-group record: it neither opens nor
+              // breaks a group (it doesn't clear the header run), but
+              // its delay belongs to the group being formed; outside
+              // any group it is ignored like rules are. A malformed or
+              // negative value is ignored (the tolerant-parser stance).
+              if (curAgents.nonEmpty && curDelay == null)
+                value.toDoubleOption.filter(d => d >= 0 && !d.isNaN)
+                  .foreach(d => curDelay = d)
+            // sitemap / unknown: non-group records — they neither open
+            // nor break a group (consecutive user-agent lines separated
+            // only by them still share one group)
             case _ => ()
           }
         }
@@ -135,10 +198,9 @@ object RobotsExprs {
     if (curAgents.nonEmpty && curRules == null)
       curRules = scala.collection.mutable.ArrayBuffer.empty
     closeGroup()
-    val best = groups.foldLeft(-1)((m, g) => math.max(m, g._1))
-    if (best < 0) Array.empty
-    else if (best == 0) groups.filter(_._1 == 0).flatMap(_._2).toArray
-    else groups.filter(_._1 == best).flatMap(_._2).toArray
+    val best = groups.foldLeft(-1)((m, g) => math.max(m, g.len))
+    if (best < 0) Seq.empty
+    else groups.filter(_.len == best).toSeq
   }
 
   /** implicit-prefix match with `*` wildcards and a terminal `$`

@@ -34,6 +34,11 @@ object Robots {
     when(tail === "", lit("/")).otherwise(tail)
   }
 
+  /** effective `Crawl-delay` seconds for `agent` (null when the
+    * selected group carries none) — feeds per-host wave pacing */
+  def crawlDelay(body: Column, agent: Column): Column =
+    RobotsExprs.robots_crawl_delay(body, agent)
+
   /** frontier rows `agent` may fetch: left-join `robots(hostCol,
     * bodyCol)` on the frontier URL's host, keep missing-robots hosts
     * and allowed paths */

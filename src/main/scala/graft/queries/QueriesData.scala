@@ -1176,6 +1176,25 @@ object QueriesData {
         .orderBy("url")
     },
 
+    // ---- crawl-delay (r12): the de-facto pacing directive, resolved
+    // through the SAME group selection as the allow/deny decisions —
+    // named group beats star, pre-group delays are ignored, foreign
+    // groups answer null. Closed-form oracle.
+    "q_robots_delay" -> { (s, dir) =>
+      val k = col("doc_id") % 4
+      val body = when(k === 0, "User-agent: *\nDisallow: /x")
+        .when(k === 1, "User-agent: graftbot\nCrawl-delay: 2.5\n" +
+          "Disallow: /x\nUser-agent: *\nCrawl-delay: 10\nDisallow: /")
+        .when(k === 2, "Crawl-delay: 9\nUser-agent: *\n" +
+          "Crawl-delay: 7\nDisallow: /x")
+        .otherwise("User-agent: other\nCrawl-delay: 3\nDisallow: /")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Robots.crawlDelay(body, lit("graftbot"))
+            .as("delay"))
+        .orderBy("doc_id")
+    },
+
     // ---- frontier scheduling (r12): the step after politeness —
     // fetch_slot (md5 host bucket: one host → one fetcher, stable
     // across runs) and fetch_wave (≤ perWave URLs per host per round,
@@ -3505,6 +3524,15 @@ object QueriesData {
              ELSE 'com,example,shop)/p?a=1&b=2'
            END AS surt_sql,
            'org,example,bare)/' AS surt_bare
+         FROM documents ORDER BY doc_id""",
+    // each host class's effective delay stated closed-form: the named
+    // graftbot group's 2.5 beats star's 10; the pre-group 9 is
+    // ignored and star answers 7; no-delay and foreign groups → null
+    "q_robots_delay" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 1 THEN 2.5 WHEN 2 THEN 7.0
+             ELSE CAST(NULL AS DOUBLE) END AS delay
          FROM documents ORDER BY doc_id""",
     // the rank window + md5 bucket contract replayed verbatim
     "q_frontier_schedule" ->

@@ -115,6 +115,35 @@ class RobotsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("robots: crawl-delay resolves through group selection (r12)") {
+    import graft.functions.RobotsExprs.crawlDelay
+    // the selected group's delay; star only when no named match
+    val b1 = "User-agent: bot\nCrawl-delay: 2.5\nDisallow: /x\n" +
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /"
+    assert(crawlDelay(b1, "bot") == 2.5)
+    assert(crawlDelay(b1, "other") == 10.0)
+    // no delay in the selected group → null, even if another group has one
+    val b2 = "User-agent: bot\nDisallow: /x\nUser-agent: *\nCrawl-delay: 4\nDisallow: /"
+    assert(crawlDelay(b2, "bot") == null)
+    // merged same-length groups: smallest delay wins
+    val b3 = "User-agent: bot\nCrawl-delay: 6\nDisallow: /a\n" +
+      "User-agent: bot\nCrawl-delay: 3\nDisallow: /b"
+    assert(crawlDelay(b3, "bot") == 3.0)
+    // first delay within one group wins; malformed/negative ignored
+    val b4 = "User-agent: *\nCrawl-delay: oops\nCrawl-delay: -1\n" +
+      "Crawl-delay: 1.5\nCrawl-delay: 9\nDisallow: /x"
+    assert(crawlDelay(b4, "bot") == 1.5)
+    // a delay BETWEEN user-agent header lines doesn't split the group
+    val b5 = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /x"
+    assert(crawlDelay(b5, "b") == 2.0)
+    // pre-group delays are ignored; no applicable group → null
+    assert(crawlDelay("Crawl-delay: 9\nUser-agent: *\nDisallow: /", "bot") == null)
+    assert(crawlDelay("User-agent: other\nCrawl-delay: 3\nDisallow: /", "bot") == null)
+    // adding crawl-delay must not have changed decision semantics
+    assert(graft.functions.RobotsExprs.allows(b1, "bot", "/y"))
+    assert(!graft.functions.RobotsExprs.allows(b1, "bot", "/x/1"))
+  }
+
   test("frontier schedule: per-host serialization, wave caps, priority order (r12)") {
     val s = spark
     import s.implicits._
