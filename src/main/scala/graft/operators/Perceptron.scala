@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *  - margin(d)  = y_d · (w_t · x_d)        with x_d = [1, features...]
   *  - w_{t+1}    = w_t + Σ_{margin ≤ 0} y_d · x_d
   * The whole loop is ONE lazy plan: each round is a map-side-combined
-  * elementwise sum (one tiny shuffle to a (k+1)-row frame) and the
+  * elementwise sum (one tiny shuffle to a one-row frame) and the
   * weights re-enter the next round as a broadcast one-row frame —
   * never a driver-side `collect`, so the training data can be any
   * size. Each round re-scans the input: callers training more than a
@@ -56,30 +56,23 @@ object Perceptron {
     val feats = df.select(y.as("y"), checked.as("x"))
     var w: DataFrame = spark.range(1)
       .select(array(Seq.fill(k + 1)(lit(0L)): _*).as("w"))
-    val zeros = array(Seq.fill(k + 1)(lit(0L)): _*)
     for (_ <- 1 to iters) {
-      // one broadcast join per round, and the carried weights re-enter
-      // through that SAME join (w referenced once — referencing the
-      // previous round twice would double the plan per round and blow
-      // up exponentially in `iters`): each row explodes into
-      // (i, w_i, contribution_i), the new weight is
-      // first(w_i) + Σ contributions, map-side combined
+      // one broadcast join + ONE map-side-combined aggregation per
+      // round (k+1 first/sum pairs straight to a one-row array — the
+      // arity is a parameter, so no explode/regroup detour), and the
+      // carried weights re-enter through that SAME join: w referenced
+      // once per round — referencing the previous round twice would
+      // double the plan per round and blow up exponentially in
+      // `iters`. An empty training slice aggregates zero rows →
+      // first() is null → coalesce keeps 0⃗, so the result is always
+      // one row of k+1 weights, never a vanishing join input.
       val dot = aggregate(zip_with(col("w"), col("x"), _ * _),
         lit(0L), _ + _)
       val contrib = when(col("y") * dot <= 0, col("y")).otherwise(lit(0L))
-      val arr = feats.crossJoin(broadcast(w))
-        .select(posexplode(zip_with(col("w"), col("x"),
-          (wj, xj) => struct(wj.as("wj"), (contrib * xj).as("d"))))
-          .as(Seq("i", "s")))
-        .groupBy("i")
-        .agg((first(col("s.wj")) + sum(col("s.d"))).as("wi"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("wi")))),
-          s => s.getField("wi")).as("w"))
-      // an empty training slice leaves the fold empty: stay at 0⃗ so
-      // the result is always one row of k+1 weights, never a vanishing
-      // join input
-      w = arr.select(
-        when(size(col("w")) === k + 1, col("w")).otherwise(zeros).as("w"))
+      w = feats.crossJoin(broadcast(w))
+        .agg(array((0 to k).map(j =>
+          coalesce(first(col("w").getItem(j)) +
+            sum(contrib * col("x").getItem(j)), lit(0L))): _*).as("w"))
     }
     w
   }

@@ -557,10 +557,12 @@ object QueriesData {
       val t = col("text")
       def cnt(sub: String): Column =
         (length(t) - length(replace(t, lit(sub), lit("")))).cast(LongType)
+      // 20 rounds re-scan the training input — cache it (the operator's
+      // own contract; the verify/bench harnesses sweep caches after)
       val feats = Tables.load(s, dir, "documents").select(
         col("doc_id"),
         array(cnt("."), cnt(" the ")).as("x"),
-        (cnt(" the ") >= 10).as("label"))
+        (cnt(" the ") >= 10).as("label")).persist()
       val w = graft.operators.Perceptron.train(
         feats.filter(col("doc_id") % 2 === 0), "x", "label", iters = 20, k = 2)
       graft.operators.Perceptron.score(feats, "x", w)
@@ -1143,27 +1145,9 @@ object QueriesData {
     // arithmetic — it never parses HTML or robots bodies.
     "q_crawl_frontier_round" -> { (s, dir) =>
       import s.implicits._
-      val d = col("doc_id").cast("string")
-      val pages = Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        concat(lit("http://h"), (col("doc_id") % 4).cast("string"),
-          lit(".example/p/"), d).as("url"),
-        concat(
-          lit("<a href=\"http://h"), ((col("doc_id") + 1) % 4).cast("string"),
-          lit(".example/art/"), (col("doc_id") % 10).cast("string"),
-          lit("?utm_source=x\">n</a>"),
-          lit("<a href='also-"), (col("doc_id") % 10).cast("string"),
-          lit(".html'>r</a>"),
-          lit("<a href=\"http://ads.example/x\">ad</a>"),
-          lit("<a href=\"http://h"), ((col("doc_id") + 2) % 4).cast("string"),
-          lit(".example/private/z-"), (col("doc_id") % 5).cast("string"),
-          lit("\">p</a>"),
-          lit("<a href=\"/p/"), ((col("doc_id") * 7 + 1) % 500).cast("string"),
-          lit("\">v</a>"),
-          lit("<a href=\"mailto:x@y.z\">m</a>")).as("html"))
-      val robotsBody = "User-agent: *\nDisallow: /private/"
+      val pages = frontierPages(Tables.load(s, dir, "documents"))
       val robots = Seq("h0.example", "h1.example", "h2.example", "h3.example")
-        .map((_, robotsBody)).toDF("host", "body")
+        .map((_, "User-agent: *\nDisallow: /private/")).toDF("host", "body")
       val visited = pages.select(TextOps.urlNormalize(col("url")).as("url"))
       val links = pages
         .select(explode(TextOps.htmlLinks(col("html"), col("url"))).as("raw"))
@@ -1174,6 +1158,38 @@ object QueriesData {
         .distinct()
         .join(visited, Seq("url"), "left_anti")
         .orderBy("url")
+    },
+
+    // ---- STREAMING crawl frontier (r12): the same fixture, robots
+    // bodies and visited set as q_crawl_frontier_round, but the pages
+    // ARRIVE as a 2-files-per-trigger stream: outlinks extract
+    // in-stream, robots politeness is a stream-static join, the seen
+    // set is keyed dedup state living ACROSS micro-batches, and the
+    // visited drop is a stream-static anti-join. The emitted URL set
+    // is trigger-split invariant, so the BATCH capstone's closed-form
+    // oracle replays it row for row.
+    "q_stream_frontier" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val staged = stageDocsOnce(s, dir)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val robots = Seq("h0.example", "h1.example", "h2.example", "h3.example")
+        .map((_, "User-agent: *\nDisallow: /private/")).toDF("host", "body")
+      val visited = frontierPages(Tables.load(s, dir, "documents"))
+        .select(TextOps.urlNormalize(col("url")).as("url"))
+      val frontier = graft.streaming.EventStreams.streamingFrontier(
+        frontierPages(stream), "url", "html", robots, visited,
+        blockHosts = Seq("ads.example"), agent = "graftbot")
+      val qn = "stream_frontier_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, frontier, qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      q.stop()
+      s.table(qn).orderBy("url")
     },
 
     // ---- crawl-delay (r12): the de-facto pacing directive, resolved
@@ -1277,6 +1293,7 @@ object QueriesData {
         col("doc_id"), col("text"),
         cnt(".").as("f3"), cnt(" the ").as("f4"),
         when(col("doc_id") % 2 === 0, cnt(" the ") >= 10).as("qlabel"))
+        .persist()
       graft.dsl.CuratePipeline.compile(feats, """{"stages": [
           {"op": "perceptron_filter", "label_col": "qlabel",
            "feature_cols": ["f3", "f4"], "iters": 20}]}""")
@@ -1817,6 +1834,58 @@ object QueriesData {
       || '<div class="share">Please <a href="/share">share</a>'
       || ' <a href="/like">like</a> <a href="/sub">subscribe</a></div>' || chr(10)
       || '<footer>Copyright &amp; all rights reserved</footer>' || chr(10) || '</body></html>'"""
+
+  /** The frontier-round page fixture over a documents-shaped frame
+    * (works on a STREAMING frame too — all row-local exprs): per doc a
+    * page URL on one of four hosts and an html body whose links cover
+    * every frontier rule — an art link with a tracking param, a
+    * relative link, an ad-host link, a robots-blocked /private/ link,
+    * a same-host /p/ link that may hit the visited set, and a mailto.
+    * Shared by q_crawl_frontier_round and q_stream_frontier (one
+    * closed-form oracle serves both). */
+  private def frontierPages(df: DataFrame): DataFrame = {
+    val d = col("doc_id").cast("string")
+    df.select(
+      col("doc_id"),
+      concat(lit("http://h"), (col("doc_id") % 4).cast("string"),
+        lit(".example/p/"), d).as("url"),
+      concat(
+        lit("<a href=\"http://h"), ((col("doc_id") + 1) % 4).cast("string"),
+        lit(".example/art/"), (col("doc_id") % 10).cast("string"),
+        lit("?utm_source=x\">n</a>"),
+        lit("<a href='also-"), (col("doc_id") % 10).cast("string"),
+        lit(".html'>r</a>"),
+        lit("<a href=\"http://ads.example/x\">ad</a>"),
+        lit("<a href=\"http://h"), ((col("doc_id") + 2) % 4).cast("string"),
+        lit(".example/private/z-"), (col("doc_id") % 5).cast("string"),
+        lit("\">p</a>"),
+        lit("<a href=\"/p/"), ((col("doc_id") * 7 + 1) % 500).cast("string"),
+        lit("\">v</a>"),
+        lit("<a href=\"mailto:x@y.z\">m</a>")).as("html"))
+  }
+
+  /** the frontier round's surviving URL set restated from doc_id
+    * arithmetic — shared by the batch and streaming capstones */
+  private val frontierRoundOracle: String =
+    """WITH cand AS (
+        SELECT 'http://h' || CAST((doc_id + 1) % 4 AS VARCHAR)
+          || '.example/art/' || CAST(doc_id % 10 AS VARCHAR) AS url
+        FROM documents
+        UNION
+        SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
+          || '.example/p/also-' || CAST(doc_id % 10 AS VARCHAR) || '.html'
+        FROM documents
+        UNION
+        SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
+          || '.example/p/' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR)
+        FROM documents),
+      visited AS (
+        SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
+          || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents)
+      SELECT url FROM cand
+      WHERE url NOT IN (SELECT url FROM visited)
+      ORDER BY url"""
 
   /** q_perceptron_quality's oracle: 20 Rosenblatt rounds unrolled as
     * all-integer CTEs — each round folds the misclassified rows'
@@ -3566,26 +3635,10 @@ object QueriesData {
     // links (tracking param normalized away), same-host relative
     // links, and visited-page links that DON'T hit a real visited id;
     // ad-host, /private/ and mailto: links never appear
-    "q_crawl_frontier_round" ->
-      """WITH cand AS (
-          SELECT 'http://h' || CAST((doc_id + 1) % 4 AS VARCHAR)
-            || '.example/art/' || CAST(doc_id % 10 AS VARCHAR) AS url
-          FROM documents
-          UNION
-          SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
-            || '.example/p/also-' || CAST(doc_id % 10 AS VARCHAR) || '.html'
-          FROM documents
-          UNION
-          SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
-            || '.example/p/' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR)
-          FROM documents),
-        visited AS (
-          SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR)
-            || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
-          FROM documents)
-        SELECT url FROM cand
-        WHERE url NOT IN (SELECT url FROM visited)
-        ORDER BY url""",
+    "q_crawl_frontier_round" -> frontierRoundOracle,
+    // the streaming twin emits the identical URL set (trigger-split
+    // invariant dedup state), so the batch oracle serves it verbatim
+    "q_stream_frontier" -> frontierRoundOracle,
     // fetchability stated closed-form: h0 has no robots (allowed),
     // h1 blocks /private/ except the /private/pub allow, h2 denies
     // graftbot everything, h3 denies *.pdf, h4's group is for another

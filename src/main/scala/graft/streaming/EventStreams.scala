@@ -74,6 +74,31 @@ object EventStreams {
       .agg(min(col(idCol)).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Streaming crawl frontier — the continuous-crawl twin of the batch
+    * frontier round (outlinks → normalize → url_filter → robots →
+    * dedup → visited anti-join): each arriving PAGE contributes its
+    * resolved outlinks; candidates normalize, pass the scheme/blocklist
+    * gate and per-host robots politeness (stream-static left join —
+    * the robots table is per-host, tiny, broadcastable), then enter
+    * the frontier's SEEN state (streaming dedup on the normalized URL
+    * — a crawler's seen-set is intentionally unbounded: every distinct
+    * URL is emitted exactly ONCE across all micro-batches, whatever
+    * the trigger split), and finally drop URLs already in the static
+    * `visited` table (stream-static left_anti). Output = the NEW
+    * frontier, one row per never-seen fetchable URL, in Append mode. */
+  def streamingFrontier(pages: DataFrame, urlCol: String, htmlCol: String,
+      robots: DataFrame, visited: DataFrame,
+      blockHosts: Seq[String] = Nil, agent: String = "*"): DataFrame = {
+    import graft.operators.{Robots, TextOps}
+    val links = pages
+      .select(explode(TextOps.htmlLinks(col(htmlCol), col(urlCol))).as("raw"))
+      .select(TextOps.urlNormalize(col("raw")).as("url"))
+      .filter(TextOps.urlPass(col("url"), blockHosts = blockHosts))
+    Robots.filterFrontier(links, "url", robots, "host", "body", agent)
+      .dropDuplicates("url")
+      .join(visited.select(col("url")), Seq("url"), "left_anti")
+  }
+
   /** Streaming NEAR-duplicate candidates over a continuous document
     * ingest — the streaming twin of [[graft.operators.Dedup]]'s
     * MinHash+LSH path, same signature family (3-shingles, k md5
