@@ -111,7 +111,14 @@ class GraftEngine private (val spark: SparkSession, val catalog: GraftCatalog) {
           org.apache.spark.sql.types.NullType):
           org.apache.spark.sql.catalyst.expressions.Expression)).toMap)
     val analyzed = spark.sessionState.executePlan(bound).analyzed
-    if (!identity.isSuperUser) assertNotAnalyzedWrite(analyzed, identity)
+    if (!identity.isSuperUser) {
+      assertNotAnalyzedWrite(analyzed, identity)
+      // the schema itself is metadata of the scanned tables: answering
+      // it without SELECT grants would leak column names/types of
+      // tables visibleTables deliberately hides — authorize reads at
+      // prepare exactly like execution will
+      graft.auth.Authz.authorizeReadPlan(catalog, catalog.auth, identity, analyzed)
+    }
     analyzed.schema
   }
 

@@ -20,9 +20,16 @@ object Authz {
   final class PermissionDenied(msg: String) extends SecurityException(msg)
 
   def authorizeRead(catalog: GraftCatalog, store: AuthStore,
-      identity: AuthIdentity, df: DataFrame): Unit = {
+      identity: AuthIdentity, df: DataFrame): Unit =
+    authorizeReadPlan(catalog, store, identity, df.queryExecution.analyzed)
+
+  /** same check over an already-analyzed plan — for paths that must
+    * authorize WITHOUT constructing a Dataset (schema-at-prepare) */
+  def authorizeReadPlan(catalog: GraftCatalog, store: AuthStore,
+      identity: AuthIdentity,
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
     if (identity.isSuperUser) return
-    val targets = scanTargets(catalog, df.queryExecution.analyzed)
+    val targets = scanTargets(catalog, analyzed)
     targets.foreach {
       case t @ Target.Table(n) =>
         if (!store.isAllowed(identity.roles, "SELECT", t))

@@ -462,8 +462,13 @@ object CuratePipeline {
           case other => throw new DslException(
             s"perceptron_filter 'keep' must be positive|negative, got $other")
         }
+        // a null feature would train as "skip" and score as null pred,
+        // which the keep filter then drops for EITHER sign — rows would
+        // vanish silently; fail loudly instead
+        val px = array(featCols.map(c => col(c).cast("long")): _*)
         val withX = df.withColumn("__px",
-          array(featCols.map(c => col(c).cast("long")): _*))
+          when(exists(px, v => v.isNull), raise_error(lit(
+            "perceptron_filter: null value in feature_cols"))).otherwise(px))
         val w = graft.operators.Perceptron.train(
           withX.filter(col(labelCol).isNotNull), "__px", labelCol,
           iters = int(st, "iters", 5), k = featCols.size)

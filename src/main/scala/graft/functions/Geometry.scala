@@ -717,19 +717,9 @@ object Geo {
   /** open CCW vertex list of a no-hole polygon ring */
   private def openCcw(p: Polygon, what: String): Array[(Double, Double)] = {
     require(p.holes.isEmpty, s"$what: polygons with holes are not supported")
-    val r = p.outer
-    val n0 = r.size
-    val n = if (n0 > 1 && r.xs(0) == r.xs(n0 - 1) && r.ys(0) == r.ys(n0 - 1))
-      n0 - 1 else n0
-    require(n >= 3, s"$what: degenerate ring")
-    var a2 = 0.0
-    var i = 0; var j = n - 1
-    while (i < n) {
-      a2 += r.xs(j) * r.ys(i) - r.xs(i) * r.ys(j)
-      j = i; i += 1
-    }
-    val pts = Array.tabulate(n)(k => (r.xs(k), r.ys(k)))
-    if (a2 >= 0) pts else pts.reverse
+    val pts = openRing(p.outer)
+    require(pts.length >= 3, s"$what: degenerate ring")
+    if (signedArea(pts) >= 0) pts else pts.reverse
   }
 
   /** all proper pairwise edge crossings, as (subjEdge, t, clipEdge, u,

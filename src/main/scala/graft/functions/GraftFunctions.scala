@@ -308,23 +308,39 @@ object GraftFunctions {
     r.createOrReplaceTempFunction("url_surt", urlTpl(UrlSql.surt), "built-in")
   }
 
-  /** the url functions as Spark-SQL text over `__u` (see registerAll) */
+  /** the url functions as Spark-SQL text over `__u` (see registerAll).
+    * Regexes avoid backslash escapes entirely (`[.]` classes) so the
+    * templates parse identically whatever the session's
+    * escapedStringLiterals conf says. */
   private object UrlSql {
     private val t = "regexp_replace(trim(__u), '#.*', '')"
     val scheme: String =
       s"lower(regexp_extract($t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     private val rest = s"regexp_replace($t, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     private val rawhp = s"regexp_extract($rest, '^([^/?]*)', 1)"
-    private val hostport = s"lower($rawhp)"
+    private val hostport = s"regexp_replace(lower($rawhp), '^.*@', '')"
     val host: String = s"regexp_replace($hostport, ':[0-9]+$$', '')"
     private val nhost =
       s"CASE WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '') " +
         s"WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '') " +
         s"ELSE $hostport END"
     private val tail = s"substring($rest, length($rawhp) + 1, length($rest))"
-    private val path = s"regexp_extract($tail, '^([^?]*)', 1)"
+    private val rawPath = s"regexp_extract($tail, '^([^?]*)', 1)"
+    // RFC 3986 dot-segment removal — the same 8-round pass sequence as
+    // TextOps.removeDotSegments, backslash-free ([.] classes)
+    private val path = {
+      val seg = "(?:[^./][^/]*|[.][^./][^/]*|[.][.][^/]+)"
+      val cleaned = (1 to 8).foldLeft(rawPath) { (p, _) =>
+        val p1 = s"regexp_replace($p, '/[.]/', '/')"
+        val p2 = s"regexp_replace($p1, '/[.]$$', '/')"
+        val p3 = s"regexp_replace($p2, '/$seg/[.][.]/', '/')"
+        val p4 = s"regexp_replace($p3, '/$seg/[.][.]$$', '/')"
+        s"regexp_replace($p4, '^/[.][.](/|$$)', '/')"
+      }
+      s"CASE WHEN instr($rawPath, '/.') > 0 THEN $cleaned ELSE $rawPath END"
+    }
     private val q2 =
-      s"array_join(filter(split(substring($tail, length($path) + 2, length($tail)), '&', -1), " +
+      s"array_join(filter(split(substring($tail, length($rawPath) + 2, length($tail)), '&', -1), " +
         s"p -> p != '' AND NOT (p rlike '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$$)')), '&')"
     val normalize: String =
       s"concat(CASE WHEN $scheme = '' THEN '' ELSE concat($scheme, '://') END, $nhost, " +
@@ -339,7 +355,7 @@ object GraftFunctions {
     private val sTail = s"substring($sRest, length($sHp) + 1, length($sRest))"
     val surt: String =
       s"concat(array_join(reverse(split(regexp_replace(regexp_replace($sHp, " +
-        s"':[0-9]+$$', ''), '^www\\\\.', ''), '\\\\.')), ','), " +
+        s"':[0-9]+$$', ''), '^www[.]', ''), '[.]')), ','), " +
         s"regexp_extract($sHp, '(:[0-9]+)$$', 1), ')', " +
         s"CASE WHEN substring($sTail, 1, 1) = '/' THEN $sTail " +
         s"ELSE concat('/', $sTail) END)"

@@ -46,13 +46,20 @@ object Perceptron {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
-    val y = when(col(labelCol), 1L).otherwise(-1L)
-    // a row with the wrong arity fails the round loudly — silently
-    // skipping it (null margin) would train a different model
+    // a null label would otherwise silently train as -1
+    val y = when(col(labelCol).isNull, raise_error(lit(
+        "perceptron: null label — filter unlabeled rows before train")))
+      .when(col(labelCol), 1L).otherwise(-1L)
+    // a row with the wrong arity OR a null feature fails the round
+    // loudly — silently skipping it (null margin → "correct") would
+    // train a different model
     val xb = withBias(col(featuresCol).cast("array<long>"))
-    val checked = when(size(xb) === k + 1, xb).otherwise(raise_error(
-      concat(lit(s"perceptron: features arity "), (size(xb) - 1).cast("string"),
-        lit(s" != $k"))))
+    val checked = when(xb.isNull || exists(xb, v => v.isNull), raise_error(
+        lit(s"perceptron: null feature value (k = $k)")))
+      .when(size(xb) === k + 1, xb)
+      .otherwise(raise_error(
+        concat(lit(s"perceptron: features arity "), (size(xb) - 1).cast("string"),
+          lit(s" != $k"))))
     val feats = df.select(y.as("y"), checked.as("x"))
     var w: DataFrame = spark.range(1)
       .select(array(Seq.fill(k + 1)(lit(0L)): _*).as("w"))

@@ -25,13 +25,18 @@ object Robots {
   def allows(body: Column, agent: Column, path: Column): Column =
     RobotsExprs.robots_allows(body, agent, path)
 
-  /** path + query of a URL — the string robots rules match against;
-    * an authority-only URL matches as "/" */
+  /** path + query of a URL — the string robots rules match against,
+    * ALWAYS `/`-rooted: an authority-only URL matches as "/", and an
+    * authority+query URL (`http://h?q=1` — a shape urlNormalize
+    * legitimately emits) as "/?q=1". Without the rooting, every
+    * `/`-prefixed rule — including `Disallow: /` — would silently miss
+    * such URLs and allow them. */
   def urlPath(url: Column): Column = {
     val t = regexp_replace(trim(url), "#.*", "")
     val rest = regexp_replace(t, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val tail = regexp_replace(rest, "^[^/?]*", "")
-    when(tail === "", lit("/")).otherwise(tail)
+    when(substring(tail, 1, 1) === "/", tail)
+      .otherwise(concat(lit("/"), tail))
   }
 
   /** effective `Crawl-delay` seconds for `agent` (null when the

@@ -648,20 +648,50 @@ object TextOps {
   def urlScheme(url: Column): Column =
     lower(regexp_extract(trim(url), urlSchemeRe, 1))
 
-  /** lowercased host without port — the grouping key for domain caps /
-    * per-site mixing ([[Sampling.capPerGroup]]) */
+  /** lowercased host without port or userinfo — the grouping key for
+    * domain caps / per-site mixing ([[Sampling.capPerGroup]]).
+    * Userinfo strips (RFC 3986: everything up to the authority's LAST
+    * `@`): `http://x@ads.example/` must still block/join as
+    * `ads.example`, or a crawled page's `user@host` links would bypass
+    * blocklists, robots joins and per-host fetch slots. */
   def urlHost(url: Column): Column = {
     val rest = regexp_replace(regexp_replace(trim(url), "#.*", ""),
       urlSchemeRe, "")
-    lower(regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), ":[0-9]+$", ""))
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(rest, "^([^/?]*)", 1), "^.*@", ""), ":[0-9]+$", ""))
+  }
+
+  /** RFC 3986 dot-segment removal over a `/`-rooted path: a fixed
+    * 8-round sequence of global regex passes (each round collapses one
+    * nesting level of `/./` and `/seg/../`; `^/../` levels drop at the
+    * root), guarded by a cheap `/.`-substring test so clean paths pay
+    * nothing and keep their exact bytes. The SAME pass sequence runs
+    * in the oracle's SQL twin, so results are byte-identical by
+    * construction. Deeper than 8 levels of nesting is out of contract
+    * (no real URL nests that far); `//..` (empty parent segment) is
+    * left as-is — the one RFC corner this trades away. */
+  private[graft] def removeDotSegments(path: Column): Column = {
+    // a segment that is neither "." nor ".." (RE2-safe, no lookaround)
+    val seg = "(?:[^./][^/]*|\\.[^./][^/]*|\\.\\.[^/]+)"
+    val cleaned = (1 to 8).foldLeft(path) { (p, _) =>
+      val p1 = regexp_replace(p, "/\\./", "/")
+      val p2 = regexp_replace(p1, "/\\.$", "/")
+      val p3 = regexp_replace(p2, s"/$seg/\\.\\./", "/")
+      val p4 = regexp_replace(p3, s"/$seg/\\.\\.$$", "/")
+      regexp_replace(p4, "^/\\.\\.(/|$)", "/")
+    }
+    when(instr(path, "/.") > 0, cleaned).otherwise(path)
   }
 
   /** Canonical URL: fragment stripped; scheme and host lowercased;
-    * default ports (`:80` http, `:443` https) stripped; tracking
-    * params removed from the query (other params keep their order);
-    * a bare `/` path with no query drops. Two URLs that fetch the
-    * same page under these rules normalize to one string, so exact
-    * dedup on the result IS frontier dedup. */
+    * userinfo dropped; default ports (`:80` http, `:443` https)
+    * stripped; dot segments removed from the path (RFC 3986 —
+    * `/a/../p` and `/p` must dedup to one string and robots rules
+    * must see the real path); tracking params removed from the query
+    * (other params keep their order); a bare `/` path with no query
+    * drops. Two URLs that fetch the same page under these rules
+    * normalize to one string, so exact dedup on the result IS
+    * frontier dedup. */
   def urlNormalize(url: Column): Column = {
     val t = regexp_replace(trim(url), "#.*", "")
     val scheme = lower(regexp_extract(t, urlSchemeRe, 1))
@@ -670,13 +700,14 @@ object TextOps {
     // outside ASCII (Turkish dotted I), and the tail must cut where
     // the original hostport ended
     val rawHostport = regexp_extract(rest, "^([^/?]*)", 1)
-    val hostport = lower(rawHostport)
+    val hostport = regexp_replace(lower(rawHostport), "^.*@", "")
     val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     val tail = rest.substr(length(rawHostport) + lit(1), length(rest))
-    val path = regexp_extract(tail, "^([^?]*)", 1)
-    val query = tail.substr(length(path) + lit(2), length(tail))
+    val rawPath = regexp_extract(tail, "^([^?]*)", 1)
+    val path = removeDotSegments(rawPath)
+    val query = tail.substr(length(rawPath) + lit(2), length(tail))
     val kept = filter(split(query, "&", -1),
       p => p =!= "" && !p.rlike(urlTrackRe))
     val q2 = array_join(kept, "&")

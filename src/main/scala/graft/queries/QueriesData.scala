@@ -1016,12 +1016,23 @@ object QueriesData {
     // non-default port and a schemeless URL; the oracle replays the
     // identical byte transforms.
     "q_url_normalize" -> { (s, dir) =>
+      // norm2/host2 pin the r12 security rules against a CLOSED-FORM
+      // expectation: userinfo drops (user@host must not bypass host
+      // blocklists), dot segments collapse (/a/b/../c/./d/../../e-N
+      // → /a/e-N — /p and /x/../p must dedup to one string)
+      val d = col("doc_id").cast("string")
+      val k = (col("doc_id") % 3).cast("string")
+      val hardened = concat(lit("HTTP://user:pw@Host"), k,
+        lit(".Example.com:80/a/b/../c/./d/../../e-"), d, lit("?utm_x=1&k=2"))
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), docUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"), docUrl(col("doc_id")).as("url"),
+          hardened.as("url2"))
         .select(col("doc_id"),
           TextOps.urlNormalize(col("url")).as("url_norm"),
           TextOps.urlHost(col("url")).as("host"),
-          TextOps.urlScheme(col("url")).as("scheme"))
+          TextOps.urlScheme(col("url")).as("scheme"),
+          TextOps.urlNormalize(col("url2")).as("norm2"),
+          TextOps.urlHost(col("url2")).as("host2"))
         .orderBy(col("doc_id"))
     },
 
@@ -2007,32 +2018,50 @@ object QueriesData {
     * replayed as CTEs over `src(doc_id, url)` → `outName(doc_id, url,
     * host, scheme)` with `url` normalized; offsets use the raw
     * hostport length, mirroring the Spark column exactly. */
-  private[queries] def urlNormCtes(src: String, outName: String): String =
+  private[queries] def urlNormCtes(src: String, outName: String): String = {
+    // the engine's 8-round dot-segment sequence, DuckDB dialect ('g'
+    // flags — DuckDB replaces first-match by default, Spark globally)
+    val seg = "(?:[^./][^/]*|[.][^./][^/]*|[.][.][^/]+)"
+    val dollar = "$"
+    val dotClean = (1 to 8).foldLeft("rawpath") { (p, _) =>
+      val p1 = s"regexp_replace($p, '/[.]/', '/', 'g')"
+      val p2 = s"regexp_replace($p1, '/[.]$dollar', '/', 'g')"
+      val p3 = s"regexp_replace($p2, '/$seg/[.][.]/', '/', 'g')"
+      val p4 = s"regexp_replace($p3, '/$seg/[.][.]$dollar', '/', 'g')"
+      s"regexp_replace($p4, '^/[.][.](/|$dollar)', '/', 'g')"
+    }
     raw"""u1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS t FROM $src),
       u2 AS (SELECT doc_id, t,
           lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
           regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u1),
       u3 AS (SELECT doc_id, scheme, rest,
           regexp_extract(rest, '^([^/?]*)', 1) AS rawhp FROM u2),
-      u4 AS (SELECT doc_id, scheme, lower(rawhp) AS hostport,
-          CASE WHEN scheme = 'http' THEN regexp_replace(lower(rawhp), ':80${"$"}', '')
-               WHEN scheme = 'https' THEN regexp_replace(lower(rawhp), ':443${"$"}', '')
-               ELSE lower(rawhp) END AS nhost,
+      u4 AS (SELECT doc_id, scheme,
+          regexp_replace(lower(rawhp), '^.*@', '') AS hostport,
+          CASE WHEN scheme = 'http'
+               THEN regexp_replace(regexp_replace(lower(rawhp), '^.*@', ''), ':80${"$"}', '')
+               WHEN scheme = 'https'
+               THEN regexp_replace(regexp_replace(lower(rawhp), '^.*@', ''), ':443${"$"}', '')
+               ELSE regexp_replace(lower(rawhp), '^.*@', '') END AS nhost,
           substr(rest, len(rawhp) + 1) AS tail FROM u3),
       u5 AS (SELECT doc_id, scheme, hostport, nhost, tail,
-          regexp_extract(tail, '^([^?]*)', 1) AS path FROM u4),
+          regexp_extract(tail, '^([^?]*)', 1) AS rawpath FROM u4),
+      u5b AS (SELECT doc_id, scheme, hostport, nhost, tail, rawpath,
+          CASE WHEN strpos(rawpath, '/.') > 0 THEN $dotClean
+               ELSE rawpath END AS path FROM u5),
       u6 AS (SELECT doc_id, scheme, hostport, nhost, path,
           -- coalesce: array_to_string([]) is NULL in DuckDB where
           -- Spark's array_join([]) is '' — the seam this CTE mirrors
-          coalesce(array_to_string(list_filter(string_split(substr(tail, len(path) + 2), '&'),
+          coalesce(array_to_string(list_filter(string_split(substr(tail, len(rawpath) + 2), '&'),
             p -> p <> '' AND NOT regexp_matches(p,
-              '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|${"$"})')), '&'), '') AS q2 FROM u5),
+              '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|${"$"})')), '&'), '') AS q2 FROM u5b),
       $outName AS (SELECT doc_id,
           CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END || nhost ||
           CASE WHEN path = '/' AND q2 = '' THEN '' ELSE path END ||
           CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url,
           regexp_replace(hostport, ':[0-9]+${"$"}', '') AS host,
           scheme FROM u6)"""
+  }
 
   /** [[graft.operators.TextOps.htmlExtractText]] replayed as CTEs over
     * `src(doc_id, …, html)` → `outName(doc_id, <passengers>, text)`;
@@ -3546,8 +3575,11 @@ object QueriesData {
     "q_url_normalize" ->
       s"""WITH seed AS (SELECT doc_id, $docUrlSql AS url FROM documents),
         ${urlNormCtes("seed", "un")}
-        SELECT doc_id, url AS url_norm, host, scheme FROM un
-        ORDER BY doc_id""",
+        SELECT doc_id, url AS url_norm, host, scheme,
+          'http://host' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/a/e-'
+            || CAST(doc_id AS VARCHAR) || '?k=2' AS norm2,
+          'host' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS host2
+        FROM un ORDER BY doc_id""",
     // expected outlinks derived CLOSED-FORM from doc_id: the five
     // surviving anchors in document order (absolute, protocol-relative
     // + base scheme, rooted + authority, relative + base dir, and the

@@ -317,11 +317,15 @@ final class RemoteServer(spark: SparkSession, warehouse: String,
                   }
                   found
                 }
-                reuse match {
-                  case Some(id) =>
-                    snapshots.computeIfPresent(id,
-                      (_, s0) => s0.copy(expiresAt = now() + tokenTtlMs))
-                    Some(id)
+                // the refresh can race a concurrent sweep: if the entry
+                // vanished between the find and the computeIfPresent
+                // (null result), fall through and mint a fresh id
+                // rather than handing the client a dead snapshot
+                val refreshed = reuse.filter(id =>
+                  snapshots.computeIfPresent(id,
+                    (_, s0) => s0.copy(expiresAt = now() + tokenTtlMs)) != null)
+                refreshed match {
+                  case Some(id) => Some(id)
                   case None =>
                     require(snapshots.size < 4096,
                       "too many live scan snapshots; retry after in-flight scans drain")

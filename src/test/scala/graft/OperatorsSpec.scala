@@ -1541,6 +1541,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(norm1("HTTP://A.com/Path") == "http://a.com/Path")
     // a valueless tracker and a prefix-named non-tracker
     assert(norm1("http://a.com/x?gclid&gclid2=keep") == "http://a.com/x?gclid2=keep")
+    // userinfo drops — user@host must not bypass host-keyed logic
+    assert(norm1("http://x@ads.example.com/click") == "http://ads.example.com/click")
+    assert(norm1("https://u:p@A.com:443/x") == "https://a.com/x")
+    // RFC 3986 dot segments collapse; clean paths keep exact bytes
+    assert(norm1("http://h.example/a/../p/1") == "http://h.example/p/1")
+    assert(norm1("http://h.example/a/b/../c/./d/../../e") == "http://h.example/a/e")
+    assert(norm1("http://h.example/..") == "http://h.example")   // → '/' → drops
+    assert(norm1("http://h.example/../x") == "http://h.example/x")
+    assert(norm1("http://h.example/a/b/..") == "http://h.example/a/")
+    assert(norm1("http://h.example/a/.") == "http://h.example/a/")
+    assert(norm1("http://h.example/a.b/c..d/.e") == "http://h.example/a.b/c..d/.e")
+    assert(norm1("http://h.example/.../..../x") == "http://h.example/.../..../x")
+    // the SQL registration answers the same bytes for the new rules
+    assert(spark.sql(
+      "SELECT url_normalize('http://u@H.example/a/b/../c/./d/../../e?utm_a=1')")
+      .head().getString(0) == "http://h.example/a/e")
+    assert(spark.sql("SELECT url_host('http://x@ads.example.com:8080/click')")
+      .head().getString(0) == "ads.example.com")
     // null in → null out
     import spark.implicits._
     assert(Seq[Option[String]](None).toDF("u")

@@ -476,6 +476,14 @@ class RemoteSpec extends AnyFunSuite {
     s3.close()
     assert((bad \ "ok") == JBool(false) &&
       RemoteWire.str(bad, "error").get.contains("permission denied"))
+    // the schema IS table metadata: preparing against a table this
+    // identity has no SELECT grant on must deny, not leak columns
+    val (leak, _, s3b) = call(("op" -> "prepare") ~
+      ("sql" -> "SELECT * FROM r_lineitem WHERE l_orderkey < $1"))
+    s3b.close()
+    assert((leak \ "ok") == JBool(false), s"ungranted prepare must deny: $leak")
+    assert(RemoteWire.str(leak, "error").get.contains("permission denied"))
+    assert((leak \ "schema") == JNothing, "no schema may escape on deny")
     // per-identity cap: one user stops at 64 live handles with a named
     // error — the global 1024 stays for everyone together
     val handles = scala.collection.mutable.ArrayBuffer.empty[String]

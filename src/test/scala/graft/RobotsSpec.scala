@@ -115,6 +115,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("robots: the matched path is always /-rooted — Disallow: / catches authority+query URLs (r12)") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(("h.example", "User-agent: *\nDisallow: /")).toDF("host", "body")
+    // urlNormalize legitimately emits authority+query URLs (bare-/
+    // drop keeps the query): every shape must match rooted rules
+    val rows = Seq(
+      (1L, "http://h.example?q=1"),   // authority + query, no path
+      (2L, "http://h.example"),       // authority only
+      (3L, "http://h.example/p/x"))   // normal path
+      .toDF("doc_id", "url")
+    val kept = graft.operators.Robots
+      .filterFrontier(rows, "url", robots, "host", "body", agent = "bot")
+      .count()
+    assert(kept == 0, "a fully-disallowed host must block every URL shape")
+  }
+
   test("robots: crawl-delay resolves through group selection (r12)") {
     import graft.functions.RobotsExprs.crawlDelay
     // the selected group's delay; star only when no named match
