@@ -524,6 +524,69 @@ object QueriesFormats {
           length(col("text")).cast(LongType).as("n_chars"))
         .orderBy("uri")
     },
+    // CDX generation merge (r12): two index generations (a recrawl
+    // re-captures every third URL a month later) round-trip through
+    // the CDXJ text layer, then `latest` keeps the newest capture per
+    // SURT key — the incremental-recrawl maintenance step. Closed-form
+    // oracle picks each doc's surviving generation.
+    "q_cdx_latest" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val d = col("doc_id").cast("string")
+      def gen(docs: org.apache.spark.sql.DataFrame, ts: String, dig: String,
+          off: org.apache.spark.sql.Column, file: String) =
+        docs.select(
+          concat(lit("com,site)/p/"), d).as("surt"), lit(ts).as("ts"),
+          concat(lit("http://site.com/p/"), d).as("url"),
+          lit("text/html").as("mime"), lit(200).as("status"),
+          concat(lit(dig), d).as("digest"),
+          (col("doc_id") + 100L).as("length"), off.as("offset"),
+          lit(file).as("filename"))
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdxlatest").toString
+      graft.sources.CdxSource.write(
+        gen(docs, "20260101000000", "d1-", col("doc_id") * 10L, "gen1.warc.gz"),
+        s"$tmp/g1", files = 2)
+      graft.sources.CdxSource.write(
+        gen(docs.filter(col("doc_id") % 3 === 0), "20260201000000", "d2-",
+          col("doc_id") * 10L + 5L, "gen2.warc.gz"),
+        s"$tmp/g2", files = 2)
+      graft.sources.CdxSource.latest(
+          graft.sources.CdxSource.read(s, Seq(s"$tmp/g1")),
+          graft.sources.CdxSource.read(s, Seq(s"$tmp/g2")))
+        .select(col("surt"), col("ts"), col("digest"), col("offset"),
+          col("filename"))
+        .orderBy("surt")
+    },
+    // digest-deduped fetch planning (r12): payloads repeat across URLs
+    // (every 50th doc shares one body); group the INDEX by digest,
+    // fetch ONE record per distinct payload — the
+    // dedup-before-download idiom that saves both transfer and storage
+    // on a 100 TB re-process. Keeper = numerically smallest URL.
+    "q_cdx_dedup_fetch" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val k = (col("doc_id") % 50).cast("string")
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        concat(lit("<p>shared payload "), k,
+          lit(" repeated content</p>")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdxdedup").toString
+      graft.sources.WarcSource.Writer.write(pages, s"$tmp/warc", "uri", "html",
+        files = 2, gzip = true)
+      val idx = graft.sources.CdxSource.index(
+        graft.sources.WarcSource.read(s, Seq(s"$tmp/warc")))
+      val keepers = idx.withColumn("__rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("digest"))
+            .orderBy(length(col("url")), col("url"))))
+        .filter(col("__rn") === 1)
+        .select(concat(lit(s"$tmp/warc/"), col("filename")).as("warc_file"),
+          col("offset").as("record_offset"))
+      graft.sources.WarcSource.fetch(keepers)
+        .select(col("target_uri").as("uri"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("uri")
+    },
     // ODV writer+reader round trip, oracle recomputes from source parquet
     "q_odv_roundtrip" -> { (s, dir) =>
       GraftSession.configure(s)
@@ -669,6 +732,26 @@ object QueriesFormats {
         SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           md5(text) AS text_md5, CAST(len(text) AS BIGINT) AS n_chars
         FROM hx ORDER BY uri""",
+    // each key's surviving generation stated closed-form: recrawled
+    // (%3=0) docs answer gen2's ts/digest/offset, the rest gen1's
+    "q_cdx_latest" ->
+      """SELECT 'com,site)/p/' || CAST(doc_id AS VARCHAR) AS surt,
+           CASE WHEN doc_id % 3 = 0 THEN '20260201000000'
+                ELSE '20260101000000' END AS ts,
+           CASE WHEN doc_id % 3 = 0 THEN 'd2-' ELSE 'd1-' END
+             || CAST(doc_id AS VARCHAR) AS digest,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id * 10 + 5
+                ELSE doc_id * 10 END AS BIGINT) AS offset,
+           CASE WHEN doc_id % 3 = 0 THEN 'gen2.warc.gz'
+                ELSE 'gen1.warc.gz' END AS filename
+         FROM documents ORDER BY surt""",
+    // one fetch per distinct payload; keeper = numerically smallest
+    // URL = the doc_ids under 50
+    "q_cdx_dedup_fetch" ->
+      """SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           md5('<p>shared payload ' || CAST(doc_id % 50 AS VARCHAR)
+             || ' repeated content</p>') AS body_md5
+         FROM documents WHERE doc_id < 50 ORDER BY uri""",
     // the extraction CTEs replayed over the source parquet
     "q_wet_roundtrip" ->
       s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html

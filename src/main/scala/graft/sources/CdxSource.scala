@@ -89,6 +89,20 @@ object CdxSource {
     rows.value
   }
 
+  /** Merge index GENERATIONS: the newest capture of each SURT key wins
+    * (ties break on filename, then offset — fully deterministic), the
+    * incremental-recrawl maintenance step: merge last month's index
+    * with this week's crawl and lookups see one current row per URL.
+    * One rank-window shuffle on the key; no driver-side state. */
+  def latest(generations: DataFrame*): DataFrame = {
+    require(generations.nonEmpty, "cdx latest: no generations given")
+    val all = generations.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("surt")
+      .orderBy(col("ts").desc, col("filename").desc, col("offset").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Read CDXJ files/globs/dirs: Spark's splittable text scan + a
     * row-local three-way split and `from_json` — map-only. Blank lines
     * skip; a malformed JSON block surfaces as null fields (from_json's

@@ -65,6 +65,30 @@ class CdxSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(rows(1).fieldIndex("url")))  // block nulls out
   }
 
+  test("cdx: latest keeps the newest capture per key, deterministic tie-breaks (r12)") {
+    val s = spark
+    import s.implicits._
+    def row(surt: String, ts: String, dig: String, off: Long, file: String) =
+      (surt, ts, s"http://u/$surt", "text/html", 200, dig, 10L, off, file)
+    val g1 = Seq(
+      row("com,a)/x", "20260101000000", "old", 0L, "g1.warc.gz"),
+      row("com,b)/y", "20260105000000", "only", 8L, "g1.warc.gz")).toDF(
+      "surt", "ts", "url", "mime", "status", "digest", "length", "offset", "filename")
+    val g2 = Seq(
+      row("com,a)/x", "20260201000000", "new", 4L, "g2.warc.gz"),
+      // exact ts tie with g2's first row's key? no — a TIE on another key:
+      row("com,c)/z", "20260102000000", "t1", 2L, "ga.warc.gz"),
+      row("com,c)/z", "20260102000000", "t2", 1L, "gb.warc.gz")).toDF(
+      "surt", "ts", "url", "mime", "status", "digest", "length", "offset", "filename")
+    val m = graft.sources.CdxSource.latest(g1, g2)
+      .collect().map(r => r.getAs[String]("surt") -> r.getAs[String]("digest")).toMap
+    assert(m == Map("com,a)/x" -> "new", "com,b)/y" -> "only",
+      "com,c)/z" -> "t2")) // ts tie → filename desc wins (gb > ga)
+    // single generation passes through unchanged
+    assert(graft.sources.CdxSource.latest(g1).count() == 2)
+    intercept[IllegalArgumentException] { graft.sources.CdxSource.latest() }
+  }
+
   test("cdx: index derives surt/ts/mime/digest from a warc scan; DSL format reads it") {
     val s = spark
     import s.implicits._
