@@ -524,6 +524,35 @@ object QueriesFormats {
           length(col("text")).cast(LongType).as("n_chars"))
         .orderBy("uri")
     },
+    // WARC revisit dedup (r12): the identical-payload-digest profile —
+    // repeated payloads store ONCE (the keeper response) plus empty
+    // revisit records pointing back; the gate reconstructs EVERY
+    // (uri, body) by joining revisits to keepers through the member-
+    // split gz read, proving the deduped archive is lossless. 10× of
+    // the corpus stores as 50 payloads + 450 pointer records.
+    "q_warc_revisit" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val k = (col("doc_id") % 50).cast("string")
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        concat(lit("<p>shared payload "), k,
+          lit(" repeated content</p>")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-revisit").toString
+      graft.sources.WarcSource.Writer.writeDeduped(pages, tmp, "uri", "html",
+        files = 2, gzip = true)
+      val rec = graft.sources.WarcSource.read(s, Seq(tmp), splitBytes = 16 * 1024)
+      val resp = rec.filter(col("warc_type") === "response")
+      val direct = resp.select(col("target_uri").as("uri"),
+        md5(col("body")).as("body_md5"), lit(false).as("was_revisit"))
+      val rejoined = rec.filter(col("warc_type") === "revisit")
+        .join(resp.select(col("record_id").as("__rid"),
+          md5(col("body")).as("__kmd5")),
+          col("refers_to") === col("__rid"))
+        .select(col("target_uri").as("uri"), col("__kmd5").as("body_md5"),
+          lit(true).as("was_revisit"))
+      direct.unionByName(rejoined).orderBy("uri")
+    },
     // CDX generation merge (r12): two index generations (a recrawl
     // re-captures every third URL a month later) round-trip through
     // the CDXJ text layer, then `latest` keeps the newest capture per
@@ -732,6 +761,15 @@ object QueriesFormats {
         SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           md5(text) AS text_md5, CAST(len(text) AS BIGINT) AS n_chars
         FROM hx ORDER BY uri""",
+    // lossless reconstruction stated closed-form: every uri answers
+    // its payload's md5; revisit-ness = not the numerically smallest
+    // uri of the payload group (doc_id >= 50)
+    "q_warc_revisit" ->
+      """SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           md5('<p>shared payload ' || CAST(doc_id % 50 AS VARCHAR)
+             || ' repeated content</p>') AS body_md5,
+           doc_id >= 50 AS was_revisit
+         FROM documents ORDER BY uri""",
     // each key's surviving generation stated closed-form: recrawled
     // (%3=0) docs answer gen2's ts/digest/offset, the rest gen1's
     "q_cdx_latest" ->

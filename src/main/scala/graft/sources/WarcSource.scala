@@ -61,7 +61,12 @@ object WarcSource {
     StructField("content_length", LongType, nullable = false),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
-    StructField("body", BinaryType, nullable = true)))
+    StructField("body", BinaryType, nullable = true),
+    // revisit plumbing (WARC/1.1 §6.7.2, identical-payload-digest):
+    // which record a revisit stands in for, and the payload digest
+    // shared by the keeper and its revisits
+    StructField("refers_to", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true)))
 
   /** default intra-file split size (plain bytes / compressed bytes) */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
@@ -144,7 +149,8 @@ object WarcSource {
 
   private final case class Parsed(warcType: String, recordId: String,
       targetUri: Option[String], date: Option[java.time.LocalDateTime],
-      contentType: Option[String], contentLength: Long, block: Array[Byte])
+      contentType: Option[String], contentLength: Long, block: Array[Byte],
+      refersTo: Option[String] = None, payloadDigest: Option[String] = None)
 
   /** Streaming WARC record machinery over one opened byte stream:
     * boundary scan, record parse (version line + headers +
@@ -240,7 +246,9 @@ object WarcSource {
         headers.get("warc-target-uri"),
         headers.get("warc-date").flatMap(parseDate),
         headers.get("content-type"),
-        len, block))
+        len, block,
+        headers.get("warc-refers-to"),
+        headers.get("warc-payload-digest")))
     }
 
     private def readLine(): Option[String] = {
@@ -680,7 +688,7 @@ object WarcSource {
       if (isHttp) parseHttp(p.block) else (null, null, p.block)
     Row(file, offset, p.warcType, p.recordId, p.targetUri.orNull,
       p.date.orNull, p.contentType.orNull, p.contentLength,
-      status, httpCt, body)
+      status, httpCt, body, p.refersTo.orNull, p.payloadDigest.orNull)
   }
 
   /** HTTP message in a response/request block: split at the first
@@ -785,6 +793,87 @@ object WarcSource {
                   "WARC-Target-URI" -> uri,
                   "Content-Type" -> "application/http; msgtype=response"), block)
               }
+              rows.add(1)
+            }
+          } finally { out.close(); publish() }
+      }
+      rows.value
+    }
+
+    /** Payload-deduped archive egress (WARC/1.1 §6.7.2, the
+      * `identical-payload-digest` revisit profile): ONE `response`
+      * record per distinct payload (the keeper — the numerically
+      * smallest URI, a deterministic choice) and a `revisit` record
+      * for every other URI carrying that payload — empty block,
+      * `WARC-Refers-To` the keeper's record id, `WARC-Payload-Digest`
+      * shared with the keeper. A crawl whose pages repeat (mirrors,
+      * boilerplate pages, re-fetches) stores each payload once; the
+      * archive reconstructs losslessly by joining revisits back to
+      * their keepers. One digest shuffle (the keeper window), then the
+      * normal distributed write. @return rows written (keepers +
+      * revisits). */
+    def writeDeduped(df: DataFrame, dir: String, uriCol: String,
+        payloadCol: String, files: Int = 2, gzip: Boolean = false,
+        httpContentType: String = "text/html; charset=utf-8"): Long = {
+      import org.apache.spark.sql.functions._
+      val keeperW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__dig")).orderBy(length(col("__uri")), col("__uri"))
+      val prepped = df
+        .select(col(uriCol).cast("string").as("__uri"),
+          col(payloadCol).cast("string").as("__pl"))
+        .withColumn("__dig", md5(col("__pl").cast("binary")))
+        .withColumn("__keeper", first(col("__uri")).over(keeperW))
+      graft.sources.io.ByteStore.createDirectories(dir)
+      val spark = df.sparkSession
+      val rows = spark.sparkContext.longAccumulator("warc_rows")
+      prepped.repartition(files).foreachPartition {
+        (it: Iterator[Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val ext = if (gzip) ".warc.gz" else ".warc"
+          val target = graft.sources.io.ByteStore.resolve(dir, f"part-$pid%05d$ext")
+          val (local, publish) = graft.sources.io.ByteStore.stageOut(target)
+          val out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(local), 64 * 1024)
+          def emit(headers: Seq[(String, String)], block: Array[Byte]): Unit =
+            if (gzip) {
+              val g = new java.util.zip.GZIPOutputStream(nonClosing(out), 8 * 1024)
+              writeRecord(g, headers, block)
+              g.close()
+            } else writeRecord(out, headers, block)
+          try {
+            emit(Seq(
+              "WARC-Type" -> "warcinfo",
+              "WARC-Date" -> FixedDate,
+              "WARC-Record-ID" -> s"<urn:graft:warcinfo:$pid>",
+              "Content-Type" -> "application/warc-fields"),
+              "software: graft\r\nformat: WARC file version 1.1\r\n".getBytes(UTF_8))
+            it.foreach { r =>
+              val uri = r.getString(0)
+              val dig = r.getString(2)
+              val keeper = r.getString(3)
+              if (uri == keeper) {
+                val payload = r.getString(1).getBytes(UTF_8)
+                val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
+                  s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
+                emit(Seq(
+                  "WARC-Type" -> "response",
+                  "WARC-Date" -> FixedDate,
+                  "WARC-Record-ID" -> s"<urn:graft:response:$uri>",
+                  "WARC-Target-URI" -> uri,
+                  "WARC-Payload-Digest" -> s"md5:$dig",
+                  "Content-Type" -> "application/http; msgtype=response"),
+                  http ++ payload)
+              } else
+                emit(Seq(
+                  "WARC-Type" -> "revisit",
+                  "WARC-Date" -> FixedDate,
+                  "WARC-Record-ID" -> s"<urn:graft:revisit:$uri>",
+                  "WARC-Target-URI" -> uri,
+                  "WARC-Refers-To" -> s"<urn:graft:response:$keeper>",
+                  "WARC-Payload-Digest" -> s"md5:$dig",
+                  "WARC-Profile" ->
+                    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"),
+                  Array.emptyByteArray)
               rows.add(1)
             }
           } finally { out.close(); publish() }

@@ -287,6 +287,43 @@ class WarcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("response|conversion"))
   }
 
+  test("warc: writeDeduped stores one payload + revisit pointers, deterministic keepers (r12)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    // 6 uris, 2 distinct payloads; keeper = numerically smallest uri
+    val rows = (0 until 6).map(i => (s"http://t.example/$i", s"payload ${i % 2}"))
+      .toDF("uri", "html")
+    assert(WarcSource.Writer.writeDeduped(rows, dir, "uri", "html",
+      files = 1, gzip = true) == 6)
+    val rec = WarcSource.read(spark, Seq(dir)).cache()
+    val resp = rec.filter(col("warc_type") === "response").collect()
+    val rev = rec.filter(col("warc_type") === "revisit").collect()
+    assert(resp.length == 2 && rev.length == 4)
+    assert(resp.map(_.getAs[String]("target_uri")).toSet ==
+      Set("http://t.example/0", "http://t.example/1"))
+    // revisits carry an empty block, the shared digest, and the
+    // keeper's record id; payload_digest matches the keeper's body md5
+    val keeperByUri = resp.map(r => r.getAs[String]("record_id") ->
+      (new String(r.getAs[Array[Byte]]("body"), UTF_8),
+        r.getAs[String]("payload_digest"))).toMap
+    rev.foreach { r =>
+      assert(r.getAs[Array[Byte]]("body").isEmpty)
+      val (kbody, kdig) = keeperByUri(r.getAs[String]("refers_to"))
+      assert(r.getAs[String]("payload_digest") == kdig)
+      val i = r.getAs[String]("target_uri").last.toString.toInt
+      assert(kbody == s"payload ${i % 2}")
+    }
+    // plain (non-deduped) responses leave the new columns null
+    rec.unpersist()
+    val dir2 = tmpDir()
+    WarcSource.Writer.write(rows.limit(1), dir2, "uri", "html", files = 1)
+    val plain = WarcSource.read(spark, Seq(dir2))
+      .filter(col("warc_type") === "response").head()
+    assert(plain.isNullAt(plain.fieldIndex("refers_to")))
+    assert(plain.isNullAt(plain.fieldIndex("payload_digest")))
+  }
+
   test("warc: non-http records keep their raw block as body") {
     val dir = tmpDir()
     WarcSource.Writer.write(pages(1), dir, "uri", "html", files = 1)
