@@ -1116,6 +1116,41 @@ object QueriesData {
         .orderBy("node")
     },
 
+    // ---- link-graph-budgeted frontier (r12): PageRank drives the
+    // crawl BUDGET — only the top-3 hosts by rank keep their URLs,
+    // then politeness scheduling assigns slots/waves. The oracle
+    // replays the 5 power iterations, the host cut and the schedule
+    // window in one chain.
+    "q_frontier_budget" -> { (s, dir) =>
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("url"),
+        concat(
+          lit("<a href=\"http://h"), ((col("doc_id") * 2 + 1) % 7).cast("string"),
+          lit(".example/x\">a</a>"),
+          lit("<a href=\"http://h"), ((col("doc_id") * 3 + 2) % 7).cast("string"),
+          lit(".example/y\">b</a>"),
+          lit("<a href='//h"), (col("doc_id") % 3).cast("string"),
+          lit(".example/z'>c</a>"),
+          lit("<a href=\"/self\">self</a>")).as("html"))
+      val edges = graft.operators.LinkGraph.hostEdges(pages, "url", "html")
+      val ranks = graft.operators.LinkGraph.pageRank(edges,
+        "src_host", "dst_host", iterations = 5)
+      val topHosts = ranks.withColumn("__hr",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("node"))))
+        .filter(col("__hr") <= 3)
+        .select(col("node").as("host"), col("rank"))
+      val frontier = pages.select(col("url"),
+        TextOps.urlHost(col("url")).as("host"))
+      graft.operators.Frontier.schedule(
+          frontier.join(broadcast(topHosts), Seq("host")),
+          "url", perWave = 5, fetchers = 4)
+        .select(col("url"), col("host"), col("rank"),
+          col("fetch_slot"), col("fetch_wave"))
+        .orderBy("url")
+    },
+
     // ---- robots politeness (r12): RFC 9309 group selection + rule
     // matching over a per-host robots table left-joined into the
     // frontier. Bodies cover longest-match allow-over-disallow, a
@@ -3727,6 +3762,46 @@ object QueriesData {
         ${prIterSql("r3", "r4")},
         ${prIterSql("r4", "r5")}
         SELECT node, rank FROM r5 ORDER BY node""",
+    // the same rank rounds, then the top-3 host cut and the schedule
+    // window replayed in one chain
+    "q_frontier_budget" ->
+      s"""WITH pages AS (SELECT doc_id,
+            'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS src
+          FROM documents),
+        links AS (
+          SELECT src, 'h' || CAST((doc_id * 2 + 1) % 7 AS VARCHAR)
+            || '.example' AS dst FROM pages
+          UNION ALL SELECT src, 'h' || CAST((doc_id * 3 + 2) % 7 AS VARCHAR)
+            || '.example' FROM pages
+          UNION ALL SELECT src, 'h' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example' FROM pages),
+        edges AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank
+          FROM nodes CROSS JOIN nn),
+        ${prIterSql("r0", "r1")},
+        ${prIterSql("r1", "r2")},
+        ${prIterSql("r2", "r3")},
+        ${prIterSql("r3", "r4")},
+        ${prIterSql("r4", "r5")},
+        th AS (SELECT node AS host, rank,
+            row_number() OVER (ORDER BY rank DESC, node) AS hr FROM r5),
+        u AS (SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+            'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+          FROM documents),
+        j AS (SELECT u.url, u.host, th.rank FROM u
+          JOIN th ON th.host = u.host AND th.hr <= 3),
+        rk AS (SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY url ASC) AS rn FROM j)
+        SELECT url, host, rank,
+          CAST((md5_number_lower(host || 'fetch-v1') % 281474976710656) % 4
+            AS INTEGER) AS fetch_slot,
+          CAST((rn - 1) // 5 AS INTEGER) AS fetch_wave
+        FROM rk ORDER BY url""",
     // frontier seed (+tracking-decorated variants) → normalize CTEs →
     // scheme/host/pattern gate → first-id-per-url dedup. Partitioning
     // by the normalized url matches Dedup.exact's fingerprint classes:

@@ -524,6 +524,39 @@ object QueriesFormats {
           length(col("text")).cast(LongType).as("n_chars"))
         .orderBy("uri")
     },
+    // WAT round trip (r12): the metadata third of the crawl format
+    // family — per-page JSON envelopes (url, title, declared lang,
+    // resolved outlinks, extracted from the HTML by the engine's
+    // row-local kernels) written as WARC `metadata` records, read back
+    // through member splits, and re-parsed with from_json. Every field
+    // is stated closed-form by the oracle.
+    "q_wat_roundtrip" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import graft.operators.TextOps
+      val uri = concat(lit("http://corpus.example/doc/"),
+        col("doc_id").cast("string"))
+      val html = QueriesData.docHtml(col("doc_id"), col("text"))
+      val pages = Tables.load(s, dir, "documents").select(
+        uri.as("uri"),
+        to_json(struct(
+          uri.as("url"),
+          TextOps.htmlTitle(html).as("title"),
+          TextOps.htmlLang(html).as("lang"),
+          TextOps.htmlLinks(html, uri).as("links"))).as("wat"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-watgate").toString
+      graft.sources.WarcSource.Writer.write(pages, tmp, "uri", "wat",
+        files = 2, gzip = true, recordType = "metadata")
+      val watSchema = "struct<url:string,title:string,lang:string,links:array<string>>"
+      graft.sources.WarcSource.read(s, Seq(tmp), splitBytes = 32 * 1024)
+        .filter(col("warc_type") === "metadata")
+        .select(col("content_type"),
+          from_json(col("body").cast(StringType), watSchema,
+            Map.empty[String, String]).as("j"))
+        .select(col("content_type"), col("j.url").as("url"),
+          col("j.title").as("title"), col("j.lang").as("lang"),
+          array_join(col("j.links"), "|").as("links"))
+        .orderBy("url")
+    },
     // WARC revisit dedup (r12): the identical-payload-digest profile —
     // repeated payloads store ONCE (the keeper response) plus empty
     // revisit records pointing back; the gate reconstructs EVERY
@@ -761,6 +794,17 @@ object QueriesFormats {
         SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           md5(text) AS text_md5, CAST(len(text) AS BIGINT) AS n_chars
         FROM hx ORDER BY uri""",
+    // every envelope field closed-form: the six rooted anchors of the
+    // shared html wrap resolve against the page's own authority
+    "q_wat_roundtrip" ->
+      """SELECT 'application/json' AS content_type,
+           'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           '' AS lang,
+           'http://corpus.example/|http://corpus.example/about|'
+             || 'http://corpus.example/contact|http://corpus.example/share|'
+             || 'http://corpus.example/like|http://corpus.example/sub' AS links
+         FROM documents ORDER BY url""",
     // lossless reconstruction stated closed-form: every uri answers
     // its payload's md5; revisit-ness = not the numerically smallest
     // uri of the payload group (doc_id >= 50)

@@ -734,8 +734,10 @@ object WarcSource {
     * time). `recordType = "conversion"` writes the WET shape instead —
     * extracted-text records whose block IS the UTF-8 payload
     * (`Content-Type: text/plain`, no HTTP message), the standard
-    * extraction-egress companion of a response archive.
-    * @return rows written. */
+    * extraction-egress companion of a response archive — and
+    * `recordType = "metadata"` the WAT shape: per-page metadata
+    * records whose block is the payload column's JSON
+    * (`Content-Type: application/json`). @return rows written. */
   object Writer {
     val FixedDate = "2026-01-01T00:00:00Z"
 
@@ -743,8 +745,8 @@ object WarcSource {
         files: Int = 2, gzip: Boolean = false,
         httpContentType: String = "text/html; charset=utf-8",
         recordType: String = "response"): Long = {
-      require(recordType == "response" || recordType == "conversion",
-        s"warc writer records response|conversion, got $recordType")
+      require(Set("response", "conversion", "metadata")(recordType),
+        s"warc writer records response|conversion|metadata, got $recordType")
       graft.sources.io.ByteStore.createDirectories(dir)
       val spark = df.sparkSession
       val rows = spark.sparkContext.longAccumulator("warc_rows")
@@ -775,13 +777,14 @@ object WarcSource {
             it.foreach { r =>
               val uri = r.getString(0)
               val payload = r.getString(1).getBytes(UTF_8)
-              if (recordType == "conversion")
+              if (recordType == "conversion" || recordType == "metadata")
                 emit(Seq(
-                  "WARC-Type" -> "conversion",
+                  "WARC-Type" -> recordType,
                   "WARC-Date" -> FixedDate,
-                  "WARC-Record-ID" -> s"<urn:graft:conversion:$uri>",
+                  "WARC-Record-ID" -> s"<urn:graft:$recordType:$uri>",
                   "WARC-Target-URI" -> uri,
-                  "Content-Type" -> "text/plain"), payload)
+                  "Content-Type" -> (if (recordType == "metadata")
+                    "application/json" else "text/plain")), payload)
               else {
                 val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
                   s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
