@@ -17,15 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** hash bucket in [0, buckets): low 48 bits of md5_number_lower */
-  def hashBucket(key: Column, salt: String, buckets: Int = 10000): Column = {
-    require(buckets > 0, "buckets must be positive")
+  /** the raw LOW 48 BITS of md5_number_lower(key || salt) — the
+    * engine-wide hash contract every bucket/split/sketch derives from */
+  def hash48(key: Column, salt: String): Column = {
     val h = md5(concat(key.cast("string"), lit(salt)))
     // little-endian: least significant byte is digest byte 8 = hex 17-18
     val le48 = concat(
       substring(h, 27, 2), substring(h, 25, 2), substring(h, 23, 2),
       substring(h, 21, 2), substring(h, 19, 2), substring(h, 17, 2))
-    conv(le48, 16, 10).cast("long") % buckets
+    conv(le48, 16, 10).cast("long")
+  }
+
+  /** hash bucket in [0, buckets): low 48 bits of md5_number_lower */
+  def hashBucket(key: Column, salt: String, buckets: Int = 10000): Column = {
+    require(buckets > 0, "buckets must be positive")
+    hash48(key, salt) % buckets
   }
 
   /** Epoch-deterministic global shuffle: rows sort by the hash of

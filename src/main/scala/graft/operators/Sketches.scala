@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches over the engine's md5 hash family
+  * ([[Sampling.hash48]]) — count-min for frequency estimates /
+  * heavy-key detection (find the skewed join key BEFORE shuffling
+  * 100 TB on it) and HyperLogLog for distinct counts. Both are built
+  * from deterministic integer/string column ops only (md5 buckets,
+  * `bin()` leading-zero ranks, dyadic `pow(2,-r)` sums), so a sketch
+  * computed here is BIT-IDENTICAL to one computed by the SQL oracle —
+  * unlike `approx_count_distinct`, whose HLL++ internals no other
+  * engine replays. Counters merge with SUM and registers with MAX, so
+  * per-partition (or per-day) sketches combine associatively — the
+  * property that makes them work at any scale.
+  */
+object Sketches {
+
+  // ------------------------------------------------------- count-min
+
+  /** Count-min sketch of `keyCol` frequencies: `depth` hash rows of
+    * `width` counters; cell (i, b) counts rows whose i-th hash lands
+    * in bucket b. One map-only explode (×depth) + ONE (i, bucket)
+    * count shuffle; the result is depth×width rows, broadcastable. */
+  def countMin(df: DataFrame, keyCol: String, width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    require(width > 0 && depth > 0, s"cms: bad shape ($width × $depth)")
+    val rows = (0 until depth).map(i => struct(lit(i).as("i"),
+      Sampling.hashBucket(col(keyCol), s"cms-$i", width).as("bucket")))
+    df.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes`' keys: est(k) = min over hash rows
+    * of the landed counters (absent cells are 0) — an overestimate by
+    * construction, exact for keys that collide with nothing. The
+    * sketch broadcasts; probes stay distributed. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    val rows = (0 until depth).map(i => struct(lit(i).as("i"),
+      Sampling.hashBucket(col(keyCol), s"cms-$i", width).as("bucket")))
+    val s = sketch.select(col("i").as("__si"), col("bucket").as("__sb"),
+      col("cnt").as("__cnt"))
+    probes.select(col(keyCol), explode(array(rows: _*)).as("rb"))
+      .join(broadcast(s),
+        col("rb.i") === col("__si") && col("rb.bucket") === col("__sb"),
+        "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("est"))
+  }
+
+  // ----------------------------------------------------- hyperloglog
+
+  /** HyperLogLog registers (2^p of them): the 48-bit hash splits into
+    * a register index (low p bits) and a (48−p)-bit window w; the
+    * register keeps max(rank) where rank = leading zeros of w in the
+    * window + 1, computed as `49 − p − length(bin(w))` (`bin` drops
+    * leading zeros in Spark AND DuckDB — exact cross-engine). One
+    * groupBy(idx) max shuffle; registers merge across sketches with
+    * MAX. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll: p must be in [4,16], got $p")
+    val m = 1 << p
+    val h = Sampling.hash48(col(keyCol), "hll-v1")
+    val idx = h.bitwiseAND(lit((m - 1).toLong))
+    val w = shiftright(h, p)
+    val rank = when(w === 0, lit(48 - p + 1))
+      .otherwise(lit(48 - p + 1) - length(bin(w)))
+    df.select(idx.as("idx"), rank.cast("int").as("rank"))
+      .groupBy("idx").agg(max(col("rank")).as("r"))
+  }
+
+  /** The HLL raw estimate from a registers frame: α·m²/Σ2^(−M_j),
+    * registers absent from the frame counting as 0 (one full 2^0 term
+    * each). Every term is a dyadic rational ≥ 2^(p−48), so the sum is
+    * EXACT in a double and order-independent — the estimate replays
+    * bit-identically in SQL. Result rounds to 4 decimals; one row
+    * `{distinct_est}`. Small-range bias correction is intentionally
+    * omitted (it needs ln(), which differs across libms) — callers
+    * counting < 2.5·m distincts should raise p instead. */
+  def hllEstimate(registers: DataFrame, p: Int = 9): DataFrame = {
+    val m = (1 << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(sum(pow(lit(2.0), -col("r"))).as("__s"),
+        count(lit(1)).cast("double").as("__nz"))
+      .select(round(lit(alpha * m * m) /
+        (col("__s") + (lit(m) - col("__nz"))), 4).as("distinct_est"))
+  }
+}

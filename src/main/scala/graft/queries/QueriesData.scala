@@ -570,6 +570,27 @@ object QueriesData {
         .orderBy("doc_id")
     },
 
+    // ---- mergeable sketches (r12): count-min frequency estimates and
+    // a HyperLogLog distinct count, both on the md5 hash family so the
+    // oracle rebuilds the SAME cells/registers bit-for-bit — unlike
+    // approx_count_distinct, whose HLL++ no other engine replays.
+    "q_sketch_cms" -> { (s, dir) =>
+      val keyed = Tables.load(s, dir, "lineitem")
+        .select((col("l_partkey") % 97).as("key"))
+      val sk = graft.operators.Sketches.countMin(keyed, "key",
+        width = 256, depth = 3)
+      graft.operators.Sketches.cmsEstimate(sk, keyed.distinct(), "key",
+          width = 256, depth = 3)
+        .orderBy("key")
+    },
+
+    "q_sketch_hll" -> { (s, dir) =>
+      val keys = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("key"))
+      graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(keys, "key", p = 9), p = 9)
+    },
+
     // ---- stupid-backoff bigram LM perplexity (Brants et al. 2007;
     // the CCNet-style model-based quality gate): self-trained counts,
     // α=0.4 backoff, +1-floored unigrams, document ppl = 10^(−avg
@@ -3187,6 +3208,36 @@ object QueriesData {
                round(coalesce(s.s, 0.0), 4) AS lm_score
         FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id""",
     // the NB model replayed count-for-count: (label, token) counts,
+    // the identical cms cells rebuilt (md5 low-48 buckets), then the
+    // same probe → min-over-rows estimate
+    "q_sketch_cms" ->
+      """WITH k AS (SELECT l_partkey % 97 AS key FROM lineitem),
+        d AS (SELECT unnest(range(3)) AS i),
+        cells AS (SELECT d.i,
+            (md5_number_lower(CAST(k.key AS VARCHAR) || 'cms-' || CAST(d.i AS VARCHAR))
+              % 281474976710656) % 256 AS bucket, count(*) AS cnt
+          FROM k CROSS JOIN d GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT key FROM k),
+        pe AS (SELECT p.key, d.i,
+            (md5_number_lower(CAST(p.key AS VARCHAR) || 'cms-' || CAST(d.i AS VARCHAR))
+              % 281474976710656) % 256 AS bucket
+          FROM probes p CROSS JOIN d)
+        SELECT pe.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+        FROM pe LEFT JOIN cells c ON c.i = pe.i AND c.bucket = pe.bucket
+        GROUP BY pe.key ORDER BY pe.key""",
+    // the identical hll registers (idx = low 9 bits, rank via bin()
+    // leading zeros), then the exact-dyadic-sum estimate
+    "q_sketch_hll" ->
+      """WITH h AS (SELECT md5_number_lower(CAST(l_orderkey AS VARCHAR) || 'hll-v1')
+            % 281474976710656 AS hv FROM lineitem),
+        reg AS (SELECT hv % 512 AS idx,
+            max(CASE WHEN hv // 512 = 0 THEN 40
+                ELSE 40 - length(bin(CAST(hv // 512 AS BIGINT))) END) AS r
+          FROM h GROUP BY 1),
+        a AS (SELECT sum(power(2.0, -r)) AS s,
+            CAST(count(*) AS DOUBLE) AS nz FROM reg)
+        SELECT round((0.7213 / (1 + 1.079 / 512)) * 512 * 512
+          / (s + (512 - nz)), 4) AS distinct_est FROM a""",
     "q_perceptron_quality" -> perceptronOracle,
     "q_curate_perceptron" -> curatePerceptronOracle,
     // surviving hosts closed-form (h4 blocked, tracking param

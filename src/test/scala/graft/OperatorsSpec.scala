@@ -1570,6 +1570,38 @@ class OperatorsSpec extends AnyFunSuite {
       .head() == org.apache.spark.sql.Row("http://a.com/x", "b.org", "ftp"))
   }
 
+  test("sketches: cms never underestimates and is exact sans collisions; partial sketches merge (r12)") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val keys = (0 until 1000).map(i => i % 37).toDF("key")
+    val sk = Sketches.countMin(keys, "key", width = 512, depth = 4)
+    val est = Sketches.cmsEstimate(sk, keys.distinct(), "key",
+      width = 512, depth = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val truth = (0 until 1000).groupBy(_ % 37).view.mapValues(_.size.toLong)
+    truth.foreach { case (k, n) => assert(est(k) >= n, s"cms underestimated $k") }
+    // 37 keys in 512×4 cells: overwhelmingly collision-free → exact
+    assert(truth.count { case (k, n) => est(k) == n } >= 30)
+    // a probe never inserted estimates only collision mass (usually 0)
+    val missing = Sketches.cmsEstimate(sk, Seq(999999).toDF("key"), "key",
+      width = 512, depth = 4).head().getLong(1)
+    assert(missing <= truth.values.max)
+    // hll: registers of two halves merged with MAX == whole-data registers
+    val all = (0 until 2000).map(i => s"k$i").toDF("key")
+    val whole = Sketches.hllRegisters(all, "key").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val h1 = Sketches.hllRegisters(all.filter(length(col("key")) <= 3), "key")
+    val h2 = Sketches.hllRegisters(all.filter(length(col("key")) > 3), "key")
+    val merged = h1.unionByName(h2).groupBy("idx")
+      .agg(max(col("r")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == whole, "register merge must equal the whole-data sketch")
+    // ...and the estimate lands near the true cardinality
+    val e = Sketches.hllEstimate(Sketches.hllRegisters(all, "key"))
+      .head().getDouble(0)
+    assert(math.abs(e - 2000) / 2000 < 0.15, s"hll estimate off: $e")
+  }
+
   test("perceptron: separable data converges; empty slice trains zeros; bad arity is loud (r12)") {
     import spark.implicits._
     import graft.operators.Perceptron
