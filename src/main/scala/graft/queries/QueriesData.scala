@@ -591,6 +591,30 @@ object QueriesData {
         graft.operators.Sketches.hllRegisters(keys, "key", p = 9), p = 9)
     },
 
+    // ---- streaming HLL (r12): the registers are a plain streaming
+    // MAX aggregation, and register merge-invariance makes the sketch
+    // trigger-split invariant by construction — the batch oracle
+    // replays the arriving stream's registers exactly. p=5 keeps the
+    // 500-key gate well above the (omitted) small-range-correction
+    // zone.
+    "q_stream_hll" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val staged = stageDocsOnce(s, dir)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val regs = graft.operators.Sketches.hllRegisters(
+        stream.select(col("doc_id").as("key")), "key", p = 5)
+      val qn = "stream_hll_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, regs, qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete())
+      q.stop()
+      graft.operators.Sketches.hllEstimate(s.table(qn), p = 5)
+    },
+
     // ---- stupid-backoff bigram LM perplexity (Brants et al. 2007;
     // the CCNet-style model-based quality gate): self-trained counts,
     // α=0.4 backoff, +1-floored unigrams, document ppl = 10^(−avg
@@ -3238,6 +3262,23 @@ object QueriesData {
             CAST(count(*) AS DOUBLE) AS nz FROM reg)
         SELECT round((0.7213 / (1 + 1.079 / 512)) * 512 * 512
           / (s + (512 - nz)), 4) AS distinct_est FROM a""",
+    // the arriving key set (originals + the %10 re-arrivals' shifted
+    // ids) rebuilt, then the same 32 registers — duplicates can't move
+    // a MAX register, so the trigger split is irrelevant
+    "q_stream_hll" ->
+      """WITH keys AS (
+          SELECT doc_id AS key FROM documents
+          UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0),
+        h AS (SELECT md5_number_lower(CAST(key AS VARCHAR) || 'hll-v1')
+            % 281474976710656 AS hv FROM keys),
+        reg AS (SELECT hv % 32 AS idx,
+            max(CASE WHEN hv // 32 = 0 THEN 44
+                ELSE 44 - length(bin(CAST(hv // 32 AS BIGINT))) END) AS r
+          FROM h GROUP BY 1),
+        a AS (SELECT sum(power(2.0, -r)) AS s,
+            CAST(count(*) AS DOUBLE) AS nz FROM reg)
+        SELECT round((0.7213 / (1 + 1.079 / 32)) * 32 * 32
+          / (s + (32 - nz)), 4) AS distinct_est FROM a""",
     "q_perceptron_quality" -> perceptronOracle,
     "q_curate_perceptron" -> curatePerceptronOracle,
     // surviving hosts closed-form (h4 blocked, tracking param
