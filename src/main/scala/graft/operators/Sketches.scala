@@ -14,8 +14,48 @@ import org.apache.spark.sql.functions._
   * engine replays. Counters merge with SUM and registers with MAX, so
   * per-partition (or per-day) sketches combine associatively — the
   * property that makes them work at any scale.
+  *
+  * A sketch rides as a typed handle carrying its own shape
+  * ([[CmsSketch]] / [[HllSketch]]): build and probe sides CANNOT
+  * disagree on width/depth/p, a mismatch that would silently zero
+  * every estimate. Null keys raise a named error — a silently
+  * skipped null would bias the estimate with no sign anything is
+  * wrong (the same loudness stance as [[Perceptron]]).
   */
 object Sketches {
+
+  /** a count-min sketch: `cells` is (i, bucket, cnt), broadcastable */
+  final case class CmsSketch(cells: DataFrame, width: Int, depth: Int) {
+    /** counters merge with SUM — per-partition sketches combine */
+    def merge(other: CmsSketch): CmsSketch = {
+      require(other.width == width && other.depth == depth,
+        s"cms merge: shape mismatch (${width}x$depth vs ${other.width}x${other.depth})")
+      CmsSketch(cells.unionByName(other.cells)
+        .groupBy("i", "bucket").agg(sum("cnt").as("cnt")), width, depth)
+    }
+  }
+
+  /** an HLL sketch: `registers` is (idx, r), at most 2^p rows */
+  final case class HllSketch(registers: DataFrame, p: Int) {
+    /** registers merge with MAX — per-partition sketches combine */
+    def merge(other: HllSketch): HllSketch = {
+      require(other.p == p, s"hll merge: p mismatch ($p vs ${other.p})")
+      HllSketch(registers.unionByName(other.registers)
+        .groupBy("idx").agg(max(col("r")).as("r")), p)
+    }
+  }
+
+  /** the key column, null-rejected loudly */
+  private def checkedKey(keyCol: String, what: String): Column =
+    when(col(keyCol).isNull, raise_error(lit(
+      s"$what: null key in '$keyCol' — filter or impute nulls first")))
+      .otherwise(col(keyCol))
+
+  /** one (i, bucket) struct per hash row — THE shared derivation both
+    * the build and probe sides must use for estimates to mean anything */
+  private def cmsRows(key: Column, width: Int, depth: Int): Column =
+    array((0 until depth).map(i => struct(lit(i).as("i"),
+      Sampling.hashBucket(key, s"cms-$i", width).as("bucket"))): _*)
 
   // ------------------------------------------------------- count-min
 
@@ -24,26 +64,27 @@ object Sketches {
     * in bucket b. One map-only explode (×depth) + ONE (i, bucket)
     * count shuffle; the result is depth×width rows, broadcastable. */
   def countMin(df: DataFrame, keyCol: String, width: Int = 1024,
-      depth: Int = 4): DataFrame = {
+      depth: Int = 4): CmsSketch = {
     require(width > 0 && depth > 0, s"cms: bad shape ($width × $depth)")
-    val rows = (0 until depth).map(i => struct(lit(i).as("i"),
-      Sampling.hashBucket(col(keyCol), s"cms-$i", width).as("bucket")))
-    df.select(explode(array(rows: _*)).as("rb"))
-      .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    CmsSketch(
+      df.select(explode(cmsRows(checkedKey(keyCol, "cms"), width, depth))
+          .as("rb"))
+        .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      width, depth)
   }
 
   /** Point estimates for `probes`' keys: est(k) = min over hash rows
     * of the landed counters (absent cells are 0) — an overestimate by
     * construction, exact for keys that collide with nothing. The
     * sketch broadcasts; probes stay distributed. */
-  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
-      width: Int = 1024, depth: Int = 4): DataFrame = {
-    val rows = (0 until depth).map(i => struct(lit(i).as("i"),
-      Sampling.hashBucket(col(keyCol), s"cms-$i", width).as("bucket")))
-    val s = sketch.select(col("i").as("__si"), col("bucket").as("__sb"),
-      col("cnt").as("__cnt"))
-    probes.select(col(keyCol), explode(array(rows: _*)).as("rb"))
+  def cmsEstimate(sketch: CmsSketch, probes: DataFrame,
+      keyCol: String): DataFrame = {
+    val s = sketch.cells.select(col("i").as("__si"),
+      col("bucket").as("__sb"), col("cnt").as("__cnt"))
+    probes.select(col(keyCol),
+        explode(cmsRows(checkedKey(keyCol, "cms probe"),
+          sketch.width, sketch.depth)).as("rb"))
       .join(broadcast(s),
         col("rb.i") === col("__si") && col("rb.bucket") === col("__sb"),
         "left")
@@ -58,32 +99,33 @@ object Sketches {
     * register keeps max(rank) where rank = leading zeros of w in the
     * window + 1, computed as `49 − p − length(bin(w))` (`bin` drops
     * leading zeros in Spark AND DuckDB — exact cross-engine). One
-    * groupBy(idx) max shuffle; registers merge across sketches with
-    * MAX. */
-  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 9): DataFrame = {
+    * groupBy(idx) max shuffle. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 9): HllSketch = {
     require(p >= 4 && p <= 16, s"hll: p must be in [4,16], got $p")
     val m = 1 << p
-    val h = Sampling.hash48(col(keyCol), "hll-v1")
+    val h = Sampling.hash48(checkedKey(keyCol, "hll"), "hll-v1")
     val idx = h.bitwiseAND(lit((m - 1).toLong))
     val w = shiftright(h, p)
     val rank = when(w === 0, lit(48 - p + 1))
       .otherwise(lit(48 - p + 1) - length(bin(w)))
-    df.select(idx.as("idx"), rank.cast("int").as("rank"))
-      .groupBy("idx").agg(max(col("rank")).as("r"))
+    HllSketch(
+      df.select(idx.as("idx"), rank.cast("int").as("rank"))
+        .groupBy("idx").agg(max(col("rank")).as("r")),
+      p)
   }
 
-  /** The HLL raw estimate from a registers frame: α·m²/Σ2^(−M_j),
-    * registers absent from the frame counting as 0 (one full 2^0 term
-    * each). Every term is a dyadic rational ≥ 2^(p−48), so the sum is
-    * EXACT in a double and order-independent — the estimate replays
-    * bit-identically in SQL. Result rounds to 4 decimals; one row
-    * `{distinct_est}`. Small-range bias correction is intentionally
-    * omitted (it needs ln(), which differs across libms) — callers
-    * counting < 2.5·m distincts should raise p instead. */
-  def hllEstimate(registers: DataFrame, p: Int = 9): DataFrame = {
-    val m = (1 << p).toDouble
+  /** The HLL raw estimate: α·m²/Σ2^(−M_j), registers absent from the
+    * frame counting as 0 (one full 2^0 term each). Every term is a
+    * dyadic rational ≥ 2^(p−48), so the sum is EXACT in a double and
+    * order-independent — the estimate replays bit-identically in SQL.
+    * Result rounds to 4 decimals; one row `{distinct_est}`.
+    * Small-range bias correction is intentionally omitted (it needs
+    * ln(), which differs across libms) — callers counting < 2.5·m
+    * distincts should lower p instead. */
+  def hllEstimate(sketch: HllSketch): DataFrame = {
+    val m = (1 << sketch.p).toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    registers
+    sketch.registers
       .agg(sum(pow(lit(2.0), -col("r"))).as("__s"),
         count(lit(1)).cast("double").as("__nz"))
       .select(round(lit(alpha * m * m) /

@@ -668,8 +668,11 @@ object TextOps {
     * nothing and keep their exact bytes. The SAME pass sequence runs
     * in the oracle's SQL twin, so results are byte-identical by
     * construction. Deeper than 8 levels of nesting is out of contract
-    * (no real URL nests that far); `//..` (empty parent segment) is
-    * left as-is — the one RFC corner this trades away. */
+    * (no real URL nests that far) — and [[urlPass]] DROPS any URL
+    * whose path retains a dot segment, so the bound fails CLOSED in
+    * frontier pipelines (an adversarial deep-nested alias is rejected,
+    * never fetched under a wrong identity); `//..` (empty parent
+    * segment) is left as-is — the one RFC corner this trades away. */
   private[graft] def removeDotSegments(path: Column): Column = {
     // a segment that is neither "." nor ".." (RE2-safe, no lookaround)
     val seg = "(?:[^./][^/]*|\\.[^./][^/]*|\\.\\.[^/]+)"
@@ -742,8 +745,14 @@ object TextOps {
 
   /** true iff `url` survives the frontier gate: scheme allowed (empty
     * `allowSchemes` skips the check), host not on the blocklist (exact
-    * or dot-suffix subdomain match), and no blocklist pattern matches
-    * the lowercased URL (the C4 badword-in-URL rule shape). */
+    * or dot-suffix subdomain match), no blocklist pattern matches the
+    * lowercased URL (the C4 badword-in-URL rule shape), and the PATH
+    * carries no dot segments. The last rule fails CLOSED against the
+    * [[removeDotSegments]] depth bound: crawl input is adversarial,
+    * and a page nesting `a/../` deeper than 8 levels would otherwise
+    * slip a `..` past normalization — defeating frontier dedup and
+    * robots matching. Normalized URLs have no dot segments, so the
+    * rule only ever drops hostile or unnormalized input. */
   def urlPass(url: Column, allowSchemes: Seq[String] = Seq("http", "https"),
       blockHosts: Seq[String] = Nil, blockPatterns: Seq[String] = Nil): Column = {
     val host = urlHost(url)
@@ -755,7 +764,10 @@ object TextOps {
       .reduceOption(_ || _).getOrElse(lit(false))
     val patBlocked = blockPatterns.map(p => lower(url).rlike(p))
       .reduceOption(_ || _).getOrElse(lit(false))
-    schemeOk && !hostBlocked && !patBlocked
+    // dot segment anywhere in the pre-query part (the query may
+    // legitimately contain "/.." as data)
+    val dotted = url.rlike("^[^?]*/\\.\\.?(/|\\?|$)")
+    schemeOk && !hostBlocked && !patBlocked && !dotted
   }
 
   /** Standard per-document profile used by the gate queries. */

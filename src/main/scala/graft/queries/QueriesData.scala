@@ -579,8 +579,7 @@ object QueriesData {
         .select((col("l_partkey") % 97).as("key"))
       val sk = graft.operators.Sketches.countMin(keyed, "key",
         width = 256, depth = 3)
-      graft.operators.Sketches.cmsEstimate(sk, keyed.distinct(), "key",
-          width = 256, depth = 3)
+      graft.operators.Sketches.cmsEstimate(sk, keyed.distinct(), "key")
         .orderBy("key")
     },
 
@@ -588,7 +587,7 @@ object QueriesData {
       val keys = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("key"))
       graft.operators.Sketches.hllEstimate(
-        graft.operators.Sketches.hllRegisters(keys, "key", p = 9), p = 9)
+        graft.operators.Sketches.hllRegisters(keys, "key", p = 9))
     },
 
     // ---- streaming HLL (r12): the registers are a plain streaming
@@ -609,10 +608,11 @@ object QueriesData {
       val regs = graft.operators.Sketches.hllRegisters(
         stream.select(col("doc_id").as("key")), "key", p = 5)
       val qn = "stream_hll_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, regs, qn,
+      val q = graft.streaming.EventStreams.runToMemory(s, regs.registers, qn,
         mode = org.apache.spark.sql.streaming.OutputMode.Complete())
       q.stop()
-      graft.operators.Sketches.hllEstimate(s.table(qn), p = 5)
+      graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.HllSketch(s.table(qn), p = 5))
     },
 
     // ---- stupid-backoff bigram LM perplexity (Brants et al. 2007;

@@ -747,58 +747,66 @@ object WarcSource {
         recordType: String = "response"): Long = {
       require(Set("response", "conversion", "metadata")(recordType),
         s"warc writer records response|conversion|metadata, got $recordType")
+      writeParts(df.select(uriCol, payloadCol), dir, files, gzip) { (r, emit) =>
+        val uri = r.getString(0)
+        val payload = r.getString(1).getBytes(UTF_8)
+        if (recordType == "conversion" || recordType == "metadata")
+          emit(Seq(
+            "WARC-Type" -> recordType,
+            "WARC-Date" -> FixedDate,
+            "WARC-Record-ID" -> s"<urn:graft:$recordType:$uri>",
+            "WARC-Target-URI" -> uri,
+            "Content-Type" -> (if (recordType == "metadata")
+              "application/json" else "text/plain")), payload)
+        else
+          emit(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Date" -> FixedDate,
+            "WARC-Record-ID" -> s"<urn:graft:response:$uri>",
+            "WARC-Target-URI" -> uri,
+            "Content-Type" -> "application/http; msgtype=response"),
+            httpBlock(payload, httpContentType))
+      }
+    }
+
+    private def httpBlock(payload: Array[Byte], contentType: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8) ++ payload
+
+    /** The shared distributed-writer scaffold: one staged
+      * `part-NNNNN.warc[.gz]` per partition, a leading warcinfo
+      * record, the per-record gzip-member emit closure (each record
+      * its own finished member over a close-shielded stream), and the
+      * row count. `emitRow` writes ONE input row's record(s) through
+      * the provided emit — the only part the writer flavors differ
+      * in. */
+    private def writeParts(prepped: DataFrame, dir: String, files: Int,
+        gzip: Boolean)(
+        emitRow: (Row, (Seq[(String, String)], Array[Byte]) => Unit) => Unit): Long = {
       graft.sources.io.ByteStore.createDirectories(dir)
-      val spark = df.sparkSession
-      val rows = spark.sparkContext.longAccumulator("warc_rows")
-      df.select(uriCol, payloadCol).repartition(files).foreachPartition {
-        (it: Iterator[Row]) =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val ext = if (gzip) ".warc.gz" else ".warc"
-          val target = graft.sources.io.ByteStore.resolve(dir, f"part-$pid%05d$ext")
-          val (local, publish) = graft.sources.io.ByteStore.stageOut(target)
-          val fileOut = java.nio.file.Files.newOutputStream(local)
-          val out = new java.io.BufferedOutputStream(fileOut, 64 * 1024)
-          // per-record gzip members: each record writes through its own
-          // finished GZIPOutputStream over a close-shielded `out`
-          def emit(headers: Seq[(String, String)], block: Array[Byte]): Unit =
-            if (gzip) {
-              val g = new java.util.zip.GZIPOutputStream(nonClosing(out), 8 * 1024)
-              writeRecord(g, headers, block)
-              g.close() // finishes the member + ends the deflater; `out` stays open
-            } else writeRecord(out, headers, block)
-          try {
-            val info = "software: graft\r\nformat: WARC file version 1.1\r\n"
-              .getBytes(UTF_8)
-            emit(Seq(
-              "WARC-Type" -> "warcinfo",
-              "WARC-Date" -> FixedDate,
-              "WARC-Record-ID" -> s"<urn:graft:warcinfo:$pid>",
-              "Content-Type" -> "application/warc-fields"), info)
-            it.foreach { r =>
-              val uri = r.getString(0)
-              val payload = r.getString(1).getBytes(UTF_8)
-              if (recordType == "conversion" || recordType == "metadata")
-                emit(Seq(
-                  "WARC-Type" -> recordType,
-                  "WARC-Date" -> FixedDate,
-                  "WARC-Record-ID" -> s"<urn:graft:$recordType:$uri>",
-                  "WARC-Target-URI" -> uri,
-                  "Content-Type" -> (if (recordType == "metadata")
-                    "application/json" else "text/plain")), payload)
-              else {
-                val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
-                  s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
-                val block = http ++ payload
-                emit(Seq(
-                  "WARC-Type" -> "response",
-                  "WARC-Date" -> FixedDate,
-                  "WARC-Record-ID" -> s"<urn:graft:response:$uri>",
-                  "WARC-Target-URI" -> uri,
-                  "Content-Type" -> "application/http; msgtype=response"), block)
-              }
-              rows.add(1)
-            }
-          } finally { out.close(); publish() }
+      val rows = prepped.sparkSession.sparkContext.longAccumulator("warc_rows")
+      prepped.repartition(files).foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val ext = if (gzip) ".warc.gz" else ".warc"
+        val target = graft.sources.io.ByteStore.resolve(dir, f"part-$pid%05d$ext")
+        val (local, publish) = graft.sources.io.ByteStore.stageOut(target)
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(local), 64 * 1024)
+        def emit(headers: Seq[(String, String)], block: Array[Byte]): Unit =
+          if (gzip) {
+            val g = new java.util.zip.GZIPOutputStream(nonClosing(out), 8 * 1024)
+            writeRecord(g, headers, block)
+            g.close() // finishes the member + ends the deflater; `out` stays open
+          } else writeRecord(out, headers, block)
+        try {
+          emit(Seq(
+            "WARC-Type" -> "warcinfo",
+            "WARC-Date" -> FixedDate,
+            "WARC-Record-ID" -> s"<urn:graft:warcinfo:$pid>",
+            "Content-Type" -> "application/warc-fields"),
+            "software: graft\r\nformat: WARC file version 1.1\r\n".getBytes(UTF_8))
+          it.foreach { r => emitRow(r, emit); rows.add(1) }
+        } finally { out.close(); publish() }
       }
       rows.value
     }
@@ -826,62 +834,31 @@ object WarcSource {
           col(payloadCol).cast("string").as("__pl"))
         .withColumn("__dig", md5(col("__pl").cast("binary")))
         .withColumn("__keeper", first(col("__uri")).over(keeperW))
-      graft.sources.io.ByteStore.createDirectories(dir)
-      val spark = df.sparkSession
-      val rows = spark.sparkContext.longAccumulator("warc_rows")
-      prepped.repartition(files).foreachPartition {
-        (it: Iterator[Row]) =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val ext = if (gzip) ".warc.gz" else ".warc"
-          val target = graft.sources.io.ByteStore.resolve(dir, f"part-$pid%05d$ext")
-          val (local, publish) = graft.sources.io.ByteStore.stageOut(target)
-          val out = new java.io.BufferedOutputStream(
-            java.nio.file.Files.newOutputStream(local), 64 * 1024)
-          def emit(headers: Seq[(String, String)], block: Array[Byte]): Unit =
-            if (gzip) {
-              val g = new java.util.zip.GZIPOutputStream(nonClosing(out), 8 * 1024)
-              writeRecord(g, headers, block)
-              g.close()
-            } else writeRecord(out, headers, block)
-          try {
-            emit(Seq(
-              "WARC-Type" -> "warcinfo",
-              "WARC-Date" -> FixedDate,
-              "WARC-Record-ID" -> s"<urn:graft:warcinfo:$pid>",
-              "Content-Type" -> "application/warc-fields"),
-              "software: graft\r\nformat: WARC file version 1.1\r\n".getBytes(UTF_8))
-            it.foreach { r =>
-              val uri = r.getString(0)
-              val dig = r.getString(2)
-              val keeper = r.getString(3)
-              if (uri == keeper) {
-                val payload = r.getString(1).getBytes(UTF_8)
-                val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
-                  s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
-                emit(Seq(
-                  "WARC-Type" -> "response",
-                  "WARC-Date" -> FixedDate,
-                  "WARC-Record-ID" -> s"<urn:graft:response:$uri>",
-                  "WARC-Target-URI" -> uri,
-                  "WARC-Payload-Digest" -> s"md5:$dig",
-                  "Content-Type" -> "application/http; msgtype=response"),
-                  http ++ payload)
-              } else
-                emit(Seq(
-                  "WARC-Type" -> "revisit",
-                  "WARC-Date" -> FixedDate,
-                  "WARC-Record-ID" -> s"<urn:graft:revisit:$uri>",
-                  "WARC-Target-URI" -> uri,
-                  "WARC-Refers-To" -> s"<urn:graft:response:$keeper>",
-                  "WARC-Payload-Digest" -> s"md5:$dig",
-                  "WARC-Profile" ->
-                    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"),
-                  Array.emptyByteArray)
-              rows.add(1)
-            }
-          } finally { out.close(); publish() }
+      writeParts(prepped, dir, files, gzip) { (r, emit) =>
+        val uri = r.getString(0)
+        val dig = r.getString(2)
+        val keeper = r.getString(3)
+        if (uri == keeper)
+          emit(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Date" -> FixedDate,
+            "WARC-Record-ID" -> s"<urn:graft:response:$uri>",
+            "WARC-Target-URI" -> uri,
+            "WARC-Payload-Digest" -> s"md5:$dig",
+            "Content-Type" -> "application/http; msgtype=response"),
+            httpBlock(r.getString(1).getBytes(UTF_8), httpContentType))
+        else
+          emit(Seq(
+            "WARC-Type" -> "revisit",
+            "WARC-Date" -> FixedDate,
+            "WARC-Record-ID" -> s"<urn:graft:revisit:$uri>",
+            "WARC-Target-URI" -> uri,
+            "WARC-Refers-To" -> s"<urn:graft:response:$keeper>",
+            "WARC-Payload-Digest" -> s"md5:$dig",
+            "WARC-Profile" ->
+              "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"),
+            Array.emptyByteArray)
       }
-      rows.value
     }
 
     private def nonClosing(target: java.io.OutputStream): java.io.OutputStream =

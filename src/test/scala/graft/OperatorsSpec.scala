@@ -1553,6 +1553,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(norm1("http://h.example/a/.") == "http://h.example/a/")
     assert(norm1("http://h.example/a.b/c..d/.e") == "http://h.example/a.b/c..d/.e")
     assert(norm1("http://h.example/.../..../x") == "http://h.example/.../..../x")
+    // urlPass fails CLOSED on residual dot segments (the >8-level
+    // adversarial alias normalization can't collapse) — query-side
+    // "/.." is data and passes
+    def pass1(u: String): Boolean = {
+      import spark.implicits._
+      Seq(u).toDF("u")
+        .select(graft.operators.TextOps.urlPass(col("u"))).head().getBoolean(0)
+    }
+    assert(!pass1("http://h.example" + "/s" * 9 + "/.." * 9 + "/private"))
+    assert(!pass1("http://h.example/a//../b")) // the //.. RFC corner: drop
+    assert(!pass1("http://h.example/x/."))
+    assert(pass1("http://h.example/p?back=/../x"))
+    assert(pass1(norm1("http://h.example/a/../p/1"))) // normalized → clean
     // the SQL registration answers the same bytes for the new rules
     assert(spark.sql(
       "SELECT url_normalize('http://u@H.example/a/b/../c/./d/../../e?utm_a=1')")
@@ -1575,31 +1588,49 @@ class OperatorsSpec extends AnyFunSuite {
     import graft.operators.Sketches
     val keys = (0 until 1000).map(i => i % 37).toDF("key")
     val sk = Sketches.countMin(keys, "key", width = 512, depth = 4)
-    val est = Sketches.cmsEstimate(sk, keys.distinct(), "key",
-      width = 512, depth = 4).collect()
+    val est = Sketches.cmsEstimate(sk, keys.distinct(), "key").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val truth = (0 until 1000).groupBy(_ % 37).view.mapValues(_.size.toLong)
     truth.foreach { case (k, n) => assert(est(k) >= n, s"cms underestimated $k") }
     // 37 keys in 512×4 cells: overwhelmingly collision-free → exact
     assert(truth.count { case (k, n) => est(k) == n } >= 30)
     // a probe never inserted estimates only collision mass (usually 0)
-    val missing = Sketches.cmsEstimate(sk, Seq(999999).toDF("key"), "key",
-      width = 512, depth = 4).head().getLong(1)
+    val missing = Sketches.cmsEstimate(sk, Seq(999999).toDF("key"), "key")
+      .head().getLong(1)
     assert(missing <= truth.values.max)
+    // cms counter merge: half + half == whole
+    val c1 = Sketches.countMin(keys.filter(col("key") < 20), "key",
+      width = 512, depth = 4)
+    val c2 = Sketches.countMin(keys.filter(col("key") >= 20), "key",
+      width = 512, depth = 4)
+    val cm = c1.merge(c2).cells.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cw = sk.cells.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cm == cw, "cms counter merge must equal the whole-data sketch")
+    intercept[IllegalArgumentException] {
+      c1.merge(Sketches.countMin(keys, "key", width = 256, depth = 4))
+    }
     // hll: registers of two halves merged with MAX == whole-data registers
     val all = (0 until 2000).map(i => s"k$i").toDF("key")
-    val whole = Sketches.hllRegisters(all, "key").collect()
+    val whole = Sketches.hllRegisters(all, "key").registers.collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val h1 = Sketches.hllRegisters(all.filter(length(col("key")) <= 3), "key")
     val h2 = Sketches.hllRegisters(all.filter(length(col("key")) > 3), "key")
-    val merged = h1.unionByName(h2).groupBy("idx")
-      .agg(max(col("r")).as("r")).collect()
+    val merged = h1.merge(h2).registers.collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(merged == whole, "register merge must equal the whole-data sketch")
     // ...and the estimate lands near the true cardinality
     val e = Sketches.hllEstimate(Sketches.hllRegisters(all, "key"))
       .head().getDouble(0)
     assert(math.abs(e - 2000) / 2000 < 0.15, s"hll estimate off: $e")
+    // null keys are loud, not silently skipped (they would bias)
+    val withNull = Seq(Some(1), None).toDF("key")
+    val ne = intercept[Exception] {
+      Sketches.hllRegisters(withNull, "key").registers.collect()
+    }
+    assert(ne.getMessage.contains("null key")
+      || Option(ne.getCause).exists(_.getMessage.contains("null key")))
   }
 
   test("perceptron: separable data converges; empty slice trains zeros; bad arity is loud (r12)") {
