@@ -45,6 +45,29 @@ object Sketches {
     }
   }
 
+  /** a Bloom filter: `bits` is the distinct set-bit positions (≤ m
+    * rows), broadcastable; m bits, k hash rows */
+  final case class BloomSketch(bits: DataFrame, m: Int, k: Int) {
+    /** bit sets merge with OR (distinct union) — per-partition filters combine */
+    def merge(other: BloomSketch): BloomSketch = {
+      require(other.m == m && other.k == k,
+        s"bloom merge: shape mismatch (${m}/$k vs ${other.m}/${other.k})")
+      BloomSketch(bits.unionByName(other.bits).distinct(), m, k)
+    }
+  }
+
+  /** a quantile sketch: `sample` is the md5-kept value rows, `ratePerM`
+    * the keep rate out of 1,000,000 */
+  final case class QuantileSketch(sample: DataFrame, ratePerM: Int) {
+    /** the sample of a union IS the union of the samples (the keep
+      * decision is a pure row function) — merge is a plain union */
+    def merge(other: QuantileSketch): QuantileSketch = {
+      require(other.ratePerM == ratePerM,
+        s"quantile merge: rate mismatch ($ratePerM vs ${other.ratePerM})")
+      QuantileSketch(sample.unionByName(other.sample), ratePerM)
+    }
+  }
+
   /** the key column, null-rejected loudly */
   private def checkedKey(keyCol: String, what: String): Column =
     when(col(keyCol).isNull, raise_error(lit(
@@ -112,6 +135,86 @@ object Sketches {
       df.select(idx.as("idx"), rank.cast("int").as("rank"))
         .groupBy("idx").agg(max(col("rank")).as("r")),
       p)
+  }
+
+  // ---------------------------------------------------- bloom filter
+
+  /** the k bit positions of one key — shared by build and probe */
+  private def bloomPositions(key: Column, m: Int, k: Int): Column =
+    array((0 until k).map(i =>
+      Sampling.hashBucket(key, s"bloom-$i", m)): _*)
+
+  /** Bloom filter of `keyCol` membership: k md5 hash rows over m bits,
+    * materialized as the DISTINCT set-bit positions (≤ m rows, usually
+    * far fewer — broadcastable). One map-only explode (×k) + one
+    * distinct shuffle. No false negatives by construction; the false-
+    * positive rate is the usual (1−e^(−kn/m))^k — size m ≥ ~3× the
+    * expected distinct count per hash row. */
+  def bloomBuild(df: DataFrame, keyCol: String, m: Int = 65536,
+      k: Int = 3): BloomSketch = {
+    require(m > 0 && k > 0, s"bloom: bad shape (m=$m, k=$k)")
+    BloomSketch(
+      df.select(explode(bloomPositions(checkedKey(keyCol, "bloom"), m, k))
+          .as("pos"))
+        .distinct(),
+      m, k)
+  }
+
+  /** Membership probe: maybe(key) ⇔ all k positions are set. The bit
+    * set broadcasts; probes stay distributed — the shape that lets a
+    * 100 TB scan pre-filter a join against a small build side without
+    * shuffling the scan. */
+  def bloomMightContain(sketch: BloomSketch, probes: DataFrame,
+      keyCol: String): DataFrame = {
+    val bits = sketch.bits.select(col("pos").as("__pos"))
+    probes
+      .select(col(keyCol),
+        explode(bloomPositions(checkedKey(keyCol, "bloom probe"),
+          sketch.m, sketch.k)).as("pos"))
+      .join(broadcast(bits), col("pos") === col("__pos"), "left")
+      .groupBy(keyCol)
+      .agg((count(col("__pos")) === sketch.k).as("maybe"))
+  }
+
+  // ------------------------------------------------ sampled quantiles
+
+  /** Quantile sketch by md5 row sampling: keep the rows whose key
+    * hashes under `ratePerM`/1M, carry only the value column. The keep
+    * decision is a pure (key, salt) function, so per-partition sketches
+    * merge by plain union (sample-of-union = union-of-samples) and the
+    * sketch replays bit-identically in SQL — unlike `approx_percentile`
+    * (GK internals) or reservoir sampling (arrival-order dependent).
+    * Estimate error is the binomial sampling error ~1/√(q·n·rate);
+    * size the rate so the expected sample fits one partition. */
+  def quantileSample(df: DataFrame, keyCol: String, valueCol: String,
+      ratePerM: Int = 10000): QuantileSketch = {
+    require(ratePerM > 0 && ratePerM <= 1000000,
+      s"quantile: ratePerM must be in (0, 1000000], got $ratePerM")
+    QuantileSketch(
+      df.filter(Sampling.hashBucket(checkedKey(keyCol, "quantile sample"),
+          "qsk-v1", 1000000) < ratePerM)
+        .select(col(valueCol).cast("double").as("v")),
+      ratePerM)
+  }
+
+  /** Type-1 (lower) quantile estimates over the sample: the value at
+    * sorted rank ⌈q·n⌉ for each requested q — picked values, never
+    * interpolated, so the estimate is a real data value and replays
+    * exactly. The rank window is single-partition BY DESIGN: the sample
+    * is the sketch's bounded artifact (like the k-means codebooks),
+    * sized by `ratePerM`, not the data. */
+  def quantileEstimate(sketch: QuantileSketch, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile: qs must be in (0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    sketch.sample
+      .select(col("v"),
+        row_number().over(Window.orderBy("v")).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      .select(col("v"), col("rn"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .filter(col("rn") === greatest(lit(1L), ceil(col("q") * col("n"))))
+      .select(col("q"), col("v").as("est"))
   }
 
   /** The HLL raw estimate: α·m²/Σ2^(−M_j), registers absent from the

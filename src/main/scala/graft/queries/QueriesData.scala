@@ -590,6 +590,33 @@ object QueriesData {
         graft.operators.Sketches.hllRegisters(keys, "key", p = 9))
     },
 
+    // ---- Bloom filter: build on the even orderkeys, probe every
+    // distinct orderkey — evens must all answer true (no false
+    // negatives by construction), odds answer true only on the
+    // deterministic md5 collisions the oracle reproduces bit-for-bit
+    "q_sketch_bloom" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val build = li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("key"))
+      val sk = graft.operators.Sketches.bloomBuild(build, "key",
+        m = 65536, k = 3)
+      graft.operators.Sketches.bloomMightContain(
+          sk, li.select(col("l_orderkey").as("key")).distinct(), "key")
+        .orderBy("key")
+    },
+
+    // ---- sampled quantiles: md5-kept 25% of event values, type-1
+    // (picked-value) quantiles over the sample — the mergeable
+    // distributed-percentile sketch, replayed row-for-row by the oracle
+    "q_sketch_quantile" -> { (s, dir) =>
+      val sk = graft.operators.Sketches.quantileSample(
+        Tables.load(s, dir, "events"), "event_id", "value",
+        ratePerM = 250000)
+      graft.operators.Sketches.quantileEstimate(
+          sk, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("q")
+    },
+
     // ---- streaming HLL (r12): the registers are a plain streaming
     // MAX aggregation, and register merge-invariance makes the sketch
     // trigger-split invariant by construction — the batch oracle
@@ -3262,6 +3289,36 @@ object QueriesData {
             CAST(count(*) AS DOUBLE) AS nz FROM reg)
         SELECT round((0.7213 / (1 + 1.079 / 512)) * 512 * 512
           / (s + (512 - nz)), 4) AS distinct_est FROM a""",
+    // the identical bit set (3 md5 hash rows over 65536 bits) rebuilt,
+    // then the same all-k-positions-present probe
+    "q_sketch_bloom" ->
+      """WITH i AS (SELECT unnest(range(3)) AS i),
+        build AS (SELECT DISTINCT l_orderkey AS key FROM lineitem
+          WHERE l_orderkey % 2 = 0),
+        bits AS (SELECT DISTINCT
+            (md5_number_lower(CAST(b.key AS VARCHAR) || 'bloom-' || CAST(i.i AS VARCHAR))
+              % 281474976710656) % 65536 AS pos
+          FROM build b CROSS JOIN i),
+        probes AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+        pe AS (SELECT p.key,
+            (md5_number_lower(CAST(p.key AS VARCHAR) || 'bloom-' || CAST(i.i AS VARCHAR))
+              % 281474976710656) % 65536 AS pos
+          FROM probes p CROSS JOIN i)
+        SELECT pe.key, count(b.pos) = 3 AS maybe
+        FROM pe LEFT JOIN bits b ON b.pos = pe.pos
+        GROUP BY pe.key ORDER BY pe.key""",
+    // the identical md5-kept sample, then the same rank-⌈q·n⌉ pick
+    "q_sketch_quantile" ->
+      """WITH s AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+          WHERE (md5_number_lower(CAST(event_id AS VARCHAR) || 'qsk-v1')
+            % 281474976710656) % 1000000 < 250000),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+            count(*) OVER () AS n FROM s),
+        q AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+            AS DOUBLE) AS q)
+        SELECT q.q, r.v AS est FROM r
+        JOIN q ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
+        ORDER BY q.q""",
     // the arriving key set (originals + the %10 re-arrivals' shifted
     // ids) rebuilt, then the same 32 registers — duplicates can't move
     // a MAX register, so the trigger split is irrelevant

@@ -1633,6 +1633,64 @@ class OperatorsSpec extends AnyFunSuite {
       || Option(ne.getCause).exists(_.getMessage.contains("null key")))
   }
 
+  test("sketches: bloom has no false negatives and merges; quantile sample merges and estimates land (r12)") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val build = (0 until 800).map(i => i * 2).toDF("key")
+    val sk = Sketches.bloomBuild(build, "key", m = 16384, k = 3)
+    val probes = (0 until 1600).toDF("key")
+    val ans = Sketches.bloomMightContain(sk, probes, "key").collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    // every inserted key answers true — no false negatives, ever
+    (0 until 800).foreach(i => assert(ans(i * 2), s"false negative on ${i * 2}"))
+    // the odd keys are mostly rejected (800 keys × 3 rows in 16384 bits
+    // → fp ≈ 0.3%); a majority-true answer would mean broken hashing
+    val fp = (0 until 800).count(i => ans(i * 2 + 1))
+    assert(fp < 40, s"implausible false-positive count: $fp/800")
+    // bit-set merge: half + half == whole
+    val b1 = Sketches.bloomBuild(build.filter(col("key") < 800), "key",
+      m = 16384, k = 3)
+    val b2 = Sketches.bloomBuild(build.filter(col("key") >= 800), "key",
+      m = 16384, k = 3)
+    val mergedBits = b1.merge(b2).bits.collect().map(_.getLong(0)).toSet
+    val wholeBits = sk.bits.collect().map(_.getLong(0)).toSet
+    assert(mergedBits == wholeBits, "bloom bit merge must equal the whole")
+    intercept[IllegalArgumentException] {
+      b1.merge(Sketches.bloomBuild(build, "key", m = 8192, k = 3))
+    }
+    // null keys are loud
+    val ne = intercept[Exception] {
+      Sketches.bloomBuild(Seq[Option[Int]](Some(1), None).toDF("key"), "key")
+        .bits.collect()
+    }
+    assert(ne.getMessage.contains("null key")
+      || Option(ne.getCause).exists(_.getMessage.contains("null key")))
+
+    // quantile sketch: sample-of-union = union-of-samples (pure row
+    // function), so merged estimates EQUAL whole-data estimates
+    val vals = (0 until 4000).map(i => (i, (i % 1000).toDouble)).toDF("id", "v")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val whole = Sketches.quantileSample(vals, "id", "v", ratePerM = 300000)
+    val q1 = Sketches.quantileSample(vals.filter(col("id") < 2000), "id", "v",
+      ratePerM = 300000)
+    val q2 = Sketches.quantileSample(vals.filter(col("id") >= 2000), "id", "v",
+      ratePerM = 300000)
+    val we = Sketches.quantileEstimate(whole, qs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val me = Sketches.quantileEstimate(q1.merge(q2), qs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(we == me, "merged quantile sketch must equal the whole-data sketch")
+    // ~1200-row sample over uniform [0,1000): estimates land near truth
+    qs.foreach { q =>
+      assert(math.abs(we(q) - q * 1000) < 60, s"q=$q estimate off: ${we(q)}")
+    }
+    intercept[IllegalArgumentException] { q1.merge(
+      Sketches.quantileSample(vals, "id", "v", ratePerM = 100000)) }
+    intercept[IllegalArgumentException] {
+      Sketches.quantileEstimate(whole, Seq(1.5))
+    }
+  }
+
   test("perceptron: separable data converges; empty slice trains zeros; bad arity is loud (r12)") {
     import spark.implicits._
     import graft.operators.Perceptron
