@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization and in-session funnels over an event log —
+  * the batch half of the engine's session surface (the streaming state
+  * machine is [[graft.streaming.EventStreams.sessionize]]; this is the
+  * replay/backfill form of the same contract: a session breaks where
+  * the gap from the user's previous event exceeds the threshold).
+  *
+  * Scale notes: everything here shuffles ONCE on the user key (the
+  * window partition); the session id is a cumulative sum inside that
+  * window, so a 1000-executor cluster shards users horizontally and no
+  * user's history ever leaves one task. The funnel's per-step joins
+  * reuse the same (user, session) key, so AQE coalesces them onto the
+  * existing exchange. All arithmetic is integer epoch-µs over built-in
+  * codegen'd functions — the DuckDB oracle replays it bit-for-bit.
+  */
+object Sessions {
+
+  /** epoch µs of the event time — the arithmetic both engines share */
+  private def tsUs(tsCol: String): Column = unix_micros(col(tsCol))
+
+  /** events + `session_seq` (1-based per user, in time order): a new
+    * session starts where the gap from the previous event exceeds
+    * `gapMinutes`. Tie-safe: equal timestamps always land in the same
+    * session (their gap is 0), so the ROWS-frame cumsum is
+    * deterministic under any tie order. */
+  private def assign(events: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0,
+      s"sessions: gapMinutes must be positive, got $gapMinutes")
+    val w = Window.partitionBy(userCol).orderBy(tsCol)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val prev = lag(tsUs(tsCol), 1).over(w)
+    val brk = when(prev.isNull || tsUs(tsCol) - prev > gapUs, 1L)
+      .otherwise(0L)
+    events.withColumn("session_seq", sum(brk).over(cum))
+  }
+
+  /** One row per (user, session): start/end, event count, and the
+    * value sum when `valueCol` is given. */
+  def gapSessions(events: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int, valueCol: Option[String] = None): DataFrame = {
+    val aggs = Seq(
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_end"),
+      count(lit(1)).as("n_events")) ++
+      valueCol.map(v => sum(col(v)).as("total_value"))
+    assign(events, userCol, tsCol, gapMinutes)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Ordered-step conversion funnel within sessions: step i completes
+    * at the EARLIEST event of type `steps(i)` strictly after step i−1's
+    * completion (step 0: any time in the session); a session that
+    * skips a step completes nothing after it. One row per session with
+    * `steps_completed` ∈ [0, k] and per-step completion times
+    * (`step1_us` … epoch µs, null where not reached). */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], gapMinutes: Int): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    val ev = assign(events, userCol, tsCol, gapMinutes)
+      .select(col(userCol), col("session_seq"),
+        col(typeCol).as("__t"), tsUs(tsCol).as("__us"))
+    var cur = ev.select(col(userCol), col("session_seq")).distinct()
+      .withColumn("__prev", lit(Long.MinValue))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val cand = ev.filter(col("__t") === lit(st))
+        .select(col(userCol).as("__u"), col("session_seq").as("__q"),
+          col("__us"))
+      val keep = cur.columns.filterNot(_ == "__prev").map(col) :+
+        col("__prev")
+      cur = cur
+        .join(cand,
+          col(userCol) === col("__u") && col("session_seq") === col("__q")
+            && col("__us") > col("__prev"), "left")
+        .groupBy(keep.toIndexedSeq: _*)
+        .agg(min(col("__us")).as(s"step${i + 1}_us"))
+        // a skipped step blocks everything after it
+        .withColumn("__prev",
+          coalesce(col(s"step${i + 1}_us"), lit(Long.MaxValue)))
+    }
+    cur.drop("__prev")
+      .withColumn("steps_completed",
+        steps.indices.map(i =>
+          when(col(s"step${i + 1}_us").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _))
+  }
+}

@@ -280,6 +280,35 @@ object QueriesData {
         .orderBy($"event_id")
     },
 
+    // ---- gap sessionization (batch): a session breaks where the gap
+    // from the user's previous event exceeds 8 h. One shuffle on the
+    // user key; the ROWS-frame cumsum replays verbatim in the oracle.
+    "q_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sessions.gapSessions(
+          Tables.load(s, dir, "events"), "user_id", "ts",
+          gapMinutes = 480, valueCol = Some("value"))
+        .select($"user_id", $"session_seq",
+          $"session_start".cast(TimestampNTZType).as("session_start"),
+          $"session_end".cast(TimestampNTZType).as("session_end"),
+          $"n_events", round($"total_value", 4).as("total_value"))
+        .orderBy($"user_id", $"session_seq")
+    },
+
+    // ---- in-session conversion funnel view → click → purchase: step i
+    // completes at the earliest matching event strictly after step i−1;
+    // a skipped step blocks the rest. The per-step joins reuse the
+    // session shuffle key; the oracle chains the same CTEs.
+    "q_funnel_steps" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sessions.funnel(
+          Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), gapMinutes = 480)
+        .select($"user_id", $"session_seq", $"step1_us", $"step2_us",
+          $"step3_us", $"steps_completed")
+        .orderBy($"user_id", $"session_seq")
+    },
+
     // ---- md5-family sketches, candidates replayed by the oracle.
     // maxDist=3 honors the 4×16-bit banding recall guarantee (a pair
     // within Hamming d shares a band iff d ≤ 3) — round 1 asked for 16
@@ -456,6 +485,64 @@ object QueriesData {
           $"window_start".cast(TimestampNTZType).as("day"),
           $"event_type", $"n", round($"total_value", 4).as("total_value"))
         .orderBy($"day", $"event_type")
+    },
+
+    // ---- streaming sessionization: the flatMapGroupsWithState state
+    // machine over a ts-ordered 6-file replay (one file per trigger);
+    // the sink holds every CLOSED session — each user's final session
+    // is still open in state at stream end, so the oracle is the batch
+    // gap-session result minus each user's last session.
+    "q_stream_sessions" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      val staged = stageOrderedEventsOnce(s, dir)
+      val stream = s.readStream
+        .schema(graft.streaming.EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[graft.streaming.EventStreams.Event]
+      val sessions = graft.streaming.EventStreams.sessionize(
+        stream, gapMs = 480L * 60L * 1000L)
+      val qn = "stream_sessions_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, sessions.toDF(), qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      q.stop()
+      s.table(qn).select($"user_id",
+          $"session_start".cast(TimestampNTZType).as("session_start"),
+          $"session_end".cast(TimestampNTZType).as("session_end"),
+          $"n_events", round($"total_value", 4).as("total_value"))
+        .orderBy($"user_id", $"session_start")
+    },
+
+    // ---- stream-stream join: purchases within 2 h after a view by the
+    // same user, both sides watermarked (the state-eviction contract);
+    // inner-join emission is a set, so the batch oracle replays it
+    // whatever the trigger split.
+    "q_stream_join" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      val staged = stageOrderedEventsOnce(s, dir)
+      def src() = s.readStream
+        .schema(graft.streaming.EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val views = src().filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+      val buys = src().filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("purchase_ts"))
+      val joined = graft.streaming.EventStreams.joinWithin(
+        views, "view_ts", buys, "purchase_ts", "user_id", "p_user",
+        within = "2 HOURS", watermark = "30 days")
+      val qn = "stream_join_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s,
+        joined.select($"view_id", $"purchase_id", $"user_id",
+          $"view_ts", $"purchase_ts"), qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      q.stop()
+      s.table(qn).select($"view_id", $"purchase_id", $"user_id",
+          $"view_ts".cast(TimestampNTZType).as("view_ts"),
+          $"purchase_ts".cast(TimestampNTZType).as("purchase_ts"))
+        .orderBy($"view_id", $"purchase_id")
     },
 
     "q_multimodal_audio" -> { (s, dir) =>
@@ -1588,6 +1675,62 @@ object QueriesData {
     * gate measure the harness); the Spark _SUCCESS marker gates reuse */
   private def stageEventsOnce(s: SparkSession, dir: String): String =
     stageTableOnce(s, dir, "events", repartition = None)
+
+  /** events restaged as `slices` SEQUENTIAL ts-range files with
+    * strictly increasing mtimes, so the file-source stream (which
+    * orders files by modification time) replays the event log IN EVENT
+    * ORDER across micro-batches — the arrival contract the streaming
+    * session state machine assumes (a backfill/replay run; live
+    * ingestion gets in-order arrival from the source itself). The
+    * plain multi-file stagers don't guarantee this: their parallel
+    * write tasks finish in any order. */
+  private def stageOrderedEventsOnce(s: SparkSession, dir: String,
+      slices: Int = 6): String = {
+    val src = new java.io.File(dir, "events.parquet")
+    val key = java.lang.Long.toHexString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir:events:tsorder$slices:${src.lastModified}:${src.length}"
+          .getBytes("UTF-8"))
+        .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xFFL)))
+    val staged = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-stream-stage-$key")
+    if (!new java.io.File(staged, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(staged.getParentFile,
+        s"${staged.getName}.tmp-${java.lang.ProcessHandle.current().pid()}")
+      tmp.mkdirs()
+      val ev = Tables.load(s, dir, "events")
+      // global ts rank → `slices` contiguous ranges; the rank window is
+      // single-partition but runs once, on the staging table, at test SF
+      val sliced = ev.withColumn("__rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+      val n = sliced.count()
+      (0 until slices).foreach { i =>
+        val lo = i * n / slices
+        val hi = (i + 1) * n / slices
+        val part = new java.io.File(tmp, s"slice$i")
+        sliced.filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val f = part.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(tmp, f"part-$i%05d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        // mtime IS the stream's file order — make it strictly increasing
+        dst.setLastModified(1700000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(part)
+      }
+      new java.io.File(tmp, "_SUCCESS").createNewFile()
+      try {
+        java.nio.file.Files.move(tmp.toPath, staged.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      }
+    }
+    staged.toString
+  }
 
   /** documents restaged as a multi-file drop so the file-source stream
     * actually runs several micro-batches (maxFilesPerTrigger splits on
@@ -3202,6 +3345,84 @@ object QueriesData {
         SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
         FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
         ORDER BY ev.event_id""",
+    // the identical µs gap-break cumsum (ROWS frame both engines),
+    // then the per-session aggregates
+    "q_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, value, epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        s AS (SELECT user_id, ts, value,
+            sum(CASE WHEN prev IS NULL OR us - prev > 28800000000 THEN 1
+                ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l)
+        SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+          min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+    // the same sessions, then the three chained earliest-after-previous
+    // step CTEs (a skipped step's coalesce(MAX) blocks the rest)
+    "q_funnel_steps" ->
+      """WITH l AS (SELECT user_id, ts, event_type, epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        s AS (SELECT user_id, event_type, us,
+            sum(CASE WHEN prev IS NULL OR us - prev > 28800000000 THEN 1
+                ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l),
+        base AS (SELECT DISTINCT user_id, CAST(sid AS BIGINT) AS sid FROM s),
+        f1 AS (SELECT b.user_id, b.sid, min(x.us) AS t1
+          FROM base b LEFT JOIN s x ON x.user_id = b.user_id
+            AND CAST(x.sid AS BIGINT) = b.sid AND x.event_type = 'view'
+          GROUP BY 1, 2),
+        f2 AS (SELECT f1.user_id, f1.sid, f1.t1, min(x.us) AS t2
+          FROM f1 LEFT JOIN s x ON x.user_id = f1.user_id
+            AND CAST(x.sid AS BIGINT) = f1.sid AND x.event_type = 'click'
+            AND x.us > coalesce(f1.t1, 9223372036854775807)
+          GROUP BY 1, 2, 3),
+        f3 AS (SELECT f2.user_id, f2.sid, f2.t1, f2.t2, min(x.us) AS t3
+          FROM f2 LEFT JOIN s x ON x.user_id = f2.user_id
+            AND CAST(x.sid AS BIGINT) = f2.sid AND x.event_type = 'purchase'
+            AND x.us > coalesce(f2.t2, 9223372036854775807)
+          GROUP BY 1, 2, 3, 4)
+        SELECT user_id, sid AS session_seq, t1 AS step1_us, t2 AS step2_us,
+          t3 AS step3_us,
+          CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            AS steps_completed
+        FROM f3 ORDER BY user_id, session_seq""",
+    // the batch gap sessions minus each user's LAST session (still
+    // open in streaming state when the replay ends)
+    "q_stream_sessions" ->
+      """WITH l AS (SELECT user_id, ts, value, epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        s AS (SELECT user_id, ts, value,
+            sum(CASE WHEN prev IS NULL OR us - prev > 28800000000 THEN 1
+                ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l),
+        g AS (SELECT user_id, CAST(sid AS BIGINT) AS sid,
+            min(ts) AS session_start, max(ts) AS session_end,
+            CAST(count(*) AS INTEGER) AS n_events,
+            round(sum(value), 4) AS total_value
+          FROM s GROUP BY 1, 2),
+        m AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1)
+        SELECT g.user_id, g.session_start, g.session_end, g.n_events,
+          g.total_value
+        FROM g JOIN m ON g.user_id = m.user_id AND g.sid < m.last_sid
+        ORDER BY g.user_id, g.session_start""",
+    // the same within-2h view→purchase pairs as a plain batch join
+    "q_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+          v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        FROM events v JOIN events p
+          ON p.user_id = v.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+        ORDER BY view_id, purchase_id""",
     // per-stratum keep thresholds over the same low-48-bit bucket as
     // q_hash_split; rows themselves are compared, not counts
     "q_stratified_sample" ->

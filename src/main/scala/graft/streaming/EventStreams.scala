@@ -226,6 +226,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
 
+  /** Stream-stream inner join within a time bound: right-side rows
+    * match a left row iff keys are equal and the right event time falls
+    * in [left time, left time + `within`]. BOTH sides carry a watermark
+    * and the join condition bounds the time skew, so the state store
+    * evicts rows once the other side's watermark passes their horizon —
+    * the invariant that keeps a continuous 100 TB/day double-ingest's
+    * state finite. Inner-join emission is a set (each match emitted
+    * exactly once, whichever micro-batch completes it), so the result
+    * is trigger-split invariant as long as the watermark delay covers
+    * the replay disorder. */
+  def joinWithin(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      leftKey: String, rightKey: String,
+      within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"),
+      "inner")
+  }
+
   /** Stream-static enrichment: join each event against a (small)
     * dimension table. The static side is broadcast so the stream never
     * shuffles — the standard dimension-join shape for a continuous
@@ -245,11 +268,28 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
 
+  /** epoch µs of a timestamp — `getTime` alone is millis and would
+    * silently truncate sub-ms gaps (the batch twin
+    * [[graft.operators.Sessions]] works in exact µs) */
+  private def tsToUs(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def usToTs(u: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Gap-based sessionization with explicit state: a session closes
     * when a later event for the same user arrives more than `gapMs`
     * after the previous one. Custom state machine via
     * flatMapGroupsWithState — the pattern the reference has no
-    * equivalent for.
+    * equivalent for. State tracks exact epoch µs, so emitted session
+    * bounds carry the events' full timestamp precision and the batch
+    * oracle ([[graft.operators.Sessions.gapSessions]]) replays them
+    * byte-for-byte.
     *
     * `idleFlush = true` additionally registers a processing-time
     * timeout per user so sessions of users that go silent still emit;
@@ -259,6 +299,7 @@ object EventStreams {
   def sessionize(events: Dataset[Event], gapMs: Long,
       idleFlush: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     val timeoutConf =
       if (idleFlush) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -270,20 +311,20 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n, s.total))
+            Iterator(Session(userId, usToTs(s.start),
+              usToTs(s.last), s.n, s.total))
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val sorted = batch.toSeq.sortBy(e => tsToUs(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsToUs(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
                 case Some(s) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  closed ::= Session(userId, usToTs(s.start),
+                    usToTs(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -1691,6 +1691,54 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessions: gap boundary is inclusive; funnel steps must be ordered and a skip blocks the rest (r12)") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val gapUs = 10L * 60L * 1000000L // 10 minutes
+    val ev = Seq(
+      // user 1: event 2 lands EXACTLY gap after event 1 (same session);
+      // event 3 lands gap+1µs after event 2 (new session)
+      (1L, ts(0), "view", 1.0),
+      (2L, ts(gapUs), "click", 2.0),
+      (3L, ts(2 * gapUs + 1), "purchase", 4.0),
+      // user 2: purchase BEFORE view in one session — ordered-funnel
+      // must not count it
+      (4L, ts(0), "purchase", 1.0),
+      (5L, ts(1000000), "view", 1.0),
+      (6L, ts(2000000), "click", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", when(col("event_id") <= 3, 1L).otherwise(2L))
+    val sess = Sessions.gapSessions(ev, "user_id", "ts", gapMinutes = 10,
+        valueCol = Some("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    assert(sess((1L, 1L)) == (2L, 3.0), s"inclusive boundary broke: $sess")
+    assert(sess((1L, 2L)) == (1L, 4.0), s"gap+1µs must break: $sess")
+    assert(sess((2L, 1L)) == (3L, 3.0))
+    val fun = Sessions.funnel(ev, "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"), gapMinutes = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("steps_completed")).toMap
+    // user 1 session 1: view+click (purchase is in session 2) → 2 steps
+    assert(fun((1L, 1L)) == 2L, s"funnel: $fun")
+    // user 1 session 2: purchase only, but view+click skipped → 0
+    assert(fun((1L, 2L)) == 0L, s"skipped steps must block: $fun")
+    // user 2: view→click completed; the purchase BEFORE the view
+    // doesn't count (ordered semantics)
+    assert(fun((2L, 1L)) == 2L, s"out-of-order step counted: $fun")
+    intercept[IllegalArgumentException] {
+      Sessions.gapSessions(ev, "user_id", "ts", gapMinutes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sessions.funnel(ev, "user_id", "ts", "event_type", Nil, 10)
+    }
+  }
+
   test("perceptron: separable data converges; empty slice trains zeros; bad arity is loud (r12)") {
     import spark.implicits._
     import graft.operators.Perceptron

@@ -190,6 +190,40 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming verdicts must equal the batch banding: $oneShot vs $batch")
   }
 
+  test("stream-stream joinWithin: cross-batch matches emit once; out-of-bound pairs never join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = EventStreams.joinWithin(
+      views.toDF().toDF("view_id", "view_ts", "user_id"), "view_ts",
+      buys.toDF().toDF("buy_id", "buy_ts", "buy_user"), "buy_ts",
+      "user_id", "buy_user", within = "1 HOUR", watermark = "1 day")
+    val q = joined.select("view_id", "buy_id").writeStream
+      .outputMode("append").format("memory").queryName("sj_out").start()
+    try {
+      // batch 1: a view, no purchase yet
+      views.addData((10L, ts(0), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sj_out").count() == 0)
+      // batch 2: in-bound purchase (same user, +30 min) joins the
+      // STORED view; a purchase BEFORE the view and one past the hour
+      // never join; a different user never joins
+      buys.addData((20L, ts(1800), 1L), (21L, ts(-10), 1L),
+        (22L, ts(3601), 1L), (23L, ts(1800), 2L))
+      q.processAllAvailable()
+      val got = spark.table("sj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 20L)), s"unexpected join output: $got")
+      // batch 3: reprocessing adds nothing — each match emits once
+      views.addData((11L, ts(7200), 9L))
+      q.processAllAvailable()
+      assert(spark.table("sj_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("gap sessionization: a later-batch event past the gap closes the session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
