@@ -280,6 +280,28 @@ object QueriesData {
         .orderBy($"event_id")
     },
 
+    // ---- bucketed range join (no equi key): shipments falling inside
+    // sampled 8-day order windows. Intervals explode to their covered
+    // 7-day buckets → plain hash join + exact BETWEEN, never a
+    // nested-loop; the oracle replays the semantics as a BETWEEN join.
+    "q_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val pts = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          datediff($"l_shipdate", to_date(lit("1970-01-01")))
+            .cast("long").as("ship_day"))
+      val iv = Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" % 150 === 0)
+        .select($"o_orderkey",
+          datediff($"o_orderdate", to_date(lit("1970-01-01")))
+            .cast("long").as("d0"))
+        .withColumn("d1", col("d0") + 7)
+      graft.operators.RangeJoin.pointInterval(pts, "ship_day",
+          iv, "d0", "d1", bucketWidth = 7)
+        .select($"l_orderkey", $"l_linenumber", $"o_orderkey", $"ship_day")
+        .orderBy($"l_orderkey", $"l_linenumber", $"o_orderkey")
+    },
+
     // ---- gap sessionization (batch): a session breaks where the gap
     // from the user's previous event exceeds 8 h. One shuffle on the
     // user key; the ROWS-frame cumsum replays verbatim in the oracle.
@@ -3345,6 +3367,19 @@ object QueriesData {
         SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
         FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
         ORDER BY ev.event_id""",
+    // the same pairs as a plain BETWEEN join (the bucket expansion is
+    // an execution strategy, not a semantic)
+    "q_range_join" ->
+      """WITH p AS (SELECT l_orderkey, l_linenumber,
+            date_diff('day', DATE '1970-01-01', l_shipdate) AS ship_day
+          FROM lineitem),
+        iv AS (SELECT o_orderkey,
+            date_diff('day', DATE '1970-01-01', o_orderdate) AS d0
+          FROM orders WHERE o_orderkey % 150 = 0)
+        SELECT p.l_orderkey, p.l_linenumber, iv.o_orderkey, p.ship_day
+        FROM p JOIN iv
+          ON p.ship_day >= iv.d0 AND p.ship_day <= iv.d0 + 7
+        ORDER BY l_orderkey, l_linenumber, o_orderkey""",
     // the identical µs gap-break cumsum (ROWS frame both engines),
     // then the per-session aggregates
     "q_sessionize" ->

@@ -1691,6 +1691,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("range join: equals the naive theta join (negatives included), plans a hash join, rejects bad intervals (r12)") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // points across negative/positive bucket boundaries; intervals of
+    // width 0, exactly one bucket, and spanning several buckets
+    val pts = (-25 to 60).map(p => (p.toLong, p.toLong)).toDF("pid", "p")
+    val iv = Seq(
+      (1L, -13L, -13L), // width 0, negative bucket
+      (2L, -7L, 6L),    // straddles the 0 boundary
+      (3L, 10L, 39L),   // spans 4+ buckets
+      (4L, 55L, 55L))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInterval(pts, "p", iv, "s", "e",
+        bucketWidth = 10)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      p <- -25 to 60
+      (i, s, e) <- Seq((1L, -13L, -13L), (2L, -7L, 6L), (3L, 10L, 39L), (4L, 55L, 55L))
+      if p >= s && p <= e
+    } yield (p.toLong, i)).toSet
+    assert(got == want, s"range join diverged from the theta join")
+    // the whole point: the plan is a HASH join on the bucket, not a
+    // nested loop / cartesian product
+    val plan = RangeJoin.pointInterval(pts, "p", iv, "s", "e", bucketWidth = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$plan")
+    // end < start is loud
+    val bad = intercept[Exception] {
+      RangeJoin.pointInterval(pts, "p",
+        Seq((9L, 5L, 1L)).toDF("iid", "s", "e"), "s", "e", 10).collect()
+    }
+    assert((bad.getMessage + Option(bad.getCause).map(_.getMessage).getOrElse(""))
+      .contains("end"), s"unexpected error: ${bad.getMessage}")
+    // an interval wider than the bucket cap is loud, not a silent blowup
+    val wide = intercept[Exception] {
+      RangeJoin.pointInterval(pts, "p",
+        Seq((9L, 0L, 100L)).toDF("iid", "s", "e"), "s", "e",
+        bucketWidth = 10, maxBucketsPerInterval = 4).collect()
+    }
+    assert((wide.getMessage + Option(wide.getCause).map(_.getMessage).getOrElse(""))
+      .contains("buckets"), s"unexpected error: ${wide.getMessage}")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInterval(pts, "p", iv, "s", "e", bucketWidth = 0)
+    }
+  }
+
   test("sessions: gap boundary is inclusive; funnel steps must be ordered and a skip blocks the rest (r12)") {
     import spark.implicits._
     import graft.operators.Sessions
