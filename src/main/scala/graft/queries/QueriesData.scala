@@ -302,6 +302,40 @@ object QueriesData {
         .orderBy($"l_orderkey", $"l_linenumber", $"o_orderkey")
     },
 
+    // ---- skew-resilient join: 3 hot keys own ~600 fact rows each
+    // (the rest ~30); the CMS flags them, hot rows salt 8 ways, light
+    // rows ride salt 0. The salting is an execution strategy — the
+    // oracle replays a plain join.
+    "q_skew_join" -> { (s, dir) =>
+      import s.implicits._
+      val left = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          when($"l_partkey" % 100 < 3, $"l_partkey" % 3)
+            .otherwise($"l_partkey").as("jkey"))
+      val right = Tables.load(s, dir, "part")
+        .select($"p_partkey",
+          when($"p_partkey" % 100 < 3, $"p_partkey" % 3)
+            .otherwise($"p_partkey").as("jkey"))
+      graft.operators.Joins.skewJoin(left, right, "jkey",
+          leftIdCol = "l_orderkey", salts = 8, heavyThreshold = 500)
+        .select($"jkey", $"l_orderkey", $"l_linenumber", $"p_partkey")
+        .orderBy($"jkey", $"l_orderkey", $"l_linenumber", $"p_partkey")
+    },
+
+    // ---- bloom-prefiltered semi join: the probe scan drops
+    // non-matching rows map-side behind the broadcast bitmap, then
+    // confirms exactly — result equals the plain semi join.
+    "q_bloom_semijoin" -> { (s, dir) =>
+      import s.implicits._
+      val big = Tables.load(s, dir, "orders")
+        .filter($"o_totalprice" > 350000.0)
+        .select($"o_orderkey".as("l_orderkey"))
+      graft.operators.Joins.bloomSemiJoin(
+          Tables.load(s, dir, "lineitem"), big, "l_orderkey")
+        .select($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
     // ---- gap sessionization (batch): a session breaks where the gap
     // from the user's previous event exceeds 8 h. One shuffle on the
     // user key; the ROWS-frame cumsum replays verbatim in the oracle.
@@ -3367,6 +3401,23 @@ object QueriesData {
         SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
         FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
         ORDER BY ev.event_id""",
+    // the plain join — salting must be invisible in the result
+    "q_skew_join" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_partkey % 100 < 3 THEN l_partkey % 3
+                 ELSE l_partkey END AS jkey FROM lineitem),
+        r AS (SELECT p_partkey,
+            CASE WHEN p_partkey % 100 < 3 THEN p_partkey % 3
+                 ELSE p_partkey END AS jkey FROM part)
+        SELECT l.jkey, l.l_orderkey, l.l_linenumber, r.p_partkey
+        FROM l JOIN r USING (jkey)
+        ORDER BY jkey, l_orderkey, l_linenumber, p_partkey""",
+    // the plain semi join — the bloom pre-filter must be invisible
+    "q_bloom_semijoin" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+          WHERE o_totalprice > 350000.0)
+        ORDER BY l_orderkey, l_linenumber""",
     // the same pairs as a plain BETWEEN join (the bucket expansion is
     // an execution strategy, not a semantic)
     "q_range_join" ->

@@ -1691,6 +1691,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("joins: skew salting and bloom prefilter are invisible in the result (r12)") {
+    import spark.implicits._
+    import graft.operators.Joins
+    // one hot key (0) with 500 fact rows, a 50-key tail with 10 each
+    val left = ((0 until 500).map(i => (i.toLong, 0L)) ++
+      (0 until 500).map(i => (1000L + i, 1L + i % 50)))
+      .toDF("lid", "jkey")
+    val right = (0L to 50L).map(k => (k, s"dim$k")).toDF("jkey", "payload")
+      .select(col("jkey"), col("payload"))
+    val plain = left.join(right, Seq("jkey"), "inner")
+      .select("jkey", "lid", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    // salted result must equal the plain join, whatever the threshold
+    // decides (all-heavy, mixed, none-heavy)
+    Seq(1L, 100L, 1000000L).foreach { thr =>
+      val got = Joins.skewJoin(left, right.select(col("jkey"),
+          col("payload")), "jkey", leftIdCol = "lid",
+          salts = 4, heavyThreshold = thr)
+        .select("jkey", "lid", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(got == plain, s"skew join diverged at threshold $thr")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.skewJoin(left, right, "jkey", "lid", salts = 1)
+    }
+    // bloom semi join: exact semi-join result, and the prefilter
+    // actually prunes (selective build side → most probe rows drop
+    // before the confirm join)
+    val probe = (0 until 2000).map(i => (i.toLong, i % 7)).toDF("k", "tag")
+    val build = (0 until 2000 by 100).map(_.toLong).toDF("k")
+    val semi = probe.join(build, Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaBloom = Joins.bloomSemiJoin(probe, build, "k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == semi, "bloom semi join diverged from the semi join")
+    assert(semi.size == 20)
+  }
+
   test("range join: equals the naive theta join (negatives included), plans a hash join, rejects bad intervals (r12)") {
     import spark.implicits._
     import graft.operators.RangeJoin
