@@ -217,6 +217,33 @@ object Sketches {
       .select(col("q"), col("v").as("est"))
   }
 
+  /** Per-group quantiles in ONE pass over a grouped sample: the same
+    * md5 keep decision, but the rank window partitions by the group
+    * columns — every group's sample ranks inside its own partition, so
+    * there is NO single-partition stage and the pattern holds at any
+    * group count (per-language length percentiles over 100 TB: one
+    * sample filter + one window shuffle on the group key). */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, valueCol: String, qs: Seq[Double],
+      ratePerM: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "grouped quantiles: groupCols is empty")
+    require(ratePerM > 0 && ratePerM <= 1000000,
+      s"quantile: ratePerM must be in (0, 1000000], got $ratePerM")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile: qs must be in (0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    df.filter(Sampling.hashBucket(checkedKey(keyCol, "quantile sample"),
+        "qsk-v1", 1000000) < ratePerM)
+      .select(g :+ col(valueCol).cast("double").as("v"): _*)
+      .select(col("*"),
+        row_number().over(Window.partitionBy(g: _*).orderBy("v")).as("rn"),
+        count(lit(1)).over(Window.partitionBy(g: _*)).as("n"))
+      .select(col("*"), explode(array(qs.map(lit(_)): _*)).as("q"))
+      .filter(col("rn") === greatest(lit(1L), ceil(col("q") * col("n"))))
+      .select(g ++ Seq(col("q"), col("v").as("est")): _*)
+  }
+
   /** The HLL raw estimate: α·m²/Σ2^(−M_j), registers absent from the
     * frame counting as 0 (one full 2^0 term each). Every term is a
     * dyadic rational ≥ 2^(p−48), so the sum is EXACT in a double and

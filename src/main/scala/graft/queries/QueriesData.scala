@@ -760,6 +760,17 @@ object QueriesData {
         .orderBy("q")
     },
 
+    // ---- grouped quantiles: per-language doc-length percentiles from
+    // one md5-sampled pass — the rank window partitions by the group,
+    // so no single-partition stage exists at any group count
+    "q_grouped_quantile" -> { (s, dir) =>
+      graft.operators.Sketches.groupedQuantiles(
+          Tables.load(s, dir, "documents"), Seq("lang"),
+          "doc_id", "n_chars", qs = Seq(0.25, 0.5, 0.9),
+          ratePerM = 500000)
+        .orderBy("lang", "q")
+    },
+
     // ---- streaming HLL (r12): the registers are a plain streaming
     // MAX aggregation, and register merge-invariance makes the sketch
     // trigger-split invariant by construction — the batch oracle
@@ -840,6 +851,32 @@ object QueriesData {
         .option("maxFilesPerTrigger", 2).parquet(staged)
       val agg = graft.streaming.EventStreams.streamingDocDedup(stream, "text", "doc_id")
       val qn = "stream_dedup_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, agg, qn)
+      q.stop()
+      s.table(qn).orderBy(col("digest"))
+    },
+
+    // ---- streaming curation capstone: normalize → quality gate →
+    // exact dedup as ONE continuous pipeline over the multi-file
+    // ingest — the map-only stages fuse into the scan, the dedup is
+    // the one keyed-state stage, and every stage is the batch
+    // operator's streaming twin, so the batch oracle replays the
+    // whole chain.
+    "q_stream_curate" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val staged = stageDocsOnce(s, dir)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val curated = stream
+        .select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"))
+        .filter(TextOps.tokenCount(col("text")) >= 30)
+      val agg = graft.streaming.EventStreams.streamingDocDedup(
+        curated, "text", "doc_id")
+      val qn = "stream_curate_gate"
       val q = graft.streaming.EventStreams.runToMemory(s, agg, qn)
       q.stop()
       s.table(qn).orderBy(col("digest"))
@@ -3626,6 +3663,18 @@ object QueriesData {
         SELECT q.q, r.v AS est FROM r
         JOIN q ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
         ORDER BY q.q""",
+    // the identical grouped sample, rank-⌈q·n⌉ picked per language
+    "q_grouped_quantile" ->
+      """WITH s AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+          WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || 'qsk-v1')
+            % 281474976710656) % 1000000 < 500000),
+        r AS (SELECT lang, v,
+            row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n FROM s),
+        q AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+        SELECT r.lang, q.q, r.v AS est FROM r
+        JOIN q ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
+        ORDER BY lang, q""",
     // the arriving key set (originals + the %10 re-arrivals' shifted
     // ids) rebuilt, then the same 32 registers — duplicates can't move
     // a MAX register, so the trigger split is irrelevant
@@ -3738,6 +3787,24 @@ object QueriesData {
          SELECT md5(text) AS digest, min(doc_id) AS keeper_doc_id,
            count(*) AS n_copies
          FROM ingest GROUP BY 1 ORDER BY digest""",
+    // the same normalize → token gate → min-keeper dedup chain over
+    // the same union ingest, replayed in batch
+    "q_stream_curate" ->
+      raw"""WITH ingest AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         norm AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             '[ \t\n\x0B\f\r]+', ' ', 'g'), '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS n
+           FROM ingest),
+         q AS (
+           SELECT doc_id, n FROM norm
+           WHERE len(list_filter(string_split_regex(trim(n), '\s+'),
+             s -> len(s) > 0)) >= 30)
+         SELECT md5(n) AS digest, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+         FROM q GROUP BY 1 ORDER BY digest""",
     // streaming near-dup replay: sigs + bands over the SAME union
     // ingest, candidate pairs from band-bucket collisions, n_eq =
     // component-wise signature agreement, thresholded at 6/8
