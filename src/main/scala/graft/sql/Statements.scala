@@ -28,6 +28,15 @@ object Statements {
     ("""(?is)^CURATE\s+TABLE\s+""" + Id + """\s+FROM\s+""" + Id +
       """\s+USING\s+'((?:[^']|'')+)'\s*$""").r
 
+  /** SESSIONIZE table BY user ON ts GAP n MINUTES [AGG value]
+    * [FUNNEL typeCol STEPS 's1','s2',…] — gap sessionization (and the
+    * ordered-step funnel) as a first-class statement over
+    * [[graft.operators.Sessions]] */
+  private val reSessionize =
+    ("""(?is)^SESSIONIZE\s+""" + Id + """\s+BY\s+""" + Id + """\s+ON\s+""" +
+      Id + """\s+GAP\s+(\d+)\s+MINUTES(?:\s+AGG\s+""" + Id +
+      """)?(?:\s+FUNNEL\s+""" + Id + """\s+STEPS\s+(.+?))?\s*$""").r
+
   private val reExternal =
     ("""(?is)^CREATE\s+EXTERNAL\s+TABLE\s+""" + Id +
       """\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+(.+?)""" +
@@ -181,7 +190,7 @@ object Statements {
     reShowSecrets, reCreateUser, reDropUser, reCreateRole, reDropRole,
     reGrantRoleUser, reRevokeRoleUser, reGrantPriv, reRevokePriv,
     reShowRoles, reShowUsers, reAttach, reDetach, reShowAttachments,
-    reCurate, reShowHistory, reRestore, reVacuum, reOptimize)
+    reCurate, reSessionize, reShowHistory, reRestore, reVacuum, reOptimize)
 
   private val reVersionRef =
     """(?i)([A-Za-z_][A-Za-z0-9_]*|`(?:[^`]|``)+`)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
@@ -292,6 +301,23 @@ object Statements {
           spark.table(src), json.replace("''", "'"))
         catalog.createManagedTable(name, out, None, Nil)
         Some(status(spark, s"curated $src into $name"))
+      case reSessionize(tbl0, user0, ts0, gap, value0, type0, steps0) =>
+        val df = spark.table(unquote(tbl0))
+        val user = unquote(user0); val ts = unquote(ts0)
+        Some(Option(type0) match {
+          case Some(typeCol) =>
+            val steps = steps0.split(",").map { s =>
+              val t = s.trim
+              require(t.length >= 2 && t.startsWith("'") && t.endsWith("'"),
+                s"SESSIONIZE: FUNNEL steps must be quoted strings, got $t")
+              t.substring(1, t.length - 1).replace("''", "'")
+            }.toSeq
+            graft.operators.Sessions.funnel(df, user, ts,
+              unquote(typeCol), steps, gap.toInt)
+          case None =>
+            graft.operators.Sessions.gapSessions(df, user, ts, gap.toInt,
+              Option(value0).map(unquote))
+        })
       case reCtas(name0, partCols, bucketCols, bucketN, sql) =>
         val name = unquote(name0)
         val buckets = Option(bucketCols).map(cs =>

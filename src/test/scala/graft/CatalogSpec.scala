@@ -645,6 +645,37 @@ class CatalogSpec extends AnyFunSuite {
     engine.sql("DROP TABLE curated")
   }
 
+  test("SESSIONIZE statement: sessions and funnels match the operator; steps must be quoted (r12)") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 1.0),
+      (2L, ts(60), 7L, "click", 2.0),
+      (3L, ts(7200), 7L, "purchase", 3.0)) // own session (gap 10 min)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    ev.createOrReplaceTempView("sess_src")
+    val sessions = engine.sql(
+      "SESSIONIZE sess_src BY user_id ON ts GAP 10 MINUTES AGG value")
+      .orderBy("session_seq").collect()
+    assert(sessions.length == 2)
+    assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(0).getAs[Double]("total_value") == 3.0)
+    val fun = engine.sql("SESSIONIZE sess_src BY user_id ON ts GAP 10 MINUTES " +
+      "FUNNEL event_type STEPS 'view', 'click', 'purchase'")
+      .orderBy("session_seq").collect()
+    // session 1 completes view→click (purchase is in session 2)
+    assert(fun(0).getAs[Long]("steps_completed") == 2)
+    assert(fun(1).getAs[Long]("steps_completed") == 0)
+    val bad = intercept[Exception] {
+      engine.sql("SESSIONIZE sess_src BY user_id ON ts GAP 10 MINUTES " +
+        "FUNNEL event_type STEPS view, click")
+    }
+    assert(bad.getMessage.contains("quoted"))
+    // super-user-gated like every engine statement
+    assert(graft.sql.Statements.recognizes(
+      "SESSIONIZE t BY u ON ts GAP 5 MINUTES"))
+  }
+
   test("CURATE TABLE materializes trainer sequences through tokenize+pack (r10)") {
     import spark.implicits._
     Seq(
