@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.operators.{Dedup, Sampling, TextOps}
+import graft.operators.{Dedup, Sampling, Sketches, TextOps}
 
 /** Declarative curation pipeline — the reference's JSON-DSL surface
   * ([[JsonQuery]], `beacon-core/src/query/mod.rs`) extended over the
@@ -167,7 +167,7 @@ object CuratePipeline {
         "dsir_filter", "minhash_neardup", "decontaminate",
         "dedup_substrings", "tokenize", "nb_class_filter",
         "perceptron_filter", "repetition_filter", "token_budget",
-        "semdedup", "hash_neardup")(op)
+        "semdedup", "hash_neardup", "quantile_filter")(op)
       case _ => false
     }
 
@@ -352,6 +352,31 @@ object CuratePipeline {
             salt, budget, shard)
           .filter(col("keep")).select(col(idCol))
         df.join(keep, Seq(idCol), "left_semi")
+      case "quantile_filter" =>
+        // data-driven threshold gate: the cut point is the q-th
+        // percentile of `column` from the md5-sampled quantile sketch
+        // (a picked real value, exactly replayable), not a hand-tuned
+        // constant — "drop the shortest 10%" stays calibrated as the
+        // corpus drifts. The one-row threshold rides as a broadcast
+        // frame, never a driver action.
+        val column = str(st, "column")
+        val q = dbl(st, "q", -1.0)
+        if (q <= 0.0 || q > 1.0)
+          throw new DslException(s"quantile_filter: 'q' must be in (0, 1], got $q")
+        val keepAbove = strOr(st, "keep", "above") match {
+          case "above" => true
+          case "below" => false
+          case other => throw new DslException(
+            s"quantile_filter: 'keep' must be above|below, got $other")
+        }
+        val rate = int(st, "rate_per_m", 250000)
+        val sk = Sketches.quantileSample(df, idCol, column, ratePerM = rate)
+        val thr = Sketches.quantileEstimate(sk, Seq(q))
+          .select(col("est").as("__thr"))
+        val joined = df.crossJoin(broadcast(thr))
+        (if (keepAbove) joined.filter(col(column) >= col("__thr"))
+         else joined.filter(col(column) <= col("__thr")))
+          .drop("__thr")
       case "embed_text" =>
         // deterministic signed-feature-hashing embedder (map-only,
         // md5-replayable): appends `out_col` so a downstream `semdedup`

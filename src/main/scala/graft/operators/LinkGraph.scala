@@ -39,6 +39,57 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simple graph (direction and parallel edges collapse) —
+    * the communityness signal next to PageRank's centrality (link-farm
+    * rings score high here and low there). Degree-ordered orientation
+    * (the "compact-forward" scheme, Latapy 2008): every edge orients
+    * from its (degree, id)-smaller endpoint, which bounds any node's
+    * out-neighborhood by O(√m) on ANY graph — the wedge self-join never
+    * explodes on a power-law hub, where id-ordered orientation would
+    * quadratically blow up on the hub's neighborhood. Each triangle is
+    * found exactly once (the wedge at its order-smallest vertex plus
+    * the one closing oriented edge). Nodes with no triangles report 0.
+    * Three shuffles total: degree count, the wedge join, the close
+    * join — all on node keys. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    // oriented edges (u → v) from the (degree, id)-smaller endpoint,
+    // carrying v's degree so wedge ordering needs no extra join
+    val o = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"), col("db").as("dv"))
+    val wedges = o.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+      .join(o.select(col("u"), col("v").as("v2"), col("dv").as("d2")), Seq("u"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    // (v1, v2) ordered by the SAME total order, so the closing edge —
+    // if the triangle exists — is exactly the oriented v1 → v2
+    val tri = wedges
+      .join(o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u").as("m1"), col("v1").as("m2"), col("v2").as("m3"))
+    val perNode = tri
+      .select(explode(array(col("m1"), col("m2"), col("m3"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") > 1, round(
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("d") * (col("d") - lit(1L))), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Fixed-iteration PageRank over a directed edge list. Classic
     * power iteration on the UNWEIGHTED simple digraph (parallel edges
     * collapse): every node starts at 1/N; each round a node keeps

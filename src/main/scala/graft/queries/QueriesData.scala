@@ -760,6 +760,21 @@ object QueriesData {
         .orderBy("q")
     },
 
+    // ---- sketch-thresholded curation: drop the shortest quartile by
+    // the SAMPLED 25th length percentile (a data-driven cut point, not
+    // a hand constant), then exact dedup — the quantile sketch feeding
+    // CURATE TABLE
+    "q_curate_quantile" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.compile(
+          Tables.load(s, dir, "documents"),
+          """{"stages": [
+            {"op": "quantile_filter", "column": "n_chars", "q": 0.25,
+             "keep": "above"},
+            {"op": "dedup_exact"}]}""")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- grouped quantiles: per-language doc-length percentiles from
     // one md5-sampled pass — the rank window partitions by the group,
     // so no single-partition stage exists at any group count
@@ -1365,6 +1380,26 @@ object QueriesData {
       val edges = graft.operators.LinkGraph.hostEdges(pages, "url", "html")
       graft.operators.LinkGraph.pageRank(edges, "src_host", "dst_host",
           iterations = 5)
+        .orderBy("node")
+    },
+
+    // ---- link-graph triangles: per-host triangle counts + local
+    // clustering coefficient over a 23-host sparse fixture (12
+    // triangles, varied counts) via degree-ordered wedge orientation —
+    // the communityness signal next to PageRank's centrality
+    "q_link_triangles" -> { (s, dir) =>
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://g"), (col("doc_id") % 23).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("url"),
+        concat(
+          lit("<a href=\"http://g"), ((col("doc_id") * 5 + 1) % 23).cast("string"),
+          lit(".example/x\">a</a>"),
+          lit("<a href=\"http://g"), ((col("doc_id") * 11 + 3) % 23).cast("string"),
+          lit(".example/y\">b</a>"),
+          lit("<a href=\"http://g"), ((col("doc_id") * 2 + 7) % 23).cast("string"),
+          lit(".example/z\">c</a>")).as("html"))
+      val edges = graft.operators.LinkGraph.hostEdges(pages, "url", "html")
+      graft.operators.LinkGraph.triangles(edges, "src_host", "dst_host")
         .orderBy("node")
     },
 
@@ -3663,6 +3698,24 @@ object QueriesData {
         SELECT q.q, r.v AS est FROM r
         JOIN q ON r.rn = greatest(1, CAST(ceil(q.q * r.n) AS BIGINT))
         ORDER BY q.q""",
+    // the same sampled threshold pick, then the filter + min-keeper
+    // dedup over the survivors
+    "q_curate_quantile" ->
+      raw"""WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+          WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || 'qsk-v1')
+            % 281474976710656) % 1000000 < 250000),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+            count(*) OVER () AS n FROM s),
+        thr AS (SELECT v AS t FROM r
+          WHERE rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))),
+        f AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d, thr
+          WHERE d.n_chars >= thr.t),
+        k AS (SELECT doc_id, row_number() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            ORDER BY doc_id) AS rk FROM f)
+        SELECT f.doc_id, f.n_chars FROM f
+        JOIN k ON k.doc_id = f.doc_id AND k.rk = 1
+        ORDER BY f.doc_id""",
     // the identical grouped sample, rank-⌈q·n⌉ picked per language
     "q_grouped_quantile" ->
       """WITH s AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
@@ -4285,6 +4338,40 @@ object QueriesData {
         ${prIterSql("r3", "r4")},
         ${prIterSql("r4", "r5")}
         SELECT node, rank FROM r5 ORDER BY node""",
+    // the identical degree-ordered orientation, wedge join and closing
+    // edge, then the per-node unpivot count
+    "q_link_triangles" ->
+      """WITH pages AS (SELECT doc_id,
+            'g' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src
+          FROM documents),
+        links AS (
+          SELECT src, 'g' || CAST((doc_id * 5 + 1) % 23 AS VARCHAR)
+            || '.example' AS dst FROM pages
+          UNION ALL SELECT src, 'g' || CAST((doc_id * 11 + 3) % 23 AS VARCHAR)
+            || '.example' FROM pages
+          UNION ALL SELECT src, 'g' || CAST((doc_id * 2 + 7) % 23 AS VARCHAR)
+            || '.example' FROM pages),
+        e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM links WHERE src <> dst),
+        und AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        deg AS (SELECT a AS n, count(*) AS d FROM und GROUP BY 1),
+        o AS (SELECT u.a AS u, u.b AS v, db.d AS dv
+          FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+          WHERE da.d < db.d OR (da.d = db.d AND u.a < u.b)),
+        w AS (SELECT o1.u, o1.v AS v1, o2.v AS v2
+          FROM o o1 JOIN o o2 ON o1.u = o2.u
+          WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+        tri AS (SELECT w.u AS m1, w.v1 AS m2, w.v2 AS m3
+          FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2),
+        pn AS (SELECT n, count(*) AS n_triangles FROM (
+            SELECT m1 AS n FROM tri UNION ALL SELECT m2 FROM tri
+            UNION ALL SELECT m3 FROM tri)
+          GROUP BY 1)
+        SELECT deg.n AS node, deg.d AS degree,
+          coalesce(pn.n_triangles, 0) AS n_triangles,
+          CASE WHEN deg.d > 1 THEN round(2.0 * coalesce(pn.n_triangles, 0)
+            / (deg.d * (deg.d - 1)), 6) ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN pn ON pn.n = deg.n ORDER BY node""",
     // the same rank rounds, then the top-3 host cut and the schedule
     // window replayed in one chain
     "q_frontier_budget" ->

@@ -436,6 +436,38 @@ class EngineSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("curate quantile_filter: sampled threshold gates by percentile, above/below, loud on bad q (r12)") {
+    import spark.implicits._
+    import graft.dsl.CuratePipeline
+    // values 0..99; rate 100% makes the sampled threshold the exact
+    // type-1 percentile, so the cut is verifiable in closed form
+    val docs = (0 until 100).map(i => (i.toLong, s"doc $i", i.toLong))
+      .toDF("doc_id", "text", "len")
+    val above = CuratePipeline.compile(docs,
+      """{"stages": [{"op": "quantile_filter", "column": "len",
+           "q": 0.25, "rate_per_m": 1000000}]}""")
+      .collect().map(_.getLong(2)).sorted.toSeq
+    // 25th percentile of 0..99 at rank ceil(0.25·100)=25 → value 24
+    assert(above == (24L to 99L), s"above cut wrong: ${above.take(3)}…")
+    val below = CuratePipeline.compile(docs,
+      """{"stages": [{"op": "quantile_filter", "column": "len",
+           "q": 0.9, "keep": "below", "rate_per_m": 1000000}]}""")
+      .collect().map(_.getLong(2)).sorted.toSeq
+    // 90th percentile at rank 90 → value 89; keep ≤ 89
+    assert(below == (0L to 89L), s"below cut wrong: ${below.takeRight(3)}")
+    val e = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(docs,
+        """{"stages": [{"op": "quantile_filter", "column": "len", "q": 1.5}]}""")
+    }
+    assert(e.getMessage.contains("'q'"))
+    val e2 = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(docs,
+        """{"stages": [{"op": "quantile_filter", "column": "len",
+             "q": 0.5, "keep": "sideways"}]}""")
+    }
+    assert(e2.getMessage.contains("above|below"))
+  }
+
   test("curate DSL v2 stages: dedup/decontaminate/quality/sampling compose") {
     import spark.implicits._
     import graft.dsl.CuratePipeline

@@ -1691,6 +1691,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangles: exact counts on known graphs whatever the direction/multiplicity noise (r12)") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    // K4 plus a pendant: per-node triangles 3,3,3,3,0; the edge list
+    // arrives directed, duplicated, and with a self-loop
+    val edges = (for {
+      a <- 0 to 3; b <- 0 to 3 if a != b
+    } yield (s"n$a", s"n$b")) ++ Seq(("n3", "n4"), ("n4", "n3"),
+      ("n0", "n0"), ("n0", "n1"))
+    val got = LinkGraph.triangles(edges.toDF("s", "d"), "s", "d")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    (0 to 2).foreach { i =>
+      assert(got(s"n$i") == (3L, 3L, 1.0), s"K4 node n$i: ${got(s"n$i")}")
+    }
+    assert(got("n3") == (4L, 3L, 0.5)) // K4 member + pendant edge
+    assert(got("n4") == (1L, 0L, 0.0)) // the pendant
+    // a triangle-free star: all zeros
+    val star = (1 to 5).map(i => ("hub", s"leaf$i")).toDF("s", "d")
+    val starGot = LinkGraph.triangles(star, "s", "d").collect()
+    assert(starGot.forall(_.getLong(2) == 0L), "star has no triangles")
+  }
+
   test("joins: skew salting and bloom prefilter are invisible in the result (r12)") {
     import spark.implicits._
     import graft.operators.Joins
