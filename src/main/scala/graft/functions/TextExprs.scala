@@ -319,6 +319,57 @@ object TextExprs {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Greedy longest-match segmentation — WordPiece inference (Wu et
+    * al. 2016): at each position of a word take the LONGEST vocab
+    * piece that matches; a position no piece covers falls back to its
+    * single code point (char fallback, so segmentation is total and
+    * needs no UNK at this layer). Piece lengths count CODE POINTS
+    * (DuckDB's `substr` unit), so the SQL replay segments identically
+    * on non-BMP text. Same output contract as [[bpeEncodeKernel]]:
+    * (encoded text — pieces space-joined, words joined by " | " —,
+    * total piece count). */
+  def wpEncodeKernel(s: UTF8String, vocab: java.util.HashSet[String],
+      maxLen: Int, lower: Boolean): InternalRow = {
+    val toks = tokensKernel(s, lower)
+    val sb = new java.lang.StringBuilder
+    var nSyms = 0
+    var w = 0
+    val nw = toks.numElements()
+    while (w < nw) {
+      val word = toks.getUTF8String(w).toString
+      // code-point array so piece lengths match SQL substr semantics
+      val cps = new java.util.ArrayList[String](word.length)
+      var ci = 0
+      while (ci < word.length) {
+        val cp = word.codePointAt(ci)
+        cps.add(new String(Character.toChars(cp)))
+        ci += Character.charCount(cp)
+      }
+      if (w > 0) sb.append(" | ")
+      var i = 0
+      var first = true
+      while (i < cps.size) {
+        var l = math.min(maxLen, cps.size - i)
+        var piece: String = null
+        while (piece == null && l > 1) {
+          val b = new java.lang.StringBuilder
+          var k = i
+          while (k < i + l) { b.append(cps.get(k)); k += 1 }
+          val cand = b.toString
+          if (vocab.contains(cand)) piece = cand else l -= 1
+        }
+        val step = if (piece == null) { piece = cps.get(i); 1 } else l
+        if (!first) sb.append(' ')
+        sb.append(piece)
+        nSyms += 1
+        first = false
+        i += step
+      }
+      w += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), nSyms))
+  }
+
   /** BPE-encode a text: whitespace-tokenize (optionally lowered), space-
     * join each token's characters, apply the merge table in rank order —
     * each merge is a LITERAL left-to-right non-overlapping replace of
@@ -684,6 +735,31 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** whole-text WordPiece encode against a fixed vocab; the piece set
+    * rides as a codegen reference object so the pass stays map-only
+    * inside WholeStageCodegen (same stance as [[BpeEncode]]) */
+  case class WpEncode(child: Expression, vocab: Seq[String], lower: Boolean)
+      extends UnaryExpression {
+    private val vocabSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](math.max(16, vocab.size * 2))
+      vocab.foreach(p => s.add(p))
+      s
+    }
+    private val maxLen: Int =
+      if (vocab.isEmpty) 1
+      else vocab.map(p => p.codePointCount(0, p.length)).max
+    override def dataType: DataType = BpeEncode.schema
+    override def prettyName: String = "graft_wp_encode"
+    override def nullSafeEval(a: Any): Any =
+      wpEncodeKernel(a.asInstanceOf[UTF8String], vocabSet, maxLen, lower)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val v = ctx.addReferenceObj("wpVocab", vocabSet, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.wpEncodeKernel($c, $v, $maxLen, $lower);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** one trainer merge round over the symbol-array column */
   case class BpeMergeApply(child: Expression, left: String, right: String)
       extends UnaryExpression {
@@ -761,4 +837,8 @@ object TextExprs {
 
   def bpe_merge(syms: Column, left: String, right: String): Column =
     ColumnBridge.column(BpeMergeApply(ColumnBridge.expression(syms), left, right))
+
+  def wp_encode(text: Column, vocab: Seq[String],
+      lower: Boolean = true): Column =
+    ColumnBridge.column(WpEncode(ColumnBridge.expression(text), vocab, lower))
 }

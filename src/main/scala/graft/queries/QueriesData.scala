@@ -1046,6 +1046,32 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- WordPiece pair ranking (Wu et al. 2016): the likelihood-gain
+    // criterion count(l,r)/(count(l)·count(r)) over the distinct-word
+    // table — BPE's sibling trainer round, ratio rounded to 9 decimals
+    // so both engines rank identical doubles
+    "q_wordpiece_rank" -> { (s, dir) =>
+      val words = graft.operators.Bpe.wordTable(
+        Tables.load(s, dir, "documents"), "text")
+      graft.operators.Wordpiece.pairScores(words)
+        .select(col("l_sym"), col("r_sym"), col("pair_count"), col("score"))
+        .orderBy(col("score").desc, col("l_sym"), col("r_sym"))
+        .limit(20)
+    },
+
+    // ---- WordPiece greedy longest-match encode against a fixed piece
+    // vocab — the inference half; the oracle replays the identical
+    // longest-match walk as a recursive CTE over the distinct words
+    "q_wordpiece_encode" -> { (s, dir) =>
+      graft.operators.Wordpiece.encode(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          vocab = Seq("the", "and", "ing", "er", "th", "in", "an",
+            "re", "he", "at"))
+        .select(col("doc_id"), col("n_wp_tokens"),
+          md5(col("wp_text").cast("binary")).as("wp_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- C4 line+document cleaning (Raffel et al. 2020 §2.2): the
     // public rules, byte-replayable — terminal punctuation, ≥3 words,
     // javascript / lorem ipsum / '{' blocklist, ≥5-sentence doc gate
@@ -3964,6 +3990,63 @@ object QueriesData {
                  FROM pairs GROUP BY 1, 2)
          SELECT l_sym, r_sym, pair_count FROM agg
          ORDER BY pair_count DESC, l_sym, r_sym LIMIT 20""",
+    // the identical pair and symbol tallies, then the same one-division
+    // ratio rounded at 9
+    "q_wordpiece_rank" ->
+      raw"""WITH toks AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+         pairs AS (SELECT substr(w, i, 1) AS l_sym, substr(w, i + 1, 1) AS r_sym, cnt
+                   FROM words, unnest(range(1, len(w))) t(i)),
+         agg AS (SELECT l_sym, r_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+                 FROM pairs GROUP BY 1, 2),
+         syms AS (SELECT sym, CAST(sum(cnt) AS BIGINT) AS sym_count FROM (
+             SELECT substr(w, i, 1) AS sym, cnt
+             FROM words, unnest(range(1, len(w) + 1)) t(i))
+           GROUP BY 1)
+         SELECT a.l_sym, a.r_sym, a.pair_count,
+           round(a.pair_count / (ls.sym_count * rs.sym_count), 9) AS score
+         FROM agg a
+         JOIN syms ls ON ls.sym = a.l_sym
+         JOIN syms rs ON rs.sym = a.r_sym
+         ORDER BY score DESC, a.l_sym, a.r_sym LIMIT 20""",
+    // the identical greedy longest-match walk (try 3, then 2, then the
+    // single-char fallback) as a recursive CTE over the distinct words,
+    // re-joined to each doc's word sequence
+    "q_wordpiece_encode" ->
+      raw"""WITH RECURSIVE d AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         wl AS (SELECT doc_id, i AS widx, ws[i] AS w
+           FROM d, unnest(range(1, len(ws) + 1)) t(i)),
+         dw AS (SELECT DISTINCT w FROM wl),
+         seg AS (
+           SELECT w, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc FROM dw
+           UNION ALL
+           SELECT w,
+             pos + CASE WHEN substr(w, CAST(pos AS INT), 3) IN ('the','and','ing') THEN 3
+                        WHEN substr(w, CAST(pos AS INT), 2) IN ('er','th','in','an','re','he','at') THEN 2
+                        ELSE 1 END,
+             (CASE WHEN acc = '' THEN '' ELSE acc || ' ' END) ||
+               substr(w, CAST(pos AS INT),
+                 CASE WHEN substr(w, CAST(pos AS INT), 3) IN ('the','and','ing') THEN 3
+                      WHEN substr(w, CAST(pos AS INT), 2) IN ('er','th','in','an','re','he','at') THEN 2
+                      ELSE 1 END)
+           FROM seg WHERE pos <= len(w)),
+         wseg AS (SELECT w, acc FROM seg WHERE pos = len(w) + 1),
+         enc AS (SELECT wl.doc_id, wl.widx, ws2.acc
+           FROM wl JOIN wseg ws2 ON ws2.w = wl.w),
+         agg AS (SELECT doc_id,
+             CAST(sum(len(string_split(acc, ' '))) AS BIGINT) AS n_wp_tokens,
+             md5(string_agg(acc, ' | ' ORDER BY widx)) AS wp_md5
+           FROM enc GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_wp_tokens, 0) AS n_wp_tokens,
+           coalesce(a.wp_md5, md5('')) AS wp_md5
+         FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // the identical rank-ordered replace chain per word ('|' separators
     // keep merges inside word boundaries), then symbol tally + md5
     "q_bpe_encode" ->

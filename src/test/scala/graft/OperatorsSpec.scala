@@ -1691,6 +1691,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece: likelihood criterion diverges from raw counts; greedy encode is longest-match, code-point safe (r12)") {
+    import spark.implicits._
+    import graft.operators.{Bpe, Wordpiece}
+    // 'ee' occurs 4× but e is everywhere (ratio 4/(14·14)≈0.02);
+    // 'qz' occurs 3× and q/z occur nowhere else (ratio 3/9≈0.33):
+    // likelihood picks qz, raw count picks ee
+    val corpus = (Seq.fill(4)("eee") ++ Seq.fill(3)("qz") ++ Seq.fill(2)("ee"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val words = Bpe.wordTable(corpus, "text")
+    val topByCount = Bpe.pairStats(words)
+      .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
+      .head()
+    assert((topByCount.getString(0), topByCount.getString(1)) == ("e", "e"))
+    val wp = Wordpiece.trainPieces(corpus, "text", nMerges = 1).head()
+    assert((wp.getString(1), wp.getString(2)) == ("q", "z"),
+      s"likelihood criterion must pick the exclusive pair, got $wp")
+
+    // greedy longest-match: 'theater' → the|at|er (3 beats 2 at pos 0);
+    // unmatched chars fall back singly
+    val vocab = Seq("the", "th", "er", "at", "ing")
+    val enc = Wordpiece.encode(Seq((1L, "theater xyz")).toDF("id", "text"),
+      "text", "id", vocab).head()
+    assert(enc.getString(1) == "the at er | x y z", s"got ${enc.getString(1)}")
+    assert(enc.getLong(2) == 6)
+    // piece lengths count CODE POINTS: a surrogate-pair piece matches
+    // as two symbols, not four UTF-16 units
+    val emoji = Wordpiece.encode(Seq((1L, "😀😀a"))
+      .toDF("id", "text"), "text", "id", Seq("😀😀")).head()
+    assert(enc != null && emoji.getLong(2) == 2, s"got ${emoji.getString(1)}")
+    assert(emoji.getString(1) == "😀😀 a")
+    // empty text encodes to the empty stream
+    val empty = Wordpiece.encode(Seq((1L, "")).toDF("id", "text"),
+      "text", "id", vocab).head()
+    assert(empty.getString(1) == "" && empty.getLong(2) == 0)
+    // minCount stops training before nMerges on a tiny corpus
+    val few = Wordpiece.trainPieces(corpus, "text", nMerges = 50,
+      minCount = 3L)
+    assert(few.count() < 50)
+  }
+
   test("triangles: exact counts on known graphs whatever the direction/multiplicity noise (r12)") {
     import spark.implicits._
     import graft.operators.LinkGraph
