@@ -302,6 +302,42 @@ object QueriesData {
         .orderBy($"l_orderkey", $"l_linenumber", $"o_orderkey")
     },
 
+    // ---- forward as-of with tolerance: the NEXT order within 30 days
+    // of each event, per user — the mirror of q_asof_join's backward
+    // carry (earliest time, LEAST tiebreak), matches past the bound
+    // null out
+    "q_asof_forward" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts".cast(TimestampNTZType).as("ts"))
+      val ord = Tables.load(s, dir, "orders")
+      AsOfJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTiebreak = "o_orderkey",
+        rightValueCols = Seq("o_orderkey", "o_totalprice"),
+        direction = "forward",
+        toleranceUs = Some(30L * 24 * 3600 * 1000000L))
+        .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+        .orderBy($"event_id")
+    },
+
+    // ---- OHLC downsampling: daily value bars per event type — open/
+    // close ride struct min/max ordered by (ts, event_id), one
+    // partial-aggregated groupBy, no window pass
+    "q_ohlc_bars" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.TimeSeries.ohlcBars(
+          Tables.load(s, dir, "events"), "ts", "event_id", "value",
+          groupCols = Seq("event_type"), barWidth = "1 day")
+        .select($"bar_start".cast(TimestampNTZType).as("bar_start"),
+          $"event_type", round($"bar_open", 4).as("bar_open"),
+          round($"bar_high", 4).as("bar_high"),
+          round($"bar_low", 4).as("bar_low"),
+          round($"bar_close", 4).as("bar_close"), $"n")
+        .orderBy($"bar_start", $"event_type")
+    },
+
     // ---- skew-resilient join: 3 hot keys own ~600 fact rows each
     // (the rest ~30); the CMS flags them, hot rows salt 8 ways, light
     // rows ride salt 0. The salting is an execution strategy — the
@@ -3499,6 +3535,43 @@ object QueriesData {
         SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
         FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
         ORDER BY ev.event_id""",
+    // the forward window: earliest order ≥ ts within 30 days, least
+    // orderkey on date ties
+    "q_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, ts AS t FROM events),
+        cand AS (
+          SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+          FROM ev e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate >= e.t
+            AND o.o_orderdate <= e.t + INTERVAL 30 DAY)
+        SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
+        FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
+        ORDER BY ev.event_id""",
+    // first/last by (ts, event_id) + extremes per (day, type)
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+            AS bar_start, event_type, ts, event_id, value FROM events),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY bar_start, event_type
+              ORDER BY ts, event_id) AS ra,
+            row_number() OVER (PARTITION BY bar_start, event_type
+              ORDER BY ts DESC, event_id DESC) AS rd
+          FROM e),
+        a AS (SELECT bar_start, event_type, round(max(value), 4) AS bar_high,
+            round(min(value), 4) AS bar_low, count(*) AS n
+          FROM e GROUP BY 1, 2),
+        o AS (SELECT bar_start, event_type, round(value, 4) AS bar_open
+          FROM r WHERE ra = 1),
+        c AS (SELECT bar_start, event_type, round(value, 4) AS bar_close
+          FROM r WHERE rd = 1)
+        SELECT a.bar_start, a.event_type, o.bar_open, a.bar_high,
+          a.bar_low, c.bar_close, a.n
+        FROM a
+        JOIN o ON o.bar_start = a.bar_start AND o.event_type = a.event_type
+        JOIN c ON c.bar_start = a.bar_start AND c.event_type = a.event_type
+        ORDER BY a.bar_start, a.event_type""",
     // the plain join — salting must be invisible in the result
     "q_skew_join" ->
       """WITH l AS (SELECT l_orderkey, l_linenumber,

@@ -1691,6 +1691,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of forward/tolerance and OHLC bars: mirror carry, bounded matches, tie-deterministic bars (r12)") {
+    import spark.implicits._
+    import graft.operators.{AsOfJoin, TimeSeries}
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val left = Seq((1L, 7L, ts(100)), (2L, 7L, ts(500)), (3L, 7L, ts(5000)))
+      .toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, 7L, ts(100), 1.0),  // coincident with lid 1
+      (11L, 7L, ts(100), 2.0),  // same instant — tiebreak decides
+      (12L, 7L, ts(600), 3.0))
+      .toDF("rid", "k", "rt", "v")
+    // forward: lid 1 matches the COINCIDENT rows (≥), least tiebreak
+    // (rid 10); lid 2 matches rid 12; lid 3 has nothing ahead
+    val fwd = AsOfJoin(left, right, "k", "k", "t", "rt", "rid", Seq("rid", "v"),
+        direction = "forward")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(fwd(1L) == Some(10L), s"forward tie must take least tiebreak: $fwd")
+    assert(fwd(2L) == Some(12L) && fwd(3L) == None)
+    // backward keeps the documented greatest-tiebreak semantics
+    val bwd = AsOfJoin(left, right, "k", "k", "t", "rt", "rid", Seq("rid", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(bwd(1L) == Some(11L), s"backward tie must take greatest tiebreak: $bwd")
+    // tolerance: lid 2's forward match sits 100 s ahead — a 50 s bound
+    // nulls it, a 200 s bound keeps it
+    val tight = AsOfJoin(left, right, "k", "k", "t", "rt", "rid", Seq("rid"),
+        direction = "forward", toleranceUs = Some(50L * 1000000L))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(tight(2L), "50s tolerance must null the 100s-ahead match")
+    assert(!tight(1L), "a coincident match always survives tolerance")
+    intercept[IllegalArgumentException] {
+      AsOfJoin(left, right, "k", "k", "t", "rt", "rid", Nil, direction = "sideways")
+    }
+    // OHLC: open/close break timestamp ties by id
+    val ev = Seq(
+      (1L, ts(10), "a", 5.0), (2L, ts(10), "a", 7.0), // tied open
+      (3L, ts(90), "a", 1.0), (4L, ts(90), "a", 9.0)) // tied close
+      .toDF("event_id", "ts", "g", "value")
+    val bar = TimeSeries.ohlcBars(ev, "ts", "event_id", "value",
+      groupCols = Seq("g"), barWidth = "1 hour").head()
+    assert(bar.getAs[Double]("bar_open") == 5.0)   // id 1 wins the tie
+    assert(bar.getAs[Double]("bar_close") == 9.0)  // id 4 wins the tie
+    assert(bar.getAs[Double]("bar_high") == 9.0 &&
+      bar.getAs[Double]("bar_low") == 1.0 && bar.getAs[Long]("n") == 4)
+  }
+
   test("wordpiece: likelihood criterion diverges from raw counts; greedy encode is longest-match, code-point safe (r12)") {
     import spark.implicits._
     import graft.operators.{Bpe, Wordpiece}
