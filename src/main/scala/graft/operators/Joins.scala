@@ -44,7 +44,10 @@ object Joins {
       .join(broadcast(heavy), col(key) === col("__hk"), "left")
       .withColumn("__salt",
         when(col("__hk").isNotNull,
-          pmod(Sampling.hash48(col(leftIdCol), "skew-salt"), lit(salts.toLong)))
+          // null ids hash to null — coalesce to salt 0 so the row still
+          // joins (unsalted) instead of silently vanishing
+          coalesce(pmod(Sampling.hash48(col(leftIdCol), "skew-salt"),
+            lit(salts.toLong)), lit(0L)))
           .otherwise(lit(0L)))
       .drop("__hk")
     val r = right

@@ -33,8 +33,10 @@ object RangeJoin {
       s"range join: bucketWidth must be positive, got $bucketWidth")
     require(maxBucketsPerInterval > 0,
       s"range join: maxBucketsPerInterval must be positive")
+    // integral division (`div`), not `/`: the double path is only exact
+    // below 2^53 and would silently mis-bucket epoch-ns points
     def bucketOf(c: Column): Column =
-      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+      call_function("div", c - pmod(c, lit(bucketWidth)), lit(bucketWidth))
     val checkedStart = when(col(endCol) < col(startCol), raise_error(concat(
         lit(s"range join: interval end '$endCol' < start '$startCol' ("),
         col(endCol), lit(" < "), col(startCol), lit(")"))))

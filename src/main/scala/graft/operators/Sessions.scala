@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  /** epoch µs of the event time — the arithmetic both engines share */
-  private def tsUs(tsCol: String): Column = unix_micros(col(tsCol))
+  /** epoch µs of the event time — the arithmetic both engines share.
+    * NTZ columns cast to the instant type first (digit-preserving under
+    * the engine's UTC session) so a SESSIONIZE over an NTZ table works. */
+  private def tsUs(tsCol: String): Column =
+    unix_micros(col(tsCol).cast("timestamp"))
 
   /** events + `session_seq` (1-based per user, in time order): a new
     * session starts where the gap from the previous event exceeds

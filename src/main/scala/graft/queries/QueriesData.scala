@@ -1891,9 +1891,11 @@ object QueriesData {
       val ev = Tables.load(s, dir, "events")
       // global ts rank → `slices` contiguous ranges; the rank window is
       // single-partition but runs once, on the staging table, at test SF
+      // checkpoint: the global rank window would otherwise re-run per slice
       val sliced = ev.withColumn("__rn",
           org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+        .localCheckpoint()
       val n = sliced.count()
       (0 until slices).foreach { i =>
         val lo = i * n / slices

@@ -1827,6 +1827,13 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Joins.skewJoin(left, right, "jkey", "lid", salts = 1)
     }
+    // a heavy-key row with a NULL id still joins (salt 0), never vanishes
+    val nullId = left.select(
+      when(col("lid") === 0L, lit(null).cast("long")).otherwise(col("lid")).as("lid"),
+      col("jkey"))
+    val gotNull = Joins.skewJoin(nullId, right, "jkey", "lid",
+      salts = 4, heavyThreshold = 100L).count()
+    assert(gotNull == plain.size, "null-id fact row lost in the salted join")
     // bloom semi join: exact semi-join result, and the prefilter
     // actually prunes (selective build side → most probe rows drop
     // before the confirm join)
