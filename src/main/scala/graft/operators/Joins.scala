@@ -77,14 +77,13 @@ object Joins {
       val pos = row.getLong(0)
       words(pos.toInt >> 6) |= 1L << (pos.toInt & 63)
     }
-    val wordsLit = typedLit(words.toSeq)
-    val pass = (0 until k).map { i =>
-      val pos = Sampling.hashBucket(col(key), s"bloom-$i", m)
-      val word = element_at(wordsLit, (pos / lit(64L)).cast("int") + 1)
-      val mask = call_function("shiftleft", lit(1L),
-        pmod(pos, lit(64L)).cast("int"))
-      word.bitwiseAND(mask) =!= 0
-    }.reduce(_ && _)
+    // the k bit tests run inside ONE codegen kernel whose single child
+    // is the 48-bit hash — so the md5 evaluates exactly once per probe
+    // row (a composed built-in predicate inlines the digest per
+    // occurrence: FilterExec does no subexpression elimination, and
+    // the measured cost was 12 digests/row)
+    val pass = graft.functions.SketchExprs.bloom_test(
+      Sampling.hash48(col(key), Sketches.bloomSalt), words, m, k)
     left.filter(pass)
       .join(right.select(col(key)).distinct(), Seq(key), "left_semi")
   }

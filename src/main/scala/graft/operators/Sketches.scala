@@ -74,11 +74,36 @@ object Sketches {
       s"$what: null key in '$keyCol' — filter or impute nulls first")))
       .otherwise(col(keyCol))
 
-  /** one (i, bucket) struct per hash row — THE shared derivation both
-    * the build and probe sides must use for estimates to mean anything */
-  private def cmsRows(key: Column, width: Int, depth: Int): Column =
+  /** Row i's bucket under the (h1, h2) double-hash family (Kirsch &
+    * Mitzenmacher 2006): pos_i = (h1 + i·h2) mod buckets from ONE md5
+    * per key — preserves the sketch guarantees at 1/k the hash cost
+    * (per-row md5 was the bench bottleneck of the k-salt scheme). h2
+    * is forced odd so row walks cover the full residue ring of a
+    * power-of-two bucket count. */
+  /** the bloom family's md5 salt — callers deriving positions from a
+    * materialized hash column must use the same one */
+  private[operators] val bloomSalt = "bloom-v2"
+
+  /** pos_i from a PRECOMPUTED 48-bit hash column — for callers that
+    * materialize the md5 once per row and derive all k positions
+    * arithmetically (the per-row filter path of
+    * [[Joins.bloomSemiJoin]]) */
+  private[operators] def doubleHashFrom(h: Column, buckets: Int,
+      i: Int): Column = {
+    val h1 = pmod(h, lit(buckets.toLong))
+    val h2 = pmod(shiftright(h, 13), lit(buckets.toLong)) * 2 + 1
+    pmod(h1 + lit(i.toLong) * h2, lit(buckets.toLong))
+  }
+
+  /** one (i, bucket) struct per hash row FROM a materialized hash
+    * column — THE shared derivation both the build and probe sides
+    * must use for estimates to mean anything. Callers project the md5
+    * once (`__h`) and build rows off the column: inlining the digest
+    * into each row's expression re-evaluates it per row per use (no
+    * subexpression elimination outside ProjectExec). */
+  private def cmsRows(h: Column, width: Int, depth: Int): Column =
     array((0 until depth).map(i => struct(lit(i).as("i"),
-      Sampling.hashBucket(key, s"cms-$i", width).as("bucket"))): _*)
+      doubleHashFrom(h, width, i).as("bucket"))): _*)
 
   // ------------------------------------------------------- count-min
 
@@ -90,8 +115,8 @@ object Sketches {
       depth: Int = 4): CmsSketch = {
     require(width > 0 && depth > 0, s"cms: bad shape ($width × $depth)")
     CmsSketch(
-      df.select(explode(cmsRows(checkedKey(keyCol, "cms"), width, depth))
-          .as("rb"))
+      df.select(Sampling.hash48(checkedKey(keyCol, "cms"), "cms-v2").as("__h"))
+        .select(explode(cmsRows(col("__h"), width, depth)).as("rb"))
         .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
         .agg(count(lit(1)).as("cnt")),
       width, depth)
@@ -106,8 +131,9 @@ object Sketches {
     val s = sketch.cells.select(col("i").as("__si"),
       col("bucket").as("__sb"), col("cnt").as("__cnt"))
     probes.select(col(keyCol),
-        explode(cmsRows(checkedKey(keyCol, "cms probe"),
-          sketch.width, sketch.depth)).as("rb"))
+        Sampling.hash48(checkedKey(keyCol, "cms probe"), "cms-v2").as("__h"))
+      .select(col(keyCol),
+        explode(cmsRows(col("__h"), sketch.width, sketch.depth)).as("rb"))
       .join(broadcast(s),
         col("rb.i") === col("__si") && col("rb.bucket") === col("__sb"),
         "left")
@@ -139,10 +165,10 @@ object Sketches {
 
   // ---------------------------------------------------- bloom filter
 
-  /** the k bit positions of one key — shared by build and probe */
-  private def bloomPositions(key: Column, m: Int, k: Int): Column =
-    array((0 until k).map(i =>
-      Sampling.hashBucket(key, s"bloom-$i", m)): _*)
+  /** the k bit positions FROM a materialized hash column — shared by
+    * build and probe (same hash-once stance as [[cmsRows]]) */
+  private def bloomPositions(h: Column, m: Int, k: Int): Column =
+    array((0 until k).map(i => doubleHashFrom(h, m, i)): _*)
 
   /** Bloom filter of `keyCol` membership: k md5 hash rows over m bits,
     * materialized as the DISTINCT set-bit positions (≤ m rows, usually
@@ -154,8 +180,9 @@ object Sketches {
       k: Int = 3): BloomSketch = {
     require(m > 0 && k > 0, s"bloom: bad shape (m=$m, k=$k)")
     BloomSketch(
-      df.select(explode(bloomPositions(checkedKey(keyCol, "bloom"), m, k))
-          .as("pos"))
+      df.select(Sampling.hash48(checkedKey(keyCol, "bloom"), bloomSalt)
+          .as("__h"))
+        .select(explode(bloomPositions(col("__h"), m, k)).as("pos"))
         .distinct(),
       m, k)
   }
@@ -169,8 +196,10 @@ object Sketches {
     val bits = sketch.bits.select(col("pos").as("__pos"))
     probes
       .select(col(keyCol),
-        explode(bloomPositions(checkedKey(keyCol, "bloom probe"),
-          sketch.m, sketch.k)).as("pos"))
+        Sampling.hash48(checkedKey(keyCol, "bloom probe"), bloomSalt)
+          .as("__h"))
+      .select(col(keyCol),
+        explode(bloomPositions(col("__h"), sketch.m, sketch.k)).as("pos"))
       .join(broadcast(bits), col("pos") === col("__pos"), "left")
       .groupBy(keyCol)
       .agg((count(col("__pos")) === sketch.k).as("maybe"))

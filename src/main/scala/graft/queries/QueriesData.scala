@@ -3744,15 +3744,18 @@ object QueriesData {
     "q_sketch_cms" ->
       """WITH k AS (SELECT l_partkey % 97 AS key FROM lineitem),
         d AS (SELECT unnest(range(3)) AS i),
+        h AS (SELECT key, md5_number_lower(CAST(key AS VARCHAR) || 'cms-v2')
+            % 281474976710656 AS hv FROM k),
         cells AS (SELECT d.i,
-            (md5_number_lower(CAST(k.key AS VARCHAR) || 'cms-' || CAST(d.i AS VARCHAR))
-              % 281474976710656) % 256 AS bucket, count(*) AS cnt
-          FROM k CROSS JOIN d GROUP BY 1, 2),
+            (hv % 256 + d.i * ((hv // 8192) % 256 * 2 + 1)) % 256 AS bucket,
+            count(*) AS cnt
+          FROM h CROSS JOIN d GROUP BY 1, 2),
         probes AS (SELECT DISTINCT key FROM k),
+        ph AS (SELECT key, md5_number_lower(CAST(key AS VARCHAR) || 'cms-v2')
+            % 281474976710656 AS hv FROM probes),
         pe AS (SELECT p.key, d.i,
-            (md5_number_lower(CAST(p.key AS VARCHAR) || 'cms-' || CAST(d.i AS VARCHAR))
-              % 281474976710656) % 256 AS bucket
-          FROM probes p CROSS JOIN d)
+            (hv % 256 + d.i * ((hv // 8192) % 256 * 2 + 1)) % 256 AS bucket
+          FROM ph p CROSS JOIN d)
         SELECT pe.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
         FROM pe LEFT JOIN cells c ON c.i = pe.i AND c.bucket = pe.bucket
         GROUP BY pe.key ORDER BY pe.key""",
@@ -3775,15 +3778,17 @@ object QueriesData {
       """WITH i AS (SELECT unnest(range(3)) AS i),
         build AS (SELECT DISTINCT l_orderkey AS key FROM lineitem
           WHERE l_orderkey % 2 = 0),
+        bh AS (SELECT key, md5_number_lower(CAST(key AS VARCHAR) || 'bloom-v2')
+            % 281474976710656 AS hv FROM build),
         bits AS (SELECT DISTINCT
-            (md5_number_lower(CAST(b.key AS VARCHAR) || 'bloom-' || CAST(i.i AS VARCHAR))
-              % 281474976710656) % 65536 AS pos
-          FROM build b CROSS JOIN i),
+            (hv % 65536 + i.i * ((hv // 8192) % 65536 * 2 + 1)) % 65536 AS pos
+          FROM bh CROSS JOIN i),
         probes AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+        ph AS (SELECT key, md5_number_lower(CAST(key AS VARCHAR) || 'bloom-v2')
+            % 281474976710656 AS hv FROM probes),
         pe AS (SELECT p.key,
-            (md5_number_lower(CAST(p.key AS VARCHAR) || 'bloom-' || CAST(i.i AS VARCHAR))
-              % 281474976710656) % 65536 AS pos
-          FROM probes p CROSS JOIN i)
+            (hv % 65536 + i.i * ((hv // 8192) % 65536 * 2 + 1)) % 65536 AS pos
+          FROM ph p CROSS JOIN i)
         SELECT pe.key, count(b.pos) = 3 AS maybe
         FROM pe LEFT JOIN bits b ON b.pos = pe.pos
         GROUP BY pe.key ORDER BY pe.key""",
