@@ -544,21 +544,40 @@ object CuratePipeline {
           .select(df.columns.map(col) :+ col("chunk_idx")
             :+ col("n_chunk_tokens"): _*)
       case "tokenize" =>
-        // text → BPE token ids against a fixed merge table (inline
-        // `merges` pairs or a merges.txt-style artifact at
-        // `merges_path` — the trained-vocab handoff): APPENDS
-        // token_ids + n_bpe_tokens to the row. The id vocabulary is
-        // corpus-relative (characters ranked over the CURRENT stage
-        // input + merges, like the other model-based stages); encode
+        // text → token ids: APPENDS token_ids (+ a count column) to the
+        // row. `algo: bpe` (default) encodes against a fixed merge
+        // table (inline `merges` pairs or a merges.txt-style artifact
+        // at `merges_path` — the trained-vocab handoff); `algo:
+        // wordpiece` greedy-longest-matches against a fixed `pieces`
+        // array. Either way the id vocabulary is corpus-relative
+        // (characters ranked over the CURRENT stage input + the
+        // pieces/products, like the other model-based stages); encode
         // itself is a map-only codegen pass, and the vocab rides as a
-        // driver-bounded broadcast literal (alphabet + merge count).
-        val merges = mergesOf(st)
+        // driver-bounded broadcast literal (alphabet + piece count).
         val lower = bool(st, "lower", default = true)
-        val vocabIds = graft.operators.Bpe.vocab(df, textCol, merges, lower)
-          .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
-        val ids = graft.operators.Bpe
-          .encodeIds(df, textCol, idCol, merges, vocabIds, lower)
-          .select(col("doc_id").as(idCol), col("token_ids"), col("n_bpe_tokens"))
+        val ids = strOr(st, "algo", "bpe") match {
+          case "bpe" =>
+            val merges = mergesOf(st)
+            val vocabIds = graft.operators.Bpe.vocab(df, textCol, merges, lower)
+              .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+            graft.operators.Bpe
+              .encodeIds(df, textCol, idCol, merges, vocabIds, lower)
+              .select(col("doc_id").as(idCol), col("token_ids"),
+                col("n_bpe_tokens"))
+          case "wordpiece" =>
+            val pieces = strSeq(st, "pieces", Nil)
+            if (pieces.isEmpty) throw new DslException(
+              "tokenize: algo wordpiece needs a non-empty 'pieces' array")
+            val vocabIds = graft.operators.Wordpiece
+              .vocab(df, textCol, pieces, lower)
+              .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+            graft.operators.Wordpiece
+              .encodeIds(df, textCol, idCol, pieces, vocabIds, lower)
+              .select(col("doc_id").as(idCol), col("token_ids"),
+                col("n_wp_tokens"))
+          case other => throw new DslException(
+            s"tokenize: unknown algo '$other' (bpe|wordpiece)")
+        }
         df.join(ids, Seq(idCol))
       case "pack" =>
         // terminal trainer-feed stage: concatenate token_ids in idCol

@@ -88,4 +88,30 @@ object Wordpiece {
         TextExprs.wp_encode(col(textCol), vocab, lower).as("e"))
       .select(col("doc_id"), col("e.enc").as("wp_text"),
         col("e.n_syms").cast("long").as("n_wp_tokens"))
+
+  /** The id vocabulary a WordPiece tokenizer ships: the corpus's
+    * distinct characters take 0..C−1 in lexicographic order (the char
+    * fallback is always encodable), the pieces take C+i — the same id
+    * contract as [[Bpe.vocab]], with pieces in place of merge
+    * products. */
+  def vocab(df: DataFrame, textCol: String, pieces: Seq[String],
+      lower: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = Bpe.vocab(df, textCol, Nil, lower)
+    val nChars = chars.count()
+    chars.unionByName(pieces.zipWithIndex
+      .map { case (p, i) => (nChars + i, p, "piece") }
+      .toDF("token_id", "symbol", "kind"))
+  }
+
+  /** text → token ids: [[encode]]'s symbol stream mapped through the
+    * [[vocab]] ids (same map-only id pass as [[Bpe.encodeIds]]; symbols
+    * outside the vocab take −1). */
+  def encodeIds(df: DataFrame, textCol: String, idCol: String,
+      pieces: Seq[String], vocabIds: Map[String, Long],
+      lower: Boolean = true): DataFrame =
+    encode(df, textCol, idCol, pieces, lower)
+      .withColumn("token_ids", TextExprs.bpe_ids(col("wp_text"), vocabIds))
+      .select(col("doc_id"), col("token_ids"), col("n_wp_tokens"))
 }

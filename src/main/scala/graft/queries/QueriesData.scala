@@ -1108,6 +1108,25 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- WordPiece through CURATE to trainer sequences: tokenize
+    // (algo=wordpiece, greedy longest-match ids over chars+pieces)
+    // then pack — the second tokenizer family reaching the terminal
+    // trainer-feed stage; the oracle chains the recursive segmentation
+    // walk, the vocab id map, and the shared pack CTEs
+    "q_curate_wordpiece" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.compile(
+          Tables.load(s, dir, "documents"),
+          """{"stages": [
+            {"op": "tokenize", "algo": "wordpiece",
+             "pieces": ["the", "and", "ing", "er", "th", "in", "an",
+                        "re", "he", "at"]},
+            {"op": "pack", "seq_len": 64}]}""")
+        .select(col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")),
+            " ").cast("binary")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    },
+
     // ---- C4 line+document cleaning (Raffel et al. 2020 §2.2): the
     // public rules, byte-replayable — terminal punctuation, ≥3 words,
     // javascript / lorem ipsum / '{' blocklist, ≥5-sentence doc gate
@@ -4127,6 +4146,53 @@ object QueriesData {
            coalesce(a.wp_md5, md5('')) AS wp_md5
          FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    // the recursive longest-match walk, the chars+pieces id map, then
+    // the shared pack CTEs over the same docids shape
+    "q_curate_wordpiece" ->
+      raw"""WITH RECURSIVE d AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         wl AS (SELECT doc_id, i AS widx, ws[i] AS w
+           FROM d, unnest(range(1, len(ws) + 1)) t(i)),
+         dw AS (SELECT DISTINCT w FROM wl),
+         seg AS (
+           SELECT w, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc FROM dw
+           UNION ALL
+           SELECT w,
+             pos + CASE WHEN substr(w, CAST(pos AS INT), 3) IN ('the','and','ing') THEN 3
+                        WHEN substr(w, CAST(pos AS INT), 2) IN ('er','th','in','an','re','he','at') THEN 2
+                        ELSE 1 END,
+             (CASE WHEN acc = '' THEN '' ELSE acc || ' ' END) ||
+               substr(w, CAST(pos AS INT),
+                 CASE WHEN substr(w, CAST(pos AS INT), 3) IN ('the','and','ing') THEN 3
+                      WHEN substr(w, CAST(pos AS INT), 2) IN ('er','th','in','an','re','he','at') THEN 2
+                      ELSE 1 END)
+           FROM seg WHERE pos <= len(w)),
+         wseg AS (SELECT w, acc FROM seg WHERE pos = len(w) + 1),
+         chars AS (SELECT DISTINCT substr(w, i, 1) AS symbol
+                   FROM dw, unnest(range(1, len(w) + 1)) t(i)),
+         ranked AS (SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+                      AS token_id, symbol FROM chars),
+         cc AS (SELECT count(*) AS n FROM chars),
+         pc AS (SELECT CAST(cc.n + v.rk AS BIGINT) AS token_id, v.s AS symbol
+                FROM cc, (VALUES (0, 'the'), (1, 'and'), (2, 'ing'),
+                                 (3, 'er'), (4, 'th'), (5, 'in'), (6, 'an'),
+                                 (7, 're'), (8, 'he'), (9, 'at')) AS v(rk, s)),
+         vocab AS (SELECT token_id, symbol FROM ranked
+                   UNION ALL SELECT token_id, symbol FROM pc),
+         vm AS (SELECT map(list(symbol ORDER BY token_id),
+                           list(token_id ORDER BY token_id)) AS m FROM vocab),
+         docsyms AS (SELECT wl.doc_id, wl.widx, string_split(ws2.acc, ' ') AS syms
+           FROM wl JOIN wseg ws2 ON ws2.w = wl.w),
+         docsy AS (SELECT doc_id, widx, generate_subscripts(syms, 1) AS si,
+                          unnest(syms) AS s FROM docsyms),
+         withid AS (SELECT doc_id, widx, si, coalesce(vm.m[s][1], -1) AS id
+           FROM docsy, vm),
+         docids AS (SELECT doc_id, list(id ORDER BY widx, si) AS ids
+           FROM withid GROUP BY doc_id),
+         $packCtes
+         SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
     // the identical rank-ordered replace chain per word ('|' separators
     // keep merges inside word boundaries), then symbol tally + md5
     "q_bpe_encode" ->

@@ -468,6 +468,34 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("above|below"))
   }
 
+  test("curate tokenize algo=wordpiece: greedy ids feed pack; bad algo/pieces are loud (r12)") {
+    import spark.implicits._
+    import graft.dsl.CuratePipeline
+    val docs = Seq((1L, "the theater"), (2L, "in and out"))
+      .toDF("doc_id", "text")
+    val out = CuratePipeline.compile(docs,
+      """{"stages": [{"op": "tokenize", "algo": "wordpiece",
+           "pieces": ["the", "at", "er", "in", "and"]}]}""")
+      .orderBy("doc_id").collect()
+    // chars of the corpus rank 0..C-1; 'the' = id C, 'at' = C+1, …
+    // doc 1: the | the at er → 4 pieces; doc 2: in | and | o u t → 5
+    assert(out(0).getAs[Long]("n_wp_tokens") == 4L)
+    assert(out(1).getAs[Long]("n_wp_tokens") == 5L)
+    val ids1 = out(0).getSeq[Long](out(0).fieldIndex("token_ids"))
+    assert(ids1.length == 4 && ids1(0) == ids1(1), s"both 'the' share one id: $ids1")
+    assert(!ids1.contains(-1L), "every piece/char must be in-vocab")
+    val e = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(docs,
+        """{"stages": [{"op": "tokenize", "algo": "wordpiece"}]}""")
+    }
+    assert(e.getMessage.contains("pieces"))
+    val e2 = intercept[graft.dsl.JsonQuery.DslException] {
+      CuratePipeline.compile(docs,
+        """{"stages": [{"op": "tokenize", "algo": "sentencepiece"}]}""")
+    }
+    assert(e2.getMessage.contains("unknown algo"))
+  }
+
   test("curate DSL v2 stages: dedup/decontaminate/quality/sampling compose") {
     import spark.implicits._
     import graft.dsl.CuratePipeline
