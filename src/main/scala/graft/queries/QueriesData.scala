@@ -579,6 +579,35 @@ object QueriesData {
         .orderBy($"day", $"event_type")
     },
 
+    // ---- streaming OHLC: the BATCH downsampler applied unchanged to
+    // the stream — open/close ride struct min/max, which merge
+    // associatively across micro-batches, so the bars are
+    // trigger-split invariant by construction and the batch oracle
+    // replays them exactly (the batch/stream unification the
+    // one-pass-agg design buys)
+    "q_stream_ohlc" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      val staged = stageOrderedEventsOnce(s, dir)
+      val stream = s.readStream
+        .schema(graft.streaming.EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+        .withWatermark("ts", "40 days")
+      val bars = graft.operators.TimeSeries.ohlcBars(
+        stream, "ts", "event_id", "value",
+        groupCols = Seq("event_type"), barWidth = "1 day")
+      val qn = "stream_ohlc_gate"
+      val q = graft.streaming.EventStreams.runToMemory(s, bars, qn)
+      q.stop()
+      s.table(qn).select(
+          $"bar_start".cast(TimestampNTZType).as("bar_start"),
+          $"event_type", round($"bar_open", 4).as("bar_open"),
+          round($"bar_high", 4).as("bar_high"),
+          round($"bar_low", 4).as("bar_low"),
+          round($"bar_close", 4).as("bar_close"), $"n")
+        .orderBy($"bar_start", $"event_type")
+    },
+
     // ---- streaming sessionization: the flatMapGroupsWithState state
     // machine over a ts-ordered 6-file replay (one file per trigger);
     // the sink holds every CLOSED session — each user's final session
@@ -2877,6 +2906,29 @@ object QueriesData {
 
   /** the token-packing window replay over `docids` (seqLen 64) —
     * shared by q_pack_token_ids and the curation v4 oracle */
+  private val ohlcOracle: String =
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+            AS bar_start, event_type, ts, event_id, value FROM events),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY bar_start, event_type
+              ORDER BY ts, event_id) AS ra,
+            row_number() OVER (PARTITION BY bar_start, event_type
+              ORDER BY ts DESC, event_id DESC) AS rd
+          FROM e),
+        a AS (SELECT bar_start, event_type, round(max(value), 4) AS bar_high,
+            round(min(value), 4) AS bar_low, count(*) AS n
+          FROM e GROUP BY 1, 2),
+        o AS (SELECT bar_start, event_type, round(value, 4) AS bar_open
+          FROM r WHERE ra = 1),
+        c AS (SELECT bar_start, event_type, round(value, 4) AS bar_close
+          FROM r WHERE rd = 1)
+        SELECT a.bar_start, a.event_type, o.bar_open, a.bar_high,
+          a.bar_low, c.bar_close, a.n
+        FROM a
+        JOIN o ON o.bar_start = a.bar_start AND o.event_type = a.event_type
+        JOIN c ON c.bar_start = a.bar_start AND c.event_type = a.event_type
+        ORDER BY a.bar_start, a.event_type"""
+
   private val packCtes: String =
     """offs AS (SELECT doc_id, ids,
              coalesce(sum(len(ids)) OVER (ORDER BY doc_id
@@ -3570,29 +3622,10 @@ object QueriesData {
         SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
         FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
         ORDER BY ev.event_id""",
+    // the batch bars — struct min/max merge makes the stream identical
+    "q_stream_ohlc" -> ohlcOracle,
     // first/last by (ts, event_id) + extremes per (day, type)
-    "q_ohlc_bars" ->
-      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
-            AS bar_start, event_type, ts, event_id, value FROM events),
-        r AS (SELECT *,
-            row_number() OVER (PARTITION BY bar_start, event_type
-              ORDER BY ts, event_id) AS ra,
-            row_number() OVER (PARTITION BY bar_start, event_type
-              ORDER BY ts DESC, event_id DESC) AS rd
-          FROM e),
-        a AS (SELECT bar_start, event_type, round(max(value), 4) AS bar_high,
-            round(min(value), 4) AS bar_low, count(*) AS n
-          FROM e GROUP BY 1, 2),
-        o AS (SELECT bar_start, event_type, round(value, 4) AS bar_open
-          FROM r WHERE ra = 1),
-        c AS (SELECT bar_start, event_type, round(value, 4) AS bar_close
-          FROM r WHERE rd = 1)
-        SELECT a.bar_start, a.event_type, o.bar_open, a.bar_high,
-          a.bar_low, c.bar_close, a.n
-        FROM a
-        JOIN o ON o.bar_start = a.bar_start AND o.event_type = a.event_type
-        JOIN c ON c.bar_start = a.bar_start AND c.event_type = a.event_type
-        ORDER BY a.bar_start, a.event_type""",
+    "q_ohlc_bars" -> ohlcOracle,
     // the plain join — salting must be invisible in the result
     "q_skew_join" ->
       """WITH l AS (SELECT l_orderkey, l_linenumber,
