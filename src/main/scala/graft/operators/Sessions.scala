@@ -94,4 +94,25 @@ object Sessions {
           when(col(s"step${i + 1}_us").isNotNull, 1L).otherwise(0L))
           .reduce(_ + _))
   }
+
+  /** The funnel rolled up to the conversion report: one row with the
+    * session count, how many sessions reached each step, and each
+    * step's conversion rate off the previous step (6 decimals; 0-base
+    * steps rate 0.0) — the table every funnel analysis ships. One
+    * aggregate over [[funnel]]'s output. */
+  def funnelReport(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], gapMinutes: Int): DataFrame = {
+    val f = funnel(events, userCol, tsCol, typeCol, steps, gapMinutes)
+    val aggs = count(lit(1)).as("n_sessions") +:
+      steps.indices.map(i =>
+        sum(when(col("steps_completed") > i, 1L).otherwise(0L))
+          .as(s"reached_${i + 1}"))
+    val base = f.agg(aggs.head, aggs.tail: _*)
+    steps.indices.foldLeft(base) { (acc, i) =>
+      val prev = if (i == 0) col("n_sessions") else col(s"reached_$i")
+      acc.withColumn(s"rate_${i + 1}",
+        when(prev > 0, round(col(s"reached_${i + 1}") / prev, 6))
+          .otherwise(lit(0.0)))
+    }
+  }
 }

@@ -338,6 +338,34 @@ object QueriesData {
         .orderBy($"bar_start", $"event_type")
     },
 
+    // ---- funnel conversion report: the funnel rolled up to one row —
+    // session count, sessions reaching each step, per-step conversion
+    // off the previous step
+    "q_funnel_report" -> { (s, dir) =>
+      graft.operators.Sessions.funnelReport(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"), gapMinutes = 480)
+    },
+
+    // ---- dyadic EWMA over daily close bars: α=½ smoothing where the
+    // whole computation is INTEGER (scaled values × power-of-two
+    // weights, exact long sums) — summation order cannot move a bit,
+    // so the oracle replays the smoothed series exactly; lag-capped
+    // self-join bounds the work per element
+    "q_ewma_bars" -> { (s, dir) =>
+      import s.implicits._
+      val bars = graft.operators.TimeSeries.ohlcBars(
+          Tables.load(s, dir, "events"), "ts", "event_id", "value",
+          groupCols = Seq("event_type"), barWidth = "1 day")
+        .select($"event_type", $"bar_start", $"bar_close")
+      graft.operators.TimeSeries.ewmaHalf(bars, Seq("event_type"),
+          "bar_start", "bar_close", maxLag = 40, scale = 100L)
+        .select($"event_type",
+          $"bar_start".cast(TimestampNTZType).as("bar_start"),
+          round($"bar_close", 4).as("bar_close"), $"ewma")
+        .orderBy($"event_type", $"bar_start")
+    },
+
     // ---- skew-resilient join: 3 hot keys own ~600 fact rows each
     // (the rest ~30); the CMS flags them, hot rows salt 8 ways, light
     // rows ride salt 0. The salting is an execution strategy — the
@@ -3608,6 +3636,71 @@ object QueriesData {
         SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
         FROM ev LEFT JOIN cand c ON c.event_id = ev.event_id AND c.rn = 1
         ORDER BY ev.event_id""",
+    // the same session chain rolled up to the one-row conversion table
+    "q_funnel_report" ->
+      """WITH l AS (SELECT user_id, ts, event_type, epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        s AS (SELECT user_id, event_type, us,
+            sum(CASE WHEN prev IS NULL OR us - prev > 28800000000 THEN 1
+                ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l),
+        base AS (SELECT DISTINCT user_id, CAST(sid AS BIGINT) AS sid FROM s),
+        f1 AS (SELECT b.user_id, b.sid, min(x.us) AS t1
+          FROM base b LEFT JOIN s x ON x.user_id = b.user_id
+            AND CAST(x.sid AS BIGINT) = b.sid AND x.event_type = 'view'
+          GROUP BY 1, 2),
+        f2 AS (SELECT f1.user_id, f1.sid, f1.t1, min(x.us) AS t2
+          FROM f1 LEFT JOIN s x ON x.user_id = f1.user_id
+            AND CAST(x.sid AS BIGINT) = f1.sid AND x.event_type = 'click'
+            AND x.us > coalesce(f1.t1, 9223372036854775807)
+          GROUP BY 1, 2, 3),
+        f3 AS (SELECT f2.user_id, f2.sid, f2.t1, f2.t2, min(x.us) AS t3
+          FROM f2 LEFT JOIN s x ON x.user_id = f2.user_id
+            AND CAST(x.sid AS BIGINT) = f2.sid AND x.event_type = 'purchase'
+            AND x.us > coalesce(f2.t2, 9223372036854775807)
+          GROUP BY 1, 2, 3, 4),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+            CAST(sum(CASE WHEN t1 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS reached_1,
+            CAST(sum(CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS reached_2,
+            CAST(sum(CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS reached_3
+          FROM f3)
+        SELECT n_sessions, reached_1, reached_2, reached_3,
+          CASE WHEN n_sessions > 0
+            THEN round(CAST(reached_1 AS DOUBLE) / n_sessions, 6)
+            ELSE 0.0 END AS rate_1,
+          CASE WHEN reached_1 > 0
+            THEN round(CAST(reached_2 AS DOUBLE) / reached_1, 6)
+            ELSE 0.0 END AS rate_2,
+          CASE WHEN reached_2 > 0
+            THEN round(CAST(reached_3 AS DOUBLE) / reached_2, 6)
+            ELSE 0.0 END AS rate_3
+        FROM agg""",
+    // the same integer EWMA: scaled close values, power-of-two weight
+    // shifts, exact long sums, one final division
+    "q_ewma_bars" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+            AS bar_start, event_type, ts, event_id, value FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY bar_start, event_type
+            ORDER BY ts DESC, event_id DESC) AS rd FROM e),
+        c AS (SELECT bar_start, event_type, value AS bar_close
+          FROM r WHERE rd = 1),
+        b AS (SELECT event_type, bar_start, bar_close,
+            row_number() OVER (PARTITION BY event_type ORDER BY bar_start) AS rn,
+            CAST(round(bar_close * 100) AS BIGINT) AS v
+          FROM c),
+        j AS (SELECT t.event_type, t.bar_start, t.bar_close,
+            i.v AS vi, t.rn - i.rn AS k
+          FROM b t JOIN b i ON i.event_type = t.event_type
+            AND i.rn <= t.rn AND i.rn > t.rn - 41),
+        a AS (SELECT event_type, bar_start, bar_close,
+            sum(vi * (CAST(1 AS BIGINT) << (40 - k))) AS num,
+            sum(CAST(1 AS BIGINT) << (40 - k)) AS den
+          FROM j GROUP BY 1, 2, 3)
+        SELECT event_type, bar_start, round(bar_close, 4) AS bar_close,
+          round(num / (den * 100.0), 6) AS ewma
+        FROM a ORDER BY event_type, bar_start""",
     // the forward window: earliest order ≥ ts within 30 days, least
     // orderkey on date ties
     "q_asof_forward" ->

@@ -1738,6 +1738,48 @@ class OperatorsSpec extends AnyFunSuite {
       bar.getAs[Double]("bar_low") == 1.0 && bar.getAs[Long]("n") == 4)
   }
 
+  test("ewma + funnel report: closed-form smoothing, lag cap honored, conversion rates add up (r12)") {
+    import spark.implicits._
+    import graft.operators.{Sessions, TimeSeries}
+    // constant series smooths to itself; a step series is closed-form:
+    // after the step at t3 of 0,0,10: ewma = 10·2^40/(2^40+2^39+2^38)
+    val series = Seq(("a", 1L, 0.0), ("a", 2L, 0.0), ("a", 3L, 10.0),
+      ("b", 1L, 7.0), ("b", 2L, 7.0))
+      .toDF("g", "t", "x")
+    val got = TimeSeries.ewmaHalf(series, Seq("g"), "t", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got(("b", 2L)) == 7.0, "constant series must smooth to itself")
+    val expected = BigDecimal(10.0 * (1L << 40) /
+      ((1L << 40) + (1L << 39) + (1L << 38)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("a", 3L)) == expected, s"step smoothing: ${got(("a", 3L))} != $expected")
+    // lag cap: with maxLag=1 only the previous row contributes
+    val capped = TimeSeries.ewmaHalf(series, Seq("g"), "t", "x", maxLag = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // t3 sees rows 2..3: (10·2 + 0·1)/3 = 6.666667
+    assert(capped(("a", 3L)) == 6.666667, s"lag cap: ${capped(("a", 3L))}")
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaHalf(series, Seq("g"), "t", "x", maxLag = 60)
+    }
+    // funnel report is the funnel's own tally
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(10), 1L, "click", 0.0),
+      (3L, ts(20), 1L, "purchase", 0.0),
+      (4L, ts(0), 2L, "view", 0.0), (5L, ts(10), 2L, "click", 0.0),
+      (6L, ts(0), 3L, "view", 0.0),
+      (7L, ts(0), 4L, "error", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rep = Sessions.funnelReport(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), gapMinutes = 10).head()
+    assert(rep.getAs[Long]("n_sessions") == 4)
+    assert(rep.getAs[Long]("reached_1") == 3 &&
+      rep.getAs[Long]("reached_2") == 2 && rep.getAs[Long]("reached_3") == 1)
+    assert(rep.getAs[Double]("rate_1") == 0.75 &&
+      rep.getAs[Double]("rate_2") == 0.666667 &&
+      rep.getAs[Double]("rate_3") == 0.5)
+  }
+
   test("wordpiece: likelihood criterion diverges from raw counts; greedy encode is longest-match, code-point safe (r12)") {
     import spark.implicits._
     import graft.operators.{Bpe, Wordpiece}
