@@ -111,7 +111,19 @@ object Bench {
         }
       else None
     val fwField = fwStages.map(s => s""","fineweb_stages":$s""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed$fwField,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed$fwField,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json records only a 2,000-char tail of
+    // stdout, which hides all but ~36 of the per-query times; persist
+    // the FULL line so round-over-round comparison sees every query
+    // (committed as bench_full_r{N}.json at certification)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "bench_full_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -371,12 +371,20 @@ object CuratePipeline {
         }
         val rate = int(st, "rate_per_m", 250000)
         val sk = Sketches.quantileSample(df, idCol, column, ratePerM = rate)
+        // the threshold frame is forced to EXACTLY one row (count + min
+        // over the estimate): an empty md5 sample (tiny corpus × low
+        // rate_per_m) would otherwise make the crossJoin silently drop
+        // the whole corpus — instead every surviving row raises loudly
         val thr = Sketches.quantileEstimate(sk, Seq(q))
-          .select(col("est").as("__thr"))
+          .agg(count(lit(1)).as("__thr_n"), min(col("est")).as("__thr"))
         val joined = df.crossJoin(broadcast(thr))
-        (if (keepAbove) joined.filter(col(column) >= col("__thr"))
-         else joined.filter(col(column) <= col("__thr")))
-          .drop("__thr")
+        val pred = if (keepAbove) col(column) >= col("__thr")
+                   else col(column) <= col("__thr")
+        joined.filter(
+            when(col("__thr_n") === 0, raise_error(lit(
+              s"quantile_filter: empty sample for '$column' — raise " +
+                s"rate_per_m (got $rate) or shrink q"))).otherwise(pred))
+          .drop("__thr", "__thr_n")
       case "embed_text" =>
         // deterministic signed-feature-hashing embedder (map-only,
         // md5-replayable): appends `out_col` so a downstream `semdedup`

@@ -179,12 +179,20 @@ object Bpe {
     val ranked = chars.withColumn("token_id",
       (row_number().over(Window.orderBy(col("symbol"))) - 1).cast("long"))
       .select(col("token_id"), col("symbol"), lit("char").as("kind"))
-    val nChars = chars.count()
-    import spark.implicits._
-    val mergeRows = merges.zipWithIndex
-      .map { case ((l, r), i) => (nChars + i, l + r, "merge") }
-      .toDF("token_id", "symbol", "kind")
-    ranked.unionByName(mergeRows)
+    if (merges.isEmpty) ranked
+    else {
+      // the char count stays a PLAN NODE (one-row frame broadcast under
+      // the merge rows) instead of a driver action — vocab() issues no
+      // job beyond the checkpoint itself (the NbClassifier stance)
+      val nChars = chars.agg(count(lit(1)).cast("long").as("__n"))
+      import spark.implicits._
+      val mergeRows = merges.zipWithIndex
+        .map { case ((l, r), i) => (l + r, i.toLong) }
+        .toDF("symbol", "__rk")
+      ranked.unionByName(mergeRows.crossJoin(broadcast(nChars))
+        .select((col("__n") + col("__rk")).as("token_id"), col("symbol"),
+          lit("merge").as("kind")))
+    }
   }
 
   /** Encode every document against a fixed merge table: map-only, one

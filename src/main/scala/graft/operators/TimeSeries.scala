@@ -22,27 +22,60 @@ object TimeSeries {
     * 2^{−40} weight is far below double ulp anyway) and bounds the
     * self-join at maxLag rows per element — designed for DOWNSAMPLED
     * series (bars), where rows per group are already bounded.
-    * Overflow guard: scale·max|x|·2^maxLag·(maxLag+1) must fit a long
-    * — loud at runtime via the exact integer sum. Output: groups…,
-    * `orderCol`, x, ewma (6 decimals). */
+    *
+    * Hard edges made LOUD (not silent) at runtime, inside the same
+    * window pass — no extra job:
+    *  - `groupCols` must be non-empty: an ungrouped form would plan the
+    *    rank self-join as a BroadcastNestedLoopJoin over the whole
+    *    series (the nested-loop shape [[RangeJoin]] exists to avoid);
+    *  - duplicate `orderCol` values within a group raise (the
+    *    row_number tie order would otherwise make lag distances — and
+    *    the EWMA — run-dependent);
+    *  - |x·scale| ≥ 2^(61−maxLag) raises (the exact long numerator
+    *    Σ v·2^(maxLag−lag) stays < 2^62 below it; Spark's default
+    *    non-ANSI sum(long) would wrap SILENTLY past that while the
+    *    oracle's HUGEINT keeps going).
+    * Output: groups…, `orderCol`, x, ewma (6 decimals). */
   def ewmaHalf(df: DataFrame, groupCols: Seq[String], orderCol: String,
       valueCol: String, maxLag: Int = 40, scale: Long = 100L): DataFrame = {
     require(maxLag >= 0 && maxLag <= 45,
       s"ewma: maxLag must be in [0, 45], got $maxLag")
     require(scale > 0, s"ewma: scale must be positive, got $scale")
+    require(groupCols.nonEmpty,
+      "ewma: groupCols must be non-empty — an ungrouped EWMA would plan " +
+        "the bounded-lag self-join as a nested loop over the whole series; " +
+        "add a series key (or a constant bucket column sized to the data)")
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val rn = row_number().over(
-      Window.partitionBy(g: _*).orderBy(col(orderCol)))
+    val w = Window.partitionBy(g: _*).orderBy(col(orderCol))
+    val rn = row_number().over(w)
+    // both guards fold into the __v projection so they can't be pruned;
+    // the lag rides the SAME window spec as row_number (one pass)
+    val vLimit = 1L << (61 - maxLag)
+    val vRaw = round(col("__x") * scale).cast("long")
+    val prevOrd = lag(col(orderCol), 1).over(w)
+    val v = when(prevOrd.isNotNull && prevOrd === col(orderCol),
+        raise_error(concat(
+          lit(s"ewma: duplicate '$orderCol' value within a group ("),
+          col(orderCol).cast("string"),
+          lit(") — the lag distances would be tie-order dependent; " +
+            "deduplicate or pre-aggregate the series first"))))
+      .when(abs(vRaw) >= vLimit,
+        raise_error(concat(
+          lit(s"ewma: |value|·scale exceeds 2^${61 - maxLag} ("),
+          vRaw.cast("string"),
+          lit(s") — the exact integer numerator would overflow a long; " +
+            s"lower scale or maxLag"))))
+      .otherwise(vRaw)
     val base = df.select(
       g ++ Seq(col(orderCol), col(valueCol).cast("double").as("__x")): _*)
       .withColumn("__rn", rn)
-      .withColumn("__v", round(col("__x") * scale).cast("long"))
+      .withColumn("__v", v)
     val r = base.select(
       groupCols.map(c => col(c).as(s"__g_$c")) ++
         Seq(col("__rn").as("__ri"), col("__v").as("__vi")): _*)
     val joinCond = groupCols.map(c => col(c) === col(s"__g_$c"))
-      .reduceOption(_ && _).getOrElse(lit(true)) &&
+      .reduce(_ && _) &&
       col("__ri") <= col("__rn") && col("__ri") > col("__rn") - (maxLag + 1)
     base.join(r, joinCond)
       .groupBy(g ++ Seq(col(orderCol), col("__x")): _*)

@@ -93,16 +93,29 @@ object Wordpiece {
     * distinct characters take 0..C−1 in lexicographic order (the char
     * fallback is always encodable), the pieces take C+i — the same id
     * contract as [[Bpe.vocab]], with pieces in place of merge
-    * products. */
+    * products. Pieces already present as corpus characters (or
+    * repeated in the piece list) are dropped before id assignment —
+    * every symbol maps to EXACTLY one token_id, so the encodeIds map
+    * can never resolve a collision by collect order. The char count
+    * rides as a one-row broadcast frame, not a driver action (the
+    * [[NbClassifier]] action-diet stance). */
   def vocab(df: DataFrame, textCol: String, pieces: Seq[String],
       lower: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val chars = Bpe.vocab(df, textCol, Nil, lower)
-    val nChars = chars.count()
-    chars.unionByName(pieces.zipWithIndex
-      .map { case (p, i) => (nChars + i, p, "piece") }
-      .toDF("token_id", "symbol", "kind"))
+    import org.apache.spark.sql.expressions.Window
+    val chars = Bpe.vocab(df, textCol, Nil, lower).localCheckpoint()
+    val nChars = chars.agg(count(lit(1)).cast("long").as("__n"))
+    val pieceDf = pieces.distinct.zipWithIndex
+      .map { case (p, i) => (p, i.toLong) }.toDF("symbol", "__rk")
+      .join(chars.select(col("symbol")), Seq("symbol"), "left_anti")
+    // re-rank the survivors densely in original piece order (bounded
+    // driver-provided list: the single-partition window is fine)
+    val reranked = pieceDf.withColumn("__r2",
+      (row_number().over(Window.orderBy(col("__rk"))) - 1).cast("long"))
+    chars.unionByName(reranked.crossJoin(broadcast(nChars))
+      .select((col("__n") + col("__r2")).as("token_id"), col("symbol"),
+        lit("piece").as("kind")))
   }
 
   /** text → token ids: [[encode]]'s symbol stream mapped through the

@@ -306,12 +306,15 @@ object Statements {
         val user = unquote(user0); val ts = unquote(ts0)
         Some(Option(type0) match {
           case Some(typeCol) =>
-            val steps = steps0.split(",").map { s =>
-              val t = s.trim
-              require(t.length >= 2 && t.startsWith("'") && t.endsWith("'"),
-                s"SESSIONIZE: FUNNEL steps must be quoted strings, got $t")
-              t.substring(1, t.length - 1).replace("''", "'")
-            }.toSeq
+            // tokenize QUOTED strings, not raw commas — a legitimate
+            // step containing a comma ('add,to,cart') must survive
+            val stepListRe =
+              "(?s)\\s*'(?:[^']|'')*'(?:\\s*,\\s*'(?:[^']|'')*')*\\s*"
+            require(steps0.matches(stepListRe),
+              s"SESSIONIZE: FUNNEL steps must be a comma-separated list " +
+                s"of quoted strings, got $steps0")
+            val steps = "'((?:[^']|'')*)'".r.findAllMatchIn(steps0)
+              .map(_.group(1).replace("''", "'")).toSeq
             graft.operators.Sessions.funnel(df, user, ts,
               unquote(typeCol), steps, gap.toInt)
           case None =>

@@ -671,6 +671,13 @@ class CatalogSpec extends AnyFunSuite {
         "FUNNEL event_type STEPS view, click")
     }
     assert(bad.getMessage.contains("quoted"))
+    // a step containing a comma survives the quoted tokenizer (ADVICE
+    // r12: the old raw split(",") broke it mid-token)
+    val comma = engine.sql("SESSIONIZE sess_src BY user_id ON ts GAP 10 " +
+      "MINUTES FUNNEL event_type STEPS 'add,to,cart', 'click'")
+    assert(comma.columns.contains("step2_us") &&
+      !comma.columns.contains("step3_us"),
+      s"comma step split: ${comma.columns.mkString(",")}")
     // super-user-gated like every engine statement
     assert(graft.sql.Statements.recognizes(
       "SESSIONIZE t BY u ON ts GAP 5 MINUTES"))

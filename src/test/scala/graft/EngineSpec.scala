@@ -466,6 +466,14 @@ class EngineSpec extends AnyFunSuite {
              "q": 0.5, "keep": "sideways"}]}""")
     }
     assert(e2.getMessage.contains("above|below"))
+    // an EMPTY md5 sample (tiny corpus × rate 1/1M) must raise loudly,
+    // never silently drop the whole corpus (ADVICE r12)
+    val e3 = intercept[Exception] {
+      CuratePipeline.compile(docs,
+        """{"stages": [{"op": "quantile_filter", "column": "len",
+             "q": 0.5, "rate_per_m": 1}]}""").collect()
+    }
+    assert(e3.getMessage.contains("empty sample"), s"got ${e3.getMessage}")
   }
 
   test("curate tokenize algo=wordpiece: greedy ids feed pack; bad algo/pieces are loud (r12)") {

@@ -1761,6 +1761,26 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TimeSeries.ewmaHalf(series, Seq("g"), "t", "x", maxLag = 60)
     }
+    // ungrouped form refused OUTRIGHT: it would plan the bounded-lag
+    // self-join as a nested loop over the whole series (r12 wrong #1)
+    val eg = intercept[IllegalArgumentException] {
+      TimeSeries.ewmaHalf(series, Nil, "t", "x")
+    }
+    assert(eg.getMessage.contains("groupCols"))
+    // duplicate orderCol values raise LOUDLY instead of smoothing a
+    // tie-order-dependent lag structure (r12 wrong #2)
+    val dup = Seq(("a", 1L, 1.0), ("a", 1L, 2.0)).toDF("g", "t", "x")
+    val ed = intercept[Exception] {
+      TimeSeries.ewmaHalf(dup, Seq("g"), "t", "x").collect()
+    }
+    assert(ed.getMessage.contains("duplicate"), s"got ${ed.getMessage}")
+    // |x|·scale past 2^(61−maxLag) raises — the long numerator would
+    // otherwise WRAP silently under non-ANSI sum (ADVICE r12)
+    val big = Seq(("a", 1L, math.pow(2, 55)), ("a", 2L, 1.0)).toDF("g", "t", "x")
+    val eo = intercept[Exception] {
+      TimeSeries.ewmaHalf(big, Seq("g"), "t", "x").collect()
+    }
+    assert(eo.getMessage.contains("overflow"), s"got ${eo.getMessage}")
     // funnel report is the funnel's own tally
     def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
     val ev = Seq(
@@ -1818,6 +1838,17 @@ class OperatorsSpec extends AnyFunSuite {
     val few = Wordpiece.trainPieces(corpus, "text", nMerges = 50,
       minCount = 3L)
     assert(few.count() < 50)
+    // vocab id map is collision-free: a piece already in the corpus
+    // alphabet (or repeated in the list) is dropped before ids assign,
+    // so every symbol has EXACTLY one token_id (ADVICE r12)
+    val vr = Wordpiece.vocab(Seq((1L, "the")).toDF("id", "text"), "text",
+        pieces = Seq("th", "e", "th", "he"))
+      .orderBy("token_id").collect()
+    val symbols = vr.map(_.getString(1)).toSeq
+    assert(symbols == Seq("e", "h", "t", "th", "he"),
+      s"vocab symbols: $symbols")
+    assert(vr.map(_.getLong(0)).toSeq == (0L to 4L),
+      "piece ids must be dense after the alphabet")
   }
 
   test("triangles: exact counts on known graphs whatever the direction/multiplicity noise (r12)") {
