@@ -492,12 +492,37 @@ object QueriesFormats {
           md5(col("body")).as("body_md5"))
         .orderBy("uri")
     },
+    // Pruned key-range lookup (r13): the read-side half of the sorted
+    // non-overlapping CDXJ layout — write publishes per-run (min,max)
+    // SURT sidecars, lookup prunes whole files against them BEFORE the
+    // text scan (CdxSpec pins the 1-of-4 files-opened counter; this
+    // gate proves the pruned rows equal the full scan + filter). The
+    // oracle restates the surviving range closed-form.
+    "q_cdx_pruned_lookup" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        QueriesData.docHtml(col("doc_id"), col("text")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdxprune").toString
+      graft.sources.WarcSource.Writer.write(pages, s"$tmp/warc", "uri", "html",
+        files = 2, gzip = true)
+      graft.sources.CdxSource.write(graft.sources.CdxSource.index(
+        graft.sources.WarcSource.read(s, Seq(s"$tmp/warc"))), s"$tmp/cdx",
+        files = 4)
+      graft.sources.CdxSource.lookup(s, Seq(s"$tmp/cdx"),
+          "example,corpus)/doc/2", "example,corpus)/doc/3")
+        .select(col("surt"), col("ts"), col("url"), col("mime"),
+          col("status"), col("digest"), col("length"))
+        .orderBy("url")
+    },
     // Index-driven selective curation (r12 capstone): a SURT KEY RANGE
     // over the CDX index picks the records (the crawl-index idiom —
     // sorted keys make "this host/prefix" a contiguous range), fetch
     // pulls ONLY those records' byte ranges, html_extract runs on the
     // fetched bodies — the archive itself is never scanned after
-    // indexing. Oracle = the extraction CTEs over the same id range.
+    // indexing, and since r13 the index lookup itself opens only the
+    // sidecar-pruned runs. Oracle = the extraction CTEs over the id range.
     "q_cdx_curate" -> { (s, dir) =>
       GraftSession.configure(s)
       val pages = Tables.load(s, dir, "documents").select(
@@ -510,9 +535,8 @@ object QueriesFormats {
       graft.sources.CdxSource.write(graft.sources.CdxSource.index(
         graft.sources.WarcSource.read(s, Seq(s"$tmp/warc"))), s"$tmp/cdx",
         files = 2)
-      val wanted = graft.sources.CdxSource.read(s, Seq(s"$tmp/cdx"))
-        .filter(col("surt") >= "example,corpus)/doc/2"
-          && col("surt") < "example,corpus)/doc/3")
+      val wanted = graft.sources.CdxSource.lookup(s, Seq(s"$tmp/cdx"),
+          "example,corpus)/doc/2", "example,corpus)/doc/3")
         .select(concat(lit(s"$tmp/warc/"), col("filename")).as("warc_file"),
           col("offset").as("record_offset"))
       val fetched = graft.sources.WarcSource.fetch(wanted)
@@ -848,6 +872,19 @@ object QueriesFormats {
     "q_cdx_scan" ->
       s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
             FROM documents)
+        SELECT 'example,corpus)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+          '20260101000000' AS ts,
+          'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          'text/html' AS mime, 200 AS status, md5(html) AS digest,
+          CAST(77 + len(CAST(octet_length(encode(html)) AS VARCHAR))
+            + octet_length(encode(html)) AS BIGINT) AS length
+        FROM h ORDER BY url""",
+    // the q_cdx_scan restatement narrowed to the pruned SURT range —
+    // identical rows whether the engine opened 4 runs or 1
+    "q_cdx_pruned_lookup" ->
+      s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
+            FROM documents
+            WHERE CAST(doc_id AS VARCHAR) >= '2' AND CAST(doc_id AS VARCHAR) < '3')
         SELECT 'example,corpus)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
           '20260101000000' AS ts,
           'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -64,7 +64,12 @@ object CdxSource {
 
   /** Write CDXJ: range-partition by (surt, ts) into `files` files,
     * each internally sorted — non-overlapping sorted runs, the
-    * binary-searchable index layout. @return rows written. */
+    * binary-searchable index layout. Each non-empty run also publishes
+    * a `<file>.range` sidecar (two lines: min and max SURT) so
+    * [[lookup]] can prune whole files at plan time without opening
+    * them — the engine's ANALYZE-FILES stance ([[graft.stats
+    * .FileStats]]) applied to its own index format. @return rows
+    * written. */
   def write(cdx: DataFrame, dir: String, files: Int = 1): Long = {
     graft.sources.io.ByteStore.createDirectories(dir)
     val spark = cdx.sparkSession
@@ -73,20 +78,100 @@ object CdxSource {
       to_json(struct(jsonSchema.fieldNames.toIndexedSeq.map(col): _*)))
     cdx.repartitionByRange(files, col("surt"), col("ts"))
       .sortWithinPartitions("surt", "ts")
-      .select(line.as("line"))
+      .select(col("surt"), line.as("line"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val target = graft.sources.io.ByteStore.resolve(dir, f"part-$pid%05d.cdx")
         val (local, publish) = graft.sources.io.ByteStore.stageOut(target)
         val out = new java.io.BufferedOutputStream(
           java.nio.file.Files.newOutputStream(local), 64 * 1024)
+        // the partition is sorted, so the run's key range is simply
+        // (first surt, last surt) — recorded while streaming the lines
+        var minSurt: String = null
+        var maxSurt: String = null
         try it.foreach { r =>
-          out.write(r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (minSurt == null) minSurt = r.getString(0)
+          maxSurt = r.getString(0)
+          out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.write('\n')
           rows.add(1)
         } finally { out.close(); publish() }
+        if (minSurt != null)
+          graft.sources.io.ByteStore.writeString(s"$target.range",
+            minSurt + "\n" + maxSurt + "\n")
       }
     rows.value
+  }
+
+  /** The (min, max) SURT range of one index file: the `.range` sidecar
+    * when present, else a first/last-line probe of the file's head and
+    * tail bytes (legacy runs written before sidecars). None for an
+    * empty run — nothing to scan there. */
+  def fileRange(path: String): Option[(String, String)] = {
+    import graft.sources.io.ByteStore
+    if (ByteStore.exists(s"$path.range")) {
+      ByteStore.readString(s"$path.range").split("\n").filter(_.nonEmpty) match {
+        case Array(lo, hi) => Some((lo, hi))
+        case _ => None
+      }
+    } else {
+      val n = ByteStore.size(path)
+      if (n == 0L) None
+      else {
+        def surtOf(line: String): String = line.takeWhile(_ != ' ')
+        val headLen = math.min(n, 64L * 1024).toInt
+        val head = new String(ByteStore.readRange(path, 0, headLen),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val first = head.split("\n", 2)(0)
+        val tailLen = math.min(n, 64L * 1024).toInt
+        val tail = new String(ByteStore.readRange(path, n - tailLen, tailLen),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val last = tail.split("\n").reverseIterator.find(_.trim.nonEmpty)
+        // a line longer than the probe window can't yield a trustworthy
+        // key — fall back to "unpruneable" rather than a wrong range
+        if (!first.contains(' ') || last.isEmpty) None
+        else Some((surtOf(first), surtOf(last.get)))
+      }
+    }
+  }
+
+  /** Plan-time file pruning for a SURT key range [lo, hi): expands
+    * `paths` (files or directories of `.cdx` runs) and keeps only
+    * files whose recorded range intersects. Returns (kept, total) so
+    * callers and specs can observe the pruning ratio. Driver-side over
+    * tiny sidecars — the same registry-before-scan decision FileStats
+    * makes; a terabyte-scale index prunes to ~1 file per point
+    * lookup. A file with no derivable range stays in (correctness
+    * before pruning). */
+  def pruneFiles(paths: Seq[String], lo: String, hi: String): (Seq[String], Int) = {
+    import graft.sources.io.ByteStore
+    val files = paths.flatMap { p =>
+      if (ByteStore.isDirectory(p))
+        ByteStore.walkFiles(p).filter(_.endsWith(".cdx"))
+      else Seq(p)
+    }.distinct.sorted
+    val kept = files.filter { f =>
+      fileRange(f) match {
+        case Some((mn, mx)) => mn < hi && mx >= lo
+        case None => ByteStore.size(f) > 0 // unprobeable: keep; empty: skip
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Key-range lookup over a CDXJ index: prune files by their sidecar
+    * ranges FIRST, then text-scan only the survivors and filter
+    * `lo <= surt < hi`. Same rows as a full [[read]] + filter, opening
+    * ~1 file per point lookup instead of every run — the read-side
+    * half of [[write]]'s binary-searchable layout. */
+  def lookup(spark: SparkSession, paths: Seq[String], lo: String,
+      hi: String): DataFrame = {
+    require(lo < hi, s"cdx lookup: empty key range [$lo, $hi)")
+    val (kept, _) = pruneFiles(paths, lo, hi)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else read(spark, kept).filter(col("surt") >= lo && col("surt") < hi)
   }
 
   /** Merge index GENERATIONS: the newest capture of each SURT key wins
@@ -108,7 +193,12 @@ object CdxSource {
     * skip; a malformed JSON block surfaces as null fields (from_json's
     * PERMISSIVE contract), never a task failure. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val lines = spark.read.textFile(paths: _*).toDF("line")
+    // a directory of runs scans only its `.cdx` files — the `.range`
+    // pruning sidecars ride alongside and are not index lines
+    val expanded = paths.map { p =>
+      if (graft.sources.io.ByteStore.isDirectory(p)) s"$p/*.cdx" else p
+    }
+    val lines = spark.read.textFile(expanded: _*).toDF("line")
       .filter(trim(col("line")) =!= "")
     lines.select(
       regexp_extract(col("line"), "^(\\S+)", 1).as("surt"),

@@ -49,6 +49,52 @@ class CdxSpec extends AnyFunSuite {
     assert(one.getAs[Long]("offset") == 300L)
   }
 
+  test("cdx: lookup prunes to 1 of 4 runs via range sidecars; legacy runs probe first/last lines (r13)") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 400).map { i =>
+      (f"com,host)/p/$i%04d", "20260101000000",
+        s"http://host.com/p/$i", "text/html", 200, s"d$i", 10L + i,
+        i * 100L, "part-00000.warc.gz")
+    }.toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+      "offset", "filename")
+    val dir = tmpDir()
+    assert(CdxSource.write(rows, dir, files = 4) == 400)
+    // every non-empty run published a sidecar
+    val sidecars = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".cdx.range"))
+    assert(sidecars.length == 4, s"expected 4 sidecars, got ${sidecars.length}")
+    // the FILES-OPENED pin: a point range keeps exactly 1 of 4 runs
+    val (kept, total) = CdxSource.pruneFiles(Seq(dir),
+      "com,host)/p/0100", "com,host)/p/0101")
+    assert(total == 4 && kept.length == 1,
+      s"point lookup must open 1 of 4 runs, opened ${kept.length} of $total")
+    // pruned rows == full scan + filter (here: the single key)
+    val hit = CdxSource.lookup(spark, Seq(dir),
+      "com,host)/p/0100", "com,host)/p/0101").collect()
+    assert(hit.length == 1 && hit(0).getAs[String]("url") == "http://host.com/p/100")
+    // an out-of-range lookup opens ZERO files and returns empty w/ schema
+    val miss = CdxSource.lookup(spark, Seq(dir), "zzz", "zzzz")
+    assert(miss.isEmpty && miss.columns.toSeq == CdxSource.schema.fieldNames.toSeq)
+    // a straddling range keeps only the intersecting runs
+    val (k2, _) = CdxSource.pruneFiles(Seq(dir),
+      "com,host)/p/0000", "com,host)/p/0150")
+    assert(k2.length == 2, s"straddle must keep 2 runs, kept ${k2.length}")
+    // LEGACY layout (no sidecars): delete them — lookup still prunes by
+    // probing each run's first/last lines, same rows
+    sidecars.foreach(f => assert(f.delete()))
+    val (k3, t3) = CdxSource.pruneFiles(Seq(dir),
+      "com,host)/p/0100", "com,host)/p/0101")
+    assert(t3 == 4 && k3.length == 1,
+      s"probe fallback must open 1 of 4, opened ${k3.length}")
+    val hit2 = CdxSource.lookup(spark, Seq(dir),
+      "com,host)/p/0100", "com,host)/p/0101").collect()
+    assert(hit2.length == 1 && hit2(0).getAs[Long]("offset") == 10000L)
+    intercept[IllegalArgumentException] {
+      CdxSource.lookup(spark, Seq(dir), "b", "a")
+    }
+  }
+
   test("cdx: blank lines skip; a malformed JSON block yields null fields, not a failure") {
     val dir = tmpDir()
     java.nio.file.Files.write(
