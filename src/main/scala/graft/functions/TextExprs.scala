@@ -370,6 +370,84 @@ object TextExprs {
     new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), nSyms))
   }
 
+  /** Unigram-LM (SentencePiece) Viterbi encode: per word, the maximum-
+    * total-weight segmentation over the piece vocabulary, where weights
+    * are INTEGER scaled log-probs (round(1e9·ln p), tabulated once at
+    * vocab build — neither engine evaluates ln at encode time, so the
+    * DP replays bit-identically in SQL). A single character outside the
+    * vocab scores `unk` (the OOV floor), so the pass is total. Ties
+    * break toward the LONGER last piece (smallest split point), the
+    * same first-match rule the oracle's list_position replays. Piece
+    * lengths count CODE POINTS (the [[wpEncodeKernel]] stance). */
+  def ugEncodeKernel(s: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unk: Long, lower: Boolean): InternalRow = {
+    val toks = tokensKernel(s, lower)
+    val sb = new java.lang.StringBuilder
+    var nSyms = 0
+    var w = 0
+    val nw = toks.numElements()
+    while (w < nw) {
+      val word = toks.getUTF8String(w).toString
+      val cps = new java.util.ArrayList[String](word.length)
+      var ci = 0
+      while (ci < word.length) {
+        val cp = word.codePointAt(ci)
+        cps.add(new String(Character.toChars(cp)))
+        ci += Character.charCount(cp)
+      }
+      val n = cps.size
+      val dp = new Array[Long](n + 1)
+      val bp = new Array[Int](n + 1)
+      var i = 1
+      while (i <= n) {
+        var best = Long.MinValue
+        var bj = -1
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          val b = new java.lang.StringBuilder
+          var k = j
+          while (k < i) { b.append(cps.get(k)); k += 1 }
+          val wt = vocab.get(b.toString)
+          val wtv: Long =
+            if (wt != null) wt.longValue()
+            else if (j == i - 1) unk
+            else Long.MinValue
+          if (wtv != Long.MinValue) {
+            val sc = dp(j) + wtv
+            if (sc > best) { best = sc; bj = j } // first j keeps ties
+          }
+          j += 1
+        }
+        dp(i) = best
+        bp(i) = bj
+        i += 1
+      }
+      // walk the backpointers; prepend pieces right-to-left
+      val pieces = new java.util.ArrayList[String]
+      var pos = n
+      while (pos > 0) {
+        val j = bp(pos)
+        val b = new java.lang.StringBuilder
+        var k = j
+        while (k < pos) { b.append(cps.get(k)); k += 1 }
+        pieces.add(b.toString)
+        pos = j
+      }
+      if (w > 0) sb.append(" | ")
+      var p = pieces.size - 1
+      var first = true
+      while (p >= 0) {
+        if (!first) sb.append(' ')
+        sb.append(pieces.get(p))
+        nSyms += 1
+        first = false
+        p -= 1
+      }
+      w += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), nSyms))
+  }
+
   /** BPE-encode a text: whitespace-tokenize (optionally lowered), space-
     * join each token's characters, apply the merge table in rank order —
     * each merge is a LITERAL left-to-right non-overlapping replace of
@@ -760,6 +838,33 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** whole-text unigram-LM Viterbi encode against a fixed integer-
+    * weighted vocab; the weight map rides as a codegen reference
+    * object so the DP stays map-only inside WholeStageCodegen (the
+    * [[WpEncode]] stance, with Viterbi in place of greedy) */
+  case class UgEncode(child: Expression, vocab: Seq[(String, Long)],
+      unk: Long, lower: Boolean) extends UnaryExpression {
+    private val vocabMap: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](
+        math.max(16, vocab.size * 2))
+      vocab.foreach { case (p, wt) => m.put(p, java.lang.Long.valueOf(wt)) }
+      m
+    }
+    private val maxLen: Int =
+      if (vocab.isEmpty) 1
+      else vocab.map { case (p, _) => p.codePointCount(0, p.length) }.max
+    override def dataType: DataType = BpeEncode.schema
+    override def prettyName: String = "graft_ug_encode"
+    override def nullSafeEval(a: Any): Any =
+      ugEncodeKernel(a.asInstanceOf[UTF8String], vocabMap, maxLen, unk, lower)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val v = ctx.addReferenceObj("ugVocab", vocabMap, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.ugEncodeKernel($c, $v, $maxLen, ${unk}L, $lower);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** one trainer merge round over the symbol-array column */
   case class BpeMergeApply(child: Expression, left: String, right: String)
       extends UnaryExpression {
@@ -841,4 +946,8 @@ object TextExprs {
   def wp_encode(text: Column, vocab: Seq[String],
       lower: Boolean = true): Column =
     ColumnBridge.column(WpEncode(ColumnBridge.expression(text), vocab, lower))
+
+  def ug_encode(text: Column, vocab: Seq[(String, Long)], unk: Long,
+      lower: Boolean = true): Column =
+    ColumnBridge.column(UgEncode(ColumnBridge.expression(text), vocab, unk, lower))
 }
