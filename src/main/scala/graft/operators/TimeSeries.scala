@@ -54,7 +54,14 @@ object TimeSeries {
     val vLimit = 1L << (61 - maxLag)
     val vRaw = round(col("__x") * scale).cast("long")
     val prevOrd = lag(col(orderCol), 1).over(w)
-    val v = when(prevOrd.isNotNull && prevOrd === col(orderCol),
+    // null order values sort adjacently and would slip past an ===
+    // duplicate check (null === null is null, not true) — reject them
+    // outright, and use null-safe <=> gated on row position for the
+    // duplicate detection so every tie shape raises
+    val v = when(col(orderCol).isNull,
+        raise_error(lit(s"ewma: null '$orderCol' value — an ordered " +
+          "series cannot contain null order keys; filter or impute first")))
+      .when(col("__rn") > 1 && (prevOrd <=> col(orderCol)),
         raise_error(concat(
           lit(s"ewma: duplicate '$orderCol' value within a group ("),
           col(orderCol).cast("string"),

@@ -96,9 +96,17 @@ object CdxSource {
           out.write('\n')
           rows.add(1)
         } finally { out.close(); publish() }
-        if (minSurt != null)
-          graft.sources.io.ByteStore.writeString(s"$target.range",
-            minSurt + "\n" + maxSurt + "\n")
+        if (minSurt != null) {
+          // sidecar goes through the same stage+publish path as the data
+          // file — a task killed mid-write must never leave a truncated
+          // (but still two-line-parseable) range that misprunes later
+          val (rLocal, rPublish) =
+            graft.sources.io.ByteStore.stageOut(s"$target.range")
+          java.nio.file.Files.write(rLocal,
+            (minSurt + "\n" + maxSurt + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          rPublish()
+        }
       }
     rows.value
   }
@@ -126,10 +134,25 @@ object CdxSource {
         val tailLen = math.min(n, 64L * 1024).toInt
         val tail = new String(ByteStore.readRange(path, n - tailLen, tailLen),
           java.nio.charset.StandardCharsets.UTF_8)
-        val last = tail.split("\n").reverseIterator.find(_.trim.nonEmpty)
+        // the tail candidate is only trustworthy if it provably STARTS a
+        // line: either the window covers the whole file, or a '\n'
+        // precedes it inside the window. Otherwise the window holds a
+        // start-truncated fragment of a >64KiB line — surtOf(fragment)
+        // would fabricate a lexically-wrong max key and silently prune a
+        // file that intersects the range.
+        val lastStart = tail.lastIndexWhere(_ != '\n') match {
+          case -1 => -1
+          case e => tail.lastIndexOf('\n', e) match {
+            case -1 => if (tailLen.toLong == n) 0 else -1
+            case nl => nl + 1
+          }
+        }
+        val last =
+          if (lastStart < 0) None
+          else Some(tail.substring(lastStart).stripLineEnd)
         // a line longer than the probe window can't yield a trustworthy
         // key — fall back to "unpruneable" rather than a wrong range
-        if (!first.contains(' ') || last.isEmpty) None
+        if (!first.contains(' ') || !last.exists(_.contains(' '))) None
         else Some((surtOf(first), surtOf(last.get)))
       }
     }
@@ -194,10 +217,17 @@ object CdxSource {
     * PERMISSIVE contract), never a task failure. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     // a directory of runs scans only its `.cdx` files — the `.range`
-    // pruning sidecars ride alongside and are not index lines
-    val expanded = paths.map { p =>
-      if (graft.sources.io.ByteStore.isDirectory(p)) s"$p/*.cdx" else p
+    // pruning sidecars ride alongside and are not index lines. Expand
+    // directories by listing (a zero-match glob would throw, so a dir
+    // that exists but holds no runs reads as an empty index instead)
+    val expanded = paths.flatMap { p =>
+      if (graft.sources.io.ByteStore.isDirectory(p))
+        graft.sources.io.ByteStore.walkFiles(p).filter(_.endsWith(".cdx"))
+      else Seq(p)
     }
+    if (expanded.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     val lines = spark.read.textFile(expanded: _*).toDF("line")
       .filter(trim(col("line")) =!= "")
     lines.select(

@@ -95,6 +95,51 @@ class CdxSpec extends AnyFunSuite {
     }
   }
 
+  test("cdx: legacy tail probe refuses start-truncated fragments; empty dir reads empty (r14)") {
+    val dir = tmpDir()
+    // a legacy run (no sidecar) whose LAST line exceeds the 64 KiB probe
+    // window: the window holds a mid-line fragment with no preceding
+    // '\n' — fileRange must return None (unpruneable), never fabricate
+    // a max key from the fragment, and pruneFiles must KEEP the file
+    val huge = "com,zz)/tail 20260101000000 {\"url\":\"http://zz/" +
+      ("x" * (80 * 1024)) + "\"}"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "legacy.cdx"),
+      ("com,aa)/head 20260101000000 {\"url\":\"http://aa/\"}\n" + huge + "\n")
+        .getBytes(UTF_8))
+    val f = s"$dir/legacy.cdx"
+    assert(CdxSource.fileRange(f).isEmpty,
+      "a >window last line must make the file unpruneable, not mis-keyed")
+    // the range it would have fabricated ("com,zz)/tail..." fragment →
+    // garbage) could prune a lookup below it; unpruneable keeps the file
+    val (kept, total) = CdxSource.pruneFiles(Seq(dir), "com,m", "com,n")
+    assert(total == 1 && kept.length == 1, "unprobeable file must stay in")
+    // a small single-line legacy file (window covers whole file, no
+    // trailing '\n' before the line) still derives its range
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "one.cdx"),
+      "com,bb)/only 20260101000000 {\"url\":\"http://bb/\"}".getBytes(UTF_8))
+    assert(CdxSource.fileRange(s"$dir/one.cdx")
+      .contains(("com,bb)/only", "com,bb)/only")))
+    // sidecars publish atomically — no staging residue next to them
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("com,p)/q", "20260101000000", "http://p/q", "text/html",
+      200, "d", 1L, 0L, "w.warc.gz")).toDF("surt", "ts", "url", "mime",
+      "status", "digest", "length", "offset", "filename")
+    val dir2 = tmpDir()
+    CdxSource.write(rows, dir2, files = 1)
+    val names = new java.io.File(dir2).listFiles().map(_.getName).toSet
+    assert(names.exists(_.endsWith(".cdx.range")))
+    assert(!names.exists(_.contains(".tmp")), s"staging residue: $names")
+    // a directory that exists but holds no .cdx runs reads as an EMPTY
+    // index (not an AnalysisException from a zero-match glob)
+    val emptyDir = tmpDir()
+    val empty = CdxSource.read(spark, Seq(emptyDir))
+    assert(empty.isEmpty &&
+      empty.columns.toSeq == CdxSource.schema.fieldNames.toSeq)
+  }
+
   test("cdx: blank lines skip; a malformed JSON block yields null fields, not a failure") {
     val dir = tmpDir()
     java.nio.file.Files.write(

@@ -1774,6 +1774,15 @@ class OperatorsSpec extends AnyFunSuite {
       TimeSeries.ewmaHalf(dup, Seq("g"), "t", "x").collect()
     }
     assert(ed.getMessage.contains("duplicate"), s"got ${ed.getMessage}")
+    // NULL order keys raise too: consecutive nulls sort adjacently but
+    // null === null is null, so the === duplicate guard alone would
+    // miss them and smooth a tie-order-dependent structure (ADVICE r13)
+    val nul = Seq(("a", Option.empty[Long], 1.0), ("a", None, 2.0))
+      .toDF("g", "t", "x")
+    val en = intercept[Exception] {
+      TimeSeries.ewmaHalf(nul, Seq("g"), "t", "x").collect()
+    }
+    assert(en.getMessage.contains("null"), s"got ${en.getMessage}")
     // |x|·scale past 2^(61−maxLag) raises — the long numerator would
     // otherwise WRAP silently under non-ANSI sum (ADVICE r12)
     val big = Seq(("a", 1L, math.pow(2, 55)), ("a", 2L, 1.0)).toDF("g", "t", "x")
