@@ -583,8 +583,27 @@ object CuratePipeline {
               .encodeIds(df, textCol, idCol, pieces, vocabIds, lower)
               .select(col("doc_id").as(idCol), col("token_ids"),
                 col("n_wp_tokens"))
+          case "unigram" =>
+            // `pieces` here are [piece, integer-log-prob-weight] pairs
+            // (the artifact Unigram.train ships); `unk` is the OOV
+            // floor a single out-of-vocab character scores — default
+            // −10·10⁹, i.e. ln p ≈ −10 at the trainer's 1e9 scale
+            val weighted = weightedPiecesOf(st)
+            val unk = st \ "unk" match {
+              case JInt(i) => i.toLong
+              case JNothing => -10000000000L
+              case other =>
+                throw new DslException(s"'unk' must be an integer, got $other")
+            }
+            val vocabIds = graft.operators.Wordpiece
+              .vocab(df, textCol, weighted.map(_._1), lower)
+              .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+            graft.operators.Unigram
+              .encodeIds(df, textCol, idCol, weighted, unk, vocabIds, lower)
+              .select(col("doc_id").as(idCol), col("token_ids"),
+                col("n_ug_tokens"))
           case other => throw new DslException(
-            s"tokenize: unknown algo '$other' (bpe|wordpiece)")
+            s"tokenize: unknown algo '$other' (bpe|wordpiece|unigram)")
         }
         df.join(ids, Seq(idCol))
       case "pack" =>
@@ -621,6 +640,21 @@ object CuratePipeline {
     case JString(s) => s
     case _ => throw new DslException(s"stage needs string '$field': $st")
   }
+
+  /** tokenize's unigram vocab: `"pieces": [["the", -5], …]` — piece
+    * strings with integer scaled log-prob weights, the shape
+    * [[graft.operators.Unigram.train]]'s (piece, weight) columns ship */
+  private def weightedPiecesOf(st: JValue): Seq[(String, Long)] =
+    st \ "pieces" match {
+      case JArray(xs) if xs.nonEmpty => xs.map {
+        case JArray(List(JString(p), JInt(w))) => (p, w.toLong)
+        case other => throw new DslException(
+          s"each unigram piece must be a [piece, integer-weight] pair: $other")
+      }
+      case _ => throw new DslException(
+        "tokenize: algo unigram needs a non-empty 'pieces' array of " +
+          "[piece, weight] pairs")
+    }
 
   /** tokenize's merge table: inline `"merges": [["e","r"], …]`, or
     * `"merges_path"` naming a merges.txt-style artifact (one

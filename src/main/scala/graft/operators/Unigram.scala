@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextExprs
+
+/** Distributed unigram-LM (SentencePiece) tokenizer primitives (Kudo
+  * 2018, "Subword Regularization") — the third mainstream tokenizer
+  * family next to [[Bpe]] and [[Wordpiece]]: the vocabulary is a set of
+  * PIECES with log-probabilities, and inference is the Viterbi
+  * maximum-likelihood segmentation ([[TextExprs.UgEncode]], one codegen
+  * kernel call per row) rather than merge replay or greedy matching.
+  *
+  * Training here is the HARD-EM (Viterbi-EM) variant of Kudo's
+  * algorithm: the E-step assigns each word its single best segmentation
+  * under the current weights (instead of the full forward–backward
+  * expectation) and the M-step re-estimates piece probabilities from
+  * the resulting INTEGER occurrence counts. That choice is deliberate:
+  * every per-round statistic is an exact long, so training replays
+  * bit-identically across runs and cluster sizes — the determinism
+  * contract every trainer in this package holds. The only float in the
+  * loop is the log itself, taken once per round per vocab entry via
+  * `StrictMath.log` (cross-platform deterministic by spec) and
+  * immediately scaled + rounded to an integer weight.
+  *
+  * Scale shape (the [[Bpe]] stance): everything iterative runs over the
+  * DISTINCT-WORD table — at 100 TB of text that table is orders of
+  * magnitude smaller than the corpus, which is read exactly once. Per
+  * EM round: one map-only Viterbi pass over distinct words + one
+  * piece-count shuffle; the vocab itself is a bounded driver artifact
+  * (seedSize + alphabet, thousands of rows) exactly like the merge
+  * tables and id maps the other trainers ship.
+  */
+object Unigram {
+
+  /** distinct-word table (w, cnt) — the corpus is read once */
+  def wordCounts(df: DataFrame, textCol: String,
+      lower: Boolean = true): DataFrame =
+    df.select(explode(TextExprs.tokens(col(textCol), lower)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Seed-vocabulary candidates: every substring of the distinct words
+    * with length 1..maxPieceLen, scored by its corpus occurrence count
+    * (word count × positions — pure integers, so the oracle replays
+    * the table exactly). One explode + one shuffle; the substring
+    * blow-up is bounded by maxPieceLen × word length over DISTINCT
+    * words, not corpus rows. Output: (piece, cnt). */
+  def seedCandidates(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      lower: Boolean = true): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    seedFromWords(wordCounts(df, textCol, lower), maxPieceLen)
+  }
+
+  private def seedFromWords(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(col("cnt"), col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("cnt"), col("w"), col("i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("w")))
+      .select(col("w").substr(col("i"), col("l")).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+
+  /** integer scaled log-prob weights from integer counts: one
+    * StrictMath.log per vocab entry (bounded), round(scale·ln(c/total))
+    * — the tabulate-once contract [[TextExprs.UgEncode]] documents */
+  private def weightsOf(counts: Map[String, Long],
+      scale: Long): Seq[(String, Long)] = {
+    val total = counts.values.sum.toDouble
+    counts.toSeq.sortBy(_._1).map { case (p, c) =>
+      p -> math.round(scale.toDouble * StrictMath.log(c.toDouble / total))
+    }
+  }
+
+  /** Learn a unigram vocabulary by hard-EM over the distinct-word
+    * table:
+    *  1. seed = the corpus alphabet (always kept — the encodability
+    *     floor) + the top `seedSize` multi-char substrings by
+    *     (count DESC, piece ASC);
+    *  2. each of `emRounds` rounds Viterbi-segments every distinct word
+    *     under the current integer weights (map-only kernel), tallies
+    *     cnt-weighted piece occurrences (one shuffle), drops multi-char
+    *     pieces below `minCount`, and re-tabulates weights — alphabet
+    *     characters never drop (an unseen char floors at count 1);
+    *  3. the final vocab prunes to `vocabSize`: all characters + the
+    *     top remaining pieces by (count DESC, piece ASC).
+    *
+    * Deterministic by construction: counts are exact longs, ranking
+    * ties break lexicographically, and the only float (StrictMath.log)
+    * is cross-platform exact. Returns (piece, weight, cnt, kind ∈
+    * {char, piece}) — weight is the integer scaled log-prob the
+    * encoder consumes. */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 200, emRounds: Int = 2,
+      minCount: Long = 2L, lower: Boolean = true,
+      scale: Long = 1000000000L): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(emRounds >= 0, s"emRounds must be >= 0, got $emRounds")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val spark = df.sparkSession
+    val words = wordCounts(df, textCol, lower).localCheckpoint()
+    val cand = seedFromWords(words, maxPieceLen).localCheckpoint()
+    // both driver pulls are bounded artifacts: the alphabet (≤ distinct
+    // characters) and the ranked seed prefix (≤ seedSize rows)
+    val charCounts = cand.filter(length(col("piece")) === 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seedPieces = cand
+      .filter(length(col("piece")) > 1 && col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("piece")).limit(math.max(seedSize, 0))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // OOV floor far below any real log-prob: during training every
+    // single char is in-vocab, so unk never actually scores
+    val unk = -100L * scale
+    var counts: Map[String, Long] = charCounts ++ seedPieces
+    var round = 0
+    while (round < emRounds) {
+      val w = weightsOf(counts, scale)
+      // E-step: best segmentation per DISTINCT word (map-only kernel,
+      // lower=false — words are already normalized); M-step: one
+      // cnt-weighted piece-count shuffle, result ≤ vocab-size rows
+      val observed = words
+        .select(col("cnt"),
+          explode(split(TextExprs.ug_encode(col("w"), w, unk, lower = false)
+            .getField("enc"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts =
+        charCounts.keysIterator.map { c =>
+          c -> math.max(observed.getOrElse(c, 0L), 1L)
+        }.toMap ++
+          observed.filter { case (p, c) => p.length > 1 && c >= minCount }
+      round += 1
+    }
+    // final prune: alphabet + top pieces to vocabSize
+    val chars = counts.filter(_._1.length == 1)
+    val pieces = counts.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(vocabSize - chars.size, 0))
+    val weights = weightsOf(chars ++ pieces, scale).toMap
+    import spark.implicits._
+    (chars ++ pieces).toSeq.sortBy(_._1)
+      .map { case (p, c) =>
+        (p, weights(p), c, if (p.length == 1) "char" else "piece")
+      }
+      .toDF("piece", "weight", "cnt", "kind")
+  }
+
+  /** Encode every document against a fixed integer-weighted vocab:
+    * map-only Viterbi, one codegen kernel call per row; a single char
+    * outside the vocab scores `unk`, so the pass is total. Output:
+    * (doc_id, ug_text — pieces space-joined, words joined by " | " —,
+    * n_ug_tokens). */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+      vocab: Seq[(String, Long)], unk: Long,
+      lower: Boolean = true): DataFrame = {
+    require(vocab.nonEmpty, "unigram encode: empty vocab")
+    df.select(col(idCol).as("doc_id"),
+        TextExprs.ug_encode(col(textCol), vocab, unk, lower).as("e"))
+      .select(col("doc_id"), col("e.enc").as("ug_text"),
+        col("e.n_syms").cast("long").as("n_ug_tokens"))
+  }
+
+  /** text → token ids: [[encode]]'s piece stream mapped through the
+    * chars+pieces id vocabulary (the [[Wordpiece.vocab]] id contract —
+    * corpus characters take 0..C−1, pieces C+i; symbols outside the
+    * vocab take −1). Same map-only id pass as [[Bpe.encodeIds]]. */
+  def encodeIds(df: DataFrame, textCol: String, idCol: String,
+      vocab: Seq[(String, Long)], unk: Long, vocabIds: Map[String, Long],
+      lower: Boolean = true): DataFrame =
+    encode(df, textCol, idCol, vocab, unk, lower)
+      .withColumn("token_ids", TextExprs.bpe_ids(col("ug_text"), vocabIds))
+      .select(col("doc_id"), col("token_ids"), col("n_ug_tokens"))
+}

@@ -1184,6 +1184,55 @@ object QueriesData {
         .orderBy(col("seq_id"))
     },
 
+    // ---- Unigram-LM seed candidates (Kudo 2018 §3): every substring
+    // of the distinct words up to length 3, scored by corpus occurrence
+    // count — pure integers, the trainer's seed-vocabulary round
+    "q_unigram_seed" -> { (s, dir) =>
+      graft.operators.Unigram.seedCandidates(
+          Tables.load(s, dir, "documents"), "text", maxPieceLen = 3)
+        .orderBy(col("cnt").desc, col("piece")).limit(30)
+    },
+
+    // ---- Unigram-LM Viterbi encode against a fixed integer-weighted
+    // vocab — max-total-weight segmentation, ties toward the longer
+    // last piece; the oracle ENUMERATES every segmentation per distinct
+    // word (recursive CTE) and picks the same argmax, so the DP itself
+    // is cross-checked, not replayed. The vocab plants a deliberate
+    // tie: "table"(−10) vs t(−4)+ab(−2)+le(−4) — the tie-break rule is
+    // inside the gate, not just the spec
+    "q_unigram_encode" -> { (s, dir) =>
+      graft.operators.Unigram.encode(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          vocab = Seq("table" -> -10L, "the" -> -5L, "he" -> -4L,
+            "ta" -> -4L, "ab" -> -2L, "le" -> -4L, "win" -> -6L,
+            "dow" -> -6L, "in" -> -4L, "a" -> -3L, "e" -> -3L,
+            "t" -> -4L, "s" -> -4L), unk = -9L)
+        .select(col("doc_id"), col("n_ug_tokens"),
+          md5(col("ug_text").cast("binary")).as("ug_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Unigram through CURATE to trainer sequences: tokenize
+    // (algo=unigram, Viterbi ids over chars+pieces) then pack — the
+    // THIRD tokenizer family reaching the terminal trainer-feed stage;
+    // the oracle chains the segmentation enumeration, the vocab id
+    // map, and the shared pack CTEs
+    "q_curate_unigram" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.compile(
+          Tables.load(s, dir, "documents"),
+          """{"stages": [
+            {"op": "tokenize", "algo": "unigram", "unk": -9,
+             "pieces": [["table", -10], ["the", -5], ["he", -4],
+                        ["ta", -4], ["ab", -2], ["le", -4], ["win", -6],
+                        ["dow", -6], ["in", -4], ["a", -3], ["e", -3],
+                        ["t", -4], ["s", -4]]},
+            {"op": "pack", "seq_len": 64}]}""")
+        .select(col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")),
+            " ").cast("binary")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    },
+
     // ---- C4 line+document cleaning (Raffel et al. 2020 §2.2): the
     // public rules, byte-replayable — terminal punctuation, ≥3 words,
     // javascript / lorem ipsum / '{' blocklist, ≥5-sentence doc gate
@@ -2965,6 +3014,54 @@ object QueriesData {
         JOIN c ON c.bar_start = a.bar_start AND c.event_type = a.event_type
         ORDER BY a.bar_start, a.event_type"""
 
+  /** The unigram-gate segmentation as a prefixable CTE chain (needs
+    * WITH RECURSIVE): lowered corpus words → every segmentation under
+    * the gate's fixed vocab, enumerated — each step consumes any
+    * matching piece (or a single char at the `unk` floor) and prepends
+    * its length to `rlens`, so the final ORDER BY (score DESC, rlens
+    * DESC) picks exactly the engine DP's answer: max total weight,
+    * ties toward the longer last piece, then the longer second-to-last
+    * … (rlens strings are prefix-free — piece lengths sum to the word
+    * length — so the string compare IS the lexicographic tie-break).
+    * Exposes `wl (doc_id, widx, w)`, `dw (w)`, `chars (symbol)` and
+    * `wseg (w, acc)`. */
+  private val ugSegCtes: String =
+    raw"""d AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         wl AS (SELECT doc_id, i AS widx, ws[i] AS w
+           FROM d, unnest(range(1, len(ws) + 1)) t(i)),
+         dw AS (SELECT DISTINCT w FROM wl),
+         chars AS (SELECT DISTINCT substr(w, i, 1) AS symbol
+                   FROM dw, unnest(range(1, len(w) + 1)) t(i)),
+         seg AS (
+           SELECT w, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc,
+                  CAST(0 AS BIGINT) AS score, CAST('' AS VARCHAR) AS rlens
+           FROM dw
+           UNION ALL
+           SELECT w, pos + l,
+             (CASE WHEN acc = '' THEN '' ELSE acc || ' ' END) || piece,
+             score + wt,
+             CAST(l AS VARCHAR) || rlens
+           FROM (
+             SELECT s.w, s.pos, s.acc, s.score, s.rlens, t.l,
+               substr(s.w, CAST(s.pos AS INT), t.l) AS piece,
+               coalesce(CASE substr(s.w, CAST(s.pos AS INT), t.l)
+                  WHEN 'table' THEN -10 WHEN 'the' THEN -5 WHEN 'he' THEN -4
+                  WHEN 'ta' THEN -4 WHEN 'ab' THEN -2 WHEN 'le' THEN -4
+                  WHEN 'win' THEN -6 WHEN 'dow' THEN -6 WHEN 'in' THEN -4
+                  WHEN 'a' THEN -3 WHEN 'e' THEN -3 WHEN 't' THEN -4
+                  WHEN 's' THEN -4 END,
+                 CASE WHEN t.l = 1 THEN -9 END) AS wt
+             FROM seg s, unnest([1, 2, 3, 4, 5]) t(l)
+             WHERE s.pos + t.l <= len(s.w) + 1)
+           WHERE wt IS NOT NULL),
+         bestseg AS (SELECT w, acc,
+             row_number() OVER (PARTITION BY w ORDER BY score DESC, rlens DESC) AS rn
+           FROM seg WHERE pos = len(w) + 1),
+         wseg AS (SELECT w, acc FROM bestseg WHERE rn = 1)"""
+
   private val packCtes: String =
     """offs AS (SELECT doc_id, ids,
              coalesce(sum(len(ids)) OVER (ORDER BY doc_id
@@ -4313,6 +4410,66 @@ object QueriesData {
                 FROM cc, (VALUES (0, 'the'), (1, 'and'), (2, 'ing'),
                                  (3, 'er'), (4, 'th'), (5, 'in'), (6, 'an'),
                                  (7, 're'), (8, 'he'), (9, 'at')) AS v(rk, s)),
+         vocab AS (SELECT token_id, symbol FROM ranked
+                   UNION ALL SELECT token_id, symbol FROM pc),
+         vm AS (SELECT map(list(symbol ORDER BY token_id),
+                           list(token_id ORDER BY token_id)) AS m FROM vocab),
+         docsyms AS (SELECT wl.doc_id, wl.widx, string_split(ws2.acc, ' ') AS syms
+           FROM wl JOIN wseg ws2 ON ws2.w = wl.w),
+         docsy AS (SELECT doc_id, widx, generate_subscripts(syms, 1) AS si,
+                          unnest(syms) AS s FROM docsyms),
+         withid AS (SELECT doc_id, widx, si, coalesce(vm.m[s][1], -1) AS id
+           FROM docsy, vm),
+         docids AS (SELECT doc_id, list(id ORDER BY widx, si) AS ids
+           FROM withid GROUP BY doc_id),
+         $packCtes
+         SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
+    // every substring of the distinct words up to length 3, weighted by
+    // word counts — integers only, both engines tally the same table
+    "q_unigram_seed" ->
+      raw"""WITH toks AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+         subs AS (SELECT substr(w, i, l) AS piece, cnt
+                  FROM words, unnest(range(1, len(w) + 1)) t(i),
+                       unnest(range(1, 4)) u(l)
+                  WHERE i + l - 1 <= len(w)),
+         agg AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+                 FROM subs GROUP BY 1)
+         SELECT piece, cnt FROM agg ORDER BY cnt DESC, piece LIMIT 30""",
+    // the segmentation ENUMERATION picks the same argmax the engine's
+    // Viterbi DP computes (see ugSegCtes) — an independent cross-check
+    // of the DP, not a replay of it
+    "q_unigram_encode" ->
+      s"""WITH RECURSIVE $ugSegCtes,
+         enc AS (SELECT wl.doc_id, wl.widx, ws2.acc
+           FROM wl JOIN wseg ws2 ON ws2.w = wl.w),
+         agg AS (SELECT doc_id,
+             CAST(sum(len(string_split(acc, ' '))) AS BIGINT) AS n_ug_tokens,
+             md5(string_agg(acc, ' | ' ORDER BY widx)) AS ug_md5
+           FROM enc GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_ug_tokens, 0) AS n_ug_tokens,
+           coalesce(a.ug_md5, md5('')) AS ug_md5
+         FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // the segmentation enumeration, the chars+pieces id map (pieces
+    // already present as corpus characters drop, survivors re-rank
+    // densely in vocab order — the Wordpiece.vocab contract), then the
+    // shared pack CTEs
+    "q_curate_unigram" ->
+      s"""WITH RECURSIVE $ugSegCtes,
+         ranked AS (SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+                      AS token_id, symbol FROM chars),
+         cc AS (SELECT count(*) AS n FROM chars),
+         pc AS (SELECT CAST(cc.n + row_number() OVER (ORDER BY v.rk) - 1 AS BIGINT)
+                  AS token_id, v.s AS symbol
+                FROM cc, (VALUES (0, 'table'), (1, 'the'), (2, 'he'),
+                                 (3, 'ta'), (4, 'ab'), (5, 'le'), (6, 'win'),
+                                 (7, 'dow'), (8, 'in'), (9, 'a'), (10, 'e'),
+                                 (11, 't'), (12, 's')) AS v(rk, s)
+                WHERE v.s NOT IN (SELECT symbol FROM chars)),
          vocab AS (SELECT token_id, symbol FROM ranked
                    UNION ALL SELECT token_id, symbol FROM pc),
          vm AS (SELECT map(list(symbol ORDER BY token_id),

@@ -1860,6 +1860,101 @@ class OperatorsSpec extends AnyFunSuite {
       "piece ids must be dense after the alphabet")
   }
 
+  test("unigram: Viterbi argmax with longer-last-piece ties, OOV floor, code points, codegen==interpreted (r14)") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    import graft.functions.TextExprs
+    def enc1(text: String, vocab: Seq[(String, Long)], unk: Long): (String, Long) = {
+      val r = Unigram.encode(Seq((1L, text)).toDF("id", "text"),
+        "text", "id", vocab, unk, lower = false).head()
+      (r.getString(1), r.getLong(2))
+    }
+    // Viterbi beats greedy: greedy longest-match would take "abc"(−9),
+    // but a(−1)+bc(−2) = −3 scores higher
+    assert(enc1("abc", Seq("abc" -> -9L, "a" -> -1L, "bc" -> -2L), -20L) ==
+      ("a bc", 2L))
+    // exact tie → the LONGER LAST piece wins (smallest split point)
+    assert(enc1("ab", Seq("ab" -> -2L, "a" -> -1L, "b" -> -1L), -20L) ==
+      ("ab", 1L))
+    // last pieces equal → the second-to-last decides: aa+b ties a+a+b
+    assert(enc1("aab", Seq("aa" -> -2L, "a" -> -1L, "b" -> -1L), -20L) ==
+      ("aa b", 2L))
+    // OOV floor: a single char outside the vocab scores unk, so the
+    // pass is total; a cheap-enough unk outbids a real piece
+    assert(enc1("xy", Seq("a" -> -1L), -5L) == ("x y", 2L))
+    assert(enc1("ab", Seq("ab" -> -11L), -5L) == ("a b", 2L),
+      "two unk singles (−10) must beat the −11 piece")
+    // piece lengths count CODE POINTS: a surrogate-pair piece is one
+    // symbol step of two code points, not four UTF-16 units
+    assert(enc1("😀a", Seq("😀a" -> -1L), -20L) == ("😀a", 1L))
+    assert(enc1("😀😀", Seq("a" -> -1L), -5L) == ("😀 😀", 2L))
+    // word boundaries: words encode independently, joined by " | "
+    assert(enc1("ab ab", Seq("ab" -> -1L), -20L) == ("ab | ab", 2L))
+    // codegen == interpreted: the df path runs the generated code; the
+    // expression's own eval() is the interpreted path
+    val vocab = Seq("table" -> -10L, "ta" -> -4L, "ab" -> -2L,
+      "le" -> -4L, "t" -> -4L, "a" -> -3L)
+    val viaDf = enc1("table stable", vocab, -9L)
+    val interpreted = TextExprs.UgEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("table stable"),
+          org.apache.spark.sql.types.StringType),
+        vocab, -9L, lower = false)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(interpreted.getUTF8String(0).toString == viaDf._1 &&
+      interpreted.getInt(1).toLong == viaDf._2,
+      s"interpreted ${interpreted.getUTF8String(0)} != codegen ${viaDf._1}")
+    // null text → null result, not a crash
+    val nr = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextExprs.ug_encode(col("text"), vocab, -9L)).head()
+    assert(nr.isNullAt(0))
+  }
+
+  test("unigram: hard-EM trainer — integer counts, alphabet floor, deterministic prune (r14)") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    val corpus = (Seq.fill(3)("the") ++ Seq.fill(2)("cat"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    // seed candidates are cnt-weighted substring occurrences
+    val seeds = Unigram.seedCandidates(corpus, "text", maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seeds("the") == 3 && seeds("cat") == 2 && seeds("t") == 5,
+      s"seed counts off: $seeds")
+    // one EM round: whole words win their own segmentation, so the
+    // pruned vocab keeps the alphabet + the top whole-word pieces
+    val v = Unigram.train(corpus, "text", vocabSize = 6, emRounds = 1)
+      .collect()
+    val byPiece = v.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byPiece.keySet == Set("a", "c", "e", "h", "t", "the"),
+      s"vocab pieces: ${byPiece.keySet}")
+    assert(byPiece("the")._2 == 3 && byPiece("the")._3 == "piece")
+    assert(byPiece("t")._3 == "char")
+    assert(v.forall(_.getLong(1) < 0), "log-prob weights must be negative")
+    // deterministic: an identical second run produces identical rows
+    val v2 = Unigram.train(corpus, "text", vocabSize = 6, emRounds = 1)
+      .collect()
+    assert(v.map(_.toString).toSeq == v2.map(_.toString).toSeq)
+    // a larger budget keeps both whole words; ids flow end-to-end
+    val v8 = Unigram.train(corpus, "text", vocabSize = 8, emRounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(v8.map(_._1).contains("cat"))
+    val ids = Unigram.encodeIds(corpus, "text", "id", v8, -100000000000L,
+      vocabIds = graft.operators.Wordpiece.vocab(corpus, "text",
+        v8.map(_._1).filter(_.length > 1)).collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap)
+      .orderBy("doc_id").collect()
+    assert(ids.length == 5 &&
+      ids.forall(_.getAs[Seq[Long]]("token_ids").forall(_ >= 0)),
+      "every encoded symbol must resolve to a vocab id")
+    // CURATE surface: missing pieces raises loudly
+    val e = intercept[graft.dsl.JsonQuery.DslException] {
+      graft.dsl.CuratePipeline.compile(corpus.withColumn("doc_id", col("id")),
+        """{"stages": [{"op": "tokenize", "algo": "unigram"}]}""")
+    }
+    assert(e.getMessage.contains("pieces"))
+  }
+
   test("triangles: exact counts on known graphs whatever the direction/multiplicity noise (r12)") {
     import spark.implicits._
     import graft.operators.LinkGraph
