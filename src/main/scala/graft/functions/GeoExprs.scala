@@ -291,6 +291,48 @@ object GeoExprs {
       copy(l, r)
   }
 
+  /** st_length(wkt) → total path length of a lineal geometry; 0 for
+    * points and polygons (the PostGIS lineal/areal measure split —
+    * polygon outlines are st_perimeter) */
+  case class StLength(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_length"
+    override def nullSafeEval(a: Any): Any =
+      Geo.stLength(a.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Geo.stLength($a.toString());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_touches / st_crosses / st_overlaps (r14): DE-9IM relate
+    * predicates over the POINT/LINESTRING/POLYGON model. `which`:
+    * 0 = touches (boundary-only contact), 1 = crosses (interiors meet
+    * in lower dimension), 2 = overlaps (same-dimension partial
+    * interior sharing). */
+  case class StRelate(left: Expression, right: Expression, which: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String =
+      Seq("st_touches", "st_crosses", "st_overlaps")(which)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (sa, sb) = (a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString)
+      which match {
+        case 0 => Geo.stTouches(sa, sb)
+        case 1 => Geo.stCrosses(sa, sb)
+        case _ => Geo.stOverlaps(sa, sb)
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = Seq("stTouches", "stCrosses", "stOverlaps")(which)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Geo.$fn($a.toString(), $b.toString());")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** envelope bound accessors (st_xmin/st_xmax/st_ymin/st_ymax) */
   case class StBound(child: Expression, which: Int) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -359,6 +401,17 @@ object GeoExprs {
   def st_simplify(a: Column, tol: Column): Column =
     ColumnBridge.column(StSimplify(ColumnBridge.expression(a),
       ColumnBridge.expression(tol.cast(org.apache.spark.sql.types.DoubleType))))
+  def st_length(a: Column): Column =
+    ColumnBridge.column(StLength(ColumnBridge.expression(a)))
+  def st_touches(a: Column, b: Column): Column =
+    ColumnBridge.column(StRelate(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), 0))
+  def st_crosses(a: Column, b: Column): Column =
+    ColumnBridge.column(StRelate(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), 1))
+  def st_overlaps(a: Column, b: Column): Column =
+    ColumnBridge.column(StRelate(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), 2))
   def st_xmin(a: Column): Column =
     ColumnBridge.column(StBound(ColumnBridge.expression(a), 0))
   def st_xmax(a: Column): Column =

@@ -26,6 +26,11 @@ object Geo {
   final case class PointGeom(x: Double, y: Double) extends Geom
   final case class PolygonGeom(polygon: Polygon) extends Geom
   final case class MultiPolygonGeom(polygons: Seq[Polygon]) extends Geom
+  /** an OPEN path — consecutive vertices only, NO closing segment
+    * ([[Ring]] is reused as the coordinate-array container; unlike
+    * polygon rings the first vertex is not repeated at the end) */
+  final case class LineStringGeom(path: Ring) extends Geom
+  final case class MultiLineStringGeom(paths: Seq[Ring]) extends Geom
 
   /** Even-odd ray casting; returns true on boundary as well. */
   def ringContains(r: Ring, x: Double, y: Double): Boolean = {
@@ -74,16 +79,29 @@ object Geo {
     false
   }
 
+  /** point-on-open-path: consecutive segments only (no closing wrap) */
+  private def onOpenPath(r: Ring, x: Double, y: Double): Boolean = {
+    var i = 1
+    while (i < r.size) {
+      if (onSeg(r.xs(i - 1), r.ys(i - 1), r.xs(i), r.ys(i), x, y)) return true
+      i += 1
+    }
+    r.size == 1 && r.xs(0) == x && r.ys(0) == y
+  }
+
   def contains(g: Geom, x: Double, y: Double): Boolean = g match {
     case PointGeom(px, py)       => px == x && py == y
     case PolygonGeom(p)          => polygonContains(p, x, y)
     case MultiPolygonGeom(ps)    => ps.exists(polygonContains(_, x, y))
+    case LineStringGeom(r)       => onOpenPath(r, x, y)
+    case MultiLineStringGeom(rs) => rs.exists(onOpenPath(_, x, y))
   }
 
   // ---------------------------------------------------------------- WKT
 
-  /** Parse POINT / POLYGON / MULTIPOLYGON WKT. Throws IllegalArgumentException
-    * on anything else (matching a strict reference-style error). */
+  /** Parse POINT / LINESTRING / MULTILINESTRING / POLYGON /
+    * MULTIPOLYGON WKT. Throws IllegalArgumentException on anything
+    * else (matching a strict reference-style error). */
   def parseWkt(wkt: String): Geom = {
     val s = wkt.trim
     val upper = s.toUpperCase
@@ -95,6 +113,16 @@ object Geo {
       MultiPolygonGeom(parsePolygonList(s.substring("MULTIPOLYGON".length)))
     } else if (upper.startsWith("POLYGON")) {
       PolygonGeom(parsePolygonBody(s.substring("POLYGON".length)))
+    } else if (upper.startsWith("MULTILINESTRING")) {
+      val paths = splitTopLevelGroups(
+        stripOuterParens(s.substring("MULTILINESTRING".length))).map(parseRing)
+      require(paths.nonEmpty && paths.forall(_.size >= 2),
+        s"MULTILINESTRING paths need >= 2 points each: $wkt")
+      MultiLineStringGeom(paths)
+    } else if (upper.startsWith("LINESTRING")) {
+      val path = parseRing(s.substring("LINESTRING".length))
+      require(path.size >= 2, s"LINESTRING needs >= 2 points: $wkt")
+      LineStringGeom(path)
     } else throw new IllegalArgumentException(s"unsupported WKT geometry: $wkt")
   }
 
@@ -176,6 +204,11 @@ object Geo {
     }
     (ast \ "type") match {
       case JString("Point")        => s"POINT (${pt(coordsOf(ast))})"
+      case JString("LineString")   => s"LINESTRING ${ring(coordsOf(ast))}"
+      case JString("MultiLineString") => coordsOf(ast) match {
+        case JArray(ls) => s"MULTILINESTRING ${ls.map(ring).mkString("(", ", ", ")")}"
+        case other => throw new IllegalArgumentException(s"bad multilinestring: $other")
+      }
       case JString("Polygon")      => s"POLYGON ${poly(coordsOf(ast))}"
       case JString("MultiPolygon") => coordsOf(ast) match {
         case JArray(ps) => s"MULTIPOLYGON ${ps.map(poly).mkString("(", ", ", ")")}"
@@ -218,6 +251,7 @@ object Geo {
     case PointGeom(_, _) => 0.0
     case PolygonGeom(p) => polyArea(p)
     case MultiPolygonGeom(ps) => ps.map(polyArea).sum
+    case LineStringGeom(_) | MultiLineStringGeom(_) => 0.0
   }
   private def polyArea(p: Polygon): Double =
     math.max(0.0, ringAreaAbs(p.outer) - p.holes.map(ringAreaAbs).sum)
@@ -237,10 +271,30 @@ object Geo {
     case PointGeom(_, _) => Nil
     case PolygonGeom(p) => p.outer +: p.holes
     case MultiPolygonGeom(ps) => ps.flatMap(p => p.outer +: p.holes)
+    case LineStringGeom(_) | MultiLineStringGeom(_) => Nil
+  }
+  /** a line's open paths; empty for areal geometries and points */
+  private def openPaths(g: Geom): Seq[Ring] = g match {
+    case LineStringGeom(r) => Seq(r)
+    case MultiLineStringGeom(rs) => rs
+    case _ => Nil
+  }
+  /** every segment-bearing coordinate run: closed rings wrap, open
+    * paths don't — the shared shape the pairwise segment tests walk */
+  private def segRuns(g: Geom): Seq[(Ring, Boolean)] =
+    rings(g).map((_, true)) ++ openPaths(g).map((_, false))
+  def isLineal(g: Geom): Boolean = g match {
+    case LineStringGeom(_) | MultiLineStringGeom(_) => true
+    case _ => false
+  }
+  def isAreal(g: Geom): Boolean = g match {
+    case PolygonGeom(_) | MultiPolygonGeom(_) => true
+    case _ => false
   }
   private def vertices(g: Geom): Seq[(Double, Double)] = g match {
     case PointGeom(x, y) => Seq((x, y))
-    case _ => rings(g).flatMap(r => r.xs.indices.map(i => (r.xs(i), r.ys(i))))
+    case _ => segRuns(g).map(_._1)
+      .flatMap(r => r.xs.indices.map(i => (r.xs(i), r.ys(i))))
   }
 
   @inline private def orient(ax: Double, ay: Double, bx: Double, by: Double,
@@ -277,12 +331,18 @@ object Geo {
   }
 
   private def ringPairTest(a: Ring, b: Ring,
+      test: (Double, Double, Double, Double, Double, Double, Double, Double) => Boolean): Boolean =
+    runPairTest(a, aClosed = true, b, bClosed = true, test)
+
+  /** pairwise segment test between two coordinate runs; a closed run
+    * wraps (last→first), an open path doesn't */
+  private def runPairTest(a: Ring, aClosed: Boolean, b: Ring, bClosed: Boolean,
       test: (Double, Double, Double, Double, Double, Double, Double, Double) => Boolean): Boolean = {
-    var i = 0
-    var pi = a.size - 1
+    var i = if (aClosed) 0 else 1
+    var pi = if (aClosed) a.size - 1 else 0
     while (i < a.size) {
-      var j = 0
-      var pj = b.size - 1
+      var j = if (bClosed) 0 else 1
+      var pj = if (bClosed) b.size - 1 else 0
       while (j < b.size) {
         if (test(a.xs(pi), a.ys(pi), a.xs(i), a.ys(i),
           b.xs(pj), b.ys(pj), b.xs(j), b.ys(j))) return true
@@ -295,6 +355,13 @@ object Geo {
     false
   }
 
+  /** pairwise segment test across every run of two geometries */
+  private def segPairAny(a: Geom, b: Geom,
+      test: (Double, Double, Double, Double, Double, Double, Double, Double) => Boolean): Boolean =
+    segRuns(a).exists { case (ra, ca) =>
+      segRuns(b).exists { case (rb, cb) => runPairTest(ra, ca, rb, cb, test) }
+    }
+
   /** boundary-inclusive intersection test: shared area, shared edge or
     * a single shared boundary point all count (the DE-9IM "intersects"
     * convention) */
@@ -304,14 +371,14 @@ object Geo {
     case _ =>
       vertices(a).exists { case (x, y) => contains(b, x, y) } ||
         vertices(b).exists { case (x, y) => contains(a, x, y) } ||
-        rings(a).exists(ra => rings(b).exists(rb =>
-          ringPairTest(ra, rb, segsIntersect)))
+        segPairAny(a, b, segsIntersect)
   }
 
   private def holeRings(g: Geom): Seq[Ring] = g match {
     case PointGeom(_, _) => Nil
     case PolygonGeom(p) => p.holes
     case MultiPolygonGeom(ps) => ps.flatMap(_.holes)
+    case LineStringGeom(_) | MultiLineStringGeom(_) => Nil
   }
 
   private def onBoundary(g: Geom, x: Double, y: Double): Boolean =
@@ -327,12 +394,22 @@ object Geo {
   def containsGeom(a: Geom, b: Geom): Boolean = (a, b) match {
     case (_, PointGeom(x, y)) => contains(a, x, y)
     case (PointGeom(_, _), _) => false
+    // 1-D can't contain 2-D
+    case _ if isLineal(a) && isAreal(b) => false
     case _ =>
       def strictlyInB(x: Double, y: Double): Boolean =
         contains(b, x, y) && !onBoundary(b, x, y)
       vertices(b).forall { case (x, y) => contains(a, x, y) } &&
-        !rings(a).exists(ra => rings(b).exists(rb =>
-          ringPairTest(ra, rb, segsCrossProperly))) &&
+        !segPairAny(a, b, segsCrossProperly) &&
+        // a lineal b probes its segment MIDPOINTS too: a chord between
+        // two boundary points of a concave `a` (or a bend off a lineal
+        // `a`) leaves `a` without ever properly crossing it — the
+        // midpoint catches the non-degenerate escape
+        (!isLineal(b) || openPaths(b).forall { r =>
+          (1 until r.size).forall { i =>
+            contains(a, (r.xs(i - 1) + r.xs(i)) / 2, (r.ys(i - 1) + r.ys(i)) / 2)
+          }
+        }) &&
         !holeRings(a).exists { h =>
           h.xs.indices.exists { i =>
             val j = if (i == 0) h.size - 1 else i - 1
@@ -367,10 +444,10 @@ object Geo {
       math.sqrt(dx * dx + dy * dy)
     case _ =>
       if (contains(g, px, py)) 0.0
-      else rings(g).foldLeft(Double.PositiveInfinity) { (mn, r) =>
+      else segRuns(g).foldLeft(Double.PositiveInfinity) { case (mn, (r, closed)) =>
         var m = mn
-        var i = 0
-        var j = r.size - 1
+        var i = if (closed) 0 else 1
+        var j = if (closed) r.size - 1 else 0
         while (i < r.size) {
           val d = pointSegDist(px, py, r.xs(j), r.ys(j), r.xs(i), r.ys(i))
           if (d < m) m = d
@@ -413,14 +490,30 @@ object Geo {
     case PolygonGeom(p) => p.outer.size + p.holes.map(_.size).sum
     case MultiPolygonGeom(ps) =>
       ps.map(p => p.outer.size + p.holes.map(_.size).sum).sum
+    case LineStringGeom(r) => r.size
+    case MultiLineStringGeom(rs) => rs.map(_.size).sum
   }
 
-  /** ST_Perimeter: total ring length (outer + holes); points 0 */
+  /** ST_Perimeter: total ring length (outer + holes); points and
+    * lines 0 — perimeter is an AREAL measure (PostGIS convention;
+    * [[length]] is the lineal one) */
   def perimeter(g: Geom): Double = g match {
     case PointGeom(_, _) => 0.0
     case PolygonGeom(p) => (p.outer +: p.holes).map(ringLength).sum
     case MultiPolygonGeom(ps) =>
       ps.flatMap(p => p.outer +: p.holes).map(ringLength).sum
+    case LineStringGeom(_) | MultiLineStringGeom(_) => 0.0
+  }
+
+  /** ST_Length: total path length of a LINESTRING/MULTILINESTRING;
+    * 0 for points and polygons — length is a LINEAL measure (PostGIS
+    * convention; polygon outlines are [[perimeter]]). Stored paths
+    * don't repeat their first vertex, so the consecutive-segment sum
+    * [[ringLength]] computes is exactly the open-path length. */
+  def length(g: Geom): Double = g match {
+    case LineStringGeom(r) => ringLength(r)
+    case MultiLineStringGeom(rs) => rs.map(ringLength).sum
+    case _ => 0.0
   }
   private def ringLength(r: Ring): Double = {
     var s = 0.0
@@ -446,6 +539,35 @@ object Geo {
     case PointGeom(x, y) => (x, y)
     case PolygonGeom(p) => polyCentroid(Seq(p))
     case MultiPolygonGeom(ps) => polyCentroid(ps)
+    case LineStringGeom(r) => lineCentroid(Seq(r))
+    case MultiLineStringGeom(rs) => lineCentroid(rs)
+  }
+
+  /** lineal centroid: length-weighted mean of segment midpoints (the
+    * PostGIS line centroid); a zero-length degenerate falls back to
+    * the vertex mean */
+  private def lineCentroid(paths: Seq[Ring]): (Double, Double) = {
+    var len = 0.0; var cx = 0.0; var cy = 0.0
+    paths.foreach { r =>
+      var i = 1
+      while (i < r.size) {
+        val dx = r.xs(i) - r.xs(i - 1)
+        val dy = r.ys(i) - r.ys(i - 1)
+        val l = math.sqrt(dx * dx + dy * dy)
+        len += l
+        cx += l * (r.xs(i - 1) + r.xs(i)) / 2
+        cy += l * (r.ys(i - 1) + r.ys(i)) / 2
+        i += 1
+      }
+    }
+    if (len == 0.0) {
+      var n = 0; var sx = 0.0; var sy = 0.0
+      paths.foreach { r =>
+        var i = 0
+        while (i < r.size) { sx += r.xs(i); sy += r.ys(i); n += 1; i += 1 }
+      }
+      (sx / math.max(n, 1), sy / math.max(n, 1))
+    } else (cx / len, cy / len)
   }
   private def polyCentroid(ps: Seq[Polygon]): (Double, Double) = {
     // signed shoelace accumulation: holes (listed in either winding)
@@ -498,6 +620,8 @@ object Geo {
     case PointGeom(x, y) => (x, x, y, y)
     case PolygonGeom(p) => ringBounds(Seq(p.outer))
     case MultiPolygonGeom(ps) => ringBounds(ps.map(_.outer))
+    case LineStringGeom(r) => ringBounds(Seq(r))
+    case MultiLineStringGeom(rs) => ringBounds(rs)
   }
 
   private def ringBounds(rings: Seq[Ring]): (Double, Double, Double, Double) = {
@@ -647,12 +771,12 @@ object Geo {
     val clipPolys: Seq[Polygon] = b match {
       case PolygonGeom(p) => Seq(p)
       case MultiPolygonGeom(ps) => ps
-      case _: PointGeom => return 0.0
+      case _ => return 0.0 // points and lines have zero area
     }
     val subjPolys: Seq[Polygon] = a match {
       case PolygonGeom(p) => Seq(p)
       case MultiPolygonGeom(ps) => ps
-      case _: PointGeom => return 0.0
+      case _ => return 0.0
     }
     clipPolys.map { cp =>
       require(cp.holes.isEmpty,
@@ -958,13 +1082,17 @@ object Geo {
   /** ST_ConvexHull: hull of every vertex (Andrew's monotone chain,
     * strict turns — collinear mid-edge points drop). Holes never
     * contribute (they lie inside their outer). POINT for a single
-    * distinct point; an all-collinear vertex set rejects loudly (the
-    * hull would be a LINESTRING, outside the geometry model). */
+    * distinct point; an all-collinear vertex set degrades to the
+    * LINESTRING between its extreme points (PostGIS behavior — r14,
+    * possible now that the model has a lineal type). */
   def convexHullWkt(g: Geom): String = {
     val pts: Array[(Double, Double)] = (g match {
       case PointGeom(x, y) => Array((x, y))
       case PolygonGeom(p) => openRing(p.outer)
       case MultiPolygonGeom(ps) => ps.toArray.flatMap(p => openRing(p.outer))
+      case LineStringGeom(r) => r.xs.indices.toArray.map(i => (r.xs(i), r.ys(i)))
+      case MultiLineStringGeom(rs) =>
+        rs.toArray.flatMap(r => r.xs.indices.map(i => (r.xs(i), r.ys(i))))
     }).distinct
     if (pts.length == 1)
       return s"POINT (${fmt(pts(0)._1)} ${fmt(pts(0)._2)})"
@@ -981,8 +1109,11 @@ object Geo {
       st
     }
     val hull = (chain(s).dropRight(1) ++ chain(s.reverse).dropRight(1)).toArray
-    require(hull.length >= 3,
-      "st_convex_hull: degenerate (collinear) input")
+    if (hull.length < 3) {
+      val lo = s.head
+      val hi = s.last
+      return s"LINESTRING (${fmt(lo._1)} ${fmt(lo._2)}, ${fmt(hi._1)} ${fmt(hi._2)})"
+    }
     polyWkt(hull)
   }
 
@@ -1001,7 +1132,48 @@ object Geo {
       case PolygonGeom(p) => simplifiedToWkt(simplifyPolygon(p, tol).toSeq)
       case MultiPolygonGeom(ps) =>
         simplifiedToWkt(ps.flatMap(simplifyPolygon(_, tol)))
+      // open paths anchor at their two ENDPOINTS (the classic DP form —
+      // no wrap, no second-anchor search) and always survive
+      case LineStringGeom(r) =>
+        lineStr("LINESTRING", simplifyPath(r, tol))
+      case MultiLineStringGeom(rs) =>
+        val ps = rs.map(simplifyPath(_, tol))
+        if (ps.length == 1) lineStr("LINESTRING", ps.head)
+        else "MULTILINESTRING (" + ps.map(p =>
+          "(" + p.map { case (x, y) => fmt(x) + " " + fmt(y) }
+            .mkString(", ") + ")").mkString(", ") + ")"
     }
+  }
+
+  private def lineStr(tag: String, pts: Array[(Double, Double)]): String =
+    tag + " (" + pts.map { case (x, y) => fmt(x) + " " + fmt(y) }
+      .mkString(", ") + ")"
+
+  /** Douglas–Peucker over an OPEN path, endpoints fixed */
+  private def simplifyPath(r: Ring, tol: Double): Array[(Double, Double)] = {
+    val pts = r.xs.indices.map(i => (r.xs(i), r.ys(i))).toArray
+    if (pts.length <= 2) return pts
+    def lineDist(p: (Double, Double), a: (Double, Double), b: (Double, Double)): Double = {
+      val bx = b._1 - a._1; val by = b._2 - a._2
+      val len = math.sqrt(bx * bx + by * by)
+      if (len == 0) math.hypot(p._1 - a._1, p._2 - a._2)
+      else math.abs(bx * (p._2 - a._2) - by * (p._1 - a._1)) / len
+    }
+    val keep = Array.fill(pts.length)(false)
+    keep(0) = true; keep(pts.length - 1) = true
+    def dp(lo: Int, hi: Int): Unit = {
+      if (hi <= lo + 1) return
+      var best = -1; var bd = -1.0
+      var k = lo + 1
+      while (k < hi) {
+        val d = lineDist(pts(k), pts(lo), pts(hi))
+        if (d > bd) { bd = d; best = k }
+        k += 1
+      }
+      if (bd > tol) { keep(best) = true; dp(lo, best); dp(best, hi) }
+    }
+    dp(0, pts.length - 1)
+    pts.indices.filter(keep).map(pts).toArray
   }
 
   private def simplifyPolygon(p: Polygon, tol: Double)
@@ -1064,6 +1236,128 @@ object Geo {
     else "MULTIPOLYGON (" + polys.map(polyStr).mkString(", ") + ")"
   }
 
+  // --------------------------------------- DE-9IM relate predicates
+  // touches / crosses / overlaps over the POINT/LINESTRING/POLYGON
+  // model. "Interior" follows the DE-9IM convention: a point IS its
+  // interior, a line's boundary is its path endpoints (simplification:
+  // every path endpoint of a multilinestring counts as boundary, not
+  // the mod-2 rule), a polygon's boundary is its rings. Exact for
+  // non-degenerate inputs; tangential vertex-only contacts share the
+  // same documented caveat as [[containsGeom]].
+
+  /** the path endpoints of a lineal geometry (its DE-9IM boundary) */
+  private def lineEndpoints(g: Geom): Seq[(Double, Double)] =
+    openPaths(g).flatMap(r =>
+      Seq((r.xs(0), r.ys(0)), (r.xs(r.size - 1), r.ys(r.size - 1))))
+
+  /** p lies on line g but is not one of its endpoints */
+  private def onLineInterior(g: Geom, x: Double, y: Double): Boolean =
+    contains(g, x, y) && !lineEndpoints(g).contains((x, y))
+
+  /** collinear seg pair sharing a positive-length run */
+  private def segsOverlapCollinear(x1: Double, y1: Double, x2: Double, y2: Double,
+      x3: Double, y3: Double, x4: Double, y4: Double): Boolean = {
+    if (orient(x1, y1, x2, y2, x3, y3) != 0.0 ||
+      orient(x1, y1, x2, y2, x4, y4) != 0.0) return false
+    // project on the dominant axis; positive-length 1-D overlap
+    val horiz = math.abs(x2 - x1) >= math.abs(y2 - y1)
+    val (a1, a2, b1, b2) =
+      if (horiz) (math.min(x1, x2), math.max(x1, x2), math.min(x3, x4), math.max(x3, x4))
+      else (math.min(y1, y2), math.max(y1, y2), math.min(y3, y4), math.max(y3, y4))
+    math.min(a2, b2) - math.max(a1, b1) > 0.0
+  }
+
+  /** do two lineal geometries share interior points? proper segment
+    * crossings, a non-endpoint vertex of one on the interior of the
+    * other, or a positive-length collinear run all count */
+  private def lineLineInteriorsIntersect(a: Geom, b: Geom): Boolean = {
+    def vertexHit(from: Geom, to: Geom): Boolean = {
+      val ends = lineEndpoints(from).toSet
+      openPaths(from).exists { r =>
+        r.xs.indices.exists { i =>
+          val v = (r.xs(i), r.ys(i))
+          !ends.contains(v) && onLineInterior(to, v._1, v._2)
+        }
+      }
+    }
+    segPairAny(a, b, segsCrossProperly) ||
+      vertexHit(a, b) || vertexHit(b, a) ||
+      segPairAny(a, b, segsOverlapCollinear)
+  }
+
+  /** does any positive-length collinear run exist between a and b? */
+  private def lineLineCollinearOverlap(a: Geom, b: Geom): Boolean =
+    segPairAny(a, b, segsOverlapCollinear)
+
+  /** does line l reach the strict interior of areal g? probes l's
+    * vertices and segment midpoints (strictly inside = inside and not
+    * on a ring) plus proper boundary crossings */
+  private def lineEntersArealInterior(l: Geom, g: Geom): Boolean = {
+    def strictlyIn(x: Double, y: Double): Boolean =
+      contains(g, x, y) && !onBoundary(g, x, y)
+    openPaths(l).exists { r =>
+      r.xs.indices.exists(i => strictlyIn(r.xs(i), r.ys(i))) ||
+        (1 until r.size).exists(i =>
+          strictlyIn((r.xs(i - 1) + r.xs(i)) / 2, (r.ys(i - 1) + r.ys(i)) / 2))
+    } || segPairAny(l, g, segsCrossProperly)
+  }
+
+  /** does line l have a point strictly outside areal g? */
+  private def lineExitsAreal(l: Geom, g: Geom): Boolean =
+    openPaths(l).exists { r =>
+      r.xs.indices.exists(i => !contains(g, r.xs(i), r.ys(i))) ||
+        (1 until r.size).exists(i =>
+          !contains(g, (r.xs(i - 1) + r.xs(i)) / 2, (r.ys(i - 1) + r.ys(i)) / 2))
+    }
+
+  /** do the interiors of a and b share a point? */
+  private def interiorsIntersect(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (PointGeom(x, y), PointGeom(u, v)) => x == u && y == v
+    case (PointGeom(x, y), g) if isLineal(g) => onLineInterior(g, x, y)
+    case (g, PointGeom(x, y)) if isLineal(g) => onLineInterior(g, x, y)
+    case (PointGeom(x, y), g) => contains(g, x, y) && !onBoundary(g, x, y)
+    case (g, PointGeom(x, y)) => contains(g, x, y) && !onBoundary(g, x, y)
+    case _ if isLineal(a) && isLineal(b) => lineLineInteriorsIntersect(a, b)
+    case _ if isLineal(a) => lineEntersArealInterior(a, b)
+    case _ if isLineal(b) => lineEntersArealInterior(b, a)
+    case _ => // areal × areal: shared interior ⇔ positive overlap area
+      intersectionArea(a, b) > 0.0 || containsGeom(a, b) || containsGeom(b, a)
+  }
+
+  /** ST_Touches: the geometries intersect but their interiors don't —
+    * boundary-only contact */
+  def touchesGeom(a: Geom, b: Geom): Boolean =
+    intersects(a, b) && !interiorsIntersect(a, b)
+
+  /** ST_Crosses: interiors intersect in a lower dimension than the
+    * inputs span — a point-contact line pair, or a line passing
+    * through a polygon (inside AND outside points). Never true for
+    * point/point or areal/areal pairs. */
+  def crossesGeom(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (PointGeom(_, _), _) | (_, PointGeom(_, _)) => false
+    case _ if isLineal(a) && isLineal(b) =>
+      lineLineInteriorsIntersect(a, b) && !lineLineCollinearOverlap(a, b)
+    case _ if isLineal(a) && isAreal(b) =>
+      lineEntersArealInterior(a, b) && lineExitsAreal(a, b)
+    case _ if isAreal(a) && isLineal(b) =>
+      lineEntersArealInterior(b, a) && lineExitsAreal(b, a)
+    case _ => false
+  }
+
+  /** ST_Overlaps: same-dimension geometries whose interiors intersect
+    * without either containing the other. Lines overlap on a shared
+    * positive-length collinear run; polygons on a positive
+    * intersection area. */
+  def overlapsGeom(a: Geom, b: Geom): Boolean = (a, b) match {
+    case _ if isLineal(a) && isLineal(b) =>
+      lineLineCollinearOverlap(a, b) &&
+        !containsGeom(a, b) && !containsGeom(b, a)
+    case _ if isAreal(a) && isAreal(b) =>
+      interiorsIntersect(a, b) &&
+        !containsGeom(a, b) && !containsGeom(b, a)
+    case _ => false
+  }
+
   // string-in entry points for the codegen expressions (one cached
   // parse per distinct WKT per executor)
   def stDistance(a: String, b: String): Double =
@@ -1092,6 +1386,13 @@ object Geo {
   def stConvexHull(a: String): String = convexHullWkt(parseWktCached(a))
   def stSimplify(a: String, tol: Double): String =
     simplifyWkt(parseWktCached(a), tol)
+  def stLength(a: String): Double = length(parseWktCached(a))
+  def stTouches(a: String, b: String): Boolean =
+    touchesGeom(parseWktCached(a), parseWktCached(b))
+  def stCrosses(a: String, b: String): Boolean =
+    crossesGeom(parseWktCached(a), parseWktCached(b))
+  def stOverlaps(a: String, b: String): Boolean =
+    overlapsGeom(parseWktCached(a), parseWktCached(b))
   def stXmin(a: String): Double = boundsOf(parseWktCached(a))._1
   def stXmax(a: String): Double = boundsOf(parseWktCached(a))._2
   def stYmin(a: String): Double = boundsOf(parseWktCached(a))._3

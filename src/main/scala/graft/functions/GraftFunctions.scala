@@ -252,6 +252,14 @@ object GraftFunctions {
       es => GeoExprs.StBoolean(es(0), es(1), union = false), "built-in")
     r.createOrReplaceTempFunction("st_convex_hull",
       es => GeoExprs.StConvexHull(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_length",
+      es => GeoExprs.StLength(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_touches",
+      es => GeoExprs.StRelate(es(0), es(1), 0), "built-in")
+    r.createOrReplaceTempFunction("st_crosses",
+      es => GeoExprs.StRelate(es(0), es(1), 1), "built-in")
+    r.createOrReplaceTempFunction("st_overlaps",
+      es => GeoExprs.StRelate(es(0), es(1), 2), "built-in")
     r.createOrReplaceTempFunction("st_simplify",
       es => GeoExprs.StSimplify(es(0), Cast(es(1), DoubleType)), "built-in")
     r.createOrReplaceTempFunction("st_xmin",

@@ -783,6 +783,57 @@ object QueriesEngine {
           GeoExprs.st_contains(zone, pointWkt).as("in_zone"))
     },
 
+    // ---- LINESTRING suite (r14): st_length (the lineal measure),
+    // lineal centroid, point→line distance, and the DE-9IM relate
+    // predicates st_touches / st_crosses / st_overlaps over parametric
+    // line/polygon fixtures. Measures scale with s (exact closed forms
+    // — 3-4-5 triangles and perfect squares keep the doubles bit-
+    // identical); predicates flip on k, so every CASE arm of the
+    // oracle is exercised across rows.
+    "q_geo_linestring" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def i(c: org.apache.spark.sql.Column) = c.cast("int").cast("string")
+      val sc = $"s"; val k = $"k"
+      // L-track along the rect's bottom + right edges
+      val track = concat(lit("LINESTRING (0 0, "), i(sc * 2), lit(" 0, "),
+        i(sc * 2), lit(" "), i(sc * 2), lit(")"))
+      val diag = concat(lit("LINESTRING (0 0, "), i(sc * 3), lit(" "),
+        i(sc * 4), lit(")"))
+      val rect = concat(lit("POLYGON ((0 0, "), i(sc * 2), lit(" 0, "),
+        i(sc * 2), lit(" "), i(sc * 2), lit(", 0 "), i(sc * 2), lit(", 0 0))"))
+      val chord = concat(lit("LINESTRING (0 0, "), i(sc * 2), lit(" "),
+        i(sc * 2), lit(")"))
+      val farPt = concat(lit("POINT ("), i(sc * -3), lit(" "), i(sc * 4), lit(")"))
+      // k-keyed probes against FIXED fixtures: k=0 below, k=1 along
+      // the bottom edge, k=2 through the interior
+      val probe = concat(lit("LINESTRING (8 "), i(k), lit(", 16 "), i(k), lit(")"))
+      val box = lit("POLYGON ((10 1, 14 1, 14 3, 10 3, 10 1))")
+      val vline = concat(lit("LINESTRING (2 -1, 2 "), i(k), lit(")"))
+      val hline = lit("LINESTRING (0 0, 4 0)")
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          ($"n_nationkey" % 4 + 1).cast("int").as("s"),
+          ($"n_nationkey" % 3).cast("int").as("k"))
+        .select($"n_nationkey",
+          GeoExprs.st_length(track).as("len_track"),
+          GeoExprs.st_length(diag).as("len_diag"),
+          GeoExprs.st_x(GeoExprs.st_centroid(track)).as("cx"),
+          GeoExprs.st_y(GeoExprs.st_centroid(track)).as("cy"),
+          GeoExprs.st_distance(farPt, track).as("d5"),
+          GeoExprs.st_npoints(track).cast(LongType).as("np"),
+          GeoExprs.st_touches(probe, box).as("touches_poly"),
+          GeoExprs.st_crosses(probe, box).as("crosses_poly"),
+          GeoExprs.st_touches(hline, vline).as("touches_line"),
+          GeoExprs.st_crosses(hline, vline).as("crosses_line"),
+          GeoExprs.st_overlaps(hline, lit("LINESTRING (2 0, 6 0)"))
+            .as("overlap_line"),
+          GeoExprs.st_contains(rect, track).as("in_rect"),
+          GeoExprs.st_contains(track, chord).as("chord"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- coalesce_label over nullable branches
     "q_coalesce_label" -> { (s, dir) =>
       import s.implicits._
@@ -1107,6 +1158,30 @@ object QueriesEngine {
                  CAST(l_linenumber % 3 + 1 AS INT) AS w
                FROM lineitem) t
          ORDER BY l_orderkey, l_linenumber""",
+    // the linestring fixtures are built so every measure is an exact
+    // closed form (4s, 5s via 3-4-5, 1.5s/0.5s centroid, √(25s²)=5s)
+    // and every predicate is a pure function of k — the oracle replays
+    // the geometry semantics as arithmetic, no spatial lib involved
+    "q_geo_linestring" ->
+      """SELECT n_nationkey,
+           CAST(4 * s AS DOUBLE) AS len_track,
+           CAST(5 * s AS DOUBLE) AS len_diag,
+           CAST(1.5 * s AS DOUBLE) AS cx,
+           CAST(0.5 * s AS DOUBLE) AS cy,
+           CAST(5 * s AS DOUBLE) AS d5,
+           CAST(3 AS BIGINT) AS np,
+           k = 1 AS touches_poly,
+           k = 2 AS crosses_poly,
+           k = 0 AS touches_line,
+           k > 0 AS crosses_line,
+           TRUE AS overlap_line,
+           TRUE AS in_rect,
+           FALSE AS chord
+         FROM (SELECT n_nationkey,
+                 CAST(n_nationkey % 4 + 1 AS INT) AS s,
+                 CAST(n_nationkey % 3 AS INT) AS k
+               FROM nation) t
+         ORDER BY n_nationkey""",
     "q_coalesce_label" ->
       """SELECT o_orderkey,
          CASE WHEN (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NOT NULL THEN 'open'

@@ -52,7 +52,8 @@ class GeoSpec extends AnyFunSuite {
   }
 
   test("unsupported WKT errors") {
-    intercept[IllegalArgumentException](parseWkt("LINESTRING (0 0, 1 1)"))
+    intercept[IllegalArgumentException](
+      parseWkt("GEOMETRYCOLLECTION (POINT (1 1))"))
   }
 
   test("geojson polygon → wkt") {
@@ -363,11 +364,121 @@ class GeoSpec extends AnyFunSuite {
     assert(stConvexHull("POLYGON ((2 0, 4 3, 0 2, 2 0))") ==
       "POLYGON ((0 2, 2 0, 4 3, 0 2))")
     assert(stConvexHull("POINT (3 4)") == "POINT (3 4)")
-    val deg = intercept[IllegalArgumentException] {
-      // all vertices on one line — the hull would be a LINESTRING
-      stConvexHull("POLYGON ((0 0, 1 1, 2 2, 0 0))")
-    }
-    assert(deg.getMessage.contains("degenerate"))
+    // all vertices on one line — since r14 the hull degrades to the
+    // LINESTRING between the extreme points (the model has lines now)
+    assert(stConvexHull("POLYGON ((0 0, 1 1, 2 2, 0 0))") ==
+      "LINESTRING (0 0, 2 2)")
+  }
+
+  test("linestring: parse, measures, predicates, centroid, hull, simplify (r14)") {
+    val l = "LINESTRING (0 0, 4 0, 4 4)"
+    val ml = "MULTILINESTRING ((0 0, 4 0), (0 2, 4 2))"
+    // ST_Length is the lineal measure; perimeter/area stay areal
+    assert(stLength(l) == 8.0)
+    assert(stLength(ml) == 8.0)
+    assert(stLength("LINESTRING (0 0, 3 4)") == 5.0)
+    assert(stLength(square) == 0.0 && stLength("POINT (1 2)") == 0.0)
+    assert(stPerimeter(l) == 0.0 && stArea(l) == 0.0)
+    assert(stNPoints(l) == 3 && stNPoints(ml) == 4)
+    // point-on-line (boundary-inclusive contains), no closing segment
+    val g = parseWkt(l)
+    assert(contains(g, 2, 0) && contains(g, 4, 2) && contains(g, 0, 0))
+    assert(!contains(g, 0, 4), "no closing segment on an open path")
+    assert(!contains(g, 2, 1))
+    // intersects: line × line, line × polygon, line × point
+    assert(stIntersects(l, "LINESTRING (2 -1, 2 1)"))
+    assert(!stIntersects(l, "LINESTRING (0 1, 3 1)"))
+    assert(stIntersects(l, square))
+    assert(stIntersects("LINESTRING (-2 5, 12 5)", square))
+    assert(stIntersects(l, "POINT (4 1)"))
+    // distance: point→line and line→line
+    assert(stDistance("POINT (2 3)", l) == 2.0) // vertical arm is nearer
+    assert(stDistance("POINT (-3 4)", "LINESTRING (0 0, 4 0)") == 5.0)
+    assert(stDistance(l, "LINESTRING (6 0, 6 4)") == 2.0)
+    assert(stDistance(l, "LINESTRING (2 -1, 2 1)") == 0.0)
+    // containment: polygon ⊇ line (with the concave-chord midpoint
+    // probe), line ⊇ line, line can never contain a polygon
+    assert(stContains(square, l))
+    assert(!stContains(l, square))
+    assert(stContains(l, "LINESTRING (1 0, 3 0)"))
+    assert(!stContains(l, "LINESTRING (0 0, 4 4)"), "bend must reject the chord")
+    val ushape = "POLYGON ((0 0, 6 0, 6 6, 4 6, 4 2, 2 2, 2 6, 0 6, 0 0))"
+    assert(!stContains(ushape, "LINESTRING (1 6, 5 6)"),
+      "a chord across the U's gap is not contained")
+    // centroid: length-weighted segment midpoints → (3, 1) for the L
+    assert(stCentroid(l) == "POINT (3 1)")
+    // hull of a line; collinear line hull stays a line
+    assert(stConvexHull(l) == "POLYGON ((0 0, 4 0, 4 4, 0 0))")
+    assert(stConvexHull("LINESTRING (0 0, 1 1, 3 3)") == "LINESTRING (0 0, 3 3)")
+    // envelope/bounds
+    assert(stXmin(l) == 0.0 && stXmax(l) == 4.0 &&
+      stYmin(l) == 0.0 && stYmax(l) == 4.0)
+    // simplify an open path: bump under tol drops, endpoints pinned
+    assert(stSimplify("LINESTRING (0 0, 1 0.2, 2 0, 2 5)", 0.5) ==
+      "LINESTRING (0 0, 2 0, 2 5)")
+    assert(stSimplify(ml, 0.5) == ml)
+    // GeoJSON round-trip
+    assert(geoJsonToWkt("""{"type": "LineString",
+      "coordinates": [[0, 0], [4, 0], [4, 4]]}""") == l)
+    assert(geoJsonToWkt("""{"type": "MultiLineString",
+      "coordinates": [[[0, 0], [4, 0]], [[0, 2], [4, 2]]]}""") == ml)
+    // st_union/st_intersection stay loudly polygon-only
+    val e = intercept[IllegalArgumentException] { stUnion(l, square) }
+    assert(e.getMessage.contains("POLYGON"))
+    assert(stIntersectionArea(l, square) == 0.0)
+  }
+
+  test("touches / crosses / overlaps: DE-9IM relate triples (r14)") {
+    val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    // touches: boundary-only contact, every type pair
+    assert(stTouches("POINT (4 2)", sq))
+    assert(!stTouches("POINT (2 2)", sq), "interior point is not touch")
+    assert(!stTouches("POINT (5 5)", sq))
+    assert(stTouches("POINT (0 0)", "LINESTRING (0 0, 4 0, 4 4)"),
+      "line endpoint is its boundary")
+    assert(!stTouches("POINT (2 0)", "LINESTRING (0 0, 4 0, 4 4)"),
+      "mid-line point meets the line's interior")
+    assert(stTouches("LINESTRING (-2 0, 0 0)", sq), "corner-poke touch")
+    assert(stTouches("LINESTRING (-2 2, 0 2)", sq), "edge-poke touch")
+    assert(stTouches("LINESTRING (0 -2, 0 8)", sq),
+      "a line running ALONG the boundary touches (no interior reach)")
+    assert(!stTouches("LINESTRING (-2 2, 2 2)", sq), "entering line crosses")
+    assert(stTouches("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 2 4)"),
+      "T-junction at the vertical's endpoint touches")
+    assert(!stTouches("LINESTRING (0 0, 4 0)", "LINESTRING (2 -2, 2 2)"),
+      "proper crossing is not a touch")
+    assert(stTouches(sq, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"),
+      "edge-adjacent polygons touch")
+    assert(stTouches(sq, "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"),
+      "corner-adjacent polygons touch")
+    assert(!stTouches(sq, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),
+      "area overlap is not a touch")
+    assert(!stTouches(sq, "POLYGON ((12 0, 14 0, 14 2, 12 2, 12 0))"))
+    // crosses: interiors meet in lower dimension
+    assert(stCrosses("LINESTRING (0 0, 4 0)", "LINESTRING (2 -2, 2 2)"))
+    assert(!stCrosses("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)"),
+      "collinear sharing overlaps, it doesn't cross")
+    assert(stCrosses("LINESTRING (-2 2, 6 2)", sq), "through-line crosses")
+    assert(stCrosses(sq, "LINESTRING (-2 2, 6 2)"), "symmetric form")
+    assert(!stCrosses("LINESTRING (1 1, 3 3)", sq),
+      "a line wholly inside does not cross")
+    assert(!stCrosses("LINESTRING (-2 0, 0 0)", sq))
+    assert(!stCrosses(sq, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),
+      "areal pairs never cross")
+    // overlaps: same-dimension partial interior sharing
+    assert(stOverlaps("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)"))
+    assert(!stOverlaps("LINESTRING (0 0, 4 0)", "LINESTRING (1 0, 3 0)"),
+      "containment is not overlap")
+    assert(!stOverlaps("LINESTRING (0 0, 4 0)", "LINESTRING (2 -2, 2 2)"),
+      "point contact is not overlap")
+    assert(stOverlaps(sq, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
+    assert(!stOverlaps(sq, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+      "nested polygons don't overlap")
+    assert(!stOverlaps(sq, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"),
+      "edge contact is not overlap")
+    assert(!stOverlaps("LINESTRING (-2 2, 6 2)", sq),
+      "mixed dimensions never overlap")
+    assert(!stOverlaps("POINT (1 1)", "POINT (1 1)"))
   }
 
   test("st_simplify: bumps under tol drop, spikes stay, rings can vanish (r12)") {
