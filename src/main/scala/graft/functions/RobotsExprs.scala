@@ -86,6 +86,26 @@ object RobotsExprs {
     ColumnBridge.column(RobotsCrawlDelay(ColumnBridge.expression(body),
       ColumnBridge.expression(agent)))
 
+  /** `robots_sitemaps(body)` — the `Sitemap:` URLs of a robots.txt in
+    * document order, first occurrence kept on duplicates. Sitemap is a
+    * NON-GROUP record (RFC 9309 §2.4 "other records"): it applies to
+    * every agent regardless of position, so this returns all of them —
+    * the out-of-band seed list a frontier bootstrap starts from. */
+  case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "robots_sitemaps"
+    override def nullSafeEval(body: Any): Any =
+      sitemapsKernel(body.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b =>
+        s"${ev.value} = graft.functions.RobotsExprs.sitemapsKernel($b);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def robots_sitemaps(body: Column): Column =
+    ColumnBridge.column(RobotsSitemaps(ColumnBridge.expression(body)))
+
   // ---------------------------------------------------------- kernel
 
   def allowsKernel(body: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
@@ -94,6 +114,33 @@ object RobotsExprs {
   def crawlDelayKernel(body: UTF8String, agent: UTF8String): java.lang.Double =
     if (body == null || agent == null) null
     else crawlDelay(body.toString, agent.toString)
+
+  def sitemapsKernel(body: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val urls = sitemaps(body.toString)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      urls.map(UTF8String.fromString))
+  }
+
+  /** every `Sitemap:` value of the body, document order, first
+    * occurrence kept on duplicates. Same tolerant line discipline as
+    * the group parser (`\r?\n` splits, `#` comments, case-insensitive
+    * key); the value keeps its own colons (absolute URLs). */
+  def sitemaps(body: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    body.split("\r\n|\n|\r", -1).foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val value = line.substring(colon + 1).trim
+        if (value.nonEmpty && seen.add(value)) out += value
+      }
+    }
+    out.toArray
+  }
 
   /** smallest Crawl-delay among the selected group(s); null if none */
   def crawlDelay(body: String, agent: String): java.lang.Double = {

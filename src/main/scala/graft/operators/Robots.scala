@@ -44,6 +44,26 @@ object Robots {
   def crawlDelay(body: Column, agent: Column): Column =
     RobotsExprs.robots_crawl_delay(body, agent)
 
+  /** `Sitemap:` URLs of one robots body, document order (array col) */
+  def sitemaps(body: Column): Column = RobotsExprs.robots_sitemaps(body)
+
+  /** The frontier BOOTSTRAP seed list from a robots corpus: one row
+    * per (host, sitemap_url) in the body's document order — the
+    * out-of-band entry point a crawl starts from before any page has
+    * been fetched (robots → sitemaps → [[graft.operators.TextOps
+    * .sitemapUrls]] over the fetched XML → seed URLs). Map-only
+    * explode; `order` is the 0-based position within the host's body
+    * so downstream scheduling stays deterministic. */
+  def sitemapSeeds(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
+    val carry = robots.columns.filterNot(_ == bodyCol).map(col).toSeq
+    robots.select(carry :+
+        org.apache.spark.sql.functions.posexplode(
+          RobotsExprs.robots_sitemaps(col(bodyCol)))
+          .as(Seq("order", "sitemap_url")): _*)
+      .withColumn("order", col("order").cast("int"))
+  }
+
   /** frontier rows `agent` may fetch: left-join `robots(hostCol,
     * bodyCol)` on the frontier URL's host, keep missing-robots hosts
     * and allowed paths */

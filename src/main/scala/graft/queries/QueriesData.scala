@@ -1731,6 +1731,33 @@ object QueriesData {
         .orderBy("doc_id")
     },
 
+    // ---- robots Sitemap: surfacing (r14): the out-of-band frontier
+    // bootstrap — Sitemap is a NON-GROUP record (RFC 9309 §2.4), so
+    // every directive surfaces whatever group it sits in; duplicates
+    // keep their first position, comments strip, the key is
+    // case-insensitive, URL values keep their own colons. Closed-form
+    // oracle (never parses a robots body).
+    "q_robots_sitemaps" -> { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val k = col("doc_id") % 4
+      val body = when(k === 0, concat(
+          lit("Sitemap: http://h0.example/sm-"), d, lit(".xml\n"),
+          lit("User-agent: *\nDisallow: /x\n"),
+          lit("sitemap: http://h0.example/sm-"), d, lit(".xml\n"),
+          lit("SiteMap: http://h0.example/extra.xml")))
+        .when(k === 1, lit("User-agent: *\nDisallow: /private/"))
+        .when(k === 2, concat(
+          lit("User-agent: *\nSitemap: http://h2.example/a-"), d,
+          lit(".xml # main\nDisallow: /")))
+        .otherwise(lit("Sitemap:\nSitemap: http://h3.example/s.xml"))
+      val robots = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("h"), k.cast("string"), lit(".example")).as("host"),
+          body.as("body"))
+      graft.operators.Robots.sitemapSeeds(robots, "host", "body")
+        .orderBy(col("doc_id"), col("order"))
+    },
+
     // ---- frontier scheduling (r12): the step after politeness —
     // fetch_slot (md5 host bucket: one host → one fetcher, stable
     // across runs) and fetch_wave (≤ perWave URLs per host per round,
@@ -4766,6 +4793,28 @@ object QueriesData {
              WHEN 1 THEN 2.5 WHEN 2 THEN 7.0
              ELSE CAST(NULL AS DOUBLE) END AS delay
          FROM documents ORDER BY doc_id""",
+    // the Sitemap rows restated closed-form from doc_id arithmetic —
+    // dup dropped at first position, comment stripped, no-sitemap and
+    // blank-value bodies contribute nothing
+    "q_robots_sitemaps" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS k
+             FROM documents),
+         r AS (
+           SELECT doc_id, 'h0.example' AS host, 0 AS ord,
+             'http://h0.example/sm-' || CAST(doc_id AS VARCHAR) || '.xml' AS sitemap_url
+           FROM d WHERE k = 0
+           UNION ALL
+           SELECT doc_id, 'h0.example', 1, 'http://h0.example/extra.xml'
+           FROM d WHERE k = 0
+           UNION ALL
+           SELECT doc_id, 'h2.example', 0,
+             'http://h2.example/a-' || CAST(doc_id AS VARCHAR) || '.xml'
+           FROM d WHERE k = 2
+           UNION ALL
+           SELECT doc_id, 'h3.example', 0, 'http://h3.example/s.xml'
+           FROM d WHERE k = 3)
+         SELECT doc_id, host, CAST(ord AS INTEGER) AS "order", sitemap_url
+         FROM r ORDER BY doc_id, "order"""",
     // the rank window + md5 bucket contract replayed verbatim
     "q_frontier_schedule" ->
       """WITH u AS (SELECT doc_id,

@@ -197,6 +197,42 @@ class RobotsSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("robots: Sitemap directives surface — order, dedupe, case, comments, group-independence (r14)") {
+    import graft.functions.RobotsExprs
+    // document order kept; duplicate keeps its FIRST position; the key
+    // is case-insensitive; a value's own colons survive; comments strip
+    val body =
+      "sitemap: http://a.example/one.xml\n" +
+        "User-agent: graftbot\nDisallow: /x\n" +
+        "Sitemap: http://a.example/two.xml # main\n" +
+        "User-agent: *\nAllow: /\n" +
+        "SITEMAP: http://a.example/one.xml\n" +
+        "Sitemap:\n" + // blank value is inert
+        "Sitemap: https://a.example:8443/three.xml.gz"
+    assert(RobotsExprs.sitemaps(body).toSeq == Seq(
+      "http://a.example/one.xml", "http://a.example/two.xml",
+      "https://a.example:8443/three.xml.gz"))
+    assert(RobotsExprs.sitemaps("User-agent: *\nDisallow: /").isEmpty)
+    // sitemap lines between user-agent lines still don't break groups
+    // (the group parser ignores them as non-group records)
+    val grouped = "User-agent: a\nSitemap: http://x/s.xml\n" +
+      "User-agent: graftbot\nDisallow: /"
+    assert(!RobotsExprs.allows(grouped, "graftbot", "/page"))
+    // operator surface: one seed row per (host, url), order column
+    val s = spark
+    import s.implicits._
+    val robots = Seq(("a.example", body), ("b.example", "User-agent: *"))
+      .toDF("host", "body")
+    val seeds = Robots.sitemapSeeds(robots, "host", "body")
+      .orderBy("host", "order").collect()
+    assert(seeds.length == 3)
+    assert(seeds.map(r => (r.getAs[String]("host"), r.getAs[Int]("order"),
+      r.getAs[String]("sitemap_url"))).toSeq == Seq(
+      ("a.example", 0, "http://a.example/one.xml"),
+      ("a.example", 1, "http://a.example/two.xml"),
+      ("a.example", 2, "https://a.example:8443/three.xml.gz")))
+  }
+
   test("robots: query strings participate in matching") {
     val s = spark
     import s.implicits._
