@@ -63,36 +63,54 @@ object Sessions {
     * completion (step 0: any time in the session); a session that
     * skips a step completes nothing after it. One row per session with
     * `steps_completed` ∈ [0, k] and per-step completion times
-    * (`step1_us` … epoch µs, null where not reached). */
+    * (`step1_us` … epoch µs, null where not reached).
+    *
+    * ONE PASS (r14 — replaces the k join-and-aggregate rounds): each
+    * session's events collect into one (time, type)-sorted array on
+    * the SAME user-key shuffle sessionization already pays, and a
+    * single `aggregate` fold walks the funnel greedily — the first
+    * `steps(i)`-typed event strictly after step i−1's time is exactly
+    * the per-step min the old joins computed (the array is time-
+    * sorted, so first-match ≡ earliest; the strictly-after rule makes
+    * equal-timestamp ties order-independent). Plan cost is one shuffle
+    * total for ANY step count, and adding a step is free. A session's
+    * event array is memory-bounded by the gap contract itself (a
+    * session is one user's burst, not their history). */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], gapMinutes: Int): DataFrame = {
     require(steps.nonEmpty, "funnel: steps must be non-empty")
-    val ev = assign(events, userCol, tsCol, gapMinutes)
+    val k = steps.size
+    val stepsArr = array(steps.map(lit): _*)
+    val grouped = assign(events, userCol, tsCol, gapMinutes)
       .select(col(userCol), col("session_seq"),
         col(typeCol).as("__t"), tsUs(tsCol).as("__us"))
-    var cur = ev.select(col(userCol), col("session_seq")).distinct()
-      .withColumn("__prev", lit(Long.MinValue))
-    steps.zipWithIndex.foreach { case (st, i) =>
-      val cand = ev.filter(col("__t") === lit(st))
-        .select(col(userCol).as("__u"), col("session_seq").as("__q"),
-          col("__us"))
-      val keep = cur.columns.filterNot(_ == "__prev").map(col) :+
-        col("__prev")
-      cur = cur
-        .join(cand,
-          col(userCol) === col("__u") && col("session_seq") === col("__q")
-            && col("__us") > col("__prev"), "left")
-        .groupBy(keep.toIndexedSeq: _*)
-        .agg(min(col("__us")).as(s"step${i + 1}_us"))
-        // a skipped step blocks everything after it
-        .withColumn("__prev",
-          coalesce(col(s"step${i + 1}_us"), lit(Long.MaxValue)))
-    }
-    cur.drop("__prev")
-      .withColumn("steps_completed",
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(array_sort(collect_list(struct(col("__us"), col("__t"))))
+        .as("__evs"))
+    // fold state: (prev = last completed step's time, times = completed
+    // step times so far); an event advances the walk iff the next step
+    // is still open, the type matches, and it's strictly after prev
+    val walk = aggregate(
+      col("__evs"),
+      struct(lit(Long.MinValue).as("prev"),
+        array().cast("array<long>").as("times")),
+      (acc, e) => {
+        val nTimes = size(acc.getField("times"))
+        val advance = nTimes < k &&
+          e.getField("__t") === try_element_at(stepsArr, nTimes + 1) &&
+          e.getField("__us") > acc.getField("prev")
+        when(advance, struct(e.getField("__us").as("prev"),
+            concat(acc.getField("times"), array(e.getField("__us")))
+              .as("times")))
+          .otherwise(acc)
+      })
+    grouped
+      .withColumn("__times", walk.getField("times"))
+      .select(col(userCol) +: col("session_seq") +:
         steps.indices.map(i =>
-          when(col(s"step${i + 1}_us").isNotNull, 1L).otherwise(0L))
-          .reduce(_ + _))
+          try_element_at(col("__times"), lit(i + 1)).as(s"step${i + 1}_us")) :+
+        size(col("__times")).cast("long").as("steps_completed"): _*)
+      .drop("__evs")
   }
 
   /** The funnel rolled up to the conversion report: one row with the
