@@ -641,19 +641,40 @@ object CuratePipeline {
     case _ => throw new DslException(s"stage needs string '$field': $st")
   }
 
-  /** tokenize's unigram vocab: `"pieces": [["the", -5], …]` — piece
-    * strings with integer scaled log-prob weights, the shape
-    * [[graft.operators.Unigram.train]]'s (piece, weight) columns ship */
+  /** tokenize's unigram vocab: inline `"pieces": [["the", -5], …]` —
+    * piece strings with integer scaled log-prob weights, the shape
+    * [[graft.operators.Unigram.train]]'s (piece, weight) columns ship —
+    * or `"pieces_path"` naming a vocab artifact (one `piece<TAB>weight`
+    * line per entry, `#` comments) read through the ByteStore seam so
+    * trained vocabs can live on the object store next to the data (the
+    * [[mergesOf]] `merges_path` contract, for the unigram family) */
   private def weightedPiecesOf(st: JValue): Seq[(String, Long)] =
-    st \ "pieces" match {
-      case JArray(xs) if xs.nonEmpty => xs.map {
+    (st \ "pieces", st \ "pieces_path") match {
+      case (JArray(xs), JNothing) if xs.nonEmpty => xs.map {
         case JArray(List(JString(p), JInt(w))) => (p, w.toLong)
         case other => throw new DslException(
           s"each unigram piece must be a [piece, integer-weight] pair: $other")
       }
-      case _ => throw new DslException(
+      case (JNothing, JString(path)) =>
+        val entries = graft.sources.io.ByteStore.readString(path)
+          .split("\n").map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+          .map { l =>
+            l.split("\t") match {
+              case Array(p, w) if w.trim.matches("-?\\d+") =>
+                (p, w.trim.toLong)
+              case _ => throw new DslException(
+                s"bad unigram vocab line (want piece<TAB>weight): '$l'")
+            }
+          }
+        if (entries.isEmpty) throw new DslException(
+          s"unigram vocab at '$path' has no entries")
+        entries
+      case (JNothing, JNothing) => throw new DslException(
         "tokenize: algo unigram needs a non-empty 'pieces' array of " +
-          "[piece, weight] pairs")
+          "[piece, weight] pairs or a 'pieces_path'")
+      case _ => throw new DslException(
+        "tokenize takes 'pieces' or 'pieces_path', not both")
     }
 
   /** tokenize's merge table: inline `"merges": [["e","r"], …]`, or

@@ -1254,9 +1254,11 @@ object Geo {
   private def onLineInterior(g: Geom, x: Double, y: Double): Boolean =
     contains(g, x, y) && !lineEndpoints(g).contains((x, y))
 
-  /** collinear seg pair sharing a positive-length run */
+  /** collinear seg pair sharing a positive-length run; a zero-length
+    * (repeated-vertex) segment can only share a point, never a run */
   private def segsOverlapCollinear(x1: Double, y1: Double, x2: Double, y2: Double,
       x3: Double, y3: Double, x4: Double, y4: Double): Boolean = {
+    if ((x1 == x2 && y1 == y2) || (x3 == x4 && y3 == y4)) return false
     if (orient(x1, y1, x2, y2, x3, y3) != 0.0 ||
       orient(x1, y1, x2, y2, x4, y4) != 0.0) return false
     // project on the dominant axis; positive-length 1-D overlap

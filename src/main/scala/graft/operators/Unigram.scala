@@ -128,21 +128,44 @@ object Unigram {
         charCounts.keysIterator.map { c =>
           c -> math.max(observed.getOrElse(c, 0L), 1L)
         }.toMap ++
-          observed.filter { case (p, c) => p.length > 1 && c >= minCount }
+          observed.filter { case (p, c) => cpLen(p) > 1 && c >= minCount }
       round += 1
     }
     // final prune: alphabet + top pieces to vocabSize
-    val chars = counts.filter(_._1.length == 1)
-    val pieces = counts.filter(_._1.length > 1).toSeq
+    val chars = counts.filter(p => cpLen(p._1) == 1)
+    val pieces = counts.filter(p => cpLen(p._1) > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }
       .take(math.max(vocabSize - chars.size, 0))
     val weights = weightsOf(chars ++ pieces, scale).toMap
     import spark.implicits._
     (chars ++ pieces).toSeq.sortBy(_._1)
       .map { case (p, c) =>
-        (p, weights(p), c, if (p.length == 1) "char" else "piece")
+        (p, weights(p), c, if (cpLen(p) == 1) "char" else "piece")
       }
       .toDF("piece", "weight", "cnt", "kind")
+  }
+
+  /** code-point length — an astral (surrogate-pair) alphabet char is
+    * ONE character for classification purposes, like everywhere else
+    * in the tokenizer family */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Ship a trained vocab ([[train]]'s output frame) as the
+    * `pieces_path` artifact CURATE's `tokenize` consumes: one
+    * `piece<TAB>weight` line per entry, `#` header, piece-ascending
+    * order (deterministic bytes). Pieces come from whitespace-split
+    * tokens, so a tab can never appear inside one. Bounded driver
+    * artifact (alphabet + vocabSize rows) — same stance as the id maps
+    * every tokenizer stage collects. */
+  def writeVocab(vocab: DataFrame, path: String): Unit = {
+    val rows = vocab.select(col("piece"), col("weight"))
+      .orderBy(col("piece")).collect()
+    val sb = new StringBuilder(
+      "# unigram vocab: piece<TAB>integer-scaled-log-prob\n")
+    rows.foreach { r =>
+      sb.append(r.getString(0)).append('\t').append(r.getLong(1)).append('\n')
+    }
+    graft.sources.io.ByteStore.writeString(path, sb.toString)
   }
 
   /** Encode every document against a fixed integer-weighted vocab:

@@ -134,22 +134,24 @@ object CdxSource {
         val tailLen = math.min(n, 64L * 1024).toInt
         val tail = new String(ByteStore.readRange(path, n - tailLen, tailLen),
           java.nio.charset.StandardCharsets.UTF_8)
-        // the tail candidate is only trustworthy if it provably STARTS a
+        // a tail candidate is only trustworthy if it provably STARTS a
         // line: either the window covers the whole file, or a '\n'
         // precedes it inside the window. Otherwise the window holds a
         // start-truncated fragment of a >64KiB line — surtOf(fragment)
-        // would fabricate a lexically-wrong max key and silently prune a
-        // file that intersects the range.
-        val lastStart = tail.lastIndexWhere(_ != '\n') match {
-          case -1 => -1
-          case e => tail.lastIndexOf('\n', e) match {
-            case -1 => if (tailLen.toLong == n) 0 else -1
+        // would fabricate a lexically-wrong max key and silently prune
+        // a file that intersects the range. Within the provably-
+        // complete region, blank/whitespace-only trailing lines skip
+        // (every line before a complete line is itself complete).
+        val completeFrom =
+          if (tailLen.toLong == n) 0
+          else tail.indexOf('\n') match {
+            case -1 => -1 // no line start inside the window
             case nl => nl + 1
           }
-        }
         val last =
-          if (lastStart < 0) None
-          else Some(tail.substring(lastStart).stripLineEnd)
+          if (completeFrom < 0) None
+          else tail.substring(completeFrom).split("\n").reverseIterator
+            .find(_.trim.nonEmpty)
         // a line longer than the probe window can't yield a trustworthy
         // key — fall back to "unpruneable" rather than a wrong range
         if (!first.contains(' ') || !last.exists(_.contains(' '))) None

@@ -121,6 +121,15 @@ class CdxSpec extends AnyFunSuite {
       "com,bb)/only 20260101000000 {\"url\":\"http://bb/\"}".getBytes(UTF_8))
     assert(CdxSource.fileRange(s"$dir/one.cdx")
       .contains(("com,bb)/only", "com,bb)/only")))
+    // trailing blank / whitespace-only lines skip — the max key comes
+    // from the last NON-blank complete line, never a fabricated ""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "blanky.cdx"),
+      ("com,cc)/a 20260101000000 {\"url\":\"http://cc/\"}\n" +
+        "com,cc)/b 20260101000000 {\"url\":\"http://cc/b\"}\n \n\n")
+        .getBytes(UTF_8))
+    assert(CdxSource.fileRange(s"$dir/blanky.cdx")
+      .contains(("com,cc)/a", "com,cc)/b")))
     // sidecars publish atomically — no staging residue next to them
     val s = spark
     import s.implicits._

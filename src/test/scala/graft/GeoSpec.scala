@@ -479,6 +479,10 @@ class GeoSpec extends AnyFunSuite {
     assert(!stOverlaps("LINESTRING (-2 2, 6 2)", sq),
       "mixed dimensions never overlap")
     assert(!stOverlaps("POINT (1 1)", "POINT (1 1)"))
+    // a repeated-vertex (zero-length) segment shares only a point —
+    // it must not fabricate a positive collinear run
+    assert(!stOverlaps("LINESTRING (2 0, 2 0, 2 5)", "LINESTRING (0 0, 4 0)"))
+    assert(stTouches("LINESTRING (2 0, 2 0, 2 5)", "LINESTRING (0 0, 4 0)"))
   }
 
   test("st_simplify: bumps under tol drop, spikes stay, rings can vanish (r12)") {

@@ -1910,6 +1910,90 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("unigram: Viterbi DP equals brute-force enumeration on randomized vocab/word fixtures (r14)") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    // reference implementation: enumerate EVERY segmentation, pick max
+    // total weight, ties → longer last piece, then longer second-to-
+    // last, … (the documented DP tie-break, stated independently)
+    def brute(word: String, vocab: Map[String, Long], unk: Long): Seq[String] = {
+      def segs(pos: Int): Seq[List[String]] =
+        if (pos == word.length) Seq(Nil)
+        else (1 to (word.length - pos)).flatMap { l =>
+          val p = word.substring(pos, pos + l)
+          val ok = vocab.contains(p) || l == 1
+          if (ok) segs(pos + l).map(p :: _) else Nil
+        }
+      def score(s: List[String]) =
+        s.map(p => vocab.getOrElse(p, unk)).sum
+      // rlens compare: reversed length sequence, descending
+      def key(s: List[String]) = s.reverse.map(_.length)
+      implicit val ord: Ordering[List[String]] = (a, b) => {
+        val c = java.lang.Long.compare(score(b), score(a))
+        if (c != 0) c
+        else Ordering.Implicits.seqOrdering[Seq, Int](Ordering.Int.reverse)
+          .compare(key(a), key(b))
+      }
+      segs(0).toSeq.map(_.toList).sorted.head
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abc"
+    (1 to 60).foreach { trial =>
+      val word = Seq.fill(3 + rnd.nextInt(6))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      // random multi-char pieces over the tiny alphabet → dense tie
+      // opportunities; weights in a narrow band to force tie-breaks
+      val pieces = (1 to 6).map { _ =>
+        val len = 2 + rnd.nextInt(3)
+        val start = rnd.nextInt(math.max(word.length - len + 1, 1))
+        word.substring(start, math.min(start + len, word.length))
+      }.filter(_.length >= 2).distinct
+        .map(p => p -> -(1L + rnd.nextInt(4)))
+      val chars = alphabet.map(c => c.toString -> -(1L + rnd.nextInt(4)))
+      val vocab = (pieces ++ chars).toMap.toSeq.sortBy(_._1)
+      val unk = -10L
+      val got = Unigram.encode(Seq((1L, word)).toDF("id", "text"),
+        "text", "id", vocab, unk, lower = false).head().getString(1)
+      val want = brute(word, vocab.toMap, unk).mkString(" ")
+      assert(got == want,
+        s"trial $trial word=$word vocab=$vocab: dp=$got brute=$want")
+    }
+  }
+
+  test("unigram: trained vocab ships as a pieces_path artifact and round-trips through CURATE (r14)") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    val corpus = (Seq.fill(3)("the") ++ Seq.fill(2)("cat"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val v = Unigram.train(corpus, "text", vocabSize = 8, emRounds = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-ugv")
+      .resolve("vocab.tsv").toString
+    Unigram.writeVocab(v, path)
+    val viaPath = graft.dsl.CuratePipeline.compile(corpus,
+      s"""{"stages": [{"op": "tokenize", "algo": "unigram",
+           "pieces_path": "$path"}]}""")
+      .orderBy("doc_id").collect()
+    val inline = v.collect().map(r => s"""["${r.getString(0)}", ${r.getLong(1)}]""")
+      .mkString("[", ", ", "]")
+    val viaInline = graft.dsl.CuratePipeline.compile(corpus,
+      s"""{"stages": [{"op": "tokenize", "algo": "unigram",
+           "pieces": $inline}]}""")
+      .orderBy("doc_id").collect()
+    assert(viaPath.map(_.toString).toSeq == viaInline.map(_.toString).toSeq,
+      "artifact and inline vocab must produce identical token ids")
+    assert(viaPath.forall(_.getAs[Seq[Long]]("token_ids").nonEmpty))
+    // malformed artifact lines raise loudly
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "the notanumber\n")
+    val e = intercept[graft.dsl.JsonQuery.DslException] {
+      graft.dsl.CuratePipeline.compile(corpus,
+        s"""{"stages": [{"op": "tokenize", "algo": "unigram",
+             "pieces_path": "$path"}]}""")
+    }
+    assert(e.getMessage.contains("bad unigram vocab line"))
+  }
+
   test("unigram: hard-EM trainer — integer counts, alphabet floor, deterministic prune (r14)") {
     import spark.implicits._
     import graft.operators.Unigram
@@ -1953,6 +2037,13 @@ class OperatorsSpec extends AnyFunSuite {
         """{"stages": [{"op": "tokenize", "algo": "unigram"}]}""")
     }
     assert(e.getMessage.contains("pieces"))
+    // an astral (surrogate-pair) alphabet char is ONE character for
+    // the prune floor — it must survive as kind=char, never prune
+    val astral = Seq((1L, "😀x 😀x 😀x")).toDF("id", "text")
+    val av = Unigram.train(astral, "text", vocabSize = 2, emRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(av.get("😀").contains("char"), s"astral alphabet: $av")
+    assert(av.get("x").contains("char"))
   }
 
   test("triangles: exact counts on known graphs whatever the direction/multiplicity noise (r12)") {
