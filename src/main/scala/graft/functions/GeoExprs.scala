@@ -403,6 +403,24 @@ object GeoExprs {
       ColumnBridge.expression(tol.cast(org.apache.spark.sql.types.DoubleType))))
   def st_length(a: Column): Column =
     ColumnBridge.column(StLength(ColumnBridge.expression(a)))
+  /** st_make_line(ord, x, y) — AGGREGATE trajectory constructor: the
+    * group's (x, y) points in `ord` order as one LINESTRING WKT (the
+    * Argo-domain shape: points-per-float → trajectory → st_length =
+    * distance traveled). Pure composition of built-ins — one
+    * collect_list per group, sorted in-row; a trajectory is one
+    * float/vehicle/user's bounded history, so the per-group array is
+    * memory-safe by the same argument as sessionization. Coordinates
+    * render via CAST(_ AS STRING): pass integers (or pre-rounded
+    * strings) for byte-stable WKT. */
+  def st_make_line(ord: Column, x: Column, y: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val pts = array_sort(collect_list(struct(ord.as("o"),
+      x.cast("string").as("x"), y.cast("string").as("y"))))
+    concat(lit("LINESTRING ("),
+      array_join(transform(pts,
+        p => concat(p.getField("x"), lit(" "), p.getField("y"))), ", "),
+      lit(")"))
+  }
   def st_touches(a: Column, b: Column): Column =
     ColumnBridge.column(StRelate(ColumnBridge.expression(a),
       ColumnBridge.expression(b), 0))

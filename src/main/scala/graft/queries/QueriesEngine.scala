@@ -834,6 +834,32 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- trajectory construction (r14): st_make_line (ordered
+    // points → LINESTRING per group, the Argo points-per-float shape)
+    // fed back through st_length / st_npoints. Every segment is a
+    // (3, ±4) step, so each length is EXACTLY 5 and the sum is exact
+    // in any order; the oracle replays the WKT bytes via string_agg
+    // and the measures closed-form.
+    "q_geo_trajectory" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      import org.apache.spark.sql.expressions.Window
+      val r = row_number().over(
+        Window.partitionBy($"g").orderBy($"event_id"))
+      val pts = Tables.load(s, dir, "events")
+        .select(($"event_id" % 8).as("g"), $"event_id")
+        .withColumn("r", r)
+        .select($"g", $"r", ($"r" * 3).as("x"), ($"r" % 2 * 4).as("y"))
+      pts.groupBy($"g")
+        .agg(GeoExprs.st_make_line($"r", $"x", $"y").as("wkt"))
+        .select($"g",
+          md5(col("wkt").cast("binary")).as("traj_md5"),
+          GeoExprs.st_length(col("wkt")).as("dist"),
+          GeoExprs.st_npoints(col("wkt")).cast(LongType).as("np"))
+        .orderBy($"g")
+    },
+
     // ---- coalesce_label over nullable branches
     "q_coalesce_label" -> { (s, dir) =>
       import s.implicits._
@@ -1182,6 +1208,23 @@ object QueriesEngine {
                  CAST(n_nationkey % 3 AS INT) AS k
                FROM nation) t
          ORDER BY n_nationkey""",
+    // WKT bytes replayed via ordered string_agg; 3-4-5 steps make the
+    // length the exact closed form 5·(n−1)
+    "q_geo_trajectory" ->
+      """WITH p AS (SELECT event_id % 8 AS g,
+             row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id) AS r
+           FROM events),
+         q AS (SELECT g, r, r * 3 AS x, (r % 2) * 4 AS y FROM p),
+         t AS (SELECT g,
+             'LINESTRING (' ||
+               string_agg(CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR),
+                 ', ' ORDER BY r) || ')' AS wkt,
+             count(*) AS n
+           FROM q GROUP BY g)
+         SELECT g, md5(wkt) AS traj_md5,
+           CAST(5 * (n - 1) AS DOUBLE) AS dist,
+           CAST(n AS BIGINT) AS np
+         FROM t ORDER BY g""",
     "q_coalesce_label" ->
       """SELECT o_orderkey,
          CASE WHEN (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NOT NULL THEN 'open'

@@ -1860,6 +1860,26 @@ class OperatorsSpec extends AnyFunSuite {
       "piece ids must be dense after the alphabet")
   }
 
+  test("st_make_line: arrival order never leaks into the trajectory; measures chain (r14)") {
+    import spark.implicits._
+    import graft.functions.GeoExprs
+    // rows arrive scrambled; the ord column alone decides the path
+    val pts = Seq((1L, 3, 9, 0), (1L, 1, 3, 4), (1L, 2, 6, 0),
+      (2L, 2, 8, 6), (2L, 1, 0, 0))
+      .toDF("g", "o", "x", "y").repartition(4)
+    val out = pts.groupBy($"g")
+      .agg(GeoExprs.st_make_line($"o", $"x", $"y").as("wkt"))
+      .select($"g", col("wkt"),
+        GeoExprs.st_length(col("wkt")).as("len"),
+        GeoExprs.st_npoints(col("wkt")).as("np"))
+      .orderBy($"g").collect()
+    assert(out(0).getAs[String]("wkt") == "LINESTRING (3 4, 6 0, 9 0)")
+    assert(out(0).getAs[Double]("len") == 8.0) // 5 + 3
+    assert(out(0).getAs[Int]("np") == 3)
+    assert(out(1).getAs[String]("wkt") == "LINESTRING (0 0, 8 6)")
+    assert(out(1).getAs[Double]("len") == 10.0)
+  }
+
   test("unigram: Viterbi argmax with longer-last-piece ties, OOV floor, code points, codegen==interpreted (r14)") {
     import spark.implicits._
     import graft.operators.Unigram
