@@ -448,6 +448,105 @@ object TextExprs {
     new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), nSyms))
   }
 
+  /** Unigram-LM forward–backward expectations over ONE WORD's
+    * segmentation lattice (Kudo 2018 §3.2's E-step, per distinct
+    * word): for every piece occurrence (j, i] the posterior mass
+    * exp(α_j + log p + β_i − α_n), summed per piece and QUANTIZED to
+    * millionths (round(1e6·E)) so the corpus-level aggregation is an
+    * exact integer sum — the float work is row-local with a fixed
+    * iteration order, hence bit-deterministic, and nothing float ever
+    * crosses a shuffle. Log-domain with log-sum-exp (an unk-heavy long
+    * word would underflow raw probabilities). Weights are the integer
+    * scaled log-probs ([[UgEncode]]'s contract), `scale` converts them
+    * back to nats. Returns array<struct<piece, q>> with q > 0, stable
+    * (j, i) discovery order. */
+  def ugExpectKernel(s: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unk: Long, scale: Long): ArrayData = {
+    val word = s.toString
+    val cps = new java.util.ArrayList[String](word.length)
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      cps.add(new String(Character.toChars(cp)))
+      ci += Character.charCount(cp)
+    }
+    val n = cps.size
+    val acc = new java.util.LinkedHashMap[String, java.lang.Double]()
+    if (n > 0) {
+      // log p of the piece spanning (j, i]; NaN = not a lattice edge
+      def lp(j: Int, i: Int): Double = {
+        val b = new java.lang.StringBuilder
+        var k = j
+        while (k < i) { b.append(cps.get(k)); k += 1 }
+        val wt = vocab.get(b.toString)
+        if (wt != null) wt.longValue().toDouble / scale
+        else if (i - j == 1) unk.toDouble / scale
+        else Double.NaN
+      }
+      def lse(a: Double, b: Double): Double =
+        if (a == Double.NegativeInfinity) b
+        else if (b == Double.NegativeInfinity) a
+        else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+      val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+      val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+      alpha(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          val l = lp(j, i)
+          if (!l.isNaN) alpha(i) = lse(alpha(i), alpha(j) + l)
+          j += 1
+        }
+        i += 1
+      }
+      beta(n) = 0.0
+      var j2 = n - 1
+      while (j2 >= 0) {
+        var i2 = j2 + 1
+        val hi = math.min(n, j2 + maxLen)
+        while (i2 <= hi) {
+          val l = lp(j2, i2)
+          if (!l.isNaN) beta(j2) = lse(beta(j2), l + beta(i2))
+          i2 += 1
+        }
+        j2 -= 1
+      }
+      val z = alpha(n)
+      var j3 = 0
+      while (j3 < n) {
+        var i3 = j3 + 1
+        val hi = math.min(n, j3 + maxLen)
+        while (i3 <= hi) {
+          val l = lp(j3, i3)
+          if (!l.isNaN) {
+            val e = math.exp(alpha(j3) + l + beta(i3) - z)
+            if (e > 0.0) {
+              val b = new java.lang.StringBuilder
+              var k = j3
+              while (k < i3) { b.append(cps.get(k)); k += 1 }
+              val p = b.toString
+              val prev = acc.get(p)
+              acc.put(p, if (prev == null) e else prev + e)
+            }
+          }
+          i3 += 1
+        }
+        j3 += 1
+      }
+    }
+    val rows = new java.util.ArrayList[InternalRow](acc.size)
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val q = math.round(e.getValue * 1000000.0)
+      if (q > 0L)
+        rows.add(new GenericInternalRow(
+          Array[Any](UTF8String.fromString(e.getKey), q)))
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
   /** BPE-encode a text: whitespace-tokenize (optionally lowered), space-
     * join each token's characters, apply the merge table in rank order —
     * each merge is a LITERAL left-to-right non-overlapping replace of
@@ -865,6 +964,35 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** per-WORD unigram forward–backward expectations against a fixed
+    * integer-weighted vocab — the soft-EM E-step sibling of
+    * [[UgEncode]]; same reference-object codegen stance, float work
+    * row-local and quantized before it leaves the row */
+  case class UgExpect(child: Expression, vocab: Seq[(String, Long)],
+      unk: Long, scale: Long) extends UnaryExpression {
+    private val vocabMap: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](
+        math.max(16, vocab.size * 2))
+      vocab.foreach { case (p, wt) => m.put(p, java.lang.Long.valueOf(wt)) }
+      m
+    }
+    private val maxLen: Int =
+      if (vocab.isEmpty) 1
+      else vocab.map { case (p, _) => p.codePointCount(0, p.length) }.max
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("q", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_ug_expect"
+    override def nullSafeEval(a: Any): Any =
+      ugExpectKernel(a.asInstanceOf[UTF8String], vocabMap, maxLen, unk, scale)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val v = ctx.addReferenceObj("ugVocab", vocabMap, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.ugExpectKernel($c, $v, $maxLen, ${unk}L, ${scale}L);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** one trainer merge round over the symbol-array column */
   case class BpeMergeApply(child: Expression, left: String, right: String)
       extends UnaryExpression {
@@ -950,4 +1078,8 @@ object TextExprs {
   def ug_encode(text: Column, vocab: Seq[(String, Long)], unk: Long,
       lower: Boolean = true): Column =
     ColumnBridge.column(UgEncode(ColumnBridge.expression(text), vocab, unk, lower))
+
+  def ug_expect(word: Column, vocab: Seq[(String, Long)], unk: Long,
+      scale: Long): Column =
+    ColumnBridge.column(UgExpect(ColumnBridge.expression(word), vocab, unk, scale))
 }

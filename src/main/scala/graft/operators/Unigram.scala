@@ -72,31 +72,41 @@ object Unigram {
     }
   }
 
-  /** Learn a unigram vocabulary by hard-EM over the distinct-word
-    * table:
+  /** Learn a unigram vocabulary by EM over the distinct-word table:
     *  1. seed = the corpus alphabet (always kept — the encodability
     *     floor) + the top `seedSize` multi-char substrings by
     *     (count DESC, piece ASC);
-    *  2. each of `emRounds` rounds Viterbi-segments every distinct word
-    *     under the current integer weights (map-only kernel), tallies
-    *     cnt-weighted piece occurrences (one shuffle), drops multi-char
-    *     pieces below `minCount`, and re-tabulates weights — alphabet
-    *     characters never drop (an unseen char floors at count 1);
+    *  2. each of `emRounds` rounds re-estimates piece counts under the
+    *     current integer weights (map-only kernel + one cnt-weighted
+    *     shuffle), drops multi-char pieces below `minCount`, and
+    *     re-tabulates weights — alphabet characters never drop (an
+    *     unseen char floors at the smallest positive count).
+    *     `em = "hard"` (Viterbi-EM) counts each word's single BEST
+    *     segmentation — every statistic an exact long;
+    *     `em = "soft"` is Kudo 2018's actual E-step: forward–backward
+    *     posterior expectations per lattice edge, quantized to
+    *     integer MILLIONTHS inside the row kernel, so the float work
+    *     is row-local/fixed-order (bit-deterministic) and the
+    *     corpus-level aggregation is still an exact integer sum
+    *     (`minCount` is interpreted in occurrences either way);
     *  3. the final vocab prunes to `vocabSize`: all characters + the
     *     top remaining pieces by (count DESC, piece ASC).
     *
-    * Deterministic by construction: counts are exact longs, ranking
-    * ties break lexicographically, and the only float (StrictMath.log)
-    * is cross-platform exact. Returns (piece, weight, cnt, kind ∈
-    * {char, piece}) — weight is the integer scaled log-prob the
-    * encoder consumes. */
+    * Deterministic by construction in both modes. Returns (piece,
+    * weight, cnt, kind ∈ {char, piece}) — weight is the integer scaled
+    * log-prob the encoder consumes; cnt is in occurrences (hard) or
+    * occurrence-millionths (soft). */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 4, seedSize: Int = 200, emRounds: Int = 2,
       minCount: Long = 2L, lower: Boolean = true,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, em: String = "hard"): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     require(emRounds >= 0, s"emRounds must be >= 0, got $emRounds")
     require(scale > 0, s"scale must be positive, got $scale")
+    require(em == "hard" || em == "soft",
+      s"em must be 'hard' or 'soft', got '$em'")
+    // soft counts live in millionths; thresholds scale with them
+    val quant = if (em == "soft") 1000000L else 1L
     val spark = df.sparkSession
     val words = wordCounts(df, textCol, lower).localCheckpoint()
     val cand = seedFromWords(words, maxPieceLen).localCheckpoint()
@@ -111,24 +121,38 @@ object Unigram {
     // OOV floor far below any real log-prob: during training every
     // single char is in-vocab, so unk never actually scores
     val unk = -100L * scale
-    var counts: Map[String, Long] = charCounts ++ seedPieces
+    var counts: Map[String, Long] =
+      (charCounts ++ seedPieces).map { case (p, c) => p -> c * quant }
     var round = 0
     while (round < emRounds) {
       val w = weightsOf(counts, scale)
-      // E-step: best segmentation per DISTINCT word (map-only kernel,
-      // lower=false — words are already normalized); M-step: one
-      // cnt-weighted piece-count shuffle, result ≤ vocab-size rows
-      val observed = words
-        .select(col("cnt"),
-          explode(split(TextExprs.ug_encode(col("w"), w, unk, lower = false)
-            .getField("enc"), " ")).as("piece"))
-        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      // E-step over the DISTINCT words (map-only kernel; lower=false —
+      // words are already normalized), M-step: one cnt-weighted
+      // piece-count shuffle, result ≤ vocab-size rows. Hard = each
+      // word's Viterbi segmentation counted once (q ≡ 1); soft =
+      // per-edge posterior expectations, integer-quantized in-row —
+      // either way `cnt·q` sums exactly as longs.
+      val perWord =
+        if (em == "hard")
+          words.select(col("cnt"),
+            explode(split(TextExprs.ug_encode(col("w"), w, unk, lower = false)
+              .getField("enc"), " ")).as("piece"),
+            lit(1L).as("q"))
+        else
+          words.select(col("cnt"),
+            explode(TextExprs.ug_expect(col("w"), w, unk, scale)).as("pq"))
+            .select(col("cnt"), col("pq.piece").as("piece"),
+              col("pq.q").as("q"))
+      val observed = perWord
+        .groupBy(col("piece")).agg(sum(col("cnt") * col("q")).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       counts =
         charCounts.keysIterator.map { c =>
           c -> math.max(observed.getOrElse(c, 0L), 1L)
         }.toMap ++
-          observed.filter { case (p, c) => cpLen(p) > 1 && c >= minCount }
+          observed.filter { case (p, c) =>
+            cpLen(p) > 1 && c >= minCount * quant
+          }
       round += 1
     }
     // final prune: alphabet + top pieces to vocabSize

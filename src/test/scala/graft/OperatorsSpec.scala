@@ -2014,6 +2014,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bad unigram vocab line"))
   }
 
+  test("unigram: soft-EM forward-backward expectations — hand-checked posteriors, underflow-safe, deterministic (r14)") {
+    import spark.implicits._
+    import graft.functions.TextExprs
+    import graft.operators.Unigram
+    val scale = 1000000000L
+    def expect(word: String, vocab: Seq[(String, Long)],
+        unk: Long): Map[String, Long] =
+      Seq(Tuple1(word)).toDF("w")
+        .select(explode(TextExprs.ug_expect(col("w"), vocab, unk, scale))
+          .as("pq"))
+        .collect().map(r => {
+          val s = r.getStruct(0); s.getString(0) -> s.getLong(1)
+        }).toMap
+    // "ab" with equal-prob {a, b, ab} (p = 1/3 each): two segmentations,
+    // P([ab]) ∝ p, P([a,b]) ∝ p² → posteriors 3/4 and 1/4 →
+    // E(ab) = 0.75, E(a) = E(b) = 0.25 (Kudo E-step, hand-derived)
+    val third = math.round(scale.toDouble * StrictMath.log(1.0 / 3.0))
+    val e1 = expect("ab", Seq("a" -> third, "b" -> third, "ab" -> third),
+      -100L * scale)
+    assert(e1 == Map("ab" -> 750000L, "a" -> 250000L, "b" -> 250000L),
+      s"posteriors: $e1")
+    // an unk-heavy long word must not underflow: one path, full mass
+    val zword = "z" * 40
+    val e2 = expect(zword, Seq("a" -> third), -100L * scale)
+    assert(e2 == Map("z" -> 40L * 1000000L), s"underflow: $e2")
+    // soft-EM trainer converges to the same whole-word vocab as hard
+    // on the toy corpus, deterministically
+    val corpus = (Seq.fill(3)("the") ++ Seq.fill(2)("cat"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    // minCount=1: soft posteriors SPREAD mass (E(cat) ≈ 1.6 of its 2
+    // occurrences — the rest goes to sub-pieces), which is exactly the
+    // E-step working; the default threshold would be a corpus-size
+    // artifact on 5 words
+    val v1 = Unigram.train(corpus, "text", vocabSize = 7, emRounds = 2,
+      minCount = 1L, em = "soft").collect()
+    val v2 = Unigram.train(corpus, "text", vocabSize = 7, emRounds = 2,
+      minCount = 1L, em = "soft").collect()
+    assert(v1.map(_.toString).toSeq == v2.map(_.toString).toSeq)
+    val pieces = v1.filter(_.getString(3) == "piece").map(_.getString(0)).toSet
+    assert(pieces.contains("the") && pieces.contains("cat"),
+      s"soft-EM pieces: $pieces")
+    assert(v1.forall(_.getLong(1) < 0))
+    intercept[IllegalArgumentException] {
+      Unigram.train(corpus, "text", vocabSize = 7, em = "viterbi-ish")
+    }
+  }
+
   test("unigram: hard-EM trainer — integer counts, alphabet floor, deterministic prune (r14)") {
     import spark.implicits._
     import graft.operators.Unigram
