@@ -110,7 +110,6 @@ object Sessions {
         steps.indices.map(i =>
           try_element_at(col("__times"), lit(i + 1)).as(s"step${i + 1}_us")) :+
         size(col("__times")).cast("long").as("steps_completed"): _*)
-      .drop("__evs")
   }
 
   /** The funnel rolled up to the conversion report: one row with the
