@@ -333,6 +333,90 @@ object GeoExprs {
       copy(l, r)
   }
 
+  /** st_point(x, y) → WKT POINT constructor (integer-valued doubles
+    * render without the trailing .0 — the model's fmt contract) */
+  case class StPoint(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_point"
+    override def nullSafeEval(x: Any, y: Any): Any =
+      UTF8String.fromString(Geo.stPoint(
+        x.asInstanceOf[Double], y.asInstanceOf[Double]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stPoint($x, $y));")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  /** st_within / st_disjoint / st_equals (r14): the remaining relate
+    * aliases — within = contains flipped, disjoint = ¬intersects,
+    * equals = mutual containment. `which`: 0/1/2 in that order. */
+  case class StRelate2(left: Expression, right: Expression, which: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String =
+      Seq("st_within", "st_disjoint", "st_equals")(which)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (sa, sb) = (a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString)
+      which match {
+        case 0 => Geo.stWithin(sa, sb)
+        case 1 => Geo.stDisjoint(sa, sb)
+        case _ => Geo.stEquals(sa, sb)
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = Seq("stWithin", "stDisjoint", "stEquals")(which)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Geo.$fn($a.toString(), $b.toString());")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  /** st_geometry_type(wkt) → the WKT tag (POINT / LINESTRING / …) */
+  case class StGeometryType(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_geometry_type"
+    override def nullSafeEval(a: Any): Any = UTF8String.fromString(
+      Geo.stGeometryType(a.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stGeometryType($a.toString()));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_dimension(wkt) → 0 points, 1 lines, 2 polygons */
+  case class StDimension(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "st_dimension"
+    override def nullSafeEval(a: Any): Any =
+      Geo.stDimension(a.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Geo.stDimension($a.toString());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_line_interpolate_point(line, fraction) → WKT POINT at the
+    * fraction of the line's length (trajectory resampling) */
+  case class StLineInterpolate(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_line_interpolate_point"
+    override def nullSafeEval(a: Any, f: Any): Any =
+      UTF8String.fromString(Geo.stLineInterpolatePointWkt(
+        a.asInstanceOf[UTF8String].toString, f.asInstanceOf[Double]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, f) =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stLineInterpolatePointWkt($a.toString(), $f));")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** envelope bound accessors (st_xmin/st_xmax/st_ymin/st_ymax) */
   case class StBound(child: Expression, which: Int) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -430,6 +514,26 @@ object GeoExprs {
   def st_overlaps(a: Column, b: Column): Column =
     ColumnBridge.column(StRelate(ColumnBridge.expression(a),
       ColumnBridge.expression(b), 2))
+  def st_point(x: Column, y: Column): Column =
+    ColumnBridge.column(StPoint(
+      ColumnBridge.expression(x.cast("double")),
+      ColumnBridge.expression(y.cast("double"))))
+  def st_within(a: Column, b: Column): Column =
+    ColumnBridge.column(StRelate2(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), 0))
+  def st_disjoint(a: Column, b: Column): Column =
+    ColumnBridge.column(StRelate2(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), 1))
+  def st_equals(a: Column, b: Column): Column =
+    ColumnBridge.column(StRelate2(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), 2))
+  def st_geometry_type(a: Column): Column =
+    ColumnBridge.column(StGeometryType(ColumnBridge.expression(a)))
+  def st_dimension(a: Column): Column =
+    ColumnBridge.column(StDimension(ColumnBridge.expression(a)))
+  def st_line_interpolate_point(a: Column, f: Column): Column =
+    ColumnBridge.column(StLineInterpolate(ColumnBridge.expression(a),
+      ColumnBridge.expression(f.cast("double"))))
   def st_xmin(a: Column): Column =
     ColumnBridge.column(StBound(ColumnBridge.expression(a), 0))
   def st_xmax(a: Column): Column =

@@ -1360,6 +1360,55 @@ object Geo {
     case _ => false
   }
 
+  /** the WKT tag of a geometry (POINT / LINESTRING / MULTILINESTRING /
+    * POLYGON / MULTIPOLYGON — the model's five types) */
+  def geometryType(g: Geom): String = g match {
+    case PointGeom(_, _) => "POINT"
+    case LineStringGeom(_) => "LINESTRING"
+    case MultiLineStringGeom(_) => "MULTILINESTRING"
+    case PolygonGeom(_) => "POLYGON"
+    case MultiPolygonGeom(_) => "MULTIPOLYGON"
+  }
+
+  /** topological dimension: 0 points, 1 lines, 2 polygons */
+  def dimension(g: Geom): Int = g match {
+    case PointGeom(_, _) => 0
+    case LineStringGeom(_) | MultiLineStringGeom(_) => 1
+    case PolygonGeom(_) | MultiPolygonGeom(_) => 2
+  }
+
+  /** ST_LineInterpolatePoint: the point at fraction `f` ∈ [0, 1] of a
+    * LINESTRING's length, walked segment by segment (f = 0 → first
+    * vertex, f = 1 → last; a zero-length line answers its first
+    * vertex). Single LINESTRINGs only, the PostGIS contract. */
+  def lineInterpolatePoint(g: Geom, f: Double): (Double, Double) = {
+    require(f >= 0.0 && f <= 1.0,
+      s"st_line_interpolate_point: fraction must be in [0, 1], got $f")
+    val r = g match {
+      case LineStringGeom(p) => p
+      case other => throw new IllegalArgumentException(
+        "st_line_interpolate_point expects a LINESTRING, got " +
+          geometryType(other))
+    }
+    val total = ringLength(r)
+    if (total == 0.0) return (r.xs(0), r.ys(0))
+    val target = f * total
+    var walked = 0.0
+    var i = 1
+    while (i < r.size) {
+      val dx = r.xs(i) - r.xs(i - 1)
+      val dy = r.ys(i) - r.ys(i - 1)
+      val seg = math.sqrt(dx * dx + dy * dy)
+      if (walked + seg >= target) {
+        val t = if (seg == 0.0) 0.0 else (target - walked) / seg
+        return (r.xs(i - 1) + t * dx, r.ys(i - 1) + t * dy)
+      }
+      walked += seg
+      i += 1
+    }
+    (r.xs(r.size - 1), r.ys(r.size - 1))
+  }
+
   // string-in entry points for the codegen expressions (one cached
   // parse per distinct WKT per executor)
   def stDistance(a: String, b: String): Double =
@@ -1389,6 +1438,30 @@ object Geo {
   def stSimplify(a: String, tol: Double): String =
     simplifyWkt(parseWktCached(a), tol)
   def stLength(a: String): Double = length(parseWktCached(a))
+  def stPoint(x: Double, y: Double): String =
+    s"POINT (${fmt(x)} ${fmt(y)})"
+  def stWithin(a: String, b: String): Boolean =
+    containsGeom(parseWktCached(b), parseWktCached(a))
+  def stDisjoint(a: String, b: String): Boolean =
+    !intersects(parseWktCached(a), parseWktCached(b))
+  /** topological equality: mutual boundary-inclusive containment (the
+    * [[containsGeom]] convention both ways — vertex-set differences
+    * along shared lines/rings don't break equality, mixed dimensions
+    * always do) */
+  def stEquals(a: String, b: String): Boolean = {
+    val (ga, gb) = (parseWktCached(a), parseWktCached(b))
+    containsGeom(ga, gb) && containsGeom(gb, ga)
+  }
+  def stGeometryType(a: String): String = geometryType(parseWktCached(a))
+  def stDimension(a: String): Int = dimension(parseWktCached(a))
+  def stLineInterpolateX(a: String, f: Double): Double =
+    lineInterpolatePoint(parseWktCached(a), f)._1
+  def stLineInterpolateY(a: String, f: Double): Double =
+    lineInterpolatePoint(parseWktCached(a), f)._2
+  def stLineInterpolatePointWkt(a: String, f: Double): String = {
+    val (x, y) = lineInterpolatePoint(parseWktCached(a), f)
+    stPoint(x, y)
+  }
   def stTouches(a: String, b: String): Boolean =
     touchesGeom(parseWktCached(a), parseWktCached(b))
   def stCrosses(a: String, b: String): Boolean =

@@ -254,6 +254,22 @@ object GraftFunctions {
       es => GeoExprs.StConvexHull(es.head), "built-in")
     r.createOrReplaceTempFunction("st_length",
       es => GeoExprs.StLength(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_point",
+      es => GeoExprs.StPoint(Cast(es(0), DoubleType),
+        Cast(es(1), DoubleType)), "built-in")
+    r.createOrReplaceTempFunction("st_within",
+      es => GeoExprs.StRelate2(es(0), es(1), 0), "built-in")
+    r.createOrReplaceTempFunction("st_disjoint",
+      es => GeoExprs.StRelate2(es(0), es(1), 1), "built-in")
+    r.createOrReplaceTempFunction("st_equals",
+      es => GeoExprs.StRelate2(es(0), es(1), 2), "built-in")
+    r.createOrReplaceTempFunction("st_geometry_type",
+      es => GeoExprs.StGeometryType(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_dimension",
+      es => GeoExprs.StDimension(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_line_interpolate_point",
+      es => GeoExprs.StLineInterpolate(es(0), Cast(es(1), DoubleType)),
+      "built-in")
     r.createOrReplaceTempFunction("st_touches",
       es => GeoExprs.StRelate(es(0), es(1), 0), "built-in")
     r.createOrReplaceTempFunction("st_crosses",

@@ -860,6 +860,48 @@ object QueriesEngine {
         .orderBy($"g")
     },
 
+    // ---- relate aliases + constructors (r14): st_point / st_within /
+    // st_disjoint / st_equals / st_geometry_type / st_dimension /
+    // st_line_interpolate_point. Fixtures keep every value an exact
+    // closed form: the interpolation fraction k/4 of the 4s-long track
+    // lands at (k·s, 0) on the first segment; the within/disjoint pair
+    // is the complement split 3k ≤ 2s; equality is pinned against a
+    // redundant-midpoint-vertex rect (vertex sets differ, geometry
+    // doesn't).
+    "q_geo_relate2" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def i(c: org.apache.spark.sql.Column) = c.cast("int").cast("string")
+      val sc = $"s"; val k = $"k"
+      val rect = concat(lit("POLYGON ((0 0, "), i(sc * 2), lit(" 0, "),
+        i(sc * 2), lit(" "), i(sc * 2), lit(", 0 "), i(sc * 2), lit(", 0 0))"))
+      val rectRedundant = concat(lit("POLYGON ((0 0, "), i(sc), lit(" 0, "),
+        i(sc * 2), lit(" 0, "),
+        i(sc * 2), lit(" "), i(sc * 2), lit(", 0 "), i(sc * 2), lit(", 0 0))"))
+      val track = concat(lit("LINESTRING (0 0, "), i(sc * 2), lit(" 0, "),
+        i(sc * 2), lit(" "), i(sc * 2), lit(")"))
+      val pt = GeoExprs.st_point(k * 3, k * 3)
+      val mixed = when(k === 0, GeoExprs.st_point(lit(1), lit(1)))
+        .when(k === 1, track).otherwise(rect)
+      val ip = GeoExprs.st_line_interpolate_point(track,
+        k.cast("double") / 4.0)
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          ($"n_nationkey" % 4 + 1).cast("int").as("s"),
+          ($"n_nationkey" % 3).cast("int").as("k"))
+        .select($"n_nationkey",
+          GeoExprs.st_within(pt, rect).as("in_rect"),
+          GeoExprs.st_disjoint(pt, rect).as("disj"),
+          GeoExprs.st_equals(rect, rectRedundant).as("eq_redundant"),
+          GeoExprs.st_equals(rect, track).as("eq_mixed"),
+          GeoExprs.st_geometry_type(mixed).as("gtype"),
+          GeoExprs.st_dimension(mixed).as("dim"),
+          GeoExprs.st_x(ip).as("ix"),
+          GeoExprs.st_y(ip).as("iy"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- coalesce_label over nullable branches
     "q_coalesce_label" -> { (s, dir) =>
       import s.implicits._
@@ -1225,6 +1267,23 @@ object QueriesEngine {
            CAST(5 * (n - 1) AS DOUBLE) AS dist,
            CAST(n AS BIGINT) AS np
          FROM t ORDER BY g""",
+    // the relate aliases restated as pure arithmetic over (s, k)
+    "q_geo_relate2" ->
+      """SELECT n_nationkey,
+           3 * k <= 2 * s AS in_rect,
+           3 * k > 2 * s AS disj,
+           TRUE AS eq_redundant,
+           FALSE AS eq_mixed,
+           CASE k WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+                  ELSE 'POLYGON' END AS gtype,
+           CAST(k AS INTEGER) AS dim,
+           CAST(k * s AS DOUBLE) AS ix,
+           CAST(0 AS DOUBLE) AS iy
+         FROM (SELECT n_nationkey,
+                 CAST(n_nationkey % 4 + 1 AS INT) AS s,
+                 CAST(n_nationkey % 3 AS INT) AS k
+               FROM nation) t
+         ORDER BY n_nationkey""",
     "q_coalesce_label" ->
       """SELECT o_orderkey,
          CASE WHEN (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NOT NULL THEN 'open'

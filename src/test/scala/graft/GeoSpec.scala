@@ -485,6 +485,33 @@ class GeoSpec extends AnyFunSuite {
     assert(stTouches("LINESTRING (2 0, 2 0, 2 5)", "LINESTRING (0 0, 4 0)"))
   }
 
+  test("relate aliases, type/dimension accessors, line interpolation (r14)") {
+    val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val l = "LINESTRING (0 0, 4 0, 4 4)"
+    assert(stPoint(3, 4) == "POINT (3 4)")
+    assert(stPoint(1.5, -2.25) == "POINT (1.5 -2.25)")
+    assert(stWithin("POINT (2 2)", sq) && !stWithin(sq, "POINT (2 2)"))
+    assert(stWithin("LINESTRING (1 0, 3 0)", l))
+    assert(stDisjoint(sq, "POINT (9 9)") && !stDisjoint(sq, "POINT (4 4)"))
+    // equality ignores redundant collinear vertices; respects geometry
+    assert(stEquals(sq, "POLYGON ((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))"))
+    assert(stEquals(l, "LINESTRING (0 0, 2 0, 4 0, 4 4)"))
+    assert(!stEquals(sq, l) && !stEquals(sq,
+      "POLYGON ((0 0, 4 0, 4 4, 0 4.5, 0 0))"))
+    assert(stGeometryType(sq) == "POLYGON" && stGeometryType(l) == "LINESTRING")
+    assert(stGeometryType("MULTILINESTRING ((0 0, 1 1))") == "MULTILINESTRING")
+    assert(stDimension("POINT (1 1)") == 0 && stDimension(l) == 1 &&
+      stDimension(sq) == 2)
+    // interpolation walks segments; endpoints at f = 0 / 1; mid-vertex
+    assert(stLineInterpolatePointWkt(l, 0.0) == "POINT (0 0)")
+    assert(stLineInterpolatePointWkt(l, 0.25) == "POINT (2 0)")
+    assert(stLineInterpolatePointWkt(l, 0.5) == "POINT (4 0)")
+    assert(stLineInterpolatePointWkt(l, 0.75) == "POINT (4 2)")
+    assert(stLineInterpolatePointWkt(l, 1.0) == "POINT (4 4)")
+    intercept[IllegalArgumentException] { stLineInterpolatePointWkt(l, 1.5) }
+    intercept[IllegalArgumentException] { stLineInterpolatePointWkt(sq, 0.5) }
+  }
+
   test("st_simplify: bumps under tol drop, spikes stay, rings can vanish (r12)") {
     // collinear midpoint + 0.2 bump drop at tol 0.5; the true corners stay
     assert(stSimplify(
