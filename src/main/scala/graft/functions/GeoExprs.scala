@@ -45,9 +45,24 @@ object GeoExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** WKT → WKB for the codec's five types (the encode half) */
+  case class WktToWkb(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_wkt_as_wkb"
+    override def nullSafeEval(wkt: Any): Any =
+      graft.sources.GeoParquet.wktToWkb(wkt.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.sources.GeoParquet.wktToWkb($c.toString());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   def st_point_wkb(lon: Column, lat: Column): Column =
     ColumnBridge.column(PointWkb(
       ColumnBridge.expression(lon), ColumnBridge.expression(lat)))
+
+  def st_wkt_as_wkb(wkt: Column): Column =
+    ColumnBridge.column(WktToWkb(ColumnBridge.expression(wkt)))
 
   def st_wkb_as_wkt(wkb: Column): Column =
     ColumnBridge.column(WkbToWkt(ColumnBridge.expression(wkb)))

@@ -219,6 +219,10 @@ object GraftFunctions {
       es => StWithinPoint(es(0), es(1), es(2)), "built-in")
     r.createOrReplaceTempFunction("st_geojson_as_wkt",
       es => StGeoJsonAsWkt(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_wkb_as_wkt",
+      es => GeoExprs.WkbToWkt(es.head), "built-in")
+    r.createOrReplaceTempFunction("st_wkt_as_wkb",
+      es => GeoExprs.WktToWkb(es.head), "built-in")
     r.createOrReplaceTempFunction("st_distance",
       es => GeoExprs.StDistance(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("st_area",

@@ -27,10 +27,58 @@ object GeoParquet {
 
   // --------------------------------------------------------- WKB codec
 
-  /** WKB → WKT for Point / LineString / Polygon / MultiPolygon (2-D) */
+  /** WKB → WKT for Point / LineString / MultiLineString / Polygon /
+    * MultiPolygon (2-D) */
   def wkbToWkt(wkb: Array[Byte]): String = {
     val b = ByteBuffer.wrap(wkb)
     readGeom(b)
+  }
+
+  /** WKT → WKB (little-endian, 2-D) for the same five types — the
+    * encode half of the codec, so geometry egress isn't limited to
+    * lon/lat points (trajectory LINESTRINGs write as real geoparquet
+    * geometry). Inverse of [[wkbToWkt]] up to number formatting. */
+  def wktToWkb(wkt: String): Array[Byte] = {
+    val g = graft.functions.Geo.parseWktCached(wkt)
+    val out = new java.io.ByteArrayOutputStream(64)
+    def putInt(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def putDouble(d: Double): Unit = {
+      var bits = java.lang.Double.doubleToLongBits(d)
+      var i = 0
+      while (i < 8) { out.write((bits & 0xFF).toInt); bits >>= 8; i += 1 }
+    }
+    def putRing(r: graft.functions.Geo.Ring): Unit = {
+      putInt(r.size)
+      var i = 0
+      while (i < r.size) { putDouble(r.xs(i)); putDouble(r.ys(i)); i += 1 }
+    }
+    def putPoly(p: graft.functions.Geo.Polygon): Unit = {
+      putInt(1 + p.holes.size)
+      putRing(p.outer)
+      p.holes.foreach(putRing)
+    }
+    def putGeom(g: graft.functions.Geo.Geom): Unit = {
+      out.write(1) // little-endian marker
+      g match {
+        case graft.functions.Geo.PointGeom(x, y) =>
+          putInt(1); putDouble(x); putDouble(y)
+        case graft.functions.Geo.LineStringGeom(r) =>
+          putInt(2); putRing(r)
+        case graft.functions.Geo.PolygonGeom(p) =>
+          putInt(3); putPoly(p)
+        case graft.functions.Geo.MultiLineStringGeom(rs) =>
+          putInt(5); putInt(rs.size)
+          rs.foreach { r => out.write(1); putInt(2); putRing(r) }
+        case graft.functions.Geo.MultiPolygonGeom(ps) =>
+          putInt(6); putInt(ps.size)
+          ps.foreach { p => out.write(1); putInt(3); putPoly(p) }
+      }
+    }
+    putGeom(g)
+    out.toByteArray
   }
 
   private def order(b: ByteBuffer): Unit =
@@ -43,6 +91,10 @@ object GeoParquet {
       case 1 => val x = b.getDouble(); val y = b.getDouble(); s"POINT ($x $y)"
       case 2 => s"LINESTRING ${readRing(b)}"
       case 3 => s"POLYGON ${readPoly(b)}"
+      case 5 =>
+        val n = b.getInt()
+        val lines = (0 until n).map { _ => order(b); b.getInt(); readRing(b) }
+        s"MULTILINESTRING (${lines.mkString(", ")})"
       case 6 =>
         val n = b.getInt()
         val polys = (0 until n).map { _ => order(b); b.getInt(); readPoly(b) }
@@ -116,5 +168,15 @@ object GeoParquet {
   def write(df: DataFrame, path: String, lonCol: String, latCol: String): Unit =
     df.withColumn("geometry",
         stPointWkb(col(lonCol).cast(DoubleType), col(latCol).cast(DoubleType)))
+      .write.mode("overwrite").parquet(path)
+
+  /** geometry egress from a WKT column (any of the codec's five
+    * types): the column encodes to WKB as `geometry` — trajectory
+    * LINESTRINGs and polygon footprints write as real geoparquet
+    * geometry, not just lon/lat points */
+  def writeGeometry(df: DataFrame, path: String, wktCol: String): Unit =
+    df.withColumn("geometry",
+        graft.functions.GeoExprs.st_wkt_as_wkb(col(wktCol)))
+      .drop(wktCol)
       .write.mode("overwrite").parquet(path)
 }

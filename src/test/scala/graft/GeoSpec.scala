@@ -95,6 +95,40 @@ class GeoSpec extends AnyFunSuite {
     assert(contains(g, 5, 5) && !contains(g, 15, 5))
   }
 
+  test("WKB codec: encode half round-trips all five types; geometry egress writes lines (r14)") {
+    import graft.sources.GeoParquet
+    // .5-valued coords make decode's Double.toString formatting
+    // byte-identical to the input WKT, so the round trip pins bytes
+    Seq(
+      "POINT (3.5 -7.25)",
+      "LINESTRING (0.5 0.5, 4.5 0.5, 4.5 4.5)",
+      "MULTILINESTRING ((0.5 0.5, 1.5 1.5), (2.5 0.5, 3.5 0.5, 3.5 2.5))",
+      "POLYGON ((0.5 0.5, 4.5 0.5, 4.5 4.5, 0.5 4.5, 0.5 0.5), " +
+        "(1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))",
+      "MULTIPOLYGON (((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 0.5)), " +
+        "((4.5 0.5, 5.5 0.5, 5.5 1.5, 4.5 0.5)))"
+    ).foreach { wkt =>
+      assert(GeoParquet.wkbToWkt(GeoParquet.wktToWkb(wkt)) == wkt,
+        s"round trip: $wkt")
+    }
+    // trajectory egress: write a LINESTRING column as geoparquet
+    // geometry, read it back through the WKT bridge, measure it
+    val spark = GraftSession.build("local[2]", 2)
+    import spark.implicits._
+    val df = Seq((1L, "LINESTRING (0.5 0.5, 3.5 4.5)")).toDF("id", "traj")
+    val dir = java.nio.file.Files.createTempDirectory("graft-geotrj")
+      .resolve("trj").toString
+    GeoParquet.writeGeometry(df, dir, "traj")
+    val back = spark.read.parquet(dir)
+      .select($"id", GeoParquet.stWkbAsWkt($"geometry").as("wkt"))
+      .head()
+    assert(back.getString(1) == "LINESTRING (0.5 0.5, 3.5 4.5)")
+    assert(stLength(back.getString(1)) == 5.0)
+    // SQL surface: both codec directions resolve by name
+    spark.sql("SELECT st_wkb_as_wkt(st_wkt_as_wkb('POINT (1.5 2.5)')) AS w")
+      .collect().headOption.foreach(r => assert(r.getString(0) == "POINT (1.5 2.5)"))
+  }
+
   test("geoparquet write → read: point geometry + WKT bridge to geo functions") {
     val spark = GraftSession.build("local[2]", 2)
     import spark.implicits._
