@@ -1860,6 +1860,26 @@ class OperatorsSpec extends AnyFunSuite {
       "piece ids must be dense after the alphabet")
   }
 
+  test("funnel plan: ONE shuffle total, no joins, step count is plan-free (r14)") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = (0 until 200).map(i =>
+      (i.toLong, ts(i), (i % 7).toLong, Seq("view", "click", "buy")(i % 3)))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    def shuffles(steps: Seq[String]): Int = {
+      val plan = Sessions.funnel(ev, "user_id", "ts", "event_type",
+        steps, gapMinutes = 10).queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"one-pass funnel must not join:\n$plan")
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    }
+    // the whole funnel costs one user-key shuffle, for ANY step depth
+    val s3 = shuffles(Seq("view", "click", "buy"))
+    val s6 = shuffles(Seq("view", "click", "buy", "view", "click", "buy"))
+    assert(s3 == s6, s"step count changed the plan: $s3 vs $s6 shuffles")
+    assert(s3 <= 2, s"funnel must be one logical shuffle, got $s3 exchanges")
+  }
+
   test("st_make_line: arrival order never leaks into the trajectory; measures chain (r14)") {
     import spark.implicits._
     import graft.functions.GeoExprs
