@@ -416,8 +416,26 @@ object Geo {
             strictlyInB(h.xs(i), h.ys(i)) ||
               strictlyInB((h.xs(i) + h.xs(j)) / 2, (h.ys(i) + h.ys(j)) / 2)
           }
-        }
+        } &&
+        // a `b` that sits EXACTLY in a hole of `a` (rings coincide)
+        // slips every boundary probe above — its centroid, when it is
+        // provably an interior point of b, must still land inside a
+        (b match {
+          case PolygonGeom(p) => centroidInsideOk(a, Seq(p))
+          case MultiPolygonGeom(ps) => centroidInsideOk(a, ps)
+          case _ => true
+        })
   }
+
+  /** for each polygon whose own centroid is strictly interior to it
+    * (convex and most concave shapes), that centroid must be inside
+    * `a` — a cheap witness for coincident-ring containment holes */
+  private def centroidInsideOk(a: Geom, ps: Seq[Polygon]): Boolean =
+    ps.forall { p =>
+      val g = PolygonGeom(p)
+      val (cx, cy) = centroid(g)
+      !(contains(g, cx, cy) && !onBoundary(g, cx, cy)) || contains(a, cx, cy)
+    }
 
   @inline private def pointSegDist(px: Double, py: Double,
       x1: Double, y1: Double, x2: Double, y2: Double): Double = {
@@ -1322,8 +1340,33 @@ object Geo {
     case _ if isLineal(a) && isLineal(b) => lineLineInteriorsIntersect(a, b)
     case _ if isLineal(a) => lineEntersArealInterior(a, b)
     case _ if isLineal(b) => lineEntersArealInterior(b, a)
-    case _ => // areal × areal: shared interior ⇔ positive overlap area
-      intersectionArea(a, b) > 0.0 || containsGeom(a, b) || containsGeom(b, a)
+    case _ => arealInteriorsIntersect(a, b)
+  }
+
+  /** areal × areal interior intersection: positive overlap area (the
+    * clip-based measure needs a hole-free clip side — tried in both
+    * orders) or containment; when BOTH sides carry holes, fall back to
+    * witnesses: a proper boundary crossing, or a vertex / edge
+    * midpoint of one strictly inside the other (exact up to the same
+    * tangential-contact caveat as [[containsGeom]]). */
+  private def arealInteriorsIntersect(a: Geom, b: Geom): Boolean = {
+    def contained = containsGeom(a, b) || containsGeom(b, a)
+    if (holeRings(b).isEmpty) intersectionArea(a, b) > 0.0 || contained
+    else if (holeRings(a).isEmpty) intersectionArea(b, a) > 0.0 || contained
+    else {
+      def strictWitness(g: Geom, in: Geom): Boolean =
+        rings(g).exists { r =>
+          r.xs.indices.exists { i =>
+            val j = if (i == 0) r.size - 1 else i - 1
+            def strictlyIn(x: Double, y: Double) =
+              contains(in, x, y) && !onBoundary(in, x, y)
+            strictlyIn(r.xs(i), r.ys(i)) ||
+              strictlyIn((r.xs(i) + r.xs(j)) / 2, (r.ys(i) + r.ys(j)) / 2)
+          }
+        }
+      segPairAny(a, b, segsCrossProperly) ||
+        strictWitness(a, b) || strictWitness(b, a) || contained
+    }
   }
 
   /** ST_Touches: the geometries intersect but their interiors don't —

@@ -544,6 +544,19 @@ class GeoSpec extends AnyFunSuite {
     assert(stLineInterpolatePointWkt(l, 1.0) == "POINT (4 4)")
     intercept[IllegalArgumentException] { stLineInterpolatePointWkt(l, 1.5) }
     intercept[IllegalArgumentException] { stLineInterpolatePointWkt(sq, 0.5) }
+    // holed polygons answer relate predicates instead of throwing
+    // (the overlap-area path needs a hole-free clip side; both-holey
+    // pairs fall back to strict-interior witnesses)
+    val holed = "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (3 3, 5 3, 5 5, 3 5, 3 3))"
+    val holed2 = "POLYGON ((6 0, 14 0, 14 8, 6 8, 6 0), (10 3, 12 3, 12 5, 10 5, 10 3))"
+    assert(stOverlaps(holed, holed2), "holey polygons sharing area overlap")
+    assert(!stTouches(holed, holed2))
+    assert(stTouches(holed, "POLYGON ((8 0, 10 0, 10 2, 8 2, 8 0))"),
+      "edge contact with a holed polygon is a touch")
+    // a polygon nested INSIDE the hole shares no interior: touches at
+    // the hole boundary only
+    assert(stTouches(holed, "POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))"))
+    assert(!stOverlaps(holed, "POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))"))
   }
 
   test("st_simplify: bumps under tol drop, spikes stay, rings can vanish (r12)") {
