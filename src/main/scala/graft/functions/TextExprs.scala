@@ -483,10 +483,15 @@ object TextExprs {
         else if (i - j == 1) unk.toDouble / scale
         else Double.NaN
       }
+      // StrictMath throughout: cross-PLATFORM bit-determinism, the
+      // same contract the trainer's weight tabulation holds
       def lse(a: Double, b: Double): Double =
         if (a == Double.NegativeInfinity) b
         else if (b == Double.NegativeInfinity) a
-        else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+        else {
+          val m = math.max(a, b)
+          m + StrictMath.log(StrictMath.exp(a - m) + StrictMath.exp(b - m))
+        }
       val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
       val beta = Array.fill(n + 1)(Double.NegativeInfinity)
       alpha(0) = 0.0
@@ -520,7 +525,7 @@ object TextExprs {
         while (i3 <= hi) {
           val l = lp(j3, i3)
           if (!l.isNaN) {
-            val e = math.exp(alpha(j3) + l + beta(i3) - z)
+            val e = StrictMath.exp(alpha(j3) + l + beta(i3) - z)
             if (e > 0.0) {
               val b = new java.lang.StringBuilder
               var k = j3
