@@ -513,8 +513,16 @@ object GeoExprs {
     * strings) for byte-stable WKT. */
   def st_make_line(ord: Column, x: Column, y: Column): Column = {
     import org.apache.spark.sql.functions._
+    // a null coordinate would silently VANISH from the path (concat
+    // nulls the point, array_join skips nulls) — raise instead, the
+    // loud-edges stance: a trajectory with holes is a data bug
+    def loud(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"st_make_line: null $what coordinate — filter or impute the " +
+          "point before building the trajectory"))).otherwise(c)
     val pts = array_sort(collect_list(struct(ord.as("o"),
-      x.cast("string").as("x"), y.cast("string").as("y"))))
+      loud(x, "x").cast("string").as("x"),
+      loud(y, "y").cast("string").as("y"))))
     concat(lit("LINESTRING ("),
       array_join(transform(pts,
         p => concat(p.getField("x"), lit(" "), p.getField("y"))), ", "),

@@ -1898,6 +1898,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(0).getAs[Int]("np") == 3)
     assert(out(1).getAs[String]("wkt") == "LINESTRING (0 0, 8 6)")
     assert(out(1).getAs[Double]("len") == 10.0)
+    // a null coordinate raises loudly instead of silently leaving a
+    // hole in the trajectory
+    val holey = Seq((1L, 1, Some(0), Some(0)), (1L, 2, None, Some(4)))
+      .toDF("g", "o", "x", "y")
+    val e = intercept[Exception] {
+      holey.groupBy($"g")
+        .agg(GeoExprs.st_make_line($"o", $"x", $"y").as("wkt")).collect()
+    }
+    assert(e.getMessage.contains("null x coordinate"), e.getMessage)
   }
 
   test("unigram: Viterbi argmax with longer-last-piece ties, OOV floor, code points, codegen==interpreted (r14)") {
