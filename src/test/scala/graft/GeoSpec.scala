@@ -129,6 +129,28 @@ class GeoSpec extends AnyFunSuite {
       .collect().headOption.foreach(r => assert(r.getString(0) == "POINT (1.5 2.5)"))
   }
 
+  test("SQL surface: every r14 geo function resolves by name with its arity (r14)") {
+    val spark = GraftSession.build("local[2]", 2)
+    val row = spark.sql(
+      """SELECT
+           st_length('LINESTRING (0 0, 3 4)') AS len,
+           st_touches('POINT (4 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS t,
+           st_crosses('LINESTRING (-1 2, 5 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS c,
+           st_overlaps('LINESTRING (0 0, 4 0)', 'LINESTRING (2 0, 6 0)') AS o,
+           st_within('POINT (1 1)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS w,
+           st_disjoint('POINT (9 9)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS d,
+           st_equals('LINESTRING (0 0, 2 0)', 'LINESTRING (0 0, 1 0, 2 0)') AS e,
+           st_geometry_type('MULTILINESTRING ((0 0, 1 1))') AS gt,
+           st_dimension('LINESTRING (0 0, 1 1)') AS dim,
+           st_line_interpolate_point('LINESTRING (0 0, 4 0)', 0.5) AS ip,
+           st_point(3, 4) AS pt""").head()
+    assert(row.getDouble(0) == 5.0)
+    assert(row.getBoolean(1) && row.getBoolean(2) && row.getBoolean(3) &&
+      row.getBoolean(4) && row.getBoolean(5) && row.getBoolean(6))
+    assert(row.getString(7) == "MULTILINESTRING" && row.getInt(8) == 1)
+    assert(row.getString(9) == "POINT (2 0)" && row.getString(10) == "POINT (3 4)")
+  }
+
   test("geoparquet write → read: point geometry + WKT bridge to geo functions") {
     val spark = GraftSession.build("local[2]", 2)
     import spark.implicits._
