@@ -105,6 +105,18 @@ object Geo {
   def parseWkt(wkt: String): Geom = {
     val s = wkt.trim
     val upper = s.toUpperCase
+    // the engine EMITS "<TAG> EMPTY" (boolean ops on disjoint inputs,
+    // rings collapsing under simplify) — it must parse its own output.
+    // Empties are the empty multi-geometry of their family; POINT
+    // EMPTY stays unsupported (nothing here emits it).
+    if (upper.endsWith(" EMPTY")) {
+      return upper.stripSuffix(" EMPTY").trim match {
+        case "POLYGON" | "MULTIPOLYGON" => MultiPolygonGeom(Nil)
+        case "LINESTRING" | "MULTILINESTRING" => MultiLineStringGeom(Nil)
+        case other => throw new IllegalArgumentException(
+          s"unsupported empty WKT geometry: $wkt")
+      }
+    }
     if (upper.startsWith("POINT")) {
       val nums = parseNumbers(s.substring(5))
       require(nums.length == 2, s"POINT needs 2 coordinates: $wkt")
@@ -287,6 +299,11 @@ object Geo {
     case LineStringGeom(_) | MultiLineStringGeom(_) => true
     case _ => false
   }
+  def isEmptyGeom(g: Geom): Boolean = g match {
+    case MultiPolygonGeom(ps) => ps.isEmpty
+    case MultiLineStringGeom(rs) => rs.isEmpty
+    case _ => false
+  }
   def isAreal(g: Geom): Boolean = g match {
     case PolygonGeom(_) | MultiPolygonGeom(_) => true
     case _ => false
@@ -392,6 +409,9 @@ object Geo {
     * Exact for the polygon subset this engine parses up to degenerate
     * tangential contacts. */
   def containsGeom(a: Geom, b: Geom): Boolean = (a, b) match {
+    // an empty operand contains and is contained by nothing (the
+    // vacuous vertex check below would otherwise claim b ⊆ a)
+    case _ if isEmptyGeom(a) || isEmptyGeom(b) => false
     case (_, PointGeom(x, y)) => contains(a, x, y)
     case (PointGeom(_, _), _) => false
     // 1-D can't contain 2-D
@@ -480,6 +500,9 @@ object Geo {
     * polygon subset the closest pair is always (vertex, edge) in one
     * direction or the other, so the double vertex sweep is exact. */
   def distance(a: Geom, b: Geom): Double = {
+    if (isEmptyGeom(a) || isEmptyGeom(b))
+      throw new IllegalArgumentException(
+        "st_distance: distance to an empty geometry is undefined")
     if (intersects(a, b)) return 0.0
     var mn = Double.PositiveInfinity
     vertices(a).foreach { case (x, y) =>
@@ -554,6 +577,9 @@ object Geo {
     s"POINT (${fmt(cx)} ${fmt(cy)})"
   }
   def centroid(g: Geom): (Double, Double) = g match {
+    // silent (0, 0) would be a lie — the loud-edges stance
+    case _ if isEmptyGeom(g) => throw new IllegalArgumentException(
+      "st_centroid: empty geometry has no centroid")
     case PointGeom(x, y) => (x, y)
     case PolygonGeom(p) => polyCentroid(Seq(p))
     case MultiPolygonGeom(ps) => polyCentroid(ps)
@@ -661,6 +687,7 @@ object Geo {
     * polygon (a degenerate line-shaped box stays a zero-area POLYGON;
     * this slice has no LINESTRING type) */
   def envelopeWkt(g: Geom): String = {
+    if (isEmptyGeom(g)) return "POLYGON EMPTY"
     val (x0, x1, y0, y1) = boundsOf(g)
     if (x0 == x1 && y0 == y1) s"POINT (${fmt(x0)} ${fmt(y0)})"
     else s"POLYGON ((${fmt(x0)} ${fmt(y0)}, ${fmt(x1)} ${fmt(y0)}, " +
@@ -1058,6 +1085,25 @@ object Geo {
   /** st_intersection / st_union over two simple no-hole polygons */
   private def ghBoolean(a: Geom, b: Geom, union: Boolean): String = {
     val what = if (union) "st_union" else "st_intersection"
+    // an empty operand short-circuits (the engine's own intersection
+    // output is "POLYGON EMPTY" — booleans must accept it back):
+    // ∩ with ∅ = ∅; ∪ with ∅ = the other side
+    if (isEmptyGeom(a) || isEmptyGeom(b)) {
+      if (!union) return "POLYGON EMPTY"
+      (isEmptyGeom(a), isEmptyGeom(b)) match {
+        case (true, true) => return "POLYGON EMPTY"
+        case (true, _) => b match {
+          case PolygonGeom(p) => return polyWkt(openCcw(p, what))
+          case _ => throw new IllegalArgumentException(
+            s"$what expects two POLYGON geometries")
+        }
+        case _ => a match {
+          case PolygonGeom(p) => return polyWkt(openCcw(p, what))
+          case _ => throw new IllegalArgumentException(
+            s"$what expects two POLYGON geometries")
+        }
+      }
+    }
     val (pa, pb) = (a, b) match {
       case (PolygonGeom(x), PolygonGeom(y)) => (x, y)
       case _ => throw new IllegalArgumentException(
@@ -1104,6 +1150,7 @@ object Geo {
     * LINESTRING between its extreme points (PostGIS behavior — r14,
     * possible now that the model has a lineal type). */
   def convexHullWkt(g: Geom): String = {
+    if (isEmptyGeom(g)) return "POLYGON EMPTY"
     val pts: Array[(Double, Double)] = (g match {
       case PointGeom(x, y) => Array((x, y))
       case PolygonGeom(p) => openRing(p.outer)
@@ -1154,6 +1201,7 @@ object Geo {
       // no wrap, no second-anchor search) and always survive
       case LineStringGeom(r) =>
         lineStr("LINESTRING", simplifyPath(r, tol))
+      case MultiLineStringGeom(rs) if rs.isEmpty => "MULTILINESTRING EMPTY"
       case MultiLineStringGeom(rs) =>
         val ps = rs.map(simplifyPath(_, tol))
         if (ps.length == 1) lineStr("LINESTRING", ps.head)

@@ -129,6 +129,67 @@ class GeoSpec extends AnyFunSuite {
       .collect().headOption.foreach(r => assert(r.getString(0) == "POINT (1.5 2.5)"))
   }
 
+  test("Greiner–Hormann randomized: inclusion–exclusion holds over 80 convex pairs (r14)") {
+    // property: area(A) + area(B) = area(A∪B) + area(A∩B), with the
+    // intersection area cross-checked against the independent
+    // Sutherland–Hodgman path — the two clipping implementations must
+    // agree on every random pair, intersecting or not
+    val rnd = new scala.util.Random(20260815L)
+    // GENERAL-POSITION fixtures (unsnapped doubles from cos/sin):
+    // Greiner–Hormann's contract loudly rejects vertex-on-edge
+    // touches, so integer-snapped vertices would trip the reject, not
+    // the math; exact coincidence is measure-zero on doubles
+    def convexPoly(cx: Int, cy: Int, r: Int, n: Int): String = {
+      val pts = (0 until n).map { i =>
+        val a = 2 * math.Pi * (i + 0.15 * rnd.nextDouble()) / n
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      val ring = pts :+ pts.head
+      "POLYGON ((" + ring.map { case (x, y) => s"$x $y" }
+        .mkString(", ") + "))"
+    }
+    var intersecting = 0
+    (1 to 80).foreach { trial =>
+      val a = convexPoly(rnd.nextInt(20), rnd.nextInt(20),
+        4 + rnd.nextInt(8), 3 + rnd.nextInt(5))
+      val b = convexPoly(rnd.nextInt(20), rnd.nextInt(20),
+        4 + rnd.nextInt(8), 3 + rnd.nextInt(5))
+      val (aa, ab) = (stArea(a), stArea(b))
+      val ia = stIntersectionArea(a, b) // Sutherland–Hodgman
+      val ghI = stArea(stIntersection(a, b)) // Greiner–Hormann
+      val ghU = stArea(stUnion(a, b))
+      assert(math.abs(ia - ghI) < 1e-6,
+        s"trial $trial: SH $ia != GH $ghI\n  a=$a\n  b=$b")
+      assert(math.abs((aa + ab) - (ghU + ghI)) < 1e-6,
+        s"trial $trial: inclusion-exclusion broke: " +
+          s"$aa + $ab != $ghU + $ghI\n  a=$a\n  b=$b")
+      if (ghI > 0) intersecting += 1
+    }
+    // the fixture must actually exercise both regimes
+    assert(intersecting > 10 && intersecting < 80,
+      s"degenerate fixture: $intersecting/80 intersecting")
+    // EMPTY semantics the property run depends on (and the bug it
+    // found: the engine previously could not parse its OWN
+    // "POLYGON EMPTY" output): area 0, no intersection/containment,
+    // booleans short-circuit, loud centroid/distance
+    val sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert(stArea("POLYGON EMPTY") == 0.0)
+    assert(stLength("MULTILINESTRING EMPTY") == 0.0)
+    assert(stNPoints("MULTIPOLYGON EMPTY") == 0)
+    assert(!stIntersects("POLYGON EMPTY", sq))
+    assert(!stContains(sq, "POLYGON EMPTY") &&
+      !stContains("POLYGON EMPTY", sq))
+    assert(!stEquals("POLYGON EMPTY", sq))
+    assert(stIntersection("POLYGON EMPTY", sq) == "POLYGON EMPTY")
+    assert(stArea(stUnion("POLYGON EMPTY", sq)) == 4.0)
+    assert(stUnion("POLYGON EMPTY", "POLYGON EMPTY") == "POLYGON EMPTY")
+    assert(stConvexHull("POLYGON EMPTY") == "POLYGON EMPTY")
+    assert(stEnvelope("MULTIPOLYGON EMPTY") == "POLYGON EMPTY")
+    intercept[IllegalArgumentException] { stCentroid("POLYGON EMPTY") }
+    intercept[IllegalArgumentException] { stDistance("POLYGON EMPTY", sq) }
+    intercept[IllegalArgumentException] { parseWkt("POINT EMPTY") }
+  }
+
   test("SQL surface: every r14 geo function resolves by name with its arity (r14)") {
     val spark = GraftSession.build("local[2]", 2)
     val row = spark.sql(
