@@ -252,7 +252,7 @@ object RobotsExprs {
 
   /** implicit-prefix match with `*` wildcards and a terminal `$`
     * anchor (literal elsewhere) — greedy leftmost segment placement */
-  private[functions] def pathMatch(pattern: String, path: String): Boolean = {
+  private[graft] def pathMatch(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
     val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
     val segs = p.split("\\*", -1)

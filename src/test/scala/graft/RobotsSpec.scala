@@ -233,6 +233,45 @@ class RobotsSpec extends AnyFunSuite {
       ("a.example", 2, "https://a.example:8443/three.xml.gz")))
   }
 
+  test("robots pathMatch randomized: 400 pattern/path pairs vs a regex reference (r14)") {
+    import graft.functions.RobotsExprs
+    // independent reference: RFC 9309 path patterns translate exactly
+    // to regex — '*' → '.*', a TRAILING '$' anchors, everything else
+    // (inner '$' included) is literal, and the whole thing matches a
+    // PREFIX of the path (lookingAt) unless anchored (matches)
+    def ref(pattern: String, path: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val body = if (anchored) pattern.dropRight(1) else pattern
+      val rx = body.map {
+        case '*' => ".*"
+        case c => java.util.regex.Pattern.quote(c.toString)
+      }.mkString
+      val m = java.util.regex.Pattern.compile(rx).matcher(path)
+      if (anchored) m.matches() else m.lookingAt()
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val patChars = "ab/*$"
+    val pathChars = "ab/$"
+    var matched = 0
+    (1 to 400).foreach { trial =>
+      val pattern = Seq.fill(rnd.nextInt(8))(
+        patChars(rnd.nextInt(patChars.length))).mkString
+      val path = "/" + Seq.fill(rnd.nextInt(9))(
+        pathChars(rnd.nextInt(pathChars.length))).mkString
+      val got = RobotsExprs.pathMatch(pattern, path)
+      val want = ref(pattern, path)
+      assert(got == want,
+        s"trial $trial: pathMatch('$pattern', '$path') = $got, regex says $want")
+      if (want) matched += 1
+    }
+    assert(matched > 40 && matched < 400, s"degenerate fixture: $matched/400")
+    // the classic greedy-leftmost trap: the FIRST '*' placement must
+    // not eat the segment the second literal needs
+    assert(RobotsExprs.pathMatch("/a*b*c", "/axxbyyc"))
+    assert(RobotsExprs.pathMatch("/a*bc", "/abxbc"), "leftmost-greedy backtrack")
+    assert(!RobotsExprs.pathMatch("/a*bc$", "/abxbcd"))
+  }
+
   test("robots: query strings participate in matching") {
     val s = spark
     import s.implicits._
