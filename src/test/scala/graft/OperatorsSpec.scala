@@ -1959,6 +1959,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("wordpiece/bpe encode randomized: kernels equal independent references over 120 fixtures (r14)") {
+    import spark.implicits._
+    import graft.operators.{Bpe, Wordpiece}
+    val rnd = new scala.util.Random(20260815L)
+    // wordpiece reference: at each position take the LONGEST vocab
+    // piece (code points), else one char — stated independently as a
+    // string walk
+    def refGreedy(word: String, vocab: Set[String]): Seq[String] = {
+      val maxLen = (vocab.map(p => p.codePointCount(0, p.length)) + 1).max
+      val cps = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < cps.length) {
+        val take = (math.min(maxLen, cps.length - i) to 1 by -1).find { l =>
+          l == 1 || vocab.contains(cps.slice(i, i + l).mkString)
+        }.get
+        val piece = cps.slice(i, i + take).mkString
+        out += (if (take > 1 || vocab.contains(piece) || take == 1) piece else piece)
+        i += take
+      }
+      out.toSeq
+    }
+    // bpe reference: literal left-to-right non-overlapping replace of
+    // "l r" with "lr" per merge, in rank order, over space-joined chars
+    def refBpe(word: String, merges: Seq[(String, String)]): String = {
+      var s = word.map(_.toString).mkString(" ")
+      merges.foreach { case (l, r) => s = s.replace(s"$l $r", l + r) }
+      s
+    }
+    (1 to 120).foreach { trial =>
+      val word = Seq.fill(2 + rnd.nextInt(8))("ab" (rnd.nextInt(2))).mkString
+      // random multi-char pieces over the same alphabet
+      val vocab = (1 to 4).map { _ =>
+        Seq.fill(2 + rnd.nextInt(3))("ab" (rnd.nextInt(2))).mkString
+      }.distinct
+      val wp = Wordpiece.encode(Seq((1L, word)).toDF("id", "text"),
+        "text", "id", vocab, lower = false).head().getString(1)
+      assert(wp == refGreedy(word, vocab.toSet).mkString(" "),
+        s"trial $trial wp: word=$word vocab=$vocab got=$wp")
+      // merges derived from random pairs of current-ish symbols
+      val merges = (1 to 3).map { _ =>
+        ("ab" (rnd.nextInt(2)).toString, "ab" (rnd.nextInt(2)).toString)
+      } ++ Seq(("ab", "a"), ("b", "ab")) // second-order products too
+      val bpe = Bpe.encode(Seq((1L, word)).toDF("id", "text"),
+        "text", "id", merges, lower = false).head().getString(1)
+      assert(bpe == refBpe(word, merges),
+        s"trial $trial bpe: word=$word merges=$merges got=$bpe")
+    }
+  }
+
   test("unigram: Viterbi DP equals brute-force enumeration on randomized vocab/word fixtures (r14)") {
     import spark.implicits._
     import graft.operators.Unigram
