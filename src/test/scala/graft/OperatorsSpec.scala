@@ -1959,6 +1959,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("asof + range join randomized: one-sort/bucketed plans equal brute force (r14)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // ---- range join: bucketed pre-join == the O(n·m) definition
+    (1 to 4).foreach { trial =>
+      val pts = (0 until 80).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      val ivs = (0 until 25).map { i =>
+        val s = rnd.nextInt(100).toLong
+        (i.toLong, s, s + rnd.nextInt(20).toLong)
+      }
+      val width = 1L + rnd.nextInt(15)
+      val got = graft.operators.RangeJoin.pointInterval(
+          pts.toDF("pid", "p"), "p",
+          ivs.toDF("iid", "s", "e"), "s", "e", bucketWidth = width)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, p) <- pts; (iid, s, e) <- ivs if p >= s && p <= e
+      } yield (pid, iid)).toSet
+      assert(got == want, s"range trial $trial width=$width: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+    // ---- as-of join: union-and-carry == per-row brute force, both
+    // directions, with and without tolerance; unique tiebreak per
+    // right row keeps the tie rule single-valued
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    (1 to 4).foreach { trial =>
+      val left = (0 until 50).map(i =>
+        (i.toLong, rnd.nextInt(4).toLong, ts(rnd.nextInt(50) * 1000L)))
+      val right = (0 until 35).map(i =>
+        (rnd.nextInt(4).toLong, ts(rnd.nextInt(50) * 1000L), i.toLong,
+          rnd.nextInt(1000).toLong))
+      val lDf = left.toDF("lid", "k", "t")
+      val rDf = right.toDF("k", "t", "rid", "v")
+      for (dir <- Seq("backward", "forward");
+           tol <- Seq(Option.empty[Long], Some(5L * 1000000L))) {
+        val got = graft.operators.AsOfJoin(lDf, rDf, "k", "k", "t", "t",
+            rightTiebreak = "rid", rightValueCols = Seq("v"),
+            direction = dir, toleranceUs = tol)
+          .select("lid", "v").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val want = left.map { case (lid, k, t) =>
+          val cand = right.filter { case (rk, rt, _, _) =>
+            rk == k &&
+              (if (dir == "backward") rt.getTime <= t.getTime
+               else rt.getTime >= t.getTime) &&
+              tol.forall(u =>
+                math.abs(rt.getTime - t.getTime) * 1000L <= u)
+          }
+          val pick =
+            if (cand.isEmpty) None
+            else if (dir == "backward")
+              Some(cand.maxBy(c => (c._2.getTime, c._3))._4)
+            else Some(cand.minBy(c => (c._2.getTime, c._3))._4)
+          lid -> pick
+        }.toMap
+        assert(got == want, s"asof trial $trial dir=$dir tol=$tol: " +
+          s"${(got.toSet -- want.toSet).take(3)} vs ${(want.toSet -- got.toSet).take(3)}")
+      }
+    }
+  }
+
   test("wordpiece/bpe encode randomized: kernels equal independent references over 120 fixtures (r14)") {
     import spark.implicits._
     import graft.operators.{Bpe, Wordpiece}
