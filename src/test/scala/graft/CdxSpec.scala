@@ -149,6 +149,36 @@ class CdxSpec extends AnyFunSuite {
       empty.columns.toSeq == CdxSource.schema.fieldNames.toSeq)
   }
 
+  test("cdx: randomized lookups — pruned rows equal full scan + filter over 20 ranges (r14)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // random SURTs across a handful of hosts — range-partitioned into
+    // 5 runs, so most lookups genuinely prune files
+    val rows = (0 until 300).map { i =>
+      val host = s"com,h${rnd.nextInt(6)})"
+      (s"$host/p/${rnd.nextInt(1000)}%03d-$i", "20260101000000",
+        s"http://x/$i", "text/html", 200, s"d$i", 1L, i.toLong, "w.warc.gz")
+    }.toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+      "offset", "filename")
+    val dir = tmpDir()
+    CdxSource.write(rows, dir, files = 5)
+    val full = CdxSource.read(spark, Seq(dir))
+    (1 to 20).foreach { trial =>
+      val a = s"com,h${rnd.nextInt(7)})/p/${rnd.nextInt(1100)}"
+      val b = s"com,h${rnd.nextInt(7)})/p/${rnd.nextInt(1100)}"
+      val (lo, hi) = if (a < b) (a, b) else (b, a + "~")
+      val got = CdxSource.lookup(spark, Seq(dir), lo, hi)
+        .select("surt", "offset").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = full.filter(col("surt") >= lo && col("surt") < hi)
+        .select("surt", "offset").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"trial $trial [$lo, $hi): " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("cdx: blank lines skip; a malformed JSON block yields null fields, not a failure") {
     val dir = tmpDir()
     java.nio.file.Files.write(

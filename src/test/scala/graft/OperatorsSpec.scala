@@ -1959,6 +1959,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("funnel randomized: one-pass walk equals per-session brute force (r14)") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    val rnd = new scala.util.Random(20260815L)
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val types = Seq("a", "b", "c", "x")
+    val steps = Seq("a", "b", "c")
+    val gapMin = 2
+    (1 to 3).foreach { trial =>
+      val ev = (0 until 300).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong, ts(rnd.nextInt(600).toLong),
+          types(rnd.nextInt(types.length)))
+      }
+      val got = Sessions.funnel(ev.toDF("eid", "u", "t", "ty"),
+          "u", "t", "ty", steps, gapMinutes = gapMin)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Any]("step1_us"), r.getAs[Any]("step2_us"),
+            r.getAs[Any]("step3_us"), r.getLong(5))).toMap
+      // brute force: re-derive sessions by the gap rule, then for each
+      // step scan ALL events for the earliest match strictly after the
+      // previous completion (the spec's definition, not the walk)
+      val bySession = ev.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3.getTime, e._1))
+        var seq = 0L
+        var prev = Long.MinValue
+        val tagged = sorted.map { e =>
+          val t = e._3.getTime
+          if (prev == Long.MinValue || t - prev > gapMin * 60000L) seq += 1
+          prev = t
+          (u, seq, e._4, e._3.getTime * 1000L)
+        }
+        tagged.groupBy(t => (t._1, t._2))
+      }.toMap
+      val want = bySession.map { case (k, es) =>
+        var prevUs = Long.MinValue
+        val times = steps.map { st =>
+          val cand = es.filter(e => e._3 == st && e._4 > prevUs)
+          if (prevUs == Long.MaxValue || cand.isEmpty) {
+            prevUs = Long.MaxValue; null
+          } else {
+            val m = cand.map(_._4).min; prevUs = m
+            java.lang.Long.valueOf(m)
+          }
+        }
+        k -> ((times(0), times(1), times(2),
+          times.count(_ != null).toLong))
+      }
+      assert(got.keySet == want.keySet, s"trial $trial session sets differ")
+      got.keys.foreach { k =>
+        assert(got(k) == want(k), s"trial $trial session $k: " +
+          s"walk=${got(k)} brute=${want(k)}")
+      }
+    }
+  }
+
   test("asof + range join randomized: one-sort/bucketed plans equal brute force (r14)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)
