@@ -1959,6 +1959,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("ewma randomized: windowed self-join equals the direct dyadic formula (r14)") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(20260815L)
+    val maxLag = 6
+    val scale = 100L
+    (1 to 3).foreach { trial =>
+      val series = (0 until 4).flatMap { g =>
+        // unique order keys per group (duplicates are a loud edge)
+        rnd.shuffle((0 until 40).toList).take(25).map { t =>
+          (s"g$g", t.toLong, (rnd.nextInt(2000) - 1000) / 10.0)
+        }
+      }
+      val got = TimeSeries.ewmaHalf(series.toDF("g", "t", "x"),
+          Seq("g"), "t", "x", maxLag = maxLag, scale = scale)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      // direct formula per row: integer numerator/denominator over the
+      // trailing maxLag+1 RANKS in order, exactly as documented
+      val want = series.groupBy(_._1).flatMap { case (g, rows) =>
+        val ordered = rows.sortBy(_._2)
+        ordered.zipWithIndex.map { case ((_, t, _), i) =>
+          var num = 0L; var den = 0L
+          ((i - maxLag).max(0) to i).foreach { j =>
+            val v = math.round(ordered(j)._3 * scale)
+            val w = 1L << (maxLag - (i - j))
+            num += v * w; den += w
+          }
+          (g, t) -> BigDecimal(num.toDouble / (den * scale.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      assert(got.keySet == want.keySet)
+      got.keys.foreach { k =>
+        assert(got(k) == want(k),
+          s"trial $trial $k: engine=${got(k)} formula=${want(k)}")
+      }
+    }
+  }
+
   test("funnel randomized: one-pass walk equals per-session brute force (r14)") {
     import spark.implicits._
     import graft.operators.Sessions
