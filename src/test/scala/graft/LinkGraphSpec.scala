@@ -97,4 +97,42 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r("b") == r("c"))
     assert(math.abs(r("b") - (0.05 + 0.85 / 6)) < 1e-9)
   }
+
+  test("pagerank randomized: distributed rounds equal a direct power iteration (r14)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.LinkGraph
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 3).foreach { trial =>
+      // random directed graph with dangling nodes and duplicate edges
+      val n = 12 + rnd.nextInt(8)
+      val raw = (0 until 60).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter { case (a, b) => a != b }
+      val got = LinkGraph.pageRank(raw.toDF("src", "dst"), "src", "dst",
+          iterations = 5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // independent reference with the SAME conventions: dedup'd
+      // edges, init round(1/n, 9), per-iter round 9, dangling mass
+      // NOT redistributed (the documented convention)
+      val edges = raw.distinct
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val outDeg = edges.groupBy(_._1).map { case (k, es) => k -> es.size }
+      def r9(x: Double) = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var pr = nodes.map(_ -> r9(1.0 / nodes.size)).toMap
+      (1 to 5).foreach { _ =>
+        val mass = edges.groupBy(_._2).map { case (dst, in) =>
+          dst -> in.map { case (src, _) => pr(src) / outDeg(src) }.sum
+        }
+        pr = nodes.map(v =>
+          v -> r9(0.15 / nodes.size + 0.85 * mass.getOrElse(v, 0.0))).toMap
+      }
+      assert(got.keySet == pr.keySet, s"trial $trial node sets differ")
+      got.keys.foreach { k =>
+        assert(math.abs(got(k) - pr(k)) < 1e-6,
+          s"trial $trial $k: engine=${got(k)} reference=${pr(k)}")
+      }
+    }
+  }
 }
