@@ -1959,6 +1959,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("pack randomized: prefix-sum windows equal concat-and-slice, with eos and shards (r14)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 3).foreach { trial =>
+      val docs = (0 until 40).map { i =>
+        val ids = Seq.fill(rnd.nextInt(10))(rnd.nextInt(100).toLong)
+        (i.toLong, s"s${i % 3}", if (i % 13 == 0) null else ids)
+      }
+      val df = docs.toDF("doc_id", "shard", "ids")
+      val seqLen = 5 + rnd.nextInt(8)
+      for (eos <- Seq(Option.empty[Long], Some(-1L));
+           shard <- Seq(Option.empty[String], Some("shard"))) {
+        val got = Sampling.packTokenIds(df, "ids", "doc_id", seqLen,
+            shardCol = shard, eosId = eos)
+          .collect().map { r =>
+            val key = shard.map(_ => r.getAs[String]("shard")).getOrElse("")
+            (key, r.getAs[Long]("seq_id")) ->
+              (r.getAs[Long]("n_tokens"), r.getAs[Seq[Long]]("input_ids"))
+          }.toMap
+        // reference: concat ids (null = empty) + optional eos in
+        // doc_id order per shard group, slice every seqLen tokens
+        val groups = docs.groupBy(d => shard.map(_ => d._2).getOrElse(""))
+        val want = groups.flatMap { case (key, ds) =>
+          val stream = ds.sortBy(_._1).flatMap { case (_, _, ids) =>
+            (if (ids == null) Seq.empty[Long] else ids) ++ eos.toSeq
+          }
+          stream.grouped(seqLen).zipWithIndex.map { case (chunk, i) =>
+            (key, i.toLong) -> ((chunk.length.toLong, chunk.toSeq))
+          }
+        }
+        assert(got == want,
+          s"trial $trial seqLen=$seqLen eos=$eos shard=$shard:\n" +
+            s"  got=${got.toSeq.sortBy(_._1).take(3)}\n" +
+            s"  want=${want.toSeq.sortBy(_._1).take(3)}")
+      }
+    }
+  }
+
   test("ewma randomized: windowed self-join equals the direct dyadic formula (r14)") {
     import spark.implicits._
     import graft.operators.TimeSeries
