@@ -1959,6 +1959,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("bpe batching randomized: batch=3 replays batch=1 exactly over 6 random corpora (r14)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // the barrier proof ("members after the argmax must strictly
+    // outrank every pair sharing a symbol with the batch; product
+    // collisions truncate") is the subtlest argument in the trainer —
+    // random tie-dense corpora over a 3-letter alphabet probe it far
+    // harder than the two fixed pins
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 6).foreach { trial =>
+      val corpus = (0 until 60).map { i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(5))("abc" (rnd.nextInt(3))).mkString)
+      }.toDF("id", "text")
+      val (m1, r1) = Bpe.trainMergesCounted(corpus, "text", nMerges = 6,
+        batch = 1)
+      val (m3, r3) = Bpe.trainMergesCounted(corpus, "text", nMerges = 6,
+        batch = 3)
+      val s1 = m1.orderBy("rank").collect().map(_.toString).toSeq
+      val s3 = m3.orderBy("rank").collect().map(_.toString).toSeq
+      assert(s1 == s3, s"trial $trial: batch=3 diverged\n  1: $s1\n  3: $s3")
+      assert(r3 <= r1, s"trial $trial: batching must never add rounds")
+    }
+  }
+
   test("pack randomized: prefix-sum windows equal concat-and-slice, with eos and shards (r14)") {
     import spark.implicits._
     import graft.operators.Sampling
