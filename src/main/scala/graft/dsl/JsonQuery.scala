@@ -220,8 +220,41 @@ object JsonQuery {
 
   private val formatKeys = Set("csv", "parquet", "jsonl", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg", "warc", "cdx")
 
+  /** Output names the select list produces from anything OTHER than the
+    * same-named plain column. DSL filters bind POST-projection (the
+    * reference compiles filters against builder.schema() after
+    * .project), so a filter on such a name constrains the projected
+    * value, not the scan column — a prune cond keyed on it would
+    * misprune files. Plain passthroughs (`"surt"`, `{"column":"surt"}`,
+    * `{"column":"surt","alias":"surt"}`) are safe; renames and computed
+    * items with an alias are not. Computed items WITHOUT an alias get
+    * Spark's expression-string name, which cannot collide with a plain
+    * scan column name. */
+  private def shadowedOutputNames(fields: Map[String, JValue]): Set[String] = {
+    val items = fields.get("select").orElse(fields.get("query_parameters")) match {
+      case Some(JArray(xs)) => xs
+      case _ => return Set.empty
+    }
+    items.flatMap {
+      case JString(_) => None
+      case JObject(o) =>
+        val m = o.toMap
+        val alias = m.get("alias").collect { case JString(a) => a }
+        val colName = m.get("column").orElse(m.get("column_name"))
+          .collect { case JString(c) => c }
+        (alias, colName) match {
+          case (None, _)                    => None // keeps its own name
+          case (Some(a), Some(c)) if a == c => None // explicit passthrough
+          case (Some(a), _)                 => Some(a)
+        }
+      case _ => None
+    }.toSet
+  }
+
   /** best-effort pruning conditions: AND-reachable comparison leaves of
-    * the filter tree (OR subtrees contribute nothing — conservative) */
+    * the filter tree (OR subtrees contribute nothing — conservative);
+    * conds on select-shadowed output names are dropped (see
+    * [[shadowedOutputNames]]) */
   private def pruneConds(fields: Map[String, JValue]): Seq[graft.stats.FileStats.Cond] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[graft.stats.FileStats.Cond]
     def condOf(column: String, op: String, v: JValue): Unit = v match {
@@ -253,7 +286,36 @@ object JsonQuery {
     }
     fields.get("filter").foreach(walk)
     fields.get("filters").foreach { case JArray(fs) => fs.foreach(walk); case _ => () }
-    out.toSeq
+    val shadowed = shadowedOutputNames(fields)
+    out.toSeq.filterNot(c => shadowed(c.column))
+  }
+
+  /** Derive a [lo, hi) SURT key range from the prune conds, if the
+    * filter tree pins any bound. Closed upper bounds (`lte`/`eq`)
+    * become exclusive by appending the minimum code point; a strict
+    * `gt` keeps the conservative closed lower bound (may keep one
+    * extra file, never drops a matching one); an unpinned side widens
+    * to the extreme. None when no surt bound exists — no pruning. */
+  private def surtBounds(
+      conds: Seq[graft.stats.FileStats.Cond]): Option[(String, String)] = {
+    val ss = conds.filter(c => c.column == "surt" && c.str.isDefined)
+    if (ss.isEmpty) return None
+    var lo = ""
+    var hi: String = null
+    ss.foreach { c =>
+      val v = c.str.get
+      c.op match {
+        case "gte" | "gt" => if (v > lo) lo = v
+        case "lt"         => if (hi == null || v < hi) hi = v
+        case "lte" => val h = v + " "; if (hi == null || h < hi) hi = h
+        case "eq" =>
+          if (v > lo) lo = v
+          val h = v + " "; if (hi == null || h < hi) hi = h
+        case _ => ()
+      }
+    }
+    if (lo.isEmpty && hi == null) None
+    else Some((lo, if (hi == null) "\uffff\uffff" else hi))
   }
 
   private def fromFormat(spark: SparkSession, o: JObject,
@@ -271,10 +333,25 @@ object JsonQuery {
       case _ => throw new DslException(s"$fmtKey requires paths")
     }
     // stats registry next to the data: prune the file list up front
-    val paths = spec.get("stats").collect { case JString(statsDir) =>
+    val statsPruned = spec.get("stats").collect { case JString(statsDir) =>
       val files = FileCollection.expandGlobs(spark, paths0)
       graft.stats.FileStats.pruneFiles(spark, statsDir, files, conds)
     }.getOrElse(paths0)
+    // CDX SURT-range pushdown (r14): the DSL front door reaches the
+    // same plan-time sidecar pruning the column API's
+    // [[graft.sources.CdxSource.lookup]] uses — a filter tree pinning a
+    // `surt` range opens only the index runs whose recorded (min,max)
+    // range intersects. Conservative by construction: an unpinned bound
+    // widens to the extreme, conds on select-shadowed names never reach
+    // here, an unprobeable file stays in, and the row-level filter still
+    // applies downstream.
+    val paths =
+      if (fmtKey != "cdx") statsPruned
+      else surtBounds(conds) match {
+        case Some((lo, hi)) =>
+          graft.sources.CdxSource.pruneFiles(statsPruned, lo, hi)._1
+        case None => statsPruned
+      }
     // When stats pruning removes every file, later select/filter clauses
     // must still resolve: return an empty frame with the format's real
     // scan schema (built over the un-pruned list, limit 0 → no data read)

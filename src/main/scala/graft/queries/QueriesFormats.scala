@@ -516,6 +516,32 @@ object QueriesFormats {
           col("status"), col("digest"), col("length"))
         .orderBy("url")
     },
+    // The same pruned lookup through the DSL FRONT DOOR (r14): a JSON
+    // query with `from.cdx` and a filter tree pinning a `surt` range
+    // routes through the identical sidecar pruning — the pruning is no
+    // longer column-API-only. Rows must equal the q_cdx_pruned_lookup
+    // restatement; CdxSpec pins the files-opened counter (inputFiles)
+    // and the alias-shadowing guard for this path.
+    "q_cdx_dsl_pruned" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val pages = Tables.load(s, dir, "documents").select(
+        concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        QueriesData.docHtml(col("doc_id"), col("text")).as("html"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdxdsl").toString
+      graft.sources.WarcSource.Writer.write(pages, s"$tmp/warc", "uri", "html",
+        files = 2, gzip = true)
+      graft.sources.CdxSource.write(graft.sources.CdxSource.index(
+        graft.sources.WarcSource.read(s, Seq(s"$tmp/warc"))), s"$tmp/cdx",
+        files = 4)
+      graft.dsl.JsonQuery.compile(s,
+        s"""{"from": {"cdx": {"paths": ["$tmp/cdx"]}},
+             "select": ["surt", "ts", "url", "mime", "status", "digest", "length"],
+             "filter": {"and": [
+               {"column": "surt", "gt_eq": "example,corpus)/doc/2"},
+               {"column": "surt", "lt": "example,corpus)/doc/3"}]},
+             "sort_by": [{"asc": "url"}]}""")
+    },
     // Index-driven selective curation (r12 capstone): a SURT KEY RANGE
     // over the CDX index picks the records (the crawl-index idiom —
     // sorted keys make "this host/prefix" a contiguous range), fetch
@@ -882,6 +908,19 @@ object QueriesFormats {
     // the q_cdx_scan restatement narrowed to the pruned SURT range —
     // identical rows whether the engine opened 4 runs or 1
     "q_cdx_pruned_lookup" ->
+      s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
+            FROM documents
+            WHERE CAST(doc_id AS VARCHAR) >= '2' AND CAST(doc_id AS VARCHAR) < '3')
+        SELECT 'example,corpus)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+          '20260101000000' AS ts,
+          'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          'text/html' AS mime, 200 AS status, md5(html) AS digest,
+          CAST(77 + len(CAST(octet_length(encode(html)) AS VARCHAR))
+            + octet_length(encode(html)) AS BIGINT) AS length
+        FROM h ORDER BY url""",
+    // same restated rows through the DSL front door — identical whether
+    // the filter arrived via lookup(lo,hi) or a JSON filter tree
+    "q_cdx_dsl_pruned" ->
       s"""WITH h AS (SELECT doc_id, ${QueriesData.docHtmlSql("text")} AS html
             FROM documents
             WHERE CAST(doc_id AS VARCHAR) >= '2' AND CAST(doc_id AS VARCHAR) < '3')

@@ -179,6 +179,58 @@ class CdxSpec extends AnyFunSuite {
     }
   }
 
+  test("cdx: DSL surt-range filter prunes files at plan time; aliases never misprune (r14)") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 400).map { i =>
+      (f"com,host)/p/$i%04d", "20260101000000",
+        s"http://host.com/p/$i", "text/html", 200, s"d$i", 10L + i,
+        i * 100L, "part-00000.warc.gz")
+    }.toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+      "offset", "filename")
+    val dir = tmpDir()
+    assert(CdxSource.write(rows, dir, files = 4) == 400)
+    // the DSL front door reaches the sidecar pruning: a point surt
+    // range plans a scan over 1 of the 4 runs (inputFiles is the
+    // physical scan's file list — the FILES-OPENED pin for this path)
+    val viaDsl = graft.dsl.JsonQuery.compile(spark,
+      s"""{"from": {"cdx": {"paths": ["$dir"]}},
+           "select": ["surt", "url", "offset"],
+           "filter": {"and": [
+             {"column": "surt", "gt_eq": "com,host)/p/0100"},
+             {"column": "surt", "lt": "com,host)/p/0101"}]}}""")
+    assert(viaDsl.inputFiles.length == 1,
+      s"DSL point lookup must scan 1 of 4 runs, scanned ${viaDsl.inputFiles.length}")
+    val hit = viaDsl.collect()
+    assert(hit.length == 1 && hit(0).getAs[String]("url") == "http://host.com/p/100")
+    // a one-sided bound still prunes (the open side widens to ±inf)
+    val oneSided = graft.dsl.JsonQuery.compile(spark,
+      s"""{"from": {"cdx": {"paths": ["$dir"]}},
+           "select": ["surt"],
+           "filter": {"column": "surt", "gt_eq": "com,host)/p/0395"}}""")
+    // (range-partition boundaries are sampled, so the 5-row tail may
+    // straddle a boundary — pin "pruned", not an exact count)
+    assert(oneSided.inputFiles.length <= 2 && oneSided.count() == 5)
+    // ALIAS SHADOWING: filters bind post-projection — `surt` here is
+    // the renamed ts column, so its conds must NOT drive file pruning
+    // (all 4 runs scan) and the rows are the ts-filtered ones
+    val aliased = graft.dsl.JsonQuery.compile(spark,
+      s"""{"from": {"cdx": {"paths": ["$dir"]}},
+           "select": [{"column": "ts", "alias": "surt"}, "url"],
+           "filter": {"column": "surt", "eq": "20260101000000"}}""")
+    assert(aliased.inputFiles.length == 4,
+      "a select-shadowed surt name must not prune index files")
+    assert(aliased.count() == 400)
+    // an OR subtree contributes no bounds — conservative full scan
+    val ored = graft.dsl.JsonQuery.compile(spark,
+      s"""{"from": {"cdx": {"paths": ["$dir"]}},
+           "select": ["surt"],
+           "filter": {"or": [
+             {"column": "surt", "lt": "com,host)/p/0002"},
+             {"column": "surt", "gt_eq": "com,host)/p/0399"}]}}""")
+    assert(ored.inputFiles.length == 4 && ored.count() == 3)
+  }
+
   test("cdx: blank lines skip; a malformed JSON block yields null fields, not a failure") {
     val dir = tmpDir()
     java.nio.file.Files.write(
