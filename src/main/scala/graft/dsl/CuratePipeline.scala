@@ -583,6 +583,20 @@ object CuratePipeline {
               .encodeIds(df, textCol, idCol, pieces, vocabIds, lower)
               .select(col("doc_id").as(idCol), col("token_ids"),
                 col("n_wp_tokens"))
+          case "byte_bpe" =>
+            // GPT-2 byte-level family: merges are over MAPPED BYTE
+            // chars (Ġ-space etc.), the vocabulary is CLOSED (byte
+            // values + 256+rank — no corpus pass, no UNK id), and the
+            // encoding is lossless byte-for-byte. Case-preserving by
+            // contract, so `lower` is rejected rather than silently
+            // ignored.
+            if ((st \ "lower") != JNothing) throw new DslException(
+              "tokenize: algo byte_bpe is byte-lossless and " +
+                "case-preserving; 'lower' does not apply")
+            graft.operators.ByteBpe
+              .encodeIds(df, textCol, idCol, mergesOf(st))
+              .select(col("doc_id").as(idCol), col("token_ids"),
+                col("n_bbpe_tokens"))
           case "unigram" =>
             // `pieces` here are [piece, integer-log-prob-weight] pairs
             // (the artifact Unigram.train ships); `unk` is the OOV
@@ -603,7 +617,7 @@ object CuratePipeline {
               .select(col("doc_id").as(idCol), col("token_ids"),
                 col("n_ug_tokens"))
           case other => throw new DslException(
-            s"tokenize: unknown algo '$other' (bpe|wordpiece|unigram)")
+            s"tokenize: unknown algo '$other' (bpe|byte_bpe|wordpiece|unigram)")
         }
         df.join(ids, Seq(idCol))
       case "pack" =>

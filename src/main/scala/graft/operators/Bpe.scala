@@ -79,11 +79,20 @@ object Bpe {
     * count batching exists to cut — observable for specs). */
   def trainMergesCounted(df: DataFrame, textCol: String, nMerges: Int,
       lower: Boolean = true, minCount: Long = 2L,
-      batch: Int = 1): (DataFrame, Int) = {
+      batch: Int = 1): (DataFrame, Int) =
+    trainFromWords(wordTable(df, textCol, lower), nMerges, minCount, batch)
+
+  /** The trainer loop over an ALREADY-BUILT (cnt, syms) symbol table —
+    * the seam the byte-level family ([[ByteBpe]]) shares: same batched
+    * argmax rounds, same determinism contract, different symbol seed
+    * (byte-mapped GPT-2 pre-tokens instead of lowered whitespace
+    * words). */
+  def trainFromWords(words0: DataFrame, nMerges: Int,
+      minCount: Long = 2L, batch: Int = 1): (DataFrame, Int) = {
     require(nMerges > 0, "nMerges must be positive")
     require(batch >= 1, "batch must be >= 1")
-    val spark = df.sparkSession
-    var words = wordTable(df, textCol, lower).localCheckpoint()
+    val spark = words0.sparkSession
+    var words = words0.localCheckpoint()
     val acc = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var rounds = 0

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ByteBpeExprs
+
+/** Byte-level BPE — the GPT-2 tokenizer family (Radford et al. 2019;
+  * the public `openai/gpt-2` encoder contract: regex pre-tokenizer +
+  * bytes→unicode bijection + char-level merges). What Llama-2/3,
+  * GPT-NeoX and RoBERTa vocabularies ship; the third mainstream
+  * tokenizer family next to [[Bpe]] (char-level) and [[Wordpiece]] /
+  * [[Unigram]].
+  *
+  * Why a separate family and not a flag on [[Bpe]]: the contracts
+  * differ in kind —
+  *  - pieces come from the GPT-2 PRE-TOKENIZER (contractions, glued
+  *    leading space, whitespace-run splitting), not whitespace words;
+  *  - symbols are MAPPED BYTES, so the base vocabulary is closed at
+  *    exactly 256 (ids = byte values — no corpus pass to rank an
+  *    alphabet) and encoding is total: no UNK id exists;
+  *  - no lowercasing, no " | " word separator, and decode is LOSSLESS
+  *    byte-for-byte — `decodeIds(encodeIds(t)) == t` for every valid
+  *    UTF-8 string, the property the family exists for.
+  *
+  * Scale: identical to [[Bpe]] by construction — training runs over
+  * the distinct PRE-TOKEN table (orders of magnitude smaller than the
+  * corpus; the corpus is read once to build it) through
+  * [[Bpe.trainFromWords]], one pair-count shuffle per batched round;
+  * encode/ids/decode are map-only codegen kernels
+  * ([[graft.functions.ByteBpeExprs]]).
+  */
+object ByteBpe {
+
+  /** GPT-2 pre-tokens of a text column (array<string>) */
+  def preTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ByteBpeExprs.gpt2_split(text)
+
+  /** distinct pre-token symbol table: (cnt, syms) where syms are the
+    * piece's MAPPED BYTES as single chars. One explode + one count
+    * shuffle; the per-piece byte mapping runs once per DISTINCT piece. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(ByteBpeExprs.gpt2_split(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bw", ByteBpeExprs.bytes_to_unicode(col("w")))
+      .select(col("cnt"),
+        expr("transform(sequence(1, length(bw)), i -> substring(bw, i, 1))")
+          .as("syms"))
+
+  /** Learn `nMerges` byte-level merges — [[Bpe.trainFromWords]] over
+    * the byte-mapped pre-token table: same deterministic
+    * (count DESC, left ASC, right ASC) argmax, same exact batching.
+    * Returns (rank, left, right, pair_count). */
+  def trainMerges(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, batch: Int = 1): DataFrame =
+    Bpe.trainFromWords(wordTable(df, textCol), nMerges, minCount, batch)._1
+
+  /** Encode each document: (doc_id, bbpe_text — symbols space-joined,
+    * flat across pieces —, n_bbpe_tokens). Map-only codegen. */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        ByteBpeExprs.byte_bpe_encode(col(textCol), merges).as("e"))
+      .select(col("doc_id"), col("e.enc").as("bbpe_text"),
+        col("e.n_syms").cast("long").as("n_bbpe_tokens"))
+
+  /** text → token ids against the CLOSED vocabulary: byte value for
+    * the 256 base symbols, 256+rank for merge products. Total — every
+    * UTF-8 string encodes with no UNK. Map-only codegen. */
+  def encodeIds(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encode(df, textCol, idCol, merges)
+      .withColumn("token_ids",
+        ByteBpeExprs.byte_bpe_ids(col("bbpe_text"), merges))
+      .select(col("doc_id"), col("token_ids"), col("n_bbpe_tokens"))
+
+  /** token ids → original text, byte-for-byte (the lossless inverse) */
+  def decodeIds(df: DataFrame, idsCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.withColumn("text",
+      ByteBpeExprs.byte_bpe_decode_ids(col(idsCol), merges))
+
+  /** The vocabulary artifact: (token_id, symbol, kind) — 256 `byte`
+    * rows (id = byte value, symbol = its mapped char) then one `merge`
+    * row per product at 256+rank. Closed-form: no corpus pass. */
+  def vocab(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val base = (0 until 256).map { b =>
+      (b.toLong, ByteBpeExprs.byteToChar(b).toString, "byte")
+    }
+    val prods = merges.zipWithIndex.map { case ((l, r), i) =>
+      (256L + i, l + r, "merge")
+    }
+    (base ++ prods).toDF("token_id", "symbol", "kind")
+  }
+}

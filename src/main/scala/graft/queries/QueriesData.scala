@@ -1139,6 +1139,56 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- byte-level BPE encode (GPT-2 family, r14): the corpus is
+    // made NON-ASCII deterministically (a→ä, e→é) so the bytes→unicode
+    // bijection is exercised for real — ä spreads to the two mapped
+    // byte chars Ã ¤, a space becomes Ġ. The merge table crosses a
+    // UTF-8 byte pair, a Ġ prefix, and a plain pair; the oracle
+    // replays pre-tokens (first word bare, the rest space-glued),
+    // the byte mapping, and the merge replaces closed-form.
+    "q_bytebpe_encode" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(trim(translate(col("text"), "ae", "äé")), "\\s+", " ")
+          .as("text"))
+      graft.operators.ByteBpe.encode(docs, "text", "doc_id", byteBpeMerges)
+        .select(col("doc_id"), col("n_bbpe_tokens"),
+          md5(col("bbpe_text").cast("binary")).as("bbpe_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- byte-level token ids: the vocabulary is CLOSED by
+    // construction — base ids are the byte values themselves (no
+    // corpus pass, no UNK id exists), merge products take 256+rank.
+    // The oracle maps each symbol through the same closed table.
+    "q_bytebpe_ids" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(trim(translate(col("text"), "ae", "äé")), "\\s+", " ")
+          .as("text"))
+      graft.operators.ByteBpe.encodeIds(docs, "text", "doc_id", byteBpeMerges)
+        .select(col("doc_id"), col("n_bbpe_tokens"),
+          md5(array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- byte-level LOSSLESSNESS, the property the family exists
+    // for: decode(encode_ids(t)) == t byte-for-byte on deliberately
+    // messy text — multi-byte chars, contractions, a tab, a double
+    // space, an astral emoji, trailing whitespace. The oracle is the
+    // IDENTITY restatement of the input expression; any pre-tokenizer,
+    // bijection, merge, or id-map defect breaks the hash.
+    "q_bytebpe_roundtrip" -> { (s, dir) =>
+      val messy = concat(translate(col("text"), "ae", "äé"),
+        lit("\n it's  DON'T\tnaïve 3² 🚀 "))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), messy.as("text"))
+      graft.operators.ByteBpe.decodeIds(
+          graft.operators.ByteBpe.encodeIds(docs, "text", "doc_id", byteBpeMerges),
+          "token_ids", byteBpeMerges)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- WordPiece pair ranking (Wu et al. 2016): the likelihood-gain
     // criterion count(l,r)/(count(l)·count(r)) over the distinct-word
     // table — BPE's sibling trainer round, ratio rounded to 9 decimals
@@ -1226,6 +1276,25 @@ object QueriesData {
                         ["ta", -4], ["ab", -2], ["le", -4], ["win", -6],
                         ["dow", -6], ["in", -4], ["a", -3], ["e", -3],
                         ["t", -4], ["s", -4]]},
+            {"op": "pack", "seq_len": 64}]}""")
+        .select(col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")),
+            " ").cast("binary")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    },
+
+    // ---- CURATE tokenize algo byte_bpe chained to the shared pack
+    // CTEs: the GPT-2 family as a pipeline stage — the closed
+    // vocabulary needs no corpus pass, so the stage issues no job
+    // beyond the encode projection itself
+    "q_curate_bytebpe" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.compile(
+          Tables.load(s, dir, "documents").select(col("doc_id"),
+            regexp_replace(trim(translate(col("text"), "ae", "äé")),
+              "\\s+", " ").as("text")),
+          """{"stages": [
+            {"op": "tokenize", "algo": "byte_bpe",
+             "merges": [["Ã","¤"], ["Ã","©"], ["Ġ","t"], ["Ġt","h"], ["t","h"]]},
             {"op": "pack", "seq_len": 64}]}""")
         .select(col("seq_id"), col("n_tokens"),
           md5(array_join(transform(col("input_ids"), i => i.cast("string")),
@@ -2344,6 +2413,48 @@ object QueriesData {
            FROM enc, vm)"""
 
   private val bpeIdsCtes: String = bpeIdsCtesOver("documents")
+
+  /** the byte-level gates' fixed merge table: a UTF-8 byte pair (Ã ¤
+    * reassembles ä's two bytes), the second byte pair for é, a Ġ-glued
+    * prefix chain, and a plain in-word pair — every structural merge
+    * kind the family has */
+  private[graft] val byteBpeMerges: Seq[(String, String)] = Seq(
+    "Ã" -> "¤", "Ã" -> "©", "Ġ" -> "t", "Ġt" -> "h", "t" -> "h")
+
+  /** the byte-level BPE replay (GPT-2 family, r14) as a CTE chain
+    * ending in `bdocs (doc_id, enc)`: the gate single-spaces the
+    * corpus, so pre-tokens are the first word bare + each later word
+    * with its glued leading space; the bytes→unicode bijection spreads
+    * ä → Ã ¤ and é → Ã © (their UTF-8 bytes self-map) and the space →
+    * Ġ; [[byteBpeMerges]] replays as ranked replaces per piece (never
+    * across pieces — the per-element lambda IS the piece boundary). */
+  private val byteBpeCtes: String =
+    raw"""bsrc AS (SELECT doc_id,
+           regexp_replace(trim(translate(text, 'ae', 'äé')), '\s+', ' ', 'g') AS text
+           FROM documents),
+         bpcs AS (SELECT doc_id,
+           list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i = 1 THEN w ELSE ' ' || w END) AS pieces
+           FROM bsrc),
+         benc AS (SELECT doc_id, list_transform(pieces, p ->
+             replace(replace(replace(replace(replace(
+               trim(regexp_replace(
+                 replace(replace(replace(p, ' ', 'Ġ'), 'ä', 'Ã¤'), 'é', 'Ã©'),
+                 '(.)', '\1 ', 'g')),
+               'Ã ¤', 'Ã¤'), 'Ã ©', 'Ã©'), 'Ġ t', 'Ġt'), 'Ġt h', 'Ġth'),
+               't h', 'th')) AS ws
+           FROM bpcs),
+         bdocs AS (SELECT doc_id, array_to_string(ws, ' ') AS enc FROM benc)"""
+
+  /** symbol → id over the CLOSED byte-level vocabulary, for this
+    * corpus+merge set: literal arms for the remapped / multi-char
+    * symbols, ascii() for the self-mapped ASCII singles */
+  private val byteBpeIdCase: String =
+    """CASE WHEN s = 'Ã¤' THEN 256 WHEN s = 'Ã©' THEN 257
+            WHEN s = 'Ġt' THEN 258 WHEN s = 'Ġth' THEN 259
+            WHEN s = 'th' THEN 260 WHEN s = 'Ġ' THEN 32
+            WHEN s = 'Ã' THEN 195 WHEN s = '¤' THEN 164
+            WHEN s = '©' THEN 169 ELSE ascii(s) END"""
 
   /** the v1 curation chain (c4_clean → normalize → pii_redact →
     * dedup_exact → cap_per_group) as one CTE per stage, ending in
@@ -4554,6 +4665,45 @@ object QueriesData {
            md5(coalesce(array_to_string(
              list_transform(ids, s -> CAST(s AS VARCHAR)), ' '), '')) AS ids_md5
          FROM docids ORDER BY doc_id""",
+    // byte-level BPE (GPT-2 family): pre-tokens, byte bijection and
+    // ranked merge replaces restated closed-form over the same
+    // deterministically non-ASCII-ified corpus
+    "q_bytebpe_encode" ->
+      s"""WITH $byteBpeCtes
+         SELECT doc_id,
+           CAST(len(string_split(enc, ' ')) AS BIGINT) AS n_bbpe_tokens,
+           md5(enc) AS bbpe_md5
+         FROM bdocs ORDER BY doc_id""",
+    // the CLOSED vocabulary: a single mapped char's id is its byte
+    // value (ascii() for the self-mapped ASCII range, literal arms for
+    // the remapped/UTF-8 chars), merge products take 256+rank
+    "q_bytebpe_ids" ->
+      s"""WITH $byteBpeCtes,
+         bids AS (SELECT doc_id, list_transform(string_split(enc, ' '),
+             s -> $byteBpeIdCase) AS ids
+           FROM bdocs)
+         SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_bbpe_tokens,
+           md5(array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' '))
+             AS ids_md5
+         FROM bids ORDER BY doc_id""",
+    // the byte-level id stream chained into the shared pack CTEs —
+    // same closed-vocab CASE, same prefix-sum packing replay
+    "q_curate_bytebpe" ->
+      s"""WITH $byteBpeCtes,
+         docids AS (SELECT doc_id, list_transform(string_split(enc, ' '),
+             s -> $byteBpeIdCase) AS ids
+           FROM bdocs),
+         $packCtes
+         SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
+    // losslessness: the oracle is the IDENTITY restatement of the
+    // messy input expression — the engine's encode→ids→decode chain
+    // must reproduce it byte-for-byte
+    "q_bytebpe_roundtrip" ->
+      raw"""SELECT doc_id,
+          translate(text, 'ae', 'äé')
+            || chr(10) || ' it''s  DON''T' || chr(9) || 'naïve 3² 🚀 ' AS text
+        FROM documents ORDER BY doc_id""",
     // the hash order (md5 low-48 % 2^30, ties → doc_id) and the
     // exclusive prefix-sum keep rule replayed verbatim
     "q_token_budget" ->

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ByteBpeExprs
+import graft.operators.ByteBpe
+
+class ByteBpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+
+  // ------------------------------------------------------------ helpers
+
+  private def kernelSplit(s: String): Seq[String] = {
+    val a = ByteBpeExprs.gpt2SplitKernel(UTF8String.fromString(s))
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  /** the literal GPT-2 pattern as the independent reference —
+    * java.util.regex supports the (?!…) lookahead the kernel unrolls;
+    * \s is widened to the kernel's isWhitespace ∪ isSpaceChar class so
+    * both sides pin the same whitespace set (NBSP, figure space) */
+  private val wsCls = "\\p{javaWhitespace}\\p{javaSpaceChar}"
+  private val gpt2Ref = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^" + wsCls +
+      "\\p{L}\\p{N}]+|[" + wsCls + "]+(?![^" + wsCls + "])|[" + wsCls + "]+")
+
+  private def refSplit(s: String): Seq[String] = {
+    val m = gpt2Ref.matcher(s)
+    val b = Seq.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
+  // -------------------------------------------------------------- tests
+
+  test("byte-bpe: bytes→unicode bijection matches the published GPT-2 table; total roundtrip") {
+    // the published anchors: printable ASCII self-maps, the excluded
+    // bytes take 256+k — space→Ġ, \n→Ċ, \t→ĉ, DEL→ġ, NBSP-byte→ł, AD→Ń
+    assert(ByteBpeExprs.byteToChar('A'.toInt) == 'A')
+    assert(ByteBpeExprs.byteToChar(32) == 'Ġ') // Ġ
+    assert(ByteBpeExprs.byteToChar(10) == 'Ċ') // Ċ
+    assert(ByteBpeExprs.byteToChar(9) == 'ĉ')  // ĉ
+    assert(ByteBpeExprs.byteToChar(0) == 'Ā')  // Ā
+    assert(ByteBpeExprs.byteToChar(127) == 'ġ') // 34th excluded → 256+33
+    assert(ByteBpeExprs.byteToChar(160) == 'ł') // ł
+    assert(ByteBpeExprs.byteToChar(173) == 'Ń') // Ń
+    assert(ByteBpeExprs.byteToChar(195) == 'Ã')      // self: [174,255]
+    assert(ByteBpeExprs.byteToChar(164) == '¤')      // self: [161,172]
+    // bijection: all 256 distinct, inverse closes
+    assert(ByteBpeExprs.byteToChar.distinct.length == 256)
+    (0 until 256).foreach { b =>
+      assert(ByteBpeExprs.charToByte(ByteBpeExprs.byteToChar(b)) == b)
+    }
+    // u2b(b2u) is identity on arbitrary UTF-8 text
+    val s = "naïve Ω 中文 🚀 tab\tnl\n"
+    assert(ByteBpeExprs.u2bKernel(ByteBpeExprs.b2uKernel(
+      UTF8String.fromString(s))).toString == s)
+    // u2b is loud on a char outside the table
+    intercept[IllegalArgumentException] {
+      ByteBpeExprs.u2bKernel(UTF8String.fromString("Ā中"))
+    }
+  }
+
+  test("byte-bpe: pre-tokenizer hand-derived GPT-2 cases") {
+    assert(kernelSplit("Hello world") == Seq("Hello", " world"))
+    // contraction splits; 3-space run yields its last space to the glue
+    assert(kernelSplit("it's   done.") ==
+      Seq("it", "'s", "  ", " done", "."))
+    // case-sensitive contractions: 'T does NOT match (the GPT-2 quirk)
+    assert(kernelSplit("don't DON'T") == Seq("don", "'t", " DON", "'", "T"))
+    // \p{N} covers Nd, No (² ½) — digits and letters never share a run
+    assert(kernelSplit("café 2² ½x") == Seq("café", " 2²", " ½", "x"))
+    // single tab stands alone (only a literal space glues)
+    assert(kernelSplit("a\tb") == Seq("a", "\t", "b"))
+    // trailing whitespace is one piece (the (?!\S) arm)
+    assert(kernelSplit("x  ") == Seq("x", "  "))
+    // NBSP is whitespace but not a gluing space
+    assert(kernelSplit("x \u00a0y") == Seq("x", " ", "\u00a0", "y"))
+    // astral letters (Lu) join letter runs; emoji (So) are "other"
+    assert(kernelSplit("𝔘nicode") == Seq("𝔘nicode"))
+    assert(kernelSplit("🚀🚀 !") ==
+      Seq("🚀🚀", " !"))
+    assert(kernelSplit("") == Seq.empty)
+    // every alternative's concatenation covers the input exactly
+    assert(kernelSplit("it's   done.").mkString == "it's   done.")
+  }
+
+  test("byte-bpe: randomized pre-tokenizer equivalence — 400 trials vs the literal regex") {
+    val rnd = new scala.util.Random(20260815L)
+    // a deliberately nasty alphabet: gluing/non-gluing whitespace,
+    // contraction fragments, astral letters/digits, emoji, marks
+    val alpha: Array[String] = Array(
+      "a", "b", "e", "l", "r", "s", "t", "v", "d", "m", "N", "'",
+      " ", " ", " ", "\t", "\n", "\u00a0", "\u2007", "\u001c",
+      "é", "ß", "Ω", "中", "²", "½", "٣", "3", "!", ",", ".", "-",
+      "𝔘", "𝟜", "🚀")
+    (1 to 400).foreach { trial =>
+      val len = rnd.nextInt(31)
+      val s = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val got = kernelSplit(s)
+      val want = refSplit(s)
+      assert(got == want,
+        s"trial $trial ${s.map(c => f"U+${c.toInt}%04X").mkString(",")}: " +
+          s"got $got want $want")
+      assert(got.mkString == s, s"trial $trial: pieces must cover the input")
+    }
+  }
+
+  test("byte-bpe: encode/ids/decode — lossless roundtrip, closed vocab, no UNK") {
+    val merges = Seq("Ã" -> "©", "Ġ" -> "t", "Ġt" -> "h", "e" -> "r")
+    val patterns = merges.map { case (l, r) => s"$l $r" }.toArray
+    val repls = merges.map { case (l, r) => l + r }.toArray
+    val products = merges.map { case (l, r) => l + r }
+    val prodIds = new java.util.HashMap[String, java.lang.Long]
+    products.zipWithIndex.foreach { case (p, i) =>
+      prodIds.put(p, java.lang.Long.valueOf(256L + i))
+    }
+    val rnd = new scala.util.Random(42L)
+    val alpha = Array("t", "h", "e", "r", " ", "é", "中", "\n", "'s",
+      "🚀", "2")
+    (1 to 200).foreach { trial =>
+      val s = (0 until rnd.nextInt(40)).map(_ =>
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val enc = ByteBpeExprs.byteBpeEncodeKernel(
+        UTF8String.fromString(s), patterns, repls)
+      val encStr = enc.getUTF8String(0)
+      // textual decode inverts
+      assert(ByteBpeExprs.byteBpeDecodeKernel(encStr).toString == s,
+        s"trial $trial: textual roundtrip")
+      // ids are total (no UNK) and decode byte-for-byte
+      val ids = ByteBpeExprs.byteBpeIdsKernel(encStr, prodIds)
+      assert(ids.numElements() == enc.getInt(1), "n_syms == ids length")
+      val back = ByteBpeExprs.byteBpeDecodeIdsKernel(ids, products.toArray)
+      assert(back.toString == s, s"trial $trial: ids roundtrip")
+      (0 until ids.numElements()).foreach { i =>
+        val id = ids.getLong(i)
+        assert(id >= 0 && id < 256 + products.size, s"id $id out of vocab")
+      }
+    }
+    // a known encoding: "the" → Ġ-free piece: t h e → (e r)? no er.
+    // "Ġthe" inside " the": Ġ t → Ġt, then Ġt h → Ġth, e stays
+    val enc2 = ByteBpeExprs.byteBpeEncodeKernel(
+      UTF8String.fromString("a the"), patterns, repls)
+    assert(enc2.getUTF8String(0).toString == "a Ġth e")
+    assert(enc2.getInt(1) == 3)
+    // decode is loud on an out-of-vocab id
+    intercept[IllegalArgumentException] {
+      ByteBpeExprs.byteBpeDecodeIdsKernel(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](999L)), products.toArray)
+    }
+  }
+
+  test("byte-bpe: codegen == interpreted over a DataFrame; merges never cross pieces") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq("e" -> "r", "Ġ" -> "w")
+    val rows = Seq("water er", "the river", "érrr", "x\ty er").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val out = ByteBpe.encodeIds(rows, "text", "doc_id", merges)
+      .join(rows, "doc_id")
+      .withColumn("back",
+        graft.functions.ByteBpeExprs.byte_bpe_decode_ids(col("token_ids"), merges))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("back") == r.getAs[String]("text"),
+        s"roundtrip through the full column API for '${r.getAs[String]("text")}'")
+    }
+    // "water er": pieces [water][ er]: no merge crosses the boundary —
+    // the trailing r of water and the leading Ġ of " er" never fuse
+    val enc = ByteBpe.encode(rows.filter(col("text") === "water er"),
+      "text", "doc_id", merges).head()
+    assert(enc.getAs[String]("bbpe_text") == "w a t er Ġ er")
+  }
+
+  test("byte-bpe: CURATE tokenize algo byte_bpe — hand-derived ids; 'lower' rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "a the")).toDF("doc_id", "text")
+    // products: Ã©=256, Ġt=257, Ġth=258, er=259; "a the" →
+    // [a][ the] → a | Ġth e → ids [97, 258, 101]
+    val out = graft.dsl.CuratePipeline.compile(df,
+      """{"stages": [{"op": "tokenize", "algo": "byte_bpe",
+           "merges": [["Ã","©"], ["Ġ","t"], ["Ġt","h"], ["e","r"]]}]}""")
+      .head()
+    assert(out.getAs[scala.collection.Seq[Long]]("token_ids").toSeq ==
+      Seq(97L, 258L, 101L))
+    assert(out.getAs[Long]("n_bbpe_tokens") == 3L)
+    // byte-level is case-preserving by contract: 'lower' must not be
+    // silently ignored
+    val e = intercept[IllegalArgumentException] {
+      graft.dsl.CuratePipeline.compile(df,
+        """{"stages": [{"op": "tokenize", "algo": "byte_bpe",
+             "lower": true, "merges": [["e","r"]]}]}""")
+    }
+    assert(e.getMessage.contains("case-preserving"))
+  }
+
+  test("byte-bpe: trainer over byte-mapped pre-tokens — hand-derived merges, Ġ-aware") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("aa aa aa ab").toDF("text")
+    // pre-tokens: [aa][ aa][ aa][ ab] → distinct: (aa,1) (Ġaa,2) (Ġab,1)
+    // pairs: (a,a)=3, (Ġ,a)=3, (a,b)=1 — tie broken left ASC: 'a' < 'Ġ'
+    // merge 0 = (a,a,3); then (Ġ,aa)=2 outranks (Ġ,a)=1, (a,b)=1
+    val m = ByteBpe.trainMerges(df, "text", 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((0, "a", "a", 3L), (1, "Ġ", "aa", 2L)))
+    // the closed vocab artifact: 256 byte rows + the two products
+    val v = ByteBpe.vocab(s, Seq("a" -> "a", "Ġ" -> "aa"))
+    assert(v.count() == 258)
+    assert(v.filter(col("kind") === "merge").orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((256L, "aa"), (257L, "Ġaa")))
+    assert(v.filter(col("symbol") === "Ġ").head().getLong(0) == 32L)
+  }
+}
