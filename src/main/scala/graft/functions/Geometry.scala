@@ -699,24 +699,58 @@ object Geo {
     * the deterministic fixed-segment shape an independent replay can
     * reconstruct. Non-points throw (this slice buffers points only —
     * the observation-radius use case). */
+  /** Round-join, round-cap buffer — POINT discs (the original r11
+    * surface, byte-identical), and since r14 LINESTRING corridors and
+    * hole-free POLYGON outward expansion. `segs` is the TOTAL arc
+    * segment count around a full circle (the r11 contract; PostGIS
+    * quad_segs × 4); joins and caps subdivide their sweep at the same
+    * angular pitch, with vertices ON the radius-r circle so fixture
+    * measures have closed forms.
+    *
+    * Corridors are computed by DIRECT OFFSET TRACING — each side of
+    * the path offsets by r, the outer side of every turn takes an arc
+    * swept in the turn direction, the inner side takes the adjacent
+    * offset-lines intersection (a trim) — NOT by unioning per-segment
+    * rectangles, so the Greiner–Hormann general-position limits
+    * (adjacent pieces meeting in collinear shared edges) never arise.
+    * The domain is validated, not assumed: a trim falling outside
+    * either adjacent offset segment, a path reversing direction, or a
+    * traced ring that self-intersects (turns tighter than the radius,
+    * path doubling back within r) raises a named error instead of
+    * returning a wrong polygon. Trig goes through StrictMath for
+    * cross-platform bit-determinism (the soft-EM stance). */
   def bufferWkt(g: Geom, r: Double, segs: Int): String = {
     require(r > 0, s"st_buffer radius must be positive: $r")
     require(segs >= 4, s"st_buffer needs at least 4 segments: $segs")
-    val (cx, cy) = g match {
-      case PointGeom(x, y) => (x, y)
+    g match {
+      case PointGeom(cx, cy) =>
+        // the r11 emission, byte-for-byte (starts at angle 0, CCW)
+        val sb = new StringBuilder("POLYGON ((")
+        var i = 0
+        while (i <= segs) { // closing vertex repeats i = 0
+          val a = 2.0 * math.Pi * (i % segs) / segs
+          if (i > 0) sb.append(", ")
+          sb.append(fmt(cx + r * math.cos(a))).append(' ')
+            .append(fmt(cy + r * math.sin(a)))
+          i += 1
+        }
+        sb.append("))").toString
+      case LineStringGeom(path) =>
+        val pts = dedupeConsecutive(openPathPts(path))
+        require(pts.length >= 2,
+          "st_buffer: a linestring needs two distinct points")
+        ghToWkt(Seq(validateSimpleRing(pathBufferRing(pts, r, segs))))
+      case PolygonGeom(p) =>
+        require(p.holes.isEmpty,
+          "st_buffer: polygons with holes are not supported")
+        val ring = dedupeConsecutive(openCcw(p, "st_buffer"))
+        ghToWkt(Seq(validateSimpleRing(ringBufferRing(ring, r, segs))))
+      case MultiPolygonGeom(Nil) | MultiLineStringGeom(Nil) =>
+        "POLYGON EMPTY" // buffer of an empty geometry is empty
       case other => throw new IllegalArgumentException(
-        s"st_buffer supports POINT geometries, got ${other.getClass.getSimpleName}")
+        s"st_buffer: unsupported geometry ${other.getClass.getSimpleName} — " +
+          "POINT, LINESTRING and hole-free POLYGON only")
     }
-    val sb = new StringBuilder("POLYGON ((")
-    var i = 0
-    while (i <= segs) { // closing vertex repeats i = 0
-      val a = 2.0 * math.Pi * (i % segs) / segs
-      if (i > 0) sb.append(", ")
-      sb.append(fmt(cx + r * math.cos(a))).append(' ')
-        .append(fmt(cy + r * math.sin(a)))
-      i += 1
-    }
-    sb.append("))").toString
   }
 
   // ------------------------------------------- polygon intersection
@@ -1300,6 +1334,250 @@ object Geo {
         .map(ringStr).mkString(", ") + ")"
     if (polys.length == 1) "POLYGON " + polyStr(polys.head)
     else "MULTIPOLYGON (" + polys.map(polyStr).mkString(", ") + ")"
+  }
+
+  // ------------------------------------------- st_buffer corridor trace
+  // (the machinery behind the LINESTRING / POLYGON arms of
+  // [[bufferWkt]]; POINT keeps its original direct emission)
+
+  private def openPathPts(r: Ring): Array[(Double, Double)] =
+    Array.tabulate(r.size)(i => (r.xs(i), r.ys(i)))
+
+  private def dedupeConsecutive(
+      pts: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val out = mutable.ArrayBuffer.empty[(Double, Double)]
+    pts.foreach { p => if (out.isEmpty || out.last != p) out += p }
+    out.toArray
+  }
+
+  /** arc around (cx, cy): from absolute angle `from`, sweeping the
+    * SIGNED `delta`, in ceil(|delta| / (2π/segs)) equal steps — emits
+    * INTERIOR points only; the caller supplies both exact endpoints
+    * (an arc endpoint recomputed through cos/sin would land an ulp off
+    * the chain's own offset point and defeat deduplication) */
+  private def arcPts(cx: Double, cy: Double, r: Double, from: Double,
+      delta: Double, segs: Int, out: mutable.ArrayBuffer[(Double, Double)]): Unit = {
+    val maxStep = 2.0 * math.Pi / segs
+    val steps = math.max(1, math.ceil(math.abs(delta) / maxStep - 1e-12).toInt)
+    var j = 1
+    while (j < steps) {
+      val a = from + delta * j / steps
+      out += ((cx + r * StrictMath.cos(a), cy + r * StrictMath.sin(a)))
+      j += 1
+    }
+  }
+
+  /** one offset side of a vertex run, walked FORWARD with arcs on the
+    * outer side of each turn and validated trims on the inner side.
+    * `side` = +1 for the left offset, −1 for the right. `closed` walks
+    * the wrap junction too (polygon rings); open paths get their caps
+    * from the caller. Appends to `out`; returns nothing. */
+  private def offsetChain(pts: Array[(Double, Double)], r: Double, segs: Int,
+      side: Int, closed: Boolean,
+      out: mutable.ArrayBuffer[(Double, Double)]): Unit = {
+    val n = pts.length
+    val segN = if (closed) n else n - 1
+    def at(i: Int) = pts(i % n)
+    // unit direction and side normal per segment
+    val dx = new Array[Double](segN); val dy = new Array[Double](segN)
+    val nx = new Array[Double](segN); val ny = new Array[Double](segN)
+    val len = new Array[Double](segN)
+    var i = 0
+    while (i < segN) {
+      val (ax, ay) = at(i); val (bx, by) = at(i + 1)
+      val l = StrictMath.hypot(bx - ax, by - ay)
+      len(i) = l
+      dx(i) = (bx - ax) / l; dy(i) = (by - ay) / l
+      nx(i) = -dy(i) * side; ny(i) = dx(i) * side
+      i += 1
+    }
+    // junction at vertex v between segments a → b: either an arc
+    // (outer) or a trim point replacing both offsets (inner)
+    def junction(a: Int, b: Int): Unit = {
+      val (vx, vy) = at(b)
+      val cross = dx(a) * dy(b) - dy(a) * dx(b)
+      val dot = dx(a) * dx(b) + dy(a) * dy(b)
+      if (cross == 0 && dot < 0) throw new IllegalArgumentException(
+        s"st_buffer: path reverses direction at ($vx, $vy) — " +
+          "the offset would overlap itself")
+      if (cross == 0) () // straight continuation: same offset point
+      else if (cross * side < 0) {
+        // outer side: arc from normal(a) to normal(b) swept in the
+        // turn direction (= sign of cross), |delta| = the turn angle
+        out += ((vx + r * nx(a), vy + r * ny(a)))
+        val from = StrictMath.atan2(ny(a), nx(a))
+        val delta = StrictMath.atan2(cross, dot)
+        arcPts(vx, vy, r, from, delta, segs, out)
+        out += ((vx + r * nx(b), vy + r * ny(b)))
+      } else {
+        // inner side: offset lines A + t·d(a) and B + s·d(b) intersect
+        // at the trim; it must lie WITHIN both adjacent offset
+        // segments or the corridor is self-intersecting here
+        val ax0 = vx + r * nx(a); val ay0 = vy + r * ny(a)
+        val bx0 = vx + r * nx(b); val by0 = vy + r * ny(b)
+        val denom = dx(a) * dy(b) - dy(a) * dx(b)
+        val t = ((bx0 - ax0) * dy(b) - (by0 - ay0) * dx(b)) / denom
+        val s = ((bx0 - ax0) * dy(a) - (by0 - ay0) * dx(a)) / denom
+        if (t > 0 || -t > len(a) || s < 0 || s > len(b))
+          throw new IllegalArgumentException(
+            s"st_buffer: segment shorter than the radius-$r trim at " +
+              s"($vx, $vy) — the offset would self-intersect")
+        out += ((ax0 + t * dx(a), ay0 + t * dy(a)))
+      }
+    }
+    if (!closed) {
+      out += ((at(0)._1 + r * nx(0), at(0)._2 + r * ny(0)))
+      var k = 1
+      while (k < segN) { junction(k - 1, k); k += 1 }
+      out += ((at(segN)._1 + r * nx(segN - 1), at(segN)._2 + r * ny(segN - 1)))
+    } else {
+      var k = 0
+      while (k < segN) { junction((k + segN - 1) % segN, k); k += 1 }
+    }
+  }
+
+  /** point-to-segment distance */
+  private def ptSegDist(px: Double, py: Double, x1: Double, y1: Double,
+      x2: Double, y2: Double): Double = {
+    val vx = x2 - x1; val vy = y2 - y1
+    val l2 = vx * vx + vy * vy
+    val t = if (l2 == 0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - x1) * vx + (py - y1) * vy) / l2))
+    StrictMath.hypot(px - (x1 + t * vx), py - (y1 + t * vy))
+  }
+
+  /** close-approach WITNESSES between two segments: each endpoint and
+    * midpoint of one projected onto the other, as (distance, midpoint
+    * of the pair). For non-crossing 2D segments the minimum distance
+    * is endpoint-to-segment, and the extra midpoint probes cover a
+    * close region whose ends would both look bridged while its middle
+    * is not. */
+  private def segSegWitnesses(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx2: Double,
+      dy2: Double): Seq[(Double, Double, Double)] = {
+    def proj(px: Double, py: Double, x1: Double, y1: Double,
+        x2: Double, y2: Double): (Double, Double, Double) = {
+      val vx = x2 - x1; val vy = y2 - y1
+      val l2 = vx * vx + vy * vy
+      val t = if (l2 == 0) 0.0
+        else math.max(0.0, math.min(1.0, ((px - x1) * vx + (py - y1) * vy) / l2))
+      val qx = x1 + t * vx; val qy = y1 + t * vy
+      (StrictMath.hypot(px - qx, py - qy), (px + qx) / 2, (py + qy) / 2)
+    }
+    Seq(
+      proj(ax, ay, cx, cy, dx2, dy2), proj(bx, by, cx, cy, dx2, dy2),
+      proj((ax + bx) / 2, (ay + by) / 2, cx, cy, dx2, dy2),
+      proj(cx, cy, ax, ay, bx, by), proj(dx2, dy2, ax, ay, bx, by),
+      proj((cx + dx2) / 2, (cy + dy2) / 2, ax, ay, bx, by))
+  }
+
+  /** open-path corridor ring: left chain forward, end cap, right chain
+    * backward (= left chain of the reversed path), start cap — every
+    * arc swept clockwise, the ring canonicalizes later.
+    *
+    * Domain guard the ring-simplicity check alone CANNOT provide: when
+    * two non-adjacent segments pass within 2r, their corridors
+    * overlap; if that overlap is NOT bridged by the corridor of the
+    * subpath connecting them (a hairpin's arms, unlike a dense smooth
+    * track's neighboring segments), the direct trace yields a ring
+    * that wrongly excludes the overlap — possibly a SIMPLE ring. The
+    * witness: the midpoint of the close pair must lie within r of the
+    * connecting subpath; otherwise raise. Dense smooth trajectories
+    * (GPS tracks sampled every few meters, r much larger) pass — the
+    * midpoint hugs the intermediate segments. */
+  private def pathBufferRing(pts: Array[(Double, Double)], r: Double,
+      segs: Int): Array[(Double, Double)] = {
+    val n = pts.length
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 2
+      while (j < n - 1) {
+        segSegWitnesses(
+          pts(i)._1, pts(i)._2, pts(i + 1)._1, pts(i + 1)._2,
+          pts(j)._1, pts(j)._2, pts(j + 1)._1, pts(j + 1)._2)
+          .foreach { case (d, mx, my) =>
+            if (d < 2 * r) {
+              // bridged iff the witness midpoint stays within r of the
+              // connecting subpath (segments i+1 .. j-1)
+              var bridged = false
+              var k = i + 1
+              while (!bridged && k < j) {
+                bridged = ptSegDist(mx, my, pts(k)._1, pts(k)._2,
+                  pts(k + 1)._1, pts(k + 1)._2) <= r
+                k += 1
+              }
+              if (!bridged) throw new IllegalArgumentException(
+                s"st_buffer: path passes within 2r of itself (segments $i " +
+                  s"and $j, distance $d) with no bridging corridor — the " +
+                  "trace would exclude the overlap; unsupported input")
+            }
+          }
+        j += 1
+      }
+      i += 1
+    }
+    val out = mutable.ArrayBuffer.empty[(Double, Double)]
+    offsetChain(pts, r, segs, side = 1, closed = false, out)
+    // end cap: from the left normal of the last segment, −π sweep
+    val m = pts.length
+    val (lx, ly) = pts(m - 1); val (px, py) = pts(m - 2)
+    val ll = StrictMath.hypot(lx - px, ly - py)
+    // left-normal angle of direction d is atan2(dx, −dy) (n = (−dy, dx))
+    arcPts(lx, ly, r, StrictMath.atan2((lx - px) / ll, (py - ly) / ll), -math.Pi, segs, out)
+    val rev = pts.reverse
+    offsetChain(rev, r, segs, side = 1, closed = false, out)
+    // start cap: left normal of the reversed path's last segment
+    val (fx, fy) = pts(0); val (qx, qy) = pts(1)
+    val fl = StrictMath.hypot(qx - fx, qy - fy)
+    arcPts(fx, fy, r, StrictMath.atan2((fx - qx) / fl, (qy - fy) / fl), -math.Pi, segs, out)
+    dedupeRing(out)
+  }
+
+  /** outward polygon buffer ring: the CCW ring walked with RIGHT
+    * (outward) offsets, arcs at convex vertices, trims at reflex ones */
+  private def ringBufferRing(ring: Array[(Double, Double)], r: Double,
+      segs: Int): Array[(Double, Double)] = {
+    require(ring.length >= 3, "st_buffer: degenerate ring")
+    val out = mutable.ArrayBuffer.empty[(Double, Double)]
+    offsetChain(ring, r, segs, side = -1, closed = true, out)
+    dedupeRing(out)
+  }
+
+  private def dedupeRing(
+      out: mutable.ArrayBuffer[(Double, Double)]): Array[(Double, Double)] = {
+    val d = mutable.ArrayBuffer.empty[(Double, Double)]
+    out.foreach { p => if (d.isEmpty || d.last != p) d += p }
+    while (d.length > 1 && d.head == d.last) d.remove(d.length - 1)
+    d.toArray
+  }
+
+  /** the traced ring must be SIMPLE — any contact between non-adjacent
+    * edges means the corridor folded onto itself (turn tighter than
+    * the radius, path doubling back within r): raise, never emit a
+    * self-intersecting polygon. O(m²) over the ring's own edges —
+    * per-row geometry, m = path vertices + arc points. */
+  private def validateSimpleRing(
+      ring: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val m = ring.length
+    require(m >= 3, "st_buffer: traced ring degenerate")
+    var i = 0
+    while (i < m) {
+      val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % m)
+      var j = i + 2
+      while (j < m) {
+        val adjacentWrap = i == 0 && j == m - 1
+        if (!adjacentWrap) {
+          val (x3, y3) = ring(j); val (x4, y4) = ring((j + 1) % m)
+          if (segsIntersect(x1, y1, x2, y2, x3, y3, x4, y4))
+            throw new IllegalArgumentException(
+              "st_buffer: offset self-intersects (turn tighter than the " +
+                "radius or path doubling back within it) — unsupported input")
+        }
+        j += 1
+      }
+      i += 1
+    }
+    ring
   }
 
   // --------------------------------------- DE-9IM relate predicates

@@ -834,6 +834,48 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- st_buffer corridors (r14, closes the last parked geo item):
+    // LINESTRING corridors and POLYGON outward expansion via DIRECT
+    // OFFSET TRACING (round joins/caps; never a Greiner–Hormann union
+    // of per-segment rectangles, so the GH collinear limits don't
+    // apply). Caps/joins place vertices ON the radius circle, so every
+    // fixture area is rectangles + regular m-gon pieces and every
+    // vertex count is affine in m; round(,6) absorbs libm ulps.
+    "q_geo_buffer" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def i(c: org.apache.spark.sql.Column) = c.cast("int").cast("string")
+      val sc = $"s"
+      val m = $"m"
+      val capsule = concat(lit("LINESTRING (0 0, "), i(sc * 4), lit(" 0)"))
+      val ell = concat(lit("LINESTRING (0 0, "), i(sc * 4), lit(" 0, "),
+        i(sc * 4), lit(" "), i(sc * 4), lit(")"))
+      val square = concat(lit("POLYGON ((0 0, "), i(sc * 2), lit(" 0, "),
+        i(sc * 2), lit(" "), i(sc * 2), lit(", 0 "), i(sc * 2), lit(", 0 0))"))
+      val r = sc.cast("double")
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          ($"n_nationkey" % 4 + 1).cast("int").as("s"),
+          (($"n_nationkey" % 3 + 1) * 4).cast("int").as("m"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_area(GeoExprs.st_buffer(capsule, r, m)), 6)
+            .as("cap_area"),
+          GeoExprs.st_npoints(GeoExprs.st_buffer(capsule, r, m))
+            .cast(LongType).as("cap_np"),
+          round(GeoExprs.st_area(GeoExprs.st_buffer(ell, r, m)), 6)
+            .as("ell_area"),
+          GeoExprs.st_npoints(GeoExprs.st_buffer(ell, r, m))
+            .cast(LongType).as("ell_np"),
+          round(GeoExprs.st_area(GeoExprs.st_buffer(square, r, m)), 6)
+            .as("sq_area"),
+          GeoExprs.st_npoints(GeoExprs.st_buffer(square, r, m))
+            .cast(LongType).as("sq_np"),
+          round(GeoExprs.st_area(
+            GeoExprs.st_buffer(lit("POINT (3 4)"), r, m)), 6).as("pt_area"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- trajectory construction (r14): st_make_line (ordered
     // points → LINESTRING per group, the Argo points-per-float shape)
     // fed back through st_length / st_npoints. Every segment is a
@@ -1248,6 +1290,24 @@ object QueriesEngine {
          FROM (SELECT n_nationkey,
                  CAST(n_nationkey % 4 + 1 AS INT) AS s,
                  CAST(n_nationkey % 3 AS INT) AS k
+               FROM nation) t
+         ORDER BY n_nationkey""",
+    // rectangles + regular m-gon pieces: capsule = 2rL + A_m, the
+    // L-path adds the r² reflex trim and a quarter join, the square
+    // adds four quarter joins = one full m-gon; vertex counts affine
+    // in m (A_m = (m/2)·r²·sin(2π/m) — vertices ON the circle)
+    "q_geo_buffer" ->
+      """SELECT n_nationkey,
+           round(8*s*s + (m/2.0)*s*s*sin(2*pi()/m), 6) AS cap_area,
+           CAST(m + 3 AS BIGINT) AS cap_np,
+           round(15*s*s + 1.25*(m/2.0)*s*s*sin(2*pi()/m), 6) AS ell_area,
+           CAST(5*m/4 + 5 AS BIGINT) AS ell_np,
+           round(12*s*s + (m/2.0)*s*s*sin(2*pi()/m), 6) AS sq_area,
+           CAST(m + 5 AS BIGINT) AS sq_np,
+           round((m/2.0)*s*s*sin(2*pi()/m), 6) AS pt_area
+         FROM (SELECT n_nationkey,
+                 CAST(n_nationkey % 4 + 1 AS INT) AS s,
+                 CAST((n_nationkey % 3 + 1) * 4 AS INT) AS m
                FROM nation) t
          ORDER BY n_nationkey""",
     // WKT bytes replayed via ordered string_agg; 3-4-5 steps make the

@@ -363,13 +363,14 @@ class GeoSpec extends AnyFunSuite {
     val a = spark.sql("SELECT st_area(st_buffer('POINT (10 20)', 2.0, 8)) AS a")
       .collect()(0).getDouble(0)
     assert(math.abs(a - 2 * math.sqrt(2) * 4) < 1e-9, s"octagon area: $a")
-    // non-point buffer rejects loudly
-    val e = intercept[Exception] {
-      spark.sql("SELECT st_buffer('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', 1.0, 8)")
-        .collect()
-    }
-    assert(e.getMessage.contains("POINT") ||
-      e.getCause.getMessage.contains("POINT"))
+    // r14: polygon buffers are real now — outward expansion with round
+    // joins; the unit square at r=1, segs=8 has closed-form area
+    // 1 + 4·1 + A₈ (A₈ = 4·sin(π/4)·r²)
+    val pa = spark.sql(
+      "SELECT st_area(st_buffer('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', 1.0, 8)) AS a")
+      .collect()(0).getDouble(0)
+    assert(math.abs(pa - (1 + 4 + 4 * math.sin(math.Pi / 4))) < 1e-9,
+      s"square buffer area: $pa")
     // st_extent aggregate: bounding box per group, partial-aggregable
     import spark.implicits._
     val df = Seq((1, 0, 0), (1, 4, 2), (1, 2, 9), (2, 5, 5)).toDF("g", "x", "y")
@@ -668,5 +669,86 @@ class GeoSpec extends AnyFunSuite {
         "((8 8, 8.2 8.1, 8.4 8, 8.2 8.05, 8 8)))", 0.5) ==
       "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert(stSimplify("POINT (1 2)", 0.5) == "POINT (1 2)")
+  }
+
+  test("st_buffer corridors (r14): closed-form areas, vertex counts, loud domain edges") {
+    import graft.functions.Geo.{stBuffer, stArea, stNPoints}
+    def aOf(wkt: String, r: Double, m: Int): Double = stArea(stBuffer(wkt, r, m))
+    def npOf(wkt: String, r: Double, m: Int): Int = stNPoints(stBuffer(wkt, r, m))
+    // regular m-gon on the radius-r circle (caps/joins place vertices
+    // ON the circle, so every fixture area is exact up to libm)
+    def am(m: Int, r: Double): Double = m / 2.0 * r * r * math.sin(2 * math.Pi / m)
+    Seq(4, 8, 12).foreach { m =>
+      val r = 2.0
+      // CAPSULE: rectangle + two half m-gon caps = 2rL + A_m
+      val cap = aOf("LINESTRING (0 0, 10 0)", r, m)
+      assert(math.abs(cap - (2 * r * 10 + am(m, r))) < 1e-9, s"capsule m=$m: $cap")
+      assert(npOf("LINESTRING (0 0, 10 0)", r, m) == m + 3, s"capsule np m=$m")
+      // L-PATH: two rectangles − the inner r² trim square + the outer
+      // quarter join + two caps = 4rL − r² + 1.25·A_m
+      val ell = aOf("LINESTRING (0 0, 10 0, 10 10)", r, m)
+      assert(math.abs(ell - (4 * r * 10 - r * r + 1.25 * am(m, r))) < 1e-9,
+        s"ell m=$m: $ell")
+      assert(npOf("LINESTRING (0 0, 10 0, 10 10)", r, m) == 5 * m / 4 + 5,
+        s"ell np m=$m")
+      // SQUARE outward: s² + 4rs + A_m (four quarter joins = one circle)
+      val sq = aOf("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", r, m)
+      assert(math.abs(sq - (16 + 4 * r * 4 + am(m, r))) < 1e-9, s"square m=$m: $sq")
+      assert(npOf("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", r, m) == m + 5,
+        s"square np m=$m")
+    }
+    // CW input ring buffers identically (openCcw normalizes orientation)
+    assert(math.abs(aOf("POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))", 2, 8) -
+      aOf("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 2, 8)) < 1e-12)
+    // a REFLEX vertex trims: the L-shaped hexagon, r=1 — area =
+    // original + perimeter·r + convex-turn arcs − the reflex trim:
+    // 5 convex quarter arcs (5·A/4... exactly: sum of turn angles on a
+    // simple ring = 2π outward + the reflex backs off) — pin by the
+    // Minkowski identity instead: area = A + P·r + π̂r² where π̂r² is
+    // the discretized circle (turn angles sum to 2π across ALL
+    // vertices, reflex subtracting), MINUS the reflex correction r²·tanless…
+    // Too clever: pin the engine value against the directly-computed
+    // rectangles-decomposition instead: L-hexagon (0 0,4 0,4 2,2 2,2 4,0 4):
+    // A=12, P=16; buffer r=1, m=8: engine area must equal
+    // 12 + 16·1 + A₈(1)·(5/4·4/… ) — derived by decomposition below.
+    val hexA = aOf("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))", 1, 8)
+    // decomposition: edge rectangles cover P·r = 16; five convex
+    // corners carry quarter m-gons (5/4·… = 5·A₈/8·2/…); the reflex
+    // corner at (2,2) contributes NOTHING outward (trim) and the two
+    // adjacent edge rectangles OVERLAP in the r×r square at the notch:
+    // subtract r². Total = 12 + 16 + (5/4)·A₈(1)·(4/4) − 1 — with
+    // A₈(1) the full 8-gon: five quarters = 1.25·A₈.
+    assert(math.abs(hexA - (12 + 16 + 1.25 * am(8, 1) - 1)) < 1e-9,
+      s"reflex hexagon: $hexA")
+    // --- loud domain edges ---
+    // trim longer than the adjacent segment
+    val e1 = intercept[IllegalArgumentException] {
+      stBuffer("LINESTRING (0 0, 1 0, 1 5)", 2.0, 8) }
+    assert(e1.getMessage.contains("shorter than"), e1.getMessage)
+    // path reversal
+    val e2 = intercept[IllegalArgumentException] {
+      stBuffer("LINESTRING (0 0, 5 0, 1 0)", 1.0, 8) }
+    assert(e2.getMessage.contains("reverses"), e2.getMessage)
+    // hairpin: arms within 2r with no bridging corridor — would trace
+    // a ring that EXCLUDES the overlap; must raise, not mis-buffer
+    val e3 = intercept[IllegalArgumentException] {
+      stBuffer("LINESTRING (0 0, 10 0, 10 3, 0 3)", 2.0, 8) }
+    assert(e3.getMessage.contains("within 2r"), e3.getMessage)
+    // but a DENSE SMOOTH track (neighbor segments within 2r, bridged by
+    // the intermediate corridor — the GPS-trajectory shape) buffers fine
+    val arc = (0 to 12).map { i =>
+      val a = math.Pi * i / 24
+      f"${10 * math.cos(a)}%.6f ${10 * math.sin(a)}%.6f"
+    }.mkString("LINESTRING (", ", ", ")")
+    assert(aOf(arc, 3.0, 8) > 0.0)
+    // holes and multi-geometries reject; empties buffer to empty
+    val e4 = intercept[IllegalArgumentException] {
+      stBuffer("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))",
+        1.0, 8) }
+    assert(e4.getMessage.contains("holes"), e4.getMessage)
+    assert(stBuffer("POLYGON EMPTY", 1.0, 8) == "POLYGON EMPTY")
+    // the original POINT surface is unchanged (m-gon, np incl. closing)
+    assert(npOf("POINT (0 0)", 1.0, 4) == 5)
+    assert(math.abs(aOf("POINT (0 0)", 1.0, 4) - am(4, 1)) < 1e-9)
   }
 }
