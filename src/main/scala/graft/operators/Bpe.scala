@@ -161,6 +161,26 @@ object Bpe {
     (acc.toSeq.toDF("rank", "left", "right", "pair_count"), rounds)
   }
 
+  /** Persist a trained merge table as the merges.txt-style artifact
+    * the CURATE `tokenize` stage's `merges_path` reads back (one
+    * `left right` line per merge in RANK order, `#` comments) — the
+    * train → artifact → encode handoff, for BOTH the char-level and
+    * byte-level ([[ByteBpe]]) families. Symbols never contain
+    * whitespace (char-level symbols come from whitespace-split words;
+    * byte-level symbols map the space byte to Ġ), so the
+    * whitespace-separated format is unambiguous. Bounded driver
+    * artifact — the merge table is the vocab-sized training output,
+    * not data (the [[Unigram.writeVocab]] stance). */
+  def writeMerges(merges: DataFrame, path: String): Unit = {
+    val rows = merges.select(col("rank"), col("left"), col("right"))
+      .orderBy(col("rank")).collect()
+    val sb = new StringBuilder("# bpe merges: left right, rank order\n")
+    rows.foreach { r =>
+      sb.append(r.getString(1)).append(' ').append(r.getString(2)).append('\n')
+    }
+    graft.sources.io.ByteStore.writeString(path, sb.toString)
+  }
+
   /** The vocabulary artifact a trained tokenizer ships: base symbols
     * (every distinct character of the corpus's words) followed by the
     * merge products, with stable ids — characters take 0..C-1 in

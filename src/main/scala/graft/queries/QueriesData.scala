@@ -1139,6 +1139,20 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- byte-level pair statistics: the trainer's per-round ranking
+    // input over byte-mapped GPT-2 pre-tokens (the [[ByteBpe.wordTable]]
+    // seed) — the byte-level sibling of q_bpe_pairs, same deterministic
+    // (count DESC, left, right) order contract
+    "q_bytebpe_pairs" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(trim(translate(col("text"), "ae", "äé")), "\\s+", " ")
+          .as("text"))
+      graft.operators.Bpe.pairStats(
+        graft.operators.ByteBpe.wordTable(docs, "text"))
+        .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
+        .limit(20)
+    },
+
     // ---- byte-level BPE encode (GPT-2 family, r14): the corpus is
     // made NON-ASCII deterministically (a→ä, e→é) so the bytes→unicode
     // bijection is exercised for real — ä spreads to the two mapped
@@ -4665,6 +4679,26 @@ object QueriesData {
            md5(coalesce(array_to_string(
              list_transform(ids, s -> CAST(s AS VARCHAR)), ' '), '')) AS ids_md5
          FROM docids ORDER BY doc_id""",
+    // byte-level pair stats: pre-tokens (first bare, rest space-glued),
+    // the byte mapping, adjacent char pairs, one aggregate — the same
+    // restatement shape as q_bpe_pairs over mapped symbols
+    "q_bytebpe_pairs" ->
+      raw"""WITH bsrc AS (SELECT doc_id,
+           regexp_replace(trim(translate(text, 'ae', 'äé')), '\s+', ' ', 'g') AS text
+           FROM documents),
+         toksb AS (SELECT unnest(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i = 1 THEN w ELSE ' ' || w END)) AS piece
+           FROM bsrc),
+         wordsb AS (SELECT replace(replace(replace(
+               piece, ' ', 'Ġ'), 'ä', 'Ã¤'), 'é', 'Ã©') AS w,
+             count(*) AS cnt
+           FROM toksb GROUP BY 1),
+         pairsb AS (SELECT substr(w, i, 1) AS l_sym, substr(w, i + 1, 1) AS r_sym, cnt
+                   FROM wordsb, unnest(range(1, len(w))) t(i)),
+         aggb AS (SELECT l_sym, r_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+                 FROM pairsb GROUP BY 1, 2)
+         SELECT l_sym, r_sym, pair_count FROM aggb
+         ORDER BY pair_count DESC, l_sym, r_sym LIMIT 20""",
     // byte-level BPE (GPT-2 family): pre-tokens, byte bijection and
     // ranked merge replaces restated closed-form over the same
     // deterministically non-ASCII-ified corpus

@@ -200,6 +200,34 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("case-preserving"))
   }
 
+  test("byte-bpe: train → writeMerges artifact → CURATE merges_path replays inline exactly") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, "the cat the hat"), (1L, "the bat"))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.ByteBpe.trainMerges(corpus, "text", 4,
+      minCount = 1L)
+    val path = java.nio.file.Files.createTempDirectory("graft-bbpe")
+      .resolve("merges.txt").toString
+    graft.operators.Bpe.writeMerges(merges, path)
+    val written = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(written.startsWith("#") && written.trim.split("\n").length == 5)
+    val inline = merges.orderBy("rank").collect()
+      .map(r => s"""["${r.getString(1)}","${r.getString(2)}"]""").mkString(",")
+    val viaPath = graft.dsl.CuratePipeline.compile(corpus,
+      s"""{"stages": [{"op": "tokenize", "algo": "byte_bpe",
+           "merges_path": "$path"}]}""")
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[scala.collection.Seq[Long]]("token_ids").toSeq)
+    val viaInline = graft.dsl.CuratePipeline.compile(corpus,
+      s"""{"stages": [{"op": "tokenize", "algo": "byte_bpe",
+           "merges": [$inline]}]}""")
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[scala.collection.Seq[Long]]("token_ids").toSeq)
+    assert(viaPath.toSeq == viaInline.toSeq)
+    assert(viaPath.forall(_.nonEmpty))
+  }
+
   test("byte-bpe: trainer over byte-mapped pre-tokens — hand-derived merges, Ġ-aware") {
     val s = spark
     import s.implicits._

@@ -751,4 +751,56 @@ class GeoSpec extends AnyFunSuite {
     assert(npOf("POINT (0 0)", 1.0, 4) == 5)
     assert(math.abs(aOf("POINT (0 0)", 1.0, 4) - am(4, 1)) < 1e-9)
   }
+
+  test("st_buffer randomized: containment equals distance-to-path, up to arc sag (40 paths)") {
+    import graft.functions.Geo
+    val rnd = new scala.util.Random(20260815L)
+    val m = 16
+    // the discretized boundary dips to r·cos(π/m) between arc vertices;
+    // inside that radius must be contained, outside r must not be —
+    // the band between is the documented discretization sag
+    def distToPath(pts: Seq[(Double, Double)], x: Double, y: Double): Double =
+      pts.sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+        val vx = bx - ax; val vy = by - ay
+        val l2 = vx * vx + vy * vy
+        val t = math.max(0.0, math.min(1.0, ((x - ax) * vx + (y - ay) * vy) / l2))
+        math.hypot(x - (ax + t * vx), y - (ay + t * vy))
+      }.min
+    (1 to 40).foreach { trial =>
+      // a gentle random zigzag: long segments, turns within ±60°,
+      // radius well under segment lengths — inside the tracer's domain
+      val r = 1.0 + rnd.nextDouble()
+      var (x, y, heading) = (0.0, 0.0, rnd.nextDouble() * 0.6 - 0.3)
+      val pts = scala.collection.mutable.ArrayBuffer((x, y))
+      (1 to 2 + rnd.nextInt(4)).foreach { _ =>
+        val len = 8.0 + 6 * rnd.nextDouble()
+        x += len * math.cos(heading); y += len * math.sin(heading)
+        pts += ((x, y))
+        heading += rnd.nextDouble() * 2.0 - 1.0 // ±~57°
+      }
+      val wkt = pts.map { case (px, py) => f"$px%.4f $py%.4f" }
+        .mkString("LINESTRING (", ", ", ")")
+      val buf = try Geo.stBuffer(wkt, r, m) catch {
+        case _: IllegalArgumentException => null // out-of-domain raise is fine
+      }
+      if (buf != null) {
+        val g = Geo.parseWkt(buf)
+        (1 to 60).foreach { probe =>
+          val (cx, cy) = pts(rnd.nextInt(pts.length))
+          val px = cx + (rnd.nextDouble() * 4 - 2) * r
+          val py = cy + (rnd.nextDouble() * 4 - 2) * r
+          val d = distToPath(pts.toSeq, px, py)
+          val in = Geo.contains(g, px, py)
+          if (d <= r * math.cos(math.Pi / m) - 1e-9)
+            assert(in, s"trial $trial probe $probe: d=$d <= sag radius but outside")
+          else if (d > r + 1e-9)
+            assert(!in, s"trial $trial probe $probe: d=$d > r=$r but inside")
+        }
+        // every path vertex is strictly interior
+        pts.foreach { case (vx, vy) =>
+          assert(Geo.contains(g, vx, vy), s"trial $trial: vertex outside buffer")
+        }
+      }
+    }
+  }
 }
