@@ -747,6 +747,34 @@ object Geo {
         ghToWkt(Seq(validateSimpleRing(ringBufferRing(ring, r, segs))))
       case MultiPolygonGeom(Nil) | MultiLineStringGeom(Nil) =>
         "POLYGON EMPTY" // buffer of an empty geometry is empty
+      case MultiLineStringGeom(paths) =>
+        val rings = paths.map { p =>
+          val pts = dedupeConsecutive(openPathPts(p))
+          require(pts.length >= 2,
+            "st_buffer: a linestring needs two distinct points")
+          validateSimpleRing(pathBufferRing(pts, r, segs))
+        }
+        // component corridors must be pairwise DISJOINT — overlapping
+        // corridors would need a polygon union (the Greiner–Hormann
+        // general-position territory this tracer exists to avoid), so
+        // raise loudly instead of emitting overlapping components
+        var i = 0
+        while (i < rings.length) {
+          var j = i + 1
+          while (j < rings.length) {
+            val a = Ring(rings(i).map(_._1), rings(i).map(_._2))
+            val b = Ring(rings(j).map(_._1), rings(j).map(_._2))
+            if (ringPairTest(a, b, segsIntersect) ||
+                ringContains(a, rings(j)(0)._1, rings(j)(0)._2) ||
+                ringContains(b, rings(i)(0)._1, rings(i)(0)._2))
+              throw new IllegalArgumentException(
+                s"st_buffer: multilinestring corridors $i and $j overlap " +
+                  "— unsupported input")
+            j += 1
+          }
+          i += 1
+        }
+        ghToWkt(rings)
       case other => throw new IllegalArgumentException(
         s"st_buffer: unsupported geometry ${other.getClass.getSimpleName} — " +
           "POINT, LINESTRING and hole-free POLYGON only")

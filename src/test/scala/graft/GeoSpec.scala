@@ -750,6 +750,16 @@ class GeoSpec extends AnyFunSuite {
     // the original POINT surface is unchanged (m-gon, np incl. closing)
     assert(npOf("POINT (0 0)", 1.0, 4) == 5)
     assert(math.abs(aOf("POINT (0 0)", 1.0, 4) - am(4, 1)) < 1e-9)
+    // MULTILINESTRING: disjoint corridors → MULTIPOLYGON whose area is
+    // the sum of the component capsules; overlapping corridors raise
+    val two = aOf(
+      "MULTILINESTRING ((0 0, 10 0), (0 100, 10 100))", 2, 8)
+    assert(math.abs(two - 2 * (2 * 2 * 10 + am(8, 2))) < 1e-9, s"two capsules: $two")
+    assert(stBuffer("MULTILINESTRING ((0 0, 10 0), (0 100, 10 100))", 2, 8)
+      .startsWith("MULTIPOLYGON"))
+    val e5 = intercept[IllegalArgumentException] {
+      stBuffer("MULTILINESTRING ((0 0, 10 0), (0 2, 10 2))", 2.0, 8) }
+    assert(e5.getMessage.contains("overlap"), e5.getMessage)
   }
 
   test("st_buffer randomized: containment equals distance-to-path, up to arc sag (40 paths)") {
