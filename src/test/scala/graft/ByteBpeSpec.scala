@@ -200,6 +200,20 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("case-preserving"))
   }
 
+  test("byte-bpe: encodeIds plans MAP-ONLY — no exchange at any corpus size") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "some text"), (1L, "more text")).toDF("doc_id", "text")
+    val plan = graft.operators.ByteBpe
+      .encodeIds(df, "text", "doc_id", Seq("e" -> "r"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"byte-bpe encode must not shuffle:\n$plan")
+    // the closed vocabulary means NO corpus pass either: the plan has
+    // exactly one scan of the input
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("byte-bpe: train → writeMerges artifact → CURATE merges_path replays inline exactly") {
     val s = spark
     import s.implicits._
