@@ -292,6 +292,8 @@ object GraftFunctions {
       es => GeoExprs.StBound(es.head, 3), "built-in")
     r.createOrReplaceTempFunction("pressure_to_depth_teos_10",
       es => PressureToDepthTeos10(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("exif_metadata",
+      es => graft.operators.Exif.ExifParse(es.head), "built-in")
     r.createOrReplaceTempFunction("map_units",
       es => MapUnits(es(0), es(1), es(2)), "built-in")
     r.createOrReplaceTempFunction("map_vocab", mapVocabExpr, "built-in")

@@ -720,6 +720,35 @@ object QueriesData {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // ---- EXIF metadata (r14): REAL JPEG/TIFF parsing — marker-segment
+    // walk, IFD entries, GPS rationals — over fixture JPEGs built
+    // byte-exact from doc_id (the WARC writer/reader gate stance;
+    // ExifSpec additionally pins the parser against hand-assembled
+    // blobs including big-endian MM order). The oracle restates every
+    // field closed-form; coordinates are exact fixture algebra
+    // (deg + min/60 + sec100/100/3600) rounded at 9.
+    "q_image_exif" -> { (s, dir) =>
+      import graft.operators.Exif
+      val d = col("doc_id")
+      val payload = Exif.exif_jpeg(
+        concat(lit("Cam-"), (d % 5).cast("string")),
+        concat(lit("Mod-"), (d % 7).cast("string")),
+        concat(lit("2026:08:15 12:34:0"), (d % 10).cast("string")),
+        (d % 8 + 1).cast("int"),
+        when(d % 2 === 0, "N").otherwise("S"),
+        (d % 90).cast("int"), (d % 60).cast("int"), (d % 6000).cast("int"),
+        when(d % 3 === 0, "E").otherwise("W"),
+        (d % 180).cast("int"), (d * 7 % 60).cast("int"),
+        (d * 13 % 6000).cast("int"))
+      Tables.load(s, dir, "documents")
+        .select(d, Exif.exif_metadata(payload).as("x"))
+        .select(d, col("x.make"), col("x.model"), col("x.datetime"),
+          col("x.orientation"),
+          round(col("x.gps_lat"), 9).as("gps_lat"),
+          round(col("x.gps_lon"), 9).as("gps_lon"))
+        .orderBy(d)
+    },
+
     // ---- deterministic stratified sampling: per-language keep rates
     // decided row-locally by the md5 bit contract; the gate returns the
     // surviving rows themselves so per-row membership (not just counts)
@@ -4084,6 +4113,21 @@ object QueriesData {
           AND v.event_type = 'view' AND p.event_type = 'purchase'
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
         ORDER BY view_id, purchase_id""",
+    // every EXIF field restated closed-form from doc_id — the engine
+    // built real JPEG bytes and walked real IFDs to recover them
+    "q_image_exif" ->
+      """SELECT doc_id,
+           'Cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'Mod-' || CAST(doc_id % 7 AS VARCHAR) AS model,
+           '2026:08:15 12:34:0' || CAST(doc_id % 10 AS VARCHAR) AS datetime,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           round((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+             ((doc_id % 90) + (doc_id % 60)/60.0
+               + ((doc_id % 6000)/100.0)/3600.0), 9) AS gps_lat,
+           round((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END) *
+             ((doc_id % 180) + ((doc_id * 7) % 60)/60.0
+               + (((doc_id * 13) % 6000)/100.0)/3600.0), 9) AS gps_lon
+         FROM documents ORDER BY doc_id""",
     // per-stratum keep thresholds over the same low-48-bit bucket as
     // q_hash_split; rows themselves are compared, not counts
     "q_stratified_sample" ->
