@@ -96,26 +96,52 @@ object Multimodal {
       * row-major MSB-first. Robust to re-encoding/resizing/small edits
       * (those flip few bits), discriminative across distinct images
       * (~32-bit Hamming expected) — the standard image near-dup
-      * fingerprint. */
+      * fingerprint.
+      *
+      * EXIF-orientation NORMALIZED (r14): a JPEG whose APP1 carries
+      * orientation 2..8 hashes as its upright rendering — ImageIO
+      * ignores the flag, so a camera-rotated copy would otherwise land
+      * ~32 bits away from its upright twin and never near-dup. The
+      * stored raster downscales in its stored shape (8×9 for the 90°
+      * family) and the tiny grid remaps through the orientation's
+      * inverse index map; non-JPEG / untagged payloads are
+      * orientation 1. */
     override def imageHash(payload: Array[Byte]): Long = {
       val src = readImage(payload)
-      val dst = new java.awt.image.BufferedImage(9, 8,
+      val meta = graft.operators.Exif.parseKernel(payload)
+      val ori0 = if (meta.isNullAt(3)) 1 else meta.getInt(3)
+      val ori = if (ori0 >= 1 && ori0 <= 8) ori0 else 1
+      val rot90 = ori >= 5
+      val (dw, dh) = if (rot90) (8, 9) else (9, 8)
+      val dst = new java.awt.image.BufferedImage(dw, dh,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val g2 = dst.createGraphics()
       try {
         g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g2.drawImage(src, 0, 0, 9, 8, null)
+        g2.drawImage(src, 0, 0, dw, dh, null)
       } finally g2.dispose()
       val raster = dst.getRaster
+      // upright (cu, ru) in 9×8 → stored (x, y) in dw×dh
+      def gray(cu: Int, ru: Int): Int = {
+        val (x, y) = ori match {
+          case 2 => (dw - 1 - cu, ru)           // mirror horizontal
+          case 3 => (dw - 1 - cu, dh - 1 - ru)  // rotate 180
+          case 4 => (cu, dh - 1 - ru)           // mirror vertical
+          case 5 => (ru, cu)                    // transpose
+          case 6 => (ru, dh - 1 - cu)           // stored = rot90ccw(upright)
+          case 7 => (dw - 1 - ru, dh - 1 - cu)  // transverse
+          case 8 => (dw - 1 - ru, cu)           // stored = rot90cw(upright)
+          case _ => (cu, ru)
+        }
+        raster.getSample(x, y, 0)
+      }
       var h = 0L
       var r = 0
       while (r < 8) {
         var c = 0
         while (c < 8) {
-          h = (h << 1) |
-            (if (raster.getSample(c, r, 0) < raster.getSample(c + 1, r, 0)) 1L
-             else 0L)
+          h = (h << 1) | (if (gray(c, r) < gray(c + 1, r)) 1L else 0L)
           c += 1
         }
         r += 1

@@ -242,6 +242,28 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(viaPath.forall(_.nonEmpty))
   }
 
+  test("byte-bpe: batched training equals sequential over tie-dense random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // tiny alphabet + spaces → heavy count ties; Ġ symbols exercise
+    // multi-byte UTF-8 tie ordering in the (count, left, right) rank
+    (1 to 6).foreach { trial =>
+      val words = Array("ab", "aab", "ba", "abab", "bb", "aa")
+      val text = (0 until 30 + rnd.nextInt(40))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      val df = Seq(text).toDF("text")
+      val seq1 = graft.operators.ByteBpe
+        .trainMerges(df, "text", 8, minCount = 1L, batch = 1).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val seq4 = graft.operators.ByteBpe
+        .trainMerges(df, "text", 8, minCount = 1L, batch = 4).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(seq1.toSeq == seq4.toSeq,
+        s"trial $trial: batch=4 diverged from sequential\n${seq1.toSeq}\n${seq4.toSeq}")
+    }
+  }
+
   test("byte-bpe: trainer over byte-mapped pre-tokens — hand-derived merges, Ġ-aware") {
     val s = spark
     import s.implicits._

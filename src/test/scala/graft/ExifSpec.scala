@@ -138,6 +138,68 @@ class ExifSpec extends AnyFunSuite {
     assert(r.isNullAt(0)) // permissive on garbage, resolved by name
   }
 
+  test("exif: dHash normalizes orientation — camera-rotated copies near-dup their upright twin") {
+    import graft.operators.Multimodal.ImageIoCodec
+    // an asymmetric test pattern: diagonal gradient + two blobs
+    def pattern(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (x * 3 + y * 5) % 200
+        val blob = if ((x - w / 4).abs < 5 && (y - h / 3).abs < 5) 255
+          else if ((x - 3 * w / 4).abs < 7 && (y - 2 * h / 3).abs < 3) 0
+          else base
+        img.setRGB(x, y, (blob << 16) | (blob << 8) | blob)
+      }
+      img
+    }
+    def jpegOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def rot(img: java.awt.image.BufferedImage,
+        f: (Int, Int, Int, Int) => (Int, Int),
+        swap: Boolean): java.awt.image.BufferedImage = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (nw, nh) = if (swap) (h, w) else (w, h)
+      val out = new java.awt.image.BufferedImage(nw, nh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (nx, ny) = f(x, y, w, h)
+        out.setRGB(nx, ny, img.getRGB(x, y))
+      }
+      out
+    }
+    def tag(jpeg: Array[Byte], ori: Int): Array[Byte] = {
+      val built = Exif.buildKernel(u8("Cam-x"), u8("Mod-x"),
+        u8("2026:01:01 00:00:00"), ori, u8("N"), 0, 0, 0, u8("E"), 0, 0, 0)
+      val app1 = built.slice(2, built.length - 2)
+      jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val upright = pattern(64, 48)
+    val h0 = ImageIoCodec.imageHash(jpegOf(upright))
+    // stored = rot90ccw(upright), tagged orientation 6 → hashes upright
+    val ccw = rot(upright, (x, y, w, _) => (y, w - 1 - x), swap = true)
+    val stored6 = jpegOf(ccw)
+    assert(ham(ImageIoCodec.imageHash(tag(stored6, 6)), h0) <= 4,
+      "orientation-6 copy must hash with its upright twin")
+    // the SAME bytes untagged hash far away (the flag does the work)
+    assert(ham(ImageIoCodec.imageHash(stored6), h0) > 12,
+      "untagged rotated copy should be far (else the pattern is too symmetric)")
+    // stored = rot180(upright), tagged orientation 3
+    val r180 = rot(upright, (x, y, w, h) => (w - 1 - x, h - 1 - y), swap = false)
+    assert(ham(ImageIoCodec.imageHash(tag(jpegOf(r180), 3)), h0) <= 4,
+      "orientation-3 copy must hash with its upright twin")
+    // mirrored, tagged orientation 2
+    val mir = rot(upright, (x, y, w, _) => (w - 1 - x, y), swap = false)
+    assert(ham(ImageIoCodec.imageHash(tag(jpegOf(mir), 2)), h0) <= 4,
+      "orientation-2 copy must hash with its upright twin")
+    // orientation 1 tag is a no-op
+    assert(ImageIoCodec.imageHash(tag(jpegOf(upright), 1)) == h0)
+  }
+
   test("exif: codegen == interpreted through a DataFrame column") {
     val s = spark
     import s.implicits._
