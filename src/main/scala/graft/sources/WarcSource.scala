@@ -71,6 +71,17 @@ object WarcSource {
   /** default intra-file split size (plain bytes / compressed bytes) */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
+  /** Per-record block-size ceiling (256 MiB) and header-line ceiling
+    * (64 KiB): crawl archives are UNTRUSTED input, and a single record
+    * declaring a multi-GB Content-Length (or streaming an endless
+    * header line) would otherwise allocate executor memory it can take
+    * the whole task JVM down with. A record past the ceiling raises a
+    * NAMED error carrying both the length and the ceiling — loud and
+    * attributable, never an opaque executor OOM. Real-web records sit
+    * far below it (Common Crawl truncates payloads at 1 MiB). */
+  val MaxRecordBytes: Long = 256L * 1024 * 1024
+  private val MaxHeaderLineBytes: Int = 64 * 1024
+
   def read(spark: SparkSession, paths: Seq[String],
       splitBytes: Long = DefaultSplitBytes): DataFrame = {
     val files = FileCollection.expandGlobs(spark, paths)
@@ -230,8 +241,10 @@ object WarcSource {
       val len = headers.getOrElse("content-length",
         throw new IllegalArgumentException(
           s"warc: record without Content-Length in $path")).toLong
-      require(len >= 0 && len <= Int.MaxValue.toLong,
-        s"warc: unsupported block length $len in $path")
+      require(len >= 0 && len <= MaxRecordBytes,
+        s"warc: record block of $len bytes exceeds the $MaxRecordBytes-byte " +
+          s"ceiling in $path — untrusted-input allocation guard " +
+          "(WarcSource.MaxRecordBytes)")
       val block = readFully(len.toInt)
       // trailing CRLF CRLF; the byte after it (next record's 'W') pushes back
       var trail = 0
@@ -257,6 +270,9 @@ object WarcSource {
       if (b < 0) return None
       var prev = -1
       while (b >= 0 && b != '\n') {
+        if (buf.size >= MaxHeaderLineBytes) throw new IllegalArgumentException(
+          s"warc: header line exceeds $MaxHeaderLineBytes bytes in $path — " +
+            "untrusted-input allocation guard")
         if (prev >= 0) buf.write(prev)
         prev = b
         b = read()

@@ -88,6 +88,46 @@ class ReaderFuzzSpec extends AnyFunSuite {
       p => graft.sources.hdf5.Hdf5Reader.readDataset(p))
   }
 
+  test("fuzz: media demuxers terminate on magic-prefixed garbage and zero-length framing") {
+    val rnd = new scala.util.Random(7L)
+    def withMagic(magic: Array[Byte], sz: Int): Array[Byte] = {
+      val g = new Array[Byte](sz); rnd.nextBytes(g)
+      magic ++ g
+    }
+    def probeAll(name: String, payloads: Seq[Array[Byte]],
+        run: Array[Byte] => Any): Unit =
+      payloads.zipWithIndex.foreach { case (p, i) =>
+        val (completed, _) = bounded(20)(run(p))
+        assert(completed, s"$name probe $i HUNG (${p.length} bytes)")
+      }
+    // AVI: RIFF header with bogus/zero sizes — chunk walkers that
+    // advance by a length field must not spin on length 0
+    val riff = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "AVI ".getBytes
+    probeAll("avi", Seq(
+      riff,
+      riff ++ Array.fill[Byte](64)(0), // zero-length chunks forever
+      withMagic(riff, 512),
+      "RIFF".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ "AVI ".getBytes ++
+        Array.fill[Byte](32)(0)),
+      p => graft.operators.AviDemux.sampleKeyframes(p, 3))
+    // MP4: box size 0 ("to end") and size 1 (64-bit) and bogus sizes
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    probeAll("mp4", Seq(
+      be32(0) ++ "ftyp".getBytes ++ Array.fill[Byte](24)(0), // size-0 box
+      be32(1) ++ "ftyp".getBytes ++ Array.fill[Byte](8)(0),  // 64-bit size, truncated
+      be32(16) ++ "ftyp".getBytes ++ withMagic(be32(0) ++ "moov".getBytes, 64),
+      withMagic(be32(20) ++ "ftyp".getBytes, 256)),
+      p => graft.operators.Mp4Demux.sampleKeyframes(p, 3))
+    // MKV: EBML ids/varints with all-zero and all-ones length bytes
+    val ebml = Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)
+    probeAll("mkv", Seq(
+      ebml ++ Array.fill[Byte](32)(0),
+      ebml ++ Array.fill[Byte](32)(-1),
+      withMagic(ebml, 512)),
+      p => graft.operators.MkvDemux.sampleKeyframes(p, 3))
+  }
+
   test("fuzz: EXIF parser terminates and stays permissive on mutated JPEGs") {
     import org.apache.spark.unsafe.types.UTF8String
     def u8(s: String) = UTF8String.fromString(s)

@@ -389,6 +389,48 @@ class WarcSpec extends AnyFunSuite {
     assert(extract("<html><body><br/><hr></body></html>") == "")
   }
 
+  test("warc: untrusted-input allocation guards — giant Content-Length and endless header lines raise loudly (r14)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = tmpDir()
+    // a record declaring a multi-GB block: must raise the NAMED ceiling
+    // error, never attempt the allocation (an executor OOM would be
+    // silent and fatal at crawl scale)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bomb.warc"),
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:1>\r\nContent-Length: 9999999999\r\n" +
+        "\r\n").getBytes(UTF_8))
+    val e1 = intercept[Exception] {
+      graft.sources.WarcSource.read(spark, Seq(s"$dir/bomb.warc")).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(e1).contains("ceiling"), rootMsg(e1))
+    // a header line with no terminator streaming past 64 KiB: bounded,
+    // loud, no unbounded buffer growth
+    val dir2 = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "line.warc"),
+      ("WARC/1.0\r\nWARC-Type: response\r\nX-Junk: " +
+        "j" * (200 * 1024)).getBytes(UTF_8))
+    val e2 = intercept[Exception] {
+      graft.sources.WarcSource.read(spark, Seq(s"$dir2/line.warc")).collect()
+    }
+    assert(rootMsg(e2).contains("allocation guard"), rootMsg(e2))
+    // a legitimate near-boundary record still reads (the guard is a
+    // ceiling, not a behavior change)
+    val dir3 = tmpDir()
+    val block = "x" * 100000
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir3, "ok.warc"),
+      ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+        "WARC-Record-ID: <urn:uuid:2>\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n$block\r\n\r\n").getBytes(UTF_8))
+    val rows = graft.sources.WarcSource.read(spark, Seq(s"$dir3/ok.warc")).collect()
+    assert(rows.length == 1 &&
+      rows(0).getAs[Long]("content_length") == 100000L)
+  }
+
   test("html_extract: text-to-markup ratio drops markup-heavy blocks") {
     // enough words and a stopword, but buried in inline markup
     val html = "<p><span class=\"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa\">the</span>" +
