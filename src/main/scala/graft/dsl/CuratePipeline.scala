@@ -644,7 +644,11 @@ object CuratePipeline {
           case JNothing => None
           case other => throw new DslException(s"'eos_id' must be an integer, got $other")
         }
-        Sampling.packTokenIds(df, "token_ids", idCol, seqLen, shard, eos)
+        // `segments: true` adds per-token source-document ordinals
+        // within each sequence — the block-diagonal attention-mask
+        // companion array
+        Sampling.packTokenIds(df, "token_ids", idCol, seqLen, shard, eos,
+          withSegments = bool(st, "segments", default = false))
       case other =>
         throw new DslException(s"unknown curate op '$other'")
     }

@@ -106,7 +106,8 @@ object Sampling {
   def packTokenIds(df: DataFrame, idsCol: String, orderCol: String,
       seqLen: Int, shardCol: Option[String] = None,
       eosId: Option[Long] = None,
-      maxGlobalRows: Long = GlobalWindowMaxRows): DataFrame = {
+      maxGlobalRows: Long = GlobalWindowMaxRows,
+      withSegments: Boolean = false): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     import org.apache.spark.sql.expressions.Window
     val base = shardCol match {
@@ -129,23 +130,51 @@ object Sampling {
         concat(col(idsCol), array(lit(e).cast("long"))))
       case None => nonNull
     }
-    val withOff = src.withColumn("__off", shardGuarded(
-      coalesce(sum(size(col(idsCol)).cast("long")).over(w), lit(0L)),
-      base, shardCol.isDefined, maxGlobalRows, "packTokenIds"))
+    // the document ordinal rides the SAME window as the offset cumsum —
+    // one shuffle serves both; it only materializes into segment ids
+    // when asked
+    val withOff = src
+      .withColumn("__off", shardGuarded(
+        coalesce(sum(size(col(idsCol)).cast("long")).over(w), lit(0L)),
+        base, shardCol.isDefined, maxGlobalRows, "packTokenIds"))
+      .withColumn("__doc", row_number().over(base).cast("long"))
     val shardKeep = shardCol.map(col).toSeq
     val exploded = withOff
-      .select(shardKeep ++ Seq(col("__off"),
+      .select(shardKeep ++ Seq(col("__off"), col("__doc"),
         posexplode(col(idsCol)).as(Seq("__i", "__id"))): _*)
       // `div` = exact integer division (floor(a/b) on doubles would
       // drift past 2^53 global tokens — a real number at corpus scale)
       .selectExpr(shardCol.toSeq ++ Seq(
         s"CAST((__off + __i) div $seqLen AS BIGINT) AS seq_id",
         s"CAST((__off + __i) % $seqLen AS INT) AS __slot",
-        "__id"): _*)
-    exploded.groupBy(shardKeep :+ col("seq_id"): _*)
+        "__doc", "__id"): _*)
+    val packed = exploded.groupBy(shardKeep :+ col("seq_id"): _*)
       .agg(count(lit(1)).as("n_tokens"),
-        transform(array_sort(collect_list(struct(col("__slot"), col("__id")))),
-          s => s.getField("__id")).as("input_ids"))
+        array_sort(collect_list(struct(col("__slot"), col("__id"), col("__doc"))))
+          .as("__structs"))
+      .withColumn("input_ids",
+        transform(col("__structs"), s => s.getField("__id")))
+    if (!withSegments) packed.drop("__structs")
+    else {
+      // SEGMENT IDS for block-diagonal attention masking: each token's
+      // source-document ordinal WITHIN its sequence (1, 1, …, 2, 2, …)
+      // — the standard companion array when packed sequences must not
+      // attend across document boundaries. One fold over the already-
+      // sorted per-sequence structs; no extra shuffle.
+      val segs = aggregate(
+        col("__structs"),
+        struct(lit(-1L).as("d"), array().cast("array<int>").as("segs")),
+        (acc, s) => {
+          val isNew = size(acc.getField("segs")) === 0 ||
+            s.getField("__doc") =!= acc.getField("d")
+          struct(s.getField("__doc").as("d"),
+            concat(acc.getField("segs"), array(
+              (coalesce(try_element_at(acc.getField("segs"), lit(-1)), lit(0)) +
+                when(isNew, 1).otherwise(0)).cast("int"))).as("segs"))
+        })
+      packed.withColumn("segment_ids", segs.getField("segs"))
+        .drop("__structs")
+    }
   }
 
   /** Deterministic TOKEN-BUDGET subset — "give me ~N tokens of this

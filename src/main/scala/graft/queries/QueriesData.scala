@@ -95,6 +95,29 @@ object QueriesData {
         .orderBy(col("seq_id"))
     },
 
+    // ---- packing with SEGMENT IDS (r14): the block-diagonal
+    // attention-mask companion — each token carries its source
+    // document's ordinal within the sequence (1,1,…,2,2,…). The oracle
+    // replays it as a dense_rank over doc_id per sequence; the ids
+    // stream must be unchanged from q_pack_token_ids.
+    "q_pack_segments" -> { (s, dir) =>
+      val merges = Seq("e" -> "r", "t" -> "h", "th" -> "e",
+        "i" -> "n", "a" -> "n", "an" -> "d")
+      val docs = Tables.load(s, dir, "documents")
+      val vocabIds = graft.operators.Bpe.vocab(docs, "text", merges).collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap
+      val ids = graft.operators.Bpe.encodeIds(docs, "text", "doc_id", merges, vocabIds)
+        .select(col("doc_id"), col("token_ids"))
+      graft.operators.Sampling.packTokenIds(ids, "token_ids", "doc_id",
+          seqLen = 64, withSegments = true)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("ids_md5"),
+          md5(array_join(transform(col("segment_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("segs_md5"))
+        .orderBy(col("seq_id"))
+    },
+
     // ---- deterministic token-budget subset (r10): rows order by the
     // md5 bit contract and keep while the exclusive token prefix-sum
     // stays under budget — "a reproducible ~30k-token slice"; the
@@ -4802,6 +4825,29 @@ object QueriesData {
       s"""WITH $bpeIdsCtes,
          $packCtes
          SELECT seq_id, n_tokens, ids_md5 FROM sq ORDER BY seq_id""",
+    // the same packing with the document ordinal carried through: the
+    // segment id is a dense_rank over doc_id within each sequence
+    "q_pack_segments" ->
+      s"""WITH $bpeIdsCtes,
+         offs2 AS (SELECT doc_id, ids,
+             coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM docids),
+         ex2 AS (SELECT doc_id, off + generate_subscripts(ids, 1) - 1 AS gpos,
+                        unnest(ids) AS id
+                 FROM offs2),
+         pk2 AS (SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+                        gpos % 64 AS slot, id, doc_id FROM ex2),
+         sg AS (SELECT seq_id, slot, id,
+                    dense_rank() OVER (PARTITION BY seq_id ORDER BY doc_id) AS seg
+                FROM pk2),
+         sq2 AS (SELECT seq_id, count(*) AS n_tokens,
+                  md5(array_to_string(
+                    list(CAST(id AS VARCHAR) ORDER BY slot), ' ')) AS ids_md5,
+                  md5(array_to_string(
+                    list(CAST(seg AS VARCHAR) ORDER BY slot), ' ')) AS segs_md5
+                FROM sg GROUP BY 1)
+         SELECT seq_id, n_tokens, ids_md5, segs_md5 FROM sq2 ORDER BY seq_id""",
     // each pipeline stage replayed as one CTE, chained in stage order;
     // dedup partitions on the fingerprint contract, the cap on the
     // md5 low-48-bit bucket contract

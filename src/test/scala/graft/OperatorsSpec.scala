@@ -524,6 +524,32 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(Seq(1L, 2L, 3L, 99L), Seq(4L, 5L, 6L, 7L), Seq(99L, 8L, 9L, 99L)))
   }
 
+  test("token packing: segment ids are per-sequence document ordinals (r14)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L)), (3L, Seq(6L, 7L, 8L, 9L)))
+      .toDF("doc_id", "ids")
+    // stream: 1 2 3 | 4 5 | 6 7 8 9 with seqLen 4 →
+    // seq0 ids [1,2,3,4] segs [1,1,1,2]; seq1 [5,6,7,8] segs [1,2,2,2];
+    // seq2 [9] segs [1] — segment numbering restarts per sequence
+    val out = Sampling.packTokenIds(df, "ids", "doc_id", seqLen = 4,
+      withSegments = true).orderBy("seq_id").collect()
+    assert(out.map(_.getSeq[Long](2)).toSeq ==
+      Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L), Seq(9L)))
+    assert(out.map(_.getSeq[Int](3)).toSeq ==
+      Seq(Seq(1, 1, 1, 2), Seq(1, 2, 2, 2), Seq(1)))
+    // an EOS separator belongs to its document's segment
+    val eos = Sampling.packTokenIds(df, "ids", "doc_id", seqLen = 4,
+      eosId = Some(99L), withSegments = true).orderBy("seq_id").collect()
+    // streams: 1 2 3 99 | 4 5 99 6 | 7 8 9 99
+    assert(eos.map(_.getSeq[Int](3)).toSeq ==
+      Seq(Seq(1, 1, 1, 1), Seq(1, 1, 1, 2), Seq(1, 1, 1, 1)))
+    // without the flag the schema is unchanged (no segment column)
+    val plain = Sampling.packTokenIds(df, "ids", "doc_id", seqLen = 4)
+    assert(!plain.columns.contains("segment_ids"))
+  }
+
   test("product quantization: codes bounded, ADC scan broadcasts queries") {
     import graft.operators.PqIndex
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
