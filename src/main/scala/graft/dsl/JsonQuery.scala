@@ -398,8 +398,22 @@ object JsonQuery {
           case other => throw new DslException(s"bad split_bytes: $other")
         }
         graft.sources.WarcSource.read(spark, paths, split)
-      case "cdx" => // read_cdx(files): CDXJ crawl-index lines
-        graft.sources.CdxSource.read(spark, paths)
+      case "cdx" => // read_cdx(files [, latest]): CDXJ crawl-index lines
+        spec.get("latest") match {
+          // latest: true — read the paths as index GENERATIONS and keep
+          // the newest capture per SURT key (the incremental-recrawl
+          // maintenance read; ties break on filename, then offset).
+          // Composes with the surt-range file pruning: pruning keeps
+          // every file whose range contains an in-range key, so each
+          // such key's full capture history reaches the newest-wins
+          // window.
+          case Some(JBool(true)) =>
+            graft.sources.CdxSource.latest(
+              graft.sources.CdxSource.read(spark, paths))
+          case None | Some(JBool(false)) =>
+            graft.sources.CdxSource.read(spark, paths)
+          case Some(other) => throw new DslException(s"bad cdx latest: $other")
+        }
       case "bbf" => // read_bbf(files [, entry]): multi-entry binary containers
         val entry = spec.get("entry").collect { case JString(e) => e }
         graft.sources.bbf.BbfSource.read(spark, paths, entry)

@@ -669,6 +669,38 @@ object QueriesFormats {
           col("filename"))
         .orderBy("surt")
     },
+    // The same newest-wins read through the DSL FRONT DOOR (r14,
+    // completing the cdx DSL surface next to q_cdx_dsl_pruned): `from
+    // .cdx` with `latest: true` reads the generation directories and
+    // keeps the newest capture per SURT key — the incremental-recrawl
+    // maintenance read, no column API required. Same rows as
+    // q_cdx_latest.
+    "q_cdx_dsl_latest" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val d = col("doc_id").cast("string")
+      def gen(docs: org.apache.spark.sql.DataFrame, ts: String, dig: String,
+          off: org.apache.spark.sql.Column, file: String) =
+        docs.select(
+          concat(lit("com,site)/p/"), d).as("surt"), lit(ts).as("ts"),
+          concat(lit("http://site.com/p/"), d).as("url"),
+          lit("text/html").as("mime"), lit(200).as("status"),
+          concat(lit(dig), d).as("digest"),
+          (col("doc_id") + 100L).as("length"), off.as("offset"),
+          lit(file).as("filename"))
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdxdsl2").toString
+      graft.sources.CdxSource.write(
+        gen(docs, "20260101000000", "d1-", col("doc_id") * 10L, "gen1.warc.gz"),
+        s"$tmp/g1", files = 2)
+      graft.sources.CdxSource.write(
+        gen(docs.filter(col("doc_id") % 3 === 0), "20260201000000", "d2-",
+          col("doc_id") * 10L + 5L, "gen2.warc.gz"),
+        s"$tmp/g2", files = 2)
+      graft.dsl.JsonQuery.compile(s,
+        s"""{"from": {"cdx": {"paths": ["$tmp/g1", "$tmp/g2"], "latest": true}},
+             "select": ["surt", "ts", "digest", "offset", "filename"],
+             "sort_by": [{"asc": "surt"}]}""")
+    },
     // digest-deduped fetch planning (r12): payloads repeat across URLs
     // (every 50th doc shares one body); group the INDEX by digest,
     // fetch ONE record per distinct payload — the
@@ -867,6 +899,18 @@ object QueriesFormats {
     // each key's surviving generation stated closed-form: recrawled
     // (%3=0) docs answer gen2's ts/digest/offset, the rest gen1's
     "q_cdx_latest" ->
+      """SELECT 'com,site)/p/' || CAST(doc_id AS VARCHAR) AS surt,
+           CASE WHEN doc_id % 3 = 0 THEN '20260201000000'
+                ELSE '20260101000000' END AS ts,
+           CASE WHEN doc_id % 3 = 0 THEN 'd2-' ELSE 'd1-' END
+             || CAST(doc_id AS VARCHAR) AS digest,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id * 10 + 5
+                ELSE doc_id * 10 END AS BIGINT) AS offset,
+           CASE WHEN doc_id % 3 = 0 THEN 'gen2.warc.gz'
+                ELSE 'gen1.warc.gz' END AS filename
+         FROM documents ORDER BY surt""",
+    // identical restatement through the DSL front door
+    "q_cdx_dsl_latest" ->
       """SELECT 'com,site)/p/' || CAST(doc_id AS VARCHAR) AS surt,
            CASE WHEN doc_id % 3 = 0 THEN '20260201000000'
                 ELSE '20260101000000' END AS ts,
