@@ -106,6 +106,187 @@ object VectorExprs {
   def cosineExpr(a: Expression, b: Expression): Expression =
     Divide(VecDot(a, b), Multiply(VecNorm(a), VecNorm(b)))
 
+  /** Sign-bit binary quantization: bit `j` of word `w` is set iff
+    * component `64·w + j` is STRICTLY positive (zeros and negatives
+    * clear — one fixed rule both engines and the oracle share). One
+    * bit per dimension packs a float32 embedding 32×; downstream
+    * scoring is [[HammingDist]]'s popcount scan. */
+  case class BitSign(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bit_sign"
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val f = elemIsFloat(child)
+      val n = x.numElements()
+      val out = new Array[Long]((n + 63) >>> 6)
+      var i = 0
+      while (i < n) {
+        val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+        if (v > 0.0) out(i >>> 6) |= (1L << (i & 63))
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (elemIsFloat(child)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val w = ctx.freshName("w")
+        s"""
+          int $n = $a.numElements();
+          long[] $w = new long[($n + 63) >>> 6];
+          for (int $i = 0; $i < $n; $i++) {
+            if ((double) $a.$get($i) > 0.0) $w[$i >>> 6] |= (1L << ($i & 63));
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($w);
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Hamming distance between two packed sign-bit signatures
+    * ([[BitSign]]'s output): Σ popcount(a_w XOR b_w). Signatures of
+    * different widths raise — a silent zero-extension would understate
+    * distances between vectors that were never comparable. The hot
+    * pair-scoring loop of the binary ANN scan, kept in codegen. */
+  case class HammingDist(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "hamming_dist"
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) throw new IllegalArgumentException(
+        s"hamming_dist: signature widths differ ($n vs ${y.numElements()} words)")
+      var d = 0
+      var i = 0
+      while (i < n) {
+        d += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+        i += 1
+      }
+      d
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        s"""
+          if ($a.numElements() != $b.numElements())
+            throw new IllegalArgumentException("hamming_dist: signature widths differ ("
+              + $a.numElements() + " vs " + $b.numElements() + " words)");
+          int $d = 0;
+          for (int $i = 0; $i < $a.numElements(); $i++) {
+            $d += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+          }
+          ${ev.value} = $d;
+        """
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  /** exact integer dot of two int-code arrays ([[Sq8Encode]]'s output):
+    * Σ a_i·b_i as a long — every term is ≤ 127² so the sum is exact at
+    * any realistic dimensionality, and the oracle replays it as plain
+    * integer SQL. Same min-length fold contract as [[VecDot]]. */
+  case class VecIDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_idot"
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += x.getInt(i).toLong * y.getInt(i)
+        i += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          long ${ev.value}_acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            ${ev.value}_acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+          }
+          ${ev.value} = ${ev.value}_acc;
+        """
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  /** Per-vector int8 scalar quantization (the Faiss SQ8 shape): with
+    * s = max_i |v_i|, code_i = floor(127·v_i/s + 0.5) ∈ [−127, 127] —
+    * explicit floor(x + 0.5) so Spark and the SQL oracle round
+    * identically (round() half-away vs Math.round half-up disagree on
+    * negative halves). An all-zero vector codes to all zeros. Codes
+    * ride as array<int>: the quantization's 4× memory cut is real at
+    * rest (parquet byte-packs the small ints) while integer reads keep
+    * the scoring loop ([[VecIDot]]) and the oracle replay trivial. */
+  case class Sq8Encode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "sq8_encode"
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val f = elemIsFloat(child)
+      val n = x.numElements()
+      var mx = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+        val av = if (v < 0.0) -v else v
+        if (av > mx) mx = av
+        i += 1
+      }
+      val out = new Array[Int](n)
+      if (mx > 0.0) {
+        i = 0
+        while (i < n) {
+          val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+          out(i) = java.lang.Math.floor(v * 127.0 / mx + 0.5).toInt
+          i += 1
+        }
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (elemIsFloat(child)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val mx = ctx.freshName("mx")
+        val v = ctx.freshName("v")
+        val out = ctx.freshName("out")
+        s"""
+          int $n = $a.numElements();
+          double $mx = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $v = (double) $a.$get($i);
+            if ($v < 0.0) $v = -$v;
+            if ($v > $mx) $mx = $v;
+          }
+          int[] $out = new int[$n];
+          if ($mx > 0.0) {
+            for (int $i = 0; $i < $n; $i++) {
+              $out[$i] = (int) java.lang.Math.floor(
+                (double) $a.$get($i) * 127.0 / $mx + 0.5);
+            }
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** 64-bit SimHash over an array of token strings (xxhash64 seed 42,
     * matching Spark's `xxhash64` builtin bit-for-bit). One pass per row. */
   case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -417,6 +598,18 @@ object VectorExprs {
 
   def vec_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(cosineExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def bit_sign(vec: Column): Column =
+    ColumnBridge.column(BitSign(ColumnBridge.expression(vec)))
+
+  def hamming_dist(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vec_idot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecIDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sq8_encode(vec: Column): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec)))
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))

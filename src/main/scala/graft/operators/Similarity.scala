@@ -169,4 +169,68 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** sign-bit signature column ([[graft.functions.VectorExprs.BitSign]]):
+    * 1 bit per dimension packed into longs — the 32× compression step
+    * binary ANN scans and Hamming near-dup banding both start from */
+  def signBits(vec: Column): Column = graft.functions.VectorExprs.bit_sign(vec)
+
+  /** Binary-quantized exact-Hamming top-k: both sides sign-quantize
+    * map-only (1 bit/dim — a 64-dim float32 corpus becomes ONE long
+    * per row), queries broadcast, and the scan scores popcount-XOR in
+    * codegen with no shuffle of the corpus; only the per-query top-k
+    * window moves (tiny) scored pairs. The memory-floor member of the
+    * ANN family next to IVF and PQ: at 100 TB the signature column is
+    * 1/32 the footprint of the vectors and the scoring loop is two
+    * machine instructions per word. Ties break (ham ASC,
+    * neighbor_id ASC); self-matches excluded. */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), signBits(col(vecCol)).as("__qs")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), signBits(col(vecCol)).as("__cs"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExprs.hamming_dist(col("__qs"), col("__cs")).as("ham"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("ham"))
+  }
+
+  /** int8 code column ([[graft.functions.VectorExprs.Sq8Encode]]):
+    * per-vector scalar quantization, codes in [−127, 127] */
+  def sq8Codes(vec: Column): Column = graft.functions.VectorExprs.sq8_encode(vec)
+
+  /** Scalar-quantized top-k (the Faiss SQ8 shape): both sides quantize
+    * to int8 codes map-only, queries broadcast, and ranking uses the
+    * EXACT integer dot of the codes — every arithmetic step is integer,
+    * so the result is bit-deterministic and the oracle replays it as
+    * plain SQL. Symmetric scoring (codes × codes) keeps the whole scan
+    * off floats; the 4× memory cut is what lets a 100 TB vector corpus
+    * stay scan-resident. Ties break (idot DESC, neighbor_id ASC);
+    * self-matches excluded. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), sq8Codes(col(vecCol)).as("__qc")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), sq8Codes(col(vecCol)).as("__cc"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExprs.vec_idot(col("__qc"), col("__cc")).as("idot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("idot"))
+  }
 }

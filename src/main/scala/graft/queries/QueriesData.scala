@@ -514,6 +514,26 @@ object QueriesData {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ---- binary ANN: sign-bit signatures (1 bit/dim, packed longs)
+    // + exact popcount-XOR Hamming, the memory-floor member of the
+    // family. The oracle recomputes each pair's Hamming straight from
+    // the float signs — an independent check of the packing kernel.
+    "q_ann_hamming_topk" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    // ---- SQ8 ANN: per-vector int8 scalar quantization scored by the
+    // EXACT integer dot of the codes — all-integer ranking, replayed
+    // by the oracle as plain SQL.
+    "q_ann_sq8_topk" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- SemDeDup (Abbas et al. 2023): k-means cells bound the
     // pairwise work; within a cell a row is dropped iff a lower-id row
     // sits at cosine ≥ τ. Bounded slice: at scale k grows with n (cells
@@ -3454,6 +3474,47 @@ object QueriesData {
                                ORDER BY cos DESC, neighbor_id ASC) AS rk
           FROM scored)
         SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // Hamming recomputed from the float signs (strictly-positive rule)
+    // rather than from packed words — an independent check of BitSign
+    "q_ann_hamming_topk" ->
+      """WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(len(list_filter(list_zip(q.embedding, c.embedding),
+              x -> (x[1] > 0) <> (x[2] > 0))) AS INTEGER) AS ham
+          FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (SELECT query_id, neighbor_id, ham,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY ham ASC, neighbor_id ASC) AS rk
+          FROM scored)
+        SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, ham
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // the quantizer replayed verbatim: floor(127·x/max|x| + 0.5), then
+    // the exact integer dot — every step integer or bit-reproducible
+    "q_ann_sq8_topk" ->
+      """WITH mx AS (
+          SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(x))) AS m
+          FROM embeddings),
+        codes AS (
+          SELECT vec_id,
+            CASE WHEN m > 0 THEN list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127 / CAST(m AS DOUBLE)
+                     + 0.5) AS INTEGER))
+              ELSE list_transform(embedding, x -> CAST(0 AS INTEGER)) END AS code
+          FROM mx),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(list_sum(list_transform(list_zip(q.code, c.code),
+              x -> x[1] * x[2])) AS BIGINT) AS idot
+          FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (SELECT query_id, neighbor_id, idot,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY idot DESC, neighbor_id ASC) AS rk
+          FROM scored)
+        SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, idot
         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
     // md5 over VARCHAR hashes its UTF-8 bytes == the binary payload
     // (payload is the UTF-8 encoding of text)

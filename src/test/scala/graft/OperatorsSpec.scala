@@ -223,6 +223,94 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sign-bit packing: strict positivity, word boundaries, width guard") {
+    import spark.implicits._
+    import graft.functions.VectorExprs
+    // 66 dims: positives at 0, 63 (word-0 edges), 64, 65 (word 1);
+    // zero and negatives must clear
+    val v = Array.fill(66)(-1.0f)
+    v(0) = 0.5f; v(63) = 1e-30f; v(64) = 2.0f; v(65) = 0.1f; v(1) = 0.0f
+    val out = Seq(Tuple1(v.toSeq)).toDF("e")
+      .select(VectorExprs.bit_sign($"e")).collect()(0).getSeq[Long](0)
+    assert(out == Seq((1L << 0) | (1L << 63), (1L << 0) | (1L << 1)))
+    // Hamming over packed words == sign-mismatch count from the floats
+    val a = Array.tabulate(130)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val b = Array.tabulate(130)(i => if (i % 5 == 0) 1.0f else -1.0f)
+    val expect = (0 until 130).count(i => (a(i) > 0) != (b(i) > 0))
+    val ham = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(VectorExprs.hamming_dist(
+        VectorExprs.bit_sign($"a"), VectorExprs.bit_sign($"b")))
+      .collect()(0).getInt(0)
+    assert(ham == expect)
+    // differing signature widths raise rather than zero-extend
+    val err = intercept[Exception] {
+      Seq((Seq(1.0f, -1.0f), Seq(1.0f, -1.0f, 1.0f, 0f, 0f, 0f).padTo(65, 0f)))
+        .toDF("a", "b")
+        .select(VectorExprs.hamming_dist(
+          VectorExprs.bit_sign($"a"), VectorExprs.bit_sign($"b"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("sq8 quantization: floor(x+0.5) rounding, zero vector, interpreted==codegen") {
+    import spark.implicits._
+    import graft.functions.VectorExprs
+    // mx = 1.0; -0.5 codes to floor(-63.5 + 0.5) = -63, NOT half-away's -64
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, -0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "e")
+    val codes = df.select($"id", VectorExprs.sq8_encode($"e").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == Seq(127, -127, 64, -63, 0))
+    assert(codes(2L) == Seq(0, 0, 0, 0, 0))
+    // interpreted eval agrees with the codegen'd DataFrame path
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal => L}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val lit = L.create(Array(1.0f, -1.0f, 0.5f, -0.5f, 0.0f),
+      ArrayType(FloatType, containsNull = false))
+    val interp = VectorExprs.Sq8Encode(lit).eval(null)
+      .asInstanceOf[ArrayData].toIntArray.toSeq
+    assert(interp == codes(1L))
+    // exact integer dot matches a driver-side reference
+    val idot = Seq((Seq(127, -127, 64, -63, 0), Seq(100, 50, -3, 7, 9)))
+      .toDF("a", "b").select(VectorExprs.vec_idot($"a", $"b"))
+      .collect()(0).getLong(0)
+    assert(idot == 127L * 100 - 127L * 50 - 64L * 3 - 63L * 7)
+  }
+
+  test("hamming / sq8 top-k: k rows per query, self excluded, agree with direct reference") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val hk = Similarity.hammingTopK(emb, queries, "vec_id", "embedding", k = 4).collect()
+    assert(hk.length == 12)
+    assert(!hk.exists(r => r.getLong(0) == r.getLong(2)))
+    // reference: sign-mismatch counts computed on the driver
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def hamRef(a: Array[Float], b: Array[Float]): Int =
+      a.indices.count(i => (a(i) > 0) != (b(i) > 0))
+    hk.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val got = rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getInt(3))).toSeq
+      val want = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, hamRef(all(q), v)) }
+        .sortBy { case (id, d) => (d, id) }.take(4)
+      assert(got == want, s"query $q")
+    }
+    val sk = Similarity.sq8TopK(emb, queries, "vec_id", "embedding", k = 4).collect()
+    assert(sk.length == 12 && !sk.exists(r => r.getLong(0) == r.getLong(2)))
+    sk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val dots = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(dots.sameElements(dots.sorted.reverse))
+    }
+    // the pair-scoring stage is codegen kernels, not UDFs or HOFs
+    val plan = Similarity.hammingTopK(emb, queries, "vec_id", "embedding", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("transform("),
+      s"binary ANN scan must codegen:\n$plan")
+  }
+
   test("IVF ANN: deterministic centroids, bounded probes, high recall on clustered data") {
     import spark.implicits._
     // 3 well-separated clusters of 60 vectors each
