@@ -103,8 +103,9 @@ object Dedup {
       .distinct()
   }
 
-  /** window-count cap: keep rows whose bucket has ≤ max members */
-  private def capBuckets(df: DataFrame, keys: Seq[String], max: Int): DataFrame =
+  /** window-count cap: keep rows whose bucket has ≤ max members
+    * (shared with [[Similarity]]'s banded signature joins) */
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String], max: Int): DataFrame =
     if (max <= 0) df
     else {
       import org.apache.spark.sql.expressions.Window

@@ -203,6 +203,54 @@ object Similarity {
         col("neighbor_id"), col("ham"))
   }
 
+  /** All embedding pairs whose SIGN-BIT signatures differ in at most
+    * `maxDist` bits — [[Dedup.hashCandidates]]'s banded-Hamming shape
+    * generalized from one 64-bit sketch to multi-word [[signBits]]
+    * signatures: each word splits into `64/bandBits` sub-bands, pairs
+    * sharing any (band, key) bucket join, and the exact codegen
+    * [[graft.functions.VectorExprs.HammingDist]] verifies. Pigeonhole
+    * recall is COMPLETE when the band count exceeds `maxDist` (more
+    * bands than flipped bits → some band survives intact) — a row
+    * whose signature is too narrow for that guarantee raises rather
+    * than silently under-recalling. Narrow bands widen recall but
+    * coarsen buckets (a `bandBits`-bit key has 2^bandBits values):
+    * `maxBucket` caps the degenerate ones, the
+    * [[Dedup.minhashCandidates]] stance. Never all-pairs — one
+    * (band, key) shuffle bounds the work at any corpus size. */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      maxDist: Int, bandBits: Int = 4, maxBucket: Int = 0): DataFrame = {
+    require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bandBits),
+      s"hammingNearDupPairs: bandBits must divide 64, got $bandBits")
+    require(maxDist >= 0, s"hammingNearDupPairs: maxDist must be >= 0, got $maxDist")
+    val perWord = 64 / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val sigs = df.select(col(idCol),
+      when(size(graft.functions.VectorExprs.bit_sign(col(vecCol))) * perWord <= maxDist,
+          raise_error(concat(
+            lit(s"hammingNearDupPairs: maxDist=$maxDist needs more than "),
+            size(graft.functions.VectorExprs.bit_sign(col(vecCol))) * perWord,
+            lit(s" bands for complete recall — lower bandBits ($bandBits) or maxDist"))))
+        .otherwise(graft.functions.VectorExprs.bit_sign(col(vecCol))).as("__sig"))
+    val banded = sigs
+      .select(col(idCol), col("__sig"),
+        posexplode(col("__sig")).as(Seq("__w", "__word")))
+      .select(col(idCol), col("__sig"),
+        explode(array((0 until perWord).map(s =>
+          struct((col("__w") * perWord + s).as("band"),
+            shiftrightunsigned(col("__word"), s * bandBits)
+              .bitwiseAND(mask).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("__sig"), col("bk.band"), col("bk.key"))
+    val capped = Dedup.capBuckets(banded, Seq("band", "key"), maxBucket)
+    val a = capped.toDF(s"a_$idCol", "a_sig", "band", "key")
+    val b = capped.toDF(s"b_$idCol", "b_sig", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        graft.functions.VectorExprs.hamming_dist(col("a_sig"), col("b_sig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** int8 code column ([[graft.functions.VectorExprs.Sq8Encode]]):
     * per-vector scalar quantization, codes in [−127, 127] */
   def sq8Codes(vec: Column): Column = graft.functions.VectorExprs.sq8_encode(vec)

@@ -533,6 +533,15 @@ object QueriesData {
         "vec_id", "embedding", k = 5)
         .orderBy(col("query_id"), col("rk"))
     },
+    // ---- banded-Hamming near-dup pairs over sign-bit signatures:
+    // 4-bit bands give 16 bands over 64 dims, so recall is COMPLETE
+    // for maxDist 15 (pigeonhole) and the closed-form oracle needs no
+    // banding replay — the full pairwise filter IS the answer.
+    "q_hamming_neardup" -> { (s, dir) =>
+      Similarity.hammingNearDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", maxDist = 15, bandBits = 4)
+        .orderBy(col("a_vec_id"), col("b_vec_id"))
+    },
 
     // ---- SemDeDup (Abbas et al. 2023): k-means cells bound the
     // pairwise work; within a cell a row is dropped iff a lower-id row
@@ -3516,6 +3525,15 @@ object QueriesData {
           FROM scored)
         SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, idot
         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // complete pigeonhole recall at maxDist 15 with 16 bands means the
+    // oracle is just the exact pairwise sign-mismatch filter
+    "q_hamming_neardup" ->
+      """SELECT a_vec_id, b_vec_id, dist FROM (
+          SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+            CAST(len(list_filter(list_zip(a.embedding, b.embedding),
+              x -> (x[1] > 0) <> (x[2] > 0))) AS INTEGER) AS dist
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE dist <= 15 ORDER BY a_vec_id, b_vec_id""",
     // md5 over VARCHAR hashes its UTF-8 bytes == the binary payload
     // (payload is the UTF-8 encoding of text)
     "q_multimodal_decode" ->

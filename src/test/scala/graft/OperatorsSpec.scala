@@ -311,6 +311,37 @@ class OperatorsSpec extends AnyFunSuite {
       s"binary ANN scan must codegen:\n$plan")
   }
 
+  test("banded hamming near-dup: equals brute force within the recall bound, guard is loud") {
+    import spark.implicits._
+    // planted structure: 0/1 twins (flip 2 signs), 2/3 twins (flip 5),
+    // the rest random-ish far vectors
+    val rnd = new scala.util.Random(3)
+    def vec(): Array[Float] = Array.fill(96)(rnd.nextFloat() - 0.5f)
+    val base = vec(); val twin = base.clone(); twin(7) = -base(7); twin(70) = -base(70)
+    val b2 = vec(); val t2 = b2.clone()
+    Seq(1, 20, 40, 65, 90).foreach(i => t2(i) = -b2(i))
+    val rows = Seq(0L -> base, 1L -> twin, 2L -> b2, 3L -> t2) ++
+      (4L until 40L).map(_ -> vec())
+    val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("id", "e")
+    val got = Similarity.hammingNearDupPairs(df, "id", "e", maxDist = 8, bandBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // brute force over signs on the driver
+    val all = rows.toMap
+    val want = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      d = all(a).indices.count(i => (all(a)(i) > 0) != (all(b)(i) > 0))
+      if d <= 8
+    } yield (a, b, d)).sorted
+    assert(got == want)
+    assert(got.contains((0L, 1L, 2)) && got.contains((2L, 3L, 5)))
+    // 96 dims → 2 words; bandBits=64 gives 2 bands, too narrow for
+    // maxDist 8 — must raise, not under-recall
+    val err = intercept[Exception] {
+      Similarity.hammingNearDupPairs(df, "id", "e", maxDist = 8, bandBits = 64).collect()
+    }
+    assert(err.getMessage.contains("bands"), err.getMessage)
+  }
+
   test("IVF ANN: deterministic centroids, bounded probes, high recall on clustered data") {
     import spark.implicits._
     // 3 well-separated clusters of 60 vectors each
