@@ -321,6 +321,23 @@ object GraftFunctions {
     // whole-token text match — the indexable full-text predicate
     r.createOrReplaceTempFunction("token_match", es =>
       TextExprs.TokenMatch(es(0), es(1)), "built-in")
+    // vector/similarity kernels — the same codegen expressions the
+    // Similarity operators compose, reachable from SQL text and the
+    // JSON DSL's expression surface
+    r.createOrReplaceTempFunction("vec_dot", es =>
+      VectorExprs.VecDot(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_norm", es =>
+      VectorExprs.VecNorm(es.head), "built-in")
+    r.createOrReplaceTempFunction("vec_cosine", es =>
+      VectorExprs.cosineExpr(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("bit_sign", es =>
+      VectorExprs.BitSign(es.head), "built-in")
+    r.createOrReplaceTempFunction("hamming_dist", es =>
+      VectorExprs.HammingDist(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("sq8_encode", es =>
+      VectorExprs.Sq8Encode(es.head), "built-in")
+    r.createOrReplaceTempFunction("vec_idot", es =>
+      VectorExprs.VecIDot(es(0), es(1)), "built-in")
     // crawl-frontier URL hygiene: SQL-text templates over built-ins,
     // parsed per resolution and spliced over the argument — the
     // analyzer resolves the nested calls to fixpoint (a Column

@@ -203,6 +203,55 @@ object Similarity {
         col("neighbor_id"), col("ham"))
   }
 
+  /** Two-stage Matryoshka-style retrieval (Kusupati et al. 2022,
+    * arXiv:2205.13147 — MRL embeddings carry their coarse
+    * representation as a PREFIX): stage 1 scans only the first
+    * `prefixDims` components (at scale that truncated column is
+    * materialized separately, so the coarse scan reads prefixDims/d of
+    * the bytes) and keeps the top `m` candidates per query; stage 2
+    * reranks exactly over the full vectors, joining the tiny
+    * candidate set BACK into the corpus as a broadcast — the corpus is
+    * never shuffled in either stage. `roundCos ≥ 0` rounds BOTH
+    * stages' scores before ranking so replays agree at boundaries;
+    * ties break toward the lower neighbor id in both stages. */
+  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, prefixDims: Int, m: Int,
+      roundCos: Int = -1): DataFrame = {
+    require(prefixDims >= 1,
+      s"prefixRerankTopK: prefixDims must be >= 1, got $prefixDims")
+    require(m >= k,
+      s"prefixRerankTopK: rerank pool m=$m must be >= k=$k")
+    import org.apache.spark.sql.expressions.Window
+    def rounded(c: Column): Column = if (roundCos >= 0) round(c, roundCos) else c
+    val qPre = broadcast(queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, prefixDims).as("__qp")))
+    val coarse = corpus
+      .select(col(idCol).as("neighbor_id"),
+        slice(col(vecCol), 1, prefixDims).as("__cp"))
+      .crossJoin(qPre)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rounded(cosine(col("__qp"), col("__cp"))).as("__ccos"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("neighbor_id").asc)
+    val cands = coarse.withColumn("__crk", row_number().over(wc))
+      .filter(col("__crk") <= m)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val exact = broadcast(cands)
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        rounded(cosine(col("__qv"), col("__cv"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** All embedding pairs whose SIGN-BIT signatures differ in at most
     * `maxDist` bits — [[Dedup.hashCandidates]]'s banded-Hamming shape
     * generalized from one 64-bit sketch to multi-word [[signBits]]

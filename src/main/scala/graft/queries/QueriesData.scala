@@ -533,6 +533,16 @@ object QueriesData {
         "vec_id", "embedding", k = 5)
         .orderBy(col("query_id"), col("rk"))
     },
+    // ---- Matryoshka prefix rerank: coarse top-m on the first 16
+    // dims (the separately-materializable truncated column), exact
+    // rerank of the candidates over all 64 — the corpus is never
+    // shuffled in either stage. Rounded-before-rank both stages.
+    "q_ann_prefix_rerank" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.prefixRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, prefixDims = 16, m = 25, roundCos = 6)
+        .orderBy(col("query_id"), col("rk"))
+    },
     // ---- banded-Hamming near-dup pairs over sign-bit signatures:
     // 4-bit bands give 16 bands over 64 dims, so recall is COMPLETE
     // for maxDist 15 (pigeonhole) and the closed-form oracle needs no
@@ -3524,6 +3534,27 @@ object QueriesData {
                                ORDER BY idot DESC, neighbor_id ASC) AS rk
           FROM scored)
         SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, idot
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // both stages replayed: 16-dim coarse cosine → top-25 pool →
+    // 64-dim exact rerank, identical rounding and tie-breaks
+    "q_ann_prefix_rerank" ->
+      s"""WITH qs AS (SELECT * FROM embeddings WHERE vec_id < 10),
+        coarse AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(${cosSqlDim(16)}, 6) AS ccos
+          FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ccos DESC, neighbor_id ASC) AS crk
+            FROM coarse) WHERE crk <= 25),
+        exact AS (SELECT s.query_id, s.neighbor_id, round($cosSql, 6) AS cos
+          FROM cand s JOIN embeddings q ON q.vec_id = s.query_id
+                      JOIN embeddings c ON c.vec_id = s.neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM exact)
+        SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos
         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
     // complete pigeonhole recall at maxDist 15 with 16 bands means the
     // oracle is just the exact pairwise sign-mismatch filter

@@ -311,6 +311,51 @@ class OperatorsSpec extends AnyFunSuite {
       s"binary ANN scan must codegen:\n$plan")
   }
 
+  test("prefix rerank: full pool equals brute force; both stages broadcast; guards loud") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    // m = everything → the rerank pool is the whole corpus, so the
+    // result must equal exact brute force bit-for-bit
+    val pr = Similarity.prefixRerankTopK(emb, queries, "vec_id", "embedding",
+        k = 4, prefixDims = 16, m = 499).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(pr == bf)
+    // a small pool still returns k rows per query and every neighbor
+    // must come from the coarse top-m (pool containment)
+    val smallK = Similarity.prefixRerankTopK(emb, queries, "vec_id", "embedding",
+      k = 4, prefixDims = 16, m = 8)
+    assert(smallK.count() == 12)
+    // neither stage shuffles the corpus: the only exchanges feed the
+    // per-query windows, every join is broadcast
+    val plan = smallK.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$plan")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.prefixRerankTopK(emb, queries, "vec_id", "embedding",
+        k = 10, prefixDims = 16, m = 5)
+    }.getMessage.contains("m=5"))
+  }
+
+  test("vector kernels resolve through their SQL registration") {
+    val row = spark.sql(
+      """SELECT
+           vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+           round(vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)), 9) AS c,
+           bit_sign(array(1.0F, -1.0F, 0.5F)) AS s,
+           hamming_dist(bit_sign(array(1.0F, -1.0F)), bit_sign(array(-1.0F, 1.0F))) AS h,
+           sq8_encode(array(1.0F, -0.5F)) AS q,
+           vec_idot(array(3, -2), array(10, 10)) AS i""").collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getDouble(1) == 1.0)
+    assert(row.getSeq[Long](2) == Seq((1L << 0) | (1L << 2)))
+    assert(row.getInt(3) == 2)
+    assert(row.getSeq[Int](4) == Seq(127, -63))
+    assert(row.getLong(5) == 10L)
+  }
+
   test("banded hamming near-dup: equals brute force within the recall bound, guard is loud") {
     import spark.implicits._
     // planted structure: 0/1 twins (flip 2 signs), 2/3 twins (flip 5),
