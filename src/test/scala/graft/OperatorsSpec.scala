@@ -2421,6 +2421,66 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized ANN kernels randomized: pack/hamming/sq8/idot equal references over 200 fixtures (r14)") {
+    import spark.implicits._
+    import graft.functions.VectorExprs
+    val rnd = new scala.util.Random(20260816L)
+    def mkVal(): Float = rnd.nextInt(6) match {
+      case 0 => 0.0f
+      case 1 => -0.0f
+      case 2 => (rnd.nextFloat() - 0.5f) * 1e-20f // denormal-ish tiny
+      case 3 => (rnd.nextFloat() - 0.5f) * 1e20f
+      case _ => rnd.nextFloat() - 0.5f
+    }
+    val fixtures = (1 to 200).map { id =>
+      val dims = 1 + rnd.nextInt(140) // crosses 1- and 2-word boundaries
+      (id.toLong, Array.fill(dims)(mkVal()).toSeq, Array.fill(dims)(mkVal()).toSeq)
+    }
+    // scala references, stated independently of the kernels
+    def packRef(v: Seq[Float]): Seq[Long] = {
+      val out = new Array[Long]((v.length + 63) / 64)
+      v.zipWithIndex.foreach { case (x, i) => if (x > 0) out(i / 64) |= (1L << (i % 64)) }
+      out.toSeq
+    }
+    def hamRef(a: Seq[Float], b: Seq[Float]): Int =
+      a.indices.count(i => (a(i) > 0) != (b(i) > 0))
+    def sq8Ref(v: Seq[Float]): Seq[Int] = {
+      val mx = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      if (mx == 0.0) Seq.fill(v.length)(0)
+      else v.map(x => math.floor(x.toDouble * 127.0 / mx + 0.5).toInt)
+    }
+    // one job for all trials — the kernels run on the codegen path
+    val got = fixtures.toDF("id", "a", "b")
+      .select($"id",
+        VectorExprs.bit_sign($"a").as("pa"),
+        VectorExprs.hamming_dist(
+          VectorExprs.bit_sign($"a"), VectorExprs.bit_sign($"b")).as("h"),
+        VectorExprs.sq8_encode($"a").as("qa"),
+        VectorExprs.vec_idot(
+          VectorExprs.sq8_encode($"a"), VectorExprs.sq8_encode($"b")).as("i"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getInt(2), r.getSeq[Int](3), r.getLong(4))).toMap
+    fixtures.foreach { case (id, a, b) =>
+      val (pa, h, qa, idot) = got(id)
+      assert(pa == packRef(a), s"trial $id pack")
+      assert(h == hamRef(a, b), s"trial $id hamming")
+      assert(qa == sq8Ref(a), s"trial $id sq8")
+      val want = sq8Ref(a).zip(sq8Ref(b)).map { case (x, y) => x.toLong * y }.sum
+      assert(idot == want, s"trial $id idot")
+      // interpreted path spot-check every 20th trial
+      if (id % 20 == 0) {
+        import org.apache.spark.sql.catalyst.expressions.{Literal => L}
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types._
+        val lit = L.create(a.toArray, ArrayType(FloatType, containsNull = false))
+        assert(VectorExprs.BitSign(lit).eval(null)
+          .asInstanceOf[ArrayData].toLongArray.toSeq == packRef(a), s"trial $id interp pack")
+        assert(VectorExprs.Sq8Encode(lit).eval(null)
+          .asInstanceOf[ArrayData].toIntArray.toSeq == sq8Ref(a), s"trial $id interp sq8")
+      }
+    }
+  }
+
   test("unigram: Viterbi DP equals brute-force enumeration on randomized vocab/word fixtures (r14)") {
     import spark.implicits._
     import graft.operators.Unigram
