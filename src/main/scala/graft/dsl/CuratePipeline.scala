@@ -141,7 +141,7 @@ object CuratePipeline {
     }
     val mapOnly = Set("url_filter", "html_extract", "normalize", "c4_clean",
       "gopher_filter", "pii_redact", "stratified_sample", "image_hash",
-      "audio_hash", "embed_text")
+      "audio_hash", "embed_text", "sign_hash")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     val in0 = df.localCheckpoint()
     rows += ((0, "input", in0.count()))
@@ -393,6 +393,19 @@ object CuratePipeline {
         df.withColumn(strOr(st, "out_col", "embedding"),
           graft.functions.TextExprs.embed_text(col(textCol),
             str(st, "salt"), int(st, "dim", 64)))
+      case "sign_hash" =>
+        // packs an embedding's SIGN BITS into one 64-bit hash column
+        // (map-only) so a downstream `hash_neardup` dedups on it — the
+        // quantized (training-free) alternative to `semdedup` for
+        // coarse semantic dedup. Dimensions must fit one word; a wider
+        // vector raises rather than silently truncating.
+        val vecCol = str(st, "vec_col")
+        val sig = graft.functions.VectorExprs.bit_sign(col(vecCol))
+        df.withColumn(strOr(st, "out_col", "sign_hash"),
+          when(size(sig) =!= 1, raise_error(concat(
+              lit("sign_hash: vec_col must have 1..64 dimensions, got "),
+              size(col(vecCol)).cast("string"))))
+            .otherwise(element_at(sig, 1)))
       case "semdedup" =>
         // SemDeDup (Abbas et al. 2023) over an embedding column the
         // table already carries (`vec_col`): k-means cells bound the
@@ -434,13 +447,30 @@ object CuratePipeline {
         // near-dup paths reach CURATE TABLE: a decode/hash stage
         // upstream materializes the hash, this stage dedups on it.
         val hashCol = str(st, "hash_col")
-        val pairs = Dedup.hashCandidates(df.select(col(idCol), col(hashCol)),
+        // identical hashes collapse to their min-id REPRESENTATIVE
+        // before banding: a duplicate-heavy corpus (boilerplate media,
+        // near-identical docs) otherwise floods the band buckets
+        // quadratically with rows that are all pairwise distance 0
+        // anyway. The rep carries its group through banding; the
+        // group's non-reps drop unconditionally (distance 0 ≡ same
+        // cluster, and the rep IS the group minimum). Uncapped this is
+        // a pure plan optimization; with max_bucket it is also the
+        // better semantics — dup groups dedup even when their bucket
+        // would have overflowed the cap.
+        val sigs = df.select(col(idCol), col(hashCol))
+        val reps = sigs.groupBy(col(hashCol)).agg(min(col(idCol)).as(idCol))
+          .select(col(idCol), col(hashCol))
+        val pairs = Dedup.hashCandidates(reps,
           idCol, hashCol, maxDist = int(st, "max_dist", 3),
           maxBucket = int(st, "max_bucket", 0))
-        val losers = Dedup.connectedComponents(pairs, s"a_$idCol", s"b_$idCol")
+        // cluster min over reps == cluster min over all members,
+        // because every rep is already its dup group's minimum
+        val repLosers = Dedup.connectedComponents(pairs, s"a_$idCol", s"b_$idCol")
           .filter(col("cluster_id") =!= col("id"))
           .select(col("id").as(idCol))
-        df.join(losers, Seq(idCol), "left_anti")
+        val keptReps = reps.select(col(idCol))
+          .join(repLosers, Seq(idCol), "left_anti")
+        df.join(keptReps, Seq(idCol), "left_semi")
       case "stratified_sample" =>
         Sampling.stratifiedSample(df, str(st, "strata"), idCol,
           str(st, "salt"), rateMap(st, "rates"),

@@ -157,8 +157,11 @@ object Dedup {
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
       .select(col(s"a_$idCol"), col(s"b_$idCol"),
         hamming(col("a_sh"), col("b_sh")).as("dist"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: dist is deterministic per
+      // pair, so the result is identical, but the distinct now moves
+      // only qualifying pairs instead of every band collision
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Near-dup pairs by SHARED-FINGERPRINT count — the exact-match

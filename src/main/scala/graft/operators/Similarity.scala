@@ -296,8 +296,10 @@ object Similarity {
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
       .select(col(s"a_$idCol"), col(s"b_$idCol"),
         graft.functions.VectorExprs.hamming_dist(col("a_sig"), col("b_sig")).as("dist"))
-      .distinct()
+      // verify before the dedup shuffle — the distinct moves only
+      // qualifying pairs, not every band collision
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** int8 code column ([[graft.functions.VectorExprs.Sq8Encode]]):

@@ -2130,6 +2130,24 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- quantized semantic dedup, DSL end-to-end: embed_text →
+    // sign_hash (64 sign bits packed into ONE long, training-free) →
+    // hash_neardup over the packed hash. The cheap alternative to the
+    // k-means semdedup path; the gate pins survivors AND their hash,
+    // so BitSign itself is oracle-checked over the replayed vectors.
+    "q_curate_signdedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val spec = """{"stages": [
+        {"op": "embed_text", "salt": "sign-v1", "dim": 64},
+        {"op": "sign_hash", "vec_col": "embedding", "out_col": "sign_hash"},
+        {"op": "hash_neardup", "hash_col": "sign_hash", "max_dist": 1}
+      ]}"""
+      graft.dsl.CuratePipeline.compile(docs, spec)
+        .select(col("doc_id"), col("sign_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- RAG-ingest curation (r11): the shape-changing `chunk` stage
     // chained after a quality gate — docs that pass Gopher become
     // sliding-window chunks (64 tokens, 16 overlap), passengers
@@ -5432,6 +5450,37 @@ object QueriesData {
         ORDER BY source, seq_id""",
     // embed replay (exact-integer sums → bit-identical floats) feeding
     // the IVF-assignment + within-cell threshold-join semdedup replay
+    // embed replay → HUGEINT sign packing (two's-complemented to the
+    // engine's signed long) → banded pairs → CC min-label survivors
+    "q_curate_signdedup" ->
+      s"""WITH RECURSIVE src AS (SELECT doc_id, text FROM documents),
+        ${embedCtes("src", "sign-v1", 64)},
+        hs AS (SELECT vec_id AS doc_id,
+            CAST(CASE WHEN s >= 9223372036854775808
+                 THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS sign_hash
+          FROM (SELECT vec_id, list_sum(list_transform(range(1, 65), i ->
+              CASE WHEN embedding[CAST(i AS INT)] > 0
+                THEN CAST(1 AS HUGEINT) << CAST(i - 1 AS INT)
+                ELSE CAST(0 AS HUGEINT) END)) AS s FROM emb)),
+        banded AS (SELECT doc_id, sign_hash, b AS band,
+            (sign_hash >> (b * 16)) & 65535 AS key
+          FROM hs, unnest([0, 1, 2, 3]) t(b)),
+        pairs AS (SELECT a, b FROM (
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+              bit_count(xor(a.sign_hash, b.sign_hash)) AS dist
+            FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+            WHERE a.doc_id < b.doc_id) WHERE dist <= 1),
+        edges AS (SELECT a AS eid, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT eid, eid FROM edges
+          UNION
+          SELECT e.dst, r.r FROM edges e JOIN reach r ON e.eid = r.id),
+        clus AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT h.doc_id, h.sign_hash
+        FROM hs h LEFT JOIN clus c ON h.doc_id = c.id
+        WHERE c.id IS NULL OR c.cluster_id = h.doc_id
+        ORDER BY h.doc_id""",
     "q_curate_embed_semdedup" ->
       s"""WITH src AS (SELECT doc_id, lang, source, text FROM documents),
         ${embedCtes("src", "emb-v1", 16)},

@@ -394,6 +394,39 @@ class EngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0L)
   }
 
+  test("curate sign_hash stage: packs signs, dedups identical docs, wide vector is loud") {
+    import spark.implicits._
+    import graft.dsl.CuratePipeline
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon common words here today"),
+      (2L, "alpha beta gamma delta epsilon common words here today"), // exact twin
+      (3L, "completely different content about other topics entirely now"))
+      .toDF("doc_id", "text")
+    val out = CuratePipeline.compile(docs,
+      """{"stages": [
+        {"op": "embed_text", "salt": "s1", "dim": 64},
+        {"op": "sign_hash", "vec_col": "embedding"},
+        {"op": "hash_neardup", "hash_col": "sign_hash", "max_dist": 0}
+      ]}""").select($"doc_id", $"sign_hash").orderBy("doc_id").collect()
+    // identical docs share the hash → cluster keeps the min id
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the packed hash equals the sign bits of the embedding directly
+    val direct = docs.filter($"doc_id" === 1L)
+      .select(graft.functions.VectorExprs.bit_sign(
+        graft.functions.TextExprs.embed_text($"text", "s1", 64)))
+      .collect()(0).getSeq[Long](0)
+    assert(out(0).getLong(1) == direct.head)
+    // > 64 dims cannot pack into one word — loud, not truncated
+    val e = intercept[Exception] {
+      CuratePipeline.compile(docs,
+        """{"stages": [
+          {"op": "embed_text", "salt": "s1", "dim": 128},
+          {"op": "sign_hash", "vec_col": "embedding"}
+        ]}""").collect()
+    }
+    assert(e.getMessage.contains("1..64"), e.getMessage)
+  }
+
   test("curate pipeline DSL: stages compose in order and preserve passengers") {
     import spark.implicits._
     import graft.dsl.CuratePipeline
