@@ -195,8 +195,11 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorExprs.hamming_dist(col("__qs"), col("__cs")).as("ham"))
+    // asc_nulls_last: a null embedding scores a null distance and must
+    // sink, not take rank 1 (plain asc sorts nulls FIRST) — the same
+    // stance bruteForceTopK gets for free from desc ordering
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("ham").asc, col("neighbor_id").asc)
+      .orderBy(col("ham").asc_nulls_last, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk").cast(LongType).as("rk"),
