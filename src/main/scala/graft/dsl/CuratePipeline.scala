@@ -457,8 +457,13 @@ object CuratePipeline {
         // a pure plan optimization; with max_bucket it is also the
         // better semantics — dup groups dedup even when their bucket
         // would have overflowed the cap.
+        // a NULL hash means "hash unknown", not "hash equal": null rows
+        // never band (null keys drop from the equi-join) and must all
+        // survive — grouping them would collapse unknowns into one
+        // spurious dup group
         val sigs = df.select(col(idCol), col(hashCol))
-        val reps = sigs.groupBy(col(hashCol)).agg(min(col(idCol)).as(idCol))
+        val reps = sigs.filter(col(hashCol).isNotNull)
+          .groupBy(col(hashCol)).agg(min(col(idCol)).as(idCol))
           .select(col(idCol), col(hashCol))
         val pairs = Dedup.hashCandidates(reps,
           idCol, hashCol, maxDist = int(st, "max_dist", 3),
@@ -468,9 +473,10 @@ object CuratePipeline {
         val repLosers = Dedup.connectedComponents(pairs, s"a_$idCol", s"b_$idCol")
           .filter(col("cluster_id") =!= col("id"))
           .select(col("id").as(idCol))
-        val keptReps = reps.select(col(idCol))
+        val keptIds = reps.select(col(idCol))
           .join(repLosers, Seq(idCol), "left_anti")
-        df.join(keptReps, Seq(idCol), "left_semi")
+          .unionByName(sigs.filter(col(hashCol).isNull).select(col(idCol)))
+        df.join(keptIds, Seq(idCol), "left_semi")
       case "stratified_sample" =>
         Sampling.stratifiedSample(df, str(st, "strata"), idCol,
           str(st, "salt"), rateMap(st, "rates"),

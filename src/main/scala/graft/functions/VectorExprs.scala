@@ -27,6 +27,17 @@ object VectorExprs {
       s"expected array<float|double>, got ${other.simpleString}")
   }
 
+  /** loud element-type gate for the integer-array kernels: reading an
+    * int slot out of a double array would return garbage, not raise —
+    * these expressions are SQL-registered, so any argument type can
+    * reach them */
+  private def requireElem(e: Expression, t: DataType, fn: String): Unit =
+    e.dataType match {
+      case ArrayType(et, _) if et == t => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected array<${t.simpleString}>, got ${other.simpleString}")
+    }
+
   /** dot(a, b): Σ a_i·b_i in double, left-to-right */
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -155,6 +166,8 @@ object VectorExprs {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "hamming_dist"
     override def nullSafeEval(a: Any, b: Any): Any = {
+      requireElem(left, LongType, prettyName)
+      requireElem(right, LongType, prettyName)
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = x.numElements()
@@ -168,7 +181,9 @@ object VectorExprs {
       }
       d
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      requireElem(left, LongType, prettyName)
+      requireElem(right, LongType, prettyName)
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
         val d = ctx.freshName("d")
@@ -183,6 +198,7 @@ object VectorExprs {
           ${ev.value} = $d;
         """
       })
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(l, r)
   }
@@ -195,6 +211,8 @@ object VectorExprs {
     override def dataType: DataType = LongType
     override def prettyName: String = "vec_idot"
     override def nullSafeEval(a: Any, b: Any): Any = {
+      requireElem(left, IntegerType, prettyName)
+      requireElem(right, IntegerType, prettyName)
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = math.min(x.numElements(), y.numElements())
@@ -206,7 +224,9 @@ object VectorExprs {
       }
       s
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      requireElem(left, IntegerType, prettyName)
+      requireElem(right, IntegerType, prettyName)
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
@@ -219,6 +239,7 @@ object VectorExprs {
           ${ev.value} = ${ev.value}_acc;
         """
       })
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(l, r)
   }

@@ -23,29 +23,49 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.vec_cosine(a, b)
 
-  /** Exact top-k neighbors for each query vector (brute force).
-    * `queries` must be small (it is broadcast); self-matches excluded. */
-  def bruteForceTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+  /** The shared broadcast-scan top-k scaffold under [[bruteForceTopK]],
+    * [[hammingTopK]] and [[sq8TopK]]: each side's row representation is
+    * prepared map-only by `prep` (vector+norm, sign bits, int8 codes),
+    * queries broadcast, every (query, corpus) pair scored, and a
+    * per-query window keeps k. The corpus is never shuffled; only the
+    * (tiny) scored pairs move into the window. Nulls sink in EITHER
+    * rank direction — a null score (e.g. a null embedding) must never
+    * take rank 1. Ties break toward the lower neighbor id. */
+  private def scanTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      prep: Column => Column, score: (Column, Column) => Column,
+      scoreName: String, ascending: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // norms are computed once per row on each side, not once per pair
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm(col(vecCol)).as("__qn")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        norm(col(vecCol)).as("__cn"))
+      col(idCol).as("query_id"), prep(col(vecCol)).as("__q")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), prep(col(vecCol)).as("__c"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cos"))
+        score(col("__q"), col("__c")).as(scoreName))
+    val ord =
+      if (ascending) col(scoreName).asc_nulls_last
+      else col(scoreName).desc_nulls_last
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+      .orderBy(ord, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk").cast(LongType).as("rk"),
-        col("neighbor_id"), col("cos"))
+        col("neighbor_id"), col(scoreName))
   }
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * `queries` must be small (it is broadcast); self-matches excluded.
+    * Norms are computed once per row on each side, not once per pair. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    scanTopK(corpus, queries, idCol, vecCol, k,
+      prep = v => struct(v.as("v"), norm(v).as("n")),
+      score = (q, c) => dot(q.getField("v"), c.getField("v")) /
+        (q.getField("n") * c.getField("n")),
+      scoreName = "cos", ascending = false)
 
   /** All pairs with cosine ≥ τ (embedding near-dup detection), built as
     * LSH band candidates re-ranked exactly — a banded self-join, never a
@@ -185,26 +205,11 @@ object Similarity {
     * machine instructions per word. Ties break (ham ASC,
     * neighbor_id ASC); self-matches excluded. */
   def hammingTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), signBits(col(vecCol)).as("__qs")))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), signBits(col(vecCol)).as("__cs"))
-      .crossJoin(q)
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.VectorExprs.hamming_dist(col("__qs"), col("__cs")).as("ham"))
-    // asc_nulls_last: a null embedding scores a null distance and must
-    // sink, not take rank 1 (plain asc sorts nulls FIRST) — the same
-    // stance bruteForceTopK gets for free from desc ordering
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("ham").asc_nulls_last, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk").cast(LongType).as("rk"),
-        col("neighbor_id"), col("ham"))
-  }
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    scanTopK(corpus, queries, idCol, vecCol, k,
+      prep = signBits,
+      score = graft.functions.VectorExprs.hamming_dist,
+      scoreName = "ham", ascending = true)
 
   /** Two-stage Matryoshka-style retrieval (Kusupati et al. 2022,
     * arXiv:2205.13147 — MRL embeddings carry their coarse
@@ -274,25 +279,8 @@ object Similarity {
     require(Seq(1, 2, 4, 8, 16, 32, 64).contains(bandBits),
       s"hammingNearDupPairs: bandBits must divide 64, got $bandBits")
     require(maxDist >= 0, s"hammingNearDupPairs: maxDist must be >= 0, got $maxDist")
-    val perWord = 64 / bandBits
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
-    val sigs = df.select(col(idCol),
-      when(size(graft.functions.VectorExprs.bit_sign(col(vecCol))) * perWord <= maxDist,
-          raise_error(concat(
-            lit(s"hammingNearDupPairs: maxDist=$maxDist needs more than "),
-            size(graft.functions.VectorExprs.bit_sign(col(vecCol))) * perWord,
-            lit(s" bands for complete recall — lower bandBits ($bandBits) or maxDist"))))
-        .otherwise(graft.functions.VectorExprs.bit_sign(col(vecCol))).as("__sig"))
-    val banded = sigs
-      .select(col(idCol), col("__sig"),
-        posexplode(col("__sig")).as(Seq("__w", "__word")))
-      .select(col(idCol), col("__sig"),
-        explode(array((0 until perWord).map(s =>
-          struct((col("__w") * perWord + s).as("band"),
-            shiftrightunsigned(col("__word"), s * bandBits)
-              .bitwiseAND(mask).as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("__sig"), col("bk.band"), col("bk.key"))
-    val capped = Dedup.capBuckets(banded, Seq("band", "key"), maxBucket)
+    val capped = Dedup.capBuckets(
+      signBands(df, idCol, vecCol, bandBits, maxDist), Seq("band", "key"), maxBucket)
     val a = capped.toDF(s"a_$idCol", "a_sig", "band", "key")
     val b = capped.toDF(s"b_$idCol", "b_sig", "band", "key")
     a.join(b, Seq("band", "key"))
@@ -303,6 +291,41 @@ object Similarity {
       // qualifying pairs, not every band collision
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** Per-row (band, key) sub-blocks of a sign signature, the join keys
+    * under [[hammingNearDupPairs]]. Bands covering ONLY padding bits
+    * (band·bandBits ≥ dims) are EXCLUDED: bit_sign zero-pads the last
+    * word, so a padding band's key is 0 for every row — one bucket
+    * holding the whole corpus, degenerating the banded join to
+    * all-pairs while still returning correct (verified) pairs at toy
+    * scale. Pigeonhole recall is then counted over the KEPT bands —
+    * they cover every real bit, so `ceil(dims/bandBits) > maxDist`
+    * still guarantees a shared band within the distance bound; a
+    * signature too narrow for that raises. Output: (id, __sig, band,
+    * key); __sig rides along for the exact verify. */
+  private[graft] def signBands(df: DataFrame, idCol: String, vecCol: String,
+      bandBits: Int, maxDist: Int): DataFrame = {
+    val perWord = 64 / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val keptBands = floor((size(col(vecCol)) + lit(bandBits - 1)) / lit(bandBits))
+    val sigs = df.select(col(idCol), size(col(vecCol)).as("__nd"),
+      when(keptBands <= maxDist,
+          raise_error(concat(
+            lit(s"hammingNearDupPairs: maxDist=$maxDist needs more than "),
+            keptBands.cast("string"),
+            lit(s" bands for complete recall — lower bandBits ($bandBits) or maxDist"))))
+        .otherwise(graft.functions.VectorExprs.bit_sign(col(vecCol))).as("__sig"))
+    sigs
+      .select(col(idCol), col("__nd"), col("__sig"),
+        posexplode(col("__sig")).as(Seq("__w", "__word")))
+      .select(col(idCol), col("__nd"), col("__sig"),
+        explode(array((0 until perWord).map(s =>
+          struct((col("__w") * perWord + s).as("band"),
+            shiftrightunsigned(col("__word"), s * bandBits)
+              .bitwiseAND(mask).as("key"))): _*)).as("bk"))
+      .filter(col("bk.band") * bandBits < col("__nd"))
+      .select(col(idCol), col("__sig"), col("bk.band"), col("bk.key"))
   }
 
   /** int8 code column ([[graft.functions.VectorExprs.Sq8Encode]]):
@@ -318,21 +341,9 @@ object Similarity {
     * stay scan-resident. Ties break (idot DESC, neighbor_id ASC);
     * self-matches excluded. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), sq8Codes(col(vecCol)).as("__qc")))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), sq8Codes(col(vecCol)).as("__cc"))
-      .crossJoin(q)
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.VectorExprs.vec_idot(col("__qc"), col("__cc")).as("idot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("idot").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk").cast(LongType).as("rk"),
-        col("neighbor_id"), col("idot"))
-  }
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    scanTopK(corpus, queries, idCol, vecCol, k,
+      prep = sq8Codes,
+      score = graft.functions.VectorExprs.vec_idot,
+      scoreName = "idot", ascending = false)
 }

@@ -427,6 +427,22 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("1..64"), e.getMessage)
   }
 
+  test("curate hash_neardup: null hashes all survive — unknown is not equal") {
+    import spark.implicits._
+    import graft.dsl.CuratePipeline
+    // ids 1/2 share a hash (dup group, keep min); 3/4/5 have NO hash —
+    // null must never band or collapse, so all three survive
+    val df = Seq(
+      (1L, Some(42L)), (2L, Some(42L)),
+      (3L, None: Option[Long]), (4L, None: Option[Long]), (5L, None: Option[Long]),
+      (6L, Some(7L))).toDF("doc_id", "h")
+      .withColumn("text", concat(lit("doc "), $"doc_id"))
+    val kept = CuratePipeline.compile(df,
+      """{"stages": [{"op": "hash_neardup", "hash_col": "h", "max_dist": 0}]}""")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
   test("curate pipeline DSL: stages compose in order and preserve passengers") {
     import spark.implicits._
     import graft.dsl.CuratePipeline

@@ -249,7 +249,17 @@ class OperatorsSpec extends AnyFunSuite {
         .select(VectorExprs.hamming_dist(
           VectorExprs.bit_sign($"a"), VectorExprs.bit_sign($"b"))).collect()
     }
-    assert(err.getMessage != null)
+    assert(err.getMessage.contains("widths differ"), err.getMessage)
+    // wrong element types are loud, not garbage reads: the kernels are
+    // SQL-registered, so any argument type can reach them
+    val typeErr = intercept[Exception] {
+      spark.sql("SELECT hamming_dist(array(1, 2), array(1, 2))").collect()
+    }
+    assert(typeErr.getMessage.contains("expected array<bigint>"), typeErr.getMessage)
+    val idotErr = intercept[Exception] {
+      spark.sql("SELECT vec_idot(array(1.5D, 2.5D), array(1.0D, 2.0D))").collect()
+    }
+    assert(idotErr.getMessage.contains("expected array<int>"), idotErr.getMessage)
   }
 
   test("sq8 quantization: floor(x+0.5) rounding, zero vector, interpreted==codegen") {
@@ -385,6 +395,20 @@ class OperatorsSpec extends AnyFunSuite {
       Similarity.hammingNearDupPairs(df, "id", "e", maxDist = 8, bandBits = 64).collect()
     }
     assert(err.getMessage.contains("bands"), err.getMessage)
+    // padding bands are EXCLUDED from the join keys: 96 dims at 2-bit
+    // bands keeps bands 0..47; bands 48..63 cover only the last word's
+    // zero padding — key 0 for every row, i.e. one bucket holding the
+    // whole corpus, an all-pairs join in disguise
+    val bands = Similarity.signBands(df, "id", "e", bandBits = 2, maxDist = 8)
+      .select($"band").distinct().collect().map(_.getInt(0)).sorted
+    assert(bands.toSeq == (0 until 48), s"kept bands: ${bands.mkString(",")}")
+    // the recall guard counts KEPT bands: 96 dims / 16-bit bands = 6
+    // bands, so maxDist 6 must raise even though 2 words × 4 sub-bands
+    // would naively read as 8
+    val err2 = intercept[Exception] {
+      Similarity.hammingNearDupPairs(df, "id", "e", maxDist = 6, bandBits = 16).collect()
+    }
+    assert(err2.getMessage.contains("bands"), err2.getMessage)
   }
 
   test("IVF ANN: deterministic centroids, bounded probes, high recall on clustered data") {
