@@ -29,6 +29,38 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
+  /** Persist a trained codebook as a text artifact — the train-once /
+    * probe-everywhere handoff, same stance as [[Bpe.writeMerges]] and
+    * [[Unigram.writeVocab]]: one centroid per line, comma-joined
+    * `Double.toString` components (which round-trip BIT-EXACTLY
+    * through parseDouble, so a reloaded model probes the same cells),
+    * `#` header. Bounded driver artifact: k × dims doubles. */
+  def writeModel(m: Model, path: String): Unit = {
+    val sb = new StringBuilder(
+      "# ivf centroids: comma-joined doubles, one centroid per line\n")
+    m.centroids.foreach { c => sb.append(c.mkString(",")).append('\n') }
+    graft.sources.io.ByteStore.writeString(path, sb.toString)
+  }
+
+  /** Reload [[writeModel]]'s artifact. Malformed lines and ragged
+    * centroid arities raise loudly — a silently-truncated codebook
+    * would probe the wrong cells forever after. */
+  def readModel(path: String): Model = {
+    val rows = graft.sources.io.ByteStore.readString(path).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    require(rows.nonEmpty, s"ivf model $path: no centroid lines")
+    val cs = rows.map { l =>
+      try l.split(",").map(java.lang.Double.parseDouble)
+      catch { case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"ivf model $path: malformed centroid line '$l'", e)
+      }
+    }
+    require(cs.map(_.length).distinct.length == 1,
+      s"ivf model $path: ragged centroid arities ${cs.map(_.length).distinct.mkString(",")}")
+    Model(cs)
+  }
+
   private def toDoubles(a: Seq[Float]): Array[Double] = a.map(_.toDouble).toArray
 
   /** train on a seeded sample; deterministic Lloyd's, `iters` rounds */

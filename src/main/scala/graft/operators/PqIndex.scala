@@ -41,6 +41,54 @@ object PqIndex {
     def subDim: Int = sub(0)(0).length
   }
 
+  /** Persist the per-subspace codebooks as a text artifact (the
+    * [[IvfIndex.writeModel]] stance): one
+    * `subspace<TAB>code<TAB>comma-joined-doubles` line per codeword,
+    * `Double.toString` components round-tripping bit-exactly, `#`
+    * header. Bounded driver artifact: m × k × (d/m) doubles. */
+  def writeModel(mdl: Model, path: String): Unit = {
+    val sb = new StringBuilder(
+      "# pq codebooks: subspace<TAB>code<TAB>comma-joined doubles\n")
+    for (s <- mdl.sub.indices; c <- mdl.sub(s).indices)
+      sb.append(s).append('\t').append(c).append('\t')
+        .append(mdl.sub(s)(c).mkString(",")).append('\n')
+    graft.sources.io.ByteStore.writeString(path, sb.toString)
+  }
+
+  /** Reload [[writeModel]]'s artifact; any gap in the (subspace, code)
+    * grid, malformed number or ragged codeword arity raises loudly —
+    * a silently-misshapen codebook would encode garbage forever. */
+  def readModel(path: String): Model = {
+    val rows = graft.sources.io.ByteStore.readString(path).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        l.split("\t") match {
+          case Array(s, c, vs) =>
+            try (s.toInt, c.toInt, vs.split(",").map(java.lang.Double.parseDouble))
+            catch { case e: Exception =>
+              throw new IllegalArgumentException(
+                s"pq model $path: malformed codeword line '$l'", e)
+            }
+          case _ => throw new IllegalArgumentException(
+            s"pq model $path: expected subspace<TAB>code<TAB>values, got '$l'")
+        }
+      }
+    require(rows.nonEmpty, s"pq model $path: no codeword lines")
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    require(rows.length == m * k,
+      s"pq model $path: ${rows.length} codewords for an $m x $k grid")
+    require(rows.map(_._3.length).distinct.length == 1,
+      s"pq model $path: ragged codeword arities")
+    val sub = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (s, c, v) =>
+      require(s >= 0 && c >= 0 && sub(s)(c) == null,
+        s"pq model $path: duplicate or out-of-range codeword ($s, $c)")
+      sub(s)(c) = v
+    }
+    Model(sub)
+  }
+
   def trainReplayable(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int = 3, sampleSize: Int = 50000): Model = {
     val sample = corpus.select(col(idCol), col(vecCol))

@@ -498,6 +498,39 @@ object QueriesData {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ---- index-model persistence: train → write the text artifact →
+    // reload → probe. The artifact round-trips Double.toString
+    // bit-exactly, so the reloaded model probes the SAME cells/codes
+    // and the standing trainer oracles replay unchanged — save/load
+    // sits inside the oracle loop, not beside it.
+    "q_ivf_artifact" -> { (s, dir) =>
+      import graft.operators.IvfIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val trained = IvfIndex.trainReplayable(emb, "vec_id", "embedding", k = 4, iters = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      IvfIndex.writeModel(trained, s"$tmp/ivf_model.txt")
+      val m = IvfIndex.readModel(s"$tmp/ivf_model.txt")
+      IvfIndex.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", m,
+        k = 5, nProbe = 2, roundCos = 6)
+        .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+          col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+    "q_pq_artifact" -> { (s, dir) =>
+      import graft.operators.PqIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val trained = PqIndex.trainReplayable(emb, "vec_id", "embedding",
+        m = 4, k = 4, iters = 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      PqIndex.writeModel(trained, s"$tmp/pq_model.txt")
+      val mdl = PqIndex.readModel(s"$tmp/pq_model.txt")
+      PqIndex.adcTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", mdl, topK = 5)
+        .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+          col("neighbor_id"), col("d"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- IVF-PQ composition: cells bound WHICH rows are scored,
     // codes bound HOW WIDE each candidate is — probe nProbe cells,
     // ADC-score only their codes. The oracle unrolls BOTH trainings.
@@ -3488,6 +3521,10 @@ object QueriesData {
     "q_ivfpq_topk" -> ivfPqOracle(ivfK = 4, ivfIters = 5, nProbe = 2,
       m = 4, k = 4, iters = 3, sampleSize = 50000, topK = 5),
     "q_ivf_topk" -> ivfOracle(k = 4, iters = 5, nProbe = 2, topK = 5, sampleSize = 50000),
+    // artifact round trip is bit-exact, so the probe oracles replay
+    // the same trainings — save/load sits inside the oracle loop
+    "q_ivf_artifact" -> ivfOracle(k = 4, iters = 5, nProbe = 2, topK = 5, sampleSize = 50000),
+    "q_pq_artifact" -> pqOracle(m = 4, k = 4, iters = 3, sampleSize = 50000, topK = 5),
     "q_semdedup" -> semDedupOracle(k = 4, iters = 5, sampleSize = 50000,
       tau = 0.5, maxId = 2500L),
     "q_simhash_pairs" ->

@@ -411,6 +411,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("bands"), err2.getMessage)
   }
 
+  test("index model artifacts: bit-exact round trip, corrupt files are loud") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-models").toString
+    // IVF: save → load reproduces every centroid component bit-for-bit
+    val ivf = IvfIndex.trainReplayable(emb, "vec_id", "embedding", k = 3, iters = 2)
+    IvfIndex.writeModel(ivf, s"$tmp/ivf.txt")
+    val ivf2 = IvfIndex.readModel(s"$tmp/ivf.txt")
+    assert(ivf2.centroids.map(_.toSeq).toSeq == ivf.centroids.map(_.toSeq).toSeq)
+    // denormals / extremes round-trip too (Double.toString contract)
+    val extreme = IvfIndex.Model(Array(
+      Array(java.lang.Double.MIN_VALUE, -0.0, 1.0 / 3.0, 1e308, -4.9e-324)))
+    IvfIndex.writeModel(extreme, s"$tmp/ext.txt")
+    val ext2 = IvfIndex.readModel(s"$tmp/ext.txt")
+    assert(ext2.centroids(0).toSeq.map(java.lang.Double.doubleToRawLongBits) ==
+      extreme.centroids(0).toSeq.map(java.lang.Double.doubleToRawLongBits))
+    // PQ: same round trip across the (subspace, code) grid
+    val pq = PqIndex.trainReplayable(emb, "vec_id", "embedding", m = 4, k = 3, iters = 2)
+    PqIndex.writeModel(pq, s"$tmp/pq.txt")
+    val pq2 = PqIndex.readModel(s"$tmp/pq.txt")
+    assert(pq2.sub.map(_.map(_.toSeq).toSeq).toSeq == pq.sub.map(_.map(_.toSeq).toSeq).toSeq)
+    // corruption raises, never a silently-misshapen codebook
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/bad1.txt"),
+      "# hdr\n1.0,2.0\n3.0\n")
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.readModel(s"$tmp/bad1.txt")
+    }.getMessage.contains("ragged"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/bad2.txt"),
+      "# hdr\n0\t0\t1.0\n0\t2\t2.0\n")
+    assert(intercept[IllegalArgumentException] {
+      PqIndex.readModel(s"$tmp/bad2.txt")
+    }.getMessage.contains("grid"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/bad3.txt"),
+      "# hdr\n0\t0\tnot-a-number\n")
+    assert(intercept[IllegalArgumentException] {
+      PqIndex.readModel(s"$tmp/bad3.txt")
+    }.getMessage.contains("malformed"))
+  }
+
   test("IVF ANN: deterministic centroids, bounded probes, high recall on clustered data") {
     import spark.implicits._
     // 3 well-separated clusters of 60 vectors each
