@@ -414,9 +414,15 @@ object CuratePipeline {
         // k-means trains on the stage input); round_cos ≥ 0 rounds
         // before thresholding so replays agree at the boundary.
         val vecCol = str(st, "vec_col")
-        val m = graft.operators.IvfIndex.trainReplayable(df, idCol, vecCol,
-          k = int(st, "k", 256), iters = int(st, "iters", 5),
-          sampleSize = int(st, "sample_size", 50000))
+        // `model_path` loads a saved codebook (IvfIndex.writeModel)
+        // instead of training in-pipeline — the repeated-run shape:
+        // train once on a reference corpus, reuse the cells everywhere
+        val m = strOpt(st, "model_path") match {
+          case Some(p) => graft.operators.IvfIndex.readModel(p)
+          case None => graft.operators.IvfIndex.trainReplayable(df, idCol, vecCol,
+            k = int(st, "k", 256), iters = int(st, "iters", 5),
+            sampleSize = int(st, "sample_size", 50000))
+        }
         val kept = graft.operators.Similarity.semDedup(df, idCol, vecCol, m,
             tau = dbl(st, "tau", 0.9), roundCos = int(st, "round_cos", 6))
           .filter(col("is_kept")).select(col(idCol))

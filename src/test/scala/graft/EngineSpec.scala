@@ -427,6 +427,32 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("1..64"), e.getMessage)
   }
 
+  test("curate semdedup model_path: a reloaded codebook reproduces the in-pipeline training") {
+    import spark.implicits._
+    import graft.dsl.CuratePipeline
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(60)
+    val inline = CuratePipeline.compile(docs,
+      """{"stages": [
+        {"op": "embed_text", "salt": "mp1", "dim": 16},
+        {"op": "semdedup", "vec_col": "embedding", "k": 4, "iters": 3, "tau": 0.9}
+      ]}""").select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // write the SAME replayable training as an artifact, reload by path
+    val emb = CuratePipeline.compile(docs,
+      """{"stages": [{"op": "embed_text", "salt": "mp1", "dim": 16}]}""")
+    val m = graft.operators.IvfIndex.trainReplayable(emb, "doc_id", "embedding", k = 4, iters = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mp").toString
+    graft.operators.IvfIndex.writeModel(m, s"$tmp/cells.txt")
+    val loaded = CuratePipeline.compile(docs,
+      s"""{"stages": [
+        {"op": "embed_text", "salt": "mp1", "dim": 16},
+        {"op": "semdedup", "vec_col": "embedding", "tau": 0.9,
+         "model_path": "$tmp/cells.txt"}
+      ]}""").select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(loaded == inline)
+    assert(loaded.nonEmpty && loaded.size < 60, "the slice must actually dedup")
+  }
+
   test("curate hash_neardup: null hashes all survive — unknown is not equal") {
     import spark.implicits._
     import graft.dsl.CuratePipeline
