@@ -2484,6 +2484,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix rerank randomized: two-stage pipeline equals a driver reference over 20 corpora (r14)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    def cosRef(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (1 to 20).foreach { trial =>
+      val dims = 8 + rnd.nextInt(17)
+      val p = 2 + rnd.nextInt(dims - 2)
+      val n = 12 + rnd.nextInt(18)
+      val k = 1 + rnd.nextInt(4)
+      val m = k + rnd.nextInt(6)
+      val vecs = (0L until n.toLong).map(i =>
+        i -> Array.fill(dims)(rnd.nextFloat() - 0.5f)).toMap
+      val df = vecs.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("id", "e")
+      val queries = df.filter($"id" < 3)
+      val got = Similarity.prefixRerankTopK(df, queries, "id", "e",
+          k = k, prefixDims = p, m = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val want = (0L until 3L).flatMap { q =>
+        val cands = vecs.keys.filter(_ != q).toSeq
+          .map(c => (c, cosRef(vecs(q), vecs(c), p)))
+          .sortBy { case (c, s) => (-s, c) }.take(m).map(_._1)
+        cands.map(c => (c, cosRef(vecs(q), vecs(c), dims)))
+          .sortBy { case (c, s) => (-s, c) }.take(k).zipWithIndex
+          .map { case ((c, s), i) => (q, (i + 1).toLong, c, s) }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == want, s"trial $trial dims=$dims p=$p n=$n k=$k m=$m")
+    }
+  }
+
   test("quantized ANN kernels randomized: pack/hamming/sq8/idot equal references over 200 fixtures (r14)") {
     import spark.implicits._
     import graft.functions.VectorExprs
