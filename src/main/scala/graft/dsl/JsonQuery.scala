@@ -332,10 +332,22 @@ object JsonQuery {
       case Some(JString(p)) => Seq(p)
       case _ => throw new DslException(s"$fmtKey requires paths")
     }
+    // A newest-wins read must not let non-key conds prune files: a
+    // file holding a key's NEWEST capture (whose row happens to fail
+    // the filter) would vanish, and an older capture from a surviving
+    // file would pass the filter — a stale row the unpruned plan never
+    // returns. Only `surt` conds align with the per-key winner choice
+    // (newest-wins partitions by surt), so under `latest: true` the
+    // stats registry may prune on those alone.
+    val latestRead = fmtKey == "cdx" && (spec.get("latest") match {
+      case Some(JBool(true)) => true
+      case _ => false
+    })
+    val pruneConds = if (latestRead) conds.filter(_.column == "surt") else conds
     // stats registry next to the data: prune the file list up front
     val statsPruned = spec.get("stats").collect { case JString(statsDir) =>
       val files = FileCollection.expandGlobs(spark, paths0)
-      graft.stats.FileStats.pruneFiles(spark, statsDir, files, conds)
+      graft.stats.FileStats.pruneFiles(spark, statsDir, files, pruneConds)
     }.getOrElse(paths0)
     // CDX SURT-range pushdown (r14): the DSL front door reaches the
     // same plan-time sidecar pruning the column API's
@@ -397,7 +409,16 @@ object JsonQuery {
           case None => graft.sources.WarcSource.DefaultSplitBytes
           case other => throw new DslException(s"bad split_bytes: $other")
         }
-        graft.sources.WarcSource.read(spark, paths, split)
+        // archives that legitimately carry larger records (media
+        // captures, non-truncating crawlers) raise the allocation
+        // ceiling here without losing the guard
+        val maxRec = spec.get("max_record_bytes") match {
+          case Some(JInt(n)) => n.toLong
+          case Some(JLong(n)) => n
+          case None => graft.sources.WarcSource.MaxRecordBytes
+          case other => throw new DslException(s"bad max_record_bytes: $other")
+        }
+        graft.sources.WarcSource.read(spark, paths, split, maxRec)
       case "cdx" => // read_cdx(files [, latest]): CDXJ crawl-index lines
         spec.get("latest") match {
           // latest: true — read the paths as index GENERATIONS and keep

@@ -111,6 +111,9 @@ object Exif {
     jpeg.write(0xff); jpeg.write(0xd8)
     jpeg.write(0xff); jpeg.write(0xe1)
     val segLen = 2 + 6 + tiff.length
+    require(segLen <= 0xffff,
+      s"exif_jpeg: APP1 segment of $segLen bytes exceeds the 16-bit JPEG " +
+        "length field — shorten the make/model strings")
     jpeg.write((segLen >> 8) & 0xff); jpeg.write(segLen & 0xff)
     jpeg.write("Exif".getBytes("ISO-8859-1")); jpeg.write(0); jpeg.write(0)
     jpeg.write(tiff)
@@ -140,6 +143,11 @@ object Exif {
     var i = 2
     while (i + 4 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return null
+      // T.81 §B.1.1.2: markers may be preceded by any number of 0xFF
+      // fill bytes — consume the run so a padded-but-valid JPEG's
+      // marker byte isn't misread as a length
+      while (i + 4 <= b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 4 > b.length) return null
       val marker = b(i + 1) & 0xff
       if (marker == 0xd9 || marker == 0xda) return null // EOI / SOS
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
@@ -241,6 +249,14 @@ object Exif {
   // -------------------------------------------------------- expressions
 
   case class ExifParse(child: Expression) extends UnaryExpression {
+    // SQL-registered: a non-binary argument must be a plan-time
+    // analysis error, not an executor-side ClassCastException
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"exif_metadata expects a BINARY payload, got ${child.dataType.simpleString}")
     override def dataType: DataType = schema
     override def prettyName: String = "exif_metadata"
     override def nullSafeEval(a: Any): Any =

@@ -131,50 +131,54 @@ object Sampling {
       case None => nonNull
     }
     // the document ordinal rides the SAME window as the offset cumsum —
-    // one shuffle serves both; it only materializes into segment ids
-    // when asked
-    val withOff = src
+    // one shuffle serves both — and is carried through the explode ONLY
+    // when segment ids were asked for: 8 unused bytes per token through
+    // the pack shuffle is real money at corpus scale
+    val withOff0 = src
       .withColumn("__off", shardGuarded(
         coalesce(sum(size(col(idsCol)).cast("long")).over(w), lit(0L)),
         base, shardCol.isDefined, maxGlobalRows, "packTokenIds"))
-      .withColumn("__doc", row_number().over(base).cast("long"))
+    val withOff =
+      if (withSegments) withOff0.withColumn("__doc", row_number().over(base).cast("long"))
+      else withOff0
     val shardKeep = shardCol.map(col).toSeq
+    val docKeep = if (withSegments) Seq(col("__doc")) else Seq.empty
     val exploded = withOff
-      .select(shardKeep ++ Seq(col("__off"), col("__doc"),
+      .select(shardKeep ++ Seq(col("__off")) ++ docKeep ++ Seq(
         posexplode(col(idsCol)).as(Seq("__i", "__id"))): _*)
       // `div` = exact integer division (floor(a/b) on doubles would
       // drift past 2^53 global tokens — a real number at corpus scale)
       .selectExpr(shardCol.toSeq ++ Seq(
         s"CAST((__off + __i) div $seqLen AS BIGINT) AS seq_id",
-        s"CAST((__off + __i) % $seqLen AS INT) AS __slot",
-        "__doc", "__id"): _*)
-    val packed = exploded.groupBy(shardKeep :+ col("seq_id"): _*)
+        s"CAST((__off + __i) % $seqLen AS INT) AS __slot") ++
+        (if (withSegments) Seq("__doc") else Seq.empty) ++ Seq("__id"): _*)
+    // SEGMENT IDS for block-diagonal attention masking: each token's
+    // source-document ordinal WITHIN its sequence (1, 1, …, 2, 2, …) —
+    // the standard companion array when packed sequences must not
+    // attend across document boundaries. dense_rank over the document
+    // ordinal, partitioned by the SAME key the pack groupBy shuffles
+    // on, so the window rides that exchange (one extra sort, no extra
+    // shuffle) and each token's id is O(1) — a per-sequence fold that
+    // re-concatenates the accumulator would be O(seqLen²) per sequence.
+    val withSeg =
+      if (!withSegments) exploded
+      else exploded.withColumn("__seg",
+        dense_rank().over(Window
+          .partitionBy(shardKeep :+ col("seq_id"): _*)
+          .orderBy(col("__doc"))))
+    val tokenStruct =
+      if (withSegments) struct(col("__slot"), col("__id"), col("__seg"))
+      else struct(col("__slot"), col("__id"))
+    val packed = withSeg.groupBy(shardKeep :+ col("seq_id"): _*)
       .agg(count(lit(1)).as("n_tokens"),
-        array_sort(collect_list(struct(col("__slot"), col("__id"), col("__doc"))))
-          .as("__structs"))
+        array_sort(collect_list(tokenStruct)).as("__structs"))
       .withColumn("input_ids",
         transform(col("__structs"), s => s.getField("__id")))
     if (!withSegments) packed.drop("__structs")
-    else {
-      // SEGMENT IDS for block-diagonal attention masking: each token's
-      // source-document ordinal WITHIN its sequence (1, 1, …, 2, 2, …)
-      // — the standard companion array when packed sequences must not
-      // attend across document boundaries. One fold over the already-
-      // sorted per-sequence structs; no extra shuffle.
-      val segs = aggregate(
-        col("__structs"),
-        struct(lit(-1L).as("d"), array().cast("array<int>").as("segs")),
-        (acc, s) => {
-          val isNew = size(acc.getField("segs")) === 0 ||
-            s.getField("__doc") =!= acc.getField("d")
-          struct(s.getField("__doc").as("d"),
-            concat(acc.getField("segs"), array(
-              (coalesce(try_element_at(acc.getField("segs"), lit(-1)), lit(0)) +
-                when(isNew, 1).otherwise(0)).cast("int"))).as("segs"))
-        })
-      packed.withColumn("segment_ids", segs.getField("segs"))
-        .drop("__structs")
-    }
+    else packed
+      .withColumn("segment_ids",
+        transform(col("__structs"), s => s.getField("__seg")))
+      .drop("__structs")
   }
 
   /** Deterministic TOKEN-BUDGET subset — "give me ~N tokens of this

@@ -173,7 +173,10 @@ object CdxSource {
     val files = paths.flatMap { p =>
       if (ByteStore.isDirectory(p))
         ByteStore.walkFiles(p).filter(_.endsWith(".cdx"))
-      else Seq(p)
+      // the engine's own `.range` sidecars are pruning metadata, never
+      // index lines — an expanded listing that includes them (e.g. the
+      // DSL's stats-registry path) must not scan them as data
+      else Seq(p).filterNot(_.endsWith(".cdx.range"))
     }.distinct.sorted
     val kept = files.filter { f =>
       fileRange(f) match {
@@ -225,7 +228,10 @@ object CdxSource {
     val expanded = paths.flatMap { p =>
       if (graft.sources.io.ByteStore.isDirectory(p))
         graft.sources.io.ByteStore.walkFiles(p).filter(_.endsWith(".cdx"))
-      else Seq(p)
+      // `.range` pruning sidecars are metadata, not index lines — drop
+      // them even from explicit file lists (expanded listings include
+      // them, and two spurious rows per run would corrupt every read)
+      else Seq(p).filterNot(_.endsWith(".cdx.range"))
     }
     if (expanded.isEmpty)
       return spark.createDataFrame(

@@ -83,7 +83,10 @@ object WarcSource {
   private val MaxHeaderLineBytes: Int = 64 * 1024
 
   def read(spark: SparkSession, paths: Seq[String],
-      splitBytes: Long = DefaultSplitBytes): DataFrame = {
+      splitBytes: Long = DefaultSplitBytes,
+      maxRecordBytes: Long = MaxRecordBytes): DataFrame = {
+    require(maxRecordBytes > 0,
+      s"warc: maxRecordBytes must be positive, got $maxRecordBytes")
     val files = FileCollection.expandGlobs(spark, paths)
       .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
     require(files.nonEmpty, s"no .warc/.warc.gz files match: ${paths.mkString(",")}")
@@ -102,8 +105,8 @@ object WarcSource {
         math.min(splits.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
         it.flatMap { case (path, start, end, gz) =>
-          if (gz) new GzSplitReader(path, start, end).rows()
-          else new SplitReader(path, start, end).rows()
+          if (gz) new GzSplitReader(path, start, end, maxRecordBytes).rows()
+          else new SplitReader(path, start, end, maxRecordBytes).rows()
         }
       }(enc).toDF()
   }
@@ -171,7 +174,8 @@ object WarcSource {
     * instance per (re)opened stream; shared by the plain-split reader
     * (over the file stream) and the gz reader (over each member's
     * decompressed stream). */
-  private final class RecordParser(in: InputStream, path: String) {
+  private final class RecordParser(in: InputStream, path: String,
+      maxRecordBytes: Long = MaxRecordBytes) {
     private var pending: Int = -1 // one-byte pushback
     private var nConsumed: Long = 0L
 
@@ -241,8 +245,8 @@ object WarcSource {
       val len = headers.getOrElse("content-length",
         throw new IllegalArgumentException(
           s"warc: record without Content-Length in $path")).toLong
-      require(len >= 0 && len <= MaxRecordBytes,
-        s"warc: record block of $len bytes exceeds the $MaxRecordBytes-byte " +
+      require(len >= 0 && len <= maxRecordBytes,
+        s"warc: record block of $len bytes exceeds the $maxRecordBytes-byte " +
           s"ceiling in $path — untrusted-input allocation guard " +
           "(WarcSource.MaxRecordBytes)")
       val block = readFully(len.toInt)
@@ -304,7 +308,8 @@ object WarcSource {
     * task heap as a materialized buffer). The stream closes on
     * exhaustion and on task completion (a `limit` that stops early
     * must not leak the handle). */
-  private final class SplitReader(path: String, start: Long, end: Long)
+  private final class SplitReader(path: String, start: Long, end: Long,
+      maxRecordBytes: Long = MaxRecordBytes)
       extends Iterator[Row] {
 
     private var readFrom: Long = 0L
@@ -339,7 +344,7 @@ object WarcSource {
       }
       readFrom = from
       in = new BufferedInputStream(raw, 64 * 1024)
-      parser = new RecordParser(in, path)
+      parser = new RecordParser(in, path, maxRecordBytes)
     }
 
     // a record starting AT `start` is announced by a CRLFCRLF that ends
@@ -426,7 +431,8 @@ object WarcSource {
     * the SAME member are archive corruption and stay loud. Records
     * stream lazily member-by-member; decompressed member bytes never
     * materialize beyond the record block the parser is on. */
-  private final class GzSplitReader(path: String, start: Long, end: Long)
+  private final class GzSplitReader(path: String, start: Long, end: Long,
+      maxRecordBytes: Long = MaxRecordBytes)
       extends Iterator[Row] {
 
     private var raw: InputStream = _
@@ -568,7 +574,7 @@ object WarcSource {
           memberValidated = false
           try {
             member = new MemberStream()
-            memberParser = new RecordParser(member, path)
+            memberParser = new RecordParser(member, path, maxRecordBytes)
           } catch {
             case _: EOFException | _: java.util.zip.ZipException =>
               falseCandidate()

@@ -271,6 +271,43 @@ class CdxSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { graft.sources.CdxSource.latest() }
   }
 
+  test("DSL cdx latest + stats pruning: non-key conds must not resurrect stale captures") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    // generation A holds the OLD capture; generation B the NEW one,
+    // whose ts fails the query filter
+    def gen(sub: String, ts: String): String = {
+      val rows = Seq(("com,k)/page", ts, "http://k.com/page", "text/html",
+        200, s"d$ts", 10L, 0L, "f.warc.gz")).toDF(
+        "surt", "ts", "url", "mime", "status", "digest", "length",
+        "offset", "filename")
+      graft.sources.CdxSource.write(rows, s"$dir/$sub", files = 1)
+      s"$dir/$sub"
+    }
+    val a = gen("a", "20260101000000")
+    val b = gen("b", "20260109000000")
+    val files = Seq(a, b).flatMap(d => new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".cdx")).map(_.toString))
+    graft.stats.FileStats.write(
+      graft.stats.FileStats.collectFrom(
+        graft.sources.CdxSource.read(spark, files)), s"$dir/stats")
+    def q(latest: Boolean): Seq[(String, String)] =
+      graft.dsl.JsonQuery.compile(spark,
+        s"""{"from": {"cdx": {"paths": ["$a", "$b"], "stats": "$dir/stats",
+              "latest": $latest}},
+             "select": ["surt", "ts"],
+             "filters": [{"column": "ts", "lt": "20260107000000"}]}""")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // newest-wins runs FIRST: the 01-09 capture wins the key, then
+    // fails the filter — the key is absent. A ts-cond file prune would
+    // drop the newest file and resurrect the stale 01-01 row.
+    assert(q(latest = true).isEmpty)
+    // without latest the filter is per-row; the old capture is a
+    // correct answer, and the ts prune may legitimately skip file b
+    assert(q(latest = false) == Seq(("com,k)/page", "20260101000000")))
+  }
+
   test("cdx: index derives surt/ts/mime/digest from a warc scan; DSL format reads it") {
     val s = spark
     import s.implicits._

@@ -136,6 +136,31 @@ class ExifSpec extends AnyFunSuite {
     GraftSession.configure(s)
     val r = s.sql("SELECT exif_metadata(X'00FF').make AS m").head()
     assert(r.isNullAt(0)) // permissive on garbage, resolved by name
+    // a non-binary argument is a plan-time ANALYSIS error, not an
+    // executor-side cast failure
+    val e = intercept[Exception] {
+      s.sql("SELECT exif_metadata('not bytes')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"), e.getMessage)
+  }
+
+  test("exif: T.81 fill bytes before a marker do not derail the APP1 walk") {
+    val ok = Exif.buildKernel(u8("Cam-f"), u8("Mod-f"),
+      u8("2026:02:02 00:00:00"), 6, u8("N"), 10, 20, 300, u8("E"), 30, 40, 500)
+    // inject a run of 0xFF fill bytes between SOI and the APP1 marker:
+    // FF D8 | FF FF FF | FF E1 ...
+    val padded = (ok.take(2) ++ Array.fill(3)(0xff.toByte) ++ ok.drop(2))
+    val got = parse(padded)
+    assert(got._1 == "Cam-f" && got._4 == 6,
+      s"padded JPEG must still surface EXIF, got $got")
+  }
+
+  test("exif: builder refuses an APP1 segment past the 16-bit length field") {
+    val e = intercept[IllegalArgumentException] {
+      Exif.buildKernel(u8("M" * 70000), u8("Mod4"),
+        u8("2026:01:01 00:00:00"), 1, u8("N"), 1, 2, 300, u8("E"), 3, 4, 500)
+    }
+    assert(e.getMessage.contains("16-bit"), e.getMessage)
   }
 
   test("exif: dHash normalizes orientation — camera-rotated copies near-dup their upright twin") {

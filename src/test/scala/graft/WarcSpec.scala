@@ -28,6 +28,24 @@ class WarcSpec extends AnyFunSuite {
       .toDF("uri", "html")
   }
 
+  test("warc: record-size ceiling is per-read tunable, guard stays loud") {
+    val dir = tmpDir()
+    WarcSource.Writer.write(pages(3), dir, "uri", "html", files = 1)
+    // a ceiling below the real record size fails loudly with the name
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcSource.read(spark, Seq(dir), maxRecordBytes = 16).count()
+    }
+    assert(e.getMessage.contains("ceiling") || Option(e.getCause).exists(
+      _.getMessage.contains("ceiling")), e.getMessage)
+    // a raised ceiling reads archives the default would also accept
+    assert(WarcSource.read(spark, Seq(dir), maxRecordBytes = 1024L * 1024 * 1024)
+      .filter(org.apache.spark.sql.functions.col("warc_type") === "response")
+      .count() == 3)
+    intercept[IllegalArgumentException] {
+      WarcSource.read(spark, Seq(dir), maxRecordBytes = 0)
+    }
+  }
+
   test("warc: write → read round trip surfaces record + http fields") {
     val dir = tmpDir()
     val written = WarcSource.Writer.write(pages(20), dir, "uri", "html", files = 2)
