@@ -480,12 +480,14 @@ object GeoExprs {
     ColumnBridge.column(StCentroid(ColumnBridge.expression(a)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     ColumnBridge.column(StDwithin(ColumnBridge.expression(a),
-      ColumnBridge.expression(b), ColumnBridge.expression(d)))
+      ColumnBridge.expression(b), ColumnBridge.expression(
+        d.cast(org.apache.spark.sql.types.DoubleType))))
   def st_envelope(a: Column): Column =
     ColumnBridge.column(StEnvelope(ColumnBridge.expression(a)))
   def st_buffer(a: Column, r: Column, segs: Column): Column =
     ColumnBridge.column(StBuffer(ColumnBridge.expression(a),
-      ColumnBridge.expression(r), ColumnBridge.expression(segs)))
+      ColumnBridge.expression(r.cast(org.apache.spark.sql.types.DoubleType)),
+      ColumnBridge.expression(segs.cast(org.apache.spark.sql.types.IntegerType))))
   def st_intersection_area(a: Column, b: Column): Column =
     ColumnBridge.column(StIntersectionArea(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -520,7 +522,10 @@ object GeoExprs {
       when(c.isNull, raise_error(lit(
         s"st_make_line: null $what coordinate — filter or impute the " +
           "point before building the trajectory"))).otherwise(c)
-    val pts = array_sort(collect_list(struct(ord.as("o"),
+    val pts = array_sort(collect_list(struct(
+      when(ord.isNull, raise_error(lit(
+        "st_make_line: null ordering value — a point with no position " +
+          "in time cannot be placed on the trajectory"))).otherwise(ord).as("o"),
       loud(x, "x").cast("string").as("x"),
       loud(y, "y").cast("string").as("y"))))
     concat(lit("LINESTRING ("),

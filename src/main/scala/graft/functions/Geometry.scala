@@ -730,8 +730,11 @@ object Geo {
         while (i <= segs) { // closing vertex repeats i = 0
           val a = 2.0 * math.Pi * (i % segs) / segs
           if (i > 0) sb.append(", ")
-          sb.append(fmt(cx + r * math.cos(a))).append(' ')
-            .append(fmt(cy + r * math.sin(a)))
+          // StrictMath like every other trig site in this file:
+          // Math.cos/sin may use platform intrinsics that differ by an
+          // ulp across architectures, breaking byte-identical replay
+          sb.append(fmt(cx + r * StrictMath.cos(a))).append(' ')
+            .append(fmt(cy + r * StrictMath.sin(a)))
           i += 1
         }
         sb.append("))").toString
@@ -757,13 +760,16 @@ object Geo {
         // component corridors must be pairwise DISJOINT — overlapping
         // corridors would need a polygon union (the Greiner–Hormann
         // general-position territory this tracer exists to avoid), so
-        // raise loudly instead of emitting overlapping components
+        // raise loudly instead of emitting overlapping components;
+        // each traced corridor converts to a Ring once, not once per
+        // (i, j) pair
+        val ringObjs = rings.map(r => Ring(r.map(_._1), r.map(_._2)))
         var i = 0
         while (i < rings.length) {
           var j = i + 1
           while (j < rings.length) {
-            val a = Ring(rings(i).map(_._1), rings(i).map(_._2))
-            val b = Ring(rings(j).map(_._1), rings(j).map(_._2))
+            val a = ringObjs(i)
+            val b = ringObjs(j)
             if (ringPairTest(a, b, segsIntersect) ||
                 ringContains(a, rings(j)(0)._1, rings(j)(0)._2) ||
                 ringContains(b, rings(i)(0)._1, rings(i)(0)._2))
@@ -1199,9 +1205,11 @@ object Geo {
 
   /** open vertex list of a ring (closing duplicate dropped) */
   private def openRing(r: Ring): Array[(Double, Double)] = {
-    val n0 = r.size
-    val n = if (n0 > 1 && r.xs(0) == r.xs(n0 - 1) && r.ys(0) == r.ys(n0 - 1))
-      n0 - 1 else n0
+    // strip EVERY trailing repeat of the first vertex — a doubled
+    // closing point would survive a single strip and leave a
+    // zero-length wrap segment downstream
+    var n = r.size
+    while (n > 1 && r.xs(0) == r.xs(n - 1) && r.ys(0) == r.ys(n - 1)) n -= 1
     Array.tabulate(n)(k => (r.xs(k), r.ys(k)))
   }
 
@@ -1414,6 +1422,12 @@ object Geo {
     while (i < segN) {
       val (ax, ay) = at(i); val (bx, by) = at(i + 1)
       val l = StrictMath.hypot(bx - ax, by - ay)
+      // a zero-length segment would turn the unit direction into NaN
+      // coordinates that sail through every later validity check —
+      // refuse loudly instead of emitting NaN WKT
+      if (l == 0) throw new IllegalArgumentException(
+        s"st_buffer: zero-length segment at ($ax, $ay) — " +
+          "remove repeated consecutive vertices first")
       len(i) = l
       dx(i) = (bx - ax) / l; dy(i) = (by - ay) / l
       nx(i) = -dy(i) * side; ny(i) = dx(i) * side
@@ -1676,13 +1690,17 @@ object Geo {
     } || segPairAny(l, g, segsCrossProperly)
   }
 
-  /** does line l have a point strictly outside areal g? */
+  /** does line l have a point strictly outside areal g? probes l's
+    * vertices and segment midpoints, plus the same proper-crossing
+    * witness as the enter side — a segment transversally crossing a
+    * ring has points on both sides of it, so a concave slot narrower
+    * than the probe spacing still reads as an exit */
   private def lineExitsAreal(l: Geom, g: Geom): Boolean =
     openPaths(l).exists { r =>
       r.xs.indices.exists(i => !contains(g, r.xs(i), r.ys(i))) ||
         (1 until r.size).exists(i =>
           !contains(g, (r.xs(i - 1) + r.xs(i)) / 2, (r.ys(i - 1) + r.ys(i)) / 2))
-    }
+    } || segPairAny(l, g, segsCrossProperly)
 
   /** do the interiors of a and b share a point? */
   private def interiorsIntersect(a: Geom, b: Geom): Boolean = (a, b) match {
@@ -1705,9 +1723,7 @@ object Geo {
     * tangential-contact caveat as [[containsGeom]]). */
   private def arealInteriorsIntersect(a: Geom, b: Geom): Boolean = {
     def contained = containsGeom(a, b) || containsGeom(b, a)
-    if (holeRings(b).isEmpty) intersectionArea(a, b) > 0.0 || contained
-    else if (holeRings(a).isEmpty) intersectionArea(b, a) > 0.0 || contained
-    else {
+    def witnesses: Boolean = {
       def strictWitness(g: Geom, in: Geom): Boolean =
         rings(g).exists { r =>
           r.xs.indices.exists { i =>
@@ -1720,6 +1736,22 @@ object Geo {
         }
       segPairAny(a, b, segsCrossProperly) ||
         strictWitness(a, b) || strictWitness(b, a) || contained
+    }
+    // the clip-based measure demands general position from the GH
+    // crossing walk; boundary-contact inputs (adjacent parcels sharing
+    // an edge, vertex-on-edge) are exactly what touches/overlaps ask
+    // about, so a clip that refuses falls back to the witness answer
+    // instead of propagating the raise
+    def byArea(x: Geom, y: Geom): Option[Boolean] =
+      try Some(intersectionArea(x, y) > 0.0)
+      catch { case _: IllegalArgumentException => None }
+    val area =
+      if (holeRings(b).isEmpty) byArea(a, b)
+      else if (holeRings(a).isEmpty) byArea(b, a)
+      else None
+    area match {
+      case Some(positive) => positive || contained
+      case None => witnesses
     }
   }
 

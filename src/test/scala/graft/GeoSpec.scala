@@ -546,6 +546,35 @@ class GeoSpec extends AnyFunSuite {
     assert(stIntersectionArea(l, square) == 0.0)
   }
 
+  test("relate hardening: concave slots, concave adjacency, degenerate buffer rings") {
+    // a line exiting through a slot NARROWER than the probe spacing:
+    // all vertices and midpoints sit inside, only the proper-crossing
+    // witness sees the exit
+    val slotted = "POLYGON ((0 0, 10 0, 10 10, 7.2 10, 7.2 2, 7 2, 7 10, 0 10, 0 0))"
+    assert(stCrosses(slotted, "LINESTRING (1 9, 9 9)"),
+      "line crossing a narrow concave slot must CROSS")
+    // adjacent parcels sharing part of an edge, the neighbor CONCAVE:
+    // the clip path refuses general position here; touches must still
+    // answer instead of raising
+    val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val concaveNeighbor = "POLYGON ((4 0, 8 0, 8 4, 6 4, 6 2, 4 2, 4 0))"
+    assert(stTouches(sq, concaveNeighbor),
+      "edge-adjacent concave parcels touch")
+    assert(!stOverlaps(sq, concaveNeighbor),
+      "boundary contact is not an overlap")
+    // genuinely overlapping concave pair still reads as interiors-meet
+    val overlapping = "POLYGON ((3 1, 8 1, 8 3, 6 3, 6 2, 3 2, 3 1))"
+    assert(stOverlaps(sq, overlapping) && !stTouches(sq, overlapping))
+    // a doubled CLOSING vertex strips cleanly (openRing removes every
+    // trailing repeat) and buffers to the same ring as the clean input
+    val doubled = stBuffer("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0, 0 0))", 1.0, 8)
+    assert(doubled == stBuffer("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 1.0, 8))
+    assert(!doubled.contains("NaN"))
+    // an INTERIOR repeated vertex dedupes away — same ring, no NaN
+    assert(stBuffer("POLYGON ((0 0, 4 0, 4 0, 4 4, 0 4, 0 0))", 1.0, 8) ==
+      stBuffer("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 1.0, 8))
+  }
+
   test("touches / crosses / overlaps: DE-9IM relate triples (r14)") {
     val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     // touches: boundary-only contact, every type pair
