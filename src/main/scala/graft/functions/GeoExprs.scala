@@ -17,6 +17,35 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GeoExprs {
 
+  /** Analysis-time numeric guard: identity pass-through that REJECTS
+    * non-numeric children at analysis instead of letting a later
+    * `cast(double)` silently null them out under non-ANSI semantics
+    * (the loud-error stance the rest of the engine takes). Wrapped
+    * around st_dwithin's distance and st_buffer's radius/segments
+    * arguments before their numeric cast. */
+  case class NumericArg(child: Expression, what: String)
+      extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    override def prettyName: String = "numeric_arg"
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType.isInstanceOf[NumericType] ||
+          child.dataType == NullType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$what requires a numeric argument, got " +
+            s"${child.dataType.simpleString} — cast explicitly if intended")
+    override protected def nullSafeEval(input: Any): Any = input
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => c)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  private def numericCast(c: Column, what: String, to: DataType): Column =
+    ColumnBridge.column(NumericArg(ColumnBridge.expression(c), what)).cast(to)
+
   /** (lon, lat) → 21-byte little-endian WKB point */
   case class PointWkb(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = BinaryType
@@ -481,13 +510,14 @@ object GeoExprs {
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     ColumnBridge.column(StDwithin(ColumnBridge.expression(a),
       ColumnBridge.expression(b), ColumnBridge.expression(
-        d.cast(org.apache.spark.sql.types.DoubleType))))
+        numericCast(d, "st_dwithin distance", DoubleType))))
   def st_envelope(a: Column): Column =
     ColumnBridge.column(StEnvelope(ColumnBridge.expression(a)))
   def st_buffer(a: Column, r: Column, segs: Column): Column =
     ColumnBridge.column(StBuffer(ColumnBridge.expression(a),
-      ColumnBridge.expression(r.cast(org.apache.spark.sql.types.DoubleType)),
-      ColumnBridge.expression(segs.cast(org.apache.spark.sql.types.IntegerType))))
+      ColumnBridge.expression(numericCast(r, "st_buffer radius", DoubleType)),
+      ColumnBridge.expression(
+        numericCast(segs, "st_buffer segments", IntegerType))))
   def st_intersection_area(a: Column, b: Column): Column =
     ColumnBridge.column(StIntersectionArea(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -501,7 +531,8 @@ object GeoExprs {
     ColumnBridge.column(StConvexHull(ColumnBridge.expression(a)))
   def st_simplify(a: Column, tol: Column): Column =
     ColumnBridge.column(StSimplify(ColumnBridge.expression(a),
-      ColumnBridge.expression(tol.cast(org.apache.spark.sql.types.DoubleType))))
+      ColumnBridge.expression(
+        numericCast(tol, "st_simplify tolerance", DoubleType))))
   def st_length(a: Column): Column =
     ColumnBridge.column(StLength(ColumnBridge.expression(a)))
   /** st_make_line(ord, x, y) — AGGREGATE trajectory constructor: the

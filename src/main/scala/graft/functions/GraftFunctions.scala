@@ -242,12 +242,16 @@ object GraftFunctions {
     r.createOrReplaceTempFunction("st_centroid",
       es => GeoExprs.StCentroid(es.head), "built-in")
     r.createOrReplaceTempFunction("st_dwithin",
-      es => GeoExprs.StDwithin(es(0), es(1), Cast(es(2), DoubleType)), "built-in")
+      es => GeoExprs.StDwithin(es(0), es(1), Cast(
+        GeoExprs.NumericArg(es(2), "st_dwithin distance"), DoubleType)),
+      "built-in")
     r.createOrReplaceTempFunction("st_envelope",
       es => GeoExprs.StEnvelope(es.head), "built-in")
     r.createOrReplaceTempFunction("st_buffer",
-      es => GeoExprs.StBuffer(es(0), Cast(es(1), DoubleType),
-        Cast(if (es.length > 2) es(2) else Literal(16), IntegerType)), "built-in")
+      es => GeoExprs.StBuffer(es(0),
+        Cast(GeoExprs.NumericArg(es(1), "st_buffer radius"), DoubleType),
+        Cast(if (es.length > 2) GeoExprs.NumericArg(es(2), "st_buffer segments")
+          else Literal(16), IntegerType)), "built-in")
     r.createOrReplaceTempFunction("st_intersection_area",
       es => GeoExprs.StIntersectionArea(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("st_union",
@@ -281,7 +285,9 @@ object GraftFunctions {
     r.createOrReplaceTempFunction("st_overlaps",
       es => GeoExprs.StRelate(es(0), es(1), 2), "built-in")
     r.createOrReplaceTempFunction("st_simplify",
-      es => GeoExprs.StSimplify(es(0), Cast(es(1), DoubleType)), "built-in")
+      es => GeoExprs.StSimplify(es(0), Cast(
+        GeoExprs.NumericArg(es(1), "st_simplify tolerance"), DoubleType)),
+      "built-in")
     r.createOrReplaceTempFunction("st_xmin",
       es => GeoExprs.StBound(es.head, 0), "built-in")
     r.createOrReplaceTempFunction("st_xmax",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextExprs
 
@@ -29,12 +29,40 @@ import graft.functions.TextExprs
   */
 object Bpe {
 
+  /** Default trainer word-length ceiling — SentencePiece's own input
+    * sanitization sits in this range. */
+  val MaxWordLen: Int = 64
+
+  /** Loud word-length gate for the trainer seed/explode paths: one
+    * pathological unbroken token (minified JS, a base64 blob of length
+    * L) surviving the curation gates creates O(L·maxPieceLen) seed
+    * rows and a skewed straggler in every EM/merge round. Rather than
+    * silently truncating or skipping, raise with a named error — the
+    * require-and-raise stance every other operator takes; pre-clean
+    * the corpus (or widen the ceiling deliberately) instead. Runs once
+    * per DISTINCT word, codegen `when` + `raise_error`. */
+  private[operators] def requireWordLen(w: Column, maxWordLen: Int,
+      what: String): Column = {
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
+    when(length(w) > maxWordLen,
+      raise_error(concat(
+        lit(s"$what: token of length "), length(w).cast("string"),
+        lit(s" exceeds maxWordLen=$maxWordLen — an unbroken token " +
+          "(minified JS? base64?) makes a skewed trainer straggler; " +
+          "pre-clean the corpus or raise maxWordLen. Prefix: '"),
+        substring(w, 1, 32), lit("…'"))))
+      .otherwise(w)
+  }
+
   /** distinct-word symbol table: (cnt, syms) where syms starts as the
     * word's characters. The `transform` lambda runs once per DISTINCT
     * word, not per corpus row. */
-  def wordTable(df: DataFrame, textCol: String, lower: Boolean = true): DataFrame =
+  def wordTable(df: DataFrame, textCol: String, lower: Boolean = true,
+      maxWordLen: Int = MaxWordLen): DataFrame =
     df.select(explode(TextExprs.tokens(col(textCol), lower)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        requireWordLen(col("w"), maxWordLen, "bpe trainer").as("w"))
       .select(col("cnt"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
 

@@ -38,9 +38,13 @@ object ByteBpe {
   /** distinct pre-token symbol table: (cnt, syms) where syms are the
     * piece's MAPPED BYTES as single chars. One explode + one count
     * shuffle; the per-piece byte mapping runs once per DISTINCT piece. */
-  def wordTable(df: DataFrame, textCol: String): DataFrame =
+  def wordTable(df: DataFrame, textCol: String,
+      maxWordLen: Int = Bpe.MaxWordLen): DataFrame =
     df.select(explode(ByteBpeExprs.gpt2_split(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        Bpe.requireWordLen(col("w"), maxWordLen, "byte-bpe trainer").as("w"),
+        col("cnt"))
       .withColumn("bw", ByteBpeExprs.bytes_to_unicode(col("w")))
       .select(col("cnt"),
         expr("transform(sequence(1, length(bw)), i -> substring(bw, i, 1))")

@@ -332,14 +332,21 @@ object Similarity {
     * per-vector scalar quantization, codes in [−127, 127] */
   def sq8Codes(vec: Column): Column = graft.functions.VectorExprs.sq8_encode(vec)
 
-  /** Scalar-quantized top-k (the Faiss SQ8 shape): both sides quantize
-    * to int8 codes map-only, queries broadcast, and ranking uses the
-    * EXACT integer dot of the codes — every arithmetic step is integer,
-    * so the result is bit-deterministic and the oracle replays it as
-    * plain SQL. Symmetric scoring (codes × codes) keeps the whole scan
-    * off floats; the 4× memory cut is what lets a 100 TB vector corpus
-    * stay scan-resident. Ties break (idot DESC, neighbor_id ASC);
-    * self-matches excluded. */
+  /** Scalar-quantized top-k: both sides quantize to int8 codes
+    * map-only, queries broadcast, and ranking uses the EXACT integer
+    * dot of the codes — every arithmetic step is integer, so the
+    * result is bit-deterministic and the oracle replays it as plain
+    * SQL. NOTE on the metric: each vector is scaled by its OWN
+    * max-abs component (127/max|c_i|), so the integer dot ranks by
+    * dot(q,c)/(s_q·s_c) — a scale-normalized (cosine-like) order, NOT
+    * inner-product order. Faiss SQ8 differs: it stores the per-vector
+    * scale and dequantizes before scoring, recovering true IP ranking.
+    * We deliberately keep the symmetric all-integer form — it is the
+    * variant whose whole scan stays off floats and whose result a SQL
+    * oracle can replay bit-for-bit; callers who need IP order should
+    * use [[bruteTopK]] or the PQ-ADC path. The 4× memory cut is what
+    * lets a 100 TB vector corpus stay scan-resident. Ties break
+    * (idot DESC, neighbor_id ASC); self-matches excluded. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame =
     scanTopK(corpus, queries, idCol, vecCol, k,

@@ -33,11 +33,18 @@ import graft.functions.TextExprs
   */
 object Unigram {
 
-  /** distinct-word table (w, cnt) — the corpus is read once */
+  /** distinct-word table (w, cnt) — the corpus is read once. A word
+    * past `maxWordLen` raises loudly ([[Bpe.requireWordLen]]): the
+    * seed explode is L×maxPieceLen rows per word and each EM replay
+    * is an O(L·maxPieceLen) DP, so one unbroken 100 MB token would be
+    * a skewed straggler, not a correctness bug — gate it. */
   def wordCounts(df: DataFrame, textCol: String,
-      lower: Boolean = true): DataFrame =
+      lower: Boolean = true, maxWordLen: Int = Bpe.MaxWordLen): DataFrame =
     df.select(explode(TextExprs.tokens(col(textCol), lower)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        Bpe.requireWordLen(col("w"), maxWordLen, "unigram trainer").as("w"),
+        col("cnt"))
 
   /** Seed-vocabulary candidates: every substring of the distinct words
     * with length 1..maxPieceLen, scored by its corpus occurrence count

@@ -87,6 +87,10 @@ object WarcSource {
       maxRecordBytes: Long = MaxRecordBytes): DataFrame = {
     require(maxRecordBytes > 0,
       s"warc: maxRecordBytes must be positive, got $maxRecordBytes")
+    require(maxRecordBytes <= Int.MaxValue,
+      s"warc: maxRecordBytes $maxRecordBytes exceeds ${Int.MaxValue} — record " +
+        "blocks are read into a single JVM byte array, so ceilings above " +
+        "Int.MaxValue cannot be honored; shard oversized captures upstream")
     val files = FileCollection.expandGlobs(spark, paths)
       .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
     require(files.nonEmpty, s"no .warc/.warc.gz files match: ${paths.mkString(",")}")

@@ -386,6 +386,33 @@ class GeoSpec extends AnyFunSuite {
       "a one-point group degenerates to the point")
   }
 
+  test("numeric-arg guard: garbage distance/radius raises at analysis, not NULL (r15)") {
+    val spark = GraftSession.build("local[2]", 2)
+    graft.functions.GraftFunctions.registerAll(spark)
+    // a string column as the distance would silently null-cast under
+    // non-ANSI semantics; the guard rejects it at analysis instead
+    import spark.implicits._
+    val df = Seq(("POINT (0 0)", "oops")).toDF("g", "junk")
+    df.createOrReplaceTempView("garbage_args")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT st_dwithin(g, g, junk) FROM garbage_args").collect()
+    }
+    assert(e1.getMessage.contains("numeric"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT st_buffer(g, junk, 8) FROM garbage_args").collect()
+    }
+    assert(e2.getMessage.contains("numeric"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT st_simplify(g, junk) FROM garbage_args").collect()
+    }
+    assert(e3.getMessage.contains("numeric"), e3.getMessage)
+    // numeric args of every width still pass (int, decimal literal, double col)
+    val ok = spark.sql(
+      "SELECT st_dwithin('POINT (0 0)', 'POINT (3 4)', 5) AS a, " +
+        "st_npoints(st_buffer('POINT (0 0)', 2, 8)) AS b").collect()(0)
+    assert(ok.getBoolean(0) && ok.getInt(1) == 9)
+  }
+
   test("st_intersection_area: Sutherland–Hodgman clipping (r11)") {
     val spark = GraftSession.build("local[2]", 2)
     graft.functions.GraftFunctions.registerAll(spark)

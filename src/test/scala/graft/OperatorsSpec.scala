@@ -1059,6 +1059,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(few.count() == 0, "single-occurrence pairs must not merge")
   }
 
+  test("trainer word-length gate: a base64 blob raises loudly; ceiling is tunable (r15)") {
+    import spark.implicits._
+    // an unbroken 156-char base64-alphabet token (letters only, so the
+    // GPT-2 pre-split can't break it on digit runs either) — the
+    // pathological crawl artifact that would otherwise be a skewed
+    // trainer straggler
+    val blob = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz" * 3
+    assert(blob.length > Bpe.MaxWordLen)
+    val df = Seq("regular words here", blob).toDF("text")
+    val eBpe = intercept[Exception] {
+      Bpe.trainMerges(df, "text", nMerges = 1)
+    }
+    assert(eBpe.getMessage.contains("maxWordLen"), eBpe.getMessage)
+    assert(eBpe.getMessage.contains("bpe trainer"), eBpe.getMessage)
+    val eUg = intercept[Exception] {
+      Unigram.train(df, "text", vocabSize = 30)
+    }
+    assert(eUg.getMessage.contains("unigram trainer"), eUg.getMessage)
+    val eBb = intercept[Exception] {
+      ByteBpe.trainMerges(df, "text", nMerges = 1)
+    }
+    assert(eBb.getMessage.contains("byte-bpe trainer"), eBb.getMessage)
+    // wordpiece rides Bpe.wordTable → same gate
+    val eWp = intercept[Exception] {
+      Wordpiece.trainPieces(df, "text", nMerges = 1)
+    }
+    assert(eWp.getMessage.contains("maxWordLen"), eWp.getMessage)
+    // a deliberately widened ceiling admits the blob
+    val wide = Bpe.wordTable(df, "text", maxWordLen = 256)
+    assert(wide.count() == 4, "widened ceiling must admit the blob")
+    // and the default ceiling leaves clean corpora untouched
+    val clean = Bpe.trainMerges(
+      Seq("low low low newest newest").toDF("text"), "text", nMerges = 1)
+    assert(clean.count() == 1)
+  }
+
   test("bpe trainer batching: identical merges to batch=1, fewer rounds") {
     import spark.implicits._
     val df = Seq(

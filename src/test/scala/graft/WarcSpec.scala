@@ -44,6 +44,13 @@ class WarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       WarcSource.read(spark, Seq(dir), maxRecordBytes = 0)
     }
+    // r15: ceilings above Int.MaxValue would wrap readFully's int length
+    // to a negative/truncated allocation — reject loudly up front
+    val big = intercept[IllegalArgumentException] {
+      WarcSource.read(spark, Seq(dir), maxRecordBytes = Int.MaxValue.toLong + 1)
+    }
+    assert(big.getMessage.contains("Int.MaxValue") ||
+      big.getMessage.contains(s"${Int.MaxValue}"), big.getMessage)
   }
 
   test("warc: write → read round trip surfaces record + http fields") {
