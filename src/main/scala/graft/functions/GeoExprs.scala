@@ -296,6 +296,26 @@ object GeoExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** st_transform(wkt, from_srid, to_srid) → WKT reprojected between
+    * EPSG:4326 and EPSG:3857 (closed-form spherical Mercator,
+    * StrictMath — bit-deterministic across executors); unknown pairs
+    * and out-of-range coordinates raise loudly ([[Geo.stTransform]]) */
+  case class StTransform(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_transform"
+    override def nullSafeEval(w: Any, f: Any, t: Any): Any =
+      UTF8String.fromString(Geo.stTransform(
+        w.asInstanceOf[UTF8String].toString,
+        f.asInstanceOf[Int], t.asInstanceOf[Int]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (w, f, t) =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stTransform($w.toString(), $f, $t));")
+    override protected def withNewChildrenInternal(a: Expression,
+        b: Expression, c: Expression): Expression = copy(a, b, c)
+  }
+
   /** st_simplify(wkt, tol) → Douglas–Peucker two-anchor ring
     * simplification as WKT */
   case class StSimplify(left: Expression, right: Expression)
@@ -529,6 +549,12 @@ object GeoExprs {
       ColumnBridge.expression(a), ColumnBridge.expression(b), union = false))
   def st_convex_hull(a: Column): Column =
     ColumnBridge.column(StConvexHull(ColumnBridge.expression(a)))
+  def st_transform(a: Column, from: Column, to: Column): Column =
+    ColumnBridge.column(StTransform(ColumnBridge.expression(a),
+      ColumnBridge.expression(
+        numericCast(from, "st_transform from_srid", IntegerType)),
+      ColumnBridge.expression(
+        numericCast(to, "st_transform to_srid", IntegerType))))
   def st_simplify(a: Column, tol: Column): Column =
     ColumnBridge.column(StSimplify(ColumnBridge.expression(a),
       ColumnBridge.expression(

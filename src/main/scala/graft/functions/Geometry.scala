@@ -1901,4 +1901,97 @@ object Geo {
   def stXmax(a: String): Double = boundsOf(parseWktCached(a))._2
   def stYmin(a: String): Double = boundsOf(parseWktCached(a))._3
   def stYmax(a: String): Double = boundsOf(parseWktCached(a))._4
+
+  // --------------------------------------------- CRS transform (r15)
+  // The reference registers the full geodatafusion suite, which
+  // carries coordinate transforms (beacon-functions/src/lib.rs:31).
+  // We implement the pair that covers the dominant web/geo workload —
+  // EPSG:4326 (lon/lat degrees) ↔ EPSG:3857 (WGS84 Web Mercator
+  // meters) — as closed-form spherical-Mercator math (the projection's
+  // published definition), StrictMath throughout so every executor on
+  // every JVM produces bit-identical doubles. Unknown CRS pairs and
+  // out-of-range coordinates raise loudly rather than guessing.
+
+  /** WGS84 / Web Mercator sphere radius (meters) */
+  val WebMercatorR: Double = 6378137.0
+  /** Web Mercator's latitude of validity: atan(sinh(π)) in degrees —
+    * the projection maps [−MaxLat, MaxLat] onto a square */
+  val WebMercatorMaxLat: Double = 85.05112877980659
+
+  private def fwdMercator(lon: Double, lat: Double): (Double, Double) = {
+    if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+      throw new IllegalArgumentException(
+        s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+    if (lat < -WebMercatorMaxLat || lat > WebMercatorMaxLat || lat.isNaN)
+      throw new IllegalArgumentException(
+        s"st_transform: latitude $lat outside Web Mercator's validity " +
+          s"range [-$WebMercatorMaxLat, $WebMercatorMaxLat]")
+    (WebMercatorR * StrictMath.toRadians(lon),
+      WebMercatorR * StrictMath.log(
+        StrictMath.tan(StrictMath.PI / 4 + StrictMath.toRadians(lat) / 2)))
+  }
+
+  private def invMercator(x: Double, y: Double): (Double, Double) = {
+    val bound = WebMercatorR * StrictMath.PI
+    if (x < -bound - 1e-6 || x > bound + 1e-6 || x.isNaN)
+      throw new IllegalArgumentException(
+        s"st_transform: x $x outside Web Mercator's extent ±$bound")
+    (StrictMath.toDegrees(x / WebMercatorR),
+      StrictMath.toDegrees(
+        2 * StrictMath.atan(StrictMath.exp(y / WebMercatorR)) - StrictMath.PI / 2))
+  }
+
+  private def mapCoords(g: Geom, f: (Double, Double) => (Double, Double)): Geom = {
+    def ring(r: Ring): Ring = {
+      val xs = new Array[Double](r.size); val ys = new Array[Double](r.size)
+      var i = 0
+      while (i < r.size) {
+        val (x, y) = f(r.xs(i), r.ys(i)); xs(i) = x; ys(i) = y; i += 1
+      }
+      Ring(xs, ys)
+    }
+    g match {
+      case PointGeom(x, y) => val (nx, ny) = f(x, y); PointGeom(nx, ny)
+      case LineStringGeom(p) => LineStringGeom(ring(p))
+      case MultiLineStringGeom(ps) => MultiLineStringGeom(ps.map(ring))
+      case PolygonGeom(p) => PolygonGeom(Polygon(ring(p.outer), p.holes.map(ring)))
+      case MultiPolygonGeom(ps) =>
+        MultiPolygonGeom(ps.map(p => Polygon(ring(p.outer), p.holes.map(ring))))
+    }
+  }
+
+  /** generic Geom → WKT over the codec's five types */
+  def toWkt(g: Geom): String = {
+    def ringStr(r: Ring): String =
+      (0 until r.size).map(i => s"${fmt(r.xs(i))} ${fmt(r.ys(i))}")
+        .mkString(", ")
+    g match {
+      case PointGeom(x, y) => s"POINT (${fmt(x)} ${fmt(y)})"
+      case LineStringGeom(p) => s"LINESTRING (${ringStr(p)})"
+      case MultiLineStringGeom(ps) =>
+        "MULTILINESTRING " + ps.map(p => s"(${ringStr(p)})")
+          .mkString("(", ", ", ")")
+      case PolygonGeom(p) =>
+        "POLYGON " + (p.outer +: p.holes.toIndexedSeq)
+          .map(r => s"(${ringStr(r)})").mkString("(", ", ", ")")
+      case MultiPolygonGeom(ps) =>
+        "MULTIPOLYGON " + ps.map(p =>
+          (p.outer +: p.holes.toIndexedSeq).map(r => s"(${ringStr(r)})")
+            .mkString("(", ", ", ")")).mkString("(", ", ", ")")
+    }
+  }
+
+  /** st_transform(wkt, from_srid, to_srid) — every coordinate of the
+    * geometry reprojected; 4326↔3857 supported, same-SRID identity */
+  def stTransform(wkt: String, from: Int, to: Int): String = {
+    val g = parseWktCached(wkt)
+    (from, to) match {
+      case (a, b) if a == b => wkt
+      case (4326, 3857) => toWkt(mapCoords(g, fwdMercator))
+      case (3857, 4326) => toWkt(mapCoords(g, invMercator))
+      case _ => throw new IllegalArgumentException(
+        s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
+          "(4326↔3857 supported)")
+    }
+  }
 }

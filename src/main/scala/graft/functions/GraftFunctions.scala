@@ -284,6 +284,11 @@ object GraftFunctions {
       es => GeoExprs.StRelate(es(0), es(1), 1), "built-in")
     r.createOrReplaceTempFunction("st_overlaps",
       es => GeoExprs.StRelate(es(0), es(1), 2), "built-in")
+    r.createOrReplaceTempFunction("st_transform",
+      es => GeoExprs.StTransform(es(0),
+        Cast(GeoExprs.NumericArg(es(1), "st_transform from_srid"), IntegerType),
+        Cast(GeoExprs.NumericArg(es(2), "st_transform to_srid"), IntegerType)),
+      "built-in")
     r.createOrReplaceTempFunction("st_simplify",
       es => GeoExprs.StSimplify(es(0), Cast(
         GeoExprs.NumericArg(es(1), "st_simplify tolerance"), DoubleType)),

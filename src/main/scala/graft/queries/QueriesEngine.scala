@@ -749,6 +749,48 @@ object QueriesEngine {
         .orderBy($"l_returnflag")
     },
 
+    // ---- CRS transform (r15): EPSG:4326 → 3857 closed-form spherical
+    // Mercator (x = R·λ, y = R·ln tan(π/4 + φ/2)) — the oracle replays
+    // the projection's published definition as plain ln/tan/radians
+    // arithmetic; the inverse leg round-trips through the engine and
+    // must land back on the integer-degree fixtures. A geodetic unit
+    // square projects to a perfect rectangle (x is linear in lon, y
+    // depends only on lat), so the polygon leg's shoelace area has the
+    // closed form R·Δλ · (y(φ+1) − y(φ)). Map-only codegen, no shuffle
+    // but the final presentation sort.
+    "q_geo_transform" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lon = $"n_nationkey" % 36 * 10 - 175
+      val lat = $"n_nationkey" % 17 * 10 - 80
+      val pt = concat(lit("POINT ("), d(lon), lit(" "), d(lat), lit(")"))
+      val sq = concat(lit("POLYGON (("),
+        d(lon), lit(" "), d(lat), lit(", "),
+        d(lon + 1), lit(" "), d(lat), lit(", "),
+        d(lon + 1), lit(" "), d(lat + 1), lit(", "),
+        d(lon), lit(" "), d(lat + 1), lit(", "),
+        d(lon), lit(" "), d(lat), lit("))"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(pt, lit(4326), lit(3857)).as("m"),
+          GeoExprs.st_transform(sq, lit(4326), lit(3857)).as("msq"))
+        .select($"n_nationkey",
+          // + 0.0 normalizes IEEE −0.0 (lat 0 → ln(tan(π/4)) ≈ −7e-10
+          // → rounds to −0.0 where the oracle's libm lands on +0.0)
+          (round(GeoExprs.st_x($"m"), 3) + 0.0).as("mx"),
+          (round(GeoExprs.st_y($"m"), 3) + 0.0).as("my"),
+          (round(GeoExprs.st_x(
+            GeoExprs.st_transform($"m", lit(3857), lit(4326))), 6) + 0.0)
+            .as("back_lon"),
+          (round(GeoExprs.st_y(
+            GeoExprs.st_transform($"m", lit(3857), lit(4326))), 6) + 0.0)
+            .as("back_lat"),
+          (round(GeoExprs.st_area($"msq"), 0) + 0.0).as("sq_area_m2"))
+        .orderBy($"n_nationkey")
+    },
+
     "q_geo_suite" -> { (s, dir) =>
       import s.implicits._
       GraftSession.configure(s)
@@ -1242,6 +1284,24 @@ object QueriesEngine {
                  CAST(n_nationkey % 3 + 1 AS INT) AS sc,
                  CAST(n_nationkey AS INT) AS t
                FROM nation) q
+         ORDER BY n_nationkey""",
+    // the oracle replays the projection's published definition as
+    // arithmetic; the inverse leg must land back on the integer-degree
+    // fixtures, and the square's Mercator area is R·Δλ·Δy exactly
+    "q_geo_transform" ->
+      """SELECT n_nationkey,
+           round(6378137 * radians(lon), 3) + 0.0 AS mx,
+           round(6378137 * ln(tan(pi()/4 + radians(lat)/2)), 3) + 0.0 AS my,
+           round(lon, 6) + 0.0 AS back_lon,
+           round(lat, 6) + 0.0 AS back_lat,
+           round(6378137 * radians(CAST(1 AS DOUBLE))
+             * 6378137 * (ln(tan(pi()/4 + radians(lat + 1)/2))
+                          - ln(tan(pi()/4 + radians(lat)/2))), 0) + 0.0
+             AS sq_area_m2
+         FROM (SELECT n_nationkey,
+                 CAST(n_nationkey % 36 * 10 - 175 AS DOUBLE) AS lon,
+                 CAST(n_nationkey % 17 * 10 - 80 AS DOUBLE) AS lat
+               FROM nation) t
          ORDER BY n_nationkey""",
     "q_geo_extent" ->
       """SELECT l_returnflag,

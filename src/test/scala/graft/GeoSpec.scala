@@ -386,6 +386,52 @@ class GeoSpec extends AnyFunSuite {
       "a one-point group degenerates to the point")
   }
 
+  test("st_transform: 4326↔3857 closed forms, round trip, loud errors (r15)") {
+    val spark = GraftSession.build("local[2]", 2)
+    graft.functions.GraftFunctions.registerAll(spark)
+    import graft.functions.Geo
+    // the published closed forms: lat 45° → R·ln(tan(67.5°)), lon 180° → R·π
+    val p45 = Geo.stTransform("POINT (0 45)", 4326, 3857)
+    val y45 = p45.stripPrefix("POINT (0 ").stripSuffix(")").toDouble
+    assert(math.abs(y45 - 5621521.486192066) < 1e-6, p45)
+    val pMax = Geo.stTransform("POINT (180 0)", 4326, 3857)
+    val xMax = pMax.split("[ ()]")(2).toDouble
+    assert(math.abs(xMax - 20037508.342789244) < 1e-6, pMax)
+    // NYC reference point
+    val nyc = Geo.stTransform("POINT (-73.9857 40.7484)", 4326, 3857)
+    val Array(nx, ny) = nyc.stripPrefix("POINT (").stripSuffix(")")
+      .split(" ").map(_.toDouble)
+    assert(math.abs(nx - -8236050.4499839) < 1e-5 &&
+      math.abs(ny - 4975301.253789808) < 1e-5, nyc)
+    // round trip over every geometry type, coordinates back to 1e-9°
+    for (w <- Seq("POINT (12.5 -33.25)",
+        "LINESTRING (0 0, 10 10, 20 -5)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 2))",
+        "MULTIPOLYGON (((0 0, 5 0, 5 5, 0 0)), ((20 20, 25 20, 25 25, 20 20)))",
+        "MULTILINESTRING ((0 0, 5 5), (10 10, 15 15))")) {
+      val rt = Geo.stTransform(Geo.stTransform(w, 4326, 3857), 3857, 4326)
+      val orig = Geo.parseWkt(w); val back = Geo.parseWkt(rt)
+      assert(Geo.stNPoints(rt) == Geo.stNPoints(w), s"$w → $rt")
+      val d = math.abs(Geo.stArea(rt) - Geo.stArea(w))
+      assert(d < 1e-7, s"round-trip area drift $d for $w")
+    }
+    // same-SRID identity is byte-exact
+    assert(Geo.stTransform("POINT (1 2)", 4326, 4326) == "POINT (1 2)")
+    // loud: out-of-validity latitude, unknown CRS pair, SQL surface
+    val e1 = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (0 89)", 4326, 3857)
+    }
+    assert(e1.getMessage.contains("latitude"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (0 0)", 4326, 32633)
+    }
+    assert(e2.getMessage.contains("unsupported CRS pair"), e2.getMessage)
+    val viaSql = spark.sql(
+      "SELECT round(st_y(st_transform('POINT (0 45)', 4326, 3857)), 3) AS y")
+      .collect()(0).getDouble(0)
+    assert(viaSql == 5621521.486, s"sql: $viaSql")
+  }
+
   test("numeric-arg guard: garbage distance/radius raises at analysis, not NULL (r15)") {
     val spark = GraftSession.build("local[2]", 2)
     graft.functions.GraftFunctions.registerAll(spark)
