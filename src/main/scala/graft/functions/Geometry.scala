@@ -720,8 +720,11 @@ object Geo {
     * returning a wrong polygon. Trig goes through StrictMath for
     * cross-platform bit-determinism (the soft-EM stance). */
   def bufferWkt(g: Geom, r: Double, segs: Int): String = {
-    require(r > 0, s"st_buffer radius must be positive: $r")
+    require(r != 0 && !r.isNaN, s"st_buffer radius must be non-zero: $r")
     require(segs >= 4, s"st_buffer needs at least 4 segments: $segs")
+    // r15: a NEGATIVE radius is erosion — inward offset, components
+    // may split (MULTIPOLYGON) or vanish (POLYGON EMPTY)
+    if (r < 0) return erodeWkt(g, -r, segs)
     g match {
       case PointGeom(cx, cy) =>
         // the r11 emission, byte-for-byte (starts at angle 0, CCW)
@@ -1410,7 +1413,8 @@ object Geo {
     * from the caller. Appends to `out`; returns nothing. */
   private def offsetChain(pts: Array[(Double, Double)], r: Double, segs: Int,
       side: Int, closed: Boolean,
-      out: mutable.ArrayBuffer[(Double, Double)]): Unit = {
+      out: mutable.ArrayBuffer[(Double, Double)],
+      lenientTrims: Boolean = false): Unit = {
     val n = pts.length
     val segN = if (closed) n else n - 1
     def at(i: Int) = pts(i % n)
@@ -1460,7 +1464,11 @@ object Geo {
         val denom = dx(a) * dy(b) - dy(a) * dx(b)
         val t = ((bx0 - ax0) * dy(b) - (by0 - ay0) * dx(b)) / denom
         val s = ((bx0 - ax0) * dy(a) - (by0 - ay0) * dx(a)) / denom
-        if (t > 0 || -t > len(a) || s < 0 || s > len(b))
+        // lenientTrims (the erosion trace): an overshooting trim is
+        // EXPECTED when the inward offset self-intersects — the loop
+        // extraction downstream resolves it — so only the strict
+        // (outward/corridor) trace rejects it here
+        if (!lenientTrims && (t > 0 || -t > len(a) || s < 0 || s > len(b)))
           throw new IllegalArgumentException(
             s"st_buffer: segment shorter than the radius-$r trim at " +
               s"($vx, $vy) — the offset would self-intersect")
@@ -1620,6 +1628,156 @@ object Geo {
       i += 1
     }
     ring
+  }
+
+  // -------------------------- erosion (negative-radius buffer, r15)
+  // Inward offset of a hole-free polygon by |r|: the same direct
+  // offset trace as the outward side (arcs at REFLEX vertices, trims
+  // at convex ones — the roles flip inward), but self-intersection of
+  // the traced ring is a FEATURE here, not an error: it is exactly
+  // how erosion splits a pinched polygon into components or vanishes
+  // entirely. The trace is resolved by splitting every segment at its
+  // self-intersection points and extracting loops with a stack walk;
+  // loops that keep the original CCW orientation are real eroded
+  // components, reversed (CW) loops are the collapsed waist artifacts
+  // and are dropped. Every surviving vertex is then VALIDATED against
+  // the definition (inside the polygon, ≥ r − 1e-6 from its boundary)
+  // — configurations the loop heuristic cannot resolve (two waists
+  // interacting within r of each other) raise a named error rather
+  // than emit a wrong polygon, the same loud stance as the corridor
+  // tracer's domain guards.
+
+  /** one self-intersection point of two segments, computed ONCE and
+    * shared by both so the loop walk's point matching is exact where
+    * possible; collinear contact raises (the trace cannot happen to
+    * produce it from finite-precision offsets without a degenerate
+    * input) */
+  private def segIntersectionPt(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx2: Double, dy2: Double): (Double, Double) = {
+    val rx = bx - ax; val ry = by - ay
+    val sx = dx2 - cx; val sy = dy2 - cy
+    val denom = rx * sy - ry * sx
+    if (denom == 0)
+      throw new IllegalArgumentException(
+        "st_buffer: erosion trace produced collinear overlapping " +
+          "offsets — unsupported input")
+    // snap an endpoint-touch to the exact endpoint (T-junctions are
+    // the common case: a trim corner landing on another offset line)
+    val t = ((cx - ax) * sy - (cy - ay) * sx) / denom
+    val u = ((cx - ax) * ry - (cy - ay) * rx) / denom
+    if (t <= 1e-12) (ax, ay)
+    else if (t >= 1 - 1e-12) (bx, by)
+    else if (u <= 1e-12) (cx, cy)
+    else if (u >= 1 - 1e-12) (dx2, dy2)
+    else (ax + t * rx, ay + t * ry)
+  }
+
+  /** rebuild the closed traced ring with every self-intersection
+    * point inserted into BOTH segments it lies on (same computed
+    * point object — bit-identical on each side) */
+  private def splitAtSelfIntersections(
+      ring: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val m = ring.length
+    val splits = Array.fill(m)(mutable.ArrayBuffer.empty[(Double, (Double, Double))])
+    var i = 0
+    while (i < m) {
+      val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % m)
+      var j = i + 2
+      while (j < m) {
+        if (!(i == 0 && j == m - 1)) {
+          val (x3, y3) = ring(j); val (x4, y4) = ring((j + 1) % m)
+          if (segsIntersect(x1, y1, x2, y2, x3, y3, x4, y4)) {
+            val p = segIntersectionPt(x1, y1, x2, y2, x3, y3, x4, y4)
+            def param(sx: Double, sy: Double, ex: Double, ey: Double): Double =
+              if (math.abs(ex - sx) >= math.abs(ey - sy))
+                (p._1 - sx) / (ex - sx) else (p._2 - sy) / (ey - sy)
+            splits(i) += ((param(x1, y1, x2, y2), p))
+            splits(j) += ((param(x3, y3, x4, y4), p))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = mutable.ArrayBuffer.empty[(Double, Double)]
+    i = 0
+    while (i < m) {
+      out += ring(i)
+      splits(i).sortBy(_._1).foreach { case (t, p) =>
+        if (t > 1e-12 && t < 1 - 1e-12) out += p
+      }
+      i += 1
+    }
+    dedupeRing(out)
+  }
+
+  /** stack-walk loop extraction over a closed polyline: arriving
+    * within `eps` of a point already on the stack closes the cycle
+    * between as one loop; the residual stack closes as the final loop */
+  private def extractLoops(pts: Array[(Double, Double)],
+      eps: Double): Seq[Array[(Double, Double)]] = {
+    val loops = mutable.ArrayBuffer.empty[Array[(Double, Double)]]
+    val stack = mutable.ArrayBuffer.empty[(Double, Double)]
+    pts.foreach { p =>
+      val k = stack.lastIndexWhere(q =>
+        math.abs(q._1 - p._1) <= eps && math.abs(q._2 - p._2) <= eps)
+      if (k >= 0) {
+        val loop = stack.slice(k, stack.length).toArray
+        if (loop.length >= 3) loops += loop
+        stack.remove(k + 1, stack.length - k - 1)
+      } else stack += p
+    }
+    if (stack.length >= 3) loops += stack.toArray
+    loops.toSeq
+  }
+
+  /** erosion of a geometry by radius r > 0 (the negative-buffer arm
+    * of [[bufferWkt]]): POINT/LINESTRING erode to empty (they have no
+    * interior to keep); polygons go through the inward offset trace.
+    * A multipolygon erodes per DISJOINT component. */
+  private def erodeWkt(g: Geom, r: Double, segs: Int): String = g match {
+    case PointGeom(_, _) | LineStringGeom(_) | MultiLineStringGeom(_) =>
+      "POLYGON EMPTY"
+    case PolygonGeom(p) => erodeRings(Seq(p), r, segs)
+    case MultiPolygonGeom(ps) => erodeRings(ps, r, segs)
+  }
+
+  private def erodeRings(ps: Seq[Polygon], r: Double, segs: Int): String = {
+    val kept = ps.flatMap { p =>
+      require(p.holes.isEmpty,
+        "st_buffer: erosion of polygons with holes is not supported")
+      val ring = dedupeConsecutive(openCcw(p, "st_buffer"))
+      require(ring.length >= 3, "st_buffer: degenerate ring")
+      val out = mutable.ArrayBuffer.empty[(Double, Double)]
+      // side = +1 is the LEFT (inward, for CCW) offset; lenient trims —
+      // overshoots become self-intersections the loop walk resolves
+      offsetChain(ring, r, segs, side = 1, closed = true, out,
+        lenientTrims = true)
+      val loops = extractLoops(splitAtSelfIntersections(dedupeRing(out)), 1e-9)
+        .filter(l => l.length >= 3 && signedArea(l) > 1e-12)
+      // validate against the definition: every surviving vertex must
+      // lie in the polygon at ≥ r from its boundary (tolerance 1e-6:
+      // trim corners and arc points sit EXACTLY at distance r)
+      loops.foreach { l =>
+        l.foreach { case (x, y) =>
+          var dMin = Double.PositiveInfinity
+          var i = 0
+          while (i < ring.length) {
+            val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.length)
+            val d = ptSegDist(x, y, x1, y1, x2, y2)
+            if (d < dMin) dMin = d
+            i += 1
+          }
+          if (dMin < r - 1e-6 || !polygonContains(p, x, y))
+            throw new IllegalArgumentException(
+              "st_buffer: erosion loops interact within the radius " +
+                s"(vertex ($x, $y) is ${dMin} from the boundary, " +
+                s"radius $r) — unsupported input")
+        }
+      }
+      loops
+    }
+    if (kept.isEmpty) "POLYGON EMPTY" else ghToWkt(kept)
   }
 
   // --------------------------------------- DE-9IM relate predicates

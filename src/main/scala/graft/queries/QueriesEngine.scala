@@ -791,6 +791,48 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- negative-radius buffer = EROSION (r15): a rectangle erodes
+    // to the inner rectangle (area (24s−4s)(10s−4s) = 120s²); a
+    // dumbbell — the rectangle with a full-height width-2s slit —
+    // SEVERS into two exact 7s×6s rectangles (the slit-bottom reflex
+    // arcs live in the collapsed waist loop the extraction drops, so
+    // every surviving coordinate is an integer and every measure a
+    // closed form); over-erosion vanishes to POLYGON EMPTY. All three
+    // legs parametrized on s = n%3+1 and translated by t = n.
+    "q_geo_buffer_neg" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def i(c: org.apache.spark.sql.Column) = c.cast("int").cast("string")
+      val sc = $"s"; val t = $"t"
+      def xy(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        concat(i(x + t), lit(" "), i(y + t))
+      val rect = concat(lit("POLYGON (("),
+        xy(lit(0), lit(0)), lit(", "), xy(sc * 24, lit(0)), lit(", "),
+        xy(sc * 24, sc * 10), lit(", "), xy(lit(0), sc * 10), lit(", "),
+        xy(lit(0), lit(0)), lit("))"))
+      val dumbbell = concat(lit("POLYGON (("),
+        xy(lit(0), lit(0)), lit(", "), xy(sc * 24, lit(0)), lit(", "),
+        xy(sc * 24, sc * 10), lit(", "), xy(sc * 13, sc * 10), lit(", "),
+        xy(sc * 13, sc * 2), lit(", "), xy(sc * 11, sc * 2), lit(", "),
+        xy(sc * 11, sc * 10), lit(", "), xy(lit(0), sc * 10), lit(", "),
+        xy(lit(0), lit(0)), lit("))"))
+      val erodedRect = GeoExprs.st_buffer(rect, -(sc * 2), lit(8))
+      val severed = GeoExprs.st_buffer(dumbbell, -(sc * 2), lit(8))
+      val vanished = GeoExprs.st_buffer(rect, -(sc * 6), lit(8))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          ($"n_nationkey" % 3 + 1).cast("int").as("s"),
+          $"n_nationkey".cast("int").as("t"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_area(erodedRect), 6).as("rect_area"),
+          GeoExprs.st_geometry_type(severed).as("split_type"),
+          round(GeoExprs.st_area(severed), 6).as("split_area"),
+          GeoExprs.st_npoints(severed).cast(LongType).as("split_np"),
+          round(GeoExprs.st_area(vanished), 6).as("vanished_area"))
+        .orderBy($"n_nationkey")
+    },
+
     "q_geo_suite" -> { (s, dir) =>
       import s.implicits._
       GraftSession.configure(s)
@@ -1302,6 +1344,18 @@ object QueriesEngine {
                  CAST(n_nationkey % 36 * 10 - 175 AS DOUBLE) AS lon,
                  CAST(n_nationkey % 17 * 10 - 80 AS DOUBLE) AS lat
                FROM nation) t
+         ORDER BY n_nationkey""",
+    // erosion closed forms: inner rectangle 20s·6s, severed dumbbell
+    // 2 × 7s·6s with 5+5 ring points, over-erosion vanishes to 0
+    "q_geo_buffer_neg" ->
+      """SELECT n_nationkey,
+           round(CAST(120 * s * s AS DOUBLE), 6) AS rect_area,
+           'MULTIPOLYGON' AS split_type,
+           round(CAST(84 * s * s AS DOUBLE), 6) AS split_area,
+           CAST(10 AS BIGINT) AS split_np,
+           CAST(0 AS DOUBLE) AS vanished_area
+         FROM (SELECT n_nationkey, CAST(n_nationkey % 3 + 1 AS INT) AS s
+               FROM nation) q
          ORDER BY n_nationkey""",
     "q_geo_extent" ->
       """SELECT l_returnflag,

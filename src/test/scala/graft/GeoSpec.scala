@@ -386,6 +386,54 @@ class GeoSpec extends AnyFunSuite {
       "a one-point group degenerates to the point")
   }
 
+  test("st_buffer negative radius: erosion — shrink, split, vanish (r15)") {
+    import graft.functions.Geo
+    // rectangle erodes to the inner rectangle, exactly
+    val rect = "POLYGON ((0 0, 240 0, 240 100, 0 100, 0 0))"
+    assert(Geo.bufferWkt(Geo.parseWkt(rect), -20, 8) ==
+      "POLYGON ((20 20, 220 20, 220 80, 20 80, 20 20))")
+    // dumbbell (rectangle with a full-height slit of width 2): erosion
+    // by 20 severs it into two exact rectangles — the slit-bottom
+    // reflex arcs live entirely in the collapsed waist loop the
+    // extraction drops, so both components are closed-form
+    val dumbbell = "POLYGON ((0 0, 240 0, 240 100, 121 100, 121 20, " +
+      "119 20, 119 100, 0 100, 0 0))"
+    val split = Geo.bufferWkt(Geo.parseWkt(dumbbell), -20, 8)
+    assert(split == "MULTIPOLYGON (((20 20, 99 20, 99 80, 20 80, 20 20)), " +
+      "((141 20, 220 20, 220 80, 141 80, 141 20)))", split)
+    // over-erosion vanishes
+    assert(Geo.bufferWkt(Geo.parseWkt(rect), -60, 8) == "POLYGON EMPTY")
+    // multipolygon components erode independently
+    val two = "MULTIPOLYGON (((0 0, 100 0, 100 100, 0 100, 0 0)), " +
+      "((200 0, 300 0, 300 100, 200 100, 200 0)))"
+    assert(Geo.bufferWkt(Geo.parseWkt(two), -10, 8) ==
+      "MULTIPOLYGON (((10 10, 90 10, 90 90, 10 90, 10 10)), " +
+        "((210 10, 290 10, 290 90, 210 90, 210 10)))")
+    // lower-dimensional inputs have no interior: empty
+    assert(Geo.bufferWkt(Geo.parseWkt("POINT (5 5)"), -1, 8) == "POLYGON EMPTY")
+    assert(Geo.bufferWkt(Geo.parseWkt("LINESTRING (0 0, 10 10)"), -1, 8) ==
+      "POLYGON EMPTY")
+    // reflex corner erosion keeps the inward arc: L-shape eroded — the
+    // reentrant corner at (100,100) rounds with a radius-10 arc whose
+    // 4-chord fan (segs=16 → quarter arc in 4 steps) has the closed
+    // form 4·(r²/2)·sin(π/8); eroded area = sharp-corner union area
+    // + corner square r² − chord-fan area
+    val ell = "POLYGON ((0 0, 200 0, 200 100, 100 100, 100 200, 0 200, 0 0))"
+    val eroded = Geo.bufferWkt(Geo.parseWkt(ell), -10, 16)
+    val a = Geo.stArea(eroded)
+    val aSharp = 180.0 * 80 + 80.0 * 100
+    val expected = aSharp + 100.0 - 200.0 * StrictMath.sin(StrictMath.PI / 8)
+    assert(math.abs(a - expected) < 1e-6,
+      s"L-shape eroded area $a vs closed form $expected")
+    // polygons with holes refuse loudly
+    val holed = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0), " +
+      "(40 40, 60 40, 60 60, 40 60, 40 40))"
+    val e = intercept[IllegalArgumentException] {
+      Geo.bufferWkt(Geo.parseWkt(holed), -5, 8)
+    }
+    assert(e.getMessage.contains("holes"), e.getMessage)
+  }
+
   test("st_transform: 4326↔3857 closed forms, round trip, loud errors (r15)") {
     val spark = GraftSession.build("local[2]", 2)
     graft.functions.GraftFunctions.registerAll(spark)
