@@ -635,10 +635,25 @@ object CuratePipeline {
             if ((st \ "lower") != JNothing) throw new DslException(
               "tokenize: algo byte_bpe is byte-lossless and " +
                 "case-preserving; 'lower' does not apply")
-            graft.operators.ByteBpe
-              .encodeIds(df, textCol, idCol, mergesOf(st))
-              .select(col("doc_id").as(idCol), col("token_ids"),
-                col("n_bbpe_tokens"))
+            // r15: an `encoder_path` (published GPT-2 encoder.json)
+            // switches ids from the closed byte/256+rank scheme to the
+            // production vocabulary's ids — the merges_path artifact
+            // is the published vocab.bpe either way
+            st \ "encoder_path" match {
+              case JString(encPath) =>
+                graft.operators.ByteBpe.encodeIdsPublished(
+                    df, textCol, idCol, mergesOf(st),
+                    graft.operators.ByteBpe.readGpt2Encoder(encPath))
+                  .select(col("doc_id").as(idCol), col("token_ids"),
+                    col("n_bbpe_tokens"))
+              case JNothing =>
+                graft.operators.ByteBpe
+                  .encodeIds(df, textCol, idCol, mergesOf(st))
+                  .select(col("doc_id").as(idCol), col("token_ids"),
+                    col("n_bbpe_tokens"))
+              case other => throw new DslException(
+                s"'encoder_path' must be a string, got $other")
+            }
           case "unigram" =>
             // `pieces` here are [piece, integer-log-prob-weight] pairs
             // (the artifact Unigram.train ships); `unk` is the OOV
@@ -716,20 +731,16 @@ object CuratePipeline {
           s"each unigram piece must be a [piece, integer-weight] pair: $other")
       }
       case (JNothing, JString(path)) =>
-        val entries = graft.sources.io.ByteStore.readString(path)
-          .split("\n").map(_.trim)
-          .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-          .map { l =>
-            l.split("\t") match {
-              case Array(p, w) if w.trim.matches("-?\\d+") =>
-                (p, w.trim.toLong)
-              case _ => throw new DslException(
-                s"bad unigram vocab line (want piece<TAB>weight): '$l'")
-            }
-          }
-        if (entries.isEmpty) throw new DslException(
-          s"unigram vocab at '$path' has no entries")
-        entries
+        // r15: accepts the engine's own piece<TAB>integer-weight
+        // format AND the published SentencePiece .vocab text format
+        // (float scores, ▁ markers, control rows) — the documented
+        // projection in [[graft.operators.Unigram.parseVocabArtifact]]
+        try graft.operators.Unigram.readVocab(path)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new DslException(
+              s"unigram vocab at '$path': ${e.getMessage}")
+        }
       case (JNothing, JNothing) => throw new DslException(
         "tokenize: algo unigram needs a non-empty 'pieces' array of " +
           "[piece, weight] pairs or a 'pieces_path'")

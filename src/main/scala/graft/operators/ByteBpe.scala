@@ -97,4 +97,80 @@ object ByteBpe {
     }
     (base ++ prods).toDF("token_id", "symbol", "kind")
   }
+
+  // ----------------- published GPT-2 artifact interop (r15)
+  // The byte mapping and merge replay here are already EXACTLY the
+  // published `openai/gpt-2` encoder semantics, so loading the
+  // production artifacts is a parser, not an algorithm: `vocab.bpe`
+  // (a `#version: 0.2` header then one `left right` line per merge in
+  // rank order) and `encoder.json` (mapped-byte symbol → token id).
+  // Both read through the ByteStore seam so they can live on the
+  // object store next to the data.
+
+  /** read a published-format `vocab.bpe` / merges.txt: `#`-prefixed
+    * header lines skipped, one whitespace-separated pair per line in
+    * rank order */
+  def readGpt2Merges(path: String): Seq[(String, String)] = {
+    val merges = graft.sources.io.ByteStore.readString(path)
+      .split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        l.split("\\s+") match {
+          case Array(a, b) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            s"vocab.bpe at '$path': bad merges line '$l' " +
+              "(want 'left right')")
+        }
+      }.toSeq
+    require(merges.nonEmpty, s"vocab.bpe at '$path' has no merges")
+    merges
+  }
+
+  /** read a published-format `encoder.json`: one JSON object mapping
+    * each mapped-byte symbol (and merge product) to its token id */
+  def readGpt2Encoder(path: String): Map[String, Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(graft.sources.io.ByteStore.readString(path)) match {
+      case JObject(fields) if fields.nonEmpty => fields.map {
+        case (sym, JInt(id)) => sym -> id.toLong
+        case (sym, other) => throw new IllegalArgumentException(
+          s"encoder.json at '$path': id of '$sym' must be an integer, " +
+            s"got $other")
+      }.toMap
+      case _ => throw new IllegalArgumentException(
+        s"encoder.json at '$path' must be a non-empty JSON object")
+    }
+  }
+
+  /** text → token ids under a PUBLISHED id vocabulary (encoder.json):
+    * same lossless byte-level encode, ids from the artifact instead of
+    * the closed byte/256+rank scheme. Every symbol the merges can
+    * produce must have an id — a gap raises at encode (the artifact
+    * pair is inconsistent), never emits a wrong id. Map-only codegen. */
+  def encodeIdsPublished(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], encoder: Map[String, Long]): DataFrame = {
+    // validate the closed surface up front: all 256 byte symbols and
+    // every merge product need ids
+    val missing = ((0 until 256).map(b => ByteBpeExprs.byteToChar(b).toString)
+      ++ merges.map { case (l, r) => l + r }).filterNot(encoder.contains)
+    require(missing.isEmpty,
+      s"encoder.json is missing ids for ${missing.size} symbols the " +
+        s"merge table can produce (first: '${missing.head}') — " +
+        "vocab.bpe and encoder.json disagree")
+    // the closed scheme (byte value / 256+rank) is a bijection onto
+    // the symbol set, so published ids are a dense remap of it — the
+    // lossless closed kernel does the work, one array lookup per token
+    val remap: Array[Long] = Array.tabulate(256 + merges.length) { cid =>
+      val sym =
+        if (cid < 256) ByteBpeExprs.byteToChar(cid).toString
+        else { val (l, r) = merges(cid - 256); l + r }
+      encoder(sym)
+    }
+    val table = array(remap.map(lit(_)): _*)
+    encodeIds(df, textCol, idCol, merges)
+      .withColumn("token_ids", transform(col("token_ids"),
+        i => element_at(table, i.cast("int") + 1)))
+      .select(col("doc_id"), col("token_ids"), col("n_bbpe_tokens"))
+  }
 }

@@ -199,6 +199,63 @@ object Unigram {
     graft.sources.io.ByteStore.writeString(path, sb.toString)
   }
 
+  /** Parse a vocab artifact in EITHER the engine's own format
+    * (`piece<TAB>integer-scaled-weight`, [[writeVocab]]) or the
+    * published SentencePiece `.vocab` text format
+    * (`piece<TAB>float-log-prob`, `▁` word-boundary markers,
+    * `<unk>`/`<s>`/`</s>` control rows) — the projection a production
+    * spm vocab needs to drive [[encode]]:
+    *  - float scores quantize to integer MILLIONTHS (Viterbi compares
+    *    weight sums, so any uniform scale preserves the argmax; 1e-6
+    *    resolution is far below spm's printed 6-digit scores);
+    *  - `<...>` control rows are skipped (they are id-table metadata,
+    *    not text pieces);
+    *  - a leading `▁` (U+2581) strips: spm marks word starts because
+    *    it segments a space-joined stream, while this encoder runs
+    *    per whitespace-split word — the word boundary is structural,
+    *    so the marker is redundant here. When the bare and marked
+    *    variant both exist the HIGHER score wins (the segmentation
+    *    Viterbi would prefer anyway). Documented lossy projection:
+    *    vocabs that score a piece differently word-initially vs
+    *    word-internally collapse to the optimistic variant. */
+  def parseVocabArtifact(content: String,
+      floatScale: Long = 1000000L): Seq[(String, Long)] = {
+    val marker = '▁'
+    val raw = content.split("\n").iterator.map(_.stripLineEnd)
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .flatMap { l =>
+        l.split("\t") match {
+          case Array(p0, w0) =>
+            val w = w0.trim
+            if (p0.matches("<[^>]+>")) None
+            else {
+              val weight =
+                if (w.matches("-?\\d+")) w.toLong
+                else if (w.matches("-?\\d*\\.\\d+([eE]-?\\d+)?"))
+                  math.round(w.toDouble * floatScale)
+                else throw new IllegalArgumentException(
+                  s"bad vocab score '$w' for piece '$p0' " +
+                    "(want integer weight or float log-prob)")
+              val p = if (p0.nonEmpty && p0.charAt(0) == marker)
+                p0.substring(1) else p0
+              if (p.isEmpty) None else Some((p, weight))
+            }
+          case _ => throw new IllegalArgumentException(
+            s"bad vocab line (want piece<TAB>score): '$l'")
+        }
+      }.toSeq
+    val merged = raw.groupBy(_._1).map { case (p, ws) =>
+      (p, ws.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    require(merged.nonEmpty, "vocab artifact has no usable pieces")
+    merged
+  }
+
+  /** read a vocab artifact ([[parseVocabArtifact]] formats) through
+    * the ByteStore seam */
+  def readVocab(path: String): Seq[(String, Long)] =
+    parseVocabArtifact(graft.sources.io.ByteStore.readString(path))
+
   /** Encode every document against a fixed integer-weighted vocab:
     * map-only Viterbi, one codegen kernel call per row; a single char
     * outside the vocab scores `unk`, so the pass is total. Output:

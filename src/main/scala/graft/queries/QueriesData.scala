@@ -1327,6 +1327,55 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- published tokenizer artifact interop (r15): the gate writes
+    // fixtures in the PUBLISHED formats — GPT-2 `vocab.bpe`
+    // (`#version: 0.2` header + rank-ordered merges) + `encoder.json`
+    // (symbol → production id, deliberately NOT the closed byte/rank
+    // scheme so ids provably come from the artifact), and a
+    // SentencePiece-style `.vocab` TSV (float log-prob scores, `▁`
+    // word markers, `<unk>`/`<s>`/`</s>` control rows, a bare/marked
+    // collision) — loads them back through the published-format
+    // loaders, and encodes the messy non-ASCII corpus with both.
+    // Oracle: the byte-level replay CTEs with the artifact's id table,
+    // and the unigram segmentation enumeration (weights ×1e6 — argmax
+    // and exact ties are scale-invariant).
+    "q_tokenizer_artifact" -> { (s, dir) =>
+      import graft.operators.{ByteBpe, Unigram}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tok").toString
+      graft.sources.io.ByteStore.writeString(s"$tmp/vocab.bpe",
+        "#version: 0.2\nÃ ¤\nÃ ©\nĠ t\nĠt h\nt h\n")
+      val encJson = {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val base = (0 until 256).map(b =>
+          graft.functions.ByteBpeExprs.byteToChar(b).toString ->
+            JInt(BigInt(3000 + b)))
+        val prods = Seq("Ã¤" -> JInt(4000), "Ã©" -> JInt(4001),
+          "Ġt" -> JInt(4002), "Ġth" -> JInt(4003), "th" -> JInt(4004))
+        JsonMethods.compact(JsonMethods.render(JObject((base ++ prods).toList)))
+      }
+      graft.sources.io.ByteStore.writeString(s"$tmp/encoder.json", encJson)
+      graft.sources.io.ByteStore.writeString(s"$tmp/spm.vocab",
+        "<unk>\t0\n<s>\t0\n</s>\t0\n▁table\t-10.0\n▁the\t-5.0\nthe\t-7.0\n" +
+          "he\t-4.0\nta\t-4.0\nab\t-2.0\nle\t-4.0\nwin\t-6.0\ndow\t-6.0\n" +
+          "in\t-4.0\na\t-3.0\ne\t-3.0\nt\t-4.0\ns\t-4.0\n")
+      val merges = ByteBpe.readGpt2Merges(s"$tmp/vocab.bpe")
+      val encoder = ByteBpe.readGpt2Encoder(s"$tmp/encoder.json")
+      val spm = Unigram.readVocab(s"$tmp/spm.vocab")
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(trim(translate(col("text"), "ae", "äé")), "\\s+", " ")
+          .as("text"))
+      val bb = ByteBpe.encodeIdsPublished(docs, "text", "doc_id", merges, encoder)
+        .select(col("doc_id"), col("n_bbpe_tokens"),
+          md5(array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+            .cast("binary")).as("bids_md5"))
+      val ug = Unigram.encode(Tables.load(s, dir, "documents"),
+          "text", "doc_id", spm, unk = -9000000L)
+        .select(col("doc_id"), col("n_ug_tokens"),
+          md5(col("ug_text").cast("binary")).as("ug_md5"))
+      bb.join(ug, "doc_id").orderBy(col("doc_id"))
+    },
+
     // ---- WordPiece pair ranking (Wu et al. 2016): the likelihood-gain
     // criterion count(l,r)/(count(l)·count(r)) over the distinct-word
     // table — BPE's sibling trainer round, ratio rounded to 9 decimals
@@ -4970,6 +5019,34 @@ object QueriesData {
           translate(text, 'ae', 'äé')
             || chr(10) || ' it''s  DON''T' || chr(9) || 'naïve 3² 🚀 ' AS text
         FROM documents ORDER BY doc_id""",
+    // published-artifact interop: the byte-level replay CTEs with the
+    // encoder.json fixture's id table (base 3000+byte, products
+    // 4000+rank — provably artifact ids, not the closed scheme), plus
+    // the unigram segmentation enumeration (fixture scores ×1e6 —
+    // argmax and the planted table/t+ab+le tie are scale-invariant)
+    "q_tokenizer_artifact" ->
+      s"""WITH RECURSIVE $ugSegCtes, $byteBpeCtes,
+         bids AS (SELECT doc_id, list_transform(string_split(enc, ' '),
+             s -> CASE WHEN s = 'Ã¤' THEN 4000 WHEN s = 'Ã©' THEN 4001
+                       WHEN s = 'Ġt' THEN 4002 WHEN s = 'Ġth' THEN 4003
+                       WHEN s = 'th' THEN 4004 WHEN s = 'Ġ' THEN 3032
+                       ELSE 3000 + ascii(s) END) AS ids
+           FROM bdocs),
+         bb AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_bbpe_tokens,
+             md5(array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)),
+               ' ')) AS bids_md5
+           FROM bids),
+         uenc AS (SELECT wl.doc_id, wl.widx, ws2.acc
+           FROM wl JOIN wseg ws2 ON ws2.w = wl.w),
+         uagg AS (SELECT doc_id,
+             CAST(sum(len(string_split(acc, ' '))) AS BIGINT) AS n_ug_tokens,
+             md5(string_agg(acc, ' | ' ORDER BY widx)) AS ug_md5
+           FROM uenc GROUP BY 1)
+         SELECT b.doc_id, b.n_bbpe_tokens, b.bids_md5,
+           coalesce(u.n_ug_tokens, 0) AS n_ug_tokens,
+           coalesce(u.ug_md5, md5('')) AS ug_md5
+         FROM bb b LEFT JOIN uagg u ON u.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
     // the hash order (md5 low-48 % 2^30, ties → doc_id) and the
     // exclusive prefix-sum keep rule replayed verbatim
     "q_token_budget" ->

@@ -37,6 +37,47 @@ class ByteBpeSpec extends AnyFunSuite {
 
   // -------------------------------------------------------------- tests
 
+  test("published artifacts: vocab.bpe + encoder.json + spm .vocab load (r15)") {
+    val fx = "src/test/resources/fixtures/tokenizer"
+    // vocab.bpe: '#version' header skipped, rank order preserved
+    val merges = ByteBpe.readGpt2Merges(s"$fx/vocab.bpe")
+    assert(merges == Seq(("Ã", "¤"), ("Ã", "©"), ("Ġ", "t"),
+      ("Ġt", "h"), ("t", "h")), merges)
+    // encoder.json: \uXXXX-escaped keys unescape; closed surface covered
+    val enc = ByteBpe.readGpt2Encoder(s"$fx/encoder.json")
+    assert(enc.size == 261)
+    assert(enc("Ġ") == 3032L, "space byte maps through the bijection")
+    assert(enc("Ġth") == 4003L)
+    // published-id encode: ids come from the artifact, not 256+rank
+    import spark.implicits._
+    val df = Seq((1L, "the th")).toDF("doc_id", "text")
+    val ids = ByteBpe.encodeIdsPublished(df, "text", "doc_id", merges, enc)
+      .collect()(0).getSeq[Long](1)
+    // "the" → t,h,e pre-token: merges t+h → th(4004), e(3000+101);
+    // " th" → Ġt(4002)+h? no — Ġt h merges to Ġth? wait: Ġ t → Ġt,
+    // then Ġt h → Ġth (4003)
+    assert(ids == Seq(4004L, 3101L, 4003L), ids)
+    // a gap between the artifacts raises up front
+    val e = intercept[IllegalArgumentException] {
+      ByteBpe.encodeIdsPublished(df, "text", "doc_id",
+        merges :+ (("th", "e")), enc)
+    }
+    assert(e.getMessage.contains("encoder.json is missing"), e.getMessage)
+    // spm-style .vocab: control rows skip, ▁ strips, bare/marked
+    // collision keeps the higher score, floats quantize to millionths
+    val spm = graft.operators.Unigram.readVocab(s"$fx/fixture.vocab")
+    val m = spm.toMap
+    assert(!m.contains("<unk>") && !m.contains("<s>"))
+    assert(m("table") == -10000000L)
+    assert(m("the") == -5000000L, "marked ▁the (-5.0) outranks bare the (-7.0)")
+    assert(m.size == 13)
+    // malformed score raises with the piece named
+    val bad = intercept[IllegalArgumentException] {
+      graft.operators.Unigram.parseVocabArtifact("x\tnot-a-number\n")
+    }
+    assert(bad.getMessage.contains("bad vocab score"), bad.getMessage)
+  }
+
   test("byte-bpe: bytes→unicode bijection matches the published GPT-2 table; total roundtrip") {
     // the published anchors: printable ASCII self-maps, the excluded
     // bytes take 256+k — space→Ġ, \n→Ċ, \t→ĉ, DEL→ġ, NBSP-byte→ł, AD→Ń

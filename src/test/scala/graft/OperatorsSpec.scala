@@ -2700,7 +2700,8 @@ class OperatorsSpec extends AnyFunSuite {
         s"""{"stages": [{"op": "tokenize", "algo": "unigram",
              "pieces_path": "$path"}]}""")
     }
-    assert(e.getMessage.contains("bad unigram vocab line"))
+    assert(e.getMessage.contains("bad vocab line") &&
+      e.getMessage.contains("unigram vocab at"), e.getMessage)
   }
 
   test("unigram: soft-EM forward-backward expectations — hand-checked posteriors, underflow-safe, deterministic (r14)") {
