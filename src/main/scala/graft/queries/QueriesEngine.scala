@@ -373,6 +373,42 @@ object QueriesEngine {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- GeoParquet 1.1 bbox covering + spatial FILE pruning (r15):
+    // four spatial shards with disjoint longitude bands, written with
+    // the per-row bbox covering columns; one FileStats pass records
+    // their ranges; a query rectangle covering only one band scans
+    // exactly 1 of 4 files (files_scanned pinned in the output) and
+    // returns rows IDENTICAL to the unpruned scan — the oracle
+    // recomputes them from the source table. The read reduction the
+    // reference's Morton-sort benchmark is about.
+    "q_geo_pruned_scan" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-geoprune")
+      val pts = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          (($"l_orderkey" % 4) * 90 - 180 + $"l_discount" * 100 * 0.8).as("lon"),
+          $"l_quantity".cast(DoubleType).as("lat"))
+      (0 until 4).foreach { i =>
+        graft.sources.GeoParquet.write(
+          pts.filter($"l_orderkey" % 4 === i).coalesce(1),
+          root.resolve(s"shard$i.parquet").toString, "lon", "lat")
+      }
+      val statsDir = root.resolve("stats").toString
+      graft.stats.FileStats.write(
+        graft.stats.FileStats.collect(s, "parquet",
+          (0 until 4).map(i => root.resolve(s"shard$i.parquet").toString)),
+        statsDir)
+      val (pruned, kept, total) = graft.sources.GeoParquet.readPruned(
+        s, Seq(s"$root/shard*.parquet/*.parquet"), statsDir,
+        xmin = 0, ymin = 0, xmax = 10, ymax = 60)
+      pruned.select($"l_orderkey", $"l_linenumber",
+          round($"lon", 6).as("lon"), $"lat",
+          lit(kept).cast(LongType).as("files_scanned"),
+          lit(total).cast(LongType).as("files_total"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
     // ---- crawler discovery end-to-end: stage per-event-type parquet
     // directories, CREATE + RUN CRAWLER (discover → classify → one
     // external table per (dir, format)), then aggregate through the
@@ -1127,6 +1163,16 @@ object QueriesEngine {
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders WHERE o_totalprice > 400000.0
          ORDER BY o_orderkey""",
+    // spatial pruning: rows must be IDENTICAL to the unpruned scan
+    // (recomputed from the source table); 1-of-4 files scanned pinned
+    "q_geo_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber,
+           round((l_orderkey % 4) * 90 - 180 + l_discount * 100 * 0.8, 6) AS lon,
+           CAST(l_quantity AS DOUBLE) AS lat,
+           CAST(1 AS BIGINT) AS files_scanned,
+           CAST(4 AS BIGINT) AS files_total
+         FROM lineitem WHERE l_orderkey % 4 = 2
+         ORDER BY l_orderkey, l_linenumber""",
     "q_crawler_discovery" ->
       """SELECT et, n, total FROM (
            SELECT 'click' AS et, count(*) AS n, round(sum(value), 4) AS total

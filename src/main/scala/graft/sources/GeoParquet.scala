@@ -135,22 +135,32 @@ object GeoParquet {
     * the first file, or the `geometry` convention */
   def geometryColumns(spark: SparkSession, path: String): Seq[String] = {
     val files = FileCollection.expandGlobs(spark, Seq(path))
-    files.headOption.flatMap { f =>
+    def parseGeo(json: String): Seq[String] = {
+      val m = org.json4s.jackson.JsonMethods.parse(json)
+      (m \ "columns") match {
+        case org.json4s.JObject(cols) => cols.map(_._1)
+        case _ => Seq.empty[String]
+      }
+    }
+    val fromFooter = files.headOption.flatMap { f =>
       try {
         val conf = spark.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(f)
         val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
           conf, p, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
         val kv = footer.getFileMetaData.getKeyValueMetaData
-        Option(kv.get("geo")).map { json =>
-          val m = org.json4s.jackson.JsonMethods.parse(json)
-          (m \ "columns") match {
-            case org.json4s.JObject(cols) => cols.map(_._1)
-            case _ => Seq.empty[String]
-          }
-        }
+        Option(kv.get("geo")).map(parseGeo)
       } catch { case _: Throwable => None }
-    }.filter(_.nonEmpty).getOrElse(Seq("geometry"))
+    }.filter(_.nonEmpty)
+    // r15: our own writer's `_geo.json` sidecar (Spark's parquet writer
+    // has no footer-KV hook) — same JSON, checked after the footer
+    val fromSidecar = fromFooter.orElse(files.headOption.flatMap { f =>
+      try {
+        val parent = f.substring(0, f.lastIndexOf('/'))
+        Some(parseGeo(graft.sources.io.ByteStore.readString(s"$parent/_geo.json")))
+      } catch { case _: Throwable => None }
+    }.filter(_.nonEmpty))
+    fromSidecar.getOrElse(Seq("geometry"))
   }
 
   /** read + expose geometry as WKT beside the raw WKB */
@@ -164,19 +174,97 @@ object GeoParquet {
     }
   }
 
-  /** geoparquet output: synthesize a WKB point geometry from lon/lat */
-  def write(df: DataFrame, path: String, lonCol: String, latCol: String): Unit =
-    df.withColumn("geometry",
-        stPointWkb(col(lonCol).cast(DoubleType), col(latCol).cast(DoubleType)))
+  /** geoparquet output: synthesize a WKB point geometry from lon/lat.
+    * Since r15 the writer also emits the GeoParquet 1.1 bbox COVERING
+    * — per-row `bbox_xmin/ymin/xmax/ymax` columns declared in the geo
+    * metadata's `covering` section — so every downstream consumer of
+    * parquet column statistics (row-group stats, [[
+    * graft.stats.FileStats]] per-file ranges) gets spatial pruning
+    * for free: the bbox columns are ordinary doubles, and a spatial
+    * predicate becomes four range conditions over them. This is the
+    * read-reduction the reference's Morton-sort benchmark measures
+    * (reference benchmarks/README.md:94-99). */
+  def write(df: DataFrame, path: String, lonCol: String, latCol: String): Unit = {
+    val lon = col(lonCol).cast(DoubleType); val lat = col(latCol).cast(DoubleType)
+    df.withColumn("geometry", stPointWkb(lon, lat))
+      .withColumn("bbox_xmin", lon).withColumn("bbox_ymin", lat)
+      .withColumn("bbox_xmax", lon).withColumn("bbox_ymax", lat)
       .write.mode("overwrite").parquet(path)
+    writeGeoSidecar(path)
+  }
 
   /** geometry egress from a WKT column (any of the codec's five
     * types): the column encodes to WKB as `geometry` — trajectory
     * LINESTRINGs and polygon footprints write as real geoparquet
-    * geometry, not just lon/lat points */
-  def writeGeometry(df: DataFrame, path: String, wktCol: String): Unit =
-    df.withColumn("geometry",
-        graft.functions.GeoExprs.st_wkt_as_wkb(col(wktCol)))
+    * geometry, not just lon/lat points. bbox covering as in [[write]]. */
+  def writeGeometry(df: DataFrame, path: String, wktCol: String): Unit = {
+    import graft.functions.GeoExprs
+    df.withColumn("geometry", GeoExprs.st_wkt_as_wkb(col(wktCol)))
+      .withColumn("bbox_xmin", GeoExprs.st_xmin(col(wktCol)))
+      .withColumn("bbox_ymin", GeoExprs.st_ymin(col(wktCol)))
+      .withColumn("bbox_xmax", GeoExprs.st_xmax(col(wktCol)))
+      .withColumn("bbox_ymax", GeoExprs.st_ymax(col(wktCol)))
       .drop(wktCol)
       .write.mode("overwrite").parquet(path)
+    writeGeoSidecar(path)
+  }
+
+  /** The `geo` metadata JSON (GeoParquet 1.1 shape with the bbox
+    * covering declaration), emitted as a `_geo.json` SIDECAR in the
+    * output directory: Spark's parquet writer exposes no public hook
+    * for custom footer key-value metadata, so the sidecar carries the
+    * same JSON a footer `geo` key would — [[geometryColumns]] checks
+    * the footer first (foreign writers), then the sidecar (ours).
+    * Underscore-prefixed files are invisible to parquet scans. */
+  private[graft] val geoMetadataJson: String =
+    """{"version":"1.1.0","primary_column":"geometry","columns":{""" +
+      """"geometry":{"encoding":"WKB","geometry_types":[],""" +
+      """"covering":{"bbox":{"xmin":["bbox_xmin"],"ymin":["bbox_ymin"],""" +
+      """"xmax":["bbox_xmax"],"ymax":["bbox_ymax"]}}}}}"""
+
+  private def writeGeoSidecar(path: String): Unit =
+    graft.sources.io.ByteStore.writeString(
+      s"${path.stripSuffix("/")}/_geo.json", geoMetadataJson)
+
+  /** Spatially pruned read: drops files whose RECORDED bbox-column
+    * ranges ([[graft.stats.FileStats]] registry at `statsDir`, built
+    * by one `ANALYZE FILES`-style pass over the collection) provably
+    * cannot intersect the query rectangle — a file intersects iff
+    * min(bbox_xmin) ≤ xmax ∧ max(bbox_xmax) ≥ xmin (and same in y),
+    * so the spatial test is four ordinary range conditions and pruning
+    * is never lossy (files missing from the registry are kept). The
+    * EXACT per-row rectangle filter is applied in-plan on top, so the
+    * result is identical to the unpruned scan; only the file list
+    * shrinks. Returns (frame, filesKept, filesTotal). */
+  def readPruned(spark: SparkSession, paths: Seq[String], statsDir: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double)
+      : (DataFrame, Int, Int) = {
+    require(xmin <= xmax && ymin <= ymax,
+      s"geoparquet: degenerate query rectangle [$xmin,$xmax]×[$ymin,$ymax]")
+    import graft.stats.FileStats
+    val files = FileCollection.expandGlobs(spark, paths)
+    val conds = Seq(
+      FileStats.Cond("bbox_xmin", "lte", Some(xmax), None),
+      FileStats.Cond("bbox_xmax", "gte", Some(xmin), None),
+      FileStats.Cond("bbox_ymin", "lte", Some(ymax), None),
+      FileStats.Cond("bbox_ymax", "gte", Some(ymin), None))
+    // a missing/empty registry keeps everything (never-lossy) — the
+    // exact per-row filter below still guarantees the right rows
+    val statsExist = try {
+      val p = new org.apache.hadoop.fs.Path(statsDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case _: Throwable => false }
+    val kept =
+      if (statsExist) FileStats.pruneFiles(spark, statsDir, files, conds)
+      else files
+    val df =
+      if (kept.isEmpty) {
+        // all files pruned: an empty frame with the collection schema
+        FileCollection.parquet(spark, files: _*).limit(0)
+      } else FileCollection.parquet(spark, kept: _*)
+    val exact = df.filter(
+      col("bbox_xmin") <= xmax && col("bbox_xmax") >= xmin &&
+        col("bbox_ymin") <= ymax && col("bbox_ymax") >= ymin)
+    (exact, kept.size, files.size)
+  }
 }

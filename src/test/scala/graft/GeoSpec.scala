@@ -386,6 +386,51 @@ class GeoSpec extends AnyFunSuite {
       "a one-point group degenerates to the point")
   }
 
+  test("geoparquet bbox covering: sidecar metadata + spatial file pruning (r15)") {
+    val spark = GraftSession.build("local[2]", 2)
+    import spark.implicits._
+    import graft.sources.GeoParquet
+    val root = java.nio.file.Files.createTempDirectory("graft-geoprune-spec")
+    // 3 shards at x bands [0,9], [100,109], [200,209]
+    (0 until 3).foreach { i =>
+      val pts = (0 until 10).map(j => (i * 10L + j, i * 100.0 + j, j * 1.0))
+        .toDF("id", "lon", "lat")
+      GeoParquet.write(pts.coalesce(1),
+        root.resolve(s"s$i.parquet").toString, "lon", "lat")
+    }
+    // the sidecar declares the geometry column (no footer KV available
+    // from Spark's writer) — geometryColumns resolves through it
+    assert(GeoParquet.geometryColumns(spark,
+      root.resolve("s0.parquet").toString) == Seq("geometry"))
+    val statsDir = root.resolve("stats").toString
+    graft.stats.FileStats.write(
+      graft.stats.FileStats.collect(spark, "parquet",
+        (0 until 3).map(i => root.resolve(s"s$i.parquet").toString)), statsDir)
+    val glob = s"$root/s*.parquet/*.parquet"
+    // rect over band 1 only → 1 of 3 files
+    val (one, k1, t1) = GeoParquet.readPruned(spark, Seq(glob), statsDir,
+      100, 0, 110, 20)
+    assert(k1 == 1 && t1 == 3 && one.count() == 10)
+    // rect spanning bands 0 and 1 → 2 of 3; rows from both
+    val (two, k2, _) = GeoParquet.readPruned(spark, Seq(glob), statsDir,
+      5, 0, 105, 20)
+    assert(k2 == 2 && two.count() == 11, s"k2=$k2 n=${two.count()}")
+    // rect away from every band → 0 files, empty frame, schema intact
+    val (none, k0, _) = GeoParquet.readPruned(spark, Seq(glob), statsDir,
+      500, 0, 600, 20)
+    assert(k0 == 0 && none.count() == 0)
+    assert(none.schema.fieldNames.contains("bbox_xmin"))
+    // degenerate rectangle raises
+    intercept[IllegalArgumentException] {
+      GeoParquet.readPruned(spark, Seq(glob), statsDir, 10, 0, 0, 20)
+    }
+    // pruning is never lossy: missing registry keeps all files
+    val (all, kAll, _) = GeoParquet.readPruned(spark, Seq(glob),
+      root.resolve("nostats").toString, 100, 0, 110, 20)
+    assert(kAll == 3 && all.count() == 10,
+      "files absent from the registry must be kept; exact filter still applies")
+  }
+
   test("st_buffer negative radius: erosion — shrink, split, vanish (r15)") {
     import graft.functions.Geo
     // rectangle erodes to the inner rectangle, exactly
