@@ -778,10 +778,22 @@ object QueriesData {
         views, "view_ts", buys, "purchase_ts", "user_id", "p_user",
         within = "2 HOURS", watermark = "30 days")
       val qn = "stream_join_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s,
-        joined.select($"view_id", $"purchase_id", $"user_id",
-          $"view_ts", $"purchase_ts"), qn,
-        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      // r15 (profiled): the stream-stream join keeps FOUR state stores
+      // per shuffle partition, and every micro-batch commits all of
+      // them — at 32 partitions × 3 triggers that is ~384 store
+      // commits for a few thousand rows, which IS the gate's cost
+      // (plan time and data time are negligible). State partitioning
+      // is locked in at query start from the session conf, so
+      // right-size it for the streaming query and restore after; at
+      // the 100 TB design point the same knob simply stays high.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.runToMemory(s,
+          joined.select($"view_id", $"purchase_id", $"user_id",
+            $"view_ts", $"purchase_ts"), qn,
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.stop()
       s.table(qn).select($"view_id", $"purchase_id", $"user_id",
           $"view_ts".cast(TimestampNTZType).as("view_ts"),
