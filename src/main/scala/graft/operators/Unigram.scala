@@ -221,29 +221,39 @@ object Unigram {
   def parseVocabArtifact(content: String,
       floatScale: Long = 1000000L): Seq[(String, Long)] = {
     val marker = '▁'
-    val raw = content.split("\n").iterator.map(_.stripLineEnd)
-      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
-      .flatMap { l =>
-        l.split("\t") match {
-          case Array(p0, w0) =>
-            val w = w0.trim
-            if (p0.matches("<[^>]+>")) None
-            else {
-              val weight =
-                if (w.matches("-?\\d+")) w.toLong
-                else if (w.matches("-?\\d*\\.\\d+([eE]-?\\d+)?"))
-                  math.round(w.toDouble * floatScale)
-                else throw new IllegalArgumentException(
-                  s"bad vocab score '$w' for piece '$p0' " +
-                    "(want integer weight or float log-prob)")
-              val p = if (p0.nonEmpty && p0.charAt(0) == marker)
-                p0.substring(1) else p0
-              if (p.isEmpty) None else Some((p, weight))
-            }
-          case _ => throw new IllegalArgumentException(
-            s"bad vocab line (want piece<TAB>score): '$l'")
-        }
-      }.toSeq
+    val intRe = "-?\\d+"
+    val floatRe = "-?\\d*\\.\\d+([eE]-?\\d+)?"
+    val lines = content.split("\n").iterator.map(_.stripLineEnd)
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).toSeq
+    val parsed = lines.map { l =>
+      l.split("\t") match {
+        case Array(p0, w0) => (p0, w0.trim)
+        case _ => throw new IllegalArgumentException(
+          s"bad vocab line (want piece<TAB>score): '$l'")
+      }
+    }
+    // scale consistency: if ANY score is float-formatted the file is
+    // in log-prob units and integer-formatted scores in it (e.g. "-10")
+    // are the same units — scale them too, or a mixed file would rank
+    // pieces across two incompatible scales
+    val anyFloat = parsed.exists { case (p, w) =>
+      !p.matches("<[^>]+>") && w.matches(floatRe)
+    }
+    val raw = parsed.flatMap { case (p0, w) =>
+      if (p0.matches("<[^>]+>")) None
+      else {
+        val weight =
+          if (w.matches(intRe))
+            if (anyFloat) math.round(w.toDouble * floatScale) else w.toLong
+          else if (w.matches(floatRe)) math.round(w.toDouble * floatScale)
+          else throw new IllegalArgumentException(
+            s"bad vocab score '$w' for piece '$p0' " +
+              "(want integer weight or float log-prob)")
+        val p = if (p0.nonEmpty && p0.charAt(0) == marker)
+          p0.substring(1) else p0
+        if (p.isEmpty) None else Some((p, weight))
+      }
+    }
     val merged = raw.groupBy(_._1).map { case (p, ws) =>
       (p, ws.map(_._2).max)
     }.toSeq.sortBy(_._1)

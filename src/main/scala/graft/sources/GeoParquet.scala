@@ -209,6 +209,26 @@ object GeoParquet {
     writeGeoSidecar(path)
   }
 
+  /** Spatially CLUSTERED geoparquet egress: Z-order (Morton) layout
+    * over (lon, lat) before writing, so each of the `files` output
+    * files covers a compact spatial box and the bbox-covering file
+    * pruning ([[readPruned]]) pays off on arbitrary (unsharded) data —
+    * the reference's own Morton-sort benchmark claim (~34% faster
+    * spatial scans on sorted layout, reference benchmarks/
+    * README.md:91-99) as a writer option. One extra range shuffle at
+    * write time; the read side needs nothing new. */
+  def writeSorted(df: DataFrame, path: String, lonCol: String,
+      latCol: String, files: Int): Unit = {
+    require(files >= 1, s"geoparquet: files must be >= 1, got $files")
+    val lon = col(lonCol).cast(DoubleType); val lat = col(latCol).cast(DoubleType)
+    val staged = df.withColumn("geometry", stPointWkb(lon, lat))
+      .withColumn("bbox_xmin", lon).withColumn("bbox_ymin", lat)
+      .withColumn("bbox_xmax", lon).withColumn("bbox_ymax", lat)
+    graft.operators.ZOrder.zorderBy(staged, Seq("bbox_xmin", "bbox_ymin"), files)
+      .write.mode("overwrite").parquet(path)
+    writeGeoSidecar(path)
+  }
+
   /** The `geo` metadata JSON (GeoParquet 1.1 shape with the bbox
     * covering declaration), emitted as a `_geo.json` SIDECAR in the
     * output directory: Spark's parquet writer exposes no public hook

@@ -76,6 +76,15 @@ class ByteBpeSpec extends AnyFunSuite {
       graft.operators.Unigram.parseVocabArtifact("x\tnot-a-number\n")
     }
     assert(bad.getMessage.contains("bad vocab score"), bad.getMessage)
+    // scale consistency: a float anywhere puts the WHOLE file in
+    // log-prob units — integer-formatted scores scale with it
+    val mixed = graft.operators.Unigram
+      .parseVocabArtifact("ab\t-10\ncd\t-5.0\n").toMap
+    assert(mixed("ab") == -10000000L && mixed("cd") == -5000000L, mixed)
+    // an all-integer file is the engine's own format: weights verbatim
+    val ints = graft.operators.Unigram
+      .parseVocabArtifact("ab\t-10\ncd\t-5\n").toMap
+    assert(ints("ab") == -10L && ints("cd") == -5L, ints)
   }
 
   test("byte-bpe: bytes→unicode bijection matches the published GPT-2 table; total roundtrip") {

@@ -431,6 +431,31 @@ class GeoSpec extends AnyFunSuite {
       "files absent from the registry must be kept; exact filter still applies")
   }
 
+  test("geoparquet writeSorted: Morton layout makes pruning effective on unsharded data (r15)") {
+    val spark = GraftSession.build("local[2]", 2)
+    import spark.implicits._
+    import graft.sources.GeoParquet
+    val root = java.nio.file.Files.createTempDirectory("graft-geosort")
+    // a deterministic scatter over [0,320)×[0,320) in INTERLEAVED
+    // order — without spatial sorting every output file would span the
+    // whole extent and nothing could prune
+    val pts = (0 until 4096).map { i =>
+      (i.toLong, ((i * 37) % 320).toDouble, ((i * 91) % 320).toDouble)
+    }.toDF("id", "lon", "lat")
+    val dir = root.resolve("pts.parquet").toString
+    GeoParquet.writeSorted(pts, dir, "lon", "lat", files = 8)
+    val statsDir = root.resolve("stats").toString
+    graft.stats.FileStats.write(
+      graft.stats.FileStats.collect(spark, "parquet", Seq(dir)), statsDir)
+    val (pruned, kept, total) = GeoParquet.readPruned(
+      spark, Seq(s"$dir/*.parquet"), statsDir, 0, 0, 40, 40)
+    assert(total == 8, s"total=$total")
+    assert(kept < total, s"Morton layout must let SOME file prune: kept=$kept")
+    // rows identical to the direct filter
+    val expected = pts.filter($"lon" <= 40 && $"lat" <= 40).count()
+    assert(pruned.count() == expected)
+  }
+
   test("st_buffer negative radius: erosion — shrink, split, vanish (r15)") {
     import graft.functions.Geo
     // rectangle erodes to the inner rectangle, exactly
