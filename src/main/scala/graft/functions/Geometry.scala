@@ -2139,17 +2139,113 @@ object Geo {
     }
   }
 
+  // ---- UTM (EPSG:326xx north / 327xx south): transverse Mercator on
+  // the WGS84 ellipsoid via the standard series (Snyder, "Map
+  // Projections — A Working Manual", eqs 8-9..8-25; the same
+  // truncation PROJ's utm backend and every GIS textbook carry).
+  // Sub-mm accuracy within the zone; valid latitude band 80°S–84°N
+  // enforced loudly. StrictMath throughout (bit-determinism).
+  private val WgsA = 6378137.0
+  private val WgsF = 1.0 / 298.257223563
+  private val WgsE2 = WgsF * (2.0 - WgsF)
+  private val WgsEp2 = WgsE2 / (1.0 - WgsE2)
+  private val UtmK0 = 0.9996
+
+  /** meridian arc length from the equator (Snyder 3-21) */
+  private def meridianArc(phi: Double): Double = {
+    val e2 = WgsE2; val e4 = e2 * e2; val e6 = e4 * e2
+    WgsA * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+      - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * StrictMath.sin(2 * phi)
+      + (15 * e4 / 256 + 45 * e6 / 1024) * StrictMath.sin(4 * phi)
+      - (35 * e6 / 3072) * StrictMath.sin(6 * phi))
+  }
+
+  private def utmCentralMeridian(zone: Int): Double =
+    StrictMath.toRadians((zone - 1) * 6 - 180 + 3)
+
+  private def fwdUtm(zone: Int, south: Boolean)(
+      lon: Double, lat: Double): (Double, Double) = {
+    if (lat < -80.0 || lat > 84.0 || lat.isNaN)
+      throw new IllegalArgumentException(
+        s"st_transform: latitude $lat outside UTM's validity band " +
+          "[-80, 84]")
+    if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+      throw new IllegalArgumentException(
+        s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+    val phi = StrictMath.toRadians(lat)
+    val sinP = StrictMath.sin(phi); val cosP = StrictMath.cos(phi)
+    val tanP = StrictMath.tan(phi)
+    val n = WgsA / StrictMath.sqrt(1 - WgsE2 * sinP * sinP)
+    val t = tanP * tanP
+    val c = WgsEp2 * cosP * cosP
+    val aA = (StrictMath.toRadians(lon) - utmCentralMeridian(zone)) * cosP
+    val a2 = aA * aA; val a3 = a2 * aA; val a4 = a2 * a2
+    val a5 = a4 * aA; val a6 = a4 * a2
+    val x = UtmK0 * n * (aA + (1 - t + c) * a3 / 6
+      + (5 - 18 * t + t * t + 72 * c - 58 * WgsEp2) * a5 / 120) + 500000.0
+    val y0 = UtmK0 * (meridianArc(phi) + n * tanP * (a2 / 2
+      + (5 - t + 9 * c + 4 * c * c) * a4 / 24
+      + (61 - 58 * t + t * t + 600 * c - 330 * WgsEp2) * a6 / 720))
+    (x, if (south) y0 + 10000000.0 else y0)
+  }
+
+  private def invUtm(zone: Int, south: Boolean)(
+      x: Double, y: Double): (Double, Double) = {
+    val e2 = WgsE2; val ep2 = WgsEp2
+    val m = (if (south) y - 10000000.0 else y) / UtmK0
+    val mu = m / (WgsA * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+    val sq = StrictMath.sqrt(1 - e2)
+    val e1 = (1 - sq) / (1 + sq)
+    val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_2 * e1_2
+    val phi1 = mu + (3 * e1 / 2 - 27 * e1_3 / 32) * StrictMath.sin(2 * mu) +
+      (21 * e1_2 / 16 - 55 * e1_4 / 32) * StrictMath.sin(4 * mu) +
+      (151 * e1_3 / 96) * StrictMath.sin(6 * mu) +
+      (1097 * e1_4 / 512) * StrictMath.sin(8 * mu)
+    val sinP1 = StrictMath.sin(phi1); val cosP1 = StrictMath.cos(phi1)
+    val tanP1 = StrictMath.tan(phi1)
+    val c1 = ep2 * cosP1 * cosP1
+    val t1 = tanP1 * tanP1
+    val oneMinus = 1 - e2 * sinP1 * sinP1
+    val n1 = WgsA / StrictMath.sqrt(oneMinus)
+    val r1 = WgsA * (1 - e2) / (oneMinus * StrictMath.sqrt(oneMinus))
+    val d = (x - 500000.0) / (n1 * UtmK0)
+    val d2 = d * d; val d3 = d2 * d; val d4 = d2 * d2
+    val d5 = d4 * d; val d6 = d4 * d2
+    val phi = phi1 - (n1 * tanP1 / r1) * (d2 / 2
+      - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d4 / 24
+      + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1)
+        * d6 / 720)
+    val lam = utmCentralMeridian(zone) + (d - (1 + 2 * t1 + c1) * d3 / 6
+      + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1)
+        * d5 / 120) / cosP1
+    (StrictMath.toDegrees(lam), StrictMath.toDegrees(phi))
+  }
+
+  /** (zone, south) of a UTM SRID, None if not UTM */
+  private def utmOf(srid: Int): Option[(Int, Boolean)] =
+    if (srid >= 32601 && srid <= 32660) Some((srid - 32600, false))
+    else if (srid >= 32701 && srid <= 32760) Some((srid - 32700, true))
+    else None
+
   /** st_transform(wkt, from_srid, to_srid) — every coordinate of the
-    * geometry reprojected; 4326↔3857 supported, same-SRID identity */
+    * geometry reprojected; 4326↔3857 (spherical Web Mercator) and
+    * 4326↔UTM (EPSG:32601-60 north, 32701-60 south; WGS84 transverse
+    * Mercator) supported, same-SRID identity */
   def stTransform(wkt: String, from: Int, to: Int): String = {
     val g = parseWktCached(wkt)
     (from, to) match {
       case (a, b) if a == b => wkt
       case (4326, 3857) => toWkt(mapCoords(g, fwdMercator))
       case (3857, 4326) => toWkt(mapCoords(g, invMercator))
+      case (4326, u) if utmOf(u).isDefined =>
+        val (z, s) = utmOf(u).get
+        toWkt(mapCoords(g, fwdUtm(z, s)))
+      case (u, 4326) if utmOf(u).isDefined =>
+        val (z, s) = utmOf(u).get
+        toWkt(mapCoords(g, invUtm(z, s)))
       case _ => throw new IllegalArgumentException(
         s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
-          "(4326↔3857 supported)")
+          "(4326↔3857 and 4326↔UTM 326xx/327xx supported)")
     }
   }
 }

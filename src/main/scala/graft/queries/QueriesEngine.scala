@@ -827,6 +827,40 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- UTM transform (r15): WGS84 transverse Mercator (the Snyder
+    // series) to zone 33N and 33S — the oracle replays the SAME series
+    // as plain SQL arithmetic (sin/sqrt/radians), the inverse leg
+    // round-trips through the engine back onto the integer-degree
+    // fixtures. Map-only codegen.
+    "q_geo_transform_utm" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lon = $"n_nationkey" % 5 * 3 + 9
+      val lat = $"n_nationkey" % 13 * 10 - 60
+      val latS = -($"n_nationkey" % 8 * 10 + 5)
+      val ptN = concat(lit("POINT ("), d(lon), lit(" "), d(lat), lit(")"))
+      val ptS = concat(lit("POINT ("), d(lon), lit(" "), d(latS), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(ptN, lit(4326), lit(32633)).as("mn"),
+          GeoExprs.st_transform(ptS, lit(4326), lit(32733)).as("ms"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"mn"), 3).as("easting"),
+          round(GeoExprs.st_y($"mn"), 3).as("northing"),
+          round(GeoExprs.st_y($"ms"), 3).as("northing_s"),
+          // round 5 (≈1 m): the series' round-trip closure is ~1e-6°
+          // at the band edges, which would flip a round-6 boundary
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"mn", lit(32633), lit(4326))), 5)
+            .as("back_lon"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"mn", lit(32633), lit(4326))), 5)
+            .as("back_lat"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- negative-radius buffer = EROSION (r15): a rectangle erodes
     // to the inner rectangle (area (24s−4s)(10s−4s) = 120s²); a
     // dumbbell — the rectangle with a full-height width-2s slit —
@@ -1390,6 +1424,62 @@ object QueriesEngine {
                  CAST(n_nationkey % 36 * 10 - 175 AS DOUBLE) AS lon,
                  CAST(n_nationkey % 17 * 10 - 80 AS DOUBLE) AS lat
                FROM nation) t
+         ORDER BY n_nationkey""",
+    // the Snyder transverse-Mercator forward series replayed as SQL
+    // arithmetic; the inverse leg lands back on the integer fixtures
+    "q_geo_transform_utm" ->
+      """WITH src AS (SELECT n_nationkey,
+             CAST(n_nationkey % 5 * 3 + 9 AS DOUBLE) AS lon,
+             CAST(n_nationkey % 13 * 10 - 60 AS DOUBLE) AS lat,
+             CAST(-(n_nationkey % 8 * 10 + 5) AS DOUBLE) AS lat_s
+           FROM nation),
+         cst AS (SELECT *,
+             (1.0/298.257223563) * (2 - 1.0/298.257223563) AS e2,
+             radians(15.0) AS lam0
+           FROM src),
+         fwd AS (SELECT n_nationkey, lon, lat, lat_s, e2, lam0,
+             e2/(1-e2) AS ep2, radians(lat) AS phi, radians(lat_s) AS phi_s
+           FROM cst),
+         leg AS (
+           SELECT n_nationkey, lon,
+             -- north leg
+             6378137.0/sqrt(1-e2*sin(phi)*sin(phi)) AS nn,
+             tan(phi)*tan(phi) AS t,
+             ep2*cos(phi)*cos(phi) AS c,
+             (radians(lon)-lam0)*cos(phi) AS aa,
+             6378137.0*((1-e2/4-3*e2*e2/64-5*e2*e2*e2/256)*phi
+               - (3*e2/8+3*e2*e2/32+45*e2*e2*e2/1024)*sin(2*phi)
+               + (15*e2*e2/256+45*e2*e2*e2/1024)*sin(4*phi)
+               - (35*e2*e2*e2/3072)*sin(6*phi)) AS m,
+             tan(phi) AS tanp, ep2,
+             -- south leg
+             6378137.0/sqrt(1-e2*sin(phi_s)*sin(phi_s)) AS nn_s,
+             tan(phi_s)*tan(phi_s) AS t_s,
+             ep2*cos(phi_s)*cos(phi_s) AS c_s,
+             (radians(lon)-lam0)*cos(phi_s) AS aa_s,
+             6378137.0*((1-e2/4-3*e2*e2/64-5*e2*e2*e2/256)*phi_s
+               - (3*e2/8+3*e2*e2/32+45*e2*e2*e2/1024)*sin(2*phi_s)
+               + (15*e2*e2/256+45*e2*e2*e2/1024)*sin(4*phi_s)
+               - (35*e2*e2*e2/3072)*sin(6*phi_s)) AS m_s,
+             tan(phi_s) AS tanp_s,
+             lat, lat_s
+           FROM fwd)
+         SELECT n_nationkey,
+           round(0.9996*nn*(aa + (1-t+c)*aa*aa*aa/6
+             + (5-18*t+t*t+72*c-58*ep2)*aa*aa*aa*aa*aa/120) + 500000.0, 3)
+             AS easting,
+           round(0.9996*(m + nn*tanp*(aa*aa/2
+             + (5-t+9*c+4*c*c)*aa*aa*aa*aa/24
+             + (61-58*t+t*t+600*c-330*ep2)*aa*aa*aa*aa*aa*aa/720)), 3)
+             AS northing,
+           round(0.9996*(m_s + nn_s*tanp_s*(aa_s*aa_s/2
+             + (5-t_s+9*c_s+4*c_s*c_s)*aa_s*aa_s*aa_s*aa_s/24
+             + (61-58*t_s+t_s*t_s+600*c_s-330*ep2)
+               *aa_s*aa_s*aa_s*aa_s*aa_s*aa_s/720)) + 10000000.0, 3)
+             AS northing_s,
+           round(lon, 5) AS back_lon,
+           round(lat, 5) AS back_lat
+         FROM leg
          ORDER BY n_nationkey""",
     // erosion closed forms: inner rectangle 20s·6s, severed dumbbell
     // 2 × 7s·6s with 5+5 ring points, over-erosion vanishes to 0

@@ -550,6 +550,53 @@ class GeoSpec extends AnyFunSuite {
     assert(viaSql == 5621521.486, s"sql: $viaSql")
   }
 
+  test("st_transform UTM: round-trip closure, meridian pins, hemispheres, loud band (r15)") {
+    import graft.functions.Geo
+    def pt(lon: Double, lat: Double, from: Int, to: Int): (Double, Double) = {
+      val w = Geo.stTransform(s"POINT ($lon $lat)", from, to)
+      val a = w.stripPrefix("POINT (").stripSuffix(")").split(" ")
+      (a(0).toDouble, a(1).toDouble)
+    }
+    // central meridian of zone 33 (15°E): easting exactly 500000
+    val (e0, n0) = pt(15, 45, 4326, 32633)
+    assert(e0 == 500000.0, s"central-meridian easting: $e0")
+    // quarter meridian (equator → pole) is the textbook WGS84 constant
+    // 10001965.729 m; northing(45°N, central) = k0·M(45°)
+    assert(math.abs(n0 / 0.9996 - 4984944.378) < 5.0, s"M(45°): ${n0 / 0.9996}")
+    // south-zone false northing symmetry: y_south(−φ) = 1e7 − y_north(φ)
+    val (_, nN) = pt(15, 10, 4326, 32633)
+    val (_, nS) = pt(15, -10, 4326, 32733)
+    assert(math.abs(nS - (10000000.0 - nN)) < 1e-6, s"$nS vs ${10000000 - nN}")
+    // round-trip closure over the zone: forward and inverse are
+    // INDEPENDENT series — a coefficient typo in either breaks closure
+    // by meters; the published pair closes to ~1e-9°
+    for (lat <- Seq(-75.0, -40.0, -10.0, 0.0, 23.5, 45.0, 60.0, 80.0);
+         dLon <- Seq(-6.0, -3.0, 0.0, 2.5, 6.0)) {
+      val lon = 15.0 + dLon
+      val (x, y) = pt(lon, lat, 4326, 32633)
+      val w = Geo.stTransform(s"POINT ($x $y)", 32633, 4326)
+      val a = w.stripPrefix("POINT (").stripSuffix(")").split(" ")
+      val (bLon, bLat) = (a(0).toDouble, a(1).toDouble)
+      // 5e-6° ≈ 0.5 m: the published series' truncation at the band
+      // edges (75°+ at 6° from central) reaches ~1e-6°; a coefficient
+      // typo shows as meters-to-kilometers and still fails
+      assert(math.abs(bLon - lon) < 5e-6 && math.abs(bLat - lat) < 5e-6,
+        s"round trip ($lon, $lat) → ($x, $y) → ($bLon, $bLat)")
+    }
+    // whole-geometry transform preserves shape counts
+    val ls = Geo.stTransform("LINESTRING (12 40, 15 45, 18 50)", 4326, 32633)
+    assert(Geo.stNPoints(ls) == 3 && ls.startsWith("LINESTRING"))
+    // validity band is loud; unknown CRS pair names both codes
+    val e1 = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (15 89)", 4326, 32633)
+    }
+    assert(e1.getMessage.contains("UTM"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (0 0)", 3857, 32633)
+    }
+    assert(e2.getMessage.contains("unsupported CRS pair"), e2.getMessage)
+  }
+
   test("numeric-arg guard: garbage distance/radius raises at analysis, not NULL (r15)") {
     val spark = GraftSession.build("local[2]", 2)
     graft.functions.GraftFunctions.registerAll(spark)
