@@ -218,7 +218,7 @@ object JsonQuery {
 
   // ------------------------------------------------------------- from
 
-  private val formatKeys = Set("csv", "parquet", "jsonl", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg", "warc", "cdx")
+  private val formatKeys = Set("csv", "parquet", "geoparquet", "jsonl", "arrow", "netcdf", "hdf5", "odv", "tiff", "zarr", "atlas", "icechunk", "bbf", "delta", "iceberg", "warc", "cdx")
 
   /** Output names the select list produces from anything OTHER than the
     * same-named plain column. DSL filters bind POST-projection (the
@@ -343,7 +343,36 @@ object JsonQuery {
       case Some(JBool(true)) => true
       case _ => false
     })
-    val pruneConds = if (latestRead) conds.filter(_.column == "surt") else conds
+    // r15: geoparquet `bbox: [xmin, ymin, xmax, ymax]` — the spatial
+    // window becomes four range conditions over the writer's covering
+    // columns, so the SAME stats registry that prunes numeric filters
+    // prunes space; the exact rectangle filter is applied in-plan after
+    // the read (pruning is never the correctness boundary)
+    val bbox: Option[(Double, Double, Double, Double)] =
+      if (fmtKey != "geoparquet") None
+      else spec.get("bbox").map {
+        case JArray(vs) if vs.length == 4 =>
+          val ds = vs.map {
+            case JDouble(d) => d
+            case JInt(i) => i.toDouble
+            case other => throw new DslException(
+              s"geoparquet bbox values must be numbers, got $other")
+          }
+          if (ds(0) > ds(2) || ds(1) > ds(3)) throw new DslException(
+            s"geoparquet bbox is [xmin, ymin, xmax, ymax]; got $ds")
+          (ds(0), ds(1), ds(2), ds(3))
+        case other => throw new DslException(
+          s"geoparquet bbox must be [xmin, ymin, xmax, ymax], got $other")
+      }
+    val bboxConds = bbox.toSeq.flatMap { case (x0, y0, x1, y1) =>
+      Seq(
+        graft.stats.FileStats.Cond("bbox_xmin", "lte", Some(x1), None),
+        graft.stats.FileStats.Cond("bbox_xmax", "gte", Some(x0), None),
+        graft.stats.FileStats.Cond("bbox_ymin", "lte", Some(y1), None),
+        graft.stats.FileStats.Cond("bbox_ymax", "gte", Some(y0), None))
+    }
+    val pruneConds =
+      (if (latestRead) conds.filter(_.column == "surt") else conds) ++ bboxConds
     // stats registry next to the data: prune the file list up front
     val statsPruned = spec.get("stats").collect { case JString(statsDir) =>
       val files = FileCollection.expandGlobs(spark, paths0)
@@ -368,15 +397,23 @@ object JsonQuery {
     // must still resolve: return an empty frame with the format's real
     // scan schema (built over the un-pruned list, limit 0 → no data read)
     // instead of a zero-column emptyDataFrame.
-    if (paths.isEmpty)
-      return readFormat(spark, fmtKey, spec, paths0).limit(0)
-    readFormat(spark, fmtKey, spec, paths)
+    val df0 =
+      if (paths.isEmpty) readFormat(spark, fmtKey, spec, paths0).limit(0)
+      else readFormat(spark, fmtKey, spec, paths)
+    bbox match {
+      case Some((x0, y0, x1, y1)) =>
+        import org.apache.spark.sql.functions.col
+        df0.filter(col("bbox_xmin") <= x1 && col("bbox_xmax") >= x0 &&
+          col("bbox_ymin") <= y1 && col("bbox_ymax") >= y0)
+      case None => df0
+    }
   }
 
   private def readFormat(spark: SparkSession, fmtKey: String,
       spec: Map[String, JValue], paths: Seq[String]): DataFrame =
     fmtKey match {
       case "parquet" => FileCollection.parquet(spark, paths: _*)
+      case "geoparquet" => graft.sources.GeoParquet.read(spark, paths)
       case "csv" =>
         val delim = spec.get("delimiter").collect { case JString(d) => d }.getOrElse(",")
         FileCollection.csv(spark, paths, Map("delimiter" -> delim))

@@ -409,6 +409,41 @@ object QueriesEngine {
         .orderBy($"l_orderkey", $"l_linenumber")
     },
 
+    // ---- the same spatial pruning through the DSL front door (r15):
+    // from.format.geoparquet with `bbox` turns the window into four
+    // covering-column range conds against the SAME stats registry;
+    // rows equal the direct recompute, files opened stays 1-of-4
+    // (verified by the shared machinery the q_geo_pruned_scan gate
+    // pins — here the check is the row identity through the DSL).
+    "q_geo_dsl_bbox" -> { (s, dir) =>
+      GraftSession.configure(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-geodsl")
+      val pts = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          (($"l_orderkey" % 4) * 90 - 180 + $"l_discount" * 100 * 0.8).as("lon"),
+          $"l_quantity".cast(DoubleType).as("lat"))
+      (0 until 4).foreach { i =>
+        graft.sources.GeoParquet.write(
+          pts.filter($"l_orderkey" % 4 === i).coalesce(1),
+          root.resolve(s"shard$i.parquet").toString, "lon", "lat")
+      }
+      val statsDir = root.resolve("stats").toString
+      graft.stats.FileStats.write(
+        graft.stats.FileStats.collect(s, "parquet",
+          (0 until 4).map(i => root.resolve(s"shard$i.parquet").toString)),
+        statsDir)
+      graft.dsl.JsonQuery.compile(s,
+        s"""{"select": ["l_orderkey", "l_linenumber", "lon", "lat"],
+             "from": {"geoparquet": {
+               "paths": ["$root/shard*.parquet/*.parquet"],
+               "stats": "$statsDir",
+               "bbox": [0, 0, 10, 60]}}}""")
+        .select($"l_orderkey", $"l_linenumber",
+          round($"lon", 6).as("lon"), $"lat")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
     // ---- crawler discovery end-to-end: stage per-event-type parquet
     // directories, CREATE + RUN CRAWLER (discover → classify → one
     // external table per (dir, format)), then aggregate through the
@@ -1205,6 +1240,12 @@ object QueriesEngine {
            CAST(l_quantity AS DOUBLE) AS lat,
            CAST(1 AS BIGINT) AS files_scanned,
            CAST(4 AS BIGINT) AS files_total
+         FROM lineitem WHERE l_orderkey % 4 = 2
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_geo_dsl_bbox" ->
+      """SELECT l_orderkey, l_linenumber,
+           round((l_orderkey % 4) * 90 - 180 + l_discount * 100 * 0.8, 6) AS lon,
+           CAST(l_quantity AS DOUBLE) AS lat
          FROM lineitem WHERE l_orderkey % 4 = 2
          ORDER BY l_orderkey, l_linenumber""",
     "q_crawler_discovery" ->
