@@ -197,6 +197,37 @@ object NgramLm {
           .otherwise(lit(0.0)), 4) + lit(0.0)).as("weight"))
   }
 
+  /** CCNet's actual banding (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets"): per-LANGUAGE perplexity
+    * terciles — head (most fluent third), middle, tail — assigned by
+    * percent_rank within language, ties broken by doc_id so the band
+    * is deterministic and the oracle replays it verbatim. One
+    * LM-scoring pass + one window sort per language partition; at the
+    * 100 TB design point swap the exact rank for sampled-quantile
+    * thresholds ([[Sketches.quantileSample]]) — the band EDGES move by
+    * the sketch error but the plan loses the per-language global sort.
+    * Returns (doc_id, lang, n_tokens, ppl, bucket ∈ [0, buckets),
+    * band ∈ {head, middle, tail}). */
+  def pplBuckets(df: DataFrame, textCol: String, idCol: String,
+      langCol: String, buckets: Int = 3,
+      train: Option[DataFrame] = None, alpha: Double = 0.4,
+      minCount: Long = 1, order: Int = 2): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = perplexity(df, textCol, idCol, train, None, alpha,
+      minCount, order)
+    val w = Window.partitionBy(col(langCol)).orderBy(col("ppl"), col("doc_id"))
+    df.select(col(idCol).as("doc_id"), col(langCol))
+      .join(scored, Seq("doc_id"))
+      .withColumn("bucket", least(
+        floor(percent_rank().over(w) * buckets), lit(buckets - 1))
+        .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("band",
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === (buckets - 1), "tail")
+          .otherwise("middle"))
+  }
+
   /** keep rows whose perplexity is within (minPpl, maxPpl] — CCNet
     * buckets by LM score; empty docs (ppl 0) fall below every band */
   def perplexityFilter(df: DataFrame, textCol: String, idCol: String,

@@ -783,4 +783,33 @@ object TextOps {
       langId(t).as("lang_pred"),
       fingerprint(t).as("fp"))
   }
+
+  /** Tokenizer evaluation (r15): corpus-level fertility/compression
+    * metrics per group — the standard way production pipelines compare
+    * tokenizers across languages (tokens-per-byte = compression;
+    * tokens-per-word = fertility; chars-per-token = inverse
+    * granularity). Input is ANY encoded frame carrying the source text
+    * and a token count (every tokenizer family here emits one); one
+    * aggregation, integer sums, ratios computed once per group. At
+    * 100 TB this is a single map-side-combined groupBy over columns
+    * the encode pass already materialized. */
+  def tokenizerStats(encoded: DataFrame, groupCols: Seq[String],
+      textCol: String, nTokensCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "tokenizerStats needs grouping columns")
+    val t = col(textCol)
+    val words = size(filter(split(t, "\\s+"), x => length(x) > 0))
+    encoded.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).as("n_tokens"),
+        sum(octet_length(t)).as("n_bytes"),
+        sum(length(t)).as("n_chars"),
+        sum(words.cast("long")).as("n_words"))
+      .withColumn("tokens_per_byte",
+        round(col("n_tokens").cast("double") / col("n_bytes"), 6))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+  }
 }

@@ -1339,6 +1339,37 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- CCNet perplexity bands (r15): per-language head/middle/tail
+    // terciles by LM perplexity, percent_rank with doc_id tiebreak —
+    // the oracle chains the standing stupid-backoff replay into the
+    // same window arithmetic.
+    "q_ppl_buckets" -> { (s, dir) =>
+      graft.operators.NgramLm.pplBuckets(
+          Tables.load(s, dir, "documents"), "text", "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("ppl"),
+          col("bucket"), col("band"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- tokenizer fertility / compression metrics (r15): per-lang
+    // tokens-per-byte, fertility (tokens per whitespace word) and
+    // chars-per-token of the byte-BPE encode over the non-ASCII-ified
+    // corpus — the standard cross-language tokenizer comparison; the
+    // oracle re-aggregates the SAME per-doc token counts its
+    // q_bytebpe_encode replay already pins.
+    "q_tokenizer_fertility" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        col("lang"),
+        regexp_replace(trim(translate(col("text"), "ae", "äé")), "\\s+", " ")
+          .as("text"))
+      val enc = graft.operators.ByteBpe
+        .encode(docs, "text", "doc_id", byteBpeMerges)
+        .join(docs, "doc_id")
+      graft.operators.TextOps
+        .tokenizerStats(enc, Seq("lang"), "text", "n_bbpe_tokens")
+        .orderBy(col("lang"))
+    },
+
     // ---- published tokenizer artifact interop (r15): the gate writes
     // fixtures in the PUBLISHED formats — GPT-2 `vocab.bpe`
     // (`#version: 0.2` header + rank-ordered merges) + `encoder.json`
@@ -5031,6 +5062,43 @@ object QueriesData {
           translate(text, 'ae', 'äé')
             || chr(10) || ' it''s  DON''T' || chr(9) || 'naïve 3² 🚀 ' AS text
         FROM documents ORDER BY doc_id""",
+    // the stupid-backoff scoring chained into per-language
+    // percent_rank banding — identical window definition both engines
+    "q_ppl_buckets" ->
+      s"""WITH ${pplCtes("", "documents", "documents")},
+         p AS (SELECT d.doc_id, d.lang,
+             coalesce(s.n_tokens, 0) AS n_tokens,
+             coalesce(s.ppl, 0.0) AS ppl
+           FROM documents d LEFT JOIN scored s USING (doc_id)),
+         b AS (SELECT *, least(CAST(floor(percent_rank() OVER (
+               PARTITION BY lang ORDER BY ppl, doc_id) * 3) AS BIGINT),
+             2) AS bucket FROM p)
+         SELECT doc_id, lang, n_tokens, ppl, bucket,
+           CASE bucket WHEN 0 THEN 'head' WHEN 2 THEN 'tail'
+                ELSE 'middle' END AS band
+         FROM b ORDER BY doc_id""",
+    // per-lang re-aggregation of the byte-level replay's per-doc token
+    // counts; ratios computed once per group, round 6
+    "q_tokenizer_fertility" ->
+      s"""WITH $byteBpeCtes,
+         m AS (SELECT b.doc_id, d.lang, s.text,
+             CAST(len(string_split(b.enc, ' ')) AS BIGINT) AS toks
+           FROM bdocs b
+           JOIN documents d USING (doc_id)
+           JOIN bsrc s ON s.doc_id = b.doc_id),
+         g AS (SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+             CAST(sum(len(text)) AS BIGINT) AS n_chars,
+             CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+               x -> len(x) > 0))) AS BIGINT) AS n_words
+           FROM m GROUP BY lang)
+         SELECT lang, n_docs, n_tokens, n_bytes, n_chars, n_words,
+           round(CAST(n_tokens AS DOUBLE) / n_bytes, 6) AS tokens_per_byte,
+           round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+         FROM g ORDER BY lang""",
     // published-artifact interop: the byte-level replay CTEs with the
     // encoder.json fixture's id table (base 3000+byte, products
     // 4000+rank — provably artifact ids, not the closed scheme), plus
