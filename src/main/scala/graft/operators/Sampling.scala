@@ -270,6 +270,24 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Cluster-balanced sampling (r15): cap every embedding-space
+    * CLUSTER at `cap` rows — the diversity-preserving subsample that
+    * de-biases head-heavy regions of the embedding space before
+    * training (the cluster-then-cap shape SemDeDup-style pipelines
+    * use for mixture balancing). Composition of the engine's own
+    * parts: one map-only IVF cell assignment against a trained (or
+    * loaded) codebook, then the SAME deterministic md5-rank cap the
+    * per-domain capper uses — so membership is a pure function of
+    * (id, salt, codebook) and the oracle replays it row-for-row. One
+    * shuffle (the per-cell rank window); cells bound the window
+    * partitions exactly like domains do. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      m: graft.operators.IvfIndex.Model, salt: String, cap: Int): DataFrame =
+    capPerGroup(graft.operators.IvfIndex.assign(df, vecCol, m),
+        "__cell", idCol, salt, cap)
+      .withColumn("cell", col("__cell").cast("int"))
+      .drop("__cell")
+
   /** Mixture materialization — replicate each source to its target
     * epoch count (the "wiki ×3.3, web ×1.0" step that turns mixture
     * WEIGHTS into an actual training stream): a row with weight w

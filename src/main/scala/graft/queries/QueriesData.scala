@@ -1339,6 +1339,19 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // ---- cluster-balanced sampling (r15): IVF cells as the balance
+    // key, the deterministic md5-rank cap as the sampler — the oracle
+    // unrolls the kmeans then replays the identical cap window.
+    "q_cluster_balanced_sample" -> { (s, dir) =>
+      import graft.operators.{IvfIndex, Sampling}
+      val emb = Tables.load(s, dir, "embeddings")
+      val m = IvfIndex.trainReplayable(emb, "vec_id", "embedding", k = 4, iters = 5)
+      Sampling.clusterBalancedSample(emb, "vec_id", "embedding", m,
+          "cbs-v1", cap = 30)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- CCNet perplexity bands (r15): per-language head/middle/tail
     // terciles by LM perplexity, percent_rank with doc_id tiebreak —
     // the oracle chains the standing stupid-backoff replay into the
@@ -5062,6 +5075,18 @@ object QueriesData {
           translate(text, 'ae', 'äé')
             || chr(10) || ' it''s  DON''T' || chr(9) || 'naïve 3² 🚀 ' AS text
         FROM documents ORDER BY doc_id""",
+    // kmeans unrolled to the final assignment, then the identical
+    // md5-rank cap window per cell
+    "q_cluster_balanced_sample" ->
+      s"""WITH ${ivfAssignCtes(4, 5, 50000)},
+         capd AS (SELECT vec_id, cell FROM (
+             SELECT f.vec_id, f.cell, row_number() OVER (PARTITION BY f.cell
+               ORDER BY (md5_number_lower(CAST(f.vec_id AS VARCHAR) || 'cbs-v1')
+                           % 281474976710656) % 1073741824, f.vec_id) AS rn
+             FROM fasg f) t
+           WHERE rn <= 30)
+         SELECT vec_id, CAST(cell AS INTEGER) AS cell
+         FROM capd ORDER BY vec_id""",
     // the stupid-backoff scoring chained into per-language
     // percent_rank banding — identical window definition both engines
     "q_ppl_buckets" ->
