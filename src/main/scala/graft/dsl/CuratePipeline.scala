@@ -427,6 +427,47 @@ object CuratePipeline {
             tau = dbl(st, "tau", 0.9), roundCos = int(st, "round_cos", 6))
           .filter(col("is_kept")).select(col(idCol))
         df.join(kept, Seq(idCol), "left_semi")
+      case "cluster_balance" =>
+        // cluster-balanced sampling (r15): IVF cells over `vec_col`
+        // capped at `cap` rows each by the deterministic md5-rank —
+        // de-biases head-heavy embedding regions before training.
+        // Codebook trains corpus-relative or loads via `model_path`
+        // (the semdedup contract).
+        val vecCol = str(st, "vec_col")
+        val cap = int(st, "cap", 0)
+        if (cap <= 0) throw new DslException(
+          "cluster_balance needs a positive integer 'cap'")
+        val m = strOpt(st, "model_path") match {
+          case Some(p) => graft.operators.IvfIndex.readModel(p)
+          case None => graft.operators.IvfIndex.trainReplayable(df, idCol, vecCol,
+            k = int(st, "k", 256), iters = int(st, "iters", 5),
+            sampleSize = int(st, "sample_size", 50000))
+        }
+        val kept = graft.operators.Sampling.clusterBalancedSample(
+            df, idCol, vecCol, m,
+            strOr(st, "salt", "cluster-balance-v1"), cap)
+          .select(col(idCol))
+        df.join(kept, Seq(idCol), "left_semi")
+      case "ppl_band" =>
+        // CCNet band keep (r15): per-language perplexity terciles
+        // (head = most fluent) — keep docs whose band is in `keep`.
+        // Corpus-relative LM like perplexity_filter.
+        val keepBands = strSeq(st, "keep", Nil)
+        if (keepBands.isEmpty) throw new DslException(
+          "ppl_band needs a non-empty 'keep' array of band names")
+        val valid = Set("head", "middle", "tail")
+        keepBands.find(!valid(_)).foreach { b =>
+          throw new DslException(
+            s"ppl_band: unknown band '$b' (head|middle|tail)")
+        }
+        val kept = graft.operators.NgramLm.pplBuckets(df, textCol, idCol,
+            langCol = strOr(st, "lang_col", "lang"),
+            alpha = dbl(st, "alpha", 0.4),
+            minCount = int(st, "min_count", 1).toLong,
+            order = int(st, "order", 2))
+          .filter(col("band").isin(keepBands: _*))
+          .select(col("doc_id").as(idCol))
+        df.join(kept, Seq(idCol), "left_semi")
       case "image_hash" | "audio_hash" =>
         // map-only decode→hash pass over a BINARY payload column:
         // appends image_hash / audio_hash so a downstream

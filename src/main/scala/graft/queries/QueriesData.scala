@@ -1352,6 +1352,26 @@ object QueriesData {
         .orderBy(col("vec_id"))
     },
 
+    // ---- the same two through the CURATE front door (r15)
+    "q_curate_cluster_balance" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.compile(
+          Tables.load(s, dir, "embeddings"),
+          """{"stages": [
+            {"op": "cluster_balance", "vec_col": "embedding",
+             "k": 4, "iters": 5, "salt": "cbs-v1", "cap": 30}]}""",
+          idCol = "vec_id")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+    "q_curate_ppl_band" -> { (s, dir) =>
+      graft.dsl.CuratePipeline.compile(
+          Tables.load(s, dir, "documents"),
+          """{"stages": [
+            {"op": "ppl_band", "keep": ["head"]}]}""")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- CCNet perplexity bands (r15): per-language head/middle/tail
     // terciles by LM perplexity, percent_rank with doc_id tiebreak —
     // the oracle chains the standing stupid-backoff replay into the
@@ -5075,6 +5095,28 @@ object QueriesData {
           translate(text, 'ae', 'äé')
             || chr(10) || ' it''s  DON''T' || chr(9) || 'naïve 3² 🚀 ' AS text
         FROM documents ORDER BY doc_id""",
+    // CURATE twins: the same replays filtered to the kept set
+    "q_curate_cluster_balance" ->
+      s"""WITH ${ivfAssignCtes(4, 5, 50000)},
+         capd AS (SELECT vec_id FROM (
+             SELECT f.vec_id, row_number() OVER (PARTITION BY f.cell
+               ORDER BY (md5_number_lower(CAST(f.vec_id AS VARCHAR) || 'cbs-v1')
+                           % 281474976710656) % 1073741824, f.vec_id) AS rn
+             FROM fasg f) t
+           WHERE rn <= 30)
+         SELECT e.vec_id, e.label
+         FROM embeddings e JOIN capd USING (vec_id)
+         ORDER BY e.vec_id""",
+    "q_curate_ppl_band" ->
+      s"""WITH ${pplCtes("", "documents", "documents")},
+         p AS (SELECT d.doc_id, d.lang,
+             coalesce(s.ppl, 0.0) AS ppl
+           FROM documents d LEFT JOIN scored s USING (doc_id)),
+         b AS (SELECT *, least(CAST(floor(percent_rank() OVER (
+               PARTITION BY lang ORDER BY ppl, doc_id) * 3) AS BIGINT),
+             2) AS bucket FROM p)
+         SELECT doc_id, lang FROM b WHERE bucket = 0
+         ORDER BY doc_id""",
     // kmeans unrolled to the final assignment, then the identical
     // md5-rank cap window per cell
     "q_cluster_balanced_sample" ->
