@@ -180,7 +180,19 @@ object JsonQuery {
                 val counted = df.observe(obs,
                   org.apache.spark.sql.functions.count(
                     org.apache.spark.sql.functions.lit(1)).as("rows"))
-                graft.sources.GeoParquet.write(counted, path, lon, lat)
+                // r15: `morton_files: N` switches to the Z-order
+                // clustered layout — each of the N files covers a
+                // compact spatial box, so bbox file pruning pays off
+                // on the written collection
+                gm.get("morton_files") match {
+                  case Some(JInt(n)) if n > 0 =>
+                    graft.sources.GeoParquet.writeSorted(
+                      counted, path, lon, lat, n.toInt)
+                  case Some(other) => throw new DslException(
+                    s"geoparquet morton_files must be a positive integer, got $other")
+                  case None =>
+                    graft.sources.GeoParquet.write(counted, path, lon, lat)
+                }
                 obs.get("rows").asInstanceOf[Long] // distributed write: one action
               case ("nd_netcdf", JObject(no)) :: Nil =>
                 val dims = no.toMap.get("dimension_columns") match {

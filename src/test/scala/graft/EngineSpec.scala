@@ -128,6 +128,21 @@ class EngineSpec extends AnyFunSuite {
     assert(r1.getLong(1) == 50)
     assert(graft.sources.GeoParquet.read(spark, Seq(s"$dir/pts.parquet"))
       .columns.contains("geometry_wkt"))
+    // r15: morton_files switches to the Z-order clustered layout —
+    // file count honored, rows intact, covering columns present
+    val gqm = gq.replace(s""""$dir/pts.parquet"""", s""""$dir/ptsm.parquet"""")
+      .replace(""""latitude_column": "lat"""",
+        """"latitude_column": "lat", "morton_files": 4""")
+    assert(JsonQuery.compile(spark, gqm).collect()(0).getLong(1) == 50)
+    val mParts = new java.io.File(s"$dir/ptsm.parquet")
+      .listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(mParts == 4, s"morton_files=4 wrote $mParts files")
+    val mBack = graft.sources.GeoParquet.read(spark, Seq(s"$dir/ptsm.parquet"))
+    assert(mBack.count() == 50 && mBack.columns.contains("bbox_xmin"))
+    intercept[IllegalArgumentException] {
+      JsonQuery.compile(spark, gqm.replace(""""morton_files": 4""",
+        """"morton_files": 0"""))
+    }
     // nd_netcdf with dimension_columns
     val nd = s"""{"select": [{"column": "l_linenumber", "alias": "ln"},
                              {"column": "l_quantity", "alias": "qty"},
