@@ -802,13 +802,15 @@ object CuratePipeline {
           throw new DslException(s"each merge must be a [left, right] pair: $other")
       }
       case (JNothing, JString(path)) =>
-        graft.sources.io.ByteStore.readString(path)
-          .split("\n").map(_.trim)
-          .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-          .map(l => l.split("\\s+") match {
-            case Array(a, b) => (a, b)
-            case _ => throw new DslException(s"bad merges line: '$l'")
-          })
+        // r15: one parser for every merges artifact — the published
+        // vocab.bpe semantics (keeps `# #`-style merges, skips only
+        // the #version line and prose comments) live in
+        // [[graft.operators.ByteBpe.readGpt2Merges]]
+        try graft.operators.ByteBpe.readGpt2Merges(path)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new DslException(s"merges at '$path': ${e.getMessage}")
+        }
       case (JNothing, JNothing) =>
         throw new DslException(
           "tokenize needs 'merges' (array of pairs) or 'merges_path'")

@@ -2094,6 +2094,9 @@ object Geo {
     if (x < -bound - 1e-6 || x > bound + 1e-6 || x.isNaN)
       throw new IllegalArgumentException(
         s"st_transform: x $x outside Web Mercator's extent ±$bound")
+    if (y < -bound - 1e-6 || y > bound + 1e-6 || y.isNaN)
+      throw new IllegalArgumentException(
+        s"st_transform: y $y outside Web Mercator's extent ±$bound")
     (StrictMath.toDegrees(x / WebMercatorR),
       StrictMath.toDegrees(
         2 * StrictMath.atan(StrictMath.exp(y / WebMercatorR)) - StrictMath.PI / 2))
@@ -2191,6 +2194,21 @@ object Geo {
 
   private def invUtm(zone: Int, south: Boolean)(
       x: Double, y: Double): (Double, Double) = {
+    // loud extent guard (the forward legs' stance): eastings live
+    // within ~±10° of the central meridian even with generous overlap
+    // (≪ 2e6 m from the 500 km false easting), northings within the
+    // meridian quarter-arc (≈1.0002e7 m) plus the south false northing
+    if (x.isNaN || x < -1500000.0 || x > 2500000.0)
+      throw new IllegalArgumentException(
+        s"st_transform: easting $x outside UTM's plausible extent " +
+          "[-1.5e6, 2.5e6] — wrong zone or not UTM meters")
+    // north zone: y ∈ [−M(80°S)·k0, M(84°N)·k0] ≈ [−8.9e6, 9.4e6];
+    // south zone shifts by the 1e7 false northing
+    val yLo = if (south) -50000.0 else -10100000.0
+    val yHi = if (south) 19500000.0 else 10100000.0
+    if (y.isNaN || y < yLo || y > yHi)
+      throw new IllegalArgumentException(
+        s"st_transform: northing $y outside UTM's extent [$yLo, $yHi]")
     val e2 = WgsE2; val ep2 = WgsEp2
     val m = (if (south) y - 10000000.0 else y) / UtmK0
     val mu = m / (WgsA * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))

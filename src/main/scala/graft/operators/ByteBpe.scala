@@ -42,10 +42,12 @@ object ByteBpe {
       maxWordLen: Int = Bpe.MaxWordLen): DataFrame =
     df.select(explode(ByteBpeExprs.gpt2_split(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(
-        Bpe.requireWordLen(col("w"), maxWordLen, "byte-bpe trainer").as("w"),
-        col("cnt"))
       .withColumn("bw", ByteBpeExprs.bytes_to_unicode(col("w")))
+      // the straggler ceiling gates the MAPPED BYTE length — the unit
+      // the trainer's symbol arrays and merge rounds actually pay for
+      // (a 64-char CJK pre-token is ~192-256 byte symbols)
+      .select(col("cnt"),
+        Bpe.requireWordLen(col("bw"), maxWordLen, "byte-bpe trainer").as("bw"))
       .select(col("cnt"),
         expr("transform(sequence(1, length(bw)), i -> substring(bw, i, 1))")
           .as("syms"))
@@ -107,16 +109,23 @@ object ByteBpe {
   // Both read through the ByteStore seam so they can live on the
   // object store next to the data.
 
-  /** read a published-format `vocab.bpe` / merges.txt: `#`-prefixed
-    * header lines skipped, one whitespace-separated pair per line in
-    * rank order */
+  /** read a published-format `vocab.bpe` / merges.txt: one
+    * whitespace-separated pair per line in rank order. Header
+    * handling is careful because the REAL GPT-2 vocab.bpe contains
+    * legitimate merges whose left symbol is `#` (`# #` → `##` for
+    * markdown/code text): only the `#version` line and `#`-prefixed
+    * lines that cannot be a pair (prose comments) are skipped — a
+    * `#`-leading line that splits into exactly two symbols is a merge
+    * and is KEPT (the reference encoder skips only line one). */
   def readGpt2Merges(path: String): Seq[(String, String)] = {
     val merges = graft.sources.io.ByteStore.readString(path)
       .split("\n").iterator.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
+      .filter(_.nonEmpty)
+      .filterNot(_.startsWith("#version"))
+      .flatMap { l =>
         l.split("\\s+") match {
-          case Array(a, b) => (a, b)
+          case Array(a, b) => Some((a, b))
+          case _ if l.startsWith("#") => None // prose comment header
           case _ => throw new IllegalArgumentException(
             s"vocab.bpe at '$path': bad merges line '$l' " +
               "(want 'left right')")

@@ -208,8 +208,10 @@ object Unigram {
     *  - float scores quantize to integer MILLIONTHS (Viterbi compares
     *    weight sums, so any uniform scale preserves the argmax; 1e-6
     *    resolution is far below spm's printed 6-digit scores);
-    *  - `<...>` control rows are skipped (they are id-table metadata,
-    *    not text pieces);
+    *  - the CANONICAL spm control rows (`<unk>`, `<s>`, `</s>`,
+    *    `<pad>`, `<mask>`, `<cls>`, `<sep>`, `<bos>`, `<eos>`) are
+    *    skipped as id-table metadata; any other angle-bracketed piece
+    *    (a real text token like `<br>`) loads normally;
     *  - a leading `▁` (U+2581) strips: spm marks word starts because
     *    it segments a space-joined stream, while this encoder runs
     *    per whitespace-split word — the word boundary is structural,
@@ -223,8 +225,14 @@ object Unigram {
     val marker = '▁'
     val intRe = "-?\\d+"
     val floatRe = "-?\\d*\\.\\d+([eE]-?\\d+)?"
+    // control-row skip is the CANONICAL spm set only — a real text
+    // piece like `<br>` stays; likewise a `#`-piece line (`#<TAB>-8.2`)
+    // stays and only tab-less `#` lines are comments
+    val controls = Set("<unk>", "<s>", "</s>", "<pad>", "<mask>",
+      "<cls>", "<sep>", "<bos>", "<eos>")
     val lines = content.split("\n").iterator.map(_.stripLineEnd)
-      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).toSeq
+      .filter(l => l.trim.nonEmpty &&
+        !(l.trim.startsWith("#") && !l.contains('\t'))).toSeq
     val parsed = lines.map { l =>
       l.split("\t") match {
         case Array(p0, w0) => (p0, w0.trim)
@@ -237,10 +245,10 @@ object Unigram {
     // are the same units — scale them too, or a mixed file would rank
     // pieces across two incompatible scales
     val anyFloat = parsed.exists { case (p, w) =>
-      !p.matches("<[^>]+>") && w.matches(floatRe)
+      !controls(p) && w.matches(floatRe)
     }
     val raw = parsed.flatMap { case (p0, w) =>
-      if (p0.matches("<[^>]+>")) None
+      if (controls(p0)) None
       else {
         val weight =
           if (w.matches(intRe))

@@ -15,6 +15,32 @@ import graft.sql.{GraftSql, Summarize}
   */
 object QueriesEngine {
 
+  /** four disjoint-longitude-band geoparquet shards from lineitem +
+    * their FileStats registry — the staging both spatial-pruning gates
+    * (q_geo_pruned_scan, q_geo_dsl_bbox) share, so the shard layout
+    * and the lon formula live exactly once */
+  private def stageGeoShards(s: SparkSession,
+      dir: String): (String, String) = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-geoprune")
+    val pts = graft.Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        (($"l_orderkey" % 4) * 90 - 180 + $"l_discount" * 100 * 0.8).as("lon"),
+        $"l_quantity".cast("double").as("lat"))
+    (0 until 4).foreach { i =>
+      graft.sources.GeoParquet.write(
+        pts.filter($"l_orderkey" % 4 === i).coalesce(1),
+        root.resolve(s"shard$i.parquet").toString, "lon", "lat")
+    }
+    val statsDir = root.resolve("stats").toString
+    graft.stats.FileStats.write(
+      graft.stats.FileStats.collect(s, "parquet",
+        (0 until 4).map(i => root.resolve(s"shard$i.parquet").toString)),
+      statsDir)
+    (root.toString, statsDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- the JSON DSL path end-to-end (select/filter-tree/sort/offset/limit)
@@ -384,21 +410,7 @@ object QueriesEngine {
     "q_geo_pruned_scan" -> { (s, dir) =>
       GraftSession.configure(s)
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft-geoprune")
-      val pts = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_linenumber",
-          (($"l_orderkey" % 4) * 90 - 180 + $"l_discount" * 100 * 0.8).as("lon"),
-          $"l_quantity".cast(DoubleType).as("lat"))
-      (0 until 4).foreach { i =>
-        graft.sources.GeoParquet.write(
-          pts.filter($"l_orderkey" % 4 === i).coalesce(1),
-          root.resolve(s"shard$i.parquet").toString, "lon", "lat")
-      }
-      val statsDir = root.resolve("stats").toString
-      graft.stats.FileStats.write(
-        graft.stats.FileStats.collect(s, "parquet",
-          (0 until 4).map(i => root.resolve(s"shard$i.parquet").toString)),
-        statsDir)
+      val (root, statsDir) = stageGeoShards(s, dir)
       val (pruned, kept, total) = graft.sources.GeoParquet.readPruned(
         s, Seq(s"$root/shard*.parquet/*.parquet"), statsDir,
         xmin = 0, ymin = 0, xmax = 10, ymax = 60)
@@ -418,21 +430,7 @@ object QueriesEngine {
     "q_geo_dsl_bbox" -> { (s, dir) =>
       GraftSession.configure(s)
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft-geodsl")
-      val pts = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_linenumber",
-          (($"l_orderkey" % 4) * 90 - 180 + $"l_discount" * 100 * 0.8).as("lon"),
-          $"l_quantity".cast(DoubleType).as("lat"))
-      (0 until 4).foreach { i =>
-        graft.sources.GeoParquet.write(
-          pts.filter($"l_orderkey" % 4 === i).coalesce(1),
-          root.resolve(s"shard$i.parquet").toString, "lon", "lat")
-      }
-      val statsDir = root.resolve("stats").toString
-      graft.stats.FileStats.write(
-        graft.stats.FileStats.collect(s, "parquet",
-          (0 until 4).map(i => root.resolve(s"shard$i.parquet").toString)),
-        statsDir)
+      val (root, statsDir) = stageGeoShards(s, dir)
       graft.dsl.JsonQuery.compile(s,
         s"""{"select": ["l_orderkey", "l_linenumber", "lon", "lat"],
              "from": {"geoparquet": {

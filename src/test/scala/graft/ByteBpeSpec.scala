@@ -85,6 +85,21 @@ class ByteBpeSpec extends AnyFunSuite {
     val ints = graft.operators.Unigram
       .parseVocabArtifact("ab\t-10\ncd\t-5\n").toMap
     assert(ints("ab") == -10L && ints("cd") == -5L, ints)
+    // r15 review fixes: the REAL GPT-2 vocab.bpe carries merges whose
+    // left symbol is '#' ("# #" → "##") — only #version and prose
+    // comments skip
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpefix")
+    graft.sources.io.ByteStore.writeString(s"$tmp/m.bpe",
+      "#version: 0.2\n# this is prose and not a pair at all\n# #\n## #\nĠ t\n")
+    val hashMerges = ByteBpe.readGpt2Merges(s"$tmp/m.bpe")
+    assert(hashMerges == Seq(("#", "#"), ("##", "#"), ("Ġ", "t")), hashMerges)
+    // spm vocab: only CANONICAL control rows skip — <br> is a real
+    // piece; a '#'-piece line (has a tab) is data, tab-less '#' lines
+    // are comments
+    val spm2 = graft.operators.Unigram.parseVocabArtifact(
+      "# a comment line\n<unk>\t0\n<br>\t-6.0\n#\t-8.25\nab\t-2.0\n").toMap
+    assert(!spm2.contains("<unk>"))
+    assert(spm2("<br>") == -6000000L && spm2("#") == -8250000L, spm2)
   }
 
   test("byte-bpe: bytes→unicode bijection matches the published GPT-2 table; total roundtrip") {

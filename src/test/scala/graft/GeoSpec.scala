@@ -595,6 +595,19 @@ class GeoSpec extends AnyFunSuite {
       Geo.stTransform("POINT (0 0)", 3857, 32633)
     }
     assert(e2.getMessage.contains("unsupported CRS pair"), e2.getMessage)
+    // r15 review fix: inverse legs validate as loudly as forward ones
+    val e3 = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (1e12 0)", 32633, 4326)
+    }
+    assert(e3.getMessage.contains("easting"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (500000 NaN)", 32633, 4326)
+    }
+    assert(e4.getMessage.contains("northing"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (0 99999999)", 3857, 4326)
+    }
+    assert(e5.getMessage.contains("extent"), e5.getMessage)
   }
 
   test("numeric-arg guard: garbage distance/radius raises at analysis, not NULL (r15)") {

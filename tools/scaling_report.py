@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Merge two graft.Bench JSON lines (sf0.1 baseline and synthetic sf1)
 into BENCH_sf1_scaling.json: per-query times, sf1/sf0.1 ratios, and a
-verdict per query (linear <= 12x for 10x data + fixed overheads;
-superlinear > 15x flags a hidden shuffle/skew; sublinear < 6x means the
-query is overhead-dominated at this SF and says little about scaling).
+verdict per query (6x-15x ~ linear for 10x data + fixed overheads;
+superlinear > 15x flags a hidden shuffle/skew; sublinear < 6x means
+overheads amortized and says little about asymptotics).
 
 Usage: scaling_report.py <base_bench.log> <sf1_bench.log> <out.json>
 The logs are sbt runMain graft.Bench stdout; the JSON line is extracted
@@ -61,7 +61,8 @@ def main() -> None:
         ratio = round(t1 / t0, 2) if t0 > 0 else None
         if ratio is not None and ratio > worst[1]:
             worst = (name, ratio)
-        verdict = ("superlinear" if ratio > 15 else
+        verdict = ("no-baseline" if ratio is None else
+                   "superlinear" if ratio > 15 else
                    "linear" if ratio >= 6 else
                    "sublinear" if ratio >= 1 else "anomalous")
         qs[name] = {"sf0.1_sec": round(t0, 3), "sf1_sec": round(t1, 3),
