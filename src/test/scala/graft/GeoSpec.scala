@@ -540,8 +540,10 @@ class GeoSpec extends AnyFunSuite {
       Geo.stTransform("POINT (0 89)", 4326, 3857)
     }
     assert(e1.getMessage.contains("latitude"), e1.getMessage)
+    // 4326→UTM became supported in r15; Lambert-93 (2154) is the
+    // representative still-unsupported pair
     val e2 = intercept[IllegalArgumentException] {
-      Geo.stTransform("POINT (0 0)", 4326, 32633)
+      Geo.stTransform("POINT (0 0)", 4326, 2154)
     }
     assert(e2.getMessage.contains("unsupported CRS pair"), e2.getMessage)
     val viaSql = spark.sql(
