@@ -355,6 +355,24 @@ object GeoExprs {
       copy(l, r)
   }
 
+  /** st_difference (r15): A \ B via the Greiner–Hormann trace with
+    * subject entry flags inverted ([[Geo.differenceWkt]]) — hole
+    * punches, severed MULTIPOLYGONs, C-shapes */
+  case class StDifference(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_difference"
+    override def nullSafeEval(a: Any, b: Any): Any = UTF8String.fromString(
+      Geo.stDifference(a.asInstanceOf[UTF8String].toString,
+        b.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.Geo.stDifference($a.toString(), $b.toString()));")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** st_length(wkt) → total path length of a lineal geometry; 0 for
     * points and polygons (the PostGIS lineal/areal measure split —
     * polygon outlines are st_perimeter) */
@@ -547,6 +565,9 @@ object GeoExprs {
   def st_intersection(a: Column, b: Column): Column =
     ColumnBridge.column(StBoolean(
       ColumnBridge.expression(a), ColumnBridge.expression(b), union = false))
+  def st_difference(a: Column, b: Column): Column =
+    ColumnBridge.column(StDifference(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def st_convex_hull(a: Column): Column =
     ColumnBridge.column(StConvexHull(ColumnBridge.expression(a)))
   def st_transform(a: Column, from: Column, to: Column): Column =

@@ -1204,6 +1204,53 @@ object Geo {
   def unionWkt(a: Geom, b: Geom): String = ghBoolean(a, b, union = true)
   def intersectionWkt(a: Geom, b: Geom): String = ghBoolean(a, b, union = false)
 
+  /** flip every crossing's entry flag along one list — the classic
+    * Greiner–Hormann way to turn the intersection trace into a
+    * DIFFERENCE: A \ B = A ∩ complement(B), and complementing B is
+    * exactly inverting what "entering B" means on the subject */
+  private def ghInvertEntries(head: GhNode): Unit = {
+    var cur = head
+    do { if (cur.isIx) cur.entry = !cur.entry; cur = cur.next } while (cur ne head)
+  }
+
+  /** st_difference (r15): A \ B over two simple no-hole polygons via
+    * the same Greiner–Hormann machinery as union/intersection — the
+    * subject list's entry flags invert, the intersection trace runs
+    * unchanged. No-crossing configurations close-form: disjoint → A;
+    * B ⊂ A → A with hole B (ghToWkt classifies holes by containment
+    * depth); A ⊆ B → EMPTY. A clip that severs the subject yields
+    * MULTIPOLYGON. Same general-position contract (vertex-on-edge and
+    * collinear-overlap touches raise loudly) as the other booleans. */
+  def differenceWkt(a: Geom, b: Geom): String = {
+    val what = "st_difference"
+    if (isEmptyGeom(a)) return "POLYGON EMPTY"
+    val pa = a match {
+      case PolygonGeom(p) => p
+      case _ => throw new IllegalArgumentException(
+        s"$what expects two POLYGON geometries")
+    }
+    if (isEmptyGeom(b)) return polyWkt(openCcw(pa, what))
+    val pb = b match {
+      case PolygonGeom(p) => p
+      case _ => throw new IllegalArgumentException(
+        s"$what expects two POLYGON geometries")
+    }
+    val s = openCcw(pa, what)
+    val c = openCcw(pb, what)
+    val crossings = ghCrossings(s, c, what)
+    if (crossings.isEmpty) {
+      val sInC = polygonContains(pb, s(0)._1, s(0)._2)
+      val cInS = polygonContains(pa, c(0)._1, c(0)._2)
+      return if (sInC) "POLYGON EMPTY" // A ⊆ B
+      else if (cInS) // B punches a hole in A
+        ghToWkt(Seq(canonRing(s, ccw = true), canonRing(c, ccw = false)))
+      else polyWkt(s) // disjoint
+    }
+    val (sHead, _) = ghBuildMarked(s, c, pa, pb, crossings)
+    ghInvertEntries(sHead)
+    ghToWkt(ghTrace(sHead, union = false))
+  }
+
   // ------------------------------------------- hull & simplification
 
   /** open vertex list of a ring (closing duplicate dropped) */
@@ -2021,6 +2068,8 @@ object Geo {
     unionWkt(parseWktCached(a), parseWktCached(b))
   def stIntersection(a: String, b: String): String =
     intersectionWkt(parseWktCached(a), parseWktCached(b))
+  def stDifference(a: String, b: String): String =
+    differenceWkt(parseWktCached(a), parseWktCached(b))
   def stConvexHull(a: String): String = convexHullWkt(parseWktCached(a))
   def stSimplify(a: String, tol: Double): String =
     simplifyWkt(parseWktCached(a), tol)

@@ -258,6 +258,8 @@ object GraftFunctions {
       es => GeoExprs.StBoolean(es(0), es(1), union = true), "built-in")
     r.createOrReplaceTempFunction("st_intersection",
       es => GeoExprs.StBoolean(es(0), es(1), union = false), "built-in")
+    r.createOrReplaceTempFunction("st_difference",
+      es => GeoExprs.StDifference(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("st_convex_hull",
       es => GeoExprs.StConvexHull(es.head), "built-in")
     r.createOrReplaceTempFunction("st_length",

@@ -894,6 +894,48 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- st_difference (r15): the Greiner–Hormann difference over
+    // parametric fixtures exercising all three crossing shapes — side
+    // notch (C-shape, 12s²), interior hole punch (outer+hole, 12s²),
+    // and a severing bar (MULTIPOLYGON, 8s²) — plus geometry_type and
+    // ring-point counts, every measure a closed form in s.
+    "q_geo_difference" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def i(c: org.apache.spark.sql.Column) = c.cast("int").cast("string")
+      val sc = $"s"; val t = $"t"
+      def rect(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+          x1: org.apache.spark.sql.Column, y1: org.apache.spark.sql.Column) =
+        concat(lit("POLYGON (("),
+          i(x0 + t), lit(" "), i(y0 + t), lit(", "),
+          i(x1 + t), lit(" "), i(y0 + t), lit(", "),
+          i(x1 + t), lit(" "), i(y1 + t), lit(", "),
+          i(x0 + t), lit(" "), i(y1 + t), lit(", "),
+          i(x0 + t), lit(" "), i(y0 + t), lit("))"))
+      val sq = rect(lit(0), lit(0), sc * 4, sc * 4)
+      val notched = GeoExprs.st_difference(sq,
+        rect(sc * 2, sc, sc * 6, sc * 3))
+      val punched = GeoExprs.st_difference(sq,
+        rect(sc, sc, sc * 3, sc * 3))
+      val severed = GeoExprs.st_difference(
+        rect(lit(0), lit(0), sc * 6, sc * 2),
+        rect(sc * 2, -sc, sc * 4, sc * 3))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          ($"n_nationkey" % 3 + 1).cast("int").as("s"),
+          $"n_nationkey".cast("int").as("t"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_area(notched), 6).as("notch_area"),
+          GeoExprs.st_npoints(notched).cast(LongType).as("notch_np"),
+          round(GeoExprs.st_area(punched), 6).as("punch_area"),
+          GeoExprs.st_geometry_type(punched).as("punch_type"),
+          GeoExprs.st_npoints(punched).cast(LongType).as("punch_np"),
+          round(GeoExprs.st_area(severed), 6).as("sever_area"),
+          GeoExprs.st_geometry_type(severed).as("sever_type"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- negative-radius buffer = EROSION (r15): a rectangle erodes
     // to the inner rectangle (area (24s−4s)(10s−4s) = 120s²); a
     // dumbbell — the rectangle with a full-height width-2s slit —
@@ -1519,6 +1561,20 @@ object QueriesEngine {
            round(lon, 5) AS back_lon,
            round(lat, 5) AS back_lat
          FROM leg
+         ORDER BY n_nationkey""",
+    // difference closed forms: C-shape 12s² (8+1 ring points), punched
+    // 12s² POLYGON (5+5 points over two rings), severed 8s² MULTI
+    "q_geo_difference" ->
+      """SELECT n_nationkey,
+           round(CAST(12 * s * s AS DOUBLE), 6) AS notch_area,
+           CAST(9 AS BIGINT) AS notch_np,
+           round(CAST(12 * s * s AS DOUBLE), 6) AS punch_area,
+           'POLYGON' AS punch_type,
+           CAST(10 AS BIGINT) AS punch_np,
+           round(CAST(8 * s * s AS DOUBLE), 6) AS sever_area,
+           'MULTIPOLYGON' AS sever_type
+         FROM (SELECT n_nationkey, CAST(n_nationkey % 3 + 1 AS INT) AS s
+               FROM nation) q
          ORDER BY n_nationkey""",
     // erosion closed forms: inner rectangle 20s·6s, severed dumbbell
     // 2 × 7s·6s with 5+5 ring points, over-erosion vanishes to 0

@@ -456,6 +456,42 @@ class GeoSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("st_difference: notch, hole-punch, sever, disjoint, subset (r15)") {
+    import graft.functions.Geo
+    def d(a: String, b: String): String =
+      Geo.differenceWkt(Geo.parseWkt(a), Geo.parseWkt(b))
+    def area(w: String): Double = Geo.stArea(w)
+    val A = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    // side notch: B overlaps A's right edge → C-shape, area 16 − 4
+    val notch = d(A, "POLYGON ((2 1, 6 1, 6 3, 2 3, 2 1))")
+    assert(math.abs(area(notch) - 12.0) < 1e-9, notch)
+    assert(notch.startsWith("POLYGON"), notch)
+    // hole punch: B strictly inside A → polygon WITH hole
+    val holed = d(A, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert(math.abs(area(holed) - 12.0) < 1e-9, holed)
+    assert(holed.count(_ == '(') == 3, s"expected outer+hole rings: $holed")
+    // sever: a vertical bar through the middle → two components
+    val split = d("POLYGON ((0 0, 6 0, 6 2, 0 2, 0 0))",
+      "POLYGON ((2 -1, 4 -1, 4 3, 2 3, 2 -1))")
+    assert(split.startsWith("MULTIPOLYGON"), split)
+    assert(math.abs(area(split) - 8.0) < 1e-9, split)
+    // disjoint → A unchanged; A ⊆ B → EMPTY; B empty → A
+    assert(area(d(A, "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))")) == 16.0)
+    assert(d(A, "POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))") == "POLYGON EMPTY")
+    assert(area(d(A, "POLYGON EMPTY")) == 16.0)
+    assert(d("POLYGON EMPTY", A) == "POLYGON EMPTY")
+    // difference is not symmetric: B \ A keeps B's outside part
+    val ba = d("POLYGON ((2 1, 6 1, 6 3, 2 3, 2 1))", A)
+    assert(math.abs(area(ba) - 4.0) < 1e-9, ba)
+    // the result set-theoretically checks against union/intersection:
+    // area(A\B) = area(A) − area(A∩B) on a concave pair
+    val C = "POLYGON ((0 0, 5 0, 5 5, 4 5, 4 1, 1 1, 1 5, 0 5, 0 0))"
+    val D = "POLYGON ((-1 2, 2 2, 2 4, -1 4, -1 2))"
+    val ix = Geo.stIntersectionArea(C, D)
+    assert(math.abs(area(d(C, D)) - (area(C) - ix)) < 1e-9,
+      s"${area(d(C, D))} vs ${area(C)} - $ix")
+  }
+
   test("st_buffer negative radius: erosion — shrink, split, vanish (r15)") {
     import graft.functions.Geo
     // rectangle erodes to the inner rectangle, exactly
