@@ -1789,42 +1789,129 @@ object Geo {
     case MultiPolygonGeom(ps) => erodeRings(ps, r, segs)
   }
 
+  /** the hole-free inward-offset loops of one CCW ring (the kept CCW
+    * components of eroding the region it bounds) */
+  private def erodeOuterLoops(ring: Array[(Double, Double)], r: Double,
+      segs: Int): Seq[Array[(Double, Double)]] = {
+    val out = mutable.ArrayBuffer.empty[(Double, Double)]
+    // side = +1 is the LEFT (inward, for CCW) offset; lenient trims —
+    // overshoots become self-intersections the loop walk resolves
+    offsetChain(ring, r, segs, side = 1, closed = true, out,
+      lenientTrims = true)
+    extractLoops(splitAtSelfIntersections(dedupeRing(out)), 1e-9)
+      .filter(l => l.length >= 3 && signedArea(l) > 1e-12)
+  }
+
+  private def ringOf(pts: Array[(Double, Double)]): Ring =
+    Ring(pts.map(_._1), pts.map(_._2))
+
+  /** Erosion of polygons, HOLES INCLUDED since late-r15 — the exact
+    * set identity erode(P) = erode(outer) \ ⋃ dilate(hole_i, r):
+    * x keeps a radius-r disc inside P iff the disc fits the outer
+    * region AND misses every hole. Holes dilate through the outward
+    * buffer tracer; dilations that CROSS an eroded component subtract
+    * through [[differenceWkt]] (C-cuts, severs), strictly-interior
+    * ones become result holes directly, and a dilation that swallows a
+    * component removes it. Loud domain guards: hole dilations within
+    * 2r of each other would need their union (raise), and every
+    * emitted vertex is validated ≥ r from the FULL original boundary
+    * and inside P — configurations the decomposition cannot resolve
+    * raise rather than emit a wrong polygon. */
   private def erodeRings(ps: Seq[Polygon], r: Double, segs: Int): String = {
-    val kept = ps.flatMap { p =>
-      require(p.holes.isEmpty,
-        "st_buffer: erosion of polygons with holes is not supported")
-      val ring = dedupeConsecutive(openCcw(p, "st_buffer"))
-      require(ring.length >= 3, "st_buffer: degenerate ring")
-      val out = mutable.ArrayBuffer.empty[(Double, Double)]
-      // side = +1 is the LEFT (inward, for CCW) offset; lenient trims —
-      // overshoots become self-intersections the loop walk resolves
-      offsetChain(ring, r, segs, side = 1, closed = true, out,
-        lenientTrims = true)
-      val loops = extractLoops(splitAtSelfIntersections(dedupeRing(out)), 1e-9)
-        .filter(l => l.length >= 3 && signedArea(l) > 1e-12)
-      // validate against the definition: every surviving vertex must
-      // lie in the polygon at ≥ r from its boundary (tolerance 1e-6:
-      // trim corners and arc points sit EXACTLY at distance r)
-      loops.foreach { l =>
+    val keptAll = mutable.ArrayBuffer.empty[Array[(Double, Double)]]
+    ps.foreach { p =>
+      val outerRing = dedupeConsecutive(openCcw(Polygon(p.outer, Nil), "st_buffer"))
+      require(outerRing.length >= 3, "st_buffer: degenerate ring")
+      var comps: List[Array[(Double, Double)]] =
+        erodeOuterLoops(outerRing, r, segs).toList
+      val holeRings = mutable.ArrayBuffer.empty[Array[(Double, Double)]]
+      if (p.holes.nonEmpty && comps.nonEmpty) {
+        // each hole's dilation is the outward buffer of the hole ring
+        val dRings: Seq[Array[(Double, Double)]] = p.holes.map { h =>
+          parseWkt(bufferWkt(PolygonGeom(Polygon(h, Nil)), r, segs)) match {
+            case PolygonGeom(q) => dedupeConsecutive(openRing(q.outer))
+            case other => throw new IllegalArgumentException(
+              s"st_buffer: hole dilation produced ${other.getClass.getSimpleName}")
+          }
+        }
+        // dilations within 2r of each other would need their union
+        var i = 0
+        while (i < dRings.length) {
+          var j = i + 1
+          while (j < dRings.length) {
+            val a = ringOf(dRings(i)); val b = ringOf(dRings(j))
+            if (ringPairTest(a, b, segsIntersect) ||
+                ringContains(a, dRings(j)(0)._1, dRings(j)(0)._2) ||
+                ringContains(b, dRings(i)(0)._1, dRings(i)(0)._2))
+              throw new IllegalArgumentException(
+                "st_buffer: erosion holes within 2r of each other — " +
+                  "their dilations overlap; unsupported input")
+            j += 1
+          }
+          i += 1
+        }
+        dRings.foreach { d =>
+          val dRing = ringOf(d)
+          val (crossing, clear) = comps.partition(c =>
+            ringPairTest(ringOf(c), dRing, segsIntersect))
+          if (crossing.nonEmpty) {
+            val newComps = crossing.flatMap { c =>
+              parseWkt(differenceWkt(
+                PolygonGeom(Polygon(ringOf(c), Nil)),
+                PolygonGeom(Polygon(dRing, Nil)))) match {
+                case PolygonGeom(q) =>
+                  holeRings ++= q.holes.map(h => dedupeConsecutive(openRing(h)))
+                  Seq(dedupeConsecutive(openRing(q.outer)))
+                case MultiPolygonGeom(qs) => qs.flatMap { q =>
+                  holeRings ++= q.holes.map(h => dedupeConsecutive(openRing(h)))
+                  Seq(dedupeConsecutive(openRing(q.outer)))
+                }
+                case _ => Nil // eroded component fully consumed
+              }
+            }
+            comps = clear ++ newComps
+          } else if (comps.exists(c =>
+              ringContains(ringOf(c), d(0)._1, d(0)._2))) {
+            holeRings += d // strictly interior: punches a hole
+          } else {
+            // outside every component, or swallowing one whole
+            comps = comps.filterNot(c =>
+              ringContains(dRing, c(0)._1, c(0)._2))
+          }
+        }
+      }
+      // validate against the definition over the FULL boundary: every
+      // emitted vertex ≥ r·cos(π/segs) from outer AND hole rings —
+      // trim corners and arc points sit EXACTLY at r, but vertices cut
+      // into a dilated hole's CHORD (the difference path) inherit the
+      // inscribed-polygon dip of r·(1−cos(π/segs)), the same area
+    // convention the outward-buffer gates pin — and inside P
+      val rFloor = r * StrictMath.cos(StrictMath.PI / segs) - 1e-6
+      val boundaries: Seq[Array[(Double, Double)]] =
+        outerRing +: p.holes.map(h => dedupeConsecutive(openRing(h)))
+      (comps ++ holeRings).foreach { l =>
         l.foreach { case (x, y) =>
           var dMin = Double.PositiveInfinity
-          var i = 0
-          while (i < ring.length) {
-            val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.length)
-            val d = ptSegDist(x, y, x1, y1, x2, y2)
-            if (d < dMin) dMin = d
-            i += 1
+          boundaries.foreach { b =>
+            var i = 0
+            while (i < b.length) {
+              val (x1, y1) = b(i); val (x2, y2) = b((i + 1) % b.length)
+              val dd = ptSegDist(x, y, x1, y1, x2, y2)
+              if (dd < dMin) dMin = dd
+              i += 1
+            }
           }
-          if (dMin < r - 1e-6 || !polygonContains(p, x, y))
+          if (dMin < rFloor || !polygonContains(p, x, y))
             throw new IllegalArgumentException(
               "st_buffer: erosion loops interact within the radius " +
                 s"(vertex ($x, $y) is ${dMin} from the boundary, " +
                 s"radius $r) — unsupported input")
         }
       }
-      loops
+      keptAll ++= comps
+      keptAll ++= holeRings
     }
-    if (kept.isEmpty) "POLYGON EMPTY" else ghToWkt(kept)
+    if (keptAll.isEmpty) "POLYGON EMPTY" else ghToWkt(keptAll.toSeq)
   }
 
   // --------------------------------------- DE-9IM relate predicates

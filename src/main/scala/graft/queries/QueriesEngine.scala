@@ -965,6 +965,17 @@ object QueriesEngine {
       val erodedRect = GeoExprs.st_buffer(rect, -(sc * 2), lit(8))
       val severed = GeoExprs.st_buffer(dumbbell, -(sc * 2), lit(8))
       val vanished = GeoExprs.st_buffer(rect, -(sc * 6), lit(8))
+      // washer (late r15 — holes supported): [0,40s]² with hole
+      // [16s,24s]², erode 4s → outer [4s,36s]² minus the dilated hole
+      // (8s)² + 4·8s·4s + octagon 2√2(4s)² → area s²(832 − 32√2)
+      val washer = concat(lit("POLYGON (("),
+        xy(lit(0), lit(0)), lit(", "), xy(sc * 40, lit(0)), lit(", "),
+        xy(sc * 40, sc * 40), lit(", "), xy(lit(0), sc * 40), lit(", "),
+        xy(lit(0), lit(0)), lit("), ("),
+        xy(sc * 16, sc * 16), lit(", "), xy(sc * 24, sc * 16), lit(", "),
+        xy(sc * 24, sc * 24), lit(", "), xy(sc * 16, sc * 24), lit(", "),
+        xy(sc * 16, sc * 16), lit("))"))
+      val washed = GeoExprs.st_buffer(washer, -(sc * 4), lit(8))
       Tables.load(s, dir, "nation")
         .select($"n_nationkey",
           ($"n_nationkey" % 3 + 1).cast("int").as("s"),
@@ -974,7 +985,9 @@ object QueriesEngine {
           GeoExprs.st_geometry_type(severed).as("split_type"),
           round(GeoExprs.st_area(severed), 6).as("split_area"),
           GeoExprs.st_npoints(severed).cast(LongType).as("split_np"),
-          round(GeoExprs.st_area(vanished), 6).as("vanished_area"))
+          round(GeoExprs.st_area(vanished), 6).as("vanished_area"),
+          round(GeoExprs.st_area(washed), 6).as("washer_area"),
+          GeoExprs.st_npoints(washed).cast(LongType).as("washer_np"))
         .orderBy($"n_nationkey")
     },
 
@@ -1584,7 +1597,9 @@ object QueriesEngine {
            'MULTIPOLYGON' AS split_type,
            round(CAST(84 * s * s AS DOUBLE), 6) AS split_area,
            CAST(10 AS BIGINT) AS split_np,
-           CAST(0 AS DOUBLE) AS vanished_area
+           CAST(0 AS DOUBLE) AS vanished_area,
+           round(s * s * (832 - 32 * sqrt(2)), 6) AS washer_area,
+           CAST(18 AS BIGINT) AS washer_np
          FROM (SELECT n_nationkey, CAST(n_nationkey % 3 + 1 AS INT) AS s
                FROM nation) q
          ORDER BY n_nationkey""",

@@ -531,13 +531,54 @@ class GeoSpec extends AnyFunSuite {
     val expected = aSharp + 100.0 - 200.0 * StrictMath.sin(StrictMath.PI / 8)
     assert(math.abs(a - expected) < 1e-6,
       s"L-shape eroded area $a vs closed form $expected")
-    // polygons with holes refuse loudly
-    val holed = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0), " +
-      "(40 40, 60 40, 60 60, 40 60, 40 40))"
+    // r15: HOLES are supported — erode(P) = erode(outer) \ dilate(holes)
+    // washer: [0,40]² with hole [16,24]², erode 4 → outer [4,36]² minus
+    // the dilated hole (8² + 4·8·4 + full-circle octagon 2√2·r²)
+    val washer = "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), " +
+      "(16 16, 24 16, 24 24, 16 24, 16 16))"
+    val ew = Geo.bufferWkt(Geo.parseWkt(washer), -4, 8)
+    assert(ew.startsWith("POLYGON ((") && ew.count(_ == '(') == 3,
+      s"washer erosion keeps outer+hole: $ew")
+    val expWasher = 1024.0 - (64 + 128 + 2 * math.sqrt(2) * 16)
+    assert(math.abs(Geo.stArea(ew) - expWasher) < 1e-9,
+      s"washer area ${Geo.stArea(ew)} vs $expWasher")
+    // wall thinner than r: the dilated hole BREACHES the eroded outer —
+    // the difference path produces a hole-free C-shape
+    val offCenter = "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), " +
+      "(6 16, 14 16, 14 24, 6 24, 6 16))"
+    val ec = Geo.bufferWkt(Geo.parseWkt(offCenter), -4, 8)
+    assert(ec.startsWith("POLYGON") && ec.count(_ == '(') == 2,
+      s"breached wall yields a C-shape without holes: $ec")
+    // exact identity: area = erode(outer) − (dilated hole ∩ eroded
+    // outer) — the clipped intersection computed by the independently
+    // oracle-verified Sutherland–Hodgman path
+    val dil = Geo.bufferWkt(
+      Geo.parseWkt("POLYGON ((6 16, 14 16, 14 24, 6 24, 6 16))"), 4, 8)
+    val ix = Geo.stIntersectionArea(dil,
+      "POLYGON ((4 4, 36 4, 36 36, 4 36, 4 4))")
+    assert(math.abs(Geo.stArea(ec) - (1024.0 - ix)) < 1e-9,
+      s"${Geo.stArea(ec)} vs ${1024.0 - ix}")
+    // hole dilation swallowing the whole interior → EMPTY
+    val thinWasher = "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), " +
+      "(6 6, 14 6, 14 14, 6 14, 6 6))"
+    assert(Geo.bufferWkt(Geo.parseWkt(thinWasher), -6, 8) == "POLYGON EMPTY")
+    // two holes within 2r of each other refuse loudly (their
+    // dilations overlap — would need a union)
+    val twoClose = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0), " +
+      "(20 20, 30 20, 30 30, 20 30, 20 20), " +
+      "(34 20, 44 20, 44 30, 34 30, 34 20))"
     val e = intercept[IllegalArgumentException] {
-      Geo.bufferWkt(Geo.parseWkt(holed), -5, 8)
+      Geo.bufferWkt(Geo.parseWkt(twoClose), -5, 8)
     }
-    assert(e.getMessage.contains("holes"), e.getMessage)
+    assert(e.getMessage.contains("2r"), e.getMessage)
+    // two well-separated holes both punch through
+    val twoFar = "POLYGON ((0 0, 80 0, 80 40, 0 40, 0 0), " +
+      "(16 16, 24 16, 24 24, 16 24, 16 16), " +
+      "(56 16, 64 16, 64 24, 56 24, 56 16))"
+    val e2h = Geo.bufferWkt(Geo.parseWkt(twoFar), -4, 8)
+    assert(e2h.count(_ == '(') == 4, s"two holes survive: $e2h")
+    val exp2 = 72.0 * 32 - 2 * (64 + 128 + 2 * math.sqrt(2) * 16)
+    assert(math.abs(Geo.stArea(e2h) - exp2) < 1e-9, s"${Geo.stArea(e2h)} vs $exp2")
   }
 
   test("st_transform: 4326↔3857 closed forms, round trip, loud errors (r15)") {
