@@ -492,6 +492,36 @@ class GeoSpec extends AnyFunSuite {
       s"${area(d(C, D))} vs ${area(C)} - $ix")
   }
 
+  test("st_difference randomized: area identities vs the independent clipper (r15)") {
+    import graft.functions.Geo
+    // seeded trials; A on even coordinates, B on odd — edges can only
+    // cross transversally (no vertex-on-edge, no collinear overlap),
+    // keeping every trial inside the general-position contract
+    val rnd = new scala.util.Random(20260816L)
+    def rect(x0: Int, y0: Int, x1: Int, y1: Int) =
+      s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+    var crossed = 0
+    for (trial <- 0 until 120) {
+      val ax0 = 2 * rnd.nextInt(10); val ay0 = 2 * rnd.nextInt(10)
+      val ax1 = ax0 + 2 * (1 + rnd.nextInt(8))
+      val ay1 = ay0 + 2 * (1 + rnd.nextInt(8))
+      val bx0 = 2 * rnd.nextInt(10) + 1; val by0 = 2 * rnd.nextInt(10) + 1
+      val bx1 = bx0 + 2 * (1 + rnd.nextInt(8))
+      val by1 = by0 + 2 * (1 + rnd.nextInt(8))
+      val a = rect(ax0, ay0, ax1, ay1); val b = rect(bx0, by0, bx1, by1)
+      val ix = Geo.stIntersectionArea(a, b) // independent Sutherland–Hodgman
+      val aArea = Geo.stArea(a); val bArea = Geo.stArea(b)
+      val ab = Geo.stArea(Geo.stDifference(a, b))
+      val ba = Geo.stArea(Geo.stDifference(b, a))
+      assert(math.abs(ab - (aArea - ix)) < 1e-9,
+        s"trial $trial: |$a \\ $b| = $ab, want ${aArea - ix}")
+      assert(math.abs(ba - (bArea - ix)) < 1e-9,
+        s"trial $trial: |$b \\ $a| = $ba, want ${bArea - ix}")
+      if (ix > 0 && ab > 0 && ba > 0) crossed += 1
+    }
+    assert(crossed >= 30, s"want plenty of genuinely-crossing trials: $crossed")
+  }
+
   test("st_buffer negative radius: erosion — shrink, split, vanish (r15)") {
     import graft.functions.Geo
     // rectangle erodes to the inner rectangle, exactly
