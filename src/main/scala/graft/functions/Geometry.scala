@@ -2381,6 +2381,74 @@ object Geo {
     else if (srid >= 32701 && srid <= 32760) Some((srid - 32700, true))
     else None
 
+  // ---- Lambert conformal conic, 2 standard parallels (Snyder ch. 15,
+  // eqs 15-1..15-11 and the iterative 7-9 inverse) — the projection
+  // family behind most national grids. Registry carries the published
+  // EPSG parameter sets; Lambert-93 (EPSG:2154, the French national
+  // grid, GRS80 ellipsoid) ships first. StrictMath throughout.
+  private final case class Lcc(a: Double, f: Double,
+      lat0: Double, lon0: Double, lat1: Double, lat2: Double,
+      x0: Double, y0: Double) {
+    val e: Double = StrictMath.sqrt(f * (2 - f))
+    private def mOf(phi: Double): Double = {
+      val s = StrictMath.sin(phi)
+      StrictMath.cos(phi) / StrictMath.sqrt(1 - e * e * s * s)
+    }
+    private def tOf(phi: Double): Double = {
+      val s = StrictMath.sin(phi)
+      StrictMath.tan(StrictMath.PI / 4 - phi / 2) /
+        StrictMath.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    val n: Double = (StrictMath.log(mOf(lat1)) - StrictMath.log(mOf(lat2))) /
+      (StrictMath.log(tOf(lat1)) - StrictMath.log(tOf(lat2)))
+    val bigF: Double = mOf(lat1) / (n * StrictMath.pow(tOf(lat1), n))
+    val rho0: Double = a * bigF * StrictMath.pow(tOf(lat0), n)
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -89.0 || lat > 89.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat outside the Lambert conic's " +
+            "validity band [-89, 89]")
+      val phi = StrictMath.toRadians(lat)
+      val rho = a * bigF * StrictMath.pow(tOf(phi), n)
+      val th = n * (StrictMath.toRadians(lon) - lon0)
+      (x0 + rho * StrictMath.sin(th), y0 + rho0 - rho * StrictMath.cos(th))
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      if (x.isNaN || y.isNaN || math.abs(x - x0) > 1.0e7 ||
+          math.abs(y - y0) > 1.0e7)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) outside the Lambert conic's " +
+            "plausible extent (1e7 m of the false origin)")
+      val dx = x - x0; val dy = rho0 - (y - y0)
+      val rho = math.signum(n) * StrictMath.hypot(dx, dy)
+      val tP = StrictMath.pow(rho / (a * bigF), 1.0 / n)
+      val th = StrictMath.atan2(dx, dy)
+      var phi = StrictMath.PI / 2 - 2 * StrictMath.atan(tP)
+      var i = 0
+      while (i < 9) { // Snyder 7-9: converges to double precision fast
+        val s = StrictMath.sin(phi)
+        phi = StrictMath.PI / 2 - 2 * StrictMath.atan(
+          tP * StrictMath.pow((1 - e * s) / (1 + e * s), e / 2))
+        i += 1
+      }
+      (StrictMath.toDegrees(th / n + lon0), StrictMath.toDegrees(phi))
+    }
+  }
+
+  /** published EPSG parameter sets for the LCC registry */
+  private val LccRegistry: Map[Int, Lcc] = Map(
+    // Lambert-93 / RGF93 (EPSG:2154): GRS80, lat0 46.5°, lon0 3°,
+    // parallels 44°/49°, false origin (700000, 6600000)
+    2154 -> Lcc(a = 6378137.0, f = 1.0 / 298.257222101,
+      lat0 = StrictMath.toRadians(46.5), lon0 = StrictMath.toRadians(3.0),
+      lat1 = StrictMath.toRadians(44.0), lat2 = StrictMath.toRadians(49.0),
+      x0 = 700000.0, y0 = 6600000.0))
+
   /** st_transform(wkt, from_srid, to_srid) — every coordinate of the
     * geometry reprojected; 4326↔3857 (spherical Web Mercator) and
     * 4326↔UTM (EPSG:32601-60 north, 32701-60 south; WGS84 transverse
@@ -2397,9 +2465,14 @@ object Geo {
       case (u, 4326) if utmOf(u).isDefined =>
         val (z, s) = utmOf(u).get
         toWkt(mapCoords(g, invUtm(z, s)))
+      case (4326, l) if LccRegistry.contains(l) =>
+        toWkt(mapCoords(g, LccRegistry(l).fwd))
+      case (l, 4326) if LccRegistry.contains(l) =>
+        toWkt(mapCoords(g, LccRegistry(l).inv))
       case _ => throw new IllegalArgumentException(
         s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
-          "(4326↔3857 and 4326↔UTM 326xx/327xx supported)")
+          "(4326↔3857, 4326↔UTM 326xx/327xx, and 4326↔" +
+          s"{${LccRegistry.keys.toSeq.sorted.mkString(",")}} supported)")
     }
   }
 }

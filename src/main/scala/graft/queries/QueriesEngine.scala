@@ -894,6 +894,33 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- Lambert-93 (late r15): the LCC-2SP forward (Snyder ch. 15)
+    // replayed by the oracle as SQL arithmetic (power/ln/tan); the
+    // inverse leg (iterative latitude recovery) round-trips through
+    // the engine back onto the fixtures.
+    "q_geo_transform_lcc" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lon = $"n_nationkey" % 7 * 2 - 4
+      val lat = $"n_nationkey" % 11 + 41
+      val pt = concat(lit("POINT ("), d(lon), lit(" "), d(lat), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(pt, lit(4326), lit(2154)).as("m"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"m"), 3).as("easting"),
+          round(GeoExprs.st_y($"m"), 3).as("northing"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"m", lit(2154), lit(4326))), 6)
+            .as("back_lon"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"m", lit(2154), lit(4326))), 6)
+            .as("back_lat"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- st_difference (r15): the Greiner–Hormann difference over
     // parametric fixtures exercising all three crossing shapes — side
     // notch (C-shape, 12s²), interior hole punch (outer+hole, 12s²),
@@ -1575,6 +1602,42 @@ object QueriesEngine {
            round(lat, 5) AS back_lat
          FROM leg
          ORDER BY n_nationkey""",
+    // the LCC-2SP forward constants and projection as plain SQL; the
+    // inverse leg lands back on the integer-degree fixtures
+    "q_geo_transform_lcc" ->
+      """WITH src AS (SELECT n_nationkey,
+             CAST(n_nationkey % 7 * 2 - 4 AS DOUBLE) AS lon,
+             CAST(n_nationkey % 11 + 41 AS DOUBLE) AS lat
+           FROM nation),
+         k0 AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS f),
+         k1 AS (SELECT a, f, f*(2-f) AS e2, sqrt(f*(2-f)) AS e FROM k0),
+         k2 AS (SELECT a, e2, e,
+             cos(radians(44.0))/sqrt(1-e2*sin(radians(44.0))*sin(radians(44.0))) AS m1,
+             cos(radians(49.0))/sqrt(1-e2*sin(radians(49.0))*sin(radians(49.0))) AS m2,
+             tan(pi()/4-radians(44.0)/2)
+               /power((1-e*sin(radians(44.0)))/(1+e*sin(radians(44.0))), e/2) AS t1,
+             tan(pi()/4-radians(49.0)/2)
+               /power((1-e*sin(radians(49.0)))/(1+e*sin(radians(49.0))), e/2) AS t2,
+             tan(pi()/4-radians(46.5)/2)
+               /power((1-e*sin(radians(46.5)))/(1+e*sin(radians(46.5))), e/2) AS t0
+           FROM k1),
+         k3 AS (SELECT a, e2, e, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n, t0, t1, m1
+           FROM k2),
+         k4 AS (SELECT a, e2, e, n, m1/(n*power(t1, n)) AS bigf, t0 FROM k3),
+         k5 AS (SELECT a, e2, e, n, bigf, a*bigf*power(t0, n) AS rho0 FROM k4),
+         leg AS (SELECT s.n_nationkey, s.lon, s.lat, k.n, k.rho0,
+             k.a*k.bigf*power(
+               tan(pi()/4-radians(s.lat)/2)
+                 /power((1-k.e*sin(radians(s.lat)))/(1+k.e*sin(radians(s.lat))),
+                        k.e/2), k.n) AS rho,
+             k.n*(radians(s.lon)-radians(3.0)) AS th
+           FROM src s, k5 k)
+         SELECT n_nationkey,
+           round(700000.0 + rho*sin(th), 3) AS easting,
+           round(6600000.0 + rho0 - rho*cos(th), 3) AS northing,
+           round(lon, 6) AS back_lon,
+           round(lat, 6) AS back_lat
+         FROM leg ORDER BY n_nationkey""",
     // difference closed forms: C-shape 12s² (8+1 ring points), punched
     // 12s² POLYGON (5+5 points over two rings), severed 8s² MULTI
     "q_geo_difference" ->

@@ -647,10 +647,10 @@ class GeoSpec extends AnyFunSuite {
       Geo.stTransform("POINT (0 89)", 4326, 3857)
     }
     assert(e1.getMessage.contains("latitude"), e1.getMessage)
-    // 4326→UTM became supported in r15; Lambert-93 (2154) is the
-    // representative still-unsupported pair
+    // UTM and Lambert-93 became supported in r15; British National
+    // Grid (27700) is the representative still-unsupported pair
     val e2 = intercept[IllegalArgumentException] {
-      Geo.stTransform("POINT (0 0)", 4326, 2154)
+      Geo.stTransform("POINT (0 0)", 4326, 27700)
     }
     assert(e2.getMessage.contains("unsupported CRS pair"), e2.getMessage)
     val viaSql = spark.sql(
@@ -717,6 +717,47 @@ class GeoSpec extends AnyFunSuite {
       Geo.stTransform("POINT (0 99999999)", 3857, 4326)
     }
     assert(e5.getMessage.contains("extent"), e5.getMessage)
+  }
+
+  test("st_transform Lambert-93 (EPSG:2154): origin pin, round trip, loud extent (r15)") {
+    import graft.functions.Geo
+    def pt(w: String, from: Int, to: Int): (Double, Double) = {
+      val s = Geo.stTransform(w, from, to)
+        .stripPrefix("POINT (").stripSuffix(")").split(" ")
+      (s(0).toDouble, s(1).toDouble)
+    }
+    // the projection center maps to the false origin EXACTLY (ρ = ρ0,
+    // θ = 0 by construction)
+    val (cx, cy) = pt("POINT (3 46.5)", 4326, 2154)
+    assert(math.abs(cx - 700000.0) < 1e-6 && math.abs(cy - 6600000.0) < 1e-6,
+      s"($cx, $cy)")
+    // a standard parallel is distortion-free: 1° of longitude at 44°N
+    // must measure a·cos(44°)/√(1−e²sin²44°)·(π/180) along the arc —
+    // chord vs arc differ only in O((Δλ)³)
+    val (e1x, e1y) = pt("POINT (3 44)", 4326, 2154)
+    val (e2x, e2y) = pt("POINT (4 44)", 4326, 2154)
+    val chord = StrictMath.hypot(e2x - e1x, e2y - e1y)
+    val s44 = StrictMath.sin(StrictMath.toRadians(44))
+    val m44 = 6378137.0 * StrictMath.cos(StrictMath.toRadians(44)) /
+      StrictMath.sqrt(1 - 0.00669438002290 * s44 * s44)
+    val arc = m44 * StrictMath.PI / 180
+    assert(math.abs(chord - arc) / arc < 1e-4, s"chord $chord vs arc $arc")
+    // round-trip closure over metropolitan France
+    for (lat <- Seq(41.5, 44.0, 46.5, 48.85, 51.0);
+         lon <- Seq(-4.5, -1.0, 3.0, 6.2, 9.5)) {
+      val (x, y) = pt(s"POINT ($lon $lat)", 4326, 2154)
+      val (bLon, bLat) = pt(s"POINT ($x $y)", 2154, 4326)
+      assert(math.abs(bLon - lon) < 1e-9 && math.abs(bLat - lat) < 1e-9,
+        s"round trip ($lon, $lat) → ($x, $y) → ($bLon, $bLat)")
+    }
+    // loud: band and extent guards
+    intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (3 89.5)", 4326, 2154)
+    }
+    val eExt = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (99999999 0)", 2154, 4326)
+    }
+    assert(eExt.getMessage.contains("extent"), eExt.getMessage)
   }
 
   test("numeric-arg guard: garbage distance/radius raises at analysis, not NULL (r15)") {
