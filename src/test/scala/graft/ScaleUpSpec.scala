@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the scale-stress generator's contract: linear fact growth,
+  * per-copy join-graph preservation, unscaled dims, disjoint shingle
+  * spaces across document copies, and determinism — the properties
+  * the BENCH_sf1_scaling.json methodology rests on. */
+class ScaleUpSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
+  lazy val sf = "/root/testdata/sf0.001"
+
+  test("scale-up: linear facts, preserved join graph, unscaled dims, rotated text") {
+    val out = java.nio.file.Files.createTempDirectory("graft-scaleup").toString
+    graft.tools.ScaleUp.scale(spark, sf, out, factor = 3)
+    def n(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    // facts scale by the factor, dims don't
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "events", "documents", "embeddings"))
+      assert(n(out, t) == 3 * n(sf, t), s"$t must scale 3x")
+    assert(n(out, "nation") == n(sf, "nation"), "dims stay broadcastable")
+    assert(n(out, "region") == n(sf, "region"))
+    // per-copy join graph: every o_custkey resolves, every l_orderkey
+    // resolves — re-keying must keep copy i's orders on copy i's
+    // customers (a dangling key means the offsets drifted)
+    val cust = spark.read.parquet(s"$out/customer.parquet")
+    val ord = spark.read.parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    assert(ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")
+      .count() == 0, "every order resolves its customer")
+    assert(li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .count() == 0, "every lineitem resolves its order")
+    // keys stay unique after offsetting
+    assert(cust.select("c_custkey").distinct().count() == cust.count())
+    assert(ord.select("o_orderkey").distinct().count() == ord.count())
+    // document text rotates per copy: the distinct-text count scales
+    // with the copies (identical corpora would collapse and fake a
+    // quadratic dup structure), and per-copy dup RATE is preserved
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    assert(docs.select("text").distinct().count() ==
+      3 * docs0.select("text").distinct().count(),
+      "each copy's text space must be disjoint")
+    // determinism: a second run produces the identical row multiset
+    val out2 = java.nio.file.Files.createTempDirectory("graft-scaleup2").toString
+    graft.tools.ScaleUp.scale(spark, sf, out2, factor = 3)
+    val a = spark.read.parquet(s"$out/lineitem.parquet")
+    val b = spark.read.parquet(s"$out2/lineitem.parquet")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "re-running the generator must be bit-reproducible")
+    // embeddings: copy-0 vectors identical to source, later copies
+    // nudged (never exact duplicates of copy 0)
+    val emb0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val v0 = emb0.count()
+    assert(emb.join(emb0, Seq("vec_id", "embedding")).count() == v0,
+      "copy 0 must be verbatim")
+    assert(emb.select("embedding").distinct().count() == 3 * v0,
+      "nudged copies must not duplicate vectors")
+  }
+}
