@@ -2449,6 +2449,87 @@ object Geo {
       lat1 = StrictMath.toRadians(44.0), lat2 = StrictMath.toRadians(49.0),
       x0 = 700000.0, y0 = 6600000.0))
 
+  // ---- Lambert azimuthal EQUAL-AREA, ellipsoidal oblique aspect
+  // (Snyder ch. 24, eqs 3-12, 24-2..24-21 with the 3-16 iterative
+  // authalic→geodetic recovery) — EPSG:3035 (ETRS89-LAEA) is the grid
+  // every EU statistical dataset ships on. Equal-area by construction:
+  // the property statistics need and conformal projections can't give.
+  private final case class Laea(a: Double, f: Double,
+      lat0: Double, lon0: Double, x0: Double, y0: Double) {
+    val e2: Double = f * (2 - f)
+    val e: Double = StrictMath.sqrt(e2)
+    private def qOf(phi: Double): Double = {
+      val s = StrictMath.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * StrictMath.log((1 - e * s) / (1 + e * s)))
+    }
+    val qp: Double = qOf(StrictMath.PI / 2)
+    val beta1: Double = StrictMath.asin(qOf(lat0) / qp)
+    val rq: Double = a * StrictMath.sqrt(qp / 2)
+    private val m1 = {
+      val s = StrictMath.sin(lat0)
+      StrictMath.cos(lat0) / StrictMath.sqrt(1 - e2 * s * s)
+    }
+    val bigD: Double = a * m1 / (rq * StrictMath.cos(beta1))
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -90.0 || lat > 90.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
+      val beta = StrictMath.asin(qOf(StrictMath.toRadians(lat)) / qp)
+      val dl = StrictMath.toRadians(lon) - lon0
+      val sinB = StrictMath.sin(beta); val cosB = StrictMath.cos(beta)
+      val sinB1 = StrictMath.sin(beta1); val cosB1 = StrictMath.cos(beta1)
+      val denom = 1 + sinB1 * sinB + cosB1 * cosB * StrictMath.cos(dl)
+      if (denom < 1e-12) throw new IllegalArgumentException(
+        "st_transform: point antipodal to the LAEA projection center")
+      val b = rq * StrictMath.sqrt(2 / denom)
+      (x0 + b * bigD * cosB * StrictMath.sin(dl),
+        y0 + (b / bigD) * (cosB1 * sinB -
+          sinB1 * cosB * StrictMath.cos(dl)))
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      if (x.isNaN || y.isNaN || math.abs(x - x0) > 1.3e7 ||
+          math.abs(y - y0) > 1.3e7)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) outside the LAEA plausible extent " +
+            "(1.3e7 m of the false origin)")
+      val dx = (x - x0) / bigD; val dy = bigD * (y - y0)
+      val rho = StrictMath.hypot(dx, dy)
+      if (rho < 1e-12)
+        return (StrictMath.toDegrees(lon0), StrictMath.toDegrees(lat0))
+      val ce = 2 * StrictMath.asin(rho / (2 * rq))
+      val sinCe = StrictMath.sin(ce); val cosCe = StrictMath.cos(ce)
+      val sinB1 = StrictMath.sin(beta1); val cosB1 = StrictMath.cos(beta1)
+      val qPrime = qp * (cosCe * sinB1 + dy * sinCe * cosB1 / rho)
+      val lam = lon0 + StrictMath.atan2(dx * sinCe,
+        rho * cosB1 * cosCe - dy * sinB1 * sinCe)
+      // Snyder 3-16: authalic → geodetic, fixed-count iteration
+      var phi = StrictMath.asin(qPrime / 2)
+      var i = 0
+      while (i < 9) {
+        val s = StrictMath.sin(phi)
+        val one = 1 - e2 * s * s
+        phi = phi + one * one / (2 * StrictMath.cos(phi)) * (
+          qPrime / (1 - e2) - s / one +
+            (1 / (2 * e)) * StrictMath.log((1 - e * s) / (1 + e * s)))
+        i += 1
+      }
+      (StrictMath.toDegrees(lam), StrictMath.toDegrees(phi))
+    }
+  }
+
+  private val LaeaRegistry: Map[Int, Laea] = Map(
+    // ETRS89-extended / LAEA Europe (EPSG:3035): GRS80, center
+    // (10°E, 52°N), false origin (4321000, 3210000)
+    3035 -> Laea(a = 6378137.0, f = 1.0 / 298.257222101,
+      lat0 = StrictMath.toRadians(52.0), lon0 = StrictMath.toRadians(10.0),
+      x0 = 4321000.0, y0 = 3210000.0))
+
   /** st_transform(wkt, from_srid, to_srid) — every coordinate of the
     * geometry reprojected; 4326↔3857 (spherical Web Mercator) and
     * 4326↔UTM (EPSG:32601-60 north, 32701-60 south; WGS84 transverse
@@ -2469,10 +2550,16 @@ object Geo {
         toWkt(mapCoords(g, LccRegistry(l).fwd))
       case (l, 4326) if LccRegistry.contains(l) =>
         toWkt(mapCoords(g, LccRegistry(l).inv))
-      case _ => throw new IllegalArgumentException(
-        s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
-          "(4326↔3857, 4326↔UTM 326xx/327xx, and 4326↔" +
-          s"{${LccRegistry.keys.toSeq.sorted.mkString(",")}} supported)")
+      case (4326, l) if LaeaRegistry.contains(l) =>
+        toWkt(mapCoords(g, LaeaRegistry(l).fwd))
+      case (l, 4326) if LaeaRegistry.contains(l) =>
+        toWkt(mapCoords(g, LaeaRegistry(l).inv))
+      case _ =>
+        val named = (LccRegistry.keys ++ LaeaRegistry.keys).toSeq.sorted
+        throw new IllegalArgumentException(
+          s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
+            "(4326↔3857, 4326↔UTM 326xx/327xx, and 4326↔" +
+            s"{${named.mkString(",")}} supported)")
     }
   }
 }

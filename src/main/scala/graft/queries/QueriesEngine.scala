@@ -921,6 +921,32 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- ETRS89-LAEA (late r15): the ellipsoidal equal-area forward
+    // (Snyder ch. 24) replayed by the oracle as SQL arithmetic; the
+    // inverse (iterative authalic recovery) round-trips in-engine.
+    "q_geo_transform_laea" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lon = $"n_nationkey" % 9 * 5 - 10
+      val lat = $"n_nationkey" % 8 * 5 + 35
+      val pt = concat(lit("POINT ("), d(lon), lit(" "), d(lat), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(pt, lit(4326), lit(3035)).as("m"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"m"), 3).as("easting"),
+          round(GeoExprs.st_y($"m"), 3).as("northing"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"m", lit(3035), lit(4326))), 5)
+            .as("back_lon"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"m", lit(3035), lit(4326))), 5)
+            .as("back_lat"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- st_difference (r15): the Greiner–Hormann difference over
     // parametric fixtures exercising all three crossing shapes — side
     // notch (C-shape, 12s²), interior hole punch (outer+hole, 12s²),
@@ -1602,6 +1628,41 @@ object QueriesEngine {
            round(lat, 5) AS back_lat
          FROM leg
          ORDER BY n_nationkey""",
+    // the LAEA forward (authalic latitude, oblique azimuthal) as SQL
+    "q_geo_transform_laea" ->
+      """WITH src AS (SELECT n_nationkey,
+             CAST(n_nationkey % 9 * 5 - 10 AS DOUBLE) AS lon,
+             CAST(n_nationkey % 8 * 5 + 35 AS DOUBLE) AS lat
+           FROM nation),
+         k0 AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS f),
+         k1 AS (SELECT a, f*(2-f) AS e2, sqrt(f*(2-f)) AS e FROM k0),
+         k2 AS (SELECT a, e2, e,
+             (1-e2)*(sin(radians(90.0))/(1-e2*sin(radians(90.0))*sin(radians(90.0)))
+               - (1/(2*e))*ln((1-e*sin(radians(90.0)))/(1+e*sin(radians(90.0))))) AS qp,
+             (1-e2)*(sin(radians(52.0))/(1-e2*sin(radians(52.0))*sin(radians(52.0)))
+               - (1/(2*e))*ln((1-e*sin(radians(52.0)))/(1+e*sin(radians(52.0))))) AS q0,
+             cos(radians(52.0))/sqrt(1-e2*sin(radians(52.0))*sin(radians(52.0))) AS m1
+           FROM k1),
+         k3 AS (SELECT a, e2, e, qp, asin(q0/qp) AS beta1,
+             a*sqrt(qp/2) AS rq, m1 FROM k2),
+         k4 AS (SELECT a, e2, e, qp, beta1, rq,
+             a*m1/(rq*cos(beta1)) AS bigd FROM k3),
+         leg AS (SELECT s.n_nationkey, s.lon, s.lat, k.beta1, k.rq, k.bigd,
+             asin(((1-k.e2)*(sin(radians(s.lat))/(1-k.e2*sin(radians(s.lat))*sin(radians(s.lat)))
+               - (1/(2*k.e))*ln((1-k.e*sin(radians(s.lat)))
+                                /(1+k.e*sin(radians(s.lat))))))/k.qp) AS beta,
+             radians(s.lon) - radians(10.0) AS dl
+           FROM src s, k4 k),
+         leg2 AS (SELECT n_nationkey, lon, lat, beta1, rq, bigd, beta, dl,
+             rq*sqrt(2/(1 + sin(beta1)*sin(beta) + cos(beta1)*cos(beta)*cos(dl))) AS b
+           FROM leg)
+         SELECT n_nationkey,
+           round(4321000.0 + b*bigd*cos(beta)*sin(dl), 3) AS easting,
+           round(3210000.0 + (b/bigd)*(cos(beta1)*sin(beta)
+             - sin(beta1)*cos(beta)*cos(dl)), 3) AS northing,
+           round(lon, 5) AS back_lon,
+           round(lat, 5) AS back_lat
+         FROM leg2 ORDER BY n_nationkey""",
     // the LCC-2SP forward constants and projection as plain SQL; the
     // inverse leg lands back on the integer-degree fixtures
     "q_geo_transform_lcc" ->

@@ -760,6 +760,59 @@ class GeoSpec extends AnyFunSuite {
     assert(eExt.getMessage.contains("extent"), eExt.getMessage)
   }
 
+  test("st_transform ETRS89-LAEA (EPSG:3035): center pin, round trip, EQUAL AREA (r15)") {
+    import graft.functions.Geo
+    def pt(w: String, from: Int, to: Int): (Double, Double) = {
+      val s = Geo.stTransform(w, from, to)
+        .stripPrefix("POINT (").stripSuffix(")").split(" ")
+      (s(0).toDouble, s(1).toDouble)
+    }
+    // the projection center maps to the false origin exactly
+    val (cx, cy) = pt("POINT (10 52)", 4326, 3035)
+    assert(math.abs(cx - 4321000.0) < 1e-6 && math.abs(cy - 3210000.0) < 1e-6,
+      s"($cx, $cy)")
+    // round-trip closure over Europe
+    for (lat <- Seq(35.0, 45.0, 52.0, 60.0, 70.0);
+         lon <- Seq(-9.0, 0.0, 10.0, 24.0, 31.0)) {
+      val (x, y) = pt(s"POINT ($lon $lat)", 4326, 3035)
+      val (bLon, bLat) = pt(s"POINT ($x $y)", 3035, 4326)
+      assert(math.abs(bLon - lon) < 1e-9 && math.abs(bLat - lat) < 1e-8,
+        s"round trip ($lon, $lat) → ($x, $y) → ($bLon, $bLat)")
+    }
+    // THE defining property: a projected region's area equals its
+    // ellipsoidal (authalic) area. Quad [14°..15°]×[48°..49°],
+    // densified 64 points per edge; ellipsoidal area between
+    // parallels = (a²Δλ/2)(q(φ₂)−q(φ₁))
+    val lats = (0 to 64).map(i => 48.0 + i / 64.0)
+    val lons = (0 to 64).map(i => 14.0 + i / 64.0)
+    val boundary =
+      lons.map(l => (l, 48.0)) ++ lats.map(p => (15.0, p)) ++
+        lons.reverse.map(l => (l, 49.0)) ++ lats.reverse.map(p => (14.0, p))
+    val proj = boundary.map { case (lo, la) => pt(s"POINT ($lo $la)", 4326, 3035) }
+    var area2 = 0.0
+    var j = proj.length - 1
+    for (i <- proj.indices) {
+      area2 += proj(j)._1 * proj(i)._2 - proj(i)._1 * proj(j)._2
+      j = i
+    }
+    val projArea = math.abs(area2) / 2
+    val e2 = (1.0 / 298.257222101) * (2 - 1.0 / 298.257222101)
+    val e = math.sqrt(e2)
+    def q(latDeg: Double): Double = {
+      val s = math.sin(math.toRadians(latDeg))
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    val ellArea = 6378137.0 * 6378137.0 * math.toRadians(1.0) / 2 *
+      (q(49) - q(48))
+    assert(math.abs(projArea - ellArea) / ellArea < 1e-5,
+      s"equal-area: projected $projArea vs ellipsoidal $ellArea")
+    // loud guards
+    intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (99999999 0)", 3035, 4326)
+    }
+  }
+
   test("numeric-arg guard: garbage distance/radius raises at analysis, not NULL (r15)") {
     val spark = GraftSession.build("local[2]", 2)
     graft.functions.GraftFunctions.registerAll(spark)
