@@ -1154,55 +1154,77 @@ object Geo {
     ghToWkt(Seq(canonRing(p, ccw = true)))
 
   /** st_intersection / st_union over two simple no-hole polygons */
-  private def ghBoolean(a: Geom, b: Geom, union: Boolean): String = {
-    val what = if (union) "st_union" else "st_intersection"
-    // an empty operand short-circuits (the engine's own intersection
-    // output is "POLYGON EMPTY" — booleans must accept it back):
-    // ∩ with ∅ = ∅; ∪ with ∅ = the other side
-    if (isEmptyGeom(a) || isEmptyGeom(b)) {
-      if (!union) return "POLYGON EMPTY"
-      (isEmptyGeom(a), isEmptyGeom(b)) match {
-        case (true, true) => return "POLYGON EMPTY"
-        case (true, _) => b match {
-          case PolygonGeom(p) => return polyWkt(openCcw(p, what))
-          case _ => throw new IllegalArgumentException(
-            s"$what expects two POLYGON geometries")
-        }
-        case _ => a match {
-          case PolygonGeom(p) => return polyWkt(openCcw(p, what))
-          case _ => throw new IllegalArgumentException(
-            s"$what expects two POLYGON geometries")
-        }
-      }
+  private val OpIntersection = 0
+  private val OpUnion = 1
+  private val OpDifference = 2
+
+  /** one scaffold for all three Greiner–Hormann booleans — the
+    * empty-operand short circuits, POLYGON type checks, crossing
+    * detection, and no-crossing containment classification live
+    * exactly once; the ops differ only in their per-branch outcomes,
+    * in whether the subject's entry flags invert (difference =
+    * A ∩ complement(B)), and in the trace-direction rule (union) */
+  private def ghOp(a: Geom, b: Geom, op: Int): String = {
+    val what = op match {
+      case OpUnion => "st_union"
+      case OpDifference => "st_difference"
+      case _ => "st_intersection"
     }
-    val (pa, pb) = (a, b) match {
-      case (PolygonGeom(x), PolygonGeom(y)) => (x, y)
+    def asPoly(g: Geom): Polygon = g match {
+      case PolygonGeom(p) => p
       case _ => throw new IllegalArgumentException(
         s"$what expects two POLYGON geometries")
     }
+    // empty operands: ∩ with ∅ = ∅; ∪ with ∅ = the other side;
+    // ∅ \ B = ∅ and A \ ∅ = A
+    (isEmptyGeom(a), isEmptyGeom(b)) match {
+      case (true, true) => return "POLYGON EMPTY"
+      case (true, false) =>
+        return if (op == OpUnion) polyWkt(openCcw(asPoly(b), what))
+        else "POLYGON EMPTY"
+      case (false, true) =>
+        return if (op == OpIntersection) "POLYGON EMPTY"
+        else polyWkt(openCcw(asPoly(a), what))
+      case _ => ()
+    }
+    val pa = asPoly(a); val pb = asPoly(b)
     val s = openCcw(pa, what)
     val c = openCcw(pb, what)
     val crossings = ghCrossings(s, c, what)
     if (crossings.isEmpty) {
       val sInC = polygonContains(pb, s(0)._1, s(0)._2)
       val cInS = polygonContains(pa, c(0)._1, c(0)._2)
-      return (union, sInC, cInS) match {
-        case (false, true, _) => polyWkt(s)           // a ⊂ b
-        case (false, _, true) => polyWkt(c)           // b ⊂ a
-        case (false, _, _)    => "POLYGON EMPTY"      // disjoint
-        case (true, true, _)  => polyWkt(c)
-        case (true, _, true)  => polyWkt(s)
-        case (true, _, _)     =>                      // disjoint union
-          val rs = Seq(canonRing(s, ccw = true), canonRing(c, ccw = true))
-          ghToWkt(rs)
+      return op match {
+        case OpIntersection =>
+          if (sInC) polyWkt(s)          // a ⊂ b
+          else if (cInS) polyWkt(c)     // b ⊂ a
+          else "POLYGON EMPTY"          // disjoint
+        case OpUnion =>
+          if (sInC) polyWkt(c)
+          else if (cInS) polyWkt(s)
+          else ghToWkt(Seq(canonRing(s, ccw = true), canonRing(c, ccw = true)))
+        case _ =>                       // difference
+          if (sInC) "POLYGON EMPTY"     // a ⊆ b
+          else if (cInS)                // b punches a hole in a
+            ghToWkt(Seq(canonRing(s, ccw = true), canonRing(c, ccw = false)))
+          else polyWkt(s)               // disjoint
       }
     }
     val (sHead, _) = ghBuildMarked(s, c, pa, pb, crossings)
-    ghToWkt(ghTrace(sHead, union))
+    if (op == OpDifference) ghInvertEntries(sHead)
+    ghToWkt(ghTrace(sHead, union = op == OpUnion))
   }
 
-  def unionWkt(a: Geom, b: Geom): String = ghBoolean(a, b, union = true)
-  def intersectionWkt(a: Geom, b: Geom): String = ghBoolean(a, b, union = false)
+  def unionWkt(a: Geom, b: Geom): String = ghOp(a, b, OpUnion)
+  def intersectionWkt(a: Geom, b: Geom): String = ghOp(a, b, OpIntersection)
+
+  /** st_difference (r15): A \ B over two simple no-hole polygons via
+    * [[ghOp]] — the subject list's entry flags invert, the
+    * intersection trace runs unchanged. No-crossing configurations
+    * close-form: disjoint → A; B ⊂ A → A with hole B; A ⊆ B → EMPTY.
+    * A severing clip yields MULTIPOLYGON. Same general-position
+    * contract as the other booleans. */
+  def differenceWkt(a: Geom, b: Geom): String = ghOp(a, b, OpDifference)
 
   /** flip every crossing's entry flag along one list — the classic
     * Greiner–Hormann way to turn the intersection trace into a
@@ -1211,44 +1233,6 @@ object Geo {
   private def ghInvertEntries(head: GhNode): Unit = {
     var cur = head
     do { if (cur.isIx) cur.entry = !cur.entry; cur = cur.next } while (cur ne head)
-  }
-
-  /** st_difference (r15): A \ B over two simple no-hole polygons via
-    * the same Greiner–Hormann machinery as union/intersection — the
-    * subject list's entry flags invert, the intersection trace runs
-    * unchanged. No-crossing configurations close-form: disjoint → A;
-    * B ⊂ A → A with hole B (ghToWkt classifies holes by containment
-    * depth); A ⊆ B → EMPTY. A clip that severs the subject yields
-    * MULTIPOLYGON. Same general-position contract (vertex-on-edge and
-    * collinear-overlap touches raise loudly) as the other booleans. */
-  def differenceWkt(a: Geom, b: Geom): String = {
-    val what = "st_difference"
-    if (isEmptyGeom(a)) return "POLYGON EMPTY"
-    val pa = a match {
-      case PolygonGeom(p) => p
-      case _ => throw new IllegalArgumentException(
-        s"$what expects two POLYGON geometries")
-    }
-    if (isEmptyGeom(b)) return polyWkt(openCcw(pa, what))
-    val pb = b match {
-      case PolygonGeom(p) => p
-      case _ => throw new IllegalArgumentException(
-        s"$what expects two POLYGON geometries")
-    }
-    val s = openCcw(pa, what)
-    val c = openCcw(pb, what)
-    val crossings = ghCrossings(s, c, what)
-    if (crossings.isEmpty) {
-      val sInC = polygonContains(pb, s(0)._1, s(0)._2)
-      val cInS = polygonContains(pa, c(0)._1, c(0)._2)
-      return if (sInC) "POLYGON EMPTY" // A ⊆ B
-      else if (cInS) // B punches a hole in A
-        ghToWkt(Seq(canonRing(s, ccw = true), canonRing(c, ccw = false)))
-      else polyWkt(s) // disjoint
-    }
-    val (sHead, _) = ghBuildMarked(s, c, pa, pb, crossings)
-    ghInvertEntries(sHead)
-    ghToWkt(ghTrace(sHead, union = false))
   }
 
   // ------------------------------------------- hull & simplification
@@ -1881,12 +1865,16 @@ object Geo {
         }
       }
       // validate against the definition over the FULL boundary: every
-      // emitted vertex ≥ r·cos(π/segs) from outer AND hole rings —
-      // trim corners and arc points sit EXACTLY at r, but vertices cut
-      // into a dilated hole's CHORD (the difference path) inherit the
-      // inscribed-polygon dip of r·(1−cos(π/segs)), the same area
-    // convention the outward-buffer gates pin — and inside P
-      val rFloor = r * StrictMath.cos(StrictMath.PI / segs) - 1e-6
+      // emitted vertex ≥ r from outer AND hole rings (trim corners and
+      // arc points sit EXACTLY at r). Only vertices cut into a dilated
+      // hole's CHORD (the difference path) legitimately dip to the
+      // inscribed-polygon floor r·cos(π/segs) — the same area
+      // convention the outward-buffer gates pin — so the relaxed floor
+      // applies ONLY when holes exist; hole-free erosions keep the
+      // strict floor (a dip there means loops genuinely interact).
+      val rFloor =
+        if (p.holes.isEmpty) r - 1e-6
+        else r * StrictMath.cos(StrictMath.PI / segs) - 1e-6
       val boundaries: Seq[Array[(Double, Double)]] =
         outerRing +: p.holes.map(h => dedupeConsecutive(openRing(h)))
       (comps ++ holeRings).foreach { l =>
@@ -2436,7 +2424,16 @@ object Geo {
           tP * StrictMath.pow((1 - e * s) / (1 + e * s), e / 2))
         i += 1
       }
-      (StrictMath.toDegrees(th / n + lon0), StrictMath.toDegrees(phi))
+      val lonDeg = StrictMath.toDegrees(th / n + lon0)
+      val latDeg = StrictMath.toDegrees(phi)
+      // a point beyond the cone apex (y − y0 > ρ0) passes the metric
+      // extent guard yet unwraps to |lon| > 180 through θ/n — reject
+      // the meaningless coordinate loudly instead of emitting it
+      if (lonDeg < -180.0 || lonDeg > 180.0 || latDeg.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) is beyond the Lambert cone's apex " +
+            s"(unwraps to longitude $lonDeg) — not a valid projected point")
+      (lonDeg, latDeg)
     }
   }
 
@@ -2502,6 +2499,12 @@ object Geo {
       val rho = StrictMath.hypot(dx, dy)
       if (rho < 1e-12)
         return (StrictMath.toDegrees(lon0), StrictMath.toDegrees(lat0))
+      // rho > 2Rq is outside the projected disc: asin would yield NaN
+      // and sail through silently — raise like every other domain edge
+      if (rho > 2 * rq)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) outside the LAEA projected disc " +
+            s"(rho $rho > ${2 * rq})")
       val ce = 2 * StrictMath.asin(rho / (2 * rq))
       val sinCe = StrictMath.sin(ce); val cosCe = StrictMath.cos(ce)
       val sinB1 = StrictMath.sin(beta1); val cosB1 = StrictMath.cos(beta1)

@@ -758,6 +758,12 @@ class GeoSpec extends AnyFunSuite {
       Geo.stTransform("POINT (99999999 0)", 2154, 4326)
     }
     assert(eExt.getMessage.contains("extent"), eExt.getMessage)
+    // a point beyond the cone apex passes the metric box but unwraps
+    // to |lon| > 180 — must raise, not emit a meaningless coordinate
+    val eApex = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (701000 15600000)", 2154, 4326)
+    }
+    assert(eApex.getMessage.contains("apex"), eApex.getMessage)
   }
 
   test("st_transform ETRS89-LAEA (EPSG:3035): center pin, round trip, EQUAL AREA (r15)") {
@@ -807,10 +813,15 @@ class GeoSpec extends AnyFunSuite {
       (q(49) - q(48))
     assert(math.abs(projArea - ellArea) / ellArea < 1e-5,
       s"equal-area: projected $projArea vs ellipsoidal $ellArea")
-    // loud guards
+    // loud guards: metric extent, AND the projected-disc edge (points
+    // inside the per-axis box but with ρ > 2Rq would NaN through asin)
     intercept[IllegalArgumentException] {
       Geo.stTransform("POINT (99999999 0)", 3035, 4326)
     }
+    val eDisc = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (17221000 3210000)", 3035, 4326)
+    }
+    assert(eDisc.getMessage.contains("disc"), eDisc.getMessage)
   }
 
   test("numeric-arg guard: garbage distance/radius raises at analysis, not NULL (r15)") {

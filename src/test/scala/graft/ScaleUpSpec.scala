@@ -13,6 +13,13 @@ class ScaleUpSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.build("local[4]", 4)
   lazy val sf = "/root/testdata/sf0.001"
 
+  private def rmTree(p: String): Unit = {
+    import java.nio.file._
+    if (Files.exists(Paths.get(p)))
+      Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   test("scale-up: linear facts, preserved join graph, unscaled dims, rotated text") {
     val out = java.nio.file.Files.createTempDirectory("graft-scaleup").toString
     graft.tools.ScaleUp.scale(spark, sf, out, factor = 3)
@@ -62,5 +69,8 @@ class ScaleUpSpec extends AnyFunSuite {
       "copy 0 must be verbatim")
     assert(emb.select("embedding").distinct().count() == 3 * v0,
       "nudged copies must not duplicate vectors")
+    // the two generated 3x datasets are big relative to test temp
+    // space — clean up instead of leaking them per run
+    rmTree(out); rmTree(out2)
   }
 }
