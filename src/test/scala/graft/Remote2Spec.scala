@@ -974,7 +974,10 @@ class Remote2Spec extends AnyFunSuite {
     val whR = java.nio.file.Files.createTempDirectory("graft-snapttl-wh").toString
     val engR = GraftEngine(spark, whR)
     engR.sql(s"CREATE EXTERNAL TABLE snap_t STORED AS parquet LOCATION '$dir'")
-    val sR = new RemoteServer(spark, whR, allowAnonymous = true, tokenTtlMs = 800)
+    // TTL 1600 with 900 ms redemption steps: a ~700 ms margin per step
+    // — Thread.sleep overshoot under host load flaked the old 800/500
+    // (300 ms margin) configuration
+    val sR = new RemoteServer(spark, whR, allowAnonymous = true, tokenTtlMs = 1600)
     try {
       def withConn[A](f: (java.io.BufferedInputStream,
           java.io.BufferedOutputStream) => A): A = {
@@ -1017,20 +1020,21 @@ class Remote2Spec extends AnyFunSuite {
       val a = snapshotId()
       assert(snapshotId() == a, "identical file lists must reuse the live snapshot")
       assert(sR.liveSnapshotCount == 1)
-      // redemptions refresh the TTL: 3 × 500 ms of redemptions outlive
-      // the 800 ms deadline a never-redeemed snapshot dies at
-      Thread.sleep(500); assert(ticket(a, 0, 2).isRight, "first redemption")
-      Thread.sleep(500); assert(ticket(a, 1, 2).isRight,
-        "1000 ms in: alive only because the first redemption refreshed")
-      Thread.sleep(500); assert(ticket(a, 0, 2).isRight,
-        "1500 ms in: every redemption extends the window")
+      // redemptions refresh the TTL: 3 × 900 ms of redemptions outlive
+      // the 1600 ms deadline a never-redeemed snapshot dies at
+      Thread.sleep(900); val r1 = ticket(a, 0, 2)
+      assert(r1.isRight, s"first redemption: $r1")
+      Thread.sleep(900); assert(ticket(a, 1, 2).isRight,
+        "1800 ms in: alive only because the first redemption refreshed")
+      Thread.sleep(900); assert(ticket(a, 0, 2).isRight,
+        "2700 ms in: every redemption extends the window")
       // an ABANDONED snapshot still sweeps at its own deadline: change
       // the list to mint a fresh id, never redeem it
       spark.read.parquet(s"$sf/nation.parquet").coalesce(1)
         .write.mode("append").parquet(dir)
       val b = snapshotId()
       assert(b != a, "a changed file list is a new snapshot")
-      Thread.sleep(1000)
+      Thread.sleep(2000)
       val dead = ticket(b, 0, 2)
       assert(dead.isLeft && dead.swap.toOption.get.contains("gone"),
         s"an unredeemed snapshot must expire at its deadline: $dead")
