@@ -199,33 +199,102 @@ object NgramLm {
 
   /** CCNet's actual banding (Wenzek et al. 2020, "CCNet: Extracting
     * High Quality Monolingual Datasets"): per-LANGUAGE perplexity
-    * terciles — head (most fluent third), middle, tail — assigned by
-    * percent_rank within language, ties broken by doc_id so the band
-    * is deterministic and the oracle replays it verbatim. One
-    * LM-scoring pass + one window sort per language partition; at the
-    * 100 TB design point swap the exact rank for sampled-quantile
-    * thresholds ([[Sketches.quantileSample]]) — the band EDGES move by
-    * the sketch error but the plan loses the per-language global sort.
+    * bands — head (most fluent third), middle, tail.
+    *
+    * DEFAULT = the scale-safe sampled-threshold path: band EDGES come
+    * from an md5-sampled per-language quantile sketch (the
+    * [[Sketches.quantileSample]] keep contract — hash48(doc_id,salt)
+    * under `ratePerM`/1M), so the only per-language sort runs over the
+    * BOUNDED sample and the thresholds broadcast back as buckets−1
+    * rows per language. No partition ever holds a language's full
+    * corpus — the r15-flagged 40 TB-single-partition shape is gone.
+    * The threshold row is the sample's (ppl, doc_id) order statistic
+    * at rank ⌈i·n/buckets⌉; a document lands ABOVE threshold i iff
+    * (ppl, doc_id) > (t_ppl, t_doc) lexicographically, so the sketch
+    * path converges to the exact banding as ratePerM → 1M and the
+    * whole contract replays bit-identically in SQL.
+    *
+    * `exact = true` restores percent_rank-within-language (ties broken
+    * by doc_id) — but behind the SAME loud guard the pack windows use
+    * ([[Sampling.GlobalWindowMaxRows]]): a language partition wider
+    * than `maxLangRows` raises a named error instead of silently
+    * single-tasking 40% of the corpus.
+    *
     * Returns (doc_id, lang, n_tokens, ppl, bucket ∈ [0, buckets),
     * band ∈ {head, middle, tail}). */
   def pplBuckets(df: DataFrame, textCol: String, idCol: String,
       langCol: String, buckets: Int = 3,
       train: Option[DataFrame] = None, alpha: Double = 0.4,
-      minCount: Long = 1, order: Int = 2): DataFrame = {
+      minCount: Long = 1, order: Int = 2,
+      exact: Boolean = false, ratePerM: Int = 250000,
+      salt: String = "ppl-band-v1",
+      maxLangRows: Long = Sampling.GlobalWindowMaxRows): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(ratePerM > 0 && ratePerM <= 1000000,
+      s"pplBuckets: ratePerM must be in (0, 1000000], got $ratePerM")
     import org.apache.spark.sql.expressions.Window
     val scored = perplexity(df, textCol, idCol, train, None, alpha,
       minCount, order)
-    val w = Window.partitionBy(col(langCol)).orderBy(col("ppl"), col("doc_id"))
-    df.select(col(idCol).as("doc_id"), col(langCol))
+    val p = df.select(col(idCol).as("doc_id"), col(langCol))
       .join(scored, Seq("doc_id"))
-      .withColumn("bucket", least(
-        floor(percent_rank().over(w) * buckets), lit(buckets - 1))
-        .cast(org.apache.spark.sql.types.LongType))
+    val withBucket =
+      if (exact) {
+        val w = Window.partitionBy(col(langCol))
+          .orderBy(col("ppl"), col("doc_id"))
+        // row_number over the same window = zero-cost width guard
+        // (the packSequences stance, Sampling.scala)
+        p.withColumn("bucket",
+          when(row_number().over(w) > maxLangRows,
+            raise_error(lit(s"pplBuckets: language partition exceeds " +
+              s"$maxLangRows rows; use the sampled-threshold default " +
+              "(exact = false), the 100 TB path")))
+            .otherwise(least(
+              floor(percent_rank().over(w) * buckets), lit(buckets - 1))
+              .cast(org.apache.spark.sql.types.LongType)))
+      } else {
+        // 1. bounded sample — pure (doc_id, salt) keep decision, so
+        //    the sample (and every band edge) replays in SQL
+        val samp = p.filter(
+          Sampling.hashBucket(col("doc_id"), salt, 1000000) < ratePerM)
+        // 2. per-language order statistics over the SAMPLE only: the
+        //    window partitions by language but its input is the
+        //    bounded sketch, never the corpus
+        val wRank = Window.partitionBy(col(langCol))
+          .orderBy(col("ppl"), col("doc_id"))
+        val wCnt = Window.partitionBy(col(langCol))
+        val thr = samp
+          .select(col(langCol), col("ppl"), col("doc_id"),
+            row_number().over(wRank).as("rn"),
+            count(lit(1)).over(wCnt).as("n"))
+          .select(col(langCol), col("ppl"), col("doc_id"),
+            col("rn"), col("n"),
+            explode(array((1 until buckets).map(lit(_)): _*)).as("qi"))
+          .filter(col("rn") === greatest(lit(1L),
+            ceil(col("qi") * col("n") / lit(buckets))))
+          .groupBy(col(langCol))
+          .agg(sort_array(collect_list(struct(col("qi"),
+            col("ppl").as("t_ppl"), col("doc_id").as("t_doc"))))
+            .as("__thrs"))
+        // 3. thresholds broadcast back (buckets−1 rows per language);
+        //    bucket = how many edges this doc's (ppl, doc_id) exceeds.
+        //    A language with an empty sample (impossible at real
+        //    corpus sizes × sane rates) degrades to one band, never
+        //    to an error — the filter keep is fail-open.
+        p.join(broadcast(thr), Seq(langCol), "left")
+          .withColumn("bucket", coalesce(
+            size(filter(col("__thrs"), t =>
+              col("ppl") > t("t_ppl") ||
+                (col("ppl") === t("t_ppl") && col("doc_id") > t("t_doc")))),
+            lit(0)).cast(org.apache.spark.sql.types.LongType))
+          .drop("__thrs")
+      }
+    withBucket
       .withColumn("band",
         when(col("bucket") === 0, "head")
           .when(col("bucket") === (buckets - 1), "tail")
           .otherwise("middle"))
+      .select(col("doc_id"), col(langCol), col("n_tokens"), col("ppl"),
+        col("bucket"), col("band"))
   }
 
   /** keep rows whose perplexity is within (minPpl, maxPpl] — CCNet

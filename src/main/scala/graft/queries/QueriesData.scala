@@ -3501,6 +3501,22 @@ object QueriesData {
     * `${p}scored (doc_id, n_tokens, ppl)`. order 3 adds the trigram
     * level: c3/c2 when the trigram context hits, α·(bigram chain)
     * when an existing trigram context misses. */
+  /** Band-edge CTEs over an already-defined `p(doc_id, lang, …, ppl)`:
+    * the md5 sample keep (hash48(doc_id, 'ppl-band-v1') under
+    * 250000/1M) + per-language order statistics at ranks ⌈i·n/3⌉ —
+    * byte-for-byte the NgramLm.pplBuckets default sampled-threshold
+    * contract, so both engines derive identical band edges. */
+  private val pplBandCtes: String =
+    """samp AS (SELECT lang, ppl, doc_id FROM p
+           WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || 'ppl-band-v1')
+              % 281474976710656) % 1000000 < 250000),
+         ranked AS (SELECT lang, ppl, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n FROM samp),
+         thr AS (SELECT r.lang, r.ppl AS t_ppl, r.doc_id AS t_doc
+           FROM ranked r JOIN (VALUES (1), (2)) q(qi)
+             ON r.rn = greatest(1, CAST(ceil(qi * r.n / 3.0) AS BIGINT)))"""
+
   private def pplCtes(p: String, trainFrom: String, scoreFrom: String,
       order: Int = 2): String = {
     val bigramValue =
@@ -5112,9 +5128,13 @@ object QueriesData {
          p AS (SELECT d.doc_id, d.lang,
              coalesce(s.ppl, 0.0) AS ppl
            FROM documents d LEFT JOIN scored s USING (doc_id)),
-         b AS (SELECT *, least(CAST(floor(percent_rank() OVER (
-               PARTITION BY lang ORDER BY ppl, doc_id) * 3) AS BIGINT),
-             2) AS bucket FROM p)
+         ${pplBandCtes},
+         b AS (SELECT p.doc_id, p.lang,
+             count(CASE WHEN p.ppl > t.t_ppl
+               OR (p.ppl = t.t_ppl AND p.doc_id > t.t_doc)
+               THEN 1 END) AS bucket
+           FROM p LEFT JOIN thr t ON p.lang = t.lang
+           GROUP BY p.doc_id, p.lang)
          SELECT doc_id, lang FROM b WHERE bucket = 0
          ORDER BY doc_id""",
     // kmeans unrolled to the final assignment, then the identical
@@ -5129,17 +5149,23 @@ object QueriesData {
            WHERE rn <= 30)
          SELECT vec_id, CAST(cell AS INTEGER) AS cell
          FROM capd ORDER BY vec_id""",
-    // the stupid-backoff scoring chained into per-language
-    // percent_rank banding — identical window definition both engines
+    // the stupid-backoff scoring chained into the SAMPLED-threshold
+    // banding (r16 scale fix): band edges are per-language order
+    // statistics over the md5 sample, broadcast back — both engines
+    // replay the identical sample + threshold + comparison contract
     "q_ppl_buckets" ->
       s"""WITH ${pplCtes("", "documents", "documents")},
          p AS (SELECT d.doc_id, d.lang,
              coalesce(s.n_tokens, 0) AS n_tokens,
              coalesce(s.ppl, 0.0) AS ppl
            FROM documents d LEFT JOIN scored s USING (doc_id)),
-         b AS (SELECT *, least(CAST(floor(percent_rank() OVER (
-               PARTITION BY lang ORDER BY ppl, doc_id) * 3) AS BIGINT),
-             2) AS bucket FROM p)
+         ${pplBandCtes},
+         b AS (SELECT p.doc_id, p.lang, p.n_tokens, p.ppl,
+             count(CASE WHEN p.ppl > t.t_ppl
+               OR (p.ppl = t.t_ppl AND p.doc_id > t.t_doc)
+               THEN 1 END) AS bucket
+           FROM p LEFT JOIN thr t ON p.lang = t.lang
+           GROUP BY p.doc_id, p.lang, p.n_tokens, p.ppl)
          SELECT doc_id, lang, n_tokens, ppl, bucket,
            CASE bucket WHEN 0 THEN 'head' WHEN 2 THEN 'tail'
                 ELSE 'middle' END AS band

@@ -886,6 +886,61 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(1L, 2L, 4L))
   }
 
+  test("ppl bands: sampled thresholds match exact terciles; no window over " +
+      "unsampled data; exact path guard fires") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    val docs = (for {
+      (lang, off) <- Seq(("en", 0L), ("fr", 100L))
+      i <- 1 to 6
+    } yield (off + i, ("the cat sat on the mat " * i) + ("zx qv " * (7 - i)),
+      lang)).toDF("doc_id", "text", "lang")
+    // ratePerM = 1M keeps every row, so the sampled thresholds are the
+    // exact order statistics — with n % 3 == 0 per language, the
+    // lexicographic (ppl, doc_id) comparison reproduces percent_rank
+    // terciles row for row
+    def grab(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bucket", "band").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val sk = grab(NgramLm.pplBuckets(docs, "text", "doc_id", "lang",
+      ratePerM = 1000000))
+    val ex = grab(NgramLm.pplBuckets(docs, "text", "doc_id", "lang",
+      exact = true))
+    assert(sk == ex)
+    assert(sk.map(_._3) == Set("head", "middle", "tail"))
+    // plan pin (the r15 scale fix): every window in the DEFAULT path
+    // ranks the md5 SAMPLE — no sort partition ever holds a language's
+    // full corpus. Read the fixture from parquet so ConvertToLocal-
+    // Relation can't fold the sample filter away.
+    val pdir = java.nio.file.Files.createTempDirectory("pplband").toString
+    docs.write.mode("overwrite").parquet(pdir)
+    val plan = NgramLm.pplBuckets(spark.read.parquet(pdir),
+        "text", "doc_id", "lang")
+      .queryExecution.optimizedPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val overSample = w.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("md5") => f
+      }
+      assert(overSample.nonEmpty,
+        s"window must rank the md5 sample, not the corpus:\n$w")
+    }
+    // exact path keeps the pack-window stance: a language partition
+    // wider than maxLangRows raises the named error instead of
+    // silently single-tasking it
+    val err = intercept[Exception] {
+      NgramLm.pplBuckets(docs, "text", "doc_id", "lang",
+        exact = true, maxLangRows = 3).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("|")
+    assert(msgs.contains("language partition exceeds"))
+  }
+
   test("DSIR weights: target-like docs score positive, background negative") {
     import spark.implicits._
     import graft.operators.NgramLm
