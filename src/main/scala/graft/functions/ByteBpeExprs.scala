@@ -196,25 +196,41 @@ object ByteBpeExprs {
     val nw = pieces.numElements()
     while (w < nw) {
       val bytes = pieces.getUTF8String(w).getBytes
-      val spaced = new java.lang.StringBuilder(bytes.length * 2)
+      // sentinel spaces at both ends: every symbol is space-DELIMITED,
+      // so the boundary-aware patterns " l r " can never match the
+      // PREFIX of a longer right symbol (" Ġ t " must not fire inside
+      // " Ġ th ") — the r16 fix; the old bare "l r" replace could
+      // merge across symbol boundaries on vocabularies where one
+      // symbol extends another
+      val spaced = new java.lang.StringBuilder(bytes.length * 2 + 2)
+      spaced.append(' ')
       var i = 0
       while (i < bytes.length) {
-        if (i > 0) spaced.append(' ')
-        spaced.append(byteToChar(bytes(i) & 0xff))
+        spaced.append(byteToChar(bytes(i) & 0xff)).append(' ')
         i += 1
       }
       var enc = spaced.toString
       var m = 0
       while (m < patterns.length) {
-        enc = enc.replace(patterns(m), repls(m))
+        // per-merge fixpoint: one replace pass consumes the shared
+        // delimiter of back-to-back applications (" a a a a " matches
+        // once, not twice), so repeat until the length is stable —
+        // with rank order this replays true BPE exactly on any
+        // well-formed artifact (products only of earlier merges)
+        var prevLen = -1
+        while (enc.length != prevLen) {
+          prevLen = enc.length
+          enc = enc.replace(patterns(m), repls(m))
+        }
         m += 1
       }
       var spaces = 0
-      var j = 0
-      while (j < enc.length) { if (enc.charAt(j) == ' ') spaces += 1; j += 1 }
+      var j = 1
+      val encEnd = enc.length - 1
+      while (j < encEnd) { if (enc.charAt(j) == ' ') spaces += 1; j += 1 }
       nSyms += spaces + 1
       if (w > 0) sb.append(' ')
-      sb.append(enc)
+      if (encEnd > 1) sb.append(enc, 1, encEnd)
       w += 1
     }
     new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), nSyms))
@@ -337,8 +353,9 @@ object ByteBpeExprs {
     * map-only inside WholeStageCodegen) over GPT-2 pre-tokens */
   case class ByteBpeEncode(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
-    private val patterns: Array[String] = merges.map { case (l, r) => s"$l $r" }.toArray
-    private val repls: Array[String] = merges.map { case (l, r) => l + r }.toArray
+    // boundary-aware: the surrounding spaces pin both symbols whole
+    private val patterns: Array[String] = merges.map { case (l, r) => s" $l $r " }.toArray
+    private val repls: Array[String] = merges.map { case (l, r) => s" ${l + r} " }.toArray
     override def dataType: DataType = TextExprs.BpeEncode.schema
     override def prettyName: String = "graft_byte_bpe_encode"
     override def nullSafeEval(a: Any): Any =

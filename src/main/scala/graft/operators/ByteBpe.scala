@@ -176,7 +176,10 @@ object ByteBpe {
         else { val (l, r) = merges(cid - 256); l + r }
       encoder(sym)
     }
-    val table = array(remap.map(lit(_)): _*)
+    // ONE array literal, not a CreateArray with vocab-size children:
+    // the real GPT-2 artifact is 50k merges, and a 50k-child node
+    // costs O(vocab) analysis on every query that mentions it
+    val table = typedLit(remap.toSeq)
     encodeIds(df, textCol, idCol, merges)
       .withColumn("token_ids", transform(col("token_ids"),
         i => element_at(table, i.cast("int") + 1)))

@@ -102,6 +102,79 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(spm2("<br>") == -6000000L && spm2("#") == -8250000L, spm2)
   }
 
+  test("published artifacts at PUBLISHED scale: 50k merges load, encode " +
+      "runs, and the remap is one literal — not a 50k-child node (r16)") {
+    import graft.functions.ByteBpeExprs.byteToChar
+    // synthesize a GPT-2-sized artifact pair: 50,000 merges (all
+    // products of two base byte symbols — every one replayable with
+    // no chaining) + an encoder covering the closed surface with
+    // non-identity ids, written in the published file formats
+    val n = 50000
+    val merges = (for {
+      i <- 0 until 256; j <- 0 until 256
+    } yield (byteToChar(i).toString, byteToChar(j).toString)).take(n)
+    val tmp = java.nio.file.Files.createTempDirectory("gpt2scale")
+    java.nio.file.Files.writeString(tmp.resolve("vocab.bpe"),
+      "#version: 0.2\n" +
+        merges.map { case (l, r) => s"$l $r" }.mkString("\n") + "\n")
+    val encJson = new StringBuilder("{")
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    (0 until 256).foreach { b =>
+      encJson ++= s""""${esc(byteToChar(b).toString)}": ${2 * b}, """ }
+    merges.zipWithIndex.foreach { case ((l, r), k) =>
+      encJson ++= s""""${esc(l + r)}": ${100000 + k}""" +
+        (if (k == n - 1) "" else ", ") }
+    encJson += '}'
+    java.nio.file.Files.writeString(tmp.resolve("encoder.json"),
+      encJson.toString)
+    val loaded = ByteBpe.readGpt2Merges(tmp.resolve("vocab.bpe").toString)
+    assert(loaded.size == n && loaded == merges)
+    val enc = ByteBpe.readGpt2Encoder(tmp.resolve("encoder.json").toString)
+    assert(enc.size == 256 + n)
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat"), (2L, "zz qq")).toDF("doc_id", "text")
+    val out = ByteBpe.encodeIdsPublished(df, "text", "doc_id", loaded, enc)
+    // the published ids are exactly the closed ids pushed through the
+    // artifact remap — verified against an independently built table
+    val remap = Array.tabulate(256 + n) { cid =>
+      if (cid < 256) 2L * cid else 100000L + (cid - 256) }
+    val closed = ByteBpe.encodeIds(df, "text", "doc_id", loaded)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == closed(r.getLong(0)).map(i => remap(i.toInt)))
+    }
+    // plan-size pin (ADVICE r15): the remap must be ONE array literal.
+    // With CreateArray the analyzed plan carries 50k child expressions;
+    // the typedLit plan stays in the hundreds.
+    val nodes = out.queryExecution.analyzed.expressions
+      .map(e => e.collect { case x => x }.size).sum
+    assert(nodes < 2000, s"analyzed plan carries $nodes expression nodes " +
+      "- the vocab remap is being inlined child-per-id")
+  }
+
+  test("byte-bpe: merge replay is symbol-boundary-aware (r16): a pattern " +
+      "never fires inside a longer right symbol; repeats reach fixpoint") {
+    import spark.implicits._
+    // rank 0 builds 'he'; rank 1 is (t,h) — the pre-fix bare-string
+    // replace matched 't h' inside 't he' and corrupted to 'the'
+    val merges = Seq(("h", "e"), ("t", "h"))
+    val out = ByteBpe.encode(Seq((1L, "the")).toDF("doc_id", "text"),
+      "text", "doc_id", merges).collect()(0)
+    assert(out.getString(1) == "t he" && out.getLong(2) == 2L, out)
+    // back-to-back applications of ONE merge share a delimiter — the
+    // single replace pass catches alternate pairs only; the fixpoint
+    // loop finishes the job exactly like lowest-rank-first BPE
+    val rep = ByteBpe.encode(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+      "text", "doc_id", Seq(("a", "a"))).collect()(0)
+    assert(rep.getString(1) == "aa aa" && rep.getLong(2) == 2L, rep)
+    // and ids stay total under both
+    val ids = ByteBpe.encodeIds(Seq((1L, "the aaaa")).toDF("doc_id", "text"),
+      "text", "doc_id", Seq(("h", "e"), ("t", "h"), ("a", "a"))).collect()(0)
+    assert(ids.getSeq[Long](1).forall(i => i < 256 + 3))
+  }
+
   test("byte-bpe: bytes→unicode bijection matches the published GPT-2 table; total roundtrip") {
     // the published anchors: printable ASCII self-maps, the excluded
     // bytes take 256+k — space→Ġ, \n→Ċ, \t→ĉ, DEL→ġ, NBSP-byte→ł, AD→Ń
