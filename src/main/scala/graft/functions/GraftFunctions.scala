@@ -24,17 +24,56 @@ object GraftFunctions {
 
   val version = "0.1.0"
 
+  /** interpreted-path-free kernels for the generated code (r16: the
+    * hot point-in-polygon test was the one geo expression measured in
+    * every sweep, and its CodegenFallback eval shared — and polluted —
+    * the interpreter's megamorphic dispatch profile with every other
+    * geo gate; a codegen callsite gets its own JIT profile) */
+  def stWithinPointGeomKernel(g: AnyRef, lon: Double, lat: Double): Boolean =
+    Geo.contains(g.asInstanceOf[Geo.Geom], lon, lat)
+  def stWithinPointKernel(wkt: UTF8String, lon: Double, lat: Double): Boolean =
+    Geo.contains(Geo.parseWktCached(wkt.toString), lon, lat)
+
   /** Point-in-geometry test: st_within_point(wkt, lon, lat) → boolean.
     * Reference: beacon-functions/src/geo/st_within_point.rs (WKT parse
-    * LRU-cached per executor; see [[Geo.parseWktCached]]). */
+    * LRU-cached per executor; see [[Geo.parseWktCached]]).
+    *
+    * Codegen-native (r16): NOT CodegenFallback — the one geo predicate
+    * measured in every sweep must not evict its plan from
+    * WholeStageCodegen (CollapseCodegenStages rejects any tree holding
+    * a fallback expression) nor share the interpreter's megamorphic
+    * dispatch profile with the rest of the geo family. A foldable WKT
+    * argument — the dominant shape, a literal region against point
+    * columns — is parsed ONCE at expression init and rides into the
+    * generated code as a reference object, so the per-row work is
+    * exactly the containment test. Input types are pinned (analyzer
+    * casts coordinates to double) so generated code is monomorphic. */
   case class StWithinPoint(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with ImplicitCastInputTypes {
+    // type inferred: AbstractDataType is private[sql], but covariance
+    // lets Seq[DataType] satisfy the override
+    override def inputTypes = Seq(StringType, DoubleType, DoubleType)
     override def dataType: DataType = BooleanType
     override def prettyName: String = "st_within_point"
+    @transient private lazy val litGeom: Geo.Geom =
+      if (first.foldable) {
+        val v = first.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        if (v == null) null else Geo.parseWkt(v.toString)
+      } else null
     override def nullSafeEval(wkt: Any, lon: Any, lat: Any): Any = {
-      val g = Geo.parseWktCached(wkt.asInstanceOf[UTF8String].toString)
+      val g = if (litGeom != null) litGeom
+        else Geo.parseWktCached(wkt.asInstanceOf[UTF8String].toString)
       Geo.contains(g, toD(lon), toD(lat))
     }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (wkt, lon, lat) =>
+        if (litGeom != null) {
+          val g = ctx.addReferenceObj("stwpGeom", litGeom, "java.lang.Object")
+          s"${ev.value} = graft.functions.GraftFunctions" +
+            s".stWithinPointGeomKernel($g, $lon, $lat);"
+        } else
+          s"${ev.value} = graft.functions.GraftFunctions" +
+            s".stWithinPointKernel($wkt, $lon, $lat);")
     override protected def withNewChildrenInternal(
         f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.Geo
+import graft.functions.{Geo, GraftFunctions}
 
 class GeoSpec extends AnyFunSuite {
   import Geo._
@@ -1306,5 +1306,48 @@ class GeoSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("st_within_point is codegen-native (r16): generated == interpreted, " +
+      "literal geometry parsed once, plan stays in WholeStageCodegen") {
+    val spark = GraftSession.build("local[2]", 2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (for { x <- -2 to 12; y <- -2 to 12 }
+      yield (x.toDouble + 0.5, y.toDouble + 0.5, s"POLYGON ((0 0, $x 0, $x $y, 0 0))"))
+      .toDF("px", "py", "wkt")
+    for (poly <- Seq(square, withHole, triangle)) {
+      // literal-WKT shape (the gate shape): codegen on
+      val cg = df.filter(GraftFunctions.st_within_point(lit(poly), $"px", $"py"))
+        .select($"px", $"py").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      // interpreted oracle: the raw kernel over collected rows
+      val g = Geo.parseWkt(poly)
+      val exp = df.select($"px", $"py").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+        .filter { case (x, y) => Geo.contains(g, x, y) }.toSet
+      assert(cg == exp, s"codegen mismatch for $poly")
+    }
+    // column-WKT shape routes through the cached-parse kernel
+    val colWkt = df.filter(GraftFunctions.st_within_point($"wkt", lit(3.5), lit(1.5)))
+      .count()
+    val expCol = df.collect().count { r =>
+      val gg = Geo.parseWkt(r.getString(2)); Geo.contains(gg, 3.5, 1.5) }
+    assert(colWkt == expCol)
+    // plan pin: the filter stays inside WholeStageCodegen — no
+    // CodegenFallback interpreter hop for the hot predicate (read from
+    // parquet so ConvertToLocalRelation can't pre-evaluate the filter)
+    val pq = java.nio.file.Files.createTempDirectory("stwp").toString
+    df.write.mode("overwrite").parquet(pq)
+    val plan = spark.read.parquet(pq)
+      .filter(GraftFunctions.st_within_point(lit(square), $"px", $"py"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen member — a
+    // CodegenFallback expression would leave the Filter bare
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Filter st_within_point.*"), plan)
+    // and integer/long coordinates still codegen (the cast table)
+    val ints = Seq((1, 2L), (11, 2L)).toDF("ix", "iy")
+      .filter(GraftFunctions.st_within_point(lit(square), col("ix"), col("iy")))
+      .count()
+    assert(ints == 1L)
   }
 }
