@@ -304,14 +304,32 @@ object GeoExprs {
       third: Expression) extends TernaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "st_transform"
+    // Foldable SRIDs that resolve through the RUNTIME registry
+    // (Geo.registerCrs rows) are pinned at plan time: the (srid, proj)
+    // pairs serialize with the expression, so a dynamically registered
+    // CRS reaches every executor inside the plan instead of relying on
+    // a driver-local map (the 100 TB posture for register_crs).
+    private val pinnedCrs: Array[(Int, Geo.Proj)] =
+      Seq(second, third).flatMap { e =>
+        if (e.foldable) e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          match {
+            case i: java.lang.Integer =>
+              Geo.crsOf(i.intValue()).map(p => (i.intValue(), p))
+            case _ => None
+          }
+        else None
+      }.toArray
     override def nullSafeEval(w: Any, f: Any, t: Any): Any =
-      UTF8String.fromString(Geo.stTransform(
+      UTF8String.fromString(Geo.stTransformPinned(
         w.asInstanceOf[UTF8String].toString,
-        f.asInstanceOf[Int], t.asInstanceOf[Int]))
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+        f.asInstanceOf[Int], t.asInstanceOf[Int], pinnedCrs))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pin = ctx.addReferenceObj("stTransformPins", pinnedCrs,
+        "scala.Tuple2[]")
       nullSafeCodeGen(ctx, ev, (w, f, t) =>
         s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
-          s"graft.functions.Geo.stTransform($w.toString(), $f, $t));")
+          s"graft.functions.Geo.stTransformPinned($w.toString(), $f, $t, $pin));")
+    }
     override protected def withNewChildrenInternal(a: Expression,
         b: Expression, c: Expression): Expression = copy(a, b, c)
   }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Minimal planar geometry for the engine's geo predicates.
   *
@@ -2266,22 +2267,31 @@ object Geo {
     }
   }
 
-  // ---- UTM (EPSG:326xx north / 327xx south): transverse Mercator on
-  // the WGS84 ellipsoid via the standard series (Snyder, "Map
-  // Projections — A Working Manual", eqs 8-9..8-25; the same
-  // truncation PROJ's utm backend and every GIS textbook carry).
-  // Sub-mm accuracy within the zone; valid latitude band 80°S–84°N
-  // enforced loudly. StrictMath throughout (bit-determinism).
+  /** a projected CRS: forward (lon/lat° → x/y meters) and inverse.
+    * Serializable so a pinned projection rides inside a serialized
+    * plan to every executor. */
+  sealed trait Proj extends Serializable {
+    def fwd(lon: Double, lat: Double): (Double, Double)
+    def inv(x: Double, y: Double): (Double, Double)
+  }
+
+  // ---- Transverse Mercator, PARAMETERIZED (r16): the Snyder series
+  // (eqs 8-9..8-25 and the 3-21 meridian arc; the same truncation
+  // PROJ's tmerc/utm backends and every GIS textbook carry) driven by
+  // the EPSG parameter set (ellipsoid a/f, lat_0, lon_0, k_0, false
+  // E/N) instead of hard-coded WGS84+UTM constants — so EPSG:27700 or
+  // any national TM grid is a parameter row, not a code change. UTM
+  // (EPSG:326xx/327xx) is the same kernel with its published row.
+  // Sub-mm accuracy within ~±10° of the central meridian; StrictMath
+  // throughout (bit-determinism across executors).
   private val WgsA = 6378137.0
   private val WgsF = 1.0 / 298.257223563
-  private val WgsE2 = WgsF * (2.0 - WgsF)
-  private val WgsEp2 = WgsE2 / (1.0 - WgsE2)
   private val UtmK0 = 0.9996
 
   /** meridian arc length from the equator (Snyder 3-21) */
-  private def meridianArc(phi: Double): Double = {
-    val e2 = WgsE2; val e4 = e2 * e2; val e6 = e4 * e2
-    WgsA * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+  private def meridianArc(a: Double, e2: Double, phi: Double): Double = {
+    val e4 = e2 * e2; val e6 = e4 * e2
+    a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
       - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * StrictMath.sin(2 * phi)
       + (15 * e4 / 256 + 45 * e6 / 1024) * StrictMath.sin(4 * phi)
       - (35 * e6 / 3072) * StrictMath.sin(6 * phi))
@@ -2290,77 +2300,92 @@ object Geo {
   private def utmCentralMeridian(zone: Int): Double =
     StrictMath.toRadians((zone - 1) * 6 - 180 + 3)
 
-  private def fwdUtm(zone: Int, south: Boolean)(
-      lon: Double, lat: Double): (Double, Double) = {
-    if (lat < -80.0 || lat > 84.0 || lat.isNaN)
-      throw new IllegalArgumentException(
-        s"st_transform: latitude $lat outside UTM's validity band " +
-          "[-80, 84]")
-    if (lon < -180.0 || lon > 180.0 || lon.isNaN)
-      throw new IllegalArgumentException(
-        s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
-    val phi = StrictMath.toRadians(lat)
-    val sinP = StrictMath.sin(phi); val cosP = StrictMath.cos(phi)
-    val tanP = StrictMath.tan(phi)
-    val n = WgsA / StrictMath.sqrt(1 - WgsE2 * sinP * sinP)
-    val t = tanP * tanP
-    val c = WgsEp2 * cosP * cosP
-    val aA = (StrictMath.toRadians(lon) - utmCentralMeridian(zone)) * cosP
-    val a2 = aA * aA; val a3 = a2 * aA; val a4 = a2 * a2
-    val a5 = a4 * aA; val a6 = a4 * a2
-    val x = UtmK0 * n * (aA + (1 - t + c) * a3 / 6
-      + (5 - 18 * t + t * t + 72 * c - 58 * WgsEp2) * a5 / 120) + 500000.0
-    val y0 = UtmK0 * (meridianArc(phi) + n * tanP * (a2 / 2
-      + (5 - t + 9 * c + 4 * c * c) * a4 / 24
-      + (61 - 58 * t + t * t + 600 * c - 330 * WgsEp2) * a6 / 720))
-    (x, if (south) y0 + 10000000.0 else y0)
-  }
+  /** lat0/lon0 in RADIANS; x0/y0 meters. `extentName` labels errors. */
+  final case class Tm(a: Double, f: Double, lat0: Double, lon0: Double,
+      k0: Double, x0: Double, y0: Double,
+      extentName: String = "TM") extends Proj {
+    val e2: Double = f * (2.0 - f)
+    val ep2: Double = e2 / (1.0 - e2)
+    // M(lat0): 0.0 exactly for equatorial origins (UTM), so the UTM
+    // legs reproduce the pre-parameterized doubles bit-for-bit
+    val m0: Double = if (lat0 == 0.0) 0.0 else meridianArc(a, e2, lat0)
 
-  private def invUtm(zone: Int, south: Boolean)(
-      x: Double, y: Double): (Double, Double) = {
-    // loud extent guard (the forward legs' stance): eastings live
-    // within ~±10° of the central meridian even with generous overlap
-    // (≪ 2e6 m from the 500 km false easting), northings within the
-    // meridian quarter-arc (≈1.0002e7 m) plus the south false northing
-    if (x.isNaN || x < -1500000.0 || x > 2500000.0)
-      throw new IllegalArgumentException(
-        s"st_transform: easting $x outside UTM's plausible extent " +
-          "[-1.5e6, 2.5e6] — wrong zone or not UTM meters")
-    // north zone: y ∈ [−M(80°S)·k0, M(84°N)·k0] ≈ [−8.9e6, 9.4e6];
-    // south zone shifts by the 1e7 false northing
-    val yLo = if (south) -50000.0 else -10100000.0
-    val yHi = if (south) 19500000.0 else 10100000.0
-    if (y.isNaN || y < yLo || y > yHi)
-      throw new IllegalArgumentException(
-        s"st_transform: northing $y outside UTM's extent [$yLo, $yHi]")
-    val e2 = WgsE2; val ep2 = WgsEp2
-    val m = (if (south) y - 10000000.0 else y) / UtmK0
-    val mu = m / (WgsA * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
-    val sq = StrictMath.sqrt(1 - e2)
-    val e1 = (1 - sq) / (1 + sq)
-    val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_2 * e1_2
-    val phi1 = mu + (3 * e1 / 2 - 27 * e1_3 / 32) * StrictMath.sin(2 * mu) +
-      (21 * e1_2 / 16 - 55 * e1_4 / 32) * StrictMath.sin(4 * mu) +
-      (151 * e1_3 / 96) * StrictMath.sin(6 * mu) +
-      (1097 * e1_4 / 512) * StrictMath.sin(8 * mu)
-    val sinP1 = StrictMath.sin(phi1); val cosP1 = StrictMath.cos(phi1)
-    val tanP1 = StrictMath.tan(phi1)
-    val c1 = ep2 * cosP1 * cosP1
-    val t1 = tanP1 * tanP1
-    val oneMinus = 1 - e2 * sinP1 * sinP1
-    val n1 = WgsA / StrictMath.sqrt(oneMinus)
-    val r1 = WgsA * (1 - e2) / (oneMinus * StrictMath.sqrt(oneMinus))
-    val d = (x - 500000.0) / (n1 * UtmK0)
-    val d2 = d * d; val d3 = d2 * d; val d4 = d2 * d2
-    val d5 = d4 * d; val d6 = d4 * d2
-    val phi = phi1 - (n1 * tanP1 / r1) * (d2 / 2
-      - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d4 / 24
-      + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1)
-        * d6 / 720)
-    val lam = utmCentralMeridian(zone) + (d - (1 + 2 * t1 + c1) * d3 / 6
-      + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1)
-        * d5 / 120) / cosP1
-    (StrictMath.toDegrees(lam), StrictMath.toDegrees(phi))
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lat < -80.0 || lat > 84.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat outside the $extentName " +
+            "transverse Mercator validity band [-80, 84]")
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      // the series is meaningless far from the central meridian — the
+      // inverse leg's loud-extent stance, applied forward (ADVICE r15)
+      val dLonDeg = lon - StrictMath.toDegrees(lon0)
+      if (dLonDeg < -15.0 || dLonDeg > 15.0)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon is ${math.abs(dLonDeg)}° from " +
+            s"the $extentName central meridian " +
+            s"(${StrictMath.toDegrees(lon0)}°) — beyond the series' " +
+            "±15° validity; use the zone/CRS that covers this point")
+      val phi = StrictMath.toRadians(lat)
+      val sinP = StrictMath.sin(phi); val cosP = StrictMath.cos(phi)
+      val tanP = StrictMath.tan(phi)
+      val n = a / StrictMath.sqrt(1 - e2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = ep2 * cosP * cosP
+      val aA = (StrictMath.toRadians(lon) - lon0) * cosP
+      val a2 = aA * aA; val a3 = a2 * aA; val a4 = a2 * a2
+      val a5 = a4 * aA; val a6 = a4 * a2
+      val x = k0 * n * (aA + (1 - t + c) * a3 / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * a5 / 120) + x0
+      val yN = k0 * (meridianArc(a, e2, phi) - m0 + n * tanP * (a2 / 2
+        + (5 - t + 9 * c + 4 * c * c) * a4 / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * a6 / 720))
+      (x, yN + y0)
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      // loud extent guards: eastings within ~±10° of the central
+      // meridian even with generous overlap (≪ 2e6 m of the false
+      // easting), northings within the meridian quarter-arc plus the
+      // false northing
+      if (x.isNaN || x - x0 < -2000000.0 || x - x0 > 2000000.0)
+        throw new IllegalArgumentException(
+          s"st_transform: easting $x outside the $extentName plausible " +
+            s"extent (2e6 m of the ${x0} m false easting) — wrong " +
+            "zone/CRS or not projected meters")
+      if (y.isNaN || y - y0 < -10100000.0 || y - y0 > 10100000.0)
+        throw new IllegalArgumentException(
+          s"st_transform: northing $y outside the $extentName extent " +
+            s"(1.01e7 m of the ${y0} m false northing)")
+      val m = (y - y0) / k0 + m0
+      val mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val sq = StrictMath.sqrt(1 - e2)
+      val e1 = (1 - sq) / (1 + sq)
+      val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_2 * e1_2
+      val phi1 = mu + (3 * e1 / 2 - 27 * e1_3 / 32) * StrictMath.sin(2 * mu) +
+        (21 * e1_2 / 16 - 55 * e1_4 / 32) * StrictMath.sin(4 * mu) +
+        (151 * e1_3 / 96) * StrictMath.sin(6 * mu) +
+        (1097 * e1_4 / 512) * StrictMath.sin(8 * mu)
+      val sinP1 = StrictMath.sin(phi1); val cosP1 = StrictMath.cos(phi1)
+      val tanP1 = StrictMath.tan(phi1)
+      val c1 = ep2 * cosP1 * cosP1
+      val t1 = tanP1 * tanP1
+      val oneMinus = 1 - e2 * sinP1 * sinP1
+      val n1 = a / StrictMath.sqrt(oneMinus)
+      val r1 = a * (1 - e2) / (oneMinus * StrictMath.sqrt(oneMinus))
+      val d = (x - x0) / (n1 * k0)
+      val d2 = d * d; val d3 = d2 * d; val d4 = d2 * d2
+      val d5 = d4 * d; val d6 = d4 * d2
+      val phi = phi1 - (n1 * tanP1 / r1) * (d2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1)
+          * d6 / 720)
+      val lam = lon0 + (d - (1 + 2 * t1 + c1) * d3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1)
+          * d5 / 120) / cosP1
+      (StrictMath.toDegrees(lam), StrictMath.toDegrees(phi))
+    }
   }
 
   /** (zone, south) of a UTM SRID, None if not UTM */
@@ -2369,14 +2394,23 @@ object Geo {
     else if (srid >= 32701 && srid <= 32760) Some((srid - 32700, true))
     else None
 
+  /** the 120 UTM rows of the TM kernel, built once */
+  private val utmProj: Array[Tm] = Array.tabulate(120) { i =>
+    val south = i >= 60
+    val zone = (i % 60) + 1
+    Tm(WgsA, WgsF, lat0 = 0.0, lon0 = utmCentralMeridian(zone),
+      k0 = UtmK0, x0 = 500000.0, y0 = if (south) 10000000.0 else 0.0,
+      extentName = s"UTM zone $zone${if (south) "S" else "N"}")
+  }
+
   // ---- Lambert conformal conic, 2 standard parallels (Snyder ch. 15,
   // eqs 15-1..15-11 and the iterative 7-9 inverse) — the projection
   // family behind most national grids. Registry carries the published
   // EPSG parameter sets; Lambert-93 (EPSG:2154, the French national
   // grid, GRS80 ellipsoid) ships first. StrictMath throughout.
-  private final case class Lcc(a: Double, f: Double,
+  final case class Lcc(a: Double, f: Double,
       lat0: Double, lon0: Double, lat1: Double, lat2: Double,
-      x0: Double, y0: Double) {
+      x0: Double, y0: Double) extends Proj {
     val e: Double = StrictMath.sqrt(f * (2 - f))
     private def mOf(phi: Double): Double = {
       val s = StrictMath.sin(phi)
@@ -2451,8 +2485,8 @@ object Geo {
   // authalic→geodetic recovery) — EPSG:3035 (ETRS89-LAEA) is the grid
   // every EU statistical dataset ships on. Equal-area by construction:
   // the property statistics need and conformal projections can't give.
-  private final case class Laea(a: Double, f: Double,
-      lat0: Double, lon0: Double, x0: Double, y0: Double) {
+  final case class Laea(a: Double, f: Double,
+      lat0: Double, lon0: Double, x0: Double, y0: Double) extends Proj {
     val e2: Double = f * (2 - f)
     val e: Double = StrictMath.sqrt(e2)
     private def qOf(phi: Double): Double = {
@@ -2533,36 +2567,181 @@ object Geo {
       lat0 = StrictMath.toRadians(52.0), lon0 = StrictMath.toRadians(10.0),
       x0 = 4321000.0, y0 = 3210000.0))
 
+  // ---- Albers equal-area conic, 2 standard parallels (Snyder ch. 14,
+  // eqs 14-1..14-11 with the same 3-16 authalic→geodetic iteration as
+  // LAEA) — the projection behind EPSG:5070 (NAD83 / CONUS Albers),
+  // the grid US national datasets ship on. Parameter-row driven.
+  final case class Aea(a: Double, f: Double, lat0: Double, lon0: Double,
+      lat1: Double, lat2: Double, x0: Double, y0: Double) extends Proj {
+    val e2: Double = f * (2 - f)
+    val e: Double = StrictMath.sqrt(e2)
+    private def qOf(phi: Double): Double = {
+      val s = StrictMath.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * StrictMath.log((1 - e * s) / (1 + e * s)))
+    }
+    private def mOf(phi: Double): Double = {
+      val s = StrictMath.sin(phi)
+      StrictMath.cos(phi) / StrictMath.sqrt(1 - e2 * s * s)
+    }
+    val n: Double = {
+      val m1 = mOf(lat1); val m2 = mOf(lat2)
+      (m1 * m1 - m2 * m2) / (qOf(lat2) - qOf(lat1))
+    }
+    val bigC: Double = { val m1 = mOf(lat1); m1 * m1 + n * qOf(lat1) }
+    val rho0: Double = a * StrictMath.sqrt(bigC - n * qOf(lat0)) / n
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -90.0 || lat > 90.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
+      val under = bigC - n * qOf(StrictMath.toRadians(lat))
+      if (under < 0) throw new IllegalArgumentException(
+        s"st_transform: latitude $lat is beyond the Albers cone's " +
+          "reach for these standard parallels")
+      val rho = a * StrictMath.sqrt(under) / n
+      val th = n * (StrictMath.toRadians(lon) - lon0)
+      (x0 + rho * StrictMath.sin(th), y0 + rho0 - rho * StrictMath.cos(th))
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      if (x.isNaN || y.isNaN || math.abs(x - x0) > 1.0e7 ||
+          math.abs(y - y0) > 1.0e7)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) outside the Albers plausible extent " +
+            "(1e7 m of the false origin)")
+      val dx = x - x0; val dy = rho0 - (y - y0)
+      val rho = math.signum(n) * StrictMath.hypot(dx, dy)
+      val th = StrictMath.atan2(dx, dy)
+      val qPrime = (bigC - (rho * n / a) * (rho * n / a)) / n
+      val lonDeg = StrictMath.toDegrees(th / n + lon0)
+      if (lonDeg < -180.0 || lonDeg > 180.0)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) is beyond the Albers cone " +
+            s"(unwraps to longitude $lonDeg) — not a valid projected point")
+      // Snyder 3-16: authalic → geodetic, fixed-count iteration
+      var phi = StrictMath.asin(qPrime / 2)
+      var i = 0
+      while (i < 9) {
+        val s = StrictMath.sin(phi)
+        val one = 1 - e2 * s * s
+        phi = phi + one * one / (2 * StrictMath.cos(phi)) * (
+          qPrime / (1 - e2) - s / one +
+            (1 / (2 * e)) * StrictMath.log((1 - e * s) / (1 + e * s)))
+        i += 1
+      }
+      if (phi.isNaN) throw new IllegalArgumentException(
+        s"st_transform: ($x, $y) does not invert to a geodetic " +
+          "latitude under this Albers cone")
+      (lonDeg, StrictMath.toDegrees(phi))
+    }
+  }
+
+  // ------------------------------- parameterized CRS registry (r16)
+  // The reference reaches arbitrary EPSG codes through geodatafusion
+  // (beacon-functions/src/lib.rs:31). Graft drives its four projection
+  // kernels (tmerc / lcc / laea / aea — which between them cover the
+  // overwhelming majority of projected national grids) from PARAMETER
+  // ROWS: the named registries above are the seed rows, and any other
+  // EPSG code registers at runtime from its published parameters — a
+  // data row, not a code change.
+
+  /** runtime-registered CRS rows (srid → projection) */
+  private val dynamicCrs =
+    new java.util.concurrent.ConcurrentHashMap[Int, Proj]()
+
+  /** Register a projected CRS from its published EPSG parameters.
+    * `family`: tmerc | lcc | laea | aea. Angles in DEGREES (as EPSG
+    * publishes them); `a` meters; `rf` the inverse flattening 1/f.
+    * Keys (PROJ naming): lat_0, lon_0, k_0 (tmerc only), lat_1, lat_2
+    * (conics), x_0, y_0. Re-registering the same srid with identical
+    * parameters is a no-op; a conflicting redefinition raises. */
+  def registerCrs(srid: Int, family: String, p: Map[String, Double]): Unit = {
+    def need(k: String): Double = p.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"register_crs EPSG:$srid ($family): missing parameter '$k'"))
+    def opt(k: String, d: Double): Double = p.getOrElse(k, d)
+    val a = need("a"); val rf = need("rf")
+    require(a > 0 && rf > 1, s"register_crs EPSG:$srid: a and rf must " +
+      s"be positive (a=$a, rf=$rf)")
+    val f = 1.0 / rf
+    val proj: Proj = family match {
+      case "tmerc" => Tm(a, f, StrictMath.toRadians(need("lat_0")),
+        StrictMath.toRadians(need("lon_0")), opt("k_0", 1.0),
+        opt("x_0", 0.0), opt("y_0", 0.0), extentName = s"EPSG:$srid")
+      case "lcc" => Lcc(a, f, StrictMath.toRadians(need("lat_0")),
+        StrictMath.toRadians(need("lon_0")),
+        StrictMath.toRadians(need("lat_1")),
+        StrictMath.toRadians(need("lat_2")), opt("x_0", 0.0), opt("y_0", 0.0))
+      case "laea" => Laea(a, f, StrictMath.toRadians(need("lat_0")),
+        StrictMath.toRadians(need("lon_0")), opt("x_0", 0.0), opt("y_0", 0.0))
+      case "aea" => Aea(a, f, StrictMath.toRadians(need("lat_0")),
+        StrictMath.toRadians(need("lon_0")),
+        StrictMath.toRadians(need("lat_1")),
+        StrictMath.toRadians(need("lat_2")), opt("x_0", 0.0), opt("y_0", 0.0))
+      case other => throw new IllegalArgumentException(
+        s"register_crs EPSG:$srid: unknown family '$other' " +
+          "(tmerc|lcc|laea|aea)")
+    }
+    crsOf(srid) match {
+      case Some(existing) if existing == proj => () // idempotent
+      case Some(existing) => throw new IllegalArgumentException(
+        s"register_crs: EPSG:$srid is already defined as $existing — " +
+          "refusing a conflicting redefinition")
+      case None => dynamicCrs.put(srid, proj)
+    }
+  }
+
+  /** resolve a projected SRID: UTM range → the shared TM kernel rows,
+    * then the seed registries, then runtime registrations */
+  def crsOf(srid: Int): Option[Proj] =
+    utmOf(srid).map { case (z, s) => utmProj(if (s) 60 + z - 1 else z - 1) }
+      .orElse(LccRegistry.get(srid))
+      .orElse(LaeaRegistry.get(srid))
+      .orElse(Option(dynamicCrs.get(srid)))
+
   /** st_transform(wkt, from_srid, to_srid) — every coordinate of the
-    * geometry reprojected; 4326↔3857 (spherical Web Mercator) and
-    * 4326↔UTM (EPSG:32601-60 north, 32701-60 south; WGS84 transverse
-    * Mercator) supported, same-SRID identity */
-  def stTransform(wkt: String, from: Int, to: Int): String = {
+    * geometry reprojected; 4326↔3857 (spherical Web Mercator),
+    * 4326↔UTM (EPSG:32601-60 north, 32701-60 south), the seed
+    * parameter rows (EPSG:2154 LCC, EPSG:3035 LAEA) and every
+    * [[registerCrs]]-registered row supported; same-SRID identity. */
+  def stTransform(wkt: String, from: Int, to: Int): String =
+    stTransformPinned(wkt, from, to, null)
+
+  /** [[stTransform]] with plan-pinned dynamic rows: an expression that
+    * resolved its foldable SRIDs on the driver carries (srid, proj)
+    * pairs, so runtime registrations reach every executor inside the
+    * serialized plan instead of relying on a driver-local map. */
+  def stTransformPinned(wkt: String, from: Int, to: Int,
+      pinned: Array[(Int, Proj)]): String = {
+    def resolve(srid: Int): Option[Proj] = {
+      var i = 0
+      if (pinned != null) while (i < pinned.length) {
+        if (pinned(i)._1 == srid) return Some(pinned(i)._2)
+        i += 1
+      }
+      crsOf(srid)
+    }
     val g = parseWktCached(wkt)
     (from, to) match {
       case (a, b) if a == b => wkt
       case (4326, 3857) => toWkt(mapCoords(g, fwdMercator))
       case (3857, 4326) => toWkt(mapCoords(g, invMercator))
-      case (4326, u) if utmOf(u).isDefined =>
-        val (z, s) = utmOf(u).get
-        toWkt(mapCoords(g, fwdUtm(z, s)))
-      case (u, 4326) if utmOf(u).isDefined =>
-        val (z, s) = utmOf(u).get
-        toWkt(mapCoords(g, invUtm(z, s)))
-      case (4326, l) if LccRegistry.contains(l) =>
-        toWkt(mapCoords(g, LccRegistry(l).fwd))
-      case (l, 4326) if LccRegistry.contains(l) =>
-        toWkt(mapCoords(g, LccRegistry(l).inv))
-      case (4326, l) if LaeaRegistry.contains(l) =>
-        toWkt(mapCoords(g, LaeaRegistry(l).fwd))
-      case (l, 4326) if LaeaRegistry.contains(l) =>
-        toWkt(mapCoords(g, LaeaRegistry(l).inv))
+      case (4326, s) if resolve(s).isDefined =>
+        toWkt(mapCoords(g, resolve(s).get.fwd))
+      case (s, 4326) if resolve(s).isDefined =>
+        toWkt(mapCoords(g, resolve(s).get.inv))
       case _ =>
-        val named = (LccRegistry.keys ++ LaeaRegistry.keys).toSeq.sorted
+        val named = (LccRegistry.keys ++ LaeaRegistry.keys ++
+          dynamicCrs.keySet().asScala.map(_.toInt)).toSeq.sorted
         throw new IllegalArgumentException(
           s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
             "(4326↔3857, 4326↔UTM 326xx/327xx, and 4326↔" +
-            s"{${named.mkString(",")}} supported)")
+            s"{${named.mkString(",")}} supported; register_crs adds " +
+            "tmerc/lcc/laea/aea parameter rows)")
     }
   }
 }

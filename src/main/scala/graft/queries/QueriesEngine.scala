@@ -894,6 +894,57 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- parameter-row CRS registry (r16): two CRSs that are NOT in
+    // any named registry — EPSG:27700 (British National Grid: tmerc on
+    // Airy 1830 with a non-equatorial origin and negative false
+    // northing) and EPSG:5070 (NAD83 / CONUS Albers: the aea family) —
+    // registered at query time from their published EPSG parameters.
+    // The oracle replays both forward series (Snyder 8-9..8-17 with
+    // the M(lat0) offset; 14-1..14-4 + the authalic q) as raw SQL
+    // arithmetic; the inverse legs round-trip through the engine.
+    "q_geo_transform_custom" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.{Geo, GeoExprs}
+      Geo.registerCrs(27700, "tmerc", Map(
+        "a" -> 6377563.396, "rf" -> 299.3249646, "lat_0" -> 49.0,
+        "lon_0" -> -2.0, "k_0" -> 0.9996012717,
+        "x_0" -> 400000.0, "y_0" -> -100000.0))
+      Geo.registerCrs(5070, "aea", Map(
+        "a" -> 6378137.0, "rf" -> 298.257222101, "lat_0" -> 23.0,
+        "lon_0" -> -96.0, "lat_1" -> 29.5, "lat_2" -> 45.5,
+        "x_0" -> 0.0, "y_0" -> 0.0))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lonGb = $"n_nationkey" % 7 - 5
+      val latGb = $"n_nationkey" % 10 + 50
+      val lonUs = -($"n_nationkey" % 15 + 89)
+      val latUs = $"n_nationkey" % 20 + 25
+      val ptGb = concat(lit("POINT ("), d(lonGb), lit(" "), d(latGb), lit(")"))
+      val ptUs = concat(lit("POINT ("), d(lonUs), lit(" "), d(latUs), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(ptGb, lit(4326), lit(27700)).as("gb"),
+          GeoExprs.st_transform(ptUs, lit(4326), lit(5070)).as("us"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"gb"), 3).as("easting_gb"),
+          round(GeoExprs.st_y($"gb"), 3).as("northing_gb"),
+          round(GeoExprs.st_x($"us"), 3).as("easting_us"),
+          round(GeoExprs.st_y($"us"), 3).as("northing_us"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"gb", lit(27700), lit(4326))), 5)
+            .as("back_lon_gb"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"gb", lit(27700), lit(4326))), 5)
+            .as("back_lat_gb"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"us", lit(5070), lit(4326))), 5)
+            .as("back_lon_us"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"us", lit(5070), lit(4326))), 5)
+            .as("back_lat_us"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- Lambert-93 (late r15): the LCC-2SP forward (Snyder ch. 15)
     // replayed by the oracle as SQL arithmetic (power/ln/tan); the
     // inverse leg (iterative latitude recovery) round-trips through
@@ -1626,6 +1677,77 @@ object QueriesEngine {
              AS northing_s,
            round(lon, 5) AS back_lon,
            round(lat, 5) AS back_lat
+         FROM leg
+         ORDER BY n_nationkey""",
+    // r16 parameter-row registry: the OSGB36 tmerc forward (M(lat0)
+    // offset, negative false northing) and the CONUS Albers forward
+    // (authalic q, Snyder 14-1..14-4) as raw SQL arithmetic; inverse
+    // legs round-trip through the engine back onto the fixture points
+    "q_geo_transform_custom" ->
+      """WITH src AS (SELECT n_nationkey,
+             CAST(n_nationkey % 7 - 5 AS DOUBLE) AS lon_gb,
+             CAST(n_nationkey % 10 + 50 AS DOUBLE) AS lat_gb,
+             CAST(-(n_nationkey % 15 + 89) AS DOUBLE) AS lon_us,
+             CAST(n_nationkey % 20 + 25 AS DOUBLE) AS lat_us
+           FROM nation),
+         gbc AS (SELECT 6377563.396 AS a,
+             (1.0/299.3249646) * (2 - 1.0/299.3249646) AS e2,
+             radians(-2.0) AS lam0, 0.9996012717 AS k0),
+         gbc2 AS (SELECT *, e2/(1-e2) AS ep2,
+             a*((1-e2/4-3*e2*e2/64-5*e2*e2*e2/256)*radians(49.0)
+               - (3*e2/8+3*e2*e2/32+45*e2*e2*e2/1024)*sin(2*radians(49.0))
+               + (15*e2*e2/256+45*e2*e2*e2/1024)*sin(4*radians(49.0))
+               - (35*e2*e2*e2/3072)*sin(6*radians(49.0))) AS m0
+           FROM gbc),
+         usc AS (SELECT 6378137.0 AS ua,
+             (1.0/298.257222101) * (2 - 1.0/298.257222101) AS ue2,
+             sqrt((1.0/298.257222101) * (2 - 1.0/298.257222101)) AS ue),
+         usc2 AS (SELECT *,
+             cos(radians(29.5))/sqrt(1-ue2*sin(radians(29.5))*sin(radians(29.5))) AS m1,
+             cos(radians(45.5))/sqrt(1-ue2*sin(radians(45.5))*sin(radians(45.5))) AS m2,
+             (1-ue2)*(sin(radians(29.5))/(1-ue2*sin(radians(29.5))*sin(radians(29.5)))
+               - (1/(2*ue))*ln((1-ue*sin(radians(29.5)))/(1+ue*sin(radians(29.5))))) AS q1,
+             (1-ue2)*(sin(radians(45.5))/(1-ue2*sin(radians(45.5))*sin(radians(45.5)))
+               - (1/(2*ue))*ln((1-ue*sin(radians(45.5)))/(1+ue*sin(radians(45.5))))) AS q2,
+             (1-ue2)*(sin(radians(23.0))/(1-ue2*sin(radians(23.0))*sin(radians(23.0)))
+               - (1/(2*ue))*ln((1-ue*sin(radians(23.0)))/(1+ue*sin(radians(23.0))))) AS q0
+           FROM usc),
+         usc3 AS (SELECT *, (m1*m1 - m2*m2)/(q2 - q1) AS nc FROM usc2),
+         usc4 AS (SELECT *, m1*m1 + nc*q1 AS bigc FROM usc3),
+         usc5 AS (SELECT *, ua*sqrt(bigc - nc*q0)/nc AS rho0 FROM usc4),
+         leg AS (SELECT s.n_nationkey, s.lon_gb, s.lat_gb, s.lon_us, s.lat_us,
+             g.e2, g.ep2, g.k0, g.m0,
+             radians(s.lat_gb) AS phi,
+             g.a/sqrt(1-g.e2*sin(radians(s.lat_gb))*sin(radians(s.lat_gb))) AS nn,
+             tan(radians(s.lat_gb))*tan(radians(s.lat_gb)) AS t,
+             g.ep2*cos(radians(s.lat_gb))*cos(radians(s.lat_gb)) AS c,
+             (radians(s.lon_gb)-g.lam0)*cos(radians(s.lat_gb)) AS aa,
+             g.a*((1-g.e2/4-3*g.e2*g.e2/64-5*g.e2*g.e2*g.e2/256)*radians(s.lat_gb)
+               - (3*g.e2/8+3*g.e2*g.e2/32+45*g.e2*g.e2*g.e2/1024)*sin(2*radians(s.lat_gb))
+               + (15*g.e2*g.e2/256+45*g.e2*g.e2*g.e2/1024)*sin(4*radians(s.lat_gb))
+               - (35*g.e2*g.e2*g.e2/3072)*sin(6*radians(s.lat_gb))) AS m,
+             tan(radians(s.lat_gb)) AS tanp,
+             u.ua, u.nc, u.bigc, u.rho0,
+             u.ua*sqrt(u.bigc - u.nc*((1-u.ue2)*(sin(radians(s.lat_us))
+                 /(1-u.ue2*sin(radians(s.lat_us))*sin(radians(s.lat_us)))
+               - (1/(2*u.ue))*ln((1-u.ue*sin(radians(s.lat_us)))
+                                 /(1+u.ue*sin(radians(s.lat_us)))))))/u.nc AS rho,
+             u.nc*(radians(s.lon_us) - radians(-96.0)) AS th
+           FROM src s, gbc2 g, usc5 u)
+         SELECT n_nationkey,
+           round(k0*nn*(aa + (1-t+c)*aa*aa*aa/6
+             + (5-18*t+t*t+72*c-58*ep2)*aa*aa*aa*aa*aa/120) + 400000.0, 3)
+             AS easting_gb,
+           round(k0*(m - m0 + nn*tanp*(aa*aa/2
+             + (5-t+9*c+4*c*c)*aa*aa*aa*aa/24
+             + (61-58*t+t*t+600*c-330*ep2)*aa*aa*aa*aa*aa*aa/720))
+             + (-100000.0), 3) AS northing_gb,
+           round(rho*sin(th), 3) AS easting_us,
+           round(rho0 - rho*cos(th), 3) AS northing_us,
+           round(lon_gb, 5) AS back_lon_gb,
+           round(lat_gb, 5) AS back_lat_gb,
+           round(lon_us, 5) AS back_lon_us,
+           round(lat_us, 5) AS back_lat_us
          FROM leg
          ORDER BY n_nationkey""",
     // the LAEA forward (authalic latitude, oblique azimuthal) as SQL

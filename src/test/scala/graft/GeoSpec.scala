@@ -1308,6 +1308,88 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("parameterized CRS registry (r16): tmerc/aea rows register, pin " +
+      "their false origins, round-trip, and guard their domains loudly") {
+    // EPSG:27700 — British National Grid: tmerc, Airy 1830, origin
+    // (49°N, 2°W), k0 0.9996012717, false origin (400000, -100000)
+    Geo.registerCrs(27700, "tmerc", Map(
+      "a" -> 6377563.396, "rf" -> 299.3249646, "lat_0" -> 49.0,
+      "lon_0" -> -2.0, "k_0" -> 0.9996012717,
+      "x_0" -> 400000.0, "y_0" -> -100000.0))
+    // EPSG:5070 — NAD83 / CONUS Albers: aea, GRS80, origin (23°N, 96°W)
+    Geo.registerCrs(5070, "aea", Map(
+      "a" -> 6378137.0, "rf" -> 298.257222101, "lat_0" -> 23.0,
+      "lon_0" -> -96.0, "lat_1" -> 29.5, "lat_2" -> 45.5,
+      "x_0" -> 0.0, "y_0" -> 0.0))
+    // the projection origin maps EXACTLY onto the false origin
+    val o = Geo.parseWkt(Geo.stTransform("POINT (-2 49)", 4326, 27700))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(o.x - 400000.0) < 1e-6 && math.abs(o.y + 100000.0) < 1e-6,
+      s"(${o.x}, ${o.y})")
+    val u = Geo.parseWkt(Geo.stTransform("POINT (-96 23)", 4326, 5070))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(u.x) < 1e-6 && math.abs(u.y) < 1e-6, s"(${u.x}, ${u.y})")
+    // round-trip closure across each CRS's service area
+    for (lon <- -7 to 1; lat <- 50 to 60) {
+      val back = Geo.parseWkt(Geo.stTransform(
+        Geo.stTransform(s"POINT ($lon $lat)", 4326, 27700), 27700, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      // Snyder-series truncation closure: <2e-7° even 5° off the
+      // meridian on Airy 1830 — pin at 1e-6 (~10 cm)
+      assert(math.abs(back.x - lon) < 1e-6 && math.abs(back.y - lat) < 1e-6,
+        s"27700 round-trip drifted at ($lon, $lat): (${back.x}, ${back.y})")
+    }
+    for (lon <- -124 to -68 by 7; lat <- 25 to 49 by 4) {
+      val back = Geo.parseWkt(Geo.stTransform(
+        Geo.stTransform(s"POINT ($lon $lat)", 4326, 5070), 5070, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(back.x - lon) < 1e-7 && math.abs(back.y - lat) < 1e-7,
+        s"5070 round-trip drifted at ($lon, $lat): (${back.x}, ${back.y})")
+    }
+    // Albers is equal-area: a 1°×1° cell at 45°N projects to ~cos-
+    // weighted area; sanity-pin monotonicity instead of exact area —
+    // northing increases with latitude along the central meridian
+    val y30 = Geo.parseWkt(Geo.stTransform("POINT (-96 30)", 4326, 5070))
+      .asInstanceOf[Geo.PointGeom].y
+    val y45 = Geo.parseWkt(Geo.stTransform("POINT (-96 45)", 4326, 5070))
+      .asInstanceOf[Geo.PointGeom].y
+    assert(y30 > 0 && y45 > y30)
+    // idempotent re-registration; conflicting redefinition raises
+    Geo.registerCrs(27700, "tmerc", Map(
+      "a" -> 6377563.396, "rf" -> 299.3249646, "lat_0" -> 49.0,
+      "lon_0" -> -2.0, "k_0" -> 0.9996012717,
+      "x_0" -> 400000.0, "y_0" -> -100000.0))
+    val conflict = intercept[IllegalArgumentException] {
+      Geo.registerCrs(27700, "tmerc", Map(
+        "a" -> 6377563.396, "rf" -> 299.3249646, "lat_0" -> 49.0,
+        "lon_0" -> -2.0, "k_0" -> 1.0, "x_0" -> 0.0, "y_0" -> 0.0))
+    }
+    assert(conflict.getMessage.contains("conflicting redefinition"))
+    // a builtin row cannot be shadowed either
+    val shadow = intercept[IllegalArgumentException] {
+      Geo.registerCrs(2154, "laea", Map("a" -> 6378137.0,
+        "rf" -> 298.257222101, "lat_0" -> 52.0, "lon_0" -> 10.0))
+    }
+    assert(shadow.getMessage.contains("conflicting redefinition"))
+    // unknown family / missing parameter raise with names
+    assert(intercept[IllegalArgumentException] {
+      Geo.registerCrs(9999, "mercator", Map("a" -> 1.0, "rf" -> 300.0))
+    }.getMessage.contains("unknown family"))
+    assert(intercept[IllegalArgumentException] {
+      Geo.registerCrs(9999, "tmerc", Map("a" -> 6378137.0, "rf" -> 300.0))
+    }.getMessage.contains("missing parameter 'lat_0'"))
+    // ADVICE r15: the TM forward now guards distance from the central
+    // meridian — a point 40° away raises instead of emitting garbage
+    val far = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (38 55)", 4326, 27700)
+    }
+    assert(far.getMessage.contains("central meridian"), far.getMessage)
+    val farUtm = intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (120 10)", 4326, 32633) // zone 33 CM = 15°E
+    }
+    assert(farUtm.getMessage.contains("central meridian"), farUtm.getMessage)
+  }
+
   test("st_within_point is codegen-native (r16): generated == interpreted, " +
       "literal geometry parsed once, plan stays in WholeStageCodegen") {
     val spark = GraftSession.build("local[2]", 2)
