@@ -3169,16 +3169,14 @@ object QueriesData {
 
   /** Per-stage wall timings of the FineWeb recipe for [[graft.Bench]]
     * (the north-star path must regress visibly per-stage, not only via
-    * the aggregate): stage k's time = cumulative time of the (k+1)-
-    * stage prefix minus the k-stage prefix, each prefix materialized
-    * through the noop sink. Each prefix is timed TWICE and the min
-    * taken before differencing — a single-run prefix ladder lets
-    * first-run warmup (codegen, shuffle service spin-up) land in
-    * whichever stage ran first and clamp later real regressions to 0
-    * (observed r12→r13: a 6-second tokenize stage reported as 0.0).
-    * Min-of-2 makes each prefix time a stable floor, so the deltas
-    * attribute to the right stage. Residual negative deltas (noise)
-    * still clamp to 0. */
+    * the aggregate). r16: each stage is timed on ITS OWN ACTION — the
+    * previous stages' output is materialized to parquet once, then the
+    * single stage runs over that input through the noop sink (min of
+    * 2 runs, warmup absorbed per stage). The r13 prefix-delta scheme
+    * systematically read 0.0 for late stages: cumulative-prefix mins
+    * clamp any stage whose (k+1)-prefix min happens to beat the
+    * k-prefix min — the `pack` stage reported 0.0 for two straight
+    * rounds. Per-stage actions cannot cancel each other. */
   private[graft] def fineWebStageTimings(s: SparkSession,
       dir: String): Seq[(String, Double)] = {
     import org.json4s._
@@ -3187,24 +3185,30 @@ object QueriesData {
       case JArray(xs) => xs
       case other => throw new IllegalStateException(s"bad fineWebSpec: $other")
     }
-    var prev = 0.0
-    stages.zipWithIndex.map { case (st, i) =>
+    val work = java.nio.file.Files.createTempDirectory("fwstages")
+    var cur: DataFrame = fineWebSeed(s, dir)
+    val out = stages.zipWithIndex.map { case (st, i) =>
       val op = (st \ "op") match {
         case JString(o) => o
         case other => throw new IllegalStateException(s"stage without op: $other")
       }
-      val spec = JsonMethods.compact(
-        JObject("stages" -> JArray(stages.take(i + 1))))
+      val spec = JsonMethods.compact(JObject("stages" -> JArray(List(st))))
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        graft.dsl.CuratePipeline.compile(fineWebSeed(s, dir), spec)
+        graft.dsl.CuratePipeline.compile(cur, spec)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
-      val delta = math.max(0.0, t - prev)
-      prev = t
-      (op, delta)
+      // materialize this stage's output as the next stage's input
+      if (i < stages.length - 1) {
+        val p = work.resolve(s"stage_$i").toString
+        graft.dsl.CuratePipeline.compile(cur, spec)
+          .write.mode("overwrite").parquet(p)
+        cur = s.read.parquet(p)
+      }
+      (op, t)
     }
+    out
   }
 
   /** the 11 post-seed stage CTEs, over whatever `seedCte` defines as
