@@ -697,13 +697,20 @@ object CuratePipeline {
             }
           case "unigram" =>
             // `pieces` here are [piece, integer-log-prob-weight] pairs
-            // (the artifact Unigram.train ships); `unk` is the OOV
-            // floor a single out-of-vocab character scores — default
-            // −10·10⁹, i.e. ln p ≈ −10 at the trainer's 1e9 scale
-            val weighted = weightedPiecesOf(st)
+            // (the artifact Unigram.train ships); `unk` is what a
+            // single out-of-vocab character scores — ln p ≈ −10, IN
+            // THE VOCABULARY'S UNITS (r16, ADVICE r15): −10·10⁹ at the
+            // trainer's 1e9 scale, −10·10⁶ when pieces_path loaded a
+            // published float-score .vocab (quantized at 1e6/nat). A
+            // same-number default across scales would make unk 1000×
+            // too negative for float vocabs and flip Viterbi wherever
+            // an in-vocab piece covering an OOV char competes with
+            // segmenting around it.
+            val (weighted, floatScaled) = weightedPiecesOf(st)
             val unk = st \ "unk" match {
               case JInt(i) => i.toLong
-              case JNothing => -10000000000L
+              case JNothing =>
+                if (floatScaled) -10L * 1000000L else -10000000000L
               case other =>
                 throw new DslException(s"'unk' must be an integer, got $other")
             }
@@ -764,19 +771,20 @@ object CuratePipeline {
     * line per entry, `#` comments) read through the ByteStore seam so
     * trained vocabs can live on the object store next to the data (the
     * [[mergesOf]] `merges_path` contract, for the unigram family) */
-  private def weightedPiecesOf(st: JValue): Seq[(String, Long)] =
+  private def weightedPiecesOf(st: JValue): (Seq[(String, Long)], Boolean) =
     (st \ "pieces", st \ "pieces_path") match {
-      case (JArray(xs), JNothing) if xs.nonEmpty => xs.map {
+      case (JArray(xs), JNothing) if xs.nonEmpty => (xs.map {
         case JArray(List(JString(p), JInt(w))) => (p, w.toLong)
         case other => throw new DslException(
           s"each unigram piece must be a [piece, integer-weight] pair: $other")
-      }
+      }, false)
       case (JNothing, JString(path)) =>
         // r15: accepts the engine's own piece<TAB>integer-weight
         // format AND the published SentencePiece .vocab text format
         // (float scores, ▁ markers, control rows) — the documented
-        // projection in [[graft.operators.Unigram.parseVocabArtifact]]
-        try graft.operators.Unigram.readVocab(path)
+        // projection in [[graft.operators.Unigram.parseVocabArtifact]];
+        // the flag says which scale the weights landed on (r16)
+        try graft.operators.Unigram.readVocabScaled(path)
         catch {
           case e: IllegalArgumentException =>
             throw new DslException(

@@ -221,7 +221,17 @@ object Unigram {
     *    vocabs that score a piece differently word-initially vs
     *    word-internally collapse to the optimistic variant. */
   def parseVocabArtifact(content: String,
-      floatScale: Long = 1000000L): Seq[(String, Long)] = {
+      floatScale: Long = 1000000L): Seq[(String, Long)] =
+    parseVocabArtifactScaled(content, floatScale)._1
+
+  /** [[parseVocabArtifact]] plus the SCALE FACT (r16, ADVICE r15): the
+    * returned flag is true when the file carried float log-prob scores
+    * and the weights were quantized at `floatScale` units per nat —
+    * callers deriving a default unk score MUST derive it in the file's
+    * units (−10 nats is −10·floatScale here, not the trainer's
+    * −10·10⁹), or OOV competition flips against every piece. */
+  def parseVocabArtifactScaled(content: String,
+      floatScale: Long = 1000000L): (Seq[(String, Long)], Boolean) = {
     val marker = '▁'
     val intRe = "-?\\d+"
     val floatRe = "-?\\d*\\.\\d+([eE]-?\\d+)?"
@@ -266,13 +276,18 @@ object Unigram {
       (p, ws.map(_._2).max)
     }.toSeq.sortBy(_._1)
     require(merged.nonEmpty, "vocab artifact has no usable pieces")
-    merged
+    (merged, anyFloat)
   }
 
   /** read a vocab artifact ([[parseVocabArtifact]] formats) through
     * the ByteStore seam */
   def readVocab(path: String): Seq[(String, Long)] =
     parseVocabArtifact(graft.sources.io.ByteStore.readString(path))
+
+  /** [[readVocab]] plus the float-scale flag (see
+    * [[parseVocabArtifactScaled]]) */
+  def readVocabScaled(path: String): (Seq[(String, Long)], Boolean) =
+    parseVocabArtifactScaled(graft.sources.io.ByteStore.readString(path))
 
   /** Encode every document against a fixed integer-weighted vocab:
     * map-only Viterbi, one codegen kernel call per row; a single char

@@ -154,6 +154,43 @@ class ByteBpeSpec extends AnyFunSuite {
       "- the vocab remap is being inlined child-per-id")
   }
 
+  test("unigram pieces_path float .vocab: default unk lands in the FILE's " +
+      "units (r16) — OOV competition is no longer 1000× distorted") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ugunk")
+    // float scores → weights quantize at 1e6/nat: a = −2, aza = −18
+    java.nio.file.Files.writeString(tmp.resolve("f.vocab"),
+      "<unk>\t0.0\na\t-2.0\naza\t-18.0\n")
+    val df = Seq((1L, "aza")).toDF("doc_id", "text")
+    def toks(extra: String): Long = graft.dsl.CuratePipeline.compile(df,
+      s"""{"stages": [{"op": "tokenize", "algo": "unigram",
+           "pieces_path": "${tmp.resolve("f.vocab")}"$extra}]}""")
+      .collect()(0).getAs[Long]("n_ug_tokens")
+    // default unk = −10 nats in FILE units (−10e6): the a|z|a path
+    // scores −2−10−2 = −14 nats, beating the terrible −18 piece —
+    // SentencePiece's semantics (unk is a rare-piece score, not a
+    // lexicographic floor)
+    assert(toks("") == 3L)
+    // the old cross-scale default (−10·10⁹ = −10000 nats here) made
+    // any OOV path unbeatable and flipped this word to the one piece;
+    // an EXPLICIT unk is still honored verbatim
+    assert(toks(""", "unk": -10000000000""") == 1L)
+    // trainer-scale integer artifacts keep the trainer default: same
+    // shape at 1e9 units per nat — piece −18e9, char −2e9, unk −10e9
+    java.nio.file.Files.writeString(tmp.resolve("i.vocab"),
+      "a\t-2000000000\naza\t-18000000000\n")
+    val intToks = graft.dsl.CuratePipeline.compile(df,
+      s"""{"stages": [{"op": "tokenize", "algo": "unigram",
+           "pieces_path": "${tmp.resolve("i.vocab")}"}]}""")
+      .collect()(0).getAs[Long]("n_ug_tokens")
+    assert(intToks == 3L)
+    // and the scale flag itself
+    assert(graft.operators.Unigram.readVocabScaled(
+      tmp.resolve("f.vocab").toString)._2)
+    assert(!graft.operators.Unigram.readVocabScaled(
+      tmp.resolve("i.vocab").toString)._2)
+  }
+
   test("byte-bpe: merge replay is symbol-boundary-aware (r16): a pattern " +
       "never fires inside a longer right symbol; repeats reach fixpoint") {
     import spark.implicits._
