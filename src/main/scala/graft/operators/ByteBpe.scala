@@ -35,11 +35,21 @@ object ByteBpe {
   def preTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     ByteBpeExprs.gpt2_split(text)
 
+  /** Default trainer ceiling for the byte path, in MAPPED BYTES — the
+    * unit the symbol arrays and merge rounds actually pay for. 4× the
+    * char path's 64 (r16, ADVICE r15): non-ASCII text multiplies its
+    * byte length (a CJK char is ~3 mapped bytes, so 64 MAPPED bytes is
+    * only ~21 CJK chars — an ordinary sentence fragment, not a
+    * pathological token). 256 mapped bytes keeps the straggler
+    * protection (≈256-char ASCII / ~85-char CJK unbroken token) while
+    * no longer hard-failing trainers on normal CJK corpora. */
+  val MaxMappedByteLen: Int = 256
+
   /** distinct pre-token symbol table: (cnt, syms) where syms are the
     * piece's MAPPED BYTES as single chars. One explode + one count
     * shuffle; the per-piece byte mapping runs once per DISTINCT piece. */
   def wordTable(df: DataFrame, textCol: String,
-      maxWordLen: Int = Bpe.MaxWordLen): DataFrame =
+      maxWordLen: Int = MaxMappedByteLen): DataFrame =
     df.select(explode(ByteBpeExprs.gpt2_split(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("bw", ByteBpeExprs.bytes_to_unicode(col("w")))

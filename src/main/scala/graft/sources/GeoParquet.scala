@@ -230,11 +230,13 @@ object GeoParquet {
   }
 
   /** The `geo` metadata JSON (GeoParquet 1.1 shape with the bbox
-    * covering declaration), emitted as a `_geo.json` SIDECAR in the
-    * output directory: Spark's parquet writer exposes no public hook
-    * for custom footer key-value metadata, so the sidecar carries the
-    * same JSON a footer `geo` key would — [[geometryColumns]] checks
-    * the footer first (foreign writers), then the sidecar (ours).
+    * covering declaration). Spark's parquet writer exposes no public
+    * hook for custom footer key-value metadata, so the writer (r16)
+    * REWRITES each part file's footer after the fact to add the spec's
+    * `geo` key — external GeoParquet readers recognize the output —
+    * and still drops the `_geo.json` SIDECAR with the same JSON for
+    * transports where an in-place tail rewrite isn't possible.
+    * [[geometryColumns]] checks the footer first, then the sidecar.
     * Underscore-prefixed files are invisible to parquet scans. */
   private[graft] val geoMetadataJson: String =
     """{"version":"1.1.0","primary_column":"geometry","columns":{""" +
@@ -242,9 +244,86 @@ object GeoParquet {
       """"covering":{"bbox":{"xmin":["bbox_xmin"],"ymin":["bbox_ymin"],""" +
       """"xmax":["bbox_xmax"],"ymax":["bbox_ymax"]}}}}}"""
 
-  private def writeGeoSidecar(path: String): Unit =
+  private def writeGeoSidecar(path: String): Unit = {
     graft.sources.io.ByteStore.writeString(
       s"${path.stripSuffix("/")}/_geo.json", geoMetadataJson)
+    addFooterGeoKey(path)
+  }
+
+  /** Stamp the GeoParquet `geo` key into every part file's footer
+    * key-value metadata, in place. A parquet file is
+    * [data][footer thrift][4-byte LE footer length][PAR1]; the footer
+    * holds absolute offsets into the data section, so replacing only
+    * the tail — same FileMetaData with one extra KV pair — leaves
+    * every row group, page, and offset valid. Local filesystem only
+    * (an object store can't rewrite a tail in place; the sidecar
+    * covers those transports). Failures degrade to sidecar-only
+    * output rather than failing the write. */
+  private[graft] def addFooterGeoKey(path: String): Unit = {
+    val dir = new java.io.File(
+      path.stripPrefix("file:").stripSuffix("/"))
+    if (!dir.isDirectory) return
+    dir.listFiles().filter { f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")
+    }.foreach { f =>
+      try {
+        rewriteFooterKv(f, "geo", geoMetadataJson)
+        // the Hadoop local FS checksum sidecar no longer matches the
+        // rewritten tail — drop it (checksums are a transport feature,
+        // not part of the parquet file)
+        val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[geoparquet] footer geo-key rewrite skipped for $f: " +
+            s"${e.getMessage} (sidecar still present)")
+      }
+    }
+  }
+
+  private def rewriteFooterKv(file: java.io.File, key: String,
+      value: String): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(file.getAbsolutePath)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val md = try reader.getFooter finally reader.close()
+    val old = md.getFileMetaData
+    if (old.getKeyValueMetaData.containsKey(key)) return // already stamped
+    val kv = new java.util.HashMap[String, String](old.getKeyValueMetaData)
+    kv.put(key, value)
+    val thrift = new ParquetMetadataConverter().toParquetMetadata(1,
+      new org.apache.parquet.hadoop.metadata.ParquetMetadata(
+        new org.apache.parquet.hadoop.metadata.FileMetaData(
+          old.getSchema, kv, old.getCreatedBy), md.getBlocks))
+    val bos = new java.io.ByteArrayOutputStream()
+    org.apache.parquet.format.Util.writeFileMetaData(thrift, bos)
+    val footer = bos.toByteArray
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    try {
+      val len = raf.length()
+      raf.seek(len - 8)
+      val b = new Array[Byte](4); raf.readFully(b)
+      val oldFooterLen = (b(0) & 0xff) | ((b(1) & 0xff) << 8) |
+        ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+      val magic = new Array[Byte](4); raf.readFully(magic)
+      require(new String(magic, "ASCII") == "PAR1",
+        s"not a parquet file: $file")
+      val footerStart = len - 8 - oldFooterLen
+      require(footerStart > 0, s"implausible footer length $oldFooterLen")
+      raf.seek(footerStart)
+      raf.write(footer)
+      raf.write(Array[Byte](
+        (footer.length & 0xff).toByte, ((footer.length >> 8) & 0xff).toByte,
+        ((footer.length >> 16) & 0xff).toByte,
+        ((footer.length >> 24) & 0xff).toByte))
+      raf.write("PAR1".getBytes("ASCII"))
+      raf.setLength(footerStart + footer.length + 8)
+    } finally raf.close()
+  }
 
   /** Spatially pruned read: drops files whose RECORDED bbox-column
     * ranges ([[graft.stats.FileStats]] registry at `statsDir`, built

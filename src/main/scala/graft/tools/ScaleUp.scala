@@ -47,6 +47,15 @@ object ScaleUp {
   }
 
   def scale(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    // copies must stay PAIRWISE text-distinct (the documented
+    // disjoint-shingles invariant) — a bare Caesar shift repeats every
+    // 26 copies, silently inflating cross-copy duplicate pairs
+    // quadratically; composing a digit rotation keeps 260 distinct
+    // copies, and beyond that we refuse loudly rather than lie
+    require(factor <= 260,
+      s"ScaleUp: factor $factor exceeds the 260 pairwise-distinct text " +
+        "transforms (26 letter shifts x 10 digit shifts) - copies would " +
+        "repeat and break the disjoint-shingles invariant")
     def tbl(name: String): DataFrame =
       graft.Tables.load(spark, src, name)
     def strideOf(df: DataFrame, key: String): Long =
@@ -66,8 +75,14 @@ object ScaleUp {
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rot(s: String, i: Int): String =
-      s.substring(i % 26) + s.substring(0, i % 26)
+    val digits = "0123456789"
+    def rot(s: String, k: Int): String = {
+      val j = k % s.length
+      s.substring(j) + s.substring(0, j)
+    }
+    def rotAll(i: Int): (String, String) =
+      (lower + upper + digits,
+        rot(lower, i) + rot(upper, i) + rot(digits, i / 26))
 
     def write(df: DataFrame, name: String, files: Int): Unit =
       df.repartition(files)
@@ -90,9 +105,9 @@ object ScaleUp {
       d.withColumn("event_id", col("event_id") + i * sE)
         .withColumn("user_id", col("user_id") + i * sU) }, "events", 8)
     write(copies(docs) { (d, i) =>
+      val (from, to) = rotAll(i)
       d.withColumn("doc_id", col("doc_id") + i * sD)
-        .withColumn("text",
-          translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i)))
+        .withColumn("text", translate(col("text"), from, to))
     }, "documents", 8)
     write(copies(emb) { (d, i) =>
       d.withColumn("vec_id", col("vec_id") + i * sV)

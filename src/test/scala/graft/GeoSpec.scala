@@ -1308,6 +1308,49 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("geoparquet writer stamps the spec's footer 'geo' key (r16): " +
+      "external readers see real GeoParquet; rows survive the rewrite") {
+    val spark = GraftSession.build("local[2]", 2)
+    import spark.implicits._
+    import graft.sources.GeoParquet
+    val out = java.nio.file.Files.createTempDirectory("gpq_footer").toString
+    val df = (1 to 500).map(i =>
+      (i.toLong, (i % 36) * 10.0 - 175.0, (i % 17) * 10.0 - 80.0))
+      .toDF("id", "lon", "lat")
+    GeoParquet.write(df, out, "lon", "lat")
+    // every part file's FOOTER carries the geo key — the GeoParquet
+    // spec's discovery mechanism, not our sidecar convention
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      val kv = try footer.getFooter.getFileMetaData.getKeyValueMetaData
+        finally footer.close()
+      val geo = kv.get("geo")
+      assert(geo != null && geo.contains("\"primary_column\":\"geometry\"") &&
+        geo.contains("covering"), s"footer geo key missing in $f")
+      // Spark's own schema KV survives the rewrite
+      assert(kv.containsKey("org.apache.spark.sql.parquet.row.metadata"))
+    }
+    // the tail rewrite preserves every row and the column values
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"bbox_xmin"))
+      .collect()(0).getDouble(0) ==
+      df.agg(org.apache.spark.sql.functions.sum($"lon")).collect()(0).getDouble(0))
+    // discovery works from the FOOTER ALONE: delete the sidecar
+    assert(new java.io.File(s"$out/_geo.json").delete())
+    assert(GeoParquet.geometryColumns(spark,
+      parts.head.getAbsolutePath) == Seq("geometry"))
+    // and the WKT bridge still reads geometry through the footer path
+    val wkt = GeoParquet.read(spark, Seq(out))
+    assert(wkt.columns.contains("geometry_wkt") && wkt.count() == 500)
+  }
+
   test("parameterized CRS registry (r16): tmerc/aea rows register, pin " +
       "their false origins, round-trip, and guard their domains loudly") {
     // EPSG:27700 — British National Grid: tmerc, Airy 1830, origin

@@ -1132,10 +1132,19 @@ class OperatorsSpec extends AnyFunSuite {
       Unigram.train(df, "text", vocabSize = 30)
     }
     assert(eUg.getMessage.contains("unigram trainer"), eUg.getMessage)
+    // byte path (r16): the ceiling is 256 MAPPED BYTES — the 156-byte
+    // blob passes (ordinary long token), a 312-byte one still raises
+    val okBb = ByteBpe.trainMerges(df, "text", nMerges = 1)
+    assert(okBb.count() == 1, "156 mapped bytes sits under the byte ceiling")
     val eBb = intercept[Exception] {
-      ByteBpe.trainMerges(df, "text", nMerges = 1)
+      ByteBpe.trainMerges(Seq(blob * 2).toDF("text"), "text", nMerges = 1)
     }
     assert(eBb.getMessage.contains("byte-bpe trainer"), eBb.getMessage)
+    // and a normal CJK sentence fragment (~26 chars ≈ 78 mapped bytes,
+    // which the old 64-byte default hard-failed) trains fine
+    val cjk = Seq("一丁丂七丄丅丆万" * 3 + "丈三",
+      "一丁 一丁").toDF("text")
+    assert(ByteBpe.trainMerges(cjk, "text", nMerges = 1).count() == 1)
     // wordpiece rides Bpe.wordTable → same gate
     val eWp = intercept[Exception] {
       Wordpiece.trainPieces(df, "text", nMerges = 1)

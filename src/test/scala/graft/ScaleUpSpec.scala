@@ -73,4 +73,31 @@ class ScaleUpSpec extends AnyFunSuite {
     // space — clean up instead of leaking them per run
     rmTree(out); rmTree(out2)
   }
+
+  test("scale-up: copy transforms stay pairwise distinct past 26 (digit " +
+      "rotation composes); factor > 260 refuses loudly (r16)") {
+    // copy 26 rotates digits instead of repeating copy 0's text — pin
+    // the transform directly (running a 27x generate here would be
+    // slow): letters identity at i = 26, digits shifted by 1
+    val text = "abc 123 XYZ"
+    def xlat(s: String, from: String, to: String): String =
+      s.map(c => { val j = from.indexOf(c); if (j >= 0) to(j) else c })
+    // reproduce rotAll's published contract
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase; val digits = "0123456789"
+    def rot(s: String, k: Int) = { val j = k % s.length
+      s.substring(j) + s.substring(0, j) }
+    val t0 = xlat(text, lower + upper + digits,
+      rot(lower, 0) + rot(upper, 0) + rot(digits, 0))
+    val t26 = xlat(text, lower + upper + digits,
+      rot(lower, 26) + rot(upper, 26) + rot(digits, 26 / 26))
+    assert(t0 == text)
+    assert(t26 == "abc 234 XYZ", t26) // distinct from copy 0
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.ScaleUp.scale(spark, sf,
+        java.nio.file.Files.createTempDirectory("graft-scaleup-reject")
+          .toString, factor = 261)
+    }
+    assert(e.getMessage.contains("pairwise-distinct"), e.getMessage)
+  }
 }
