@@ -706,7 +706,17 @@ object CuratePipeline {
             // too negative for float vocabs and flip Viterbi wherever
             // an in-vocab piece covering an OOV char competes with
             // segmenting around it.
-            val (weighted, floatScaled) = weightedPiecesOf(st)
+            // `boundary: true` (r16) = the SentencePiece word-boundary
+            // contract: pieces_path loads with `▁` markers PRESERVED
+            // and every word decodes as ▁+chars, so marked/bare
+            // variants score in their own positional contexts
+            val boundary = st \ "boundary" match {
+              case JBool(b) => b
+              case JNothing => false
+              case other => throw new DslException(
+                s"'boundary' must be a boolean, got $other")
+            }
+            val (weighted, floatScaled) = weightedPiecesOf(st, boundary)
             val unk = st \ "unk" match {
               case JInt(i) => i.toLong
               case JNothing =>
@@ -718,7 +728,8 @@ object CuratePipeline {
               .vocab(df, textCol, weighted.map(_._1), lower)
               .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
             graft.operators.Unigram
-              .encodeIds(df, textCol, idCol, weighted, unk, vocabIds, lower)
+              .encodeIds(df, textCol, idCol, weighted, unk, vocabIds, lower,
+                boundary)
               .select(col("doc_id").as(idCol), col("token_ids"),
                 col("n_ug_tokens"))
           case other => throw new DslException(
@@ -771,7 +782,8 @@ object CuratePipeline {
     * line per entry, `#` comments) read through the ByteStore seam so
     * trained vocabs can live on the object store next to the data (the
     * [[mergesOf]] `merges_path` contract, for the unigram family) */
-  private def weightedPiecesOf(st: JValue): (Seq[(String, Long)], Boolean) =
+  private def weightedPiecesOf(st: JValue,
+      boundary: Boolean = false): (Seq[(String, Long)], Boolean) =
     (st \ "pieces", st \ "pieces_path") match {
       case (JArray(xs), JNothing) if xs.nonEmpty => (xs.map {
         case JArray(List(JString(p), JInt(w))) => (p, w.toLong)
@@ -784,7 +796,10 @@ object CuratePipeline {
         // (float scores, ▁ markers, control rows) — the documented
         // projection in [[graft.operators.Unigram.parseVocabArtifact]];
         // the flag says which scale the weights landed on (r16)
-        try graft.operators.Unigram.readVocabScaled(path)
+        try {
+          if (boundary) graft.operators.Unigram.readVocabBoundary(path)
+          else graft.operators.Unigram.readVocabScaled(path)
+        }
         catch {
           case e: IllegalArgumentException =>
             throw new DslException(

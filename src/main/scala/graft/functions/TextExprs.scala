@@ -380,7 +380,17 @@ object TextExprs {
     * same first-match rule the oracle's list_position replays. Piece
     * lengths count CODE POINTS (the [[wpEncodeKernel]] stance). */
   def ugEncodeKernel(s: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
-      maxLen: Int, unk: Long, lower: Boolean): InternalRow = {
+      maxLen: Int, unk: Long, lower: Boolean): InternalRow =
+    ugEncodeKernel(s, vocab, maxLen, unk, lower, false)
+
+  /** `boundary = true` is the SentencePiece word-boundary contract
+    * (r16): every word Viterbi-decodes as `▁` + its characters, so
+    * a `▁`-marked piece competes only at word-initial position and a
+    * bare piece only word-internally — the published `.vocab` scores
+    * apply in their own positional contexts instead of collapsing to
+    * the optimistic max. */
+  def ugEncodeKernel(s: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unk: Long, lower: Boolean, boundary: Boolean): InternalRow = {
     val toks = tokensKernel(s, lower)
     val sb = new java.lang.StringBuilder
     var nSyms = 0
@@ -388,7 +398,8 @@ object TextExprs {
     val nw = toks.numElements()
     while (w < nw) {
       val word = toks.getUTF8String(w).toString
-      val cps = new java.util.ArrayList[String](word.length)
+      val cps = new java.util.ArrayList[String](word.length + 1)
+      if (boundary) cps.add("▁")
       var ci = 0
       while (ci < word.length) {
         val cp = word.codePointAt(ci)
@@ -947,7 +958,8 @@ object TextExprs {
     * object so the DP stays map-only inside WholeStageCodegen (the
     * [[WpEncode]] stance, with Viterbi in place of greedy) */
   case class UgEncode(child: Expression, vocab: Seq[(String, Long)],
-      unk: Long, lower: Boolean) extends UnaryExpression {
+      unk: Long, lower: Boolean, boundary: Boolean = false)
+      extends UnaryExpression {
     private val vocabMap: java.util.HashMap[String, java.lang.Long] = {
       val m = new java.util.HashMap[String, java.lang.Long](
         math.max(16, vocab.size * 2))
@@ -960,11 +972,12 @@ object TextExprs {
     override def dataType: DataType = BpeEncode.schema
     override def prettyName: String = "graft_ug_encode"
     override def nullSafeEval(a: Any): Any =
-      ugEncodeKernel(a.asInstanceOf[UTF8String], vocabMap, maxLen, unk, lower)
+      ugEncodeKernel(a.asInstanceOf[UTF8String], vocabMap, maxLen, unk, lower,
+        boundary)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val v = ctx.addReferenceObj("ugVocab", vocabMap, "java.util.HashMap")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.TextExprs.ugEncodeKernel($c, $v, $maxLen, ${unk}L, $lower);")
+        s"${ev.value} = graft.functions.TextExprs.ugEncodeKernel($c, $v, $maxLen, ${unk}L, $lower, $boundary);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -1081,8 +1094,9 @@ object TextExprs {
     ColumnBridge.column(WpEncode(ColumnBridge.expression(text), vocab, lower))
 
   def ug_encode(text: Column, vocab: Seq[(String, Long)], unk: Long,
-      lower: Boolean = true): Column =
-    ColumnBridge.column(UgEncode(ColumnBridge.expression(text), vocab, unk, lower))
+      lower: Boolean = true, boundary: Boolean = false): Column =
+    ColumnBridge.column(UgEncode(ColumnBridge.expression(text), vocab, unk,
+      lower, boundary))
 
   def ug_expect(word: Column, vocab: Seq[(String, Long)], unk: Long,
       scale: Long): Column =

@@ -231,7 +231,8 @@ object Unigram {
     * units (−10 nats is −10·floatScale here, not the trainer's
     * −10·10⁹), or OOV competition flips against every piece. */
   def parseVocabArtifactScaled(content: String,
-      floatScale: Long = 1000000L): (Seq[(String, Long)], Boolean) = {
+      floatScale: Long = 1000000L,
+      preserveMarkers: Boolean = false): (Seq[(String, Long)], Boolean) = {
     val marker = '▁'
     val intRe = "-?\\d+"
     val floatRe = "-?\\d*\\.\\d+([eE]-?\\d+)?"
@@ -267,8 +268,13 @@ object Unigram {
           else throw new IllegalArgumentException(
             s"bad vocab score '$w' for piece '$p0' " +
               "(want integer weight or float log-prob)")
-        val p = if (p0.nonEmpty && p0.charAt(0) == marker)
-          p0.substring(1) else p0
+        // preserveMarkers (r16): keep the piece verbatim — the
+        // boundary-aware encode wants marked/bare variants distinct
+        // with their OWN scores (the spm contract); the legacy
+        // projection strips the marker and collapses by max below
+        val p = if (preserveMarkers) p0
+          else if (p0.nonEmpty && p0.charAt(0) == marker) p0.substring(1)
+          else p0
         if (p.isEmpty) None else Some((p, weight))
       }
     }
@@ -289,6 +295,17 @@ object Unigram {
   def readVocabScaled(path: String): (Seq[(String, Long)], Boolean) =
     parseVocabArtifactScaled(graft.sources.io.ByteStore.readString(path))
 
+  /** read a vocab artifact PRESERVING `▁` word-boundary markers (r16)
+    * for the boundary-aware encode ([[TextExprs.ugEncodeKernel]]'s
+    * `boundary = true`): pieces keep their marked/bare identities and
+    * their OWN scores instead of collapsing to the optimistic max —
+    * published vocabularies that score word-initial pieces differently
+    * segment exactly as SentencePiece would. Returns (pieces,
+    * floatScaled). */
+  def readVocabBoundary(path: String): (Seq[(String, Long)], Boolean) =
+    parseVocabArtifactScaled(graft.sources.io.ByteStore.readString(path),
+      preserveMarkers = true)
+
   /** Encode every document against a fixed integer-weighted vocab:
     * map-only Viterbi, one codegen kernel call per row; a single char
     * outside the vocab scores `unk`, so the pass is total. Output:
@@ -296,10 +313,10 @@ object Unigram {
     * n_ug_tokens). */
   def encode(df: DataFrame, textCol: String, idCol: String,
       vocab: Seq[(String, Long)], unk: Long,
-      lower: Boolean = true): DataFrame = {
+      lower: Boolean = true, boundary: Boolean = false): DataFrame = {
     require(vocab.nonEmpty, "unigram encode: empty vocab")
     df.select(col(idCol).as("doc_id"),
-        TextExprs.ug_encode(col(textCol), vocab, unk, lower).as("e"))
+        TextExprs.ug_encode(col(textCol), vocab, unk, lower, boundary).as("e"))
       .select(col("doc_id"), col("e.enc").as("ug_text"),
         col("e.n_syms").cast("long").as("n_ug_tokens"))
   }
@@ -310,8 +327,8 @@ object Unigram {
     * vocab take −1). Same map-only id pass as [[Bpe.encodeIds]]. */
   def encodeIds(df: DataFrame, textCol: String, idCol: String,
       vocab: Seq[(String, Long)], unk: Long, vocabIds: Map[String, Long],
-      lower: Boolean = true): DataFrame =
-    encode(df, textCol, idCol, vocab, unk, lower)
+      lower: Boolean = true, boundary: Boolean = false): DataFrame =
+    encode(df, textCol, idCol, vocab, unk, lower, boundary)
       .withColumn("token_ids", TextExprs.bpe_ids(col("ug_text"), vocabIds))
       .select(col("doc_id"), col("token_ids"), col("n_ug_tokens"))
 }

@@ -1452,6 +1452,32 @@ object QueriesData {
       bb.join(ug, "doc_id").orderBy(col("doc_id"))
     },
 
+    // ---- SentencePiece word-boundary contexts (r16): a published-
+    // format .vocab whose ▁-marked and bare variants carry DIFFERENT
+    // scores, loaded with markers preserved; every word Viterbi-
+    // decodes as ▁+chars so each variant competes only in its own
+    // position. The oracle enumerates EVERY segmentation of each word
+    // (recursive CTE), scores it with the same 1e6-quantized weights,
+    // and replays the kernel's tie-break exactly (max score, then
+    // lexicographically smallest reversed piece-start list — the
+    // backpointer walk's smallest-j-per-cell preference).
+    "q_tokenizer_boundary" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ugb").toString
+      graft.sources.io.ByteStore.writeString(s"$tmp/b.vocab",
+        boundaryVocab.map { case (p, sc) => s"$p\t$sc" }.mkString("\n") + "\n")
+      val (pieces, _) = graft.operators.Unigram.readVocabBoundary(s"$tmp/b.vocab")
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z]{3,8}$"))
+        .distinct().orderBy(col("w")).limit(400)
+      graft.operators.Unigram.encode(words, "w", "w", pieces,
+          unk = -10L * 1000000L, lower = false, boundary = true)
+        .select(col("doc_id").as("word"), col("ug_text"),
+          col("n_ug_tokens").as("n_pieces"))
+        .orderBy(col("word"))
+    },
+
     // ---- WordPiece pair ranking (Wu et al. 2016): the likelihood-gain
     // criterion count(l,r)/(count(l)·count(r)) over the distinct-word
     // table — BPE's sibling trainer round, ratio rounded to 9 decimals
@@ -3521,6 +3547,40 @@ object QueriesData {
            FROM ranked r JOIN (VALUES (1), (2)) q(qi)
              ON r.rn = greatest(1, CAST(ceil(qi * r.n / 3.0) AS BIGINT)))"""
 
+  /** q_tokenizer_boundary's .vocab fixture: every ascii letter bare
+    * (encode never hits unk), the lone `▁` marker, and marked/bare
+    * variants with deliberately DIFFERENT scores so positional context
+    * changes segmentations. Scores are float text — both the artifact
+    * file and the oracle's integer weights derive from this one list
+    * (weight = round(score·1e6), the parseVocabArtifact quantization). */
+  private val boundaryVocab: Seq[(String, String)] = Seq(
+    "▁" -> "-2.8",
+    "a" -> "-3.0", "b" -> "-4.3", "c" -> "-3.6", "d" -> "-3.4",
+    "e" -> "-2.9", "f" -> "-4.0", "g" -> "-3.9", "h" -> "-3.85",
+    "i" -> "-3.3", "j" -> "-5.6", "k" -> "-4.5", "l" -> "-3.45",
+    "m" -> "-3.7", "n" -> "-3.2", "o" -> "-3.05", "p" -> "-3.8",
+    "q" -> "-5.4", "r" -> "-3.1", "s" -> "-3.02", "t" -> "-3.75",
+    "u" -> "-3.5", "v" -> "-4.4", "w" -> "-4.1", "x" -> "-5.0",
+    "y" -> "-4.2", "z" -> "-5.2",
+    "▁a" -> "-2.0", "▁t" -> "-3.0", "▁e" -> "-3.4", "▁o" -> "-3.1",
+    "▁r" -> "-3.6", "▁i" -> "-2.9", "▁s" -> "-2.85", "▁w" -> "-3.3",
+    "▁c" -> "-3.2", "▁m" -> "-3.25", "▁b" -> "-3.41", "▁d" -> "-3.15",
+    "▁f" -> "-3.35", "▁h" -> "-3.01", "▁l" -> "-3.18", "▁n" -> "-3.12",
+    "▁p" -> "-3.22", "▁g" -> "-3.28", "▁u" -> "-3.47",
+    "th" -> "-3.0", "▁th" -> "-2.2", "he" -> "-2.6", "▁he" -> "-2.4",
+    "in" -> "-2.7", "▁in" -> "-2.3", "an" -> "-2.81", "▁an" -> "-2.5",
+    "er" -> "-2.9", "▁er" -> "-3.3", "on" -> "-2.95", "at" -> "-2.92",
+    "en" -> "-3.01", "es" -> "-3.03", "re" -> "-3.06", "ed" -> "-3.12",
+    "or" -> "-3.08", "ar" -> "-3.09", "st" -> "-3.11", "nd" -> "-3.13",
+    "ng" -> "-2.97", "ing" -> "-2.75", "▁the" -> "-1.9", "the" -> "-2.85",
+    "and" -> "-2.65", "ion" -> "-2.88", "ent" -> "-2.93")
+
+  /** the same weights as SQL VALUES rows: (piece, round(score·1e6)) */
+  private def boundaryVocabValues: String =
+    boundaryVocab.map { case (p, sc) =>
+      s"('$p', ${math.round(sc.toDouble * 1000000L)})"
+    }.mkString(", ")
+
   private def pplCtes(p: String, trainFrom: String, scoreFrom: String,
       order: Int = 2): String = {
     val bigramValue =
@@ -5224,6 +5284,39 @@ object QueriesData {
            coalesce(u.ug_md5, md5('')) AS ug_md5
          FROM bb b LEFT JOIN uagg u ON u.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+    // boundary-context Viterbi replayed by exhaustive segmentation
+    // enumeration over ▁+word, same 1e6 weights, same tie-break (max
+    // score, then longest-last-piece via the reversed-lengths string —
+    // the kernel's smallest-j backpointer preference)
+    "q_tokenizer_boundary" ->
+      raw"""WITH RECURSIVE
+         wsrc AS (SELECT DISTINCT w FROM (
+             SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+             FROM documents)
+           WHERE regexp_matches(w, '^[a-z]{3,8}$$')
+           ORDER BY w LIMIT 400),
+         sw AS (SELECT w, '▁' || w AS s FROM wsrc),
+         pieces AS (SELECT * FROM (VALUES ${boundaryVocabValues}) v(p, wt)),
+         seg AS (
+           SELECT w, s, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc,
+                  CAST(0 AS BIGINT) AS score, CAST('' AS VARCHAR) AS rlens,
+                  CAST(0 AS BIGINT) AS n
+           FROM sw
+           UNION ALL
+           SELECT sg.w, sg.s, sg.pos + len(pc.p),
+             (CASE WHEN sg.acc = '' THEN '' ELSE sg.acc || ' ' END) || pc.p,
+             sg.score + pc.wt,
+             CAST(len(pc.p) AS VARCHAR) || sg.rlens,
+             sg.n + 1
+           FROM seg sg JOIN pieces pc
+             ON substr(sg.s, CAST(sg.pos AS INT), len(pc.p)) = pc.p
+           WHERE sg.pos <= len(sg.s)),
+         best AS (SELECT w, acc, n,
+             row_number() OVER (PARTITION BY w
+               ORDER BY score DESC, rlens DESC) AS rn
+           FROM seg WHERE pos = len(s) + 1)
+         SELECT w AS word, acc AS ug_text, n AS n_pieces
+         FROM best WHERE rn = 1 ORDER BY word""",
     // the hash order (md5 low-48 % 2^30, ties → doc_id) and the
     // exclusive prefix-sum keep rule replayed verbatim
     "q_token_budget" ->

@@ -154,6 +154,47 @@ class ByteBpeSpec extends AnyFunSuite {
       "- the vocab remap is being inlined child-per-id")
   }
 
+  test("unigram boundary mode (r16): ▁-marked and bare variants score in " +
+      "their OWN positions; CURATE 'boundary' knob wires through") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    val tmp = java.nio.file.Files.createTempDirectory("ugb")
+    // word-initial 'th' is great (▁th −1.0), internal 'th' is terrible
+    // (−9.0) — the r15 collapsed projection kept only max(−1, −9) = −1
+    // for BOTH positions
+    java.nio.file.Files.writeString(tmp.resolve("b.vocab"),
+      "<unk>\t0.0\n▁\t-2.0\n▁th\t-1.0\nth\t-9.0\ne\t-2.0\nt\t-2.5\n" +
+        "h\t-2.5\na\t-2.0\nm\t-2.5\nma\t-3.0\n▁ma\t-6.0\n")
+    val (pieces, floatScaled) = Unigram.readVocabBoundary(
+      tmp.resolve("b.vocab").toString)
+    assert(floatScaled)
+    // markers survive the parse, variants keep their own scores
+    val pm = pieces.toMap
+    assert(pm("▁th") == -1000000L && pm("th") == -9000000L)
+    val df = Seq((1L, "the math")).toDF("doc_id", "text")
+    val out = Unigram.encode(df, "text", "doc_id", pieces,
+      unk = -10000000L, boundary = true).collect()(0)
+    // "the": word-initial th uses the cheap ▁th (−1) + e = −3;
+    // "math": internal th costs −9, so the lattice picks the lone
+    // marker + bare pieces: ▁(−2) ma(−3) t(−2.5) h(−2.5) = −10, beating
+    // ▁ma t h (−11) and anything through internal th — the positional
+    // scores decide, not the collapsed max
+    assert(out.getString(1) == "▁th e | ▁ ma t h", out.getString(1))
+    // CURATE: the boundary knob loads markers and encodes positionally
+    val piped = graft.dsl.CuratePipeline.compile(df,
+      s"""{"stages": [{"op": "tokenize", "algo": "unigram",
+           "pieces_path": "${tmp.resolve("b.vocab")}",
+           "boundary": true}]}""")
+      .collect()(0)
+    assert(piped.getAs[Long]("n_ug_tokens") == 6L)
+    // without boundary: the collapsed projection (r15 behavior) still
+    // available — 'th' collapses to the optimistic −1 everywhere
+    val flat = Unigram.encode(df, "text", "doc_id",
+      Unigram.readVocab(tmp.resolve("b.vocab").toString),
+      unk = -10000000L).collect()(0)
+    assert(flat.getString(1).contains("th"), flat.getString(1))
+  }
+
   test("unigram pieces_path float .vocab: default unk lands in the FILE's " +
       "units (r16) — OOV competition is no longer 1000× distorted") {
     import spark.implicits._
