@@ -1,0 +1,181 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming STATE scale-stress (the r15 verdict's task 6): the sf1
+  * bench run showed 1.0–1.4× wall for 10× data because micro-batch
+  * overhead dominates and state stayed small per trigger — it never
+  * measured what happens when the STATE DIMENSION grows. This harness
+  * does: the three stateful shapes (stream-stream join, running
+  * dedup, flatMapGroupsWithState sessions) ingest the same corpus at
+  * 1× and 10× (ScaleUp re-keys users/docs, so DISTINCT KEYS — the
+  * state cardinality — grow 10×), sliced into `slices` files with
+  * maxFilesPerTrigger=1 so state accumulates across many triggers,
+  * and each trigger's StateOperatorProgress is recorded: rows in
+  * state, update/commit times, memory. The state-store partition knob
+  * (the q_stream_join r15 fix) is validated rather than asserted by
+  * running the join at both 4 and 32 shuffle partitions at 10×.
+  *
+  * Usage: runMain graft.tools.StreamStateStress <sf0.1dir> <sf1dir> <out.json>
+  * (generate <sf1dir> first: runMain graft.tools.ScaleUp <sf0.1dir> <sf1dir> 10)
+  */
+object StreamStateStress {
+
+  private case class TriggerStat(batchId: Long, inputRows: Long,
+      addBatchMs: Long, stateRows: Long, updatedRows: Long,
+      updateMs: Long, commitMs: Long, stateBytes: Long)
+
+  private def q(s: String): String = "\"" + s + "\""
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: StreamStateStress <sf0.1dir> <sf1dir> <out.json>")
+    val Array(baseDir, bigDir, outPath) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.configure(spark)
+
+    val results = new StringBuilder("{")
+    def record(name: String, json: String): Unit = {
+      if (results.length > 1) results.append(",")
+      results.append(q(name)).append(":").append(json)
+    }
+
+    for ((label, dir) <- Seq(("sf01", baseDir), ("sf1", bigDir))) {
+      record(s"join_$label", runJoin(spark, dir, parts = 4))
+      record(s"dedup_$label", runDedup(spark, dir))
+      record(s"sessions_$label", runSessions(spark, dir))
+    }
+    // the state-partition knob, VALIDATED at the 10x point: too few
+    // partitions at real state sizes should lose to right-sized ones
+    // (or the gate-scale setting shows it's still overhead-bound)
+    record("join_sf1_parts4", runJoin(spark, bigDir, parts = 4))
+    record("join_sf1_parts32", runJoin(spark, bigDir, parts = 32))
+    results.append("}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      results.toString + "\n")
+    println(results.toString)
+    spark.stop()
+  }
+
+  /** stage `table` as `slices` ts-ordered files (path order = ts
+    * order, so ingestion respects event time and watermarks behave) */
+  private def stageSliced(spark: SparkSession, dir: String, table: String,
+      slices: Int, orderCols: Seq[String]): String = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-state-stress-${table}-${math.abs(dir.hashCode)}-$slices")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      graft.Tables.load(spark, dir, table)
+        .repartitionByRange(slices, orderCols.map(col): _*)
+        .write.mode("overwrite").parquet(out.toString)
+    }
+    out.toString
+  }
+
+  private def collectStats(qy: org.apache.spark.sql.streaming.StreamingQuery,
+      wallS: Double): String = {
+    val trig = qy.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
+      .map { p =>
+        val ops = p.stateOperators.toSeq
+        TriggerStat(p.batchId, p.numInputRows,
+          Option(p.durationMs.get("addBatch")).map(_.longValue()).getOrElse(0L),
+          ops.map(_.numRowsTotal).sum, ops.map(_.numRowsUpdated).sum,
+          ops.map(_.allUpdatesTimeMs).sum, ops.map(_.commitTimeMs).sum,
+          ops.map(_.memoryUsedBytes).sum)
+      }
+    val perTrigger = trig.map { t =>
+      s"""{"batch":${t.batchId},"input_rows":${t.inputRows},""" +
+        s""""add_batch_ms":${t.addBatchMs},"state_rows":${t.stateRows},""" +
+        s""""updated_rows":${t.updatedRows},"update_ms":${t.updateMs},""" +
+        s""""commit_ms":${t.commitMs},"state_bytes":${t.stateBytes}}"""
+    }.mkString("[", ",", "]")
+    s"""{"wall_s":$wallS,"triggers":${trig.size},""" +
+      s""""state_rows_final":${trig.lastOption.map(_.stateRows).getOrElse(0L)},""" +
+      s""""commit_ms_total":${trig.map(_.commitMs).sum},""" +
+      s""""update_ms_total":${trig.map(_.updateMs).sum},""" +
+      s""""state_bytes_max":${trig.map(_.stateBytes).maxOption.getOrElse(0L)},""" +
+      s""""per_trigger":$perTrigger}"""
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** the q_stream_join shape: view→purchase within 2h per user; state
+    * cardinality follows distinct users (10× at sf1) */
+  private def runJoin(spark: SparkSession, dir: String, parts: Int): String = {
+    import spark.implicits._
+    val staged = stageSliced(spark, dir, "events", 16, Seq("ts", "event_id"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      def src() = spark.readStream
+        .schema(graft.streaming.EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val views = src().filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+      val buys = src().filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("purchase_ts"))
+      val joined = graft.streaming.EventStreams.joinWithin(
+        views, "view_ts", buys, "purchase_ts", "user_id", "p_user",
+        within = "2 HOURS", watermark = "30 days")
+      val qn = s"state_stress_join_${parts}_${math.abs(dir.hashCode)}"
+      val (qy, wall) = timed(graft.streaming.EventStreams.runToMemory(
+        spark, joined.select($"view_id", $"purchase_id"), qn,
+        mode = OutputMode.Append()))
+      qy.stop()
+      collectStats(qy, wall)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** running exact-dedup state: one state row per DISTINCT digest —
+    * 10× documents (rotated text) = 10× state rows */
+  private def runDedup(spark: SparkSession, dir: String): String = {
+    val staged = stageSliced(spark, dir, "documents", 16, Seq("doc_id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val agg = graft.streaming.EventStreams.streamingDocDedup(
+      stream, "text", "doc_id")
+    val qn = s"state_stress_dedup_${math.abs(dir.hashCode)}"
+    val (qy, wall) = timed(
+      graft.streaming.EventStreams.runToMemory(spark, agg, qn))
+    qy.stop()
+    collectStats(qy, wall)
+  }
+
+  /** flatMapGroupsWithState sessions: one state row per OPEN user —
+    * distinct users grow 10× at sf1 */
+  private def runSessions(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val staged = stageSliced(spark, dir, "events", 16, Seq("ts", "event_id"))
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.EventStreams.Event]
+    val sessions = graft.streaming.EventStreams.sessionize(
+      stream, gapMs = 480L * 60L * 1000L)
+    val qn = s"state_stress_sessions_${math.abs(dir.hashCode)}"
+    val (qy, wall) = timed(graft.streaming.EventStreams.runToMemory(
+      spark, sessions.toDF(), qn, mode = OutputMode.Append()))
+    qy.stop()
+    collectStats(qy, wall)
+  }
+}
