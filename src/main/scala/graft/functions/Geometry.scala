@@ -2703,6 +2703,32 @@ object Geo {
       .orElse(LaeaRegistry.get(srid))
       .orElse(Option(dynamicCrs.get(srid)))
 
+  /** the family keyword of a projection row (the registerCrs names) */
+  def familyOf(p: Proj): String = p match {
+    case _: Tm => "tmerc"
+    case _: Lcc => "lcc"
+    case _: Laea => "laea"
+    case _: Aea => "aea"
+  }
+
+  /** every addressable CRS row: the special-cased spherical Mercator,
+    * the two UTM ranges (as range rows — 120 concrete SRIDs), the
+    * seed registries, and runtime registrations. (srid, family,
+    * source, definition); range rows carry srid = range start. */
+  def listCrs(): Seq[(Int, String, String, String)] = {
+    val fixed = Seq(
+      (3857, "merc_sph", "builtin", "WGS84 spherical Web Mercator"),
+      (32601, "tmerc", "builtin", "UTM north zones 32601-32660 (WGS84)"),
+      (32701, "tmerc", "builtin", "UTM south zones 32701-32760 (WGS84)"))
+    val seeded = (LccRegistry ++ LaeaRegistry).toSeq.map { case (srid, p) =>
+      (srid, familyOf(p), "builtin", p.toString)
+    }
+    val dyn = dynamicCrs.asScala.toSeq.map { case (srid, p) =>
+      (srid.toInt, familyOf(p), "registered", p.toString)
+    }
+    (fixed ++ seeded ++ dyn).sortBy(_._1)
+  }
+
   /** st_transform(wkt, from_srid, to_srid) — every coordinate of the
     * geometry reprojected; 4326↔3857 (spherical Web Mercator),
     * 4326↔UTM (EPSG:32601-60 north, 32701-60 south), the seed

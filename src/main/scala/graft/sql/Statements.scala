@@ -122,6 +122,10 @@ object Statements {
     """(?is)^SHOW\s+ROLES\s*$""".r
   private val reShowUsers =
     """(?is)^SHOW\s+USERS\s*$""".r
+  private val reCreateCrs =
+    """(?is)^CREATE\s+CRS\s+(\d+)\s*\((.+)\)\s*$""".r
+  private val reShowCrs =
+    """(?is)^SHOW\s+CRS\s*$""".r
   private val reCreateSecret =
     ("""(?is)^CREATE\s+(?:(PERSISTENT|TEMPORARY)\s+)?SECRET\s+""" + Named +
       """\s*\((.+)\)\s*$""").r
@@ -448,6 +452,35 @@ object Statements {
         import spark.implicits._
         Some(catalog.auth.listUsers().map(u => (u.name, u.roles.mkString(",")))
           .toDF("name", "roles"))
+      case reCreateCrs(sridS, params) =>
+        // the parameter-row CRS registry on the SQL surface (r16):
+        //   CREATE CRS 27700 (FAMILY 'tmerc', A 6377563.396,
+        //     RF 299.3249646, LAT_0 49, LON_0 -2, K_0 0.9996012717,
+        //     X_0 400000, Y_0 -100000)
+        // keys are the PROJ-style names Geo.registerCrs documents
+        var family: Option[String] = None
+        val crsParams = scala.collection.mutable.Map.empty[String, Double]
+        splitTopLevel(params, ',').foreach { kv =>
+          val famRe = """(?is)^FAMILY\s+'?(\w+)'?$""".r
+          val numRe =
+            """(?is)^(\w+)\s+(-?(?:\d+\.?\d*|\.\d+)(?:[eE]-?\d+)?)$""".r
+          kv.trim match {
+            case famRe(f) => family = Some(f.toLowerCase)
+            case numRe(k, v) => crsParams(k.toLowerCase) = v.toDouble
+            case other => throw new IllegalArgumentException(
+              s"bad CRS parameter: $other (want FAMILY 'tmerc|lcc|laea|aea' " +
+                "or <name> <number>)")
+          }
+        }
+        graft.functions.Geo.registerCrs(sridS.toInt,
+          family.getOrElse(throw new IllegalArgumentException(
+            "CREATE CRS needs FAMILY ('tmerc'|'lcc'|'laea'|'aea')")),
+          crsParams.toMap)
+        Some(status(spark, s"registered CRS EPSG:$sridS"))
+      case reShowCrs() =>
+        import spark.implicits._
+        Some(graft.functions.Geo.listCrs()
+          .toDF("srid", "family", "source", "definition"))
       case reCreateSecret(persistence, name0, params) =>
         val name = unquoteName(name0)
         var tpe: Option[String] = None

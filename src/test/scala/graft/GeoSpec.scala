@@ -1433,6 +1433,43 @@ class GeoSpec extends AnyFunSuite {
     assert(farUtm.getMessage.contains("central meridian"), farUtm.getMessage)
   }
 
+  test("CREATE CRS / SHOW CRS: the parameter-row registry on the SQL " +
+      "surface (r16)") {
+    val spark = GraftSession.build("local[2]", 2)
+    val wh = java.nio.file.Files.createTempDirectory("graft-crs-wh").toString
+    val engine = GraftEngine(spark, wh)
+    // EPSG:3347 (Statistics Canada Lambert, NAD83/GRS80) from its
+    // published parameters — a CRS in no named registry
+    engine.sql("""CREATE CRS 3347 (FAMILY 'lcc', A 6378137.0,
+      RF 298.257222101, LAT_0 63.390675, LON_0 -91.866667,
+      LAT_1 49.0, LAT_2 77.0, X_0 6200000, Y_0 3000000)""")
+    // the projection origin lands exactly on the false origin
+    val row = engine.sql("""SELECT
+        st_x(st_transform('POINT (-91.866667 63.390675)', 4326, 3347)) AS x,
+        st_y(st_transform('POINT (-91.866667 63.390675)', 4326, 3347)) AS y""")
+      .collect()(0)
+    assert(math.abs(row.getDouble(0) - 6200000.0) < 1e-5, row)
+    assert(math.abs(row.getDouble(1) - 3000000.0) < 1e-5, row)
+    // SHOW CRS lists builtins and the registration
+    val listed = engine.sql("SHOW CRS").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(listed.contains((2154, "lcc", "builtin")))
+    assert(listed.contains((3035, "laea", "builtin")))
+    assert(listed.contains((3347, "lcc", "registered")))
+    // idempotent re-create; malformed parameter raises with the text
+    engine.sql("""CREATE CRS 3347 (FAMILY 'lcc', A 6378137.0,
+      RF 298.257222101, LAT_0 63.390675, LON_0 -91.866667,
+      LAT_1 49.0, LAT_2 77.0, X_0 6200000, Y_0 3000000)""")
+    val bad = intercept[IllegalArgumentException] {
+      engine.sql("CREATE CRS 9998 (FAMILY 'lcc', A pi)")
+    }
+    assert(bad.getMessage.contains("bad CRS parameter"), bad.getMessage)
+    val noFam = intercept[IllegalArgumentException] {
+      engine.sql("CREATE CRS 9998 (A 6378137.0, RF 300.0)")
+    }
+    assert(noFam.getMessage.contains("needs FAMILY"), noFam.getMessage)
+  }
+
   test("st_within_point is codegen-native (r16): generated == interpreted, " +
       "literal geometry parsed once, plan stays in WholeStageCodegen") {
     val spark = GraftSession.build("local[2]", 2)
