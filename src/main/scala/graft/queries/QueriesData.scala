@@ -694,7 +694,7 @@ object QueriesData {
       val stream = graft.streaming.EventStreams.readEventStream(s, staged)
       val agg = graft.streaming.EventStreams.windowedCounts(stream, "1 day", "1 day")
       val qn = "stream_daily_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, agg, qn)
+      val q = graft.streaming.EventStreams.runToMemorySized(s, agg, qn)
       q.stop()
       s.table(qn).select(
           $"window_start".cast(TimestampNTZType).as("day"),
@@ -720,7 +720,7 @@ object QueriesData {
         stream, "ts", "event_id", "value",
         groupCols = Seq("event_type"), barWidth = "1 day")
       val qn = "stream_ohlc_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, bars, qn)
+      val q = graft.streaming.EventStreams.runToMemorySized(s, bars, qn)
       q.stop()
       s.table(qn).select(
           $"bar_start".cast(TimestampNTZType).as("bar_start"),
@@ -748,7 +748,7 @@ object QueriesData {
       val sessions = graft.streaming.EventStreams.sessionize(
         stream, gapMs = 480L * 60L * 1000L)
       val qn = "stream_sessions_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, sessions.toDF(), qn,
+      val q = graft.streaming.EventStreams.runToMemorySized(s, sessions.toDF(), qn,
         mode = org.apache.spark.sql.streaming.OutputMode.Append())
       q.stop()
       s.table(qn).select($"user_id",
@@ -789,7 +789,7 @@ object QueriesData {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try {
-        graft.streaming.EventStreams.runToMemory(s,
+        graft.streaming.EventStreams.runToMemorySized(s,
           joined.select($"view_id", $"purchase_id", $"user_id",
             $"view_ts", $"purchase_ts"), qn,
           mode = org.apache.spark.sql.streaming.OutputMode.Append())
@@ -1033,7 +1033,7 @@ object QueriesData {
       val regs = graft.operators.Sketches.hllRegisters(
         stream.select(col("doc_id").as("key")), "key", p = 5)
       val qn = "stream_hll_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, regs.registers, qn,
+      val q = graft.streaming.EventStreams.runToMemorySized(s, regs.registers, qn,
         mode = org.apache.spark.sql.streaming.OutputMode.Complete())
       q.stop()
       graft.operators.Sketches.hllEstimate(
@@ -1095,7 +1095,7 @@ object QueriesData {
         .option("maxFilesPerTrigger", 2).parquet(staged)
       val agg = graft.streaming.EventStreams.streamingDocDedup(stream, "text", "doc_id")
       val qn = "stream_dedup_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, agg, qn)
+      val q = graft.streaming.EventStreams.runToMemorySized(s, agg, qn)
       q.stop()
       s.table(qn).orderBy(col("digest"))
     },
@@ -1121,7 +1121,7 @@ object QueriesData {
       val agg = graft.streaming.EventStreams.streamingDocDedup(
         curated, "text", "doc_id")
       val qn = "stream_curate_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, agg, qn)
+      val q = graft.streaming.EventStreams.runToMemorySized(s, agg, qn)
       q.stop()
       s.table(qn).orderBy(col("digest"))
     },
@@ -1143,7 +1143,7 @@ object QueriesData {
       val cands = graft.streaming.EventStreams.streamingNearDupCandidates(
         stream, "text", "doc_id")
       val qn = "stream_neardup_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, cands, qn,
+      val q = graft.streaming.EventStreams.runToMemorySized(s, cands, qn,
         mode = org.apache.spark.sql.streaming.OutputMode.Append())
       q.stop()
       s.table(qn).where(col("n_eq") >= 6).distinct()
@@ -1177,7 +1177,7 @@ object QueriesData {
       val cands = graft.streaming.EventStreams.streamingHashNearDup(
         seeded, "doc_id", "image_hash")
       val qn = "stream_hash_neardup_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, cands, qn,
+      val q = graft.streaming.EventStreams.runToMemorySized(s, cands, qn,
         mode = org.apache.spark.sql.streaming.OutputMode.Append())
       q.stop()
       s.table(qn).where(col("dist") <= 3).distinct()
@@ -2064,7 +2064,7 @@ object QueriesData {
         frontierPages(stream), "url", "html", robots, visited,
         blockHosts = Seq("ads.example"), agent = "graftbot")
       val qn = "stream_frontier_gate"
-      val q = graft.streaming.EventStreams.runToMemory(s, frontier, qn,
+      val q = graft.streaming.EventStreams.runToMemorySized(s, frontier, qn,
         mode = org.apache.spark.sql.streaming.OutputMode.Append())
       q.stop()
       s.table(qn).orderBy("url")

@@ -352,4 +352,23 @@ object EventStreams {
     q.processAllAvailable()
     q
   }
+
+  /** [[runToMemory]] with the state-store partition count right-sized
+    * for a SHORT streaming query (r16, generalizing the r15
+    * q_stream_join fix): state partitioning locks in at query start
+    * from the session conf, and every micro-batch commits EVERY
+    * store — at gate scale 32 partitions × a few triggers is hundreds
+    * of store commits for a few thousand rows, which IS the cost
+    * (measured in BENCH_stream_state.json: the 10× join runs 12.8 s at
+    * 4 partitions vs 64.5 s at 32 — commit totals 11 s vs 1343 s). At
+    * the 100 TB design point the same knob simply stays high; output
+    * rows are partitioning-invariant either way. */
+  def runToMemorySized(spark: SparkSession, streamed: DataFrame,
+      queryName: String, mode: OutputMode = OutputMode.Complete(),
+      stateParts: Int = 4): StreamingQuery = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    try runToMemory(spark, streamed, queryName, mode)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
