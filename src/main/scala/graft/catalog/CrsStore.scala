@@ -1,0 +1,82 @@
+package graft.catalog
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Warehouse persistence for `CREATE PERSISTENT CRS` parameter rows
+  * (the [[graft.functions.Geo.registerCrs]] registry is JVM-global and
+  * dies with the session): rows live as `<warehouse>/_crs.json` — a
+  * plain parameter table, exactly the "EPSG row as data" stance — and
+  * re-register at catalog construction, so a projected CRS defined
+  * once is addressable in every later session on the warehouse. The
+  * secrets model ([[Secrets]]) without the encryption: CRS parameters
+  * are published constants, not credentials. */
+class CrsStore(warehouse: String) {
+
+  private def path: String =
+    graft.sources.io.ByteStore.resolve(warehouse, "_crs.json")
+
+  private case class Row(srid: Int, family: String, params: Map[String, Double])
+
+  private def readAll(): Seq[Row] =
+    try {
+      JsonMethods.parse(graft.sources.io.ByteStore.readString(path)) match {
+        case JArray(xs) => xs.map { x =>
+          val srid = x \ "srid" match {
+            case JInt(i) => i.toInt
+            case other => throw new IllegalArgumentException(
+              s"_crs.json: srid must be an integer, got $other")
+          }
+          val family = x \ "family" match {
+            case JString(f) => f
+            case other => throw new IllegalArgumentException(
+              s"_crs.json: family must be a string, got $other")
+          }
+          val params = x \ "params" match {
+            case JObject(fs) => fs.map {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, other) => throw new IllegalArgumentException(
+                s"_crs.json: parameter '$k' must be numeric, got $other")
+            }.toMap
+            case other => throw new IllegalArgumentException(
+              s"_crs.json: params must be an object, got $other")
+          }
+          Row(srid, family, params)
+        }
+        case other => throw new IllegalArgumentException(
+          s"_crs.json must be an array of CRS rows, got $other")
+      }
+    } catch { case _: java.io.FileNotFoundException => Nil
+      case _: java.nio.file.NoSuchFileException => Nil }
+
+  private def writeAll(rows: Seq[Row]): Unit = {
+    val doc = JArray(rows.sortBy(_.srid).toList.map { r =>
+      JObject("srid" -> JInt(r.srid), "family" -> JString(r.family),
+        "params" -> JObject(r.params.toList.sortBy(_._1)
+          .map { case (k, v) => k -> JDouble(v) }))
+    })
+    graft.sources.io.ByteStore.writeString(path,
+      JsonMethods.pretty(JsonMethods.render(doc)))
+  }
+
+  /** srids persisted on this warehouse (for SHOW CRS's source column) */
+  def persistedSrids(): Set[Int] = readAll().map(_.srid).toSet
+
+  /** register in the session AND persist to the warehouse (upsert by
+    * srid; a conflicting in-session definition raises before the file
+    * is touched, so the store never holds a rejected row) */
+  def createPersistent(srid: Int, family: String,
+      params: Map[String, Double]): Unit = {
+    graft.functions.Geo.registerCrs(srid, family, params)
+    val rest = readAll().filterNot(_.srid == srid)
+    writeAll(rest :+ Row(srid, family, params))
+  }
+
+  /** re-register every persisted row into the session (idempotent —
+    * an identical JVM-wide registration is a no-op; a CONFLICTING one
+    * raises loudly rather than silently shadowing either side) */
+  def loadAll(): Unit = readAll().foreach { r =>
+    graft.functions.Geo.registerCrs(r.srid, r.family, r.params)
+  }
+}

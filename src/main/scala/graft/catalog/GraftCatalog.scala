@@ -223,6 +223,12 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * catalog re-applies persisted secrets to the session's Hadoop conf */
   val secrets = new Secrets(spark, warehouse)
 
+  /** persisted CRS parameter rows (CREATE PERSISTENT CRS); constructing
+    * the catalog re-registers them into the session's projection
+    * registry */
+  val crs = new CrsStore(warehouse)
+  crs.loadAll()
+
   /** RBAC directory (CREATE USER/ROLE, GRANT/DENY/REVOKE) */
   lazy val auth = new graft.auth.AuthStore(warehouse)
 

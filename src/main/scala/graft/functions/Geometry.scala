@@ -2703,6 +2703,11 @@ object Geo {
       .orElse(LaeaRegistry.get(srid))
       .orElse(Option(dynamicCrs.get(srid)))
 
+  /** test seam: drop a runtime registration (the JVM-global map would
+    * otherwise make persistence reload untestable in-process) */
+  private[graft] def unregisterCrs(srid: Int): Unit =
+    dynamicCrs.remove(srid)
+
   /** the family keyword of a projection row (the registerCrs names) */
   def familyOf(p: Proj): String = p match {
     case _: Tm => "tmerc"

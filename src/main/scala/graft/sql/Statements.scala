@@ -123,7 +123,7 @@ object Statements {
   private val reShowUsers =
     """(?is)^SHOW\s+USERS\s*$""".r
   private val reCreateCrs =
-    """(?is)^CREATE\s+CRS\s+(\d+)\s*\((.+)\)\s*$""".r
+    """(?is)^CREATE\s+(?:(PERSISTENT|TEMPORARY)\s+)?CRS\s+(\d+)\s*\((.+)\)\s*$""".r
   private val reShowCrs =
     """(?is)^SHOW\s+CRS\s*$""".r
   private val reCreateSecret =
@@ -452,7 +452,7 @@ object Statements {
         import spark.implicits._
         Some(catalog.auth.listUsers().map(u => (u.name, u.roles.mkString(",")))
           .toDF("name", "roles"))
-      case reCreateCrs(sridS, params) =>
+      case reCreateCrs(persistence, sridS, params) =>
         // the parameter-row CRS registry on the SQL surface (r16):
         //   CREATE CRS 27700 (FAMILY 'tmerc', A 6377563.396,
         //     RF 299.3249646, LAT_0 49, LON_0 -2, K_0 0.9996012717,
@@ -472,14 +472,21 @@ object Statements {
                 "or <name> <number>)")
           }
         }
-        graft.functions.Geo.registerCrs(sridS.toInt,
-          family.getOrElse(throw new IllegalArgumentException(
-            "CREATE CRS needs FAMILY ('tmerc'|'lcc'|'laea'|'aea')")),
+        val fam = family.getOrElse(throw new IllegalArgumentException(
+          "CREATE CRS needs FAMILY ('tmerc'|'lcc'|'laea'|'aea')"))
+        val persistent =
+          Option(persistence).exists(_.equalsIgnoreCase("PERSISTENT"))
+        if (persistent) catalog.crs.createPersistent(sridS.toInt, fam,
           crsParams.toMap)
-        Some(status(spark, s"registered CRS EPSG:$sridS"))
+        else graft.functions.Geo.registerCrs(sridS.toInt, fam, crsParams.toMap)
+        Some(status(spark,
+          s"registered ${if (persistent) "persistent " else ""}CRS EPSG:$sridS"))
       case reShowCrs() =>
         import spark.implicits._
+        val persisted = catalog.crs.persistedSrids()
         Some(graft.functions.Geo.listCrs()
+          .map { case (srid, fam, src, defn) =>
+            (srid, fam, if (persisted(srid)) "persistent" else src, defn) }
           .toDF("srid", "family", "source", "definition"))
       case reCreateSecret(persistence, name0, params) =>
         val name = unquoteName(name0)

@@ -1468,6 +1468,25 @@ class GeoSpec extends AnyFunSuite {
       engine.sql("CREATE CRS 9998 (A 6378137.0, RF 300.0)")
     }
     assert(noFam.getMessage.contains("needs FAMILY"), noFam.getMessage)
+    // PERSISTENT rows survive the session: persist one, wipe it from
+    // the JVM-global registry (the test seam), rebuild a catalog on
+    // the same warehouse — the row re-registers from _crs.json
+    engine.sql("""CREATE PERSISTENT CRS 29902 (FAMILY 'tmerc',
+      A 6377340.189, RF 299.3249646, LAT_0 53.5, LON_0 -8.0,
+      K_0 1.000035, X_0 200000, Y_0 250000)""")
+    assert(Geo.crsOf(29902).isDefined)
+    Geo.unregisterCrs(29902)
+    assert(Geo.crsOf(29902).isEmpty)
+    val engine2 = GraftEngine(spark, wh) // fresh catalog, same warehouse
+    assert(Geo.crsOf(29902).isDefined, "persisted CRS must reload")
+    val back = engine2.sql(
+      """SELECT st_x(st_transform('POINT (-8.0 53.5)', 4326, 29902)) AS x""")
+      .collect()(0).getDouble(0)
+    assert(math.abs(back - 200000.0) < 1e-5, back)
+    val listed2 = engine2.sql("SHOW CRS").collect()
+      .map(r => (r.getInt(0), r.getString(2)))
+    assert(listed2.contains((29902, "persistent")))
+    assert(listed2.contains((3347, "registered"))) // temp row stays temp
   }
 
   test("st_within_point is codegen-native (r16): generated == interpreted, " +
