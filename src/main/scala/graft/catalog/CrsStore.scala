@@ -73,6 +73,16 @@ class CrsStore(warehouse: String) {
     writeAll(rest :+ Row(srid, family, params))
   }
 
+  /** drop a RUNTIME-REGISTERED row: removes the session registration
+    * and the persisted row if present. Returns false when the srid was
+    * not a dynamic registration (builtins are not droppable). */
+  def drop(srid: Int): Boolean = {
+    val wasDynamic = graft.functions.Geo.unregisterCrs(srid)
+    val rows = readAll()
+    if (rows.exists(_.srid == srid)) writeAll(rows.filterNot(_.srid == srid))
+    wasDynamic || rows.exists(_.srid == srid)
+  }
+
   /** re-register every persisted row into the session (idempotent —
     * an identical JVM-wide registration is a no-op; a CONFLICTING one
     * raises loudly rather than silently shadowing either side) */

@@ -2703,10 +2703,11 @@ object Geo {
       .orElse(LaeaRegistry.get(srid))
       .orElse(Option(dynamicCrs.get(srid)))
 
-  /** test seam: drop a runtime registration (the JVM-global map would
-    * otherwise make persistence reload untestable in-process) */
-  private[graft] def unregisterCrs(srid: Int): Unit =
-    dynamicCrs.remove(srid)
+  /** drop a runtime registration (DROP CRS; also the persistence
+    * reload test seam). Builtins are untouchable — only the dynamic
+    * map is consulted. Returns true when a registration was removed. */
+  private[graft] def unregisterCrs(srid: Int): Boolean =
+    dynamicCrs.remove(srid) != null
 
   /** the family keyword of a projection row (the registerCrs names) */
   def familyOf(p: Proj): String = p match {

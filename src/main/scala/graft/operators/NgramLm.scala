@@ -258,13 +258,21 @@ object NgramLm {
           Sampling.hashBucket(col("doc_id"), salt, 1000000) < ratePerM)
         // 2. per-language order statistics over the SAMPLE only: the
         //    window partitions by language but its input is the
-        //    bounded sketch, never the corpus
+        //    bounded sketch, never the corpus. The sketch is only
+        //    bounded if ratePerM is SIZED for the corpus — the same
+        //    loud width guard as the exact path rides the same
+        //    row_number, so an under-sized rate raises instead of
+        //    silently single-tasking a 25%-of-40TB "sample"
         val wRank = Window.partitionBy(col(langCol))
           .orderBy(col("ppl"), col("doc_id"))
         val wCnt = Window.partitionBy(col(langCol))
         val thr = samp
           .select(col(langCol), col("ppl"), col("doc_id"),
-            row_number().over(wRank).as("rn"),
+            when(row_number().over(wRank) > maxLangRows,
+              raise_error(lit(s"pplBuckets: a language's SAMPLE exceeds " +
+                s"$maxLangRows rows — lower ratePerM so the quantile " +
+                "sketch stays a bounded artifact (the 100 TB contract)")))
+              .otherwise(row_number().over(wRank)).as("rn"),
             count(lit(1)).over(wCnt).as("n"))
           .select(col(langCol), col("ppl"), col("doc_id"),
             col("rn"), col("n"),

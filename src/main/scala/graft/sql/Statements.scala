@@ -126,6 +126,8 @@ object Statements {
     """(?is)^CREATE\s+(?:(PERSISTENT|TEMPORARY)\s+)?CRS\s+(\d+)\s*\((.+)\)\s*$""".r
   private val reShowCrs =
     """(?is)^SHOW\s+CRS\s*$""".r
+  private val reDropCrs =
+    """(?is)^DROP\s+CRS\s+(?:(IF\s+EXISTS)\s+)?(\d+)\s*$""".r
   private val reCreateSecret =
     ("""(?is)^CREATE\s+(?:(PERSISTENT|TEMPORARY)\s+)?SECRET\s+""" + Named +
       """\s*\((.+)\)\s*$""").r
@@ -481,6 +483,12 @@ object Statements {
         else graft.functions.Geo.registerCrs(sridS.toInt, fam, crsParams.toMap)
         Some(status(spark,
           s"registered ${if (persistent) "persistent " else ""}CRS EPSG:$sridS"))
+      case reDropCrs(ifExists, sridS) =>
+        val dropped = catalog.crs.drop(sridS.toInt)
+        if (!dropped && ifExists == null) throw new IllegalArgumentException(
+          s"DROP CRS: EPSG:$sridS is not a registered parameter row " +
+            "(builtins cannot be dropped)")
+        Some(status(spark, s"dropped CRS EPSG:$sridS"))
       case reShowCrs() =>
         import spark.implicits._
         val persisted = catalog.crs.persistedSrids()

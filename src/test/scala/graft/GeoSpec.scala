@@ -1487,6 +1487,19 @@ class GeoSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(2)))
     assert(listed2.contains((29902, "persistent")))
     assert(listed2.contains((3347, "registered"))) // temp row stays temp
+    // DROP CRS removes dynamic rows (and their persisted record);
+    // builtins refuse; IF EXISTS tolerates absence
+    engine2.sql("DROP CRS 3347")
+    assert(Geo.crsOf(3347).isEmpty)
+    engine2.sql("DROP CRS 29902")
+    assert(Geo.crsOf(29902).isEmpty)
+    val engine3 = GraftEngine(spark, wh)
+    assert(Geo.crsOf(29902).isEmpty, "dropped persistent row must not reload")
+    val notRow = intercept[IllegalArgumentException] {
+      engine3.sql("DROP CRS 2154")
+    }
+    assert(notRow.getMessage.contains("not a registered parameter row"))
+    engine3.sql("DROP CRS IF EXISTS 4242") // no-op, no error
   }
 
   test("st_within_point is codegen-native (r16): generated == interpreted, " +

@@ -939,6 +939,17 @@ class OperatorsSpec extends AnyFunSuite {
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString("|")
     assert(msgs.contains("language partition exceeds"))
+    // and the SKETCH path guards its own sample width: an under-sized
+    // rate (here: keep-everything) trips the same loud ceiling instead
+    // of silently single-tasking a giant "sample"
+    val errS = intercept[Exception] {
+      NgramLm.pplBuckets(docs, "text", "doc_id", "lang",
+        ratePerM = 1000000, maxLangRows = 3).collect()
+    }
+    val msgsS = Iterator.iterate[Throwable](errS)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("|")
+    assert(msgsS.contains("SAMPLE exceeds"), msgsS.take(300))
   }
 
   test("DSIR weights: target-like docs score positive, background negative") {
