@@ -2449,7 +2449,12 @@ object Geo {
       val dx = x - x0; val dy = rho0 - (y - y0)
       val rho = math.signum(n) * StrictMath.hypot(dx, dy)
       val tP = StrictMath.pow(rho / (a * bigF), 1.0 / n)
-      val th = StrictMath.atan2(dx, dy)
+      // Snyder 14-11 note: for a SOUTHERN cone (n < 0) the signs of
+      // (dx, dy) must reverse before the angle recovery — ρ is
+      // negative there, so atan2 on the raw components lands θ ± π
+      // and the longitude unwraps a whole branch away
+      val th = if (n < 0) StrictMath.atan2(-dx, -dy)
+        else StrictMath.atan2(dx, dy)
       var phi = StrictMath.PI / 2 - 2 * StrictMath.atan(tP)
       var i = 0
       while (i < 9) { // Snyder 7-9: converges to double precision fast
@@ -2615,7 +2620,10 @@ object Geo {
             "(1e7 m of the false origin)")
       val dx = x - x0; val dy = rho0 - (y - y0)
       val rho = math.signum(n) * StrictMath.hypot(dx, dy)
-      val th = StrictMath.atan2(dx, dy)
+      // Snyder 14-11: southern cone (n < 0) reverses the component
+      // signs before the angle recovery (see the Lcc.inv note)
+      val th = if (n < 0) StrictMath.atan2(-dx, -dy)
+        else StrictMath.atan2(dx, dy)
       val qPrime = (bigC - (rho * n / a) * (rho * n / a)) / n
       val lonDeg = StrictMath.toDegrees(th / n + lon0)
       if (lonDeg < -180.0 || lonDeg > 180.0)

@@ -253,6 +253,63 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(ids.getSeq[Long](1).forall(i => i < 256 + 3))
   }
 
+  test("byte-bpe: randomized replay equivalence (r16) — the boundary-aware " +
+      "fixpoint kernel == reference lowest-rank-first BPE, 40 trials") {
+    import spark.implicits._
+    import graft.functions.ByteBpeExprs
+    import org.apache.spark.unsafe.types.UTF8String
+    // the published GPT-2 merge algorithm, implemented independently:
+    // repeatedly find the lowest-rank adjacent pair and merge its
+    // leftmost occurrence, until no pair is in the table
+    def refBpe(piece: String, rank: Map[(String, String), Int]): Seq[String] = {
+      val mapped = ByteBpeExprs.b2uKernel(UTF8String.fromString(piece)).toString
+      val syms = scala.collection.mutable.ArrayBuffer(
+        mapped.map(_.toString): _*)
+      var go = true
+      while (go && syms.length > 1) {
+        var best = Int.MaxValue; var bi = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          val rk = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (rk < best) { best = rk; bi = i }
+          i += 1
+        }
+        if (bi < 0) go = false
+        else { syms(bi) = syms(bi) + syms(bi + 1); syms.remove(bi + 1) }
+      }
+      syms.toSeq
+    }
+    val rnd = new scala.util.Random(20260816L)
+    val alpha = "abcé" // é exercises the multi-byte mapping
+    for (trial <- 1 to 40) {
+      val words = Seq.fill(24)((1 to (1 + rnd.nextInt(7)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val corpus = words.mkString(" ")
+      val df = Seq((1L, corpus)).toDF("doc_id", "text")
+      // trained tables are well-formed by construction (products of
+      // earlier merges only) — the regime the fixpoint argument covers
+      val merges = ByteBpe.trainMerges(df, "text",
+          nMerges = 2 + rnd.nextInt(6), minCount = 1L)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      if (merges.nonEmpty) {
+        val rank = merges.zipWithIndex.toMap
+        val got = ByteBpe.encode(df, "text", "doc_id", merges)
+          .collect()(0).getString(1)
+        // reference: pre-tokenize exactly like the kernel, replay each
+        // piece with true BPE, flatten with the same space join
+        val pieces = {
+          val a = ByteBpeExprs.gpt2SplitKernel(UTF8String.fromString(corpus))
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        }
+        val want = pieces.flatMap(p => refBpe(p, rank)).mkString(" ")
+        assert(got == want,
+          s"trial $trial diverged\n merges=$merges\n corpus=$corpus\n" +
+            s" kernel=$got\n ref=$want")
+      }
+    }
+  }
+
   test("byte-bpe: bytes→unicode bijection matches the published GPT-2 table; total roundtrip") {
     // the published anchors: printable ASCII self-maps, the excluded
     // bytes take 256+k — space→Ġ, \n→Ċ, \t→ĉ, DEL→ġ, NBSP-byte→ł, AD→Ń

@@ -1433,6 +1433,59 @@ class GeoSpec extends AnyFunSuite {
     assert(farUtm.getMessage.contains("central meridian"), farUtm.getMessage)
   }
 
+  test("projection kernels under RANDOM parameter rows (r16): 60 synthetic " +
+      "CRSs — false-origin pins exact, round-trips close, all families") {
+    val rnd = new scala.util.Random(29021609L)
+    var srid = 900001
+    for (trial <- 1 to 60) {
+      // a plausible Earth-like ellipsoid and arbitrary published-style
+      // parameters — the space a user's EPSG row lives in
+      val a = 6300000.0 + rnd.nextDouble() * 100000.0
+      val rf = 290.0 + rnd.nextDouble() * 20.0
+      val lon0 = -170.0 + rnd.nextDouble() * 340.0
+      val x0 = rnd.nextInt(2000000).toDouble
+      val y0 = rnd.nextInt(2000000).toDouble - 1000000.0
+      val family = Seq("tmerc", "lcc", "laea", "aea")(trial % 4)
+      val (lat0, extra) = family match {
+        case "tmerc" => (-60.0 + rnd.nextDouble() * 120.0,
+          Map("k_0" -> (0.9996 + rnd.nextDouble() * 0.0006)))
+        case "laea" => (-70.0 + rnd.nextDouble() * 140.0,
+          Map.empty[String, Double])
+        case _ => // conics: parallels straddle the origin, same sign
+          val base = 15.0 + rnd.nextDouble() * 40.0
+          val sign = if (rnd.nextBoolean()) 1.0 else -1.0
+          (sign * (base + 5.0), Map("lat_1" -> sign * base,
+            "lat_2" -> sign * (base + 12.0)))
+      }
+      Geo.registerCrs(srid, family, Map("a" -> a, "rf" -> rf,
+        "lat_0" -> lat0, "lon_0" -> lon0, "x_0" -> x0, "y_0" -> y0) ++ extra)
+      // 1. the projection origin lands exactly on the false origin
+      val o = Geo.parseWkt(Geo.stTransform(
+        s"POINT ($lon0 $lat0)", 4326, srid)).asInstanceOf[Geo.PointGeom]
+      assert(math.abs(o.x - x0) < 1e-5 && math.abs(o.y - y0) < 1e-5,
+        s"trial $trial $family: origin -> (${o.x}, ${o.y}), want ($x0, $y0)")
+      // 2. round-trip closure across the service area
+      for (_ <- 1 to 8) {
+        val dLon = (rnd.nextDouble() * 2 - 1) *
+          (if (family == "tmerc") 10.0 else 25.0)
+        val dLat = (rnd.nextDouble() * 2 - 1) * 12.0
+        val lon = math.max(-179.9, math.min(179.9, lon0 + dLon))
+        val lat = math.max(-79.0, math.min(79.0, lat0 + dLat))
+        val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+          s"POINT ($lon $lat)", 4326, srid), srid, 4326))
+          .asInstanceOf[Geo.PointGeom]
+        // closure bound: the conic/azimuthal inverses iterate to
+        // double precision (2e-6° ≈ 20 cm); the TM Snyder series
+        // truncates — ~1e-5° (≈1 m) at the ±10° edge of its domain
+        val tol = if (family == "tmerc") 2e-5 else 2e-6
+        assert(math.abs(back.x - lon) < tol && math.abs(back.y - lat) < tol,
+          s"trial $trial $family ($lon, $lat) -> (${back.x}, ${back.y})")
+      }
+      Geo.unregisterCrs(srid)
+      srid += 1
+    }
+  }
+
   test("CREATE CRS / SHOW CRS: the parameter-row registry on the SQL " +
       "surface (r16)") {
     val spark = GraftSession.build("local[2]", 2)
