@@ -195,6 +195,57 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(flat.getString(1).contains("th"), flat.getString(1))
   }
 
+  test("unigram boundary Viterbi: randomized equivalence vs brute-force " +
+      "segmentation enumeration — 50 trials, marked/bare vocabs (r16)") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    val rnd = new scala.util.Random(16082026L)
+    // brute force: every segmentation of ▁+word, max total score, ties
+    // by the kernel's backpointer preference (longest last piece, then
+    // recursively leftward) — encoded as the reversed-lengths string
+    def best(word: String, vocab: Map[String, Long], unk: Long): Seq[String] = {
+      val s = "▁" + word
+      def go(pos: Int): Seq[(List[String], Long, String)] =
+        if (pos == s.length) Seq((Nil, 0L, ""))
+        else (1 to math.min(4, s.length - pos)).flatMap { l =>
+          val p = s.substring(pos, pos + l)
+          val sc = vocab.get(p).orElse(if (l == 1) Some(unk) else None)
+          sc.toSeq.flatMap { w =>
+            go(pos + l).map { case (ps, tot, rl) =>
+              (p :: ps, tot + w, rl + l.toString) }
+          }
+        }
+      // rl accumulates suffix-first (the recursion appends the CURRENT
+      // piece's length after the suffix's), i.e. already right-to-left
+      // — exactly the kernel's backpointer walk order
+      go(0).maxBy { case (_, tot, rl) => (tot, rl) }._1
+    }
+    val alpha = "abc"
+    for (trial <- 1 to 50) {
+      // random marked/bare vocab with independent scores
+      val pieces = scala.collection.mutable.Map[String, Long]()
+      alpha.foreach { c => pieces(c.toString) = -(1 + rnd.nextInt(9)).toLong * 1000000L }
+      pieces("▁") = -(1 + rnd.nextInt(9)).toLong * 1000000L
+      for (_ <- 1 to 6) {
+        val core = (1 to (1 + rnd.nextInt(3)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        val p = (if (rnd.nextBoolean()) "▁" else "") + core
+        pieces(p) = -(1 + rnd.nextInt(12)).toLong * 1000000L
+      }
+      val unk = -(10 + rnd.nextInt(5)).toLong * 1000000L
+      val words = Seq.fill(6)((1 to (1 + rnd.nextInt(5)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = Unigram.encode(df, "text", "doc_id", pieces.toSeq.sortBy(_._1),
+        unk, lower = false, boundary = true).collect()(0).getString(1)
+      val want = words.map(w => best(w, pieces.toMap, unk).mkString(" "))
+        .mkString(" | ")
+      assert(got == want,
+        s"trial $trial diverged\n vocab=$pieces unk=$unk\n words=$words\n" +
+          s" kernel=$got\n brute=$want")
+    }
+  }
+
   test("unigram pieces_path float .vocab: default unk lands in the FILE's " +
       "units (r16) — OOV competition is no longer 1000× distorted") {
     import spark.implicits._
