@@ -2648,6 +2648,89 @@ object Geo {
     }
   }
 
+  // ---- 7-parameter Helmert datum shift (r16): the published EPSG
+  // position-vector transformation (EPSG method 9606; PROJ `towgs84`
+  // convention) between a LOCAL geodetic datum and WGS84 — rotations
+  // in arc-seconds, scale in ppm. 2D transforms assume h = 0, the
+  // standard stance for map-grid work. Without it, projecting WGS84
+  // lon/lat straight onto a non-WGS84 grid (OSGB36, ~100 m offset) is
+  // only ellipsoid-correct, not datum-correct.
+  final case class Helmert(dx: Double, dy: Double, dz: Double,
+      rx: Double, ry: Double, rz: Double, ppm: Double) extends Serializable {
+    private val s = 1.0 + ppm * 1e-6
+    private val rxR = StrictMath.toRadians(rx / 3600.0)
+    private val ryR = StrictMath.toRadians(ry / 3600.0)
+    private val rzR = StrictMath.toRadians(rz / 3600.0)
+    /** local-datum geocentric → WGS84 geocentric (the towgs84 leg) */
+    def toWgs(x: Double, y: Double, z: Double): (Double, Double, Double) =
+      (dx + s * (x - rzR * y + ryR * z),
+        dy + s * (rzR * x + y - rxR * z),
+        dz + s * (-ryR * x + rxR * y + z))
+    /** WGS84 geocentric → local-datum geocentric (exact inverse of the
+      * small-angle forward matrix: R⁻¹ from the same skew terms) */
+    def fromWgs(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val px = (x - dx) / s; val py = (y - dy) / s; val pz = (z - dz) / s
+      // invert I + R_skew exactly (3×3 solve of the forward rotation)
+      val det = 1.0 + rxR * rxR + ryR * ryR + rzR * rzR
+      (((1 + rxR * rxR) * px + (rzR + rxR * ryR) * py +
+        (rxR * rzR - ryR) * pz) / det,
+        ((rxR * ryR - rzR) * px + (1 + ryR * ryR) * py +
+          (rxR + ryR * rzR) * pz) / det,
+        ((ryR + rxR * rzR) * px + (ryR * rzR - rxR) * py +
+          (1 + rzR * rzR) * pz) / det)
+    }
+  }
+
+  /** geodetic (lon°, lat°, h=0) → geocentric XYZ on ellipsoid (a, f) */
+  private def geodeticToXyz(a: Double, f: Double, lon: Double,
+      lat: Double): (Double, Double, Double) = {
+    val e2 = f * (2 - f)
+    val phi = StrictMath.toRadians(lat); val lam = StrictMath.toRadians(lon)
+    val sinP = StrictMath.sin(phi); val cosP = StrictMath.cos(phi)
+    val n = a / StrictMath.sqrt(1 - e2 * sinP * sinP)
+    (n * cosP * StrictMath.cos(lam), n * cosP * StrictMath.sin(lam),
+      n * (1 - e2) * sinP)
+  }
+
+  /** geocentric XYZ → geodetic (lon°, lat°) on ellipsoid (a, f):
+    * fixed-count latitude iteration (converges to double precision in
+    * a handful of rounds for surface points) */
+  private def xyzToGeodetic(a: Double, f: Double, x: Double, y: Double,
+      z: Double): (Double, Double) = {
+    val e2 = f * (2 - f)
+    val p = StrictMath.hypot(x, y)
+    var phi = StrictMath.atan2(z, p * (1 - e2))
+    var i = 0
+    while (i < 8) {
+      val sinP = StrictMath.sin(phi)
+      val n = a / StrictMath.sqrt(1 - e2 * sinP * sinP)
+      phi = StrictMath.atan2(z + e2 * n * sinP, p)
+      i += 1
+    }
+    (StrictMath.toDegrees(StrictMath.atan2(y, x)), StrictMath.toDegrees(phi))
+  }
+
+  /** a projected CRS on a NON-WGS84 datum: WGS84 lon/lat shifts through
+    * the Helmert parameters onto the local datum's ellipsoid before
+    * projecting (and back after un-projecting) */
+  final case class DatumShifted(inner: Proj, a: Double, f: Double,
+      helmert: Helmert) extends Proj {
+    private val WgsAC = 6378137.0
+    private val WgsFC = 1.0 / 298.257223563
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      val (wx, wy, wz) = geodeticToXyz(WgsAC, WgsFC, lon, lat)
+      val (lx, ly, lz) = helmert.fromWgs(wx, wy, wz)
+      val (lLon, lLat) = xyzToGeodetic(a, f, lx, ly, lz)
+      inner.fwd(lLon, lLat)
+    }
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val (lLon, lLat) = inner.inv(x, y)
+      val (lx, ly, lz) = geodeticToXyz(a, f, lLon, lLat)
+      val (wx, wy, wz) = helmert.toWgs(lx, ly, lz)
+      xyzToGeodetic(WgsAC, WgsFC, wx, wy, wz)
+    }
+  }
+
   // ------------------------------- parameterized CRS registry (r16)
   // The reference reaches arbitrary EPSG codes through geodatafusion
   // (beacon-functions/src/lib.rs:31). Graft drives its four projection
@@ -2694,12 +2777,23 @@ object Geo {
         s"register_crs EPSG:$srid: unknown family '$other' " +
           "(tmerc|lcc|laea|aea)")
     }
+    // optional datum shift (EPSG 9606 / PROJ towgs84): any of the
+    // seven keys engages the Helmert pipeline — WGS84 input shifts
+    // onto the row's LOCAL datum before projecting. Absent = the
+    // grid's datum is treated as WGS84-compatible (GRS80 rows).
+    val datumKeys = Seq("dx", "dy", "dz", "rx", "ry", "rz", "ds")
+    val shifted: Proj =
+      if (datumKeys.exists(p.contains))
+        DatumShifted(proj, a, f, Helmert(opt("dx", 0), opt("dy", 0),
+          opt("dz", 0), opt("rx", 0), opt("ry", 0), opt("rz", 0),
+          opt("ds", 0)))
+      else proj
     crsOf(srid) match {
-      case Some(existing) if existing == proj => () // idempotent
+      case Some(existing) if existing == shifted => () // idempotent
       case Some(existing) => throw new IllegalArgumentException(
         s"register_crs: EPSG:$srid is already defined as $existing — " +
           "refusing a conflicting redefinition")
-      case None => dynamicCrs.put(srid, proj)
+      case None => dynamicCrs.put(srid, shifted)
     }
   }
 
@@ -2723,6 +2817,7 @@ object Geo {
     case _: Lcc => "lcc"
     case _: Laea => "laea"
     case _: Aea => "aea"
+    case d: DatumShifted => familyOf(d.inner) + "+towgs84"
   }
 
   /** every addressable CRS row: the special-cased spherical Mercator,

@@ -1486,6 +1486,72 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("Helmert datum shift (r16): towgs84 rows project datum-correctly; " +
+      "exact inverse; identity and translation pins") {
+    // exact inverse: random 7-parameter rows round-trip geocentric
+    // coordinates to sub-mm (the forward small-angle matrix is
+    // inverted exactly, not approximated by negating the parameters)
+    val rnd = new scala.util.Random(9606L)
+    for (_ <- 1 to 40) {
+      val h = Geo.Helmert(rnd.nextDouble() * 1000 - 500,
+        rnd.nextDouble() * 1000 - 500, rnd.nextDouble() * 1000 - 500,
+        rnd.nextDouble() * 10 - 5, rnd.nextDouble() * 10 - 5,
+        rnd.nextDouble() * 10 - 5, rnd.nextDouble() * 60 - 30)
+      val (x, y, z) = (rnd.nextDouble() * 4e6, rnd.nextDouble() * 4e6,
+        rnd.nextDouble() * 4e6)
+      val (wx, wy, wz) = h.toWgs(x, y, z)
+      val (bx, by, bz) = h.fromWgs(wx, wy, wz)
+      assert(math.abs(bx - x) < 1e-4 && math.abs(by - y) < 1e-4 &&
+        math.abs(bz - z) < 1e-4, s"$h: ($x,$y,$z) -> ($bx,$by,$bz)")
+    }
+    // pure translation moves geocentric coordinates verbatim
+    val t = Geo.Helmert(100.0, -50.0, 25.0, 0, 0, 0, 0)
+    assert(t.toWgs(1e6, 2e6, 3e6) == ((1e6 + 100.0, 2e6 - 50.0, 3e6 + 25.0)))
+    // a zero-parameter towgs84 row on the WGS84 ellipsoid itself is a
+    // true identity pipeline (geocentric unchanged AND same ellipsoid);
+    // on a DIFFERENT ellipsoid even a zero shift re-interprets the
+    // geodetic coordinates — the correct datum behavior, tested below
+    val wgsTm = Map("a" -> 6378137.0, "rf" -> 298.257223563,
+      "lat_0" -> 0.0, "lon_0" -> -3.0, "k_0" -> 0.9996,
+      "x_0" -> 500000.0, "y_0" -> 0.0)
+    Geo.registerCrs(900811, "tmerc", wgsTm)
+    Geo.registerCrs(900812, "tmerc", wgsTm + ("dx" -> 0.0))
+    val bareW = Geo.parseWkt(Geo.stTransform("POINT (-1.5 52.0)", 4326, 900811))
+      .asInstanceOf[Geo.PointGeom]
+    val zeroW = Geo.parseWkt(Geo.stTransform("POINT (-1.5 52.0)", 4326, 900812))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(bareW.x - zeroW.x) < 1e-6 &&
+      math.abs(bareW.y - zeroW.y) < 1e-6,
+      s"(${bareW.x},${bareW.y}) vs (${zeroW.x},${zeroW.y})")
+    val osgbParams = Map("a" -> 6377563.396, "rf" -> 299.3249646,
+      "lat_0" -> 49.0, "lon_0" -> -2.0, "k_0" -> 0.9996012717,
+      "x_0" -> 400000.0, "y_0" -> -100000.0)
+    Geo.registerCrs(900801, "tmerc", osgbParams)
+    // the REAL OSGB36 parameters (EPSG 1314 / PROJ towgs84): the
+    // datum-correct grid point sits the documented ~50–200 m from the
+    // datum-naive one over GB, and the full pipeline round-trips
+    Geo.registerCrs(900803, "tmerc", osgbParams ++ Map(
+      "dx" -> 446.448, "dy" -> -125.157, "dz" -> 542.060,
+      "rx" -> 0.1502, "ry" -> 0.2470, "rz" -> 0.8421, "ds" -> -20.4894))
+    for ((lon, lat) <- Seq((-1.5, 52.0), (-4.0, 56.5), (0.5, 51.2))) {
+      val naive = Geo.parseWkt(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, 900801)).asInstanceOf[Geo.PointGeom]
+      val datum = Geo.parseWkt(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, 900803)).asInstanceOf[Geo.PointGeom]
+      val off = StrictMath.hypot(datum.x - naive.x, datum.y - naive.y)
+      assert(off > 50.0 && off < 200.0,
+        s"OSGB36 datum offset at ($lon, $lat) is $off m — expected 50–200")
+      val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, 900803), 900803, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(back.x - lon) < 1e-7 && math.abs(back.y - lat) < 1e-7,
+        s"datum round-trip drifted: (${back.x}, ${back.y})")
+    }
+    // SHOW-CRS-visible family marks the datum pipeline
+    assert(Geo.familyOf(Geo.crsOf(900803).get) == "tmerc+towgs84")
+    Seq(900801, 900803, 900811, 900812).foreach(Geo.unregisterCrs(_))
+  }
+
   test("CREATE CRS / SHOW CRS: the parameter-row registry on the SQL " +
       "surface (r16)") {
     val spark = GraftSession.build("local[2]", 2)
