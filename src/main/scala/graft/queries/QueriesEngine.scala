@@ -945,6 +945,41 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- datum-correct reprojection (r16): EPSG:27700 with the REAL
+    // OSGB36 towgs84 parameters — the oracle replays the ENTIRE
+    // pipeline as SQL arithmetic: WGS84 geodetic → geocentric → the
+    // exact-inverse Helmert matrix → 8 unrolled iterations of the
+    // geodetic-latitude recovery on Airy 1830 → the TM forward series.
+    // The inverse leg round-trips through the engine.
+    "q_geo_transform_datum" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.{Geo, GeoExprs}
+      Geo.registerCrs(920700, "tmerc", Map(
+        "a" -> 6377563.396, "rf" -> 299.3249646, "lat_0" -> 49.0,
+        "lon_0" -> -2.0, "k_0" -> 0.9996012717,
+        "x_0" -> 400000.0, "y_0" -> -100000.0,
+        "dx" -> 446.448, "dy" -> -125.157, "dz" -> 542.060,
+        "rx" -> 0.1502, "ry" -> 0.2470, "rz" -> 0.8421, "ds" -> -20.4894))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lon = -($"n_nationkey" % 8) + 1
+      val lat = $"n_nationkey" % 10 + 50
+      val pt = concat(lit("POINT ("), d(lon), lit(" "), d(lat), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(pt, lit(4326), lit(920700)).as("g"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"g"), 3).as("easting"),
+          round(GeoExprs.st_y($"g"), 3).as("northing"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"g", lit(920700), lit(4326))), 5)
+            .as("back_lon"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"g", lit(920700), lit(4326))), 5)
+            .as("back_lat"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- Lambert-93 (late r15): the LCC-2SP forward (Snyder ch. 15)
     // replayed by the oracle as SQL arithmetic (power/ln/tan); the
     // inverse leg (iterative latitude recovery) round-trips through
@@ -1679,6 +1714,73 @@ object QueriesEngine {
            round(lat, 5) AS back_lat
          FROM leg
          ORDER BY n_nationkey""",
+    // r16 datum pipeline: WGS84 geodetic → geocentric → exact-inverse
+    // Helmert (towgs84) → 8 unrolled geodetic-latitude iterations on
+    // Airy 1830 → the TM series, all as SQL arithmetic; inverse leg
+    // round-trips through the engine
+    "q_geo_transform_datum" ->
+      raw"""WITH src AS (SELECT n_nationkey,
+             CAST(-(n_nationkey % 8) + 1 AS DOUBLE) AS lon,
+             CAST(n_nationkey % 10 + 50 AS DOUBLE) AS lat FROM nation),
+         k AS (SELECT 6378137.0 AS aw,
+             (1.0/298.257223563)*(2-1.0/298.257223563) AS e2w,
+             6377563.396 AS aa2,
+             (1.0/299.3249646)*(2-1.0/299.3249646) AS e2a,
+             1.0 + (-20.4894)*1e-6 AS hs,
+             radians(0.1502/3600.0) AS hrx, radians(0.2470/3600.0) AS hry,
+             radians(0.8421/3600.0) AS hrz,
+             radians(-2.0) AS lam0, 0.9996012717 AS k0),
+         k2 AS (SELECT *, e2a/(1-e2a) AS ep2a,
+             1 + hrx*hrx + hry*hry + hrz*hrz AS hdet,
+             aa2*((1-e2a/4-3*e2a*e2a/64-5*e2a*e2a*e2a/256)*radians(49.0)
+               - (3*e2a/8+3*e2a*e2a/32+45*e2a*e2a*e2a/1024)*sin(2*radians(49.0))
+               + (15*e2a*e2a/256+45*e2a*e2a*e2a/1024)*sin(4*radians(49.0))
+               - (35*e2a*e2a*e2a/3072)*sin(6*radians(49.0))) AS m0
+           FROM k),
+         g AS (SELECT s.n_nationkey, s.lon, s.lat, k2.*,
+             radians(s.lat) AS phi, radians(s.lon) AS lam FROM src s, k2),
+         xyz AS (SELECT *,
+             (aw/sqrt(1-e2w*sin(phi)*sin(phi)))*cos(phi)*cos(lam) AS gx,
+             (aw/sqrt(1-e2w*sin(phi)*sin(phi)))*cos(phi)*sin(lam) AS gy,
+             (aw/sqrt(1-e2w*sin(phi)*sin(phi)))*(1-e2w)*sin(phi) AS gz
+           FROM g),
+         hel AS (SELECT *, (gx-446.448)/hs AS px, (gy-(-125.157))/hs AS py,
+             (gz-542.060)/hs AS pz FROM xyz),
+         loc AS (SELECT *,
+             ((1+hrx*hrx)*px + (hrz+hrx*hry)*py + (hrx*hrz-hry)*pz)/hdet AS lx,
+             ((hrx*hry-hrz)*px + (1+hry*hry)*py + (hrx+hry*hrz)*pz)/hdet AS ly,
+             ((hry+hrx*hrz)*px + (hry*hrz-hrx)*py + (1+hrz*hrz)*pz)/hdet AS lz
+           FROM hel),
+         i0 AS (SELECT *, sqrt(lx*lx+ly*ly) AS pp,
+             atan2(lz, sqrt(lx*lx+ly*ly)*(1-e2a)) AS f FROM loc),
+         ${(1 to 8).map(i =>
+            s"""i$i AS (SELECT * REPLACE (atan2(lz +
+               e2a*(aa2/sqrt(1-e2a*sin(f)*sin(f)))*sin(f), pp) AS f)
+               FROM i${i - 1})""").mkString(", ")},
+         tm AS (SELECT n_nationkey, lon, lat, ep2a, k0, m0, lam0, aa2, e2a,
+             radians(degrees(f)) AS phia,
+             radians(degrees(atan2(ly, lx))) AS lama FROM i8),
+         leg AS (SELECT n_nationkey, lon, lat, k0, m0, ep2a,
+             aa2/sqrt(1-e2a*sin(phia)*sin(phia)) AS nn,
+             tan(phia)*tan(phia) AS t,
+             ep2a*cos(phia)*cos(phia) AS c,
+             (lama - lam0)*cos(phia) AS aa,
+             aa2*((1-e2a/4-3*e2a*e2a/64-5*e2a*e2a*e2a/256)*phia
+               - (3*e2a/8+3*e2a*e2a/32+45*e2a*e2a*e2a/1024)*sin(2*phia)
+               + (15*e2a*e2a/256+45*e2a*e2a*e2a/1024)*sin(4*phia)
+               - (35*e2a*e2a*e2a/3072)*sin(6*phia)) AS m,
+             tan(phia) AS tanp FROM tm)
+         SELECT n_nationkey,
+           round(k0*nn*(aa + (1-t+c)*aa*aa*aa/6
+             + (5-18*t+t*t+72*c-58*ep2a)*aa*aa*aa*aa*aa/120) + 400000.0, 3)
+             AS easting,
+           round(k0*(m - m0 + nn*tanp*(aa*aa/2
+             + (5-t+9*c+4*c*c)*aa*aa*aa*aa/24
+             + (61-58*t+t*t+600*c-330*ep2a)*aa*aa*aa*aa*aa*aa/720))
+             + (-100000.0), 3) AS northing,
+           round(lon, 5) AS back_lon,
+           round(lat, 5) AS back_lat
+         FROM leg ORDER BY n_nationkey""",
     // r16 parameter-row registry: the OSGB36 tmerc forward (M(lat0)
     // offset, negative false northing) and the CONUS Albers forward
     // (authalic q, Snyder 14-1..14-4) as raw SQL arithmetic; inverse
