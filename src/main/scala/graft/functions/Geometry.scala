@@ -2267,6 +2267,19 @@ object Geo {
     }
   }
 
+  /** longitude DELTA wrapped into (−π, π] — a point 3° across the
+    * antimeridian from a lon_0 near ±180 (UTM zones 1/60, Pacific
+    * Albers rows) is NEAR the meridian, not 357° away. Identity (same
+    * doubles) whenever the raw delta is already in range, so existing
+    * in-range results are bit-unchanged. */
+  @inline private def wrapLonRad(d: Double): Double =
+    if (d > StrictMath.PI) d - 2 * StrictMath.PI
+    else if (d < -StrictMath.PI) d + 2 * StrictMath.PI
+    else d
+
+  @inline private def wrapLonDeg(d: Double): Double =
+    if (d > 180.0) d - 360.0 else if (d < -180.0) d + 360.0 else d
+
   /** a projected CRS: forward (lon/lat° → x/y meters) and inverse.
     * Serializable so a pinned projection rides inside a serialized
     * plan to every executor. */
@@ -2320,7 +2333,7 @@ object Geo {
           s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
       // the series is meaningless far from the central meridian — the
       // inverse leg's loud-extent stance, applied forward (ADVICE r15)
-      val dLonDeg = lon - StrictMath.toDegrees(lon0)
+      val dLonDeg = wrapLonDeg(lon - StrictMath.toDegrees(lon0))
       if (dLonDeg < -15.0 || dLonDeg > 15.0)
         throw new IllegalArgumentException(
           s"st_transform: longitude $lon is ${math.abs(dLonDeg)}° from " +
@@ -2333,7 +2346,7 @@ object Geo {
       val n = a / StrictMath.sqrt(1 - e2 * sinP * sinP)
       val t = tanP * tanP
       val c = ep2 * cosP * cosP
-      val aA = (StrictMath.toRadians(lon) - lon0) * cosP
+      val aA = wrapLonRad(StrictMath.toRadians(lon) - lon0) * cosP
       val a2 = aA * aA; val a3 = a2 * aA; val a4 = a2 * a2
       val a5 = a4 * aA; val a6 = a4 * a2
       val x = k0 * n * (aA + (1 - t + c) * a3 / 6
@@ -2436,7 +2449,7 @@ object Geo {
             "validity band [-89, 89]")
       val phi = StrictMath.toRadians(lat)
       val rho = a * bigF * StrictMath.pow(tOf(phi), n)
-      val th = n * (StrictMath.toRadians(lon) - lon0)
+      val th = n * wrapLonRad(StrictMath.toRadians(lon) - lon0)
       (x0 + rho * StrictMath.sin(th), y0 + rho0 - rho * StrictMath.cos(th))
     }
 
@@ -2516,7 +2529,7 @@ object Geo {
         throw new IllegalArgumentException(
           s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
       val beta = StrictMath.asin(qOf(StrictMath.toRadians(lat)) / qp)
-      val dl = StrictMath.toRadians(lon) - lon0
+      val dl = wrapLonRad(StrictMath.toRadians(lon) - lon0)
       val sinB = StrictMath.sin(beta); val cosB = StrictMath.cos(beta)
       val sinB1 = StrictMath.sin(beta1); val cosB1 = StrictMath.cos(beta1)
       val denom = 1 + sinB1 * sinB + cosB1 * cosB * StrictMath.cos(dl)
@@ -2608,7 +2621,7 @@ object Geo {
         s"st_transform: latitude $lat is beyond the Albers cone's " +
           "reach for these standard parallels")
       val rho = a * StrictMath.sqrt(under) / n
-      val th = n * (StrictMath.toRadians(lon) - lon0)
+      val th = n * wrapLonRad(StrictMath.toRadians(lon) - lon0)
       (x0 + rho * StrictMath.sin(th), y0 + rho0 - rho * StrictMath.cos(th))
     }
 

@@ -252,9 +252,14 @@ object NgramLm {
               floor(percent_rank().over(w) * buckets), lit(buckets - 1))
               .cast(org.apache.spark.sql.types.LongType)))
       } else {
+        // the scored corpus feeds BOTH the threshold sketch and the
+        // final broadcast join — materialize it once (the CURATE
+        // stage-boundary stance) so the LM scoring pass, the dominant
+        // cost, never runs twice
+        val pc = p.localCheckpoint()
         // 1. bounded sample — pure (doc_id, salt) keep decision, so
         //    the sample (and every band edge) replays in SQL
-        val samp = p.filter(
+        val samp = pc.filter(
           Sampling.hashBucket(col("doc_id"), salt, 1000000) < ratePerM)
         // 2. per-language order statistics over the SAMPLE only: the
         //    window partitions by language but its input is the
@@ -288,7 +293,7 @@ object NgramLm {
         //    A language with an empty sample (impossible at real
         //    corpus sizes × sane rates) degrades to one band, never
         //    to an error — the filter keep is fail-open.
-        p.join(broadcast(thr), Seq(langCol), "left")
+        pc.join(broadcast(thr), Seq(langCol), "left")
           .withColumn("bucket", coalesce(
             size(filter(col("__thrs"), t =>
               col("ppl") > t("t_ppl") ||

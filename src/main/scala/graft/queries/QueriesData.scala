@@ -781,19 +781,14 @@ object QueriesData {
       // r15 (profiled): the stream-stream join keeps FOUR state stores
       // per shuffle partition, and every micro-batch commits all of
       // them — at 32 partitions × 3 triggers that is ~384 store
-      // commits for a few thousand rows, which IS the gate's cost
-      // (plan time and data time are negligible). State partitioning
-      // is locked in at query start from the session conf, so
-      // right-size it for the streaming query and restore after; at
-      // the 100 TB design point the same knob simply stays high.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
-        graft.streaming.EventStreams.runToMemorySized(s,
-          joined.select($"view_id", $"purchase_id", $"user_id",
-            $"view_ts", $"purchase_ts"), qn,
-          mode = org.apache.spark.sql.streaming.OutputMode.Append())
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // commits for a few thousand rows, which IS the gate's cost.
+      // runToMemorySized right-sizes the state partitioning (r16: the
+      // whole streaming family rides it); at the 100 TB design point
+      // the same knob simply stays high.
+      val q = graft.streaming.EventStreams.runToMemorySized(s,
+        joined.select($"view_id", $"purchase_id", $"user_id",
+          $"view_ts", $"purchase_ts"), qn,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
       q.stop()
       s.table(qn).select($"view_id", $"purchase_id", $"user_id",
           $"view_ts".cast(TimestampNTZType).as("view_ts"),
@@ -3234,6 +3229,12 @@ object QueriesData {
       }
       (op, t)
     }
+    // the staged intermediates are a full corpus copy per stage —
+    // remove them rather than leaking /tmp on every bench run
+    try java.nio.file.Files.walk(work)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    catch { case _: Throwable => () }
     out
   }
 

@@ -284,24 +284,12 @@ object GeoParquet {
 
   private def rewriteFooterKv(file: java.io.File, key: String,
       value: String): Unit = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.format.converter.ParquetMetadataConverter
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val p = new org.apache.hadoop.fs.Path(file.getAbsolutePath)
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-    val md = try reader.getFooter finally reader.close()
-    val old = md.getFileMetaData
-    if (old.getKeyValueMetaData.containsKey(key)) return // already stamped
-    val kv = new java.util.HashMap[String, String](old.getKeyValueMetaData)
-    kv.put(key, value)
-    val thrift = new ParquetMetadataConverter().toParquetMetadata(1,
-      new org.apache.parquet.hadoop.metadata.ParquetMetadata(
-        new org.apache.parquet.hadoop.metadata.FileMetaData(
-          old.getSchema, kv, old.getCreatedBy), md.getBlocks))
-    val bos = new java.io.ByteArrayOutputStream()
-    org.apache.parquet.format.Util.writeFileMetaData(thrift, bos)
-    val footer = bos.toByteArray
+    // patch the ORIGINAL footer thrift in place: parse, append one
+    // KeyValue, re-serialize. No hadoop-metadata round-trip — the
+    // column-index/offset-index/bloom-filter references and every
+    // other footer field survive byte-for-byte (a converter-based
+    // rebuild silently drops the page-index references, costing every
+    // downstream reader its page-level pruning).
     val raf = new java.io.RandomAccessFile(file, "rw")
     try {
       val len = raf.length()
@@ -314,14 +302,33 @@ object GeoParquet {
         s"not a parquet file: $file")
       val footerStart = len - 8 - oldFooterLen
       require(footerStart > 0, s"implausible footer length $oldFooterLen")
+      val oldFooter = new Array[Byte](oldFooterLen)
       raf.seek(footerStart)
-      raf.write(footer)
-      raf.write(Array[Byte](
-        (footer.length & 0xff).toByte, ((footer.length >> 8) & 0xff).toByte,
-        ((footer.length >> 16) & 0xff).toByte,
-        ((footer.length >> 24) & 0xff).toByte))
-      raf.write("PAR1".getBytes("ASCII"))
-      raf.setLength(footerStart + footer.length + 8)
+      raf.readFully(oldFooter)
+      val fmd = org.apache.parquet.format.Util.readFileMetaData(
+        new java.io.ByteArrayInputStream(oldFooter))
+      val already = fmd.getKey_value_metadataSize > 0 && {
+        val it = fmd.getKey_value_metadataIterator
+        var found = false
+        while (it.hasNext && !found) found = it.next().key == key
+        found
+      }
+      if (!already) {
+        val kv = new org.apache.parquet.format.KeyValue(key)
+        kv.setValue(value)
+        fmd.addToKey_value_metadata(kv)
+        val bos = new java.io.ByteArrayOutputStream(oldFooterLen + 256)
+        org.apache.parquet.format.Util.writeFileMetaData(fmd, bos)
+        val footer = bos.toByteArray
+        raf.seek(footerStart)
+        raf.write(footer)
+        raf.write(Array[Byte](
+          (footer.length & 0xff).toByte, ((footer.length >> 8) & 0xff).toByte,
+          ((footer.length >> 16) & 0xff).toByte,
+          ((footer.length >> 24) & 0xff).toByte))
+        raf.write("PAR1".getBytes("ASCII"))
+        raf.setLength(footerStart + footer.length + 8)
+      }
     } finally raf.close()
   }
 

@@ -48,13 +48,16 @@ object ScaleUp {
 
   def scale(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     // copies must stay PAIRWISE text-distinct (the documented
-    // disjoint-shingles invariant) — a bare Caesar shift repeats every
-    // 26 copies, silently inflating cross-copy duplicate pairs
-    // quadratically; composing a digit rotation keeps 260 distinct
-    // copies, and beyond that we refuse loudly rather than lie
-    require(factor <= 260,
-      s"ScaleUp: factor $factor exceeds the 260 pairwise-distinct text " +
-        "transforms (26 letter shifts x 10 digit shifts) - copies would " +
+    // disjoint-shingles invariant, conditional as always on the text
+    // containing at least one letter) — a bare Caesar shift repeats
+    // every 26 copies; composing a CASE FLIP doubles the guaranteed-
+    // distinct transforms to 52 (digit-free text included — a digit
+    // rotation alone would only separate digit-bearing documents).
+    // Beyond 52 we refuse loudly rather than silently inflate
+    // cross-copy duplicate pairs.
+    require(factor <= 52,
+      s"ScaleUp: factor $factor exceeds the 52 pairwise-distinct text " +
+        "transforms (26 letter rotations x case flip) - copies would " +
         "repeat and break the disjoint-shingles invariant")
     def tbl(name: String): DataFrame =
       graft.Tables.load(spark, src, name)
@@ -80,9 +83,16 @@ object ScaleUp {
       val j = k % s.length
       s.substring(j) + s.substring(0, j)
     }
-    def rotAll(i: Int): (String, String) =
-      (lower + upper + digits,
-        rot(lower, i) + rot(upper, i) + rot(digits, i / 26))
+    def rotAll(i: Int): (String, String) = {
+      val k = i % 26
+      val flip = (i / 26) % 2 == 1
+      val letters =
+        if (flip) rot(upper, k) + rot(lower, k)
+        else rot(lower, k) + rot(upper, k)
+      // digits ride a slower rotation as extra decorrelation only —
+      // they are NOT counted toward the distinctness guarantee
+      (lower + upper + digits, letters + rot(digits, i / 52))
+    }
 
     def write(df: DataFrame, name: String, files: Int): Unit =
       df.repartition(files)

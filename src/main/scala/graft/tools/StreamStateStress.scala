@@ -49,15 +49,20 @@ object StreamStateStress {
       results.append(q(name)).append(":").append(json)
     }
 
+    var joinSf1: String = null
     for ((label, dir) <- Seq(("sf01", baseDir), ("sf1", bigDir))) {
-      record(s"join_$label", runJoin(spark, dir, parts = 4))
+      val j = runJoin(spark, dir, parts = 4)
+      if (label == "sf1") joinSf1 = j
+      record(s"join_$label", j)
       record(s"dedup_$label", runDedup(spark, dir))
       record(s"sessions_$label", runSessions(spark, dir))
     }
     // the state-partition knob, VALIDATED at the 10x point: too few
     // partitions at real state sizes should lose to right-sized ones
-    // (or the gate-scale setting shows it's still overhead-bound)
-    record("join_sf1_parts4", runJoin(spark, bigDir, parts = 4))
+    // (or the gate-scale setting shows it's still overhead-bound).
+    // The parts=4 leg is the loop's own sf1 measurement — re-recorded,
+    // not re-run.
+    record("join_sf1_parts4", joinSf1)
     record("join_sf1_parts32", runJoin(spark, bigDir, parts = 32))
     results.append("}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),

@@ -1335,6 +1335,20 @@ class GeoSpec extends AnyFunSuite {
         geo.contains("covering"), s"footer geo key missing in $f")
       // Spark's own schema KV survives the rewrite
       assert(kv.containsKey("org.apache.spark.sql.parquet.row.metadata"))
+      // and the PAGE-INDEX references survive too — the rewrite patches
+      // the original thrift rather than rebuilding it, so downstream
+      // readers keep page-level pruning
+      val footer2 = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val cc = footer2.getFooter.getBlocks.get(0).getColumns.get(0)
+        assert(cc.getColumnIndexReference != null,
+          s"column-index reference lost by the footer rewrite in $f")
+        assert(footer2.readColumnIndex(cc) != null,
+          "column index unreadable after rewrite")
+      } finally footer2.close()
     }
     // the tail rewrite preserves every row and the column values
     val back = spark.read.parquet(out)

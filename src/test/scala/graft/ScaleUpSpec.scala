@@ -74,12 +74,12 @@ class ScaleUpSpec extends AnyFunSuite {
     rmTree(out); rmTree(out2)
   }
 
-  test("scale-up: copy transforms stay pairwise distinct past 26 (digit " +
-      "rotation composes); factor > 260 refuses loudly (r16)") {
-    // copy 26 rotates digits instead of repeating copy 0's text — pin
-    // the transform directly (running a 27x generate here would be
-    // slow): letters identity at i = 26, digits shifted by 1
-    val text = "abc 123 XYZ"
+  test("scale-up: copy transforms stay pairwise distinct past 26 (case " +
+      "flip composes — digit-free text included); factor > 52 refuses (r16)") {
+    // pin the transform directly (a 27x generate here would be slow):
+    // copy 26 = identity letter rotation + CASE FLIP, so even a
+    // digit-free document differs from copy 0
+    val text = "abc xyz" // deliberately digit-free
     def xlat(s: String, from: String, to: String): String =
       s.map(c => { val j = from.indexOf(c); if (j >= 0) to(j) else c })
     // reproduce rotAll's published contract
@@ -87,16 +87,22 @@ class ScaleUpSpec extends AnyFunSuite {
     val upper = lower.toUpperCase; val digits = "0123456789"
     def rot(s: String, k: Int) = { val j = k % s.length
       s.substring(j) + s.substring(0, j) }
-    val t0 = xlat(text, lower + upper + digits,
-      rot(lower, 0) + rot(upper, 0) + rot(digits, 0))
-    val t26 = xlat(text, lower + upper + digits,
-      rot(lower, 26) + rot(upper, 26) + rot(digits, 26 / 26))
-    assert(t0 == text)
-    assert(t26 == "abc 234 XYZ", t26) // distinct from copy 0
+    def copyOf(i: Int): String = {
+      val k = i % 26
+      val flip = (i / 26) % 2 == 1
+      val letters = if (flip) rot(upper, k) + rot(lower, k)
+        else rot(lower, k) + rot(upper, k)
+      xlat(text, lower + upper + digits, letters + rot(digits, i / 52))
+    }
+    assert(copyOf(0) == text)
+    assert(copyOf(26) == "ABC XYZ", copyOf(26)) // flip, not a repeat
+    // all 52 transforms of letter-bearing text are pairwise distinct
+    val all = (0 until 52).map(copyOf)
+    assert(all.distinct.size == 52, "copies must be pairwise distinct")
     val e = intercept[IllegalArgumentException] {
       graft.tools.ScaleUp.scale(spark, sf,
         java.nio.file.Files.createTempDirectory("graft-scaleup-reject")
-          .toString, factor = 261)
+          .toString, factor = 53)
     }
     assert(e.getMessage.contains("pairwise-distinct"), e.getMessage)
   }
