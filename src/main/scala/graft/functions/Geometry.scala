@@ -2397,7 +2397,11 @@ object Geo {
       val lam = lon0 + (d - (1 + 2 * t1 + c1) * d3 / 6
         + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1)
           * d5 / 120) / cosP1
-      (StrictMath.toDegrees(lam), StrictMath.toDegrees(phi))
+      // wrap the RECOVERED longitude too (ADVICE r16): a zone whose
+      // central meridian sits near ±180 recovers lon0+delta outside
+      // [-180, 180], which fwd and every EPSG:4326 consumer reject —
+      // identity (same doubles) whenever already in range
+      (wrapLonDeg(StrictMath.toDegrees(lam)), StrictMath.toDegrees(phi))
     }
   }
 
@@ -2476,16 +2480,21 @@ object Geo {
           tP * StrictMath.pow((1 - e * s) / (1 + e * s), e / 2))
         i += 1
       }
-      val lonDeg = StrictMath.toDegrees(th / n + lon0)
-      val latDeg = StrictMath.toDegrees(phi)
       // a point beyond the cone apex (y − y0 > ρ0) passes the metric
-      // extent guard yet unwraps to |lon| > 180 through θ/n — reject
-      // the meaningless coordinate loudly instead of emitting it
-      if (lonDeg < -180.0 || lonDeg > 180.0 || latDeg.isNaN)
+      // extent guard yet unwraps to a longitude DELTA beyond ±180
+      // through θ/n — reject the meaningless coordinate loudly. The
+      // guard runs on the delta (not the absolute longitude) so a
+      // legitimate cross-antimeridian recovery from a lon_0 near ±180
+      // wraps instead of raising (ADVICE r16); in-range results keep
+      // their exact pre-wrap doubles.
+      val dlDeg = StrictMath.toDegrees(th / n)
+      val latDeg = StrictMath.toDegrees(phi)
+      if (dlDeg < -180.0 || dlDeg > 180.0 || latDeg.isNaN)
         throw new IllegalArgumentException(
           s"st_transform: ($x, $y) is beyond the Lambert cone's apex " +
-            s"(unwraps to longitude $lonDeg) — not a valid projected point")
-      (lonDeg, latDeg)
+            s"(unwraps to a ${dlDeg}° meridian delta) — not a valid " +
+            "projected point")
+      (wrapLonDeg(StrictMath.toDegrees(th / n + lon0)), latDeg)
     }
   }
 
@@ -2574,7 +2583,9 @@ object Geo {
             (1 / (2 * e)) * StrictMath.log((1 - e * s) / (1 + e * s)))
         i += 1
       }
-      (StrictMath.toDegrees(lam), StrictMath.toDegrees(phi))
+      // lam = lon0 + atan2(...) ∈ (−2π, 2π): one wrap recovers the
+      // cross-antimeridian case (ADVICE r16), identity otherwise
+      (wrapLonDeg(StrictMath.toDegrees(lam)), StrictMath.toDegrees(phi))
     }
   }
 
@@ -2638,11 +2649,15 @@ object Geo {
       val th = if (n < 0) StrictMath.atan2(-dx, -dy)
         else StrictMath.atan2(dx, dy)
       val qPrime = (bigC - (rho * n / a) * (rho * n / a)) / n
-      val lonDeg = StrictMath.toDegrees(th / n + lon0)
-      if (lonDeg < -180.0 || lonDeg > 180.0)
+      // beyond-apex guard on the meridian DELTA, then wrap the output
+      // (ADVICE r16 — see the Lcc.inv note)
+      val dlDeg = StrictMath.toDegrees(th / n)
+      if (dlDeg < -180.0 || dlDeg > 180.0)
         throw new IllegalArgumentException(
           s"st_transform: ($x, $y) is beyond the Albers cone " +
-            s"(unwraps to longitude $lonDeg) — not a valid projected point")
+            s"(unwraps to a ${dlDeg}° meridian delta) — not a valid " +
+            "projected point")
+      val lonDeg = wrapLonDeg(StrictMath.toDegrees(th / n + lon0))
       // Snyder 3-16: authalic → geodetic, fixed-count iteration
       var phi = StrictMath.asin(qPrime / 2)
       var i = 0
@@ -2660,6 +2675,184 @@ object Geo {
       (lonDeg, StrictMath.toDegrees(phi))
     }
   }
+
+  // ---- Polar stereographic, ellipsoid (r17): Snyder ch. 21 polar
+  // aspects — EPSG method 9810 "variant A" (scale factor k_0 at the
+  // pole: the UPS grids EPSG:5041/5042) and 9829 "variant B" (standard
+  // parallel lat_ts: the sea-ice/ice-sheet grids EPSG:3031/3413/3976/
+  // 3995 every polar climate product ships on). ONE kernel serves both
+  // poles via the published sign flip (Snyder p. 161: reverse the
+  // signs of φ, λ−λ0, x and y for the south aspect). Conformal t(φ)
+  // is the same series the Lcc/Mercator kernels use; the inverse runs
+  // the fixed-count 7-9 iteration. StrictMath throughout.
+  final case class Stere(a: Double, f: Double, south: Boolean,
+      useTs: Boolean, latTs: Double, k0: Double, lon0: Double,
+      x0: Double, y0: Double,
+      extentName: String = "polar stereographic") extends Proj {
+    val e2: Double = f * (2 - f)
+    val e: Double = StrictMath.sqrt(e2)
+    private def tOf(phi: Double): Double = {
+      val s = StrictMath.sin(phi)
+      StrictMath.tan(StrictMath.PI / 4 - phi / 2) /
+        StrictMath.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    /** ρ = rhoFac · t(φ): variant B ships a·m_c/t_c (Snyder 21-34),
+      * variant A ships 2·a·k0/√((1+e)^(1+e)(1−e)^(1−e)) (21-33) */
+    val rhoFac: Double =
+      if (useTs) {
+        val s = StrictMath.sin(latTs)
+        val mc = StrictMath.cos(latTs) / StrictMath.sqrt(1 - e2 * s * s)
+        a * mc / tOf(latTs)
+      } else
+        2.0 * a * k0 / StrictMath.sqrt(
+          StrictMath.pow(1 + e, 1 + e) * StrictMath.pow(1 - e, 1 - e))
+    // ρ at 45° across the equator from the pole — the loud-extent
+    // ceiling both legs share (a polar grid used deep into the other
+    // hemisphere is the wrong CRS, not a projection domain)
+    private val rhoMax: Double = rhoFac * tOf(StrictMath.toRadians(-45.0))
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -90.0 || lat > 90.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
+      val sg = if (south) -1.0 else 1.0
+      val phiE = sg * StrictMath.toRadians(lat)
+      if (phiE < -StrictMath.PI / 4)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat is more than 45° into the " +
+            s"opposite hemisphere for the $extentName " +
+            s"${if (south) "south" else "north"} aspect — use the other " +
+            "pole's grid")
+      val dlE = sg * wrapLonRad(StrictMath.toRadians(lon) - lon0)
+      val rho = rhoFac * tOf(phiE)
+      (x0 + sg * rho * StrictMath.sin(dlE),
+        y0 + sg * (-rho * StrictMath.cos(dlE)))
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      if (x.isNaN || y.isNaN || math.abs(x - x0) > rhoMax ||
+          math.abs(y - y0) > rhoMax)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) outside the $extentName plausible " +
+            s"extent (${rhoMax} m of the false origin)")
+      val sg = if (south) -1.0 else 1.0
+      val dxE = sg * (x - x0); val dyE = sg * (y - y0)
+      val rho = StrictMath.hypot(dxE, dyE)
+      if (rho < 1e-12)
+        return (wrapLonDeg(StrictMath.toDegrees(lon0)), sg * 90.0)
+      if (rho > rhoMax)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) is ${rho} m from the $extentName " +
+            s"pole — beyond the 45°-overlap extent ($rhoMax m)")
+      val tP = rho / rhoFac
+      // Snyder 7-9: conformal → geodetic, fixed-count iteration
+      var phi = StrictMath.PI / 2 - 2 * StrictMath.atan(tP)
+      var i = 0
+      while (i < 9) {
+        val s = StrictMath.sin(phi)
+        phi = StrictMath.PI / 2 - 2 * StrictMath.atan(
+          tP * StrictMath.pow((1 - e * s) / (1 + e * s), e / 2))
+        i += 1
+      }
+      val dlE = StrictMath.atan2(dxE, -dyE)
+      (wrapLonDeg(StrictMath.toDegrees(lon0 + sg * dlE)),
+        StrictMath.toDegrees(sg * phi))
+    }
+  }
+
+  /** the polar grids a climate data lake actually carries — WGS84
+    * variant-B rows (NSIDC/Antarctic) and the variant-A UPS pair */
+  private val StereRegistry: Map[Int, Stere] = Map(
+    // EPSG:3031 — WGS84 / Antarctic Polar Stereographic (lat_ts 71°S)
+    3031 -> Stere(WgsA, WgsF, south = true, useTs = true,
+      latTs = StrictMath.toRadians(71.0), k0 = 1.0, lon0 = 0.0,
+      x0 = 0.0, y0 = 0.0, extentName = "EPSG:3031"),
+    // EPSG:3413 — WGS84 / NSIDC Sea Ice Polar Stereographic North
+    // (lat_ts 70°N, lon_0 45°W)
+    3413 -> Stere(WgsA, WgsF, south = false, useTs = true,
+      latTs = StrictMath.toRadians(70.0), k0 = 1.0,
+      lon0 = StrictMath.toRadians(-45.0), x0 = 0.0, y0 = 0.0,
+      extentName = "EPSG:3413"),
+    // EPSG:3976 — WGS84 / NSIDC Sea Ice Polar Stereographic South
+    3976 -> Stere(WgsA, WgsF, south = true, useTs = true,
+      latTs = StrictMath.toRadians(70.0), k0 = 1.0, lon0 = 0.0,
+      x0 = 0.0, y0 = 0.0, extentName = "EPSG:3976"),
+    // EPSG:3995 — WGS84 / Arctic Polar Stereographic (lat_ts 71°N)
+    3995 -> Stere(WgsA, WgsF, south = false, useTs = true,
+      latTs = StrictMath.toRadians(71.0), k0 = 1.0, lon0 = 0.0,
+      x0 = 0.0, y0 = 0.0, extentName = "EPSG:3995"),
+    // EPSG:5041/5042 — WGS84 / UPS North & South (variant A: k_0
+    // 0.994 at the pole, false origin (2e6, 2e6))
+    5041 -> Stere(WgsA, WgsF, south = false, useTs = false, latTs = 0.0,
+      k0 = 0.994, lon0 = 0.0, x0 = 2000000.0, y0 = 2000000.0,
+      extentName = "EPSG:5041 UPS North"),
+    5042 -> Stere(WgsA, WgsF, south = true, useTs = false, latTs = 0.0,
+      k0 = 0.994, lon0 = 0.0, x0 = 2000000.0, y0 = 2000000.0,
+      extentName = "EPSG:5042 UPS South"))
+
+  // ---- Mercator, ELLIPSOIDAL (r17): Snyder ch. 7 eqs 7-7/7-8 —
+  // EPSG:3395 (WGS84 World Mercator), the grid nautical charts and
+  // several global marine products ship on. NOT the spherical Web
+  // Mercator special case above: y carries the conformal-latitude
+  // correction (y = −a·k0·ln t(φ), the same t as Lcc/Stere), ~20 km
+  // different at mid-latitudes. Inverse = the 7-9 iteration.
+  final case class MercE(a: Double, f: Double, lon0: Double, k0: Double,
+      x0: Double, y0: Double) extends Proj {
+    val e2: Double = f * (2 - f)
+    val e: Double = StrictMath.sqrt(e2)
+    private def tOf(phi: Double): Double = {
+      val s = StrictMath.sin(phi)
+      StrictMath.tan(StrictMath.PI / 4 - phi / 2) /
+        StrictMath.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    // |y| at the ±84° validity edge — the inverse's loud ceiling
+    private val yMax: Double =
+      a * k0 * math.abs(StrictMath.log(tOf(StrictMath.toRadians(84.0))))
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      // the projection diverges at the poles — the TM validity band,
+      // matching EPSG:3395's published ±84° usage extent
+      if (lat < -84.0 || lat > 84.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat outside the ellipsoidal " +
+            "Mercator validity band [-84, 84]")
+      (x0 + a * k0 * wrapLonRad(StrictMath.toRadians(lon) - lon0),
+        y0 - a * k0 * StrictMath.log(tOf(StrictMath.toRadians(lat))))
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val xBound = a * k0 * StrictMath.PI + 1e-6
+      if (x.isNaN || x - x0 < -xBound || x - x0 > xBound)
+        throw new IllegalArgumentException(
+          s"st_transform: easting $x outside the ellipsoidal Mercator " +
+            s"extent (±$xBound m of the ${x0} m false easting)")
+      if (y.isNaN || math.abs(y - y0) > yMax + 1e-6)
+        throw new IllegalArgumentException(
+          s"st_transform: northing $y outside the ellipsoidal Mercator " +
+            s"±84° validity extent (±$yMax m of the ${y0} m false northing)")
+      val tP = StrictMath.exp(-(y - y0) / (a * k0))
+      var phi = StrictMath.PI / 2 - 2 * StrictMath.atan(tP)
+      var i = 0
+      while (i < 9) {
+        val s = StrictMath.sin(phi)
+        phi = StrictMath.PI / 2 - 2 * StrictMath.atan(
+          tP * StrictMath.pow((1 - e * s) / (1 + e * s), e / 2))
+        i += 1
+      }
+      (wrapLonDeg(StrictMath.toDegrees(lon0 + (x - x0) / (a * k0))),
+        StrictMath.toDegrees(phi))
+    }
+  }
+
+  private val MercRegistry: Map[Int, MercE] = Map(
+    // EPSG:3395 — WGS84 / World Mercator (1SP at the equator, k0 1)
+    3395 -> MercE(WgsA, WgsF, lon0 = 0.0, k0 = 1.0, x0 = 0.0, y0 = 0.0))
 
   // ---- 7-parameter Helmert datum shift (r16): the published EPSG
   // position-vector transformation (EPSG method 9606; PROJ `towgs84`
@@ -2758,11 +2951,15 @@ object Geo {
     new java.util.concurrent.ConcurrentHashMap[Int, Proj]()
 
   /** Register a projected CRS from its published EPSG parameters.
-    * `family`: tmerc | lcc | laea | aea. Angles in DEGREES (as EPSG
-    * publishes them); `a` meters; `rf` the inverse flattening 1/f.
-    * Keys (PROJ naming): lat_0, lon_0, k_0 (tmerc only), lat_1, lat_2
-    * (conics), x_0, y_0. Re-registering the same srid with identical
-    * parameters is a no-op; a conflicting redefinition raises. */
+    * `family`: tmerc | lcc | laea | aea | stere | merc. Angles in
+    * DEGREES (as EPSG publishes them); `a` meters; `rf` the inverse
+    * flattening 1/f. Keys (PROJ naming): lat_0, lon_0, k_0 (tmerc /
+    * stere variant A / merc), lat_1, lat_2 (conics), lat_ts (stere
+    * variant B), x_0, y_0. `stere` is the POLAR aspect: lat_0 must be
+    * ±90 (picks the pole) and lat_ts/k_0 are mutually exclusive —
+    * EPSG methods 9829/9810. Re-registering the same srid with
+    * identical parameters is a no-op; a conflicting redefinition
+    * raises. */
   def registerCrs(srid: Int, family: String, p: Map[String, Double]): Unit = {
     def need(k: String): Double = p.getOrElse(k,
       throw new IllegalArgumentException(
@@ -2786,9 +2983,36 @@ object Geo {
         StrictMath.toRadians(need("lon_0")),
         StrictMath.toRadians(need("lat_1")),
         StrictMath.toRadians(need("lat_2")), opt("x_0", 0.0), opt("y_0", 0.0))
+      case "stere" =>
+        // polar aspect only (the EPSG 9810/9829 methods): lat_0 = ±90
+        // picks the pole; lat_ts (variant B) XOR k_0 (variant A)
+        val lat0 = need("lat_0")
+        if (lat0 != 90.0 && lat0 != -90.0)
+          throw new IllegalArgumentException(
+            s"register_crs EPSG:$srid (stere): lat_0 must be 90 or -90 " +
+              s"(polar aspects only), got $lat0")
+        if (p.contains("lat_ts") && p.contains("k_0"))
+          throw new IllegalArgumentException(
+            s"register_crs EPSG:$srid (stere): lat_ts (variant B) and " +
+              "k_0 (variant A) are mutually exclusive")
+        val south = lat0 < 0
+        val ts = p.get("lat_ts")
+        ts.foreach { t =>
+          if (math.abs(t) >= 90.0 || t == 0.0 || (t < 0) != south)
+            throw new IllegalArgumentException(
+              s"register_crs EPSG:$srid (stere): lat_ts $t must be a " +
+                s"non-zero parallel on the lat_0 = $lat0 pole's hemisphere")
+        }
+        Stere(a, f, south, useTs = ts.isDefined,
+          latTs = StrictMath.toRadians(ts.map(math.abs).getOrElse(0.0)),
+          k0 = opt("k_0", 1.0), lon0 = StrictMath.toRadians(need("lon_0")),
+          x0 = opt("x_0", 0.0), y0 = opt("y_0", 0.0),
+          extentName = s"EPSG:$srid")
+      case "merc" => MercE(a, f, StrictMath.toRadians(need("lon_0")),
+        opt("k_0", 1.0), opt("x_0", 0.0), opt("y_0", 0.0))
       case other => throw new IllegalArgumentException(
         s"register_crs EPSG:$srid: unknown family '$other' " +
-          "(tmerc|lcc|laea|aea)")
+          "(tmerc|lcc|laea|aea|stere|merc)")
     }
     // optional datum shift (EPSG 9606 / PROJ towgs84): any of the
     // seven keys engages the Helmert pipeline — WGS84 input shifts
@@ -2801,22 +3025,38 @@ object Geo {
           opt("dz", 0), opt("rx", 0), opt("ry", 0), opt("rz", 0),
           opt("ds", 0)))
       else proj
-    crsOf(srid) match {
+    builtinOf(srid) match {
       case Some(existing) if existing == shifted => () // idempotent
       case Some(existing) => throw new IllegalArgumentException(
         s"register_crs: EPSG:$srid is already defined as $existing — " +
           "refusing a conflicting redefinition")
-      case None => dynamicCrs.put(srid, shifted)
+      case None =>
+        // putIfAbsent, not check-then-act (ADVICE r16): two concurrent
+        // CONFLICTING registrations of the same srid must not both see
+        // None and silently last-write-win past the contract above
+        dynamicCrs.putIfAbsent(srid, shifted) match {
+          case null => ()
+          case existing if existing == shifted => () // idempotent
+          case existing => throw new IllegalArgumentException(
+            s"register_crs: EPSG:$srid is already defined as $existing — " +
+              "refusing a conflicting redefinition")
+        }
     }
   }
+
+  /** the fixed rows: UTM ranges and the seed registries (never
+    * shadowable by a runtime registration) */
+  private def builtinOf(srid: Int): Option[Proj] =
+    utmOf(srid).map { case (z, s) => utmProj(if (s) 60 + z - 1 else z - 1) }
+      .orElse(LccRegistry.get(srid))
+      .orElse(LaeaRegistry.get(srid))
+      .orElse(StereRegistry.get(srid))
+      .orElse(MercRegistry.get(srid))
 
   /** resolve a projected SRID: UTM range → the shared TM kernel rows,
     * then the seed registries, then runtime registrations */
   def crsOf(srid: Int): Option[Proj] =
-    utmOf(srid).map { case (z, s) => utmProj(if (s) 60 + z - 1 else z - 1) }
-      .orElse(LccRegistry.get(srid))
-      .orElse(LaeaRegistry.get(srid))
-      .orElse(Option(dynamicCrs.get(srid)))
+    builtinOf(srid).orElse(Option(dynamicCrs.get(srid)))
 
   /** drop a runtime registration (DROP CRS; also the persistence
     * reload test seam). Builtins are untouchable — only the dynamic
@@ -2830,6 +3070,8 @@ object Geo {
     case _: Lcc => "lcc"
     case _: Laea => "laea"
     case _: Aea => "aea"
+    case _: Stere => "stere"
+    case _: MercE => "merc"
     case d: DatumShifted => familyOf(d.inner) + "+towgs84"
   }
 
@@ -2842,7 +3084,8 @@ object Geo {
       (3857, "merc_sph", "builtin", "WGS84 spherical Web Mercator"),
       (32601, "tmerc", "builtin", "UTM north zones 32601-32660 (WGS84)"),
       (32701, "tmerc", "builtin", "UTM south zones 32701-32760 (WGS84)"))
-    val seeded = (LccRegistry ++ LaeaRegistry).toSeq.map { case (srid, p) =>
+    val seeded = (LccRegistry ++ LaeaRegistry ++ StereRegistry ++
+      MercRegistry).toSeq.map { case (srid, p) =>
       (srid, familyOf(p), "builtin", p.toString)
     }
     val dyn = dynamicCrs.asScala.toSeq.map { case (srid, p) =>
@@ -2854,7 +3097,9 @@ object Geo {
   /** st_transform(wkt, from_srid, to_srid) — every coordinate of the
     * geometry reprojected; 4326↔3857 (spherical Web Mercator),
     * 4326↔UTM (EPSG:32601-60 north, 32701-60 south), the seed
-    * parameter rows (EPSG:2154 LCC, EPSG:3035 LAEA) and every
+    * parameter rows (EPSG:2154 LCC, EPSG:3035 LAEA, the polar
+    * stereographic family EPSG:3031/3413/3976/3995/5041/5042, and
+    * EPSG:3395 ellipsoidal Mercator) and every
     * [[registerCrs]]-registered row supported; same-SRID identity. */
   def stTransform(wkt: String, from: Int, to: Int): String =
     stTransformPinned(wkt, from, to, null)
@@ -2884,12 +3129,13 @@ object Geo {
         toWkt(mapCoords(g, resolve(s).get.inv))
       case _ =>
         val named = (LccRegistry.keys ++ LaeaRegistry.keys ++
+          StereRegistry.keys ++ MercRegistry.keys ++
           dynamicCrs.keySet().asScala.map(_.toInt)).toSeq.sorted
         throw new IllegalArgumentException(
           s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
             "(4326↔3857, 4326↔UTM 326xx/327xx, and 4326↔" +
             s"{${named.mkString(",")}} supported; register_crs adds " +
-            "tmerc/lcc/laea/aea parameter rows)")
+            "tmerc/lcc/laea/aea/stere/merc parameter rows)")
     }
   }
 }

@@ -1447,6 +1447,206 @@ class GeoSpec extends AnyFunSuite {
     assert(farUtm.getMessage.contains("central meridian"), farUtm.getMessage)
   }
 
+  test("polar stereographic + ellipsoidal Mercator (r17): EPSG worked " +
+      "examples pin both variants; seed rows round-trip incl. the " +
+      "antimeridian; parameter validation raises loudly") {
+    // EPSG Guidance Note 7-2, Polar Stereographic variant A example:
+    // WGS84, k0 0.994 at the N pole, FE=FN=2e6 (the UPS North row) —
+    // (73°N, 44°E) → (3320416.75, 632668.43)
+    val ups = Geo.parseWkt(Geo.stTransform("POINT (44 73)", 4326, 5041))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(ups.x - 3320416.75) < 0.01 &&
+      math.abs(ups.y - 632668.43) < 0.01, s"(${ups.x}, ${ups.y})")
+    // EPSG GN 7-2 variant B example: WGS84, lat_ts 71°S, lon_0 70°E,
+    // FE=FN=6e6 — (75°S, 120°E) → (7255380.79, 7053389.56)
+    Geo.registerCrs(999031, "stere", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lat_0" -> -90.0,
+      "lon_0" -> 70.0, "lat_ts" -> -71.0,
+      "x_0" -> 6000000.0, "y_0" -> 6000000.0))
+    val vb = Geo.parseWkt(Geo.stTransform("POINT (120 -75)", 4326, 999031))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(vb.x - 7255380.79) < 0.01 &&
+      math.abs(vb.y - 7053389.56) < 0.01, s"(${vb.x}, ${vb.y})")
+    Geo.unregisterCrs(999031)
+    // ellipsoidal Mercator differs from SPHERICAL Web Mercator by the
+    // conformal correction (~20 km in y at 45°); x matches exactly on
+    // the shared equatorial radius
+    val me = Geo.parseWkt(Geo.stTransform("POINT (100 45)", 4326, 3395))
+      .asInstanceOf[Geo.PointGeom]
+    val ws = Geo.parseWkt(Geo.stTransform("POINT (100 45)", 4326, 3857))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(me.x - ws.x) < 1e-6)
+    assert(ws.y - me.y > 15000.0 && ws.y - me.y < 35000.0,
+      s"conformal correction ${ws.y - me.y}")
+    // seed rows round-trip across their service areas — an azimuthal
+    // grid accepts EVERY longitude, including both antimeridian sides
+    for (srid <- Seq(3031, 3976, 5042); lon <- -177 to 177 by 59;
+         lat <- Seq(-89, -75, -60)) {
+      val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, srid), srid, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
+        s"$srid round-trip ($lon, $lat) -> (${back.x}, ${back.y})")
+    }
+    for (srid <- Seq(3413, 3995, 5041); lon <- -177 to 177 by 59;
+         lat <- Seq(89, 75, 60)) {
+      val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, srid), srid, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
+        s"$srid round-trip ($lon, $lat) -> (${back.x}, ${back.y})")
+    }
+    for (lon <- -170 to 170 by 85; lat <- -80 to 80 by 40) {
+      val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, 3395), 3395, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(back.x - lon) < 1e-7 && math.abs(back.y - lat) < 1e-7,
+        s"3395 round-trip ($lon, $lat) -> (${back.x}, ${back.y})")
+    }
+    // the pole itself maps to the false origin and inverts back
+    val np = Geo.parseWkt(Geo.stTransform("POINT (0 90)", 4326, 5041))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(np.x - 2000000.0) < 1e-6 &&
+      math.abs(np.y - 2000000.0) < 1e-6)
+    assert(Geo.stTransform("POINT (2000000 2000000)", 5041, 4326) ==
+      "POINT (0 90)")
+    // loud domains: deep opposite hemisphere, far-out inverse, and
+    // parameter validation
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (0 60)", 4326, 3031)
+    }.getMessage.contains("opposite hemisphere"))
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (40000000 0)", 3413, 4326)
+    }.getMessage.contains("extent"))
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (0 89)", 4326, 3395)
+    }.getMessage.contains("validity band"))
+    assert(intercept[IllegalArgumentException] {
+      Geo.registerCrs(999032, "stere", Map("a" -> 6378137.0,
+        "rf" -> 298.257223563, "lat_0" -> 71.0, "lon_0" -> 0.0))
+    }.getMessage.contains("lat_0 must be 90 or -90"))
+    assert(intercept[IllegalArgumentException] {
+      Geo.registerCrs(999032, "stere", Map("a" -> 6378137.0,
+        "rf" -> 298.257223563, "lat_0" -> 90.0, "lon_0" -> 0.0,
+        "lat_ts" -> 70.0, "k_0" -> 0.994))
+    }.getMessage.contains("mutually exclusive"))
+    assert(intercept[IllegalArgumentException] {
+      Geo.registerCrs(999032, "stere", Map("a" -> 6378137.0,
+        "rf" -> 298.257223563, "lat_0" -> 90.0, "lon_0" -> 0.0,
+        "lat_ts" -> -70.0))
+    }.getMessage.contains("hemisphere"))
+  }
+
+  test("antimeridian round-trips (r17, ADVICE r16): every inverse wraps " +
+      "the recovered longitude — lon_0 177, lon -179 closes through all " +
+      "six families") {
+    // tmerc near the antimeridian (the UTM zone-1/60 shape): the fwd
+    // leg wraps the delta (r16); the INVERSE must wrap the recovery
+    Geo.registerCrs(999177, "tmerc", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lat_0" -> 0.0,
+      "lon_0" -> 177.0, "k_0" -> 0.9996, "x_0" -> 500000.0, "y_0" -> 0.0))
+    // lcc / aea: Pacific conics straddling the dateline
+    Geo.registerCrs(999178, "lcc", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lat_0" -> -40.0,
+      "lon_0" -> 177.0, "lat_1" -> -35.0, "lat_2" -> -45.0,
+      "x_0" -> 1000000.0, "y_0" -> 2000000.0))
+    Geo.registerCrs(999179, "aea", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lat_0" -> -40.0,
+      "lon_0" -> 177.0, "lat_1" -> -35.0, "lat_2" -> -45.0,
+      "x_0" -> 1000000.0, "y_0" -> 2000000.0))
+    Geo.registerCrs(999180, "laea", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lat_0" -> -40.0,
+      "lon_0" -> 177.0, "x_0" -> 0.0, "y_0" -> 0.0))
+    Geo.registerCrs(999181, "merc", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lon_0" -> 177.0))
+    Geo.registerCrs(999182, "stere", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lat_0" -> -90.0,
+      "lon_0" -> 177.0, "lat_ts" -> -71.0))
+    for ((srid, lat) <- Seq(999177 -> -41, 999178 -> -41, 999179 -> -41,
+        999180 -> -41, 999181 -> -41, 999182 -> -75)) {
+      val wkt = Geo.stTransform(s"POINT (-179 $lat)", 4326, srid)
+      val back = Geo.parseWkt(Geo.stTransform(wkt, srid, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      // the recovered longitude must land back on -179 (NOT 181)
+      assert(math.abs(back.x - (-179.0)) < 2e-5 &&
+        math.abs(back.y - lat) < 2e-5,
+        s"$srid (-179, $lat) -> (${back.x}, ${back.y})")
+    }
+    // and the UTM built-ins: zone 1 (CM 177°W) from the east side
+    val z1 = Geo.stTransform("POINT (179 10)", 4326, 32601)
+    val b1 = Geo.parseWkt(Geo.stTransform(z1, 32601, 4326))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(b1.x - 179.0) < 2e-5 && math.abs(b1.y - 10.0) < 2e-5,
+      s"(${b1.x}, ${b1.y})")
+    Seq(999177, 999178, 999179, 999180, 999181, 999182)
+      .foreach(Geo.unregisterCrs(_))
+  }
+
+  test("polar/Mercator kernels under RANDOM parameter rows (r17): both " +
+      "aspects and both variants round-trip; origin pins exact") {
+    val rnd = new scala.util.Random(17031995L)
+    var srid = 910001
+    for (trial <- 1 to 36) {
+      val a = 6300000.0 + rnd.nextDouble() * 100000.0
+      val rf = 290.0 + rnd.nextDouble() * 20.0
+      val lon0 = -179.0 + rnd.nextDouble() * 358.0
+      val x0 = rnd.nextInt(6000000).toDouble
+      val y0 = rnd.nextInt(6000000).toDouble
+      if (trial % 3 == 2) {
+        // ellipsoidal Mercator: every longitude valid, equator pins y0
+        Geo.registerCrs(srid, "merc", Map("a" -> a, "rf" -> rf,
+          "lon_0" -> lon0, "x_0" -> x0, "y_0" -> y0,
+          "k_0" -> (0.99 + rnd.nextDouble() * 0.01)))
+        val o = Geo.parseWkt(Geo.stTransform(
+          s"POINT ($lon0 0)", 4326, srid)).asInstanceOf[Geo.PointGeom]
+        assert(math.abs(o.x - x0) < 1e-5 && math.abs(o.y - y0) < 1e-5,
+          s"trial $trial merc origin (${o.x}, ${o.y}) want ($x0, $y0)")
+        for (_ <- 1 to 8) {
+          val lon = -179.9 + rnd.nextDouble() * 359.8
+          val lat = -79.0 + rnd.nextDouble() * 158.0
+          val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+            s"POINT ($lon $lat)", 4326, srid), srid, 4326))
+            .asInstanceOf[Geo.PointGeom]
+          assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
+            s"trial $trial merc ($lon, $lat) -> (${back.x}, ${back.y})")
+        }
+      } else {
+        // polar stereographic: alternate NORTH and SOUTH aspects, and
+        // variant B (lat_ts) vs variant A (k_0) — the branch matrix
+        val south = trial % 2 == 0
+        val sign = if (south) -1.0 else 1.0
+        val variantB = trial % 4 < 2
+        val extra =
+          if (variantB) Map("lat_ts" -> sign * (60.0 + rnd.nextDouble() * 29.0))
+          else Map("k_0" -> (0.98 + rnd.nextDouble() * 0.02))
+        Geo.registerCrs(srid, "stere", Map("a" -> a, "rf" -> rf,
+          "lat_0" -> sign * 90.0, "lon_0" -> lon0,
+          "x_0" -> x0, "y_0" -> y0) ++ extra)
+        // the pole lands exactly on the false origin
+        val o = Geo.parseWkt(Geo.stTransform(
+          s"POINT (0 ${sign * 90.0})", 4326, srid)).asInstanceOf[Geo.PointGeom]
+        assert(math.abs(o.x - x0) < 1e-5 && math.abs(o.y - y0) < 1e-5,
+          s"trial $trial stere pole (${o.x}, ${o.y}) want ($x0, $y0)")
+        for (_ <- 1 to 8) {
+          // ANY longitude (azimuthal), latitude within 45° of the pole
+          val lon = -179.9 + rnd.nextDouble() * 359.8
+          val lat = sign * (90.0 - rnd.nextDouble() * 44.0) match {
+            case l if math.abs(l) > 89.97 => sign * 89.97
+            case l => l
+          }
+          val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+            s"POINT ($lon $lat)", 4326, srid), srid, 4326))
+            .asInstanceOf[Geo.PointGeom]
+          assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
+            s"trial $trial stere${if (south) "S" else "N"} ($lon, $lat) " +
+              s"-> (${back.x}, ${back.y})")
+        }
+      }
+      Geo.unregisterCrs(srid)
+      srid += 1
+    }
+  }
+
   test("projection kernels under RANDOM parameter rows (r16): 60 synthetic " +
       "CRSs — false-origin pins exact, round-trips close, all families") {
     val rnd = new scala.util.Random(29021609L)
