@@ -56,9 +56,35 @@ class CrsStore(warehouse: String) {
         "params" -> JObject(r.params.toList.sortBy(_._1)
           .map { case (k, v) => k -> JDouble(v) }))
     })
-    graft.sources.io.ByteStore.writeString(path,
+    // atomic rename (ADVICE r16): a reader in another session never
+    // sees a torn _crs.json mid-replace
+    graft.sources.io.ByteStore.writeStringAtomic(path,
       JsonMethods.pretty(JsonMethods.render(doc)))
   }
+
+  /** serialize the read-modify-write cycles below: in-JVM via the
+    * process-wide monitor, cross-PROCESS (two sessions, one local
+    * warehouse) via an advisory lock on a `_crs.json.lock` sidecar —
+    * concurrent createPersistent/drop on the same warehouse can no
+    * longer lose each other's rows (ADVICE r16). Scheme'd warehouses
+    * get the in-JVM serialization plus the atomic replace only (object
+    * stores offer no lock primitive; last whole-file write wins, which
+    * is at least a CONSISTENT row set, never a merge-lost torn one). */
+  private def withStoreLock[T](body: => T): T =
+    CrsStore.jvmLock.synchronized {
+      if (graft.sources.io.ByteStore.hasScheme(path)) body
+      else {
+        val lockPath = java.nio.file.Paths.get(
+          graft.sources.io.ByteStore.toLocal(path) + ".lock")
+        Option(lockPath.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { val l = ch.lock(); try body finally l.release() }
+        finally ch.close()
+      }
+    }
 
   /** srids persisted on this warehouse (for SHOW CRS's source column) */
   def persistedSrids(): Set[Int] = readAll().map(_.srid).toSet
@@ -69,8 +95,10 @@ class CrsStore(warehouse: String) {
   def createPersistent(srid: Int, family: String,
       params: Map[String, Double]): Unit = {
     graft.functions.Geo.registerCrs(srid, family, params)
-    val rest = readAll().filterNot(_.srid == srid)
-    writeAll(rest :+ Row(srid, family, params))
+    withStoreLock {
+      val rest = readAll().filterNot(_.srid == srid)
+      writeAll(rest :+ Row(srid, family, params))
+    }
   }
 
   /** drop a RUNTIME-REGISTERED row: removes the session registration
@@ -78,9 +106,11 @@ class CrsStore(warehouse: String) {
     * not a dynamic registration (builtins are not droppable). */
   def drop(srid: Int): Boolean = {
     val wasDynamic = graft.functions.Geo.unregisterCrs(srid)
-    val rows = readAll()
-    if (rows.exists(_.srid == srid)) writeAll(rows.filterNot(_.srid == srid))
-    wasDynamic || rows.exists(_.srid == srid)
+    withStoreLock {
+      val rows = readAll()
+      if (rows.exists(_.srid == srid)) writeAll(rows.filterNot(_.srid == srid))
+      wasDynamic || rows.exists(_.srid == srid)
+    }
   }
 
   /** re-register every persisted row into the session (idempotent —
@@ -89,4 +119,10 @@ class CrsStore(warehouse: String) {
   def loadAll(): Unit = readAll().foreach { r =>
     graft.functions.Geo.registerCrs(r.srid, r.family, r.params)
   }
+}
+
+object CrsStore {
+  /** in-JVM serialization of _crs.json read-modify-write (one monitor
+    * for ALL warehouses: CRS DDL is rare, contention is irrelevant) */
+  private[catalog] val jvmLock = new Object
 }

@@ -716,20 +716,26 @@ object CuratePipeline {
               case other => throw new DslException(
                 s"'boundary' must be a boolean, got $other")
             }
-            val (weighted, floatScaled) = weightedPiecesOf(st, boundary)
+            val art = weightedPiecesOf(st, boundary)
+            val weighted = art.pieces
             val unk = st \ "unk" match {
               case JInt(i) => i.toLong
               case JNothing =>
-                if (floatScaled) -10L * 1000000L else -10000000000L
+                if (art.floatScaled) -10L * 1000000L else -10000000000L
               case other =>
                 throw new DslException(s"'unk' must be an integer, got $other")
             }
+            // byte-fallback vocabs (r17): the 256 <0xNN> pieces are
+            // emitted symbols too, so they join the id vocabulary —
+            // stable ids, same contract as any other piece
+            val idPieces = weighted.map(_._1) ++ art.byteScores.toSeq
+              .flatMap(_ => (0 until 256).map(b => f"<0x$b%02X>"))
             val vocabIds = graft.operators.Wordpiece
-              .vocab(df, textCol, weighted.map(_._1), lower)
+              .vocab(df, textCol, idPieces, lower)
               .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
             graft.operators.Unigram
               .encodeIds(df, textCol, idCol, weighted, unk, vocabIds, lower,
-                boundary)
+                boundary, art.byteScores)
               .select(col("doc_id").as(idCol), col("token_ids"),
                 col("n_ug_tokens"))
           case other => throw new DslException(
@@ -783,23 +789,24 @@ object CuratePipeline {
     * trained vocabs can live on the object store next to the data (the
     * [[mergesOf]] `merges_path` contract, for the unigram family) */
   private def weightedPiecesOf(st: JValue,
-      boundary: Boolean = false): (Seq[(String, Long)], Boolean) =
+      boundary: Boolean = false): graft.operators.Unigram.VocabArtifact =
     (st \ "pieces", st \ "pieces_path") match {
-      case (JArray(xs), JNothing) if xs.nonEmpty => (xs.map {
-        case JArray(List(JString(p), JInt(w))) => (p, w.toLong)
-        case other => throw new DslException(
-          s"each unigram piece must be a [piece, integer-weight] pair: $other")
-      }, false)
+      case (JArray(xs), JNothing) if xs.nonEmpty =>
+        graft.operators.Unigram.VocabArtifact(xs.map {
+          case JArray(List(JString(p), JInt(w))) => (p, w.toLong)
+          case other => throw new DslException(
+            s"each unigram piece must be a [piece, integer-weight] pair: $other")
+        }, floatScaled = false, byteScores = None)
       case (JNothing, JString(path)) =>
         // r15: accepts the engine's own piece<TAB>integer-weight
         // format AND the published SentencePiece .vocab text format
         // (float scores, ▁ markers, control rows) — the documented
         // projection in [[graft.operators.Unigram.parseVocabArtifact]];
-        // the flag says which scale the weights landed on (r16)
-        try {
-          if (boundary) graft.operators.Unigram.readVocabBoundary(path)
-          else graft.operators.Unigram.readVocabScaled(path)
-        }
+        // the flag says which scale the weights landed on (r16); a
+        // full `<0xNN>` table rides along as the byte-fallback scores
+        // (r17) so OOV characters decompose instead of scoring unk
+        try graft.operators.Unigram.readVocabArtifact(path,
+          preserveMarkers = boundary)
         catch {
           case e: IllegalArgumentException =>
             throw new DslException(

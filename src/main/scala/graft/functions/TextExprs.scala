@@ -390,7 +390,20 @@ object TextExprs {
     * apply in their own positional contexts instead of collapsing to
     * the optimistic max. */
   def ugEncodeKernel(s: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
-      maxLen: Int, unk: Long, lower: Boolean, boundary: Boolean): InternalRow = {
+      maxLen: Int, unk: Long, lower: Boolean, boundary: Boolean): InternalRow =
+    ugEncodeKernel(s, vocab, maxLen, unk, lower, boundary, null)
+
+  /** `byteScores != null` is the SentencePiece BYTE-FALLBACK contract
+    * (r17): a character no piece covers decomposes into its UTF-8
+    * bytes — each a `<0xNN>` vocabulary piece with its OWN score, the
+    * 256-entry table loaded from the artifact — instead of scoring
+    * `unk`. The Llama-family `.vocab` behavior: unk never surfaces,
+    * every input is representable. The byte edge spans ONE character
+    * of the lattice (weight = the sum of its byte-piece scores) but
+    * emits one symbol per byte. */
+  def ugEncodeKernel(s: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unk: Long, lower: Boolean, boundary: Boolean,
+      byteScores: Array[Long]): InternalRow = {
     val toks = tokensKernel(s, lower)
     val sb = new java.lang.StringBuilder
     var nSyms = 0
@@ -409,39 +422,75 @@ object TextExprs {
       val n = cps.size
       val dp = new Array[Long](n + 1)
       val bp = new Array[Int](n + 1)
+      val bf = new Array[Boolean](n + 1)
       var i = 1
       while (i <= n) {
         var best = Long.MinValue
         var bj = -1
+        var bestBf = false
         var j = math.max(0, i - maxLen)
         while (j < i) {
           val b = new java.lang.StringBuilder
           var k = j
           while (k < i) { b.append(cps.get(k)); k += 1 }
           val wt = vocab.get(b.toString)
+          var isBf = false
           val wtv: Long =
             if (wt != null) wt.longValue()
-            else if (j == i - 1) unk
+            else if (j == i - 1) {
+              if (byteScores == null) unk
+              else {
+                // byte fallback: the char's UTF-8 bytes, summed scores
+                val bs = b.toString.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
+                var acc = 0L
+                var bi = 0
+                while (bi < bs.length) {
+                  acc += byteScores(bs(bi) & 0xff); bi += 1
+                }
+                isBf = true
+                acc
+              }
+            }
             else Long.MinValue
           if (wtv != Long.MinValue) {
             val sc = dp(j) + wtv
-            if (sc > best) { best = sc; bj = j } // first j keeps ties
+            if (sc > best) { best = sc; bj = j; bestBf = isBf } // first j keeps ties
           }
           j += 1
         }
         dp(i) = best
         bp(i) = bj
+        bf(i) = bestBf
         i += 1
       }
-      // walk the backpointers; prepend pieces right-to-left
+      // walk the backpointers; prepend pieces right-to-left. A byte-
+      // fallback edge emits its pre-joined byte pieces and counts one
+      // symbol per byte.
       val pieces = new java.util.ArrayList[String]
+      val counts = new java.util.ArrayList[Integer]
       var pos = n
       while (pos > 0) {
         val j = bp(pos)
         val b = new java.lang.StringBuilder
         var k = j
         while (k < pos) { b.append(cps.get(k)); k += 1 }
-        pieces.add(b.toString)
+        if (bf(pos)) {
+          val bs = b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bb = new java.lang.StringBuilder
+          var bi = 0
+          while (bi < bs.length) {
+            if (bi > 0) bb.append(' ')
+            bb.append(String.format(java.util.Locale.ROOT, "<0x%02X>",
+              Integer.valueOf(bs(bi) & 0xff)))
+            bi += 1
+          }
+          pieces.add(bb.toString)
+          counts.add(Integer.valueOf(bs.length))
+        } else {
+          pieces.add(b.toString)
+          counts.add(Integer.valueOf(1))
+        }
         pos = j
       }
       if (w > 0) sb.append(" | ")
@@ -450,7 +499,7 @@ object TextExprs {
       while (p >= 0) {
         if (!first) sb.append(' ')
         sb.append(pieces.get(p))
-        nSyms += 1
+        nSyms += counts.get(p).intValue()
         first = false
         p -= 1
       }
@@ -958,8 +1007,12 @@ object TextExprs {
     * object so the DP stays map-only inside WholeStageCodegen (the
     * [[WpEncode]] stance, with Viterbi in place of greedy) */
   case class UgEncode(child: Expression, vocab: Seq[(String, Long)],
-      unk: Long, lower: Boolean, boundary: Boolean = false)
+      unk: Long, lower: Boolean, boundary: Boolean = false,
+      byteScores: Seq[Long] = Nil)
       extends UnaryExpression {
+    require(byteScores.isEmpty || byteScores.size == 256,
+      s"byte-fallback table must carry all 256 <0xNN> pieces, " +
+        s"got ${byteScores.size}")
     private val vocabMap: java.util.HashMap[String, java.lang.Long] = {
       val m = new java.util.HashMap[String, java.lang.Long](
         math.max(16, vocab.size * 2))
@@ -969,15 +1022,21 @@ object TextExprs {
     private val maxLen: Int =
       if (vocab.isEmpty) 1
       else vocab.map { case (p, _) => p.codePointCount(0, p.length) }.max
+    @transient private lazy val byteArr: Array[Long] =
+      if (byteScores.isEmpty) null else byteScores.toArray
     override def dataType: DataType = BpeEncode.schema
     override def prettyName: String = "graft_ug_encode"
     override def nullSafeEval(a: Any): Any =
       ugEncodeKernel(a.asInstanceOf[UTF8String], vocabMap, maxLen, unk, lower,
-        boundary)
+        boundary, byteArr)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val v = ctx.addReferenceObj("ugVocab", vocabMap, "java.util.HashMap")
+      val bRef =
+        if (byteScores.isEmpty) "(long[]) null"
+        else ctx.addReferenceObj("ugBytes", byteArr, "long[]")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.TextExprs.ugEncodeKernel($c, $v, $maxLen, ${unk}L, $lower, $boundary);")
+        s"${ev.value} = graft.functions.TextExprs.ugEncodeKernel($c, $v, " +
+          s"$maxLen, ${unk}L, $lower, $boundary, $bRef);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -1094,9 +1153,10 @@ object TextExprs {
     ColumnBridge.column(WpEncode(ColumnBridge.expression(text), vocab, lower))
 
   def ug_encode(text: Column, vocab: Seq[(String, Long)], unk: Long,
-      lower: Boolean = true, boundary: Boolean = false): Column =
+      lower: Boolean = true, boundary: Boolean = false,
+      byteScores: Seq[Long] = Nil): Column =
     ColumnBridge.column(UgEncode(ColumnBridge.expression(text), vocab, unk,
-      lower, boundary))
+      lower, boundary, byteScores))
 
   def ug_expect(word: Column, vocab: Seq[(String, Long)], unk: Long,
       scale: Long): Column =

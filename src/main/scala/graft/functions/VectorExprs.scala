@@ -308,82 +308,133 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
-  /** 64-bit SimHash over an array of token strings (xxhash64 seed 42,
-    * matching Spark's `xxhash64` builtin bit-for-bit). One pass per row. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-    override def prettyName: String = "simhash64"
-    override def nullSafeEval(a: Any): Any = {
-      val toks = a.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      val n = toks.numElements()
-      var t = 0
-      while (t < n) {
-        val s = toks.getUTF8String(t)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-          i += 1
-        }
-        t += 1
-      }
-      var out = 0L
+  /** interpreter-free kernel for [[SimHash64]]'s generated code (r17:
+    * the StWithinPoint recipe — a static callsite gets its OWN JIT
+    * profile instead of sharing the interpreter's megamorphic eval) */
+  def simHash64Kernel(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      val s = toks.getUTF8String(t)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
       var i = 0
       while (i < 64) {
-        if (votes(i) > 0) out |= (1L << i)
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
         i += 1
       }
-      out
+      t += 1
     }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over an array of token strings (xxhash64 seed 42,
+    * matching Spark's `xxhash64` builtin bit-for-bit). One pass per row.
+    *
+    * Codegen-native (r17, verdict r16): NOT CodegenFallback — this is
+    * a corpus-hot kernel (simhash dedup, streaming near-dup) and a
+    * fallback expression evicts its WHOLE stage from WholeStageCodegen.
+    * Input type pinned so the generated call is monomorphic. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    // type inferred: AbstractDataType is private[sql], but covariance
+    // lets Seq[DataType] satisfy the override
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override def nullSafeEval(a: Any): Any =
+      simHash64Kernel(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorExprs.simHash64Kernel($a);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
-  /** LSH band keys: projections onto `nPlanes` Rademacher hyperplanes
-    * (component = parity of an XXH64 fold of (seed, plane, dim)), sign
-    * bits grouped into bands of `bandBits`. One pass over the vector
-    * per plane, all planes in one expression. */
-  case class LshBands(child: Expression, nPlanes: Int, seed: Long, bandBits: Int)
-      extends UnaryExpression with CodegenFallback {
-    require(nPlanes % bandBits == 0, "bandBits must divide nPlanes")
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def prettyName: String = "lsh_bands"
-    override def nullSafeEval(a: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val f = elemIsFloat(child)
-      val dims = x.numElements()
-      val bits = new Array[Boolean](nPlanes)
+  /** deterministic Rademacher plane components for [[LshBands]],
+    * tabulated ONCE per (seed, nPlanes, dims) and cached JVM-wide:
+    * component (p, i) = parity of the same XXH64 fold the per-row loop
+    * used to recompute — identical bits, ~3 hash calls × planes × dims
+    * FEWER per row. Bounded cache (an engine run uses a handful of
+    * plane configs); unexpected churn falls back to tabulate-per-call,
+    * never to wrong bits. */
+  object LshPlanes {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+    def comps(seed: Long, nPlanes: Int, dims: Int): Array[Double] = {
+      val key = (seed, nPlanes, dims)
+      val hit = cache.get(key)
+      if (hit != null) return hit
+      val c = new Array[Double](nPlanes * dims)
       var p = 0
       while (p < nPlanes) {
-        var s = 0.0
         var i = 0
         while (i < dims) {
           var h = XxHashHelper.hashLong(seed, 42L)
           h = XxHashHelper.hashLong(p.toLong, h)
           h = XxHashHelper.hashLong(i.toLong, h)
-          val comp = if ((h & 1L) == 0L) 1.0 else -1.0
-          val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
-          s += v * comp
+          c(p * dims + i) = if ((h & 1L) == 0L) 1.0 else -1.0
           i += 1
         }
-        bits(p) = s >= 0
         p += 1
       }
-      val bands = new Array[Long](nPlanes / bandBits)
-      var b = 0
-      while (b < bands.length) {
-        var acc = 0L
-        var i = 0
-        while (i < bandBits) {
-          if (bits(b * bandBits + i)) acc += (1L << i)
-          i += 1
-        }
-        bands(b) = acc
-        b += 1
-      }
-      ArrayData.toArrayData(bands)
+      if (cache.size < 64) cache.putIfAbsent(key, c)
+      c
     }
+  }
+
+  /** interpreter-free kernel for [[LshBands]] (r17) — identical bit
+    * stream to the original per-row hash loop, planes precomputed */
+  def lshBandsKernel(x: ArrayData, isFloat: Boolean, nPlanes: Int,
+      seed: Long, bandBits: Int): ArrayData = {
+    val dims = x.numElements()
+    val comps = LshPlanes.comps(seed, nPlanes, dims)
+    val bands = new Array[Long](nPlanes / bandBits)
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      var i = 0
+      val off = p * dims
+      while (i < dims) {
+        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        s += v * comps(off + i)
+        i += 1
+      }
+      if (s >= 0) bands(p / bandBits) |= (1L << (p % bandBits))
+      p += 1
+    }
+    ArrayData.toArrayData(bands)
+  }
+
+  /** LSH band keys: projections onto `nPlanes` Rademacher hyperplanes
+    * (component = parity of an XXH64 fold of (seed, plane, dim)), sign
+    * bits grouped into bands of `bandBits`. One pass over the vector
+    * per plane, all planes in one expression.
+    *
+    * Codegen-native (r17, verdict r16): corpus-hot (LSH dedup, ANN
+    * bucketing, streaming near-dup) — same eviction trap as SimHash64.
+    * The plane components are row-invariant, so they tabulate once per
+    * (seed, planes, dims) instead of 3 XXH64 calls per component per
+    * ROW — the interpreted HOF shape this expression replaced paid
+    * that on every row. */
+  case class LshBands(child: Expression, nPlanes: Int, seed: Long, bandBits: Int)
+      extends UnaryExpression {
+    require(nPlanes % bandBits == 0, "bandBits must divide nPlanes")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "lsh_bands"
+    @transient private lazy val isFloat = elemIsFloat(child)
+    override def nullSafeEval(a: Any): Any =
+      lshBandsKernel(a.asInstanceOf[ArrayData], isFloat, nPlanes, seed, bandBits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorExprs.lshBandsKernel(" +
+          s"$a, $isFloat, $nPlanes, ${seed}L, $bandBits);")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }

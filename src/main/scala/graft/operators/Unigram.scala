@@ -230,9 +230,25 @@ object Unigram {
     * callers deriving a default unk score MUST derive it in the file's
     * units (−10 nats is −10·floatScale here, not the trainer's
     * −10·10⁹), or OOV competition flips against every piece. */
+  /** a parsed vocab artifact: lattice pieces, the float-scale fact,
+    * and — when the file ships the full `<0x00>`..`<0xFF>` table — the
+    * SentencePiece BYTE-FALLBACK scores (r17): OOV characters decompose
+    * into UTF-8 byte pieces instead of scoring unk. Byte pieces are
+    * id-table rows, never literal text pieces — they always extract. */
+  final case class VocabArtifact(pieces: Seq[(String, Long)],
+      floatScaled: Boolean, byteScores: Option[Array[Long]])
+
   def parseVocabArtifactScaled(content: String,
       floatScale: Long = 1000000L,
       preserveMarkers: Boolean = false): (Seq[(String, Long)], Boolean) = {
+    val art = parseVocabArtifactFull(content, floatScale, preserveMarkers)
+    (art.pieces, art.floatScaled)
+  }
+
+  /** [[parseVocabArtifactScaled]] plus byte-fallback extraction */
+  def parseVocabArtifactFull(content: String,
+      floatScale: Long = 1000000L,
+      preserveMarkers: Boolean = false): VocabArtifact = {
     val marker = '▁'
     val intRe = "-?\\d+"
     val floatRe = "-?\\d*\\.\\d+([eE]-?\\d+)?"
@@ -258,16 +274,43 @@ object Unigram {
     val anyFloat = parsed.exists { case (p, w) =>
       !controls(p) && w.matches(floatRe)
     }
-    val raw = parsed.flatMap { case (p0, w) =>
-      if (controls(p0)) None
+    def weightOf(p0: String, w: String): Long =
+      if (w.matches(intRe))
+        if (anyFloat) math.round(w.toDouble * floatScale) else w.toLong
+      else if (w.matches(floatRe)) math.round(w.toDouble * floatScale)
+      else throw new IllegalArgumentException(
+        s"bad vocab score '$w' for piece '$p0' " +
+          "(want integer weight or float log-prob)")
+    // byte-fallback rows (r17): `<0xNN>` pieces are the spm byte table,
+    // not literal text — extract them; a PARTIAL table is a corrupt
+    // artifact (spm always writes all 256), raise rather than half-
+    // decompose some characters and unk others
+    val byteRe = "<0x[0-9A-Fa-f]{2}>".r
+    val bytePieces = parsed.filter { case (p, _) =>
+      byteRe.matches(p)
+    }
+    val byteScores: Option[Array[Long]] =
+      if (bytePieces.isEmpty) None
       else {
-        val weight =
-          if (w.matches(intRe))
-            if (anyFloat) math.round(w.toDouble * floatScale) else w.toLong
-          else if (w.matches(floatRe)) math.round(w.toDouble * floatScale)
-          else throw new IllegalArgumentException(
-            s"bad vocab score '$w' for piece '$p0' " +
-              "(want integer weight or float log-prob)")
+        val t = new Array[Long](256)
+        val seen = new Array[Boolean](256)
+        bytePieces.foreach { case (p, w) =>
+          val v = Integer.parseInt(p.substring(3, 5), 16)
+          if (seen(v)) throw new IllegalArgumentException(
+            s"vocab artifact repeats byte piece '$p'")
+          seen(v) = true; t(v) = weightOf(p, w)
+        }
+        val missing = seen.count(!_)
+        if (missing > 0) throw new IllegalArgumentException(
+          s"vocab artifact has a PARTIAL byte-fallback table: " +
+            s"${256 - missing}/256 <0xNN> pieces — a byte_fallback spm " +
+            "vocab always carries all 256")
+        Some(t)
+      }
+    val raw = parsed.flatMap { case (p0, w) =>
+      if (controls(p0) || byteRe.matches(p0)) None
+      else {
+        val weight = weightOf(p0, w)
         // preserveMarkers (r16): keep the piece verbatim — the
         // boundary-aware encode wants marked/bare variants distinct
         // with their OWN scores (the spm contract); the legacy
@@ -282,7 +325,7 @@ object Unigram {
       (p, ws.map(_._2).max)
     }.toSeq.sortBy(_._1)
     require(merged.nonEmpty, "vocab artifact has no usable pieces")
-    (merged, anyFloat)
+    VocabArtifact(merged, anyFloat, byteScores)
   }
 
   /** read a vocab artifact ([[parseVocabArtifact]] formats) through
@@ -306,6 +349,13 @@ object Unigram {
     parseVocabArtifactScaled(graft.sources.io.ByteStore.readString(path),
       preserveMarkers = true)
 
+  /** the FULL artifact (pieces + scale fact + byte-fallback table) —
+    * what a published Llama-style `byte_fallback: true` vocab needs */
+  def readVocabArtifact(path: String,
+      preserveMarkers: Boolean = false): VocabArtifact =
+    parseVocabArtifactFull(graft.sources.io.ByteStore.readString(path),
+      preserveMarkers = preserveMarkers)
+
   /** Encode every document against a fixed integer-weighted vocab:
     * map-only Viterbi, one codegen kernel call per row; a single char
     * outside the vocab scores `unk`, so the pass is total. Output:
@@ -313,10 +363,12 @@ object Unigram {
     * n_ug_tokens). */
   def encode(df: DataFrame, textCol: String, idCol: String,
       vocab: Seq[(String, Long)], unk: Long,
-      lower: Boolean = true, boundary: Boolean = false): DataFrame = {
+      lower: Boolean = true, boundary: Boolean = false,
+      byteScores: Option[Array[Long]] = None): DataFrame = {
     require(vocab.nonEmpty, "unigram encode: empty vocab")
     df.select(col(idCol).as("doc_id"),
-        TextExprs.ug_encode(col(textCol), vocab, unk, lower, boundary).as("e"))
+        TextExprs.ug_encode(col(textCol), vocab, unk, lower, boundary,
+          byteScores.map(_.toSeq).getOrElse(Nil)).as("e"))
       .select(col("doc_id"), col("e.enc").as("ug_text"),
         col("e.n_syms").cast("long").as("n_ug_tokens"))
   }
@@ -327,8 +379,9 @@ object Unigram {
     * vocab take −1). Same map-only id pass as [[Bpe.encodeIds]]. */
   def encodeIds(df: DataFrame, textCol: String, idCol: String,
       vocab: Seq[(String, Long)], unk: Long, vocabIds: Map[String, Long],
-      lower: Boolean = true, boundary: Boolean = false): DataFrame =
-    encode(df, textCol, idCol, vocab, unk, lower, boundary)
+      lower: Boolean = true, boundary: Boolean = false,
+      byteScores: Option[Array[Long]] = None): DataFrame =
+    encode(df, textCol, idCol, vocab, unk, lower, boundary, byteScores)
       .withColumn("token_ids", TextExprs.bpe_ids(col("ug_text"), vocabIds))
       .select(col("doc_id"), col("token_ids"), col("n_ug_tokens"))
 }

@@ -1473,6 +1473,37 @@ object QueriesData {
         .orderBy(col("word"))
     },
 
+    // ---- SentencePiece BYTE FALLBACK (r17): the boundary vocab plus
+    // the full <0x00>..<0xFF> byte table (Llama-family artifacts) —
+    // words carry OOV characters (ä/é/€, 2- and 3-byte UTF-8) that no
+    // piece covers, and the Viterbi decomposes each into its UTF-8
+    // byte pieces at the table's scores instead of scoring unk. The
+    // oracle enumerates EVERY segmentation (recursive CTE) over a
+    // unified edge table — pieces plus per-OOV-char byte edges whose
+    // decomposition it derives itself from hex(encode(c)) — and
+    // replays the kernel's exact tie-break.
+    "q_tokenizer_bytefallback" -> { (s, dir) =>
+      GraftSession.configure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ugbf").toString
+      graft.sources.io.ByteStore.writeString(s"$tmp/bf.vocab",
+        (boundaryVocab ++ byteFallbackRows)
+          .map { case (p, sc) => s"$p\t$sc" }.mkString("\n") + "\n")
+      val art = graft.operators.Unigram.readVocabArtifact(s"$tmp/bf.vocab",
+        preserveMarkers = true)
+      require(art.byteScores.isDefined, "byte table did not load")
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w0"))
+        .filter(col("w0").rlike("^[a-z]{3,8}$"))
+        .distinct().orderBy(col("w0")).limit(300)
+        .select(translate(col("w0"), "aeu", "äé€").as("w"))
+      graft.operators.Unigram.encode(words, "w", "w", art.pieces,
+          unk = -10L * 1000000L, lower = false, boundary = true,
+          byteScores = art.byteScores)
+        .select(col("doc_id").as("word"), col("ug_text"),
+          col("n_ug_tokens").as("n_pieces"))
+        .orderBy(col("word"))
+    },
+
     // ---- WordPiece pair ranking (Wu et al. 2016): the likelihood-gain
     // criterion count(l,r)/(count(l)·count(r)) over the distinct-word
     // table — BPE's sibling trainer round, ratio rounded to 9 decimals
@@ -1963,10 +1994,13 @@ object QueriesData {
       val edges = graft.operators.LinkGraph.hostEdges(pages, "url", "html")
       val ranks = graft.operators.LinkGraph.pageRank(edges,
         "src_host", "dst_host", iterations = 5)
-      val topHosts = ranks.withColumn("__hr",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("rank").desc, col("node"))))
-        .filter(col("__hr") <= 3)
+      // top-3 hosts WITHOUT a global window (r17): orderBy().limit(k)
+      // plans as TakeOrderedAndProject — per-partition top-k merged on
+      // the driver — where the row_number window this replaced would
+      // single-partition-sort the whole host table at web scale
+      val topHosts = ranks
+        .orderBy(col("rank").desc, col("node"))
+        .limit(3)
         .select(col("node").as("host"), col("rank"))
       val frontier = pages.select(col("url"),
         TextOps.urlHost(col("url")).as("host"))
@@ -3581,6 +3615,16 @@ object QueriesData {
     boundaryVocab.map { case (p, sc) =>
       s"('$p', ${math.round(sc.toDouble * 1000000L)})"
     }.mkString(", ")
+
+  /** q_tokenizer_bytefallback's byte table: all 256 `<0xNN>` pieces,
+    * scores on a small closed-form cycle (−6.00 … −6.06 by byte % 7)
+    * so the ORACLE derives the same weights from range(0,256) without
+    * 256 literal rows. String scores are float-formatted — the file
+    * stays in spm's log-prob scale like the boundary vocab. */
+  private val byteFallbackRows: Seq[(String, String)] =
+    (0 until 256).map { b =>
+      ("<0x" + "%02X".format(b) + ">", "-6.0" + (b % 7).toString)
+    }
 
   private def pplCtes(p: String, trainFrom: String, scoreFrom: String,
       order: Int = 2): String = {
@@ -5318,6 +5362,62 @@ object QueriesData {
            FROM seg WHERE pos = len(s) + 1)
          SELECT w AS word, acc AS ug_text, n AS n_pieces
          FROM best WHERE rn = 1 ORDER BY word""",
+    // byte-fallback Viterbi replayed by exhaustive enumeration over a
+    // UNIFIED edge table: the boundary pieces plus, for every character
+    // no single-char piece covers, a one-char edge whose emitted byte
+    // pieces and summed score the oracle derives ITSELF from
+    // hex(encode(c)) and the range(0,256) weight cycle — the UTF-8
+    // decomposition is replayed, not hard-coded. Same tie-break.
+    "q_tokenizer_bytefallback" ->
+      raw"""WITH RECURSIVE
+         wsrc AS (SELECT DISTINCT w AS w0 FROM (
+             SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+             FROM documents)
+           WHERE regexp_matches(w, '^[a-z]{3,8}$$')
+           ORDER BY w0 LIMIT 300),
+         sw AS (SELECT translate(w0, 'aeu', 'äé€') AS w,
+             '▁' || translate(w0, 'aeu', 'äé€') AS s FROM wsrc),
+         pieces AS (SELECT * FROM (VALUES ${boundaryVocabValues}) v(p, wt)),
+         bfb AS (SELECT printf('<0x%02X>', i) AS bp,
+             CAST(-(6000000 + (i % 7) * 10000) AS BIGINT) AS wt
+           FROM range(0, 256) t(i)),
+         chs AS (SELECT DISTINCT substr(s, CAST(i AS INT), 1) AS c
+           FROM sw CROSS JOIN range(1, 10) t(i) WHERE i <= len(s)),
+         oov AS (SELECT c FROM chs
+           WHERE NOT EXISTS (SELECT 1 FROM pieces p WHERE p.p = c)),
+         bfe AS (SELECT o.c, CAST(k AS INT) AS k,
+             '<0x' || substr(hex(encode(o.c)),
+               CAST((k - 1) * 2 + 1 AS INT), 2) || '>' AS bp
+           FROM oov o CROSS JOIN range(1, 5) t(k)
+           WHERE k <= len(hex(encode(o.c))) // 2),
+         bfc AS (SELECT e.c, string_agg(e.bp, ' ' ORDER BY e.k) AS bfstr,
+             sum(b.wt) AS bfwt, count(*) AS nb
+           FROM bfe e JOIN bfb b ON b.bp = e.bp GROUP BY e.c),
+         edge AS (
+           SELECT p AS mtch, len(p) AS clen, p AS emit, wt,
+                  CAST(1 AS BIGINT) AS n FROM pieces
+           UNION ALL
+           SELECT c, 1, bfstr, bfwt, nb FROM bfc),
+         seg AS (
+           SELECT w, s, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc,
+                  CAST(0 AS BIGINT) AS score, CAST('' AS VARCHAR) AS rlens,
+                  CAST(0 AS BIGINT) AS n
+           FROM sw
+           UNION ALL
+           SELECT sg.w, sg.s, sg.pos + e.clen,
+             (CASE WHEN sg.acc = '' THEN '' ELSE sg.acc || ' ' END) || e.emit,
+             sg.score + e.wt,
+             CAST(e.clen AS VARCHAR) || sg.rlens,
+             sg.n + e.n
+           FROM seg sg JOIN edge e
+             ON substr(sg.s, CAST(sg.pos AS INT), e.clen) = e.mtch
+           WHERE sg.pos <= len(sg.s)),
+         best AS (SELECT w, acc, n,
+             row_number() OVER (PARTITION BY w
+               ORDER BY score DESC, rlens DESC) AS rn
+           FROM seg WHERE pos = len(s) + 1)
+         SELECT w AS word, acc AS ug_text, n AS n_pieces
+         FROM best WHERE rn = 1 ORDER BY word""",
     // the hash order (md5 low-48 % 2^30, ties → doc_id) and the
     // exclusive prefix-sum keep rule replayed verbatim
     "q_token_budget" ->
@@ -5753,14 +5853,14 @@ object QueriesData {
         ${prIterSql("r2", "r3")},
         ${prIterSql("r3", "r4")},
         ${prIterSql("r4", "r5")},
-        th AS (SELECT node AS host, rank,
-            row_number() OVER (ORDER BY rank DESC, node) AS hr FROM r5),
+        th AS (SELECT node AS host, rank FROM r5
+          ORDER BY rank DESC, node LIMIT 3),
         u AS (SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
               || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
           FROM documents),
         j AS (SELECT u.url, u.host, th.rank FROM u
-          JOIN th ON th.host = u.host AND th.hr <= 3),
+          JOIN th ON th.host = u.host),
         rk AS (SELECT *, row_number() OVER (
             PARTITION BY host ORDER BY url ASC) AS rn FROM j)
         SELECT url, host, rank,

@@ -980,6 +980,68 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- polar stereographic + ellipsoidal Mercator (r17): the three
+    // grids a climate lake still needed — EPSG:3413 (NSIDC north,
+    // variant B with an OFF-ZERO central meridian), EPSG:3031
+    // (Antarctic, south aspect) and EPSG:3395 (World Mercator) — all
+    // seed rows of the r16 registry. The oracle replays all three
+    // forward series (conformal t, ρ = a·m_c·t/t_c, the south-aspect
+    // sign flip, y = −a·ln t) as raw SQL arithmetic including the
+    // antimeridian wrap of λ−λ0; the inverse legs (iterative conformal
+    // recovery) round-trip through the engine back onto the fixtures.
+    "q_geo_transform_polar" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      // lonN spreads -177..179 and INCLUDES points east of +135, whose
+      // delta against EPSG:3413's -45° central meridian exceeds 180 —
+      // the antimeridian wrap runs in BOTH legs of this gate
+      val lonN = ($"n_nationkey" * 47) % 357 - 177
+      val latN = $"n_nationkey" % 30 + 55           // 55..79
+      val lonS = ($"n_nationkey" * 53) % 357 - 177  // -177..169
+      val latS = -($"n_nationkey" % 30) - 55        // -55..-79
+      val lonM = ($"n_nationkey" % 18) * 20 - 170   // -170..170
+      // latM skips the equator: at lat 0 the two engines' algebraically
+      // equal Mercator forms give OPPOSITE-signed ~1e-10 northings and
+      // round(,3) splits 0.0 from -0.0
+      val latM = ($"n_nationkey" % 25) * 5 - 63     // -63..57, never 0
+      val ptN = concat(lit("POINT ("), d(lonN), lit(" "), d(latN), lit(")"))
+      val ptS = concat(lit("POINT ("), d(lonS), lit(" "), d(latS), lit(")"))
+      val ptM = concat(lit("POINT ("), d(lonM), lit(" "), d(latM), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(ptN, lit(4326), lit(3413)).as("gn"),
+          GeoExprs.st_transform(ptS, lit(4326), lit(3031)).as("gs"),
+          GeoExprs.st_transform(ptM, lit(4326), lit(3395)).as("gm"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"gn"), 3).as("easting_n"),
+          round(GeoExprs.st_y($"gn"), 3).as("northing_n"),
+          round(GeoExprs.st_x($"gs"), 3).as("easting_s"),
+          round(GeoExprs.st_y($"gs"), 3).as("northing_s"),
+          round(GeoExprs.st_x($"gm"), 3).as("easting_m"),
+          round(GeoExprs.st_y($"gm"), 3).as("northing_m"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"gn", lit(3413), lit(4326))), 5)
+            .as("back_lon_n"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"gn", lit(3413), lit(4326))), 5)
+            .as("back_lat_n"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"gs", lit(3031), lit(4326))), 5)
+            .as("back_lon_s"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"gs", lit(3031), lit(4326))), 5)
+            .as("back_lat_s"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"gm", lit(3395), lit(4326))), 5)
+            .as("back_lon_m"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"gm", lit(3395), lit(4326))), 5)
+            .as("back_lat_m"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- Lambert-93 (late r15): the LCC-2SP forward (Snyder ch. 15)
     // replayed by the oracle as SQL arithmetic (power/ln/tan); the
     // inverse leg (iterative latitude recovery) round-trips through
@@ -1852,6 +1914,61 @@ object QueriesEngine {
            round(lat_us, 5) AS back_lat_us
          FROM leg
          ORDER BY n_nationkey""",
+    // r17 polar/Mercator seed rows: the variant-B polar stereographic
+    // forward (conformal t, ρ = a·m_c·t/t_c, south-aspect sign flip,
+    // the antimeridian wrap of λ−λ0 against 3413's -45° meridian) and
+    // the ellipsoidal-Mercator forward (y = a·ln(tan(π/4+φ/2)·corr))
+    // as raw SQL arithmetic; inverse legs round-trip in-engine
+    "q_geo_transform_polar" ->
+      """WITH src AS (SELECT n_nationkey,
+             CAST((n_nationkey * 47) % 357 - 177 AS DOUBLE) AS lon_n,
+             CAST(n_nationkey % 30 + 55 AS DOUBLE) AS lat_n,
+             CAST((n_nationkey * 53) % 357 - 177 AS DOUBLE) AS lon_s,
+             CAST(-(n_nationkey % 30) - 55 AS DOUBLE) AS lat_s,
+             CAST(n_nationkey % 18 * 20 - 170 AS DOUBLE) AS lon_m,
+             CAST(n_nationkey % 25 * 5 - 63 AS DOUBLE) AS lat_m
+           FROM nation),
+         k AS (SELECT 6378137.0 AS a,
+             (1.0/298.257223563)*(2-1.0/298.257223563) AS e2,
+             sqrt((1.0/298.257223563)*(2-1.0/298.257223563)) AS e),
+         kn AS (SELECT a, e2, e,
+             a * (cos(radians(70.0))
+                  /sqrt(1-e2*sin(radians(70.0))*sin(radians(70.0))))
+               / (tan(pi()/4 - radians(70.0)/2)
+                  /power((1-e*sin(radians(70.0)))/(1+e*sin(radians(70.0))),
+                         e/2)) AS rfn,
+             a * (cos(radians(71.0))
+                  /sqrt(1-e2*sin(radians(71.0))*sin(radians(71.0))))
+               / (tan(pi()/4 - radians(71.0)/2)
+                  /power((1-e*sin(radians(71.0)))/(1+e*sin(radians(71.0))),
+                         e/2)) AS rfs
+           FROM k),
+         leg AS (SELECT s.n_nationkey, s.lon_n, s.lat_n, s.lon_s, s.lat_s,
+             s.lon_m, s.lat_m, k.a, k.e2, k.e, k.rfn, k.rfs,
+             radians(CASE WHEN s.lon_n + 45.0 > 180.0
+                          THEN s.lon_n + 45.0 - 360.0
+                          ELSE s.lon_n + 45.0 END) AS dln,
+             tan(pi()/4 - radians(s.lat_n)/2)
+               /power((1-k.e*sin(radians(s.lat_n)))
+                      /(1+k.e*sin(radians(s.lat_n))), k.e/2) AS tn,
+             radians(s.lon_s) AS dls,
+             tan(pi()/4 - radians(-s.lat_s)/2)
+               /power((1-k.e*sin(radians(-s.lat_s)))
+                      /(1+k.e*sin(radians(-s.lat_s))), k.e/2) AS ts2
+           FROM src s, kn k)
+         SELECT n_nationkey,
+           round(rfn * tn * sin(dln), 3) AS easting_n,
+           round(-(rfn * tn) * cos(dln), 3) AS northing_n,
+           round(rfs * ts2 * sin(dls), 3) AS easting_s,
+           round(rfs * ts2 * cos(dls), 3) AS northing_s,
+           round(a * radians(lon_m), 3) AS easting_m,
+           round(a * ln(tan(pi()/4 + radians(lat_m)/2)
+             * power((1-e*sin(radians(lat_m)))/(1+e*sin(radians(lat_m))),
+                     e/2)), 3) AS northing_m,
+           round(lon_n, 5) AS back_lon_n, round(lat_n, 5) AS back_lat_n,
+           round(lon_s, 5) AS back_lon_s, round(lat_s, 5) AS back_lat_s,
+           round(lon_m, 5) AS back_lon_m, round(lat_m, 5) AS back_lat_m
+         FROM leg ORDER BY n_nationkey""",
     // the LAEA forward (authalic latitude, oblique azimuthal) as SQL
     "q_geo_transform_laea" ->
       """WITH src AS (SELECT n_nationkey,

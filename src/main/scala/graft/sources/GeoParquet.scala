@@ -18,10 +18,14 @@ import org.apache.spark.sql.types._
   *
   * Write: `{longitude_column, latitude_column}` → WKB point geometry
   * column, matching the reference's geoparquet output options
-  * (output.rs:175-187). Divergence (documented): Spark's parquet
-  * writer exposes no hook for custom footer key-value metadata, so the
-  * `geo` metadata block is not written; readers fall back to the
-  * geometry-column convention.
+  * (output.rs:175-187). Spark's parquet writer exposes no hook for
+  * custom footer key-value metadata, so after the write each part
+  * file's footer is PATCHED IN PLACE with the spec's `geo` key
+  * ([[rewriteFooterKv]]: the original thrift tail re-serialized with
+  * the extra KV pair) — external GeoParquet readers recognize the
+  * output directly. A `_geo.json` sidecar is also written; readers
+  * here consult footer, then sidecar, then the geometry-column
+  * convention.
   */
 object GeoParquet {
 

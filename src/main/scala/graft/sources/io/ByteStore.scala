@@ -134,6 +134,23 @@ object ByteStore {
   def writeString(path: String, content: String): Unit =
     writeAll(path, content.getBytes(StandardCharsets.UTF_8))
 
+  /** whole-file replace with ATOMIC publication on local filesystems:
+    * temp file in the target's directory + rename, so a concurrent
+    * reader (another session on the same warehouse) never observes a
+    * torn write. Scheme'd stores fall back to [[writeAll]] — whole-
+    * object create-or-replace IS the object-store commit primitive. */
+  def writeStringAtomic(path: String, content: String): Unit =
+    if (hasScheme(path)) writeString(path, content)
+    else {
+      val p = Paths.get(toLocal(path))
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      val tmp = Files.createTempFile(p.getParent,
+        "." + p.getFileName.toString, ".tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
   def writeAll(path: String, bytes: Array[Byte]): Unit =
     if (hasScheme(path)) {
       val (f, p) = fs(path)

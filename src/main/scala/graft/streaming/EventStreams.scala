@@ -366,9 +366,23 @@ object EventStreams {
   def runToMemorySized(spark: SparkSession, streamed: DataFrame,
       queryName: String, mode: OutputMode = OutputMode.Complete(),
       stateParts: Int = 4): StreamingQuery = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
-    try runToMemory(spark, streamed, queryName, mode)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the query runs under a CLONED session (ADVICE r16): newSession()
+    // isolates SQL conf, so the right-sized shuffle-partition setting
+    // never leaks to concurrent work sharing the caller's SparkSession
+    // (the r16 set-and-restore mutated it for the whole run). The plan
+    // rebinds through the ofRows bridge; the memory sink registers its
+    // view in the CLONE's temp catalog, so the result — bounded and
+    // already driver-resident by the sink's own contract — is mirrored
+    // back under the same name, keeping the consumer contract
+    // (spark.table(queryName)) unchanged.
+    val s2 = graft.GraftSession.configure(spark.newSession())
+    s2.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    val rebound = org.apache.spark.sql.graft.RelationBridge.ofRows(
+      s2, streamed.queryExecution.logical)
+    val q = runToMemory(s2, rebound, queryName, mode)
+    val result = s2.table(queryName)
+    spark.createDataFrame(result.collectAsList(), result.schema)
+      .createOrReplaceTempView(queryName)
+    q
   }
 }

@@ -89,9 +89,11 @@ object ScaleUp {
       val letters =
         if (flip) rot(upper, k) + rot(lower, k)
         else rot(lower, k) + rot(upper, k)
-      // digits ride a slower rotation as extra decorrelation only —
-      // they are NOT counted toward the distinctness guarantee
-      (lower + upper + digits, letters + rot(digits, i / 52))
+      // digits rotate on their own cycle as extra decorrelation only —
+      // they are NOT counted toward the distinctness guarantee (factor
+      // caps at 52, so keying on i % 10 actually varies per copy;
+      // i / 52 was always 0 — ADVICE r16)
+      (lower + upper + digits, letters + rot(digits, i % 10))
     }
 
     def write(df: DataFrame, name: String, files: Int): Unit =

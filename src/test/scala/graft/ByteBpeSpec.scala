@@ -246,6 +246,100 @@ class ByteBpeSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram byte-fallback Viterbi: randomized equivalence vs brute-force " +
+      "enumeration — OOV chars decompose into UTF-8 byte pieces, 2/3/4-byte " +
+      "code points included (r17)") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    val rnd = new scala.util.Random(17082026L)
+    def cps(s: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    def bytePieces(cp: String, bs: Array[Long]): (Seq[String], Long) = {
+      val bytes = cp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (bytes.toSeq.map(b => "<0x" + "%02X".format(b & 0xff) + ">"),
+        bytes.map(b => bs(b & 0xff)).sum)
+    }
+    // brute force over CODE POINTS of ▁+word: piece edges from the
+    // vocab, plus — for a single code point NO piece covers — its byte
+    // decomposition; same (score, reversed-lengths) tie-break as the
+    // r16 boundary spec
+    def best(word: String, vocab: Map[String, Long], bs: Array[Long]): Seq[String] = {
+      val s = cps("▁" + word)
+      def go(pos: Int): Seq[(List[String], Long, String)] =
+        if (pos == s.length) Seq((Nil, 0L, ""))
+        else (1 to math.min(4, s.length - pos)).flatMap { l =>
+          val p = s.slice(pos, pos + l).mkString
+          val edge: Option[(Seq[String], Long)] =
+            vocab.get(p).map(w => (Seq(p), w))
+              .orElse(if (l == 1 && !vocab.contains(p))
+                Some(bytePieces(p, bs)) else None)
+          edge.toSeq.flatMap { case (emit, w) =>
+            go(pos + l).map { case (ps, tot, rl) =>
+              (emit.toList ::: ps, tot + w, rl + l.toString) }
+          }
+        }
+      go(0).maxBy { case (_, tot, rl) => (tot, rl) }._1
+    }
+    val alpha = "abc"
+    // 2-byte (ä), 3-byte (€) and 4-byte ASTRAL (𝄞 U+1D11E) OOV chars
+    val oov = Vector("ä", "€", new String(Character.toChars(0x1D11E)))
+    for (trial <- 1 to 40) {
+      val pieces = scala.collection.mutable.Map[String, Long]()
+      alpha.foreach { c =>
+        pieces(c.toString) = -(1 + rnd.nextInt(9)).toLong * 1000000L }
+      pieces("▁") = -(1 + rnd.nextInt(9)).toLong * 1000000L
+      for (_ <- 1 to 6) {
+        val core = (1 to (1 + rnd.nextInt(3)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        pieces((if (rnd.nextBoolean()) "▁" else "") + core) =
+          -(1 + rnd.nextInt(12)).toLong * 1000000L
+      }
+      val bs = Array.fill(256)(-(3 + rnd.nextInt(8)).toLong * 500000L)
+      val words = Seq.fill(6)((1 to (1 + rnd.nextInt(5))).map { _ =>
+        if (rnd.nextInt(4) == 0) oov(rnd.nextInt(oov.length))
+        else alpha(rnd.nextInt(alpha.length)).toString
+      }.mkString)
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val enc = Unigram.encode(df, "text", "doc_id",
+        pieces.toSeq.sortBy(_._1), unk = -99000000L, lower = false,
+        boundary = true, byteScores = Some(bs)).collect()(0)
+      val got = enc.getString(1)
+      val wantPieces = words.map(w => best(w, pieces.toMap, bs))
+      val want = wantPieces.map(_.mkString(" ")).mkString(" | ")
+      assert(got == want,
+        s"trial $trial diverged\n vocab=$pieces\n words=$words\n" +
+          s" kernel=$got\n brute=$want")
+      // n_syms counts each byte piece (the id-stream length contract)
+      assert(enc.getLong(2) == wantPieces.map(_.size).sum.toLong)
+    }
+    // the DSL path: a pieces_path artifact carrying the full byte table
+    // engages fallback and byte pieces receive stable ids
+    val tmp = java.nio.file.Files.createTempDirectory("ugbfdsl")
+    val rows = Seq("▁\t-2.0", "a\t-3.0", "b\t-3.5") ++
+      (0 until 256).map(b => "<0x" + "%02X".format(b) + ">\t-6.0")
+    java.nio.file.Files.writeString(tmp.resolve("bf.vocab"),
+      rows.mkString("\n") + "\n")
+    val out = graft.dsl.CuratePipeline.compile(
+      Seq((1L, "ab ä")).toDF("doc_id", "text"),
+      s"""{"stages": [{"op": "tokenize", "algo": "unigram",
+           "boundary": true,
+           "pieces_path": "${tmp.resolve("bf.vocab")}"}]}""")
+    val r = out.select("token_ids", "n_ug_tokens").collect()(0)
+    // "ab" → ▁ a b (3 symbols); "ä" → ▁ + 2 byte pieces (3 symbols)
+    assert(r.getLong(1) == 6L, r.toString)
+    // every symbol resolved to a real id — byte pieces are in the id
+    // vocabulary, so no -1 (OOV id) appears
+    assert(r.getSeq[Long](0).forall(_ >= 0L), r.toString)
+  }
+
   test("unigram pieces_path float .vocab: default unk lands in the FILE's " +
       "units (r16) — OOV competition is no longer 1000× distorted") {
     import spark.implicits._

@@ -152,6 +152,77 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getAs[Double]("cos") >= 0.3))
   }
 
+  test("SimHash64 / LshBands are codegen-native (r17): generated == " +
+      "interpreted bit-for-bit, sketch stages stay in WholeStageCodegen") {
+    import spark.implicits._
+    import graft.functions.VectorExprs
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(170042L)
+    val docs = (1L to 40L).map { i =>
+      (i, (1 to 12).map(_ => s"tok${rnd.nextInt(30)}"),
+        (1 to 64).map(_ => rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "toks", "vec")
+    // the generated path must produce the interpreted kernel's bits
+    val got = docs.select($"id",
+        VectorExprs.simhash64($"toks").as("sh"),
+        VectorExprs.lsh_bands($"vec", nPlanes = 32, seed = 7L, bandBits = 8)
+          .as("bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    val exp = docs.collect().map { r =>
+      val toks = ArrayData.toArrayData(r.getSeq[String](1)
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      val vec = ArrayData.toArrayData(r.getSeq[Double](2).toArray)
+      (r.getLong(0), VectorExprs.simHash64Kernel(toks),
+        VectorExprs.lshBandsKernel(vec, isFloat = false, 32, 7L, 8)
+          .toLongArray().toSeq)
+    }
+    assert(got.map(t => (t._1, t._2)).toSeq == exp.map(t => (t._1, t._2)).toSeq)
+    assert(got.map(_._3.toSeq).toSeq == exp.map(_._3).toSeq)
+    // plan pins: both kernels keep their stage inside WholeStageCodegen
+    // (read from parquet so ConvertToLocalRelation can't pre-evaluate);
+    // a CodegenFallback expression would leave the Project bare
+    val pq = java.nio.file.Files.createTempDirectory("sketchcg").toString
+    docs.write.mode("overwrite").parquet(pq)
+    val planned = spark.read.parquet(pq).select(
+      VectorExprs.simhash64($"toks").as("sh"),
+      VectorExprs.lsh_bands($"vec", 32, 7L, 8).as("bands"))
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project.*simhash64.*"), plan)
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project.*lsh_bands.*"), plan)
+    // and the gates that consume LshBands (the LSH candidate join and
+    // the ANN bucketing path — the verify-gated corpus-hot stages)
+    // plan their lsh_bands projection inside a `*(n)` codegen stage:
+    // no line holding the kernel may be a BARE Project/Filter
+    for (gate <- Seq("q_embedding_neardup", "q_ann_lsh_topk")) {
+      val g = graft.queries.QueriesData.queries(gate)(spark, sf)
+      val p = g.queryExecution.executedPlan.toString
+      assert(p.contains("lsh_bands"), s"$gate no longer uses lsh_bands:\n$p")
+      val bare = p.linesIterator.exists(l =>
+        l.contains("lsh_bands") && l.contains("Project") &&
+          !l.contains("*("))
+      assert(!bare, s"$gate has lsh_bands outside WholeStageCodegen:\n$p")
+    }
+  }
+
+  test("frontier-budget gate plans its top-hosts cut as TakeOrdered, " +
+      "not a global window (r17)") {
+    val df = graft.queries.QueriesData.queries("q_frontier_budget")(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    // the top-3-hosts cut must be a per-partition top-k merge — a
+    // row_number window here is a single-partition sort of the host
+    // table, 10^8 rows on one task at web scale
+    assert(physical.contains("TakeOrderedAndProject(limit=3"),
+      "top-hosts cut is not a TakeOrdered plan")
+    // exactly ONE window remains: the politeness schedule's per-host
+    // row_number (hash-partitioned — the scale-correct shape). The
+    // host-rank cut's GLOBAL row_number window is gone. (PageRank's
+    // one-row total still single-partitions a bounded aggregate, which
+    // is fine — the pin is on window count, not on every exchange.)
+    assert(physical.linesIterator.count(_.contains("Window [")) == 1,
+      "unexpected extra window in the frontier-budget plan")
+    assert(df.count() > 0)
+  }
+
   test("native text kernels match the composed HOF formulation bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.types.DoubleType

@@ -92,7 +92,7 @@ class ScaleUpSpec extends AnyFunSuite {
       val flip = (i / 26) % 2 == 1
       val letters = if (flip) rot(upper, k) + rot(lower, k)
         else rot(lower, k) + rot(upper, k)
-      xlat(text, lower + upper + digits, letters + rot(digits, i / 52))
+      xlat(text, lower + upper + digits, letters + rot(digits, i % 10))
     }
     assert(copyOf(0) == text)
     assert(copyOf(26) == "ABC XYZ", copyOf(26)) // flip, not a repeat
