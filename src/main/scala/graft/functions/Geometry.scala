@@ -2854,6 +2854,96 @@ object Geo {
     // EPSG:3395 — WGS84 / World Mercator (1SP at the equator, k0 1)
     3395 -> MercE(WgsA, WgsF, lon0 = 0.0, k0 = 1.0, x0 = 0.0, y0 = 0.0))
 
+  // ---- Equidistant cylindrical, ellipsoidal (r17): EPSG method 1028
+  // (Snyder ch. 12) — EPSG:4087 (WGS84 World Equidistant Cylindrical)
+  // and the plate-carrée grids quick-look global products ship on.
+  // x scales by ν(φ_ts)·cos(φ_ts) at the standard parallel; y is the
+  // meridian arc (the same Snyder 3-21 series the TM kernel carries),
+  // inverted through the same e1 mu-series as Tm.inv.
+  final case class Eqc(a: Double, f: Double, latTs: Double, lon0: Double,
+      x0: Double, y0: Double) extends Proj {
+    val e2: Double = f * (2 - f)
+    /** ν(φ_ts)·cos(φ_ts): meters of easting per radian of longitude */
+    val nuCos: Double = {
+      val s = StrictMath.sin(latTs)
+      a * StrictMath.cos(latTs) / StrictMath.sqrt(1 - e2 * s * s)
+    }
+    private val yMax: Double =
+      meridianArc(a, e2, StrictMath.PI / 2) + 1e-6
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -90.0 || lat > 90.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
+      (x0 + nuCos * wrapLonRad(StrictMath.toRadians(lon) - lon0),
+        y0 + meridianArc(a, e2, StrictMath.toRadians(lat)))
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val xBound = nuCos * StrictMath.PI + 1e-6
+      if (x.isNaN || x - x0 < -xBound || x - x0 > xBound)
+        throw new IllegalArgumentException(
+          s"st_transform: easting $x outside the equidistant cylindrical " +
+            s"extent (±$xBound m of the ${x0} m false easting)")
+      if (y.isNaN || math.abs(y - y0) > yMax)
+        throw new IllegalArgumentException(
+          s"st_transform: northing $y outside the pole-to-pole meridian " +
+            s"arc (±$yMax m of the ${y0} m false northing)")
+      // Snyder 3-26: mu-series inversion of the meridian arc (the
+      // Tm.inv footing recovery, shared truncation)
+      val m = y - y0
+      val mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val sq = StrictMath.sqrt(1 - e2)
+      val e1 = (1 - sq) / (1 + sq)
+      val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_2 * e1_2
+      val phi = mu + (3 * e1 / 2 - 27 * e1_3 / 32) * StrictMath.sin(2 * mu) +
+        (21 * e1_2 / 16 - 55 * e1_4 / 32) * StrictMath.sin(4 * mu) +
+        (151 * e1_3 / 96) * StrictMath.sin(6 * mu) +
+        (1097 * e1_4 / 512) * StrictMath.sin(8 * mu)
+      (wrapLonDeg(StrictMath.toDegrees(lon0 + (x - x0) / nuCos)),
+        StrictMath.toDegrees(phi))
+    }
+  }
+
+  private val EqcRegistry: Map[Int, Eqc] = Map(
+    // EPSG:4087 — WGS84 / World Equidistant Cylindrical (lat_ts 0)
+    4087 -> Eqc(WgsA, WgsF, latTs = 0.0, lon0 = 0.0, x0 = 0.0, y0 = 0.0))
+
+  // ---- geographic (unprojected) CRS (r17): a `longlat` registry row
+  // is the identity "projection" — degrees in, degrees out — whose
+  // whole point is the DATUM: wrapped in [[DatumShifted]] it makes any
+  // geodetic CRS (OSGB36 geographic EPSG:4277, NAD27 EPSG:4267, …)
+  // addressable as an st_transform target, the geographic↔geographic
+  // datum shift a lake full of legacy-datum lon/lat columns needs.
+  // Without datum keys it registers a WGS84-compatible alias (GRS80
+  // rows: ETRS89 EPSG:4258, NAD83 EPSG:4269 — identity to double
+  // precision at the towgs84 level, the published stance).
+  final case class LongLat(a: Double, f: Double) extends Proj {
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -90.0 || lat > 90.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
+      (lon, lat)
+    }
+    def inv(x: Double, y: Double): (Double, Double) = {
+      if (x.isNaN || x < -180.0 || x > 180.0)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $x out of [-180, 180] for a " +
+            "geographic CRS")
+      if (y.isNaN || y < -90.0 || y > 90.0)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $y out of [-90, 90] for a " +
+            "geographic CRS")
+      (x, y)
+    }
+  }
+
   // ---- 7-parameter Helmert datum shift (r16): the published EPSG
   // position-vector transformation (EPSG method 9606; PROJ `towgs84`
   // convention) between a LOCAL geodetic datum and WGS84 — rotations
@@ -2924,6 +3014,15 @@ object Geo {
     private val WgsAC = 6378137.0
     private val WgsFC = 1.0 / 298.257223563
     def fwd(lon: Double, lat: Double): (Double, Double) = {
+      // guard the WGS84 INPUT here: the geocentric round-trip below
+      // normalizes any angle (lon 200 would silently become -160
+      // before the inner projection's own guards could see it)
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -90.0 || lat > 90.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
       val (wx, wy, wz) = geodeticToXyz(WgsAC, WgsFC, lon, lat)
       val (lx, ly, lz) = helmert.fromWgs(wx, wy, wz)
       val (lLon, lLat) = xyzToGeodetic(a, f, lx, ly, lz)
@@ -2950,15 +3049,17 @@ object Geo {
   private val dynamicCrs =
     new java.util.concurrent.ConcurrentHashMap[Int, Proj]()
 
-  /** Register a projected CRS from its published EPSG parameters.
-    * `family`: tmerc | lcc | laea | aea | stere | merc. Angles in
-    * DEGREES (as EPSG publishes them); `a` meters; `rf` the inverse
-    * flattening 1/f. Keys (PROJ naming): lat_0, lon_0, k_0 (tmerc /
-    * stere variant A / merc), lat_1, lat_2 (conics), lat_ts (stere
-    * variant B), x_0, y_0. `stere` is the POLAR aspect: lat_0 must be
-    * ±90 (picks the pole) and lat_ts/k_0 are mutually exclusive —
-    * EPSG methods 9829/9810. Re-registering the same srid with
-    * identical parameters is a no-op; a conflicting redefinition
+  /** Register a CRS from its published EPSG parameters.
+    * `family`: tmerc | lcc | laea | aea | stere | merc | eqc | longlat.
+    * Angles in DEGREES (as EPSG publishes them); `a` meters; `rf` the
+    * inverse flattening 1/f. Keys (PROJ naming): lat_0, lon_0, k_0
+    * (tmerc / stere variant A / merc), lat_1, lat_2 (conics), lat_ts
+    * (stere variant B), x_0, y_0. `stere` is the POLAR aspect: lat_0
+    * must be ±90 (picks the pole) and lat_ts/k_0 are mutually
+    * exclusive — EPSG methods 9829/9810. `longlat` is a GEOGRAPHIC
+    * CRS (identity coordinates; pair it with towgs84 keys for the
+    * geographic↔geographic datum shift). Re-registering the same srid
+    * with identical parameters is a no-op; a conflicting redefinition
     * raises. */
   def registerCrs(srid: Int, family: String, p: Map[String, Double]): Unit = {
     def need(k: String): Double = p.getOrElse(k,
@@ -3010,9 +3111,16 @@ object Geo {
           extentName = s"EPSG:$srid")
       case "merc" => MercE(a, f, StrictMath.toRadians(need("lon_0")),
         opt("k_0", 1.0), opt("x_0", 0.0), opt("y_0", 0.0))
+      case "eqc" => Eqc(a, f,
+        StrictMath.toRadians(opt("lat_ts", 0.0)),
+        StrictMath.toRadians(need("lon_0")), opt("x_0", 0.0), opt("y_0", 0.0))
+      case "longlat" =>
+        // geographic CRS: identity coordinates, the datum is the point
+        // — almost always registered WITH towgs84 keys below
+        LongLat(a, f)
       case other => throw new IllegalArgumentException(
         s"register_crs EPSG:$srid: unknown family '$other' " +
-          "(tmerc|lcc|laea|aea|stere|merc)")
+          "(tmerc|lcc|laea|aea|stere|merc|eqc|longlat)")
     }
     // optional datum shift (EPSG 9606 / PROJ towgs84): any of the
     // seven keys engages the Helmert pipeline — WGS84 input shifts
@@ -3052,6 +3160,7 @@ object Geo {
       .orElse(LaeaRegistry.get(srid))
       .orElse(StereRegistry.get(srid))
       .orElse(MercRegistry.get(srid))
+      .orElse(EqcRegistry.get(srid))
 
   /** resolve a projected SRID: UTM range → the shared TM kernel rows,
     * then the seed registries, then runtime registrations */
@@ -3072,6 +3181,8 @@ object Geo {
     case _: Aea => "aea"
     case _: Stere => "stere"
     case _: MercE => "merc"
+    case _: Eqc => "eqc"
+    case _: LongLat => "longlat"
     case d: DatumShifted => familyOf(d.inner) + "+towgs84"
   }
 
@@ -3085,7 +3196,7 @@ object Geo {
       (32601, "tmerc", "builtin", "UTM north zones 32601-32660 (WGS84)"),
       (32701, "tmerc", "builtin", "UTM south zones 32701-32760 (WGS84)"))
     val seeded = (LccRegistry ++ LaeaRegistry ++ StereRegistry ++
-      MercRegistry).toSeq.map { case (srid, p) =>
+      MercRegistry ++ EqcRegistry).toSeq.map { case (srid, p) =>
       (srid, familyOf(p), "builtin", p.toString)
     }
     val dyn = dynamicCrs.asScala.toSeq.map { case (srid, p) =>
@@ -3129,7 +3240,7 @@ object Geo {
         toWkt(mapCoords(g, resolve(s).get.inv))
       case _ =>
         val named = (LccRegistry.keys ++ LaeaRegistry.keys ++
-          StereRegistry.keys ++ MercRegistry.keys ++
+          StereRegistry.keys ++ MercRegistry.keys ++ EqcRegistry.keys ++
           dynamicCrs.keySet().asScala.map(_.toInt)).toSeq.sorted
         throw new IllegalArgumentException(
           s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +

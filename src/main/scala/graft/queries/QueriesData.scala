@@ -3233,15 +3233,32 @@ object QueriesData {
     * k-prefix min — the `pack` stage reported 0.0 for two straight
     * rounds. Per-stage actions cannot cancel each other. */
   private[graft] def fineWebStageTimings(s: SparkSession,
-      dir: String): Seq[(String, Double)] = {
+      dir: String): Seq[(String, Double)] =
+    fineWebStageTimings(s, dir, "v1")
+
+  /** [[fineWebStageTimings]] over a recipe VARIANT (r17: the curate
+    * drift watch profiles v2/v3 per-stage, not only v1 — same
+    * stage-owns-its-action scheme, the variant picks seed + spec; v3
+    * profiles the post-WARC pipeline over the crawl-shaped seed). */
+  private[graft] def fineWebStageTimings(s: SparkSession, dir: String,
+      variant: String): Seq[(String, Double)] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val stages = (JsonMethods.parse(fineWebSpec) \ "stages") match {
+    val (seed0, spec0) = variant match {
+      case "v1" => (fineWebSeed(s, dir), fineWebSpec)
+      case "v2" => (fineWebHtmlSeed(s, dir), fineWebSpecV2)
+      case "v3" => (fineWebHtmlSeed(s, dir).withColumn("url",
+        concat(lit("https://corpus.example.org/doc/"),
+          col("doc_id").cast("string"))), fineWebSpecV3)
+      case other => throw new IllegalArgumentException(
+        s"unknown fineweb variant '$other' (v1|v2|v3)")
+    }
+    val stages = (JsonMethods.parse(spec0) \ "stages") match {
       case JArray(xs) => xs
       case other => throw new IllegalStateException(s"bad fineWebSpec: $other")
     }
     val work = java.nio.file.Files.createTempDirectory("fwstages")
-    var cur: DataFrame = fineWebSeed(s, dir)
+    var cur: DataFrame = seed0
     val out = stages.zipWithIndex.map { case (st, i) =>
       val op = (st \ "op") match {
         case JString(o) => o

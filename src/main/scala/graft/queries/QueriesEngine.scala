@@ -980,6 +980,67 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- equidistant cylindrical (r17): EPSG:4087 — the quick-look
+    // world grid. The oracle replays x = a·λ and the Snyder 3-21
+    // meridian-arc northing as raw SQL; the inverse (mu-series
+    // meridian-arc inversion) round-trips in-engine.
+    "q_geo_transform_eqc" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.GeoExprs
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lon = ($"n_nationkey" * 41) % 357 - 177
+      val lat = ($"n_nationkey" % 35) * 5 - 85
+      val pt = concat(lit("POINT ("), d(lon), lit(" "), d(lat), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(pt, lit(4326), lit(4087)).as("g"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"g"), 3).as("easting"),
+          round(GeoExprs.st_y($"g"), 3).as("northing"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"g", lit(4087), lit(4326))), 5)
+            .as("back_lon"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"g", lit(4087), lit(4326))), 5)
+            .as("back_lat"))
+        .orderBy($"n_nationkey")
+    },
+
+    // ---- geographic↔geographic datum shift (r17): EPSG:4277-style
+    // OSGB36 GEOGRAPHIC target registered as a `longlat` row with the
+    // real towgs84 parameters — the legacy-datum lon/lat column case.
+    // The oracle replays the full pipeline (geodetic → geocentric →
+    // exact-inverse Helmert → 8 unrolled latitude iterations on Airy
+    // 1830 → degrees) with NO projection leg; the engine's inverse
+    // (Airy → WGS84) round-trips onto the fixtures.
+    "q_geo_transform_longlat" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.{Geo, GeoExprs}
+      Geo.registerCrs(924277, "longlat", Map(
+        "a" -> 6377563.396, "rf" -> 299.3249646,
+        "dx" -> 446.448, "dy" -> -125.157, "dz" -> 542.060,
+        "rx" -> 0.1502, "ry" -> 0.2470, "rz" -> 0.8421, "ds" -> -20.4894))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lon = -($"n_nationkey" % 8) + 1
+      val lat = $"n_nationkey" % 10 + 50
+      val pt = concat(lit("POINT ("), d(lon), lit(" "), d(lat), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(pt, lit(4326), lit(924277)).as("g"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"g"), 7).as("osgb_lon"),
+          round(GeoExprs.st_y($"g"), 7).as("osgb_lat"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"g", lit(924277), lit(4326))), 5)
+            .as("back_lon"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"g", lit(924277), lit(4326))), 5)
+            .as("back_lat"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- polar stereographic + ellipsoidal Mercator (r17): the three
     // grids a climate lake still needed — EPSG:3413 (NSIDC north,
     // variant B with an OFF-ZERO central meridian), EPSG:3031
@@ -1914,6 +1975,65 @@ object QueriesEngine {
            round(lat_us, 5) AS back_lat_us
          FROM leg
          ORDER BY n_nationkey""",
+    // r17 equidistant cylindrical: x = a·radians(lon) and the Snyder
+    // 3-21 meridian-arc series as raw SQL; inverse in-engine
+    "q_geo_transform_eqc" ->
+      """WITH src AS (SELECT n_nationkey,
+             CAST((n_nationkey * 41) % 357 - 177 AS DOUBLE) AS lon,
+             CAST(n_nationkey % 35 * 5 - 85 AS DOUBLE) AS lat FROM nation),
+         k AS (SELECT 6378137.0 AS a,
+             (1.0/298.257223563)*(2-1.0/298.257223563) AS e2)
+         SELECT n_nationkey,
+           round(a * radians(lon), 3) AS easting,
+           round(a*((1-e2/4-3*e2*e2/64-5*e2*e2*e2/256)*radians(lat)
+             - (3*e2/8+3*e2*e2/32+45*e2*e2*e2/1024)*sin(2*radians(lat))
+             + (15*e2*e2/256+45*e2*e2*e2/1024)*sin(4*radians(lat))
+             - (35*e2*e2*e2/3072)*sin(6*radians(lat))), 3) AS northing,
+           round(lon, 5) AS back_lon,
+           round(lat, 5) AS back_lat
+         FROM src, k ORDER BY n_nationkey""",
+    // r17 geographic↔geographic datum shift: the q_geo_transform_datum
+    // pipeline truncated before the projection leg — geodetic →
+    // geocentric → exact-inverse Helmert → 8 unrolled latitude
+    // iterations on Airy 1830 → degrees; inverse round-trips in-engine
+    "q_geo_transform_longlat" ->
+      raw"""WITH src AS (SELECT n_nationkey,
+             CAST(-(n_nationkey % 8) + 1 AS DOUBLE) AS lon,
+             CAST(n_nationkey % 10 + 50 AS DOUBLE) AS lat FROM nation),
+         k AS (SELECT 6378137.0 AS aw,
+             (1.0/298.257223563)*(2-1.0/298.257223563) AS e2w,
+             6377563.396 AS aa2,
+             (1.0/299.3249646)*(2-1.0/299.3249646) AS e2a,
+             1.0 + (-20.4894)*1e-6 AS hs,
+             radians(0.1502/3600.0) AS hrx, radians(0.2470/3600.0) AS hry,
+             radians(0.8421/3600.0) AS hrz),
+         k2 AS (SELECT *, 1 + hrx*hrx + hry*hry + hrz*hrz AS hdet FROM k),
+         g AS (SELECT s.n_nationkey, s.lon, s.lat, k2.*,
+             radians(s.lat) AS phi, radians(s.lon) AS lam FROM src s, k2),
+         xyz AS (SELECT *,
+             (aw/sqrt(1-e2w*sin(phi)*sin(phi)))*cos(phi)*cos(lam) AS gx,
+             (aw/sqrt(1-e2w*sin(phi)*sin(phi)))*cos(phi)*sin(lam) AS gy,
+             (aw/sqrt(1-e2w*sin(phi)*sin(phi)))*(1-e2w)*sin(phi) AS gz
+           FROM g),
+         hel AS (SELECT *, (gx-446.448)/hs AS px, (gy-(-125.157))/hs AS py,
+             (gz-542.060)/hs AS pz FROM xyz),
+         loc AS (SELECT *,
+             ((1+hrx*hrx)*px + (hrz+hrx*hry)*py + (hrx*hrz-hry)*pz)/hdet AS lx,
+             ((hrx*hry-hrz)*px + (1+hry*hry)*py + (hrx+hry*hrz)*pz)/hdet AS ly,
+             ((hry+hrx*hrz)*px + (hry*hrz-hrx)*py + (1+hrz*hrz)*pz)/hdet AS lz
+           FROM hel),
+         i0 AS (SELECT *, sqrt(lx*lx+ly*ly) AS pp,
+             atan2(lz, sqrt(lx*lx+ly*ly)*(1-e2a)) AS f FROM loc),
+         ${(1 to 8).map(i =>
+            s"""i$i AS (SELECT * REPLACE (atan2(lz +
+               e2a*(aa2/sqrt(1-e2a*sin(f)*sin(f)))*sin(f), pp) AS f)
+               FROM i${i - 1})""").mkString(", ")}
+         SELECT n_nationkey,
+           round(degrees(atan2(ly, lx)), 7) AS osgb_lon,
+           round(degrees(f), 7) AS osgb_lat,
+           round(lon, 5) AS back_lon,
+           round(lat, 5) AS back_lat
+         FROM i8 ORDER BY n_nationkey""",
     // r17 polar/Mercator seed rows: the variant-B polar stereographic
     // forward (conformal t, ρ = a·m_c·t/t_c, south-aspect sign flip,
     // the antimeridian wrap of λ−λ0 against 3413's -45° meridian) and

@@ -1537,6 +1537,67 @@ class GeoSpec extends AnyFunSuite {
     }.getMessage.contains("hemisphere"))
   }
 
+  test("eqc family (r17): equidistant cylindrical — meridian-arc northing " +
+      "pins, round-trips pole to pole, antimeridian wrap") {
+    // EPSG:4087: x = a·λ, y = M(φ) — independent closed-form pins
+    val p = Geo.parseWkt(Geo.stTransform("POINT (90 45)", 4326, 4087))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(p.x - 10018754.17) < 0.01 &&
+      math.abs(p.y - 4984944.38) < 0.01, s"(${p.x}, ${p.y})")
+    for (lon <- -177 to 177 by 59; lat <- -89 to 89 by 44) {
+      val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, 4087), 4087, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
+        s"4087 round-trip ($lon, $lat) -> (${back.x}, ${back.y})")
+    }
+    // a standard-parallel row compresses eastings by ν·cos(lat_ts)/a
+    Geo.registerCrs(999183, "eqc", Map("a" -> 6378137.0,
+      "rf" -> 298.257223563, "lat_ts" -> 60.0, "lon_0" -> 0.0))
+    val q = Geo.parseWkt(Geo.stTransform("POINT (90 45)", 4326, 999183))
+      .asInstanceOf[Geo.PointGeom]
+    assert(q.x < p.x * 0.52 && q.x > p.x * 0.48, s"${q.x} vs ${p.x}")
+    assert(math.abs(q.y - p.y) < 1e-9) // northing is lat-only
+    Geo.unregisterCrs(999183)
+    // loud extents
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (99000000 0)", 4087, 4326)
+    }.getMessage.contains("extent"))
+  }
+
+  test("longlat family (r17): geographic↔geographic datum shift — OSGB36 " +
+      "offset lands in the published ~50-200 m band, round-trip exact, " +
+      "WGS84-compatible alias is the identity") {
+    Geo.registerCrs(924277, "longlat", Map(
+      "a" -> 6377563.396, "rf" -> 299.3249646,
+      "dx" -> 446.448, "dy" -> -125.157, "dz" -> 542.060,
+      "rx" -> 0.1502, "ry" -> 0.2470, "rz" -> 0.8421, "ds" -> -20.4894))
+    val p = Geo.parseWkt(Geo.stTransform("POINT (-2 52)", 4326, 924277))
+      .asInstanceOf[Geo.PointGeom]
+    // the OSGB36↔WGS84 datum offset over GB is famously ~100 m
+    val dLon = (p.x - (-2.0)) * 111320.0 * math.cos(math.toRadians(52))
+    val dLat = (p.y - 52.0) * 111320.0
+    val off = math.hypot(dLon, dLat)
+    assert(off > 50.0 && off < 200.0, s"datum offset $off m at (-2, 52)")
+    val back = Geo.parseWkt(Geo.stTransform(
+      Geo.stTransform("POINT (-2 52)", 4326, 924277), 924277, 4326))
+      .asInstanceOf[Geo.PointGeom]
+    // fixed-count geodetic-latitude iterations truncate at ~1e-8°:
+    // pin at 1e-7° (≈1 cm), far under any datum-shift use
+    assert(math.abs(back.x + 2.0) < 1e-7 && math.abs(back.y - 52.0) < 1e-7,
+      s"(${back.x}, ${back.y})")
+    // a GRS80 row WITHOUT towgs84 keys: WGS84-compatible alias —
+    // identity passthrough (the ETRS89/NAD83 published stance)
+    Geo.registerCrs(924258, "longlat",
+      Map("a" -> 6378137.0, "rf" -> 298.257222101))
+    assert(Geo.stTransform("POINT (10 52)", 4326, 924258) == "POINT (10 52)")
+    // range guards stay loud
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (200 10)", 4326, 924277)
+    }.getMessage.contains("longitude"))
+    Seq(924277, 924258).foreach(Geo.unregisterCrs(_))
+  }
+
   test("antimeridian round-trips (r17, ADVICE r16): every inverse wraps " +
       "the recovered longitude — lon_0 177, lon -179 closes through all " +
       "six families") {
@@ -1562,8 +1623,10 @@ class GeoSpec extends AnyFunSuite {
     Geo.registerCrs(999182, "stere", Map(
       "a" -> 6378137.0, "rf" -> 298.257223563, "lat_0" -> -90.0,
       "lon_0" -> 177.0, "lat_ts" -> -71.0))
+    Geo.registerCrs(999184, "eqc", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lon_0" -> 177.0))
     for ((srid, lat) <- Seq(999177 -> -41, 999178 -> -41, 999179 -> -41,
-        999180 -> -41, 999181 -> -41, 999182 -> -75)) {
+        999180 -> -41, 999181 -> -41, 999182 -> -75, 999184 -> -41)) {
       val wkt = Geo.stTransform(s"POINT (-179 $lat)", 4326, srid)
       val back = Geo.parseWkt(Geo.stTransform(wkt, srid, 4326))
         .asInstanceOf[Geo.PointGeom]
@@ -1578,7 +1641,7 @@ class GeoSpec extends AnyFunSuite {
       .asInstanceOf[Geo.PointGeom]
     assert(math.abs(b1.x - 179.0) < 2e-5 && math.abs(b1.y - 10.0) < 2e-5,
       s"(${b1.x}, ${b1.y})")
-    Seq(999177, 999178, 999179, 999180, 999181, 999182)
+    Seq(999177, 999178, 999179, 999180, 999181, 999182, 999184)
       .foreach(Geo.unregisterCrs(_))
   }
 

@@ -26,6 +26,25 @@ NOTES = {
     "q_semdedup": (
         "gate caps its input at vec_id < 2500, so sf1 only adds 25% "
         "more rows — the ratio measures fixture overhead, not scaling"),
+    # r17 measurements: ScaleUp nudges each embedding copy 1e-4 from its
+    # source, so the 10 copies of a vector share LSH buckets AND are
+    # genuine near-dups of each other — bucket co-occupancy grows 10x on
+    # both join sides (candidate volume ~100x, quadratic by fixture
+    # construction, not by plan)
+    "q_embedding_neardup": (
+        "output PAIRS grow 113.8x by fixture construction (6,661 -> "
+        "757,870 rows, measured via graft.Verify on both scales): every "
+        "ScaleUp copy is a near-dup of its 9 siblings; 14.6x wall for "
+        "113.8x output is strongly SUBLINEAR in output size"),
+    "q_ann_lsh_topk": (
+        "candidate volume grows ~100x by the same fixture mechanism "
+        "(copies share buckets: both bucket-join sides densify 10x; the "
+        "sibling q_embedding_neardup gate MEASURES the quadratic at "
+        "113.8x output growth); ~21x wall for ~100x candidates is "
+        "sublinear in candidate volume — at production scale nPlanes "
+        "rises with corpus size to keep buckets bounded (the documented "
+        "banding knob), which a fixed-16-plane gate deliberately holds "
+        "constant for oracle replay"),
 }
 
 
