@@ -2397,6 +2397,18 @@ object Geo {
       val lam = lon0 + (d - (1 + 2 * t1 + c1) * d3 / 6
         + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1)
           * d5 / 120) / cosP1
+      // guard the recovered meridian DELTA (r17): a near-pole northing
+      // passes the metric extent guards yet makes cosP1 ~ 0 and the
+      // d/cosP1 series explode to thousands of degrees — a single-wrap
+      // output would still be garbage. A legitimate TM recovery is
+      // within the fwd leg's ±15° band; beyond ±25° is not a valid
+      // projected point for this zone.
+      val dlDeg = StrictMath.toDegrees(lam - lon0)
+      if (dlDeg < -25.0 || dlDeg > 25.0 || dlDeg.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) does not invert to a point near the " +
+            s"$extentName central meridian (recovered delta ${dlDeg}°) — " +
+            "not a valid projected point for this zone")
       // wrap the RECOVERED longitude too (ADVICE r16): a zone whose
       // central meridian sits near ±180 recovers lon0+delta outside
       // [-180, 180], which fwd and every EPSG:4326 consumer reject —
@@ -3246,7 +3258,7 @@ object Geo {
           s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
             "(4326↔3857, 4326↔UTM 326xx/327xx, and 4326↔" +
             s"{${named.mkString(",")}} supported; register_crs adds " +
-            "tmerc/lcc/laea/aea/stere/merc parameter rows)")
+            "tmerc/lcc/laea/aea/stere/merc/eqc/longlat parameter rows)")
     }
   }
 }

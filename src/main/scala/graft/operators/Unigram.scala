@@ -231,10 +231,13 @@ object Unigram {
     * units (−10 nats is −10·floatScale here, not the trainer's
     * −10·10⁹), or OOV competition flips against every piece. */
   /** a parsed vocab artifact: lattice pieces, the float-scale fact,
-    * and — when the file ships the full `<0x00>`..`<0xFF>` table — the
-    * SentencePiece BYTE-FALLBACK scores (r17): OOV characters decompose
-    * into UTF-8 byte pieces instead of scoring unk. Byte pieces are
-    * id-table rows, never literal text pieces — they always extract. */
+    * and — when the file ships the COMPLETE `<0x00>`..`<0xFF>` table —
+    * the SentencePiece BYTE-FALLBACK scores (r17): OOV characters
+    * decompose into UTF-8 byte pieces instead of scoring unk. Only the
+    * full 256-piece set extracts (spm's byte_fallback always writes
+    * all 256); a partial set stays literal text pieces, as a
+    * code-corpus vocab can legitimately learn `<0x00>`-shaped strings
+    * and pre-r17 artifacts parsed them that way. */
   final case class VocabArtifact(pieces: Seq[(String, Long)],
       floatScaled: Boolean, byteScores: Option[Array[Long]])
 
@@ -281,34 +284,29 @@ object Unigram {
       else throw new IllegalArgumentException(
         s"bad vocab score '$w' for piece '$p0' " +
           "(want integer weight or float log-prob)")
-    // byte-fallback rows (r17): `<0xNN>` pieces are the spm byte table,
-    // not literal text — extract them; a PARTIAL table is a corrupt
-    // artifact (spm always writes all 256), raise rather than half-
-    // decompose some characters and unk others
+    // byte-fallback rows (r17): when the artifact carries the COMPLETE
+    // `<0x00>`..`<0xFF>` table (what spm's byte_fallback always
+    // writes), the rows are the byte-score table, not literal text —
+    // extract them. A partial set stays LITERAL text pieces: a vocab
+    // trained on code/hexdump corpora can legitimately learn a few
+    // `<0x00>`-shaped strings, and pre-r17 artifacts parsed them that
+    // way — only the full 256 signals the spm contract.
     val byteRe = "<0x[0-9A-Fa-f]{2}>".r
-    val bytePieces = parsed.filter { case (p, _) =>
-      byteRe.matches(p)
-    }
+    val bytePieces = parsed.filter { case (p, _) => byteRe.matches(p) }
+    val byteValues = bytePieces
+      .map { case (p, _) => Integer.parseInt(p.substring(3, 5), 16) }
+    val fullTable = byteValues.distinct.size == 256
     val byteScores: Option[Array[Long]] =
-      if (bytePieces.isEmpty) None
+      if (!fullTable) None
       else {
         val t = new Array[Long](256)
-        val seen = new Array[Boolean](256)
         bytePieces.foreach { case (p, w) =>
-          val v = Integer.parseInt(p.substring(3, 5), 16)
-          if (seen(v)) throw new IllegalArgumentException(
-            s"vocab artifact repeats byte piece '$p'")
-          seen(v) = true; t(v) = weightOf(p, w)
+          t(Integer.parseInt(p.substring(3, 5), 16)) = weightOf(p, w)
         }
-        val missing = seen.count(!_)
-        if (missing > 0) throw new IllegalArgumentException(
-          s"vocab artifact has a PARTIAL byte-fallback table: " +
-            s"${256 - missing}/256 <0xNN> pieces — a byte_fallback spm " +
-            "vocab always carries all 256")
         Some(t)
       }
     val raw = parsed.flatMap { case (p0, w) =>
-      if (controls(p0) || byteRe.matches(p0)) None
+      if (controls(p0) || (fullTable && byteRe.matches(p0))) None
       else {
         val weight = weightOf(p0, w)
         // preserveMarkers (r16): keep the piece verbatim — the

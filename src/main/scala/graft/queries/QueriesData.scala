@@ -3247,9 +3247,19 @@ object QueriesData {
     val (seed0, spec0) = variant match {
       case "v1" => (fineWebSeed(s, dir), fineWebSpec)
       case "v2" => (fineWebHtmlSeed(s, dir), fineWebSpecV2)
-      case "v3" => (fineWebHtmlSeed(s, dir).withColumn("url",
-        concat(lit("https://corpus.example.org/doc/"),
-          col("doc_id").cast("string"))), fineWebSpecV3)
+      case "v3" =>
+        // the gate's exact URL mix (ads shard on doc_id % 9, the noisy
+        // Corpus.example.org:443 + utm decoration) so url_filter drops
+        // the same rows the real q_curate_fineweb_v3 drops and every
+        // later stage times over the gate's true input. Only the WARC
+        // write/read round trip is skipped — it is byte-identical by
+        // q_warc_scan's pin, so it contributes I/O, not rows.
+        val d = col("doc_id").cast("string")
+        (fineWebHtmlSeed(s, dir).withColumn("url",
+          when(col("doc_id") % 9 === 0,
+            concat(lit("https://ads.example.com/banner/"), d))
+          .otherwise(concat(lit("https://Corpus.example.org:443/doc/"), d,
+            lit("?utm_source=crawl")))), fineWebSpecV3)
       case other => throw new IllegalArgumentException(
         s"unknown fineweb variant '$other' (v1|v2|v3)")
     }

@@ -142,13 +142,23 @@ object ByteStore {
   def writeStringAtomic(path: String, content: String): Unit =
     if (hasScheme(path)) writeString(path, content)
     else {
-      val p = Paths.get(toLocal(path))
-      Option(p.getParent).foreach(Files.createDirectories(_))
+      val p0 = Paths.get(toLocal(path))
+      val p = if (p0.getParent == null) p0.toAbsolutePath else p0
+      Files.createDirectories(p.getParent)
       val tmp = Files.createTempFile(p.getParent,
         "." + p.getFileName.toString, ".tmp")
-      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      try {
+        // createTempFile makes 0600 — widen to the plain-write default
+        // (rw-r--r--) so a SECOND user sharing the warehouse can still
+        // read the store after this one's atomic replace; non-POSIX
+        // filesystems skip silently
+        try Files.setPosixFilePermissions(tmp,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+        catch { case _: UnsupportedOperationException => () }
+        Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      } finally Files.deleteIfExists(tmp): Unit
     }
 
   def writeAll(path: String, bytes: Array[Byte]): Unit =

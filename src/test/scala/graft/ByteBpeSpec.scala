@@ -338,6 +338,13 @@ class ByteBpeSpec extends AnyFunSuite {
     // every symbol resolved to a real id — byte pieces are in the id
     // vocabulary, so no -1 (OOV id) appears
     assert(r.getSeq[Long](0).forall(_ >= 0L), r.toString)
+    // a PARTIAL <0xNN> set does NOT engage fallback: those rows stay
+    // literal text pieces (a code/hexdump corpus can learn them) and
+    // the artifact parses exactly as it did pre-r17
+    val partial = Unigram.parseVocabArtifactFull(
+      "▁\t-2.0\na\t-3.0\n<0x41>\t-4.0\n<0xFF>\t-4.5\n")
+    assert(partial.byteScores.isEmpty)
+    assert(partial.pieces.exists(_._1 == "<0x41>"), partial.pieces)
   }
 
   test("unigram pieces_path float .vocab: default unk lands in the FILE's " +

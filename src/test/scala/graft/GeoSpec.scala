@@ -1641,6 +1641,13 @@ class GeoSpec extends AnyFunSuite {
       .asInstanceOf[Geo.PointGeom]
     assert(math.abs(b1.x - 179.0) < 2e-5 && math.abs(b1.y - 10.0) < 2e-5,
       s"(${b1.x}, ${b1.y})")
+    // a near-pole northing inside the METRIC extent guards makes the
+    // TM series' d/cosφ1 terms explode — the inverse now rejects the
+    // meridian-delta blowup loudly instead of emitting a single-wrap
+    // garbage longitude (r17 self-review)
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (2400000 9990000)", 32631, 4326)
+    }.getMessage.contains("not a valid projected point"))
     Seq(999177, 999178, 999179, 999180, 999181, 999182, 999184)
       .foreach(Geo.unregisterCrs(_))
   }
