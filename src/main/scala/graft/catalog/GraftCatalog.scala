@@ -337,13 +337,19 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             .parquet(ByteStore.resolve(dataDir(name), cdir))
           // append publishes via commitAppend so the previous dir list
           // is re-read inside the commit lock (a concurrent append
-          // committed during our parquet write must not be dropped)
-          if (overwrite)
-            TableVersions.commit(warehouse, name, "insert_overwrite", Seq(cdir))
-          else
-            TableVersions.commitAppend(warehouse, name, "insert", Seq(cdir))
+          // committed during our parquet write must not be dropped) —
+          // and the session-view RE-REGISTRATION rides the same lock
+          // (r17): a stale register racing a later commit's register
+          // would re-point the view at its own superseded version and
+          // drop the later append from every read
+          TableVersions.withCommitLock {
+            if (overwrite)
+              TableVersions.commit(warehouse, name, "insert_overwrite", Seq(cdir))
+            else
+              TableVersions.commitAppend(warehouse, name, "insert", Seq(cdir))
+            register(d)
+          }
         }
-        register(d)
         // the new commit dir is a new scan root; the prune rule's
         // root→table map must learn it or indexed scans stop resolving
         refreshIndexRoots()

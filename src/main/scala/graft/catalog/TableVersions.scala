@@ -157,6 +157,16 @@ object TableVersions {
     e
   }
 
+  /** Run `f` under the SAME monitor [[commit]]/[[commitAppend]] use.
+    * The publish-then-re-register pair must be atomic w.r.t. other
+    * same-JVM committers: a writer that published v2, then lost the
+    * CPU while a second writer published v3 AND re-registered the
+    * session view, would re-register its own STALE v2 resolution last
+    * — silently dropping the later append from every subsequent read
+    * (r17: the r10 concurrent-writers spec caught exactly this under
+    * host load — count read 8, manifest v3 held 11). */
+  def withCommitLock[A](f: => A): A = synchronized(f)
+
   /** append-publish: new version = the LATEST version's dirs plus
     * `newDirs`, with the latest re-read INSIDE the commit lock — a
     * writer that computed "previous dirs" before its (long) parquet

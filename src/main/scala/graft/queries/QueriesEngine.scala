@@ -358,6 +358,32 @@ object QueriesEngine {
         FROM fed_gate_obs WHERE TEMP > 10 GROUP BY STATION ORDER BY station""")
     },
 
+    // ---- $1..$n bind parameters (r17: previously spec-only §2 #57):
+    // a parameterized aggregation runs through the engine's prepare/
+    // bind path — $1 repeated, an int and a string bind, and a LITERAL
+    // '$1' inside a string that must NOT rewrite (lit_markers = 0
+    // proves no substitution happened inside quotes). The oracle is
+    // the same statement with the values inlined as constants.
+    "q_bind_params" -> { (s, dir) =>
+      GraftSession.configure(s)
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_bind")
+      GraftSql.sql(s,
+        """SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n,
+             CAST(sum(CASE WHEN '$1' = '30' THEN 1 ELSE 0 END) AS BIGINT)
+               AS lit_markers
+           FROM li_bind
+           WHERE l_quantity <= $1 AND l_quantity >= $1 - 25
+             AND l_shipdate < CAST($2 AS TIMESTAMP_NTZ)
+           GROUP BY l_returnflag, l_linestatus""",
+        Seq(30, "1997-06-01"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
     // ---- domain UDFs through SQL text: the TEOS-10 pressure→depth
     // approximation (pure arithmetic — the oracle replays the identical
     // polynomial) and cast_int8_as_char. map_units stays spec-only: its
@@ -1533,6 +1559,23 @@ object QueriesEngine {
          FROM orders
          WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice < 50000)
          ORDER BY o_orderkey""",
+    // r17 bind parameters: the SAME statement with the bound values
+    // inlined as constants — including the literal '$1' that must
+    // survive as text (lit_markers pins non-substitution in quotes)
+    "q_bind_params" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+         count(*) AS n,
+         CAST(sum(CASE WHEN '$1' = '30' THEN 1 ELSE 0 END) AS BIGINT)
+           AS lit_markers
+         FROM lineitem
+         WHERE l_quantity <= 30 AND l_quantity >= 30 - 25
+           AND l_shipdate < TIMESTAMP '1997-06-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q_domain_funcs" ->
       """SELECT l_orderkey, l_linenumber,
            round(((((-1.82e-15 * p + 2.279e-10) * p - 2.2512e-5) * p + 9.72659) * p) /
