@@ -1663,22 +1663,28 @@ class GeoSpec extends AnyFunSuite {
       val x0 = rnd.nextInt(6000000).toDouble
       val y0 = rnd.nextInt(6000000).toDouble
       if (trial % 3 == 2) {
-        // ellipsoidal Mercator: every longitude valid, equator pins y0
-        Geo.registerCrs(srid, "merc", Map("a" -> a, "rf" -> rf,
-          "lon_0" -> lon0, "x_0" -> x0, "y_0" -> y0,
-          "k_0" -> (0.99 + rnd.nextDouble() * 0.01)))
+        // cylindricals: alternate ellipsoidal Mercator and equidistant
+        // (eqc) — every longitude valid, the parallel origin pins y0
+        val fam = if (trial % 6 == 2) "merc" else "eqc"
+        val extra = if (fam == "merc")
+          Map("k_0" -> (0.99 + rnd.nextDouble() * 0.01))
+        else Map("lat_ts" -> (rnd.nextDouble() * 120.0 - 60.0))
+        Geo.registerCrs(srid, fam, Map("a" -> a, "rf" -> rf,
+          "lon_0" -> lon0, "x_0" -> x0, "y_0" -> y0) ++ extra)
         val o = Geo.parseWkt(Geo.stTransform(
           s"POINT ($lon0 0)", 4326, srid)).asInstanceOf[Geo.PointGeom]
         assert(math.abs(o.x - x0) < 1e-5 && math.abs(o.y - y0) < 1e-5,
-          s"trial $trial merc origin (${o.x}, ${o.y}) want ($x0, $y0)")
+          s"trial $trial $fam origin (${o.x}, ${o.y}) want ($x0, $y0)")
         for (_ <- 1 to 8) {
           val lon = -179.9 + rnd.nextDouble() * 359.8
-          val lat = -79.0 + rnd.nextDouble() * 158.0
+          val lat =
+            if (fam == "merc") -79.0 + rnd.nextDouble() * 158.0
+            else -89.0 + rnd.nextDouble() * 178.0  // eqc is pole-safe
           val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
             s"POINT ($lon $lat)", 4326, srid), srid, 4326))
             .asInstanceOf[Geo.PointGeom]
           assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
-            s"trial $trial merc ($lon, $lat) -> (${back.x}, ${back.y})")
+            s"trial $trial $fam ($lon, $lat) -> (${back.x}, ${back.y})")
         }
       } else {
         // polar stereographic: alternate NORTH and SOUTH aspects, and
