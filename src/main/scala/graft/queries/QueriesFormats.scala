@@ -58,6 +58,159 @@ object QueriesFormats {
       .orderBy("lat", "lon")
   }
 
+  /** Zarr v2 fixture: a synthesized store whose cell values are
+    * closed-form in the grid indices, so the DuckDB oracle recomputes
+    * them from range() arithmetic — the v2 decode path is checked
+    * against independent JDK / lz4-java ENCODERS (Deflater,
+    * GZIPOutputStream, LZ4 block), never against our own reader.
+    * Exercises: numpy dtype strings (<i8, <f8, <f4, >i2 big-endian,
+    * |u1), zlib/gzip/lz4/raw compressors, Fortran order (anom), a
+    * missing chunk served from fill_value (mask), xarray
+    * _ARRAY_DIMENSIONS binding, and consolidated .zmetadata. */
+  private[graft] object ZarrV2Fixture {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    val timeN = 6; val latN = 10; val lonN = 12
+    def timeAt(t: Int): Double = t * 3600.0 + 100.0
+    def latAt(y: Int): Double = 30.0 + y * 0.5
+    def lonAt(x: Int): Double = -10.0 + x * 1.0
+    def sstAt(t: Int, y: Int, x: Int): Double = (t * 100 + y * 10 + x) * 0.25
+    def anomAt(t: Int, y: Int, x: Int): Double = (t * 2 - y + x) * 0.5
+    def maskAt(y: Int, x: Int): Double =
+      if (y >= 5 && x >= 6) -1.0 else (y * 12 + x) % 3 // the skipped chunk = fill
+    def qcAt(t: Int, y: Int, x: Int): Double = (y * 7 + x * 3 + t) % 250
+
+    final case class Arr(name: String, shape: Seq[Int], chunks: Seq[Int],
+        dtype: String, order: String, comp: Option[String], fill: String,
+        dims: Seq[String], value: Seq[Int] => Double,
+        skip: Set[Seq[Int]] = Set.empty)
+
+    val arrays: Seq[Arr] = Seq(
+      Arr("time", Seq(timeN), Seq(timeN), "<i8", "C", None, "0",
+        Seq("time"), i => timeAt(i(0))),
+      Arr("lat", Seq(latN), Seq(5), "<f8", "C", Some("zlib"), "\"NaN\"",
+        Seq("lat"), i => latAt(i(0))),
+      Arr("lon", Seq(lonN), Seq(lonN), "<f8", "C", Some("zlib"), "\"NaN\"",
+        Seq("lon"), i => lonAt(i(0))),
+      Arr("sst", Seq(timeN, latN, lonN), Seq(2, 5, 6), "<f4", "C",
+        Some("zlib"), "\"NaN\"", Seq("time", "lat", "lon"),
+        i => sstAt(i(0), i(1), i(2))),
+      Arr("anom", Seq(timeN, latN, lonN), Seq(3, 5, 4), "<f8", "F",
+        Some("gzip"), "\"NaN\"", Seq("time", "lat", "lon"),
+        i => anomAt(i(0), i(1), i(2))),
+      Arr("mask", Seq(latN, lonN), Seq(5, 6), ">i2", "C", None, "-1",
+        Seq("lat", "lon"), i => maskAt(i(0), i(1)), skip = Set(Seq(1, 1))),
+      Arr("qc", Seq(timeN, latN, lonN), Seq(timeN, latN, lonN), "|u1", "C",
+        Some("lz4"), "0", Seq("time", "lat", "lon"),
+        i => qcAt(i(0), i(1), i(2))))
+
+    private def zarrayJson(a: Arr): String = {
+      val comp = a.comp match {
+        case None => "null"
+        case Some("zlib") => """{"id":"zlib","level":5}"""
+        case Some("gzip") => """{"id":"gzip","level":5}"""
+        case Some("lz4") => """{"id":"lz4","acceleration":1}"""
+        case Some(other) => throw new IllegalArgumentException(other)
+      }
+      s"""{"zarr_format":2,"shape":[${a.shape.mkString(",")}],""" +
+        s""""chunks":[${a.chunks.mkString(",")}],"dtype":"${a.dtype}",""" +
+        s""""order":"${a.order}","fill_value":${a.fill},"compressor":$comp,""" +
+        s""""filters":null,"dimension_separator":"."}"""
+    }
+
+    private def zattrsJson(a: Arr): String =
+      s"""{"_ARRAY_DIMENSIONS":[${a.dims.map("\"" + _ + "\"").mkString(",")}]}"""
+
+    /** odometer in C order (last dim fastest); F order = C over the
+      * reversed shape with re-reversed indices */
+    private def cOrder(sh: Seq[Int]): Iterator[Seq[Int]] =
+      sh.foldLeft(Iterator.single(Vector.empty[Int]): Iterator[Seq[Int]]) {
+        (acc, n) => acc.flatMap(p => (0 until n).iterator.map(p :+ _))
+      }
+
+    private def chunkBytes(a: Arr, cidx: Seq[Int]): Array[Byte] = {
+      val n = a.chunks.product
+      val es = a.dtype.tail.tail.toInt
+      val bb = ByteBuffer.allocate(n * es).order(
+        if (a.dtype.head == '>') ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      val locals: Iterator[Seq[Int]] =
+        if (a.order == "C") cOrder(a.chunks)
+        else cOrder(a.chunks.reverse).map(_.reverse)
+      locals.foreach { local =>
+        val global = local.indices.map(d => cidx(d) * a.chunks(d) + local(d))
+        val v = a.value(global)
+        a.dtype match {
+          case "<i8" => bb.putLong(v.toLong)
+          case "<f8" => bb.putDouble(v)
+          case "<f4" => bb.putFloat(v.toFloat)
+          case ">i2" => bb.putShort(v.toShort)
+          case "|u1" => bb.put(v.toInt.toByte)
+          case other => throw new IllegalArgumentException(s"fixture dtype $other")
+        }
+      }
+      val raw = bb.array()
+      a.comp match {
+        case None => raw
+        case Some("zlib") =>
+          val d = new java.util.zip.Deflater(5)
+          d.setInput(raw); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          d.end(); out.toByteArray
+        case Some("gzip") =>
+          val out = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(out)
+          g.write(raw); g.close(); out.toByteArray
+        case Some("lz4") => // numcodecs framing: int32 LE raw size + block
+          val comp = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+            .fastCompressor().compress(raw)
+          val out = ByteBuffer.allocate(4 + comp.length).order(ByteOrder.LITTLE_ENDIAN)
+          out.putInt(raw.length).put(comp); out.array()
+        case Some(other) => throw new IllegalArgumentException(other)
+      }
+    }
+
+    /** write the store. `sidecars` controls the per-array
+      * .zarray/.zattrs (+ root .zgroup) files; `consolidated` controls
+      * .zmetadata. consolidated-only (sidecars=false) is the
+      * object-store layout xarray's `consolidated=True` enables. */
+    def write(root: java.nio.file.Path, sidecars: Boolean = true,
+        consolidated: Boolean = true): Unit = {
+      import java.nio.file.Files
+      import java.nio.charset.StandardCharsets.UTF_8
+      Files.createDirectories(root)
+      val groupJson = """{"zarr_format":2}"""
+      val groupAttrs = """{"title":"graft zarr v2 fixture"}"""
+      if (sidecars) {
+        Files.write(root.resolve(".zgroup"), groupJson.getBytes(UTF_8))
+        Files.write(root.resolve(".zattrs"), groupAttrs.getBytes(UTF_8))
+      }
+      val metaEntries = scala.collection.mutable.LinkedHashMap[String, String](
+        ".zgroup" -> groupJson, ".zattrs" -> groupAttrs)
+      arrays.foreach { a =>
+        val dir = root.resolve(a.name)
+        Files.createDirectories(dir)
+        if (sidecars) {
+          Files.write(dir.resolve(".zarray"), zarrayJson(a).getBytes(UTF_8))
+          Files.write(dir.resolve(".zattrs"), zattrsJson(a).getBytes(UTF_8))
+        }
+        metaEntries(s"${a.name}/.zarray") = zarrayJson(a)
+        metaEntries(s"${a.name}/.zattrs") = zattrsJson(a)
+        val grid = a.shape.indices.map(d => a.shape(d) / a.chunks(d))
+        cOrder(grid).foreach { cidx =>
+          if (!a.skip.contains(cidx))
+            Files.write(dir.resolve(cidx.mkString(".")), chunkBytes(a, cidx))
+        }
+      }
+      if (consolidated) {
+        val body = metaEntries.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        Files.write(root.resolve(".zmetadata"),
+          s"""{"zarr_consolidated_format":1,"metadata":{$body}}""".getBytes(UTF_8))
+      }
+    }
+  }
+
   /** events → daily aggregate used by the table-format round trips */
   private def dailyAgg(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
@@ -299,6 +452,27 @@ object QueriesFormats {
              "from": {"tiff": {"paths": ["$refTiffLzw"]}}}""")
     },
     "q_zarr_gridded" -> { (s, _) => zarrGridded(s) },
+    // Zarr v2: synthesized store (closed-form cells; independent JDK /
+    // lz4-java encoders) read through the same DSv2 scan — numpy
+    // dtypes, zlib/gzip/lz4 chunks, F order, big-endian, a fill-valued
+    // missing chunk, consolidated .zmetadata. The lat filter prunes
+    // chunk rows and crosses the lat chunk boundary at y=5.
+    "q_zarr_v2_gridded" -> { (s, _) =>
+      GraftSession.configure(s)
+      val root = java.nio.file.Files.createTempDirectory("graft-zarrv2")
+        .resolve("v2store.zarr")
+      ZarrV2Fixture.write(root)
+      graft.sources.zarr.ZarrSource.read(s, Seq(root.toString))
+        .filter(col("lat") >= 31.2 && col("lat") <= 33.8)
+        .select(col("time").cast(LongType).as("time"),
+          round(col("lat"), 6).as("lat"),
+          round(col("lon"), 6).as("lon"),
+          round(col("sst"), 6).as("sst"),
+          round(col("anom"), 6).as("anom"),
+          col("mask").cast(IntegerType).as("mask"),
+          col("qc").cast(IntegerType).as("qc"))
+        .orderBy("time", "lat", "lon")
+    },
     // CSV egress (COPY TO semantics: header, distributed) → inference
     // read-back; oracle recomputes from the source parquet
     "q_csv_roundtrip" -> { (s, dir) =>
@@ -861,6 +1035,23 @@ object QueriesFormats {
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_zarr_gridded" ->
       s"SELECT * FROM read_parquet('$fixtures/zarr_gridded_slice/*.parquet') ORDER BY lat, lon",
+    // every cell recomputed arithmetically from the grid indices — the
+    // same closed forms the fixture encoder packed into the chunks
+    "q_zarr_v2_gridded" ->
+      """SELECT CAST(t.t*3600 + 100 AS BIGINT) AS time,
+           30.0 + y.y*CAST(0.5 AS DOUBLE) AS lat,
+           -10.0 + x.x*CAST(1.0 AS DOUBLE) AS lon,
+           round((t.t*100 + y.y*10 + x.x) * CAST(0.25 AS DOUBLE), 6) AS sst,
+           round((t.t*2 - y.y + x.x) * CAST(0.5 AS DOUBLE), 6) AS anom,
+           CAST(CASE WHEN y.y >= 5 AND x.x >= 6 THEN -1
+                ELSE (y.y*12 + x.x) % 3 END AS INT) AS mask,
+           CAST((y.y*7 + x.x*3 + t.t) % 250 AS INT) AS qc
+         FROM (SELECT CAST(range AS INT) AS t FROM range(0, 6)) t,
+              (SELECT CAST(range AS INT) AS y FROM range(0, 10)) y,
+              (SELECT CAST(range AS INT) AS x FROM range(0, 12)) x
+         WHERE 30.0 + y.y*CAST(0.5 AS DOUBLE) >= 31.2
+           AND 30.0 + y.y*CAST(0.5 AS DOUBLE) <= 33.8
+         ORDER BY time, lat, lon""",
     // response rows recompute the HTML payload; warcinfo rows are the
     // writer's fixed warc-fields block, one per part file; the gz
     // gate reads the SAME logical archive (member layout is a pure

@@ -10,19 +10,27 @@ import org.json4s.jackson.JsonMethods
 
 import graft.nd.{NdDataset, NdVariable}
 
-/** Zarr v3 store reader — pure JVM. A store is a directory whose
-  * `zarr.json` declares a group (arrays in subdirectories) or a single
-  * array; chunks live under `c/<i>/<j>/…` (default key encoding).
-  * Re-expresses the reference's `read_zarr` surface
-  * (beacon-arrow-zarr/src/datafusion/source.rs, backend.rs): v3
-  * metadata, codec chains, dimension_names binding, attributes
-  * verbatim; chunk-grid pruning lives in [[ZarrSource]]'s DSv2 scan
+/** Zarr store reader (v3 AND v2) — pure JVM. A v3 store is a directory
+  * whose `zarr.json` declares a group (arrays in subdirectories) or a
+  * single array; chunks live under `c/<i>/<j>/…` (default key
+  * encoding). A v2 store carries `.zgroup`/`.zarray`/`.zattrs` JSON
+  * (numpy dtype strings, `chunks`, `compressor`, C/F `order`,
+  * "0.0"-style chunk keys) — or xarray's consolidated `.zmetadata`,
+  * which is preferred when present so a remote store opens with ONE
+  * metadata read instead of a listing. xarray's `_ARRAY_DIMENSIONS`
+  * attribute binds v2 dimension names. Re-expresses the reference's
+  * `read_zarr` surface (beacon-arrow-zarr/src/datafusion/source.rs,
+  * backend.rs); chunk-grid pruning lives in [[ZarrSource]]'s DSv2 scan
   * (≈ beacon-nd-array/src/arrow/pushdown.rs).
   *
   * Codecs: bytes (endian), zstd (zstd-jni), gzip (java.util.zip),
-  * blosc (header + lz4/zstd/zlib blocks via the jars Spark ships),
-  * crc32c (verified-stripped). `transpose` and `sharding_indexed`
-  * are not supported and error clearly.
+  * zlib (raw deflate — numcodecs Zlib), lz4 (numcodecs 4-byte-header
+  * framing), bz2 (commons-compress), blosc (header + lz4/zstd/zlib
+  * blocks via the jars Spark ships), crc32c (verified-stripped), and
+  * the v3 `transpose` array→array codec (which also carries v2
+  * Fortran order as the reversed permutation). `sharding_indexed`
+  * and v2 `filters` are not supported and error clearly, naming the
+  * construct.
   */
 object ZarrStore {
 
@@ -56,9 +64,13 @@ object ZarrStore {
     }
   }
 
+  /** the root metadata files that mark a zarr store, in open-precedence
+    * order: v3, then v2 consolidated, then v2 listed */
+  private val rootMetaNames = Seq("zarr.json", ".zmetadata", ".zgroup", ".zarray")
+
   def isZarr(path: String): Boolean =
     ByteStore.isDirectory(path) &&
-      ByteStore.exists(ByteStore.resolve(path, "zarr.json"))
+      rootMetaNames.exists(n => ByteStore.exists(ByteStore.resolve(path, n)))
 
   // --------------------------------------------------------- metadata
 
@@ -73,7 +85,9 @@ object ZarrStore {
 
   def openCached(path0: String): Store = {
     val root = ByteStore.toLocal(path0)
-    val mtime = ByteStore.mtime(ByteStore.resolve(root, "zarr.json"))
+    val metaFile = rootMetaNames.map(ByteStore.resolve(root, _))
+      .find(ByteStore.exists).getOrElse(ByteStore.resolve(root, "zarr.json"))
+    val mtime = ByteStore.mtime(metaFile)
     // bounded: metadata is small, but a long-lived executor visiting many
     // (or rewritten) stores must not accumulate entries forever
     if (storeCache.size > 64) storeCache.clear()
@@ -83,6 +97,16 @@ object ZarrStore {
   def open(path0: String): Store = {
     metadataParses.incrementAndGet()
     val root = ByteStore.toLocal(path0)
+    if (ByteStore.exists(ByteStore.resolve(root, "zarr.json"))) openV3(root)
+    else if (ByteStore.exists(ByteStore.resolve(root, ".zmetadata")))
+      openV2Consolidated(root)
+    else if (ByteStore.exists(ByteStore.resolve(root, ".zgroup")) ||
+      ByteStore.exists(ByteStore.resolve(root, ".zarray"))) openV2Listed(root)
+    else throw new IllegalArgumentException(
+      s"$root: no zarr metadata (zarr.json / .zmetadata / .zgroup / .zarray)")
+  }
+
+  private def openV3(root: String): Store = {
     val meta = parseJson(ByteStore.resolve(root, "zarr.json"))
     (meta \ "node_type") match {
       case JString("array") =>
@@ -104,8 +128,184 @@ object ZarrStore {
     }
   }
 
+  /** v2 store opened from xarray's consolidated `.zmetadata`: every
+    * `.zarray`/`.zattrs` document is embedded, so no directory listing
+    * or per-array metadata reads happen — the store opens even when the
+    * per-array sidecar files are absent (object stores serving only the
+    * consolidated doc). */
+  private def openV2Consolidated(root: String): Store = {
+    val meta = parseJson(ByteStore.resolve(root, ".zmetadata"))
+    val entries: Map[String, JValue] = (meta \ "metadata") match {
+      case JObject(fields) => fields.toMap
+      case other => throw new IllegalArgumentException(
+        s"$root: .zmetadata has no 'metadata' object ($other)")
+    }
+    entries.get(".zarray") match {
+      case Some(za) => // root-level single array
+        Store(root, Seq(parseArrayV2(ByteStore.fileName(root), root, za,
+          entries.getOrElse(".zattrs", JNothing))), Map.empty)
+      case None =>
+        val gattrs = entries.get(".zattrs").map(v => v2Attrs(v)._2).getOrElse(Map.empty)
+        val arrays = entries.keys.filter(_.endsWith("/.zarray")).toSeq.sorted.map { k =>
+          val rel = k.stripSuffix("/.zarray")
+          val dir = rel.split('/').foldLeft(root)((r, seg) => ByteStore.resolve(r, seg))
+          parseArrayV2(rel.split('/').last, dir, entries(k),
+            entries.getOrElse(rel + "/.zattrs", JNothing))
+        }
+        require(arrays.map(_.name).distinct.size == arrays.size,
+          s"$root: duplicate array names across consolidated group paths")
+        Store(root, arrays, gattrs)
+    }
+  }
+
+  /** v2 store opened by listing (no consolidated metadata) */
+  private def openV2Listed(root: String): Store = {
+    if (ByteStore.exists(ByteStore.resolve(root, ".zarray"))) {
+      Store(root, Seq(parseArrayV2(ByteStore.fileName(root), root,
+        parseJson(ByteStore.resolve(root, ".zarray")),
+        optJson(ByteStore.resolve(root, ".zattrs")))), Map.empty)
+    } else {
+      val gattrs = v2Attrs(optJson(ByteStore.resolve(root, ".zattrs")))._2
+      val arrays = ByteStore.list(root)
+        .filter(p => ByteStore.isDirectory(p) &&
+          ByteStore.exists(ByteStore.resolve(p, ".zarray")))
+        .map { dir =>
+          parseArrayV2(ByteStore.fileName(dir), dir,
+            parseJson(ByteStore.resolve(dir, ".zarray")),
+            optJson(ByteStore.resolve(dir, ".zattrs")))
+        }
+      Store(root, arrays, gattrs)
+    }
+  }
+
   private def parseJson(p: String): JValue =
     JsonMethods.parse(ByteStore.readString(p))
+
+  private def optJson(p: String): JValue =
+    if (ByteStore.exists(p)) parseJson(p) else JNothing
+
+  /** one `.zarray` (+ optional `.zattrs`) document → the shared array
+    * model. v2 specifics normalize into the v3 vocabulary: the numpy
+    * dtype string splits into (data_type, endian) with the endian
+    * riding a `bytes` codec, Fortran `order` becomes a reversed-
+    * permutation `transpose` codec, and the `compressor` document maps
+    * onto the codec chain. `filters` are rejected loudly by id. */
+  private[sources] def parseArrayV2(name: String, dir: String, m: JValue,
+      zattrs: JValue): ZarrArray = {
+    require((m \ "zarr_format") == JInt(2), s"$name: .zarray zarr_format must be 2")
+    val shape = (m \ "shape").asInstanceOf[JArray].arr.map(jLong).toArray
+    val chunkShape = (m \ "chunks").asInstanceOf[JArray].arr.map(jLong(_).toInt).toArray
+    val dtypeStr = (m \ "dtype") match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"$name: dtype $other")
+    }
+    val (dtype, endian) = numpyDtype(name, dtypeStr)
+    val sep = (m \ "dimension_separator") match {
+      case JString(s) => s
+      case _ => "."
+    }
+    val fill = (m \ "fill_value") match {
+      case JInt(v) => v.toDouble
+      case JDouble(v) => v
+      case JDecimal(v) => v.toDouble
+      case JBool(b) => if (b) 1.0 else 0.0
+      case JString("NaN") => Double.NaN
+      case JString("Infinity") => Double.PositiveInfinity
+      case JString("-Infinity") => Double.NegativeInfinity
+      case _ => Double.NaN
+    }
+    (m \ "filters") match {
+      case JNull | JNothing | JArray(Nil) => ()
+      case JArray(fs) =>
+        val ids = fs.map(f => (f \ "id") match {
+          case JString(s) => s
+          case _ => "?"
+        })
+        throw new IllegalArgumentException(
+          s"$name: zarr v2 filters unsupported: ${ids.mkString(", ")}")
+      case other => throw new IllegalArgumentException(s"$name: filters $other")
+    }
+    // v3 codec ordering (encode direction): array→array transpose first,
+    // then the array→bytes endian codec, then bytes→bytes compression
+    var codecs: List[(String, Map[String, JValue])] =
+      List(("bytes", Map("endian" -> JString(endian))))
+    (m \ "order") match {
+      case JString("C") | JNothing => ()
+      case JString("F") =>
+        val perm = JArray(shape.indices.reverse.map(i => JInt(i): JValue).toList)
+        codecs = ("transpose", Map[String, JValue]("order" -> perm)) :: codecs
+      case other => throw new IllegalArgumentException(s"$name: order $other")
+    }
+    (m \ "compressor") match {
+      case JNull | JNothing => ()
+      case c =>
+        val id = (c \ "id") match {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(s"$name: compressor id $other")
+        }
+        val conf = c match {
+          case JObject(fields) => fields.toMap - "id"
+          case _ => Map.empty[String, JValue]
+        }
+        val cname = id match {
+          case "blosc" => "blosc"
+          case "zlib" => "zlib"
+          case "gzip" => "gzip"
+          case "zstd" => "zstd"
+          case "lz4" => "lz4_nc" // numcodecs framing: 4-byte LE raw size + block
+          case "bz2" => "bz2"
+          case other => throw new IllegalArgumentException(
+            s"$name: zarr v2 compressor '$other' unsupported")
+        }
+        codecs = codecs :+ ((cname, conf))
+    }
+    val (dimsOpt, attrs) = v2Attrs(zattrs)
+    val dims = dimsOpt.getOrElse(shape.indices.map(i => s"${name}_dim$i").toSeq)
+    require(dims.length == shape.length,
+      s"$name: _ARRAY_DIMENSIONS has ${dims.length} names for rank ${shape.length}")
+    ZarrArray(name, dir, shape, dtype, chunkShape, sep, v2Keys = true, fill,
+      codecs, dims, attrs)
+  }
+
+  /** numpy dtype string → (v3 data_type, endian). '|'/'=' mean
+    * byte-order-free / native, which for a portable store is little. */
+  private[graft] def numpyDtype(name: String, s: String): (String, String) = {
+    require(s.length >= 3, s"$name: numpy dtype '$s' too short")
+    val endian = s.head match {
+      case '>' => "big"
+      case '<' | '|' | '=' => "little"
+      case other => throw new IllegalArgumentException(
+        s"$name: numpy dtype byte order '$other' in '$s'")
+    }
+    val base = s.tail match {
+      case "b1" => "bool"
+      case "i1" => "int8"
+      case "u1" => "uint8"
+      case "i2" => "int16"
+      case "u2" => "uint16"
+      case "i4" => "int32"
+      case "u4" => "uint32"
+      case "i8" => "int64"
+      case "u8" => "uint64"
+      case "f4" => "float32"
+      case "f8" => "float64"
+      case other => throw new IllegalArgumentException(
+        s"$name: numpy dtype '$s' unsupported")
+    }
+    (base, endian)
+  }
+
+  /** v2 `.zattrs` → (xarray `_ARRAY_DIMENSIONS` if present, attrs) */
+  private def v2Attrs(v: JValue): (Option[Seq[String]], Map[String, String]) = v match {
+    case JObject(fields) =>
+      val dims = fields.toMap.get("_ARRAY_DIMENSIONS") match {
+        case Some(JArray(ds)) => Some(ds.collect { case JString(d) => d })
+        case _ => None
+      }
+      (dims, fields.filterNot(_._1 == "_ARRAY_DIMENSIONS")
+        .map { case (k, jv) => k -> renderAttr(jv) }.toMap)
+    case _ => (None, Map.empty)
+  }
 
   private[sources] def parseArray(name: String, dir: String, m: JValue): ZarrArray = {
     require((m \ "zarr_format") == JInt(3), s"$name: only zarr v3 supported")
@@ -238,7 +438,8 @@ object ZarrStore {
     val n = a.chunkShape.map(_.toLong).product.toInt
     var bytes = bytes0
     var endian: ByteOrder = ByteOrder.LITTLE_ENDIAN
-    // codecs apply in reverse on read
+    // codecs apply in reverse on read; transpose (array→array) runs last,
+    // after the bytes have decoded into values
     a.codecs.reverse.foreach { case (cname, conf) =>
       cname match {
         case "bytes" =>
@@ -246,6 +447,7 @@ object ZarrStore {
             case Some(JString("big")) => ByteOrder.BIG_ENDIAN
             case _ => ByteOrder.LITTLE_ENDIAN
           }
+        case "transpose" => () // value-level; applied below
         case "zstd" =>
           val dst = new Array[Byte](n * elemSize(a.dtype))
           val got = com.github.luben.zstd.Zstd.decompress(dst, bytes)
@@ -254,6 +456,31 @@ object ZarrStore {
         case "gzip" =>
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(bytes))
+          bytes = in.readAllBytes()
+          in.close()
+        case "zlib" => // raw deflate stream (numcodecs Zlib)
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(bytes)
+          val dst = new Array[Byte](n * elemSize(a.dtype))
+          var off = 0
+          while (!inf.finished() && off < dst.length) {
+            val got = inf.inflate(dst, off, dst.length - off)
+            require(got > 0 || inf.finished(), s"zlib: truncated chunk at $off")
+            off += got
+          }
+          inf.end()
+          require(off == dst.length, s"zlib: $off of ${dst.length} bytes")
+          bytes = dst
+        case "lz4_nc" => // numcodecs LZ4: int32 LE raw size, then one block
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          val raw = bb.getInt()
+          val dst = new Array[Byte](raw)
+          net.jpountz.lz4.LZ4Factory.fastestJavaInstance().safeDecompressor()
+            .decompress(bytes, 4, bytes.length - 4, dst, 0)
+          bytes = dst
+        case "bz2" =>
+          val in = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(bytes))
           bytes = in.readAllBytes()
           in.close()
         case "blosc" =>
@@ -268,6 +495,58 @@ object ZarrStore {
     val out = new Array[Double](n)
     var i = 0
     while (i < n) { out(i) = readElem(bb, a.dtype); i += 1 }
+    a.codecs.collectFirst { case ("transpose", conf) => conf } match {
+      case Some(conf) =>
+        val perm = conf.get("order") match {
+          case Some(JArray(is)) => is.map(jLong(_).toInt).toArray
+          case other => throw new IllegalArgumentException(
+            s"transpose codec: order $other")
+        }
+        unpermute(out, a.chunkShape, perm)
+      case None => out
+    }
+  }
+
+  /** inverse of the v3 `transpose` codec (also carries v2 Fortran
+    * order as the reversed permutation): the stored array's shape is
+    * `chunkShape` permuted by `order` with
+    * stored[x(order(0)), …, x(order(k))] = chunk[x(0), …, x(k)];
+    * rebuild the chunk in C order. One pass, stride-incremental. */
+  private[graft] def unpermute(stored: Array[Double], chunkShape: Array[Int],
+      perm: Array[Int]): Array[Double] = {
+    val rank = chunkShape.length
+    require(perm.length == rank && perm.sorted.sameElements(0 until rank),
+      s"transpose order ${perm.mkString(",")} is not a permutation of 0..${rank - 1}")
+    if (rank <= 1 || perm.sameElements(Array.range(0, rank))) return stored
+    // stride of decoded dim i inside the stored (C-order, permuted) layout
+    val sShape = perm.map(chunkShape)
+    val sStrides = new Array[Long](rank)
+    var m = 1L
+    var j = rank - 1
+    while (j >= 0) { sStrides(j) = m; m *= sShape(j); j -= 1 }
+    val strOfDim = new Array[Long](rank)
+    j = 0
+    while (j < rank) { strOfDim(perm(j)) = sStrides(j); j += 1 }
+    val n = stored.length
+    val out = new Array[Double](n)
+    val idx = new Array[Int](rank)
+    var p = 0
+    var sOff = 0L
+    while (p < n) {
+      out(p) = stored(sOff.toInt)
+      var d = rank - 1
+      var cont = true
+      while (cont && d >= 0) {
+        idx(d) += 1
+        sOff += strOfDim(d)
+        if (idx(d) == chunkShape(d)) {
+          sOff -= strOfDim(d) * chunkShape(d)
+          idx(d) = 0
+          d -= 1
+        } else cont = false
+      }
+      p += 1
+    }
     out
   }
 

@@ -78,7 +78,8 @@ object Outputs {
   }
 
   /** classify every file/store under a root by format (extension +
-    * magic bytes; a directory with zarr.json is a zarr store) */
+    * magic bytes; a directory with zarr.json or v2 .zgroup/.zarray/
+    * .zmetadata is a zarr store) */
   def listDatasets(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val rootPath = Paths.get(root)
@@ -118,7 +119,7 @@ object Outputs {
     val path = ByteStore.toLocal(path0)
     val name = ByteStore.fileName(path).toLowerCase
     if (ByteStore.isDirectory(path)) {
-      if (ByteStore.exists(ByteStore.resolve(path, "zarr.json"))) Some("zarr")
+      if (graft.sources.zarr.ZarrStore.isZarr(path)) Some("zarr")
       else if (ByteStore.exists(ByteStore.resolve(path, "atlas.json"))) Some("atlas")
       else if (graft.sources.icechunk.IcechunkStore.isRepository(path)) Some("icechunk")
       else if (ByteStore.isDirectory(ByteStore.resolve(path, "_delta_log"))) Some("delta")
