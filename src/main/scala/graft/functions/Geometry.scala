@@ -2924,6 +2924,167 @@ object Geo {
     // EPSG:4087 — WGS84 / World Equidistant Cylindrical (lat_ts 0)
     4087 -> Eqc(WgsA, WgsF, latTs = 0.0, lon0 = 0.0, x0 = 0.0, y0 = 0.0))
 
+  /** Snyder 3-26: mu-series inversion of the meridian arc (footing
+    * latitude), shared by the pseudocylindrical inverses. (Tm.inv and
+    * Eqc.inv carry the identical truncation inline — bit-pinned by
+    * their gates, so left untouched.) */
+  private def invMeridianArc(a: Double, e2: Double, m: Double): Double = {
+    val mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+    val sq = StrictMath.sqrt(1 - e2)
+    val e1 = (1 - sq) / (1 + sq)
+    val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_2 * e1_2
+    mu + (3 * e1 / 2 - 27 * e1_3 / 32) * StrictMath.sin(2 * mu) +
+      (21 * e1_2 / 16 - 55 * e1_4 / 32) * StrictMath.sin(4 * mu) +
+      (151 * e1_3 / 96) * StrictMath.sin(6 * mu) +
+      (1097 * e1_4 / 512) * StrictMath.sin(8 * mu)
+  }
+
+  // ---- Sinusoidal (r17 cont.): Snyder ch. 30 (eqs 30-8/30-9 forward,
+  // 30-10..30-12 inverse) — the equal-area pseudocylindrical behind
+  // the MODIS land grid (authalic sphere R = 6371007.181 m, an rf = 0
+  // sphere row in the registry) and ESRI-style World Sinusoidal. y is
+  // the meridian arc (the shared Snyder 3-21 series); x scales by
+  // cosφ/√(1−e²sin²φ). Equal-area by construction — exactly why the
+  // MODIS tile products ship on it.
+  final case class Sinu(a: Double, f: Double, lon0: Double,
+      x0: Double, y0: Double) extends Proj {
+    val e2: Double = f * (2 - f)
+    private val yMax: Double =
+      meridianArc(a, e2, StrictMath.PI / 2) + 1e-6
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -90.0 || lat > 90.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
+      val phi = StrictMath.toRadians(lat)
+      val s = StrictMath.sin(phi)
+      val x = a * wrapLonRad(StrictMath.toRadians(lon) - lon0) *
+        StrictMath.cos(phi) / StrictMath.sqrt(1 - e2 * s * s)
+      (x0 + x, y0 + meridianArc(a, e2, phi))
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val xBound = a * StrictMath.PI + 1e-6
+      if (x.isNaN || math.abs(x - x0) > xBound)
+        throw new IllegalArgumentException(
+          s"st_transform: easting $x outside the sinusoidal extent " +
+            s"(±$xBound m of the ${x0} m false easting)")
+      if (y.isNaN || math.abs(y - y0) > yMax)
+        throw new IllegalArgumentException(
+          s"st_transform: northing $y outside the pole-to-pole meridian " +
+            s"arc (±$yMax m of the ${y0} m false northing)")
+      val phi = invMeridianArc(a, e2, y - y0)
+      val cosP = StrictMath.cos(phi)
+      if (math.abs(cosP) < 1e-10) // pole: the x axis degenerates
+        return (wrapLonDeg(StrictMath.toDegrees(lon0)),
+          StrictMath.toDegrees(phi))
+      val s = StrictMath.sin(phi)
+      val dl = (x - x0) * StrictMath.sqrt(1 - e2 * s * s) / (a * cosP)
+      // beyond a full half-turn at this latitude the easting is not a
+      // point of the projection (the loud conic-apex stance)
+      if (dl < -StrictMath.PI - 1e-9 || dl > StrictMath.PI + 1e-9 || dl.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) is outside the sinusoidal lens at " +
+            s"this latitude — not a valid projected point")
+      (wrapLonDeg(StrictMath.toDegrees(lon0 + dl)), StrictMath.toDegrees(phi))
+    }
+  }
+
+  // ---- Geostationary satellite view (r17 cont.): the CGMS LRIT/HRIT
+  // normalized geostationary projection (CF grid_mapping
+  // `geostationary`; the algorithm PROJ's `geos` carries) — the
+  // native grid of GOES-R ABI (sweep axis x) and Meteosat SEVIRI /
+  // Himawari AHI (sweep axis y) L1b/L2 products. Coordinates are
+  // scanning angles scaled by the satellite height h: a full-disc
+  // image spans ≈ ±5.5e6 m. Points beyond the visible disc reject
+  // loudly in BOTH directions (fwd: the visibility determinant; inv:
+  // the view ray misses the ellipsoid).
+  final case class Geos(a: Double, f: Double, h: Double, sweepX: Boolean,
+      lon0: Double, x0: Double, y0: Double) extends Proj {
+    private val radiusP = 1.0 - f            // b/a (normalized polar radius)
+    private val radiusP2 = radiusP * radiusP
+    private val radiusPInv2 = 1.0 / radiusP2
+    private val radiusG1 = h / a             // satellite height, normalized
+    private val radiusG = 1.0 + radiusG1     // geocentric satellite radius
+    private val cDet = radiusG * radiusG - 1.0
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      if (lon < -180.0 || lon > 180.0 || lon.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: longitude $lon out of [-180, 180] for EPSG:4326")
+      if (lat < -90.0 || lat > 90.0 || lat.isNaN)
+        throw new IllegalArgumentException(
+          s"st_transform: latitude $lat out of [-90, 90] for EPSG:4326")
+      val dl = wrapLonRad(StrictMath.toRadians(lon) - lon0)
+      // geocentric latitude and normalized geocentric radius
+      val phiC = StrictMath.atan(radiusP2 * StrictMath.tan(StrictMath.toRadians(lat)))
+      val cosC = StrictMath.cos(phiC); val sinC = StrictMath.sin(phiC)
+      val re = radiusP / StrictMath.sqrt(radiusP2 * cosC * cosC + sinC * sinC)
+      val vx = re * cosC * StrictMath.cos(dl)
+      val vy = re * cosC * StrictMath.sin(dl)
+      val vz = re * sinC
+      if ((radiusG - vx) * vx - vy * vy - vz * vz * radiusPInv2 < 0.0)
+        throw new IllegalArgumentException(
+          s"st_transform: ($lon, $lat) is beyond the horizon of the " +
+            s"geostationary satellite at ${StrictMath.toDegrees(lon0)}°E — " +
+            "not on the visible disc")
+      val tmp = radiusG - vx
+      if (sweepX)
+        (x0 + a * radiusG1 * StrictMath.atan(vy / StrictMath.hypot(vz, tmp)),
+          y0 + a * radiusG1 * StrictMath.atan(vz / tmp))
+      else
+        (x0 + a * radiusG1 * StrictMath.atan(vy / tmp),
+          y0 + a * radiusG1 * StrictMath.atan(vz / StrictMath.hypot(vy, tmp)))
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      // scan angles are geometrically < π/2 from boresight — a loose
+      // units guard; the real disc test is the determinant below
+      val bound = a * radiusG1 * (StrictMath.PI / 2)
+      if (x.isNaN || math.abs(x - x0) > bound)
+        throw new IllegalArgumentException(
+          s"st_transform: easting $x outside the geostationary scan " +
+            s"extent (±$bound m of the ${x0} m false easting)")
+      if (y.isNaN || math.abs(y - y0) > bound)
+        throw new IllegalArgumentException(
+          s"st_transform: northing $y outside the geostationary scan " +
+            s"extent (±$bound m of the ${y0} m false northing)")
+      val xn = (x - x0) / (a * radiusG1)
+      val yn = (y - y0) / (a * radiusG1)
+      var vx = -1.0
+      var vy = 0.0
+      var vz = 0.0
+      if (sweepX) {
+        vz = StrictMath.tan(yn)
+        vy = StrictMath.tan(xn) * StrictMath.hypot(1.0, vz)
+      } else {
+        vy = StrictMath.tan(xn)
+        vz = StrictMath.tan(yn) * StrictMath.hypot(1.0, vy)
+      }
+      // intersect the view ray with the ellipsoid (quadratic in the
+      // ray parameter); no real root = the scan angle misses the Earth
+      val az = vz / radiusP
+      val aq = vy * vy + az * az + vx * vx
+      val bq = 2.0 * radiusG * vx
+      val det = bq * bq - 4.0 * aq * cDet
+      if (det < 0.0)
+        throw new IllegalArgumentException(
+          s"st_transform: ($x, $y) does not intersect the Earth — " +
+            "outside the geostationary visible disc")
+      val k = (-bq - StrictMath.sqrt(det)) / (2.0 * aq)
+      vx = radiusG + k * vx
+      vy *= k
+      vz *= k
+      val lam = StrictMath.atan2(vy, vx)
+      val phiC = StrictMath.atan(vz * StrictMath.cos(lam) / vx)
+      val phi = StrictMath.atan(radiusPInv2 * StrictMath.tan(phiC))
+      (wrapLonDeg(StrictMath.toDegrees(lon0 + lam)), StrictMath.toDegrees(phi))
+    }
+  }
+
   // ---- geographic (unprojected) CRS (r17): a `longlat` registry row
   // is the identity "projection" — degrees in, degrees out — whose
   // whole point is the DATUM: wrapped in [[DatumShifted]] it makes any
@@ -3062,14 +3223,19 @@ object Geo {
     new java.util.concurrent.ConcurrentHashMap[Int, Proj]()
 
   /** Register a CRS from its published EPSG parameters.
-    * `family`: tmerc | lcc | laea | aea | stere | merc | eqc | longlat.
+    * `family`: tmerc | lcc | laea | aea | stere | merc | eqc | sinu |
+    * geos | longlat.
     * Angles in DEGREES (as EPSG publishes them); `a` meters; `rf` the
-    * inverse flattening 1/f. Keys (PROJ naming): lat_0, lon_0, k_0
-    * (tmerc / stere variant A / merc), lat_1, lat_2 (conics), lat_ts
-    * (stere variant B), x_0, y_0. `stere` is the POLAR aspect: lat_0
-    * must be ±90 (picks the pole) and lat_ts/k_0 are mutually
-    * exclusive — EPSG methods 9829/9810. `longlat` is a GEOGRAPHIC
-    * CRS (identity coordinates; pair it with towgs84 keys for the
+    * inverse flattening 1/f — `rf = 0` declares a SPHERE (f = 0; the
+    * MODIS sinusoidal and other authalic-sphere grids). Keys (PROJ
+    * naming): lat_0, lon_0, k_0 (tmerc / stere variant A / merc),
+    * lat_1, lat_2 (conics), lat_ts (stere variant B), x_0, y_0, h +
+    * sweep_x (geos: satellite height above the ellipsoid in meters and
+    * the scan-axis flag — 1 for GOES-R ABI, absent/0 for the SEVIRI /
+    * AHI y-sweep). `stere` is the POLAR aspect: lat_0 must be ±90
+    * (picks the pole) and lat_ts/k_0 are mutually exclusive — EPSG
+    * methods 9829/9810. `longlat` is a GEOGRAPHIC CRS (identity
+    * coordinates; pair it with towgs84 keys for the
     * geographic↔geographic datum shift). Re-registering the same srid
     * with identical parameters is a no-op; a conflicting redefinition
     * raises. */
@@ -3079,9 +3245,10 @@ object Geo {
         s"register_crs EPSG:$srid ($family): missing parameter '$k'"))
     def opt(k: String, d: Double): Double = p.getOrElse(k, d)
     val a = need("a"); val rf = need("rf")
-    require(a > 0 && rf > 1, s"register_crs EPSG:$srid: a and rf must " +
-      s"be positive (a=$a, rf=$rf)")
-    val f = 1.0 / rf
+    require(a > 0 && (rf > 1 || rf == 0.0),
+      s"register_crs EPSG:$srid: a must be positive and rf > 1 " +
+        s"(or rf = 0 for a sphere); got a=$a, rf=$rf")
+    val f = if (rf == 0.0) 0.0 else 1.0 / rf
     val proj: Proj = family match {
       case "tmerc" => Tm(a, f, StrictMath.toRadians(need("lat_0")),
         StrictMath.toRadians(need("lon_0")), opt("k_0", 1.0),
@@ -3126,13 +3293,21 @@ object Geo {
       case "eqc" => Eqc(a, f,
         StrictMath.toRadians(opt("lat_ts", 0.0)),
         StrictMath.toRadians(need("lon_0")), opt("x_0", 0.0), opt("y_0", 0.0))
+      case "sinu" => Sinu(a, f, StrictMath.toRadians(need("lon_0")),
+        opt("x_0", 0.0), opt("y_0", 0.0))
+      case "geos" =>
+        val h = need("h")
+        require(h > 0, s"register_crs EPSG:$srid (geos): satellite " +
+          s"height h must be positive meters, got $h")
+        Geos(a, f, h, sweepX = opt("sweep_x", 0.0) != 0.0,
+          StrictMath.toRadians(need("lon_0")), opt("x_0", 0.0), opt("y_0", 0.0))
       case "longlat" =>
         // geographic CRS: identity coordinates, the datum is the point
         // — almost always registered WITH towgs84 keys below
         LongLat(a, f)
       case other => throw new IllegalArgumentException(
         s"register_crs EPSG:$srid: unknown family '$other' " +
-          "(tmerc|lcc|laea|aea|stere|merc|eqc|longlat)")
+          "(tmerc|lcc|laea|aea|stere|merc|eqc|sinu|geos|longlat)")
     }
     // optional datum shift (EPSG 9606 / PROJ towgs84): any of the
     // seven keys engages the Helmert pipeline — WGS84 input shifts
@@ -3194,6 +3369,8 @@ object Geo {
     case _: Stere => "stere"
     case _: MercE => "merc"
     case _: Eqc => "eqc"
+    case _: Sinu => "sinu"
+    case _: Geos => "geos"
     case _: LongLat => "longlat"
     case d: DatumShifted => familyOf(d.inner) + "+towgs84"
   }
@@ -3258,7 +3435,8 @@ object Geo {
           s"st_transform: unsupported CRS pair EPSG:$from → EPSG:$to " +
             "(4326↔3857, 4326↔UTM 326xx/327xx, and 4326↔" +
             s"{${named.mkString(",")}} supported; register_crs adds " +
-            "tmerc/lcc/laea/aea/stere/merc/eqc/longlat parameter rows)")
+            "tmerc/lcc/laea/aea/stere/merc/eqc/sinu/geos/longlat " +
+            "parameter rows)")
     }
   }
 }

@@ -1033,6 +1033,99 @@ object QueriesEngine {
         .orderBy($"n_nationkey")
     },
 
+    // ---- sinusoidal (r17 cont.): the MODIS land grid (authalic
+    // sphere R = 6371007.181 — the registry's rf = 0 sphere notation)
+    // and an ellipsoidal WGS84 sinusoidal with an off-zero central
+    // meridian. The oracle replays both forwards as raw SQL —
+    // x = R·λ·cosφ (sphere) and x = a·λ·cosφ/√(1−e²sin²φ) with the
+    // Snyder 3-21 meridian-arc northing (ellipsoid) — including the
+    // antimeridian wrap of λ−λ0; the inverse legs (mu-series arc
+    // inversion) round-trip in-engine.
+    "q_geo_transform_sinu" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.{Geo, GeoExprs}
+      Geo.registerCrs(96974, "sinu", Map( // MODIS sinusoidal (SR-ORG:6974)
+        "a" -> 6371007.181, "rf" -> 0.0, "lon_0" -> 0.0))
+      Geo.registerCrs(954008, "sinu", Map( // ellipsoidal, CM 20°E
+        "a" -> 6378137.0, "rf" -> 298.257223563, "lon_0" -> 20.0))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lon = ($"n_nationkey" * 43) % 357 - 177
+      val lat = ($"n_nationkey" % 35) * 5 - 85
+      val pt = concat(lit("POINT ("), d(lon), lit(" "), d(lat), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(pt, lit(4326), lit(96974)).as("gm"),
+          GeoExprs.st_transform(pt, lit(4326), lit(954008)).as("ge"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"gm"), 3).as("easting_m"),
+          round(GeoExprs.st_y($"gm"), 3).as("northing_m"),
+          round(GeoExprs.st_x($"ge"), 3).as("easting_e"),
+          round(GeoExprs.st_y($"ge"), 3).as("northing_e"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"gm", lit(96974), lit(4326))), 5)
+            .as("back_lon_m"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"gm", lit(96974), lit(4326))), 5)
+            .as("back_lat_m"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"ge", lit(954008), lit(4326))), 5)
+            .as("back_lon_e"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"ge", lit(954008), lit(4326))), 5)
+            .as("back_lat_e"))
+        .orderBy($"n_nationkey")
+    },
+
+    // ---- geostationary satellite view (r17 cont.): the native grid
+    // of GOES-R ABI (sweep axis x, GRS80, lon_0 −75) and a Meteosat
+    // 0°-style y-sweep row — the CGMS normalized geostationary
+    // projection (CF `geostationary`). The oracle replays BOTH sweep
+    // variants' forward vector math (geocentric latitude, view vector,
+    // scan angles × height) as raw SQL; the inverse legs (view-ray ∩
+    // ellipsoid quadratic) round-trip in-engine. Fixture lon/lats stay
+    // on each satellite's visible disc.
+    "q_geo_transform_geos" -> { (s, dir) =>
+      import s.implicits._
+      GraftSession.configure(s)
+      import graft.functions.{Geo, GeoExprs}
+      Geo.registerCrs(990075, "geos", Map( // GOES-East ABI fixed grid
+        "a" -> 6378137.0, "rf" -> 298.257222101, "h" -> 35786023.0,
+        "lon_0" -> -75.0, "sweep_x" -> 1.0))
+      Geo.registerCrs(990000, "geos", Map( // Meteosat 0° (y sweep)
+        "a" -> 6378137.0, "rf" -> 298.257223563, "h" -> 35785831.0,
+        "lon_0" -> 0.0))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double").cast("string")
+      val lonG = ($"n_nationkey" % 25) * 5 - 135 // -135..-15 (disc of -75°)
+      val latG = ($"n_nationkey" % 27) * 5 - 65  // -65..65
+      val lonM = ($"n_nationkey" % 23) * 5 - 55  // -55..55 (disc of 0°)
+      val latM = ($"n_nationkey" % 27) * 5 - 65
+      val ptG = concat(lit("POINT ("), d(lonG), lit(" "), d(latG), lit(")"))
+      val ptM = concat(lit("POINT ("), d(lonM), lit(" "), d(latM), lit(")"))
+      Tables.load(s, dir, "nation")
+        .select($"n_nationkey",
+          GeoExprs.st_transform(ptG, lit(4326), lit(990075)).as("gg"),
+          GeoExprs.st_transform(ptM, lit(4326), lit(990000)).as("gm"))
+        .select($"n_nationkey",
+          round(GeoExprs.st_x($"gg"), 3).as("scan_x_goes"),
+          round(GeoExprs.st_y($"gg"), 3).as("scan_y_goes"),
+          round(GeoExprs.st_x($"gm"), 3).as("scan_x_met"),
+          round(GeoExprs.st_y($"gm"), 3).as("scan_y_met"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"gg", lit(990075), lit(4326))), 5)
+            .as("back_lon_g"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"gg", lit(990075), lit(4326))), 5)
+            .as("back_lat_g"),
+          round(GeoExprs.st_x(
+            GeoExprs.st_transform($"gm", lit(990000), lit(4326))), 5)
+            .as("back_lon_m"),
+          round(GeoExprs.st_y(
+            GeoExprs.st_transform($"gm", lit(990000), lit(4326))), 5)
+            .as("back_lat_m"))
+        .orderBy($"n_nationkey")
+    },
+
     // ---- geographic↔geographic datum shift (r17): EPSG:4277-style
     // OSGB36 GEOGRAPHIC target registered as a `longlat` row with the
     // real towgs84 parameters — the legacy-datum lon/lat column case.
@@ -2035,6 +2128,77 @@ object QueriesEngine {
            round(lon, 5) AS back_lon,
            round(lat, 5) AS back_lat
          FROM src, k ORDER BY n_nationkey""",
+    // r17 sinusoidal: the spherical (MODIS) and ellipsoidal forwards
+    // as raw SQL — x = R·λ·cosφ / a·λ·cosφ/√(1−e²sin²φ), the Snyder
+    // 3-21 meridian-arc northing, the antimeridian wrap of λ−20°;
+    // inverse legs round-trip in-engine
+    "q_geo_transform_sinu" ->
+      """WITH src AS (SELECT n_nationkey,
+             CAST((n_nationkey * 43) % 357 - 177 AS DOUBLE) AS lon,
+             CAST(n_nationkey % 35 * 5 - 85 AS DOUBLE) AS lat FROM nation),
+         k AS (SELECT 6371007.181 AS r, 6378137.0 AS a,
+             (1.0/298.257223563)*(2-1.0/298.257223563) AS e2),
+         leg AS (SELECT s.n_nationkey, s.lon, s.lat, k.r, k.a, k.e2,
+             radians(s.lat) AS phi,
+             radians(CASE WHEN s.lon - 20.0 < -180.0 THEN s.lon + 340.0
+                          ELSE s.lon - 20.0 END) AS dle
+           FROM src s, k)
+         SELECT n_nationkey,
+           round(r * radians(lon) * cos(phi), 3) AS easting_m,
+           round(r * phi, 3) AS northing_m,
+           round(a * dle * cos(phi) / sqrt(1 - e2*sin(phi)*sin(phi)), 3)
+             AS easting_e,
+           round(a*((1-e2/4-3*e2*e2/64-5*e2*e2*e2/256)*phi
+             - (3*e2/8+3*e2*e2/32+45*e2*e2*e2/1024)*sin(2*phi)
+             + (15*e2*e2/256+45*e2*e2*e2/1024)*sin(4*phi)
+             - (35*e2*e2*e2/3072)*sin(6*phi)), 3) AS northing_e,
+           round(lon, 5) AS back_lon_m, round(lat, 5) AS back_lat_m,
+           round(lon, 5) AS back_lon_e, round(lat, 5) AS back_lat_e
+         FROM leg ORDER BY n_nationkey""",
+    // r17 geostationary: both sweep variants' forward vector math as
+    // raw SQL — geocentric latitude atan((b/a)²·tanφ), the normalized
+    // view vector, scan angles × satellite height; inverse legs
+    // (view-ray ∩ ellipsoid) round-trip in-engine
+    "q_geo_transform_geos" ->
+      """WITH src AS (SELECT n_nationkey,
+             CAST(n_nationkey % 25 * 5 - 135 AS DOUBLE) AS lon_g,
+             CAST(n_nationkey % 27 * 5 - 65 AS DOUBLE) AS lat_g,
+             CAST(n_nationkey % 23 * 5 - 55 AS DOUBLE) AS lon_m,
+             CAST(n_nationkey % 27 * 5 - 65 AS DOUBLE) AS lat_m
+           FROM nation),
+         k AS (SELECT
+             (1-1.0/298.257222101)*(1-1.0/298.257222101) AS rp2g,
+             (1-1.0/298.257222101) AS rpg,
+             1.0 + 35786023.0/6378137.0 AS rgg, 35786023.0 AS hg,
+             (1-1.0/298.257223563)*(1-1.0/298.257223563) AS rp2m,
+             (1-1.0/298.257223563) AS rpm,
+             1.0 + 35785831.0/6378137.0 AS rgm, 35785831.0 AS hm),
+         gc AS (SELECT s.n_nationkey, s.lon_g, s.lat_g, s.lon_m, s.lat_m,
+             k.rgg, k.hg, k.rgm, k.hm, k.rp2g, k.rp2m, k.rpg, k.rpm,
+             atan(k.rp2g * tan(radians(s.lat_g))) AS pcg,
+             radians(s.lon_g + 75.0) AS dlg,
+             atan(k.rp2m * tan(radians(s.lat_m))) AS pcm,
+             radians(s.lon_m) AS dlm
+           FROM src s, k),
+         vv AS (SELECT *,
+             rpg/sqrt(rp2g*cos(pcg)*cos(pcg) + sin(pcg)*sin(pcg)) AS reg,
+             rpm/sqrt(rp2m*cos(pcm)*cos(pcm) + sin(pcm)*sin(pcm)) AS rem
+           FROM gc),
+         v2 AS (SELECT *,
+             reg*cos(pcg)*cos(dlg) AS vxg, reg*cos(pcg)*sin(dlg) AS vyg,
+             reg*sin(pcg) AS vzg,
+             rem*cos(pcm)*cos(dlm) AS vxm, rem*cos(pcm)*sin(dlm) AS vym,
+             rem*sin(pcm) AS vzm
+           FROM vv),
+         v3 AS (SELECT *, rgg - vxg AS tg, rgm - vxm AS tm FROM v2)
+         SELECT n_nationkey,
+           round(hg * atan(vyg / sqrt(vzg*vzg + tg*tg)), 3) AS scan_x_goes,
+           round(hg * atan(vzg / tg), 3) AS scan_y_goes,
+           round(hm * atan(vym / tm), 3) AS scan_x_met,
+           round(hm * atan(vzm / sqrt(vym*vym + tm*tm)), 3) AS scan_y_met,
+           round(lon_g, 5) AS back_lon_g, round(lat_g, 5) AS back_lat_g,
+           round(lon_m, 5) AS back_lon_m, round(lat_m, 5) AS back_lat_m
+         FROM v3 ORDER BY n_nationkey""",
     // r17 geographic↔geographic datum shift: the q_geo_transform_datum
     // pipeline truncated before the projection leg — geodetic →
     // geocentric → exact-inverse Helmert → 8 unrolled latitude

@@ -470,12 +470,14 @@ object Statements {
             case famRe(f) => family = Some(f.toLowerCase)
             case numRe(k, v) => crsParams(k.toLowerCase) = v.toDouble
             case other => throw new IllegalArgumentException(
-              s"bad CRS parameter: $other (want FAMILY 'tmerc|lcc|laea|aea' " +
+              s"bad CRS parameter: $other (want FAMILY " +
+                "'tmerc|lcc|laea|aea|stere|merc|eqc|sinu|geos|longlat' " +
                 "or <name> <number>)")
           }
         }
         val fam = family.getOrElse(throw new IllegalArgumentException(
-          "CREATE CRS needs FAMILY ('tmerc'|'lcc'|'laea'|'aea')"))
+          "CREATE CRS needs FAMILY ('tmerc'|'lcc'|'laea'|'aea'|'stere'|" +
+            "'merc'|'eqc'|'sinu'|'geos'|'longlat')"))
         val persistent =
           Option(persistence).exists(_.equalsIgnoreCase("PERSISTENT"))
         if (persistent) catalog.crs.createPersistent(sridS.toInt, fam,

@@ -1565,6 +1565,154 @@ class GeoSpec extends AnyFunSuite {
     }.getMessage.contains("extent"))
   }
 
+  test("sinu family (r17 cont.): MODIS sphere pins closed-form, ellipsoid " +
+      "round-trips pole to pole, lens guard loud, rf=0 sphere notation") {
+    // MODIS sinusoidal: authalic sphere R = 6371007.181, registered
+    // through the rf = 0 sphere notation. Independent closed form:
+    // x = R·λ·cosφ, y = R·φ
+    Geo.registerCrs(996974, "sinu", Map(
+      "a" -> 6371007.181, "rf" -> 0.0, "lon_0" -> 0.0))
+    val r = 6371007.181
+    val p = Geo.parseWkt(Geo.stTransform("POINT (100 40)", 4326, 996974))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(p.x - r * math.toRadians(100) * math.cos(math.toRadians(40))) < 1e-6)
+    assert(math.abs(p.y - r * math.toRadians(40)) < 1e-6)
+    // the h10v08-style tile corner magnitudes are ~1.1e7 m max
+    for (lon <- -177 to 177 by 59; lat <- -89 to 89 by 44) {
+      val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, 996974), 996974, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
+        s"996974 round-trip ($lon, $lat) -> (${back.x}, ${back.y})")
+    }
+    // ellipsoidal: WGS84, off-zero CM — round-trips incl. near-pole
+    Geo.registerCrs(996975, "sinu", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "lon_0" -> 20.0,
+      "x_0" -> 100000.0, "y_0" -> 200000.0))
+    for (lon <- -177 to 177 by 48; lat <- Seq(-89.5, -45.0, 0.0, 30.0, 89.5)) {
+      val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT ($lon $lat)", 4326, 996975), 996975, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
+        s"996975 round-trip ($lon, $lat) -> (${back.x}, ${back.y})")
+    }
+    // the false origin pins exactly at (lon_0, equator)
+    val o = Geo.parseWkt(Geo.stTransform("POINT (20 0)", 4326, 996975))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(o.x - 100000.0) < 1e-6 && math.abs(o.y - 200000.0) < 1e-6)
+    // an easting beyond the sinusoidal lens at high latitude is not a
+    // valid projected point — loud, not silently wrapped
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform(s"POINT (${100000.0 + 1.9e7} ${200000.0 + 9.1e6})",
+        996975, 4326)
+    }.getMessage.contains("sinusoidal"))
+    Seq(996974, 996975).foreach(Geo.unregisterCrs(_))
+  }
+
+  test("geos family (r17 cont.): sub-satellite/axis pins, sphere sweep " +
+      "conjugacy differential, random-row round-trips, horizon loud") {
+    // GOES-East-shaped row (sweep x) and a Meteosat-shaped row (sweep y)
+    Geo.registerCrs(990075, "geos", Map(
+      "a" -> 6378137.0, "rf" -> 298.257222101, "h" -> 35786023.0,
+      "lon_0" -> -75.0, "sweep_x" -> 1.0))
+    Geo.registerCrs(990000, "geos", Map(
+      "a" -> 6378137.0, "rf" -> 298.257223563, "h" -> 35785831.0,
+      "lon_0" -> 0.0))
+    // the sub-satellite point maps to the grid origin exactly, and the
+    // scan axes pin to the central meridian / equator
+    val sub = Geo.parseWkt(Geo.stTransform("POINT (-75 0)", 4326, 990075))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(sub.x) < 1e-9 && math.abs(sub.y) < 1e-9)
+    val onCm = Geo.parseWkt(Geo.stTransform("POINT (-75 30)", 4326, 990075))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(onCm.x) < 1e-9 && onCm.y > 0)
+    val onEq = Geo.parseWkt(Geo.stTransform("POINT (-50 0)", 4326, 990075))
+      .asInstanceOf[Geo.PointGeom]
+    assert(math.abs(onEq.y) < 1e-9 && onEq.x > 0)
+    // both sweeps round-trip across the visible disc
+    for (dlon <- -55 to 55 by 22; lat <- -60 to 60 by 24) {
+      val bg = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT (${-75 + dlon} $lat)", 4326, 990075), 990075, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(bg.x - (-75 + dlon)) < 2e-6 && math.abs(bg.y - lat) < 2e-6,
+        s"goes ($dlon, $lat) -> (${bg.x}, ${bg.y})")
+      val bm = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+        s"POINT ($dlon $lat)", 4326, 990000), 990000, 4326))
+        .asInstanceOf[Geo.PointGeom]
+      assert(math.abs(bm.x - dlon) < 2e-6 && math.abs(bm.y - lat) < 2e-6,
+        s"met ($dlon, $lat) -> (${bm.x}, ${bm.y})")
+    }
+    // beyond the limb rejects loudly in BOTH directions
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (100 0)", 4326, 990075)
+    }.getMessage.contains("visible disc"))
+    assert(intercept[IllegalArgumentException] {
+      Geo.stTransform("POINT (5450000 3200000)", 990075, 4326)
+    }.getMessage.contains("visible disc"))
+    Seq(990075, 990000).foreach(Geo.unregisterCrs(_))
+
+    // SPHERE sweep-conjugacy differential: on a sphere the view vector
+    // is (cosφ cosΔλ, cosφ sinΔλ, sinφ) with |V| = 1, so swapping
+    // Vy↔Vz maps the x-sweep image of a point to the y-sweep image of
+    // its CONJUGATE point (φ' = asin(cosφ sinΔλ), Δλ' = atan2(sinφ,
+    // cosφ cosΔλ)) with the axes exchanged — an independent geometric
+    // identity the two code paths must satisfy together
+    Geo.registerCrs(990001, "geos", Map("a" -> 6371000.0, "rf" -> 0.0,
+      "h" -> 35786000.0, "lon_0" -> 0.0, "sweep_x" -> 1.0))
+    Geo.registerCrs(990002, "geos", Map("a" -> 6371000.0, "rf" -> 0.0,
+      "h" -> 35786000.0, "lon_0" -> 0.0))
+    val rnd = new scala.util.Random(17082026L)
+    for (trial <- 1 to 40) {
+      val dl = math.toRadians(-50.0 + rnd.nextDouble() * 100.0)
+      val phi = math.toRadians(-50.0 + rnd.nextDouble() * 100.0)
+      val phiC = math.asin(math.cos(phi) * math.sin(dl))
+      val dlC = math.atan2(math.sin(phi), math.cos(phi) * math.cos(dl))
+      val a1 = Geo.parseWkt(Geo.stTransform(
+        s"POINT (${math.toDegrees(dl)} ${math.toDegrees(phi)})",
+        4326, 990001)).asInstanceOf[Geo.PointGeom]
+      val a2 = Geo.parseWkt(Geo.stTransform(
+        s"POINT (${math.toDegrees(dlC)} ${math.toDegrees(phiC)})",
+        4326, 990002)).asInstanceOf[Geo.PointGeom]
+      assert(math.abs(a1.x - a2.y) < 1e-6 && math.abs(a1.y - a2.x) < 1e-6,
+        s"trial $trial sweep conjugacy (${a1.x}, ${a1.y}) vs (${a2.x}, ${a2.y})")
+    }
+    Seq(990001, 990002).foreach(Geo.unregisterCrs(_))
+
+    // random parameter rows: ellipsoid, height, lon_0, false origins,
+    // both sweeps — round-trips close, origin pins exact
+    var srid = 991001
+    for (trial <- 1 to 20) {
+      val a = 6300000.0 + rnd.nextDouble() * 100000.0
+      val rf = if (trial % 5 == 0) 0.0 else 290.0 + rnd.nextDouble() * 20.0
+      val h = 3.0e7 + rnd.nextDouble() * 1.2e7
+      val lon0 = -179.0 + rnd.nextDouble() * 358.0
+      val x0 = rnd.nextInt(1000000).toDouble
+      val y0 = rnd.nextInt(1000000).toDouble
+      val sweepX = trial % 2 == 0
+      Geo.registerCrs(srid, "geos", Map("a" -> a, "rf" -> rf, "h" -> h,
+        "lon_0" -> lon0, "x_0" -> x0, "y_0" -> y0) ++
+        (if (sweepX) Map("sweep_x" -> 1.0) else Map.empty))
+      val o = Geo.parseWkt(Geo.stTransform(
+        s"POINT ($lon0 0)", 4326, srid)).asInstanceOf[Geo.PointGeom]
+      assert(math.abs(o.x - x0) < 1e-6 && math.abs(o.y - y0) < 1e-6,
+        s"trial $trial geos origin (${o.x}, ${o.y}) want ($x0, $y0)")
+      for (_ <- 1 to 8) {
+        val lon = wrap180(lon0 - 50.0 + rnd.nextDouble() * 100.0)
+        val lat = -55.0 + rnd.nextDouble() * 110.0
+        val back = Geo.parseWkt(Geo.stTransform(Geo.stTransform(
+          s"POINT ($lon $lat)", 4326, srid), srid, 4326))
+          .asInstanceOf[Geo.PointGeom]
+        assert(math.abs(back.x - lon) < 2e-6 && math.abs(back.y - lat) < 2e-6,
+          s"trial $trial geos ($lon, $lat) -> (${back.x}, ${back.y})")
+      }
+      Geo.unregisterCrs(srid)
+      srid += 1
+    }
+  }
+
+  private def wrap180(d: Double): Double =
+    if (d > 180.0) d - 360.0 else if (d < -180.0) d + 360.0 else d
+
   test("longlat family (r17): geographic↔geographic datum shift — OSGB36 " +
       "offset lands in the published ~50-200 m band, round-trip exact, " +
       "WGS84-compatible alias is the identity") {
