@@ -215,6 +215,24 @@ object TextExprs {
     new GenericArrayData(out)
   }
 
+  /** The LOW 48 BITS of md5_number_lower(s) — little-endian u64 over
+    * digest bytes 8..13 — computed straight from the digest bytes.
+    * Bit-identical to the engine's original built-in formulation
+    * (`conv(concat(substring(md5(s), 27, 2), …, substring(md5(s), 17,
+    * 2)), 16, 10)`) at a fraction of the cost: no 32-char hex string,
+    * no six substring slices, no base-16 string parse per row (r17
+    * optimization — the hash48 contract is THE hot kernel under
+    * sampling, salting, bloom/CMS/HLL sketches and token budgets). */
+  def md5Low48Kernel(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 5
+    while (i >= 0) { h = (h << 8) | (d(8 + i) & 0xFFL); i -= 1 }
+    h
+  }
+
   /** 64-bit simhash over tokens with an md5 token-hash family (lower 64
     * bits of the digest, big-endian bytes 8..15) — engine-portable: the
     * DuckDB oracle replays it via md5_number_lower. */
@@ -671,6 +689,17 @@ object TextExprs {
 
   // -------------------------------------------------------- expressions
 
+  case class Md5Low48(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_md5_low48"
+    override def nullSafeEval(a: Any): Any =
+      md5Low48Kernel(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.md5Low48Kernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class Tokens(child: Expression, lower: Boolean) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_tokens"
@@ -1113,6 +1142,9 @@ object TextExprs {
 
   def tokens(text: Column, lower: Boolean = false): Column =
     ColumnBridge.column(Tokens(ColumnBridge.expression(text), lower))
+
+  def md5_low48(s: Column): Column =
+    ColumnBridge.column(Md5Low48(ColumnBridge.expression(s)))
 
   def text_stats(text: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text)))

@@ -19,14 +19,13 @@ object Sampling {
 
   /** the raw LOW 48 BITS of md5_number_lower(key || salt) — the
     * engine-wide hash contract every bucket/split/sketch derives from */
-  def hash48(key: Column, salt: String): Column = {
-    val h = md5(concat(key.cast("string"), lit(salt)))
-    // little-endian: least significant byte is digest byte 8 = hex 17-18
-    val le48 = concat(
-      substring(h, 27, 2), substring(h, 25, 2), substring(h, 23, 2),
-      substring(h, 21, 2), substring(h, 19, 2), substring(h, 17, 2))
-    conv(le48, 16, 10).cast("long")
-  }
+  def hash48(key: Column, salt: String): Column =
+    // r17: one codegen kernel straight off the digest bytes — value
+    // bit-identical to the original built-in chain (md5 → hex string →
+    // six substrings → conv(16,10) → cast), which paid a 32-char hex
+    // allocation plus a base-16 string parse per row on the engine's
+    // hottest hash path (pinned equal in SamplingSpec)
+    graft.functions.TextExprs.md5_low48(concat(key.cast("string"), lit(salt)))
 
   /** hash bucket in [0, buckets): low 48 bits of md5_number_lower */
   def hashBucket(key: Column, salt: String, buckets: Int = 10000): Column = {

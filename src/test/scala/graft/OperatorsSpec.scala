@@ -266,6 +266,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(natMh == hofMh)
   }
 
+  test("md5_low48 kernel matches the built-in hex/conv formulation bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // the pre-r17 hash48: md5 → hex → six LE substrings → conv(16,10)
+    def oldHash48(key: Column, salt: String): Column = {
+      val h = md5(concat(key.cast("string"), lit(salt)))
+      val le48 = concat(
+        substring(h, 27, 2), substring(h, 25, 2), substring(h, 23, 2),
+        substring(h, 21, 2), substring(h, 19, 2), substring(h, 17, 2))
+      conv(le48, 16, 10).cast("long")
+    }
+    val keys = (Seq("", "x", "一二三 unicode 文本", "trailing space ",
+      "long-" * 100, "né́ combining") ++
+      (0 until 500).map(i => s"key-$i")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val rows = keys.select($"id",
+        Sampling.hash48($"k", "spec-salt").as("nat"),
+        oldHash48($"k", "spec-salt").as("old"),
+        Sampling.hash48($"id", "n-salt").as("natL"),
+        oldHash48($"id", "n-salt").as("oldL"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"string key mismatch at ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"long key mismatch at ${r.getLong(0)}")
+    }
+    // null key → null hash, exactly like the built-in chain
+    val nr = Seq((1L, Option.empty[String])).toDF("id", "k")
+      .select(Sampling.hash48($"k", "s").as("nat"), oldHash48($"k", "s").as("old"))
+      .collect().head
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("hot-bucket caps bound candidate pair counts") {
     import spark.implicits._
     // 30 identical docs: uncapped LSH yields 435 pairs; cap 10 bounds it
