@@ -104,7 +104,13 @@ object CuratePipeline {
       case JArray(xs) => xs
       case _ => throw new DslException("curate body must have a 'stages' array")
     }
-    stages.foldLeft(df) { (cur, st) =>
+    // r17: fan the SEED out once when it arrives under-split (one
+    // file / one row group — the gate corpus shape): the map-only
+    // front stages (url hygiene, HTML extraction, normalization) are
+    // CPU-bound row kernels that otherwise run on the scan's 1-2
+    // splits while the machine idles. No-op at scale (Par.widen
+    // derives the decision from input size) and for non-file seeds.
+    stages.foldLeft(graft.operators.Par.widen(df)) { (cur, st) =>
       // stage-boundary materialization: model-based and multi-consumer
       // stages read their input several times (an LM trains on it,
       // scores it, and the verdict semi-joins back); checkpointing the
@@ -112,9 +118,13 @@ object CuratePipeline {
       // the production stance of writing intermediates between
       // pipeline phases. Opt-out with {"materialize": false}.
       val in =
-        if (bool(st, "materialize", default = materializeByDefault(st)))
-          cur.localCheckpoint()
-        else cur
+        if (bool(st, "materialize", default = materializeByDefault(st))) {
+          val sc = cur.sparkSession.sparkContext
+          sc.setJobDescription(s"curate: ${opOf(st)} input checkpoint")
+          val ck = cur.localCheckpoint()
+          sc.setJobDescription(null)
+          ck
+        } else cur
       applyStage(in, st, textCol, idCol)
     }
   }
@@ -143,7 +153,7 @@ object CuratePipeline {
       "gopher_filter", "pii_redact", "stratified_sample", "image_hash",
       "audio_hash", "embed_text", "sign_hash")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    val in0 = df.localCheckpoint()
+    val in0 = graft.operators.Par.widen(df).localCheckpoint()
     rows += ((0, "input", in0.count()))
     stages.foldLeft(in0) { (cur, st) =>
       val op = st \ "op" match {
@@ -158,6 +168,11 @@ object CuratePipeline {
       out
     }
     rows.toSeq.toDF("stage", "op", "rows_out")
+  }
+
+  private def opOf(st: JValue): String = st \ "op" match {
+    case JString(s) => s
+    case _ => "?"
   }
 
   /** stages whose operators consume their input more than once */
@@ -256,13 +271,53 @@ object CuratePipeline {
         // cluster keeps its min-id member; non-keepers anti-join away.
         // Never all-pairs: candidates come from the band buckets, and
         // max_bucket caps degenerate boilerplate buckets.
-        val pairs = Dedup.minhashCandidates(df, textCol, idCol,
-          shingleN = int(st, "shingle_n", 3), k = int(st, "k", 8),
-          bands = int(st, "bands", 4), maxBucket = int(st, "max_bucket", 0))
-        val losers = Dedup.connectedComponents(pairs, s"a_$idCol", s"b_$idCol")
-          .filter(col("cluster_id") =!= col("id"))
-          .select(col("id").as(idCol))
-        df.join(losers, Seq(idCol), "left_anti")
+        val shingleN = int(st, "shingle_n", 3)
+        val k = int(st, "k", 8)
+        val bands = int(st, "bands", 4)
+        val maxBucket = int(st, "max_bucket", 0)
+        if (maxBucket == 0) {
+          // r17: identical-signature collapse before banding (the
+          // hash_neardup trick, ported). Docs with the SAME k-vector
+          // share every band bucket, so an n-member duplicate group
+          // floods the buckets with n²/2 pairwise-certain candidates —
+          // the LSH degenerate case on boilerplate-heavy corpora.
+          // Collapsing each signature group to its min-id REP first is
+          // result-identical UNCAPPED: any edge (x, member) implies
+          // the edge (x, rep) (equal signatures ⇒ equal band keys), so
+          // components over reps are the components over members
+          // restricted to reps, the cluster min is always a rep, and
+          // every non-rep loses to its rep by construction. (With a
+          // bucket cap the collapse would change which buckets
+          // overflow, i.e. the RESULT — the capped path keeps the
+          // original plan.) A null signature means "no shingles", not
+          // "equal": those rows never band, so they all survive and
+          // stay out of the collapse.
+          val sc = df.sparkSession.sparkContext
+          sc.setJobDescription("curate: minhash sigs checkpoint")
+          val sigs = Dedup.minhashSignatures(df, textCol, idCol, shingleN, k)
+            .localCheckpoint()
+          sc.setJobDescription(null)
+          val mhCols = (0 until k).map(j => col(s"mh$j"))
+          val nonNull = sigs.filter(col("mh0").isNotNull)
+          val reps = nonNull.groupBy(mhCols: _*)
+            .agg(min(col(idCol)).as(idCol))
+            .select(col(idCol) +: mhCols: _*)
+          val pairs = Dedup.bandPairs(reps, idCol, k, bands, maxBucket)
+          val repLosers = Dedup.connectedComponents(pairs, s"a_$idCol", s"b_$idCol")
+            .filter(col("cluster_id") =!= col("id"))
+            .select(col("id").as(idCol))
+          val keptIds = reps.select(col(idCol))
+            .join(repLosers, Seq(idCol), "left_anti")
+            .unionByName(sigs.filter(col("mh0").isNull).select(col(idCol)))
+          df.join(keptIds, Seq(idCol), "left_semi")
+        } else {
+          val pairs = Dedup.minhashCandidates(df, textCol, idCol,
+            shingleN = shingleN, k = k, bands = bands, maxBucket = maxBucket)
+          val losers = Dedup.connectedComponents(pairs, s"a_$idCol", s"b_$idCol")
+            .filter(col("cluster_id") =!= col("id"))
+            .select(col("id").as(idCol))
+          df.join(losers, Seq(idCol), "left_anti")
+        }
       case "decontaminate" =>
         // benchmark rows leave the stream entirely; train docs whose
         // distinct-shingle overlap with the benchmark set exceeds

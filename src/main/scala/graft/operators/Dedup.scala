@@ -84,10 +84,18 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0): DataFrame =
+    bandPairs(minhashSignatures(df, textCol, idCol, shingleN, k),
+      idCol, k, bands, maxBucket)
+
+  /** LSH band self-join over a PRECOMPUTED signature frame (`mh0..
+    * mh{k-1}` + id) — the join half of [[minhashCandidates]], split out
+    * (r17) so the pipeline's near-dup stage can collapse identical
+    * signatures before banding. */
+  private[graft] def bandPairs(sigs: DataFrame, idCol: String, k: Int,
+      bands: Int, maxBucket: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sigs = minhashSignatures(df, textCol, idCol, shingleN, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("sig"))
@@ -373,9 +381,12 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    sc.setJobDescription("cc: edges")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
+    sc.setJobDescription("cc: init labels")
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
     var changed = 1L
@@ -383,17 +394,25 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min("cluster_id").as("nmin"))
+      // the change flag rides in the SAME join (r17: the old separate
+      // updated⋈labels diff join re-shuffled the label table once per
+      // round just to count decreases — the old label is already on
+      // the row being updated), so each round costs exactly one join +
+      // one aggregate; the count runs over the round's checkpoint
+      sc.setJobDescription(s"cc: round ${i + 1}")
       val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(labels("id"),
           least(labels("cluster_id"),
-            coalesce(col("nmin"), labels("cluster_id"))).as("cluster_id"))
+            coalesce(col("nmin"), labels("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nmin"), labels("cluster_id")) < labels("cluster_id"))
+            .as("__chg"))
         .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") < col("old")).count()
-      labels = updated
+      sc.setJobDescription(s"cc: round ${i + 1} changed-count")
+      changed = updated.filter(col("__chg")).count()
+      labels = updated.drop("__chg")
       i += 1
     }
+    sc.setJobDescription(null)
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }

@@ -109,11 +109,18 @@ object LinkGraph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
+    // r17: the edge list (often an HTML link-extraction pass) is
+    // referenced twice per power iteration — uncheckpointed, the
+    // extraction re-ran ~2·iterations times and the optimizer re-walked
+    // the whole extraction subtree at every reference (measured: ~2.5 s
+    // of pure driver planning on the frontier gates). Checkpointing the
+    // THREE loop-invariant frames once truncates both.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nNodes))
       .select(col("node"), round(lit(1.0) / col("n_nodes"), 9).as("rank"))

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * elementwise sum (one tiny shuffle to a one-row frame) and the
   * weights re-enter the next round as a broadcast one-row frame —
   * never a driver-side `collect`, so the training data can be any
-  * size. Each round re-scans the input: callers training more than a
-  * couple of rounds over an expensive upstream should cache/checkpoint
-  * the feature frame first.
+  * size. The slice pre-aggregates to distinct (label, features)
+  * profiles with multiplicities before round 1 (one shuffle, exact —
+  * a round's update is a pure function of the profile), so the rounds
+  * scan the grouped frame, not the full slice; it is checkpointed
+  * internally, so callers no longer need to cache the feature frame
+  * for the rounds' sake.
   *
   * Integer overflow bound (caller's contract, checked loudly at score
   * time): |w_j| grows at most `iters · Σ_d |x_dj|`, and scores by
@@ -60,7 +63,17 @@ object Perceptron {
       .otherwise(raise_error(
         concat(lit(s"perceptron: features arity "), (size(xb) - 1).cast("string"),
           lit(s" != $k"))))
+    // r17 (guide §2.3 "aggregate before you shuffle"): a round's update
+    // Σ_{margin≤0} y·x is identical over the DISTINCT (y, x) profiles
+    // weighted by their multiplicity — margin is a pure function of
+    // (y, x, w) — so the training slice pre-aggregates ONCE to
+    // (y, x, n) and every round scans that frame instead of the full
+    // slice. The grouped frame is at most slice-sized and usually tiny
+    // (count features repeat heavily); the checkpoint stops the
+    // group-by re-running per round and truncates the per-round plan.
     val feats = df.select(y.as("y"), checked.as("x"))
+      .groupBy(col("y"), col("x")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     var w: DataFrame = spark.range(1)
       .select(array(Seq.fill(k + 1)(lit(0L)): _*).as("w"))
     for (_ <- 1 to iters) {
@@ -75,7 +88,7 @@ object Perceptron {
       // one row of k+1 weights, never a vanishing join input.
       val dot = aggregate(zip_with(col("w"), col("x"), _ * _),
         lit(0L), _ + _)
-      val contrib = when(col("y") * dot <= 0, col("y")).otherwise(lit(0L))
+      val contrib = when(col("y") * dot <= 0, col("y") * col("n")).otherwise(lit(0L))
       w = feats.crossJoin(broadcast(w))
         .agg(array((0 to k).map(j =>
           coalesce(first(col("w").getItem(j)) +
