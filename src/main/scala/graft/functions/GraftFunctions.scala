@@ -390,77 +390,23 @@ object GraftFunctions {
       VectorExprs.Sq8Encode(es.head), "built-in")
     r.createOrReplaceTempFunction("vec_idot", es =>
       VectorExprs.VecIDot(es(0), es(1)), "built-in")
-    // crawl-frontier URL hygiene: SQL-text templates over built-ins,
-    // parsed per resolution and spliced over the argument — the
-    // analyzer resolves the nested calls to fixpoint (a Column
-    // converted with ColumnBridge would ride as an OPAQUE node whose
-    // inner functions never resolve). Formulation is identical to
-    // graft.operators.TextOps' Column API, which documents the rules.
-    def urlTpl(tpl: String): Seq[Expression] => Expression = es =>
-      spark.sessionState.sqlParser.parseExpression(tpl).transformUp {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if a.nameParts == Seq("__u") => es.head
-      }
-    r.createOrReplaceTempFunction("url_normalize", urlTpl(UrlSql.normalize), "built-in")
-    r.createOrReplaceTempFunction("url_host", urlTpl(UrlSql.host), "built-in")
-    r.createOrReplaceTempFunction("url_scheme", urlTpl(UrlSql.scheme), "built-in")
-    r.createOrReplaceTempFunction("url_surt", urlTpl(UrlSql.surt), "built-in")
+    // crawl-frontier URL hygiene (r17): native codegen kernels — the
+    // pre-r17 SQL-text templates re-parsed a ~40-call regex tower per
+    // resolution and duplicated it per reference (url_surt printed as
+    // ~400 KB of plan); UrlExprs runs the identical pass sequence in
+    // one expression node, pinned byte-equal by OperatorsSpec's
+    // differential suite against the composed reference formulation.
+    r.createOrReplaceTempFunction("url_normalize", es =>
+      UrlExprs.UrlNormalize(es.head), "built-in")
+    r.createOrReplaceTempFunction("url_host", es =>
+      UrlExprs.UrlHost(es.head), "built-in")
+    r.createOrReplaceTempFunction("url_scheme", es =>
+      UrlExprs.UrlScheme(es.head), "built-in")
+    r.createOrReplaceTempFunction("url_surt", es =>
+      UrlExprs.UrlSurt(es.head), "built-in")
   }
 
-  /** the url functions as Spark-SQL text over `__u` (see registerAll).
-    * Regexes avoid backslash escapes entirely (`[.]` classes) so the
-    * templates parse identically whatever the session's
-    * escapedStringLiterals conf says. */
-  private object UrlSql {
-    private val t = "regexp_replace(trim(__u), '#.*', '')"
-    val scheme: String =
-      s"lower(regexp_extract($t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    private val rest = s"regexp_replace($t, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
-    private val rawhp = s"regexp_extract($rest, '^([^/?]*)', 1)"
-    private val hostport = s"regexp_replace(lower($rawhp), '^.*@', '')"
-    val host: String = s"regexp_replace($hostport, ':[0-9]+$$', '')"
-    private val nhost =
-      s"CASE WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '') " +
-        s"WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '') " +
-        s"ELSE $hostport END"
-    private val tail = s"substring($rest, length($rawhp) + 1, length($rest))"
-    private val rawPath = s"regexp_extract($tail, '^([^?]*)', 1)"
-    // RFC 3986 dot-segment removal — the same 8-round pass sequence as
-    // TextOps.removeDotSegments, backslash-free ([.] classes)
-    private val path = {
-      val seg = "(?:[^./][^/]*|[.][^./][^/]*|[.][.][^/]+)"
-      val cleaned = (1 to 8).foldLeft(rawPath) { (p, _) =>
-        val p1 = s"regexp_replace($p, '/[.]/', '/')"
-        val p2 = s"regexp_replace($p1, '/[.]$$', '/')"
-        val p3 = s"regexp_replace($p2, '/$seg/[.][.]/', '/')"
-        val p4 = s"regexp_replace($p3, '/$seg/[.][.]$$', '/')"
-        s"regexp_replace($p4, '^/[.][.](/|$$)', '/')"
-      }
-      s"CASE WHEN instr($rawPath, '/.') > 0 THEN $cleaned ELSE $rawPath END"
-    }
-    private val q2 =
-      s"array_join(filter(split(substring($tail, length($rawPath) + 2, length($tail)), '&', -1), " +
-        s"p -> p != '' AND NOT (p rlike '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$$)')), '&')"
-    val normalize: String =
-      s"concat(CASE WHEN $scheme = '' THEN '' ELSE concat($scheme, '://') END, $nhost, " +
-        s"CASE WHEN $path = '/' AND $q2 = '' THEN '' ELSE $path END, " +
-        s"CASE WHEN $q2 = '' THEN '' ELSE concat('?', $q2) END)"
-    // SURT over the normalized url; the inner url_normalize(__u) call
-    // resolves through this same registry at analysis fixpoint, so the
-    // template stays small instead of inlining `normalize` five times
-    private val sRest =
-      "regexp_replace(url_normalize(__u), '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
-    private val sHp = s"regexp_extract($sRest, '^([^/?]*)', 1)"
-    private val sTail = s"substring($sRest, length($sHp) + 1, length($sRest))"
-    val surt: String =
-      s"concat(array_join(reverse(split(regexp_replace(regexp_replace($sHp, " +
-        s"':[0-9]+$$', ''), '^www[.]', ''), '[.]')), ','), " +
-        s"regexp_extract($sHp, '(:[0-9]+)$$', 1), ')', " +
-        s"CASE WHEN substring($sTail, 1, 1) = '/' THEN $sTail " +
-        s"ELSE concat('/', $sTail) END)"
-  }
-
-  // ------------------------------------------------- Column-level API
+// ------------------------------------------------- Column-level API
 
   def st_within_point(wkt: Column, lon: Column, lat: Column): Column =
     ColumnBridge.column(StWithinPoint(

@@ -644,8 +644,21 @@ object TextOps {
     * (utm_*, gclid, fbclid, msclkid) that fragment frontier dedup */
   private val urlTrackRe = "^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)"
 
+  // r17: the four url functions are native codegen kernels
+  // ([[graft.functions.UrlExprs]]) — the composed built-in formulations
+  // below (`*Composed`) are kept as the executable spec: Column
+  // composition DUPLICATES subtrees at every reference, and the
+  // composed url_surt printed as ~400 KB of physical plan (seconds of
+  // optimizer time per query, codegen spilling to interpreted). The
+  // kernels run the identical pass sequence on the same primitives;
+  // OperatorsSpec pins kernel == composed byte-for-byte on adversarial
+  // and randomized URLs.
+
   /** lowercased scheme, '' when the URL carries none */
   def urlScheme(url: Column): Column =
+    graft.functions.UrlExprs.url_scheme(url)
+
+  private[graft] def urlSchemeComposed(url: Column): Column =
     lower(regexp_extract(trim(url), urlSchemeRe, 1))
 
   /** lowercased host without port or userinfo — the grouping key for
@@ -654,7 +667,10 @@ object TextOps {
     * `@`): `http://x@ads.example/` must still block/join as
     * `ads.example`, or a crawled page's `user@host` links would bypass
     * blocklists, robots joins and per-host fetch slots. */
-  def urlHost(url: Column): Column = {
+  def urlHost(url: Column): Column =
+    graft.functions.UrlExprs.url_host(url)
+
+  private[graft] def urlHostComposed(url: Column): Column = {
     val rest = regexp_replace(regexp_replace(trim(url), "#.*", ""),
       urlSchemeRe, "")
     lower(regexp_replace(regexp_replace(
@@ -695,7 +711,10 @@ object TextOps {
     * drops. Two URLs that fetch the same page under these rules
     * normalize to one string, so exact dedup on the result IS
     * frontier dedup. */
-  def urlNormalize(url: Column): Column = {
+  def urlNormalize(url: Column): Column =
+    graft.functions.UrlExprs.url_normalize(url)
+
+  private[graft] def urlNormalizeComposed(url: Column): Column = {
     val t = regexp_replace(trim(url), "#.*", "")
     val scheme = lower(regexp_extract(t, urlSchemeRe, 1))
     val rest = regexp_replace(t, urlSchemeRe, "")
@@ -730,8 +749,11 @@ object TextOps {
     * URLs of one page sort adjacent and one host's pages form one
     * contiguous key range — range-partition on this key and a 100 TB
     * index co-locates per-host work with zero extra shuffles. */
-  def urlSurt(url: Column): Column = {
-    val rest = regexp_replace(urlNormalize(url), urlSchemeRe, "")
+  def urlSurt(url: Column): Column =
+    graft.functions.UrlExprs.url_surt(url)
+
+  private[graft] def urlSurtComposed(url: Column): Column = {
+    val rest = regexp_replace(urlNormalizeComposed(url), urlSchemeRe, "")
     val hostport = regexp_extract(rest, "^([^/?]*)", 1)
     val host = regexp_replace(hostport, ":[0-9]+$", "")
     val port = regexp_extract(hostport, "(:[0-9]+)$", 1)

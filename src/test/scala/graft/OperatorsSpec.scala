@@ -298,6 +298,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("native url kernels match the composed built-in formulation byte-for-byte") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "HTTP://user:pw@Host.Example.com:80/a/b/../c/./d/../../e?utm_x=1&k=2#frag",
+      "https://WWW.News.org:443/?gclid=abc&q=term",
+      "  http://pad.example.com/x  ",
+      "ftp://Archive.example.io:2121/data/7",
+      "files.example.net/plain/9", "", "/rooted/only", "just-words",
+      "http://h.example", "http://h.example/", "http://h.example/?",
+      "http://h.example/?&&", "http://h.example/p?",
+      "http://h.example:8080/p", "https://h.example:443:443/p",
+      "http://a@b@c.example/p", "http://h.example/a/../../..",
+      "http://h.example/./././x", "http://h.example/a//b/../c",
+      "http://h.example/..", "http://h.example/p#a#b",
+      "http://h.example/p?utm_=x&utm=keep&UTM_y=case",
+      "http://www.example", "http://www.", "http://İstanbul.example/p",
+      "http://h.example/p\nq#frag-after-newline",
+      "scheme+odd.thing://Host/p", "http://h.example./p?a=%20&b=+",
+      "HtTpS://MiXeD.Case.COM:443/A/B?Z=1&gclid=&fbclid",
+      "http://trailing.dot.example.com.:80/p", "//proto-relative.example/p",
+      "http://h.example/deep/a/../b/../c/../d/../e/../f/../g/../h/../i/../j/..")
+    val rnd = new scala.util.Random(42)
+    val schemes = Seq("http://", "https://", "HTTP://", "", "ftp://")
+    val hosts = Seq("Example.com", "www.ex.org:443", "a.b.c.d:80", "u@p.io", "X.Y")
+    val paths = Seq("", "/", "/p/q", "/a/../b", "/./x", "/a/b/../../../c")
+    val queries = Seq("", "?a=1", "?utm_s=x&b=2", "?gclid=1&&c=3", "?x")
+    val frags = Seq("", "#f", "#a#b")
+    val random = (0 until 400).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + hosts(rnd.nextInt(hosts.size)) +
+        paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size))
+    }
+    val df = (adversarial ++ random).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "u")
+    val rows = df.select($"id", $"u",
+        TextOps.urlNormalize($"u").as("n_nat"),
+        TextOps.urlNormalizeComposed($"u").as("n_ref"),
+        TextOps.urlSurt($"u").as("s_nat"),
+        TextOps.urlSurtComposed($"u").as("s_ref"),
+        TextOps.urlHost($"u").as("h_nat"),
+        TextOps.urlHostComposed($"u").as("h_ref"),
+        TextOps.urlScheme($"u").as("c_nat"),
+        TextOps.urlSchemeComposed($"u").as("c_ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(3), s"normalize: ${r.getString(1)}")
+      assert(r.getString(4) == r.getString(5), s"surt: ${r.getString(1)}")
+      assert(r.getString(6) == r.getString(7), s"host: ${r.getString(1)}")
+      assert(r.getString(8) == r.getString(9), s"scheme: ${r.getString(1)}")
+    }
+    // null in → null out, like the composed chain
+    val nr = Seq((1L, Option.empty[String])).toDF("id", "u")
+      .select(TextOps.urlNormalize($"u"), TextOps.urlSurt($"u"),
+        TextOps.urlHost($"u"), TextOps.urlScheme($"u")).collect().head
+    (0 to 3).foreach(i => assert(nr.isNullAt(i)))
+    // the SQL registrations resolve to the same kernels
+    val sqlRow = df.filter($"id" === 0).selectExpr("url_normalize(u)",
+      "url_surt(u)", "url_host(u)", "url_scheme(u)").collect().head
+    val natRow = df.filter($"id" === 0).select(TextOps.urlNormalize($"u"),
+      TextOps.urlSurt($"u"), TextOps.urlHost($"u"), TextOps.urlScheme($"u"))
+      .collect().head
+    (0 to 3).foreach(i => assert(sqlRow.getString(i) == natRow.getString(i)))
+  }
+
   test("hot-bucket caps bound candidate pair counts") {
     import spark.implicits._
     // 30 identical docs: uncapped LSH yields 435 pairs; cap 10 bounds it
