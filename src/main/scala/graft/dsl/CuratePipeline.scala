@@ -105,12 +105,18 @@ object CuratePipeline {
       case _ => throw new DslException("curate body must have a 'stages' array")
     }
     // r17: fan the SEED out once when it arrives under-split (one
-    // file / one row group — the gate corpus shape): the map-only
-    // front stages (url hygiene, HTML extraction, normalization) are
-    // CPU-bound row kernels that otherwise run on the scan's 1-2
-    // splits while the machine idles. No-op at scale (Par.widen
+    // file / one row group — the gate corpus shape) AND the pipeline
+    // opens with a CPU-bound row-kernel stage (url hygiene, HTML
+    // extraction, media decode): those fronts otherwise run on the
+    // scan's 1-2 splits while the machine idles. Model-first pipelines
+    // skip it — their cost is shuffles and broadcast rounds, where the
+    // extra exchange measured as a net loss. No-op at scale (Par.widen
     // derives the decision from input size) and for non-file seeds.
-    stages.foldLeft(graft.operators.Par.widen(df)) { (cur, st) =>
+    val seed =
+      if (stages.headOption.map(opOf).exists(mapKernelOps))
+        graft.operators.Par.widen(df)
+      else df
+    stages.foldLeft(seed) { (cur, st) =>
       // stage-boundary materialization: model-based and multi-consumer
       // stages read their input several times (an LM trains on it,
       // scores it, and the verdict semi-joins back); checkpointing the
@@ -153,7 +159,11 @@ object CuratePipeline {
       "gopher_filter", "pii_redact", "stratified_sample", "image_hash",
       "audio_hash", "embed_text", "sign_hash")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    val in0 = graft.operators.Par.widen(df).localCheckpoint()
+    val seed =
+      if (stages.headOption.map(opOf).exists(mapKernelOps))
+        graft.operators.Par.widen(df)
+      else df
+    val in0 = seed.localCheckpoint()
     rows += ((0, "input", in0.count()))
     stages.foldLeft(in0) { (cur, st) =>
       val op = st \ "op" match {
@@ -174,6 +184,12 @@ object CuratePipeline {
     case JString(s) => s
     case _ => "?"
   }
+
+  /** first-stage ops whose per-row kernel cost justifies the seed
+    * fan-out (see compile) */
+  private val mapKernelOps = Set("url_filter", "html_extract", "normalize",
+    "c4_clean", "gopher_filter", "pii_redact", "image_hash", "audio_hash",
+    "embed_text", "sign_hash", "chunk")
 
   /** stages whose operators consume their input more than once */
   private def materializeByDefault(st: JValue): Boolean =

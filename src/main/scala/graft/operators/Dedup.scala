@@ -68,7 +68,7 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 8): DataFrame = {
-    val base = df.select(col(idCol),
+    val base = Par.widen(df).select(col(idCol),
       TextExprs.minhash_md5(TextExprs.word_shingles(col(textCol), shingleN), k).as("__mh"))
     val mhCols = (0 until k).map(j => col("__mh").getItem(j).as(s"mh$j"))
     base.select(col(idCol) +: mhCols: _*)
@@ -205,7 +205,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.0,
       maxDocFreq: Int = 0): DataFrame = {
-    val shAll = df.select(col(idCol),
+    val shAll = Par.widen(df).select(col(idCol),
       explode(array_distinct(TextExprs.word_shingles(col(textCol), shingleN))).as("sh"))
     val sh = capBuckets(shAll, Seq("sh"), maxDocFreq)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))

@@ -30,11 +30,13 @@ object Joins {
     * (collisions can promote a light key to heavy — a replication cost,
     * never a correctness issue). Other column names must not collide
     * (same contract as [[AsOfJoin]]). */
-  def skewJoin(left: DataFrame, right: DataFrame, key: String,
+  def skewJoin(left0: DataFrame, right0: DataFrame, key: String,
       leftIdCol: String, salts: Int = 8,
       heavyThreshold: Long = 1000000L): DataFrame = {
     require(salts > 1, s"skew join: salts must exceed 1, got $salts")
     require(heavyThreshold > 0, "skew join: heavyThreshold must be positive")
+    val left = Par.widen(left0)
+    val right = Par.widen(right0)
     val sk = Sketches.countMin(left.select(col(key)), key,
       width = 4096, depth = 4)
     val heavy = Sketches.cmsEstimate(sk, right.select(col(key)).distinct(), key)
@@ -68,8 +70,9 @@ object Joins {
     * through the exact semi join. No false negatives, so the result
     * EQUALS the plain semi join; false positives only cost shuffle
     * rows. */
-  def bloomSemiJoin(left: DataFrame, right: DataFrame, key: String,
+  def bloomSemiJoin(left0: DataFrame, right: DataFrame, key: String,
       m: Int = 65536, k: Int = 3): DataFrame = {
+    val left = Par.widen(left0)
     val sk = Sketches.bloomBuild(right.select(col(key)), key, m, k)
     // the bitmap as a literal long[] — codegen'd bit tests, no join
     val words = new Array[Long]((m + 63) / 64)

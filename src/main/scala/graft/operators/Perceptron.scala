@@ -89,10 +89,16 @@ object Perceptron {
       val dot = aggregate(zip_with(col("w"), col("x"), _ * _),
         lit(0L), _ + _)
       val contrib = when(col("y") * dot <= 0, col("y") * col("n")).otherwise(lit(0L))
+      // each round materializes its one-row weight frame eagerly: the
+      // lazy 20-round chain optimized as ONE nested plan and catalyst
+      // paid seconds re-walking it (measured: ~7 s of driver time for
+      // 20 rounds at gate scale); a per-round checkpoint keeps every
+      // round's plan depth-1 for the price of a tiny job
       w = feats.crossJoin(broadcast(w))
         .agg(array((0 to k).map(j =>
           coalesce(first(col("w").getItem(j)) +
             sum(contrib * col("x").getItem(j)), lit(0L))): _*).as("w"))
+        .localCheckpoint()
     }
     w
   }
