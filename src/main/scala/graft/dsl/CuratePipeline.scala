@@ -186,10 +186,12 @@ object CuratePipeline {
   }
 
   /** first-stage ops whose per-row kernel cost justifies the seed
-    * fan-out (see compile) */
+    * fan-out (see compile) — the TEXT-extraction fronts, where the
+    * win was measured; media/embedding fronts (image_hash, embed_text,
+    * …) benched net-negative under the same treatment (their pipelines
+    * are bounded by the near-dup join rounds, not the map kernel) */
   private val mapKernelOps = Set("url_filter", "html_extract", "normalize",
-    "c4_clean", "gopher_filter", "pii_redact", "image_hash", "audio_hash",
-    "embed_text", "sign_hash", "chunk")
+    "c4_clean", "gopher_filter", "pii_redact")
 
   /** stages whose operators consume their input more than once */
   private def materializeByDefault(st: JValue): Boolean =
