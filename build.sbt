@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the forked run's stdout passes through UNPREFIXED (default LoggedOutput
+// wraps every line as "[info] ..."): graft.Bench prints a one-line JSON
+// contract the driver parses from a stdout tail, and the sbt logger
+// prefix made that line unparseable in every round through r17
+run / outputStrategy := Some(StdoutOutput)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

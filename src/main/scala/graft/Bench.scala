@@ -84,8 +84,19 @@ object Bench {
     }
     sweepCaches()
     // a failed query must not masquerade as a fast success: its time is
-    // null in the JSON, excluded from the total, and listed in "failed"
+    // null in the JSON, excluded from the total, and listed in "failed".
+    // r18 (VERDICT r17 Wrong #1): the STDOUT line is the driver-facing
+    // COMPACT record — total + per-query min (ms precision) + failed
+    // only. The raw samples ("runs") and the fineweb per-stage times
+    // moved to the full-file record: at 248 queries × 2-3 samples they
+    // made the line ~20 KB, and the driver keeps only a ~2,000-char
+    // stdout tail, so BENCH_r16/r17 both recorded an unparseable
+    // mid-line fragment and PERF lost two rounds of per-query tables.
+    def ms(t: Double): String = (math.round(t * 1000) / 1000.0).toString
     val qs = results.map { case (k, ts, ok) =>
+      "\"" + k + "\":" + (if (ok) ms(ts.min) else "null")
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, ts, ok) =>
       "\"" + k + "\":" + (if (ok) ts.min.toString else "null")
     }.mkString("{", ",", "}")
     val runs = results.map { case (k, ts, _) =>
@@ -111,19 +122,24 @@ object Bench {
         }
       else None
     val fwField = fwStages.map(s => s""","fineweb_stages":$s""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed$fwField,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's BENCH_r{N}.json records only a 2,000-char tail of
-    // stdout, which hides all but ~36 of the per-query times; persist
-    // the FULL line so round-over-round comparison sees every query
-    // (committed as bench_full_r{N}.json at certification)
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"runs":$runs,"failed":$failed$fwField,"sf":"$sfDir"}"""
+    // full-precision record with raw samples + fineweb stages, persisted
+    // per-run: the default name carries the core count so a lower-core
+    // scaling sweep can never overwrite the 32-core record (VERDICT r17:
+    // the driver's 8-core run clobbered bench_full_latest.json at 04:28)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "bench_full_latest.json")
+      s"bench_full_c$cpus.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-json write failed: ${e.getMessage}")
     }
+    // silence the shutdown-path loggers (streaming StateStore maintenance
+    // logs an ERROR stack during stop()) and print the contract line LAST:
+    // the driver's tail capture must end with it, not with log noise
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 }

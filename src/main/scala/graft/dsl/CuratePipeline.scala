@@ -126,10 +126,10 @@ object CuratePipeline {
       val in =
         if (bool(st, "materialize", default = materializeByDefault(st))) {
           val sc = cur.sparkSession.sparkContext
-          sc.setJobDescription(s"curate: ${opOf(st)} input checkpoint")
-          val ck = cur.localCheckpoint()
-          sc.setJobDescription(null)
-          ck
+          graft.operators.Par.withJobDescription(sc,
+            s"curate: ${opOf(st)} input checkpoint") {
+            graft.operators.Materialize.checkpoint(cur)
+          }
         } else cur
       applyStage(in, st, textCol, idCol)
     }
@@ -163,7 +163,7 @@ object CuratePipeline {
       if (stages.headOption.map(opOf).exists(mapKernelOps))
         graft.operators.Par.widen(df)
       else df
-    val in0 = seed.localCheckpoint()
+    val in0 = graft.operators.Materialize.checkpoint(seed)
     rows += ((0, "input", in0.count()))
     stages.foldLeft(in0) { (cur, st) =>
       val op = st \ "op" match {
@@ -172,7 +172,8 @@ object CuratePipeline {
       }
       val staged = applyStage(cur, st, textCol, idCol)
       val out =
-        if (bool(st, "materialize", default = !mapOnly(op))) staged.localCheckpoint()
+        if (bool(st, "materialize", default = !mapOnly(op)))
+          graft.operators.Materialize.checkpoint(staged)
         else staged
       rows += ((rows.size, op, out.count()))
       out
@@ -309,12 +310,17 @@ object CuratePipeline {
           // overflow, i.e. the RESULT — the capped path keeps the
           // original plan.) A null signature means "no shingles", not
           // "equal": those rows never band, so they all survive and
-          // stay out of the collapse.
+          // stay out of the collapse. CONTRACT (ADVICE r17): idCol must
+          // be non-null — id-keyed stages document unique ids already
+          // (see the class doc), and this branch's keep-set semi-join
+          // would silently drop a null id where the capped branch's
+          // anti-join keeps it.
           val sc = df.sparkSession.sparkContext
-          sc.setJobDescription("curate: minhash sigs checkpoint")
-          val sigs = Dedup.minhashSignatures(df, textCol, idCol, shingleN, k)
-            .localCheckpoint()
-          sc.setJobDescription(null)
+          val sigs = graft.operators.Par.withJobDescription(sc,
+            "curate: minhash sigs checkpoint") {
+            graft.operators.Materialize.checkpoint(
+              Dedup.minhashSignatures(df, textCol, idCol, shingleN, k))
+          }
           val mhCols = (0 until k).map(j => col(s"mh$j"))
           val nonNull = sigs.filter(col("mh0").isNotNull)
           val reps = nonNull.groupBy(mhCols: _*)

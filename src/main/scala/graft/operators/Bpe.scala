@@ -120,7 +120,7 @@ object Bpe {
     require(nMerges > 0, "nMerges must be positive")
     require(batch >= 1, "batch must be >= 1")
     val spark = words0.sparkSession
-    var words = words0.localCheckpoint()
+    var words = words0.transform(Materialize.checkpoint(_))
     val acc = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var rounds = 0
@@ -129,7 +129,7 @@ object Bpe {
       val b = math.min(batch, nMerges - rank)
       // checkpoint only when the barrier aggregate will re-read stats
       val stats =
-        if (b == 1) pairStats(words) else pairStats(words).localCheckpoint()
+        if (b == 1) pairStats(words) else pairStats(words).transform(Materialize.checkpoint(_))
       val topK = stats
         .orderBy(col("pair_count").desc, col("l_sym"), col("r_sym"))
         .limit(math.max(4 * b, 8)).collect()
@@ -181,7 +181,7 @@ object Bpe {
         val newSyms = kept.foldLeft(col("syms")) { case (c0, (l, r, _)) =>
           TextExprs.bpe_merge(c0, l, r)
         }
-        words = words.withColumn("syms", newSyms).localCheckpoint()
+        words = words.withColumn("syms", newSyms).transform(Materialize.checkpoint(_))
         kept.foreach { case (l, r, c) => acc += ((rank, l, r, c)); rank += 1 }
       }
     }
@@ -231,7 +231,7 @@ object Bpe {
     val chars = df
       .select(explode(TextExprs.distinct_chars(col(textCol), lower)).as("symbol"))
       .distinct()
-      .localCheckpoint()
+      .transform(Materialize.checkpoint(_))
     // bounded set (distinct characters): a global rank here is safe
     val ranked = chars.withColumn("token_id",
       (row_number().over(Window.orderBy(col("symbol"))) - 1).cast("long"))

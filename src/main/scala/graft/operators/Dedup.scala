@@ -382,13 +382,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    // restore the caller's job description on every exit path (ADVICE
+    // r17: a trailing setJobDescription(null) clobbered outer labels)
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    try {
     sc.setJobDescription("cc: edges")
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
+    val edges = Materialize.checkpoint(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     sc.setJobDescription("cc: init labels")
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
+    var labels = Materialize.checkpoint(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -400,20 +406,20 @@ object Dedup {
       // the row being updated), so each round costs exactly one join +
       // one aggregate; the count runs over the round's checkpoint
       sc.setJobDescription(s"cc: round ${i + 1}")
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(labels("id"),
-          least(labels("cluster_id"),
-            coalesce(col("nmin"), labels("cluster_id"))).as("cluster_id"),
-          (coalesce(col("nmin"), labels("cluster_id")) < labels("cluster_id"))
-            .as("__chg"))
-        .localCheckpoint(true)
+      val updated = Materialize.checkpoint(
+        labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+          .select(labels("id"),
+            least(labels("cluster_id"),
+              coalesce(col("nmin"), labels("cluster_id"))).as("cluster_id"),
+            (coalesce(col("nmin"), labels("cluster_id")) < labels("cluster_id"))
+              .as("__chg")))
       sc.setJobDescription(s"cc: round ${i + 1} changed-count")
       changed = updated.filter(col("__chg")).count()
       labels = updated.drop("__chg")
       i += 1
     }
-    sc.setJobDescription(null)
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels
+    } finally sc.setJobDescription(prevDesc)
   }
 }

@@ -115,12 +115,12 @@ object LinkGraph {
     // the whole extraction subtree at every reference (measured: ~2.5 s
     // of pure driver planning on the frontier gates). Checkpointing the
     // THREE loop-invariant frames once truncates both.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(true)
+    val e = Materialize.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = Materialize.checkpoint(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val outDeg = Materialize.checkpoint(
+      e.groupBy("src").agg(count(lit(1)).as("out_deg")))
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nNodes))
       .select(col("node"), round(lit(1.0) / col("n_nodes"), 9).as("rank"))

@@ -51,7 +51,7 @@ object NbClassifier {
     val cl = trainToks.groupBy(col("__c"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .localCheckpoint() // read by vocab, totals AND the scoring join
+      .transform(Materialize.checkpoint(_)) // read by vocab, totals AND the scoring join
     // vocabulary = distinct tokens across the (pruned) model
     val vocab = cl.select(col("tok")).distinct()
     // vocab size and corpus size stay PLAN NODES (one-row frames that

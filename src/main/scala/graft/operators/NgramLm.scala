@@ -256,7 +256,7 @@ object NgramLm {
         // final broadcast join — materialize it once (the CURATE
         // stage-boundary stance) so the LM scoring pass, the dominant
         // cost, never runs twice
-        val pc = p.localCheckpoint()
+        val pc = p.transform(Materialize.checkpoint(_))
         // 1. bounded sample — pure (doc_id, salt) keep decision, so
         //    the sample (and every band edge) replays in SQL
         val samp = pc.filter(

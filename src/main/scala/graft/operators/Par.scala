@@ -43,7 +43,7 @@ object Par {
     if (target <= 1) return df
     val files =
       try df.inputFiles
-      catch { case _: Throwable => Array.empty[String] }
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
     if (files.isEmpty) return df
     var total = 0L
     var i = 0
@@ -52,12 +52,22 @@ object Par {
       try {
         val uri = new java.net.URI(f)
         if (uri.getScheme != null && uri.getScheme != "file") return df
-        val len = new java.io.File(uri.getPath).length()
-        if (len <= 0L) return df
-        total += len
-      } catch { case _: Throwable => return df }
+        // a legitimately 0-byte part file contributes nothing to the
+        // total but must not abort the widen for the whole frame
+        total += math.max(0L, new java.io.File(uri.getPath).length())
+      } catch { case scala.util.control.NonFatal(_) => return df }
       i += 1
     }
     if (total < target.toLong * BytesPerTask) df.repartition(target) else df
+  }
+
+  /** Run `body` under a job description, restoring the CALLER's
+    * description afterwards — `setJobDescription(null)` on exit would
+    * clobber an outer label when operators nest (ADVICE r17). */
+  def withJobDescription[T](sc: org.apache.spark.SparkContext,
+      desc: String)(body: => T): T = {
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
   }
 }

@@ -71,9 +71,8 @@ object Perceptron {
     // slice. The grouped frame is at most slice-sized and usually tiny
     // (count features repeat heavily); the checkpoint stops the
     // group-by re-running per round and truncates the per-round plan.
-    val feats = df.select(y.as("y"), checked.as("x"))
-      .groupBy(col("y"), col("x")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    val feats = Materialize.checkpoint(df.select(y.as("y"), checked.as("x"))
+      .groupBy(col("y"), col("x")).agg(count(lit(1)).as("n")))
     var w: DataFrame = spark.range(1)
       .select(array(Seq.fill(k + 1)(lit(0L)): _*).as("w"))
     for (_ <- 1 to iters) {
@@ -94,11 +93,10 @@ object Perceptron {
       // paid seconds re-walking it (measured: ~7 s of driver time for
       // 20 rounds at gate scale); a per-round checkpoint keeps every
       // round's plan depth-1 for the price of a tiny job
-      w = feats.crossJoin(broadcast(w))
+      w = Materialize.checkpoint(feats.crossJoin(broadcast(w))
         .agg(array((0 to k).map(j =>
           coalesce(first(col("w").getItem(j)) +
-            sum(contrib * col("x").getItem(j)), lit(0L))): _*).as("w"))
-        .localCheckpoint()
+            sum(contrib * col("x").getItem(j)), lit(0L))): _*).as("w")))
     }
     w
   }

@@ -115,8 +115,8 @@ object Unigram {
     // soft counts live in millionths; thresholds scale with them
     val quant = if (em == "soft") 1000000L else 1L
     val spark = df.sparkSession
-    val words = wordCounts(df, textCol, lower).localCheckpoint()
-    val cand = seedFromWords(words, maxPieceLen).localCheckpoint()
+    val words = wordCounts(df, textCol, lower).transform(Materialize.checkpoint(_))
+    val cand = seedFromWords(words, maxPieceLen).transform(Materialize.checkpoint(_))
     // both driver pulls are bounded artifacts: the alphabet (≤ distinct
     // characters) and the ranked seed prefix (≤ seedSize rows)
     val charCounts = cand.filter(length(col("piece")) === 1).collect()

@@ -52,7 +52,7 @@ object Wordpiece {
       lower: Boolean = true, minCount: Long = 2L): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = df.sparkSession
-    var words = Bpe.wordTable(df, textCol, lower).localCheckpoint()
+    var words = Bpe.wordTable(df, textCol, lower).transform(Materialize.checkpoint(_))
     val acc = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, Long, Double)]
     var rank = 0
@@ -69,7 +69,7 @@ object Wordpiece {
         acc += ((rank, l, r, row.getLong(2), row.getDouble(5)))
         words = words
           .withColumn("syms", TextExprs.bpe_merge(col("syms"), l, r))
-          .localCheckpoint()
+          .transform(Materialize.checkpoint(_))
         rank += 1
       }
     }
@@ -104,7 +104,7 @@ object Wordpiece {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val chars = Bpe.vocab(df, textCol, Nil, lower).localCheckpoint()
+    val chars = Bpe.vocab(df, textCol, Nil, lower).transform(Materialize.checkpoint(_))
     val nChars = chars.agg(count(lit(1)).cast("long").as("__n"))
     val pieceDf = pieces.distinct.zipWithIndex
       .map { case (p, i) => (p, i.toLong) }.toDF("symbol", "__rk")

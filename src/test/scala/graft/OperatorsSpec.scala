@@ -3289,4 +3289,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out2.map(_.getLong(0)).toSet == Set(5L))
     assert(out2.head.getString(1) == "ftp://files.example.com/x")
   }
+
+  test("Materialize: reliable mode checkpoints durably, results identical, bad mode loud (r18)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+    val local = Materialize.checkpoint(df).collect().toSet
+    // an isolated session so the mode flip can't leak to other tests
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.checkpoint.mode", "reliable")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rel-ck").toString
+    s2.conf.set("spark.graft.checkpoint.dir", dir)
+    val df2 = s2.createDataFrame(df.collectAsList(), df.schema)
+    val reliable = Materialize.checkpoint(df2)
+    assert(reliable.collect().toSet == local)
+    // the reliable path actually wrote RDD checkpoint data to the dir
+    // (note: setCheckpointDir is context-global; dir sticks for the JVM)
+    def files(p: java.io.File): Seq[java.io.File] =
+      Option(p.listFiles).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) files(f) else Seq(f))
+    assert(files(new java.io.File(dir)).nonEmpty,
+      s"no checkpoint files under $dir")
+    // an iterative operator runs unchanged under the durable mode
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val pairs2 = s2.createDataFrame(pairs.collectAsList(), pairs.schema)
+    val cc = Dedup.connectedComponents(pairs2, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.checkpoint.mode", "banana")
+    val df3 = s3.createDataFrame(df.collectAsList(), df.schema)
+    val e = intercept[IllegalArgumentException] { Materialize.checkpoint(df3) }
+    assert(e.getMessage.contains("banana"))
+  }
 }
