@@ -160,6 +160,62 @@ object TextExprs {
     }
   }
 
+  /** Gopher repetition signals in ONE row-local pass (r18): token
+    * count/distinct over `\s`-split trimmed text, gram count/distinct
+    * and the top gram over [[shinglesKernel]]'s exact shingles. The top
+    * gram is a PER-DOCUMENT statistic, so the old explode → (doc, gram)
+    * count shuffle → per-doc window → join-back pipeline never needed a
+    * shuffle at all (guide §2.4); this kernel replaces it bit-exactly:
+    * tie-break = count desc, codepoint length desc, binary-UTF8 asc
+    * (UTF8String.compareTo — the order Spark's sort used). */
+  def repProfileKernel(s: UTF8String, n: Int): InternalRow = {
+    val trimmed = s.trim()
+    val chars = trimmed.numChars()
+    // scalar side tokenization: Java regex \s over trim(text) — keeps
+    // the old split(trim(col), "\\s+") semantics incl. \x0B
+    val str = trimmed.toString
+    var nTok = 0L
+    val distinctToks = new java.util.HashSet[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && { val c = str.charAt(i)
+        c == ' ' || (c >= '\t' && c <= '\r') }) i += 1
+      val st = i
+      while (i < len && { val c = str.charAt(i)
+        !(c == ' ' || (c >= '\t' && c <= '\r')) }) i += 1
+      if (i > st) { nTok += 1; distinctToks.add(str.substring(st, i)) }
+    }
+    val grams = shinglesKernel(s, n)
+    val ng = grams.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long](
+      math.max(16, ng * 2))
+    var j = 0
+    while (j < ng) {
+      val g = grams.getUTF8String(j)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1L else prev.longValue() + 1L)
+      j += 1
+    }
+    var best: UTF8String = null
+    var bestC = 0L
+    var bestLen = -1
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val c = e.getValue.longValue()
+      if (c > bestC) { best = g; bestC = c; bestLen = g.numChars() }
+      else if (c == bestC) {
+        val gl = g.numChars()
+        if (gl > bestLen || (gl == bestLen && g.compareTo(best) < 0)) {
+          best = g; bestC = c; bestLen = gl
+        }
+      }
+    }
+    InternalRow(nTok, distinctToks.size, ng, counts.size, chars, best, bestC)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -954,6 +1010,28 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  object RepProfile {
+    val schema: StructType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_distinct_toks", IntegerType, nullable = false),
+      StructField("n_grams", IntegerType, nullable = false),
+      StructField("n_distinct_grams", IntegerType, nullable = false),
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("top_gram", StringType, nullable = false),
+      StructField("top_count", LongType, nullable = false)))
+  }
+
+  case class RepProfile(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = RepProfile.schema
+    override def prettyName: String = "graft_rep_profile"
+    override def nullSafeEval(a: Any): Any =
+      repProfileKernel(a.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExprs.repProfileKernel($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class MinHashMd5(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
     override def prettyName: String = "graft_minhash_md5"
@@ -1160,6 +1238,9 @@ object TextExprs {
 
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def rep_profile(text: Column, n: Int): Column =
+    ColumnBridge.column(RepProfile(ColumnBridge.expression(text), n))
 
   def embed_text(text: Column, salt: String, d: Int): Column =
     ColumnBridge.column(EmbedText(ColumnBridge.expression(text), salt, d))

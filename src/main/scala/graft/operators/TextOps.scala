@@ -161,38 +161,35 @@ object TextOps {
     * wide. */
   def repetitionProfile(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3): DataFrame = {
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val grams = TextExprs.word_shingles(col(textCol), shingleN)
-    val scalars = df.select(col(idCol),
-      length(trim(col(textCol))).as("__chars"),
-      size(toks).cast(LongType).as("n_tokens"),
-      size(array_distinct(toks)).as("__n_distinct_toks"),
-      size(grams).as("__n_grams"),
-      size(array_distinct(grams)).as("__n_distinct_grams"))
-    val gramCounts = df
-      .select(col(idCol), explode(grams).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__c").desc, length(col("__g")).desc, col("__g").asc)
-    val top = gramCounts
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("__g").as("top_gram"), col("__c"))
+    // r18 (guide §2.4 — remove shuffles outright): every signal here,
+    // INCLUDING the top gram, is a per-document statistic, so the old
+    // explode → (doc, gram) count shuffle → per-doc window → join-back
+    // never needed a shuffle. One native kernel pass
+    // ([[TextExprs.repProfileKernel]]) computes the identical numbers
+    // (same tokenizations, same count/length/binary tie-break) and the
+    // operator becomes map-only at any corpus size. A null text yields a
+    // null profile and drops, exactly like the old inner join of a doc
+    // with no exploded grams.
     // zero denominators (empty/whitespace docs) yield NULL ratios —
     // DuckDB's x/0 semantics, so replays agree — instead of an ANSI
     // DIVIDE_BY_ZERO; a NULL ratio then fails any threshold filter
     def safe(d: Column): Column = when(d =!= 0, d)
-    scalars.join(top, Seq(idCol))
+    // null text ⇒ no profile row (the old inner join of a doc with no
+    // exploded grams). Filtering on the INPUT column — the kernel is
+    // null iff its input is — keeps the predicate below the projection
+    // (pushable to the scan) instead of re-evaluating the kernel in a
+    // pushed-down isnotnull(__p) filter (guide §4.4's duplication).
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextExprs.rep_profile(col(textCol), shingleN).as("__p"))
       .select(col(idCol),
-        col("n_tokens"),
-        round(col("__n_distinct_toks").cast(DoubleType) / safe(col("n_tokens")), 6)
-          .as("distinct_token_ratio"),
-        round((col("__n_grams") - col("__n_distinct_grams")).cast(DoubleType) /
-          safe(col("__n_grams")), 6).as("dup_gram_frac"),
-        col("top_gram"),
-        round(col("__c") * length(col("top_gram")).cast(DoubleType) /
-          safe(col("__chars")), 6).as("top_gram_frac"))
+        col("__p.n_tokens").as("n_tokens"),
+        round(col("__p.n_distinct_toks").cast(DoubleType) /
+          safe(col("__p.n_tokens")), 6).as("distinct_token_ratio"),
+        round((col("__p.n_grams") - col("__p.n_distinct_grams")).cast(DoubleType) /
+          safe(col("__p.n_grams")), 6).as("dup_gram_frac"),
+        col("__p.top_gram").as("top_gram"),
+        round(col("__p.top_count") * length(col("__p.top_gram")).cast(DoubleType) /
+          safe(col("__p.n_chars")), 6).as("top_gram_frac"))
   }
 
   /** PII patterns shared by [[piiProfile]] and its oracle: restricted

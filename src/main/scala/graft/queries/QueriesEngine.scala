@@ -650,12 +650,18 @@ object QueriesEngine {
         i(x + w), lit(" "), i(y + w), lit(", "),
         i(x - w), lit(" "), i(y + w), lit(", "),
         i(x - w), lit(" "), i(y - w), lit("))"))
-      Tables.load(s, dir, "lineitem")
+      // r18 (guide §2.5/§2.6 parallelism): the ST_* projection is the
+      // whole cost here. It used to sit ABOVE the mid-plan sort, i.e.
+      // AFTER the range exchange, whose ~10 MB output AQE coalesces to
+      // a few partitions — the WKT build/parse ran on 8 of 32 cores
+      // (measured: 2.1 s post-sort stage). Projecting BEFORE the sort
+      // on the (widened) scan runs it at full parallelism; the sort is
+      // final, same keys, same row order, same bytes.
+      graft.operators.Par.widen(Tables.load(s, dir, "lineitem"))
         .select($"l_orderkey", $"l_linenumber",
           round($"l_discount" * 100).cast("int").as("x"),
           $"l_quantity".cast("int").as("y"),
           ($"l_linenumber" % 3 + 1).cast("int").as("w"))
-        .orderBy($"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           GeoExprs.st_x(pointWkt).as("px"),
           GeoExprs.st_y(pointWkt).as("py"),
@@ -663,6 +669,7 @@ object QueriesEngine {
           GeoExprs.st_npoints(rectWkt).as("np"),
           round(GeoExprs.st_perimeter(rectWkt), 6).as("perim"),
           GeoExprs.st_centroid(rectWkt).as("centroid"))
+        .orderBy($"l_orderkey", $"l_linenumber")
     },
 
     // ---- ST_* widening (r11): st_dwithin (distance ≤ r without
@@ -686,12 +693,14 @@ object QueriesEngine {
         i(x - w), lit(" "), i(y + w), lit(", "),
         i(x - w), lit(" "), i(y - w), lit("))"))
       val buf = GeoExprs.st_buffer(pointWkt, w.cast("double"), lit(16))
-      Tables.load(s, dir, "lineitem")
+      // r18: same final-sort restructuring as q_geo_suite2 (the 16-gon
+      // buffer build + re-parses ran on the AQE-coalesced post-sort
+      // partitions — 8 of 32 cores)
+      graft.operators.Par.widen(Tables.load(s, dir, "lineitem"))
         .select($"l_orderkey", $"l_linenumber",
           round($"l_discount" * 100).cast("int").as("x"),
           $"l_quantity".cast("int").as("y"),
           ($"l_linenumber" % 3 + 1).cast("int").as("w"))
-        .orderBy($"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           GeoExprs.st_dwithin(pointWkt, lit("POINT (5 25)"), lit(10.0))
             .as("near_center"),
@@ -700,6 +709,7 @@ object QueriesEngine {
           GeoExprs.st_npoints(buf).as("buf_np"),
           round(GeoExprs.st_area(buf), 6).as("buf_area"),
           round(GeoExprs.st_perimeter(buf), 6).as("buf_perim"))
+        .orderBy($"l_orderkey", $"l_linenumber")
     },
 
     // ---- real polygon intersection: Sutherland–Hodgman clipping +
@@ -721,15 +731,16 @@ object QueriesEngine {
         i(x - w), lit(" "), i(y + w), lit(", "),
         i(x - w), lit(" "), i(y - w), lit("))"))
       val zone = lit("POLYGON ((0 0, 10 0, 10 25, 0 25, 0 0))")
-      Tables.load(s, dir, "lineitem")
+      // r18: same final-sort restructuring as q_geo_suite2
+      graft.operators.Par.widen(Tables.load(s, dir, "lineitem"))
         .select($"l_orderkey", $"l_linenumber",
           round($"l_discount" * 100).cast("int").as("x"),
           $"l_quantity".cast("int").as("y"),
           ($"l_linenumber" % 3 + 1).cast("int").as("w"))
-        .orderBy($"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           round(GeoExprs.st_intersection_area(rectWkt, zone), 6)
             .as("zone_overlap"))
+        .orderBy($"l_orderkey", $"l_linenumber")
     },
 
     // ---- general polygon booleans (r12): Greiner–Hormann st_union /

@@ -94,9 +94,20 @@ object EventStreams {
       .select(explode(TextOps.htmlLinks(col(htmlCol), col(urlCol))).as("raw"))
       .select(TextOps.urlNormalize(col("raw")).as("url"))
       .filter(TextOps.urlPass(col("url"), blockHosts = blockHosts))
+    // r18 (VERDICT r17 next-round #4): a stream-static join re-executes
+    // its static subtree EVERY micro-batch — here that was a full scan +
+    // url-normalize of the visited table per trigger. Materializing the
+    // projected static side once pins a snapshot for the query's
+    // lifetime (the intended visited-set semantics: a crawl round works
+    // against the visited set as of round start) and each batch's
+    // anti-join probes the materialized rows instead of recomputing the
+    // subtree. Result-identical over a static table.
+    val visitedOnce =
+      if (visited.isStreaming) visited.select(col("url"))
+      else graft.operators.Materialize.checkpoint(visited.select(col("url")))
     Robots.filterFrontier(links, "url", robots, "host", "body", agent)
       .dropDuplicates("url")
-      .join(visited.select(col("url")), Seq("url"), "left_anti")
+      .join(visitedOnce, Seq("url"), "left_anti")
   }
 
   /** Streaming NEAR-duplicate candidates over a continuous document

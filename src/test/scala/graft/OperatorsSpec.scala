@@ -3290,6 +3290,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out2.head.getString(1) == "ftp://files.example.com/x")
   }
 
+  test("repetitionProfile: kernel == explode/window formulation on adversarial docs (r18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // ties on count (pick longer gram), ties on count+length (pick
+    // binary-smaller), unicode, empty/whitespace docs, sub-n docs,
+    // null text, \x0B (token-split char the GRAM side keeps)
+    val docs = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "x y x y x y x y"),
+      (3L, ""),
+      (4L, "   \t  "),
+      (5L, "one two"),
+      (6L, "ü ü ü ß ß ß"),
+      (7L, "zq zq zq w w w"),
+      (8L, null.asInstanceOf[String]),
+      (9L, "aa bb aa bb cc aa bb"),
+      (10L, "solo")).toDF("doc_id", "text")
+    val fast = TextOps.repetitionProfile(docs, "text", "doc_id")
+    // the pre-r18 formulation, verbatim
+    val toks = filter(split(trim($"text"), "\\s+"), t => length(t) > 0)
+    val grams = graft.functions.TextExprs.word_shingles($"text", 3)
+    val scalars = docs.select($"doc_id",
+      length(trim($"text")).as("__chars"),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(array_distinct(toks)).as("__n_distinct_toks"),
+      size(grams).as("__n_grams"),
+      size(array_distinct(grams)).as("__n_distinct_grams"))
+    val gramCounts = docs.select($"doc_id", explode(grams).as("__g"))
+      .groupBy($"doc_id", $"__g").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      .orderBy($"__c".desc, length($"__g").desc, $"__g".asc)
+    val top = gramCounts.withColumn("__rk", row_number().over(w))
+      .filter($"__rk" === 1).select($"doc_id", $"__g".as("top_gram"), $"__c")
+    def safe(d: org.apache.spark.sql.Column) = when(d =!= 0, d)
+    val slow = scalars.join(top, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        round($"__n_distinct_toks".cast(DoubleType) / safe($"n_tokens"), 6)
+          .as("distinct_token_ratio"),
+        round(($"__n_grams" - $"__n_distinct_grams").cast(DoubleType) /
+          safe($"__n_grams"), 6).as("dup_gram_frac"),
+        $"top_gram",
+        round($"__c" * length($"top_gram").cast(DoubleType) /
+          safe($"__chars"), 6).as("top_gram_frac"))
+    assert(fast.columns.toSeq == slow.columns.toSeq)
+    val f = fast.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val sl = slow.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(f == sl)
+    assert(f.contains(1L) && !f.contains(8L)) // null text drops, like the old inner join
+    // the fast path is shuffle-free: no Exchange in the plan
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("Materialize: reliable mode checkpoints durably, results identical, bad mode loud (r18)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
