@@ -74,7 +74,10 @@ object ByteBpe {
     * flat across pieces —, n_bbpe_tokens). Map-only codegen. */
   def encode(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // r18: the per-row merge loop is CPU-bound and often fed straight
+    // off a 1-2 split scan (guide §2.5 under-splitting) — widen first;
+    // no-op at scale and for non-file sources
+    Par.widen(df).select(col(idCol).as("doc_id"),
         ByteBpeExprs.byte_bpe_encode(col(textCol), merges).as("e"))
       .select(col("doc_id"), col("e.enc").as("bbpe_text"),
         col("e.n_syms").cast("long").as("n_bbpe_tokens"))

@@ -364,6 +364,10 @@ object Unigram {
       lower: Boolean = true, boundary: Boolean = false,
       byteScores: Option[Array[Long]] = None): DataFrame = {
     require(vocab.nonEmpty, "unigram encode: empty vocab")
+    // r18 note: a Par.widen here measured net-NEGATIVE on the small
+    // unigram gates (the keyless repartition's local sort of full text
+    // rows costs more than the Viterbi kernel wins back at gate scale);
+    // heavy callers widen their input instead (q_tokenizer_artifact)
     df.select(col(idCol).as("doc_id"),
         TextExprs.ug_encode(col(textCol), vocab, unk, lower, boundary,
           byteScores.map(_.toSeq).getOrElse(Nil)).as("e"))

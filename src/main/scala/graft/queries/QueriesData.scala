@@ -1433,14 +1433,19 @@ object QueriesData {
       val merges = ByteBpe.readGpt2Merges(s"$tmp/vocab.bpe")
       val encoder = ByteBpe.readGpt2Encoder(s"$tmp/encoder.json")
       val spm = Unigram.readVocab(s"$tmp/spm.vocab")
-      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
-        regexp_replace(trim(translate(col("text"), "ae", "äé")), "\\s+", " ")
-          .as("text"))
+      // r18: this gate runs TWO heavy encode kernels (byte-BPE + remap,
+      // Viterbi) plus a broadcast build over a 1-split scan — all its
+      // jobs measured single-task (guide §2.5); widen both seeds once
+      val docs = graft.operators.Par.widen(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          regexp_replace(trim(translate(col("text"), "ae", "äé")), "\\s+", " ")
+            .as("text"))
       val bb = ByteBpe.encodeIdsPublished(docs, "text", "doc_id", merges, encoder)
         .select(col("doc_id"), col("n_bbpe_tokens"),
           md5(array_join(transform(col("token_ids"), i => i.cast("string")), " ")
             .cast("binary")).as("bids_md5"))
-      val ug = Unigram.encode(Tables.load(s, dir, "documents"),
+      val ug = Unigram.encode(
+          graft.operators.Par.widen(Tables.load(s, dir, "documents")),
           "text", "doc_id", spm, unk = -9000000L)
         .select(col("doc_id"), col("n_ug_tokens"),
           md5(col("ug_text").cast("binary")).as("ug_md5"))
