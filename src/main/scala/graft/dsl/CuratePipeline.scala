@@ -128,7 +128,10 @@ object CuratePipeline {
           val sc = cur.sparkSession.sparkContext
           graft.operators.Par.withJobDescription(sc,
             s"curate: ${opOf(st)} input checkpoint") {
-            graft.operators.Materialize.checkpoint(cur)
+            // lazy: the stage's FIRST consumer materializes the rows in
+            // the same pass instead of a dedicated checkpoint job —
+            // same reuse, one fewer full-corpus pass per stage (r18)
+            graft.operators.Materialize.checkpoint(cur, eager = false)
           }
         } else cur
       applyStage(in, st, textCol, idCol)
@@ -319,7 +322,8 @@ object CuratePipeline {
           val sigs = graft.operators.Par.withJobDescription(sc,
             "curate: minhash sigs checkpoint") {
             graft.operators.Materialize.checkpoint(
-              Dedup.minhashSignatures(df, textCol, idCol, shingleN, k))
+              Dedup.minhashSignatures(df, textCol, idCol, shingleN, k),
+              eager = false)
           }
           val mhCols = (0 until k).map(j => col(s"mh$j"))
           val nonNull = sigs.filter(col("mh0").isNotNull)

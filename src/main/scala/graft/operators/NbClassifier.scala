@@ -45,13 +45,18 @@ object NbClassifier {
   def classify(labeled: DataFrame, textCol: String, labelCol: String,
       docs: DataFrame, idCol: String, minCount: Long = 1L): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
+    // r18 note: Par.widen on either side measured net-negative here —
+    // the explodes feed map-side-combined aggregations, so the extra
+    // exchange costs more than the kernel parallelism wins back
     // ---- training side: one (label, token) count shuffle
     val trainToks = labeled.select(col(labelCol).as("__c"),
       explode(TextExprs.tokens(col(textCol), lower = true)).as("tok"))
     val cl = trainToks.groupBy(col("__c"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .transform(Materialize.checkpoint(_)) // read by vocab, totals AND the scoring join
+      // read by vocab, totals AND the scoring join; lazy — the first
+      // consumer materializes the model in its own pass (r18)
+      .transform(Materialize.checkpoint(_, eager = false))
     // vocabulary = distinct tokens across the (pruned) model
     val vocab = cl.select(col("tok")).distinct()
     // vocab size and corpus size stay PLAN NODES (one-row frames that

@@ -650,18 +650,16 @@ object QueriesEngine {
         i(x + w), lit(" "), i(y + w), lit(", "),
         i(x - w), lit(" "), i(y + w), lit(", "),
         i(x - w), lit(" "), i(y - w), lit("))"))
-      // r18 (guide §2.5/§2.6 parallelism): the ST_* projection is the
-      // whole cost here. It used to sit ABOVE the mid-plan sort, i.e.
-      // AFTER the range exchange, whose ~10 MB output AQE coalesces to
-      // a few partitions — the WKT build/parse ran on 8 of 32 cores
-      // (measured: 2.1 s post-sort stage). Projecting BEFORE the sort
-      // on the (widened) scan runs it at full parallelism; the sort is
-      // final, same keys, same row order, same bytes.
-      graft.operators.Par.widen(Tables.load(s, dir, "lineitem"))
+      // r18 note: the q_geo_suite3 final-sort restructure measured
+      // NEUTRAL-to-negative here (these ST_* accessors are ~3× cheaper
+      // than suite3's buffer build, so the widen exchange costs what
+      // the parallelism wins back) — kept in the original shape.
+      Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber",
           round($"l_discount" * 100).cast("int").as("x"),
           $"l_quantity".cast("int").as("y"),
           ($"l_linenumber" % 3 + 1).cast("int").as("w"))
+        .orderBy($"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           GeoExprs.st_x(pointWkt).as("px"),
           GeoExprs.st_y(pointWkt).as("py"),
@@ -669,7 +667,6 @@ object QueriesEngine {
           GeoExprs.st_npoints(rectWkt).as("np"),
           round(GeoExprs.st_perimeter(rectWkt), 6).as("perim"),
           GeoExprs.st_centroid(rectWkt).as("centroid"))
-        .orderBy($"l_orderkey", $"l_linenumber")
     },
 
     // ---- ST_* widening (r11): st_dwithin (distance ≤ r without
@@ -693,9 +690,15 @@ object QueriesEngine {
         i(x - w), lit(" "), i(y + w), lit(", "),
         i(x - w), lit(" "), i(y - w), lit("))"))
       val buf = GeoExprs.st_buffer(pointWkt, w.cast("double"), lit(16))
-      // r18: same final-sort restructuring as q_geo_suite2 (the 16-gon
-      // buffer build + re-parses ran on the AQE-coalesced post-sort
-      // partitions — 8 of 32 cores)
+      // r18 (guide §2.5/§2.6): the ST_* projection is the whole cost
+      // here (16-gon buffer build + re-parses); it used to sit ABOVE
+      // the mid-plan sort, i.e. AFTER the range exchange whose ~10 MB
+      // output AQE coalesces to a few partitions — measured 2.1 s on 8
+      // of 32 cores. Projecting BEFORE the sort on the widened scan
+      // runs it at full parallelism; the sort is final — same keys,
+      // same row order, same bytes. (suite2/intersect measured neutral
+      // under the same treatment — their ST_ calls are too cheap — and
+      // keep the original shape.)
       graft.operators.Par.widen(Tables.load(s, dir, "lineitem"))
         .select($"l_orderkey", $"l_linenumber",
           round($"l_discount" * 100).cast("int").as("x"),
@@ -731,16 +734,17 @@ object QueriesEngine {
         i(x - w), lit(" "), i(y + w), lit(", "),
         i(x - w), lit(" "), i(y - w), lit("))"))
       val zone = lit("POLYGON ((0 0, 10 0, 10 25, 0 25, 0 0))")
-      // r18: same final-sort restructuring as q_geo_suite2
-      graft.operators.Par.widen(Tables.load(s, dir, "lineitem"))
+      // r18 note: suite3's final-sort restructure measured neutral-to-
+      // negative here (one cheap ST_ call) — kept in the original shape.
+      Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber",
           round($"l_discount" * 100).cast("int").as("x"),
           $"l_quantity".cast("int").as("y"),
           ($"l_linenumber" % 3 + 1).cast("int").as("w"))
+        .orderBy($"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           round(GeoExprs.st_intersection_area(rectWkt, zone), 6)
             .as("zone_overlap"))
-        .orderBy($"l_orderkey", $"l_linenumber")
     },
 
     // ---- general polygon booleans (r12): Greiner–Hormann st_union /
